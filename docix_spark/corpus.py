@@ -1,0 +1,163 @@
+"""Corpus construction.
+
+The engine's input is an Iceberg-style table of source-code repositories with
+columns ``(repo, path, commit, lang, content)`` (BASELINE.json input_hint).
+One row = one source file = one indexable unit — the analogue of the
+reference's per-PDF-page ``DocumentPage``
+(reference domain/port/out/PageExtractor.java:27-58).
+
+Derived columns (added by :func:`with_doc_ids`):
+
+- ``doc_id = sha2(content, 256)`` — the content-sha256 per-row invariant
+  (BASELINE.json input_hint). The reference itself derives storage names from
+  SHA-256 (domain/util/FileNameEncryptionUtil.java:43-53); we drop its
+  obfuscation salts and use pure content hashing so IDs are deterministic and
+  re-index is idempotent (the reference gets idempotency from deterministic
+  ES ``_id`` values, SearchAdapter.java:118,311).
+- ``file_name = path`` and ``original_file_name = basename(path)`` — the two
+  filename fields of the ES mapping (SearchAdapter.java:253-256) that
+  participate in best_fields scoring with boosts 3/3 vs content 5
+  (SearchAdapter.java:405).
+
+:func:`synth_corpus` builds a deterministic seeded corpus with the skew
+injectors the north rule calls out (license boilerplate repeated across
+repos, stopword-like identifiers at extreme document frequency) — no
+external data. :func:`from_driver_documents` adapts the driver's
+``documents`` parquet (doc_id, text, lang, source, n_chars) to the corpus
+shape so the same engine runs on the graded test tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+FIELDS = ("content", "file_name", "original_file_name")
+
+# Skew injector 1: boilerplate license paragraph prepended to ~30% of files
+# (FIXTURES.md §1) — every term in it lands at df ≈ 0.3·N.
+LICENSE_BOILERPLATE = (
+    "permission is hereby granted free of charge to any person obtaining a "
+    "copy of this software and associated documentation files the software "
+    "to deal in the software without restriction including without "
+    "limitation the rights to use copy modify merge publish distribute "
+    "sublicense and or sell copies of the software"
+)
+
+# Skew injector 2: stopword-like identifiers at very high df.
+STOP_IDENTIFIERS = ["i", "get", "value", "data", "self", "x", "result"]
+
+_LANGS = ["java", "py", "go", "js", "md", "txt"]
+_LANG_W = [0.3, 0.25, 0.15, 0.15, 0.1, 0.05]
+
+# Identifier vocabulary — Zipf-distributed draw (FIXTURES.md §1).
+_VOCAB_SIZE = 10_000
+
+
+def _vocab() -> list[str]:
+    roots = [
+        "parse", "build", "index", "token", "merge", "scan", "query", "score",
+        "block", "batch", "shard", "store", "fetch", "cache", "flush", "split",
+        "count", "chunk", "codec", "field", "group", "order", "limit", "range",
+    ]
+    out = []
+    i = 0
+    while len(out) < _VOCAB_SIZE:
+        r = roots[i % len(roots)]
+        out.append(f"{r}_{i // len(roots)}")
+        i += 1
+    return out
+
+
+def synth_corpus_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
+    """Deterministic synthetic corpus as a pandas frame (driver-side for
+    tests; use :func:`synth_corpus` for a distributed generate)."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(_vocab())
+    # Zipf-ish rank weights.
+    ranks = np.arange(1, _VOCAB_SIZE + 1, dtype=np.float64)
+    probs = (1.0 / ranks) / np.sum(1.0 / ranks)
+
+    langs = rng.choice(_LANGS, size=n_docs, p=_LANG_W)
+    n_repos = max(n_docs // 20, 1)
+    repo_idx = rng.integers(0, n_repos, size=n_docs)
+    doc_lens = rng.integers(40, 400, size=n_docs)
+
+    rows = []
+    for d in range(n_docs):
+        body_terms = list(vocab[rng.choice(_VOCAB_SIZE, size=doc_lens[d], p=probs)])
+        # stopword-like identifiers sprayed through most documents
+        n_stop = int(rng.integers(0, 12))
+        body_terms += [STOP_IDENTIFIERS[int(j)] for j in rng.integers(0, len(STOP_IDENTIFIERS), n_stop)]
+        # per-file rare terms for exact-hit tests
+        body_terms.append(f"uniq_{d}_0")
+        if d % 3 == 0:
+            body_terms.append(f"uniq_{d}_1")
+        rng.shuffle(body_terms)
+        content = " ".join(body_terms)
+        if d % 10 < 3:  # ~30% get license boilerplate prepended
+            content = LICENSE_BOILERPLATE + " " + content
+        repo = f"org{repo_idx[d] % 37}/repo{repo_idx[d]}"
+        lang = langs[d]
+        path = f"src/main/{lang}/pkg{d % 53}/Module{d}.{lang}"
+        commit = hashlib.sha256(f"{repo}:{path}:0".encode()).hexdigest()[:40]
+        rows.append((repo, path, commit, lang, content))
+    return pd.DataFrame(rows, columns=CORPUS_COLUMNS)
+
+
+def synth_corpus(spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic corpus: each partition generates its slice
+    with a partition-derived seed, so the output is independent of
+    parallelism (same rows at local[8] and local[32])."""
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+    per = [(p, n_docs // partitions + (1 if p < n_docs % partitions else 0)) for p in range(partitions)]
+    offsets = np.cumsum([0] + [c for _, c in per[:-1]]).tolist()
+    plan = spark.createDataFrame(
+        [(p, int(offsets[i]), int(c)) for i, (p, c) in enumerate(per)],
+        "part int, offset long, cnt int",
+    ).repartition(partitions, "part")
+
+    def gen(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                sub = synth_corpus_pdf(int(row.cnt), seed=seed + int(row.offset))
+                sub["path"] = [
+                    f"src/main/{l}/pkg{(int(row.offset)+i) % 53}/Module{int(row.offset)+i}.{l}"
+                    for i, l in enumerate(sub["lang"])
+                ]
+                yield sub[CORPUS_COLUMNS]
+
+    schema = ", ".join(f"{c} string" for c in CORPUS_COLUMNS)
+    return plan.mapInPandas(gen, schema=schema)
+
+
+def with_doc_ids(corpus: DataFrame) -> DataFrame:
+    """Add doc_id (content sha256) + the two filename fields, all JVM-side."""
+    return (
+        corpus.withColumn("doc_id", F.sha2(F.col("content"), 256))
+        .withColumn("file_name", F.col("path"))
+        .withColumn("original_file_name", F.substring_index(F.col("path"), "/", -1))
+    )
+
+
+def from_driver_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's documents parquet (doc_id,text,lang,source,n_chars)
+    to the corpus schema. ``path`` is synthesized deterministically from
+    (source, doc_id) so filename-field scoring stays testable."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("docs/"), F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+            F.sha2(F.concat_ws(":", "source", F.col("doc_id").cast("string")), 256).substr(1, 40).alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+    )

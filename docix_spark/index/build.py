@@ -1,0 +1,189 @@
+"""Inverted-index build — the engine's core deliverable.
+
+The reference delegates all of this to Elasticsearch/Lucene (it only issues
+index requests, reference ElasticsearchDocumentSearchAdapter.java:120-125);
+we build the structures natively as Spark tables:
+
+- ``postings(field, term, doc_id, tf, positions, term_bucket)`` —
+  one row per (field, term, document). Positions are stored for the
+  ``content`` field only (they exist solely to serve phrase matching in
+  autocomplete, SearchAdapter.java:198-201 — SURVEY.md §7.3).
+- ``df_stats(field, term, df, term_bucket)`` — document frequency per term.
+- ``doc_stats(field, doc_id, doc_len)`` — tokens per document per field.
+- ``corpus_stats(field, n_docs, avgdl)`` — BM25 normalization constants.
+- ``docs(doc_id, repo, path, commit, lang, file_name, original_file_name,
+  content)`` — metadata + source text for result shaping / highlighting.
+
+Scale design (100 TB / 10^12 rows):
+
+- Tokenization + per-doc TF aggregation happens **map-side** inside one
+  ``mapInPandas`` pass (vectorized pandas/numpy over Arrow batches — no
+  per-row Python, no token explosion through the shuffle). Shuffle volume is
+  one row per *distinct* (field, term, doc), not per token occurrence.
+- Postings are written partitioned by ``term_bucket = pmod(xxhash64(term),
+  B)`` so the query path prunes to the handful of buckets containing the
+  query's terms (partition pruning via an explicit driver-side filter,
+  SURVEY.md §4.3).
+- ``df_stats`` is a map-partial + reduce-final hash aggregation (free from
+  Catalyst); ``doc_stats`` aggregates map-side within the same pass.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docix_spark.analysis.tokenizer import tokenize_series
+from docix_spark.corpus import FIELDS, with_doc_ids
+
+POSTINGS_SCHEMA = (
+    "field string, term string, doc_id string, tf int, positions array<int>"
+)
+
+DEFAULT_TERM_BUCKETS = 64
+
+
+def term_bucket(col, n_buckets: int):
+    """Bucket id for a term column — also computable driver-side for
+    query-time partition pruning (see docix_spark.query.bm25)."""
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def _explode_tokens(pdf: pd.DataFrame, field: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized flatten: (doc_row_idx, term, position) arrays for one field."""
+    toks = tokenize_series(pdf[field])
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    if lens.sum() == 0:
+        empty = np.array([], dtype=np.int64)
+        return empty, np.array([], dtype=object), empty
+    doc_idx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+    flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks if len(t)])
+    positions = np.concatenate([np.arange(n, dtype=np.int64) for n in lens if n])
+    return doc_idx, flat_terms, positions
+
+
+def _postings_for_batch(pdf: pd.DataFrame, fields: Sequence[str], positions_field: str) -> pd.DataFrame:
+    frames = []
+    for field in fields:
+        doc_idx, terms, positions = _explode_tokens(pdf, field)
+        if len(doc_idx) == 0:
+            continue
+        tok = pd.DataFrame({"di": doc_idx, "term": terms, "pos": positions})
+        if field == positions_field:
+            agg = tok.groupby(["di", "term"], sort=False).agg(
+                tf=("pos", "size"), positions=("pos", lambda s: list(map(int, s)))
+            )
+        else:
+            agg = tok.groupby(["di", "term"], sort=False).agg(tf=("pos", "size"))
+            agg["positions"] = None
+        agg = agg.reset_index()
+        agg["doc_id"] = pdf["doc_id"].to_numpy()[agg["di"].to_numpy()]
+        agg["field"] = field
+        frames.append(agg[["field", "term", "doc_id", "tf", "positions"]])
+    if not frames:
+        return pd.DataFrame(columns=["field", "term", "doc_id", "tf", "positions"])
+    out = pd.concat(frames, ignore_index=True)
+    out["tf"] = out["tf"].astype("int32")
+    return out
+
+
+def build_postings(
+    corpus_with_ids: DataFrame,
+    fields: Sequence[str] = FIELDS,
+    positions_field: str = "content",
+) -> DataFrame:
+    """corpus → postings rows, fully map-side (one mapInPandas pass)."""
+    cols = ["doc_id", *fields]
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = _postings_for_batch(pdf, fields, positions_field)
+            if len(out):
+                yield out
+
+    return corpus_with_ids.select(*cols).mapInPandas(gen, schema=POSTINGS_SCHEMA)
+
+
+@dataclass
+class Index:
+    """Handle to a persisted index directory."""
+
+    root: str
+    n_buckets: int = DEFAULT_TERM_BUCKETS
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path("postings"))
+
+    def df_stats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path("df_stats"))
+
+    def doc_stats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path("doc_stats"))
+
+    def corpus_stats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path("corpus_stats"))
+
+    def docs(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path("docs"))
+
+    def corpus_constants(self, spark: SparkSession, field: str = "content") -> tuple[int, float]:
+        row = self.corpus_stats(spark).where(F.col("field") == field).collect()[0]
+        return int(row.n_docs), float(row.avgdl)
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    n_buckets: int = DEFAULT_TERM_BUCKETS,
+    fields: Sequence[str] = FIELDS,
+) -> Index:
+    """One-shot (non-checkpointed) index build. The resumable, manifest-
+    tracked build lives in docix_spark.index.checkpoint.
+
+    Idempotent: deterministic doc_ids + full overwrite per table — the Spark
+    analogue of the reference's deterministic ``_id`` upsert
+    (SearchAdapter.java:118,311).
+    """
+    docs = with_doc_ids(corpus)
+    # De-duplicate identical content: one doc_id = one document, exactly as
+    # the reference's deterministic _id collapses re-uploads.
+    docs = docs.dropDuplicates(["doc_id"])
+    docs.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
+    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
+
+    postings = build_postings(docs, fields=fields).withColumn(
+        "term_bucket", term_bucket(F.col("term"), n_buckets)
+    )
+    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        os.path.join(out_dir, "postings")
+    )
+    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
+
+    # (field, term, doc_id) is unique by construction → count == countDistinct.
+    df_stats = (
+        postings.groupBy("field", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
+    )
+    df_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "df_stats"))
+
+    doc_stats = postings.groupBy("field", "doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    doc_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))
+
+    doc_stats = spark.read.parquet(os.path.join(out_dir, "doc_stats"))
+    corpus_stats = doc_stats.groupBy("field").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    )
+    corpus_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "corpus_stats"))
+
+    return Index(root=out_dir, n_buckets=n_buckets)

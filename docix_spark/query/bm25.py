@@ -1,0 +1,262 @@
+"""Top-k BM25 ranked retrieval as a declarative DataFrame plan.
+
+Scoring spec (the engine's contract, mirrored exactly by the pure-Python
+oracle in docix_spark.oracle — rank identity between the two is the north
+rule's correctness gate):
+
+    score(q,d,field) = Σ_{t∈q} fuzzy_boost(t,t') · idf(t') · tf(t',d) · (k1+1)
+                       / (tf(t',d) + k1·(1 - b + b·|d|_field/avgdl_field))
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),  k1=1.2, b=0.75
+
+(The Lucene BM25 formula with ES defaults — DocIx sets no similarity in its
+mapping, reference ElasticsearchDocumentSearchAdapter.java:249-262.)
+
+Composite document score for the reference's query tree
+(SearchAdapter.java:394-440, semantics in SURVEY.md §2.8):
+
+    final(d)      = bestfields(d) + fallback(d)            [outer bool, msm=1]
+    bestfields(d) = max_field( boost_f · score(q,d,f) )     [best_fields, tie_breaker=0]
+                    where field f only counts if d matches >= msm(50%) of the
+                    query terms in f                         [msm "50%"]
+    fallback(d)   = Σ_f  wboost_f · [lower(f) contains lower(q)]
+                                                             [constant-score wildcards]
+
+Fuzzy expansion (fuzziness=AUTO, SearchAdapter.java:407): each query term t
+of length>=3 additionally matches dictionary terms t' within
+``auto_max_edits(len(t))`` Levenshtein edits, capped at 50 expansions chosen
+by (df desc, term asc), contributing with
+``fuzzy_boost = 1 - dist/min(len(t), len(t'))`` (the classic Lucene
+FuzzyQuery degradation). Exact occurrences always contribute with boost 1.
+Where Lucene's blended-frequency rewrite differs in low-level detail, this
+engine's spec above is authoritative for both the Spark plan and the oracle,
+keeping rank identity well-defined and deterministic (SURVEY.md §7.3).
+
+Tiebreak + pagination: ``ORDER BY score DESC, doc_id ASC`` then
+``from = page·size`` (SearchAdapter.java:446-449) — Spark compiles the
+orderBy().limit() into TakeOrderedAndProject (no global sort).
+
+Scale notes (100 TB): the postings read is pruned to the term_buckets of the
+(expanded) query terms — an explicit driver-side partition filter
+(SURVEY.md §4.3); the expanded-terms relation is broadcast; per-doc
+aggregation is a partial+final hash agg on doc_id. The segment/WAND path
+(docix_spark.index.segments + docix_spark.query.wand) replaces the raw
+postings scan for latency-critical serving.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from docix_spark import BM25_B, BM25_K1
+from docix_spark.corpus import FIELDS
+from docix_spark.index.build import Index, term_bucket
+from docix_spark.query.plan import (
+    FIELD_BOOSTS,
+    MAX_FUZZY_EXPANSIONS,
+    WILDCARD_BOOSTS,
+    AnalyzedQuery,
+    analyze_query,
+    auto_max_edits,
+    validate_search,
+)
+
+
+def bm25_score_col(tf, df, doc_len, n_docs, avgdl, k1: float = BM25_K1, b: float = BM25_B):
+    """BM25 as a Column expression (whole-stage-codegen'd, JVM-side)."""
+    idf = F.log(F.lit(1.0) + (n_docs - df + F.lit(0.5)) / (df + F.lit(0.5)))
+    tf_norm = (tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * doc_len / avgdl))
+    return idf * tf_norm
+
+
+def expand_query_terms(spark: SparkSession, index: Index, terms: list[str]) -> list[tuple[str, str, float]]:
+    """Fuzzy-AUTO expansion against the term dictionary.
+
+    Returns driver-side [(query_term, index_term, fuzzy_boost)] — bounded by
+    50 expansions/term (ES max_expansions default), so collecting is safe at
+    any corpus scale; the dictionary scan itself is a column-pruned parquet
+    scan of df_stats (term dictionary), the one query-path stage that cannot
+    be bucket-pruned (fuzzy matches any bucket — SURVEY.md §7.3).
+    """
+    uniq = sorted(set(terms))
+    exact = [(t, t, 1.0) for t in uniq]
+    fuzzy_qs = [(t, len(t), auto_max_edits(len(t))) for t in uniq if auto_max_edits(len(t)) > 0]
+    if not fuzzy_qs:
+        return exact
+
+    qdf = spark.createDataFrame(fuzzy_qs, "qt string, qlen int, max_edits int")
+    dictionary = (
+        index.df_stats(spark)
+        .groupBy("term")
+        .agg(F.max("df").alias("df"))
+        .withColumn("tlen", F.length("term"))
+    )
+    lo = min(q[1] - q[2] for q in fuzzy_qs)
+    hi = max(q[1] + q[2] for q in fuzzy_qs)
+    cand = (
+        dictionary.where((F.col("tlen") >= lo) & (F.col("tlen") <= hi))
+        .join(F.broadcast(qdf), on=F.expr("abs(tlen - qlen) <= max_edits"))
+        .withColumn("dist", F.levenshtein(F.col("term"), F.col("qt")))
+        .where((F.col("dist") > 0) & (F.col("dist") <= F.col("max_edits")))
+    )
+    w = Window.partitionBy("qt").orderBy(F.desc("df"), F.asc("term"))
+    capped = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= MAX_FUZZY_EXPANSIONS)
+        .select(
+            "qt",
+            "term",
+            (F.lit(1.0) - F.col("dist") / F.least(F.col("qlen"), F.col("tlen"))).alias("boost"),
+        )
+    )
+    out = exact + [(r.qt, r.term, float(r.boost)) for r in capped.collect()]
+    return out
+
+
+def _bucket_ids(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
+    """term_bucket values for a term list, computed with the same xxhash64
+    the build used (evaluated JVM-side on a tiny local relation)."""
+    if not terms:
+        return []
+    tdf = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+    rows = tdf.select(term_bucket(F.col("term"), n_buckets).alias("b")).distinct().collect()
+    return sorted(r.b for r in rows)
+
+
+@dataclass
+class SearchResultPage:
+    """Shaped like the reference's SearchResult page (SURVEY.md §3.1 step 5)."""
+
+    results: DataFrame  # doc_id, score, rank, repo, path, lang, ...
+    page: int
+    size: int
+
+
+def score_fields(
+    spark: SparkSession,
+    index: Index,
+    aq: AnalyzedQuery,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """bestfields(d): per-field BM25 with fuzzy expansion, msm 50%, field
+    boosts, best_fields max. Returns (doc_id, best_score)."""
+    expansions = expand_query_terms(spark, index, aq.terms)
+    exp_terms = sorted({e[1] for e in expansions})
+    buckets = _bucket_ids(spark, exp_terms, index.n_buckets)
+
+    exp_df = F.broadcast(
+        spark.createDataFrame(expansions, "qt string, term string, fboost double")
+    )
+
+    postings = index.postings(spark).where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(exp_terms)
+    )
+    df_stats = index.df_stats(spark).where(F.col("term").isin(exp_terms))
+    cstats = F.broadcast(index.corpus_stats(spark))
+
+    matched = (
+        postings.join(exp_df, "term")
+        .join(df_stats.select("field", "term", "df"), ["field", "term"])
+        .join(index.doc_stats(spark), ["field", "doc_id"])
+        .join(cstats, "field")
+    )
+    per_term = matched.select(
+        "field",
+        "doc_id",
+        "qt",
+        (
+            F.col("fboost")
+            * bm25_score_col(
+                F.col("tf").cast("double"),
+                F.col("df").cast("double"),
+                F.col("doc_len").cast("double"),
+                F.col("n_docs").cast("double"),
+                F.col("avgdl"),
+                k1=k1,
+                b=b,
+            )
+        ).alias("tscore"),
+    )
+    per_field = per_term.groupBy("field", "doc_id").agg(
+        F.sum("tscore").alias("fscore"), F.countDistinct("qt").alias("n_matched")
+    )
+    boost_map = F.create_map(
+        *[x for f, bo in FIELD_BOOSTS.items() for x in (F.lit(f), F.lit(bo))]
+    )
+    best = (
+        per_field.where(F.col("n_matched") >= F.lit(aq.msm))
+        .withColumn("boosted", F.col("fscore") * boost_map[F.col("field")])
+        .groupBy("doc_id")
+        .agg(F.max("boosted").alias("best_score"))
+    )
+    return best
+
+
+def wildcard_fallback(spark: SparkSession, index: Index, aq: AnalyzedQuery) -> DataFrame:
+    """fallback(d): constant-score substring clauses, Σ of matching boosts
+    (reference SearchAdapter.java:412-429). Returns (doc_id, fb_score)."""
+    q = aq.lower
+    docs = index.docs(spark)
+    clauses = [
+        F.when(F.lower(F.col(fld)).contains(q), F.lit(bo)).otherwise(F.lit(0.0))
+        for fld, bo in WILDCARD_BOOSTS.items()
+    ]
+    total = sum(clauses[1:], clauses[0])
+    return (
+        docs.select("doc_id", total.alias("fb_score"))
+        .where(F.col("fb_score") > 0)
+    )
+
+
+def search_topk(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    page: int = 0,
+    size: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    with_metadata: bool = True,
+    validate: bool = True,
+) -> DataFrame:
+    """Full reference search semantics → one result DataFrame.
+
+    Columns: doc_id, score, rank (1-based, global) + doc metadata.
+    Empty-index guard replicates the count-probe at SearchAdapter.java:385-389.
+
+    ``validate=False`` enters at the adapter level (below the use-case
+    validation), where ``"*"`` → match_all is honored
+    (SearchAdapter.java:395-397); through the public path a bare ``"*"``
+    never survives the 2-char minimum (SearchDocumentService.java:115-131).
+    """
+    if validate:
+        validate_search(query, page, size)
+    aq = analyze_query(query)
+    docs = index.docs(spark)
+
+    if aq.is_match_all:
+        scored = docs.select("doc_id", F.lit(1.0).alias("score"))
+    else:
+        best = score_fields(spark, index, aq, k1=k1, b=b)
+        fb = wildcard_fallback(spark, index, aq)
+        scored = (
+            best.join(fb, "doc_id", "full_outer")
+            .select(
+                "doc_id",
+                (F.coalesce("best_score", F.lit(0.0)) + F.coalesce("fb_score", F.lit(0.0))).alias("score"),
+            )
+        )
+
+    top = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit((page + 1) * size)
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))))
+        .where(F.col("rank") > page * size)
+    )
+    if with_metadata:
+        meta_cols = ["doc_id", "repo", "path", "commit", "lang", "file_name", "original_file_name"]
+        top = top.join(F.broadcast(docs.select(*meta_cols)), "doc_id", "left")
+    return top.orderBy("rank")
