@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)`` — flagship: builds the real inverted index (vectorized
+  mapInPandas posting construction, term-bucketed parquet postings,
+  df/doclen/corpus stats) from the sf0.001 documents table, then runs the
+  full composite BM25 search (best_fields 5/3/3, fuzzy AUTO, msm 50%,
+  wildcard fallback — the query tree of reference
+  ElasticsearchDocumentSearchAdapter.java:394-440).
+- ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+  from SURVEY.md §2 plus the training-data-pipeline ops, each paired with
+  DuckDB-runnable ANSI SQL (see docix_spark.driver_queries for the
+  cross-engine determinism rules: shared ASCII tokenizer regex, *_q6
+  micro-unit integers for float outputs, rounded-score rank tiebreaks).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from docix_spark.driver_queries import REGISTRY
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from docix_spark.corpus import from_driver_documents
+    from docix_spark.index.build import build_index
+    from docix_spark.query.bm25 import search_topk
+
+    corpus = from_driver_documents(spark, "/root/testdata/sf0.001")
+    idx_dir = os.path.join(tempfile.gettempdir(), "docix_entry_idx")
+    index = build_index(spark, corpus, idx_dir, n_buckets=16)
+    result = search_topk(spark, index, "spark hash join", page=0, size=10)
+    return result.select(
+        "rank", "doc_id", F.round("score", 6).alias("score"), "repo", "path", "lang"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: dq.fn for name, dq in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; rows-only ops are omitted."""
+    return {name: dq.sql for name, dq in REGISTRY.items() if dq.sql is not None}

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with the headline numbers.
+
+Measures on $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) at
+local[$SPARK_GRAFT_CPUS] (default 32):
+
+1. index-build throughput (docs/sec) over the documents table — the
+   north-star build metric;
+2. top-k BM25 query latency for the composite search path (best_fields +
+   fuzzy AUTO + msm + wildcard fallback) over the freshly built index;
+3. a set of registry heavies (dedup/minhash/jaccard/knn) as secondary
+   per-query seconds.
+
+Scaling-efficiency evidence (N vs 4N parallelism on the same input) is
+produced by scripts/scaling_run.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from docix_spark.corpus import from_driver_documents
+    from docix_spark.driver_queries import REGISTRY
+    from docix_spark.index.build import build_index
+    from docix_spark.query.bm25 import search_topk
+    from docix_spark.session import get_spark
+
+    spark = get_spark("docix-bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+
+    # -- index build -------------------------------------------------------
+    idx_dir = tempfile.mkdtemp(prefix="docix_bench_idx_")
+    corpus = from_driver_documents(spark, sf_dir)
+    n_docs = corpus.count()
+    t0 = time.perf_counter()
+    index = build_index(spark, corpus, idx_dir, n_buckets=64)
+    build_sec = time.perf_counter() - t0
+    queries["index_build"] = round(build_sec, 4)
+
+    # -- composite search latencies ---------------------------------------
+    search_set = {
+        "search_common3": "spark hash join",
+        "search_msm": "merge sort window batch",
+        "search_fuzzy": "spak windoww",
+        "search_filename": "doc_42",
+        "search_wildcard_fallback": "rk jo",
+    }
+    for name, q in search_set.items():
+        t0 = time.perf_counter()
+        search_topk(spark, index, q, size=10, with_metadata=False).collect()
+        queries[name] = round(time.perf_counter() - t0, 4)
+
+    # -- registry heavies ---------------------------------------------------
+    for name in ["bm25_topk", "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard_pairs", "knn_cosine_top10", "quality_score"]:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).collect()
+        queries[name] = round(time.perf_counter() - t0, 4)
+
+    total = time.perf_counter() - t_total0
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_docs": n_docs,
+        "index_build_docs_per_sec": round(n_docs / build_sec, 2),
+        "cpus": cpus,
+    }
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,697 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 (plus the training-data-pipeline ops) as a pair of
+
+    (Spark DataFrame callable (spark, sf_dir) -> DataFrame,
+     equivalent ANSI SQL for the DuckDB oracle, or None for rows-only ops)
+
+run by the driver at sf=0.01 over its pre-registered parquet views
+(documents, embeddings, ...). Cross-engine determinism rules:
+
+- the shared tokenizer regex is ASCII-identical in Spark (Java regex),
+  DuckDB (RE2) and Python (re.ASCII) — see docix_spark.analysis.tokenizer;
+- every float-valued output is rounded to 6 decimals and emitted as a
+  BIGINT micro-unit column (``*_q6``) so value hashes match bit-for-bit;
+- ranks/limits always order by the *rounded* score with a doc_id tiebreak
+  (the reference's score desc / _id asc, SearchAdapter.java:448-449);
+- dot products are computed over DOUBLE-cast vectors in both engines
+  (DuckDB's FLOAT[] list_dot_product accumulates in float32, Spark
+  aggregates in double — casting both sides to double makes the
+  element-order-identical sums bit-stable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from docix_spark.analysis.tokenizer import TOKEN_PATTERN, spark_tokens
+
+# ---------------------------------------------------------------------------
+# registry machinery
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DriverQuery:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → rows-only check
+
+
+REGISTRY: dict[str, DriverQuery] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = DriverQuery(fn, sql)
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _toks(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", F.explode(spark_tokens("text")).alias("term"))
+
+
+def _q6(col) -> F.Column:
+    return F.round(col * F.lit(1_000_000.0)).cast("long")
+
+
+# SQL building blocks -------------------------------------------------------
+
+SQL_TOKS = f"SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term FROM documents"
+SQL_TF = f"SELECT doc_id, term, count(*) AS tf FROM ({SQL_TOKS}) GROUP BY doc_id, term"
+SQL_DL = f"SELECT doc_id, count(*) AS doc_len FROM ({SQL_TOKS}) GROUP BY doc_id"
+SQL_WORDS = f"SELECT doc_id, source, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A1-A3 — index statistics (the build's core aggregations)
+# ---------------------------------------------------------------------------
+
+
+@register("tf_postings", SQL_TF)
+def tf_postings(spark, sf_dir):
+    """A1: per-(term, doc) term frequency — the posting row."""
+    return _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+@register("term_df", f"SELECT term, count(*) AS df FROM ({SQL_TF}) GROUP BY term")
+def term_df(spark, sf_dir):
+    """A2: document frequency per term."""
+    return (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        .groupBy("term").agg(F.count("*").alias("df"))
+    )
+
+
+@register("doc_length", SQL_DL)
+def doc_length(spark, sf_dir):
+    """A3: tokens per document (BM25 length norm input)."""
+    return _toks(_docs(spark, sf_dir)).groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+
+
+@register(
+    "corpus_stats",
+    f"SELECT count(*) AS n_docs, CAST(round(avg(doc_len)*1000000) AS BIGINT) AS avgdl_q6 FROM ({SQL_DL})",
+)
+def corpus_stats(spark, sf_dir):
+    """A3: corpus-level N + avgdl."""
+    return (
+        _toks(_docs(spark, sf_dir)).groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+        .agg(F.count("*").alias("n_docs"), _q6(F.avg("doc_len")).alias("avgdl_q6"))
+    )
+
+
+@register(
+    "top_terms",
+    f"""SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf FROM ({SQL_TF})
+        GROUP BY term ORDER BY total_tf DESC, term ASC LIMIT 20""",
+)
+def top_terms(spark, sf_dir):
+    """Dictionary head: highest-volume terms (skew detection input, M4)."""
+    return (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        .groupBy("term").agg(F.count("*").alias("df"), F.sum("tf").alias("total_tf"))
+        .orderBy(F.desc("total_tf"), F.asc("term")).limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — BM25 scoring (the engine's own aggregate) + msm + pagination
+# ---------------------------------------------------------------------------
+
+
+def _bm25_sql(terms: list[str], msm: int, page: int, size: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tf AS ({SQL_TF}),
+dl AS ({SQL_DL}),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q AS (SELECT unnest([{tlist}]) AS term),
+per AS (
+  SELECT tf.doc_id,
+         ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM st))) AS s
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
+),
+agg AS (
+  SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6, count(*) AS nm
+  FROM per GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, score_q6,
+         row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rank
+  FROM agg WHERE nm >= {msm}
+)
+SELECT doc_id, score_q6, CAST(rank AS BIGINT) AS rank FROM ranked
+WHERE rank > {page * size} AND rank <= {(page + 1) * size} ORDER BY rank
+"""
+
+
+def _bm25_spark(spark, sf_dir, terms: list[str], msm: int, page: int, size: int) -> DataFrame:
+    toks = _toks(_docs(spark, sf_dir))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    st = dl.agg(F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
+    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    q = F.broadcast(spark.createDataFrame([(t,) for t in terms], "term string"))
+    per = (
+        tf.join(q, "term").join(dfs, "term").join(dl, "doc_id").crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            (
+                F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf").cast("double") * F.lit(2.2)
+                / (F.col("tf").cast("double") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("doc_len") / F.col("avgdl")))
+            ).alias("s"),
+        )
+    )
+    agg = per.groupBy("doc_id").agg(_q6(F.sum("s")).alias("score_q6"), F.count("*").alias("nm"))
+    # Truncate FIRST (orderBy+limit → TakeOrderedAndProject, no global sort),
+    # then rank the <= (page+1)*size survivors — the single-partition window
+    # only ever sees k rows, regardless of corpus size.
+    topk = (
+        agg.where(F.col("nm") >= msm)
+        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
+        .limit((page + 1) * size)
+    )
+    ranked = topk.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))).cast("long")
+    ).select("doc_id", "score_q6", "rank")
+    return ranked.where(F.col("rank") > page * size).orderBy("rank")
+
+
+_TOPK_TERMS = ["spark", "hash", "join"]
+_MSM_TERMS = ["spark", "join", "zzzmissingterm", "qqqmissingterm"]  # msm=2 of 4
+
+
+@register("bm25_topk", _bm25_sql(_TOPK_TERMS, 1, 0, 10))
+def bm25_topk(spark, sf_dir):
+    """§2.8 flagship: BM25 top-10 (k1=1.2, b=0.75), tiebreak doc_id asc."""
+    return _bm25_spark(spark, sf_dir, _TOPK_TERMS, 1, 0, 10)
+
+
+@register("bm25_msm50", _bm25_sql(_MSM_TERMS, 2, 0, 10))
+def bm25_msm50(spark, sf_dir):
+    """A6: minimum_should_match 50% of 4 terms → docs must match >= 2."""
+    return _bm25_spark(spark, sf_dir, _MSM_TERMS, 2, 0, 10)
+
+
+@register("bm25_pagination", _bm25_sql(_TOPK_TERMS, 1, 1, 5))
+def bm25_pagination(spark, sf_dir):
+    """W2: from = page*size (page 1, size 5 → global ranks 6..10)."""
+    return _bm25_spark(spark, sf_dir, _TOPK_TERMS, 1, 1, 5)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 F2/F3/F4/F5 — fuzzy expansion, wildcard, phrase, autocomplete
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_expand_auto",
+    f"""WITH dict AS (SELECT DISTINCT term FROM ({SQL_TOKS})),
+        q AS (SELECT * FROM (VALUES ('spak', 1), ('windoww', 2)) AS v(qt, max_edits))
+        SELECT q.qt, dict.term, CAST(levenshtein(q.qt, dict.term) AS BIGINT) AS dist
+        FROM dict, q
+        WHERE levenshtein(q.qt, dict.term) BETWEEN 1 AND q.max_edits
+        ORDER BY qt, term""",
+)
+def fuzzy_expand_auto(spark, sf_dir):
+    """F2: fuzziness AUTO term expansion against the dictionary
+    (len 4 → 1 edit, len 7 → 2 edits; SearchAdapter.java:407)."""
+    dict_df = _toks(_docs(spark, sf_dir)).select("term").distinct()
+    q = F.broadcast(spark.createDataFrame([("spak", 1), ("windoww", 2)], "qt string, max_edits int"))
+    return (
+        dict_df.crossJoin(q)
+        .withColumn("dist", F.levenshtein("qt", "term").cast("long"))
+        .where((F.col("dist") >= 1) & (F.col("dist") <= F.col("max_edits")))
+        .select("qt", "term", "dist")
+        .orderBy("qt", "term")
+    )
+
+
+@register(
+    "wildcard_substr",
+    "SELECT doc_id, n_chars FROM documents WHERE lower(text) LIKE '%windo%' ORDER BY doc_id",
+)
+def wildcard_substr(spark, sf_dir):
+    """F3: wildcard *q* contains-match, lowercased (SearchAdapter.java:412-429)."""
+    d = _docs(spark, sf_dir)
+    return d.where(F.lower("text").contains("windo")).select("doc_id", "n_chars").orderBy("doc_id")
+
+
+@register(
+    "phrase_match",
+    "SELECT doc_id FROM documents WHERE lower(text) LIKE '%spark join%' ORDER BY doc_id",
+)
+def phrase_match(spark, sf_dir):
+    """F4: match_phrase — consecutive tokens in order (autocomplete filter,
+    SearchAdapter.java:198-201). Substring test is equivalent for
+    standard-analyzed single-space text."""
+    return _docs(spark, sf_dir).where(F.lower("text").contains("spark join")).select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "autocomplete_bigrams",
+    r"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS words FROM documents),
+        bg AS (
+          SELECT words[i] AS w1, words[i+1] AS w2
+          FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
+        )
+        SELECT DISTINCT w1 || ' ' || w2 AS suggestion FROM bg
+        WHERE w1 LIKE '%sp%' ORDER BY suggestion LIMIT 10""",
+)
+def autocomplete_bigrams(spark, sf_dir):
+    """F5: suggestion bigrams — lowercase whitespace split, emit
+    'word nextWord' where word contains q, unique, capped
+    (SearchAdapter.java:217-228). Cross-engine cap order: suggestion asc."""
+    d = _docs(spark, sf_dir)
+    w = d.select(F.split(F.lower("text"), r"\s+").alias("words"))
+    bg = w.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(words)-2), i -> struct(words[i] as w1, words[i+1] as w2))")
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    return (
+        bg.where(F.col("w1").contains("sp"))
+        .select(F.concat_ws(" ", "w1", "w2").alias("suggestion"))
+        .distinct()
+        .orderBy("suggestion")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 P3-P6 / §2.4 A7-A10 / §2.3 J3 — probes, status machine, consistency
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exists_probe",
+    "SELECT CASE WHEN EXISTS (SELECT 1 FROM documents WHERE lower(text) LIKE '%spark%') THEN 1 ELSE 0 END AS found",
+)
+def exists_probe(spark, sf_dir):
+    """P3: existence probe with limit 1 (SearchAdapter.java:615-633)."""
+    n = _docs(spark, sf_dir).where(F.lower("text").contains("spark")).limit(1).count()
+    return spark.createDataFrame([(1 if n > 0 else 0,)], "found int")
+
+
+@register("match_all_count", "SELECT count(*) AS n FROM documents")
+def match_all_count(spark, sf_dir):
+    """P4/P5: match_all + count guard (SearchAdapter.java:385-397)."""
+    return _docs(spark, sf_dir).agg(F.count("*").alias("n"))
+
+
+_SQL_SIM_LOG = """
+SELECT doc_id,
+       1 + doc_id % 4 AS pages_total,
+       CASE WHEN doc_id % 7 = 0 THEN least(1 + doc_id % 2, 1 + doc_id % 4) ELSE 0 END AS pages_failed
+FROM documents
+"""
+
+
+@register(
+    "status_rollup",
+    f"""WITH log AS ({_SQL_SIM_LOG})
+        SELECT CASE WHEN pages_failed = 0 THEN 'FULLY_INDEXED'
+                    WHEN pages_total - pages_failed > 0 THEN 'PARTIALLY_INDEXED'
+                    ELSE 'FAILED' END AS status,
+               count(*) AS n
+        FROM log GROUP BY 1 ORDER BY status""",
+)
+def status_rollup(spark, sf_dir):
+    """A7/A8: FULLY/PARTIALLY/FAILED rollup from per-page success/failure
+    counts (DocumentIndexingService.java:250-259) over a deterministic
+    simulated indexing_log."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.lit(1) + F.col("doc_id") % 4).alias("pages_total"),
+        F.when(F.col("doc_id") % 7 == 0, F.least(F.lit(1) + F.col("doc_id") % 2, F.lit(1) + F.col("doc_id") % 4)).otherwise(F.lit(0)).alias("pages_failed"),
+    )
+    return (
+        d.select(
+            F.when(F.col("pages_failed") == 0, F.lit("FULLY_INDEXED"))
+            .when(F.col("pages_total") - F.col("pages_failed") > 0, F.lit("PARTIALLY_INDEXED"))
+            .otherwise(F.lit("FAILED"))
+            .alias("status")
+        )
+        .groupBy("status").agg(F.count("*").alias("n"))
+        .orderBy("status")
+    )
+
+
+@register(
+    "indexing_progress",
+    f"""WITH log AS ({_SQL_SIM_LOG})
+        SELECT doc_id, CAST(round(1000000.0 * (pages_total - pages_failed) / pages_total) AS BIGINT) AS progress_q6
+        FROM log ORDER BY doc_id""",
+)
+def indexing_progress(spark, sf_dir):
+    """A9: pages_indexed / total_pages (IndexingLog.getIndexingProgress)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.lit(1) + F.col("doc_id") % 4).alias("pt"),
+        F.when(F.col("doc_id") % 7 == 0, F.least(F.lit(1) + F.col("doc_id") % 2, F.lit(1) + F.col("doc_id") % 4)).otherwise(F.lit(0)).alias("pf"),
+    )
+    return d.select("doc_id", _q6((F.col("pt") - F.col("pf")) / F.col("pt")).alias("progress_q6")).orderBy("doc_id")
+
+
+@register(
+    "consistency_anti_join",
+    """SELECT d.doc_id FROM documents d
+       WHERE d.doc_id % 2 = 0
+         AND NOT EXISTS (SELECT 1 FROM documents i WHERE i.doc_id = d.doc_id AND i.doc_id % 10 <> 4)
+       ORDER BY d.doc_id""",
+)
+def consistency_anti_join(spark, sf_dir):
+    """J3: processed docs ⟕ indexed docs → the missing set
+    (AdminIndexingService.java:44-66), as a left-anti join."""
+    d = _docs(spark, sf_dir)
+    processed = d.where(F.col("doc_id") % 2 == 0).select("doc_id")
+    indexed = d.where(F.col("doc_id") % 10 != 4).select("doc_id")
+    return processed.join(indexed, "doc_id", "left_anti").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops: dedup / fingerprint / minhash / jaccard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """SELECT md5(text) AS text_hash, count(*) AS dup_count
+       FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on full content (one shuffle, map-side
+    partial agg). At 100 TB this is the cheapest dedup pass; hash first so
+    the shuffle moves 32-byte keys, not documents."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_hash")).agg(F.count("*").alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+        .orderBy("text_hash")
+    )
+
+
+@register(
+    "dedup_prefix_fingerprint",
+    f"""SELECT md5(array_to_string(words[1:8], ' ')) AS fingerprint, count(*) AS dup_count
+        FROM ({SQL_WORDS}) GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint""",
+)
+def dedup_prefix_fingerprint(spark, sf_dir):
+    """Near-dup blocking key: fingerprint of the leading 8 tokens."""
+    d = _docs(spark, sf_dir).select(spark_tokens("text").alias("words"))
+    return (
+        d.select(F.md5(F.array_join(F.slice("words", 1, 8), " ")).alias("fingerprint"))
+        .groupBy("fingerprint").agg(F.count("*").alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+_SQL_SHINGLES = f"""
+SELECT DISTINCT doc_id, source, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+FROM ({SQL_WORDS}), unnest(generate_series(1, len(words) - 2)) AS t(i)
+"""
+
+
+def _shingles_spark(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "source", spark_tokens("text").alias("words"))
+    return d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("transform(sequence(0, size(words)-3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))")
+        ).alias("sh"),
+    ).distinct()
+
+
+@register(
+    "minhash_signatures",
+    f"""WITH sh AS ({_SQL_SHINGLES})
+        SELECT doc_id,
+               min(md5('0:' || sh)) AS mh0, min(md5('1:' || sh)) AS mh1,
+               min(md5('2:' || sh)) AS mh2, min(md5('3:' || sh)) AS mh3
+        FROM sh GROUP BY doc_id ORDER BY doc_id""",
+)
+def minhash_signatures(spark, sf_dir):
+    """MinHash over 3-token shingles. Hash family: md5('seed:'||shingle),
+    minimum taken lexicographically on the hex digest — identical across
+    Spark/DuckDB/Python. 4 permutations → 2 bands of 2 for LSH."""
+    sh = _shingles_spark(spark, sf_dir)
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}") for i in range(4)]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""WITH sh AS ({_SQL_SHINGLES}),
+        sig AS (
+          SELECT doc_id,
+                 min(md5('0:' || sh)) || min(md5('1:' || sh)) AS band0,
+                 min(md5('2:' || sh)) || min(md5('3:' || sh)) AS band1
+          FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, band0 AS band FROM sig UNION ALL SELECT doc_id, band1 FROM sig
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b""",
+)
+def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs: band → bucket → self-join. The join key
+    is the band digest, so the shuffle carries signatures, not documents."""
+    sh = _shingles_spark(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        F.concat(F.min(F.md5(F.concat(F.lit("0:"), F.col("sh")))), F.min(F.md5(F.concat(F.lit("1:"), F.col("sh"))))).alias("band0"),
+        F.concat(F.min(F.md5(F.concat(F.lit("2:"), F.col("sh")))), F.min(F.md5(F.concat(F.lit("3:"), F.col("sh"))))).alias("band1"),
+    )
+    bands = sig.select("doc_id", F.col("band0").alias("band")).unionByName(
+        sig.select("doc_id", F.col("band1").alias("band"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""WITH sh AS ({_SQL_SHINGLES}),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(round(1000000.0 * i / (na.n + nb.n - i)) AS BIGINT) AS jaccard_q6
+        FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+        ORDER BY jaccard_q6 DESC, doc_a, doc_b LIMIT 20""",
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """N-gram Jaccard near-dup: top-20 same-source pairs by 3-gram shingle
+    Jaccard. Same-source blocking bounds the self-join fan-out (at scale the
+    blocking key would be an LSH band, not source)."""
+    sh = _shingles_spark(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    return (
+        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            _q6(F.col("i") / (F.col("na.n") + F.col("nb.n") - F.col("i"))).alias("jaccard_q6"),
+        )
+        .orderBy(F.desc("jaccard_q6"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+       FROM documents ORDER BY doc_id""",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: hash of whitespace-normalized lowercased text."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_SQL_COS = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT e.vec_id, e.label,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> 0
+)
+"""
+
+
+def _cos_spark(spark, sf_dir) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    qv = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            (
+                F.expr(dot.format(a="v", b="qv"))
+                / (F.sqrt(F.expr(dot.format(a="v", b="v"))) * F.sqrt(F.expr(dot.format(a="qv", b="qv"))))
+            ).alias("cos"),
+        )
+    )
+
+
+@register(
+    "knn_cosine_top10",
+    _SQL_COS
+    + """SELECT vec_id, CAST(round(cos * 1000000) AS BIGINT) AS cos_q6
+         FROM c ORDER BY cos_q6 DESC, vec_id LIMIT 10""",
+)
+def knn_cosine_top10(spark, sf_dir):
+    """Brute-force cosine top-k — the exact ANN baseline. Dot products in
+    double over broadcast query vector; JVM-side zip_with/aggregate."""
+    c = _cos_spark(spark, sf_dir)
+    return (
+        c.select("vec_id", _q6(F.col("cos")).alias("cos_q6"))
+        .orderBy(F.desc("cos_q6"), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "ann_ivf_label",
+    _SQL_COS
+    + """SELECT vec_id, CAST(round(cos * 1000000) AS BIGINT) AS cos_q6
+         FROM c WHERE label = (SELECT label FROM embeddings WHERE vec_id = 0)
+         ORDER BY cos_q6 DESC, vec_id LIMIT 5""",
+)
+def ann_ivf_label(spark, sf_dir):
+    """IVF-style ANN: probe only the query's cell (label = precomputed
+    cluster) then exact cosine within it — the scale path: partition
+    pruning on the cell id replaces a full scan."""
+    e = _emb(spark, sf_dir)
+    qlabel = e.where(F.col("vec_id") == 0).select(F.col("label").alias("qlabel"))
+    c = _cos_spark(spark, sf_dir).crossJoin(F.broadcast(qlabel))
+    return (
+        c.where(F.col("label") == F.col("qlabel"))
+        .select("vec_id", _q6(F.col("cos")).alias("cos_q6"))
+        .orderBy(F.desc("cos_q6"), "vec_id")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language-ID feature, quality, token counting
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "to", "is"]
+
+
+@register(
+    "stopword_ratio",
+    f"""WITH t AS ({SQL_TOKS})
+        SELECT doc_id,
+               count(*) FILTER (term IN ({", ".join(f"'{w}'" for w in _STOPWORDS)})) AS stop_hits,
+               CAST(round(1000000.0 * count(*) FILTER (term IN ({", ".join(f"'{w}'" for w in _STOPWORDS)})) / count(*)) AS BIGINT) AS ratio_q6
+        FROM t GROUP BY doc_id ORDER BY doc_id""",
+)
+def stopword_ratio(spark, sf_dir):
+    """Language-ID feature: stopword-hit ratio per doc (n-gram/stopword
+    heuristic input)."""
+    t = _toks(_docs(spark, sf_dir))
+    hit = F.when(F.col("term").isin(_STOPWORDS), 1).otherwise(0)
+    return (
+        t.groupBy("doc_id")
+        .agg(
+            F.sum(hit).alias("stop_hits"),
+            _q6(F.sum(hit) / F.count("*")).alias("ratio_q6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "quality_score",
+    f"""WITH t AS ({SQL_TOKS})
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(round(1000000.0 * count(DISTINCT term) / count(*)) AS BIGINT) AS distinct_ratio_q6,
+               CAST(round(1000000.0 * avg(length(term))) AS BIGINT) AS avg_token_len_q6
+        FROM t GROUP BY doc_id ORDER BY doc_id""",
+)
+def quality_score(spark, sf_dir):
+    """Quality scoring features: token count, type/token ratio, mean token
+    length — the length/punct/stopword family of filters."""
+    t = _toks(_docs(spark, sf_dir))
+    return (
+        t.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            _q6(F.countDistinct("term") / F.count("*")).alias("distinct_ratio_q6"),
+            _q6(F.avg(F.length("term"))).alias("avg_token_len_q6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "token_count",
+    r"""SELECT doc_id,
+               CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS BIGINT) AS word_tokens
+        FROM documents ORDER BY doc_id""",
+)
+def token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + analyzer word tokens per doc."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.trim("text"), F.lit(r"\S+"), 0)).cast("long").alias("ws_tokens"),
+        F.size(spark_tokens("text")).cast("long").alias("word_tokens"),
+    ).orderBy("doc_id")

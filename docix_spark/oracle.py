@@ -111,7 +111,10 @@ class OracleIndex:
         if aq.is_match_all:
             scored = {d["doc_id"]: 1.0 for d in self.docs}
         else:
-            expansions = {qt: self.expand(qt) for qt in set(aq.terms)}
+            # duplicate analyzed terms are separate clauses in ES: each
+            # duplicate scores again and counts again toward msm.
+            qt_counts = Counter(aq.terms)
+            expansions = {qt: self.expand(qt) for qt in qt_counts}
             msm = msm_count(len(aq.terms))
             best: dict[str, float] = {}
             for f, fboost in FIELD_BOOSTS.items():
@@ -122,10 +125,10 @@ class OracleIndex:
                         for d in self.docs:
                             s = self.bm25(f, t, d["doc_id"], k1=k1, b=b)
                             if s > 0:
-                                per_doc[d["doc_id"]] += tboost * s
+                                per_doc[d["doc_id"]] += qt_counts[qt] * tboost * s
                                 matched_terms[d["doc_id"]].add(qt)
                 for doc_id, s in per_doc.items():
-                    if len(matched_terms[doc_id]) >= msm:
+                    if sum(qt_counts[qt] for qt in matched_terms[doc_id]) >= msm:
                         best[doc_id] = max(best.get(doc_id, 0.0), fboost * s)
             scored = dict(best)
             ql = aq.lower

@@ -147,8 +147,15 @@ def score_fields(
     exp_terms = sorted({e[1] for e in expansions})
     buckets = _bucket_ids(spark, exp_terms, index.n_buckets)
 
+    # ES keeps duplicate analyzed terms as separate clauses: each duplicate
+    # both scores again and counts again toward minimum_should_match — so a
+    # query term carries its multiplicity as a clause weight.
+    from collections import Counter
+
+    qt_counts = Counter(aq.terms)
+    exp_rows = [(qt, t, fb, float(qt_counts[qt])) for qt, t, fb in expansions]
     exp_df = F.broadcast(
-        spark.createDataFrame(expansions, "qt string, term string, fboost double")
+        spark.createDataFrame(exp_rows, "qt string, term string, fboost double, qcount double")
     )
 
     postings = index.postings(spark).where(
@@ -167,8 +174,10 @@ def score_fields(
         "field",
         "doc_id",
         "qt",
+        "qcount",
         (
-            F.col("fboost")
+            F.col("qcount")
+            * F.col("fboost")
             * bm25_score_col(
                 F.col("tf").cast("double"),
                 F.col("df").cast("double"),
@@ -180,8 +189,14 @@ def score_fields(
             )
         ).alias("tscore"),
     )
-    per_field = per_term.groupBy("field", "doc_id").agg(
-        F.sum("tscore").alias("fscore"), F.countDistinct("qt").alias("n_matched")
+    # collapse expansions per query term first, then weight the msm count by
+    # the term's clause multiplicity (a qt matched via several fuzzy
+    # expansions still counts once — times its multiplicity).
+    per_qt = per_term.groupBy("field", "doc_id", "qt").agg(
+        F.sum("tscore").alias("qt_score"), F.first("qcount").alias("qcount")
+    )
+    per_field = per_qt.groupBy("field", "doc_id").agg(
+        F.sum("qt_score").alias("fscore"), F.sum("qcount").alias("n_matched")
     )
     boost_map = F.create_map(
         *[x for f, bo in FIELD_BOOSTS.items() for x in (F.lit(f), F.lit(bo))]

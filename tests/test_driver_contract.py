@@ -1,0 +1,48 @@
+"""Local replica of the driver's correctness gate: every REGISTRY entry's
+Spark DataFrame must match its DuckDB oracle SQL at sf=0.01 —
+same columns, same row multiset (order-insensitive), values compared
+exactly (all outputs are ints/strings by design; floats are emitted as
+*_q6 micro-unit BIGINTs — see docix_spark.driver_queries docstring).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from docix_spark.driver_queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def canon(pdf):
+    pdf = pdf[sorted(pdf.columns)].astype(str)
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_driver_query_matches_oracle(spark, duck, name):
+    dq = REGISTRY[name]
+    got = dq.fn(spark, SF_DIR).toPandas()
+    if dq.sql is None:
+        assert got is not None  # rows-only check
+        return
+    want = duck.execute(dq.sql).fetch_df()
+    assert sorted(got.columns) == sorted(want.columns), f"{name}: schema"
+    assert len(got) == len(want), f"{name}: rowcount {len(got)} vs {len(want)}"
+    a, b = canon(got), canon(want)
+    mism = (a != b).any(axis=1)
+    assert not mism.any(), f"{name}: first mismatched rows\n{a[mism].head()}\nvs\n{b[mism].head()}"

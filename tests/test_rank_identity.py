@@ -35,6 +35,7 @@ QUERIES = [
     "value data",                 # stopword-like high-df identifiers
     "permission granted sublicense",  # license boilerplate (skewed df)
     "get value",                  # short terms, 0-edit band
+    "parse_0 parse_0 parse_0 build_1",  # duplicate clauses count + score per ES
 ]
 
 
