@@ -1,0 +1,229 @@
+"""Compressed segment build — M3/M4 of SURVEY.md §7.1.
+
+Turns the raw postings table into Lucene-style compressed segments (the
+structure Elasticsearch keeps hidden from the reference — SURVEY.md §4.2):
+one row per ``(field, term, shard)`` holding a delta-gap + varint posting
+list with block-max skip metadata (docix_spark.index.codec).
+
+Skew handling (M4, the north rule's explicit requirement)
+---------------------------------------------------------
+The shuffle that groups posting fragments per term is **salted by document
+ordinal range**: the shuffle key is ``(field, term, shard)`` with
+``shard = doc_ord // docs_per_shard``. Consequences, by design:
+
+- A stopword-like term with df ≈ N (boilerplate license words, ``get``,
+  ``value`` identifiers — corpus skew injectors, FIXTURES.md §1) is split
+  across ``N / docs_per_shard`` reducers instead of melting one reducer —
+  no single task ever receives more than ``docs_per_shard`` postings of any
+  term. Rare terms land in only the shards they occur in (usually 1), so
+  the salt adds no overhead where there is no skew.
+- Salted sublists are **disjoint and ordered** (doc-ord ranges are
+  contiguous per shard — SURVEY.md §7.3: salt by range, not hash), so the
+  global posting list of a term is the concatenation of its shard segments
+  in shard order; no re-merge pass is needed.
+- Shards double as **doc-range partitions for distributed query
+  execution**: every query term's postings for shard ``s`` live in segment
+  rows keyed ``s``, so block-max WAND runs per shard in parallel with a
+  global top-k merge (docix_spark.query.wand) — the same doc-sharded
+  search-and-merge ES performs across its shards.
+
+Document ordinals
+-----------------
+``doc_ord`` is the dense global rank of ``doc_id`` (ascending sha256 order
+— deterministic across cluster sizes and resumes). Assigned without a
+global sort: range-repartition by doc_id, local rank per range partition,
+plus cumulative partition offsets (two light jobs; SURVEY.md §4.3).
+
+Segment table layout (parquet, partitioned by ``term_bucket``)::
+
+    field, term, shard, count,
+    doc_bytes, tf_bytes, dl_bytes                      (binary varint streams)
+    block_last[], block_max[],                          (skip metadata)
+    block_doc_off[], block_tf_off[], block_dl_off[]     (selective decode)
+
+plus a ``doc_ords(doc_id, doc_ord)`` mapping table and ``seg_meta.json``
+(docs_per_shard, n_shards, k1/b the impacts were computed with).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docix_spark import BM25_B, BM25_K1
+from docix_spark.index.build import Index, term_bucket
+from docix_spark.index.codec import BLOCK_SIZE, encode_posting_list
+
+SEGMENT_SCHEMA = (
+    "field string, term string, shard int, count int, "
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary, "
+    "block_last array<long>, block_max array<double>, "
+    "block_doc_off array<long>, block_tf_off array<long>, block_dl_off array<long>"
+)
+
+DEFAULT_DOCS_PER_SHARD = 1 << 16
+
+
+def assign_doc_ords(spark: SparkSession, docs: DataFrame, n_range_parts: int | None = None) -> DataFrame:
+    """doc_id → dense global ordinal by ascending doc_id, no global sort.
+
+    Range-partition doc_ids, rank locally, offset by cumulative counts —
+    ordinals are globally consistent because range partitions are disjoint
+    and ordered regardless of where the sampled boundaries fall.
+    """
+    if n_range_parts is None:
+        n_range_parts = max(spark.sparkContext.defaultParallelism, 8)
+    ranged = (
+        docs.select("doc_id")
+        .repartitionByRange(n_range_parts, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ranged = ranged.persist()
+    counts = {r._pid: r.n for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame([(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy("doc_id")
+    out = (
+        ranged.join(off_df, "_pid")
+        .withColumn("doc_ord", (F.row_number().over(w) - 1 + F.col("_off")).cast("long"))
+        .select("doc_id", "doc_ord")
+    )
+    out = out.persist()
+    out.count()
+    ranged.unpersist()
+    return out
+
+
+@dataclass
+class SegmentIndex:
+    """Handle to a compressed segment directory (built next to an Index)."""
+
+    root: str
+    n_buckets: int
+    docs_per_shard: int
+    k1: float = BM25_K1
+    b: float = BM25_B
+
+    def segments(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, "segments"))
+
+    def doc_ords(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, "doc_ords"))
+
+    @staticmethod
+    def load(root: str) -> "SegmentIndex":
+        with open(os.path.join(root, "seg_meta.json")) as fh:
+            m = json.load(fh)
+        return SegmentIndex(root=root, **m)
+
+
+def build_segments(
+    spark: SparkSession,
+    index: Index,
+    out_root: str | None = None,
+    docs_per_shard: int = DEFAULT_DOCS_PER_SHARD,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    block_size: int = BLOCK_SIZE,
+) -> SegmentIndex:
+    """postings → compressed segments via the salted term shuffle."""
+    out_root = out_root or index.root
+    postings = index.postings(spark)
+    doc_stats = index.doc_stats(spark)
+    df_stats = index.df_stats(spark)
+    cstats = {r.field: (int(r.n_docs), float(r.avgdl)) for r in index.corpus_stats(spark).collect()}
+
+    docs = index.docs(spark)
+    ords = assign_doc_ords(spark, docs)
+    ords.write.mode("overwrite").parquet(os.path.join(out_root, "doc_ords"))
+    ords = spark.read.parquet(os.path.join(out_root, "doc_ords"))
+
+    # Pre-shuffle enrichment: every posting carries (doc_ord, doc_len, idf).
+    # idf is per (field, term) — precomputed JVM-side from df_stats so the
+    # segment task needs no further joins.
+    navg = spark.createDataFrame(
+        [(f, n, a) for f, (n, a) in cstats.items()], "field string, n_docs long, avgdl double"
+    )
+    idf_df = df_stats.join(F.broadcast(navg), "field").select(
+        "field", "term",
+        F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))).alias("idf"),
+        "avgdl",
+    )
+    enriched = (
+        postings.select("field", "term", "doc_id", "tf")
+        .join(ords, "doc_id")
+        .join(doc_stats, ["field", "doc_id"])
+        .join(idf_df, ["field", "term"])
+        .withColumn("shard", (F.col("doc_ord") / F.lit(docs_per_shard)).cast("int"))
+    )
+
+    def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        field, term, shard = key
+        payload = encode_posting_list(
+            pdf["doc_ord"].to_numpy(np.int64),
+            pdf["tf"].to_numpy(np.int64),
+            pdf["doc_len"].to_numpy(np.int64),
+            idf=float(pdf["idf"].iloc[0]),
+            avgdl=float(pdf["avgdl"].iloc[0]),
+            k1=k1,
+            b=b,
+            block_size=block_size,
+        )
+        return pd.DataFrame(
+            [{
+                "field": field, "term": term, "shard": int(shard),
+                "count": payload["count"],
+                "doc_bytes": payload["doc_bytes"],
+                "tf_bytes": payload["tf_bytes"],
+                "dl_bytes": payload["dl_bytes"],
+                "block_last": payload["block_last"],
+                "block_max": payload["block_max"],
+                "block_doc_off": payload["block_doc_off"],
+                "block_tf_off": payload["block_tf_off"],
+                "block_dl_off": payload["block_dl_off"],
+            }]
+        )
+
+    segments = (
+        enriched.groupBy("field", "term", "shard")
+        .applyInPandas(encode_group, schema=SEGMENT_SCHEMA)
+        .withColumn("term_bucket", term_bucket(F.col("term"), index.n_buckets))
+    )
+    segments.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        os.path.join(out_root, "segments")
+    )
+
+    with open(os.path.join(out_root, "seg_meta.json"), "w") as fh:
+        json.dump(
+            {"n_buckets": index.n_buckets, "docs_per_shard": docs_per_shard,
+             "k1": k1, "b": b},
+            fh,
+        )
+    return SegmentIndex(root=out_root, n_buckets=index.n_buckets,
+                        docs_per_shard=docs_per_shard, k1=k1, b=b)
+
+
+def shard_fanout(spark: SparkSession, seg: SegmentIndex, field: str = "content") -> DataFrame:
+    """Salt fan-out per term (segments per term) — the skew-balance metric
+    recorded for the build (north rule: fan-out in segment metadata)."""
+    return (
+        seg.segments(spark)
+        .where(F.col("field") == field)
+        .groupBy("term")
+        .agg(F.count("*").alias("n_shards"), F.sum("count").alias("df"))
+        .orderBy(F.desc("df"))
+    )

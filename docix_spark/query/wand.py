@@ -1,0 +1,210 @@
+"""Block-max WAND top-k retrieval over compressed segments — M5 core.
+
+This is the serving-path replacement for the raw-postings DataFrame scan
+(docix_spark.query.bm25): the pruned top-k scorer Lucene runs for every
+query the reference sends (block-max WAND, SURVEY.md §4.2; request issued at
+reference ElasticsearchDocumentSearchAdapter.java:443-469).
+
+Distributed shape: segments are doc-range sharded (the build's salted term
+shuffle, docix_spark.index.segments), so each shard holds every query term's
+postings for its doc range. One vectorized task per shard runs block-max
+pruning and returns its local top-k; the global answer is the k-merge of
+shard winners (``TakeOrderedAndProject`` — no global sort), then a join back
+to doc_ids. Scores are exact float64 BM25 (tf and doc-length streams are
+decoded, never approximated) — rank-identical to the DataFrame path and the
+pure-Python oracle up to float-sum rounding (SURVEY.md §7.3).
+
+Pruning algorithm (MaxScore with block-max selective decode, provably safe):
+
+1. Terms sorted by weighted max impact descending. The strongest term is
+   decoded fully; the kth best of the accumulated scores is θ — a valid
+   lower bound on the final kth score (BM25 contributions are
+   non-negative, so accumulated scores only grow).
+2. While the suffix sum of remaining max impacts ≥ θ, the next term is
+   **essential**: decode fully, merge its docs into the candidate set,
+   re-tighten θ.
+3. Once the suffix sum drops below θ, the candidate set freezes: any doc
+   appearing only in the remaining terms is bounded by the suffix < θ ≤
+   final kth and cannot enter the top-k. Each remaining term decodes
+   **only the blocks containing a candidate ordinal** (binary search of
+   candidates against ``block_last``; selective decode via per-block byte
+   offsets) and accumulates onto candidates only.
+4. Exact float64 accumulation, top-k by (score desc, doc_ord asc) — the
+   reference's stable tiebreak (SearchAdapter.java:448-449).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docix_spark.index.build import Index
+from docix_spark.index.codec import decode_blocks
+from docix_spark.index.segments import SegmentIndex
+
+
+@dataclass
+class WandStats:
+    blocks_total: int = 0
+    blocks_decoded: int = 0
+    postings_total: int = 0
+    postings_scored: int = 0
+
+    @property
+    def skip_ratio(self) -> float:
+        return 1.0 - self.blocks_decoded / max(self.blocks_total, 1)
+
+
+def _decode_row(row, block_ids: np.ndarray):
+    return decode_blocks(
+        row["doc_bytes"], row["tf_bytes"], row["dl_bytes"],
+        np.asarray(row["block_doc_off"]), np.asarray(row["block_tf_off"]),
+        np.asarray(row["block_dl_off"]), block_ids,
+    )
+
+
+def _impacts(tfs: np.ndarray, dls: np.ndarray, idf: float, avgdl: float,
+             k1: float, b: float) -> np.ndarray:
+    tfs = tfs.astype(np.float64)
+    dls = dls.astype(np.float64)
+    return idf * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+
+
+def wand_shard(
+    segs: list[dict],
+    k: int,
+    k1: float,
+    b: float,
+) -> tuple[np.ndarray, np.ndarray, WandStats]:
+    """Top-k over one shard. ``segs``: one dict per query term present in
+    the shard with keys (weight, idf, avgdl, doc_bytes, tf_bytes, dl_bytes,
+    block_last, block_max, block_*_off, count). Returns (ords, scores, stats)
+    sorted by (score desc, ord asc).
+    """
+    stats = WandStats(
+        blocks_total=sum(len(s["block_last"]) for s in segs),
+        postings_total=sum(int(s["count"]) for s in segs),
+    )
+    if not segs:
+        return np.empty(0, np.int64), np.empty(0, np.float64), stats
+
+    wmax = np.array([s["weight"] * max(s["block_max"]) for s in segs])
+    order_terms = np.argsort(-wmax, kind="stable")
+    suffix = np.zeros(len(segs) + 1)
+    suffix[:-1] = np.cumsum(wmax[order_terms][::-1])[::-1]
+
+    cand_ords = np.empty(0, np.int64)
+    cand_scores = np.empty(0, np.float64)
+    theta = 0.0
+    frozen = False
+    for rank, ti in enumerate(order_terms):
+        s = segs[ti]
+        bl = np.asarray(s["block_last"], np.int64)
+        if not frozen and theta > 0 and suffix[rank] < theta:
+            frozen = True
+        if not frozen:
+            # essential: decode fully, merge new candidates
+            need = np.arange(bl.size, dtype=np.int64)
+        else:
+            # non-essential: only blocks containing a current candidate
+            if cand_ords.size == 0:
+                continue
+            covering = np.searchsorted(bl, cand_ords, side="left")
+            need = np.unique(covering[covering < bl.size])
+            if need.size == 0:
+                continue
+        stats.blocks_decoded += int(need.size)
+        o, t, l = _decode_row(s, need)
+        sc = s["weight"] * _impacts(t, l, s["idf"], s["avgdl"], k1, b)
+        if frozen:
+            # accumulate onto existing candidates only
+            pos = np.searchsorted(cand_ords, o)
+            valid = (pos < cand_ords.size) & (cand_ords[np.minimum(pos, cand_ords.size - 1)] == o)
+            stats.postings_scored += int(valid.sum())
+            np.add.at(cand_scores, pos[valid], sc[valid])
+        else:
+            stats.postings_scored += int(o.size)
+            merged = np.concatenate([cand_ords, o])
+            merged_sc = np.concatenate([cand_scores, sc])
+            cand_ords, inv = np.unique(merged, return_inverse=True)
+            acc = np.zeros(cand_ords.size, dtype=np.float64)
+            np.add.at(acc, inv, merged_sc)
+            cand_scores = acc
+            if cand_scores.size >= k:
+                theta = float(np.partition(cand_scores, -k)[-k])
+
+    topk = np.lexsort((cand_ords, -cand_scores))[:k]
+    return cand_ords[topk], cand_scores[topk], stats
+
+
+def wand_topk(
+    spark: SparkSession,
+    index: Index,
+    seg: SegmentIndex,
+    terms: list[str],
+    k: int = 10,
+    field: str = "content",
+) -> DataFrame:
+    """Distributed block-max WAND: top-k (doc_id, score) for a bag of query
+    terms (duplicates = clause multiplicity, as ES treats repeated analyzed
+    terms). Plain summed BM25 over one field — the Lucene-core contract; the
+    composite best_fields/fuzzy/msm tree composes on top (bm25.py)."""
+    from docix_spark.query.bm25 import _bucket_ids
+
+    weights = Counter(terms)
+    uniq_terms = sorted(weights)
+    if not uniq_terms:
+        return spark.createDataFrame([], "doc_id string, score double")
+    buckets = _bucket_ids(spark, uniq_terms, seg.n_buckets)
+
+    cstats = {r.field: (int(r.n_docs), float(r.avgdl)) for r in index.corpus_stats(spark).collect()}
+    n_docs, avgdl = cstats[field]
+    df_rows = (
+        index.df_stats(spark)
+        .where((F.col("field") == field) & F.col("term").isin(uniq_terms))
+        .collect()
+    )
+    idf = {
+        r.term: float(np.log(1.0 + (n_docs - r.df + 0.5) / (r.df + 0.5))) for r in df_rows
+    }
+    if not idf:
+        return spark.createDataFrame([], "doc_id string, score double")
+
+    winfo = F.broadcast(
+        spark.createDataFrame(
+            [(t, float(weights[t]), idf[t], avgdl) for t in uniq_terms if t in idf],
+            "term string, weight double, idf double, avgdl double",
+        )
+    )
+    segs = (
+        seg.segments(spark)
+        .where(
+            F.col("term_bucket").isin(buckets)
+            & (F.col("field") == field)
+            & F.col("term").isin(uniq_terms)
+        )
+        .join(winfo, "term")
+    )
+
+    k1, b = seg.k1, seg.b
+    kk = int(k)
+
+    def score_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        seg_dicts = pdf.to_dict("records")
+        ords, scores, _ = wand_shard(seg_dicts, kk, k1, b)
+        return pd.DataFrame({"doc_ord": ords, "score": scores})
+
+    per_shard = segs.groupBy("shard").applyInPandas(
+        score_shard, schema="doc_ord long, score double"
+    )
+    top = per_shard.orderBy(F.desc("score"), F.asc("doc_ord")).limit(kk)
+    return (
+        top.join(seg.doc_ords(spark), "doc_ord")
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )

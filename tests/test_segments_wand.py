@@ -1,0 +1,163 @@
+"""M3/M4/M5 — compressed segments, salted term shuffle, block-max WAND
+(SURVEY.md §5.1/§5.2): rank identity vs brute force, skew fan-out, pruning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from docix_spark import BM25_B, BM25_K1
+from docix_spark.corpus import synth_corpus_pdf
+from docix_spark.index.build import build_index
+from docix_spark.index.codec import encode_posting_list
+from docix_spark.index.segments import assign_doc_ords, build_segments, shard_fanout
+from docix_spark.query.wand import wand_shard, wand_topk
+
+N_DOCS = 400
+DOCS_PER_SHARD = 64  # small so the salted shuffle actually fans out
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_root):
+    root = f"{tmp_root}/seg_idx"
+    corpus = spark.createDataFrame(synth_corpus_pdf(N_DOCS, seed=11))
+    index = build_index(spark, corpus, root, n_buckets=8)
+    seg = build_segments(spark, index, docs_per_shard=DOCS_PER_SHARD)
+    return index, seg
+
+
+def brute_force_topk(spark, index, terms: list[str], k: int, field="content"):
+    """Reference scoring straight off the uncompressed postings tables."""
+    from collections import Counter
+
+    w = Counter(terms)
+    n, avgdl = index.corpus_constants(spark, field)
+    post = (
+        index.postings(spark)
+        .where((F.col("field") == field) & F.col("term").isin(sorted(w)))
+        .join(index.df_stats(spark).select("field", "term", "df"), ["field", "term"])
+        .join(index.doc_stats(spark), ["field", "doc_id"])
+        .toPandas()
+    )
+    if post.empty:
+        return []
+    post["wt"] = post["term"].map(w).astype(float)
+    idf = np.log(1.0 + (n - post["df"] + 0.5) / (post["df"] + 0.5))
+    tfn = post.tf * (BM25_K1 + 1) / (post.tf + BM25_K1 * (1 - BM25_B + BM25_B * post.doc_len / avgdl))
+    post["s"] = post["wt"] * idf * tfn
+    agg = post.groupby("doc_id")["s"].sum().reset_index()
+    agg = agg.sort_values(["s", "doc_id"], ascending=[False, True]).head(k)
+    return [(r.doc_id, round(r.s, 6)) for r in agg.itertuples()]
+
+
+def test_doc_ords_dense_and_ordered(spark, built):
+    index, seg = built
+    ords = seg.doc_ords(spark).orderBy("doc_ord").toPandas()
+    assert list(ords.doc_ord) == list(range(len(ords)))
+    assert list(ords.doc_id) == sorted(ords.doc_id)
+
+
+def test_doc_ords_parallelism_invariant(spark, built):
+    """Ordinal assignment is identical at different range-partition counts
+    (the resume-at-different-cluster-size guarantee)."""
+    index, _ = built
+    docs = index.docs(spark)
+    a = assign_doc_ords(spark, docs, n_range_parts=2).toPandas().sort_values("doc_id")
+    b = assign_doc_ords(spark, docs, n_range_parts=7).toPandas().sort_values("doc_id")
+    assert list(a.doc_ord) == list(b.doc_ord)
+
+
+def test_segments_cover_all_postings(spark, built):
+    index, seg = built
+    seg_counts = (
+        seg.segments(spark).groupBy("field", "term").agg(F.sum("count").alias("n")).toPandas()
+    )
+    post_counts = (
+        index.postings(spark).groupBy("field", "term").agg(F.count("*").alias("n")).toPandas()
+    )
+    a = seg_counts.sort_values(["field", "term"]).reset_index(drop=True)
+    b = post_counts.sort_values(["field", "term"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_salted_fanout_balances_hot_terms(spark, built):
+    """Stopword-like terms (df≈N) must split into many doc-range shards; no
+    shard segment may exceed docs_per_shard postings (the skew guarantee)."""
+    index, seg = built
+    fan = shard_fanout(spark, seg).toPandas().set_index("term")
+    hot = fan.loc["software"]  # license boilerplate, df ≈ 0.3·N
+    assert hot.n_shards > 1
+    maxseg = seg.segments(spark).agg(F.max("count")).collect()[0][0]
+    assert maxseg <= DOCS_PER_SHARD
+    # rare terms don't pay the salt: single shard
+    assert fan.loc["uniq_17_0"].n_shards == 1
+
+
+@pytest.mark.parametrize(
+    "terms,k",
+    [
+        (["parse_0", "index_2"], 10),
+        (["permission", "software"], 10),          # max-skew boilerplate terms
+        (["uniq_17_0"], 5),                         # df=1 needle
+        (["parse_0", "parse_0", "merge_1"], 10),    # duplicate → weight 2
+        (["software", "scan_3", "query_0", "block_1"], 25),
+    ],
+)
+def test_wand_rank_identical_to_brute_force(spark, built, terms, k):
+    index, seg = built
+    expect = brute_force_topk(spark, index, terms, k)
+    got = [
+        (r.doc_id, round(r.score, 6))
+        for r in wand_topk(spark, index, seg, terms, k=k).collect()
+    ]
+    assert got == expect and len(got) > 0
+
+
+def test_wand_unknown_term_empty(spark, built):
+    index, seg = built
+    assert wand_topk(spark, index, seg, ["zzz_not_a_term"], k=5).count() == 0
+
+
+def test_wand_shard_pruning_skips_blocks():
+    """With one dominant rare term and a huge flat common list, block-max
+    pruning must decode only a fraction of the common term's blocks."""
+    rng = np.random.default_rng(5)
+    n_common = 20_000
+    common_ords = np.arange(n_common, dtype=np.int64)
+    common_tfs = np.ones(n_common, dtype=np.int64)
+    dls = np.full(n_common, 100, dtype=np.int64)
+    common = encode_posting_list(common_ords, common_tfs, dls, idf=0.05,
+                                 avgdl=100.0, k1=1.2, b=0.75)
+    rare_ords = np.sort(rng.choice(n_common, 40, replace=False)).astype(np.int64)
+    rare = encode_posting_list(rare_ords, np.full(40, 5, dtype=np.int64),
+                               np.full(40, 100, dtype=np.int64), idf=6.0,
+                               avgdl=100.0, k1=1.2, b=0.75)
+    segs = [
+        {**common, "weight": 1.0, "idf": 0.05, "avgdl": 100.0},
+        {**rare, "weight": 1.0, "idf": 6.0, "avgdl": 100.0},
+    ]
+    ords, scores, stats = wand_shard(segs, k=10, k1=1.2, b=0.75)
+    assert stats.blocks_decoded < stats.blocks_total * 0.6
+    assert stats.skip_ratio > 0.4
+
+    # exact vs fully-decoded brute force
+    from docix_spark.index.codec import bm25_impact
+
+    full = np.zeros(n_common)
+    full += bm25_impact(common_tfs, dls, 0.05, 100.0, 1.2, 0.75)
+    np.add.at(full, rare_ords, bm25_impact(np.full(40, 5), np.full(40, 100), 6.0, 100.0, 1.2, 0.75))
+    order = np.lexsort((np.arange(n_common), -full))[:10]
+    assert np.array_equal(ords, order)
+    assert np.allclose(scores, full[order])
+
+
+def test_compression_ratio_recorded(spark, built):
+    """Segment bytes must be far below raw 8B/posting for doc stream."""
+    index, seg = built
+    s = seg.segments(spark).select(
+        F.sum(F.length("doc_bytes")).alias("bytes"), F.sum("count").alias("n")
+    ).collect()[0]
+    assert s.bytes < s.n * 4  # varint gaps ≪ 8-byte ords
