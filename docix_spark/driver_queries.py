@@ -695,3 +695,112 @@ def token_count(spark, sf_dir):
         F.size(F.regexp_extract_all(F.trim("text"), F.lit(r"\S+"), 0)).cast("long").alias("ws_tokens"),
         F.size(spark_tokens("text")).cast("long").alias("word_tokens"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# M3/M5 — compressed-segment WAND serving path + snippet fallback (F7)
+# ---------------------------------------------------------------------------
+
+
+def _cached_seg_index(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir per process) the full engine index + compressed
+    segments over the driver documents table, for the serving-path queries."""
+    import hashlib as _h
+    import os
+    import tempfile
+
+    from docix_spark.corpus import from_driver_documents
+    from docix_spark.index.build import Index, build_index
+    from docix_spark.index.segments import SegmentIndex, build_segments
+
+    key = _h.sha256(sf_dir.encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"docix_dq_idx_{key}")
+    marker = os.path.join(root, "seg_meta.json")
+    if not os.path.exists(marker):
+        corpus = from_driver_documents(spark, sf_dir)
+        index = build_index(spark, corpus, root, n_buckets=16)
+        build_segments(spark, index, docs_per_shard=1 << 12)
+    else:
+        index = Index(root=root, n_buckets=16)
+    return index, SegmentIndex.load(root)
+
+
+_WAND_SQL = f"""
+WITH tf AS ({SQL_TF}),
+dl AS ({SQL_DL}),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q AS (SELECT unnest(['spark', 'hash', 'join']) AS term),
+per AS (
+  SELECT tf.doc_id,
+         ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM st))) AS s
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
+)
+SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6
+FROM per GROUP BY doc_id
+ORDER BY score_q6 DESC, doc_id ASC LIMIT 10
+"""
+
+
+@register("wand_segments_topk", _WAND_SQL)
+def wand_segments_topk(spark, sf_dir):
+    """M3/M5 serving path end-to-end: compressed varint segments + block-max
+    (MaxScore) pruning, rank-identical to the plain BM25 oracle. The engine's
+    content-sha doc_id is mapped back to the driver's numeric doc_id through
+    the synthesized path (docs/<source>/doc_<id>.txt)."""
+    from docix_spark.query.wand import wand_topk
+
+    index, seg = _cached_seg_index(spark, sf_dir)
+    top = wand_topk(spark, index, seg, ["spark", "hash", "join"], k=10)
+    meta = index.docs(spark).select(
+        F.col("doc_id"),
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("orig_id"),
+    )
+    return (
+        top.join(meta, "doc_id")
+        .select(F.col("orig_id").alias("doc_id"), _q6(F.col("score")).alias("score_q6"))
+        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
+    )
+
+
+_SNIPPET_SQL = """
+SELECT doc_id,
+  CASE WHEN pos > 0 THEN
+    concat(
+      CASE WHEN pos - 1 - 100 > 0 THEN '...' ELSE '' END,
+      substr(text, greatest(pos - 100, 1),
+             least(cast(length(text) as bigint), pos + 5 + 100) - greatest(pos - 100, 1) + 1),
+      CASE WHEN pos + 5 + 100 < length(text) THEN '...' ELSE '' END)
+  ELSE
+    concat(substr(text, 1, 300), CASE WHEN length(text) > 300 THEN '...' ELSE '' END)
+  END AS snippet
+FROM (SELECT doc_id, text, position('spark' in lower(text)) AS pos FROM documents)
+ORDER BY doc_id
+"""
+
+
+@register("snippet_fallback", _SNIPPET_SQL)
+def snippet_fallback(spark, sf_dir):
+    """F7: the reference's manual snippet rule (SearchAdapter.java:580-610) —
+    ±100 chars around the first occurrence of the query string with ellipses,
+    else leading 300 chars — as a pure Catalyst expression ('spark', len 5)."""
+    d = _docs(spark, sf_dir)
+    qlen = 5  # len("spark")
+    pos = F.instr(F.lower(F.col("text")), "spark")
+    tlen = F.length("text")
+    start = F.greatest(pos - 100, F.lit(1))
+    end = F.least(tlen.cast("long"), (pos + qlen + 100).cast("long"))
+    found = F.concat(
+        F.when(pos - 1 - 100 > 0, F.lit("...")).otherwise(F.lit("")),
+        F.substring(F.col("text"), start, (end - start + F.lit(1)).cast("int")),
+        F.when(pos + qlen + 100 < tlen, F.lit("...")).otherwise(F.lit("")),
+    )
+    missing = F.concat(
+        F.substring("text", 1, 300),
+        F.when(tlen > 300, F.lit("...")).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id", F.when(pos > 0, found).otherwise(missing).alias("snippet")
+    ).orderBy("doc_id")

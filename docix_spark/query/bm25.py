@@ -236,6 +236,7 @@ def search_topk(
     b: float = BM25_B,
     with_metadata: bool = True,
     validate: bool = True,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Full reference search semantics → one result DataFrame.
 
@@ -264,6 +265,11 @@ def search_topk(
                 (F.coalesce("best_score", F.lit(0.0)) + F.coalesce("fb_score", F.lit(0.0))).alias("score"),
             )
         )
+
+    if exclude is not None:
+        # deleted-doc mask applied before ranking (Lucene live-docs bitmap;
+        # delete-by-query semantics of SearchAdapter.java:331-354)
+        scored = scored.join(exclude, "doc_id", "left_anti")
 
     top = (
         scored.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -1,0 +1,283 @@
+"""Search service layer — the engine-side equivalents of the reference's
+use-case + adapter behaviors that sit around the core scorer (SURVEY.md §3).
+
+- :func:`search` — full flagship read path: validation → composite BM25
+  top-k → pagination slice → metadata join → highlight/snippet shaping →
+  hasNext/hasPrevious + the totalHits-estimate quirk
+  (reference SearchDocumentService.java:38-108, DocumentController
+  SearchResponse semantics README.md:199-208).
+- :func:`phrase_filter` — positions-based ``match_phrase`` (the
+  autocomplete query, SearchAdapter.java:198-201) as a pure Catalyst
+  expression: consecutive-position verification via shifted
+  ``array_intersect`` chains over the stored position arrays.
+- :func:`autocomplete` — phrase match → 2×k over-fetch in phrase-BM25
+  order → the reference's exact client-side bigram loop
+  (SearchAdapter.java:211-234: lowercase whitespace split, emit
+  ``word[i] + " " + word[i+1]`` where ``word[i]`` contains the query,
+  in-order dedup, cap).
+- :func:`document_exists` — term query + size(1) probe
+  (SearchAdapter.java:615-633).
+- :func:`estimate_total_hits` — probe-1-then-1000 quirk, replicated at the
+  API layer only (SearchDocumentService.java:97-108; exact count stays
+  available to tests via the engine).
+- :class:`Tombstones` — delete-by-docId (SearchAdapter.java:331-354) the
+  Lucene way: a deleted-docs table filtered at query time, with
+  :func:`compact` rewriting postings/stats to physically drop them.
+  Matching Lucene/ES observable behavior: corpus statistics (df, avgdl)
+  reflect deletes only after merge/compaction, while deleted docs stop
+  appearing in results immediately.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docix_spark.analysis.highlight import add_highlights
+from docix_spark.analysis.tokenizer import tokenize
+from docix_spark.index.build import Index, term_bucket
+from docix_spark.query.bm25 import expand_query_terms, search_topk
+from docix_spark.query.plan import analyze_query, validate_search
+
+
+# ---------------------------------------------------------------------------
+# deletes (S7)
+# ---------------------------------------------------------------------------
+
+class Tombstones:
+    """Deleted-doc ledger next to the index tables."""
+
+    def __init__(self, index: Index):
+        self.index = index
+        self.path = os.path.join(index.root, "tombstones")
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        if not os.path.exists(self.path):
+            return spark.createDataFrame([], "doc_id string")
+        return spark.read.parquet(self.path)
+
+    def delete(self, spark: SparkSession, doc_ids: list[str]) -> None:
+        """delete-by-query on documentId (SearchAdapter.java:331-354) —
+        immediate, idempotent, O(|ids|)."""
+        spark.createDataFrame([(d,) for d in doc_ids], "doc_id string").write.mode(
+            "append"
+        ).parquet(self.path)
+
+    def filter_out(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        if not os.path.exists(self.path):
+            return df
+        return df.join(self.read(spark), "doc_id", "left_anti")
+
+
+def compact(spark: SparkSession, index: Index) -> Index:
+    """Physically drop tombstoned docs and recompute statistics — the
+    segment-merge/expunge-deletes step ES runs in the background
+    (SURVEY.md §4.2). Rewrites postings + stats tables in place."""
+    ts = Tombstones(index)
+    dead = ts.read(spark)
+    if dead.isEmpty():
+        return index
+    for name in ("postings", "docs"):
+        df = spark.read.parquet(index.path(name)).join(dead, "doc_id", "left_anti")
+        tmp = index.path(name + "__compact")
+        writer = df.write.mode("overwrite")
+        if name == "postings":
+            writer = writer.partitionBy("term_bucket")
+        writer.parquet(tmp)
+        clean = spark.read.parquet(tmp)
+        w2 = clean.write.mode("overwrite")
+        if name == "postings":
+            w2 = w2.partitionBy("term_bucket")
+        w2.parquet(index.path(name))
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    postings = index.postings(spark)
+    df_stats = (
+        postings.groupBy("field", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("term_bucket", term_bucket(F.col("term"), index.n_buckets))
+    )
+    df_stats.write.mode("overwrite").parquet(index.path("df_stats"))
+    doc_stats = postings.groupBy("field", "doc_id").agg(
+        F.sum("tf").cast("long").alias("doc_len")
+    )
+    doc_stats.write.mode("overwrite").parquet(index.path("doc_stats"))
+    doc_stats = spark.read.parquet(index.path("doc_stats"))
+    doc_stats.groupBy("field").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    ).write.mode("overwrite").parquet(index.path("corpus_stats"))
+
+    import shutil
+
+    shutil.rmtree(ts.path, ignore_errors=True)
+    return index
+
+
+# ---------------------------------------------------------------------------
+# probes / quirks
+# ---------------------------------------------------------------------------
+
+def document_exists(spark: SparkSession, index: Index, doc_id: str) -> bool:
+    """term(documentId) + size(1) + total>0 (SearchAdapter.java:615-633)."""
+    docs = Tombstones(index).filter_out(spark, index.docs(spark))
+    return bool(docs.where(F.col("doc_id") == F.lit(doc_id)).limit(1).count() > 0)
+
+
+def estimate_total_hits(spark: SparkSession, index: Index, query: str) -> int:
+    """Probe for 1 hit; 0 → 0, else the constant 1000 — the reference's
+    deliberate estimation quirk (SearchDocumentService.java:97-108)."""
+    probe = search_topk(spark, index, query, page=0, size=1, with_metadata=False)
+    return 1000 if probe.limit(1).count() > 0 else 0
+
+
+# ---------------------------------------------------------------------------
+# phrase matching (F4) — pure Catalyst
+# ---------------------------------------------------------------------------
+
+def phrase_filter(spark: SparkSession, index: Index, phrase: str) -> DataFrame:
+    """doc_ids whose content contains the phrase tokens consecutively.
+
+    match_phrase semantics over the ``standard`` analyzer: positions p with
+    p ∈ pos(t₀), p+1 ∈ pos(t₁), … — verified JVM-side by intersecting
+    shifted position arrays (``array_intersect``), bucket-pruned to the
+    phrase terms' buckets. Single-term phrases degenerate to a term match.
+    """
+    terms = tokenize(phrase)
+    if not terms:
+        return spark.createDataFrame([], "doc_id string")
+    from docix_spark.query.bm25 import _bucket_ids
+
+    buckets = _bucket_ids(spark, terms, index.n_buckets)
+    p = index.postings(spark).where(
+        (F.col("field") == "content")
+        & F.col("term_bucket").isin(buckets)
+        & F.col("term").isin(sorted(set(terms)))
+    )
+    sides = []
+    for i, t in enumerate(terms):
+        shifted = p.where(F.col("term") == t).select(
+            "doc_id",
+            F.transform("positions", lambda x: x - F.lit(i)).alias(f"pos_{i}"),
+        )
+        sides.append(shifted)
+    joined = reduce(lambda a, b: a.join(b, "doc_id"), sides)
+    anchor = reduce(
+        lambda acc, i: F.array_intersect(acc, F.col(f"pos_{i}")),
+        range(1, len(terms)),
+        F.col("pos_0"),
+    )
+    return joined.where(F.size(anchor) > 0).select("doc_id").distinct()
+
+
+# ---------------------------------------------------------------------------
+# autocomplete (§3.3)
+# ---------------------------------------------------------------------------
+
+def autocomplete(
+    spark: SparkSession, index: Index, query: str, max_suggestions: int = 5
+) -> list[str]:
+    """Validation per AutocompleteService.java:25-33 (q 1-100 chars), then
+    the reference pipeline: match_phrase → size 2k, content only → exact
+    client-side bigram loop (SearchAdapter.java:211-234)."""
+    if query is None or not query.strip():
+        raise ValueError("Autocomplete query cannot be empty")
+    q = query.strip()
+    if len(q) > 100:
+        raise ValueError("Autocomplete query too long")
+
+    matches = phrase_filter(spark, index, q)
+    # hit order = phrase-BM25 over the phrase terms, tiebreak doc_id asc —
+    # the ES ranking of the match_phrase query, made deterministic.
+    terms = tokenize(q)
+    scored = search_topk(
+        spark, index, " ".join(terms), page=0, size=100,
+        with_metadata=False, validate=False,
+    ).join(matches, "doc_id")
+    hits = (
+        scored.join(index.docs(spark).select("doc_id", "content"), "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(max_suggestions * 2)
+        .select("content")
+        .collect()
+    )
+    ql = q.lower()
+    suggestions: list[str] = []
+    for row in hits:
+        content = row.content
+        if content:
+            words = content.lower().split()
+            for i in range(len(words) - 1):
+                if ql in words[i]:
+                    s = f"{words[i]} {words[i + 1]}"
+                    if s not in suggestions and len(suggestions) < max_suggestions:
+                        suggestions.append(s)
+        if len(suggestions) >= max_suggestions:
+            break
+    return suggestions
+
+
+# ---------------------------------------------------------------------------
+# flagship read path (§3.1)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SearchPage:
+    """The web DTO shape (README.md:199-208): results + paging metadata."""
+
+    results: pd.DataFrame  # rank, doc_id, score, metadata..., highlight
+    page: int
+    size: int
+    total_hits_estimate: int
+    has_next: bool
+    has_previous: bool
+    highlight_empty_ratio: float
+
+
+def search(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    page: int = 0,
+    size: int = 10,
+) -> SearchPage:
+    """End-to-end search with result shaping (SURVEY.md §3.1 steps 1-5)."""
+    validate_search(query, page, size)
+    tomb = Tombstones(index)
+    dead = tomb.read(spark) if os.path.exists(tomb.path) else None
+    top = search_topk(
+        spark, index, query, page=page, size=size, with_metadata=True, exclude=dead
+    )
+    # over-fetch probe for hasNext: one row beyond the current slice
+    probe_next = search_topk(
+        spark, index, query, page=page + 1, size=size, with_metadata=False,
+        exclude=dead,
+    )
+
+    # fetch phase: join the source text for the ≤k result rows only
+    top = top.join(index.docs(spark).select("doc_id", "content"), "doc_id", "left")
+    pdf = top.orderBy("rank").toPandas()
+    aq = analyze_query(query)
+    if aq.is_match_all:
+        marked_terms: set[str] = set()
+    else:
+        marked_terms = {t for _, t, _ in expand_query_terms(spark, index, aq.terms)}
+    pdf = add_highlights(pdf, marked_terms, query.strip())
+    empty_ratio = (
+        float((pdf["highlight"] == "").mean()) if len(pdf) else 0.0
+    )
+    return SearchPage(
+        results=pdf,
+        page=page,
+        size=size,
+        total_hits_estimate=1000 if len(pdf) else 0,
+        has_next=probe_next.limit(1).count() > 0,
+        has_previous=page > 0,
+        highlight_empty_ratio=empty_ratio,
+    )
