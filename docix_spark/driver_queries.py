@@ -804,3 +804,196 @@ def snippet_fallback(spark, sf_dir):
     return d.select(
         "doc_id", F.when(pos > 0, found).otherwise(missing).alias("snippet")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline ops round 2: SimHash, embedding near-dup, language-ID,
+# multimodal feature plumbing
+# ---------------------------------------------------------------------------
+
+# 60-bit term hash computable identically in Spark and DuckDB:
+# first 15 hex chars of md5 → unsigned 60-bit int (fits in BIGINT).
+_H60_SPARK = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+_H60_SQL = "('0x' || substr(md5(term), 1, 15))::UBIGINT::BIGINT"
+
+_SIMHASH_CTE = f"""
+WITH tf AS ({SQL_TF}),
+h AS (SELECT doc_id, tf, {_H60_SQL} AS h FROM tf),
+bits AS (
+  SELECT doc_id, j, sum(tf * (((h >> j) & 1) * 2 - 1)) AS vote
+  FROM h, (SELECT unnest(generate_series(0, 59)) AS j)
+  GROUP BY doc_id, j
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+"""
+
+_SIMHASH_SQL = _SIMHASH_CTE + "SELECT doc_id, simhash FROM sh ORDER BY doc_id"
+
+
+def _simhash_spark(spark, sf_dir) -> DataFrame:
+    tf = (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        .withColumn("h", _H60_SPARK(F.col("term")))
+    )
+    votes = (
+        tf.select("doc_id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j"))
+        .withColumn("bit", F.expr("(h >> j) & 1"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum(F.col("tf") * (F.col("bit") * 2 - 1)).alias("vote"))
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("vote") > 0, F.expr("cast(1 as bigint) << j")).otherwise(F.lit(0))).alias("simhash"))
+    )
+
+
+@register("simhash64", _SIMHASH_SQL)
+def simhash64(spark, sf_dir):
+    """SimHash document fingerprint (60-bit): tf-weighted bit votes over
+    md5-derived term hashes — near-dup sketch whose hamming distance bounds
+    cosine similarity of the tf vectors."""
+    return _simhash_spark(spark, sf_dir).orderBy("doc_id")
+
+
+@register(
+    "simhash_neardup_pairs",
+    _SIMHASH_CTE
+    + """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+ORDER BY hamming ASC, id_a ASC, id_b ASC LIMIT 20""",
+)
+def simhash_neardup_pairs(spark, sf_dir):
+    """SimHash near-duplicate candidates: 20 closest pairs by hamming
+    distance (deterministic tiebreak). The 100 TB path blocks on simhash
+    bands before pairing; the all-pairs join here is the exact oracle."""
+    sh = _simhash_spark(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr("cast(bit_count(sa ^ sb) as bigint)").alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
+
+
+_EMB_PAIRS_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, CAST(round(cos * 1000000) AS BIGINT) AS cos_q6
+FROM p ORDER BY cos_q6 DESC, id_a ASC, id_b ASC LIMIT 20
+"""
+
+
+@register("embedding_neardup_pairs", _EMB_PAIRS_SQL)
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup: 20 most-similar vector pairs (exact
+    brute force — the oracle for the LSH/IVF blocked variant at scale)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            _q6(
+                F.expr(dot.format(a="va", b="vb"))
+                / (F.sqrt(F.expr(dot.format(a="va", b="va"))) * F.sqrt(F.expr(dot.format(a="vb", b="vb"))))
+            ).alias("cos_q6"),
+        )
+        .orderBy(F.desc("cos_q6"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
+
+
+_LANG_PROFILES = {
+    "de": ["der", "die", "und", "das", "den", "von", "zu", "mit", "ist", "des"],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "with", "as"],
+    "es": ["el", "la", "que", "y", "los", "del", "se", "las", "por", "un"],
+    "fr": ["le", "les", "et", "des", "du", "une", "est", "dans", "pour", "sur"],
+}
+
+
+def _lang_sql() -> str:
+    counts = ",\n".join(
+        f"count(*) FILTER (term IN ({', '.join(repr(w) for w in ws)})) AS c_{lang}"
+        for lang, ws in _LANG_PROFILES.items()
+    )
+    return f"""
+WITH t AS ({SQL_TOKS}),
+c AS (SELECT doc_id, {counts} FROM t GROUP BY doc_id),
+d AS (
+  SELECT doc_id,
+         strlen(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS non_ascii,
+         strlen(text) AS n_bytes
+  FROM documents
+)
+SELECT d.doc_id,
+  CASE WHEN d.non_ascii * 10 > d.n_bytes * 3 THEN 'zh'
+       WHEN coalesce(c_de,0) >= coalesce(c_en,0) AND coalesce(c_de,0) >= coalesce(c_es,0) AND coalesce(c_de,0) >= coalesce(c_fr,0) THEN 'de'
+       WHEN coalesce(c_en,0) >= coalesce(c_es,0) AND coalesce(c_en,0) >= coalesce(c_fr,0) THEN 'en'
+       WHEN coalesce(c_es,0) >= coalesce(c_fr,0) THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM d LEFT JOIN c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("lang_id_heuristic", _lang_sql())
+def lang_id_heuristic(spark, sf_dir):
+    """Language-ID heuristic: CJK via non-ASCII byte ratio > 0.3, else
+    argmax of stopword-profile hits (deterministic alphabetical tiebreak)."""
+    t = _toks(_docs(spark, sf_dir))
+    aggs = [
+        F.sum(F.when(F.col("term").isin(ws), 1).otherwise(0)).alias(f"c_{lang}")
+        for lang, ws in _LANG_PROFILES.items()
+    ]
+    c = t.groupBy("doc_id").agg(*aggs)
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.octet_length(F.regexp_replace("text", r"[\x00-\x7F]", "")).alias("non_ascii"),
+        F.octet_length("text").alias("n_bytes"),
+    )
+    j = d.join(c, "doc_id", "left")
+    cz = {lang: F.coalesce(F.col(f"c_{lang}"), F.lit(0)) for lang in _LANG_PROFILES}
+    pred = (
+        F.when(F.col("non_ascii") * 10 > F.col("n_bytes") * 3, F.lit("zh"))
+        .when((cz["de"] >= cz["en"]) & (cz["de"] >= cz["es"]) & (cz["de"] >= cz["fr"]), F.lit("de"))
+        .when((cz["en"] >= cz["es"]) & (cz["en"] >= cz["fr"]), F.lit("en"))
+        .when(cz["es"] >= cz["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return j.select("doc_id", pred.alias("pred_lang")).orderBy("doc_id")
+
+
+@register(
+    "media_features",
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS sha
+       FROM documents ORDER BY doc_id""",
+)
+def media_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: text → binary payload column →
+    Arrow-batched mapInPandas feature extraction (decode stubbed
+    deterministically; docix_spark.analysis.multimodal). Byte length and
+    sha256 are the payload invariants the SQL oracle can check."""
+    from docix_spark.analysis.multimodal import extract_media_features, synth_media
+
+    media = synth_media(_docs(spark, sf_dir))
+    feats = extract_media_features(media)
+    return feats.select(
+        "doc_id", F.col("n_bytes"), F.col("sha256").alias("sha")
+    ).orderBy("doc_id")
