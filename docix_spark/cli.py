@@ -1,0 +1,262 @@
+"""spark-submit entry points — M6 packaging (SURVEY.md §7.1).
+
+Every subcommand is a self-contained job runnable either directly
+(``python -m docix_spark.cli <cmd> ...``) or via spark-submit::
+
+    zip -r /tmp/docix_spark.zip docix_spark
+    spark-submit --py-files /tmp/docix_spark.zip \
+        --master local[32] docix_spark/cli.py build \
+        --input /root/testdata/sf0.1 --out /tmp/idx
+
+Subcommands:
+
+- ``gen``      — deterministic synthetic corpus (input_hint shape:
+                 repo, path, commit, lang, content) → parquet.
+- ``build``    — checkpointed, resumable index build (manifest + fragments
+                 + finalized tables) over a corpus parquet dir or a driver
+                 documents.parquet dir.
+- ``resume``   — re-run only non-INDEXED partitions of a prior build.
+- ``segments`` — compress postings into varint/block-max segments.
+- ``search``   — composite BM25 query (best_fields/fuzzy/msm/wildcard).
+- ``wand``     — segment-serving-path top-k for a bag of terms.
+- ``autocomplete`` — bigram suggestions.
+- ``metrics``  — per-partition build metrics (docs/sec, postings/sec,
+                 bytes, lineage sha) + rollup status.
+- ``bench-build`` — timed build for the two-cluster-size scaling evidence
+                 (prints one JSON line; used by scripts/scaling_run.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _spark(args):
+    from docix_spark.session import get_spark
+
+    return get_spark("docix-cli", cores=args.cores,
+                     shuffle_partitions=args.shuffle_partitions)
+
+
+def _load_corpus(spark, path: str):
+    """Accept either a corpus parquet dir (repo,path,commit,lang,content),
+    a driver sf dir containing documents.parquet, or that file itself."""
+    from docix_spark.corpus import CORPUS_COLUMNS, from_driver_documents
+
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "documents.parquet")):
+        return from_driver_documents(spark, path)
+    df = spark.read.parquet(path)
+    if set(CORPUS_COLUMNS) <= set(df.columns):
+        return df.select(*CORPUS_COLUMNS)
+    raise SystemExit(f"unrecognized corpus schema at {path}: {df.columns}")
+
+
+def cmd_gen(args):
+    from docix_spark.corpus import synth_corpus
+
+    spark = _spark(args)
+    df = synth_corpus(spark, args.docs, seed=args.seed, partitions=args.partitions,
+                      len_scale=args.len_scale)
+    df.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"cmd": "gen", "docs": args.docs, "out": args.out}))
+
+
+def cmd_build(args):
+    from docix_spark.index import checkpoint as cp
+
+    spark = _spark(args)
+    corpus = _load_corpus(spark, args.input)
+    t0 = time.perf_counter()
+    build = cp.start_build(spark, corpus, args.out, n_parts=args.parts,
+                           n_buckets=args.buckets)
+    index = cp.finalize_index(spark, args.out)
+    dt = time.perf_counter() - t0
+    n = index.docs(spark).count()
+    print(json.dumps({
+        "cmd": "build", "build_id": build.build_id, "out": args.out,
+        "status": cp.overall_status(spark, args.out), "docs": n,
+        "seconds": round(dt, 3), "docs_per_sec": round(n / dt, 2),
+    }))
+
+
+def cmd_resume(args):
+    from docix_spark.index import checkpoint as cp
+
+    spark = _spark(args)
+    redone = cp.resume_build(spark, args.out)
+    cp.finalize_index(spark, args.out)
+    print(json.dumps({
+        "cmd": "resume", "out": args.out, "partitions_reprocessed": redone,
+        "status": cp.overall_status(spark, args.out),
+    }))
+
+
+def cmd_segments(args):
+    from docix_spark.index.build import Index
+    from docix_spark.index.segments import build_segments
+
+    spark = _spark(args)
+    index = Index(root=args.out, n_buckets=args.buckets)
+    t0 = time.perf_counter()
+    seg = build_segments(spark, index, docs_per_shard=args.docs_per_shard)
+    stats = seg.segments(spark).selectExpr(
+        "count(*) AS n_segments", "sum(count) AS postings",
+        "sum(length(doc_bytes) + length(tf_bytes) + length(dl_bytes)) AS bytes"
+    ).collect()[0]
+    print(json.dumps({
+        "cmd": "segments", "out": args.out, "seconds": round(time.perf_counter() - t0, 3),
+        "n_segments": stats.n_segments, "postings": int(stats.postings),
+        "compressed_bytes": int(stats.bytes),
+        "bytes_per_posting": round(stats.bytes / max(stats.postings, 1), 3),
+    }))
+
+
+def cmd_search(args):
+    from docix_spark.index.build import Index
+    from docix_spark.query.bm25 import search_topk
+
+    spark = _spark(args)
+    index = Index(root=args.out, n_buckets=args.buckets)
+    t0 = time.perf_counter()
+    rows = search_topk(spark, index, args.query, page=args.page, size=args.size).collect()
+    dt = time.perf_counter() - t0
+    out = [
+        {"rank": r.rank, "doc_id": r.doc_id, "score": round(r.score, 6),
+         "path": getattr(r, "path", None)}
+        for r in rows
+    ]
+    print(json.dumps({"cmd": "search", "query": args.query,
+                      "latency_sec": round(dt, 4), "results": out}))
+
+
+def cmd_wand(args):
+    from docix_spark.index.build import Index
+    from docix_spark.index.segments import SegmentIndex
+    from docix_spark.query.wand import wand_topk
+
+    spark = _spark(args)
+    index = Index(root=args.out, n_buckets=args.buckets)
+    seg = SegmentIndex.load(args.out)
+    t0 = time.perf_counter()
+    rows = wand_topk(spark, index, seg, args.terms, k=args.size).collect()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "cmd": "wand", "terms": args.terms, "latency_sec": round(dt, 4),
+        "results": [{"doc_id": r.doc_id, "score": round(r.score, 6)} for r in rows],
+    }))
+
+
+def cmd_autocomplete(args):
+    from docix_spark.index.build import Index
+    from docix_spark.query.service import autocomplete
+
+    spark = _spark(args)
+    index = Index(root=args.out, n_buckets=args.buckets)
+    print(json.dumps({
+        "cmd": "autocomplete", "query": args.query,
+        "suggestions": autocomplete(spark, index, args.query, args.size),
+    }))
+
+
+def cmd_metrics(args):
+    from docix_spark.index import checkpoint as cp
+
+    spark = _spark(args)
+    rows = cp.build_metrics(spark, args.out).orderBy("partition_id").collect()
+    print(json.dumps({
+        "cmd": "metrics", "status": cp.overall_status(spark, args.out),
+        "progress": cp.indexing_progress(spark, args.out),
+        "partitions": [r.asDict() for r in rows],
+    }))
+
+
+def cmd_bench_build(args):
+    """Timed fragment+finalize build over pre-generated input — the unit the
+    two-cluster-size scaling rule measures. Session startup is excluded."""
+    from docix_spark.index.build import build_index
+
+    spark = _spark(args)
+    corpus = _load_corpus(spark, args.input)
+    corpus = corpus.repartition(args.partitions)
+    n = corpus.count()  # materialize input + warm workers before timing
+    t0 = time.perf_counter()
+    build_index(spark, corpus, args.out, n_buckets=args.buckets)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "cmd": "bench-build", "cores": args.cores, "docs": n,
+        "seconds": round(dt, 3), "docs_per_sec": round(n / dt, 2),
+    }))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="docix_spark")
+    p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None, dest="shuffle_partitions")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("gen")
+    sp.add_argument("--docs", type=int, default=10000)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--partitions", type=int, default=64)
+    sp.add_argument("--len-scale", type=float, default=1.0, dest="len_scale")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_gen)
+
+    for name, fn in [("build", cmd_build), ("resume", cmd_resume)]:
+        sp = sub.add_parser(name)
+        if name == "build":
+            sp.add_argument("--input", required=True)
+            sp.add_argument("--parts", type=int, default=32)
+        sp.add_argument("--out", required=True)
+        sp.add_argument("--buckets", type=int, default=64)
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("segments")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--docs-per-shard", type=int, default=1 << 16, dest="docs_per_shard")
+    sp.set_defaults(fn=cmd_segments)
+
+    sp = sub.add_parser("search")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--query", required=True)
+    sp.add_argument("--page", type=int, default=0)
+    sp.add_argument("--size", type=int, default=10)
+    sp.set_defaults(fn=cmd_search)
+
+    sp = sub.add_parser("wand")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--terms", nargs="+", required=True)
+    sp.add_argument("--size", type=int, default=10)
+    sp.set_defaults(fn=cmd_wand)
+
+    sp = sub.add_parser("autocomplete")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--query", required=True)
+    sp.add_argument("--size", type=int, default=5)
+    sp.set_defaults(fn=cmd_autocomplete)
+
+    sp = sub.add_parser("metrics")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_metrics)
+
+    sp = sub.add_parser("bench-build")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--partitions", type=int, default=64)
+    sp.set_defaults(fn=cmd_bench_build)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -75,9 +75,11 @@ def _vocab() -> list[str]:
     return out
 
 
-def synth_corpus_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
+def synth_corpus_pdf(n_docs: int, seed: int = 42, len_scale: float = 1.0) -> pd.DataFrame:
     """Deterministic synthetic corpus as a pandas frame (driver-side for
-    tests; use :func:`synth_corpus` for a distributed generate)."""
+    tests; use :func:`synth_corpus` for a distributed generate).
+    ``len_scale`` multiplies document length (for compute-heavy bench
+    corpora without changing the table shape)."""
     rng = np.random.default_rng(seed)
     vocab = np.array(_vocab())
     # Zipf-ish rank weights.
@@ -87,7 +89,7 @@ def synth_corpus_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
     langs = rng.choice(_LANGS, size=n_docs, p=_LANG_W)
     n_repos = max(n_docs // 20, 1)
     repo_idx = rng.integers(0, n_repos, size=n_docs)
-    doc_lens = rng.integers(40, 400, size=n_docs)
+    doc_lens = (rng.integers(40, 400, size=n_docs) * len_scale).astype(np.int64)
 
     rows = []
     for d in range(n_docs):
@@ -111,7 +113,7 @@ def synth_corpus_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=CORPUS_COLUMNS)
 
 
-def synth_corpus(spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+def synth_corpus(spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None, len_scale: float = 1.0) -> DataFrame:
     """Distributed deterministic corpus: each partition generates its slice
     with a partition-derived seed, so the output is independent of
     parallelism (same rows at local[8] and local[32])."""
@@ -127,7 +129,7 @@ def synth_corpus(spark: SparkSession, n_docs: int, seed: int = 42, partitions: i
     def gen(batches):
         for pdf in batches:
             for _, row in pdf.iterrows():
-                sub = synth_corpus_pdf(int(row.cnt), seed=seed + int(row.offset))
+                sub = synth_corpus_pdf(int(row.cnt), seed=seed + int(row.offset), len_scale=len_scale)
                 sub["path"] = [
                     f"src/main/{l}/pkg{(int(row.offset)+i) % 53}/Module{int(row.offset)+i}.{l}"
                     for i, l in enumerate(sub["lang"])

@@ -65,6 +65,7 @@ from docix_spark.index.build import (
     DEFAULT_TERM_BUCKETS,
     Index,
     _postings_for_batch,
+    _write_bucketed,
     term_bucket,
 )
 
@@ -217,9 +218,6 @@ def _build_task(
             row["docs"] = len(pdf)
             row["bytes_in"] = int(pdf["content"].str.len().sum())
             out = _postings_for_batch(pdf, fields, positions_field="content")
-            out["positions"] = out["positions"].map(
-                lambda p: None if p is None else list(map(int, p))
-            )
             row["postings"] = len(out)
             row["bytes_out"] = _write_fragment(out, frag_dir, part)
             dt = max(time.time() - t0, 1e-9)
@@ -366,8 +364,13 @@ def finalize_index(spark: SparkSession, root: str) -> Index:
         int(r.partition_id)
         for r in latest_manifest(spark, root).where(F.col("status") == INDEXED).collect()
     ]
-    frags = spark.read.option("basePath", _fragments_dir(root)).parquet(
-        *[os.path.join(_fragments_dir(root), f"part={p}") for p in sorted(ok_parts)]
+    from docix_spark.index.build import ensure_parallelism
+
+    frags = ensure_parallelism(
+        spark.read.option("basePath", _fragments_dir(root)).parquet(
+            *[os.path.join(_fragments_dir(root), f"part={p}") for p in sorted(ok_parts)]
+        ),
+        spark,
     )
     postings = frags.select(
         "field", "term", "doc_id", F.col("tf").cast("int").alias("tf"),
@@ -375,10 +378,9 @@ def finalize_index(spark: SparkSession, root: str) -> Index:
     ).withColumn(
         "term_bucket", term_bucket(F.col("term"), build.n_buckets)
     )
-    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
-        os.path.join(root, "postings")
-    )
-    postings = spark.read.parquet(os.path.join(root, "postings"))
+    # bucket-clustered plain write (see build._write_bucketed scaling note)
+    _write_bucketed(postings, build.n_buckets, os.path.join(root, "postings"))
+    postings = ensure_parallelism(spark.read.parquet(os.path.join(root, "postings")), spark)
 
     df_stats = (
         postings.groupBy("field", "term")

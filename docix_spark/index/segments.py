@@ -203,9 +203,10 @@ def build_segments(
         .applyInPandas(encode_group, schema=SEGMENT_SCHEMA)
         .withColumn("term_bucket", term_bucket(F.col("term"), index.n_buckets))
     )
-    segments.write.mode("overwrite").partitionBy("term_bucket").parquet(
-        os.path.join(out_root, "segments")
-    )
+    # bucket-clustered plain write (see build._write_bucketed scaling note)
+    from docix_spark.index.build import _write_bucketed
+
+    _write_bucketed(segments, index.n_buckets, os.path.join(out_root, "segments"))
 
     with open(os.path.join(out_root, "seg_meta.json"), "w") as fh:
         json.dump(

@@ -1,0 +1,1 @@
+from docix_spark.streaming.incremental import incremental_index  # noqa: F401

@@ -1,0 +1,95 @@
+"""Structured Streaming incremental index: file-drop ingest, exactly-once
+batches, cross-batch idempotency, rank identity vs one-shot batch build."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from docix_spark.corpus import synth_corpus_pdf
+from docix_spark.index.build import build_index
+from docix_spark.query.bm25 import search_topk
+from docix_spark.streaming.incremental import StreamingIndex, incremental_index
+
+N1, N2 = 120, 80
+
+
+@pytest.fixture(scope="module")
+def drops(spark, tmp_root):
+    """Two corpus file-drops; drop 2 re-ships 10 docs of drop 1 (dup test)."""
+    d = f"{tmp_root}/stream_in"
+    os.makedirs(d, exist_ok=True)
+    p1 = synth_corpus_pdf(N1, seed=51)
+    p2 = synth_corpus_pdf(N2, seed=52)
+    dup = p1.head(10)
+    spark.createDataFrame(p1).coalesce(2).write.mode("overwrite").parquet(f"{tmp_root}/_d1")
+    import pandas as pd
+
+    spark.createDataFrame(pd.concat([p2, dup], ignore_index=True)).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_root}/_d2")
+    return d, f"{tmp_root}/_d1", f"{tmp_root}/_d2", p1, p2
+
+
+def _copy_files(src, dst, tag):
+    import shutil
+
+    for i, f in enumerate(sorted(os.listdir(src))):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src, f), os.path.join(dst, f"{tag}_{i}.parquet"))
+
+
+def test_incremental_matches_oneshot(spark, drops, tmp_root):
+    in_dir, d1, d2, p1, p2 = drops
+    root = f"{tmp_root}/stream_idx"
+
+    # drop 1 → first incremental pass
+    _copy_files(d1, in_dir, "drop1")
+    q = incremental_index(spark, in_dir, root, n_buckets=8, available_now=True)
+    q.awaitTermination(120)
+    sidx = StreamingIndex(root=root, n_buckets=8)
+    n_after_1 = sidx.docs(spark).count()
+    assert n_after_1 == spark.createDataFrame(p1).select(
+        F.sha2("content", 256)).distinct().count()
+
+    # drop 2 (incl. 10 duplicate docs) → second incremental pass
+    _copy_files(d2, in_dir, "drop2")
+    q = incremental_index(spark, in_dir, root, n_buckets=8, available_now=True)
+    q.awaitTermination(120)
+
+    # no double-counting: postings unique per (field, term, doc_id)
+    dup_postings = (
+        sidx.postings(spark).groupBy("field", "term", "doc_id").count()
+        .where(F.col("count") > 1).count()
+    )
+    assert dup_postings == 0
+
+    # rank identity vs a one-shot batch build over the union corpus
+    import pandas as pd
+
+    union = spark.createDataFrame(pd.concat([p1, p2], ignore_index=True))
+    bidx = build_index(spark, union, f"{tmp_root}/oneshot_idx", n_buckets=8)
+    for query in ["permission software", "parse_0 index_2", "uniq_17_0"]:
+        a = [
+            (r.doc_id, round(r.score, 6))
+            for r in search_topk(spark, sidx, query, size=10, with_metadata=False).collect()
+        ]
+        b = [
+            (r.doc_id, round(r.score, 6))
+            for r in search_topk(spark, bidx, query, size=10, with_metadata=False).collect()
+        ]
+        assert a == b and len(a) > 0
+
+
+def test_restart_does_not_reprocess(spark, drops, tmp_root):
+    """Third start with no new files: checkpoint bookkeeping yields an empty
+    pass; index unchanged (exactly-once)."""
+    in_dir, *_ = drops
+    root = f"{tmp_root}/stream_idx"
+    sidx = StreamingIndex(root=root, n_buckets=8)
+    before = sidx.docs(spark).count()
+    q = incremental_index(spark, in_dir, root, n_buckets=8, available_now=True)
+    q.awaitTermination(120)
+    assert sidx.docs(spark).count() == before
