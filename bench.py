@@ -53,6 +53,25 @@ def main() -> None:
     build_sec = time.perf_counter() - t0
     queries["index_build"] = round(build_sec, 4)
 
+    # -- compressed segments (varint + block-max) --------------------------
+    from pyspark.sql import functions as F
+
+    from docix_spark.index.segments import build_segments
+    from docix_spark.query.wand import wand_topk
+
+    t0 = time.perf_counter()
+    seg = build_segments(spark, index, docs_per_shard=1 << 14)
+    queries["segment_build"] = round(time.perf_counter() - t0, 4)
+    seg_stats = seg.segments(spark).agg(
+        F.sum(F.length("doc_bytes") + F.length("tf_bytes") + F.length("dl_bytes")).alias("b"),
+        F.sum("count").alias("n"),
+    ).collect()[0]
+    bytes_per_posting = round(seg_stats.b / max(seg_stats.n, 1), 3)
+
+    t0 = time.perf_counter()
+    wand_topk(spark, index, seg, ["spark", "hash", "join"], k=10).collect()
+    queries["wand_topk_segments"] = round(time.perf_counter() - t0, 4)
+
     # -- composite search latencies ---------------------------------------
     search_set = {
         "search_common3": "spark hash join",
@@ -81,6 +100,7 @@ def main() -> None:
         "sf": sf,
         "n_docs": n_docs,
         "index_build_docs_per_sec": round(n_docs / build_sec, 2),
+        "segment_bytes_per_posting": bytes_per_posting,
         "cpus": cpus,
     }
     shutil.rmtree(idx_dir, ignore_errors=True)

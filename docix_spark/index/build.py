@@ -71,6 +71,21 @@ def ensure_parallelism(df: DataFrame, spark: SparkSession, min_parts: int | None
     return df
 
 
+def _write_term_dict(spark: SparkSession, df_stats_path: str, out_path: str) -> None:
+    """Materialize the fuzzy-expansion dictionary once at build time (the
+    query path used to re-aggregate df_stats per query)."""
+    (
+        spark.read.parquet(df_stats_path)
+        .groupBy("term")
+        .agg(F.max("df").alias("df"))
+        .withColumn("tlen", F.length("term"))
+        .repartition(1)
+        .sortWithinPartitions("tlen", "term")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+
+
 def _write_bucketed(df: DataFrame, n_buckets: int, path: str) -> None:
     """Bucket-clustered plain-parquet write: one reducer per term_bucket,
     rows sorted by (term_bucket, term) so pushed filters skip whole
@@ -168,6 +183,21 @@ class Index:
     def df_stats(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path("df_stats"))
 
+    def term_dict(self, spark: SparkSession) -> DataFrame:
+        """Compact term dictionary (term, df=max over fields, tlen), sorted
+        by tlen so fuzzy-expansion length-band filters prune row groups.
+        Falls back to deriving from df_stats for indexes built before the
+        dictionary existed."""
+        p = self.path("term_dict")
+        if os.path.exists(p):
+            return spark.read.parquet(p)
+        return (
+            self.df_stats(spark)
+            .groupBy("term")
+            .agg(F.max("df").alias("df"))
+            .withColumn("tlen", F.length("term"))
+        )
+
     def doc_stats(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path("doc_stats"))
 
@@ -225,6 +255,7 @@ def build_index(
         .withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
     )
     df_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "df_stats"))
+    _write_term_dict(spark, os.path.join(out_dir, "df_stats"), os.path.join(out_dir, "term_dict"))
 
     doc_stats = postings.groupBy("field", "doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
     doc_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))

@@ -172,34 +172,53 @@ def build_segments(
     )
 
     def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        field, term, shard = key
-        payload = encode_posting_list(
-            pdf["doc_ord"].to_numpy(np.int64),
-            pdf["tf"].to_numpy(np.int64),
-            pdf["doc_len"].to_numpy(np.int64),
-            idf=float(pdf["idf"].iloc[0]),
-            avgdl=float(pdf["avgdl"].iloc[0]),
-            k1=k1,
-            b=b,
-            block_size=block_size,
+        """One task per (field, term_bucket, shard): encodes EVERY term of
+        the bucket-shard in one pass. Grouping at bucket granularity (not
+        per term) keeps the number of pandas groups bounded by
+        buckets×shards — per-term applyInPandas groups cost ~0.5 ms each in
+        group setup, which dominated the segment build."""
+        field, bucket, shard = key
+        order = np.lexsort(
+            (pdf["doc_ord"].to_numpy(np.int64), pdf["term"].to_numpy(object))
         )
+        terms = pdf["term"].to_numpy(object)[order]
+        ords = pdf["doc_ord"].to_numpy(np.int64)[order]
+        tfs = pdf["tf"].to_numpy(np.int64)[order]
+        dls = pdf["doc_len"].to_numpy(np.int64)[order]
+        idfs = pdf["idf"].to_numpy(np.float64)[order]
+        avgdls = pdf["avgdl"].to_numpy(np.float64)[order]
+        n = len(terms)
+        new_term = np.empty(n, dtype=bool)
+        new_term[0] = True
+        new_term[1:] = terms[1:] != terms[:-1]
+        starts = np.flatnonzero(new_term)
+        ends = np.append(starts[1:], n)
+        rows = []
+        for s, e in zip(starts, ends):
+            payload = encode_posting_list(
+                ords[s:e], tfs[s:e], dls[s:e],
+                idf=float(idfs[s]), avgdl=float(avgdls[s]),
+                k1=k1, b=b, block_size=block_size,
+            )
+            rows.append((
+                field, terms[s], int(shard), payload["count"],
+                payload["doc_bytes"], payload["tf_bytes"], payload["dl_bytes"],
+                payload["block_last"], payload["block_max"],
+                payload["block_doc_off"], payload["block_tf_off"],
+                payload["block_dl_off"],
+            ))
         return pd.DataFrame(
-            [{
-                "field": field, "term": term, "shard": int(shard),
-                "count": payload["count"],
-                "doc_bytes": payload["doc_bytes"],
-                "tf_bytes": payload["tf_bytes"],
-                "dl_bytes": payload["dl_bytes"],
-                "block_last": payload["block_last"],
-                "block_max": payload["block_max"],
-                "block_doc_off": payload["block_doc_off"],
-                "block_tf_off": payload["block_tf_off"],
-                "block_dl_off": payload["block_dl_off"],
-            }]
+            rows,
+            columns=["field", "term", "shard", "count", "doc_bytes",
+                     "tf_bytes", "dl_bytes", "block_last", "block_max",
+                     "block_doc_off", "block_tf_off", "block_dl_off"],
         )
 
+    enriched = enriched.withColumn(
+        "term_bucket", term_bucket(F.col("term"), index.n_buckets)
+    )
     segments = (
-        enriched.groupBy("field", "term", "shard")
+        enriched.groupBy("field", "term_bucket", "shard")
         .applyInPandas(encode_group, schema=SEGMENT_SCHEMA)
         .withColumn("term_bucket", term_bucket(F.col("term"), index.n_buckets))
     )

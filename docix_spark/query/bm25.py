@@ -87,12 +87,7 @@ def expand_query_terms(spark: SparkSession, index: Index, terms: list[str]) -> l
         return exact
 
     qdf = spark.createDataFrame(fuzzy_qs, "qt string, qlen int, max_edits int")
-    dictionary = (
-        index.df_stats(spark)
-        .groupBy("term")
-        .agg(F.max("df").alias("df"))
-        .withColumn("tlen", F.length("term"))
-    )
+    dictionary = index.term_dict(spark)
     lo = min(q[1] - q[2] for q in fuzzy_qs)
     hi = max(q[1] + q[2] for q in fuzzy_qs)
     cand = (

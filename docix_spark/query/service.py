@@ -105,6 +105,9 @@ def compact(spark: SparkSession, index: Index) -> Index:
         .withColumn("term_bucket", term_bucket(F.col("term"), index.n_buckets))
     )
     df_stats.write.mode("overwrite").parquet(index.path("df_stats"))
+    from docix_spark.index.build import _write_term_dict
+
+    _write_term_dict(spark, index.path("df_stats"), index.path("term_dict"))
     doc_stats = postings.groupBy("field", "doc_id").agg(
         F.sum("tf").cast("long").alias("doc_len")
     )

@@ -64,6 +64,9 @@ def _refresh_stats(spark: SparkSession, root: str, n_buckets: int) -> None:
         .withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
     )
     df_stats.write.mode("overwrite").parquet(os.path.join(root, "df_stats"))
+    from docix_spark.index.build import _write_term_dict
+
+    _write_term_dict(spark, os.path.join(root, "df_stats"), os.path.join(root, "term_dict"))
     doc_stats = postings.groupBy("field", "doc_id").agg(
         F.sum("tf").cast("long").alias("doc_len")
     )
