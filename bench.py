@@ -80,10 +80,20 @@ def main() -> None:
         "search_filename": "doc_42",
         "search_wildcard_fallback": "rk jo",
     }
+    lat = []
     for name, q in search_set.items():
         t0 = time.perf_counter()
         search_topk(spark, index, q, size=10, with_metadata=False).collect()
         queries[name] = round(time.perf_counter() - t0, 4)
+    # warm pass: plans cached, stats files hot — the serving-latency figure
+    for name, q in search_set.items():
+        t0 = time.perf_counter()
+        search_topk(spark, index, q, size=10, with_metadata=False).collect()
+        dt = time.perf_counter() - t0
+        queries[name + "_warm"] = round(dt, 4)
+        lat.append(dt)
+    lat.sort()
+    search_p95_warm = round(lat[max(int(len(lat) * 0.95) - 1, 0)] if lat else 0.0, 4)
 
     # -- registry heavies ---------------------------------------------------
     for name in ["bm25_topk", "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard_pairs", "knn_cosine_top10", "quality_score"]:
@@ -101,6 +111,7 @@ def main() -> None:
         "n_docs": n_docs,
         "index_build_docs_per_sec": round(n_docs / build_sec, 2),
         "segment_bytes_per_posting": bytes_per_posting,
+        "search_p95_warm_sec": search_p95_warm,
         "cpus": cpus,
     }
     shutil.rmtree(idx_dir, ignore_errors=True)

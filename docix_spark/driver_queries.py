@@ -997,3 +997,46 @@ def media_features(spark, sf_dir):
     return feats.select(
         "doc_id", F.col("n_bytes"), F.col("sha256").alias("sha")
     ).orderBy("doc_id")
+
+
+@register(
+    "source_filter_lang",
+    """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+       FROM documents WHERE lang IN ('en', 'de') GROUP BY lang ORDER BY lang""",
+)
+def source_filter_lang(spark, sf_dir):
+    """P8: content-type/source admission predicate (the reference's isPdf
+    gate, UploadDocumentService.java:122-140) as source filtering — a
+    pushed-down lang predicate with per-type admission stats."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.where(F.col("lang").isin("en", "de"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").cast("long").alias("chars"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "pages_formfeed_split",
+    """SELECT doc_id, CAST(i - 1 AS BIGINT) AS page_number,
+              CAST(strlen(pages[i]) AS BIGINT) AS page_chars
+       FROM (SELECT doc_id, string_split(text, chr(12)) AS pages FROM documents),
+            (SELECT unnest(generate_series(1, 100)) AS i)
+       WHERE i <= len(pages)
+       ORDER BY doc_id, page_number""",
+)
+def pages_formfeed_split(spark, sf_dir):
+    """S4: the reference's fallback page model — full text split on form
+    feed, one row per page with its ordinal (Tika parseToString + split
+    on \\f, PageBasedContentExtractor.java:63-79) — F.split + posexplode."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", "\f")).alias("page_number", "page"))
+        .select(
+            "doc_id",
+            F.col("page_number").cast("long"),
+            F.octet_length("page").cast("long").alias("page_chars"),
+        )
+        .orderBy("doc_id", "page_number")
+    )
