@@ -111,13 +111,12 @@ def expand_query_terms(spark: SparkSession, index: Index, terms: list[str]) -> l
 
 
 def _bucket_ids(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
-    """term_bucket values for a term list, computed with the same xxhash64
-    the build used (evaluated JVM-side on a tiny local relation)."""
-    if not terms:
-        return []
-    tdf = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
-    rows = tdf.select(term_bucket(F.col("term"), n_buckets).alias("b")).distinct().collect()
-    return sorted(r.b for r in rows)
+    """term_bucket values for a term list, computed driver-side with the
+    pure-Python XXH64 replica of the build's ``pmod(xxhash64(term), B)`` —
+    saves one Spark job per query (parity proven in tests/test_xxh64.py)."""
+    from docix_spark.index.xxh64 import term_bucket_py
+
+    return sorted({term_bucket_py(t, n_buckets) for t in set(terms)})
 
 
 @dataclass
