@@ -254,18 +254,17 @@ def search(
     validate_search(query, page, size)
     tomb = Tombstones(index)
     dead = tomb.read(spark) if os.path.exists(tomb.path) else None
-    top = search_topk(
-        spark, index, query, page=page, size=size, with_metadata=True, exclude=dead
+    # one query fetches the slice PLUS one extra rank — has_next comes from
+    # the same result instead of a second full search
+    over = search_topk(
+        spark, index, query, page=0, size=(page + 1) * size + 1,
+        with_metadata=True, validate=False, exclude=dead,
     )
-    # over-fetch probe for hasNext: one row beyond the current slice
-    probe_next = search_topk(
-        spark, index, query, page=page + 1, size=size, with_metadata=False,
-        exclude=dead,
-    )
-
     # fetch phase: join the source text for the ≤k result rows only
-    top = top.join(index.docs(spark).select("doc_id", "content"), "doc_id", "left")
-    pdf = top.orderBy("rank").toPandas()
+    over = over.join(index.docs(spark).select("doc_id", "content"), "doc_id", "left")
+    opdf = over.orderBy("rank").toPandas()
+    has_next = len(opdf) > (page + 1) * size
+    pdf = opdf[(opdf["rank"] > page * size) & (opdf["rank"] <= (page + 1) * size)].reset_index(drop=True)
     aq = analyze_query(query)
     if aq.is_match_all:
         marked_terms: set[str] = set()
@@ -280,7 +279,7 @@ def search(
         page=page,
         size=size,
         total_hits_estimate=1000 if len(pdf) else 0,
-        has_next=probe_next.limit(1).count() > 0,
+        has_next=has_next,
         has_previous=page > 0,
         highlight_empty_ratio=empty_ratio,
     )
