@@ -72,6 +72,25 @@ def main() -> None:
     wand_topk(spark, index, seg, ["spark", "hash", "join"], k=10).collect()
     queries["wand_topk_segments"] = round(time.perf_counter() - t0, 4)
 
+    # serving tier: in-process top-k over the same segments (ES-data-node
+    # analogue) — the p95 latency figure of the BASELINE metric
+    from docix_spark.query.serve import LocalSearcher
+
+    searcher = LocalSearcher(idx_dir)
+    serve_queries = ["spark hash join", "merge sort window batch",
+                     "table scan", "row group", "fast value table"]
+    for q in serve_queries:
+        searcher.search(q, k=10)  # cold pass loads term payloads
+    lat_serve = []
+    for _ in range(20):
+        for q in serve_queries:
+            t0 = time.perf_counter()
+            searcher.search(q, k=10)
+            lat_serve.append(time.perf_counter() - t0)
+    lat_serve.sort()
+    serve_p95_ms = round(lat_serve[int(len(lat_serve) * 0.95) - 1] * 1000, 3)
+    queries["serve_topk_p95_ms"] = serve_p95_ms
+
     # -- composite search latencies ---------------------------------------
     search_set = {
         "search_common3": "spark hash join",
@@ -112,6 +131,7 @@ def main() -> None:
         "index_build_docs_per_sec": round(n_docs / build_sec, 2),
         "segment_bytes_per_posting": bytes_per_posting,
         "search_p95_warm_sec": search_p95_warm,
+        "serve_topk_p95_ms": serve_p95_ms,
         "cpus": cpus,
     }
     shutil.rmtree(idx_dir, ignore_errors=True)

@@ -1,0 +1,68 @@
+"""Serving tier: LocalSearcher must be rank-identical to the distributed
+WAND path and to brute force, and answer warm queries in milliseconds."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from docix_spark.corpus import synth_corpus_pdf
+from docix_spark.index.build import build_index
+from docix_spark.index.segments import build_segments
+from docix_spark.query.serve import LocalSearcher
+from docix_spark.query.wand import wand_topk
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_root):
+    root = f"{tmp_root}/serve_idx"
+    corpus = spark.createDataFrame(synth_corpus_pdf(300, seed=77))
+    index = build_index(spark, corpus, root, n_buckets=8)
+    seg = build_segments(spark, index, docs_per_shard=64)
+    return index, seg, LocalSearcher(root)
+
+
+@pytest.mark.parametrize(
+    "terms,k",
+    [
+        (["parse_0", "index_2"], 10),
+        (["permission", "software"], 10),
+        (["uniq_17_0"], 5),
+        (["parse_0", "parse_0", "merge_1"], 10),
+        (["zzz_absent"], 5),
+    ],
+)
+def test_rank_identical_to_distributed_wand(spark, served, terms, k):
+    index, seg, searcher = served
+    got = [(d, round(s, 6)) for d, s in searcher.search_terms(terms, k)[0]]
+    want = [
+        (r.doc_id, round(r.score, 6))
+        for r in wand_topk(spark, index, seg, terms, k=k).collect()
+    ]
+    assert got == want
+
+
+def test_query_string_entry(served):
+    _, _, searcher = served
+    res = searcher.search("permission software", k=5)
+    assert len(res) == 5
+    assert res == sorted(res, key=lambda x: (-x[1], x[0]))
+
+
+def test_warm_latency_is_milliseconds(served):
+    _, _, searcher = served
+    searcher.search("permission software scan_3", k=10)  # warm the cache
+    t0 = time.perf_counter()
+    n = 20
+    for _ in range(n):
+        searcher.search("permission software scan_3", k=10)
+    per_query = (time.perf_counter() - t0) / n
+    assert per_query < 0.05, f"warm serve latency {per_query*1000:.1f} ms"
+
+
+def test_pruning_stats_exposed(served):
+    _, _, searcher = served
+    _, stats = searcher.search_terms(["permission", "uniq_17_0"], 10)
+    assert stats.blocks_total > 0
+    assert stats.blocks_decoded <= stats.blocks_total
