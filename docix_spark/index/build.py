@@ -42,8 +42,13 @@ from pyspark.sql import functions as F
 from docix_spark.analysis.tokenizer import tokenize_series
 from docix_spark.corpus import FIELDS, with_doc_ids
 
+# doc_len is denormalized into every posting row (computed map-side for
+# free): BM25's length normalization then needs NO doc_stats join at query
+# time or segment-build time — at 10^12 docs that join is a full extra
+# shuffle of the posting stream. doc_stats stays derivable as an aggregate.
 POSTINGS_SCHEMA = (
-    "field string, term string, doc_id string, tf int, positions array<int>"
+    "field string, term string, doc_id string, tf int, doc_len int, "
+    "positions array<int>"
 )
 
 DEFAULT_TERM_BUCKETS = 64
@@ -132,12 +137,14 @@ def _postings_for_batch(pdf: pd.DataFrame, fields: Sequence[str], positions_fiel
         new_group[1:] = (di_s[1:] != di_s[:-1]) | (tc_s[1:] != tc_s[:-1])
         starts = np.flatnonzero(new_group)
         tf = np.diff(np.append(starts, n))
+        doc_lens = np.bincount(doc_idx, minlength=len(pdf)).astype(np.int64)
         frame = pd.DataFrame(
             {
                 "field": field,
                 "term": np.asarray(uniq_terms, dtype=object)[tc_s[starts]],
                 "doc_id": pdf["doc_id"].to_numpy()[di_s[starts]],
                 "tf": tf.astype("int32"),
+                "doc_len": doc_lens[di_s[starts]].astype("int32"),
             }
         )
         if field == positions_field:
@@ -146,7 +153,9 @@ def _postings_for_batch(pdf: pd.DataFrame, fields: Sequence[str], positions_fiel
             frame["positions"] = None
         frames.append(frame)
     if not frames:
-        return pd.DataFrame(columns=["field", "term", "doc_id", "tf", "positions"])
+        return pd.DataFrame(
+            columns=["field", "term", "doc_id", "tf", "doc_len", "positions"]
+        )
     return pd.concat(frames, ignore_index=True)
 
 

@@ -374,6 +374,7 @@ def finalize_index(spark: SparkSession, root: str) -> Index:
     )
     postings = frags.select(
         "field", "term", "doc_id", F.col("tf").cast("int").alias("tf"),
+        F.col("doc_len").cast("int").alias("doc_len"),
         F.col("positions").cast("array<int>").alias("positions"),
     ).withColumn(
         "term_bucket", term_bucket(F.col("term"), build.n_buckets)

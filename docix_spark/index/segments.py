@@ -143,7 +143,6 @@ def build_segments(
     """postings → compressed segments via the salted term shuffle."""
     out_root = out_root or index.root
     postings = index.postings(spark)
-    doc_stats = index.doc_stats(spark)
     df_stats = index.df_stats(spark)
     cstats = {r.field: (int(r.n_docs), float(r.avgdl)) for r in index.corpus_stats(spark).collect()}
 
@@ -163,10 +162,10 @@ def build_segments(
         F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))).alias("idf"),
         "avgdl",
     )
+    # doc_len is already in the posting row; only the ord + idf joins remain
     enriched = (
-        postings.select("field", "term", "doc_id", "tf")
+        postings.select("field", "term", "doc_id", "tf", "doc_len")
         .join(ords, "doc_id")
-        .join(doc_stats, ["field", "doc_id"])
         .join(idf_df, ["field", "term"])
         .withColumn("shard", (F.col("doc_ord") / F.lit(docs_per_shard)).cast("int"))
     )

@@ -158,10 +158,11 @@ def score_fields(
     df_stats = index.df_stats(spark).where(F.col("term").isin(exp_terms))
     cstats = F.broadcast(index.corpus_stats(spark))
 
+    # doc_len rides inside every posting row (build-time denormalization) —
+    # no doc_stats join in the hot path
     matched = (
         postings.join(exp_df, "term")
         .join(df_stats.select("field", "term", "df"), ["field", "term"])
-        .join(index.doc_stats(spark), ["field", "doc_id"])
         .join(cstats, "field")
     )
     per_term = matched.select(

@@ -39,7 +39,6 @@ def brute_force_topk(spark, index, terms: list[str], k: int, field="content"):
         index.postings(spark)
         .where((F.col("field") == field) & F.col("term").isin(sorted(w)))
         .join(index.df_stats(spark).select("field", "term", "df"), ["field", "term"])
-        .join(index.doc_stats(spark), ["field", "doc_id"])
         .toPandas()
     )
     if post.empty:
