@@ -713,7 +713,11 @@ def _cached_seg_index(spark: SparkSession, sf_dir: str):
     from docix_spark.index.build import Index, build_index
     from docix_spark.index.segments import SegmentIndex, build_segments
 
-    key = _h.sha256(sf_dir.encode()).hexdigest()[:12]
+    from docix_spark.index.segments import SEGMENT_SCHEMA
+
+    # cache key covers the segment schema so a stale layout never survives
+    # an engine upgrade
+    key = _h.sha256(f"{sf_dir}|{SEGMENT_SCHEMA}".encode()).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"docix_dq_idx_{key}")
     marker = os.path.join(root, "seg_meta.json")
     if not os.path.exists(marker):

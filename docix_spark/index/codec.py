@@ -23,8 +23,14 @@ Encoding layout per posting list (one segment row):
 - blocks of ``BLOCK_SIZE`` postings; per block: ``block_last`` (last doc
   ordinal — the skip key), ``block_doc_off``/``block_tf_off``/
   ``block_dl_off`` (byte offsets enabling selective block decode), and
-  ``block_max`` (max BM25 impact in the block — a true upper bound proved
-  in tests/test_codec.py).
+  ``block_max_tf`` / ``block_min_dl`` — the raw impact inputs. The BM25
+  upper bound is derived at QUERY time as
+  ``idf · bound(max_tf, min_dl)`` with the *current* corpus statistics
+  (BM25 increases in tf and decreases in dl, so the pair is a true bound
+  — proved in tests/test_codec.py). Storing raw inputs instead of a
+  precomputed impact is what keeps segments valid when df/avgdl drift
+  under incremental appends — the same reason Lucene stores
+  (freq, norm) impact pairs rather than final scores.
 """
 
 from __future__ import annotations
@@ -116,15 +122,13 @@ def encode_posting_list(
     ords: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    idf: float,
-    avgdl: float,
-    k1: float,
-    b: float,
     block_size: int = BLOCK_SIZE,
 ) -> dict:
     """Encode one (field, term, shard) posting list → segment payload dict.
 
-    ``ords`` must be sorted strictly increasing; tfs/dls aligned.
+    ``ords`` must be sorted strictly increasing; tfs/dls aligned. No
+    scoring parameters: block metadata stores raw (max_tf, min_dl), scored
+    at query time (see module docstring).
     """
     order = np.argsort(ords, kind="stable")
     ords = np.asarray(ords, dtype=np.int64)[order]
@@ -132,14 +136,14 @@ def encode_posting_list(
     dls = np.asarray(dls, dtype=np.int64)[order]
     n = ords.size
 
-    impacts = bm25_impact(tfs, dls, idf, avgdl, k1, b)
     n_blocks = (n + block_size - 1) // block_size
     bounds = np.arange(1, n_blocks + 1) * block_size
     bounds[-1] = n
     starts = np.arange(n_blocks) * block_size
 
     block_last = ords[bounds - 1]
-    block_max = np.maximum.reduceat(impacts, starts)
+    block_max_tf = np.maximum.reduceat(tfs, starts)
+    block_min_dl = np.minimum.reduceat(dls, starts)
 
     # per-block byte offsets: encode each stream blockwise so offsets are
     # exact and blocks are independently decodable (gaps restart per block
@@ -166,7 +170,8 @@ def encode_posting_list(
         "tf_bytes": np.concatenate(tf_chunks).tobytes() if n else b"",
         "dl_bytes": np.concatenate(dl_chunks).tobytes() if n else b"",
         "block_last": block_last.tolist(),
-        "block_max": block_max.tolist(),
+        "block_max_tf": block_max_tf.tolist(),
+        "block_min_dl": block_min_dl.tolist(),
         "block_doc_off": doc_off.tolist(),
         "block_tf_off": tf_off.tolist(),
         "block_dl_off": dl_off.tolist(),

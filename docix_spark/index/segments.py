@@ -63,7 +63,7 @@ from docix_spark.index.codec import BLOCK_SIZE, encode_posting_list
 SEGMENT_SCHEMA = (
     "field string, term string, shard int, count int, "
     "doc_bytes binary, tf_bytes binary, dl_bytes binary, "
-    "block_last array<long>, block_max array<double>, "
+    "block_last array<long>, block_max_tf array<long>, block_min_dl array<long>, "
     "block_doc_off array<long>, block_tf_off array<long>, block_dl_off array<long>"
 )
 
@@ -143,30 +143,18 @@ def build_segments(
     """postings → compressed segments via the salted term shuffle."""
     out_root = out_root or index.root
     postings = index.postings(spark)
-    df_stats = index.df_stats(spark)
-    cstats = {r.field: (int(r.n_docs), float(r.avgdl)) for r in index.corpus_stats(spark).collect()}
 
     docs = index.docs(spark)
     ords = assign_doc_ords(spark, docs)
     ords.write.mode("overwrite").parquet(os.path.join(out_root, "doc_ords"))
     ords = spark.read.parquet(os.path.join(out_root, "doc_ords"))
 
-    # Pre-shuffle enrichment: every posting carries (doc_ord, doc_len, idf).
-    # idf is per (field, term) — precomputed JVM-side from df_stats so the
-    # segment task needs no further joins.
-    navg = spark.createDataFrame(
-        [(f, n, a) for f, (n, a) in cstats.items()], "field string, n_docs long, avgdl double"
-    )
-    idf_df = df_stats.join(F.broadcast(navg), "field").select(
-        "field", "term",
-        F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))).alias("idf"),
-        "avgdl",
-    )
-    # doc_len is already in the posting row; only the ord + idf joins remain
+    # Pre-shuffle enrichment: only the doc-ordinal join remains — block
+    # metadata stores raw (max_tf, min_dl), so no statistics are baked in
+    # at encode time (stats-drift safety + one less join; codec docstring).
     enriched = (
         postings.select("field", "term", "doc_id", "tf", "doc_len")
         .join(ords, "doc_id")
-        .join(idf_df, ["field", "term"])
         .withColumn("shard", (F.col("doc_ord") / F.lit(docs_per_shard)).cast("int"))
     )
 
@@ -184,8 +172,6 @@ def build_segments(
         ords = pdf["doc_ord"].to_numpy(np.int64)[order]
         tfs = pdf["tf"].to_numpy(np.int64)[order]
         dls = pdf["doc_len"].to_numpy(np.int64)[order]
-        idfs = pdf["idf"].to_numpy(np.float64)[order]
-        avgdls = pdf["avgdl"].to_numpy(np.float64)[order]
         n = len(terms)
         new_term = np.empty(n, dtype=bool)
         new_term[0] = True
@@ -195,22 +181,21 @@ def build_segments(
         rows = []
         for s, e in zip(starts, ends):
             payload = encode_posting_list(
-                ords[s:e], tfs[s:e], dls[s:e],
-                idf=float(idfs[s]), avgdl=float(avgdls[s]),
-                k1=k1, b=b, block_size=block_size,
+                ords[s:e], tfs[s:e], dls[s:e], block_size=block_size
             )
             rows.append((
                 field, terms[s], int(shard), payload["count"],
                 payload["doc_bytes"], payload["tf_bytes"], payload["dl_bytes"],
-                payload["block_last"], payload["block_max"],
-                payload["block_doc_off"], payload["block_tf_off"],
-                payload["block_dl_off"],
+                payload["block_last"], payload["block_max_tf"],
+                payload["block_min_dl"], payload["block_doc_off"],
+                payload["block_tf_off"], payload["block_dl_off"],
             ))
         return pd.DataFrame(
             rows,
             columns=["field", "term", "shard", "count", "doc_bytes",
-                     "tf_bytes", "dl_bytes", "block_last", "block_max",
-                     "block_doc_off", "block_tf_off", "block_dl_off"],
+                     "tf_bytes", "dl_bytes", "block_last", "block_max_tf",
+                     "block_min_dl", "block_doc_off", "block_tf_off",
+                     "block_dl_off"],
         )
 
     enriched = enriched.withColumn(
@@ -246,3 +231,108 @@ def shard_fanout(spark: SparkSession, seg: SegmentIndex, field: str = "content")
         .agg(F.count("*").alias("n_shards"), F.sum("count").alias("df"))
         .orderBy(F.desc("df"))
     )
+
+
+def extend_segments(
+    spark: SparkSession,
+    seg: SegmentIndex,
+    new_postings: DataFrame,
+    block_size: int = BLOCK_SIZE,
+) -> int:
+    """Append-only segment growth for incrementally indexed documents —
+    the background-compaction-free path the stats-free block metadata
+    enables (codec docstring): old segment rows stay valid because BM25
+    bounds are derived at query time from raw (max_tf, min_dl) with
+    current statistics.
+
+    ``new_postings``: posting rows (field, term, doc_id, tf, doc_len) of
+    documents NOT yet present in ``doc_ords``. New ordinals continue after
+    the current count (dense, doc_id-sorted within the batch), so new
+    segment rows occupy fresh or boundary doc-range shards; a (term,
+    shard) pair that now has several rows is handled naturally by the
+    scorer, which accumulates any number of disjoint rows per term.
+
+    Returns the number of new documents appended.
+    """
+    existing = seg.doc_ords(spark)
+    offset = existing.count()
+    new_ids = (
+        new_postings.select("doc_id").distinct()
+        .join(existing.select("doc_id"), "doc_id", "left_anti")
+    )
+    # Materialize the ordinal delta to a scratch parquet FIRST and drive
+    # the rest from that file: the delta's lineage contains an anti-join
+    # against the doc_ords table, so appending to doc_ords before the
+    # segment write would make any lazy re-evaluation see its own output
+    # and empty the batch (read-write lineage hazard).
+    delta_path = os.path.join(seg.root, "_ord_delta_tmp")
+    assign_doc_ords(spark, new_ids).withColumn(
+        "doc_ord", (F.col("doc_ord") + F.lit(offset)).cast("long")
+    ).write.mode("overwrite").parquet(delta_path)
+    ords_new = spark.read.parquet(delta_path)
+    n_new = ords_new.count()
+    if n_new == 0:
+        import shutil
+
+        shutil.rmtree(delta_path, ignore_errors=True)
+        return 0
+
+    enriched = (
+        new_postings.select("field", "term", "doc_id", "tf", "doc_len")
+        .join(ords_new, "doc_id")
+        .withColumn("shard", (F.col("doc_ord") / F.lit(seg.docs_per_shard)).cast("int"))
+        .withColumn("term_bucket", term_bucket(F.col("term"), seg.n_buckets))
+    )
+
+    import pandas as pd
+
+    def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        field, bucket, shard = key
+        order = np.lexsort(
+            (pdf["doc_ord"].to_numpy(np.int64), pdf["term"].to_numpy(object))
+        )
+        terms = pdf["term"].to_numpy(object)[order]
+        ords = pdf["doc_ord"].to_numpy(np.int64)[order]
+        tfs = pdf["tf"].to_numpy(np.int64)[order]
+        dls = pdf["doc_len"].to_numpy(np.int64)[order]
+        n = len(terms)
+        new_term = np.empty(n, dtype=bool)
+        new_term[0] = True
+        new_term[1:] = terms[1:] != terms[:-1]
+        starts = np.flatnonzero(new_term)
+        ends = np.append(starts[1:], n)
+        rows = []
+        for s, e in zip(starts, ends):
+            payload = encode_posting_list(ords[s:e], tfs[s:e], dls[s:e], block_size=block_size)
+            rows.append((
+                field, terms[s], int(shard), payload["count"],
+                payload["doc_bytes"], payload["tf_bytes"], payload["dl_bytes"],
+                payload["block_last"], payload["block_max_tf"],
+                payload["block_min_dl"], payload["block_doc_off"],
+                payload["block_tf_off"], payload["block_dl_off"],
+            ))
+        return pd.DataFrame(
+            rows,
+            columns=["field", "term", "shard", "count", "doc_bytes",
+                     "tf_bytes", "dl_bytes", "block_last", "block_max_tf",
+                     "block_min_dl", "block_doc_off", "block_tf_off",
+                     "block_dl_off"],
+        )
+
+    segments = (
+        enriched.groupBy("field", "term_bucket", "shard")
+        .applyInPandas(encode_group, schema=SEGMENT_SCHEMA)
+        .withColumn("term_bucket", term_bucket(F.col("term"), seg.n_buckets))
+    )
+    (
+        segments.repartition(seg.n_buckets, "term_bucket")
+        .sortWithinPartitions("term_bucket", "term")
+        .write.mode("append")
+        .parquet(os.path.join(seg.root, "segments"))
+    )
+    # only now extend the ordinal table (nothing re-reads it afterwards)
+    ords_new.write.mode("append").parquet(os.path.join(seg.root, "doc_ords"))
+    import shutil
+
+    shutil.rmtree(delta_path, ignore_errors=True)
+    return n_new

@@ -37,8 +37,8 @@ from docix_spark.query.wand import WandStats, wand_shard
 
 _SEG_COLS = [
     "field", "term", "shard", "count", "doc_bytes", "tf_bytes", "dl_bytes",
-    "block_last", "block_max", "block_doc_off", "block_tf_off", "block_dl_off",
-    "term_bucket",
+    "block_last", "block_max_tf", "block_min_dl",
+    "block_doc_off", "block_tf_off", "block_dl_off", "term_bucket",
 ]
 
 
@@ -131,11 +131,13 @@ class LocalSearcher:
             total.postings_total += st.postings_total
             total.postings_scored += st.postings_scored
             cand.extend(zip(scores.tolist(), ords.tolist()))
-        # global k-merge: score desc, doc_ord asc (== doc_id asc, since
-        # ordinals are assigned in doc_id order)
-        cand.sort(key=lambda x: (-x[0], x[1]))
-        out = [(str(self._ord_to_doc[o]), s) for s, o in cand[:k]]
-        return out, total
+        # global k-merge: score desc, doc_id asc. Tiebreak happens AFTER
+        # mapping ordinals to doc_ids — under incremental appends
+        # (segments.extend_segments) ordinal order is batch order, not
+        # doc_id order.
+        mapped = [(str(self._ord_to_doc[o]), s) for s, o in cand]
+        mapped.sort(key=lambda x: (-x[1], x[0]))
+        return mapped[:k], total
 
     def search(self, query: str, k: int = 10) -> list[tuple[str, float]]:
         return self.search_terms(tokenize(query), k)[0]

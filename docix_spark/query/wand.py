@@ -93,7 +93,18 @@ def wand_shard(
     if not segs:
         return np.empty(0, np.int64), np.empty(0, np.float64), stats
 
-    wmax = np.array([s["weight"] * max(s["block_max"]) for s in segs])
+    # Per-segment upper bound from raw (max_tf, min_dl) block metadata,
+    # scored with the CURRENT idf/avgdl (valid under stats drift: BM25 is
+    # increasing in tf and decreasing in dl).
+    def seg_ub(s) -> float:
+        ub = _impacts(
+            np.asarray(s["block_max_tf"], np.int64),
+            np.asarray(s["block_min_dl"], np.int64),
+            s["idf"], s["avgdl"], k1, b,
+        )
+        return float(ub.max())
+
+    wmax = np.array([s["weight"] * seg_ub(s) for s in segs])
     order_terms = np.argsort(-wmax, kind="stable")
     suffix = np.zeros(len(segs) + 1)
     suffix[:-1] = np.cumsum(wmax[order_terms][::-1])[::-1]

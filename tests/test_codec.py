@@ -59,7 +59,7 @@ def posting_list():
 
 def test_posting_list_roundtrip(posting_list):
     ords, tfs, dls = posting_list
-    p = encode_posting_list(ords, tfs, dls, idf=2.5, avgdl=800.0, k1=1.2, b=0.75, block_size=128)
+    p = encode_posting_list(ords, tfs, dls, block_size=128)
     n_blocks = len(p["block_last"])
     assert n_blocks == (len(ords) + 127) // 128
     o, t, l = decode_blocks(
@@ -74,7 +74,7 @@ def test_posting_list_roundtrip(posting_list):
 
 def test_selective_block_decode(posting_list):
     ords, tfs, dls = posting_list
-    p = encode_posting_list(ords, tfs, dls, idf=1.0, avgdl=800.0, k1=1.2, b=0.75, block_size=128)
+    p = encode_posting_list(ords, tfs, dls, block_size=128)
     o, t, l = decode_blocks(
         p["doc_bytes"], p["tf_bytes"], p["dl_bytes"],
         np.asarray(p["block_doc_off"]), np.asarray(p["block_tf_off"]),
@@ -84,17 +84,24 @@ def test_selective_block_decode(posting_list):
     assert np.array_equal(t, np.concatenate([tfs[256:384], tfs[640:768]]))
 
 
-def test_block_max_is_true_upper_bound(posting_list):
-    """Every posting's exact BM25 impact <= its block's recorded max, and the
-    max is attained (tight)."""
+def test_block_metadata_gives_true_upper_bound(posting_list):
+    """For ANY (idf, avgdl) supplied at query time, every posting's exact
+    BM25 impact <= the bound derived from the block's (max_tf, min_dl) —
+    the stats-drift-safe invariant the pruning relies on."""
     ords, tfs, dls = posting_list
-    idf, avgdl, k1, b = 1.7, 640.0, 1.2, 0.75
-    p = encode_posting_list(ords, tfs, dls, idf=idf, avgdl=avgdl, k1=k1, b=b, block_size=128)
-    impacts = bm25_impact(tfs, dls, idf, avgdl, k1, b)
-    for i, bmax in enumerate(p["block_max"]):
-        blk = impacts[i * 128:(i + 1) * 128]
-        assert blk.max() <= bmax + 1e-12
-        assert blk.max() == pytest.approx(bmax)
+    p = encode_posting_list(ords, tfs, dls, block_size=128)
+    for idf, avgdl in [(1.7, 640.0), (0.05, 100.0), (6.0, 2500.0)]:
+        impacts = bm25_impact(tfs, dls, idf, avgdl, 1.2, 0.75)
+        ub = bm25_impact(
+            np.asarray(p["block_max_tf"]), np.asarray(p["block_min_dl"]),
+            idf, avgdl, 1.2, 0.75,
+        )
+        for i in range(len(p["block_max_tf"])):
+            blk = impacts[i * 128:(i + 1) * 128]
+            assert blk.max() <= ub[i] + 1e-12
+    # and per block the components are attained exactly
+    assert p["block_max_tf"][0] == int(tfs[:128].max())
+    assert p["block_min_dl"][0] == int(dls[:128].min())
 
 
 def test_compression_beats_raw(posting_list):

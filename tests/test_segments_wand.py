@@ -128,12 +128,10 @@ def test_wand_shard_pruning_skips_blocks():
     common_ords = np.arange(n_common, dtype=np.int64)
     common_tfs = np.ones(n_common, dtype=np.int64)
     dls = np.full(n_common, 100, dtype=np.int64)
-    common = encode_posting_list(common_ords, common_tfs, dls, idf=0.05,
-                                 avgdl=100.0, k1=1.2, b=0.75)
+    common = encode_posting_list(common_ords, common_tfs, dls)
     rare_ords = np.sort(rng.choice(n_common, 40, replace=False)).astype(np.int64)
     rare = encode_posting_list(rare_ords, np.full(40, 5, dtype=np.int64),
-                               np.full(40, 100, dtype=np.int64), idf=6.0,
-                               avgdl=100.0, k1=1.2, b=0.75)
+                               np.full(40, 100, dtype=np.int64))
     segs = [
         {**common, "weight": 1.0, "idf": 0.05, "avgdl": 100.0},
         {**rare, "weight": 1.0, "idf": 6.0, "avgdl": 100.0},
@@ -160,3 +158,66 @@ def test_compression_ratio_recorded(spark, built):
         F.sum(F.length("doc_bytes")).alias("bytes"), F.sum("count").alias("n")
     ).collect()[0]
     assert s.bytes < s.n * 4  # varint gaps ≪ 8-byte ords
+
+
+def test_extend_segments_matches_full_rebuild(spark, tmp_root):
+    """Append-only segment growth: base build + extend with a second doc
+    batch must serve the same top-k (rounded scores) as a from-scratch
+    segment build over the full index — old rows stay valid because block
+    bounds are stats-free (codec docstring)."""
+    import pandas as pd
+
+    from docix_spark.corpus import synth_corpus_pdf
+    from docix_spark.index.build import build_index, build_postings
+    from docix_spark.index.segments import build_segments, extend_segments
+    from docix_spark.query.serve import LocalSearcher
+
+    p1 = synth_corpus_pdf(150, seed=91)
+    p2 = synth_corpus_pdf(100, seed=92)
+    union = pd.concat([p1, p2], ignore_index=True)
+
+    # incremental: index+segments over batch 1, then extend with batch 2
+    inc_root = f"{tmp_root}/inc_seg"
+    idx_inc = build_index(spark, spark.createDataFrame(union), inc_root, n_buckets=8)
+    # base segments from batch-1 docs only
+    from docix_spark.corpus import with_doc_ids
+
+    b1_ids = {r.doc_id for r in with_doc_ids(spark.createDataFrame(p1)).select("doc_id").distinct().collect()}
+    post_all = idx_inc.postings(spark)
+    post_b1 = post_all.where(F.col("doc_id").isin(sorted(b1_ids)))
+    post_b2 = post_all.join(post_b1.select("doc_id").distinct(), "doc_id", "left_anti")
+
+    import shutil
+
+    # build base segments over batch-1 postings via a temp index view
+    seg = build_segments(spark, idx_inc, docs_per_shard=64)
+    # rebuild base from scratch restricted to b1: easier — overwrite
+    # segments dir with b1-only segments, then extend with b2
+    shutil.rmtree(f"{inc_root}/segments", ignore_errors=True)
+    shutil.rmtree(f"{inc_root}/doc_ords", ignore_errors=True)
+
+    class _B1Index:
+        n_buckets = idx_inc.n_buckets
+        root = idx_inc.root
+
+        def postings(self, s):
+            return post_b1
+
+        def docs(self, s):
+            return post_b1.select("doc_id").distinct()
+
+    seg = build_segments(spark, _B1Index(), out_root=inc_root, docs_per_shard=64)
+    n_added = extend_segments(spark, seg, post_b2)
+    assert n_added == post_b2.select("doc_id").distinct().count() > 0
+
+    # fresh: full segment build in a separate dir
+    full_root = f"{tmp_root}/full_seg"
+    idx_full = build_index(spark, spark.createDataFrame(union), full_root, n_buckets=8)
+    build_segments(spark, idx_full, docs_per_shard=64)
+
+    s_inc = LocalSearcher(inc_root)
+    s_full = LocalSearcher(full_root)
+    for terms in [["permission", "software"], ["parse_0", "merge_1"], ["uniq_17_0"]]:
+        a = [(d, round(s, 6)) for d, s in s_inc.search_terms(terms, 10)[0]]
+        b = [(d, round(s, 6)) for d, s in s_full.search_terms(terms, 10)[0]]
+        assert a == b and len(a) > 0
