@@ -127,6 +127,18 @@ def incremental_index(
         )
         _refresh_stats(spark, index_root, n_buckets)
 
+        # compressed-segment maintenance: if segments exist, append the
+        # batch (stats-free block bounds keep old rows valid —
+        # index/segments.extend_segments)
+        if os.path.exists(os.path.join(index_root, "seg_meta.json")):
+            from docix_spark.index.segments import SegmentIndex, extend_segments
+
+            seg = SegmentIndex.load(index_root)
+            batch_postings = spark.read.parquet(
+                os.path.join(index_root, "postings", f"batch={batch_id}")
+            )
+            extend_segments(spark, seg, batch_postings)
+
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
     )

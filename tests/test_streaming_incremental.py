@@ -93,3 +93,49 @@ def test_restart_does_not_reprocess(spark, drops, tmp_root):
     q = incremental_index(spark, in_dir, root, n_buckets=8, available_now=True)
     q.awaitTermination(120)
     assert sidx.docs(spark).count() == before
+
+
+def test_streaming_maintains_segments(spark, tmp_root):
+    """With segments present, each micro-batch extends them; the serving
+    tier over the incrementally grown segments matches a from-scratch
+    segment build over the final corpus."""
+    import os
+
+    import pandas as pd
+
+    from docix_spark.index.segments import build_segments
+    from docix_spark.query.serve import LocalSearcher
+
+    in_dir = f"{tmp_root}/stream_seg_in"
+    os.makedirs(in_dir, exist_ok=True)
+    root = f"{tmp_root}/stream_seg_idx"
+    p1 = synth_corpus_pdf(120, seed=61)
+    p2 = synth_corpus_pdf(90, seed=62)
+
+    spark.createDataFrame(p1).coalesce(1).write.mode("overwrite").parquet(f"{tmp_root}/_s1")
+    _copy_files(f"{tmp_root}/_s1", in_dir, "d1")
+    q = incremental_index(spark, in_dir, root, n_buckets=8, available_now=True)
+    q.awaitTermination(120)
+
+    sidx = StreamingIndex(root=root, n_buckets=8)
+    build_segments(spark, sidx, out_root=root, docs_per_shard=64)
+
+    spark.createDataFrame(p2).coalesce(1).write.mode("overwrite").parquet(f"{tmp_root}/_s2")
+    _copy_files(f"{tmp_root}/_s2", in_dir, "d2")
+    q = incremental_index(spark, in_dir, root, n_buckets=8, available_now=True)
+    q.awaitTermination(120)
+
+    # fresh full build for comparison
+    from docix_spark.index.build import build_index
+
+    full_root = f"{tmp_root}/stream_seg_full"
+    union = spark.createDataFrame(pd.concat([p1, p2], ignore_index=True))
+    fidx = build_index(spark, union, full_root, n_buckets=8)
+    build_segments(spark, fidx, docs_per_shard=64)
+
+    s_inc = LocalSearcher(root)
+    s_full = LocalSearcher(full_root)
+    for terms in [["permission", "software"], ["parse_0", "merge_1"]]:
+        a = [(d, round(s, 6)) for d, s in s_inc.search_terms(terms, 10)[0]]
+        b = [(d, round(s, 6)) for d, s in s_full.search_terms(terms, 10)[0]]
+        assert a == b and len(a) > 0
