@@ -998,8 +998,12 @@ def media_features(spark, sf_dir):
 
     media = synth_media(_docs(spark, sf_dir))
     feats = extract_media_features(media)
+    # synth_media stringifies doc_id (media tables key on opaque ids);
+    # cast back to long so the value hash matches the BIGINT oracle column
     return feats.select(
-        "doc_id", F.col("n_bytes"), F.col("sha256").alias("sha")
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_bytes"),
+        F.col("sha256").alias("sha"),
     ).orderBy("doc_id")
 
 

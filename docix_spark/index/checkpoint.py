@@ -366,10 +366,21 @@ def finalize_index(spark: SparkSession, root: str) -> Index:
     ]
     from docix_spark.index.build import ensure_parallelism
 
+    # An empty build partition is ledgered INDEXED without ever writing a
+    # fragment dir (_run_pending writes fragments only for docs>0), so the
+    # constructed paths are filtered to directories that exist — otherwise
+    # any corpus that leaves a partition empty fails with PATH_NOT_FOUND.
+    frag_paths = [
+        p
+        for p in (
+            os.path.join(_fragments_dir(root), f"part={pp}") for pp in sorted(ok_parts)
+        )
+        if os.path.isdir(p)
+    ]
+    if not frag_paths:
+        raise ValueError(f"finalize_index: no INDEXED fragments under {root}")
     frags = ensure_parallelism(
-        spark.read.option("basePath", _fragments_dir(root)).parquet(
-            *[os.path.join(_fragments_dir(root), f"part={p}") for p in sorted(ok_parts)]
-        ),
+        spark.read.option("basePath", _fragments_dir(root)).parquet(*frag_paths),
         spark,
     )
     postings = frags.select(

@@ -324,14 +324,20 @@ def extend_segments(
         .applyInPandas(encode_group, schema=SEGMENT_SCHEMA)
         .withColumn("term_bucket", term_bucket(F.col("term"), seg.n_buckets))
     )
+    # Crash-ordering: extend the ordinal table FIRST (safe now that the
+    # delta is materialized to scratch — the anti-join lineage hazard is
+    # broken). A crash between the two appends then leaves doc_ords a
+    # superset of segment ordinals — harmless to the searcher's ord->doc
+    # mapping — and a re-run's anti-join skips the batch instead of
+    # re-appending the same docs under duplicate ordinals (the old order
+    # left dangling segment ordinals -> IndexError + duplicated postings).
+    ords_new.write.mode("append").parquet(os.path.join(seg.root, "doc_ords"))
     (
         segments.repartition(seg.n_buckets, "term_bucket")
         .sortWithinPartitions("term_bucket", "term")
         .write.mode("append")
         .parquet(os.path.join(seg.root, "segments"))
     )
-    # only now extend the ordinal table (nothing re-reads it afterwards)
-    ords_new.write.mode("append").parquet(os.path.join(seg.root, "doc_ords"))
     import shutil
 
     shutil.rmtree(delta_path, ignore_errors=True)

@@ -273,6 +273,10 @@ def search_topk(
         .where(F.col("rank") > page * size)
     )
     if with_metadata:
+        # Broadcast the <=k result rows, never the docs table: at 10^9+ docs
+        # broadcasting the metadata side OOMs the executors, while the top-k
+        # side is bounded by page*size. Inner join is safe — every scored
+        # doc_id exists in docs by construction (the index was built from it).
         meta_cols = ["doc_id", "repo", "path", "commit", "lang", "file_name", "original_file_name"]
-        top = top.join(F.broadcast(docs.select(*meta_cols)), "doc_id", "left")
+        top = F.broadcast(top).join(docs.select(*meta_cols), "doc_id")
     return top.orderBy("rank")

@@ -82,18 +82,20 @@ def compact(spark: SparkSession, index: Index) -> Index:
     dead = ts.read(spark)
     if dead.isEmpty():
         return index
+    from docix_spark.index.build import _write_bucketed
+
     for name in ("postings", "docs"):
         df = spark.read.parquet(index.path(name)).join(dead, "doc_id", "left_anti")
         tmp = index.path(name + "__compact")
-        writer = df.write.mode("overwrite")
-        if name == "postings":
-            writer = writer.partitionBy("term_bucket")
-        writer.parquet(tmp)
+        df.write.mode("overwrite").parquet(tmp)
         clean = spark.read.parquet(tmp)
-        w2 = clean.write.mode("overwrite")
         if name == "postings":
-            w2 = w2.partitionBy("term_bucket")
-        w2.parquet(index.path(name))
+            # bucket-clustered plain write — same layout as build/finalize;
+            # the dynamic-partitionBy insert is a serial bottleneck and
+            # loses the sorted row-group pruning (build._write_bucketed).
+            _write_bucketed(clean, index.n_buckets, index.path(name))
+        else:
+            clean.write.mode("overwrite").parquet(index.path(name))
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
@@ -260,8 +262,10 @@ def search(
         spark, index, query, page=0, size=(page + 1) * size + 1,
         with_metadata=True, validate=False, exclude=dead,
     )
-    # fetch phase: join the source text for the ≤k result rows only
-    over = over.join(index.docs(spark).select("doc_id", "content"), "doc_id", "left")
+    # fetch phase: join the source text for the ≤k result rows only —
+    # explicitly broadcast the small (result) side so the docs content scan
+    # is a probe, not a broadcast of the whole corpus text
+    over = F.broadcast(over).join(index.docs(spark).select("doc_id", "content"), "doc_id")
     opdf = over.orderBy("rank").toPandas()
     has_next = len(opdf) > (page + 1) * size
     pdf = opdf[(opdf["rank"] > page * size) & (opdf["rank"] <= (page + 1) * size)].reset_index(drop=True)

@@ -133,3 +133,16 @@ def test_lineage_input_sha(spark, corpus, tmp_path):
         (F.col("doc_id") == F.sha2(F.col("content"), 256)).alias("ok")
     )
     assert d.where(~F.col("ok")).count() == 0
+
+
+def test_finalize_with_empty_partitions(spark, tmp_path):
+    """A corpus smaller than n_parts leaves build partitions empty; those
+    are ledgered INDEXED without a fragment dir — finalize must skip the
+    nonexistent paths instead of failing with PATH_NOT_FOUND."""
+    tiny = spark.createDataFrame(synth_corpus_pdf(5, seed=99))
+    root = str(tmp_path / "idx_empty")
+    cp.start_build(spark, tiny, root, n_parts=16, n_buckets=8)
+    assert cp.overall_status(spark, root) == cp.FULLY_INDEXED
+    idx = cp.finalize_index(spark, root)
+    assert idx.docs(spark).count() == 5
+    assert idx.postings(spark).count() > 0
