@@ -9,8 +9,9 @@
 - ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
   from SURVEY.md §2 plus the training-data-pipeline ops, each paired with
   DuckDB-runnable ANSI SQL (see docix_spark.driver_queries for the
-  cross-engine determinism rules: shared ASCII tokenizer regex, *_q6
-  micro-unit integers for float outputs, rounded-score rank tiebreaks).
+  cross-engine determinism rules: shared Unicode tokenizer regex
+  (literal-codepoint classes, identical in re/Java/RE2), *_q6 micro-unit
+  integers for float outputs, rounded-score rank tiebreaks).
 """
 
 from __future__ import annotations

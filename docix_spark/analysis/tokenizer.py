@@ -5,10 +5,24 @@ analyzer on every text field (reference
 ElasticsearchDocumentSearchAdapter.java:253-258): Unicode word segmentation
 + lowercasing, no stemming, no stopword removal.
 
-We approximate UAX#29 segmentation with the fixed regex ``[a-z0-9_]+`` over
-lowercased text. Rank identity versus the reference query set is preserved
-because BOTH the index side and the query side run this same tokenizer
-(SURVEY.md §2.7 F1); what matters for BM25 is that the two sides agree.
+We approximate UAX#29 segmentation with one fixed regex over lowercased
+text, kept character-identical across Python ``re``, Java regex (Spark),
+and RE2 (DuckDB) by using only literal-codepoint character classes (no
+engine-specific ``\\p{L}`` / ``\\x{..}`` syntax):
+
+- **word runs** — ASCII letters/digits/underscore plus accented Latin
+  (Latin-1 supplement letters, Latin Extended-A/B), Greek and Cyrillic:
+  one token per maximal run (UAX#29 ALetter chaining).
+- **Katakana runs** — Katakana chains like ALetter in UAX#29 (and in
+  Lucene's StandardTokenizer), so ``データベース`` is one token.
+- **ideographs** — Han (CJK Unified + Ext-A + compatibility) and Hiragana
+  emit ONE TOKEN PER CHARACTER, matching the ES ``standard`` analyzer's
+  unigram treatment of ideographic text — this is what makes CJK content
+  searchable (a query of Han characters matches docs containing them).
+
+Rank identity versus the reference query set is preserved because BOTH the
+index side and the query side run this same tokenizer (SURVEY.md §2.7 F1);
+what matters for BM25 is that the two sides agree.
 
 Three implementations, one behavior:
 
@@ -19,8 +33,11 @@ Three implementations, one behavior:
   (``regexp_extract_all``), used where the whole query must stay inside
   whole-stage codegen and match a DuckDB oracle exactly.
 
-The regex is ASCII-class in all three engines (Python ``re.ASCII``, Java
-default ``\\w``, DuckDB RE2 ``\\w``), so the outputs are identical.
+Lowercasing is Unicode-aware and agrees across the engines for the scripts
+covered here (Java String.toLowerCase == Python str.lower == DuckDB lower
+on Latin/Greek/Cyrillic/CJK input); locale-special cases (Turkish dotless
+i, etc.) are out of scope, as they are for the ES standard analyzer with
+no locale configured.
 """
 
 from __future__ import annotations
@@ -31,11 +48,27 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Shared by index build, query analysis, the pytest oracle, and the DuckDB
-# oracle SQL. Equivalent to ASCII \w+.
-TOKEN_PATTERN = r"[a-z0-9_]+"
+# Literal-codepoint classes — identical semantics in re / Java / RE2.
+_WORD_CLASS = (
+    "a-z0-9_"
+    "ß-öø-ÿ"  # Latin-1 supplement lowercase letters (ß…ö ø…ÿ)
+    "Ā-ɏ"               # Latin Extended-A/B
+    "ά-ώ"               # Greek lowercase (ά…ώ incl. α-ω)
+    "Ѐ-ӿ"               # Cyrillic
+)
+_KATAKANA_CLASS = "゠-ヿ"  # Katakana incl. prolonged-sound mark: runs
+_IDEO_CLASS = (
+    "぀-ゟ"                # Hiragana: one token per char
+    "㐀-䶿一-鿿"   # CJK Unified Ext-A + CJK Unified
+    "豈-﫿"                # CJK compatibility ideographs
+)
 
-_TOKEN_RE = re.compile(TOKEN_PATTERN, re.ASCII)
+# Shared by index build, query analysis, the pytest oracle, and the DuckDB
+# oracle SQL (non-capturing groups: findall/regexp_extract_all return the
+# full match in every engine).
+TOKEN_PATTERN = f"(?:[{_WORD_CLASS}]+|[{_KATAKANA_CLASS}]+|[{_IDEO_CLASS}])"
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
 
 
 def tokenize(text: str | None) -> list[str]:

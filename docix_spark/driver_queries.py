@@ -682,9 +682,9 @@ def quality_score(spark, sf_dir):
 
 @register(
     "token_count",
-    r"""SELECT doc_id,
+    rf"""SELECT doc_id,
                CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS ws_tokens,
-               CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS BIGINT) AS word_tokens
+               CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS word_tokens
         FROM documents ORDER BY doc_id""",
 )
 def token_count(spark, sf_dir):
@@ -715,9 +715,9 @@ def _cached_seg_index(spark: SparkSession, sf_dir: str):
 
     from docix_spark.index.segments import SEGMENT_SCHEMA
 
-    # cache key covers the segment schema so a stale layout never survives
-    # an engine upgrade
-    key = _h.sha256(f"{sf_dir}|{SEGMENT_SCHEMA}".encode()).hexdigest()[:12]
+    # cache key covers the segment schema AND the tokenizer pattern so a
+    # stale layout or stale analysis never survives an engine upgrade
+    key = _h.sha256(f"{sf_dir}|{SEGMENT_SCHEMA}|{TOKEN_PATTERN}".encode()).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"docix_dq_idx_{key}")
     marker = os.path.join(root, "seg_meta.json")
     if not os.path.exists(marker):
@@ -1005,6 +1005,73 @@ def media_features(spark, sf_dir):
         F.col("n_bytes"),
         F.col("sha256").alias("sha"),
     ).orderBy("doc_id")
+
+
+# The driver tables are ASCII-only, so Unicode coverage is exercised by
+# deterministically rewriting words to CJK/Katakana/accented forms inside
+# the query (identical replace() on both engines), then tokenizing: Han →
+# one token per character, Katakana → runs, ß/é → word-forming.
+_UNI_REWRITE_SQL = (
+    "replace(replace(replace(text, 'spark', '火花引擎'), "
+    "'window', 'ウィンドウ'), 'merge', 'straße café')"
+)
+
+
+@register(
+    "unicode_tokens",
+    f"""WITH t AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower({_UNI_REWRITE_SQL}),
+                 '{TOKEN_PATTERN}')) AS term
+          FROM documents WHERE lang = 'zh'
+        )
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(count(*) AS BIGINT) AS total_tf
+        FROM t WHERE regexp_matches(term, '[^\\x00-\\x7F]')
+        GROUP BY term ORDER BY term""",
+)
+def unicode_tokens(spark, sf_dir):
+    """F1 (Unicode): CJK/Katakana/accented text is tokenized and indexable —
+    Han unigrams, Katakana runs, word-forming accents — with identical
+    segmentation in Spark and the DuckDB oracle (ES standard-analyzer
+    semantics, SearchAdapter.java:253-258)."""
+    d = _docs(spark, sf_dir).where(F.col("lang") == "zh")
+    rewritten = F.expr(_UNI_REWRITE_SQL)
+    t = d.select("doc_id", F.explode(spark_tokens(rewritten)).alias("term"))
+    return (
+        t.where(F.col("term").rlike("[^\\x00-\\x7F]"))
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count("*").cast("long").alias("total_tf"),
+        )
+        .orderBy("term")
+    )
+
+
+@register(
+    "unicode_search",
+    f"""WITH t AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower({_UNI_REWRITE_SQL}),
+                 '{TOKEN_PATTERN}')) AS term
+          FROM documents WHERE lang = 'zh'
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term)
+        SELECT doc_id, CAST(tf AS BIGINT) AS tf FROM tf
+        WHERE term = '火' ORDER BY tf DESC, doc_id LIMIT 10""",
+)
+def unicode_search(spark, sf_dir):
+    """A CJK query term ('火') retrieves documents — the end-to-end proof
+    that non-ASCII content is searchable after the Unicode tokenizer."""
+    d = _docs(spark, sf_dir).where(F.col("lang") == "zh")
+    rewritten = F.expr(_UNI_REWRITE_SQL)
+    t = d.select("doc_id", F.explode(spark_tokens(rewritten)).alias("term"))
+    return (
+        t.where(F.col("term") == "火")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("doc_id"))
+        .limit(10)
+    )
 
 
 @register(
