@@ -75,6 +75,27 @@ class LocalSearcher:
         ords = pq.read_table(os.path.join(root, "doc_ords")).to_pandas()
         self._ord_to_doc = np.empty(len(ords), dtype=object)
         self._ord_to_doc[ords["doc_ord"].to_numpy()] = ords["doc_id"].to_numpy()
+        self._doc_to_ord = dict(
+            zip(ords["doc_id"].to_numpy(), ords["doc_ord"].to_numpy())
+        )
+        # live-docs mask: tombstoned ordinals, applied inside the kernel —
+        # deletes are visible immediately, before any compaction
+        self._dead_ords = np.empty(0, np.int64)
+        self.refresh_tombstones()
+
+    def refresh_tombstones(self) -> None:
+        """Reload the delete ledger (index root ``tombstones`` table) — the
+        serving-tier analogue of ES making a delete-by-query visible on the
+        next refresh (SearchAdapter.java:331-354)."""
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.root, "tombstones")
+        if not os.path.isdir(path):
+            self._dead_ords = np.empty(0, np.int64)
+            return
+        ids = pq.read_table(path, columns=["doc_id"]).to_pandas()["doc_id"]
+        ords = [self._doc_to_ord[d] for d in ids if d in self._doc_to_ord]
+        self._dead_ords = np.sort(np.array(ords, dtype=np.int64))
 
     # -- segment access ----------------------------------------------------
 
@@ -125,7 +146,9 @@ class LocalSearcher:
         total = WandStats()
         cand: list[tuple[float, int]] = []
         for shard, segs in sorted(by_shard.items()):
-            ords, scores, st = wand_shard(segs, k, self.k1, self.b)
+            ords, scores, st = wand_shard(
+                segs, k, self.k1, self.b, dead_ords=self._dead_ords
+            )
             total.blocks_total += st.blocks_total
             total.blocks_decoded += st.blocks_decoded
             total.postings_total += st.postings_total

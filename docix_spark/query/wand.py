@@ -80,12 +80,20 @@ def wand_shard(
     k: int,
     k1: float,
     b: float,
+    dead_ords: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, WandStats]:
     """Top-k over one shard. ``segs``: one dict per query term present in
     the shard with keys (weight, idf, avgdl, doc_bytes, tf_bytes, dl_bytes,
     block_last, block_max, block_*_off, count). Returns (ords, scores, stats)
     sorted by (score desc, ord asc).
+
+    ``dead_ords``: sorted int64 array of tombstoned document ordinals (the
+    Lucene live-docs bitmap, inverted) — masked at candidate-merge time so
+    deleted docs never enter the candidate set, never inflate θ, and never
+    displace a live doc from the top-k.
     """
+    if dead_ords is not None and dead_ords.size == 0:
+        dead_ords = None
     stats = WandStats(
         blocks_total=sum(len(s["block_last"]) for s in segs),
         postings_total=sum(int(s["count"]) for s in segs),
@@ -131,6 +139,11 @@ def wand_shard(
                 continue
         stats.blocks_decoded += int(need.size)
         o, t, l = _decode_row(s, need)
+        if dead_ords is not None and o.size:
+            pos = np.searchsorted(dead_ords, o)
+            hit = (pos < dead_ords.size) & (dead_ords[np.minimum(pos, dead_ords.size - 1)] == o)
+            if hit.any():
+                o, t, l = o[~hit], t[~hit], l[~hit]
         sc = s["weight"] * _impacts(t, l, s["idf"], s["avgdl"], k1, b)
         if frozen:
             # accumulate onto existing candidates only
@@ -153,6 +166,28 @@ def wand_shard(
     return cand_ords[topk], cand_scores[topk], stats
 
 
+def _dead_ordinals(spark: SparkSession, index: Index, seg: SegmentIndex,
+                   exclude: DataFrame | None) -> np.ndarray:
+    """Tombstoned doc ordinals: the index's tombstone ledger plus any
+    explicit exclude set, mapped through doc_ords. Collected driver-side —
+    tombstones are bounded between compactions (the reference deletes by
+    explicit id lists, SearchAdapter.java:331-354); at 10^12 docs the
+    live-docs mask would ship per-shard bitmap slices instead."""
+    import os
+
+    from docix_spark.query.service import Tombstones
+
+    dead = Tombstones(index).read(spark) if os.path.exists(
+        Tombstones(index).path
+    ) else None
+    if exclude is not None:
+        dead = exclude if dead is None else dead.unionByName(exclude).distinct()
+    if dead is None:
+        return np.empty(0, np.int64)
+    rows = seg.doc_ords(spark).join(dead, "doc_id").select("doc_ord").collect()
+    return np.sort(np.array([r.doc_ord for r in rows], dtype=np.int64))
+
+
 def wand_topk(
     spark: SparkSession,
     index: Index,
@@ -160,11 +195,17 @@ def wand_topk(
     terms: list[str],
     k: int = 10,
     field: str = "content",
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed block-max WAND: top-k (doc_id, score) for a bag of query
     terms (duplicates = clause multiplicity, as ES treats repeated analyzed
     terms). Plain summed BM25 over one field — the Lucene-core contract; the
-    composite best_fields/fuzzy/msm tree composes on top (bm25.py)."""
+    composite best_fields/fuzzy/msm tree composes on top (bm25.py).
+
+    Deletes are honored immediately (reference delete-by-query semantics):
+    the index's tombstone ledger — plus an optional ``exclude`` doc_id
+    DataFrame — is mapped to ordinals and masked inside the kernel before
+    top-k selection, mirroring ``search_topk(exclude=...)``."""
     from docix_spark.query.bm25 import _bucket_ids
 
     weights = Counter(terms)
@@ -204,10 +245,11 @@ def wand_topk(
 
     k1, b = seg.k1, seg.b
     kk = int(k)
+    dead = _dead_ordinals(spark, index, seg, exclude)
 
     def score_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         seg_dicts = pdf.to_dict("records")
-        ords, scores, _ = wand_shard(seg_dicts, kk, k1, b)
+        ords, scores, _ = wand_shard(seg_dicts, kk, k1, b, dead_ords=dead)
         return pd.DataFrame({"doc_ord": ords, "score": scores})
 
     per_shard = segs.groupBy("shard").applyInPandas(

