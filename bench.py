@@ -91,6 +91,26 @@ def main() -> None:
     serve_p95_ms = round(lat_serve[int(len(lat_serve) * 0.95) - 1] * 1000, 3)
     queries["serve_topk_p95_ms"] = serve_p95_ms
 
+    # composite serving tier: the FULL reference query tree (best_fields +
+    # fuzzy + msm + wildcard) answered in-process — the number honestly
+    # comparable to the reference's single ES round-trip
+    from docix_spark.query.serve import CompositeSearcher
+
+    comp = CompositeSearcher(idx_dir)
+    comp_queries = ["spark hash join", "merge sort window batch",
+                    "spak windoww", "doc_42", "rk jo"]
+    for q in comp_queries:
+        comp.search_composite(q, size=10)  # cold pass warms caches
+    lat_comp = []
+    for _ in range(20):
+        for q in comp_queries:
+            t0 = time.perf_counter()
+            comp.search_composite(q, size=10)
+            lat_comp.append(time.perf_counter() - t0)
+    lat_comp.sort()
+    serve_composite_p95_ms = round(lat_comp[int(len(lat_comp) * 0.95) - 1] * 1000, 3)
+    queries["serve_composite_p95_ms"] = serve_composite_p95_ms
+
     # -- composite search latencies ---------------------------------------
     search_set = {
         "search_common3": "spark hash join",
@@ -132,6 +152,7 @@ def main() -> None:
         "segment_bytes_per_posting": bytes_per_posting,
         "search_p95_warm_sec": search_p95_warm,
         "serve_topk_p95_ms": serve_p95_ms,
+        "serve_composite_p95_ms": serve_composite_p95_ms,
         "cpus": cpus,
     }
     shutil.rmtree(idx_dir, ignore_errors=True)

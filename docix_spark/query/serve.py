@@ -33,7 +33,7 @@ import numpy as np
 from docix_spark import BM25_B, BM25_K1
 from docix_spark.analysis.tokenizer import tokenize
 from docix_spark.index.xxh64 import term_bucket_py
-from docix_spark.query.wand import WandStats, wand_shard
+from docix_spark.query.wand import WandStats, _decode_row, wand_shard
 
 _SEG_COLS = [
     "field", "term", "shard", "count", "doc_bytes", "tf_bytes", "dl_bytes",
@@ -56,20 +56,26 @@ class LocalSearcher:
         self.k1 = float(meta.get("k1", BM25_K1))
         self.b = float(meta.get("b", BM25_B))
         self._segments = ds.dataset(os.path.join(root, "segments"), format="parquet")
-        self._seg_cache: dict[str, list[dict]] = {}
+        self._seg_cache: dict[tuple[str, str], list[dict]] = {}
 
         import pyarrow.parquet as pq
 
-        # df / corpus stats for the serving field (compact tables)
+        # df / corpus stats for ALL fields (compact tables) — the composite
+        # query tree scores every field; single-field callers key by
+        # (self.field, term)
         dfs = pq.read_table(
             os.path.join(root, "df_stats"), columns=["field", "term", "df"]
         ).to_pandas()
-        dfs = dfs[dfs["field"] == field]
-        self._df = dict(zip(dfs["term"], dfs["df"].astype(int)))
+        self._df = {
+            (f, t): int(d)
+            for f, t, d in zip(dfs["field"], dfs["term"], dfs["df"])
+        }
         cs = pq.read_table(os.path.join(root, "corpus_stats")).to_pandas()
-        row = cs[cs["field"] == field].iloc[0]
-        self.n_docs = int(row["n_docs"])
-        self.avgdl = float(row["avgdl"])
+        self._stats = {
+            r["field"]: (int(r["n_docs"]), float(r["avgdl"]))
+            for _, r in cs.iterrows()
+        }
+        self.n_docs, self.avgdl = self._stats[field]
         # doc_ord -> doc_id (one doc-range partition's mapping; a sharded
         # fleet loads only its range)
         ords = pq.read_table(os.path.join(root, "doc_ords")).to_pandas()
@@ -99,11 +105,13 @@ class LocalSearcher:
 
     # -- segment access ----------------------------------------------------
 
-    def _load_term_segments(self, term: str) -> list[dict]:
-        """All (shard) segment rows of one term, pyarrow-filtered by
+    def _load_term_segments(self, term: str, field: str | None = None) -> list[dict]:
+        """All (shard) segment rows of one (field, term), pyarrow-filtered by
         (bucket, field, term) — row-group pruned by the sorted layout."""
-        if term in self._seg_cache:
-            return self._seg_cache[term]
+        field = field or self.field
+        key = (field, term)
+        if key in self._seg_cache:
+            return self._seg_cache[key]
         import pyarrow.compute as pc
 
         bucket = term_bucket_py(term, self.n_buckets)
@@ -111,19 +119,21 @@ class LocalSearcher:
             columns=_SEG_COLS,
             filter=(
                 (pc.field("term_bucket") == bucket)
-                & (pc.field("field") == self.field)
+                & (pc.field("field") == field)
                 & (pc.field("term") == term)
             ),
         )
         rows = t.to_pylist()
-        self._seg_cache[term] = rows
+        self._seg_cache[key] = rows
         return rows
 
-    def idf(self, term: str) -> float:
-        df = self._df.get(term)
+    def idf(self, term: str, field: str | None = None) -> float:
+        field = field or self.field
+        df = self._df.get((field, term))
         if df is None:
             return 0.0
-        return float(np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))
+        n_docs = self._stats[field][0]
+        return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
 
     # -- search ------------------------------------------------------------
 
@@ -164,3 +174,224 @@ class LocalSearcher:
 
     def search(self, query: str, k: int = 10) -> list[tuple[str, float]]:
         return self.search_terms(tokenize(query), k)[0]
+
+
+class CompositeSearcher(LocalSearcher):
+    """Serve the FULL reference query tree from the serving tier at ms
+    latency — best_fields 5/3/3 + fuzzy AUTO + msm 50% + wildcard fallback
+    (the one ES round-trip of reference
+    ElasticsearchDocumentSearchAdapter.java:394-440), rank-identical to the
+    Spark-job path (query.bm25.search_topk).
+
+    Extra resident state beyond :class:`LocalSearcher`:
+
+    - the term dictionary (``term_dict``: term, df=max over fields, tlen)
+      for fuzzy-AUTO expansion — the in-memory stand-in for Lucene's FST.
+    - the docs table's scored fields, lowercased and ordinal-aligned, for
+      the constant-score wildcard clauses. AT SANDBOX SCALE ONLY: one
+      process holds the whole (small) corpus text; a 100 TB serving fleet
+      would answer wildcards from a character-n-gram index per shard (or
+      hold only its doc-range slice, exactly like the segment data).
+    """
+
+    def __init__(self, root: str, field: str = "content"):
+        super().__init__(root, field=field)
+        import pyarrow.parquet as pq
+
+        from docix_spark.query.plan import FIELD_BOOSTS
+
+        td = pq.read_table(os.path.join(root, "term_dict")).to_pandas()
+        self._dict_terms = td["term"].to_numpy(object)
+        self._dict_df = td["df"].to_numpy(np.int64)
+        self._dict_tlen = td["tlen"].to_numpy(np.int64)
+        # codepoint matrix of the dictionary (built once) so fuzzy
+        # expansion runs a vectorized edit-distance DP over all candidates
+        # at once — the in-memory stand-in for Lucene's Levenshtein
+        # automaton over the FST (a per-candidate Python DP cost ~0.4 s per
+        # novel term; this is ~5 ms)
+        maxlen = int(self._dict_tlen.max()) if len(td) else 0
+        self._dict_chars = np.full((len(td), maxlen), -1, np.int32)
+        for i, t in enumerate(self._dict_terms):
+            self._dict_chars[i, : len(t)] = [ord(c) for c in t]
+        self._exp_cache: dict[str, list[tuple[str, float]]] = {}
+        self._post_cache: dict[tuple[str, str], tuple] = {}
+
+        n_ords = len(self._ord_to_doc)
+        docs = pq.read_table(
+            os.path.join(root, "docs"), columns=["doc_id", *FIELD_BOOSTS]
+        ).to_pandas()
+        import pandas as pd
+
+        self._field_lower: dict[str, "pd.Series"] = {}
+        ord_idx = docs["doc_id"].map(self._doc_to_ord).to_numpy(np.int64)
+        for f in FIELD_BOOSTS:
+            vals = pd.Series([""] * n_ords, dtype=object)
+            vals.iloc[ord_idx] = docs[f].fillna("").str.lower().to_numpy(object)
+            self._field_lower[f] = vals
+
+    # -- fuzzy expansion (identical to bm25.expand_query_terms) ------------
+
+    @staticmethod
+    def _lev_batch(q: str, chars: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """Levenshtein(q, candidate_i) for every row of the codepoint
+        matrix at once — DP vectorized over candidates (the loops are over
+        |q| x maxlen cells, each a full-width numpy op)."""
+        n, width = chars.shape
+        prev = np.tile(np.arange(width + 1, dtype=np.int32), (n, 1))
+        for i, cq in enumerate(map(ord, q), 1):
+            cur = np.empty_like(prev)
+            cur[:, 0] = i
+            sub_cost = (chars != cq).astype(np.int32)
+            for j in range(1, width + 1):
+                cur[:, j] = np.minimum(
+                    np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                    prev[:, j - 1] + sub_cost[:, j - 1],
+                )
+            prev = cur
+        return prev[np.arange(n), lens]
+
+    def _expand(self, qt: str) -> list[tuple[str, float]]:
+        """(index_term, fuzzy_boost) — fuzziness AUTO against the term
+        dictionary, capped at MAX_FUZZY_EXPANSIONS by (df desc, term asc),
+        boost = 1 - dist/min(len) (SearchAdapter.java:407)."""
+        from docix_spark.query.plan import MAX_FUZZY_EXPANSIONS, auto_max_edits
+
+        cached = self._exp_cache.get(qt)
+        if cached is not None:
+            return cached
+        out = [(qt, 1.0)]
+        me = auto_max_edits(len(qt))
+        if me > 0:
+            band = np.flatnonzero(np.abs(self._dict_tlen - len(qt)) <= me)
+            if band.size:
+                dist = self._lev_batch(
+                    qt, self._dict_chars[band], self._dict_tlen[band]
+                )
+                ok = (dist > 0) & (dist <= me)
+                cands = sorted(
+                    zip(
+                        self._dict_terms[band][ok],
+                        dist[ok].tolist(),
+                        self._dict_df[band][ok].tolist(),
+                    ),
+                    key=lambda x: (-x[2], x[0]),
+                )
+                out += [
+                    (t, 1.0 - d / min(len(qt), len(t)))
+                    for t, d, _ in cands[:MAX_FUZZY_EXPANSIONS]
+                ]
+        self._exp_cache[qt] = out
+        return out
+
+    # -- full-postings decode ----------------------------------------------
+
+    def _term_postings(self, field: str, term: str):
+        """(ords, tfs, dls) of one (field, term) — every shard row, every
+        block, decoded once and cached (exact scoring: the composite tree
+        needs msm counts, so no block-max pruning on this path)."""
+        key = (field, term)
+        cached = self._post_cache.get(key)
+        if cached is not None:
+            return cached
+        parts = []
+        for row in self._load_term_segments(term, field):
+            nb = len(row["block_last"])
+            parts.append(_decode_row(row, np.arange(nb, dtype=np.int64)))
+        if not parts:
+            z = np.empty(0, np.int64)
+            out = (z, z, z)
+        else:
+            out = tuple(np.concatenate([p[i] for p in parts]) for i in range(3))
+        self._post_cache[key] = out
+        return out
+
+    # -- composite search ---------------------------------------------------
+
+    def search_composite(
+        self, query: str, page: int = 0, size: int = 10, validate: bool = True
+    ) -> list[tuple[str, float]]:
+        """Paged [(doc_id, score)] under the full composite semantics —
+        the serving-tier twin of ``search_topk`` (scores from the same
+        persisted stats tables, so results are rank-identical)."""
+        from docix_spark.query.plan import (
+            FIELD_BOOSTS,
+            WILDCARD_BOOSTS,
+            analyze_query,
+            validate_search,
+        )
+
+        if validate:
+            validate_search(query, page, size)
+        aq = analyze_query(query)
+        n_ords = len(self._ord_to_doc)
+        total = np.zeros(n_ords, np.float64)
+
+        if aq.is_match_all:
+            total[:] = 1.0
+        else:
+            qts = list(dict.fromkeys(aq.terms))
+            qt_w = np.array(
+                [float(sum(1 for t in aq.terms if t == qt)) for qt in qts]
+            )
+            expansions = {qt: self._expand(qt) for qt in qts}
+            nq = len(qts)
+
+            best = np.zeros(n_ords, np.float64)
+            for f, fboost in FIELD_BOOSTS.items():
+                n_docs, avgdl = self._stats.get(f, (0, 0.0))
+                if n_docs == 0:
+                    continue
+                o_parts, s_parts, q_parts = [], [], []
+                for qi, qt in enumerate(qts):
+                    for t, tboost in expansions[qt]:
+                        df = self._df.get((f, t))
+                        if df is None:
+                            continue
+                        o, tf, dl = self._term_postings(f, t)
+                        if o.size == 0:
+                            continue
+                        idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                        tff = tf.astype(np.float64)
+                        sc = (
+                            qt_w[qi] * tboost * idf * tff * (self.k1 + 1.0)
+                            / (tff + self.k1 * (1.0 - self.b + self.b * dl.astype(np.float64) / avgdl))
+                        )
+                        o_parts.append(o)
+                        s_parts.append(sc)
+                        q_parts.append(np.full(o.size, qi, np.int64))
+                if not o_parts:
+                    continue
+                O = np.concatenate(o_parts)
+                S = np.concatenate(s_parts)
+                Q = np.concatenate(q_parts)
+                # collapse expansions per (doc, qt), then per doc: fscore +
+                # multiplicity-weighted msm count (bm25.score_fields shape)
+                key = O * nq + Q
+                uk, inv = np.unique(key, return_inverse=True)
+                qt_score = np.zeros(uk.size)
+                np.add.at(qt_score, inv, S)
+                uo, uq = uk // nq, uk % nq
+                uo2, inv2 = np.unique(uo, return_inverse=True)
+                fscore = np.zeros(uo2.size)
+                np.add.at(fscore, inv2, qt_score)
+                nm = np.zeros(uo2.size)
+                np.add.at(nm, inv2, qt_w[uq])
+                keep = nm >= aq.msm
+                np.maximum.at(best, uo2[keep], fboost * fscore[keep])
+            total += best
+
+            ql = aq.lower
+            for f, bo in WILDCARD_BOOSTS.items():
+                hit = self._field_lower[f].str.contains(ql, regex=False).to_numpy()
+                total += bo * hit
+
+        if self._dead_ords.size:
+            total[self._dead_ords] = 0.0
+        cand = np.flatnonzero(total > 0.0)
+        # tiebreak on doc_id (not ordinal: incremental appends break the
+        # ord==doc_id-order invariant), exactly like search_terms
+        ranked = sorted(
+            ((str(self._ord_to_doc[o]), float(total[o])) for o in cand),
+            key=lambda x: (-x[1], x[0]),
+        )
+        return ranked[page * size : (page + 1) * size]
