@@ -887,6 +887,59 @@ def simhash_neardup_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "simhash_band_pairs",
+    _SIMHASH_CTE
+    + """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY hamming, id_a, id_b""",
+)
+def simhash_band_pairs(spark, sf_dir):
+    """SimHash near-dup at scale (VERDICT r1 next #6): split the 60-bit
+    hash into 4 bands of 15 bits used as equi-join keys, then verify
+    Hamming <= 3 on band-collision candidates only — NO all-pairs join.
+
+    Recall is PROVABLE, not probabilistic: <= 3 differing bits can dirty at
+    most 3 of the 4 bands, so every qualifying pair shares a clean band
+    (pigeonhole; t < n_bands). The oracle is therefore the brute-force
+    all-pairs filter — a hash match proves the banded plan loses nothing.
+    At 10^12 docs the shuffle carries (band_id, 15-bit value) keys instead
+    of N^2/2 comparisons."""
+    sh = _simhash_spark(spark, sf_dir)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.expr(f"(simhash >> {15 * j}) & 32767").alias("bv"),
+                )
+                for j in range(4)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "simhash", F.col("band.j").alias("j"), F.col("band.bv").alias("bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr("cast(bit_count(a.simhash ^ b.simhash) as bigint)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .distinct()
+        .orderBy("hamming", "id_a", "id_b")
+    )
+
+
 _EMB_PAIRS_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 p AS (
@@ -912,6 +965,85 @@ def embedding_neardup_pairs(spark, sf_dir):
     b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            _q6(
+                F.expr(dot.format(a="va", b="vb"))
+                / (F.sqrt(F.expr(dot.format(a="va", b="va"))) * F.sqrt(F.expr(dot.format(a="vb", b="vb"))))
+            ).alias("cos_q6"),
+        )
+        .orderBy(F.desc("cos_q6"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
+
+
+# sign-LSH for embeddings: 4 hash tables, each keyed by the sign bits of 4
+# dimensions (axis-aligned random-hyperplane LSH; deterministic + identical
+# across engines). DuckDB arrays are 1-based, Spark 0-based — offsets align.
+_EMB_LSH_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+  SELECT vec_id, j,
+         (CASE WHEN v[4*j+1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN v[4*j+2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN v[4*j+3] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN v[4*j+4] > 0 THEN 8 ELSE 0 END) AS bv
+  FROM e, (SELECT unnest(generate_series(0, 3)) AS j)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2 ON a.j = b2.j AND a.bv = b2.bv AND a.vec_id < b2.vec_id
+),
+p AS (
+  SELECT id_a, id_b,
+         list_dot_product(ea.v, eb.v)
+           / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+  FROM cand JOIN e ea ON id_a = ea.vec_id JOIN e eb ON id_b = eb.vec_id
+)
+SELECT id_a, id_b, CAST(round(cos * 1000000) AS BIGINT) AS cos_q6
+FROM p ORDER BY cos_q6 DESC, id_a ASC, id_b ASC LIMIT 20
+"""
+
+
+@register("embedding_lsh_pairs", _EMB_LSH_SQL)
+def embedding_lsh_pairs(spark, sf_dir):
+    """Embedding near-dup at scale (VERDICT r1 next #6): candidates come
+    from an EQUI-JOIN on sign-LSH bucket keys (4 tables x 4 sign bits, the
+    OR-construction), exact cosine verified on candidates only — no
+    all-pairs join. On genuinely near-duplicate vectors (cos -> 1) the sign
+    bits agree w.h.p. per table and the OR of 4 tables drives recall toward
+    1; ``embedding_neardup_pairs`` remains the exact all-pairs oracle. At
+    10^9 vectors the shuffle carries (table_id, 4-bit bucket) keys."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    band_structs = []
+    for j in range(4):
+        bv = None
+        for i in range(4):
+            bit = F.when(F.expr(f"v[{4 * j + i}]") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bv = bit if bv is None else bv + bit
+        band_structs.append(F.struct(F.lit(j).alias("j"), bv.alias("bv")))
+    bands = e.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("vec_id", F.col("band.j").alias("j"), F.col("band.bv").alias("bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .select(
             "id_a", "id_b",
             _q6(

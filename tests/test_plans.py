@@ -58,3 +58,16 @@ def test_pagination_is_take_ordered_not_global_sort(spark, built):
     df = search_topk(spark, built, "permission software", size=10, with_metadata=False)
     phys = _physical(df)
     assert "TakeOrderedAndProject" in phys
+
+
+def test_banded_neardup_plans_have_no_cross_join(spark):
+    """simhash_band_pairs / embedding_lsh_pairs must generate candidates
+    from equi-joins on band/bucket keys — a cartesian/nested-loop join in
+    the plan means the operator degenerated to all-pairs."""
+    from docix_spark.driver_queries import REGISTRY
+
+    for name in ["simhash_band_pairs", "embedding_lsh_pairs"]:
+        df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+        phys = _physical(df)
+        assert "CartesianProduct" not in phys, name
+        assert "BroadcastNestedLoopJoin" not in phys, name
