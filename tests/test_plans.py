@@ -45,17 +45,25 @@ def test_metadata_join_broadcasts_topk_side(spark, built):
 
     phys = _physical(df)
     assert "BuildLeft" in phys
-    # the broadcast exchange sits over the top-k, i.e. TakeOrderedAndProject
-    # appears after a BroadcastExchange in the plan text
+    # the broadcast exchange wraps the small result side (a local relation
+    # when the wildcard gate resolved the top-k driver-side, else the
+    # TakeOrderedAndProject subtree) — never the docs parquet scan
     bx = phys.find("BroadcastExchange")
-    tk = phys.find("TakeOrderedAndProject")
-    assert bx != -1 and tk != -1 and tk > bx
+    assert bx != -1
+    small = max(
+        phys.find("TakeOrderedAndProject"),
+        phys.find("LocalTableScan"),
+        phys.find("Scan ExistingRDD"),
+    )
+    assert small > bx
 
 
 def test_pagination_is_take_ordered_not_global_sort(spark, built):
-    """Truncate-then-rank: the top-k must compile to TakeOrderedAndProject;
-    the single-partition window only ever sees <=k rows."""
-    df = search_topk(spark, built, "permission software", size=10, with_metadata=False)
+    """Truncate-then-rank on the ungated path (wildcard-only query → the
+    gate falls back to the full scan): the top-k must compile to
+    TakeOrderedAndProject; the single-partition window only ever sees <=k
+    rows."""
+    df = search_topk(spark, built, "kg7/modu", size=10, with_metadata=False)
     phys = _physical(df)
     assert "TakeOrderedAndProject" in phys
 
@@ -71,3 +79,28 @@ def test_banded_neardup_plans_have_no_cross_join(spark):
         phys = _physical(df)
         assert "CartesianProduct" not in phys, name
         assert "BroadcastNestedLoopJoin" not in phys, name
+
+
+def test_wildcard_gate_fires_and_is_exact(spark, built):
+    """The gate must fire for a common query (no full-text scan) and
+    return exactly what the ungated full-scan path returns."""
+    from pyspark.sql import functions as F
+
+    from docix_spark.query import bm25
+    from docix_spark.query.plan import analyze_query
+
+    aq = analyze_query("permission software")
+    best = bm25.score_fields(spark, built, aq)
+    gated = bm25._gated_topk(spark, built, aq, best, 10)
+    assert gated is not None
+
+    fb = bm25.wildcard_fallback(spark, built, aq)
+    scored = best.join(fb, "doc_id", "full_outer").select(
+        "doc_id",
+        (F.coalesce("best_score", F.lit(0.0)) + F.coalesce("fb_score", F.lit(0.0))).alias("score"),
+    )
+    want = [
+        (r.doc_id, round(r.score, 6))
+        for r in scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
+    ]
+    assert [(d, round(s, 6)) for d, s in gated] == want
