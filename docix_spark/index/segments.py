@@ -221,6 +221,114 @@ def build_segments(
                         docs_per_shard=docs_per_shard, k1=k1, b=b)
 
 
+def merge_segments(
+    spark: SparkSession,
+    seg: SegmentIndex,
+    dead_doc_ids: DataFrame | None = None,
+    block_size: int = BLOCK_SIZE,
+) -> None:
+    """Background-merge analogue of Lucene's segment merging (SURVEY.md
+    §4.2; VERDICT r1 missing #5): rewrite the segments table so every
+    ``(field, term, shard)`` holds exactly ONE row again after any number
+    of :func:`extend_segments` appends, optionally purging tombstoned
+    ordinals (the expunge-deletes merge ES runs during compaction).
+
+    Shape: one applyInPandas task per (field, term_bucket, shard) — the
+    same salted grouping as the build, so no reducer sees more than one
+    bucket-shard of data. Single-row terms with no deletes PASS THROUGH
+    without decode/re-encode (the common case after few appends); only
+    fragmented or delete-carrying rows pay the codec. The rewrite is
+    tmp-staged then bucket-clustered like build/finalize.
+    """
+    import shutil
+
+    from docix_spark.index.codec import decode_blocks
+
+    if dead_doc_ids is not None:
+        rows = (
+            seg.doc_ords(spark).join(dead_doc_ids, "doc_id").select("doc_ord").collect()
+        )
+        dead = np.sort(np.array([r.doc_ord for r in rows], np.int64))
+    else:
+        dead = np.empty(0, np.int64)
+
+    out_cols = [
+        "field", "term", "shard", "count", "doc_bytes", "tf_bytes", "dl_bytes",
+        "block_last", "block_max_tf", "block_min_dl",
+        "block_doc_off", "block_tf_off", "block_dl_off",
+    ]
+
+    def merge_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        field, bucket, shard = key
+        frames = []
+        for term, grp in pdf.groupby("term", sort=False):
+            if len(grp) == 1 and dead.size == 0:
+                frames.append(grp[out_cols])
+                continue
+            os_, ts_, ls_ = [], [], []
+            for _, row in grp.iterrows():
+                nb = len(row["block_last"])
+                o, t, l = decode_blocks(
+                    row["doc_bytes"], row["tf_bytes"], row["dl_bytes"],
+                    np.asarray(row["block_doc_off"]), np.asarray(row["block_tf_off"]),
+                    np.asarray(row["block_dl_off"]), np.arange(nb, dtype=np.int64),
+                )
+                os_.append(o)
+                ts_.append(t)
+                ls_.append(l)
+            o = np.concatenate(os_)
+            t = np.concatenate(ts_)
+            l = np.concatenate(ls_)
+            order = np.argsort(o, kind="stable")
+            o, t, l = o[order], t[order], l[order]
+            if dead.size:
+                pos = np.searchsorted(dead, o)
+                hit = (pos < dead.size) & (dead[np.minimum(pos, dead.size - 1)] == o)
+                if hit.any():
+                    o, t, l = o[~hit], t[~hit], l[~hit]
+            if o.size == 0:
+                continue  # every posting of this (term, shard) was deleted
+            payload = encode_posting_list(o, t, l, block_size=block_size)
+            frames.append(pd.DataFrame([
+                (field, term, int(shard), payload["count"],
+                 payload["doc_bytes"], payload["tf_bytes"], payload["dl_bytes"],
+                 payload["block_last"], payload["block_max_tf"],
+                 payload["block_min_dl"], payload["block_doc_off"],
+                 payload["block_tf_off"], payload["block_dl_off"]),
+            ], columns=out_cols))
+        if not frames:
+            return pd.DataFrame(columns=out_cols)
+        return pd.concat(frames, ignore_index=True)
+
+    merged = (
+        seg.segments(spark)
+        .groupBy("field", "term_bucket", "shard")
+        .applyInPandas(merge_group, schema=SEGMENT_SCHEMA)
+        .withColumn("term_bucket", term_bucket(F.col("term"), seg.n_buckets))
+    )
+    seg_path = os.path.join(seg.root, "segments")
+    tmp = seg_path + "__merge"
+    merged.write.mode("overwrite").parquet(tmp)
+    from docix_spark.index.build import _write_bucketed
+
+    _write_bucketed(spark.read.parquet(tmp), seg.n_buckets, seg_path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    if dead_doc_ids is not None:
+        # drop dead docs from the ordinal map (live ordinals keep their
+        # values; the searcher's ord->doc array tolerates the gaps)
+        ords_path = os.path.join(seg.root, "doc_ords")
+        tmp_o = ords_path + "__merge"
+        (
+            seg.doc_ords(spark)
+            .join(dead_doc_ids, "doc_id", "left_anti")
+            .write.mode("overwrite")
+            .parquet(tmp_o)
+        )
+        spark.read.parquet(tmp_o).write.mode("overwrite").parquet(ords_path)
+        shutil.rmtree(tmp_o, ignore_errors=True)
+
+
 def shard_fanout(spark: SparkSession, seg: SegmentIndex, field: str = "content") -> DataFrame:
     """Salt fan-out per term (segments per term) — the skew-balance metric
     recorded for the build (north rule: fan-out in segment metadata)."""
@@ -255,7 +363,10 @@ def extend_segments(
     Returns the number of new documents appended.
     """
     existing = seg.doc_ords(spark)
-    offset = existing.count()
+    # next free ordinal = max + 1, NOT count(): after a compaction purge
+    # the map has gaps and count() would collide with live ordinals
+    max_ord = existing.agg(F.max("doc_ord").alias("m")).collect()[0].m
+    offset = int(max_ord) + 1 if max_ord is not None else 0
     new_ids = (
         new_postings.select("doc_id").distinct()
         .join(existing.select("doc_id"), "doc_id", "left_anti")

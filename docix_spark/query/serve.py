@@ -79,7 +79,10 @@ class LocalSearcher:
         # doc_ord -> doc_id (one doc-range partition's mapping; a sharded
         # fleet loads only its range)
         ords = pq.read_table(os.path.join(root, "doc_ords")).to_pandas()
-        self._ord_to_doc = np.empty(len(ords), dtype=object)
+        # sized by max ordinal: the map may have gaps after a compaction
+        # purge (dead docs dropped, live ordinals unchanged)
+        n_ord_slots = int(ords["doc_ord"].max()) + 1 if len(ords) else 0
+        self._ord_to_doc = np.empty(n_ord_slots, dtype=object)
         self._ord_to_doc[ords["doc_ord"].to_numpy()] = ords["doc_id"].to_numpy()
         self._doc_to_ord = dict(
             zip(ords["doc_id"].to_numpy(), ords["doc_ord"].to_numpy())

@@ -119,6 +119,14 @@ def compact(spark: SparkSession, index: Index) -> Index:
         F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
     ).write.mode("overwrite").parquet(index.path("corpus_stats"))
 
+    # expunge deletes from the compressed segments too (the Lucene
+    # background merge; index/segments.merge_segments) — must run before
+    # the ledger is dropped, since `dead` reads it lazily
+    if os.path.exists(os.path.join(index.root, "seg_meta.json")):
+        from docix_spark.index.segments import SegmentIndex, merge_segments
+
+        merge_segments(spark, SegmentIndex.load(index.root), dead_doc_ids=dead)
+
     import shutil
 
     shutil.rmtree(ts.path, ignore_errors=True)

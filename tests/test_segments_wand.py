@@ -221,3 +221,94 @@ def test_extend_segments_matches_full_rebuild(spark, tmp_root):
         a = [(d, round(s, 6)) for d, s in s_inc.search_terms(terms, 10)[0]]
         b = [(d, round(s, 6)) for d, s in s_full.search_terms(terms, 10)[0]]
         assert a == b and len(a) > 0
+
+
+def test_merge_segments_defragments_and_preserves_ranks(spark, tmp_root):
+    """VERDICT r1 missing #5: after extend_segments appends, a (term,
+    shard) can hold several rows; merge_segments must collapse every
+    (field, term, shard) back to ONE row with wand/serve results
+    unchanged."""
+    import pandas as pd
+
+    from docix_spark.corpus import synth_corpus_pdf, with_doc_ids
+    from docix_spark.index.build import build_index
+    from docix_spark.index.segments import build_segments, extend_segments, merge_segments
+    from docix_spark.query.serve import LocalSearcher
+
+    p1 = synth_corpus_pdf(120, seed=71)
+    p2 = synth_corpus_pdf(80, seed=72)
+    union = pd.concat([p1, p2], ignore_index=True)
+    root = f"{tmp_root}/merge_seg"
+    idx = build_index(spark, spark.createDataFrame(union), root, n_buckets=8)
+
+    b1_ids = sorted(
+        r.doc_id
+        for r in with_doc_ids(spark.createDataFrame(p1)).select("doc_id").distinct().collect()
+    )
+    post_all = idx.postings(spark)
+    post_b1 = post_all.where(F.col("doc_id").isin(b1_ids))
+    post_b2 = post_all.join(post_b1.select("doc_id").distinct(), "doc_id", "left_anti")
+
+    class _B1Index:
+        n_buckets = idx.n_buckets
+        root = idx.root
+
+        def postings(self, s):
+            return post_b1
+
+        def docs(self, s):
+            return post_b1.select("doc_id").distinct()
+
+    seg = build_segments(spark, _B1Index(), out_root=root, docs_per_shard=32)
+    assert extend_segments(spark, seg, post_b2) > 0
+
+    frag = (
+        seg.segments(spark).groupBy("field", "term", "shard").count()
+        .where(F.col("count") > 1).count()
+    )
+    assert frag > 0  # the append really fragmented some (term, shard)s
+
+    terms_sets = [["permission", "software"], ["parse_0", "merge_1"], ["uniq_17_0"]]
+    before = {
+        tuple(ts): [(d, round(s, 6)) for d, s in LocalSearcher(root).search_terms(ts, 10)[0]]
+        for ts in terms_sets
+    }
+
+    merge_segments(spark, seg)
+
+    frag_after = (
+        seg.segments(spark).groupBy("field", "term", "shard").count()
+        .where(F.col("count") > 1).count()
+    )
+    assert frag_after == 0
+    after_searcher = LocalSearcher(root)
+    for ts in terms_sets:
+        assert [(d, round(s, 6)) for d, s in after_searcher.search_terms(ts, 10)[0]] == before[tuple(ts)]
+
+
+def test_compact_purges_segments(spark, tmp_root):
+    """compact() with segments present expunges tombstoned docs from the
+    segment postings and the ordinal map — the doc is gone from the
+    serving path even after the ledger is dropped."""
+    from docix_spark.corpus import synth_corpus_pdf
+    from docix_spark.index.build import build_index
+    from docix_spark.index.segments import build_segments
+    from docix_spark.query.serve import LocalSearcher
+    from docix_spark.query.service import Tombstones, compact
+
+    root = f"{tmp_root}/compact_seg"
+    idx = build_index(spark, spark.createDataFrame(synth_corpus_pdf(100, seed=81)), root, n_buckets=8)
+    build_segments(spark, idx, docs_per_shard=32)
+
+    target = LocalSearcher(root).search_terms(["permission", "software"], 1)[0][0][0]
+    Tombstones(idx).delete(spark, [target])
+    compact(spark, idx)
+
+    import os
+
+    assert not os.path.exists(Tombstones(idx).path)  # ledger consumed
+    s = LocalSearcher(root)
+    assert s._dead_ords.size == 0
+    hits = [d for d, _ in s.search_terms(["permission", "software"], 10)[0]]
+    assert target not in hits and len(hits) > 0
+    assert target not in s._doc_to_ord
