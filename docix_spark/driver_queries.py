@@ -388,6 +388,27 @@ def consistency_anti_join(spark, sf_dir):
     return processed.join(indexed, "doc_id", "left_anti").orderBy("doc_id")
 
 
+@register(
+    "consistency_pct",
+    """SELECT CAST(count(*) AS BIGINT) AS processed,
+              CAST(count(*) FILTER (doc_id % 10 <> 4) AS BIGINT) AS indexed,
+              CAST(round(1000000.0 * (count(*) FILTER (doc_id % 10 <> 4)) / count(*)) AS BIGINT) AS pct_q6
+       FROM documents WHERE doc_id % 2 = 0""",
+)
+def consistency_pct(spark, sf_dir):
+    """A10: index-consistency percentage — processed vs indexed counts and
+    their ratio (AdminIndexingService.java:44-66 summary), over the same
+    simulated processed/indexed sets as consistency_anti_join; the repair
+    action over the missing set is index.reindex.reindex_missing."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
+    indexed = F.sum(F.when(F.col("doc_id") % 10 != 4, 1).otherwise(0))
+    return d.agg(
+        F.count("*").cast("long").alias("processed"),
+        indexed.cast("long").alias("indexed"),
+        _q6(indexed / F.count("*")).alias("pct_q6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops: dedup / fingerprint / minhash / jaccard
 # ---------------------------------------------------------------------------

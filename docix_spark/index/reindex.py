@@ -1,0 +1,106 @@
+"""Reindex orchestration — the engine-side equivalent of the reference's
+DocumentReindexingService (DocumentReindexingService.java:45-157):
+
+- :func:`reindex_missing` — ``reindexMissingDocuments``: the consistency
+  anti-join (J3, AdminIndexingService.java:44-66) finds processed documents
+  absent from the index, then indexes exactly those.
+- :func:`reindex_paths` — ``reindexDocument(documentId)``: delete the
+  document's indexed pages, re-extract, re-index. Identity across content
+  changes is the source path (our doc_id is the content sha, so changed
+  content gets a new doc_id and the stale one is tombstoned — immediate
+  invisibility, physical purge deferred to ``compact()``, exactly like the
+  ES delete-then-index sequence defers merging to Lucene).
+
+Both append through the same machinery as streaming ingest: posting rows
+built map-side (index.build.build_postings), bucket-clustered appends, and
+the batch-proportional additive stats merge
+(streaming.incremental._merge_stats) — never a full rebuild.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docix_spark.corpus import FIELDS, with_doc_ids
+from docix_spark.index.build import Index, build_postings, term_bucket
+
+
+def _append_docs(spark: SparkSession, index: Index, docs_new: DataFrame) -> int:
+    """Append new documents + their postings + merged stats (+ segments if
+    present). ``docs_new`` must already be anti-joined against the index.
+    Returns the number of documents appended."""
+    from docix_spark.streaming.incremental import _merge_stats
+
+    staging = index.path("_reindex_staging")
+    docs_new.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    n_new = staged.count()
+    if n_new == 0:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        return 0
+
+    staged.write.mode("append").parquet(index.path("docs"))
+    postings = build_postings(staged, fields=FIELDS).withColumn(
+        "term_bucket", term_bucket(F.col("term"), index.n_buckets)
+    )
+    post_staging = index.path("_reindex_postings")
+    (
+        postings.repartition(index.n_buckets, "term_bucket")
+        .sortWithinPartitions("term_bucket", "term")
+        .write.mode("overwrite")
+        .parquet(post_staging)
+    )
+    batch_postings = spark.read.parquet(post_staging)
+    batch_postings.write.mode("append").parquet(index.path("postings"))
+    _merge_stats(spark, index.root, index.n_buckets, batch_postings)
+
+    if os.path.exists(os.path.join(index.root, "seg_meta.json")):
+        from docix_spark.index.segments import SegmentIndex, extend_segments
+
+        extend_segments(spark, SegmentIndex.load(index.root), batch_postings)
+
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(post_staging, ignore_errors=True)
+    return n_new
+
+
+def reindex_missing(spark: SparkSession, index: Index, processed: DataFrame) -> int:
+    """Index every processed document the index doesn't have — the J3
+    consistency anti-join driving the repair, exactly the reference's
+    reindexMissingDocuments flow. ``processed`` is corpus-shaped
+    (repo, path, commit, lang, content). Returns #docs indexed."""
+    cand = with_doc_ids(processed).dropDuplicates(["doc_id"])
+    missing = cand.join(index.docs(spark).select("doc_id"), "doc_id", "left_anti")
+    return _append_docs(spark, index, missing)
+
+
+def reindex_paths(
+    spark: SparkSession, index: Index, replacements: DataFrame
+) -> dict[str, int]:
+    """Re-extract + re-index changed source files: tombstone every indexed
+    doc at a replaced path whose content changed, then append the new
+    versions. Deletes are visible immediately on all query paths; the
+    physical purge happens at the next ``compact()``."""
+    from docix_spark.query.service import Tombstones
+
+    new_docs = with_doc_ids(replacements).dropDuplicates(["doc_id"])
+    paths = new_docs.select("path").distinct()
+    stale = (
+        index.docs(spark)
+        .join(paths, "path")
+        .select("doc_id")
+        .join(new_docs.select("doc_id"), "doc_id", "left_anti")  # content unchanged → keep
+    )
+    stale_ids = [r.doc_id for r in stale.collect()]
+    if stale_ids:
+        Tombstones(index).delete(spark, stale_ids)
+    fresh = new_docs.join(index.docs(spark).select("doc_id"), "doc_id", "left_anti")
+    n_new = _append_docs(spark, index, fresh)
+    return {"deleted": len(stale_ids), "indexed": n_new}
