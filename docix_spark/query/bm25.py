@@ -71,6 +71,13 @@ def bm25_score_col(tf, df, doc_len, n_docs, avgdl, k1: float = BM25_K1, b: float
     return idf * tf_norm
 
 
+# driver-side expansion cache: repeated queries skip the dictionary-scan
+# Spark job entirely (ES likewise caches query analysis). Invalidated by
+# the term_dict directory mtime — any build/merge/stats refresh rewrites it.
+_EXPANSION_CACHE: dict[tuple, list[tuple[str, str, float]]] = {}
+_EXPANSION_CACHE_MAX = 512
+
+
 def expand_query_terms(spark: SparkSession, index: Index, terms: list[str]) -> list[tuple[str, str, float]]:
     """Fuzzy-AUTO expansion against the term dictionary.
 
@@ -80,11 +87,27 @@ def expand_query_terms(spark: SparkSession, index: Index, terms: list[str]) -> l
     scan of df_stats (term dictionary), the one query-path stage that cannot
     be bucket-pruned (fuzzy matches any bucket — SURVEY.md §7.3).
     """
+    import os as _os
+
     uniq = sorted(set(terms))
+    try:
+        dict_mtime = _os.path.getmtime(_os.path.join(index.root, "term_dict"))
+    except OSError:
+        dict_mtime = -1.0
+    cache_key = (index.root, dict_mtime, tuple(uniq))
+    cached = _EXPANSION_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    def _remember(result: list[tuple[str, str, float]]) -> list[tuple[str, str, float]]:
+        if len(_EXPANSION_CACHE) >= _EXPANSION_CACHE_MAX:
+            _EXPANSION_CACHE.clear()
+        _EXPANSION_CACHE[cache_key] = result
+        return result
+
     exact = [(t, t, 1.0) for t in uniq]
     fuzzy_qs = [(t, len(t), auto_max_edits(len(t))) for t in uniq if auto_max_edits(len(t)) > 0]
     if not fuzzy_qs:
-        return exact
+        return _remember(exact)
 
     qdf = spark.createDataFrame(fuzzy_qs, "qt string, qlen int, max_edits int")
     dictionary = index.term_dict(spark)
@@ -107,7 +130,7 @@ def expand_query_terms(spark: SparkSession, index: Index, terms: list[str]) -> l
         )
     )
     out = exact + [(r.qt, r.term, float(r.boost)) for r in capped.collect()]
-    return out
+    return _remember(out)
 
 
 def _bucket_ids(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
