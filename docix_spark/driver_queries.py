@@ -648,6 +648,85 @@ def ann_ivf_label(spark, sf_dir):
     )
 
 
+_IVF_MULTIPROBE_SQL = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (
+  SELECT label, i, avg(v[i]) AS c
+  FROM e, (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY label, i
+),
+cent AS (SELECT label, list(c ORDER BY i) AS cv FROM dims GROUP BY label),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT label
+  FROM cent, q
+  ORDER BY list_dot_product(cv, qv)
+             / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+           label ASC
+  LIMIT 3
+),
+c AS (
+  SELECT e.vec_id,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM e JOIN probe USING (label), q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, CAST(round(cos * 1000000) AS BIGINT) AS cos_q6
+FROM c ORDER BY cos_q6 DESC, vec_id LIMIT 10
+"""
+
+
+@register("ann_ivf_multiprobe", _IVF_MULTIPROBE_SQL)
+def ann_ivf_multiprobe(spark, sf_dir):
+    """IVF multi-probe ANN: centroids trained as per-cell means (one
+    element-wise aggregate — the k-means assignment step with the driver's
+    labels as the fixed assignment), query probes its 3 nearest cells by
+    centroid cosine, exact cosine within the probed cells only. At 10^9
+    vectors the scan prunes to 3/k of the data; nprobe trades recall for
+    cost exactly as in FAISS-style IVF."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    dims = (
+        e.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+    )
+    cent = dims.groupBy("label").agg(
+        F.expr("transform(sort_array(collect_list(struct(i, c))), s -> s.c)").alias("cv")
+    )
+    qv = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    probe = (
+        cent.crossJoin(F.broadcast(qv))
+        .select(
+            "label",
+            (
+                F.expr(dot.format(a="cv", b="qv"))
+                / (F.sqrt(F.expr(dot.format(a="cv", b="cv"))) * F.sqrt(F.expr(dot.format(a="qv", b="qv"))))
+            ).alias("ccos"),
+        )
+        .orderBy(F.desc("ccos"), F.asc("label"))
+        .limit(3)
+        .select("label")
+    )
+    return (
+        e.where(F.col("vec_id") != 0)
+        .join(F.broadcast(probe), "label")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            _q6(
+                F.expr(dot.format(a="v", b="qv"))
+                / (F.sqrt(F.expr(dot.format(a="v", b="v"))) * F.sqrt(F.expr(dot.format(a="qv", b="qv"))))
+            ).alias("cos_q6"),
+        )
+        .orderBy(F.desc("cos_q6"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: language-ID feature, quality, token counting
 # ---------------------------------------------------------------------------
