@@ -869,6 +869,136 @@ def wand_segments_topk(spark, sf_dir):
     )
 
 
+def _composite_sql(query_terms: list[tuple[str, int]], msm: int, qstr: str, k: int) -> str:
+    """Full composite query tree (best_fields 5/3/3 + fuzzy AUTO capped at
+    50 by (df desc, term asc) + msm + constant-score wildcard fallback) as
+    one DuckDB statement over the documents table with the engine's
+    synthesized filename fields — the independent oracle for the REAL
+    engine search path (reference SearchAdapter.java:394-440)."""
+    vals = ", ".join(f"('{t}', {me}, 1.0)" for t, me in query_terms)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         text AS content,
+         'docs/' || source || '/doc_' || doc_id || '.txt' AS file_name,
+         'doc_' || doc_id || '.txt' AS original_file_name
+  FROM documents
+),
+fields AS (
+  SELECT doc_id, 'content' AS field, content AS val FROM d
+  UNION ALL SELECT doc_id, 'file_name', file_name FROM d
+  UNION ALL SELECT doc_id, 'original_file_name', original_file_name FROM d
+),
+toks AS (
+  SELECT field, doc_id, unnest(regexp_extract_all(lower(val), '{TOKEN_PATTERN}')) AS term
+  FROM fields
+),
+tf AS (SELECT field, doc_id, term, count(*) AS tf FROM toks GROUP BY ALL),
+dl AS (SELECT field, doc_id, count(*) AS doc_len FROM toks GROUP BY ALL),
+st AS (SELECT field, CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl GROUP BY field),
+dfs AS (SELECT field, term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY ALL),
+dict AS (SELECT term, max(df) AS df FROM dfs GROUP BY term),
+q(qt, max_edits, qcount) AS (VALUES {vals}),
+fuzz AS (
+  SELECT qt, term, qcount,
+         1.0 - levenshtein(qt, term) * 1.0 / least(strlen(qt), strlen(term)) AS fboost,
+         row_number() OVER (PARTITION BY qt ORDER BY df DESC, term ASC) AS rn
+  FROM q JOIN dict ON abs(strlen(term) - strlen(qt)) <= q.max_edits
+                  AND levenshtein(qt, term) BETWEEN 1 AND q.max_edits
+),
+exp AS (
+  SELECT qt, qt AS term, qcount, 1.0 AS fboost FROM q
+  UNION ALL
+  SELECT qt, term, qcount, fboost FROM fuzz WHERE rn <= 50
+),
+per AS (
+  SELECT tf.field, tf.doc_id, e.qt, e.qcount,
+         e.qcount * e.fboost
+           * ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / st.avgdl)) AS s
+  FROM tf
+  JOIN exp e ON tf.term = e.term
+  JOIN dfs ON dfs.field = tf.field AND dfs.term = tf.term
+  JOIN dl ON dl.field = tf.field AND dl.doc_id = tf.doc_id
+  JOIN st ON st.field = tf.field
+),
+per_qt AS (
+  SELECT field, doc_id, qt, sum(s) AS qt_score, any_value(qcount) AS qcount
+  FROM per GROUP BY ALL
+),
+per_field AS (
+  SELECT field, doc_id, sum(qt_score) AS fscore, sum(qcount) AS n_matched
+  FROM per_qt GROUP BY ALL
+),
+best AS (
+  SELECT doc_id,
+         max(fscore * CASE field WHEN 'content' THEN 5.0 ELSE 3.0 END) AS best_score
+  FROM per_field WHERE n_matched >= {msm}
+  GROUP BY doc_id
+),
+fb AS (
+  SELECT doc_id,
+         (CASE WHEN lower(content) LIKE '%{qstr}%' THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN lower(file_name) LIKE '%{qstr}%' THEN 2.0 ELSE 0.0 END)
+       + (CASE WHEN lower(original_file_name) LIKE '%{qstr}%' THEN 2.0 ELSE 0.0 END) AS fb_score
+  FROM d
+),
+scored AS (
+  SELECT coalesce(b.doc_id, f.doc_id) AS doc_id,
+         coalesce(b.best_score, 0) + coalesce(f.fb_score, 0) AS score
+  FROM best b FULL OUTER JOIN (SELECT * FROM fb WHERE fb_score > 0) f USING (doc_id)
+)
+-- top-k selection tiebreaks on the CONTENT-SHA id, exactly the engine's
+-- doc_id (and the reference's ES _id asc, SearchAdapter.java:448-449)
+SELECT s.doc_id, CAST(round(s.score * 1000000) AS BIGINT) AS score_q6
+FROM scored s JOIN d ON s.doc_id = d.doc_id
+ORDER BY s.score DESC, sha256(d.content) ASC LIMIT {k}
+"""
+
+
+def _composite_engine(spark, sf_dir, query: str) -> DataFrame:
+    """Run the REAL engine search path (index tables + fuzzy expansion +
+    msm + wildcard gate) and map content-sha doc_ids back to driver ids."""
+    from docix_spark.query.bm25 import search_topk
+
+    index, _ = _cached_seg_index(spark, sf_dir)
+    top = search_topk(spark, index, query, size=10, with_metadata=False)
+    meta = index.docs(spark).select(
+        F.col("doc_id"),
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("orig_id"),
+    )
+    return (
+        top.join(meta, "doc_id")
+        .select(F.col("orig_id").alias("doc_id"), _q6(F.col("score")).alias("score_q6"))
+        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
+    )
+
+
+@register(
+    "composite_search",
+    _composite_sql([("spark", 1), ("hash", 1), ("join", 1), ("windoww", 2)], 2,
+                   "spark hash join windoww", 10),
+)
+def composite_search(spark, sf_dir):
+    """§2.8 flagship END-TO-END: the real engine (built index, term_dict
+    fuzzy expansion, multiplicity-weighted msm 50%, best_fields 5/3/3,
+    gated wildcard fallback) vs an independent full-tree SQL oracle —
+    4 terms incl. a 2-edit fuzzy ('windoww'→'window'), msm=2."""
+    return _composite_engine(spark, sf_dir, "spark hash join windoww")
+
+
+@register(
+    "composite_search_filename",
+    _composite_sql([("doc_42", 2)], 1, "doc_42", 10),  # len 6 → AUTO 2 edits
+)
+def composite_search_filename(spark, sf_dir):
+    """Composite tree, filename/wildcard branches: 'doc_42' scores via the
+    boosted filename fields AND the constant-score wildcard clauses
+    (substring of file_name), exercising the full-scan fallback path."""
+    return _composite_engine(spark, sf_dir, "doc_42")
+
+
 _SNIPPET_SQL = """
 SELECT doc_id,
   CASE WHEN pos > 0 THEN
