@@ -1437,6 +1437,26 @@ def unicode_search(spark, sf_dir):
 
 
 @register(
+    "media_frames",
+    """SELECT doc_id, least(CAST(ceil(strlen(text) / 4096.0) AS BIGINT), 8) AS n_frames
+       FROM documents ORDER BY doc_id""",
+)
+def media_frames(spark, sf_dir):
+    """Multimodal frame-sampling plumbing: binary payloads → mapInPandas
+    byte-window "frames" (keyframe-extraction stand-in; every_n_bytes=4096,
+    max 8). The oracle checks the deterministic frame count per doc."""
+    from docix_spark.analysis.multimodal import frame_sample, synth_media
+
+    media = synth_media(_docs(spark, sf_dir))
+    frames = frame_sample(media, every_n_bytes=4096, max_frames=8)
+    return (
+        frames.groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+        .agg(F.count("*").alias("n_frames"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "source_filter_lang",
     """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
        FROM documents WHERE lang IN ('en', 'de') GROUP BY lang ORDER BY lang""",
