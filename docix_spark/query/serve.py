@@ -218,6 +218,8 @@ class CompositeSearcher(LocalSearcher):
             self._dict_chars[i, : len(t)] = [ord(c) for c in t]
         self._exp_cache: dict[str, list[tuple[str, float]]] = {}
         self._post_cache: dict[tuple[str, str], tuple] = {}
+        self._pos_cache: dict[str, dict] = {}
+        self._postings_ds = None  # lazy pyarrow dataset (phrase positions)
 
         n_ords = len(self._ord_to_doc)
         docs = pq.read_table(
@@ -398,3 +400,92 @@ class CompositeSearcher(LocalSearcher):
             key=lambda x: (-x[1], x[0]),
         )
         return ranked[page * size : (page + 1) * size]
+
+    # -- phrase match + autocomplete (service.autocomplete at ms latency) --
+
+    def _term_positions(self, term: str) -> dict[str, "np.ndarray"]:
+        """doc_id → positions array for one content term, read straight
+        from the bucket-sorted postings parquet (pyarrow predicate
+        pushdown; positions are stored for the content field only)."""
+        cached = self._pos_cache.get(term)
+        if cached is not None:
+            return cached
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        if self._postings_ds is None:
+            self._postings_ds = ds.dataset(
+                os.path.join(self.root, "postings"), format="parquet"
+            )
+        bucket = term_bucket_py(term, self.n_buckets)
+        t = self._postings_ds.to_table(
+            columns=["doc_id", "positions"],
+            filter=(
+                (pc.field("term_bucket") == bucket)
+                & (pc.field("field") == "content")
+                & (pc.field("term") == term)
+            ),
+        ).to_pandas()
+        out = {
+            d: np.asarray(p, dtype=np.int64)
+            for d, p in zip(t["doc_id"], t["positions"])
+        }
+        self._pos_cache[term] = out
+        return out
+
+    def phrase_docs(self, phrase: str) -> set[str]:
+        """doc_ids containing the phrase tokens consecutively — the
+        match_phrase filter (SearchAdapter.java:198-201), via shifted
+        position-set intersection over the stored position arrays."""
+        terms = tokenize(phrase)
+        if not terms:
+            return set()
+        maps = [self._term_positions(t) for t in terms]
+        docs = set(maps[0])
+        for m in maps[1:]:
+            docs &= set(m)
+        out = set()
+        for d in docs:
+            anchors = maps[0][d]
+            for i, m in enumerate(maps[1:], 1):
+                anchors = anchors[np.isin(anchors, m[d] - i)]
+                if anchors.size == 0:
+                    break
+            if anchors.size:
+                out.add(d)
+        return out
+
+    def autocomplete(self, query: str, max_suggestions: int = 5) -> list[str]:
+        """The reference autocomplete pipeline entirely in-process:
+        validation (AutocompleteService.java:25-33) → match_phrase filter →
+        phrase-BM25 hit order → 2k over-fetch → the exact client-side
+        bigram loop (SearchAdapter.java:211-234). Mirrors
+        service.autocomplete at ms latency."""
+        if query is None or not query.strip():
+            raise ValueError("Autocomplete query cannot be empty")
+        q = query.strip()
+        if len(q) > 100:
+            raise ValueError("Autocomplete query too long")
+
+        matches = self.phrase_docs(q)
+        terms = tokenize(q)
+        scored = self.search_composite(
+            " ".join(terms), page=0, size=100, validate=False
+        )
+        hits = [d for d, _ in scored if d in matches][: max_suggestions * 2]
+        ql = q.lower()
+        suggestions: list[str] = []
+        content = self._field_lower["content"]
+        for doc_id in hits:
+            o = self._doc_to_ord.get(doc_id)
+            text = content.iloc[int(o)] if o is not None else ""
+            if text:
+                words = text.split()
+                for i in range(len(words) - 1):
+                    if ql in words[i]:
+                        s = f"{words[i]} {words[i + 1]}"
+                        if s not in suggestions and len(suggestions) < max_suggestions:
+                            suggestions.append(s)
+            if len(suggestions) >= max_suggestions:
+                break
+        return suggestions

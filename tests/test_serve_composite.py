@@ -113,3 +113,33 @@ def test_warm_latency_is_milliseconds(served):
         searcher.search_composite("permission software scan_3", size=10)
     per_query = (time.perf_counter() - t0) / n
     assert per_query < 0.05, f"warm composite serve latency {per_query*1000:.1f} ms"
+
+
+def test_autocomplete_matches_service_layer(spark, served):
+    """Serving-tier autocomplete must reproduce the Spark service-layer
+    pipeline (phrase filter → phrase-BM25 order → bigram loop) exactly."""
+    from docix_spark.query import service as svc
+
+    index, searcher = served
+    for q in ["permission", "parse_0", "software to"]:
+        got = searcher.autocomplete(q, max_suggestions=5)
+        want = svc.autocomplete(spark, index, q, max_suggestions=5)
+        assert got == want, q
+    assert searcher.autocomplete("zzz_absent_prefix") == []
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        searcher.autocomplete("   ")
+    with _pytest.raises(ValueError):
+        searcher.autocomplete("q" * 101)
+
+
+def test_phrase_docs_matches_service_filter(spark, served):
+    from docix_spark.query import service as svc
+
+    index, searcher = served
+    for phrase in ["permission is hereby", "hereby is permission", "parse_0"]:
+        got = searcher.phrase_docs(phrase)
+        want = {r.doc_id for r in svc.phrase_filter(spark, index, phrase).collect()}
+        assert got == want, phrase
