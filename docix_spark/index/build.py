@@ -239,13 +239,13 @@ def build_index(
     # De-duplicate identical content: one doc_id = one document, exactly as
     # the reference's deterministic _id collapses re-uploads.
     docs = docs.dropDuplicates(["doc_id"])
-    # Range-clustered by doc_id: point/IN lookups (metadata fetch, the
-    # gated wildcard probe) prune row groups via min/max stats instead of
-    # scanning every file's text column.
-    n_doc_parts = max(spark.sparkContext.defaultParallelism, 8)
+    # doc_id-sorted files: point/IN lookups (metadata fetch, the gated
+    # wildcard probe) prune to ~1 row group per file via min/max stats
+    # instead of scanning every file's text column. dropDuplicates already
+    # hash-partitioned by doc_id, so the sort is in-partition — no extra
+    # shuffle (a repartitionByRange here cost ~10% of build throughput).
     (
-        docs.repartitionByRange(n_doc_parts, "doc_id")
-        .sortWithinPartitions("doc_id")
+        docs.sortWithinPartitions("doc_id")
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "docs"))
     )
