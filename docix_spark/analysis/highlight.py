@@ -34,7 +34,7 @@ FRAGMENT_SIZES = {"content": 300, "file_name": 100, "original_file_name": 100}
 FIELD_PRIORITY = ("content", "file_name", "original_file_name")
 PRE_TAG, POST_TAG = "<mark>", "</mark>"
 
-_WORD_RE = re.compile(TOKEN_PATTERN, re.ASCII)
+_WORD_RE = re.compile(TOKEN_PATTERN)
 
 
 def _find_term_spans(text: str, terms: set[str]) -> list[tuple[int, int]]:

@@ -233,6 +233,14 @@ class CompositeSearcher(LocalSearcher):
             vals = pd.Series([""] * n_ords, dtype=object)
             vals.iloc[ord_idx] = docs[f].fillna("").str.lower().to_numpy(object)
             self._field_lower[f] = vals
+        # original-case doc rows for result shaping (metadata + highlight);
+        # sandbox-scale residency, like the wildcard columns above
+        meta = pq.read_table(
+            os.path.join(root, "docs"),
+            columns=["doc_id", "repo", "path", "commit", "lang",
+                     "file_name", "original_file_name", "content"],
+        ).to_pandas()
+        self._docs_meta = meta.set_index("doc_id", drop=False)
 
     # -- fuzzy expansion (identical to bm25.expand_query_terms) ------------
 
@@ -454,6 +462,65 @@ class CompositeSearcher(LocalSearcher):
             if anchors.size:
                 out.add(d)
         return out
+
+    def search_page(self, query: str, page: int = 0, size: int = 10):
+        """The FULL flagship read path (service.search, SURVEY.md §3.1
+        steps 1-5) served in-process: validation → composite top-k →
+        pagination slice → metadata attach → highlight/snippet shaping →
+        hasNext/hasPrevious + the totalHits-estimate quirk. Returns the
+        same :class:`docix_spark.query.service.SearchPage` DTO."""
+        import pandas as pd
+
+        from docix_spark.analysis.highlight import add_highlights
+        from docix_spark.query.plan import analyze_query, validate_search
+        from docix_spark.query.service import SearchPage
+
+        validate_search(query, page, size)
+        over = self.search_composite(
+            query, page=0, size=(page + 1) * size + 1, validate=False
+        )
+        has_next = len(over) > (page + 1) * size
+        window = over[page * size : (page + 1) * size]
+        rows = []
+        for i, (doc_id, score) in enumerate(window):
+            meta = self._docs_meta.loc[doc_id]
+            rows.append(
+                {
+                    "rank": page * size + i + 1,
+                    "doc_id": doc_id,
+                    "score": score,
+                    "repo": meta["repo"],
+                    "path": meta["path"],
+                    "commit": meta["commit"],
+                    "lang": meta["lang"],
+                    "file_name": meta["file_name"],
+                    "original_file_name": meta["original_file_name"],
+                    "content": meta["content"],
+                }
+            )
+        pdf = pd.DataFrame(
+            rows,
+            columns=["rank", "doc_id", "score", "repo", "path", "commit", "lang",
+                     "file_name", "original_file_name", "content"],
+        )
+        aq = analyze_query(query)
+        if aq.is_match_all:
+            marked: set[str] = set()
+        else:
+            marked = {
+                t for qt in dict.fromkeys(aq.terms) for t, _ in self._expand(qt)
+            }
+        pdf = add_highlights(pdf, marked, query.strip())
+        empty_ratio = float((pdf["highlight"] == "").mean()) if len(pdf) else 0.0
+        return SearchPage(
+            results=pdf,
+            page=page,
+            size=size,
+            total_hits_estimate=1000 if len(pdf) else 0,
+            has_next=has_next,
+            has_previous=page > 0,
+            highlight_empty_ratio=empty_ratio,
+        )
 
     def autocomplete(self, query: str, max_suggestions: int = 5) -> list[str]:
         """The reference autocomplete pipeline entirely in-process:

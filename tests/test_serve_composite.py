@@ -143,3 +143,24 @@ def test_phrase_docs_matches_service_filter(spark, served):
         got = searcher.phrase_docs(phrase)
         want = {r.doc_id for r in svc.phrase_filter(spark, index, phrase).collect()}
         assert got == want, phrase
+
+
+def test_search_page_matches_service_layer(spark, served):
+    """The in-process SearchPage (metadata, ranks, highlights, paging
+    metadata) must match the Spark service-layer page field-for-field."""
+    from docix_spark.query import service as svc
+
+    index, searcher = served
+    for q, page in [("permission software", 0), ("permission software", 1), ("kg7/modu", 0)]:
+        got = searcher.search_page(q, page=page, size=5)
+        want = svc.search(spark, index, q, page=page, size=5)
+        assert list(got.results["rank"]) == list(want.results["rank"])
+        assert list(got.results["doc_id"]) == list(want.results["doc_id"])
+        assert [round(s, 6) for s in got.results["score"]] == [
+            round(s, 6) for s in want.results["score"]
+        ]
+        for col in ["repo", "path", "lang", "file_name", "highlight"]:
+            assert list(got.results[col]) == list(want.results[col]), (q, page, col)
+        assert (got.has_next, got.has_previous) == (want.has_next, want.has_previous)
+        assert got.total_hits_estimate == want.total_hits_estimate
+        assert got.highlight_empty_ratio == want.highlight_empty_ratio
