@@ -560,6 +560,79 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
 
 @register(
+    "ngram_jaccard_banded",
+    f"""WITH sh AS ({_SQL_SHINGLES}),
+        sig AS (
+          SELECT doc_id,
+                 min(md5('0:' || sh)) || min(md5('1:' || sh)) AS band0,
+                 min(md5('2:' || sh)) || min(md5('3:' || sh)) AS band1
+          FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, band0 AS band FROM sig UNION ALL SELECT doc_id, band1 FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(round(1000000.0 * i / (na.n + nb.n - i)) AS BIGINT) AS jaccard_q6
+        FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+        ORDER BY jaccard_q6 DESC, doc_a, doc_b LIMIT 20""",
+)
+def ngram_jaccard_banded(spark, sf_dir):
+    """N-gram Jaccard with MinHash-LSH banding as the blocking key (the
+    100 TB path the source-blocked variant's docstring promised): candidate
+    pairs come from an equi-join on band digests, exact shingle-set Jaccard
+    is verified on candidates only — shuffle carries digests and candidate
+    ids, never an all-pairs product."""
+    sh = _shingles_spark(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        F.concat(F.min(F.md5(F.concat(F.lit("0:"), F.col("sh")))), F.min(F.md5(F.concat(F.lit("1:"), F.col("sh"))))).alias("band0"),
+        F.concat(F.min(F.md5(F.concat(F.lit("2:"), F.col("sh")))), F.min(F.md5(F.concat(F.lit("3:"), F.col("sh"))))).alias("band1"),
+    )
+    bands = sig.select("doc_id", F.col("band0").alias("band")).unionByName(
+        sig.select("doc_id", F.col("band1").alias("band"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("sh_a") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            _q6(F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard_q6"),
+        )
+        .orderBy(F.desc("jaccard_q6"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+@register(
     "doc_fingerprint",
     """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
        FROM documents ORDER BY doc_id""",
