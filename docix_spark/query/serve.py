@@ -43,15 +43,23 @@ _SEG_COLS = [
 
 
 class LocalSearcher:
-    """In-process BM25 top-k over a segment index directory."""
+    """In-process BM25 top-k over a segment index directory.
 
-    def __init__(self, root: str, field: str = "content"):
+    ``shards``: optional doc-range shard subset this node serves — the
+    sharded-fleet deployment (each node loads only its ranges' segment
+    rows, exactly like an ES data node holds its shards); a coordinator
+    k-merges per-node results (:func:`fleet_topk`). None = whole index.
+    """
+
+    def __init__(self, root: str, field: str = "content",
+                 shards: set[int] | None = None):
         import pyarrow.dataset as ds
 
         with open(os.path.join(root, "seg_meta.json")) as fh:
             meta = json.load(fh)
         self.root = root
         self.field = field
+        self.shards = set(shards) if shards is not None else None
         self.n_buckets = int(meta["n_buckets"])
         self.k1 = float(meta.get("k1", BM25_K1))
         self.b = float(meta.get("b", BM25_B))
@@ -118,14 +126,14 @@ class LocalSearcher:
         import pyarrow.compute as pc
 
         bucket = term_bucket_py(term, self.n_buckets)
-        t = self._segments.to_table(
-            columns=_SEG_COLS,
-            filter=(
-                (pc.field("term_bucket") == bucket)
-                & (pc.field("field") == field)
-                & (pc.field("term") == term)
-            ),
+        flt = (
+            (pc.field("term_bucket") == bucket)
+            & (pc.field("field") == field)
+            & (pc.field("term") == term)
         )
+        if self.shards is not None:
+            flt = flt & pc.field("shard").isin(sorted(self.shards))
+        t = self._segments.to_table(columns=_SEG_COLS, filter=flt)
         rows = t.to_pylist()
         self._seg_cache[key] = rows
         return rows
@@ -177,6 +185,20 @@ class LocalSearcher:
 
     def search(self, query: str, k: int = 10) -> list[tuple[str, float]]:
         return self.search_terms(tokenize(query), k)[0]
+
+
+def fleet_topk(
+    nodes: list["LocalSearcher"], terms: list[str], k: int = 10
+) -> list[tuple[str, float]]:
+    """Coordinator for a sharded serving fleet: ask every node for its
+    local top-k over its doc-range shards and k-merge by the global
+    (score desc, doc_id asc) order — the ES coordinating-node reduce.
+    Shard sets must partition the index for exact results."""
+    cand: list[tuple[str, float]] = []
+    for node in nodes:
+        cand.extend(node.search_terms(terms, k)[0])
+    cand.sort(key=lambda x: (-x[1], x[0]))
+    return cand[:k]
 
 
 class CompositeSearcher(LocalSearcher):

@@ -96,3 +96,26 @@ def test_delete_hides_doc_on_serving_path_before_compaction(spark, served):
     finally:
         shutil.rmtree(ts.path, ignore_errors=True)
         searcher.refresh_tombstones()
+
+
+def test_sharded_fleet_matches_single_node(spark, served):
+    """Scale deployment shape: two serving nodes each loading only their
+    doc-range shard subset, coordinator k-merge — results identical to one
+    node holding the whole index (the ES shard/coordinate model)."""
+    from pyspark.sql import functions as F
+
+    from docix_spark.query.serve import fleet_topk
+
+    index, seg, searcher = served
+    shards = sorted(
+        r.shard for r in seg.segments(spark).select("shard").distinct().collect()
+    )
+    assert len(shards) >= 2  # docs_per_shard=64 over 300 docs
+    half = set(shards[: len(shards) // 2])
+    node_a = LocalSearcher(seg.root, shards=half)
+    node_b = LocalSearcher(seg.root, shards=set(shards) - half)
+
+    for terms in [["permission", "software"], ["parse_0", "merge_1"], ["uniq_17_0"]]:
+        merged = [(d, round(s, 6)) for d, s in fleet_topk([node_a, node_b], terms, 10)]
+        single = [(d, round(s, 6)) for d, s in searcher.search_terms(terms, 10)[0]]
+        assert merged == single and len(merged) > 0
