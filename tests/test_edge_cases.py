@@ -72,3 +72,18 @@ def test_search_empty_index(spark, tmp_root):
 
 def test_autocomplete_no_matches(spark, weird_index):
     assert autocomplete(spark, weird_index, "zzzznope") == []
+
+
+def test_parse_size_reference_semantics():
+    """F10: exact parseMaxFileSize behavior (BulkUploadService.java:222-244)
+    — binary multiples, bare bytes, 50MB default on null/blank/junk."""
+    from docix_spark.config import DEFAULT_MAX_FILE_SIZE, parse_size
+
+    assert parse_size("100MB") == 100 * 1024 * 1024
+    assert parse_size("128KB") == 128 * 1024
+    assert parse_size("2GB") == 2 * 1024 * 1024 * 1024
+    assert parse_size("4096") == 4096
+    assert parse_size(None) == DEFAULT_MAX_FILE_SIZE
+    assert parse_size("   ") == DEFAULT_MAX_FILE_SIZE
+    assert parse_size("12XB") == DEFAULT_MAX_FILE_SIZE
+    assert parse_size("notasize") == DEFAULT_MAX_FILE_SIZE
