@@ -66,10 +66,19 @@ def cmd_gen(args):
 
 
 def cmd_build(args):
+    from pyspark.sql import functions as F
+
+    from docix_spark.config import parse_size
     from docix_spark.index import checkpoint as cp
 
     spark = _spark(args)
     corpus = _load_corpus(spark, args.input)
+    # size-based admission (F10; the reference's parseMaxFileSize gate,
+    # BulkUploadService.java:222-244, applied before upload)
+    max_bytes = parse_size(getattr(args, "max_doc_size", None))
+    admitted = corpus.where(F.octet_length("content") <= max_bytes)
+    n_rejected = corpus.count() - admitted.count()
+    corpus = admitted
     t0 = time.perf_counter()
     build = cp.start_build(spark, corpus, args.out, n_parts=args.parts,
                            n_buckets=args.buckets)
@@ -79,6 +88,7 @@ def cmd_build(args):
     print(json.dumps({
         "cmd": "build", "build_id": build.build_id, "out": args.out,
         "status": cp.overall_status(spark, args.out), "docs": n,
+        "rejected_oversize": n_rejected,
         "seconds": round(dt, 3), "docs_per_sec": round(n / dt, 2),
     }))
 
@@ -211,6 +221,8 @@ def main(argv=None):
         if name == "build":
             sp.add_argument("--input", required=True)
             sp.add_argument("--parts", type=int, default=32)
+            sp.add_argument("--max-doc-size", default=None, dest="max_doc_size",
+                            help="admission cap, e.g. 50MB/128KB/2GB (reference default 50MB)")
         sp.add_argument("--out", required=True)
         sp.add_argument("--buckets", type=int, default=64)
         sp.set_defaults(fn=fn)
