@@ -42,6 +42,17 @@ def _spark(args):
                      shuffle_partitions=args.shuffle_partitions)
 
 
+def _open_index(args):
+    """Open the index with its persisted bucket count; an explicit
+    --buckets overrides (a mismatched count silently prunes the wrong
+    buckets and returns nothing)."""
+    from docix_spark.index.build import Index
+
+    if getattr(args, "buckets", None) is not None:
+        return Index(root=args.out, n_buckets=args.buckets)
+    return Index.open(args.out)
+
+
 def _load_corpus(spark, path: str):
     """Accept either a corpus parquet dir (repo,path,commit,lang,content),
     a driver sf dir containing documents.parquet, or that file itself."""
@@ -106,11 +117,10 @@ def cmd_resume(args):
 
 
 def cmd_segments(args):
-    from docix_spark.index.build import Index
     from docix_spark.index.segments import build_segments
 
     spark = _spark(args)
-    index = Index(root=args.out, n_buckets=args.buckets)
+    index = _open_index(args)
     t0 = time.perf_counter()
     seg = build_segments(spark, index, docs_per_shard=args.docs_per_shard)
     stats = seg.segments(spark).selectExpr(
@@ -126,11 +136,10 @@ def cmd_segments(args):
 
 
 def cmd_search(args):
-    from docix_spark.index.build import Index
     from docix_spark.query.bm25 import search_topk
 
     spark = _spark(args)
-    index = Index(root=args.out, n_buckets=args.buckets)
+    index = _open_index(args)
     t0 = time.perf_counter()
     rows = search_topk(spark, index, args.query, page=args.page, size=args.size).collect()
     dt = time.perf_counter() - t0
@@ -144,12 +153,11 @@ def cmd_search(args):
 
 
 def cmd_wand(args):
-    from docix_spark.index.build import Index
     from docix_spark.index.segments import SegmentIndex
     from docix_spark.query.wand import wand_topk
 
     spark = _spark(args)
-    index = Index(root=args.out, n_buckets=args.buckets)
+    index = _open_index(args)
     seg = SegmentIndex.load(args.out)
     t0 = time.perf_counter()
     rows = wand_topk(spark, index, seg, args.terms, k=args.size).collect()
@@ -161,11 +169,10 @@ def cmd_wand(args):
 
 
 def cmd_autocomplete(args):
-    from docix_spark.index.build import Index
     from docix_spark.query.service import autocomplete
 
     spark = _spark(args)
-    index = Index(root=args.out, n_buckets=args.buckets)
+    index = _open_index(args)
     print(json.dumps({
         "cmd": "autocomplete", "query": args.query,
         "suggestions": autocomplete(spark, index, args.query, args.size),
@@ -229,13 +236,15 @@ def main(argv=None):
 
     sp = sub.add_parser("segments")
     sp.add_argument("--out", required=True)
-    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--buckets", type=int, default=None,
+                    help="override; default = the index's persisted count")
     sp.add_argument("--docs-per-shard", type=int, default=1 << 16, dest="docs_per_shard")
     sp.set_defaults(fn=cmd_segments)
 
     sp = sub.add_parser("search")
     sp.add_argument("--out", required=True)
-    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--buckets", type=int, default=None,
+                    help="override; default = the index's persisted count")
     sp.add_argument("--query", required=True)
     sp.add_argument("--page", type=int, default=0)
     sp.add_argument("--size", type=int, default=10)
@@ -243,14 +252,16 @@ def main(argv=None):
 
     sp = sub.add_parser("wand")
     sp.add_argument("--out", required=True)
-    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--buckets", type=int, default=None,
+                    help="override; default = the index's persisted count")
     sp.add_argument("--terms", nargs="+", required=True)
     sp.add_argument("--size", type=int, default=10)
     sp.set_defaults(fn=cmd_wand)
 
     sp = sub.add_parser("autocomplete")
     sp.add_argument("--out", required=True)
-    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--buckets", type=int, default=None,
+                    help="override; default = the index's persisted count")
     sp.add_argument("--query", required=True)
     sp.add_argument("--size", type=int, default=5)
     sp.set_defaults(fn=cmd_autocomplete)

@@ -183,6 +183,22 @@ class Index:
     root: str
     n_buckets: int = DEFAULT_TERM_BUCKETS
 
+    @staticmethod
+    def open(root: str) -> "Index":
+        """Open an existing index with its PERSISTED bucket count (from
+        index_meta.json or the checkpointed build's build.json) — a handle
+        constructed with the wrong n_buckets silently prunes the wrong
+        buckets and finds nothing."""
+        import json
+
+        for name in ("index_meta.json", "build.json"):
+            p = os.path.join(root, name)
+            if os.path.exists(p):
+                with open(p) as fh:
+                    meta = json.load(fh)
+                return Index(root=root, n_buckets=int(meta.get("n_buckets", DEFAULT_TERM_BUCKETS)))
+        return Index(root=root)
+
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
@@ -283,5 +299,10 @@ def build_index(
         F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
     )
     corpus_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "corpus_stats"))
+
+    import json
+
+    with open(os.path.join(out_dir, "index_meta.json"), "w") as fh:
+        json.dump({"n_buckets": n_buckets, "fields": list(fields)}, fh)
 
     return Index(root=out_dir, n_buckets=n_buckets)

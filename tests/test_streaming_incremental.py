@@ -179,3 +179,39 @@ def test_incremental_stats_match_full_recompute(spark, drops, tmp_root):
         ws = sum(v for (ff, _), v in want_dl.items() if ff == f)
         assert (n, s) == (wn, ws)
         assert abs(avgdl - ws / wn) < 1e-12
+
+
+def test_rebuild_stats_repairs_inconsistency(spark, tmp_root):
+    """The documented crash window: a batch merged twice (retry that died
+    between table writes and the marker) leaves additive stats wrong;
+    rebuild_stats() restores them from the postings table."""
+    from docix_spark.streaming.incremental import _merge_stats, rebuild_stats
+
+    in_dir = f"{tmp_root}/repair_in"
+    os.makedirs(in_dir, exist_ok=True)
+    root = f"{tmp_root}/repair_idx"
+    spark.createDataFrame(synth_corpus_pdf(60, seed=63)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_root}/_r1")
+    _copy_files(f"{tmp_root}/_r1", in_dir, "d1")
+    q = incremental_index(spark, in_dir, root, n_buckets=8, available_now=True)
+    q.awaitTermination(120)
+
+    sidx = StreamingIndex(root=root, n_buckets=8)
+    good_df = {(r.field, r.term): int(r.df) for r in spark.read.parquet(f"{root}/df_stats").collect()}
+
+    # simulate the crash-retry double merge (marker not consulted)
+    batch = spark.read.parquet(f"{root}/postings/batch=0")
+    _merge_stats(spark, root, 8, batch)
+    bad_df = {(r.field, r.term): int(r.df) for r in spark.read.parquet(f"{root}/df_stats").collect()}
+    assert bad_df != good_df  # corruption is real
+
+    rebuild_stats(spark, root, 8)
+    fixed = {(r.field, r.term): int(r.df) for r in spark.read.parquet(f"{root}/df_stats").collect()}
+    assert fixed == good_df
+    # doc_stats duplicates from the double merge are also rewritten
+    dups = (
+        spark.read.parquet(f"{root}/doc_stats").groupBy("field", "doc_id").count()
+        .where(F.col("count") > 1).count()
+    )
+    assert dups == 0
