@@ -85,19 +85,33 @@ def compact(spark: SparkSession, index: Index) -> Index:
     from docix_spark.index.build import _write_bucketed
 
     for name in ("postings", "docs"):
-        df = spark.read.parquet(index.path(name)).join(dead, "doc_id", "left_anti")
+        src = index.path(name)
+        # a streaming-layout table (batch=N subdirs) must stay partitioned:
+        # rewriting it flat would break the NEXT micro-batch's append
+        # (mixed flat + batch= dirs fail partition discovery). The compacted
+        # rows land in batch=0; the stream's checkpoint keeps future batch
+        # ids monotonic, so no collision.
+        streaming_layout = any(
+            d.startswith("batch=") for d in os.listdir(src)
+        ) if os.path.isdir(src) else False
+        df = index.postings(spark) if name == "postings" else index.docs(spark)
+        df = df.join(dead, "doc_id", "left_anti")
         tmp = index.path(name + "__compact")
         df.write.mode("overwrite").parquet(tmp)
         clean = spark.read.parquet(tmp)
+        import shutil
+
+        dest = os.path.join(src, "batch=0") if streaming_layout else src
+        if streaming_layout:
+            shutil.rmtree(src, ignore_errors=True)
         if name == "postings":
             # bucket-clustered plain write — same layout as build/finalize;
             # the dynamic-partitionBy insert is a serial bottleneck and
             # loses the sorted row-group pruning (build._write_bucketed).
-            _write_bucketed(clean, index.n_buckets, index.path(name))
+            _write_bucketed(clean, index.n_buckets, dest)
         else:
-            clean.write.mode("overwrite").parquet(index.path(name))
-        import shutil
-
+            # keep the doc_id-sorted file layout (point/IN probe pruning)
+            clean.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(dest)
         shutil.rmtree(tmp, ignore_errors=True)
 
     postings = index.postings(spark)

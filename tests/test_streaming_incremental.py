@@ -215,3 +215,53 @@ def test_rebuild_stats_repairs_inconsistency(spark, tmp_root):
         .where(F.col("count") > 1).count()
     )
     assert dups == 0
+
+
+def test_delete_compact_then_continue_streaming(spark, tmp_root):
+    """Delete-by-query + compaction on a streaming-layout index, then MORE
+    micro-batches: the batch= partitioning must survive compaction (a flat
+    rewrite would break the next append), and final results must be
+    rank-identical to a fresh build over (union minus deleted)."""
+    import pandas as pd
+
+    from docix_spark.query.service import Tombstones, compact
+
+    in_dir = f"{tmp_root}/stream_cpt_in"
+    os.makedirs(in_dir, exist_ok=True)
+    root = f"{tmp_root}/stream_cpt_idx"
+    p1 = synth_corpus_pdf(100, seed=71)
+    p2 = synth_corpus_pdf(60, seed=72)
+
+    spark.createDataFrame(p1).coalesce(1).write.mode("overwrite").parquet(f"{tmp_root}/_c1")
+    _copy_files(f"{tmp_root}/_c1", in_dir, "d1")
+    q = incremental_index(spark, in_dir, root, n_buckets=8, available_now=True)
+    q.awaitTermination(120)
+
+    sidx = StreamingIndex(root=root, n_buckets=8)
+    target = search_topk(spark, sidx, "permission software", size=1,
+                         with_metadata=False).first().doc_id
+    Tombstones(sidx).delete(spark, [target])
+    compact(spark, sidx)
+    assert sidx.postings(spark).where(F.col("doc_id") == target).count() == 0
+
+    # ingest continues after compaction
+    spark.createDataFrame(p2).coalesce(1).write.mode("overwrite").parquet(f"{tmp_root}/_c2")
+    _copy_files(f"{tmp_root}/_c2", in_dir, "d2")
+    q = incremental_index(spark, in_dir, root, n_buckets=8, available_now=True)
+    q.awaitTermination(120)
+
+    union = pd.concat([p1, p2], ignore_index=True)
+    fidx = build_index(spark, spark.createDataFrame(union), f"{tmp_root}/stream_cpt_full", n_buckets=8)
+    Tombstones(fidx).delete(spark, [target])
+    compact(spark, fidx)
+    for query in ["permission software", "parse_0 index_2"]:
+        a = [
+            (r.doc_id, round(r.score, 6))
+            for r in search_topk(spark, sidx, query, size=10, with_metadata=False).collect()
+        ]
+        b = [
+            (r.doc_id, round(r.score, 6))
+            for r in search_topk(spark, fidx, query, size=10, with_metadata=False).collect()
+        ]
+        assert a == b and len(a) > 0
+        assert target not in {d for d, _ in a}
