@@ -100,6 +100,14 @@ class LocalSearcher:
         self._dead_ords = np.empty(0, np.int64)
         self.refresh_tombstones()
 
+    def refresh(self) -> None:
+        """Re-open the index state — the ES index-refresh analogue making
+        incremental appends (segments.extend_segments / merges / compaction
+        / new stats) visible to a LIVE searcher without replacing it. Full
+        re-read: at serving scale a node re-opens only changed files; here
+        correctness over cleverness."""
+        self.__init__(self.root, field=self.field, shards=self.shards)
+
     def refresh_tombstones(self) -> None:
         """Reload the delete ledger (index root ``tombstones`` table) — the
         serving-tier analogue of ES making a delete-by-query visible on the
@@ -219,8 +227,9 @@ class CompositeSearcher(LocalSearcher):
       hold only its doc-range slice, exactly like the segment data).
     """
 
-    def __init__(self, root: str, field: str = "content"):
-        super().__init__(root, field=field)
+    def __init__(self, root: str, field: str = "content",
+                 shards: set[int] | None = None):
+        super().__init__(root, field=field, shards=shards)
         import pyarrow.parquet as pq
 
         from docix_spark.query.plan import FIELD_BOOSTS

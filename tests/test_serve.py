@@ -119,3 +119,50 @@ def test_sharded_fleet_matches_single_node(spark, served):
         merged = [(d, round(s, 6)) for d, s in fleet_topk([node_a, node_b], terms, 10)]
         single = [(d, round(s, 6)) for d, s in searcher.search_terms(terms, 10)[0]]
         assert merged == single and len(merged) > 0
+
+
+def test_refresh_sees_incremental_appends(spark, served, tmp_root):
+    """A LIVE searcher must see extend_segments appends after refresh() —
+    the ES index-refresh semantics."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from docix_spark.corpus import synth_corpus_pdf, with_doc_ids
+    from docix_spark.index.build import build_index
+    from docix_spark.index.segments import build_segments, extend_segments
+
+    p1 = synth_corpus_pdf(80, seed=95)
+    p2 = synth_corpus_pdf(40, seed=96)
+    union = pd.concat([p1, p2], ignore_index=True)
+    root = f"{tmp_root}/refresh_idx"
+    idx = build_index(spark, spark.createDataFrame(union), root, n_buckets=8)
+
+    b1_ids = sorted(
+        r.doc_id
+        for r in with_doc_ids(spark.createDataFrame(p1)).select("doc_id").distinct().collect()
+    )
+    post_all = idx.postings(spark)
+    post_b1 = post_all.where(F.col("doc_id").isin(b1_ids))
+    post_b2 = post_all.join(post_b1.select("doc_id").distinct(), "doc_id", "left_anti")
+
+    class _B1Index:
+        n_buckets = idx.n_buckets
+        root = idx.root
+
+        def postings(self, s):
+            return post_b1
+
+        def docs(self, s):
+            return post_b1.select("doc_id").distinct()
+
+    seg = build_segments(spark, _B1Index(), out_root=root, docs_per_shard=32)
+    live = LocalSearcher(root)
+    before = {d for d, _ in live.search_terms(["permission", "software"], 10)[0]}
+
+    assert extend_segments(spark, seg, post_b2) > 0
+    # stale until refreshed, then identical to a fresh open
+    live.refresh()
+    after = [(d, round(s, 6)) for d, s in live.search_terms(["permission", "software"], 10)[0]]
+    fresh = [(d, round(s, 6)) for d, s in LocalSearcher(root).search_terms(["permission", "software"], 10)[0]]
+    assert after == fresh
+    assert set(d for d, _ in after) != before or len(before) < 10
