@@ -871,6 +871,75 @@ def token_count(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Event-stream analytics (batch twins of docix_spark.streaming.events;
+# the streaming paths — watermarked windows, applyInPandasWithState
+# sessionization — are verified equal to these twins in
+# tests/test_events_streaming.py)
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+@register(
+    "events_windowed",
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+              event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def events_windowed(spark, sf_dir):
+    """Tumbling 1-hour window aggregation per event_type — the batch twin
+    of the watermarked streaming window (streaming/events.py)."""
+    from docix_spark.streaming.events import windowed_counts
+
+    return windowed_counts(_events(spark, sf_dir))
+
+
+@register(
+    "events_sessionize",
+    """WITH e AS (SELECT user_id, epoch(ts) AS t FROM events),
+       m AS (
+         SELECT user_id, t,
+                CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                       OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800
+                     THEN 1 ELSE 0 END AS ns
+         FROM e
+       ),
+       s AS (
+         SELECT user_id, t,
+                sum(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sess
+         FROM m
+       )
+       SELECT user_id, CAST(floor(min(t)) AS BIGINT) AS session_start_epoch,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM s GROUP BY user_id, sess ORDER BY user_id, session_start_epoch""",
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) — the batch twin of
+    the applyInPandasWithState stateful operator (streaming/events.py)."""
+    from docix_spark.streaming.events import sessionize
+
+    return sessionize(_events(spark, sf_dir))
+
+
+@register(
+    "events_props_json",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+              CAST(round(1000000.0 * avg(CAST(json_extract_string(props, '$.k') AS BIGINT))) AS BIGINT) AS k_avg_q6
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def events_props_json(spark, sf_dir):
+    """JSON payload handling on the props column (get_json_object vs
+    json_extract) — per-event_type stats."""
+    from docix_spark.streaming.events import props_json_stats
+
+    return props_json_stats(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # M3/M5 — compressed-segment WAND serving path + snippet fallback (F7)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,251 @@
+"""Event-stream analytics — Structured Streaming operators over the
+``events`` table shape (event_id, ts, user_id, event_type, value, props).
+
+The reference has no temporal semantics (SURVEY.md §2.9); these are the
+beyond-reference streaming operators a training-data pipeline needs
+(task brief: watermarks + windowed aggs for late data,
+applyInPandasWithState for custom stateful operators). Every streaming
+operator has a BATCH TWIN with identical semantics — the twin is the
+driver-contract oracle (DuckDB-checkable SQL) and the pytest ground truth
+for the streaming path.
+
+- :func:`windowed_counts` / :func:`windowed_counts_stream` — tumbling
+  1-hour windows per event_type (count + value sum). The stream is
+  watermarked: state for windows older than the watermark is dropped, so
+  state size is bounded by (active windows x event types) regardless of
+  stream length — the 100 TB property.
+- :func:`sessionize` / :func:`sessionize_stream` — gap-based sessions per
+  user (a new session starts after > ``gap_sec`` of inactivity). Batch:
+  gaps-and-islands over a lag window. Streaming: a custom stateful
+  operator via ``applyInPandasWithState`` — per-user state holds
+  (last_ts, session_start, n_events); a closed session is emitted the
+  moment the gap is observed. State is one tiny tuple per ACTIVE user.
+- :func:`props_json_stats` — JSON handling on the props column
+  (get_json_object / json_extract), per event_type.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SESSION_GAP_SEC = 1800  # 30 min inactivity closes a session
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _q6(col) -> F.Column:
+    return F.round(col * F.lit(1_000_000.0)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# tumbling-window aggregation
+# ---------------------------------------------------------------------------
+
+
+def windowed_counts(events: DataFrame) -> DataFrame:
+    """Batch twin: tumbling 1-hour windows per event_type."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            # cents-exact integer sum: float addition order differs across
+            # engines/partitions, integer sums do not
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start_epoch"),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+        .orderBy("window_start_epoch", "event_type")
+    )
+
+
+def windowed_counts_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "events_windowed",
+    watermark: str = "10 minutes",
+):
+    """Streaming path: file-source micro-batches → watermark → tumbling
+    windows. Complete-output memory sink for in-process verification; the
+    watermark still bounds the aggregation state (windows older than
+    max(ts) - watermark are finalized and dropped from state)."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(input_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start_epoch"),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# gap sessionization
+# ---------------------------------------------------------------------------
+
+
+def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
+    """Batch twin: gaps-and-islands — a session break wherever the gap to
+    the previous event of the same user exceeds ``gap_sec``. One row per
+    session: (user_id, session_start_epoch, n_events)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("t")
+    # parquet timestamps arrive as TIMESTAMP_NTZ; route through timestamp
+    # (UTC session) to get epoch seconds with sub-second precision
+    e = events.select(
+        "user_id", F.col("ts").cast("timestamp").cast("double").alias("t")
+    )
+    marked = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("t").over(w).isNull() | (F.col("t") - F.lag("t").over(w) > gap_sec),
+            1,
+        ).otherwise(0),
+    ).withColumn("sess_no", F.sum("new_sess").over(w))
+    return (
+        marked.groupBy("user_id", "sess_no")
+        .agg(
+            # explicit floor: DuckDB's double->BIGINT cast ROUNDS while
+            # Spark's truncates — floor on both sides is unambiguous
+            F.floor(F.min("t")).cast("long").alias("session_start_epoch"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select("user_id", "session_start_epoch", "n_events")
+        .orderBy("user_id", "session_start_epoch")
+    )
+
+
+def closed_sessions(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
+    """All sessions EXCEPT each user's last (still-open) one — exactly the
+    set the streaming operator has emitted when the stream pauses."""
+    from pyspark.sql import Window
+
+    s = sessionize(events, gap_sec)
+    w = Window.partitionBy("user_id")
+    return (
+        s.withColumn("last_start", F.max("session_start_epoch").over(w))
+        .where(F.col("session_start_epoch") < F.col("last_start"))
+        .select("user_id", "session_start_epoch", "n_events")
+        .orderBy("user_id", "session_start_epoch")
+    )
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "events_sessions",
+    gap_sec: int = SESSION_GAP_SEC,
+):
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    state is (last_ts, session_start, n_events); a session is emitted the
+    moment an event arrives past the gap. State is O(active users), not
+    O(events) — the property that survives an unbounded stream.
+
+    Requires event-time-ordered micro-batches per user (file source fed in
+    ts order), the standard log-ingest contract."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_t, start_t, n = state.get
+        else:
+            last_t, start_t, n = None, None, 0
+        out = []
+        ts_all: list[float] = []
+        for pdf in pdfs:
+            ts_all.extend(pdf["t"].tolist())
+        for t in sorted(ts_all):
+            if last_t is not None and t - last_t > gap_sec:
+                import math
+
+                out.append((user_id, int(math.floor(start_t)), n))
+                start_t, n = t, 0
+            if start_t is None:
+                start_t = t
+            n += 1
+            last_t = t
+        state.update((float(last_t), float(start_t), int(n)))
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start_epoch", "n_events"]
+        )
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(input_dir)
+    sessions = (
+        stream.select(
+            "user_id", F.col("ts").cast("timestamp").cast("double").alias("t")
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, session_start_epoch long, n_events long",
+            stateStructType="last_t double, start_t double, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON props handling
+# ---------------------------------------------------------------------------
+
+
+def props_json_stats(events: DataFrame) -> DataFrame:
+    """Per-event_type stats over the JSON props payload (k extraction)."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(k).cast("long").alias("k_sum"),
+            _q6(F.avg(k)).alias("k_avg_q6"),
+        )
+        .orderBy("event_type")
+    )
