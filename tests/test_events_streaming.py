@@ -75,3 +75,85 @@ def test_sessionize_stream_matches_batch(spark, event_drops, tmp_root):
         for r in closed_sessions(spark.read.parquet(f"{SF_DIR}/events.parquet")).collect()
     )
     assert got == want and len(want) > 10
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_root):
+    """Late-data semantics, concretely: an event arriving AFTER the
+    watermark passed its window is dropped from the append-mode stream
+    (the batch twin still counts it) — the state-bounding contract that
+    lets the windowed aggregation run forever."""
+    import datetime as dt
+
+    from docix_spark.streaming.events import EVENTS_SCHEMA
+
+    def ev(eid, hh, mm, etype="click"):
+        return (
+            eid,
+            dt.datetime(2024, 3, 1, hh, mm, 0),
+            1,
+            etype,
+            1.0,
+            '{"k": 1}',
+        )
+
+    d = f"{tmp_root}/late_drops"
+    os.makedirs(d, exist_ok=True)
+    # the engine applies the advanced watermark with a one-batch lag, so
+    # the late event arrives TWO batches after the advance (measured:
+    # numRowsDroppedByWatermark=1 in its batch)
+    batches = [
+        [ev(0, 10, 0), ev(1, 10, 30)],   # window [10:00, 11:00)
+        [ev(2, 12, 0)],                   # advances watermark to 11:50
+        [ev(3, 12, 5)],                   # watermark now applied
+        [ev(4, 10, 15)],                  # LATE: 10:15 << watermark -> dropped
+        [ev(5, 12, 10)],                  # finalizes [10:00) after the late one
+    ]
+    import time
+
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_root}/_late{i}")
+        for f in os.listdir(f"{tmp_root}/_late{i}"):
+            if f.endswith(".parquet"):
+                os.replace(
+                    os.path.join(f"{tmp_root}/_late{i}", f),
+                    os.path.join(d, f"chunk_{i}.parquet"),
+                )
+        time.sleep(1.1)  # distinct mtimes: file-source batch order
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start_epoch"),
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late_win")
+        .option("checkpointLocation", f"{tmp_root}/late_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {
+        r.window_start_epoch: r.n for r in spark.sql("SELECT * FROM t_late_win").collect()
+    }
+    w10 = int(dt.datetime(2024, 3, 1, 10, 0, tzinfo=dt.timezone.utc).timestamp())
+    # the finalized 10:00 window counts ONLY the on-time events — the late
+    # arrival (event 3) was dropped by the watermark
+    assert emitted[w10] == 2
+    # the batch twin over the same files counts all three
+    batch = (
+        spark.read.parquet(d)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_timestamp("w.start").cast("long").alias("s"), "n")
+    )
+    assert {r.s: r.n for r in batch.collect()}[w10] == 3
