@@ -135,7 +135,10 @@ def main() -> None:
     search_p95_warm = round(lat[max(int(len(lat) * 0.95) - 1, 0)] if lat else 0.0, 4)
 
     # -- registry heavies ---------------------------------------------------
-    for name in ["bm25_topk", "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard_pairs", "knn_cosine_top10", "quality_score"]:
+    for name in ["bm25_topk", "dedup_exact", "minhash_lsh_pairs",
+                 "ngram_jaccard_banded", "knn_cosine_top10", "quality_score",
+                 "simhash_band_pairs", "embedding_lsh_pairs",
+                 "events_windowed", "events_sessionize"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -166,13 +166,14 @@ def wand_shard(
     return cand_ords[topk], cand_scores[topk], stats
 
 
-def _dead_ordinals(spark: SparkSession, index: Index, seg: SegmentIndex,
-                   exclude: DataFrame | None) -> np.ndarray:
-    """Tombstoned doc ordinals: the index's tombstone ledger plus any
-    explicit exclude set, mapped through doc_ords. Collected driver-side —
-    tombstones are bounded between compactions (the reference deletes by
-    explicit id lists, SearchAdapter.java:331-354); at 10^12 docs the
-    live-docs mask would ship per-shard bitmap slices instead."""
+def _dead_ords_per_shard(spark: SparkSession, index: Index, seg: SegmentIndex,
+                         exclude: DataFrame | None) -> DataFrame | None:
+    """Tombstoned doc ordinals as a PER-SHARD relation (shard,
+    dead_ords array) — the Lucene live-docs bitmap sliced by doc range.
+    Never collected to the driver: each scoring task receives only its
+    shard's slice through a join, so the mask scales with deletes-per-shard
+    no matter how large the total delete set grows. None when there are no
+    deletes (the common case pays nothing)."""
     import os
 
     from docix_spark.query.service import Tombstones
@@ -183,9 +184,17 @@ def _dead_ordinals(spark: SparkSession, index: Index, seg: SegmentIndex,
     if exclude is not None:
         dead = exclude if dead is None else dead.unionByName(exclude).distinct()
     if dead is None:
-        return np.empty(0, np.int64)
-    rows = seg.doc_ords(spark).join(dead, "doc_id").select("doc_ord").collect()
-    return np.sort(np.array([r.doc_ord for r in rows], dtype=np.int64))
+        return None
+    return (
+        seg.doc_ords(spark)
+        .join(dead, "doc_id")
+        .select(
+            "doc_ord",
+            (F.col("doc_ord") / F.lit(seg.docs_per_shard)).cast("int").alias("shard"),
+        )
+        .groupBy("shard")
+        .agg(F.sort_array(F.collect_list("doc_ord")).alias("dead_ords"))
+    )
 
 
 def wand_topk(
@@ -242,14 +251,23 @@ def wand_topk(
         )
         .join(winfo, "term")
     )
+    dead_by_shard = _dead_ords_per_shard(spark, index, seg, exclude)
+    if dead_by_shard is not None:
+        segs = segs.join(dead_by_shard, "shard", "left")
 
     k1, b = seg.k1, seg.b
     kk = int(k)
-    dead = _dead_ordinals(spark, index, seg, exclude)
+    has_dead = dead_by_shard is not None
 
     def score_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        dead_arr = None
+        if has_dead:
+            nn = pdf["dead_ords"].dropna()
+            if len(nn):
+                dead_arr = np.asarray(nn.iloc[0], dtype=np.int64)
+            pdf = pdf.drop(columns=["dead_ords"])
         seg_dicts = pdf.to_dict("records")
-        ords, scores, _ = wand_shard(seg_dicts, kk, k1, b, dead_ords=dead)
+        ords, scores, _ = wand_shard(seg_dicts, kk, k1, b, dead_ords=dead_arr)
         return pd.DataFrame({"doc_ord": ords, "score": scores})
 
     per_shard = segs.groupBy("shard").applyInPandas(
