@@ -100,6 +100,38 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id string, media_type string, width int, height int, "
+    "resized_width int, resized_height int, thumb_bytes binary"
+)
+
+
+def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Resize stage stub: the real path would decode → scale → re-encode
+    (codec libs absent in this container); the deterministic fake scales
+    the fake-decoded dimensions preserving aspect ratio and emits a
+    truncated-payload "thumbnail" — the Spark-side plumbing (Arrow
+    batches, schema, partition invariance) is real and tested."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                d = fake_decode(payload)
+                w, h = d["width"], d["height"]
+                scale = min(max_dim / max(w, h, 1), 1.0)
+                rw, rh = max(int(w * scale), 1), max(int(h * scale), 1)
+                rows.append((doc_id, mtype, w, h, rw, rh, payload[: rw * rh]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "width", "height",
+                         "resized_width", "resized_height", "thumb_bytes"],
+            )
+
+    return media.mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8) -> DataFrame:
     """Frame-sampling stub for video payloads: deterministic byte-window
     "frames" every ``every_n_bytes`` (stands in for keyframe extraction);

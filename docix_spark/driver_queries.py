@@ -1599,6 +1599,57 @@ def media_frames(spark, sf_dir):
 
 
 @register(
+    "media_resize",
+    """WITH p AS (
+         SELECT doc_id, ascii(substr(text, 1, 1)) + 1 AS w,
+                ascii(substr(text, 2, 1)) + 1 AS h, strlen(text) AS nb
+         FROM documents
+       ),
+       s AS (SELECT doc_id, w, h, least(64.0 / greatest(w, h, 1), 1.0) AS sc, nb FROM p)
+       SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+              CAST(greatest(floor(w * sc), 1) AS BIGINT) AS resized_width,
+              CAST(greatest(floor(h * sc), 1) AS BIGINT) AS resized_height,
+              CAST(least(nb, greatest(floor(w * sc), 1) * greatest(floor(h * sc), 1)) AS BIGINT) AS thumb_len
+       FROM s ORDER BY doc_id""",
+)
+def media_resize(spark, sf_dir):
+    """Multimodal resize stage plumbing: fake-decoded dimensions scaled to
+    max 64 preserving aspect ratio, thumbnail payload truncated to the
+    resized pixel budget (decode/encode stubbed — analysis/multimodal)."""
+    from docix_spark.analysis.multimodal import resize_media, synth_media
+
+    media = synth_media(_docs(spark, sf_dir))
+    r = resize_media(media, max_dim=64)
+    return r.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("width").cast("long"),
+        F.col("height").cast("long"),
+        F.col("resized_width").cast("long"),
+        F.col("resized_height").cast("long"),
+        F.octet_length("thumb_bytes").cast("long").alias("thumb_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "token_count_bpe",
+    rf"""SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+        FROM documents ORDER BY doc_id""",
+)
+def token_count_bpe(spark, sf_dir):
+    """BPE-ish token estimate (letter runs + single digits + single
+    punctuation/other marks) — the subword-budget counter a training
+    pipeline runs next to the whitespace/word counts (token_count)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]"), 0)
+        ).cast("long").alias("bpe_ish_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
     "source_filter_lang",
     """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
        FROM documents WHERE lang IN ('en', 'de') GROUP BY lang ORDER BY lang""",

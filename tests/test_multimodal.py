@@ -83,3 +83,23 @@ def test_frame_sampling(spark, media):
     m = {r.doc_id: bytes(r.payload) for r in media.collect()}
     for r in pdf[pdf.frame_no == 0].itertuples():
         assert bytes(r.frame_bytes) == m[r.doc_id][:64]
+
+
+def test_resize_invariants(spark, media):
+    from docix_spark.analysis.multimodal import resize_media
+
+    r = resize_media(media, max_dim=64).toPandas()
+    assert len(r) > 0
+    assert (r["resized_width"] <= 64).all() and (r["resized_height"] <= 64).all()
+    assert (r["resized_width"] >= 1).all() and (r["resized_height"] >= 1).all()
+    # aspect preserved within integer truncation
+    big = r[(r["width"] > 64) | (r["height"] > 64)]
+    if len(big):
+        assert (big[["resized_width", "resized_height"]].max(axis=1) <= 64).all()
+    # small media pass through unscaled
+    small = r[(r["width"] <= 64) & (r["height"] <= 64)]
+    if len(small):
+        assert (small["resized_width"] == small["width"]).all()
+        assert (small["resized_height"] == small["height"]).all()
+    # thumbnail budget
+    assert (r["thumb_bytes"].str.len() <= r["resized_width"] * r["resized_height"]).all()
