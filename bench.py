@@ -53,6 +53,13 @@ def main() -> None:
     build_sec = time.perf_counter() - t0
     queries["index_build"] = round(build_sec, 4)
 
+    # -- character-trigram wildcard index ----------------------------------
+    from docix_spark.index.ngram import build_trigram_index
+
+    t0 = time.perf_counter()
+    build_trigram_index(spark, index)
+    queries["trigram_build"] = round(time.perf_counter() - t0, 4)
+
     # -- compressed segments (varint + block-max) --------------------------
     from pyspark.sql import functions as F
 

@@ -17,6 +17,7 @@ Subcommands:
                  documents.parquet dir.
 - ``resume``   — re-run only non-INDEXED partitions of a prior build.
 - ``segments`` — compress postings into varint/block-max segments.
+- ``trigrams`` — build the character-trigram wildcard index.
 - ``search``   — composite BM25 query (best_fields/fuzzy/msm/wildcard).
 - ``wand``     — segment-serving-path top-k for a bag of terms.
 - ``autocomplete`` — bigram suggestions.
@@ -135,6 +136,20 @@ def cmd_segments(args):
     }))
 
 
+def cmd_trigrams(args):
+    from docix_spark.index.ngram import build_trigram_index
+
+    spark = _spark(args)
+    index = _open_index(args)
+    t0 = time.perf_counter()
+    build_trigram_index(spark, index)
+    n = spark.read.parquet(index.path("trigram_postings")).count()
+    print(json.dumps({
+        "cmd": "trigrams", "out": args.out,
+        "seconds": round(time.perf_counter() - t0, 3), "rows": n,
+    }))
+
+
 def cmd_search(args):
     from docix_spark.query.bm25 import search_topk
 
@@ -240,6 +255,11 @@ def main(argv=None):
                     help="override; default = the index's persisted count")
     sp.add_argument("--docs-per-shard", type=int, default=1 << 16, dest="docs_per_shard")
     sp.set_defaults(fn=cmd_segments)
+
+    sp = sub.add_parser("trigrams")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--buckets", type=int, default=None)
+    sp.set_defaults(fn=cmd_trigrams)
 
     sp = sub.add_parser("search")
     sp.add_argument("--out", required=True)

@@ -230,9 +230,20 @@ def score_fields(
 
 def wildcard_fallback(spark: SparkSession, index: Index, aq: AnalyzedQuery) -> DataFrame:
     """fallback(d): constant-score substring clauses, Σ of matching boosts
-    (reference SearchAdapter.java:412-429). Returns (doc_id, fb_score)."""
+    (reference SearchAdapter.java:412-429). Returns (doc_id, fb_score).
+
+    Scale path: when the character-trigram index exists (index/ngram.py)
+    and the query is >= 3 chars, candidates come from the trigram
+    intersection and the contains() verification runs only on the pruned
+    candidate probe — results are EXACTLY the full scan's (candidates are
+    a superset of true matches). Otherwise: the reference full scan."""
+    from docix_spark.index.ngram import substring_candidates
+
     q = aq.lower
     docs = index.docs(spark)
+    cand = substring_candidates(spark, index, q, fields=list(WILDCARD_BOOSTS))
+    if cand is not None:
+        docs = docs.join(cand, "doc_id")
     clauses = [
         F.when(F.lower(F.col(fld)).contains(q), F.lit(bo)).otherwise(F.lit(0.0))
         for fld, bo in WILDCARD_BOOSTS.items()

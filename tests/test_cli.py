@@ -62,3 +62,9 @@ def test_cli_build_size_admission(spark, capsys, corpus_dir, tmp_root):
                       "--buckets", "8", "--max-doc-size", "1KB"])
     assert r["rejected_oversize"] > 0
     assert r["docs"] + r["rejected_oversize"] == 80
+
+
+def test_cli_trigrams(spark, capsys, corpus_dir, tmp_root):
+    out_dir = f"{tmp_root}/cli_idx"  # built by test_cli_pipeline
+    r = _run(capsys, ["--cores", "4", "trigrams", "--out", out_dir])
+    assert r["rows"] > 0

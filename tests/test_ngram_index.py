@@ -1,0 +1,103 @@
+"""Character-trigram wildcard index: candidates ⊇ matches, verified
+results EXACTLY equal the reference full-scan path, end-to-end rank
+identity preserved with the index present."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from docix_spark.corpus import synth_corpus_pdf
+from docix_spark.index.build import build_index
+from docix_spark.index.ngram import build_trigram_index, substring_candidates, trigrams
+from docix_spark.oracle import OracleIndex
+from docix_spark.query.bm25 import search_topk, wildcard_fallback
+from docix_spark.query.plan import WILDCARD_BOOSTS, analyze_query
+
+QUERIES = ["windo", "rk jo", "kg7/modu", "permission is", "uniq_17", "scan_3"]
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return synth_corpus_pdf(150, seed=42)
+
+
+@pytest.fixture(scope="module")
+def tri_index(spark, tmp_root, corpus_pdf):
+    idx = build_index(
+        spark, spark.createDataFrame(corpus_pdf), f"{tmp_root}/tri_idx", n_buckets=8
+    )
+    build_trigram_index(spark, idx)
+    return idx
+
+
+def test_trigram_extraction():
+    assert trigrams("ab") == set()
+    assert trigrams("AbcD") == {"abc", "bcd"}
+    assert trigrams("rk jo") == {"rk ", "k j", " jo"}
+
+
+def _scan_fb(spark, idx, q):
+    clauses = [
+        F.when(F.lower(F.col(f)).contains(q), F.lit(b)).otherwise(F.lit(0.0))
+        for f, b in WILDCARD_BOOSTS.items()
+    ]
+    total = sum(clauses[1:], clauses[0])
+    return {
+        (r.doc_id, r.fb_score)
+        for r in idx.docs(spark)
+        .select("doc_id", total.alias("fb_score"))
+        .where(F.col("fb_score") > 0)
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_indexed_fallback_equals_scan(spark, tri_index, q):
+    aq = analyze_query(q)
+    cand = substring_candidates(spark, tri_index, aq.lower)
+    assert cand is not None  # all queries >= 3 chars
+    got = {
+        (r.doc_id, r.fb_score)
+        for r in wildcard_fallback(spark, tri_index, aq).collect()
+    }
+    want = _scan_fb(spark, tri_index, aq.lower)
+    assert got == want
+    # candidates really are a superset of the matching docs
+    cand_ids = {r.doc_id for r in cand.collect()}
+    assert {d for d, _ in want} <= cand_ids
+
+
+def test_short_query_falls_back_to_scan(spark, tri_index):
+    assert substring_candidates(spark, tri_index, "ab") is None
+    aq = analyze_query("ab")
+    got = {
+        (r.doc_id, r.fb_score)
+        for r in wildcard_fallback(spark, tri_index, aq).collect()
+    }
+    assert got == _scan_fb(spark, tri_index, "ab")
+
+
+def test_rank_identity_with_trigram_index(spark, tri_index, corpus_pdf):
+    """The composite search over an index WITH trigram postings must stay
+    rank-identical to the pure-Python oracle on wildcard-heavy queries."""
+    oracle = OracleIndex(
+        [
+            {
+                "doc_id": hashlib.sha256(r.content.encode()).hexdigest(),
+                "content": r.content,
+                "file_name": r.path,
+                "original_file_name": r.path.rsplit("/", 1)[-1],
+            }
+            for _, r in corpus_pdf.iterrows()
+        ]
+    )
+    for q in ["kg7/modu", "permission software", "rk jo"]:
+        got = [
+            (r.doc_id, round(r.score, 6))
+            for r in search_topk(spark, tri_index, q, size=10, with_metadata=False).collect()
+        ]
+        want = [(d, round(s, 6)) for d, s in oracle.search(q, k=10)]
+        assert got == want, q
