@@ -251,6 +251,9 @@ class CompositeSearcher(LocalSearcher):
         self._post_cache: dict[tuple[str, str], tuple] = {}
         self._pos_cache: dict[str, dict] = {}
         self._postings_ds = None  # lazy pyarrow dataset (phrase positions)
+        self._trigram_ds = None  # lazy pyarrow dataset (wildcard candidates)
+        self._tg_cache: dict[tuple[str, str], "np.ndarray"] = {}
+        self._has_trigrams = os.path.isdir(os.path.join(root, "trigram_postings"))
 
         n_ords = len(self._ord_to_doc)
         docs = pq.read_table(
@@ -426,8 +429,15 @@ class CompositeSearcher(LocalSearcher):
 
             ql = aq.lower
             for f, bo in WILDCARD_BOOSTS.items():
-                hit = self._field_lower[f].str.contains(ql, regex=False).to_numpy()
-                total += bo * hit
+                cand = self._wildcard_candidates(f, ql)
+                if cand is None:
+                    # no trigram index / short query: in-memory scan
+                    hit = self._field_lower[f].str.contains(ql, regex=False).to_numpy()
+                    total += bo * hit
+                elif cand.size:
+                    vals = self._field_lower[f].iloc[cand]
+                    ok = cand[vals.str.contains(ql, regex=False).to_numpy()]
+                    total[ok] += bo
 
         if self._dead_ords.size:
             total[self._dead_ords] = 0.0
@@ -439,6 +449,56 @@ class CompositeSearcher(LocalSearcher):
             key=lambda x: (-x[1], x[0]),
         )
         return ranked[page * size : (page + 1) * size]
+
+    # -- wildcard candidates from the trigram index ------------------------
+
+    def _trigram_ords(self, field: str, tg: str) -> "np.ndarray":
+        """Sorted ordinals of docs whose ``field`` contains the trigram —
+        pyarrow-filtered read of trigram_postings, cached per (field, tg)."""
+        key = (field, tg)
+        cached = self._tg_cache.get(key)
+        if cached is not None:
+            return cached
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        if self._trigram_ds is None:
+            self._trigram_ds = ds.dataset(
+                os.path.join(self.root, "trigram_postings"), format="parquet"
+            )
+        bucket = term_bucket_py(tg, self.n_buckets)
+        t = self._trigram_ds.to_table(
+            columns=["doc_id"],
+            filter=(
+                (pc.field("tg_bucket") == bucket)
+                & (pc.field("field") == field)
+                & (pc.field("tg") == tg)
+            ),
+        ).to_pandas()
+        ords = np.sort(
+            np.array(
+                [self._doc_to_ord[d] for d in t["doc_id"] if d in self._doc_to_ord],
+                dtype=np.int64,
+            )
+        )
+        self._tg_cache[key] = ords
+        return ords
+
+    def _wildcard_candidates(self, field: str, ql: str) -> "np.ndarray | None":
+        """Ordinals that MAY contain ``ql`` in ``field`` (trigram
+        intersection — superset of true matches, caller verifies contains).
+        None → no trigram index or query too short: scan instead."""
+        from docix_spark.index.ngram import TRIGRAM_N, trigrams
+
+        if not self._has_trigrams or len(ql) < TRIGRAM_N:
+            return None
+        cand: np.ndarray | None = None
+        for tg in sorted(trigrams(ql)):
+            ords = self._trigram_ords(field, tg)
+            cand = ords if cand is None else cand[np.isin(cand, ords, assume_unique=True)]
+            if cand.size == 0:
+                break
+        return cand if cand is not None else np.empty(0, np.int64)
 
     # -- phrase match + autocomplete (service.autocomplete at ms latency) --
 

@@ -101,3 +101,24 @@ def test_rank_identity_with_trigram_index(spark, tri_index, corpus_pdf):
         ]
         want = [(d, round(s, 6)) for d, s in oracle.search(q, k=10)]
         assert got == want, q
+
+
+def test_composite_serving_uses_trigram_candidates(spark, tri_index):
+    """CompositeSearcher with a trigram index present answers wildcards
+    from candidate intersections (verified) — rank-identical to the Spark
+    path over the same index."""
+    from docix_spark.index.segments import build_segments
+    from docix_spark.query.serve import CompositeSearcher
+
+    build_segments(spark, tri_index, docs_per_shard=64)
+    searcher = CompositeSearcher(tri_index.root)
+    assert searcher._has_trigrams
+    for q in ["kg7/modu", "permission software", "rk jo", "windo"]:
+        got = [(d, round(s, 6)) for d, s in searcher.search_composite(q, size=10)]
+        want = [
+            (r.doc_id, round(r.score, 6))
+            for r in search_topk(spark, tri_index, q, size=10, with_metadata=False).collect()
+        ]
+        assert got == want, q
+    # the trigram path really fired (candidates cached)
+    assert len(searcher._tg_cache) > 0
