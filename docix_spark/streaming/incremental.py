@@ -194,12 +194,19 @@ def incremental_index(
     checkpoint_dir: str | None = None,
     n_buckets: int = DEFAULT_TERM_BUCKETS,
     available_now: bool = True,
+    merge_every: int = 8,
 ):
     """Start (or continue) the incremental build over a corpus directory.
 
     With ``available_now=True`` (default) processes everything currently in
     ``input_dir`` and stops — the batch-resume usage. With False it keeps
     running on new files (the live-queue usage).
+
+    ``merge_every``: background-merge cadence — every N-th micro-batch
+    that extended the compressed segments triggers
+    ``segments.merge_segments`` so fragmentation stays bounded without a
+    per-batch full-table check (the Lucene merge-policy analogue; 0
+    disables).
 
     Returns the StreamingQuery.
     """
@@ -244,15 +251,22 @@ def incremental_index(
 
         # compressed-segment maintenance: if segments exist, append the
         # batch (stats-free block bounds keep old rows valid —
-        # index/segments.extend_segments)
+        # index/segments.extend_segments), and on the merge cadence run
+        # the background merge to re-collapse fragmented (term, shard)s
         if os.path.exists(os.path.join(index_root, "seg_meta.json")):
-            from docix_spark.index.segments import SegmentIndex, extend_segments
+            from docix_spark.index.segments import (
+                SegmentIndex,
+                extend_segments,
+                merge_segments,
+            )
 
             seg = SegmentIndex.load(index_root)
             batch_postings = spark.read.parquet(
                 os.path.join(index_root, "postings", f"batch={batch_id}")
             )
             extend_segments(spark, seg, batch_postings)
+            if merge_every and batch_id > 0 and batch_id % merge_every == 0:
+                merge_segments(spark, seg)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -265,3 +265,51 @@ def test_delete_compact_then_continue_streaming(spark, tmp_root):
         ]
         assert a == b and len(a) > 0
         assert target not in {d for d, _ in a}
+
+
+def test_merge_cadence_defragments_during_streaming(spark, tmp_root):
+    """merge_every triggers the background merge inside the stream: after
+    drops land on the cadence batch, every (term, shard) is back to one
+    segment row and serving results match a from-scratch build."""
+    import pandas as pd
+
+    from docix_spark.index.segments import SegmentIndex, build_segments
+    from docix_spark.query.serve import LocalSearcher
+
+    in_dir = f"{tmp_root}/merge_cad_in"
+    os.makedirs(in_dir, exist_ok=True)
+    root = f"{tmp_root}/merge_cad_idx"
+    drops = [synth_corpus_pdf(60, seed=64 + i) for i in range(3)]
+
+    spark.createDataFrame(drops[0]).coalesce(1).write.mode("overwrite").parquet(f"{tmp_root}/_m0")
+    _copy_files(f"{tmp_root}/_m0", in_dir, "d0")
+    q = incremental_index(spark, in_dir, root, n_buckets=8, available_now=True)
+    q.awaitTermination(120)
+    sidx = StreamingIndex(root=root, n_buckets=8)
+    build_segments(spark, sidx, out_root=root, docs_per_shard=64)
+
+    for i in (1, 2):
+        spark.createDataFrame(drops[i]).coalesce(1).write.mode("overwrite").parquet(f"{tmp_root}/_m{i}")
+        _copy_files(f"{tmp_root}/_m{i}", in_dir, f"d{i}")
+    # cadence 1: every post-baseline batch runs the merge (the two new
+    # drops may coalesce into a single micro-batch)
+    q = incremental_index(spark, in_dir, root, n_buckets=8, available_now=True, merge_every=1)
+    q.awaitTermination(180)
+
+    seg = SegmentIndex.load(root)
+    frag = (
+        seg.segments(spark).groupBy("field", "term", "shard").count()
+        .where(F.col("count") > 1).count()
+    )
+    assert frag == 0
+
+    union = pd.concat(drops, ignore_index=True)
+    full_root = f"{tmp_root}/merge_cad_full"
+    fidx = build_index(spark, spark.createDataFrame(union), full_root, n_buckets=8)
+    build_segments(spark, fidx, docs_per_shard=64)
+    a = LocalSearcher(root)
+    b = LocalSearcher(full_root)
+    for terms in [["permission", "software"], ["parse_0", "merge_1"]]:
+        ra = [(d, round(s, 6)) for d, s in a.search_terms(terms, 10)[0]]
+        rb = [(d, round(s, 6)) for d, s in b.search_terms(terms, 10)[0]]
+        assert ra == rb and len(ra) > 0
