@@ -80,6 +80,40 @@ def has_trigram_index(index: Index) -> bool:
     return os.path.isdir(index.path("trigram_postings"))
 
 
+def append_trigrams(
+    spark: SparkSession,
+    index: Index,
+    new_docs: DataFrame,
+    fields: Sequence[str] = FIELDS,
+) -> None:
+    """Maintain the trigram index under incremental ingest: append the new
+    documents' (field, tg, doc_id) rows. MUST run for every doc append once
+    the index exists — a missing entry breaks the candidates-⊇-matches
+    guarantee (stale entries for deleted docs are harmless: the verify step
+    joins the live docs table). No-op when the index was never built."""
+    if not has_trigram_index(index):
+        return
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple[str, str, str]] = []
+            for rec in pdf.itertuples(index=False):
+                for f in fields:
+                    for tg in trigrams(getattr(rec, f)):
+                        rows.append((f, tg, rec.doc_id))
+            yield pd.DataFrame(rows, columns=["field", "tg", "doc_id"])
+
+    (
+        new_docs.select("doc_id", *fields)
+        .mapInPandas(gen, schema=TRIGRAM_SCHEMA)
+        .withColumn("tg_bucket", term_bucket(F.col("tg"), index.n_buckets))
+        .repartition(index.n_buckets, "tg_bucket")
+        .sortWithinPartitions("tg_bucket", "tg")
+        .write.mode("append")
+        .parquet(index.path("trigram_postings"))
+    )
+
+
 def substring_candidates(
     spark: SparkSession, index: Index, q: str, fields: Sequence[str] = FIELDS
 ) -> DataFrame | None:

@@ -59,6 +59,10 @@ def _append_docs(spark: SparkSession, index: Index, docs_new: DataFrame) -> int:
     batch_postings.write.mode("append").parquet(index.path("postings"))
     _merge_stats(spark, index.root, index.n_buckets, batch_postings)
 
+    from docix_spark.index.ngram import append_trigrams
+
+    append_trigrams(spark, index, staged)
+
     if os.path.exists(os.path.join(index.root, "seg_meta.json")):
         from docix_spark.index.segments import SegmentIndex, extend_segments
 

@@ -247,6 +247,13 @@ def incremental_index(
                 os.path.join(index_root, "postings", f"batch={batch_id}")
             )
             _merge_stats(spark, index_root, n_buckets, batch_postings)
+            # trigram wildcard index, if built: new docs must land in it
+            # (missing entries would break its superset guarantee)
+            from docix_spark.index.ngram import append_trigrams
+
+            append_trigrams(
+                spark, Index(root=index_root, n_buckets=n_buckets), docs
+            )
             _mark_batch_merged(index_root, batch_id)
 
         # compressed-segment maintenance: if segments exist, append the

@@ -122,3 +122,22 @@ def test_composite_serving_uses_trigram_candidates(spark, tri_index):
         assert got == want, q
     # the trigram path really fired (candidates cached)
     assert len(searcher._tg_cache) > 0
+
+
+def test_trigram_maintained_under_append(spark, tri_index):
+    """Incremental appends (reindex/streaming) must extend the trigram
+    index — otherwise new docs vanish from wildcard candidates and the
+    superset guarantee (and result equality) breaks. Runs LAST: it grows
+    the module's shared index."""
+    from docix_spark.index.reindex import reindex_missing
+
+    p2 = synth_corpus_pdf(40, seed=77)
+    assert reindex_missing(spark, tri_index, spark.createDataFrame(p2)) > 0
+
+    for q in ["windo", "rk jo", "permission is"]:
+        aq = analyze_query(q)
+        got = {
+            (r.doc_id, r.fb_score)
+            for r in wildcard_fallback(spark, tri_index, aq).collect()
+        }
+        assert got == _scan_fb(spark, tri_index, aq.lower), q
