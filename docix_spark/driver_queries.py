@@ -939,6 +939,124 @@ def events_props_json(spark, sf_dir):
     return props_json_stats(_events(spark, sf_dir))
 
 
+# The driver text is clean prose, so the scrub operator is exercised by
+# deterministically injecting URLs/emails first (same rewrite both engines)
+# — mirroring the unicode_tokens approach.
+_SCRUB_INJECT_SQL = (
+    "replace(replace(text, 'spark', 'see http://example.com/spark?q=1 now'), "
+    "'window', 'mail win@example.com here')"
+)
+_URL_RE = r"https?://[^\s]+"
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+
+
+@register(
+    "text_scrub",
+    f"""WITH d AS (SELECT doc_id, {_SCRUB_INJECT_SQL} AS t FROM documents),
+        s AS (
+          SELECT doc_id, t,
+                 regexp_replace(regexp_replace(t, '{_URL_RE}', '<URL>', 'g'),
+                                '{_EMAIL_RE}', '<EMAIL>', 'g') AS clean
+          FROM d
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_URL_RE}')) AS BIGINT) AS n_urls,
+               CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(strlen(clean) AS BIGINT) AS clean_len
+        FROM s ORDER BY doc_id""",
+)
+def text_scrub(spark, sf_dir):
+    """Training-pipeline scrubbing: URL/email detection + placeholder
+    replacement (the PII/link-stripping pass), counts + cleaned length
+    oracle-checked; JVM-side regexp only."""
+    d = _docs(spark, sf_dir).select("doc_id", F.expr(_SCRUB_INJECT_SQL).alias("t"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _URL_RE, "<URL>"), _EMAIL_RE, "<EMAIL>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_URL_RE), 0)).cast("long").alias("n_urls"),
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.octet_length(clean).cast("long").alias("clean_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "repetition_ratio",
+    f"""WITH w AS ({SQL_WORDS}),
+        g AS (
+          SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+          FROM w, unnest(generate_series(1, len(words) - 2)) AS t(i)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(round(1000000.0 * (count(*) - count(DISTINCT sh)) / count(*)) AS BIGINT) AS dup_ratio_q6
+        FROM g GROUP BY doc_id ORDER BY doc_id""",
+)
+def repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition filter input: fraction of duplicate
+    3-gram occurrences per doc (1 - distinct/total) — the classic
+    boilerplate/loop-spam detector for training corpora."""
+    d = _docs(spark, sf_dir).select("doc_id", spark_tokens("text").alias("words"))
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(words)-3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))")
+        ).alias("sh"),
+    )
+    return (
+        g.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            _q6((F.count("*") - F.countDistinct("sh")) / F.count("*")).alias("dup_ratio_q6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "quality_filter_flags",
+    f"""WITH t AS ({SQL_TOKS}),
+        m AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 avg(length(term)) AS mean_len,
+                 count(*) FILTER (term IN ('the','a','of','to','is')) AS stop_hits
+          FROM t GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END AS BIGINT) AS flag_too_short,
+               CAST(CASE WHEN mean_len < 2.0 OR mean_len > 12.0 THEN 1 ELSE 0 END AS BIGINT) AS flag_token_len,
+               CAST(CASE WHEN stop_hits = 0 THEN 1 ELSE 0 END AS BIGINT) AS flag_no_stopwords,
+               CAST(CASE WHEN n_tokens >= 20 AND mean_len >= 2.0 AND mean_len <= 12.0
+                          AND stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS admitted
+        FROM m ORDER BY doc_id""",
+)
+def quality_filter_flags(spark, sf_dir):
+    """The actual admission FILTER a pipeline runs from the quality
+    features (Gopher-rule shape): min length, mean-token-length band,
+    stopword presence — flags + the combined admit decision per doc."""
+    t = _toks(_docs(spark, sf_dir))
+    stop_hit = F.when(F.col("term").isin("the", "a", "of", "to", "is"), 1).otherwise(0)
+    m = t.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.avg(F.length("term")).alias("mean_len"),
+        F.sum(stop_hit).alias("stop_hits"),
+    )
+    admitted = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("mean_len") >= 2.0)
+        & (F.col("mean_len") <= 12.0)
+        & (F.col("stop_hits") > 0)
+    )
+    return m.select(
+        "doc_id",
+        F.when(F.col("n_tokens") < 20, 1).otherwise(0).cast("long").alias("flag_too_short"),
+        F.when((F.col("mean_len") < 2.0) | (F.col("mean_len") > 12.0), 1).otherwise(0).cast("long").alias("flag_token_len"),
+        F.when(F.col("stop_hits") == 0, 1).otherwise(0).cast("long").alias("flag_no_stopwords"),
+        F.when(admitted, 1).otherwise(0).cast("long").alias("admitted"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # M3/M5 — compressed-segment WAND serving path + snippet fallback (F7)
 # ---------------------------------------------------------------------------
