@@ -220,11 +220,15 @@ class CompositeSearcher(LocalSearcher):
 
     - the term dictionary (``term_dict``: term, df=max over fields, tlen)
       for fuzzy-AUTO expansion — the in-memory stand-in for Lucene's FST.
-    - the docs table's scored fields, lowercased and ordinal-aligned, for
-      the constant-score wildcard clauses. AT SANDBOX SCALE ONLY: one
-      process holds the whole (small) corpus text; a 100 TB serving fleet
-      would answer wildcards from a character-n-gram index per shard (or
-      hold only its doc-range slice, exactly like the segment data).
+
+    NO document text is resident: wildcard clauses are answered from the
+    character-trigram index (candidate intersection + contains verify on a
+    pyarrow point read of the candidates), and result shaping / highlights
+    / autocomplete fetch only their <=k docs' rows on demand through the
+    doc_id-sorted docs table. A node's footprint is segments + stats +
+    dictionary + ordinal map + hot caches — the ES-data-node shape. The
+    one exception: sub-3-char wildcard queries lazily build a full
+    lowercased column (no trigram path exists; ES pays the same scan).
     """
 
     def __init__(self, root: str, field: str = "content",
@@ -255,26 +259,58 @@ class CompositeSearcher(LocalSearcher):
         self._tg_cache: dict[tuple[str, str], "np.ndarray"] = {}
         self._has_trigrams = os.path.isdir(os.path.join(root, "trigram_postings"))
 
-        n_ords = len(self._ord_to_doc)
-        docs = pq.read_table(
-            os.path.join(root, "docs"), columns=["doc_id", *FIELD_BOOSTS]
-        ).to_pandas()
-        import pandas as pd
+        # NO full-text residency: document fields are fetched ON DEMAND
+        # through pyarrow point reads of the doc_id-sorted docs table
+        # (row-group pruned) — a serving node holds only segments, stats,
+        # the dictionary, the ordinal map, and hot caches. The lone
+        # exception is the lazy per-field lowercased column built on first
+        # use for sub-3-char wildcard queries (no trigram path exists for
+        # those; ES pays the same scan).
+        self._docs_ds = None  # lazy pyarrow dataset of the docs table
+        self._field_scan_cache: dict[str, object] = {}
 
-        self._field_lower: dict[str, "pd.Series"] = {}
-        ord_idx = docs["doc_id"].map(self._doc_to_ord).to_numpy(np.int64)
-        for f in FIELD_BOOSTS:
-            vals = pd.Series([""] * n_ords, dtype=object)
-            vals.iloc[ord_idx] = docs[f].fillna("").str.lower().to_numpy(object)
-            self._field_lower[f] = vals
-        # original-case doc rows for result shaping (metadata + highlight);
-        # sandbox-scale residency, like the wildcard columns above
-        meta = pq.read_table(
-            os.path.join(root, "docs"),
-            columns=["doc_id", "repo", "path", "commit", "lang",
-                     "file_name", "original_file_name", "content"],
+    # -- on-demand document fetch ------------------------------------------
+
+    def _fetch_docs(self, doc_ids: list[str], columns: list[str]):
+        """Rows of the docs table for the given ids (plus doc_id), via a
+        predicate-pushdown point read — cost scales with |ids|, pruned by
+        the sorted doc_id layout."""
+        import pandas as pd
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        if not doc_ids:
+            return pd.DataFrame(columns=["doc_id", *columns]).set_index(
+                "doc_id", drop=False
+            )
+        if self._docs_ds is None:
+            self._docs_ds = ds.dataset(
+                os.path.join(self.root, "docs"), format="parquet"
+            )
+        t = self._docs_ds.to_table(
+            columns=["doc_id", *columns],
+            filter=pc.field("doc_id").isin(sorted(set(doc_ids))),
+        )
+        return t.to_pandas().set_index("doc_id", drop=False)
+
+    def _field_lower_full(self, field: str):
+        """Ordinal-aligned lowercased column of one field — built lazily,
+        ONLY for sub-3-char wildcard queries (the no-trigram path)."""
+        cached = self._field_scan_cache.get(field)
+        if cached is not None:
+            return cached
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(
+            os.path.join(self.root, "docs"), columns=["doc_id", field]
         ).to_pandas()
-        self._docs_meta = meta.set_index("doc_id", drop=False)
+        n_ords = len(self._ord_to_doc)
+        vals = pd.Series([""] * n_ords, dtype=object)
+        ord_idx = docs["doc_id"].map(self._doc_to_ord).to_numpy(np.int64)
+        vals.iloc[ord_idx] = docs[field].fillna("").str.lower().to_numpy(object)
+        self._field_scan_cache[field] = vals
+        return vals
 
     # -- fuzzy expansion (identical to bm25.expand_query_terms) ------------
 
@@ -428,16 +464,42 @@ class CompositeSearcher(LocalSearcher):
             total += best
 
             ql = aq.lower
-            for f, bo in WILDCARD_BOOSTS.items():
-                cand = self._wildcard_candidates(f, ql)
-                if cand is None:
-                    # no trigram index / short query: in-memory scan
-                    hit = self._field_lower[f].str.contains(ql, regex=False).to_numpy()
+            cand_by_field = {
+                f: self._wildcard_candidates(f, ql) for f in WILDCARD_BOOSTS
+            }
+            if any(c is None for c in cand_by_field.values()):
+                # no trigram index / sub-3-char query: lazy full-column scan
+                for f, bo in WILDCARD_BOOSTS.items():
+                    hit = (
+                        self._field_lower_full(f)
+                        .str.contains(ql, regex=False)
+                        .to_numpy()
+                    )
                     total += bo * hit
-                elif cand.size:
-                    vals = self._field_lower[f].iloc[cand]
-                    ok = cand[vals.str.contains(ql, regex=False).to_numpy()]
-                    total[ok] += bo
+            else:
+                nonempty = [c for c in cand_by_field.values() if c.size]
+                union_ords = (
+                    np.unique(np.concatenate(nonempty))
+                    if nonempty
+                    else np.empty(0, np.int64)
+                )
+                if union_ords.size:
+                    # ONE point read fetches every candidate's fields; a
+                    # true match in field f implies membership in f's
+                    # candidate set, so verifying the union per field is
+                    # exact
+                    ids = [str(self._ord_to_doc[o]) for o in union_ords]
+                    pdf = self._fetch_docs(ids, list(WILDCARD_BOOSTS))
+                    ords_fetched = np.array(
+                        [self._doc_to_ord[d] for d in pdf["doc_id"]], np.int64
+                    )
+                    for f, bo in WILDCARD_BOOSTS.items():
+                        m = (
+                            pdf[f].fillna("").str.lower()
+                            .str.contains(ql, regex=False)
+                            .to_numpy()
+                        )
+                        total[ords_fetched[m]] += bo
 
         if self._dead_ords.size:
             total[self._dead_ords] = 0.0
@@ -572,9 +634,14 @@ class CompositeSearcher(LocalSearcher):
         )
         has_next = len(over) > (page + 1) * size
         window = over[page * size : (page + 1) * size]
+        meta_pdf = self._fetch_docs(
+            [d for d, _ in window],
+            ["repo", "path", "commit", "lang", "file_name",
+             "original_file_name", "content"],
+        )
         rows = []
         for i, (doc_id, score) in enumerate(window):
-            meta = self._docs_meta.loc[doc_id]
+            meta = meta_pdf.loc[doc_id]
             rows.append(
                 {
                     "rank": page * size + i + 1,
@@ -633,12 +700,11 @@ class CompositeSearcher(LocalSearcher):
         hits = [d for d, _ in scored if d in matches][: max_suggestions * 2]
         ql = q.lower()
         suggestions: list[str] = []
-        content = self._field_lower["content"]
+        texts = self._fetch_docs(hits, ["content"])["content"]
         for doc_id in hits:
-            o = self._doc_to_ord.get(doc_id)
-            text = content.iloc[int(o)] if o is not None else ""
+            text = texts.get(doc_id) or ""
             if text:
-                words = text.split()
+                words = text.lower().split()
                 for i in range(len(words) - 1):
                     if ql in words[i]:
                         s = f"{words[i]} {words[i + 1]}"
