@@ -83,11 +83,16 @@ def main() -> None:
     # analogue) — the p95 latency figure of the BASELINE metric
     from docix_spark.query.serve import LocalSearcher
 
+    from docix_spark.analysis.tokenizer import tokenize
+
     searcher = LocalSearcher(idx_dir)
     serve_queries = ["spark hash join", "merge sort window batch",
                      "table scan", "row group", "fast value table"]
+    blocks_total = blocks_decoded = 0
     for q in serve_queries:
-        searcher.search(q, k=10)  # cold pass loads term payloads
+        _, st = searcher.search_terms(tokenize(q), 10)  # cold pass
+        blocks_total += st.blocks_total
+        blocks_decoded += st.blocks_decoded
     lat_serve = []
     for _ in range(20):
         for q in serve_queries:
@@ -97,6 +102,7 @@ def main() -> None:
     lat_serve.sort()
     serve_p95_ms = round(lat_serve[int(len(lat_serve) * 0.95) - 1] * 1000, 3)
     queries["serve_topk_p95_ms"] = serve_p95_ms
+    wand_block_skip_ratio = round(1.0 - blocks_decoded / max(blocks_total, 1), 4)
 
     # composite serving tier: the FULL reference query tree (best_fields +
     # fuzzy + msm + wildcard) answered in-process — the number honestly
@@ -163,6 +169,7 @@ def main() -> None:
         "search_p95_warm_sec": search_p95_warm,
         "serve_topk_p95_ms": serve_p95_ms,
         "serve_composite_p95_ms": serve_composite_p95_ms,
+        "wand_block_skip_ratio": wand_block_skip_ratio,
         "cpus": cpus,
     }
     shutil.rmtree(idx_dir, ignore_errors=True)
