@@ -61,6 +61,7 @@ class LocalSearcher:
         self.field = field
         self.shards = set(shards) if shards is not None else None
         self.n_buckets = int(meta["n_buckets"])
+        self.docs_per_shard = int(meta.get("docs_per_shard", 1 << 16))
         self.k1 = float(meta.get("k1", BM25_K1))
         self.b = float(meta.get("b", BM25_B))
         self._segments = ds.dataset(os.path.join(root, "segments"), format="parquet")
@@ -193,6 +194,26 @@ class LocalSearcher:
 
     def search(self, query: str, k: int = 10) -> list[tuple[str, float]]:
         return self.search_terms(tokenize(query), k)[0]
+
+
+def fleet_search_composite(
+    nodes: list["CompositeSearcher"], query: str, page: int = 0, size: int = 10
+) -> list[tuple[str, float]]:
+    """Coordinator for a COMPOSITE-query fleet: every per-document score of
+    the full tree (bestfields + msm + wildcard) is computable inside the
+    doc's own shard node — its postings for every term and field live in
+    its doc-range shard, and each node masks foreign ranges — so the
+    coordinator only k-merges per-node pages. Shard sets must partition
+    the index for exact results."""
+    from docix_spark.query.plan import validate_search
+
+    validate_search(query, page, size)
+    need = (page + 1) * size
+    cand: list[tuple[str, float]] = []
+    for node in nodes:
+        cand.extend(node.search_composite(query, page=0, size=need, validate=False))
+    cand.sort(key=lambda x: (-x[1], x[0]))
+    return cand[page * size : need]
 
 
 def fleet_topk(
@@ -501,6 +522,12 @@ class CompositeSearcher(LocalSearcher):
                         )
                         total[ords_fetched[m]] += bo
 
+        if self.shards is not None:
+            # fleet node: only this node's doc ranges count (bestfields is
+            # shard-filtered already; wildcard/match_all contributions for
+            # other ranges belong to their nodes)
+            ord_shards = np.arange(n_ords, dtype=np.int64) // self.docs_per_shard
+            total[~np.isin(ord_shards, sorted(self.shards))] = 0.0
         if self._dead_ords.size:
             total[self._dead_ords] = 0.0
         cand = np.flatnonzero(total > 0.0)

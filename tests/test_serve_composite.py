@@ -164,3 +164,36 @@ def test_search_page_matches_service_layer(spark, served):
         assert (got.has_next, got.has_previous) == (want.has_next, want.has_previous)
         assert got.total_hits_estimate == want.total_hits_estimate
         assert got.highlight_empty_ratio == want.highlight_empty_ratio
+
+
+def test_composite_fleet_matches_single_node(spark, served):
+    """Two CompositeSearcher nodes over disjoint doc-range shard subsets,
+    coordinator merge — identical to the single whole-index node for the
+    FULL query tree (incl. wildcard-only and fuzzy queries)."""
+    from docix_spark.index.segments import SegmentIndex
+    from docix_spark.query.serve import fleet_search_composite
+
+    index, searcher = served
+    seg = SegmentIndex.load(index.root)
+    shards = sorted(
+        r.shard for r in seg.segments(spark).select("shard").distinct().collect()
+    )
+    assert len(shards) >= 2
+    half = set(shards[: len(shards) // 2])
+    node_a = CompositeSearcher(index.root, shards=half)
+    node_b = CompositeSearcher(index.root, shards=set(shards) - half)
+
+    for q in ["permission software", "kg7/modu", "merge_3", "parse_0 build_1"]:
+        merged = [
+            (d, round(s, 6))
+            for d, s in fleet_search_composite([node_a, node_b], q, size=10)
+        ]
+        single = [(d, round(s, 6)) for d, s in searcher.search_composite(q, size=10)]
+        assert merged == single and len(merged) > 0, q
+    # pagination through the coordinator
+    p1 = [
+        (d, round(s, 6))
+        for d, s in fleet_search_composite([node_a, node_b], "parse_0 build_1", page=1, size=5)
+    ]
+    w1 = [(d, round(s, 6)) for d, s in searcher.search_composite("parse_0 build_1", page=1, size=5)]
+    assert p1 == w1
