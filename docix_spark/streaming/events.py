@@ -232,6 +232,89 @@ def sessionize_stream(
     )
 
 
+def sessionize_stream_timeout(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "events_sessions_to",
+    gap_sec: int = SESSION_GAP_SEC,
+):
+    """Sessionization with EVENT-TIME TIMEOUTS: like
+    :func:`sessionize_stream`, but a session idle past ``gap_sec`` is
+    ALSO flushed when the watermark passes its deadline — no later event
+    from the same user is needed. This is the state-expiry half of the
+    stateful-operator contract: without it, one-visit users would pin
+    state forever; with it, state strictly tracks users active within the
+    gap window."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        (user_id,) = key
+        cols = ["user_id", "session_start_epoch", "n_events"]
+        if state.hasTimedOut:
+            # watermark passed last_t + gap: flush the idle session
+            last_t, start_t, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, int(math.floor(start_t)), int(n))], columns=cols
+            )
+            return
+        if state.exists:
+            last_t, start_t, n = state.get
+        else:
+            last_t, start_t, n = None, None, 0
+        out = []
+        ts_all: list[float] = []
+        for pdf in pdfs:
+            ts_all.extend(pdf["t"].tolist())
+        for t in sorted(ts_all):
+            if last_t is not None and t - last_t > gap_sec:
+                out.append((user_id, int(math.floor(start_t)), n))
+                start_t, n = t, 0
+            if start_t is None:
+                start_t = t
+            n += 1
+            last_t = t
+        state.update((float(last_t), float(start_t), int(n)))
+        # deadline: the watermark crossing last_t + gap closes this session
+        state.setTimeoutTimestamp(int((last_t + gap_sec) * 1000))
+        yield pd.DataFrame(out, columns=cols)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(input_dir)
+    sessions = (
+        stream.select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("ts").cast("timestamp").cast("double").alias("t"),
+        )
+        .withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, session_start_epoch long, n_events long",
+            stateStructType="last_t double, start_t double, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ---------------------------------------------------------------------------
 # JSON props handling
 # ---------------------------------------------------------------------------

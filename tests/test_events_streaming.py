@@ -157,3 +157,52 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_root):
         .select(F.unix_timestamp("w.start").cast("long").alias("s"), "n")
     )
     assert {r.s: r.n for r in batch.collect()}[w10] == 3
+
+
+def test_event_time_timeout_flushes_idle_session(spark, tmp_root):
+    """EventTimeTimeout: a user's idle session is emitted once the
+    watermark passes last_event + gap — WITHOUT any further event from
+    that user (the state-expiry half NoTimeout can't provide)."""
+    import datetime as dt
+    import time
+
+    from docix_spark.streaming.events import EVENTS_SCHEMA, sessionize_stream_timeout
+
+    def ev(eid, uid, hh, mm):
+        return (eid, dt.datetime(2024, 3, 1, hh, mm, 0), uid, "click", 1.0, '{"k": 1}')
+
+    d = f"{tmp_root}/timeout_drops"
+    os.makedirs(d, exist_ok=True)
+    batches = [
+        [ev(0, 1, 10, 0), ev(1, 1, 10, 5)],  # user 1: one session, then idle
+        [ev(2, 2, 12, 0)],                   # user 2 advances the watermark
+        [ev(3, 2, 12, 5)],
+        [ev(4, 2, 12, 10)],                  # extra batches so the timeout
+        [ev(5, 2, 12, 15)],                  # fires (watermark lags a batch)
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_root}/_to{i}")
+        for f in os.listdir(f"{tmp_root}/_to{i}"):
+            if f.endswith(".parquet"):
+                os.replace(
+                    os.path.join(f"{tmp_root}/_to{i}", f),
+                    os.path.join(d, f"chunk_{i}.parquet"),
+                )
+        time.sleep(1.1)
+
+    q = sessionize_stream_timeout(
+        spark, d, f"{tmp_root}/to_ckpt", query_name="t_to_sess"
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.user_id, r.session_start_epoch, r.n_events)
+        for r in spark.sql("SELECT * FROM t_to_sess").collect()
+    )
+    import datetime as dt2
+
+    u1_start = int(dt2.datetime(2024, 3, 1, 10, 0, tzinfo=dt2.timezone.utc).timestamp())
+    # user 1's idle session flushed by the timeout; user 2 still active
+    # (last event within gap of the final watermark) so not emitted
+    assert (1, u1_start, 2) in got
+    assert all(u != 2 for u, _, _ in got)
