@@ -560,6 +560,92 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
 
 @register(
+    "minhash_jaccard_estimate",
+    f"""WITH sh AS ({_SQL_SHINGLES}),
+        sig AS (
+          SELECT doc_id,
+                 min(md5('0:' || sh)) AS mh0, min(md5('1:' || sh)) AS mh1,
+                 min(md5('2:' || sh)) AS mh2, min(md5('3:' || sh)) AS mh3
+          FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id, mh0 || mh1 AS band FROM sig
+          UNION ALL SELECT doc_id, mh2 || mh3 FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        ),
+        est AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(round(1000000.0 * (
+                   (CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END)) / 4.0) AS BIGINT) AS est_q6
+          FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id JOIN sig sb ON c.doc_b = sb.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        exact AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(round(1000000.0 * count(*) / (na.n + nb.n - count(*))) AS BIGINT) AS exact_q6
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+          JOIN sizes na ON na.doc_id = c.doc_a
+          JOIN sizes nb ON nb.doc_id = c.doc_b
+          GROUP BY c.doc_a, c.doc_b, na.n, nb.n
+        )
+        SELECT e.doc_a, e.doc_b, e.est_q6, x.exact_q6
+        FROM est e JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+        ORDER BY e.doc_a, e.doc_b""",
+)
+def minhash_jaccard_estimate(spark, sf_dir):
+    """The MinHash sketch's actual USE: estimate Jaccard as the fraction of
+    matching signature components (E[match] = J), side by side with the
+    exact shingle Jaccard on the LSH candidate pairs — the accuracy the
+    dedup threshold is tuned against; only sketches shuffle at scale."""
+    sh = _shingles_spark(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}") for i in range(4)]
+    )
+    bands = sig.select("doc_id", F.concat("mh0", "mh1").alias("band")).unionByName(
+        sig.select("doc_id", F.concat("mh2", "mh3").alias("band"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(4)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(4)])
+    matches = None
+    for i in range(4):
+        m = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    est = cand.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", _q6(matches / F.lit(4.0)).alias("est_q6")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sha, "doc_a").join(shb, "doc_b")
+        .where(F.col("sh_a") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    exact = (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .select("doc_a", "doc_b", _q6(F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("exact_q6"))
+    )
+    return est.join(exact, ["doc_a", "doc_b"]).orderBy("doc_a", "doc_b")
+
+
+@register(
     "ngram_jaccard_banded",
     f"""WITH sh AS ({_SQL_SHINGLES}),
         sig AS (
