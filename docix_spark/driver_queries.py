@@ -1285,9 +1285,12 @@ best AS (
 ),
 fb AS (
   SELECT doc_id,
-         (CASE WHEN lower(content) LIKE '%{qstr}%' THEN 1.0 ELSE 0.0 END)
-       + (CASE WHEN lower(file_name) LIKE '%{qstr}%' THEN 2.0 ELSE 0.0 END)
-       + (CASE WHEN lower(original_file_name) LIKE '%{qstr}%' THEN 2.0 ELSE 0.0 END) AS fb_score
+         -- literal substring test via contains(): the engine uses
+         -- Column.contains (no wildcards), while LIKE would treat '_'/'%'
+         -- in the query (e.g. 'doc_42') as pattern metacharacters
+         (CASE WHEN contains(lower(content), '{qstr}') THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN contains(lower(file_name), '{qstr}') THEN 2.0 ELSE 0.0 END)
+       + (CASE WHEN contains(lower(original_file_name), '{qstr}') THEN 2.0 ELSE 0.0 END) AS fb_score
   FROM d
 ),
 scored AS (

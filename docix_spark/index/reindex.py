@@ -44,7 +44,10 @@ def _append_docs(spark: SparkSession, index: Index, docs_new: DataFrame) -> int:
         shutil.rmtree(staging, ignore_errors=True)
         return 0
 
-    staged.write.mode("append").parquet(index.path("docs"))
+    # keep the doc_id-sorted file layout on appended batches too — the gated
+    # wildcard IN-probe and serving-tier point reads prune row groups via
+    # doc_id min/max stats, which erodes if appended files are unsorted
+    staged.sortWithinPartitions("doc_id").write.mode("append").parquet(index.path("docs"))
     postings = build_postings(staged, fields=FIELDS).withColumn(
         "term_bucket", term_bucket(F.col("term"), index.n_buckets)
     )
@@ -105,6 +108,22 @@ def reindex_paths(
     stale_ids = [r.doc_id for r in stale.collect()]
     if stale_ids:
         Tombstones(index).delete(spark, stale_ids)
+    # Un-tombstone resurrected content: if a path's content changed X→Y and
+    # later reverted to X before any compact(), sha(X) is still in the
+    # ledger while its postings are intact — the anti-join below would skip
+    # re-appending it and the doc would stay invisible (then be purged at
+    # compaction). Dropping the replacement batch's doc_ids from the ledger
+    # makes the reverted content visible again on every query path.
+    ts = Tombstones(index)
+    if os.path.exists(ts.path):
+        kept = ts.read(spark).join(new_docs.select("doc_id"), "doc_id", "left_anti")
+        tmp = ts.path + "__rewrite"
+        kept.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(ts.path, ignore_errors=True)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(ts.path)
+        shutil.rmtree(tmp, ignore_errors=True)
     fresh = new_docs.join(index.docs(spark).select("doc_id"), "doc_id", "left_anti")
     n_new = _append_docs(spark, index, fresh)
     return {"deleted": len(stale_ids), "indexed": n_new}

@@ -361,7 +361,20 @@ def extend_segments(
     scorer, which accumulates any number of disjoint rows per term.
 
     Returns the number of new documents appended.
+
+    Crash safety: the encoded segment rows are first materialized to a
+    staging directory, an intent marker is written, and only then are the
+    two live tables touched (doc_ords append, then file-moves of the staged
+    part files into ``segments``). A crash at ANY point is repaired by
+    :func:`recover_extend` (called on entry here): the marker says the
+    staged batch may be partially applied, the ordinal delta and staging
+    files still exist on disk, and both applies are idempotent (anti-join
+    for doc_ords; per-file moves for segments). This closes the silent-loss
+    window where a crash between the appends left doc_ords claiming the
+    batch while its segment rows were never written — the retry's anti-join
+    then skipped the batch forever.
     """
+    recover_extend(spark, seg)
     existing = seg.doc_ords(spark)
     # next free ordinal = max + 1, NOT count(): after a compaction purge
     # the map has gaps and count() would collide with live ordinals
@@ -435,21 +448,72 @@ def extend_segments(
         .applyInPandas(encode_group, schema=SEGMENT_SCHEMA)
         .withColumn("term_bucket", term_bucket(F.col("term"), seg.n_buckets))
     )
-    # Crash-ordering: extend the ordinal table FIRST (safe now that the
-    # delta is materialized to scratch — the anti-join lineage hazard is
-    # broken). A crash between the two appends then leaves doc_ords a
-    # superset of segment ordinals — harmless to the searcher's ord->doc
-    # mapping — and a re-run's anti-join skips the batch instead of
-    # re-appending the same docs under duplicate ordinals (the old order
-    # left dangling segment ordinals -> IndexError + duplicated postings).
-    ords_new.write.mode("append").parquet(os.path.join(seg.root, "doc_ords"))
+    # 1. Stage the encoded segment rows (same bucket-sorted layout as the
+    #    live table — moved in as files below, preserving row-group stats).
+    staging_path = os.path.join(seg.root, "_seg_delta_tmp")
     (
         segments.repartition(seg.n_buckets, "term_bucket")
         .sortWithinPartitions("term_bucket", "term")
-        .write.mode("append")
-        .parquet(os.path.join(seg.root, "segments"))
+        .write.mode("overwrite")
+        .parquet(staging_path)
     )
+    # 2. Intent marker: from here recover_extend can finish the batch after
+    #    a crash at any point (both applies below are idempotent).
+    marker = os.path.join(seg.root, "_extend_intent.json")
+    with open(marker, "w") as fh:
+        json.dump({"n_new": int(n_new)}, fh)
+    # 3. Ordinal table first: a reader between the steps sees doc_ords as a
+    #    superset of segment ordinals, which the searcher tolerates.
+    ords_new.write.mode("append").parquet(os.path.join(seg.root, "doc_ords"))
+    # 4. File-moves publish the staged segment rows (unique Spark part-file
+    #    names, per-file atomic rename — a crash mid-way leaves each file
+    #    on exactly one side and recovery moves the remainder).
+    _publish_staged_files(staging_path, os.path.join(seg.root, "segments"))
     import shutil
 
+    os.remove(marker)
+    shutil.rmtree(staging_path, ignore_errors=True)
     shutil.rmtree(delta_path, ignore_errors=True)
     return n_new
+
+
+def _publish_staged_files(staging_path: str, dest_path: str) -> None:
+    """Move staged parquet part files into the live table directory."""
+    for name in os.listdir(staging_path):
+        if name.endswith(".parquet"):
+            os.rename(
+                os.path.join(staging_path, name), os.path.join(dest_path, name)
+            )
+
+
+def recover_extend(spark: SparkSession, seg: SegmentIndex) -> bool:
+    """Finish a crashed :func:`extend_segments` batch. Returns True when a
+    repair ran. Safe to call any time: a present intent marker means the
+    ordinal delta (``_ord_delta_tmp``) and staged segment rows
+    (``_seg_delta_tmp``) are still on disk and may be partially applied —
+    re-apply both idempotently (doc_ords via anti-join, segments via moving
+    the part files that are still in staging), then clean up."""
+    import shutil
+
+    marker = os.path.join(seg.root, "_extend_intent.json")
+    if not os.path.exists(marker):
+        return False
+    delta_path = os.path.join(seg.root, "_ord_delta_tmp")
+    staging_path = os.path.join(seg.root, "_seg_delta_tmp")
+    if os.path.isdir(delta_path):
+        missing = (
+            spark.read.parquet(delta_path)
+            .join(seg.doc_ords(spark).select("doc_id"), "doc_id", "left_anti")
+        )
+        fix_tmp = os.path.join(seg.root, "_ord_fix_tmp")
+        missing.write.mode("overwrite").parquet(fix_tmp)
+        fixed = spark.read.parquet(fix_tmp)
+        if fixed.limit(1).count() > 0:
+            fixed.write.mode("append").parquet(os.path.join(seg.root, "doc_ords"))
+        shutil.rmtree(fix_tmp, ignore_errors=True)
+    if os.path.isdir(staging_path):
+        _publish_staged_files(staging_path, os.path.join(seg.root, "segments"))
+    os.remove(marker)
+    shutil.rmtree(staging_path, ignore_errors=True)
+    shutil.rmtree(delta_path, ignore_errors=True)
+    return True

@@ -78,10 +78,18 @@ def windowed_counts_stream(
     query_name: str = "events_windowed",
     watermark: str = "10 minutes",
 ):
-    """Streaming path: file-source micro-batches → watermark → tumbling
-    windows. Complete-output memory sink for in-process verification; the
-    watermark still bounds the aggregation state (windows older than
-    max(ts) - watermark are finalized and dropped from state)."""
+    """Streaming path: file-source micro-batches → tumbling windows.
+
+    Complete-output memory sink for in-process verification of ALL windows
+    (including ones the watermark has not finalized). NOTE: in complete
+    mode Spark retains every window's state and ignores the watermark for
+    both eviction and late-row dropping — so this specific query does NOT
+    demonstrate bounded state on an unbounded stream. The bounded-state /
+    late-drop property (windows older than max(ts) - watermark finalized,
+    state evicted, late rows dropped) is exercised by the append-mode query
+    in tests/test_events_streaming.py::test_watermark_drops_late_rows,
+    which is the production shape; complete mode exists only so the driver
+    contract can compare the FULL window set against the batch twin."""
     stream = spark.readStream.schema(EVENTS_SCHEMA).option(
         "maxFilesPerTrigger", 1
     ).parquet(input_dir)

@@ -229,7 +229,10 @@ def incremental_index(
         if prior:
             seen = spark.read.parquet(*prior).select("doc_id")
             docs = docs.join(seen, "doc_id", "left_anti")
-        docs.write.mode("overwrite").parquet(
+        # doc_id-sorted batch files: appended batches keep the row-group
+        # min/max pruning the gated wildcard IN-probe and serving point
+        # reads rely on (same layout as the one-shot build)
+        docs.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
             os.path.join(index_root, "docs", f"batch={batch_id}")
         )
         docs = spark.read.parquet(os.path.join(index_root, "docs", f"batch={batch_id}"))

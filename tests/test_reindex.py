@@ -80,3 +80,43 @@ def test_reindex_paths_replaces_changed_content(spark, tmp_root):
     compact(spark, idx)
     assert idx.postings(spark).where(F.col("doc_id") == old_id).count() == 0
     assert idx.docs(spark).where(F.col("doc_id") == old_id).count() == 0
+
+
+def test_reindex_paths_untombstones_reverted_content(spark, tmp_root):
+    """Content X→Y then Y→X before any compact(): sha(X) must come OFF the
+    tombstone ledger so the reverted file is visible again, and compaction
+    must NOT purge it (ADVICE r2 #1)."""
+    p1 = synth_corpus_pdf(60, seed=207)
+    root = f"{tmp_root}/reindex_revert_idx"
+    idx = build_index(spark, spark.createDataFrame(p1), root, n_buckets=8)
+
+    import hashlib
+
+    orig = p1.iloc[[4]].copy()
+    x_content = orig.iloc[0]["content"]
+    x_id = hashlib.sha256(x_content.encode()).hexdigest()
+
+    changed = orig.copy()
+    changed.loc[changed.index[0], "content"] = "temporary interim revision qqxjzv"
+    reindex_paths(spark, idx, spark.createDataFrame(changed[CORPUS_COLUMNS]))
+    assert Tombstones(idx).read(spark).where(F.col("doc_id") == x_id).count() == 1
+
+    # revert to the original content
+    out = reindex_paths(spark, idx, spark.createDataFrame(orig[CORPUS_COLUMNS]))
+    assert out["deleted"] == 1  # the interim revision gets tombstoned
+    # sha(X) is no longer tombstoned → visible on the query path again
+    assert Tombstones(idx).read(spark).where(F.col("doc_id") == x_id).count() == 0
+    from docix_spark.query.service import document_exists
+
+    assert document_exists(spark, idx, x_id)
+    dead = Tombstones(idx).read(spark)
+    uniq_q = "uniq_4_0"
+    # wide window: fuzzy AUTO expands uniq_4_0 to many uniq_*_0 neighbors
+    vis = search_topk(spark, idx, uniq_q, size=30, with_metadata=False, exclude=dead).collect()
+    assert x_id in {r.doc_id for r in vis}
+
+    # compaction purges only the interim revision, not the reverted content
+    compact(spark, idx)
+    assert idx.docs(spark).where(F.col("doc_id") == x_id).count() == 1
+    vis2 = search_topk(spark, idx, uniq_q, size=30, with_metadata=False).collect()
+    assert x_id in {r.doc_id for r in vis2}

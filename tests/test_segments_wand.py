@@ -312,3 +312,78 @@ def test_compact_purges_segments(spark, tmp_root):
     hits = [d for d, _ in s.search_terms(["permission", "software"], 10)[0]]
     assert target not in hits and len(hits) > 0
     assert target not in s._doc_to_ord
+
+
+def test_extend_crash_between_appends_recovers(spark, tmp_root, monkeypatch):
+    """ADVICE r2 #2: a crash after the doc_ords append but before the
+    segment rows land must NOT silently lose the batch — the intent marker
+    plus staged files let the next extend_segments repair it."""
+    import os
+
+    import pandas as pd
+    import pytest as _pytest
+
+    import docix_spark.index.segments as segmod
+    from docix_spark.corpus import synth_corpus_pdf, with_doc_ids
+    from docix_spark.index.build import build_index
+    from docix_spark.index.segments import build_segments, extend_segments
+    from docix_spark.query.serve import LocalSearcher
+
+    p1 = synth_corpus_pdf(80, seed=95)
+    p2 = synth_corpus_pdf(50, seed=96)
+    union = pd.concat([p1, p2], ignore_index=True)
+    root = f"{tmp_root}/crash_seg"
+    idx = build_index(spark, spark.createDataFrame(union), root, n_buckets=8)
+
+    b1_ids = {r.doc_id for r in with_doc_ids(spark.createDataFrame(p1)).select("doc_id").distinct().collect()}
+    post_all = idx.postings(spark)
+    post_b1 = post_all.where(F.col("doc_id").isin(sorted(b1_ids)))
+    post_b2 = post_all.join(post_b1.select("doc_id").distinct(), "doc_id", "left_anti")
+
+    import shutil
+
+    shutil.rmtree(f"{root}/segments", ignore_errors=True)
+    shutil.rmtree(f"{root}/doc_ords", ignore_errors=True)
+
+    class _B1Index:
+        n_buckets = idx.n_buckets
+        root = idx.root
+
+        def postings(self, s):
+            return post_b1
+
+        def docs(self, s):
+            return post_b1.select("doc_id").distinct()
+
+    seg = build_segments(spark, _B1Index(), out_root=root, docs_per_shard=64)
+    n_b2 = post_b2.select("doc_id").distinct().count()
+
+    real_publish = segmod._publish_staged_files
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash between the two appends")
+
+    monkeypatch.setattr(segmod, "_publish_staged_files", boom)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        extend_segments(spark, seg, post_b2)
+    # crashed state: doc_ords claims the batch, segments lack its rows
+    assert os.path.exists(f"{root}/_extend_intent.json")
+    assert seg.doc_ords(spark).count() == len(b1_ids) + n_b2
+    monkeypatch.setattr(segmod, "_publish_staged_files", real_publish)
+
+    # the old code's anti-join would return 0 here AND leave the segment
+    # rows missing forever; now recover_extend publishes the staged files
+    assert extend_segments(spark, seg, post_b2) == 0
+    assert not os.path.exists(f"{root}/_extend_intent.json")
+    assert not os.path.isdir(f"{root}/_seg_delta_tmp")
+
+    # full-rebuild parity proves zero loss
+    full_root = f"{tmp_root}/crash_seg_full"
+    idx_full = build_index(spark, spark.createDataFrame(union), full_root, n_buckets=8)
+    build_segments(spark, idx_full, docs_per_shard=64)
+    s_inc = LocalSearcher(root)
+    s_full = LocalSearcher(full_root)
+    for terms in [["permission", "software"], ["uniq_17_0"]]:
+        a = [(d, round(s, 6)) for d, s in s_inc.search_terms(terms, 10)[0]]
+        b = [(d, round(s, 6)) for d, s in s_full.search_terms(terms, 10)[0]]
+        assert a == b and len(a) > 0
