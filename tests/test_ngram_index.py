@@ -141,3 +141,34 @@ def test_trigram_maintained_under_append(spark, tri_index):
             for r in wildcard_fallback(spark, tri_index, aq).collect()
         }
         assert got == _scan_fb(spark, tri_index, aq.lower), q
+
+
+def test_vectorized_frame_matches_python_reference():
+    """The numpy sliding-window extraction must emit EXACTLY the distinct
+    (field, tg, doc_id) set of the per-value Python reference — including
+    multi-byte Unicode, empty/null values, and values shorter than 3."""
+    import pandas as pd
+
+    from docix_spark.index.ngram import _trigram_frame, trigrams
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c", "d", "e"],
+            "content": [
+                "Hello World spark",
+                "héllo wörld ÜBER straße",
+                "漢字かな カタカナ mixed 東京",
+                "ab",  # shorter than a trigram
+                None,
+            ],
+            "file_name": ["F1.txt", "", "名前.bin", "xy", "Plain.java"],
+        }
+    )
+    out = _trigram_frame(pdf, ["content", "file_name"])
+    got = set(zip(out["field"], out["tg"], out["doc_id"]))
+    want = set()
+    for _, row in pdf.iterrows():
+        for f in ("content", "file_name"):
+            for tg in trigrams(row[f]):
+                want.add((f, tg, row["doc_id"]))
+    assert got == want and len(want) > 0
