@@ -204,7 +204,14 @@ class Index:
         return Index(root=root)
 
     def path(self, name: str) -> str:
-        return os.path.join(self.root, name)
+        """Physical directory of a logical table — resolved through the
+        atomic-rewrite manifest (index.manifest): rewrites (compact, merge)
+        publish new versioned directories behind a pointer flip, so readers
+        and appends must always resolve. Plain name when no manifest entry
+        exists (fresh builds)."""
+        from docix_spark.index.manifest import resolve
+
+        return resolve(self.root, name)
 
     def postings(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path("postings"))
@@ -255,6 +262,16 @@ def build_index(
     analogue of the reference's deterministic ``_id`` upsert
     (SearchAdapter.java:118,311).
     """
+    # A full rebuild writes plain-named directories: reset any manifest
+    # pointers left by earlier compact/merge swaps over this root so the
+    # fresh tables become the current version.
+    from docix_spark.index.manifest import clear_table
+
+    if os.path.isdir(out_dir):
+        clear_table(
+            out_dir, "docs", "postings", "df_stats", "term_dict",
+            "doc_stats", "corpus_stats", "tombstones", "trigram_postings",
+        )
     docs = with_doc_ids(corpus)
     # De-duplicate identical content: one doc_id = one document, exactly as
     # the reference's deterministic _id collapses re-uploads.

@@ -253,6 +253,15 @@ def start_build(
     the page loop, DocumentIndexingService.java:111-119), then run attempt 1.
     """
     build_id = uuid.uuid4().hex[:12]
+    # full rebuild writes plain-named dirs — reset manifest pointers left
+    # by earlier compact/merge swaps over this root (index.manifest)
+    from docix_spark.index.manifest import clear_table
+
+    if os.path.isdir(root):
+        clear_table(
+            root, "docs", "postings", "df_stats", "term_dict",
+            "doc_stats", "corpus_stats", "tombstones", "trigram_postings",
+        )
     docs = with_doc_ids(corpus).dropDuplicates(["doc_id"]).withColumn(
         "build_part", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int")
     )

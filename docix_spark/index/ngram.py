@@ -126,12 +126,19 @@ def build_trigram_index(
         .mapInPandas(_trigram_gen(fields), schema=TRIGRAM_SCHEMA)
         .withColumn("tg_bucket", term_bucket(F.col("tg"), index.n_buckets))
     )
-    # reuse the bucket-clustered write, keyed on tg_bucket
-    (
-        tg_rows.repartition(index.n_buckets, "tg_bucket")
-        .sortWithinPartitions("tg_bucket", "tg")
-        .write.mode("overwrite")
-        .parquet(index.path("trigram_postings"))
+    # bucket-clustered write keyed on tg_bucket, published via the atomic
+    # manifest swap: a (re)build over a live index never exposes readers to
+    # a half-written directory (index.manifest)
+    from docix_spark.index.manifest import swap_table
+
+    swap_table(
+        index.root, "trigram_postings",
+        lambda p: (
+            tg_rows.repartition(index.n_buckets, "tg_bucket")
+            .sortWithinPartitions("tg_bucket", "tg")
+            .write.mode("overwrite")
+            .parquet(p)
+        ),
     )
 
 

@@ -116,14 +116,13 @@ def reindex_paths(
     # makes the reverted content visible again on every query path.
     ts = Tombstones(index)
     if os.path.exists(ts.path):
-        kept = ts.read(spark).join(new_docs.select("doc_id"), "doc_id", "left_anti")
-        tmp = ts.path + "__rewrite"
-        kept.write.mode("overwrite").parquet(tmp)
-        import shutil
+        from docix_spark.index.manifest import swap_table
 
-        shutil.rmtree(ts.path, ignore_errors=True)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(ts.path)
-        shutil.rmtree(tmp, ignore_errors=True)
+        kept = ts.read(spark).join(new_docs.select("doc_id"), "doc_id", "left_anti")
+        swap_table(
+            index.root, "tombstones",
+            lambda p: kept.write.mode("overwrite").parquet(p),
+        )
     fresh = new_docs.join(index.docs(spark).select("doc_id"), "doc_id", "left_anti")
     n_new = _append_docs(spark, index, fresh)
     return {"deleted": len(stale_ids), "indexed": n_new}

@@ -91,10 +91,13 @@ def expand_query_terms(spark: SparkSession, index: Index, terms: list[str]) -> l
 
     uniq = sorted(set(terms))
     try:
-        dict_mtime = _os.path.getmtime(_os.path.join(index.root, "term_dict"))
+        # manifest-resolved path: a swap-published dictionary rewrite lands
+        # in a NEW directory, so (path, mtime) changes and the cache rolls
+        dict_path = index.path("term_dict")
+        dict_mtime = _os.path.getmtime(dict_path)
     except OSError:
-        dict_mtime = -1.0
-    cache_key = (index.root, dict_mtime, tuple(uniq))
+        dict_path, dict_mtime = "", -1.0
+    cache_key = (dict_path, dict_mtime, tuple(uniq))
     cached = _EXPANSION_CACHE.get(cache_key)
     if cached is not None:
         return cached

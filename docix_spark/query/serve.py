@@ -64,7 +64,21 @@ class LocalSearcher:
         self.docs_per_shard = int(meta.get("docs_per_shard", 1 << 16))
         self.k1 = float(meta.get("k1", BM25_K1))
         self.b = float(meta.get("b", BM25_B))
-        self._segments = ds.dataset(os.path.join(root, "segments"), format="parquet")
+        # Snapshot: resolve every table's CURRENT version once, here — a
+        # concurrent merge/compact publishes new versioned directories and
+        # keeps these on disk until the next rewrite (index.manifest), so
+        # this searcher keeps answering from a consistent snapshot until
+        # refresh() re-resolves (the ES searcher-over-commit-point model).
+        from docix_spark.index.manifest import resolve
+
+        self._table = {
+            name: resolve(root, name)
+            for name in (
+                "segments", "doc_ords", "df_stats", "corpus_stats", "docs",
+                "postings", "trigram_postings", "term_dict",
+            )
+        }
+        self._segments = ds.dataset(self._table["segments"], format="parquet")
         self._seg_cache: dict[tuple[str, str], list[dict]] = {}
 
         import pyarrow.parquet as pq
@@ -73,13 +87,13 @@ class LocalSearcher:
         # query tree scores every field; single-field callers key by
         # (self.field, term)
         dfs = pq.read_table(
-            os.path.join(root, "df_stats"), columns=["field", "term", "df"]
+            self._table["df_stats"], columns=["field", "term", "df"]
         ).to_pandas()
         self._df = {
             (f, t): int(d)
             for f, t, d in zip(dfs["field"], dfs["term"], dfs["df"])
         }
-        cs = pq.read_table(os.path.join(root, "corpus_stats")).to_pandas()
+        cs = pq.read_table(self._table["corpus_stats"]).to_pandas()
         self._stats = {
             r["field"]: (int(r["n_docs"]), float(r["avgdl"]))
             for _, r in cs.iterrows()
@@ -87,7 +101,7 @@ class LocalSearcher:
         self.n_docs, self.avgdl = self._stats[field]
         # doc_ord -> doc_id (one doc-range partition's mapping; a sharded
         # fleet loads only its range)
-        ords = pq.read_table(os.path.join(root, "doc_ords")).to_pandas()
+        ords = pq.read_table(self._table["doc_ords"]).to_pandas()
         # sized by max ordinal: the map may have gaps after a compaction
         # purge (dead docs dropped, live ordinals unchanged)
         n_ord_slots = int(ords["doc_ord"].max()) + 1 if len(ords) else 0
@@ -115,7 +129,9 @@ class LocalSearcher:
         next refresh (SearchAdapter.java:331-354)."""
         import pyarrow.parquet as pq
 
-        path = os.path.join(self.root, "tombstones")
+        from docix_spark.index.manifest import resolve
+
+        path = resolve(self.root, "tombstones")
         if not os.path.isdir(path):
             self._dead_ords = np.empty(0, np.int64)
             return
@@ -259,7 +275,7 @@ class CompositeSearcher(LocalSearcher):
 
         from docix_spark.query.plan import FIELD_BOOSTS
 
-        td = pq.read_table(os.path.join(root, "term_dict")).to_pandas()
+        td = pq.read_table(self._table["term_dict"]).to_pandas()
         self._dict_terms = td["term"].to_numpy(object)
         self._dict_df = td["df"].to_numpy(np.int64)
         self._dict_tlen = td["tlen"].to_numpy(np.int64)
@@ -278,7 +294,7 @@ class CompositeSearcher(LocalSearcher):
         self._postings_ds = None  # lazy pyarrow dataset (phrase positions)
         self._trigram_ds = None  # lazy pyarrow dataset (wildcard candidates)
         self._tg_cache: dict[tuple[str, str], "np.ndarray"] = {}
-        self._has_trigrams = os.path.isdir(os.path.join(root, "trigram_postings"))
+        self._has_trigrams = os.path.isdir(self._table["trigram_postings"])
 
         # NO full-text residency: document fields are fetched ON DEMAND
         # through pyarrow point reads of the doc_id-sorted docs table
@@ -305,9 +321,7 @@ class CompositeSearcher(LocalSearcher):
                 "doc_id", drop=False
             )
         if self._docs_ds is None:
-            self._docs_ds = ds.dataset(
-                os.path.join(self.root, "docs"), format="parquet"
-            )
+            self._docs_ds = ds.dataset(self._table["docs"], format="parquet")
         t = self._docs_ds.to_table(
             columns=["doc_id", *columns],
             filter=pc.field("doc_id").isin(sorted(set(doc_ids))),
@@ -324,7 +338,7 @@ class CompositeSearcher(LocalSearcher):
         import pyarrow.parquet as pq
 
         docs = pq.read_table(
-            os.path.join(self.root, "docs"), columns=["doc_id", field]
+            self._table["docs"], columns=["doc_id", field]
         ).to_pandas()
         n_ords = len(self._ord_to_doc)
         vals = pd.Series([""] * n_ords, dtype=object)
@@ -553,7 +567,7 @@ class CompositeSearcher(LocalSearcher):
 
         if self._trigram_ds is None:
             self._trigram_ds = ds.dataset(
-                os.path.join(self.root, "trigram_postings"), format="parquet"
+                self._table["trigram_postings"], format="parquet"
             )
         bucket = term_bucket_py(tg, self.n_buckets)
         t = self._trigram_ds.to_table(
@@ -603,7 +617,7 @@ class CompositeSearcher(LocalSearcher):
 
         if self._postings_ds is None:
             self._postings_ds = ds.dataset(
-                os.path.join(self.root, "postings"), format="parquet"
+                self._table["postings"], format="parquet"
             )
         bucket = term_bucket_py(term, self.n_buckets)
         t = self._postings_ds.to_table(

@@ -52,31 +52,32 @@ def rebuild_stats(spark: SparkSession, root: str, n_buckets: int) -> None:
     """Full stats recompute over the whole postings table — the repair /
     bootstrap path (associative aggs, always correct after any number of
     appends). The per-batch hot path is :func:`_merge_stats`."""
+    from docix_spark.index.manifest import resolve, swap_table
+
+    pp = resolve(root, "postings")
     postings = ensure_parallelism(
-        spark.read.option("basePath", os.path.join(root, "postings")).parquet(
-            os.path.join(root, "postings")
-        ),
-        spark,
+        spark.read.option("basePath", pp).parquet(pp), spark
     )
     df_stats = (
         postings.groupBy("field", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
         .withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
     )
-    df_stats.write.mode("overwrite").parquet(os.path.join(root, "df_stats"))
+    swap_table(root, "df_stats", lambda p: df_stats.write.mode("overwrite").parquet(p))
     from docix_spark.index.build import _write_term_dict
 
-    _write_term_dict(spark, os.path.join(root, "df_stats"), os.path.join(root, "term_dict"))
+    swap_table(root, "term_dict", lambda p: _write_term_dict(spark, resolve(root, "df_stats"), p))
     doc_stats = postings.groupBy("field", "doc_id").agg(
         F.sum("tf").cast("long").alias("doc_len")
     )
-    doc_stats.write.mode("overwrite").parquet(os.path.join(root, "doc_stats"))
-    doc_stats = spark.read.parquet(os.path.join(root, "doc_stats"))
-    doc_stats.groupBy("field").agg(
+    swap_table(root, "doc_stats", lambda p: doc_stats.write.mode("overwrite").parquet(p))
+    doc_stats2 = spark.read.parquet(resolve(root, "doc_stats"))
+    corpus = doc_stats2.groupBy("field").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_len").cast("long").alias("sum_len"),
         F.avg("doc_len").alias("avgdl"),
-    ).write.mode("overwrite").parquet(os.path.join(root, "corpus_stats"))
+    )
+    swap_table(root, "corpus_stats", lambda p: corpus.write.mode("overwrite").parquet(p))
 
 
 def _merged_batches_path(root: str) -> str:
@@ -127,13 +128,13 @@ def _merge_stats(spark: SparkSession, root: str, n_buckets: int,
       additively driver-side; avgdl = sum_len/n_docs stays exact (a long
       sum, not a re-averaged float).
     """
-    import shutil
-
     from docix_spark.index.build import _write_term_dict
+    from docix_spark.index.manifest import resolve, swap_table
 
-    # df_stats: old ⊎ delta, tmp-swap (the merge reads the table it replaces)
+    # df_stats: old ⊎ delta — the atomic manifest swap both isolates
+    # readers and breaks the read-your-own-replacement lineage hazard
     delta = batch_postings.groupBy("field", "term").agg(F.count(F.lit(1)).alias("df"))
-    dfp = os.path.join(root, "df_stats")
+    dfp = resolve(root, "df_stats")
     if os.path.exists(dfp):
         old = spark.read.parquet(dfp).select("field", "term", "df")
         merged = (
@@ -144,11 +145,8 @@ def _merge_stats(spark: SparkSession, root: str, n_buckets: int,
     else:
         merged = delta.select("field", "term", F.col("df").cast("long").alias("df"))
     merged = merged.withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
-    tmp = dfp + "__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(dfp)
-    shutil.rmtree(tmp, ignore_errors=True)
-    _write_term_dict(spark, dfp, os.path.join(root, "term_dict"))
+    swap_table(root, "df_stats", lambda p: merged.write.mode("overwrite").parquet(p))
+    swap_table(root, "term_dict", lambda p: _write_term_dict(spark, resolve(root, "df_stats"), p))
 
     # doc_stats: append the batch rows; collect the per-field deltas from
     # the same (batch-sized) aggregate for the corpus merge
@@ -162,11 +160,11 @@ def _merge_stats(spark: SparkSession, root: str, n_buckets: int,
         .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s"))
         .collect()
     }
-    batch_ds.write.mode("append").parquet(os.path.join(root, "doc_stats"))
+    batch_ds.write.mode("append").parquet(resolve(root, "doc_stats"))
     batch_ds.unpersist()
 
     # corpus_stats: driver-side additive merge of (n_docs, sum_len)
-    csp = os.path.join(root, "corpus_stats")
+    csp = resolve(root, "corpus_stats")
     totals: dict[str, tuple[int, int]] = {}
     if os.path.exists(csp):
         for r in spark.read.parquet(csp).collect():
@@ -182,9 +180,10 @@ def _merge_stats(spark: SparkSession, root: str, n_buckets: int,
     rows = [
         (f, n, s, (s / n) if n else 0.0) for f, (n, s) in sorted(totals.items())
     ]
-    spark.createDataFrame(
+    cs_df = spark.createDataFrame(
         rows, "field string, n_docs long, sum_len long, avgdl double"
-    ).write.mode("overwrite").parquet(csp)
+    )
+    swap_table(root, "corpus_stats", lambda p: cs_df.write.mode("overwrite").parquet(p))
 
 
 def incremental_index(
@@ -220,7 +219,9 @@ def incremental_index(
         # cross-batch idempotency probe: skip already-indexed content
         # (the reference's existsByDocumentId check before upload,
         # BulkUploadService.java:62-65 — SURVEY.md §2.3 J5)
-        docs_root = os.path.join(index_root, "docs")
+        from docix_spark.index.manifest import resolve
+
+        docs_root = resolve(index_root, "docs")
         prior = [
             os.path.join(docs_root, d)
             for d in (os.listdir(docs_root) if os.path.isdir(docs_root) else [])
@@ -233,9 +234,9 @@ def incremental_index(
         # min/max pruning the gated wildcard IN-probe and serving point
         # reads rely on (same layout as the one-shot build)
         docs.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
-            os.path.join(index_root, "docs", f"batch={batch_id}")
+            os.path.join(resolve(index_root, "docs"), f"batch={batch_id}")
         )
-        docs = spark.read.parquet(os.path.join(index_root, "docs", f"batch={batch_id}"))
+        docs = spark.read.parquet(os.path.join(resolve(index_root, "docs"), f"batch={batch_id}"))
         postings = build_postings(docs, fields=FIELDS).withColumn(
             "term_bucket", term_bucket(F.col("term"), n_buckets)
         )
@@ -243,11 +244,11 @@ def incremental_index(
             postings.repartition(n_buckets, "term_bucket")
             .sortWithinPartitions("term_bucket", "term")
             .write.mode("overwrite")
-            .parquet(os.path.join(index_root, "postings", f"batch={batch_id}"))
+            .parquet(os.path.join(resolve(index_root, "postings"), f"batch={batch_id}"))
         )
         if batch_id not in _merged_batches(index_root):
             batch_postings = spark.read.parquet(
-                os.path.join(index_root, "postings", f"batch={batch_id}")
+                os.path.join(resolve(index_root, "postings"), f"batch={batch_id}")
             )
             _merge_stats(spark, index_root, n_buckets, batch_postings)
             # trigram wildcard index, if built: new docs must land in it
@@ -272,7 +273,7 @@ def incremental_index(
 
             seg = SegmentIndex.load(index_root)
             batch_postings = spark.read.parquet(
-                os.path.join(index_root, "postings", f"batch={batch_id}")
+                os.path.join(resolve(index_root, "postings"), f"batch={batch_id}")
             )
             extend_segments(spark, seg, batch_postings)
             if merge_every and batch_id > 0 and batch_id % merge_every == 0:
@@ -292,11 +293,15 @@ class StreamingIndex(Index):
     """Index handle over the streaming layout (batch=N subdirs)."""
 
     def postings(self, spark: SparkSession) -> DataFrame:
-        p = os.path.join(self.root, "postings")
+        from docix_spark.index.manifest import resolve
+
+        p = resolve(self.root, "postings")
         return spark.read.option("basePath", p).parquet(p).drop("batch")
 
     def docs(self, spark: SparkSession) -> DataFrame:
-        p = os.path.join(self.root, "docs")
+        from docix_spark.index.manifest import resolve
+
+        p = resolve(self.root, "docs")
         df = spark.read.option("basePath", p).parquet(p).drop("batch")
         # a re-ingested doc (same content) may appear in several batches;
         # the deterministic doc_id collapses it, exactly like the

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from docix_spark.corpus import synth_corpus_pdf
 from docix_spark.index.build import build_index
 from docix_spark.query.bm25 import search_topk
+from docix_spark.index.manifest import resolve
 from docix_spark.streaming.incremental import StreamingIndex, incremental_index
 
 N1, N2 = 120, 80
@@ -152,7 +153,7 @@ def test_incremental_stats_match_full_recompute(spark, drops, tmp_root):
 
     got_df = {
         (r.field, r.term): int(r.df)
-        for r in spark.read.parquet(f"{root}/df_stats").collect()
+        for r in spark.read.parquet(resolve(root, "df_stats")).collect()
     }
     want_df = {
         (r.field, r.term): int(r.n)
@@ -162,7 +163,7 @@ def test_incremental_stats_match_full_recompute(spark, drops, tmp_root):
 
     got_dl = {
         (r.field, r.doc_id): int(r.doc_len)
-        for r in spark.read.parquet(f"{root}/doc_stats").collect()
+        for r in spark.read.parquet(resolve(root, "doc_stats")).collect()
     }
     want_dl = {
         (r.field, r.doc_id): int(r.s)
@@ -172,7 +173,7 @@ def test_incremental_stats_match_full_recompute(spark, drops, tmp_root):
 
     cs = {
         r.field: (int(r.n_docs), int(r.sum_len), float(r.avgdl))
-        for r in spark.read.parquet(f"{root}/corpus_stats").collect()
+        for r in spark.read.parquet(resolve(root, "corpus_stats")).collect()
     }
     for f, (n, s, avgdl) in cs.items():
         wn = sum(1 for (ff, _) in want_dl if ff == f)
@@ -198,20 +199,20 @@ def test_rebuild_stats_repairs_inconsistency(spark, tmp_root):
     q.awaitTermination(120)
 
     sidx = StreamingIndex(root=root, n_buckets=8)
-    good_df = {(r.field, r.term): int(r.df) for r in spark.read.parquet(f"{root}/df_stats").collect()}
+    good_df = {(r.field, r.term): int(r.df) for r in spark.read.parquet(resolve(root, "df_stats")).collect()}
 
     # simulate the crash-retry double merge (marker not consulted)
     batch = spark.read.parquet(f"{root}/postings/batch=0")
     _merge_stats(spark, root, 8, batch)
-    bad_df = {(r.field, r.term): int(r.df) for r in spark.read.parquet(f"{root}/df_stats").collect()}
+    bad_df = {(r.field, r.term): int(r.df) for r in spark.read.parquet(resolve(root, "df_stats")).collect()}
     assert bad_df != good_df  # corruption is real
 
     rebuild_stats(spark, root, 8)
-    fixed = {(r.field, r.term): int(r.df) for r in spark.read.parquet(f"{root}/df_stats").collect()}
+    fixed = {(r.field, r.term): int(r.df) for r in spark.read.parquet(resolve(root, "df_stats")).collect()}
     assert fixed == good_df
     # doc_stats duplicates from the double merge are also rewritten
     dups = (
-        spark.read.parquet(f"{root}/doc_stats").groupBy("field", "doc_id").count()
+        spark.read.parquet(resolve(root, "doc_stats")).groupBy("field", "doc_id").count()
         .where(F.col("count") > 1).count()
     )
     assert dups == 0
