@@ -123,6 +123,16 @@ def main() -> None:
     lat_comp.sort()
     serve_composite_p95_ms = round(lat_comp[int(len(lat_comp) * 0.95) - 1] * 1000, 3)
     queries["serve_composite_p95_ms"] = serve_composite_p95_ms
+    # pruning evidence for the composite serving path: per-query decode
+    # counters summed over the bench query mix (path: gated vs full)
+    comp_decoded = comp_total = comp_gated = 0
+    for q in comp_queries:
+        comp.search_composite(q, size=10)
+        st = comp.last_stats
+        comp_decoded += st.get("blocks_decoded", 0)
+        comp_total += st.get("blocks_total", 0)
+        comp_gated += 1 if st.get("path") == "gated" else 0
+    composite_skip_ratio = round(1.0 - comp_decoded / max(comp_total, 1), 4)
 
     # -- composite search latencies ---------------------------------------
     search_set = {
@@ -170,6 +180,8 @@ def main() -> None:
         "serve_topk_p95_ms": serve_p95_ms,
         "serve_composite_p95_ms": serve_composite_p95_ms,
         "wand_block_skip_ratio": wand_block_skip_ratio,
+        "composite_skip_ratio": composite_skip_ratio,
+        "composite_gated_queries": comp_gated,
         "cpus": cpus,
     }
     shutil.rmtree(idx_dir, ignore_errors=True)

@@ -81,6 +81,7 @@ def wand_shard(
     k1: float,
     b: float,
     dead_ords: np.ndarray | None = None,
+    decode_fn=None,
 ) -> tuple[np.ndarray, np.ndarray, WandStats]:
     """Top-k over one shard. ``segs``: one dict per query term present in
     the shard with keys (weight, idf, avgdl, doc_bytes, tf_bytes, dl_bytes,
@@ -91,7 +92,14 @@ def wand_shard(
     Lucene live-docs bitmap, inverted) — masked at candidate-merge time so
     deleted docs never enter the candidate set, never inflate θ, and never
     displace a live doc from the top-k.
+
+    ``decode_fn(row, block_ids)``: optional decode override — the serving
+    tier injects a per-block decode CACHE here so repeated queries skip
+    the varint work entirely. ``stats.blocks_decoded`` stays the LOGICAL
+    decode count (blocks the algorithm needed), cache hit or not.
     """
+    if decode_fn is None:
+        decode_fn = _decode_row
     if dead_ords is not None and dead_ords.size == 0:
         dead_ords = None
     stats = WandStats(
@@ -138,7 +146,7 @@ def wand_shard(
             if need.size == 0:
                 continue
         stats.blocks_decoded += int(need.size)
-        o, t, l = _decode_row(s, need)
+        o, t, l = decode_fn(s, need)
         if dead_ords is not None and o.size:
             pos = np.searchsorted(dead_ords, o)
             hit = (pos < dead_ords.size) & (dead_ords[np.minimum(pos, dead_ords.size - 1)] == o)

@@ -197,3 +197,52 @@ def test_composite_fleet_matches_single_node(spark, served):
     ]
     w1 = [(d, round(s, 6)) for d, s in searcher.search_composite("parse_0 build_1", page=1, size=5)]
     assert p1 == w1
+
+
+def test_composite_gate_prunes_on_skewed_corpus(spark, tmp_root):
+    """VERDICT r2 next #4: on a skewed corpus (one selective term + a
+    stopword-like term in every doc) the gated composite serving path must
+    (a) fire, (b) decode well under half the available blocks, and (c)
+    stay rank-identical to the Spark path."""
+    import pandas as pd
+
+    from docix_spark.index.build import build_index
+    from docix_spark.index.ngram import build_trigram_index
+    from docix_spark.index.segments import build_segments
+    from docix_spark.query.bm25 import search_topk
+    from docix_spark.query.serve import CompositeSearcher
+
+    rng = __import__("numpy").random.default_rng(77)
+    rows = []
+    n = 8000
+    strong = set(rng.choice(n, 200, replace=False).tolist())
+    for i in range(n):
+        n_fill = int(rng.integers(5, 120))
+        body = [f"pad{int(x)}" for x in rng.integers(0, 40, n_fill)]
+        body.append("alltoken")  # the stopword: df == N
+        if i in strong:
+            body.append("strongterm")
+        body.append(f"uniqmark{i}")  # defeat content-sha dedup
+        rows.append(("r", f"s/{i}.txt", "c", "txt", " ".join(body)))
+    pdf = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    root = f"{tmp_root}/skew_idx"
+    idx = build_index(spark, spark.createDataFrame(pdf), root, n_buckets=8)
+    build_segments(spark, idx, docs_per_shard=1 << 14, block_size=16)
+    build_trigram_index(spark, idx)
+
+    comp = CompositeSearcher(root)
+    got = [(d, round(s, 6)) for d, s in comp.search_composite("strongterm alltoken", size=10)]
+    st = comp.last_stats
+    assert st["path"] == "gated", st
+    assert st["blocks_total"] > 500  # the corpus really is block-heavy
+    ratio = st["blocks_decoded"] / st["blocks_total"]
+    assert ratio < 0.5, f"decoded {st['blocks_decoded']}/{st['blocks_total']}"
+
+    want = [
+        (r.doc_id, round(r.score, 6))
+        for r in search_topk(
+            spark, idx, "strongterm alltoken", size=10, with_metadata=False
+        ).collect()
+    ]
+    assert got == want and len(got) == 10
