@@ -80,10 +80,16 @@ class LocalSearcher:
         }
         self._segments = ds.dataset(self._table["segments"], format="parquet")
         self._seg_cache: dict[tuple[str, str], list[dict]] = {}
-        # decoded-block cache keyed by segment-row identity -> {block_id:
-        # (ords, tfs, dls)} — the mmap'd-segment analogue: repeated queries
-        # skip the varint decode entirely (refresh() rebuilds it)
+        # decoded-block cache keyed by segment-row SERIAL (``_rid``, stamped
+        # in _load_term_segments) -> {block_id: (ords, tfs, dls)} — the
+        # mmap'd-segment analogue: repeated queries skip the varint decode
+        # entirely (refresh() rebuilds it). NOTE the key must be the stamped
+        # serial, NOT id(row): query paths pass dict(row) COPIES to the
+        # decode callback, and id() of a freed copy can be reused by the
+        # allocator for a different row's copy next query — observed as
+        # nondeterministic stale-block scores under suite-level memory churn.
         self._block_cache: dict[int, dict[int, tuple]] = {}
+        self._next_rid = 0
         self._active_stats: dict | None = None
 
         import pyarrow.parquet as pq
@@ -165,6 +171,9 @@ class LocalSearcher:
             flt = flt & pc.field("shard").isin(sorted(self.shards))
         t = self._segments.to_table(columns=_SEG_COLS, filter=flt)
         rows = t.to_pylist()
+        for r in rows:
+            r["_rid"] = self._next_rid
+            self._next_rid += 1
         self._seg_cache[key] = rows
         return rows
 
@@ -175,14 +184,14 @@ class LocalSearcher:
         those in (block_last[b-1], block_last[b]]). Counts REAL decodes
         into the active query stats; cache hits cost nothing.
 
-        Keyed on the row OBJECT's identity, not (field, term, shard):
+        Keyed on the row's stamped ``_rid`` serial, not (field, term,
+        shard) and not ``id(row)``:
         after ``extend_segments`` one (field, term, shard) can own several
         fragment rows with different payloads, and a tuple key would hand
         fragment B fragment A's cached blocks (observed as exactly-2x
-        scores for base-batch docs). Row dicts live in ``_seg_cache`` for
-        the searcher's lifetime and ``refresh()`` drops both caches
-        together, so ``id(row)`` is a stable discriminator here."""
-        key = id(row)
+        scores for base-batch docs). The serial survives dict(row) copies
+        and ``refresh()`` drops caches and rows together."""
+        key = row["_rid"]
         cache = self._block_cache.setdefault(key, {})
         bids = [int(x) for x in np.asarray(block_ids)]
         missing = sorted(set(b for b in bids if b not in cache))
@@ -204,9 +213,10 @@ class LocalSearcher:
 
     def _note_row(self, row, stats: dict) -> None:
         """Count each touched segment row's blocks into blocks_total
-        exactly once per query (by row identity: fragments of the same
-        (field, term, shard) are distinct rows with distinct blocks)."""
-        key = id(row)
+        exactly once per query (by the stamped ``_rid`` serial: fragments
+        of the same (field, term, shard) are distinct rows with distinct
+        blocks)."""
+        key = row["_rid"]
         seen = stats.setdefault("_rows", set())
         if key not in seen:
             seen.add(key)

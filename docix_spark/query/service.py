@@ -305,11 +305,21 @@ def search(
         spark, index, query, page=0, size=(page + 1) * size + 1,
         with_metadata=True, validate=False, exclude=dead,
     )
-    # fetch phase: join the source text for the ≤k result rows only —
-    # explicitly broadcast the small (result) side so the docs content scan
-    # is a probe, not a broadcast of the whole corpus text
-    over = F.broadcast(over).join(index.docs(spark).select("doc_id", "content"), "doc_id")
-    opdf = over.orderBy("rank").toPandas()
+    # fetch phase: source text for the ≤k result rows via a driver-side
+    # pyarrow point read of the doc_id-sorted docs table (row-group pruned
+    # — bm25._probe_doc_rows). The previous broadcast join scanned the
+    # ENTIRE content column per query regardless of broadcast direction
+    # (a join pushes no doc_id filter into the parquet scan).
+    from docix_spark.query.bm25 import _probe_doc_rows
+
+    # sort the <=k rows in pandas — a Spark orderBy on the (often local)
+    # relation would cost a range-sampling job
+    opdf = over.toPandas().sort_values("rank").reset_index(drop=True)
+    content = {
+        r["doc_id"]: r["content"]
+        for r in _probe_doc_rows(index, list(opdf["doc_id"]), ["doc_id", "content"])
+    }
+    opdf["content"] = opdf["doc_id"].map(content)
     has_next = len(opdf) > (page + 1) * size
     pdf = opdf[(opdf["rank"] > page * size) & (opdf["rank"] <= (page + 1) * size)].reset_index(drop=True)
     aq = analyze_query(query)

@@ -29,14 +29,28 @@ def _optimized(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
-def test_metadata_join_broadcasts_topk_side(spark, built):
-    """The metadata-attach join must broadcast the <=k result rows
-    (BuildLeft over the TakeOrderedAndProject subtree), never the docs
-    table."""
+def test_gated_search_result_is_local_relation(spark, built):
+    """When the wildcard gate resolves the page driver-side, the returned
+    DataFrame (metadata included via the pyarrow point read) must be a pure
+    local relation — NO join, NO parquet scan, no Spark job beyond the one
+    TakeOrdered that fed the gate."""
     df = search_topk(spark, built, "permission software", size=5)
     opt = _optimized(df)
-    # the top (doc_id = doc_id) metadata join carries the broadcast hint on
-    # the result side
+    assert "Join" not in opt, opt
+    assert ("LocalRelation" in opt) or ("LogicalRDD" in opt), opt
+    assert "parquet" not in opt.lower(), opt
+    rows = df.collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r.repo is not None for r in rows)
+
+
+def test_ungated_metadata_join_broadcasts_topk_side(spark, built):
+    """On the fallback (ungated) path the metadata-attach join must
+    broadcast the <=k result rows (BuildLeft over the ranked subtree),
+    never the docs table."""
+    # wildcard-only query: no bestfields hits -> gate declines -> fallback
+    df = search_topk(spark, built, "kg7/modu", size=5)
+    opt = _optimized(df)
     meta_join_lines = [
         ln for ln in opt.splitlines() if "Join Inner, (doc_id" in ln
     ]
@@ -45,17 +59,10 @@ def test_metadata_join_broadcasts_topk_side(spark, built):
 
     phys = _physical(df)
     assert "BuildLeft" in phys
-    # the broadcast exchange wraps the small result side (a local relation
-    # when the wildcard gate resolved the top-k driver-side, else the
-    # TakeOrderedAndProject subtree) — never the docs parquet scan
+    # the broadcast exchange wraps the small ranked side — never the docs
+    # parquet scan
     bx = phys.find("BroadcastExchange")
     assert bx != -1
-    small = max(
-        phys.find("TakeOrderedAndProject"),
-        phys.find("LocalTableScan"),
-        phys.find("Scan ExistingRDD"),
-    )
-    assert small > bx
 
 
 def test_pagination_is_take_ordered_not_global_sort(spark, built):
