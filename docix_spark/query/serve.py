@@ -355,6 +355,12 @@ class CompositeSearcher(LocalSearcher):
         self._postings_ds = None  # lazy pyarrow dataset (phrase positions)
         self._trigram_ds = None  # lazy pyarrow dataset (wildcard candidates)
         self._tg_cache: dict[tuple[str, str], "np.ndarray"] = {}
+        # wildcard-clause result cache: UNMASKED (ords, fb) per query
+        # string — the ES filter-cache analogue. Verified matches depend
+        # only on document text, so entries stay exact across tombstone
+        # refreshes (masking is applied downstream) and are dropped with
+        # every other cache on refresh() (__init__ re-runs). Bounded.
+        self._wc_cache: dict[str, tuple] = {}
         self._has_trigrams = os.path.isdir(self._table["trigram_postings"])
 
         # NO full-text residency: document fields are fetched ON DEMAND
@@ -629,6 +635,23 @@ class CompositeSearcher(LocalSearcher):
         order = np.argsort(o)
         return o[order], v[order]
 
+    def _wildcard_union_sparse(self, ql: str) -> tuple:
+        """UNMASKED (ords, fb) for the wildcard clauses, cached per query
+        string: trigram candidates + point-read verify when the trigram
+        index exists, else the streaming per-batch scan. Either way the
+        match set is EXACT, so the MaxScore gate's fb-completeness premise
+        holds for both paths. Repeats of the same query string skip the
+        fetch/scan entirely (the ES filter-cache behavior); the first
+        occurrence pays the same cost as before."""
+        hit = self._wc_cache.get(ql)
+        if hit is None:
+            wc = self._wildcard_sparse(ql)
+            hit = wc if wc is not None else self._wildcard_scan_sparse(ql)
+            if len(self._wc_cache) >= 256:
+                self._wc_cache.clear()
+            self._wc_cache[ql] = hit
+        return hit
+
     def _field_candidates(
         self, f: str, qts, qt_w, expansions, cap: int, stats: dict
     ) -> tuple["np.ndarray", float]:
@@ -741,10 +764,7 @@ class CompositeSearcher(LocalSearcher):
         to the full path)."""
         from docix_spark.query.plan import FIELD_BOOSTS
 
-        wc = self._wildcard_sparse(aq.lower)
-        if wc is None:
-            return None
-        w_ords, w_fb = self._mask_ords(*wc)
+        w_ords, w_fb = self._mask_ords(*self._wildcard_union_sparse(aq.lower))
 
         cand_parts = [w_ords]
         bound = 0.0
@@ -836,11 +856,7 @@ class CompositeSearcher(LocalSearcher):
         else:
             uo, best = np.empty(0, np.int64), np.empty(0)
 
-        wc = self._wildcard_sparse(aq.lower)
-        if wc is None:
-            w_ords, w_fb = self._wildcard_scan_sparse(aq.lower)
-        else:
-            w_ords, w_fb = wc
+        w_ords, w_fb = self._wildcard_union_sparse(aq.lower)
         AO = np.concatenate([uo, w_ords])
         AV = np.concatenate([best, w_fb])
         to, inv = np.unique(AO, return_inverse=True)
