@@ -518,6 +518,110 @@ def minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+_SQL_LSH_PAIRS = f"""WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+    sig AS (
+      SELECT doc_id,
+             min(md5('0:' || sh)) || min(md5('1:' || sh)) AS band0,
+             min(md5('2:' || sh)) || min(md5('3:' || sh)) AS band1
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, band0 AS band FROM sig UNION ALL SELECT doc_id, band1 FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    )"""
+
+
+@register(
+    "dedup_connected_components",
+    _SQL_LSH_PAIRS
+    + """,
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           CAST(doc_id = cluster_id AS INT) AS is_canonical
+    FROM comp ORDER BY doc_id""",
+)
+def dedup_connected_components(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components over the MinHash-LSH
+    candidate-pair graph, canonical = min doc_id per component — the step
+    that turns pairwise candidates into a keep/drop decision (the
+    reference's dedup stops at ES-level exact ids; a training-data
+    pipeline needs the transitive closure).
+
+    Spark plan: iterative min-label propagation — labels(doc) starts as
+    doc_id; each round joins labels across edges and takes the per-doc
+    min, localCheckpoint()-ed to cut lineage (each round is ONE shuffle
+    on doc_id; convergence checked with a cheap checksum agg). Rounds
+    needed = component diameter: LSH components are near-cliques (every
+    member shares a band with most others), so 2-4 rounds in practice.
+    At adversarial diameters the same loop would switch to
+    large-star/small-star (Kiveris et al., alternating stars converge in
+    O(log n) rounds) — same join shape, different emit rule. The DuckDB
+    oracle is the recursive-CTE transitive closure of the identical pair
+    graph."""
+    sh = _shingles_spark(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        F.concat(F.min(F.md5(F.concat(F.lit("0:"), F.col("sh")))), F.min(F.md5(F.concat(F.lit("1:"), F.col("sh"))))).alias("band0"),
+        F.concat(F.min(F.md5(F.concat(F.lit("2:"), F.col("sh")))), F.min(F.md5(F.concat(F.lit("3:"), F.col("sh"))))).alias("band1"),
+    )
+    bands = sig.select("doc_id", F.col("band0").alias("band")).unionByName(
+        sig.select("doc_id", F.col("band1").alias("band"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(15):
+        prop = edges.join(labels, F.col("src") == F.col("doc_id")).select(
+            F.col("dst").alias("doc_id"), "lbl"
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        # xor-fold: order-independent and overflow-free under ANSI mode
+        cur = labels.agg(F.expr("bit_xor(xxhash64(doc_id, lbl))")).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            "doc_id",
+            F.col("lbl").alias("cluster_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("lbl")).cast("int").alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "ngram_jaccard_pairs",
     f"""WITH sh AS ({_SQL_SHINGLES}),
@@ -2111,7 +2215,7 @@ def pages_formfeed_split(spark, sf_dir):
 _FRONT = [
     "unicode_search", "media_frames", "media_resize", "token_count_bpe",
     "source_filter_lang", "pages_formfeed_split", "ann_ivf_kmeans",
-    "ann_ivf_recall",
+    "ann_ivf_recall", "dedup_connected_components",
 ]
 REGISTRY = {
     **{n: REGISTRY[n] for n in _FRONT if n in REGISTRY},
