@@ -157,8 +157,41 @@ def main() -> None:
     lat.sort()
     search_p95_warm = round(lat[max(int(len(lat) * 0.95) - 1, 0)] if lat else 0.0, 4)
 
+    # -- skewed-corpus WAND pruning (in-process micro-bench) ---------------
+    # The driver corpus has a uniform 31-word vocabulary, so NOTHING is
+    # non-essential and the serving skip ratio above is 0.0 by construction
+    # (documented in BENCH.md). Real corpora are Zipfian; this micro-bench
+    # scores one rare term against a 200k-doc flat common list — the shape
+    # block-max pruning exists for — and reports the measured skip ratio +
+    # latency of the identical wand_shard code path.
+    import numpy as np
+
+    from docix_spark.index.codec import encode_posting_list
+    from docix_spark.query.wand import wand_shard
+
+    rng = np.random.default_rng(7)
+    n_common = 200_000
+    common = encode_posting_list(
+        np.arange(n_common, dtype=np.int64),
+        np.ones(n_common, dtype=np.int64),
+        np.full(n_common, 100, dtype=np.int64),
+    )
+    rare_ords = np.sort(rng.choice(n_common, 100, replace=False)).astype(np.int64)
+    rare = encode_posting_list(
+        rare_ords, np.full(100, 5, dtype=np.int64), np.full(100, 100, dtype=np.int64)
+    )
+    segs_skewed = [
+        {**common, "weight": 1.0, "idf": 0.05, "avgdl": 100.0},
+        {**rare, "weight": 1.0, "idf": 6.0, "avgdl": 100.0},
+    ]
+    t0 = time.perf_counter()
+    _, _, wstats = wand_shard(segs_skewed, k=10, k1=1.2, b=0.75)
+    queries["wand_skewed_200k_ms"] = round((time.perf_counter() - t0) * 1000, 3)
+    wand_block_skip_ratio_skewed = round(wstats.skip_ratio, 4)
+
     # -- registry heavies ---------------------------------------------------
-    for name in ["bm25_topk", "dedup_exact", "minhash_lsh_pairs",
+    for name in ["bm25_topk", "dedup_exact", "dedup_connected_components",
+                 "minhash_lsh_pairs",
                  "ngram_jaccard_banded", "knn_cosine_top10", "quality_score",
                  "simhash_band_pairs", "embedding_lsh_pairs",
                  "events_windowed", "events_sessionize"]:
@@ -180,6 +213,7 @@ def main() -> None:
         "serve_topk_p95_ms": serve_p95_ms,
         "serve_composite_p95_ms": serve_composite_p95_ms,
         "wand_block_skip_ratio": wand_block_skip_ratio,
+        "wand_block_skip_ratio_skewed": wand_block_skip_ratio_skewed,
         "composite_skip_ratio": composite_skip_ratio,
         "composite_gated_queries": comp_gated,
         "cpus": cpus,

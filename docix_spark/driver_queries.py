@@ -623,6 +623,106 @@ def dedup_connected_components(spark, sf_dir):
 
 
 @register(
+    "decontamination_ngram_overlap",
+    f"""WITH w AS ({SQL_WORDS}),
+    g AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+             || ' ' || words[i+4] || ' ' || words[i+5] || ' ' || words[i+6] || ' ' || words[i+7] AS g
+      FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)
+      WHERE len(words) >= 8
+    ),
+    ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 29 = 0),
+    tr AS (
+      SELECT g.doc_id, count(*) AS n FROM g JOIN ev USING (g)
+      WHERE g.doc_id % 29 <> 0 GROUP BY g.doc_id
+    )
+    SELECT d.doc_id, COALESCE(tr.n, 0) AS n_contaminated,
+           CAST(COALESCE(tr.n, 0) > 0 AS INT) AS contaminated
+    FROM documents d LEFT JOIN tr ON d.doc_id = tr.doc_id
+    WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""",
+)
+def decontamination_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: per training doc, the number of distinct
+    8-gram windows shared with the eval split (deterministic split:
+    doc_id % 29 == 0 plays the held-out benchmark). The real-pipeline op
+    behind every training run — drop or flag docs whose n-grams leak the
+    eval set. Scale shape: the eval-side gram table is benchmark-sized
+    (≪ corpus), so it BROADCASTS; the training side streams map-side
+    through the hash join — no corpus-sized shuffle at all."""
+    docs = _docs(spark, sf_dir)
+    w = docs.select("doc_id", spark_tokens("text").alias("words"))
+    grams = (
+        w.where(F.size("words") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words)-8), i -> "
+                    "concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3],"
+                    " words[i+4], words[i+5], words[i+6], words[i+7]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    ev = F.broadcast(
+        grams.where(F.col("doc_id") % 29 == 0).select("g").distinct()
+    )
+    tr = (
+        grams.where(F.col("doc_id") % 29 != 0)
+        .join(ev, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        docs.where(F.col("doc_id") % 29 != 0)
+        .select("doc_id")
+        .join(tr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_contaminated"),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "top_terms_per_source",
+    f"""WITH w AS ({SQL_WORDS}),
+    t AS (SELECT source, unnest(words) AS term FROM w),
+    c AS (SELECT source, term, count(*) AS cnt FROM t GROUP BY 1, 2),
+    r AS (
+      SELECT source, term, cnt,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS INT) AS rn
+      FROM c
+    )
+    SELECT source, term, cnt, rn FROM r WHERE rn <= 5 ORDER BY source, rn""",
+)
+def top_terms_per_source(spark, sf_dir):
+    """Windowed top-k per group (top-5 terms per source): the groupBy
+    count shuffles on (source, term) with map-side partial aggregation,
+    then row_number partitions by source — k rows per group survive. At
+    scale the window's per-group state is the count rows of one source,
+    bounded by vocabulary; skewed sources could pre-aggregate with a
+    salted two-phase count (same pattern as the segment build)."""
+    from pyspark.sql import Window
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(spark_tokens("text")).alias("term"))
+    )
+    c = toks.groupBy("source", "term").agg(F.count("*").alias("cnt"))
+    win = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        c.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= 5)
+        .orderBy("source", "rn")
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     f"""WITH sh AS ({_SQL_SHINGLES}),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -2216,6 +2316,7 @@ _FRONT = [
     "unicode_search", "media_frames", "media_resize", "token_count_bpe",
     "source_filter_lang", "pages_formfeed_split", "ann_ivf_kmeans",
     "ann_ivf_recall", "dedup_connected_components",
+    "decontamination_ngram_overlap", "top_terms_per_source",
 ]
 REGISTRY = {
     **{n: REGISTRY[n] for n in _FRONT if n in REGISTRY},
