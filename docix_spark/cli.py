@@ -206,6 +206,30 @@ def cmd_metrics(args):
     }))
 
 
+def cmd_pipeline(args):
+    """Run any driver-registry operator (dedup, similarity, quality,
+    decontamination, events, ...) against an sf-style data dir from the
+    command line — the spark-submit entry for the training-data-pipeline
+    surface (every op also has a DuckDB oracle in driver_queries.py)."""
+    from docix_spark.driver_queries import REGISTRY
+
+    if args.op == "list":
+        print(json.dumps({"ops": sorted(REGISTRY)}))
+        return
+    if args.op not in REGISTRY:
+        raise SystemExit(f"unknown op {args.op!r}; try 'pipeline list'")
+    spark = _spark(args)
+    t0 = time.perf_counter()
+    df = REGISTRY[args.op].fn(spark, args.sf_dir)
+    rows = df.limit(args.limit).collect()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "cmd": "pipeline", "op": args.op, "latency_sec": round(dt, 4),
+        "columns": df.columns,
+        "rows": [[str(v) for v in r] for r in rows],
+    }))
+
+
 def cmd_bench_build(args):
     """Timed fragment+finalize build over pre-generated input — the unit the
     two-cluster-size scaling rule measures. Session startup is excluded."""
@@ -289,6 +313,12 @@ def main(argv=None):
     sp = sub.add_parser("metrics")
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_metrics)
+
+    sp = sub.add_parser("pipeline")
+    sp.add_argument("op", help="registry op name, or 'list' to enumerate")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sp.add_argument("--limit", type=int, default=20)
+    sp.set_defaults(fn=cmd_pipeline)
 
     sp = sub.add_parser("bench-build")
     sp.add_argument("--input", required=True)

@@ -55,6 +55,14 @@ def test_cli_pipeline(spark, capsys, corpus_dir, tmp_root):
     r = _run(capsys, ["--cores", "4", "metrics", "--out", out_dir])
     assert r["status"] == "FULLY_INDEXED" and len(r["partitions"]) == 8
 
+    r = _run(capsys, ["pipeline", "list"])
+    assert "dedup_connected_components" in r["ops"]
+    assert "decontamination_ngram_overlap" in r["ops"]
+
+    r = _run(capsys, ["--cores", "4", "pipeline", "dedup_exact",
+                      "--sf-dir", "/root/testdata/sf0.001", "--limit", "5"])
+    assert r["op"] == "dedup_exact" and r["columns"]
+
 
 def test_cli_build_size_admission(spark, capsys, corpus_dir, tmp_root):
     r = _run(capsys, ["--cores", "4", "build", "--input", corpus_dir,
