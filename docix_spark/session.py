@@ -37,7 +37,27 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # Tiny dimension tables (query terms, corpus stats) must broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Parquet dictionary pages sized for the doc_id column: the default
+        # 1 MB cap overflows at ~16k distinct 64-char shas per column chunk,
+        # silently degrading doc_id to PLAIN — measured 7.3x postings-table
+        # bloat (1.6 GB -> 221 MB on a 30k-doc build) because term-sorted
+        # row order scatters doc_ids beyond LZ reach. 16 MB keeps dictionary
+        # encoding up to ~260k distinct docs per chunk; beyond that (bigger
+        # shards at 100 TB) zstd via DOCIX_PARQUET_CODEC recovers most of it.
+        .config("spark.hadoop.parquet.dictionary.page.size", str(16 * 1024 * 1024))
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("DOCIX_PARQUET_CODEC", "snappy"),
+        )
         .config("spark.driver.memory", os.environ.get("DOCIX_DRIVER_MEM", "8g"))
+        # Commit protocol v2: tasks move their own output files at task
+        # commit instead of the driver serially renaming every file at job
+        # commit — the job-commit phase is pure Amdahl serial time (measured
+        # here: tripling fs-metadata latency tripled the non-scaling build
+        # component). v2's weaker failure atomicity is fine: table-level
+        # atomicity comes from the manifest pointer swap (index/manifest.py),
+        # not the committer.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
