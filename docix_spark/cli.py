@@ -238,7 +238,20 @@ def cmd_bench_build(args):
     spark = _spark(args)
     corpus = _load_corpus(spark, args.input)
     corpus = corpus.repartition(args.partitions)
-    n = corpus.count()  # materialize input + warm workers before timing
+    n = corpus.count()
+    # Real-path warmup over a tiny slice: parquet count() is metadata-only,
+    # so without this the timed region absorbs one-time session costs —
+    # Python worker forks (+ numpy/pandas imports), JVM JIT of the parquet
+    # decode + Arrow channels, codegen. On a real cluster a 100 TB build
+    # amortizes these to zero; at a 2-5-minute bench leg they are a visible
+    # constant that distorts the N vs 4N comparison.
+    from docix_spark.corpus import with_doc_ids
+    from docix_spark.index.build import build_postings
+
+    (
+        build_postings(with_doc_ids(corpus.limit(256)))
+        .write.format("noop").mode("overwrite").save()
+    )
     t0 = time.perf_counter()
     build_index(spark, corpus, args.out, n_buckets=args.buckets)
     dt = time.perf_counter() - t0

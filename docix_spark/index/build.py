@@ -61,13 +61,22 @@ def term_bucket(col, n_buckets: int):
 
 
 def ensure_parallelism(df: DataFrame, spark: SparkSession, min_parts: int | None = None) -> DataFrame:
-    """Guarantee enough input splits for a CPU-heavy map stage.
+    """Guarantee enough input splits for a CPU-heavy PYTHON map stage.
 
-    A freshly written small parquet table packs into very few file splits
-    (openCost packing), which silently serializes the downstream
-    mapInPandas tokenize stage (measured: 3 tasks on 32 cores). At real
-    scale the scan has thousands of row-group splits and this is a no-op —
-    the repartition only fires when the scan is under-split.
+    A freshly written small parquet table packs into very few file splits,
+    which silently serializes a downstream mapInPandas tokenize stage
+    (measured: 3 tasks on 32 cores). Beyond split count, the round-robin
+    exchange also yields ROW-EVEN partitions and full-size Arrow batches:
+    byte-even-but-row-uneven natural splits straggle the Python stage
+    (measured 65 s vs 41 s at 4 cores for the same tokenize). Use it ONLY
+    in front of Python-heavy map work: in front of a JVM hash aggregate
+    the repartition is a full extra exchange the agg never needed
+    (measured: df/doc_stats ran 1.7x SLOWER at 4 cores than at 1 because
+    this guard fired only at the higher core count — the scaling run's
+    dominant anti-scaling term; those sites now rely on the 16 MB
+    ``spark.sql.files.maxPartitionBytes`` scan splits, session.py). At
+    real scale natural splits outnumber 3x parallelism and this is a
+    no-op — unevenness averages out across many task waves.
 
     ``df.rdd.getNumPartitions()`` translates the plan to an RDD but runs
     NO job (lazy) — per-call cost is milliseconds of plan translation,
@@ -83,8 +92,15 @@ def ensure_parallelism(df: DataFrame, spark: SparkSession, min_parts: int | None
 def _write_term_dict(spark: SparkSession, df_stats_path: str, out_path: str) -> None:
     """Materialize the fuzzy-expansion dictionary once at build time (the
     query path used to re-aggregate df_stats per query)."""
+    _write_term_dict_from(spark.read.parquet(df_stats_path), out_path)
+
+
+def _write_term_dict_from(df_stats: DataFrame, out_path: str) -> None:
+    """term_dict from an in-memory df_stats handle — build paths pass the
+    persisted DataFrame to skip re-listing/re-scanning the parquet they
+    just wrote (constant-time overhead that lands on every cluster size)."""
     (
-        spark.read.parquet(df_stats_path)
+        df_stats
         .groupBy("term")
         .agg(F.max("df").alias("df"))
         .withColumn("tlen", F.length("term"))
@@ -327,27 +343,38 @@ def build_index(
     # is a serial bottleneck that flatlines build scaling (8→32 cores:
     # 53s→56s with partitionBy vs 57s→17s without; scripts/scaling_run.py).
     _write_bucketed(postings, n_buckets, os.path.join(out_dir, "postings"))
-    postings = ensure_parallelism(
-        spark.read.parquet(os.path.join(out_dir, "postings")), spark
-    )
+    # No ensure_parallelism here: the downstream jobs are JVM hash
+    # aggregates — scan parallelism comes from the 16 MB split size and a
+    # pre-agg repartition would be a full extra exchange of the table
+    # (measured as the build's dominant anti-scaling term at 1 -> 4 cores).
+    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
 
     # (field, term, doc_id) is unique by construction → count == countDistinct.
+    # Each stats table feeds a tiny derived table (df_stats -> term_dict,
+    # doc_stats -> corpus_stats). Persist the aggregate so the derivation
+    # reuses the in-memory rows instead of re-listing + re-scanning the
+    # parquet just written — that re-read is constant-time driver+scan
+    # overhead paid identically at every cluster size (pure Amdahl serial
+    # term of the build). The persisted aggregates are agg outputs (terms /
+    # docs, not postings), orders of magnitude smaller than the input.
     df_stats = (
         postings.groupBy("field", "term")
         .agg(F.count(F.lit(1)).alias("df"))
         .withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
-    )
+    ).persist()
     df_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "df_stats"))
-    _write_term_dict(spark, os.path.join(out_dir, "df_stats"), os.path.join(out_dir, "term_dict"))
+    _write_term_dict_from(df_stats, os.path.join(out_dir, "term_dict"))
+    df_stats.unpersist()
 
-    doc_stats = postings.groupBy("field", "doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    doc_stats = postings.groupBy("field", "doc_id").agg(
+        F.sum("tf").cast("long").alias("doc_len")
+    ).persist()
     doc_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))
-
-    doc_stats = spark.read.parquet(os.path.join(out_dir, "doc_stats"))
     corpus_stats = doc_stats.groupBy("field").agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
     )
     corpus_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "corpus_stats"))
+    doc_stats.unpersist()
 
     import json
 

@@ -373,8 +373,6 @@ def finalize_index(spark: SparkSession, root: str) -> Index:
         int(r.partition_id)
         for r in latest_manifest(spark, root).where(F.col("status") == INDEXED).collect()
     ]
-    from docix_spark.index.build import ensure_parallelism
-
     # An empty build partition is ledgered INDEXED without ever writing a
     # fragment dir (_run_pending writes fragments only for docs>0), so the
     # constructed paths are filtered to directories that exist — otherwise
@@ -388,10 +386,10 @@ def finalize_index(spark: SparkSession, root: str) -> Index:
     ]
     if not frag_paths:
         raise ValueError(f"finalize_index: no INDEXED fragments under {root}")
-    frags = ensure_parallelism(
-        spark.read.option("basePath", _fragments_dir(root)).parquet(*frag_paths),
-        spark,
-    )
+    # JVM-only project + bucketed exchange downstream: scan splits (16 MB)
+    # provide the map-side parallelism; a pre-repartition would double-
+    # shuffle the fragment stream (see build.ensure_parallelism).
+    frags = spark.read.option("basePath", _fragments_dir(root)).parquet(*frag_paths)
     postings = frags.select(
         "field", "term", "doc_id", F.col("tf").cast("int").alias("tf"),
         F.col("doc_len").cast("int").alias("doc_len"),
@@ -401,27 +399,33 @@ def finalize_index(spark: SparkSession, root: str) -> Index:
     )
     # bucket-clustered plain write (see build._write_bucketed scaling note)
     _write_bucketed(postings, build.n_buckets, os.path.join(root, "postings"))
-    postings = ensure_parallelism(spark.read.parquet(os.path.join(root, "postings")), spark)
+    # aggs below are JVM hash aggregates — no pre-agg repartition (an extra
+    # full exchange, measured anti-scaling; see build.ensure_parallelism)
+    postings = spark.read.parquet(os.path.join(root, "postings"))
+
+    # persist each aggregate so its tiny derived table reuses in-memory
+    # rows instead of re-reading the parquet just written (constant-time
+    # Amdahl-serial overhead; see build.build_index)
+    from docix_spark.index.build import _write_term_dict_from
 
     df_stats = (
         postings.groupBy("field", "term")
         .agg(F.count(F.lit(1)).alias("df"))
         .withColumn("term_bucket", term_bucket(F.col("term"), build.n_buckets))
-    )
+    ).persist()
     df_stats.write.mode("overwrite").parquet(os.path.join(root, "df_stats"))
-    from docix_spark.index.build import _write_term_dict
-
-    _write_term_dict(spark, os.path.join(root, "df_stats"), os.path.join(root, "term_dict"))
+    _write_term_dict_from(df_stats, os.path.join(root, "term_dict"))
+    df_stats.unpersist()
 
     doc_stats = postings.groupBy("field", "doc_id").agg(
         F.sum("tf").cast("long").alias("doc_len")
-    )
+    ).persist()
     doc_stats.write.mode("overwrite").parquet(os.path.join(root, "doc_stats"))
-    doc_stats = spark.read.parquet(os.path.join(root, "doc_stats"))
     corpus_stats = doc_stats.groupBy("field").agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
     )
     corpus_stats.write.mode("overwrite").parquet(os.path.join(root, "corpus_stats"))
+    doc_stats.unpersist()
     return Index(root=root, n_buckets=build.n_buckets)
 
 

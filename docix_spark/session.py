@@ -45,6 +45,20 @@ def get_spark(
         # encoding up to ~260k distinct docs per chunk; beyond that (bigger
         # shards at 100 TB) zstd via DOCIX_PARQUET_CODEC recovers most of it.
         .config("spark.hadoop.parquet.dictionary.page.size", str(16 * 1024 * 1024))
+        # 16 MB scan splits (vs 128 MB default): parquet splits at row-group
+        # boundaries, so mid-size tables (one index table here is 100-500 MB
+        # at bench scale) fan out across cores WITHOUT a repartition shuffle.
+        # ensure_parallelism()'s repartition used to paper over under-split
+        # scans at a full-exchange cost — measured ANTI-scaling: df/doc_stats
+        # aggs ran 1.7x SLOWER at 4 cores than 1 because the guard fired only
+        # at the higher core count and shuffled the whole postings table.
+        # Smaller splits give the same parallelism for free; at true 100 TB
+        # scale raise via DOCIX_MAX_SPLIT (splits per table ≫ cores either
+        # way, and fewer/larger tasks amortize scheduling better there).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("DOCIX_MAX_SPLIT", str(16 * 1024 * 1024)),
+        )
         .config(
             "spark.sql.parquet.compression.codec",
             os.environ.get("DOCIX_PARQUET_CODEC", "snappy"),

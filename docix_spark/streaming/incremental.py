@@ -41,7 +41,6 @@ from docix_spark.index.build import (
     DEFAULT_TERM_BUCKETS,
     Index,
     build_postings,
-    ensure_parallelism,
     term_bucket,
 )
 
@@ -55,29 +54,32 @@ def rebuild_stats(spark: SparkSession, root: str, n_buckets: int) -> None:
     from docix_spark.index.manifest import resolve, swap_table
 
     pp = resolve(root, "postings")
-    postings = ensure_parallelism(
-        spark.read.option("basePath", pp).parquet(pp), spark
-    )
+    # JVM aggs only — scan-split parallelism suffices (see
+    # build.ensure_parallelism on why a pre-agg repartition anti-scales)
+    postings = spark.read.option("basePath", pp).parquet(pp)
+    # persist each aggregate so its derived table reuses in-memory rows
+    # instead of re-reading the freshly swapped parquet (see build.build_index)
+    from docix_spark.index.build import _write_term_dict_from
+
     df_stats = (
         postings.groupBy("field", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
         .withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
-    )
+    ).persist()
     swap_table(root, "df_stats", lambda p: df_stats.write.mode("overwrite").parquet(p))
-    from docix_spark.index.build import _write_term_dict
-
-    swap_table(root, "term_dict", lambda p: _write_term_dict(spark, resolve(root, "df_stats"), p))
+    swap_table(root, "term_dict", lambda p: _write_term_dict_from(df_stats, p))
+    df_stats.unpersist()
     doc_stats = postings.groupBy("field", "doc_id").agg(
         F.sum("tf").cast("long").alias("doc_len")
-    )
+    ).persist()
     swap_table(root, "doc_stats", lambda p: doc_stats.write.mode("overwrite").parquet(p))
-    doc_stats2 = spark.read.parquet(resolve(root, "doc_stats"))
-    corpus = doc_stats2.groupBy("field").agg(
+    corpus = doc_stats.groupBy("field").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_len").cast("long").alias("sum_len"),
         F.avg("doc_len").alias("avgdl"),
     )
     swap_table(root, "corpus_stats", lambda p: corpus.write.mode("overwrite").parquet(p))
+    doc_stats.unpersist()
 
 
 def _merged_batches_path(root: str) -> str:
