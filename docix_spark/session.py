@@ -63,6 +63,14 @@ def get_spark(
             "spark.sql.parquet.compression.codec",
             os.environ.get("DOCIX_PARQUET_CODEC", "snappy"),
         )
+        # Shuffle/spill/broadcast stream codec (independent of the parquet
+        # file codec above). lz4 default; DOCIX_IO_CODEC=zstd halves shuffle
+        # bytes at some CPU cost — the right trade when the shuffle tier's
+        # disks (not cores) are the bottleneck.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("DOCIX_IO_CODEC", "lz4"),
+        )
         .config("spark.driver.memory", os.environ.get("DOCIX_DRIVER_MEM", "8g"))
         # Commit protocol v2: tasks move their own output files at task
         # commit instead of the driver serially renaming every file at job
