@@ -98,13 +98,22 @@ def _write_term_dict(spark: SparkSession, df_stats_path: str, out_path: str) -> 
 def _write_term_dict_from(df_stats: DataFrame, out_path: str) -> None:
     """term_dict from an in-memory df_stats handle — build paths pass the
     persisted DataFrame to skip re-listing/re-scanning the parquet they
-    just wrote (constant-time overhead that lands on every cluster size)."""
+    just wrote (constant-time overhead that lands on every cluster size).
+
+    Range-partitioned by (tlen, term), NOT repartition(1): a source-code
+    corpus at 10^12 files has a vocabulary of 10^8-10^9 identifiers, and a
+    single reducer writing the whole dictionary would serialize the build's
+    tail. Range partitioning + in-partition sort keeps the GLOBAL
+    (tlen, term) order across part files (readers list files in name =
+    range order), so the fuzzy-expansion length-band filters still prune
+    whole files/row-groups via min/max stats."""
+    n_parts = max(1, df_stats.sparkSession.sparkContext.defaultParallelism // 2)
     (
         df_stats
         .groupBy("term")
         .agg(F.max("df").alias("df"))
         .withColumn("tlen", F.length("term"))
-        .repartition(1)
+        .repartitionByRange(n_parts, "tlen", "term")
         .sortWithinPartitions("tlen", "term")
         .write.mode("overwrite")
         .parquet(out_path)
