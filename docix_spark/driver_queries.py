@@ -1359,6 +1359,107 @@ def token_count(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register(
+    "stratified_sample",
+    """WITH r AS (
+      SELECT source,
+             2000 + 500 * (CAST(substr(source, 4) AS BIGINT) % 16) AS rate_bp
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    s AS (
+      SELECT d.doc_id, d.source, r.rate_bp
+      FROM documents d JOIN r USING (source)
+      WHERE ((d.doc_id * 2654435761) % 4294967296) % 10000 < r.rate_bp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS sampled_n,
+           CAST(min(rate_bp) AS BIGINT) AS rate_bp,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM s GROUP BY source ORDER BY source""",
+)
+def stratified_sample(spark, sf_dir):
+    """Training-mix construction: DETERMINISTIC per-source stratified
+    sampling. Each source gets a rate (basis points; here derived from the
+    source id — in production a supplied mixing-weights dim table) and a
+    document survives iff a multiplicative hash of its id falls under the
+    rate — reproducible across runs/engines (Knuth hash mod 1e4, exactly
+    computable in DuckDB too), unlike rand()-based sampleBy. 100 TB shape:
+    map-side filter against a BROADCAST rates table (no shuffle for the
+    sampling itself), one small agg for the audit counts returned here.
+    """
+    d = _docs(spark, sf_dir)
+    rates = (
+        d.select("source").distinct()
+        .withColumn(
+            "rate_bp",
+            F.lit(2000) + F.lit(500) * (F.substring("source", 4, 10).cast("long") % 16),
+        )
+    )
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(10000)
+    sampled = d.join(F.broadcast(rates), "source").where(u < F.col("rate_bp"))
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sampled_n"),
+            F.min("rate_bp").cast("long").alias("rate_bp"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "pack_sequences",
+    f"""WITH w AS ({SQL_WORDS}),
+    t AS (SELECT doc_id, source, CAST(len(words) AS BIGINT) AS n_tok FROM w),
+    p AS (
+      SELECT source, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t
+    )
+    SELECT source,
+           CAST(cum_before // 2048 AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM p GROUP BY source, bin_id ORDER BY source, bin_id""",
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence packing for pretraining: concatenate each source's docs in
+    doc_id order and chunk the token stream into 2048-token bins (the
+    GPT-style pack-then-split layout); returns per-(source, bin) doc/token
+    counts. Spark plan: one window cumsum per source partition (a single
+    shuffle on source). 100 TB shape: a whole source never sorts on one
+    reducer — sub-shard by (source, doc_id range) and offset each shard's
+    bins by the exclusive prefix sum of shard token totals (two-pass
+    prefix-sum, same results); the single-window form here is the
+    small-scale specialization with an exact SQL oracle.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id", "source", F.size(spark_tokens("text")).cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = t.withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    return (
+        p.groupBy(
+            "source",
+            F.floor(F.col("cum_before") / F.lit(2048)).cast("long").alias("bin_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-stream analytics (batch twins of docix_spark.streaming.events;
 # the streaming paths — watermarked windows, applyInPandasWithState
@@ -2313,6 +2414,7 @@ def pages_formfeed_split(spark, sf_dir):
 # (tests/test_driver_contract.py) still checks all entries every run.
 
 _FRONT = [
+    "stratified_sample", "pack_sequences",
     "unicode_search", "media_frames", "media_resize", "token_count_bpe",
     "source_filter_lang", "pages_formfeed_split", "ann_ivf_kmeans",
     "ann_ivf_recall", "dedup_connected_components",
