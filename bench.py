@@ -124,11 +124,17 @@ def main() -> None:
     serve_composite_p95_ms = round(lat_comp[int(len(lat_comp) * 0.95) - 1] * 1000, 3)
     queries["serve_composite_p95_ms"] = serve_composite_p95_ms
     # pruning evidence for the composite serving path: per-query decode
-    # counters summed over the bench query mix (path: gated vs full)
+    # counters summed over the bench query mix (path: gated vs full).
+    # Counters are measured on a FRESH searcher PER QUERY (ADVICE r3 #1:
+    # blocks_decoded increments only on block-cache MISSES, so the warmed
+    # latency searcher above would report the cache's hit rate ~1.0
+    # regardless of what the MaxScore gate skips — cold caches make the
+    # counter the LOGICAL decode count the algorithm needed)
     comp_decoded = comp_total = comp_gated = 0
     for q in comp_queries:
-        comp.search_composite(q, size=10)
-        st = comp.last_stats
+        comp_fresh = CompositeSearcher(idx_dir)
+        comp_fresh.search_composite(q, size=10)
+        st = comp_fresh.last_stats
         comp_decoded += st.get("blocks_decoded", 0)
         comp_total += st.get("blocks_total", 0)
         comp_gated += 1 if st.get("path") == "gated" else 0
@@ -194,7 +200,8 @@ def main() -> None:
                  "minhash_lsh_pairs",
                  "ngram_jaccard_banded", "knn_cosine_top10", "quality_score",
                  "simhash_band_pairs", "embedding_lsh_pairs",
-                 "events_windowed", "events_sessionize"]:
+                 "events_windowed", "events_sessionize",
+                 "pack_sequences", "ann_ivf_batch"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -211,6 +211,27 @@ def build_postings(
 _DF_HANDLE_CACHE: dict[tuple, DataFrame] = {}
 
 
+def session_key(spark: SparkSession) -> str:
+    """Stable per-session cache-key component. ``id(spark)`` of a
+    garbage-collected session can be REUSED by a new session — the exact
+    aliasing pitfall the serving tier documents for id(row) block-cache
+    keys (ADVICE r3 #5); applicationId embeds a timestamp and never
+    aliases."""
+    return spark.sparkContext.applicationId
+
+
+def table_version(path: str) -> tuple[int, int]:
+    """(st_mtime_ns, entry count) for a table directory: nanosecond mtime
+    plus file count so two same-second appends on a coarse-mtime
+    filesystem still change the version (an append always adds files)."""
+    try:
+        st = os.stat(path)
+        n = len(os.listdir(path)) if os.path.isdir(path) else 0
+        return (st.st_mtime_ns, n)
+    except OSError:
+        return (-1, -1)
+
+
 @dataclass
 class Index:
     """Handle to a persisted index directory."""
@@ -248,16 +269,12 @@ class Index:
         """``spark.read.parquet`` with a driver-side handle cache: each
         fresh read pays file listing + footer schema discovery (~0.1-0.2 s
         per table, several tables per query — the dominant warm-query cost
-        after the single-job gate). Keyed by (session, resolved path,
-        directory mtime): a manifest pointer flip changes the path, an
-        in-place append (extend/streaming) touches the directory mtime, so
-        staleness invalidates the key either way."""
+        after the single-job gate). Keyed by (applicationId, resolved path,
+        table version): a manifest pointer flip changes the path, an
+        in-place append (extend/streaming) touches the directory mtime_ns
+        and file count, so staleness invalidates the key either way."""
         p = self.path(name)
-        try:
-            m = os.path.getmtime(p)
-        except OSError:
-            m = -1.0
-        key = (id(spark), p, m)
+        key = (session_key(spark), p, table_version(p))
         df = _DF_HANDLE_CACHE.get(key)
         if df is None:
             if len(_DF_HANDLE_CACHE) >= 256:

@@ -95,16 +95,16 @@ def expand_query_terms(spark: SparkSession, index: Index, terms: list[str]) -> l
     scan of df_stats (term dictionary), the one query-path stage that cannot
     be bucket-pruned (fuzzy matches any bucket — SURVEY.md §7.3).
     """
-    import os as _os
-
     uniq = sorted(set(terms))
     try:
         # manifest-resolved path: a swap-published dictionary rewrite lands
         # in a NEW directory, so (path, mtime) changes and the cache rolls
+        from docix_spark.index.build import table_version
+
         dict_path = index.path("term_dict")
-        dict_mtime = _os.path.getmtime(dict_path)
+        dict_mtime = table_version(dict_path)
     except OSError:
-        dict_path, dict_mtime = "", -1.0
+        dict_path, dict_mtime = "", (-1, -1)
     cache_key = (dict_path, dict_mtime, tuple(uniq))
     cached = _EXPANSION_CACHE.get(cache_key)
     if cached is not None:
@@ -238,7 +238,11 @@ def score_fields(
     # expansion rows are immutable for a given query string + dictionary
     # version, so cache the broadcast handle (saves the local-relation
     # roundtrip + hint construction on repeats)
-    ekey = (id(spark), tuple(exp_rows))
+    from docix_spark.index.build import session_key, table_version
+
+    # applicationId, not id(spark): a GC'd session's id can alias a new
+    # session's (ADVICE r3 #5)
+    ekey = (session_key(spark), tuple(exp_rows))
     exp_df = _EXP_DF_CACHE.get(ekey)
     if exp_df is None:
         if len(_EXP_DF_CACHE) >= 256:
@@ -247,14 +251,11 @@ def score_fields(
         _EXP_DF_CACHE[ekey] = exp_df
 
     # prepared-plan cache: the lazy plan below is fully determined by the
-    # expansion rows, the index table versions (path+mtime — appends and
-    # pointer flips both change it; same invalidation as Index._read), msm
-    # and the BM25 constants
-    def _mt(name: str) -> float:
-        try:
-            return os.path.getmtime(index.path(name))
-        except OSError:
-            return -1.0
+    # expansion rows, the index table versions (path + mtime_ns + file
+    # count — appends and pointer flips both change it; same invalidation
+    # as Index._read), msm and the BM25 constants
+    def _mt(name: str) -> tuple[int, int]:
+        return table_version(index.path(name))
 
     pkey = (
         ekey,

@@ -1060,18 +1060,9 @@ class CompositeSearcher(LocalSearcher):
             " ".join(terms), page=0, size=100, validate=False
         )
         hits = [d for d, _ in scored if d in matches][: max_suggestions * 2]
-        ql = q.lower()
-        suggestions: list[str] = []
         texts = self._fetch_docs(hits, ["content"])["content"]
-        for doc_id in hits:
-            text = texts.get(doc_id) or ""
-            if text:
-                words = text.lower().split()
-                for i in range(len(words) - 1):
-                    if ql in words[i]:
-                        s = f"{words[i]} {words[i + 1]}"
-                        if s not in suggestions and len(suggestions) < max_suggestions:
-                            suggestions.append(s)
-            if len(suggestions) >= max_suggestions:
-                break
-        return suggestions
+        from docix_spark.analysis.suggest import bigram_suggestions
+
+        return bigram_suggestions(
+            [texts.get(doc_id) or "" for doc_id in hits], q, max_suggestions
+        )

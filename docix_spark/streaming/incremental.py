@@ -280,6 +280,13 @@ def incremental_index(
             extend_segments(spark, seg, batch_postings)
             if merge_every and batch_id > 0 and batch_id % merge_every == 0:
                 merge_segments(spark, seg)
+                # coalesce the trigram table's append fragments on the same
+                # cadence (no tombstones here — pure fragmentation control)
+                from docix_spark.index.ngram import compact_trigrams
+
+                compact_trigrams(
+                    spark, Index(root=index_root, n_buckets=n_buckets)
+                )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -158,7 +158,11 @@ def main() -> None:
         "efficiency": round(efficiency, 3),
         "pair_efficiencies": pair_eff,
         "median_pair_efficiency": median_eff,
-        "meets_0.8": max(efficiency, median_eff) >= 0.8,
+        # gate on ONE pre-declared statistic — best-of-N per level, the
+        # definition rounds 1-2 used (ADVICE r3 #3: max() over two summary
+        # statistics let whichever was favorable decide); the median pair
+        # efficiency stays reported above as context, never as the gate
+        "meets_0.8": efficiency >= 0.8,
     }
     print(json.dumps(out))
 

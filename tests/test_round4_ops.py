@@ -1,0 +1,153 @@
+"""Round-4 scale-correctness guards (VERDICT r3 "Next round" #1/#3/#5):
+
+- connected components converge on adversarial chain-shaped graphs
+  (diameter ≫ the old 15-round cap) and RAISE instead of silently
+  mislabeling when the budget is genuinely exhausted;
+- pack_sequences' two-pass sub-sharded prefix sum is byte-identical to
+  the single-window form AND its doc-level window really is sub-sharded
+  (the plan assertion a small-scale run can check);
+- the reindex paths never collect doc ids to the driver.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# connected components: pointer doubling + bounded-correct
+# ---------------------------------------------------------------------------
+
+def _chain_edges(spark, n: int):
+    """0-1-2-...-n chain (diameter n), both directions."""
+    rows = [(i, i + 1) for i in range(n)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    return e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _init_labels(edges):
+    return (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+
+
+def test_cc_chain_deeper_than_old_cap(spark):
+    """A diameter-120 chain: plain min-label propagation needs 120 rounds
+    (the r3 loop silently mislabeled past 15); pointer doubling converges
+    in O(log 120) ≈ 7 — well inside max_rounds=20 — with every node
+    labeled 0."""
+    from docix_spark.driver_queries import connected_components
+
+    edges = _chain_edges(spark, 120).localCheckpoint()
+    labels = connected_components(_init_labels(edges), edges, max_rounds=20)
+    got = {(r.doc_id, r.lbl) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(121)}
+
+
+def test_cc_two_components_and_selfcontained(spark):
+    """Two disjoint chains keep distinct min labels."""
+    from docix_spark.driver_queries import connected_components
+
+    a = _chain_edges(spark, 20)
+    b = _chain_edges(spark, 20).select(
+        (F.col("src") + 1000).alias("src"), (F.col("dst") + 1000).alias("dst")
+    )
+    edges = a.unionByName(b).localCheckpoint()
+    labels = connected_components(_init_labels(edges), edges, max_rounds=20)
+    pdf = labels.toPandas()
+    assert set(pdf.lbl[pdf.doc_id < 1000]) == {0}
+    assert set(pdf.lbl[pdf.doc_id >= 1000]) == {1000}
+
+
+def test_cc_raises_instead_of_wrong_labels(spark):
+    """Exhausting the round budget RAISES — unconverged labels can never
+    escape (the r3 silent-cap bug made wrong output possible)."""
+    from docix_spark.driver_queries import ConvergenceError, connected_components
+
+    edges = _chain_edges(spark, 200).localCheckpoint()
+    with pytest.raises(ConvergenceError):
+        connected_components(_init_labels(edges), edges, max_rounds=2)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences: distributed two-pass == single window, plan sub-sharded
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def packed(spark):
+    from docix_spark.driver_queries import pack_sequences
+
+    # n_shards=7 (odd, forces uneven ranges), bin_tokens=64 (every source
+    # spans MANY bins, so a wrong cumulative offset anywhere shifts a bin
+    # boundary — at the driver's 2048 default the sandbox corpus fits in
+    # bin 0 and boundary errors would be invisible)
+    return pack_sequences(spark, SF_DIR, n_shards=7, bin_tokens=64)
+
+
+def test_pack_sequences_matches_single_window(spark, packed):
+    """The sub-sharded two-pass prefix sum must be BYTE-IDENTICAL to one
+    whole-source window (the definitional form / the DuckDB oracle)."""
+    from docix_spark.analysis.tokenizer import spark_tokens
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t = d.select(
+        "doc_id", "source", F.size(spark_tokens("text")).cast("long").alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = (
+        t.withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .groupBy(
+            "source",
+            F.floor(F.col("cum_before") / F.lit(64)).cast("long").alias("bin_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    got = {tuple(r) for r in packed.collect()}
+    assert got == {tuple(r) for r in want.collect()}
+    # real boundary coverage: multiple bins per source
+    assert len({(r[0], r[1]) for r in got}) > 3 * len({r[0] for r in got})
+
+
+def test_pack_sequences_plan_is_subsharded(spark, packed):
+    """The doc-level cumsum window must partition by (source, pack_shard) —
+    never by source alone over doc rows (the r3 single-reducer window). The
+    only source-only window allowed is the one over the per-shard TOTALS
+    table, which sits above an Aggregate."""
+    plan = packed._jdf.queryExecution().optimizedPlan().toString()
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+    assert specs, plan
+    doc_level = [s for s in specs if "n_tok" in s]
+    assert doc_level, plan  # the cumsum window over doc rows
+    assert all("pack_shard" in s for s in doc_level), plan
+    # shard offsets come from an aggregated (vocabulary-sized) table
+    assert "shard_tok" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# reindex: no driver-side doc-id funnels
+# ---------------------------------------------------------------------------
+
+def test_reindex_source_never_collects_doc_ids():
+    """reindex_missing/reindex_paths keep every doc-id set distributed
+    (VERDICT r3 wrong #3): the module must not contain a .collect() at
+    all — counts are scalar aggs, ledger appends are DataFrame writes."""
+    import inspect
+
+    import docix_spark.index.reindex as rx
+
+    src = inspect.getsource(rx)
+    assert ".collect()" not in src
