@@ -140,6 +140,56 @@ def main() -> None:
         comp_gated += 1 if st.get("path") == "gated" else 0
     composite_skip_ratio = round(1.0 - comp_decoded / max(comp_total, 1), 4)
 
+    # measured MaxScore-gate evidence on a SKEWED corpus: the driver corpus
+    # has a uniform 31-word vocabulary, so 0.0 above is the CORRECT honest
+    # answer — no posting is dominated and nothing is prunable by
+    # construction (BENCH.md). Real corpora are Zipfian; this builds one
+    # selective term + one universal stopword over 8k docs (block_size 16,
+    # the tests' skew shape) and reports what the gate skips, cold-cache.
+    import numpy as _np
+    import pandas as _pd
+
+    from docix_spark.index.ngram import build_trigram_index as _bt
+    from docix_spark.index.segments import build_segments as _bs
+
+    _rng = _np.random.default_rng(77)
+    _rows = []
+    _nsk = 8000
+    _strong = set(_rng.choice(_nsk, 200, replace=False).tolist())
+    for i in range(_nsk):
+        _body = [f"pad{int(x)}" for x in _rng.integers(0, 40, int(_rng.integers(5, 120)))]
+        _body.append("alltoken")
+        if i in _strong:
+            _body.append("strongterm")
+        _body.append(f"uniqmark{i}")
+        _rows.append(("r", f"s/{i}.txt", "c", "txt", " ".join(_body)))
+    _skew_pdf = _pd.DataFrame(
+        _rows, columns=["repo", "path", "commit", "lang", "content"]
+    )
+    skew_dir = tempfile.mkdtemp(prefix="docix_bench_skew_")
+    t0 = time.perf_counter()
+    _skew_idx = build_index(spark, spark.createDataFrame(_skew_pdf), skew_dir, n_buckets=8)
+    _bs(spark, _skew_idx, docs_per_shard=1 << 14, block_size=16)
+    # the gated path REQUIRES the trigram table (wildcard-clause exactness
+    # proof); without it search_composite silently falls back to the full
+    # path with blocks_total == 0 and the ratio below would report a
+    # division artifact (1 - 0/max(0,1) = 1.0) instead of a measurement.
+    _bt(spark, _skew_idx)
+    queries["skewed_corpus_build"] = round(time.perf_counter() - t0, 4)
+    comp_sk = CompositeSearcher(skew_dir)
+    t0 = time.perf_counter()
+    comp_sk.search_composite("strongterm alltoken", size=10)
+    queries["composite_skewed_8k_ms"] = round((time.perf_counter() - t0) * 1000, 3)
+    _st = comp_sk.last_stats
+    # None (not a fake 1.0 or 0.0) if the gate never engaged / nothing to
+    # count — a missing number is honest, a synthetic ratio is not.
+    composite_skip_ratio_skewed = (
+        round(1.0 - _st["blocks_decoded"] / _st["blocks_total"], 4)
+        if _st.get("blocks_total", 0) > 0 and _st.get("path") == "gated"
+        else None
+    )
+    composite_skewed_path = _st.get("path")
+
     # -- composite search latencies ---------------------------------------
     search_set = {
         "search_common3": "spark hash join",
@@ -222,6 +272,8 @@ def main() -> None:
         "wand_block_skip_ratio": wand_block_skip_ratio,
         "wand_block_skip_ratio_skewed": wand_block_skip_ratio_skewed,
         "composite_skip_ratio": composite_skip_ratio,
+        "composite_skip_ratio_skewed": composite_skip_ratio_skewed,
+        "composite_skewed_path": composite_skewed_path,
         "composite_gated_queries": comp_gated,
         "cpus": cpus,
     }

@@ -1694,6 +1694,32 @@ def pack_sequences(spark, sf_dir, n_shards: int = 64, bin_tokens: int = 2048):
     )
 
 
+@register(
+    "pack_sequences_fine",
+    f"""WITH w AS ({SQL_WORDS}),
+    t AS (SELECT doc_id, source, CAST(len(words) AS BIGINT) AS n_tok FROM w),
+    p AS (
+      SELECT source, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t
+    )
+    SELECT source,
+           CAST(cum_before // 256 AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM p GROUP BY source, bin_id ORDER BY source, bin_id""",
+)
+def pack_sequences_fine(spark, sf_dir):
+    """256-token-bin variant of :func:`pack_sequences`, registered so the
+    driver's oracle actually EXERCISES bin boundaries: at the 2048 default
+    every sandbox source fits inside bin 0 (≈1.4k tokens/source at
+    sf=0.01) and a wrong cumulative offset would be invisible to the hash
+    compare — at 256 every source spans ~6 bins and any error in the
+    sub-sharded prefix sum shifts a boundary. Same distributed plan."""
+    return pack_sequences(spark, sf_dir, bin_tokens=256)
+
+
 # ---------------------------------------------------------------------------
 # Event-stream analytics (batch twins of docix_spark.streaming.events;
 # the streaming paths — watermarked windows, applyInPandasWithState
@@ -2651,7 +2677,7 @@ _FRONT = [
     # new this round (never driver-sampled) + reworked implementations
     # (pack_sequences two-pass prefix sum, CC pointer doubling, salted
     # top_terms) — fresh driver evidence for the changed plans
-    "ann_ivf_batch", "ann_ivf_batch_recall",
+    "ann_ivf_batch", "ann_ivf_batch_recall", "pack_sequences_fine",
     "pack_sequences", "dedup_connected_components", "top_terms_per_source",
     # the 13 entries the r03 driver prefix did not sample (all r02-green) —
     # rotated forward so they regain fresh driver evidence (VERDICT r3 #4)

@@ -132,3 +132,34 @@ def test_autocomplete_cjk_end_to_end(spark, cjk_index):
     assert sugg, "CJK autocomplete must not be empty"
     assert all(s.startswith("火花") for s in sugg)
     assert "火花引" in sugg
+
+
+def test_phrase_filter_cjk_unigram_positions(spark, cjk_index):
+    """match_phrase over Han-unigram tokens: 火花 matches docs where 火 and
+    花 occupy CONSECUTIVE positions (the analyzer emits one position per
+    ideograph), and the reversed phrase 花火 matches none of them (the
+    rewrite only ever injects 火花引擎)."""
+    from docix_spark.query.service import phrase_filter
+
+    fwd = phrase_filter(spark, cjk_index, "火花")
+    assert fwd.count() > 0
+    assert phrase_filter(spark, cjk_index, "花火").count() == 0
+    # full four-ideograph phrase also matches (positions chain through)
+    assert phrase_filter(spark, cjk_index, "火花引擎").count() == fwd.count()
+
+
+def test_serving_tier_autocomplete_cjk_parity(spark, cjk_index):
+    """The in-process serving tier must produce the SAME CJK suggestions as
+    the Spark service layer (both route through the shared
+    analysis.suggest loop)."""
+    from docix_spark.index.segments import build_segments
+    from docix_spark.query.serve import CompositeSearcher
+    from docix_spark.query.service import autocomplete
+
+    build_segments(spark, cjk_index, docs_per_shard=64)
+    searcher = CompositeSearcher(cjk_index.root)
+    for q in ["火花", "ウィンドウ"]:
+        got = searcher.autocomplete(q, max_suggestions=5)
+        want = autocomplete(spark, cjk_index, q, max_suggestions=5)
+        assert got == want, q
+        assert got, q

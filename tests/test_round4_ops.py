@@ -138,6 +138,23 @@ def test_pack_sequences_plan_is_subsharded(spark, packed):
 
 
 # ---------------------------------------------------------------------------
+# batch ANN: plan shape
+# ---------------------------------------------------------------------------
+
+def test_ann_batch_plan_broadcasts_probe(spark):
+    """The (qid, cid, qv) probe table and the trained centroids must land
+    on the BUILD side of broadcast joins — the members scan streams. A
+    shuffle of the corpus keyed on anything but cid would not survive
+    10^9 vectors."""
+    from docix_spark.driver_queries import REGISTRY
+
+    df = REGISTRY["ann_ivf_batch"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
 # reindex: no driver-side doc-id funnels
 # ---------------------------------------------------------------------------
 
