@@ -62,8 +62,15 @@ def _trigram_frame(pdf: pd.DataFrame, fields: Sequence[str]) -> pd.DataFrame:
     VMs, is random-access latency-bound: a 10M fancy-index gather costs
     seconds while sequential passes run at memory bandwidth), pack each
     window into a 63-bit int key, hash-factorize the keys to small codes,
-    dedupe (doc, code) as one composite-int ``np.unique``, and decode only
-    the batch's UNIQUE trigrams back to strings (one ``np.frombuffer``)."""
+    dedupe (doc, code) via a SCATTER-MARK table (``seen[d*n_tg+code] =
+    True`` then ``flatnonzero``: two O(n) passes instead of the O(n log n)
+    composite-int sort ``np.unique`` runs — on a 30 Mchar batch with
+    realistic trigram cardinality the sort alone cost 31 s, the mark table
+    0.3 s; measured in scripts/trigram_kernel_bench.py), and decode only
+    the batch's UNIQUE trigrams back to strings (one ``np.frombuffer``).
+    ``np.unique`` remains the fallback when n_docs × n_tg would exceed the
+    128 MB mark-table cap (never in practice: Arrow batches are ≤4096 rows
+    and per-batch trigram vocab is ~10⁴-10⁵)."""
     frames = []
     doc_ids = pdf["doc_id"].to_numpy(object)
     for f in fields:
@@ -74,17 +81,40 @@ def _trigram_frame(pdf: pd.DataFrame, fields: Sequence[str]) -> pd.DataFrame:
             continue
         blob = "".join(vals.tolist())
         cp = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-        doc_of = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
-        # window i spans cp[i:i+3]; valid iff it stays inside one document
+        # window i spans cp[i:i+3]; valid iff it stays inside one document.
+        # A window is INVALID iff an internal doc boundary e lies strictly
+        # inside it (i < e <= i+2, i.e. i ∈ {e-2, e-1}), so instead of
+        # materializing a 29M-element doc_of via np.repeat(lens) (the
+        # kernel's single costliest steady-state pass) mark 2 start
+        # positions per boundary. The doc of each VALID window falls out
+        # of the same identity: doc k contributes max(len_k - 2, 0) valid
+        # windows, in order.
         c0, c1, c2 = cp[:-2], cp[1:-1], cp[2:]
-        valid = doc_of[:-2] == doc_of[2:]
+        ends = np.cumsum(lens)
+        valid = np.ones(total - 2, dtype=bool)
+        inner = ends[:-1]
+        # out-of-range marks are DROPPED, not clipped: a boundary at the
+        # array edges (first doc len 1 → e-2 < 0; trailing len-0/1 docs →
+        # e-1 or e-2 past the last window) has no window at the clipped
+        # position to invalidate, and clipping would wrongly kill a valid
+        # one (caught by the boundary fuzz test)
+        for m in (inner - 2, inner - 1):
+            m = m[(m >= 0) & (m <= total - 3)]
+            valid[m] = False
         key = ((c0 << (2 * _CP_BITS)) | (c1 << _CP_BITS) | c2)[valid]
         if key.size == 0:
             continue
-        d = doc_of[:-2][valid]
+        d = np.repeat(
+            np.arange(len(pdf), dtype=np.int64), np.maximum(lens - 2, 0)
+        )
         codes, uniq_keys = pd.factorize(key, sort=False)
         n_tg = len(uniq_keys)
-        comp = np.unique(d * n_tg + codes)
+        if len(pdf) * n_tg <= (1 << 27):
+            seen = np.zeros(len(pdf) * n_tg, dtype=bool)
+            seen[d * n_tg + codes] = True
+            comp = np.flatnonzero(seen)
+        else:
+            comp = np.unique(d * n_tg + codes)
         d_u, code_u = comp // n_tg, comp % n_tg
         uk = np.asarray(uniq_keys, np.int64)
         chars = np.empty((n_tg, TRIGRAM_N), dtype="<u4")

@@ -1,13 +1,29 @@
 """Measured evidence for the vectorized trigram kernel (VERDICT r3 stretch
 #9): the r2→r3 rewrite replaced a per-row Python itertuples+set kernel with
 the pure-numpy sliding-window extraction (index/ngram.py:_trigram_frame).
-The structural claim was verified in r3; this bench quantifies it on a
-compute-heavy corpus (len_scale-boosted, the regime where the old kernel
-was Python-bound) — run single-process, no Spark, so the number isolates
-the kernel itself.
+
+What this measures, and why three numbers per corpus:
+
+- **steady_sec** — per-call time once the process allocator is warm, over
+  Arrow-shaped batches (4096 rows, the build path's
+  spark.sql.execution.arrow.maxRecordsPerBatch). This is the regime the
+  real build runs in: a Spark worker maps MANY batches per task, so only
+  the first pays fresh-page faults. On this VM first-touch page faulting
+  is pathologically slow (an identical 30 Mchar kernel call measured
+  13.6 s cold vs 3.1 s steady — 4× on page faults alone), so a single
+  cold call measures the hypervisor, not the kernel.
+- **cold_sec** — that first call, reported for honesty, not used for the
+  speedup claim.
+- two corpora, because vocabulary shape decides the winner: the synth
+  corpus has a ~31-word vocabulary → ~2k distinct trigrams, so the Python
+  per-doc ``set`` dedupes in L2 cache (its best case); the realistic
+  corpus draws from a 50k-word vocabulary → ~20k+ distinct trigrams (the
+  shape of real text, where per-window Python string hashing slows down
+  while the numpy passes are vocabulary-independent).
 
 Usage: python scripts/trigram_kernel_bench.py [--docs 2000] [--len-scale 8]
-Prints one JSON line with both kernels' throughput and the speedup.
+Prints one JSON line with both kernels' steady-state throughput and the
+speedup on both corpora.
 """
 
 from __future__ import annotations
@@ -18,12 +34,15 @@ import os
 import sys
 import time
 
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from docix_spark.corpus import FIELDS, synth_corpus_pdf
 from docix_spark.index.ngram import _trigram_frame, trigrams
+
+BATCH_ROWS = 4096  # spark.sql.execution.arrow.maxRecordsPerBatch
 
 
 def _python_reference(pdf: pd.DataFrame, fields) -> pd.DataFrame:
@@ -37,49 +56,91 @@ def _python_reference(pdf: pd.DataFrame, fields) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["field", "tg", "doc_id"])
 
 
+def _realistic_pdf(docs: int, len_scale: int, seed: int = 7) -> pd.DataFrame:
+    """Same total chars as the synth corpus but with real-text trigram
+    cardinality: words drawn from a 50k-term vocabulary."""
+    rng = np.random.default_rng(seed)
+    alph = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    vocab = np.array(
+        ["".join(rng.choice(alph, rng.integers(3, 11))) for _ in range(50_000)],
+        object,
+    )
+    words_per_doc = max(8, 260 * len_scale)
+    content = [
+        " ".join(vocab[rng.integers(0, len(vocab), words_per_doc)])
+        for _ in range(docs)
+    ]
+    return pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(docs)],
+            "content": content,
+            "file_name": [f"dir/f{i}.txt" for i in range(docs)],
+            "original_file_name": [f"f{i}.txt" for i in range(docs)],
+        }
+    )
+
+
+def _time_kernel(fn, pdf: pd.DataFrame, fields) -> tuple[float, float, pd.DataFrame]:
+    """(cold_sec, steady_sec, last_output): call over Arrow-sized batches;
+    cold = first full pass, steady = second full pass (allocator warm, the
+    many-batches-per-task regime of the real build)."""
+    batches = [
+        pdf.iloc[i : i + BATCH_ROWS] for i in range(0, len(pdf), BATCH_ROWS)
+    ]
+    t0 = time.perf_counter()
+    outs = [fn(b, fields) for b in batches]
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    outs = [fn(b, fields) for b in batches]
+    steady = time.perf_counter() - t0
+    return cold, steady, pd.concat(outs, ignore_index=True)
+
+
+def _run_corpus(tag: str, pdf: pd.DataFrame, fields) -> dict:
+    chars = int(sum(len(v or "") for f in fields for v in pdf[f]))
+    np_cold, np_steady, out_np = _time_kernel(_trigram_frame, pdf, fields)
+    py_cold, py_steady, out_py = _time_kernel(_python_reference, pdf, fields)
+    got = set(zip(out_np["field"], out_np["tg"], out_np["doc_id"]))
+    want = set(zip(out_py["field"], out_py["tg"], out_py["doc_id"]))
+    assert got == want, f"kernels disagree on {tag}"
+    return {
+        f"{tag}_mchars": round(chars / 1e6, 2),
+        f"{tag}_uniq_tg": int(out_np["tg"].nunique()),
+        f"{tag}_rows": int(len(out_np)),
+        f"{tag}_numpy_cold_sec": round(np_cold, 3),
+        f"{tag}_numpy_steady_sec": round(np_steady, 3),
+        f"{tag}_python_steady_sec": round(py_steady, 3),
+        f"{tag}_numpy_mchars_per_sec": round(chars / 1e6 / np_steady, 2),
+        f"{tag}_python_mchars_per_sec": round(chars / 1e6 / py_steady, 2),
+        f"{tag}_speedup": round(py_steady / np_steady, 2),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=2000)
     ap.add_argument("--len-scale", type=int, default=8)
     args = ap.parse_args()
 
-    pdf = synth_corpus_pdf(args.docs, seed=13, len_scale=args.len_scale)
+    synth = synth_corpus_pdf(args.docs, seed=13, len_scale=args.len_scale)
     # pandas twin of corpus.with_doc_ids (doc_id + the two filename fields)
-    pdf = pdf.assign(
-        doc_id=[f"d{i}" for i in range(len(pdf))],
-        file_name=pdf["path"],
-        original_file_name=pdf["path"].str.rsplit("/", n=1).str[-1],
+    synth = synth.assign(
+        doc_id=[f"d{i}" for i in range(len(synth))],
+        file_name=synth["path"],
+        original_file_name=synth["path"].str.rsplit("/", n=1).str[-1],
     )
-    chars = int(sum(len(v or "") for f in FIELDS for v in pdf[f]))
 
-    t0 = time.perf_counter()
-    out_np = _trigram_frame(pdf, FIELDS)
-    t_np = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    out_py = _python_reference(pdf, FIELDS)
-    t_py = time.perf_counter() - t0
-
-    got = set(zip(out_np["field"], out_np["tg"], out_np["doc_id"]))
-    want = set(zip(out_py["field"], out_py["tg"], out_py["doc_id"]))
-    assert got == want, "kernels disagree"
-
-    print(
-        json.dumps(
-            {
-                "metric": "trigram_kernel_bench",
-                "docs": args.docs,
-                "len_scale": args.len_scale,
-                "input_mchars": round(chars / 1e6, 2),
-                "numpy_sec": round(t_np, 3),
-                "python_sec": round(t_py, 3),
-                "numpy_mchars_per_sec": round(chars / 1e6 / t_np, 2),
-                "python_mchars_per_sec": round(chars / 1e6 / t_py, 2),
-                "speedup": round(t_py / t_np, 2),
-                "rows": int(len(out_np)),
-            }
+    out = {"metric": "trigram_kernel_bench", "docs": args.docs,
+           "len_scale": args.len_scale, "batch_rows": BATCH_ROWS}
+    out.update(_run_corpus("synth", synth, FIELDS))
+    out.update(
+        _run_corpus(
+            "realistic",
+            _realistic_pdf(args.docs, args.len_scale),
+            ("content", "file_name", "original_file_name"),
         )
     )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
