@@ -227,3 +227,36 @@ def test_vectorized_frame_matches_python_reference():
             for tg in trigrams(row[f]):
                 want.add((f, tg, row["doc_id"]))
     assert got == want and len(want) > 0
+
+
+def test_vectorized_frame_boundary_fuzz():
+    """500 random corpora of tiny docs (len 0-8, multi-byte + non-BMP
+    chars): the boundary-window marking must agree with the Python
+    reference exactly. This fuzz caught a real bug: clipping an
+    out-of-range boundary mark (trailing len<2 doc -> boundary past the
+    last window) silently invalidated a VALID window; marks must be
+    dropped, not clipped."""
+    import numpy as np
+    import pandas as pd
+
+    from docix_spark.index.ngram import _trigram_frame, trigrams
+
+    rng = np.random.default_rng(3)
+    for trial in range(500):
+        n = int(rng.integers(1, 12))
+        docs = [
+            "".join(rng.choice(list("aB日 🚀c"), int(rng.integers(0, 9))))
+            for _ in range(n)
+        ]
+        pdf = pd.DataFrame(
+            {"doc_id": [f"d{i}" for i in range(n)], "content": docs}
+        )
+        out = _trigram_frame(pdf, ["content"])
+        got = set(zip(out["field"], out["tg"], out["doc_id"]))
+        want = {
+            ("content", tg, f"d{i}")
+            for i, s in enumerate(docs)
+            for tg in trigrams(s)
+        }
+        assert got == want, (trial, docs)
+        assert not out.duplicated().any()
