@@ -145,28 +145,67 @@ def _explode_tokens(pdf: pd.DataFrame, field: str) -> tuple[np.ndarray, np.ndarr
     return doc_idx, flat_terms, positions
 
 
-def _postings_for_batch(pdf: pd.DataFrame, fields: Sequence[str], positions_field: str) -> pd.DataFrame:
-    """Flatten one Arrow batch into posting rows — all numpy, no per-group
+def _postings_core(
+    pdf: pd.DataFrame, field: str
+) -> tuple | None:
+    """The numpy heart of posting construction for one field of one batch:
+    tokenize, factorize terms, stable-sort by (doc, term), find group
+    boundaries. Returns (starts, tf, di_s, tc_s, pos_s, uniq_terms,
+    doc_lens, n) or None if the field produced no tokens. No per-group
     Python (a per-group positions lambda was 98% of build cost; measured
     6.15s → 0.1s per 2000-doc batch)."""
+    doc_idx, terms, positions = _explode_tokens(pdf, field)
+    n = len(doc_idx)
+    if n == 0:
+        return None
+    term_codes, uniq_terms = pd.factorize(terms, sort=False)
+    # stable sort by (doc, term); positions stay ascending within groups
+    order = np.lexsort((positions, term_codes, doc_idx))
+    di_s = doc_idx[order]
+    tc_s = term_codes[order]
+    pos_s = positions[order]
+    new_group = np.empty(n, dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (di_s[1:] != di_s[:-1]) | (tc_s[1:] != tc_s[:-1])
+    starts = np.flatnonzero(new_group)
+    tf = np.diff(np.append(starts, n))
+    doc_lens = np.bincount(doc_idx, minlength=len(pdf)).astype(np.int64)
+    return starts, tf, di_s, tc_s, pos_s, uniq_terms, doc_lens, n
+
+
+def _positions_list_array(
+    field: str, positions_field: str, starts: np.ndarray, pos_s: np.ndarray, n: int
+):
+    """positions as an Arrow list column built from (offsets, values) in
+    O(1) — ``np.split`` here created one tiny ndarray PER POSTING ROW
+    (1.6M Python objects per 2000-doc batch) which downstream conversion
+    then re-walked list-by-list; measured ~2.4 s of a 4.9 s batch kernel
+    plus a similar share of serialization."""
+    import pyarrow as pa
+
+    if field == positions_field:
+        offs = np.empty(len(starts) + 1, dtype=np.int32)
+        offs[:-1] = starts
+        offs[-1] = n
+        return pa.ListArray.from_arrays(
+            pa.array(offs), pa.array(pos_s.astype(np.int32, copy=False))
+        )
+    return pa.nulls(len(starts), type=pa.list_(pa.int32()))
+
+
+def _postings_for_batch(pdf: pd.DataFrame, fields: Sequence[str], positions_field: str) -> pd.DataFrame:
+    """Flatten one batch into posting rows as a pandas frame — the
+    checkpointed build's applyInPandas task and the no-Spark control
+    script consume this form (the one-shot build path uses the zero-copy
+    Arrow form below)."""
+    import pyarrow as pa
+
     frames = []
     for field in fields:
-        doc_idx, terms, positions = _explode_tokens(pdf, field)
-        n = len(doc_idx)
-        if n == 0:
+        core = _postings_core(pdf, field)
+        if core is None:
             continue
-        term_codes, uniq_terms = pd.factorize(terms, sort=False)
-        # stable sort by (doc, term); positions stay ascending within groups
-        order = np.lexsort((positions, term_codes, doc_idx))
-        di_s = doc_idx[order]
-        tc_s = term_codes[order]
-        pos_s = positions[order]
-        new_group = np.empty(n, dtype=bool)
-        new_group[0] = True
-        new_group[1:] = (di_s[1:] != di_s[:-1]) | (tc_s[1:] != tc_s[:-1])
-        starts = np.flatnonzero(new_group)
-        tf = np.diff(np.append(starts, n))
-        doc_lens = np.bincount(doc_idx, minlength=len(pdf)).astype(np.int64)
+        starts, tf, di_s, tc_s, pos_s, uniq_terms, doc_lens, n = core
         frame = pd.DataFrame(
             {
                 "field": field,
@@ -176,10 +215,11 @@ def _postings_for_batch(pdf: pd.DataFrame, fields: Sequence[str], positions_fiel
                 "doc_len": doc_lens[di_s[starts]].astype("int32"),
             }
         )
-        if field == positions_field:
-            frame["positions"] = np.split(pos_s.astype(np.int32), starts[1:])
-        else:
-            frame["positions"] = None
+        frame["positions"] = pd.Series(
+            _positions_list_array(field, positions_field, starts, pos_s, n),
+            dtype=pd.ArrowDtype(pa.list_(pa.int32())),
+            index=frame.index,
+        )
         frames.append(frame)
     if not frames:
         return pd.DataFrame(
@@ -188,21 +228,65 @@ def _postings_for_batch(pdf: pd.DataFrame, fields: Sequence[str], positions_fiel
     return pd.concat(frames, ignore_index=True)
 
 
+def _postings_batches_arrow(
+    rb, fields: Sequence[str], positions_field: str
+):
+    """One field's postings of one input RecordBatch as an output
+    RecordBatch, assembled ZERO-COPY on the Arrow side:
+
+    - term / doc_id: convert only the per-batch UNIQUE values (vocab-sized
+      / row-sized), then gather with Arrow ``take`` — no Python string is
+      materialized per posting row (1.6M per 2000-doc batch before);
+    - tf / doc_len: numpy int32 arrays wrapped directly;
+    - positions: ListArray from (offsets, values);
+    - field: dictionary-of-one cast to string (one C pass).
+
+    This is why build_postings uses mapInArrow, not mapInPandas: Spark's
+    pandas serializer walks array<int> columns ROW BY ROW through a
+    list(value) converter regardless of how the column was built, paying
+    per-posting Python cost on the way out."""
+    import pyarrow as pa
+
+    pdf = rb.to_pandas()
+    for field in fields:
+        core = _postings_core(pdf, field)
+        if core is None:
+            continue
+        starts, tf, di_s, tc_s, pos_s, uniq_terms, doc_lens, n = core
+        take_idx = pa.array(di_s[starts])
+        field_arr = pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(len(starts), dtype=np.int32)),
+            pa.array([field], type=pa.string()),
+        ).cast(pa.string())
+        yield pa.RecordBatch.from_arrays(
+            [
+                field_arr,
+                pa.array(uniq_terms, type=pa.string()).take(
+                    pa.array(tc_s[starts])
+                ),
+                rb.column(rb.schema.get_field_index("doc_id")).take(take_idx),
+                pa.array(tf.astype(np.int32, copy=False)),
+                pa.array(doc_lens[di_s[starts]].astype(np.int32)),
+                _positions_list_array(field, positions_field, starts, pos_s, n),
+            ],
+            names=["field", "term", "doc_id", "tf", "doc_len", "positions"],
+        )
+
+
 def build_postings(
     corpus_with_ids: DataFrame,
     fields: Sequence[str] = FIELDS,
     positions_field: str = "content",
 ) -> DataFrame:
-    """corpus → postings rows, fully map-side (one mapInPandas pass)."""
+    """corpus → postings rows, fully map-side (one mapInArrow pass; see
+    _postings_batches_arrow for why not mapInPandas)."""
     cols = ["doc_id", *fields]
 
-    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = _postings_for_batch(pdf, fields, positions_field)
-            if len(out):
-                yield out
+    def gen(batches):
+        for rb in batches:
+            yield from _postings_batches_arrow(rb, fields, positions_field)
 
-    return corpus_with_ids.select(*cols).mapInPandas(gen, schema=POSTINGS_SCHEMA)
+    return corpus_with_ids.select(*cols).mapInArrow(gen, schema=POSTINGS_SCHEMA)
 
 
 # driver-side DataFrame handle cache (see Index._read): avoids re-paying
