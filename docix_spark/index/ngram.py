@@ -74,54 +74,10 @@ def _trigram_frame(pdf: pd.DataFrame, fields: Sequence[str]) -> pd.DataFrame:
     frames = []
     doc_ids = pdf["doc_id"].to_numpy(object)
     for f in fields:
-        vals = pdf[f].fillna("").astype(str).str.lower()
-        lens = vals.str.len().to_numpy(np.int64)
-        total = int(lens.sum())
-        if total < TRIGRAM_N:
+        core = _trigram_core(pdf, f)
+        if core is None:
             continue
-        blob = "".join(vals.tolist())
-        cp = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-        # window i spans cp[i:i+3]; valid iff it stays inside one document.
-        # A window is INVALID iff an internal doc boundary e lies strictly
-        # inside it (i < e <= i+2, i.e. i ∈ {e-2, e-1}), so instead of
-        # materializing a 29M-element doc_of via np.repeat(lens) (the
-        # kernel's single costliest steady-state pass) mark 2 start
-        # positions per boundary. The doc of each VALID window falls out
-        # of the same identity: doc k contributes max(len_k - 2, 0) valid
-        # windows, in order.
-        c0, c1, c2 = cp[:-2], cp[1:-1], cp[2:]
-        ends = np.cumsum(lens)
-        valid = np.ones(total - 2, dtype=bool)
-        inner = ends[:-1]
-        # out-of-range marks are DROPPED, not clipped: a boundary at the
-        # array edges (first doc len 1 → e-2 < 0; trailing len-0/1 docs →
-        # e-1 or e-2 past the last window) has no window at the clipped
-        # position to invalidate, and clipping would wrongly kill a valid
-        # one (caught by the boundary fuzz test)
-        for m in (inner - 2, inner - 1):
-            m = m[(m >= 0) & (m <= total - 3)]
-            valid[m] = False
-        key = ((c0 << (2 * _CP_BITS)) | (c1 << _CP_BITS) | c2)[valid]
-        if key.size == 0:
-            continue
-        d = np.repeat(
-            np.arange(len(pdf), dtype=np.int64), np.maximum(lens - 2, 0)
-        )
-        codes, uniq_keys = pd.factorize(key, sort=False)
-        n_tg = len(uniq_keys)
-        if len(pdf) * n_tg <= (1 << 27):
-            seen = np.zeros(len(pdf) * n_tg, dtype=bool)
-            seen[d * n_tg + codes] = True
-            comp = np.flatnonzero(seen)
-        else:
-            comp = np.unique(d * n_tg + codes)
-        d_u, code_u = comp // n_tg, comp % n_tg
-        uk = np.asarray(uniq_keys, np.int64)
-        chars = np.empty((n_tg, TRIGRAM_N), dtype="<u4")
-        chars[:, 0] = (uk >> (2 * _CP_BITS)) & _CP_MASK
-        chars[:, 1] = (uk >> _CP_BITS) & _CP_MASK
-        chars[:, 2] = uk & _CP_MASK
-        uniq_strs = np.frombuffer(chars.tobytes(), dtype=f"<U{TRIGRAM_N}")
+        d_u, code_u, uniq_strs = core
         frames.append(
             pd.DataFrame(
                 {"field": f, "tg": uniq_strs[code_u], "doc_id": doc_ids[d_u]}
@@ -132,12 +88,95 @@ def _trigram_frame(pdf: pd.DataFrame, fields: Sequence[str]) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True)
 
 
+def _trigram_core(pdf: pd.DataFrame, f: str):
+    """numpy heart of one field's trigram extraction: returns (d_u,
+    code_u, uniq_strs) — batch row index and trigram code per distinct
+    (doc, trigram) pair, plus the batch's unique trigram strings — or
+    None when the field has no complete window."""
+    vals = pdf[f].fillna("").astype(str).str.lower()
+    lens = vals.str.len().to_numpy(np.int64)
+    total = int(lens.sum())
+    if total < TRIGRAM_N:
+        return None
+    blob = "".join(vals.tolist())
+    cp = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    # window i spans cp[i:i+3]; valid iff it stays inside one document.
+    # A window is INVALID iff an internal doc boundary e lies strictly
+    # inside it (i < e <= i+2, i.e. i ∈ {e-2, e-1}), so instead of
+    # materializing a 29M-element doc_of via np.repeat(lens) (the
+    # kernel's single costliest steady-state pass) mark 2 start
+    # positions per boundary. The doc of each VALID window falls out
+    # of the same identity: doc k contributes max(len_k - 2, 0) valid
+    # windows, in order.
+    c0, c1, c2 = cp[:-2], cp[1:-1], cp[2:]
+    ends = np.cumsum(lens)
+    valid = np.ones(total - 2, dtype=bool)
+    inner = ends[:-1]
+    # out-of-range marks are DROPPED, not clipped: a boundary at the
+    # array edges (first doc len 1 → e-2 < 0; trailing len-0/1 docs →
+    # e-1 or e-2 past the last window) has no window at the clipped
+    # position to invalidate, and clipping would wrongly kill a valid
+    # one (caught by the boundary fuzz test)
+    for m in (inner - 2, inner - 1):
+        m = m[(m >= 0) & (m <= total - 3)]
+        valid[m] = False
+    key = ((c0 << (2 * _CP_BITS)) | (c1 << _CP_BITS) | c2)[valid]
+    if key.size == 0:
+        return None
+    d = np.repeat(
+        np.arange(len(pdf), dtype=np.int64), np.maximum(lens - 2, 0)
+    )
+    codes, uniq_keys = pd.factorize(key, sort=False)
+    n_tg = len(uniq_keys)
+    if len(pdf) * n_tg <= (1 << 27):
+        seen = np.zeros(len(pdf) * n_tg, dtype=bool)
+        seen[d * n_tg + codes] = True
+        comp = np.flatnonzero(seen)
+    else:
+        comp = np.unique(d * n_tg + codes)
+    d_u, code_u = comp // n_tg, comp % n_tg
+    uk = np.asarray(uniq_keys, np.int64)
+    chars = np.empty((n_tg, TRIGRAM_N), dtype="<u4")
+    chars[:, 0] = (uk >> (2 * _CP_BITS)) & _CP_MASK
+    chars[:, 1] = (uk >> _CP_BITS) & _CP_MASK
+    chars[:, 2] = uk & _CP_MASK
+    uniq_strs = np.frombuffer(chars.tobytes(), dtype=f"<U{TRIGRAM_N}")
+    return d_u, code_u, uniq_strs
+
+
 def _trigram_gen(fields: Sequence[str]):
-    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = _trigram_frame(pdf, fields)
-            if len(out):
-                yield out
+    """mapInArrow generator: RecordBatches assembled zero-copy — the
+    batch's UNIQUE trigrams (10³-10⁵ strings) convert to Arrow once and
+    the per-pair gathers run as Arrow ``take`` on them and on the input
+    batch's doc_id column, so no Python string is materialized per output
+    row (same technique as build._postings_batches_arrow; the pandas
+    serializer's per-value conversion was the dominant cost of shipping
+    1.6M-row string frames)."""
+    import pyarrow as pa
+
+    def gen(batches):
+        for rb in batches:
+            pdf = rb.to_pandas()
+            doc_col = rb.column(rb.schema.get_field_index("doc_id"))
+            for f in fields:
+                core = _trigram_core(pdf, f)
+                if core is None:
+                    continue
+                d_u, code_u, uniq_strs = core
+                field_arr = pa.DictionaryArray.from_arrays(
+                    pa.array(np.zeros(len(d_u), dtype=np.int32)),
+                    pa.array([f], type=pa.string()),
+                ).cast(pa.string())
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        field_arr,
+                        pa.array(uniq_strs, type=pa.string()).take(
+                            pa.array(code_u)
+                        ),
+                        doc_col.take(pa.array(d_u)),
+                    ],
+                    names=["field", "tg", "doc_id"],
+                )
 
     return gen
 
@@ -153,7 +192,7 @@ def build_trigram_index(
 
     tg_rows = (
         docs.select("doc_id", *fields)
-        .mapInPandas(_trigram_gen(fields), schema=TRIGRAM_SCHEMA)
+        .mapInArrow(_trigram_gen(fields), schema=TRIGRAM_SCHEMA)
         .withColumn("tg_bucket", term_bucket(F.col("tg"), index.n_buckets))
     )
     # bucket-clustered write keyed on tg_bucket, published via the atomic
@@ -192,7 +231,7 @@ def append_trigrams(
 
     (
         new_docs.select("doc_id", *fields)
-        .mapInPandas(_trigram_gen(fields), schema=TRIGRAM_SCHEMA)
+        .mapInArrow(_trigram_gen(fields), schema=TRIGRAM_SCHEMA)
         .withColumn("tg_bucket", term_bucket(F.col("tg"), index.n_buckets))
         .repartition(index.n_buckets, "tg_bucket")
         .sortWithinPartitions("tg_bucket", "tg")
