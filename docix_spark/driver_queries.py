@@ -2663,6 +2663,91 @@ def pages_formfeed_split(spark, sf_dir):
     )
 
 
+@register(
+    "training_mix_pipeline",
+    f"""WITH feat AS (
+      SELECT doc_id, source, md5(text) AS h,
+             CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS BIGINT) AS n_distinct
+      FROM documents
+    ),
+    dedup AS (
+      SELECT arg_min(doc_id, doc_id) AS doc_id,
+             arg_min(source, doc_id) AS source,
+             arg_min(n_tok, doc_id) AS n_tok,
+             arg_min(n_distinct, doc_id) AS n_distinct
+      FROM feat GROUP BY h
+    ),
+    q AS (
+      SELECT * FROM dedup
+      WHERE n_tok >= 32 AND n_distinct * 5 >= n_tok * 2
+    ),
+    s AS (
+      SELECT q.*, 2000 + 500 * (CAST(substr(source, 4) AS BIGINT) % 16) AS rate_bp
+      FROM q
+      WHERE ((doc_id * 2654435761) % 4294967296) % 10000
+            < 2000 + 500 * (CAST(substr(source, 4) AS BIGINT) % 16)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS kept_docs,
+           CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+           CAST((sum(n_tok) + 2047) // 2048 AS BIGINT) AS bins_2048,
+           CAST(min(rate_bp) AS BIGINT) AS rate_bp
+    FROM s GROUP BY source ORDER BY source""",
+)
+def training_mix_pipeline(spark, sf_dir):
+    """End-to-end training-mix construction — the composition a 100 TB
+    pretraining pipeline actually runs, as ONE declarative plan:
+
+      1. exact dedup (keep the min-doc_id representative per content hash),
+      2. quality gate (>=32 analyzer tokens AND type/token ratio >=0.4),
+      3. deterministic stratified sampling (the Knuth multiplicative-hash
+         admission rule of ``stratified_sample``),
+      4. pack accounting (ceil-divide surviving tokens into 2048-token
+         bins per source — the capacity plan for ``pack_sequences``).
+
+    100 TB shape: the per-doc features (token count, distinct count, hash)
+    are map-side column expressions — no token explode, no shuffle. The
+    ONLY full shuffle is the dedup groupBy on the 16-byte content hash,
+    which carries four small columns via min_by (never the text). The
+    quality gate + sampling filter are map-side; the final per-source agg
+    is a 20-row rollup. Quality/ratio compares are integer cross-
+    multiplications (n_distinct*5 >= n_tok*2) so Spark and DuckDB agree
+    bit-for-bit at the boundary.
+    """
+    d = _docs(spark, sf_dir)
+    w = spark_tokens("text")
+    feat = d.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(w).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+    )
+    dedup = feat.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min_by("n_tok", "doc_id").alias("n_tok"),
+        F.min_by("n_distinct", "doc_id").alias("n_distinct"),
+    )
+    q = dedup.where(
+        (F.col("n_tok") >= 32) & (F.col("n_distinct") * 5 >= F.col("n_tok") * 2)
+    )
+    rate = F.lit(2000) + F.lit(500) * (F.substring("source", 4, 10).cast("long") % 16)
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(10000)
+    s = q.withColumn("rate_bp", rate).where(u < F.col("rate_bp"))
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept_docs"),
+            F.sum("n_tok").cast("long").alias("kept_tokens"),
+            ((F.sum("n_tok") + F.lit(2047)) / F.lit(2048)).cast("long").alias("bins_2048"),
+            F.min("rate_bp").cast("long").alias("rate_bp"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
@@ -2677,6 +2762,7 @@ _FRONT = [
     # new this round (never driver-sampled) + reworked implementations
     # (pack_sequences two-pass prefix sum, CC pointer doubling, salted
     # top_terms) — fresh driver evidence for the changed plans
+    "training_mix_pipeline",
     "ann_ivf_batch", "ann_ivf_batch_recall", "pack_sequences_fine",
     "pack_sequences", "dedup_connected_components", "top_terms_per_source",
     # the 13 entries the r03 driver prefix did not sample (all r02-green) —

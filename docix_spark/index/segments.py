@@ -297,12 +297,16 @@ def merge_segments(
                 frames.append(grp[out_cols])
                 continue
             os_, ts_, ls_ = [], [], []
-            for _, row in grp.iterrows():
-                nb = len(row["block_last"])
+            for db, tb, lb, bdo, bto, blo, bl in zip(
+                grp["doc_bytes"].values, grp["tf_bytes"].values,
+                grp["dl_bytes"].values, grp["block_doc_off"].values,
+                grp["block_tf_off"].values, grp["block_dl_off"].values,
+                grp["block_last"].values,
+            ):
                 o, t, l = decode_blocks(
-                    row["doc_bytes"], row["tf_bytes"], row["dl_bytes"],
-                    np.asarray(row["block_doc_off"]), np.asarray(row["block_tf_off"]),
-                    np.asarray(row["block_dl_off"]), np.arange(nb, dtype=np.int64),
+                    db, tb, lb,
+                    np.asarray(bdo), np.asarray(bto), np.asarray(blo),
+                    np.arange(len(bl), dtype=np.int64),
                 )
                 os_.append(o)
                 ts_.append(t)
