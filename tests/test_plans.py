@@ -111,3 +111,29 @@ def test_wildcard_gate_fires_and_is_exact(spark, built):
         for r in scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
     ]
     assert [(d, round(s, 6)) for d, s in gated] == want
+
+
+def test_training_mix_pipeline_single_wide_shuffle(spark):
+    """training_mix_pipeline must stay map-side except the dedup groupBy:
+    no token explode (Generate), no join, and the only data-sized shuffle
+    is the hashpartitioning on the content hash — the per-source rollup
+    and final sort shuffle 20-row relations. A Generate or a third
+    hash exchange on doc-sized data means the pipeline regressed to the
+    explode-and-shuffle shape it exists to avoid."""
+    from docix_spark.driver_queries import REGISTRY
+
+    df = REGISTRY["training_mix_pipeline"].fn(spark, "/root/testdata/sf0.001")
+    opt = _optimized(df)
+    assert "Join" not in opt, opt
+    assert "Generate" not in opt, opt  # no explode: features are per-row exprs
+    phys = _physical(df)
+    hash_exchanges = [
+        ln for ln in phys.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    # exactly two hash exchanges: dedup on h (doc-sized), rollup on source
+    # (post-agg, source-cardinality-sized)
+    assert len(hash_exchanges) == 2, phys
+    # plan text prints top-down, so don't assume order
+    assert any("hashpartitioning(h#" in ln for ln in hash_exchanges), hash_exchanges
+    assert any("hashpartitioning(source#" in ln for ln in hash_exchanges), hash_exchanges
