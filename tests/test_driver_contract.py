@@ -33,6 +33,16 @@ def canon(pdf):
     return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
 
 
+def test_registry_bindings_name_their_functions():
+    """Guard against the decorator-binding trap: a def/class inserted
+    between ``@register(...)`` and the query function silently binds the
+    registry entry to the wrong object (hit once in round 4 — the entry
+    for dedup_connected_components briefly pointed at an exception class).
+    Every entry's bound function must carry the registered name."""
+    bad = {n: REGISTRY[n].fn.__name__ for n in REGISTRY if REGISTRY[n].fn.__name__ != n}
+    assert not bad, f"registry entries bound to mis-named functions: {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_driver_query_matches_oracle(spark, duck, name):
     dq = REGISTRY[name]
