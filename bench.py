@@ -263,7 +263,9 @@ def main() -> None:
                  "ngram_jaccard_banded", "knn_cosine_top10", "quality_score",
                  "simhash_band_pairs", "embedding_lsh_pairs",
                  "events_windowed", "events_sessionize",
-                 "pack_sequences", "ann_ivf_batch", "training_mix_pipeline"]:
+                 "pack_sequences", "pack_sequences_split",
+                 "dedup_survivor_tokens", "events_funnel",
+                 "ann_ivf_batch", "training_mix_pipeline"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -1576,6 +1576,255 @@ def ann_ivf_batch_recall(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# ANN: product quantization with ADC — the compression half of the
+# canonical IVF+PQ stack (FAISS); the IVF half is ann_ivf_* above.
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_D = 8, 16, 8  # subspaces, codewords/subspace, dims/subspace
+
+
+def _pq_sql() -> str:
+    """Generated DuckDB oracle for the PQ pipeline — per-subspace k-means
+    (seed init vec_id 1.._PQ_K, one Lloyd iteration), codes, query LUT,
+    ADC sum — mirroring the Spark helpers step for step. Generated rather
+    than hand-written so the q-scales/tiebreaks stay in one place."""
+
+    def cosq(a: str, b: str, scale: int) -> str:
+        return (
+            f"CAST(round({scale} * list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))) AS BIGINT)"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ms AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+sub AS (
+  SELECT vec_id, m, list_slice(v, m * {_PQ_D} + 1, m * {_PQ_D} + {_PQ_D}) AS sv
+  FROM e, ms WHERE vec_id <> 0
+),
+qsub AS (
+  SELECT m, list_slice(v, m * {_PQ_D} + 1, m * {_PQ_D} + {_PQ_D}) AS qsv
+  FROM e, ms WHERE vec_id = 0
+),
+cb0 AS (
+  SELECT m, vec_id AS cid,
+         list_transform(sv, x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS DOUBLE)) AS cw
+  FROM sub WHERE vec_id BETWEEN 1 AND {_PQ_K}
+),
+s1 AS (
+  SELECT sub.vec_id, sub.m, c.cid, {cosq('sub.sv', 'c.cw', 1000000000)} AS cq
+  FROM sub JOIN cb0 c ON sub.m = c.m
+),
+a1 AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY cq DESC, cid ASC) AS rn
+    FROM s1) WHERE rn = 1
+),
+dims1 AS (
+  SELECT a1.m, a1.cid, i, SUM(CAST(round(sub.sv[i] * 1000000) AS BIGINT)) AS s,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM sub JOIN a1 USING (vec_id, m), (SELECT unnest(generate_series(1, {_PQ_D})) AS i)
+  GROUP BY a1.m, a1.cid, i
+),
+cb1 AS (
+  SELECT m, cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cw, max(cnt) AS n
+  FROM dims1 GROUP BY m, cid
+),
+s2 AS (
+  SELECT sub.vec_id, sub.m, c.cid, {cosq('sub.sv', 'c.cw', 1000000000)} AS cq
+  FROM sub JOIN cb1 c ON sub.m = c.m
+),
+codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY cq DESC, cid ASC) AS rn
+    FROM s2) WHERE rn = 1
+),
+lut AS (
+  SELECT c.m, c.cid,
+         CAST(round(list_dot_product(q.qsv, c.cw) / c.n) AS BIGINT) AS dq6,
+         CAST(round(list_dot_product(c.cw, c.cw) / (c.n * c.n)) AS BIGINT) AS n2q
+  FROM cb1 c JOIN qsub q ON c.m = q.m
+),
+qn AS (SELECT sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id = 0),
+adc AS (
+  SELECT codes.vec_id,
+         CAST(round(1000000.0 * CAST(SUM(dq6) AS BIGINT)
+              / (qn.qn * sqrt(CAST(SUM(n2q) AS BIGINT)))) AS BIGINT) AS adc_q6
+  FROM codes JOIN lut USING (m, cid), qn GROUP BY codes.vec_id, qn.qn
+)
+"""
+
+
+def _pq_exact_top10_sql() -> str:
+    return """,
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+exact AS (
+  SELECT e.vec_id FROM e, q WHERE e.vec_id <> 0
+  ORDER BY CAST(round(1000000 * list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) DESC,
+           e.vec_id ASC
+  LIMIT 10
+),
+pq10 AS (SELECT vec_id FROM adc ORDER BY adc_q6 DESC, vec_id LIMIT 10)
+SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_overlap
+FROM pq10 JOIN exact USING (vec_id)"""
+
+
+def _pq_subs(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    subs = (
+        e.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
+            "v",
+        )
+        .withColumn("sv", F.expr(f"slice(v, m * {_PQ_D} + 1, {_PQ_D})"))
+        .select("vec_id", "m", "sv")
+    )
+    return e, subs
+
+
+def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, cid): nearest codeword per subspace by q9 cosine, cid
+    tiebreak. The codebook (M×K rows) broadcasts; the scan streams."""
+    s = subs.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "cid", _cosq("sv", "cw", 1_000_000_000).alias("cq")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.desc("cq"), F.asc("cid"))
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+
+
+def _pq_codebook(subs: DataFrame, assign: DataFrame) -> DataFrame:
+    """(m, cid, cw, n): per-cell element-wise BIGINT q6 sums plus member
+    count (cosine assignment is scale-invariant, so the sum stands in for
+    the mean — same trick as :func:`_kmeans_cent`; ``n`` recovers the true
+    mean for the ADC lookup tables). Integer adds keep both engines
+    bit-identical."""
+    return (
+        subs.join(assign, ["vec_id", "m"])
+        .select("m", "cid", F.posexplode("sv").alias("i", "x"))
+        .withColumn("xq", F.round(F.col("x") * F.lit(1_000_000.0)).cast("long"))
+        .groupBy("m", "cid", "i")
+        .agg(F.sum("xq").alias("s"), F.count(F.lit(1)).cast("long").alias("cnt"))
+        .groupBy("m", "cid")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(i, s))), t -> cast(t.s as double))"
+            ).alias("cw"),
+            F.max("cnt").alias("n"),
+        )
+    )
+
+
+def _pq_adc_topk(spark, sf_dir) -> DataFrame:
+    e, subs = _pq_subs(spark, sf_dir)
+    cb = subs.where(F.col("vec_id").between(1, _PQ_K)).select(
+        "m",
+        F.col("vec_id").alias("cid"),
+        F.expr(
+            "transform(sv, x -> cast(cast(round(x * 1000000) as bigint) as double))"
+        ).alias("cw"),
+    )
+    cb = _pq_codebook(subs, _pq_assign(subs, cb))  # one Lloyd iteration
+    codes = _pq_assign(subs, cb)
+    qsub = (
+        e.where(F.col("vec_id") == 0)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"), "v")
+        .withColumn("qsv", F.expr(f"slice(v, m * {_PQ_D} + 1, {_PQ_D})"))
+        .select("m", "qsv")
+    )
+    lut = cb.join(F.broadcast(qsub), "m").select(
+        "m",
+        "cid",
+        F.round(F.expr(_DOT.format(a="qsv", b="cw")) / F.col("n")).cast("long").alias("dq6"),
+        F.round(F.expr(_DOT.format(a="cw", b="cw")) / (F.col("n") * F.col("n")))
+        .cast("long")
+        .alias("n2q"),
+    )
+    qn = e.where(F.col("vec_id") == 0).select(
+        F.sqrt(F.expr(_DOT.format(a="v", b="v"))).alias("qn")
+    )
+    return (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("dq6").alias("a"), F.sum("n2q").alias("b"))
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "vec_id",
+            F.round(F.lit(1_000_000.0) * F.col("a") / (F.col("qn") * F.sqrt(F.col("b"))))
+            .cast("long")
+            .alias("adc_q6"),
+        )
+        .orderBy(F.desc("adc_q6"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "ann_pq_adc",
+    _pq_sql() + "SELECT vec_id, adc_q6 FROM adc ORDER BY adc_q6 DESC, vec_id LIMIT 10",
+)
+def ann_pq_adc(spark, sf_dir):
+    """Product-quantization ANN with asymmetric distance computation: each
+    vector is stored as M=8 four-bit codes (nearest of 16 codewords per
+    8-dim subspace, codebooks k-means-trained exactly like the IVF coarse
+    quantizer), and a query scores a vector from M table lookups alone:
+    an (M×K)-entry LUT holds the query's per-subspace dot against each
+    codeword MEAN (dq6) plus the codeword's squared norm (n2q), and the
+    ADC score is round(1e6·ΣdqP6 / (|q|·√Σn2q)) — the exact cosine between
+    the query and the RECONSTRUCTED vector, computed from two integer
+    sums (bit-identical across engines) and three deterministic float ops.
+    Scoring touches codes, never vectors. This is the memory half of the FAISS IVF+PQ design
+    (Jégou et al., TPAMI 2011): at 10^9×64-dim float32, raw vectors are
+    256 GB; 4-byte PQ codes are 4 GB — the difference between spilling to
+    object storage and serving from RAM. 100 TB shape: training/encode
+    passes are the same broadcast-join + window plans as the IVF
+    (codebook is M×K rows, always broadcast); the ADC scan is a map-side
+    LUT join + integer sum with NO per-vector float math. Returns the ADC
+    top-10 (vec_id, adc_q6)."""
+    return _pq_adc_topk(spark, sf_dir)
+
+
+@register("ann_pq_recall", _pq_sql() + _pq_exact_top10_sql())
+def ann_pq_recall(spark, sf_dir):
+    """Recall@10 of the PQ-ADC top-10 against the exact full-vector cosine
+    top-10 — the accuracy cost of 64x compression (256-byte float32 →
+    4-byte codes), reported the same way as the IVF recall entries.
+    Honest accounting: the sandbox embeddings are i.i.d. random, the WORST
+    case for PQ (no correlated structure for the codebooks to exploit, and
+    all pairwise cosines concentrate so neighbor gaps are small vs
+    quantization error) — recall here is ~3/10; production embeddings
+    (correlated dims) with K=256 codebooks sit far higher, and the IVF+PQ
+    composition re-ranks ADC candidates with exact vectors anyway."""
+    pq10 = _pq_adc_topk(spark, sf_dir).select("vec_id")
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    qv = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    exact = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
+        .orderBy(F.desc("cos_q6"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    return pq10.join(exact, "vec_id").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text analysis: language-ID feature, quality, token counting
 # ---------------------------------------------------------------------------
 
@@ -3065,7 +3314,7 @@ _FRONT = [
     # top_terms) — fresh driver evidence for the changed plans
     "training_mix_pipeline",
     "pack_sequences_split", "dedup_survivor_tokens", "doclen_histogram",
-    "events_funnel",
+    "events_funnel", "ann_pq_adc", "ann_pq_recall",
     "ann_ivf_batch", "ann_ivf_batch_recall", "pack_sequences_fine",
     "pack_sequences", "dedup_connected_components", "top_terms_per_source",
     # the 13 entries the r03 driver prefix did not sample (all r02-green) —

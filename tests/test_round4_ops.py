@@ -137,6 +137,41 @@ def test_pack_sequences_plan_is_subsharded(spark, packed):
     assert "shard_tok" in plan, plan
 
 
+def test_pack_sequences_split_bins_are_exact(spark):
+    """GPT-style splitting: every interior bin holds EXACTLY bin_tokens
+    tokens (only each source's last bin may be short), and the per-bin
+    shares conserve the corpus token total — the two invariants the
+    start-offset variant (pack_sequences) cannot satisfy."""
+    from docix_spark.analysis.tokenizer import spark_tokens
+    from docix_spark.driver_queries import pack_sequences_split
+
+    rows = pack_sequences_split(spark, SF_DIR, n_shards=7, bin_tokens=64).collect()
+    last = {}
+    for r in rows:
+        last[r.source] = max(last.get(r.source, -1), r.bin_id)
+    interior = [r for r in rows if r.bin_id < last[r.source]]
+    assert interior, rows  # boundaries actually exercised
+    assert all(r.n_tokens == 64 for r in interior), [
+        r for r in interior if r.n_tokens != 64
+    ][:5]
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    total = d.select(F.sum(F.size(spark_tokens("text"))).alias("s")).first().s
+    assert sum(r.n_tokens for r in rows) == total
+    # split actually happened: membership rows exceed non-empty doc count
+    n_docs = d.where(F.size(spark_tokens("text")) >= 1).count()
+    assert sum(r.n_docs for r in rows) > n_docs
+    # the same sub-sharded plan guarantee as pack_sequences
+    plan = (
+        pack_sequences_split(spark, SF_DIR, n_shards=7, bin_tokens=64)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    doc_level = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition(" in ln and "n_tok" in ln
+    ]
+    assert doc_level and all("pack_shard" in s for s in doc_level), plan
+
+
 # ---------------------------------------------------------------------------
 # batch ANN: plan shape
 # ---------------------------------------------------------------------------
