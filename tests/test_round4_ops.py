@@ -203,3 +203,43 @@ def test_reindex_source_never_collects_doc_ids():
 
     src = inspect.getsource(rx)
     assert ".collect()" not in src
+
+
+# ---------------------------------------------------------------------------
+# events_funnel: step order is causal, not just presence
+# ---------------------------------------------------------------------------
+
+def test_events_funnel_order_matters(spark):
+    """A click BEFORE any view must not advance the funnel, and a purchase
+    between the first view and the first qualifying click must not count —
+    the dependent-min semantics that a naive presence pivot gets wrong."""
+    import datetime as dt
+
+    from docix_spark.driver_queries import events_funnel
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        # u1: clean view(1) -> click(2) -> purchase(3): completes all steps
+        (1, t(1), 1, "view", 0.0, "{}"),
+        (2, t(2), 1, "click", 0.0, "{}"),
+        (3, t(3), 1, "purchase", 0.0, "{}"),
+        # u2: click(1) BEFORE view(2) -- click must NOT count; no purchase
+        (4, t(1), 2, "click", 0.0, "{}"),
+        (5, t(2), 2, "view", 0.0, "{}"),
+        # u3: view(1) -> purchase(2) -> click(3): purchase precedes the
+        # qualifying click, so u3 reaches step 2 only
+        (6, t(1), 3, "view", 0.0, "{}"),
+        (7, t(2), 3, "purchase", 0.0, "{}"),
+        (8, t(3), 3, "click", 0.0, "{}"),
+        # u4: purchase only: no step at all
+        (9, t(1), 4, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {r.step_name: r.n_users for r in events_funnel(spark, d).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}, got
