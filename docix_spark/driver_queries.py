@@ -1583,20 +1583,25 @@ def ann_ivf_batch_recall(spark, sf_dir):
 _PQ_M, _PQ_K, _PQ_D = 8, 16, 8  # subspaces, codewords/subspace, dims/subspace
 
 
-def _pq_sql() -> str:
-    """Generated DuckDB oracle for the PQ pipeline — per-subspace k-means
-    (seed init vec_id 1.._PQ_K, one Lloyd iteration), codes, query LUT,
-    ADC sum — mirroring the Spark helpers step for step. Generated rather
-    than hand-written so the q-scales/tiebreaks stay in one place."""
+def _sql_cosq(a: str, b: str, scale: int) -> str:
+    """DuckDB q-scaled cosine — the cross-engine comparison key (same
+    rounding/scale as the Spark-side :func:`_cosq`)."""
+    return (
+        f"CAST(round({scale} * list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))) AS BIGINT)"
+    )
 
-    def cosq(a: str, b: str, scale: int) -> str:
-        return (
-            f"CAST(round({scale} * list_dot_product({a}, {b}) / "
-            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))) AS BIGINT)"
-        )
 
+def _pq_ctes(restrict_to_cand: bool = False) -> str:
+    """Generated PQ CTE chain (per-subspace k-means: seed init vec_id
+    1.._PQ_K, one Lloyd iteration; codes; query LUT; normalized ADC) —
+    mirrors the Spark helpers step for step. Generated rather than
+    hand-written so the q-scales/tiebreaks stay in one place. With
+    ``restrict_to_cand`` the ADC sum only scores vec_ids in a ``cand``
+    CTE the caller must provide (the IVF+PQ composition)."""
+    cosq = _sql_cosq
+    cand_join = "JOIN cand USING (vec_id) " if restrict_to_cand else ""
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 ms AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
 sub AS (
   SELECT vec_id, m, list_slice(v, m * {_PQ_D} + 1, m * {_PQ_D} + {_PQ_D}) AS sv
@@ -1652,9 +1657,70 @@ adc AS (
   SELECT codes.vec_id,
          CAST(round(1000000.0 * CAST(SUM(dq6) AS BIGINT)
               / (qn.qn * sqrt(CAST(SUM(n2q) AS BIGINT)))) AS BIGINT) AS adc_q6
-  FROM codes JOIN lut USING (m, cid), qn GROUP BY codes.vec_id, qn.qn
+  FROM codes {cand_join}JOIN lut USING (m, cid), qn GROUP BY codes.vec_id, qn.qn
 )
 """
+
+
+_SQL_EMB_E = "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+
+
+def _pq_sql() -> str:
+    """Full generated DuckDB oracle for exhaustive PQ-ADC."""
+    return _SQL_EMB_E + _pq_ctes()
+
+
+def _coarse_ctes() -> str:
+    """Generated coarse-quantizer CTE chain for the IVF+PQ composition:
+    the SAME full-vector k-means as _KMEANS_SQL_PRELUDE (seed init vec_id
+    1.._KMEANS_K, two Lloyd iterations, q9-cosine assignment, 3-cell
+    probe), CTEs c-prefixed to coexist with the PQ chain; ends in
+    ``cand`` = the vec_ids inside the probed cells."""
+    cosq = _sql_cosq
+    step = """
+cs{j} AS (
+  SELECT e.vec_id, c.ccid, {expr} AS cq
+  FROM e, {cb} c WHERE e.vec_id <> 0
+),
+ca{j} AS (
+  SELECT vec_id, ccid FROM (
+    SELECT vec_id, ccid, row_number() OVER (PARTITION BY vec_id ORDER BY cq DESC, ccid ASC) AS rn
+    FROM cs{j}) WHERE rn = 1
+)"""
+    lloyd = """,
+cdims{j} AS (
+  SELECT ca{j}.ccid, i, SUM(CAST(round(e.v[i] * 1000000) AS BIGINT)) AS s
+  FROM e JOIN ca{j} USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY ca{j}.ccid, i
+),
+ccb{j} AS (SELECT ccid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv FROM cdims{j} GROUP BY ccid)"""
+    out = f"""
+cq0 AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+ccb0 AS (
+  SELECT vec_id AS ccid,
+         list_transform(v, x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS DOUBLE)) AS cv
+  FROM e WHERE vec_id BETWEEN 1 AND {_KMEANS_K}
+),"""
+    for j in (1, 2):
+        out += step.format(j=j, cb=f"ccb{j-1}", expr=cosq("e.v", "c.cv", 1_000_000_000))
+        out += lloyd.format(j=j)
+        out += ","
+    out += step.format(j=3, cb="ccb2", expr=cosq("e.v", "c.cv", 1_000_000_000))
+    out += f""",
+cprobe AS (
+  SELECT ccid FROM ccb2, cq0
+  ORDER BY {cosq('cv', 'qv', 1_000_000_000)} DESC, ccid ASC
+  LIMIT 3
+),
+cand AS (SELECT vec_id FROM ca3 JOIN cprobe USING (ccid)),
+"""
+    return out
+
+
+def _ivfpq_sql() -> str:
+    """Full generated DuckDB oracle for composed IVF+PQ: coarse k-means
+    prunes to the 3 probed cells, PQ codes ADC-score only those members."""
+    return _SQL_EMB_E + _coarse_ctes() + _pq_ctes(restrict_to_cand=True)
 
 
 def _pq_exact_top10_sql() -> str:
@@ -1725,7 +1791,11 @@ def _pq_codebook(subs: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
-def _pq_adc_topk(spark, sf_dir) -> DataFrame:
+def _pq_index(spark, sf_dir) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(codes, lut, qn): the trained PQ index plus the query's lookup
+    tables — codes = nearest codeword per (vec_id, subspace) after one
+    Lloyd iteration; lut = per-(m, cid) integer query-dot (dq6) and
+    reconstructed squared norm (n2q); qn = the query's full-vector norm."""
     e, subs = _pq_subs(spark, sf_dir)
     cb = subs.where(F.col("vec_id").between(1, _PQ_K)).select(
         "m",
@@ -1753,6 +1823,12 @@ def _pq_adc_topk(spark, sf_dir) -> DataFrame:
     qn = e.where(F.col("vec_id") == 0).select(
         F.sqrt(F.expr(_DOT.format(a="v", b="v"))).alias("qn")
     )
+    return codes, lut, qn
+
+
+def _adc_score_topk(codes: DataFrame, lut: DataFrame, qn: DataFrame) -> DataFrame:
+    """ADC top-10 over whatever code rows are passed in: two integer LUT
+    sums per vector, one normalize, one TakeOrdered."""
     return (
         codes.join(F.broadcast(lut), ["m", "cid"])
         .groupBy("vec_id")
@@ -1767,6 +1843,29 @@ def _pq_adc_topk(spark, sf_dir) -> DataFrame:
         .orderBy(F.desc("adc_q6"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+def _pq_adc_topk(spark, sf_dir) -> DataFrame:
+    codes, lut, qn = _pq_index(spark, sf_dir)
+    return _adc_score_topk(codes, lut, qn)
+
+
+def _ivfpq_adc_topk(spark, sf_dir) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    qv = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    _, cent, final_assign = _trained_ivf(spark, sf_dir)
+    probe = (
+        cent.crossJoin(F.broadcast(qv))
+        .select("cid", _cosq("cv", "qv", 1_000_000_000).alias("cq"))
+        .orderBy(F.desc("cq"), F.asc("cid"))
+        .limit(3)
+        .select("cid")
+    )
+    cand = final_assign.join(F.broadcast(probe), "cid").select("vec_id")
+    codes, lut, qn = _pq_index(spark, sf_dir)
+    return _adc_score_topk(codes.join(cand, "vec_id"), lut, qn)
 
 
 @register(
@@ -1806,6 +1905,12 @@ def ann_pq_recall(spark, sf_dir):
     (correlated dims) with K=256 codebooks sit far higher, and the IVF+PQ
     composition re-ranks ADC candidates with exact vectors anyway."""
     pq10 = _pq_adc_topk(spark, sf_dir).select("vec_id")
+    return _recall_vs_exact(spark, sf_dir, pq10)
+
+
+def _recall_vs_exact(spark, sf_dir, top10: DataFrame) -> DataFrame:
+    """(k, n_overlap): overlap of ``top10`` with the exact full-vector
+    cosine top-10 for the vec_id=0 query."""
     e = _emb(spark, sf_dir).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
@@ -1818,10 +1923,42 @@ def ann_pq_recall(spark, sf_dir):
         .limit(10)
         .select("vec_id")
     )
-    return pq10.join(exact, "vec_id").agg(
+    return top10.join(exact, "vec_id").agg(
         F.lit(10).cast("long").alias("k"),
         F.count(F.lit(1)).cast("long").alias("n_overlap"),
     )
+
+
+@register(
+    "ann_ivfpq_adc",
+    _ivfpq_sql()
+    + "SELECT vec_id, adc_q6 FROM adc ORDER BY adc_q6 DESC, vec_id LIMIT 10",
+)
+def ann_ivfpq_adc(spark, sf_dir):
+    """The COMPOSED FAISS index — IVF coarse pruning × PQ compression:
+    the query probes its 3 nearest coarse cells (the trained k-means of
+    ann_ivf_kmeans) and the ADC scan of ann_pq_adc runs ONLY over the
+    probed cells' members. At 10^9 vectors this is the standard serving
+    shape (Jégou et al., TPAMI 2011; FAISS IVFPQ): the coarse quantizer
+    cuts the scan to nprobe/K of the corpus, PQ cuts the bytes per
+    scanned vector 64×, so the whole search touches ~0.6 % of the raw
+    data volume. Spark plan: both trainings are the broadcast-join plans
+    of their standalone ops; the composition adds ONE vec_id semi-join
+    (cell members × codes) before the LUT aggregation — no new shuffle
+    shape. Returns the ADC top-10 within the probed cells."""
+    return _ivfpq_adc_topk(spark, sf_dir)
+
+
+@register("ann_ivfpq_recall", _ivfpq_sql() + _pq_exact_top10_sql())
+def ann_ivfpq_recall(spark, sf_dir):
+    """Recall@10 of the composed IVF+PQ against the exact cosine top-10 —
+    the joint cost of cell pruning (misses outside the 3 probed cells)
+    AND quantization (rank inversions inside them), the number an nprobe/
+    codebook-size sweep tunes. Same worst-case caveat as ann_pq_recall:
+    i.i.d. vectors have no cluster structure, so both loss terms are at
+    their maximum here."""
+    top10 = _ivfpq_adc_topk(spark, sf_dir).select("vec_id")
+    return _recall_vs_exact(spark, sf_dir, top10)
 
 
 # ---------------------------------------------------------------------------
@@ -3315,6 +3452,7 @@ _FRONT = [
     "training_mix_pipeline",
     "pack_sequences_split", "dedup_survivor_tokens", "doclen_histogram",
     "events_funnel", "ann_pq_adc", "ann_pq_recall",
+    "ann_ivfpq_adc", "ann_ivfpq_recall",
     "ann_ivf_batch", "ann_ivf_batch_recall", "pack_sequences_fine",
     "pack_sequences", "dedup_connected_components", "top_terms_per_source",
     # the 13 entries the r03 driver prefix did not sample (all r02-green) —
