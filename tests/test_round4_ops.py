@@ -243,3 +243,19 @@ def test_events_funnel_order_matters(spark):
         df.write.parquet(f"{d}/events.parquet")
         got = {r.step_name: r.n_users for r in events_funnel(spark, d).collect()}
     assert got == {"view": 3, "click": 2, "purchase": 1}, got
+
+
+def test_ann_ivfpq_plan_shape(spark):
+    """The composed IVF+PQ must keep the standalone plans' broadcast
+    discipline: probe/LUT/query tables broadcast, the corpus-sized sides
+    (codes, cell members) meet only on vec_id equi-joins. The only
+    cartesian products allowed are the literal 1-row query-vector and
+    query-norm cross joins."""
+    from docix_spark.driver_queries import REGISTRY
+
+    df = REGISTRY["ann_ivfpq_adc"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # every nested-loop join is a broadcast of a 1-row side (qv/qn), never
+    # a partitioned cartesian product of two corpus-sized relations
+    assert "CartesianProduct" not in plan, plan
