@@ -730,10 +730,13 @@ def dedup_survivor_tokens(spark, sf_dir):
     Spark plan: the candidate/cluster stages are exactly
     :func:`dedup_connected_components` (bucketed band equi-join, pointer-
     doubled label propagation — cluster-table-sized, never corpus-sized);
-    the cluster labels then LEFT-join back to the per-doc token counts —
-    the label side is dup-cluster-sized (tiny vs corpus), so it
-    BROADCASTS and the accounting rollup stays one map-side pass plus a
-    20-row source agg. The DuckDB oracle recomputes the transitive
+    the cluster labels then LEFT-join back to the per-doc token counts.
+    The label side is usually dup-cluster-sized (tiny vs corpus), but its
+    cardinality is NOT bounded — a pathological corpus can make it
+    corpus-sized — so the join is deliberately un-hinted: AQE broadcasts
+    it when its (localCheckpoint-accurate) size is small and falls back
+    to a doc_id shuffle join when it is not, instead of a forced
+    broadcast that would OOM. The DuckDB oracle recomputes the transitive
     closure with a recursive CTE over the identical pair graph."""
     edges = _lsh_pair_edges(spark, sf_dir).localCheckpoint()
     labels = (
@@ -749,7 +752,7 @@ def dedup_survivor_tokens(spark, sf_dir):
     )
     dropped = (F.col("cluster_id").isNotNull()) & (F.col("cluster_id") != F.col("doc_id"))
     return (
-        tok.join(F.broadcast(labels), tok["doc_id"] == F.col("c_id"), "left")
+        tok.join(labels, tok["doc_id"] == F.col("c_id"), "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("docs_total"),
@@ -2435,15 +2438,15 @@ def events_funnel(spark, sf_dir):
     before any view must not count, which is why this is three dependent
     min-aggregations, not one pivot).
 
-    Spark plan: each stage is a user_id groupBy-min whose probe side is
-    the (tiny, one-row-per-user) previous stage broadcast into the event
-    scan — three passes over events, each filtered map-side by event_type
-    with NO events-sized shuffle (the only exchanges are on the
-    user-count-sized aggregates). At 100 TB of events the alternative
-    single-shuffle form (repartition all events by user, sessionize in
-    one pass) trades IO passes for one full shuffle; with event_type
-    selectivity pushed into the scan, the broadcast form wins whenever
-    the funnel steps are selective (purchase events ≪ all events).
+    Spark plan: each stage is a user_id groupBy-min joined against the
+    previous stage's one-row-per-user table — three passes over events,
+    each filtered map-side by event_type (the pushed-down type filter is
+    what keeps the passes cheap: purchase events ≪ all events). The
+    stage joins are deliberately un-hinted: user cardinality is NOT
+    bounded, so AQE broadcasts a small previous stage and falls back to a
+    user_id shuffle join at billion-user scale — where all three stage
+    joins and groupBys share the same user_id partitioning, so the
+    exchanges are reused, never events-sized.
     """
     e = _events(spark, sf_dir)
     v = (
@@ -2452,13 +2455,13 @@ def events_funnel(spark, sf_dir):
     )
     c = (
         e.where(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id").agg(F.min("ts").alias("t2"))
     )
     p = (
         e.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .where(F.col("ts") > F.col("t2"))
         .groupBy("user_id").agg(F.min("ts").alias("t3"))
     )
