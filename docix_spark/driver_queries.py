@@ -2142,9 +2142,12 @@ def _pack_cum_before(spark, sf_dir, n_shards: int = 64) -> DataFrame | None:
        rows) — get exclusive-prefix-summed per source (the only window over
        unbounded source scope runs on shard-count rows, not doc rows);
     3. the within-shard exclusive cumsum windows over (source, pack_shard)
-       — each partition is a bounded doc_id range — and adds the broadcast
-       shard offset. ``cum_before`` is byte-identical to a single
-       whole-source window, which is exactly what the SQL oracles compute.
+       — each partition is a bounded doc_id range — and adds the shard
+       offset via an un-hinted equi-join (offsets are sources × n_shards
+       rows: tiny for any sane mix, but source count is unbounded, so AQE
+       broadcasts when small instead of a forced hint that can't back
+       off). ``cum_before`` is byte-identical to a single whole-source
+       window, which is exactly what the SQL oracles compute.
 
     Token counts are computed ONCE (localCheckpoint before the totals pass
     and the join both consume them) — tokenization is the expensive stage
@@ -2179,7 +2182,7 @@ def _pack_cum_before(spark, sf_dir, n_shards: int = 64) -> DataFrame | None:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        t.join(F.broadcast(offsets), ["source", "pack_shard"])
+        t.join(offsets, ["source", "pack_shard"])
         .withColumn(
             "cum_before",
             F.col("shard_off") + F.coalesce(F.sum("n_tok").over(w_loc), F.lit(0)),
