@@ -259,3 +259,18 @@ def test_ann_ivfpq_plan_shape(spark):
     # every nested-loop join is a broadcast of a 1-row side (qv/qn), never
     # a partitioned cartesian product of two corpus-sized relations
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dehinted_joins_still_broadcast_at_small_scale(spark):
+    """The unbounded-side joins (funnel stages, survivor labels, pack
+    offsets) carry NO broadcast hint — a forced hint cannot back off when
+    the side grows corpus-sized. This pins the flip side: at test scale
+    AQE's runtime stats still choose a broadcast join, so de-hinting cost
+    nothing where broadcasting is right."""
+    from docix_spark.driver_queries import REGISTRY
+
+    for name in ("events_funnel", "dedup_survivor_tokens", "pack_sequences"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        df.collect()  # materialize so AQE finalizes the adaptive plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, (name, plan)
