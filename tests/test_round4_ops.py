@@ -274,3 +274,24 @@ def test_dehinted_joins_still_broadcast_at_small_scale(spark):
         df.collect()  # materialize so AQE finalizes the adaptive plan
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, (name, plan)
+
+
+def test_pq_index_structure(spark):
+    """Structural invariants of the trained PQ index: every non-query
+    vector gets exactly one code per subspace (M codes), every code
+    references a live codebook entry, and the codebook never exceeds
+    M × K entries."""
+    from docix_spark.driver_queries import _PQ_K, _PQ_M, _pq_index, _pq_subs
+
+    codes, lut, qn = _pq_index(spark, SF_DIR)
+    e, subs = _pq_subs(spark, SF_DIR)
+    n_members = e.where(F.col("vec_id") != 0).count()
+    pdf = codes.toPandas()
+    assert len(pdf) == n_members * _PQ_M
+    assert set(pdf.groupby("vec_id").size()) == {_PQ_M}
+    lut_pdf = lut.toPandas()
+    assert len(lut_pdf) <= _PQ_M * _PQ_K
+    # every (m, cid) a code references exists in the LUT
+    refs = set(map(tuple, pdf[["m", "cid"]].drop_duplicates().values))
+    have = set(map(tuple, lut_pdf[["m", "cid"]].values))
+    assert refs <= have, refs - have
