@@ -3441,6 +3441,235 @@ def training_mix_pipeline(spark, sf_dir):
     )
 
 
+@register(
+    "unigram_logprob",
+    f"""WITH tf AS ({SQL_TF}),
+    tt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY term),
+    tot AS (SELECT CAST(sum(total_tf) AS DOUBLE) AS big_t FROM tt),
+    nl AS (
+      SELECT term,
+             CAST(round(-ln(CAST(total_tf AS DOUBLE) / big_t) * 1000000) AS BIGINT) AS nlp_q6
+      FROM tt, tot
+    ),
+    d AS (
+      SELECT tf.doc_id,
+             CAST(sum(tf.tf * nl.nlp_q6) AS BIGINT) AS surprisal_q6,
+             CAST(sum(tf.tf) AS BIGINT) AS doc_len
+      FROM tf JOIN nl USING (term) GROUP BY tf.doc_id
+    )
+    SELECT doc_id, doc_len, surprisal_q6,
+           CAST(surprisal_q6 // doc_len AS BIGINT) AS mean_nlp_q6
+    FROM d ORDER BY doc_id""",
+)
+def unigram_logprob(spark, sf_dir):
+    """Model-based quality filter: per-document cross-entropy under the
+    corpus's own unigram LM (CCNet/Gopher-style "perplexity" gate without
+    an external KenLM — the corpus is its own language model). Score =
+    Σ_t tf_d(t)·(−ln p(t)) with p(t) = corpus_tf(t)/total_tokens; high
+    mean surprisal → gibberish/rare-token soup, low → boilerplate.
+
+    Cross-engine determinism: the per-TERM surprisal is rounded to q6
+    micro-nats FIRST (one ln per dictionary entry — bit-identical input
+    doubles in both engines), then the per-doc score is an exact BIGINT
+    dot product Σ tf·nlp_q6 — no float summation order can diverge. The
+    mean is integer floor division (both operands positive).
+
+    100 TB shape: term totals are the A2 dictionary aggregation (map-side
+    partial combine absorbs stopword skew); the scalar corpus total is a
+    1-row broadcast cross join; scoring joins postings ⋈ dictionary on
+    term — the exact BM25 J1 shape (query/bm25.py) with the same AQE
+    broadcast-when-small behavior. No collect, no window, no explode
+    beyond the shared tokenizer. The tf table feeds three subtrees
+    (dictionary, corpus total, scoring join); the DataFrame API would
+    re-tokenize the corpus per subtree, so it is materialized ONCE via
+    localCheckpoint — in the real engine this is the already-persisted
+    postings parquet (index/build.py), read, never recomputed."""
+    tf = (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    tt = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("total_tf"))
+    tot = tt.agg(F.sum("total_tf").cast("double").alias("big_t"))
+    nl = tt.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(-F.log(F.col("total_tf").cast("double") / F.col("big_t")) * 1_000_000)
+        .cast("long")
+        .alias("nlp_q6"),
+    )
+    d = (
+        tf.join(nl, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("nlp_q6")).cast("long").alias("surprisal_q6"),
+            F.sum("tf").cast("long").alias("doc_len"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "doc_len",
+        "surprisal_q6",
+        F.expr("surprisal_q6 div doc_len").cast("long").alias("mean_nlp_q6"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "dup_ngram_fraction",
+    f"""WITH w AS ({SQL_WORDS}),
+    g AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+             || ' ' || words[i+4] || ' ' || words[i+5] || ' ' || words[i+6] || ' ' || words[i+7] AS g
+      FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)
+      WHERE len(words) >= 8
+    ),
+    gdf AS (SELECT g, count(*) AS n_docs FROM g GROUP BY g)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE gdf.n_docs >= 2) AS BIGINT) AS n_dup_grams,
+           CAST(round(1000000.0 * count(*) FILTER (WHERE gdf.n_docs >= 2) / count(*)) AS BIGINT) AS dup_pct_q6
+    FROM g JOIN gdf USING (g)
+    GROUP BY g.doc_id ORDER BY g.doc_id""",
+)
+def dup_ngram_fraction(spark, sf_dir):
+    """Cross-document duplicated-text fraction: for each doc, the share of
+    its distinct 8-gram windows that also occur in at least one OTHER
+    document — the first stage of exact-substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better") expressed
+    as n-gram document frequency instead of a suffix array. Docs above a
+    threshold (boilerplate, licenses, mirrored pages) get dropped or
+    trimmed in a real pretraining mix.
+
+    100 TB shape: the gram-df aggregation is a straight hash agg on the
+    gram string — map-side partial combine caps hot grams (license
+    boilerplate is THE skew case) at one partial row per map task; the
+    join back to (doc_id, gram) is a high-cardinality equi-join on the
+    gram, so no salting is needed (the key itself spreads). Counting
+    distinct grams per doc first (DISTINCT inside the gram CTE) bounds
+    both sides at distinct-window cardinality. Outputs are exact BIGINTs
+    plus one q6 ratio of two small integers (identical doubles both
+    engines). The (doc_id, gram) table feeds two subtrees (the df
+    aggregation and the join back), so it is materialized once via
+    localCheckpoint instead of exploding the corpus twice — at scale this
+    is a written-once gram parquet, the suffix-array-file analogue."""
+    w = _docs(spark, sf_dir).select("doc_id", spark_tokens("text").alias("words"))
+    g = (
+        w.where(F.size("words") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words)-8), i -> "
+                    "concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3],"
+                    " words[i+4], words[i+5], words[i+6], words[i+7]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    gdf = g.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = F.col("n_docs") >= 2
+    return (
+        g.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count_if(dup).cast("long").alias("n_dup_grams"),
+            F.round(F.lit(1_000_000.0) * F.count_if(dup) / F.count(F.lit(1)))
+            .cast("long")
+            .alias("dup_pct_q6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doclen_quantiles",
+    f"""WITH t AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    hist AS (SELECT source, n_tok, count(*) AS cnt FROM t GROUP BY source, n_tok),
+    h AS (
+      SELECT source, n_tok, cnt,
+             CAST(COALESCE(SUM(cnt) OVER (
+               PARTITION BY source ORDER BY n_tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+             CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM hist
+    ),
+    q AS (SELECT p_q6 FROM (VALUES (500000), (900000), (990000)) AS v(p_q6)),
+    agg AS (
+      SELECT h.source, q.p_q6,
+             max(h.n) AS n,
+             max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1))
+                      THEN h.n_tok END) AS v_lo,
+             max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1)) + 1
+                      THEN h.n_tok END) AS v_hi
+      FROM h, q GROUP BY h.source, q.p_q6
+    )
+    SELECT source, CAST(p_q6 AS BIGINT) AS p_q6,
+           CAST(round(1000000.0 * (v_lo + ((p_q6 / 1000000.0) * (n - 1)
+                - floor((p_q6 / 1000000.0) * (n - 1))) * (v_hi - v_lo))) AS BIGINT) AS q_q6
+    FROM agg ORDER BY source, p_q6""",
+)
+def doclen_quantiles(spark, sf_dir):
+    """Exact per-source token-length percentiles (p50/p90/p99, type-7
+    linear interpolation — numpy/DuckDB quantile_cont semantics) computed
+    from a WEIGHTED HISTOGRAM instead of Spark's ``percentile`` aggregate.
+    ``percentile`` buffers every raw value of a group on one reducer — a
+    single crawl source at 100 TB OOMs it. Here the per-doc token count
+    collapses map-side into (source, n_tok) → cnt histogram cells (bounded
+    by distinct document lengths, ~1e5 rows worst case, regardless of doc
+    count); the exclusive-prefix-sum window and the rank probes then run
+    over histogram rows only. Same two-pass shape as the distributed
+    ``pack_sequences`` prefix sum.
+
+    Determinism: rank r = p·(n−1) and the interpolation are computed from
+    identical integer inputs through identical double expressions in both
+    engines (p is derived from the integer p_q6, never a decimal literal),
+    so the final q6 rounding matches bit-for-bit."""
+    t = _docs(spark, sf_dir).select(
+        "source", F.size(spark_tokens("text")).cast("long").alias("n_tok")
+    )
+    hist = t.groupBy("source", "n_tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("source")
+    h = hist.select(
+        "source",
+        "n_tok",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).cast("long").alias("cum_before"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+    )
+    q = spark.createDataFrame([(500000,), (900000,), (990000,)], "p_q6 long")
+    rank = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
+    agg = (
+        h.crossJoin(F.broadcast(q))
+        .groupBy("source", "p_q6")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.when(F.col("cum_before") <= F.floor(rank), F.col("n_tok"))).alias("v_lo"),
+            F.max(F.when(F.col("cum_before") <= F.floor(rank) + 1, F.col("n_tok"))).alias("v_hi"),
+        )
+    )
+    r = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
+    frac = r - F.floor(r)
+    return agg.select(
+        "source",
+        F.col("p_q6").cast("long").alias("p_q6"),
+        F.round(F.lit(1_000_000.0) * (F.col("v_lo") + frac * (F.col("v_hi") - F.col("v_lo"))))
+        .cast("long")
+        .alias("q_q6"),
+    ).orderBy("source", "p_q6")
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
@@ -3455,6 +3684,7 @@ _FRONT = [
     # new this round (never driver-sampled) + reworked implementations
     # (pack_sequences two-pass prefix sum, CC pointer doubling, salted
     # top_terms) — fresh driver evidence for the changed plans
+    "unigram_logprob", "dup_ngram_fraction", "doclen_quantiles",
     "training_mix_pipeline",
     "pack_sequences_split", "dedup_survivor_tokens", "doclen_histogram",
     "events_funnel", "ann_pq_adc", "ann_pq_recall",

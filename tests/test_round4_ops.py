@@ -295,3 +295,107 @@ def test_pq_index_structure(spark):
     refs = set(map(tuple, pdf[["m", "cid"]].drop_duplicates().values))
     have = set(map(tuple, lut_pdf[["m", "cid"]].values))
     assert refs <= have, refs - have
+
+
+# ---------------------------------------------------------------------------
+# round-4 session additions: quantiles / surprisal / dup-gram semantics
+# (the driver-contract replica proves Spark==DuckDB; these prove both match
+# an INDEPENDENT Python/numpy ground truth, guarding shared-bug false passes)
+# ---------------------------------------------------------------------------
+
+def _py_token_lists(sf_dir=SF_DIR):
+    import pyarrow.parquet as pq
+
+    from docix_spark.analysis.tokenizer import tokenize
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+    return [
+        (d, s, tokenize(x))
+        for d, s, x in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("source").to_pylist(),
+            t.column("text").to_pylist(),
+        )
+    ]
+
+
+def test_doclen_quantiles_matches_numpy(spark):
+    """The weighted-histogram quantile must reproduce numpy's type-7
+    (method='linear') quantile over the raw per-doc token counts."""
+    import numpy as np
+
+    from docix_spark.driver_queries import REGISTRY
+
+    rows = REGISTRY["doclen_quantiles"].fn(spark, SF_DIR).collect()
+    by_source: dict[str, list[int]] = {}
+    for d, s, toks in _py_token_lists():
+        by_source.setdefault(s, []).append(len(toks))
+    assert rows, "no output"
+    for r in rows:
+        p = r.p_q6 / 1_000_000.0
+        expect = round(1_000_000.0 * float(np.quantile(np.array(by_source[r.source]), p, method="linear")))
+        assert r.q_q6 == expect, (r.source, r.p_q6, r.q_q6, expect)
+
+
+def test_doclen_quantiles_plan_has_no_raw_value_buffering(spark):
+    """The plan must aggregate to the histogram BEFORE any window — no
+    `percentile` aggregate (which buffers every group value on one
+    reducer) anywhere in the physical plan."""
+    from docix_spark.driver_queries import REGISTRY
+
+    plan = REGISTRY["doclen_quantiles"].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in plan.lower()
+
+
+def test_unigram_logprob_matches_python_lm(spark):
+    """Independent Python recomputation of the unigram-LM surprisal.
+    Per-term q6 values may differ by 1 micro-nat where Java's and libm's
+    ln disagree in the last ulp AND the product lands on a rounding
+    boundary; the doc totals therefore get a doc_len-proportional
+    tolerance. Integer relations (doc_len, floor-div mean) are exact."""
+    import math
+    from collections import Counter
+
+    from docix_spark.driver_queries import REGISTRY
+
+    rows = {r.doc_id: r for r in REGISTRY["unigram_logprob"].fn(spark, SF_DIR).collect()}
+    tf: dict[int, Counter] = {}
+    total = Counter()
+    for d, _s, toks in _py_token_lists():
+        if toks:
+            tf[d] = Counter(toks)
+            total.update(toks)
+    big_t = float(sum(total.values()))
+    nlp_q6 = {t: round(-math.log(c / big_t) * 1_000_000) for t, c in total.items()}
+    assert set(rows) == set(tf)
+    for d, c in tf.items():
+        r = rows[d]
+        assert r.doc_len == sum(c.values())
+        expect = sum(n * nlp_q6[t] for t, n in c.items())
+        assert abs(r.surprisal_q6 - expect) <= r.doc_len, (d, r.surprisal_q6, expect)
+        assert r.mean_nlp_q6 == r.surprisal_q6 // r.doc_len
+
+
+def test_dup_ngram_fraction_matches_python(spark):
+    """Independent Python recomputation of the cross-doc 8-gram document
+    frequency and the per-doc duplicated fraction."""
+    from collections import Counter
+
+    from docix_spark.driver_queries import REGISTRY
+
+    rows = {r.doc_id: r for r in REGISTRY["dup_ngram_fraction"].fn(spark, SF_DIR).collect()}
+    grams = {}
+    for d, _s, toks in _py_token_lists():
+        if len(toks) >= 8:
+            grams[d] = {" ".join(toks[i : i + 8]) for i in range(len(toks) - 7)}
+    df = Counter(g for gs in grams.values() for g in gs)
+    assert set(rows) == set(grams)
+    any_dup = False
+    for d, gs in grams.items():
+        r = rows[d]
+        n_dup = sum(1 for g in gs if df[g] >= 2)
+        any_dup = any_dup or n_dup > 0
+        assert r.n_grams == len(gs)
+        assert r.n_dup_grams == n_dup
+        assert r.dup_pct_q6 == round(1_000_000.0 * n_dup / len(gs))
+    assert any_dup, "corpus has no cross-doc duplicate grams — test is vacuous"
