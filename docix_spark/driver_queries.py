@@ -3670,6 +3670,89 @@ def doclen_quantiles(spark, sf_dir):
     ).orderBy("source", "p_q6")
 
 
+_WINNOW_FPS_SQL = f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(words) - 3),
+           i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])) AS hs
+  FROM w WHERE len(words) >= 8
+),
+f AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(hs) - 4),
+           j -> list_min(list_slice(hs, j, j + 4)))) AS fps
+  FROM h
+)
+SELECT doc_id, unnest(fps) AS fp FROM f
+"""
+
+
+def _winnow_fps_spark(spark, sf_dir) -> DataFrame:
+    w = _docs(spark, sf_dir).select("doc_id", spark_tokens("text").alias("words"))
+    h = w.where(F.size("words") >= 8).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, size(words)-4), i -> "
+            "md5(concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3])))"
+        ).alias("hs"),
+    )
+    return h.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(hs)-5), "
+                "j -> array_min(slice(hs, j+1, 5))))"
+            )
+        ).alias("fp"),
+    )
+
+
+@register("winnow_fingerprints", _WINNOW_FPS_SQL + "ORDER BY doc_id, fp")
+def winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    the MOSS algorithm): hash every token 4-gram, slide a window of 5
+    consecutive hashes, keep each window's MINIMUM hash. Guarantee: any
+    shared token run of length ≥ w+k−1 = 8 produces at least one shared
+    fingerprint, while only ~2/(w+1) of all grams are retained — a
+    provable-recall sketch that is 3× smaller than the full gram table
+    the `dup_ngram_fraction` stage scans.
+
+    Determinism: md5 hex digests compared lexicographically (the minhash
+    family's convention), so the per-window minimum is the same string in
+    Spark, DuckDB and Python. Window minima are per-DOC array lambdas
+    (JVM-side `transform`/`array_min`/`slice`) — no cross-row window
+    function, no shuffle before the explode; the whole selection is
+    map-side, O(w) per gram with doc-bounded memory."""
+    return _winnow_fps_spark(spark, sf_dir).orderBy("doc_id", "fp")
+
+
+@register(
+    "winnow_pairs",
+    f"""WITH fps AS ({_WINNOW_FPS_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b""",
+)
+def winnow_pairs(spark, sf_dir):
+    """Near-dup candidate pairs by shared winnowing fingerprints (≥ 2
+    shared minima — one can be a coincidental boilerplate window). The
+    blocking key is the fingerprint itself: the self-equi-join shuffles
+    the doc-bounded fingerprint table, never documents, and a hot
+    fingerprint (license boilerplate) fans out only within its own hash
+    bucket — the same candidate-generation shape as `minhash_lsh_pairs`
+    with a provable-recall selection rule instead of a probabilistic one."""
+    fps = _winnow_fps_spark(spark, sf_dir)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
@@ -3685,6 +3768,7 @@ _FRONT = [
     # (pack_sequences two-pass prefix sum, CC pointer doubling, salted
     # top_terms) — fresh driver evidence for the changed plans
     "unigram_logprob", "dup_ngram_fraction", "doclen_quantiles",
+    "winnow_fingerprints", "winnow_pairs",
     "training_mix_pipeline",
     "pack_sequences_split", "dedup_survivor_tokens", "doclen_histogram",
     "events_funnel", "ann_pq_adc", "ann_pq_recall",

@@ -399,3 +399,39 @@ def test_dup_ngram_fraction_matches_python(spark):
         assert r.n_dup_grams == n_dup
         assert r.dup_pct_q6 == round(1_000_000.0 * n_dup / len(gs))
     assert any_dup, "corpus has no cross-doc duplicate grams — test is vacuous"
+
+
+def test_winnow_fingerprints_match_python_and_guarantee(spark):
+    """Independent Python recomputation of the winnowing selection, plus
+    the Schleimer-et-al recall guarantee: any two docs sharing a token
+    run of length >= w+k-1 = 8 (i.e. any cross-doc duplicate 8-gram)
+    must share at least one fingerprint."""
+    import hashlib
+
+    from docix_spark.driver_queries import REGISTRY
+
+    k, w = 4, 5
+    got: dict[int, set] = {}
+    for r in REGISTRY["winnow_fingerprints"].fn(spark, SF_DIR).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    expect: dict[int, set] = {}
+    grams8: dict[int, set] = {}
+    for d, _s, toks in _py_token_lists():
+        if len(toks) < w + k - 1:
+            continue
+        hs = [
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+            for i in range(len(toks) - k + 1)
+        ]
+        expect[d] = {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+        grams8[d] = {" ".join(toks[i : i + 8]) for i in range(len(toks) - 7)}
+    assert got == expect
+    # recall guarantee over every cross-doc duplicated 8-gram pair
+    docs = sorted(grams8)
+    checked = 0
+    for i, a in enumerate(docs):
+        for b in docs[i + 1 :]:
+            if grams8[a] & grams8[b]:
+                assert got[a] & got[b], (a, b)
+                checked += 1
+    assert checked > 0, "no duplicated 8-gram pairs in corpus — test is vacuous"
