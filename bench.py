@@ -265,7 +265,9 @@ def main() -> None:
                  "events_windowed", "events_sessionize",
                  "pack_sequences", "pack_sequences_split",
                  "dedup_survivor_tokens", "events_funnel",
-                 "ann_ivf_batch", "training_mix_pipeline"]:
+                 "ann_ivf_batch", "training_mix_pipeline",
+                 "unigram_logprob", "dup_ngram_fraction", "winnow_pairs",
+                 "doclen_quantiles"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)
