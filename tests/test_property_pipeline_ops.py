@@ -1,0 +1,108 @@
+"""Property-based semantics checks for the round-4 pipeline operators.
+
+The driver-contract replica proves Spark == DuckDB on the fixed corpus;
+these drive the registered DuckDB oracle SQL over hypothesis-generated
+corpora and compare against an independent Python/numpy model — so a bug
+shared by the Spark and SQL twins (they were written together) cannot
+hide behind the fixed test data. DuckDB-only keeps each example at ms
+cost, letting hypothesis explore aggressively; the Spark twin is pinned
+to the same SQL by the hash-equality tests in test_driver_contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docix_spark.driver_queries import REGISTRY
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "spark", "join", "hash", "x9", "scan"]
+
+_doc = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=40)
+_corpus = st.lists(_doc, min_size=1, max_size=12)
+
+
+def _con(docs: list[list[str]]) -> duckdb.DuckDBPyConnection:
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": [" ".join(d) for d in docs],
+            "source": [f"src{i % 3}" for i in range(len(docs))],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    return con
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_doclen_quantiles_oracle_matches_numpy(docs):
+    con = _con(docs)
+    got = con.execute(REGISTRY["doclen_quantiles"].sql).fetch_df()
+    lens: dict[str, list[int]] = {}
+    for i, d in enumerate(docs):
+        lens.setdefault(f"src{i % 3}", []).append(len(d))
+    assert len(got) == 3 * len(lens)
+    for r in got.itertuples():
+        p = r.p_q6 / 1_000_000.0
+        expect = round(1_000_000.0 * float(np.quantile(np.array(lens[r.source]), p, method="linear")))
+        assert r.q_q6 == expect, (r.source, r.p_q6, r.q_q6, expect)
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus, run=st.lists(st.sampled_from(_WORDS), min_size=8, max_size=10))
+def test_winnow_oracle_selection_and_recall(docs, run):
+    """Plant the same >=8-token run into two docs: winnowing MUST give
+    them a shared fingerprint (the w+k-1 guarantee), and the whole
+    selection must equal the Python model."""
+    k, w = 4, 5
+    docs = list(docs) + [run, list(reversed(docs[0])) + run if docs else run]
+    con = _con(docs)
+    got: dict[int, set] = {}
+    for r in con.execute(REGISTRY["winnow_fingerprints"].sql).fetch_df().itertuples():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    expect: dict[int, set] = {}
+    for i, toks in enumerate(docs):
+        if len(toks) < w + k - 1:
+            continue
+        hs = [
+            hashlib.md5(" ".join(toks[j : j + k]).encode()).hexdigest()
+            for j in range(len(toks) - k + 1)
+        ]
+        expect[i] = {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+    assert got == expect
+    a, b = len(docs) - 2, len(docs) - 1
+    assert got[a] & got[b], "planted shared 8-token run produced no shared fingerprint"
+
+
+@settings(max_examples=30, deadline=None)
+@given(docs=_corpus)
+def test_unigram_logprob_oracle_matches_python(docs):
+    from collections import Counter
+
+    con = _con(docs)
+    got = {r.doc_id: r for r in con.execute(REGISTRY["unigram_logprob"].sql).fetch_df().itertuples()}
+    tf: dict[int, Counter] = {}
+    total: Counter = Counter()
+    for i, toks in enumerate(docs):
+        if toks:
+            tf[i] = Counter(toks)
+            total.update(toks)
+    big_t = float(sum(total.values()))
+    import math
+
+    nlp = {t: round(-math.log(c / big_t) * 1_000_000) for t, c in total.items()}
+    assert set(got) == set(tf)
+    for i, c in tf.items():
+        r = got[i]
+        assert r.doc_len == sum(c.values())
+        expect = sum(n * nlp[t] for t, n in c.items())
+        # libm vs DuckDB ln may differ in the last ulp per dictionary term
+        assert abs(r.surprisal_q6 - expect) <= r.doc_len
+        assert r.mean_nlp_q6 == r.surprisal_q6 // r.doc_len
