@@ -3753,6 +3753,69 @@ def winnow_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "temperature_mix_weights",
+    f"""WITH t AS (
+      SELECT source,
+             CAST(sum(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_tokens,
+             CAST(round(1000000 * pow(CAST(n_tokens AS DOUBLE), 0.7)) AS BIGINT) AS weight_q6
+      FROM t
+    ),
+    tot AS (SELECT CAST(sum(weight_q6) AS DOUBLE) AS total_w FROM w)
+    SELECT source, n_tokens, weight_q6,
+           CASE WHEN total_w = 0 THEN 0
+                ELSE CAST(round(1000000 * weight_q6 / total_w) AS BIGINT)
+           END AS share_q6
+    FROM w, tot ORDER BY source""",
+)
+def temperature_mix_weights(spark, sf_dir):
+    """Temperature-scaled source mixing weights (τ = 0.7): the sampling
+    shares behind a multi-source pretraining mix — raw token mass per
+    source raised to τ < 1 and renormalized, up-weighting small
+    high-quality sources against a dominant crawl (the standard recipe
+    in multilingual/multi-corpus training runs). These shares are what
+    `stratified_sample`'s per-source admission rates get derived from.
+
+    Determinism: ONE pow per source is rounded to a q6 integer first
+    (the `unigram_logprob` trick), so the normalizing sum is an exact
+    BIGINT sum and the final share divides two exactly-agreed numbers.
+    100 TB shape: per-source token mass is a map-side size() sum (no
+    token explode), the source rollup is ~20 rows, the normalizer is a
+    1-row broadcast cross join."""
+    t = (
+        _docs(spark, sf_dir)
+        .select("source", F.size(spark_tokens("text")).cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+    )
+    w = t.select(
+        "source",
+        "n_tokens",
+        F.round(F.lit(1_000_000) * F.pow(F.col("n_tokens").cast("double"), F.lit(0.7)))
+        .cast("long")
+        .alias("weight_q6"),
+    )
+    tot = w.agg(F.sum("weight_q6").cast("double").alias("total_w"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            "weight_q6",
+            F.when(F.col("total_w") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.round(F.lit(1_000_000) * F.col("weight_q6") / F.col("total_w")).cast("long")
+            )
+            .alias("share_q6"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
@@ -3768,7 +3831,7 @@ _FRONT = [
     # (pack_sequences two-pass prefix sum, CC pointer doubling, salted
     # top_terms) — fresh driver evidence for the changed plans
     "unigram_logprob", "dup_ngram_fraction", "doclen_quantiles",
-    "winnow_fingerprints", "winnow_pairs",
+    "winnow_fingerprints", "winnow_pairs", "temperature_mix_weights",
     "training_mix_pipeline",
     "pack_sequences_split", "dedup_survivor_tokens", "doclen_histogram",
     "events_funnel", "ann_pq_adc", "ann_pq_recall",

@@ -106,3 +106,29 @@ def test_unigram_logprob_oracle_matches_python(docs):
         # libm vs DuckDB ln may differ in the last ulp per dictionary term
         assert abs(r.surprisal_q6 - expect) <= r.doc_len
         assert r.mean_nlp_q6 == r.surprisal_q6 // r.doc_len
+
+
+@settings(max_examples=30, deadline=None)
+@given(docs=_corpus)
+def test_temperature_mix_oracle_matches_python(docs):
+    con = _con(docs)
+    got = con.execute(REGISTRY["temperature_mix_weights"].sql).fetch_df()
+    tokens: dict[str, int] = {}
+    for i, d in enumerate(docs):
+        tokens[f"src{i % 3}"] = tokens.get(f"src{i % 3}", 0) + len(d)
+    w_q6 = {s: round(1_000_000 * n**0.7) for s, n in tokens.items()}
+    total = float(sum(w_q6.values()))
+    for r in got.itertuples():
+        assert r.n_tokens == tokens[r.source]
+        assert r.weight_q6 == w_q6[r.source]
+        expect_share = 0 if total == 0 else round(1_000_000 * w_q6[r.source] / total)
+        assert r.share_q6 == expect_share
+    # tau < 1 up-weights small sources: share/token-share ratio decreases
+    # with token mass (checked on sources with nonzero tokens)
+    tot_tok = sum(tokens.values())
+    if tot_tok:
+        rows = [r for r in got.itertuples() if r.n_tokens > 0]
+        rows.sort(key=lambda r: r.n_tokens)
+        ratios = [r.share_q6 * tot_tok / (r.n_tokens * 1_000_000) for r in rows]
+        for a, b in zip(ratios, ratios[1:]):
+            assert a >= b - 1e-9
