@@ -1829,8 +1829,8 @@ def _pq_index(spark, sf_dir) -> tuple[DataFrame, DataFrame, DataFrame]:
     return codes, lut, qn
 
 
-def _adc_score_topk(codes: DataFrame, lut: DataFrame, qn: DataFrame) -> DataFrame:
-    """ADC top-10 over whatever code rows are passed in: two integer LUT
+def _adc_score_topk(codes: DataFrame, lut: DataFrame, qn: DataFrame, k: int = 10) -> DataFrame:
+    """ADC top-k over whatever code rows are passed in: two integer LUT
     sums per vector, one normalize, one TakeOrdered."""
     return (
         codes.join(F.broadcast(lut), ["m", "cid"])
@@ -1844,7 +1844,7 @@ def _adc_score_topk(codes: DataFrame, lut: DataFrame, qn: DataFrame) -> DataFram
             .alias("adc_q6"),
         )
         .orderBy(F.desc("adc_q6"), F.asc("vec_id"))
-        .limit(10)
+        .limit(k)
     )
 
 
@@ -1853,7 +1853,7 @@ def _pq_adc_topk(spark, sf_dir) -> DataFrame:
     return _adc_score_topk(codes, lut, qn)
 
 
-def _ivfpq_adc_topk(spark, sf_dir) -> DataFrame:
+def _ivfpq_adc_topk(spark, sf_dir, k: int = 10) -> DataFrame:
     e = _emb(spark, sf_dir).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
@@ -1868,7 +1868,7 @@ def _ivfpq_adc_topk(spark, sf_dir) -> DataFrame:
     )
     cand = final_assign.join(F.broadcast(probe), "cid").select("vec_id")
     codes, lut, qn = _pq_index(spark, sf_dir)
-    return _adc_score_topk(codes.join(cand, "vec_id"), lut, qn)
+    return _adc_score_topk(codes.join(cand, "vec_id"), lut, qn, k)
 
 
 @register(
@@ -1961,6 +1961,88 @@ def ann_ivfpq_recall(spark, sf_dir):
     i.i.d. vectors have no cluster structure, so both loss terms are at
     their maximum here."""
     top10 = _ivfpq_adc_topk(spark, sf_dir).select("vec_id")
+    return _recall_vs_exact(spark, sf_dir, top10)
+
+
+# --- IVF+PQ with exact re-ranking (the FAISS "refine" stage) ----------------
+
+_RERANK_R = 50  # ADC candidate band re-scored with exact vectors
+
+
+def _rerank_ctes() -> str:
+    """r50 = ADC top-R candidate band; rq = the query vector. Appended to
+    the generated IVF+PQ oracle chain."""
+    return f""", r50 AS (SELECT vec_id FROM adc ORDER BY adc_q6 DESC, vec_id LIMIT {_RERANK_R}),
+rq AS (SELECT v AS qv FROM e WHERE vec_id = 0)"""
+
+
+def _ivfpq_rerank_topk(spark, sf_dir) -> DataFrame:
+    cand = _ivfpq_adc_topk(spark, sf_dir, k=_RERANK_R).select("vec_id")
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    qv = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        e.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
+        .orderBy(F.desc("cos_q6"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "ann_ivfpq_rerank",
+    _ivfpq_sql()
+    + _rerank_ctes()
+    + f"""
+SELECT e.vec_id, {_sql_cosq('e.v', 'rq.qv', 1_000_000)} AS cos_q6
+FROM e JOIN r50 USING (vec_id), rq
+ORDER BY cos_q6 DESC, e.vec_id LIMIT 10""",
+)
+def ann_ivfpq_rerank(spark, sf_dir):
+    """The FAISS refine stage that completes the IVF+PQ serving stack:
+    the compressed ADC scan nominates a top-R=50 candidate band, then ONLY
+    those R rows are re-scored with their exact full vectors and the true
+    cosine top-10 within the band is returned. This is how production
+    IVFPQ recovers accuracy lost to 64x compression (Jégou et al. §V.C,
+    FAISS IndexRefineFlat): the expensive full-vector reads drop from
+    |corpus| to R per query. Spark plan: the R-row candidate set
+    broadcasts into a semi-join on the (vec_id-sorted, hence min/max-
+    prunable) vector table — one pruned scan, one 50-row TakeOrdered;
+    no new shuffle shape at any corpus size."""
+    return _ivfpq_rerank_topk(spark, sf_dir)
+
+
+@register(
+    "ann_ivfpq_rerank_recall",
+    _ivfpq_sql()
+    + _rerank_ctes()
+    + f""",
+rr10 AS (
+  SELECT e.vec_id FROM e JOIN r50 USING (vec_id), rq
+  ORDER BY {_sql_cosq('e.v', 'rq.qv', 1_000_000)} DESC, e.vec_id LIMIT 10
+),
+rexact AS (
+  SELECT e.vec_id FROM e, rq WHERE e.vec_id <> 0
+  ORDER BY {_sql_cosq('e.v', 'rq.qv', 1_000_000)} DESC, e.vec_id LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_overlap
+FROM rr10 JOIN rexact USING (vec_id)""",
+)
+def ann_ivfpq_rerank_recall(spark, sf_dir):
+    """Recall@10 of the re-ranked IVF+PQ vs the exact cosine top-10.
+    Re-ranking removes ALL quantization rank inversions inside the
+    candidate band; the remaining loss is coarse-cell misses plus true
+    neighbors whose ADC rank fell below R. Honest accounting on the
+    sandbox's i.i.d. vectors (PQ's worst case — quantization error
+    exceeds the concentrated neighbor gaps): the ADC band itself drops
+    the surviving in-cell neighbors, so recall here matches the raw ADC's
+    3/10 with the IVF's 5/10 as the probe ceiling — the knob is R (and
+    nprobe), and production embeddings with correlated dims sit far
+    higher at the same R. The operator's point is the SHAPE: accuracy
+    recovered by reading R=50 exact vectors instead of |corpus|."""
+    top10 = _ivfpq_rerank_topk(spark, sf_dir).select("vec_id")
     return _recall_vs_exact(spark, sf_dir, top10)
 
 
@@ -3827,6 +3909,8 @@ def temperature_mix_weights(spark, sf_dir):
 # (tests/test_driver_contract.py) still checks all entries every run.
 
 _FRONT = [
+    # newest (session 7): FAISS refine stage
+    "ann_ivfpq_rerank", "ann_ivfpq_rerank_recall",
     # new this round (never driver-sampled) + reworked implementations
     # (pack_sequences two-pass prefix sum, CC pointer doubling, salted
     # top_terms) — fresh driver evidence for the changed plans
