@@ -297,6 +297,96 @@ def autocomplete_bigrams(spark, sf_dir):
     )
 
 
+@register(
+    "code_subtokens",
+    rf"""WITH w AS ({SQL_WORDS}),
+idents AS (
+  SELECT words[1] || upper(substr(words[2], 1, 1)) || substr(words[2], 2) || '_' || words[3] AS ident
+  FROM w WHERE len(words) >= 3
+),
+split AS (
+  SELECT unnest(regexp_extract_all(lower(
+           regexp_replace(replace(ident, '_', ' '), '([a-z0-9])([A-Z])', '\1 \2', 'g')
+         ), '{TOKEN_PATTERN}')) AS subtoken
+  FROM idents
+)
+SELECT subtoken, CAST(count(*) AS BIGINT) AS cnt FROM split
+GROUP BY subtoken ORDER BY cnt DESC, subtoken LIMIT 20""",
+)
+def code_subtokens(spark, sf_dir):
+    """Code-payload analyzer layer: split camelCase / snake_case
+    identifiers into searchable subtokens (`keyAgg_row` → key, agg, row) —
+    the identifier-splitting pass every source-code search engine layers
+    under its word tokenizer (the shared UAX#29 tokenizer correctly keeps
+    `foo_bar` as ONE token via ExtendNumLet chaining, so code search needs
+    this second stage). The corpus is prose, so identifiers are
+    synthesized deterministically in-query from each doc's first three
+    tokens (word1 + InitCap(word2) + '_' + word3) and the operator under
+    test is the SPLITTER: '_'→space, a camel-boundary space insertion
+    (([a-z0-9])([A-Z]) — global replace in both engines), lowercase,
+    re-tokenize, global subtoken top-20. Scale shape: all splitting is
+    map-side string work inside codegen; the only shuffle is the subtoken
+    count (salt-eligible like any term count) + a 20-row TakeOrdered."""
+    d = _docs(spark, sf_dir).select(spark_tokens("text").alias("words")).where(
+        F.size("words") >= 3
+    )
+    ident = F.expr(
+        "concat(words[0], upper(substring(words[1], 1, 1)), substring(words[1], 2), '_', words[2])"
+    )
+    sub = d.select(ident.alias("ident")).select(
+        F.explode(
+            spark_tokens(
+                F.regexp_replace(
+                    F.regexp_replace("ident", F.lit("_"), F.lit(" ")),
+                    F.lit("([a-z0-9])([A-Z])"),
+                    F.lit("$1 $2"),
+                )
+            )
+        ).alias("subtoken")
+    )
+    return (
+        sub.groupBy("subtoken")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("subtoken"))
+        .limit(20)
+    )
+
+
+@register(
+    "phrase_slop",
+    f"""WITH w AS ({SQL_WORDS}),
+p AS (SELECT doc_id, i, words[i] AS term FROM w, unnest(generate_series(1, len(words))) AS t(i)),
+a AS (SELECT doc_id, i FROM p WHERE term = 'spark'),
+b AS (SELECT doc_id, i FROM p WHERE term = 'join')
+SELECT doc_id, CAST(min(b.i - a.i) AS BIGINT) AS min_gap
+FROM a JOIN b USING (doc_id) WHERE b.i - a.i BETWEEN 1 AND 3
+GROUP BY doc_id ORDER BY doc_id""",
+)
+def phrase_slop(spark, sf_dir):
+    """F4+: proximity phrase — 'spark' followed by 'join' within slop 3
+    positions (ES match_phrase slop, ordered form), reporting the tightest
+    gap per doc. This is THE positional-postings query plan: filter the
+    token stream to the two query terms FIRST (at scale: two pruned
+    postings reads carrying the positions arrays — a vanishing fraction of
+    the corpus), then one doc_id equi-join between the two small position
+    sets. Never a self-join of the full token table. Position origins
+    differ across engines (Spark posexplode 0-based, DuckDB ordinality
+    1-based) but gaps are origin-free."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(spark_tokens("text")).alias("pos", "term")
+    )
+    a = toks.where(F.col("term") == "spark").select("doc_id", F.col("pos").alias("pa"))
+    b = toks.where(F.col("term") == "join").select("doc_id", F.col("pos").alias("pb"))
+    gap = F.col("pb") - F.col("pa")
+    return (
+        a.join(b, "doc_id")
+        .where(gap.between(1, 3))
+        .groupBy("doc_id")
+        .agg(F.min(gap).cast("long").alias("min_gap"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2 P3-P6 / §2.4 A7-A10 / §2.3 J3 — probes, status machine, consistency
 # ---------------------------------------------------------------------------
@@ -3909,8 +3999,9 @@ def temperature_mix_weights(spark, sf_dir):
 # (tests/test_driver_contract.py) still checks all entries every run.
 
 _FRONT = [
-    # newest (session 7): FAISS refine stage
+    # newest (session 7): FAISS refine stage + code analysis + proximity
     "ann_ivfpq_rerank", "ann_ivfpq_rerank_recall",
+    "code_subtokens", "phrase_slop",
     # new this round (never driver-sampled) + reworked implementations
     # (pack_sequences two-pass prefix sum, CC pointer doubling, salted
     # top_terms) — fresh driver evidence for the changed plans

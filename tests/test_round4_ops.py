@@ -435,3 +435,47 @@ def test_winnow_fingerprints_match_python_and_guarantee(spark):
                 assert got[a] & got[b], (a, b)
                 checked += 1
     assert checked > 0, "no duplicated 8-gram pairs in corpus — test is vacuous"
+
+
+def test_code_subtoken_splitter_on_real_identifiers(spark):
+    """The camel/snake splitter applied to REAL code identifiers (the
+    contract query synthesizes its idents from prose tokens; this drives
+    the same Spark expression over actual code naming shapes) against a
+    plain-Python model. Documented simple-splitter semantics: acronym
+    runs do NOT split internally (HTTPServer -> httpserver), digit-to-
+    upper boundaries split (v2Parser -> v2, parser)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from docix_spark.analysis.tokenizer import TOKEN_PATTERN, spark_tokens
+
+    idents = [
+        "camelCaseVar", "snake_case_name", "HTTPServer", "getHTTPResponse",
+        "v2Parser", "__dunder_init__", "CONSTANT_NAME", "mixedSnake_caseX",
+        "a", "α_βGamma", "id2name3", "x9Y",
+    ]
+
+    def py_split(s: str) -> list[str]:
+        s = s.replace("_", " ")
+        s = re.sub(r"([a-z0-9])([A-Z])", r"\1 \2", s)
+        return re.findall(TOKEN_PATTERN, s.lower())
+
+    df = spark.createDataFrame([(i,) for i in idents], "ident string").select(
+        "ident",
+        spark_tokens(
+            F.regexp_replace(
+                F.regexp_replace("ident", F.lit("_"), F.lit(" ")),
+                F.lit("([a-z0-9])([A-Z])"),
+                F.lit("$1 $2"),
+            )
+        ).alias("subs"),
+    )
+    got = {r.ident: list(r.subs) for r in df.collect()}
+    assert got == {i: py_split(i) for i in idents}
+    assert got["HTTPServer"] == ["httpserver"]
+    assert got["v2Parser"] == ["v2", "parser"]
+    assert got["snake_case_name"] == ["snake", "case", "name"]
+    # camel boundary class is ASCII-only: β is not in [a-z0-9], so no split
+    # before G — both engines and the Python model agree on this.
+    assert got["α_βGamma"] == ["α", "βgamma"]
