@@ -353,6 +353,42 @@ def code_subtokens(spark, sf_dir):
 
 
 @register(
+    "regex_search",
+    """SELECT doc_id, n_chars FROM documents
+       WHERE regexp_matches(lower(text), 'win[a-z]+ s[a-z]rt') ORDER BY doc_id""",
+)
+def regex_search(spark, sf_dir):
+    """F3+: regex search served the Zoekt / Google-Code-Search way (R. Cox
+    2012): analysis.regexq.required_literals extracts the substrings EVERY
+    match must contain ('win[a-z]+ s[a-z]rt' → 'win', ' s', 'rt'), their
+    trigrams prune the corpus to a candidate set, and the real regex
+    engine verifies only the candidates — result exactly equals the full
+    scan by the superset guarantee (at sf0.01: 35 matches vs 387
+    candidates vs 500 docs). Here the candidate probe is a map-side
+    contains() conjunction; over a built index it is the trigram
+    posting-list intersection (index/ngram.py::search_regex, identity-
+    tested against the scan in tests/test_ngram_index.py). Patterns
+    outside the analyzable subset (alternation/groups) fall back to the
+    verified scan — the reference's own wildcard behavior."""
+    from docix_spark.analysis.regexq import required_literals
+    from docix_spark.index.ngram import TRIGRAM_N, trigrams
+
+    pattern = "win[a-z]+ s[a-z]rt"
+    lits = [l for l in required_literals(pattern) if len(l) >= TRIGRAM_N]
+    tgs = sorted({t for l in lits for t in trigrams(l)})
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars", F.lower("text").alias("lt"))
+    cand = F.lit(True)
+    for t in tgs:
+        cand = cand & F.col("lt").contains(t)
+    return (
+        d.where(cand)
+        .where(F.col("lt").rlike(pattern))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "phrase_slop",
     f"""WITH w AS ({SQL_WORDS}),
 p AS (SELECT doc_id, i, words[i] AS term FROM w, unnest(generate_series(1, len(words))) AS t(i)),
@@ -4001,7 +4037,7 @@ def temperature_mix_weights(spark, sf_dir):
 _FRONT = [
     # newest (session 7): FAISS refine stage + code analysis + proximity
     "ann_ivfpq_rerank", "ann_ivfpq_rerank_recall",
-    "code_subtokens", "phrase_slop",
+    "code_subtokens", "phrase_slop", "regex_search",
     # new this round (never driver-sampled) + reworked implementations
     # (pack_sequences two-pass prefix sum, CC pointer doubling, salted
     # top_terms) — fresh driver evidence for the changed plans

@@ -284,19 +284,82 @@ def substring_candidates(
     ql = q.lower()
     if len(ql) < TRIGRAM_N or not has_trigram_index(index):
         return None
+    return _candidates_for_trigrams(spark, index, sorted(trigrams(ql)), fields)
+
+
+def _candidates_for_trigrams(
+    spark: SparkSession, index: Index, tgs: list[str], fields: Sequence[str]
+) -> DataFrame:
+    """doc_ids holding ALL of ``tgs`` within a single field of ``fields``
+    — the posting-list intersection both the wildcard and the regex path
+    share. Bucket-pruned scan (row-group min/max on tg_bucket/tg), one
+    (field, doc_id) count-distinct, cost ∝ the rarest trigram's list."""
     from docix_spark.index.xxh64 import term_bucket_py
 
-    tgs = sorted(trigrams(ql))
     buckets = sorted({term_bucket_py(t, index.n_buckets) for t in tgs})
     tp = spark.read.parquet(index.path("trigram_postings")).where(
         F.col("tg_bucket").isin(buckets)
         & F.col("tg").isin(tgs)
         & F.col("field").isin(list(fields))
     )
-    # a doc qualifies for a field iff it holds ALL |tgs| trigrams there
     per_field = (
         tp.groupBy("field", "doc_id")
         .agg(F.countDistinct("tg").alias("n"))
         .where(F.col("n") == len(tgs))
     )
     return per_field.select("doc_id").distinct()
+
+
+def regex_candidates(
+    spark: SparkSession, index: Index, pattern: str, fields: Sequence[str] = FIELDS
+) -> DataFrame | None:
+    """doc_ids that MAY match ``pattern`` (superset — caller MUST verify
+    with the real regex engine on the candidates). Zoekt/Code-Search
+    style (R. Cox 2012): extract the literal substrings every match is
+    guaranteed to contain (analysis.regexq.required_literals — aborts on
+    alternation/groups), take each literal's trigrams, and intersect ALL
+    of them per field: a field value matching the regex contains every
+    required literal, hence every one of their trigrams. None when the
+    analysis yields no trigram-bearing literal or the index is absent —
+    caller falls back to the verified full scan (the reference's own
+    wildcard behavior; ES pays the same)."""
+    from docix_spark.analysis.regexq import required_literals
+
+    if not has_trigram_index(index):
+        return None
+    lits = [l for l in required_literals(pattern) if len(l) >= TRIGRAM_N]
+    if not lits:
+        return None
+    tgs = sorted({t for l in lits for t in trigrams(l)})
+    return _candidates_for_trigrams(spark, index, tgs, fields)
+
+
+def search_regex(
+    spark: SparkSession,
+    index: Index,
+    pattern: str,
+    fields: Sequence[str] = FIELDS,
+) -> DataFrame:
+    """Exact regex search: trigram-pruned candidates where possible, regex
+    verification always — result is identical to the full scan by the
+    candidates-⊇-matches guarantee. Semantics match the wildcard path: the
+    pattern is applied to the LOWERCASED field value (the analyzer and the
+    trigram index lowercase; write patterns against lowercase text — the
+    pattern itself is never rewritten, so classes like [A-Z] keep their
+    meaning and simply never match). Returns distinct doc_ids. At scale
+    the candidate set joins the (doc_id-sorted) docs table with an
+    IN-probe pruned read; the fallback is the verified scan the reference
+    itself runs for its wildcard clauses."""
+    docs = index.docs(spark)
+    cand = regex_candidates(spark, index, pattern, fields)
+    if cand is not None:
+        docs = docs.join(cand, "doc_id")
+    verified = docs.where(_any_field_rlike(fields, pattern))
+    return verified.select("doc_id").distinct()
+
+
+def _any_field_rlike(fields: Sequence[str], pattern: str) -> F.Column:
+    cond = F.lit(False)
+    for f in fields:
+        cond = cond | F.lower(F.col(f)).rlike(pattern)
+    return cond

@@ -80,6 +80,53 @@ def test_short_query_falls_back_to_scan(spark, tri_index):
     assert got == _scan_fb(spark, tri_index, "ab")
 
 
+def _scan_regex(spark, idx, pattern):
+    from docix_spark.corpus import FIELDS
+
+    cond = F.lit(False)
+    for f in FIELDS:
+        cond = cond | F.lower(F.col(f)).rlike(pattern)
+    return {r.doc_id for r in idx.docs(spark).where(cond).select("doc_id").collect()}
+
+
+REGEX_QUERIES = [
+    "windo[a-z]?",        # literal prefix + optional class
+    "perm[a-z]+ is",      # two literal runs bridged by a class-plus
+    "uniq_1[0-9]",        # snake literal + digit class
+    "so[fg]tware",        # literals around a 1-char class
+    "sc(an|an)_3",        # alternation -> analysis bails, scan fallback
+    "ab",                 # no trigram-bearing literal -> fallback
+]
+
+
+@pytest.mark.parametrize("pattern", REGEX_QUERIES)
+def test_regex_search_equals_scan(spark, tri_index, pattern):
+    """Zoekt-style regex search: trigram-pruned when the pattern yields
+    required literals, verified full scan otherwise — in BOTH cases the
+    result set must EXACTLY equal the brute-force rlike scan."""
+    from docix_spark.index.ngram import regex_candidates, search_regex
+
+    got = {r.doc_id for r in search_regex(spark, tri_index, pattern).collect()}
+    want = _scan_regex(spark, tri_index, pattern)
+    assert got == want, pattern
+    cand = regex_candidates(spark, tri_index, pattern)
+    if cand is not None:  # pruned path: candidates must be a superset
+        assert want <= {r.doc_id for r in cand.collect()}, pattern
+
+
+def test_regex_candidate_paths_engage_as_expected(spark, tri_index):
+    """The pruned path engages exactly when the analysis extracts a
+    trigram-bearing required literal."""
+    from docix_spark.index.ngram import regex_candidates
+
+    assert regex_candidates(spark, tri_index, "windo[a-z]?") is not None
+    assert regex_candidates(spark, tri_index, "sc(an|aw)_3") is None  # group
+    assert regex_candidates(spark, tri_index, "a.b") is None  # runs < 3 chars
+    # uppercase literal: candidates come from the LOWERCASED trigrams, so
+    # the pruned path still engages and remains a (here: exact-empty) superset
+    assert regex_candidates(spark, tri_index, "WINDOW[0-9]") is not None
+
+
 def test_rank_identity_with_trigram_index(spark, tri_index, corpus_pdf):
     """The composite search over an index WITH trigram postings must stay
     rank-identical to the pure-Python oracle on wildcard-heavy queries."""
