@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 from collections import Counter
+from collections.abc import Sequence
 
 import numpy as np
 
@@ -976,6 +977,74 @@ class CompositeSearcher(LocalSearcher):
                     break
             if anchors.size:
                 out.add(d)
+        return out
+
+    def regex_docs(
+        self, pattern: str, fields: Sequence[str] | None = None
+    ) -> set[str]:
+        """Serving-tier regex search (Zoekt / Code-Search shape, R. Cox
+        2012): required-literal analysis → per-field trigram candidate
+        intersection (cached pyarrow point reads, same machinery as the
+        wildcard path) → Python-re verification of ONLY the candidates'
+        fetched field values. Patterns with no trigram-bearing required
+        literal (alternation/groups/short literals) fall back to the
+        STREAMING verified scan — bounded memory, the reference's own
+        wildcard cost. The pattern is applied to the LOWERCASED field
+        value (analyzer semantics; the pattern itself is never rewritten).
+        Tombstoned and foreign-shard docs are masked. Returns live
+        doc_ids."""
+        import re as _re
+
+        from docix_spark.analysis.regexq import required_literals
+        from docix_spark.index.ngram import TRIGRAM_N, trigrams
+        from docix_spark.query.plan import WILDCARD_BOOSTS
+
+        flds = list(fields) if fields else list(WILDCARD_BOOSTS)
+        rx = _re.compile(pattern)
+        lits = [l for l in required_literals(pattern) if len(l) >= TRIGRAM_N]
+        out: set[str] = set()
+        if lits and self._has_trigrams:
+            tgs = sorted({t for lit in lits for t in trigrams(lit)})
+            for f in flds:
+                cand: np.ndarray | None = None
+                for tg in tgs:
+                    ords = self._trigram_ords(f, tg)
+                    cand = (
+                        ords
+                        if cand is None
+                        else cand[np.isin(cand, ords, assume_unique=True)]
+                    )
+                    if cand.size == 0:
+                        break
+                if cand is None or cand.size == 0:
+                    continue
+                cand, _ = self._mask_ords(cand, np.zeros(cand.size))
+                ids = [self._ord_to_doc[o] for o in cand]
+                rows = self._fetch_docs(ids, [f])
+                for d, v in zip(rows["doc_id"], rows[f]):
+                    if v is not None and rx.search(str(v).lower()):
+                        out.add(d)
+            return out
+        # fallback: streaming verified scan, one Arrow batch resident
+        import pyarrow.dataset as ds
+
+        if self._docs_ds is None:
+            self._docs_ds = ds.dataset(self._table["docs"], format="parquet")
+        for batch in self._docs_ds.to_batches(columns=["doc_id", *flds]):
+            pdf = batch.to_pandas()
+            hit = np.zeros(len(pdf), dtype=bool)
+            for f in flds:
+                vals = pdf[f].fillna("").str.lower()
+                hit |= np.fromiter(
+                    (rx.search(v) is not None for v in vals), bool, len(vals)
+                )
+            ids = pdf["doc_id"].to_numpy(object)[hit]
+            ords = np.array(
+                [self._doc_to_ord[d] for d in ids if d in self._doc_to_ord],
+                dtype=np.int64,
+            )
+            ords, _ = self._mask_ords(ords, np.zeros(ords.size))
+            out.update(self._ord_to_doc[o] for o in ords)
         return out
 
     def search_page(self, query: str, page: int = 0, size: int = 10):

@@ -171,6 +171,37 @@ def test_composite_serving_uses_trigram_candidates(spark, tri_index):
     assert len(searcher._tg_cache) > 0
 
 
+def test_serving_tier_regex_matches_spark_path(spark, tmp_root):
+    """CompositeSearcher.regex_docs must equal the Spark search_regex
+    result for pruned AND fallback patterns, and mask tombstones. Own
+    index: the tombstone sub-check must not poison the shared fixture."""
+    from docix_spark.index.ngram import search_regex
+    from docix_spark.index.segments import build_segments
+    from docix_spark.query.serve import CompositeSearcher
+    from docix_spark.query.service import Tombstones
+
+    idx = build_index(
+        spark,
+        spark.createDataFrame(synth_corpus_pdf(90, seed=21)),
+        f"{tmp_root}/regex_serve_idx",
+        n_buckets=8,
+    )
+    build_trigram_index(spark, idx)
+    build_segments(spark, idx, docs_per_shard=64)
+    searcher = CompositeSearcher(idx.root)
+    patterns = ["windo[a-z]?", "perm[a-z]+ is", "sc(an|aw)_3", "uniq_1[0-9]"]
+    for p in patterns:
+        got = searcher.regex_docs(p)
+        want = {r.doc_id for r in search_regex(spark, idx, p).collect()}
+        assert got == want, p
+    # tombstoned docs disappear from regex results immediately
+    vic_pat = next(p for p in patterns if searcher.regex_docs(p))
+    victims = sorted(searcher.regex_docs(vic_pat))[:2]
+    Tombstones(idx).delete(spark, victims)
+    searcher.refresh_tombstones()
+    assert searcher.regex_docs(vic_pat).isdisjoint(victims)
+
+
 def test_trigram_maintained_under_append(spark, tri_index):
     """Incremental appends (reindex/streaming) must extend the trigram
     index — otherwise new docs vanish from wildcard candidates and the
