@@ -134,7 +134,9 @@ def top_terms(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _bm25_sql(terms: list[str], msm: int, page: int, size: int) -> str:
+def _bm25_agg_ctes(terms: list[str]) -> str:
+    """Shared WITH-chain ending in ``agg(doc_id, score_q6, nm)`` — the full
+    BM25 match set; ranked top-k and facet rollups both build on it."""
     tlist = ", ".join(f"'{t}'" for t in terms)
     return f"""
 WITH tf AS ({SQL_TF}),
@@ -152,7 +154,11 @@ per AS (
 agg AS (
   SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6, count(*) AS nm
   FROM per GROUP BY doc_id
-),
+)"""
+
+
+def _bm25_sql(terms: list[str], msm: int, page: int, size: int) -> str:
+    return _bm25_agg_ctes(terms) + f""",
 ranked AS (
   SELECT doc_id, score_q6,
          row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rank
@@ -163,7 +169,9 @@ WHERE rank > {page * size} AND rank <= {(page + 1) * size} ORDER BY rank
 """
 
 
-def _bm25_spark(spark, sf_dir, terms: list[str], msm: int, page: int, size: int) -> DataFrame:
+def _bm25_match_set(spark, sf_dir, terms: list[str]) -> DataFrame:
+    """Full BM25 match set ``(doc_id, score_q6, nm)`` — the Spark twin of
+    :func:`_bm25_agg_ctes`'s ``agg`` CTE."""
     toks = _toks(_docs(spark, sf_dir))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
@@ -181,7 +189,11 @@ def _bm25_spark(spark, sf_dir, terms: list[str], msm: int, page: int, size: int)
             ).alias("s"),
         )
     )
-    agg = per.groupBy("doc_id").agg(_q6(F.sum("s")).alias("score_q6"), F.count("*").alias("nm"))
+    return per.groupBy("doc_id").agg(_q6(F.sum("s")).alias("score_q6"), F.count("*").alias("nm"))
+
+
+def _bm25_spark(spark, sf_dir, terms: list[str], msm: int, page: int, size: int) -> DataFrame:
+    agg = _bm25_match_set(spark, sf_dir, terms)
     # Truncate FIRST (orderBy+limit → TakeOrderedAndProject, no global sort),
     # then rank the <= (page+1)*size survivors — the single-partition window
     # only ever sees k rows, regardless of corpus size.
@@ -216,6 +228,39 @@ def bm25_msm50(spark, sf_dir):
 def bm25_pagination(spark, sf_dir):
     """W2: from = page*size (page 1, size 5 → global ranks 6..10)."""
     return _bm25_spark(spark, sf_dir, _TOPK_TERMS, 1, 1, 5)
+
+
+@register(
+    "search_facets",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + """
+SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       max(agg.score_q6) AS top_score_q6
+FROM agg JOIN documents d USING (doc_id)
+GROUP BY d.source, d.lang ORDER BY source, lang""",
+)
+def search_facets(spark, sf_dir):
+    """ES terms-aggregation alongside a query (the facet counts every
+    search UI shows next to its hit list): per-(source, lang) match count
+    + best score over the FULL BM25 match set — not just the visible page.
+    Scale shape: the match set is the same pruned postings join as
+    bm25_topk (never a corpus scan); attaching facet columns is a doc_id
+    equi-join against the doc-metadata table, and the rollup shuffles
+    match-set rows once on the (low-cardinality) facet key with map-side
+    partial aggregation absorbing the volume. The top-k page and the
+    facets share the single match-set plan — ES computes both in one pass
+    too."""
+    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
+    d = _docs(spark, sf_dir).select("doc_id", "source", "lang")
+    return (
+        agg.join(d, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("score_q6").alias("top_score_q6"),
+        )
+        .orderBy("source", "lang")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4037,7 +4082,7 @@ def temperature_mix_weights(spark, sf_dir):
 _FRONT = [
     # newest (session 7): FAISS refine stage + code analysis + proximity
     "ann_ivfpq_rerank", "ann_ivfpq_rerank_recall",
-    "code_subtokens", "phrase_slop", "regex_search",
+    "code_subtokens", "phrase_slop", "regex_search", "search_facets",
     # new this round (never driver-sampled) + reworked implementations
     # (pack_sequences two-pass prefix sum, CC pointer doubling, salted
     # top_terms) — fresh driver evidence for the changed plans
