@@ -267,7 +267,9 @@ def main() -> None:
                  "dedup_survivor_tokens", "events_funnel",
                  "ann_ivf_batch", "training_mix_pipeline",
                  "unigram_logprob", "dup_ngram_fraction", "winnow_pairs",
-                 "doclen_quantiles"]:
+                 "doclen_quantiles",
+                 "regex_search", "search_facets", "phrase_slop",
+                 "code_subtokens", "ann_ivfpq_rerank"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -2382,6 +2382,112 @@ def stratified_sample(spark, sf_dir):
     )
 
 
+@register(
+    "tfidf_top_terms",
+    f"""WITH tf AS ({SQL_TF}),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+    dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(round(1000000.0 * tf.tf * ln((SELECT n_docs FROM n) / dfs.df)) AS BIGINT) AS tfidf_q6
+      FROM tf JOIN dfs USING (term)
+    ),
+    r AS (
+      SELECT doc_id, term, tfidf_q6,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_q6 DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf_q6, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-document keyword extraction: top-3 terms by tf·idf (idf =
+    ln(N/df)) — the classic signature-terms operator (doc clustering /
+    labeling / related-docs input). Rank compares the q6-ROUNDED score
+    (tie-safe across engines), term-asc tiebreak. Scale shape: the df
+    table joins on term (broadcast at realistic vocab sizes or an
+    equi-shuffle — never a corpus scan); the per-doc window's scope is one
+    document's vocabulary, bounded by doc length regardless of corpus
+    size, so no reducer ever sees more than one doc's terms."""
+    tf = _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+    n = tf.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        tf.join(dfs, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            _q6(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf_q6"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_q6"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf_q6", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+_CAP_N = 3  # docs admitted per source
+
+
+@register(
+    "domain_cap",
+    f"""WITH h AS (
+      SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rnk
+      FROM h
+    )
+    SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {_CAP_N} ORDER BY source, rnk""",
+)
+def domain_cap(spark, sf_dir):
+    """Per-domain document cap (the crawl-pipeline 'at most N pages per
+    domain' rule): admit the first N=3 docs of each source in
+    deterministic md5-of-id order — reproducible across engines/runs,
+    unlike any rand()-based pick. The oracle is the naive per-source
+    window; the Spark plan is the EXACT sub-sharded two-pass rank (same
+    pattern as the packing prefix sum): md5 strings sort lexicographically,
+    so the leading hex char splits every source into 16 ORDERED range
+    shards — per-(source, shard) local ranks + an exclusive prefix sum
+    over the tiny (sources × 16) shard-counts table give the identical
+    global rank with no whole-source sort on one reducer (a crawl source
+    at 100 TB is most of the corpus; widen the prefix to 2+ chars for
+    256+ shards as needed)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h")
+    ).withColumn("sh", F.substring("h", 1, 1))
+    counts = d.groupBy("source", "sh").agg(F.count("*").alias("n"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("sh")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("n").over(w_off), F.lit(0))
+    ).select("source", "sh", "off")
+    w_local = Window.partitionBy("source", "sh").orderBy("h", "doc_id")
+    ranked = (
+        d.withColumn("lr", F.row_number().over(w_local))
+        # the offsets table is sources × 16 rows — broadcast by AQE; the
+        # hint is omitted on principle (source cardinality is unbounded)
+        .join(offsets, ["source", "sh"])
+        .select(
+            "doc_id", "source", (F.col("off") + F.col("lr")).cast("long").alias("rnk")
+        )
+    )
+    return ranked.where(F.col("rnk") <= _CAP_N).orderBy("source", "rnk")
+
+
 def _pack_cum_before(spark, sf_dir, n_shards: int = 64) -> DataFrame | None:
     """The distributed exclusive prefix sum shared by the packing family:
     per document, the total token count of all earlier (same-source,
@@ -4083,6 +4189,7 @@ _FRONT = [
     # newest (session 7): FAISS refine stage + code analysis + proximity
     "ann_ivfpq_rerank", "ann_ivfpq_rerank_recall",
     "code_subtokens", "phrase_slop", "regex_search", "search_facets",
+    "domain_cap", "tfidf_top_terms",
     # new this round (never driver-sampled) + reworked implementations
     # (pack_sequences two-pass prefix sum, CC pointer doubling, salted
     # top_terms) — fresh driver evidence for the changed plans

@@ -132,3 +132,57 @@ def test_temperature_mix_oracle_matches_python(docs):
         ratios = [r.share_q6 * tot_tok / (r.n_tokens * 1_000_000) for r in rows]
         for a, b in zip(ratios, ratios[1:]):
             assert a >= b - 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_domain_cap_oracle_matches_python(docs):
+    """domain_cap: first-3-per-source in md5(doc_id) order — the oracle's
+    naive window vs a plain-Python sort (the Spark twin's sub-sharded
+    two-pass rank is pinned to the same SQL by the contract test)."""
+    con = _con(docs)
+    got = [
+        (r.doc_id, r.source, r.rnk)
+        for r in con.execute(REGISTRY["domain_cap"].sql).fetch_df().itertuples()
+    ]
+    by_src: dict[str, list[int]] = {}
+    for i in range(len(docs)):
+        by_src.setdefault(f"src{i % 3}", []).append(i)
+    expect = []
+    for src in sorted(by_src):
+        order = sorted(by_src[src], key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+        expect.extend((d, src, k + 1) for k, d in enumerate(order[:3]))
+    assert got == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_tfidf_top_terms_oracle_matches_python(docs):
+    """tfidf_top_terms: per-doc top-3 by q6-rounded tf·ln(N/df), term-asc
+    tiebreak — oracle vs an independent Python model."""
+    import math
+
+    con = _con(docs)
+    got: dict[int, list] = {}
+    for r in con.execute(REGISTRY["tfidf_top_terms"].sql).fetch_df().itertuples():
+        got.setdefault(r.doc_id, []).append((r.term, r.tfidf_q6, r.rnk))
+    tf: dict[int, dict[str, int]] = {}
+    for i, d in enumerate(docs):
+        if d:
+            m: dict[str, int] = {}
+            for t in d:
+                m[t] = m.get(t, 0) + 1
+            tf[i] = m
+    n_docs = float(len(tf))
+    df: dict[str, int] = {}
+    for m in tf.values():
+        for t in m:
+            df[t] = df.get(t, 0) + 1
+    expect: dict[int, list] = {}
+    for i, m in tf.items():
+        scored = sorted(
+            ((t, round(1_000_000.0 * c * math.log(n_docs / df[t]))) for t, c in m.items()),
+            key=lambda x: (-x[1], x[0]),
+        )
+        expect[i] = [(t, s, k + 1) for k, (t, s) in enumerate(scored[:3])]
+    assert got == expect
