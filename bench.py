@@ -269,7 +269,8 @@ def main() -> None:
                  "unigram_logprob", "dup_ngram_fraction", "winnow_pairs",
                  "doclen_quantiles",
                  "regex_search", "search_facets", "phrase_slop",
-                 "code_subtokens", "ann_ivfpq_rerank"]:
+                 "code_subtokens", "ann_ivfpq_rerank",
+                 "domain_cap", "tfidf_top_terms"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)
