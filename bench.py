@@ -270,7 +270,7 @@ def main() -> None:
                  "doclen_quantiles",
                  "regex_search", "search_facets", "phrase_slop",
                  "code_subtokens", "ann_ivfpq_rerank",
-                 "domain_cap", "tfidf_top_terms"]:
+                 "domain_cap", "tfidf_top_terms", "collocations_pmi"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

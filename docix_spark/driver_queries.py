@@ -2434,6 +2434,79 @@ def tfidf_top_terms(spark, sf_dir):
     )
 
 
+@register(
+    "collocations_pmi",
+    f"""WITH w AS ({SQL_WORDS}),
+    uni AS (SELECT unnest(words) AS t FROM w),
+    ucnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY t),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM uni),
+    bg AS (
+      SELECT words[i] AS w1, words[i+1] AS w2
+      FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
+    ),
+    bcnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM bg GROUP BY w1, w2),
+    nbg AS (SELECT CAST(count(*) AS BIGINT) AS n_bg FROM bg)
+    SELECT w1, w2, c_xy,
+           CAST(round(1000000.0 * ln(
+             (CAST(c_xy AS DOUBLE) * n.n_tok * n.n_tok)
+             / (CAST(nbg.n_bg AS DOUBLE) * u1.c * u2.c)
+           )) AS BIGINT) AS pmi_q6
+    FROM bcnt JOIN ucnt u1 ON bcnt.w1 = u1.t JOIN ucnt u2 ON bcnt.w2 = u2.t, n, nbg
+    WHERE c_xy >= 3
+    ORDER BY pmi_q6 DESC, w1, w2 LIMIT 20""",
+)
+def collocations_pmi(spark, sf_dir):
+    """Phrase mining: top-20 adjacent-token collocations by pointwise
+    mutual information, min count 3 (the new-terminology / multi-word-
+    expression detector of corpus analysis pipelines). PMI's log argument
+    is assembled from exact BIGINT counts as ONE rational
+    (c_xy·N²)/(N_bg·c_x·c_y) before the single ln+q6-round, so engines
+    can't diverge via intermediate float ratios. Scale shape: the bigram
+    count is one map-side-combined groupBy on the pair key; unigram counts
+    attach via two term-keyed joins (vocab-sized, broadcast at realistic
+    sizes); N/N_bg are scalar crossJoin broadcasts; the cut is a 20-row
+    TakeOrdered. Docs shorter than 2 tokens are guarded out (Spark's
+    sequence(0, negative) emits junk indices)."""
+    d = _docs(spark, sf_dir).select(spark_tokens("text").alias("words"))
+    uni = d.select(F.explode("words").alias("t"))
+    ucnt = uni.groupBy("t").agg(F.count("*").cast("long").alias("c"))
+    n = uni.agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    bg = (
+        d.where(F.size("words") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words)-2), i -> struct(words[i] as w1, words[i+1] as w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bcnt = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c_xy"))
+    nbg = bg.agg(F.count(F.lit(1)).cast("long").alias("n_bg"))
+    u1 = ucnt.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
+    pmi = (
+        bcnt.where(F.col("c_xy") >= 3)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(nbg))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            _q6(
+                F.log(
+                    (F.col("c_xy").cast("double") * F.col("n_tok") * F.col("n_tok"))
+                    / (F.col("n_bg").cast("double") * F.col("c1") * F.col("c2"))
+                )
+            ).alias("pmi_q6"),
+        )
+    )
+    return pmi.orderBy(F.desc("pmi_q6"), "w1", "w2").limit(20)
+
+
 _CAP_N = 3  # docs admitted per source
 
 
@@ -4189,7 +4262,7 @@ _FRONT = [
     # newest (session 7): FAISS refine stage + code analysis + proximity
     "ann_ivfpq_rerank", "ann_ivfpq_rerank_recall",
     "code_subtokens", "phrase_slop", "regex_search", "search_facets",
-    "domain_cap", "tfidf_top_terms",
+    "domain_cap", "tfidf_top_terms", "collocations_pmi",
     # new this round (never driver-sampled) + reworked implementations
     # (pack_sequences two-pass prefix sum, CC pointer doubling, salted
     # top_terms) — fresh driver evidence for the changed plans

@@ -186,3 +186,34 @@ def test_tfidf_top_terms_oracle_matches_python(docs):
         )
         expect[i] = [(t, s, k + 1) for k, (t, s) in enumerate(scored[:3])]
     assert got == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_collocations_pmi_oracle_matches_python(docs):
+    """collocations_pmi: top-20 adjacent bigrams by q6-rounded PMI
+    (min count 3), oracle vs an independent Python model."""
+    import math
+
+    con = _con(docs)
+    got = [
+        (r.w1, r.w2, r.c_xy, r.pmi_q6)
+        for r in con.execute(REGISTRY["collocations_pmi"].sql).fetch_df().itertuples()
+    ]
+    uni: dict[str, int] = {}
+    bg: dict[tuple, int] = {}
+    n_tok = n_bg = 0
+    for d in docs:
+        for t in d:
+            uni[t] = uni.get(t, 0) + 1
+            n_tok += 1
+        for a, b in zip(d, d[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+            n_bg += 1
+    rows = []
+    for (a, b), c in bg.items():
+        if c >= 3:
+            pmi = round(1_000_000.0 * math.log((c * n_tok * n_tok) / (n_bg * uni[a] * uni[b])))
+            rows.append((a, b, c, pmi))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert got == rows[:20]
