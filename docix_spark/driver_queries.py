@@ -263,6 +263,241 @@ def search_facets(spark, sf_dir):
     )
 
 
+@register(
+    "significant_terms",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + """,
+fg AS (SELECT DISTINCT doc_id FROM agg),
+fgn AS (SELECT CAST(count(*) AS DOUBLE) AS ft FROM fg),
+fgc AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS fg_df
+  FROM tf JOIN fg USING (doc_id) GROUP BY term
+),
+sc AS (
+  SELECT fgc.term,
+         CAST(fg_df AS BIGINT) AS fg_df,
+         CAST(dfs.df AS BIGINT) AS bg_df,
+         CAST(round(
+           ((fg_df / (SELECT ft FROM fgn)) - (dfs.df / (SELECT n_docs FROM st)))
+             * ((fg_df / (SELECT ft FROM fgn)) / (dfs.df / (SELECT n_docs FROM st)))
+             * 1000000
+         ) AS BIGINT) AS jlh_q6
+  FROM fgc JOIN dfs USING (term)
+  WHERE fg_df >= 3
+)
+SELECT term, fg_df, bg_df, jlh_q6 FROM sc
+WHERE jlh_q6 > 0 ORDER BY jlh_q6 DESC, term ASC LIMIT 25""",
+)
+def significant_terms(spark, sf_dir):
+    """ES ``significant_terms`` aggregation (JLH heuristic): terms whose
+    share of the query's match set (foreground) beats their share of the
+    whole corpus (background) — the "what is this result set *about*"
+    facet (the ES feature the reference's search UI tier would call next
+    after terms facets; SearchAdapter.java:448 is plain terms only, this
+    is the statistical upgrade). JLH = (fg%% - bg%%) * (fg%% / bg%%),
+    ES's default min_doc_count=3 gate applied on the foreground count.
+
+    Scale shape: foreground doc set comes from the same pruned BM25
+    postings join as bm25_topk; per-term foreground counts are ONE term
+    shuffle with map-side partial agg; the background df table is the A2
+    aggregate joined on term. Nothing rescans the corpus and no window
+    sees more than vocab-sized input — at 100 TB the foreground count is
+    the only new exchange. Floats: jlh computed in double with identical
+    expression shape both engines, rounded once to q6."""
+    toks = _toks(_docs(spark, sf_dir))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    n_docs = tf.select("doc_id").distinct().agg(F.count("*").cast("double").alias("n_docs"))
+    fg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS).select("doc_id").distinct()
+    fgn = fg.agg(F.count("*").cast("double").alias("ft"))
+    fgc = tf.join(fg, "doc_id").groupBy("term").agg(F.count("*").cast("double").alias("fg_df"))
+    fg_pct = F.col("fg_df") / F.col("ft")
+    bg_pct = F.col("df") / F.col("n_docs")
+    return (
+        fgc.join(dfs, "term")
+        .crossJoin(F.broadcast(fgn))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("fg_df") >= 3)
+        .select(
+            "term",
+            F.col("fg_df").cast("long").alias("fg_df"),
+            F.col("df").cast("long").alias("bg_df"),
+            _q6((fg_pct - bg_pct) * (fg_pct / bg_pct)).alias("jlh_q6"),
+        )
+        .where(F.col("jlh_q6") > 0)
+        .orderBy(F.desc("jlh_q6"), F.asc("term"))
+        .limit(25)
+    )
+
+
+_MLT_SEED = 0  # deterministic seed document for more_like_this
+
+
+@register(
+    "more_like_this",
+    f"""
+WITH tf AS ({SQL_TF}),
+dl AS ({SQL_DL}),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+seedw AS (
+  SELECT tf.term,
+         CAST(round(tf.tf * ln((SELECT n_docs FROM st) / dfs.df) * 1000000) AS BIGINT) AS w_q6
+  FROM tf JOIN dfs USING (term)
+  WHERE tf.doc_id = {_MLT_SEED} AND dfs.df >= 2
+),
+mlt AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY w_q6 DESC, term ASC) AS r FROM seedw
+  ) WHERE r <= 10
+),
+per AS (
+  SELECT tf.doc_id,
+         ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM st))) AS s
+  FROM tf JOIN mlt USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
+  WHERE tf.doc_id <> {_MLT_SEED}
+),
+agg AS (
+  SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, score_q6 FROM agg
+ORDER BY score_q6 DESC, doc_id ASC LIMIT 10""",
+)
+def more_like_this(spark, sf_dir):
+    """ES ``more_like_this`` query: pick the seed document's 10 most
+    characteristic terms by tf*ln(N/df) (min_doc_freq=2, ES's MLT term
+    selection, MoreLikeThisQueryBuilder semantics), then BM25-rank the
+    rest of the corpus against that bag — "find documents like this one"
+    without any embedding.
+
+    Scale shape: the seed's term weights come from a point lookup on the
+    tf table (doc_id pushed into the scan); the 10-term interesting-terms
+    set is a broadcast join against postings exactly like bm25_topk — no
+    collect, the term list never touches the driver. The top-k is a
+    TakeOrdered, not a global sort."""
+    toks = _toks(_docs(spark, sf_dir))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    st = dl.agg(F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
+    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    seedw = (
+        tf.where(F.col("doc_id") == _MLT_SEED)
+        .join(dfs, "term")
+        .crossJoin(F.broadcast(st))
+        .where(F.col("df") >= 2)
+        .select("term", _q6(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w_q6"))
+    )
+    mlt = (
+        seedw.orderBy(F.desc("w_q6"), F.asc("term")).limit(10).select("term")
+    )
+    per = (
+        tf.where(F.col("doc_id") != _MLT_SEED)
+        .join(F.broadcast(mlt), "term")
+        .join(dfs, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            (
+                F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf").cast("double") * F.lit(2.2)
+                / (F.col("tf").cast("double") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("doc_len") / F.col("avgdl")))
+            ).alias("s"),
+        )
+    )
+    return (
+        per.groupBy("doc_id").agg(_q6(F.sum("s")).alias("score_q6"))
+        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "hybrid_rrf",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + """,
+lexr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS lr
+  FROM agg WHERE doc_id <> 0
+),
+lex AS (SELECT * FROM lexr WHERE lr <= 20),
+vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+vc AS (
+  SELECT e.vec_id AS doc_id,
+         CAST(round(
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), vq.qv)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(vq.qv, vq.qv))) * 1000000
+         ) AS BIGINT) AS cos_q6
+  FROM embeddings e, vq WHERE e.vec_id <> 0
+),
+vecr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos_q6 DESC, doc_id ASC) AS vr FROM vc
+),
+vec AS (SELECT * FROM vecr WHERE vr <= 20),
+fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         CAST(COALESCE(lr, 0) AS BIGINT) AS lex_rank,
+         CAST(COALESCE(vr, 0) AS BIGINT) AS vec_rank,
+         CAST(round(
+           (CASE WHEN lr IS NULL THEN 0.0 ELSE 1.0 / (60 + lr) END
+            + CASE WHEN vr IS NULL THEN 0.0 ELSE 1.0 / (60 + vr) END) * 1000000
+         ) AS BIGINT) AS rrf_q6
+  FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf_q6 FROM fused
+ORDER BY rrf_q6 DESC, doc_id ASC LIMIT 10""",
+)
+def hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009;
+    ES 8.x ``rrf`` retriever): fuse the lexical BM25 top-20 with the
+    dense cosine top-20 (vec_id == doc_id in the corpus) by
+    score = sum over rankings of 1/(60 + rank); absent ranks contribute 0
+    and are emitted as rank 0. This is the modern search stack the
+    reference's ES tier would grow into — both legs exist in this repo,
+    fusion is the missing piece.
+
+    Scale shape: each leg ends in a TakeOrdered top-20 (no global sort),
+    so the fusion join sees 2 x 20 rows regardless of corpus size; both
+    legs' ranks are computed over quantized scores (score_q6 / cos_q6)
+    so rank assignment is bit-identical across engines. At 100 TB the
+    legs are the existing pruned BM25 join and the ANN stack — the
+    fusion cost stays O(k)."""
+    lex = (
+        _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
+        .where(F.col("doc_id") != 0)
+        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn("lr", F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))))
+        .select("doc_id", "lr")
+    )
+    vc = _cos_spark(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), _q6(F.col("cos")).alias("cos_q6")
+    )
+    vec = (
+        vc.orderBy(F.desc("cos_q6"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn("vr", F.row_number().over(Window.orderBy(F.desc("cos_q6"), F.asc("doc_id"))))
+        .select("doc_id", "vr")
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lr"), F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce(F.col("vr"), F.lit(0)).cast("long").alias("vec_rank"),
+            _q6(
+                F.when(F.col("lr").isNull(), F.lit(0.0)).otherwise(F.lit(1.0) / (F.lit(60) + F.col("lr")))
+                + F.when(F.col("vr").isNull(), F.lit(0.0)).otherwise(F.lit(1.0) / (F.lit(60) + F.col("vr")))
+            ).alias("rrf_q6"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_q6"), F.asc("doc_id")).limit(10)
+
+
 # ---------------------------------------------------------------------------
 # §2.7 F2/F3/F4/F5 — fuzzy expansion, wildcard, phrase, autocomplete
 # ---------------------------------------------------------------------------
@@ -1255,6 +1490,102 @@ def doc_fingerprint(spark, sf_dir):
         "doc_id",
         F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")).alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+# Constant factor alpha_m * m^2 * 2^53 for the HLL estimator below
+# (m=256, alpha = 0.7213 / (1 + 1.079/m), Flajolet et al.), folded in Python
+# and inlined in e-notation: a plain decimal literal like 0.7213 is DECIMAL
+# in Spark SQL (and DuckDB) with engine-specific division scales, while
+# e-notation is a DOUBLE literal in both — repr() round-trips the exact bits.
+_HLL_C = repr(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0)
+
+
+@register(
+    "cardinality_sketch",
+    f"""
+WITH sh AS ({_SQL_SHINGLES}),
+ss AS (SELECT DISTINCT source, sh FROM sh),
+h AS (SELECT source, ('0x' || substr(md5(sh), 1, 15))::UBIGINT::BIGINT AS h FROM ss),
+rr AS (
+  SELECT source, h % 256 AS reg,
+         CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END AS rnk
+  FROM h
+),
+regs AS (SELECT source, reg, max(rnk) AS maxr FROM rr GROUP BY source, reg),
+z AS (
+  SELECT source, count(*) AS hit,
+         sum((1::BIGINT << (53 - maxr))) AS z_hit
+  FROM regs GROUP BY source
+),
+est AS (
+  SELECT source, CAST(256 - hit AS BIGINT) AS zeros,
+         z_hit + (256 - hit) * (1::BIGINT << 53) AS z_int
+  FROM z
+),
+ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM ss GROUP BY source),
+fin AS (
+  SELECT est.source, ex.n_exact,
+         CAST(round(
+           CASE WHEN ({_HLL_C} / CAST(z_int AS DOUBLE)) <= 640.0 AND zeros > 0
+                THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+                ELSE {_HLL_C} / CAST(z_int AS DOUBLE)
+           END * 1000000
+         ) AS BIGINT) AS hll_q6
+  FROM est JOIN ex ON est.source = ex.source
+)
+SELECT source, n_exact, hll_q6 FROM fin ORDER BY source""",
+)
+def cardinality_sketch(spark, sf_dir):
+    """HyperLogLog cardinality estimate (p=8, m=256 registers) of distinct
+    3-token shingles per source, next to the exact count — the ES
+    ``cardinality`` aggregation, re-derived deterministically so Spark and
+    the oracle agree bit-for-bit (approx_count_distinct's HLL++ seeds
+    differ across engines, so it can never hash-match an oracle).
+
+    Construction: 60-bit md5 hash -> register = h % 256, rank = leading
+    zeros of the remaining 52 bits + 1 (via length(bin(w)), the integer-
+    exact floor-log2 idiom from doclen_histogram). The register sum
+    Z = sum 2^-maxrank is accumulated as an exact BIGINT in units of
+    2^-53 (each term is a power of two <= 2^53, 256 terms < 2^61), so no
+    float summation order exists; the estimate is one double division at
+    the end, with Flajolet's linear-counting correction below 2.5m.
+
+    Scale shape: THE distributed-cardinality sketch — registers merge by
+    max, so the per-(source, reg) agg is map-side partial all the way
+    down and the final state is 256 rows per source regardless of input
+    size. At 100 TB this replaces count(DISTINCT) whose exact form must
+    shuffle every distinct value (the ex CTE here exists only to show the
+    estimate's accuracy)."""
+    sh = _shingles_spark(spark, sf_dir)
+    ss = sh.select("source", "sh").distinct()
+    h = ss.select("source", _H60_SPARK(F.col("sh")).alias("h"))
+    rr = h.select(
+        "source",
+        F.expr("h % 256").alias("reg"),
+        F.expr("CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END").alias("rnk"),
+    )
+    regs = rr.groupBy("source", "reg").agg(F.max("rnk").alias("maxr"))
+    z = regs.groupBy("source").agg(
+        F.count("*").alias("hit"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(53 - maxr as int))")).alias("z_hit"),
+    )
+    est = z.select(
+        "source",
+        (F.lit(256) - F.col("hit")).cast("long").alias("zeros"),
+        F.expr("z_hit + (256 - hit) * shiftleft(cast(1 as bigint), 53)").alias("z_int"),
+    )
+    ex = ss.groupBy("source").agg(F.count("*").cast("long").alias("n_exact"))
+    raw = F.expr(f"{_HLL_C} / cast(z_int as double)")
+    lin = F.expr("256.0 * ln(256.0 / cast(zeros as double))")
+    return (
+        est.join(ex, "source")
+        .select(
+            "source",
+            "n_exact",
+            _q6(F.when((raw <= 640.0) & (F.col("zeros") > 0), lin).otherwise(raw)).alias("hll_q6"),
+        )
+        .orderBy("source")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4259,7 +4590,9 @@ def temperature_mix_weights(spark, sf_dir):
 # (tests/test_driver_contract.py) still checks all entries every run.
 
 _FRONT = [
-    # newest (session 7): FAISS refine stage + code analysis + proximity
+    # newest (session 8): ES statistical aggs + hybrid retrieval + sketch
+    "significant_terms", "more_like_this", "hybrid_rrf", "cardinality_sketch",
+    # session 7: FAISS refine stage + code analysis + proximity
     "ann_ivfpq_rerank", "ann_ivfpq_rerank_recall",
     "code_subtokens", "phrase_slop", "regex_search", "search_facets",
     "domain_cap", "tfidf_top_terms", "collocations_pmi",
