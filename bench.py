@@ -270,7 +270,10 @@ def main() -> None:
                  "doclen_quantiles",
                  "regex_search", "search_facets", "phrase_slop",
                  "code_subtokens", "ann_ivfpq_rerank",
-                 "domain_cap", "tfidf_top_terms", "collocations_pmi"]:
+                 "domain_cap", "tfidf_top_terms", "collocations_pmi",
+                 "significant_terms", "more_like_this", "hybrid_rrf",
+                 "cardinality_sketch", "pagerank_knn_graph",
+                 "decontamination_bloom"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

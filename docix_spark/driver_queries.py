@@ -1097,6 +1097,124 @@ def dedup_connected_components(spark, sf_dir):
     )
 
 
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled PageRank power iteration as a DuckDB CTE: integer
+    micro-unit ranks, contributions floor-divided per out-degree."""
+    return f""",
+{cur} AS (
+  SELECT n.doc_id,
+         CAST(150000 + COALESCE(sum((r.r * 85) // (100 * dg.d)), 0) AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.doc_id
+  LEFT JOIN {prev} r ON r.doc_id = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n.doc_id
+)"""
+
+
+_PR_ROUNDS = 5
+
+_PR_DOT = (
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) "
+    "* sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+@register(
+    "pagerank_knn_graph",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(round(({_PR_DOT}) * 1000000) AS BIGINT) AS cos_q6
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+rk AS (
+  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos_q6 DESC, dst ASC) AS rn
+  FROM p
+),
+edges AS (SELECT src, dst FROM rk WHERE rn <= 3),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nodes AS (SELECT vec_id AS doc_id FROM embeddings),
+r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    + "".join(_pr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(_PR_ROUNDS))
+    + f"""
+SELECT doc_id, r AS pagerank_q6 FROM r{_PR_ROUNDS}
+ORDER BY pagerank_q6 DESC, doc_id ASC LIMIT 20""",
+)
+def pagerank_knn_graph(spark, sf_dir):
+    """PageRank (damping 0.85, 5 power iterations) over the DIRECTED
+    embedding k-NN graph (each vector points at its 3 nearest cosine
+    neighbors; vec_id == doc_id): in-degree is earned, not reciprocal, so
+    the stationary mass concentrates on hub documents — the centrality
+    signal corpus-selection pipelines use to pick representative docs
+    (and the same kernel that ranks a hyperlink graph at web scale).
+
+    Integer-exact across engines: ranks live in BIGINT micro-units
+    (node rank 1.0 == 1_000_000; ranks average 1 rather than sum to 1),
+    each edge contribution is (r * 85) div (100 * out_degree) — integer
+    floor division, so no float summation order exists anywhere — and the
+    teleport term is the constant 150_000. Dangling mass is dropped (the
+    standard simplified formulation). Neighbor selection ranks by
+    QUANTIZED cosine (cos_q6, dst tiebreak) so the edge set itself is
+    engine-identical.
+
+    Scale shape: the k-NN edges here come from the oracle-checkable
+    brute-force pairing; at 100 TB the edge list is the output of the ANN
+    stack (ann_ivf_batch probes every doc as a query — same top-k-per-src
+    window over candidate cells, never all pairs). One power iteration =
+    one equi-join of the node-sized rank table onto the edge table
+    (shuffle keyed on src) and one sum shuffle keyed on dst with map-side
+    partial agg — the textbook distributed PageRank plan, O(edges) per
+    round with NO driver-side state. The edge+degree table is
+    localCheckpoint'd once so five iterations don't re-derive it. Rounds
+    are FIXED at 5 (power iteration is a convergence cadence, not a
+    correctness gate — unlike connected_components there is no wrong
+    answer to cap, only a less-converged one), matching the unrolled
+    oracle CTEs exactly."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("src"), F.col("v").alias("av"))
+    b = e.select(F.col("vec_id").alias("dst"), F.col("v").alias("bv"))
+    dot = "aggregate(zip_with({x}, {y}, (p, q) -> p * q), cast(0.0 as double), (acc, z) -> acc + z)"
+    pairs = (
+        a.join(F.broadcast(b), F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            _q6(
+                F.expr(dot.format(x="av", y="bv"))
+                / (F.sqrt(F.expr(dot.format(x="av", y="av"))) * F.sqrt(F.expr(dot.format(x="bv", y="bv"))))
+            ).alias("cos_q6"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_q6"), F.asc("dst"))
+    edges = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3).select("src", "dst")
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ed = edges.join(deg, "src").localCheckpoint()
+    nodes = e.select(F.col("vec_id").alias("doc_id"))
+    r = nodes.select("doc_id", F.lit(1_000_000).cast("long").alias("r"))
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            ed.join(r.withColumnRenamed("doc_id", "src"), "src")
+            .select(F.col("dst"), F.expr("(r * 85) div (100 * d)").alias("c"))
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        r = (
+            nodes.join(sums.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.lit(150_000) + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("r"),
+            )
+        )
+    return (
+        r.select("doc_id", F.col("r").alias("pagerank_q6"))
+        .orderBy(F.desc("pagerank_q6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 @register(
     "dedup_survivor_tokens",
     _SQL_LSH_PAIRS
@@ -1231,6 +1349,116 @@ def decontamination_ngram_overlap(spark, sf_dir):
             "doc_id",
             F.coalesce(F.col("n"), F.lit(0)).alias("n_contaminated"),
             (F.coalesce(F.col("n"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "decontamination_bloom",
+    f"""WITH w AS ({SQL_WORDS}),
+    g AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+             || ' ' || words[i+4] || ' ' || words[i+5] || ' ' || words[i+6] || ' ' || words[i+7] AS g
+      FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)
+      WHERE len(words) >= 8
+    ),
+    ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 29 = 0),
+    tr AS (SELECT doc_id, g FROM g WHERE doc_id % 29 <> 0),
+    js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    evpos AS (
+      SELECT DISTINCT ('0x' || substr(md5(g), 1 + 4 * j, 4))::UBIGINT::BIGINT AS pos
+      FROM ev, js
+    ),
+    trpos AS (
+      SELECT doc_id, g, j,
+             ('0x' || substr(md5(g), 1 + 4 * j, 4))::UBIGINT::BIGINT AS pos
+      FROM tr, js
+    ),
+    cand AS (
+      SELECT doc_id, g FROM trpos JOIN evpos USING (pos)
+      GROUP BY doc_id, g HAVING count(DISTINCT j) = 4
+    ),
+    bloom AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom FROM cand GROUP BY doc_id),
+    exact AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact
+      FROM cand JOIN ev USING (g) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(bloom.n_bloom, 0) AS n_bloom,
+           COALESCE(exact.n_exact, 0) AS n_exact,
+           COALESCE(bloom.n_bloom, 0) - COALESCE(exact.n_exact, 0) AS n_false_pos
+    FROM documents d
+    LEFT JOIN bloom ON d.doc_id = bloom.doc_id
+    LEFT JOIN exact ON d.doc_id = exact.doc_id
+    WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""",
+)
+def decontamination_bloom(spark, sf_dir):
+    """Bloom-filter decontamination: the 100 TB form of
+    decontamination_ngram_overlap. The eval split's 8-grams are folded
+    into a Bloom filter (m = 2^16 bit positions, k = 4 hashes = four
+    16-bit slices of md5(gram)); a training gram is a CANDIDATE iff all
+    four of its positions are set, and — because Bloom filters have no
+    false negatives — the exact gram join only needs to verify the
+    candidates. Per training doc: candidate count, exact count, and the
+    false-positive overshoot (n_bloom - n_exact, the filter's honesty
+    metric; ~ (fill_ratio)^4 per probed gram).
+
+    Determinism: membership is modeled as a distinct-positions table +
+    equi-join (a bitset stand-in), so both engines compute identical
+    integer positions — no engine-private bloom implementation involved.
+
+    Scale shape: the broadcast shrinks from the eval grams' full text
+    (what decontamination_ngram_overlap ships to every executor) to a
+    bounded-size position set — at most 65 536 rows no matter how big the
+    eval suite — and the training side probes it map-side; only
+    bloom-positive grams (benchmark-sized + a provably small FP tail)
+    reach the exact verify join. This prefilter→verify shape is the same
+    candidates-then-exact discipline as the LSH and trigram paths."""
+    docs = _docs(spark, sf_dir)
+    w = docs.select("doc_id", spark_tokens("text").alias("words"))
+    grams = (
+        w.where(F.size("words") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words)-8), i -> "
+                    "concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3],"
+                    " words[i+4], words[i+5], words[i+6], words[i+7]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    ev = grams.where(F.col("doc_id") % 29 == 0).select("g").distinct()
+    tr = grams.where(F.col("doc_id") % 29 != 0)
+    js = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
+    pos = F.expr("cast(conv(substring(md5(g), 1 + 4 * j, 4), 16, 10) as bigint)").alias("pos")
+    evpos = ev.select("g", js).select(pos).distinct()
+    trpos = tr.select("doc_id", "g", js).select("doc_id", "g", "j", pos)
+    cand = (
+        trpos.join(F.broadcast(evpos), "pos")
+        .groupBy("doc_id", "g")
+        .agg(F.countDistinct("j").alias("nj"))
+        .where(F.col("nj") == 4)
+        .select("doc_id", "g")
+    )
+    bloom = cand.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_bloom"))
+    exact = cand.join(F.broadcast(ev), "g").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    return (
+        docs.where(F.col("doc_id") % 29 != 0)
+        .select("doc_id")
+        .join(bloom, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bloom"), F.lit(0)).alias("n_bloom"),
+            F.coalesce(F.col("n_exact"), F.lit(0)).alias("n_exact"),
+            (F.coalesce(F.col("n_bloom"), F.lit(0)) - F.coalesce(F.col("n_exact"), F.lit(0))).alias("n_false_pos"),
         )
         .orderBy("doc_id")
     )
@@ -4590,8 +4818,10 @@ def temperature_mix_weights(spark, sf_dir):
 # (tests/test_driver_contract.py) still checks all entries every run.
 
 _FRONT = [
-    # newest (session 8): ES statistical aggs + hybrid retrieval + sketch
+    # newest (session 8): ES statistical aggs + hybrid retrieval + sketches
+    # + graph centrality
     "significant_terms", "more_like_this", "hybrid_rrf", "cardinality_sketch",
+    "pagerank_knn_graph", "decontamination_bloom",
     # session 7: FAISS refine stage + code analysis + proximity
     "ann_ivfpq_rerank", "ann_ivfpq_rerank_recall",
     "code_subtokens", "phrase_slop", "regex_search", "search_facets",
