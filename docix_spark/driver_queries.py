@@ -527,6 +527,56 @@ def fuzzy_expand_auto(spark, sf_dir):
 
 
 @register(
+    "spell_correct",
+    f"""WITH tf AS ({SQL_TF}),
+    dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    q AS (SELECT * FROM (VALUES ('spak', 1), ('windoww', 2)) AS v(qt, max_edits)),
+    cand AS (
+      SELECT q.qt, dict.term, CAST(levenshtein(q.qt, dict.term) AS BIGINT) AS dist, dict.df
+      FROM dict, q
+      WHERE levenshtein(q.qt, dict.term) BETWEEN 1 AND q.max_edits
+    ),
+    ranked AS (
+      SELECT qt, term, dist, df,
+             CAST(row_number() OVER (
+               PARTITION BY qt ORDER BY dist ASC, df DESC, term ASC
+             ) AS BIGINT) AS rank
+      FROM cand
+    )
+    SELECT qt, term, dist, df, rank FROM ranked WHERE rank <= 3 ORDER BY qt, rank""",
+)
+def spell_correct(spark, sf_dir):
+    """ES term suggester ("did you mean"): rank correction candidates for a
+    typo'd term by edit distance first, then corpus document frequency,
+    term asc as the final tiebreak — top 3 per input term. Completes the
+    suggestion surface next to autocomplete_bigrams (prefix completion)
+    and fuzzy_expand_auto (unranked expansion): this is the op behind the
+    reference UI's correction hint, with AUTO edit budgets (len 4 -> 1
+    edit, len 7 -> 2; SearchAdapter.java:407).
+
+    Scale shape: candidates come from the same bounded dictionary scan as
+    F2 (the dictionary is vocab-sized, orders smaller than the corpus;
+    the serving tier's prebuilt codepoint-matrix DP covers the ms-latency
+    path) and the per-typo window ranks <= dictionary-sized rows per
+    query term with a 50-expansion cap upstream in the engine path."""
+    tf = _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dic = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    q = F.broadcast(spark.createDataFrame([("spak", 1), ("windoww", 2)], "qt string, max_edits int"))
+    cand = (
+        dic.crossJoin(q)
+        .withColumn("dist", F.levenshtein("qt", "term").cast("long"))
+        .where((F.col("dist") >= 1) & (F.col("dist") <= F.col("max_edits")))
+    )
+    w = Window.partitionBy("qt").orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("qt", "term", "dist", "df", "rank")
+        .orderBy("qt", "rank")
+    )
+
+
+@register(
     "wildcard_substr",
     "SELECT doc_id, n_chars FROM documents WHERE lower(text) LIKE '%windo%' ORDER BY doc_id",
 )
@@ -4821,7 +4871,7 @@ _FRONT = [
     # newest (session 8): ES statistical aggs + hybrid retrieval + sketches
     # + graph centrality
     "significant_terms", "more_like_this", "hybrid_rrf", "cardinality_sketch",
-    "pagerank_knn_graph", "decontamination_bloom",
+    "pagerank_knn_graph", "decontamination_bloom", "spell_correct",
     # session 7: FAISS refine stage + code analysis + proximity
     "ann_ivfpq_rerank", "ann_ivfpq_rerank_recall",
     "code_subtokens", "phrase_slop", "regex_search", "search_facets",
