@@ -272,7 +272,7 @@ def main() -> None:
                  "code_subtokens", "ann_ivfpq_rerank",
                  "domain_cap", "tfidf_top_terms", "collocations_pmi",
                  "significant_terms", "more_like_this", "hybrid_rrf",
-                 "cardinality_sketch", "pagerank_knn_graph",
+                 "cardinality_sketch", "pagerank_ann_graph",
                  "decontamination_bloom"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()

@@ -1,5 +1,5 @@
 """Property-based semantics checks for the session-8 sketch/graph operators
-(cardinality_sketch, pagerank_knn_graph, decontamination_bloom).
+(cardinality_sketch, pagerank_ann_graph, decontamination_bloom).
 
 Same methodology as test_property_pipeline_ops: drive the registered DuckDB
 oracle SQL over hypothesis-generated inputs and compare against an
@@ -104,62 +104,85 @@ def test_cardinality_sketch_accuracy_at_driver_scale():
 
 
 # ---------------------------------------------------------------------------
-# pagerank_knn_graph — integer power iteration vs Python model
+# pagerank_ann_graph — integer power-iteration KERNEL vs Python model.
+# The registry op derives its edges through the trained-IVF batch-ANN chain
+# (already pinned by the ann_ivf_batch contract + recall tests); here the
+# iteration CTEs the oracle unrolls (_pr_iter_sql) run over hypothesis-
+# generated random directed graphs and must match a standalone model.
 # ---------------------------------------------------------------------------
 
-_component = st.floats(min_value=0.05, max_value=1.0, allow_nan=False, width=64)
-_vec = st.tuples(
-    st.lists(_component, min_size=4, max_size=4),
-    st.lists(st.booleans(), min_size=4, max_size=4),
-).map(lambda t: [c if not neg else -c for c, neg in zip(*t)])
-_vecs = st.lists(_vec, min_size=2, max_size=9)
+from docix_spark.driver_queries import _PR_ROUNDS, _pr_iter_sql
+
+_edge_graph = st.integers(min_value=2, max_value=10).flatmap(
+    lambda n: st.tuples(
+        st.just(n),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=n - 1),
+                st.integers(min_value=0, max_value=n - 1),
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=0,
+            max_size=30,
+            unique=True,
+        ),
+    )
+)
 
 
-def _pagerank_model(vecs: list[list[float]], rounds: int = 5) -> dict[int, int]:
-    n = len(vecs)
-    edges: list[tuple[int, int]] = []
-    for a in range(n):
-        cands = []
-        for b in range(n):
-            if a == b:
-                continue
-            dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
-            na = math.sqrt(sum(x * x for x in vecs[a]))
-            nb = math.sqrt(sum(x * x for x in vecs[b]))
-            cands.append((-_round_half_away(dot / (na * nb) * 1_000_000.0), b))
-        cands.sort()
-        edges.extend((a, b) for _, b in cands[:3])
-    deg: dict[int, int] = {}
-    for s, _ in edges:
-        deg[s] = deg.get(s, 0) + 1
+def _pagerank_edges_model(n: int, edges: list, rounds: int) -> dict:
+    deg: dict = {}
+    for s_, _ in edges:
+        deg[s_] = deg.get(s_, 0) + 1
     r = {i: 1_000_000 for i in range(n)}
     for _ in range(rounds):
         nxt = {i: 150_000 for i in range(n)}
-        for s, d in edges:
-            nxt[d] += (r[s] * 85) // (100 * deg[s])
+        for s_, d in edges:
+            nxt[d] += (r[s_] * 85) // (100 * deg[s_])
         r = nxt
     return r
 
 
-@settings(max_examples=40, deadline=None)
-@given(vecs=_vecs)
-def test_pagerank_oracle_matches_model(vecs):
+@settings(max_examples=60, deadline=None)
+@given(g=_edge_graph)
+def test_pagerank_iteration_kernel_matches_model(g):
+    n, edges = g
     con = duckdb.connect()
+    con.register("nodes_in", pd.DataFrame({"doc_id": range(n)}))
     con.register(
-        "embeddings",
-        pd.DataFrame({"vec_id": range(len(vecs)), "embedding": [list(v) for v in vecs]}),
+        "edges_in",
+        pd.DataFrame(
+            {"src": [e[0] for e in edges], "dst": [e[1] for e in edges]}, dtype="int64"
+        ),
     )
-    got = {
-        r.doc_id: r.pagerank_q6
-        for r in con.execute(REGISTRY["pagerank_knn_graph"].sql).fetch_df().itertuples()
-    }
-    model = _pagerank_model(vecs)
-    top = sorted(model.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
-    assert got == dict(top)
-    # conservation sanity: total mass never exceeds the initial N (floor
-    # division only loses mass) and every node keeps the teleport floor
+    sql = (
+        """WITH nodes AS (SELECT doc_id FROM nodes_in),
+        edges AS (SELECT src, dst FROM edges_in),
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+        + "".join(_pr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(_PR_ROUNDS))
+        + f" SELECT doc_id, r FROM r{_PR_ROUNDS}"
+    )
+    got = {r.doc_id: r.r for r in con.execute(sql).fetch_df().itertuples()}
+    model = _pagerank_edges_model(n, edges, _PR_ROUNDS)
+    assert got == model
+    # conservation sanity: floor division only loses mass, and every node
+    # keeps the teleport floor
     assert all(v >= 150_000 for v in model.values())
-    assert sum(model.values()) <= len(vecs) * 1_000_000
+    assert sum(model.values()) <= n * 1_000_000
+
+
+def test_pagerank_ann_graph_invariants_at_driver_scale():
+    """Full registry oracle at sf0.01: top-20 ranks respect the teleport
+    floor, carry real (non-degenerate) hub spread, and stay under total
+    mass. (Exact Spark==oracle equality is test_driver_contract's job.)"""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM '/root/testdata/sf0.01/embeddings.parquet'"
+    )
+    df = con.execute(REGISTRY["pagerank_ann_graph"].sql).fetch_df()
+    assert len(df) == 20
+    assert (df.pagerank_q6 >= 150_000).all()
+    assert df.pagerank_q6.nunique() > 5  # hub spread, not a two-valued collapse
 
 
 # ---------------------------------------------------------------------------
