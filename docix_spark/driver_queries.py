@@ -4915,6 +4915,405 @@ def temperature_mix_weights(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Session 9: event-time analytics (as-of join, date_histogram + moving_fn,
+# retention cohorts), mergeable sketches (count-min heavy hitters, HLL
+# register merge), boolean filter / percolator query shapes, CUBE rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_asof_join",
+    """WITH p AS (
+         SELECT event_id, user_id, epoch_us(ts) AS purchase_us
+         FROM events WHERE event_type = 'purchase'
+       ),
+       sel AS (
+         SELECT p.event_id, p.user_id, p.purchase_us,
+                (SELECT max(epoch_us(v.ts)) FROM events v
+                 WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                   AND epoch_us(v.ts) < p.purchase_us) AS view_us
+         FROM p
+       )
+       SELECT event_id, user_id, purchase_us, view_us,
+              purchase_us - view_us AS gap_us
+       FROM sel WHERE view_us IS NOT NULL
+       ORDER BY event_id LIMIT 200""",
+)
+def events_asof_join(spark, sf_dir):
+    """Backward as-of join: each purchase picks the LATEST strictly-prior
+    'view' by the same user — the attribution/feature-join primitive
+    (kdb aj / pandas merge_asof / Flink temporal join) that Spark lacks
+    as a built-in.
+
+    Spark shape: NOT a per-row range join (quadratic in events per user)
+    — both streams union into ONE window over (user_id) ordered by
+    (t_us, tag, event_id) with a last(ignorenulls) carry-forward of the
+    view timestamp; purchases sort BEFORE views at equal timestamps so
+    'strictly prior' holds. One user_id shuffle total, state = one value
+    per row; at 100 TB this is a sort-merge pass, never a join explosion.
+    The oracle is an independent formulation (correlated max subquery) so
+    agreement is evidence of semantics, not of shared code."""
+    e = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+            F.when(F.col("event_type") == "view", F.lit(1)).otherwise(F.lit(0)).alias("tag"),
+            F.when(F.col("event_type") == "view", F.expr("unix_micros(cast(ts as timestamp))")).alias("v_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    asof = e.withColumn("view_us", F.last("v_ts", ignorenulls=True).over(w))
+    return (
+        asof.where((F.col("tag") == 0) & F.col("view_us").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t_us").alias("purchase_us"),
+            "view_us",
+            (F.col("t_us") - F.col("view_us")).alias("gap_us"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+@register(
+    "events_daily_mavg",
+    """WITH d AS (
+         SELECT epoch_us(ts) // 86400000000 AS day_num,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1
+       )
+       SELECT day_num, n, value_cents,
+              CAST(round(1000000.0 * avg(n) OVER (
+                ORDER BY day_num ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+              )) AS BIGINT) AS mavg7_n_q6
+       FROM d ORDER BY day_num""",
+)
+def events_daily_mavg(spark, sf_dir):
+    """ES date_histogram + moving_fn pipeline aggregation: per-day event
+    count/value plus a trailing 7-day moving average of the count.
+
+    Determinism: the day key is integer microsecond division (no session
+    timezone in either engine); the moving average divides an exact
+    BIGINT window sum by an exact count — one double division, same bits.
+    Scale shape: the raw shuffle is the day groupBy (map-side partial);
+    the un-partitioned window then runs over DAY-GRANULARITY rows — a few
+    thousand rows for a decade of data — so the single-reducer window is
+    bounded by the calendar, not the corpus (the same argument as
+    doclen_quantiles' histogram window)."""
+    d = (
+        _events(spark, sf_dir)
+        .groupBy(F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day_num"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
+        )
+    )
+    w = Window.orderBy("day_num").rowsBetween(-6, 0)
+    return d.select(
+        "day_num", "n", "value_cents", _q6(F.avg("n").over(w)).alias("mavg7_n_q6")
+    ).orderBy("day_num")
+
+
+@register(
+    "events_retention",
+    """WITH ud AS (
+         SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_num FROM events
+       ),
+       u AS (SELECT user_id, min(day_num) AS cohort_day FROM ud GROUP BY user_id)
+       SELECT u.cohort_day, ud.day_num - u.cohort_day AS day_offset,
+              CAST(count(*) AS BIGINT) AS n_users
+       FROM ud JOIN u ON ud.user_id = u.user_id
+       WHERE ud.day_num - u.cohort_day <= 7
+       GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention triangle: users bucketed by first-active day,
+    counted at each day offset 0..7 — the product-analytics companion to
+    events_funnel.
+
+    Scale shape: distinct (user, day) and the per-user min both key on
+    user_id, so the cohort join reuses one partitioning (AQE broadcasts
+    the cohort table when small, falls back to the already-aligned
+    shuffle join at billion-user scale). count(*) is exact-distinct here
+    because (user, day) rows are pre-deduped and a user has one cohort."""
+    ud = (
+        _events(spark, sf_dir)
+        .select("user_id", F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day_num"))
+        .distinct()
+    )
+    u = ud.groupBy("user_id").agg(F.min("day_num").alias("cohort_day"))
+    return (
+        ud.join(u, "user_id")
+        .select("cohort_day", (F.col("day_num") - F.col("cohort_day")).alias("day_offset"))
+        .where(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "countmin_heavyhitters",
+    f"""WITH tot AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS total_tf FROM ({SQL_TOKS}) GROUP BY term
+    ),
+    pos AS (
+      SELECT term, total_tf, i,
+             ('0x' || substr(md5(term), 1 + 4 * i, 4))::INT % 1024 AS pos
+      FROM tot, unnest([0, 1, 2, 3]) AS t(i)
+    ),
+    cells AS (SELECT i, pos, CAST(sum(total_tf) AS BIGINT) AS cell FROM pos GROUP BY i, pos),
+    cand AS (SELECT term, total_tf FROM tot ORDER BY total_tf DESC, term LIMIT 20)
+    SELECT c.term, c.total_tf, CAST(min(cells.cell) AS BIGINT) AS cms_est
+    FROM cand c
+    JOIN pos ON pos.term = c.term
+    JOIN cells ON cells.i = pos.i AND cells.pos = pos.pos
+    GROUP BY c.term, c.total_tf
+    ORDER BY c.total_tf DESC, c.term""",
+)
+def countmin_heavyhitters(spark, sf_dir):
+    """Count-min sketch heavy hitters: term frequencies estimated from a
+    4 x 1024 integer cell table (rows = four 16-bit md5 slices mod 1024),
+    reported next to the exact counts for the top-20 terms — estimates
+    are provably >= exact (pure overestimate), which the hash equality
+    check witnesses on every row.
+
+    Scale shape: the sketch is 4 096 BIGINT cells REGARDLESS of corpus
+    size, built by one map-side-partial groupBy; cells merge across
+    partitions/segments by elementwise sum (the mergeability that makes
+    CMS the streaming-heavy-hitter structure). The probe reads 80 cells.
+    All integer arithmetic — bit-exact across engines by construction."""
+    toks = _toks(_docs(spark, sf_dir))
+    tot = toks.groupBy("term").agg(F.count("*").cast("long").alias("total_tf"))
+    pos = tot.select(
+        "term",
+        "total_tf",
+        F.explode(F.array([F.lit(i) for i in range(4)])).alias("i"),
+    ).withColumn(
+        "pos", F.expr("cast(conv(substring(md5(term), 1 + 4 * i, 4), 16, 10) as int) % 1024")
+    )
+    cells = pos.groupBy("i", "pos").agg(F.sum("total_tf").cast("long").alias("cell"))
+    cand = tot.orderBy(F.desc("total_tf"), "term").limit(20)
+    return (
+        F.broadcast(cand)
+        .join(pos.select("term", "i", "pos"), "term")
+        .join(F.broadcast(cells), ["i", "pos"])
+        .groupBy("term", "total_tf")
+        .agg(F.min("cell").cast("long").alias("cms_est"))
+        .orderBy(F.desc("total_tf"), "term")
+    )
+
+
+@register(
+    "cardinality_merge",
+    f"""
+WITH sh AS ({_SQL_SHINGLES}),
+ss AS (SELECT DISTINCT sh FROM sh),
+h AS (SELECT ('0x' || substr(md5(sh), 1, 15))::UBIGINT::BIGINT AS h FROM ss),
+rr AS (
+  SELECT h % 256 AS reg,
+         CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END AS rnk
+  FROM h
+),
+regs AS (SELECT reg, max(rnk) AS maxr FROM rr GROUP BY reg),
+z AS (
+  SELECT count(*) AS hit, sum((1::BIGINT << (53 - maxr))) AS z_hit FROM regs
+),
+est AS (
+  SELECT CAST(256 - hit AS BIGINT) AS zeros,
+         z_hit + (256 - hit) * (1::BIGINT << 53) AS z_int
+  FROM z
+),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ss)
+SELECT ex.n_exact,
+       CAST(round(
+         CASE WHEN ({_HLL_C} / CAST(z_int AS DOUBLE)) <= 640.0 AND zeros > 0
+              THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+              ELSE {_HLL_C} / CAST(z_int AS DOUBLE)
+         END * 1000000
+       ) AS BIGINT) AS hll_q6
+FROM est, ex""",
+)
+def cardinality_merge(spark, sf_dir):
+    """HLL register MERGE: the global distinct-shingle estimate obtained
+    by max-merging the per-source register sets from cardinality_sketch —
+    the property that lets every executor (or every index segment) keep a
+    256-byte sketch and the coordinator combine them without re-reading
+    data.
+
+    The Spark plan deliberately aggregates per (source, reg) FIRST and
+    max-merges the 20 register sets; the oracle hashes the global
+    distinct set directly. Agreement witnesses max-associativity — the
+    merged sketch is bit-identical to the sketch of the union."""
+    sh = _shingles_spark(spark, sf_dir)
+    ss = sh.select("source", "sh").distinct()
+    h = ss.select("source", _H60_SPARK(F.col("sh")).alias("h"))
+    rr = h.select(
+        "source",
+        F.expr("h % 256").alias("reg"),
+        F.expr("CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END").alias("rnk"),
+    )
+    regs_src = rr.groupBy("source", "reg").agg(F.max("rnk").alias("maxr"))
+    regs = regs_src.groupBy("reg").agg(F.max("maxr").alias("maxr"))
+    z = regs.agg(
+        F.count("*").alias("hit"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(53 - maxr as int))")).alias("z_hit"),
+    )
+    est = z.select(
+        (F.lit(256) - F.col("hit")).cast("long").alias("zeros"),
+        F.expr("z_hit + (256 - hit) * shiftleft(cast(1 as bigint), 53)").alias("z_int"),
+    )
+    ex = sh.select("sh").distinct().agg(F.count("*").cast("long").alias("n_exact"))
+    raw = F.expr(f"{_HLL_C} / cast(z_int as double)")
+    lin = F.expr("256.0 * ln(256.0 / cast(zeros as double))")
+    return est.crossJoin(F.broadcast(ex)).select(
+        "n_exact",
+        _q6(F.when((raw <= 640.0) & (F.col("zeros") > 0), lin).otherwise(raw)).alias("hll_q6"),
+    )
+
+
+@register(
+    "bool_filter_query",
+    f"""WITH dt AS (
+      SELECT DISTINCT doc_id, term FROM ({SQL_TOKS})
+      WHERE term IN ('dup', 'spark', 'window')
+    ),
+    f AS (
+      SELECT doc_id,
+             bool_or(term = 'dup') AS has_dup,
+             bool_or(term = 'spark') AS has_spark,
+             bool_or(term = 'window') AS has_window
+      FROM dt GROUP BY doc_id
+    )
+    SELECT doc_id FROM f
+    WHERE has_dup AND has_spark AND NOT has_window
+    ORDER BY doc_id""",
+)
+def bool_filter_query(spark, sf_dir):
+    """ES bool filter (must: [dup, spark], must_not: [window]) as pure
+    posting-list set algebra — no scoring, no text re-scan.
+
+    Scale shape: the term IN (...) predicate reaches the postings scan
+    (pushed-down on the term-bucketed index tables this mirrors), so the
+    plan reads THREE posting lists, not the corpus; the AND/NOT fold is
+    one doc_id groupBy with boolean aggregates — intersection and
+    difference in a single exchange, the Lucene BooleanQuery execution
+    re-expressed relationally (reference query tree:
+    DocumentSearchService.java composite bool)."""
+    dt = (
+        _toks(_docs(spark, sf_dir))
+        .where(F.col("term").isin("dup", "spark", "window"))
+        .distinct()
+    )
+    f = dt.groupBy("doc_id").agg(
+        F.bool_or(F.col("term") == "dup").alias("has_dup"),
+        F.bool_or(F.col("term") == "spark").alias("has_spark"),
+        F.bool_or(F.col("term") == "window").alias("has_window"),
+    )
+    return (
+        f.where(F.col("has_dup") & F.col("has_spark") & ~F.col("has_window"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "percolate_queries",
+    f"""WITH dtf AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM ({SQL_TOKS}) GROUP BY term
+    ),
+    top4 AS (SELECT term FROM dtf ORDER BY df DESC, term LIMIT 4),
+    qt AS (SELECT term FROM top4 UNION SELECT 'dup'),
+    q AS (SELECT a.term AS qa, b.term AS qb FROM qt a JOIN qt b ON a.term < b.term),
+    dt AS (SELECT DISTINCT doc_id, term FROM ({SQL_TOKS})),
+    m AS (
+      SELECT q.qa, q.qb, da.doc_id FROM q
+      JOIN dt da ON da.term = q.qa
+      JOIN dt db ON db.term = q.qb AND db.doc_id = da.doc_id
+    )
+    SELECT qa, qb, CAST(count(*) AS BIGINT) AS n_docs
+    FROM m GROUP BY qa, qb ORDER BY qa, qb""",
+)
+def percolate_queries(spark, sf_dir):
+    """ES percolator: a REGISTRY of stored queries (here: every pair of
+    the 4 highest-df terms plus the rare term 'dup', AND semantics)
+    matched against the document stream — reverse search, where documents
+    probe queries instead of queries probing documents.
+
+    Scale shape: the stored-query table is small by nature (thousands of
+    alerts), so it BROADCASTS into the postings scan twice (one hash
+    probe per required term); matches group on the query key. Documents
+    stream through map-side; nothing document-sized shuffles on the query
+    axis. This is exactly how a distributed percolator sidesteps
+    per-document query re-execution."""
+    toks = _toks(_docs(spark, sf_dir))
+    dt = toks.distinct()
+    dtf = dt.groupBy("term").agg(F.count("*").alias("df"))
+    top4 = dtf.orderBy(F.desc("df"), "term").limit(4).select("term")
+    qt = top4.unionByName(
+        top4.sparkSession.range(1).select(F.lit("dup").alias("term"))
+    ).distinct()
+    q = (
+        qt.alias("a")
+        .crossJoin(qt.alias("b"))
+        .where(F.col("a.term") < F.col("b.term"))
+        .select(F.col("a.term").alias("qa"), F.col("b.term").alias("qb"))
+    )
+    m = (
+        F.broadcast(q)
+        .join(dt.alias("da"), F.col("da.term") == F.col("qa"))
+        .select("qa", "qb", F.col("da.doc_id").alias("m_doc"))
+        .join(
+            dt.alias("db"),
+            (F.col("db.term") == F.col("qb")) & (F.col("db.doc_id") == F.col("m_doc")),
+        )
+        .select("qa", "qb", "m_doc")
+    )
+    return m.groupBy("qa", "qb").agg(F.count("*").cast("long").alias("n_docs")).orderBy("qa", "qb")
+
+
+@register(
+    "docs_rollup_cube",
+    """SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
+              CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+       FROM documents GROUP BY CUBE (source, lang)
+       ORDER BY source, lang""",
+)
+def docs_rollup_cube(spark, sf_dir):
+    """OLAP CUBE over (source, lang): per-cell, per-source, per-lang and
+    grand-total doc counts + character mass in ONE pass — the corpus-
+    composition dashboard query (ES multi-level terms agg + summaries).
+
+    Scale shape: Spark expands grouping sets BEFORE the exchange, so all
+    four rollup levels share one shuffle whose key count is bounded by
+    |sources| x |langs| — partial aggregation absorbs the document axis
+    map-side. The synthetic corpus has no NULL keys, so coalesce markers
+    are unambiguous."""
+    return (
+        _docs(spark, sf_dir)
+        .cube("source", "lang")
+        .agg(F.count("*").cast("long").alias("n_docs"), F.sum("n_chars").cast("long").alias("chars"))
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "n_docs",
+            "chars",
+        )
+        .orderBy("source", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -4925,7 +5324,12 @@ def temperature_mix_weights(spark, sf_dir):
 # (tests/test_driver_contract.py) still checks all entries every run.
 
 _FRONT = [
-    # newest (session 8): ES statistical aggs + hybrid retrieval + sketches
+    # newest (session 9): event-time analytics + mergeable sketches +
+    # boolean/percolate query shapes + CUBE rollup
+    "events_asof_join", "events_daily_mavg", "events_retention",
+    "countmin_heavyhitters", "cardinality_merge", "bool_filter_query",
+    "percolate_queries", "docs_rollup_cube",
+    # session 8: ES statistical aggs + hybrid retrieval + sketches
     # + graph centrality
     "significant_terms", "more_like_this", "hybrid_rrf", "cardinality_sketch",
     "pagerank_ann_graph", "decontamination_bloom", "spell_correct",
