@@ -273,7 +273,11 @@ def main() -> None:
                  "domain_cap", "tfidf_top_terms", "collocations_pmi",
                  "significant_terms", "more_like_this", "hybrid_rrf",
                  "cardinality_sketch", "pagerank_ann_graph",
-                 "decontamination_bloom"]:
+                 "decontamination_bloom",
+                 "events_asof_join", "events_retention",
+                 "countmin_heavyhitters", "percolate_queries",
+                 "ann_ivf_filtered", "search_top_hits",
+                 "sparse_cosine_pairs"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -5094,7 +5094,11 @@ def countmin_heavyhitters(spark, sf_dir):
     CMS the streaming-heavy-hitter structure). The probe reads 80 cells.
     All integer arithmetic — bit-exact across engines by construction."""
     toks = _toks(_docs(spark, sf_dir))
-    tot = toks.groupBy("term").agg(F.count("*").cast("long").alias("total_tf"))
+    # tot feeds three consumers (pos->cells, the probe join, cand); without
+    # the lineage cut each would re-run the corpus-sized token scan.
+    tot = (
+        toks.groupBy("term").agg(F.count("*").cast("long").alias("total_tf")).localCheckpoint()
+    )
     pos = tot.select(
         "term",
         "total_tf",
@@ -5257,7 +5261,9 @@ def percolate_queries(spark, sf_dir):
     axis. This is exactly how a distributed percolator sidesteps
     per-document query re-execution."""
     toks = _toks(_docs(spark, sf_dir))
-    dt = toks.distinct()
+    # dt has three consumers (df ranking + both match-probe sides); cut
+    # lineage so the corpus tokenize+distinct runs once, not three times.
+    dt = toks.distinct().localCheckpoint()
     dtf = dt.groupBy("term").agg(F.count("*").alias("df"))
     top4 = dtf.orderBy(F.desc("df"), "term").limit(4).select("term")
     qt = top4.unionByName(
@@ -5314,6 +5320,248 @@ def docs_rollup_cube(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Session 9b: filtered vector search (ES kNN filter / FAISS IDSelector),
+# ES top_hits aggregation, sparse tf-idf cosine with rare-term blocking
+# ---------------------------------------------------------------------------
+
+
+_FILTERED_IVF_SQL_TAIL = """, lab AS (SELECT vec_id, label FROM embeddings),
+fivf AS (
+  SELECT e.vec_id,
+         CAST(round(1000000 * list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS cos_q6
+  FROM e JOIN a3 USING (vec_id) JOIN probe USING (cid) JOIN lab USING (vec_id), q
+  WHERE e.vec_id <> 0 AND lab.label % 2 = 0
+  ORDER BY cos_q6 DESC, e.vec_id LIMIT 10
+)"""
+
+
+def _ivf_filtered_topk(spark, sf_dir) -> DataFrame:
+    members, cent, final_assign = _trained_ivf(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    lab = e.select("vec_id", "label")
+    qv = (
+        e.where(F.col("vec_id") == 0)
+        .select(F.expr("transform(embedding, x -> cast(x as double))").alias("qv"))
+    )
+    probe = (
+        cent.crossJoin(F.broadcast(qv))
+        .select("cid", _cosq("cv", "qv", 1_000_000_000).alias("cq"))
+        .orderBy(F.desc("cq"), F.asc("cid"))
+        .limit(3)
+        .select("cid")
+    )
+    return (
+        members.join(final_assign, "vec_id")
+        .join(F.broadcast(probe), "cid")
+        .join(lab, "vec_id")
+        .where(F.col("label") % 2 == 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
+        .orderBy(F.desc("cos_q6"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "ann_ivf_filtered",
+    _KMEANS_SQL_PRELUDE + _FILTERED_IVF_SQL_TAIL + "\nSELECT vec_id, cos_q6 FROM fivf",
+)
+def ann_ivf_filtered(spark, sf_dir):
+    """FILTERED vector search (ES 8 kNN `filter` / FAISS IDSelector): the
+    trained-IVF probe with a metadata predicate (label % 2 = 0) applied to
+    candidates DURING the search — pre-filter semantics, so the top-10 is
+    taken over filtered candidates inside the probed cells, never a
+    post-filtered (and therefore under-filled) result page.
+
+    Scale shape: the probe prunes to nprobe/K of the corpus FIRST; the
+    label predicate then drops candidates before any scoring. Here the
+    label joins back by vec_id because the shared trained index carries
+    only vectors; in production the filter column lives in the vector
+    table and the predicate is pushed into the pruned scan map-side, so
+    filtering is free. The selectivity interplay (a too-strict filter
+    empties the probed cells — FAISS's documented IDSelector caveat)
+    belongs to the recall twin below."""
+    return _ivf_filtered_topk(spark, sf_dir)
+
+
+@register(
+    "ann_ivf_filtered_recall",
+    _KMEANS_SQL_PRELUDE
+    + _FILTERED_IVF_SQL_TAIL
+    + """, fexact AS (
+  SELECT e.vec_id,
+         CAST(round(1000000 * list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS cos_q6
+  FROM e JOIN lab USING (vec_id), q
+  WHERE e.vec_id <> 0 AND lab.label % 2 = 0
+  ORDER BY cos_q6 DESC, e.vec_id LIMIT 10
+)
+SELECT count(*) AS n_overlap FROM fivf JOIN fexact USING (vec_id)""",
+)
+def ann_ivf_filtered_recall(spark, sf_dir):
+    """Recall@10 of the filtered IVF probe against the filtered brute-force
+    oracle. The filter halves every probed cell, so recall measures how
+    much of the filtered neighborhood the unfiltered cell geometry still
+    covers — the number that tells an operator whether nprobe must rise
+    when filters tighten."""
+    fivf = _ivf_filtered_topk(spark, sf_dir).select("vec_id")
+    fexact = (
+        _cos_spark(spark, sf_dir)
+        .where(F.col("label") % 2 == 0)
+        .select("vec_id", _q6(F.col("cos")).alias("cos_q6"))
+        .orderBy(F.desc("cos_q6"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    return fivf.join(fexact, "vec_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+
+
+@register(
+    "search_top_hits",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + """
+SELECT source, doc_id, score_q6, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT d.source, agg.doc_id, agg.score_q6,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY agg.score_q6 DESC, agg.doc_id ASC) AS rk
+  FROM agg JOIN documents d USING (doc_id)
+) WHERE rk <= 2 ORDER BY source, rk""",
+)
+def search_top_hits(spark, sf_dir):
+    """ES ``top_hits`` aggregation: the best 2 documents PER SOURCE for a
+    query — grouped search results (one exemplar page per bucket), the
+    companion to search_facets' counts.
+
+    Scale shape: the window runs over the query's MATCH SET (already
+    pruned by the postings join), partitioned by source — no corpus-wide
+    sort. A single source dominating the match set degrades the window to
+    that source's matches only; if that matters, the domain_cap
+    sub-sharded two-pass rank applies verbatim (same output contract)."""
+    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(F.desc("score_q6"), F.asc("doc_id"))
+    return (
+        agg.join(d, "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 2)
+        .select("source", "doc_id", "score_q6", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+@register(
+    "sparse_cosine_pairs",
+    f"""WITH tf AS ({SQL_TF}),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round(1000000 * tf.tf * ln((SELECT n_docs FROM nd) / dfs.df)) AS BIGINT) AS wq
+  FROM tf JOIN dfs USING (term)
+),
+n2 AS (SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS nrm2 FROM w GROUP BY doc_id),
+rare AS (SELECT term FROM dfs WHERE df * 10 <= (SELECT n_docs FROM nd)),
+rp AS (SELECT DISTINCT doc_id, term FROM tf JOIN rare USING (term)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM rp a JOIN rp b ON a.term = b.term AND a.doc_id < b.doc_id
+),
+dot AS (
+  SELECT cand.da, cand.db, CAST(sum(wa.wq * wb.wq) AS BIGINT) AS d
+  FROM cand
+  JOIN w wa ON wa.doc_id = cand.da
+  JOIN w wb ON wb.doc_id = cand.db AND wb.term = wa.term
+  GROUP BY cand.da, cand.db
+)
+SELECT da, db,
+       CAST(round(1000000 * CAST(d AS DOUBLE) / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE)))) AS BIGINT) AS cos_q6
+FROM dot JOIN n2 na ON na.doc_id = dot.da JOIN n2 nb ON nb.doc_id = dot.db
+ORDER BY cos_q6 DESC, da, db LIMIT 20""",
+)
+def sparse_cosine_pairs(spark, sf_dir):
+    """Sparse tf-idf cosine similarity with RARE-TERM BLOCKING: candidate
+    pairs must share a term with df <= N/10 (rarity is RELATIVE — an
+    absolute cutoff stops producing candidates as the corpus grows), then
+    exact tf-idf cosine is
+    computed on candidates only — the inverted-index document-similarity
+    plan (pair generation cost is Σ rare-df², never corpus²; ubiquitous
+    terms have idf ≈ 0 and contribute nothing to the score anyway).
+
+    Determinism (the unigram_logprob recipe): per-(doc, term) weight is
+    q6-rounded ONCE from identical doubles, so dot products and norms are
+    exact BIGINT sums with no float accumulation order; the final cosine
+    is one double expression over exactly-agreed integers.
+
+    Scale shape: blocking is an equi-join on rare terms (the MinHash-band
+    pattern applied to the lexical space); the dot product joins the two
+    docs' posting rows on term — bounded by candidates × doc length. The
+    weight table has three consumers, hence the lineage cut."""
+    tf = (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    nd = tf.select("doc_id").distinct().agg(F.count("*").cast("double").alias("n_docs"))
+    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    w = (
+        tf.join(dfs, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.lit(1_000_000) * F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+            .cast("long")
+            .alias("wq"),
+        )
+        .localCheckpoint()
+    )
+    n2 = w.groupBy("doc_id").agg(F.sum(F.col("wq") * F.col("wq")).cast("long").alias("nrm2"))
+    rare = (
+        dfs.crossJoin(F.broadcast(nd))
+        .where(F.col("df") * 10 <= F.col("n_docs"))
+        .select("term")
+    )
+    rp = tf.join(F.broadcast(rare), "term").select("doc_id", "term").distinct()
+    cand = (
+        rp.alias("a")
+        .join(rp.alias("b"), F.col("a.term") == F.col("b.term"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    dot = (
+        cand.join(w.alias("wa"), F.col("wa.doc_id") == F.col("da"))
+        .join(
+            w.alias("wb"),
+            (F.col("wb.doc_id") == F.col("db")) & (F.col("wb.term") == F.col("wa.term")),
+        )
+        .groupBy("da", "db")
+        .agg(F.sum(F.col("wa.wq") * F.col("wb.wq")).cast("long").alias("d"))
+    )
+    na = n2.select(F.col("doc_id").alias("da"), F.col("nrm2").alias("na2"))
+    nb = n2.select(F.col("doc_id").alias("db"), F.col("nrm2").alias("nb2"))
+    return (
+        dot.join(na, "da")
+        .join(nb, "db")
+        .select(
+            "da",
+            "db",
+            F.round(
+                F.lit(1_000_000)
+                * F.col("d").cast("double")
+                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+            )
+            .cast("long")
+            .alias("cos_q6"),
+        )
+        .orderBy(F.desc("cos_q6"), "da", "db")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -5324,7 +5572,10 @@ def docs_rollup_cube(spark, sf_dir):
 # (tests/test_driver_contract.py) still checks all entries every run.
 
 _FRONT = [
-    # newest (session 9): event-time analytics + mergeable sketches +
+    # newest (session 9b): filtered vector search + top_hits + sparse cosine
+    "ann_ivf_filtered", "ann_ivf_filtered_recall", "search_top_hits",
+    "sparse_cosine_pairs",
+    # session 9: event-time analytics + mergeable sketches +
     # boolean/percolate query shapes + CUBE rollup
     "events_asof_join", "events_daily_mavg", "events_retention",
     "countmin_heavyhitters", "cardinality_merge", "bool_filter_query",
