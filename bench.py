@@ -277,7 +277,8 @@ def main() -> None:
                  "events_asof_join", "events_retention",
                  "countmin_heavyhitters", "percolate_queries",
                  "ann_ivf_filtered", "search_top_hits",
-                 "sparse_cosine_pairs"]:
+                 "sparse_cosine_pairs",
+                 "search_after", "rank_eval", "dsir_importance"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

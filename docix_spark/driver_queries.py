@@ -5562,6 +5562,298 @@ def sparse_cosine_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Session 9c: ES explain / search_after / rank_eval parity, DSIR-style
+# importance resampling, completion suggester
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bm25_explain",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + """,
+top1 AS (SELECT doc_id FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 1)
+SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, CAST(dfs.df AS BIGINT) AS df,
+       CAST(round(1000000 * ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))) AS BIGINT) AS idf_q6,
+       CAST(round(1000000 *
+         ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM st)))
+       ) AS BIGINT) AS contrib_q6
+FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
+JOIN top1 USING (doc_id)
+ORDER BY term""",
+)
+def bm25_explain(spark, sf_dir):
+    """ES ``_explain`` API: the per-term score decomposition (tf, df, idf,
+    BM25 contribution) for the query's #1 hit — the relevance-debugging
+    surface every search team leans on (reference exposes ES explain
+    implicitly via its adapter's search response).
+
+    Scale shape: the top-1 doc comes from the same pruned match-set
+    TakeOrdered as bm25_topk; the explain join then touches ONE doc's
+    posting rows for the query terms (a doc_id point probe). Contribution
+    floats use the identical expression shape as the scoring CTE, rounded
+    once to q6."""
+    toks = _toks(_docs(spark, sf_dir))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    st = dl.agg(F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
+    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    q = F.broadcast(
+        spark.createDataFrame([(t,) for t in _TOPK_TERMS], "term string")
+    )
+    top1 = (
+        _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
+        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
+        .limit(1)
+        .select("doc_id")
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = (
+        idf
+        * F.col("tf").cast("double")
+        * F.lit(2.2)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("doc_len") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(q, "term")
+        .join(dfs, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(top1), "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            _q6(idf).alias("idf_q6"),
+            _q6(contrib).alias("contrib_q6"),
+        )
+        .orderBy("term")
+    )
+
+
+@register(
+    "search_after",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + """,
+cur AS (
+  SELECT score_q6 AS cs, doc_id AS cd FROM (
+    SELECT doc_id, score_q6,
+           row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rn
+    FROM agg) WHERE rn = 10
+)
+SELECT doc_id, score_q6 FROM agg, cur
+WHERE score_q6 < cs OR (score_q6 = cs AND doc_id > cd)
+ORDER BY score_q6 DESC, doc_id ASC LIMIT 10""",
+)
+def search_after(spark, sf_dir):
+    """ES ``search_after`` keyset pagination: page 2 fetched via the
+    (score, doc_id) cursor of page 1's last hit, NOT via from+size. This
+    is the deep-pagination fix — from+size must rank (page+1)*size rows
+    per shard forever deeper, while search_after pushes the cursor as a
+    PREDICATE into the match set and every page is the same TakeOrdered
+    top-k cost (why ES deprecates scroll-by-offset past 10k).
+
+    Spark shape: cursor = one-row broadcast from the page-1 TakeOrdered;
+    page 2 = filter + TakeOrdered over the match set — no rank window at
+    all."""
+    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
+    cur = (
+        agg.orderBy(F.desc("score_q6"), F.asc("doc_id"))
+        .limit(10)
+        .orderBy(F.asc("score_q6"), F.desc("doc_id"))
+        .limit(1)
+        .select(F.col("score_q6").alias("cs"), F.col("doc_id").alias("cd"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(cur))
+        .where(
+            (F.col("score_q6") < F.col("cs"))
+            | ((F.col("score_q6") == F.col("cs")) & (F.col("doc_id") > F.col("cd")))
+        )
+        .select("doc_id", "score_q6")
+        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_RANKEVAL_TERMS = ["dup", "spark"]
+
+
+@register(
+    "rank_eval",
+    _bm25_agg_ctes(_RANKEVAL_TERMS)
+    + f""",
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rnk
+  FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 10
+),
+rel AS (
+  SELECT DISTINCT doc_id FROM ({SQL_TOKS}) WHERE term = 'dup'
+),
+j AS (
+  SELECT ranked.rnk, CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel
+  FROM ranked LEFT JOIN rel USING (doc_id)
+)
+SELECT CAST(sum(is_rel) AS BIGINT) AS n_rel_at_10,
+       CAST(round(1000000.0 * sum(is_rel) / 10) AS BIGINT) AS p_at_10_q6,
+       CAST(coalesce(round(1000000.0 / min(CASE WHEN is_rel = 1 THEN rnk END)), 0) AS BIGINT) AS mrr_q6
+FROM j""",
+)
+def rank_eval(spark, sf_dir):
+    """ES ``_rank_eval`` API: precision@10 and reciprocal rank of the BM25
+    ranking against a judgment set (binary relevance: documents containing
+    the rare term 'dup') — offline search-quality measurement as a query,
+    the way ranking regressions get caught in CI.
+
+    Scale shape: the ranked page is the usual TakeOrdered top-10; the
+    judgment set joins by doc_id onto TEN rows. Judgment lists are
+    human-sized by nature — this never touches corpus-scale data beyond
+    the match set itself."""
+    agg = _bm25_match_set(spark, sf_dir, _RANKEVAL_TERMS)
+    top10 = agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
+    ranked = top10.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id")))
+    ).select("doc_id", "rnk")
+    rel = (
+        _toks(_docs(spark, sf_dir))
+        .where(F.col("term") == "dup")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_rel_flag", F.lit(1))
+    )
+    j = ranked.join(rel, "doc_id", "left").select(
+        "rnk", F.coalesce("is_rel_flag", F.lit(0)).alias("is_rel")
+    )
+    return j.agg(
+        F.sum("is_rel").cast("long").alias("n_rel_at_10"),
+        F.round(F.lit(1_000_000.0) * F.sum("is_rel") / 10).cast("long").alias("p_at_10_q6"),
+        F.coalesce(
+            F.round(F.lit(1_000_000.0) / F.min(F.when(F.col("is_rel") == 1, F.col("rnk")))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("mrr_q6"),
+    )
+
+
+@register(
+    "dsir_importance",
+    f"""WITH tf AS ({SQL_TF}),
+v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS vsz FROM tf),
+tgt AS (
+  SELECT term, CAST(sum(tf.tf) AS BIGINT) AS c
+  FROM tf JOIN documents d USING (doc_id) WHERE d.source = 'src0'
+  GROUP BY term
+),
+cor AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+tott AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t FROM tgt),
+totc AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cor),
+lam AS (
+  SELECT cor.term,
+         CAST(round(1000000 * (
+           ln((coalesce(tgt.c, 0) + 1.0) / ((SELECT t FROM tott) + (SELECT vsz FROM v)))
+           - ln((cor.c + 1.0) / ((SELECT t FROM totc) + (SELECT vsz FROM v)))
+         )) AS BIGINT) AS lam_q6
+  FROM cor LEFT JOIN tgt USING (term)
+)
+SELECT tf.doc_id, CAST(sum(tf.tf * lam.lam_q6) AS BIGINT) AS imp_q6
+FROM tf JOIN lam USING (term)
+GROUP BY tf.doc_id ORDER BY imp_q6 DESC, doc_id ASC LIMIT 20""",
+)
+def dsir_importance(spark, sf_dir):
+    """DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-document
+    log-importance weight Σ tf·(ln p_target − ln p_raw) under add-1
+    unigram LMs, target = the in-domain slice (source 'src0'), raw = the
+    whole corpus; top-20 admitted. The selection recipe behind
+    domain-matched pretraining mixes.
+
+    Determinism (unigram_logprob recipe): per-TERM log-ratio is q6-rounded
+    once — both engines take the same two ln's of the same doubles — and
+    the per-doc weight is an exact BIGINT dot product with tf.
+    Scale shape: λ is vocab-sized and joins the postings stream map-side
+    (broadcast/AQE); the only corpus-scale exchange is the per-doc sum,
+    keyed on doc_id. tf has four consumers, hence the lineage cut."""
+    tf = (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    v = tf.select("term").distinct().agg(F.count("*").cast("long").alias("vsz"))
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    tgt = (
+        tf.join(d, "doc_id")
+        .where(F.col("source") == "src0")
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("tc"))
+    )
+    cor = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cc"))
+    tott = tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).cast("long").alias("tt"))
+    totc = cor.agg(F.sum("cc").cast("long").alias("ct"))
+    lam = (
+        cor.join(tgt, "term", "left")
+        .crossJoin(F.broadcast(tott))
+        .crossJoin(F.broadcast(totc))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "term",
+            F.round(
+                F.lit(1_000_000)
+                * (
+                    F.log(
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                        / (F.col("tt") + F.col("vsz")).cast("double")
+                    )
+                    - F.log((F.col("cc") + 1.0) / (F.col("ct") + F.col("vsz")).cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("lam_q6"),
+        )
+    )
+    return (
+        tf.join(lam, "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("lam_q6")).cast("long").alias("imp_q6"))
+        .orderBy(F.desc("imp_q6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "suggest_completion",
+    f"""WITH dtf AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM ({SQL_TOKS}) GROUP BY term
+    )
+    SELECT term, CAST(df AS BIGINT) AS df FROM dtf
+    WHERE term LIKE 's%' ORDER BY df DESC, term ASC LIMIT 5""",
+)
+def suggest_completion(spark, sf_dir):
+    """ES completion suggester: prefix 's' → top-5 dictionary terms by
+    document frequency — the search-box type-ahead fed from the term
+    dictionary (weight = df), complementing autocomplete_bigrams' context
+    suggestions.
+
+    Scale shape: a dictionary-sized scan with a pushed-down prefix
+    predicate (the term dictionary is range-partitioned on term in the
+    real index, so the prefix prunes partitions) and a 5-row TakeOrdered."""
+    dt = _toks(_docs(spark, sf_dir)).distinct()
+    dtf = dt.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        dtf.where(F.col("term").startswith("s"))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -5572,7 +5864,10 @@ def sparse_cosine_pairs(spark, sf_dir):
 # (tests/test_driver_contract.py) still checks all entries every run.
 
 _FRONT = [
-    # newest (session 9b): filtered vector search + top_hits + sparse cosine
+    # newest (session 9c): explain/search_after/rank_eval + DSIR + completion
+    "bm25_explain", "search_after", "rank_eval", "dsir_importance",
+    "suggest_completion",
+    # session 9b: filtered vector search + top_hits + sparse cosine
     "ann_ivf_filtered", "ann_ivf_filtered_recall", "search_top_hits",
     "sparse_cosine_pairs",
     # session 9: event-time analytics + mergeable sketches +
