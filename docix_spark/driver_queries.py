@@ -5853,6 +5853,35 @@ def suggest_completion(spark, sf_dir):
     )
 
 
+@register(
+    "events_asof_horizon",
+    """WITH v AS (
+         SELECT user_id, epoch_us(ts) AS v_us FROM events WHERE event_type = 'view'
+       ),
+       p AS (
+         SELECT event_id, user_id, epoch_us(ts) AS p_us
+         FROM events WHERE event_type = 'purchase'
+       )
+       SELECT p.event_id, p.user_id, p.p_us AS purchase_us,
+              max(v.v_us) AS view_us, p.p_us - max(v.v_us) AS gap_us
+       FROM p JOIN v ON v.user_id = p.user_id
+         AND v.v_us < p.p_us AND v.v_us >= p.p_us - 3600000000
+       GROUP BY p.event_id, p.user_id, p.p_us
+       ORDER BY event_id""",
+)
+def events_asof_horizon(spark, sf_dir):
+    """Horizon-bounded as-of attribution (1-hour lookback) — the batch
+    twin of the STREAMING stream-stream time-interval join
+    (streaming/events.py::asof_attribution_stream, proven equal over
+    chronological micro-batches in tests/test_events_streaming.py). The
+    bounded lookback is the contract that makes the streaming form
+    possible: join state is evictable once the watermark passes
+    p_ts − horizon, unlike the unbounded `events_asof_join`."""
+    from docix_spark.streaming.events import asof_attribution
+
+    return asof_attribution(_events(spark, sf_dir), horizon_sec=3600)
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
@@ -5866,7 +5895,7 @@ def suggest_completion(spark, sf_dir):
 _FRONT = [
     # newest (session 9c): explain/search_after/rank_eval + DSIR + completion
     "bm25_explain", "search_after", "rank_eval", "dsir_importance",
-    "suggest_completion",
+    "suggest_completion", "events_asof_horizon",
     # session 9b: filtered vector search + top_hits + sparse cosine
     "ann_ivf_filtered", "ann_ivf_filtered_recall", "search_top_hits",
     "sparse_cosine_pairs",

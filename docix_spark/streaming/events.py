@@ -340,3 +340,106 @@ def props_json_stats(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of attribution (stream-stream time-interval join)
+# ---------------------------------------------------------------------------
+
+ASOF_HORIZON_SEC = 3600  # attribution lookback window
+
+
+def asof_attribution(events: DataFrame, horizon_sec: int = ASOF_HORIZON_SEC) -> DataFrame:
+    """Batch twin: each purchase matched to the LATEST 'view' by the same
+    user within ``horizon_sec`` strictly before it. The bounded lookback
+    is what makes the streaming form possible at all — an unbounded as-of
+    (driver op ``events_asof_join``) would need infinite join state on a
+    stream; the horizon caps state at (views inside the watermark+horizon
+    band) per user.
+
+    One row per attributable purchase:
+    (event_id, user_id, purchase_us, view_us, gap_us)."""
+    v = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").cast("timestamp").alias("v_ts")
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("p_ts")
+    )
+    j = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {int(horizon_sec)} SECOND")),
+    )
+    return (
+        j.groupBy("event_id", "user_id", "p_ts")
+        .agg(F.max("v_ts").alias("v_ts"))
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("unix_micros(p_ts)").alias("purchase_us"),
+            F.expr("unix_micros(v_ts)").alias("view_us"),
+            (F.expr("unix_micros(p_ts)") - F.expr("unix_micros(v_ts)")).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def asof_attribution_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "events_asof",
+    horizon_sec: int = ASOF_HORIZON_SEC,
+    watermark: str = "10 minutes",
+):
+    """Streaming as-of attribution: a watermarked STREAM-STREAM
+    time-interval self-join (purchases ⋈ views on user within the horizon)
+    followed by a second stateful operator — the per-purchase max-view
+    aggregation — emitting in append mode once the watermark passes the
+    purchase's event time.
+
+    State bounds (the 100 TB property): the join buffers each side only
+    inside watermark + horizon (Spark evicts view rows once no future
+    purchase can match them — the time-interval condition is what enables
+    eviction); the aggregation holds one row per in-flight purchase.
+    Late views beyond the watermark are dropped, exactly the trade the
+    batch twin's horizon encodes."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(input_dir)
+    v = (
+        stream.where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").cast("timestamp").alias("v_ts"))
+        .withWatermark("v_ts", watermark)
+    )
+    p = (
+        stream.where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    j = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {int(horizon_sec)} SECOND")),
+    )
+    best = (
+        j.groupBy("event_id", "user_id", "p_ts")
+        .agg(F.max("v_ts").alias("v_ts"))
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("unix_micros(p_ts)").alias("purchase_us"),
+            F.expr("unix_micros(v_ts)").alias("view_us"),
+            (F.expr("unix_micros(p_ts)") - F.expr("unix_micros(v_ts)")).alias("gap_us"),
+        )
+    )
+    return (
+        best.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -206,3 +206,65 @@ def test_event_time_timeout_flushes_idle_session(spark, tmp_root):
     # (last event within gap of the final watermark) so not emitted
     assert (1, u1_start, 2) in got
     assert all(u != 2 for u, _, _ in got)
+
+
+def test_asof_attribution_stream_matches_batch(spark, tmp_root):
+    """Stream-stream time-interval self-join (purchases ⋈ views within the
+    horizon) + downstream max-agg == the batch twin. Two far-future flush
+    chunks advance BOTH sides' watermarks (the engine applies an advanced
+    watermark with a one-batch lag) so every real purchase finalizes; the
+    flush rows themselves produce no output (purchase user has no views)."""
+    import datetime as dt
+    import time
+
+    from docix_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        asof_attribution,
+        asof_attribution_stream,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").orderBy("ts")
+    rows = events.collect()
+    n = len(rows)
+    d = f"{tmp_root}/asof_drops"
+    os.makedirs(d, exist_ok=True)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    chunks = [rows[cuts[i]:cuts[i + 1]] for i in range(3)]
+    far = max(r.ts for r in rows) + dt.timedelta(days=30)
+    for k in range(2):
+        t = far + dt.timedelta(days=k)
+        chunks.append(
+            [
+                (10_000_000 + 2 * k, t, 888888, "view", 0.0, "{}"),
+                (10_000_001 + 2 * k, t, 999999, "purchase", 0.0, "{}"),
+            ]
+        )
+    for i, chunk in enumerate(chunks):
+        df = spark.createDataFrame(chunk, events.schema if i < 3 else EVENTS_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_root}/_asof{i}")
+        for f in os.listdir(f"{tmp_root}/_asof{i}"):
+            if f.endswith(".parquet"):
+                os.replace(
+                    os.path.join(f"{tmp_root}/_asof{i}", f),
+                    os.path.join(d, f"chunk_{i}.parquet"),
+                )
+        time.sleep(1.1)  # distinct mtimes: file-source batch order
+
+    # 1-day horizon: ~70 attributable purchases at sf0.001 (the registry op's
+    # 1-hour horizon matches only 3 here — too thin to exercise join state)
+    q = asof_attribution_stream(
+        spark, d, f"{tmp_root}/asof_ckpt", query_name="t_ev_asof",
+        horizon_sec=86400,
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.event_id, r.user_id, r.purchase_us, r.view_us, r.gap_us)
+        for r in spark.sql("SELECT * FROM t_ev_asof").collect()
+    )
+    want = sorted(
+        (r.event_id, r.user_id, r.purchase_us, r.view_us, r.gap_us)
+        for r in asof_attribution(
+            spark.read.parquet(f"{SF_DIR}/events.parquet"), horizon_sec=86400
+        ).collect()
+    )
+    assert got == want and len(want) > 50
