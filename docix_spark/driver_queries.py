@@ -5882,6 +5882,377 @@ def events_asof_horizon(spark, sf_dir):
     return asof_attribution(_events(spark, sf_dir), horizon_sec=3600)
 
 
+_DECAY_S_US = 14 * 86_400_000_000  # ES linear decay: s = scale/(1-decay) = 7d/0.5
+
+
+@register(
+    "function_score_decay",
+    f"""WITH o AS (SELECT max(epoch_us(ts)) AS origin_us FROM events),
+    p AS (
+      SELECT event_id, epoch_us(ts) AS t_us,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id, value_cents,
+           o.origin_us - t_us AS age_us,
+           (1000000 * greatest(0, {_DECAY_S_US} - (o.origin_us - t_us))) // {_DECAY_S_US} AS decay_q6,
+           value_cents * ((1000000 * greatest(0, {_DECAY_S_US} - (o.origin_us - t_us))) // {_DECAY_S_US}) AS boosted_q6c
+    FROM p, o
+    ORDER BY boosted_q6c DESC, event_id ASC LIMIT 20""",
+)
+def function_score_decay(spark, sf_dir):
+    """ES ``function_score`` with a LINEAR date decay (the reference's ES
+    tier exposes function_score; decay scoring is its canonical recency
+    use): score = value × max(0, (s − age)/s) with origin = newest event,
+    scale 7d, decay 0.5 ⇒ s = scale/(1−decay) = 14d, offset 0 — the exact
+    ES linear formula. Linear (not gauss/exp) is chosen deliberately: it
+    is a RATIONAL of integer microsecond ages, so the whole score is
+    computed in BIGINT floor division — no exp/ln call whose last-ulp
+    libm behavior could diverge between engines. decay_q6 =
+    (10^6·max(0, s−age)) div s; boost = cents × decay_q6.
+
+    Scale shape: origin is a 1-row scalar agg broadcast by crossJoin; the
+    scoring is pure map-side column math on the filtered scan (predicate
+    pushed to parquet); the cut is a 20-row TakeOrdered — no shuffle at
+    any size. 10^6·s ≈ 1.2e18 stays inside BIGINT."""
+    e = _events(spark, sf_dir)
+    origin = e.agg(F.expr("max(unix_micros(cast(ts as timestamp)))").alias("origin_us"))
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    age = F.col("origin_us") - F.col("t_us")
+    decay_q6 = F.expr(
+        f"(1000000 * greatest(0, {_DECAY_S_US} - (origin_us - t_us))) div {_DECAY_S_US}"
+    )
+    return (
+        p.crossJoin(F.broadcast(origin))
+        .select(
+            "event_id",
+            "value_cents",
+            age.cast("long").alias("age_us"),
+            decay_q6.cast("long").alias("decay_q6"),
+            (F.col("value_cents") * decay_q6).cast("long").alias("boosted_q6c"),
+        )
+        .orderBy(F.desc("boosted_q6c"), F.asc("event_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "orders_date_histogram",
+    """SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_epoch,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+              CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+              CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+              CAST((1000000 * sum(CAST(round(o_totalprice * 100) AS BIGINT)))
+                   // count(*) AS BIGINT) AS avg_cents_q6
+       FROM orders GROUP BY 1 ORDER BY 1""",
+)
+def orders_date_histogram(spark, sf_dir):
+    """ES ``date_histogram`` aggregation with calendar_interval=month plus
+    a stats sub-agg (count/sum/min/max/avg) over order totals — the
+    time-bucketed dashboard agg the reference's ES tier serves. Prices
+    become exact BIGINT cents FIRST (round(×100) — TPC-H prices carry two
+    decimals, so the rounding is exact), every stat is integer math, and
+    the mean is 10^6·sum div n — float summation order can't diverge.
+
+    Scale shape: ONE hash aggregation keyed on the truncated month —
+    map-side partial combine collapses each scan partition to
+    months-per-partition rows before the exchange; the month key is
+    low-cardinality and uniform so no salting is warranted. At a 10^12-row
+    scale the cents sums approach BIGINT range; production would widen to
+    DECIMAL(38,0) — noted, not needed at any tested SF."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select(
+            F.expr(
+                "unix_seconds(cast(date_trunc('month', o_orderdate) as timestamp))"
+            ).alias("month_epoch"),
+            cents.alias("cents"),
+        )
+        .groupBy("month_epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+            F.expr("(1000000 * sum(cents)) div count(*)").cast("long").alias("avg_cents_q6"),
+        )
+        .orderBy("month_epoch")
+    )
+
+
+@register(
+    "bigram_lm_surprisal",
+    f"""WITH w AS ({SQL_WORDS}),
+    bg AS (
+      SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+      FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
+      WHERE len(words) >= 2
+    ),
+    bt AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf FROM bg GROUP BY doc_id, w1, w2),
+    bc AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c_xy FROM bt GROUP BY w1, w2),
+    cx AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x FROM bc GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS vocab FROM bc),
+    nl AS (
+      SELECT bc.w1, bc.w2,
+             CAST(round(-ln(CAST(bc.c_xy + 1 AS DOUBLE) / CAST(cx.c_x + v.vocab AS DOUBLE))
+                        * 1000000) AS BIGINT) AS nlp_q6
+      FROM bc JOIN cx USING (w1), v
+    )
+    SELECT bt.doc_id,
+           CAST(sum(bt.tf) AS BIGINT) AS n_bigrams,
+           CAST(sum(bt.tf * nl.nlp_q6) AS BIGINT) AS surprisal_q6,
+           CAST(sum(bt.tf * nl.nlp_q6) // sum(bt.tf) AS BIGINT) AS mean_nlp_q6
+    FROM bt JOIN nl ON bt.w1 = nl.w1 AND bt.w2 = nl.w2
+    GROUP BY bt.doc_id ORDER BY bt.doc_id""",
+)
+def bigram_lm_surprisal(spark, sf_dir):
+    """Per-document cross-entropy under an add-1-smoothed BIGRAM language
+    model trained on the corpus itself — the KenLM-shaped sharpening of
+    `unigram_logprob` (CCNet filters on n-gram LM perplexity, not unigram):
+    p(w2|w1) = (c(w1w2)+1) / (c(w1·)+|V|) with c(w1·) the bigram-context
+    count and |V| the outcome vocabulary (distinct w2 in the bigram
+    table — self-contained so both engines derive it from the same CTE).
+
+    Determinism (the unigram_logprob recipe): the ln argument is ONE
+    rational of exact BIGINTs, per-BIGRAM −ln is q6-rounded FIRST, the
+    per-doc score is an exact BIGINT dot product Σ tf·nlp_q6, and the
+    mean is floor division. Docs under 2 tokens have no bigrams and are
+    excluded (Spark's sequence(0, negative) junk-index guard).
+
+    100 TB shape: the bigram tf table is the A1 postings aggregation on a
+    pair key (map-side combine absorbs boilerplate skew); the model join
+    keys on the pair (high-cardinality — the key itself spreads); context
+    counts and |V| are dictionary-sized. bt feeds two subtrees (model
+    estimation + scoring join), so it is materialized once via
+    localCheckpoint — at scale, a written-once bigram-postings parquet."""
+    d = _docs(spark, sf_dir).select("doc_id", spark_tokens("text").alias("words"))
+    bg = (
+        d.where(F.size("words") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words)-2), i -> struct(words[i] as w1, words[i+1] as w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    bt = (
+        bg.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
+    )
+    bc = bt.groupBy("w1", "w2").agg(F.sum("tf").cast("long").alias("c_xy"))
+    cx = bc.groupBy("w1").agg(F.sum("c_xy").cast("long").alias("c_x"))
+    v = bc.agg(F.count_distinct("w2").cast("long").alias("vocab"))
+    nl = (
+        bc.join(cx, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log(
+                    (F.col("c_xy") + 1).cast("double")
+                    / (F.col("c_x") + F.col("vocab")).cast("double")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("nlp_q6"),
+        )
+    )
+    return (
+        bt.join(nl, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("nlp_q6")).cast("long").alias("surprisal_q6"),
+            F.expr("sum(tf * nlp_q6) div sum(tf)").cast("long").alias("mean_nlp_q6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_UNI_MEAN = f"""WITH tf AS ({SQL_TF}),
+    tt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY term),
+    tot AS (SELECT CAST(sum(total_tf) AS DOUBLE) AS big_t FROM tt),
+    nl AS (
+      SELECT term,
+             CAST(round(-ln(CAST(total_tf AS DOUBLE) / big_t) * 1000000) AS BIGINT) AS nlp_q6
+      FROM tt, tot
+    ),
+    d AS (
+      SELECT tf.doc_id,
+             CAST(sum(tf.tf * nl.nlp_q6) AS BIGINT) // CAST(sum(tf.tf) AS BIGINT) AS mean_nlp_q6
+      FROM tf JOIN nl USING (term) GROUP BY tf.doc_id
+    ),
+    m AS (
+      SELECT d.doc_id, documents.source, CAST(d.mean_nlp_q6 AS BIGINT) AS mean_nlp_q6
+      FROM d JOIN documents ON documents.doc_id = d.doc_id
+    )"""
+
+
+def _unigram_doc_mean(spark, sf_dir) -> DataFrame:
+    """(doc_id, source, mean_nlp_q6) under the corpus unigram LM — the
+    exact per-doc mean surprisal of `unigram_logprob`, joined back to the
+    doc's source (column-pruned documents scan). Empty docs (no tokens)
+    have no tf rows and are excluded, matching the SQL twin."""
+    tf = (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    tt = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("total_tf"))
+    tot = tt.agg(F.sum("total_tf").cast("double").alias("big_t"))
+    nl = tt.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(-F.log(F.col("total_tf").cast("double") / F.col("big_t")) * 1_000_000)
+        .cast("long")
+        .alias("nlp_q6"),
+    )
+    d = (
+        tf.join(nl, "term")
+        .groupBy("doc_id")
+        .agg(F.expr("sum(tf * nlp_q6) div sum(tf)").cast("long").alias("mean_nlp_q6"))
+    )
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    return d.join(src, "doc_id").select("doc_id", "source", "mean_nlp_q6")
+
+
+@register(
+    "perplexity_buckets",
+    _SQL_UNI_MEAN
+    + """,
+    r AS (
+      SELECT source, mean_nlp_q6,
+             row_number() OVER (PARTITION BY source ORDER BY mean_nlp_q6, doc_id) AS rnk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM m
+    )
+    SELECT source, CAST(((rnk - 1) * 3) // n AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(mean_nlp_q6) AS BIGINT) AS min_nlp_q6,
+           CAST(max(mean_nlp_q6) AS BIGINT) AS max_nlp_q6
+    FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail quality buckets: per source, rank
+    documents by mean unigram-LM surprisal and cut into exact terciles
+    (bucket = (rank−1)·3 div n — integer math, identical split both
+    engines and NEVER ntile(), whose remainder placement differs from
+    this formula only when n%3≠0 — so the formula is spelled out in both).
+    Head (bucket 0) = most-fluent-per-the-LM, tail (2) = rare-token soup;
+    CCNet keeps head+middle and drops or down-weights tail.
+
+    Scale shape: the rank is the `domain_cap` sub-sharded two-pass rank,
+    NOT a whole-source window — mean_nlp_q6 div 10^6 (whole nats) splits
+    each source into order-aligned range shards, per-(source, shard)
+    counts get exclusive-prefix-summed (a window over the tiny
+    sources×shards table), local ranks window over bounded shards, and
+    the shard offset joins back un-hinted (AQE broadcasts when small).
+    The oracle is the naive whole-source window — byte-identical ranks."""
+    m = _unigram_doc_mean(spark, sf_dir).withColumn(
+        "shard", F.expr("mean_nlp_q6 div 1000000")
+    )
+    counts = m.groupBy("source", "shard").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "source",
+        "shard",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(Window.partitionBy("source")).alias("n"),
+    )
+    w_loc = Window.partitionBy("source", "shard").orderBy("mean_nlp_q6", "doc_id")
+    ranked = (
+        m.withColumn("lr", F.row_number().over(w_loc))
+        .join(offsets, ["source", "shard"])
+        .select(
+            "source",
+            "mean_nlp_q6",
+            F.expr("((off + lr - 1) * 3) div n").cast("long").alias("bucket"),
+        )
+    )
+    return (
+        ranked.groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("mean_nlp_q6").cast("long").alias("min_nlp_q6"),
+            F.max("mean_nlp_q6").cast("long").alias("max_nlp_q6"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+@register(
+    "minhash_cluster_stats",
+    _SQL_LSH_PAIRS
+    + """,
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+    sizes AS (SELECT lbl, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY lbl),
+    hist AS (
+      SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+      FROM sizes GROUP BY cluster_size
+    ),
+    singles AS (
+      SELECT CAST(1 AS BIGINT) AS cluster_size,
+             CAST((SELECT count(*) FROM documents) - (SELECT count(*) FROM comp) AS BIGINT) AS n_clusters
+    )
+    SELECT cluster_size, n_clusters FROM hist
+    UNION ALL SELECT cluster_size, n_clusters FROM singles WHERE n_clusters > 0
+    ORDER BY cluster_size""",
+)
+def minhash_cluster_stats(spark, sf_dir):
+    """Near-dup cluster-size histogram — the dedup QA readout (how much of
+    the corpus is duplicated, and in what clump sizes) that decides
+    keep-one-per-cluster savings: LSH candidate pairs → connected
+    components → per-cluster sizes → (cluster_size, n_clusters), with
+    unclustered docs reported as size-1 clusters (total docs − labeled).
+
+    Scale shape: reuses `_lsh_pair_edges` (banded equi-join, nothing
+    all-pairs) and the pointer-doubling `connected_components` (O(log
+    diameter) rounds, raise-on-nonconvergence); the histogram is two
+    doc_id-keyed aggs whose outputs shrink geometrically (docs → clusters
+    → size classes). The singleton count is total − labeled, two scalar
+    aggs — no join against the unlabeled majority."""
+    edges = _lsh_pair_edges(spark, sf_dir).localCheckpoint()
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("lbl")
+    )
+    comp = connected_components(labels, edges)
+    sizes = comp.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    n_total = _docs(spark, sf_dir).count()
+    n_labeled = comp.count()
+    singles = spark.createDataFrame(
+        [(1, n_total - n_labeled)], "cluster_size long, n_clusters long"
+    ).where(F.col("n_clusters") > 0)
+    return hist.unionByName(singles).orderBy("cluster_size")
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
@@ -5893,9 +6264,14 @@ def events_asof_horizon(spark, sf_dir):
 # (tests/test_driver_contract.py) still checks all entries every run.
 
 _FRONT = [
-    # newest (session 9c): explain/search_after/rank_eval + DSIR + completion
+    # newest (session 10): function_score decay, date_histogram stats,
+    # bigram LM, CCNet perplexity terciles, near-dup cluster histogram,
+    # horizon-bounded as-of (streaming twin)
+    "function_score_decay", "orders_date_histogram", "bigram_lm_surprisal",
+    "perplexity_buckets", "minhash_cluster_stats", "events_asof_horizon",
+    # session 9c: explain/search_after/rank_eval + DSIR + completion
     "bm25_explain", "search_after", "rank_eval", "dsir_importance",
-    "suggest_completion", "events_asof_horizon",
+    "suggest_completion",
     # session 9b: filtered vector search + top_hits + sparse cosine
     "ann_ivf_filtered", "ann_ivf_filtered_recall", "search_top_hits",
     "sparse_cosine_pairs",
