@@ -278,7 +278,9 @@ def main() -> None:
                  "countmin_heavyhitters", "percolate_queries",
                  "ann_ivf_filtered", "search_top_hits",
                  "sparse_cosine_pairs",
-                 "search_after", "rank_eval", "dsir_importance"]:
+                 "search_after", "rank_eval", "dsir_importance",
+                 "bigram_lm_surprisal", "perplexity_buckets",
+                 "minhash_cluster_stats", "function_score_decay"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)
