@@ -6253,6 +6253,29 @@ def minhash_cluster_stats(spark, sf_dir):
     return hist.unionByName(singles).orderBy("cluster_size")
 
 
+@register(
+    "events_exactly_once_counts",
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+              event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       FROM (SELECT DISTINCT event_id, ts, event_type, value FROM events)
+       GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def events_exactly_once_counts(spark, sf_dir):
+    """Exactly-once windowed counts over an at-least-once stream: dedup by
+    event_id (replays are full-row broker redeliveries, so by-key dedup is
+    deterministic), then the tumbling 1-hour rollup — the batch twin of
+    the STREAMING ``dropDuplicatesWithinWatermark`` → windowed-agg chain
+    (streaming/events.py::exactly_once_counts_stream, two stateful
+    operators in one append-mode query; proven equal over micro-batches
+    with injected replays in tests/test_events_streaming.py). On the
+    driver's clean table (unique event_ids) this equals events_windowed —
+    the dedup is the semantic contract, exercised by the replay test."""
+    from docix_spark.streaming.events import exactly_once_counts
+
+    return exactly_once_counts(_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
@@ -6269,6 +6292,7 @@ _FRONT = [
     # horizon-bounded as-of (streaming twin)
     "function_score_decay", "orders_date_histogram", "bigram_lm_surprisal",
     "perplexity_buckets", "minhash_cluster_stats", "events_asof_horizon",
+    "events_exactly_once_counts",
     # session 9c: explain/search_after/rank_eval + DSIR + completion
     "bm25_explain", "search_after", "rank_eval", "dsir_importance",
     "suggest_completion",

@@ -443,3 +443,66 @@ def asof_attribution_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# exactly-once window counts over an at-least-once stream
+# ---------------------------------------------------------------------------
+
+
+def exactly_once_counts(events: DataFrame) -> DataFrame:
+    """Batch twin: tumbling 1-hour window counts AFTER dedup by event_id —
+    the exactly-once rollup of an at-least-once delivery (replays are
+    full-row copies with the same event_id, the broker-redelivery
+    contract; dedup-by-key is therefore deterministic)."""
+    return windowed_counts(events.dropDuplicates(["event_id"]))
+
+
+def exactly_once_counts_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "events_dedup",
+    watermark: str = "10 minutes",
+):
+    """Streaming exactly-once windowed counts: ``dropDuplicatesWithinWatermark``
+    on event_id CHAINED into the watermarked tumbling-window aggregation —
+    two stateful operators in one append-mode query (the shape Spark 3.5+
+    multi-stateful support exists for).
+
+    State bounds (the 100 TB property): the dedup operator keeps one key
+    per event_id seen inside the watermark band and EVICTS it once the
+    watermark passes — unlike plain ``dropDuplicates`` on a stream, whose
+    state grows forever; the window state is (active windows × event
+    types). A replay arriving later than the watermark would slip through
+    dedup — the same late-data trade every watermarked operator makes, and
+    exactly why the broker's redelivery timeout must sit inside the
+    watermark delay."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(input_dir)
+    dd = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = (
+        dd.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start_epoch"),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -268,3 +268,68 @@ def test_asof_attribution_stream_matches_batch(spark, tmp_root):
         ).collect()
     )
     assert got == want and len(want) > 50
+
+
+def test_exactly_once_counts_stream_dedups_replays(spark, tmp_root):
+    """dropDuplicatesWithinWatermark → windowed agg (two chained stateful
+    operators, append mode) over micro-batches with INJECTED REPLAYS: each
+    chunk re-delivers the tail of the previous one (at-least-once broker
+    semantics). Output must equal the batch twin over the ORIGINAL events —
+    replays must not double-count. A generous 30-day watermark keeps every
+    replay inside the dedup band (the production contract: redelivery
+    timeout < watermark delay); two far-apart flush chunks advance the
+    watermark past all real windows so they finalize."""
+    import datetime as dt
+    import time
+
+    from docix_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        exactly_once_counts,
+    )
+    from docix_spark.streaming.events import exactly_once_counts_stream
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").orderBy("ts")
+    rows = events.collect()
+    n = len(rows)
+    d = f"{tmp_root}/dedup_drops"
+    os.makedirs(d, exist_ok=True)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    chunks = [rows[cuts[i]:cuts[i + 1]] for i in range(3)]
+    # inject replays: chunk i+1 re-delivers the last 10 rows of chunk i,
+    # and chunk 0 contains an in-batch duplicate of its own first row
+    chunks[0] = chunks[0] + chunks[0][:1]
+    chunks[1] = chunks[0][-11:-1] + chunks[1]
+    chunks[2] = chunks[1][-10:] + chunks[2]
+    far = max(r.ts for r in rows) + dt.timedelta(days=90)
+    for k in range(2):
+        t = far + dt.timedelta(days=40 * k)
+        chunks.append([(20_000_000 + k, t, 777777, "flush", 0.0, "{}")])
+    for i, chunk in enumerate(chunks):
+        df = spark.createDataFrame(chunk, events.schema if i < 3 else EVENTS_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_root}/_dd{i}")
+        for f in os.listdir(f"{tmp_root}/_dd{i}"):
+            if f.endswith(".parquet"):
+                os.replace(
+                    os.path.join(f"{tmp_root}/_dd{i}", f),
+                    os.path.join(d, f"chunk_{i}.parquet"),
+                )
+        time.sleep(1.1)  # distinct mtimes: file-source batch order
+
+    q = exactly_once_counts_stream(
+        spark, d, f"{tmp_root}/dedup_ckpt", query_name="t_ev_dedup",
+        watermark="30 days",
+    )
+    q.awaitTermination(180)
+    max_real = max(r.ts for r in rows).replace(tzinfo=dt.timezone.utc).timestamp()
+    got = sorted(
+        (r.window_start_epoch, r.event_type, r.n, r.value_cents)
+        for r in spark.sql("SELECT * FROM t_ev_dedup").collect()
+        if r.window_start_epoch <= max_real  # drop flush-row windows
+    )
+    want = sorted(
+        (r.window_start_epoch, r.event_type, r.n, r.value_cents)
+        for r in exactly_once_counts(
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ).collect()
+    )
+    assert got == want and len(want) > 20
