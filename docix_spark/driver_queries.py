@@ -6160,8 +6160,12 @@ def perplexity_buckets(spark, sf_dir):
     sources×shards table), local ranks window over bounded shards, and
     the shard offset joins back un-hinted (AQE broadcasts when small).
     The oracle is the naive whole-source window — byte-identical ranks."""
-    m = _unigram_doc_mean(spark, sf_dir).withColumn(
-        "shard", F.expr("mean_nlp_q6 div 1000000")
+    # m feeds two subtrees (shard counts + the ranked join) — materialize
+    # once or the whole unigram-LM chain re-executes per consumer
+    m = (
+        _unigram_doc_mean(spark, sf_dir)
+        .withColumn("shard", F.expr("mean_nlp_q6 div 1000000"))
+        .localCheckpoint()
     )
     counts = m.groupBy("source", "shard").agg(F.count(F.lit(1)).alias("cnt"))
     w_off = (
