@@ -6281,6 +6281,384 @@ def events_exactly_once_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 12 — ES query-surface completions (phrase_prefix, SynonymQuery,
+# rescore window) + pipeline chunk dedup / output sharding / source entropy
+# ---------------------------------------------------------------------------
+
+# Positions CTE shared by the session-12 positional queries (1-based in
+# DuckDB via generate_series; Spark uses 0-based posexplode — origins cancel
+# in every gap/adjacency expression, per the phrase_slop precedent).
+_SQL_POS = f"""pw AS ({SQL_WORDS}),
+p AS (SELECT doc_id, i, words[i] AS term FROM pw, unnest(generate_series(1, len(words))) AS t(i))"""
+
+
+@register(
+    "match_phrase_prefix",
+    f"""WITH {_SQL_POS},
+dict AS (SELECT DISTINCT term FROM p),
+exp AS (SELECT term FROM dict WHERE term LIKE 's%' ORDER BY term LIMIT 50),
+a AS (SELECT doc_id, i FROM p WHERE term = 'fast'),
+b AS (SELECT doc_id, i, term FROM p JOIN exp USING (term))
+SELECT a.doc_id,
+       CAST(count(*) AS BIGINT) AS n_positions,
+       CAST(count(DISTINCT b.term) AS BIGINT) AS n_expansions
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+GROUP BY a.doc_id ORDER BY a.doc_id""",
+)
+def match_phrase_prefix(spark, sf_dir):
+    """ES ``match_phrase_prefix`` — the search-as-you-type phrase form the
+    reference UI issues while the user is mid-word (the phrase analogue of
+    the F5 prefix suggester, SearchAdapter.java:198-228): phrase
+    "fast s*", where the LAST position is a prefix expanded to at most
+    max_expansions=50 dictionary terms in term-dictionary (lexicographic)
+    order — exactly Lucene's expansion rule, which walks the term dict in
+    sorted order and stops at the cap, so the cap is deterministic
+    cross-engine. A doc matches where 'fast' at position i is immediately
+    followed by any expansion at i+1; per doc we report the occurrence
+    count and how many distinct expansions fired.
+
+    Scale shape: the expansion scan is vocab-sized (the A2 dictionary,
+    orders smaller than the corpus) with a 50-row TakeOrdered; the
+    positional legs are two pruned postings reads (first-term postings +
+    the ≤50 expansion terms' postings), then ONE doc_id equi-join between
+    two small position sets — phrase_slop's plan with a broadcast
+    expansion set on the b side. Never a corpus scan."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(spark_tokens("text")).alias("pos", "term")
+    )
+    exp = (
+        toks.select("term").distinct()
+        .where(F.col("term").startswith("s"))
+        .orderBy("term")
+        .limit(50)
+    )
+    a = toks.where(F.col("term") == "fast").select("doc_id", F.col("pos").alias("pa"))
+    b = toks.join(F.broadcast(exp), "term").select("doc_id", F.col("pos").alias("pb"), "term")
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("pb") == F.col("pa") + 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_positions"),
+            F.countDistinct("term").cast("long").alias("n_expansions"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "synonym_query_search",
+    f"""WITH tf AS ({SQL_TF}),
+dl AS ({SQL_DL}),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+syn AS (SELECT * FROM (VALUES ('scan', 0), ('filter', 0), ('join', 1)) AS t(term, gid)),
+gdf AS (SELECT gid, max(df) AS df FROM syn JOIN dfs USING (term) GROUP BY gid),
+gtf AS (SELECT tf.doc_id, syn.gid, CAST(sum(tf.tf) AS DOUBLE) AS tf
+        FROM tf JOIN syn USING (term) GROUP BY tf.doc_id, syn.gid),
+per AS (
+  SELECT gtf.doc_id,
+         ln(1.0 + ((SELECT n_docs FROM st) - gdf.df + 0.5) / (gdf.df + 0.5))
+           * gtf.tf * 2.2
+           / (gtf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM st))) AS s
+  FROM gtf JOIN gdf USING (gid) JOIN dl USING (doc_id)
+),
+agg AS (SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6,
+               CAST(count(*) AS BIGINT) AS nm
+        FROM per GROUP BY doc_id),
+ranked AS (SELECT doc_id, score_q6, nm,
+                  row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rank
+           FROM agg)
+SELECT doc_id, score_q6, nm, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY rank""",
+)
+def synonym_query_search(spark, sf_dir):
+    """Lucene ``SynonymQuery`` scoring — what ES actually runs when the
+    analyzer emits query-time synonyms at one position (the synonym
+    token-filter layer under the reference's match queries,
+    SearchAdapter.java:398-405 analysis chain): synonyms are ONE scoring
+    atom, not a boolean OR. Per Lucene's SynonymQuery: the atom's document
+    frequency is the MAX over member terms' df (blended idf — an OR would
+    overcount), and its within-doc tf is the SUM of member tfs. Query here:
+    group (scan ≡ filter) + plain term join, BM25 per atom, summed, top 10
+    with the doc_id tiebreak.
+
+    Scale shape: identical to bm25_topk — the synonym map is a broadcast
+    VALUES table folded into the pruned postings join, the per-(doc, group)
+    sum is absorbed by the same map-side partial agg as A1, and the blended
+    df table is group-count-sized. Synonyms add zero exchanges over the
+    plain query."""
+    toks = _toks(_docs(spark, sf_dir))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    st = dl.agg(F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
+    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    syn = F.broadcast(
+        spark.createDataFrame([("scan", 0), ("filter", 0), ("join", 1)], "term string, gid int")
+    )
+    gdf = syn.join(dfs, "term").groupBy("gid").agg(F.max("df").alias("df"))
+    gtf = (
+        tf.join(syn, "term")
+        .groupBy("doc_id", "gid")
+        .agg(F.sum("tf").cast("double").alias("tf"))
+    )
+    per = (
+        gtf.join(F.broadcast(gdf), "gid").join(dl, "doc_id").crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            (
+                F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf") * F.lit(2.2)
+                / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("doc_len") / F.col("avgdl")))
+            ).alias("s"),
+        )
+    )
+    agg = per.groupBy("doc_id").agg(
+        _q6(F.sum("s")).alias("score_q6"), F.count("*").cast("long").alias("nm")
+    )
+    topk = agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
+    return (
+        topk.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))).cast("long"),
+        )
+        .select("doc_id", "score_q6", "nm", "rank")
+        .orderBy("rank")
+    )
+
+
+@register(
+    "rescore_topn",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + f""",
+{_SQL_POS},
+ga AS (SELECT doc_id, i FROM p WHERE term = 'spark'),
+gb AS (SELECT doc_id, i FROM p WHERE term = 'join'),
+prox AS (SELECT ga.doc_id, 1000000 // (1 + min(gb.i - ga.i)) AS resc_q6
+         FROM ga JOIN gb ON ga.doc_id = gb.doc_id AND gb.i - ga.i BETWEEN 1 AND 3
+         GROUP BY ga.doc_id),
+win AS (SELECT doc_id, score_q6 FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 30),
+resc AS (SELECT win.doc_id, win.score_q6,
+                CAST(COALESCE(prox.resc_q6, 0) AS BIGINT) AS resc_q6,
+                win.score_q6 + 2 * CAST(COALESCE(prox.resc_q6, 0) AS BIGINT) AS combined_q6
+         FROM win LEFT JOIN prox USING (doc_id)),
+ranked AS (SELECT *, row_number() OVER (ORDER BY combined_q6 DESC, doc_id ASC) AS rank FROM resc)
+SELECT doc_id, score_q6, resc_q6, combined_q6, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY rank""",
+)
+def rescore_topn(spark, sf_dir):
+    """ES ``rescore`` — the two-pass ranking window every relevance-tuned
+    deployment of the reference's search tier ends up using: pass 1 is the
+    cheap BM25 query (bm25_topk's match set), pass 2 re-scores only the
+    top window_size=30 docs with an expensive proximity query ('spark'
+    followed by 'join' within slop 3; tightness bonus = 1e6 div (1+gap),
+    pure integer), combined with ES's default score_mode=total as
+    query_weight·orig + rescore_query_weight·resc (1 and 2 here) — all in
+    BIGINT micro-units, so cross-engine equality is exact. Top 10 of the
+    re-sorted window, doc_id tiebreak.
+
+    Scale shape: THE point of rescore — the proximity legs join against a
+    30-row broadcast window, never the corpus; cost of pass 2 is bounded by
+    window_size regardless of data size. Pass 1 is the standard pruned
+    postings plan; the window is one TakeOrdered."""
+    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
+    win = agg.select("doc_id", "score_q6").orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(30)
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(spark_tokens("text")).alias("pos", "term")
+    )
+    a = toks.where(F.col("term") == "spark").select("doc_id", F.col("pos").alias("pa"))
+    b = toks.where(F.col("term") == "join").select("doc_id", F.col("pos").alias("pb"))
+    gap = F.col("pb") - F.col("pa")
+    prox = (
+        a.join(b, "doc_id")
+        .where(gap.between(1, 3))
+        .groupBy("doc_id")
+        .agg(F.expr("1000000 div (1 + min(pb - pa))").alias("resc_q6"))
+    )
+    resc = (
+        win.join(prox, "doc_id", "left")
+        .select(
+            "doc_id",
+            "score_q6",
+            F.coalesce("resc_q6", F.lit(0)).cast("long").alias("resc_q6"),
+        )
+        .withColumn("combined_q6", F.col("score_q6") + F.lit(2) * F.col("resc_q6"))
+    )
+    return (
+        resc.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("combined_q6"), F.asc("doc_id"))).cast("long"),
+        )
+        .where(F.col("rank") <= 10)
+        .select("doc_id", "score_q6", "resc_q6", "combined_q6", "rank")
+        .orderBy("rank")
+    )
+
+
+@register(
+    "chunk_dedup_scrub",
+    f"""WITH w AS ({SQL_WORDS}),
+ch AS (
+  SELECT doc_id, i AS chunk_idx,
+         md5(array_to_string(words[(1 + 8 * i):(8 + 8 * i)], ' ')) AS h
+  FROM w, unnest(generate_series(0, CAST(ceil(len(words) / 8.0) AS BIGINT) - 1)) AS t(i)
+  WHERE len(words) >= 1
+),
+rk AS (SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn FROM ch)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+       (CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS kept_frac_q6
+FROM rk GROUP BY doc_id ORDER BY doc_id""",
+)
+def chunk_dedup_scrub(spark, sf_dir):
+    """Paragraph-level exact dedup, the Dolma/CCNet scrub pass that runs
+    BELOW whole-doc dedup (dedup_exact) and ABOVE n-gram overlap
+    (dup_ngram_fraction): the corpus is chunked into non-overlapping
+    8-token spans (the paragraph stand-in for this corpus's unstructured
+    text — real pipelines split on newlines), each chunk keyed by md5, and
+    a chunk SURVIVES iff this occurrence is the global first by
+    (doc_id, chunk_idx) — every later copy anywhere in the corpus is
+    scrubbed. Per doc: chunk count, surviving count, and the kept fraction
+    in integer micro-units (exact BIGINT cross-multiplication, no float
+    division).
+
+    Scale shape: chunking is map-side array work inside codegen; the ONE
+    shuffle is the chunk-hash key (md5 — uniform, self-spreading, no salt
+    needed; the first-occurrence window partitions by it), then the
+    per-doc rollup rides the doc_id key. Identical shape to
+    dedup_survivor_tokens; at 100 TB this is the textbook
+    hash-partitioned scrub."""
+    w = _docs(spark, sf_dir).select("doc_id", spark_tokens("text").alias("words")).where(
+        F.size("words") >= 1
+    )
+    ch = w.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(words) / 8.0) as int) - 1),"
+                " i -> md5(concat_ws(' ', slice(words, 1 + 8 * i, 8))))"
+            )
+        ).alias("chunk_idx", "h"),
+    )
+    rk = ch.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "chunk_idx"))
+    )
+    kept = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long")
+    return (
+        rk.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            kept.alias("kept_chunks"),
+        )
+        .withColumn("kept_frac_q6", F.expr("(kept_chunks * 1000000) div n_chunks"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "shard_token_balance",
+    f"""WITH dl AS ({SQL_DL}),
+sh AS (SELECT d.doc_id,
+              ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::UBIGINT::BIGINT % 16 AS shard,
+              COALESCE(dl.doc_len, 0) AS n_tok
+       FROM documents d LEFT JOIN dl USING (doc_id)),
+agg AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM sh GROUP BY shard)
+SELECT shard, n_docs, n_tokens,
+       (n_tokens * 1000000) // (SELECT CAST(sum(n_tokens) AS BIGINT) FROM agg) AS share_q6
+FROM agg ORDER BY shard""",
+)
+def shard_token_balance(spark, sf_dir):
+    """Training-output shard plan: route every doc to one of 16 output
+    shards by a content-independent deterministic hash (16-bit md5 slice
+    of the doc id — the same cross-engine hash family as
+    decontamination_bloom), and report per-shard doc count, token count,
+    and token share in micro-units — the balance evidence a dataloader
+    needs before writing tokenized shards (uneven shards straggle every
+    training epoch). Docs with zero tokens still occupy a slot (LEFT join,
+    length 0).
+
+    Scale shape: the shard key is computed map-side; the rollup is a
+    16-group hash agg fully absorbed by map-side partial aggregation —
+    the output is 16 rows no matter the corpus size, and the actual shard
+    WRITE this plans for is a single hash repartition by the same key
+    (the _write_bucketed discipline, never dynamic-partition insert)."""
+    dl = _toks(_docs(spark, sf_dir)).groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    sh = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(dl, "doc_id", "left")
+        .select(
+            F.expr(
+                "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % 16"
+            ).alias("shard"),
+            F.coalesce("doc_len", F.lit(0)).alias("n_tok"),
+        )
+    )
+    agg = sh.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"), F.sum("n_tok").cast("long").alias("n_tokens")
+    )
+    tot = agg.agg(F.sum("n_tokens").cast("long").alias("t"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn("share_q6", F.expr("(n_tokens * 1000000) div t"))
+        .select("shard", "n_docs", "n_tokens", "share_q6")
+        .orderBy("shard")
+    )
+
+
+@register(
+    "source_unigram_entropy",
+    f"""WITH tf AS ({SQL_TF}),
+stf AS (SELECT d.source, tf.term, CAST(sum(tf.tf) AS BIGINT) AS tf
+        FROM tf JOIN documents d USING (doc_id) GROUP BY d.source, tf.term),
+n AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens FROM stf GROUP BY source),
+per AS (SELECT stf.source,
+               CAST(round(-(CAST(stf.tf AS DOUBLE) / n.n_tokens)
+                          * ln(CAST(stf.tf AS DOUBLE) / n.n_tokens) * 1000000) AS BIGINT) AS h_q6
+        FROM stf JOIN n USING (source))
+SELECT per.source, n.n_tokens, CAST(sum(per.h_q6) AS BIGINT) AS entropy_q6
+FROM per JOIN n USING (source)
+GROUP BY per.source, n.n_tokens ORDER BY per.source""",
+)
+def source_unigram_entropy(spark, sf_dir):
+    """Per-source unigram entropy H = -Σ p·ln p — the lexical-diversity
+    score a training-mix curator reads next to temperature_mix_weights
+    (low entropy = repetitive/templated source → down-weight; the
+    Shannon-diversity gate in Gopher-style quality pipelines). Float
+    discipline follows unigram_logprob exactly: each term's -p·ln p is
+    computed in double with the IDENTICAL expression shape in both
+    engines, rounded to q6 micro-nats FIRST, and the per-source total is
+    an exact BIGINT sum — no float-accumulation order anywhere.
+
+    Scale shape: per-(source, term) tf is the A1 agg re-keyed (one
+    shuffle, map-side combine absorbs the volume — the key is
+    vocab×sources, self-spreading); the per-source totals table is
+    sources-sized and broadcast back. Nothing wider than the vocabulary
+    ever sits in one task."""
+    d = _docs(spark, sf_dir)
+    tf = _toks(d).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    stf = (
+        tf.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "term")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+    n = stf.groupBy("source").agg(F.sum("tf").cast("long").alias("n_tokens"))
+    p = F.col("tf").cast("double") / F.col("n_tokens")
+    per = stf.join(F.broadcast(n), "source").select(
+        "source", _q6(-p * F.log(p)).alias("h_q6")
+    )
+    return (
+        per.groupBy("source")
+        .agg(F.sum("h_q6").cast("long").alias("entropy_q6"))
+        .join(F.broadcast(n), "source")
+        .select("source", "n_tokens", "entropy_q6")
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -6291,7 +6669,11 @@ def events_exactly_once_counts(spark, sf_dir):
 # (tests/test_driver_contract.py) still checks all entries every run.
 
 _FRONT = [
-    # newest (session 10): function_score decay, date_histogram stats,
+    # newest (session 12): ES query-surface completions + pipeline chunk
+    # dedup, output sharding, per-source entropy
+    "match_phrase_prefix", "synonym_query_search", "rescore_topn",
+    "chunk_dedup_scrub", "shard_token_balance", "source_unigram_entropy",
+    # session 10: function_score decay, date_histogram stats,
     # bigram LM, CCNet perplexity terciles, near-dup cluster histogram,
     # horizon-bounded as-of (streaming twin)
     "function_score_decay", "orders_date_histogram", "bigram_lm_surprisal",
