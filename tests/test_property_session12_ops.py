@@ -1,0 +1,234 @@
+"""Property-based semantics checks for the session-12 operators.
+
+Same methodology as test_property_pipeline_ops: drive the registered
+DuckDB oracle SQL over hypothesis-generated inputs and compare against an
+independent Python model, so a bug shared by the Spark and SQL twins
+(written together) cannot hide behind the fixed corpus. DuckDB-only keeps
+each example at ms cost; the Spark twin is pinned to the same SQL by the
+hash-equality tests in test_driver_contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docix_spark.driver_queries import _TOPK_TERMS, _bm25_agg_ctes, REGISTRY
+
+# Includes the query terms the session-12 ops are parameterized on:
+# 'fast' + several 's'-prefixed terms (match_phrase_prefix), the synonym
+# group (scan, filter) + join, and the rescore terms (spark, hash, join).
+_WORDS = ["fast", "scan", "sort", "spark", "slow", "join", "hash", "filter", "x9"]
+
+_doc = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=40)
+_corpus = st.lists(_doc, min_size=1, max_size=12)
+
+
+def _con(docs: list[list[str]]) -> duckdb.DuckDBPyConnection:
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": [" ".join(d) for d in docs],
+            "source": [f"src{i % 3}" for i in range(len(docs))],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    return con
+
+
+# ---------------------------------------------------------------------------
+# match_phrase_prefix — oracle vs a positional adjacency model with the
+# lexicographic 50-term expansion rule
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_match_phrase_prefix_matches_model(docs):
+    con = _con(docs)
+    got = con.execute(REGISTRY["match_phrase_prefix"].sql).fetchall()
+    dictionary = sorted({t for d in docs for t in d})
+    exp = set([t for t in dictionary if t.startswith("s")][:50])
+    model = []
+    for i, toks in enumerate(docs):
+        hits = [
+            toks[j + 1]
+            for j in range(len(toks) - 1)
+            if toks[j] == "fast" and toks[j + 1] in exp
+        ]
+        if hits:
+            model.append((i, len(hits), len(set(hits))))
+    assert got == model
+
+
+# ---------------------------------------------------------------------------
+# synonym_query_search — oracle vs a BM25 model with Lucene SynonymQuery
+# blended statistics (df = max over group, tf = sum over group)
+# ---------------------------------------------------------------------------
+
+_SYN_GROUPS = {0: ["scan", "filter"], 1: ["join"]}
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_synonym_query_matches_blended_model(docs):
+    con = _con(docs)
+    got = con.execute(REGISTRY["synonym_query_search"].sql).fetchall()
+    tfs = [Counter(d) for d in docs]
+    dls = {i: len(d) for i, d in enumerate(docs) if d}
+    if not dls:
+        assert got == []
+        return
+    n_docs = float(len(dls))
+    avgdl = sum(dls.values()) / n_docs
+    df = Counter()
+    for c in tfs:
+        for t in c:
+            df[t] += 1
+    scores: dict[int, tuple[float, int]] = {}
+    for i, c in enumerate(tfs):
+        s, nm = 0.0, 0
+        for gid, members in _SYN_GROUPS.items():
+            gdf = max((df[m] for m in members if m in df), default=0)
+            gtf = float(sum(c[m] for m in members))
+            if gdf == 0 or gtf == 0:
+                continue
+            idf = math.log(1.0 + (n_docs - gdf + 0.5) / (gdf + 0.5))
+            s += idf * gtf * 2.2 / (gtf + 1.2 * (0.25 + 0.75 * dls[i] / avgdl))
+            nm += 1
+        if nm:
+            scores[i] = (s, nm)
+    assert len(got) == min(10, len(scores))
+    for doc_id, score_q6, nm, rank in got:
+        ms, mnm = scores[doc_id]
+        assert nm == mnm
+        # float-sum order across atoms may differ by an ulp per atom
+        assert abs(score_q6 - round(ms * 1_000_000)) <= 2
+    # ranks are self-consistent: strictly ordered by (score desc, doc_id)
+    keys = [(-score, doc_id) for doc_id, score, _, _ in got]
+    assert keys == sorted(keys)
+    assert [r[3] for r in got] == list(range(1, len(got) + 1))
+
+
+# ---------------------------------------------------------------------------
+# rescore_topn — exact integer model over the oracle's OWN first-pass
+# scores (re-deriving BM25 in Python would be libm-ulp-sensitive and is
+# covered by the synonym test above; the rescore stage itself is exact)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_rescore_topn_matches_window_model(docs):
+    con = _con(docs)
+    first = con.execute(
+        _bm25_agg_ctes(_TOPK_TERMS) + " SELECT doc_id, score_q6 FROM agg"
+    ).fetchall()
+    got = con.execute(REGISTRY["rescore_topn"].sql).fetchall()
+    win = sorted(first, key=lambda r: (-r[1], r[0]))[:30]
+    resc = []
+    for doc_id, score_q6 in win:
+        toks = docs[doc_id]
+        gaps = [
+            j - i
+            for i, a in enumerate(toks)
+            if a == "spark"
+            for j in range(i + 1, min(i + 4, len(toks)))
+            if toks[j] == "join"
+        ]
+        r = 1_000_000 // (1 + min(gaps)) if gaps else 0
+        resc.append((doc_id, score_q6, r, score_q6 + 2 * r))
+    resc.sort(key=lambda r: (-r[3], r[0]))
+    want = [(d, s, r, c, k) for k, (d, s, r, c) in enumerate(resc[:10], start=1)]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# chunk_dedup_scrub — exact first-occurrence model over 8-token chunks
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_chunk_dedup_matches_first_occurrence_model(docs):
+    con = _con(docs)
+    got = con.execute(REGISTRY["chunk_dedup_scrub"].sql).fetchall()
+    seen: set[tuple[str, ...]] = set()
+    model = []
+    for i, toks in enumerate(docs):
+        if not toks:
+            continue
+        chunks = [tuple(toks[j : j + 8]) for j in range(0, len(toks), 8)]
+        kept = 0
+        for ch in chunks:  # (doc_id, chunk_idx) order IS first-occurrence order
+            if ch not in seen:
+                seen.add(ch)
+                kept += 1
+        n = len(chunks)
+        model.append((i, n, kept, kept * 1_000_000 // n))
+    assert got == model
+    # scrub is conservative: at least one copy of every chunk survives
+    assert sum(r[2] for r in got) == len(seen)
+
+
+# ---------------------------------------------------------------------------
+# shard_token_balance — exact md5-routing model + conservation
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_shard_token_balance_matches_model(docs):
+    con = _con(docs)
+    got = con.execute(REGISTRY["shard_token_balance"].sql).fetchall()
+    shards: dict[int, list[int]] = {}
+    for i, toks in enumerate(docs):
+        sh = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 16
+        shards.setdefault(sh, []).append(len(toks))
+    total = sum(len(d) for d in docs)
+    if total == 0:
+        return  # share_q6 is 0/0; the fixed corpus never hits this
+    want = sorted(
+        (sh, len(ls), sum(ls), sum(ls) * 1_000_000 // total) for sh, ls in shards.items()
+    )
+    assert got == want
+    # conservation: every doc and every token lands in exactly one shard
+    assert sum(r[1] for r in got) == len(docs)
+    assert sum(r[2] for r in got) == total
+
+
+# ---------------------------------------------------------------------------
+# source_unigram_entropy — per-term q6 model (±1 ulp per term) + bounds
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_source_entropy_matches_model(docs):
+    con = _con(docs)
+    got = con.execute(REGISTRY["source_unigram_entropy"].sql).fetchall()
+    per_src: dict[str, Counter] = {}
+    for i, toks in enumerate(docs):
+        per_src.setdefault(f"src{i % 3}", Counter()).update(toks)
+    model = {}
+    for src, c in per_src.items():
+        n = sum(c.values())
+        if n == 0:
+            continue
+        h = sum(round(-(tf / n) * math.log(tf / n) * 1_000_000) for tf in c.values())
+        model[src] = (n, h, len(c))
+    assert [r[0] for r in got] == sorted(model)
+    for src, n_tokens, entropy_q6 in got:
+        n, h, vocab = model[src]
+        assert n_tokens == n
+        # libm vs DuckDB ln may differ in the last ulp per term
+        assert abs(entropy_q6 - h) <= vocab
+        # Shannon bounds: 0 <= H <= ln(vocab), with q6 rounding slack
+        assert -vocab <= entropy_q6 <= round(math.log(vocab) * 1_000_000) + vocab
