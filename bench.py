@@ -280,7 +280,10 @@ def main() -> None:
                  "sparse_cosine_pairs",
                  "search_after", "rank_eval", "dsir_importance",
                  "bigram_lm_surprisal", "perplexity_buckets",
-                 "minhash_cluster_stats", "function_score_decay"]:
+                 "minhash_cluster_stats", "function_score_decay",
+                 "rescore_topn", "match_phrase_prefix",
+                 "synonym_query_search", "chunk_dedup_scrub",
+                 "shard_token_balance", "source_unigram_entropy"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)
