@@ -283,7 +283,9 @@ def main() -> None:
                  "minhash_cluster_stats", "function_score_decay",
                  "rescore_topn", "match_phrase_prefix",
                  "synonym_query_search", "chunk_dedup_scrub",
-                 "shard_token_balance", "source_unigram_entropy"]:
+                 "shard_token_balance", "source_unigram_entropy",
+                 "cross_fields_search", "composite_agg_page",
+                 "tokenizer_fertility"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

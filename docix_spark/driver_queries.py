@@ -6666,6 +6666,188 @@ def source_unigram_entropy(spark, sf_dir):
     )
 
 
+@register(
+    "cross_fields_search",
+    f"""WITH {_SQL_POS},
+fld AS (SELECT doc_id, CASE WHEN i <= 8 THEN 'title' ELSE 'body' END AS field, term FROM p),
+tf AS (SELECT doc_id, field, term, count(*) AS tf FROM fld GROUP BY doc_id, field, term),
+dl AS (SELECT doc_id, field, count(*) AS dl FROM fld GROUP BY doc_id, field),
+av AS (SELECT field, avg(dl) AS avgdl FROM dl GROUP BY field),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM fld),
+dfs AS (SELECT field, term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY field, term),
+bdf AS (SELECT term, max(df) AS df FROM dfs WHERE term IN ('spark', 'hash', 'join') GROUP BY term),
+per AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + ((SELECT n_docs FROM nd) - bdf.df + 0.5) / (bdf.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / av.avgdl)) AS s
+  FROM tf JOIN bdf USING (term) JOIN dl USING (doc_id, field) JOIN av USING (field)
+),
+mx AS (SELECT doc_id, term, max(s) AS s FROM per GROUP BY doc_id, term),
+agg AS (SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6,
+               CAST(count(*) AS BIGINT) AS nm
+        FROM mx GROUP BY doc_id),
+ranked AS (SELECT doc_id, score_q6, nm,
+                  row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rank
+           FROM agg)
+SELECT doc_id, score_q6, nm, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY rank""",
+)
+def cross_fields_search(spark, sf_dir):
+    """ES ``multi_match`` type=cross_fields — the term-centric complement
+    of best_fields (§2.8's composite tree, SearchAdapter.java:388-397):
+    where best_fields asks "which FIELD best matches the whole query",
+    cross_fields asks "which DOC matches all terms, in whichever field
+    each lands" — names split across firstname/lastname are the canonical
+    case; here the fields are title (first 8 positions) / body (rest).
+    Per Lucene's blended term query: each term's df is BLENDED to the max
+    across fields (a per-field idf would overweight a term rare in one
+    field but common elsewhere), each field keeps its own length norm,
+    and per term the doc takes the best field's contribution
+    (tie_breaker=0 dis-max), summed over terms. N for idf = docs with any
+    tokens (the blended docCount simplification, stated here).
+
+    Scale shape: same pruned postings plan as bm25_topk with field as one
+    extra grouping column (per-field tf/dl ride the SAME doc_id-keyed
+    exchange); the blended-df table is query-terms-sized and the per-field
+    avgdl table is 2 rows — both broadcast. The per-(doc, term) dis-max is
+    a 2-row-per-group partial agg absorbed map-side. The field-tagged
+    token table is localCheckpoint'd once for its three consumers
+    (tf → dfs, dl → av, nd) — the rescore_topn lesson."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(spark_tokens("text")).alias("pos", "term")
+    )
+    fld = toks.select(
+        "doc_id",
+        F.when(F.col("pos") <= 7, F.lit("title")).otherwise(F.lit("body")).alias("field"),
+        "term",
+    ).localCheckpoint()
+    tf = fld.groupBy("doc_id", "field", "term").agg(F.count("*").alias("tf"))
+    dl = fld.groupBy("doc_id", "field").agg(F.count("*").alias("dl"))
+    av = dl.groupBy("field").agg(F.avg("dl").alias("avgdl"))
+    nd = fld.select("doc_id").distinct().agg(F.count("*").cast("double").alias("n_docs"))
+    dfs = tf.groupBy("field", "term").agg(F.count("*").cast("double").alias("df"))
+    q = F.broadcast(spark.createDataFrame([(t,) for t in _TOPK_TERMS], "term string"))
+    bdf = dfs.join(q, "term").groupBy("term").agg(F.max("df").alias("df"))
+    per = (
+        tf.join(F.broadcast(bdf), "term")
+        .join(dl, ["doc_id", "field"])
+        .join(F.broadcast(av), "field")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf").cast("double") * F.lit(2.2)
+                / (F.col("tf").cast("double") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+    )
+    mx = per.groupBy("doc_id", "term").agg(F.max("s").alias("s"))
+    agg = mx.groupBy("doc_id").agg(
+        _q6(F.sum("s")).alias("score_q6"), F.count("*").cast("long").alias("nm")
+    )
+    topk = agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
+    return (
+        topk.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))).cast("long"),
+        )
+        .select("doc_id", "score_q6", "nm", "rank")
+        .orderBy("rank")
+    )
+
+
+@register(
+    "composite_agg_page",
+    """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM documents
+       WHERE source > 'src1' OR (source = 'src1' AND lang > 'en')
+       GROUP BY source, lang ORDER BY source, lang LIMIT 8""",
+)
+def composite_agg_page(spark, sf_dir):
+    """ES ``composite`` aggregation — the keyset-paged bucket enumerator
+    (the only ES agg that can walk ALL buckets of a high-cardinality key
+    without deep from/size): buckets keyed (source, lang) with count +
+    sum(n_chars) stats, page size 8, after_key = ('src1', 'en'). Exactly
+    the search_after discipline applied to BUCKETS: the cursor is pushed
+    as a row-level PREDICATE before the aggregation, so every page costs
+    one pruned scan + one bounded agg — never materializing the full
+    bucket list to skip into it.
+
+    Scale shape: the after-key predicate pushes to the parquet scan
+    (source is a stats-pruned column); the agg key is low-cardinality with
+    map-side combine; LIMIT 8 is a TakeOrdered on bucket rows."""
+    d = _docs(spark, sf_dir)
+    after = (F.col("source") > "src1") | ((F.col("source") == "src1") & (F.col("lang") > "en"))
+    return (
+        d.where(after)
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("source", "lang")
+        .limit(8)
+    )
+
+
+@register(
+    "tokenizer_fertility",
+    rf"""WITH per AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS w,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS b
+  FROM documents
+)
+SELECT source,
+       CAST(sum(w) AS BIGINT) AS word_tokens,
+       CAST(sum(b) AS BIGINT) AS bpe_tokens,
+       CASE WHEN sum(w) = 0 THEN 0
+            ELSE (CAST(sum(b) AS BIGINT) * 1000000) // CAST(sum(w) AS BIGINT)
+       END AS fertility_q6
+FROM per GROUP BY source ORDER BY source""",
+)
+def tokenizer_fertility(spark, sf_dir):
+    """Per-source tokenizer fertility — subword tokens per word (the
+    budget planner's bridge between corpus word counts and model token
+    counts; high fertility flags sources the tokenizer fragments, e.g.
+    code or non-Latin scripts, which cost more context per word). Uses
+    the same BPE-ish counter as token_count_bpe over the same word
+    tokenizer as everything else; ratio in exact integer micro-units
+    with the all-empty-source guard (temperature_mix_weights lesson:
+    0/0 diverges between engines).
+
+    Scale shape: both counts are map-side regexp counters inside codegen
+    folded into ONE sources-sized hash agg — no token explosion, no
+    shuffle beyond the 20-group rollup."""
+    d = _docs(spark, sf_dir)
+    per = d.select(
+        "source",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)).alias("w"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]"), 0)
+        ).alias("b"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("w").cast("long").alias("word_tokens"),
+            F.sum("b").cast("long").alias("bpe_tokens"),
+        )
+        .withColumn(
+            "fertility_q6",
+            F.expr(
+                "CASE WHEN word_tokens = 0 THEN 0"
+                " ELSE (bpe_tokens * 1000000) div word_tokens END"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
@@ -6681,6 +6863,7 @@ _FRONT = [
     # dedup, output sharding, per-source entropy
     "match_phrase_prefix", "synonym_query_search", "rescore_topn",
     "chunk_dedup_scrub", "shard_token_balance", "source_unigram_entropy",
+    "cross_fields_search", "composite_agg_page", "tokenizer_fertility",
     # session 10: function_score decay, date_histogram stats,
     # bigram LM, CCNet perplexity terciles, near-dup cluster histogram,
     # horizon-bounded as-of (streaming twin)

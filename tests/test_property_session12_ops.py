@@ -36,6 +36,8 @@ def _con(docs: list[list[str]]) -> duckdb.DuckDBPyConnection:
             "doc_id": range(len(docs)),
             "text": [" ".join(d) for d in docs],
             "source": [f"src{i % 3}" for i in range(len(docs))],
+            "lang": [["en", "de", "fr"][i % 3] for i in range(len(docs))],
+            "n_chars": [len(" ".join(d)) for d in docs],
         }
     )
     con = duckdb.connect()
@@ -232,3 +234,115 @@ def test_source_entropy_matches_model(docs):
         assert abs(entropy_q6 - h) <= vocab
         # Shannon bounds: 0 <= H <= ln(vocab), with q6 rounding slack
         assert -vocab <= entropy_q6 <= round(math.log(vocab) * 1_000_000) + vocab
+
+# ---------------------------------------------------------------------------
+# cross_fields_search — oracle vs a blended-df dis-max BM25 model
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_cross_fields_matches_blended_model(docs):
+    con = _con(docs)
+    got = con.execute(REGISTRY["cross_fields_search"].sql).fetchall()
+    fields = {}  # (doc_id, field) -> Counter
+    for i, toks in enumerate(docs):
+        if toks[:8]:
+            fields[(i, "title")] = Counter(toks[:8])
+        if toks[8:]:
+            fields[(i, "body")] = Counter(toks[8:])
+    if not fields:
+        assert got == []
+        return
+    n_docs = float(len({d for d, _ in fields}))
+    dls = {k: sum(c.values()) for k, c in fields.items()}
+    avgdl = {
+        f: sum(v for (d, ff), v in dls.items() if ff == f)
+        / sum(1 for (_, ff) in dls if ff == f)
+        for f in {ff for _, ff in fields}
+    }
+    df = Counter()
+    for (_, f), c in fields.items():
+        for t in c:
+            df[(f, t)] += 1
+    scores: dict[int, tuple[float, int]] = {}
+    for d in {d for d, _ in fields}:
+        s_doc, nm = 0.0, 0
+        for t in ["spark", "hash", "join"]:
+            bdf = max((df[(f, t)] for f in ("title", "body") if (f, t) in df), default=0)
+            if bdf == 0:
+                continue
+            idf = math.log(1.0 + (n_docs - bdf + 0.5) / (bdf + 0.5))
+            best = None
+            for f in ("title", "body"):
+                c = fields.get((d, f))
+                if not c or t not in c:
+                    continue
+                tf = float(c[t])
+                s = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dls[(d, f)] / avgdl[f]))
+                best = s if best is None else max(best, s)
+            if best is not None:
+                s_doc += best
+                nm += 1
+        if nm:
+            scores[d] = (s_doc, nm)
+    assert len(got) == min(10, len(scores))
+    for doc_id, score_q6, nm, rank in got:
+        ms, mnm = scores[doc_id]
+        assert nm == mnm
+        assert abs(score_q6 - round(ms * 1_000_000)) <= 3
+    keys = [(-score, doc_id) for doc_id, score, _, _ in got]
+    assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# composite_agg_page — exact after-key bucket model
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_composite_agg_page_matches_model(docs):
+    con = _con(docs)
+    got = con.execute(REGISTRY["composite_agg_page"].sql).fetchall()
+    buckets: dict[tuple[str, str], list[int]] = {}
+    for i, d in enumerate(docs):
+        src, lang = f"src{i % 3}", ["en", "de", "fr"][i % 3]
+        if (src, lang) > ("src1", "en"):
+            buckets.setdefault((src, lang), []).append(len(" ".join(d)))
+    want = sorted((s, l, len(cs), sum(cs)) for (s, l), cs in buckets.items())[:8]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility — exact regex-count model + ratio identity
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_tokenizer_fertility_matches_model(docs):
+    import re
+
+    from docix_spark.analysis.tokenizer import TOKEN_PATTERN
+
+    con = _con(docs)
+    got = con.execute(REGISTRY["tokenizer_fertility"].sql).fetchall()
+    wre = re.compile(TOKEN_PATTERN)
+    bre = re.compile(r"[a-z]+|[0-9]|[^a-z0-9\s]")
+    agg: dict[str, list[int]] = {}
+    for i, d in enumerate(docs):
+        text = " ".join(d)
+        w, b = len(wre.findall(text)), len(bre.findall(text))
+        acc = agg.setdefault(f"src{i % 3}", [0, 0])
+        acc[0] += w
+        acc[1] += b
+    want = sorted(
+        (src, w, b, (b * 1_000_000 // w) if w else 0) for src, (w, b) in agg.items()
+    )
+    assert got == want
+    # fertility >= 1e6 whenever any word exists: the BPE-ish pattern never
+    # emits fewer tokens than the word pattern on this alphabet
+    for _, w, b, f in got:
+        if w:
+            assert b >= w and f >= 1_000_000
