@@ -285,7 +285,8 @@ def main() -> None:
                  "synonym_query_search", "chunk_dedup_scrub",
                  "shard_token_balance", "source_unigram_entropy",
                  "cross_fields_search", "composite_agg_page",
-                 "tokenizer_fertility"]:
+                 "tokenizer_fertility", "cross_source_dup_matrix",
+                 "adjacency_matrix_agg"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -6848,6 +6848,108 @@ def tokenizer_fertility(spark, sf_dir):
     )
 
 
+@register(
+    "cross_source_dup_matrix",
+    _SQL_LSH_PAIRS
+    + """
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN documents da ON da.doc_id = pairs.doc_a
+JOIN documents db ON db.doc_id = pairs.doc_b
+GROUP BY 1, 2 ORDER BY source_a, source_b""",
+)
+def cross_source_dup_matrix(spark, sf_dir):
+    """Cross-source duplication matrix — the provenance readout a corpus
+    curator asks for right after the dedup rate: WHICH sources duplicate
+    WHICH (a crawl mirroring another crawl, a dump re-scraped under a new
+    name). Near-dup candidate pairs from the shared MinHash-LSH banding
+    are rolled up by unordered source pair (least/greatest normalizes the
+    key so the matrix is upper-triangular); the diagonal is within-source
+    duplication.
+
+    Scale shape: reuses `_lsh_pair_edges`' banded equi-join (candidates
+    only, never all-pairs); attaching sources is two doc_id equi-joins
+    against the doc-metadata table (pair volume is candidate-sized), and
+    the matrix rollup keys on source pairs — sources² rows at most, with
+    map-side combine absorbing the pair stream."""
+    edges = _lsh_pair_edges(spark, sf_dir)
+    pairs = edges.where(F.col("src") < F.col("dst"))
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    da = d.select(F.col("doc_id").alias("src"), F.col("source").alias("sa"))
+    db = d.select(F.col("doc_id").alias("dst"), F.col("source").alias("sb"))
+    return (
+        pairs.join(da, "src").join(db, "dst")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "adjacency_matrix_agg",
+    """WITH m AS (
+  SELECT lower(text) LIKE '%spark%' AS fa,
+         lower(text) LIKE '%join%' AS fb,
+         lang = 'en' AS fc
+  FROM documents
+)
+SELECT key, n_docs FROM (
+  SELECT 'en' AS key, CAST(sum(CASE WHEN fc THEN 1 ELSE 0 END) AS BIGINT) AS n_docs FROM m
+  UNION ALL SELECT 'en&join', CAST(sum(CASE WHEN fc AND fb THEN 1 ELSE 0 END) AS BIGINT) FROM m
+  UNION ALL SELECT 'en&spark', CAST(sum(CASE WHEN fc AND fa THEN 1 ELSE 0 END) AS BIGINT) FROM m
+  UNION ALL SELECT 'join', CAST(sum(CASE WHEN fb THEN 1 ELSE 0 END) AS BIGINT) FROM m
+  UNION ALL SELECT 'join&spark', CAST(sum(CASE WHEN fb AND fa THEN 1 ELSE 0 END) AS BIGINT) FROM m
+  UNION ALL SELECT 'spark', CAST(sum(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT) FROM m
+) WHERE n_docs > 0 ORDER BY key""",
+)
+def adjacency_matrix_agg(spark, sf_dir):
+    """ES ``adjacency_matrix`` aggregation: given named filters (here
+    spark-match, join-match, lang=en), report the doc count of every
+    filter AND every pairwise intersection, keys joined with '&' in
+    alphabetical order and empty buckets omitted — ES's own output
+    contract. The co-occurrence overview a search UI's "refine by"
+    panel is built from.
+
+    Scale shape: ONE corpus scan computes all filter bits map-side
+    (ES does the same with per-filter bitsets); the 6 conditional sums
+    collapse in a single map-side-combined agg to one row, unpivoted to
+    bucket rows with stack() — output size is filters², independent of
+    corpus size. The oracle's UNION ALL re-scans per bucket; the Spark
+    plan does not."""
+    m = _docs(spark, sf_dir).select(
+        F.lower("text").contains("spark").alias("fa"),
+        F.lower("text").contains("join").alias("fb"),
+        (F.col("lang") == "en").alias("fc"),
+    )
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    agg = m.agg(
+        cnt(F.col("fc")).alias("en"),
+        cnt(F.col("fc") & F.col("fb")).alias("en_join"),
+        cnt(F.col("fc") & F.col("fa")).alias("en_spark"),
+        cnt(F.col("fb")).alias("join"),
+        cnt(F.col("fb") & F.col("fa")).alias("join_spark"),
+        cnt(F.col("fa")).alias("spark"),
+    )
+    return (
+        agg.selectExpr(
+            "stack(6, 'en', en, 'en&join', en_join, 'en&spark', en_spark,"
+            " 'join', `join`, 'join&spark', join_spark, 'spark', spark)"
+            " AS (key, n_docs)"
+        )
+        .where(F.col("n_docs") > 0)
+        .orderBy("key")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
@@ -6864,6 +6966,7 @@ _FRONT = [
     "match_phrase_prefix", "synonym_query_search", "rescore_topn",
     "chunk_dedup_scrub", "shard_token_balance", "source_unigram_entropy",
     "cross_fields_search", "composite_agg_page", "tokenizer_fertility",
+    "cross_source_dup_matrix", "adjacency_matrix_agg",
     # session 10: function_score decay, date_histogram stats,
     # bigram LM, CCNet perplexity terciles, near-dup cluster histogram,
     # horizon-bounded as-of (streaming twin)

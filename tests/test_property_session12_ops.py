@@ -346,3 +346,58 @@ def test_tokenizer_fertility_matches_model(docs):
     for _, w, b, f in got:
         if w:
             assert b >= w and f >= 1_000_000
+
+# ---------------------------------------------------------------------------
+# cross_source_dup_matrix — exact rollup model over the oracle's own
+# candidate pairs (the banding itself is covered by the LSH pair tests)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(docs=_corpus)
+def test_cross_source_dup_matrix_matches_model(docs):
+    from docix_spark.driver_queries import _SQL_LSH_PAIRS
+
+    con = _con(docs)
+    pairs = con.execute(_SQL_LSH_PAIRS + " SELECT doc_a, doc_b FROM pairs").fetchall()
+    got = con.execute(REGISTRY["cross_source_dup_matrix"].sql).fetchall()
+    matrix = Counter()
+    for a, b in pairs:
+        sa, sb = f"src{a % 3}", f"src{b % 3}"
+        matrix[tuple(sorted((sa, sb)))] += 1
+    want = sorted((sa, sb, n) for (sa, sb), n in matrix.items())
+    assert got == want
+    # every candidate pair lands in exactly one matrix cell
+    assert sum(r[2] for r in got) == len(pairs)
+
+
+# ---------------------------------------------------------------------------
+# adjacency_matrix_agg — exact filter-intersection model + ES contract
+# (alphabetical '&' keys, empty buckets omitted, intersection <= singles)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_adjacency_matrix_matches_model(docs):
+    con = _con(docs)
+    got = con.execute(REGISTRY["adjacency_matrix_agg"].sql).fetchall()
+    langs = [["en", "de", "fr"][i % 3] for i in range(len(docs))]
+    bits = [
+        ("spark" in d, "join" in d, langs[i] == "en") for i, d in enumerate(docs)
+    ]
+    model = {
+        "en": sum(c for _, _, c in bits),
+        "en&join": sum(b and c for _, b, c in bits),
+        "en&spark": sum(a and c for a, _, c in bits),
+        "join": sum(b for _, b, _ in bits),
+        "join&spark": sum(a and b for a, b, _ in bits),
+        "spark": sum(a for a, _, _ in bits),
+    }
+    want = sorted((k, n) for k, n in model.items() if n > 0)
+    assert got == want
+    d = dict(got)
+    for pair, sing in [("en&join", ("en", "join")), ("en&spark", ("en", "spark")),
+                       ("join&spark", ("join", "spark"))]:
+        if pair in d:
+            assert d[pair] <= min(d[sing[0]], d[sing[1]])
