@@ -286,7 +286,8 @@ def main() -> None:
                  "shard_token_balance", "source_unigram_entropy",
                  "cross_fields_search", "composite_agg_page",
                  "tokenizer_fertility", "cross_source_dup_matrix",
-                 "adjacency_matrix_agg"]:
+                 "adjacency_matrix_agg", "language_confusion_matrix",
+                 "train_eval_split"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

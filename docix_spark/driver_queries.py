@@ -6950,6 +6950,87 @@ def adjacency_matrix_agg(spark, sf_dir):
     )
 
 
+@register(
+    "language_confusion_matrix",
+    f"""WITH pred AS ({_lang_sql()})
+SELECT d.lang, pred.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred JOIN documents d USING (doc_id)
+GROUP BY d.lang, pred.pred_lang ORDER BY d.lang, pred.pred_lang""",
+)
+def language_confusion_matrix(spark, sf_dir):
+    """Language-ID confusion matrix — declared `lang` vs the heuristic's
+    `pred_lang`, the quality-control readout that decides whether the
+    cheap classifier is trustworthy enough to gate admission on (CCNet
+    runs exactly this audit before letting fastText route documents).
+    Reuses lang_id_heuristic verbatim as the prediction stage, so the
+    matrix always reflects the shipped classifier.
+
+    Scale shape: the prediction is the existing per-doc agg; the matrix
+    rollup keys on (lang, pred_lang) — at most |langs|² rows with
+    map-side combine. One metadata equi-join on doc_id."""
+    pred = lang_id_heuristic(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (
+        pred.join(d, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@register(
+    "train_eval_split",
+    f"""WITH dl AS ({SQL_DL}),
+sp AS (SELECT d.doc_id,
+              CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 5, 4))::UBIGINT::BIGINT % 100 < 98 THEN 'train'
+                   WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 5, 4))::UBIGINT::BIGINT % 100 = 98 THEN 'valid'
+                   ELSE 'test' END AS split,
+              COALESCE(dl.doc_len, 0) AS n_tok
+       FROM documents d LEFT JOIN dl USING (doc_id)),
+agg AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM sp GROUP BY split)
+SELECT split, n_docs, n_tokens,
+       (n_tokens * 1000000) // (SELECT CAST(sum(n_tokens) AS BIGINT) FROM agg) AS token_share_q6
+FROM agg ORDER BY split""",
+)
+def train_eval_split(spark, sf_dir):
+    """Deterministic train/valid/test split (98/1/1) — the hold-out
+    assignment a training pipeline must make REPRODUCIBLY (a rand()-based
+    split reshuffles on every retry and leaks eval docs into training).
+    The split key is a 16-bit md5 slice of the doc id taken at hex chars
+    5-8 — a DIFFERENT coordinate of the same hash than shard_token_balance
+    (chars 1-4), so a doc's output shard and its split are independent:
+    every shard contains all three splits. Per split: docs, tokens, token
+    share in exact micro-units.
+
+    Scale shape: the split key is map-side; the rollup is a 3-group
+    map-side-combined agg. The actual split WRITE is a partition filter
+    on the same expression — no shuffle at all."""
+    dl = _toks(_docs(spark, sf_dir)).groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    v = "cast(conv(substring(md5(cast(doc_id as string)), 5, 4), 16, 10) as bigint) % 100"
+    sp = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(dl, "doc_id", "left")
+        .select(
+            F.expr(
+                f"CASE WHEN {v} < 98 THEN 'train' WHEN {v} = 98 THEN 'valid' ELSE 'test' END"
+            ).alias("split"),
+            F.coalesce("doc_len", F.lit(0)).alias("n_tok"),
+        )
+    )
+    agg = sp.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"), F.sum("n_tok").cast("long").alias("n_tokens")
+    )
+    tot = agg.agg(F.sum("n_tokens").cast("long").alias("t"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn("token_share_q6", F.expr("(n_tokens * 1000000) div t"))
+        .select("split", "n_docs", "n_tokens", "token_share_q6")
+        .orderBy("split")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
@@ -6967,6 +7048,7 @@ _FRONT = [
     "chunk_dedup_scrub", "shard_token_balance", "source_unigram_entropy",
     "cross_fields_search", "composite_agg_page", "tokenizer_fertility",
     "cross_source_dup_matrix", "adjacency_matrix_agg",
+    "language_confusion_matrix", "train_eval_split",
     # session 10: function_score decay, date_histogram stats,
     # bigram LM, CCNet perplexity terciles, near-dup cluster histogram,
     # horizon-bounded as-of (streaming twin)

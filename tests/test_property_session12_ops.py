@@ -401,3 +401,51 @@ def test_adjacency_matrix_matches_model(docs):
                        ("join&spark", ("join", "spark"))]:
         if pair in d:
             assert d[pair] <= min(d[sing[0]], d[sing[1]])
+
+# ---------------------------------------------------------------------------
+# language_confusion_matrix — exact rollup over the oracle's own per-doc
+# predictions (the heuristic itself is covered by lang_id tests)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(docs=_corpus)
+def test_language_confusion_matrix_matches_model(docs):
+    from docix_spark.driver_queries import _lang_sql
+
+    con = _con(docs)
+    pred = dict(con.execute(_lang_sql()).fetchall())
+    got = con.execute(REGISTRY["language_confusion_matrix"].sql).fetchall()
+    matrix = Counter()
+    for i in range(len(docs)):
+        matrix[(["en", "de", "fr"][i % 3], pred[i])] += 1
+    want = sorted((l, p, n) for (l, p), n in matrix.items())
+    assert got == want
+    assert sum(r[2] for r in got) == len(docs)
+
+
+# ---------------------------------------------------------------------------
+# train_eval_split — exact md5-coordinate model + independence from the
+# shard coordinate + conservation
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_train_eval_split_matches_model(docs):
+    con = _con(docs)
+    got = con.execute(REGISTRY["train_eval_split"].sql).fetchall()
+    splits: dict[str, list[int]] = {}
+    for i, toks in enumerate(docs):
+        v = int(hashlib.md5(str(i).encode()).hexdigest()[4:8], 16) % 100
+        split = "train" if v < 98 else ("valid" if v == 98 else "test")
+        splits.setdefault(split, []).append(len(toks))
+    total = sum(len(d) for d in docs)
+    if total == 0:
+        return
+    want = sorted(
+        (s, len(ls), sum(ls), sum(ls) * 1_000_000 // total) for s, ls in splits.items()
+    )
+    assert got == want
+    assert sum(r[1] for r in got) == len(docs)
+    assert sum(r[2] for r in got) == total
