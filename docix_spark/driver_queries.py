@@ -7049,6 +7049,12 @@ _FRONT = [
     "cross_fields_search", "composite_agg_page", "tokenizer_fertility",
     "cross_source_dup_matrix", "adjacency_matrix_agg",
     "language_confusion_matrix", "train_eval_split",
+    # VERDICT r3 asks #1/#3/#6/#7: plans REWORKED or added against explicit
+    # round-3 asks — these must regain driver evidence ahead of everything
+    # already green on its current implementation (the driver samples a
+    # prefix; with 134 entries not everything fits)
+    "pack_sequences", "pack_sequences_split", "dedup_connected_components",
+    "top_terms_per_source", "ann_ivf_batch", "ann_ivf_batch_recall",
     # session 10: function_score decay, date_histogram stats,
     # bigram LM, CCNet perplexity terciles, near-dup cluster histogram,
     # horizon-bounded as-of (streaming twin)
@@ -7080,11 +7086,9 @@ _FRONT = [
     "unigram_logprob", "dup_ngram_fraction", "doclen_quantiles",
     "winnow_fingerprints", "winnow_pairs", "temperature_mix_weights",
     "training_mix_pipeline",
-    "pack_sequences_split", "dedup_survivor_tokens", "doclen_histogram",
+    "dedup_survivor_tokens", "doclen_histogram",
     "events_funnel", "ann_pq_adc", "ann_pq_recall",
-    "ann_ivfpq_adc", "ann_ivfpq_recall",
-    "ann_ivf_batch", "ann_ivf_batch_recall", "pack_sequences_fine",
-    "pack_sequences", "dedup_connected_components", "top_terms_per_source",
+    "ann_ivfpq_adc", "ann_ivfpq_recall", "pack_sequences_fine",
     # the 13 entries the r03 driver prefix did not sample (all r02-green) —
     # rotated forward so they regain fresh driver evidence (VERDICT r3 #4)
     "quality_filter_flags", "wand_segments_topk", "composite_search",
