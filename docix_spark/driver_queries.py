@@ -6607,9 +6607,11 @@ def shard_token_balance(spark, sf_dir):
     agg = sh.groupBy("shard").agg(
         F.count("*").cast("long").alias("n_docs"), F.sum("n_tok").cast("long").alias("n_tokens")
     )
-    tot = agg.agg(F.sum("n_tokens").cast("long").alias("t"))
+    # total via an unpartitioned window over the 16-row agg — NOT a
+    # crossJoin against agg.agg(...), whose second lineage branch would
+    # re-run the whole tokenize upstream
     return (
-        agg.crossJoin(F.broadcast(tot))
+        agg.withColumn("t", F.sum("n_tokens").over(Window.partitionBy()))
         .withColumn("share_q6", F.expr("(n_tokens * 1000000) div t"))
         .select("shard", "n_docs", "n_tokens", "share_q6")
         .orderBy("shard")
@@ -6651,6 +6653,9 @@ def source_unigram_entropy(spark, sf_dir):
         tf.join(d.select("doc_id", "source"), "doc_id")
         .groupBy("source", "term")
         .agg(F.sum("tf").cast("long").alias("tf"))
+        # vocab×sources rows; three consumers (n, per, final join) would
+        # each replay the tokenize upstream without this
+        .localCheckpoint()
     )
     n = stf.groupBy("source").agg(F.sum("tf").cast("long").alias("n_tokens"))
     p = F.col("tf").cast("double") / F.col("n_tokens")
@@ -7022,9 +7027,10 @@ def train_eval_split(spark, sf_dir):
     agg = sp.groupBy("split").agg(
         F.count("*").cast("long").alias("n_docs"), F.sum("n_tok").cast("long").alias("n_tokens")
     )
-    tot = agg.agg(F.sum("n_tokens").cast("long").alias("t"))
+    # shard_token_balance's lesson: the total comes from an unpartitioned
+    # window over the 3-row agg, never a crossJoin that re-derives it
     return (
-        agg.crossJoin(F.broadcast(tot))
+        agg.withColumn("t", F.sum("n_tokens").over(Window.partitionBy()))
         .withColumn("token_share_q6", F.expr("(n_tokens * 1000000) div t"))
         .select("split", "n_docs", "n_tokens", "token_share_q6")
         .orderBy("split")
