@@ -7038,6 +7038,427 @@ def train_eval_split(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 13 — ES result shaping (collapse / pinned / shard-error terms agg /
+# extended_stats / percentile_ranks / string_stats / pipeline aggs) + corpus
+# lexical-growth diagnostics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "search_collapse",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + """,
+j AS (SELECT d.source, agg.doc_id, agg.score_q6
+      FROM agg JOIN documents d USING (doc_id)),
+r AS (SELECT source, doc_id, score_q6,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score_q6 DESC, doc_id ASC) AS rn,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_hits
+      FROM j)
+SELECT source, doc_id, score_q6, n_hits,
+       CAST(row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS BIGINT) AS rank
+FROM r WHERE rn = 1 ORDER BY rank LIMIT 10""",
+)
+def search_collapse(spark, sf_dir):
+    """ES field collapsing (``collapse: {field: source}``): the result list
+    keeps only the BEST hit per collapse-key, with the group's total hit
+    count (the ``inner_hits`` size) — dedup-by-site in a search UI. Groups
+    rank by their top hit's (score desc, doc_id asc), same tiebreak as W1.
+
+    Scale shape: the collapse is ONE map-side-combinable agg over the match
+    set — max(struct(score, -doc_id)) picks the per-group winner without a
+    per-group sort window, so no reducer ever holds a group's full hit list
+    (ES collapses inside the shard-level priority queue the same way). The
+    final rank window runs over the collapsed (key-cardinality-bounded,
+    then LIMITed) rows only."""
+    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    j = agg.join(d, "doc_id")
+    g = j.groupBy("source").agg(
+        F.max(F.struct(F.col("score_q6").alias("s"), (-F.col("doc_id")).alias("nd"))).alias("top"),
+        F.count("*").cast("long").alias("n_hits"),
+    )
+    sel = g.select(
+        "source",
+        (-F.col("top.nd")).cast("long").alias("doc_id"),
+        F.col("top.s").alias("score_q6"),
+        "n_hits",
+    )
+    topk = sel.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
+    return (
+        topk.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))).cast("long"),
+        )
+        .select("source", "doc_id", "score_q6", "n_hits", "rank")
+        .orderBy("rank")
+    )
+
+
+@register(
+    "pinned_query",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + """,
+pin AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS BIGINT) AS pos
+        FROM (VALUES (7, 1), (3, 2)) AS t(doc_id, pos)),
+pinned AS (
+  SELECT pin.pos AS rank, pin.doc_id, CAST(1 AS BIGINT) AS pinned,
+         COALESCE(agg.score_q6, 0) AS score_q6
+  FROM pin LEFT JOIN agg USING (doc_id)),
+organic AS (
+  SELECT CAST(2 + row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS BIGINT) AS rank,
+         doc_id, CAST(0 AS BIGINT) AS pinned, score_q6
+  FROM agg WHERE doc_id NOT IN (7, 3)
+  ORDER BY score_q6 DESC, doc_id ASC LIMIT 8)
+SELECT rank, doc_id, pinned, score_q6 FROM pinned
+UNION ALL
+SELECT rank, doc_id, pinned, score_q6 FROM organic
+ORDER BY rank""",
+)
+def pinned_query(spark, sf_dir):
+    """ES ``pinned`` query: curated doc ids [7, 3] surface FIRST in their
+    given order (merchandising/editorial promotion), organic BM25 fills the
+    remaining slots with pinned ids excluded. Pinned rows report their
+    organic score when they match (0 when they don't — they're promoted
+    regardless, which is the point of the feature).
+
+    Scale shape: the pinned list is user-sized (a handful of ids) — its
+    score lookup is a tiny left join the optimizer resolves as a broadcast;
+    the organic leg is the standard match-set TakeOrdered with a NOT IN
+    filter pushed below the sort. The match set is localCheckpoint'd: two
+    consumers (pinned lookup + organic top-k) would each replay the
+    tokenize upstream otherwise."""
+    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS).localCheckpoint()
+    pin = spark.createDataFrame([(7, 1), (3, 2)], "doc_id long, pos long")
+    pinned = (
+        pin.join(agg, "doc_id", "left")
+        .select(
+            F.col("pos").alias("rank"),
+            "doc_id",
+            F.lit(1).cast("long").alias("pinned"),
+            F.coalesce("score_q6", F.lit(0)).cast("long").alias("score_q6"),
+        )
+    )
+    org_top = (
+        agg.where(~F.col("doc_id").isin(7, 3))
+        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
+        .limit(8)
+    )
+    organic = org_top.withColumn(
+        "rank",
+        (F.lit(2) + F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id")))).cast("long"),
+    ).select("rank", "doc_id", F.lit(0).cast("long").alias("pinned"), "score_q6")
+    return pinned.unionByName(organic).orderBy("rank")
+
+
+@register(
+    "terms_shard_error",
+    f"""WITH dt AS (SELECT DISTINCT doc_id, term FROM ({SQL_TOKS})),
+sc AS (SELECT doc_id % 4 AS shard, term, CAST(count(*) AS BIGINT) AS cnt
+       FROM dt GROUP BY 1, 2),
+rk AS (SELECT shard, term, cnt,
+              row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, term ASC) AS rn
+       FROM sc),
+rep AS (SELECT shard, term, cnt FROM rk WHERE rn <= 5),
+cut AS (SELECT shard, min(cnt) AS cutoff FROM rep GROUP BY shard),
+tot AS (SELECT CAST(sum(cutoff) AS BIGINT) AS total_cut FROM cut),
+mg AS (SELECT term, CAST(sum(rep.cnt) AS BIGINT) AS df_est,
+              CAST(sum(cut.cutoff) AS BIGINT) AS covered
+       FROM rep JOIN cut USING (shard) GROUP BY term)
+SELECT term, df_est, (SELECT total_cut FROM tot) - covered AS err_bound
+FROM mg ORDER BY df_est DESC, term ASC LIMIT 10""",
+)
+def terms_shard_error(spark, sf_dir):
+    """ES ``terms`` aggregation with ``shard_size`` semantics: each shard
+    (doc_id % 4) reports only its local top-5 terms by doc count; the
+    coordinator sums what was reported and publishes
+    ``doc_count_error_upper_bound`` per term = Σ over NON-reporting shards
+    of that shard's last-place reported count (the most a missing shard
+    could have contributed). The distributed-correctness artifact ES users
+    actually read to size shard_size.
+
+    Scale shape: per-shard counts are one map-side-combined agg; the
+    per-shard rank window runs over PRE-AGGREGATED (shard, term, cnt) rows
+    — vocab-bounded per shard, never posting-sized. The reported set
+    (shards × 5 rows) is localCheckpoint'd: cutoffs, the total, and the
+    merge all reuse it instead of replaying the tokenize upstream, and
+    every downstream join broadcasts."""
+    dt = _toks(_docs(spark, sf_dir)).distinct()
+    sc = dt.groupBy((F.col("doc_id") % 4).alias("shard"), "term").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("term"))
+    rep = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+        .localCheckpoint()
+    )
+    cut = rep.groupBy("shard").agg(F.min("cnt").alias("cutoff"))
+    tot = cut.agg(F.sum("cutoff").cast("long").alias("total_cut"))
+    mg = rep.join(F.broadcast(cut), "shard").groupBy("term").agg(
+        F.sum("cnt").cast("long").alias("df_est"),
+        F.sum("cutoff").cast("long").alias("covered"),
+    )
+    return (
+        mg.crossJoin(F.broadcast(tot))
+        .select("term", "df_est", (F.col("total_cut") - F.col("covered")).cast("long").alias("err_bound"))
+        .orderBy(F.desc("df_est"), F.asc("term"))
+        .limit(10)
+    )
+
+
+@register(
+    "extended_stats_source",
+    f"""WITH dl AS ({SQL_DL}),
+x AS (SELECT d.source, COALESCE(dl.doc_len, 0) AS x
+      FROM documents d LEFT JOIN dl USING (doc_id)),
+a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(x) AS BIGINT) AS sum_len,
+             CAST(min(x) AS BIGINT) AS min_len,
+             CAST(max(x) AS BIGINT) AS max_len,
+             CAST(sum(x * x) AS BIGINT) AS sum_sq
+      FROM x GROUP BY source)
+SELECT source, n_docs, sum_len, min_len, max_len,
+       (sum_len * 1000000) // n_docs AS avg_len_q6,
+       ((n_docs * sum_sq - sum_len * sum_len) * 1000000) // (n_docs * n_docs) AS var_q6
+FROM a ORDER BY source""",
+)
+def extended_stats_source(spark, sf_dir):
+    """ES ``extended_stats`` aggregation over doc token length per source:
+    count/sum/min/max plus mean and POPULATION variance — the one-shot
+    distribution readout (ES adds sum_of_squares for exactly this
+    mergeability). Variance from the sufficient statistics
+    (n·Σx² − (Σx)²)/n², so every per-source value is derived from three
+    exact BIGINT sums; the q6 division is integer floor-div in both
+    engines — no float accumulation anywhere (std_dev is deliberately
+    omitted: sqrt is the one step that would reintroduce float bits).
+
+    Scale shape: one map-side-combined agg keyed on source; empty docs are
+    kept via the LEFT JOIN + COALESCE 0 (an inner join would silently drop
+    them from n). BIGINT headroom: n·Σx²·10⁶ stays under 2⁶³ through sf1;
+    beyond that the same expressions move to DECIMAL(38,0)."""
+    dl = _toks(_docs(spark, sf_dir)).groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    x = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source")
+        .join(dl, "doc_id", "left")
+        .select("source", F.coalesce("doc_len", F.lit(0)).alias("x"))
+    )
+    a = x.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("x").cast("long").alias("sum_len"),
+        F.min("x").cast("long").alias("min_len"),
+        F.max("x").cast("long").alias("max_len"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_sq"),
+    )
+    return (
+        a.withColumn("avg_len_q6", F.expr("(sum_len * 1000000) div n_docs"))
+        .withColumn(
+            "var_q6",
+            F.expr("((n_docs * sum_sq - sum_len * sum_len) * 1000000) div (n_docs * n_docs)"),
+        )
+        .select("source", "n_docs", "sum_len", "min_len", "max_len", "avg_len_q6", "var_q6")
+        .orderBy("source")
+    )
+
+
+@register(
+    "percentile_ranks_doclen",
+    f"""WITH dl AS ({SQL_DL}),
+x AS (SELECT d.source, COALESCE(dl.doc_len, 0) AS x
+      FROM documents d LEFT JOIN dl USING (doc_id))
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       (CAST(count(*) FILTER (x <= 30) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS le30_q6,
+       (CAST(count(*) FILTER (x <= 60) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS le60_q6,
+       (CAST(count(*) FILTER (x <= 90) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS le90_q6
+FROM x GROUP BY source ORDER BY source""",
+)
+def percentile_ranks_doclen(spark, sf_dir):
+    """ES ``percentile_ranks`` aggregation (the inverse of percentiles):
+    for fixed cutoffs 30/60/90 tokens, the fraction of each source's docs
+    at or under the cutoff — how a curator reads "what share of this crawl
+    is under the short-doc filter line" without computing a full quantile
+    sketch. Exact integer counts and floor-div micro-unit shares (the
+    doclen_quantiles lesson: never percentile(), never float division).
+
+    Scale shape: three conditional counters fold into ONE map-side-combined
+    agg keyed on source — a single pass, output rows = |sources|."""
+    dl = _toks(_docs(spark, sf_dir)).groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    x = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source")
+        .join(dl, "doc_id", "left")
+        .select("source", F.coalesce("doc_len", F.lit(0)).alias("x"))
+    )
+
+    def le(c):
+        return F.sum(F.when(F.col("x") <= c, 1).otherwise(0)).cast("long")
+
+    a = x.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        le(30).alias("c30"), le(60).alias("c60"), le(90).alias("c90"),
+    )
+    return (
+        a.select(
+            "source", "n_docs",
+            F.expr("(c30 * 1000000) div n_docs").alias("le30_q6"),
+            F.expr("(c60 * 1000000) div n_docs").alias("le60_q6"),
+            F.expr("(c90 * 1000000) div n_docs").alias("le90_q6"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "heaps_law_source",
+    f"""WITH t AS (SELECT d.source, tk.term
+         FROM documents d LEFT JOIN ({SQL_TOKS}) tk USING (doc_id)),
+a AS (SELECT source, CAST(count(term) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT term) AS BIGINT) AS n_types
+      FROM t GROUP BY source)
+SELECT source, n_tokens, n_types,
+       CASE WHEN n_tokens = 0 THEN 0 ELSE (n_types * 1000000) // n_tokens END AS ttr_q6
+FROM a ORDER BY source""",
+)
+def heaps_law_source(spark, sf_dir):
+    """Heaps'-law readout per source: total tokens vs distinct types and
+    the type-token ratio — the vocabulary-growth curve input that flags
+    templated/generated sources (TTR collapses when a crawl is one page
+    stamped a million times) and sizes tokenizer vocab against corpus
+    growth. Integer micro-unit ratio with the 0/0 guard.
+
+    Scale shape: the distinct-type count is Spark's two-phase partial
+    distinct (expand on (source, term), map-side dedup before the shuffle)
+    — never a collect_set; output rows = |sources|. LEFT JOIN keeps
+    all-empty sources at n_tokens 0 instead of dropping the row."""
+    t = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source")
+        .join(_toks(_docs(spark, sf_dir)), "doc_id", "left")
+    )
+    a = t.groupBy("source").agg(
+        F.count("term").cast("long").alias("n_tokens"),
+        F.countDistinct("term").cast("long").alias("n_types"),
+    )
+    return (
+        a.withColumn(
+            "ttr_q6",
+            F.expr("CASE WHEN n_tokens = 0 THEN 0 ELSE (n_types * 1000000) div n_tokens END"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "events_cum_derivative",
+    """WITH d AS (
+     SELECT event_type, epoch_us(ts) // 86400000000 AS day_num,
+            CAST(count(*) AS BIGINT) AS n
+     FROM events GROUP BY 1, 2)
+SELECT event_type, day_num, n,
+       CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day_num) AS BIGINT) AS cum_n,
+       n - COALESCE(lag(n) OVER (PARTITION BY event_type ORDER BY day_num), n) AS deriv_n
+FROM d ORDER BY event_type, day_num""",
+)
+def events_cum_derivative(spark, sf_dir):
+    """ES ``cumulative_sum`` + ``derivative`` pipeline aggregations over a
+    per-type daily date_histogram: running total and day-over-day delta —
+    the growth dashboard pair. The first bucket's derivative is 0 by the
+    lag-defaults-to-self convention (ES omits the bucket; a fixed 0 keeps
+    the row set schema-stable for the contract).
+
+    Determinism: integer-microsecond day keys (no session timezone in
+    either engine, the events_daily_mavg rule), exact BIGINT counts and
+    window sums. Scale shape: the raw shuffle is the (type, day) groupBy
+    with map-side combine; both windows then run over DAY-granularity rows
+    partitioned by event_type — calendar-bounded, not event-bounded."""
+    d = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day_num"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day_num")
+    return (
+        d.withColumn("cum_n", F.sum("n").over(w).cast("long"))
+        .withColumn("deriv_n", (F.col("n") - F.coalesce(F.lag("n").over(w), F.col("n"))).cast("long"))
+        .orderBy("event_type", "day_num")
+    )
+
+
+@register(
+    "string_stats_source",
+    f"""WITH w AS ({SQL_WORDS}),
+t AS (SELECT source, unnest(words) AS term FROM w),
+base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+                CAST(min(strlen(term)) AS BIGINT) AS min_len,
+                CAST(max(strlen(term)) AS BIGINT) AS max_len,
+                CAST(sum(strlen(term)) AS BIGINT) AS sum_len
+         FROM t GROUP BY source),
+ch AS (SELECT source, ch, CAST(count(*) AS BIGINT) AS c
+       FROM (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS ch
+             FROM documents)
+       GROUP BY source, ch),
+n AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM ch GROUP BY source),
+per AS (SELECT ch.source,
+               CAST(round(-(CAST(ch.c AS DOUBLE) / n.tot)
+                          * ln(CAST(ch.c AS DOUBLE) / n.tot) * 1000000) AS BIGINT) AS h_q6
+        FROM ch JOIN n USING (source)),
+ent AS (SELECT source, CAST(sum(h_q6) AS BIGINT) AS entropy_q6 FROM per GROUP BY source)
+SELECT base.source, n_terms, min_len, max_len,
+       (sum_len * 1000000) // n_terms AS avg_len_q6,
+       ent.entropy_q6
+FROM base JOIN ent USING (source) ORDER BY base.source""",
+)
+def string_stats_source(spark, sf_dir):
+    """ES ``string_stats`` aggregation per source: term count, min/max/avg
+    term length, and Shannon entropy over the character distribution (ES
+    computes exactly this char-level entropy; here over the analyzer
+    alphabet [a-z0-9] so both engines count the identical event set). Low
+    char entropy flags base64 blobs, padding and repeated boilerplate that
+    token-level stats miss. Float discipline = source_unigram_entropy: each
+    char's −p·ln p is one double expression rounded to q6 FIRST, the
+    per-source total is an exact BIGINT sum.
+
+    Scale shape: length stats fold into one source-keyed map-side agg; the
+    char rollup keys on (source, char) — at most 36 rows per source after
+    the map-side combine absorbs the stream. Sources with zero tokens have
+    no term row and are omitted (inner-join semantics, documented)."""
+    d = _docs(spark, sf_dir)
+    t = d.select("source", F.explode(spark_tokens("text")).alias("term"))
+    base = t.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.min(F.length("term")).cast("long").alias("min_len"),
+        F.max(F.length("term")).cast("long").alias("max_len"),
+        F.sum(F.length("term")).cast("long").alias("sum_len"),
+    )
+    ch = (
+        d.select("source", F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]"), 0)).alias("ch"))
+        .groupBy("source", "ch")
+        .agg(F.count("*").cast("long").alias("c"))
+        # (source, char) rows; two consumers (totals + per-char terms)
+        .localCheckpoint()
+    )
+    n = ch.groupBy("source").agg(F.sum("c").cast("long").alias("tot"))
+    p = F.col("c").cast("double") / F.col("tot")
+    ent = (
+        ch.join(F.broadcast(n), "source")
+        .select("source", _q6(-p * F.log(p)).alias("h_q6"))
+        .groupBy("source")
+        .agg(F.sum("h_q6").cast("long").alias("entropy_q6"))
+    )
+    return (
+        base.join(ent, "source")
+        .withColumn("avg_len_q6", F.expr("(sum_len * 1000000) div n_terms"))
+        .select("source", "n_terms", "min_len", "max_len", "avg_len_q6", "entropy_q6")
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -7048,7 +7469,13 @@ def train_eval_split(spark, sf_dir):
 # (tests/test_driver_contract.py) still checks all entries every run.
 
 _FRONT = [
-    # newest (session 12): ES query-surface completions + pipeline chunk
+    # newest (session 13): ES result shaping (collapse/pinned/shard-error
+    # terms agg/extended_stats/percentile_ranks/string_stats/pipeline aggs)
+    # + lexical-growth diagnostics
+    "search_collapse", "pinned_query", "terms_shard_error",
+    "extended_stats_source", "percentile_ranks_doclen", "heaps_law_source",
+    "events_cum_derivative", "string_stats_source",
+    # session 12: ES query-surface completions + pipeline chunk
     # dedup, output sharding, per-source entropy
     "match_phrase_prefix", "synonym_query_search", "rescore_topn",
     "chunk_dedup_scrub", "shard_token_balance", "source_unigram_entropy",
