@@ -287,7 +287,11 @@ def main() -> None:
                  "cross_fields_search", "composite_agg_page",
                  "tokenizer_fertility", "cross_source_dup_matrix",
                  "adjacency_matrix_agg", "language_confusion_matrix",
-                 "train_eval_split"]:
+                 "train_eval_split",
+                 "search_collapse", "pinned_query", "terms_shard_error",
+                 "extended_stats_source", "percentile_ranks_doclen",
+                 "heaps_law_source", "events_cum_derivative",
+                 "string_stats_source"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)
