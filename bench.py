@@ -291,7 +291,9 @@ def main() -> None:
                  "search_collapse", "pinned_query", "terms_shard_error",
                  "extended_stats_source", "percentile_ranks_doclen",
                  "heaps_law_source", "events_cum_derivative",
-                 "string_stats_source"]:
+                 "string_stats_source",
+                 "quality_budget_select", "cluster_balanced_sample",
+                 "intervals_unordered"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

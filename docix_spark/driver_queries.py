@@ -7459,6 +7459,222 @@ def string_stats_source(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 14 — budgeted selection, cluster-balanced sampling, intervals query
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 12_000
+
+
+def _budget_sql(budget: int) -> str:
+    """Generated DuckDB oracle for quality_budget_select — kept as a
+    generator so the property suite can exercise budgets that actually
+    cross on hypothesis-sized corpora."""
+    return f"""WITH t AS ({SQL_TOKS}),
+m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(count(*) FILTER (term IN ('the','a','of','to','is')) AS BIGINT) AS stop_hits
+      FROM t GROUP BY doc_id),
+q AS (SELECT d.doc_id,
+             CASE WHEN COALESCE(m.n_tok, 0) = 0 THEN 0
+                  ELSE (m.stop_hits * 1000000) // m.n_tok END AS q_q6,
+             COALESCE(m.n_tok, 0) AS n_tok,
+             md5(CAST(d.doc_id AS VARCHAR)) AS h
+      FROM documents d LEFT JOIN m USING (doc_id)),
+c AS (SELECT doc_id, q_q6, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY q_q6 DESC, h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM q)
+SELECT doc_id, q_q6, n_tok FROM c WHERE cum_before < {budget}
+ORDER BY doc_id"""
+
+
+@register("quality_budget_select", _budget_sql(_BUDGET_TOKENS))
+def quality_budget_select(spark, sf_dir):
+    """Token-budgeted quality selection — "take the best documents until
+    the training budget of {B} tokens is filled", the greedy fill every
+    mix-construction pipeline runs after scoring. Quality here is the
+    stopword-hit ratio in integer micro-units (any per-doc integer score
+    slots in); within a score tie, docs order by (md5(doc_id), doc_id) so
+    the cut is reproducible, and the doc that crosses the budget line is
+    admitted (greedy fill).
+
+    The oracle is the naive global window (ORDER BY quality over every
+    row). The Spark plan never sorts the corpus: it aggregates a per-SCORE
+    histogram (score-cardinality rows), takes an exclusive prefix sum over
+    that tiny table to classify every score bin as fully-funded /
+    boundary / rejected, admits full bins with no ordering at all, and
+    resolves ONLY the single boundary bin with the domain_cap sub-sharded
+    two-pass cumsum (md5-prefix range shards + per-shard token totals) —
+    so no whole-corpus or whole-bin sort ever lands on one reducer. The
+    doclen_quantiles histogram trick applied to SELECTION."""
+    B = _BUDGET_TOKENS
+    toks = _toks(_docs(spark, sf_dir))
+    m = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.sum(F.when(F.col("term").isin("the", "a", "of", "to", "is"), 1).otherwise(0)).alias("stop_hits"),
+    )
+    q = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(m, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN COALESCE(n_tok, 0) = 0 THEN 0"
+                " ELSE (stop_hits * 1000000) div n_tok END"
+            ).alias("q_q6"),
+            F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        )
+        # three consumers below (bin histogram, full-bin admit, boundary
+        # resolve) — without this each would replay the tokenize upstream
+        .localCheckpoint()
+    )
+    bins = q.groupBy("q_q6").agg(F.sum("n_tok").alias("bt"))
+    w_bin = Window.orderBy(F.desc("q_q6")).rowsBetween(Window.unboundedPreceding, -1)
+    # score-cardinality rows only — the unpartitioned window is histogram-
+    # sized (quantize q_q6 to fixed bins if a score is continuous)
+    binoff = bins.withColumn("bin_off", F.coalesce(F.sum("bt").over(w_bin), F.lit(0)))
+    j = q.join(F.broadcast(binoff), "q_q6")
+    full = j.where(F.col("bin_off") + F.col("bt") <= B).select("doc_id", "q_q6", "n_tok")
+    bnd = j.where((F.col("bin_off") < B) & (F.col("bin_off") + F.col("bt") > B)).select(
+        "doc_id", "q_q6", "n_tok", "h", "bin_off", F.substring("h", 1, 1).alias("sh")
+    )
+    sh_tot = bnd.groupBy("q_q6", "sh").agg(F.sum("n_tok").alias("st"))
+    w_off = Window.partitionBy("q_q6").orderBy("sh").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sh_tot.withColumn("off", F.coalesce(F.sum("st").over(w_off), F.lit(0))).select(
+        "q_q6", "sh", "off"
+    )
+    w_local = (
+        Window.partitionBy("q_q6", "sh")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    admitted_bnd = (
+        bnd.withColumn("loc", F.coalesce(F.sum("n_tok").over(w_local), F.lit(0)))
+        .join(offsets, ["q_q6", "sh"])
+        .where(F.col("bin_off") + F.col("off") + F.col("loc") < B)
+        .select("doc_id", "q_q6", "n_tok")
+    )
+    return full.unionByName(admitted_bnd).orderBy("doc_id")
+
+
+@register(
+    "cluster_balanced_sample",
+    _SQL_EMB_E
+    + _coarse_ctes()
+    + """
+rk AS (SELECT ccid AS cid, vec_id,
+              row_number() OVER (PARTITION BY ccid
+                                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       FROM ca3)
+SELECT cid, vec_id, CAST(rk AS BIGINT) AS rk
+FROM rk WHERE rk <= 10 ORDER BY cid, rk""",
+)
+def cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced (diversity) sampling: at most 10 vectors per
+    trained-IVF cell, picked in deterministic md5-of-id order — the
+    embedding-space analogue of stratified_sample (equal representation
+    across LEARNED clusters instead of declared sources; the
+    SemDeDup/DiverseSample shape for training-mix diversity). Reuses the
+    shared `_trained_ivf` k-means index, so the sample always reflects the
+    shipped quantizer.
+
+    Scale shape: the quota pick is the domain_cap sub-sharded exact rank
+    re-keyed to cid (md5's leading hex char gives 16 ordered range shards
+    per cell; local ranks + a tiny (cells × 16) offset table) — no
+    whole-cell sort on one reducer even when a cell holds a third of the
+    corpus. The oracle is the naive per-cell window."""
+    _members, _cent, final_assign = _trained_ivf(spark, sf_dir)
+    d = final_assign.select(
+        "cid", "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
+    ).withColumn("sh", F.substring("h", 1, 1))
+    counts = d.groupBy("cid", "sh").agg(F.count("*").alias("n"))
+    w_off = Window.partitionBy("cid").orderBy("sh").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("off", F.coalesce(F.sum("n").over(w_off), F.lit(0))).select(
+        "cid", "sh", "off"
+    )
+    w_local = Window.partitionBy("cid", "sh").orderBy("h", "vec_id")
+    ranked = (
+        d.withColumn("lr", F.row_number().over(w_local))
+        .join(offsets, ["cid", "sh"])
+        .select("cid", "vec_id", (F.col("off") + F.col("lr")).cast("long").alias("rk"))
+    )
+    return ranked.where(F.col("rk") <= 10).orderBy("cid", "rk")
+
+
+_IV_TERMS = ("spark", "hash", "join")
+_IV_GAPS = 3  # ES intervals max_gaps: window width = n_terms + max_gaps
+
+
+@register(
+    "intervals_unordered",
+    f"""WITH t AS (
+  SELECT doc_id, words[i] AS term, i AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words
+        FROM documents),
+       unnest(generate_series(1, len(words))) AS u(i)
+),
+p1 AS (SELECT doc_id, pos FROM t WHERE term = '{_IV_TERMS[0]}'),
+p2 AS (SELECT doc_id, pos FROM t WHERE term = '{_IV_TERMS[1]}'),
+p3 AS (SELECT doc_id, pos FROM t WHERE term = '{_IV_TERMS[2]}'),
+spans AS (
+  SELECT p1.doc_id,
+         greatest(p1.pos, p2.pos, p3.pos) - least(p1.pos, p2.pos, p3.pos) AS span
+  FROM p1
+  JOIN p2 ON p2.doc_id = p1.doc_id AND abs(p2.pos - p1.pos) <= {len(_IV_TERMS) - 1 + _IV_GAPS}
+  JOIN p3 ON p3.doc_id = p1.doc_id AND abs(p3.pos - p1.pos) <= {len(_IV_TERMS) - 1 + _IV_GAPS}
+)
+SELECT doc_id, CAST(min(span) AS BIGINT) AS min_span
+FROM spans WHERE span <= {len(_IV_TERMS) - 1 + _IV_GAPS}
+GROUP BY doc_id ORDER BY doc_id""",
+)
+def intervals_unordered(spark, sf_dir):
+    """ES ``intervals`` query, ``all_of`` with ``ordered: false`` and
+    ``max_gaps``: documents where all three terms co-occur inside a token
+    window of width ≤ n_terms + max_gaps (here 3 terms, 3 gaps → span ≤ 5
+    positions), reporting the tightest such span — proximity matching
+    that phrase_slop's ORDERED adjacency can't express.
+
+    Scale shape: the three posting sets join per doc_id with the span
+    bound pushed into each join condition as a BAND predicate
+    (|p2−p1| ≤ W), so the per-doc combination blowup is capped at
+    occurrences-per-window — never the |p1|·|p2|·|p3| cross product (the
+    same bounding trick as the events as-of horizon). Position extraction
+    is one map-side explode; doc_ids with any qualifying window collapse
+    through a min agg."""
+    W = len(_IV_TERMS) - 1 + _IV_GAPS
+    d = _docs(spark, sf_dir).select("doc_id", F.posexplode(spark_tokens("text")).alias("i", "term"))
+    # Spark positions are 0-based, DuckDB's 1-based — spans are differences,
+    # so the origins cancel (the phrase_slop rule)
+    t = d.select("doc_id", "term", (F.col("i") + 1).alias("pos")).where(
+        F.col("term").isin(*_IV_TERMS)
+    )
+    # one pruned position table, three filtered consumers — materialize once
+    t = t.localCheckpoint()
+    p1 = t.where(F.col("term") == _IV_TERMS[0]).select("doc_id", F.col("pos").alias("pos1"))
+    p2 = t.where(F.col("term") == _IV_TERMS[1]).select("doc_id", F.col("pos").alias("pos2"))
+    p3 = t.where(F.col("term") == _IV_TERMS[2]).select("doc_id", F.col("pos").alias("pos3"))
+    spans = (
+        p1.join(p2, "doc_id")
+        .where(F.abs(F.col("pos2") - F.col("pos1")) <= W)
+        .join(p3, "doc_id")
+        .where(F.abs(F.col("pos3") - F.col("pos1")) <= W)
+        .select(
+            "doc_id",
+            (
+                F.greatest("pos1", "pos2", "pos3") - F.least("pos1", "pos2", "pos3")
+            ).alias("span"),
+        )
+    )
+    return (
+        spans.where(F.col("span") <= W)
+        .groupBy("doc_id")
+        .agg(F.min("span").cast("long").alias("min_span"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -7469,7 +7685,10 @@ def string_stats_source(spark, sf_dir):
 # (tests/test_driver_contract.py) still checks all entries every run.
 
 _FRONT = [
-    # newest (session 13): ES result shaping (collapse/pinned/shard-error
+    # newest (session 14): budgeted selection, cluster-balanced sampling,
+    # intervals proximity query
+    "quality_budget_select", "cluster_balanced_sample", "intervals_unordered",
+    # session 13: ES result shaping (collapse/pinned/shard-error
     # terms agg/extended_stats/percentile_ranks/string_stats/pipeline aggs)
     # + lexical-growth diagnostics
     "search_collapse", "pinned_query", "terms_shard_error",
