@@ -178,7 +178,11 @@ def _bm25_match_set(spark, sf_dir, terms: list[str], toks: DataFrame | None = No
     if toks is None:
         toks = _toks(_docs(spark, sf_dir))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    # dl derives FROM tf (doc_len = Σ tf), so dl/st/dfs all share tf's
+    # exchange and ReusedExchange collapses the whole stats chain to ONE
+    # tokenize pass — a dl keyed on toks directly was a second lineage
+    # branch that re-ran the tokenize (4 scans per match set)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     st = dl.agg(F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
     dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     q = F.broadcast(spark.createDataFrame([(t,) for t in terms], "term string"))
@@ -384,7 +388,11 @@ def more_like_this(spark, sf_dir):
     TakeOrdered, not a global sort."""
     toks = _toks(_docs(spark, sf_dir))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    # dl derives FROM tf (doc_len = Σ tf), so dl/st/dfs all share tf's
+    # exchange and ReusedExchange collapses the whole stats chain to ONE
+    # tokenize pass — a dl keyed on toks directly was a second lineage
+    # branch that re-ran the tokenize (4 scans per match set)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     st = dl.agg(F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
     dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     seedw = (
@@ -5600,7 +5608,11 @@ def bm25_explain(spark, sf_dir):
     once to q6."""
     toks = _toks(_docs(spark, sf_dir))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    # dl derives FROM tf (doc_len = Σ tf), so dl/st/dfs all share tf's
+    # exchange and ReusedExchange collapses the whole stats chain to ONE
+    # tokenize pass — a dl keyed on toks directly was a second lineage
+    # branch that re-ran the tokenize (4 scans per match set)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     st = dl.agg(F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
     dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     q = F.broadcast(
@@ -6394,7 +6406,11 @@ def synonym_query_search(spark, sf_dir):
     plain query."""
     toks = _toks(_docs(spark, sf_dir))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    # dl derives FROM tf (doc_len = Σ tf), so dl/st/dfs all share tf's
+    # exchange and ReusedExchange collapses the whole stats chain to ONE
+    # tokenize pass — a dl keyed on toks directly was a second lineage
+    # branch that re-ran the tokenize (4 scans per match set)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     st = dl.agg(F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
     dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     syn = F.broadcast(
