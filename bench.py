@@ -293,7 +293,9 @@ def main() -> None:
                  "heaps_law_source", "events_cum_derivative",
                  "string_stats_source",
                  "quality_budget_select", "cluster_balanced_sample",
-                 "intervals_unordered"]:
+                 "intervals_unordered",
+                 "source_gram_novelty", "search_sampler_facets",
+                 "nested_pages_agg", "query_string_search"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -7748,6 +7748,227 @@ def intervals_unordered(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 16 — gram-level provenance, sampler facets, nested page rollup,
+# query-string syntax
+# ---------------------------------------------------------------------------
+
+_GRAM8 = (
+    "words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]"
+    " || ' ' || words[i+4] || ' ' || words[i+5] || ' ' || words[i+6] || ' ' || words[i+7]"
+)
+
+
+@register(
+    "source_gram_novelty",
+    f"""WITH w AS ({SQL_WORDS}),
+g AS (SELECT DISTINCT source, {_GRAM8} AS g
+      FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)
+      WHERE len(words) >= 8),
+gs AS (SELECT g, count(*) AS n_src FROM g GROUP BY g)
+SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (gs.n_src = 1) AS BIGINT) AS n_unique,
+       (CAST(count(*) FILTER (gs.n_src = 1) AS BIGINT) * 1000000)
+         // CAST(count(*) AS BIGINT) AS novelty_q6
+FROM g JOIN gs USING (g) GROUP BY source ORDER BY source""",
+)
+def source_gram_novelty(spark, sf_dir):
+    """Gram-level originality per source: the share of a source's distinct
+    8-grams that occur in NO other source — the provenance readout that
+    separates original content from mirrors/aggregators (a crawl that's
+    90% other sources' grams adds tokens but no new text to a training
+    mix). Complements cross_source_dup_matrix: that counts near-dup DOC
+    pairs, this measures text-level novelty even when no whole document
+    duplicates.
+
+    Scale shape: the (source, gram) table is DISTINCT'd map-side before
+    the gram-keyed shuffle and localCheckpoint'd for its two consumers
+    (the per-gram source count and the join back); both rollups are
+    map-side-combined aggs. Same gram construction as dup_ngram_fraction,
+    keyed by source instead of doc."""
+    w = _docs(spark, sf_dir).select("source", spark_tokens("text").alias("words"))
+    g = (
+        w.where(F.size("words") >= 8)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words)-8), i -> "
+                    "concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3],"
+                    " words[i+4], words[i+5], words[i+6], words[i+7]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    gs = g.groupBy("g").agg(F.count(F.lit(1)).alias("n_src"))
+    uniq = F.col("n_src") == 1
+    return (
+        g.join(gs, "g")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count_if(uniq).cast("long").alias("n_unique"),
+        )
+        .withColumn("novelty_q6", F.expr("(n_unique * 1000000) div n_grams"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "search_sampler_facets",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + """,
+top AS (SELECT doc_id FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 100)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_hits
+FROM top JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source""",
+)
+def search_sampler_facets(spark, sf_dir):
+    """ES ``sampler`` aggregation: facets computed over only the TOP-100
+    scored hits instead of the full match set — the cheap "what's in the
+    best results" breakdown a search UI shows when exact full-corpus
+    facet counts would cost too much (search_facets is the exact twin;
+    this is the sampled one, and on a 100 TB match set it is the only
+    affordable default).
+
+    Scale shape: the sample is ONE TakeOrdered (never a global sort), the
+    metadata join is a 100-row broadcast, and the facet rollup is
+    sources-sized. The match set itself comes memoized from
+    `_bm25_match_set`."""
+    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
+    top = agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(100).select("doc_id")
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        F.broadcast(top).join(d, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .orderBy("source")
+    )
+
+
+# The driver corpus has no form feeds (every doc is one page), so the
+# nested rollup injects a deterministic page break after each 'spark' —
+# the text_scrub/unicode_tokens injection approach.
+_PAGE_INJECT_SPARK = "replace(text, 'spark', concat('spark', char(12)))"
+_PAGE_INJECT_DUCK = "replace(text, 'spark', 'spark' || chr(12))"
+
+
+@register(
+    "nested_pages_agg",
+    f"""WITH d AS (SELECT doc_id, string_split({_PAGE_INJECT_DUCK}, chr(12)) AS pages
+            FROM documents),
+p AS (SELECT doc_id, pages[i] AS page
+      FROM d, unnest(generate_series(1, len(pages))) AS t(i)),
+m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pages,
+             CAST(max(len(regexp_extract_all(lower(page), '{TOKEN_PATTERN}'))) AS BIGINT) AS max_page_toks,
+             CAST(sum(len(regexp_extract_all(lower(page), '{TOKEN_PATTERN}'))) AS BIGINT) AS total_toks
+      FROM p GROUP BY doc_id)
+SELECT doc_id, n_pages, max_page_toks, total_toks FROM m ORDER BY doc_id""",
+)
+def nested_pages_agg(spark, sf_dir):
+    """Parent-child rollup over the reference's page model (ES ``nested``
+    aggregation shape): documents explode into form-feed pages (S4), then
+    per-document page count, largest-page token count and total tokens
+    roll back up — the per-parent child statistics the reference's
+    indexing_log progress rows are built from
+    (DocumentIndexingService.java:218-266 walks exactly this
+    parent→pages→rollup loop).
+
+    Scale shape: the page explode is map-side (no shuffle until the
+    doc_id rollup, which map-side combines); per-page token counts are
+    one regexp counter inside codegen, never a token explosion."""
+    d = _docs(spark, sf_dir)
+    p = d.select(
+        "doc_id",
+        F.explode(F.split(F.expr(_PAGE_INJECT_SPARK), "\f")).alias("page"),
+    )
+    ntok = F.size(F.regexp_extract_all(F.lower("page"), F.lit(TOKEN_PATTERN), 0))
+    return (
+        p.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.max(ntok).cast("long").alias("max_page_toks"),
+            F.sum(ntok).cast("long").alias("total_toks"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def parse_query_string(q: str) -> tuple[list[str], list[str], list[str]]:
+    """Lucene simple_query_string operators: '+term' = must, '-term' =
+    must_not, bare = should. Returns (must, must_not, should), each in
+    first-appearance order."""
+    must, must_not, should = [], [], []
+    for tok in q.split():
+        if tok.startswith("+") and len(tok) > 1:
+            must.append(tok[1:].lower())
+        elif tok.startswith("-") and len(tok) > 1:
+            must_not.append(tok[1:].lower())
+        else:
+            should.append(tok.lower())
+    return must, must_not, should
+
+
+_QS_QUERY = "+spark -join hash"
+
+
+def _query_string_sql(q: str) -> str:
+    must, must_not, should = parse_query_string(q)
+    scored = must + should
+    filt = ""
+    for t in must:
+        filt += f" AND agg.doc_id IN (SELECT doc_id FROM tf WHERE term = '{t}')"
+    for t in must_not:
+        filt += f" AND agg.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{t}')"
+    return (
+        _bm25_agg_ctes(scored)
+        + f""",
+ranked AS (
+  SELECT agg.doc_id, score_q6,
+         row_number() OVER (ORDER BY score_q6 DESC, agg.doc_id ASC) AS rank
+  FROM agg WHERE 1=1 {filt})
+SELECT doc_id, score_q6, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY rank"""
+    )
+
+
+@register("query_string_search", _query_string_sql(_QS_QUERY))
+def query_string_search(spark, sf_dir):
+    """Lucene ``simple_query_string`` syntax end-to-end: '+spark -join
+    hash' parses to must=[spark], must_not=[join], should=[hash]; docs
+    must contain every must term and no must_not term, and BM25-score
+    over the must+should terms. The user-facing operator syntax the
+    reference's ES delegate accepts, parsed by our own
+    :func:`parse_query_string` and driving BOTH engines from one parse.
+
+    Scale shape: scoring is the memoized match set; the must filter is a
+    semi-join and must_not an anti-join on pruned single-term posting
+    sets (bool_filter_query's algebra applied to the scored set); top-10
+    is a TakeOrdered."""
+    must, must_not, should = parse_query_string(_QS_QUERY)
+    agg = _bm25_match_set(spark, sf_dir, must + should)
+    toks = _toks(_docs(spark, sf_dir))
+    for t in must:
+        agg = agg.join(
+            toks.where(F.col("term") == t).select("doc_id").distinct(), "doc_id", "semi"
+        )
+    for t in must_not:
+        agg = agg.join(
+            toks.where(F.col("term") == t).select("doc_id").distinct(), "doc_id", "anti"
+        )
+    topk = agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
+    return (
+        topk.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))).cast("long"),
+        )
+        .select("doc_id", "score_q6", "rank")
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -7758,7 +7979,11 @@ def intervals_unordered(spark, sf_dir):
 # (tests/test_driver_contract.py) still checks all entries every run.
 
 _FRONT = [
-    # newest (session 14): budgeted selection, cluster-balanced sampling,
+    # newest (session 16): gram provenance, sampler facets, nested pages,
+    # query-string syntax
+    "source_gram_novelty", "search_sampler_facets", "nested_pages_agg",
+    "query_string_search",
+    # session 14: budgeted selection, cluster-balanced sampling,
     # intervals proximity query
     "quality_budget_select", "cluster_balanced_sample", "intervals_unordered",
     # session 13: ES result shaping (collapse/pinned/shard-error
