@@ -295,7 +295,9 @@ def main() -> None:
                  "quality_budget_select", "cluster_balanced_sample",
                  "intervals_unordered",
                  "source_gram_novelty", "search_sampler_facets",
-                 "nested_pages_agg", "query_string_search"]:
+                 "nested_pages_agg", "query_string_search",
+                 "lsh_candidate_precision", "simhash_hamming_histogram",
+                 "winnow_containment"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -7969,6 +7969,187 @@ def query_string_search(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 17 — dedup-pipeline tuning diagnostics: banding precision,
+# hamming histogram, asymmetric containment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lsh_candidate_precision",
+    _SQL_LSH_PAIRS
+    + """,
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS c,
+         any_value(na.n) AS na, any_value(nb.n) AS nb
+  FROM pairs c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  JOIN sizes na ON na.doc_id = c.doc_a
+  JOIN sizes nb ON nb.doc_id = c.doc_b
+  GROUP BY c.doc_a, c.doc_b),
+agg AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_candidates,
+               (SELECT CAST(count(*) FILTER (3 * c >= na + nb) AS BIGINT) FROM inter) AS n_true)
+SELECT n_candidates, n_true,
+       CASE WHEN n_candidates = 0 THEN 0
+            ELSE (n_true * 1000000) // n_candidates END AS precision_q6
+FROM agg""",
+)
+def lsh_candidate_precision(spark, sf_dir):
+    """LSH banding precision — of the candidate pairs the band join emits,
+    the fraction whose EXACT shingle Jaccard clears the dedup threshold
+    (J ≥ 0.5): the tuning readout that decides whether the band count is
+    wasting verify budget on false candidates (precision near 0 → add
+    bands/rows; near 1 with low yield → loosen). The threshold test is a
+    pure-integer cross-multiplication, 2·|∩| ≥ |∪| ⟺ 3c ≥ n_a + n_b —
+    no float Jaccard anywhere.
+
+    Scale shape: the exact intersection is computed on CANDIDATES ONLY
+    (the shingle join is pre-filtered by the pair set, never all-pairs);
+    sizes is a doc-keyed agg; the summary is two scalar counts. The edge
+    set itself comes from the memoized `_lsh_pair_edges` graph."""
+    edges = _lsh_pair_edges(spark, sf_dir)
+    pairs = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    sh = _shingles_spark(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .where(F.col("sh") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+    )
+    n_cand = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_true = inter.agg(
+        F.count_if(F.expr("3 * c >= na + nb")).cast("long").alias("n_true")
+    )
+    return (
+        n_cand.crossJoin(n_true)
+        .withColumn(
+            "precision_q6",
+            F.expr(
+                "CASE WHEN n_candidates = 0 THEN 0"
+                " ELSE (n_true * 1000000) div n_candidates END"
+            ),
+        )
+        .select("n_candidates", "n_true", "precision_q6")
+    )
+
+
+@register(
+    "simhash_hamming_histogram",
+    _SIMHASH_CTE
+    + """,
+bands AS (
+  SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767 AS bv
+  FROM sh, (SELECT unnest(generate_series(0, 3)) AS j)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+FROM cand GROUP BY hamming ORDER BY hamming""",
+)
+def simhash_hamming_histogram(spark, sf_dir):
+    """Hamming-distance histogram over the SimHash band-collision
+    candidates — the threshold-tuning curve for simhash_band_pairs' ≤ 3
+    verify: how many candidate pairs sit at each distance tells you what
+    a looser/tighter cut would admit and what the verify stage actually
+    pays per band collision. (Deliberately over CANDIDATES, not all
+    pairs: beyond distance 3 the pigeonhole guarantee lapses, so this is
+    the banding's own view — exactly what the operator tunes.)
+
+    Scale shape: identical band equi-join as simhash_band_pairs (keys are
+    (band_idx, 15-bit value) — never all-pairs), distinct pair set, then
+    a ≤ 60-bucket map-side-combined histogram."""
+    sh = _simhash_spark(spark, sf_dir)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.expr(f"(simhash >> {15 * j}) & 32767").alias("bv"),
+                )
+                for j in range(4)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "simhash", F.col("band.j").alias("j"), F.col("band.bv").alias("bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr("cast(bit_count(a.simhash ^ b.simhash) as bigint)").alias("hamming"),
+        )
+        .distinct()
+    )
+    return (
+        cand.groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+@register(
+    "winnow_containment",
+    f"""WITH fps AS ({_WINNOW_FPS_SQL}),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM fps GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2),
+c AS (SELECT doc_a, doc_b, n_shared, s.n AS n_fp_a
+      FROM shared JOIN sizes s ON s.doc_id = shared.doc_a)
+SELECT doc_a, doc_b, n_shared, n_fp_a,
+       (n_shared * 1000000) // n_fp_a AS containment_q6
+FROM c WHERE 2 * n_shared >= n_fp_a ORDER BY doc_a, doc_b""",
+)
+def winnow_containment(spark, sf_dir):
+    """Asymmetric fingerprint containment (Broder's containment, computed
+    over winnowing fingerprints): for each ORDERED pair, the share of
+    doc_a's fingerprints that doc_b also has — ≥ 0.5 flags doc_a as
+    substantially quoted/embedded inside doc_b even when symmetric
+    Jaccard is tiny (a README pasted into a mega-repo dump never shows up
+    in resemblance-based dedup; it does here). The MOSS plagiarism
+    direction the symmetric pair ops can't express; threshold is the
+    integer test 2·shared ≥ |fps_a|.
+
+    Scale shape: the self-join blocks on the fingerprint (winnow_pairs'
+    shape) and the fps table is localCheckpoint'd for its three consumers
+    (two join sides + sizes); both directions fall out of the one
+    unordered join since the group key is ordered (doc_a, doc_b)."""
+    fps = _winnow_fps_spark(spark, sf_dir).localCheckpoint()
+    sizes = fps.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    a, b = fps.alias("a"), fps.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_fp_a")), "doc_a")
+        .where(F.expr("2 * n_shared >= n_fp_a"))
+        .select(
+            "doc_a", "doc_b", "n_shared", "n_fp_a",
+            F.expr("(n_shared * 1000000) div n_fp_a").alias("containment_q6"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -7979,7 +8160,10 @@ def query_string_search(spark, sf_dir):
 # (tests/test_driver_contract.py) still checks all entries every run.
 
 _FRONT = [
-    # newest (session 16): gram provenance, sampler facets, nested pages,
+    # newest (session 17): dedup tuning diagnostics
+    "lsh_candidate_precision", "simhash_hamming_histogram",
+    "winnow_containment",
+    # session 16: gram provenance, sampler facets, nested pages,
     # query-string syntax
     "source_gram_novelty", "search_sampler_facets", "nested_pages_agg",
     "query_string_search",
