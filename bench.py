@@ -297,7 +297,9 @@ def main() -> None:
                  "source_gram_novelty", "search_sampler_facets",
                  "nested_pages_agg", "query_string_search",
                  "lsh_candidate_precision", "simhash_hamming_histogram",
-                 "winnow_containment"]:
+                 "winnow_containment",
+                 "semdedup", "sq8_quantization_error",
+                 "bpe_merge_candidates", "matrix_stats_docs"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -8150,6 +8150,403 @@ def winnow_containment(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 18 — SemDedup embedding dedup, rare/multi terms aggs, scalar
+# quantization audit
+# ---------------------------------------------------------------------------
+
+
+# Calibrated to the sandbox's i.i.d. vectors (max pairwise cosine ~0.55 —
+# a real 0.95+ paraphrase threshold would drop nothing here; the OPERATOR
+# SHAPE is what ships, the cut is a knob).
+_SEMDEDUP_T = 350_000
+
+_SEMDEDUP_SQL = (
+    _KMEANS_SQL_PRELUDE
+    + f""",
+un AS (
+  SELECT vec_id, list_transform(v, x -> x / n) AS u
+  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e WHERE vec_id <> 0)
+),
+mem AS (SELECT a3.vec_id, a3.cid, un.u FROM a3 JOIN un USING (vec_id)),
+dup AS (
+  SELECT DISTINCT b.vec_id AS dropped
+  FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE CAST(round(1000000 * list_dot_product(a.u, b.u)) AS BIGINT) >= {_SEMDEDUP_T}
+)
+SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(dup.dropped) AS BIGINT) AS n_dropped
+FROM mem LEFT JOIN dup ON mem.vec_id = dup.dropped
+GROUP BY cid ORDER BY cid"""
+)
+
+
+@register("semdedup", _SEMDEDUP_SQL)
+def semdedup(spark, sf_dir):
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
+    only compares embeddings WITHIN a k-means cluster — pairs with cosine
+    above the threshold are semantic duplicates, the larger vec_id is
+    dropped (keep-first greedy), and the per-cluster (members, dropped)
+    rollup is the pruning report a curation run reads. Reuses the shared
+    memoized `_trained_ivf` quantizer, so the dedup clusters ARE the
+    serving index's cells.
+
+    Cross-engine determinism: vectors are normalized ONCE per row (the
+    pagerank edge-build lesson — one interpreted array dot per pair, not
+    cosine's three) and the drop decision compares q6-rounded cosines, so
+    both engines drop the identical id set.
+
+    Scale shape: the pair join blocks on cid — never all-pairs; with K
+    cells the pair count is sum_c |c|^2, and K is the sqrt(N)-ish knob
+    that keeps per-cell membership bounded (the paper runs ~100k clusters
+    at 100 TB). The rollup output is K rows. Threshold 0.35 is calibrated
+    to the sandbox's i.i.d. vectors (max pairwise cosine ~0.55); the real
+    knob at scale is 0.95+."""
+    members, cent, assign = _trained_ivf(spark, sf_dir)
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, z) -> acc + z)"
+    un = (
+        members.withColumn("n", F.sqrt(F.expr(dot.format(a="v", b="v"))))
+        .select("vec_id", F.expr("transform(v, x -> x / n)").alias("u"))
+    )
+    mem = un.join(assign, "vec_id")
+    a = mem.select(F.col("cid"), F.col("vec_id").alias("id_a"), F.col("u").alias("ua"))
+    b = mem.select(
+        F.col("cid").alias("cid_b"), F.col("vec_id").alias("id_b"), F.col("u").alias("ub")
+    )
+    dup = (
+        a.join(b, (F.col("cid") == F.col("cid_b")) & (F.col("id_a") < F.col("id_b")))
+        .where(
+            F.expr(f"cast(round(1000000 * ({dot.format(a='ua', b='ub')})) as bigint)")
+            >= F.lit(_SEMDEDUP_T)
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("flag", F.lit(1))
+    )
+    return (
+        mem.join(dup, "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.count("flag").cast("long").alias("n_dropped"),
+        )
+        .orderBy("cid")
+    )
+
+
+@register(
+    "rare_terms",
+    f"""SELECT term, CAST(count(*) AS BIGINT) AS df FROM ({SQL_TF})
+GROUP BY term HAVING count(*) <= 2 ORDER BY df ASC, term ASC LIMIT 50""",
+)
+def rare_terms(spark, sf_dir):
+    """ES rare_terms agg (max_doc_count=2): the long-tail terms a normal
+    terms agg never surfaces — hapax/near-hapax mining for typo discovery
+    and contamination canaries. Ascending-df order is the agg's defining
+    contract (rarest first), term tiebreak makes the cut deterministic.
+
+    Scale shape: df is the standard two-phase partial agg over the tf
+    table; the HAVING cut prunes the (vocab-sized) result before the
+    top-50 TakeOrdered. ES implements this with a CuckooFilter over
+    multiple passes — a distributed engine just filters the df table."""
+    return (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .where(F.col("df") <= 2)
+        .orderBy(F.asc("df"), F.asc("term"))
+        .limit(50)
+    )
+
+
+@register(
+    "multi_terms_agg",
+    """SELECT source, lang, CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source, lang
+ORDER BY doc_count DESC, source ASC, lang ASC LIMIT 20""",
+)
+def multi_terms_agg(spark, sf_dir):
+    """ES multi_terms agg: buckets keyed by a COMPOUND of fields
+    (source, lang), ordered by doc count — the cross-facet breakdown a
+    single-field terms agg can't express without nesting. One map-side-
+    combined agg; bucket count is |sources|x|langs|, trivially bounded."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy(F.desc("doc_count"), F.asc("source"), F.asc("lang"))
+        .limit(20)
+    )
+
+
+_SQ8_SQL = (
+    _SQL_EMB_E
+    + """
+ex AS (
+  SELECT vec_id, i - 1 AS dim, CAST(round(v[i] * 1000000) AS BIGINT) AS xq
+  FROM e, (SELECT unnest(generate_series(1, 64)) AS i) WHERE vec_id <> 0),
+mm AS (SELECT dim, min(xq) AS mn, max(xq) AS mx FROM ex GROUP BY dim),
+rec AS (
+  SELECT ex.dim, mn, mx,
+         xq - (mn + CASE WHEN mx = mn THEN 0
+                         ELSE (((xq - mn) * 255) // (mx - mn)) * (mx - mn) // 255 END) AS err
+  FROM ex JOIN mm USING (dim))
+SELECT dim, mn AS min_q6, mx AS max_q6,
+       CAST(sum(err * err) AS BIGINT) AS sse_q12
+FROM rec GROUP BY dim, mn, mx ORDER BY dim"""
+)
+
+
+@register("sq8_quantization_error", _SQ8_SQL)
+def sq8_quantization_error(spark, sf_dir):
+    """Scalar int8 quantization audit (the SQ8 codec FAISS/Lucene ship for
+    4x vector-store compression): per-dimension min/max train the affine
+    code, every value maps to 0..255, and the per-dim sum of squared
+    reconstruction error is the fidelity report that decides SQ8 vs PQ vs
+    float16 for a corpus. Entirely integer after the one q6 rounding:
+    code = ((xq-mn)*255) div (mx-mn), reconstruction = mn + (code*span)
+    div 255, so both engines agree bit-for-bit (xq-mn >= 0, floor ==
+    trunc — no negative-division divergence).
+
+    Scale shape: two passes over the exploded (vec, dim) table — a 64-row
+    min/max agg (broadcast back), then a map-side err computation feeding
+    a 64-group sum. Per-dim SSE sums stay under BIGINT even at 1e9
+    vectors (err <= span/255 ~ 4e4 q6-units -> err^2 ~ 1.6e9/row)."""
+    ex = (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.posexplode(F.expr("transform(embedding, x -> cast(x as double))")).alias(
+                "dim", "x"
+            ),
+        )
+        .withColumn("xq", F.round(F.col("x") * F.lit(1_000_000.0)).cast("long"))
+    )
+    mm = ex.groupBy("dim").agg(F.min("xq").alias("mn"), F.max("xq").alias("mx"))
+    rec = ex.join(F.broadcast(mm), "dim").withColumn(
+        "err",
+        F.expr(
+            "xq - (mn + CASE WHEN mx = mn THEN 0"
+            " ELSE (((xq - mn) * 255) div (mx - mn)) * (mx - mn) div 255 END)"
+        ),
+    )
+    return (
+        rec.groupBy("dim", "mn", "mx")
+        .agg(F.sum(F.expr("err * err")).cast("long").alias("sse_q12"))
+        .select(
+            "dim", F.col("mn").alias("min_q6"), F.col("mx").alias("max_q6"), "sse_q12"
+        )
+        .orderBy("dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# session 19 — two-sample inference (ES t_test / matrix_stats), BPE merge
+# candidates, diversified sampling
+# ---------------------------------------------------------------------------
+
+# Welch t^2 from exact BIGINT sufficient statistics. The ONLY float math is
+# this single shared expression over six exact integers (all < 2^53, so
+# their doubles are exact and every division/rounding is IEEE-identical in
+# both engines — the same reasoning corpus_stats' avg() relies on). No
+# float SUM exists anywhere; sums are integers.
+_TTEST_EXPR = (
+    "CASE WHEN na < 2 OR nb < 2 OR (na*ssa = sa*sa AND nb*ssb = sb*sb) THEN 0 "
+    "ELSE CAST(round(1000000 * ((sa/na - sb/nb) * (sa/na - sb/nb)) "
+    "/ ((na*ssa - sa*sa)/(na*na*(na-1)) + (nb*ssb - sb*sb)/(nb*nb*(nb-1)))) AS BIGINT) END"
+)
+
+
+@register(
+    "ttest_lang_doclen",
+    f"""WITH t AS (
+  SELECT lang, CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS x
+  FROM documents WHERE lang IN ('en', 'zh')),
+s AS (SELECT
+  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS na,
+  CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS nb,
+  CAST(COALESCE(sum(x) FILTER (WHERE lang = 'en'), 0) AS BIGINT) AS sa,
+  CAST(COALESCE(sum(x) FILTER (WHERE lang = 'zh'), 0) AS BIGINT) AS sb,
+  CAST(COALESCE(sum(x*x) FILTER (WHERE lang = 'en'), 0) AS BIGINT) AS ssa,
+  CAST(COALESCE(sum(x*x) FILTER (WHERE lang = 'zh'), 0) AS BIGINT) AS ssb
+  FROM t)
+SELECT na, nb, sa, sb, {_TTEST_EXPR} AS t2_q6 FROM s""",
+)
+def ttest_lang_doclen(spark, sf_dir):
+    """ES ``t_test`` agg (unpaired heteroscedastic — Welch): is the token-
+    length distribution of 'en' documents different from 'zh'? Emits the
+    squared t statistic (t^2 needs no sqrt; significance thresholds square
+    just as well) plus the group counts/sums so the consumer can recover
+    direction. Welch denominator = s_a^2/n_a + s_b^2/n_b with sample
+    variances from exact integer sufficient statistics.
+
+    Scale shape: ONE map-side-combined pass over the corpus produces six
+    BIGINTs; the t^2 arithmetic is a single scalar expression. The exact-
+    double envelope (every integer < 2^53) holds to ~1e9 docs of 1e4
+    tokens; past that the stats need per-group scaling, not a new plan."""
+    t = (
+        _docs(spark, sf_dir)
+        .where(F.col("lang").isin("en", "zh"))
+        .select("lang", F.size(spark_tokens("text")).cast("long").alias("x"))
+    )
+    s = t.agg(
+        F.count_if(F.col("lang") == "en").cast("long").alias("na"),
+        F.count_if(F.col("lang") == "zh").cast("long").alias("nb"),
+        F.coalesce(F.sum(F.when(F.col("lang") == "en", F.col("x"))), F.lit(0)).cast("long").alias("sa"),
+        F.coalesce(F.sum(F.when(F.col("lang") == "zh", F.col("x"))), F.lit(0)).cast("long").alias("sb"),
+        F.coalesce(F.sum(F.when(F.col("lang") == "en", F.expr("x*x"))), F.lit(0)).cast("long").alias("ssa"),
+        F.coalesce(F.sum(F.when(F.col("lang") == "zh", F.expr("x*x"))), F.lit(0)).cast("long").alias("ssb"),
+    )
+    return s.select("na", "nb", "sa", "sb", F.expr(_TTEST_EXPR).alias("t2_q6"))
+
+
+# matrix_stats: covariance divides BEFORE the 1e6 scale (double-exact), so
+# the integer cross term never multiplies by the scale; correlation splits
+# sqrt(A*B) into sqrt(A)*sqrt(B) to keep each sqrt argument an exact
+# double (A*B would pass 2^63 first).
+_MSTATS_COV = "CAST(round(1000000 * ((n*sxy - sx*sy) / (n*n))) AS BIGINT)"
+_MSTATS_CORR = (
+    "CASE WHEN n*sxx = sx*sx OR n*syy = sy*sy THEN 0 "
+    "ELSE CAST(round(1000000 * (n*sxy - sx*sy) "
+    "/ (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))) AS BIGINT) END"
+)
+
+
+@register(
+    "matrix_stats_docs",
+    f"""WITH t AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS x,
+         n_chars AS y
+  FROM documents),
+s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+             CAST(sum(x*y) AS BIGINT) AS sxy
+      FROM t GROUP BY source)
+SELECT source, n, sx, sy, {_MSTATS_COV} AS cov_q6, {_MSTATS_CORR} AS corr_q6
+FROM s ORDER BY source""",
+)
+def matrix_stats_docs(spark, sf_dir):
+    """ES ``matrix_stats`` agg over (token_count, n_chars) per source:
+    population covariance and Pearson correlation from exact BIGINT
+    sufficient statistics — the field-relationship readout (a source
+    whose char count doesn't track its token count is binary/CJK/base64-
+    shaped). Like extended_stats_source, all SUMS are integers; the two
+    scalar outputs are single float expressions over exact doubles, with
+    sqrt(A·B) split into sqrt(A)·sqrt(B) so each argument stays under
+    2^53.
+
+    Scale shape: one map-side-combined agg to |sources| rows of seven
+    integers; the matrix math is per-row scalar arithmetic."""
+    t = _docs(spark, sf_dir).select(
+        "source",
+        F.size(spark_tokens("text")).cast("long").alias("x"),
+        F.col("n_chars").alias("y"),
+    )
+    s = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x*x")).cast("long").alias("sxx"),
+        F.sum(F.expr("y*y")).cast("long").alias("syy"),
+        F.sum(F.expr("x*y")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        "source", "n", "sx", "sy",
+        F.expr(_MSTATS_COV).alias("cov_q6"),
+        F.expr(_MSTATS_CORR).alias("corr_q6"),
+    ).orderBy("source")
+
+
+@register(
+    "bpe_merge_candidates",
+    f"""WITH toks AS ({SQL_TOKS}),
+p AS (
+  SELECT substring(term, i, 2) AS pair
+  FROM toks, unnest(generate_series(1, len(term) - 1)) AS t(i)
+  WHERE len(term) >= 2)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""",
+)
+def bpe_merge_candidates(spark, sf_dir):
+    """The first BPE training step (Sennrich et al. 2016): count adjacent
+    symbol pairs over every token OCCURRENCE (character-level symbols
+    before any merge) and rank merge candidates — the top pair is the
+    merge a tokenizer-induction run would commit. Full iterative BPE is a
+    driver loop re-running this exact plan after each merge; the operator
+    ships the dominant per-iteration cost as one declarative pass.
+
+    Both engines' substring/length are character-based (UTF-8 aware), so
+    CJK text contributes kana/han pairs identically; 1-character tokens
+    (Han unigrams) are filtered BEFORE the explode — Spark sequence(1, 0)
+    infers step -1 and emits junk (the documented sequence guard).
+
+    Scale shape: explode is map-side (~word_len rows per token), the pair
+    count is a two-phase agg over an alphabet^2-bounded key space, then
+    one TakeOrdered(20)."""
+    return (
+        _toks(_docs(spark, sf_dir))
+        .where(F.length("term") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))")
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@register(
+    "diversified_sampler",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + """,
+dv AS (
+  SELECT agg.doc_id, d.lang, agg.score_q6,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY agg.score_q6 DESC, agg.doc_id ASC) AS rn
+  FROM agg JOIN documents d USING (doc_id)),
+top AS (SELECT doc_id, lang FROM dv WHERE rn <= 2
+        ORDER BY score_q6 DESC, doc_id ASC LIMIT 100)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_hits
+FROM top GROUP BY lang ORDER BY lang""",
+)
+def diversified_sampler(spark, sf_dir):
+    """ES ``diversified_sampler`` agg: sample the top-100 hits but admit at
+    most 2 documents per source (max_docs_per_value), then facet by lang —
+    the de-biased version of search_sampler_facets for a corpus where one
+    crawl would otherwise fill the whole sample. The per-source cap is the
+    dedup-aware sampling primitive ES ships for exactly this.
+
+    Scale shape: the cap is a per-source window over the match set (keyed
+    shuffle on source, never a global sort), the survivor set is one
+    TakeOrdered(100), the facet rollup is langs-sized. Match set comes
+    memoized from `_bm25_match_set`."""
+    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
+    d = _docs(spark, sf_dir).select("doc_id", "source", "lang")
+    w = Window.partitionBy("source").orderBy(F.desc("score_q6"), F.asc("doc_id"))
+    top = (
+        agg.join(d, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
+        .limit(100)
+    )
+    return (
+        top.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -8160,7 +8557,13 @@ def winnow_containment(spark, sf_dir):
 # (tests/test_driver_contract.py) still checks all entries every run.
 
 _FRONT = [
-    # newest (session 17): dedup tuning diagnostics
+    # newest (session 19): two-sample inference, BPE merges, diversified
+    # sampling
+    "ttest_lang_doclen", "matrix_stats_docs", "bpe_merge_candidates",
+    "diversified_sampler",
+    # session 18: semantic dedup, rare/multi terms, SQ8 audit
+    "semdedup", "rare_terms", "multi_terms_agg", "sq8_quantization_error",
+    # session 17: dedup tuning diagnostics
     "lsh_candidate_precision", "simhash_hamming_histogram",
     "winnow_containment",
     # session 16: gram provenance, sampler facets, nested pages,
