@@ -299,7 +299,8 @@ def main() -> None:
                  "lsh_candidate_precision", "simhash_hamming_histogram",
                  "winnow_containment",
                  "semdedup", "sq8_quantization_error",
-                 "bpe_merge_candidates", "matrix_stats_docs"]:
+                 "bpe_merge_candidates", "matrix_stats_docs",
+                 "longest_shared_span", "boxplot_doclen"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -8547,6 +8547,237 @@ def diversified_sampler(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 20 — exact-substring span detection, ES boxplot, termvectors API
+# ---------------------------------------------------------------------------
+
+
+_GRAM8_DUCK = " || ' ' || ".join(f"words[i+{j}]" for j in range(8)).replace("words[i+0]", "words[i]")
+_GRAM8_SPARK = ", ".join(f"words[i+{j}]" for j in range(8)).replace("words[i+0]", "words[i]")
+
+
+@register(
+    "longest_shared_span",
+    _SQL_LSH_PAIRS
+    + f""",
+w AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words FROM documents),
+g AS (
+  SELECT doc_id, i AS pos, {_GRAM8_DUCK} AS g
+  FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)
+  WHERE len(words) >= 8),
+m AS (
+  SELECT p.doc_a, p.doc_b, ga.pos AS pa, gb.pos AS pb
+  FROM pairs p
+  JOIN g ga ON ga.doc_id = p.doc_a
+  JOIN g gb ON gb.doc_id = p.doc_b AND gb.g = ga.g),
+r AS (
+  SELECT doc_a, doc_b, pa,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp,
+         pa - pb AS d
+  FROM m),
+runs AS (
+  SELECT doc_a, doc_b, CAST(count(*) + 7 AS BIGINT) AS span
+  FROM r GROUP BY doc_a, doc_b, d, grp)
+SELECT doc_a, doc_b, CAST(max(span) AS BIGINT) AS longest_span_toks
+FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""",
+)
+def longest_shared_span(spark, sf_dir):
+    """Longest exactly-shared token span per near-dup candidate pair — the
+    exact-substring dedup signal of Lee et al. 2022 (arXiv:2107.06499,
+    'Deduplicating Training Data Makes Language Models Better'), which
+    removes repeated SPANS rather than whole documents. Their suffix
+    array becomes relational via the gram-diagonal trick: two docs share
+    an L-token substring iff L-7 consecutive 8-grams match along one
+    diagonal (pa - pb constant), so the longest run of consecutive pa on
+    a diagonal + 7 IS the longest common substring in tokens.
+
+    Runs are found with the classic gaps-and-islands grouping
+    (pa - row_number() over the diagonal) — position ORIGINS differ
+    between engines (Spark 0-based, DuckDB 1-based) but both the diagonal
+    and the island key are position DIFFERENCES, so they cancel (the
+    phrase_slop lesson). Candidate pairs with no shared 8-gram are
+    omitted (span < 8 is not a dedup signal).
+
+    Scale shape: the gram join is restricted to the memoized LSH
+    candidate pairs (never all-pairs) and blocks on (doc_b, gram); the
+    window partitions by (pair, diagonal) — bounded by the shorter doc,
+    never a global sort. Suffix-array construction at 100 TB is exactly
+    this shuffle in disguise."""
+    edges = _lsh_pair_edges(spark, sf_dir)
+    pairs = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    w = (
+        _docs(spark, sf_dir)
+        .select("doc_id", spark_tokens("text").alias("words"))
+        .where(F.size("words") >= 8)
+    )
+    g = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(words)-8), i -> "
+                f"struct(i AS pos, concat_ws(' ', {_GRAM8_SPARK}) AS g))"
+            )
+        ).alias("t"),
+    ).select("doc_id", F.col("t.pos").alias("pos"), F.col("t.g").alias("g"))
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g")
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g")
+    m = pairs.join(ga, "doc_a").join(gb, ["doc_b", "g"])
+    wd = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
+    r = m.select(
+        "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("d")
+    ).withColumn("grp", F.col("pa") - F.row_number().over(wd))
+    runs = r.groupBy("doc_a", "doc_b", "d", "grp").agg(
+        (F.count(F.lit(1)) + F.lit(7)).cast("long").alias("span")
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(F.max("span").cast("long").alias("longest_span_toks"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "boxplot_doclen",
+    f"""WITH t AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
+  FROM documents),
+hist AS (SELECT source, n_tok, count(*) AS cnt FROM t GROUP BY source, n_tok),
+h AS (
+  SELECT source, n_tok, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (
+           PARTITION BY source ORDER BY n_tok
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+         CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM hist),
+q AS (SELECT p_q6 FROM (VALUES (250000), (500000), (750000)) AS v(p_q6)),
+agg AS (
+  SELECT h.source, q.p_q6, max(h.n) AS n,
+         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1))
+                  THEN h.n_tok END) AS v_lo,
+         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1)) + 1
+                  THEN h.n_tok END) AS v_hi
+  FROM h, q GROUP BY h.source, q.p_q6),
+qq AS (
+  SELECT source, p_q6,
+         CAST(round(1000000.0 * (v_lo + ((p_q6 / 1000000.0) * (n - 1)
+              - floor((p_q6 / 1000000.0) * (n - 1))) * (v_hi - v_lo))) AS BIGINT) AS q_q6
+  FROM agg)
+SELECT source,
+       max(CASE WHEN p_q6 = 250000 THEN q_q6 END) AS q1_q6,
+       max(CASE WHEN p_q6 = 500000 THEN q_q6 END) AS q2_q6,
+       max(CASE WHEN p_q6 = 750000 THEN q_q6 END) AS q3_q6,
+       max(CASE WHEN p_q6 = 750000 THEN q_q6 END)
+         - max(CASE WHEN p_q6 = 250000 THEN q_q6 END) AS iqr_q6
+FROM qq GROUP BY source ORDER BY source""",
+)
+def boxplot_doclen(spark, sf_dir):
+    """ES ``boxplot`` agg per source: q1/median/q3 + IQR of the token-
+    length distribution — doclen_quantiles' machinery (exact type-7
+    percentiles from the weighted histogram + exclusive prefix sum, never
+    Spark's raw-value-buffering ``percentile``) at the quartile probes,
+    pivoted to the one-row-per-source boxplot shape. IQR is a BIGINT
+    subtraction of q6 values — no new float math."""
+    t = _docs(spark, sf_dir).select(
+        "source", F.size(spark_tokens("text")).cast("long").alias("n_tok")
+    )
+    hist = t.groupBy("source", "n_tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("source")
+    h = hist.select(
+        "source",
+        "n_tok",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).cast("long").alias("cum_before"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+    )
+    q = spark.createDataFrame([(250000,), (500000,), (750000,)], "p_q6 long")
+    rank = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
+    agg = (
+        h.crossJoin(F.broadcast(q))
+        .groupBy("source", "p_q6")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.when(F.col("cum_before") <= F.floor(rank), F.col("n_tok"))).alias("v_lo"),
+            F.max(F.when(F.col("cum_before") <= F.floor(rank) + 1, F.col("n_tok"))).alias("v_hi"),
+        )
+    )
+    r = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
+    frac = r - F.floor(r)
+    qq = agg.select(
+        "source",
+        "p_q6",
+        F.round(F.lit(1_000_000.0) * (F.col("v_lo") + frac * (F.col("v_hi") - F.col("v_lo"))))
+        .cast("long")
+        .alias("q_q6"),
+    )
+    return (
+        qq.groupBy("source")
+        .agg(
+            F.max(F.when(F.col("p_q6") == 250000, F.col("q_q6"))).alias("q1_q6"),
+            F.max(F.when(F.col("p_q6") == 500000, F.col("q_q6"))).alias("q2_q6"),
+            F.max(F.when(F.col("p_q6") == 750000, F.col("q_q6"))).alias("q3_q6"),
+        )
+        .withColumn("iqr_q6", F.col("q3_q6") - F.col("q1_q6"))
+        .orderBy("source")
+    )
+
+
+_TV_DOC_ID = 42
+
+
+@register(
+    "term_vectors_doc",
+    f"""WITH tf AS ({SQL_TF}),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+w AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words
+      FROM documents WHERE doc_id = {_TV_DOC_ID}),
+pos AS (SELECT words[i] AS term, CAST(min(i - 1) AS BIGINT) AS first_pos
+        FROM w, unnest(generate_series(1, len(words))) AS t(i) GROUP BY words[i])
+SELECT tf.term, CAST(tf.tf AS BIGINT) AS tf, dfs.df, pos.first_pos
+FROM tf JOIN dfs USING (term) JOIN pos USING (term)
+WHERE tf.doc_id = {_TV_DOC_ID} ORDER BY tf.term""",
+)
+def term_vectors_doc(spark, sf_dir):
+    """ES ``_termvectors`` API for one document: per term its tf in the
+    doc, corpus df, and first position (0-based both engines — DuckDB's
+    1-based series is shifted at the source). ES serves this from the
+    index; the serving twin here is a pyarrow point read — this is the
+    declarative oracle-checkable shape.
+
+    Scale shape: the doc-side tokenize runs on ONE row (doc filter pushed
+    to the parquet scan before any explode); only the df lookup touches
+    the corpus, and it's the standard two-phase agg semi-joined down to
+    the doc's own vocabulary."""
+    doc = _docs(spark, sf_dir).where(F.col("doc_id") == _TV_DOC_ID)
+    tf = (
+        _toks(doc)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    pos = (
+        doc.select(F.posexplode(spark_tokens("text")).alias("pos", "term"))
+        .groupBy("term")
+        .agg(F.min("pos").cast("long").alias("first_pos"))
+    )
+    dfs = (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("_tf"))
+        .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    return (
+        tf.join(dfs, "term")
+        .join(pos, "term")
+        .select("term", "tf", "df", "first_pos")
+        .orderBy("term")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -8557,8 +8788,9 @@ def diversified_sampler(spark, sf_dir):
 # (tests/test_driver_contract.py) still checks all entries every run.
 
 _FRONT = [
-    # newest (session 19): two-sample inference, BPE merges, diversified
-    # sampling
+    # newest (session 20): exact-substring spans, boxplot, termvectors
+    "longest_shared_span", "boxplot_doclen", "term_vectors_doc",
+    # session 19: two-sample inference, BPE merges, diversified sampling
     "ttest_lang_doclen", "matrix_stats_docs", "bpe_merge_candidates",
     "diversified_sampler",
     # session 18: semantic dedup, rare/multi terms, SQ8 audit
