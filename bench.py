@@ -300,7 +300,8 @@ def main() -> None:
                  "winnow_containment",
                  "semdedup", "sq8_quantization_error",
                  "bpe_merge_candidates", "matrix_stats_docs",
-                 "longest_shared_span", "boxplot_doclen"]:
+                 "longest_shared_span", "boxplot_doclen",
+                 "cdc_chunk_dedup", "zipf_slope_source"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

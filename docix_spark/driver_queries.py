@@ -8778,6 +8778,210 @@ def term_vectors_doc(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 21 — content-defined chunk dedup, daily anomaly z-scores, Zipf
+# slope per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_chunk_dedup",
+    f"""WITH w AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words
+  FROM documents),
+t AS (
+  SELECT doc_id, source, i AS pos, words[i] AS term,
+         CASE WHEN ('0x' || substr(md5(words[i]), 1, 4))::UBIGINT::BIGINT % 16 = 0
+              THEN 1 ELSE 0 END AS b
+  FROM w, unnest(generate_series(1, len(words))) AS s(i)),
+c AS (
+  SELECT doc_id, source, pos, term,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS cidx
+  FROM t),
+chunks AS (
+  SELECT source, md5(string_agg(term, ' ' ORDER BY pos)) AS ch
+  FROM c GROUP BY source, doc_id, cidx)
+SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT ch) AS BIGINT) AS n_distinct_chunks,
+       ((count(*) - count(DISTINCT ch)) * 1000000) // count(*) AS dup_ratio_q6
+FROM chunks GROUP BY source ORDER BY source""",
+)
+def cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking dedup (the LBFS/rsync/restic family): a
+    chunk boundary opens wherever the token's own 16-bit md5 slice ≡ 0
+    mod 16 (expected chunk ~16 tokens), so boundaries depend ONLY on
+    local content — an insertion near the top of a doc shifts every
+    fixed-window chunk (chunk_dedup_scrub's 8-token grid) but leaves all
+    CDC chunks after the edit identical. Per-source duplicated-chunk
+    ratio is the storage-dedup readout.
+
+    Scale shape: the boundary flag is map-side; the chunk index is a
+    per-doc prefix sum (doc-bounded window, the standard positions
+    shuffle); chunk assembly is one (doc, chunk) group with an in-group
+    sort bounded by chunk length; the rollup is sources-sized. The
+    distinct-count is Spark's two-phase partial distinct."""
+    t = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", F.posexplode(spark_tokens("text")).alias("pos", "term"))
+        .withColumn(
+            "b",
+            F.expr(
+                "CASE WHEN cast(conv(substring(md5(term), 1, 4), 16, 10) as bigint) % 16 = 0"
+                " THEN 1 ELSE 0 END"
+            ),
+        )
+    )
+    wc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = t.withColumn("cidx", F.sum("b").over(wc))
+    chunks = c.groupBy("source", "doc_id", "cidx").agg(
+        F.md5(
+            F.expr(
+                "concat_ws(' ', transform(sort_array(collect_list(struct(pos, term))),"
+                " x -> x.term))"
+            )
+        ).alias("ch")
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.countDistinct("ch").cast("long").alias("n_distinct_chunks"),
+        )
+        .withColumn(
+            "dup_ratio_q6",
+            F.expr("((n_chunks - n_distinct_chunks) * 1000000) div n_chunks"),
+        )
+        .orderBy("source")
+    )
+
+
+# z^2 from exact integer day counts: dev and var are each ONE division of
+# exact BIGINTs (the float-mean form — products like (nd*n-s)^2 would pass
+# 2^63 at real scale; divided first, everything stays an exact double).
+_ANOM_Z2 = (
+    "CASE WHEN nd < 2 OR nd*ss = s*s THEN 0 "
+    "ELSE CAST(round(1000000 * (((nd*n - s)/nd) * ((nd*n - s)/nd)) "
+    "/ ((nd*ss - s*s)/(nd*nd))) AS BIGINT) END"
+)
+
+
+@register(
+    "events_daily_anomaly",
+    f"""WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_num, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+s AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS s,
+             CAST(sum(n*n) AS BIGINT) AS ss FROM d),
+z AS (SELECT day_num, n, {_ANOM_Z2} AS z2_q6 FROM d CROSS JOIN s)
+SELECT day_num, n, z2_q6,
+       CASE WHEN z2_q6 >= 4000000 THEN 1 ELSE 0 END AS is_spike
+FROM z ORDER BY day_num""",
+)
+def events_daily_anomaly(spark, sf_dir):
+    """Daily volume anomaly detection: squared z-score of each day's event
+    count against the corpus of days (population mean/variance from exact
+    BIGINT sufficient statistics), spike flag at |z| >= 2 — the pipeline-
+    health alarm a date_histogram dashboard derives. z^2 avoids sqrt; the
+    flag is an integer comparison on the q6 output, so both engines flag
+    identical days.
+
+    Scale shape: the only corpus-sized pass is the day groupBy (map-side
+    partial); the stats row is a 1-row cross join onto day-granularity
+    rows (calendar-bounded, the events_daily_mavg argument)."""
+    d = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day_num")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.expr("n*n")).cast("long").alias("ss"),
+    )
+    z = d.crossJoin(F.broadcast(s)).select(
+        "day_num", "n", F.expr(_ANOM_Z2).alias("z2_q6")
+    )
+    return z.select(
+        "day_num",
+        "n",
+        "z2_q6",
+        F.expr("CASE WHEN z2_q6 >= 4000000 THEN 1 ELSE 0 END").alias("is_spike"),
+    ).orderBy("day_num")
+
+
+# Least-squares slope over q6-rounded (ln rank, ln freq) points. The ln
+# values are rounded per TERM first (the unigram_logprob rule — libm ln is
+# 1-ulp, never let raw ln floats into a sum); the slope then uses the
+# float-mean form (sxy/n - mx*my) / (sxx/n - mx*mx) so no BIGINT product
+# exceeds the sums themselves (q6 lns keep sxx exact-double to ~1e5 terms
+# per source).
+_ZIPF_SLOPE = (
+    "CASE WHEN n < 2 OR n*sxx = sx*sx THEN 0 "
+    "ELSE CAST(round(1000000 * (sxy/n - (sx/n)*(sy/n)) / (sxx/n - (sx/n)*(sx/n))) AS BIGINT) END"
+)
+
+
+@register(
+    "zipf_slope_source",
+    f"""WITH tf AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+        FROM documents) GROUP BY source, term),
+r AS (
+  SELECT source, f,
+         row_number() OVER (PARTITION BY source ORDER BY f DESC, term ASC) AS rnk
+  FROM tf),
+l AS (
+  SELECT source, CAST(round(1000000 * ln(rnk)) AS BIGINT) AS x,
+         CAST(round(1000000 * ln(f)) AS BIGINT) AS y
+  FROM r),
+s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
+      FROM l GROUP BY source)
+SELECT source, n AS n_terms, {_ZIPF_SLOPE} AS slope_q6
+FROM s ORDER BY source""",
+)
+def zipf_slope_source(spark, sf_dir):
+    """Zipf rank-frequency slope per source: least-squares fit of
+    ln(freq) ~ ln(rank) over the source's term distribution — natural
+    language sits near −1; templated/boilerplate sources flatten toward
+    0 and spam/generated text steepens. A corpus-quality diagnostic the
+    Gopher-style per-doc flags can't see (it's a property of the whole
+    source's vocabulary, not any document).
+
+    Scale shape: term frequencies are the standard two-phase agg; the
+    rank window runs over PRE-AGGREGATED vocab-sized rows per source
+    (the top_terms_per_source argument); the fit consumes six integers
+    per source."""
+    tf = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(spark_tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("f"), F.asc("term"))
+    lpts = tf.withColumn("rnk", F.row_number().over(wr)).select(
+        "source",
+        F.round(F.lit(1_000_000.0) * F.log("rnk")).cast("long").alias("x"),
+        F.round(F.lit(1_000_000.0) * F.log("f")).cast("long").alias("y"),
+    )
+    s = lpts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x*x")).cast("long").alias("sxx"),
+        F.sum(F.expr("x*y")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        "source", F.col("n").alias("n_terms"), F.expr(_ZIPF_SLOPE).alias("slope_q6")
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -8788,7 +8992,9 @@ def term_vectors_doc(spark, sf_dir):
 # (tests/test_driver_contract.py) still checks all entries every run.
 
 _FRONT = [
-    # newest (session 20): exact-substring spans, boxplot, termvectors
+    # newest (session 21): CDC chunk dedup, daily anomaly, Zipf slope
+    "cdc_chunk_dedup", "events_daily_anomaly", "zipf_slope_source",
+    # session 20: exact-substring spans, boxplot, termvectors
     "longest_shared_span", "boxplot_doclen", "term_vectors_doc",
     # session 19: two-sample inference, BPE merges, diversified sampling
     "ttest_lang_doclen", "matrix_stats_docs", "bpe_merge_candidates",
