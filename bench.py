@@ -301,7 +301,8 @@ def main() -> None:
                  "semdedup", "sq8_quantization_error",
                  "bpe_merge_candidates", "matrix_stats_docs",
                  "longest_shared_span", "boxplot_doclen",
-                 "cdc_chunk_dedup", "zipf_slope_source"]:
+                 "cdc_chunk_dedup", "zipf_slope_source",
+                 "kcenter_coreset", "embedding_norm_outliers"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

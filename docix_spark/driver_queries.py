@@ -8982,6 +8982,173 @@ def zipf_slope_source(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 22 — k-center coreset selection, embedding norm QA
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 8
+
+
+def _kcenter_sql(k: int = _KCENTER_K) -> str:
+    """Unrolled greedy farthest-point CTE chain (the pagerank unroll
+    pattern). `un` and every running max-cos table are AS MATERIALIZED —
+    DuckDB inlines multiply-referenced CTEs and an unrolled chain
+    re-derives them with compounding fan-out otherwise (the oracle
+    lesson from pagerank_ann_graph: 139 s -> 0.24 s)."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        "un AS MATERIALIZED (",
+        "  SELECT vec_id, list_transform(v, x -> x / n) AS u",
+        "  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e WHERE vec_id <> 0)),",
+        "m1 AS MATERIALIZED (",
+        "  SELECT un.vec_id,",
+        "         CAST(round(1000000000 * list_dot_product(un.u, c.u)) AS BIGINT) AS mc",
+        "  FROM un, (SELECT u FROM un WHERE vec_id = 1) c WHERE un.vec_id <> 1),",
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT vec_id, mc FROM m{i} ORDER BY mc ASC, vec_id ASC LIMIT 1),"
+        )
+        if i < k - 1:
+            parts.append(
+                f"m{i + 1} AS MATERIALIZED (\n"
+                f"  SELECT m.vec_id,\n"
+                f"         GREATEST(m.mc, CAST(round(1000000000 * list_dot_product(a.u, c.u)) AS BIGINT)) AS mc\n"
+                f"  FROM m{i} m JOIN un a ON a.vec_id = m.vec_id,\n"
+                f"       (SELECT un.u FROM un JOIN p{i} USING (vec_id)) c\n"
+                f"  WHERE m.vec_id NOT IN (SELECT vec_id FROM p{i})),"
+            )
+    sels = ["SELECT CAST(0 AS BIGINT) AS sel_order, CAST(1 AS BIGINT) AS vec_id, CAST(1000000000 AS BIGINT) AS maxcos_q9"]
+    sels += [
+        f"SELECT CAST({i} AS BIGINT), vec_id, mc FROM p{i}" for i in range(1, k)
+    ]
+    parts.append("sel AS (" + " UNION ALL ".join(sels) + ")")
+    parts.append("SELECT sel_order, vec_id, maxcos_q9 FROM sel ORDER BY sel_order")
+    return "\n".join(parts)
+
+
+@register("kcenter_coreset", _kcenter_sql())
+def kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset (Gonzalez 1985 farthest-point traversal):
+    pick 8 maximally-diverse representative vectors — seed at vec_id 1
+    (the kmeans seed convention), then repeatedly choose the vector LEAST
+    similar to its nearest already-chosen center. The selection order and
+    each pick's max-cosine-at-selection are the output: the curation
+    primitive for diverse seed/eval-set selection, and the 2-approximation
+    to the k-center clustering objective. Decisions compare q9-rounded
+    cosines with a vec_id tiebreak, so both engines pick identical
+    centers.
+
+    Scale shape: each of the 7 rounds is one broadcast of the single new
+    center onto the running max-cos table (map-side GREATEST — the
+    running table means round i costs O(N), not O(N·i)) plus one
+    TakeOrdered(1); the table is localCheckpoint'd per round to cut the
+    unrolled lineage. Driver state is exactly the k chosen rows — the
+    same bounded-collect budget as kmeans training."""
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, z) -> acc + z)"
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    un = (
+        e.where(F.col("vec_id") != 0)
+        .withColumn("n", F.sqrt(F.expr(dot.format(a="v", b="v"))))
+        .select("vec_id", F.expr("transform(v, x -> x / n)").alias("u"))
+        .localCheckpoint()
+    )
+    cos_q9 = F.expr(
+        f"cast(round(1000000000 * ({dot.format(a='u', b='cu')})) as bigint)"
+    )
+    center = un.where(F.col("vec_id") == 1).select(F.col("u").alias("cu"))
+    m = (
+        un.where(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(center))
+        .select("vec_id", "u", cos_q9.alias("mc"))
+        .localCheckpoint()
+    )
+    chosen = [(0, 1, 1_000_000_000)]
+    for i in range(1, _KCENTER_K):
+        pick = m.orderBy(F.asc("mc"), F.asc("vec_id")).limit(1).collect()[0]
+        chosen.append((i, pick.vec_id, pick.mc))
+        if i == _KCENTER_K - 1:
+            break
+        center = un.where(F.col("vec_id") == pick.vec_id).select(F.col("u").alias("cu"))
+        m = (
+            m.where(F.col("vec_id") != pick.vec_id)
+            .crossJoin(F.broadcast(center))
+            .select("vec_id", "u", F.greatest(F.col("mc"), cos_q9).alias("mc"))
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        chosen, "sel_order long, vec_id long, maxcos_q9 long"
+    ).orderBy("sel_order")
+
+
+# norm^2 lives in q12 BIGINT per vector (exact); the corpus stats divide
+# it to q3 FIRST (n2*n2 at q12 would pass 2^63 immediately) — milli-units
+# of squared norm are ample resolution for an outlier flag.
+_NORMQA_Z2 = (
+    "CASE WHEN nv < 2 OR nv*ss = s*s THEN 0 "
+    "ELSE CAST(round(1000000 * (((nv*n2m - s)/nv) * ((nv*n2m - s)/nv)) "
+    "/ ((nv*ss - s*s)/(nv*nv))) AS BIGINT) END"
+)
+
+_NORMQA_SQL = (
+    _SQL_EMB_E
+    + """
+ex AS (
+  SELECT vec_id, i, CAST(round(v[i] * 1000000) AS BIGINT) AS xq
+  FROM e, (SELECT unnest(generate_series(1, 64)) AS i) WHERE vec_id <> 0),
+n2 AS (SELECT vec_id, CAST(sum(xq * xq) // 1000000000 AS BIGINT) AS n2m
+       FROM ex GROUP BY vec_id),
+s AS (SELECT CAST(count(*) AS BIGINT) AS nv, CAST(sum(n2m) AS BIGINT) AS s,
+             CAST(sum(n2m * n2m) AS BIGINT) AS ss FROM n2)
+SELECT vec_id, n2m AS norm2_q3, """
+    + _NORMQA_Z2
+    + """ AS z2_q6
+FROM n2 CROSS JOIN s ORDER BY z2_q6 DESC, vec_id ASC LIMIT 20"""
+)
+
+
+@register("embedding_norm_outliers", _NORMQA_SQL)
+def embedding_norm_outliers(spark, sf_dir):
+    """Embedding QA: the 20 most norm-anomalous vectors by squared z-score
+    of ||v||^2 against the corpus — catches truncated/zeroed/blown-up
+    rows from a bad embedding batch before they poison ANN recall.
+    Per-vector squared norm is an exact q12 BIGINT (sum of squared q6
+    elements) floored to q3 before the corpus stats so no product passes
+    2^63; z^2 uses the float-mean form over exact doubles.
+
+    Scale shape: one exploded map-side pass per vector, a 1-row stats
+    agg broadcast back, one TakeOrdered(20)."""
+    ex = (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.posexplode(F.expr("transform(embedding, x -> cast(x as double))")).alias("i", "x"),
+        )
+        .withColumn("xq", F.round(F.col("x") * F.lit(1_000_000.0)).cast("long"))
+    )
+    n2 = ex.groupBy("vec_id").agg(
+        F.expr("cast(sum(xq * xq) div 1000000000 as bigint)").alias("n2m")
+    )
+    s = n2.agg(
+        F.count(F.lit(1)).cast("long").alias("nv"),
+        F.sum("n2m").cast("long").alias("s"),
+        F.sum(F.expr("n2m * n2m")).cast("long").alias("ss"),
+    )
+    return (
+        n2.crossJoin(F.broadcast(s))
+        .select(
+            "vec_id",
+            F.col("n2m").alias("norm2_q3"),
+            F.expr(_NORMQA_Z2).alias("z2_q6"),
+        )
+        .orderBy(F.desc("z2_q6"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -8992,7 +9159,9 @@ def zipf_slope_source(spark, sf_dir):
 # (tests/test_driver_contract.py) still checks all entries every run.
 
 _FRONT = [
-    # newest (session 21): CDC chunk dedup, daily anomaly, Zipf slope
+    # newest (session 22): k-center coreset, embedding norm QA
+    "kcenter_coreset", "embedding_norm_outliers",
+    # session 21: CDC chunk dedup, daily anomaly, Zipf slope
     "cdc_chunk_dedup", "events_daily_anomaly", "zipf_slope_source",
     # session 20: exact-substring spans, boxplot, termvectors
     "longest_shared_span", "boxplot_doclen", "term_vectors_doc",

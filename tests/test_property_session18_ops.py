@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+import math
+
 import duckdb
 import numpy as np
 import pandas as pd
@@ -149,15 +151,29 @@ def test_semdedup_drop_rule_matches_oracle(vecs):
     con = _emb_con(vecs)
     got = con.execute(REGISTRY["semdedup"].sql).fetchall()
     a3 = dict(con.execute(_KMEANS_SQL_PRELUDE + " SELECT vec_id, cid FROM a3").fetchall())
-    v = np.array(vecs, dtype=np.float64)
-    u = v / np.sqrt((v * v).sum(axis=1, keepdims=True))
+
+    # sequential fold like both engines — numpy's pairwise dot differs in
+    # the last ulp and can flip the q6 rounding at the threshold boundary
+    def _seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    u = {}
+    for vid, vec in enumerate(vecs):
+        # float32 round-trip: the embeddings column is float32 in the
+        # real parquet schema and in _emb_con's arrow table
+        v32 = np.array(vec, dtype=np.float32).astype(np.float64).tolist()
+        nrm = float(np.sqrt(_seq_dot(v32, v32)))
+        u[vid] = [x / nrm for x in v32]
     dropped: set[int] = set()
     ids = sorted(a3)
     for i, va in enumerate(ids):
         for vb in ids[i + 1 :]:
             if a3[va] != a3[vb]:
                 continue
-            cq6 = int(np.round(1_000_000 * float(u[va] @ u[vb])))
+            cq6 = int(math.floor(1_000_000 * _seq_dot(u[va], u[vb]) + 0.5))
             if cq6 >= _SEMDEDUP_T:
                 dropped.add(vb)
     roll: dict[int, list[int]] = {}
