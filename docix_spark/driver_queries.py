@@ -9149,6 +9149,38 @@ def embedding_norm_outliers(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 23 — streaming-maintained count-min sketch (batch twin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "countmin_user_cells",
+    """WITH pos AS (
+  SELECT i,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1 + 4 * i, 4))::INT % 1024 AS pos
+  FROM events, unnest([0, 1, 2, 3]) AS t(i))
+SELECT CAST(i AS BIGINT) AS i, CAST(pos AS BIGINT) AS pos,
+       CAST(count(*) AS BIGINT) AS cell
+FROM pos GROUP BY i, pos ORDER BY i, pos""",
+)
+def countmin_user_cells(spark, sf_dir):
+    """Batch twin of the streaming count-min maintenance
+    (streaming/events.py::countmin_user_stream): the 4 x 1024 CMS cell
+    table of per-user event counts. Cells are ADDITIVE, so the streaming
+    side maintains the identical table as a running aggregation whose
+    state is 4 096 rows regardless of stream length — stream-vs-batch
+    identity is pytest-proven (test_events_streaming.py). Same hash
+    family as countmin_heavyhitters, keyed on user_id."""
+    from docix_spark.streaming.events import countmin_user_cells as _twin
+
+    return _twin(_events(spark, sf_dir)).select(
+        F.col("i").cast("long").alias("i"),
+        F.col("pos").cast("long").alias("pos"),
+        "cell",
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -9168,7 +9200,9 @@ def embedding_norm_outliers(spark, sf_dir):
 # prefix rests on its r02/r03 driver row plus the full local replica.
 
 _FRONT = [
-    # newest (session 22): k-center coreset, embedding norm QA
+    # newest (session 23): streaming-maintained CMS (batch twin)
+    "countmin_user_cells",
+    # session 22: k-center coreset, embedding norm QA
     "kcenter_coreset", "embedding_norm_outliers",
     # session 21: CDC chunk dedup, daily anomaly, Zipf slope
     "cdc_chunk_dedup", "events_daily_anomaly", "zipf_slope_source",

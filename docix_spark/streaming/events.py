@@ -506,3 +506,67 @@ def exactly_once_counts_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable count-min sketch over the user-activity stream
+# ---------------------------------------------------------------------------
+
+
+def _cms_positions(events: DataFrame) -> DataFrame:
+    """Four (row, position) coordinates per event: 16-bit md5 slices of
+    the user id mod 1024 — the countmin_heavyhitters hash family keyed on
+    user_id instead of term (same cross-engine integer construction)."""
+    return events.select(
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"), "user_id"
+    ).select(
+        "i",
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1 + 4 * i, 4), 16, 10) as int) % 1024"
+        ).alias("pos"),
+    )
+
+
+def countmin_user_cells(events: DataFrame) -> DataFrame:
+    """Batch twin: the 4 x 1024 count-min cell table of per-user event
+    counts (cells absent when no user hashes there). CMS cells are
+    ADDITIVE — the batch table over a union of days equals the cell-wise
+    sum of per-day tables, which is exactly why the streaming side can
+    maintain it as a running aggregation with 4 096 rows of state."""
+    return (
+        _cms_positions(events)
+        .groupBy("i", "pos")
+        .agg(F.count("*").cast("long").alias("cell"))
+        .orderBy("i", "pos")
+    )
+
+
+def countmin_user_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "events_cms",
+):
+    """Streaming count-min maintenance: the same four-coordinate explode
+    feeding a running groupBy in COMPLETE output mode — the sketch IS the
+    streaming state, bounded at 4 096 cells no matter how many trillion
+    events flow through (the property that makes CMS the streaming
+    heavy-hitter structure; contrast a per-user exact count, whose state
+    is user-cardinality-sized). availableNow file-drop trigger matches
+    the incremental-index ingest harness."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(input_dir)
+    cells = (
+        _cms_positions(stream)
+        .groupBy("i", "pos")
+        .agg(F.count("*").cast("long").alias("cell"))
+    )
+    return (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

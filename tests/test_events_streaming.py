@@ -333,3 +333,40 @@ def test_exactly_once_counts_stream_dedups_replays(spark, tmp_root):
         ).collect()
     )
     assert got == want and len(want) > 20
+
+
+def test_countmin_stream_equals_batch_cells(spark, event_drops, tmp_root):
+    """The streaming-maintained CMS (complete-mode running agg, 4 096-cell
+    bounded state) must equal the batch twin's cell table exactly after
+    the availableNow drain — cell additivity IS the mergeable-sketch
+    property the operator exists to demonstrate."""
+    from docix_spark.streaming.events import countmin_user_cells, countmin_user_stream
+
+    q = countmin_user_stream(
+        spark, event_drops, f"{tmp_root}/cms_ckpt", query_name="t_ev_cms"
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.i, r.pos, r.cell) for r in spark.sql("SELECT * FROM t_ev_cms").collect()
+    )
+    want = sorted(
+        (r.i, r.pos, r.cell)
+        for r in countmin_user_cells(
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ).collect()
+    )
+    assert got == want and len(want) > 30
+    # bounded-state invariant: never more cells than the 4 x 1024 sketch
+    assert len(got) <= 4096
+    # CMS overestimate property on a probed user: min over its 4 cells
+    # >= the user's true event count
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    top = events.groupBy("user_id").count().orderBy(F.desc("count"), "user_id").first()
+    import hashlib
+
+    cells = {(i, p): c for i, p, c in got}
+    est = min(
+        cells[(i, int(hashlib.md5(str(top.user_id).encode()).hexdigest()[4 * i : 4 * i + 4], 16) % 1024)]
+        for i in range(4)
+    )
+    assert est >= top["count"]
