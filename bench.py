@@ -302,7 +302,8 @@ def main() -> None:
                  "bpe_merge_candidates", "matrix_stats_docs",
                  "longest_shared_span", "boxplot_doclen",
                  "cdc_chunk_dedup", "zipf_slope_source",
-                 "kcenter_coreset", "embedding_norm_outliers"]:
+                 "kcenter_coreset", "embedding_norm_outliers",
+                 "cavnar_trenkle_langid"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

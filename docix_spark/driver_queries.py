@@ -9181,6 +9181,164 @@ def countmin_user_cells(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 24 — trained n-gram language ID, fixed-size priority sample
+# ---------------------------------------------------------------------------
+
+_CT_K = 20  # profile size (and the out-of-place max penalty)
+
+# char 1-/2-/3-grams of every token occurrence: three explicit UNION ALL
+# levels with a length guard each — Spark sequence(1, 0) infers step -1
+# and emits junk, and DuckDB laterals referencing an unnested L are
+# fragile; three selects are identical everywhere.
+_CT_GRAMS_DUCK = """
+  SELECT doc_id, lang, substring(term, i, 1) AS g
+  FROM toks, unnest(generate_series(1, len(term))) AS t1(i)
+  UNION ALL
+  SELECT doc_id, lang, substring(term, i, 2) AS g
+  FROM toks, unnest(generate_series(1, len(term) - 1)) AS t2(i) WHERE len(term) >= 2
+  UNION ALL
+  SELECT doc_id, lang, substring(term, i, 3) AS g
+  FROM toks, unnest(generate_series(1, len(term) - 2)) AS t3(i) WHERE len(term) >= 3
+"""
+
+_CT_SQL = f"""WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents),
+g AS ({_CT_GRAMS_DUCK}),
+prof AS (
+  SELECT lang, g, row_number() OVER (
+    PARTITION BY lang ORDER BY count(*) DESC, g ASC) AS rp
+  FROM g GROUP BY lang, g QUALIFY rp <= {_CT_K}),
+docg AS (
+  SELECT doc_id, g, row_number() OVER (
+    PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) AS rd
+  FROM g GROUP BY doc_id, g QUALIFY rd <= {_CT_K}),
+langs AS (SELECT DISTINCT lang FROM documents),
+dist AS (
+  SELECT d.doc_id, l.lang,
+         CAST(sum(COALESCE(abs(d.rd - p.rp), {_CT_K})) AS BIGINT) AS dist
+  FROM docg d CROSS JOIN langs l
+  LEFT JOIN prof p ON p.lang = l.lang AND p.g = d.g
+  GROUP BY d.doc_id, l.lang),
+pred AS (
+  SELECT doc_id, lang AS pred_lang FROM (
+    SELECT doc_id, lang, row_number() OVER (
+      PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rn
+    FROM dist) WHERE rn = 1)
+SELECT dcl.lang, pred.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, lang FROM documents) dcl JOIN pred USING (doc_id)
+GROUP BY dcl.lang, pred.pred_lang ORDER BY dcl.lang, pred.pred_lang"""
+
+
+@register("cavnar_trenkle_langid", _CT_SQL)
+def cavnar_trenkle_langid(spark, sf_dir):
+    """Cavnar-Trenkle n-gram language ID (the 1994 'N-Gram-Based Text
+    Categorization' classifier): per-language profiles are the top-20
+    char 1-/2-/3-grams TRAINED from the corpus's own labels, a document
+    is classified by the out-of-place distance between its own top-20
+    gram ranking and each profile (missing gram = max penalty 20),
+    argmin wins. Reported as the declared-vs-predicted confusion matrix
+    — the TRAINED counterpart of lang_id_heuristic's hand-written
+    stopword profiles.
+
+    Scale shape: profiles are |langs| x 20 rows (broadcast); the per-doc
+    ranking windows run over doc-bounded gram counts; the distance join
+    fans each doc's <= 20 grams across |langs| — candidates only, never
+    corpus x corpus. All-integer ranks and distances.
+
+    Honesty note (the PQ-recall rule): the sandbox corpus's lang labels
+    are weakly signaled — 'zh' docs carry the same shared vocabulary —
+    so accuracy is ~0.33 vs the stopword heuristic's 0.36 and a 0.2
+    chance floor; a K sweep (20/50/100/200) moves nothing. The OPERATOR
+    SHAPE is what ships; on real multilingual text C&T profiles separate
+    cleanly."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.explode(spark_tokens("text")).alias("term")
+    )
+    levels = []
+    for L in (1, 2, 3):
+        levels.append(
+            toks.where(F.length("term") >= L).select(
+                "doc_id",
+                "lang",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, length(term) - {L - 1}), i -> substring(term, i, {L}))"
+                    )
+                ).alias("g"),
+            )
+        )
+    g = levels[0].unionByName(levels[1]).unionByName(levels[2]).localCheckpoint()
+    wp = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
+    prof = (
+        g.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rp", F.row_number().over(wp))
+        .where(F.col("rp") <= _CT_K)
+        .select("lang", "g", "rp")
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
+    docg = (
+        g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rd", F.row_number().over(wd))
+        .where(F.col("rd") <= _CT_K)
+        .select("doc_id", "g", "rd")
+    )
+    langs = _docs(spark, sf_dir).select("lang").distinct()
+    dist = (
+        docg.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(prof), ["lang", "g"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.coalesce(F.abs(F.col("rd") - F.col("rp")), F.lit(_CT_K)))
+            .cast("long")
+            .alias("dist")
+        )
+    )
+    wn = Window.partitionBy("doc_id").orderBy(F.asc("dist"), F.asc("lang"))
+    pred = (
+        dist.withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@register(
+    "priority_sample_docs",
+    """SELECT doc_id, source, substr(md5(CAST(doc_id AS VARCHAR)), 9, 4) AS hk
+FROM documents ORDER BY hk, doc_id LIMIT 100""",
+)
+def priority_sample_docs(spark, sf_dir):
+    """Priority sampling: an EXACTLY-100-row uniform corpus sample as the
+    top-100 by a content-independent hash key — one TakeOrdered, no
+    global sort, no rate tuning (stratified_sample admits by rate and
+    returns a binomial-sized sample; this returns a fixed-size one, the
+    shape an eval-set builder needs). Hash coordinate is md5 hex chars
+    9-12 — independent of the shard (1-4) and split (5-8) coordinates, so
+    sampling is orthogonal to sharding and hold-out.
+
+    Scale shape: TakeOrdered(100) over a map-side projection — per-
+    partition top-100 then a driver merge; nothing global."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            F.expr("substring(md5(cast(doc_id as string)), 9, 4)").alias("hk"),
+        )
+        .orderBy("hk", "doc_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -9200,7 +9358,9 @@ def countmin_user_cells(spark, sf_dir):
 # prefix rests on its r02/r03 driver row plus the full local replica.
 
 _FRONT = [
-    # newest (session 23): streaming-maintained CMS (batch twin)
+    # newest (session 24): trained n-gram language ID, priority sample
+    "cavnar_trenkle_langid", "priority_sample_docs",
+    # session 23: streaming-maintained CMS (batch twin)
     "countmin_user_cells",
     # session 22: k-center coreset, embedding norm QA
     "kcenter_coreset", "embedding_norm_outliers",
