@@ -303,7 +303,8 @@ def main() -> None:
                  "longest_shared_span", "boxplot_doclen",
                  "cdc_chunk_dedup", "zipf_slope_source",
                  "kcenter_coreset", "embedding_norm_outliers",
-                 "cavnar_trenkle_langid"]:
+                 "cavnar_trenkle_langid",
+                 "sliding_window_chunks", "shingle_size_curve"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

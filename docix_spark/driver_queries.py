@@ -9339,6 +9339,185 @@ def priority_sample_docs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 25 — RAG window chunking, shingle-size tuning curve, epoch
+# shuffle plan
+# ---------------------------------------------------------------------------
+
+_SWC_W, _SWC_S = 128, 64  # window / stride (HF tokenizers' return_overflowing semantics)
+
+
+@register(
+    "sliding_window_chunks",
+    f"""WITH t AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n
+  FROM documents),
+nc AS (
+  SELECT doc_id, n,
+         CASE WHEN n <= {_SWC_W} THEN 1
+              ELSE (n - {_SWC_W} + {_SWC_S} - 1) // {_SWC_S} + 1 END AS n_chunks
+  FROM t WHERE n >= 1),
+c AS (
+  SELECT doc_id, i AS chunk_idx, CAST(i * {_SWC_S} AS BIGINT) AS start_pos,
+         CAST(LEAST({_SWC_W}, n - i * {_SWC_S}) AS BIGINT) AS chunk_len
+  FROM nc, unnest(generate_series(0, n_chunks - 1)) AS u(i))
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, start_pos, chunk_len
+FROM c ORDER BY doc_id, chunk_idx""",
+)
+def sliding_window_chunks(spark, sf_dir):
+    """RAG/pretraining window chunking: overlapping 128-token windows at
+    stride 64 per document (HF tokenizers' return_overflowing_tokens
+    semantics: chunk count = 1 for n <= W else ceil((n-W)/S)+1, so every
+    token is covered and the final chunk may be short). The output is
+    the chunk GEOMETRY — (doc, index, start, length) — which is what a
+    downstream embed-and-index pass maps over; emitting text would just
+    re-serialize the corpus.
+
+    Scale shape: one map-side token count per doc, then a per-doc
+    integer explode of n_chunks rows — no shuffle at all until the
+    output sort (which a real pipeline drops). All-integer chunk math."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id", F.size(spark_tokens("text")).cast("long").alias("n")
+    )
+    nc = t.where(F.col("n") >= 1).withColumn(
+        "n_chunks",
+        F.expr(
+            f"CASE WHEN n <= {_SWC_W} THEN 1"
+            f" ELSE (n - {_SWC_W} + {_SWC_S} - 1) div {_SWC_S} + 1 END"
+        ),
+    )
+    return (
+        nc.select(
+            "doc_id",
+            "n",
+            F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * F.lit(_SWC_S)).cast("long").alias("start_pos"),
+            F.expr(f"cast(least({_SWC_W}, n - chunk_idx * {_SWC_S}) as bigint)").alias(
+                "chunk_len"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# one gram level per shingle size k — explicit selects, the session-24 rule
+def _shingle_level_duck(k: int) -> str:
+    gram = " || ' ' || ".join(
+        f"words[i+{j}]" if j else "words[i]" for j in range(k)
+    )
+    return (
+        f"SELECT {k} AS k, doc_id, {gram} AS g\n"
+        f"  FROM w, unnest(generate_series(1, len(words) - {k - 1})) AS t{k}(i)"
+        f" WHERE len(words) >= {k}"
+    )
+
+
+@register(
+    "shingle_size_curve",
+    f"""WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words FROM documents),
+g AS ({" UNION ALL ".join(_shingle_level_duck(k) for k in (2, 3, 4))}),
+d AS (SELECT k, g, CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM g GROUP BY k, g)
+SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(n) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (WHERE df >= 2) AS BIGINT) AS n_cross_doc
+FROM d GROUP BY k ORDER BY k""",
+)
+def shingle_size_curve(spark, sf_dir):
+    """Shingle-size tuning curve for the dedup blocking key: at k = 2/3/4
+    words, the distinct-shingle count, total occurrences, and how many
+    shingles appear in 2+ documents — the k that balances collision rate
+    (small k = everything collides) against recall (big k = near-dups
+    stop sharing shingles). Completes the tuning-diagnostic family
+    (lsh_candidate_precision / simhash_hamming_histogram) on the third
+    axis the MinHash ops fix by fiat (k=3).
+
+    Scale shape: per-level map-side explodes into one (k, gram) two-phase
+    agg; the curve is 3 rows."""
+    w = _docs(spark, sf_dir).select("doc_id", spark_tokens("text").alias("words"))
+    levels = []
+    for k in (2, 3, 4):
+        gram = ", ".join(f"words[i+{j}]" if j else "words[i]" for j in range(k))
+        levels.append(
+            w.where(F.size("words") >= k).select(
+                F.lit(k).cast("long").alias("k"),
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, size(words)-{k}), i -> concat_ws(' ', {gram}))"
+                    )
+                ).alias("g"),
+            )
+        )
+    g = levels[0].unionByName(levels[1]).unionByName(levels[2])
+    d = g.groupBy("k", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    return (
+        d.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum("n").cast("long").alias("n_total"),
+            F.count_if(F.col("df") >= 2).cast("long").alias("n_cross_doc"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "epoch_shuffle_order",
+    """WITH r AS (
+  SELECT e.epoch, d.doc_id,
+         md5('e' || CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS hk
+  FROM documents d, (SELECT unnest([1, 2]) AS epoch) e),
+rk AS (
+  SELECT epoch, doc_id,
+         row_number() OVER (PARTITION BY epoch ORDER BY hk, doc_id) AS rank
+  FROM r)
+SELECT CAST(epoch AS BIGINT) AS epoch, CAST(rank AS BIGINT) AS rank, doc_id
+FROM rk WHERE rank <= 20 ORDER BY epoch, rank""",
+)
+def epoch_shuffle_order(spark, sf_dir):
+    """Deterministic per-epoch data-loader shuffle: epoch e's document
+    order is ORDER BY md5('e' || e || ':' || doc_id) — reproducible
+    across reruns and engines, different between epochs, no RNG state to
+    checkpoint (the property torch's DistributedSampler gets from
+    set_epoch, as a relational operator). First 20 positions of epochs
+    1-2 are the contract sample.
+
+    Scale shape: the hash is map-side; the per-epoch rank is a window
+    whose top-20 a real loader never materializes globally (it streams
+    the order); here the sample keeps the contract small. At scale the
+    shuffle IS the shard assignment: hash-range-partition by hk and read
+    shards in order."""
+    epochs = spark.createDataFrame([(1,), (2,)], "epoch long")
+    r = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .crossJoin(F.broadcast(epochs))
+        .select(
+            "epoch",
+            "doc_id",
+            F.expr(
+                "md5(concat('e', cast(epoch as string), ':', cast(doc_id as string)))"
+            ).alias("hk"),
+        )
+    )
+    wk = Window.partitionBy("epoch").orderBy("hk", "doc_id")
+    return (
+        r.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= 20)
+        .select("epoch", F.col("rank").cast("long").alias("rank"), "doc_id")
+        .orderBy("epoch", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -9358,7 +9537,9 @@ def priority_sample_docs(spark, sf_dir):
 # prefix rests on its r02/r03 driver row plus the full local replica.
 
 _FRONT = [
-    # newest (session 24): trained n-gram language ID, priority sample
+    # newest (session 25): RAG chunk geometry, shingle curve, epoch shuffle
+    "sliding_window_chunks", "shingle_size_curve", "epoch_shuffle_order",
+    # session 24: trained n-gram language ID, priority sample
     "cavnar_trenkle_langid", "priority_sample_docs",
     # session 23: streaming-maintained CMS (batch twin)
     "countmin_user_cells",
