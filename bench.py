@@ -304,7 +304,8 @@ def main() -> None:
                  "cdc_chunk_dedup", "zipf_slope_source",
                  "kcenter_coreset", "embedding_norm_outliers",
                  "cavnar_trenkle_langid",
-                 "sliding_window_chunks", "shingle_size_curve"]:
+                 "sliding_window_chunks", "shingle_size_curve",
+                 "naive_bayes_langid", "vocab_coverage_curve"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -9518,6 +9518,240 @@ def epoch_shuffle_order(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 26 — batch padding efficiency, vocab coverage curve, trained
+# multinomial naive Bayes language ID
+# ---------------------------------------------------------------------------
+
+# shared float expression strings (the session-19 rule: ONE textual form in
+# both engines so the double rounds identically)
+_PAD_OVERHEAD_EXPR = (
+    "cast(round(1000000 * ((bucket_cap * n_docs - sum_tokens)"
+    " / cast(bucket_cap * n_docs as double))) as bigint)"
+)
+_VOCAB_COV_EXPR = (
+    "cast(round(1000000 * (covered_tokens / cast(total_tokens as double))) as bigint)"
+)
+_NB_LAM_EXPR = "cast(round(1000000 * ln((c + 1) / cast(ntok + vs as double))) as bigint)"
+_NB_LAM0_EXPR = "cast(round(1000000 * ln(1 / cast(ntok + vs as double))) as bigint)"
+_NB_PRI_EXPR = "cast(round(1000000 * ln(nd / cast(n as double))) as bigint)"
+
+
+@register(
+    "pad_efficiency_buckets",
+    f"""WITH t AS (
+  SELECT CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n
+  FROM documents),
+b AS (
+  SELECT ((n + 63) // 64) * 64 AS bucket_cap,
+         CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens
+  FROM t WHERE n >= 1 GROUP BY 1)
+SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap, n_docs, sum_tokens,
+       {_PAD_OVERHEAD_EXPR} AS pad_overhead_q6
+FROM b ORDER BY bucket_cap""",
+)
+def pad_efficiency_buckets(spark, sf_dir):
+    """Dynamic-batching diagnostic: bucket documents by padded length
+    (next multiple of 64 tokens — the bucketed-batching trick every
+    training loader uses to bound padding waste), and report per bucket
+    the doc count, real token count, and the padding overhead
+    (padded - real) / padded in q6. The curve tells you what fraction of
+    batch FLOPs a given bucket granularity burns on pad tokens.
+
+    Scale shape: map-side token count + integer bucket key, one small
+    groupBy (bucket count = max_len / 64 rows). Overhead divides exact
+    BIGINTs under 2^53 in one shared float expression."""
+    t = _docs(spark, sf_dir).select(
+        F.size(spark_tokens("text")).cast("long").alias("n")
+    )
+    b = (
+        t.where(F.col("n") >= 1)
+        .groupBy(F.expr("((n + 63) div 64) * 64").alias("bucket_cap"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("sum_tokens"),
+        )
+    )
+    return b.select(
+        F.col("bucket_cap").cast("long").alias("bucket_cap"),
+        "n_docs",
+        "sum_tokens",
+        F.expr(_PAD_OVERHEAD_EXPR).alias("pad_overhead_q6"),
+    ).orderBy("bucket_cap")
+
+
+_VOCAB_KS = (4, 8, 16, 32)
+
+
+@register(
+    "vocab_coverage_curve",
+    f"""WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term FROM documents),
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM tf),
+rk AS (SELECT term, c, row_number() OVER (ORDER BY c DESC, term ASC) AS rn
+       FROM tf QUALIFY rn <= {max(_VOCAB_KS)}),
+ks AS (SELECT unnest({list(_VOCAB_KS)}) AS k),
+cov AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS vocab_terms,
+         CAST(sum(c) AS BIGINT) AS covered_tokens
+  FROM rk JOIN ks ON rk.rn <= ks.k GROUP BY k)
+SELECT CAST(k AS BIGINT) AS k, vocab_terms, covered_tokens, total_tokens,
+       {_VOCAB_COV_EXPR} AS coverage_q6
+FROM cov CROSS JOIN tot ORDER BY k""",
+)
+def vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary coverage curve: what fraction of all token occurrences
+    the top-k most frequent terms cover, at k = 4/8/16/32 (ties broken
+    term-ascending) — the tokenizer/vocab-size tuning curve (1 − coverage
+    is the OOV rate a k-entry vocab would eat). Complements
+    heaps_law_source (vocab GROWTH) with vocab CONCENTRATION.
+
+    Scale shape: one term-count agg, then TakeOrdered(32) — the global
+    ranking window runs over 32 collected rows, never the vocabulary;
+    totals are a 1-row broadcast. The k fan-out is a broadcast theta-join
+    against 32 rows."""
+    tf = (
+        _docs(spark, sf_dir)
+        .select(F.explode(spark_tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = tf.agg(F.sum("c").cast("long").alias("total_tokens"))
+    top = tf.orderBy(F.desc("c"), F.asc("term")).limit(max(_VOCAB_KS))
+    rk = top.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("term")))
+    )
+    ks = spark.createDataFrame([(k,) for k in _VOCAB_KS], "k long")
+    cov = (
+        rk.crossJoin(F.broadcast(ks))
+        .where(F.col("rn") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_terms"),
+            F.sum("c").cast("long").alias("covered_tokens"),
+        )
+    )
+    return (
+        cov.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "vocab_terms",
+            "covered_tokens",
+            "total_tokens",
+            F.expr(_VOCAB_COV_EXPR).alias("coverage_q6"),
+        )
+        .orderBy("k")
+    )
+
+
+_NB_SQL = f"""WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+ct AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY lang, term),
+v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS vs FROM toks),
+tl AS (SELECT lang, CAST(count(*) AS BIGINT) AS ntok FROM toks GROUP BY lang),
+pri AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY lang),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+lam AS (
+  SELECT ct.lang, ct.term, {_NB_LAM_EXPR} AS lam_q6
+  FROM ct JOIN tl USING (lang) CROSS JOIN v),
+l0 AS (
+  SELECT tl.lang, {_NB_LAM0_EXPR} AS lam0_q6, {_NB_PRI_EXPR} AS pri_q6
+  FROM tl JOIN pri USING (lang) CROSS JOIN v CROSS JOIN nn),
+sc AS (
+  SELECT f.doc_id, l.lang,
+         l.pri_q6 + CAST(sum(f.tf * COALESCE(m.lam_q6, l.lam0_q6)) AS BIGINT) AS score
+  FROM tf f CROSS JOIN l0 l
+  LEFT JOIN lam m ON m.lang = l.lang AND m.term = f.term
+  GROUP BY f.doc_id, l.lang, l.pri_q6),
+pred AS (
+  SELECT doc_id, lang AS pred_lang FROM (
+    SELECT doc_id, lang, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+    FROM sc) WHERE rn = 1)
+SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY d.lang, p.pred_lang ORDER BY d.lang, p.pred_lang"""
+
+
+@register("naive_bayes_langid", _NB_SQL)
+def naive_bayes_langid(spark, sf_dir):
+    """Multinomial naive Bayes language ID trained on the corpus's own
+    labels (the fastText-baseline linear-classifier family): add-1
+    smoothed token likelihoods p(t|l) = (c+1)/(ntok_l + |V|) and doc
+    priors, argmax of log prior + Σ tf·log p(t|l); reported as the
+    declared-vs-predicted confusion matrix. Third model family next to
+    lang_id_heuristic (hand stopword lists) and cavnar_trenkle_langid
+    (char-gram rank profiles).
+
+    Determinism: per-(lang,term) log-likelihood is q6-rounded FIRST
+    (one shared ln expression string both engines), doc scores are exact
+    BIGINT sums of tf·λ_q6 — no float accumulation order anywhere.
+    Empty docs have no tf rows and drop out of the matrix on both sides.
+
+    Scale shape: tf and ct are two-phase aggs off one tokenize pass
+    (localCheckpoint'd — two consumers); λ join is candidates-only on
+    term (un-hinted: vocab×langs is unbounded, AQE decides); priors and
+    per-lang constants broadcast; argmax is a doc-bounded window."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", F.explode(spark_tokens("text")).alias("term"))
+        .localCheckpoint()
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    ct = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    v = ct.agg(F.countDistinct("term").cast("long").alias("vs"))
+    tl = ct.groupBy("lang").agg(F.sum("c").cast("long").alias("ntok"))
+    pri = _docs(spark, sf_dir).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("nd")
+    )
+    nn = _docs(spark, sf_dir).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lam = (
+        ct.join(F.broadcast(tl), "lang")
+        .crossJoin(F.broadcast(v))
+        .select("lang", "term", F.expr(_NB_LAM_EXPR).alias("lam_q6"))
+    )
+    l0 = (
+        tl.join(F.broadcast(pri), "lang")
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "lang",
+            F.expr(_NB_LAM0_EXPR).alias("lam0_q6"),
+            F.expr(_NB_PRI_EXPR).alias("pri_q6"),
+        )
+    )
+    sc = (
+        tf.crossJoin(F.broadcast(l0))
+        .join(lam, ["lang", "term"], "left")
+        .groupBy("doc_id", "lang", "pri_q6")
+        .agg(
+            F.sum(
+                F.col("tf") * F.coalesce(F.col("lam_q6"), F.col("lam0_q6"))
+            ).cast("long").alias("s")
+        )
+        .select("doc_id", "lang", (F.col("pri_q6") + F.col("s")).alias("score"))
+    )
+    wn = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    pred = (
+        sc.withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -9537,7 +9771,9 @@ def epoch_shuffle_order(spark, sf_dir):
 # prefix rests on its r02/r03 driver row plus the full local replica.
 
 _FRONT = [
-    # newest (session 25): RAG chunk geometry, shingle curve, epoch shuffle
+    # newest (session 26): padding efficiency, vocab coverage, trained NB
+    "pad_efficiency_buckets", "vocab_coverage_curve", "naive_bayes_langid",
+    # session 25: RAG chunk geometry, shingle curve, epoch shuffle
     "sliding_window_chunks", "shingle_size_curve", "epoch_shuffle_order",
     # session 24: trained n-gram language ID, priority sample
     "cavnar_trenkle_langid", "priority_sample_docs",
