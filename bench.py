@@ -305,7 +305,8 @@ def main() -> None:
                  "kcenter_coreset", "embedding_norm_outliers",
                  "cavnar_trenkle_langid",
                  "sliding_window_chunks", "shingle_size_curve",
-                 "naive_bayes_langid", "vocab_coverage_curve"]:
+                 "naive_bayes_langid", "vocab_coverage_curve",
+                 "cooccurrence_ppmi", "lsh_band_config_curve"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

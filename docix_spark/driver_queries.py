@@ -9752,6 +9752,257 @@ def naive_bayes_langid(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 27 — windowed co-occurrence PPMI, LSH (b,r) config sweep,
+# streaming-maintained HLL registers (batch twin)
+# ---------------------------------------------------------------------------
+
+# divide-first PPMI over exact BIGINTs; cast(0 as double) because a plain
+# 0.0 literal is DECIMAL in Spark SQL
+_PPMI_EXPR = (
+    "cast(round(1000000 * greatest(cast(0 as double), ln((w_ab / cast(w_tot as double))"
+    " / ((n_a / cast(n_tok as double)) * (n_b / cast(n_tok as double)))))) as bigint)"
+)
+
+
+@register(
+    "cooccurrence_ppmi",
+    f"""WITH w AS ({SQL_WORDS}),
+p AS (
+  SELECT least(words[i], words[i+1]) AS a, greatest(words[i], words[i+1]) AS b, 2 AS wt
+  FROM w, unnest(generate_series(1, len(words) - 1)) AS t1(i) WHERE len(words) >= 2
+  UNION ALL
+  SELECT least(words[i], words[i+2]), greatest(words[i], words[i+2]), 1
+  FROM w, unnest(generate_series(1, len(words) - 2)) AS t2(i) WHERE len(words) >= 3),
+pc AS (SELECT a, b, CAST(sum(wt) AS BIGINT) AS w_ab FROM p GROUP BY a, b),
+uc AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM ({SQL_TOKS}) GROUP BY term),
+tot AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM uc) AS n_tok,
+               (SELECT CAST(sum(w_ab) AS BIGINT) FROM pc) AS w_tot)
+SELECT a AS term_a, b AS term_b, w_ab, {_PPMI_EXPR} AS ppmi_q6
+FROM pc JOIN (SELECT term, n AS n_a FROM uc) ua ON ua.term = pc.a
+        JOIN (SELECT term, n AS n_b FROM uc) ub ON ub.term = pc.b
+        CROSS JOIN tot
+WHERE w_ab >= 4
+ORDER BY ppmi_q6 DESC, term_a ASC, term_b ASC LIMIT 30""",
+)
+def cooccurrence_ppmi(spark, sf_dir):
+    """GloVe/word2vec-style distance-weighted co-occurrence + PPMI: every
+    unordered token pair within a +-2 window, weighted 2/d (d=1 -> 2,
+    d=2 -> 1, exact integers), PPMI = max(0, ln(p(a,b)/(p(a)p(b)))) over
+    the weighted pair distribution; top-30 pairs at weight >= 4 (the
+    classic min-count guard against rare-pair PMI blowup). The
+    co-occurrence matrix build step of an embedding-training pipeline —
+    windowed and distance-weighted where collocations_pmi is
+    adjacent-bigram only.
+
+    Scale shape: pair generation is a per-doc map-side transform (no
+    position self-join — offsets +1/+2 are array indexing), then ONE
+    (a,b) groupBy; unigram joins are term-keyed and un-hinted (vocab is
+    unbounded — AQE decides); totals broadcast; top-30 is a TakeOrdered
+    over quantized scores with (a,b) tiebreak."""
+    w = (
+        _docs(spark, sf_dir)
+        .select("doc_id", spark_tokens("text").alias("words"))
+        .localCheckpoint()
+    )
+    lv = []
+    for d, wt in ((1, 2), (2, 1)):
+        lv.append(
+            w.where(F.size("words") >= d + 1).select(
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, size(words)-{d + 1}),"
+                        f" i -> struct(least(words[i], words[i+{d}]) as a,"
+                        f" greatest(words[i], words[i+{d}]) as b))"
+                    )
+                ).alias("p"),
+                F.lit(wt).alias("wt"),
+            ).select("p.a", "p.b", "wt")
+        )
+    pc = (
+        lv[0].unionByName(lv[1])
+        .groupBy("a", "b")
+        .agg(F.sum("wt").cast("long").alias("w_ab"))
+    )
+    uc = (
+        w.select(F.explode("words").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = uc.agg(F.sum("n").cast("long").alias("n_tok")).crossJoin(
+        pc.agg(F.sum("w_ab").cast("long").alias("w_tot"))
+    )
+    return (
+        pc.where(F.col("w_ab") >= 4)
+        .join(uc.select(F.col("term").alias("a"), F.col("n").alias("n_a")), "a")
+        .join(uc.select(F.col("term").alias("b"), F.col("n").alias("n_b")), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a").alias("term_a"),
+            F.col("b").alias("term_b"),
+            "w_ab",
+            F.expr(_PPMI_EXPR).alias("ppmi_q6"),
+        )
+        .orderBy(F.desc("ppmi_q6"), F.asc("term_a"), F.asc("term_b"))
+        .limit(30)
+    )
+
+
+@register(
+    "lsh_band_config_curve",
+    f"""WITH sh AS ({_SQL_SHINGLES}),
+sig AS (
+  SELECT doc_id, min(md5('0:' || sh)) AS m0, min(md5('1:' || sh)) AS m1,
+         min(md5('2:' || sh)) AS m2, min(md5('3:' || sh)) AS m3
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT 1 AS b, doc_id, '0:' || m0 || m1 || m2 || m3 AS band FROM sig
+  UNION ALL SELECT 2, doc_id, '0:' || m0 || m1 FROM sig
+  UNION ALL SELECT 2, doc_id, '1:' || m2 || m3 FROM sig
+  UNION ALL SELECT 4, doc_id, '0:' || m0 FROM sig
+  UNION ALL SELECT 4, doc_id, '1:' || m1 FROM sig
+  UNION ALL SELECT 4, doc_id, '2:' || m2 FROM sig
+  UNION ALL SELECT 4, doc_id, '3:' || m3 FROM sig),
+pairs AS (
+  SELECT DISTINCT a.b, a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands a JOIN bands b2
+    ON a.b = b2.b AND a.band = b2.band AND a.doc_id < b2.doc_id),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.b, p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS c,
+         any_value(na.n) AS na, any_value(nb.n) AS nb
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh bb ON bb.doc_id = p.doc_b AND bb.sh = a.sh
+  JOIN sizes na ON na.doc_id = p.doc_a
+  JOIN sizes nb ON nb.doc_id = p.doc_b
+  GROUP BY p.b, p.doc_a, p.doc_b),
+cand AS (SELECT b, CAST(count(*) AS BIGINT) AS n_cand FROM pairs GROUP BY b),
+tru AS (SELECT b, CAST(count(*) FILTER (3 * c >= na + nb) AS BIGINT) AS n_true
+        FROM inter GROUP BY b),
+cfg AS (SELECT unnest([1, 2, 4]) AS b)
+SELECT CAST(cfg.b AS BIGINT) AS n_bands, CAST(4 // cfg.b AS BIGINT) AS rows_per_band,
+       COALESCE(n_cand, 0) AS n_cand, COALESCE(n_true, 0) AS n_true,
+       CASE WHEN COALESCE(n_cand, 0) = 0 THEN 0
+            ELSE (COALESCE(n_true, 0) * 1000000) // n_cand END AS precision_q6
+FROM cfg LEFT JOIN cand ON cand.b = cfg.b LEFT JOIN tru ON tru.b = cfg.b
+ORDER BY n_bands""",
+)
+def lsh_band_config_curve(spark, sf_dir):
+    """MinHash banding (b, r) sweep over the 4-permutation signature:
+    b=1/r=4 (full-signature equality), b=2/r=2 (the shipped config),
+    b=4/r=1 (single-hash bands) — per config the candidate-pair count,
+    how many clear exact Jaccard >= 0.5 (integer cross-mult 3c >= na+nb),
+    and the precision. The S-curve knob itself, completing the dedup
+    tuning family: shingle_size_curve tunes k, lsh_candidate_precision
+    reads one config, this sweeps the configs. Candidate sets nest
+    (b=1 subset of b=2 subset of b=4) — pytest-proven.
+
+    Scale shape: bands are 7 map-side projections of the doc-keyed
+    signature table; pairs come from per-config band equi-joins (the
+    shuffle carries signatures, never documents); the exact intersection
+    runs on CANDIDATES ONLY; the report is 3 rows."""
+    sh = _shingles_spark(spark, sf_dir).localCheckpoint()
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"m{i}")
+        for i in range(4)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    parts = [
+        (1, "0:", ["m0", "m1", "m2", "m3"]),
+        (2, "0:", ["m0", "m1"]),
+        (2, "1:", ["m2", "m3"]),
+        (4, "0:", ["m0"]),
+        (4, "1:", ["m1"]),
+        (4, "2:", ["m2"]),
+        (4, "3:", ["m3"]),
+    ]
+    bands = None
+    for b, pfx, cols in parts:
+        part = sig.select(
+            F.lit(b).alias("b"),
+            "doc_id",
+            F.concat(F.lit(pfx), *[F.col(c) for c in cols]).alias("band"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b2 = bands.alias("a"), bands.alias("b2")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.b") == F.col("b2.b"))
+            & (F.col("a.band") == F.col("b2.band"))
+            & (F.col("a.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("a.b").alias("b"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b2.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .where(F.col("sh") == F.col("sh_b"))
+        .groupBy("b", "doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+    )
+    cand = pairs.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    tru = inter.groupBy("b").agg(
+        F.count_if(F.expr("3 * c >= na + nb")).cast("long").alias("n_true")
+    )
+    cfg = spark.createDataFrame([(1,), (2,), (4,)], "b long")
+    return (
+        cfg.join(F.broadcast(cand), "b", "left")
+        .join(F.broadcast(tru), "b", "left")
+        .select(
+            F.col("b").cast("long").alias("n_bands"),
+            F.expr("cast(4 div b as bigint)").alias("rows_per_band"),
+            F.coalesce(F.col("n_cand"), F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce(F.col("n_true"), F.lit(0)).cast("long").alias("n_true"),
+            F.expr(
+                "CASE WHEN COALESCE(n_cand, 0) = 0 THEN 0"
+                " ELSE (COALESCE(n_true, 0) * 1000000) div n_cand END"
+            ).cast("long").alias("precision_q6"),
+        )
+        .orderBy("n_bands")
+    )
+
+
+@register(
+    "hll_user_registers",
+    """WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT AS h
+  FROM events),
+rr AS (
+  SELECT h % 256 AS reg,
+         CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END AS rnk
+  FROM h)
+SELECT CAST(reg AS BIGINT) AS reg, CAST(max(rnk) AS BIGINT) AS maxr
+FROM rr GROUP BY reg ORDER BY reg""",
+)
+def hll_user_registers(spark, sf_dir):
+    """Batch twin of the streaming HLL maintenance
+    (streaming/events.py::hll_user_stream): the 256-register table of
+    distinct-user structure over the events stream, same deterministic
+    p=8 family as cardinality_sketch (whose docstring carries the
+    estimator math). Registers merge by MAX, so the streaming side
+    maintains the identical table as a complete-mode running aggregation
+    with <= 256 rows of state — stream-vs-batch identity is pytest-proven
+    (test_events_streaming.py). Duplicate user_ids need no distinct pass:
+    max absorbs them, which is exactly what makes the sketch streamable."""
+    from docix_spark.streaming.events import hll_user_registers as _twin
+
+    return _twin(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -9771,7 +10022,9 @@ def naive_bayes_langid(spark, sf_dir):
 # prefix rests on its r02/r03 driver row plus the full local replica.
 
 _FRONT = [
-    # newest (session 26): padding efficiency, vocab coverage, trained NB
+    # newest (session 27): co-occurrence PPMI, (b,r) sweep, streaming HLL twin
+    "cooccurrence_ppmi", "lsh_band_config_curve", "hll_user_registers",
+    # session 26: padding efficiency, vocab coverage, trained NB
     "pad_efficiency_buckets", "vocab_coverage_curve", "naive_bayes_langid",
     # session 25: RAG chunk geometry, shingle curve, epoch shuffle
     "sliding_window_chunks", "shingle_size_curve", "epoch_shuffle_order",

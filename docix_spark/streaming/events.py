@@ -570,3 +570,64 @@ def countmin_user_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _hll_user_ranks(events: DataFrame) -> DataFrame:
+    # 60-bit md5 hash of user_id -> register = h % 256, rank = leading-zero
+    # count of the remaining 52 bits + 1 (the integer-exact length(bin())
+    # idiom) — the same deterministic HLL p=8 family as cardinality_sketch
+    return events.select(
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"
+        ).alias("h")
+    ).select(
+        F.expr("h % 256").alias("reg"),
+        F.expr(
+            "CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END"
+        ).alias("rnk"),
+    )
+
+
+def hll_user_registers(events: DataFrame) -> DataFrame:
+    """Batch twin: the 256-register HLL table of distinct-user structure.
+    Registers merge by MAX — the register table over a union of days is
+    the register-wise max of per-day tables, which is why the streaming
+    side maintains the identical table as a running aggregation whose
+    state is <= 256 rows no matter how many events flow (and why
+    duplicate user_ids need no distinct pass anywhere)."""
+    return (
+        _hll_user_ranks(events)
+        .groupBy("reg")
+        .agg(F.max("rnk").cast("long").alias("maxr"))
+        .select(F.col("reg").cast("long").alias("reg"), "maxr")
+        .orderBy("reg")
+    )
+
+
+def hll_user_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "events_hll",
+):
+    """Streaming HLL maintenance: the register table as a COMPLETE-mode
+    running max-aggregation — the sketch IS the streaming state, bounded
+    at 256 rows regardless of stream length or user cardinality (contrast
+    a distinct-user count, whose state grows with users). Second
+    streaming-maintained sketch next to countmin_user_stream: CMS cells
+    merge by SUM, HLL registers by MAX — both land on bounded-state
+    running aggs with availableNow file-drop ingestion."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(input_dir)
+    regs = _hll_user_ranks(stream).groupBy("reg").agg(
+        F.max("rnk").cast("long").alias("maxr")
+    )
+    return (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -370,3 +370,39 @@ def test_countmin_stream_equals_batch_cells(spark, event_drops, tmp_root):
         for i in range(4)
     )
     assert est >= top["count"]
+
+
+def test_hll_stream_equals_batch_registers(spark, event_drops, tmp_root):
+    """The streaming-maintained HLL (complete-mode running MAX agg,
+    <= 256 rows of state) must equal the batch twin's register table
+    exactly after the availableNow drain — max-mergeability IS the
+    property the operator exists to demonstrate (the sum-merge
+    counterpart is the CMS test above)."""
+    from docix_spark.streaming.events import hll_user_registers, hll_user_stream
+
+    q = hll_user_stream(
+        spark, event_drops, f"{tmp_root}/hll_ckpt", query_name="t_ev_hll"
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.reg, r.maxr) for r in spark.sql("SELECT * FROM t_ev_hll").collect()
+    )
+    want = sorted(
+        (r.reg, r.maxr)
+        for r in hll_user_registers(
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ).collect()
+    )
+    assert got == want and len(want) > 5
+    # bounded-state invariant: never more rows than the 256 registers
+    assert len(got) <= 256
+    # every rank is in the valid 1..53 window for a 52-bit suffix
+    assert all(1 <= m <= 53 for _, m in got)
+    # register table is insensitive to duplicate user_ids: doubling the
+    # stream's events changes nothing (max-merge absorbs replays)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    doubled = sorted(
+        (r.reg, r.maxr)
+        for r in hll_user_registers(ev.unionAll(ev)).collect()
+    )
+    assert doubled == want
