@@ -9849,8 +9849,8 @@ def cooccurrence_ppmi(spark, sf_dir):
 
 @register(
     "lsh_band_config_curve",
-    f"""WITH sh AS ({_SQL_SHINGLES}),
-sig AS (
+    f"""WITH sh AS MATERIALIZED ({_SQL_SHINGLES}),
+sig AS MATERIALIZED (
   SELECT doc_id, min(md5('0:' || sh)) AS m0, min(md5('1:' || sh)) AS m1,
          min(md5('2:' || sh)) AS m2, min(md5('3:' || sh)) AS m3
   FROM sh GROUP BY doc_id),
@@ -9907,6 +9907,8 @@ def lsh_band_config_curve(spark, sf_dir):
         for i in range(4)
     ]
     sig = sh.groupBy("doc_id").agg(*mins)
+    # ONE map-side explode of 7 (config, band) structs per doc — a 7-way
+    # union of sig projections would re-run the signature agg per leg
     parts = [
         (1, "0:", ["m0", "m1", "m2", "m3"]),
         (2, "0:", ["m0", "m1"]),
@@ -9916,14 +9918,16 @@ def lsh_band_config_curve(spark, sf_dir):
         (4, "2:", ["m2"]),
         (4, "3:", ["m3"]),
     ]
-    bands = None
-    for b, pfx, cols in parts:
-        part = sig.select(
+    structs = [
+        F.struct(
             F.lit(b).alias("b"),
-            "doc_id",
             F.concat(F.lit(pfx), *[F.col(c) for c in cols]).alias("band"),
         )
-        bands = part if bands is None else bands.unionByName(part)
+        for b, pfx, cols in parts
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*structs)).alias("x")).select(
+        F.col("x.b").alias("b"), "doc_id", F.col("x.band").alias("band")
+    )
     a, b2 = bands.alias("a"), bands.alias("b2")
     pairs = (
         a.join(
