@@ -21,6 +21,7 @@ run by the driver at sf=0.01 over its pre-registered parquet views
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -10007,6 +10008,259 @@ def hll_user_registers(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 28 — robust stats (MAD), deterministic bootstrap, pseudo-relevance
+# feedback expansion
+# ---------------------------------------------------------------------------
+
+# type-7 median probe shared by both passes: rank r = 0.5 * (n - 1), v_lo /
+# v_hi bracket it in the weighted histogram, interpolate. p derived from the
+# integer 500000 — never a decimal literal (doclen_quantiles rule).
+_MED_RANK = "(500000 / 1000000.0) * (n - 1)"
+
+
+@register(
+    "mad_doclen",
+    f"""WITH t AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
+  FROM documents),
+hist AS (SELECT source, n_tok AS v, count(*) AS cnt FROM t GROUP BY source, n_tok),
+h AS (
+  SELECT source, v, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+         CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM hist),
+med AS (
+  SELECT source,
+         CAST(round(1000000.0 * (v_lo + (({_MED_RANK}) - floor({_MED_RANK})) * (v_hi - v_lo))) AS BIGINT) AS median_q6
+  FROM (
+    SELECT source, max(n) AS n,
+           max(CASE WHEN cum_before <= floor({_MED_RANK}) THEN v END) AS v_lo,
+           max(CASE WHEN cum_before <= floor({_MED_RANK}) + 1 THEN v END) AS v_hi
+    FROM h GROUP BY source)),
+dev AS (
+  SELECT t.source, abs(t.n_tok * 1000000 - m.median_q6) AS d
+  FROM t JOIN med m USING (source)),
+dhist AS (SELECT source, d AS v, count(*) AS cnt FROM dev GROUP BY source, d),
+dh AS (
+  SELECT source, v, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+         CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM dhist),
+mad AS (
+  SELECT source,
+         CAST(round(v_lo + (({_MED_RANK}) - floor({_MED_RANK})) * (v_hi - v_lo)) AS BIGINT) AS mad_q6
+  FROM (
+    SELECT source, max(n) AS n,
+           max(CASE WHEN cum_before <= floor({_MED_RANK}) THEN v END) AS v_lo,
+           max(CASE WHEN cum_before <= floor({_MED_RANK}) + 1 THEN v END) AS v_hi
+    FROM dh GROUP BY source))
+SELECT source, median_q6, mad_q6 FROM med JOIN mad USING (source) ORDER BY source""",
+)
+def mad_doclen(spark, sf_dir):
+    """ES ``median_absolute_deviation`` aggregation over per-source token
+    lengths, EXACT: median of |n_tok − median(n_tok)| (type-7
+    interpolation both passes), the robust dispersion measure that a few
+    giant crawl documents can't blow up the way variance does. ES ships
+    an approximate TDigest version; ours is exact from the same weighted-
+    histogram machinery as doclen_quantiles, run twice — deviations are
+    q6 BIGINTs so the second histogram is integer-keyed too.
+
+    Scale shape: both passes collapse map-side into (source, value)
+    histogram cells bounded by distinct lengths, never raw docs on a
+    reducer; the per-source median joins back as a broadcast (|sources|
+    rows). No percentile() anywhere (it buffers raw group values)."""
+    t = (
+        _docs(spark, sf_dir)
+        .select("source", F.size(spark_tokens("text")).cast("long").alias("n_tok"))
+        .localCheckpoint()
+    )
+
+    def _median(vals: DataFrame, val: str, scale: bool) -> DataFrame:
+        hist = vals.groupBy("source", val).agg(F.count(F.lit(1)).alias("cnt"))
+        w_cum = (
+            Window.partitionBy("source")
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_all = Window.partitionBy("source")
+        h = hist.select(
+            "source",
+            F.col(val).alias("v"),
+            F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).cast("long").alias("cum_before"),
+            F.sum("cnt").over(w_all).cast("long").alias("n"),
+        )
+        rank = F.expr(_MED_RANK)
+        agg = h.groupBy("source").agg(
+            F.max("n").alias("n"),
+            F.max(F.when(F.col("cum_before") <= F.floor(rank), F.col("v"))).alias("v_lo"),
+            F.max(F.when(F.col("cum_before") <= F.floor(rank) + 1, F.col("v"))).alias("v_hi"),
+        )
+        r = F.expr(_MED_RANK)
+        interp = F.col("v_lo") + (r - F.floor(r)) * (F.col("v_hi") - F.col("v_lo"))
+        out = F.lit(1_000_000.0) * interp if scale else interp
+        return agg.select("source", F.round(out).cast("long").alias("m"))
+
+    med = _median(t, "n_tok", scale=True).withColumnRenamed("m", "median_q6")
+    dev = t.join(F.broadcast(med), "source").select(
+        "source",
+        F.abs(F.col("n_tok") * F.lit(1_000_000) - F.col("median_q6")).alias("d"),
+    )
+    mad = _median(dev, "d", scale=False).withColumnRenamed("m", "mad_q6")
+    return med.join(mad, "source").select("source", "median_q6", "mad_q6").orderBy("source")
+
+
+# Poisson(1) inverse-CDF thresholds, folded in Python and inlined in
+# e-notation (the HLL-constant rule: decimal literals are DECIMAL in Spark
+# SQL). cdf(k) = e^-1 * Σ_{{j<=k}} 1/j!; weights capped at 5
+# (P(X>5) ≈ 6e-4 — documented truncation).
+_BOOT_T = [
+    repr(math.exp(-1.0) * c) for c in (1.0, 2.0, 2.5, 8.0 / 3.0, 65.0 / 24.0)
+]
+_BOOT_B = 16
+# 13 hex digits = 52 bits; u = k / 2^52 is EXACT in double, so the
+# threshold comparisons are deterministic across engines
+_BOOT_W_CASE = (
+    "CASE WHEN u < {t0} THEN 0 WHEN u < {t1} THEN 1 WHEN u < {t2} THEN 2"
+    " WHEN u < {t3} THEN 3 WHEN u < {t4} THEN 4 ELSE 5 END"
+).format(t0=_BOOT_T[0], t1=_BOOT_T[1], t2=_BOOT_T[2], t3=_BOOT_T[3], t4=_BOOT_T[4])
+_BOOT_MEAN_EXPR = (
+    "cast(round(1000000 * (sum_wn / cast(sum_w as double))) as bigint)"
+)
+
+
+@register(
+    "bootstrap_mean_doclen",
+    f"""WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
+  FROM documents),
+u AS (
+  SELECT r, n_tok,
+         ('0x' || substr(md5('b' || CAST(r AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+           / 4503599627370496.0 AS u
+  FROM t, (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS r)),
+w AS (SELECT r, n_tok, {_BOOT_W_CASE} AS w FROM u),
+rep AS (
+  SELECT r, CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(w * n_tok) AS BIGINT) AS sum_wn
+  FROM w GROUP BY r)
+SELECT CAST(r AS BIGINT) AS r, sum_w, sum_wn,
+       CASE WHEN sum_w = 0 THEN 0 ELSE {_BOOT_MEAN_EXPR} END AS mean_q6
+FROM rep ORDER BY r""",
+)
+def bootstrap_mean_doclen(spark, sf_dir):
+    """Deterministic Poisson bootstrap of the corpus mean document length:
+    16 replicates where doc i's weight in replicate r is
+    Poisson(1)-distributed via the inverse CDF over a 52-bit md5 uniform
+    (u = hash/2^52 is exact in double, thresholds are Python-folded
+    e-notation constants — comparisons are bit-identical across engines).
+    The replicate means' spread IS the standard error of the mean — the
+    sampling-uncertainty readout a data-mix ablation needs, with zero RNG
+    state and full reproducibility (a reader takes stddev of mean_q6).
+    The Poisson bootstrap (Chamandy et al., 'Estimating Uncertainty for
+    Massive Data Streams') is THE distributed form: independent per-doc
+    weights need no resample-by-index pass over the corpus.
+
+    Scale shape: the replicate fan-out is a map-side explode of B=16
+    weights per doc; each replicate collapses to two BIGINT sufficient
+    stats; the output is 16 rows. Weights cap at 5 (P(X>5) ≈ 6e-4,
+    documented truncation). mean_q6 guards the all-zero-weight replicate
+    (possible only on tiny corpora)."""
+    reps = spark.createDataFrame([(r,) for r in range(_BOOT_B)], "r long")
+    t = _docs(spark, sf_dir).select(
+        "doc_id", F.size(spark_tokens("text")).cast("long").alias("n_tok")
+    )
+    u = t.crossJoin(F.broadcast(reps)).select(
+        "r",
+        "n_tok",
+        F.expr(
+            "cast(conv(substring(md5(concat('b', cast(r as string), ':',"
+            " cast(doc_id as string))), 1, 13), 16, 10) as bigint)"
+            " / 4503599627370496.0"
+        ).alias("u"),
+    )
+    w = u.select("r", "n_tok", F.expr(_BOOT_W_CASE).alias("w"))
+    rep = w.groupBy("r").agg(
+        F.sum("w").cast("long").alias("sum_w"),
+        F.sum(F.expr("w * n_tok")).cast("long").alias("sum_wn"),
+    )
+    return rep.select(
+        F.col("r").cast("long").alias("r"),
+        "sum_w",
+        "sum_wn",
+        F.expr(
+            f"CASE WHEN sum_w = 0 THEN 0 ELSE {_BOOT_MEAN_EXPR} END"
+        ).alias("mean_q6"),
+    ).orderBy("r")
+
+
+_PRF_EXCLUDE = ", ".join(f"'{t}'" for t in _TOPK_TERMS)
+
+
+@register(
+    "prf_rocchio_expand",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + f""",
+top10 AS (SELECT doc_id FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 10),
+idf AS (
+  SELECT term, CAST(round(1000000 * ln((SELECT n_docs FROM st) / df)) AS BIGINT) AS idf_q6
+  FROM dfs),
+expd AS (
+  SELECT tf.term, CAST(sum(tf.tf * idf.idf_q6) AS BIGINT) AS w_q6
+  FROM tf JOIN top10 USING (doc_id) JOIN idf USING (term)
+  WHERE tf.term NOT IN ({_PRF_EXCLUDE})
+  GROUP BY tf.term)
+SELECT term, w_q6, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT term, w_q6, row_number() OVER (ORDER BY w_q6 DESC, term ASC) AS rank
+  FROM expd)
+WHERE rank <= 8 ORDER BY rank""",
+)
+def prf_rocchio_expand(spark, sf_dir):
+    """Pseudo-relevance feedback (Rocchio term selection): run the query,
+    take the BM25 top-10 as the pseudo-relevant set, and rank candidate
+    expansion terms by Σ tf·idf over that set (idf q6-rounded per TERM
+    first, doc sums exact BIGINT), excluding the original query terms —
+    the classic two-pass query expansion a retrieval pipeline bolts onto
+    BM25 when recall matters (RM1/Rocchio positive centroid, Manning IR
+    ch. 9). Top-8 expansion terms with ranks.
+
+    Scale shape: the pseudo-relevant set is the memoized
+    `_bm25_match_set` truncated by one TakeOrdered(10) and broadcast back
+    into the tf table (a 10-key semi-join — postings for 10 docs, never
+    the corpus); idf is a vocab-keyed map-side projection off the shared
+    tf exchange; top-8 is a TakeOrdered over exact integers."""
+    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
+    top10 = agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10).select("doc_id")
+    toks = _toks(_docs(spark, sf_dir))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    st = dl.agg(F.count("*").cast("double").alias("n_docs"))
+    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = dfs.crossJoin(F.broadcast(st)).select(
+        "term",
+        F.expr("cast(round(1000000 * ln(n_docs / df)) as bigint)").alias("idf_q6"),
+    )
+    expd = (
+        tf.join(F.broadcast(top10), "doc_id")
+        .where(~F.col("term").isin(*_TOPK_TERMS))
+        .join(idf, "term")
+        .groupBy("term")
+        .agg(F.sum(F.expr("tf * idf_q6")).cast("long").alias("w_q6"))
+    )
+    top8 = expd.orderBy(F.desc("w_q6"), F.asc("term")).limit(8)
+    return (
+        top8.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("w_q6"), F.asc("term"))).cast("long"),
+        )
+        .select("term", "w_q6", "rank")
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -10026,7 +10280,9 @@ def hll_user_registers(spark, sf_dir):
 # prefix rests on its r02/r03 driver row plus the full local replica.
 
 _FRONT = [
-    # newest (session 27): co-occurrence PPMI, (b,r) sweep, streaming HLL twin
+    # newest (session 28): exact MAD, Poisson bootstrap, PRF expansion
+    "mad_doclen", "bootstrap_mean_doclen", "prf_rocchio_expand",
+    # session 27: co-occurrence PPMI, (b,r) sweep, streaming HLL twin
     "cooccurrence_ppmi", "lsh_band_config_curve", "hll_user_registers",
     # session 26: padding efficiency, vocab coverage, trained NB
     "pad_efficiency_buckets", "vocab_coverage_curve", "naive_bayes_langid",
