@@ -307,7 +307,8 @@ def main() -> None:
                  "sliding_window_chunks", "shingle_size_curve",
                  "naive_bayes_langid", "vocab_coverage_curve",
                  "cooccurrence_ppmi", "lsh_band_config_curve",
-                 "mad_doclen", "bootstrap_mean_doclen", "prf_rocchio_expand"]:
+                 "mad_doclen", "bootstrap_mean_doclen", "prf_rocchio_expand",
+                 "ltr_features", "clarity_score"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -10261,6 +10261,159 @@ def prf_rocchio_expand(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 29 — learning-to-rank feature extraction, query-performance
+# prediction (clarity score)
+# ---------------------------------------------------------------------------
+
+_IDF_Q6_EXPR_DUCK = (
+    "CAST(round(1000000 * ln(1.0 + ((SELECT n_docs FROM st) - df + 0.5) / (df + 0.5))) AS BIGINT)"
+)
+_CLARITY_EXPR = (
+    "cast(round(1000000 * ((a / cast(atot as double))"
+    " * ln((a / cast(atot as double)) / (c / cast(ctot as double))))) as bigint)"
+)
+
+
+@register(
+    "ltr_features",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + f""",
+top20 AS (
+  SELECT doc_id, score_q6, nm,
+         row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rank
+  FROM agg QUALIFY rank <= 20),
+idf AS (SELECT term, {_IDF_Q6_EXPR_DUCK} AS idf_q6 FROM dfs JOIN q USING (term)),
+feat AS (
+  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS sum_tf,
+         CAST(max(idf.idf_q6) AS BIGINT) AS max_idf_q6
+  FROM tf JOIN idf USING (term) JOIN top20 USING (doc_id)
+  GROUP BY tf.doc_id)
+SELECT t.doc_id, CAST(t.rank AS BIGINT) AS rank, t.score_q6 AS bm25_q6,
+       CAST(t.nm AS BIGINT) AS n_matched, CAST(dl.doc_len AS BIGINT) AS doc_len,
+       f.sum_tf, f.max_idf_q6
+FROM top20 t JOIN dl USING (doc_id) JOIN feat f USING (doc_id)
+ORDER BY rank""",
+)
+def ltr_features(spark, sf_dir):
+    """Learning-to-rank feature extraction (the ES LTR plugin's feature-
+    logging step): for the query's BM25 top-20, emit the per-(query, doc)
+    feature vector a reranker trains on — BM25 score, matched-term count,
+    document length, total query-term frequency, and the strongest
+    matched term's idf (q6). The output table IS the training set a
+    GBDT/cross-encoder reranker consumes; features are exact integers so
+    the logged set is reproducible across engines.
+
+    Scale shape: candidates come from the memoized `_bm25_match_set`
+    truncated by one TakeOrdered(20); the 20-key set broadcasts back into
+    the shared tf exchange for the per-doc feature aggs; idf is a
+    map-side projection over query terms only."""
+    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
+    top20 = (
+        agg.orderBy(F.desc("score_q6"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))),
+        )
+    )
+    toks = _toks(_docs(spark, sf_dir))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    st = dl.agg(F.count("*").cast("double").alias("n_docs"))
+    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    q = F.broadcast(spark.createDataFrame([(t,) for t in _TOPK_TERMS], "term string"))
+    idf = (
+        dfs.join(q, "term")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "term",
+            F.expr(
+                "cast(round(1000000 * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))) as bigint)"
+            ).alias("idf_q6"),
+        )
+    )
+    feat = (
+        tf.join(F.broadcast(top20.select("doc_id")), "doc_id")
+        .join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("sum_tf"),
+            F.max("idf_q6").cast("long").alias("max_idf_q6"),
+        )
+    )
+    return (
+        top20.join(dl, "doc_id")
+        .join(feat, "doc_id")
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("score_q6").alias("bm25_q6"),
+            F.col("nm").cast("long").alias("n_matched"),
+            F.col("doc_len").cast("long").alias("doc_len"),
+            "sum_tf",
+            "max_idf_q6",
+        )
+        .orderBy("rank")
+    )
+
+
+@register(
+    "clarity_score",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + f""",
+top10 AS (SELECT doc_id FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 10),
+qtf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS a FROM tf JOIN top10 USING (doc_id) GROUP BY term),
+qa AS (SELECT CAST(sum(a) AS BIGINT) AS atot FROM qtf),
+ctf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+cn AS (SELECT CAST(sum(c) AS BIGINT) AS ctot FROM ctf),
+contrib AS (
+  SELECT qtf.term, {_CLARITY_EXPR} AS kl_q6
+  FROM qtf JOIN ctf USING (term) CROSS JOIN qa CROSS JOIN cn)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(COALESCE(sum(kl_q6), 0) AS BIGINT) AS clarity_q6
+FROM contrib""",
+)
+def clarity_score(spark, sf_dir):
+    """Query-performance prediction: the CLARITY score (Cronen-Townsend
+    et al. 2002) — KL divergence between the language model of the BM25
+    top-10 result set and the corpus LM, Σ_t p(t|topk)·ln(p(t|topk)/p(t|C)).
+    High clarity = the result set's vocabulary is focused (query is
+    answerable); near zero = results look like random corpus text (query
+    is ambiguous) — the retrieval-quality readout a query router/rewriter
+    keys on, with no relevance labels needed.
+
+    Determinism: the per-TERM KL contribution is q6-rounded first (one
+    shared divide-first expression string), the score is an exact BIGINT
+    sum. Empty match set → 0 terms, clarity 0, both engines.
+
+    Scale shape: the pseudo-relevant set is the memoized match set's
+    TakeOrdered(10) broadcast into tf (postings of 10 docs); the corpus
+    LM is the shared term-count agg; the report is one row."""
+    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
+    top10 = agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10).select("doc_id")
+    toks = _toks(_docs(spark, sf_dir))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    qtf = (
+        tf.join(F.broadcast(top10), "doc_id")
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("a"))
+    )
+    qa = qtf.agg(F.sum("a").cast("long").alias("atot"))
+    ctf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
+    cn = ctf.agg(F.sum("c").cast("long").alias("ctot"))
+    contrib = (
+        qtf.join(ctf, "term")
+        .crossJoin(F.broadcast(qa))
+        .crossJoin(F.broadcast(cn))
+        .select(F.expr(_CLARITY_EXPR).alias("kl_q6"))
+    )
+    return contrib.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.coalesce(F.sum("kl_q6"), F.lit(0)).cast("long").alias("clarity_q6"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -10280,7 +10433,9 @@ def prf_rocchio_expand(spark, sf_dir):
 # prefix rests on its r02/r03 driver row plus the full local replica.
 
 _FRONT = [
-    # newest (session 28): exact MAD, Poisson bootstrap, PRF expansion
+    # newest (session 29): LTR feature logging, clarity QPP
+    "ltr_features", "clarity_score",
+    # session 28: exact MAD, Poisson bootstrap, PRF expansion
     "mad_doclen", "bootstrap_mean_doclen", "prf_rocchio_expand",
     # session 27: co-occurrence PPMI, (b,r) sweep, streaming HLL twin
     "cooccurrence_ppmi", "lsh_band_config_curve", "hll_user_registers",
