@@ -10414,6 +10414,132 @@ def clarity_score(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 30 — ANN nprobe tuning curve
+# ---------------------------------------------------------------------------
+
+_NPROBE_RECALL_EXPR = (
+    "cast(round(1000000 * (sum_overlap / cast(10 * n_queries as double))) as bigint)"
+)
+
+_NPROBE_SQL = (
+    _KMEANS_SQL_PRELUDE
+    + f""", qs AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 37 = 0),
+bp3 AS MATERIALIZED (
+  SELECT qid, qv, cid, rn FROM (
+    SELECT qs.qid, qs.qv, c.cid,
+           row_number() OVER (PARTITION BY qs.qid ORDER BY
+             CAST(round(1000000000 * list_dot_product(c.cv, qs.qv)
+               / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) DESC,
+             c.cid ASC) AS rn
+    FROM qs, cent2 c) WHERE rn <= 3),
+ps AS (SELECT unnest([1, 2, 3]) AS p),
+sc AS MATERIALIZED (
+  SELECT ps.p, b.qid, e.vec_id,
+         CAST(round(1000000 * list_dot_product(e.v, b.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(b.qv, b.qv)))) AS BIGINT) AS cos_q6
+  FROM ps, bp3 b, a3, e
+  WHERE b.rn <= ps.p AND a3.cid = b.cid AND e.vec_id = a3.vec_id),
+tops AS (
+  SELECT p, qid, vec_id FROM (
+    SELECT p, qid, vec_id,
+           row_number() OVER (PARTITION BY p, qid ORDER BY cos_q6 DESC, vec_id ASC) AS rnk
+    FROM sc) WHERE rnk <= 10),
+bexact AS MATERIALIZED (
+  SELECT qid, vec_id FROM (
+    SELECT qs.qid, e.vec_id,
+           row_number() OVER (PARTITION BY qs.qid ORDER BY
+             CAST(round(1000000 * list_dot_product(e.v, qs.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) DESC,
+             e.vec_id ASC) AS rn
+    FROM qs, e WHERE e.vec_id <> 0) WHERE rn <= 10),
+nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM qs),
+ov AS (SELECT p, CAST(count(*) AS BIGINT) AS sum_overlap
+       FROM tops JOIN bexact USING (qid, vec_id) GROUP BY p),
+fin AS (
+  SELECT CAST(ps.p AS BIGINT) AS nprobe, n_queries,
+         CAST(COALESCE(sum_overlap, 0) AS BIGINT) AS sum_overlap
+  FROM ps LEFT JOIN ov ON ov.p = ps.p CROSS JOIN nq)
+SELECT nprobe, n_queries, sum_overlap, {_NPROBE_RECALL_EXPR} AS recall_q6
+FROM fin ORDER BY nprobe"""
+)
+
+
+@register("ann_ivf_nprobe_curve", _NPROBE_SQL)
+def ann_ivf_nprobe_curve(spark, sf_dir):
+    """The FAISS nprobe tuning curve over the shared trained IVF: mean
+    recall@10 of the batch-query probe at nprobe = 1/2/3 — the
+    accuracy-vs-scan-cost sweep an index operator reads before fixing
+    nprobe (completing the tuning-diagnostics family: shingle k for
+    MinHash, (b,r) for banding, nprobe for IVF). Reports per-config
+    query count, total exact-top-10 overlap, and recall_q6.
+
+    Scale shape: ONE probe ranking (rn <= 3) reused by all three configs
+    via a broadcast theta-join on rn <= p; exact-cosine scoring stays
+    inside probed cells (the scan is pruned to nprobe/K per query); the
+    brute-force exact side exists only as the recall denominator, per the
+    ann_ivf_recall precedent. On the sandbox's i.i.d. vectors the curve
+    is shallow (recall ~0.3 at nprobe 3 — the honest PQ-recall rule);
+    on clustered real embeddings it bends hard toward 1."""
+    members, cent, final_assign = _trained_ivf(spark, sf_dir)
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    qs = e.where(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cq"), F.asc("cid"))
+    bp3 = (
+        qs.crossJoin(F.broadcast(cent))
+        .select("qid", "qv", "cid", _cosq("cv", "qv", 1_000_000_000).alias("cq"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= 3)
+        .select("qid", "qv", "cid", "rn")
+    )
+    ps = spark.createDataFrame([(1,), (2,), (3,)], "p long")
+    probes = (
+        bp3.crossJoin(F.broadcast(ps))
+        .where(F.col("rn") <= F.col("p"))
+        .select("p", "qid", "qv", "cid")
+    )
+    scored = (
+        members.join(final_assign, "vec_id")
+        .join(F.broadcast(probes), "cid")
+        .select("p", "qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
+    )
+    wr = Window.partitionBy("p", "qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
+    tops = (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 10)
+        .select("p", "qid", "vec_id")
+    )
+    we = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
+    exact = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qs))
+        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
+        .withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    ov = tops.join(exact, ["qid", "vec_id"]).groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("sum_overlap")
+    )
+    nq = qs.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    fin = (
+        ps.join(F.broadcast(ov), "p", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            F.col("p").cast("long").alias("nprobe"),
+            "n_queries",
+            F.coalesce(F.col("sum_overlap"), F.lit(0)).cast("long").alias("sum_overlap"),
+        )
+    )
+    return fin.select(
+        "nprobe", "n_queries", "sum_overlap", F.expr(_NPROBE_RECALL_EXPR).alias("recall_q6")
+    ).orderBy("nprobe")
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -10433,7 +10559,9 @@ def clarity_score(spark, sf_dir):
 # prefix rests on its r02/r03 driver row plus the full local replica.
 
 _FRONT = [
-    # newest (session 29): LTR feature logging, clarity QPP
+    # newest (session 30): ANN nprobe tuning curve
+    "ann_ivf_nprobe_curve",
+    # session 29: LTR feature logging, clarity QPP
     "ltr_features", "clarity_score",
     # session 28: exact MAD, Poisson bootstrap, PRF expansion
     "mad_doclen", "bootstrap_mean_doclen", "prf_rocchio_expand",
