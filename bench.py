@@ -308,7 +308,8 @@ def main() -> None:
                  "naive_bayes_langid", "vocab_coverage_curve",
                  "cooccurrence_ppmi", "lsh_band_config_curve",
                  "mad_doclen", "bootstrap_mean_doclen", "prf_rocchio_expand",
-                 "ltr_features", "clarity_score", "ann_ivf_nprobe_curve"]:
+                 "ltr_features", "clarity_score", "ann_ivf_nprobe_curve",
+                 "hard_negative_mining", "events_value_quantiles"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

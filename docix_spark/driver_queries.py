@@ -10540,6 +10540,153 @@ def ann_ivf_nprobe_curve(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 31 — contrastive hard-negative mining, event-value quantiles
+# ---------------------------------------------------------------------------
+
+_HARDNEG_SQL = (
+    _KMEANS_SQL_PRELUDE
+    + """, qs AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 37 = 0),
+bp3 AS MATERIALIZED (
+  SELECT qid, qv, cid, rn FROM (
+    SELECT qs.qid, qs.qv, c.cid,
+           row_number() OVER (PARTITION BY qs.qid ORDER BY
+             CAST(round(1000000000 * list_dot_product(c.cv, qs.qv)
+               / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) DESC,
+             c.cid ASC) AS rn
+    FROM qs, cent2 c) WHERE rn <= 3),
+sc AS (
+  SELECT b.qid, e.vec_id,
+         CAST(round(1000000 * list_dot_product(e.v, b.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(b.qv, b.qv)))) AS BIGINT) AS cos_q6
+  FROM bp3 b, a3, e
+  WHERE b.rn BETWEEN 2 AND 3 AND a3.cid = b.cid AND e.vec_id = a3.vec_id
+    AND e.vec_id <> b.qid)
+SELECT qid, vec_id, cos_q6, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT qid, vec_id, cos_q6,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_q6 DESC, vec_id ASC) AS rnk
+  FROM sc) WHERE rnk <= 5 ORDER BY qid, rnk"""
+)
+
+
+@register("hard_negative_mining", _HARDNEG_SQL)
+def hard_negative_mining(spark, sf_dir):
+    """Contrastive-training hard-negative mining over the shared trained
+    IVF: for each batch query, the top-5 most-similar vectors from its
+    2nd/3rd-nearest cells — high-similarity NON-neighbors (the rank-1
+    cell is the positive neighborhood; excluding it is the in-batch
+     'semi-hard' rule from FaceNet/DPR-style training). The mined
+    (query, negative, cos) triplets are exactly what an embedding
+    trainer's negative sampler consumes.
+
+    Scale shape: identical plan skeleton to ann_ivf_batch — broadcast
+    centroids rank cells per query, the negative scan is pruned to 2
+    cells per query via the cid equi-join, top-5 per query is a
+    qid-partitioned window over cell-bounded candidates."""
+    members, cent, final_assign = _trained_ivf(spark, sf_dir)
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    qs = e.where(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cq"), F.asc("cid"))
+    neg_cells = (
+        qs.crossJoin(F.broadcast(cent))
+        .select("qid", "qv", "cid", _cosq("cv", "qv", 1_000_000_000).alias("cq"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn").between(2, 3))
+        .select("qid", "qv", "cid")
+    )
+    sc = (
+        members.join(final_assign, "vec_id")
+        .join(F.broadcast(neg_cells), "cid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
+    return (
+        sc.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select("qid", "vec_id", "cos_q6", "rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+@register(
+    "events_value_quantiles",
+    """WITH t AS (
+  SELECT event_type AS source, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+hist AS (SELECT source, cents, count(*) AS cnt FROM t GROUP BY source, cents),
+h AS (
+  SELECT source, cents, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+         CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM hist),
+q AS (SELECT p_q6 FROM (VALUES (500000), (950000), (990000)) AS v(p_q6)),
+agg AS (
+  SELECT h.source, q.p_q6, max(h.n) AS n,
+         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1))
+                  THEN h.cents END) AS v_lo,
+         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1)) + 1
+                  THEN h.cents END) AS v_hi
+  FROM h, q GROUP BY h.source, q.p_q6)
+SELECT source AS event_type, CAST(p_q6 AS BIGINT) AS p_q6,
+       CAST(round(1000000.0 * (v_lo + ((p_q6 / 1000000.0) * (n - 1)
+            - floor((p_q6 / 1000000.0) * (n - 1))) * (v_hi - v_lo))) AS BIGINT) AS q_q6
+FROM agg ORDER BY event_type, p_q6""",
+)
+def events_value_quantiles(spark, sf_dir):
+    """Exact p50/p95/p99 of event value (in integer cents) per event_type
+    — the ES ``percentiles`` agg on the events stream, via the same
+    weighted-histogram + exclusive-prefix-sum machinery as
+    doclen_quantiles (proof the quantile operator generalizes across
+    tables: any (group, integer-value) pair gets exact type-7 percentiles
+    without ever buffering raw group values on a reducer). The monitoring
+    twin: revenue-distribution percentiles per event type.
+
+    Scale shape: map-side (type, cents) histogram cells bounded by
+    distinct cent values; windows run over histogram rows only."""
+    t = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    hist = t.groupBy("source", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("source")
+    h = hist.select(
+        "source",
+        "cents",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).cast("long").alias("cum_before"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+    )
+    q = spark.createDataFrame([(500000,), (950000,), (990000,)], "p_q6 long")
+    rank = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
+    agg = (
+        h.crossJoin(F.broadcast(q))
+        .groupBy("source", "p_q6")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.when(F.col("cum_before") <= F.floor(rank), F.col("cents"))).alias("v_lo"),
+            F.max(F.when(F.col("cum_before") <= F.floor(rank) + 1, F.col("cents"))).alias("v_hi"),
+        )
+    )
+    r = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
+    frac = r - F.floor(r)
+    return agg.select(
+        F.col("source").alias("event_type"),
+        F.col("p_q6").cast("long").alias("p_q6"),
+        F.round(F.lit(1_000_000.0) * (F.col("v_lo") + frac * (F.col("v_hi") - F.col("v_lo"))))
+        .cast("long")
+        .alias("q_q6"),
+    ).orderBy("event_type", "p_q6")
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -10594,6 +10741,10 @@ _FRONT = [
     # sampled prefix regardless of session recency
     "pack_sequences", "pack_sequences_split", "dedup_connected_components",
     "top_terms_per_source", "ann_ivf_batch", "ann_ivf_batch_recall",
+    # session 31 onward: new ops slot in BELOW the verdict-ask block — the
+    # asks' done-criteria name CORRECTNESS_r04 rows, so they must never be
+    # pushed past the ~50-slot sample boundary by fresher entries
+    "hard_negative_mining", "events_value_quantiles",
     # session 16: gram provenance, sampler facets, nested pages,
     # query-string syntax
     "source_gram_novelty", "search_sampler_facets", "nested_pages_agg",
