@@ -309,7 +309,8 @@ def main() -> None:
                  "cooccurrence_ppmi", "lsh_band_config_curve",
                  "mad_doclen", "bootstrap_mean_doclen", "prf_rocchio_expand",
                  "ltr_features", "clarity_score", "ann_ivf_nprobe_curve",
-                 "hard_negative_mining", "events_value_quantiles"]:
+                 "hard_negative_mining", "events_value_quantiles",
+                 "event_type_lift"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -10687,6 +10687,89 @@ def events_value_quantiles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 32 — association rules over event baskets
+# ---------------------------------------------------------------------------
+
+_LIFT_EXPR = (
+    "cast(round(1000000 * ((n_ab / cast(n_users as double))"
+    " / ((n_a / cast(n_users as double)) * (n_b / cast(n_users as double))))) as bigint)"
+)
+_CONF_EXPR = "cast(round(1000000 * (n_ab / cast(n_a as double))) as bigint)"
+
+
+@register(
+    "event_type_lift",
+    f"""WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY event_type),
+p AS (
+  SELECT a.event_type AS type_a, b2.event_type AS type_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM b a JOIN b b2 ON a.user_id = b2.user_id AND a.event_type < b2.event_type
+  GROUP BY 1, 2),
+f AS (
+  SELECT type_a, type_b, n_ab, sa.n AS n_a, sb.n AS n_b, n_users
+  FROM p JOIN s sa ON sa.event_type = p.type_a
+         JOIN s sb ON sb.event_type = p.type_b
+  CROSS JOIN n)
+SELECT type_a, type_b, n_ab, n_a, n_b,
+       {_LIFT_EXPR} AS lift_q6, {_CONF_EXPR} AS conf_a_to_b_q6
+FROM f ORDER BY type_a, type_b""",
+)
+def event_type_lift(spark, sf_dir):
+    """Association-rule mining over per-user event baskets: for every
+    event-type pair, the co-occurrence support, lift
+    P(a,b)/(P(a)·P(b)) and confidence P(b|a) — the market-basket signal
+    (Agrawal-style frequent itemsets at the pair level) a funnel/recs
+    analysis reads to find which behaviors travel together. Lift over 1e6
+    means the pair co-occurs above independence.
+
+    Determinism: probabilities divide exact BIGINT counts in one shared
+    divide-first expression string per metric.
+
+    Scale shape: baskets collapse to distinct (user, type) map-side; the
+    self-join fans each user's ≤|types| rows against themselves (bounded
+    per key — never a cross join across users); type counts and the user
+    total broadcast; output is |types|² rows."""
+    ev = _events(spark, sf_dir)
+    b = ev.select("user_id", "event_type").distinct().localCheckpoint()
+    n = ev.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    s = b.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b2 = b.alias("a"), b.alias("b2")
+    p = (
+        a.join(
+            b2,
+            (F.col("a.user_id") == F.col("b2.user_id"))
+            & (F.col("a.event_type") < F.col("b2.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b2.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    f = (
+        p.join(
+            F.broadcast(s.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(s.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return f.select(
+        "type_a",
+        "type_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.expr(_LIFT_EXPR).alias("lift_q6"),
+        F.expr(_CONF_EXPR).alias("conf_a_to_b_q6"),
+    ).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -10744,7 +10827,7 @@ _FRONT = [
     # session 31 onward: new ops slot in BELOW the verdict-ask block — the
     # asks' done-criteria name CORRECTNESS_r04 rows, so they must never be
     # pushed past the ~50-slot sample boundary by fresher entries
-    "hard_negative_mining", "events_value_quantiles",
+    "hard_negative_mining", "events_value_quantiles", "event_type_lift",
     # session 16: gram provenance, sampler facets, nested pages,
     # query-string syntax
     "source_gram_novelty", "search_sampler_facets", "nested_pages_agg",

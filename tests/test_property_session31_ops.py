@@ -96,5 +96,50 @@ def test_hard_negative_invariants():
 
 
 def test_registry_names_bound():
-    for name in ["hard_negative_mining", "events_value_quantiles"]:
+    for name in ["hard_negative_mining", "events_value_quantiles", "event_type_lift"]:
         assert REGISTRY[name].fn.__name__ == name
+
+
+_basket = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),
+              st.sampled_from(["view", "click", "purchase", "refund"])),
+    min_size=1, max_size=150,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(evs=_basket)
+def test_event_type_lift_matches_model(evs):
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame({"user_id": [u for u, _ in evs],
+                      "event_type": [t for _, t in evs]}),
+    )
+    got = con.execute(REGISTRY["event_type_lift"].sql).fetchall()
+    baskets: dict[int, set] = {}
+    for u, t in evs:
+        baskets.setdefault(u, set()).add(t)
+    n_users = len(baskets)
+    from collections import Counter
+
+    s: Counter = Counter(t for ts in baskets.values() for t in ts)
+    pc: Counter = Counter()
+    for ts in baskets.values():
+        for a in ts:
+            for b in ts:
+                if a < b:
+                    pc[(a, b)] += 1
+    model = []
+    for (a, b) in sorted(pc):
+        n_ab, n_a, n_b = pc[(a, b)], s[a], s[b]
+        lift = _round_away(
+            1_000_000
+            * ((n_ab / float(n_users)) / ((n_a / float(n_users)) * (n_b / float(n_users))))
+        )
+        conf = _round_away(1_000_000 * (n_ab / float(n_a)))
+        model.append((a, b, n_ab, n_a, n_b, lift, conf))
+    assert got == model
+    # confidence is a proper conditional probability
+    for *_, n_ab, n_a, n_b, lift, conf in [(None, None) + m[2:] for m in model]:
+        assert 0 < conf <= 1_000_000
