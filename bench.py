@@ -310,7 +310,7 @@ def main() -> None:
                  "mad_doclen", "bootstrap_mean_doclen", "prf_rocchio_expand",
                  "ltr_features", "clarity_score", "ann_ivf_nprobe_curve",
                  "hard_negative_mining", "events_value_quantiles",
-                 "event_type_lift"]:
+                 "event_type_lift", "shard_rebalance_cost"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

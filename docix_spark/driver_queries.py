@@ -10770,6 +10770,92 @@ def event_type_lift(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 33 — resharding movement cost: mod-hash vs rendezvous hashing
+# ---------------------------------------------------------------------------
+
+_MOVED_FRAC_EXPR = (
+    "cast(round(1000000 * (n_moved / cast(n_docs as double))) as bigint)"
+)
+
+
+@register(
+    "shard_rebalance_cost",
+    f"""WITH d AS (SELECT doc_id FROM documents),
+m AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT AS h16 FROM d),
+mod_mov AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) FILTER (h16 % 16 <> h16 % 17) AS BIGINT) AS n_moved
+  FROM m),
+r AS (
+  SELECT doc_id, s, md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)) AS hk
+  FROM d, (SELECT unnest(generate_series(0, 16)) AS s)),
+rv AS (
+  SELECT doc_id,
+         arg_max(s, hk) FILTER (WHERE s < 16) AS s16,
+         arg_max(s, hk) AS s17
+  FROM r GROUP BY doc_id),
+rv_mov AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) FILTER (s16 <> s17) AS BIGINT) AS n_moved
+  FROM rv)
+SELECT 'mod' AS strategy, n_docs, n_moved, {_MOVED_FRAC_EXPR} AS moved_frac_q6 FROM mod_mov
+UNION ALL
+SELECT 'rendezvous' AS strategy, n_docs, n_moved, {_MOVED_FRAC_EXPR} FROM rv_mov
+ORDER BY strategy""",
+)
+def shard_rebalance_cost(spark, sf_dir):
+    """Resharding movement cost, 16 → 17 shards, for two routing rules:
+    mod-hash (the shard_token_balance coordinate — moves ~16/17 of all
+    docs when the divisor changes) vs rendezvous/highest-random-weight
+    hashing (Thaler-Ravishankar; a doc moves ONLY when the new shard's
+    hash wins its argmax, ~1/17) — the consistent-hashing argument as a
+    measured relational operator, which is what decides whether growing
+    an index's shard count is a full rewrite or an incremental one.
+
+    Determinism: argmax over md5 hex strings (lexicographic, collision-
+    free at these scales), movement fractions divide exact BIGINTs.
+
+    Scale shape: mod is map-side; rendezvous is a per-doc explode of 17
+    candidate rows collapsed by ONE (doc) groupBy with filtered max_by —
+    no joins at all; the report is 2 rows."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    m = d.select(
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int)"
+        ).alias("h16")
+    )
+    mod_mov = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.expr("h16 % 16 <> h16 % 17")).cast("long").alias("n_moved"),
+    )
+    r = d.select(
+        "doc_id", F.explode(F.expr("sequence(0, 16)")).alias("s")
+    ).select(
+        "doc_id",
+        "s",
+        F.expr("md5(concat(cast(doc_id as string), ':', cast(s as string)))").alias("hk"),
+    )
+    rv = r.groupBy("doc_id").agg(
+        F.expr("max_by(s, hk) filter (where s < 16)").alias("s16"),
+        F.expr("max_by(s, hk)").alias("s17"),
+    )
+    rv_mov = rv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.expr("s16 <> s17")).cast("long").alias("n_moved"),
+    )
+    out_cols = ["strategy", "n_docs", "n_moved", "moved_frac_q6"]
+    mod_row = mod_mov.select(
+        F.lit("mod").alias("strategy"), "n_docs", "n_moved",
+        F.expr(_MOVED_FRAC_EXPR).alias("moved_frac_q6"),
+    )
+    rv_row = rv_mov.select(
+        F.lit("rendezvous").alias("strategy"), "n_docs", "n_moved",
+        F.expr(_MOVED_FRAC_EXPR).alias("moved_frac_q6"),
+    )
+    return mod_row.select(out_cols).unionByName(rv_row.select(out_cols)).orderBy("strategy")
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -10828,6 +10914,7 @@ _FRONT = [
     # asks' done-criteria name CORRECTNESS_r04 rows, so they must never be
     # pushed past the ~50-slot sample boundary by fresher entries
     "hard_negative_mining", "events_value_quantiles", "event_type_lift",
+    "shard_rebalance_cost",
     # session 16: gram provenance, sampler facets, nested pages,
     # query-string syntax
     "source_gram_novelty", "search_sampler_facets", "nested_pages_agg",

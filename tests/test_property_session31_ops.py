@@ -143,3 +143,37 @@ def test_event_type_lift_matches_model(evs):
     # confidence is a proper conditional probability
     for *_, n_ab, n_a, n_b, lift, conf in [(None, None) + m[2:] for m in model]:
         assert 0 < conf <= 1_000_000
+
+
+@settings(max_examples=40, deadline=None)
+@given(ids=st.lists(st.integers(min_value=0, max_value=100000), min_size=1,
+                    max_size=150, unique=True))
+def test_shard_rebalance_matches_model(ids):
+    import hashlib
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": ids, "text": [""] * len(ids),
+                      "source": ["s"] * len(ids), "lang": ["en"] * len(ids),
+                      "n_chars": [0] * len(ids)}),
+    )
+    got = con.execute(REGISTRY["shard_rebalance_cost"].sql).fetchall()
+    n = len(ids)
+    mod_moved = sum(
+        1 for i in ids
+        if (h := int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)) % 16 != h % 17
+    )
+
+    def rz(i, ns):
+        return max(range(ns), key=lambda s: hashlib.md5(f"{i}:{s}".encode()).hexdigest())
+
+    rz_moved = sum(1 for i in ids if rz(i, 16) != rz(i, 17))
+
+    def frac(m):
+        return _round_away(1_000_000 * (m / float(n)))
+
+    assert got == [("mod", n, mod_moved, frac(mod_moved)),
+                   ("rendezvous", n, rz_moved, frac(rz_moved))]
+    # the rendezvous guarantee: a doc moves IFF shard 16 wins its argmax
+    assert rz_moved == sum(1 for i in ids if rz(i, 17) == 16)
