@@ -10856,6 +10856,91 @@ def shard_rebalance_cost(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 34 — sessionization-gap tuning curve, stratified k-fold assignment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interevent_gap_histogram",
+    """WITH t AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events),
+g AS (
+  SELECT t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS gap
+  FROM t),
+b AS (
+  SELECT CASE WHEN gap = 0 THEN -1
+              ELSE CAST(length(bin(gap)) - 1 AS BIGINT) END AS bucket
+  FROM g WHERE gap IS NOT NULL)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_gaps
+FROM b GROUP BY bucket ORDER BY bucket""",
+)
+def interevent_gap_histogram(spark, sf_dir):
+    """Per-user inter-event gap distribution, bucketed by floor(log2 µs)
+    — the tuning curve for the sessionizer's 30-minute inactivity gap
+    (events_sessionize): the histogram's valley between the within-
+    session mode and the between-session mode IS the right gap setting.
+    Fifth member of the tuning-diagnostics family (shingle k, LSH (b,r),
+    IVF nprobe, SimHash hamming — now the session gap). Bucket via the
+    integer-exact length(bin()) idiom (doclen_histogram); zero gaps
+    (same-microsecond events) land in bucket -1.
+
+    Scale shape: ONE user_id-partitioned lag window (the sessionizer's
+    own shuffle key), then a ≤64-bucket map-side-combined histogram.
+    Ties at equal timestamps are ordered by event_id so lag is
+    deterministic in both engines."""
+    t = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    g = t.select((F.col("t_us") - F.lag("t_us").over(w)).alias("gap"))
+    b = g.where(F.col("gap").isNotNull()).select(
+        F.expr(
+            "CASE WHEN gap = 0 THEN -1 ELSE CAST(length(bin(gap)) - 1 AS BIGINT) END"
+        ).alias("bucket")
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "stratified_kfold_assign",
+    """WITH f AS (
+  SELECT source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 4))::INT % 5 AS fold
+  FROM documents)
+SELECT source, CAST(fold AS BIGINT) AS fold, CAST(count(*) AS BIGINT) AS n_docs
+FROM f GROUP BY source, fold ORDER BY source, fold""",
+)
+def stratified_kfold_assign(spark, sf_dir):
+    """Deterministic 5-fold cross-validation assignment, reported as the
+    per-(source, fold) census: folds come from md5 hex chars 13-16 — the
+    FOURTH independent hash coordinate (shard 1-4, train/eval split 5-8,
+    sampling 9-12 — each a disjoint hex range, so fold membership is
+    orthogonal to sharding, hold-out and sampling by construction). A
+    fold's train set is 'fold <> k' — no RNG state, reproducible on any
+    engine, stable under corpus appends (new docs join folds without
+    reshuffling old ones — the property sklearn's KFold lacks).
+
+    Scale shape: map-side hash + one tiny (source × 5) groupBy."""
+    f = _docs(spark, sf_dir).select(
+        "source",
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 13, 4), 16, 10) as int) % 5"
+        ).alias("fold"),
+    )
+    return (
+        f.groupBy("source", F.col("fold").cast("long").alias("fold"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("source", "fold")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -10914,7 +10999,7 @@ _FRONT = [
     # asks' done-criteria name CORRECTNESS_r04 rows, so they must never be
     # pushed past the ~50-slot sample boundary by fresher entries
     "hard_negative_mining", "events_value_quantiles", "event_type_lift",
-    "shard_rebalance_cost",
+    "shard_rebalance_cost", "interevent_gap_histogram", "stratified_kfold_assign",
     # session 16: gram provenance, sampler facets, nested pages,
     # query-string syntax
     "source_gram_novelty", "search_sampler_facets", "nested_pages_agg",
