@@ -311,7 +311,8 @@ def main() -> None:
                  "ltr_features", "clarity_score", "ann_ivf_nprobe_curve",
                  "hard_negative_mining", "events_value_quantiles",
                  "event_type_lift", "shard_rebalance_cost",
-                 "interevent_gap_histogram", "stratified_kfold_assign"]:
+                 "interevent_gap_histogram", "stratified_kfold_assign",
+                 "term_drift_deciles", "source_lang_chi2"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -10941,6 +10941,135 @@ def stratified_kfold_assign(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 35 — corpus drift monitor, chi-squared independence
+# ---------------------------------------------------------------------------
+
+_DRIFT_KL_EXPR = (
+    "cast(round(1000000 * ((a / cast(atot as double))"
+    " * ln((a / cast(atot as double)) / (c / cast(ctot as double))))) as bigint)"
+)
+_CHI2_CELL_EXPR = (
+    "cast(round(1000000 * ((o - (rn * cn) / cast(n as double))"
+    " * (o - (rn * cn) / cast(n as double)) / ((rn * cn) / cast(n as double)))) as bigint)"
+)
+
+
+@register(
+    "term_drift_deciles",
+    f"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+toks AS (
+  SELECT CAST((doc_id * 10) // n_docs AS BIGINT) AS decile,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents CROSS JOIN nd),
+dt AS (SELECT decile, term, CAST(count(*) AS BIGINT) AS a FROM toks GROUP BY decile, term),
+da AS (SELECT decile, CAST(sum(a) AS BIGINT) AS atot FROM dt GROUP BY decile),
+ct AS (SELECT term, CAST(sum(a) AS BIGINT) AS c FROM dt GROUP BY term),
+cn AS (SELECT CAST(sum(c) AS BIGINT) AS ctot FROM ct),
+contrib AS (
+  SELECT dt.decile, {_DRIFT_KL_EXPR} AS kl_q6
+  FROM dt JOIN da USING (decile) JOIN ct USING (term) CROSS JOIN cn)
+SELECT decile, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(kl_q6) AS BIGINT) AS kl_q6
+FROM contrib GROUP BY decile ORDER BY decile""",
+)
+def term_drift_deciles(spark, sf_dir):
+    """Corpus drift monitor: KL divergence of each doc_id-decile's term
+    distribution against the whole-corpus LM — the train/serve-skew
+    readout a data-ops pipeline alarms on (a crawl whose late deciles
+    drift from the early ones poisons a model trained on the head).
+    Per-term contributions are q6-rounded first (clarity_score's rule),
+    decile sums are exact BIGINTs; on the sandbox's stationary synthetic
+    corpus the curve is flat near zero — that IS the healthy reading.
+
+    Scale shape: decile is a map-side integer key (corpus count is a
+    1-row broadcast); one (decile, term) agg, the corpus LM derives FROM
+    it (shares the exchange); the report is 10 rows."""
+    nd = _docs(spark, sf_dir).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    toks = (
+        _docs(spark, sf_dir)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.expr("cast((doc_id * 10) div n_docs as bigint)").alias("decile"),
+            F.explode(spark_tokens("text")).alias("term"),
+        )
+    )
+    dt = toks.groupBy("decile", "term").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    da = dt.groupBy("decile").agg(F.sum("a").cast("long").alias("atot"))
+    ct = dt.groupBy("term").agg(F.sum("a").cast("long").alias("c"))
+    cn = ct.agg(F.sum("c").cast("long").alias("ctot"))
+    contrib = (
+        dt.join(F.broadcast(da), "decile")
+        .join(ct, "term")
+        .crossJoin(F.broadcast(cn))
+        .select("decile", F.expr(_DRIFT_KL_EXPR).alias("kl_q6"))
+    )
+    return (
+        contrib.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("kl_q6").cast("long").alias("kl_q6"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "source_lang_chi2",
+    f"""WITH o AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS o FROM documents GROUP BY source, lang),
+r AS (SELECT source, CAST(sum(o) AS BIGINT) AS rn FROM o GROUP BY source),
+c AS (SELECT lang, CAST(sum(o) AS BIGINT) AS cn FROM o GROUP BY lang),
+nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+cell AS (
+  SELECT o.source, o.lang, {_CHI2_CELL_EXPR} AS x2_q6
+  FROM o JOIN r USING (source) JOIN c USING (lang) CROSS JOIN nn)
+SELECT CAST((SELECT count(*) FROM r) AS BIGINT) AS n_rows,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_cols,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(x2_q6) AS BIGINT) AS chi2_q6
+FROM cell""",
+)
+def source_lang_chi2(spark, sf_dir):
+    """Pearson chi-squared statistic for source × lang independence —
+    'does language mix depend on the source?' — the categorical
+    counterpart of ttest_lang_doclen in the inference-agg family
+    (observed cells only; an absent (source,lang) cell contributes its
+    expectation — omitted here and declared, since both engines omit the
+    same cells the statistic stays oracle-exact and the full-table form
+    is one generate-and-left-join away). Per-cell (O−E)²/E is q6-rounded
+    first (E divides exact BIGINTs, divide-first float form — the
+    events_daily_anomaly overflow rule), the statistic is a BIGINT sum.
+
+    Scale shape: one (source, lang) count; margins derive FROM it
+    (shared exchange); cells are |sources|×|langs| rows; output 1 row."""
+    o = _docs(spark, sf_dir).groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    o = o.localCheckpoint()
+    r = o.groupBy("source").agg(F.sum("o").cast("long").alias("rn"))
+    c = o.groupBy("lang").agg(F.sum("o").cast("long").alias("cn"))
+    nn = o.agg(F.sum("o").cast("long").alias("n"))
+    cell = (
+        o.join(F.broadcast(r), "source")
+        .join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(nn))
+        .select(F.expr(_CHI2_CELL_EXPR).alias("x2_q6"))
+    )
+    nr = r.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_cols"))
+    return (
+        nr.crossJoin(nc)
+        .crossJoin(
+            cell.agg(
+                F.count(F.lit(1)).cast("long").alias("n_cells"),
+                F.sum("x2_q6").cast("long").alias("chi2_q6"),
+            )
+        )
+        .select("n_rows", "n_cols", "n_cells", "chi2_q6")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -11000,6 +11129,9 @@ _FRONT = [
     # pushed past the ~50-slot sample boundary by fresher entries
     "hard_negative_mining", "events_value_quantiles", "event_type_lift",
     "shard_rebalance_cost", "interevent_gap_histogram", "stratified_kfold_assign",
+    # below this line = beyond the ~50-slot driver sample; local-replica
+    # and property evidence only
+    "term_drift_deciles", "source_lang_chi2",
     # session 16: gram provenance, sampler facets, nested pages,
     # query-string syntax
     "source_gram_novelty", "search_sampler_facets", "nested_pages_agg",
