@@ -312,7 +312,8 @@ def main() -> None:
                  "hard_negative_mining", "events_value_quantiles",
                  "event_type_lift", "shard_rebalance_cost",
                  "interevent_gap_histogram", "stratified_kfold_assign",
-                 "term_drift_deciles", "source_lang_chi2"]:
+                 "term_drift_deciles", "source_lang_chi2",
+                 "dedup_policy_compare"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -11070,6 +11070,131 @@ def source_lang_chi2(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 36 — dedup survivor-policy comparison
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_policy_compare",
+    _SQL_LSH_PAIRS
+    + f""",
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS BIGINT) AS n_distinct
+  FROM documents),
+cd AS (SELECT c.cluster_id, t.doc_id, t.n_tok, t.n_distinct
+       FROM comp c JOIN tok t USING (doc_id)),
+rk AS (
+  SELECT cluster_id, n_tok,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id ASC) AS r_min,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY n_tok DESC, doc_id ASC) AS r_long,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY n_distinct DESC, doc_id ASC) AS r_dist
+  FROM cd),
+tot AS (
+  SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         CAST(count(*) AS BIGINT) AS docs_clustered,
+         CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS tokens_clustered
+  FROM cd),
+pol AS (
+  SELECT 'keep_longest' AS policy,
+         CAST(COALESCE(sum(CASE WHEN r_long = 1 THEN n_tok ELSE 0 END), 0) AS BIGINT) AS tokens_kept FROM rk
+  UNION ALL
+  SELECT 'keep_min_id',
+         CAST(COALESCE(sum(CASE WHEN r_min = 1 THEN n_tok ELSE 0 END), 0) AS BIGINT) FROM rk
+  UNION ALL
+  SELECT 'keep_most_distinct',
+         CAST(COALESCE(sum(CASE WHEN r_dist = 1 THEN n_tok ELSE 0 END), 0) AS BIGINT) FROM rk)
+SELECT policy, n_clusters, docs_clustered - n_clusters AS docs_dropped,
+       tokens_kept, tokens_clustered - tokens_kept AS tokens_dropped
+FROM pol CROSS JOIN tot ORDER BY policy""",
+)
+def dedup_policy_compare(spark, sf_dir):
+    """Survivor-policy comparison for near-dup clusters: keep-min-id (the
+    registry's canonical rule), keep-longest (max token count), and
+    keep-most-distinct (max vocabulary) — per policy, the tokens a
+    training mix retains from the clustered docs. docs_dropped is
+    policy-invariant (every cluster keeps exactly one); tokens_kept is
+    NOT, and that delta is the decision this operator exists to inform
+    (Lee et al. keep-longest typically retains the most signal).
+
+    Scale shape: cluster labels reuse the memoized `_lsh_pair_edges` +
+    pointer-doubled `connected_components` (cluster-table-sized); the
+    three policy rankings are windows over CLUSTER-bounded partitions of
+    the clustered-docs table (dup clusters ≪ corpus); the report is 3
+    rows. The DuckDB oracle recomputes the closure recursively over the
+    identical pair graph."""
+    edges = _lsh_pair_edges(spark, sf_dir)
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    labels = connected_components(labels, edges).select(
+        "doc_id", F.col("lbl").alias("cluster_id")
+    )
+    tok = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(spark_tokens("text")).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(spark_tokens("text"))).cast("long").alias("n_distinct"),
+    )
+    cd = labels.join(tok, "doc_id").localCheckpoint()
+    w_min = Window.partitionBy("cluster_id").orderBy(F.asc("doc_id"))
+    w_long = Window.partitionBy("cluster_id").orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    w_dist = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_distinct"), F.asc("doc_id")
+    )
+    rk = cd.select(
+        "cluster_id",
+        "n_tok",
+        F.row_number().over(w_min).alias("r_min"),
+        F.row_number().over(w_long).alias("r_long"),
+        F.row_number().over(w_dist).alias("r_dist"),
+    )
+    tot = cd.agg(
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.count(F.lit(1)).cast("long").alias("docs_clustered"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("tokens_clustered"),
+    )
+    pols = []
+    for policy, flag in (
+        ("keep_longest", "r_long"),
+        ("keep_min_id", "r_min"),
+        ("keep_most_distinct", "r_dist"),
+    ):
+        pols.append(
+            rk.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col(flag) == 1, F.col("n_tok")).otherwise(0)),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("tokens_kept")
+            ).select(F.lit(policy).alias("policy"), "tokens_kept")
+        )
+    pol = pols[0].unionByName(pols[1]).unionByName(pols[2])
+    return (
+        pol.crossJoin(F.broadcast(tot))
+        .select(
+            "policy",
+            "n_clusters",
+            (F.col("docs_clustered") - F.col("n_clusters")).alias("docs_dropped"),
+            "tokens_kept",
+            (F.col("tokens_clustered") - F.col("tokens_kept")).alias("tokens_dropped"),
+        )
+        .orderBy("policy")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -11131,7 +11256,7 @@ _FRONT = [
     "shard_rebalance_cost", "interevent_gap_histogram", "stratified_kfold_assign",
     # below this line = beyond the ~50-slot driver sample; local-replica
     # and property evidence only
-    "term_drift_deciles", "source_lang_chi2",
+    "term_drift_deciles", "source_lang_chi2", "dedup_policy_compare",
     # session 16: gram provenance, sampler facets, nested pages,
     # query-string syntax
     "source_gram_novelty", "search_sampler_facets", "nested_pages_agg",
