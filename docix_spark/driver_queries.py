@@ -11195,6 +11195,222 @@ def dedup_policy_compare(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 37 — event-sequence Markov transitions, Matryoshka dim-truncation
+# recall curve, LSH candidate-graph degree histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_transitions",
+    """WITH t AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type FROM events),
+p AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM t),
+c AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
+  FROM p WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
+SELECT prev_type, next_type, n_trans,
+       CAST((1000000 * n_trans)
+            // sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS p_q6
+FROM c ORDER BY prev_type, next_type""",
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences:
+    for every (prev_type, next_type) pair of CONSECUTIVE events of one
+    user, the transition count and the row-normalized probability in q6
+    micro-units — the behavioral-model summary (next-event prediction
+    baseline, funnel-leak localization) the reference's event analytics
+    stop short of.
+
+    Determinism: equal-timestamp events are ordered by event_id inside the
+    lag window (the interevent_gap_histogram rule) so the successor of
+    every event is identical in both engines; p_q6 is an INTEGER division
+    (1e6·n div row_total) — no float sum order anywhere. The DuckDB
+    row_total is HUGEINT (sum of BIGINT), so the quotient is CAST back.
+
+    Scale shape: ONE user_id-partitioned lag window (the sessionizer's own
+    shuffle key), then a ≤|types|²-row map-side-combined count; the
+    normalizing window runs over the pre-aggregated ≤|types|² table, not
+    the event stream. n_trans·1e6 stays inside BIGINT until a single
+    event-type pair exceeds ~9.2e12 transitions (~petabyte streams) —
+    divide-first at that point."""
+    t = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    p = t.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    c = (
+        p.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    wr = Window.partitionBy("prev_type")
+    return (
+        c.withColumn("tot", F.sum("n_trans").over(wr))
+        .select(
+            "prev_type",
+            "next_type",
+            "n_trans",
+            F.expr("(1000000 * n_trans) div tot").cast("long").alias("p_q6"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+_TRUNC_DIMS = (4, 8, 16, 64)
+
+_TRUNC_SQL = (
+    _SQL_EMB_E
+    + """
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 37 = 0),
+ds AS (SELECT unnest([4, 8, 16, 64]) AS d),
+sl AS (
+  SELECT ds.d, qs.qid, e.vec_id,
+         list_slice(e.v, 1, ds.d) AS av, list_slice(qs.qv, 1, ds.d) AS aq
+  FROM e, qs, ds),
+sc AS (
+  SELECT d, qid, vec_id, """
+    + _sql_cosq("av", "aq", 1_000_000)
+    + """ AS cos_q6
+  FROM sl),
+topk AS (
+  SELECT d, qid, vec_id FROM (
+    SELECT d, qid, vec_id,
+           row_number() OVER (PARTITION BY d, qid
+                              ORDER BY cos_q6 DESC, vec_id ASC) AS rn
+    FROM sc) WHERE rn <= 10),
+nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qs),
+hits AS (
+  SELECT t.d, CAST(count(*) AS BIGINT) AS n_hits
+  FROM topk t JOIN (SELECT qid, vec_id FROM topk WHERE d = 64) x
+    USING (qid, vec_id)
+  GROUP BY t.d)
+SELECT CAST(d AS BIGINT) AS d, n_hits,
+       CAST(10 * nq.n AS BIGINT) AS n_possible,
+       CAST((1000000 * n_hits) // (10 * nq.n) AS BIGINT) AS recall_q6
+FROM hits, nq ORDER BY d"""
+)
+
+
+@register("ann_dim_truncation_curve", _TRUNC_SQL)
+def ann_dim_truncation_curve(spark, sf_dir):
+    """Matryoshka-style dimension-truncation tuning curve: recall@10 of
+    cosine search over only the FIRST d dims (d = 4/8/16) against the
+    full-64-dim exact top-10, over the shared batch query set
+    (vec_id % 37 = 0). The d = 64 row is emitted as a self-check — its
+    recall is 1.0 by construction (Kusupati et al., MRL: how many prefix
+    dims a truncated index needs before ANN recall collapses). Seventh
+    member of the tuning-diagnostics family (shingle k, LSH (b,r), IVF
+    nprobe, SimHash hamming, session gap, band config).
+
+    Determinism: per-(d, query) ranking keys on q6-rounded cosine of the
+    PREFIX slices with vec_id tiebreak; recall_q6 is an integer division
+    of exact BIGINT hit counts — no float accumulation across queries.
+
+    Scale shape: this is the brute-force AUDIT leg (the same |Q|·N pair
+    table as ann_ivf_batch_recall's exact side — queries broadcast, scan
+    side streams); production truncated search runs through the IVF. All
+    four d's are stacked into ONE pair table so the per-(d, qid) top-10
+    costs a single window shuffle, not one per d."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    qs = e.where(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    pair = e.crossJoin(F.broadcast(qs))
+    for d in _TRUNC_DIMS:
+        pair = (
+            pair.withColumn(f"av{d}", F.expr(f"slice(v, 1, {d})"))
+            .withColumn(f"aq{d}", F.expr(f"slice(qv, 1, {d})"))
+            .withColumn(f"c{d}", _cosq(f"av{d}", f"aq{d}", 1_000_000))
+        )
+    stack_args = ", ".join(f"cast({d} as bigint), c{d}" for d in _TRUNC_DIMS)
+    sc = pair.selectExpr(
+        "qid", "vec_id", f"stack({len(_TRUNC_DIMS)}, {stack_args}) as (d, cos_q6)"
+    )
+    w = Window.partitionBy("d", "qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
+    topk = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("d", "qid", "vec_id")
+        .localCheckpoint()
+    )
+    exact = topk.where(F.col("d") == 64).select("qid", "vec_id")
+    hits = (
+        topk.join(exact, ["qid", "vec_id"])
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    nq = qs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        hits.crossJoin(F.broadcast(nq))
+        .select(
+            "d",
+            "n_hits",
+            (F.lit(10) * F.col("n")).cast("long").alias("n_possible"),
+            F.expr("(1000000 * n_hits) div (10 * n)").cast("long").alias("recall_q6"),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "lsh_degree_histogram",
+    _SQL_LSH_PAIRS
+    + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+deg AS (
+  SELECT d.doc_id, CAST(COALESCE(e.n, 0) AS BIGINT) AS degree
+  FROM documents d LEFT JOIN (
+    SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS n
+    FROM edges GROUP BY src) e USING (doc_id))
+SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY degree ORDER BY degree""",
+)
+def lsh_degree_histogram(spark, sf_dir):
+    """Degree distribution of the MinHash-LSH candidate-pair graph —
+    degree-0 docs included via the corpus spine. The eighth
+    tuning-diagnostics member: a heavy right tail means a hot blocking
+    key (one band bucket pairing everything with everything — the
+    quadratic blowup LSH banding exists to prevent), degree 0 everywhere
+    means the bands are too selective for the corpus. Read together with
+    lsh_candidate_precision (quality) and lsh_band_config_curve (b,r
+    sweep), this is the quantity axis.
+
+    Scale shape: reuses the memoized `_lsh_pair_edges` graph (banded
+    equi-join, candidate-sized); degree = ONE src-keyed count over the
+    edge table; the corpus-spine left join is doc_id-keyed (AQE picks the
+    strategy — the degree table's cardinality is corpus-bounded but
+    usually far smaller, never force-broadcast an unbounded side); the
+    final histogram is ≤max-degree rows with map-side partials."""
+    edges = _lsh_pair_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    spine = _docs(spark, sf_dir).select("doc_id")
+    full = spine.join(deg, "doc_id", "left").select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("degree")
+    )
+    return (
+        full.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("degree")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -11256,6 +11472,8 @@ _FRONT = [
     "shard_rebalance_cost", "interevent_gap_histogram", "stratified_kfold_assign",
     # below this line = beyond the ~50-slot driver sample; local-replica
     # and property evidence only
+    "events_markov_transitions", "ann_dim_truncation_curve",
+    "lsh_degree_histogram",
     "term_drift_deciles", "source_lang_chi2", "dedup_policy_compare",
     # session 16: gram provenance, sampler facets, nested pages,
     # query-string syntax

@@ -1,0 +1,184 @@
+"""Property-based semantics checks for the session-37 operators.
+
+Models: a pure-Python first-order Markov transition counter (with
+deliberate timestamp ties), a float32/sequential-fold numpy model of the
+Matryoshka dim-truncation recall curve, and a pairs→degree cross-op
+consistency check for the LSH degree histogram. DuckDB-only — ms per
+example.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docix_spark.driver_queries import REGISTRY, _TRUNC_DIMS
+
+
+def _round_away(v: float) -> int:
+    return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+
+def _seq_dot(a: list[float], b: list[float]) -> float:
+    # both engines fold left-to-right; numpy's pairwise summation flips
+    # last-ulp roundings (session-22 rule)
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# events_markov_transitions — oracle vs a Counter model; small ts range so
+# hypothesis generates same-microsecond ties (event_id tiebreak must decide)
+# ---------------------------------------------------------------------------
+
+_event = st.tuples(
+    st.integers(min_value=0, max_value=3),  # user_id
+    st.integers(min_value=0, max_value=20),  # ts in micros (ties likely)
+    st.sampled_from(["view", "click", "purchase"]),
+)
+_events_strategy = st.lists(_event, min_size=1, max_size=50)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_events_strategy)
+def test_markov_transitions_matches_model(evs):
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(evs)),
+            "user_id": [e[0] for e in evs],
+            "ts": pd.to_datetime([e[1] for e in evs], unit="us"),
+            "event_type": [e[2] for e in evs],
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", pdf)
+    got = con.execute(REGISTRY["events_markov_transitions"].sql).fetchall()
+
+    counts: Counter = Counter()
+    by_user: dict[int, list[tuple[int, int, str]]] = {}
+    for eid, (u, t, ty) in enumerate(evs):
+        by_user.setdefault(u, []).append((t, eid, ty))
+    for seq in by_user.values():
+        seq.sort()  # (t, event_id) — the engines' lag-window order
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+    tot: Counter = Counter()
+    for (a, _), n in counts.items():
+        tot[a] += n
+    model = sorted(
+        (a, b, n, (1_000_000 * n) // tot[a]) for (a, b), n in counts.items()
+    )
+    assert got == model
+    # probability rows of one prev_type sum to ~1e6 (floor loss < n_next)
+    for a in tot:
+        s = sum(p for (pa_, _, _, p) in model if pa_ == a)
+        k = sum(1 for (pa_, _, _, _) in model if pa_ == a)
+        assert 1_000_000 - k < s <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# ann_dim_truncation_curve — oracle vs a float32 sequential-fold model
+# ---------------------------------------------------------------------------
+
+_vec_pos = st.lists(
+    st.integers(min_value=1, max_value=3_000_000).map(lambda i: i / 1e6),
+    min_size=64,
+    max_size=64,
+)
+# >= 12 rows so top-10 is a real cut; sometimes > 37 rows so a second
+# query vector (vec_id 37) exists
+_vecs_pos = st.lists(_vec_pos, min_size=12, max_size=45)
+
+
+def _emb_con(vecs):
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), type=pa.int32()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("embeddings", tbl)
+    return con
+
+
+def _trunc_model(vecs):
+    v32 = [np.array(v, dtype=np.float32).astype(np.float64).tolist() for v in vecs]
+    qids = [i for i in range(len(v32)) if i % 37 == 0]
+    topk: dict[int, dict[int, set]] = {d: {} for d in _TRUNC_DIMS}
+    for d in _TRUNC_DIMS:
+        for q in qids:
+            qv = v32[q][:d]
+            qn = math.sqrt(_seq_dot(qv, qv))
+            scored = []
+            for vid, v in enumerate(v32):
+                av = v[:d]
+                c = _seq_dot(av, qv) / (math.sqrt(_seq_dot(av, av)) * qn)
+                scored.append((-_round_away(1_000_000 * c), vid))
+            scored.sort()
+            topk[d][q] = {vid for _, vid in scored[:10]}
+    out = []
+    for d in _TRUNC_DIMS:
+        hits = sum(len(topk[d][q] & topk[64][q]) for q in qids)
+        out.append((d, hits, 10 * len(qids), (1_000_000 * hits) // (10 * len(qids))))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(vecs=_vecs_pos)
+def test_dim_truncation_matches_model(vecs):
+    con = _emb_con(vecs)
+    got = con.execute(REGISTRY["ann_dim_truncation_curve"].sql).fetchall()
+    assert got == _trunc_model(vecs)
+    # the d = 64 self-check row is exact-recall by construction
+    d64 = [r for r in got if r[0] == 64]
+    assert len(d64) == 1 and d64[0][1] == d64[0][2] and d64[0][3] == 1_000_000
+    for _, n_hits, n_possible, _ in got:
+        assert 0 <= n_hits <= n_possible
+
+
+# ---------------------------------------------------------------------------
+# lsh_degree_histogram — cross-op consistency: the histogram must be the
+# degree distribution of minhash_lsh_pairs' own output on the same corpus
+# ---------------------------------------------------------------------------
+
+_WORDS = ["fast", "scan", "spark", "join", "hash", "the", "x9", "dup"]
+_doc = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=30)
+_corpus = st.lists(_doc, min_size=1, max_size=12)
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_lsh_degree_histogram_matches_pairs(docs):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": [" ".join(d) for d in docs],
+            "source": [f"src{i % 3}" for i in range(len(docs))],
+            "lang": ["en"] * len(docs),
+            "n_chars": [len(" ".join(d)) for d in docs],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    pairs = con.execute(REGISTRY["minhash_lsh_pairs"].sql).fetchall()
+    got = con.execute(REGISTRY["lsh_degree_histogram"].sql).fetchall()
+    deg: Counter = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    hist: Counter = Counter(deg.get(i, 0) for i in range(len(docs)))
+    assert got == sorted(hist.items())
+    # handshake lemma: total degree mass = 2 |pairs|; doc mass = corpus
+    assert sum(d * n for d, n in got) == 2 * len(pairs)
+    assert sum(n for _, n in got) == len(docs)
