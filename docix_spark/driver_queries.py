@@ -11410,6 +11410,145 @@ def lsh_degree_histogram(spark, sf_dir):
     )
 
 
+# --- session 37 batch 2: IVF cell-balance audit, user-activity histogram,
+# TPC-H-shape pricing summary over lineitem ----------------------------------
+
+
+@register(
+    "ivf_cluster_balance",
+    _KMEANS_SQL_PRELUDE
+    + """, mc AS (
+  SELECT a3.cid,
+         CAST(round(1000000 * list_dot_product(e.v, c.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))) AS BIGINT) AS cos_q6
+  FROM e JOIN a3 USING (vec_id) JOIN cent2 c ON c.cid = a3.cid)
+SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(1000000 - cos_q6) AS BIGINT) AS inertia_q6,
+       CAST(min(cos_q6) AS BIGINT) AS worst_cos_q6
+FROM mc GROUP BY cid ORDER BY cid""",
+)
+def ivf_cluster_balance(spark, sf_dir):
+    """Health audit of the shared trained IVF: per cell, the member count,
+    the cosine inertia (Σ (1 − cos(v, centroid)) in q6 — the k-means
+    objective the Lloyd iterations minimized), and the worst member's
+    cosine. A fat cell means probe-time scans blow past nprobe/K of the
+    corpus (the skew IVF exists to avoid); a high-inertia cell means the
+    quantizer under-fits that region and its candidates will rank poorly.
+    Ninth tuning-diagnostics member — the INDEX-side twin of the
+    query-side nprobe curve.
+
+    Determinism: per-member cos is q6-rounded FIRST, the cell sums are
+    exact BIGINT adds (order-independent); inertia is Σ of integers.
+
+    Scale shape: reuses the memoized `_trained_ivf` (training paid once
+    per session); the audit itself is one broadcast join of K centroids
+    onto the assignment and a cid-keyed agg with map-side partials —
+    K output rows."""
+    members, cent, final_assign = _trained_ivf(spark, sf_dir)
+    mc = (
+        members.join(final_assign, "vec_id")
+        .join(F.broadcast(cent), "cid")
+        .select("cid", _cosq("v", "cv", 1_000_000).alias("cos_q6"))
+    )
+    return (
+        mc.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.lit(1_000_000) - F.col("cos_q6")).cast("long").alias("inertia_q6"),
+            F.min("cos_q6").cast("long").alias("worst_cos_q6"),
+        )
+        .orderBy("cid")
+    )
+
+
+@register(
+    "user_activity_histogram",
+    """WITH u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id),
+b AS (
+  SELECT CAST(length(bin(n_events)) - 1 AS BIGINT) AS bucket FROM u)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_users
+FROM b GROUP BY bucket ORDER BY bucket""",
+)
+def user_activity_histogram(spark, sf_dir):
+    """Events-per-user distribution bucketed by floor(log2 n) — the
+    doclen_histogram shape applied to the events table. The right tail is
+    the bot/power-user mass every per-user operator (sessionize, funnel,
+    retention, CMS) must survive: a bucket-20 user means 1M-event
+    partitions in every user_id-keyed window downstream — the signal to
+    reach for salting there.
+
+    Scale shape: one user_id-keyed count with map-side partials, then a
+    ≤64-bucket histogram; bucket via the integer-exact length(bin())
+    idiom (n_events ≥ 1 by construction, no empty-group guard needed)."""
+    u = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    b = u.select(
+        F.expr("CAST(length(bin(n_events)) - 1 AS BIGINT)").alias("bucket")
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("bucket")
+    )
+
+
+# ONE shared per-row expression string per money column — cents/q2 rounding
+# happens BEFORE any aggregation, so every sum is an exact BIGINT add in both
+# engines (the ttest/matrix_stats rule). charge multiplies doubles FIRST and
+# rounds once: a cents×bp×bp integer product is ~1e15 per row and a 60k-row
+# sum already overflows BIGINT — divide-first, like events_daily_anomaly.
+_LI_QTY_C = "CAST(round(100 * l_quantity) AS BIGINT)"
+_LI_PRICE_C = "CAST(round(100 * l_extendedprice) AS BIGINT)"
+_LI_DISC_C = "CAST(round(100 * l_extendedprice * (1 - l_discount)) AS BIGINT)"
+_LI_CHARGE_C = (
+    "CAST(round(100 * l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS BIGINT)"
+)
+_LI_CUTOFF = "TIMESTAMP '1998-09-02 00:00:00'"
+
+
+@register(
+    "lineitem_pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,
+       CAST(sum({_LI_QTY_C}) AS BIGINT) AS sum_qty_c,
+       CAST(sum({_LI_PRICE_C}) AS BIGINT) AS sum_base_c,
+       CAST(sum({_LI_DISC_C}) AS BIGINT) AS sum_disc_c,
+       CAST(sum({_LI_CHARGE_C}) AS BIGINT) AS sum_charge_c,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem WHERE l_shipdate <= {_LI_CUTOFF}
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+)
+def lineitem_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shape pricing summary over the lineitem table — the
+    classic scan-dominated OLAP aggregate, included so the engine's
+    generic relational surface (not just the document/search tables) has
+    first-class evidence. Money is rounded to cents PER ROW via one
+    shared expression string (Spark expr == DuckDB SQL text), so the
+    group sums are exact BIGINT adds — no float accumulation order, and
+    the averages TPC-H asks for are derivable as sum/n by the reader.
+
+    Scale shape: the canonical map-side-partial aggregate — the shipdate
+    filter is pushed into the parquet scan (shows as PushedFilters +
+    row-group min/max pruning), only 7 narrow columns are read
+    (ReadSchema), and the ≤|flags|×|status| group space combines
+    map-side; the one exchange carries a handful of rows per task."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.expr(f"l_shipdate <= {_LI_CUTOFF}"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.expr(_LI_QTY_C)).cast("long").alias("sum_qty_c"),
+            F.sum(F.expr(_LI_PRICE_C)).cast("long").alias("sum_base_c"),
+            F.sum(F.expr(_LI_DISC_C)).cast("long").alias("sum_disc_c"),
+            F.sum(F.expr(_LI_CHARGE_C)).cast("long").alias("sum_charge_c"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
@@ -11473,7 +11612,8 @@ _FRONT = [
     # below this line = beyond the ~50-slot driver sample; local-replica
     # and property evidence only
     "events_markov_transitions", "ann_dim_truncation_curve",
-    "lsh_degree_histogram",
+    "lsh_degree_histogram", "ivf_cluster_balance", "user_activity_histogram",
+    "lineitem_pricing_summary",
     "term_drift_deciles", "source_lang_chi2", "dedup_policy_compare",
     # session 16: gram provenance, sampler facets, nested pages,
     # query-string syntax

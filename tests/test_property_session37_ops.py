@@ -182,3 +182,103 @@ def test_lsh_degree_histogram_matches_pairs(docs):
     # handshake lemma: total degree mass = 2 |pairs|; doc mass = corpus
     assert sum(d * n for d, n in got) == 2 * len(pairs)
     assert sum(n for _, n in got) == len(docs)
+
+
+# ---------------------------------------------------------------------------
+# user_activity_histogram — oracle vs a Counter model
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(_events_strategy)
+def test_user_activity_histogram_matches_model(evs):
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(evs)),
+            "user_id": [e[0] for e in evs],
+            "ts": pd.to_datetime([e[1] for e in evs], unit="us"),
+            "event_type": [e[2] for e in evs],
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", pdf)
+    got = con.execute(REGISTRY["user_activity_histogram"].sql).fetchall()
+    per_user: Counter = Counter(u for (u, _, _) in evs)
+    hist: Counter = Counter(n.bit_length() - 1 for n in per_user.values())
+    assert got == sorted(hist.items())
+    assert sum(n for _, n in got) == len(per_user)
+
+
+# ---------------------------------------------------------------------------
+# lineitem_pricing_summary — oracle vs a cents-exact Python model (the money
+# rounding happens per row with the engines' half-away rule, sums are ints)
+# ---------------------------------------------------------------------------
+
+_li_row = st.tuples(
+    st.integers(min_value=1, max_value=50),  # quantity
+    st.integers(min_value=100, max_value=10_000_000).map(lambda c: c / 100.0),
+    st.integers(min_value=0, max_value=10).map(lambda b: b / 100.0),  # discount
+    st.integers(min_value=0, max_value=8).map(lambda b: b / 100.0),  # tax
+    st.sampled_from(["A", "N", "R"]),
+    st.sampled_from(["F", "O"]),
+    st.integers(min_value=0, max_value=2000),  # days from 1996-01-01
+)
+_li_rows = st.lists(_li_row, min_size=1, max_size=60)
+
+_LI_EPOCH = pd.Timestamp("1996-01-01")
+_LI_CUT_DAYS = (pd.Timestamp("1998-09-02") - _LI_EPOCH).days
+
+
+@settings(max_examples=40, deadline=None)
+@given(rows=_li_rows)
+def test_lineitem_pricing_summary_matches_model(rows):
+    pdf = pd.DataFrame(
+        {
+            "l_orderkey": range(len(rows)),
+            "l_partkey": [0] * len(rows),
+            "l_suppkey": [0] * len(rows),
+            "l_linenumber": [1] * len(rows),
+            "l_quantity": [float(r[0]) for r in rows],
+            "l_extendedprice": [r[1] for r in rows],
+            "l_discount": [r[2] for r in rows],
+            "l_tax": [r[3] for r in rows],
+            "l_returnflag": [r[4] for r in rows],
+            "l_linestatus": [r[5] for r in rows],
+            "l_shipdate": [_LI_EPOCH + pd.Timedelta(days=r[6]) for r in rows],
+        }
+    )
+    con = duckdb.connect()
+    con.register("lineitem", pdf)
+    got = con.execute(REGISTRY["lineitem_pricing_summary"].sql).fetchall()
+    groups: dict[tuple, list[int]] = {}
+    for q, p, d, t, rf, ls, days in rows:
+        if days > _LI_CUT_DAYS:
+            continue
+        g = groups.setdefault((rf, ls), [0, 0, 0, 0, 0])
+        g[0] += _round_away(100 * float(q))
+        g[1] += _round_away(100 * p)
+        # same left-assoc double products as both engines' shared expr
+        g[2] += _round_away(100 * p * (1 - d))
+        g[3] += _round_away(100 * p * (1 - d) * (1 + t))
+        g[4] += 1
+    model = sorted((rf, ls, *v) for (rf, ls), v in groups.items())
+    assert got == model
+
+
+# ---------------------------------------------------------------------------
+# ivf_cluster_balance — conservation + bound invariants on the oracle output
+# (Spark-vs-oracle equality is the contract test's job)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(vecs=_vecs_pos)
+def test_ivf_cluster_balance_invariants(vecs):
+    con = _emb_con(vecs)
+    got = con.execute(REGISTRY["ivf_cluster_balance"].sql).fetchall()
+    # every member vector (vec_id <> 0) lands in exactly one cell
+    assert sum(n for _, n, _, _ in got) == len(vecs) - 1
+    for cid, n, inertia, worst in got:
+        assert n >= 1 and worst <= 1_000_000
+        # inertia >= the worst member's own gap, <= n * worst-gap
+        assert (1_000_000 - worst) <= inertia <= n * (1_000_000 - worst)
