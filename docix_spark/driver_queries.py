@@ -11549,6 +11549,241 @@ def lineitem_pricing_summary(spark, sf_dir):
     )
 
 
+# --- session 37 batch 3: multi-table join rollup, token-mass Gini,
+# BM25-vs-TFIDF rank correlation ---------------------------------------------
+
+_ORD_FROM = "TIMESTAMP '1996-01-01 00:00:00'"
+_ORD_TO = "TIMESTAMP '1997-01-01 00:00:00'"
+
+
+@register(
+    "orders_nation_revenue",
+    f"""SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(100 * o.o_totalprice) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= {_ORD_FROM} AND o.o_orderdate < {_ORD_TO}
+GROUP BY n.n_name ORDER BY n.n_name""",
+)
+def orders_nation_revenue(spark, sf_dir):
+    """TPC-H Q5-shape revenue rollup: 1996 orders joined through customer
+    to nation, cents-exact revenue per nation — the fact-to-dim join
+    chain that complements lineitem_pricing_summary's pure scan-agg in
+    the generic-relational evidence.
+
+    Scale shape: the date filter pushes into the orders parquet scan;
+    orders⋈customer is the real key-keyed shuffle join (both sides
+    unbounded — never force-broadcast, AQE localizes it when customer
+    fits); nation (25 rows) is explicitly broadcast so the second join is
+    map-side; the nation-keyed agg combines map-side into ≤25 rows.
+    Money is cents-rounded PER ROW (shared expr both engines), sums are
+    exact BIGINT."""
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.expr(f"o_orderdate >= {_ORD_FROM} AND o_orderdate < {_ORD_TO}"))
+        .select(
+            "o_custkey",
+            F.expr("CAST(round(100 * o_totalprice) AS BIGINT)").alias("price_c"),
+        )
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_c").cast("long").alias("revenue_c"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "source_token_gini",
+    f"""WITH s AS (
+  SELECT source,
+         CAST(sum(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS BIGINT) AS x
+  FROM documents GROUP BY source),
+r AS (
+  SELECT x, row_number() OVER (ORDER BY x ASC, source ASC) AS i,
+         count(*) OVER () AS n, sum(x) OVER () AS tot
+  FROM s),
+g AS (
+  SELECT CAST(max(n) AS BIGINT) AS n_sources, CAST(max(tot) AS BIGINT) AS total_tokens,
+         CAST(sum((2 * i - n - 1) * x) AS BIGINT) AS num
+  FROM r)
+SELECT n_sources, total_tokens,
+       CASE WHEN total_tokens = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((1000000 * num) // (n_sources * total_tokens) AS BIGINT)
+       END AS gini_q6
+FROM g""",
+)
+def source_token_gini(spark, sf_dir):
+    """Gini coefficient of token mass across sources — the one-number
+    concentration audit of a training mix (gini 0 = every source
+    contributes equally, →1 = one crawl IS the corpus). Read next to
+    temperature_mix_weights: a high gini is exactly when temperature
+    flattening matters.
+
+    Determinism: the classic sorted formula Σ(2i−n−1)·xᵢ / (n·Σx) over
+    ascending (x, source) order — equal-x swaps change which i each gets
+    but not the sum, so the value is order-stable; numerator/denominator
+    are exact BIGINTs, gini_q6 is a nonneg integer division (ascending
+    sort makes the numerator provably ≥ 0 — no negative-division
+    floor-vs-truncate divergence). Zero-token corpora emit 0 (the
+    temperature_mix_weights 0/0 guard).
+
+    Scale shape: per-source totals are a map-side token-count agg into
+    |sources| rows; the rank window runs over that pre-aggregated tiny
+    table (the doclen_quantiles rule — never a corpus-wide sort)."""
+    s = _docs(spark, sf_dir).groupBy("source").agg(
+        F.sum(F.size(spark_tokens("text"))).cast("long").alias("x")
+    )
+    w = Window.orderBy(F.asc("x"), F.asc("source"))
+    r = s.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("x").over(Window.partitionBy()).alias("tot"),
+    )
+    g = r.agg(
+        F.max("n").cast("long").alias("n_sources"),
+        F.max("tot").cast("long").alias("total_tokens"),
+        F.sum(F.expr("(2 * i - n - 1) * x")).cast("long").alias("num"),
+    )
+    return g.select(
+        "n_sources",
+        "total_tokens",
+        F.expr(
+            "CASE WHEN total_tokens = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST((1000000 * num) div (n_sources * total_tokens) AS BIGINT) END"
+        ).alias("gini_q6"),
+    )
+
+
+@register(
+    "rank_correlation_bm25_tfidf",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + f""",
+top AS (
+  SELECT doc_id, score_q6,
+         row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS r1
+  FROM (SELECT doc_id, score_q6 FROM agg
+        ORDER BY score_q6 DESC, doc_id ASC LIMIT 20)),
+idf AS (
+  SELECT term,
+         CAST(round(1000000 * ln(1.0 + ((SELECT n_docs FROM st) - df + 0.5)
+                                        / (df + 0.5))) AS BIGINT) AS idf_q6
+  FROM dfs JOIN q USING (term)),
+ti AS (
+  SELECT tf.doc_id, CAST(sum(tf.tf * idf.idf_q6) AS BIGINT) AS tfidf
+  FROM tf JOIN idf USING (term) JOIN top USING (doc_id)
+  GROUP BY tf.doc_id),
+rk AS (
+  SELECT top.doc_id, top.r1,
+         row_number() OVER (ORDER BY ti.tfidf DESC, top.doc_id ASC) AS r2
+  FROM top JOIN ti USING (doc_id)),
+pr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(*) FILTER (WHERE (a.r1 - b.r1) * (a.r2 - b.r2) > 0) AS BIGINT) AS concordant,
+         CAST(count(*) FILTER (WHERE (a.r1 - b.r1) * (a.r2 - b.r2) < 0) AS BIGINT) AS discordant
+  FROM rk a JOIN rk b ON a.doc_id < b.doc_id)
+SELECT n_pairs, concordant, discordant,
+       CASE WHEN n_pairs = 0 THEN CAST(0 AS BIGINT)
+            WHEN concordant >= discordant
+              THEN CAST((1000000 * (concordant - discordant)) // n_pairs AS BIGINT)
+            ELSE -CAST((1000000 * (discordant - concordant)) // n_pairs AS BIGINT)
+       END AS tau_q6
+FROM pr""",
+)
+def rank_correlation_bm25_tfidf(spark, sf_dir):
+    """Kendall tau-a between the BM25 top-20 ranking and a plain tf·idf
+    ranking of the SAME docs for the shared query — the scoring-model
+    A/B diagnostic (how much does the saturation/length normalization
+    BM25 adds actually reorder results here?). Both legs rank over exact
+    integers (score_q6 / Σ tf·idf_q6 with doc_id tiebreaks — the
+    hybrid_rrf quantized-legs rule), so the pair counts are engine-exact;
+    tau_q6's sign is handled by an explicit CASE because Spark's `div`
+    truncates toward zero while DuckDB's `//` floors — they only agree on
+    nonnegative operands.
+
+    Scale shape: candidates from the memoized `_bm25_match_set` truncated
+    by one TakeOrdered(20); idf is |q|-row map-side; the tfidf rescore is
+    a 20-key broadcast back into tf (the ltr_features shape); the pair
+    join is 20×20 driver-trivial rows."""
+    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
+    top = (
+        agg.orderBy(F.desc("score_q6"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn(
+            "r1",
+            F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "r1")
+    )
+    toks = _toks(_docs(spark, sf_dir))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    st = dl.agg(F.count("*").cast("double").alias("n_docs"))
+    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    q = F.broadcast(spark.createDataFrame([(t,) for t in _TOPK_TERMS], "term string"))
+    idf = (
+        dfs.join(q, "term")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "term",
+            F.expr(
+                "cast(round(1000000 * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))) as bigint)"
+            ).alias("idf_q6"),
+        )
+    )
+    ti = (
+        tf.join(F.broadcast(top.select("doc_id")), "doc_id")
+        .join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("tf * idf_q6")).cast("long").alias("tfidf"))
+    )
+    rk = (
+        top.join(ti, "doc_id")
+        .withColumn(
+            "r2",
+            F.row_number().over(Window.orderBy(F.desc("tfidf"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "r1", "r2")
+    )
+    a, b = rk.alias("a"), rk.alias("b")
+    pr = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            ((F.col("a.r1") - F.col("b.r1")) * (F.col("a.r2") - F.col("b.r2"))).alias(
+                "prod"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count_if(F.col("prod") > 0).cast("long").alias("concordant"),
+            F.count_if(F.col("prod") < 0).cast("long").alias("discordant"),
+        )
+    )
+    return pr.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.expr(
+            "CASE WHEN n_pairs = 0 THEN CAST(0 AS BIGINT) "
+            "WHEN concordant >= discordant "
+            "THEN CAST((1000000 * (concordant - discordant)) div n_pairs AS BIGINT) "
+            "ELSE -CAST((1000000 * (discordant - concordant)) div n_pairs AS BIGINT) END"
+        ).alias("tau_q6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
@@ -11613,7 +11848,8 @@ _FRONT = [
     # and property evidence only
     "events_markov_transitions", "ann_dim_truncation_curve",
     "lsh_degree_histogram", "ivf_cluster_balance", "user_activity_histogram",
-    "lineitem_pricing_summary",
+    "lineitem_pricing_summary", "orders_nation_revenue", "source_token_gini",
+    "rank_correlation_bm25_tfidf",
     "term_drift_deciles", "source_lang_chi2", "dedup_policy_compare",
     # session 16: gram provenance, sampler facets, nested pages,
     # query-string syntax

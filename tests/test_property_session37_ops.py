@@ -282,3 +282,153 @@ def test_ivf_cluster_balance_invariants(vecs):
         assert n >= 1 and worst <= 1_000_000
         # inertia >= the worst member's own gap, <= n * worst-gap
         assert (1_000_000 - worst) <= inertia <= n * (1_000_000 - worst)
+
+
+# ---------------------------------------------------------------------------
+# source_token_gini — oracle vs the sorted-formula Python model
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_source_token_gini_matches_model(docs):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": [" ".join(d) for d in docs],
+            "source": [f"src{i % 3}" for i in range(len(docs))],
+            "lang": ["en"] * len(docs),
+            "n_chars": [len(" ".join(d)) for d in docs],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = con.execute(REGISTRY["source_token_gini"].sql).fetchall()
+    per_src: Counter = Counter()
+    for i, d in enumerate(docs):
+        per_src[f"src{i % 3}"] += len(d)
+    xs = sorted(per_src.values())
+    n, tot = len(xs), sum(xs)
+    num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+    gini = (1_000_000 * num) // (n * tot) if tot else 0
+    assert got == [(n, tot, gini)]
+    assert 0 <= got[0][2] < 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# orders_nation_revenue — oracle vs a cents-exact join model
+# ---------------------------------------------------------------------------
+
+_order = st.tuples(
+    st.integers(min_value=0, max_value=9),  # custkey
+    st.integers(min_value=100, max_value=5_000_000).map(lambda c: c / 100.0),
+    st.integers(min_value=0, max_value=900),  # days from 1995-07-01
+)
+_orders_strategy = st.lists(_order, min_size=1, max_size=50)
+
+_ORD_EPOCH = pd.Timestamp("1995-07-01")
+_ORD_LO = (pd.Timestamp("1996-01-01") - _ORD_EPOCH).days
+_ORD_HI = (pd.Timestamp("1997-01-01") - _ORD_EPOCH).days
+
+
+@settings(max_examples=40, deadline=None)
+@given(rows=_orders_strategy)
+def test_orders_nation_revenue_matches_model(rows):
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(len(rows)),
+            "o_custkey": [r[0] for r in rows],
+            "o_orderstatus": ["O"] * len(rows),
+            "o_totalprice": [r[1] for r in rows],
+            "o_orderdate": [_ORD_EPOCH + pd.Timedelta(days=r[2]) for r in rows],
+            "o_orderpriority": ["1-URGENT"] * len(rows),
+        }
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": range(10),
+            "c_name": [f"c{i}" for i in range(10)],
+            "c_nationkey": [i % 4 for i in range(10)],
+            "c_acctbal": [0.0] * 10,
+            "c_mktsegment": ["BUILDING"] * 10,
+        }
+    )
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": range(4),
+            "n_name": ["ALGERIA", "BRAZIL", "CANADA", "DENMARK"],
+            "n_regionkey": [0, 1, 1, 2],
+        }
+    )
+    con = duckdb.connect()
+    con.register("orders", orders)
+    con.register("customer", customer)
+    con.register("nation", nation)
+    got = con.execute(REGISTRY["orders_nation_revenue"].sql).fetchall()
+    groups: dict[str, list[int]] = {}
+    names = ["ALGERIA", "BRAZIL", "CANADA", "DENMARK"]
+    for ck, price, days in rows:
+        if not (_ORD_LO <= days < _ORD_HI):
+            continue
+        g = groups.setdefault(names[ck % 4], [0, 0])
+        g[0] += 1
+        g[1] += _round_away(100 * price)
+    assert got == sorted((nm, n, rev) for nm, (n, rev) in groups.items())
+
+
+# ---------------------------------------------------------------------------
+# rank_correlation_bm25_tfidf — bound invariants on random corpora, plus a
+# constructed corpus where both rankings provably coincide (tau = +1)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(docs=_corpus)
+def test_rank_correlation_invariants(docs):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": [" ".join(d) for d in docs],
+            "source": [f"src{i % 3}" for i in range(len(docs))],
+            "lang": ["en"] * len(docs),
+            "n_chars": [len(" ".join(d)) for d in docs],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = con.execute(REGISTRY["rank_correlation_bm25_tfidf"].sql).fetchall()
+    assert len(got) == 1
+    n_pairs, conc, disc, tau = got[0]
+    assert conc + disc <= n_pairs  # rank-diff product is never 0 off-diagonal
+    assert conc == disc or abs(tau) <= 1_000_000
+    # n_pairs = k(k-1)/2 for the matched-doc count k <= 20
+    ks = [k for k in range(21) if k * (k - 1) // 2 == n_pairs]
+    assert ks, f"n_pairs {n_pairs} is not triangular"
+    if n_pairs > 0:
+        want = (
+            (1_000_000 * (conc - disc)) // n_pairs
+            if conc >= disc
+            else -((1_000_000 * (disc - conc)) // n_pairs)
+        )
+        assert tau == want
+
+
+def test_rank_correlation_identical_rankings_tau_one():
+    # identical single-term docs of equal length: BM25 and tf-idf both
+    # rank purely by doc_id, so every pair is concordant
+    docs = [["spark", "hash", "join", "the"] for _ in range(8)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": [" ".join(d) for d in docs],
+            "source": ["s"] * len(docs),
+            "lang": ["en"] * len(docs),
+            "n_chars": [len(" ".join(d)) for d in docs],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    n_pairs, conc, disc, tau = con.execute(
+        REGISTRY["rank_correlation_bm25_tfidf"].sql
+    ).fetchall()[0]
+    assert n_pairs == 28 and conc == 28 and disc == 0 and tau == 1_000_000
