@@ -11320,19 +11320,32 @@ def ann_dim_truncation_curve(spark, sf_dir):
     table as ann_ivf_batch_recall's exact side — queries broadcast, scan
     side streams); production truncated search runs through the IVF. All
     four d's are stacked into ONE pair table so the per-(d, qid) top-10
-    costs a single window shuffle, not one per d."""
+    costs a single window shuffle, not one per d. Per-d norms are
+    precomputed PER VECTOR before the pair join (array-lambda folds are
+    interpreted, never codegen — the pagerank lesson), so each (pair, d)
+    pays ONE dot; sqrt(Σx²) of the same doubles is the same double, so
+    the q6 cosines are bit-identical to the per-pair-norm form the
+    oracle spells out."""
     e = _emb(spark, sf_dir).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
+    for d in _TRUNC_DIMS:
+        e = e.withColumn(f"av{d}", F.expr(f"slice(v, 1, {d})")).withColumn(
+            f"nv{d}", F.sqrt(F.expr(_DOT.format(a=f"av{d}", b=f"av{d}")))
+        )
     qs = e.where(F.col("vec_id") % 37 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        F.col("vec_id").alias("qid"),
+        *[F.col(f"av{d}").alias(f"aq{d}") for d in _TRUNC_DIMS],
+        *[F.col(f"nv{d}").alias(f"nq{d}") for d in _TRUNC_DIMS],
     )
     pair = e.crossJoin(F.broadcast(qs))
     for d in _TRUNC_DIMS:
-        pair = (
-            pair.withColumn(f"av{d}", F.expr(f"slice(v, 1, {d})"))
-            .withColumn(f"aq{d}", F.expr(f"slice(qv, 1, {d})"))
-            .withColumn(f"c{d}", _cosq(f"av{d}", f"aq{d}", 1_000_000))
+        dot = F.expr(_DOT.format(a=f"av{d}", b=f"aq{d}"))
+        pair = pair.withColumn(
+            f"c{d}",
+            F.round(
+                dot / (F.col(f"nv{d}") * F.col(f"nq{d}")) * F.lit(1_000_000.0)
+            ).cast("long"),
         )
     stack_args = ", ".join(f"cast({d} as bigint), c{d}" for d in _TRUNC_DIMS)
     sc = pair.selectExpr(
