@@ -11798,6 +11798,149 @@ def rank_correlation_bm25_tfidf(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 38 — TPC-H join-shape evidence (Q3/Q10), ES boosting/dis_max
+# query parity, auto_date_histogram, dedup/quality threshold curves,
+# SQ-clip calibration, recall@k curve
+# ---------------------------------------------------------------------------
+
+_Q3_CUT = "TIMESTAMP '1998-01-01 00:00:00'"
+
+
+@register(
+    "orders_topk_unshipped",
+    f"""WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+o AS (
+  SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS o_date_us, o_orderpriority
+  FROM orders WHERE o_orderdate < {_Q3_CUT}),
+l AS (
+  SELECT l_orderkey, {_LI_DISC_C} AS rev_c
+  FROM lineitem WHERE l_shipdate > {_Q3_CUT})
+SELECT l.l_orderkey, o.o_date_us, o.o_orderpriority,
+       CAST(sum(l.rev_c) AS BIGINT) AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+JOIN c ON o.o_custkey = c.c_custkey
+GROUP BY l.l_orderkey, o.o_date_us, o.o_orderpriority
+ORDER BY revenue_c DESC, l_orderkey ASC LIMIT 10""",
+)
+def orders_topk_unshipped(spark, sf_dir):
+    """TPC-H Q3-shape shipping-priority query: revenue still unshipped as
+    of the cutoff for one market segment, top-10 orders — the canonical
+    3-way fact⋈fact⋈dim join with a selective top-k, completing the
+    generic-relational evidence family (Q1 scan-agg, Q5 dim rollup, Q3
+    join+topk). Money is cents-rounded PER ROW via the shared
+    `_LI_DISC_C` expr string, so group sums are exact BIGINT and the
+    top-10 cut (revenue desc, orderkey asc) is an integer ordering both
+    engines agree on; dates travel as `unix_micros`/`epoch_us` BIGINTs
+    (the events-table rule).
+
+    Scale shape: both date filters and the segment filter push into their
+    parquet scans; orders⋈customer and lineitem⋈orders are key-keyed
+    shuffle joins (all sides unbounded — never force-broadcast; AQE
+    localizes when one side fits); the groupBy key is the join key
+    (l_orderkey), so it reuses the lineitem⋈orders exchange, and top-10
+    is a TakeOrdered, never a global sort."""
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.expr(f"o_orderdate < {_Q3_CUT}"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("o_date_us"),
+            "o_orderpriority",
+        )
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.expr(f"l_shipdate > {_Q3_CUT}"))
+        .select("l_orderkey", F.expr(_LI_DISC_C).alias("rev_c"))
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_date_us", "o_orderpriority")
+        .agg(
+            F.sum("rev_c").cast("long").alias("revenue_c"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue_c"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q10_FROM = "TIMESTAMP '1996-01-01 00:00:00'"
+_Q10_TO = "TIMESTAMP '1996-04-01 00:00:00'"
+
+
+@register(
+    "customer_returns_topk",
+    f"""WITH o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= {_Q10_FROM} AND o_orderdate < {_Q10_TO}),
+l AS (
+  SELECT l_orderkey, {_LI_DISC_C} AS rev_c
+  FROM lineitem WHERE l_returnflag = 'R'),
+r AS (
+  SELECT o.o_custkey, CAST(sum(l.rev_c) AS BIGINT) AS revenue_c,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM l JOIN o ON l.l_orderkey = o.o_orderkey GROUP BY o.o_custkey)
+SELECT c.c_custkey, c.c_name, n.n_name, r.revenue_c, r.n_items
+FROM r JOIN customer c ON r.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY revenue_c DESC, c_custkey ASC LIMIT 20""",
+)
+def customer_returns_topk(spark, sf_dir):
+    """TPC-H Q10-shape returned-item report: per-customer revenue of
+    returned lineitems for one quarter's orders, top-20 customers with
+    their nation — the agg-THEN-join shape (fact joins collapse to a
+    custkey rollup BEFORE the dim joins, so the customer join carries
+    |customers-with-returns| rows, not |lineitems|).
+
+    Scale shape: returnflag and the date window push into the scans;
+    lineitem⋈orders shuffles on orderkey; the custkey agg combines
+    map-side; customer joins the pre-aggregated rollup un-hinted (AQE
+    broadcasts the ≤|custkey| rollup when it fits) and nation (25 rows)
+    is explicitly broadcast; top-20 is a TakeOrdered over exact
+    cents-BIGINT revenue with the custkey tiebreak."""
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.expr(f"o_orderdate >= {_Q10_FROM} AND o_orderdate < {_Q10_TO}"))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", F.expr(_LI_DISC_C).alias("rev_c"))
+    )
+    r = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("rev_c").cast("long").alias("revenue_c"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        r.join(c, r["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("c_custkey", "c_name", "n_name", "revenue_c", "n_items")
+        .orderBy(F.desc("revenue_c"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -11859,6 +12002,7 @@ _FRONT = [
     "shard_rebalance_cost", "interevent_gap_histogram", "stratified_kfold_assign",
     # below this line = beyond the ~50-slot driver sample; local-replica
     # and property evidence only
+    "orders_topk_unshipped", "customer_returns_topk",
     "events_markov_transitions", "ann_dim_truncation_curve",
     "lsh_degree_histogram", "ivf_cluster_balance", "user_activity_histogram",
     "lineitem_pricing_summary", "orders_nation_revenue", "source_token_gini",
