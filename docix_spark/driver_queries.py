@@ -11940,6 +11940,231 @@ def customer_returns_topk(spark, sf_dir):
     )
 
 
+# --- session 38 batch 2: ES boosting / dis_max query parity + ES
+# auto_date_histogram --------------------------------------------------------
+
+# shared BM25 stats prelude (tf/dl/st/dfs) for oracles that score MORE than
+# one term set over the same corpus stats — the _bm25_agg_ctes chain split so
+# two query legs can share one tf scan (the formula text is identical, so leg
+# scores match _bm25_match_set bit-for-bit)
+_BM25_STATS_CTES = f"""
+WITH tf AS ({SQL_TF}),
+dl AS ({SQL_DL}),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)"""
+
+
+def _bm25_leg_ctes(suffix: str, terms: list[str]) -> str:
+    """One scored query leg (q/per/agg CTEs, ``agg{suffix}(doc_id,
+    score_q6)``) over the shared `_BM25_STATS_CTES` prelude."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+q{suffix} AS (SELECT unnest([{tlist}]) AS term),
+per{suffix} AS (
+  SELECT tf.doc_id,
+         ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM st))) AS s
+  FROM tf JOIN q{suffix} USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
+),
+agg{suffix} AS (
+  SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6
+  FROM per{suffix} GROUP BY doc_id
+)"""
+
+
+_BOOST_NEG_TERM = "slow"
+
+
+@register(
+    "boosting_query",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + f""",
+neg AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{_BOOST_NEG_TERM}'),
+adj AS (
+  SELECT agg.doc_id,
+         CASE WHEN neg.doc_id IS NOT NULL THEN agg.score_q6 // 2
+              ELSE agg.score_q6 END AS score_q6,
+         CAST(neg.doc_id IS NOT NULL AS BIGINT) AS demoted
+  FROM agg LEFT JOIN neg ON agg.doc_id = neg.doc_id)
+SELECT doc_id, score_q6, demoted,
+       CAST(row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS BIGINT) AS rank
+FROM adj ORDER BY score_q6 DESC, doc_id ASC LIMIT 10""",
+)
+def boosting_query(spark, sf_dir):
+    """ES `boosting` query: positive BM25 clause scored normally, docs
+    matching the negative clause demoted by negative_boost = 0.5 — the
+    soft-exclusion ES exposes when must_not is too blunt (demote, don't
+    drop). The demotion is score_q6 div 2 on the already-quantized score:
+    operands are nonnegative so Spark's truncating `div` and DuckDB's
+    flooring `//` agree, and no float re-rounding enters after the match
+    set's one q6 rounding.
+
+    Scale shape: scoring is the memoized `_bm25_match_set`; the negative
+    clause is ONE pruned single-term posting set left-joined as a flag
+    (the bool_filter_query algebra, demote instead of anti-join); top-10
+    is a TakeOrdered over the match set, never a global sort."""
+    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
+    neg = (
+        _toks(_docs(spark, sf_dir))
+        .where(F.col("term") == _BOOST_NEG_TERM)
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_neg", F.lit(1))
+    )
+    adj = agg.join(neg, "doc_id", "left").select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN is_neg IS NOT NULL THEN score_q6 div 2 ELSE score_q6 END"
+        ).alias("score_q6"),
+        F.expr("CAST(is_neg IS NOT NULL AS BIGINT)").alias("demoted"),
+    )
+    topk = adj.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
+    return (
+        topk.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id")))
+            .cast("long"),
+        )
+        .select("doc_id", "score_q6", "demoted", "rank")
+        .orderBy("rank")
+    )
+
+
+_DISMAX_Q1 = ["spark", "hash"]
+_DISMAX_Q2 = ["join", "scan"]
+
+
+@register(
+    "dis_max_query",
+    _BM25_STATS_CTES
+    + ","
+    + _bm25_leg_ctes("1", _DISMAX_Q1)
+    + ","
+    + _bm25_leg_ctes("2", _DISMAX_Q2)
+    + """,
+u AS (
+  SELECT doc_id, COALESCE(a1.score_q6, 0) AS s1, COALESCE(a2.score_q6, 0) AS s2
+  FROM agg1 a1 FULL JOIN agg2 a2 USING (doc_id)),
+adj AS (
+  SELECT doc_id, s1, s2,
+         greatest(s1, s2) + (3 * least(s1, s2)) // 10 AS score_q6
+  FROM u)
+SELECT doc_id, s1, s2, score_q6,
+       CAST(row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS BIGINT) AS rank
+FROM adj ORDER BY score_q6 DESC, doc_id ASC LIMIT 10""",
+)
+def dis_max_query(spark, sf_dir):
+    """ES `dis_max` query across two scored legs with tie_breaker = 0.3:
+    per-doc score = best leg + 0.3 × other leg — the multi-query
+    disjunction ES uses when summing legs would double-count (the
+    query-level analogue of cross_fields_search's per-term dis-max).
+    The combine is pure integer over the legs' q6 scores (3·min div 10,
+    nonnegative operands → div == //), so no float enters after each
+    leg's one rounding; a doc matching one leg scores COALESCE 0 on the
+    other via the full outer join.
+
+    Scale shape: each leg is a memoized `_bm25_match_set` (match-set
+    sized, term-pruned); the full outer join keys on doc_id and both
+    sides are match sets — bounded by matching docs, not the corpus;
+    top-10 is a TakeOrdered."""
+    a1 = _bm25_match_set(spark, sf_dir, _DISMAX_Q1).select(
+        "doc_id", F.col("score_q6").alias("s1")
+    )
+    a2 = _bm25_match_set(spark, sf_dir, _DISMAX_Q2).select(
+        "doc_id", F.col("score_q6").alias("s2")
+    )
+    u = (
+        a1.join(a2, ["doc_id"], "full")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("s1"), F.lit(0)).alias("s1"),
+            F.coalesce(F.col("s2"), F.lit(0)).alias("s2"),
+        )
+    )
+    adj = u.select(
+        "doc_id",
+        "s1",
+        "s2",
+        F.expr("greatest(s1, s2) + (3 * least(s1, s2)) div 10").alias("score_q6"),
+    )
+    topk = adj.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
+    return (
+        topk.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id")))
+            .cast("long"),
+        )
+        .select("doc_id", "s1", "s2", "score_q6", "rank")
+        .orderBy("rank")
+    )
+
+
+# ES auto_date_histogram ladder (µs): hour, day, 7 days, 30 days
+_ADH_LADDER = [3_600_000_000, 86_400_000_000, 604_800_000_000, 2_592_000_000_000]
+_ADH_TARGET = 20
+
+
+@register(
+    "auto_date_histogram",
+    f"""WITH t AS (SELECT epoch_us(ts) AS t_us FROM events),
+mm AS (SELECT min(t_us) AS mn, max(t_us) AS mx FROM t),
+ladder AS (SELECT unnest([{", ".join(str(i) for i in _ADH_LADDER)}]) AS interval_us),
+pick AS (
+  SELECT interval_us FROM ladder, mm
+  WHERE (mx // interval_us) - (mn // interval_us) + 1 <= {_ADH_TARGET}
+  ORDER BY interval_us ASC LIMIT 1)
+SELECT CAST(p.interval_us AS BIGINT) AS interval_us,
+       CAST((t.t_us // p.interval_us) * p.interval_us AS BIGINT) AS bucket_start_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM t, pick p GROUP BY 1, 2 ORDER BY bucket_start_us""",
+)
+def auto_date_histogram(spark, sf_dir):
+    """ES `auto_date_histogram`: pick the SMALLEST interval from a fixed
+    ladder (hour/day/week/30-day) that keeps the bucket count ≤ the
+    target (20), then histogram event time at that interval — the
+    "zoom-to-fit" histogram dashboards issue when the time span is
+    unknown. Bucket count and bucket ids are pure integer floor-division
+    on nonnegative epoch-µs (div == //), so the interval choice — the
+    part that could diverge — is bit-exact across engines.
+
+    Scale shape: one map-side min/max agg picks the interval (2 scalar
+    rows broadcast); the histogram is a ≤target-group hash agg with
+    map-side partials — the one exchange carries ≤20 rows per task
+    regardless of event count."""
+    t = _events(spark, sf_dir).select(
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us")
+    )
+    mm = t.agg(F.min("t_us").alias("mn"), F.max("t_us").alias("mx"))
+    ladder = spark.createDataFrame(
+        [(i,) for i in _ADH_LADDER], "interval_us long"
+    )
+    pick = (
+        ladder.crossJoin(F.broadcast(mm))
+        .where(
+            F.expr(
+                f"(mx div interval_us) - (mn div interval_us) + 1 <= {_ADH_TARGET}"
+            )
+        )
+        .orderBy(F.asc("interval_us"))
+        .limit(1)
+        .select("interval_us")
+    )
+    return (
+        t.crossJoin(F.broadcast(pick))
+        .groupBy(
+            F.col("interval_us").cast("long").alias("interval_us"),
+            F.expr("CAST((t_us div interval_us) * interval_us AS BIGINT)").alias(
+                "bucket_start_us"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy("bucket_start_us")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
@@ -12003,6 +12228,7 @@ _FRONT = [
     # below this line = beyond the ~50-slot driver sample; local-replica
     # and property evidence only
     "orders_topk_unshipped", "customer_returns_topk",
+    "boosting_query", "dis_max_query", "auto_date_histogram",
     "events_markov_transitions", "ann_dim_truncation_curve",
     "lsh_degree_histogram", "ivf_cluster_balance", "user_activity_histogram",
     "lineitem_pricing_summary", "orders_nation_revenue", "source_token_gini",
