@@ -12165,6 +12165,191 @@ def auto_date_histogram(spark, sf_dir):
     )
 
 
+# --- session 38 batch 3: dedup-threshold and quality-ablation tuning
+# curves — the "what does the knob cost in tokens" sweeps a pipeline owner
+# reads before fixing a cutoff ------------------------------------------------
+
+_DEDUP_THRESHOLDS = [50, 60, 70, 80, 90]  # Jaccard percent cutoffs
+
+
+@register(
+    "dedup_threshold_curve",
+    _SQL_LSH_PAIRS
+    + f""",
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS c,
+         any_value(na.n) AS na, any_value(nb.n) AS nb
+  FROM pairs c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  JOIN sizes na ON na.doc_id = c.doc_a
+  JOIN sizes nb ON nb.doc_id = c.doc_b
+  GROUP BY c.doc_a, c.doc_b),
+thr AS (SELECT unnest([{", ".join(str(t) for t in _DEDUP_THRESHOLDS)}]) AS thr_pct),
+surv AS (
+  SELECT t.thr_pct, i.doc_a, i.doc_b
+  FROM inter i JOIN thr t ON 100 * i.c >= t.thr_pct * (i.na + i.nb - i.c)),
+drops AS (SELECT thr_pct, doc_b FROM surv GROUP BY thr_pct, doc_b),
+ntok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
+  FROM documents),
+pa AS (SELECT thr_pct, CAST(count(*) AS BIGINT) AS n_pairs FROM surv GROUP BY thr_pct),
+da AS (
+  SELECT d.thr_pct, CAST(count(*) AS BIGINT) AS n_docs_dropped,
+         CAST(COALESCE(sum(n.n_tok), 0) AS BIGINT) AS tokens_removed
+  FROM drops d JOIN ntok n ON n.doc_id = d.doc_b GROUP BY d.thr_pct)
+SELECT CAST(t.thr_pct AS BIGINT) AS thr_pct,
+       CAST(COALESCE(pa.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(da.n_docs_dropped, 0) AS BIGINT) AS n_docs_dropped,
+       CAST(COALESCE(da.tokens_removed, 0) AS BIGINT) AS tokens_removed
+FROM thr t LEFT JOIN pa USING (thr_pct) LEFT JOIN da USING (thr_pct)
+ORDER BY thr_pct""",
+)
+def dedup_threshold_curve(spark, sf_dir):
+    """Dedup Jaccard-threshold sweep: for each candidate cutoff
+    (J ≥ 0.5 … 0.9), how many LSH candidate pairs survive exact
+    verification, and what the drop-larger-doc_id survivor policy would
+    remove in docs and tokens — the cost curve read BEFORE fixing the
+    dedup threshold (fourth member of the tuning-diagnostics family:
+    banding precision, (b,r) sweep, shingle-k curve, now the threshold
+    itself). The survival test is the integer cross-multiplication
+    100·|∩| ≥ t·|∪| (|∪| = na+nb−c) — no float Jaccard anywhere; the
+    threshold spine LEFT JOINs so zero-survivor cutoffs still emit rows
+    (the lsh_band_config_curve rule), and the possibly-empty token sum is
+    COALESCE'd on BOTH engines (the dedup_policy_compare NULL lesson).
+
+    Scale shape: exact intersections are computed on CANDIDATES ONLY from
+    the memoized `_lsh_pair_edges` graph (never all-pairs); the 5-row
+    threshold spine fans the candidate table via a broadcast theta-join
+    (the nprobe-curve idiom); per-doc token counts are map-side. inter is
+    localCheckpoint'd — two aggregates (pair counts, drop ledger) consume
+    it and each would re-run the shingle join otherwise."""
+    edges = _lsh_pair_edges(spark, sf_dir)
+    pairs = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    sh = _shingles_spark(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .where(F.col("sh") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .localCheckpoint()
+    )
+    thr = F.broadcast(
+        spark.createDataFrame([(t,) for t in _DEDUP_THRESHOLDS], "thr_pct long")
+    )
+    surv = inter.join(thr, F.expr("100 * c >= thr_pct * (na + nb - c)")).select(
+        "thr_pct", "doc_a", "doc_b"
+    )
+    pa = surv.groupBy("thr_pct").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    drops = surv.select("thr_pct", "doc_b").distinct()
+    ntok = _docs(spark, sf_dir).select(
+        "doc_id", F.size(spark_tokens("text")).cast("long").alias("n_tok")
+    )
+    da = (
+        drops.join(ntok, drops["doc_b"] == ntok["doc_id"])
+        .groupBy("thr_pct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_dropped"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("tokens_removed"),
+        )
+    )
+    spine = spark.createDataFrame([(t,) for t in _DEDUP_THRESHOLDS], "thr_pct long")
+    return (
+        spine.join(pa, "thr_pct", "left")
+        .join(da, "thr_pct", "left")
+        .select(
+            "thr_pct",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_docs_dropped"), F.lit(0)).cast("long").alias("n_docs_dropped"),
+            F.coalesce(F.col("tokens_removed"), F.lit(0)).cast("long").alias("tokens_removed"),
+        )
+        .orderBy("thr_pct")
+    )
+
+
+_QUALITY_THRESHOLDS = [0, 20, 40, 60, 80]  # type-token-ratio percent gates
+
+
+@register(
+    "quality_ablation_curve",
+    f"""WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS BIGINT) AS n_distinct
+  FROM documents),
+tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tokens FROM d),
+thr AS (SELECT unnest([{", ".join(str(t) for t in _QUALITY_THRESHOLDS)}]) AS thr_pct),
+k AS (
+  SELECT t.thr_pct, CAST(count(*) AS BIGINT) AS n_docs_kept,
+         CAST(COALESCE(sum(d.n_tok), 0) AS BIGINT) AS tokens_kept
+  FROM d JOIN thr t ON 100 * d.n_distinct >= t.thr_pct * d.n_tok
+  GROUP BY t.thr_pct)
+SELECT CAST(t.thr_pct AS BIGINT) AS thr_pct,
+       CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+       CASE WHEN (SELECT total_tokens FROM tot) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((1000000 * COALESCE(k.tokens_kept, 0))
+                      // (SELECT total_tokens FROM tot) AS BIGINT)
+       END AS kept_share_q6
+FROM thr t LEFT JOIN k USING (thr_pct) ORDER BY thr_pct""",
+)
+def quality_ablation_curve(spark, sf_dir):
+    """Quality-gate ablation sweep: token/doc survival at increasing
+    type-token-ratio cutoffs (distinct/total ≥ 0 … 0.8) — the "how much
+    of the corpus does this filter actually cost" curve read next to
+    quality_budget_select (which fills a budget) and the Gopher flags
+    (which gate individually). The gate is the integer cross-mult
+    100·n_distinct ≥ t·n_tok (training_mix_pipeline's bit-exact ratio
+    rule — empty docs pass every gate as 0 ≥ 0 and contribute 0 tokens);
+    the share divides exact BIGINTs with the all-empty-corpus 0/0 guard
+    (temperature_mix_weights lesson).
+
+    Scale shape: per-doc (n_tok, n_distinct) is computed map-side from
+    the words array (size/array_distinct — never a tf shuffle); the 5-row
+    threshold spine fans it via a broadcast theta-join and each gate
+    collapses map-side to one row; total_tokens is one scalar agg."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(spark_tokens("text")).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(spark_tokens("text"))).cast("long").alias("n_distinct"),
+    )
+    tot = d.agg(F.sum("n_tok").cast("long").alias("total_tokens"))
+    thr = F.broadcast(
+        spark.createDataFrame([(t,) for t in _QUALITY_THRESHOLDS], "thr_pct long")
+    )
+    k = (
+        d.join(thr, F.expr("100 * n_distinct >= thr_pct * n_tok"))
+        .groupBy("thr_pct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("tokens_kept"),
+        )
+    )
+    spine = spark.createDataFrame([(t,) for t in _QUALITY_THRESHOLDS], "thr_pct long")
+    return (
+        spine.join(k, "thr_pct", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "thr_pct",
+            F.coalesce(F.col("n_docs_kept"), F.lit(0)).cast("long").alias("n_docs_kept"),
+            F.coalesce(F.col("tokens_kept"), F.lit(0)).cast("long").alias("tokens_kept"),
+            F.expr(
+                "CASE WHEN total_tokens = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST((1000000 * COALESCE(tokens_kept, 0)) div total_tokens AS BIGINT) END"
+            ).alias("kept_share_q6"),
+        )
+        .orderBy("thr_pct")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
@@ -12229,6 +12414,7 @@ _FRONT = [
     # and property evidence only
     "orders_topk_unshipped", "customer_returns_topk",
     "boosting_query", "dis_max_query", "auto_date_histogram",
+    "dedup_threshold_curve", "quality_ablation_curve",
     "events_markov_transitions", "ann_dim_truncation_curve",
     "lsh_degree_histogram", "ivf_cluster_balance", "user_activity_histogram",
     "lineitem_pricing_summary", "orders_nation_revenue", "source_token_gini",
