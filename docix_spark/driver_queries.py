@@ -12350,6 +12350,180 @@ def quality_ablation_curve(spark, sf_dir):
     )
 
 
+# --- session 38 batch 4: SQ clip-bound calibration + recall@k curve ----------
+
+
+@register(
+    "embedding_dim_clip_bounds",
+    _SQL_EMB_E
+    + """
+ex AS (
+  SELECT vec_id, i - 1 AS dim, CAST(round(v[i] * 1000) AS BIGINT) AS xq3
+  FROM e, (SELECT unnest(generate_series(1, 64)) AS i) WHERE vec_id <> 0),
+hist AS (SELECT dim, xq3, count(*) AS cnt FROM ex GROUP BY dim, xq3),
+h AS (
+  SELECT dim, xq3, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (PARTITION BY dim ORDER BY xq3
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+         CAST(SUM(cnt) OVER (PARTITION BY dim) AS BIGINT) AS n
+  FROM hist),
+q AS (SELECT p_q6 FROM (VALUES (10000), (990000)) AS v(p_q6)),
+agg AS (
+  SELECT h.dim, q.p_q6, max(h.n) AS n,
+         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1))
+                  THEN h.xq3 END) AS v_lo,
+         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1)) + 1
+                  THEN h.xq3 END) AS v_hi
+  FROM h, q GROUP BY h.dim, q.p_q6)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(p_q6 AS BIGINT) AS p_q6,
+       CAST(round(1000.0 * (v_lo + ((p_q6 / 1000000.0) * (n - 1)
+            - floor((p_q6 / 1000000.0) * (n - 1))) * (v_hi - v_lo))) AS BIGINT) AS clip_q6
+FROM agg ORDER BY dim, p_q6""",
+)
+def embedding_dim_clip_bounds(spark, sf_dir):
+    """Per-dimension p1/p99 clip bounds — the calibration pass a scalar
+    quantizer runs BEFORE sq8_quantization_error's min/max affine code:
+    training the code on percentile clips instead of raw min/max is what
+    keeps one outlier from wasting the int8 range (the FAISS
+    SQ8/Milvus-style clip-train). Exact type-7 percentiles from a
+    weighted histogram — the doclen_quantiles machinery partitioned by
+    dim — with values quantized to q3 integers FIRST (round(1000·x): the
+    histogram stays ≤ ~4k cells per dim at ANY corpus size, and the one
+    rounding happens before ordering, so both engines interpolate
+    identical integers; clip_q6 = 1000 × the q3 interpolation lands back
+    in micro-units of the original value).
+
+    Scale shape: the explode is map-side (64 rows per vector) collapsing
+    into a (dim × q3-cell) histogram via map-side partials; the prefix-sum
+    windows partition by dim — 64-way parallel, never a corpus-wide sort;
+    the rank probes fan the histogram against a 2-row percentile spine."""
+    ex = (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.posexplode(F.expr("transform(embedding, x -> cast(x as double))")).alias(
+                "dim", "x"
+            ),
+        )
+        .select("dim", F.expr("CAST(round(x * 1000) AS BIGINT)").alias("xq3"))
+    )
+    hist = ex.groupBy("dim", "xq3").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("dim")
+        .orderBy("xq3")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("dim")
+    h = hist.select(
+        "dim",
+        "xq3",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).cast("long").alias("cum_before"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+    )
+    q = spark.createDataFrame([(10000,), (990000,)], "p_q6 long")
+    rank = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
+    agg = (
+        h.crossJoin(F.broadcast(q))
+        .groupBy("dim", "p_q6")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.when(F.col("cum_before") <= F.floor(rank), F.col("xq3"))).alias("v_lo"),
+            F.max(F.when(F.col("cum_before") <= F.floor(rank) + 1, F.col("xq3"))).alias("v_hi"),
+        )
+    )
+    r = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
+    frac = r - F.floor(r)
+    return agg.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.col("p_q6").cast("long").alias("p_q6"),
+        F.round(F.lit(1000.0) * (F.col("v_lo") + frac * (F.col("v_hi") - F.col("v_lo"))))
+        .cast("long")
+        .alias("clip_q6"),
+    ).orderBy("dim", "p_q6")
+
+
+_RECALL_KS = [1, 5, 10]
+
+
+@register(
+    "ann_recall_at_k_curve",
+    _BATCH_SQL
+    + f""", bexact AS (
+  SELECT qid, vec_id, rn FROM (
+    SELECT qs.qid, e.vec_id,
+           row_number() OVER (PARTITION BY qs.qid ORDER BY
+             CAST(round(1000000 * list_dot_product(e.v, qs.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) DESC,
+             e.vec_id ASC) AS rn
+    FROM qs, e WHERE e.vec_id <> 0) WHERE rn <= 10
+),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _RECALL_KS)}]) AS k),
+j AS (
+  SELECT b.qid, b.rnk, x.rn
+  FROM (SELECT qid, vec_id, rnk FROM btop WHERE rnk <= 10) b
+  JOIN bexact x USING (qid, vec_id)),
+hits AS (
+  SELECT ks.k, CAST(count(*) AS BIGINT) AS sum_hits
+  FROM j JOIN ks ON j.rnk <= ks.k AND j.rn <= ks.k GROUP BY ks.k),
+nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qs)
+SELECT CAST(ks.k AS BIGINT) AS k, (SELECT n FROM nq) AS n_queries,
+       CAST(COALESCE(h.sum_hits, 0) AS BIGINT) AS sum_hits,
+       CAST((1000000 * COALESCE(h.sum_hits, 0)) // (ks.k * (SELECT n FROM nq)) AS BIGINT) AS recall_q6
+FROM ks LEFT JOIN hits h ON h.k = ks.k ORDER BY k""",
+)
+def ann_recall_at_k_curve(spark, sf_dir):
+    """Recall@k curve (k = 1/5/10) of the batch IVF probe against the
+    brute-force exact ranking — the DEPTH axis of the ANN evaluation
+    (nprobe_curve sweeps cells, dim_truncation sweeps dimensions; this
+    sweeps the result-list cut the downstream consumer actually reads).
+    hits@k counts approx∩exact pairs where BOTH ranks ≤ k — since both
+    rankings nest by construction, sum_hits is provably non-decreasing
+    in k (property-tested); recall_q6 divides exact integers by k·|Q|.
+
+    Scale shape: reuses the memoized batch-probe top-10 (`_ivf_batch_topk`
+    plan — probe table broadcasts) and one exact ranking; the k spine is
+    a 3-row broadcast theta-join over the ≤10·|Q| joined rank pairs."""
+    ivf = _ivf_batch_topk(spark, sf_dir).select("qid", "vec_id", "rnk")
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    qs = e.where(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
+    exact = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qs))
+        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= 10)
+        .select("qid", "vec_id", "rn")
+    )
+    j = ivf.join(exact, ["qid", "vec_id"]).select("rnk", "rn")
+    ks = F.broadcast(spark.createDataFrame([(k,) for k in _RECALL_KS], "k long"))
+    hits = (
+        j.join(ks, F.expr("rnk <= k AND rn <= k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("sum_hits"))
+    )
+    nq = qs.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    spine = spark.createDataFrame([(k,) for k in _RECALL_KS], "k long")
+    return (
+        spine.join(hits, "k", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "k",
+            "n_queries",
+            F.coalesce(F.col("sum_hits"), F.lit(0)).cast("long").alias("sum_hits"),
+            F.expr(
+                "CAST((1000000 * COALESCE(sum_hits, 0)) div (k * n_queries) AS BIGINT)"
+            ).alias("recall_q6"),
+        )
+        .orderBy("k")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
@@ -12415,6 +12589,7 @@ _FRONT = [
     "orders_topk_unshipped", "customer_returns_topk",
     "boosting_query", "dis_max_query", "auto_date_histogram",
     "dedup_threshold_curve", "quality_ablation_curve",
+    "embedding_dim_clip_bounds", "ann_recall_at_k_curve",
     "events_markov_transitions", "ann_dim_truncation_curve",
     "lsh_degree_histogram", "ivf_cluster_balance", "user_activity_histogram",
     "lineitem_pricing_summary", "orders_nation_revenue", "source_token_gini",

@@ -143,3 +143,41 @@ def test_auto_date_histogram_matches_model(ts):
     assert got == model
     assert len(got) <= _ADH_TARGET
     assert sum(n for _, _, n in got) == len(ts)
+
+
+# ---------------------------------------------------------------------------
+# sf0.001 invariants (plain tests, DuckDB on the driver tables): recall@k
+# hits are non-decreasing in k (both rankings nest), clip bounds ordered
+# ---------------------------------------------------------------------------
+
+
+def _sf_con() -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM '/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    return con
+
+
+def test_recall_at_k_hits_monotone_and_bounded():
+    rows = _sf_con().execute(REGISTRY["ann_recall_at_k_curve"].sql).fetchall()
+    ks = [r[0] for r in rows]
+    assert ks == sorted(ks)
+    for (k0, nq0, h0, r0), (k1, nq1, h1, r1) in zip(rows, rows[1:]):
+        assert nq0 == nq1 and nq0 > 0
+        assert h1 >= h0  # nested prefixes: deepening the cut never loses hits
+    for k, nq, h, rq6 in rows:
+        assert 0 <= h <= k * nq
+        assert 0 <= rq6 <= 1_000_000
+        assert rq6 == (1_000_000 * h) // (k * nq)
+
+
+def test_clip_bounds_ordered_per_dim():
+    rows = _sf_con().execute(REGISTRY["embedding_dim_clip_bounds"].sql).fetchall()
+    by_dim: dict[int, dict[int, int]] = {}
+    for dim, p_q6, clip_q6 in rows:
+        by_dim.setdefault(dim, {})[p_q6] = clip_q6
+    assert len(by_dim) == 64
+    for dim, ps in by_dim.items():
+        assert set(ps) == {10_000, 990_000}
+        assert ps[10_000] <= ps[990_000]
