@@ -12001,15 +12001,17 @@ def boosting_query(spark, sf_dir):
     set's one q6 rounding.
 
     Scale shape: scoring is the memoized `_bm25_match_set`; the negative
-    clause is ONE pruned single-term posting set left-joined as a flag
-    (the bool_filter_query algebra, demote instead of anti-join); top-10
-    is a TakeOrdered over the match set, never a global sort."""
+    clause is a pure MAP-SIDE membership filter (array_contains over the
+    token array — no explode, no distinct shuffle; a full posting-set
+    distinct for one term cost 3× the whole query at sf0.1) left-joined
+    as a flag (the bool_filter_query algebra, demote instead of
+    anti-join); top-10 is a TakeOrdered over the match set, never a
+    global sort."""
     agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
     neg = (
-        _toks(_docs(spark, sf_dir))
-        .where(F.col("term") == _BOOST_NEG_TERM)
+        _docs(spark, sf_dir)
+        .where(F.array_contains(spark_tokens("text"), F.lit(_BOOST_NEG_TERM)))
         .select("doc_id")
-        .distinct()
         .withColumn("is_neg", F.lit(1))
     )
     adj = agg.join(neg, "doc_id", "left").select(
