@@ -12527,6 +12527,412 @@ def ann_recall_at_k_curve(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 39 — TPC-H semi-join/having/ratio shapes (Q4/Q18/Q14), embedding
+# label-centroid drift QA, ES span_first + stats_bucket, and a distributed
+# contiguous-row-id assigner (the scalable zipWithIndex)
+# ---------------------------------------------------------------------------
+
+_Q4_FROM = "TIMESTAMP '1996-01-01 00:00:00'"
+_Q4_TO = "TIMESTAMP '1997-01-01 00:00:00'"
+_Q4_GAP_US = 90 * 86_400_000_000  # 90 days in microseconds
+
+
+@register(
+    "orders_late_shipment_priority",
+    f"""SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= {_Q4_FROM} AND o.o_orderdate < {_Q4_TO}
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + {_Q4_GAP_US})
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+)
+def orders_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q4-shape order-priority check: 1996 orders with at least one
+    lineitem shipped more than 90 days after the order date, counted by
+    priority — the canonical EXISTS/semi-join shape the relational family
+    was still missing (Q1 scan-agg, Q5 dim rollup, Q3 join+topk, Q10
+    returns). The lateness predicate compares columns from BOTH sides, so
+    it cannot be pushed below the join; it rides the semi-join itself.
+    Dates travel as unix_micros/epoch_us BIGINTs (the events-table rule),
+    so the +90d arithmetic is an exact integer add in both engines.
+
+    Scale shape: the order-date window pushes into the orders parquet
+    scan; the LEFT SEMI join on l_orderkey is one key-keyed shuffle that
+    short-circuits per probe row (no fanout — an order with 40 late items
+    emits once), and the priority agg combines map-side into ≤5 rows."""
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.expr(f"o_orderdate >= {_Q4_FROM} AND o_orderdate < {_Q4_TO}"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("o_date_us"),
+        )
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        F.expr("unix_micros(cast(l_shipdate as timestamp))").alias("ship_us"),
+    )
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["ship_us"] > o["o_date_us"] + F.lit(_Q4_GAP_US)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q14_FROM = "TIMESTAMP '1996-09-01 00:00:00'"
+_Q14_TO = "TIMESTAMP '1996-10-01 00:00:00'"
+
+
+@register(
+    "promo_revenue_ratio",
+    f"""WITH l AS (
+  SELECT l_partkey, {_LI_DISC_C} AS rev_c
+  FROM lineitem WHERE l_shipdate >= {_Q14_FROM} AND l_shipdate < {_Q14_TO}),
+j AS (
+  SELECT CASE WHEN p.p_type = 'PROMO' THEN l.rev_c ELSE 0 END AS promo_c, l.rev_c
+  FROM l JOIN part p ON l.l_partkey = p.p_partkey),
+t AS (SELECT CAST(COALESCE(sum(promo_c), 0) AS BIGINT) AS promo_rev_c,
+             CAST(COALESCE(sum(rev_c), 0) AS BIGINT) AS total_rev_c,
+             CAST(count(*) AS BIGINT) AS n_items FROM j)
+SELECT promo_rev_c, total_rev_c, n_items,
+       CASE WHEN total_rev_c = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((1000000 * promo_rev_c) // total_rev_c AS BIGINT)
+       END AS promo_share_q6
+FROM t""",
+)
+def promo_revenue_ratio(spark, sf_dir):
+    """TPC-H Q14-shape promo-revenue share: of September-1996 shipped
+    revenue, the fraction attributable to PROMO-type parts, as an exact
+    integer q6 share (the integer-cross-multiplication idiom — no float
+    division order). Money is cents-rounded PER ROW via the shared
+    `_LI_DISC_C` expr string; the share's 1e6 cross-multiplication holds
+    to ~9.2e12 cents (~$92B) in the month slice — beyond that, pre-scale
+    the cents sums before the ratio (same note as the recall curves).
+
+    Scale shape: the one-month shipdate window pushes into the lineitem
+    scan (row-group pruning makes this the cheapest Q14 month at any SF);
+    lineitem⋈part is a key-keyed shuffle join left UN-hinted — part
+    grows with SF (never force-broadcast an unbounded side; AQE localizes
+    it while it fits). The final scalar agg combines map-side into one
+    row per task before the single-row reduce."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.expr(f"l_shipdate >= {_Q14_FROM} AND l_shipdate < {_Q14_TO}"))
+        .select("l_partkey", F.expr(_LI_DISC_C).alias("rev_c"))
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_type")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        F.expr("CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END").alias("promo_c"),
+        "rev_c",
+    )
+    t = j.agg(
+        F.coalesce(F.sum("promo_c"), F.lit(0)).cast("long").alias("promo_rev_c"),
+        F.coalesce(F.sum("rev_c"), F.lit(0)).cast("long").alias("total_rev_c"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    return t.select(
+        "promo_rev_c",
+        "total_rev_c",
+        "n_items",
+        F.expr(
+            "CASE WHEN total_rev_c = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST((1000000 * promo_rev_c) div total_rev_c AS BIGINT) END"
+        ).alias("promo_share_q6"),
+    )
+
+
+_Q18_QTY_C = 30_000  # 300.00 quantity units, in the shared cents scale
+
+
+@register(
+    "large_orders_topk",
+    f"""WITH lq AS (
+  SELECT l_orderkey, CAST(sum({_LI_QTY_C}) AS BIGINT) AS total_qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(sum({_LI_QTY_C}) AS BIGINT) > {_Q18_QTY_C})
+SELECT o.o_orderkey, o.o_custkey, epoch_us(o.o_orderdate) AS o_date_us,
+       lq.total_qty_c
+FROM lq JOIN orders o ON lq.l_orderkey = o.o_orderkey
+ORDER BY lq.total_qty_c DESC, o.o_orderkey ASC LIMIT 10""",
+)
+def large_orders_topk(spark, sf_dir):
+    """TPC-H Q18-shape large-volume orders: the group-then-HAVING filter
+    (orders whose total lineitem quantity exceeds 300 units) joined back
+    to the order header, top-10 by volume — the aggregate-as-filter shape
+    (ES bucket_selector / SQL HAVING) the relational family was missing.
+    Quantity is cents-rounded per row via the shared `_LI_QTY_C` string,
+    so the HAVING cut is an exact integer comparison in both engines.
+
+    Scale shape: the l_orderkey agg combines map-side (TPC-H orders have
+    ≤7 lineitems, so partial aggs collapse hard); the HAVING filter drops
+    ~99.9% of groups BEFORE the join back to orders, so the join's build
+    side is the tiny surviving set (un-hinted — survivor count is
+    data-dependent; AQE broadcasts it when small); top-10 is a
+    TakeOrdered, never a global sort."""
+    lq = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.expr(_LI_QTY_C)).cast("long").alias("total_qty_c"))
+        .where(F.col("total_qty_c") > _Q18_QTY_C)
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("o_date_us"),
+    )
+    return (
+        lq.join(o, lq["l_orderkey"] == o["o_orderkey"])
+        .select("o_orderkey", "o_custkey", "o_date_us", "total_qty_c")
+        .orderBy(F.desc("total_qty_c"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# cosine of two q6-integer mean vectors; dp/nm/ng are exact BIGINTs
+# (components ≤ ~1e6, 64 dims → |dp| ≤ ~6.4e13 < 2^53, so the double
+# casts below are exact). dp is divided FIRST — a 1e6·dp integer product
+# would pass 2^63 — and the whole expression is ONE shared string so both
+# engines evaluate the identical IEEE operation order.
+_CENTROID_COS = (
+    "CASE WHEN nm = 0 OR ng = 0 THEN CAST(0 AS BIGINT) "
+    "ELSE CAST(round(1000000 * (dp / (sqrt(nm) * sqrt(ng)))) AS BIGINT) END"
+)
+_MEAN_Q6_M = "CAST(round(s / n) AS BIGINT)"
+
+
+@register(
+    "label_centroid_drift",
+    f"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (
+  SELECT label, i - 1 AS dim, CAST(round(v[i] * 1000000) AS BIGINT) AS cq6
+  FROM e, (SELECT unnest(generate_series(1, 64)) AS i)),
+ld AS (
+  SELECT label, dim, CAST(sum(cq6) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM x GROUP BY label, dim),
+gd AS (
+  SELECT dim, CAST(sum(s) AS BIGINT) AS s, CAST(sum(n) AS BIGINT) AS n
+  FROM ld GROUP BY dim),
+m AS (
+  SELECT ld.label, ld.n AS n_vecs, {_MEAN_Q6_M.replace('s / n', 'ld.s / ld.n')} AS mq6,
+         {_MEAN_Q6_M.replace('s / n', 'gd.s / gd.n')} AS gq6
+  FROM ld JOIN gd USING (dim)),
+a AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(max(n_vecs) AS BIGINT) AS n_vecs,
+         CAST(sum(mq6 * gq6) AS BIGINT) AS dp,
+         CAST(sum(mq6 * mq6) AS BIGINT) AS nm,
+         CAST(sum(gq6 * gq6) AS BIGINT) AS ng
+  FROM m GROUP BY label)
+SELECT label, n_vecs, {_CENTROID_COS} AS cos_q6
+FROM a ORDER BY label""",
+)
+def label_centroid_drift(spark, sf_dir):
+    """Embedding-space drift QA: per label, the cosine between the label's
+    mean vector and the whole-corpus mean vector — the one-number check
+    that a class/source's embedding mass hasn't wandered from the corpus
+    center (a freshly ingested crawl whose centroid sits far off-center is
+    the classic distribution-shift smell before any model sees it).
+
+    Determinism: components are q6-rounded FIRST, per-(label, dim) sums
+    are exact BIGINT adds (order-free); the mean is round(s/n) of exact
+    doubles (s < 2^53); the final cosine is one shared expression string
+    (`_CENTROID_COS`) over exact-integer dot/norms, so both engines run
+    the identical IEEE sequence.
+
+    Scale shape: one posexplode + (label, dim) agg with map-side partials
+    — the shuffle carries |labels|·64 rows no matter the corpus size; the
+    global centroid is derived from the per-label sums (labels·64 rows),
+    never a second pass over the vectors; the dim join is labels·64 ⋈ 64."""
+    x = _emb(spark, sf_dir).select(
+        "label", F.posexplode("embedding").alias("dim", "xv")
+    ).select(
+        "label",
+        "dim",
+        F.expr("CAST(round(cast(xv as double) * 1000000) AS BIGINT)").alias("cq6"),
+    )
+    ld = x.groupBy("label", "dim").agg(
+        F.sum("cq6").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    gd = ld.groupBy("dim").agg(
+        F.sum("s").cast("long").alias("gs"), F.sum("n").cast("long").alias("gn")
+    )
+    m = ld.join(gd, "dim").select(
+        "label",
+        F.col("n").alias("n_vecs"),
+        F.expr("CAST(round(s / n) AS BIGINT)").alias("mq6"),
+        F.expr("CAST(round(gs / gn) AS BIGINT)").alias("gq6"),
+    )
+    a = m.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.max("n_vecs").cast("long").alias("n_vecs"),
+        F.sum(F.col("mq6") * F.col("gq6")).cast("long").alias("dp"),
+        F.sum(F.col("mq6") * F.col("mq6")).cast("long").alias("nm"),
+        F.sum(F.col("gq6") * F.col("gq6")).cast("long").alias("ng"),
+    )
+    return a.select(
+        "label", "n_vecs", F.expr(_CENTROID_COS).alias("cos_q6")
+    ).orderBy("label")
+
+
+_SPAN_FIRST_N = 8
+
+
+@register(
+    "span_first_match",
+    f"""WITH w AS ({SQL_WORDS}),
+f AS (SELECT doc_id, unnest(list_distinct(words[1:{_SPAN_FIRST_N}])) AS term FROM w),
+nf AS (SELECT term, CAST(count(*) AS BIGINT) AS n_docs_first FROM f GROUP BY term),
+d AS (SELECT doc_id, unnest(list_distinct(words)) AS term FROM w),
+dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM d GROUP BY term)
+SELECT nf.term, nf.n_docs_first, dfx.df
+FROM nf JOIN dfx USING (term)
+ORDER BY n_docs_first DESC, term ASC LIMIT 20""",
+)
+def span_first_match(spark, sf_dir):
+    """ES span_first-query analytics: for every term, the number of docs
+    where it appears within the first 8 token positions, next to its
+    plain df — the lead-position bias profile (titles/openers) that
+    span_first(match, end=8) queries exploit, and the evidence for
+    position-boosted ranking. Top-20 by lead-doc count, term tiebreak.
+
+    Scale shape: both legs are map-side explodes of per-doc arrays (the
+    lead leg slices BEFORE distinct-ing, so it explodes ≤8 tokens/doc)
+    feeding vocab-keyed aggs with map-side partials; the term join is
+    vocab-sized ⋈ vocab-sized (un-hinted); top-20 is a TakeOrdered."""
+    w = _docs(spark, sf_dir).select(
+        "doc_id", spark_tokens("text").alias("words")
+    )
+    nf = (
+        w.select(
+            F.explode(
+                F.array_distinct(F.slice("words", 1, _SPAN_FIRST_N))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_first"))
+    )
+    dfx = (
+        w.select(F.explode(F.array_distinct("words")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    return (
+        nf.join(dfx, "term")
+        .select("term", "n_docs_first", "df")
+        .orderBy(F.desc("n_docs_first"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@register(
+    "stats_bucket_daily",
+    """WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_num, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY day_num)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(COALESCE(min(n), 0) AS BIGINT) AS min_events,
+       CAST(COALESCE(max(n), 0) AS BIGINT) AS max_events,
+       CAST(COALESCE(sum(n), 0) AS BIGINT) AS sum_events,
+       CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((1000000 * COALESCE(sum(n), 0)) // count(*) AS BIGINT)
+       END AS avg_events_q6
+FROM d""",
+)
+def stats_bucket_daily(spark, sf_dir):
+    """ES stats_bucket pipeline aggregation: min/max/sum/avg OF the daily
+    event-count buckets (a sibling agg over another agg's buckets) — the
+    load-profile summary that pairs with the derivative/moving-average/
+    anomaly members of the pipeline-agg family. avg is the integer q6
+    cross-multiplication; day keys are integer-µs days (the events-table
+    rule — NTZ-safe, floor/div agree because epoch_us ≥ 0 here).
+
+    Scale shape: two stacked aggs, both map-side combined — the first
+    shuffles ≤|days| rows, the second is a single-row scalar reduce over
+    the tiny day table."""
+    d = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+                "day_num"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.coalesce(F.min("n"), F.lit(0)).cast("long").alias("min_events"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("max_events"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("sum_events"),
+        F.expr(
+            "CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST((1000000 * COALESCE(sum(n), 0)) div count(*) AS BIGINT) END"
+        ).alias("avg_events_q6"),
+    )
+
+
+@register(
+    "global_row_ids",
+    """SELECT doc_id, source,
+       CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT) AS global_id
+FROM documents ORDER BY global_id""",
+)
+def global_row_ids(spark, sf_dir, n_shards: int = 64):
+    """Contiguous global row ids in (source, doc_id) order — the
+    distributed zipWithIndex every sharded-export / curriculum / loader
+    pipeline needs (`monotonically_increasing_id` is non-contiguous by
+    design, and a global `row_number()` window sorts the corpus on ONE
+    reducer). Same two-pass trick as `_pack_cum_before`, generalized
+    across sources:
+
+    1. order-aligned sub-shards (`g_shard = (doc_id - lo) // range` —
+       monotone in doc_id, so shard order == row order within a source);
+    2. per-(source, shard) row counts — a tiny sources×shards table —
+       exclusive-prefix-summed in GLOBAL (source, shard) order (the only
+       unpartitioned window runs on shard-count rows, never doc rows);
+    3. within-shard row_number (each window partition is a bounded doc_id
+       range) plus the shard offset via an un-hinted equi-join.
+
+    Byte-identical to the single-window oracle; no doc-scale sort ever
+    lands on one reducer."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    bounds = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
+    lo = int(bounds.lo) if bounds.lo is not None else 0
+    hi = int(bounds.hi) if bounds.hi is not None else 0
+    rng = max(1, -(-(hi - lo + 1) // n_shards))
+    t = d.withColumn(
+        "g_shard", ((F.col("doc_id") - F.lit(lo)) / F.lit(rng)).cast("long")
+    )
+    totals = t.groupBy("source", "g_shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    # unpartitioned window is deliberate: totals is sources × n_shards rows
+    w_off = Window.orderBy("source", "g_shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "off", F.coalesce(F.sum("n_docs").over(w_off), F.lit(0))
+    ).select("source", "g_shard", "off")
+    w_loc = Window.partitionBy("source", "g_shard").orderBy("doc_id")
+    return (
+        t.join(offsets, ["source", "g_shard"])
+        .select(
+            "doc_id",
+            "source",
+            (F.col("off") + F.row_number().over(w_loc) - 1)
+            .cast("long")
+            .alias("global_id"),
+        )
+        .orderBy("global_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -12597,6 +13003,11 @@ _FRONT = [
     "lineitem_pricing_summary", "orders_nation_revenue", "source_token_gini",
     "rank_correlation_bm25_tfidf",
     "term_drift_deciles", "source_lang_chi2", "dedup_policy_compare",
+    # session 39: Q4/Q14/Q18 shapes, centroid drift, span_first,
+    # stats_bucket, distributed zipWithIndex
+    "orders_late_shipment_priority", "promo_revenue_ratio", "large_orders_topk",
+    "label_centroid_drift", "span_first_match", "stats_bucket_daily",
+    "global_row_ids",
     # session 16: gram provenance, sampler facets, nested pages,
     # query-string syntax
     "source_gram_novelty", "search_sampler_facets", "nested_pages_agg",
