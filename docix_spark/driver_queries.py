@@ -12933,6 +12933,444 @@ def global_row_ids(spark, sf_dir, n_shards: int = 64):
 
 
 # ---------------------------------------------------------------------------
+# session 40 — remaining TPC-H decision-support shapes (Q13 outer-join
+# distribution, Q17 correlated-avg filter, Q15 argmax-vs-scalar, Q8 star-join
+# market share, Q16 anti-join distinct count, Q22 scalar-threshold + anti-join)
+# and distributed triangle counting over the LSH candidate graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_distribution",
+    """WITH co AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey)
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM co GROUP BY n_orders ORDER BY n_customers DESC, n_orders DESC""",
+)
+def customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13-shape customer order-count distribution: per-customer
+    order counts INCLUDING zero-order customers (the LEFT OUTER join is
+    the point — an inner join silently drops the idle tail, which is
+    usually the business question), then the histogram of those counts.
+    `count(o_orderkey)` counts non-null join matches, so a customer with
+    no orders lands in the n_orders=0 bucket in both engines.
+
+    Scale shape: customer⋈orders is one custkey-keyed shuffle (both sides
+    unbounded — un-hinted, AQE picks); the first agg rides the SAME
+    custkey partitioning (no second exchange); the histogram agg shuffles
+    ≤|distinct counts| rows with map-side partials."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey"
+    )
+    co = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+    )
+    return (
+        co.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+_Q17_BRAND = "Brand#1"
+
+
+@register(
+    "small_quantity_revenue",
+    f"""WITH bl AS (
+  SELECT l.l_partkey, {_LI_QTY_C} AS qty_c, {_LI_DISC_C} AS rev_c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = '{_Q17_BRAND}'),
+pa AS (
+  SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+         CAST(count(*) AS BIGINT) AS n FROM bl GROUP BY l_partkey),
+q AS (
+  SELECT bl.rev_c FROM bl JOIN pa USING (l_partkey)
+  WHERE 5 * bl.qty_c * pa.n < pa.sum_qty_c)
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(COALESCE(sum(rev_c), 0) AS BIGINT) AS revenue_c,
+       CAST(COALESCE(sum(rev_c), 0) // 7 AS BIGINT) AS avg_yearly_c
+FROM q""",
+)
+def small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17-shape small-quantity revenue: for one brand, the revenue
+    of lineitems whose quantity is below 20% of that part's average
+    quantity — the correlated-aggregate-subquery shape, decorrelated as
+    per-part sufficient stats joined back to the rows. The 20%-of-avg cut
+    is the integer cross-multiplication ``5·qty·n < Σqty`` (qty and Σqty
+    in exact cents), so no float average ever exists to diverge.
+
+    Scale shape: the brand filter pushes into the part scan and the
+    part⋈lineitem join prunes ~96% of lineitem rows BEFORE any agg (part
+    is un-hinted — it scales with SF; AQE broadcasts the filtered slice
+    when small); per-part stats and the join back share the l_partkey
+    partitioning; the final agg is a 1-row scalar reduce."""
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .where(F.col("p_brand") == _Q17_BRAND)
+        .select("p_partkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        F.expr(_LI_QTY_C).alias("qty_c"),
+        F.expr(_LI_DISC_C).alias("rev_c"),
+    )
+    bl = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        "l_partkey", "qty_c", "rev_c"
+    )
+    pa = bl.groupBy("l_partkey").agg(
+        F.sum("qty_c").cast("long").alias("sum_qty_c"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    q = bl.join(pa, "l_partkey").where(
+        F.lit(5) * F.col("qty_c") * F.col("n") < F.col("sum_qty_c")
+    )
+    return q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.coalesce(F.sum("rev_c"), F.lit(0)).cast("long").alias("revenue_c"),
+        F.expr("CAST(COALESCE(sum(rev_c), 0) div 7 AS BIGINT)").alias(
+            "avg_yearly_c"
+        ),
+    )
+
+
+_Q15_FROM = "TIMESTAMP '1996-01-01 00:00:00'"
+_Q15_TO = "TIMESTAMP '1996-04-01 00:00:00'"
+
+
+@register(
+    "top_supplier_revenue",
+    f"""WITH sr AS (
+  SELECT l_suppkey, CAST(sum({_LI_DISC_C}) AS BIGINT) AS revenue_c
+  FROM lineitem
+  WHERE l_shipdate >= {_Q15_FROM} AND l_shipdate < {_Q15_TO}
+  GROUP BY l_suppkey),
+mx AS (SELECT CAST(max(revenue_c) AS BIGINT) AS m FROM sr)
+SELECT s.s_suppkey, s.s_name, sr.revenue_c
+FROM sr JOIN mx ON sr.revenue_c = mx.m
+JOIN supplier s ON s.s_suppkey = sr.l_suppkey
+ORDER BY s.s_suppkey""",
+)
+def top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15-shape top supplier: per-supplier revenue over one
+    quarter, returning every supplier whose revenue EQUALS the global
+    maximum (the argmax-vs-scalar-subquery shape — ties must all
+    surface, which is why this is an equality join against a 1-row max,
+    not a LIMIT 1). Money is exact cents, so revenue ties are exact
+    integer ties in both engines.
+
+    Scale shape: the quarter filter pushes into the lineitem scan; the
+    suppkey agg combines map-side into |suppliers| rows; the 1-row max
+    broadcasts back over that agg (never a window over all suppliers —
+    an unpartitioned window would single-reduce a table that scales with
+    SF); the supplier name join is un-hinted (supplier scales)."""
+    sr = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.expr(f"l_shipdate >= {_Q15_FROM} AND l_shipdate < {_Q15_TO}"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.expr(_LI_DISC_C)).cast("long").alias("revenue_c"))
+    )
+    mx = sr.agg(F.max("revenue_c").cast("long").alias("m"))
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        sr.join(F.broadcast(mx), sr["revenue_c"] == mx["m"])
+        .join(s, sr["l_suppkey"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "revenue_c")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q8_REGION = "EUROPE"
+
+
+@register(
+    "promo_market_share_by_year",
+    f"""WITH eur AS (
+  SELECT n.n_nationkey FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{_Q8_REGION}'),
+pl AS (
+  SELECT l.l_orderkey, l.l_suppkey, {_LI_DISC_C} AS rev_c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_type = 'PROMO'),
+j AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year, pl.rev_c,
+         CASE WHEN e.n_nationkey IS NOT NULL THEN pl.rev_c ELSE 0 END AS eur_c
+  FROM pl JOIN orders o ON pl.l_orderkey = o.o_orderkey
+  JOIN supplier s ON pl.l_suppkey = s.s_suppkey
+  LEFT JOIN eur e ON s.s_nationkey = e.n_nationkey),
+y AS (
+  SELECT o_year, CAST(sum(rev_c) AS BIGINT) AS total_rev_c,
+         CAST(sum(eur_c) AS BIGINT) AS europe_rev_c
+  FROM j GROUP BY o_year)
+SELECT o_year, total_rev_c, europe_rev_c,
+       CASE WHEN total_rev_c = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((1000000 * europe_rev_c) // total_rev_c AS BIGINT)
+       END AS europe_share_q6
+FROM y ORDER BY o_year""",
+)
+def promo_market_share_by_year(spark, sf_dir):
+    """TPC-H Q8-shape market share: per order year, the fraction of
+    PROMO-part revenue supplied by suppliers from {_Q8_REGION!r} nations
+    — the five-table star join (lineitem ⋈ part ⋈ orders ⋈ supplier ⋈
+    nation⋈region) with a conditional-sum ratio. Share is the q6 integer
+    cross-multiplication; `year()` of a date-typed column agrees across
+    engines (no timezone — the events-table NTZ rule doesn't bite on
+    DATE-granularity values).
+
+    Scale shape: the p_type filter prunes into the part scan and the
+    part join drops ~83% of lineitem before the expensive orderkey join;
+    nation⋈region (≤25 rows) broadcasts as the membership flag; orders
+    and supplier joins are un-hinted key shuffles; the year agg combines
+    map-side into ≤|years| rows."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == _Q8_REGION
+    )
+    eur = n.join(r, n["n_regionkey"] == r["r_regionkey"]).select("n_nationkey")
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_orderkey", "l_suppkey", F.expr(_LI_DISC_C).alias("rev_c")
+    )
+    pl = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        "l_orderkey", "l_suppkey", "rev_c"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("o_year")
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    j = (
+        pl.join(o, pl["l_orderkey"] == o["o_orderkey"])
+        .join(s, pl["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(eur), s["s_nationkey"] == eur["n_nationkey"], "left")
+        .select(
+            "o_year",
+            "rev_c",
+            F.expr(
+                "CASE WHEN n_nationkey IS NOT NULL THEN rev_c ELSE 0 END"
+            ).alias("eur_c"),
+        )
+    )
+    y = j.groupBy("o_year").agg(
+        F.sum("rev_c").cast("long").alias("total_rev_c"),
+        F.sum("eur_c").cast("long").alias("europe_rev_c"),
+    )
+    return y.select(
+        "o_year",
+        "total_rev_c",
+        "europe_rev_c",
+        F.expr(
+            "CASE WHEN total_rev_c = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST((1000000 * europe_rev_c) div total_rev_c AS BIGINT) END"
+        ).alias("europe_share_q6"),
+    ).orderBy("o_year")
+
+
+@register(
+    "supplier_parts_exclusion",
+    """WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
+ps AS (
+  SELECT DISTINCT l.l_partkey, l.l_suppkey
+  FROM lineitem l WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM bad))
+SELECT p.p_type, CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS n_suppliers
+FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+GROUP BY p.p_type ORDER BY n_suppliers DESC, p.p_type ASC""",
+)
+def supplier_parts_exclusion(spark, sf_dir):
+    """TPC-H Q16-shape supplier count with exclusion: distinct suppliers
+    who ship each part type, EXCLUDING suppliers in a deny set (negative
+    account balance here; the reference Q16 uses a complaints predicate)
+    — the NOT-IN/anti-join + count-distinct shape. The part-supplier
+    relation is derived from lineitem (this sandbox has no partsupp
+    table), deduplicated before counting.
+
+    Scale shape: the deny set is a LEFT ANTI join (un-hinted — its size
+    is data-dependent; AQE broadcasts the usually-tiny bad list); the
+    (partkey, suppkey) DISTINCT and the part join share the l_partkey
+    shuffle; count(DISTINCT suppkey) per type expands to a two-level agg
+    with map-side partials under AQE."""
+    bad = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    ps = (
+        li.join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .distinct()
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_type"
+    )
+    return (
+        ps.join(p, ps["l_partkey"] == p["p_partkey"])
+        .groupBy("p_type")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"))
+        .orderBy(F.desc("n_suppliers"), F.asc("p_type"))
+    )
+
+
+_Q22_FROM = "TIMESTAMP '2001-01-01 00:00:00'"
+
+
+@register(
+    "idle_rich_customers",
+    f"""WITH bal AS (
+  SELECT c_custkey, c_nationkey, CAST(round(100 * c_acctbal) AS BIGINT) AS bal_c
+  FROM customer),
+ap AS (SELECT CAST(COALESCE(sum(bal_c), 0) AS BIGINT) AS s,
+              CAST(count(*) AS BIGINT) AS n FROM bal WHERE bal_c > 0),
+rich AS (SELECT b.* FROM bal b, ap WHERE b.bal_c * ap.n > ap.s),
+recent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= {_Q22_FROM}),
+idle AS (
+  SELECT r.* FROM rich r WHERE r.c_custkey NOT IN (SELECT o_custkey FROM recent))
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(bal_c) AS BIGINT) AS total_bal_c
+FROM idle GROUP BY c_nationkey ORDER BY c_nationkey""",
+)
+def idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22-shape lost-opportunity audit: customers whose balance
+    exceeds the positive-balance average but who placed no order since
+    2001, rolled up by nation — the scalar-threshold + anti-join
+    composite. The above-average cut is the integer cross-multiplication
+    ``bal·n > Σbal`` over exact cents (both sides BIGINT; negative
+    balances compare correctly because only the left side can be
+    negative), so no float average exists to diverge.
+
+    Scale shape: the positive-balance stats are a 1-row scalar broadcast
+    back over customer (map-side filter, no shuffle); the recent-buyer
+    set pushes the date filter into the orders scan and LEFT ANTI joins
+    on custkey (un-hinted — buyer count is unbounded); the nation rollup
+    combines map-side into ≤|nations| rows."""
+    bal = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("CAST(round(100 * c_acctbal) AS BIGINT)").alias("bal_c"),
+    )
+    ap = bal.where(F.col("bal_c") > 0).agg(
+        F.coalesce(F.sum("bal_c"), F.lit(0)).cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    rich = bal.crossJoin(F.broadcast(ap)).where(
+        F.col("bal_c") * F.col("n") > F.col("s")
+    )
+    recent = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.expr(f"o_orderdate >= {_Q22_FROM}"))
+        .select("o_custkey")
+        .distinct()
+    )
+    idle = rich.join(
+        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("bal_c").cast("long").alias("total_bal_c"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "lsh_triangle_count",
+    _SQL_LSH_PAIRS
+    + """,
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b FROM pairs)
+  GROUP BY v),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM pairs p1
+  JOIN pairs p2 ON p2.doc_a = p1.doc_b
+  JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+e AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs),
+w AS (SELECT CAST(COALESCE(sum(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges FROM deg)
+SELECT e.n_edges, w.n_wedges, tri.n_triangles,
+       CASE WHEN w.n_wedges = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((1000000 * 3 * tri.n_triangles) // w.n_wedges AS BIGINT)
+       END AS clustering_q6
+FROM e, w, tri""",
+)
+def lsh_triangle_count(spark, sf_dir):
+    """Triangle count + global clustering coefficient of the MinHash-LSH
+    candidate graph — the transitivity audit of a near-dup graph (high
+    clustering = dup CLUSTERS, low = chained false positives bridging
+    unrelated docs; read next to lsh_degree_histogram). Exact counts:
+    clustering_q6 = 1e6·3·triangles/wedges, wedges = Σ d(d−1)/2.
+
+    Scale shape: the classic degree-ordered orientation (MapReduce
+    node-iterator, Cohen 2009 / Suri-Vassilvitskii 2011): each undirected
+    edge is oriented low→high by (degree, id), so every vertex's
+    out-degree is bounded near sqrt(|E|) even on power-law graphs — the
+    wedge join explodes Σ outdeg(v)² candidates instead of Σ deg(v)²,
+    which is what makes a celebrity node survivable. Each triangle has
+    exactly ONE vertex with two out-edges under a total-order
+    orientation, so candidates close against the undirected edge set
+    without double counting. Reuses the memoized `_lsh_pair_edges`
+    front half; all joins are key-equi on doc ids."""
+    edges = _lsh_pair_edges(spark, sf_dir)  # symmetric, checkpointed
+    pairs = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    da = deg.select(F.col("src").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("src").alias("b"), F.col("d").alias("db"))
+    # orient each edge from the (degree, id)-smaller endpoint outward
+    wd = pairs.join(da, "a").join(db, "b")
+    out = wd.select(
+        F.when(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        )
+        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+        .alias("e")
+    ).select("e.u", "e.v")
+    e1 = out.select(F.col("u"), F.col("v").alias("x"))
+    e2 = out.select(F.col("u"), F.col("v").alias("y"))
+    cand = e1.join(e2, "u").where(F.col("x") < F.col("y")).select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    )
+    tri = cand.join(pairs, ["a", "b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    scal = deg.agg(
+        F.expr("CAST(COALESCE(sum(d) div 2, 0) AS BIGINT)").alias("n_edges"),
+        F.expr("CAST(COALESCE(sum(d * (d - 1) div 2), 0) AS BIGINT)").alias(
+            "n_wedges"
+        ),
+    )
+    return scal.crossJoin(tri).select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST((1000000 * 3 * n_triangles) div n_wedges AS BIGINT) END"
+        ).alias("clustering_q6"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -13008,6 +13446,11 @@ _FRONT = [
     "orders_late_shipment_priority", "promo_revenue_ratio", "large_orders_topk",
     "label_centroid_drift", "span_first_match", "stats_bucket_daily",
     "global_row_ids",
+    # session 40: remaining TPC-H shapes (Q13/Q17/Q15/Q8/Q16/Q22) +
+    # triangle counting on the LSH candidate graph
+    "customer_order_distribution", "small_quantity_revenue",
+    "top_supplier_revenue", "promo_market_share_by_year",
+    "supplier_parts_exclusion", "idle_rich_customers", "lsh_triangle_count",
     # session 16: gram provenance, sampler facets, nested pages,
     # query-string syntax
     "source_gram_novelty", "search_sampler_facets", "nested_pages_agg",
