@@ -13371,6 +13371,441 @@ def lsh_triangle_count(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 41 — pipeline hygiene ops: PII scrub stats, train/eval split
+# leakage, temperature epoch planning, Adamic-Adar link prediction on the
+# LSH graph, and two calendar pipeline aggs (weekday profile, lag-7 diff)
+# ---------------------------------------------------------------------------
+
+# RE2 ∩ Java-regex subset only (no backreferences, no lookaround): Spark
+# compiles these with java.util.regex, DuckDB with RE2 — a construct outside
+# the intersection silently changes semantics on one side.
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "number": r"\b[0-9]+\b",
+    "url": r"https?://[^\s]+",
+}
+
+_PII_SQL = (
+    " UNION ALL ".join(
+        f"""SELECT '{c}' AS pii_class,
+       CAST(count(*) FILTER (WHERE len(regexp_extract_all(text, '{p}')) > 0) AS BIGINT) AS n_docs_hit,
+       CAST(COALESCE(sum(len(regexp_extract_all(text, '{p}'))), 0) AS BIGINT) AS n_matches,
+       CAST(COALESCE(sum(length(text) - length(regexp_replace(text, '{p}', '', 'g'))), 0) AS BIGINT) AS chars_matched
+FROM documents"""
+        for c, p in sorted(_PII_PATTERNS.items())
+    )
+    + " ORDER BY pii_class"
+)
+
+
+@register("pii_scrub_stats", _PII_SQL)
+def pii_scrub_stats(spark, sf_dir):
+    """PII / structured-token scrub audit: per pattern class (email, ipv4,
+    url, bare number), how many docs hit, total matches, and total matched
+    characters — the before/after accounting every C4/Dolma-style scrub
+    stage reports (the redaction itself is `regexp_replace(text, pat, '')`
+    with the same patterns). The sandbox corpus is a clean word soup, so
+    all-zero rows here are the CORRECT reading; the property suite and the
+    Spark-vs-oracle pytest inject real emails/IPs/URLs to prove the
+    counters (same honesty rule as composite_skip_ratio's 0.0).
+
+    Scale shape: entirely map-side — one pass over the text column
+    computing all 12 counters as conditional sums in ONE agg, then a
+    4-row stack() unpivot (the adjacency_matrix_agg idiom; the oracle
+    UNION-ALLs per class, which is fine for DuckDB but would be four
+    corpus scans in Spark). No shuffle beyond the 1-row agg combine."""
+    d = _docs(spark, sf_dir)
+    aggs = []
+    for c, p in sorted(_PII_PATTERNS.items()):
+        m = F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(0))
+        aggs.extend(
+            [
+                F.sum((F.size(m) > 0).cast("long")).cast("long").alias(f"{c}_h"),
+                F.sum(F.size(m)).cast("long").alias(f"{c}_m"),
+                F.sum(
+                    F.length("text")
+                    - F.length(F.regexp_replace(F.col("text"), p, ""))
+                )
+                .cast("long")
+                .alias(f"{c}_c"),
+            ]
+        )
+    one = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}_h, {c}_m, {c}_c" for c in sorted(_PII_PATTERNS)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PII_PATTERNS)}, {stack_args}) "
+            "as (pii_class, n_docs_hit, n_matches, chars_matched)"
+        )
+    ).orderBy("pii_class")
+
+
+_SPLIT_DUCK = (
+    "CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))::UBIGINT::BIGINT % 100 < 98 THEN 'train' "
+    "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))::UBIGINT::BIGINT % 100 = 98 THEN 'valid' "
+    "ELSE 'test' END"
+)
+_SPLIT_SPARK = (
+    "CASE WHEN cast(conv(substring(md5(cast(doc_id as string)), 5, 4), 16, 10) as bigint) % 100 < 98 THEN 'train' "
+    "WHEN cast(conv(substring(md5(cast(doc_id as string)), 5, 4), 16, 10) as bigint) % 100 = 98 THEN 'valid' "
+    "ELSE 'test' END"
+)
+
+
+@register(
+    "split_leakage_check",
+    f"""WITH w AS ({SQL_WORDS}),
+g AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+         || ' ' || words[i+4] || ' ' || words[i+5] || ' ' || words[i+6] || ' ' || words[i+7] AS g
+  FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)
+  WHERE len(words) >= 8),
+sp AS (SELECT doc_id, {_SPLIT_DUCK} AS split FROM documents),
+gs AS (SELECT g.doc_id, g.g, sp.split FROM g JOIN sp USING (doc_id)),
+tg AS (SELECT DISTINCT g FROM gs WHERE split = 'train'),
+ev AS (
+  SELECT gs.split, gs.doc_id,
+         CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END AS leaked
+  FROM gs LEFT JOIN tg USING (g) WHERE gs.split <> 'train'),
+d AS (
+  SELECT split, doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(leaked) AS BIGINT) AS n_leaked
+  FROM ev GROUP BY split, doc_id)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_leaked > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_leaked,
+       CAST(sum(n_grams) AS BIGINT) AS n_grams,
+       CAST(sum(n_leaked) AS BIGINT) AS n_leaked_grams,
+       CASE WHEN sum(n_grams) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((1000000 * sum(n_leaked)) // sum(n_grams) AS BIGINT)
+       END AS leak_q6
+FROM d GROUP BY split ORDER BY split""",
+)
+def split_leakage_check(spark, sf_dir):
+    """Train→eval contamination audit INSIDE the pipeline's own split: for
+    each held-out split (test/valid, per the train_eval_split md5 5-8
+    coordinate), the share of its distinct 8-grams that also occur in any
+    TRAIN doc — the leakage number a dedup stage must drive to ~0 before
+    the held-out loss means anything. Docs shorter than 8 tokens carry no
+    grams and drop out of the denominator on both sides by construction.
+
+    Scale shape: the decontamination_ngram_overlap pattern with the split
+    as the eval set — the tiny (~2%) eval gram set is distinct'd and
+    semi-joined INTO the train-side gram stream first (map-side filter on
+    the huge side once AQE broadcasts the eval set), the surviving
+    leaked-gram set is distinct'd small, and the per-doc flag join is
+    small ⋈ small. The full train gram table is never distinct'd or
+    shuffled whole."""
+    w = _docs(spark, sf_dir).select("doc_id", spark_tokens("text").alias("words"))
+    g = (
+        w.where(F.size("words") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words)-8), i -> "
+                    "concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3],"
+                    " words[i+4], words[i+5], words[i+6], words[i+7]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sp = _docs(spark, sf_dir).select("doc_id", F.expr(_SPLIT_SPARK).alias("split"))
+    gs = g.join(sp, "doc_id")
+    ev = gs.where(F.col("split") != "train")
+    evset = ev.select("g").distinct()
+    # filter the huge train stream by the small eval set FIRST, then shrink
+    leaked = (
+        gs.where(F.col("split") == "train")
+        .join(evset, "g", "left_semi")
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    d = (
+        ev.join(leaked, "g", "left")
+        .groupBy("split", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_leaked"),
+        )
+    )
+    return (
+        d.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_leaked") > 0).cast("long")).cast("long").alias("n_docs_leaked"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("n_leaked").cast("long").alias("n_leaked_grams"),
+            F.expr(
+                "CASE WHEN sum(n_grams) = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST((1000000 * sum(n_leaked)) div sum(n_grams) AS BIGINT) END"
+            ).alias("leak_q6"),
+        )
+        .orderBy("split")
+    )
+
+
+_EPOCH_BUDGET = 100_000  # target training tokens for the plan
+
+
+@register(
+    "source_epoch_plan",
+    f"""WITH t AS (
+  SELECT source,
+         CAST(sum(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_tokens,
+         CAST(round(1000000 * pow(CAST(n_tokens AS DOUBLE), 0.7)) AS BIGINT) AS weight_q6
+  FROM t),
+tot AS (SELECT CAST(sum(weight_q6) AS DOUBLE) AS total_w FROM w),
+p AS (
+  SELECT source, n_tokens,
+         CASE WHEN total_w = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(round({_EPOCH_BUDGET} * weight_q6 / total_w) AS BIGINT)
+         END AS target_tokens
+  FROM w, tot)
+SELECT source, n_tokens, target_tokens,
+       CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((1000000 * target_tokens) // n_tokens AS BIGINT)
+       END AS epochs_q6
+FROM p ORDER BY source""",
+)
+def source_epoch_plan(spark, sf_dir):
+    """Training-mix epoch plan: given a token budget and the temperature-
+    flattened (T=0.7) source weights of temperature_mix_weights, how many
+    PASSES over each source the loader must schedule (epochs_q6 > 1e6 =
+    the source repeats; ≫1e6 on a small source is the over-epoching alarm
+    from the data-constrained-scaling literature). target_tokens uses the
+    same one-double-division convention as the share it derives from;
+    epochs is an exact integer cross-division of two BIGINTs.
+
+    Scale shape: identical to temperature_mix_weights — a map-side token
+    count into |sources| rows, the weight normalization over that tiny
+    table via an unpartitioned window (never a crossJoin re-derive), all
+    downstream arithmetic row-local."""
+    t = _docs(spark, sf_dir).groupBy("source").agg(
+        F.sum(F.size(spark_tokens("text"))).cast("long").alias("n_tokens")
+    )
+    w = t.select(
+        "source",
+        "n_tokens",
+        F.expr(
+            "CAST(round(1000000 * pow(CAST(n_tokens AS DOUBLE), 0.7)) AS BIGINT)"
+        ).alias("weight_q6"),
+    )
+    p = w.withColumn(
+        "total_w",
+        F.sum("weight_q6").over(Window.partitionBy()).cast("double"),
+    ).select(
+        "source",
+        "n_tokens",
+        F.expr(
+            f"CASE WHEN total_w = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(round({_EPOCH_BUDGET} * weight_q6 / total_w) AS BIGINT) END"
+        ).alias("target_tokens"),
+    )
+    return p.select(
+        "source",
+        "n_tokens",
+        "target_tokens",
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST((1000000 * target_tokens) div n_tokens AS BIGINT) END"
+        ).alias("epochs_q6"),
+    ).orderBy("source")
+
+
+# per-middle Adamic-Adar weight — q6-rounded per NODE first (libm ln is
+# 1-ulp; never sum raw doubles), then exact BIGINT sums per pair
+_AA_W = "CAST(round(1000000 / ln(CAST(d AS DOUBLE))) AS BIGINT)"
+
+
+@register(
+    "lsh_common_neighbors",
+    _SQL_LSH_PAIRS
+    + f""",
+ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       UNION ALL SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY src),
+wq AS (SELECT v, {_AA_W} AS aaw_q6 FROM deg WHERE d >= 2),
+wedge AS (
+  SELECT e1.dst AS u, e2.dst AS v, e1.src AS w
+  FROM ed e1 JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+cn AS (
+  SELECT wedge.u, wedge.v, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(wq.aaw_q6) AS BIGINT) AS aa_q6
+  FROM wedge JOIN wq ON wedge.w = wq.v GROUP BY wedge.u, wedge.v),
+fl AS (
+  SELECT cn.u, cn.v, cn.n_common, cn.aa_q6,
+         CASE WHEN p.doc_a IS NOT NULL THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS is_edge
+  FROM cn LEFT JOIN pairs p ON cn.u = p.doc_a AND cn.v = p.doc_b)
+SELECT u, v, n_common, aa_q6, is_edge FROM fl
+ORDER BY n_common DESC, aa_q6 DESC, u ASC, v ASC LIMIT 20""",
+)
+def lsh_common_neighbors(spark, sf_dir):
+    """Adamic-Adar link prediction over the LSH candidate graph: for every
+    pair at distance 2, the common-neighbor count and the AA score
+    Σ 1/ln(deg(w)) over shared neighbors w — the second-order dedup sweep
+    (two docs sharing many dup-neighbors are likely dups the banding
+    missed; is_edge=0 rows are exactly those missed candidates). Top-20 by
+    (common count, AA, ids).
+
+    Determinism: 1/ln(deg) is q6-rounded PER NODE first (the zipf_slope
+    ln rule), pair scores are exact BIGINT sums. A wedge middle always
+    has degree ≥ 2, so the weight join never drops wedges.
+
+    Scale shape: the wedge self-join fans out Σ deg(w)² rows — intrinsic
+    to exact common-neighbor counting; the group key (u, v) spreads the
+    shuffle, and a real deployment caps neighbor lists per node before
+    the join (top-R by band count), same knob as the ANN rerank band.
+    Top-20 is a TakeOrdered, never a global sort. Reuses the memoized
+    `_lsh_pair_edges` front half."""
+    edges = _lsh_pair_edges(spark, sf_dir)  # symmetric, checkpointed
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    wq = deg.where(F.col("d") >= 2).select(
+        F.col("src").alias("w"), F.expr(_AA_W).alias("aaw_q6")
+    )
+    e1 = edges.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    e2 = edges.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    wedge = e1.join(e2, "w").where(F.col("u") < F.col("v"))
+    cn = (
+        wedge.join(wq, "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("aaw_q6").cast("long").alias("aa_q6"),
+        )
+    )
+    pairs = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.lit(1).alias("e")
+    )
+    fl = cn.join(pairs, ["u", "v"], "left").select(
+        "u",
+        "v",
+        "n_common",
+        "aa_q6",
+        F.coalesce(F.col("e"), F.lit(0)).cast("long").alias("is_edge"),
+    )
+    return fl.orderBy(
+        F.desc("n_common"), F.desc("aa_q6"), F.asc("u"), F.asc("v")
+    ).limit(20)
+
+
+@register(
+    "events_weekday_profile",
+    """WITH d AS (
+  SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY dow),
+spine AS (SELECT unnest(generate_series(0, 6)) AS dow),
+f AS (SELECT spine.dow, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+      FROM spine LEFT JOIN d USING (dow)),
+tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS t FROM f)
+SELECT CAST(f.dow AS BIGINT) AS dow, f.n_events,
+       CASE WHEN tot.t = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((1000000 * f.n_events) // tot.t AS BIGINT)
+       END AS share_q6
+FROM f, tot ORDER BY dow""",
+)
+def events_weekday_profile(spark, sf_dir):
+    """Day-of-week load profile of the event stream (0 = Monday), all 7
+    days always present via a spine LEFT JOIN (the lsh_band_config_curve
+    rule — an empty weekday must emit a 0 row, not vanish). The weekday
+    is pure integer arithmetic on microsecond days (epoch day 0 was a
+    Thursday, hence the +3) — never a locale/timezone-dependent dayname()
+    that the two engines format differently.
+
+    Scale shape: map-side day math into a ≤7-group agg; the spine join
+    and share window run on 7 rows."""
+    d = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.expr(
+                "(unix_micros(cast(ts as timestamp)) div 86400000000 + 3) % 7"
+            ).alias("dow")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    spine = spark.range(7).select(F.col("id").alias("dow"))
+    f = spine.join(d, "dow", "left").select(
+        "dow", F.coalesce("n", F.lit(0)).cast("long").alias("n_events")
+    )
+    return (
+        f.withColumn("t", F.sum("n_events").over(Window.partitionBy()))
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            "n_events",
+            F.expr(
+                "CASE WHEN t = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST((1000000 * n_events) div t AS BIGINT) END"
+            ).alias("share_q6"),
+        )
+        .orderBy("dow")
+    )
+
+
+@register(
+    "events_serial_diff",
+    """WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_num, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY day_num),
+b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM d),
+spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
+f AS (SELECT spine.day_num, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+      FROM spine LEFT JOIN d USING (day_num)),
+s AS (SELECT day_num, n,
+             CAST(n - lag(n, 7) OVER (ORDER BY day_num) AS BIGINT) AS wow_diff
+      FROM f)
+SELECT CAST(day_num AS BIGINT) AS day_num, n, wow_diff
+FROM s WHERE wow_diff IS NOT NULL ORDER BY day_num""",
+)
+def events_serial_diff(spark, sf_dir):
+    """ES serial_diff pipeline aggregation at lag 7: week-over-week change
+    in daily event count — the seasonality-aware sibling of
+    events_cum_derivative (lag 1 confounds weekday effects with trend;
+    lag 7 cancels them). The calendar spine fills empty days with 0 so
+    the lag is a true 7-DAY offset, not 7-bucket (a gap would silently
+    shorten the comparison window); the first 7 spine days have no
+    comparand and drop, on both sides, by the IS NOT NULL rule.
+
+    Scale shape: the raw shuffle is the day groupBy (map-side partials);
+    spine, join, and the unpartitioned lag window all run on
+    day-granularity rows — bounded by the calendar, not the corpus (the
+    events_daily_mavg argument)."""
+    d = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+                "day_num"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    b = d.agg(
+        F.min("day_num").cast("long").alias("lo"),
+        F.max("day_num").cast("long").alias("hi"),
+    )
+    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day_num"))
+    f = spine.join(d, "day_num", "left").select(
+        "day_num", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    w = Window.orderBy("day_num")
+    s = f.select(
+        F.col("day_num").cast("long").alias("day_num"),
+        "n",
+        (F.col("n") - F.lag("n", 7).over(w)).cast("long").alias("wow_diff"),
+    )
+    return s.where(F.col("wow_diff").isNotNull()).orderBy("day_num")
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -13451,6 +13886,10 @@ _FRONT = [
     "customer_order_distribution", "small_quantity_revenue",
     "top_supplier_revenue", "promo_market_share_by_year",
     "supplier_parts_exclusion", "idle_rich_customers", "lsh_triangle_count",
+    # session 41: pipeline hygiene (PII scrub, split leakage, epoch plan,
+    # AA link prediction, weekday profile, serial diff)
+    "pii_scrub_stats", "split_leakage_check", "source_epoch_plan",
+    "lsh_common_neighbors", "events_weekday_profile", "events_serial_diff",
     # session 16: gram provenance, sampler facets, nested pages,
     # query-string syntax
     "source_gram_novelty", "search_sampler_facets", "nested_pages_agg",
