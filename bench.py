@@ -313,7 +313,24 @@ def main() -> None:
                  "event_type_lift", "shard_rebalance_cost",
                  "interevent_gap_histogram", "stratified_kfold_assign",
                  "term_drift_deciles", "source_lang_chi2",
-                 "dedup_policy_compare"]:
+                 "dedup_policy_compare",
+                 "events_markov_transitions", "ann_dim_truncation_curve",
+                 "lsh_degree_histogram", "ivf_cluster_balance",
+                 "lineitem_pricing_summary", "orders_nation_revenue",
+                 "rank_correlation_bm25_tfidf",
+                 "boosting_query", "dis_max_query", "auto_date_histogram",
+                 "dedup_threshold_curve", "quality_ablation_curve",
+                 "ann_recall_at_k_curve",
+                 "orders_late_shipment_priority", "promo_revenue_ratio",
+                 "large_orders_topk", "label_centroid_drift",
+                 "span_first_match", "stats_bucket_daily", "global_row_ids",
+                 "customer_order_distribution", "small_quantity_revenue",
+                 "top_supplier_revenue", "promo_market_share_by_year",
+                 "supplier_parts_exclusion", "idle_rich_customers",
+                 "lsh_triangle_count",
+                 "pii_scrub_stats", "split_leakage_check",
+                 "source_epoch_plan", "lsh_common_neighbors",
+                 "events_weekday_profile", "events_serial_diff"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

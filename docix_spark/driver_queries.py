@@ -13806,6 +13806,394 @@ def events_serial_diff(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 42 — ES most_fields + span_not, and the TPC-H Q19/Q7/Q2/Q11
+# shapes (disjunctive-predicate join, nation-pair matrix, per-group argmin
+# join-back, share-of-total HAVING)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "most_fields_search",
+    f"""WITH {_SQL_POS},
+fld AS (SELECT doc_id, CASE WHEN i <= 8 THEN 'title' ELSE 'body' END AS field, term FROM p),
+tf AS (SELECT doc_id, field, term, count(*) AS tf FROM fld GROUP BY doc_id, field, term),
+dl AS (SELECT doc_id, field, count(*) AS dl FROM fld GROUP BY doc_id, field),
+av AS (SELECT field, avg(dl) AS avgdl FROM dl GROUP BY field),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM fld),
+dfs AS (SELECT field, term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY field, term),
+per AS (
+  SELECT tf.doc_id,
+         ln(1.0 + ((SELECT n_docs FROM nd) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / av.avgdl)) AS s
+  FROM tf JOIN dfs USING (field, term) JOIN dl USING (doc_id, field)
+  JOIN av USING (field)
+  WHERE tf.term IN ('spark', 'hash', 'join')),
+agg AS (SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6,
+               CAST(count(*) AS BIGINT) AS nm
+        FROM per GROUP BY doc_id),
+ranked AS (SELECT doc_id, score_q6, nm,
+                  row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rank
+           FROM agg)
+SELECT doc_id, score_q6, nm, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY rank""",
+)
+def most_fields_search(spark, sf_dir):
+    """ES ``multi_match`` type=most_fields — completes the multi_match
+    family (best_fields §2.8, cross_fields, phrase, phrase_prefix): each
+    field scores the term with its OWN df and length norm and the doc
+    SUMS every field's contribution (the "same text analyzed several
+    ways" type — stemmed + exact fields reinforcing each other), where
+    cross_fields blends df and dis-maxes. nm counts matched (field, term)
+    legs, so it exceeds cross_fields' nm on multi-field hits.
+
+    Scale shape: identical pruned postings plan to cross_fields_search —
+    per-field tf/dl ride one doc_id exchange, per-(field, term) df and the
+    2-row avgdl broadcast, and the per-doc sum absorbs map-side. The
+    field-tagged table is localCheckpoint'd for its three consumers."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(spark_tokens("text")).alias("pos", "term")
+    )
+    fld = toks.select(
+        "doc_id",
+        F.when(F.col("pos") <= 7, F.lit("title")).otherwise(F.lit("body")).alias("field"),
+        "term",
+    ).localCheckpoint()
+    tf = fld.groupBy("doc_id", "field", "term").agg(F.count("*").alias("tf"))
+    dl = fld.groupBy("doc_id", "field").agg(F.count("*").alias("dl"))
+    av = dl.groupBy("field").agg(F.avg("dl").alias("avgdl"))
+    nd = fld.select("doc_id").distinct().agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    dfs = tf.groupBy("field", "term").agg(F.count("*").cast("double").alias("df"))
+    per = (
+        tf.where(F.col("term").isin(list(_TOPK_TERMS)))
+        .join(F.broadcast(dfs), ["field", "term"])
+        .join(dl, ["doc_id", "field"])
+        .join(F.broadcast(av), "field")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            (
+                F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf")
+                * 2.2
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.expr("CAST(round(sum(s) * 1000000) AS BIGINT)").alias("score_q6"),
+        F.count(F.lit(1)).cast("long").alias("nm"),
+    )
+    w = Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("doc_id", "score_q6", "nm", "rank")
+        .orderBy("rank")
+    )
+
+
+_SPAN_NOT_W = 2  # exclusion window (positions either side)
+
+
+@register(
+    "span_not_match",
+    f"""WITH w AS ({SQL_WORDS}),
+p AS (SELECT doc_id, i, words[i] AS term FROM w, unnest(generate_series(1, len(words))) AS t(i)),
+a AS (SELECT doc_id, i FROM p WHERE term = 'spark'),
+b AS (SELECT doc_id, i FROM p WHERE term = 'hash'),
+cl AS (
+  SELECT a.doc_id, a.i FROM a
+  WHERE NOT EXISTS (SELECT 1 FROM b
+                    WHERE b.doc_id = a.doc_id AND abs(b.i - a.i) <= {_SPAN_NOT_W})),
+d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_clean FROM cl GROUP BY doc_id),
+ta AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total FROM a GROUP BY doc_id)
+SELECT ta.doc_id, ta.n_total, CAST(COALESCE(d.n_clean, 0) AS BIGINT) AS n_clean
+FROM ta LEFT JOIN d USING (doc_id)
+ORDER BY n_clean DESC, ta.doc_id ASC LIMIT 20""",
+)
+def span_not_match(spark, sf_dir):
+    """ES span_not query analytics: per doc, occurrences of 'spark' NOT
+    within ±2 positions of 'hash' — the positional exclusion primitive
+    ("java but not java script"-style) the span family needs beyond
+    span_first/phrase_slop/intervals. Both engines count positions (their
+    0- vs 1-based origins cancel inside |pa − pb|); docs whose every
+    occurrence is excluded still emit with n_clean = 0 (the spine rule).
+
+    Scale shape: filter the token stream to the TWO query terms first (at
+    scale: two pruned positional-postings reads), then a doc_id-keyed
+    LEFT ANTI join with the |Δpos| ≤ w band as the join residual — the
+    intervals_unordered plan with anti semantics; both position sets are
+    query-term-sized, never corpus-sized. Top-20 is a TakeOrdered."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(spark_tokens("text")).alias("i", "term")
+    )
+    a = toks.where(F.col("term") == "spark").select("doc_id", "i")
+    b = toks.where(F.col("term") == "hash").select(
+        F.col("doc_id").alias("b_doc"), F.col("i").alias("bi")
+    )
+    cl = a.join(
+        b,
+        (a["doc_id"] == b["b_doc"])
+        & (F.abs(b["bi"] - a["i"]) <= _SPAN_NOT_W),
+        "left_anti",
+    )
+    d = cl.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_clean"))
+    ta = a.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        ta.join(d, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_total",
+            F.coalesce("n_clean", F.lit(0)).cast("long").alias("n_clean"),
+        )
+        .orderBy(F.desc("n_clean"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# Q19's disjunction over cents-rounded quantity — ONE shared string so the
+# residual predicate is bit-identical in both engines
+_Q19_PRED = (
+    "((p_brand = 'Brand#12' AND qty_c BETWEEN 100 AND 1100 AND p_size BETWEEN 1 AND 5) "
+    "OR (p_brand = 'Brand#23' AND qty_c BETWEEN 1000 AND 2000 AND p_size BETWEEN 1 AND 10) "
+    "OR (p_brand = 'Brand#3' AND qty_c BETWEEN 2000 AND 3000 AND p_size BETWEEN 1 AND 15))"
+)
+
+
+@register(
+    "disjunctive_predicate_revenue",
+    f"""WITH l AS (
+  SELECT l_partkey, {_LI_QTY_C} AS qty_c, {_LI_DISC_C} AS rev_c FROM lineitem),
+j AS (
+  SELECT l.rev_c FROM l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE {_Q19_PRED})
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(COALESCE(sum(rev_c), 0) AS BIGINT) AS revenue_c
+FROM j""",
+)
+def disjunctive_predicate_revenue(spark, sf_dir):
+    """TPC-H Q19-shape disjunctive-predicate join: revenue from lineitems
+    matching any of three (brand, quantity-range, size-range) clauses —
+    the OR-of-ANDs join every optimizer must decompose into an equi-join
+    on partkey plus a residual disjunction (a naive plan treats the OR as
+    a cross-join filter). Quantity enters the predicate as exact cents
+    via the shared `_LI_QTY_C` string.
+
+    Scale shape: Catalyst derives the brand-IN-set implied by the
+    disjunction and pushes `p_brand IN ('Brand#12','Brand#23','Brand#3')`
+    into the part scan (constraint propagation — visible as PushedFilters),
+    so the join's build side is ~12% of part before the residual runs; the
+    join stays a single partkey-keyed equi-join, the final agg a 1-row
+    scalar reduce."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        F.expr(_LI_QTY_C).alias("qty_c"),
+        F.expr(_LI_DISC_C).alias("rev_c"),
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(p, li["l_partkey"] == p["p_partkey"]).where(F.expr(_Q19_PRED))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.coalesce(F.sum("rev_c"), F.lit(0)).cast("long").alias("revenue_c"),
+    )
+
+
+_Q7_NATION_A = "NATION_2"
+_Q7_NATION_B = "NATION_7"
+
+
+@register(
+    "nation_pair_trade_volume",
+    f"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum({_LI_DISC_C}) AS BIGINT) AS revenue_c
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+WHERE (ns.n_name = '{_Q7_NATION_A}' AND nc.n_name = '{_Q7_NATION_B}')
+   OR (ns.n_name = '{_Q7_NATION_B}' AND nc.n_name = '{_Q7_NATION_A}')
+GROUP BY supp_nation, cust_nation, o_year
+ORDER BY supp_nation, cust_nation, o_year""",
+)
+def nation_pair_trade_volume(spark, sf_dir):
+    """TPC-H Q7-shape bilateral trade volume: revenue flowing between two
+    nations in both directions, by supplier-nation × customer-nation ×
+    order year — the same-dimension-joined-twice shape (nation enters
+    once through supplier, once through customer; the two roles must stay
+    distinct aliases or the optimizer dedups them wrongly).
+
+    Scale shape: both nation legs broadcast (25 rows each) and their
+    name filters CUT the supplier/customer join inputs before the big
+    joins (only ~8% of suppliers/customers survive a 2-of-25 nation
+    filter); lineitem⋈orders is the one large keyed shuffle; the
+    (2×2×years) agg combines map-side. Money cents-exact per row."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    ns = n.where(F.col("n_name").isin(_Q7_NATION_A, _Q7_NATION_B))
+    s = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(ns.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(ns.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("o_year"),
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", F.expr(_LI_DISC_C).alias("rev_c")
+    )
+    j = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", "o_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("rev_c").cast("long").alias("revenue_c"),
+        )
+        .orderBy("supp_nation", "cust_nation", "o_year")
+    )
+
+
+@register(
+    "min_cost_supplier_per_part",
+    """WITH up AS (
+  SELECT l_partkey, l_suppkey, CAST(round(100 * l_extendedprice) AS BIGINT) AS price_c
+  FROM lineitem),
+mn AS (SELECT l_partkey, CAST(min(price_c) AS BIGINT) AS min_price_c
+       FROM up GROUP BY l_partkey),
+am AS (
+  SELECT up.l_partkey, mn.min_price_c, CAST(min(up.l_suppkey) AS BIGINT) AS s_suppkey
+  FROM up JOIN mn ON up.l_partkey = mn.l_partkey AND up.price_c = mn.min_price_c
+  GROUP BY up.l_partkey, mn.min_price_c)
+SELECT am.l_partkey AS p_partkey, p.p_name, am.min_price_c, am.s_suppkey, s.s_name
+FROM am JOIN part p ON am.l_partkey = p.p_partkey
+JOIN supplier s ON am.s_suppkey = s.s_suppkey
+ORDER BY p_partkey ASC LIMIT 20""",
+)
+def min_cost_supplier_per_part(spark, sf_dir):
+    """TPC-H Q2-shape minimum-cost supplier: per part, the cheapest
+    observed price and the supplier offering it (ties broken by smallest
+    suppkey — Q2's correlated MIN subquery, decorrelated as a per-part
+    min joined back; this sandbox derives the part-supplier price list
+    from lineitem since it has no partsupp table). First 20 parts by key.
+
+    Scale shape: the min agg and the equality join back ride ONE
+    l_partkey-keyed exchange (never a per-part sort window — the
+    search_collapse rule); the tie-break min is a second map-side-combined
+    agg on the same key; part/supplier name joins attach to the 20-row
+    TakeOrdered result side after the limit pushes down."""
+    up = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr("CAST(round(100 * l_extendedprice) AS BIGINT)").alias("price_c"),
+    )
+    mn = up.groupBy("l_partkey").agg(
+        F.min("price_c").cast("long").alias("min_price_c")
+    )
+    am = (
+        up.join(
+            mn.select(
+                F.col("l_partkey").alias("m_pk"), F.col("min_price_c")
+            ),
+            (up["l_partkey"] == F.col("m_pk"))
+            & (up["price_c"] == F.col("min_price_c")),
+        )
+        .groupBy("l_partkey", "min_price_c")
+        .agg(F.min("l_suppkey").cast("long").alias("s_suppkey"))
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_name"
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("sk"), "s_name"
+    )
+    return (
+        am.join(p, am["l_partkey"] == p["p_partkey"])
+        .join(s, am["s_suppkey"] == F.col("sk"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "min_price_c",
+            "s_suppkey",
+            "s_name",
+        )
+        .orderBy(F.asc("p_partkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "part_revenue_concentration",
+    f"""WITH pr AS (
+  SELECT l_partkey, CAST(sum({_LI_DISC_C}) AS BIGINT) AS revenue_c
+  FROM lineitem GROUP BY l_partkey),
+t AS (SELECT CAST(sum(revenue_c) AS BIGINT) AS tot FROM pr)
+SELECT pr.l_partkey AS p_partkey, pr.revenue_c,
+       CAST((1000000 * pr.revenue_c) // t.tot AS BIGINT) AS share_q6
+FROM pr, t WHERE 100000 * pr.revenue_c > 65 * t.tot
+ORDER BY revenue_c DESC, p_partkey ASC LIMIT 25""",
+)
+def part_revenue_concentration(spark, sf_dir):
+    """TPC-H Q11-shape concentration screen: parts whose revenue exceeds
+    0.065% of TOTAL revenue — the group-sum-vs-global-scalar HAVING shape
+    (Q11's `having sum(...) > (select sum(...) * fraction)`). The cut is
+    RELATIVE (an integer cross-multiplication against the grand total),
+    so it means the same thing at every scale factor — an absolute cents
+    cutoff dies at scale (the sparse_cosine_pairs rule). Top-25 by
+    revenue, partkey tiebreak.
+
+    Scale shape: one l_partkey-keyed agg with map-side partials; the
+    grand total derives from the per-part sums (never a second corpus
+    pass) and broadcasts as a 1-row table; the screen is then map-side
+    and top-25 a TakeOrdered."""
+    pr = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.expr(_LI_DISC_C)).cast("long").alias("revenue_c"))
+    )
+    t = pr.agg(F.sum("revenue_c").cast("long").alias("tot"))
+    return (
+        pr.crossJoin(F.broadcast(t))
+        .where(F.lit(100_000) * F.col("revenue_c") > F.lit(65) * F.col("tot"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "revenue_c",
+            F.expr("CAST((1000000 * revenue_c) div tot AS BIGINT)").alias("share_q6"),
+        )
+        .orderBy(F.desc("revenue_c"), F.asc("p_partkey"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -13890,6 +14278,10 @@ _FRONT = [
     # AA link prediction, weekday profile, serial diff)
     "pii_scrub_stats", "split_leakage_check", "source_epoch_plan",
     "lsh_common_neighbors", "events_weekday_profile", "events_serial_diff",
+    # session 42: most_fields/span_not + TPC-H Q19/Q7/Q2/Q11 shapes
+    "most_fields_search", "span_not_match", "disjunctive_predicate_revenue",
+    "nation_pair_trade_volume", "min_cost_supplier_per_part",
+    "part_revenue_concentration",
     # session 16: gram provenance, sampler facets, nested pages,
     # query-string syntax
     "source_gram_novelty", "search_sampler_facets", "nested_pages_agg",
