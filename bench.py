@@ -330,7 +330,10 @@ def main() -> None:
                  "lsh_triangle_count",
                  "pii_scrub_stats", "split_leakage_check",
                  "source_epoch_plan", "lsh_common_neighbors",
-                 "events_weekday_profile", "events_serial_diff"]:
+                 "events_weekday_profile", "events_serial_diff",
+                 "most_fields_search", "span_not_match",
+                 "disjunctive_predicate_revenue", "nation_pair_trade_volume",
+                 "min_cost_supplier_per_part", "part_revenue_concentration"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)
