@@ -14194,6 +14194,285 @@ def part_revenue_concentration(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 43 — BM25F field-weighted scoring, Kneser-Ney bigram LM, the
+# hashing-trick collision audit, and TPC-H Q6
+# ---------------------------------------------------------------------------
+
+_Q6_FROM = "TIMESTAMP '1996-01-01 00:00:00'"
+_Q6_TO = "TIMESTAMP '1997-01-01 00:00:00'"
+# discount grid is percent-points — round(100·d) is EXACT on the 0.00-0.10 grid
+_LI_DPOINTS = "CAST(round(100 * l_discount) AS BIGINT)"
+_LI_DISCAMT_C = "CAST(round(100 * l_extendedprice * l_discount) AS BIGINT)"
+
+
+@register(
+    "forecast_revenue_change",
+    f"""SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(COALESCE(sum({_LI_DISCAMT_C}), 0) AS BIGINT) AS discount_rev_c
+FROM lineitem
+WHERE l_shipdate >= {_Q6_FROM} AND l_shipdate < {_Q6_TO}
+  AND {_LI_DPOINTS} BETWEEN 5 AND 7 AND l_quantity < 24""",
+)
+def forecast_revenue_change(spark, sf_dir):
+    """TPC-H Q6-shape forecasting query: the revenue that would be
+    recovered by eliminating 5-7% discounts on small-quantity 1996
+    shipments — the pure scan-aggregate member of the relational family
+    (no join at all; its entire cost is how much of the scan the
+    predicates eliminate). The discount band compares integer
+    percent-points (the 0.00-0.10 grid is exact under round(100·d)), the
+    discounted amount is cents-rounded per row via one shared string.
+
+    Scale shape: every predicate pushes into the parquet scan (shipdate
+    range prunes row groups via min/max stats; the ReadSchema carries 4
+    columns); the agg is a 1-row scalar reduce with map-side partials —
+    the whole query is one pipelined scan, zero exchanges beyond the
+    final combine."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.expr(
+            f"l_shipdate >= {_Q6_FROM} AND l_shipdate < {_Q6_TO} "
+            f"AND {_LI_DPOINTS} BETWEEN 5 AND 7 AND l_quantity < 24"
+        )
+    )
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.coalesce(F.sum(F.expr(_LI_DISCAMT_C)), F.lit(0))
+        .cast("long")
+        .alias("discount_rev_c"),
+    )
+
+
+# BM25F per-field constants: weight and length-norm b per field
+_BM25F_W = "CASE WHEN field = 'title' THEN 2.0 ELSE 1.0 END"
+_BM25F_B = "CASE WHEN field = 'title' THEN 0.5 ELSE 0.75 END"
+
+
+@register(
+    "bm25f_search",
+    f"""WITH {_SQL_POS},
+fld AS (SELECT doc_id, CASE WHEN i <= 8 THEN 'title' ELSE 'body' END AS field, term FROM p),
+tf AS (SELECT doc_id, field, term, count(*) AS tf FROM fld GROUP BY doc_id, field, term),
+dl AS (SELECT doc_id, field, count(*) AS dl FROM fld GROUP BY doc_id, field),
+av AS (SELECT field, avg(dl) AS avgdl FROM dl GROUP BY field),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM fld),
+ddf AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM fld WHERE term IN ('spark', 'hash', 'join') GROUP BY term),
+wtf AS (
+  SELECT tf.doc_id, tf.term,
+         sum(({_BM25F_W}) * tf.tf
+             / ((1.0 - ({_BM25F_B})) + ({_BM25F_B}) * dl.dl / av.avgdl)) AS wt
+  FROM tf JOIN dl USING (doc_id, field) JOIN av USING (field)
+  WHERE tf.term IN ('spark', 'hash', 'join')
+  GROUP BY tf.doc_id, tf.term),
+per AS (
+  SELECT wtf.doc_id,
+         ln(1.0 + ((SELECT n_docs FROM nd) - ddf.df + 0.5) / (ddf.df + 0.5))
+           * wtf.wt / (1.2 + wtf.wt) AS s
+  FROM wtf JOIN ddf USING (term)),
+agg AS (SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6,
+               CAST(count(*) AS BIGINT) AS nm
+        FROM per GROUP BY doc_id),
+ranked AS (SELECT doc_id, score_q6, nm,
+                  row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rank
+           FROM agg)
+SELECT doc_id, score_q6, nm, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY rank""",
+)
+def bm25f_search(spark, sf_dir):
+    """BM25F (Robertson/Zaragoza) — the PRINCIPLED field-weighted scoring
+    that closes the field-scoring family: best_fields dis-maxes whole
+    queries, cross_fields dis-maxes per term, most_fields sums per-field
+    scores (double-counting saturation), BM25F instead folds weighted,
+    per-field-length-normalized term frequencies into ONE pseudo-tf
+    (title w=2 b=0.5, body w=1 b=0.75) and saturates ONCE against a
+    DOCUMENT-level idf — a term stuffed into both fields cannot earn two
+    saturation curves.
+
+    Scale shape: the cross_fields postings plan plus one extra
+    (doc, term)-keyed partial agg (the weighted-tf fold, ≤|fields| rows
+    per group, absorbed map-side); doc-level df is a distinct-doc count
+    on the query terms only; everything small broadcasts."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(spark_tokens("text")).alias("pos", "term")
+    )
+    fld = toks.select(
+        "doc_id",
+        F.when(F.col("pos") <= 7, F.lit("title")).otherwise(F.lit("body")).alias("field"),
+        "term",
+    ).localCheckpoint()
+    tf = fld.groupBy("doc_id", "field", "term").agg(F.count("*").alias("tf"))
+    dl = fld.groupBy("doc_id", "field").agg(F.count("*").alias("dl"))
+    av = dl.groupBy("field").agg(F.avg("dl").alias("avgdl"))
+    nd = fld.select("doc_id").distinct().agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    ddf = (
+        fld.where(F.col("term").isin(list(_TOPK_TERMS)))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    )
+    wtf = (
+        tf.where(F.col("term").isin(list(_TOPK_TERMS)))
+        .join(dl, ["doc_id", "field"])
+        .join(F.broadcast(av), "field")
+        .groupBy("doc_id", "term")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"({_BM25F_W}) * tf / ((1.0 - ({_BM25F_B})) + ({_BM25F_B}) * dl / avgdl)"
+                )
+            ).alias("wt")
+        )
+    )
+    per = (
+        wtf.join(F.broadcast(ddf), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            (
+                F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("wt")
+                / (F.lit(1.2) + F.col("wt"))
+            ).alias("s"),
+        )
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.expr("CAST(round(sum(s) * 1000000) AS BIGINT)").alias("score_q6"),
+        F.count(F.lit(1)).cast("long").alias("nm"),
+    )
+    w = Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("doc_id", "score_q6", "nm", "rank")
+        .orderBy("rank")
+    )
+
+
+_KN_D = 0.75  # absolute-discount mass
+
+
+@register(
+    "kneser_ney_bigram",
+    f"""WITH w AS ({SQL_WORDS}),
+bg AS (SELECT words[i] AS w1, words[i+1] AS w2
+       FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
+       WHERE len(words) >= 2),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1f
+       FROM c12 GROUP BY w1),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM c12 GROUP BY w2),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS nbt FROM c12)
+SELECT c12.w1, c12.w2, c12.c12,
+       CAST(round(1000000 * ((c12.c12 - {_KN_D}) / c1.c1
+            + ({_KN_D} * c1.n1f / c1.c1) * (CAST(cont.n1b AS DOUBLE) / nb.nbt))) AS BIGINT) AS pkn_q6
+FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2), nb
+ORDER BY pkn_q6 DESC, c12.w1 ASC, c12.w2 ASC LIMIT 20""",
+)
+def kneser_ney_bigram(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram probabilities (D=0.75) — the LM the
+    n-gram-filtering literature actually uses (CCNet's perplexity filter
+    is a KN 5-gram): discounted ML estimate plus the CONTINUATION-count
+    backoff (how many distinct contexts precede w2 — 'francisco' is
+    frequent but follows only 'san', so its continuation probability is
+    tiny; a raw-unigram backoff gets this exactly wrong). Top-20 pairs.
+
+    Determinism: every component (c12, c1, N1+(w1·), N1+(·w2), |bigram
+    types|) is an exact BIGINT; the probability is ONE shared float
+    expression string over exact-integer doubles, so both engines run
+    the identical IEEE sequence. c12 ≥ 1 in the table so the max(c12−D,0)
+    clamp is vacuous and omitted.
+
+    Scale shape: one (w1,w2)-keyed agg with map-side partials (the
+    bigram-type table is vocab²-bounded, in practice Zipf-tiny); the
+    three marginal tables derive from IT, never from a second corpus
+    pass; |types| broadcasts as a 1-row table; top-20 is a TakeOrdered."""
+    w = _docs(spark, sf_dir).select(spark_tokens("text").alias("words"))
+    bg = w.where(F.size("words") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(words)-2), i -> "
+                "struct(words[i] AS w1, words[i+1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1b"))
+    nb = c12.agg(F.count(F.lit(1)).cast("long").alias("nbt"))
+    return (
+        c12.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.expr(
+                f"CAST(round(1000000 * ((c12 - {_KN_D}) / c1 "
+                f"+ ({_KN_D} * n1f / c1) * (CAST(n1b AS DOUBLE) / nbt))) AS BIGINT)"
+            ).alias("pkn_q6"),
+        )
+        .orderBy(F.desc("pkn_q6"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
+_FEAT_BUCKETS = 256
+
+
+@register(
+    "feature_hash_collisions",
+    f"""WITH w AS ({SQL_WORDS}),
+t AS (SELECT unnest(words) AS term FROM w),
+tc AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY term),
+h AS (SELECT term, n,
+             ('0x' || substr(md5(term), 1, 4))::UBIGINT::BIGINT % {_FEAT_BUCKETS} AS bucket
+      FROM tc)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(n) AS BIGINT) AS n_tokens
+FROM h GROUP BY bucket
+ORDER BY n_terms DESC, bucket ASC LIMIT 20""",
+)
+def feature_hash_collisions(spark, sf_dir):
+    """Hashing-trick collision audit: the vocabulary hashed into 256
+    feature buckets (fastText / vw-style feature hashing), reporting the
+    most-collided buckets (n_terms > 1 = distinct words sharing one
+    feature dimension) and the token mass they conflate — the curve that
+    sizes the feature table (the third knob of the routing family after
+    shard_token_balance's doc routing and shingle_size_curve's blocking
+    keys). Bucket = 16-bit md5 slice of the TERM, same hash convention as
+    every routing op.
+
+    Scale shape: term counts are one vocab-keyed agg with map-side
+    partials; hashing and the bucket rollup run over VOCAB-sized rows
+    (≤256 output groups), never token-sized; top-20 is a TakeOrdered."""
+    t = _docs(spark, sf_dir).select(
+        F.explode(spark_tokens("text")).alias("term")
+    )
+    tc = t.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    h = tc.select(
+        "n",
+        F.expr(
+            f"cast(conv(substring(md5(term), 1, 4), 16, 10) as bigint) % {_FEAT_BUCKETS}"
+        ).alias("bucket"),
+    )
+    return (
+        h.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+        .select(F.col("bucket").cast("long").alias("bucket"), "n_terms", "n_tokens")
+        .orderBy(F.desc("n_terms"), F.asc("bucket"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -14282,6 +14561,9 @@ _FRONT = [
     "most_fields_search", "span_not_match", "disjunctive_predicate_revenue",
     "nation_pair_trade_volume", "min_cost_supplier_per_part",
     "part_revenue_concentration",
+    # session 43: BM25F, Kneser-Ney LM, feature-hash audit, TPC-H Q6
+    "bm25f_search", "kneser_ney_bigram", "feature_hash_collisions",
+    "forecast_revenue_change",
     # session 16: gram provenance, sampler facets, nested pages,
     # query-string syntax
     "source_gram_novelty", "search_sampler_facets", "nested_pages_agg",
