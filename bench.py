@@ -333,7 +333,9 @@ def main() -> None:
                  "events_weekday_profile", "events_serial_diff",
                  "most_fields_search", "span_not_match",
                  "disjunctive_predicate_revenue", "nation_pair_trade_volume",
-                 "min_cost_supplier_per_part", "part_revenue_concentration"]:
+                 "min_cost_supplier_per_part", "part_revenue_concentration",
+                 "bm25f_search", "kneser_ney_bigram", "feature_hash_collisions",
+                 "forecast_revenue_change", "embedding_power_iteration"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -14473,6 +14473,137 @@ def feature_hash_collisions(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 44 — distributed power iteration (PCA-1 direction of the
+# embedding gram matrix) in exact integer arithmetic
+# ---------------------------------------------------------------------------
+
+_PI_ITERS = 3
+# shared per-stage expression strings — every float op both engines run.
+# Stage bounds (|component| < 0.6 → x ≤ 6e5 q6 units, n ≤ ~10^6 vectors):
+#   s = Σ_d x·v        ≤ 64·6e5·1e6 ≈ 3.8e13  (exact BIGINT, < 2^53 so the
+#                        /1e6 double division below is exact)
+#   u = round(s/1e6)   ≤ 3.8e7
+#   w = Σ_i x·u        ≤ n·6e5·3.8e7 — BIGINT-safe to n ≈ 4·10^5; beyond
+#                        that, raise the u divisor (the documented knob) or
+#                        pre-aggregate per shard and re-sum
+#   ws = |·| ≤ 3e8     → Σ ws² ≤ 64·9e16 ≈ 5.8e18 exact BIGINT
+# BIGINT→DOUBLE casts round-to-nearest identically in both engines, sqrt is
+# correctly rounded — each stage is ONE shared IEEE sequence.
+_PI_U = "CAST(round(s / 1000000.0) AS BIGINT)"
+_PI_WS = (
+    "CASE WHEN mx = 0 THEN CAST(0 AS BIGINT) "
+    "ELSE CAST(round(300000000 * (CAST(w AS DOUBLE) / CAST(mx AS DOUBLE))) AS BIGINT) END"
+)
+_PI_V = (
+    "CASE WHEN n2 = 0 THEN CAST(0 AS BIGINT) "
+    "ELSE CAST(round(1000000 * (CAST(ws AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)))) AS BIGINT) END"
+)
+
+
+def _poweriter_sql(iters: int = _PI_ITERS) -> str:
+    """Unrolled power-iteration CTE chain (the kcenter/pagerank unroll
+    pattern — xq and every per-iteration table AS MATERIALIZED, or DuckDB
+    re-derives the corpus scan with compounding fan-out)."""
+    parts = [
+        "WITH xq AS MATERIALIZED (",
+        "  SELECT vec_id, i - 1 AS dim, CAST(round(1000000 * v[i]) AS BIGINT) AS x",
+        "  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e,",
+        "       (SELECT unnest(generate_series(1, 64)) AS i)),",
+        "v0 AS (SELECT dim, CAST(50000 + 3000 * dim AS BIGINT) AS v\n"
+        "  FROM (SELECT unnest(generate_series(0, 63)) AS dim)),",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT xq.vec_id, CAST(sum(xq.x * vv.v) AS BIGINT) AS s\n"
+            f"  FROM xq JOIN v{t - 1} vv USING (dim) GROUP BY xq.vec_id),"
+        )
+        parts.append(
+            f"u{t} AS MATERIALIZED (SELECT vec_id, {_PI_U} AS u FROM s{t}),"
+        )
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT xq.dim, CAST(sum(xq.x * uu.u) AS BIGINT) AS w\n"
+            f"  FROM xq JOIN u{t} uu USING (vec_id) GROUP BY xq.dim),"
+        )
+        parts.append(f"m{t} AS (SELECT CAST(max(abs(w)) AS BIGINT) AS mx FROM w{t}),")
+        parts.append(
+            f"ws{t} AS MATERIALIZED (SELECT dim, {_PI_WS} AS ws FROM w{t}, m{t}),"
+        )
+        parts.append(
+            f"n{t} AS (SELECT CAST(COALESCE(sum(ws * ws), 0) AS BIGINT) AS n2 FROM ws{t}),"
+        )
+        parts.append(
+            f"v{t} AS MATERIALIZED (SELECT dim, {_PI_V} AS v FROM ws{t}, n{t}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_q6 "
+        f"FROM v{iters} ORDER BY dim"
+    )
+    return "\n".join(parts)
+
+
+@register("embedding_power_iteration", _poweriter_sql())
+def embedding_power_iteration(spark, sf_dir):
+    """Top principal direction of the (uncentered) embedding gram matrix
+    XᵀX via POWER ITERATION — distributed linear algebra as relational
+    ops: each iteration is the matvec pair s = Xv (map-side fold per
+    vector) and w = Xᵀs (ONE dim-keyed agg — the only shuffle, 64 output
+    groups with map-side partials), then a normalize over the 64-row
+    result. The PCA-1 direction feeds embedding whitening, ANN rotation,
+    and the "is one direction eating the space" anisotropy check
+    (Ethayarajh 2019) a training pipeline runs on fresh encoders. The
+    start vector varies by dimension (v₀_d = 50000 + 3000·d) — a UNIFORM
+    start is exactly orthogonal to every zero-mean direction (Σe_d = 0
+    ⇒ Xv₀ = 0, the planted-direction pytest caught it) and would return
+    all-zeros on mean-free data; a generic injective start makes exact
+    orthogonality measure-zero.
+
+    Determinism: components q6-rounded once; every sum is an exact BIGINT
+    (bounds in the _PI_* comment — the u-divisor is the documented knob
+    past ~4·10⁵ vectors); the three per-iteration float steps are shared
+    expression strings over exact or deterministically-cast doubles. Sign
+    follows the deterministic v₀ = 1/8·𝟙 start, not a random seed.
+
+    Scale shape: the q6 matrix is localCheckpoint'd once (2 passes per
+    iteration would re-read parquet otherwise); v lives as a 64-element
+    LITERAL inlined into the plan each iteration (collected 64 rows — the
+    kmeans/kcenter bounded-collect convention), so s = Xv is pure
+    map-side with no join; the normalize runs on 64-row tables."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, c -> CAST(round(1000000 * cast(c as double)) AS BIGINT))"
+        ).alias("xarr"),
+    ).localCheckpoint()
+    v = [50000 + 3000 * d for d in range(64)]
+    out = None
+    for t in range(_PI_ITERS):
+        vlit = "array(" + ",".join(f"{int(x)}L" for x in v) + ")"
+        u = e.select(
+            "xarr",
+            F.expr(
+                f"aggregate(zip_with(xarr, {vlit}, (a, b) -> a * b), 0L, (acc, z) -> acc + z)"
+            ).alias("s"),
+        ).select("xarr", F.expr(_PI_U).alias("u"))
+        wdf = (
+            u.select(F.posexplode("xarr").alias("dim", "x"), "u")
+            .groupBy("dim")
+            .agg(F.sum(F.expr("x * u")).cast("long").alias("w"))
+        )
+        m = wdf.agg(F.max(F.abs(F.col("w"))).cast("long").alias("mx"))
+        ws = wdf.crossJoin(F.broadcast(m)).select("dim", F.expr(_PI_WS).alias("ws"))
+        n2 = ws.agg(
+            F.coalesce(F.sum(F.expr("ws * ws")), F.lit(0)).cast("long").alias("n2")
+        )
+        out = ws.crossJoin(F.broadcast(n2)).select(
+            F.col("dim").cast("long").alias("dim"), F.expr(_PI_V).alias("v_q6")
+        )
+        if t < _PI_ITERS - 1:  # the last iteration returns the plan itself
+            v = [r.v_q6 for r in out.orderBy("dim").collect()]
+    return out.orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -14564,6 +14695,8 @@ _FRONT = [
     # session 43: BM25F, Kneser-Ney LM, feature-hash audit, TPC-H Q6
     "bm25f_search", "kneser_ney_bigram", "feature_hash_collisions",
     "forecast_revenue_change",
+    # session 44: PCA-1 power iteration in exact integer arithmetic
+    "embedding_power_iteration",
     # session 16: gram provenance, sampler facets, nested pages,
     # query-string syntax
     "source_gram_novelty", "search_sampler_facets", "nested_pages_agg",
