@@ -335,7 +335,9 @@ def main() -> None:
                  "disjunctive_predicate_revenue", "nation_pair_trade_volume",
                  "min_cost_supplier_per_part", "part_revenue_concentration",
                  "bm25f_search", "kneser_ney_bigram", "feature_hash_collisions",
-                 "forecast_revenue_change", "embedding_power_iteration"]:
+                 "forecast_revenue_change", "embedding_power_iteration",
+                 "dirichlet_ql_search", "product_profit_by_nation_year",
+                 "excess_share_suppliers", "sole_supplier_orders"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

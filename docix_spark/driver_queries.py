@@ -14604,6 +14604,249 @@ def embedding_power_iteration(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 45 — Dirichlet query-likelihood ranking + TPC-H Q9/Q20/Q21
+# adaptations (profit rollup, excess-share suppliers, sole-supplier orders)
+# ---------------------------------------------------------------------------
+
+_QL_MU = 2000.0  # Dirichlet pseudo-count
+
+
+@register(
+    "dirichlet_ql_search",
+    f"""WITH w AS ({SQL_WORDS}),
+t AS (SELECT doc_id, unnest(words) AS term FROM w),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS big_t FROM t),
+cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM t
+       WHERE term IN ('spark', 'hash', 'join') GROUP BY term),
+mt AS (
+  SELECT tf.doc_id, sum(ln(1.0 + (tf.tf * tot.big_t) / ({_QL_MU} * cf.cf))) AS ms,
+         CAST(count(*) AS BIGINT) AS nm
+  FROM tf JOIN cf USING (term), tot GROUP BY tf.doc_id),
+sc AS (
+  SELECT dl.doc_id,
+         CAST(round(1000000 * (COALESCE(mt.ms, 0.0)
+              + 3 * ln({_QL_MU} / (dl.dl + {_QL_MU})))) AS BIGINT) AS score_q6,
+         CAST(COALESCE(mt.nm, 0) AS BIGINT) AS nm
+  FROM dl LEFT JOIN mt USING (doc_id)),
+ranked AS (SELECT doc_id, score_q6, nm,
+                  row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rank
+           FROM sc)
+SELECT doc_id, score_q6, nm, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY rank""",
+)
+def dirichlet_ql_search(spark, sf_dir):
+    """Dirichlet-smoothed query likelihood (Zhai-Lafferty, μ=2000) — the
+    generative retrieval model next to BM25's probabilistic one, in its
+    RANK-EQUIVALENT decomposed form: score = Σ_matched ln(1 + tf·T/(μ·cf))
+    + |q|·ln(μ/(dl+μ)). The decomposition is the scale story — the naive
+    form scores every (doc, term) pair including zeros (a match_all
+    scan per query term); decomposed, the first sum runs only over
+    MATCHING postings and the second is a per-doc length prior computed
+    from the doc-stats table the index already has. Unmatched docs rank
+    by prior alone (QL is generative — every doc has nonzero likelihood),
+    so nm=0 rows are correct, not missing.
+
+    Scale shape: tf/dl/cf all derive from one token explode (tf and dl
+    share the doc_id exchange — the session-15 rule); cf is
+    query-terms-sized and broadcasts with the 1-row corpus total; the
+    final per-doc sum absorbs map-side; top-10 is a TakeOrdered."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(spark_tokens("text")).alias("term")
+    ).localCheckpoint()
+    tf = t.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    tot = t.agg(F.count(F.lit(1)).cast("long").alias("big_t"))
+    cf = (
+        t.where(F.col("term").isin(list(_TOPK_TERMS)))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )
+    mt = (
+        tf.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(f"ln(1.0 + (tf * big_t) / ({_QL_MU} * cf))")
+            ).alias("ms"),
+            F.count(F.lit(1)).cast("long").alias("nm"),
+        )
+    )
+    sc = dl.join(mt, "doc_id", "left").select(
+        "doc_id",
+        F.expr(
+            f"CAST(round(1000000 * (COALESCE(ms, 0.0) "
+            f"+ 3 * ln({_QL_MU} / (dl + {_QL_MU})))) AS BIGINT)"
+        ).alias("score_q6"),
+        F.coalesce("nm", F.lit(0)).cast("long").alias("nm"),
+    )
+    w = Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("doc_id", "score_q6", "nm", "rank")
+        .orderBy("rank")
+    )
+
+
+# synthetic unit cost: 60% of the part's retail price, in cents — the
+# 0.6·100 fold is the exact integer 60, so the per-line cost is ONE float
+# product rounded once (the Q9 adaptation for a schema without partsupp)
+_Q9_COST_C = "CAST(round(60 * l_quantity * p_retailprice) AS BIGINT)"
+
+
+@register(
+    "product_profit_by_nation_year",
+    f"""SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum({_LI_DISC_C} - {_Q9_COST_C}) AS BIGINT) AS profit_c
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY n.n_name, o_year ORDER BY n.n_name, o_year""",
+)
+def product_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9-shape profit rollup: per supplier nation and order year,
+    revenue minus cost of goods (cost synthesized as 60% of the part's
+    retail price — this schema has no partsupp; the fold 0.6·100 = 60
+    keeps the per-line cost a single rounded float product). The shape is
+    Q9's: a fact table joined to THREE dimensions plus a second fact
+    (orders) purely for the date attribute, rolled up to a tiny matrix.
+
+    Scale shape: part and supplier joins are key shuffles (both scale
+    with SF — un-hinted, AQE broadcasts the small side); nation (25 rows)
+    broadcasts; lineitem⋈orders is the big keyed shuffle; the
+    (nation, year) agg combines map-side into ≤25·|years| rows. Profit
+    summands are exact BIGINT cents differences."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_retailprice"
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("o_year")
+    )
+    j = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+    )
+    return (
+        j.groupBy("n_name", "o_year")
+        .agg(
+            F.sum(F.expr(f"{_LI_DISC_C} - {_Q9_COST_C}"))
+            .cast("long")
+            .alias("profit_c")
+        )
+        .orderBy("n_name", "o_year")
+    )
+
+
+@register(
+    "excess_share_suppliers",
+    f"""WITH sq AS (
+  SELECT l_partkey, l_suppkey, CAST(sum({_LI_QTY_C}) AS BIGINT) AS qty_c
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+pt AS (SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS total_c FROM sq GROUP BY l_partkey),
+dom AS (
+  SELECT sq.l_suppkey, CAST(count(*) AS BIGINT) AS n_parts_dominated
+  FROM sq JOIN pt USING (l_partkey)
+  WHERE 2 * sq.qty_c > pt.total_c
+  GROUP BY sq.l_suppkey)
+SELECT l_suppkey AS s_suppkey, n_parts_dominated
+FROM dom ORDER BY n_parts_dominated DESC, s_suppkey ASC LIMIT 20""",
+)
+def excess_share_suppliers(spark, sf_dir):
+    """TPC-H Q20-shape excess-share screen: suppliers who shipped MORE
+    THAN HALF of some part's total shipped quantity (Q20's
+    "quantity > 50% of the part's demand" correlated subquery,
+    decorrelated as per-(part, supplier) sums vs per-part totals — the
+    same two-level-aggregate cross-filter as small_quantity_revenue but
+    with the share on the GROUP, not the row). Top-20 by parts dominated.
+
+    Scale shape: the part total derives from the (part, supplier) sums
+    (never a second lineitem pass) and the share test joins back on
+    l_partkey — all three steps ride ONE l_partkey-keyed exchange; the
+    supplier rollup is a second small agg; integer cross-multiplication
+    for the 50% cut."""
+    sq = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.expr(_LI_QTY_C)).cast("long").alias("qty_c"))
+    )
+    pt = sq.groupBy("l_partkey").agg(
+        F.sum("qty_c").cast("long").alias("total_c")
+    )
+    dom = (
+        sq.join(pt, "l_partkey")
+        .where(F.lit(2) * F.col("qty_c") > F.col("total_c"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts_dominated"))
+    )
+    return (
+        dom.select(F.col("l_suppkey").alias("s_suppkey"), "n_parts_dominated")
+        .orderBy(F.desc("n_parts_dominated"), F.asc("s_suppkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "sole_supplier_orders",
+    """WITH po AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+         CAST(min(l_suppkey) AS BIGINT) AS the_supp
+  FROM lineitem GROUP BY l_orderkey)
+SELECT the_supp AS s_suppkey, CAST(count(*) AS BIGINT) AS n_sole_orders
+FROM po WHERE n_items >= 2 AND n_supp = 1
+GROUP BY the_supp ORDER BY n_sole_orders DESC, s_suppkey ASC LIMIT 20""",
+)
+def sole_supplier_orders(spark, sf_dir):
+    """TPC-H Q21-shape sole-supplier screen: multi-item orders fulfilled
+    entirely by ONE supplier (Q21's EXISTS another-lineitem /
+    NOT-EXISTS another-supplier pair, flattened into a per-order
+    aggregate: n_items ≥ 2 ∧ distinct suppliers = 1 — when n_supp is 1
+    the min IS that supplier, so no join back is needed). Top-20
+    suppliers by such orders.
+
+    Scale shape: one l_orderkey-keyed agg (count-distinct expands to a
+    two-level agg with map-side partials under AQE), a map-side filter,
+    and a supplier-keyed rollup; the correlated EXISTS pair never
+    materializes as joins at all."""
+    po = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.countDistinct("l_suppkey").cast("long").alias("n_supp"),
+            F.min("l_suppkey").cast("long").alias("the_supp"),
+        )
+    )
+    return (
+        po.where((F.col("n_items") >= 2) & (F.col("n_supp") == 1))
+        .groupBy("the_supp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sole_orders"))
+        .select(F.col("the_supp").alias("s_suppkey"), "n_sole_orders")
+        .orderBy(F.desc("n_sole_orders"), F.asc("s_suppkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -14697,6 +14940,9 @@ _FRONT = [
     "forecast_revenue_change",
     # session 44: PCA-1 power iteration in exact integer arithmetic
     "embedding_power_iteration",
+    # session 45: Dirichlet QL ranking + TPC-H Q9/Q20/Q21 shapes
+    "dirichlet_ql_search", "product_profit_by_nation_year",
+    "excess_share_suppliers", "sole_supplier_orders",
     # session 16: gram provenance, sampler facets, nested pages,
     # query-string syntax
     "source_gram_novelty", "search_sampler_facets", "nested_pages_agg",
