@@ -14847,6 +14847,413 @@ def sole_supplier_orders(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 46 — TPC-H Q12 (completes the 22-query relational deck), cohort
+# revenue analysis over events, two corpus-quality scores (Flesch
+# readability proxy, Yule's K lexical diversity), and binary sign-sketch
+# ANN — the 8-byte hamming-scan member of the compression family next to
+# SQ8 / PQ / IVFPQ.
+# ---------------------------------------------------------------------------
+
+_Q12_FROM = "TIMESTAMP '1996-01-01 00:00:00'"
+_Q12_TO = "TIMESTAMP '1997-01-01 00:00:00'"
+_Q12_FAST_US = 30 * 86_400_000_000  # 30 days in microseconds
+_Q12_HIGH = "('1-URGENT', '2-HIGH')"
+
+
+@register(
+    "shipmode_priority_counts",
+    f"""SELECT CASE WHEN epoch_us(l.l_shipdate) <= epoch_us(o.o_orderdate) + {_Q12_FAST_US}
+            THEN 'FAST' ELSE 'SLOW' END AS ship_bucket,
+       CAST(count(*) FILTER (o.o_orderpriority IN {_Q12_HIGH}) AS BIGINT) AS high_line_count,
+       CAST(count(*) FILTER (o.o_orderpriority NOT IN {_Q12_HIGH}) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= {_Q12_FROM} AND l.l_shipdate < {_Q12_TO}
+GROUP BY ship_bucket ORDER BY ship_bucket""",
+)
+def shipmode_priority_counts(spark, sf_dir):
+    """TPC-H Q12-shape shipping-mode priority check — the last missing
+    member of the 22-query deck (reference Q12 buckets lines by
+    l_shipmode and counts urgent-vs-other order priorities; this schema
+    has no shipmode column, so the bucket is the ship-latency class the
+    mode proxies for: FAST = shipped within 30 days of the order,
+    SLOW otherwise). The bucket predicate compares columns from BOTH
+    sides, so — like the Q4 lateness predicate — it lives above the
+    join, not below it. Dates travel as unix_micros/epoch_us BIGINTs.
+
+    Scale shape: the 1996 shipdate window pushes into the lineitem
+    parquet scan; lineitem⋈orders is one keyed shuffle (both sides
+    unbounded — un-hinted); the two conditional counts fold map-side
+    into a 2-row agg."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.expr(f"l_shipdate >= {_Q12_FROM} AND l_shipdate < {_Q12_TO}"))
+        .select(
+            "l_orderkey",
+            F.expr("unix_micros(cast(l_shipdate as timestamp))").alias("ship_us"),
+        )
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("o_date_us"),
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.expr(
+            f"CASE WHEN ship_us <= o_date_us + {_Q12_FAST_US} THEN 'FAST' ELSE 'SLOW' END"
+        ).alias("ship_bucket"),
+        F.expr(
+            f"CASE WHEN o_orderpriority IN {_Q12_HIGH} THEN 1 ELSE 0 END"
+        ).alias("is_high"),
+    )
+    return (
+        j.groupBy("ship_bucket")
+        .agg(
+            F.sum("is_high").cast("long").alias("high_line_count"),
+            F.sum(F.lit(1) - F.col("is_high")).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+# shared cents expr for the events value column (events_value_quantiles
+# convention: money becomes exact BIGINT cents per row, never a float sum)
+_EV_CENTS = "CAST(round(100 * value) AS BIGINT)"
+
+
+@register(
+    "events_cohort_revenue",
+    f"""WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 // 7 AS wk, {_EV_CENTS} AS cents
+  FROM events),
+fw AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id)
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+       CAST(ev.wk - cohort_week AS BIGINT) AS age_weeks,
+       CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS revenue_c
+FROM ev JOIN fw USING (user_id)
+GROUP BY cohort_week, age_weeks ORDER BY cohort_week, age_weeks""",
+)
+def events_cohort_revenue(spark, sf_dir):
+    """Cohort revenue matrix — the product-analytics staple next to
+    events_retention: users are cohorted by the week of their first
+    event (week = integer-µs day key div 7, the events-table date rule),
+    and every event lands in the (cohort_week, age_weeks) cell with its
+    active-user count and exact cents revenue. Both engines floor the
+    positive week arithmetic identically (Spark div truncates, DuckDB
+    // floors — equal on non-negatives; epoch weeks are positive).
+
+    Scale shape: first-seen is one user_id-keyed agg; the join back is
+    user_id-keyed too, so both ride ONE exchange; the cohort matrix agg
+    is calendar-bounded (weeks² cells), with count(DISTINCT user_id)
+    expanding to a two-level agg with map-side partials under AQE. The
+    first-seen side is unbounded (one row per user) — un-hinted, never
+    force-broadcast."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000 div 7").alias("wk"),
+        F.expr(_EV_CENTS).alias("cents"),
+    )
+    fw = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    j = e.join(fw, "user_id")
+    return (
+        j.groupBy(
+            F.col("cohort_week"),
+            (F.col("wk") - F.col("cohort_week")).alias("age_weeks"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_active"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("revenue_c"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
+# Flesch reading ease from BIGINT sufficient stats — ONE shared expression
+# string (ttest_lang_doclen convention) evaluated over exact-double-safe
+# integer sums; constants in E-NOTATION (a plain decimal literal is
+# DECIMAL in Spark SQL and diverges — the _HLL_C lesson).
+_FLESCH_Q6 = (
+    "CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT) "
+    "ELSE CAST(round(1000000 * (2.06835e2 "
+    "- 1.015e0 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) "
+    "- 8.46e1 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))) AS BIGINT) END"
+)
+
+
+@register(
+    "readability_flesch",
+    f"""WITH per AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS w,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s
+  FROM documents),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS n_words,
+         CAST(sum(s) AS BIGINT) AS n_sentences,
+         CAST(sum(y) AS BIGINT) AS n_syllables
+  FROM per GROUP BY source)
+SELECT source, n_docs, n_words, n_sentences, n_syllables,
+       {_FLESCH_Q6} AS flesch_q6
+FROM agg ORDER BY source""",
+)
+def readability_flesch(spark, sf_dir):
+    """Per-source Flesch reading-ease proxy — the classic quality score
+    (206.835 − 1.015·words/sentences − 84.6·syllables/word) with
+    deterministic regex stand-ins: words = shared-tokenizer matches,
+    syllables = vowel-group runs [aeiouy]+ (a vowel run never crosses a
+    token boundary, so counting on the raw lowered text equals the
+    per-token sum), sentences = [.!?]+ runs floored at 1 per doc (the
+    0-denominator guard; CJK text without terminal punctuation scores
+    as one sentence per doc — documented, not hidden). The formula runs
+    ONCE per source over exact BIGINT sums via one shared expr string.
+
+    Scale shape: all three counters are map-side regexp counts inside
+    codegen — no token explosion, no shuffle beyond the sources-sized
+    hash agg (tokenizer_fertility's plan, one more counter)."""
+    d = _docs(spark, sf_dir)
+    per = d.select(
+        "source",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)).alias("w"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)).alias("y"),
+        F.greatest(
+            F.lit(1), F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0))
+        ).alias("s"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("n_words"),
+            F.sum("s").cast("long").alias("n_sentences"),
+            F.sum("y").cast("long").alias("n_syllables"),
+        )
+        .select(
+            "source", "n_docs", "n_words", "n_sentences", "n_syllables",
+            F.expr(_FLESCH_Q6).alias("flesch_q6"),
+        )
+        .orderBy("source")
+    )
+
+
+# Yule's K from the tf spectrum: K = 1e4·(S2 − S1)/S1², S1 = Σtf,
+# S2 = Σtf². S1/S2 are exact BIGINTs (< 2^53 ⇒ exact doubles); the single
+# divide + round happens once in ONE shared string. At extreme scale S2
+# can pass 2^63 (a 1e12-tf term squares to 1e24) — there, fold per-term
+# contributions to double before the sum; at any tested SF it is exact.
+_YULE_Q6 = (
+    "CAST(round(1.0e10 * CAST(sum_tf2 - n_tokens AS DOUBLE) / "
+    "(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))) AS BIGINT)"
+)
+
+
+@register(
+    "yule_k_source",
+    f"""WITH t AS (SELECT source, unnest(words) AS term FROM ({SQL_WORDS})),
+tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY source, term),
+agg AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(c * c) AS BIGINT) AS sum_tf2
+  FROM tf GROUP BY source)
+SELECT source, n_tokens, n_terms, sum_tf2, {_YULE_Q6} AS yule_k_q6
+FROM agg ORDER BY source""",
+)
+def yule_k_source(spark, sf_dir):
+    """Yule's K lexical-diversity characteristic per source — the
+    length-robust repetitiveness score (K grows as token mass
+    concentrates on few types; a boilerplate-heavy crawl scores high)
+    complementing heaps_law_source's vocab-growth view. Sources whose
+    docs are all empty have no token rows and drop from the output on
+    both engines by construction.
+
+    Scale shape: one (source, term)-keyed agg off the token explode,
+    then a sources-sized rollup — S1, S2, |V| all fold map-side; the
+    K formula runs once per source on the tiny agg table."""
+    d = _docs(spark, sf_dir)
+    t = d.select("source", F.explode(spark_tokens("text")).alias("term"))
+    tf = t.groupBy("source", "term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(F.expr("c * c")).cast("long").alias("sum_tf2"),
+        )
+        .select("source", "n_tokens", "n_terms", "sum_tf2", F.expr(_YULE_Q6).alias("yule_k_q6"))
+        .orderBy("source")
+    )
+
+
+# --- binary sign-sketch ANN (hamming scan + exact rerank) -------------------
+#
+# The 64-dim embedding quantizes to ONE bit per dimension (sign), packed
+# into two BIGINT halves so neither engine's 2^63 arithmetic is touched —
+# bit weights are literal constants ≤ 2^31, the halves XOR and popcount.
+# The scan side of the band carries 16 bytes per vector instead of 256:
+# that ratio IS the operator (FAISS IndexBinaryFlat's rationale). On this
+# sandbox's i.i.d. vectors sign bits are weakly angle-correlated, so
+# band-50 recall@10 is honest-but-modest, like PQ's — the knob is R.
+
+_BH_R = 50  # hamming band width before the exact rerank
+
+
+def _bh_half_spark(base: int) -> str:
+    # Spark arrays are 0-based: dims base..base+31 -> bits 0..31
+    return " + ".join(
+        f"(CASE WHEN v[{base + i}] > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(32)
+    )
+
+
+def _bh_half_sql(base: int) -> str:
+    # DuckDB arrays are 1-based
+    return " + ".join(
+        f"(CASE WHEN v[{base + i + 1}] > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(32)
+    )
+
+
+_BH_PRELUDE = (
+    _SQL_EMB_E
+    + f"""
+codes AS (SELECT vec_id, {_bh_half_sql(0)} AS lo, {_bh_half_sql(32)} AS hi FROM e),
+qc AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM codes WHERE vec_id % 37 = 0),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 37 = 0),
+h0 AS (
+  SELECT qc.qid, c.vec_id,
+         CAST(bit_count(xor(c.lo, qc.qlo)) + bit_count(xor(c.hi, qc.qhi)) AS BIGINT) AS hamming
+  FROM codes c, qc),
+band AS (
+  SELECT qid, vec_id, hamming FROM (
+    SELECT qid, vec_id, hamming,
+           row_number() OVER (PARTITION BY qid ORDER BY hamming ASC, vec_id ASC) AS rn
+    FROM h0) WHERE rn <= {_BH_R}),
+rr0 AS (
+  SELECT band.qid, band.vec_id, band.hamming,
+         {_sql_cosq("e.v", "qs.qv", 1_000_000)} AS cos_q6
+  FROM band JOIN e ON e.vec_id = band.vec_id JOIN qs ON qs.qid = band.qid),
+rr AS (
+  SELECT qid, vec_id, hamming, cos_q6,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_q6 DESC, vec_id ASC) AS BIGINT) AS rnk
+  FROM rr0)"""
+)
+
+
+def _bh_rerank_topk(spark, sf_dir) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    codes = e.select(
+        "vec_id",
+        F.expr(_bh_half_spark(0)).alias("lo"),
+        F.expr(_bh_half_spark(32)).alias("hi"),
+    )
+    qc = codes.where(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    qs = e.where(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    wh = Window.partitionBy("qid").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    band = (
+        codes.crossJoin(F.broadcast(qc))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr("CAST(bit_count(lo ^ qlo) + bit_count(hi ^ qhi) AS BIGINT)").alias("hamming"),
+        )
+        .withColumn("rn", F.row_number().over(wh))
+        .where(F.col("rn") <= _BH_R)
+        .select("qid", "vec_id", "hamming")
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
+    return (
+        e.join(F.broadcast(band), "vec_id")
+        .join(F.broadcast(qs), "qid")
+        .select("qid", "vec_id", "hamming", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= 10)
+        .select("qid", "vec_id", "hamming", "cos_q6", "rnk")
+    )
+
+
+@register(
+    "ann_hamming_rerank",
+    _BH_PRELUDE
+    + "\nSELECT qid, vec_id, hamming, cos_q6, rnk FROM rr WHERE rnk <= 10 ORDER BY qid, rnk",
+)
+def ann_hamming_rerank(spark, sf_dir):
+    """Binary sign-sketch ANN with exact rerank (FAISS IndexBinaryFlat +
+    refine): every vector packs to a 64-bit sign code in two BIGINT
+    halves; the %37 query batch scans CODES ONLY (16 bytes/vector — a
+    16× payload cut vs the float scan) for a hamming top-R=50 band
+    with (hamming, vec_id) tiebreak, then the small band joins BACK to
+    the vector table for exact cosine top-10. Query self-hits retained
+    (hamming 0 → cos 1 → rank 1, oracle-checkable).
+
+    Scale shape: the code table is map-side arithmetic inside codegen;
+    the band scan carries no float payload and broadcasts the query
+    codes; only band rows (R·|Q|, bounded) rejoin the vectors — both
+    rerank joins broadcast the band/query side."""
+    return _bh_rerank_topk(spark, sf_dir).orderBy("qid", "rnk")
+
+
+@register(
+    "ann_hamming_recall",
+    _BH_PRELUDE
+    + """,
+ex0 AS (
+  SELECT qs.qid, e.vec_id,
+         row_number() OVER (PARTITION BY qs.qid ORDER BY
+           """
+    + _sql_cosq("e.v", "qs.qv", 1_000_000)
+    + """ DESC, e.vec_id ASC) AS rn
+  FROM qs, e),
+bexact AS (SELECT qid, vec_id FROM ex0 WHERE rn <= 10)
+SELECT qs.qid, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlap
+FROM qs LEFT JOIN (
+  SELECT r.qid, count(*) AS n
+  FROM (SELECT qid, vec_id FROM rr WHERE rnk <= 10) r JOIN bexact USING (qid, vec_id)
+  GROUP BY r.qid
+) o USING (qid) ORDER BY qs.qid""",
+)
+def ann_hamming_recall(spark, sf_dir):
+    """Per-query recall@10 of the hamming-band rerank vs the exact
+    cosine top-10 — the accuracy half of the 16×-payload trade. On
+    i.i.d. sandbox vectors sign bits carry weak angle signal, so
+    modest recall is the HONEST reading (the PQ lesson); the knob is
+    the band width _BH_R, not the measurement."""
+    bh = _bh_rerank_topk(spark, sf_dir).select("qid", "vec_id")
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    qs = e.where(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
+    exact = (
+        e.crossJoin(F.broadcast(qs))
+        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    overlap = bh.join(exact, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        qs.select("qid")
+        .join(overlap, "qid", "left")
+        .select("qid", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_overlap"))
+        .orderBy("qid")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -14904,6 +15311,10 @@ _FRONT = [
     # session 31 onward: new ops slot in BELOW the verdict-ask block — the
     # asks' done-criteria name CORRECTNESS_r04 rows, so they must never be
     # pushed past the ~50-slot sample boundary by fresher entries
+    # session 46: Q12 deck-completion, cohort revenue, quality scores,
+    # binary-hamming ANN
+    "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
+    "yule_k_source", "ann_hamming_rerank", "ann_hamming_recall",
     "hard_negative_mining", "events_value_quantiles", "event_type_lift",
     "shard_rebalance_cost", "interevent_gap_histogram", "stratified_kfold_assign",
     # below this line = beyond the ~50-slot driver sample; local-replica
