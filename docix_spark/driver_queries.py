@@ -15253,6 +15253,183 @@ def ann_hamming_recall(spark, sf_dir):
     )
 
 
+# --- full BPE trainer rounds (Sennrich) -------------------------------------
+#
+# bpe_merge_candidates is step 1 of the BPE loop; this runs the LOOP —
+# _BPE_ROUNDS greedy merges, each round = (pair-count agg → argmax pair →
+# corpus-wide merge). The merge is pure string algebra, no per-row Python:
+# a word's symbol sequence is a string with the invariant "single space at
+# both ends, double space between symbols" (' h  e  l  l  o '), so the
+# pattern ' a  b ' can only match at symbol boundaries (symbols contain no
+# spaces) and plain left-to-right non-overlapping replace() IS the BPE
+# greedy merge — including the ' a  a  a ' → ' aa  a ' leftmost rule,
+# because each flanking space is shared with the neighbor match.
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_sql() -> str:
+    """Generated oracle: _BPE_ROUNDS unrolled (pairs → argmax → merge)
+    CTE rounds. wt/b tables are multiply-referenced — AS MATERIALIZED or
+    DuckDB inlines and re-derives them with compounding fan-out (the
+    pagerank-oracle lesson)."""
+    parts = [
+        f"""WITH w AS (
+  SELECT term AS word, CAST(count(*) AS BIGINT) AS cnt FROM ({SQL_TOKS})
+  WHERE length(term) >= 2 GROUP BY term),
+wt0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS s, cnt FROM w)"""
+    ]
+    for r in range(_BPE_ROUNDS):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, cnt
+  FROM (SELECT str_split(trim(s), '  ') AS syms, cnt FROM wt{r}),
+       unnest(generate_series(1, len(syms) - 1)) AS t(i)
+  WHERE len(syms) >= 2),
+b{r} AS MATERIALIZED (
+  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pc FROM p{r} GROUP BY a, b
+  ORDER BY pc DESC, a ASC, b ASC LIMIT 1)"""
+        )
+        if r < _BPE_ROUNDS - 1:
+            parts.append(
+                f""",
+wt{r + 1} AS MATERIALIZED (
+  SELECT replace(s, ' ' || b{r}.a || '  ' || b{r}.b || ' ',
+                 ' ' || b{r}.a || b{r}.b || ' ') AS s, cnt
+  FROM wt{r}, b{r})"""
+            )
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b, pc AS pair_count FROM b{r}"
+        for r in range(_BPE_ROUNDS)
+    )
+    parts.append(f"\nSELECT * FROM ({sel}) ORDER BY merge_rank")
+    return "".join(parts)
+
+
+def _bpe_pairs_best(wt: DataFrame) -> DataFrame:
+    sy = wt.select(F.expr("split(trim(s), '  ')").alias("syms"), "cnt").where(
+        F.expr("size(syms) >= 2")  # sequence(0, negative) junk guard
+    )
+    pairs = sy.select(
+        F.expr(
+            "explode(transform(sequence(0, size(syms) - 2),"
+            " i -> struct(syms[i] AS a, syms[i + 1] AS b)))"
+        ).alias("p"),
+        "cnt",
+    ).select("p.a", "p.b", "cnt")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("cnt").cast("long").alias("pc"))
+        .orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
+        .limit(1)
+    )
+
+
+@register("bpe_train_merges", _bpe_sql())
+def bpe_train_merges(spark, sf_dir):
+    """BPE trainer, 3 greedy merge rounds (Sennrich 2016 — the loop
+    bpe_merge_candidates is one step of): per round, the max-count
+    adjacent symbol pair (count desc, pair lexicographic tiebreak) merges
+    corpus-wide via the space-anchored replace() described above. Word
+    TYPES with counts are the training set (classic BPE), so all strings
+    are vocab-bounded regardless of corpus size. An exhausted corpus
+    (fewer distinct pairs than rounds) yields fewer rows — identically in
+    both engines, since an empty argmax empties every later round.
+
+    Scale shape: the type table localCheckpoints once per round (3
+    bounded materializations, the kmeans-round pattern); each round is
+    ONE (a, b)-keyed agg off a map-side explode plus a 1-row broadcast
+    crossJoin for the merge — no driver collect, no per-row Python."""
+    t = _toks(_docs(spark, sf_dir))
+    wt = (
+        t.where(F.length("term") >= 2)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(F.expr("regexp_replace(term, '(.)', ' $1 ')").alias("s"), "cnt")
+        .localCheckpoint()
+    )
+    merges = []
+    for r in range(_BPE_ROUNDS):
+        best = _bpe_pairs_best(wt).localCheckpoint()
+        merges.append(
+            best.select(
+                F.lit(r + 1).cast("long").alias("merge_rank"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.col("pc").alias("pair_count"),
+            )
+        )
+        if r < _BPE_ROUNDS - 1:
+            wt = (
+                wt.crossJoin(F.broadcast(best))
+                .select(
+                    F.expr(
+                        "replace(s, ' ' || a || '  ' || b || ' ',"
+                        " ' ' || a || b || ' ')"
+                    ).alias("s"),
+                    "cnt",
+                )
+                .localCheckpoint()
+            )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("merge_rank")
+
+
+# --- per-source script-composition audit -------------------------------------
+#
+# Multilingual pipeline smell test: which SCRIPTS (not langs) each source
+# actually carries, as exact char counts — a lang-id disagreeing with the
+# script mix flags mislabeled docs. Classes are literal-codepoint ranges
+# (the tokenizer convention) so Java/RE2 agree byte-for-byte.
+
+_SCRIPTS = [
+    ("latin", "[a-zA-Z]"),
+    ("digit", "[0-9]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[ά-ώΆ-Ϋ]"),
+    ("cjk", "[一-鿿㐀-䶿豈-﫿]"),
+    ("kana", "[゠-ヿ぀-ゟ]"),
+]
+
+
+@register(
+    "script_mix_source",
+    f"""WITH per AS (
+  SELECT source,
+         {", ".join(f"len(regexp_extract_all(text, '{pat}')) AS {name}" for name, pat in _SCRIPTS)}
+  FROM documents)
+SELECT source,
+       {", ".join(f"CAST(sum({name}) AS BIGINT) AS n_{name}" for name, _ in _SCRIPTS)}
+FROM per GROUP BY source ORDER BY source""",
+)
+def script_mix_source(spark, sf_dir):
+    """Per-source script composition: exact character counts per Unicode
+    script class (Latin/digit/Cyrillic/Greek/CJK/kana — the tokenizer's
+    own literal ranges). The multilingual-corpus audit that catches
+    mislabeled or mixed-script sources before lang-dependent stages
+    (stopword lists, analyzers) run on them.
+
+    Scale shape: six map-side regexp counters inside codegen folded into
+    one sources-sized hash agg — the tokenizer_fertility plan widened."""
+    d = _docs(spark, sf_dir)
+    per = d.select(
+        "source",
+        *[
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias(name)
+            for name, pat in _SCRIPTS
+        ],
+    )
+    return (
+        per.groupBy("source")
+        .agg(*[F.sum(name).cast("long").alias(f"n_{name}") for name, _ in _SCRIPTS])
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
@@ -15315,6 +15492,7 @@ _FRONT = [
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
     "yule_k_source", "ann_hamming_rerank", "ann_hamming_recall",
+    "bpe_train_merges", "script_mix_source",
     "hard_negative_mining", "events_value_quantiles", "event_type_lift",
     "shard_rebalance_cost", "interevent_gap_histogram", "stratified_kfold_assign",
     # below this line = beyond the ~50-slot driver sample; local-replica

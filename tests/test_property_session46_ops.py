@@ -23,7 +23,7 @@ import pyarrow as pa
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from docix_spark.driver_queries import _BH_R, _Q12_FAST_US, REGISTRY
+from docix_spark.driver_queries import _BH_R, _BPE_ROUNDS, _Q12_FAST_US, REGISTRY
 
 _EPOCH = datetime(1970, 1, 1)
 
@@ -308,4 +308,90 @@ def test_ann_hamming_recall_matches_model(vecs):
         )
         top = {vid for _, vid in exact[:10]}
         model[qid] = len(approx & top)
+    assert got == model
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges — classic Python BPE reference (greedy left-to-right
+# merge, max-count pair with lexicographic tiebreak). Words repeat a lot
+# by construction so pair counts collide and the tiebreak is exercised.
+# ---------------------------------------------------------------------------
+
+_BPE_WORDS = ["ab", "abab", "aab", "ba", "hello", "hell", "lo", "x"]
+_bpe_doc = st.lists(st.sampled_from(_BPE_WORDS), min_size=0, max_size=15)
+_bpe_corpus = st.lists(_bpe_doc, min_size=1, max_size=8)
+
+
+def _bpe_model(word_counts: Counter) -> list[tuple]:
+    wt = [(tuple(w), c) for w, c in sorted(word_counts.items()) if len(w) >= 2]
+    merges = []
+    for r in range(_BPE_ROUNDS):
+        pc: Counter = Counter()
+        for syms, c in wt:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((r + 1, a, b, n))
+
+        def merge(syms):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return tuple(out)
+
+        wt = [(merge(s), c) for s, c in wt]
+    return merges
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_bpe_corpus)
+def test_bpe_train_merges_matches_model(docs):
+    con = _doc_con(docs)
+    got = [tuple(r) for r in con.execute(REGISTRY["bpe_train_merges"].sql).fetchall()]
+    counts = Counter(w for d in docs for w in d)
+    assert got == _bpe_model(counts)
+
+
+# ---------------------------------------------------------------------------
+# script_mix_source — regex counter model (ASCII words only exercise the
+# latin/digit counters; the class ranges themselves are the tokenizer's,
+# already parity-tested in test_tokenizer)
+# ---------------------------------------------------------------------------
+
+_MIX_WORDS = ["spark", "a1b2", "123", "x", "дом", "λόγος", "日本語", "カタカナ"]
+_mix_doc = st.lists(st.sampled_from(_MIX_WORDS), min_size=0, max_size=12)
+_mix_corpus = st.lists(_mix_doc, min_size=1, max_size=8)
+
+_SCRIPT_RES = {
+    "latin": re.compile(r"[a-zA-Z]"),
+    "digit": re.compile(r"[0-9]"),
+    "cyrillic": re.compile(r"[Ѐ-ӿ]"),
+    "greek": re.compile(r"[ά-ώΆ-Ϋ]"),
+    "cjk": re.compile(r"[一-鿿㐀-䶿豈-﫿]"),
+    "kana": re.compile(r"[゠-ヿ぀-ゟ]"),
+}
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_mix_corpus)
+def test_script_mix_matches_model(docs):
+    con = _doc_con(docs)
+    got = {r[0]: tuple(r[1:]) for r in con.execute(REGISTRY["script_mix_source"].sql).fetchall()}
+    agg: dict[str, Counter] = {}
+    for i, d in enumerate(docs):
+        text = " ".join(d)
+        c = agg.setdefault(f"src{i % 2}", Counter())
+        for name, rx in _SCRIPT_RES.items():
+            c[name] += len(rx.findall(text))
+    model = {
+        src: tuple(c[n] for n in ("latin", "digit", "cyrillic", "greek", "cjk", "kana"))
+        for src, c in agg.items()
+    }
     assert got == model
