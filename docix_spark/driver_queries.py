@@ -15430,6 +15430,280 @@ def script_mix_source(spark, sf_dir):
     )
 
 
+# --- held-out perplexity under the corpus's own unigram LM -------------------
+
+# the train/eval split reuses train_eval_split's md5 hex-5-8 coordinate
+# VERBATIM so the evaluated split is the one the pipeline actually ships
+_SPLIT_V_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))::UBIGINT::BIGINT % 100"
+_SPLIT_V_SPARK = "cast(conv(substring(md5(cast(doc_id as string)), 5, 4), 16, 10) as bigint) % 100"
+_OOV_NLP = (
+    "CAST(round(-ln(1.0 / CAST(big_t + vocab + 1 AS DOUBLE)) * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "heldout_unigram_ppl",
+    f"""WITH tf AS MATERIALIZED ({SQL_TF}),
+sp AS (SELECT doc_id, {_SPLIT_V_SQL} AS v FROM documents),
+trtf AS MATERIALIZED (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+  FROM tf JOIN sp USING (doc_id) WHERE v < 98 GROUP BY term),
+st AS MATERIALIZED (
+  SELECT CAST(COALESCE(sum(cf), 0) AS BIGINT) AS big_t,
+         CAST(count(*) AS BIGINT) AS vocab FROM trtf),
+nl AS (
+  SELECT term, CAST(round(-ln(CAST(cf + 1 AS DOUBLE)
+         / CAST(big_t + vocab + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS nlp_q6
+  FROM trtf, st),
+ev AS (SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf
+       FROM tf JOIN sp USING (doc_id) WHERE v >= 98),
+sc AS (
+  SELECT CAST(COALESCE(sum(ev.tf * COALESCE(nl.nlp_q6, {_OOV_NLP})), 0) AS BIGINT) AS nll_q6,
+         CAST(COALESCE(sum(ev.tf), 0) AS BIGINT) AS n_eval_tokens
+  FROM ev LEFT JOIN nl USING (term) CROSS JOIN st),
+ed AS (SELECT CAST(count(*) AS BIGINT) AS n_eval_docs FROM sp WHERE v >= 98)
+SELECT st.big_t AS n_train_tokens, st.vocab AS train_vocab,
+       ed.n_eval_docs, sc.n_eval_tokens, sc.nll_q6,
+       CASE WHEN sc.n_eval_tokens = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(round(1000000 * exp(CAST(sc.nll_q6 AS DOUBLE)
+                 / (1.0e6 * CAST(sc.n_eval_tokens AS DOUBLE)))) AS BIGINT) END AS ppl_q6
+FROM st, sc, ed""",
+)
+def heldout_unigram_ppl(spark, sf_dir):
+    """Held-out perplexity — the LM-eval loop run end to end inside the
+    engine: an add-1-smoothed unigram LM is TRAINED on the md5-5-8 train
+    split (train_eval_split's exact coordinate, so what's evaluated is
+    what ships) and scored on the held-out 2%. Per-TERM −ln p is
+    q6-rounded FIRST (the unigram_logprob rule), the eval NLL is an
+    exact BIGINT Σ tf·nlp_q6, and OOV terms take the add-1 floor
+    1/(T+V+1) via a 1-row broadcast. Degenerate splits stay defined:
+    an empty train side gives every eval term the OOV score; an empty
+    eval side reports ppl 0 via the 0-token guard.
+
+    Scale shape: tf materializes once and feeds both splits (the
+    three-consumer unigram_logprob lesson); the LM is the A2 dictionary
+    agg on the train side only; scoring is the postings ⋈ dictionary J1
+    join with the 1-row stats broadcast. The final exp runs once on two
+    exact integers."""
+    tf = (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
+    )
+    sp = _docs(spark, sf_dir).select("doc_id", F.expr(_SPLIT_V_SPARK).alias("v"))
+    trtf = (
+        tf.join(sp, "doc_id")
+        .where(F.col("v") < 98)
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("cf"))
+    )
+    st = trtf.agg(
+        F.coalesce(F.sum("cf"), F.lit(0)).cast("long").alias("big_t"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    nl = trtf.crossJoin(F.broadcast(st)).select(
+        "term",
+        F.expr(
+            "CAST(round(-ln(CAST(cf + 1 AS DOUBLE)"
+            " / CAST(big_t + vocab + 1 AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("nlp_q6"),
+    )
+    ev = tf.join(sp, "doc_id").where(F.col("v") >= 98).select("doc_id", "term", "tf")
+    sc = (
+        ev.join(nl, "term", "left")
+        .crossJoin(F.broadcast(st))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("tf") * F.expr(f"COALESCE(nlp_q6, {_OOV_NLP})")), F.lit(0)
+            )
+            .cast("long")
+            .alias("nll_q6"),
+            F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("n_eval_tokens"),
+        )
+    )
+    ed = sp.where(F.col("v") >= 98).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_docs")
+    )
+    return (
+        st.crossJoin(sc)
+        .crossJoin(ed)
+        .select(
+            F.col("big_t").alias("n_train_tokens"),
+            F.col("vocab").alias("train_vocab"),
+            "n_eval_docs",
+            "n_eval_tokens",
+            "nll_q6",
+            F.expr(
+                "CASE WHEN n_eval_tokens = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(round(1000000 * exp(CAST(nll_q6 AS DOUBLE)"
+                " / (1.0e6 * CAST(n_eval_tokens AS DOUBLE)))) AS BIGINT) END"
+            ).alias("ppl_q6"),
+        )
+    )
+
+
+# --- daily-count autocorrelation ---------------------------------------------
+#
+# ACF at lags 1..7 over the zero-filled day spine, from exact BIGINT
+# sufficient stats: acf_k = [N²·Sxy − N·S·(Sh+St) + n_pairs·S²]
+#                         / [N²·Sxx − N·S²]  (the ×N² clearing keeps every
+# term an exact integer; at extreme daily counts the products approach
+# 2^63 — there, divide first in doubles, the events_daily_anomaly note).
+
+_ACF_NUM = "nd * nd * sxy - nd * s * (sh + stl) + n_pairs * s * s"
+_ACF_DEN = "nd * nd * sxx - nd * s * s"
+_ACF_Q6 = (
+    f"CASE WHEN ({_ACF_DEN}) = 0 THEN CAST(0 AS BIGINT) "
+    f"ELSE CAST(round(1000000 * CAST({_ACF_NUM} AS DOUBLE) / CAST({_ACF_DEN} AS DOUBLE)) AS BIGINT) END"
+)
+
+
+@register(
+    "events_autocorrelation",
+    f"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM bounds),
+dc AS MATERIALIZED (
+  SELECT spine.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+  FROM spine LEFT JOIN (SELECT day, count(*) AS n FROM e GROUP BY day) c USING (day)),
+g AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS s,
+             CAST(sum(n * n) AS BIGINT) AS sxx FROM dc),
+ks AS (SELECT unnest(generate_series(1, 7)) AS k),
+pr AS (SELECT ks.k, a.n AS x, b.n AS y
+       FROM ks CROSS JOIN dc a JOIN dc b ON b.day = a.day + ks.k),
+pk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(x) AS BIGINT) AS sh, CAST(sum(y) AS BIGINT) AS stl
+       FROM pr GROUP BY k)
+SELECT CAST(k AS BIGINT) AS k, n_pairs, {_ACF_Q6} AS acf_q6
+FROM (SELECT ks.k, CAST(COALESCE(pk.n_pairs, 0) AS BIGINT) AS n_pairs,
+             COALESCE(pk.sxy, 0) AS sxy, COALESCE(pk.sh, 0) AS sh,
+             COALESCE(pk.stl, 0) AS stl, g.nd, g.s, g.sxx
+      FROM ks LEFT JOIN pk USING (k) CROSS JOIN g)
+ORDER BY k""",
+)
+def events_autocorrelation(spark, sf_dir):
+    """Sample autocorrelation of the daily event count at lags 1..7 —
+    the seasonality detector behind events_serial_diff's lag-7 choice
+    (a weekly cycle shows as an acf_7 spike). Zero-filled calendar
+    spine, global mean/variance and per-lag cross-products all as exact
+    BIGINT sufficient stats; the single divide happens once per lag in
+    one shared expr (a float Σ(x−μ)(y−μ) would be partial-agg-order
+    dependent). Lags longer than the observed span emit n_pairs = 0
+    rows with acf 0 — the COALESCE(...,0)-on-empty rule.
+
+    Scale shape: the spine is calendar-bounded; the per-day agg
+    combines map-side; the lag pairs come from a 7-row broadcast theta
+    fan + an equi-join on day+k over the tiny spine table."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day")
+    )
+    counts = e.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bounds = e.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(F.explode(F.expr("sequence(d0, d1)")).alias("day"))
+    dc = (
+        spine.join(counts, "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    g = dc.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.expr("n * n")).cast("long").alias("sxx"),
+    )
+    ks = spark.createDataFrame([(k,) for k in range(1, 8)], "k long")
+    a = dc.select(F.col("day").alias("da"), F.col("n").alias("x"))
+    b = dc.select(F.col("day").alias("db"), F.col("n").alias("y"))
+    pr = a.crossJoin(F.broadcast(ks)).join(b, F.expr("db = da + k"))
+    pk = pr.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+        F.sum("x").cast("long").alias("sh"),
+        F.sum("y").cast("long").alias("stl"),
+    )
+    full = (
+        spark.createDataFrame([(k,) for k in range(1, 8)], "k long")
+        .join(pk, "k", "left")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "k",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("sxy", F.lit(0)).cast("long").alias("sxy"),
+            F.coalesce("sh", F.lit(0)).cast("long").alias("sh"),
+            F.coalesce("stl", F.lit(0)).cast("long").alias("stl"),
+            "nd", "s", "sxx",
+        )
+    )
+    return full.select(
+        "k", "n_pairs", F.expr(_ACF_Q6).alias("acf_q6")
+    ).orderBy("k")
+
+
+# --- cross-source vocabulary overlap -----------------------------------------
+
+
+@register(
+    "source_vocab_overlap",
+    f"""WITH t AS (
+  SELECT DISTINCT source, term
+  FROM (SELECT source, unnest(words) AS term FROM ({SQL_WORDS}))),
+vs AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM t GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM t a JOIN t b ON a.term = b.term AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT sp.source_a, sp.source_b, sp.nv_a, sp.nv_b,
+       CAST(COALESCE(i.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST((1000000 * COALESCE(i.n_shared, 0)) // (sp.nv_a + sp.nv_b - COALESCE(i.n_shared, 0)) AS BIGINT) AS jaccard_q6
+FROM (SELECT a.source AS source_a, b.source AS source_b, a.nv AS nv_a, b.nv AS nv_b
+      FROM vs a JOIN vs b ON a.source < b.source) sp
+LEFT JOIN inter i USING (source_a, source_b)
+ORDER BY source_a, source_b""",
+)
+def source_vocab_overlap(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between sources — the corpus-level
+    similarity matrix (two crawls sharing 90% of their vocabulary are
+    near-duplicates at the SOURCE granularity — merge or dedup them
+    before the doc-level passes bother). Zero-overlap pairs still emit
+    via the source-pair spine (COALESCE rule); the Jaccard is an exact
+    integer micro-unit division.
+
+    Scale shape: the distinct (source, term) table is one exchange; the
+    intersection joins it to itself ON TERM — per-term fanout is bounded
+    by |sources|², and |sources| is small by definition, so the pair agg
+    and the spine crossJoin never grow with corpus size."""
+    d = _docs(spark, sf_dir)
+    t = (
+        d.select("source", F.explode(spark_tokens("text")).alias("term"))
+        .distinct()
+        .localCheckpoint()
+    )
+    vs = t.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    ta = t.select(F.col("source").alias("source_a"), "term")
+    tb = t.select(F.col("source").alias("source_b"), "term")
+    inter = (
+        ta.join(tb, "term")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    va = vs.select(F.col("source").alias("source_a"), F.col("nv").alias("nv_a"))
+    vb = vs.select(F.col("source").alias("source_b"), F.col("nv").alias("nv_b"))
+    spine = va.crossJoin(vb).where(F.col("source_a") < F.col("source_b"))
+    return (
+        spine.join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a", "source_b", "nv_a", "nv_b",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.expr(
+                "CAST((1000000 * COALESCE(n_shared, 0))"
+                " div (nv_a + nv_b - COALESCE(n_shared, 0)) AS BIGINT)"
+            ).alias("jaccard_q6"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
@@ -15493,6 +15767,7 @@ _FRONT = [
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
     "yule_k_source", "ann_hamming_rerank", "ann_hamming_recall",
     "bpe_train_merges", "script_mix_source",
+    "heldout_unigram_ppl", "events_autocorrelation", "source_vocab_overlap",
     "hard_negative_mining", "events_value_quantiles", "event_type_lift",
     "shard_rebalance_cost", "interevent_gap_histogram", "stratified_kfold_assign",
     # below this line = beyond the ~50-slot driver sample; local-replica

@@ -395,3 +395,102 @@ def test_script_mix_matches_model(docs):
         for src, c in agg.items()
     }
     assert got == model
+
+
+# ---------------------------------------------------------------------------
+# heldout_unigram_ppl — add-1 LM model over the md5-5-8 split
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+
+def _split_v(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[4:8], 16) % 100
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_heldout_unigram_ppl_matches_model(docs):
+    con = _doc_con(docs)
+    got = con.execute(REGISTRY["heldout_unigram_ppl"].sql).fetchall()
+    assert len(got) == 1
+    train: Counter = Counter()
+    nll, n_ev_tok, n_ev_docs = 0, 0, 0
+    toks = [_TOK_ASCII.findall(" ".join(d).lower()) for d in docs]
+    for i, t in enumerate(toks):
+        if _split_v(i) < 98:
+            train.update(t)
+    big_t, vocab = sum(train.values()), len(train)
+    denom = float(big_t + vocab + 1)
+    nlp = {w: _round_away(-math.log((c + 1) / denom) * 1e6) for w, c in train.items()}
+    oov = _round_away(-math.log(1.0 / denom) * 1e6)
+    for i, t in enumerate(toks):
+        if _split_v(i) >= 98:
+            n_ev_docs += 1
+            for w in t:
+                nll += nlp.get(w, oov)
+                n_ev_tok += 1
+    ppl = 0 if n_ev_tok == 0 else _round_away(1e6 * math.exp(nll / (1e6 * n_ev_tok)))
+    assert got[0] == (big_t, vocab, n_ev_docs, n_ev_tok, nll, ppl)
+
+
+# ---------------------------------------------------------------------------
+# events_autocorrelation — exact sufficient-stats model on the day spine
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(days=st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=40))
+def test_events_autocorrelation_matches_model(days):
+    base = datetime(2024, 1, 1)
+    edf = pd.DataFrame(
+        {
+            "ts": pd.Series([base + timedelta(days=d) for d in days], dtype="datetime64[us]"),
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", edf)
+    got = [tuple(r) for r in con.execute(REGISTRY["events_autocorrelation"].sql).fetchall()]
+
+    dnum = [_us(base + timedelta(days=d)) // 86_400_000_000 for d in days]
+    d0, d1 = min(dnum), max(dnum)
+    counts = Counter(dnum)
+    xs = [counts.get(d, 0) for d in range(d0, d1 + 1)]
+    nd, s, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+    model = []
+    for k in range(1, 8):
+        pairs = [(xs[i], xs[i + k]) for i in range(nd - k)] if nd > k else []
+        npr = len(pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sh = sum(x for x, _ in pairs)
+        stl = sum(y for _, y in pairs)
+        den = nd * nd * sxx - nd * s * s
+        num = nd * nd * sxy - nd * s * (sh + stl) + npr * s * s
+        acf = 0 if den == 0 else _round_away(1e6 * float(num) / float(den))
+        model.append((k, npr, acf))
+    assert got == model
+
+
+# ---------------------------------------------------------------------------
+# source_vocab_overlap — set model with the zero-overlap spine
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_source_vocab_overlap_matches_model(docs):
+    con = _doc_con(docs)
+    got = [tuple(r) for r in con.execute(REGISTRY["source_vocab_overlap"].sql).fetchall()]
+    vocab: dict[str, set] = {}
+    for i, d in enumerate(docs):
+        vocab.setdefault(f"src{i % 2}", set()).update(
+            _TOK_ASCII.findall(" ".join(d).lower())
+        )
+    srcs = sorted(s for s, v in vocab.items() if v)  # empty-vocab sources drop
+    model = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(vocab[a] & vocab[b])
+            na, nb = len(vocab[a]), len(vocab[b])
+            model.append((a, b, na, nb, inter, (1_000_000 * inter) // (na + nb - inter)))
+    assert got == model
