@@ -15704,6 +15704,248 @@ def source_vocab_overlap(spark, sf_dir):
     )
 
 
+# --- bloom sizing curve (the decontamination_bloom tuning diagnostic) --------
+
+_BLOOM_MS = (4096, 16384, 65536)
+
+
+@register(
+    "bloom_fpr_curve",
+    f"""WITH w AS ({SQL_WORDS}),
+g AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+         || ' ' || words[i+4] || ' ' || words[i+5] || ' ' || words[i+6] || ' ' || words[i+7] AS g
+  FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)
+  WHERE len(words) >= 8),
+ev AS MATERIALIZED (SELECT DISTINCT g FROM g WHERE doc_id % 29 = 0),
+trg AS MATERIALIZED (SELECT DISTINCT g FROM g WHERE doc_id % 29 <> 0),
+ms AS (SELECT unnest([{", ".join(str(m) for m in _BLOOM_MS)}]) AS m),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+evpos AS MATERIALIZED (
+  SELECT DISTINCT m, ('0x' || substr(md5(g), 1 + 4 * j, 4))::UBIGINT::BIGINT % m AS pos
+  FROM ev, js, ms),
+fill AS (SELECT m, CAST(count(*) AS BIGINT) AS n_set_positions FROM evpos GROUP BY m),
+cand AS (
+  SELECT tp.m, CAST(count(*) AS BIGINT) AS n_candidates FROM (
+    SELECT m, g FROM (
+      SELECT ms.m, trg.g,
+             ('0x' || substr(md5(trg.g), 1 + 4 * js.j, 4))::UBIGINT::BIGINT % ms.m AS pos, js.j
+      FROM trg, js, ms) tj
+    JOIN evpos USING (m, pos)
+    GROUP BY m, g HAVING count(DISTINCT j) = 4) tp
+  GROUP BY tp.m),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         CAST(count(*) FILTER (g IN (SELECT g FROM ev)) AS BIGINT) AS n_exact
+  FROM trg)
+SELECT CAST(ms.m AS BIGINT) AS m,
+       CAST(COALESCE(f.n_set_positions, 0) AS BIGINT) AS n_set_positions,
+       s.n_probes, s.n_exact,
+       CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(c.n_candidates, 0) - s.n_exact AS BIGINT) AS n_false_pos,
+       CASE WHEN s.n_probes - s.n_exact = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((1000000 * (COALESCE(c.n_candidates, 0) - s.n_exact))
+                 // (s.n_probes - s.n_exact) AS BIGINT) END AS fpr_q6
+FROM ms LEFT JOIN cand c USING (m) LEFT JOIN fill f USING (m) CROSS JOIN stats s
+ORDER BY m""",
+)
+def bloom_fpr_curve(spark, sf_dir):
+    """Bloom-filter sizing curve — decontamination_bloom's tuning
+    diagnostic (the third member of the prefilter-tuning family next to
+    lsh_band_config_curve and shingle_size_curve): the SAME k=4 md5-slice
+    construction evaluated at m = 4096/16384/65536 positions, reporting
+    fill, candidate count, and the measured false-positive rate against
+    exact membership (candidates minus true members over non-member
+    probes). Bloom filters have no false negatives, so n_candidates ≥
+    n_exact at every m and FPR falls monotonically with m — both facts
+    property-tested.
+
+    Scale shape: probes are DISTINCT training grams (corpus-sized but
+    deduplicated map-side); the position table stays ≤ m rows per size
+    and broadcasts; the 4-of-4 check is one (m, g)-keyed agg; everything
+    downstream is 3 rows."""
+    docs = _docs(spark, sf_dir)
+    w = docs.select("doc_id", spark_tokens("text").alias("words"))
+    grams = (
+        w.where(F.size("words") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words)-8), i -> "
+                    "concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3],"
+                    " words[i+4], words[i+5], words[i+6], words[i+7]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    ev = grams.where(F.col("doc_id") % 29 == 0).select("g").distinct().localCheckpoint()
+    trg = grams.where(F.col("doc_id") % 29 != 0).select("g").distinct().localCheckpoint()
+    ms = spark.createDataFrame([(m,) for m in _BLOOM_MS], "m long")
+    js = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
+    pos = F.expr(
+        "cast(conv(substring(md5(g), 1 + 4 * j, 4), 16, 10) as bigint) % m"
+    ).alias("pos")
+    evpos = (
+        ev.select("g", js).crossJoin(F.broadcast(ms)).select("m", pos).distinct()
+        .localCheckpoint()
+    )
+    fill = evpos.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("n_set_positions"))
+    tj = trg.select("g", js).crossJoin(F.broadcast(ms)).select("m", "g", "j", pos)
+    cand = (
+        tj.join(F.broadcast(evpos), ["m", "pos"])
+        .groupBy("m", "g")
+        .agg(F.countDistinct("j").alias("nj"))
+        .where(F.col("nj") == 4)
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    )
+    stats = trg.join(ev.withColumn("hit", F.lit(1)), "g", "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_exact"),
+    )
+    return (
+        ms.join(cand, "m", "left")
+        .join(fill, "m", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "m",
+            F.coalesce("n_set_positions", F.lit(0)).cast("long").alias("n_set_positions"),
+            "n_probes",
+            "n_exact",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            (F.coalesce("n_candidates", F.lit(0)) - F.col("n_exact"))
+            .cast("long")
+            .alias("n_false_pos"),
+            F.expr(
+                "CASE WHEN n_probes - n_exact = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST((1000000 * (COALESCE(n_candidates, 0) - n_exact))"
+                " div (n_probes - n_exact) AS BIGINT) END"
+            ).alias("fpr_q6"),
+        )
+        .orderBy("m")
+    )
+
+
+# --- context-length truncation loss -------------------------------------------
+
+_TRUNC_LS = (128, 512, 2048)
+
+
+@register(
+    "truncation_loss_curve",
+    f"""WITH dl AS (
+  SELECT source, len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS n_tok
+  FROM documents),
+ls AS (SELECT unnest([{", ".join(str(x) for x in _TRUNC_LS)}]) AS max_len)
+SELECT source, CAST(max_len AS BIGINT) AS max_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (n_tok > max_len) AS BIGINT) AS n_truncated,
+       CAST(sum(least(n_tok, max_len)) AS BIGINT) AS tokens_kept,
+       CAST(sum(greatest(n_tok - max_len, 0)) AS BIGINT) AS tokens_lost,
+       CASE WHEN sum(n_tok) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((1000000 * CAST(sum(greatest(n_tok - max_len, 0)) AS BIGINT))
+                 // CAST(sum(n_tok) AS BIGINT) AS BIGINT) END AS loss_share_q6
+FROM dl, ls GROUP BY source, max_len ORDER BY source, max_len""",
+)
+def truncation_loss_curve(spark, sf_dir):
+    """Context-length truncation loss per source at max_len 128/512/2048
+    — the budget curve behind choosing a sequence length (vs paying for
+    sliding_window_chunks): docs over the limit, tokens kept, tokens
+    lost, and the lost share in exact micro-units. The doc length is the
+    map-side tokenizer counter (no explode); the 3-limit fan is a
+    broadcast of 3 rows.
+
+    Scale shape: one corpus scan, one (source, max_len) agg with
+    map-side combine into |sources|·3 rows."""
+    d = _docs(spark, sf_dir)
+    dl = d.select(
+        "source",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    ls = spark.createDataFrame([(x,) for x in _TRUNC_LS], "max_len long")
+    return (
+        dl.crossJoin(F.broadcast(ls))
+        .groupBy("source", "max_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.expr("CASE WHEN n_tok > max_len THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_truncated"),
+            F.sum(F.expr("least(n_tok, max_len)")).cast("long").alias("tokens_kept"),
+            F.sum(F.expr("greatest(n_tok - max_len, 0)")).cast("long").alias("tokens_lost"),
+            F.sum("n_tok").cast("long").alias("tt"),
+        )
+        .select(
+            "source", "max_len", "n_docs", "n_truncated", "tokens_kept", "tokens_lost",
+            F.expr(
+                "CASE WHEN tt = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST((1000000 * tokens_lost) div tt AS BIGINT) END"
+            ).alias("loss_share_q6"),
+        )
+        .orderBy("source", "max_len")
+    )
+
+
+# --- per-source boilerplate trigrams ------------------------------------------
+
+
+@register(
+    "boilerplate_trigram_topk",
+    f"""WITH w AS ({SQL_WORDS}),
+g AS (
+  SELECT source, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS g
+  FROM w, unnest(generate_series(1, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 3),
+c AS (SELECT source, g, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY source, g),
+r AS (SELECT source, g, cnt,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, g ASC) AS BIGINT) AS rn
+      FROM c)
+SELECT source, g, cnt, rn FROM r WHERE rn <= 5 ORDER BY source, rn""",
+)
+def boilerplate_trigram_topk(spark, sf_dir):
+    """Top-5 word trigrams per source — the C4-style boilerplate detector
+    (navigation chrome, cookie banners and license headers surface as
+    implausibly frequent trigrams long before doc-level dedup sees them).
+    Counting is the salted two-phase aggregation (top_terms_per_source's
+    skew rule: a hot (source, gram) cell spreads over N_SALT reducers
+    before the re-sum); the window ranks the pre-aggregated
+    gram-vocabulary rows only.
+
+    Scale shape: map-side gram explode → (source, g, salt) partial agg →
+    (source, g) re-sum → per-source window over vocabulary-bounded rows;
+    5 rows per source survive."""
+    N_SALT = 16
+    w = _docs(spark, sf_dir).select(
+        "doc_id", "source", spark_tokens("text").alias("words")
+    )
+    g = (
+        w.where(F.size("words") >= 3)
+        .select(
+            "source",
+            (F.abs(F.xxhash64("doc_id")) % N_SALT).alias("salt"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words)-3),"
+                    " i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"
+                )
+            ).alias("g"),
+        )
+    )
+    partial = g.groupBy("source", "g", "salt").agg(F.count(F.lit(1)).alias("pcnt"))
+    c = partial.groupBy("source", "g").agg(F.sum("pcnt").cast("long").alias("cnt"))
+    win = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("g"))
+    return (
+        c.withColumn("rn", F.row_number().over(win).cast("long"))
+        .where(F.col("rn") <= 5)
+        .orderBy("source", "rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
@@ -15768,6 +16010,7 @@ _FRONT = [
     "yule_k_source", "ann_hamming_rerank", "ann_hamming_recall",
     "bpe_train_merges", "script_mix_source",
     "heldout_unigram_ppl", "events_autocorrelation", "source_vocab_overlap",
+    "bloom_fpr_curve", "truncation_loss_curve", "boilerplate_trigram_topk",
     "hard_negative_mining", "events_value_quantiles", "event_type_lift",
     "shard_rebalance_cost", "interevent_gap_histogram", "stratified_kfold_assign",
     # below this line = beyond the ~50-slot driver sample; local-replica

@@ -494,3 +494,112 @@ def test_source_vocab_overlap_matches_model(docs):
             na, nb = len(vocab[a]), len(vocab[b])
             model.append((a, b, na, nb, inter, (1_000_000 * inter) // (na + nb - inter)))
     assert got == model
+
+
+# ---------------------------------------------------------------------------
+# bloom_fpr_curve — exact md5-slice model + no-false-negatives / monotone-m
+# invariants
+# ---------------------------------------------------------------------------
+
+from docix_spark.driver_queries import _BLOOM_MS, _TRUNC_LS
+
+_BLOOM_WORDS = ["a", "b", "c", "d"]
+_bloom_doc = st.lists(st.sampled_from(_BLOOM_WORDS), min_size=0, max_size=24)
+_bloom_corpus = st.lists(_bloom_doc, min_size=1, max_size=12)
+
+
+def _grams8(tokens):
+    return {
+        " ".join(tokens[i : i + 8]) for i in range(len(tokens) - 7)
+    } if len(tokens) >= 8 else set()
+
+
+@settings(max_examples=30, deadline=None)
+@given(docs=_bloom_corpus)
+def test_bloom_fpr_curve_matches_model(docs):
+    con = _doc_con(docs)
+    got = [tuple(r) for r in con.execute(REGISTRY["bloom_fpr_curve"].sql).fetchall()]
+    toks = [_TOK_ASCII.findall(" ".join(d).lower()) for d in docs]
+    ev, trg = set(), set()
+    for i, t in enumerate(toks):
+        (ev if i % 29 == 0 else trg).update(_grams8(t))
+
+    def slices(g):
+        h = hashlib.md5(g.encode()).hexdigest()
+        return [int(h[4 * j : 4 * j + 4], 16) for j in range(4)]
+
+    model = []
+    prev_cand = None
+    for m in _BLOOM_MS:
+        # membership is position-set only (j-agnostic set bits, like a
+        # real bloom filter)
+        posset = {s % m for g in ev for s in slices(g)}
+        npos = len(posset)
+        cand = sum(1 for g in trg if all(s % m in posset for s in slices(g)))
+        nex = len(trg & ev)
+        fp = cand - nex
+        fpr = 0 if len(trg) - nex == 0 else (1_000_000 * fp) // (len(trg) - nex)
+        model.append((m, npos, len(trg), nex, cand, fp, fpr))
+        # invariants: no false negatives; candidates shrink as m grows
+        assert cand >= nex
+        if prev_cand is not None:
+            assert cand <= prev_cand
+        prev_cand = cand
+    assert got == model
+
+
+# ---------------------------------------------------------------------------
+# truncation_loss_curve — exact min/max model
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_truncation_loss_matches_model(docs):
+    con = _doc_con(docs)
+    got = [tuple(r) for r in con.execute(REGISTRY["truncation_loss_curve"].sql).fetchall()]
+    lens: dict[str, list[int]] = {}
+    for i, d in enumerate(docs):
+        lens.setdefault(f"src{i % 2}", []).append(
+            len(_TOK_ASCII.findall(" ".join(d).lower()))
+        )
+    model = []
+    for src in sorted(lens):
+        for L in _TRUNC_LS:
+            xs = lens[src]
+            tot = sum(xs)
+            lost = sum(max(x - L, 0) for x in xs)
+            model.append(
+                (
+                    src, L, len(xs),
+                    sum(1 for x in xs if x > L),
+                    sum(min(x, L) for x in xs),
+                    lost,
+                    0 if tot == 0 else (1_000_000 * lost) // tot,
+                )
+            )
+    assert got == model
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_trigram_topk — Counter model with (cnt desc, gram asc) tiebreak
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs=_corpus)
+def test_boilerplate_trigram_topk_matches_model(docs):
+    con = _doc_con(docs)
+    got = [tuple(r) for r in con.execute(REGISTRY["boilerplate_trigram_topk"].sql).fetchall()]
+    cnt: dict[str, Counter] = {}
+    for i, d in enumerate(docs):
+        t = _TOK_ASCII.findall(" ".join(d).lower())
+        c = cnt.setdefault(f"src{i % 2}", Counter())
+        for j in range(len(t) - 2):
+            c[" ".join(t[j : j + 3])] += 1
+    model = []
+    for src in sorted(cnt):
+        ranked = sorted(cnt[src].items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        for rn, (g, n) in enumerate(ranked, start=1):
+            model.append((src, g, n, rn))
+    assert got == model
