@@ -15947,6 +15947,272 @@ def boilerplate_trigram_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 47 — nonparametric two-sample inference (KS / Mann-Whitney) and
+# pairwise source-LM Jensen-Shannon divergence
+# ---------------------------------------------------------------------------
+
+# KS/MWU run over the (lang, n_tok) WEIGHTED HISTOGRAM — the same
+# never-buffer-raw-values rule as doclen_quantiles: the cumulative windows
+# see histogram cells (bounded by distinct document lengths, ~1e5 rows at
+# any corpus size), never documents. The D statistic is kept integer until
+# the single final division: D = max |nb*cum_a - na*cum_b| / (na*nb), all
+# BIGINT cross-multiplications (exact to na, nb ~ 1e9).
+
+
+@register(
+    "ks_test_doclen",
+    f"""WITH t AS (
+  SELECT lang, CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
+  FROM documents WHERE lang IN ('en', 'zh')),
+hist AS (
+  SELECT n_tok,
+         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ca,
+         CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS cb
+  FROM t GROUP BY n_tok),
+c AS (
+  SELECT n_tok,
+         CAST(SUM(ca) OVER (ORDER BY n_tok) AS BIGINT) AS cuma,
+         CAST(SUM(cb) OVER (ORDER BY n_tok) AS BIGINT) AS cumb
+  FROM hist),
+tot AS (SELECT CAST(COALESCE(sum(ca), 0) AS BIGINT) AS na,
+               CAST(COALESCE(sum(cb), 0) AS BIGINT) AS nb FROM hist),
+d AS (SELECT n_tok, abs(nb * cuma - na * cumb) AS diff FROM c, tot),
+m AS (SELECT CAST(COALESCE(max(diff), 0) AS BIGINT) AS mx FROM d)
+SELECT na, nb,
+       CASE WHEN na * nb = 0 THEN 0
+            ELSE CAST(round(1000000.0 * mx / (na * nb)) AS BIGINT) END AS d_q6,
+       CAST(COALESCE((SELECT min(n_tok) FROM d WHERE diff = (SELECT mx FROM m)), -1) AS BIGINT) AS at_n_tok
+FROM tot, m""",
+)
+def ks_test_doclen(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the 'en' and 'zh'
+    token-length distributions — the distribution-level counterpart of
+    ttest_lang_doclen (which only compares means): D = sup |F_en - F_zh|,
+    plus the length at which the gap peaks (where the distributions
+    actually diverge — the actionable readout for a length-filter audit).
+    Completes the inference-agg family: mean (t-test), categorical
+    (chi-squared), and now whole-CDF shape.
+
+    Determinism: D is the max of |nb*cum_a - na*cum_b| over histogram
+    cells — pure BIGINT cross-multiplication (doclen_quantiles' integer
+    rule); the single division happens once on two exact integers. The
+    argmax location takes min(n_tok) among maximizers, identical both
+    engines.
+
+    Scale shape: one map-side histogram agg to (n_tok, ca, cb) cells; the
+    cumulative window runs over histogram rows only (bounded by distinct
+    lengths regardless of corpus size — same argument as
+    doclen_quantiles); output is 1 row."""
+    t = (
+        _docs(spark, sf_dir)
+        .where(F.col("lang").isin("en", "zh"))
+        .select("lang", F.size(spark_tokens("text")).cast("long").alias("n_tok"))
+    )
+    hist = t.groupBy("n_tok").agg(
+        F.count_if(F.col("lang") == "en").cast("long").alias("ca"),
+        F.count_if(F.col("lang") == "zh").cast("long").alias("cb"),
+    )
+    hist = hist.localCheckpoint()  # feeds totals AND the cumulative window
+    tot = hist.agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("na"),
+        F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("nb"),
+    )
+    w = Window.orderBy("n_tok").rowsBetween(Window.unboundedPreceding, 0)
+    c = hist.select(
+        "n_tok",
+        F.sum("ca").over(w).cast("long").alias("cuma"),
+        F.sum("cb").over(w).cast("long").alias("cumb"),
+    )
+    d = (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "n_tok", "na", "nb", F.expr("abs(nb * cuma - na * cumb)").alias("diff")
+        )
+        .localCheckpoint()  # feeds the max AND the argmax join-back
+    )
+    m = d.agg(F.coalesce(F.max("diff"), F.lit(0)).cast("long").alias("mx"))
+    at = (
+        d.join(F.broadcast(m), F.col("diff") == F.col("mx"))
+        .agg(F.coalesce(F.min("n_tok"), F.lit(-1)).cast("long").alias("at_n_tok"))
+    )
+    return (
+        tot.crossJoin(m)
+        .crossJoin(at)
+        .select(
+            "na",
+            "nb",
+            F.expr(
+                "CASE WHEN na * nb = 0 THEN 0"
+                " ELSE CAST(round(1000000.0 * mx / (na * nb)) AS BIGINT) END"
+            ).alias("d_q6"),
+            "at_n_tok",
+        )
+    )
+
+
+@register(
+    "mannwhitney_doclen",
+    f"""WITH t AS (
+  SELECT lang, CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
+  FROM documents WHERE lang IN ('en', 'zh')),
+hist AS (
+  SELECT n_tok,
+         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ca,
+         CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS cb
+  FROM t GROUP BY n_tok),
+c AS (
+  SELECT ca, cb,
+         CAST(COALESCE(SUM(cb) OVER (ORDER BY n_tok
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb_before
+  FROM hist),
+s AS (SELECT CAST(COALESCE(sum(ca), 0) AS BIGINT) AS na,
+             CAST(COALESCE(sum(cb), 0) AS BIGINT) AS nb,
+             CAST(COALESCE(sum(ca * (2 * cb_before + cb)), 0) AS BIGINT) AS u2
+      FROM c)
+SELECT na, nb, u2,
+       CASE WHEN na * nb = 0 THEN 0
+            ELSE CAST(round(1000000.0 * (u2 - na * nb) / (na * nb)) AS BIGINT) END AS rb_q6
+FROM s""",
+)
+def mannwhitney_doclen(spark, sf_dir):
+    """Mann-Whitney U between 'en' and 'zh' token lengths — the rank-based
+    two-sample test that is robust where ttest_lang_doclen is not (heavy
+    Zipf tails make doclen means meaningless). Ties handled by midranks:
+    U = sum over values v of ca(v)·(cb_less(v) + cb(v)/2), emitted as the
+    EXACT integer 2U = Σ ca·(2·cb_before + cb) so no half ever floats.
+    rb_q6 is the rank-biserial effect size (2U/(na·nb) − 1): 0 = no
+    stochastic dominance, ±1e6 = total separation.
+
+    Scale shape: identical to ks_test_doclen — one histogram agg, one
+    exclusive-prefix window over histogram cells, a 1-row output. The
+    2U sum stays under 2^63 to na·nb ~ 4e18 pair comparisons (~1e9 docs
+    per side)."""
+    t = (
+        _docs(spark, sf_dir)
+        .where(F.col("lang").isin("en", "zh"))
+        .select("lang", F.size(spark_tokens("text")).cast("long").alias("n_tok"))
+    )
+    hist = t.groupBy("n_tok").agg(
+        F.count_if(F.col("lang") == "en").cast("long").alias("ca"),
+        F.count_if(F.col("lang") == "zh").cast("long").alias("cb"),
+    )
+    w = Window.orderBy("n_tok").rowsBetween(Window.unboundedPreceding, -1)
+    c = hist.select(
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(w), F.lit(0)).cast("long").alias("cb_before"),
+    )
+    s = c.agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("na"),
+        F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("nb"),
+        F.coalesce(F.sum(F.expr("ca * (2 * cb_before + cb)")), F.lit(0))
+        .cast("long")
+        .alias("u2"),
+    )
+    return s.select(
+        "na",
+        "nb",
+        "u2",
+        F.expr(
+            "CASE WHEN na * nb = 0 THEN 0"
+            " ELSE CAST(round(1000000.0 * (u2 - na * nb) / (na * nb)) AS BIGINT) END"
+        ).alias("rb_q6"),
+    )
+
+
+# Jensen-Shannon divergence between two source unigram LMs, decomposed so
+# single-source terms are NEVER enumerated: for terms present in both
+# sources the per-term contribution is q6-rounded FIRST (the KL-family
+# rule); the terms present in only one source contribute exactly
+# (ln 2 / 2)·(residual mass), computed ONCE from four exact integers —
+# no pairs×vocab spine, the join carries co-occurring terms only.
+_LN2_HALF = f"{math.log(2.0) / 2.0:.17e}"
+_JSD_TERM_EXPR = (
+    "cast(round(500000 * ("
+    "(ca / cast(na as double)) * ln(2 * (ca / cast(na as double))"
+    " / ((ca / cast(na as double)) + (cb / cast(nb as double))))"
+    " + (cb / cast(nb as double)) * ln(2 * (cb / cast(nb as double))"
+    " / ((ca / cast(na as double)) + (cb / cast(nb as double))))"
+    ")) as bigint)"
+)
+_JSD_RESID_EXPR = (
+    f"cast(round(1000000 * {_LN2_HALF} * "
+    "(((na - sa_int) / cast(na as double)) + ((nb - sb_int) / cast(nb as double)))"
+    ") as bigint)"
+)
+
+
+@register(
+    "jsd_source_pairs",
+    f"""WITH w AS ({SQL_WORDS}),
+st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+       FROM (SELECT source, unnest(words) AS term FROM w) GROUP BY source, term),
+stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY source),
+ix AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.c AS ca, b.c AS cb
+  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source),
+ij AS (
+  SELECT src_a, src_b,
+         CAST(count(*) AS BIGINT) AS n_shared,
+         CAST(sum(ca) AS BIGINT) AS sa_int, CAST(sum(cb) AS BIGINT) AS sb_int,
+         CAST(max(ta.n) AS BIGINT) AS na, CAST(max(tb.n) AS BIGINT) AS nb,
+         CAST(sum({_JSD_TERM_EXPR.replace('na', 'ta.n').replace('nb', 'tb.n')}) AS BIGINT) AS int_q6
+  FROM ix JOIN stot ta ON ta.source = ix.src_a JOIN stot tb ON tb.source = ix.src_b
+  GROUP BY src_a, src_b)
+SELECT src_a, src_b, n_shared,
+       CAST(int_q6 + {_JSD_RESID_EXPR} AS BIGINT) AS jsd_q6
+FROM ij ORDER BY src_a, src_b""",
+)
+def jsd_source_pairs(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between source unigram LMs — the
+    SYMMETRIC, bounded ([0, ln 2]) cousin of term_drift_deciles' KL: the
+    standard corpus-similarity matrix a data-mixing run reads before
+    merging or re-weighting sources (two sources at jsd ≈ 0 are redundant;
+    near ln 2 ≈ 0.693 they are disjoint registers). Decomposition: terms
+    shared by both sources get per-term q6-rounded contributions (BIGINT
+    sum); single-source terms collapse into (ln 2 / 2)·(residual mass),
+    one float expression over four exact integers — so the op never
+    enumerates a pairs×vocab spine.
+
+    Scale shape: the per-source term table is vocab-bounded; the pair
+    join is TERM-keyed (fanout |sources|² per term, sources are tens);
+    per-pair aggregation is map-side-combinable; totals broadcast.
+    Output is |source-pairs| rows."""
+    st = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(spark_tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    st = st.localCheckpoint()  # feeds totals AND both sides of the pair join
+    stot = st.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    a = st.select(F.col("source").alias("src_a"), "term", F.col("c").alias("ca"))
+    b = st.select(F.col("source").alias("src_b"), "term", F.col("c").alias("cb"))
+    ix = a.join(b, "term").where(F.col("src_a") < F.col("src_b"))
+    ta = F.broadcast(stot.select(F.col("source").alias("src_a"), F.col("n").alias("na")))
+    tb = F.broadcast(stot.select(F.col("source").alias("src_b"), F.col("n").alias("nb")))
+    ij = (
+        ix.join(ta, "src_a")
+        .join(tb, "src_b")
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum("ca").cast("long").alias("sa_int"),
+            F.sum("cb").cast("long").alias("sb_int"),
+            F.max("na").cast("long").alias("na"),
+            F.max("nb").cast("long").alias("nb"),
+            F.sum(F.expr(_JSD_TERM_EXPR)).cast("long").alias("int_q6"),
+        )
+    )
+    return ij.select(
+        "src_a",
+        "src_b",
+        "n_shared",
+        (F.col("int_q6") + F.expr(_JSD_RESID_EXPR)).cast("long").alias("jsd_q6"),
+    ).orderBy("src_a", "src_b")
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -16004,6 +16270,8 @@ _FRONT = [
     # session 31 onward: new ops slot in BELOW the verdict-ask block — the
     # asks' done-criteria name CORRECTNESS_r04 rows, so they must never be
     # pushed past the ~50-slot sample boundary by fresher entries
+    # session 47: nonparametric inference (KS / Mann-Whitney), source-LM JSD
+    "ks_test_doclen", "mannwhitney_doclen", "jsd_source_pairs",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
