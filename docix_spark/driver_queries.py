@@ -16213,6 +16213,339 @@ def jsd_source_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 47b — weighted priority sampling, stupid-backoff trigram LM,
+# minhash fuzzy decontamination
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_sample_docs",
+    f"""WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
+  FROM documents),
+k AS (
+  SELECT doc_id, source, n_tok,
+         CAST(round(1000000 * ln(
+           ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+           / 4503599627370496.0) / n_tok) AS BIGINT) AS key_q6
+  FROM t WHERE n_tok > 0)
+SELECT doc_id, source, n_tok, key_q6 FROM k
+ORDER BY key_q6 DESC, doc_id ASC LIMIT 100""",
+)
+def weighted_sample_docs(spark, sf_dir):
+    """Weight-proportional sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES, the distributed-systems standard): doc i gets key
+    u_i^(1/w_i) — equivalently ln(u_i)/w_i, monotone — and the sample is
+    the top-100 keys. Weights are token counts, so the sample is
+    token-mass-proportional: the shape a data-mix ablation needs when
+    'pick 100 docs uniformly' (priority_sample_docs) would over-represent
+    tiny documents. u is the exact-double 52-bit md5 uniform of
+    bootstrap_mean_doclen, seeded 'ws:'||doc_id — a hash input disjoint
+    from every hex-range coordinate, so sampling stays orthogonal to
+    shard/split/fold. Zero-weight (empty) docs are unsampleable and
+    excluded, matching the w->0 limit.
+
+    Determinism: key_q6 is q6-rounded per doc FIRST (one ln per doc,
+    the zipf_slope rule), then a (key_q6 desc, doc_id asc) TakeOrdered.
+
+    Scale shape: map-side key computation + TakeOrdered(100) — per-
+    partition top-100, driver merges partition heads; no global sort."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(spark_tokens("text")).cast("long").alias("n_tok")
+    )
+    k = t.where(F.col("n_tok") > 0).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.expr(
+            "CAST(round(1000000 * ln("
+            "cast(conv(substring(md5(concat('ws:', cast(doc_id as string))), 1, 13), 16, 10) as bigint)"
+            " / 4503599627370496.0) / n_tok) AS BIGINT)"
+        ).alias("key_q6"),
+    )
+    return k.orderBy(F.desc("key_q6"), F.asc("doc_id")).limit(100)
+
+
+# Stupid backoff (Brants et al. 2007, "Large Language Models in Machine
+# Translation"): S(w3|w1w2) = c123/c12, backing off with alpha = 0.4 per
+# level; the unigram floor is add-1 smoothed (heldout_unigram_ppl's
+# convention) so OOV words score finitely. Scores are relative
+# frequencies, NOT normalized probabilities — that is the published
+# trade: no discount bookkeeping, so every level is one count join.
+# Alpha literals are e-notation (4e-1, 16e-2) — a plain 0.4 is DECIMAL
+# in Spark SQL and diverges (the _HLL_C lesson).
+# Placeholders TRI_C/BI12_C/BI23_C/UNI2_C/UNI3_C are deliberately non-
+# overlapping strings (a naive c12/c123 naming makes chained .replace()
+# corrupt the longer token) — each engine substitutes its own column refs.
+_SB_NLP_CASE = (
+    "CASE WHEN TRI_C IS NOT NULL THEN"
+    " CAST(round(-ln(CAST(TRI_C AS DOUBLE) / BI12_C) * 1000000) AS BIGINT)"
+    " WHEN BI23_C IS NOT NULL THEN"
+    " CAST(round(-ln(4e-1 * CAST(BI23_C AS DOUBLE) / UNI2_C) * 1000000) AS BIGINT)"
+    " ELSE"
+    " CAST(round(-ln(16e-2 * CAST(COALESCE(UNI3_C, 0) + 1 AS DOUBLE)"
+    " / (big_n + vocab + 1)) * 1000000) AS BIGINT) END"
+)
+
+
+def _sb_nlp(tri_c: str, bi12_c: str, bi23_c: str, uni2_c: str, uni3_c: str) -> str:
+    return (
+        _SB_NLP_CASE.replace("TRI_C", tri_c)
+        .replace("BI12_C", bi12_c)
+        .replace("BI23_C", bi23_c)
+        .replace("UNI2_C", uni2_c)
+        .replace("UNI3_C", uni3_c)
+    )
+
+
+@register(
+    "stupid_backoff_surprisal",
+    f"""WITH w AS MATERIALIZED (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words,
+         {_SPLIT_V_SQL} AS v
+  FROM documents),
+tri AS MATERIALIZED (
+  SELECT words[i] AS w1, words[i+1] AS w2, words[i+2] AS w3,
+         CAST(count(*) AS BIGINT) AS c123
+  FROM w, unnest(generate_series(1, len(words) - 2)) AS t(i)
+  WHERE v < 98 AND len(words) >= 3 GROUP BY 1, 2, 3),
+bi AS MATERIALIZED (
+  SELECT words[i] AS a, words[i+1] AS b, CAST(count(*) AS BIGINT) AS cb
+  FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
+  WHERE v < 98 AND len(words) >= 2 GROUP BY 1, 2),
+uc AS MATERIALIZED (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(words) AS term FROM w WHERE v < 98) GROUP BY term),
+st AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS big_n,
+              CAST(count(*) AS BIGINT) AS vocab FROM uc),
+evt AS (
+  SELECT source, words[i] AS w1, words[i+1] AS w2, words[i+2] AS w3,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM w, unnest(generate_series(1, len(words) - 2)) AS t(i)
+  WHERE v >= 98 AND len(words) >= 3 GROUP BY 1, 2, 3, 4),
+sc AS (
+  SELECT evt.source, evt.tf,
+         CASE WHEN tri.c123 IS NOT NULL THEN 0
+              WHEN b23.cb IS NOT NULL THEN 1 ELSE 2 END AS lvl,
+         {_sb_nlp('tri.c123', 'b12.cb', 'b23.cb', 'u2.c', 'u3.c')} AS nlp_q6
+  FROM evt
+  LEFT JOIN tri ON tri.w1 = evt.w1 AND tri.w2 = evt.w2 AND tri.w3 = evt.w3
+  LEFT JOIN bi b12 ON b12.a = evt.w1 AND b12.b = evt.w2
+  LEFT JOIN bi b23 ON b23.a = evt.w2 AND b23.b = evt.w3
+  LEFT JOIN uc u2 ON u2.term = evt.w2
+  LEFT JOIN uc u3 ON u3.term = evt.w3
+  CROSS JOIN st)
+SELECT source,
+       CAST(COALESCE(sum(tf), 0) AS BIGINT) AS n_scored,
+       CAST(COALESCE(sum(tf) FILTER (WHERE lvl = 0), 0) AS BIGINT) AS n_tri,
+       CAST(COALESCE(sum(tf) FILTER (WHERE lvl = 1), 0) AS BIGINT) AS n_bi,
+       CAST(COALESCE(sum(tf) FILTER (WHERE lvl = 2), 0) AS BIGINT) AS n_uni,
+       CAST(COALESCE(sum(tf * nlp_q6), 0) AS BIGINT) AS nll_q6
+FROM sc GROUP BY source ORDER BY source""",
+)
+def stupid_backoff_surprisal(spark, sf_dir):
+    """Trigram stupid-backoff LM (Brants et al. 2007) trained on the
+    md5-5-8 train split and scored on the held-out 2% — the trigram
+    extension of heldout_unigram_ppl, reporting per source both the NLL
+    and the BACKOFF LEVEL CENSUS (n_tri/n_bi/n_uni): the level mix is
+    the actionable diagnostic (a source scoring mostly at the unigram
+    level shares no 3-gram structure with the training mix). Per-trigram
+    -ln S is q6-rounded FIRST (one CASE, one ln per eval trigram type),
+    the rollup is an exact BIGINT Σ tf·nlp_q6.
+
+    Invariants a trigram hit relies on: c123 in train implies its prefix
+    bigram b12 and its suffix bigram b23 exist in train, and c23 implies
+    w2 in the train vocab — so no guarded division ever sees NULL.
+
+    Scale shape: the corpus tokenizes ONCE into a checkpointed word-array
+    table; trigram/bigram/unigram train counts and the eval trigram table
+    are four map-side explodes of those arrays into hash aggs (Zipf-
+    bounded type tables, never position self-joins — the cooccurrence
+    rule). Scoring joins the SMALL eval side against the count tables on
+    their natural n-gram keys; level stats and the 1-row (N, V) table
+    broadcast."""
+    w = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            spark_tokens("text").alias("words"),
+            F.expr(_SPLIT_V_SPARK).alias("v"),
+        )
+        .localCheckpoint()  # four explodes below — tokenize exactly once
+    )
+    tr_w = w.where(F.col("v") < 98)
+    tri = (
+        tr_w.where(F.size("words") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words)-3), i -> "
+                    "struct(words[i] AS w1, words[i+1] AS w2, words[i+2] AS w3))"
+                )
+            ).alias("t")
+        )
+        .select("t.w1", "t.w2", "t.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c123"))
+    )
+    bi = (
+        tr_w.where(F.size("words") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words)-2), i -> "
+                    "struct(words[i] AS a, words[i+1] AS b))"
+                )
+            ).alias("t")
+        )
+        .select("t.a", "t.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    uc = (
+        tr_w.select(F.explode("words").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    stt = uc.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("big_n"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    evt = (
+        w.where((F.col("v") >= 98) & (F.size("words") >= 3))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words)-3), i -> "
+                    "struct(words[i] AS w1, words[i+1] AS w2, words[i+2] AS w3))"
+                )
+            ).alias("t"),
+        )
+        .select("source", "t.w1", "t.w2", "t.w3")
+        .groupBy("source", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    b12 = bi.select(F.col("a").alias("w1"), F.col("b").alias("w2"), F.col("cb").alias("c12x"))
+    b23 = bi.select(F.col("a").alias("w2"), F.col("b").alias("w3"), F.col("cb").alias("c23x"))
+    u2 = uc.select(F.col("term").alias("w2"), F.col("c").alias("c2x"))
+    u3 = uc.select(F.col("term").alias("w3"), F.col("c").alias("c3x"))
+    sc = (
+        evt.join(tri, ["w1", "w2", "w3"], "left")
+        .join(b12, ["w1", "w2"], "left")
+        .join(b23, ["w2", "w3"], "left")
+        .join(u2, ["w2"], "left")
+        .join(u3, ["w3"], "left")
+        .crossJoin(F.broadcast(stt))
+        .select(
+            "source",
+            "tf",
+            F.expr(
+                "CASE WHEN c123 IS NOT NULL THEN 0"
+                " WHEN c23x IS NOT NULL THEN 1 ELSE 2 END"
+            ).alias("lvl"),
+            F.expr(_sb_nlp("c123", "c12x", "c23x", "c2x", "c3x")).alias("nlp_q6"),
+        )
+    )
+    return (
+        sc.groupBy("source")
+        .agg(
+            F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("n_scored"),
+            F.coalesce(F.sum(F.when(F.col("lvl") == 0, F.col("tf"))), F.lit(0))
+            .cast("long")
+            .alias("n_tri"),
+            F.coalesce(F.sum(F.when(F.col("lvl") == 1, F.col("tf"))), F.lit(0))
+            .cast("long")
+            .alias("n_bi"),
+            F.coalesce(F.sum(F.when(F.col("lvl") == 2, F.col("tf"))), F.lit(0))
+            .cast("long")
+            .alias("n_uni"),
+            F.coalesce(F.sum(F.expr("tf * nlp_q6")), F.lit(0))
+            .cast("long")
+            .alias("nll_q6"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "decontamination_minhash",
+    f"""WITH sh AS ({_SQL_SHINGLES}),
+sig AS (
+  SELECT doc_id,
+         min(md5('0:' || sh)) || min(md5('1:' || sh)) AS band0,
+         min(md5('2:' || sh)) || min(md5('3:' || sh)) AS band1
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, band0 AS band FROM sig UNION ALL SELECT doc_id, band1 FROM sig),
+ev AS (SELECT DISTINCT band, doc_id AS eval_id FROM bands WHERE doc_id % 29 = 0),
+tr AS (
+  SELECT b.doc_id, CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n
+  FROM bands b JOIN ev USING (band)
+  WHERE b.doc_id % 29 <> 0 GROUP BY b.doc_id)
+SELECT d.doc_id, CAST(COALESCE(tr.n, 0) AS BIGINT) AS n_eval_matches,
+       CAST(COALESCE(tr.n, 0) > 0 AS INT) AS contaminated_fuzzy
+FROM documents d LEFT JOIN tr ON d.doc_id = tr.doc_id
+WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""",
+)
+def decontamination_minhash(spark, sf_dir):
+    """FUZZY benchmark decontamination: training docs whose MinHash-LSH
+    band collides with any eval-split doc (doc_id % 29 == 0, the
+    decontamination_ngram_overlap split) — the near-duplicate
+    complement of the exact 8-gram check (a lightly paraphrased eval
+    answer shares no verbatim 8-gram but keeps most of its 3-shingle
+    set, so its minhash bands still collide). Reuses the corpus LSH
+    parameters verbatim (4 permutations, 2 bands of 2 — minhash_lsh_pairs),
+    so 'contaminated_fuzzy' triggers at the same similarity threshold the
+    dedup pass uses. Reports per training doc the count of DISTINCT eval
+    docs collided with.
+
+    Scale shape: the eval band table is benchmark-sized and BROADCASTS
+    (the decontamination invariant: eval ≪ corpus); the training side
+    streams map-side through the hash join — the count-distinct
+    aggregates collision rows only, never the corpus."""
+    sh = _shingles_spark(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        F.concat(
+            F.min(F.md5(F.concat(F.lit("0:"), F.col("sh")))),
+            F.min(F.md5(F.concat(F.lit("1:"), F.col("sh")))),
+        ).alias("band0"),
+        F.concat(
+            F.min(F.md5(F.concat(F.lit("2:"), F.col("sh")))),
+            F.min(F.md5(F.concat(F.lit("3:"), F.col("sh")))),
+        ).alias("band1"),
+    )
+    bands = sig.select("doc_id", F.col("band0").alias("band")).unionByName(
+        sig.select("doc_id", F.col("band1").alias("band"))
+    )
+    ev = F.broadcast(
+        bands.where(F.col("doc_id") % 29 == 0)
+        .select("band", F.col("doc_id").alias("eval_id"))
+        .distinct()
+    )
+    tr = (
+        bands.where(F.col("doc_id") % 29 != 0)
+        .join(ev, "band")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("eval_id").cast("long").alias("n"))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 29 != 0)
+        .select("doc_id")
+        .join(tr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_eval_matches"),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).cast("int").alias("contaminated_fuzzy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -16270,8 +16603,10 @@ _FRONT = [
     # session 31 onward: new ops slot in BELOW the verdict-ask block — the
     # asks' done-criteria name CORRECTNESS_r04 rows, so they must never be
     # pushed past the ~50-slot sample boundary by fresher entries
-    # session 47: nonparametric inference (KS / Mann-Whitney), source-LM JSD
+    # session 47: nonparametric inference (KS / Mann-Whitney), source-LM JSD,
+    # weighted A-ES sampling, stupid-backoff trigram LM, fuzzy decontamination
     "ks_test_doclen", "mannwhitney_doclen", "jsd_source_pairs",
+    "weighted_sample_docs", "stupid_backoff_surprisal", "decontamination_minhash",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",

@@ -157,3 +157,152 @@ def test_jsd_matches_float_model(ta, tb):
     # bounded: 0 <= JSD <= ln 2, with one q6 ulp of rounding slack per term
     slack = len(shared) + 1
     assert -slack <= jsd_q6 <= _round_away(1_000_000 * math.log(2.0)) + slack
+
+
+# ---------------------------------------------------------------------------
+# session 47b — weighted A-ES sampling, stupid-backoff trigram LM, minhash
+# fuzzy decontamination: DuckDB oracle vs exact Python models
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+
+def _docs_con_ids(rows: list[tuple[int, str, str]]) -> duckdb.DuckDBPyConnection:
+    """rows: (doc_id, text, source) — explicit ids so tests can hit the
+    md5-coordinate eval splits deterministically."""
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": [r[2] for r in rows],
+            }
+        ),
+    )
+    return con
+
+
+@settings(max_examples=40, deadline=None)
+@given(lens=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=12))
+def test_weighted_sample_matches_aes_model(lens):
+    rows = [(i, "w " * n, "s0") for i, n in enumerate(lens)]
+    con = _docs_con_ids(rows)
+    got = con.execute(REGISTRY["weighted_sample_docs"].sql).fetchall()
+    model = []
+    for i, n in enumerate(lens):
+        if n == 0:
+            continue  # zero-weight docs are unsampleable
+        u = int(hashlib.md5(f"ws:{i}".encode()).hexdigest()[:13], 16) / 4503599627370496.0
+        key = _round_away(1_000_000 * math.log(u) / n)
+        model.append((i, "s0", n, key))
+    model.sort(key=lambda r: (-r[3], r[0]))
+    assert got == model[:100]
+
+
+# stupid backoff: ids 116/158 sit in the md5-5-8 eval split (v >= 98),
+# everything under 100 is train — so hypothesis can populate both sides.
+_SB_EVAL_IDS = [116, 158]
+_SB_VOCAB = ["aa", "bb", "cc", "dd"]
+_sb_text = st.lists(st.sampled_from(_SB_VOCAB), min_size=0, max_size=7).map(" ".join)
+
+
+def _sb_model(train_texts, eval_rows):
+    tri, bi, uni = {}, {}, {}
+    for t in train_texts:
+        ws = t.split()
+        for i in range(len(ws) - 2):
+            tri[(ws[i], ws[i + 1], ws[i + 2])] = tri.get((ws[i], ws[i + 1], ws[i + 2]), 0) + 1
+        for i in range(len(ws) - 1):
+            bi[(ws[i], ws[i + 1])] = bi.get((ws[i], ws[i + 1]), 0) + 1
+        for w_ in ws:
+            uni[w_] = uni.get(w_, 0) + 1
+    big_n, vocab = sum(uni.values()), len(uni)
+    out = {}
+    for src, t in eval_rows:
+        ws = t.split()
+        for i in range(len(ws) - 2):
+            g = (ws[i], ws[i + 1], ws[i + 2])
+            if g in tri:
+                lvl, s = 0, tri[g] / float(bi[(g[0], g[1])])
+            elif (g[1], g[2]) in bi:
+                lvl, s = 1, float("4e-1") * bi[(g[1], g[2])] / float(uni[g[1]])
+            else:
+                lvl, s = 2, float("16e-2") * (uni.get(g[2], 0) + 1) / float(big_n + vocab + 1)
+            nlp = _round_away(-math.log(s) * 1_000_000)
+            st_ = out.setdefault(src, [0, 0, 0, 0, 0])
+            st_[0] += 1
+            st_[1 + lvl] += 1
+            st_[4] += nlp
+    return {
+        src: (v[0], v[1], v[2], v[3], v[4]) for src, v in out.items()
+    }
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    train=st.lists(_sb_text, min_size=0, max_size=6),
+    ev0=_sb_text,
+    ev1=_sb_text,
+)
+def test_stupid_backoff_matches_model(train, ev0, ev1):
+    rows = [(i, t, "s0") for i, t in enumerate(train)]
+    rows += [(_SB_EVAL_IDS[0], ev0, "sa"), (_SB_EVAL_IDS[1], ev1, "sb")]
+    con = _docs_con_ids(rows)
+    got = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(REGISTRY["stupid_backoff_surprisal"].sql).fetchall()
+    }
+    want = _sb_model(train, [("sa", ev0), ("sb", ev1)])
+    assert got == want
+
+
+def _mh_bands(text: str) -> set[str]:
+    ws = text.lower().split()
+    shingles = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+    if not shingles:
+        return set()
+    mh = [
+        min(hashlib.md5(f"{k}:{s}".encode()).hexdigest() for s in shingles)
+        for k in range(4)
+    ]
+    return {mh[0] + mh[1], mh[2] + mh[3]}
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(_SB_VOCAB), min_size=0, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_decontamination_minhash_matches_model(texts):
+    # ids 0 and 29 are the eval split (% 29 == 0); 1.. are training docs
+    rows = [(0, texts[0], "s0")] + [(i + 1, t, "s0") for i, t in enumerate(texts[1:])]
+    con = _docs_con_ids(rows)
+    got = con.execute(REGISTRY["decontamination_minhash"].sql).fetchall()
+    ev_bands = {b: 0 for b in _mh_bands(texts[0])}
+    model = []
+    for i, t in enumerate(texts[1:]):
+        n = 1 if (_mh_bands(t) & set(ev_bands)) else 0
+        model.append((i + 1, n, 1 if n else 0))
+    assert got == model
+
+
+def test_decontamination_minhash_catches_paraphrase():
+    """A doc sharing most (not all) of an eval doc's shingles — no verbatim
+    8-gram, but the minhash bands still collide."""
+    ev = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"  # one word swapped
+    rows = [(0, ev, "s0"), (1, near, "s0"), (2, "totally different words here", "s0")]
+    con = _docs_con_ids(rows)
+    got = dict(
+        (r[0], (r[1], r[2]))
+        for r in con.execute(REGISTRY["decontamination_minhash"].sql).fetchall()
+    )
+    # the near-dup must collide on at least one band for THIS fixture
+    assert got[1] == (1, 1)
+    assert got[2] == (0, 0)
