@@ -16546,6 +16546,229 @@ def decontamination_minhash(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 47c — linear hybrid retriever, field_value_factor scoring,
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# min-max leg normalization over exact q6 integers; a degenerate leg
+# (max == min over its top-20) contributes 0, and a doc absent from a leg
+# contributes 0 for that leg (the ES `linear` retriever convention).
+_LIN_NORM = (
+    "CASE WHEN {id} IS NULL OR {mx} = {mn} THEN cast(0 as double)"
+    " ELSE ({s} - {mn}) / CAST({mx} - {mn} AS DOUBLE) END"
+)
+
+
+@register(
+    "hybrid_linear_search",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + f""",
+lex AS (SELECT doc_id, score_q6 FROM agg WHERE doc_id <> 0
+        ORDER BY score_q6 DESC, doc_id ASC LIMIT 20),
+lst AS (SELECT min(score_q6) AS lmn, max(score_q6) AS lmx FROM lex),
+vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+vc AS (
+  SELECT e.vec_id AS doc_id,
+         CAST(round(
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), vq.qv)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(vq.qv, vq.qv))) * 1000000
+         ) AS BIGINT) AS cos_q6
+  FROM embeddings e, vq WHERE e.vec_id <> 0),
+vec AS (SELECT doc_id, cos_q6 FROM vc ORDER BY cos_q6 DESC, doc_id ASC LIMIT 20),
+vst AS (SELECT min(cos_q6) AS vmn, max(cos_q6) AS vmx FROM vec),
+fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         CAST(COALESCE(lex.score_q6, 0) AS BIGINT) AS lex_q6,
+         CAST(COALESCE(vec.cos_q6, 0) AS BIGINT) AS vec_q6,
+         CAST(round(
+           700000 * ({_LIN_NORM.format(id='lex.doc_id', s='lex.score_q6', mn='lmn', mx='lmx')})
+         + 300000 * ({_LIN_NORM.format(id='vec.doc_id', s='vec.cos_q6', mn='vmn', mx='vmx')})
+         ) AS BIGINT) AS lin_q6
+  FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id, lst, vst)
+SELECT doc_id, lex_q6, vec_q6, lin_q6 FROM fused
+ORDER BY lin_q6 DESC, doc_id ASC LIMIT 10""",
+)
+def hybrid_linear_search(spark, sf_dir):
+    """Hybrid retrieval via weighted linear combination of min-max
+    normalized legs (the ES 8.16 ``linear`` retriever; also the standard
+    academic fusion baseline CombSUM-normalized): 0.7·norm(BM25 top-20) +
+    0.3·norm(cosine top-20). Complements hybrid_rrf — RRF fuses RANKS
+    (scale-free, robust), linear fuses normalized SCORES (preserves
+    score gaps, tunable weights); shipping both is what ES does.
+
+    Determinism: each leg ranks and normalizes over its QUANTIZED q6
+    scores, min/max are exact integers, and the combination is one
+    shared float expression (weights as integer 700000/300000 — never
+    decimal literals, which are DECIMAL in Spark SQL).
+
+    Scale shape: identical to hybrid_rrf — each leg ends in a
+    TakeOrdered(20), the leg stats are 20-row aggs that broadcast, and
+    fusion sees ≤40 rows regardless of corpus size."""
+    lex = (
+        _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
+        .where(F.col("doc_id") != 0)
+        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "score_q6")
+        .localCheckpoint()  # feeds the fusion join AND the 20-row stats agg
+    )
+    lst = lex.agg(F.min("score_q6").alias("lmn"), F.max("score_q6").alias("lmx"))
+    vec = (
+        _cos_spark(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"), _q6(F.col("cos")).alias("cos_q6"))
+        .orderBy(F.desc("cos_q6"), F.asc("doc_id"))
+        .limit(20)
+        .localCheckpoint()
+    )
+    vst = vec.agg(F.min("cos_q6").alias("vmn"), F.max("cos_q6").alias("vmx"))
+    a = lex.select(F.col("doc_id").alias("ldoc"), "score_q6")
+    b = vec.select(F.col("doc_id").alias("vdoc"), "cos_q6")
+    fused = (
+        a.join(b, F.col("ldoc") == F.col("vdoc"), "full")
+        .crossJoin(F.broadcast(lst))
+        .crossJoin(F.broadcast(vst))
+        .select(
+            F.coalesce(F.col("ldoc"), F.col("vdoc")).alias("doc_id"),
+            F.coalesce(F.col("score_q6"), F.lit(0)).cast("long").alias("lex_q6"),
+            F.coalesce(F.col("cos_q6"), F.lit(0)).cast("long").alias("vec_q6"),
+            F.expr(
+                "CAST(round("
+                f"700000 * ({_LIN_NORM.format(id='ldoc', s='score_q6', mn='lmn', mx='lmx')})"
+                f" + 300000 * ({_LIN_NORM.format(id='vdoc', s='cos_q6', mn='vmn', mx='vmx')})"
+                ") AS BIGINT)"
+            ).alias("lin_q6"),
+        )
+    )
+    return fused.orderBy(F.desc("lin_q6"), F.asc("doc_id")).limit(10)
+
+
+@register(
+    "field_value_factor_search",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + """,
+boosted AS (
+  SELECT agg.doc_id, agg.score_q6,
+         CAST(round(ln(1 + d.n_chars) * 1000000) AS BIGINT) AS boost_q6
+  FROM agg JOIN documents d ON d.doc_id = agg.doc_id
+  WHERE agg.doc_id <> 0)
+SELECT doc_id, score_q6, boost_q6,
+       CAST((score_q6 * boost_q6) // 1000000 AS BIGINT) AS final_q6
+FROM boosted ORDER BY final_q6 DESC, doc_id ASC LIMIT 10""",
+)
+def field_value_factor_search(spark, sf_dir):
+    """ES ``function_score`` with ``field_value_factor`` (field n_chars,
+    modifier ln1p, multiply mode): final = bm25 · ln(1 + n_chars) — the
+    document-length/popularity boost every content site layers over
+    relevance (function_score_decay covers the date-decay flavor; this is
+    the numeric-field flavor that completes the function_score family).
+
+    Determinism: boost_q6 = round(1e6·ln(1+n_chars)) per doc FIRST (one
+    libm ln per doc), then final = (score_q6 · boost_q6) div 1e6 — an
+    all-integer product/floor-division of NON-NEGATIVE values, where
+    Spark's div (truncate) and DuckDB's // (floor) agree.
+
+    Scale shape: the boost join is match-set ⋈ metadata on doc_id (the
+    J2 shape — at 100 TB the match set is the small side and broadcasts);
+    ln runs map-side in codegen; top-10 is a TakeOrdered."""
+    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS).where(F.col("doc_id") != 0)
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    boosted = agg.join(d, "doc_id").select(
+        "doc_id",
+        "score_q6",
+        F.expr("CAST(round(ln(1 + n_chars) * 1000000) AS BIGINT)").alias("boost_q6"),
+    )
+    return (
+        boosted.select(
+            "doc_id",
+            "score_q6",
+            "boost_q6",
+            F.expr("CAST((score_q6 * boost_q6) div 1000000 AS BIGINT)").alias("final_q6"),
+        )
+        .orderBy(F.desc("final_q6"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# Benford expected first-digit masses log10(1+1/d), folded to q6 integers in
+# Python (the _HLL_C constant-folding rule) so both engines compare against
+# identical integers.
+_BENFORD_EXP = [(d, round(1_000_000 * math.log10(1 + 1 / d))) for d in range(1, 10)]
+_BENFORD_VALUES = ", ".join(f"({d}, {e})" for d, e in _BENFORD_EXP)
+_BENFORD_X2 = (
+    "CASE WHEN n_tot = 0 THEN 0 ELSE CAST(round("
+    "1000000 * (o - n_tot * (exp_q6 / 1000000.0))"
+    " * (o - n_tot * (exp_q6 / 1000000.0))"
+    " / (n_tot * (exp_q6 / 1000000.0))) AS BIGINT) END"
+)
+
+
+@register(
+    "benford_value_audit",
+    f"""WITH ev AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+dg AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM ev WHERE cents > 0),
+cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS o FROM dg GROUP BY digit),
+tot AS (SELECT CAST(COALESCE(sum(o), 0) AS BIGINT) AS n_tot FROM cnt),
+spine AS (SELECT * FROM (VALUES {_BENFORD_VALUES}) AS b(digit, exp_q6))
+SELECT CAST(spine.digit AS BIGINT) AS digit,
+       CAST(COALESCE(cnt.o, 0) AS BIGINT) AS n_obs,
+       CASE WHEN n_tot = 0 THEN 0
+            ELSE CAST(round(1000000.0 * COALESCE(cnt.o, 0) / n_tot) AS BIGINT) END AS obs_q6,
+       CAST(spine.exp_q6 AS BIGINT) AS exp_q6,
+       {_BENFORD_X2.replace('o ', 'COALESCE(cnt.o, 0) ')} AS x2_q6
+FROM spine LEFT JOIN cnt ON cnt.digit = spine.digit CROSS JOIN tot
+ORDER BY digit""",
+)
+def benford_value_audit(spark, sf_dir):
+    """Benford's-law first-digit audit of the events value stream — the
+    classic synthetic-data / fraud detector (organically-generated
+    monetary amounts follow P(d) = log10(1+1/d); uniform or fabricated
+    generators don't). Reports per digit the observed count/share, the
+    Benford expectation (Python-folded q6 constants), and the chi-squared
+    contribution. On the sandbox's uniform synthetic values the fit is
+    poor — that is the CORRECT reading (the generator is uniform, and the
+    audit exists to say so).
+
+    Determinism: cents = round(value·100) BIGINT first (the
+    events_value_quantiles rule); the first digit comes from the decimal
+    string of a positive integer — no float log10 binning; the x2
+    expression is one shared float string over exact integers.
+
+    Scale shape: one map-side digit projection into a 9-group agg; the
+    9-row Benford spine LEFT JOINs so unobserved digits still report;
+    output is 9 rows."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"))
+        .where(F.col("cents") > 0)
+    )
+    cnt = ev.select(
+        F.expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)").alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    tot = cnt.agg(F.coalesce(F.sum("o"), F.lit(0)).cast("long").alias("n_tot"))
+    spine = spark.createDataFrame(_BENFORD_EXP, "digit long, exp_q6 long")
+    return (
+        F.broadcast(spine)
+        .join(cnt, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("n_obs"),
+            F.expr(
+                "CASE WHEN n_tot = 0 THEN 0"
+                " ELSE CAST(round(1000000.0 * COALESCE(o, 0) / n_tot) AS BIGINT) END"
+            ).alias("obs_q6"),
+            F.col("exp_q6").cast("long").alias("exp_q6"),
+            F.expr(_BENFORD_X2.replace("o ", "COALESCE(o, 0) ")).alias("x2_q6"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -16607,6 +16830,7 @@ _FRONT = [
     # weighted A-ES sampling, stupid-backoff trigram LM, fuzzy decontamination
     "ks_test_doclen", "mannwhitney_doclen", "jsd_source_pairs",
     "weighted_sample_docs", "stupid_backoff_surprisal", "decontamination_minhash",
+    "hybrid_linear_search", "field_value_factor_search", "benford_value_audit",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",

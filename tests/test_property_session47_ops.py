@@ -306,3 +306,78 @@ def test_decontamination_minhash_catches_paraphrase():
     # the near-dup must collide on at least one band for THIS fixture
     assert got[1] == (1, 1)
     assert got[2] == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# session 47c — Benford audit vs Python model; hybrid-linear bounds
+# ---------------------------------------------------------------------------
+
+from docix_spark.driver_queries import _BENFORD_EXP
+
+
+def _events_con(cents_list: list[int]) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {
+                "event_id": range(len(cents_list)),
+                "value": [c / 100.0 for c in cents_list],
+            }
+        ),
+    )
+    return con
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    cents=st.lists(
+        st.integers(min_value=-1000, max_value=99_999_999), min_size=1, max_size=40
+    )
+)
+def test_benford_matches_model(cents):
+    con = _events_con(cents)
+    got = con.execute(REGISTRY["benford_value_audit"].sql).fetchall()
+    pos = [c for c in cents if c > 0]
+    n_tot = len(pos)
+    counts = {d: 0 for d in range(1, 10)}
+    for c in pos:
+        counts[int(str(c)[0])] += 1
+    model = []
+    for d, exp_q6 in _BENFORD_EXP:
+        o = counts[d]
+        if n_tot == 0:
+            obs_q6, x2 = 0, 0
+        else:
+            obs_q6 = _round_away(1_000_000.0 * o / n_tot)
+            e = n_tot * (exp_q6 / 1_000_000.0)
+            x2 = _round_away(1_000_000 * (o - e) * (o - e) / e)
+        model.append((d, o, obs_q6, exp_q6, x2))
+    assert got == model
+
+
+def test_benford_expectations_sum_to_one():
+    # the folded q6 constants are a probability vector (up to q6 rounding)
+    assert abs(sum(e for _, e in _BENFORD_EXP) - 1_000_000) <= 5
+
+
+def test_hybrid_linear_bounds_sf0001():
+    """lin_q6 is a convex combination of [0,1] normalizations: bounded by
+    [0, 1e6]; each leg's top doc normalizes to exactly 1."""
+    con = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    rows = con.execute(REGISTRY["hybrid_linear_search"].sql).fetchall()
+    assert rows, "hybrid_linear_search returned no rows at sf0.001"
+    for doc_id, lex_q6, vec_q6, lin_q6 in rows:
+        assert 0 <= lin_q6 <= 1_000_000
+    # field_value_factor: final = floor(score*boost/1e6) never exceeds
+    # score_q6 * ln(1+n_chars) and respects its own ordering
+    fvf = con.execute(REGISTRY["field_value_factor_search"].sql).fetchall()
+    assert fvf
+    finals = [r[3] for r in fvf]
+    assert finals == sorted(finals, reverse=True)
+    for _, score_q6, boost_q6, final_q6 in fvf:
+        assert final_q6 == (score_q6 * boost_q6) // 1_000_000
