@@ -337,7 +337,18 @@ def main() -> None:
                  "bm25f_search", "kneser_ney_bigram", "feature_hash_collisions",
                  "forecast_revenue_change", "embedding_power_iteration",
                  "dirichlet_ql_search", "product_profit_by_nation_year",
-                 "excess_share_suppliers", "sole_supplier_orders"]:
+                 "excess_share_suppliers", "sole_supplier_orders",
+                 "shipmode_priority_counts", "events_cohort_revenue",
+                 "readability_flesch", "yule_k_source",
+                 "ann_hamming_rerank", "bpe_train_merges",
+                 "script_mix_source", "heldout_unigram_ppl",
+                 "events_autocorrelation", "source_vocab_overlap",
+                 "bloom_fpr_curve", "truncation_loss_curve",
+                 "boilerplate_trigram_topk",
+                 "ks_test_doclen", "mannwhitney_doclen", "jsd_source_pairs",
+                 "weighted_sample_docs", "stupid_backoff_surprisal",
+                 "decontamination_minhash", "hybrid_linear_search",
+                 "field_value_factor_search", "benford_value_audit"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)
