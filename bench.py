@@ -348,7 +348,9 @@ def main() -> None:
                  "ks_test_doclen", "mannwhitney_doclen", "jsd_source_pairs",
                  "weighted_sample_docs", "stupid_backoff_surprisal",
                  "decontamination_minhash", "hybrid_linear_search",
-                 "field_value_factor_search", "benford_value_audit"]:
+                 "field_value_factor_search", "benford_value_audit",
+                 "percentiles_bucket_daily", "top_metrics_latest",
+                 "match_bool_prefix_search", "len_quality_hist2d"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -16769,6 +16769,267 @@ def benford_value_audit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 48 — ES pipeline/metric agg completions (percentiles_bucket,
+# top_metrics), multi_match bool_prefix, and the length×quality 2-D census
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "percentiles_bucket_daily",
+    f"""WITH e AS (SELECT epoch_us(ts) // {_US_PER_DAY} AS day FROM events),
+dc AS (SELECT day, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY day),
+hist AS (SELECT cnt, CAST(count(*) AS BIGINT) AS w FROM dc GROUP BY cnt),
+h AS (
+  SELECT cnt, w,
+         CAST(COALESCE(SUM(w) OVER (ORDER BY cnt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+         CAST(SUM(w) OVER () AS BIGINT) AS n
+  FROM hist),
+q AS (SELECT p_q6 FROM (VALUES (500000), (900000)) AS v(p_q6)),
+agg AS (
+  SELECT q.p_q6, max(h.n) AS n,
+         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1))
+                  THEN h.cnt END) AS v_lo,
+         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1)) + 1
+                  THEN h.cnt END) AS v_hi
+  FROM h, q GROUP BY q.p_q6)
+SELECT CAST(p_q6 AS BIGINT) AS p_q6,
+       CAST(round(1000000.0 * (v_lo + ((p_q6 / 1000000.0) * (n - 1)
+            - floor((p_q6 / 1000000.0) * (n - 1))) * (v_hi - v_lo))) AS BIGINT) AS q_q6
+FROM agg ORDER BY p_q6""",
+)
+def percentiles_bucket_daily(spark, sf_dir):
+    """ES ``percentiles_bucket`` pipeline agg: exact p50/p90 of the DAILY
+    EVENT COUNT distribution — percentiles over the buckets of a
+    date_histogram (the 'what does a typical day look like' readout that
+    stats_bucket_daily's mean/min/max can't answer under skew). Type-7
+    interpolation via the doclen_quantiles weighted-histogram machinery.
+
+    Scale shape: the date_histogram is a calendar-bounded day agg; the
+    histogram-of-counts and its windows run over ≤|days| rows; output is
+    2 rows. Day keys are integer epoch-microsecond divisions
+    (events_daily_mavg's rule — no timezone-dependent date functions)."""
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias("day"))
+    )
+    dc = e.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    hist = dc.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    w_cum = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("cnt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    h = hist.select(
+        "cnt",
+        F.coalesce(F.sum("w").over(w_cum), F.lit(0)).cast("long").alias("cum_before"),
+        F.sum("w").over(w_all).cast("long").alias("n"),
+    )
+    q = spark.createDataFrame([(500000,), (900000,)], "p_q6 long")
+    rank = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
+    agg = (
+        h.crossJoin(F.broadcast(q))
+        .groupBy("p_q6")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.when(F.col("cum_before") <= F.floor(rank), F.col("cnt"))).alias("v_lo"),
+            F.max(F.when(F.col("cum_before") <= F.floor(rank) + 1, F.col("cnt"))).alias("v_hi"),
+        )
+    )
+    r = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
+    frac = r - F.floor(r)
+    return agg.select(
+        F.col("p_q6").cast("long").alias("p_q6"),
+        F.round(F.lit(1_000_000.0) * (F.col("v_lo") + frac * (F.col("v_hi") - F.col("v_lo"))))
+        .cast("long")
+        .alias("q_q6"),
+    ).orderBy("p_q6")
+
+
+@register(
+    "top_metrics_latest",
+    f"""WITH e AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT event_type, ts_us, event_id, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM e)
+SELECT event_type, ts_us, event_id, cents FROM r WHERE rn = 1
+ORDER BY event_type""",
+)
+def top_metrics_latest(spark, sf_dir):
+    """ES ``top_metrics`` agg (sort: ts desc): per event type, the metric
+    value carried by the LATEST event — the 'current reading per series'
+    lookup a monitoring dashboard issues (last price, last gauge value).
+    Tie on ts broken by event_id desc.
+
+    Scale shape: the per-type argmax is ONE map-side-combinable
+    max(struct(ts_us, event_id, cents)) — lexicographic struct max, the
+    search_collapse rule — so no reducer ever holds a type's event list
+    and there is no per-type sort window (the oracle's window is fine
+    for DuckDB, never for Spark). Output is |event_types| rows."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    g = e.groupBy("event_type").agg(
+        F.max(F.struct("ts_us", "event_id", "cents")).alias("top")
+    )
+    return g.select(
+        "event_type",
+        F.col("top.ts_us").cast("long").alias("ts_us"),
+        F.col("top.event_id").cast("long").alias("event_id"),
+        F.col("top.cents").cast("long").alias("cents"),
+    ).orderBy("event_type")
+
+
+_MBP_FULL = ["spark", "join"]
+_MBP_PREFIX = "ha"
+
+
+@register(
+    "match_bool_prefix_search",
+    _bm25_agg_ctes(_MBP_FULL)
+    + f""",
+dict AS (SELECT DISTINCT term FROM tf WHERE term LIKE '{_MBP_PREFIX}%'
+         ORDER BY term LIMIT 50),
+pd AS (SELECT DISTINCT tf.doc_id FROM tf JOIN dict USING (term)),
+fused AS (
+  SELECT COALESCE(agg.doc_id, pd.doc_id) AS doc_id,
+         CAST(COALESCE(agg.score_q6, 0)
+              + CASE WHEN pd.doc_id IS NULL THEN 0 ELSE 1000000 END AS BIGINT) AS score_q6,
+         CAST(COALESCE(agg.nm, 0)
+              + CASE WHEN pd.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS nm,
+         CAST(pd.doc_id IS NOT NULL AS INT) AS has_prefix
+  FROM agg FULL JOIN pd ON agg.doc_id = pd.doc_id)
+SELECT doc_id, score_q6, nm, has_prefix FROM fused
+ORDER BY score_q6 DESC, doc_id ASC LIMIT 10""",
+)
+def match_bool_prefix_search(spark, sf_dir):
+    """ES ``multi_match`` type ``bool_prefix`` (the search-as-you-type
+    query): every term but the last scores as a normal BM25 term clause,
+    the trailing partial term becomes a PREFIX clause — expanded via the
+    dictionary walk (LIKE 'ha%', lexicographic top-50, the
+    match_phrase_prefix rule) and scored CONSTANT 1.0 (Lucene's default
+    constant-score prefix rewrite). Docs matching only the prefix still
+    appear (bool should), which is exactly why the suggest box shows
+    results before the word is finished. Completes the multi_match
+    family: best_fields / most_fields / cross_fields / phrase /
+    phrase_prefix / bool_prefix.
+
+    Scale shape: the corpus tokenizes ONCE (checkpointed — the rescore_topn
+    rule: the BM25 leg, the dictionary walk and the prefix-doc semi-join
+    are three consumers, and un-checkpointed each would re-run the
+    tokenize); the expansion is dictionary-bounded (≤50 terms, broadcast)
+    and the prefix-doc set is one semi-join over postings; fusion is a
+    FULL JOIN of two match sets on doc_id followed by a TakeOrdered(10)."""
+    toks = _toks(_docs(spark, sf_dir)).localCheckpoint()
+    agg = _bm25_match_set(spark, sf_dir, _MBP_FULL, toks=toks)
+    dict_df = (
+        toks.select("term")
+        .where(F.col("term").like(f"{_MBP_PREFIX}%"))
+        .distinct()
+        .orderBy("term")
+        .limit(50)
+    )
+    pd_df = (
+        toks.join(F.broadcast(dict_df), "term")
+        .select("doc_id")
+        .distinct()
+        .select(F.col("doc_id").alias("pdoc"))
+    )
+    fused = (
+        agg.join(pd_df, F.col("doc_id") == F.col("pdoc"), "full")
+        .select(
+            F.coalesce(F.col("doc_id"), F.col("pdoc")).alias("doc_id"),
+            (
+                F.coalesce(F.col("score_q6"), F.lit(0))
+                + F.when(F.col("pdoc").isNull(), F.lit(0)).otherwise(F.lit(1_000_000))
+            )
+            .cast("long")
+            .alias("score_q6"),
+            (
+                F.coalesce(F.col("nm"), F.lit(0))
+                + F.when(F.col("pdoc").isNull(), F.lit(0)).otherwise(F.lit(1))
+            )
+            .cast("long")
+            .alias("nm"),
+            F.col("pdoc").isNotNull().cast("int").alias("has_prefix"),
+        )
+    )
+    return fused.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
+
+
+@register(
+    "len_quality_hist2d",
+    f"""WITH t AS (
+  SELECT CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS BIGINT) AS n_distinct
+  FROM documents),
+b AS (
+  SELECT CASE WHEN n_tok = 0 THEN -1
+              ELSE CAST(length(bin(n_tok)) - 1 AS BIGINT) END AS len_bucket,
+         CASE WHEN n_tok = 0 THEN CAST(-1 AS BIGINT)
+              ELSE LEAST(CAST(4 AS BIGINT),
+                   (CAST(round(1000000.0 * n_distinct / n_tok) AS BIGINT) * 5) // 1000000)
+         END AS q_bucket,
+         n_tok
+  FROM t)
+SELECT len_bucket, q_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM b GROUP BY len_bucket, q_bucket ORDER BY len_bucket, q_bucket""",
+)
+def len_quality_hist2d(spark, sf_dir):
+    """2-D corpus census: log2 document-length bucket × type-token-ratio
+    quintile — the filter-interaction heatmap behind length and quality
+    gates (short docs dominate the low-TTR cells ↔ a TTR cut silently
+    becomes a length cut; the 2-D view is what catches that coupling,
+    which the two 1-D curves — doclen_histogram, quality_ablation_curve —
+    cannot). Cells report docs and token mass.
+
+    Determinism: len_bucket = floor(log2 n) via the binary-string length
+    (doclen_histogram's integer-exact rule); TTR is q6-rounded FIRST and
+    the quintile is (ttr_q6·5) div 1e6 — non-negative integer division,
+    identical both engines, clamped to 4 at ttr = 1.0. Empty docs land in
+    the (-1, -1) cell.
+
+    Scale shape: both keys are map-side expressions; one 2-D hash agg,
+    ≤ 5·64 cells regardless of corpus size."""
+    t = _docs(spark, sf_dir).select(
+        F.size(spark_tokens("text")).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(spark_tokens("text"))).cast("long").alias("n_distinct"),
+    )
+    b = t.select(
+        F.expr(
+            "CASE WHEN n_tok = 0 THEN -1"
+            " ELSE CAST(length(bin(n_tok)) - 1 AS BIGINT) END"
+        ).alias("len_bucket"),
+        F.expr(
+            "CASE WHEN n_tok = 0 THEN CAST(-1 AS BIGINT)"
+            " ELSE LEAST(CAST(4 AS BIGINT),"
+            " (CAST(round(1000000.0 * n_distinct / n_tok) AS BIGINT) * 5) div 1000000)"
+            " END"
+        ).alias("q_bucket"),
+        "n_tok",
+    )
+    return (
+        b.groupBy("len_bucket", "q_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("len_bucket", "q_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -16831,6 +17092,9 @@ _FRONT = [
     "ks_test_doclen", "mannwhitney_doclen", "jsd_source_pairs",
     "weighted_sample_docs", "stupid_backoff_surprisal", "decontamination_minhash",
     "hybrid_linear_search", "field_value_factor_search", "benford_value_audit",
+    # session 48: ES pipeline/metric agg completions, bool_prefix, 2-D census
+    "percentiles_bucket_daily", "top_metrics_latest", "match_bool_prefix_search",
+    "len_quality_hist2d",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
