@@ -350,7 +350,9 @@ def main() -> None:
                  "decontamination_minhash", "hybrid_linear_search",
                  "field_value_factor_search", "benford_value_audit",
                  "percentiles_bucket_daily", "top_metrics_latest",
-                 "match_bool_prefix_search", "len_quality_hist2d"]:
+                 "match_bool_prefix_search", "len_quality_hist2d",
+                 "msttr_source", "events_stickiness",
+                 "conversion_latency_histogram", "significant_terms_chi2"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

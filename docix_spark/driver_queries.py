@@ -17030,6 +17030,289 @@ def len_quality_hist2d(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 49 — segmental lexical diversity, product analytics (stickiness,
+# conversion latency), chi-squared significant terms
+# ---------------------------------------------------------------------------
+
+_MSTTR_W = 25  # MSTTR segment width (Johnson 1944's standard segmental TTR)
+
+
+@register(
+    "msttr_source",
+    f"""WITH w AS ({SQL_WORDS}),
+seg AS (
+  SELECT source,
+         CAST(len(list_distinct(list_slice(words, i * {_MSTTR_W} + 1, (i + 1) * {_MSTTR_W}))) AS BIGINT) AS nd
+  FROM w, unnest(generate_series(0, len(words) // {_MSTTR_W} - 1)) AS t(i)
+  WHERE len(words) >= {_MSTTR_W}),
+tt AS (SELECT source,
+              CAST(round(1000000.0 * nd / {_MSTTR_W}) AS BIGINT) AS ttr_q6
+       FROM seg)
+SELECT source, CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(round(sum(ttr_q6) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS msttr_q6
+FROM tt GROUP BY source ORDER BY source""",
+)
+def msttr_source(spark, sf_dir):
+    """Mean Segmental Type-Token Ratio (MSTTR-25, Johnson 1944) per
+    source — the LENGTH-ROBUST lexical-diversity score: plain TTR falls
+    with document length by construction (heaps_law_source measures that
+    curve), so corpora of different doclen mixes can't be compared on it;
+    MSTTR instead averages the TTR of consecutive fixed-width 25-token
+    segments (trailing partial segment discarded, per the standard), so
+    every segment is measured at the same length. Completes the
+    diversity family: TTR cut (quality_ablation_curve), Yule's K
+    (yule_k_source), Heaps exponent, now MSTTR.
+
+    Determinism: per-segment TTR is q6-rounded FIRST (nd/25 over exact
+    integers); the per-source mean is ONE float division of two exact
+    BIGINTs. Segment slices are 1-based in BOTH engines (Spark slice and
+    DuckDB list_slice) — no index-origin shim needed, unlike words[i].
+
+    Scale shape: one map-side explode of n_tok/25 segment rows per doc
+    (each segment a bounded 25-element slice+distinct, not a per-token
+    lambda), into a sources-sized agg."""
+    w = _docs(spark, sf_dir).select("source", spark_tokens("text").alias("words"))
+    seg = (
+        w.where(F.size("words") >= _MSTTR_W)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(words) div {_MSTTR_W} - 1), i -> "
+                    f"cast(size(array_distinct(slice(words, i * {_MSTTR_W} + 1, {_MSTTR_W}))) as bigint))"
+                )
+            ).alias("nd"),
+        )
+    )
+    tt = seg.select(
+        "source",
+        F.expr(f"CAST(round(1000000.0 * nd / {_MSTTR_W}) AS BIGINT)").alias("ttr_q6"),
+    )
+    return (
+        tt.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.expr("CAST(round(sum(ttr_q6) / CAST(count(*) AS DOUBLE)) AS BIGINT)").alias(
+                "msttr_q6"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "events_stickiness",
+    f"""WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // {_US_PER_DAY} AS day, user_id FROM events),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day),
+mp AS (
+  SELECT DISTINCT du.day + o AS day, du.user_id
+  FROM du, unnest(generate_series(0, 27)) AS t(o)),
+mau AS (SELECT day, CAST(count(*) AS BIGINT) AS mau FROM mp GROUP BY day)
+SELECT dau.day AS day, dau.dau, mau.mau,
+       CAST(round(1000000.0 * dau.dau / mau.mau) AS BIGINT) AS stickiness_q6
+FROM dau JOIN mau ON mau.day = dau.day
+ORDER BY day""",
+)
+def events_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per day — THE product-analytics engagement
+    ratio (what fraction of the trailing-28-day user base showed up
+    today). The trailing-window distinct is decomposed without any
+    sliding-window distinct state: each (day, user) activity pair is
+    fanned to the 28 future days whose MAU window contains it (offset
+    explode, bounded fanout 28), then deduplicated — a user active 5×
+    in a window still counts once. Days without activity have no DAU
+    row and are omitted (their stickiness is 0 by definition).
+
+    Scale shape: the (day, user) distinct is one exchange; the
+    28-offset fan is map-side; the MAU distinct/count is a second
+    bounded exchange (28× the first's rows, the documented trade);
+    stickiness is a calendar-sized join. DAU/MAU are exact BIGINTs,
+    the ratio one float division.
+
+    Day keys: integer epoch-microsecond division (events_daily_mavg)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    du = (
+        e.select(
+            F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint()  # feeds DAU and the 28-day fan
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    mp = (
+        du.select(
+            F.explode(F.expr("sequence(0, 27)")).alias("o"), "day", "user_id"
+        )
+        .select((F.col("day") + F.col("o")).alias("day"), "user_id")
+        .distinct()
+    )
+    mau = mp.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("mau"))
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.expr("CAST(round(1000000.0 * dau / mau) AS BIGINT)").alias("stickiness_q6"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "conversion_latency_histogram",
+    f"""WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+v AS (SELECT user_id, min(ts_us) AS v_ts FROM e WHERE event_type = 'view' GROUP BY user_id),
+p AS (
+  SELECT e.user_id, min(e.ts_us) AS p_ts
+  FROM e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts_us >= v.v_ts
+  GROUP BY e.user_id),
+g AS (
+  SELECT p.user_id, p.p_ts - v.v_ts AS gap
+  FROM p JOIN v USING (user_id)),
+b AS (
+  SELECT CASE WHEN gap = 0 THEN -1
+              ELSE CAST(length(bin(gap)) - 1 AS BIGINT) END AS bucket
+  FROM g)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_users
+FROM b GROUP BY bucket ORDER BY bucket""",
+)
+def conversion_latency_histogram(spark, sf_dir):
+    """Time-to-convert distribution: for each user, the latency from
+    FIRST view to the first purchase AT OR AFTER it, bucketed into
+    log2-microsecond bins (the interevent_gap_histogram scale, bucket -1
+    for same-microsecond conversion) — the funnel-latency curve that
+    sizes attribution windows and the sessionization gap
+    (events_funnel counts who converts; this measures how long it
+    takes). A purchase at exactly the first-view timestamp counts
+    (ts >= v_ts — declared, both engines identical).
+
+    Scale shape: the events_funnel plan truncated at two stages — both
+    min-aggs and both joins key on user_id, so everything rides ONE
+    user exchange; the histogram is a ≤64-bucket agg."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us")
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("v_ts"))
+    )
+    p = (
+        e.join(v, "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("ts_us") >= F.col("v_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_ts"))
+    )
+    g = p.join(v, "user_id").select((F.col("p_ts") - F.col("v_ts")).alias("gap"))
+    b = g.select(
+        F.expr(
+            "CASE WHEN gap = 0 THEN -1 ELSE CAST(length(bin(gap)) - 1 AS BIGINT) END"
+        ).alias("bucket")
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("bucket")
+    )
+
+
+# 2x2 chi-squared over exact contingency integers: a = fg docs with term,
+# b = fg docs without, c = bg-only docs with term, d = the rest. Every
+# product is forced to DOUBLE from the first multiplication (CAST(x AS
+# DOUBLE) * y) so both engines run the identical IEEE sequence even where
+# a*d would pass 2^53 at corpus scale.
+_CHI2_SIG_EXPR = (
+    "CASE WHEN (c + d) = 0 OR (b + d) = 0 THEN 0 ELSE "
+    "CAST(round(1000000 * (CAST(n AS DOUBLE)"
+    " * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)"
+    " * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c))"
+    " / ((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d)"
+    " * (CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d))) AS BIGINT) END"
+)
+
+
+@register(
+    "significant_terms_chi2",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + f""",
+fg AS (SELECT DISTINCT doc_id FROM agg),
+fgn AS (SELECT CAST(count(*) AS BIGINT) AS ft FROM fg),
+fgc AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS a
+  FROM tf JOIN fg USING (doc_id) GROUP BY term),
+cells AS (
+  SELECT fgc.term, fgc.a,
+         (SELECT ft FROM fgn) - fgc.a AS b,
+         CAST(dfs.df AS BIGINT) - fgc.a AS c,
+         CAST((SELECT n_docs FROM st) AS BIGINT) - (SELECT ft FROM fgn)
+           - (CAST(dfs.df AS BIGINT) - fgc.a) AS d,
+         CAST((SELECT n_docs FROM st) AS BIGINT) AS n
+  FROM fgc JOIN dfs USING (term)
+  WHERE fgc.a >= 3),
+sc AS (
+  SELECT term, a AS fg_df, a + c AS bg_df, {_CHI2_SIG_EXPR} AS chi2_q6
+  FROM cells WHERE a * d > b * c)
+SELECT term, fg_df, bg_df, chi2_q6 FROM sc
+ORDER BY chi2_q6 DESC, term ASC LIMIT 25""",
+)
+def significant_terms_chi2(spark, sf_dir):
+    """ES ``significant_terms`` with the ``chi_square`` heuristic — the
+    second significance lens next to the default JLH
+    (significant_terms): chi² rewards terms whose foreground/background
+    contingency deviates most from independence, which surfaces
+    lower-frequency terms JLH's ratio term drowns. Same ES gates:
+    min_doc_count 3 on the foreground, over-represented terms only
+    (a·d > b·c — the exact-integer cross-multiplication, never a float
+    sign test).
+
+    Scale shape: identical to significant_terms — the foreground count
+    is the only new exchange; the 2×2 cells are per-term scalar
+    arithmetic over the vocab-bounded join of foreground counts with
+    the A2 df table; top-25 is a TakeOrdered."""
+    toks = _toks(_docs(spark, sf_dir))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfs = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = tf.select("doc_id").distinct().agg(
+        F.count("*").cast("long").alias("n")
+    )
+    fg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS).select("doc_id").distinct()
+    fgn = fg.agg(F.count("*").cast("long").alias("ft"))
+    fgc = tf.join(fg, "doc_id").groupBy("term").agg(
+        F.count("*").cast("long").alias("a")
+    )
+    cells = (
+        fgc.join(dfs, "term")
+        .crossJoin(F.broadcast(fgn))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("a") >= 3)
+        .select(
+            "term",
+            "a",
+            (F.col("ft") - F.col("a")).alias("b"),
+            (F.col("df") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("ft") - (F.col("df") - F.col("a"))).alias("d"),
+            "n",
+        )
+    )
+    return (
+        cells.where(F.expr("a * d > b * c"))
+        .select(
+            "term",
+            F.col("a").alias("fg_df"),
+            (F.col("a") + F.col("c")).cast("long").alias("bg_df"),
+            F.expr(_CHI2_SIG_EXPR).alias("chi2_q6"),
+        )
+        .orderBy(F.desc("chi2_q6"), F.asc("term"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -17095,6 +17378,9 @@ _FRONT = [
     # session 48: ES pipeline/metric agg completions, bool_prefix, 2-D census
     "percentiles_bucket_daily", "top_metrics_latest", "match_bool_prefix_search",
     "len_quality_hist2d",
+    # session 49: MSTTR diversity, stickiness, conversion latency, chi2 terms
+    "msttr_source", "events_stickiness", "conversion_latency_histogram",
+    "significant_terms_chi2",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
