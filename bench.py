@@ -352,7 +352,8 @@ def main() -> None:
                  "percentiles_bucket_daily", "top_metrics_latest",
                  "match_bool_prefix_search", "len_quality_hist2d",
                  "msttr_source", "events_stickiness",
-                 "conversion_latency_histogram", "significant_terms_chi2"]:
+                 "conversion_latency_histogram", "significant_terms_chi2",
+                 "phrase_suggester", "ivf_train_convergence"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

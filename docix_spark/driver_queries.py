@@ -17313,6 +17313,209 @@ def significant_terms_chi2(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 50 — phrase suggester (did-you-mean), IVF training convergence
+# ---------------------------------------------------------------------------
+
+_PS_TYPO, _PS_NEXT = "spak", "join"  # "spak join" -> "spark join"
+
+
+@register(
+    "phrase_suggester",
+    f"""WITH toks AS ({SQL_TOKS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+         FROM tf GROUP BY term),
+vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM dict),
+w AS ({SQL_WORDS}),
+bg AS (SELECT words[i] AS w1, words[i+1] AS w2, CAST(count(*) AS BIGINT) AS c12
+       FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
+       WHERE len(words) >= 2 GROUP BY 1, 2),
+cand AS (
+  SELECT dict.term, CAST(levenshtein('{_PS_TYPO}', dict.term) AS BIGINT) AS dist,
+         dict.df, dict.cf
+  FROM dict WHERE levenshtein('{_PS_TYPO}', dict.term) BETWEEN 1 AND 2),
+sc AS (
+  SELECT cand.term, cand.dist, cand.df,
+         CAST(COALESCE(bg.c12, 0) AS BIGINT) AS c12,
+         CAST(round(1000000 * ln((COALESCE(bg.c12, 0) + 1)
+              / CAST(cand.cf + vocab.v AS DOUBLE))) AS BIGINT) AS score_q6
+  FROM cand LEFT JOIN bg ON bg.w1 = cand.term AND bg.w2 = '{_PS_NEXT}'
+  CROSS JOIN vocab),
+ranked AS (
+  SELECT term, dist, df, c12, score_q6,
+         CAST(row_number() OVER (
+           ORDER BY score_q6 DESC, dist ASC, term ASC) AS BIGINT) AS rank
+  FROM sc)
+SELECT term, dist, df, c12, score_q6, rank FROM ranked
+WHERE rank <= 5 ORDER BY rank""",
+)
+def phrase_suggester(spark, sf_dir):
+    """ES PHRASE suggester ('did you mean: spark join'): correction
+    candidates for the typo'd first term of 'spak join' are ranked by a
+    Laplace bigram LM — P(join | cand) = (c(cand, join)+1)/(c(cand)+V) —
+    instead of spell_correct's (dist, df) term-level ordering. This is
+    the context-aware upgrade: 'spar'-like candidates that never precede
+    'join' in the corpus drop below ones that do, exactly the
+    real-word-error case the ES phrase suggester exists for (its
+    laplace smoothing default, α folded to add-1).
+
+    Determinism: per-candidate score_q6 is one q6-rounded ln over exact
+    integers; rank orders by (score desc, dist asc, term asc).
+
+    Scale shape: candidates come from the bounded dictionary scan (F2's
+    shape); the bigram probe is a LEFT JOIN of ≤|candidates| rows
+    against the Zipf-bounded bigram-type table on (w1 = cand,
+    w2 = 'join'); vocab size broadcasts as one row. The corpus
+    tokenizes ONCE into a checkpointed word-array table feeding both
+    the dictionary chain and the bigram explode."""
+    wdf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", spark_tokens("text").alias("words"))
+        .localCheckpoint()
+    )
+    toks = wdf.select("doc_id", F.explode("words").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dic = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf")
+    )
+    vocab = dic.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    bg = (
+        wdf.where(F.size("words") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words)-2), i -> "
+                    "struct(words[i] AS w1, words[i+1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .where(F.col("w2") == _PS_NEXT)
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    cand = (
+        dic.withColumn("dist", F.levenshtein(F.lit(_PS_TYPO), F.col("term")).cast("long"))
+        .where((F.col("dist") >= 1) & (F.col("dist") <= 2))
+    )
+    sc = (
+        cand.join(bg.select(F.col("w1").alias("term"), "c12"), "term", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "term",
+            "dist",
+            "df",
+            F.coalesce(F.col("c12"), F.lit(0)).cast("long").alias("c12"),
+            F.expr(
+                "CAST(round(1000000 * ln((COALESCE(c12, 0) + 1)"
+                " / CAST(cf + v AS DOUBLE))) AS BIGINT)"
+            ).alias("score_q6"),
+        )
+    )
+    w_rank = Window.orderBy(F.desc("score_q6"), F.asc("dist"), F.asc("term"))
+    return (
+        sc.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("term", "dist", "df", "c12", "score_q6", "rank")
+        .orderBy("rank")
+    )
+
+
+@register(
+    "ivf_train_convergence",
+    _KMEANS_SQL_PRELUDE
+    + """,
+b1 AS (SELECT vec_id, max(cq) AS bc FROM s1 GROUP BY vec_id),
+b2 AS (SELECT vec_id, max(cq) AS bc FROM s2 GROUP BY vec_id),
+b3 AS (SELECT vec_id, max(cq) AS bc FROM s3 GROUP BY vec_id),
+ch2 AS (SELECT CAST(count(*) FILTER (WHERE a2.cid <> a1.cid) AS BIGINT) AS ch
+        FROM a2 JOIN a1 USING (vec_id)),
+ch3 AS (SELECT CAST(count(*) FILTER (WHERE a3.cid <> a2.cid) AS BIGINT) AS ch
+        FROM a3 JOIN a2 USING (vec_id))
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS round, CAST(count(*) AS BIGINT) AS n_vec,
+         CAST(sum(bc) AS BIGINT) AS sum_cosq9, CAST(-1 AS BIGINT) AS n_changed
+  FROM b1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT), CAST(sum(bc) AS BIGINT),
+         (SELECT ch FROM ch2) FROM b2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT), CAST(sum(bc) AS BIGINT),
+         (SELECT ch FROM ch3) FROM b3
+) ORDER BY round""",
+)
+def ivf_train_convergence(spark, sf_dir):
+    """k-means training convergence curve for the IVF coarse quantizer:
+    per Lloyd round, the summed best-assignment cosine (q9 — higher =
+    tighter cells; the cosine-k-means objective) and the number of
+    vectors that CHANGED cells versus the previous round (round 1 assigns
+    against the seed centroids; its n_changed is the -1 sentinel). The
+    train-loop observability the 2-round choice in `_trained_ivf` rests
+    on: sum_cosq9 must be non-decreasing and n_changed shrinking, else
+    more rounds are warranted. Completes the index-health family next to
+    ivf_cluster_balance (trained-state audit) — this is the
+    during-training audit.
+
+    Determinism: per-vector best cosine is the same integer q9 the
+    assignment ranks on, so sums are exact BIGINTs; change counts are
+    exact joins of integer assignments.
+
+    Scale shape: per round, ONE broadcast-centroid scan (K rows
+    broadcast, members stream) into a per-vector max — map-side
+    combinable — plus the q6-integer centroid re-sum; assignments
+    localCheckpoint per round (the kmeans-round pattern: lineage cut,
+    each round's table materialized once). The oracle unrolls the same
+    three rounds as CTEs (UNION ALL per round is DuckDB-only — the
+    Spark side unions three 1-row aggregates)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    members = e.where(F.col("vec_id") != 0)
+    cent = members.where(F.col("vec_id").between(1, _KMEANS_K)).select(
+        F.col("vec_id").alias("cid"),
+        F.expr(
+            "transform(v, x -> cast(cast(round(x * 1000000) as bigint) as double))"
+        ).alias("cv"),
+    )
+    prev = None
+    rounds = []
+    for j in (1, 2, 3):
+        s = members.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cid", _cosq("v", "cv", 1_000_000_000).alias("cq")
+        )
+        s = s.localCheckpoint()  # feeds the best-cos agg AND the assignment
+        stat = s.groupBy("vec_id").agg(F.max("cq").alias("bc")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_vec"),
+            F.sum("bc").cast("long").alias("sum_cosq9"),
+        )
+        w_rn = Window.partitionBy("vec_id").orderBy(F.desc("cq"), F.asc("cid"))
+        assign = (
+            s.withColumn("rn", F.row_number().over(w_rn))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid")
+            .localCheckpoint()
+        )
+        if prev is None:
+            ch = spark.createDataFrame([(-1,)], "ch long")
+        else:
+            ch = assign.join(
+                prev.select("vec_id", F.col("cid").alias("pcid")), "vec_id"
+            ).agg(F.count_if(F.col("cid") != F.col("pcid")).cast("long").alias("ch"))
+        rounds.append(
+            stat.crossJoin(ch).select(
+                F.lit(j).cast("long").alias("round"),
+                "n_vec",
+                "sum_cosq9",
+                F.col("ch").alias("n_changed"),
+            )
+        )
+        if j < 3:
+            cent = _kmeans_cent(members, assign)
+        prev = assign
+    return rounds[0].unionByName(rounds[1]).unionByName(rounds[2]).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -17381,6 +17584,8 @@ _FRONT = [
     # session 49: MSTTR diversity, stickiness, conversion latency, chi2 terms
     "msttr_source", "events_stickiness", "conversion_latency_histogram",
     "significant_terms_chi2",
+    # session 50: phrase suggester, k-means convergence curve
+    "phrase_suggester", "ivf_train_convergence",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",

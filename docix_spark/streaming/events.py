@@ -631,3 +631,70 @@ def hll_user_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# top-metrics (latest reading per series) over the event stream
+# ---------------------------------------------------------------------------
+
+
+def _top_metric_rows(events: DataFrame) -> DataFrame:
+    return events.select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+
+
+def top_metrics_cells(events: DataFrame) -> DataFrame:
+    """Batch twin: the latest (ts, event_id)-argmax metric per event type
+    — driver_queries.top_metrics_latest's plan, repeated here so the
+    stream/batch identity test compares the exact expression tree. The
+    per-type argmax struct merges by lexicographic MAX, which is what
+    makes the streaming side a bounded running aggregation."""
+    g = _top_metric_rows(events).groupBy("event_type").agg(
+        F.max(F.struct("ts_us", "event_id", "cents")).alias("top")
+    )
+    return g.select(
+        "event_type",
+        F.col("top.ts_us").cast("long").alias("ts_us"),
+        F.col("top.event_id").cast("long").alias("event_id"),
+        F.col("top.cents").cast("long").alias("cents"),
+    ).orderBy("event_type")
+
+
+def top_metrics_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "events_topm",
+):
+    """Streaming top-metrics maintenance: the per-type latest reading as a
+    COMPLETE-mode running MAX-of-struct aggregation — state is
+    |event_types| rows no matter how many events flow, and the argmax
+    struct is REPLAY-INSENSITIVE (max is idempotent and commutative, so
+    duplicate or reordered file drops cannot change the answer). Third
+    mergeable-state flavor next to CMS (sum-merge) and HLL (max-merge):
+    this one max-merges a composite ORDER, the 'last value' every
+    metrics dashboard serves."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(input_dir)
+    g = _top_metric_rows(stream).groupBy("event_type").agg(
+        F.max(F.struct("ts_us", "event_id", "cents")).alias("top")
+    )
+    cells = g.select(
+        "event_type",
+        F.col("top.ts_us").cast("long").alias("ts_us"),
+        F.col("top.event_id").cast("long").alias("event_id"),
+        F.col("top.cents").cast("long").alias("cents"),
+    )
+    return (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

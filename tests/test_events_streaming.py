@@ -406,3 +406,36 @@ def test_hll_stream_equals_batch_registers(spark, event_drops, tmp_root):
         for r in hll_user_registers(ev.unionAll(ev)).collect()
     )
     assert doubled == want
+
+
+def test_top_metrics_stream_equals_batch(spark, event_drops, tmp_root):
+    """The streaming-maintained per-type latest reading (complete-mode
+    running MAX-of-struct, |event_types| rows of state) must equal the
+    batch twin exactly after the availableNow drain — lexicographic
+    struct-max mergeability is the third sketch-merge flavor (CMS sums,
+    HLL maxes scalars, this maxes a composite order)."""
+    from docix_spark.streaming.events import top_metrics_cells, top_metrics_stream
+
+    q = top_metrics_stream(
+        spark, event_drops, f"{tmp_root}/topm_ckpt", query_name="t_ev_topm"
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.event_type, r.ts_us, r.event_id, r.cents)
+        for r in spark.sql("SELECT * FROM t_ev_topm").collect()
+    )
+    batch = top_metrics_cells(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    want = sorted(
+        (r.event_type, r.ts_us, r.event_id, r.cents) for r in batch.collect()
+    )
+    assert got == want and len(want) >= 3
+    # bounded state: one row per event type
+    assert len(got) == len({t for t, *_ in got})
+    # the registry op is the same expression tree
+    from docix_spark.driver_queries import REGISTRY
+
+    reg = sorted(
+        (r.event_type, r.ts_us, r.event_id, r.cents)
+        for r in REGISTRY["top_metrics_latest"].fn(spark, SF_DIR).collect()
+    )
+    assert reg == want
