@@ -353,7 +353,9 @@ def main() -> None:
                  "match_bool_prefix_search", "len_quality_hist2d",
                  "msttr_source", "events_stickiness",
                  "conversion_latency_histogram", "significant_terms_chi2",
-                 "phrase_suggester", "ivf_train_convergence"]:
+                 "phrase_suggester", "ivf_train_convergence",
+                 "bpe_apply_compression", "fold_leakage_check",
+                 "weighted_avg_ttr"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -17516,6 +17516,265 @@ def ivf_train_convergence(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 51 — BPE apply/compression, k-fold near-dup leakage, weighted_avg
+# ---------------------------------------------------------------------------
+
+
+def _bpe_apply_sql() -> str:
+    """Generated oracle for bpe_apply_compression: the _bpe_sql training
+    chain extended by the FINAL merge application, with every application
+    guarded by `CASE WHEN b.a IS NULL` over a LEFT JOIN ON TRUE — an
+    exhausted corpus (empty argmax) must pass words through unchanged,
+    where the trainer's plain cross join (correctly, for merge ROWS)
+    empties the table. Aggregates include single-char words (excluded
+    from the trainable table; their unit counts pass through verbatim)."""
+    parts = [
+        f"""WITH toks AS ({SQL_TOKS}),
+allw AS MATERIALIZED (
+  SELECT term AS word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY term),
+wt0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS s, cnt FROM allw
+  WHERE length(word) >= 2)"""
+    ]
+    for r in range(_BPE_ROUNDS):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, cnt
+  FROM (SELECT str_split(trim(s), '  ') AS syms, cnt FROM wt{r}),
+       unnest(generate_series(1, len(syms) - 1)) AS t(i)
+  WHERE len(syms) >= 2),
+b{r} AS MATERIALIZED (
+  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pc FROM p{r} GROUP BY a, b
+  ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+wt{r + 1} AS MATERIALIZED (
+  SELECT CASE WHEN b{r}.a IS NULL THEN s
+              ELSE replace(s, ' ' || b{r}.a || '  ' || b{r}.b || ' ',
+                           ' ' || b{r}.a || b{r}.b || ' ') END AS s, cnt
+  FROM wt{r} LEFT JOIN b{r} ON TRUE)"""
+        )
+    parts.append(
+        f""",
+after AS (
+  SELECT CAST(COALESCE(sum(cnt * len(str_split(trim(s), '  '))), 0) AS BIGINT) AS u
+  FROM wt{_BPE_ROUNDS}),
+shortu AS (
+  SELECT CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS u FROM allw WHERE length(word) < 2),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_types,
+         CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS n_words,
+         CAST(COALESCE(sum(cnt * length(word)), 0) AS BIGINT) AS units_before
+  FROM allw)
+SELECT tot.n_types, tot.n_words, tot.units_before,
+       CAST(after.u + shortu.u AS BIGINT) AS units_after,
+       CASE WHEN tot.units_before = 0 THEN 0
+            ELSE CAST(round(1000000.0 * (after.u + shortu.u) / tot.units_before) AS BIGINT)
+       END AS compression_q6
+FROM tot, after, shortu"""
+    )
+    return "".join(parts)
+
+
+@register("bpe_apply_compression", _bpe_apply_sql())
+def bpe_apply_compression(spark, sf_dir):
+    """BPE apply + compression audit — closes the tokenizer-training loop
+    that bpe_merge_candidates (one step) and bpe_train_merges (the greedy
+    loop) opened: train the 3 merges, APPLY them to the word-type table,
+    and report corpus-level token-instance units before (characters) and
+    after, plus the compression ratio — the bytes-per-token curve that
+    decides a tokenizer's merge budget. Single-character words can't
+    merge and pass through with unchanged units.
+
+    Determinism: identical greedy path to bpe_train_merges (count desc,
+    pair lexicographic); every unit count is an exact BIGINT; the ratio
+    is one float division. An exhausted corpus (no pair to merge) leaves
+    words unchanged — the application joins are LEFT ON TRUE with a
+    NULL-guard CASE, never a plain cross join (which empties the table
+    when the argmax is empty).
+
+    Scale shape: the trainer's shape (vocab-bounded type table,
+    localCheckpoint per round, 1-row broadcast merges) plus one final
+    aggregate; the corpus is never rescanned after the first tf pass."""
+    t = _toks(_docs(spark, sf_dir))
+    allw = (
+        t.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()  # feeds the trainable table AND the totals
+    )
+    wt = (
+        allw.where(F.length("term") >= 2)
+        .select(F.expr("regexp_replace(term, '(.)', ' $1 ')").alias("s"), "cnt")
+        .localCheckpoint()
+    )
+    for _ in range(_BPE_ROUNDS):
+        best = _bpe_pairs_best(wt).localCheckpoint()
+        wt = (
+            wt.join(F.broadcast(best), F.lit(True), "left")
+            .select(
+                F.expr(
+                    "CASE WHEN a IS NULL THEN s"
+                    " ELSE replace(s, ' ' || a || '  ' || b || ' ',"
+                    " ' ' || a || b || ' ') END"
+                ).alias("s"),
+                "cnt",
+            )
+            .localCheckpoint()
+        )
+    after = wt.agg(
+        F.coalesce(F.sum(F.expr("cnt * size(split(trim(s), '  '))")), F.lit(0))
+        .cast("long")
+        .alias("u")
+    )
+    shortu = allw.where(F.length("term") < 2).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("su")
+    )
+    tot = allw.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce(F.sum(F.expr("cnt * length(term)")), F.lit(0))
+        .cast("long")
+        .alias("units_before"),
+    )
+    return (
+        tot.crossJoin(after)
+        .crossJoin(shortu)
+        .select(
+            "n_types",
+            "n_words",
+            "units_before",
+            (F.col("u") + F.col("su")).cast("long").alias("units_after"),
+            F.expr(
+                "CASE WHEN units_before = 0 THEN 0"
+                " ELSE CAST(round(1000000.0 * (u + su) / units_before) AS BIGINT) END"
+            ).alias("compression_q6"),
+        )
+    )
+
+
+@register(
+    "fold_leakage_check",
+    _SQL_LSH_PAIRS
+    + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+cf AS (
+  SELECT comp.cluster_id,
+         ('0x' || substr(md5(CAST(comp.doc_id AS VARCHAR)), 13, 4))::INT % 5 AS fold
+  FROM comp),
+cl AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT fold) AS BIGINT) AS n_folds
+  FROM cf GROUP BY cluster_id)
+SELECT n_folds, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs
+FROM cl GROUP BY n_folds ORDER BY n_folds""",
+)
+def fold_leakage_check(spark, sf_dir):
+    """Cross-validation leakage audit: near-duplicate clusters whose
+    members land in DIFFERENT folds of the stratified_kfold_assign split
+    — training on fold≠k while evaluating on fold=k then leaks the
+    near-dup twin of every eval doc (the reason sklearn grew GroupKFold).
+    Reports the histogram of folds-spanned per cluster: every row at
+    n_folds ≥ 2 is leakage the doc-level split cannot see, and the fix
+    is assigning folds by CLUSTER id instead of doc id. Uses the
+    kfold coordinate VERBATIM (md5 hex 13-16 % 5) so what's audited is
+    the split that ships.
+
+    Scale shape: cluster labels reuse the memoized `_lsh_pair_edges` +
+    pointer-doubled connected components; the fold key is map-side; the
+    rollup is cluster-table-sized then ≤5 rows."""
+    edges = _lsh_pair_edges(spark, sf_dir)
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    labels = connected_components(labels, edges).select(
+        "doc_id", F.col("lbl").alias("cluster_id")
+    )
+    cf = labels.select(
+        "cluster_id",
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 13, 4), 16, 10) as int) % 5"
+        ).alias("fold"),
+    )
+    cl = cf.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("fold").cast("long").alias("n_folds"),
+    )
+    return (
+        cl.groupBy("n_folds")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+        )
+        .orderBy("n_folds")
+    )
+
+
+@register(
+    "weighted_avg_ttr",
+    f"""WITH t AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS BIGINT) AS n_distinct
+  FROM documents),
+v AS (
+  SELECT source, n_tok,
+         CAST(round(1000000.0 * n_distinct / n_tok) AS BIGINT) AS ttr_q6
+  FROM t WHERE n_tok > 0)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(round(sum(n_tok * ttr_q6) / CAST(sum(n_tok) AS DOUBLE)) AS BIGINT) AS wavg_ttr_q6,
+       CAST(round(sum(ttr_q6) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_ttr_q6
+FROM v GROUP BY source ORDER BY source""",
+)
+def weighted_avg_ttr(spark, sf_dir):
+    """ES ``weighted_avg`` aggregation: per-source type-token ratio
+    averaged with TOKEN-MASS weights next to the naive doc-average — the
+    pair answers 'what diversity does a sampled TOKEN see' vs 'what does
+    a sampled DOC see' (they diverge exactly when short docs have
+    atypical diversity, the coupling len_quality_hist2d maps). Completes
+    the metric-agg family's last missing member.
+
+    Determinism: per-doc ttr_q6 is rounded FIRST; both averages are one
+    float division over exact BIGINT sufficient sums (Σ w·v stays under
+    2^63 to ~9e6 docs·1e6-token docs per source — the extended_stats
+    envelope). Empty docs carry zero weight and an undefined TTR and are
+    excluded from both averages.
+
+    Scale shape: one map-side projection into a sources-sized agg."""
+    t = _docs(spark, sf_dir).select(
+        "source",
+        F.size(spark_tokens("text")).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(spark_tokens("text"))).cast("long").alias("n_distinct"),
+    )
+    v = t.where(F.col("n_tok") > 0).select(
+        "source",
+        "n_tok",
+        F.expr("CAST(round(1000000.0 * n_distinct / n_tok) AS BIGINT)").alias("ttr_q6"),
+    )
+    return (
+        v.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr(
+                "CAST(round(sum(n_tok * ttr_q6) / CAST(sum(n_tok) AS DOUBLE)) AS BIGINT)"
+            ).alias("wavg_ttr_q6"),
+            F.expr(
+                "CAST(round(sum(ttr_q6) / CAST(count(*) AS DOUBLE)) AS BIGINT)"
+            ).alias("avg_ttr_q6"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -17586,6 +17845,8 @@ _FRONT = [
     "significant_terms_chi2",
     # session 50: phrase suggester, k-means convergence curve
     "phrase_suggester", "ivf_train_convergence",
+    # session 51: BPE apply, fold leakage, weighted_avg
+    "bpe_apply_compression", "fold_leakage_check", "weighted_avg_ttr",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
