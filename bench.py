@@ -355,7 +355,9 @@ def main() -> None:
                  "conversion_latency_histogram", "significant_terms_chi2",
                  "phrase_suggester", "ivf_train_convergence",
                  "bpe_apply_compression", "fold_leakage_check",
-                 "weighted_avg_ttr"]:
+                 "weighted_avg_ttr",
+                 "dedup_method_agreement", "source_centroid_matrix",
+                 "embedding_dim_stats"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

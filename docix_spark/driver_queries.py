@@ -17775,6 +17775,239 @@ def weighted_avg_ttr(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 52 — sketch-method agreement, source centroid matrix, per-dim
+# embedding stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_method_agreement",
+    f"""WITH msh AS ({_SQL_SHINGLES}),
+sig AS (
+  SELECT doc_id,
+         min(md5('0:' || sh)) || min(md5('1:' || sh)) AS band0,
+         min(md5('2:' || sh)) || min(md5('3:' || sh)) AS band1
+  FROM msh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, band0 AS band FROM sig UNION ALL SELECT doc_id, band1 FROM sig),
+mpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+tf AS ({SQL_TF}),
+h AS (SELECT doc_id, tf, {_H60_SQL} AS h FROM tf),
+bits AS (
+  SELECT doc_id, j, sum(tf * (((h >> j) & 1) * 2 - 1)) AS vote
+  FROM h, (SELECT unnest(generate_series(0, 59)) AS j)
+  GROUP BY doc_id, j),
+smh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id),
+spairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM smh a JOIN smh b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+f AS (
+  SELECT CAST(m.doc_a IS NOT NULL AS INT) AS in_m,
+         CAST(s.doc_a IS NOT NULL AS INT) AS in_s
+  FROM mpairs m FULL JOIN spairs s
+    ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b)
+SELECT CAST(COALESCE(sum(in_m), 0) AS BIGINT) AS n_minhash,
+       CAST(COALESCE(sum(in_s), 0) AS BIGINT) AS n_simhash,
+       CAST(COALESCE(sum(in_m * in_s), 0) AS BIGINT) AS n_both,
+       CAST(count(*) AS BIGINT) AS n_union,
+       CASE WHEN count(*) = 0 THEN 0
+            ELSE CAST(round(1000000.0 * COALESCE(sum(in_m * in_s), 0) / count(*)) AS BIGINT)
+       END AS agree_jaccard_q6
+FROM f""",
+)
+def dedup_method_agreement(spark, sf_dir):
+    """Sketch-method agreement audit: the candidate-pair sets of the two
+    production near-dup sketches — MinHash-LSH (3-shingle bands, set
+    similarity) and SimHash (tf-weighted bit votes, hamming ≤ 3, cosine
+    similarity) — compared as a contingency: pairs both catch, pairs
+    only one catches, and the Jaccard of the two candidate sets. The
+    'which sketch sees what' readout behind choosing (or unioning) dedup
+    methods: shingle-LSH catches reorderings simhash misses, simhash
+    catches tf-weighted drift LSH's fixed threshold misses.
+
+    Scale shape: both candidate generators are their existing banded
+    forms (never all-pairs — the simhash side's oracle uses the hamming
+    filter directly, the Spark side the 15-bit band equi-join); the
+    FULL JOIN compares candidate-sized sets on the pair key; output is
+    1 row. The minhash side reads the MEMOIZED `_lsh_pair_edges` graph
+    (src < dst halves it back to pairs) — in a session that already ran
+    any LSH op, this side is free."""
+    mp = (
+        _lsh_pair_edges(spark, sf_dir)
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+    )
+    sp = simhash_band_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("sa"), F.col("id_b").alias("sb")
+    )
+    f = mp.join(
+        sp, (F.col("doc_a") == F.col("sa")) & (F.col("doc_b") == F.col("sb")), "full"
+    ).select(
+        F.col("doc_a").isNotNull().cast("int").alias("in_m"),
+        F.col("sa").isNotNull().cast("int").alias("in_s"),
+    )
+    return f.agg(
+        F.coalesce(F.sum("in_m"), F.lit(0)).cast("long").alias("n_minhash"),
+        F.coalesce(F.sum("in_s"), F.lit(0)).cast("long").alias("n_simhash"),
+        F.coalesce(F.sum(F.expr("in_m * in_s")), F.lit(0)).cast("long").alias("n_both"),
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+        F.expr(
+            "CASE WHEN count(*) = 0 THEN 0"
+            " ELSE CAST(round(1000000.0 * COALESCE(sum(in_m * in_s), 0) / count(*)) AS BIGINT) END"
+        ).alias("agree_jaccard_q6"),
+    )
+
+
+# centroid cosine with a zero-norm guard: a source whose q6 component sums
+# are ALL exactly zero has no direction; both engines emit 0 for its pairs.
+_CENT_COS = (
+    "CASE WHEN naa = 0 OR nbb = 0 THEN 0"
+    " ELSE CAST(round(1000000 * nab / (sqrt(naa) * sqrt(nbb))) AS BIGINT) END"
+)
+
+
+@register(
+    "source_centroid_matrix",
+    """WITH e AS (
+  SELECT d.source, CAST(em.embedding AS DOUBLE[]) AS v
+  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+  WHERE em.vec_id <> 0),
+dims AS (
+  SELECT source, i, SUM(CAST(round(v[i] * 1000000) AS BIGINT)) AS s
+  FROM e, (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY source, i),
+cv AS (SELECT source, list(CAST(s AS DOUBLE) ORDER BY i) AS c FROM dims GROUP BY source),
+px AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         list_dot_product(a.c, b.c) AS nab,
+         list_dot_product(a.c, a.c) AS naa,
+         list_dot_product(b.c, b.c) AS nbb
+  FROM cv a JOIN cv b ON a.source < b.source)
+SELECT src_a, src_b, """
+    + _CENT_COS
+    + """ AS cos_q6
+FROM px ORDER BY src_a, src_b""",
+)
+def source_centroid_matrix(spark, sf_dir):
+    """Pairwise SOURCE-CENTROID cosine matrix — the semantic counterpart
+    of jsd_source_pairs' lexical LM divergence (vec_id == doc_id joins
+    each embedding to its document's source): two sources whose
+    centroids align are topically redundant even when their vocabularies
+    differ (translations, paraphrase mirrors) — exactly what the lexical
+    matrix cannot see, which is why a data-mix audit reads both.
+
+    Determinism: centroids are element-wise BIGINT q6 SUMS (cosine is
+    scale-invariant, so the sum stands in for the mean — the
+    _kmeans_cent trick); the pairwise cosine is one shared float
+    expression with an exact zero-norm guard.
+
+    Scale shape: one (source, dim) agg with map-side partials (64 rows
+    per source), then a |sources|²-bounded pair join of 64-element
+    arrays; the corpus is scanned once."""
+    e = (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") != 0)
+        .join(
+            _docs(spark, sf_dir).select(F.col("doc_id").alias("vec_id"), "source"),
+            "vec_id",
+        )
+        .select("source", F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    )
+    dims = (
+        e.select("source", F.posexplode("v").alias("i", "x"))
+        .withColumn("xq", F.round(F.col("x") * F.lit(1_000_000.0)).cast("long"))
+        .groupBy("source", "i")
+        .agg(F.sum("xq").alias("s"))
+    )
+    cv = dims.groupBy("source").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(i, s))), t -> cast(t.s as double))"
+        ).alias("c")
+    )
+    a = cv.select(F.col("source").alias("src_a"), F.col("c").alias("ca"))
+    b = cv.select(F.col("source").alias("src_b"), F.col("c").alias("cb"))
+    px = (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.expr(_DOT.format(a="ca", b="cb")).alias("nab"),
+            F.expr(_DOT.format(a="ca", b="ca")).alias("naa"),
+            F.expr(_DOT.format(a="cb", b="cb")).alias("nbb"),
+        )
+    )
+    return px.select("src_a", "src_b", F.expr(_CENT_COS).alias("cos_q6")).orderBy(
+        "src_a", "src_b"
+    )
+
+
+# variance in the FLOAT-MEAN form (ss/n - (s/n)^2) — the integer products
+# n*ss overflow BIGINT at corpus scale (events_daily_anomaly's lesson);
+# s is q6-scaled, ss q12-scaled, so the expression lands directly in q12.
+_DIM_VAR = "CAST(round(ss / CAST(n AS DOUBLE) - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))) AS BIGINT)"
+
+
+@register(
+    "embedding_dim_stats",
+    """WITH ex AS (
+  SELECT i - 1 AS dim, CAST(round(v[i] * 1000000) AS BIGINT) AS xq
+  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+       (SELECT unnest(generate_series(1, 64)) AS i)),
+st AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(xq) AS BIGINT) AS s,
+         CAST(sum(xq * xq) AS BIGINT) AS ss
+  FROM ex GROUP BY dim)
+SELECT dim, n, CAST(round(s / CAST(n AS DOUBLE)) AS BIGINT) AS mean_q6,
+       """
+    + _DIM_VAR
+    + """ AS var_q12
+FROM st ORDER BY dim""",
+)
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension mean/variance of the embedding matrix — the
+    whitening/normalization audit read before PCA or product
+    quantization (a dimension with outsized variance dominates every
+    unnormalized distance; dead dimensions waste code budget — the
+    flat-variance sandbox reading IS what i.i.d. synthetic vectors
+    should show). Completes the embedding-QA family: norms
+    (embedding_norm_outliers), clip bounds (embedding_dim_clip_bounds),
+    principal direction (embedding_power_iteration), now the per-dim
+    moment table.
+
+    Determinism: q6 quantization per element FIRST, sums are exact
+    BIGINTs (Σ xq² at q12 caps the envelope at ~9e6 vectors — beyond
+    that the elements floor to q3, the norm_outliers rule); mean and
+    variance are single float expressions in the divide-first form (the
+    n·ss integer product would overflow first).
+
+    Scale shape: one map-side explode into a 64-group agg; output 64
+    rows."""
+    ex = (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") != 0)
+        .select(F.posexplode(F.expr("transform(embedding, x -> cast(x as double))")).alias("dim", "x"))
+        .withColumn("xq", F.round(F.col("x") * F.lit(1_000_000.0)).cast("long"))
+    )
+    stt = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("s"),
+        F.sum(F.expr("xq * xq")).cast("long").alias("ss"),
+    )
+    return stt.select(
+        "dim",
+        "n",
+        F.expr("CAST(round(s / CAST(n AS DOUBLE)) AS BIGINT)").alias("mean_q6"),
+        F.expr(_DIM_VAR).alias("var_q12"),
+    ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -17847,6 +18080,8 @@ _FRONT = [
     "phrase_suggester", "ivf_train_convergence",
     # session 51: BPE apply, fold leakage, weighted_avg
     "bpe_apply_compression", "fold_leakage_check", "weighted_avg_ttr",
+    # session 52: sketch agreement, source centroids, per-dim moments
+    "dedup_method_agreement", "source_centroid_matrix", "embedding_dim_stats",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
