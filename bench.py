@@ -357,7 +357,8 @@ def main() -> None:
                  "bpe_apply_compression", "fold_leakage_check",
                  "weighted_avg_ttr",
                  "dedup_method_agreement", "source_centroid_matrix",
-                 "embedding_dim_stats"]:
+                 "embedding_dim_stats",
+                 "bm25_param_sweep", "df_spectrum", "revenue_pareto_users"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -18008,6 +18008,265 @@ def embedding_dim_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 53 — BM25 parameter sweep, df spectrum, revenue Pareto
+# ---------------------------------------------------------------------------
+
+# (k1, b) grid in integer basis points; constants enter both engines as
+# (bp / 100.0) integer-over-float divisions — never decimal literals.
+_BM25_SWEEP = [(120, 75), (90, 40), (200, 75)]  # first = the engine default
+
+
+def _bm25_cfg_score(k1_bp: int, b_bp: int) -> str:
+    k1 = f"({k1_bp} / 100.0)"
+    b = f"({b_bp} / 100.0)"
+    return (
+        f"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ({k1} + 1.0)"
+        f" / (tf + {k1} * (1.0 - {b} + {b} * doc_len / avgdl))"
+    )
+
+
+def _bm25_sweep_sql() -> str:
+    parts = [
+        f"""WITH tf AS MATERIALIZED ({SQL_TF}),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf GROUP BY doc_id),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q AS (SELECT unnest([{", ".join(repr(t) for t in _TOPK_TERMS)}]) AS term)"""
+    ]
+    for i, (k1_bp, b_bp) in enumerate(_BM25_SWEEP):
+        parts.append(
+            f""",
+agg{i} AS (
+  SELECT tf.doc_id,
+         CAST(round(1000000 * sum({_bm25_cfg_score(k1_bp, b_bp)})) AS BIGINT) AS score_q6
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id), st
+  GROUP BY tf.doc_id),
+top{i} AS MATERIALIZED (
+  SELECT doc_id FROM agg{i} ORDER BY score_q6 DESC, doc_id ASC LIMIT 10)"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"""SELECT CAST({k1_bp} AS BIGINT) AS k1_bp, CAST({b_bp} AS BIGINT) AS b_bp,
+       (SELECT CAST(count(*) AS BIGINT) FROM top{i} t JOIN top0 t0 ON t.doc_id = t0.doc_id) AS overlap10"""
+        for i, (k1_bp, b_bp) in enumerate(_BM25_SWEEP)
+    )
+    parts.append(f"\nSELECT * FROM ({sel}) ORDER BY k1_bp, b_bp")
+    return "".join(parts)
+
+
+@register("bm25_param_sweep", _bm25_sweep_sql())
+def bm25_param_sweep(spark, sf_dir):
+    """BM25 (k1, b) hyperparameter sweep — the tuning curve for the CORE
+    scoring function itself (the family's other members tune sketches
+    and indexes; this tunes relevance): top-10 overlap of each grid
+    config against the engine default (1.2, 0.75). Grid: lower
+    saturation + weak length norm (0.9, 0.4 — the 'modern default'
+    proposed by Trotman), and high-k1 (2.0, 0.75). Overlap@10 is the
+    cheap stability readout — a config whose top-10 barely overlaps the
+    default's changes user-visible ranking and needs a judgment pass.
+
+    Determinism: every config's constants enter both engines as integer
+    /100.0 divisions (never decimal literals — the DECIMAL divergence
+    rule); scores quantize to q6 before ranking; ranks tiebreak on
+    doc_id.
+
+    Scale shape: tf/dl/st/dfs compute ONCE (MATERIALIZED / checkpointed
+    token table) and every config reuses them; each config adds only a
+    match-set-sized scoring join ending in a TakeOrdered(10); the
+    overlap joins see 10-row tables."""
+    toks = _toks(_docs(spark, sf_dir)).localCheckpoint()
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    stt = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    )
+    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    qdf = F.broadcast(
+        spark.createDataFrame([(t,) for t in _TOPK_TERMS], "term string")
+    )
+    base = (
+        tf.join(qdf, "term")
+        .join(dfs, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stt))
+        .localCheckpoint()  # one scoring input, reused by every config
+    )
+    tops = []
+    for k1_bp, b_bp in _BM25_SWEEP:
+        agg = base.groupBy("doc_id").agg(
+            F.expr(
+                f"CAST(round(1000000 * sum({_bm25_cfg_score(k1_bp, b_bp)})) AS BIGINT)"
+            ).alias("score_q6")
+        )
+        tops.append(
+            agg.orderBy(F.desc("score_q6"), F.asc("doc_id"))
+            .limit(10)
+            .select("doc_id")
+            .localCheckpoint()
+        )
+    rows = []
+    for (k1_bp, b_bp), top in zip(_BM25_SWEEP, tops):
+        ov = top.join(tops[0], "doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("overlap10")
+        )
+        rows.append(
+            ov.select(
+                F.lit(k1_bp).cast("long").alias("k1_bp"),
+                F.lit(b_bp).cast("long").alias("b_bp"),
+                "overlap10",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("k1_bp", "b_bp")
+
+
+@register(
+    "df_spectrum",
+    f"""WITH tf AS ({SQL_TF}),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        FROM tf GROUP BY term),
+b AS (SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS band, df, cf FROM dfs)
+SELECT band, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS postings,
+       CAST(sum(cf) AS BIGINT) AS tokens
+FROM b GROUP BY band ORDER BY band""",
+)
+def df_spectrum(spark, sf_dir):
+    """Vocabulary document-frequency spectrum: terms, posting-list
+    entries, and token mass per log2(df) band — the index-sizing curve
+    (how much of the postings volume lives in stopword-band terms decides
+    block-max budgets, stopword cuts, and the impact-ordered skip data;
+    the Zipf tail bands size the dictionary). The A2 aggregate read as a
+    distribution instead of a lookup table.
+
+    Scale shape: the vocab-keyed A2 agg then a ≤64-band rollup; all
+    counts exact BIGINTs, no floats anywhere."""
+    tf = _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+    dfs = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf")
+    )
+    b = dfs.select(
+        F.expr("CAST(length(bin(df)) - 1 AS BIGINT)").alias("band"), "df", "cf"
+    )
+    return (
+        b.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("postings"),
+            F.sum("cf").cast("long").alias("tokens"),
+        )
+        .orderBy("band")
+    )
+
+
+_PARETO_PCTS = [(100000,), (10000,)]  # q6 fractions: 10%, 1%
+
+
+@register(
+    "revenue_pareto_users",
+    f"""WITH ur AS (
+  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id),
+hist AS (SELECT cents, CAST(count(*) AS BIGINT) AS nu FROM ur GROUP BY cents),
+h AS (
+  SELECT cents, nu,
+         CAST(COALESCE(SUM(nu) OVER (ORDER BY cents DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM hist),
+tot AS (SELECT CAST(COALESCE(sum(nu), 0) AS BIGINT) AS n_users,
+               CAST(COALESCE(sum(nu * cents), 0) AS BIGINT) AS rev FROM hist),
+p AS (SELECT p_q6 FROM (VALUES {", ".join(str(t) for t in _PARETO_PCTS)}) AS v(p_q6)),
+kk AS (SELECT p_q6, CAST((p_q6 * n_users + 999999) // 1000000 AS BIGINT) AS k FROM p, tot),
+top AS (
+  SELECT kk.p_q6, kk.k,
+         CAST(COALESCE(sum(CASE
+           WHEN h.cum_before + h.nu <= kk.k THEN h.nu * h.cents
+           WHEN h.cum_before < kk.k THEN (kk.k - h.cum_before) * h.cents
+           ELSE 0 END), 0) AS BIGINT) AS rev_top
+  FROM kk LEFT JOIN h ON TRUE GROUP BY kk.p_q6, kk.k)
+SELECT top.p_q6, top.k AS k_users, top.rev_top,
+       CASE WHEN tot.rev = 0 THEN 0
+            ELSE CAST(round(1000000.0 * top.rev_top / tot.rev) AS BIGINT) END AS share_q6
+FROM top, tot ORDER BY p_q6 DESC""",
+)
+def revenue_pareto_users(spark, sf_dir):
+    """Revenue concentration (Pareto/Lorenz): the share of total event
+    value held by the top 10% and top 1% of users — THE whale-curve
+    readout behind every monetization dashboard ('do 1% of users carry
+    half the revenue?'). k = ceil(p·U) top users; the boundary bin
+    (users tied at the same cents total) contributes exactly its
+    marginal k − cum_before users, so the answer is order-free and
+    EXACT — no sort of the user table exists anywhere.
+
+    Determinism: cents are exact per-event BIGINTs summed per user;
+    ceil is the ADDITIVE identity (x + 999999) div 1e6 over non-negative
+    x — the negate trick −((−x) div d) is NOT ceil here because BOTH
+    engines truncate integer division toward zero (hypothesis caught
+    it); the share is one float division.
+
+    Scale shape: one user-keyed agg, then the doclen_quantiles
+    histogram trick over DISTINCT revenue values (histogram cells ≪
+    users); the prefix window runs over cells only; output is 2 rows."""
+    ur = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"))
+        .groupBy("user_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    hist = ur.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    hist = hist.localCheckpoint()  # feeds totals AND the cumulative window
+    w = Window.orderBy(F.desc("cents")).rowsBetween(Window.unboundedPreceding, -1)
+    h = hist.select(
+        "cents",
+        "nu",
+        F.coalesce(F.sum("nu").over(w), F.lit(0)).cast("long").alias("cum_before"),
+    )
+    tot = hist.agg(
+        F.coalesce(F.sum("nu"), F.lit(0)).cast("long").alias("n_users"),
+        F.coalesce(F.sum(F.expr("nu * cents")), F.lit(0)).cast("long").alias("rev"),
+    )
+    p = spark.createDataFrame(_PARETO_PCTS, "p_q6 long")
+    kk = F.broadcast(p).crossJoin(F.broadcast(tot)).select(
+        "p_q6", F.expr("CAST((p_q6 * n_users + 999999) div 1000000 AS BIGINT)").alias("k")
+    )
+    top = (
+        F.broadcast(kk)
+        .join(h, F.lit(True), "left")
+        .groupBy("p_q6", "k")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CASE WHEN cum_before + nu <= k THEN nu * cents"
+                        " WHEN cum_before < k THEN (k - cum_before) * cents"
+                        " ELSE 0 END"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("rev_top")
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "p_q6",
+            F.col("k").alias("k_users"),
+            "rev_top",
+            F.expr(
+                "CASE WHEN rev = 0 THEN 0"
+                " ELSE CAST(round(1000000.0 * rev_top / rev) AS BIGINT) END"
+            ).alias("share_q6"),
+        )
+        .orderBy(F.desc("p_q6"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -18082,6 +18341,8 @@ _FRONT = [
     "bpe_apply_compression", "fold_leakage_check", "weighted_avg_ttr",
     # session 52: sketch agreement, source centroids, per-dim moments
     "dedup_method_agreement", "source_centroid_matrix", "embedding_dim_stats",
+    # session 53: BM25 sweep, df spectrum, revenue Pareto
+    "bm25_param_sweep", "df_spectrum", "revenue_pareto_users",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
