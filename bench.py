@@ -358,7 +358,9 @@ def main() -> None:
                  "weighted_avg_ttr",
                  "dedup_method_agreement", "source_centroid_matrix",
                  "embedding_dim_stats",
-                 "bm25_param_sweep", "df_spectrum", "revenue_pareto_users"]:
+                 "bm25_param_sweep", "df_spectrum", "revenue_pareto_users",
+                 "bm25_batch_queries", "interpolated_lm_sweep",
+                 "term_burstiness"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -18267,6 +18267,286 @@ def revenue_pareto_users(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 54 — batched multi-query BM25, interpolated-LM lambda sweep,
+# term burstiness
+# ---------------------------------------------------------------------------
+
+_BATCH_QUERIES = [
+    (0, ["spark", "hash"]),
+    (1, ["merge", "sort", "window"]),
+    (2, ["table", "scan"]),
+    (3, ["join", "batch"]),
+]
+_BQ_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in _BATCH_QUERIES for t in terms
+)
+
+
+@register(
+    "bm25_batch_queries",
+    f"""WITH tf AS MATERIALIZED ({SQL_TF}),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf GROUP BY doc_id),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q AS (SELECT * FROM (VALUES {_BQ_VALUES}) AS v(qid, term)),
+per AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM st))) AS s
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)),
+agg AS (
+  SELECT qid, doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6
+  FROM per GROUP BY qid, doc_id),
+r AS (
+  SELECT qid, doc_id, score_q6,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score_q6 DESC, doc_id ASC) AS rn
+  FROM agg)
+SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_q6, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 5 ORDER BY qid, rank""",
+)
+def bm25_batch_queries(spark, sf_dir):
+    """BATCHED multi-query BM25 — ES ``_msearch`` re-expressed as ONE
+    relational plan: a query-set table (qid, term) joins the postings
+    ONCE and every query's match set falls out of the same exchange,
+    with per-query top-5 from a qid-partitioned window. The lexical twin
+    of ann_ivf_batch: single-query TakeOrdered loops (what a naive
+    _msearch translation does) scan the postings |queries| times; the
+    batch join scans them once — the shape that matters when an offline
+    eval set replays thousands of queries over 100 TB.
+
+    Scale shape: tf materializes once; the query table broadcasts; the
+    per-query window partitions by qid over match-set-sized input (same
+    bound as ann_ivf_batch's per-qid window); scores quantize before
+    ranking, doc_id tiebreak."""
+    toks = _toks(_docs(spark, sf_dir))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint()  # feeds dl/dfs/the scoring join off one pass
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    stt = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    )
+    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    q = F.broadcast(
+        spark.createDataFrame(
+            [(qid, t) for qid, terms in _BATCH_QUERIES for t in terms],
+            "qid long, term string",
+        )
+    )
+    per = (
+        tf.join(q, "term")
+        .join(dfs, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stt))
+        .select(
+            "qid",
+            "doc_id",
+            (
+                F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf").cast("double") * F.lit(2.2)
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("doc_len") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    agg = per.groupBy("qid", "doc_id").agg(_q6(F.sum("s")).alias("score_q6"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score_q6"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            "doc_id",
+            "score_q6",
+            F.col("rn").cast("long").alias("rank"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+# lambda grid as integer percents; the interpolated probability
+# lam*p_bi + (1-lam)*p_uni is ONE shared float expression per (type, lam),
+# q6-rounded FIRST (the KL-family rule), summed as exact BIGINT tf·nlp.
+_LM_LAMBDAS = [25, 50, 75]
+# greatest(denom, 1): an EMPTY train split zeroes c1+vocab — both engines
+# would hit a double division by zero (inf/NULL divergence); the guard
+# makes the no-information reading p_bi = (0+1)/1 = 1, nlp = 0.
+_LM_INTERP_NLP = (
+    "CAST(round(-ln((LAM / 100.0) * (CAST(COALESCE(cb, 0) + 1 AS DOUBLE)"
+    " / greatest(COALESCE(c1, 0) + vocab, 1))"
+    " + (1.0 - (LAM / 100.0)) * (CAST(COALESCE(cu, 0) + 1 AS DOUBLE)"
+    " / (big_n + vocab + 1))) * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "interpolated_lm_sweep",
+    f"""WITH w AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words,
+         {_SPLIT_V_SQL} AS v
+  FROM documents),
+bi AS MATERIALIZED (
+  SELECT words[i] AS a, words[i+1] AS b, CAST(count(*) AS BIGINT) AS cb
+  FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
+  WHERE v < 98 AND len(words) >= 2 GROUP BY 1, 2),
+uc AS MATERIALIZED (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(words) AS term FROM w WHERE v < 98) GROUP BY term),
+st AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS big_n,
+              CAST(count(*) AS BIGINT) AS vocab FROM uc),
+evb AS (
+  SELECT words[i] AS a, words[i+1] AS b, CAST(count(*) AS BIGINT) AS tf
+  FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
+  WHERE v >= 98 AND len(words) >= 2 GROUP BY 1, 2),
+lam AS (SELECT unnest([{", ".join(str(x) for x in _LM_LAMBDAS)}]) AS lam),
+sc AS (
+  SELECT lam.lam, evb.tf,
+         {_LM_INTERP_NLP.replace('LAM', 'lam.lam').replace('cb', 'bi.cb')
+            .replace('c1', 'u1.c').replace('cu', 'u2.c')} AS nlp_q6
+  FROM evb
+  LEFT JOIN bi ON bi.a = evb.a AND bi.b = evb.b
+  LEFT JOIN uc u1 ON u1.term = evb.a
+  LEFT JOIN uc u2 ON u2.term = evb.b
+  CROSS JOIN st CROSS JOIN lam)
+SELECT CAST(lam AS BIGINT) AS lam_pct,
+       CAST(COALESCE(sum(tf), 0) AS BIGINT) AS n_scored,
+       CAST(COALESCE(sum(tf * nlp_q6), 0) AS BIGINT) AS nll_q6
+FROM sc GROUP BY lam ORDER BY lam""",
+)
+def interpolated_lm_sweep(spark, sf_dir):
+    """Jelinek-Mercer interpolation sweep: held-out bigram NLL at
+    λ ∈ {{0.25, 0.5, 0.75}} of λ·P_add1(w2|w1) + (1−λ)·P_add1(w2) — the
+    LM-smoothing hyperparameter curve (the λ a CCNet-style perplexity
+    filter fixes by exactly this sweep). Unseen contexts fall back
+    through the same formula (add-1 keeps every component finite, with
+    COALESCE(c1,0) for OOV contexts). Trained on the shipped md5-5-8
+    split, scored on the 2%% holdout, like every LM-eval op.
+
+    Determinism: λ enters as (pct / 100.0); per-(bigram-type, λ) NLP is
+    one q6-rounded shared float expression; NLL is the exact BIGINT
+    Σ tf·nlp.
+
+    Scale shape: the corpus tokenizes once (checkpointed arrays); train
+    bigram/unigram tables are Zipf-bounded aggs; the eval side joins
+    them on n-gram keys and fans ×3 over the broadcast λ spine — the
+    fan multiplies eval-TYPE rows, never the corpus."""
+    wdf = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            spark_tokens("text").alias("words"),
+            F.expr(_SPLIT_V_SPARK).alias("v"),
+        )
+        .localCheckpoint()
+    )
+
+    def _bigrams(df):
+        return (
+            df.where(F.size("words") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(words)-2), i -> "
+                        "struct(words[i] AS a, words[i+1] AS b))"
+                    )
+                ).alias("t")
+            )
+            .select("t.a", "t.b")
+        )
+
+    tr = wdf.where(F.col("v") < 98)
+    bi = _bigrams(tr).groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    uc = (
+        tr.select(F.explode("words").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    stt = uc.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("big_n"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    evb = (
+        _bigrams(wdf.where(F.col("v") >= 98))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    lam = F.broadcast(
+        spark.createDataFrame([(x,) for x in _LM_LAMBDAS], "lam long")
+    )
+    u1 = uc.select(F.col("term").alias("a"), F.col("c").alias("c1x"))
+    u2 = uc.select(F.col("term").alias("b"), F.col("c").alias("cux"))
+    sc = (
+        evb.join(bi, ["a", "b"], "left")
+        .join(u1, "a", "left")
+        .join(u2, "b", "left")
+        .crossJoin(F.broadcast(stt))
+        .crossJoin(lam)
+        .select(
+            "lam",
+            "tf",
+            F.expr(
+                _LM_INTERP_NLP.replace("LAM", "lam")
+                .replace("cb", "cb")
+                .replace("c1", "c1x")
+                .replace("cu", "cux")
+            ).alias("nlp_q6"),
+        )
+    )
+    return (
+        sc.groupBy("lam")
+        .agg(
+            F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("n_scored"),
+            F.coalesce(F.sum(F.expr("tf * nlp_q6")), F.lit(0)).cast("long").alias("nll_q6"),
+        )
+        .select(F.col("lam").cast("long").alias("lam_pct"), "n_scored", "nll_q6")
+        .orderBy("lam_pct")
+    )
+
+
+@register(
+    "term_burstiness",
+    f"""WITH tf AS ({SQL_TF}),
+a2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+       FROM tf GROUP BY term)
+SELECT term, df, cf,
+       CAST(round(1000000.0 * cf / df) AS BIGINT) AS burst_q6
+FROM a2 WHERE df >= 5
+ORDER BY burst_q6 DESC, term ASC LIMIT 20""",
+)
+def term_burstiness(spark, sf_dir):
+    """Term burstiness (Church & Gale): E[tf | term present] = cf/df per
+    term, top-20 among terms with df ≥ 5 — the statistic separating
+    TOPICAL terms (bursty: rare across docs but repeated within them)
+    from FUNCTION words (evenly spread, ratio ≈ 1). Drives stopword
+    cuts, impact-ordered index budgets, and the repetition-quality
+    flags' thresholds — all currently tuned on df alone, which cannot
+    see the within-doc axis.
+
+    Determinism: one q6 division of two exact BIGINTs per term.
+    Scale shape: the A2 agg plus a TakeOrdered(20) — no new exchange."""
+    tf = _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+    a2 = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf")
+    )
+    return (
+        a2.where(F.col("df") >= 5)
+        .select(
+            "term",
+            "df",
+            "cf",
+            F.expr("CAST(round(1000000.0 * cf / df) AS BIGINT)").alias("burst_q6"),
+        )
+        .orderBy(F.desc("burst_q6"), F.asc("term"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -18343,6 +18623,8 @@ _FRONT = [
     "dedup_method_agreement", "source_centroid_matrix", "embedding_dim_stats",
     # session 53: BM25 sweep, df spectrum, revenue Pareto
     "bm25_param_sweep", "df_spectrum", "revenue_pareto_users",
+    # session 54: batched BM25, JM-lambda sweep, burstiness
+    "bm25_batch_queries", "interpolated_lm_sweep", "term_burstiness",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
