@@ -360,7 +360,9 @@ def main() -> None:
                  "embedding_dim_stats",
                  "bm25_param_sweep", "df_spectrum", "revenue_pareto_users",
                  "bm25_batch_queries", "interpolated_lm_sweep",
-                 "term_burstiness"]:
+                 "term_burstiness",
+                 "percolate_routed", "mlm_masking_plan",
+                 "events_hour_profile"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

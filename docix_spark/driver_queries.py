@@ -18547,6 +18547,226 @@ def term_burstiness(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 55 — routed percolation, MLM masking plan, hour-of-day profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percolate_routed",
+    f"""WITH dtf AS MATERIALIZED (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM ({SQL_TOKS}) GROUP BY term),
+top4 AS (SELECT term FROM dtf ORDER BY df DESC, term LIMIT 4),
+qt AS (SELECT term FROM top4 UNION SELECT 'dup'),
+q AS (SELECT a.term AS qa, b.term AS qb FROM qt a JOIN qt b ON a.term < b.term),
+qr AS (
+  SELECT q.qa, q.qb,
+         CASE WHEN fa.df <= fb.df THEN q.qa ELSE q.qb END AS route,
+         CASE WHEN fa.df <= fb.df THEN q.qb ELSE q.qa END AS other
+  FROM q JOIN dtf fa ON fa.term = q.qa JOIN dtf fb ON fb.term = q.qb),
+dt AS MATERIALIZED (SELECT DISTINCT doc_id, term FROM ({SQL_TOKS})),
+cand AS (
+  SELECT qr.qa, qr.qb, qr.route, qr.other, dt.doc_id
+  FROM qr JOIN dt ON dt.term = qr.route),
+ver AS (
+  SELECT cand.qa, cand.qb, cand.route, cand.doc_id,
+         CAST(db.doc_id IS NOT NULL AS INT) AS hit
+  FROM cand LEFT JOIN dt db
+    ON db.term = cand.other AND db.doc_id = cand.doc_id)
+SELECT qa, qb, route,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(sum(hit), 0) AS BIGINT) AS n_matched
+FROM ver GROUP BY qa, qb, route ORDER BY qa, qb""",
+)
+def percolate_routed(spark, sf_dir):
+    """ROUTED percolation — the ES percolator's candidate-pruning
+    optimization made explicit: each stored query routes by its RAREST
+    term (min df; the percolator's `query_terms` extraction), documents
+    probe only the queries whose routing term they contain, and full
+    verification runs on candidates alone. Reports per query the
+    candidate count next to the true match count — the pruning-factor
+    evidence (candidates = rarest-term df, instead of the corpus scan a
+    naive percolator pays per document).
+
+    Scale shape: the query registry and its routing table broadcast; the
+    candidate join streams postings map-side ONCE (the routing term is
+    the equi-key); verification is a LEFT probe of candidate-sized rows
+    against the postings on the (other-term, doc) key. The distinct
+    token table materializes once for its three consumers."""
+    toks = _toks(_docs(spark, sf_dir))
+    dt = toks.distinct().localCheckpoint()
+    dtf = dt.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    top4 = dtf.orderBy(F.desc("df"), "term").limit(4).select("term")
+    qt = top4.unionByName(
+        top4.sparkSession.range(1).select(F.lit("dup").alias("term"))
+    ).distinct()
+    q = (
+        qt.alias("a")
+        .crossJoin(qt.alias("b"))
+        .where(F.col("a.term") < F.col("b.term"))
+        .select(F.col("a.term").alias("qa"), F.col("b.term").alias("qb"))
+    )
+    fa = dtf.select(F.col("term").alias("qa"), F.col("df").alias("dfa"))
+    fb = dtf.select(F.col("term").alias("qb"), F.col("df").alias("dfb"))
+    qr = (
+        q.join(fa, "qa")
+        .join(fb, "qb")
+        .select(
+            "qa",
+            "qb",
+            F.expr("CASE WHEN dfa <= dfb THEN qa ELSE qb END").alias("route"),
+            F.expr("CASE WHEN dfa <= dfb THEN qb ELSE qa END").alias("other"),
+        )
+    )
+    cand = (
+        F.broadcast(qr)
+        .join(dt.alias("da"), F.col("da.term") == F.col("route"))
+        .select("qa", "qb", "route", "other", F.col("da.doc_id").alias("doc_id"))
+    )
+    db = dt.select(F.col("term").alias("vterm"), F.col("doc_id").alias("vdoc"))
+    ver = cand.join(
+        db,
+        (F.col("vterm") == F.col("other")) & (F.col("vdoc") == F.col("doc_id")),
+        "left",
+    ).select(
+        "qa", "qb", "route", F.col("vdoc").isNotNull().cast("int").alias("hit")
+    )
+    return (
+        ver.groupBy("qa", "qb", "route")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_matched"),
+        )
+        .orderBy("qa", "qb")
+    )
+
+
+# BERT MLM plan: select 15% of token positions by a position-keyed hash
+# coordinate (hash-INPUT disjoint: 'mask:'||doc_id||':'||pos), then split
+# selected positions 80/10/10 into mask/random/keep by a second slice.
+_MLM_SEL = (
+    "('0x' || substr(md5('mask:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 4))::INT % 100"
+)
+_MLM_SUB = (
+    "('0x' || substr(md5('mask:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 5, 2))::INT % 10"
+)
+_MLM_SEL_SPARK = (
+    "cast(conv(substring(md5(concat('mask:', cast(doc_id as string), ':', cast(pos as string))), 1, 4), 16, 10) as int) % 100"
+)
+_MLM_SUB_SPARK = (
+    "cast(conv(substring(md5(concat('mask:', cast(doc_id as string), ':', cast(pos as string))), 5, 2), 16, 10) as int) % 10"
+)
+
+
+@register(
+    "mlm_masking_plan",
+    f"""WITH w AS ({SQL_WORDS}),
+p AS (
+  SELECT doc_id, source, i - 1 AS pos
+  FROM w, unnest(generate_series(1, len(words))) AS t(i)),
+m AS (
+  SELECT source,
+         CAST({_MLM_SEL} < 15 AS INT) AS sel,
+         CASE WHEN {_MLM_SEL} < 15 THEN {_MLM_SUB} ELSE -1 END AS sub
+  FROM p)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(sum(sel), 0) AS BIGINT) AS n_selected,
+       CAST(COALESCE(sum(CASE WHEN sub BETWEEN 0 AND 7 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_mask,
+       CAST(COALESCE(sum(CASE WHEN sub = 8 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_random,
+       CAST(COALESCE(sum(CASE WHEN sub = 9 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_keep
+FROM m GROUP BY source ORDER BY source""",
+)
+def mlm_masking_plan(spark, sf_dir):
+    """Deterministic BERT-style MLM masking plan: 15% of token POSITIONS
+    selected by a position-keyed md5 coordinate, the selection split
+    80/10/10 into [MASK] / random-token / keep-original (Devlin et al.
+    2019) — as a reproducible RELATIONAL op: the same (doc, pos) masks
+    identically on every engine, epoch-stable and shard-independent (an
+    RNG-state masker reshuffles on retry and leaks positions across
+    re-runs). Reports the per-source census a pretraining run logs.
+
+    Determinism: selection and sub-split read DISJOINT slices (hex 1-4,
+    5-6) of the 'mask:'-seeded hash — hash-input disjointness from every
+    other coordinate family, slice disjointness between the two
+    decisions.
+
+    Scale shape: one map-side position explode into a sources-sized agg;
+    no shuffle before the final small groupBy."""
+    p = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.posexplode(spark_tokens("text")).alias("pos", "term")
+    )
+    m = p.select(
+        "source",
+        F.expr(f"CAST({_MLM_SEL_SPARK} < 15 AS INT)").alias("sel"),
+        F.expr(
+            f"CASE WHEN {_MLM_SEL_SPARK} < 15 THEN {_MLM_SUB_SPARK} ELSE -1 END"
+        ).alias("sub"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.coalesce(F.sum("sel"), F.lit(0)).cast("long").alias("n_selected"),
+            F.coalesce(F.sum(F.expr("CASE WHEN sub BETWEEN 0 AND 7 THEN 1 ELSE 0 END")), F.lit(0))
+            .cast("long")
+            .alias("n_mask"),
+            F.coalesce(F.sum(F.expr("CASE WHEN sub = 8 THEN 1 ELSE 0 END")), F.lit(0))
+            .cast("long")
+            .alias("n_random"),
+            F.coalesce(F.sum(F.expr("CASE WHEN sub = 9 THEN 1 ELSE 0 END")), F.lit(0))
+            .cast("long")
+            .alias("n_keep"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "events_hour_profile",
+    f"""WITH e AS (
+  SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+c AS (SELECT hour, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS value_cents
+      FROM e GROUP BY hour),
+spine AS (SELECT unnest(generate_series(0, 23)) AS hour)
+SELECT CAST(spine.hour AS BIGINT) AS hour,
+       CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(c.value_cents, 0) AS BIGINT) AS value_cents
+FROM spine LEFT JOIN c ON c.hour = spine.hour ORDER BY hour""",
+)
+def events_hour_profile(spark, sf_dir):
+    """Hour-of-day activity profile (UTC): event count and exact cents
+    value per hour over a zero-filled 24-row spine — the intraday
+    seasonality twin of events_weekday_profile (hours come from integer
+    epoch-microsecond division, never timezone-dependent hour()).
+
+    Scale shape: map-side integer keys into a 24-group agg; the spine
+    LEFT JOIN keeps silent hours visible."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 24").alias("hour"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    c = e.groupBy("hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )
+    spine = spark.createDataFrame([(h,) for h in range(24)], "hour long")
+    return (
+        F.broadcast(spine)
+        .join(c, "hour", "left")
+        .select(
+            F.col("hour").cast("long").alias("hour"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce(F.col("value_cents"), F.lit(0)).cast("long").alias("value_cents"),
+        )
+        .orderBy("hour")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -18625,6 +18845,8 @@ _FRONT = [
     "bm25_param_sweep", "df_spectrum", "revenue_pareto_users",
     # session 54: batched BM25, JM-lambda sweep, burstiness
     "bm25_batch_queries", "interpolated_lm_sweep", "term_burstiness",
+    # session 55: routed percolation, MLM plan, hour profile
+    "percolate_routed", "mlm_masking_plan", "events_hour_profile",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
