@@ -362,7 +362,9 @@ def main() -> None:
                  "bm25_batch_queries", "interpolated_lm_sweep",
                  "term_burstiness",
                  "percolate_routed", "mlm_masking_plan",
-                 "events_hour_profile"]:
+                 "events_hour_profile",
+                 "negative_sampling_table", "bigram_entropy_rate",
+                 "tf_spectrum"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -18767,6 +18767,187 @@ def events_hour_profile(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 56 — negative-sampling apportionment, bigram entropy rate,
+# tf spectrum
+# ---------------------------------------------------------------------------
+
+_NEG_SLOTS = 4096  # sampling-table size (2^12; word2vec uses 1e8 at scale)
+
+
+@register(
+    "negative_sampling_table",
+    f"""WITH toks AS ({SQL_TOKS}),
+cf AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+wq AS (SELECT term, c, CAST(round(1000000 * pow(c, 75e-2)) AS BIGINT) AS w_q6 FROM cf),
+tot AS (SELECT CAST(COALESCE(sum(w_q6), 0) AS BIGINT) AS tw FROM wq),
+base AS (
+  SELECT term, c, w_q6,
+         CAST(({_NEG_SLOTS} * w_q6) // tw AS BIGINT) AS slots0,
+         CAST(({_NEG_SLOTS} * w_q6) % tw AS BIGINT) AS rem
+  FROM wq, tot),
+need AS (SELECT CAST({_NEG_SLOTS} - COALESCE(sum(slots0), 0) AS BIGINT) AS k FROM base),
+rk AS (
+  SELECT term, c, w_q6, slots0, rem,
+         row_number() OVER (ORDER BY rem DESC, term ASC) AS rr
+  FROM base)
+SELECT term, c, w_q6,
+       CAST(slots0 + CASE WHEN rr <= (SELECT k FROM need) THEN 1 ELSE 0 END AS BIGINT) AS slots
+FROM rk
+ORDER BY slots DESC, term ASC LIMIT 20""",
+)
+def negative_sampling_table(spark, sf_dir):
+    """word2vec negative-sampling table (Mikolov 2013: draw negatives
+    ∝ count^0.75) built by LARGEST-REMAINDER apportionment — every term
+    gets floor(S·w/W) slots and the S − Σfloor leftover slots go to the
+    largest remainders (Hare quota; the same algorithm that seats
+    parliaments), so the table is EXACTLY S slots with zero RNG and a
+    bounded ±1-slot error per term — reproducible where the usual
+    cumulative-float fill drifts with summation order. Top-20 rows by
+    slot count.
+
+    Determinism: w_q6 = round(1e6·c^0.75) per term FIRST (one libm pow,
+    the temperature_mix rule); floor/mod apportionment is pure BIGINT;
+    the remainder ranking tiebreaks on term.
+
+    Scale shape: the A2-sized weight table, a 1-row total broadcast, and
+    ONE vocab-sized remainder window (ranked rows are vocab-bounded;
+    at 1e9-term vocabularies the window sub-shards on a hash prefix
+    exactly like global_row_ids). Output is 20 rows."""
+    cf = _toks(_docs(spark, sf_dir)).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wq = cf.select(
+        "term", "c",
+        F.expr("CAST(round(1000000 * pow(c, 75e-2)) AS BIGINT)").alias("w_q6"),
+    )
+    wq = wq.localCheckpoint()  # feeds the total AND the apportionment
+    tot = wq.agg(F.coalesce(F.sum("w_q6"), F.lit(0)).cast("long").alias("tw"))
+    base = wq.crossJoin(F.broadcast(tot)).select(
+        "term", "c", "w_q6",
+        F.expr(f"CAST(({_NEG_SLOTS} * w_q6) div tw AS BIGINT)").alias("slots0"),
+        F.expr(f"CAST(({_NEG_SLOTS} * w_q6) % tw AS BIGINT)").alias("rem"),
+    )
+    base = base.localCheckpoint()  # feeds the leftover count AND the ranking
+    need = base.agg(
+        (F.lit(_NEG_SLOTS) - F.coalesce(F.sum("slots0"), F.lit(0)))
+        .cast("long")
+        .alias("k")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("term"))
+    rk = base.withColumn("rr", F.row_number().over(w))
+    return (
+        rk.crossJoin(F.broadcast(need))
+        .select(
+            "term", "c", "w_q6",
+            F.expr("CAST(slots0 + CASE WHEN rr <= k THEN 1 ELSE 0 END AS BIGINT)").alias("slots"),
+        )
+        .orderBy(F.desc("slots"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@register(
+    "bigram_entropy_rate",
+    f"""WITH w AS ({SQL_WORDS}),
+bg AS (SELECT words[i] AS w1, words[i+1] AS w2, CAST(count(*) AS BIGINT) AS c12
+       FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
+       WHERE len(words) >= 2 GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+nb AS (SELECT CAST(COALESCE(sum(c12), 0) AS BIGINT) AS n FROM bg),
+contrib AS (
+  SELECT CAST(round(-1000000 * (CAST(c12 AS DOUBLE) / nb.n)
+       * ln(CAST(c12 AS DOUBLE) / c1.c1)) AS BIGINT) AS h_q6
+  FROM bg JOIN c1 USING (w1) CROSS JOIN nb)
+SELECT (SELECT n FROM nb) AS n_bigrams,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(COALESCE(sum(h_q6), 0) AS BIGINT) AS entropy_rate_q6
+FROM contrib""",
+)
+def bigram_entropy_rate(spark, sf_dir):
+    """Conditional bigram entropy rate H(W2|W1) = −Σ p(w1,w2)·ln p(w2|w1)
+    — the corpus's per-token predictability under a first-order model
+    (Shannon's entropy-rate estimate; the information-theoretic summary
+    next to source_unigram_entropy's H(W) — the gap between them is the
+    mutual information consecutive tokens share, i.e. how much a bigram
+    LM can ever help). Low rate = templated/boilerplate corpus; compare
+    across snapshots for drift.
+
+    Determinism: per bigram-TYPE contribution is one q6-rounded float
+    expression over exact integers (p(pair) from the 1-row total
+    broadcast, p(w2|w1) from the context marginal); the sum is BIGINT.
+
+    Scale shape: one Zipf-bounded bigram-type agg; the context marginal
+    derives FROM it (shared exchange); output is 1 row."""
+    wdf = _docs(spark, sf_dir).select(spark_tokens("text").alias("words"))
+    bg = (
+        wdf.where(F.size("words") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words)-2), i -> "
+                    "struct(words[i] AS w1, words[i+1] AS w2))"
+                )
+            ).alias("t")
+        )
+        .select("t.w1", "t.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    bg = bg.localCheckpoint()  # feeds the marginal, the total AND contribs
+    c1 = bg.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    nb = bg.agg(F.coalesce(F.sum("c12"), F.lit(0)).cast("long").alias("n"))
+    contrib = (
+        bg.join(c1, "w1")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.expr(
+                "CAST(round(-1000000 * (CAST(c12 AS DOUBLE) / n)"
+                " * ln(CAST(c12 AS DOUBLE) / c1)) AS BIGINT)"
+            ).alias("h_q6")
+        )
+    )
+    return (
+        contrib.agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.coalesce(F.sum("h_q6"), F.lit(0)).cast("long").alias("entropy_rate_q6"),
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(F.col("n").alias("n_bigrams"), "n_types", "entropy_rate_q6")
+    )
+
+
+@register(
+    "tf_spectrum",
+    f"""WITH tf AS ({SQL_TF}),
+b AS (SELECT CAST(length(bin(tf)) - 1 AS BIGINT) AS band, tf FROM tf)
+SELECT band, CAST(count(*) AS BIGINT) AS n_postings,
+       CAST(sum(tf) AS BIGINT) AS tokens
+FROM b GROUP BY band ORDER BY band""",
+)
+def tf_spectrum(spark, sf_dir):
+    """Within-document term-frequency spectrum: posting count and token
+    mass per log2(tf) band — df_spectrum's within-doc sibling and the
+    BM25-saturation evidence (k1 = 1.2 means a tf ≥ 8 posting scores
+    barely above tf = 4: the token mass sitting in high-tf bands is mass
+    the ranking function deliberately ignores, which is what justifies
+    impact-bucketed/quantized posting formats at 100 TB).
+
+    Scale shape: the A1 posting agg then a ≤32-band rollup; all-integer."""
+    tf = _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+    b = tf.select(F.expr("CAST(length(bin(tf)) - 1 AS BIGINT)").alias("band"), "tf")
+    return (
+        b.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_postings"),
+            F.sum("tf").cast("long").alias("tokens"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -18847,6 +19028,8 @@ _FRONT = [
     "bm25_batch_queries", "interpolated_lm_sweep", "term_burstiness",
     # session 55: routed percolation, MLM plan, hour profile
     "percolate_routed", "mlm_masking_plan", "events_hour_profile",
+    # session 56: Hare apportionment, entropy rate, tf spectrum
+    "negative_sampling_table", "bigram_entropy_rate", "tf_spectrum",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
