@@ -364,7 +364,9 @@ def main() -> None:
                  "percolate_routed", "mlm_masking_plan",
                  "events_hour_profile",
                  "negative_sampling_table", "bigram_entropy_rate",
-                 "tf_spectrum"]:
+                 "tf_spectrum",
+                 "rfm_segments", "markov_stationary",
+                 "user_session_histogram"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

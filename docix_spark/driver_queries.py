@@ -18948,6 +18948,339 @@ def tf_spectrum(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 57 — RFM segmentation, Markov stationary distribution, sessions
+# per user
+# ---------------------------------------------------------------------------
+
+_RFM_PROBES = "(200000), (400000), (600000), (800000)"
+
+
+@register(
+    "rfm_segments",
+    f"""WITH e AS (
+  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+mx AS (SELECT CAST(max(day) AS BIGINT) AS max_day FROM e),
+u AS (
+  SELECT user_id,
+         CAST((SELECT max_day FROM mx) - max(day) AS BIGINT) AS r,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(cents) AS BIGINT) AS m
+  FROM e GROUP BY user_id),
+lf AS (
+  SELECT 'r' AS metric, r AS val FROM u
+  UNION ALL SELECT 'f', f FROM u
+  UNION ALL SELECT 'm', m FROM u),
+hist AS (SELECT metric, val, CAST(count(*) AS BIGINT) AS cnt FROM lf GROUP BY metric, val),
+h AS (
+  SELECT metric, val, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (PARTITION BY metric ORDER BY val
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+         CAST(SUM(cnt) OVER (PARTITION BY metric) AS BIGINT) AS n
+  FROM hist),
+q AS (SELECT p_q6 FROM (VALUES {_RFM_PROBES}) AS v(p_q6)),
+agg AS (
+  SELECT h.metric, q.p_q6, max(h.n) AS n,
+         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1))
+                  THEN h.val END) AS v_lo,
+         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1)) + 1
+                  THEN h.val END) AS v_hi
+  FROM h, q GROUP BY h.metric, q.p_q6),
+bnd AS (
+  SELECT metric, p_q6,
+         round(1000000.0 * (v_lo + ((p_q6 / 1000000.0) * (n - 1)
+              - floor((p_q6 / 1000000.0) * (n - 1))) * (v_hi - v_lo))) AS b_q6
+  FROM agg),
+sc AS (
+  SELECT u.user_id,
+         1 + CAST(COALESCE(sum(CASE WHEN 1000000 * u.r > br.b_q6 THEN 1 ELSE 0 END), 0) AS BIGINT) AS r_score,
+         1 + CAST(COALESCE(sum(CASE WHEN 1000000 * u.f > bf.b_q6 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f_score,
+         1 + CAST(COALESCE(sum(CASE WHEN 1000000 * u.m > bm.b_q6 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_score,
+         max(u.m) AS m
+  FROM u
+  JOIN bnd br ON br.metric = 'r'
+  JOIN bnd bf ON bf.metric = 'f' AND bf.p_q6 = br.p_q6
+  JOIN bnd bm ON bm.metric = 'm' AND bm.p_q6 = br.p_q6
+  GROUP BY u.user_id)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(m) AS BIGINT) AS cents_total
+FROM sc GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score""",
+)
+def rfm_segments(spark, sf_dir):
+    """RFM user segmentation — THE classic marketing/product census:
+    every user scored 1–5 on Recency (days since last event — score 5 =
+    longest-idle), Frequency (event count) and Monetary (exact cents),
+    segment = the (r, f, m) triple, reported as a census with revenue
+    mass. Quintile boundaries are exact type-7 quantiles computed from
+    ONE long-form weighted histogram over all three metrics at once (the
+    doclen_quantiles machinery, metric as the partition key) and
+    broadcast back; scores are boundary comparisons in integer cross-
+    multiplied form (1e6·value vs b_q6 — the boundary stays q6, the
+    value stays exact).
+
+    Scale shape: one user-keyed agg; histograms over DISTINCT metric
+    values; the 12-row boundary table broadcasts; the census is ≤125
+    rows. No user-table sort or window anywhere.
+
+    Day keys integer (events_daily_mavg); ties at boundaries score LOW
+    (strict >), identically in both engines."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    mx = e.agg(F.max("day").cast("long").alias("max_day"))
+    u = (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            (F.max("max_day") - F.max("day")).cast("long").alias("r"),
+            F.count(F.lit(1)).cast("long").alias("f"),
+            F.sum("cents").cast("long").alias("m"),
+        )
+        .localCheckpoint()  # feeds the histogram AND the scoring join
+    )
+    lf = (
+        u.select(F.lit("r").alias("metric"), F.col("r").alias("val"))
+        .unionByName(u.select(F.lit("f").alias("metric"), F.col("f").alias("val")))
+        .unionByName(u.select(F.lit("m").alias("metric"), F.col("m").alias("val")))
+    )
+    hist = lf.groupBy("metric", "val").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("metric").orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("metric")
+    h = hist.select(
+        "metric",
+        "val",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).cast("long").alias("cum_before"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+    )
+    q = spark.createDataFrame([(200000,), (400000,), (600000,), (800000,)], "p_q6 long")
+    rank = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
+    agg = (
+        h.crossJoin(F.broadcast(q))
+        .groupBy("metric", "p_q6")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(F.when(F.col("cum_before") <= F.floor(rank), F.col("val"))).alias("v_lo"),
+            F.max(F.when(F.col("cum_before") <= F.floor(rank) + 1, F.col("val"))).alias("v_hi"),
+        )
+    )
+    r2 = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
+    frac = r2 - F.floor(r2)
+    bnd = agg.select(
+        "metric",
+        "p_q6",
+        F.round(F.lit(1_000_000.0) * (F.col("v_lo") + frac * (F.col("v_hi") - F.col("v_lo")))).alias("b_q6"),
+    )
+    # one broadcast of the 12 boundary rows; scores via conditional sums
+    sc = (
+        u.crossJoin(F.broadcast(bnd))
+        .groupBy("user_id")
+        .agg(
+            (1 + F.coalesce(F.sum(F.expr("CASE WHEN metric = 'r' AND 1000000 * r > b_q6 THEN 1 ELSE 0 END")), F.lit(0)))
+            .cast("long")
+            .alias("r_score"),
+            (1 + F.coalesce(F.sum(F.expr("CASE WHEN metric = 'f' AND 1000000 * f > b_q6 THEN 1 ELSE 0 END")), F.lit(0)))
+            .cast("long")
+            .alias("f_score"),
+            (1 + F.coalesce(F.sum(F.expr("CASE WHEN metric = 'm' AND 1000000 * m > b_q6 THEN 1 ELSE 0 END")), F.lit(0)))
+            .cast("long")
+            .alias("m_score"),
+            F.max("m").alias("m"),
+        )
+    )
+    return (
+        sc.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("m").cast("long").alias("cents_total"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+_MARKOV_ROUNDS = 5
+
+
+def _markov_stationary_sql() -> str:
+    parts = [
+        """WITH t AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type FROM events),
+pr AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+           AS prev_type, event_type AS next_type
+  FROM t),
+c AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
+  FROM pr WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type),
+p AS MATERIALIZED (
+  SELECT prev_type, next_type,
+         CAST((1000000 * n_trans)
+              // sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS p_q6
+  FROM c),
+types AS MATERIALIZED (SELECT DISTINCT prev_type AS et FROM p),
+k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM types),
+v0 AS MATERIALIZED (SELECT et, CAST(1000000 // (SELECT k FROM k) AS BIGINT) AS v_q6 FROM types)"""
+    ]
+    for r in range(_MARKOV_ROUNDS):
+        parts.append(
+            f""",
+v{r + 1} AS MATERIALIZED (
+  SELECT p.next_type AS et,
+         CAST(COALESCE(sum(v{r}.v_q6 * p.p_q6), 0) // 1000000 AS BIGINT) AS v_q6
+  FROM v{r} JOIN p ON p.prev_type = v{r}.et
+  GROUP BY p.next_type)"""
+        )
+    parts.append(
+        f"""
+SELECT v0.et AS event_type, v0.v_q6 AS v0_q6,
+       CAST(COALESCE(vlast.v_q6, 0) AS BIGINT) AS stationary_q6
+FROM v0 LEFT JOIN v{_MARKOV_ROUNDS} vlast ON vlast.et = v0.et
+ORDER BY event_type"""
+    )
+    return "".join(parts)
+
+
+@register("markov_stationary", _markov_stationary_sql())
+def markov_stationary(spark, sf_dir):
+    """Stationary distribution of the user-journey Markov chain: 5 power-
+    iteration rounds of v ← vP over the q6-integer transition matrix from
+    events_markov_transitions — where user attention CONVERGES (the
+    long-run share of each event type if behavior keeps its transition
+    structure), vs the v0 uniform start. The chain analytics member that
+    turns the transition matrix into a ranking.
+
+    Determinism: P is the integer-division q6 matrix (rows sum ≤ 1e6 by
+    truncation — mass leaks ~1e-6/round identically in both engines,
+    declared); each round is an exact BIGINT Σ v·p div 1e6. Power
+    iteration, not an eigensolver — 5 rounds on a mixing 5-state chain
+    sits well inside q6 resolution.
+
+    Scale shape: the one event-stream window builds the ≤|types|² matrix;
+    every round is a join of two ≤|types| tables (broadcast); output is
+    |types| rows."""
+    t = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    pr = t.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    c = (
+        pr.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    wr = Window.partitionBy("prev_type")
+    p = (
+        c.withColumn("tot", F.sum("n_trans").over(wr))
+        .select(
+            "prev_type",
+            "next_type",
+            F.expr("(1000000 * n_trans) div tot").cast("long").alias("p_q6"),
+        )
+        .localCheckpoint()  # the per-round join side
+    )
+    types = p.select(F.col("prev_type").alias("et")).distinct().localCheckpoint()
+    kk = types.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    v = (
+        types.crossJoin(F.broadcast(kk))
+        .select("et", F.expr("CAST(1000000 div k AS BIGINT)").alias("v_q6"))
+        .localCheckpoint()
+    )
+    v0 = v
+    for _ in range(_MARKOV_ROUNDS):
+        v = (
+            v.join(p, F.col("et") == F.col("prev_type"))
+            .groupBy(F.col("next_type").alias("et2"))
+            .agg(
+                F.expr("CAST(COALESCE(sum(v_q6 * p_q6), 0) div 1000000 AS BIGINT)").alias(
+                    "v_q6"
+                )
+            )
+            .select(F.col("et2").alias("et"), "v_q6")
+            .localCheckpoint()
+        )
+    return (
+        v0.select(F.col("et").alias("event_type"), F.col("v_q6").alias("v0_q6"))
+        .join(
+            v.select(F.col("et").alias("event_type"), F.col("v_q6").alias("stationary_q6")),
+            "event_type",
+            "left",
+        )
+        .select(
+            "event_type",
+            "v0_q6",
+            F.coalesce(F.col("stationary_q6"), F.lit(0)).cast("long").alias("stationary_q6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+@register(
+    "user_session_histogram",
+    f"""WITH t AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events),
+g AS (
+  SELECT user_id,
+         CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+                   IS NULL THEN 1
+              WHEN t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+                   > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS is_start
+  FROM t),
+s AS (SELECT user_id, CAST(sum(is_start) AS BIGINT) AS n_sessions FROM g GROUP BY user_id)
+SELECT n_sessions, CAST(count(*) AS BIGINT) AS n_users
+FROM s GROUP BY n_sessions ORDER BY n_sessions""",
+)
+def user_session_histogram(spark, sf_dir):
+    """Sessions-per-user distribution under the 30-minute-gap rule (the
+    sessionizer's own cut, interevent_gap_histogram's calibrated knob):
+    a session starts at a user's first event or after a gap > 30 min;
+    the histogram of per-user session counts is the engagement-depth
+    census (one-session drive-bys vs habitual returners) that the
+    streaming sessionizer's per-session output doesn't aggregate.
+
+    Determinism: gaps order by (ts, event_id) — the tie rule every
+    event-sequence op shares; counts are exact.
+
+    Scale shape: ONE user-partitioned lag window (the sessionizer's
+    shuffle key), a user-keyed sum, and a small histogram agg."""
+    t = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    g = t.select(
+        "user_id",
+        F.expr(
+            f"CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
+            f" IS NULL THEN 1"
+            f" WHEN t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
+            f" > {_SESSION_GAP_US} THEN 1 ELSE 0 END"
+        ).alias("is_start"),
+    )
+    s = g.groupBy("user_id").agg(F.sum("is_start").cast("long").alias("n_sessions"))
+    return (
+        s.groupBy("n_sessions")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("n_sessions")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -19030,6 +19363,8 @@ _FRONT = [
     "percolate_routed", "mlm_masking_plan", "events_hour_profile",
     # session 56: Hare apportionment, entropy rate, tf spectrum
     "negative_sampling_table", "bigram_entropy_rate", "tf_spectrum",
+    # session 57: RFM census, Markov stationary, session histogram
+    "rfm_segments", "markov_stationary", "user_session_histogram",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
