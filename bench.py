@@ -366,7 +366,8 @@ def main() -> None:
                  "negative_sampling_table", "bigram_entropy_rate",
                  "tf_spectrum",
                  "rfm_segments", "markov_stationary",
-                 "user_session_histogram"]:
+                 "user_session_histogram",
+                 "lsh_kcore", "decompound_query", "low_entropy_docs"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

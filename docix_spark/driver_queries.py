@@ -19281,6 +19281,220 @@ def user_session_histogram(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 58 — k-core peeling, query decompounding, low-entropy outliers
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 8
+
+
+def _lsh_kcore_sql() -> str:
+    parts = [
+        _SQL_LSH_PAIRS
+        + """,
+e0 AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs)"""
+    ]
+    for r in range(_KCORE_ROUNDS):
+        parts.append(
+            f""",
+d{r} AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e{r} GROUP BY src),
+keep{r} AS MATERIALIZED (SELECT src AS id FROM d{r} WHERE deg >= {_KCORE_K}),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r} e
+  JOIN keep{r} ka ON ka.id = e.src
+  JOIN keep{r} kb ON kb.id = e.dst)"""
+        )
+    last = _KCORE_ROUNDS
+    parts.append(
+        f"""
+SELECT CAST((SELECT count(*) FROM keep{last - 1}) AS BIGINT) AS n_core_nodes,
+       CAST((SELECT count(*) FROM e{last}) / 2 AS BIGINT) AS n_core_edges,
+       CAST((SELECT count(DISTINCT src) FROM e0) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e0) / 2 AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM e{last - 1}) - (SELECT count(*) FROM e{last}) AS BIGINT)
+         AS last_round_delta"""
+    )
+    return "".join(parts)
+
+
+@register("lsh_kcore", _lsh_kcore_sql())
+def lsh_kcore(spark, sf_dir):
+    """{k}-core of the near-dup candidate graph (k = 2): iteratively peel
+    nodes of degree < k until fixpoint — the DENSE-cluster extractor
+    (boilerplate farms and mirror rings survive the peel; one-off
+    accidental band collisions do not), which is how a dedup pipeline
+    separates 'delete the whole cluster' candidates from pair noise.
+    Completes the graph family: components, triangles, Adamic-Adar,
+    degrees, now coreness.
+
+    Convergence is VERIFIED, not assumed: if the last peel round still
+    removed edges, the op raises ConvergenceError instead of returning a
+    non-core (the dedup_connected_components rule) — 8 rounds suffice
+    because each round at minimum halves the sub-k fringe on this graph
+    family; the oracle unrolls the identical rounds.
+
+    Scale shape: per round ONE degree agg + a semi-join of the edge
+    table against the survivor set (both keyed on the node id);
+    localCheckpoint per round cuts lineage. Output is one summary row."""
+    edges = _lsh_pair_edges(spark, sf_dir)
+    e = edges.select("src", "dst").localCheckpoint()
+    e0_nodes = e.select("src").distinct().count()
+    e0_edges = e.count() // 2
+    prev_cnt = e.count()
+    last_keep = None
+    for _ in range(_KCORE_ROUNDS):
+        d = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = d.where(F.col("deg") >= _KCORE_K).select(F.col("src").alias("id"))
+        keep = keep.localCheckpoint()
+        e = (
+            e.join(keep.select(F.col("id").alias("src")), "src")
+            .join(keep.select(F.col("id").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        last_keep = keep
+        cnt = e.count()
+        if cnt == prev_cnt:
+            break
+        prev_cnt = cnt
+    else:
+        raise ConvergenceError(
+            f"k-core peel did not reach a fixpoint in {_KCORE_ROUNDS} rounds"
+        )
+    # mirror the oracle's fixed-round outputs: after convergence the
+    # remaining rounds are no-ops, so keep/e equal the unrolled tables
+    n_core_nodes = last_keep.count() if last_keep is not None else 0
+    n_core_edges = e.count() // 2
+    return spark.createDataFrame(
+        [(n_core_nodes, n_core_edges, e0_nodes, e0_edges, 0)],
+        "n_core_nodes long, n_core_edges long, n_nodes long, n_edges long, last_round_delta long",
+    )
+
+
+_DECOMPOUND_Q = "sparkjoin"
+
+
+@register(
+    "decompound_query",
+    f"""WITH tf AS ({SQL_TF}),
+dict AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+sp AS (SELECT unnest(generate_series(1, {len(_DECOMPOUND_Q) - 1})) AS i),
+cand AS (
+  SELECT sp.i,
+         substr('{_DECOMPOUND_Q}', 1, sp.i) AS left_part,
+         substr('{_DECOMPOUND_Q}', sp.i + 1, {len(_DECOMPOUND_Q)}) AS right_part
+  FROM sp),
+sc AS (
+  SELECT cand.i, cand.left_part, cand.right_part,
+         dl.cf AS cf_left, dr.cf AS cf_right,
+         CAST(dl.cf * dr.cf AS BIGINT) AS score
+  FROM cand
+  JOIN dict dl ON dl.term = cand.left_part
+  JOIN dict dr ON dr.term = cand.right_part)
+SELECT CAST(i AS BIGINT) AS split_at, left_part, right_part,
+       cf_left, cf_right, score
+FROM sc ORDER BY score DESC, split_at ASC LIMIT 3""",
+)
+def decompound_query(spark, sf_dir):
+    """Query decompounding (the ES/Lucene dictionary-decompounder token
+    filter, as a query-time op): split the unsegmented query token
+    'sparkjoin' at every position, keep splits where BOTH halves are
+    dictionary words, rank by the corpus-frequency product — the
+    compound-splitting heuristic German/Dutch/Nordic search ships, and
+    the fallback an English engine needs for concatenation typos
+    ('newyork'). Top-3 splits with their evidence.
+
+    Scale shape: the split spine is |query|−1 rows; each candidate half
+    probes the vocab-bounded dictionary by equality (two broadcast hash
+    probes) — no LIKE scan, no fuzzy expansion; the corpus is read once
+    to build the A2 dictionary it probes."""
+    tf = _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+    dic = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    n = len(_DECOMPOUND_Q)
+    cand = spark.createDataFrame(
+        [(i, _DECOMPOUND_Q[:i], _DECOMPOUND_Q[i:]) for i in range(1, n)],
+        "i long, left_part string, right_part string",
+    )
+    dl = dic.select(F.col("term").alias("left_part"), F.col("cf").alias("cf_left"))
+    dr = dic.select(F.col("term").alias("right_part"), F.col("cf").alias("cf_right"))
+    sc = (
+        F.broadcast(cand)
+        .join(dl, "left_part")
+        .join(dr, "right_part")
+        .select(
+            F.col("i").alias("split_at"),
+            "left_part",
+            "right_part",
+            "cf_left",
+            "cf_right",
+            (F.col("cf_left") * F.col("cf_right")).cast("long").alias("score"),
+        )
+    )
+    return sc.orderBy(F.desc("score"), F.asc("split_at")).limit(3)
+
+
+@register(
+    "low_entropy_docs",
+    """WITH ch AS (
+  SELECT doc_id, unnest(str_split(lower(text), '')) AS c FROM documents
+  WHERE length(text) > 0),
+cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY doc_id, c),
+dl AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS len FROM cc GROUP BY doc_id),
+contrib AS (
+  SELECT cc.doc_id,
+         CAST(round(-1000000 * (CAST(cc.n AS DOUBLE) / dl.len)
+              * ln(CAST(cc.n AS DOUBLE) / dl.len)) AS BIGINT) AS h_q6
+  FROM cc JOIN dl USING (doc_id)),
+ent AS (
+  SELECT contrib.doc_id, CAST(sum(h_q6) AS BIGINT) AS entropy_q6
+  FROM contrib GROUP BY contrib.doc_id)
+SELECT ent.doc_id, dl.len AS n_chars, ent.entropy_q6
+FROM ent JOIN dl ON dl.doc_id = ent.doc_id
+ORDER BY entropy_q6 ASC, ent.doc_id ASC LIMIT 10""",
+)
+def low_entropy_docs(spark, sf_dir):
+    """Per-document character-entropy outliers: the 10 LOWEST-entropy
+    documents — the gibberish/padding/base64 detector at doc granularity
+    (string_stats_source reports the per-source aggregate; quality gates
+    need the per-doc ranking to actually drop offenders — a doc of one
+    repeated character scores ~0, random base64 scores ~ln 64). Per-char
+    contributions are q6-rounded FIRST (the entropy-family rule), doc
+    entropy is a BIGINT sum, and the ranking is a TakeOrdered(10).
+
+    Scale shape: the char explode is map-side into a (doc, char)-keyed
+    agg (≤ alphabet rows per doc); doc length derives FROM it (shared
+    exchange); the outlier cut is a TakeOrdered, never a global sort."""
+    ch = (
+        _docs(spark, sf_dir)
+        .where(F.length("text") > 0)
+        .select("doc_id", F.explode(F.split(F.lower("text"), "")).alias("c"))
+        .where(F.col("c") != "")
+    )
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cc = cc.localCheckpoint()  # feeds dl AND the contribution join
+    dl = cc.groupBy("doc_id").agg(F.sum("n").cast("long").alias("len"))
+    contrib = cc.join(dl, "doc_id").select(
+        "doc_id",
+        F.expr(
+            "CAST(round(-1000000 * (CAST(n AS DOUBLE) / len)"
+            " * ln(CAST(n AS DOUBLE) / len)) AS BIGINT)"
+        ).alias("h_q6"),
+    )
+    ent = contrib.groupBy("doc_id").agg(F.sum("h_q6").cast("long").alias("entropy_q6"))
+    return (
+        ent.join(dl, "doc_id")
+        .select("doc_id", F.col("len").alias("n_chars"), "entropy_q6")
+        .orderBy(F.asc("entropy_q6"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -19365,6 +19579,8 @@ _FRONT = [
     "negative_sampling_table", "bigram_entropy_rate", "tf_spectrum",
     # session 57: RFM census, Markov stationary, session histogram
     "rfm_segments", "markov_stationary", "user_session_histogram",
+    # session 58: k-core, decompounding, entropy outliers
+    "lsh_kcore", "decompound_query", "low_entropy_docs",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
