@@ -367,7 +367,9 @@ def main() -> None:
                  "tf_spectrum",
                  "rfm_segments", "markov_stationary",
                  "user_session_histogram",
-                 "lsh_kcore", "decompound_query", "low_entropy_docs"]:
+                 "lsh_kcore", "decompound_query", "low_entropy_docs",
+                 "user_feature_vectors", "search_collapse_inner",
+                 "term_cluster_cc"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -19495,6 +19495,255 @@ def low_entropy_docs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 59 — user feature vectors, collapse inner_hits, PPMI term clusters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_feature_vectors",
+    f"""WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t_us, epoch_us(ts) // {_US_PER_DAY} AS day,
+         event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+mx AS (SELECT CAST(max(day) AS BIGINT) AS max_day FROM e),
+g AS (
+  SELECT user_id, day, event_type, cents,
+         CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+                   IS NULL THEN 1
+              WHEN t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+                   > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS is_start
+  FROM e)
+SELECT user_id,
+       CAST((SELECT max_day FROM mx) - max(day) AS BIGINT) AS recency_days,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS monetary_cents,
+       CAST(sum(is_start) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(count(DISTINCT day) AS BIGINT) AS n_active_days
+FROM g GROUP BY user_id ORDER BY user_id""",
+)
+def user_feature_vectors(spark, sf_dir):
+    """Feature-store export: one row per user with the six behavioral
+    features a churn/LTV model trains on — recency, frequency, monetary
+    (exact cents), session count (30-min rule), event-type breadth and
+    active days. The RELATIONAL feature-engineering step every events
+    pipeline ships to a model: all-integer, reproducible, append-stable
+    (features are pure aggregates — no RNG, no sampling). rfm_segments
+    buckets three of these; this emits the raw vectors the model wants.
+
+    Scale shape: ONE user-partitioned lag window (for session starts)
+    feeding ONE user-keyed agg — everything rides the sessionizer's own
+    exchange; two count-distincts are per-user-bounded."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias("day"),
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    mx = e.agg(F.max("day").cast("long").alias("max_day"))
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    g = e.select(
+        "user_id",
+        "day",
+        "event_type",
+        "cents",
+        F.expr(
+            f"CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
+            f" IS NULL THEN 1"
+            f" WHEN t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
+            f" > {_SESSION_GAP_US} THEN 1 ELSE 0 END"
+        ).alias("is_start"),
+    )
+    return (
+        g.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            (F.max("max_day") - F.max("day")).cast("long").alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("monetary_cents"),
+            F.sum("is_start").cast("long").alias("n_sessions"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+            F.countDistinct("day").cast("long").alias("n_active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "search_collapse_inner",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + """,
+j AS (SELECT d.source, agg.doc_id, agg.score_q6
+      FROM agg JOIN documents d USING (doc_id)),
+r AS (SELECT source, doc_id, score_q6,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score_q6 DESC, doc_id ASC) AS rn,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_hits
+      FROM j),
+gtop AS (SELECT source, score_q6 AS top_q6, doc_id AS top_doc FROM r WHERE rn = 1)
+SELECT r.source, CAST(r.rn AS BIGINT) AS inner_rank, r.doc_id, r.score_q6, r.n_hits
+FROM r JOIN gtop ON gtop.source = r.source
+WHERE r.rn <= 3
+ORDER BY gtop.top_q6 DESC, gtop.top_doc ASC, r.rn ASC
+LIMIT 15""",
+)
+def search_collapse_inner(spark, sf_dir):
+    """ES field collapsing WITH ``inner_hits`` (size 3): the collapsed
+    result list (groups ranked by their best hit — search_collapse's
+    output) EXPANDED to each group's top-3 hits, the way the UI shows
+    'more from this site'. Top-5 groups × ≤3 inner hits.
+
+    Scale shape: one source-partitioned window over the match set (the
+    match set is query-bounded — the window input is hits, not corpus);
+    group ordering reuses the rn=1 rows; output ≤15 rows. The oracle's
+    identical window is vocabulary for DuckDB."""
+    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    j = agg.join(d, "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("score_q6"), F.asc("doc_id"))
+    wcnt = Window.partitionBy("source")
+    r = j.select(
+        "source",
+        "doc_id",
+        "score_q6",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wcnt).cast("long").alias("n_hits"),
+    ).localCheckpoint()  # feeds group-top ranking AND the inner-hit rows
+    gtop = r.where(F.col("rn") == 1).select(
+        F.col("source").alias("gsrc"),
+        F.col("score_q6").alias("top_q6"),
+        F.col("doc_id").alias("top_doc"),
+    )
+    return (
+        r.where(F.col("rn") <= 3)
+        .join(F.broadcast(gtop), F.col("source") == F.col("gsrc"))
+        .orderBy(F.desc("top_q6"), F.asc("top_doc"), F.asc("rn"))
+        .limit(15)
+        .select(
+            "source",
+            F.col("rn").cast("long").alias("inner_rank"),
+            "doc_id",
+            "score_q6",
+            "n_hits",
+        )
+    )
+
+
+_TCC_MIN_W = 4  # minimum distance-weighted pair mass for a cluster edge
+
+
+@register(
+    "term_cluster_cc",
+    f"""WITH RECURSIVE w AS ({SQL_WORDS}),
+p AS (
+  SELECT least(words[i], words[i+1]) AS a, greatest(words[i], words[i+1]) AS b, 2 AS wt
+  FROM w, unnest(generate_series(1, len(words) - 1)) AS t1(i) WHERE len(words) >= 2
+  UNION ALL
+  SELECT least(words[i], words[i+2]), greatest(words[i], words[i+2]), 1
+  FROM w, unnest(generate_series(1, len(words) - 2)) AS t2(i) WHERE len(words) >= 3),
+pc AS (SELECT a, b, CAST(sum(wt) AS BIGINT) AS w_ab FROM p GROUP BY a, b),
+uc AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM ({SQL_TOKS}) GROUP BY term),
+tot AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM uc) AS n_tok,
+               (SELECT CAST(sum(w_ab) AS BIGINT) FROM pc) AS w_tot),
+ed AS MATERIALIZED (
+  SELECT pc.a, pc.b FROM pc
+  JOIN (SELECT term, n AS n_a FROM uc) ua ON ua.term = pc.a
+  JOIN (SELECT term, n AS n_b FROM uc) ub ON ub.term = pc.b
+  CROSS JOIN tot
+  WHERE w_ab >= {_TCC_MIN_W} AND {_PPMI_EXPR} > 0),
+edges AS (SELECT a AS src, b AS dst FROM ed UNION SELECT b, a FROM ed),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+comp AS (SELECT id AS term, min(lbl) AS cluster FROM reach GROUP BY id)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_terms,
+       string_agg(term, ' ' ORDER BY term) AS members
+FROM comp GROUP BY cluster ORDER BY cluster""",
+)
+def term_cluster_cc(spark, sf_dir):
+    """Distributional term clusters: connected components over the PPMI
+    co-occurrence graph (edges = pairs with positive PPMI and weighted
+    mass ≥ 4 — cooccurrence_ppmi's table read as a graph) — the cheap
+    word-cluster pass (Brown-cluster ancestor) behind query-expansion
+    dictionaries and topic smell tests. Emits per cluster its size and
+    the sorted member list.
+
+    Scale shape: the edge table is vocab²-bounded (Zipf-tiny after the
+    mass gate); clustering reuses the pointer-doubled
+    connected_components (string labels — min is lexicographic in both
+    engines, the convergence checksum hashes strings); the member list
+    aggregates with an explicit ORDER BY (the cdc_chunk rule — unordered
+    string_agg is nondeterministic).
+
+    The oracle recomputes the closure recursively over the identical
+    edges."""
+    wdf = _docs(spark, sf_dir).select(spark_tokens("text").alias("words"))
+    p1 = wdf.where(F.size("words") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(words)-2), i -> "
+                "struct(least(words[i], words[i+1]) AS a,"
+                " greatest(words[i], words[i+1]) AS b, 2 AS wt))"
+            )
+        ).alias("t")
+    )
+    p2 = wdf.where(F.size("words") >= 3).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(words)-3), i -> "
+                "struct(least(words[i], words[i+2]) AS a,"
+                " greatest(words[i], words[i+2]) AS b, 1 AS wt))"
+            )
+        ).alias("t")
+    )
+    p = p1.unionByName(p2).select("t.a", "t.b", "t.wt")
+    pc = p.groupBy("a", "b").agg(F.sum("wt").cast("long").alias("w_ab"))
+    uc = (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    uc = uc.localCheckpoint()  # feeds totals AND both probe sides
+    tot = uc.agg(F.sum("n").cast("long").alias("n_tok")).crossJoin(
+        pc.agg(F.sum("w_ab").cast("long").alias("w_tot"))
+    )
+    ua = uc.select(F.col("term").alias("a"), F.col("n").alias("n_a"))
+    ub = uc.select(F.col("term").alias("b"), F.col("n").alias("n_b"))
+    ed = (
+        pc.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .where((F.col("w_ab") >= _TCC_MIN_W) & (F.expr(_PPMI_EXPR) > 0))
+        .select("a", "b")
+    )
+    edges = (
+        ed.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(ed.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    comp = connected_components(labels, edges).select(
+        F.col("doc_id").alias("term"), F.col("lbl").alias("cluster")
+    )
+    return (
+        comp.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.expr("array_join(sort_array(collect_list(term)), ' ')").alias("members"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -19581,6 +19830,8 @@ _FRONT = [
     "rfm_segments", "markov_stationary", "user_session_histogram",
     # session 58: k-core, decompounding, entropy outliers
     "lsh_kcore", "decompound_query", "low_entropy_docs",
+    # session 59: feature vectors, collapse inner_hits, term clusters
+    "user_feature_vectors", "search_collapse_inner", "term_cluster_cc",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
