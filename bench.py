@@ -369,7 +369,9 @@ def main() -> None:
                  "user_session_histogram",
                  "lsh_kcore", "decompound_query", "low_entropy_docs",
                  "user_feature_vectors", "search_collapse_inner",
-                 "term_cluster_cc"]:
+                 "term_cluster_cc",
+                 "pipeline_waterfall", "ab_assignment_readout",
+                 "stopword_cut_impact"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -19744,6 +19744,256 @@ def term_cluster_cc(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 60 — cleaning-gate waterfall, deterministic A/B readout,
+# stopword-cut impact
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_waterfall",
+    f"""WITH t AS ({SQL_TOKS}),
+m AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         avg(length(term)) AS mean_len,
+         count(*) FILTER (term IN ('the','a','of','to','is')) AS stop_hits
+  FROM t GROUP BY doc_id),
+surv AS (
+  SELECT d.doc_id, md5(d.text) AS h,
+         CAST(d.doc_id = min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS INT) AS is_surv
+  FROM documents d),
+fl AS (
+  SELECT m.doc_id, m.n_tokens,
+         CAST(m.n_tokens >= 20 AS INT) AS g1,
+         CAST(m.n_tokens >= 20 AND m.mean_len >= 2.0 AND m.mean_len <= 12.0 AS INT) AS g2,
+         CAST(m.n_tokens >= 20 AND m.mean_len >= 2.0 AND m.mean_len <= 12.0
+              AND m.stop_hits > 0 AS INT) AS g3,
+         CAST(m.n_tokens >= 20 AND m.mean_len >= 2.0 AND m.mean_len <= 12.0
+              AND m.stop_hits > 0 AND surv.is_surv = 1 AS INT) AS g4
+  FROM m JOIN surv ON surv.doc_id = m.doc_id),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS d0, CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) AS t0,
+         CAST(COALESCE(sum(g1), 0) AS BIGINT) AS d1, CAST(COALESCE(sum(g1 * n_tokens), 0) AS BIGINT) AS t1,
+         CAST(COALESCE(sum(g2), 0) AS BIGINT) AS d2, CAST(COALESCE(sum(g2 * n_tokens), 0) AS BIGINT) AS t2,
+         CAST(COALESCE(sum(g3), 0) AS BIGINT) AS d3, CAST(COALESCE(sum(g3 * n_tokens), 0) AS BIGINT) AS t3,
+         CAST(COALESCE(sum(g4), 0) AS BIGINT) AS d4, CAST(COALESCE(sum(g4 * n_tokens), 0) AS BIGINT) AS t4
+  FROM fl)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage, 'ingest' AS gate, d0 AS n_docs, t0 AS n_tokens FROM agg
+  UNION ALL SELECT 1, 'min_length', d1, t1 FROM agg
+  UNION ALL SELECT 2, 'token_len_band', d2, t2 FROM agg
+  UNION ALL SELECT 3, 'stopword_presence', d3, t3 FROM agg
+  UNION ALL SELECT 4, 'exact_dedup', d4, t4 FROM agg
+) ORDER BY stage""",
+)
+def pipeline_waterfall(spark, sf_dir):
+    """Cleaning-funnel waterfall: docs and token mass surviving each
+    SUCCESSIVE admission gate — min-length → mean-token-length band →
+    stopword presence (quality_filter_flags' exact Gopher-shape rules)
+    → exact-dedup survivorship — the attrition report every data-ops
+    dashboard shows (training_mix_pipeline applies a mix of gates; this
+    op shows WHERE the mass goes, stage by stage, so a surprising gate
+    is localizable). Monotone by construction.
+
+    Scale shape: one per-doc metrics agg + the md5-partitioned survivor
+    window (group-bounded); the cumulative gate flags are map-side; ONE
+    aggregate row carries all five stages (the Spark side unpivots with
+    stack() — per-stage UNION-ALL scans are DuckDB-only vocabulary).
+
+    The float mean_len comparisons are exact-double divisions of
+    integers — identical in both engines (the quality_filter_flags
+    contract, driver-green since r2)."""
+    t = _toks(_docs(spark, sf_dir))
+    m = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.avg(F.length("term")).alias("mean_len"),
+        F.sum(
+            F.when(F.col("term").isin("the", "a", "of", "to", "is"), 1).otherwise(0)
+        ).alias("stop_hits"),
+    )
+    wsurv = Window.partitionBy(F.md5("text"))
+    surv = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(wsurv)).cast("int").alias("is_surv"),
+    )
+    fl = m.join(surv, "doc_id").select(
+        "n_tokens",
+        F.expr("CAST(n_tokens >= 20 AS INT)").alias("g1"),
+        F.expr(
+            "CAST(n_tokens >= 20 AND mean_len >= 2.0 AND mean_len <= 12.0 AS INT)"
+        ).alias("g2"),
+        F.expr(
+            "CAST(n_tokens >= 20 AND mean_len >= 2.0 AND mean_len <= 12.0"
+            " AND stop_hits > 0 AS INT)"
+        ).alias("g3"),
+        F.expr(
+            "CAST(n_tokens >= 20 AND mean_len >= 2.0 AND mean_len <= 12.0"
+            " AND stop_hits > 0 AND is_surv = 1 AS INT)"
+        ).alias("g4"),
+    )
+    agg = fl.agg(
+        F.count(F.lit(1)).cast("long").alias("d0"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("t0"),
+        *[
+            c
+            for i in (1, 2, 3, 4)
+            for c in (
+                F.coalesce(F.sum(f"g{i}"), F.lit(0)).cast("long").alias(f"d{i}"),
+                F.coalesce(F.sum(F.expr(f"g{i} * n_tokens")), F.lit(0))
+                .cast("long")
+                .alias(f"t{i}"),
+            )
+        ],
+    )
+    return (
+        agg.select(
+            F.expr(
+                "stack(5,"
+                " cast(0 as bigint), 'ingest', d0, t0,"
+                " cast(1 as bigint), 'min_length', d1, t1,"
+                " cast(2 as bigint), 'token_len_band', d2, t2,"
+                " cast(3 as bigint), 'stopword_presence', d3, t3,"
+                " cast(4 as bigint), 'exact_dedup', d4, t4)"
+                " AS (stage, gate, n_docs, n_tokens)"
+            )
+        )
+        .orderBy("stage")
+    )
+
+
+@register(
+    "ab_assignment_readout",
+    f"""WITH u AS (
+  SELECT user_id,
+         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 4))::INT % 2 AS arm,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT) AS converted
+  FROM events GROUP BY user_id)
+SELECT CAST(arm AS BIGINT) AS arm,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(COALESCE(sum(converted), 0) AS BIGINT) AS n_converted,
+       CAST(round(1000000.0 * COALESCE(sum(converted), 0) / count(*)) AS BIGINT) AS conv_q6,
+       CAST(COALESCE(sum(cents), 0) AS BIGINT) AS revenue_cents,
+       CAST(round(COALESCE(sum(cents), 0) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS arpu_cents
+FROM u GROUP BY arm ORDER BY arm""",
+)
+def ab_assignment_readout(spark, sf_dir):
+    """Deterministic A/B experimentation primitive: users split 50/50 by
+    a dedicated hash coordinate (md5('ab:'||user_id) — hash-INPUT
+    disjoint from every other coordinate family, so experiment arms are
+    independent of shards/splits/folds/samples), with the per-arm readout
+    an experiment dashboard serves: users, converters (≥1 purchase),
+    conversion rate, revenue, ARPU. A rand()-based assigner re-arms users
+    on every run; this one is stable under re-runs, appends and replays —
+    the property A/B bucketing actually requires.
+
+    Scale shape: arm is map-side; ONE user-keyed agg then a 2-group
+    rollup; conversion/ARPU are single float divisions of exact sums."""
+    u = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).cast("long").alias("cents"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+        .withColumn(
+            "arm",
+            F.expr(
+                "cast(conv(substring(md5(concat('ab:', cast(user_id as string))), 1, 4), 16, 10) as int) % 2"
+            ),
+        )
+    )
+    return (
+        u.groupBy(F.col("arm").cast("long").alias("arm"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.coalesce(F.sum("converted"), F.lit(0)).cast("long").alias("n_converted"),
+            F.expr(
+                "CAST(round(1000000.0 * COALESCE(sum(converted), 0) / count(*)) AS BIGINT)"
+            ).alias("conv_q6"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("revenue_cents"),
+            F.expr(
+                "CAST(round(COALESCE(sum(cents), 0) / CAST(count(*) AS DOUBLE)) AS BIGINT)"
+            ).alias("arpu_cents"),
+        )
+        .orderBy("arm")
+    )
+
+
+_STOP_CUTS = [2, 4, 8]
+
+
+@register(
+    "stopword_cut_impact",
+    f"""WITH tf AS ({SQL_TF}),
+a2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+       FROM tf GROUP BY term),
+tot AS (SELECT CAST(COALESCE(sum(df), 0) AS BIGINT) AS postings,
+               CAST(COALESCE(sum(cf), 0) AS BIGINT) AS tokens FROM a2),
+top AS (
+  SELECT term, df, cf, row_number() OVER (ORDER BY cf DESC, term ASC) AS rn
+  FROM a2 ORDER BY cf DESC, term ASC LIMIT {max(_STOP_CUTS)}),
+cuts AS (SELECT unnest([{", ".join(str(k) for k in _STOP_CUTS)}]) AS k)
+SELECT CAST(cuts.k AS BIGINT) AS k,
+       CAST(count(top.term) AS BIGINT) AS n_cut,
+       CAST(COALESCE(sum(top.df), 0) AS BIGINT) AS postings_removed,
+       CAST(COALESCE(sum(top.cf), 0) AS BIGINT) AS tokens_removed,
+       CASE WHEN (SELECT tokens FROM tot) = 0 THEN 0
+            ELSE CAST(round(1000000.0 * COALESCE(sum(top.cf), 0)
+                 / (SELECT tokens FROM tot)) AS BIGINT) END AS token_share_q6
+FROM cuts LEFT JOIN top ON top.rn <= cuts.k
+GROUP BY cuts.k ORDER BY k""",
+)
+def stopword_cut_impact(spark, sf_dir):
+    """Stopword-cut impact curve: postings and token mass removed by
+    dropping the top-k collection-frequency terms (k = 2/4/8) — the
+    actionable knob on top of df_spectrum's bands (Lucene/ES ship
+    stopword lists precisely to cut this mass from the index and from
+    every scoring loop; the curve says what each extra cut buys). The
+    share column reads directly as index-size savings.
+
+    Scale shape: A2 agg, a TakeOrdered(max k) then ranking over those
+    ≤8 rows (the vocab_coverage_curve rule — never a vocab-wide window),
+    and a cuts×top theta-join of tiny tables."""
+    tf = _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+    a2 = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf")
+    )
+    a2 = a2.localCheckpoint()  # feeds totals AND the top-k cut
+    tot = a2.agg(
+        F.coalesce(F.sum("df"), F.lit(0)).cast("long").alias("postings"),
+        F.coalesce(F.sum("cf"), F.lit(0)).cast("long").alias("tokens"),
+    )
+    top = (
+        a2.orderBy(F.desc("cf"), F.asc("term"))
+        .limit(max(_STOP_CUTS))
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("cf"), F.asc("term"))))
+    )
+    cuts = spark.createDataFrame([(k,) for k in _STOP_CUTS], "k long")
+    return (
+        F.broadcast(cuts)
+        .join(F.broadcast(top), F.col("rn") <= F.col("k"), "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("k").cast("long").alias("k"))
+        .agg(
+            F.count("term").cast("long").alias("n_cut"),
+            F.coalesce(F.sum("df"), F.lit(0)).cast("long").alias("postings_removed"),
+            F.coalesce(F.sum("cf"), F.lit(0)).cast("long").alias("tokens_removed"),
+            F.expr(
+                "CASE WHEN max(tokens) = 0 THEN 0"
+                " ELSE CAST(round(1000000.0 * COALESCE(sum(cf), 0) / max(tokens)) AS BIGINT) END"
+            ).alias("token_share_q6"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -19832,6 +20082,8 @@ _FRONT = [
     "lsh_kcore", "decompound_query", "low_entropy_docs",
     # session 59: feature vectors, collapse inner_hits, term clusters
     "user_feature_vectors", "search_collapse_inner", "term_cluster_cc",
+    # session 60: waterfall, A/B readout, stopword cuts
+    "pipeline_waterfall", "ab_assignment_readout", "stopword_cut_impact",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
