@@ -371,7 +371,9 @@ def main() -> None:
                  "user_feature_vectors", "search_collapse_inner",
                  "term_cluster_cc",
                  "pipeline_waterfall", "ab_assignment_readout",
-                 "stopword_cut_impact"]:
+                 "stopword_cut_impact",
+                 "trending_terms", "weekly_seasonal_decompose",
+                 "doclen_hill_tail"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

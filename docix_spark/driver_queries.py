@@ -19994,6 +19994,232 @@ def stopword_cut_impact(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 61 — trending terms, weekly seasonal decomposition, Hill tail
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "trending_terms",
+    f"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+toks AS (
+  SELECT doc_id, CAST((doc_id * 10) // n_docs AS BIGINT) AS decile,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents CROSS JOIN nd),
+dt AS (SELECT DISTINCT doc_id, decile, term FROM toks),
+fg AS (SELECT term, CAST(count(*) AS BIGINT) AS fg_df FROM dt WHERE decile = 9 GROUP BY term),
+bg AS (SELECT term, CAST(count(*) AS BIGINT) AS bg_df FROM dt GROUP BY term),
+fgn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS ft FROM dt WHERE decile = 9),
+sc AS (
+  SELECT fg.term, fg.fg_df, bg.bg_df,
+         CAST(round(
+           ((fg.fg_df / CAST((SELECT ft FROM fgn) AS DOUBLE))
+              - (bg.bg_df / CAST((SELECT n_docs FROM nd) AS DOUBLE)))
+           * ((fg.fg_df / CAST((SELECT ft FROM fgn) AS DOUBLE))
+              / (bg.bg_df / CAST((SELECT n_docs FROM nd) AS DOUBLE)))
+           * 1000000) AS BIGINT) AS jlh_q6
+  FROM fg JOIN bg USING (term)
+  WHERE fg.fg_df >= 3)
+SELECT term, fg_df, bg_df, jlh_q6 FROM sc
+WHERE jlh_q6 > 0 ORDER BY jlh_q6 DESC, term ASC LIMIT 20""",
+)
+def trending_terms(spark, sf_dir):
+    """Trending-terms detector: significant_terms' JLH heuristic with the
+    NEWEST doc_id decile as the foreground and the whole corpus as
+    background — 'what is the fresh slice about that the archive is not'
+    (ES's significant_terms over a time-filtered query; the emerging-
+    topics feed a news/search dashboard runs hourly). On the stationary
+    sandbox corpus nothing genuinely trends and the list hugs jlh ≈ 0 —
+    that is the correct reading (term_drift_deciles' flat-curve rule).
+
+    Scale shape: the decile key is map-side (1-row count broadcast);
+    fg/bg doc-frequency aggs share the distinct (doc, term) exchange;
+    the JLH scoring joins vocab-bounded tables; top-20 is a TakeOrdered."""
+    nd = _docs(spark, sf_dir).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    dt = (
+        _docs(spark, sf_dir)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            F.expr("cast((doc_id * 10) div n_docs as bigint)").alias("decile"),
+            F.explode(spark_tokens("text")).alias("term"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds fg, bg AND the foreground size
+    )
+    fg = dt.where(F.col("decile") == 9).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("fg_df")
+    )
+    bg = dt.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("bg_df"))
+    fgn = dt.where(F.col("decile") == 9).agg(
+        F.countDistinct("doc_id").cast("long").alias("ft")
+    )
+    fg_pct = F.col("fg_df") / F.col("ft").cast("double")
+    bg_pct = F.col("bg_df") / F.col("n_docs").cast("double")
+    return (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(fgn))
+        .crossJoin(F.broadcast(nd))
+        .where(F.col("fg_df") >= 3)
+        .select(
+            "term",
+            "fg_df",
+            "bg_df",
+            _q6((fg_pct - bg_pct) * (fg_pct / bg_pct)).alias("jlh_q6"),
+        )
+        .where(F.col("jlh_q6") > 0)
+        .orderBy(F.desc("jlh_q6"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@register(
+    "weekly_seasonal_decompose",
+    f"""WITH e AS (SELECT epoch_us(ts) // {_US_PER_DAY} AS day FROM events),
+dc AS (SELECT day, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY day),
+mm AS (SELECT CAST(min(day) AS BIGINT) AS d0, CAST(max(day) AS BIGINT) AS d1 FROM dc),
+spine AS (
+  SELECT d0 + i AS day, ((d0 + i) + 3) % 7 AS dow
+  FROM mm, unnest(generate_series(0, CAST(d1 - d0 AS INT))) AS t(i)),
+f AS (
+  SELECT spine.day, spine.dow, CAST(COALESCE(dc.cnt, 0) AS BIGINT) AS cnt
+  FROM spine LEFT JOIN dc ON dc.day = spine.day),
+dw AS (
+  SELECT dow, CAST(sum(cnt) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM f GROUP BY dow)
+SELECT f.day, CAST(f.dow AS BIGINT) AS dow, f.cnt,
+       CAST(round(1000000.0 * dw.s / dw.n) AS BIGINT) AS seasonal_q6,
+       CAST(round(1000000.0 * f.cnt - 1000000.0 * dw.s / dw.n) AS BIGINT) AS residual_q6
+FROM f JOIN dw USING (dow) ORDER BY f.day""",
+)
+def weekly_seasonal_decompose(spark, sf_dir):
+    """Weekly seasonal decomposition of the daily event count (STL-lite):
+    per calendar day, the observed count, the day-of-week seasonal
+    component (that weekday's mean over the zero-filled spine) and the
+    residual — the de-seasonalized series an anomaly alarm should watch
+    (events_daily_anomaly's z-scores fire on weekends without this).
+    dow = (day+3) % 7, 0 = Monday (the events_weekday_profile rule —
+    never dayname()).
+
+    Determinism: the seasonal mean is ONE float division of two exact
+    integers per weekday, q6-rounded; the residual subtracts in q6 space
+    so observed = seasonal + residual exactly, by construction.
+
+    Scale shape: calendar-bounded throughout — day counts, a ≤7-row
+    weekday table (broadcast), and a spine join."""
+    e = _events(spark, sf_dir).select(
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias("day")
+    )
+    dc = e.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    mm = dc.agg(
+        F.min("day").cast("long").alias("d0"), F.max("day").cast("long").alias("d1")
+    )
+    spine = mm.select(
+        F.explode(F.expr("sequence(d0, d1)")).alias("day")
+    ).select("day", F.expr("(day + 3) % 7").alias("dow"))
+    f = (
+        spine.join(dc, "day", "left")
+        .select("day", "dow", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"))
+        .localCheckpoint()  # feeds the weekday means AND the output join
+    )
+    dw = f.groupBy("dow").agg(
+        F.sum("cnt").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        f.join(F.broadcast(dw), "dow")
+        .select(
+            "day",
+            F.col("dow").cast("long").alias("dow"),
+            "cnt",
+            F.expr("CAST(round(1000000.0 * s / n) AS BIGINT)").alias("seasonal_q6"),
+            F.expr(
+                "CAST(round(1000000.0 * cnt - 1000000.0 * s / n) AS BIGINT)"
+            ).alias("residual_q6"),
+        )
+        .orderBy("day")
+    )
+
+
+_HILL_K = 50
+
+
+@register(
+    "doclen_hill_tail",
+    f"""WITH t AS (
+  SELECT CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
+  FROM documents),
+top AS (
+  SELECT n_tok, row_number() OVER (ORDER BY n_tok DESC) AS rn
+  FROM t WHERE n_tok > 0 ORDER BY n_tok DESC LIMIT {_HILL_K + 1}),
+xk AS (SELECT n_tok AS x_k FROM top WHERE rn = {_HILL_K + 1}),
+lr AS (
+  SELECT CAST(round(1000000 * ln(CAST(top.n_tok AS DOUBLE) / xk.x_k)) AS BIGINT) AS l_q6
+  FROM top, xk WHERE top.rn <= {_HILL_K})
+SELECT CAST(count(*) AS BIGINT) AS k,
+       CAST(COALESCE((SELECT x_k FROM xk), -1) AS BIGINT) AS x_k,
+       CAST(COALESCE(sum(l_q6), 0) AS BIGINT) AS sum_log_q6,
+       CASE WHEN COALESCE(sum(l_q6), 0) = 0 THEN 0
+            ELSE CAST(round(1000000.0 * count(*) / (COALESCE(sum(l_q6), 0) / 1000000.0)) AS BIGINT)
+       END AS alpha_q6
+FROM lr""",
+)
+def doclen_hill_tail(spark, sf_dir):
+    """Hill estimator of the document-length tail index: α̂ = k / Σ ln(x_i
+    / x_(k+1)) over the k = 50 largest documents — the heavy-tail
+    exponent that decides executor sizing and straggler risk (a crawl
+    with α < 2 has infinite-variance lengths: one partition WILL get a
+    monster doc, and maxPartitionBytes must assume it). Complements the
+    percentile family (quantiles bound the bulk; Hill characterizes the
+    extreme tail the quantile probes never reach).
+
+    Determinism: the order statistics are a TakeOrdered(k+1); ties at
+    the boundary don't matter (only VALUES enter the estimator, not
+    identities); per-order-statistic ln is q6-rounded FIRST, then one
+    scalar expression.
+
+    Scale shape: TakeOrdered(51) over a map-side length projection —
+    per-partition top-51 then a driver merge; the ratio math runs over
+    51 rows. A corpus with a constant tail (Σ ln = 0) reports α = 0
+    sentinel rather than dividing by zero."""
+    t = (
+        _docs(spark, sf_dir)
+        .select(F.size(spark_tokens("text")).cast("long").alias("n_tok"))
+        .where(F.col("n_tok") > 0)
+    )
+    top = (
+        t.orderBy(F.desc("n_tok"))
+        .limit(_HILL_K + 1)
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("n_tok"))))
+        .localCheckpoint()  # feeds the boundary value AND the log rows
+    )
+    xk = top.where(F.col("rn") == _HILL_K + 1).select(F.col("n_tok").alias("x_k"))
+    lr = (
+        top.where(F.col("rn") <= _HILL_K)
+        .crossJoin(F.broadcast(xk))
+        .select(
+            F.expr(
+                "CAST(round(1000000 * ln(CAST(n_tok AS DOUBLE) / x_k)) AS BIGINT)"
+            ).alias("l_q6")
+        )
+    )
+    return (
+        lr.agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.coalesce(F.sum("l_q6"), F.lit(0)).cast("long").alias("sum_log_q6"),
+        )
+        .join(F.broadcast(xk), F.lit(True), "left")
+        .select(
+            "k",
+            F.coalesce(F.col("x_k"), F.lit(-1)).cast("long").alias("x_k"),
+            "sum_log_q6",
+            F.expr(
+                "CASE WHEN sum_log_q6 = 0 THEN 0"
+                " ELSE CAST(round(1000000.0 * k / (sum_log_q6 / 1000000.0)) AS BIGINT) END"
+            ).alias("alpha_q6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -20084,6 +20310,8 @@ _FRONT = [
     "user_feature_vectors", "search_collapse_inner", "term_cluster_cc",
     # session 60: waterfall, A/B readout, stopword cuts
     "pipeline_waterfall", "ab_assignment_readout", "stopword_cut_impact",
+    # session 61: trending terms, seasonal decomposition, Hill tail
+    "trending_terms", "weekly_seasonal_decompose", "doclen_hill_tail",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
