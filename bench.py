@@ -373,7 +373,10 @@ def main() -> None:
                  "pipeline_waterfall", "ab_assignment_readout",
                  "stopword_cut_impact",
                  "trending_terms", "weekly_seasonal_decompose",
-                 "doclen_hill_tail"]:
+                 "doclen_hill_tail",
+                 "value_lognormal_fit", "burrows_delta_sources",
+                 "char_coverage_curve", "ppmi_query_expansion",
+                 "quality_dup_census", "open_lineitems_timeseries"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

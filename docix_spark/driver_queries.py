@@ -20220,6 +20220,482 @@ def doclen_hill_tail(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 62 — lognormal value fit, Burrows' Delta stylometry, char coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_lognormal_fit",
+    """WITH v AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+  WHERE CAST(round(value * 100) AS BIGINT) > 0),
+l AS (SELECT CAST(round(1000000 * ln(CAST(cents AS DOUBLE))) AS BIGINT) AS l_q6 FROM v),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(COALESCE(sum(l_q6), 0) AS BIGINT) AS sl,
+             CAST(COALESCE(sum(l_q6 * l_q6), 0) AS BIGINT) AS sll
+      FROM l)
+SELECT n,
+       CASE WHEN n = 0 THEN 0 ELSE CAST(round(sl / CAST(n AS DOUBLE)) AS BIGINT) END AS mu_q6,
+       CASE WHEN n < 2 THEN 0
+            ELSE CAST(round((sll / CAST(n AS DOUBLE)
+                 - (sl / CAST(n AS DOUBLE)) * (sl / CAST(n AS DOUBLE))) / 1000000.0) AS BIGINT)
+       END AS sigma2_q6
+FROM s""",
+)
+def value_lognormal_fit(spark, sf_dir):
+    """Method-of-moments lognormal fit of the positive event values:
+    μ̂ and σ̂² of ln(cents) — the two parameters a revenue model (LTV
+    simulation, price-tier planning) needs, and the distribution-shape
+    check behind revenue_pareto_users' whale curve (a lognormal with
+    small σ² has no whales; a fat σ² predicts them). Negative/zero
+    values are non-revenue events and excluded, declared.
+
+    Determinism: per-event ln(cents) is q6-rounded FIRST (the zipf
+    rule — never sum raw libm outputs), the sums are exact BIGINTs, and
+    the two moments are single divide-first float expressions (σ² lands
+    in q12 and is rescaled to q6 once). Envelope: Σ l_q6² < 2^63 to
+    ~4e7 events of cents ≤ 1e9 — beyond that l floors to q3.
+
+    Scale shape: one map-side projection into a 1-row sufficient-stats
+    agg."""
+    v = (
+        _events(spark, sf_dir)
+        .select(F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"))
+        .where(F.col("cents") > 0)
+    )
+    l = v.select(
+        F.expr("CAST(round(1000000 * ln(CAST(cents AS DOUBLE))) AS BIGINT)").alias("l_q6")
+    )
+    s = l.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("l_q6"), F.lit(0)).cast("long").alias("sl"),
+        F.coalesce(F.sum(F.expr("l_q6 * l_q6")), F.lit(0)).cast("long").alias("sll"),
+    )
+    return s.select(
+        "n",
+        F.expr(
+            "CASE WHEN n = 0 THEN 0 ELSE CAST(round(sl / CAST(n AS DOUBLE)) AS BIGINT) END"
+        ).alias("mu_q6"),
+        F.expr(
+            "CASE WHEN n < 2 THEN 0"
+            " ELSE CAST(round((sll / CAST(n AS DOUBLE)"
+            " - (sl / CAST(n AS DOUBLE)) * (sl / CAST(n AS DOUBLE))) / 1000000.0) AS BIGINT) END"
+        ).alias("sigma2_q6"),
+    )
+
+
+_DELTA_M = 8  # number of marker words (top corpus cf)
+
+
+@register(
+    "burrows_delta_sources",
+    f"""WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents),
+stc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY source, term),
+stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM stc GROUP BY source),
+cf AS (SELECT term, CAST(sum(c) AS BIGINT) AS cf FROM stc GROUP BY term),
+mk AS (SELECT term FROM cf ORDER BY cf DESC, term ASC LIMIT {_DELTA_M}),
+f AS (
+  SELECT stot.source, mk.term,
+         CAST(round(1000000.0 * COALESCE(stc.c, 0) / stot.n) AS BIGINT) AS f_q6
+  FROM stot CROSS JOIN mk
+  LEFT JOIN stc ON stc.source = stot.source AND stc.term = mk.term),
+ms AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(f_q6) AS BIGINT) AS s, CAST(sum(f_q6 * f_q6) AS BIGINT) AS ss
+  FROM f GROUP BY term),
+z AS (
+  SELECT f.source, f.term,
+         CASE WHEN ms.k < 2 OR ms.k * ms.ss = ms.s * ms.s THEN CAST(0 AS BIGINT)
+              ELSE CAST(round(1000000 * (f.f_q6 - ms.s / CAST(ms.k AS DOUBLE))
+                   / sqrt(ms.ss / CAST(ms.k AS DOUBLE)
+                          - (ms.s / CAST(ms.k AS DOUBLE)) * (ms.s / CAST(ms.k AS DOUBLE))))
+                   AS BIGINT) END AS z_q6
+  FROM f JOIN ms USING (term)),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(round(avg(abs(a.z_q6 - b.z_q6))) AS BIGINT) AS delta_q6
+  FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT src_a, src_b, delta_q6 FROM pairs ORDER BY src_a, src_b""",
+)
+def burrows_delta_sources(spark, sf_dir):
+    """Burrows' Delta between sources — the STYLOMETRIC distance (the
+    authorship-attribution standard): z-scores of the top-8
+    corpus-frequency marker words' relative frequencies across sources,
+    Delta = mean |z_a − z_b| per source pair. The third axis of the
+    source-similarity family: JSD sees vocabulary, centroids see topics,
+    Delta sees FUNCTION-WORD STYLE (two mirrors of one crawl match on
+    all three; a paraphrase mirror matches centroids but not Delta).
+
+    Determinism: per-(source, marker) relative frequency q6-rounds
+    FIRST; marker means/stds come from exact BIGINT sufficient stats
+    with the degenerate-variance guard (the ttest rule); z quantizes to
+    q6 before the pair averages; |z| differences of integers make the
+    final avg a single float division.
+
+    Scale shape: the (source, term) agg is the unigram-LM table; markers
+    are a TakeOrdered(8); the spine is |sources|×8 rows; the pair join
+    fans |sources|² per marker. Nothing corpus-sized shuffles twice."""
+    stc = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(spark_tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # feeds totals, marker ranking AND the spine probe
+    )
+    stot = stc.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    cf = stc.groupBy("term").agg(F.sum("c").cast("long").alias("cf"))
+    mk = cf.orderBy(F.desc("cf"), F.asc("term")).limit(_DELTA_M).select("term")
+    f = (
+        stot.crossJoin(F.broadcast(mk))
+        .join(stc, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            F.expr("CAST(round(1000000.0 * COALESCE(c, 0) / n) AS BIGINT)").alias("f_q6"),
+        )
+        .localCheckpoint()  # feeds the marker stats AND the z table
+    )
+    ms = f.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("f_q6").cast("long").alias("s"),
+        F.sum(F.expr("f_q6 * f_q6")).cast("long").alias("ss"),
+    )
+    z = f.join(F.broadcast(ms), "term").select(
+        "source",
+        "term",
+        F.expr(
+            "CASE WHEN k < 2 OR k * ss = s * s THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(round(1000000 * (f_q6 - s / CAST(k AS DOUBLE))"
+            " / sqrt(ss / CAST(k AS DOUBLE)"
+            " - (s / CAST(k AS DOUBLE)) * (s / CAST(k AS DOUBLE)))) AS BIGINT) END"
+        ).alias("z_q6"),
+    )
+    a = z.select(F.col("source").alias("src_a"), "term", F.col("z_q6").alias("za"))
+    b = z.select(F.col("source").alias("src_b"), "term", F.col("z_q6").alias("zb"))
+    return (
+        a.join(b, "term")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.round(F.avg(F.abs(F.col("za") - F.col("zb")))).cast("long").alias("delta_q6"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+_CHAR_COV_KS = [4, 8, 16, 32]
+
+
+@register(
+    "char_coverage_curve",
+    f"""WITH ch AS (
+  SELECT unnest(str_split(lower(text), '')) AS c FROM documents WHERE length(text) > 0),
+cc AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY c),
+tot AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS t FROM cc),
+top AS (
+  SELECT c, n, row_number() OVER (ORDER BY n DESC, c ASC) AS rn
+  FROM cc ORDER BY n DESC, c ASC LIMIT {max(_CHAR_COV_KS)}),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _CHAR_COV_KS)}]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(count(top.c) AS BIGINT) AS n_chars,
+       CAST(COALESCE(sum(top.n), 0) AS BIGINT) AS chars_covered,
+       CASE WHEN (SELECT t FROM tot) = 0 THEN 0
+            ELSE CAST(round(1000000.0 * COALESCE(sum(top.n), 0)
+                 / (SELECT t FROM tot)) AS BIGINT) END AS coverage_q6
+FROM ks LEFT JOIN top ON top.rn <= ks.k
+GROUP BY ks.k ORDER BY k""",
+)
+def char_coverage_curve(spark, sf_dir):
+    """Character-coverage curve: share of the corpus's character stream
+    covered by the top-4/8/16/32 characters — SentencePiece's
+    ``character_coverage`` knob measured on the actual data (0.9995 for
+    multilingual, 1.0 for ASCII corpora; the curve says which, and how
+    big the byte-fallback alphabet must be). vocab_coverage_curve's
+    sibling one level down the tokenizer stack.
+
+    Scale shape: a map-side char explode into an alphabet-sized agg, a
+    TakeOrdered(32) then ranking over 32 rows, and a cuts theta-join —
+    the stopword_cut_impact plan at character granularity."""
+    ch = (
+        _docs(spark, sf_dir)
+        .where(F.length("text") > 0)
+        .select(F.explode(F.split(F.lower("text"), "")).alias("c"))
+        .where(F.col("c") != "")
+    )
+    cc = ch.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cc = cc.localCheckpoint()  # feeds the total AND the top cut
+    tot = cc.agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("t"))
+    top = (
+        cc.orderBy(F.desc("n"), F.asc("c"))
+        .limit(max(_CHAR_COV_KS))
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("c"))))
+    )
+    ks = spark.createDataFrame([(k,) for k in _CHAR_COV_KS], "k long")
+    return (
+        F.broadcast(ks)
+        .join(F.broadcast(top), F.col("rn") <= F.col("k"), "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("k").cast("long").alias("k"))
+        .agg(
+            F.count("c").cast("long").alias("n_chars"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("chars_covered"),
+            F.expr(
+                "CASE WHEN max(t) = 0 THEN 0"
+                " ELSE CAST(round(1000000.0 * COALESCE(sum(n), 0) / max(t)) AS BIGINT) END"
+            ).alias("coverage_q6"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# session 63 — PPMI query expansion, quality×dup census, sweep-line backlog
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ppmi_query_expansion",
+    f"""WITH w AS ({SQL_WORDS}),
+p AS (
+  SELECT least(words[i], words[i+1]) AS a, greatest(words[i], words[i+1]) AS b, 2 AS wt
+  FROM w, unnest(generate_series(1, len(words) - 1)) AS t1(i) WHERE len(words) >= 2
+  UNION ALL
+  SELECT least(words[i], words[i+2]), greatest(words[i], words[i+2]), 1
+  FROM w, unnest(generate_series(1, len(words) - 2)) AS t2(i) WHERE len(words) >= 3),
+pc AS (SELECT a, b, CAST(sum(wt) AS BIGINT) AS w_ab FROM p GROUP BY a, b),
+uc AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM ({SQL_TOKS}) GROUP BY term),
+tot AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM uc) AS n_tok,
+               (SELECT CAST(sum(w_ab) AS BIGINT) FROM pc) AS w_tot),
+q AS (SELECT unnest([{", ".join(repr(t) for t in _TOPK_TERMS)}]) AS qt),
+nb AS (
+  SELECT q.qt, CASE WHEN pc.a = q.qt THEN pc.b ELSE pc.a END AS neighbor, pc.w_ab,
+         {_PPMI_EXPR} AS ppmi_q6
+  FROM q JOIN pc ON pc.a = q.qt OR pc.b = q.qt
+  JOIN (SELECT term, n AS n_a FROM uc) ua ON ua.term = pc.a
+  JOIN (SELECT term, n AS n_b FROM uc) ub ON ub.term = pc.b
+  CROSS JOIN tot
+  WHERE pc.w_ab >= {_TCC_MIN_W}),
+rk AS (
+  SELECT qt, neighbor, w_ab, ppmi_q6,
+         row_number() OVER (PARTITION BY qt
+                            ORDER BY ppmi_q6 DESC, neighbor ASC) AS rn
+  FROM nb WHERE ppmi_q6 > 0)
+SELECT qt, neighbor, w_ab, ppmi_q6, CAST(rn AS BIGINT) AS rank
+FROM rk WHERE rn <= 3 ORDER BY qt, rank""",
+)
+def ppmi_query_expansion(spark, sf_dir):
+    """Corpus-driven query expansion: for each query term, its top-3
+    positive-PPMI co-occurrence neighbors — the thesaurus the
+    distributional family (cooccurrence_ppmi, term_cluster_cc) exists to
+    feed BACK into search (prf_rocchio_expand expands from relevant
+    DOCS; this expands from corpus STATISTICS and needs no first
+    retrieval pass — ES's 'related terms' suggestion).
+
+    Scale shape: the pair table is the Zipf-bounded PPMI co-occurrence
+    agg; the query probe is a ≤|Q|-row broadcast against it (the OR-key
+    join touches a query term's own pair rows only); per-query ranking
+    windows over candidate-bounded rows."""
+    wdf = _docs(spark, sf_dir).select(spark_tokens("text").alias("words"))
+    p1 = wdf.where(F.size("words") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(words)-2), i -> "
+                "struct(least(words[i], words[i+1]) AS a,"
+                " greatest(words[i], words[i+1]) AS b, 2 AS wt))"
+            )
+        ).alias("t")
+    )
+    p2 = wdf.where(F.size("words") >= 3).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(words)-3), i -> "
+                "struct(least(words[i], words[i+2]) AS a,"
+                " greatest(words[i], words[i+2]) AS b, 1 AS wt))"
+            )
+        ).alias("t")
+    )
+    pc = (
+        p1.unionByName(p2)
+        .select("t.a", "t.b", "t.wt")
+        .groupBy("a", "b")
+        .agg(F.sum("wt").cast("long").alias("w_ab"))
+        .localCheckpoint()  # w_tot must see the UNFILTERED pair mass
+    )
+    uc = (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    tot = uc.agg(F.sum("n").cast("long").alias("n_tok")).crossJoin(
+        pc.agg(F.sum("w_ab").cast("long").alias("w_tot"))
+    )
+    q = F.broadcast(
+        spark.createDataFrame([(t,) for t in _TOPK_TERMS], "qt string")
+    )
+    ua = uc.select(F.col("term").alias("a"), F.col("n").alias("n_a"))
+    ub = uc.select(F.col("term").alias("b"), F.col("n").alias("n_b"))
+    nb = (
+        q.join(
+            pc.where(F.col("w_ab") >= _TCC_MIN_W),
+            (F.col("a") == F.col("qt")) | (F.col("b") == F.col("qt")),
+        )
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "qt",
+            F.expr("CASE WHEN a = qt THEN b ELSE a END").alias("neighbor"),
+            "w_ab",
+            F.expr(_PPMI_EXPR).alias("ppmi_q6"),
+        )
+        .where(F.col("ppmi_q6") > 0)
+    )
+    wq = Window.partitionBy("qt").orderBy(F.desc("ppmi_q6"), F.asc("neighbor"))
+    return (
+        nb.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= 3)
+        .select("qt", "neighbor", "w_ab", "ppmi_q6", F.col("rn").cast("long").alias("rank"))
+        .orderBy("qt", "rank")
+    )
+
+
+@register(
+    "quality_dup_census",
+    _SQL_LSH_PAIRS
+    + f""",
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+dup AS (SELECT DISTINCT src AS doc_id FROM edges),
+t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS BIGINT) AS n_distinct
+  FROM documents),
+b AS (
+  SELECT t.doc_id, t.n_tok,
+         CASE WHEN t.n_tok = 0 THEN CAST(-1 AS BIGINT)
+              ELSE LEAST(CAST(4 AS BIGINT),
+                   (CAST(round(1000000.0 * t.n_distinct / t.n_tok) AS BIGINT) * 5) // 1000000)
+         END AS q_bucket,
+         CAST(dup.doc_id IS NOT NULL AS INT) AS is_dup
+  FROM t LEFT JOIN dup ON dup.doc_id = t.doc_id)
+SELECT q_bucket, CAST(is_dup AS BIGINT) AS is_dup,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS n_tokens
+FROM b GROUP BY q_bucket, is_dup ORDER BY q_bucket, is_dup""",
+)
+def quality_dup_census(spark, sf_dir):
+    """Quality × near-duplication interaction census: TTR quintile
+    (len_quality_hist2d's bucket) crossed with LSH-candidate membership
+    — 'are my duplicates concentrated in the low-quality band?' If yes,
+    the quality gate already removes most dup mass and the dedup pass
+    can run lighter; if the dup mass sits in HIGH-quality bins
+    (boilerplate-free mirrors), dedup must run first. The gate-ORDERING
+    decision behind pipeline_waterfall's fixed sequence, made with data.
+
+    Scale shape: dup membership reuses the memoized LSH edge graph
+    (node list, cluster-bounded); quality keys are map-side; the census
+    is ≤12 cells."""
+    edges = _lsh_pair_edges(spark, sf_dir)
+    dup = edges.select(F.col("src").alias("doc_id")).distinct()
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(spark_tokens("text")).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(spark_tokens("text"))).cast("long").alias("n_distinct"),
+    )
+    b = t.join(dup.withColumn("d", F.lit(1)), "doc_id", "left").select(
+        "n_tok",
+        F.expr(
+            "CASE WHEN n_tok = 0 THEN CAST(-1 AS BIGINT)"
+            " ELSE LEAST(CAST(4 AS BIGINT),"
+            " (CAST(round(1000000.0 * n_distinct / n_tok) AS BIGINT) * 5) div 1000000)"
+            " END"
+        ).alias("q_bucket"),
+        F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("is_dup"),
+    )
+    return (
+        b.groupBy("q_bucket", "is_dup")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+        .orderBy("q_bucket", "is_dup")
+    )
+
+
+_BACKLOG_STRIDE = 30  # sample the backlog curve every 30 days
+
+
+@register(
+    "open_lineitems_timeseries",
+    f"""WITH li AS (
+  SELECT epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // {_US_PER_DAY} AS od,
+         epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // {_US_PER_DAY} AS sd
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+delta AS (
+  SELECT od AS day, CAST(1 AS BIGINT) AS d FROM li
+  UNION ALL SELECT sd, CAST(-1 AS BIGINT) FROM li),
+dd AS (SELECT day, CAST(sum(d) AS BIGINT) AS d FROM delta GROUP BY day),
+c AS (
+  SELECT day, CAST(SUM(d) OVER (ORDER BY day) AS BIGINT) AS backlog
+  FROM dd),
+mm AS (SELECT CAST(min(day) AS BIGINT) AS d0 FROM dd)
+SELECT c.day, c.backlog
+FROM c, mm WHERE (c.day - mm.d0) % {_BACKLOG_STRIDE} = 0
+ORDER BY c.day""",
+)
+def open_lineitems_timeseries(spark, sf_dir):
+    """Order-backlog time series by SWEEP-LINE: lineitems ordered but not
+    yet shipped on day d (orderdate ≤ d < shipdate), computed as +1/−1
+    deltas at the boundary days with a cumulative sum — the classic
+    interval-stabbing decomposition that replaces the quadratic
+    'spine × intervals BETWEEN join' with two map-side rows per interval
+    (at 100 TB the range join fans |days|×|lineitems|; the sweep is
+    2 rows per lineitem, then a DELTA-DAY-bounded window). Sampled every
+    30 days at delta days (the curve only changes there).
+
+    Determinism: all-integer day keys (epoch_us division, the TPC-H date
+    rule) and exact delta sums.
+
+    Scale shape: one orderkey join, a map-side delta union, a day-keyed
+    agg (≤|calendar| rows) and a cumulative window over those rows."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+            ),
+            "l_orderkey",
+        )
+        .select(
+            F.expr(
+                f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_PER_DAY}"
+            ).alias("od"),
+            F.expr(
+                f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div {_US_PER_DAY}"
+            ).alias("sd"),
+        )
+    )
+    delta = li.select(F.col("od").alias("day"), F.lit(1).cast("long").alias("d")).unionByName(
+        li.select(F.col("sd").alias("day"), F.lit(-1).cast("long").alias("d"))
+    )
+    dd = delta.groupBy("day").agg(F.sum("d").cast("long").alias("d"))
+    dd = dd.localCheckpoint()  # feeds the min-day AND the cumulative window
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = dd.select("day", F.sum("d").over(w).cast("long").alias("backlog"))
+    mm = dd.agg(F.min("day").cast("long").alias("d0"))
+    return (
+        c.crossJoin(F.broadcast(mm))
+        .where(F.expr(f"(day - d0) % {_BACKLOG_STRIDE} = 0"))
+        .select("day", "backlog")
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -20312,6 +20788,10 @@ _FRONT = [
     "pipeline_waterfall", "ab_assignment_readout", "stopword_cut_impact",
     # session 61: trending terms, seasonal decomposition, Hill tail
     "trending_terms", "weekly_seasonal_decompose", "doclen_hill_tail",
+    # session 62: lognormal fit, Burrows' Delta, char coverage
+    "value_lognormal_fit", "burrows_delta_sources", "char_coverage_curve",
+    # session 63: PPMI expansion, quality×dup census, sweep-line backlog
+    "ppmi_query_expansion", "quality_dup_census", "open_lineitems_timeseries",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
