@@ -56,3 +56,23 @@ def test_driver_query_matches_oracle(spark, duck, name):
     a, b = canon(got), canon(want)
     mism = (a != b).any(axis=1)
     assert not mism.any(), f"{name}: first mismatched rows\n{a[mism].head()}\nvs\n{b[mism].head()}"
+
+
+def test_front_rotation_names_are_real_and_unique():
+    """A typo'd _FRONT entry is silently DROPPED by the reordering dict
+    comprehension (the registry keeps working, but the driver-sampling
+    rotation quietly loses the slot) — guard the list the same way the
+    binding test guards the decorator."""
+    from docix_spark.driver_queries import _FRONT
+
+    missing = [n for n in _FRONT if n not in REGISTRY]
+    assert not missing, f"_FRONT names not in REGISTRY: {missing}"
+    dupes = sorted({n for n in _FRONT if _FRONT.count(n) > 1})
+    assert not dupes, f"_FRONT duplicate names: {dupes}"
+
+
+def test_every_registry_entry_has_an_oracle():
+    """320/320 entries carry DuckDB oracle SQL — the strong (hash) check;
+    a rows-only entry would silently downgrade to the weak check."""
+    no_sql = [n for n, dq in REGISTRY.items() if dq.sql is None]
+    assert not no_sql, f"entries without oracle SQL: {no_sql}"
