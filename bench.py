@@ -376,7 +376,9 @@ def main() -> None:
                  "doclen_hill_tail",
                  "value_lognormal_fit", "burrows_delta_sources",
                  "char_coverage_curve", "ppmi_query_expansion",
-                 "quality_dup_census", "open_lineitems_timeseries"]:
+                 "quality_dup_census", "open_lineitems_timeseries",
+                 "preretrieval_qpp", "new_returning_daily",
+                 "quality_drift_deciles"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

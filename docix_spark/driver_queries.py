@@ -20696,6 +20696,202 @@ def open_lineitems_timeseries(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 64 — pre-retrieval QPP, new-vs-returning users, quality drift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "preretrieval_qpp",
+    f"""WITH tf AS ({SQL_TF}),
+a2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+       FROM tf GROUP BY term),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+q AS (SELECT * FROM (VALUES {_BQ_VALUES}) AS v(qid, term)),
+pt AS (
+  SELECT q.qid, q.term,
+         CAST(round(1000000 * ln(1.0 + (nd.n - COALESCE(a2.df, 0) + 0.5)
+              / (COALESCE(a2.df, 0) + 0.5))) AS BIGINT) AS idf_q6,
+         CAST(round(1000000 * (1.0 + ln(greatest(COALESCE(a2.cf, 0), 1)))
+              * ln(1.0 + (nd.n - COALESCE(a2.df, 0) + 0.5)
+                   / (COALESCE(a2.df, 0) + 0.5))) AS BIGINT) AS scq_q6
+  FROM q LEFT JOIN a2 USING (term) CROSS JOIN nd)
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(round(sum(idf_q6) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_idf_q6,
+       CAST(max(idf_q6) AS BIGINT) AS max_idf_q6,
+       CAST(COALESCE(sum(scq_q6), 0) AS BIGINT) AS scq_q6
+FROM pt GROUP BY qid ORDER BY qid""",
+)
+def preretrieval_qpp(spark, sf_dir):
+    """PRE-retrieval query-performance prediction (He & Ounis 2004): per
+    query of the _msearch batch, avgIDF / maxIDF and the summed
+    collection-query similarity SCQ = Σ (1+ln cf)·idf — the difficulty
+    estimate a router reads BEFORE spending a retrieval pass (route
+    easy queries to the cheap tier, hard ones to rerankers; clarity_score
+    is the post-retrieval sibling that needs the top-10 first). Terms
+    absent from the collection carry cf 0 → the greatest(·,1) guard and
+    a maximal idf — the classic OOV-is-hard signal.
+
+    Determinism: per-(query, term) idf/scq are single q6-rounded float
+    expressions over exact integers; the per-query rollup divides exact
+    sums once.
+
+    Scale shape: the A2 dictionary probe is a ≤|query-terms| broadcast
+    LEFT JOIN; no postings are touched at all — that absence IS the op."""
+    tf = _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+    tf = tf.localCheckpoint()  # feeds a2 AND the corpus doc count
+    a2 = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf")
+    )
+    nd = tf.select("doc_id").distinct().agg(F.count(F.lit(1)).cast("long").alias("n"))
+    q = F.broadcast(
+        spark.createDataFrame(
+            [(qid, t) for qid, terms in _BATCH_QUERIES for t in terms],
+            "qid long, term string",
+        )
+    )
+    pt = (
+        q.join(a2, "term", "left")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "qid",
+            F.expr(
+                "CAST(round(1000000 * ln(1.0 + (n - COALESCE(df, 0) + 0.5)"
+                " / (COALESCE(df, 0) + 0.5))) AS BIGINT)"
+            ).alias("idf_q6"),
+            F.expr(
+                "CAST(round(1000000 * (1.0 + ln(greatest(COALESCE(cf, 0), 1)))"
+                " * ln(1.0 + (n - COALESCE(df, 0) + 0.5)"
+                " / (COALESCE(df, 0) + 0.5))) AS BIGINT)"
+            ).alias("scq_q6"),
+        )
+    )
+    return (
+        pt.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.expr(
+                "CAST(round(sum(idf_q6) / CAST(count(*) AS DOUBLE)) AS BIGINT)"
+            ).alias("avg_idf_q6"),
+            F.max("idf_q6").cast("long").alias("max_idf_q6"),
+            F.coalesce(F.sum("scq_q6"), F.lit(0)).cast("long").alias("scq_q6"),
+        )
+        .orderBy("qid")
+    )
+
+
+@register(
+    "new_returning_daily",
+    f"""WITH e AS (
+  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+fs AS (SELECT user_id, CAST(min(day) AS BIGINT) AS first_day FROM e GROUP BY user_id),
+j AS (
+  SELECT e.day, CAST(e.day = fs.first_day AS INT) AS is_new,
+         e.user_id, e.cents
+  FROM e JOIN fs USING (user_id))
+SELECT day, CAST(is_new AS BIGINT) AS is_new,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM j GROUP BY day, is_new ORDER BY day, is_new""",
+)
+def new_returning_daily(spark, sf_dir):
+    """New-vs-returning split per day — the growth-accounting census
+    every product dashboard leads with (is today's activity acquisition
+    or retention?): a user's events on their FIRST-SEEN day count as
+    'new', every later day as 'returning'. Distinct users, events and
+    exact cents per (day, cohort-side).
+
+    Scale shape: first-seen is one user-keyed min agg; the join back
+    rides the same user exchange (the events_cohort_revenue rule); the
+    census is calendar×2 rows. Day keys integer."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    fs = e.groupBy("user_id").agg(F.min("day").cast("long").alias("first_day"))
+    j = e.join(fs, "user_id").select(
+        "day",
+        (F.col("day") == F.col("first_day")).cast("int").alias("is_new"),
+        "user_id",
+        "cents",
+    )
+    return (
+        j.groupBy("day", F.col("is_new").cast("long").alias("is_new"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+        .orderBy("day", "is_new")
+    )
+
+
+@register(
+    "quality_drift_deciles",
+    f"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+t AS (
+  SELECT CAST((doc_id * 10) // n_docs AS BIGINT) AS decile,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS BIGINT) AS n_distinct
+  FROM documents CROSS JOIN nd),
+v AS (
+  SELECT decile, n_tok,
+         CAST(round(1000000.0 * n_distinct / n_tok) AS BIGINT) AS ttr_q6
+  FROM t WHERE n_tok > 0)
+SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS n_tokens,
+       CAST(round(sum(ttr_q6) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_ttr_q6,
+       CAST(round(sum(n_tok) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_len
+FROM v GROUP BY decile ORDER BY decile""",
+)
+def quality_drift_deciles(spark, sf_dir):
+    """Quality drift monitor: mean TTR and mean length per doc_id decile
+    — term_drift_deciles' QUALITY-AXIS sibling (a crawl whose late
+    deciles get shorter and less diverse is degrading at the source, and
+    a model trained on the head overfits clean data). Flat curves on the
+    stationary sandbox are the healthy reading.
+
+    Scale shape: decile is a map-side key off the 1-row count broadcast;
+    one 10-group agg; per-doc TTR q6-rounds first, means divide exact
+    sums once."""
+    nd = _docs(spark, sf_dir).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    t = (
+        _docs(spark, sf_dir)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.expr("cast((doc_id * 10) div n_docs as bigint)").alias("decile"),
+            F.size(spark_tokens("text")).cast("long").alias("n_tok"),
+            F.size(F.array_distinct(spark_tokens("text"))).cast("long").alias("n_distinct"),
+        )
+    )
+    v = t.where(F.col("n_tok") > 0).select(
+        "decile",
+        "n_tok",
+        F.expr("CAST(round(1000000.0 * n_distinct / n_tok) AS BIGINT)").alias("ttr_q6"),
+    )
+    return (
+        v.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST(round(sum(ttr_q6) / CAST(count(*) AS DOUBLE)) AS BIGINT)"
+            ).alias("mean_ttr_q6"),
+            F.expr(
+                "CAST(round(sum(n_tok) / CAST(count(*) AS DOUBLE)) AS BIGINT)"
+            ).alias("mean_len"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -20792,6 +20988,8 @@ _FRONT = [
     "value_lognormal_fit", "burrows_delta_sources", "char_coverage_curve",
     # session 63: PPMI expansion, quality×dup census, sweep-line backlog
     "ppmi_query_expansion", "quality_dup_census", "open_lineitems_timeseries",
+    # session 64: pre-retrieval QPP, growth accounting, quality drift
+    "preretrieval_qpp", "new_returning_daily", "quality_drift_deciles",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
