@@ -378,7 +378,9 @@ def main() -> None:
                  "char_coverage_curve", "ppmi_query_expansion",
                  "quality_dup_census", "open_lineitems_timeseries",
                  "preretrieval_qpp", "new_returning_daily",
-                 "quality_drift_deciles"]:
+                 "quality_drift_deciles",
+                 "source_embedding_dispersion", "lsh_assortativity",
+                 "revenue_gini_users"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

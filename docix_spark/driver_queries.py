@@ -20892,6 +20892,257 @@ def quality_drift_deciles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 65 — pair-free embedding dispersion, graph assortativity,
+# revenue Gini
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_embedding_dispersion",
+    """WITH e AS (
+  SELECT d.source, CAST(em.embedding AS DOUBLE[]) AS v
+  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+  WHERE em.vec_id <> 0),
+nv AS (
+  SELECT source,
+         list_transform(v, x -> CAST(CAST(round(1000000 * x / nrm) AS BIGINT) AS DOUBLE)) AS u
+  FROM (SELECT source, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)),
+dims AS (
+  SELECT source, i, CAST(SUM(CAST(u[i] AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(u[i] AS BIGINT) * CAST(u[i] AS BIGINT)) AS BIGINT) AS ss
+  FROM nv, (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY source, i),
+agg AS (
+  SELECT source,
+         CAST(sum(s * s) AS BIGINT) AS sum_sq,
+         CAST(sum(ss) AS BIGINT) AS self_sq
+  FROM dims GROUP BY source),
+cnt AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM nv GROUP BY source)
+SELECT cnt.source, cnt.n,
+       CASE WHEN cnt.n < 2 THEN 0
+            ELSE CAST(round((CAST(agg.sum_sq AS DOUBLE) - agg.self_sq)
+                 / (CAST(cnt.n AS DOUBLE) * (cnt.n - 1)) / 1000000.0) AS BIGINT)
+       END AS mean_pair_cos_q6
+FROM cnt JOIN agg USING (source) ORDER BY cnt.source""",
+)
+def source_embedding_dispersion(spark, sf_dir):
+    """Mean PAIRWISE cosine within each source — computed WITHOUT any
+    pair join via the sum-vector identity Σ_{i≠j} û_i·û_j = ‖Σû‖² − Σ‖û‖²
+    over q6-quantized unit vectors: the tightness/diversity score of a
+    source's embedding cloud (≈1 = near-duplicate topic silo, ≈0 =
+    diverse; the semdedup threshold should sit well above a source's own
+    dispersion). The identity is THE 100 TB trick — an n² pair sum
+    collapses to one linear pass and a 64-row-per-source reduction,
+    where every pairwise formulation (semdedup's in-cell join included)
+    pays quadratic cost.
+
+    Determinism: each vector normalizes ONCE to integer q6 components
+    (the normalize-once/one-dot rule); ‖Σû‖² and Σ‖û‖² are exact BIGINTs
+    (envelope: component sums < 2^31.5 per source-dim at 1e9 docs, their
+    squares < 2^63); the final expression is one guarded float division
+    landing back in q6.
+
+    Scale shape: one map-side normalize + a (source, dim)-keyed integer
+    agg (64 rows per source), then a sources-sized rollup. No pair
+    table EXISTS."""
+    e = (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") != 0)
+        .join(
+            _docs(spark, sf_dir).select(F.col("doc_id").alias("vec_id"), "source"),
+            "vec_id",
+        )
+        .select("source", F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+    )
+    # hoist the norm OUT of the element lambda — an in-lambda
+    # sqrt(dot(v,v)) is re-evaluated per element by the interpreted HOF
+    # (the pagerank lesson: one dot per row, not 64)
+    nv = e.withColumn("nrm", F.sqrt(F.expr(_DOT.format(a="v", b="v")))).select(
+        "source",
+        F.expr(
+            "transform(v, x -> cast(cast(round(1000000 * x / nrm) as bigint) as double))"
+        ).alias("u"),
+    )
+    nv = nv.localCheckpoint()  # feeds the dim sums AND the count
+    dims = (
+        nv.select("source", F.posexplode("u").alias("i", "x"))
+        .withColumn("xq", F.col("x").cast("long"))
+        .groupBy("source", "i")
+        .agg(
+            F.sum("xq").cast("long").alias("s"),
+            F.sum(F.expr("xq * xq")).cast("long").alias("ss"),
+        )
+    )
+    agg = dims.groupBy("source").agg(
+        F.sum(F.expr("s * s")).cast("long").alias("sum_sq"),
+        F.sum("ss").cast("long").alias("self_sq"),
+    )
+    cnt = nv.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        cnt.join(agg, "source")
+        .select(
+            "source",
+            "n",
+            F.expr(
+                "CASE WHEN n < 2 THEN 0"
+                " ELSE CAST(round((CAST(sum_sq AS DOUBLE) - self_sq)"
+                " / (CAST(n AS DOUBLE) * (n - 1)) / 1000000.0) AS BIGINT) END"
+            ).alias("mean_pair_cos_q6"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "lsh_assortativity",
+    _SQL_LSH_PAIRS
+    + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+de AS (
+  SELECT da.d AS x, db.d AS y
+  FROM edges e JOIN deg da ON da.id = e.src JOIN deg db ON db.id = e.dst),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(COALESCE(sum(x), 0) AS BIGINT) AS sx,
+         CAST(COALESCE(sum(y), 0) AS BIGINT) AS sy,
+         CAST(COALESCE(sum(x * x), 0) AS BIGINT) AS sxx,
+         CAST(COALESCE(sum(y * y), 0) AS BIGINT) AS syy,
+         CAST(COALESCE(sum(x * y), 0) AS BIGINT) AS sxy
+  FROM de)
+SELECT m,
+       CASE WHEN m = 0 OR m * sxx = sx * sx OR m * syy = sy * sy THEN 0
+            ELSE CAST(round(1000000 * (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS BIGINT)
+       END AS assortativity_q6
+FROM s""",
+)
+def lsh_assortativity(spark, sf_dir):
+    """Degree assortativity of the near-dup candidate graph (Newman
+    2002): Pearson correlation of endpoint degrees over DIRECTED edge
+    instances — do heavy near-dup nodes link to other heavy nodes
+    (mirror farms interlinking → positive) or to leaves (one template
+    spraying one-off copies → negative)? The last summary statistic of
+    the graph family (degrees, triangles, cores, components, AA) and
+    the shape diagnostic that picks between 'delete the cluster' and
+    'keep one canonical per star'.
+
+    Determinism: six exact BIGINT sufficient stats over integer degree
+    pairs; the correlation is one guarded float expression (the
+    matrix_stats sqrt-split rule).
+
+    Scale shape: one degree agg + two broadcast-degree probes into the
+    edge stream; the stats collapse map-side to one row."""
+    edges = _lsh_pair_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    deg = deg.localCheckpoint()  # probed from BOTH endpoints
+    da = deg.select(F.col("src").alias("esrc"), F.col("d").alias("x"))
+    db = deg.select(F.col("src").alias("edst"), F.col("d").alias("y"))
+    de = (
+        edges.select(F.col("src").alias("esrc"), F.col("dst").alias("edst"))
+        .join(da, "esrc")
+        .join(db, "edst")
+        .select("x", "y")
+    )
+    s = de.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("sx"),
+        F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("sy"),
+        F.coalesce(F.sum(F.expr("x * x")), F.lit(0)).cast("long").alias("sxx"),
+        F.coalesce(F.sum(F.expr("y * y")), F.lit(0)).cast("long").alias("syy"),
+        F.coalesce(F.sum(F.expr("x * y")), F.lit(0)).cast("long").alias("sxy"),
+    )
+    return s.select(
+        "m",
+        F.expr(
+            "CASE WHEN m = 0 OR m * sxx = sx * sx OR m * syy = sy * sy THEN 0"
+            " ELSE CAST(round(1000000 * (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            " / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            " * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS BIGINT) END"
+        ).alias("assortativity_q6"),
+    )
+
+
+@register(
+    "revenue_gini_users",
+    """WITH ur AS (
+  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id),
+pos AS (SELECT cents FROM ur WHERE cents > 0),
+hist AS (SELECT cents, CAST(count(*) AS BIGINT) AS nu FROM pos GROUP BY cents),
+h AS (
+  SELECT cents, nu,
+         CAST(COALESCE(SUM(nu) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM hist),
+s AS (
+  SELECT CAST(COALESCE(sum(nu), 0) AS BIGINT) AS n,
+         CAST(COALESCE(sum(nu * cents), 0) AS BIGINT) AS tot,
+         CAST(COALESCE(sum(cents * (nu * cum_before + (nu * (nu + 1)) // 2)), 0) AS BIGINT) AS rw
+  FROM h)
+SELECT n, tot,
+       CASE WHEN n < 2 OR tot = 0 THEN 0
+            ELSE CAST(round(1000000.0 * (2.0 * rw / (CAST(n AS DOUBLE) * tot)
+                 - (n + 1.0) / n)) AS BIGINT) END AS gini_q6
+FROM s""",
+)
+def revenue_gini_users(spark, sf_dir):
+    """Gini coefficient of per-user revenue — the single-number
+    inequality summary next to revenue_pareto_users' curve (0 = everyone
+    equal, →1 = one whale), via the SORTED formula G = 2Σrᵢxᵢ/(nΣx) −
+    (n+1)/n decomposed over the value HISTOGRAM: a bin of nu tied users
+    entering at cumulative position c contributes rank mass
+    nu·c + nu(nu+1)/2 — an exact integer, so no user-table sort exists
+    (the source_token_gini formula lifted onto the Pareto machinery).
+    Non-positive totals are non-revenue users and excluded, declared.
+
+    Determinism: all sums are exact BIGINTs ((nu·(nu+1))/2 is even-
+    product-exact); the coefficient is one guarded float expression.
+
+    Scale shape: user agg → value histogram → prefix window over
+    histogram CELLS → 1-row stats."""
+    ur = (
+        _events(spark, sf_dir)
+        .select("user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"))
+        .groupBy("user_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    hist = (
+        ur.where(F.col("cents") > 0)
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    h = hist.select(
+        "cents",
+        "nu",
+        F.coalesce(F.sum("nu").over(w), F.lit(0)).cast("long").alias("cum_before"),
+    )
+    s = h.agg(
+        F.coalesce(F.sum("nu"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum(F.expr("nu * cents")), F.lit(0)).cast("long").alias("tot"),
+        F.coalesce(
+            F.sum(F.expr("cents * (nu * cum_before + (nu * (nu + 1)) div 2)")), F.lit(0)
+        )
+        .cast("long")
+        .alias("rw"),
+    )
+    return s.select(
+        "n",
+        "tot",
+        F.expr(
+            "CASE WHEN n < 2 OR tot = 0 THEN 0"
+            " ELSE CAST(round(1000000.0 * (2.0 * rw / (CAST(n AS DOUBLE) * tot)"
+            " - (n + 1.0) / n)) AS BIGINT) END"
+        ).alias("gini_q6"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -20990,6 +21241,8 @@ _FRONT = [
     "ppmi_query_expansion", "quality_dup_census", "open_lineitems_timeseries",
     # session 64: pre-retrieval QPP, growth accounting, quality drift
     "preretrieval_qpp", "new_returning_daily", "quality_drift_deciles",
+    # session 65: pair-free dispersion, assortativity, revenue Gini
+    "source_embedding_dispersion", "lsh_assortativity", "revenue_gini_users",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
