@@ -380,7 +380,9 @@ def main() -> None:
                  "preretrieval_qpp", "new_returning_daily",
                  "quality_drift_deciles",
                  "source_embedding_dispersion", "lsh_assortativity",
-                 "revenue_gini_users"]:
+                 "revenue_gini_users",
+                 "vocab_growth_curve", "session_duration_histogram",
+                 "dup_pair_distance_histogram"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

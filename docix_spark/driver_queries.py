@@ -21143,6 +21143,196 @@ def revenue_gini_users(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 66 — vocabulary growth curve, session durations, dup-pair distance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_growth_curve",
+    f"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+toks AS (
+  SELECT CAST((doc_id * 10) // n_docs AS BIGINT) AS decile,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents CROSS JOIN nd),
+fo AS (SELECT term, CAST(min(decile) AS BIGINT) AS first_decile FROM toks GROUP BY term),
+per AS (SELECT first_decile AS decile, CAST(count(*) AS BIGINT) AS new_terms
+        FROM fo GROUP BY first_decile),
+spine AS (SELECT unnest(generate_series(0, 9)) AS decile)
+SELECT CAST(spine.decile AS BIGINT) AS decile,
+       CAST(COALESCE(per.new_terms, 0) AS BIGINT) AS new_terms,
+       CAST(SUM(COALESCE(per.new_terms, 0)) OVER (ORDER BY spine.decile) AS BIGINT)
+         AS vocab_so_far
+FROM spine LEFT JOIN per ON per.decile = spine.decile
+ORDER BY decile""",
+)
+def vocab_growth_curve(spark, sf_dir):
+    """Empirical vocabulary-growth curve: NEW terms first seen in each
+    doc_id decile plus the cumulative vocabulary — the measured Heaps
+    curve (heaps_law_source fits the exponent; this is the raw curve the
+    fit summarizes), and the OOV-rate planning input (a tokenizer frozen
+    at decile 5 will miss exactly the later bars). A flat new-terms
+    tail = closed vocabulary; a fat one = open-class drift.
+
+    Determinism: first occurrence is min(decile) per term — exact; the
+    cumulative runs over a 10-row spine.
+
+    Scale shape: one vocab-keyed min agg (map-side combinable) then
+    10-row tables; the spine LEFT JOIN keeps empty deciles visible."""
+    nd = _docs(spark, sf_dir).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    toks = (
+        _docs(spark, sf_dir)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.expr("cast((doc_id * 10) div n_docs as bigint)").alias("decile"),
+            F.explode(spark_tokens("text")).alias("term"),
+        )
+    )
+    fo = toks.groupBy("term").agg(F.min("decile").cast("long").alias("first_decile"))
+    per = fo.groupBy(F.col("first_decile").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_terms")
+    )
+    spine = spark.createDataFrame([(d,) for d in range(10)], "decile long")
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        F.broadcast(spine)
+        .join(per, "decile", "left")
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.coalesce(F.col("new_terms"), F.lit(0)).cast("long").alias("new_terms"),
+        )
+        .withColumn("vocab_so_far", F.sum("new_terms").over(w).cast("long"))
+        .orderBy("decile")
+    )
+
+
+@register(
+    "session_duration_histogram",
+    f"""WITH t AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events),
+g AS (
+  SELECT user_id, t_us,
+         CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+                   IS NULL THEN 1
+              WHEN t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+                   > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS is_start
+  FROM t),
+s AS (
+  SELECT user_id, t_us,
+         CAST(SUM(is_start) OVER (PARTITION BY user_id
+           ORDER BY t_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM g),
+d AS (
+  SELECT user_id, session_id,
+         CAST(max(t_us) - min(t_us) AS BIGINT) AS dur,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, session_id),
+b AS (
+  SELECT CASE WHEN dur = 0 THEN -1
+              ELSE CAST(length(bin(dur)) - 1 AS BIGINT) END AS bucket, n_events
+  FROM d)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM b GROUP BY bucket ORDER BY bucket""",
+)
+def session_duration_histogram(spark, sf_dir):
+    """Session-duration distribution under the 30-min-gap rule: sessions
+    materialized by GAPS-AND-ISLANDS (session_id = running sum of
+    is_start flags — the longest_shared_span decomposition applied to
+    time), duration = last−first event µs, histogram in log2-µs buckets
+    (bucket −1 = single-event bounce sessions, whose share IS the bounce
+    rate). Completes the session family: count census
+    (user_session_histogram), gap tuning (interevent_gap_histogram),
+    now dwell time.
+
+    Determinism: both windows order by (ts, event_id); running sums and
+    durations are exact integers.
+
+    Scale shape: TWO windows on the same user_id exchange (lag + running
+    sum — one shuffle), a (user, session) agg, a ≤64-bucket rollup."""
+    t = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    g = t.select(
+        "user_id",
+        "t_us",
+        "event_id",
+        F.expr(
+            f"CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
+            f" IS NULL THEN 1"
+            f" WHEN t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
+            f" > {_SESSION_GAP_US} THEN 1 ELSE 0 END"
+        ).alias("is_start"),
+    )
+    s = g.select(
+        "user_id",
+        "t_us",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_id"),
+    )
+    d = s.groupBy("user_id", "session_id").agg(
+        (F.max("t_us") - F.min("t_us")).cast("long").alias("dur"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    b = d.select(
+        F.expr(
+            "CASE WHEN dur = 0 THEN -1 ELSE CAST(length(bin(dur)) - 1 AS BIGINT) END"
+        ).alias("bucket"),
+        "n_events",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "dup_pair_distance_histogram",
+    _SQL_LSH_PAIRS
+    + """
+SELECT CASE WHEN doc_b - doc_a = 0 THEN -1
+            ELSE CAST(length(bin(doc_b - doc_a)) - 1 AS BIGINT) END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY bucket ORDER BY bucket""",
+)
+def dup_pair_distance_histogram(spark, sf_dir):
+    """Near-dup pair LOCALITY: histogram of log2(doc_id distance) over
+    the LSH candidate pairs — are duplicates ingestion-neighbors (small
+    gaps: re-crawls, pagination echoes — a streaming window dedup
+    catches them) or long-range (mirrors across the corpus — only the
+    global LSH pass sees those)? The knob this tunes is REAL: a bounded
+    dedup window is orders cheaper than global LSH, and this curve says
+    what it would miss.
+
+    Scale shape: the memoized candidate pairs, one map-side bucket key,
+    a ≤64-bucket agg."""
+    pairs = (
+        _lsh_pair_edges(spark, sf_dir)
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+    )
+    b = pairs.select(
+        F.expr(
+            "CASE WHEN doc_b - doc_a = 0 THEN -1"
+            " ELSE CAST(length(bin(doc_b - doc_a)) - 1 AS BIGINT) END"
+        ).alias("bucket")
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -21243,6 +21433,9 @@ _FRONT = [
     "preretrieval_qpp", "new_returning_daily", "quality_drift_deciles",
     # session 65: pair-free dispersion, assortativity, revenue Gini
     "source_embedding_dispersion", "lsh_assortativity", "revenue_gini_users",
+    # session 66: vocab growth, session durations, dup locality
+    "vocab_growth_curve", "session_duration_histogram",
+    "dup_pair_distance_histogram",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
