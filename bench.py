@@ -382,7 +382,9 @@ def main() -> None:
                  "source_embedding_dispersion", "lsh_assortativity",
                  "revenue_gini_users",
                  "vocab_growth_curve", "session_duration_histogram",
-                 "dup_pair_distance_histogram"]:
+                 "dup_pair_distance_histogram",
+                 "part_revenue_pareto", "lang_drift_deciles",
+                 "ship_lag_histogram"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -21333,6 +21333,207 @@ def dup_pair_distance_histogram(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 67 — part-revenue Pareto, language drift, ship-lag histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_revenue_pareto",
+    f"""WITH pr AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(100 * l_extendedprice * (1 - l_discount)) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY l_partkey),
+hist AS (SELECT cents, CAST(count(*) AS BIGINT) AS np FROM pr GROUP BY cents),
+h AS (
+  SELECT cents, np,
+         CAST(COALESCE(SUM(np) OVER (ORDER BY cents DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM hist),
+tot AS (SELECT CAST(COALESCE(sum(np), 0) AS BIGINT) AS n_parts,
+               CAST(COALESCE(sum(np * cents), 0) AS BIGINT) AS rev FROM hist),
+p AS (SELECT p_q6 FROM (VALUES (100000), (10000)) AS v(p_q6)),
+kk AS (SELECT p_q6, CAST((p_q6 * n_parts + 999999) // 1000000 AS BIGINT) AS k FROM p, tot),
+top AS (
+  SELECT kk.p_q6, kk.k,
+         CAST(COALESCE(sum(CASE
+           WHEN h.cum_before + h.np <= kk.k THEN h.np * h.cents
+           WHEN h.cum_before < kk.k THEN (kk.k - h.cum_before) * h.cents
+           ELSE 0 END), 0) AS BIGINT) AS rev_top
+  FROM kk LEFT JOIN h ON TRUE GROUP BY kk.p_q6, kk.k)
+SELECT top.p_q6, top.k AS k_parts, top.rev_top,
+       CASE WHEN tot.rev = 0 THEN 0
+            ELSE CAST(round(1000000.0 * top.rev_top / tot.rev) AS BIGINT) END AS share_q6
+FROM top, tot ORDER BY p_q6 DESC""",
+)
+def part_revenue_pareto(spark, sf_dir):
+    """Catalog concentration: the share of discounted revenue carried by
+    the top 10% / 1% of PARTS — revenue_pareto_users' machinery pointed
+    at the TPC-H fact table (the assortment-planning readout: a catalog
+    where 1% of SKUs carry half the revenue prunes its long tail). Money
+    follows the Q1 rule: cents = round(100·extprice·(1−disc)) per ROW,
+    exact BIGINT sums after.
+
+    Scale shape: one partkey agg, histogram over DISTINCT revenue
+    values, prefix window over cells, 2-row output — no part-table
+    sort."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        F.expr("CAST(round(100 * l_extendedprice * (1 - l_discount)) AS BIGINT)").alias("c"),
+    )
+    pr = li.groupBy("l_partkey").agg(F.sum("c").cast("long").alias("cents"))
+    hist = pr.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("np"))
+    hist = hist.localCheckpoint()
+    w = Window.orderBy(F.desc("cents")).rowsBetween(Window.unboundedPreceding, -1)
+    h = hist.select(
+        "cents",
+        "np",
+        F.coalesce(F.sum("np").over(w), F.lit(0)).cast("long").alias("cum_before"),
+    )
+    tot = hist.agg(
+        F.coalesce(F.sum("np"), F.lit(0)).cast("long").alias("n_parts"),
+        F.coalesce(F.sum(F.expr("np * cents")), F.lit(0)).cast("long").alias("rev"),
+    )
+    p = spark.createDataFrame([(100000,), (10000,)], "p_q6 long")
+    kk = F.broadcast(p).crossJoin(F.broadcast(tot)).select(
+        "p_q6", F.expr("CAST((p_q6 * n_parts + 999999) div 1000000 AS BIGINT)").alias("k")
+    )
+    top = (
+        F.broadcast(kk)
+        .join(h, F.lit(True), "left")
+        .groupBy("p_q6", "k")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CASE WHEN cum_before + np <= k THEN np * cents"
+                        " WHEN cum_before < k THEN (k - cum_before) * cents"
+                        " ELSE 0 END"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("rev_top")
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "p_q6",
+            F.col("k").alias("k_parts"),
+            "rev_top",
+            F.expr(
+                "CASE WHEN rev = 0 THEN 0"
+                " ELSE CAST(round(1000000.0 * rev_top / rev) AS BIGINT) END"
+            ).alias("share_q6"),
+        )
+        .orderBy(F.desc("p_q6"))
+    )
+
+
+@register(
+    "lang_drift_deciles",
+    """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+t AS (
+  SELECT CAST((doc_id * 10) // n_docs AS BIGINT) AS decile, lang
+  FROM documents CROSS JOIN nd),
+c AS (SELECT decile, lang, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY decile, lang),
+dt AS (SELECT decile, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY decile)
+SELECT c.decile, c.lang, c.n,
+       CAST(round(1000000.0 * c.n / dt.tot) AS BIGINT) AS share_q6
+FROM c JOIN dt USING (decile) ORDER BY c.decile, c.lang""",
+)
+def lang_drift_deciles(spark, sf_dir):
+    """Language-mix drift: per doc_id decile, each language's document
+    share — the LANG axis of the drift-monitor family (terms:
+    term_drift_deciles; quality: quality_drift_deciles; this one catches
+    a crawl whose language mix shifts over time, which silently re-weights
+    every lang-conditional stage downstream). Flat shares on the
+    stationary sandbox are the healthy reading.
+
+    Scale shape: map-side keys, a ≤10×|langs| agg, shares from a 10-row
+    broadcast."""
+    nd = _docs(spark, sf_dir).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    t = (
+        _docs(spark, sf_dir)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.expr("cast((doc_id * 10) div n_docs as bigint)").alias("decile"), "lang"
+        )
+    )
+    c = t.groupBy("decile", "lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    c = c.localCheckpoint()  # feeds the decile totals AND the share join
+    dt = c.groupBy("decile").agg(F.sum("n").cast("long").alias("tot"))
+    return (
+        c.join(F.broadcast(dt), "decile")
+        .select(
+            "decile",
+            "lang",
+            "n",
+            F.expr("CAST(round(1000000.0 * n / tot) AS BIGINT)").alias("share_q6"),
+        )
+        .orderBy("decile", "lang")
+    )
+
+
+@register(
+    "ship_lag_histogram",
+    f"""WITH j AS (
+  SELECT o.o_orderpriority AS priority,
+         epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // {_US_PER_DAY}
+           - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // {_US_PER_DAY} AS lag_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+b AS (
+  SELECT priority,
+         CASE WHEN lag_days <= 0 THEN -1
+              ELSE CAST(length(bin(lag_days)) - 1 AS BIGINT) END AS bucket
+  FROM j)
+SELECT priority, bucket, CAST(count(*) AS BIGINT) AS n_items
+FROM b GROUP BY priority, bucket ORDER BY priority, bucket""",
+)
+def ship_lag_histogram(spark, sf_dir):
+    """Fulfillment-latency distribution: log2-day histogram of
+    (shipdate − orderdate) per order priority — the SLA curve behind
+    TPC-H Q12's two-bucket summary (Q12 counts late-vs-priority; this
+    shows the whole latency shape per priority class, which is what an
+    ops dashboard actually plots). Same-day-or-earlier ships land in
+    bucket −1.
+
+    Scale shape: one orderkey join (both sides unbounded, un-hinted —
+    AQE decides), map-side integer day subtraction, a ≤|priorities|×64
+    agg."""
+    j = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority", "o_orderdate"
+            ),
+            "l_orderkey",
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.expr(
+                f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div {_US_PER_DAY}"
+                f" - unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_PER_DAY}"
+            ).alias("lag_days"),
+        )
+    )
+    b = j.select(
+        "priority",
+        F.expr(
+            "CASE WHEN lag_days <= 0 THEN -1"
+            " ELSE CAST(length(bin(lag_days)) - 1 AS BIGINT) END"
+        ).alias("bucket"),
+    )
+    return (
+        b.groupBy("priority", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+        .orderBy("priority", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -21436,6 +21637,8 @@ _FRONT = [
     # session 66: vocab growth, session durations, dup locality
     "vocab_growth_curve", "session_duration_histogram",
     "dup_pair_distance_histogram",
+    # session 67: part Pareto, lang drift, ship lag
+    "part_revenue_pareto", "lang_drift_deciles", "ship_lag_histogram",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
