@@ -384,7 +384,9 @@ def main() -> None:
                  "vocab_growth_curve", "session_duration_histogram",
                  "dup_pair_distance_histogram",
                  "part_revenue_pareto", "lang_drift_deciles",
-                 "ship_lag_histogram"]:
+                 "ship_lag_histogram",
+                 "embedding_intrinsic_dim", "discount_quantity_corr",
+                 "order_size_histogram"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -21534,6 +21534,180 @@ def ship_lag_histogram(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 68 — intrinsic dimension, discount elasticity, order sizes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_intrinsic_dim",
+    _SQL_EMB_E
+    + _coarse_ctes()
+    + """
+px AS (
+  SELECT ca3.ccid, a.vec_id AS qid, b.vec_id AS nid,
+         CAST(round(1000000 * list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+           AS BIGINT) AS cos_q6
+  FROM ca3 JOIN e a ON a.vec_id = ca3.vec_id
+  JOIN ca3 cb ON cb.ccid = ca3.ccid AND cb.vec_id <> ca3.vec_id
+  JOIN e b ON b.vec_id = cb.vec_id),
+rk AS (
+  SELECT qid, cos_q6,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_q6 DESC, nid ASC) AS rn
+  FROM px),
+two AS (
+  SELECT qid,
+         max(CASE WHEN rn = 1 THEN cos_q6 END) AS c1,
+         max(CASE WHEN rn = 2 THEN cos_q6 END) AS c2
+  FROM rk WHERE rn <= 2 GROUP BY qid),
+mu AS (
+  SELECT qid,
+         CAST(round(1000000 * ln(sqrt(greatest(2000000 - 2 * c2, 1)
+              / CAST(greatest(2000000 - 2 * c1, 1) AS DOUBLE)))) AS BIGINT) AS lmu_q6
+  FROM two WHERE c2 IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       CAST(COALESCE(sum(lmu_q6), 0) AS BIGINT) AS sum_lmu_q6,
+       CASE WHEN COALESCE(sum(lmu_q6), 0) <= 0 THEN 0
+            ELSE CAST(round(1000000.0 * count(*)
+                 / (COALESCE(sum(lmu_q6), 0) / 1000000.0)) AS BIGINT)
+       END AS id_q6
+FROM mu""",
+)
+def embedding_intrinsic_dim(spark, sf_dir):
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the
+    embedding manifold: per vector, the ratio μ = r₂/r₁ of its two
+    nearest-neighbor distances, d̂ = n / Σ ln μ — the
+    is-my-64-dim-space-really-64-dimensional audit that sizes PCA
+    truncation and PQ budgets (ann_dim_truncation_curve measures recall
+    loss; this predicts it from geometry). Neighbors come from WITHIN
+    each trained-IVF cell (the semdedup blocking rule — exact 2-NN is an
+    all-pairs problem; in-cell 2-NN is the documented approximation and
+    biases d̂ at cell boundaries only). Unit-sphere distances derive
+    from cosines: r² = 2 − 2cos, so ln μ = ln √((2−2c₂)/(2−2c₁)) —
+    per-point q6-rounded FIRST, with a 1-µunit floor against exact-
+    duplicate neighbors (r₁ = 0).
+
+    Scale shape: the pair join blocks on the IVF cell id (never
+    all-pairs); per-point top-2 is a qid window over in-cell rows; the
+    estimator is a 1-row reduction. On i.i.d. 64-dim sandbox vectors d̂
+    lands far above real-data manifolds — the honest reading (real
+    embeddings report 10-20).
+    """
+    members, cent, final_assign = _trained_ivf(spark, sf_dir)
+    ev = members.select("vec_id", "v")
+    a = final_assign.select(F.col("vec_id").alias("qid"), F.col("cid").alias("c1id"))
+    b = final_assign.select(F.col("vec_id").alias("nid"), F.col("cid").alias("c2id"))
+    pairs = (
+        a.join(b, (F.col("c1id") == F.col("c2id")) & (F.col("qid") != F.col("nid")))
+        .join(ev.select(F.col("vec_id").alias("qid"), F.col("v").alias("va")), "qid")
+        .join(ev.select(F.col("vec_id").alias("nid"), F.col("v").alias("vb")), "nid")
+        .select("qid", "nid", _cosq("va", "vb", 1_000_000).alias("cos_q6"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("nid"))
+    rk = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
+    two = rk.groupBy("qid").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cos_q6"))).alias("c1"),
+        F.max(F.when(F.col("rn") == 2, F.col("cos_q6"))).alias("c2"),
+    )
+    mu = two.where(F.col("c2").isNotNull()).select(
+        F.expr(
+            "CAST(round(1000000 * ln(sqrt(greatest(2000000 - 2 * c2, 1)"
+            " / CAST(greatest(2000000 - 2 * c1, 1) AS DOUBLE)))) AS BIGINT)"
+        ).alias("lmu_q6")
+    )
+    return mu.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.coalesce(F.sum("lmu_q6"), F.lit(0)).cast("long").alias("sum_lmu_q6"),
+    ).select(
+        "n_points",
+        "sum_lmu_q6",
+        F.expr(
+            "CASE WHEN sum_lmu_q6 <= 0 THEN 0"
+            " ELSE CAST(round(1000000.0 * n_points / (sum_lmu_q6 / 1000000.0)) AS BIGINT) END"
+        ).alias("id_q6"),
+    )
+
+
+@register(
+    "discount_quantity_corr",
+    """WITH t AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS d_bp,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d_bp) AS BIGINT) AS sx, CAST(sum(q) AS BIGINT) AS sy,
+             CAST(sum(d_bp * d_bp) AS BIGINT) AS sxx, CAST(sum(q * q) AS BIGINT) AS syy,
+             CAST(sum(d_bp * q) AS BIGINT) AS sxy
+      FROM t)
+SELECT n,
+       CASE WHEN n < 2 OR n * sxx = sx * sx OR n * syy = sy * sy THEN 0
+            ELSE CAST(round(1000000 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS BIGINT)
+       END AS corr_q6
+FROM s""",
+)
+def discount_quantity_corr(spark, sf_dir):
+    """Discount elasticity smell test: Pearson correlation between the
+    line-item discount (integer percent points) and the quantity — 'does
+    discounting move volume?', the first chart of every pricing review
+    (TPC-H's generator draws them independently, so ≈0 is the correct
+    sandbox reading — a real sales table shows the positive elasticity).
+    Six exact BIGINT sufficient statistics, one guarded float expression
+    (the matrix_stats split-sqrt rule).
+
+    Scale shape: one map-side-combined pass to a single row."""
+    t = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("d_bp"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    s = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d_bp").cast("long").alias("sx"),
+        F.sum("q").cast("long").alias("sy"),
+        F.sum(F.expr("d_bp * d_bp")).cast("long").alias("sxx"),
+        F.sum(F.expr("q * q")).cast("long").alias("syy"),
+        F.sum(F.expr("d_bp * q")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        "n",
+        F.expr(
+            "CASE WHEN n < 2 OR n * sxx = sx * sx OR n * syy = sy * sy THEN 0"
+            " ELSE CAST(round(1000000 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            " / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            " * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS BIGINT) END"
+        ).alias("corr_q6"),
+    )
+
+
+@register(
+    "order_size_histogram",
+    """WITH c AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items FROM lineitem GROUP BY l_orderkey)
+SELECT n_items, CAST(count(*) AS BIGINT) AS n_orders
+FROM c GROUP BY n_items ORDER BY n_items""",
+)
+def order_size_histogram(spark, sf_dir):
+    """Items-per-order census — the basket-size distribution behind Q13's
+    per-customer version and the shuffle-skew input for every
+    orderkey-keyed join (a fat basket tail is the key-skew the AQE
+    skew-join handles; this measures whether it exists). All-integer.
+
+    Scale shape: one orderkey agg (map-side combinable) then a tiny
+    histogram rollup."""
+    c = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+    return (
+        c.groupBy("n_items")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy("n_items")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -21639,6 +21813,8 @@ _FRONT = [
     "dup_pair_distance_histogram",
     # session 67: part Pareto, lang drift, ship lag
     "part_revenue_pareto", "lang_drift_deciles", "ship_lag_histogram",
+    # session 68: intrinsic dimension, elasticity, basket sizes
+    "embedding_intrinsic_dim", "discount_quantity_corr", "order_size_histogram",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
