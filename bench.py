@@ -386,7 +386,9 @@ def main() -> None:
                  "part_revenue_pareto", "lang_drift_deciles",
                  "ship_lag_histogram",
                  "embedding_intrinsic_dim", "discount_quantity_corr",
-                 "order_size_histogram"]:
+                 "order_size_histogram",
+                 "part_supplier_hhi", "return_rate_by_priority",
+                 "simhash_bit_bias"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -21708,6 +21708,175 @@ def order_size_histogram(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 69 — supplier HHI, return rates, simhash bit bias
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_supplier_hhi",
+    """WITH ps AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+pt AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS qt,
+              CAST(count(*) AS BIGINT) AS n_supp
+       FROM ps GROUP BY l_partkey),
+sh AS (
+  SELECT ps.l_partkey,
+         CAST(round(1000000.0 * ps.q * ps.q / (CAST(pt.qt AS DOUBLE) * pt.qt)) AS BIGINT)
+           AS sh2_q6
+  FROM ps JOIN pt USING (l_partkey)),
+hhi AS (
+  SELECT sh.l_partkey, CAST(sum(sh2_q6) AS BIGINT) AS hhi_q6
+  FROM sh GROUP BY sh.l_partkey)
+SELECT hhi.l_partkey AS partkey, pt.n_supp, pt.qt AS quantity, hhi.hhi_q6
+FROM hhi JOIN pt USING (l_partkey)
+WHERE pt.n_supp >= 2
+ORDER BY hhi_q6 DESC, partkey ASC LIMIT 20""",
+)
+def part_supplier_hhi(spark, sf_dir):
+    """Supply-concentration audit: the Herfindahl-Hirschman index of each
+    part's supplier quantity shares — the antitrust / supply-risk statistic
+    (HHI → 1e6 = one supplier carries the part; ≤ 2.5e5 ≈ 'competitive').
+    Top-20 most concentrated MULTI-supplier parts (single-supplier parts
+    are trivially 1e6 and excluded — the interesting risk is masked
+    concentration among several suppliers).
+
+    Determinism: per-(part, supplier) share² is one q6-rounded float
+    expression of exact integers (q²/qt² with the divide-first double
+    product in the denominator); the HHI sums quantized contributions.
+
+    Scale shape: a (part, supplier) agg; totals derive FROM it (shared
+    partkey exchange); TakeOrdered(20)."""
+    ps = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
+    )
+    ps = ps.localCheckpoint()  # feeds totals AND the share rows
+    pt = ps.groupBy("l_partkey").agg(
+        F.sum("q").cast("long").alias("qt"), F.count(F.lit(1)).cast("long").alias("n_supp")
+    )
+    sh = ps.join(pt, "l_partkey").select(
+        "l_partkey",
+        F.expr(
+            "CAST(round(1000000.0 * q * q / (CAST(qt AS DOUBLE) * qt)) AS BIGINT)"
+        ).alias("sh2_q6"),
+    )
+    hhi = sh.groupBy("l_partkey").agg(F.sum("sh2_q6").cast("long").alias("hhi_q6"))
+    return (
+        hhi.join(pt, "l_partkey")
+        .where(F.col("n_supp") >= 2)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "n_supp",
+            F.col("qt").alias("quantity"),
+            "hhi_q6",
+        )
+        .orderBy(F.desc("hhi_q6"), F.asc("partkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "return_rate_by_priority",
+    """WITH j AS (
+  SELECT o.o_orderpriority AS priority, l.l_returnflag
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(COALESCE(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_returned,
+       CAST(round(1000000.0 * COALESCE(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END), 0)
+            / count(*)) AS BIGINT) AS return_rate_q6
+FROM j GROUP BY priority ORDER BY priority""",
+)
+def return_rate_by_priority(spark, sf_dir):
+    """Return-rate census by order priority — the fulfillment-quality
+    readout crossing Q10's returned-items analysis with Q12's priority
+    axis (a priority class with an elevated R-flag share has a handling
+    problem). One keyed join, conditional counts, a single float
+    division per row.
+
+    Scale shape: the un-hinted orderkey join (both sides unbounded, AQE
+    decides), then a ≤|priorities|-row agg."""
+    j = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_returnflag")
+        .join(
+            spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+            ),
+            "l_orderkey",
+        )
+    )
+    return (
+        j.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.coalesce(
+                F.sum(F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_returned"),
+            F.expr(
+                "CAST(round(1000000.0 * COALESCE(sum(CASE WHEN l_returnflag = 'R'"
+                " THEN 1 ELSE 0 END), 0) / count(*)) AS BIGINT)"
+            ).alias("return_rate_q6"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "simhash_bit_bias",
+    _SIMHASH_CTE
+    + """,
+bitsx AS (
+  SELECT j, CAST(count(*) AS BIGINT) AS n,
+         CAST(COALESCE(sum((simhash >> j) & 1), 0) AS BIGINT) AS ones
+  FROM sh, (SELECT unnest(generate_series(0, 59)) AS j)
+  GROUP BY j)
+SELECT CAST(j AS BIGINT) AS bit, ones, n,
+       CAST(round(1000000.0 * ones / n) AS BIGINT) AS share_q6,
+       CAST(abs(CAST(round(1000000.0 * ones / n) AS BIGINT) - 500000) AS BIGINT) AS bias_q6
+FROM bitsx ORDER BY bit""",
+)
+def simhash_bit_bias(spark, sf_dir):
+    """SimHash bit-balance audit: the share of documents with each of the
+    60 sketch bits set, and its deviation from the unbiased 50% — the
+    sketch-HEALTH diagnostic behind every banded op (a biased bit family
+    concentrates band values, inflating collision candidates exactly
+    like a hot shard; corpus-wide common terms bias bits in the
+    direction of their hash, and this table shows it before the banding
+    pays for it).
+
+    Scale shape: the per-doc simhash table (the sketch ops' own front
+    half), a 60-way map-side bit explode into a 60-row agg."""
+    sh = _simhash_spark(spark, sf_dir)
+    bits = (
+        sh.select(
+            F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j"), "simhash"
+        )
+        .groupBy("j")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum(F.expr("(simhash >> j) & 1")), F.lit(0))
+            .cast("long")
+            .alias("ones"),
+        )
+    )
+    return bits.select(
+        F.col("j").cast("long").alias("bit"),
+        "ones",
+        "n",
+        F.expr("CAST(round(1000000.0 * ones / n) AS BIGINT)").alias("share_q6"),
+        F.expr(
+            "CAST(abs(CAST(round(1000000.0 * ones / n) AS BIGINT) - 500000) AS BIGINT)"
+        ).alias("bias_q6"),
+    ).orderBy("bit")
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -21815,6 +21984,8 @@ _FRONT = [
     "part_revenue_pareto", "lang_drift_deciles", "ship_lag_histogram",
     # session 68: intrinsic dimension, elasticity, basket sizes
     "embedding_intrinsic_dim", "discount_quantity_corr", "order_size_histogram",
+    # session 69: supplier HHI, return rates, simhash bit bias
+    "part_supplier_hhi", "return_rate_by_priority", "simhash_bit_bias",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
