@@ -388,7 +388,9 @@ def main() -> None:
                  "embedding_intrinsic_dim", "discount_quantity_corr",
                  "order_size_histogram",
                  "part_supplier_hhi", "return_rate_by_priority",
-                 "simhash_bit_bias"]:
+                 "simhash_bit_bias",
+                 "winsorized_mean_doclen", "events_hour_weekday_heatmap",
+                 "hellinger_source_pairs"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -21877,6 +21877,226 @@ def simhash_bit_bias(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 70 — winsorized mean, hour×weekday heatmap, Hellinger distance
+# ---------------------------------------------------------------------------
+
+_WINSOR_LO, _WINSOR_HI = 50_000, 950_000  # p5 / p95 in q6
+
+
+@register(
+    "winsorized_mean_doclen",
+    f"""WITH t AS (
+  SELECT CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
+  FROM documents),
+hist AS (SELECT n_tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY n_tok),
+h AS (
+  SELECT n_tok, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY n_tok
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM hist),
+-- integer rank cutoffs: lo = floor(p5·(n−1)), hi = ceil(p95·(n−1)) as 0-based ranks
+kk AS (
+  SELECT CAST(({_WINSOR_LO} * (max(n) - 1)) // 1000000 AS BIGINT) AS k_lo,
+         CAST(({_WINSOR_HI} * (max(n) - 1) + 999999) // 1000000 AS BIGINT) AS k_hi,
+         max(n) AS n
+  FROM h),
+bv AS (
+  SELECT
+    (SELECT max(CASE WHEN cum_before <= kk.k_lo THEN n_tok END) FROM h) AS v_lo,
+    (SELECT max(CASE WHEN cum_before <= kk.k_hi THEN n_tok END) FROM h) AS v_hi,
+    kk.n
+  FROM kk),
+wz AS (
+  SELECT h.cnt,
+         CASE WHEN h.n_tok < bv.v_lo THEN bv.v_lo
+              WHEN h.n_tok > bv.v_hi THEN bv.v_hi
+              ELSE h.n_tok END AS x
+  FROM h, bv)
+SELECT bv.n, bv.v_lo AS clip_lo, bv.v_hi AS clip_hi,
+       CAST(round((SELECT sum(cnt * x) FROM wz) / CAST(bv.n AS DOUBLE)) AS BIGINT)
+         AS winsor_mean
+FROM bv""",
+)
+def winsorized_mean_doclen(spark, sf_dir):
+    """5%-winsorized mean document length: values below the p5 order
+    statistic clip UP to it, above p95 clip DOWN, then the plain mean —
+    the robust center that keeps tail MASS (unlike a trimmed mean) while
+    killing tail LEVERAGE (unlike the raw mean a single 10M-token doc
+    drags; the MAD gives robust SPREAD — this is its location partner).
+    Clip points are exact order statistics (rank floor(p·(n−1)) /
+    ceil(p·(n−1)) — integer ceil via the additive identity).
+
+    Scale shape: the weighted-histogram machinery end to end — the
+    probes, the clip, and the mean all run over histogram CELLS; no raw
+    value is ever buffered (the percentile rule).
+
+    Determinism: all-integer until the single final division."""
+    t = _docs(spark, sf_dir).select(
+        F.size(spark_tokens("text")).cast("long").alias("n_tok")
+    )
+    hist = t.groupBy("n_tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    hist = hist.localCheckpoint()
+    w_cum = Window.orderBy("n_tok").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("n_tok").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    h = hist.select(
+        "n_tok",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).cast("long").alias("cum_before"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+    ).localCheckpoint()  # feeds cutoffs, clip values AND the clipped mean
+    kk = h.agg(
+        F.expr(f"CAST(({_WINSOR_LO} * (max(n) - 1)) div 1000000 AS BIGINT)").alias("k_lo"),
+        F.expr(
+            f"CAST(({_WINSOR_HI} * (max(n) - 1) + 999999) div 1000000 AS BIGINT)"
+        ).alias("k_hi"),
+    )
+    bv = (
+        h.crossJoin(F.broadcast(kk))
+        .agg(
+            F.max(F.when(F.col("cum_before") <= F.col("k_lo"), F.col("n_tok"))).alias("v_lo"),
+            F.max(F.when(F.col("cum_before") <= F.col("k_hi"), F.col("n_tok"))).alias("v_hi"),
+            F.max("n").alias("n"),
+        )
+    )
+    wz = (
+        h.select("n_tok", "cnt")
+        .crossJoin(F.broadcast(bv))
+        .select(
+            "cnt",
+            "n",
+            "v_lo",
+            "v_hi",
+            F.expr(
+                "CASE WHEN n_tok < v_lo THEN v_lo WHEN n_tok > v_hi THEN v_hi"
+                " ELSE n_tok END"
+            ).alias("x"),
+        )
+    )
+    return wz.groupBy("n", "v_lo", "v_hi").agg(
+        F.expr("CAST(round(sum(cnt * x) / CAST(max(n) AS DOUBLE)) AS BIGINT)").alias(
+            "winsor_mean"
+        )
+    ).select(
+        "n",
+        F.col("v_lo").alias("clip_lo"),
+        F.col("v_hi").alias("clip_hi"),
+        "winsor_mean",
+    )
+
+
+@register(
+    "events_hour_weekday_heatmap",
+    f"""WITH e AS (
+  SELECT ((epoch_us(ts) // {_US_PER_DAY}) + 3) % 7 AS dow,
+         (epoch_us(ts) // 3600000000) % 24 AS hour
+  FROM events)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM e GROUP BY dow, hour ORDER BY dow, hour""",
+)
+def events_hour_weekday_heatmap(spark, sf_dir):
+    """Hour × weekday activity heatmap (UTC; dow 0 = Monday, the
+    events_weekday_profile rule) — the 2-D seasonality surface whose two
+    marginals are events_hour_profile and events_weekday_profile (a
+    weekday-lunchtime spike and a weekend-evening one have identical
+    marginals; only the heatmap separates them). Observed cells only —
+    the two 1-D spines already pin the calendar.
+
+    Scale shape: two map-side integer keys into a ≤168-cell agg."""
+    e = _events(spark, sf_dir).select(
+        F.expr(
+            f"((unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}) + 3) % 7"
+        ).alias("dow"),
+        F.expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 24").alias("hour"),
+    )
+    return (
+        e.groupBy(
+            F.col("dow").cast("long").alias("dow"),
+            F.col("hour").cast("long").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy("dow", "hour")
+    )
+
+
+# Hellinger affinity per shared term, q6-first: BC contribution
+# sqrt(pa·pb); single-source terms contribute 0 to BC by construction, so
+# no pairs×vocab spine is needed — the JSD decomposition made trivial.
+_HELL_TERM_EXPR = (
+    "cast(round(1000000 * sqrt((ca / cast(na as double))"
+    " * (cb / cast(nb as double)))) as bigint)"
+)
+
+
+@register(
+    "hellinger_source_pairs",
+    f"""WITH w AS ({SQL_WORDS}),
+st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+       FROM (SELECT source, unnest(words) AS term FROM w) GROUP BY source, term),
+stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY source),
+ix AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.c AS ca, b.c AS cb
+  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source),
+ij AS (
+  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared,
+         CAST(sum({_HELL_TERM_EXPR.replace('na', 'ta.n').replace('nb', 'tb.n')}) AS BIGINT)
+           AS bc_q6
+  FROM ix JOIN stot ta ON ta.source = ix.src_a JOIN stot tb ON tb.source = ix.src_b
+  GROUP BY src_a, src_b)
+SELECT src_a, src_b, n_shared,
+       CAST(greatest(1000000 - bc_q6, 0) AS BIGINT) AS hellinger2_q6
+FROM ij ORDER BY src_a, src_b""",
+)
+def hellinger_source_pairs(spark, sf_dir):
+    """Squared Hellinger distance between source unigram LMs: H² = 1 −
+    Σ√(pa·pb) — the BOUNDED, metric-friendly member of the divergence
+    family (KL explodes on disjoint support, JSD needs the residual-mass
+    decomposition; Hellinger's Bhattacharyya coefficient simply ignores
+    single-source terms, so the pair join over CO-OCCURRING terms is the
+    whole computation). H² respects √H as a true metric — the one you
+    can feed to clustering.
+
+    Determinism: per-shared-term BC contribution q6-rounds FIRST (one
+    sqrt per term); H² = max(1e6 − ΣBC, 0) — the clamp absorbs the
+    +ulp-per-term rounding that could push BC past 1e6.
+
+    Scale shape: identical to jsd_source_pairs minus its residual stage
+    — term-keyed pair join, |sources|² bounded fanout, broadcast
+    totals."""
+    st = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(spark_tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    stot = st.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    a = st.select(F.col("source").alias("src_a"), "term", F.col("c").alias("ca"))
+    b = st.select(F.col("source").alias("src_b"), "term", F.col("c").alias("cb"))
+    ix = a.join(b, "term").where(F.col("src_a") < F.col("src_b"))
+    ta = F.broadcast(stot.select(F.col("source").alias("src_a"), F.col("n").alias("na")))
+    tb = F.broadcast(stot.select(F.col("source").alias("src_b"), F.col("n").alias("nb")))
+    ij = (
+        ix.join(ta, "src_a")
+        .join(tb, "src_b")
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum(F.expr(_HELL_TERM_EXPR)).cast("long").alias("bc_q6"),
+        )
+    )
+    return ij.select(
+        "src_a",
+        "src_b",
+        "n_shared",
+        F.expr("CAST(greatest(1000000 - bc_q6, 0) AS BIGINT)").alias("hellinger2_q6"),
+    ).orderBy("src_a", "src_b")
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -21986,6 +22206,9 @@ _FRONT = [
     "embedding_intrinsic_dim", "discount_quantity_corr", "order_size_histogram",
     # session 69: supplier HHI, return rates, simhash bit bias
     "part_supplier_hhi", "return_rate_by_priority", "simhash_bit_bias",
+    # session 70: winsorized mean, hour×dow heatmap, Hellinger
+    "winsorized_mean_doclen", "events_hour_weekday_heatmap",
+    "hellinger_source_pairs",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
