@@ -390,7 +390,9 @@ def main() -> None:
                  "part_supplier_hhi", "return_rate_by_priority",
                  "simhash_bit_bias",
                  "winsorized_mean_doclen", "events_hour_weekday_heatmap",
-                 "hellinger_source_pairs"]:
+                 "hellinger_source_pairs",
+                 "abbreviation_law_curve", "norm_doclen_corr",
+                 "dedup_loss_by_source"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

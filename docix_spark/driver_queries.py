@@ -22097,6 +22097,211 @@ def hellinger_source_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 71 — abbreviation law, norm/length QA, per-source dedup loss
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "abbreviation_law_curve",
+    f"""WITH toks AS ({SQL_TOKS}),
+cf AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+b AS (
+  SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS band,
+         CAST(length(term) AS BIGINT) AS len, c
+  FROM cf)
+SELECT band, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(c) AS BIGINT) AS tokens,
+       CAST(round(sum(len) / CAST(count(*) AS DOUBLE) * 1000000) AS BIGINT)
+         AS mean_len_q6
+FROM b GROUP BY band ORDER BY band""",
+)
+def abbreviation_law_curve(spark, sf_dir):
+    """Zipf's law of ABBREVIATION: mean term length per log2
+    collection-frequency band — the third classical linguistic law in
+    the audit family (rank-frequency: zipf_slope_source; vocabulary
+    growth: heaps_law_source; now frequency-length). Natural language
+    slopes DOWN (frequent words are short — the compression argument);
+    a corpus that doesn't (codes, ids, synthetic text) isn't prose, and
+    that's a data-quality signal per se. The uniform sandbox vocabulary
+    is flat — the expected reading.
+
+    Scale shape: the A2 cf agg then a ≤64-band rollup; mean divides
+    exact sums once per band."""
+    cf = _toks(_docs(spark, sf_dir)).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    b = cf.select(
+        F.expr("CAST(length(bin(c)) - 1 AS BIGINT)").alias("band"),
+        F.length("term").cast("long").alias("len"),
+        "c",
+    )
+    return (
+        b.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("c").cast("long").alias("tokens"),
+            F.expr(
+                "CAST(round(sum(len) / CAST(count(*) AS DOUBLE) * 1000000) AS BIGINT)"
+            ).alias("mean_len_q6"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "norm_doclen_corr",
+    f"""WITH t AS (
+  SELECT em.vec_id,
+         CAST(round(1000 * sqrt(list_dot_product(CAST(em.embedding AS DOUBLE[]),
+                                                 CAST(em.embedding AS DOUBLE[])))) AS BIGINT)
+           AS nq3,
+         CAST(len(regexp_extract_all(lower(d.text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
+  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+  WHERE em.vec_id <> 0),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(nq3) AS BIGINT) AS sx, CAST(sum(n_tok) AS BIGINT) AS sy,
+             CAST(sum(nq3 * nq3) AS BIGINT) AS sxx, CAST(sum(n_tok * n_tok) AS BIGINT) AS syy,
+             CAST(sum(nq3 * n_tok) AS BIGINT) AS sxy
+      FROM t)
+SELECT n,
+       CASE WHEN n < 2 OR n * sxx = sx * sx OR n * syy = sy * sy THEN 0
+            ELSE CAST(round(1000000 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS BIGINT)
+       END AS corr_q6
+FROM s""",
+)
+def norm_doclen_corr(spark, sf_dir):
+    """Cross-modal leak audit: Pearson correlation between a document's
+    embedding NORM and its token length — a properly normalized encoder
+    shows ≈0; a strong correlation means the vector index is silently a
+    length index, and every cosine-adjacent op (kNN, semdedup,
+    centroids) inherits a length bias (the embedding-QA family member
+    that looks ACROSS modalities; norms alone: embedding_norm_outliers).
+    Norms quantize at q3 (the norm_outliers envelope rule: q6 squares
+    would pass 2^63 in the sufficient sums at corpus scale).
+
+    Scale shape: one id-keyed join of the two tables (both unbounded,
+    un-hinted), a single-row sufficient-stats agg."""
+    t = (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.expr(
+                "CAST(round(1000 * sqrt(aggregate(zip_with(transform(embedding, x -> cast(x as double)),"
+                " transform(embedding, x -> cast(x as double)), (a, b) -> a * b),"
+                " cast(0.0 as double), (acc, v) -> acc + v))) AS BIGINT)"
+            ).alias("nq3"),
+        )
+        .join(
+            _docs(spark, sf_dir).select(
+                F.col("doc_id").alias("vec_id"),
+                F.size(spark_tokens("text")).cast("long").alias("n_tok"),
+            ),
+            "vec_id",
+        )
+    )
+    s = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("nq3").cast("long").alias("sx"),
+        F.sum("n_tok").cast("long").alias("sy"),
+        F.sum(F.expr("nq3 * nq3")).cast("long").alias("sxx"),
+        F.sum(F.expr("n_tok * n_tok")).cast("long").alias("syy"),
+        F.sum(F.expr("nq3 * n_tok")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        "n",
+        F.expr(
+            "CASE WHEN n < 2 OR n * sxx = sx * sx OR n * syy = sy * sy THEN 0"
+            " ELSE CAST(round(1000000 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            " / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            " * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS BIGINT) END"
+        ).alias("corr_q6"),
+    )
+
+
+@register(
+    "dedup_loss_by_source",
+    _SQL_LSH_PAIRS
+    + f""",
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
+  FROM documents),
+fl AS (
+  SELECT t.source, t.n_tok,
+         CAST(comp.cluster_id IS NOT NULL AND comp.cluster_id <> t.doc_id AS INT) AS dropped
+  FROM t LEFT JOIN comp ON comp.doc_id = t.doc_id)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(sum(dropped), 0) AS BIGINT) AS docs_dropped,
+       CAST(COALESCE(sum(dropped * n_tok), 0) AS BIGINT) AS tokens_dropped,
+       CASE WHEN COALESCE(sum(n_tok), 0) = 0 THEN 0
+            ELSE CAST(round(1000000.0 * COALESCE(sum(dropped * n_tok), 0)
+                 / sum(n_tok)) AS BIGINT) END AS loss_q6
+FROM fl GROUP BY source ORDER BY source""",
+)
+def dedup_loss_by_source(spark, sf_dir):
+    """Near-dup dedup loss per SOURCE under the canonical keep-min-id
+    policy — the MIX-SHIFT view the corpus-level dedup ops hide: dedup
+    does not remove tokens uniformly, it RE-WEIGHTS the source mix (a
+    mirror-heavy source loses half its mass and every downstream
+    temperature/epoch plan computed on pre-dedup counts is silently
+    wrong). Per source: docs/tokens, dropped docs/tokens, loss share.
+
+    Scale shape: cluster labels reuse the memoized LSH edges +
+    pointer-doubled CC; the loss census is one LEFT join of the doc
+    stats against the cluster-bounded label table and a sources-sized
+    agg."""
+    edges = _lsh_pair_edges(spark, sf_dir)
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    comp = connected_components(labels, edges).select(
+        "doc_id", F.col("lbl").alias("cluster_id")
+    )
+    t = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(spark_tokens("text")).cast("long").alias("n_tok")
+    )
+    fl = t.join(comp, "doc_id", "left").select(
+        "source",
+        "n_tok",
+        F.expr(
+            "CAST(cluster_id IS NOT NULL AND cluster_id <> doc_id AS INT)"
+        ).alias("dropped"),
+    )
+    return (
+        fl.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.sum("dropped"), F.lit(0)).cast("long").alias("docs_dropped"),
+            F.coalesce(F.sum(F.expr("dropped * n_tok")), F.lit(0))
+            .cast("long")
+            .alias("tokens_dropped"),
+            F.expr(
+                "CASE WHEN COALESCE(sum(n_tok), 0) = 0 THEN 0"
+                " ELSE CAST(round(1000000.0 * COALESCE(sum(dropped * n_tok), 0)"
+                " / sum(n_tok)) AS BIGINT) END"
+            ).alias("loss_q6"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -22209,6 +22414,8 @@ _FRONT = [
     # session 70: winsorized mean, hour×dow heatmap, Hellinger
     "winsorized_mean_doclen", "events_hour_weekday_heatmap",
     "hellinger_source_pairs",
+    # session 71: abbreviation law, norm/length QA, dedup mix shift
+    "abbreviation_law_curve", "norm_doclen_corr", "dedup_loss_by_source",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
