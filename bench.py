@@ -392,7 +392,9 @@ def main() -> None:
                  "winsorized_mean_doclen", "events_hour_weekday_heatmap",
                  "hellinger_source_pairs",
                  "abbreviation_law_curve", "norm_doclen_corr",
-                 "dedup_loss_by_source"]:
+                 "dedup_loss_by_source",
+                 "common_terms_search", "ab_significance",
+                 "order_gap_histogram"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

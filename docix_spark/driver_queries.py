@@ -22302,6 +22302,251 @@ def dedup_loss_by_source(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 72 — common-terms query, A/B significance, order gaps
+# ---------------------------------------------------------------------------
+
+_CT_QUERY = ["the", "spark", "dup"]
+
+
+@register(
+    "common_terms_search",
+    _bm25_agg_ctes(_CT_QUERY)
+    + """,
+qdf AS (
+  SELECT q.term,
+         CAST(dfs.df > (SELECT n_docs FROM st) / 2.0 AS INT) AS is_common
+  FROM q JOIN dfs USING (term)),
+low AS (SELECT term FROM qdf WHERE is_common = 0),
+lowm AS (
+  SELECT DISTINCT tf.doc_id FROM tf JOIN low USING (term)),
+per2 AS (
+  SELECT tf.doc_id, qdf.is_common,
+         ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM st))) AS s
+  FROM tf JOIN qdf ON qdf.term = tf.term
+  JOIN dfs ON dfs.term = tf.term JOIN dl ON dl.doc_id = tf.doc_id),
+sc AS (
+  SELECT per2.doc_id,
+         CAST(round(1000000 * sum(CASE
+           WHEN per2.is_common = 0 THEN per2.s
+           WHEN lowm.doc_id IS NOT NULL THEN per2.s
+           ELSE 0.0 END)) AS BIGINT) AS score_q6,
+         CAST(max(CASE WHEN lowm.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS has_low
+  FROM per2 LEFT JOIN lowm ON lowm.doc_id = per2.doc_id
+  GROUP BY per2.doc_id)
+SELECT doc_id, score_q6, has_low FROM sc
+WHERE score_q6 > 0
+ORDER BY score_q6 DESC, doc_id ASC LIMIT 10""",
+)
+def common_terms_search(spark, sf_dir):
+    """Lucene/ES ``common_terms`` query: query terms split by document
+    frequency at the 50% cutoff — LOW-frequency terms always score;
+    HIGH-frequency terms (stopword-band, here 'the') contribute ONLY to
+    documents that already match a low-frequency term. The stopword
+    problem solved without a stopword list: 'the' never drags in its
+    million-doc posting list as matches, but still boosts ranking among
+    real matches — precisely the optimization the common-terms query
+    shipped for (and the historical ancestor of BM25 WAND pruning).
+
+    Determinism: the cutoff compares exact df against n_docs/2.0 (one
+    float halving); scoring is the shared BM25 expression; docs whose
+    entire score comes from suppressed common terms drop via the
+    score > 0 gate identically in both engines.
+
+    Scale shape: the low-term match set is the small postings subset and
+    drives the common-term contribution via a LEFT membership probe —
+    the high-df posting list is scanned once but never creates a match
+    row by itself."""
+    toks = _toks(_docs(spark, sf_dir)).localCheckpoint()
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    stt = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    )
+    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    q = F.broadcast(
+        spark.createDataFrame([(t,) for t in _CT_QUERY], "term string")
+    )
+    qdf = (
+        q.join(dfs, "term")
+        .crossJoin(F.broadcast(stt))
+        .select(
+            "term", F.expr("CAST(df > n_docs / 2.0 AS INT)").alias("is_common")
+        )
+    )
+    low = qdf.where(F.col("is_common") == 0).select("term")
+    lowm = (
+        tf.join(F.broadcast(low), "term")
+        .select("doc_id")
+        .distinct()
+        .select(F.col("doc_id").alias("ldoc"))
+    )
+    per2 = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(dfs, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stt))
+        .select(
+            "doc_id",
+            "is_common",
+            (
+                F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf").cast("double") * F.lit(2.2)
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("doc_len") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    sc = (
+        per2.join(lowm, F.col("doc_id") == F.col("ldoc"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST(round(1000000 * sum(CASE"
+                " WHEN is_common = 0 THEN s"
+                " WHEN ldoc IS NOT NULL THEN s"
+                " ELSE cast(0 as double) END)) AS BIGINT)"
+            ).alias("score_q6"),
+            F.max(
+                F.when(F.col("ldoc").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("has_low"),
+        )
+    )
+    return (
+        sc.where(F.col("score_q6") > 0)
+        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "ab_significance",
+    """WITH u AS (
+  SELECT user_id,
+         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 4))::INT % 2 AS arm,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT) AS conv
+  FROM events GROUP BY user_id),
+s AS (
+  SELECT CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n0,
+         CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n1,
+         CAST(COALESCE(sum(conv) FILTER (WHERE arm = 0), 0) AS BIGINT) AS c0,
+         CAST(COALESCE(sum(conv) FILTER (WHERE arm = 1), 0) AS BIGINT) AS c1
+  FROM u)
+SELECT n0, c0, n1, c1,
+       CASE WHEN n0 = 0 OR n1 = 0 OR (c0 + c1) = 0 OR (c0 + c1) = (n0 + n1) THEN 0
+            ELSE CAST(round(1000000
+                 * ((c0 / CAST(n0 AS DOUBLE) - c1 / CAST(n1 AS DOUBLE))
+                    * (c0 / CAST(n0 AS DOUBLE) - c1 / CAST(n1 AS DOUBLE)))
+                 / (((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 / n0 + 1.0 / n1))) AS BIGINT) END AS z2_q6
+FROM s""",
+)
+def ab_significance(spark, sf_dir):
+    """Two-proportion z-test for the A/B arms' conversion rates — the
+    significance readout that closes the experimentation loop
+    (ab_assignment_readout reports the rates; this says whether the gap
+    beats noise): z² = (p₀−p₁)² / (p̂(1−p̂)(1/n₀+1/n₁)) with the pooled
+    p̂, emitted squared (the ttest no-sqrt rule — significance thresholds
+    square just as well: z² > 3.84 ≈ p < .05). Degenerate pools (no
+    converters, all converters, an empty arm) emit the 0 sentinel.
+
+    Determinism: four exact BIGINTs; z² is ONE shared float expression.
+
+    Scale shape: the user-keyed conversion agg then a 1-row census."""
+    u = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .withColumn(
+            "arm",
+            F.expr(
+                "cast(conv(substring(md5(concat('ab:', cast(user_id as string))), 1, 4), 16, 10) as int) % 2"
+            ),
+        )
+    )
+    s = u.agg(
+        F.count_if(F.col("arm") == 0).cast("long").alias("n0"),
+        F.count_if(F.col("arm") == 1).cast("long").alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("arm") == 0, F.col("conv"))), F.lit(0))
+        .cast("long")
+        .alias("c0"),
+        F.coalesce(F.sum(F.when(F.col("arm") == 1, F.col("conv"))), F.lit(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    return s.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.expr(
+            "CASE WHEN n0 = 0 OR n1 = 0 OR (c0 + c1) = 0 OR (c0 + c1) = (n0 + n1) THEN 0"
+            " ELSE CAST(round(1000000"
+            " * ((c0 / CAST(n0 AS DOUBLE) - c1 / CAST(n1 AS DOUBLE))"
+            " * (c0 / CAST(n0 AS DOUBLE) - c1 / CAST(n1 AS DOUBLE)))"
+            " / (((c0 + c1) / CAST(n0 + n1 AS DOUBLE))"
+            " * (1.0 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))"
+            " * (1.0 / n0 + 1.0 / n1))) AS BIGINT) END"
+        ).alias("z2_q6"),
+    )
+
+
+@register(
+    "order_gap_histogram",
+    f"""WITH o AS (
+  SELECT o_custkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY} AS day,
+         o_orderkey
+  FROM orders),
+g AS (
+  SELECT day - lag(day) OVER (PARTITION BY o_custkey
+                              ORDER BY day, o_orderkey) AS gap
+  FROM o),
+b AS (
+  SELECT CASE WHEN gap = 0 THEN -1
+              ELSE CAST(length(bin(gap)) - 1 AS BIGINT) END AS bucket
+  FROM g WHERE gap IS NOT NULL)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_gaps
+FROM b GROUP BY bucket ORDER BY bucket""",
+)
+def order_gap_histogram(spark, sf_dir):
+    """Customer order-interarrival distribution: log2-day gaps between a
+    customer's consecutive orders (bucket −1 = same-day reorders) — the
+    purchase-cadence curve behind replenishment forecasting and the
+    TPC-H twin of interevent_gap_histogram (events measure clicks;
+    this measures wallets). Ties order by orderkey — the event-sequence
+    tie rule.
+
+    Scale shape: ONE custkey-partitioned lag window, a ≤64-bucket agg."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_PER_DAY}").alias("day"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    g = o.select((F.col("day") - F.lag("day").over(w)).alias("gap"))
+    b = g.where(F.col("gap").isNotNull()).select(
+        F.expr(
+            "CASE WHEN gap = 0 THEN -1 ELSE CAST(length(bin(gap)) - 1 AS BIGINT) END"
+        ).alias("bucket")
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -22416,6 +22661,8 @@ _FRONT = [
     "hellinger_source_pairs",
     # session 71: abbreviation law, norm/length QA, dedup mix shift
     "abbreviation_law_curve", "norm_doclen_corr", "dedup_loss_by_source",
+    # session 72: common-terms query, A/B significance, order gaps
+    "common_terms_search", "ab_significance", "order_gap_histogram",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
