@@ -22547,6 +22547,320 @@ def order_gap_histogram(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 73 — informative-Dirichlet log-odds, CUSUM drift, revenue trend
+# ---------------------------------------------------------------------------
+
+# Monroe et al. (2008) "Fightin' Words" shared float expressions. Inputs are
+# exact BIGINT columns (y = source term count, ns = source total, cf = corpus
+# term count, n = corpus total); the A0 = 1000 pseudo-count prior is split
+# proportionally to corpus frequency (a_w = A0 * cf_w / N). E-notation
+# literals only (1e3/1e0/1e-9) — a plain decimal literal is DECIMAL in
+# Spark SQL and diverges (the _HLL_C rule).
+_LO_A = "(1e3 * cf / CAST(n AS DOUBLE))"
+_LO_D = (
+    f"(ln((y + {_LO_A}) / greatest(ns + 1e3 - y - {_LO_A}, 1e-9))"
+    f" - ln((cf - y + {_LO_A}) / greatest(n - ns + 1e3 - (cf - y) - {_LO_A}, 1e-9)))"
+)
+_LO_V = f"(1e0 / (y + {_LO_A}) + 1e0 / (cf - y + {_LO_A}))"
+_LO_DQ6 = f"CAST(round(1000000 * {_LO_D}) AS BIGINT)"
+_LO_Z2 = f"CAST(round(1000000 * {_LO_D} * {_LO_D} / {_LO_V}) AS BIGINT)"
+_LO_Z2S = f"CASE WHEN {_LO_D} < 0e0 THEN -{_LO_Z2} ELSE {_LO_Z2} END"
+
+
+@register(
+    "logodds_terms_source",
+    f"""WITH tk AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents),
+y AS (SELECT source, term, CAST(count(*) AS BIGINT) AS y FROM tk GROUP BY source, term),
+ns AS (SELECT source, CAST(sum(y) AS BIGINT) AS ns FROM y GROUP BY source),
+cf AS (SELECT term, CAST(sum(y) AS BIGINT) AS cf FROM y GROUP BY term),
+nt AS (SELECT CAST(sum(y) AS BIGINT) AS n FROM y),
+r AS (SELECT y.source AS source, y.term AS term, y.y AS y, ns.ns AS ns,
+             cf.cf AS cf, nt.n AS n
+      FROM y JOIN ns USING (source) JOIN cf USING (term) CROSS JOIN nt),
+sc AS (SELECT source, term, {_LO_DQ6} AS delta_q6, {_LO_Z2S} AS z2s_q6 FROM r),
+rk AS (SELECT source, term, delta_q6, z2s_q6,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY z2s_q6 DESC, term ASC) AS rank
+       FROM sc)
+SELECT source, term, CAST(rank AS BIGINT) AS rank, delta_q6, z2s_q6
+FROM rk WHERE rank <= 5 ORDER BY source, rank""",
+)
+def logodds_terms_source(spark, sf_dir):
+    """Monroe et al. "Fightin' Words" log-odds with an informative
+    Dirichlet prior: per source, the 5 terms most over-represented vs the
+    REST of the corpus, scored by z = delta / sqrt(var) where
+    delta = ln-odds(source) - ln-odds(rest) under a prior that splits
+    A0 = 1000 pseudo-counts proportionally to corpus frequency. The
+    third member of the significant-terms family — JLH rewards raw lift,
+    chi2 rewards any dependence, log-odds shrinks rare-term noise toward
+    the corpus LM (the prior does the regularising that JLH's min-df
+    cutoffs fake). Emitted squared-with-sign (z2s, the ttest no-sqrt
+    rule); ranks order by the QUANTIZED z2s (hybrid_rrf rule) with a
+    term tiebreak.
+
+    Determinism: all inputs exact BIGINTs; delta/var/z2 are the shared
+    _LO_* expression strings evaluated per (source, term) row in both
+    engines; degenerate denominators floored at 1e-9 identically.
+
+    Scale shape: tokenize -> ONE (source, term) agg; cf re-keys that
+    table on term (vocab-bounded exchange); ns/nt broadcast; the
+    per-source rank window runs over vocab-sized rows, never postings."""
+    docs = _docs(spark, sf_dir)
+    tk = docs.select("source", F.explode(spark_tokens("text")).alias("term"))
+    y = (
+        tk.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint()  # 4 consumers (ns/cf/nt/join) would re-tokenize
+    )
+    ns = y.groupBy("source").agg(F.sum("y").cast("long").alias("ns"))
+    cf = y.groupBy("term").agg(F.sum("y").cast("long").alias("cf"))
+    nt = y.agg(F.sum("y").cast("long").alias("n"))
+    r = (
+        y.join(F.broadcast(ns), "source")
+        .join(cf, "term")
+        .crossJoin(F.broadcast(nt))
+    )
+    sc = r.select(
+        "source",
+        "term",
+        F.expr(_LO_DQ6).alias("delta_q6"),
+        F.expr(_LO_Z2S).alias("z2s_q6"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("z2s_q6"), F.asc("term"))
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "source",
+            "term",
+            F.col("rank").cast("long").alias("rank"),
+            "delta_q6",
+            "z2s_q6",
+        )
+        .orderBy("source", "rank")
+    )
+
+
+@register(
+    "events_cusum_anomaly",
+    """WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_num, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY day_num),
+b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM d),
+spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
+f AS (SELECT spine.day_num, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+      FROM spine LEFT JOIN d USING (day_num)),
+t AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS tot FROM f),
+g AS (SELECT f.day_num, f.n, CAST(t.nd * f.n - t.tot AS BIGINT) AS dd, t.nd AS nd
+      FROM f CROSS JOIN t),
+c AS (SELECT day_num, n, nd,
+             CAST(sum(dd) OVER (ORDER BY day_num
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM g),
+s AS (SELECT day_num, n, nd, cum,
+             CAST(least(CAST(0 AS BIGINT), min(cum) OVER (ORDER BY day_num
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS rmin,
+             CAST(greatest(CAST(0 AS BIGINT), max(cum) OVER (ORDER BY day_num
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS rmax
+      FROM c)
+SELECT CAST(day_num AS BIGINT) AS day_num, n,
+       CAST(round(1000000 * ((cum - rmin) / CAST(nd AS DOUBLE))) AS BIGINT) AS cusum_pos_q6,
+       CAST(round(1000000 * ((rmax - cum) / CAST(nd AS DOUBLE))) AS BIGINT) AS cusum_neg_q6
+FROM s ORDER BY day_num""",
+)
+def events_cusum_anomaly(spark, sf_dir):
+    """Page's CUSUM drift detector over daily event counts: S+_t =
+    max(0, S+_{t-1} + (x_t - mean)), S-_t likewise downward — the
+    sustained-shift detector that complements events_daily_anomaly's
+    pointwise z² (a 10-day 10% lift never trips a per-day z but climbs
+    the CUSUM linearly). The recursion is NOT a prefix sum, but it has
+    an exact window form: S+_t = cum_t - min(0, running-min(cum)) and
+    S-_t = max(0, running-max(cum)) - cum_t over the cumulative sum of
+    deviations — two stock windows instead of a sequential loop (the
+    property suite proves the identity against the literal recursion).
+
+    Determinism: deviations are kept integer by scaling through the day
+    count (dd = nd*x - tot, exact BIGINT); the only float op is the
+    final divide-then-round per row. Empty days are zero-filled via the
+    calendar spine so the recursion sees true days (serial_diff rule).
+
+    Scale shape: ONE day groupBy over events (map-side partials); every
+    window runs on calendar-bounded day rows."""
+    ev = _events(spark, sf_dir)
+    d = (
+        ev.groupBy(
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+                "day_num"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()  # bounds + spine join both consume it
+    )
+    b = d.agg(
+        F.min("day_num").cast("long").alias("lo"),
+        F.max("day_num").cast("long").alias("hi"),
+    )
+    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day_num"))
+    f = (
+        spine.join(d, "day_num", "left")
+        .select("day_num", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+        .localCheckpoint()  # census + deviation rows both consume it
+    )
+    t = f.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("n").cast("long").alias("tot"),
+    )
+    g = f.crossJoin(F.broadcast(t)).select(
+        "day_num",
+        "n",
+        (F.col("nd") * F.col("n") - F.col("tot")).cast("long").alias("dd"),
+        "nd",
+    )
+    wc = Window.orderBy("day_num").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        "day_num", "n", "nd", F.sum("dd").over(wc).cast("long").alias("cum")
+    )
+    s = c.select(
+        "day_num",
+        "n",
+        "nd",
+        "cum",
+        F.least(F.lit(0).cast("long"), F.min("cum").over(wc))
+        .cast("long")
+        .alias("rmin"),
+        F.greatest(F.lit(0).cast("long"), F.max("cum").over(wc))
+        .cast("long")
+        .alias("rmax"),
+    )
+    return s.select(
+        F.col("day_num").cast("long").alias("day_num"),
+        "n",
+        F.expr(
+            "CAST(round(1000000 * ((cum - rmin) / CAST(nd AS DOUBLE))) AS BIGINT)"
+        ).alias("cusum_pos_q6"),
+        F.expr(
+            "CAST(round(1000000 * ((rmax - cum) / CAST(nd AS DOUBLE))) AS BIGINT)"
+        ).alias("cusum_neg_q6"),
+    ).orderBy("day_num")
+
+
+# OLS-on-centered-integers shared expressions (inputs: n, sxc, syc, sxx,
+# syy, sxy — exact BIGINTs; every product CAST(x AS DOUBLE)*y from the
+# FIRST multiply, the session-49 rule).
+_TR_COV = "(CAST(n AS DOUBLE) * sxy - CAST(sxc AS DOUBLE) * syc)"
+_TR_VX = "(CAST(n AS DOUBLE) * sxx - CAST(sxc AS DOUBLE) * sxc)"
+_TR_VY = "(CAST(n AS DOUBLE) * syy - CAST(syc AS DOUBLE) * syc)"
+_TR_SLOPE = (
+    f"CASE WHEN n < 2 OR {_TR_VX} = 0e0 THEN CAST(0 AS BIGINT)"
+    f" ELSE CAST(round(1000000 * ({_TR_COV} / {_TR_VX})) AS BIGINT) END"
+)
+_TR_R2 = (
+    f"CASE WHEN n < 2 OR {_TR_VX} = 0e0 OR {_TR_VY} = 0e0 THEN CAST(0 AS BIGINT)"
+    f" ELSE CAST(round(1000000 * ({_TR_COV} * {_TR_COV} / ({_TR_VX} * {_TR_VY})))"
+    f" AS BIGINT) END"
+)
+
+
+@register(
+    "daily_revenue_trend",
+    f"""WITH o AS (
+  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day_num,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+d AS (SELECT day_num, CAST(sum(cents) AS BIGINT) AS cents FROM o GROUP BY day_num),
+b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo FROM d),
+x AS (SELECT CAST(d.day_num - b.lo AS BIGINT) AS x, d.cents AS cents,
+             CAST(d.cents // 100 AS BIGINT) AS y
+      FROM d CROSS JOIN b),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) // greatest(CAST(count(*) AS BIGINT), 1) AS mx,
+             CAST(sum(y) AS BIGINT) // greatest(CAST(count(*) AS BIGINT), 1) AS my
+      FROM x),
+cs AS (SELECT m.n AS n,
+              CAST(sum(x.x - m.mx) AS BIGINT) AS sxc,
+              CAST(sum(x.y - m.my) AS BIGINT) AS syc,
+              CAST(sum((x.x - m.mx) * (x.x - m.mx)) AS BIGINT) AS sxx,
+              CAST(sum((x.y - m.my) * (x.y - m.my)) AS BIGINT) AS syy,
+              CAST(sum((x.x - m.mx) * (x.y - m.my)) AS BIGINT) AS sxy,
+              CAST(sum(x.cents) AS BIGINT) AS toty
+       FROM x CROSS JOIN m GROUP BY m.n)
+SELECT n AS n_days, toty AS revenue_cents,
+       {_TR_SLOPE} AS slope_q6, {_TR_R2} AS r2_q6
+FROM cs""",
+)
+def daily_revenue_trend(spark, sf_dir):
+    """OLS trend of daily order revenue: slope (whole-dollars/day, q6)
+    and R² of revenue regressed on the day index — the one-number "is
+    the business growing and how noisily" readout, and the trend leg
+    that weekly_seasonal_decompose deliberately removes. Two-pass
+    centered sufficient statistics (the numerically-standard OLS form):
+    integer means (floor-div, nonneg so Spark div == DuckDB //), then
+    exact BIGINT sums of centered products; slope/R² are ONE shared
+    float expression over six integers. Stats run on whole dollars
+    (cents // 100) so the squared-deviation envelope fits BIGINT at
+    ~$1e9-per-day deviations over 1e4 days; revenue_cents stays exact.
+
+    Degenerate slates (single day, zero variance) emit the 0 sentinel.
+
+    Scale shape: one day groupBy over orders (map-side partials); the
+    centering pass and census run on calendar-bounded day rows."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+        ).alias("day_num"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    d = (
+        o.groupBy("day_num")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+        .localCheckpoint()  # bounds + stats both consume the day table
+    )
+    b = d.agg(F.min("day_num").cast("long").alias("lo"))
+    x = d.crossJoin(F.broadcast(b)).select(
+        (F.col("day_num") - F.col("lo")).cast("long").alias("x"),
+        "cents",
+        F.expr("CAST(cents div 100 AS BIGINT)").alias("y"),
+    )
+    m = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "CAST(sum(x) AS BIGINT) div greatest(CAST(count(1) AS BIGINT), 1)"
+        ).alias("mx"),
+        F.expr(
+            "CAST(sum(y) AS BIGINT) div greatest(CAST(count(1) AS BIGINT), 1)"
+        ).alias("my"),
+    )
+    cs = (
+        x.crossJoin(F.broadcast(m))
+        .groupBy("n")
+        .agg(
+            F.sum(F.col("x") - F.col("mx")).cast("long").alias("sxc"),
+            F.sum(F.col("y") - F.col("my")).cast("long").alias("syc"),
+            F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx")))
+            .cast("long")
+            .alias("sxx"),
+            F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my")))
+            .cast("long")
+            .alias("syy"),
+            F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
+            .cast("long")
+            .alias("sxy"),
+            F.sum("cents").cast("long").alias("toty"),
+        )
+    )
+    return cs.select(
+        F.col("n").alias("n_days"),
+        F.col("toty").alias("revenue_cents"),
+        F.expr(_TR_SLOPE).alias("slope_q6"),
+        F.expr(_TR_R2).alias("r2_q6"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -22663,6 +22977,8 @@ _FRONT = [
     "abbreviation_law_curve", "norm_doclen_corr", "dedup_loss_by_source",
     # session 72: common-terms query, A/B significance, order gaps
     "common_terms_search", "ab_significance", "order_gap_histogram",
+    # session 73: Dirichlet log-odds terms, CUSUM drift, revenue OLS trend
+    "logodds_terms_source", "events_cusum_anomaly", "daily_revenue_trend",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
