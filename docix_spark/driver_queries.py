@@ -22861,6 +22861,345 @@ def daily_revenue_trend(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 74 — local clustering histogram, graded NDCG, variable-width
+# value buckets (ES variable_width_histogram as deterministic 1-D k-means)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lsh_clustering_histogram",
+    _SQL_LSH_PAIRS
+    + """,
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b FROM pairs)
+        GROUP BY v),
+tri3 AS (SELECT p1.doc_a AS v1, p1.doc_b AS v2, p2.doc_b AS v3
+         FROM pairs p1 JOIN pairs p2 ON p2.doc_a = p1.doc_b
+         JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+tv AS (SELECT v, CAST(count(*) AS BIGINT) AS t
+       FROM (SELECT v1 AS v FROM tri3 UNION ALL SELECT v2 FROM tri3
+             UNION ALL SELECT v3 FROM tri3)
+       GROUP BY v),
+cc AS (SELECT deg.v, deg.d, CAST(COALESCE(tv.t, 0) AS BIGINT) AS t
+       FROM deg LEFT JOIN tv USING (v)),
+bk AS (SELECT CASE WHEN d < 2 THEN -1
+              ELSE least(((2000000 * t) // (d * (d - 1))) // 100000, 9)
+              END AS bucket
+       FROM cc),
+h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_nodes FROM bk GROUP BY bucket),
+spine AS (SELECT unnest(generate_series(-1, 9)) AS bucket)
+SELECT CAST(spine.bucket AS BIGINT) AS bucket,
+       CAST(COALESCE(h.n_nodes, 0) AS BIGINT) AS n_nodes
+FROM spine LEFT JOIN h USING (bucket) ORDER BY bucket""",
+)
+def lsh_clustering_histogram(spark, sf_dir):
+    """Per-node local clustering coefficient histogram of the LSH
+    candidate graph: c_v = 2·t_v / (d_v(d_v−1)) bucketed into deciles
+    (bucket −1 = degree-1 nodes where c is undefined) — the NODE-level
+    refinement of lsh_triangle_count's single global transitivity. A
+    dup graph should be bimodal (tight clique members at c≈1, bridge
+    false-positives at c≈0); a flat histogram means the banding
+    threshold is admitting chains — the third panel of the dedup tuning
+    triptych after the degree histogram and candidate precision.
+
+    Determinism: c is the exact integer division (2e6·t) div (d(d−1))
+    floored to deciles (both engines truncate nonnegatives
+    identically); c = 1 lands in bucket 9 via least(·, 9).
+
+    Scale shape: per-node triangle counts come from the degree-ordered
+    oriented wedge join (the lsh_triangle_count bound — Σ outdeg²
+    candidates, one apex per triangle) then exploding each triangle to
+    its 3 members; everything downstream is node-keyed aggs. The
+    DuckDB oracle uses the id-ordered triple join instead — fine at
+    oracle scale, never the Spark plan."""
+    edges = _lsh_pair_edges(spark, sf_dir)  # symmetric, checkpointed
+    pairs = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    da = deg.select(F.col("src").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("src").alias("b"), F.col("d").alias("db"))
+    wd = pairs.join(da, "a").join(db, "b")
+    out = wd.select(
+        F.when(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        )
+        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+        .alias("e")
+    ).select("e.u", "e.v")
+    e1 = out.select(F.col("u"), F.col("v").alias("x"))
+    e2 = out.select(F.col("u"), F.col("v").alias("y"))
+    cand = (
+        e1.join(e2, "u")
+        .where(F.col("x") < F.col("y"))
+        .select("u", F.col("x").alias("a"), F.col("y").alias("b"))
+    )
+    tri = cand.join(pairs, ["a", "b"], "left_semi")
+    mem = (
+        tri.select(F.col("u").alias("v"))
+        .unionByName(tri.select(F.col("a").alias("v")))
+        .unionByName(tri.select(F.col("b").alias("v")))
+    )
+    tv = mem.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    nodes = deg.select(F.col("src").alias("v"), "d")
+    cc = nodes.join(tv, "v", "left").select(
+        "d", F.coalesce("t", F.lit(0)).cast("long").alias("t")
+    )
+    bk = cc.select(
+        F.expr(
+            "CASE WHEN d < 2 THEN -1"
+            " ELSE least(((2000000 * t) div (d * (d - 1))) div 100000, 9) END"
+        ).alias("bucket")
+    )
+    h = bk.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    spine = spark.range(-1, 10).select(F.col("id").alias("bucket"))
+    return (
+        spine.join(h, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_nodes"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_NDCG_TERMS = ["dup", "spark"]
+# q9 integer rank discounts round(1e9 / log2(r+1)) folded in Python so both
+# engines sum EXACT BIGINTs — a per-row float discount would make the DCG a
+# float sum whose order differs between engines.
+_NDCG_W = {r: round(1e9 / math.log2(r + 1)) for r in range(1, 11)}
+
+
+def _ndcg_w_case(col: str) -> str:
+    whens = " ".join(f"WHEN {r} THEN {w}" for r, w in _NDCG_W.items())
+    return f"CASE {col} {whens} ELSE 0 END"
+
+
+@register(
+    "ndcg_eval",
+    _bm25_agg_ctes(_NDCG_TERMS)
+    + f""",
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rnk
+  FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 10),
+rel AS (
+  SELECT doc_id,
+         CAST(CASE least(count(*), 3) WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END
+              AS BIGINT) AS gain
+  FROM ({SQL_TOKS}) WHERE term = 'dup' GROUP BY doc_id),
+dcg AS (
+  SELECT CAST(COALESCE(sum(COALESCE(rel.gain, 0) * ({_ndcg_w_case("ranked.rnk")})), 0)
+              AS BIGINT) AS dcg
+  FROM ranked LEFT JOIN rel USING (doc_id)),
+ideal AS (
+  SELECT gain, rnk FROM (
+    SELECT gain, row_number() OVER (ORDER BY gain DESC, doc_id ASC) AS rnk
+    FROM rel) WHERE rnk <= 10),
+idcg AS (SELECT CAST(COALESCE(sum(gain * ({_ndcg_w_case("rnk")})), 0) AS BIGINT) AS idcg
+         FROM ideal)
+SELECT dcg.dcg AS dcg_wq9, idcg.idcg AS idcg_wq9,
+       CASE WHEN idcg.idcg = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(round(1000000 * (CAST(dcg.dcg AS DOUBLE) / idcg.idcg)) AS BIGINT)
+       END AS ndcg_q6
+FROM dcg, idcg""",
+)
+def ndcg_eval(spark, sf_dir):
+    """NDCG@10 of the BM25 ranking against GRADED relevance — the metric
+    rank_eval's binary P@10/MRR can't express (a rank-1 marginally-
+    relevant doc and a rank-1 perfect doc score identically under P@10;
+    NDCG separates them). Grades: tf of the rare judgment term 'dup'
+    capped at 3; gains 2^g − 1 (the web-search convention); discounts
+    1/log2(rank+1) folded to q9 INTEGERS in Python (the _HLL_C
+    constant-folding rule) so DCG and IDCG are exact BIGINT sums — the
+    only float op is the final dcg/idcg division.
+
+    Scale shape: the ranked page is the usual TakeOrdered top-10; IDCG
+    ranks the judgment set (human-sized by nature); both windows run on
+    ≤judgment-set rows."""
+    agg = _bm25_match_set(spark, sf_dir, _NDCG_TERMS)
+    top10 = agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
+    ranked = top10.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))),
+    ).select("doc_id", "rnk")
+    rel = (
+        _toks(_docs(spark, sf_dir))
+        .where(F.col("term") == "dup")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(CASE least(c, 3) WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END"
+                " AS BIGINT)"
+            ).alias("gain"),
+        )
+    )
+    dcg = (
+        ranked.join(rel, "doc_id", "left")
+        .select(
+            (
+                F.coalesce("gain", F.lit(0)) * F.expr(_ndcg_w_case("rnk"))
+            ).alias("term_w")
+        )
+        .agg(F.coalesce(F.sum("term_w"), F.lit(0)).cast("long").alias("dcg_wq9"))
+    )
+    ideal = (
+        rel.orderBy(F.desc("gain"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("gain"), F.asc("doc_id"))),
+        )
+    )
+    idcg = ideal.select(
+        (F.col("gain") * F.expr(_ndcg_w_case("rnk"))).alias("term_w")
+    ).agg(F.coalesce(F.sum("term_w"), F.lit(0)).cast("long").alias("idcg_wq9"))
+    return dcg.crossJoin(idcg).select(
+        "dcg_wq9",
+        "idcg_wq9",
+        F.expr(
+            "CASE WHEN idcg_wq9 = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(round(1000000 * (CAST(dcg_wq9 AS DOUBLE) / idcg_wq9))"
+            " AS BIGINT) END"
+        ).alias("ndcg_q6"),
+    )
+
+
+# ES variable_width_histogram — deterministic 1-D k-means (k=4, 2 Lloyd
+# rounds). The shared assignment rule: sorted centroids make
+# nearest-centroid equivalent to midpoint thresholds, ties to the LOWER
+# cluster via 2x <= c_i + c_{i+1} (exact integer compares, no |x−c| floats).
+_VWH_CASE = (
+    "CASE WHEN 2 * x <= {b01} THEN 0 WHEN 2 * x <= {b12} THEN 1"
+    " WHEN 2 * x <= {b23} THEN 2 ELSE 3 END"
+)
+
+
+def _vwh_sql() -> str:
+    """Generated oracle (the _pq_sql rule — scales/tiebreaks live in ONE
+    place): init centroids on the [lo, hi] spread, two unrolled Lloyd
+    rounds with sum-as-mean integer updates, empty clusters keep their
+    centroid."""
+    parts = [
+        """WITH o AS MATERIALIZED (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+bnd AS (SELECT CAST(min(x) AS BIGINT) AS lo, CAST(max(x) AS BIGINT) AS hi FROM o),
+p0 AS (SELECT lo + (1 * (hi - lo)) // 8 AS c0, lo + (3 * (hi - lo)) // 8 AS c1,
+              lo + (5 * (hi - lo)) // 8 AS c2, lo + (7 * (hi - lo)) // 8 AS c3
+       FROM bnd)"""
+    ]
+    for r in range(1, 3):
+        case = _VWH_CASE.format(b01="(c0 + c1)", b12="(c1 + c2)", b23="(c2 + c3)")
+        parts.append(
+            f"""a{r} AS (SELECT x, {case} AS k FROM o, p{r - 1}),
+s{r} AS (SELECT k, CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+         FROM a{r} GROUP BY k),
+p{r} AS (SELECT
+  COALESCE((SELECT s.s // s.n FROM s{r} s WHERE s.k = 0), (SELECT c0 FROM p{r - 1})) AS c0,
+  COALESCE((SELECT s.s // s.n FROM s{r} s WHERE s.k = 1), (SELECT c1 FROM p{r - 1})) AS c1,
+  COALESCE((SELECT s.s // s.n FROM s{r} s WHERE s.k = 2), (SELECT c2 FROM p{r - 1})) AS c2,
+  COALESCE((SELECT s.s // s.n FROM s{r} s WHERE s.k = 3), (SELECT c3 FROM p{r - 1})) AS c3)"""
+        )
+    case = _VWH_CASE.format(b01="(c0 + c1)", b12="(c1 + c2)", b23="(c2 + c3)")
+    parts.append(
+        f"""a3 AS (SELECT x, {case} AS k FROM o, p2),
+s3 AS (SELECT k, CAST(count(*) AS BIGINT) AS n, CAST(min(x) AS BIGINT) AS mn,
+              CAST(max(x) AS BIGINT) AS mx
+       FROM a3 GROUP BY k),
+spine AS (SELECT unnest(generate_series(0, 3)) AS k),
+cent AS (SELECT 0 AS k, c0 AS c FROM p2 UNION ALL SELECT 1, c1 FROM p2
+         UNION ALL SELECT 2, c2 FROM p2 UNION ALL SELECT 3, c3 FROM p2)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT CAST(spine.k AS BIGINT) AS bucket,
+       CAST(COALESCE(s3.n, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(s3.mn, -1) AS BIGINT) AS min_c,
+       CAST(COALESCE(s3.mx, -1) AS BIGINT) AS max_c,
+       CAST(cent.c AS BIGINT) AS centroid_c
+FROM spine LEFT JOIN s3 ON s3.k = spine.k JOIN cent ON cent.k = spine.k
+ORDER BY bucket"""
+    )
+
+
+@register("value_kmeans_buckets", _vwh_sql())
+def value_kmeans_buckets(spark, sf_dir):
+    """ES ``variable_width_histogram`` over order values: k=4 buckets
+    whose boundaries ADAPT to the value distribution via deterministic
+    1-D k-means (evenly-spread init on [lo, hi], two Lloyd rounds) —
+    the agg ES ships for skewed money/value fields where fixed-width
+    histograms put 99% of rows in bin 0. Emits per-bucket count,
+    min/max (−1 sentinels when empty) and the final centroid.
+
+    Determinism: exact cents; assignment is the shared _VWH_CASE
+    midpoint-threshold rule (nearest centroid for sorted centroids,
+    ties to the lower cluster — Lloyd preserves centroid order in 1-D);
+    centroid updates are sum-div-count floor divisions (nonneg, so
+    Spark div == DuckDB //); empty clusters keep their centroid.
+
+    Scale shape: per round, ONE map-side assignment expression (the
+    4 centroids are driver literals — the embedding_power_iteration
+    bounded-collect rule, 4 values per round, never a data-sized
+    collect) feeding a ≤4-group agg; no joins, no windows over data."""
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("x"))
+        .localCheckpoint()  # 3 assignment passes reuse the cents column
+    )
+    b = o.agg(
+        F.min("x").cast("long").alias("lo"), F.max("x").cast("long").alias("hi")
+    ).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+    cents = [lo + ((2 * i + 1) * (hi - lo)) // 8 for i in range(4)]
+    for _ in range(2):
+        case = _VWH_CASE.format(
+            b01=cents[0] + cents[1], b12=cents[1] + cents[2], b23=cents[2] + cents[3]
+        )
+        rows = (
+            o.select(F.expr(case).alias("k"), "x")
+            .groupBy("k")
+            .agg(F.sum("x").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        )
+        got = {r["k"]: (r["s"], r["n"]) for r in rows}
+        cents = [
+            got[i][0] // got[i][1] if i in got and got[i][1] else cents[i]
+            for i in range(4)
+        ]
+    case = _VWH_CASE.format(
+        b01=cents[0] + cents[1], b12=cents[1] + cents[2], b23=cents[2] + cents[3]
+    )
+    s3 = (
+        o.select(F.expr(case).alias("bucket"), "x")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("x").cast("long").alias("mn"),
+            F.max("x").cast("long").alias("mx"),
+        )
+    )
+    spine = spark.range(4).select(F.col("id").alias("bucket"))
+    cent_case = " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(cents))
+    return (
+        spine.join(s3, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("mn", F.lit(-1)).cast("long").alias("min_c"),
+            F.coalesce("mx", F.lit(-1)).cast("long").alias("max_c"),
+            F.expr(f"CAST(CASE bucket {cent_case} END AS BIGINT)").alias(
+                "centroid_c"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -22979,6 +23318,9 @@ _FRONT = [
     "common_terms_search", "ab_significance", "order_gap_histogram",
     # session 73: Dirichlet log-odds terms, CUSUM drift, revenue OLS trend
     "logodds_terms_source", "events_cusum_anomaly", "daily_revenue_trend",
+    # session 74: clustering-coefficient histogram, graded NDCG, adaptive
+    # value buckets
+    "lsh_clustering_histogram", "ndcg_eval", "value_kmeans_buckets",
     # session 46: Q12 deck-completion, cohort revenue, quality scores,
     # binary-hamming ANN
     "shipmode_priority_counts", "events_cohort_revenue", "readability_flesch",
