@@ -698,3 +698,64 @@ def top_metrics_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership bits over the event stream's users
+# ---------------------------------------------------------------------------
+
+
+def _bloom_user_positions(events: DataFrame) -> DataFrame:
+    # k=4 16-bit positions from disjoint md5 hex slices of the user id —
+    # the decontamination_bloom construction pointed at users; m = 2^16.
+    slices = ", ".join(
+        f"cast(conv(substring(md5(cast(user_id as string)), {s}, 4), 16, 10) as int)"
+        for s in (1, 5, 9, 13)
+    )
+    return events.select(F.explode(F.expr(f"array({slices})")).alias("pos"))
+
+
+def bloom_user_bits(events: DataFrame) -> DataFrame:
+    """Batch twin: the set-bit table of the user Bloom filter. Bits merge
+    by OR (presence is idempotent), so the bit table over a union of
+    drops is the union of per-drop tables — which is why the streaming
+    side maintains the identical table as a running aggregation whose
+    state is <= 65 536 rows regardless of stream length, and why
+    duplicate user_ids need no distinct pass anywhere."""
+    return (
+        _bloom_user_positions(events)
+        .groupBy("pos")
+        .agg(F.max(F.lit(1)).cast("long").alias("hit"))
+        .select(F.col("pos").cast("long").alias("pos"), "hit")
+        .orderBy("pos")
+    )
+
+
+def bloom_user_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "events_bloom",
+):
+    """Streaming Bloom-filter maintenance: the set-bit table as a
+    COMPLETE-mode running aggregation — the fourth mergeable-state
+    flavor next to CMS (sum-merge), HLL (max-merge) and top-metrics
+    (argmax-merge): Bloom bits OR-merge, the idempotent one. The live
+    use is streaming novelty ("have we seen this user") with bounded
+    state: membership probes read k=4 cells, and the bit count feeds
+    the standard -m/k ln(1-t/m) cardinality estimate
+    (driver_queries.bloom_user_estimate is the summary twin)."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(input_dir)
+    bits = _bloom_user_positions(stream).groupBy("pos").agg(
+        F.max(F.lit(1)).cast("long").alias("hit")
+    )
+    return (
+        bits.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

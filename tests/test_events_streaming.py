@@ -439,3 +439,44 @@ def test_top_metrics_stream_equals_batch(spark, event_drops, tmp_root):
         for r in REGISTRY["top_metrics_latest"].fn(spark, SF_DIR).collect()
     )
     assert reg == want
+
+
+def test_bloom_stream_equals_batch_bits(spark, event_drops, tmp_root):
+    """The streaming-maintained Bloom bit table (complete-mode running
+    agg, <= 65 536 rows of bounded state) must equal the batch twin's
+    bit table exactly after the availableNow drain — OR-mergeability
+    (idempotent presence) is the property the operator exists to
+    demonstrate, the fourth flavor after CMS-sum, HLL-max and
+    top-metrics-argmax."""
+    from docix_spark.streaming.events import bloom_user_bits, bloom_user_stream
+
+    q = bloom_user_stream(
+        spark, event_drops, f"{tmp_root}/bloom_ckpt", query_name="t_ev_bloom"
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.pos, r.hit) for r in spark.sql("SELECT * FROM t_ev_bloom").collect()
+    )
+    want = sorted(
+        (r.pos, r.hit)
+        for r in bloom_user_bits(
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ).collect()
+    )
+    assert got == want and len(want) > 10
+    assert len(got) <= 65536
+    # membership property: every real user's 4 positions are all set
+    import hashlib
+
+    bits = {p for p, _ in got}
+    users = [
+        r.user_id
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .collect()
+    ]
+    for u in users:
+        h = hashlib.md5(str(u).encode()).hexdigest()
+        for s in (0, 4, 8, 12):
+            assert int(h[s : s + 4], 16) in bits
