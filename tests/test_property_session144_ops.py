@@ -1,9 +1,7 @@
 """Property-based semantics checks for the session-144 operators.
 
-Models: lag-1/2/7 Pearson autocorrelation on the zero-filled day spine
-(brute-force pair stats + the shared float expression), per-source
-char-bigram entropy (q6-per-cell model), and the size-price rollup.
-DuckDB-only (ms per example).
+Models: per-source char-bigram entropy (q6-per-cell model) and the
+size-price rollup. DuckDB-only (ms per example).
 """
 
 from __future__ import annotations
@@ -24,62 +22,6 @@ def _round_away(v: float) -> int:
 
 
 _D0 = datetime.datetime(1996, 3, 1)
-
-
-def _corr_q6(pairs: list[tuple[int, int]]) -> int:
-    n = len(pairs)
-    sx = sum(x for x, _ in pairs)
-    sy = sum(y for _, y in pairs)
-    sxx = sum(x * x for x, _ in pairs)
-    syy = sum(y * y for _, y in pairs)
-    sxy = sum(x * y for x, y in pairs)
-    if n < 2 or n * sxx == sx * sx or n * syy == sy * sy:
-        return 0
-    num = float(n) * sxy - float(sx) * sy
-    den = math.sqrt(float(n) * sxx - float(sx) * sx) * math.sqrt(
-        float(n) * syy - float(sy) * sy
-    )
-    return _round_away(1000000 * (num / den))
-
-
-@settings(max_examples=35, deadline=None)
-@given(
-    days=st.lists(
-        st.tuples(
-            st.integers(min_value=0, max_value=30),
-            st.integers(min_value=1, max_value=9),
-        ),
-        min_size=1,
-        max_size=40,
-    )
-)
-def test_daily_autocorr_matches_model(days):
-    rows = []
-    eid = 0
-    for d, k in days:
-        for _ in range(k):
-            rows.append((eid, _D0 + datetime.timedelta(days=d, hours=eid % 20)))
-            eid += 1
-    con = duckdb.connect()
-    con.register(
-        "events",
-        pd.DataFrame({"event_id": [r[0] for r in rows], "ts": [r[1] for r in rows]}),
-    )
-    got = {r[0]: (r[1], r[2]) for r in con.execute(REGISTRY["daily_count_autocorr"].sql).fetchall()}
-
-    per_day: dict[int, int] = {}
-    for d, k in days:
-        per_day[d] = per_day.get(d, 0) + k
-    lo, hi = min(per_day), max(per_day)
-    series = [per_day.get(d, 0) for d in range(lo, hi + 1)]
-    model = {}
-    for k in (1, 2, 7):
-        pairs = [
-            (series[i], series[i - k]) for i in range(k, len(series))
-        ]
-        if pairs:
-            model[k] = (len(pairs), _corr_q6(pairs))
-    assert got == model
 
 
 _word = st.sampled_from(["spark", "héllo", "ab", "zq", "データ", "x"])

@@ -2,8 +2,8 @@
 
 Models: sign-LSH calibration (band-collision candidates, 16-bit
 signatures, normalize-once fold dots with the float32 round-trip and
-left-to-right accumulation — the session-22 rules), the auto date
-histogram ladder, and Yule's K. DuckDB-only (ms per example).
+left-to-right accumulation — the session-22 rules) and the order-2
+Markov table. DuckDB-only (ms per example).
 """
 
 from __future__ import annotations
@@ -98,45 +98,7 @@ def test_signlsh_calibration_matches_model(vecs):
     assert got == model
 
 
-_LADDER = [3_600_000_000, 86_400_000_000, 604_800_000_000, 2_592_000_000_000]
 _D0 = datetime.datetime(1996, 3, 1)
-_EPOCH = datetime.datetime(1970, 1, 1)
-
-
-@settings(max_examples=35, deadline=None)
-@given(
-    offs=st.lists(
-        st.tuples(
-            st.integers(min_value=0, max_value=400),
-            st.integers(min_value=0, max_value=23),
-        ),
-        min_size=1,
-        max_size=30,
-    )
-)
-def test_auto_date_histogram_matches_model(offs):
-    ts = [_D0 + datetime.timedelta(days=d, hours=h) for d, h in offs]
-    con = duckdb.connect()
-    con.register(
-        "events",
-        pd.DataFrame({"event_id": range(len(ts)), "ts": ts}),
-    )
-    got = con.execute(REGISTRY["auto_date_histogram_events"].sql).fetchall()
-
-    us = [int((t - _EPOCH).total_seconds() * 1e6) for t in ts]
-    lo, hi = min(us), max(us)
-    interval = _LADDER[-1]
-    for iv in _LADDER[:-1]:
-        if hi // iv - lo // iv + 1 <= 50:
-            interval = iv
-            break
-    buckets: dict[int, int] = {}
-    for u in us:
-        buckets[u // interval] = buckets.get(u // interval, 0) + 1
-    model = [(interval, b, n) for b, n in sorted(buckets.items())]
-    assert got == model
-
-
 _etype = st.sampled_from(["view", "click", "purchase"])
 
 
