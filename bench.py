@@ -394,7 +394,16 @@ def main() -> None:
                  "abbreviation_law_curve", "norm_doclen_corr",
                  "dedup_loss_by_source",
                  "common_terms_search", "ab_significance",
-                 "order_gap_histogram"]:
+                 "order_gap_histogram",
+                 # round-4 late-session flagships
+                 "mmr_rerank", "blocking_strategy_compare",
+                 "watermark_drop_curve", "orders_value_recency_skyline",
+                 "ann_recall_by_scancost", "signlsh_calibration_curve",
+                 "balanced_interleaving_eval", "daily_hurst_estimate",
+                 "join_histogram_estimate", "kmv_distinct_estimate",
+                 "blockmax_tightness_curve", "rle_run_census",
+                 "ann_mutual_knn", "semdedup_threshold_histogram",
+                 "postings_roaring_estimate"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)
