@@ -1,0 +1,45 @@
+"""Plan-quality guard: no sampled registry operator may compile to a
+CartesianProduct. Every cross join in the codebase is a 1-row/broadcast
+scalar fan (which Spark plans as BroadcastNestedLoopJoin) or a keyed
+join — an actual CartesianProduct in any plan means a join condition
+was lost (the classic silent O(N²) regression). Plans are BUILT, not
+executed, so the whole sample stays cheap."""
+
+from __future__ import annotations
+
+import pytest
+
+from docix_spark.driver_queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# A deliberate cross-section: search, ANN, dedup, events, relational,
+# window-heavy, two-pass-sharded, and scalar-fan ops.
+SAMPLE = [
+    "bm25_topk", "composite_search", "rescore_topn", "mmr_rerank",
+    "balanced_interleaving_eval", "rank_feature_search",
+    "ann_ivf_batch", "ann_recall_by_scancost", "ann_mutual_knn",
+    "semdedup", "semdedup_threshold_histogram", "minhash_lsh_pairs",
+    "blocking_strategy_compare", "lsh_candidate_recall",
+    "dedup_connected_components", "dedup_df_shift_topk",
+    "pack_sequences", "pack_sequences_split", "global_row_ids",
+    "watermark_drop_curve", "rle_run_census",
+    "orders_value_recency_skyline",
+    "events_sessionize", "events_funnel", "midnight_crossing_sessions",
+    "events_daily_envelope", "daily_hurst_estimate", "idle_hours_census",
+    "orders_nation_revenue", "large_orders_topk", "join_histogram_estimate",
+    "nation_trade_balance", "simpson_check_discount",
+    "salting_effect_curve", "ab_power_table", "peak_day_concentration",
+    "kmv_distinct_estimate", "hash_coordinate_uniformity",
+    "blockmax_tightness_curve", "postings_roaring_estimate",
+]
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_no_cartesian_product(spark, name):
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, (
+        f"{name}: plan contains a CartesianProduct — a join condition was "
+        f"lost somewhere in the op's chain"
+    )
