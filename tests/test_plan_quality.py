@@ -32,6 +32,13 @@ SAMPLE = [
     "salting_effect_curve", "ab_power_table", "peak_day_concentration",
     "kmv_distinct_estimate", "hash_coordinate_uniformity",
     "blockmax_tightness_curve", "postings_roaring_estimate",
+    # late-round additions
+    "attribution_model_compare", "kmv_union_estimate",
+    "blocking_strategy_compare", "quality_gate_kappa",
+    "order_ship_month_matrix", "lifetime_entry_exit_matrix",
+    "resurrected_conversion_rate", "type_share_volatility",
+    "first_order_ltv_corr", "brand_loyalty_histogram",
+    "purchase_streak_histogram", "half_mass_window",
 ]
 
 
