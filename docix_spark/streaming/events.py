@@ -759,3 +759,72 @@ def bloom_user_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# k-mins (per-register minimum hash) cardinality sketch over the stream
+# ---------------------------------------------------------------------------
+
+
+def _kmins_user_values(events: DataFrame) -> DataFrame:
+    # 52-bit md5 hash seeded 'km:' (hash-input disjointness from the HLL
+    # and bloom coordinates) -> register = h % 32, value = h div 32
+    # (47 uniform bits) — the stochastic-averaging k-mins layout.
+    return events.select(
+        F.expr(
+            "cast(conv(substring(md5(concat('km:', cast(user_id as string))), 1, 13),"
+            " 16, 10) as bigint)"
+        ).alias("h")
+    ).select(
+        F.expr("h % 32").alias("reg"),
+        F.expr("h div 32").alias("v"),
+    )
+
+
+def kmins_user_cells(events: DataFrame) -> DataFrame:
+    """Batch twin: the 32-register minimum-hash table of distinct-user
+    structure (Flajolet/Cohen k-mins with stochastic averaging — each
+    register keeps the SMALLEST 47-bit hash value routed to it).
+    Registers merge by MIN — the table over a union of drops is the
+    register-wise min of per-drop tables — so the streaming side
+    maintains the identical table as a running aggregation with <= 32
+    rows of state, and duplicate user_ids need no distinct pass. The
+    k(k-1)·2^47/Σmin estimator lives in
+    driver_queries.kmins_user_estimate (the accuracy-audit twin)."""
+    return (
+        _kmins_user_values(events)
+        .groupBy("reg")
+        .agg(F.min("v").cast("long").alias("minv"))
+        .select(F.col("reg").cast("long").alias("reg"), "minv")
+        .orderBy("reg")
+    )
+
+
+def kmins_user_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "events_kmins",
+):
+    """Streaming k-mins maintenance: the register-minimum table as a
+    COMPLETE-mode running MIN-aggregation — the FIFTH mergeable-state
+    flavor next to CMS (sum), HLL (max), top-metrics (argmax) and Bloom
+    (OR): per-register minima MIN-merge, idempotent and commutative, so
+    replayed or reordered file drops cannot change the answer. Contrast
+    the bottom-k (KMV) sketch, which is NOT a running aggregation — its
+    k smallest values interact across rows — while the k-mins register
+    layout is exactly groupBy(reg).min(v) with bounded state."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(input_dir)
+    cells = _kmins_user_values(stream).groupBy("reg").agg(
+        F.min("v").cast("long").alias("minv")
+    )
+    return (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -480,3 +480,44 @@ def test_bloom_stream_equals_batch_bits(spark, event_drops, tmp_root):
         h = hashlib.md5(str(u).encode()).hexdigest()
         for s in (0, 4, 8, 12):
             assert int(h[s : s + 4], 16) in bits
+
+
+def test_kmins_stream_equals_batch_cells(spark, event_drops, tmp_root):
+    """The streaming-maintained k-mins register table (complete-mode
+    running MIN agg, <= 32 rows of state) must equal the batch twin's
+    table exactly after the availableNow drain — MIN-mergeability
+    (idempotent, commutative) is the property the operator exists to
+    demonstrate, the fifth flavor after CMS-sum, HLL-max,
+    top-metrics-argmax and Bloom-OR."""
+    from docix_spark.streaming.events import kmins_user_cells, kmins_user_stream
+
+    q = kmins_user_stream(
+        spark, event_drops, f"{tmp_root}/kmins_ckpt", query_name="t_ev_kmins"
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.reg, r.minv) for r in spark.sql("SELECT * FROM t_ev_kmins").collect()
+    )
+    want = sorted(
+        (r.reg, r.minv)
+        for r in kmins_user_cells(
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ).collect()
+    )
+    assert got == want and 1 <= len(got) <= 32
+    # exact model: per-register minimum of the seeded 52-bit hashes
+    import hashlib
+
+    users = {
+        r.user_id
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    model = {}
+    for u in users:
+        h = int(hashlib.md5(f"km:{u}".encode()).hexdigest()[:13], 16)
+        reg, v = h % 32, h // 32
+        model[reg] = min(model.get(reg, v), v)
+    assert got == sorted(model.items())
