@@ -403,7 +403,12 @@ def main() -> None:
                  "join_histogram_estimate", "kmv_distinct_estimate",
                  "blockmax_tightness_curve", "rle_run_census",
                  "ann_mutual_knn", "semdedup_threshold_histogram",
-                 "postings_roaring_estimate"]:
+                 "postings_roaring_estimate",
+                 # sessions 197-206 flagships
+                 "runtime_filter_benefit", "tiered_index_plan",
+                 "minhash_collision_calibration", "weighted_jaccard_pairs",
+                 "linkage_mu_weights", "batch_exposure_fairness",
+                 "theil_sen_daily_trend", "cep_pattern_match"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -39,6 +39,14 @@ SAMPLE = [
     "resurrected_conversion_rate", "type_share_volatility",
     "first_order_ltv_corr", "brand_loyalty_histogram",
     "purchase_streak_histogram", "half_mass_window",
+    # sessions 197-206
+    "runtime_filter_benefit", "km_conversion_survival",
+    "zorder_pruning_estimate", "tiered_index_plan", "lfu_cache_hit_curve",
+    "user_runs_test", "filter_order_advisor", "stream_state_size_curve",
+    "linkage_mu_weights", "ab_sprt_curve", "minhash_collision_calibration",
+    "theil_sen_daily_trend", "cep_pattern_match", "part_name_fuzzy_pairs",
+    "switchback_readout", "weighted_jaccard_pairs", "date_partition_advisor",
+    "batch_exposure_fairness",
 ]
 
 
