@@ -828,3 +828,64 @@ def kmins_user_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# log-bucket value histogram (streaming quantile sketch) over purchase values
+# ---------------------------------------------------------------------------
+
+
+def _value_log_buckets(events: DataFrame) -> DataFrame:
+    # purchase cents -> log2 bucket via the integer-exact length(bin()) idiom;
+    # zero/negative-cent rows clamp to bucket 0
+    return events.where(F.col("event_type") == "purchase").select(
+        F.expr(
+            "CAST(length(bin(greatest(CAST(round(value * 100) AS BIGINT), 1))) - 1"
+            " AS BIGINT)"
+        ).alias("bucket")
+    )
+
+
+def value_hist_cells(events: DataFrame) -> DataFrame:
+    """Batch twin: the log2-bucket count table of purchase values — a
+    fixed-boundary quantile SKETCH whose cells merge by SUM, so the
+    streaming side maintains the identical table as a running
+    aggregation with <= ~48 rows of state no matter how many purchases
+    flow. The percentile estimator (interpolate inside the containing
+    bucket) lives in driver_queries.logbucket_quantile_estimate, which
+    also audits it against the exact quantile."""
+    return (
+        _value_log_buckets(events)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def value_hist_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "events_vhist",
+):
+    """Streaming quantile-sketch maintenance: the log-bucket histogram as
+    a COMPLETE-mode running SUM aggregation — the sketch family's
+    QUANTILE member next to CMS (frequencies), HLL/k-mins (cardinality),
+    Bloom (membership) and top-metrics (argmax): fixed boundaries make
+    the cells mergeable where data-dependent structures (t-digest)
+    are not order-insensitive, and any percentile is answerable from
+    bounded state at log2-bucket resolution."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(input_dir)
+    cells = _value_log_buckets(stream).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -521,3 +521,39 @@ def test_kmins_stream_equals_batch_cells(spark, event_drops, tmp_root):
         reg, v = h % 32, h // 32
         model[reg] = min(model.get(reg, v), v)
     assert got == sorted(model.items())
+
+
+def test_value_hist_stream_equals_batch_cells(spark, event_drops, tmp_root):
+    """The streaming-maintained log-bucket value histogram (complete-mode
+    running SUM agg, <= ~48 rows of state) must equal the batch twin
+    exactly after the availableNow drain — the sketch family's QUANTILE
+    member: fixed boundaries are what make the cells mergeable and
+    replay-insensitive where data-dependent digests are not."""
+    from docix_spark.streaming.events import value_hist_cells, value_hist_stream
+
+    q = value_hist_stream(
+        spark, event_drops, f"{tmp_root}/vhist_ckpt", query_name="t_ev_vhist"
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.bucket, r.n) for r in spark.sql("SELECT * FROM t_ev_vhist").collect()
+    )
+    want = sorted(
+        (r.bucket, r.n)
+        for r in value_hist_cells(
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ).collect()
+    )
+    assert got == want and len(got) >= 1
+    # exact model: log2 buckets of purchase cents
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where("event_type = 'purchase'")
+        .selectExpr("CAST(round(value * 100) AS BIGINT) AS c")
+        .collect()
+    )
+    model = {}
+    for r in rows:
+        b = max(r.c, 1).bit_length() - 1
+        model[b] = model.get(b, 0) + 1
+    assert got == sorted(model.items())
