@@ -408,7 +408,11 @@ def main() -> None:
                  "runtime_filter_benefit", "tiered_index_plan",
                  "minhash_collision_calibration", "weighted_jaccard_pairs",
                  "linkage_mu_weights", "batch_exposure_fairness",
-                 "theil_sen_daily_trend", "cep_pattern_match"]:
+                 "theil_sen_daily_trend", "cep_pattern_match",
+                 # sessions 207-222 flagships
+                 "ann_adaptive_nprobe_eval", "bbit_minhash_estimate",
+                 "systematic_pps_sample", "part_abc_xyz_matrix",
+                 "learned_index_error", "degree_powerlaw_xmin"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -47,6 +47,16 @@ SAMPLE = [
     "theil_sen_daily_trend", "cep_pattern_match", "part_name_fuzzy_pairs",
     "switchback_readout", "weighted_jaccard_pairs", "date_partition_advisor",
     "batch_exposure_fairness",
+    # sessions 207-222
+    "err_eval", "markov_steps_to_purchase", "systematic_pps_sample",
+    "wasserstein_length_pairs", "fusion_headroom_eval",
+    "equidepth_selectivity_estimate", "bbit_minhash_estimate",
+    "best_split_changepoint", "quality_gate_pr_auc",
+    "ann_adaptive_nprobe_eval", "gate_shapley_attribution",
+    "quality_stump_threshold", "brand_pvm_bridge", "part_abc_xyz_matrix",
+    "bandit_greedy_replay", "learned_index_error",
+    "part_reuse_distance_histogram", "degree_powerlaw_xmin",
+    "logbucket_quantile_estimate",
 ]
 
 
