@@ -412,7 +412,10 @@ def main() -> None:
                  # sessions 207-222 flagships
                  "ann_adaptive_nprobe_eval", "bbit_minhash_estimate",
                  "systematic_pps_sample", "part_abc_xyz_matrix",
-                 "learned_index_error", "degree_powerlaw_xmin"]:
+                 "learned_index_error", "degree_powerlaw_xmin",
+                 # sessions 223-226 flagships
+                 "ann_hits_scores", "touch_shapley_attribution",
+                 "ann_result_ild", "greedy_vocab_coverage"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -57,6 +57,10 @@ SAMPLE = [
     "bandit_greedy_replay", "learned_index_error",
     "part_reuse_distance_histogram", "degree_powerlaw_xmin",
     "logbucket_quantile_estimate",
+    # sessions 223-226
+    "ann_hits_scores", "quality_items_vif", "source_id_range_tiling",
+    "logrank_activity_conversion", "touch_shapley_attribution",
+    "ann_margin_recall_corr", "ann_result_ild", "autocomplete_self_mrr",
 ]
 
 
