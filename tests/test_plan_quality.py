@@ -72,3 +72,17 @@ def test_no_cartesian_product(spark, name):
         f"{name}: plan contains a CartesianProduct — a join condition was "
         f"lost somewhere in the op's chain"
     )
+
+
+@pytest.mark.parametrize("name", SAMPLE[:40])
+def test_no_python_udf_in_hot_paths(spark, name):
+    """The stay-JVM-side rule as a guard: none of the sampled registry
+    plans may contain a row-at-a-time Python eval (BatchEvalPython) or
+    an Arrow-batched one (ArrowEvalPython) — every expression in the
+    contract surface is built-in/codegen-able by design, and a UDF
+    sneaking in would silently put Python back in a hot path."""
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        f"{name}: plan contains a Python UDF eval node"
+    )
