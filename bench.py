@@ -56,6 +56,24 @@ def main() -> None:
     idx_dir = tempfile.mkdtemp(prefix="docix_bench_idx_")
     corpus = from_driver_documents(spark, sf_dir)
     n_docs = corpus.count()
+
+    # Python-worker spawn, measured SEPARATELY (VERDICT r4 ask #8): r4's
+    # cold/steady split showed one-time costs at 54% of cold, most of it
+    # the N worker-process spawns. A trivial mapInArrow pass over N
+    # partitions forks the pool and nothing else, so worker_spawn_sec
+    # isolates that share and index_build_cold below now measures the
+    # remaining cold costs (JVM codegen, first-touch faults) on a warmed
+    # pool — the pool any real multi-query session reuses anyway.
+    import pyarrow as _pa  # noqa: F401  (ensures arrow path, not pickle)
+
+    def _warm_pass(batches):
+        yield from batches
+
+    t0 = time.perf_counter()
+    spark.range(0, cpus * 4, 1, cpus).mapInArrow(_warm_pass, "id long").count()
+    worker_spawn_sec = round(time.perf_counter() - t0, 4)
+    queries["worker_spawn"] = worker_spawn_sec
+
     t0 = time.perf_counter()
     build_index(spark, corpus, idx_dir_cold, n_buckets=64)
     queries["index_build_cold"] = round(time.perf_counter() - t0, 4)
@@ -114,6 +132,21 @@ def main() -> None:
     lat_serve.sort()
     serve_p95_ms = round(lat_serve[int(len(lat_serve) * 0.95) - 1] * 1000, 3)
     queries["serve_topk_p95_ms"] = serve_p95_ms
+    # Guard band (VERDICT r4 ask #7): the ms-tier serving latency drifted
+    # 1.92 -> 2.04 ms across r3->r4; fail LOUD past 3 ms so registry
+    # growth can't silently erode it. The violation flag rides the JSON
+    # (the driver records it) and stderr carries the alarm — the JSON
+    # line itself stays parseable either way.
+    serve_topk_p95_band_ms = 3.0
+    serve_topk_p95_ok = serve_p95_ms <= serve_topk_p95_band_ms
+    if not serve_topk_p95_ok:
+        import sys
+
+        print(
+            f"BENCH GUARD VIOLATION: serve_topk_p95_ms={serve_p95_ms} "
+            f"exceeds the {serve_topk_p95_band_ms} ms band",
+            file=sys.stderr,
+        )
     wand_block_skip_ratio = round(1.0 - blocks_decoded / max(blocks_total, 1), 4)
 
     # composite serving tier: the FULL reference query tree (best_fields +
@@ -415,7 +448,12 @@ def main() -> None:
                  "learned_index_error", "degree_powerlaw_xmin",
                  # sessions 223-226 flagships
                  "ann_hits_scores", "touch_shapley_attribution",
-                 "ann_result_ild", "greedy_vocab_coverage"]:
+                 "ann_result_ild", "greedy_vocab_coverage",
+                 # round-5: remaining consumers of the memoized
+                 # _incell_pair_cos / _ann_knn_edges front halves
+                 # (VERDICT r4 ask #1 — evidences the combined cut)
+                 "semdedup_centroid_shift", "ann_graph_components",
+                 "ann_two_hop_histogram"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)
@@ -432,6 +470,9 @@ def main() -> None:
         "segment_bytes_per_posting": bytes_per_posting,
         "search_p95_warm_sec": search_p95_warm,
         "serve_topk_p95_ms": serve_p95_ms,
+        "serve_topk_p95_band_ms": serve_topk_p95_band_ms,
+        "serve_topk_p95_ok": serve_topk_p95_ok,
+        "worker_spawn_sec": worker_spawn_sec,
         "serve_composite_p95_ms": serve_composite_p95_ms,
         "wand_block_skip_ratio": wand_block_skip_ratio,
         "wand_block_skip_ratio_skewed": wand_block_skip_ratio_skewed,

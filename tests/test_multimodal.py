@@ -1,5 +1,6 @@
 """Multimodal binary-column plumbing: schema, mapInPandas shapes,
-determinism, payload invariants (decode itself is a documented stub)."""
+determinism, payload invariants. Real decode (BMP/PPM) is covered in
+test_multimodal_real.py; compressed formats remain NotImplemented."""
 
 from __future__ import annotations
 
@@ -26,7 +27,8 @@ def media(spark):
     return synth_media(docs, text_col="content")
 
 
-def test_decode_is_stubbed():
+def test_compressed_decode_not_implemented():
+    # PNG needs a real codec library; only BMP/PPM decode natively
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
 

@@ -34,7 +34,7 @@ SAMPLE = [
     "blockmax_tightness_curve", "postings_roaring_estimate",
     # late-round additions
     "attribution_model_compare", "kmv_union_estimate",
-    "blocking_strategy_compare", "quality_gate_kappa",
+    "quality_gate_kappa",
     "order_ship_month_matrix", "lifetime_entry_exit_matrix",
     "resurrected_conversion_rate", "type_share_volatility",
     "first_order_ltv_corr", "brand_loyalty_histogram",
@@ -62,6 +62,11 @@ SAMPLE = [
     "logrank_activity_conversion", "touch_shapley_attribution",
     "ann_margin_recall_corr", "ann_result_ild", "autocomplete_self_mrr",
 ]
+
+
+def test_sample_unique():
+    """Each guard slot must cover a distinct operator (ADVICE r4)."""
+    assert len(SAMPLE) == len(set(SAMPLE))
 
 
 @pytest.mark.parametrize("name", SAMPLE)
