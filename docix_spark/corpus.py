@@ -163,3 +163,92 @@ def from_driver_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text").alias("content"),
         )
     )
+
+
+def read_corpus(
+    spark: SparkSession,
+    table_or_path: str,
+    snapshot_id: int | None = None,
+    as_of_timestamp_ms: int | None = None,
+) -> DataFrame:
+    """Iceberg-shaped source adapter (VERDICT r4 ask #6; SURVEY.md §1.2/§1.3
+    frames the ingest source as an Iceberg table snapshot).
+
+    Resolution order:
+
+    1. **Catalog table name** (no path separator, not a ``*.parquet``
+       path): read through the session catalog — a real Iceberg catalog
+       configured via ``spark.sql.catalog.*`` serves snapshot-pinned reads
+       (``snapshot-id`` / ``as-of-timestamp`` read options, Iceberg's
+       time-travel contract); a plain catalog table reads directly (the
+       options are Iceberg-only and raise there, as they should — a
+       snapshot pin against a non-versioned table must not be silently
+       ignored).
+    2. **Driver documents directory** (contains ``documents.parquet``):
+       :func:`from_driver_documents`.
+    3. **Parquet path** (file or directory): read as parquet; driver
+       ``documents`` schema is adapted, otherwise the corpus schema
+       ``(repo, path, commit, lang, content)`` is expected. Snapshot pins
+       are refused here — a bare parquet directory has no snapshot log,
+       and pretending otherwise would fake isolation the storage can't
+       provide. Append-style ingestion still works the Iceberg way at the
+       file level (new snapshot == new data files): re-reading picks up
+       appended files and the checkpoint/reindex layer processes only the
+       delta (see tests/test_read_corpus_adapter.py).
+
+    Every downstream surface (build_index, start_build/resume_build,
+    reindex_missing) takes the returned DataFrame, so swapping a parquet
+    sandbox for a real Iceberg catalog at scale is a one-argument change.
+    """
+    import os
+
+    looks_like_path = (
+        os.sep in table_or_path
+        or table_or_path.endswith(".parquet")
+        or os.path.exists(table_or_path)
+    )
+    if not looks_like_path:
+        reader = spark.read
+        if snapshot_id is not None or as_of_timestamp_ms is not None:
+            reader = reader.format("iceberg")
+            if snapshot_id is not None:
+                reader = reader.option("snapshot-id", str(snapshot_id))
+            if as_of_timestamp_ms is not None:
+                reader = reader.option("as-of-timestamp", str(as_of_timestamp_ms))
+        df = reader.table(table_or_path)
+        return _adapt_corpus_shape(df)
+    if snapshot_id is not None or as_of_timestamp_ms is not None:
+        raise ValueError(
+            "snapshot pinning requires an Iceberg catalog table; "
+            f"{table_or_path!r} is a plain parquet path with no snapshot log"
+        )
+    if os.path.isdir(table_or_path) and os.path.exists(
+        os.path.join(table_or_path, "documents.parquet")
+    ):
+        return from_driver_documents(spark, table_or_path)
+    return _adapt_corpus_shape(spark.read.parquet(table_or_path))
+
+
+def _adapt_corpus_shape(df: DataFrame) -> DataFrame:
+    """Map a driver-documents-shaped table to the corpus schema; pass a
+    corpus-shaped table through unchanged; reject anything else loudly."""
+    cols = set(df.columns)
+    if {"text", "source", "lang"} <= cols:
+        return df.select(
+            F.col("source").alias("repo"),
+            F.concat(
+                F.lit("docs/"), F.col("source"), F.lit("/doc_"),
+                F.col("doc_id").cast("string"), F.lit(".txt"),
+            ).alias("path"),
+            F.sha2(
+                F.concat_ws(":", "source", F.col("doc_id").cast("string")), 256
+            ).substr(1, 40).alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+    if set(CORPUS_COLUMNS) <= cols:
+        return df.select(*CORPUS_COLUMNS)
+    raise ValueError(
+        f"unrecognized corpus schema {sorted(cols)}; expected driver "
+        f"documents (doc_id, text, lang, source, ...) or {CORPUS_COLUMNS}"
+    )
