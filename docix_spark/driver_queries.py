@@ -1,56914 +1,15 @@
-"""Driver-contract query registry: every implemented operator from
-SURVEY.md §2 (plus the training-data-pipeline ops) as a pair of
+"""Driver contract registry — facade over the linearized operator modules.
 
-    (Spark DataFrame callable (spark, sf_dir) -> DataFrame,
-     equivalent ANSI SQL for the DuckDB oracle, or None for rows-only ops)
-
-run by the driver at sf=0.01 over its pre-registered parquet views
-(documents, embeddings, ...). Cross-engine determinism rules:
-
-- the shared tokenizer regex is ASCII-identical in Spark (Java regex),
-  DuckDB (RE2) and Python (re.ASCII) — see docix_spark.analysis.tokenizer;
-- every float-valued output is rounded to 6 decimals and emitted as a
-  BIGINT micro-unit column (``*_q6``) so value hashes match bit-for-bit;
-- ranks/limits always order by the *rounded* score with a doc_id tiebreak
-  (the reference's score desc / _id asc, SearchAdapter.java:448-449);
-- dot products are computed over DOUBLE-cast vectors in both engines
-  (DuckDB's FLOAT[] list_dot_product accumulates in float32, Spark
-  aggregates in double — casting both sides to double makes the
-  element-order-identical sums bit-stable).
+The 769 registered operators live in ``docix_spark/ops/q00.py`` ..
+``q16.py`` (split at top-level statement boundaries from the original
+single module, same statement order — see ``docix_spark/ops/__init__``
+and ``ops/_chain.py``). This module re-exports the final namespace, so
+``from docix_spark.driver_queries import REGISTRY, <helper>, <constant>``
+keeps working for every consumer (tests, bench, __spark_entry__).
 """
 
-from __future__ import annotations
+from docix_spark.ops._chain import inherit as _inherit
 
-import math
-from collections.abc import Callable
-from dataclasses import dataclass
+_inherit(globals(), "docix_spark.ops.q16")
 
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from docix_spark.analysis.tokenizer import TOKEN_PATTERN, spark_tokens
-
-# ---------------------------------------------------------------------------
-# registry machinery
-# ---------------------------------------------------------------------------
-
-
-@dataclass
-class DriverQuery:
-    fn: Callable[[SparkSession, str], DataFrame]
-    sql: str | None  # DuckDB oracle; None → rows-only check
-
-
-REGISTRY: dict[str, DriverQuery] = {}
-
-
-def register(name: str, sql: str | None):
-    def deco(fn):
-        # A duplicate registration would silently SHADOW the earlier op
-        # (the later module-level def wins) — fail at import time instead.
-        if name in REGISTRY:
-            raise ValueError(f"duplicate driver query registration: {name}")
-        REGISTRY[name] = DriverQuery(fn, sql)
-        return fn
-
-    return deco
-
-
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
-
-
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-
-
-def _toks(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", F.explode(spark_tokens("text")).alias("term"))
-
-
-def _q6(col) -> F.Column:
-    return F.round(col * F.lit(1_000_000.0)).cast("long")
-
-
-# SQL building blocks -------------------------------------------------------
-
-SQL_TOKS = f"SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term FROM documents"
-SQL_TF = f"SELECT doc_id, term, count(*) AS tf FROM ({SQL_TOKS}) GROUP BY doc_id, term"
-SQL_DL = f"SELECT doc_id, count(*) AS doc_len FROM ({SQL_TOKS}) GROUP BY doc_id"
-SQL_WORDS = f"SELECT doc_id, source, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words FROM documents"
-
-
-# ---------------------------------------------------------------------------
-# §2.4 A1-A3 — index statistics (the build's core aggregations)
-# ---------------------------------------------------------------------------
-
-
-@register("tf_postings", SQL_TF)
-def tf_postings(spark, sf_dir):
-    """A1: per-(term, doc) term frequency — the posting row."""
-    return _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-
-
-@register("term_df", f"SELECT term, count(*) AS df FROM ({SQL_TF}) GROUP BY term")
-def term_df(spark, sf_dir):
-    """A2: document frequency per term."""
-    return (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-        .groupBy("term").agg(F.count("*").alias("df"))
-    )
-
-
-@register("doc_length", SQL_DL)
-def doc_length(spark, sf_dir):
-    """A3: tokens per document (BM25 length norm input)."""
-    return _toks(_docs(spark, sf_dir)).groupBy("doc_id").agg(F.count("*").alias("doc_len"))
-
-
-@register(
-    "corpus_stats",
-    f"SELECT count(*) AS n_docs, CAST(round(avg(doc_len)*1000000) AS BIGINT) AS avgdl_q6 FROM ({SQL_DL})",
-)
-def corpus_stats(spark, sf_dir):
-    """A3: corpus-level N + avgdl."""
-    return (
-        _toks(_docs(spark, sf_dir)).groupBy("doc_id").agg(F.count("*").alias("doc_len"))
-        .agg(F.count("*").alias("n_docs"), _q6(F.avg("doc_len")).alias("avgdl_q6"))
-    )
-
-
-@register(
-    "top_terms",
-    f"""SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf FROM ({SQL_TF})
-        GROUP BY term ORDER BY total_tf DESC, term ASC LIMIT 20""",
-)
-def top_terms(spark, sf_dir):
-    """Dictionary head: highest-volume terms (skew detection input, M4)."""
-    return (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-        .groupBy("term").agg(F.count("*").alias("df"), F.sum("tf").alias("total_tf"))
-        .orderBy(F.desc("total_tf"), F.asc("term")).limit(20)
-    )
-
-
-# ---------------------------------------------------------------------------
-# §2.8 — BM25 scoring (the engine's own aggregate) + msm + pagination
-# ---------------------------------------------------------------------------
-
-
-def _bm25_agg_ctes(terms: list[str]) -> str:
-    """Shared WITH-chain ending in ``agg(doc_id, score_q6, nm)`` — the full
-    BM25 match set; ranked top-k and facet rollups both build on it."""
-    tlist = ", ".join(f"'{t}'" for t in terms)
-    return f"""
-WITH tf AS ({SQL_TF}),
-dl AS ({SQL_DL}),
-st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl),
-dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-q AS (SELECT unnest([{tlist}]) AS term),
-per AS (
-  SELECT tf.doc_id,
-         ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))
-           * tf.tf * 2.2
-           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM st))) AS s
-  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
-),
-agg AS (
-  SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6, count(*) AS nm
-  FROM per GROUP BY doc_id
-)"""
-
-
-def _bm25_sql(terms: list[str], msm: int, page: int, size: int) -> str:
-    return _bm25_agg_ctes(terms) + f""",
-ranked AS (
-  SELECT doc_id, score_q6,
-         row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rank
-  FROM agg WHERE nm >= {msm}
-)
-SELECT doc_id, score_q6, CAST(rank AS BIGINT) AS rank FROM ranked
-WHERE rank > {page * size} AND rank <= {(page + 1) * size} ORDER BY rank
-"""
-
-
-_MATCH_SET_CACHE: dict[tuple, DataFrame] = {}
-
-
-def _bm25_match_set(spark, sf_dir, terms: list[str], toks: DataFrame | None = None) -> DataFrame:
-    """Full BM25 match set ``(doc_id, score_q6, nm)`` — the Spark twin of
-    :func:`_bm25_agg_ctes`'s ``agg`` CTE. Pass ``toks`` (doc_id, term) to
-    reuse an already-materialized token table — a caller that also needs
-    positions localCheckpoints ONE tokenize pass and feeds it here
-    (rescore_topn), instead of letting each lineage branch re-tokenize.
-
-    When built from scratch (toks=None) the checkpointed match set is
-    MEMOIZED per (applicationId, terms, documents-table version) — eleven
-    registry ops rank/facet/splice over the same _TOPK_TERMS set, and the
-    serving tier already caches exactly this by (expansions, table mtimes)
-    (query/bm25.py) — this is the same rule at the registry layer."""
-    cache_key = None
-    if toks is None:
-        from docix_spark.index.build import session_key, table_version
-
-        cache_key = (
-            session_key(spark), sf_dir, tuple(terms),
-            table_version(f"{sf_dir}/documents.parquet"),
-        )
-        hit = _MATCH_SET_CACHE.get(cache_key)
-        if hit is not None:
-            return hit
-        toks = _toks(_docs(spark, sf_dir))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    # dl derives FROM tf (doc_len = Σ tf), so dl/st/dfs all share tf's
-    # exchange and ReusedExchange collapses the whole stats chain to ONE
-    # tokenize pass — a dl keyed on toks directly was a second lineage
-    # branch that re-ran the tokenize (4 scans per match set)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    st = dl.agg(F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
-    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    q = F.broadcast(spark.createDataFrame([(t,) for t in terms], "term string"))
-    per = (
-        tf.join(q, "term").join(dfs, "term").join(dl, "doc_id").crossJoin(F.broadcast(st))
-        .select(
-            "doc_id",
-            (
-                F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-                * F.col("tf").cast("double") * F.lit(2.2)
-                / (F.col("tf").cast("double") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("doc_len") / F.col("avgdl")))
-            ).alias("s"),
-        )
-    )
-    agg = per.groupBy("doc_id").agg(_q6(F.sum("s")).alias("score_q6"), F.count("*").alias("nm"))
-    if cache_key is not None:
-        agg = agg.localCheckpoint()
-        _MATCH_SET_CACHE[cache_key] = agg
-    return agg
-
-
-def _bm25_spark(spark, sf_dir, terms: list[str], msm: int, page: int, size: int) -> DataFrame:
-    agg = _bm25_match_set(spark, sf_dir, terms)
-    # Truncate FIRST (orderBy+limit → TakeOrderedAndProject, no global sort),
-    # then rank the <= (page+1)*size survivors — the single-partition window
-    # only ever sees k rows, regardless of corpus size.
-    topk = (
-        agg.where(F.col("nm") >= msm)
-        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit((page + 1) * size)
-    )
-    ranked = topk.withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))).cast("long")
-    ).select("doc_id", "score_q6", "rank")
-    return ranked.where(F.col("rank") > page * size).orderBy("rank")
-
-
-_TOPK_TERMS = ["spark", "hash", "join"]
-_MSM_TERMS = ["spark", "join", "zzzmissingterm", "qqqmissingterm"]  # msm=2 of 4
-
-
-@register("bm25_topk", _bm25_sql(_TOPK_TERMS, 1, 0, 10))
-def bm25_topk(spark, sf_dir):
-    """§2.8 flagship: BM25 top-10 (k1=1.2, b=0.75), tiebreak doc_id asc."""
-    return _bm25_spark(spark, sf_dir, _TOPK_TERMS, 1, 0, 10)
-
-
-@register("bm25_msm50", _bm25_sql(_MSM_TERMS, 2, 0, 10))
-def bm25_msm50(spark, sf_dir):
-    """A6: minimum_should_match 50% of 4 terms → docs must match >= 2."""
-    return _bm25_spark(spark, sf_dir, _MSM_TERMS, 2, 0, 10)
-
-
-@register("bm25_pagination", _bm25_sql(_TOPK_TERMS, 1, 1, 5))
-def bm25_pagination(spark, sf_dir):
-    """W2: from = page*size (page 1, size 5 → global ranks 6..10)."""
-    return _bm25_spark(spark, sf_dir, _TOPK_TERMS, 1, 1, 5)
-
-
-@register(
-    "search_facets",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + """
-SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS n_docs,
-       max(agg.score_q6) AS top_score_q6
-FROM agg JOIN documents d USING (doc_id)
-GROUP BY d.source, d.lang ORDER BY source, lang""",
-)
-def search_facets(spark, sf_dir):
-    """ES terms-aggregation alongside a query (the facet counts every
-    search UI shows next to its hit list): per-(source, lang) match count
-    + best score over the FULL BM25 match set — not just the visible page.
-    Scale shape: the match set is the same pruned postings join as
-    bm25_topk (never a corpus scan); attaching facet columns is a doc_id
-    equi-join against the doc-metadata table, and the rollup shuffles
-    match-set rows once on the (low-cardinality) facet key with map-side
-    partial aggregation absorbing the volume. The top-k page and the
-    facets share the single match-set plan — ES computes both in one pass
-    too."""
-    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
-    d = _docs(spark, sf_dir).select("doc_id", "source", "lang")
-    return (
-        agg.join(d, "doc_id")
-        .groupBy("source", "lang")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.max("score_q6").alias("top_score_q6"),
-        )
-        .orderBy("source", "lang")
-    )
-
-
-@register(
-    "significant_terms",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + """,
-fg AS (SELECT DISTINCT doc_id FROM agg),
-fgn AS (SELECT CAST(count(*) AS DOUBLE) AS ft FROM fg),
-fgc AS (
-  SELECT term, CAST(count(*) AS DOUBLE) AS fg_df
-  FROM tf JOIN fg USING (doc_id) GROUP BY term
-),
-sc AS (
-  SELECT fgc.term,
-         CAST(fg_df AS BIGINT) AS fg_df,
-         CAST(dfs.df AS BIGINT) AS bg_df,
-         CAST(round(
-           ((fg_df / (SELECT ft FROM fgn)) - (dfs.df / (SELECT n_docs FROM st)))
-             * ((fg_df / (SELECT ft FROM fgn)) / (dfs.df / (SELECT n_docs FROM st)))
-             * 1000000
-         ) AS BIGINT) AS jlh_q6
-  FROM fgc JOIN dfs USING (term)
-  WHERE fg_df >= 3
-)
-SELECT term, fg_df, bg_df, jlh_q6 FROM sc
-WHERE jlh_q6 > 0 ORDER BY jlh_q6 DESC, term ASC LIMIT 25""",
-)
-def significant_terms(spark, sf_dir):
-    """ES ``significant_terms`` aggregation (JLH heuristic): terms whose
-    share of the query's match set (foreground) beats their share of the
-    whole corpus (background) — the "what is this result set *about*"
-    facet (the ES feature the reference's search UI tier would call next
-    after terms facets; SearchAdapter.java:448 is plain terms only, this
-    is the statistical upgrade). JLH = (fg%% - bg%%) * (fg%% / bg%%),
-    ES's default min_doc_count=3 gate applied on the foreground count.
-
-    Scale shape: foreground doc set comes from the same pruned BM25
-    postings join as bm25_topk; per-term foreground counts are ONE term
-    shuffle with map-side partial agg; the background df table is the A2
-    aggregate joined on term. Nothing rescans the corpus and no window
-    sees more than vocab-sized input — at 100 TB the foreground count is
-    the only new exchange. Floats: jlh computed in double with identical
-    expression shape both engines, rounded once to q6."""
-    toks = _toks(_docs(spark, sf_dir))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    n_docs = tf.select("doc_id").distinct().agg(F.count("*").cast("double").alias("n_docs"))
-    fg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS).select("doc_id").distinct()
-    fgn = fg.agg(F.count("*").cast("double").alias("ft"))
-    fgc = tf.join(fg, "doc_id").groupBy("term").agg(F.count("*").cast("double").alias("fg_df"))
-    fg_pct = F.col("fg_df") / F.col("ft")
-    bg_pct = F.col("df") / F.col("n_docs")
-    return (
-        fgc.join(dfs, "term")
-        .crossJoin(F.broadcast(fgn))
-        .crossJoin(F.broadcast(n_docs))
-        .where(F.col("fg_df") >= 3)
-        .select(
-            "term",
-            F.col("fg_df").cast("long").alias("fg_df"),
-            F.col("df").cast("long").alias("bg_df"),
-            _q6((fg_pct - bg_pct) * (fg_pct / bg_pct)).alias("jlh_q6"),
-        )
-        .where(F.col("jlh_q6") > 0)
-        .orderBy(F.desc("jlh_q6"), F.asc("term"))
-        .limit(25)
-    )
-
-
-_MLT_SEED = 0  # deterministic seed document for more_like_this
-
-
-@register(
-    "more_like_this",
-    f"""
-WITH tf AS ({SQL_TF}),
-dl AS ({SQL_DL}),
-st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl),
-dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-seedw AS (
-  SELECT tf.term,
-         CAST(round(tf.tf * ln((SELECT n_docs FROM st) / dfs.df) * 1000000) AS BIGINT) AS w_q6
-  FROM tf JOIN dfs USING (term)
-  WHERE tf.doc_id = {_MLT_SEED} AND dfs.df >= 2
-),
-mlt AS (
-  SELECT term FROM (
-    SELECT term, row_number() OVER (ORDER BY w_q6 DESC, term ASC) AS r FROM seedw
-  ) WHERE r <= 10
-),
-per AS (
-  SELECT tf.doc_id,
-         ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))
-           * tf.tf * 2.2
-           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM st))) AS s
-  FROM tf JOIN mlt USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
-  WHERE tf.doc_id <> {_MLT_SEED}
-),
-agg AS (
-  SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6
-  FROM per GROUP BY doc_id
-)
-SELECT doc_id, score_q6 FROM agg
-ORDER BY score_q6 DESC, doc_id ASC LIMIT 10""",
-)
-def more_like_this(spark, sf_dir):
-    """ES ``more_like_this`` query: pick the seed document's 10 most
-    characteristic terms by tf*ln(N/df) (min_doc_freq=2, ES's MLT term
-    selection, MoreLikeThisQueryBuilder semantics), then BM25-rank the
-    rest of the corpus against that bag — "find documents like this one"
-    without any embedding.
-
-    Scale shape: the seed's term weights come from a point lookup on the
-    tf table (doc_id pushed into the scan); the 10-term interesting-terms
-    set is a broadcast join against postings exactly like bm25_topk — no
-    collect, the term list never touches the driver. The top-k is a
-    TakeOrdered, not a global sort."""
-    toks = _toks(_docs(spark, sf_dir))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    # dl derives FROM tf (doc_len = Σ tf), so dl/st/dfs all share tf's
-    # exchange and ReusedExchange collapses the whole stats chain to ONE
-    # tokenize pass — a dl keyed on toks directly was a second lineage
-    # branch that re-ran the tokenize (4 scans per match set)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    st = dl.agg(F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
-    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    seedw = (
-        tf.where(F.col("doc_id") == _MLT_SEED)
-        .join(dfs, "term")
-        .crossJoin(F.broadcast(st))
-        .where(F.col("df") >= 2)
-        .select("term", _q6(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w_q6"))
-    )
-    mlt = (
-        seedw.orderBy(F.desc("w_q6"), F.asc("term")).limit(10).select("term")
-    )
-    per = (
-        tf.where(F.col("doc_id") != _MLT_SEED)
-        .join(F.broadcast(mlt), "term")
-        .join(dfs, "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(st))
-        .select(
-            "doc_id",
-            (
-                F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-                * F.col("tf").cast("double") * F.lit(2.2)
-                / (F.col("tf").cast("double") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("doc_len") / F.col("avgdl")))
-            ).alias("s"),
-        )
-    )
-    return (
-        per.groupBy("doc_id").agg(_q6(F.sum("s")).alias("score_q6"))
-        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(10)
-    )
-
-
-@register(
-    "hybrid_rrf",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + """,
-lexr AS (
-  SELECT doc_id, row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS lr
-  FROM agg WHERE doc_id <> 0
-),
-lex AS (SELECT * FROM lexr WHERE lr <= 20),
-vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-vc AS (
-  SELECT e.vec_id AS doc_id,
-         CAST(round(
-           list_dot_product(CAST(e.embedding AS DOUBLE[]), vq.qv)
-             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-                * sqrt(list_dot_product(vq.qv, vq.qv))) * 1000000
-         ) AS BIGINT) AS cos_q6
-  FROM embeddings e, vq WHERE e.vec_id <> 0
-),
-vecr AS (
-  SELECT doc_id, row_number() OVER (ORDER BY cos_q6 DESC, doc_id ASC) AS vr FROM vc
-),
-vec AS (SELECT * FROM vecr WHERE vr <= 20),
-fused AS (
-  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
-         CAST(COALESCE(lr, 0) AS BIGINT) AS lex_rank,
-         CAST(COALESCE(vr, 0) AS BIGINT) AS vec_rank,
-         CAST(round(
-           (CASE WHEN lr IS NULL THEN 0.0 ELSE 1.0 / (60 + lr) END
-            + CASE WHEN vr IS NULL THEN 0.0 ELSE 1.0 / (60 + vr) END) * 1000000
-         ) AS BIGINT) AS rrf_q6
-  FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id
-)
-SELECT doc_id, lex_rank, vec_rank, rrf_q6 FROM fused
-ORDER BY rrf_q6 DESC, doc_id ASC LIMIT 10""",
-)
-def hybrid_rrf(spark, sf_dir):
-    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009;
-    ES 8.x ``rrf`` retriever): fuse the lexical BM25 top-20 with the
-    dense cosine top-20 (vec_id == doc_id in the corpus) by
-    score = sum over rankings of 1/(60 + rank); absent ranks contribute 0
-    and are emitted as rank 0. This is the modern search stack the
-    reference's ES tier would grow into — both legs exist in this repo,
-    fusion is the missing piece.
-
-    Scale shape: each leg ends in a TakeOrdered top-20 (no global sort),
-    so the fusion join sees 2 x 20 rows regardless of corpus size; both
-    legs' ranks are computed over quantized scores (score_q6 / cos_q6)
-    so rank assignment is bit-identical across engines. At 100 TB the
-    legs are the existing pruned BM25 join and the ANN stack — the
-    fusion cost stays O(k)."""
-    lex = (
-        _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
-        .where(F.col("doc_id") != 0)
-        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(20)
-        .withColumn("lr", F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))))
-        .select("doc_id", "lr")
-    )
-    vc = _cos_spark(spark, sf_dir).select(
-        F.col("vec_id").alias("doc_id"), _q6(F.col("cos")).alias("cos_q6")
-    )
-    vec = (
-        vc.orderBy(F.desc("cos_q6"), F.asc("doc_id"))
-        .limit(20)
-        .withColumn("vr", F.row_number().over(Window.orderBy(F.desc("cos_q6"), F.asc("doc_id"))))
-        .select("doc_id", "vr")
-    )
-    fused = (
-        lex.join(vec, "doc_id", "full")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("lr"), F.lit(0)).cast("long").alias("lex_rank"),
-            F.coalesce(F.col("vr"), F.lit(0)).cast("long").alias("vec_rank"),
-            _q6(
-                F.when(F.col("lr").isNull(), F.lit(0.0)).otherwise(F.lit(1.0) / (F.lit(60) + F.col("lr")))
-                + F.when(F.col("vr").isNull(), F.lit(0.0)).otherwise(F.lit(1.0) / (F.lit(60) + F.col("vr")))
-            ).alias("rrf_q6"),
-        )
-    )
-    return fused.orderBy(F.desc("rrf_q6"), F.asc("doc_id")).limit(10)
-
-
-# ---------------------------------------------------------------------------
-# §2.7 F2/F3/F4/F5 — fuzzy expansion, wildcard, phrase, autocomplete
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "fuzzy_expand_auto",
-    f"""WITH dict AS (SELECT DISTINCT term FROM ({SQL_TOKS})),
-        q AS (SELECT * FROM (VALUES ('spak', 1), ('windoww', 2)) AS v(qt, max_edits))
-        SELECT q.qt, dict.term, CAST(levenshtein(q.qt, dict.term) AS BIGINT) AS dist
-        FROM dict, q
-        WHERE levenshtein(q.qt, dict.term) BETWEEN 1 AND q.max_edits
-        ORDER BY qt, term""",
-)
-def fuzzy_expand_auto(spark, sf_dir):
-    """F2: fuzziness AUTO term expansion against the dictionary
-    (len 4 → 1 edit, len 7 → 2 edits; SearchAdapter.java:407)."""
-    dict_df = _toks(_docs(spark, sf_dir)).select("term").distinct()
-    q = F.broadcast(spark.createDataFrame([("spak", 1), ("windoww", 2)], "qt string, max_edits int"))
-    return (
-        dict_df.crossJoin(q)
-        .withColumn("dist", F.levenshtein("qt", "term").cast("long"))
-        .where((F.col("dist") >= 1) & (F.col("dist") <= F.col("max_edits")))
-        .select("qt", "term", "dist")
-        .orderBy("qt", "term")
-    )
-
-
-@register(
-    "spell_correct",
-    f"""WITH tf AS ({SQL_TF}),
-    dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-    q AS (SELECT * FROM (VALUES ('spak', 1), ('windoww', 2)) AS v(qt, max_edits)),
-    cand AS (
-      SELECT q.qt, dict.term, CAST(levenshtein(q.qt, dict.term) AS BIGINT) AS dist, dict.df
-      FROM dict, q
-      WHERE levenshtein(q.qt, dict.term) BETWEEN 1 AND q.max_edits
-    ),
-    ranked AS (
-      SELECT qt, term, dist, df,
-             CAST(row_number() OVER (
-               PARTITION BY qt ORDER BY dist ASC, df DESC, term ASC
-             ) AS BIGINT) AS rank
-      FROM cand
-    )
-    SELECT qt, term, dist, df, rank FROM ranked WHERE rank <= 3 ORDER BY qt, rank""",
-)
-def spell_correct(spark, sf_dir):
-    """ES term suggester ("did you mean"): rank correction candidates for a
-    typo'd term by edit distance first, then corpus document frequency,
-    term asc as the final tiebreak — top 3 per input term. Completes the
-    suggestion surface next to autocomplete_bigrams (prefix completion)
-    and fuzzy_expand_auto (unranked expansion): this is the op behind the
-    reference UI's correction hint, with AUTO edit budgets (len 4 -> 1
-    edit, len 7 -> 2; SearchAdapter.java:407).
-
-    Scale shape: candidates come from the same bounded dictionary scan as
-    F2 (the dictionary is vocab-sized, orders smaller than the corpus;
-    the serving tier's prebuilt codepoint-matrix DP covers the ms-latency
-    path) and the per-typo window ranks <= dictionary-sized rows per
-    query term with a 50-expansion cap upstream in the engine path."""
-    tf = _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dic = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    q = F.broadcast(spark.createDataFrame([("spak", 1), ("windoww", 2)], "qt string, max_edits int"))
-    cand = (
-        dic.crossJoin(q)
-        .withColumn("dist", F.levenshtein("qt", "term").cast("long"))
-        .where((F.col("dist") >= 1) & (F.col("dist") <= F.col("max_edits")))
-    )
-    w = Window.partitionBy("qt").orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 3)
-        .select("qt", "term", "dist", "df", "rank")
-        .orderBy("qt", "rank")
-    )
-
-
-@register(
-    "wildcard_substr",
-    "SELECT doc_id, n_chars FROM documents WHERE lower(text) LIKE '%windo%' ORDER BY doc_id",
-)
-def wildcard_substr(spark, sf_dir):
-    """F3: wildcard *q* contains-match, lowercased (SearchAdapter.java:412-429)."""
-    d = _docs(spark, sf_dir)
-    return d.where(F.lower("text").contains("windo")).select("doc_id", "n_chars").orderBy("doc_id")
-
-
-@register(
-    "phrase_match",
-    "SELECT doc_id FROM documents WHERE lower(text) LIKE '%spark join%' ORDER BY doc_id",
-)
-def phrase_match(spark, sf_dir):
-    """F4: match_phrase — consecutive tokens in order (autocomplete filter,
-    SearchAdapter.java:198-201). Substring test is equivalent for
-    standard-analyzed single-space text."""
-    return _docs(spark, sf_dir).where(F.lower("text").contains("spark join")).select("doc_id").orderBy("doc_id")
-
-
-@register(
-    "autocomplete_bigrams",
-    r"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS words FROM documents),
-        bg AS (
-          SELECT words[i] AS w1, words[i+1] AS w2
-          FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
-        )
-        SELECT DISTINCT w1 || ' ' || w2 AS suggestion FROM bg
-        WHERE w1 LIKE '%sp%' ORDER BY suggestion LIMIT 10""",
-)
-def autocomplete_bigrams(spark, sf_dir):
-    """F5: suggestion bigrams — lowercase whitespace split, emit
-    'word nextWord' where word contains q, unique, capped
-    (SearchAdapter.java:217-228). Cross-engine cap order: suggestion asc."""
-    d = _docs(spark, sf_dir)
-    w = d.select(F.split(F.lower("text"), r"\s+").alias("words"))
-    bg = w.select(
-        F.explode(
-            F.expr("transform(sequence(0, size(words)-2), i -> struct(words[i] as w1, words[i+1] as w2))")
-        ).alias("p")
-    ).select("p.w1", "p.w2")
-    return (
-        bg.where(F.col("w1").contains("sp"))
-        .select(F.concat_ws(" ", "w1", "w2").alias("suggestion"))
-        .distinct()
-        .orderBy("suggestion")
-        .limit(10)
-    )
-
-
-@register(
-    "code_subtokens",
-    rf"""WITH w AS ({SQL_WORDS}),
-idents AS (
-  SELECT words[1] || upper(substr(words[2], 1, 1)) || substr(words[2], 2) || '_' || words[3] AS ident
-  FROM w WHERE len(words) >= 3
-),
-split AS (
-  SELECT unnest(regexp_extract_all(lower(
-           regexp_replace(replace(ident, '_', ' '), '([a-z0-9])([A-Z])', '\1 \2', 'g')
-         ), '{TOKEN_PATTERN}')) AS subtoken
-  FROM idents
-)
-SELECT subtoken, CAST(count(*) AS BIGINT) AS cnt FROM split
-GROUP BY subtoken ORDER BY cnt DESC, subtoken LIMIT 20""",
-)
-def code_subtokens(spark, sf_dir):
-    """Code-payload analyzer layer: split camelCase / snake_case
-    identifiers into searchable subtokens (`keyAgg_row` → key, agg, row) —
-    the identifier-splitting pass every source-code search engine layers
-    under its word tokenizer (the shared UAX#29 tokenizer correctly keeps
-    `foo_bar` as ONE token via ExtendNumLet chaining, so code search needs
-    this second stage). The corpus is prose, so identifiers are
-    synthesized deterministically in-query from each doc's first three
-    tokens (word1 + InitCap(word2) + '_' + word3) and the operator under
-    test is the SPLITTER: '_'→space, a camel-boundary space insertion
-    (([a-z0-9])([A-Z]) — global replace in both engines), lowercase,
-    re-tokenize, global subtoken top-20. Scale shape: all splitting is
-    map-side string work inside codegen; the only shuffle is the subtoken
-    count (salt-eligible like any term count) + a 20-row TakeOrdered."""
-    d = _docs(spark, sf_dir).select(spark_tokens("text").alias("words")).where(
-        F.size("words") >= 3
-    )
-    ident = F.expr(
-        "concat(words[0], upper(substring(words[1], 1, 1)), substring(words[1], 2), '_', words[2])"
-    )
-    sub = d.select(ident.alias("ident")).select(
-        F.explode(
-            spark_tokens(
-                F.regexp_replace(
-                    F.regexp_replace("ident", F.lit("_"), F.lit(" ")),
-                    F.lit("([a-z0-9])([A-Z])"),
-                    F.lit("$1 $2"),
-                )
-            )
-        ).alias("subtoken")
-    )
-    return (
-        sub.groupBy("subtoken")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("subtoken"))
-        .limit(20)
-    )
-
-
-@register(
-    "regex_search",
-    """SELECT doc_id, n_chars FROM documents
-       WHERE regexp_matches(lower(text), 'win[a-z]+ s[a-z]rt') ORDER BY doc_id""",
-)
-def regex_search(spark, sf_dir):
-    """F3+: regex search served the Zoekt / Google-Code-Search way (R. Cox
-    2012): analysis.regexq.required_literals extracts the substrings EVERY
-    match must contain ('win[a-z]+ s[a-z]rt' → 'win', ' s', 'rt'), their
-    trigrams prune the corpus to a candidate set, and the real regex
-    engine verifies only the candidates — result exactly equals the full
-    scan by the superset guarantee (at sf0.01: 35 matches vs 387
-    candidates vs 500 docs). Here the candidate probe is a map-side
-    contains() conjunction; over a built index it is the trigram
-    posting-list intersection (index/ngram.py::search_regex, identity-
-    tested against the scan in tests/test_ngram_index.py). Patterns
-    outside the analyzable subset (alternation/groups) fall back to the
-    verified scan — the reference's own wildcard behavior."""
-    from docix_spark.analysis.regexq import required_literals
-    from docix_spark.index.ngram import TRIGRAM_N, trigrams
-
-    pattern = "win[a-z]+ s[a-z]rt"
-    lits = [l for l in required_literals(pattern) if len(l) >= TRIGRAM_N]
-    tgs = sorted({t for l in lits for t in trigrams(l)})
-    d = _docs(spark, sf_dir).select("doc_id", "n_chars", F.lower("text").alias("lt"))
-    cand = F.lit(True)
-    for t in tgs:
-        cand = cand & F.col("lt").contains(t)
-    return (
-        d.where(cand)
-        .where(F.col("lt").rlike(pattern))
-        .select("doc_id", "n_chars")
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "phrase_slop",
-    f"""WITH w AS ({SQL_WORDS}),
-p AS (SELECT doc_id, i, words[i] AS term FROM w, unnest(generate_series(1, len(words))) AS t(i)),
-a AS (SELECT doc_id, i FROM p WHERE term = 'spark'),
-b AS (SELECT doc_id, i FROM p WHERE term = 'join')
-SELECT doc_id, CAST(min(b.i - a.i) AS BIGINT) AS min_gap
-FROM a JOIN b USING (doc_id) WHERE b.i - a.i BETWEEN 1 AND 3
-GROUP BY doc_id ORDER BY doc_id""",
-)
-def phrase_slop(spark, sf_dir):
-    """F4+: proximity phrase — 'spark' followed by 'join' within slop 3
-    positions (ES match_phrase slop, ordered form), reporting the tightest
-    gap per doc. This is THE positional-postings query plan: filter the
-    token stream to the two query terms FIRST (at scale: two pruned
-    postings reads carrying the positions arrays — a vanishing fraction of
-    the corpus), then one doc_id equi-join between the two small position
-    sets. Never a self-join of the full token table. Position origins
-    differ across engines (Spark posexplode 0-based, DuckDB ordinality
-    1-based) but gaps are origin-free."""
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.posexplode(spark_tokens("text")).alias("pos", "term")
-    )
-    a = toks.where(F.col("term") == "spark").select("doc_id", F.col("pos").alias("pa"))
-    b = toks.where(F.col("term") == "join").select("doc_id", F.col("pos").alias("pb"))
-    gap = F.col("pb") - F.col("pa")
-    return (
-        a.join(b, "doc_id")
-        .where(gap.between(1, 3))
-        .groupBy("doc_id")
-        .agg(F.min(gap).cast("long").alias("min_gap"))
-        .orderBy("doc_id")
-    )
-
-
-# ---------------------------------------------------------------------------
-# §2.2 P3-P6 / §2.4 A7-A10 / §2.3 J3 — probes, status machine, consistency
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "exists_probe",
-    "SELECT CASE WHEN EXISTS (SELECT 1 FROM documents WHERE lower(text) LIKE '%spark%') THEN 1 ELSE 0 END AS found",
-)
-def exists_probe(spark, sf_dir):
-    """P3: existence probe with limit 1 (SearchAdapter.java:615-633)."""
-    n = _docs(spark, sf_dir).where(F.lower("text").contains("spark")).limit(1).count()
-    return spark.createDataFrame([(1 if n > 0 else 0,)], "found int")
-
-
-@register("match_all_count", "SELECT count(*) AS n FROM documents")
-def match_all_count(spark, sf_dir):
-    """P4/P5: match_all + count guard (SearchAdapter.java:385-397)."""
-    return _docs(spark, sf_dir).agg(F.count("*").alias("n"))
-
-
-_SQL_SIM_LOG = """
-SELECT doc_id,
-       1 + doc_id % 4 AS pages_total,
-       CASE WHEN doc_id % 7 = 0 THEN least(1 + doc_id % 2, 1 + doc_id % 4) ELSE 0 END AS pages_failed
-FROM documents
-"""
-
-
-@register(
-    "status_rollup",
-    f"""WITH log AS ({_SQL_SIM_LOG})
-        SELECT CASE WHEN pages_failed = 0 THEN 'FULLY_INDEXED'
-                    WHEN pages_total - pages_failed > 0 THEN 'PARTIALLY_INDEXED'
-                    ELSE 'FAILED' END AS status,
-               count(*) AS n
-        FROM log GROUP BY 1 ORDER BY status""",
-)
-def status_rollup(spark, sf_dir):
-    """A7/A8: FULLY/PARTIALLY/FAILED rollup from per-page success/failure
-    counts (DocumentIndexingService.java:250-259) over a deterministic
-    simulated indexing_log."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        (F.lit(1) + F.col("doc_id") % 4).alias("pages_total"),
-        F.when(F.col("doc_id") % 7 == 0, F.least(F.lit(1) + F.col("doc_id") % 2, F.lit(1) + F.col("doc_id") % 4)).otherwise(F.lit(0)).alias("pages_failed"),
-    )
-    return (
-        d.select(
-            F.when(F.col("pages_failed") == 0, F.lit("FULLY_INDEXED"))
-            .when(F.col("pages_total") - F.col("pages_failed") > 0, F.lit("PARTIALLY_INDEXED"))
-            .otherwise(F.lit("FAILED"))
-            .alias("status")
-        )
-        .groupBy("status").agg(F.count("*").alias("n"))
-        .orderBy("status")
-    )
-
-
-@register(
-    "indexing_progress",
-    f"""WITH log AS ({_SQL_SIM_LOG})
-        SELECT doc_id, CAST(round(1000000.0 * (pages_total - pages_failed) / pages_total) AS BIGINT) AS progress_q6
-        FROM log ORDER BY doc_id""",
-)
-def indexing_progress(spark, sf_dir):
-    """A9: pages_indexed / total_pages (IndexingLog.getIndexingProgress)."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        (F.lit(1) + F.col("doc_id") % 4).alias("pt"),
-        F.when(F.col("doc_id") % 7 == 0, F.least(F.lit(1) + F.col("doc_id") % 2, F.lit(1) + F.col("doc_id") % 4)).otherwise(F.lit(0)).alias("pf"),
-    )
-    return d.select("doc_id", _q6((F.col("pt") - F.col("pf")) / F.col("pt")).alias("progress_q6")).orderBy("doc_id")
-
-
-@register(
-    "consistency_anti_join",
-    """SELECT d.doc_id FROM documents d
-       WHERE d.doc_id % 2 = 0
-         AND NOT EXISTS (SELECT 1 FROM documents i WHERE i.doc_id = d.doc_id AND i.doc_id % 10 <> 4)
-       ORDER BY d.doc_id""",
-)
-def consistency_anti_join(spark, sf_dir):
-    """J3: processed docs ⟕ indexed docs → the missing set
-    (AdminIndexingService.java:44-66), as a left-anti join."""
-    d = _docs(spark, sf_dir)
-    processed = d.where(F.col("doc_id") % 2 == 0).select("doc_id")
-    indexed = d.where(F.col("doc_id") % 10 != 4).select("doc_id")
-    return processed.join(indexed, "doc_id", "left_anti").orderBy("doc_id")
-
-
-@register(
-    "consistency_pct",
-    """SELECT CAST(count(*) AS BIGINT) AS processed,
-              CAST(count(*) FILTER (doc_id % 10 <> 4) AS BIGINT) AS indexed,
-              CAST(round(1000000.0 * (count(*) FILTER (doc_id % 10 <> 4)) / count(*)) AS BIGINT) AS pct_q6
-       FROM documents WHERE doc_id % 2 = 0""",
-)
-def consistency_pct(spark, sf_dir):
-    """A10: index-consistency percentage — processed vs indexed counts and
-    their ratio (AdminIndexingService.java:44-66 summary), over the same
-    simulated processed/indexed sets as consistency_anti_join; the repair
-    action over the missing set is index.reindex.reindex_missing."""
-    d = _docs(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
-    indexed = F.sum(F.when(F.col("doc_id") % 10 != 4, 1).otherwise(0))
-    return d.agg(
-        F.count("*").cast("long").alias("processed"),
-        indexed.cast("long").alias("indexed"),
-        _q6(indexed / F.count("*")).alias("pct_q6"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Training-data pipeline ops: dedup / fingerprint / minhash / jaccard
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "dedup_exact",
-    """SELECT md5(text) AS text_hash, count(*) AS dup_count
-       FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash""",
-)
-def dedup_exact(spark, sf_dir):
-    """Exact dedup: hash-groupBy on full content (one shuffle, map-side
-    partial agg). At 100 TB this is the cheapest dedup pass; hash first so
-    the shuffle moves 32-byte keys, not documents."""
-    return (
-        _docs(spark, sf_dir)
-        .groupBy(F.md5("text").alias("text_hash")).agg(F.count("*").alias("dup_count"))
-        .where(F.col("dup_count") > 1)
-        .orderBy("text_hash")
-    )
-
-
-@register(
-    "dedup_prefix_fingerprint",
-    f"""SELECT md5(array_to_string(words[1:8], ' ')) AS fingerprint, count(*) AS dup_count
-        FROM ({SQL_WORDS}) GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint""",
-)
-def dedup_prefix_fingerprint(spark, sf_dir):
-    """Near-dup blocking key: fingerprint of the leading 8 tokens."""
-    d = _docs(spark, sf_dir).select(spark_tokens("text").alias("words"))
-    return (
-        d.select(F.md5(F.array_join(F.slice("words", 1, 8), " ")).alias("fingerprint"))
-        .groupBy("fingerprint").agg(F.count("*").alias("dup_count"))
-        .where(F.col("dup_count") > 1)
-        .orderBy("fingerprint")
-    )
-
-
-_SQL_SHINGLES = f"""
-SELECT DISTINCT doc_id, source, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
-FROM ({SQL_WORDS}), unnest(generate_series(1, len(words) - 2)) AS t(i)
-"""
-
-
-def _shingles_spark(spark, sf_dir) -> DataFrame:
-    d = _docs(spark, sf_dir).select("doc_id", "source", spark_tokens("text").alias("words"))
-    return d.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.expr("transform(sequence(0, size(words)-3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))")
-        ).alias("sh"),
-    ).distinct()
-
-
-@register(
-    "minhash_signatures",
-    f"""WITH sh AS ({_SQL_SHINGLES})
-        SELECT doc_id,
-               min(md5('0:' || sh)) AS mh0, min(md5('1:' || sh)) AS mh1,
-               min(md5('2:' || sh)) AS mh2, min(md5('3:' || sh)) AS mh3
-        FROM sh GROUP BY doc_id ORDER BY doc_id""",
-)
-def minhash_signatures(spark, sf_dir):
-    """MinHash over 3-token shingles. Hash family: md5('seed:'||shingle),
-    minimum taken lexicographically on the hex digest — identical across
-    Spark/DuckDB/Python. 4 permutations → 2 bands of 2 for LSH."""
-    sh = _shingles_spark(spark, sf_dir)
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}") for i in range(4)]
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
-
-
-@register(
-    "minhash_lsh_pairs",
-    f"""WITH sh AS ({_SQL_SHINGLES}),
-        sig AS (
-          SELECT doc_id,
-                 min(md5('0:' || sh)) || min(md5('1:' || sh)) AS band0,
-                 min(md5('2:' || sh)) || min(md5('3:' || sh)) AS band1
-          FROM sh GROUP BY doc_id
-        ),
-        bands AS (
-          SELECT doc_id, band0 AS band FROM sig UNION ALL SELECT doc_id, band1 FROM sig
-        )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-        ORDER BY doc_a, doc_b""",
-)
-def minhash_lsh_pairs(spark, sf_dir):
-    """MinHash-LSH candidate pairs: band → bucket → self-join. The join key
-    is the band digest, so the shuffle carries signatures, not documents."""
-    sh = _shingles_spark(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(
-        F.concat(F.min(F.md5(F.concat(F.lit("0:"), F.col("sh")))), F.min(F.md5(F.concat(F.lit("1:"), F.col("sh"))))).alias("band0"),
-        F.concat(F.min(F.md5(F.concat(F.lit("2:"), F.col("sh")))), F.min(F.md5(F.concat(F.lit("3:"), F.col("sh"))))).alias("band1"),
-    )
-    bands = sig.select("doc_id", F.col("band0").alias("band")).unionByName(
-        sig.select("doc_id", F.col("band1").alias("band"))
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
-
-
-_SQL_LSH_PAIRS = f"""WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
-    sig AS (
-      SELECT doc_id,
-             min(md5('0:' || sh)) || min(md5('1:' || sh)) AS band0,
-             min(md5('2:' || sh)) || min(md5('3:' || sh)) AS band1
-      FROM sh GROUP BY doc_id
-    ),
-    bands AS (
-      SELECT doc_id, band0 AS band FROM sig UNION ALL SELECT doc_id, band1 FROM sig
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-    )"""
-
-
-class ConvergenceError(RuntimeError):
-    """Raised when an iterative graph algorithm exhausts its round budget
-    without the convergence checksum stabilizing — wrong output is
-    impossible, the caller either retries with a bigger budget or fails."""
-
-
-def connected_components(labels: DataFrame, edges: DataFrame, max_rounds: int = 20) -> DataFrame:
-    """Min-label connected components with POINTER DOUBLING, bounded-correct
-    (VERDICT r3 wrong #2 / ADVICE r3 #2: the plain propagation loop needed
-    diameter-many rounds and silently mislabeled past its cap).
-
-    Each round does two things, each ONE shuffle on doc_id:
-
-    1. edge propagation — every node takes the min label over itself and
-       its neighbors (the original loop);
-    2. pointer jump — every node replaces its label with its LABEL'S label
-       (``labels ⋈ labels ON lbl = doc_id``), the Shiloach-Vishkin
-       shortcutting step: the distance any min label still has to travel
-       HALVES each round, so convergence is O(log diameter) ≤ O(log n)
-       rounds regardless of graph shape (same guarantee class as the
-       Kiveris et al. alternating-stars rule, with the join shapes this
-       pipeline already uses).
-
-    Convergence is detected with an order-independent xor-fold checksum; if
-    the checksum has not stabilized within ``max_rounds`` the function
-    RAISES (ConvergenceError) instead of returning unconverged labels —
-    max_rounds=20 covers diameters up to ~2^20 before the raise can fire.
-    Lineage is cut per round via localCheckpoint.
-
-    ``labels`` is (doc_id, lbl) initial labels; ``edges`` is a directed
-    (src, dst) table that must contain both directions of every edge.
-    Returns converged (doc_id, lbl).
-    """
-    prev_sum = None
-    for _ in range(max_rounds):
-        prop = edges.join(labels, F.col("src") == F.col("doc_id")).select(
-            F.col("dst").alias("doc_id"), "lbl"
-        )
-        stepped = (
-            labels.unionByName(prop)
-            .groupBy("doc_id")
-            .agg(F.min("lbl").alias("lbl"))
-        )
-        hop = stepped.select(
-            F.col("doc_id").alias("j_id"), F.col("lbl").alias("j_lbl")
-        )
-        labels = (
-            stepped.join(hop, stepped["lbl"] == hop["j_id"], "left")
-            .select(
-                "doc_id",
-                F.least(F.col("lbl"), F.coalesce(F.col("j_lbl"), F.col("lbl"))).alias("lbl"),
-            )
-            .localCheckpoint()
-        )
-        # xor-fold: order-independent and overflow-free under ANSI mode
-        cur = labels.agg(F.expr("bit_xor(xxhash64(doc_id, lbl))")).collect()[0][0]
-        if cur == prev_sum:
-            return labels
-        prev_sum = cur
-    raise ConvergenceError(
-        f"connected components did not converge in {max_rounds} rounds"
-    )
-
-
-_LSH_EDGE_CACHE: dict[tuple, DataFrame] = {}
-
-
-def _lsh_pair_edges(spark, sf_dir) -> DataFrame:
-    """Symmetric (src, dst) edge table of the MinHash-LSH candidate-pair
-    graph — the shared front half of the near-dup clustering ops (same
-    band construction as :func:`minhash_lsh_pairs`). Returned
-    localCheckpoint'd and MEMOIZED per (applicationId, documents-table
-    version) — three ops consume this graph and each re-ran the full
-    shingle→band→self-join otherwise (same rule as `_trained_ivf`)."""
-    from docix_spark.index.build import session_key, table_version
-
-    key = (session_key(spark), sf_dir, table_version(f"{sf_dir}/documents.parquet"))
-    hit = _LSH_EDGE_CACHE.get(key)
-    if hit is not None:
-        return hit
-    sh = _shingles_spark(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(
-        F.concat(F.min(F.md5(F.concat(F.lit("0:"), F.col("sh")))), F.min(F.md5(F.concat(F.lit("1:"), F.col("sh"))))).alias("band0"),
-        F.concat(F.min(F.md5(F.concat(F.lit("2:"), F.col("sh")))), F.min(F.md5(F.concat(F.lit("3:"), F.col("sh"))))).alias("band1"),
-    )
-    bands = sig.select("doc_id", F.col("band0").alias("band")).unionByName(
-        sig.select("doc_id", F.col("band1").alias("band"))
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).localCheckpoint()
-    _LSH_EDGE_CACHE[key] = edges
-    return edges
-
-
-@register(
-    "dedup_connected_components",
-    _SQL_LSH_PAIRS
-    + """,
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(id, lbl) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-    ),
-    comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
-    SELECT doc_id, cluster_id,
-           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-           CAST(doc_id = cluster_id AS INT) AS is_canonical
-    FROM comp ORDER BY doc_id""",
-)
-def dedup_connected_components(spark, sf_dir):
-    """Near-dup CLUSTERING: connected components over the MinHash-LSH
-    candidate-pair graph, canonical = min doc_id per component — the step
-    that turns pairwise candidates into a keep/drop decision (the
-    reference's dedup stops at ES-level exact ids; a training-data
-    pipeline needs the transitive closure).
-
-    Spark plan: :func:`connected_components` — min-label propagation with
-    pointer doubling, O(log diameter) rounds, raise-on-nonconvergence
-    (never a silently wrong answer; see its docstring). LSH components are
-    near-cliques so it converges in 2-3 rounds here; the doubling step is
-    what keeps adversarial chain-shaped components (tested with a
-    diameter-120 chain in tests/test_dedup_ops.py) inside the budget. The
-    DuckDB oracle is the recursive-CTE transitive closure of the identical
-    pair graph."""
-    sh = _shingles_spark(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(
-        F.concat(F.min(F.md5(F.concat(F.lit("0:"), F.col("sh")))), F.min(F.md5(F.concat(F.lit("1:"), F.col("sh"))))).alias("band0"),
-        F.concat(F.min(F.md5(F.concat(F.lit("2:"), F.col("sh")))), F.min(F.md5(F.concat(F.lit("3:"), F.col("sh"))))).alias("band1"),
-    )
-    bands = sig.select("doc_id", F.col("band0").alias("band")).unionByName(
-        sig.select("doc_id", F.col("band1").alias("band"))
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    labels = connected_components(labels, edges)
-    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
-    return (
-        labels.join(sizes, "lbl")
-        .select(
-            "doc_id",
-            F.col("lbl").alias("cluster_id"),
-            "cluster_size",
-            (F.col("doc_id") == F.col("lbl")).cast("int").alias("is_canonical"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-def _pr_iter_sql(prev: str, cur: str) -> str:
-    """One unrolled PageRank power iteration as a DuckDB CTE: integer
-    micro-unit ranks, contributions floor-divided per out-degree."""
-    return f""",
-{cur} AS MATERIALIZED (
-  SELECT n.doc_id,
-         CAST(150000 + COALESCE(sum((r.r * 85) // (100 * dg.d)), 0) AS BIGINT) AS r
-  FROM nodes n
-  LEFT JOIN edges e ON e.dst = n.doc_id
-  LEFT JOIN {prev} r ON r.doc_id = e.src
-  LEFT JOIN deg dg ON dg.src = e.src
-  GROUP BY n.doc_id
-)"""
-
-
-_PR_ROUNDS = 5
-
-# The oracle's edge construction is the proven batch-ANN chain
-# (_KMEANS_SQL_PRELUDE ends in e / cent2 / a3, exactly as ann_ivf_batch
-# consumes it), with EVERY member vector as a query and top-3 neighbors
-# per query inside its 3 probed cells. Vectors and centroids are
-# NORMALIZED ONCE per row (norm as a scalar column, then one element-wise
-# divide), so every candidate pair costs a SINGLE array dot — the full
-# cosine per pair (3 interpreted higher-order dots, since array lambdas
-# never enter codegen) made the first cut of this stage 3x slower. Both
-# engines use the same two-step normalize expression shape, so the
-# doubles are bit-identical.
-_PR_EDGE_SQL = """,
-un AS (
-  SELECT vec_id, list_transform(v, x -> x / n) AS u
-  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e WHERE vec_id <> 0)
-),
-cnu AS (
-  SELECT cid, list_transform(cv, x -> x / n) AS cu
-  FROM (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS n FROM cent2)
-),
-qs AS (SELECT vec_id AS qid, u AS qu FROM un),
-bp AS (
-  SELECT qid, cid FROM (
-    SELECT qs.qid, c.cid,
-           row_number() OVER (PARTITION BY qs.qid ORDER BY
-             CAST(round(1000000000 * list_dot_product(c.cu, qs.qu)) AS BIGINT) DESC,
-             c.cid ASC) AS rn
-    FROM qs, cnu c) WHERE rn <= 3
-),
-sc AS (
-  SELECT qs.qid, un.vec_id,
-         CAST(round(1000000 * list_dot_product(un.u, qs.qu)) AS BIGINT) AS cos_q6
-  FROM qs JOIN bp USING (qid) JOIN a3 ON a3.cid = bp.cid JOIN un ON un.vec_id = a3.vec_id
-  WHERE un.vec_id <> qs.qid
-),
-edges AS MATERIALIZED (
-  SELECT qid AS src, vec_id AS dst FROM (
-    SELECT qid, vec_id,
-           row_number() OVER (PARTITION BY qid ORDER BY cos_q6 DESC, vec_id ASC) AS rn
-    FROM sc) WHERE rn <= 3
-),
-deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
-nodes AS MATERIALIZED (SELECT vec_id AS doc_id FROM e WHERE vec_id <> 0),
-r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
-
-
-def _pagerank_ann_sql() -> str:
-    return (
-        _KMEANS_SQL_PRELUDE
-        + _PR_EDGE_SQL
-        + "".join(_pr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(_PR_ROUNDS))
-        + f"""
-SELECT doc_id, r AS pagerank_q6 FROM r{_PR_ROUNDS}
-ORDER BY pagerank_q6 DESC, doc_id ASC LIMIT 20"""
-    )
-
-
-@register("pagerank_ann_graph", None)  # SQL bound below once the prelude exists
-def pagerank_ann_graph(spark, sf_dir):
-    """PageRank (damping 0.85, 5 power iterations) over the DIRECTED
-    approximate-kNN graph: every corpus vector queries the shared trained
-    IVF (`_trained_ivf`, the same index ann_ivf_batch serves), probes its
-    3 nearest cells, and points at its top-3 cosine neighbors among the
-    probed cells' members. In-degree is earned, not reciprocal, so the
-    stationary mass concentrates on hub documents — the centrality signal
-    corpus-selection pipelines use to pick representative docs (and the
-    same kernel that ranks a hyperlink graph at web scale).
-
-    Integer-exact across engines: ranks live in BIGINT micro-units
-    (node rank 1.0 == 1_000_000; ranks average 1 rather than sum to 1),
-    each edge contribution is (r * 85) div (100 * out_degree) — integer
-    floor division, so no float summation order exists anywhere — and the
-    teleport term is the constant 150_000. Dangling mass is dropped (the
-    standard simplified formulation). Both the probe and the neighbor
-    selection rank by QUANTIZED cosine so the edge set itself is
-    engine-identical.
-
-    Scale shape: edge construction is the cell-blocked batch-ANN join —
-    candidates join on the coarse cell id, NEVER an all-pairs cross join
-    (the first cut of this operator was O(n^2) on the pair side and took
-    76 s at sf0.1; the judge-visible lesson is that a kNN GRAPH is a
-    batch-ANN problem). With K cells and nprobe=3 each query scores
-    ~3N/K candidates; K is a sqrt(N)-ish knob at scale (8 here at
-    sandbox size). The per-src top-3 is a qid-partitioned window over
-    candidates only. One power iteration = one equi-join of the
-    node-sized rank table onto the edge table (shuffle keyed on src) and
-    one sum shuffle keyed on dst with map-side partial agg — the textbook
-    distributed PageRank plan, O(edges) per round with NO driver-side
-    state. The edge+degree table is localCheckpoint'd once so five
-    iterations don't re-derive the k-means training. Rounds are FIXED at
-    5 (power iteration is a convergence cadence, not a correctness gate —
-    unlike connected_components there is no wrong answer to cap, only a
-    less-converged one), matching the unrolled oracle CTEs exactly."""
-    members, cent, final_assign = _trained_ivf(spark, sf_dir)
-    edges = _ann_knn_edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    ed = edges.join(deg, "src").localCheckpoint()
-    nodes = members.select(F.col("vec_id").alias("doc_id"))
-    r = nodes.select("doc_id", F.lit(1_000_000).cast("long").alias("r"))
-    for _ in range(_PR_ROUNDS):
-        contrib = (
-            ed.join(r.withColumnRenamed("doc_id", "src"), "src")
-            .select(F.col("dst"), F.expr("(r * 85) div (100 * d)").alias("c"))
-        )
-        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        r = (
-            nodes.join(sums.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
-            .select(
-                "doc_id",
-                (F.lit(150_000) + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("r"),
-            )
-        )
-    return (
-        r.select("doc_id", F.col("r").alias("pagerank_q6"))
-        .orderBy(F.desc("pagerank_q6"), F.asc("doc_id"))
-        .limit(20)
-    )
-
-
-@register(
-    "dedup_survivor_tokens",
-    _SQL_LSH_PAIRS
-    + f""",
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(id, lbl) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-    ),
-    comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
-    tok AS (
-      SELECT doc_id, source,
-             CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
-      FROM documents
-    )
-    SELECT t.source,
-           CAST(count(*) AS BIGINT) AS docs_total,
-           CAST(sum(CASE WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> t.doc_id
-                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_dropped,
-           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
-           CAST(sum(CASE WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> t.doc_id
-                         THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_dropped
-    FROM tok t LEFT JOIN comp c ON t.doc_id = c.doc_id
-    GROUP BY t.source ORDER BY t.source""",
-)
-def dedup_survivor_tokens(spark, sf_dir):
-    """The dedup DECISION ledger every training-data team reports: after
-    near-dup clustering (MinHash-LSH pairs → connected components,
-    canonical = min doc_id per component), how many documents and tokens
-    per source survive vs get dropped. Non-clustered docs and each
-    cluster's canonical doc are keeps; every other cluster member drops.
-
-    Spark plan: the candidate/cluster stages are exactly
-    :func:`dedup_connected_components` (bucketed band equi-join, pointer-
-    doubled label propagation — cluster-table-sized, never corpus-sized);
-    the cluster labels then LEFT-join back to the per-doc token counts.
-    The label side is usually dup-cluster-sized (tiny vs corpus), but its
-    cardinality is NOT bounded — a pathological corpus can make it
-    corpus-sized — so the join is deliberately un-hinted: AQE broadcasts
-    it when its (localCheckpoint-accurate) size is small and falls back
-    to a doc_id shuffle join when it is not, instead of a forced
-    broadcast that would OOM. The DuckDB oracle recomputes the transitive
-    closure with a recursive CTE over the identical pair graph."""
-    edges = _lsh_pair_edges(spark, sf_dir)  # already checkpointed + memoized
-    labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    labels = connected_components(labels, edges).select(
-        F.col("doc_id").alias("c_id"), F.col("lbl").alias("cluster_id")
-    )
-    tok = _docs(spark, sf_dir).select(
-        "doc_id", "source", F.size(spark_tokens("text")).cast("long").alias("n_tok")
-    )
-    dropped = (F.col("cluster_id").isNotNull()) & (F.col("cluster_id") != F.col("doc_id"))
-    return (
-        tok.join(labels, tok["doc_id"] == F.col("c_id"), "left")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("docs_total"),
-            F.sum(F.when(dropped, 1).otherwise(0)).cast("long").alias("docs_dropped"),
-            F.sum("n_tok").cast("long").alias("tokens_total"),
-            F.sum(F.when(dropped, F.col("n_tok")).otherwise(0)).cast("long").alias("tokens_dropped"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "decontamination_ngram_overlap",
-    f"""WITH w AS ({SQL_WORDS}),
-    g AS (
-      SELECT DISTINCT doc_id,
-             words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
-             || ' ' || words[i+4] || ' ' || words[i+5] || ' ' || words[i+6] || ' ' || words[i+7] AS g
-      FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)
-      WHERE len(words) >= 8
-    ),
-    ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 29 = 0),
-    tr AS (
-      SELECT g.doc_id, count(*) AS n FROM g JOIN ev USING (g)
-      WHERE g.doc_id % 29 <> 0 GROUP BY g.doc_id
-    )
-    SELECT d.doc_id, COALESCE(tr.n, 0) AS n_contaminated,
-           CAST(COALESCE(tr.n, 0) > 0 AS INT) AS contaminated
-    FROM documents d LEFT JOIN tr ON d.doc_id = tr.doc_id
-    WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""",
-)
-def decontamination_ngram_overlap(spark, sf_dir):
-    """Benchmark decontamination: per training doc, the number of distinct
-    8-gram windows shared with the eval split (deterministic split:
-    doc_id % 29 == 0 plays the held-out benchmark). The real-pipeline op
-    behind every training run — drop or flag docs whose n-grams leak the
-    eval set. Scale shape: the eval-side gram table is benchmark-sized
-    (≪ corpus), so it BROADCASTS; the training side streams map-side
-    through the hash join — no corpus-sized shuffle at all."""
-    docs = _docs(spark, sf_dir)
-    w = docs.select("doc_id", spark_tokens("text").alias("words"))
-    grams = (
-        w.where(F.size("words") >= 8)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(words)-8), i -> "
-                    "concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3],"
-                    " words[i+4], words[i+5], words[i+6], words[i+7]))"
-                )
-            ).alias("g"),
-        )
-        .distinct()
-    )
-    ev = F.broadcast(
-        grams.where(F.col("doc_id") % 29 == 0).select("g").distinct()
-    )
-    tr = (
-        grams.where(F.col("doc_id") % 29 != 0)
-        .join(ev, "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n"))
-    )
-    return (
-        docs.where(F.col("doc_id") % 29 != 0)
-        .select("doc_id")
-        .join(tr, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n"), F.lit(0)).alias("n_contaminated"),
-            (F.coalesce(F.col("n"), F.lit(0)) > 0).cast("int").alias("contaminated"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "decontamination_bloom",
-    f"""WITH w AS ({SQL_WORDS}),
-    g AS (
-      SELECT DISTINCT doc_id,
-             words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
-             || ' ' || words[i+4] || ' ' || words[i+5] || ' ' || words[i+6] || ' ' || words[i+7] AS g
-      FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)
-      WHERE len(words) >= 8
-    ),
-    ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 29 = 0),
-    tr AS (SELECT doc_id, g FROM g WHERE doc_id % 29 <> 0),
-    js AS (SELECT unnest(generate_series(0, 3)) AS j),
-    evpos AS (
-      SELECT DISTINCT ('0x' || substr(md5(g), 1 + 4 * j, 4))::UBIGINT::BIGINT AS pos
-      FROM ev, js
-    ),
-    trpos AS (
-      SELECT doc_id, g, j,
-             ('0x' || substr(md5(g), 1 + 4 * j, 4))::UBIGINT::BIGINT AS pos
-      FROM tr, js
-    ),
-    cand AS (
-      SELECT doc_id, g FROM trpos JOIN evpos USING (pos)
-      GROUP BY doc_id, g HAVING count(DISTINCT j) = 4
-    ),
-    bloom AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom FROM cand GROUP BY doc_id),
-    exact AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact
-      FROM cand JOIN ev USING (g) GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           COALESCE(bloom.n_bloom, 0) AS n_bloom,
-           COALESCE(exact.n_exact, 0) AS n_exact,
-           COALESCE(bloom.n_bloom, 0) - COALESCE(exact.n_exact, 0) AS n_false_pos
-    FROM documents d
-    LEFT JOIN bloom ON d.doc_id = bloom.doc_id
-    LEFT JOIN exact ON d.doc_id = exact.doc_id
-    WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""",
-)
-def decontamination_bloom(spark, sf_dir):
-    """Bloom-filter decontamination: the 100 TB form of
-    decontamination_ngram_overlap. The eval split's 8-grams are folded
-    into a Bloom filter (m = 2^16 bit positions, k = 4 hashes = four
-    16-bit slices of md5(gram)); a training gram is a CANDIDATE iff all
-    four of its positions are set, and — because Bloom filters have no
-    false negatives — the exact gram join only needs to verify the
-    candidates. Per training doc: candidate count, exact count, and the
-    false-positive overshoot (n_bloom - n_exact, the filter's honesty
-    metric; ~ (fill_ratio)^4 per probed gram).
-
-    Determinism: membership is modeled as a distinct-positions table +
-    equi-join (a bitset stand-in), so both engines compute identical
-    integer positions — no engine-private bloom implementation involved.
-
-    Scale shape: the broadcast shrinks from the eval grams' full text
-    (what decontamination_ngram_overlap ships to every executor) to a
-    bounded-size position set — at most 65 536 rows no matter how big the
-    eval suite — and the training side probes it map-side; only
-    bloom-positive grams (benchmark-sized + a provably small FP tail)
-    reach the exact verify join. This prefilter→verify shape is the same
-    candidates-then-exact discipline as the LSH and trigram paths."""
-    docs = _docs(spark, sf_dir)
-    w = docs.select("doc_id", spark_tokens("text").alias("words"))
-    grams = (
-        w.where(F.size("words") >= 8)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(words)-8), i -> "
-                    "concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3],"
-                    " words[i+4], words[i+5], words[i+6], words[i+7]))"
-                )
-            ).alias("g"),
-        )
-        .distinct()
-    )
-    ev = grams.where(F.col("doc_id") % 29 == 0).select("g").distinct()
-    tr = grams.where(F.col("doc_id") % 29 != 0)
-    js = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
-    pos = F.expr("cast(conv(substring(md5(g), 1 + 4 * j, 4), 16, 10) as bigint)").alias("pos")
-    evpos = ev.select("g", js).select(pos).distinct()
-    trpos = tr.select("doc_id", "g", js).select("doc_id", "g", "j", pos)
-    cand = (
-        trpos.join(F.broadcast(evpos), "pos")
-        .groupBy("doc_id", "g")
-        .agg(F.countDistinct("j").alias("nj"))
-        .where(F.col("nj") == 4)
-        .select("doc_id", "g")
-    )
-    bloom = cand.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_bloom"))
-    exact = cand.join(F.broadcast(ev), "g").groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_exact")
-    )
-    return (
-        docs.where(F.col("doc_id") % 29 != 0)
-        .select("doc_id")
-        .join(bloom, "doc_id", "left")
-        .join(exact, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_bloom"), F.lit(0)).alias("n_bloom"),
-            F.coalesce(F.col("n_exact"), F.lit(0)).alias("n_exact"),
-            (F.coalesce(F.col("n_bloom"), F.lit(0)) - F.coalesce(F.col("n_exact"), F.lit(0))).alias("n_false_pos"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "top_terms_per_source",
-    f"""WITH w AS ({SQL_WORDS}),
-    t AS (SELECT source, unnest(words) AS term FROM w),
-    c AS (SELECT source, term, count(*) AS cnt FROM t GROUP BY 1, 2),
-    r AS (
-      SELECT source, term, cnt,
-             CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS INT) AS rn
-      FROM c
-    )
-    SELECT source, term, cnt, rn FROM r WHERE rn <= 5 ORDER BY source, rn""",
-)
-def top_terms_per_source(spark, sf_dir):
-    """Windowed top-k per group (top-5 terms per source) with SKEW-SAFE
-    counting: the token count is a salted two-phase aggregation (VERDICT
-    r3 ask #7) — phase 1 counts on (source, term, salt) where the salt is
-    a doc_id hash, so a hot (source, term) cell (one crawl source × one
-    stopword is most of a 100 TB corpus's tokens) spreads over N_SALT
-    reducers with map-side partial aggregation; phase 2 re-sums the
-    (≤ N_SALT per cell) partials on (source, term). The trailing
-    row_number window partitions by source over the phase-2 counts —
-    vocabulary-bounded rows per group, k rows survive."""
-    from pyspark.sql import Window
-
-    N_SALT = 16
-    toks = _docs(spark, sf_dir).select(
-        "source",
-        F.explode(spark_tokens("text")).alias("term"),
-        (F.abs(F.xxhash64("doc_id")) % N_SALT).alias("salt"),
-    )
-    partial = toks.groupBy("source", "term", "salt").agg(
-        F.count(F.lit(1)).alias("pcnt")
-    )
-    c = partial.groupBy("source", "term").agg(F.sum("pcnt").alias("cnt"))
-    win = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("term"))
-    return (
-        c.withColumn("rn", F.row_number().over(win))
-        .where(F.col("rn") <= 5)
-        .orderBy("source", "rn")
-    )
-
-
-@register(
-    "ngram_jaccard_pairs",
-    f"""WITH sh AS ({_SQL_SHINGLES}),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-          FROM sh a JOIN sh b ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        )
-        SELECT doc_a, doc_b,
-               CAST(round(1000000.0 * i / (na.n + nb.n - i)) AS BIGINT) AS jaccard_q6
-        FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
-        ORDER BY jaccard_q6 DESC, doc_a, doc_b LIMIT 20""",
-)
-def ngram_jaccard_pairs(spark, sf_dir):
-    """N-gram Jaccard near-dup: top-20 same-source pairs by 3-gram shingle
-    Jaccard. Same-source blocking bounds the self-join fan-out (at scale the
-    blocking key would be an LSH band, not source)."""
-    sh = _shingles_spark(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("i"))
-    )
-    na = sizes.alias("na")
-    nb = sizes.alias("nb")
-    return (
-        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
-        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            _q6(F.col("i") / (F.col("na.n") + F.col("nb.n") - F.col("i"))).alias("jaccard_q6"),
-        )
-        .orderBy(F.desc("jaccard_q6"), "doc_a", "doc_b")
-        .limit(20)
-    )
-
-
-@register(
-    "minhash_jaccard_estimate",
-    f"""WITH sh AS ({_SQL_SHINGLES}),
-        sig AS (
-          SELECT doc_id,
-                 min(md5('0:' || sh)) AS mh0, min(md5('1:' || sh)) AS mh1,
-                 min(md5('2:' || sh)) AS mh2, min(md5('3:' || sh)) AS mh3
-          FROM sh GROUP BY doc_id
-        ),
-        bands AS (
-          SELECT doc_id, mh0 || mh1 AS band FROM sig
-          UNION ALL SELECT doc_id, mh2 || mh3 FROM sig
-        ),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-        ),
-        est AS (
-          SELECT c.doc_a, c.doc_b,
-                 CAST(round(1000000.0 * (
-                   (CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END)
-                 + (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END)
-                 + (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END)
-                 + (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END)) / 4.0) AS BIGINT) AS est_q6
-          FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id JOIN sig sb ON c.doc_b = sb.doc_id
-        ),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        exact AS (
-          SELECT c.doc_a, c.doc_b,
-                 CAST(round(1000000.0 * count(*) / (na.n + nb.n - count(*))) AS BIGINT) AS exact_q6
-          FROM cand c
-          JOIN sh a ON a.doc_id = c.doc_a
-          JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
-          JOIN sizes na ON na.doc_id = c.doc_a
-          JOIN sizes nb ON nb.doc_id = c.doc_b
-          GROUP BY c.doc_a, c.doc_b, na.n, nb.n
-        )
-        SELECT e.doc_a, e.doc_b, e.est_q6, x.exact_q6
-        FROM est e JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
-        ORDER BY e.doc_a, e.doc_b""",
-)
-def minhash_jaccard_estimate(spark, sf_dir):
-    """The MinHash sketch's actual USE: estimate Jaccard as the fraction of
-    matching signature components (E[match] = J), side by side with the
-    exact shingle Jaccard on the LSH candidate pairs — the accuracy the
-    dedup threshold is tuned against; only sketches shuffle at scale."""
-    sh = _shingles_spark(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}") for i in range(4)]
-    )
-    bands = sig.select("doc_id", F.concat("mh0", "mh1").alias("band")).unionByName(
-        sig.select("doc_id", F.concat("mh2", "mh3").alias("band"))
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(4)])
-    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(4)])
-    matches = None
-    for i in range(4):
-        m = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        matches = m if matches is None else matches + m
-    est = cand.join(sa, "doc_a").join(sb, "doc_b").select(
-        "doc_a", "doc_b", _q6(matches / F.lit(4.0)).alias("est_q6")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = (
-        cand.join(sha, "doc_a").join(shb, "doc_b")
-        .where(F.col("sh_a") == F.col("sh_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    exact = (
-        inter.join(na, "doc_a").join(nb, "doc_b")
-        .select("doc_a", "doc_b", _q6(F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("exact_q6"))
-    )
-    return est.join(exact, ["doc_a", "doc_b"]).orderBy("doc_a", "doc_b")
-
-
-@register(
-    "ngram_jaccard_banded",
-    f"""WITH sh AS ({_SQL_SHINGLES}),
-        sig AS (
-          SELECT doc_id,
-                 min(md5('0:' || sh)) || min(md5('1:' || sh)) AS band0,
-                 min(md5('2:' || sh)) || min(md5('3:' || sh)) AS band1
-          FROM sh GROUP BY doc_id
-        ),
-        bands AS (
-          SELECT doc_id, band0 AS band FROM sig UNION ALL SELECT doc_id, band1 FROM sig
-        ),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-        ),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT c.doc_a, c.doc_b, count(*) AS i
-          FROM cand c
-          JOIN sh sa ON sa.doc_id = c.doc_a
-          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-          GROUP BY 1, 2
-        )
-        SELECT doc_a, doc_b,
-               CAST(round(1000000.0 * i / (na.n + nb.n - i)) AS BIGINT) AS jaccard_q6
-        FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
-        ORDER BY jaccard_q6 DESC, doc_a, doc_b LIMIT 20""",
-)
-def ngram_jaccard_banded(spark, sf_dir):
-    """N-gram Jaccard with MinHash-LSH banding as the blocking key (the
-    100 TB path the source-blocked variant's docstring promised): candidate
-    pairs come from an equi-join on band digests, exact shingle-set Jaccard
-    is verified on candidates only — shuffle carries digests and candidate
-    ids, never an all-pairs product."""
-    sh = _shingles_spark(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(
-        F.concat(F.min(F.md5(F.concat(F.lit("0:"), F.col("sh")))), F.min(F.md5(F.concat(F.lit("1:"), F.col("sh"))))).alias("band0"),
-        F.concat(F.min(F.md5(F.concat(F.lit("2:"), F.col("sh")))), F.min(F.md5(F.concat(F.lit("3:"), F.col("sh"))))).alias("band1"),
-    )
-    bands = sig.select("doc_id", F.col("band0").alias("band")).unionByName(
-        sig.select("doc_id", F.col("band1").alias("band"))
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(F.col("sh_a") == F.col("sh_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            _q6(F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard_q6"),
-        )
-        .orderBy(F.desc("jaccard_q6"), "doc_a", "doc_b")
-        .limit(20)
-    )
-
-
-@register(
-    "doc_fingerprint",
-    """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
-       FROM documents ORDER BY doc_id""",
-)
-def doc_fingerprint(spark, sf_dir):
-    """Document fingerprinting: hash of whitespace-normalized lowercased text."""
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")).alias("fingerprint"),
-    ).orderBy("doc_id")
-
-
-# Constant factor alpha_m * m^2 * 2^53 for the HLL estimator below
-# (m=256, alpha = 0.7213 / (1 + 1.079/m), Flajolet et al.), folded in Python
-# and inlined in e-notation: a plain decimal literal like 0.7213 is DECIMAL
-# in Spark SQL (and DuckDB) with engine-specific division scales, while
-# e-notation is a DOUBLE literal in both — repr() round-trips the exact bits.
-_HLL_C = repr(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0)
-
-
-@register(
-    "cardinality_sketch",
-    f"""
-WITH sh AS ({_SQL_SHINGLES}),
-ss AS (SELECT DISTINCT source, sh FROM sh),
-h AS (SELECT source, ('0x' || substr(md5(sh), 1, 15))::UBIGINT::BIGINT AS h FROM ss),
-rr AS (
-  SELECT source, h % 256 AS reg,
-         CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END AS rnk
-  FROM h
-),
-regs AS (SELECT source, reg, max(rnk) AS maxr FROM rr GROUP BY source, reg),
-z AS (
-  SELECT source, count(*) AS hit,
-         sum((1::BIGINT << (53 - maxr))) AS z_hit
-  FROM regs GROUP BY source
-),
-est AS (
-  SELECT source, CAST(256 - hit AS BIGINT) AS zeros,
-         z_hit + (256 - hit) * (1::BIGINT << 53) AS z_int
-  FROM z
-),
-ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM ss GROUP BY source),
-fin AS (
-  SELECT est.source, ex.n_exact,
-         CAST(round(
-           CASE WHEN ({_HLL_C} / CAST(z_int AS DOUBLE)) <= 640.0 AND zeros > 0
-                THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
-                ELSE {_HLL_C} / CAST(z_int AS DOUBLE)
-           END * 1000000
-         ) AS BIGINT) AS hll_q6
-  FROM est JOIN ex ON est.source = ex.source
-)
-SELECT source, n_exact, hll_q6 FROM fin ORDER BY source""",
-)
-def cardinality_sketch(spark, sf_dir):
-    """HyperLogLog cardinality estimate (p=8, m=256 registers) of distinct
-    3-token shingles per source, next to the exact count — the ES
-    ``cardinality`` aggregation, re-derived deterministically so Spark and
-    the oracle agree bit-for-bit (approx_count_distinct's HLL++ seeds
-    differ across engines, so it can never hash-match an oracle).
-
-    Construction: 60-bit md5 hash -> register = h % 256, rank = leading
-    zeros of the remaining 52 bits + 1 (via length(bin(w)), the integer-
-    exact floor-log2 idiom from doclen_histogram). The register sum
-    Z = sum 2^-maxrank is accumulated as an exact BIGINT in units of
-    2^-53 (each term is a power of two <= 2^53, 256 terms < 2^61), so no
-    float summation order exists; the estimate is one double division at
-    the end, with Flajolet's linear-counting correction below 2.5m.
-
-    Scale shape: THE distributed-cardinality sketch — registers merge by
-    max, so the per-(source, reg) agg is map-side partial all the way
-    down and the final state is 256 rows per source regardless of input
-    size. At 100 TB this replaces count(DISTINCT) whose exact form must
-    shuffle every distinct value (the ex CTE here exists only to show the
-    estimate's accuracy)."""
-    sh = _shingles_spark(spark, sf_dir)
-    ss = sh.select("source", "sh").distinct()
-    h = ss.select("source", _H60_SPARK(F.col("sh")).alias("h"))
-    rr = h.select(
-        "source",
-        F.expr("h % 256").alias("reg"),
-        F.expr("CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END").alias("rnk"),
-    )
-    regs = rr.groupBy("source", "reg").agg(F.max("rnk").alias("maxr"))
-    z = regs.groupBy("source").agg(
-        F.count("*").alias("hit"),
-        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(53 - maxr as int))")).alias("z_hit"),
-    )
-    est = z.select(
-        "source",
-        (F.lit(256) - F.col("hit")).cast("long").alias("zeros"),
-        F.expr("z_hit + (256 - hit) * shiftleft(cast(1 as bigint), 53)").alias("z_int"),
-    )
-    ex = ss.groupBy("source").agg(F.count("*").cast("long").alias("n_exact"))
-    raw = F.expr(f"{_HLL_C} / cast(z_int as double)")
-    lin = F.expr("256.0 * ln(256.0 / cast(zeros as double))")
-    return (
-        est.join(ex, "source")
-        .select(
-            "source",
-            "n_exact",
-            _q6(F.when((raw <= 640.0) & (F.col("zeros") > 0), lin).otherwise(raw)).alias("hll_q6"),
-        )
-        .orderBy("source")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Similarity search over embeddings
-# ---------------------------------------------------------------------------
-
-_SQL_COS = """
-WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-c AS (
-  SELECT e.vec_id, e.label,
-         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
-           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-              * sqrt(list_dot_product(q.qv, q.qv))) AS cos
-  FROM embeddings e, q WHERE e.vec_id <> 0
-)
-"""
-
-
-def _cos_spark(spark, sf_dir) -> DataFrame:
-    e = _emb(spark, sf_dir).select(
-        "vec_id", "label", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    qv = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
-    return (
-        e.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qv))
-        .select(
-            "vec_id",
-            "label",
-            (
-                F.expr(dot.format(a="v", b="qv"))
-                / (F.sqrt(F.expr(dot.format(a="v", b="v"))) * F.sqrt(F.expr(dot.format(a="qv", b="qv"))))
-            ).alias("cos"),
-        )
-    )
-
-
-@register(
-    "knn_cosine_top10",
-    _SQL_COS
-    + """SELECT vec_id, CAST(round(cos * 1000000) AS BIGINT) AS cos_q6
-         FROM c ORDER BY cos_q6 DESC, vec_id LIMIT 10""",
-)
-def knn_cosine_top10(spark, sf_dir):
-    """Brute-force cosine top-k — the exact ANN baseline. Dot products in
-    double over broadcast query vector; JVM-side zip_with/aggregate."""
-    c = _cos_spark(spark, sf_dir)
-    return (
-        c.select("vec_id", _q6(F.col("cos")).alias("cos_q6"))
-        .orderBy(F.desc("cos_q6"), "vec_id")
-        .limit(10)
-    )
-
-
-@register(
-    "ann_ivf_label",
-    _SQL_COS
-    + """SELECT vec_id, CAST(round(cos * 1000000) AS BIGINT) AS cos_q6
-         FROM c WHERE label = (SELECT label FROM embeddings WHERE vec_id = 0)
-         ORDER BY cos_q6 DESC, vec_id LIMIT 5""",
-)
-def ann_ivf_label(spark, sf_dir):
-    """IVF-style ANN: probe only the query's cell (label = precomputed
-    cluster) then exact cosine within it — the scale path: partition
-    pruning on the cell id replaces a full scan."""
-    e = _emb(spark, sf_dir)
-    qlabel = e.where(F.col("vec_id") == 0).select(F.col("label").alias("qlabel"))
-    c = _cos_spark(spark, sf_dir).crossJoin(F.broadcast(qlabel))
-    return (
-        c.where(F.col("label") == F.col("qlabel"))
-        .select("vec_id", _q6(F.col("cos")).alias("cos_q6"))
-        .orderBy(F.desc("cos_q6"), "vec_id")
-        .limit(5)
-    )
-
-
-_IVF_MULTIPROBE_SQL = """
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-dims AS (
-  SELECT label, i, avg(v[i]) AS c
-  FROM e, (SELECT unnest(generate_series(1, 64)) AS i)
-  GROUP BY label, i
-),
-cent AS (SELECT label, list(c ORDER BY i) AS cv FROM dims GROUP BY label),
-q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-probe AS (
-  SELECT label
-  FROM cent, q
-  ORDER BY list_dot_product(cv, qv)
-             / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
-           label ASC
-  LIMIT 3
-),
-c AS (
-  SELECT e.vec_id,
-         list_dot_product(e.v, q.qv)
-           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
-  FROM e JOIN probe USING (label), q
-  WHERE e.vec_id <> 0
-)
-SELECT vec_id, CAST(round(cos * 1000000) AS BIGINT) AS cos_q6
-FROM c ORDER BY cos_q6 DESC, vec_id LIMIT 10
-"""
-
-
-@register("ann_ivf_multiprobe", _IVF_MULTIPROBE_SQL)
-def ann_ivf_multiprobe(spark, sf_dir):
-    """IVF multi-probe ANN: centroids trained as per-cell means (one
-    element-wise aggregate — the k-means assignment step with the driver's
-    labels as the fixed assignment), query probes its 3 nearest cells by
-    centroid cosine, exact cosine within the probed cells only. At 10^9
-    vectors the scan prunes to 3/k of the data; nprobe trades recall for
-    cost exactly as in FAISS-style IVF."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id", "label", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    dims = (
-        e.select("label", F.posexplode("v").alias("i", "x"))
-        .groupBy("label", "i")
-        .agg(F.avg("x").alias("c"))
-    )
-    cent = dims.groupBy("label").agg(
-        F.expr("transform(sort_array(collect_list(struct(i, c))), s -> s.c)").alias("cv")
-    )
-    qv = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
-    probe = (
-        cent.crossJoin(F.broadcast(qv))
-        .select(
-            "label",
-            (
-                F.expr(dot.format(a="cv", b="qv"))
-                / (F.sqrt(F.expr(dot.format(a="cv", b="cv"))) * F.sqrt(F.expr(dot.format(a="qv", b="qv"))))
-            ).alias("ccos"),
-        )
-        .orderBy(F.desc("ccos"), F.asc("label"))
-        .limit(3)
-        .select("label")
-    )
-    return (
-        e.where(F.col("vec_id") != 0)
-        .join(F.broadcast(probe), "label")
-        .crossJoin(F.broadcast(qv))
-        .select(
-            "vec_id",
-            _q6(
-                F.expr(dot.format(a="v", b="qv"))
-                / (F.sqrt(F.expr(dot.format(a="v", b="v"))) * F.sqrt(F.expr(dot.format(a="qv", b="qv"))))
-            ).alias("cos_q6"),
-        )
-        .orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-        .limit(10)
-    )
-
-
-# --- IVF trained by Lloyd iterations (VERDICT r2 next #5) -------------------
-#
-# Unlike ann_ivf_label / ann_ivf_multiprobe, NOTHING is read from the
-# driver's label column: centroids are initialized from fixed seed vectors
-# (vec_id 1..K) and refined by two full Lloyd iterations (assign → re-sum),
-# then the query probes its 3 nearest cells of the TRAINED partition.
-# Cross-engine determinism: centroids are element-wise BIGINT q6 sums
-# (integer addition is order-independent — float means are not), and every
-# nearest-centroid decision compares q9-rounded cosines with a centroid-id
-# tiebreak, so Spark and DuckDB make identical assignments.
-
-_KMEANS_K = 8
-
-_KMEANS_SQL_PRELUDE = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-cent0 AS (
-  SELECT vec_id AS cid,
-         list_transform(v, x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS DOUBLE)) AS cv
-  FROM e WHERE vec_id BETWEEN 1 AND {_KMEANS_K}
-),
-s1 AS (
-  SELECT e.vec_id, c.cid,
-         CAST(round(1000000000 * list_dot_product(e.v, c.cv)
-           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))) AS BIGINT) AS cq
-  FROM e, cent0 c WHERE e.vec_id <> 0
-),
-a1 AS (
-  SELECT vec_id, cid FROM (
-    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cq DESC, cid ASC) AS rn
-    FROM s1) WHERE rn = 1
-),
-dims1 AS (
-  SELECT a1.cid, i, SUM(CAST(round(e.v[i] * 1000000) AS BIGINT)) AS s
-  FROM e JOIN a1 USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i)
-  GROUP BY a1.cid, i
-),
-cent1 AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv FROM dims1 GROUP BY cid),
-s2 AS (
-  SELECT e.vec_id, c.cid,
-         CAST(round(1000000000 * list_dot_product(e.v, c.cv)
-           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))) AS BIGINT) AS cq
-  FROM e, cent1 c WHERE e.vec_id <> 0
-),
-a2 AS (
-  SELECT vec_id, cid FROM (
-    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cq DESC, cid ASC) AS rn
-    FROM s2) WHERE rn = 1
-),
-dims2 AS (
-  SELECT a2.cid, i, SUM(CAST(round(e.v[i] * 1000000) AS BIGINT)) AS s
-  FROM e JOIN a2 USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i)
-  GROUP BY a2.cid, i
-),
-cent2 AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv FROM dims2 GROUP BY cid),
-s3 AS (
-  SELECT e.vec_id, c.cid,
-         CAST(round(1000000000 * list_dot_product(e.v, c.cv)
-           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))) AS BIGINT) AS cq
-  FROM e, cent2 c WHERE e.vec_id <> 0
-),
-a3 AS (
-  SELECT vec_id, cid FROM (
-    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cq DESC, cid ASC) AS rn
-    FROM s3) WHERE rn = 1
-),
-probe AS (
-  SELECT cid FROM cent2, q
-  ORDER BY CAST(round(1000000000 * list_dot_product(cv, qv)
-             / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))) AS BIGINT) DESC,
-           cid ASC
-  LIMIT 3
-),
-ivf AS (
-  SELECT e.vec_id,
-         CAST(round(1000000 * list_dot_product(e.v, q.qv)
-           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS cos_q6
-  FROM e JOIN a3 USING (vec_id) JOIN probe USING (cid), q
-  WHERE e.vec_id <> 0
-  ORDER BY cos_q6 DESC, e.vec_id LIMIT 10
-)
-"""
-
-_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
-
-
-def _cosq(a: str, b: str, scale: int) -> F.Column:
-    """round(scale * cos(a, b)) as BIGINT — the cross-engine comparison key."""
-    cos = F.expr(_DOT.format(a=a, b=b)) / (
-        F.sqrt(F.expr(_DOT.format(a=a, b=a))) * F.sqrt(F.expr(_DOT.format(a=b, b=b)))
-    )
-    return F.round(cos * F.lit(float(scale))).cast("long")
-
-
-def _kmeans_assign(members: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, cid): nearest trained centroid by q9 cosine, cid tiebreak.
-    Centroids broadcast (K rows) — the scan side streams, no shuffle until
-    the window's per-vector reduction (partitioned by vec_id)."""
-    s = members.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cid", _cosq("v", "cv", 1_000_000_000).alias("cq")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cq"), F.asc("cid"))
-    return (
-        s.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
-
-
-def _kmeans_cent(members: DataFrame, assign: DataFrame) -> DataFrame:
-    """(cid, cv): element-wise BIGINT q6 sums per cell, cast to double —
-    order-independent integer adds make the trained centroids identical in
-    Spark and DuckDB. posexplode → partial map-side sums per (cid, i)."""
-    return (
-        members.join(assign, "vec_id")
-        .select("cid", F.posexplode("v").alias("i", "x"))
-        .withColumn("xq", F.round(F.col("x") * F.lit(1_000_000.0)).cast("long"))
-        .groupBy("cid", "i")
-        .agg(F.sum("xq").alias("s"))
-        .groupBy("cid")
-        .agg(
-            F.expr(
-                "transform(sort_array(collect_list(struct(i, s))), t -> cast(t.s as double))"
-            ).alias("cv")
-        )
-    )
-
-
-_IVF_CACHE: dict[tuple, tuple[DataFrame, DataFrame, DataFrame]] = {}
-
-
-def _trained_ivf(spark, sf_dir) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(members, trained centroids, final assignment) — the shared k-means
-    IVF training pass (seed init from vec_id 1..K, two Lloyd iterations);
-    single-query and batch probes both search this index.
-
-    The trained index is MEMOIZED per (applicationId, embeddings-table
-    version): seven registry ops search it, and each retrained the
-    quantizer from scratch otherwise (a real vector store trains once and
-    serves many probes — this mirrors that). Centroids (K rows) and the
-    assignment (one row per vector) are localCheckpoint'd so cache hits
-    replay nothing; keys follow the index-layer rule — applicationId +
-    nanosecond-mtime/file-count table version, never id(spark) or coarse
-    mtime (ADVICE r3 #5)."""
-    from docix_spark.index.build import session_key, table_version
-
-    key = (session_key(spark), sf_dir, table_version(f"{sf_dir}/embeddings.parquet"))
-    hit = _IVF_CACHE.get(key)
-    if hit is not None:
-        return hit
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    members = e.where(F.col("vec_id") != 0)
-    cent = members.where(F.col("vec_id").between(1, _KMEANS_K)).select(
-        F.col("vec_id").alias("cid"),
-        F.expr(
-            "transform(v, x -> cast(cast(round(x * 1000000) as bigint) as double))"
-        ).alias("cv"),
-    )
-    for _ in range(2):  # Lloyd: assign → re-sum, twice
-        assign = _kmeans_assign(members, cent)
-        cent = _kmeans_cent(members, assign)
-    final_assign = _kmeans_assign(members, cent)
-    out = (members, cent.localCheckpoint(), final_assign.localCheckpoint())
-    _IVF_CACHE[key] = out
-    return out
-
-
-_INCELL_PAIR_CACHE: dict[tuple, DataFrame] = {}
-
-
-def _incell_pair_cos(spark, sf_dir) -> DataFrame:
-    """Memoized UNORDERED in-cell cosine pair table off the shared trained
-    IVF: ``(cid, id_a, id_b, cosn_q6, cosq_q6)`` with ``id_a < id_b`` for
-    every pair of vectors assigned to the same cell — the shared front half
-    of the ANN-graph family (VERDICT r4 ask #1). Six ops (semdedup,
-    semdedup_threshold_histogram, semdedup_centroid_shift, ann_mutual_knn,
-    ann_hits_scores, embedding_intrinsic_dim) each rebuilt this join from
-    `_trained_ivf` independently (~35 s combined at sf0.1); one
-    localCheckpoint'd build amortizes it, the `_lsh_pair_edges` discipline.
-
-    Two quantized cosines ride every pair because the consumers use two
-    float pipelines whose q6 roundings can differ by an ulp flip and each
-    oracle mirrors its op's pipeline exactly:
-
-    - ``cosn_q6`` — normalize-once: round(1e6 · u_a·u_b) over per-vector
-      unit arrays (semdedup family, mutual-kNN — one dot per pair).
-    - ``cosq_q6`` — the `_cosq` three-dot form round(1e6 · v_a·v_b /
-      (‖v_a‖·‖v_b‖)) on RAW vectors (HITS, TwoNN intrinsic dim).
-
-    Cosine is bit-symmetric in IEEE (elementwise x·y commutes, the
-    aggregate fold walks array order, the norm product commutes), so
-    consumers needing DIRECTED pairs derive them by unioning the swapped
-    orientation — byte-identical to the ordered joins they replaced.
-
-    Scale shape: the pair join blocks on cid (the semdedup N^1.5 bound
-    with K≈√N cells — never all-pairs); both score columns are computed
-    map-side in the one pass. Memo keys follow the index-layer rule:
-    (applicationId, sf_dir, nanosecond table_version) — never id(spark)."""
-    from docix_spark.index.build import session_key, table_version
-
-    key = (session_key(spark), sf_dir, table_version(f"{sf_dir}/embeddings.parquet"))
-    hit = _INCELL_PAIR_CACHE.get(key)
-    if hit is not None:
-        return hit
-    members, cent, assign = _trained_ivf(spark, sf_dir)
-    dot = (
-        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-        " cast(0.0 as double), (acc, z) -> acc + z)"
-    )
-    un = (
-        members.withColumn("n", F.sqrt(F.expr(dot.format(a="v", b="v"))))
-        .select("vec_id", "v", F.expr("transform(v, x -> x / n)").alias("u"))
-    )
-    mem = un.join(assign, "vec_id")
-    a = mem.select(
-        "cid",
-        F.col("vec_id").alias("id_a"),
-        F.col("u").alias("ua"),
-        F.col("v").alias("va"),
-    )
-    b = mem.select(
-        F.col("cid").alias("cid_b"),
-        F.col("vec_id").alias("id_b"),
-        F.col("u").alias("ub"),
-        F.col("v").alias("vb"),
-    )
-    pairs = (
-        a.join(b, (F.col("cid") == F.col("cid_b")) & (F.col("id_a") < F.col("id_b")))
-        .select(
-            "cid",
-            "id_a",
-            "id_b",
-            F.expr(
-                f"cast(round(1000000 * ({dot.format(a='ua', b='ub')})) as bigint)"
-            ).alias("cosn_q6"),
-            _cosq("va", "vb", 1_000_000).alias("cosq_q6"),
-        )
-        .localCheckpoint()
-    )
-    _INCELL_PAIR_CACHE[key] = pairs
-    return pairs
-
-
-_KNN_EDGE_CACHE: dict[tuple, DataFrame] = {}
-
-
-def _ann_knn_edges(spark, sf_dir) -> DataFrame:
-    """Memoized DIRECTED top-3 probe-kNN edge table ``(src, dst)`` off the
-    shared trained IVF — the batch-ANN graph pagerank_ann_graph walks:
-    every vector probes its 3 nearest cells (q9 centroid cosine, cid
-    tiebreak) and points at its top-3 q6-cosine neighbors among the probed
-    cells' members (vec_id tiebreak). Three ops (pagerank_ann_graph,
-    ann_graph_components, ann_two_hop_histogram) each re-derived this
-    identical edge set from scratch; the build is lifted verbatim so the
-    edge set — and every consumer's oracle hash — is unchanged
-    (VERDICT r4 ask #1, the `_lsh_pair_edges` discipline).
-
-    Scale shape: candidates join on the coarse cell id (≈3N/K per query,
-    K a √N knob), per-query top-3 is a qid-partitioned window over
-    candidates only; the result is ≤3N rows, localCheckpoint'd."""
-    from docix_spark.index.build import session_key, table_version
-
-    key = (session_key(spark), sf_dir, table_version(f"{sf_dir}/embeddings.parquet"))
-    hit = _KNN_EDGE_CACHE.get(key)
-    if hit is not None:
-        return hit
-    members, cent, final_assign = _trained_ivf(spark, sf_dir)
-    dot = (
-        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-        " cast(0.0 as double), (acc, z) -> acc + z)"
-    )
-    un = (
-        members.withColumn("n", F.sqrt(F.expr(dot.format(a="v", b="v"))))
-        .select("vec_id", F.expr("transform(v, x -> x / n)").alias("u"))
-    )
-    cnu = (
-        cent.withColumn("n", F.sqrt(F.expr(dot.format(a="cv", b="cv"))))
-        .select("cid", F.expr("transform(cv, x -> x / n)").alias("cu"))
-    )
-    qs = un.select(F.col("vec_id").alias("qid"), F.col("u").alias("qu"))
-    wq = Window.partitionBy("qid").orderBy(F.desc("cq"), F.asc("cid"))
-    bp = (
-        qs.crossJoin(F.broadcast(cnu))
-        .select(
-            "qid",
-            "qu",
-            "cid",
-            F.expr(
-                f"cast(round(1000000000 * ({dot.format(a='cu', b='qu')})) as bigint)"
-            ).alias("cq"),
-        )
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= 3)
-        .select("qid", "qu", "cid")
-    )
-    scored = (
-        un.join(final_assign, "vec_id")
-        .join(bp, "cid")  # cell-blocked candidate join; bp is node-sized, NOT broadcast
-        .where(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.expr(
-                f"cast(round(1000000 * ({dot.format(a='u', b='qu')})) as bigint)"
-            ).alias("cos_q6"),
-        )
-    )
-    wr = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-    edges = (
-        scored.withColumn("rnk", F.row_number().over(wr))
-        .where(F.col("rnk") <= 3)
-        .select(F.col("qid").alias("src"), F.col("vec_id").alias("dst"))
-        .localCheckpoint()
-    )
-    _KNN_EDGE_CACHE[key] = edges
-    return edges
-
-
-def _ivf_kmeans_topk(spark, sf_dir) -> DataFrame:
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    qv = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    members, cent, final_assign = _trained_ivf(spark, sf_dir)
-    probe = (
-        cent.crossJoin(F.broadcast(qv))
-        .select("cid", _cosq("cv", "qv", 1_000_000_000).alias("cq"))
-        .orderBy(F.desc("cq"), F.asc("cid"))
-        .limit(3)
-        .select("cid")
-    )
-    return (
-        members.join(final_assign, "vec_id")
-        .join(F.broadcast(probe), "cid")
-        .crossJoin(F.broadcast(qv))
-        .select("vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-        .orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-        .limit(10)
-    )
-
-
-@register("ann_ivf_kmeans", _KMEANS_SQL_PRELUDE + "SELECT vec_id, cos_q6 FROM ivf")
-def ann_ivf_kmeans(spark, sf_dir):
-    """IVF whose coarse quantizer is TRAINED, not read: k-means over the
-    corpus vectors (deterministic seed init, two Lloyd iterations), query
-    probes its 3 nearest trained cells, exact cosine inside them. At 10^9
-    vectors this is FAISS-style IVF — training on a sample, assignment as
-    one broadcast-join pass per iteration, probe pruning the scan to
-    nprobe/K of the data."""
-    return _ivf_kmeans_topk(spark, sf_dir)
-
-
-@register(
-    "ann_ivf_recall",
-    _KMEANS_SQL_PRELUDE
-    + """, exact AS (
-  SELECT e.vec_id,
-         CAST(round(1000000 * list_dot_product(e.v, q.qv)
-           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS cos_q6
-  FROM e, q WHERE e.vec_id <> 0
-  ORDER BY cos_q6 DESC, e.vec_id LIMIT 10
-)
-SELECT count(*) AS n_overlap FROM ivf JOIN exact USING (vec_id)""",
-)
-def ann_ivf_recall(spark, sf_dir):
-    """Recall@10 of the trained multi-probe IVF against the brute-force
-    oracle — the accuracy/cost trade reported as a first-class metric (the
-    FAISS-style nprobe evaluation)."""
-    ivf = _ivf_kmeans_topk(spark, sf_dir).select("vec_id")
-    exact = (
-        _cos_spark(spark, sf_dir)
-        .select("vec_id", _q6(F.col("cos")).alias("cos_q6"))
-        .orderBy(F.desc("cos_q6"), "vec_id")
-        .limit(10)
-        .select("vec_id")
-    )
-    return ivf.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("n_overlap"))
-
-
-# --- batch-query ANN (VERDICT r3 next #6) -----------------------------------
-#
-# A retrieval/dedup pipeline probes MILLIONS of query vectors, not one; the
-# batch path reuses the identical trained index (cent2/a3) and turns the
-# single-vector probe into relational operators: assign every query to its
-# nprobe nearest cells (queries × K-broadcast-centroids, a map-side pass),
-# equi-join queries to members ON cid, per-query top-k via window. At scale
-# the (qid, cid, qv) probe table broadcasts while the query batch is small
-# and degrades gracefully to a cid-keyed shuffle join when it isn't — the
-# scan side is always pruned to nprobe/K of the corpus per query.
-
-_BATCH_SQL = (
-    _KMEANS_SQL_PRELUDE
-    + """, qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 37 = 0),
-bp AS (
-  SELECT qid, cid FROM (
-    SELECT qs.qid, c.cid,
-           row_number() OVER (PARTITION BY qs.qid ORDER BY
-             CAST(round(1000000000 * list_dot_product(c.cv, qs.qv)
-               / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) DESC,
-             c.cid ASC) AS rn
-    FROM qs, cent2 c) WHERE rn <= 3
-),
-btop AS (
-  SELECT qid, vec_id, cos_q6,
-         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_q6 DESC, vec_id ASC) AS INT) AS rnk
-  FROM (
-    SELECT qs.qid, e.vec_id,
-           CAST(round(1000000 * list_dot_product(e.v, qs.qv)
-             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) AS cos_q6
-    FROM qs JOIN bp USING (qid) JOIN a3 ON a3.cid = bp.cid JOIN e ON e.vec_id = a3.vec_id
-  )
-)"""
-)
-
-
-# pagerank_ann_graph is registered earlier (graph-analytics section) but its
-# oracle reuses _KMEANS_SQL_PRELUDE, which is only defined here — bind it now.
-REGISTRY["pagerank_ann_graph"].sql = _pagerank_ann_sql()
-
-
-def _ivf_batch_topk(spark, sf_dir) -> DataFrame:
-    members, cent, final_assign = _trained_ivf(spark, sf_dir)
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    qs = e.where(F.col("vec_id") % 37 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    wq = Window.partitionBy("qid").orderBy(F.desc("cq"), F.asc("cid"))
-    bp = (
-        qs.crossJoin(F.broadcast(cent))
-        .select("qid", "qv", "cid", _cosq("cv", "qv", 1_000_000_000).alias("cq"))
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= 3)
-        .select("qid", "qv", "cid")
-    )
-    scored = (
-        members.join(final_assign, "vec_id")
-        .join(F.broadcast(bp), "cid")
-        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-    )
-    wr = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(wr))
-        .where(F.col("rnk") <= 10)
-        .select("qid", "vec_id", "cos_q6", "rnk")
-    )
-
-
-@register(
-    "ann_ivf_batch",
-    _BATCH_SQL + "\nSELECT qid, vec_id, cos_q6, rnk FROM btop WHERE rnk <= 10 ORDER BY qid, rnk",
-)
-def ann_ivf_batch(spark, sf_dir):
-    """Batch-query ANN: every 37th vector plays a query (14 here; millions
-    in production), each probing its 3 nearest TRAINED cells of the shared
-    k-means IVF, exact cosine inside the probed cells, top-10 per query via
-    a qid-partitioned window. Query self-hits are retained (a query that is
-    also corpus ranks itself #1 — well-defined and oracle-checkable)."""
-    return _ivf_batch_topk(spark, sf_dir).orderBy("qid", "rnk")
-
-
-@register(
-    "ann_ivf_batch_recall",
-    _BATCH_SQL
-    + """, bexact AS (
-  SELECT qid, vec_id FROM (
-    SELECT qs.qid, e.vec_id,
-           row_number() OVER (PARTITION BY qs.qid ORDER BY
-             CAST(round(1000000 * list_dot_product(e.v, qs.qv)
-               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) DESC,
-             e.vec_id ASC) AS rn
-    FROM qs, e WHERE e.vec_id <> 0) WHERE rn <= 10
-)
-SELECT qs.qid, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlap
-FROM qs LEFT JOIN (
-  SELECT b.qid, count(*) AS n
-  FROM (SELECT qid, vec_id FROM btop WHERE rnk <= 10) b JOIN bexact USING (qid, vec_id)
-  GROUP BY b.qid
-) o USING (qid) ORDER BY qs.qid""",
-)
-def ann_ivf_batch_recall(spark, sf_dir):
-    """PER-QUERY recall@10 of the batch IVF probe vs the brute-force exact
-    top-10 — the per-query accuracy distribution (not just the mean) is
-    what an nprobe sweep tunes against."""
-    ivf = _ivf_batch_topk(spark, sf_dir).select("qid", "vec_id")
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    qs = e.where(F.col("vec_id") % 37 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    wr = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-    exact = (
-        e.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qs))
-        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-        .withColumn("rn", F.row_number().over(wr))
-        .where(F.col("rn") <= 10)
-        .select("qid", "vec_id")
-    )
-    overlap = ivf.join(exact, ["qid", "vec_id"]).groupBy("qid").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    return (
-        qs.select("qid")
-        .join(overlap, "qid", "left")
-        .select("qid", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_overlap"))
-        .orderBy("qid")
-    )
-
-
-# ---------------------------------------------------------------------------
-# ANN: product quantization with ADC — the compression half of the
-# canonical IVF+PQ stack (FAISS); the IVF half is ann_ivf_* above.
-# ---------------------------------------------------------------------------
-
-_PQ_M, _PQ_K, _PQ_D = 8, 16, 8  # subspaces, codewords/subspace, dims/subspace
-
-
-def _sql_cosq(a: str, b: str, scale: int) -> str:
-    """DuckDB q-scaled cosine — the cross-engine comparison key (same
-    rounding/scale as the Spark-side :func:`_cosq`)."""
-    return (
-        f"CAST(round({scale} * list_dot_product({a}, {b}) / "
-        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))) AS BIGINT)"
-    )
-
-
-def _pq_ctes(restrict_to_cand: bool = False) -> str:
-    """Generated PQ CTE chain (per-subspace k-means: seed init vec_id
-    1.._PQ_K, one Lloyd iteration; codes; query LUT; normalized ADC) —
-    mirrors the Spark helpers step for step. Generated rather than
-    hand-written so the q-scales/tiebreaks stay in one place. With
-    ``restrict_to_cand`` the ADC sum only scores vec_ids in a ``cand``
-    CTE the caller must provide (the IVF+PQ composition)."""
-    cosq = _sql_cosq
-    cand_join = "JOIN cand USING (vec_id) " if restrict_to_cand else ""
-    return f"""
-ms AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
-sub AS (
-  SELECT vec_id, m, list_slice(v, m * {_PQ_D} + 1, m * {_PQ_D} + {_PQ_D}) AS sv
-  FROM e, ms WHERE vec_id <> 0
-),
-qsub AS (
-  SELECT m, list_slice(v, m * {_PQ_D} + 1, m * {_PQ_D} + {_PQ_D}) AS qsv
-  FROM e, ms WHERE vec_id = 0
-),
-cb0 AS (
-  SELECT m, vec_id AS cid,
-         list_transform(sv, x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS DOUBLE)) AS cw
-  FROM sub WHERE vec_id BETWEEN 1 AND {_PQ_K}
-),
-s1 AS (
-  SELECT sub.vec_id, sub.m, c.cid, {cosq('sub.sv', 'c.cw', 1000000000)} AS cq
-  FROM sub JOIN cb0 c ON sub.m = c.m
-),
-a1 AS (
-  SELECT vec_id, m, cid FROM (
-    SELECT vec_id, m, cid,
-           row_number() OVER (PARTITION BY vec_id, m ORDER BY cq DESC, cid ASC) AS rn
-    FROM s1) WHERE rn = 1
-),
-dims1 AS (
-  SELECT a1.m, a1.cid, i, SUM(CAST(round(sub.sv[i] * 1000000) AS BIGINT)) AS s,
-         CAST(count(*) AS BIGINT) AS cnt
-  FROM sub JOIN a1 USING (vec_id, m), (SELECT unnest(generate_series(1, {_PQ_D})) AS i)
-  GROUP BY a1.m, a1.cid, i
-),
-cb1 AS (
-  SELECT m, cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cw, max(cnt) AS n
-  FROM dims1 GROUP BY m, cid
-),
-s2 AS (
-  SELECT sub.vec_id, sub.m, c.cid, {cosq('sub.sv', 'c.cw', 1000000000)} AS cq
-  FROM sub JOIN cb1 c ON sub.m = c.m
-),
-codes AS (
-  SELECT vec_id, m, cid FROM (
-    SELECT vec_id, m, cid,
-           row_number() OVER (PARTITION BY vec_id, m ORDER BY cq DESC, cid ASC) AS rn
-    FROM s2) WHERE rn = 1
-),
-lut AS (
-  SELECT c.m, c.cid,
-         CAST(round(list_dot_product(q.qsv, c.cw) / c.n) AS BIGINT) AS dq6,
-         CAST(round(list_dot_product(c.cw, c.cw) / (c.n * c.n)) AS BIGINT) AS n2q
-  FROM cb1 c JOIN qsub q ON c.m = q.m
-),
-qn AS (SELECT sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id = 0),
-adc AS (
-  SELECT codes.vec_id,
-         CAST(round(1000000.0 * CAST(SUM(dq6) AS BIGINT)
-              / (qn.qn * sqrt(CAST(SUM(n2q) AS BIGINT)))) AS BIGINT) AS adc_q6
-  FROM codes {cand_join}JOIN lut USING (m, cid), qn GROUP BY codes.vec_id, qn.qn
-)
-"""
-
-
-_SQL_EMB_E = "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
-
-
-def _pq_sql() -> str:
-    """Full generated DuckDB oracle for exhaustive PQ-ADC."""
-    return _SQL_EMB_E + _pq_ctes()
-
-
-def _coarse_ctes() -> str:
-    """Generated coarse-quantizer CTE chain for the IVF+PQ composition:
-    the SAME full-vector k-means as _KMEANS_SQL_PRELUDE (seed init vec_id
-    1.._KMEANS_K, two Lloyd iterations, q9-cosine assignment, 3-cell
-    probe), CTEs c-prefixed to coexist with the PQ chain; ends in
-    ``cand`` = the vec_ids inside the probed cells."""
-    cosq = _sql_cosq
-    step = """
-cs{j} AS (
-  SELECT e.vec_id, c.ccid, {expr} AS cq
-  FROM e, {cb} c WHERE e.vec_id <> 0
-),
-ca{j} AS (
-  SELECT vec_id, ccid FROM (
-    SELECT vec_id, ccid, row_number() OVER (PARTITION BY vec_id ORDER BY cq DESC, ccid ASC) AS rn
-    FROM cs{j}) WHERE rn = 1
-)"""
-    lloyd = """,
-cdims{j} AS (
-  SELECT ca{j}.ccid, i, SUM(CAST(round(e.v[i] * 1000000) AS BIGINT)) AS s
-  FROM e JOIN ca{j} USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i)
-  GROUP BY ca{j}.ccid, i
-),
-ccb{j} AS (SELECT ccid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv FROM cdims{j} GROUP BY ccid)"""
-    out = f"""
-cq0 AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-ccb0 AS (
-  SELECT vec_id AS ccid,
-         list_transform(v, x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS DOUBLE)) AS cv
-  FROM e WHERE vec_id BETWEEN 1 AND {_KMEANS_K}
-),"""
-    for j in (1, 2):
-        out += step.format(j=j, cb=f"ccb{j-1}", expr=cosq("e.v", "c.cv", 1_000_000_000))
-        out += lloyd.format(j=j)
-        out += ","
-    out += step.format(j=3, cb="ccb2", expr=cosq("e.v", "c.cv", 1_000_000_000))
-    out += f""",
-cprobe AS (
-  SELECT ccid FROM ccb2, cq0
-  ORDER BY {cosq('cv', 'qv', 1_000_000_000)} DESC, ccid ASC
-  LIMIT 3
-),
-cand AS (SELECT vec_id FROM ca3 JOIN cprobe USING (ccid)),
-"""
-    return out
-
-
-def _ivfpq_sql() -> str:
-    """Full generated DuckDB oracle for composed IVF+PQ: coarse k-means
-    prunes to the 3 probed cells, PQ codes ADC-score only those members."""
-    return _SQL_EMB_E + _coarse_ctes() + _pq_ctes(restrict_to_cand=True)
-
-
-def _pq_exact_top10_sql() -> str:
-    return """,
-q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-exact AS (
-  SELECT e.vec_id FROM e, q WHERE e.vec_id <> 0
-  ORDER BY CAST(round(1000000 * list_dot_product(e.v, q.qv)
-             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) DESC,
-           e.vec_id ASC
-  LIMIT 10
-),
-pq10 AS (SELECT vec_id FROM adc ORDER BY adc_q6 DESC, vec_id LIMIT 10)
-SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_overlap
-FROM pq10 JOIN exact USING (vec_id)"""
-
-
-def _pq_subs(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    subs = (
-        e.where(F.col("vec_id") != 0)
-        .select(
-            "vec_id",
-            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
-            "v",
-        )
-        .withColumn("sv", F.expr(f"slice(v, m * {_PQ_D} + 1, {_PQ_D})"))
-        .select("vec_id", "m", "sv")
-    )
-    return e, subs
-
-
-def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
-    """(vec_id, m, cid): nearest codeword per subspace by q9 cosine, cid
-    tiebreak. The codebook (M×K rows) broadcasts; the scan streams."""
-    s = subs.join(F.broadcast(cb), "m").select(
-        "vec_id", "m", "cid", _cosq("sv", "cw", 1_000_000_000).alias("cq")
-    )
-    w = Window.partitionBy("vec_id", "m").orderBy(F.desc("cq"), F.asc("cid"))
-    return (
-        s.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "m", "cid")
-    )
-
-
-def _pq_codebook(subs: DataFrame, assign: DataFrame) -> DataFrame:
-    """(m, cid, cw, n): per-cell element-wise BIGINT q6 sums plus member
-    count (cosine assignment is scale-invariant, so the sum stands in for
-    the mean — same trick as :func:`_kmeans_cent`; ``n`` recovers the true
-    mean for the ADC lookup tables). Integer adds keep both engines
-    bit-identical."""
-    return (
-        subs.join(assign, ["vec_id", "m"])
-        .select("m", "cid", F.posexplode("sv").alias("i", "x"))
-        .withColumn("xq", F.round(F.col("x") * F.lit(1_000_000.0)).cast("long"))
-        .groupBy("m", "cid", "i")
-        .agg(F.sum("xq").alias("s"), F.count(F.lit(1)).cast("long").alias("cnt"))
-        .groupBy("m", "cid")
-        .agg(
-            F.expr(
-                "transform(sort_array(collect_list(struct(i, s))), t -> cast(t.s as double))"
-            ).alias("cw"),
-            F.max("cnt").alias("n"),
-        )
-    )
-
-
-def _pq_index(spark, sf_dir) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(codes, lut, qn): the trained PQ index plus the query's lookup
-    tables — codes = nearest codeword per (vec_id, subspace) after one
-    Lloyd iteration; lut = per-(m, cid) integer query-dot (dq6) and
-    reconstructed squared norm (n2q); qn = the query's full-vector norm."""
-    e, subs = _pq_subs(spark, sf_dir)
-    cb = subs.where(F.col("vec_id").between(1, _PQ_K)).select(
-        "m",
-        F.col("vec_id").alias("cid"),
-        F.expr(
-            "transform(sv, x -> cast(cast(round(x * 1000000) as bigint) as double))"
-        ).alias("cw"),
-    )
-    cb = _pq_codebook(subs, _pq_assign(subs, cb))  # one Lloyd iteration
-    codes = _pq_assign(subs, cb)
-    qsub = (
-        e.where(F.col("vec_id") == 0)
-        .select(F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"), "v")
-        .withColumn("qsv", F.expr(f"slice(v, m * {_PQ_D} + 1, {_PQ_D})"))
-        .select("m", "qsv")
-    )
-    lut = cb.join(F.broadcast(qsub), "m").select(
-        "m",
-        "cid",
-        F.round(F.expr(_DOT.format(a="qsv", b="cw")) / F.col("n")).cast("long").alias("dq6"),
-        F.round(F.expr(_DOT.format(a="cw", b="cw")) / (F.col("n") * F.col("n")))
-        .cast("long")
-        .alias("n2q"),
-    )
-    qn = e.where(F.col("vec_id") == 0).select(
-        F.sqrt(F.expr(_DOT.format(a="v", b="v"))).alias("qn")
-    )
-    return codes, lut, qn
-
-
-def _adc_score_topk(codes: DataFrame, lut: DataFrame, qn: DataFrame, k: int = 10) -> DataFrame:
-    """ADC top-k over whatever code rows are passed in: two integer LUT
-    sums per vector, one normalize, one TakeOrdered."""
-    return (
-        codes.join(F.broadcast(lut), ["m", "cid"])
-        .groupBy("vec_id")
-        .agg(F.sum("dq6").alias("a"), F.sum("n2q").alias("b"))
-        .crossJoin(F.broadcast(qn))
-        .select(
-            "vec_id",
-            F.round(F.lit(1_000_000.0) * F.col("a") / (F.col("qn") * F.sqrt(F.col("b"))))
-            .cast("long")
-            .alias("adc_q6"),
-        )
-        .orderBy(F.desc("adc_q6"), F.asc("vec_id"))
-        .limit(k)
-    )
-
-
-def _pq_adc_topk(spark, sf_dir) -> DataFrame:
-    codes, lut, qn = _pq_index(spark, sf_dir)
-    return _adc_score_topk(codes, lut, qn)
-
-
-def _ivfpq_adc_topk(spark, sf_dir, k: int = 10) -> DataFrame:
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    qv = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    _, cent, final_assign = _trained_ivf(spark, sf_dir)
-    probe = (
-        cent.crossJoin(F.broadcast(qv))
-        .select("cid", _cosq("cv", "qv", 1_000_000_000).alias("cq"))
-        .orderBy(F.desc("cq"), F.asc("cid"))
-        .limit(3)
-        .select("cid")
-    )
-    cand = final_assign.join(F.broadcast(probe), "cid").select("vec_id")
-    codes, lut, qn = _pq_index(spark, sf_dir)
-    return _adc_score_topk(codes.join(cand, "vec_id"), lut, qn, k)
-
-
-@register(
-    "ann_pq_adc",
-    _pq_sql() + "SELECT vec_id, adc_q6 FROM adc ORDER BY adc_q6 DESC, vec_id LIMIT 10",
-)
-def ann_pq_adc(spark, sf_dir):
-    """Product-quantization ANN with asymmetric distance computation: each
-    vector is stored as M=8 four-bit codes (nearest of 16 codewords per
-    8-dim subspace, codebooks k-means-trained exactly like the IVF coarse
-    quantizer), and a query scores a vector from M table lookups alone:
-    an (M×K)-entry LUT holds the query's per-subspace dot against each
-    codeword MEAN (dq6) plus the codeword's squared norm (n2q), and the
-    ADC score is round(1e6·ΣdqP6 / (|q|·√Σn2q)) — the exact cosine between
-    the query and the RECONSTRUCTED vector, computed from two integer
-    sums (bit-identical across engines) and three deterministic float ops.
-    Scoring touches codes, never vectors. This is the memory half of the FAISS IVF+PQ design
-    (Jégou et al., TPAMI 2011): at 10^9×64-dim float32, raw vectors are
-    256 GB; 4-byte PQ codes are 4 GB — the difference between spilling to
-    object storage and serving from RAM. 100 TB shape: training/encode
-    passes are the same broadcast-join + window plans as the IVF
-    (codebook is M×K rows, always broadcast); the ADC scan is a map-side
-    LUT join + integer sum with NO per-vector float math. Returns the ADC
-    top-10 (vec_id, adc_q6)."""
-    return _pq_adc_topk(spark, sf_dir)
-
-
-@register("ann_pq_recall", _pq_sql() + _pq_exact_top10_sql())
-def ann_pq_recall(spark, sf_dir):
-    """Recall@10 of the PQ-ADC top-10 against the exact full-vector cosine
-    top-10 — the accuracy cost of 64x compression (256-byte float32 →
-    4-byte codes), reported the same way as the IVF recall entries.
-    Honest accounting: the sandbox embeddings are i.i.d. random, the WORST
-    case for PQ (no correlated structure for the codebooks to exploit, and
-    all pairwise cosines concentrate so neighbor gaps are small vs
-    quantization error) — recall here is ~3/10; production embeddings
-    (correlated dims) with K=256 codebooks sit far higher, and the IVF+PQ
-    composition re-ranks ADC candidates with exact vectors anyway."""
-    pq10 = _pq_adc_topk(spark, sf_dir).select("vec_id")
-    return _recall_vs_exact(spark, sf_dir, pq10)
-
-
-def _recall_vs_exact(spark, sf_dir, top10: DataFrame) -> DataFrame:
-    """(k, n_overlap): overlap of ``top10`` with the exact full-vector
-    cosine top-10 for the vec_id=0 query."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    qv = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    exact = (
-        e.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qv))
-        .select("vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-        .orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-        .limit(10)
-        .select("vec_id")
-    )
-    return top10.join(exact, "vec_id").agg(
-        F.lit(10).cast("long").alias("k"),
-        F.count(F.lit(1)).cast("long").alias("n_overlap"),
-    )
-
-
-@register(
-    "ann_ivfpq_adc",
-    _ivfpq_sql()
-    + "SELECT vec_id, adc_q6 FROM adc ORDER BY adc_q6 DESC, vec_id LIMIT 10",
-)
-def ann_ivfpq_adc(spark, sf_dir):
-    """The COMPOSED FAISS index — IVF coarse pruning × PQ compression:
-    the query probes its 3 nearest coarse cells (the trained k-means of
-    ann_ivf_kmeans) and the ADC scan of ann_pq_adc runs ONLY over the
-    probed cells' members. At 10^9 vectors this is the standard serving
-    shape (Jégou et al., TPAMI 2011; FAISS IVFPQ): the coarse quantizer
-    cuts the scan to nprobe/K of the corpus, PQ cuts the bytes per
-    scanned vector 64×, so the whole search touches ~0.6 % of the raw
-    data volume. Spark plan: both trainings are the broadcast-join plans
-    of their standalone ops; the composition adds ONE vec_id semi-join
-    (cell members × codes) before the LUT aggregation — no new shuffle
-    shape. Returns the ADC top-10 within the probed cells."""
-    return _ivfpq_adc_topk(spark, sf_dir)
-
-
-@register("ann_ivfpq_recall", _ivfpq_sql() + _pq_exact_top10_sql())
-def ann_ivfpq_recall(spark, sf_dir):
-    """Recall@10 of the composed IVF+PQ against the exact cosine top-10 —
-    the joint cost of cell pruning (misses outside the 3 probed cells)
-    AND quantization (rank inversions inside them), the number an nprobe/
-    codebook-size sweep tunes. Same worst-case caveat as ann_pq_recall:
-    i.i.d. vectors have no cluster structure, so both loss terms are at
-    their maximum here."""
-    top10 = _ivfpq_adc_topk(spark, sf_dir).select("vec_id")
-    return _recall_vs_exact(spark, sf_dir, top10)
-
-
-# --- IVF+PQ with exact re-ranking (the FAISS "refine" stage) ----------------
-
-_RERANK_R = 50  # ADC candidate band re-scored with exact vectors
-
-
-def _rerank_ctes() -> str:
-    """r50 = ADC top-R candidate band; rq = the query vector. Appended to
-    the generated IVF+PQ oracle chain."""
-    return f""", r50 AS (SELECT vec_id FROM adc ORDER BY adc_q6 DESC, vec_id LIMIT {_RERANK_R}),
-rq AS (SELECT v AS qv FROM e WHERE vec_id = 0)"""
-
-
-def _ivfpq_rerank_topk(spark, sf_dir) -> DataFrame:
-    cand = _ivfpq_adc_topk(spark, sf_dir, k=_RERANK_R).select("vec_id")
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    qv = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    return (
-        e.join(F.broadcast(cand), "vec_id")
-        .crossJoin(F.broadcast(qv))
-        .select("vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-        .orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-        .limit(10)
-    )
-
-
-@register(
-    "ann_ivfpq_rerank",
-    _ivfpq_sql()
-    + _rerank_ctes()
-    + f"""
-SELECT e.vec_id, {_sql_cosq('e.v', 'rq.qv', 1_000_000)} AS cos_q6
-FROM e JOIN r50 USING (vec_id), rq
-ORDER BY cos_q6 DESC, e.vec_id LIMIT 10""",
-)
-def ann_ivfpq_rerank(spark, sf_dir):
-    """The FAISS refine stage that completes the IVF+PQ serving stack:
-    the compressed ADC scan nominates a top-R=50 candidate band, then ONLY
-    those R rows are re-scored with their exact full vectors and the true
-    cosine top-10 within the band is returned. This is how production
-    IVFPQ recovers accuracy lost to 64x compression (Jégou et al. §V.C,
-    FAISS IndexRefineFlat): the expensive full-vector reads drop from
-    |corpus| to R per query. Spark plan: the R-row candidate set
-    broadcasts into a semi-join on the (vec_id-sorted, hence min/max-
-    prunable) vector table — one pruned scan, one 50-row TakeOrdered;
-    no new shuffle shape at any corpus size."""
-    return _ivfpq_rerank_topk(spark, sf_dir)
-
-
-@register(
-    "ann_ivfpq_rerank_recall",
-    _ivfpq_sql()
-    + _rerank_ctes()
-    + f""",
-rr10 AS (
-  SELECT e.vec_id FROM e JOIN r50 USING (vec_id), rq
-  ORDER BY {_sql_cosq('e.v', 'rq.qv', 1_000_000)} DESC, e.vec_id LIMIT 10
-),
-rexact AS (
-  SELECT e.vec_id FROM e, rq WHERE e.vec_id <> 0
-  ORDER BY {_sql_cosq('e.v', 'rq.qv', 1_000_000)} DESC, e.vec_id LIMIT 10
-)
-SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_overlap
-FROM rr10 JOIN rexact USING (vec_id)""",
-)
-def ann_ivfpq_rerank_recall(spark, sf_dir):
-    """Recall@10 of the re-ranked IVF+PQ vs the exact cosine top-10.
-    Re-ranking removes ALL quantization rank inversions inside the
-    candidate band; the remaining loss is coarse-cell misses plus true
-    neighbors whose ADC rank fell below R. Honest accounting on the
-    sandbox's i.i.d. vectors (PQ's worst case — quantization error
-    exceeds the concentrated neighbor gaps): the ADC band itself drops
-    the surviving in-cell neighbors, so recall here matches the raw ADC's
-    3/10 with the IVF's 5/10 as the probe ceiling — the knob is R (and
-    nprobe), and production embeddings with correlated dims sit far
-    higher at the same R. The operator's point is the SHAPE: accuracy
-    recovered by reading R=50 exact vectors instead of |corpus|."""
-    top10 = _ivfpq_rerank_topk(spark, sf_dir).select("vec_id")
-    return _recall_vs_exact(spark, sf_dir, top10)
-
-
-# ---------------------------------------------------------------------------
-# Text analysis: language-ID feature, quality, token counting
-# ---------------------------------------------------------------------------
-
-_STOPWORDS = ["the", "a", "of", "to", "is"]
-
-
-@register(
-    "stopword_ratio",
-    f"""WITH t AS ({SQL_TOKS})
-        SELECT doc_id,
-               count(*) FILTER (term IN ({", ".join(f"'{w}'" for w in _STOPWORDS)})) AS stop_hits,
-               CAST(round(1000000.0 * count(*) FILTER (term IN ({", ".join(f"'{w}'" for w in _STOPWORDS)})) / count(*)) AS BIGINT) AS ratio_q6
-        FROM t GROUP BY doc_id ORDER BY doc_id""",
-)
-def stopword_ratio(spark, sf_dir):
-    """Language-ID feature: stopword-hit ratio per doc (n-gram/stopword
-    heuristic input)."""
-    t = _toks(_docs(spark, sf_dir))
-    hit = F.when(F.col("term").isin(_STOPWORDS), 1).otherwise(0)
-    return (
-        t.groupBy("doc_id")
-        .agg(
-            F.sum(hit).alias("stop_hits"),
-            _q6(F.sum(hit) / F.count("*")).alias("ratio_q6"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "quality_score",
-    f"""WITH t AS ({SQL_TOKS})
-        SELECT doc_id, count(*) AS n_tokens,
-               CAST(round(1000000.0 * count(DISTINCT term) / count(*)) AS BIGINT) AS distinct_ratio_q6,
-               CAST(round(1000000.0 * avg(length(term))) AS BIGINT) AS avg_token_len_q6
-        FROM t GROUP BY doc_id ORDER BY doc_id""",
-)
-def quality_score(spark, sf_dir):
-    """Quality scoring features: token count, type/token ratio, mean token
-    length — the length/punct/stopword family of filters."""
-    t = _toks(_docs(spark, sf_dir))
-    return (
-        t.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            _q6(F.countDistinct("term") / F.count("*")).alias("distinct_ratio_q6"),
-            _q6(F.avg(F.length("term"))).alias("avg_token_len_q6"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "token_count",
-    rf"""SELECT doc_id,
-               CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS ws_tokens,
-               CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS word_tokens
-        FROM documents ORDER BY doc_id""",
-)
-def token_count(spark, sf_dir):
-    """Token counting: whitespace tokens + analyzer word tokens per doc."""
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        F.size(F.regexp_extract_all(F.trim("text"), F.lit(r"\S+"), 0)).cast("long").alias("ws_tokens"),
-        F.size(spark_tokens("text")).cast("long").alias("word_tokens"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "doclen_histogram",
-    f"""WITH t AS (
-      SELECT source,
-             CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
-      FROM documents
-    )
-    SELECT source,
-           CAST(CASE WHEN n_tok = 0 THEN -1 ELSE length(bin(n_tok)) - 1 END AS BIGINT) AS log2_bucket,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-           CAST(min(n_tok) AS BIGINT) AS min_tok,
-           CAST(max(n_tok) AS BIGINT) AS max_tok
-    FROM t GROUP BY source, log2_bucket ORDER BY source, log2_bucket""",
-)
-def doclen_histogram(spark, sf_dir):
-    """Document-length distribution per source in power-of-two buckets
-    (bucket = floor(log2(token_count)); empty docs land in bucket -1) —
-    the length profile that drives packing/truncation policy and the
-    long-tail outlier check in a pretraining mix. INTEGER-exact across
-    engines: floor(log2 n) is computed as ``length(bin(n)) - 1`` (minimal
-    binary-string length, identical in Spark's and DuckDB's ``bin``), so
-    no float log ever enters the hash compare. 100 TB shape: map-side
-    token count + one (source × ~20 buckets)-sized hash aggregation —
-    partial aggregation makes the shuffle rows-per-bucket, not per-doc."""
-    t = _docs(spark, sf_dir).select(
-        "source", F.size(spark_tokens("text")).cast("long").alias("n_tok")
-    )
-    bucket = (
-        F.when(F.col("n_tok") == 0, F.lit(-1))
-        .otherwise(F.length(F.expr("bin(n_tok)")) - 1)
-        .cast("long")
-        .alias("log2_bucket")
-    )
-    return (
-        t.groupBy("source", bucket)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tok").cast("long").alias("n_tokens"),
-            F.min("n_tok").cast("long").alias("min_tok"),
-            F.max("n_tok").cast("long").alias("max_tok"),
-        )
-        .orderBy("source", "log2_bucket")
-    )
-
-
-@register(
-    "stratified_sample",
-    """WITH r AS (
-      SELECT source,
-             2000 + 500 * (CAST(substr(source, 4) AS BIGINT) % 16) AS rate_bp
-      FROM (SELECT DISTINCT source FROM documents)
-    ),
-    s AS (
-      SELECT d.doc_id, d.source, r.rate_bp
-      FROM documents d JOIN r USING (source)
-      WHERE ((d.doc_id * 2654435761) % 4294967296) % 10000 < r.rate_bp
-    )
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS sampled_n,
-           CAST(min(rate_bp) AS BIGINT) AS rate_bp,
-           CAST(min(doc_id) AS BIGINT) AS first_doc
-    FROM s GROUP BY source ORDER BY source""",
-)
-def stratified_sample(spark, sf_dir):
-    """Training-mix construction: DETERMINISTIC per-source stratified
-    sampling. Each source gets a rate (basis points; here derived from the
-    source id — in production a supplied mixing-weights dim table) and a
-    document survives iff a multiplicative hash of its id falls under the
-    rate — reproducible across runs/engines (Knuth hash mod 1e4, exactly
-    computable in DuckDB too), unlike rand()-based sampleBy. 100 TB shape:
-    map-side filter against a BROADCAST rates table (no shuffle for the
-    sampling itself), one small agg for the audit counts returned here.
-    """
-    d = _docs(spark, sf_dir)
-    rates = (
-        d.select("source").distinct()
-        .withColumn(
-            "rate_bp",
-            F.lit(2000) + F.lit(500) * (F.substring("source", 4, 10).cast("long") % 16),
-        )
-    )
-    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(10000)
-    sampled = d.join(F.broadcast(rates), "source").where(u < F.col("rate_bp"))
-    return (
-        sampled.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("sampled_n"),
-            F.min("rate_bp").cast("long").alias("rate_bp"),
-            F.min("doc_id").cast("long").alias("first_doc"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "tfidf_top_terms",
-    f"""WITH tf AS ({SQL_TF}),
-    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
-    dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-    scored AS (
-      SELECT tf.doc_id, tf.term,
-             CAST(round(1000000.0 * tf.tf * ln((SELECT n_docs FROM n) / dfs.df)) AS BIGINT) AS tfidf_q6
-      FROM tf JOIN dfs USING (term)
-    ),
-    r AS (
-      SELECT doc_id, term, tfidf_q6,
-             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_q6 DESC, term ASC) AS rnk
-      FROM scored
-    )
-    SELECT doc_id, term, tfidf_q6, CAST(rnk AS BIGINT) AS rnk
-    FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
-)
-def tfidf_top_terms(spark, sf_dir):
-    """Per-document keyword extraction: top-3 terms by tf·idf (idf =
-    ln(N/df)) — the classic signature-terms operator (doc clustering /
-    labeling / related-docs input). Rank compares the q6-ROUNDED score
-    (tie-safe across engines), term-asc tiebreak. Scale shape: the df
-    table joins on term (broadcast at realistic vocab sizes or an
-    equi-shuffle — never a corpus scan); the per-doc window's scope is one
-    document's vocabulary, bounded by doc length regardless of corpus
-    size, so no reducer ever sees more than one doc's terms."""
-    tf = _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf")
-    )
-    n = tf.select("doc_id").distinct().agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs")
-    )
-    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    scored = (
-        tf.join(dfs, "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            _q6(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf_q6"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_q6"), F.asc("term"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= 3)
-        .select("doc_id", "term", "tfidf_q6", "rnk")
-        .orderBy("doc_id", "rnk")
-    )
-
-
-@register(
-    "collocations_pmi",
-    f"""WITH w AS ({SQL_WORDS}),
-    uni AS (SELECT unnest(words) AS t FROM w),
-    ucnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY t),
-    n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM uni),
-    bg AS (
-      SELECT words[i] AS w1, words[i+1] AS w2
-      FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
-    ),
-    bcnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM bg GROUP BY w1, w2),
-    nbg AS (SELECT CAST(count(*) AS BIGINT) AS n_bg FROM bg)
-    SELECT w1, w2, c_xy,
-           CAST(round(1000000.0 * ln(
-             (CAST(c_xy AS DOUBLE) * n.n_tok * n.n_tok)
-             / (CAST(nbg.n_bg AS DOUBLE) * u1.c * u2.c)
-           )) AS BIGINT) AS pmi_q6
-    FROM bcnt JOIN ucnt u1 ON bcnt.w1 = u1.t JOIN ucnt u2 ON bcnt.w2 = u2.t, n, nbg
-    WHERE c_xy >= 3
-    ORDER BY pmi_q6 DESC, w1, w2 LIMIT 20""",
-)
-def collocations_pmi(spark, sf_dir):
-    """Phrase mining: top-20 adjacent-token collocations by pointwise
-    mutual information, min count 3 (the new-terminology / multi-word-
-    expression detector of corpus analysis pipelines). PMI's log argument
-    is assembled from exact BIGINT counts as ONE rational
-    (c_xy·N²)/(N_bg·c_x·c_y) before the single ln+q6-round, so engines
-    can't diverge via intermediate float ratios. Scale shape: the bigram
-    count is one map-side-combined groupBy on the pair key; unigram counts
-    attach via two term-keyed joins (vocab-sized, broadcast at realistic
-    sizes); N/N_bg are scalar crossJoin broadcasts; the cut is a 20-row
-    TakeOrdered. Docs shorter than 2 tokens are guarded out (Spark's
-    sequence(0, negative) emits junk indices)."""
-    d = _docs(spark, sf_dir).select(spark_tokens("text").alias("words"))
-    uni = d.select(F.explode("words").alias("t"))
-    ucnt = uni.groupBy("t").agg(F.count("*").cast("long").alias("c"))
-    n = uni.agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
-    bg = (
-        d.where(F.size("words") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(words)-2), i -> struct(words[i] as w1, words[i+1] as w2))"
-                )
-            ).alias("p")
-        )
-        .select("p.w1", "p.w2")
-    )
-    bcnt = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c_xy"))
-    nbg = bg.agg(F.count(F.lit(1)).cast("long").alias("n_bg"))
-    u1 = ucnt.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
-    u2 = ucnt.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
-    pmi = (
-        bcnt.where(F.col("c_xy") >= 3)
-        .join(u1, "w1")
-        .join(u2, "w2")
-        .crossJoin(F.broadcast(n))
-        .crossJoin(F.broadcast(nbg))
-        .select(
-            "w1",
-            "w2",
-            "c_xy",
-            _q6(
-                F.log(
-                    (F.col("c_xy").cast("double") * F.col("n_tok") * F.col("n_tok"))
-                    / (F.col("n_bg").cast("double") * F.col("c1") * F.col("c2"))
-                )
-            ).alias("pmi_q6"),
-        )
-    )
-    return pmi.orderBy(F.desc("pmi_q6"), "w1", "w2").limit(20)
-
-
-_CAP_N = 3  # docs admitted per source
-
-
-@register(
-    "domain_cap",
-    f"""WITH h AS (
-      SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
-    ),
-    r AS (
-      SELECT doc_id, source,
-             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rnk
-      FROM h
-    )
-    SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk
-    FROM r WHERE rnk <= {_CAP_N} ORDER BY source, rnk""",
-)
-def domain_cap(spark, sf_dir):
-    """Per-domain document cap (the crawl-pipeline 'at most N pages per
-    domain' rule): admit the first N=3 docs of each source in
-    deterministic md5-of-id order — reproducible across engines/runs,
-    unlike any rand()-based pick. The oracle is the naive per-source
-    window; the Spark plan is the EXACT sub-sharded two-pass rank (same
-    pattern as the packing prefix sum): md5 strings sort lexicographically,
-    so the leading hex char splits every source into 16 ORDERED range
-    shards — per-(source, shard) local ranks + an exclusive prefix sum
-    over the tiny (sources × 16) shard-counts table give the identical
-    global rank with no whole-source sort on one reducer (a crawl source
-    at 100 TB is most of the corpus; widen the prefix to 2+ chars for
-    256+ shards as needed)."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h")
-    ).withColumn("sh", F.substring("h", 1, 1))
-    counts = d.groupBy("source", "sh").agg(F.count("*").alias("n"))
-    w_off = (
-        Window.partitionBy("source")
-        .orderBy("sh")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.withColumn(
-        "off", F.coalesce(F.sum("n").over(w_off), F.lit(0))
-    ).select("source", "sh", "off")
-    w_local = Window.partitionBy("source", "sh").orderBy("h", "doc_id")
-    ranked = (
-        d.withColumn("lr", F.row_number().over(w_local))
-        # the offsets table is sources × 16 rows — broadcast by AQE; the
-        # hint is omitted on principle (source cardinality is unbounded)
-        .join(offsets, ["source", "sh"])
-        .select(
-            "doc_id", "source", (F.col("off") + F.col("lr")).cast("long").alias("rnk")
-        )
-    )
-    return ranked.where(F.col("rnk") <= _CAP_N).orderBy("source", "rnk")
-
-
-def _pack_cum_before(spark, sf_dir, n_shards: int = 64) -> DataFrame | None:
-    """The distributed exclusive prefix sum shared by the packing family:
-    per document, the total token count of all earlier (same-source,
-    lower-doc_id) documents. Two-pass sub-sharded plan (VERDICT r3 ask #1;
-    no whole-source sort ever lands on one reducer):
-
-    1. sub-shard every source by contiguous doc_id range (``pack_shard =
-       (doc_id - min_id) // range``), so concatenation order is preserved
-       across shard boundaries;
-    2. per-(source, shard) token totals — a TINY table (sources × shards
-       rows) — get exclusive-prefix-summed per source (the only window over
-       unbounded source scope runs on shard-count rows, not doc rows);
-    3. the within-shard exclusive cumsum windows over (source, pack_shard)
-       — each partition is a bounded doc_id range — and adds the shard
-       offset via an un-hinted equi-join (offsets are sources × n_shards
-       rows: tiny for any sane mix, but source count is unbounded, so AQE
-       broadcasts when small instead of a forced hint that can't back
-       off). ``cum_before`` is byte-identical to a single whole-source
-       window, which is exactly what the SQL oracles compute.
-
-    Token counts are computed ONCE (localCheckpoint before the totals pass
-    and the join both consume them) — tokenization is the expensive stage
-    and must not replay per pass. Returns (doc_id, source, n_tok,
-    cum_before), or None for an empty corpus.
-    """
-    d = _docs(spark, sf_dir)
-    bounds = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
-    if bounds.lo is None:
-        return None
-    rng = max(1, -(-(int(bounds.hi) - int(bounds.lo) + 1) // n_shards))
-    t = d.select(
-        "doc_id",
-        "source",
-        F.size(spark_tokens("text")).cast("long").alias("n_tok"),
-        ((F.col("doc_id") - F.lit(int(bounds.lo))) / F.lit(rng))
-        .cast("long")
-        .alias("pack_shard"),
-    ).localCheckpoint()
-    totals = t.groupBy("source", "pack_shard").agg(F.sum("n_tok").alias("shard_tok"))
-    w_off = (
-        Window.partitionBy("source")
-        .orderBy("pack_shard")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = totals.withColumn(
-        "shard_off", F.coalesce(F.sum("shard_tok").over(w_off), F.lit(0))
-    ).select("source", "pack_shard", "shard_off")
-    w_loc = (
-        Window.partitionBy("source", "pack_shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        t.join(offsets, ["source", "pack_shard"])
-        .withColumn(
-            "cum_before",
-            F.col("shard_off") + F.coalesce(F.sum("n_tok").over(w_loc), F.lit(0)),
-        )
-        .select("doc_id", "source", "n_tok", "cum_before")
-    )
-
-
-@register(
-    "pack_sequences",
-    f"""WITH w AS ({SQL_WORDS}),
-    t AS (SELECT doc_id, source, CAST(len(words) AS BIGINT) AS n_tok FROM w),
-    p AS (
-      SELECT source, doc_id, n_tok,
-             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-      FROM t
-    )
-    SELECT source,
-           CAST(cum_before // 2048 AS BIGINT) AS bin_id,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_tok) AS BIGINT) AS n_tokens
-    FROM p GROUP BY source, bin_id ORDER BY source, bin_id""",
-)
-def pack_sequences(spark, sf_dir, n_shards: int = 64, bin_tokens: int = 2048):
-    """Sequence packing for pretraining: concatenate each source's docs in
-    doc_id order and assign each doc to the 2048-token bin of its STARTING
-    cumulative offset (start-offset bin assignment: a doc spanning a bin
-    boundary is not split, so a bin's token fill can exceed 2048 by up to
-    one doc's tail -- the per-(source, bin) doc/token counts returned here
-    are the packing manifest, not padded tensors); returns per-(source,
-    bin) doc/token counts. For the GPT-style variant that DOES split
-    boundary-crossing docs across bins, see :func:`pack_sequences_split`.
-
-    Spark plan: the distributed two-pass sub-sharded prefix sum of
-    :func:`_pack_cum_before` (VERDICT r3 ask #1; see its docstring -- no
-    whole-source sort ever lands on one reducer), then one small
-    per-(source, bin) rollup.
-    """
-    p = _pack_cum_before(spark, sf_dir, n_shards)
-    if p is None:
-        return spark.createDataFrame(
-            [], "source string, bin_id long, n_docs long, n_tokens long"
-        )
-    return (
-        p.groupBy(
-            "source",
-            F.floor(F.col("cum_before") / F.lit(bin_tokens)).cast("long").alias("bin_id"),
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tok").cast("long").alias("n_tokens"),
-        )
-        .orderBy("source", "bin_id")
-    )
-
-
-@register(
-    "pack_sequences_fine",
-    f"""WITH w AS ({SQL_WORDS}),
-    t AS (SELECT doc_id, source, CAST(len(words) AS BIGINT) AS n_tok FROM w),
-    p AS (
-      SELECT source, doc_id, n_tok,
-             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-      FROM t
-    )
-    SELECT source,
-           CAST(cum_before // 256 AS BIGINT) AS bin_id,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_tok) AS BIGINT) AS n_tokens
-    FROM p GROUP BY source, bin_id ORDER BY source, bin_id""",
-)
-def pack_sequences_fine(spark, sf_dir):
-    """256-token-bin variant of :func:`pack_sequences`, registered so the
-    driver's oracle actually EXERCISES bin boundaries: at the 2048 default
-    every sandbox source fits inside bin 0 (≈1.4k tokens/source at
-    sf=0.01) and a wrong cumulative offset would be invisible to the hash
-    compare — at 256 every source spans ~6 bins and any error in the
-    sub-sharded prefix sum shifts a boundary. Same distributed plan."""
-    return pack_sequences(spark, sf_dir, bin_tokens=256)
-
-
-@register(
-    "pack_sequences_split",
-    f"""WITH w AS ({SQL_WORDS}),
-    t AS (SELECT doc_id, source, CAST(len(words) AS BIGINT) AS n_tok FROM w),
-    p AS (
-      SELECT source, doc_id, n_tok,
-             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-      FROM t
-    ),
-    s AS (
-      SELECT source, doc_id, n_tok, cum_before,
-             unnest(generate_series(CAST(cum_before // 256 AS BIGINT),
-                                    CAST((cum_before + n_tok - 1) // 256 AS BIGINT))) AS bin_id
-      FROM p WHERE n_tok >= 1
-    )
-    SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(least(cum_before + n_tok, (bin_id + 1) * 256)
-                    - greatest(cum_before, bin_id * 256)) AS BIGINT) AS n_tokens
-    FROM s GROUP BY source, bin_id ORDER BY source, bin_id""",
-)
-def pack_sequences_split(spark, sf_dir, n_shards: int = 64, bin_tokens: int = 256):
-    """GPT-style sequence packing WITH boundary splitting: each source's
-    docs are concatenated in doc_id order into a token stream that is cut
-    into fixed 256-token bins; a doc whose token interval crosses a bin
-    boundary contributes its per-bin token SHARE to every bin it touches
-    (unlike :func:`pack_sequences`, whose start-offset assignment leaves
-    bin fill unbounded — the distinction ADVICE r4 #4 asked to make
-    explicit). Every interior bin's n_tokens is exactly the bin size;
-    only each source's final bin is short — the padded-tensor-exact
-    packing manifest.
-
-    Spark plan: the same distributed two-pass prefix sum
-    (:func:`_pack_cum_before`), then a map-side explode of
-    ``sequence(first_bin, last_bin)`` — a doc expands to one row per bin
-    it touches (len/bin_tokens + 1 rows at most, so the explode is
-    output-proportional, never quadratic), and the share arithmetic is
-    pure integer column math. One small per-(source, bin) rollup ends the
-    plan. ``n_tok >= 1`` guards Spark's sequence() from a negative range
-    (empty docs occupy no bins; their zero length can't shift anyone's
-    cumulative offset either).
-    """
-    p = _pack_cum_before(spark, sf_dir, n_shards)
-    if p is None:
-        return spark.createDataFrame(
-            [], "source string, bin_id long, n_docs long, n_tokens long"
-        )
-    B = F.lit(bin_tokens)
-    spans = (
-        p.where(F.col("n_tok") >= 1)
-        .withColumn(
-            "bin_id",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col("cum_before") / B).cast("long"),
-                    F.floor((F.col("cum_before") + F.col("n_tok") - 1) / B).cast("long"),
-                )
-            ),
-        )
-        .withColumn(
-            "share",
-            F.least(F.col("cum_before") + F.col("n_tok"), (F.col("bin_id") + 1) * B)
-            - F.greatest(F.col("cum_before"), F.col("bin_id") * B),
-        )
-    )
-    return (
-        spans.groupBy("source", "bin_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("share").cast("long").alias("n_tokens"),
-        )
-        .orderBy("source", "bin_id")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Event-stream analytics (batch twins of docix_spark.streaming.events;
-# the streaming paths — watermarked windows, applyInPandasWithState
-# sessionization — are verified equal to these twins in
-# tests/test_events_streaming.py)
-# ---------------------------------------------------------------------------
-
-
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
-
-
-@register(
-    "events_windowed",
-    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
-              event_type, CAST(count(*) AS BIGINT) AS n,
-              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
-)
-def events_windowed(spark, sf_dir):
-    """Tumbling 1-hour window aggregation per event_type — the batch twin
-    of the watermarked streaming window (streaming/events.py)."""
-    from docix_spark.streaming.events import windowed_counts
-
-    return windowed_counts(_events(spark, sf_dir))
-
-
-@register(
-    "events_sessionize",
-    """WITH e AS (SELECT user_id, epoch(ts) AS t FROM events),
-       m AS (
-         SELECT user_id, t,
-                CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
-                       OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800
-                     THEN 1 ELSE 0 END AS ns
-         FROM e
-       ),
-       s AS (
-         SELECT user_id, t,
-                sum(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sess
-         FROM m
-       )
-       SELECT user_id, CAST(floor(min(t)) AS BIGINT) AS session_start_epoch,
-              CAST(count(*) AS BIGINT) AS n_events
-       FROM s GROUP BY user_id, sess ORDER BY user_id, session_start_epoch""",
-)
-def events_sessionize(spark, sf_dir):
-    """Gap-based sessionization (30-min inactivity) — the batch twin of
-    the applyInPandasWithState stateful operator (streaming/events.py)."""
-    from docix_spark.streaming.events import sessionize
-
-    return sessionize(_events(spark, sf_dir))
-
-
-@register(
-    "events_props_json",
-    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-              CAST(round(1000000.0 * avg(CAST(json_extract_string(props, '$.k') AS BIGINT))) AS BIGINT) AS k_avg_q6
-       FROM events GROUP BY event_type ORDER BY event_type""",
-)
-def events_props_json(spark, sf_dir):
-    """JSON payload handling on the props column (get_json_object vs
-    json_extract) — per-event_type stats."""
-    from docix_spark.streaming.events import props_json_stats
-
-    return props_json_stats(_events(spark, sf_dir))
-
-
-@register(
-    "events_funnel",
-    """WITH v AS (
-         SELECT user_id, min(ts) AS t1 FROM events
-         WHERE event_type = 'view' GROUP BY user_id
-       ),
-       c AS (
-         SELECT e.user_id, min(e.ts) AS t2 FROM events e
-         JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
-         WHERE e.event_type = 'click' GROUP BY e.user_id
-       ),
-       p AS (
-         SELECT e.user_id, min(e.ts) AS t3 FROM events e
-         JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
-         WHERE e.event_type = 'purchase' GROUP BY e.user_id
-       )
-       SELECT * FROM (
-         SELECT 1 AS step, 'view' AS step_name, CAST(count(*) AS BIGINT) AS n_users FROM v
-         UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
-         UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p
-       ) ORDER BY step""",
-)
-def events_funnel(spark, sf_dir):
-    """Ordered conversion funnel over the event stream: users with a
-    view, users with a click STRICTLY AFTER their first view, users with
-    a purchase strictly after that first qualifying click — the product-
-    analytics query every event pipeline serves (order matters: a click
-    before any view must not count, which is why this is three dependent
-    min-aggregations, not one pivot).
-
-    Spark plan: each stage is a user_id groupBy-min joined against the
-    previous stage's one-row-per-user table — three passes over events,
-    each filtered map-side by event_type (the pushed-down type filter is
-    what keeps the passes cheap: purchase events ≪ all events). The
-    stage joins are deliberately un-hinted: user cardinality is NOT
-    bounded, so AQE broadcasts a small previous stage and falls back to a
-    user_id shuffle join at billion-user scale — where all three stage
-    joins and groupBys share the same user_id partitioning, so the
-    exchanges are reused, never events-sized.
-    """
-    e = _events(spark, sf_dir)
-    v = (
-        e.where(F.col("event_type") == "view")
-        .groupBy("user_id").agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        e.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id").agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        e.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id").agg(F.min("ts").alias("t3"))
-    )
-    def _step(df, n, name):
-        return df.agg(
-            F.lit(n).cast("int").alias("step"),
-            F.lit(name).alias("step_name"),
-            F.count(F.lit(1)).cast("long").alias("n_users"),
-        )
-    return (
-        _step(v, 1, "view")
-        .unionByName(_step(c, 2, "click"))
-        .unionByName(_step(p, 3, "purchase"))
-        .orderBy("step")
-    )
-
-
-# The driver text is clean prose, so the scrub operator is exercised by
-# deterministically injecting URLs/emails first (same rewrite both engines)
-# — mirroring the unicode_tokens approach.
-_SCRUB_INJECT_SQL = (
-    "replace(replace(text, 'spark', 'see http://example.com/spark?q=1 now'), "
-    "'window', 'mail win@example.com here')"
-)
-_URL_RE = r"https?://[^\s]+"
-_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
-
-
-@register(
-    "text_scrub",
-    f"""WITH d AS (SELECT doc_id, {_SCRUB_INJECT_SQL} AS t FROM documents),
-        s AS (
-          SELECT doc_id, t,
-                 regexp_replace(regexp_replace(t, '{_URL_RE}', '<URL>', 'g'),
-                                '{_EMAIL_RE}', '<EMAIL>', 'g') AS clean
-          FROM d
-        )
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(t, '{_URL_RE}')) AS BIGINT) AS n_urls,
-               CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
-               CAST(strlen(clean) AS BIGINT) AS clean_len
-        FROM s ORDER BY doc_id""",
-)
-def text_scrub(spark, sf_dir):
-    """Training-pipeline scrubbing: URL/email detection + placeholder
-    replacement (the PII/link-stripping pass), counts + cleaned length
-    oracle-checked; JVM-side regexp only."""
-    d = _docs(spark, sf_dir).select("doc_id", F.expr(_SCRUB_INJECT_SQL).alias("t"))
-    clean = F.regexp_replace(
-        F.regexp_replace(F.col("t"), _URL_RE, "<URL>"), _EMAIL_RE, "<EMAIL>"
-    )
-    return d.select(
-        "doc_id",
-        F.size(F.regexp_extract_all("t", F.lit(_URL_RE), 0)).cast("long").alias("n_urls"),
-        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), 0)).cast("long").alias("n_emails"),
-        F.octet_length(clean).cast("long").alias("clean_len"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "repetition_ratio",
-    f"""WITH w AS ({SQL_WORDS}),
-        g AS (
-          SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
-          FROM w, unnest(generate_series(1, len(words) - 2)) AS t(i)
-        )
-        SELECT doc_id,
-               CAST(count(*) AS BIGINT) AS n_grams,
-               CAST(round(1000000.0 * (count(*) - count(DISTINCT sh)) / count(*)) AS BIGINT) AS dup_ratio_q6
-        FROM g GROUP BY doc_id ORDER BY doc_id""",
-)
-def repetition_ratio(spark, sf_dir):
-    """Gopher-style repetition filter input: fraction of duplicate
-    3-gram occurrences per doc (1 - distinct/total) — the classic
-    boilerplate/loop-spam detector for training corpora."""
-    d = _docs(spark, sf_dir).select("doc_id", spark_tokens("text").alias("words"))
-    g = d.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(0, size(words)-3), i -> concat_ws(' ', words[i], words[i+1], words[i+2]))")
-        ).alias("sh"),
-    )
-    return (
-        g.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            _q6((F.count("*") - F.countDistinct("sh")) / F.count("*")).alias("dup_ratio_q6"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "quality_filter_flags",
-    f"""WITH t AS ({SQL_TOKS}),
-        m AS (
-          SELECT doc_id, count(*) AS n_tokens,
-                 avg(length(term)) AS mean_len,
-                 count(*) FILTER (term IN ('the','a','of','to','is')) AS stop_hits
-          FROM t GROUP BY doc_id
-        )
-        SELECT doc_id,
-               CAST(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END AS BIGINT) AS flag_too_short,
-               CAST(CASE WHEN mean_len < 2.0 OR mean_len > 12.0 THEN 1 ELSE 0 END AS BIGINT) AS flag_token_len,
-               CAST(CASE WHEN stop_hits = 0 THEN 1 ELSE 0 END AS BIGINT) AS flag_no_stopwords,
-               CAST(CASE WHEN n_tokens >= 20 AND mean_len >= 2.0 AND mean_len <= 12.0
-                          AND stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS admitted
-        FROM m ORDER BY doc_id""",
-)
-def quality_filter_flags(spark, sf_dir):
-    """The actual admission FILTER a pipeline runs from the quality
-    features (Gopher-rule shape): min length, mean-token-length band,
-    stopword presence — flags + the combined admit decision per doc."""
-    t = _toks(_docs(spark, sf_dir))
-    stop_hit = F.when(F.col("term").isin("the", "a", "of", "to", "is"), 1).otherwise(0)
-    m = t.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.avg(F.length("term")).alias("mean_len"),
-        F.sum(stop_hit).alias("stop_hits"),
-    )
-    admitted = (
-        (F.col("n_tokens") >= 20)
-        & (F.col("mean_len") >= 2.0)
-        & (F.col("mean_len") <= 12.0)
-        & (F.col("stop_hits") > 0)
-    )
-    return m.select(
-        "doc_id",
-        F.when(F.col("n_tokens") < 20, 1).otherwise(0).cast("long").alias("flag_too_short"),
-        F.when((F.col("mean_len") < 2.0) | (F.col("mean_len") > 12.0), 1).otherwise(0).cast("long").alias("flag_token_len"),
-        F.when(F.col("stop_hits") == 0, 1).otherwise(0).cast("long").alias("flag_no_stopwords"),
-        F.when(admitted, 1).otherwise(0).cast("long").alias("admitted"),
-    ).orderBy("doc_id")
-
-
-# ---------------------------------------------------------------------------
-# M3/M5 — compressed-segment WAND serving path + snippet fallback (F7)
-# ---------------------------------------------------------------------------
-
-
-def _cached_seg_index(spark: SparkSession, sf_dir: str):
-    """Build (once per sf_dir per process) the full engine index + compressed
-    segments over the driver documents table, for the serving-path queries."""
-    import hashlib as _h
-    import os
-    import tempfile
-
-    from docix_spark.corpus import from_driver_documents
-    from docix_spark.index.build import Index, build_index
-    from docix_spark.index.segments import SegmentIndex, build_segments
-
-    from docix_spark.index.segments import SEGMENT_SCHEMA
-
-    # cache key covers the segment schema AND the tokenizer pattern so a
-    # stale layout or stale analysis never survives an engine upgrade
-    key = _h.sha256(f"{sf_dir}|{SEGMENT_SCHEMA}|{TOKEN_PATTERN}".encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"docix_dq_idx_{key}")
-    marker = os.path.join(root, "seg_meta.json")
-    if not os.path.exists(marker):
-        corpus = from_driver_documents(spark, sf_dir)
-        index = build_index(spark, corpus, root, n_buckets=16)
-        build_segments(spark, index, docs_per_shard=1 << 12)
-    else:
-        index = Index(root=root, n_buckets=16)
-    return index, SegmentIndex.load(root)
-
-
-_WAND_SQL = f"""
-WITH tf AS ({SQL_TF}),
-dl AS ({SQL_DL}),
-st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl),
-dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-q AS (SELECT unnest(['spark', 'hash', 'join']) AS term),
-per AS (
-  SELECT tf.doc_id,
-         ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))
-           * tf.tf * 2.2
-           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM st))) AS s
-  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
-)
-SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6
-FROM per GROUP BY doc_id
-ORDER BY score_q6 DESC, doc_id ASC LIMIT 10
-"""
-
-
-@register("wand_segments_topk", _WAND_SQL)
-def wand_segments_topk(spark, sf_dir):
-    """M3/M5 serving path end-to-end: compressed varint segments + block-max
-    (MaxScore) pruning, rank-identical to the plain BM25 oracle. The engine's
-    content-sha doc_id is mapped back to the driver's numeric doc_id through
-    the synthesized path (docs/<source>/doc_<id>.txt)."""
-    from docix_spark.query.wand import wand_topk
-
-    index, seg = _cached_seg_index(spark, sf_dir)
-    top = wand_topk(spark, index, seg, ["spark", "hash", "join"], k=10)
-    meta = index.docs(spark).select(
-        F.col("doc_id"),
-        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("orig_id"),
-    )
-    return (
-        top.join(meta, "doc_id")
-        .select(F.col("orig_id").alias("doc_id"), _q6(F.col("score")).alias("score_q6"))
-        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
-    )
-
-
-def _composite_sql(query_terms: list[tuple[str, int]], msm: int, qstr: str, k: int) -> str:
-    """Full composite query tree (best_fields 5/3/3 + fuzzy AUTO capped at
-    50 by (df desc, term asc) + msm + constant-score wildcard fallback) as
-    one DuckDB statement over the documents table with the engine's
-    synthesized filename fields — the independent oracle for the REAL
-    engine search path (reference SearchAdapter.java:394-440)."""
-    vals = ", ".join(f"('{t}', {me}, 1.0)" for t, me in query_terms)
-    return f"""
-WITH d AS (
-  SELECT doc_id,
-         text AS content,
-         'docs/' || source || '/doc_' || doc_id || '.txt' AS file_name,
-         'doc_' || doc_id || '.txt' AS original_file_name
-  FROM documents
-),
-fields AS (
-  SELECT doc_id, 'content' AS field, content AS val FROM d
-  UNION ALL SELECT doc_id, 'file_name', file_name FROM d
-  UNION ALL SELECT doc_id, 'original_file_name', original_file_name FROM d
-),
-toks AS (
-  SELECT field, doc_id, unnest(regexp_extract_all(lower(val), '{TOKEN_PATTERN}')) AS term
-  FROM fields
-),
-tf AS (SELECT field, doc_id, term, count(*) AS tf FROM toks GROUP BY ALL),
-dl AS (SELECT field, doc_id, count(*) AS doc_len FROM toks GROUP BY ALL),
-st AS (SELECT field, CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl GROUP BY field),
-dfs AS (SELECT field, term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY ALL),
-dict AS (SELECT term, max(df) AS df FROM dfs GROUP BY term),
-q(qt, max_edits, qcount) AS (VALUES {vals}),
-fuzz AS (
-  SELECT qt, term, qcount,
-         1.0 - levenshtein(qt, term) * 1.0 / least(strlen(qt), strlen(term)) AS fboost,
-         row_number() OVER (PARTITION BY qt ORDER BY df DESC, term ASC) AS rn
-  FROM q JOIN dict ON abs(strlen(term) - strlen(qt)) <= q.max_edits
-                  AND levenshtein(qt, term) BETWEEN 1 AND q.max_edits
-),
-exp AS (
-  SELECT qt, qt AS term, qcount, 1.0 AS fboost FROM q
-  UNION ALL
-  SELECT qt, term, qcount, fboost FROM fuzz WHERE rn <= 50
-),
-per AS (
-  SELECT tf.field, tf.doc_id, e.qt, e.qcount,
-         e.qcount * e.fboost
-           * ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
-           * tf.tf * 2.2
-           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / st.avgdl)) AS s
-  FROM tf
-  JOIN exp e ON tf.term = e.term
-  JOIN dfs ON dfs.field = tf.field AND dfs.term = tf.term
-  JOIN dl ON dl.field = tf.field AND dl.doc_id = tf.doc_id
-  JOIN st ON st.field = tf.field
-),
-per_qt AS (
-  SELECT field, doc_id, qt, sum(s) AS qt_score, any_value(qcount) AS qcount
-  FROM per GROUP BY ALL
-),
-per_field AS (
-  SELECT field, doc_id, sum(qt_score) AS fscore, sum(qcount) AS n_matched
-  FROM per_qt GROUP BY ALL
-),
-best AS (
-  SELECT doc_id,
-         max(fscore * CASE field WHEN 'content' THEN 5.0 ELSE 3.0 END) AS best_score
-  FROM per_field WHERE n_matched >= {msm}
-  GROUP BY doc_id
-),
-fb AS (
-  SELECT doc_id,
-         -- literal substring test via contains(): the engine uses
-         -- Column.contains (no wildcards), while LIKE would treat '_'/'%'
-         -- in the query (e.g. 'doc_42') as pattern metacharacters
-         (CASE WHEN contains(lower(content), '{qstr}') THEN 1.0 ELSE 0.0 END)
-       + (CASE WHEN contains(lower(file_name), '{qstr}') THEN 2.0 ELSE 0.0 END)
-       + (CASE WHEN contains(lower(original_file_name), '{qstr}') THEN 2.0 ELSE 0.0 END) AS fb_score
-  FROM d
-),
-scored AS (
-  SELECT coalesce(b.doc_id, f.doc_id) AS doc_id,
-         coalesce(b.best_score, 0) + coalesce(f.fb_score, 0) AS score
-  FROM best b FULL OUTER JOIN (SELECT * FROM fb WHERE fb_score > 0) f USING (doc_id)
-)
--- top-k selection tiebreaks on the CONTENT-SHA id, exactly the engine's
--- doc_id (and the reference's ES _id asc, SearchAdapter.java:448-449)
-SELECT s.doc_id, CAST(round(s.score * 1000000) AS BIGINT) AS score_q6
-FROM scored s JOIN d ON s.doc_id = d.doc_id
-ORDER BY s.score DESC, sha256(d.content) ASC LIMIT {k}
-"""
-
-
-def _composite_engine(spark, sf_dir, query: str) -> DataFrame:
-    """Run the REAL engine search path (index tables + fuzzy expansion +
-    msm + wildcard gate) and map content-sha doc_ids back to driver ids."""
-    from docix_spark.query.bm25 import search_topk
-
-    index, _ = _cached_seg_index(spark, sf_dir)
-    top = search_topk(spark, index, query, size=10, with_metadata=False)
-    meta = index.docs(spark).select(
-        F.col("doc_id"),
-        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("orig_id"),
-    )
-    return (
-        top.join(meta, "doc_id")
-        .select(F.col("orig_id").alias("doc_id"), _q6(F.col("score")).alias("score_q6"))
-        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
-    )
-
-
-@register(
-    "composite_search",
-    _composite_sql([("spark", 1), ("hash", 1), ("join", 1), ("windoww", 2)], 2,
-                   "spark hash join windoww", 10),
-)
-def composite_search(spark, sf_dir):
-    """§2.8 flagship END-TO-END: the real engine (built index, term_dict
-    fuzzy expansion, multiplicity-weighted msm 50%, best_fields 5/3/3,
-    gated wildcard fallback) vs an independent full-tree SQL oracle —
-    4 terms incl. a 2-edit fuzzy ('windoww'→'window'), msm=2."""
-    return _composite_engine(spark, sf_dir, "spark hash join windoww")
-
-
-@register(
-    "composite_search_filename",
-    _composite_sql([("doc_42", 2)], 1, "doc_42", 10),  # len 6 → AUTO 2 edits
-)
-def composite_search_filename(spark, sf_dir):
-    """Composite tree, filename/wildcard branches: 'doc_42' scores via the
-    boosted filename fields AND the constant-score wildcard clauses
-    (substring of file_name), exercising the full-scan fallback path."""
-    return _composite_engine(spark, sf_dir, "doc_42")
-
-
-_SNIPPET_SQL = """
-SELECT doc_id,
-  CASE WHEN pos > 0 THEN
-    concat(
-      CASE WHEN pos - 1 - 100 > 0 THEN '...' ELSE '' END,
-      substr(text, greatest(pos - 100, 1),
-             least(cast(length(text) as bigint), pos + 5 + 100) - greatest(pos - 100, 1) + 1),
-      CASE WHEN pos + 5 + 100 < length(text) THEN '...' ELSE '' END)
-  ELSE
-    concat(substr(text, 1, 300), CASE WHEN length(text) > 300 THEN '...' ELSE '' END)
-  END AS snippet
-FROM (SELECT doc_id, text, position('spark' in lower(text)) AS pos FROM documents)
-ORDER BY doc_id
-"""
-
-
-@register("snippet_fallback", _SNIPPET_SQL)
-def snippet_fallback(spark, sf_dir):
-    """F7: the reference's manual snippet rule (SearchAdapter.java:580-610) —
-    ±100 chars around the first occurrence of the query string with ellipses,
-    else leading 300 chars — as a pure Catalyst expression ('spark', len 5)."""
-    d = _docs(spark, sf_dir)
-    qlen = 5  # len("spark")
-    pos = F.instr(F.lower(F.col("text")), "spark")
-    tlen = F.length("text")
-    start = F.greatest(pos - 100, F.lit(1))
-    end = F.least(tlen.cast("long"), (pos + qlen + 100).cast("long"))
-    found = F.concat(
-        F.when(pos - 1 - 100 > 0, F.lit("...")).otherwise(F.lit("")),
-        F.substring(F.col("text"), start, (end - start + F.lit(1)).cast("int")),
-        F.when(pos + qlen + 100 < tlen, F.lit("...")).otherwise(F.lit("")),
-    )
-    missing = F.concat(
-        F.substring("text", 1, 300),
-        F.when(tlen > 300, F.lit("...")).otherwise(F.lit("")),
-    )
-    return d.select(
-        "doc_id", F.when(pos > 0, found).otherwise(missing).alias("snippet")
-    ).orderBy("doc_id")
-
-
-# ---------------------------------------------------------------------------
-# Training-pipeline ops round 2: SimHash, embedding near-dup, language-ID,
-# multimodal feature plumbing
-# ---------------------------------------------------------------------------
-
-# 60-bit term hash computable identically in Spark and DuckDB:
-# first 15 hex chars of md5 → unsigned 60-bit int (fits in BIGINT).
-_H60_SPARK = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
-_H60_SQL = "('0x' || substr(md5(term), 1, 15))::UBIGINT::BIGINT"
-
-_SIMHASH_CTE = f"""
-WITH tf AS ({SQL_TF}),
-h AS (SELECT doc_id, tf, {_H60_SQL} AS h FROM tf),
-bits AS (
-  SELECT doc_id, j, sum(tf * (((h >> j) & 1) * 2 - 1)) AS vote
-  FROM h, (SELECT unnest(generate_series(0, 59)) AS j)
-  GROUP BY doc_id, j
-),
-sh AS (
-  SELECT doc_id,
-         CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
-  FROM bits GROUP BY doc_id
-)
-"""
-
-_SIMHASH_SQL = _SIMHASH_CTE + "SELECT doc_id, simhash FROM sh ORDER BY doc_id"
-
-
-def _simhash_spark(spark, sf_dir) -> DataFrame:
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-        .withColumn("h", _H60_SPARK(F.col("term")))
-    )
-    votes = (
-        tf.select("doc_id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j"))
-        .withColumn("bit", F.expr("(h >> j) & 1"))
-        .groupBy("doc_id", "j")
-        .agg(F.sum(F.col("tf") * (F.col("bit") * 2 - 1)).alias("vote"))
-    )
-    return (
-        votes.groupBy("doc_id")
-        .agg(F.sum(F.when(F.col("vote") > 0, F.expr("cast(1 as bigint) << j")).otherwise(F.lit(0))).alias("simhash"))
-    )
-
-
-@register("simhash64", _SIMHASH_SQL)
-def simhash64(spark, sf_dir):
-    """SimHash document fingerprint (60-bit): tf-weighted bit votes over
-    md5-derived term hashes — near-dup sketch whose hamming distance bounds
-    cosine similarity of the tf vectors."""
-    return _simhash_spark(spark, sf_dir).orderBy("doc_id")
-
-
-@register(
-    "simhash_neardup_pairs",
-    _SIMHASH_CTE
-    + """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-ORDER BY hamming ASC, id_a ASC, id_b ASC LIMIT 20""",
-)
-def simhash_neardup_pairs(spark, sf_dir):
-    """SimHash near-duplicate candidates: 20 closest pairs by hamming
-    distance (deterministic tiebreak). The 100 TB path blocks on simhash
-    bands before pairing; the all-pairs join here is the exact oracle."""
-    sh = _simhash_spark(spark, sf_dir)
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.expr("cast(bit_count(sa ^ sb) as bigint)").alias("hamming"))
-        .orderBy(F.asc("hamming"), F.asc("id_a"), F.asc("id_b"))
-        .limit(20)
-    )
-
-
-@register(
-    "simhash_band_pairs",
-    _SIMHASH_CTE
-    + """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-ORDER BY hamming, id_a, id_b""",
-)
-def simhash_band_pairs(spark, sf_dir):
-    """SimHash near-dup at scale (VERDICT r1 next #6): split the 60-bit
-    hash into 4 bands of 15 bits used as equi-join keys, then verify
-    Hamming <= 3 on band-collision candidates only — NO all-pairs join.
-
-    Recall is PROVABLE, not probabilistic: <= 3 differing bits can dirty at
-    most 3 of the 4 bands, so every qualifying pair shares a clean band
-    (pigeonhole; t < n_bands). The oracle is therefore the brute-force
-    all-pairs filter — a hash match proves the banded plan loses nothing.
-    At 10^12 docs the shuffle carries (band_id, 15-bit value) keys instead
-    of N^2/2 comparisons."""
-    sh = _simhash_spark(spark, sf_dir)
-    bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    F.expr(f"(simhash >> {15 * j}) & 32767").alias("bv"),
-                )
-                for j in range(4)
-            ])
-        ).alias("band"),
-    ).select("doc_id", "simhash", F.col("band.j").alias("j"), F.col("band.bv").alias("bv"))
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.expr("cast(bit_count(a.simhash ^ b.simhash) as bigint)").alias("hamming"),
-        )
-        .where(F.col("hamming") <= 3)
-        .distinct()
-        .orderBy("hamming", "id_a", "id_b")
-    )
-
-
-_EMB_PAIRS_SQL = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         list_dot_product(a.v, b.v)
-           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
-)
-SELECT id_a, id_b, CAST(round(cos * 1000000) AS BIGINT) AS cos_q6
-FROM p ORDER BY cos_q6 DESC, id_a ASC, id_b ASC LIMIT 20
-"""
-
-
-@register("embedding_neardup_pairs", _EMB_PAIRS_SQL)
-def embedding_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup: 20 most-similar vector pairs (exact
-    brute force — the oracle for the LSH/IVF blocked variant at scale)."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            _q6(
-                F.expr(dot.format(a="va", b="vb"))
-                / (F.sqrt(F.expr(dot.format(a="va", b="va"))) * F.sqrt(F.expr(dot.format(a="vb", b="vb"))))
-            ).alias("cos_q6"),
-        )
-        .orderBy(F.desc("cos_q6"), F.asc("id_a"), F.asc("id_b"))
-        .limit(20)
-    )
-
-
-# sign-LSH for embeddings: 4 hash tables, each keyed by the sign bits of 4
-# dimensions (axis-aligned random-hyperplane LSH; deterministic + identical
-# across engines). DuckDB arrays are 1-based, Spark 0-based — offsets align.
-_EMB_LSH_SQL = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-b AS (
-  SELECT vec_id, j,
-         (CASE WHEN v[4*j+1] > 0 THEN 1 ELSE 0 END)
-       + (CASE WHEN v[4*j+2] > 0 THEN 2 ELSE 0 END)
-       + (CASE WHEN v[4*j+3] > 0 THEN 4 ELSE 0 END)
-       + (CASE WHEN v[4*j+4] > 0 THEN 8 ELSE 0 END) AS bv
-  FROM e, (SELECT unnest(generate_series(0, 3)) AS j)
-),
-cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-  FROM b a JOIN b b2 ON a.j = b2.j AND a.bv = b2.bv AND a.vec_id < b2.vec_id
-),
-p AS (
-  SELECT id_a, id_b,
-         list_dot_product(ea.v, eb.v)
-           / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
-  FROM cand JOIN e ea ON id_a = ea.vec_id JOIN e eb ON id_b = eb.vec_id
-)
-SELECT id_a, id_b, CAST(round(cos * 1000000) AS BIGINT) AS cos_q6
-FROM p ORDER BY cos_q6 DESC, id_a ASC, id_b ASC LIMIT 20
-"""
-
-
-@register("embedding_lsh_pairs", _EMB_LSH_SQL)
-def embedding_lsh_pairs(spark, sf_dir):
-    """Embedding near-dup at scale (VERDICT r1 next #6): candidates come
-    from an EQUI-JOIN on sign-LSH bucket keys (4 tables x 4 sign bits, the
-    OR-construction), exact cosine verified on candidates only — no
-    all-pairs join. On genuinely near-duplicate vectors (cos -> 1) the sign
-    bits agree w.h.p. per table and the OR of 4 tables drives recall toward
-    1; ``embedding_neardup_pairs`` remains the exact all-pairs oracle. At
-    10^9 vectors the shuffle carries (table_id, 4-bit bucket) keys."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    band_structs = []
-    for j in range(4):
-        bv = None
-        for i in range(4):
-            bit = F.when(F.expr(f"v[{4 * j + i}]") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            bv = bit if bv is None else bv + bit
-        band_structs.append(F.struct(F.lit(j).alias("j"), bv.alias("bv")))
-    bands = e.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("vec_id", F.col("band.j").alias("j"), F.col("band.bv").alias("bv"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .distinct()
-    )
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
-    return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select(
-            "id_a", "id_b",
-            _q6(
-                F.expr(dot.format(a="va", b="vb"))
-                / (F.sqrt(F.expr(dot.format(a="va", b="va"))) * F.sqrt(F.expr(dot.format(a="vb", b="vb"))))
-            ).alias("cos_q6"),
-        )
-        .orderBy(F.desc("cos_q6"), F.asc("id_a"), F.asc("id_b"))
-        .limit(20)
-    )
-
-
-_LANG_PROFILES = {
-    "de": ["der", "die", "und", "das", "den", "von", "zu", "mit", "ist", "des"],
-    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "with", "as"],
-    "es": ["el", "la", "que", "y", "los", "del", "se", "las", "por", "un"],
-    "fr": ["le", "les", "et", "des", "du", "une", "est", "dans", "pour", "sur"],
-}
-
-
-def _lang_sql() -> str:
-    counts = ",\n".join(
-        f"count(*) FILTER (term IN ({', '.join(repr(w) for w in ws)})) AS c_{lang}"
-        for lang, ws in _LANG_PROFILES.items()
-    )
-    return f"""
-WITH t AS ({SQL_TOKS}),
-c AS (SELECT doc_id, {counts} FROM t GROUP BY doc_id),
-d AS (
-  SELECT doc_id,
-         strlen(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS non_ascii,
-         strlen(text) AS n_bytes
-  FROM documents
-)
-SELECT d.doc_id,
-  CASE WHEN d.non_ascii * 10 > d.n_bytes * 3 THEN 'zh'
-       WHEN coalesce(c_de,0) >= coalesce(c_en,0) AND coalesce(c_de,0) >= coalesce(c_es,0) AND coalesce(c_de,0) >= coalesce(c_fr,0) THEN 'de'
-       WHEN coalesce(c_en,0) >= coalesce(c_es,0) AND coalesce(c_en,0) >= coalesce(c_fr,0) THEN 'en'
-       WHEN coalesce(c_es,0) >= coalesce(c_fr,0) THEN 'es'
-       ELSE 'fr' END AS pred_lang
-FROM d LEFT JOIN c ON d.doc_id = c.doc_id
-ORDER BY d.doc_id
-"""
-
-
-@register("lang_id_heuristic", _lang_sql())
-def lang_id_heuristic(spark, sf_dir):
-    """Language-ID heuristic: CJK via non-ASCII byte ratio > 0.3, else
-    argmax of stopword-profile hits (deterministic alphabetical tiebreak)."""
-    t = _toks(_docs(spark, sf_dir))
-    aggs = [
-        F.sum(F.when(F.col("term").isin(ws), 1).otherwise(0)).alias(f"c_{lang}")
-        for lang, ws in _LANG_PROFILES.items()
-    ]
-    c = t.groupBy("doc_id").agg(*aggs)
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.octet_length(F.regexp_replace("text", r"[\x00-\x7F]", "")).alias("non_ascii"),
-        F.octet_length("text").alias("n_bytes"),
-    )
-    j = d.join(c, "doc_id", "left")
-    cz = {lang: F.coalesce(F.col(f"c_{lang}"), F.lit(0)) for lang in _LANG_PROFILES}
-    pred = (
-        F.when(F.col("non_ascii") * 10 > F.col("n_bytes") * 3, F.lit("zh"))
-        .when((cz["de"] >= cz["en"]) & (cz["de"] >= cz["es"]) & (cz["de"] >= cz["fr"]), F.lit("de"))
-        .when((cz["en"] >= cz["es"]) & (cz["en"] >= cz["fr"]), F.lit("en"))
-        .when(cz["es"] >= cz["fr"], F.lit("es"))
-        .otherwise(F.lit("fr"))
-    )
-    return j.select("doc_id", pred.alias("pred_lang")).orderBy("doc_id")
-
-
-@register(
-    "media_features",
-    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS sha
-       FROM documents ORDER BY doc_id""",
-)
-def media_features(spark, sf_dir):
-    """Multimodal plumbing end-to-end: text → binary payload column →
-    Arrow-batched mapInPandas feature extraction (decode stubbed
-    deterministically; docix_spark.analysis.multimodal). Byte length and
-    sha256 are the payload invariants the SQL oracle can check."""
-    from docix_spark.analysis.multimodal import extract_media_features, synth_media
-
-    media = synth_media(_docs(spark, sf_dir))
-    feats = extract_media_features(media)
-    # synth_media stringifies doc_id (media tables key on opaque ids);
-    # cast back to long so the value hash matches the BIGINT oracle column
-    return feats.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("n_bytes"),
-        F.col("sha256").alias("sha"),
-    ).orderBy("doc_id")
-
-
-# The driver tables are ASCII-only, so Unicode coverage is exercised by
-# deterministically rewriting words to CJK/Katakana/accented forms inside
-# the query (identical replace() on both engines), then tokenizing: Han →
-# one token per character, Katakana → runs, ß/é → word-forming.
-_UNI_REWRITE_SQL = (
-    "replace(replace(replace(text, 'spark', '火花引擎'), "
-    "'window', 'ウィンドウ'), 'merge', 'straße café')"
-)
-
-
-@register(
-    "unicode_tokens",
-    f"""WITH t AS (
-          SELECT doc_id, unnest(regexp_extract_all(lower({_UNI_REWRITE_SQL}),
-                 '{TOKEN_PATTERN}')) AS term
-          FROM documents WHERE lang = 'zh'
-        )
-        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
-               CAST(count(*) AS BIGINT) AS total_tf
-        FROM t WHERE regexp_matches(term, '[^\\x00-\\x7F]')
-        GROUP BY term ORDER BY term""",
-)
-def unicode_tokens(spark, sf_dir):
-    """F1 (Unicode): CJK/Katakana/accented text is tokenized and indexable —
-    Han unigrams, Katakana runs, word-forming accents — with identical
-    segmentation in Spark and the DuckDB oracle (ES standard-analyzer
-    semantics, SearchAdapter.java:253-258)."""
-    d = _docs(spark, sf_dir).where(F.col("lang") == "zh")
-    rewritten = F.expr(_UNI_REWRITE_SQL)
-    t = d.select("doc_id", F.explode(spark_tokens(rewritten)).alias("term"))
-    return (
-        t.where(F.col("term").rlike("[^\\x00-\\x7F]"))
-        .groupBy("term")
-        .agg(
-            F.countDistinct("doc_id").cast("long").alias("df"),
-            F.count("*").cast("long").alias("total_tf"),
-        )
-        .orderBy("term")
-    )
-
-
-@register(
-    "unicode_search",
-    f"""WITH t AS (
-          SELECT doc_id, unnest(regexp_extract_all(lower({_UNI_REWRITE_SQL}),
-                 '{TOKEN_PATTERN}')) AS term
-          FROM documents WHERE lang = 'zh'
-        ),
-        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term)
-        SELECT doc_id, CAST(tf AS BIGINT) AS tf FROM tf
-        WHERE term = '火' ORDER BY tf DESC, doc_id LIMIT 10""",
-)
-def unicode_search(spark, sf_dir):
-    """A CJK query term ('火') retrieves documents — the end-to-end proof
-    that non-ASCII content is searchable after the Unicode tokenizer."""
-    d = _docs(spark, sf_dir).where(F.col("lang") == "zh")
-    rewritten = F.expr(_UNI_REWRITE_SQL)
-    t = d.select("doc_id", F.explode(spark_tokens(rewritten)).alias("term"))
-    return (
-        t.where(F.col("term") == "火")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("tf"))
-        .orderBy(F.desc("tf"), F.asc("doc_id"))
-        .limit(10)
-    )
-
-
-@register(
-    "media_frames",
-    """SELECT doc_id, least(CAST(ceil(strlen(text) / 4096.0) AS BIGINT), 8) AS n_frames
-       FROM documents ORDER BY doc_id""",
-)
-def media_frames(spark, sf_dir):
-    """Multimodal frame-sampling plumbing: binary payloads → mapInPandas
-    byte-window "frames" (keyframe-extraction stand-in; every_n_bytes=4096,
-    max 8). The oracle checks the deterministic frame count per doc."""
-    from docix_spark.analysis.multimodal import frame_sample, synth_media
-
-    media = synth_media(_docs(spark, sf_dir))
-    frames = frame_sample(media, every_n_bytes=4096, max_frames=8)
-    return (
-        frames.groupBy(F.col("doc_id").cast("long").alias("doc_id"))
-        .agg(F.count("*").alias("n_frames"))
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "media_resize",
-    """WITH p AS (
-         SELECT doc_id, ascii(substr(text, 1, 1)) + 1 AS w,
-                ascii(substr(text, 2, 1)) + 1 AS h, strlen(text) AS nb
-         FROM documents
-       ),
-       s AS (SELECT doc_id, w, h, least(64.0 / greatest(w, h, 1), 1.0) AS sc, nb FROM p)
-       SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-              CAST(greatest(floor(w * sc), 1) AS BIGINT) AS resized_width,
-              CAST(greatest(floor(h * sc), 1) AS BIGINT) AS resized_height,
-              CAST(least(nb, greatest(floor(w * sc), 1) * greatest(floor(h * sc), 1)) AS BIGINT) AS thumb_len
-       FROM s ORDER BY doc_id""",
-)
-def media_resize(spark, sf_dir):
-    """Multimodal resize stage plumbing: fake-decoded dimensions scaled to
-    max 64 preserving aspect ratio, thumbnail payload truncated to the
-    resized pixel budget (decode/encode stubbed — analysis/multimodal)."""
-    from docix_spark.analysis.multimodal import resize_media, synth_media
-
-    media = synth_media(_docs(spark, sf_dir))
-    r = resize_media(media, max_dim=64)
-    return r.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("width").cast("long"),
-        F.col("height").cast("long"),
-        F.col("resized_width").cast("long"),
-        F.col("resized_height").cast("long"),
-        F.octet_length("thumb_bytes").cast("long").alias("thumb_len"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "token_count_bpe",
-    rf"""SELECT doc_id,
-               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
-        FROM documents ORDER BY doc_id""",
-)
-def token_count_bpe(spark, sf_dir):
-    """BPE-ish token estimate (letter runs + single digits + single
-    punctuation/other marks) — the subword-budget counter a training
-    pipeline runs next to the whitespace/word counts (token_count)."""
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        F.size(
-            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]"), 0)
-        ).cast("long").alias("bpe_ish_tokens"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "source_filter_lang",
-    """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
-       FROM documents WHERE lang IN ('en', 'de') GROUP BY lang ORDER BY lang""",
-)
-def source_filter_lang(spark, sf_dir):
-    """P8: content-type/source admission predicate (the reference's isPdf
-    gate, UploadDocumentService.java:122-140) as source filtering — a
-    pushed-down lang predicate with per-type admission stats."""
-    d = _docs(spark, sf_dir)
-    return (
-        d.where(F.col("lang").isin("en", "de"))
-        .groupBy("lang")
-        .agg(F.count("*").alias("n"), F.sum("n_chars").cast("long").alias("chars"))
-        .orderBy("lang")
-    )
-
-
-@register(
-    "pages_formfeed_split",
-    """SELECT doc_id, CAST(i - 1 AS BIGINT) AS page_number,
-              CAST(strlen(pages[i]) AS BIGINT) AS page_chars
-       FROM (SELECT doc_id, string_split(text, chr(12)) AS pages FROM documents),
-            (SELECT unnest(generate_series(1, 100)) AS i)
-       WHERE i <= len(pages)
-       ORDER BY doc_id, page_number""",
-)
-def pages_formfeed_split(spark, sf_dir):
-    """S4: the reference's fallback page model — full text split on form
-    feed, one row per page with its ordinal (Tika parseToString + split
-    on \\f, PageBasedContentExtractor.java:63-79) — F.split + posexplode."""
-    d = _docs(spark, sf_dir)
-    return (
-        d.select("doc_id", F.posexplode(F.split("text", "\f")).alias("page_number", "page"))
-        .select(
-            "doc_id",
-            F.col("page_number").cast("long"),
-            F.octet_length("page").cast("long").alias("page_chars"),
-        )
-        .orderBy("doc_id", "page_number")
-    )
-
-
-@register(
-    "training_mix_pipeline",
-    f"""WITH feat AS (
-      SELECT doc_id, source, md5(text) AS h,
-             CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok,
-             CAST(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS BIGINT) AS n_distinct
-      FROM documents
-    ),
-    dedup AS (
-      SELECT arg_min(doc_id, doc_id) AS doc_id,
-             arg_min(source, doc_id) AS source,
-             arg_min(n_tok, doc_id) AS n_tok,
-             arg_min(n_distinct, doc_id) AS n_distinct
-      FROM feat GROUP BY h
-    ),
-    q AS (
-      SELECT * FROM dedup
-      WHERE n_tok >= 32 AND n_distinct * 5 >= n_tok * 2
-    ),
-    s AS (
-      SELECT q.*, 2000 + 500 * (CAST(substr(source, 4) AS BIGINT) % 16) AS rate_bp
-      FROM q
-      WHERE ((doc_id * 2654435761) % 4294967296) % 10000
-            < 2000 + 500 * (CAST(substr(source, 4) AS BIGINT) % 16)
-    )
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS kept_docs,
-           CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
-           CAST((sum(n_tok) + 2047) // 2048 AS BIGINT) AS bins_2048,
-           CAST(min(rate_bp) AS BIGINT) AS rate_bp
-    FROM s GROUP BY source ORDER BY source""",
-)
-def training_mix_pipeline(spark, sf_dir):
-    """End-to-end training-mix construction — the composition a 100 TB
-    pretraining pipeline actually runs, as ONE declarative plan:
-
-      1. exact dedup (keep the min-doc_id representative per content hash),
-      2. quality gate (>=32 analyzer tokens AND type/token ratio >=0.4),
-      3. deterministic stratified sampling (the Knuth multiplicative-hash
-         admission rule of ``stratified_sample``),
-      4. pack accounting (ceil-divide surviving tokens into 2048-token
-         bins per source — the capacity plan for ``pack_sequences``).
-
-    100 TB shape: the per-doc features (token count, distinct count, hash)
-    are map-side column expressions — no token explode, no shuffle. The
-    ONLY full shuffle is the dedup groupBy on the 16-byte content hash,
-    which carries four small columns via min_by (never the text). The
-    quality gate + sampling filter are map-side; the final per-source agg
-    is a 20-row rollup. Quality/ratio compares are integer cross-
-    multiplications (n_distinct*5 >= n_tok*2) so Spark and DuckDB agree
-    bit-for-bit at the boundary.
-    """
-    d = _docs(spark, sf_dir)
-    w = spark_tokens("text")
-    feat = d.select(
-        "doc_id",
-        "source",
-        F.md5("text").alias("h"),
-        F.size(w).cast("long").alias("n_tok"),
-        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
-    )
-    dedup = feat.groupBy("h").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min_by("source", "doc_id").alias("source"),
-        F.min_by("n_tok", "doc_id").alias("n_tok"),
-        F.min_by("n_distinct", "doc_id").alias("n_distinct"),
-    )
-    q = dedup.where(
-        (F.col("n_tok") >= 32) & (F.col("n_distinct") * 5 >= F.col("n_tok") * 2)
-    )
-    rate = F.lit(2000) + F.lit(500) * (F.substring("source", 4, 10).cast("long") % 16)
-    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(10000)
-    s = q.withColumn("rate_bp", rate).where(u < F.col("rate_bp"))
-    return (
-        s.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("kept_docs"),
-            F.sum("n_tok").cast("long").alias("kept_tokens"),
-            ((F.sum("n_tok") + F.lit(2047)) / F.lit(2048)).cast("long").alias("bins_2048"),
-            F.min("rate_bp").cast("long").alias("rate_bp"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "unigram_logprob",
-    f"""WITH tf AS ({SQL_TF}),
-    tt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY term),
-    tot AS (SELECT CAST(sum(total_tf) AS DOUBLE) AS big_t FROM tt),
-    nl AS (
-      SELECT term,
-             CAST(round(-ln(CAST(total_tf AS DOUBLE) / big_t) * 1000000) AS BIGINT) AS nlp_q6
-      FROM tt, tot
-    ),
-    d AS (
-      SELECT tf.doc_id,
-             CAST(sum(tf.tf * nl.nlp_q6) AS BIGINT) AS surprisal_q6,
-             CAST(sum(tf.tf) AS BIGINT) AS doc_len
-      FROM tf JOIN nl USING (term) GROUP BY tf.doc_id
-    )
-    SELECT doc_id, doc_len, surprisal_q6,
-           CAST(surprisal_q6 // doc_len AS BIGINT) AS mean_nlp_q6
-    FROM d ORDER BY doc_id""",
-)
-def unigram_logprob(spark, sf_dir):
-    """Model-based quality filter: per-document cross-entropy under the
-    corpus's own unigram LM (CCNet/Gopher-style "perplexity" gate without
-    an external KenLM — the corpus is its own language model). Score =
-    Σ_t tf_d(t)·(−ln p(t)) with p(t) = corpus_tf(t)/total_tokens; high
-    mean surprisal → gibberish/rare-token soup, low → boilerplate.
-
-    Cross-engine determinism: the per-TERM surprisal is rounded to q6
-    micro-nats FIRST (one ln per dictionary entry — bit-identical input
-    doubles in both engines), then the per-doc score is an exact BIGINT
-    dot product Σ tf·nlp_q6 — no float summation order can diverge. The
-    mean is integer floor division (both operands positive).
-
-    100 TB shape: term totals are the A2 dictionary aggregation (map-side
-    partial combine absorbs stopword skew); the scalar corpus total is a
-    1-row broadcast cross join; scoring joins postings ⋈ dictionary on
-    term — the exact BM25 J1 shape (query/bm25.py) with the same AQE
-    broadcast-when-small behavior. No collect, no window, no explode
-    beyond the shared tokenizer. The tf table feeds three subtrees
-    (dictionary, corpus total, scoring join); the DataFrame API would
-    re-tokenize the corpus per subtree, so it is materialized ONCE via
-    localCheckpoint — in the real engine this is the already-persisted
-    postings parquet (index/build.py), read, never recomputed."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
-    )
-    tt = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("total_tf"))
-    tot = tt.agg(F.sum("total_tf").cast("double").alias("big_t"))
-    nl = tt.crossJoin(F.broadcast(tot)).select(
-        "term",
-        F.round(-F.log(F.col("total_tf").cast("double") / F.col("big_t")) * 1_000_000)
-        .cast("long")
-        .alias("nlp_q6"),
-    )
-    d = (
-        tf.join(nl, "term")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("tf") * F.col("nlp_q6")).cast("long").alias("surprisal_q6"),
-            F.sum("tf").cast("long").alias("doc_len"),
-        )
-    )
-    return d.select(
-        "doc_id",
-        "doc_len",
-        "surprisal_q6",
-        F.expr("surprisal_q6 div doc_len").cast("long").alias("mean_nlp_q6"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "dup_ngram_fraction",
-    f"""WITH w AS ({SQL_WORDS}),
-    g AS (
-      SELECT DISTINCT doc_id,
-             words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
-             || ' ' || words[i+4] || ' ' || words[i+5] || ' ' || words[i+6] || ' ' || words[i+7] AS g
-      FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)
-      WHERE len(words) >= 8
-    ),
-    gdf AS (SELECT g, count(*) AS n_docs FROM g GROUP BY g)
-    SELECT g.doc_id,
-           CAST(count(*) AS BIGINT) AS n_grams,
-           CAST(count(*) FILTER (WHERE gdf.n_docs >= 2) AS BIGINT) AS n_dup_grams,
-           CAST(round(1000000.0 * count(*) FILTER (WHERE gdf.n_docs >= 2) / count(*)) AS BIGINT) AS dup_pct_q6
-    FROM g JOIN gdf USING (g)
-    GROUP BY g.doc_id ORDER BY g.doc_id""",
-)
-def dup_ngram_fraction(spark, sf_dir):
-    """Cross-document duplicated-text fraction: for each doc, the share of
-    its distinct 8-gram windows that also occur in at least one OTHER
-    document — the first stage of exact-substring dedup (Lee et al. 2021,
-    "Deduplicating Training Data Makes Language Models Better") expressed
-    as n-gram document frequency instead of a suffix array. Docs above a
-    threshold (boilerplate, licenses, mirrored pages) get dropped or
-    trimmed in a real pretraining mix.
-
-    100 TB shape: the gram-df aggregation is a straight hash agg on the
-    gram string — map-side partial combine caps hot grams (license
-    boilerplate is THE skew case) at one partial row per map task; the
-    join back to (doc_id, gram) is a high-cardinality equi-join on the
-    gram, so no salting is needed (the key itself spreads). Counting
-    distinct grams per doc first (DISTINCT inside the gram CTE) bounds
-    both sides at distinct-window cardinality. Outputs are exact BIGINTs
-    plus one q6 ratio of two small integers (identical doubles both
-    engines). The (doc_id, gram) table feeds two subtrees (the df
-    aggregation and the join back), so it is materialized once via
-    localCheckpoint instead of exploding the corpus twice — at scale this
-    is a written-once gram parquet, the suffix-array-file analogue."""
-    w = _docs(spark, sf_dir).select("doc_id", spark_tokens("text").alias("words"))
-    g = (
-        w.where(F.size("words") >= 8)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(words)-8), i -> "
-                    "concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3],"
-                    " words[i+4], words[i+5], words[i+6], words[i+7]))"
-                )
-            ).alias("g"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    gdf = g.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
-    dup = F.col("n_docs") >= 2
-    return (
-        g.join(gdf, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.count_if(dup).cast("long").alias("n_dup_grams"),
-            F.round(F.lit(1_000_000.0) * F.count_if(dup) / F.count(F.lit(1)))
-            .cast("long")
-            .alias("dup_pct_q6"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "doclen_quantiles",
-    f"""WITH t AS (
-      SELECT source,
-             CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
-      FROM documents
-    ),
-    hist AS (SELECT source, n_tok, count(*) AS cnt FROM t GROUP BY source, n_tok),
-    h AS (
-      SELECT source, n_tok, cnt,
-             CAST(COALESCE(SUM(cnt) OVER (
-               PARTITION BY source ORDER BY n_tok
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
-             CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
-      FROM hist
-    ),
-    q AS (SELECT p_q6 FROM (VALUES (500000), (900000), (990000)) AS v(p_q6)),
-    agg AS (
-      SELECT h.source, q.p_q6,
-             max(h.n) AS n,
-             max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1))
-                      THEN h.n_tok END) AS v_lo,
-             max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1)) + 1
-                      THEN h.n_tok END) AS v_hi
-      FROM h, q GROUP BY h.source, q.p_q6
-    )
-    SELECT source, CAST(p_q6 AS BIGINT) AS p_q6,
-           CAST(round(1000000.0 * (v_lo + ((p_q6 / 1000000.0) * (n - 1)
-                - floor((p_q6 / 1000000.0) * (n - 1))) * (v_hi - v_lo))) AS BIGINT) AS q_q6
-    FROM agg ORDER BY source, p_q6""",
-)
-def doclen_quantiles(spark, sf_dir):
-    """Exact per-source token-length percentiles (p50/p90/p99, type-7
-    linear interpolation — numpy/DuckDB quantile_cont semantics) computed
-    from a WEIGHTED HISTOGRAM instead of Spark's ``percentile`` aggregate.
-    ``percentile`` buffers every raw value of a group on one reducer — a
-    single crawl source at 100 TB OOMs it. Here the per-doc token count
-    collapses map-side into (source, n_tok) → cnt histogram cells (bounded
-    by distinct document lengths, ~1e5 rows worst case, regardless of doc
-    count); the exclusive-prefix-sum window and the rank probes then run
-    over histogram rows only. Same two-pass shape as the distributed
-    ``pack_sequences`` prefix sum.
-
-    Determinism: rank r = p·(n−1) and the interpolation are computed from
-    identical integer inputs through identical double expressions in both
-    engines (p is derived from the integer p_q6, never a decimal literal),
-    so the final q6 rounding matches bit-for-bit."""
-    t = _docs(spark, sf_dir).select(
-        "source", F.size(spark_tokens("text")).cast("long").alias("n_tok")
-    )
-    hist = t.groupBy("source", "n_tok").agg(F.count(F.lit(1)).alias("cnt"))
-    w_cum = (
-        Window.partitionBy("source")
-        .orderBy("n_tok")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_all = Window.partitionBy("source")
-    h = hist.select(
-        "source",
-        "n_tok",
-        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).cast("long").alias("cum_before"),
-        F.sum("cnt").over(w_all).cast("long").alias("n"),
-    )
-    q = spark.createDataFrame([(500000,), (900000,), (990000,)], "p_q6 long")
-    rank = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
-    agg = (
-        h.crossJoin(F.broadcast(q))
-        .groupBy("source", "p_q6")
-        .agg(
-            F.max("n").alias("n"),
-            F.max(F.when(F.col("cum_before") <= F.floor(rank), F.col("n_tok"))).alias("v_lo"),
-            F.max(F.when(F.col("cum_before") <= F.floor(rank) + 1, F.col("n_tok"))).alias("v_hi"),
-        )
-    )
-    r = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
-    frac = r - F.floor(r)
-    return agg.select(
-        "source",
-        F.col("p_q6").cast("long").alias("p_q6"),
-        F.round(F.lit(1_000_000.0) * (F.col("v_lo") + frac * (F.col("v_hi") - F.col("v_lo"))))
-        .cast("long")
-        .alias("q_q6"),
-    ).orderBy("source", "p_q6")
-
-
-_WINNOW_FPS_SQL = f"""
-WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words FROM documents),
-h AS (
-  SELECT doc_id,
-         list_transform(generate_series(1, len(words) - 3),
-           i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])) AS hs
-  FROM w WHERE len(words) >= 8
-),
-f AS (
-  SELECT doc_id,
-         list_distinct(list_transform(generate_series(1, len(hs) - 4),
-           j -> list_min(list_slice(hs, j, j + 4)))) AS fps
-  FROM h
-)
-SELECT doc_id, unnest(fps) AS fp FROM f
-"""
-
-
-def _winnow_fps_spark(spark, sf_dir) -> DataFrame:
-    w = _docs(spark, sf_dir).select("doc_id", spark_tokens("text").alias("words"))
-    h = w.where(F.size("words") >= 8).select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(0, size(words)-4), i -> "
-            "md5(concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3])))"
-        ).alias("hs"),
-    )
-    return h.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "array_distinct(transform(sequence(0, size(hs)-5), "
-                "j -> array_min(slice(hs, j+1, 5))))"
-            )
-        ).alias("fp"),
-    )
-
-
-@register("winnow_fingerprints", _WINNOW_FPS_SQL + "ORDER BY doc_id, fp")
-def winnow_fingerprints(spark, sf_dir):
-    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
-    the MOSS algorithm): hash every token 4-gram, slide a window of 5
-    consecutive hashes, keep each window's MINIMUM hash. Guarantee: any
-    shared token run of length ≥ w+k−1 = 8 produces at least one shared
-    fingerprint, while only ~2/(w+1) of all grams are retained — a
-    provable-recall sketch that is 3× smaller than the full gram table
-    the `dup_ngram_fraction` stage scans.
-
-    Determinism: md5 hex digests compared lexicographically (the minhash
-    family's convention), so the per-window minimum is the same string in
-    Spark, DuckDB and Python. Window minima are per-DOC array lambdas
-    (JVM-side `transform`/`array_min`/`slice`) — no cross-row window
-    function, no shuffle before the explode; the whole selection is
-    map-side, O(w) per gram with doc-bounded memory."""
-    return _winnow_fps_spark(spark, sf_dir).orderBy("doc_id", "fp")
-
-
-@register(
-    "winnow_pairs",
-    f"""WITH fps AS ({_WINNOW_FPS_SQL})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
-    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b""",
-)
-def winnow_pairs(spark, sf_dir):
-    """Near-dup candidate pairs by shared winnowing fingerprints (≥ 2
-    shared minima — one can be a coincidental boilerplate window). The
-    blocking key is the fingerprint itself: the self-equi-join shuffles
-    the doc-bounded fingerprint table, never documents, and a hot
-    fingerprint (license boilerplate) fans out only within its own hash
-    bucket — the same candidate-generation shape as `minhash_lsh_pairs`
-    with a provable-recall selection rule instead of a probabilistic one."""
-    fps = _winnow_fps_spark(spark, sf_dir)
-    a, b = fps.alias("a"), fps.alias("b")
-    return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-        .where(F.col("n_shared") >= 2)
-        .orderBy("doc_a", "doc_b")
-    )
-
-
-@register(
-    "temperature_mix_weights",
-    f"""WITH t AS (
-      SELECT source,
-             CAST(sum(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS BIGINT) AS n_tokens
-      FROM documents GROUP BY source
-    ),
-    w AS (
-      SELECT source, n_tokens,
-             CAST(round(1000000 * pow(CAST(n_tokens AS DOUBLE), 0.7)) AS BIGINT) AS weight_q6
-      FROM t
-    ),
-    tot AS (SELECT CAST(sum(weight_q6) AS DOUBLE) AS total_w FROM w)
-    SELECT source, n_tokens, weight_q6,
-           CASE WHEN total_w = 0 THEN 0
-                ELSE CAST(round(1000000 * weight_q6 / total_w) AS BIGINT)
-           END AS share_q6
-    FROM w, tot ORDER BY source""",
-)
-def temperature_mix_weights(spark, sf_dir):
-    """Temperature-scaled source mixing weights (τ = 0.7): the sampling
-    shares behind a multi-source pretraining mix — raw token mass per
-    source raised to τ < 1 and renormalized, up-weighting small
-    high-quality sources against a dominant crawl (the standard recipe
-    in multilingual/multi-corpus training runs). These shares are what
-    `stratified_sample`'s per-source admission rates get derived from.
-
-    Determinism: ONE pow per source is rounded to a q6 integer first
-    (the `unigram_logprob` trick), so the normalizing sum is an exact
-    BIGINT sum and the final share divides two exactly-agreed numbers.
-    100 TB shape: per-source token mass is a map-side size() sum (no
-    token explode), the source rollup is ~20 rows, the normalizer is a
-    1-row broadcast cross join."""
-    t = (
-        _docs(spark, sf_dir)
-        .select("source", F.size(spark_tokens("text")).cast("long").alias("n_tok"))
-        .groupBy("source")
-        .agg(F.sum("n_tok").cast("long").alias("n_tokens"))
-    )
-    w = t.select(
-        "source",
-        "n_tokens",
-        F.round(F.lit(1_000_000) * F.pow(F.col("n_tokens").cast("double"), F.lit(0.7)))
-        .cast("long")
-        .alias("weight_q6"),
-    )
-    tot = w.agg(F.sum("weight_q6").cast("double").alias("total_w"))
-    return (
-        w.crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            "n_tokens",
-            "weight_q6",
-            F.when(F.col("total_w") == 0, F.lit(0).cast("long"))
-            .otherwise(
-                F.round(F.lit(1_000_000) * F.col("weight_q6") / F.col("total_w")).cast("long")
-            )
-            .alias("share_q6"),
-        )
-        .orderBy("source")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Session 9: event-time analytics (as-of join, date_histogram + moving_fn,
-# retention cohorts), mergeable sketches (count-min heavy hitters, HLL
-# register merge), boolean filter / percolator query shapes, CUBE rollup
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "events_asof_join",
-    """WITH p AS (
-         SELECT event_id, user_id, epoch_us(ts) AS purchase_us
-         FROM events WHERE event_type = 'purchase'
-       ),
-       sel AS (
-         SELECT p.event_id, p.user_id, p.purchase_us,
-                (SELECT max(epoch_us(v.ts)) FROM events v
-                 WHERE v.user_id = p.user_id AND v.event_type = 'view'
-                   AND epoch_us(v.ts) < p.purchase_us) AS view_us
-         FROM p
-       )
-       SELECT event_id, user_id, purchase_us, view_us,
-              purchase_us - view_us AS gap_us
-       FROM sel WHERE view_us IS NOT NULL
-       ORDER BY event_id LIMIT 200""",
-)
-def events_asof_join(spark, sf_dir):
-    """Backward as-of join: each purchase picks the LATEST strictly-prior
-    'view' by the same user — the attribution/feature-join primitive
-    (kdb aj / pandas merge_asof / Flink temporal join) that Spark lacks
-    as a built-in.
-
-    Spark shape: NOT a per-row range join (quadratic in events per user)
-    — both streams union into ONE window over (user_id) ordered by
-    (t_us, tag, event_id) with a last(ignorenulls) carry-forward of the
-    view timestamp; purchases sort BEFORE views at equal timestamps so
-    'strictly prior' holds. One user_id shuffle total, state = one value
-    per row; at 100 TB this is a sort-merge pass, never a join explosion.
-    The oracle is an independent formulation (correlated max subquery) so
-    agreement is evidence of semantics, not of shared code."""
-    e = (
-        _events(spark, sf_dir)
-        .where(F.col("event_type").isin("view", "purchase"))
-        .select(
-            "event_id",
-            "user_id",
-            F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-            F.when(F.col("event_type") == "view", F.lit(1)).otherwise(F.lit(0)).alias("tag"),
-            F.when(F.col("event_type") == "view", F.expr("unix_micros(cast(ts as timestamp))")).alias("v_ts"),
-        )
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t_us", "tag", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    asof = e.withColumn("view_us", F.last("v_ts", ignorenulls=True).over(w))
-    return (
-        asof.where((F.col("tag") == 0) & F.col("view_us").isNotNull())
-        .select(
-            "event_id",
-            "user_id",
-            F.col("t_us").alias("purchase_us"),
-            "view_us",
-            (F.col("t_us") - F.col("view_us")).alias("gap_us"),
-        )
-        .orderBy("event_id")
-        .limit(200)
-    )
-
-
-@register(
-    "events_daily_mavg",
-    """WITH d AS (
-         SELECT epoch_us(ts) // 86400000000 AS day_num,
-                CAST(count(*) AS BIGINT) AS n,
-                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-         FROM events GROUP BY 1
-       )
-       SELECT day_num, n, value_cents,
-              CAST(round(1000000.0 * avg(n) OVER (
-                ORDER BY day_num ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
-              )) AS BIGINT) AS mavg7_n_q6
-       FROM d ORDER BY day_num""",
-)
-def events_daily_mavg(spark, sf_dir):
-    """ES date_histogram + moving_fn pipeline aggregation: per-day event
-    count/value plus a trailing 7-day moving average of the count.
-
-    Determinism: the day key is integer microsecond division (no session
-    timezone in either engine); the moving average divides an exact
-    BIGINT window sum by an exact count — one double division, same bits.
-    Scale shape: the raw shuffle is the day groupBy (map-side partial);
-    the un-partitioned window then runs over DAY-GRANULARITY rows — a few
-    thousand rows for a decade of data — so the single-reducer window is
-    bounded by the calendar, not the corpus (the same argument as
-    doclen_quantiles' histogram window)."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day_num"))
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
-        )
-    )
-    w = Window.orderBy("day_num").rowsBetween(-6, 0)
-    return d.select(
-        "day_num", "n", "value_cents", _q6(F.avg("n").over(w)).alias("mavg7_n_q6")
-    ).orderBy("day_num")
-
-
-@register(
-    "events_retention",
-    """WITH ud AS (
-         SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_num FROM events
-       ),
-       u AS (SELECT user_id, min(day_num) AS cohort_day FROM ud GROUP BY user_id)
-       SELECT u.cohort_day, ud.day_num - u.cohort_day AS day_offset,
-              CAST(count(*) AS BIGINT) AS n_users
-       FROM ud JOIN u ON ud.user_id = u.user_id
-       WHERE ud.day_num - u.cohort_day <= 7
-       GROUP BY 1, 2 ORDER BY 1, 2""",
-)
-def events_retention(spark, sf_dir):
-    """Cohort retention triangle: users bucketed by first-active day,
-    counted at each day offset 0..7 — the product-analytics companion to
-    events_funnel.
-
-    Scale shape: distinct (user, day) and the per-user min both key on
-    user_id, so the cohort join reuses one partitioning (AQE broadcasts
-    the cohort table when small, falls back to the already-aligned
-    shuffle join at billion-user scale). count(*) is exact-distinct here
-    because (user, day) rows are pre-deduped and a user has one cohort."""
-    ud = (
-        _events(spark, sf_dir)
-        .select("user_id", F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day_num"))
-        .distinct()
-    )
-    u = ud.groupBy("user_id").agg(F.min("day_num").alias("cohort_day"))
-    return (
-        ud.join(u, "user_id")
-        .select("cohort_day", (F.col("day_num") - F.col("cohort_day")).alias("day_offset"))
-        .where(F.col("day_offset") <= 7)
-        .groupBy("cohort_day", "day_offset")
-        .agg(F.count("*").cast("long").alias("n_users"))
-        .orderBy("cohort_day", "day_offset")
-    )
-
-
-@register(
-    "countmin_heavyhitters",
-    f"""WITH tot AS (
-      SELECT term, CAST(count(*) AS BIGINT) AS total_tf FROM ({SQL_TOKS}) GROUP BY term
-    ),
-    pos AS (
-      SELECT term, total_tf, i,
-             ('0x' || substr(md5(term), 1 + 4 * i, 4))::INT % 1024 AS pos
-      FROM tot, unnest([0, 1, 2, 3]) AS t(i)
-    ),
-    cells AS (SELECT i, pos, CAST(sum(total_tf) AS BIGINT) AS cell FROM pos GROUP BY i, pos),
-    cand AS (SELECT term, total_tf FROM tot ORDER BY total_tf DESC, term LIMIT 20)
-    SELECT c.term, c.total_tf, CAST(min(cells.cell) AS BIGINT) AS cms_est
-    FROM cand c
-    JOIN pos ON pos.term = c.term
-    JOIN cells ON cells.i = pos.i AND cells.pos = pos.pos
-    GROUP BY c.term, c.total_tf
-    ORDER BY c.total_tf DESC, c.term""",
-)
-def countmin_heavyhitters(spark, sf_dir):
-    """Count-min sketch heavy hitters: term frequencies estimated from a
-    4 x 1024 integer cell table (rows = four 16-bit md5 slices mod 1024),
-    reported next to the exact counts for the top-20 terms — estimates
-    are provably >= exact (pure overestimate), which the hash equality
-    check witnesses on every row.
-
-    Scale shape: the sketch is 4 096 BIGINT cells REGARDLESS of corpus
-    size, built by one map-side-partial groupBy; cells merge across
-    partitions/segments by elementwise sum (the mergeability that makes
-    CMS the streaming-heavy-hitter structure). The probe reads 80 cells.
-    All integer arithmetic — bit-exact across engines by construction."""
-    toks = _toks(_docs(spark, sf_dir))
-    # tot feeds three consumers (pos->cells, the probe join, cand); without
-    # the lineage cut each would re-run the corpus-sized token scan.
-    tot = (
-        toks.groupBy("term").agg(F.count("*").cast("long").alias("total_tf")).localCheckpoint()
-    )
-    pos = tot.select(
-        "term",
-        "total_tf",
-        F.explode(F.array([F.lit(i) for i in range(4)])).alias("i"),
-    ).withColumn(
-        "pos", F.expr("cast(conv(substring(md5(term), 1 + 4 * i, 4), 16, 10) as int) % 1024")
-    )
-    cells = pos.groupBy("i", "pos").agg(F.sum("total_tf").cast("long").alias("cell"))
-    cand = tot.orderBy(F.desc("total_tf"), "term").limit(20)
-    return (
-        F.broadcast(cand)
-        .join(pos.select("term", "i", "pos"), "term")
-        .join(F.broadcast(cells), ["i", "pos"])
-        .groupBy("term", "total_tf")
-        .agg(F.min("cell").cast("long").alias("cms_est"))
-        .orderBy(F.desc("total_tf"), "term")
-    )
-
-
-@register(
-    "cardinality_merge",
-    f"""
-WITH sh AS ({_SQL_SHINGLES}),
-ss AS (SELECT DISTINCT sh FROM sh),
-h AS (SELECT ('0x' || substr(md5(sh), 1, 15))::UBIGINT::BIGINT AS h FROM ss),
-rr AS (
-  SELECT h % 256 AS reg,
-         CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END AS rnk
-  FROM h
-),
-regs AS (SELECT reg, max(rnk) AS maxr FROM rr GROUP BY reg),
-z AS (
-  SELECT count(*) AS hit, sum((1::BIGINT << (53 - maxr))) AS z_hit FROM regs
-),
-est AS (
-  SELECT CAST(256 - hit AS BIGINT) AS zeros,
-         z_hit + (256 - hit) * (1::BIGINT << 53) AS z_int
-  FROM z
-),
-ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ss)
-SELECT ex.n_exact,
-       CAST(round(
-         CASE WHEN ({_HLL_C} / CAST(z_int AS DOUBLE)) <= 640.0 AND zeros > 0
-              THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
-              ELSE {_HLL_C} / CAST(z_int AS DOUBLE)
-         END * 1000000
-       ) AS BIGINT) AS hll_q6
-FROM est, ex""",
-)
-def cardinality_merge(spark, sf_dir):
-    """HLL register MERGE: the global distinct-shingle estimate obtained
-    by max-merging the per-source register sets from cardinality_sketch —
-    the property that lets every executor (or every index segment) keep a
-    256-byte sketch and the coordinator combine them without re-reading
-    data.
-
-    The Spark plan deliberately aggregates per (source, reg) FIRST and
-    max-merges the 20 register sets; the oracle hashes the global
-    distinct set directly. Agreement witnesses max-associativity — the
-    merged sketch is bit-identical to the sketch of the union."""
-    sh = _shingles_spark(spark, sf_dir)
-    ss = sh.select("source", "sh").distinct()
-    h = ss.select("source", _H60_SPARK(F.col("sh")).alias("h"))
-    rr = h.select(
-        "source",
-        F.expr("h % 256").alias("reg"),
-        F.expr("CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END").alias("rnk"),
-    )
-    regs_src = rr.groupBy("source", "reg").agg(F.max("rnk").alias("maxr"))
-    regs = regs_src.groupBy("reg").agg(F.max("maxr").alias("maxr"))
-    z = regs.agg(
-        F.count("*").alias("hit"),
-        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(53 - maxr as int))")).alias("z_hit"),
-    )
-    est = z.select(
-        (F.lit(256) - F.col("hit")).cast("long").alias("zeros"),
-        F.expr("z_hit + (256 - hit) * shiftleft(cast(1 as bigint), 53)").alias("z_int"),
-    )
-    ex = sh.select("sh").distinct().agg(F.count("*").cast("long").alias("n_exact"))
-    raw = F.expr(f"{_HLL_C} / cast(z_int as double)")
-    lin = F.expr("256.0 * ln(256.0 / cast(zeros as double))")
-    return est.crossJoin(F.broadcast(ex)).select(
-        "n_exact",
-        _q6(F.when((raw <= 640.0) & (F.col("zeros") > 0), lin).otherwise(raw)).alias("hll_q6"),
-    )
-
-
-@register(
-    "bool_filter_query",
-    f"""WITH dt AS (
-      SELECT DISTINCT doc_id, term FROM ({SQL_TOKS})
-      WHERE term IN ('dup', 'spark', 'window')
-    ),
-    f AS (
-      SELECT doc_id,
-             bool_or(term = 'dup') AS has_dup,
-             bool_or(term = 'spark') AS has_spark,
-             bool_or(term = 'window') AS has_window
-      FROM dt GROUP BY doc_id
-    )
-    SELECT doc_id FROM f
-    WHERE has_dup AND has_spark AND NOT has_window
-    ORDER BY doc_id""",
-)
-def bool_filter_query(spark, sf_dir):
-    """ES bool filter (must: [dup, spark], must_not: [window]) as pure
-    posting-list set algebra — no scoring, no text re-scan.
-
-    Scale shape: the term IN (...) predicate reaches the postings scan
-    (pushed-down on the term-bucketed index tables this mirrors), so the
-    plan reads THREE posting lists, not the corpus; the AND/NOT fold is
-    one doc_id groupBy with boolean aggregates — intersection and
-    difference in a single exchange, the Lucene BooleanQuery execution
-    re-expressed relationally (reference query tree:
-    DocumentSearchService.java composite bool)."""
-    dt = (
-        _toks(_docs(spark, sf_dir))
-        .where(F.col("term").isin("dup", "spark", "window"))
-        .distinct()
-    )
-    f = dt.groupBy("doc_id").agg(
-        F.bool_or(F.col("term") == "dup").alias("has_dup"),
-        F.bool_or(F.col("term") == "spark").alias("has_spark"),
-        F.bool_or(F.col("term") == "window").alias("has_window"),
-    )
-    return (
-        f.where(F.col("has_dup") & F.col("has_spark") & ~F.col("has_window"))
-        .select("doc_id")
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "percolate_queries",
-    f"""WITH dtf AS (
-      SELECT term, count(DISTINCT doc_id) AS df FROM ({SQL_TOKS}) GROUP BY term
-    ),
-    top4 AS (SELECT term FROM dtf ORDER BY df DESC, term LIMIT 4),
-    qt AS (SELECT term FROM top4 UNION SELECT 'dup'),
-    q AS (SELECT a.term AS qa, b.term AS qb FROM qt a JOIN qt b ON a.term < b.term),
-    dt AS (SELECT DISTINCT doc_id, term FROM ({SQL_TOKS})),
-    m AS (
-      SELECT q.qa, q.qb, da.doc_id FROM q
-      JOIN dt da ON da.term = q.qa
-      JOIN dt db ON db.term = q.qb AND db.doc_id = da.doc_id
-    )
-    SELECT qa, qb, CAST(count(*) AS BIGINT) AS n_docs
-    FROM m GROUP BY qa, qb ORDER BY qa, qb""",
-)
-def percolate_queries(spark, sf_dir):
-    """ES percolator: a REGISTRY of stored queries (here: every pair of
-    the 4 highest-df terms plus the rare term 'dup', AND semantics)
-    matched against the document stream — reverse search, where documents
-    probe queries instead of queries probing documents.
-
-    Scale shape: the stored-query table is small by nature (thousands of
-    alerts), so it BROADCASTS into the postings scan twice (one hash
-    probe per required term); matches group on the query key. Documents
-    stream through map-side; nothing document-sized shuffles on the query
-    axis. This is exactly how a distributed percolator sidesteps
-    per-document query re-execution."""
-    toks = _toks(_docs(spark, sf_dir))
-    # dt has three consumers (df ranking + both match-probe sides); cut
-    # lineage so the corpus tokenize+distinct runs once, not three times.
-    dt = toks.distinct().localCheckpoint()
-    dtf = dt.groupBy("term").agg(F.count("*").alias("df"))
-    top4 = dtf.orderBy(F.desc("df"), "term").limit(4).select("term")
-    qt = top4.unionByName(
-        top4.sparkSession.range(1).select(F.lit("dup").alias("term"))
-    ).distinct()
-    q = (
-        qt.alias("a")
-        .crossJoin(qt.alias("b"))
-        .where(F.col("a.term") < F.col("b.term"))
-        .select(F.col("a.term").alias("qa"), F.col("b.term").alias("qb"))
-    )
-    m = (
-        F.broadcast(q)
-        .join(dt.alias("da"), F.col("da.term") == F.col("qa"))
-        .select("qa", "qb", F.col("da.doc_id").alias("m_doc"))
-        .join(
-            dt.alias("db"),
-            (F.col("db.term") == F.col("qb")) & (F.col("db.doc_id") == F.col("m_doc")),
-        )
-        .select("qa", "qb", "m_doc")
-    )
-    return m.groupBy("qa", "qb").agg(F.count("*").cast("long").alias("n_docs")).orderBy("qa", "qb")
-
-
-@register(
-    "docs_rollup_cube",
-    """SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
-              CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
-       FROM documents GROUP BY CUBE (source, lang)
-       ORDER BY source, lang""",
-)
-def docs_rollup_cube(spark, sf_dir):
-    """OLAP CUBE over (source, lang): per-cell, per-source, per-lang and
-    grand-total doc counts + character mass in ONE pass — the corpus-
-    composition dashboard query (ES multi-level terms agg + summaries).
-
-    Scale shape: Spark expands grouping sets BEFORE the exchange, so all
-    four rollup levels share one shuffle whose key count is bounded by
-    |sources| x |langs| — partial aggregation absorbs the document axis
-    map-side. The synthetic corpus has no NULL keys, so coalesce markers
-    are unambiguous."""
-    return (
-        _docs(spark, sf_dir)
-        .cube("source", "lang")
-        .agg(F.count("*").cast("long").alias("n_docs"), F.sum("n_chars").cast("long").alias("chars"))
-        .select(
-            F.coalesce("source", F.lit("(all)")).alias("source"),
-            F.coalesce("lang", F.lit("(all)")).alias("lang"),
-            "n_docs",
-            "chars",
-        )
-        .orderBy("source", "lang")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Session 9b: filtered vector search (ES kNN filter / FAISS IDSelector),
-# ES top_hits aggregation, sparse tf-idf cosine with rare-term blocking
-# ---------------------------------------------------------------------------
-
-
-_FILTERED_IVF_SQL_TAIL = """, lab AS (SELECT vec_id, label FROM embeddings),
-fivf AS (
-  SELECT e.vec_id,
-         CAST(round(1000000 * list_dot_product(e.v, q.qv)
-           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS cos_q6
-  FROM e JOIN a3 USING (vec_id) JOIN probe USING (cid) JOIN lab USING (vec_id), q
-  WHERE e.vec_id <> 0 AND lab.label % 2 = 0
-  ORDER BY cos_q6 DESC, e.vec_id LIMIT 10
-)"""
-
-
-def _ivf_filtered_topk(spark, sf_dir) -> DataFrame:
-    members, cent, final_assign = _trained_ivf(spark, sf_dir)
-    e = _emb(spark, sf_dir)
-    lab = e.select("vec_id", "label")
-    qv = (
-        e.where(F.col("vec_id") == 0)
-        .select(F.expr("transform(embedding, x -> cast(x as double))").alias("qv"))
-    )
-    probe = (
-        cent.crossJoin(F.broadcast(qv))
-        .select("cid", _cosq("cv", "qv", 1_000_000_000).alias("cq"))
-        .orderBy(F.desc("cq"), F.asc("cid"))
-        .limit(3)
-        .select("cid")
-    )
-    return (
-        members.join(final_assign, "vec_id")
-        .join(F.broadcast(probe), "cid")
-        .join(lab, "vec_id")
-        .where(F.col("label") % 2 == 0)
-        .crossJoin(F.broadcast(qv))
-        .select("vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-        .orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-        .limit(10)
-    )
-
-
-@register(
-    "ann_ivf_filtered",
-    _KMEANS_SQL_PRELUDE + _FILTERED_IVF_SQL_TAIL + "\nSELECT vec_id, cos_q6 FROM fivf",
-)
-def ann_ivf_filtered(spark, sf_dir):
-    """FILTERED vector search (ES 8 kNN `filter` / FAISS IDSelector): the
-    trained-IVF probe with a metadata predicate (label % 2 = 0) applied to
-    candidates DURING the search — pre-filter semantics, so the top-10 is
-    taken over filtered candidates inside the probed cells, never a
-    post-filtered (and therefore under-filled) result page.
-
-    Scale shape: the probe prunes to nprobe/K of the corpus FIRST; the
-    label predicate then drops candidates before any scoring. Here the
-    label joins back by vec_id because the shared trained index carries
-    only vectors; in production the filter column lives in the vector
-    table and the predicate is pushed into the pruned scan map-side, so
-    filtering is free. The selectivity interplay (a too-strict filter
-    empties the probed cells — FAISS's documented IDSelector caveat)
-    belongs to the recall twin below."""
-    return _ivf_filtered_topk(spark, sf_dir)
-
-
-@register(
-    "ann_ivf_filtered_recall",
-    _KMEANS_SQL_PRELUDE
-    + _FILTERED_IVF_SQL_TAIL
-    + """, fexact AS (
-  SELECT e.vec_id,
-         CAST(round(1000000 * list_dot_product(e.v, q.qv)
-           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS cos_q6
-  FROM e JOIN lab USING (vec_id), q
-  WHERE e.vec_id <> 0 AND lab.label % 2 = 0
-  ORDER BY cos_q6 DESC, e.vec_id LIMIT 10
-)
-SELECT count(*) AS n_overlap FROM fivf JOIN fexact USING (vec_id)""",
-)
-def ann_ivf_filtered_recall(spark, sf_dir):
-    """Recall@10 of the filtered IVF probe against the filtered brute-force
-    oracle. The filter halves every probed cell, so recall measures how
-    much of the filtered neighborhood the unfiltered cell geometry still
-    covers — the number that tells an operator whether nprobe must rise
-    when filters tighten."""
-    fivf = _ivf_filtered_topk(spark, sf_dir).select("vec_id")
-    fexact = (
-        _cos_spark(spark, sf_dir)
-        .where(F.col("label") % 2 == 0)
-        .select("vec_id", _q6(F.col("cos")).alias("cos_q6"))
-        .orderBy(F.desc("cos_q6"), "vec_id")
-        .limit(10)
-        .select("vec_id")
-    )
-    return fivf.join(fexact, "vec_id").agg(F.count(F.lit(1)).alias("n_overlap"))
-
-
-@register(
-    "search_top_hits",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + """
-SELECT source, doc_id, score_q6, CAST(rk AS BIGINT) AS rk FROM (
-  SELECT d.source, agg.doc_id, agg.score_q6,
-         row_number() OVER (PARTITION BY d.source
-                            ORDER BY agg.score_q6 DESC, agg.doc_id ASC) AS rk
-  FROM agg JOIN documents d USING (doc_id)
-) WHERE rk <= 2 ORDER BY source, rk""",
-)
-def search_top_hits(spark, sf_dir):
-    """ES ``top_hits`` aggregation: the best 2 documents PER SOURCE for a
-    query — grouped search results (one exemplar page per bucket), the
-    companion to search_facets' counts.
-
-    Scale shape: the window runs over the query's MATCH SET (already
-    pruned by the postings join), partitioned by source — no corpus-wide
-    sort. A single source dominating the match set degrades the window to
-    that source's matches only; if that matters, the domain_cap
-    sub-sharded two-pass rank applies verbatim (same output contract)."""
-    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
-    d = _docs(spark, sf_dir).select("doc_id", "source")
-    w = Window.partitionBy("source").orderBy(F.desc("score_q6"), F.asc("doc_id"))
-    return (
-        agg.join(d, "doc_id")
-        .withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= 2)
-        .select("source", "doc_id", "score_q6", "rk")
-        .orderBy("source", "rk")
-    )
-
-
-@register(
-    "sparse_cosine_pairs",
-    f"""WITH tf AS ({SQL_TF}),
-nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
-dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-w AS (
-  SELECT tf.doc_id, tf.term,
-         CAST(round(1000000 * tf.tf * ln((SELECT n_docs FROM nd) / dfs.df)) AS BIGINT) AS wq
-  FROM tf JOIN dfs USING (term)
-),
-n2 AS (SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS nrm2 FROM w GROUP BY doc_id),
-rare AS (SELECT term FROM dfs WHERE df * 10 <= (SELECT n_docs FROM nd)),
-rp AS (SELECT DISTINCT doc_id, term FROM tf JOIN rare USING (term)),
-cand AS (
-  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-  FROM rp a JOIN rp b ON a.term = b.term AND a.doc_id < b.doc_id
-),
-dot AS (
-  SELECT cand.da, cand.db, CAST(sum(wa.wq * wb.wq) AS BIGINT) AS d
-  FROM cand
-  JOIN w wa ON wa.doc_id = cand.da
-  JOIN w wb ON wb.doc_id = cand.db AND wb.term = wa.term
-  GROUP BY cand.da, cand.db
-)
-SELECT da, db,
-       CAST(round(1000000 * CAST(d AS DOUBLE) / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE)))) AS BIGINT) AS cos_q6
-FROM dot JOIN n2 na ON na.doc_id = dot.da JOIN n2 nb ON nb.doc_id = dot.db
-ORDER BY cos_q6 DESC, da, db LIMIT 20""",
-)
-def sparse_cosine_pairs(spark, sf_dir):
-    """Sparse tf-idf cosine similarity with RARE-TERM BLOCKING: candidate
-    pairs must share a term with df <= N/10 (rarity is RELATIVE — an
-    absolute cutoff stops producing candidates as the corpus grows), then
-    exact tf-idf cosine is
-    computed on candidates only — the inverted-index document-similarity
-    plan (pair generation cost is Σ rare-df², never corpus²; ubiquitous
-    terms have idf ≈ 0 and contribute nothing to the score anyway).
-
-    Determinism (the unigram_logprob recipe): per-(doc, term) weight is
-    q6-rounded ONCE from identical doubles, so dot products and norms are
-    exact BIGINT sums with no float accumulation order; the final cosine
-    is one double expression over exactly-agreed integers.
-
-    Scale shape: blocking is an equi-join on rare terms (the MinHash-band
-    pattern applied to the lexical space); the dot product joins the two
-    docs' posting rows on term — bounded by candidates × doc length. The
-    weight table has three consumers, hence the lineage cut."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint()
-    )
-    nd = tf.select("doc_id").distinct().agg(F.count("*").cast("double").alias("n_docs"))
-    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    w = (
-        tf.join(dfs, "term")
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "doc_id",
-            "term",
-            F.round(F.lit(1_000_000) * F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
-            .cast("long")
-            .alias("wq"),
-        )
-        .localCheckpoint()
-    )
-    n2 = w.groupBy("doc_id").agg(F.sum(F.col("wq") * F.col("wq")).cast("long").alias("nrm2"))
-    rare = (
-        dfs.crossJoin(F.broadcast(nd))
-        .where(F.col("df") * 10 <= F.col("n_docs"))
-        .select("term")
-    )
-    rp = tf.join(F.broadcast(rare), "term").select("doc_id", "term").distinct()
-    cand = (
-        rp.alias("a")
-        .join(rp.alias("b"), F.col("a.term") == F.col("b.term"))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
-    )
-    dot = (
-        cand.join(w.alias("wa"), F.col("wa.doc_id") == F.col("da"))
-        .join(
-            w.alias("wb"),
-            (F.col("wb.doc_id") == F.col("db")) & (F.col("wb.term") == F.col("wa.term")),
-        )
-        .groupBy("da", "db")
-        .agg(F.sum(F.col("wa.wq") * F.col("wb.wq")).cast("long").alias("d"))
-    )
-    na = n2.select(F.col("doc_id").alias("da"), F.col("nrm2").alias("na2"))
-    nb = n2.select(F.col("doc_id").alias("db"), F.col("nrm2").alias("nb2"))
-    return (
-        dot.join(na, "da")
-        .join(nb, "db")
-        .select(
-            "da",
-            "db",
-            F.round(
-                F.lit(1_000_000)
-                * F.col("d").cast("double")
-                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
-            )
-            .cast("long")
-            .alias("cos_q6"),
-        )
-        .orderBy(F.desc("cos_q6"), "da", "db")
-        .limit(20)
-    )
-
-
-# ---------------------------------------------------------------------------
-# Session 9c: ES explain / search_after / rank_eval parity, DSIR-style
-# importance resampling, completion suggester
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "bm25_explain",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + """,
-top1 AS (SELECT doc_id FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 1)
-SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, CAST(dfs.df AS BIGINT) AS df,
-       CAST(round(1000000 * ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))) AS BIGINT) AS idf_q6,
-       CAST(round(1000000 *
-         ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))
-           * tf.tf * 2.2
-           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM st)))
-       ) AS BIGINT) AS contrib_q6
-FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
-JOIN top1 USING (doc_id)
-ORDER BY term""",
-)
-def bm25_explain(spark, sf_dir):
-    """ES ``_explain`` API: the per-term score decomposition (tf, df, idf,
-    BM25 contribution) for the query's #1 hit — the relevance-debugging
-    surface every search team leans on (reference exposes ES explain
-    implicitly via its adapter's search response).
-
-    Scale shape: the top-1 doc comes from the same pruned match-set
-    TakeOrdered as bm25_topk; the explain join then touches ONE doc's
-    posting rows for the query terms (a doc_id point probe). Contribution
-    floats use the identical expression shape as the scoring CTE, rounded
-    once to q6."""
-    toks = _toks(_docs(spark, sf_dir))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    # dl derives FROM tf (doc_len = Σ tf), so dl/st/dfs all share tf's
-    # exchange and ReusedExchange collapses the whole stats chain to ONE
-    # tokenize pass — a dl keyed on toks directly was a second lineage
-    # branch that re-ran the tokenize (4 scans per match set)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    st = dl.agg(F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
-    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    q = F.broadcast(
-        spark.createDataFrame([(t,) for t in _TOPK_TERMS], "term string")
-    )
-    top1 = (
-        _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
-        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(1)
-        .select("doc_id")
-    )
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    contrib = (
-        idf
-        * F.col("tf").cast("double")
-        * F.lit(2.2)
-        / (
-            F.col("tf").cast("double")
-            + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("doc_len") / F.col("avgdl"))
-        )
-    )
-    return (
-        tf.join(q, "term")
-        .join(dfs, "term")
-        .join(dl, "doc_id")
-        .join(F.broadcast(top1), "doc_id")
-        .crossJoin(F.broadcast(st))
-        .select(
-            "doc_id",
-            "term",
-            F.col("tf").cast("long").alias("tf"),
-            F.col("df").cast("long").alias("df"),
-            _q6(idf).alias("idf_q6"),
-            _q6(contrib).alias("contrib_q6"),
-        )
-        .orderBy("term")
-    )
-
-
-@register(
-    "search_after",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + """,
-cur AS (
-  SELECT score_q6 AS cs, doc_id AS cd FROM (
-    SELECT doc_id, score_q6,
-           row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rn
-    FROM agg) WHERE rn = 10
-)
-SELECT doc_id, score_q6 FROM agg, cur
-WHERE score_q6 < cs OR (score_q6 = cs AND doc_id > cd)
-ORDER BY score_q6 DESC, doc_id ASC LIMIT 10""",
-)
-def search_after(spark, sf_dir):
-    """ES ``search_after`` keyset pagination: page 2 fetched via the
-    (score, doc_id) cursor of page 1's last hit, NOT via from+size. This
-    is the deep-pagination fix — from+size must rank (page+1)*size rows
-    per shard forever deeper, while search_after pushes the cursor as a
-    PREDICATE into the match set and every page is the same TakeOrdered
-    top-k cost (why ES deprecates scroll-by-offset past 10k).
-
-    Spark shape: cursor = one-row broadcast from the page-1 TakeOrdered;
-    page 2 = filter + TakeOrdered over the match set — no rank window at
-    all."""
-    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
-    cur = (
-        agg.orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(10)
-        .orderBy(F.asc("score_q6"), F.desc("doc_id"))
-        .limit(1)
-        .select(F.col("score_q6").alias("cs"), F.col("doc_id").alias("cd"))
-    )
-    return (
-        agg.crossJoin(F.broadcast(cur))
-        .where(
-            (F.col("score_q6") < F.col("cs"))
-            | ((F.col("score_q6") == F.col("cs")) & (F.col("doc_id") > F.col("cd")))
-        )
-        .select("doc_id", "score_q6")
-        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(10)
-    )
-
-
-_RANKEVAL_TERMS = ["dup", "spark"]
-
-
-@register(
-    "rank_eval",
-    _bm25_agg_ctes(_RANKEVAL_TERMS)
-    + f""",
-ranked AS (
-  SELECT doc_id, row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rnk
-  FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 10
-),
-rel AS (
-  SELECT DISTINCT doc_id FROM ({SQL_TOKS}) WHERE term = 'dup'
-),
-j AS (
-  SELECT ranked.rnk, CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel
-  FROM ranked LEFT JOIN rel USING (doc_id)
-)
-SELECT CAST(sum(is_rel) AS BIGINT) AS n_rel_at_10,
-       CAST(round(1000000.0 * sum(is_rel) / 10) AS BIGINT) AS p_at_10_q6,
-       CAST(coalesce(round(1000000.0 / min(CASE WHEN is_rel = 1 THEN rnk END)), 0) AS BIGINT) AS mrr_q6
-FROM j""",
-)
-def rank_eval(spark, sf_dir):
-    """ES ``_rank_eval`` API: precision@10 and reciprocal rank of the BM25
-    ranking against a judgment set (binary relevance: documents containing
-    the rare term 'dup') — offline search-quality measurement as a query,
-    the way ranking regressions get caught in CI.
-
-    Scale shape: the ranked page is the usual TakeOrdered top-10; the
-    judgment set joins by doc_id onto TEN rows. Judgment lists are
-    human-sized by nature — this never touches corpus-scale data beyond
-    the match set itself."""
-    agg = _bm25_match_set(spark, sf_dir, _RANKEVAL_TERMS)
-    top10 = agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
-    ranked = top10.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id")))
-    ).select("doc_id", "rnk")
-    rel = (
-        _toks(_docs(spark, sf_dir))
-        .where(F.col("term") == "dup")
-        .select("doc_id")
-        .distinct()
-        .withColumn("is_rel_flag", F.lit(1))
-    )
-    j = ranked.join(rel, "doc_id", "left").select(
-        "rnk", F.coalesce("is_rel_flag", F.lit(0)).alias("is_rel")
-    )
-    return j.agg(
-        F.sum("is_rel").cast("long").alias("n_rel_at_10"),
-        F.round(F.lit(1_000_000.0) * F.sum("is_rel") / 10).cast("long").alias("p_at_10_q6"),
-        F.coalesce(
-            F.round(F.lit(1_000_000.0) / F.min(F.when(F.col("is_rel") == 1, F.col("rnk")))),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("mrr_q6"),
-    )
-
-
-@register(
-    "dsir_importance",
-    f"""WITH tf AS ({SQL_TF}),
-v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS vsz FROM tf),
-tgt AS (
-  SELECT term, CAST(sum(tf.tf) AS BIGINT) AS c
-  FROM tf JOIN documents d USING (doc_id) WHERE d.source = 'src0'
-  GROUP BY term
-),
-cor AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
-tott AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t FROM tgt),
-totc AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cor),
-lam AS (
-  SELECT cor.term,
-         CAST(round(1000000 * (
-           ln((coalesce(tgt.c, 0) + 1.0) / ((SELECT t FROM tott) + (SELECT vsz FROM v)))
-           - ln((cor.c + 1.0) / ((SELECT t FROM totc) + (SELECT vsz FROM v)))
-         )) AS BIGINT) AS lam_q6
-  FROM cor LEFT JOIN tgt USING (term)
-)
-SELECT tf.doc_id, CAST(sum(tf.tf * lam.lam_q6) AS BIGINT) AS imp_q6
-FROM tf JOIN lam USING (term)
-GROUP BY tf.doc_id ORDER BY imp_q6 DESC, doc_id ASC LIMIT 20""",
-)
-def dsir_importance(spark, sf_dir):
-    """DSIR-style importance resampling (Xie et al. 2023, "Data Selection
-    for Language Models via Importance Resampling"): per-document
-    log-importance weight Σ tf·(ln p_target − ln p_raw) under add-1
-    unigram LMs, target = the in-domain slice (source 'src0'), raw = the
-    whole corpus; top-20 admitted. The selection recipe behind
-    domain-matched pretraining mixes.
-
-    Determinism (unigram_logprob recipe): per-TERM log-ratio is q6-rounded
-    once — both engines take the same two ln's of the same doubles — and
-    the per-doc weight is an exact BIGINT dot product with tf.
-    Scale shape: λ is vocab-sized and joins the postings stream map-side
-    (broadcast/AQE); the only corpus-scale exchange is the per-doc sum,
-    keyed on doc_id. tf has four consumers, hence the lineage cut."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint()
-    )
-    v = tf.select("term").distinct().agg(F.count("*").cast("long").alias("vsz"))
-    d = _docs(spark, sf_dir).select("doc_id", "source")
-    tgt = (
-        tf.join(d, "doc_id")
-        .where(F.col("source") == "src0")
-        .groupBy("term")
-        .agg(F.sum("tf").cast("long").alias("tc"))
-    )
-    cor = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cc"))
-    tott = tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).cast("long").alias("tt"))
-    totc = cor.agg(F.sum("cc").cast("long").alias("ct"))
-    lam = (
-        cor.join(tgt, "term", "left")
-        .crossJoin(F.broadcast(tott))
-        .crossJoin(F.broadcast(totc))
-        .crossJoin(F.broadcast(v))
-        .select(
-            "term",
-            F.round(
-                F.lit(1_000_000)
-                * (
-                    F.log(
-                        (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
-                        / (F.col("tt") + F.col("vsz")).cast("double")
-                    )
-                    - F.log((F.col("cc") + 1.0) / (F.col("ct") + F.col("vsz")).cast("double"))
-                )
-            )
-            .cast("long")
-            .alias("lam_q6"),
-        )
-    )
-    return (
-        tf.join(lam, "term")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("tf") * F.col("lam_q6")).cast("long").alias("imp_q6"))
-        .orderBy(F.desc("imp_q6"), F.asc("doc_id"))
-        .limit(20)
-    )
-
-
-@register(
-    "suggest_completion",
-    f"""WITH dtf AS (
-      SELECT term, count(DISTINCT doc_id) AS df FROM ({SQL_TOKS}) GROUP BY term
-    )
-    SELECT term, CAST(df AS BIGINT) AS df FROM dtf
-    WHERE term LIKE 's%' ORDER BY df DESC, term ASC LIMIT 5""",
-)
-def suggest_completion(spark, sf_dir):
-    """ES completion suggester: prefix 's' → top-5 dictionary terms by
-    document frequency — the search-box type-ahead fed from the term
-    dictionary (weight = df), complementing autocomplete_bigrams' context
-    suggestions.
-
-    Scale shape: a dictionary-sized scan with a pushed-down prefix
-    predicate (the term dictionary is range-partitioned on term in the
-    real index, so the prefix prunes partitions) and a 5-row TakeOrdered."""
-    dt = _toks(_docs(spark, sf_dir)).distinct()
-    dtf = dt.groupBy("term").agg(F.count("*").alias("df"))
-    return (
-        dtf.where(F.col("term").startswith("s"))
-        .select("term", F.col("df").cast("long").alias("df"))
-        .orderBy(F.desc("df"), F.asc("term"))
-        .limit(5)
-    )
-
-
-@register(
-    "events_asof_horizon",
-    """WITH v AS (
-         SELECT user_id, epoch_us(ts) AS v_us FROM events WHERE event_type = 'view'
-       ),
-       p AS (
-         SELECT event_id, user_id, epoch_us(ts) AS p_us
-         FROM events WHERE event_type = 'purchase'
-       )
-       SELECT p.event_id, p.user_id, p.p_us AS purchase_us,
-              max(v.v_us) AS view_us, p.p_us - max(v.v_us) AS gap_us
-       FROM p JOIN v ON v.user_id = p.user_id
-         AND v.v_us < p.p_us AND v.v_us >= p.p_us - 3600000000
-       GROUP BY p.event_id, p.user_id, p.p_us
-       ORDER BY event_id""",
-)
-def events_asof_horizon(spark, sf_dir):
-    """Horizon-bounded as-of attribution (1-hour lookback) — the batch
-    twin of the STREAMING stream-stream time-interval join
-    (streaming/events.py::asof_attribution_stream, proven equal over
-    chronological micro-batches in tests/test_events_streaming.py). The
-    bounded lookback is the contract that makes the streaming form
-    possible: join state is evictable once the watermark passes
-    p_ts − horizon, unlike the unbounded `events_asof_join`."""
-    from docix_spark.streaming.events import asof_attribution
-
-    return asof_attribution(_events(spark, sf_dir), horizon_sec=3600)
-
-
-_DECAY_S_US = 14 * 86_400_000_000  # ES linear decay: s = scale/(1-decay) = 7d/0.5
-
-
-@register(
-    "function_score_decay",
-    f"""WITH o AS (SELECT max(epoch_us(ts)) AS origin_us FROM events),
-    p AS (
-      SELECT event_id, epoch_us(ts) AS t_us,
-             CAST(round(value * 100) AS BIGINT) AS value_cents
-      FROM events WHERE event_type = 'purchase'
-    )
-    SELECT event_id, value_cents,
-           o.origin_us - t_us AS age_us,
-           (1000000 * greatest(0, {_DECAY_S_US} - (o.origin_us - t_us))) // {_DECAY_S_US} AS decay_q6,
-           value_cents * ((1000000 * greatest(0, {_DECAY_S_US} - (o.origin_us - t_us))) // {_DECAY_S_US}) AS boosted_q6c
-    FROM p, o
-    ORDER BY boosted_q6c DESC, event_id ASC LIMIT 20""",
-)
-def function_score_decay(spark, sf_dir):
-    """ES ``function_score`` with a LINEAR date decay (the reference's ES
-    tier exposes function_score; decay scoring is its canonical recency
-    use): score = value × max(0, (s − age)/s) with origin = newest event,
-    scale 7d, decay 0.5 ⇒ s = scale/(1−decay) = 14d, offset 0 — the exact
-    ES linear formula. Linear (not gauss/exp) is chosen deliberately: it
-    is a RATIONAL of integer microsecond ages, so the whole score is
-    computed in BIGINT floor division — no exp/ln call whose last-ulp
-    libm behavior could diverge between engines. decay_q6 =
-    (10^6·max(0, s−age)) div s; boost = cents × decay_q6.
-
-    Scale shape: origin is a 1-row scalar agg broadcast by crossJoin; the
-    scoring is pure map-side column math on the filtered scan (predicate
-    pushed to parquet); the cut is a 20-row TakeOrdered — no shuffle at
-    any size. 10^6·s ≈ 1.2e18 stays inside BIGINT."""
-    e = _events(spark, sf_dir)
-    origin = e.agg(F.expr("max(unix_micros(cast(ts as timestamp)))").alias("origin_us"))
-    p = e.where(F.col("event_type") == "purchase").select(
-        "event_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
-    )
-    age = F.col("origin_us") - F.col("t_us")
-    decay_q6 = F.expr(
-        f"(1000000 * greatest(0, {_DECAY_S_US} - (origin_us - t_us))) div {_DECAY_S_US}"
-    )
-    return (
-        p.crossJoin(F.broadcast(origin))
-        .select(
-            "event_id",
-            "value_cents",
-            age.cast("long").alias("age_us"),
-            decay_q6.cast("long").alias("decay_q6"),
-            (F.col("value_cents") * decay_q6).cast("long").alias("boosted_q6c"),
-        )
-        .orderBy(F.desc("boosted_q6c"), F.asc("event_id"))
-        .limit(20)
-    )
-
-
-@register(
-    "orders_date_histogram",
-    """SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_epoch,
-              CAST(count(*) AS BIGINT) AS n_orders,
-              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
-              CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
-              CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents,
-              CAST((1000000 * sum(CAST(round(o_totalprice * 100) AS BIGINT)))
-                   // count(*) AS BIGINT) AS avg_cents_q6
-       FROM orders GROUP BY 1 ORDER BY 1""",
-)
-def orders_date_histogram(spark, sf_dir):
-    """ES ``date_histogram`` aggregation with calendar_interval=month plus
-    a stats sub-agg (count/sum/min/max/avg) over order totals — the
-    time-bucketed dashboard agg the reference's ES tier serves. Prices
-    become exact BIGINT cents FIRST (round(×100) — TPC-H prices carry two
-    decimals, so the rounding is exact), every stat is integer math, and
-    the mean is 10^6·sum div n — float summation order can't diverge.
-
-    Scale shape: ONE hash aggregation keyed on the truncated month —
-    map-side partial combine collapses each scan partition to
-    months-per-partition rows before the exchange; the month key is
-    low-cardinality and uniform so no salting is warranted. At a 10^12-row
-    scale the cents sums approach BIGINT range; production would widen to
-    DECIMAL(38,0) — noted, not needed at any tested SF."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    return (
-        o.select(
-            F.expr(
-                "unix_seconds(cast(date_trunc('month', o_orderdate) as timestamp))"
-            ).alias("month_epoch"),
-            cents.alias("cents"),
-        )
-        .groupBy("month_epoch")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum("cents").cast("long").alias("sum_cents"),
-            F.min("cents").cast("long").alias("min_cents"),
-            F.max("cents").cast("long").alias("max_cents"),
-            F.expr("(1000000 * sum(cents)) div count(*)").cast("long").alias("avg_cents_q6"),
-        )
-        .orderBy("month_epoch")
-    )
-
-
-@register(
-    "bigram_lm_surprisal",
-    f"""WITH w AS ({SQL_WORDS}),
-    bg AS (
-      SELECT doc_id, words[i] AS w1, words[i+1] AS w2
-      FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
-      WHERE len(words) >= 2
-    ),
-    bt AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf FROM bg GROUP BY doc_id, w1, w2),
-    bc AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c_xy FROM bt GROUP BY w1, w2),
-    cx AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x FROM bc GROUP BY w1),
-    v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS vocab FROM bc),
-    nl AS (
-      SELECT bc.w1, bc.w2,
-             CAST(round(-ln(CAST(bc.c_xy + 1 AS DOUBLE) / CAST(cx.c_x + v.vocab AS DOUBLE))
-                        * 1000000) AS BIGINT) AS nlp_q6
-      FROM bc JOIN cx USING (w1), v
-    )
-    SELECT bt.doc_id,
-           CAST(sum(bt.tf) AS BIGINT) AS n_bigrams,
-           CAST(sum(bt.tf * nl.nlp_q6) AS BIGINT) AS surprisal_q6,
-           CAST(sum(bt.tf * nl.nlp_q6) // sum(bt.tf) AS BIGINT) AS mean_nlp_q6
-    FROM bt JOIN nl ON bt.w1 = nl.w1 AND bt.w2 = nl.w2
-    GROUP BY bt.doc_id ORDER BY bt.doc_id""",
-)
-def bigram_lm_surprisal(spark, sf_dir):
-    """Per-document cross-entropy under an add-1-smoothed BIGRAM language
-    model trained on the corpus itself — the KenLM-shaped sharpening of
-    `unigram_logprob` (CCNet filters on n-gram LM perplexity, not unigram):
-    p(w2|w1) = (c(w1w2)+1) / (c(w1·)+|V|) with c(w1·) the bigram-context
-    count and |V| the outcome vocabulary (distinct w2 in the bigram
-    table — self-contained so both engines derive it from the same CTE).
-
-    Determinism (the unigram_logprob recipe): the ln argument is ONE
-    rational of exact BIGINTs, per-BIGRAM −ln is q6-rounded FIRST, the
-    per-doc score is an exact BIGINT dot product Σ tf·nlp_q6, and the
-    mean is floor division. Docs under 2 tokens have no bigrams and are
-    excluded (Spark's sequence(0, negative) junk-index guard).
-
-    100 TB shape: the bigram tf table is the A1 postings aggregation on a
-    pair key (map-side combine absorbs boilerplate skew); the model join
-    keys on the pair (high-cardinality — the key itself spreads); context
-    counts and |V| are dictionary-sized. bt feeds two subtrees (model
-    estimation + scoring join), so it is materialized once via
-    localCheckpoint — at scale, a written-once bigram-postings parquet."""
-    d = _docs(spark, sf_dir).select("doc_id", spark_tokens("text").alias("words"))
-    bg = (
-        d.where(F.size("words") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(words)-2), i -> struct(words[i] as w1, words[i+1] as w2))"
-                )
-            ).alias("p"),
-        )
-        .select("doc_id", "p.w1", "p.w2")
-    )
-    bt = (
-        bg.groupBy("doc_id", "w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint()
-    )
-    bc = bt.groupBy("w1", "w2").agg(F.sum("tf").cast("long").alias("c_xy"))
-    cx = bc.groupBy("w1").agg(F.sum("c_xy").cast("long").alias("c_x"))
-    v = bc.agg(F.count_distinct("w2").cast("long").alias("vocab"))
-    nl = (
-        bc.join(cx, "w1")
-        .crossJoin(F.broadcast(v))
-        .select(
-            "w1",
-            "w2",
-            F.round(
-                -F.log(
-                    (F.col("c_xy") + 1).cast("double")
-                    / (F.col("c_x") + F.col("vocab")).cast("double")
-                )
-                * 1_000_000
-            )
-            .cast("long")
-            .alias("nlp_q6"),
-        )
-    )
-    return (
-        bt.join(nl, ["w1", "w2"])
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").cast("long").alias("n_bigrams"),
-            F.sum(F.col("tf") * F.col("nlp_q6")).cast("long").alias("surprisal_q6"),
-            F.expr("sum(tf * nlp_q6) div sum(tf)").cast("long").alias("mean_nlp_q6"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-_SQL_UNI_MEAN = f"""WITH tf AS ({SQL_TF}),
-    tt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY term),
-    tot AS (SELECT CAST(sum(total_tf) AS DOUBLE) AS big_t FROM tt),
-    nl AS (
-      SELECT term,
-             CAST(round(-ln(CAST(total_tf AS DOUBLE) / big_t) * 1000000) AS BIGINT) AS nlp_q6
-      FROM tt, tot
-    ),
-    d AS (
-      SELECT tf.doc_id,
-             CAST(sum(tf.tf * nl.nlp_q6) AS BIGINT) // CAST(sum(tf.tf) AS BIGINT) AS mean_nlp_q6
-      FROM tf JOIN nl USING (term) GROUP BY tf.doc_id
-    ),
-    m AS (
-      SELECT d.doc_id, documents.source, CAST(d.mean_nlp_q6 AS BIGINT) AS mean_nlp_q6
-      FROM d JOIN documents ON documents.doc_id = d.doc_id
-    )"""
-
-
-def _unigram_doc_mean(spark, sf_dir) -> DataFrame:
-    """(doc_id, source, mean_nlp_q6) under the corpus unigram LM — the
-    exact per-doc mean surprisal of `unigram_logprob`, joined back to the
-    doc's source (column-pruned documents scan). Empty docs (no tokens)
-    have no tf rows and are excluded, matching the SQL twin."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
-    )
-    tt = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("total_tf"))
-    tot = tt.agg(F.sum("total_tf").cast("double").alias("big_t"))
-    nl = tt.crossJoin(F.broadcast(tot)).select(
-        "term",
-        F.round(-F.log(F.col("total_tf").cast("double") / F.col("big_t")) * 1_000_000)
-        .cast("long")
-        .alias("nlp_q6"),
-    )
-    d = (
-        tf.join(nl, "term")
-        .groupBy("doc_id")
-        .agg(F.expr("sum(tf * nlp_q6) div sum(tf)").cast("long").alias("mean_nlp_q6"))
-    )
-    src = _docs(spark, sf_dir).select("doc_id", "source")
-    return d.join(src, "doc_id").select("doc_id", "source", "mean_nlp_q6")
-
-
-@register(
-    "perplexity_buckets",
-    _SQL_UNI_MEAN
-    + """,
-    r AS (
-      SELECT source, mean_nlp_q6,
-             row_number() OVER (PARTITION BY source ORDER BY mean_nlp_q6, doc_id) AS rnk,
-             count(*) OVER (PARTITION BY source) AS n
-      FROM m
-    )
-    SELECT source, CAST(((rnk - 1) * 3) // n AS BIGINT) AS bucket,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(min(mean_nlp_q6) AS BIGINT) AS min_nlp_q6,
-           CAST(max(mean_nlp_q6) AS BIGINT) AS max_nlp_q6
-    FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
-)
-def perplexity_buckets(spark, sf_dir):
-    """CCNet-style head/middle/tail quality buckets: per source, rank
-    documents by mean unigram-LM surprisal and cut into exact terciles
-    (bucket = (rank−1)·3 div n — integer math, identical split both
-    engines and NEVER ntile(), whose remainder placement differs from
-    this formula only when n%3≠0 — so the formula is spelled out in both).
-    Head (bucket 0) = most-fluent-per-the-LM, tail (2) = rare-token soup;
-    CCNet keeps head+middle and drops or down-weights tail.
-
-    Scale shape: the rank is the `domain_cap` sub-sharded two-pass rank,
-    NOT a whole-source window — mean_nlp_q6 div 10^6 (whole nats) splits
-    each source into order-aligned range shards, per-(source, shard)
-    counts get exclusive-prefix-summed (a window over the tiny
-    sources×shards table), local ranks window over bounded shards, and
-    the shard offset joins back un-hinted (AQE broadcasts when small).
-    The oracle is the naive whole-source window — byte-identical ranks."""
-    # m feeds two subtrees (shard counts + the ranked join) — materialize
-    # once or the whole unigram-LM chain re-executes per consumer
-    m = (
-        _unigram_doc_mean(spark, sf_dir)
-        .withColumn("shard", F.expr("mean_nlp_q6 div 1000000"))
-        .localCheckpoint()
-    )
-    counts = m.groupBy("source", "shard").agg(F.count(F.lit(1)).alias("cnt"))
-    w_off = (
-        Window.partitionBy("source")
-        .orderBy("shard")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "source",
-        "shard",
-        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
-        F.sum("cnt").over(Window.partitionBy("source")).alias("n"),
-    )
-    w_loc = Window.partitionBy("source", "shard").orderBy("mean_nlp_q6", "doc_id")
-    ranked = (
-        m.withColumn("lr", F.row_number().over(w_loc))
-        .join(offsets, ["source", "shard"])
-        .select(
-            "source",
-            "mean_nlp_q6",
-            F.expr("((off + lr - 1) * 3) div n").cast("long").alias("bucket"),
-        )
-    )
-    return (
-        ranked.groupBy("source", "bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.min("mean_nlp_q6").cast("long").alias("min_nlp_q6"),
-            F.max("mean_nlp_q6").cast("long").alias("max_nlp_q6"),
-        )
-        .orderBy("source", "bucket")
-    )
-
-
-@register(
-    "minhash_cluster_stats",
-    _SQL_LSH_PAIRS
-    + """,
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(id, lbl) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-    ),
-    comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
-    sizes AS (SELECT lbl, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY lbl),
-    hist AS (
-      SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
-      FROM sizes GROUP BY cluster_size
-    ),
-    singles AS (
-      SELECT CAST(1 AS BIGINT) AS cluster_size,
-             CAST((SELECT count(*) FROM documents) - (SELECT count(*) FROM comp) AS BIGINT) AS n_clusters
-    )
-    SELECT cluster_size, n_clusters FROM hist
-    UNION ALL SELECT cluster_size, n_clusters FROM singles WHERE n_clusters > 0
-    ORDER BY cluster_size""",
-)
-def minhash_cluster_stats(spark, sf_dir):
-    """Near-dup cluster-size histogram — the dedup QA readout (how much of
-    the corpus is duplicated, and in what clump sizes) that decides
-    keep-one-per-cluster savings: LSH candidate pairs → connected
-    components → per-cluster sizes → (cluster_size, n_clusters), with
-    unclustered docs reported as size-1 clusters (total docs − labeled).
-
-    Scale shape: reuses `_lsh_pair_edges` (banded equi-join, nothing
-    all-pairs) and the pointer-doubling `connected_components` (O(log
-    diameter) rounds, raise-on-nonconvergence); the histogram is two
-    doc_id-keyed aggs whose outputs shrink geometrically (docs → clusters
-    → size classes). The singleton count is total − labeled, two scalar
-    aggs — no join against the unlabeled majority."""
-    edges = _lsh_pair_edges(spark, sf_dir)  # already checkpointed + memoized
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
-        "doc_id", F.col("doc_id").alias("lbl")
-    )
-    comp = connected_components(labels, edges)
-    sizes = comp.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
-    hist = sizes.groupBy("cluster_size").agg(
-        F.count(F.lit(1)).cast("long").alias("n_clusters")
-    )
-    n_total = _docs(spark, sf_dir).count()
-    n_labeled = comp.count()
-    singles = spark.createDataFrame(
-        [(1, n_total - n_labeled)], "cluster_size long, n_clusters long"
-    ).where(F.col("n_clusters") > 0)
-    return hist.unionByName(singles).orderBy("cluster_size")
-
-
-@register(
-    "events_exactly_once_counts",
-    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
-              event_type, CAST(count(*) AS BIGINT) AS n,
-              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-       FROM (SELECT DISTINCT event_id, ts, event_type, value FROM events)
-       GROUP BY 1, 2 ORDER BY 1, 2""",
-)
-def events_exactly_once_counts(spark, sf_dir):
-    """Exactly-once windowed counts over an at-least-once stream: dedup by
-    event_id (replays are full-row broker redeliveries, so by-key dedup is
-    deterministic), then the tumbling 1-hour rollup — the batch twin of
-    the STREAMING ``dropDuplicatesWithinWatermark`` → windowed-agg chain
-    (streaming/events.py::exactly_once_counts_stream, two stateful
-    operators in one append-mode query; proven equal over micro-batches
-    with injected replays in tests/test_events_streaming.py). On the
-    driver's clean table (unique event_ids) this equals events_windowed —
-    the dedup is the semantic contract, exercised by the replay test."""
-    from docix_spark.streaming.events import exactly_once_counts
-
-    return exactly_once_counts(_events(spark, sf_dir))
-
-
-# ---------------------------------------------------------------------------
-# session 12 — ES query-surface completions (phrase_prefix, SynonymQuery,
-# rescore window) + pipeline chunk dedup / output sharding / source entropy
-# ---------------------------------------------------------------------------
-
-# Positions CTE shared by the session-12 positional queries (1-based in
-# DuckDB via generate_series; Spark uses 0-based posexplode — origins cancel
-# in every gap/adjacency expression, per the phrase_slop precedent).
-_SQL_POS = f"""pw AS ({SQL_WORDS}),
-p AS (SELECT doc_id, i, words[i] AS term FROM pw, unnest(generate_series(1, len(words))) AS t(i))"""
-
-
-@register(
-    "match_phrase_prefix",
-    f"""WITH {_SQL_POS},
-dict AS (SELECT DISTINCT term FROM p),
-exp AS (SELECT term FROM dict WHERE term LIKE 's%' ORDER BY term LIMIT 50),
-a AS (SELECT doc_id, i FROM p WHERE term = 'fast'),
-b AS (SELECT doc_id, i, term FROM p JOIN exp USING (term))
-SELECT a.doc_id,
-       CAST(count(*) AS BIGINT) AS n_positions,
-       CAST(count(DISTINCT b.term) AS BIGINT) AS n_expansions
-FROM a JOIN b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-GROUP BY a.doc_id ORDER BY a.doc_id""",
-)
-def match_phrase_prefix(spark, sf_dir):
-    """ES ``match_phrase_prefix`` — the search-as-you-type phrase form the
-    reference UI issues while the user is mid-word (the phrase analogue of
-    the F5 prefix suggester, SearchAdapter.java:198-228): phrase
-    "fast s*", where the LAST position is a prefix expanded to at most
-    max_expansions=50 dictionary terms in term-dictionary (lexicographic)
-    order — exactly Lucene's expansion rule, which walks the term dict in
-    sorted order and stops at the cap, so the cap is deterministic
-    cross-engine. A doc matches where 'fast' at position i is immediately
-    followed by any expansion at i+1; per doc we report the occurrence
-    count and how many distinct expansions fired.
-
-    Scale shape: the expansion scan is vocab-sized (the A2 dictionary,
-    orders smaller than the corpus) with a 50-row TakeOrdered; the
-    positional legs are two pruned postings reads (first-term postings +
-    the ≤50 expansion terms' postings), then ONE doc_id equi-join between
-    two small position sets — phrase_slop's plan with a broadcast
-    expansion set on the b side. Never a corpus scan."""
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.posexplode(spark_tokens("text")).alias("pos", "term")
-    )
-    exp = (
-        toks.select("term").distinct()
-        .where(F.col("term").startswith("s"))
-        .orderBy("term")
-        .limit(50)
-    )
-    a = toks.where(F.col("term") == "fast").select("doc_id", F.col("pos").alias("pa"))
-    b = toks.join(F.broadcast(exp), "term").select("doc_id", F.col("pos").alias("pb"), "term")
-    return (
-        a.join(b, "doc_id")
-        .where(F.col("pb") == F.col("pa") + 1)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_positions"),
-            F.countDistinct("term").cast("long").alias("n_expansions"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "synonym_query_search",
-    f"""WITH tf AS ({SQL_TF}),
-dl AS ({SQL_DL}),
-st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl),
-dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-syn AS (SELECT * FROM (VALUES ('scan', 0), ('filter', 0), ('join', 1)) AS t(term, gid)),
-gdf AS (SELECT gid, max(df) AS df FROM syn JOIN dfs USING (term) GROUP BY gid),
-gtf AS (SELECT tf.doc_id, syn.gid, CAST(sum(tf.tf) AS DOUBLE) AS tf
-        FROM tf JOIN syn USING (term) GROUP BY tf.doc_id, syn.gid),
-per AS (
-  SELECT gtf.doc_id,
-         ln(1.0 + ((SELECT n_docs FROM st) - gdf.df + 0.5) / (gdf.df + 0.5))
-           * gtf.tf * 2.2
-           / (gtf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM st))) AS s
-  FROM gtf JOIN gdf USING (gid) JOIN dl USING (doc_id)
-),
-agg AS (SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6,
-               CAST(count(*) AS BIGINT) AS nm
-        FROM per GROUP BY doc_id),
-ranked AS (SELECT doc_id, score_q6, nm,
-                  row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rank
-           FROM agg)
-SELECT doc_id, score_q6, nm, CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= 10 ORDER BY rank""",
-)
-def synonym_query_search(spark, sf_dir):
-    """Lucene ``SynonymQuery`` scoring — what ES actually runs when the
-    analyzer emits query-time synonyms at one position (the synonym
-    token-filter layer under the reference's match queries,
-    SearchAdapter.java:398-405 analysis chain): synonyms are ONE scoring
-    atom, not a boolean OR. Per Lucene's SynonymQuery: the atom's document
-    frequency is the MAX over member terms' df (blended idf — an OR would
-    overcount), and its within-doc tf is the SUM of member tfs. Query here:
-    group (scan ≡ filter) + plain term join, BM25 per atom, summed, top 10
-    with the doc_id tiebreak.
-
-    Scale shape: identical to bm25_topk — the synonym map is a broadcast
-    VALUES table folded into the pruned postings join, the per-(doc, group)
-    sum is absorbed by the same map-side partial agg as A1, and the blended
-    df table is group-count-sized. Synonyms add zero exchanges over the
-    plain query."""
-    toks = _toks(_docs(spark, sf_dir))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    # dl derives FROM tf (doc_len = Σ tf), so dl/st/dfs all share tf's
-    # exchange and ReusedExchange collapses the whole stats chain to ONE
-    # tokenize pass — a dl keyed on toks directly was a second lineage
-    # branch that re-ran the tokenize (4 scans per match set)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    st = dl.agg(F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
-    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    syn = F.broadcast(
-        spark.createDataFrame([("scan", 0), ("filter", 0), ("join", 1)], "term string, gid int")
-    )
-    gdf = syn.join(dfs, "term").groupBy("gid").agg(F.max("df").alias("df"))
-    gtf = (
-        tf.join(syn, "term")
-        .groupBy("doc_id", "gid")
-        .agg(F.sum("tf").cast("double").alias("tf"))
-    )
-    per = (
-        gtf.join(F.broadcast(gdf), "gid").join(dl, "doc_id").crossJoin(F.broadcast(st))
-        .select(
-            "doc_id",
-            (
-                F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-                * F.col("tf") * F.lit(2.2)
-                / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("doc_len") / F.col("avgdl")))
-            ).alias("s"),
-        )
-    )
-    agg = per.groupBy("doc_id").agg(
-        _q6(F.sum("s")).alias("score_q6"), F.count("*").cast("long").alias("nm")
-    )
-    topk = agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
-    return (
-        topk.withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))).cast("long"),
-        )
-        .select("doc_id", "score_q6", "nm", "rank")
-        .orderBy("rank")
-    )
-
-
-@register(
-    "rescore_topn",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + f""",
-{_SQL_POS},
-ga AS (SELECT doc_id, i FROM p WHERE term = 'spark'),
-gb AS (SELECT doc_id, i FROM p WHERE term = 'join'),
-prox AS (SELECT ga.doc_id, 1000000 // (1 + min(gb.i - ga.i)) AS resc_q6
-         FROM ga JOIN gb ON ga.doc_id = gb.doc_id AND gb.i - ga.i BETWEEN 1 AND 3
-         GROUP BY ga.doc_id),
-win AS (SELECT doc_id, score_q6 FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 30),
-resc AS (SELECT win.doc_id, win.score_q6,
-                CAST(COALESCE(prox.resc_q6, 0) AS BIGINT) AS resc_q6,
-                win.score_q6 + 2 * CAST(COALESCE(prox.resc_q6, 0) AS BIGINT) AS combined_q6
-         FROM win LEFT JOIN prox USING (doc_id)),
-ranked AS (SELECT *, row_number() OVER (ORDER BY combined_q6 DESC, doc_id ASC) AS rank FROM resc)
-SELECT doc_id, score_q6, resc_q6, combined_q6, CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= 10 ORDER BY rank""",
-)
-def rescore_topn(spark, sf_dir):
-    """ES ``rescore`` — the two-pass ranking window every relevance-tuned
-    deployment of the reference's search tier ends up using: pass 1 is the
-    cheap BM25 query (bm25_topk's match set), pass 2 re-scores only the
-    top window_size=30 docs with an expensive proximity query ('spark'
-    followed by 'join' within slop 3; tightness bonus = 1e6 div (1+gap),
-    pure integer), combined with ES's default score_mode=total as
-    query_weight·orig + rescore_query_weight·resc (1 and 2 here) — all in
-    BIGINT micro-units, so cross-engine equality is exact. Top 10 of the
-    re-sorted window, doc_id tiebreak.
-
-    Scale shape: THE point of rescore — the proximity legs join against a
-    30-row broadcast window, never the corpus; cost of pass 2 is bounded by
-    window_size regardless of data size. Pass 1 is the standard pruned
-    postings plan; the window is one TakeOrdered. The positional token
-    table is localCheckpoint'd ONCE and feeds all four consumers (tf, dl,
-    and both proximity legs) — without it each lineage branch re-tokenizes
-    the corpus (measured 10.7 s → 4.4 s at sf0.1; over a built index the
-    legs are two pruned positional-postings reads instead)."""
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.posexplode(spark_tokens("text")).alias("pos", "term")
-    ).localCheckpoint()
-    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS, toks=toks.select("doc_id", "term"))
-    win = agg.select("doc_id", "score_q6").orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(30)
-    a = toks.where(F.col("term") == "spark").select("doc_id", F.col("pos").alias("pa"))
-    b = toks.where(F.col("term") == "join").select("doc_id", F.col("pos").alias("pb"))
-    gap = F.col("pb") - F.col("pa")
-    prox = (
-        a.join(b, "doc_id")
-        .where(gap.between(1, 3))
-        .groupBy("doc_id")
-        .agg(F.expr("1000000 div (1 + min(pb - pa))").alias("resc_q6"))
-    )
-    resc = (
-        win.join(prox, "doc_id", "left")
-        .select(
-            "doc_id",
-            "score_q6",
-            F.coalesce("resc_q6", F.lit(0)).cast("long").alias("resc_q6"),
-        )
-        .withColumn("combined_q6", F.col("score_q6") + F.lit(2) * F.col("resc_q6"))
-    )
-    return (
-        resc.withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("combined_q6"), F.asc("doc_id"))).cast("long"),
-        )
-        .where(F.col("rank") <= 10)
-        .select("doc_id", "score_q6", "resc_q6", "combined_q6", "rank")
-        .orderBy("rank")
-    )
-
-
-@register(
-    "chunk_dedup_scrub",
-    f"""WITH w AS ({SQL_WORDS}),
-ch AS (
-  SELECT doc_id, i AS chunk_idx,
-         md5(array_to_string(words[(1 + 8 * i):(8 + 8 * i)], ' ')) AS h
-  FROM w, unnest(generate_series(0, CAST(ceil(len(words) / 8.0) AS BIGINT) - 1)) AS t(i)
-  WHERE len(words) >= 1
-),
-rk AS (SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn FROM ch)
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_chunks,
-       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
-       (CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS kept_frac_q6
-FROM rk GROUP BY doc_id ORDER BY doc_id""",
-)
-def chunk_dedup_scrub(spark, sf_dir):
-    """Paragraph-level exact dedup, the Dolma/CCNet scrub pass that runs
-    BELOW whole-doc dedup (dedup_exact) and ABOVE n-gram overlap
-    (dup_ngram_fraction): the corpus is chunked into non-overlapping
-    8-token spans (the paragraph stand-in for this corpus's unstructured
-    text — real pipelines split on newlines), each chunk keyed by md5, and
-    a chunk SURVIVES iff this occurrence is the global first by
-    (doc_id, chunk_idx) — every later copy anywhere in the corpus is
-    scrubbed. Per doc: chunk count, surviving count, and the kept fraction
-    in integer micro-units (exact BIGINT cross-multiplication, no float
-    division).
-
-    Scale shape: chunking is map-side array work inside codegen; the ONE
-    shuffle is the chunk-hash key (md5 — uniform, self-spreading, no salt
-    needed; the first-occurrence window partitions by it), then the
-    per-doc rollup rides the doc_id key. Identical shape to
-    dedup_survivor_tokens; at 100 TB this is the textbook
-    hash-partitioned scrub."""
-    w = _docs(spark, sf_dir).select("doc_id", spark_tokens("text").alias("words")).where(
-        F.size("words") >= 1
-    )
-    ch = w.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, cast(ceil(size(words) / 8.0) as int) - 1),"
-                " i -> md5(concat_ws(' ', slice(words, 1 + 8 * i, 8))))"
-            )
-        ).alias("chunk_idx", "h"),
-    )
-    rk = ch.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "chunk_idx"))
-    )
-    kept = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long")
-    return (
-        rk.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_chunks"),
-            kept.alias("kept_chunks"),
-        )
-        .withColumn("kept_frac_q6", F.expr("(kept_chunks * 1000000) div n_chunks"))
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "shard_token_balance",
-    f"""WITH dl AS ({SQL_DL}),
-sh AS (SELECT d.doc_id,
-              ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::UBIGINT::BIGINT % 16 AS shard,
-              COALESCE(dl.doc_len, 0) AS n_tok
-       FROM documents d LEFT JOIN dl USING (doc_id)),
-agg AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
-        FROM sh GROUP BY shard)
-SELECT shard, n_docs, n_tokens,
-       (n_tokens * 1000000) // (SELECT CAST(sum(n_tokens) AS BIGINT) FROM agg) AS share_q6
-FROM agg ORDER BY shard""",
-)
-def shard_token_balance(spark, sf_dir):
-    """Training-output shard plan: route every doc to one of 16 output
-    shards by a content-independent deterministic hash (16-bit md5 slice
-    of the doc id — the same cross-engine hash family as
-    decontamination_bloom), and report per-shard doc count, token count,
-    and token share in micro-units — the balance evidence a dataloader
-    needs before writing tokenized shards (uneven shards straggle every
-    training epoch). Docs with zero tokens still occupy a slot (LEFT join,
-    length 0).
-
-    Scale shape: the shard key is computed map-side; the rollup is a
-    16-group hash agg fully absorbed by map-side partial aggregation —
-    the output is 16 rows no matter the corpus size, and the actual shard
-    WRITE this plans for is a single hash repartition by the same key
-    (the _write_bucketed discipline, never dynamic-partition insert)."""
-    dl = _toks(_docs(spark, sf_dir)).groupBy("doc_id").agg(F.count("*").alias("doc_len"))
-    sh = (
-        _docs(spark, sf_dir)
-        .select("doc_id")
-        .join(dl, "doc_id", "left")
-        .select(
-            F.expr(
-                "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % 16"
-            ).alias("shard"),
-            F.coalesce("doc_len", F.lit(0)).alias("n_tok"),
-        )
-    )
-    agg = sh.groupBy("shard").agg(
-        F.count("*").cast("long").alias("n_docs"), F.sum("n_tok").cast("long").alias("n_tokens")
-    )
-    # total via an unpartitioned window over the 16-row agg — NOT a
-    # crossJoin against agg.agg(...), whose second lineage branch would
-    # re-run the whole tokenize upstream
-    return (
-        agg.withColumn("t", F.sum("n_tokens").over(Window.partitionBy()))
-        .withColumn("share_q6", F.expr("(n_tokens * 1000000) div t"))
-        .select("shard", "n_docs", "n_tokens", "share_q6")
-        .orderBy("shard")
-    )
-
-
-@register(
-    "source_unigram_entropy",
-    f"""WITH tf AS ({SQL_TF}),
-stf AS (SELECT d.source, tf.term, CAST(sum(tf.tf) AS BIGINT) AS tf
-        FROM tf JOIN documents d USING (doc_id) GROUP BY d.source, tf.term),
-n AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens FROM stf GROUP BY source),
-per AS (SELECT stf.source,
-               CAST(round(-(CAST(stf.tf AS DOUBLE) / n.n_tokens)
-                          * ln(CAST(stf.tf AS DOUBLE) / n.n_tokens) * 1000000) AS BIGINT) AS h_q6
-        FROM stf JOIN n USING (source))
-SELECT per.source, n.n_tokens, CAST(sum(per.h_q6) AS BIGINT) AS entropy_q6
-FROM per JOIN n USING (source)
-GROUP BY per.source, n.n_tokens ORDER BY per.source""",
-)
-def source_unigram_entropy(spark, sf_dir):
-    """Per-source unigram entropy H = -Σ p·ln p — the lexical-diversity
-    score a training-mix curator reads next to temperature_mix_weights
-    (low entropy = repetitive/templated source → down-weight; the
-    Shannon-diversity gate in Gopher-style quality pipelines). Float
-    discipline follows unigram_logprob exactly: each term's -p·ln p is
-    computed in double with the IDENTICAL expression shape in both
-    engines, rounded to q6 micro-nats FIRST, and the per-source total is
-    an exact BIGINT sum — no float-accumulation order anywhere.
-
-    Scale shape: per-(source, term) tf is the A1 agg re-keyed (one
-    shuffle, map-side combine absorbs the volume — the key is
-    vocab×sources, self-spreading); the per-source totals table is
-    sources-sized and broadcast back. Nothing wider than the vocabulary
-    ever sits in one task."""
-    d = _docs(spark, sf_dir)
-    tf = _toks(d).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    stf = (
-        tf.join(d.select("doc_id", "source"), "doc_id")
-        .groupBy("source", "term")
-        .agg(F.sum("tf").cast("long").alias("tf"))
-        # vocab×sources rows; three consumers (n, per, final join) would
-        # each replay the tokenize upstream without this
-        .localCheckpoint()
-    )
-    n = stf.groupBy("source").agg(F.sum("tf").cast("long").alias("n_tokens"))
-    p = F.col("tf").cast("double") / F.col("n_tokens")
-    per = stf.join(F.broadcast(n), "source").select(
-        "source", _q6(-p * F.log(p)).alias("h_q6")
-    )
-    return (
-        per.groupBy("source")
-        .agg(F.sum("h_q6").cast("long").alias("entropy_q6"))
-        .join(F.broadcast(n), "source")
-        .select("source", "n_tokens", "entropy_q6")
-        .orderBy("source")
-    )
-
-
-@register(
-    "cross_fields_search",
-    f"""WITH {_SQL_POS},
-fld AS (SELECT doc_id, CASE WHEN i <= 8 THEN 'title' ELSE 'body' END AS field, term FROM p),
-tf AS (SELECT doc_id, field, term, count(*) AS tf FROM fld GROUP BY doc_id, field, term),
-dl AS (SELECT doc_id, field, count(*) AS dl FROM fld GROUP BY doc_id, field),
-av AS (SELECT field, avg(dl) AS avgdl FROM dl GROUP BY field),
-nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM fld),
-dfs AS (SELECT field, term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY field, term),
-bdf AS (SELECT term, max(df) AS df FROM dfs WHERE term IN ('spark', 'hash', 'join') GROUP BY term),
-per AS (
-  SELECT tf.doc_id, tf.term,
-         ln(1.0 + ((SELECT n_docs FROM nd) - bdf.df + 0.5) / (bdf.df + 0.5))
-           * tf.tf * 2.2
-           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / av.avgdl)) AS s
-  FROM tf JOIN bdf USING (term) JOIN dl USING (doc_id, field) JOIN av USING (field)
-),
-mx AS (SELECT doc_id, term, max(s) AS s FROM per GROUP BY doc_id, term),
-agg AS (SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6,
-               CAST(count(*) AS BIGINT) AS nm
-        FROM mx GROUP BY doc_id),
-ranked AS (SELECT doc_id, score_q6, nm,
-                  row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rank
-           FROM agg)
-SELECT doc_id, score_q6, nm, CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= 10 ORDER BY rank""",
-)
-def cross_fields_search(spark, sf_dir):
-    """ES ``multi_match`` type=cross_fields — the term-centric complement
-    of best_fields (§2.8's composite tree, SearchAdapter.java:388-397):
-    where best_fields asks "which FIELD best matches the whole query",
-    cross_fields asks "which DOC matches all terms, in whichever field
-    each lands" — names split across firstname/lastname are the canonical
-    case; here the fields are title (first 8 positions) / body (rest).
-    Per Lucene's blended term query: each term's df is BLENDED to the max
-    across fields (a per-field idf would overweight a term rare in one
-    field but common elsewhere), each field keeps its own length norm,
-    and per term the doc takes the best field's contribution
-    (tie_breaker=0 dis-max), summed over terms. N for idf = docs with any
-    tokens (the blended docCount simplification, stated here).
-
-    Scale shape: same pruned postings plan as bm25_topk with field as one
-    extra grouping column (per-field tf/dl ride the SAME doc_id-keyed
-    exchange); the blended-df table is query-terms-sized and the per-field
-    avgdl table is 2 rows — both broadcast. The per-(doc, term) dis-max is
-    a 2-row-per-group partial agg absorbed map-side. The field-tagged
-    token table is localCheckpoint'd once for its three consumers
-    (tf → dfs, dl → av, nd) — the rescore_topn lesson."""
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.posexplode(spark_tokens("text")).alias("pos", "term")
-    )
-    fld = toks.select(
-        "doc_id",
-        F.when(F.col("pos") <= 7, F.lit("title")).otherwise(F.lit("body")).alias("field"),
-        "term",
-    ).localCheckpoint()
-    tf = fld.groupBy("doc_id", "field", "term").agg(F.count("*").alias("tf"))
-    dl = fld.groupBy("doc_id", "field").agg(F.count("*").alias("dl"))
-    av = dl.groupBy("field").agg(F.avg("dl").alias("avgdl"))
-    nd = fld.select("doc_id").distinct().agg(F.count("*").cast("double").alias("n_docs"))
-    dfs = tf.groupBy("field", "term").agg(F.count("*").cast("double").alias("df"))
-    q = F.broadcast(spark.createDataFrame([(t,) for t in _TOPK_TERMS], "term string"))
-    bdf = dfs.join(q, "term").groupBy("term").agg(F.max("df").alias("df"))
-    per = (
-        tf.join(F.broadcast(bdf), "term")
-        .join(dl, ["doc_id", "field"])
-        .join(F.broadcast(av), "field")
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "doc_id",
-            "term",
-            (
-                F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-                * F.col("tf").cast("double") * F.lit(2.2)
-                / (F.col("tf").cast("double") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl")))
-            ).alias("s"),
-        )
-    )
-    mx = per.groupBy("doc_id", "term").agg(F.max("s").alias("s"))
-    agg = mx.groupBy("doc_id").agg(
-        _q6(F.sum("s")).alias("score_q6"), F.count("*").cast("long").alias("nm")
-    )
-    topk = agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
-    return (
-        topk.withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))).cast("long"),
-        )
-        .select("doc_id", "score_q6", "nm", "rank")
-        .orderBy("rank")
-    )
-
-
-@register(
-    "composite_agg_page",
-    """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
-              CAST(sum(n_chars) AS BIGINT) AS sum_chars
-       FROM documents
-       WHERE source > 'src1' OR (source = 'src1' AND lang > 'en')
-       GROUP BY source, lang ORDER BY source, lang LIMIT 8""",
-)
-def composite_agg_page(spark, sf_dir):
-    """ES ``composite`` aggregation — the keyset-paged bucket enumerator
-    (the only ES agg that can walk ALL buckets of a high-cardinality key
-    without deep from/size): buckets keyed (source, lang) with count +
-    sum(n_chars) stats, page size 8, after_key = ('src1', 'en'). Exactly
-    the search_after discipline applied to BUCKETS: the cursor is pushed
-    as a row-level PREDICATE before the aggregation, so every page costs
-    one pruned scan + one bounded agg — never materializing the full
-    bucket list to skip into it.
-
-    Scale shape: the after-key predicate pushes to the parquet scan
-    (source is a stats-pruned column); the agg key is low-cardinality with
-    map-side combine; LIMIT 8 is a TakeOrdered on bucket rows."""
-    d = _docs(spark, sf_dir)
-    after = (F.col("source") > "src1") | ((F.col("source") == "src1") & (F.col("lang") > "en"))
-    return (
-        d.where(after)
-        .groupBy("source", "lang")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("sum_chars"),
-        )
-        .orderBy("source", "lang")
-        .limit(8)
-    )
-
-
-@register(
-    "tokenizer_fertility",
-    rf"""WITH per AS (
-  SELECT source,
-         len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS w,
-         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS b
-  FROM documents
-)
-SELECT source,
-       CAST(sum(w) AS BIGINT) AS word_tokens,
-       CAST(sum(b) AS BIGINT) AS bpe_tokens,
-       CASE WHEN sum(w) = 0 THEN 0
-            ELSE (CAST(sum(b) AS BIGINT) * 1000000) // CAST(sum(w) AS BIGINT)
-       END AS fertility_q6
-FROM per GROUP BY source ORDER BY source""",
-)
-def tokenizer_fertility(spark, sf_dir):
-    """Per-source tokenizer fertility — subword tokens per word (the
-    budget planner's bridge between corpus word counts and model token
-    counts; high fertility flags sources the tokenizer fragments, e.g.
-    code or non-Latin scripts, which cost more context per word). Uses
-    the same BPE-ish counter as token_count_bpe over the same word
-    tokenizer as everything else; ratio in exact integer micro-units
-    with the all-empty-source guard (temperature_mix_weights lesson:
-    0/0 diverges between engines).
-
-    Scale shape: both counts are map-side regexp counters inside codegen
-    folded into ONE sources-sized hash agg — no token explosion, no
-    shuffle beyond the 20-group rollup."""
-    d = _docs(spark, sf_dir)
-    per = d.select(
-        "source",
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)).alias("w"),
-        F.size(
-            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]"), 0)
-        ).alias("b"),
-    )
-    return (
-        per.groupBy("source")
-        .agg(
-            F.sum("w").cast("long").alias("word_tokens"),
-            F.sum("b").cast("long").alias("bpe_tokens"),
-        )
-        .withColumn(
-            "fertility_q6",
-            F.expr(
-                "CASE WHEN word_tokens = 0 THEN 0"
-                " ELSE (bpe_tokens * 1000000) div word_tokens END"
-            ),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "cross_source_dup_matrix",
-    _SQL_LSH_PAIRS
-    + """
-SELECT least(da.source, db.source) AS source_a,
-       greatest(da.source, db.source) AS source_b,
-       CAST(count(*) AS BIGINT) AS n_pairs
-FROM pairs
-JOIN documents da ON da.doc_id = pairs.doc_a
-JOIN documents db ON db.doc_id = pairs.doc_b
-GROUP BY 1, 2 ORDER BY source_a, source_b""",
-)
-def cross_source_dup_matrix(spark, sf_dir):
-    """Cross-source duplication matrix — the provenance readout a corpus
-    curator asks for right after the dedup rate: WHICH sources duplicate
-    WHICH (a crawl mirroring another crawl, a dump re-scraped under a new
-    name). Near-dup candidate pairs from the shared MinHash-LSH banding
-    are rolled up by unordered source pair (least/greatest normalizes the
-    key so the matrix is upper-triangular); the diagonal is within-source
-    duplication.
-
-    Scale shape: reuses `_lsh_pair_edges`' banded equi-join (candidates
-    only, never all-pairs); attaching sources is two doc_id equi-joins
-    against the doc-metadata table (pair volume is candidate-sized), and
-    the matrix rollup keys on source pairs — sources² rows at most, with
-    map-side combine absorbing the pair stream."""
-    edges = _lsh_pair_edges(spark, sf_dir)
-    pairs = edges.where(F.col("src") < F.col("dst"))
-    d = _docs(spark, sf_dir).select("doc_id", "source")
-    da = d.select(F.col("doc_id").alias("src"), F.col("source").alias("sa"))
-    db = d.select(F.col("doc_id").alias("dst"), F.col("source").alias("sb"))
-    return (
-        pairs.join(da, "src").join(db, "dst")
-        .select(
-            F.least("sa", "sb").alias("source_a"),
-            F.greatest("sa", "sb").alias("source_b"),
-        )
-        .groupBy("source_a", "source_b")
-        .agg(F.count("*").cast("long").alias("n_pairs"))
-        .orderBy("source_a", "source_b")
-    )
-
-
-@register(
-    "adjacency_matrix_agg",
-    """WITH m AS (
-  SELECT lower(text) LIKE '%spark%' AS fa,
-         lower(text) LIKE '%join%' AS fb,
-         lang = 'en' AS fc
-  FROM documents
-)
-SELECT key, n_docs FROM (
-  SELECT 'en' AS key, CAST(sum(CASE WHEN fc THEN 1 ELSE 0 END) AS BIGINT) AS n_docs FROM m
-  UNION ALL SELECT 'en&join', CAST(sum(CASE WHEN fc AND fb THEN 1 ELSE 0 END) AS BIGINT) FROM m
-  UNION ALL SELECT 'en&spark', CAST(sum(CASE WHEN fc AND fa THEN 1 ELSE 0 END) AS BIGINT) FROM m
-  UNION ALL SELECT 'join', CAST(sum(CASE WHEN fb THEN 1 ELSE 0 END) AS BIGINT) FROM m
-  UNION ALL SELECT 'join&spark', CAST(sum(CASE WHEN fb AND fa THEN 1 ELSE 0 END) AS BIGINT) FROM m
-  UNION ALL SELECT 'spark', CAST(sum(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT) FROM m
-) WHERE n_docs > 0 ORDER BY key""",
-)
-def adjacency_matrix_agg(spark, sf_dir):
-    """ES ``adjacency_matrix`` aggregation: given named filters (here
-    spark-match, join-match, lang=en), report the doc count of every
-    filter AND every pairwise intersection, keys joined with '&' in
-    alphabetical order and empty buckets omitted — ES's own output
-    contract. The co-occurrence overview a search UI's "refine by"
-    panel is built from.
-
-    Scale shape: ONE corpus scan computes all filter bits map-side
-    (ES does the same with per-filter bitsets); the 6 conditional sums
-    collapse in a single map-side-combined agg to one row, unpivoted to
-    bucket rows with stack() — output size is filters², independent of
-    corpus size. The oracle's UNION ALL re-scans per bucket; the Spark
-    plan does not."""
-    m = _docs(spark, sf_dir).select(
-        F.lower("text").contains("spark").alias("fa"),
-        F.lower("text").contains("join").alias("fb"),
-        (F.col("lang") == "en").alias("fc"),
-    )
-
-    def cnt(cond):
-        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
-
-    agg = m.agg(
-        cnt(F.col("fc")).alias("en"),
-        cnt(F.col("fc") & F.col("fb")).alias("en_join"),
-        cnt(F.col("fc") & F.col("fa")).alias("en_spark"),
-        cnt(F.col("fb")).alias("join"),
-        cnt(F.col("fb") & F.col("fa")).alias("join_spark"),
-        cnt(F.col("fa")).alias("spark"),
-    )
-    return (
-        agg.selectExpr(
-            "stack(6, 'en', en, 'en&join', en_join, 'en&spark', en_spark,"
-            " 'join', `join`, 'join&spark', join_spark, 'spark', spark)"
-            " AS (key, n_docs)"
-        )
-        .where(F.col("n_docs") > 0)
-        .orderBy("key")
-    )
-
-
-@register(
-    "language_confusion_matrix",
-    f"""WITH pred AS ({_lang_sql()})
-SELECT d.lang, pred.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
-FROM pred JOIN documents d USING (doc_id)
-GROUP BY d.lang, pred.pred_lang ORDER BY d.lang, pred.pred_lang""",
-)
-def language_confusion_matrix(spark, sf_dir):
-    """Language-ID confusion matrix — declared `lang` vs the heuristic's
-    `pred_lang`, the quality-control readout that decides whether the
-    cheap classifier is trustworthy enough to gate admission on (CCNet
-    runs exactly this audit before letting fastText route documents).
-    Reuses lang_id_heuristic verbatim as the prediction stage, so the
-    matrix always reflects the shipped classifier.
-
-    Scale shape: the prediction is the existing per-doc agg; the matrix
-    rollup keys on (lang, pred_lang) — at most |langs|² rows with
-    map-side combine. One metadata equi-join on doc_id."""
-    pred = lang_id_heuristic(spark, sf_dir)
-    d = _docs(spark, sf_dir).select("doc_id", "lang")
-    return (
-        pred.join(d, "doc_id")
-        .groupBy("lang", "pred_lang")
-        .agg(F.count("*").cast("long").alias("n_docs"))
-        .orderBy("lang", "pred_lang")
-    )
-
-
-@register(
-    "train_eval_split",
-    f"""WITH dl AS ({SQL_DL}),
-sp AS (SELECT d.doc_id,
-              CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 5, 4))::UBIGINT::BIGINT % 100 < 98 THEN 'train'
-                   WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 5, 4))::UBIGINT::BIGINT % 100 = 98 THEN 'valid'
-                   ELSE 'test' END AS split,
-              COALESCE(dl.doc_len, 0) AS n_tok
-       FROM documents d LEFT JOIN dl USING (doc_id)),
-agg AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
-        FROM sp GROUP BY split)
-SELECT split, n_docs, n_tokens,
-       (n_tokens * 1000000) // (SELECT CAST(sum(n_tokens) AS BIGINT) FROM agg) AS token_share_q6
-FROM agg ORDER BY split""",
-)
-def train_eval_split(spark, sf_dir):
-    """Deterministic train/valid/test split (98/1/1) — the hold-out
-    assignment a training pipeline must make REPRODUCIBLY (a rand()-based
-    split reshuffles on every retry and leaks eval docs into training).
-    The split key is a 16-bit md5 slice of the doc id taken at hex chars
-    5-8 — a DIFFERENT coordinate of the same hash than shard_token_balance
-    (chars 1-4), so a doc's output shard and its split are independent:
-    every shard contains all three splits. Per split: docs, tokens, token
-    share in exact micro-units.
-
-    Scale shape: the split key is map-side; the rollup is a 3-group
-    map-side-combined agg. The actual split WRITE is a partition filter
-    on the same expression — no shuffle at all."""
-    dl = _toks(_docs(spark, sf_dir)).groupBy("doc_id").agg(F.count("*").alias("doc_len"))
-    v = "cast(conv(substring(md5(cast(doc_id as string)), 5, 4), 16, 10) as bigint) % 100"
-    sp = (
-        _docs(spark, sf_dir)
-        .select("doc_id")
-        .join(dl, "doc_id", "left")
-        .select(
-            F.expr(
-                f"CASE WHEN {v} < 98 THEN 'train' WHEN {v} = 98 THEN 'valid' ELSE 'test' END"
-            ).alias("split"),
-            F.coalesce("doc_len", F.lit(0)).alias("n_tok"),
-        )
-    )
-    agg = sp.groupBy("split").agg(
-        F.count("*").cast("long").alias("n_docs"), F.sum("n_tok").cast("long").alias("n_tokens")
-    )
-    # shard_token_balance's lesson: the total comes from an unpartitioned
-    # window over the 3-row agg, never a crossJoin that re-derives it
-    return (
-        agg.withColumn("t", F.sum("n_tokens").over(Window.partitionBy()))
-        .withColumn("token_share_q6", F.expr("(n_tokens * 1000000) div t"))
-        .select("split", "n_docs", "n_tokens", "token_share_q6")
-        .orderBy("split")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 13 — ES result shaping (collapse / pinned / shard-error terms agg /
-# extended_stats / percentile_ranks / string_stats / pipeline aggs) + corpus
-# lexical-growth diagnostics
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "search_collapse",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + """,
-j AS (SELECT d.source, agg.doc_id, agg.score_q6
-      FROM agg JOIN documents d USING (doc_id)),
-r AS (SELECT source, doc_id, score_q6,
-             row_number() OVER (PARTITION BY source
-                                ORDER BY score_q6 DESC, doc_id ASC) AS rn,
-             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_hits
-      FROM j)
-SELECT source, doc_id, score_q6, n_hits,
-       CAST(row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS BIGINT) AS rank
-FROM r WHERE rn = 1 ORDER BY rank LIMIT 10""",
-)
-def search_collapse(spark, sf_dir):
-    """ES field collapsing (``collapse: {field: source}``): the result list
-    keeps only the BEST hit per collapse-key, with the group's total hit
-    count (the ``inner_hits`` size) — dedup-by-site in a search UI. Groups
-    rank by their top hit's (score desc, doc_id asc), same tiebreak as W1.
-
-    Scale shape: the collapse is ONE map-side-combinable agg over the match
-    set — max(struct(score, -doc_id)) picks the per-group winner without a
-    per-group sort window, so no reducer ever holds a group's full hit list
-    (ES collapses inside the shard-level priority queue the same way). The
-    final rank window runs over the collapsed (key-cardinality-bounded,
-    then LIMITed) rows only."""
-    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
-    d = _docs(spark, sf_dir).select("doc_id", "source")
-    j = agg.join(d, "doc_id")
-    g = j.groupBy("source").agg(
-        F.max(F.struct(F.col("score_q6").alias("s"), (-F.col("doc_id")).alias("nd"))).alias("top"),
-        F.count("*").cast("long").alias("n_hits"),
-    )
-    sel = g.select(
-        "source",
-        (-F.col("top.nd")).cast("long").alias("doc_id"),
-        F.col("top.s").alias("score_q6"),
-        "n_hits",
-    )
-    topk = sel.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
-    return (
-        topk.withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))).cast("long"),
-        )
-        .select("source", "doc_id", "score_q6", "n_hits", "rank")
-        .orderBy("rank")
-    )
-
-
-@register(
-    "pinned_query",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + """,
-pin AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS BIGINT) AS pos
-        FROM (VALUES (7, 1), (3, 2)) AS t(doc_id, pos)),
-pinned AS (
-  SELECT pin.pos AS rank, pin.doc_id, CAST(1 AS BIGINT) AS pinned,
-         COALESCE(agg.score_q6, 0) AS score_q6
-  FROM pin LEFT JOIN agg USING (doc_id)),
-organic AS (
-  SELECT CAST(2 + row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS BIGINT) AS rank,
-         doc_id, CAST(0 AS BIGINT) AS pinned, score_q6
-  FROM agg WHERE doc_id NOT IN (7, 3)
-  ORDER BY score_q6 DESC, doc_id ASC LIMIT 8)
-SELECT rank, doc_id, pinned, score_q6 FROM pinned
-UNION ALL
-SELECT rank, doc_id, pinned, score_q6 FROM organic
-ORDER BY rank""",
-)
-def pinned_query(spark, sf_dir):
-    """ES ``pinned`` query: curated doc ids [7, 3] surface FIRST in their
-    given order (merchandising/editorial promotion), organic BM25 fills the
-    remaining slots with pinned ids excluded. Pinned rows report their
-    organic score when they match (0 when they don't — they're promoted
-    regardless, which is the point of the feature).
-
-    Scale shape: the pinned list is user-sized (a handful of ids) — its
-    score lookup is a tiny left join the optimizer resolves as a broadcast;
-    the organic leg is the standard match-set TakeOrdered with a NOT IN
-    filter pushed below the sort. The match set is localCheckpoint'd: two
-    consumers (pinned lookup + organic top-k) would each replay the
-    tokenize upstream otherwise."""
-    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)  # checkpointed + memoized
-    pin = spark.createDataFrame([(7, 1), (3, 2)], "doc_id long, pos long")
-    pinned = (
-        pin.join(agg, "doc_id", "left")
-        .select(
-            F.col("pos").alias("rank"),
-            "doc_id",
-            F.lit(1).cast("long").alias("pinned"),
-            F.coalesce("score_q6", F.lit(0)).cast("long").alias("score_q6"),
-        )
-    )
-    org_top = (
-        agg.where(~F.col("doc_id").isin(7, 3))
-        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(8)
-    )
-    organic = org_top.withColumn(
-        "rank",
-        (F.lit(2) + F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id")))).cast("long"),
-    ).select("rank", "doc_id", F.lit(0).cast("long").alias("pinned"), "score_q6")
-    return pinned.unionByName(organic).orderBy("rank")
-
-
-@register(
-    "terms_shard_error",
-    f"""WITH dt AS (SELECT DISTINCT doc_id, term FROM ({SQL_TOKS})),
-sc AS (SELECT doc_id % 4 AS shard, term, CAST(count(*) AS BIGINT) AS cnt
-       FROM dt GROUP BY 1, 2),
-rk AS (SELECT shard, term, cnt,
-              row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, term ASC) AS rn
-       FROM sc),
-rep AS (SELECT shard, term, cnt FROM rk WHERE rn <= 5),
-cut AS (SELECT shard, min(cnt) AS cutoff FROM rep GROUP BY shard),
-tot AS (SELECT CAST(sum(cutoff) AS BIGINT) AS total_cut FROM cut),
-mg AS (SELECT term, CAST(sum(rep.cnt) AS BIGINT) AS df_est,
-              CAST(sum(cut.cutoff) AS BIGINT) AS covered
-       FROM rep JOIN cut USING (shard) GROUP BY term)
-SELECT term, df_est, (SELECT total_cut FROM tot) - covered AS err_bound
-FROM mg ORDER BY df_est DESC, term ASC LIMIT 10""",
-)
-def terms_shard_error(spark, sf_dir):
-    """ES ``terms`` aggregation with ``shard_size`` semantics: each shard
-    (doc_id % 4) reports only its local top-5 terms by doc count; the
-    coordinator sums what was reported and publishes
-    ``doc_count_error_upper_bound`` per term = Σ over NON-reporting shards
-    of that shard's last-place reported count (the most a missing shard
-    could have contributed). The distributed-correctness artifact ES users
-    actually read to size shard_size.
-
-    Scale shape: per-shard counts are one map-side-combined agg; the
-    per-shard rank window runs over PRE-AGGREGATED (shard, term, cnt) rows
-    — vocab-bounded per shard, never posting-sized. The reported set
-    (shards × 5 rows) is localCheckpoint'd: cutoffs, the total, and the
-    merge all reuse it instead of replaying the tokenize upstream, and
-    every downstream join broadcasts."""
-    dt = _toks(_docs(spark, sf_dir)).distinct()
-    sc = dt.groupBy((F.col("doc_id") % 4).alias("shard"), "term").agg(
-        F.count("*").cast("long").alias("cnt")
-    )
-    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("term"))
-    rep = (
-        sc.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
-        .drop("rn")
-        .localCheckpoint()
-    )
-    cut = rep.groupBy("shard").agg(F.min("cnt").alias("cutoff"))
-    tot = cut.agg(F.sum("cutoff").cast("long").alias("total_cut"))
-    mg = rep.join(F.broadcast(cut), "shard").groupBy("term").agg(
-        F.sum("cnt").cast("long").alias("df_est"),
-        F.sum("cutoff").cast("long").alias("covered"),
-    )
-    return (
-        mg.crossJoin(F.broadcast(tot))
-        .select("term", "df_est", (F.col("total_cut") - F.col("covered")).cast("long").alias("err_bound"))
-        .orderBy(F.desc("df_est"), F.asc("term"))
-        .limit(10)
-    )
-
-
-@register(
-    "extended_stats_source",
-    f"""WITH dl AS ({SQL_DL}),
-x AS (SELECT d.source, COALESCE(dl.doc_len, 0) AS x
-      FROM documents d LEFT JOIN dl USING (doc_id)),
-a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(x) AS BIGINT) AS sum_len,
-             CAST(min(x) AS BIGINT) AS min_len,
-             CAST(max(x) AS BIGINT) AS max_len,
-             CAST(sum(x * x) AS BIGINT) AS sum_sq
-      FROM x GROUP BY source)
-SELECT source, n_docs, sum_len, min_len, max_len,
-       (sum_len * 1000000) // n_docs AS avg_len_q6,
-       ((n_docs * sum_sq - sum_len * sum_len) * 1000000) // (n_docs * n_docs) AS var_q6
-FROM a ORDER BY source""",
-)
-def extended_stats_source(spark, sf_dir):
-    """ES ``extended_stats`` aggregation over doc token length per source:
-    count/sum/min/max plus mean and POPULATION variance — the one-shot
-    distribution readout (ES adds sum_of_squares for exactly this
-    mergeability). Variance from the sufficient statistics
-    (n·Σx² − (Σx)²)/n², so every per-source value is derived from three
-    exact BIGINT sums; the q6 division is integer floor-div in both
-    engines — no float accumulation anywhere (std_dev is deliberately
-    omitted: sqrt is the one step that would reintroduce float bits).
-
-    Scale shape: one map-side-combined agg keyed on source; empty docs are
-    kept via the LEFT JOIN + COALESCE 0 (an inner join would silently drop
-    them from n). BIGINT headroom: n·Σx²·10⁶ stays under 2⁶³ through sf1;
-    beyond that the same expressions move to DECIMAL(38,0)."""
-    dl = _toks(_docs(spark, sf_dir)).groupBy("doc_id").agg(F.count("*").alias("doc_len"))
-    x = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "source")
-        .join(dl, "doc_id", "left")
-        .select("source", F.coalesce("doc_len", F.lit(0)).alias("x"))
-    )
-    a = x.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("x").cast("long").alias("sum_len"),
-        F.min("x").cast("long").alias("min_len"),
-        F.max("x").cast("long").alias("max_len"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_sq"),
-    )
-    return (
-        a.withColumn("avg_len_q6", F.expr("(sum_len * 1000000) div n_docs"))
-        .withColumn(
-            "var_q6",
-            F.expr("((n_docs * sum_sq - sum_len * sum_len) * 1000000) div (n_docs * n_docs)"),
-        )
-        .select("source", "n_docs", "sum_len", "min_len", "max_len", "avg_len_q6", "var_q6")
-        .orderBy("source")
-    )
-
-
-@register(
-    "percentile_ranks_doclen",
-    f"""WITH dl AS ({SQL_DL}),
-x AS (SELECT d.source, COALESCE(dl.doc_len, 0) AS x
-      FROM documents d LEFT JOIN dl USING (doc_id))
-SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       (CAST(count(*) FILTER (x <= 30) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS le30_q6,
-       (CAST(count(*) FILTER (x <= 60) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS le60_q6,
-       (CAST(count(*) FILTER (x <= 90) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS le90_q6
-FROM x GROUP BY source ORDER BY source""",
-)
-def percentile_ranks_doclen(spark, sf_dir):
-    """ES ``percentile_ranks`` aggregation (the inverse of percentiles):
-    for fixed cutoffs 30/60/90 tokens, the fraction of each source's docs
-    at or under the cutoff — how a curator reads "what share of this crawl
-    is under the short-doc filter line" without computing a full quantile
-    sketch. Exact integer counts and floor-div micro-unit shares (the
-    doclen_quantiles lesson: never percentile(), never float division).
-
-    Scale shape: three conditional counters fold into ONE map-side-combined
-    agg keyed on source — a single pass, output rows = |sources|."""
-    dl = _toks(_docs(spark, sf_dir)).groupBy("doc_id").agg(F.count("*").alias("doc_len"))
-    x = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "source")
-        .join(dl, "doc_id", "left")
-        .select("source", F.coalesce("doc_len", F.lit(0)).alias("x"))
-    )
-
-    def le(c):
-        return F.sum(F.when(F.col("x") <= c, 1).otherwise(0)).cast("long")
-
-    a = x.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        le(30).alias("c30"), le(60).alias("c60"), le(90).alias("c90"),
-    )
-    return (
-        a.select(
-            "source", "n_docs",
-            F.expr("(c30 * 1000000) div n_docs").alias("le30_q6"),
-            F.expr("(c60 * 1000000) div n_docs").alias("le60_q6"),
-            F.expr("(c90 * 1000000) div n_docs").alias("le90_q6"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "heaps_law_source",
-    f"""WITH t AS (SELECT d.source, tk.term
-         FROM documents d LEFT JOIN ({SQL_TOKS}) tk USING (doc_id)),
-a AS (SELECT source, CAST(count(term) AS BIGINT) AS n_tokens,
-             CAST(count(DISTINCT term) AS BIGINT) AS n_types
-      FROM t GROUP BY source)
-SELECT source, n_tokens, n_types,
-       CASE WHEN n_tokens = 0 THEN 0 ELSE (n_types * 1000000) // n_tokens END AS ttr_q6
-FROM a ORDER BY source""",
-)
-def heaps_law_source(spark, sf_dir):
-    """Heaps'-law readout per source: total tokens vs distinct types and
-    the type-token ratio — the vocabulary-growth curve input that flags
-    templated/generated sources (TTR collapses when a crawl is one page
-    stamped a million times) and sizes tokenizer vocab against corpus
-    growth. Integer micro-unit ratio with the 0/0 guard.
-
-    Scale shape: the distinct-type count is Spark's two-phase partial
-    distinct (expand on (source, term), map-side dedup before the shuffle)
-    — never a collect_set; output rows = |sources|. LEFT JOIN keeps
-    all-empty sources at n_tokens 0 instead of dropping the row."""
-    t = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "source")
-        .join(_toks(_docs(spark, sf_dir)), "doc_id", "left")
-    )
-    a = t.groupBy("source").agg(
-        F.count("term").cast("long").alias("n_tokens"),
-        F.countDistinct("term").cast("long").alias("n_types"),
-    )
-    return (
-        a.withColumn(
-            "ttr_q6",
-            F.expr("CASE WHEN n_tokens = 0 THEN 0 ELSE (n_types * 1000000) div n_tokens END"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "events_cum_derivative",
-    """WITH d AS (
-     SELECT event_type, epoch_us(ts) // 86400000000 AS day_num,
-            CAST(count(*) AS BIGINT) AS n
-     FROM events GROUP BY 1, 2)
-SELECT event_type, day_num, n,
-       CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day_num) AS BIGINT) AS cum_n,
-       n - COALESCE(lag(n) OVER (PARTITION BY event_type ORDER BY day_num), n) AS deriv_n
-FROM d ORDER BY event_type, day_num""",
-)
-def events_cum_derivative(spark, sf_dir):
-    """ES ``cumulative_sum`` + ``derivative`` pipeline aggregations over a
-    per-type daily date_histogram: running total and day-over-day delta —
-    the growth dashboard pair. The first bucket's derivative is 0 by the
-    lag-defaults-to-self convention (ES omits the bucket; a fixed 0 keeps
-    the row set schema-stable for the contract).
-
-    Determinism: integer-microsecond day keys (no session timezone in
-    either engine, the events_daily_mavg rule), exact BIGINT counts and
-    window sums. Scale shape: the raw shuffle is the (type, day) groupBy
-    with map-side combine; both windows then run over DAY-granularity rows
-    partitioned by event_type — calendar-bounded, not event-bounded."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(
-            "event_type",
-            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day_num"),
-        )
-        .agg(F.count("*").cast("long").alias("n"))
-    )
-    w = Window.partitionBy("event_type").orderBy("day_num")
-    return (
-        d.withColumn("cum_n", F.sum("n").over(w).cast("long"))
-        .withColumn("deriv_n", (F.col("n") - F.coalesce(F.lag("n").over(w), F.col("n"))).cast("long"))
-        .orderBy("event_type", "day_num")
-    )
-
-
-@register(
-    "string_stats_source",
-    f"""WITH w AS ({SQL_WORDS}),
-t AS (SELECT source, unnest(words) AS term FROM w),
-base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
-                CAST(min(strlen(term)) AS BIGINT) AS min_len,
-                CAST(max(strlen(term)) AS BIGINT) AS max_len,
-                CAST(sum(strlen(term)) AS BIGINT) AS sum_len
-         FROM t GROUP BY source),
-ch AS (SELECT source, ch, CAST(count(*) AS BIGINT) AS c
-       FROM (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS ch
-             FROM documents)
-       GROUP BY source, ch),
-n AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM ch GROUP BY source),
-per AS (SELECT ch.source,
-               CAST(round(-(CAST(ch.c AS DOUBLE) / n.tot)
-                          * ln(CAST(ch.c AS DOUBLE) / n.tot) * 1000000) AS BIGINT) AS h_q6
-        FROM ch JOIN n USING (source)),
-ent AS (SELECT source, CAST(sum(h_q6) AS BIGINT) AS entropy_q6 FROM per GROUP BY source)
-SELECT base.source, n_terms, min_len, max_len,
-       (sum_len * 1000000) // n_terms AS avg_len_q6,
-       ent.entropy_q6
-FROM base JOIN ent USING (source) ORDER BY base.source""",
-)
-def string_stats_source(spark, sf_dir):
-    """ES ``string_stats`` aggregation per source: term count, min/max/avg
-    term length, and Shannon entropy over the character distribution (ES
-    computes exactly this char-level entropy; here over the analyzer
-    alphabet [a-z0-9] so both engines count the identical event set). Low
-    char entropy flags base64 blobs, padding and repeated boilerplate that
-    token-level stats miss. Float discipline = source_unigram_entropy: each
-    char's −p·ln p is one double expression rounded to q6 FIRST, the
-    per-source total is an exact BIGINT sum.
-
-    Scale shape: length stats fold into one source-keyed map-side agg; the
-    char rollup keys on (source, char) — at most 36 rows per source after
-    the map-side combine absorbs the stream. Sources with zero tokens have
-    no term row and are omitted (inner-join semantics, documented)."""
-    d = _docs(spark, sf_dir)
-    t = d.select("source", F.explode(spark_tokens("text")).alias("term"))
-    base = t.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_terms"),
-        F.min(F.length("term")).cast("long").alias("min_len"),
-        F.max(F.length("term")).cast("long").alias("max_len"),
-        F.sum(F.length("term")).cast("long").alias("sum_len"),
-    )
-    ch = (
-        d.select("source", F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]"), 0)).alias("ch"))
-        .groupBy("source", "ch")
-        .agg(F.count("*").cast("long").alias("c"))
-        # (source, char) rows; two consumers (totals + per-char terms)
-        .localCheckpoint()
-    )
-    n = ch.groupBy("source").agg(F.sum("c").cast("long").alias("tot"))
-    p = F.col("c").cast("double") / F.col("tot")
-    ent = (
-        ch.join(F.broadcast(n), "source")
-        .select("source", _q6(-p * F.log(p)).alias("h_q6"))
-        .groupBy("source")
-        .agg(F.sum("h_q6").cast("long").alias("entropy_q6"))
-    )
-    return (
-        base.join(ent, "source")
-        .withColumn("avg_len_q6", F.expr("(sum_len * 1000000) div n_terms"))
-        .select("source", "n_terms", "min_len", "max_len", "avg_len_q6", "entropy_q6")
-        .orderBy("source")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 14 — budgeted selection, cluster-balanced sampling, intervals query
-# ---------------------------------------------------------------------------
-
-_BUDGET_TOKENS = 12_000
-
-
-def _budget_sql(budget: int) -> str:
-    """Generated DuckDB oracle for quality_budget_select — kept as a
-    generator so the property suite can exercise budgets that actually
-    cross on hypothesis-sized corpora."""
-    return f"""WITH t AS ({SQL_TOKS}),
-m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-             CAST(count(*) FILTER (term IN ('the','a','of','to','is')) AS BIGINT) AS stop_hits
-      FROM t GROUP BY doc_id),
-q AS (SELECT d.doc_id,
-             CASE WHEN COALESCE(m.n_tok, 0) = 0 THEN 0
-                  ELSE (m.stop_hits * 1000000) // m.n_tok END AS q_q6,
-             COALESCE(m.n_tok, 0) AS n_tok,
-             md5(CAST(d.doc_id AS VARCHAR)) AS h
-      FROM documents d LEFT JOIN m USING (doc_id)),
-c AS (SELECT doc_id, q_q6, n_tok,
-             COALESCE(SUM(n_tok) OVER (ORDER BY q_q6 DESC, h, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-      FROM q)
-SELECT doc_id, q_q6, n_tok FROM c WHERE cum_before < {budget}
-ORDER BY doc_id"""
-
-
-@register("quality_budget_select", _budget_sql(_BUDGET_TOKENS))
-def quality_budget_select(spark, sf_dir):
-    """Token-budgeted quality selection — "take the best documents until
-    the training budget of {B} tokens is filled", the greedy fill every
-    mix-construction pipeline runs after scoring. Quality here is the
-    stopword-hit ratio in integer micro-units (any per-doc integer score
-    slots in); within a score tie, docs order by (md5(doc_id), doc_id) so
-    the cut is reproducible, and the doc that crosses the budget line is
-    admitted (greedy fill).
-
-    The oracle is the naive global window (ORDER BY quality over every
-    row). The Spark plan never sorts the corpus: it aggregates a per-SCORE
-    histogram (score-cardinality rows), takes an exclusive prefix sum over
-    that tiny table to classify every score bin as fully-funded /
-    boundary / rejected, admits full bins with no ordering at all, and
-    resolves ONLY the single boundary bin with the domain_cap sub-sharded
-    two-pass cumsum (md5-prefix range shards + per-shard token totals) —
-    so no whole-corpus or whole-bin sort ever lands on one reducer. The
-    doclen_quantiles histogram trick applied to SELECTION."""
-    B = _BUDGET_TOKENS
-    toks = _toks(_docs(spark, sf_dir))
-    m = toks.groupBy("doc_id").agg(
-        F.count("*").alias("n_tok"),
-        F.sum(F.when(F.col("term").isin("the", "a", "of", "to", "is"), 1).otherwise(0)).alias("stop_hits"),
-    )
-    q = (
-        _docs(spark, sf_dir)
-        .select("doc_id")
-        .join(m, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.expr(
-                "CASE WHEN COALESCE(n_tok, 0) = 0 THEN 0"
-                " ELSE (stop_hits * 1000000) div n_tok END"
-            ).alias("q_q6"),
-            F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
-            F.md5(F.col("doc_id").cast("string")).alias("h"),
-        )
-        # three consumers below (bin histogram, full-bin admit, boundary
-        # resolve) — without this each would replay the tokenize upstream
-        .localCheckpoint()
-    )
-    bins = q.groupBy("q_q6").agg(F.sum("n_tok").alias("bt"))
-    w_bin = Window.orderBy(F.desc("q_q6")).rowsBetween(Window.unboundedPreceding, -1)
-    # score-cardinality rows only — the unpartitioned window is histogram-
-    # sized (quantize q_q6 to fixed bins if a score is continuous)
-    binoff = bins.withColumn("bin_off", F.coalesce(F.sum("bt").over(w_bin), F.lit(0)))
-    j = q.join(F.broadcast(binoff), "q_q6")
-    full = j.where(F.col("bin_off") + F.col("bt") <= B).select("doc_id", "q_q6", "n_tok")
-    bnd = j.where((F.col("bin_off") < B) & (F.col("bin_off") + F.col("bt") > B)).select(
-        "doc_id", "q_q6", "n_tok", "h", "bin_off", F.substring("h", 1, 1).alias("sh")
-    )
-    sh_tot = bnd.groupBy("q_q6", "sh").agg(F.sum("n_tok").alias("st"))
-    w_off = Window.partitionBy("q_q6").orderBy("sh").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sh_tot.withColumn("off", F.coalesce(F.sum("st").over(w_off), F.lit(0))).select(
-        "q_q6", "sh", "off"
-    )
-    w_local = (
-        Window.partitionBy("q_q6", "sh")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    admitted_bnd = (
-        bnd.withColumn("loc", F.coalesce(F.sum("n_tok").over(w_local), F.lit(0)))
-        .join(offsets, ["q_q6", "sh"])
-        .where(F.col("bin_off") + F.col("off") + F.col("loc") < B)
-        .select("doc_id", "q_q6", "n_tok")
-    )
-    return full.unionByName(admitted_bnd).orderBy("doc_id")
-
-
-@register(
-    "cluster_balanced_sample",
-    _SQL_EMB_E
-    + _coarse_ctes()
-    + """
-rk AS (SELECT ccid AS cid, vec_id,
-              row_number() OVER (PARTITION BY ccid
-                                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
-       FROM ca3)
-SELECT cid, vec_id, CAST(rk AS BIGINT) AS rk
-FROM rk WHERE rk <= 10 ORDER BY cid, rk""",
-)
-def cluster_balanced_sample(spark, sf_dir):
-    """Cluster-balanced (diversity) sampling: at most 10 vectors per
-    trained-IVF cell, picked in deterministic md5-of-id order — the
-    embedding-space analogue of stratified_sample (equal representation
-    across LEARNED clusters instead of declared sources; the
-    SemDeDup/DiverseSample shape for training-mix diversity). Reuses the
-    shared `_trained_ivf` k-means index, so the sample always reflects the
-    shipped quantizer.
-
-    Scale shape: the quota pick is the domain_cap sub-sharded exact rank
-    re-keyed to cid (md5's leading hex char gives 16 ordered range shards
-    per cell; local ranks + a tiny (cells × 16) offset table) — no
-    whole-cell sort on one reducer even when a cell holds a third of the
-    corpus. The oracle is the naive per-cell window."""
-    _members, _cent, final_assign = _trained_ivf(spark, sf_dir)
-    d = final_assign.select(
-        "cid", "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
-    ).withColumn("sh", F.substring("h", 1, 1))
-    counts = d.groupBy("cid", "sh").agg(F.count("*").alias("n"))
-    w_off = Window.partitionBy("cid").orderBy("sh").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("off", F.coalesce(F.sum("n").over(w_off), F.lit(0))).select(
-        "cid", "sh", "off"
-    )
-    w_local = Window.partitionBy("cid", "sh").orderBy("h", "vec_id")
-    ranked = (
-        d.withColumn("lr", F.row_number().over(w_local))
-        .join(offsets, ["cid", "sh"])
-        .select("cid", "vec_id", (F.col("off") + F.col("lr")).cast("long").alias("rk"))
-    )
-    return ranked.where(F.col("rk") <= 10).orderBy("cid", "rk")
-
-
-_IV_TERMS = ("spark", "hash", "join")
-_IV_GAPS = 3  # ES intervals max_gaps: window width = n_terms + max_gaps
-
-
-@register(
-    "intervals_unordered",
-    f"""WITH t AS (
-  SELECT doc_id, words[i] AS term, i AS pos
-  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words
-        FROM documents),
-       unnest(generate_series(1, len(words))) AS u(i)
-),
-p1 AS (SELECT doc_id, pos FROM t WHERE term = '{_IV_TERMS[0]}'),
-p2 AS (SELECT doc_id, pos FROM t WHERE term = '{_IV_TERMS[1]}'),
-p3 AS (SELECT doc_id, pos FROM t WHERE term = '{_IV_TERMS[2]}'),
-spans AS (
-  SELECT p1.doc_id,
-         greatest(p1.pos, p2.pos, p3.pos) - least(p1.pos, p2.pos, p3.pos) AS span
-  FROM p1
-  JOIN p2 ON p2.doc_id = p1.doc_id AND abs(p2.pos - p1.pos) <= {len(_IV_TERMS) - 1 + _IV_GAPS}
-  JOIN p3 ON p3.doc_id = p1.doc_id AND abs(p3.pos - p1.pos) <= {len(_IV_TERMS) - 1 + _IV_GAPS}
-)
-SELECT doc_id, CAST(min(span) AS BIGINT) AS min_span
-FROM spans WHERE span <= {len(_IV_TERMS) - 1 + _IV_GAPS}
-GROUP BY doc_id ORDER BY doc_id""",
-)
-def intervals_unordered(spark, sf_dir):
-    """ES ``intervals`` query, ``all_of`` with ``ordered: false`` and
-    ``max_gaps``: documents where all three terms co-occur inside a token
-    window of width ≤ n_terms + max_gaps (here 3 terms, 3 gaps → span ≤ 5
-    positions), reporting the tightest such span — proximity matching
-    that phrase_slop's ORDERED adjacency can't express.
-
-    Scale shape: the three posting sets join per doc_id with the span
-    bound pushed into each join condition as a BAND predicate
-    (|p2−p1| ≤ W), so the per-doc combination blowup is capped at
-    occurrences-per-window — never the |p1|·|p2|·|p3| cross product (the
-    same bounding trick as the events as-of horizon). Position extraction
-    is one map-side explode; doc_ids with any qualifying window collapse
-    through a min agg."""
-    W = len(_IV_TERMS) - 1 + _IV_GAPS
-    d = _docs(spark, sf_dir).select("doc_id", F.posexplode(spark_tokens("text")).alias("i", "term"))
-    # Spark positions are 0-based, DuckDB's 1-based — spans are differences,
-    # so the origins cancel (the phrase_slop rule)
-    t = d.select("doc_id", "term", (F.col("i") + 1).alias("pos")).where(
-        F.col("term").isin(*_IV_TERMS)
-    )
-    # one pruned position table, three filtered consumers — materialize once
-    t = t.localCheckpoint()
-    p1 = t.where(F.col("term") == _IV_TERMS[0]).select("doc_id", F.col("pos").alias("pos1"))
-    p2 = t.where(F.col("term") == _IV_TERMS[1]).select("doc_id", F.col("pos").alias("pos2"))
-    p3 = t.where(F.col("term") == _IV_TERMS[2]).select("doc_id", F.col("pos").alias("pos3"))
-    spans = (
-        p1.join(p2, "doc_id")
-        .where(F.abs(F.col("pos2") - F.col("pos1")) <= W)
-        .join(p3, "doc_id")
-        .where(F.abs(F.col("pos3") - F.col("pos1")) <= W)
-        .select(
-            "doc_id",
-            (
-                F.greatest("pos1", "pos2", "pos3") - F.least("pos1", "pos2", "pos3")
-            ).alias("span"),
-        )
-    )
-    return (
-        spans.where(F.col("span") <= W)
-        .groupBy("doc_id")
-        .agg(F.min("span").cast("long").alias("min_span"))
-        .orderBy("doc_id")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 16 — gram-level provenance, sampler facets, nested page rollup,
-# query-string syntax
-# ---------------------------------------------------------------------------
-
-_GRAM8 = (
-    "words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]"
-    " || ' ' || words[i+4] || ' ' || words[i+5] || ' ' || words[i+6] || ' ' || words[i+7]"
-)
-
-
-@register(
-    "source_gram_novelty",
-    f"""WITH w AS ({SQL_WORDS}),
-g AS (SELECT DISTINCT source, {_GRAM8} AS g
-      FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)
-      WHERE len(words) >= 8),
-gs AS (SELECT g, count(*) AS n_src FROM g GROUP BY g)
-SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
-       CAST(count(*) FILTER (gs.n_src = 1) AS BIGINT) AS n_unique,
-       (CAST(count(*) FILTER (gs.n_src = 1) AS BIGINT) * 1000000)
-         // CAST(count(*) AS BIGINT) AS novelty_q6
-FROM g JOIN gs USING (g) GROUP BY source ORDER BY source""",
-)
-def source_gram_novelty(spark, sf_dir):
-    """Gram-level originality per source: the share of a source's distinct
-    8-grams that occur in NO other source — the provenance readout that
-    separates original content from mirrors/aggregators (a crawl that's
-    90% other sources' grams adds tokens but no new text to a training
-    mix). Complements cross_source_dup_matrix: that counts near-dup DOC
-    pairs, this measures text-level novelty even when no whole document
-    duplicates.
-
-    Scale shape: the (source, gram) table is DISTINCT'd map-side before
-    the gram-keyed shuffle and localCheckpoint'd for its two consumers
-    (the per-gram source count and the join back); both rollups are
-    map-side-combined aggs. Same gram construction as dup_ngram_fraction,
-    keyed by source instead of doc."""
-    w = _docs(spark, sf_dir).select("source", spark_tokens("text").alias("words"))
-    g = (
-        w.where(F.size("words") >= 8)
-        .select(
-            "source",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(words)-8), i -> "
-                    "concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3],"
-                    " words[i+4], words[i+5], words[i+6], words[i+7]))"
-                )
-            ).alias("g"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    gs = g.groupBy("g").agg(F.count(F.lit(1)).alias("n_src"))
-    uniq = F.col("n_src") == 1
-    return (
-        g.join(gs, "g")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.count_if(uniq).cast("long").alias("n_unique"),
-        )
-        .withColumn("novelty_q6", F.expr("(n_unique * 1000000) div n_grams"))
-        .orderBy("source")
-    )
-
-
-@register(
-    "search_sampler_facets",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + """,
-top AS (SELECT doc_id FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 100)
-SELECT d.source, CAST(count(*) AS BIGINT) AS n_hits
-FROM top JOIN documents d USING (doc_id)
-GROUP BY d.source ORDER BY d.source""",
-)
-def search_sampler_facets(spark, sf_dir):
-    """ES ``sampler`` aggregation: facets computed over only the TOP-100
-    scored hits instead of the full match set — the cheap "what's in the
-    best results" breakdown a search UI shows when exact full-corpus
-    facet counts would cost too much (search_facets is the exact twin;
-    this is the sampled one, and on a 100 TB match set it is the only
-    affordable default).
-
-    Scale shape: the sample is ONE TakeOrdered (never a global sort), the
-    metadata join is a 100-row broadcast, and the facet rollup is
-    sources-sized. The match set itself comes memoized from
-    `_bm25_match_set`."""
-    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
-    top = agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(100).select("doc_id")
-    d = _docs(spark, sf_dir).select("doc_id", "source")
-    return (
-        F.broadcast(top).join(d, "doc_id")
-        .groupBy("source")
-        .agg(F.count("*").cast("long").alias("n_hits"))
-        .orderBy("source")
-    )
-
-
-# The driver corpus has no form feeds (every doc is one page), so the
-# nested rollup injects a deterministic page break after each 'spark' —
-# the text_scrub/unicode_tokens injection approach.
-_PAGE_INJECT_SPARK = "replace(text, 'spark', concat('spark', char(12)))"
-_PAGE_INJECT_DUCK = "replace(text, 'spark', 'spark' || chr(12))"
-
-
-@register(
-    "nested_pages_agg",
-    f"""WITH d AS (SELECT doc_id, string_split({_PAGE_INJECT_DUCK}, chr(12)) AS pages
-            FROM documents),
-p AS (SELECT doc_id, pages[i] AS page
-      FROM d, unnest(generate_series(1, len(pages))) AS t(i)),
-m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pages,
-             CAST(max(len(regexp_extract_all(lower(page), '{TOKEN_PATTERN}'))) AS BIGINT) AS max_page_toks,
-             CAST(sum(len(regexp_extract_all(lower(page), '{TOKEN_PATTERN}'))) AS BIGINT) AS total_toks
-      FROM p GROUP BY doc_id)
-SELECT doc_id, n_pages, max_page_toks, total_toks FROM m ORDER BY doc_id""",
-)
-def nested_pages_agg(spark, sf_dir):
-    """Parent-child rollup over the reference's page model (ES ``nested``
-    aggregation shape): documents explode into form-feed pages (S4), then
-    per-document page count, largest-page token count and total tokens
-    roll back up — the per-parent child statistics the reference's
-    indexing_log progress rows are built from
-    (DocumentIndexingService.java:218-266 walks exactly this
-    parent→pages→rollup loop).
-
-    Scale shape: the page explode is map-side (no shuffle until the
-    doc_id rollup, which map-side combines); per-page token counts are
-    one regexp counter inside codegen, never a token explosion."""
-    d = _docs(spark, sf_dir)
-    p = d.select(
-        "doc_id",
-        F.explode(F.split(F.expr(_PAGE_INJECT_SPARK), "\f")).alias("page"),
-    )
-    ntok = F.size(F.regexp_extract_all(F.lower("page"), F.lit(TOKEN_PATTERN), 0))
-    return (
-        p.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_pages"),
-            F.max(ntok).cast("long").alias("max_page_toks"),
-            F.sum(ntok).cast("long").alias("total_toks"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-def parse_query_string(q: str) -> tuple[list[str], list[str], list[str]]:
-    """Lucene simple_query_string operators: '+term' = must, '-term' =
-    must_not, bare = should. Returns (must, must_not, should), each in
-    first-appearance order."""
-    must, must_not, should = [], [], []
-    for tok in q.split():
-        if tok.startswith("+") and len(tok) > 1:
-            must.append(tok[1:].lower())
-        elif tok.startswith("-") and len(tok) > 1:
-            must_not.append(tok[1:].lower())
-        else:
-            should.append(tok.lower())
-    return must, must_not, should
-
-
-_QS_QUERY = "+spark -join hash"
-
-
-def _query_string_sql(q: str) -> str:
-    must, must_not, should = parse_query_string(q)
-    scored = must + should
-    filt = ""
-    for t in must:
-        filt += f" AND agg.doc_id IN (SELECT doc_id FROM tf WHERE term = '{t}')"
-    for t in must_not:
-        filt += f" AND agg.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{t}')"
-    return (
-        _bm25_agg_ctes(scored)
-        + f""",
-ranked AS (
-  SELECT agg.doc_id, score_q6,
-         row_number() OVER (ORDER BY score_q6 DESC, agg.doc_id ASC) AS rank
-  FROM agg WHERE 1=1 {filt})
-SELECT doc_id, score_q6, CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= 10 ORDER BY rank"""
-    )
-
-
-@register("query_string_search", _query_string_sql(_QS_QUERY))
-def query_string_search(spark, sf_dir):
-    """Lucene ``simple_query_string`` syntax end-to-end: '+spark -join
-    hash' parses to must=[spark], must_not=[join], should=[hash]; docs
-    must contain every must term and no must_not term, and BM25-score
-    over the must+should terms. The user-facing operator syntax the
-    reference's ES delegate accepts, parsed by our own
-    :func:`parse_query_string` and driving BOTH engines from one parse.
-
-    Scale shape: scoring is the memoized match set; the must filter is a
-    semi-join and must_not an anti-join on pruned single-term posting
-    sets (bool_filter_query's algebra applied to the scored set); top-10
-    is a TakeOrdered."""
-    must, must_not, should = parse_query_string(_QS_QUERY)
-    agg = _bm25_match_set(spark, sf_dir, must + should)
-    toks = _toks(_docs(spark, sf_dir))
-    for t in must:
-        agg = agg.join(
-            toks.where(F.col("term") == t).select("doc_id").distinct(), "doc_id", "semi"
-        )
-    for t in must_not:
-        agg = agg.join(
-            toks.where(F.col("term") == t).select("doc_id").distinct(), "doc_id", "anti"
-        )
-    topk = agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
-    return (
-        topk.withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))).cast("long"),
-        )
-        .select("doc_id", "score_q6", "rank")
-        .orderBy("rank")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 17 — dedup-pipeline tuning diagnostics: banding precision,
-# hamming histogram, asymmetric containment
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "lsh_candidate_precision",
-    _SQL_LSH_PAIRS
-    + """,
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS c,
-         any_value(na.n) AS na, any_value(nb.n) AS nb
-  FROM pairs c
-  JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
-  JOIN sizes na ON na.doc_id = c.doc_a
-  JOIN sizes nb ON nb.doc_id = c.doc_b
-  GROUP BY c.doc_a, c.doc_b),
-agg AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_candidates,
-               (SELECT CAST(count(*) FILTER (3 * c >= na + nb) AS BIGINT) FROM inter) AS n_true)
-SELECT n_candidates, n_true,
-       CASE WHEN n_candidates = 0 THEN 0
-            ELSE (n_true * 1000000) // n_candidates END AS precision_q6
-FROM agg""",
-)
-def lsh_candidate_precision(spark, sf_dir):
-    """LSH banding precision — of the candidate pairs the band join emits,
-    the fraction whose EXACT shingle Jaccard clears the dedup threshold
-    (J ≥ 0.5): the tuning readout that decides whether the band count is
-    wasting verify budget on false candidates (precision near 0 → add
-    bands/rows; near 1 with low yield → loosen). The threshold test is a
-    pure-integer cross-multiplication, 2·|∩| ≥ |∪| ⟺ 3c ≥ n_a + n_b —
-    no float Jaccard anywhere.
-
-    Scale shape: the exact intersection is computed on CANDIDATES ONLY
-    (the shingle join is pre-filtered by the pair set, never all-pairs);
-    sizes is a doc-keyed agg; the summary is two scalar counts. The edge
-    set itself comes from the memoized `_lsh_pair_edges` graph."""
-    edges = _lsh_pair_edges(spark, sf_dir)
-    pairs = edges.where(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
-    )
-    sh = _shingles_spark(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    inter = (
-        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-        .where(F.col("sh") == F.col("sh_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-    )
-    n_cand = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-    n_true = inter.agg(
-        F.count_if(F.expr("3 * c >= na + nb")).cast("long").alias("n_true")
-    )
-    return (
-        n_cand.crossJoin(n_true)
-        .withColumn(
-            "precision_q6",
-            F.expr(
-                "CASE WHEN n_candidates = 0 THEN 0"
-                " ELSE (n_true * 1000000) div n_candidates END"
-            ),
-        )
-        .select("n_candidates", "n_true", "precision_q6")
-    )
-
-
-@register(
-    "simhash_hamming_histogram",
-    _SIMHASH_CTE
-    + """,
-bands AS (
-  SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767 AS bv
-  FROM sh, (SELECT unnest(generate_series(0, 3)) AS j)),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-  FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
-SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
-FROM cand GROUP BY hamming ORDER BY hamming""",
-)
-def simhash_hamming_histogram(spark, sf_dir):
-    """Hamming-distance histogram over the SimHash band-collision
-    candidates — the threshold-tuning curve for simhash_band_pairs' ≤ 3
-    verify: how many candidate pairs sit at each distance tells you what
-    a looser/tighter cut would admit and what the verify stage actually
-    pays per band collision. (Deliberately over CANDIDATES, not all
-    pairs: beyond distance 3 the pigeonhole guarantee lapses, so this is
-    the banding's own view — exactly what the operator tunes.)
-
-    Scale shape: identical band equi-join as simhash_band_pairs (keys are
-    (band_idx, 15-bit value) — never all-pairs), distinct pair set, then
-    a ≤ 60-bucket map-side-combined histogram."""
-    sh = _simhash_spark(spark, sf_dir)
-    bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    F.expr(f"(simhash >> {15 * j}) & 32767").alias("bv"),
-                )
-                for j in range(4)
-            ])
-        ).alias("band"),
-    ).select("doc_id", "simhash", F.col("band.j").alias("j"), F.col("band.bv").alias("bv"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.expr("cast(bit_count(a.simhash ^ b.simhash) as bigint)").alias("hamming"),
-        )
-        .distinct()
-    )
-    return (
-        cand.groupBy("hamming")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-        .orderBy("hamming")
-    )
-
-
-@register(
-    "winnow_containment",
-    f"""WITH fps AS ({_WINNOW_FPS_SQL}),
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM fps GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
-  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id <> b.doc_id
-  GROUP BY 1, 2),
-c AS (SELECT doc_a, doc_b, n_shared, s.n AS n_fp_a
-      FROM shared JOIN sizes s ON s.doc_id = shared.doc_a)
-SELECT doc_a, doc_b, n_shared, n_fp_a,
-       (n_shared * 1000000) // n_fp_a AS containment_q6
-FROM c WHERE 2 * n_shared >= n_fp_a ORDER BY doc_a, doc_b""",
-)
-def winnow_containment(spark, sf_dir):
-    """Asymmetric fingerprint containment (Broder's containment, computed
-    over winnowing fingerprints): for each ORDERED pair, the share of
-    doc_a's fingerprints that doc_b also has — ≥ 0.5 flags doc_a as
-    substantially quoted/embedded inside doc_b even when symmetric
-    Jaccard is tiny (a README pasted into a mega-repo dump never shows up
-    in resemblance-based dedup; it does here). The MOSS plagiarism
-    direction the symmetric pair ops can't express; threshold is the
-    integer test 2·shared ≥ |fps_a|.
-
-    Scale shape: the self-join blocks on the fingerprint (winnow_pairs'
-    shape) and the fps table is localCheckpoint'd for its three consumers
-    (two join sides + sizes); both directions fall out of the one
-    unordered join since the group key is ordered (doc_a, doc_b)."""
-    fps = _winnow_fps_spark(spark, sf_dir).localCheckpoint()
-    sizes = fps.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    a, b = fps.alias("a"), fps.alias("b")
-    shared = (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") != F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-    )
-    return (
-        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_fp_a")), "doc_a")
-        .where(F.expr("2 * n_shared >= n_fp_a"))
-        .select(
-            "doc_a", "doc_b", "n_shared", "n_fp_a",
-            F.expr("(n_shared * 1000000) div n_fp_a").alias("containment_q6"),
-        )
-        .orderBy("doc_a", "doc_b")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 18 — SemDedup embedding dedup, rare/multi terms aggs, scalar
-# quantization audit
-# ---------------------------------------------------------------------------
-
-
-# Calibrated to the sandbox's i.i.d. vectors (max pairwise cosine ~0.55 —
-# a real 0.95+ paraphrase threshold would drop nothing here; the OPERATOR
-# SHAPE is what ships, the cut is a knob).
-_SEMDEDUP_T = 350_000
-
-_SEMDEDUP_SQL = (
-    _KMEANS_SQL_PRELUDE
-    + f""",
-un AS (
-  SELECT vec_id, list_transform(v, x -> x / n) AS u
-  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e WHERE vec_id <> 0)
-),
-mem AS (SELECT a3.vec_id, a3.cid, un.u FROM a3 JOIN un USING (vec_id)),
-dup AS (
-  SELECT DISTINCT b.vec_id AS dropped
-  FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE CAST(round(1000000 * list_dot_product(a.u, b.u)) AS BIGINT) >= {_SEMDEDUP_T}
-)
-SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
-       CAST(count(dup.dropped) AS BIGINT) AS n_dropped
-FROM mem LEFT JOIN dup ON mem.vec_id = dup.dropped
-GROUP BY cid ORDER BY cid"""
-)
-
-
-@register("semdedup", _SEMDEDUP_SQL)
-def semdedup(spark, sf_dir):
-    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
-    only compares embeddings WITHIN a k-means cluster — pairs with cosine
-    above the threshold are semantic duplicates, the larger vec_id is
-    dropped (keep-first greedy), and the per-cluster (members, dropped)
-    rollup is the pruning report a curation run reads. Reuses the shared
-    memoized `_trained_ivf` quantizer, so the dedup clusters ARE the
-    serving index's cells.
-
-    Cross-engine determinism: vectors are normalized ONCE per row (the
-    pagerank edge-build lesson — one interpreted array dot per pair, not
-    cosine's three) and the drop decision compares q6-rounded cosines, so
-    both engines drop the identical id set.
-
-    Scale shape: the pair join blocks on cid — never all-pairs; with K
-    cells the pair count is sum_c |c|^2, and K is the sqrt(N)-ish knob
-    that keeps per-cell membership bounded (the paper runs ~100k clusters
-    at 100 TB). The rollup output is K rows. Threshold 0.35 is calibrated
-    to the sandbox's i.i.d. vectors (max pairwise cosine ~0.55); the real
-    knob at scale is 0.95+."""
-    members, cent, assign = _trained_ivf(spark, sf_dir)
-    mem = assign  # rollup only needs (vec_id, cid)
-    dup = (
-        _incell_pair_cos(spark, sf_dir)
-        .where(F.col("cosn_q6") >= F.lit(_SEMDEDUP_T))
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-        .withColumn("flag", F.lit(1))
-    )
-    return (
-        mem.join(dup, "vec_id", "left")
-        .groupBy("cid")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_members"),
-            F.count("flag").cast("long").alias("n_dropped"),
-        )
-        .orderBy("cid")
-    )
-
-
-@register(
-    "rare_terms",
-    f"""SELECT term, CAST(count(*) AS BIGINT) AS df FROM ({SQL_TF})
-GROUP BY term HAVING count(*) <= 2 ORDER BY df ASC, term ASC LIMIT 50""",
-)
-def rare_terms(spark, sf_dir):
-    """ES rare_terms agg (max_doc_count=2): the long-tail terms a normal
-    terms agg never surfaces — hapax/near-hapax mining for typo discovery
-    and contamination canaries. Ascending-df order is the agg's defining
-    contract (rarest first), term tiebreak makes the cut deterministic.
-
-    Scale shape: df is the standard two-phase partial agg over the tf
-    table; the HAVING cut prunes the (vocab-sized) result before the
-    top-50 TakeOrdered. ES implements this with a CuckooFilter over
-    multiple passes — a distributed engine just filters the df table."""
-    return (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-        .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-        .where(F.col("df") <= 2)
-        .orderBy(F.asc("df"), F.asc("term"))
-        .limit(50)
-    )
-
-
-@register(
-    "multi_terms_agg",
-    """SELECT source, lang, CAST(count(*) AS BIGINT) AS doc_count,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars
-FROM documents GROUP BY source, lang
-ORDER BY doc_count DESC, source ASC, lang ASC LIMIT 20""",
-)
-def multi_terms_agg(spark, sf_dir):
-    """ES multi_terms agg: buckets keyed by a COMPOUND of fields
-    (source, lang), ordered by doc count — the cross-facet breakdown a
-    single-field terms agg can't express without nesting. One map-side-
-    combined agg; bucket count is |sources|x|langs|, trivially bounded."""
-    return (
-        _docs(spark, sf_dir)
-        .groupBy("source", "lang")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("doc_count"),
-            F.sum("n_chars").cast("long").alias("sum_chars"),
-        )
-        .orderBy(F.desc("doc_count"), F.asc("source"), F.asc("lang"))
-        .limit(20)
-    )
-
-
-_SQ8_SQL = (
-    _SQL_EMB_E
-    + """
-ex AS (
-  SELECT vec_id, i - 1 AS dim, CAST(round(v[i] * 1000000) AS BIGINT) AS xq
-  FROM e, (SELECT unnest(generate_series(1, 64)) AS i) WHERE vec_id <> 0),
-mm AS (SELECT dim, min(xq) AS mn, max(xq) AS mx FROM ex GROUP BY dim),
-rec AS (
-  SELECT ex.dim, mn, mx,
-         xq - (mn + CASE WHEN mx = mn THEN 0
-                         ELSE (((xq - mn) * 255) // (mx - mn)) * (mx - mn) // 255 END) AS err
-  FROM ex JOIN mm USING (dim))
-SELECT dim, mn AS min_q6, mx AS max_q6,
-       CAST(sum(err * err) AS BIGINT) AS sse_q12
-FROM rec GROUP BY dim, mn, mx ORDER BY dim"""
-)
-
-
-@register("sq8_quantization_error", _SQ8_SQL)
-def sq8_quantization_error(spark, sf_dir):
-    """Scalar int8 quantization audit (the SQ8 codec FAISS/Lucene ship for
-    4x vector-store compression): per-dimension min/max train the affine
-    code, every value maps to 0..255, and the per-dim sum of squared
-    reconstruction error is the fidelity report that decides SQ8 vs PQ vs
-    float16 for a corpus. Entirely integer after the one q6 rounding:
-    code = ((xq-mn)*255) div (mx-mn), reconstruction = mn + (code*span)
-    div 255, so both engines agree bit-for-bit (xq-mn >= 0, floor ==
-    trunc — no negative-division divergence).
-
-    Scale shape: two passes over the exploded (vec, dim) table — a 64-row
-    min/max agg (broadcast back), then a map-side err computation feeding
-    a 64-group sum. Per-dim SSE sums stay under BIGINT even at 1e9
-    vectors (err <= span/255 ~ 4e4 q6-units -> err^2 ~ 1.6e9/row)."""
-    ex = (
-        _emb(spark, sf_dir)
-        .where(F.col("vec_id") != 0)
-        .select(
-            "vec_id",
-            F.posexplode(F.expr("transform(embedding, x -> cast(x as double))")).alias(
-                "dim", "x"
-            ),
-        )
-        .withColumn("xq", F.round(F.col("x") * F.lit(1_000_000.0)).cast("long"))
-    )
-    mm = ex.groupBy("dim").agg(F.min("xq").alias("mn"), F.max("xq").alias("mx"))
-    rec = ex.join(F.broadcast(mm), "dim").withColumn(
-        "err",
-        F.expr(
-            "xq - (mn + CASE WHEN mx = mn THEN 0"
-            " ELSE (((xq - mn) * 255) div (mx - mn)) * (mx - mn) div 255 END)"
-        ),
-    )
-    return (
-        rec.groupBy("dim", "mn", "mx")
-        .agg(F.sum(F.expr("err * err")).cast("long").alias("sse_q12"))
-        .select(
-            "dim", F.col("mn").alias("min_q6"), F.col("mx").alias("max_q6"), "sse_q12"
-        )
-        .orderBy("dim")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 19 — two-sample inference (ES t_test / matrix_stats), BPE merge
-# candidates, diversified sampling
-# ---------------------------------------------------------------------------
-
-# Welch t^2 from exact BIGINT sufficient statistics. The ONLY float math is
-# this single shared expression over six exact integers (all < 2^53, so
-# their doubles are exact and every division/rounding is IEEE-identical in
-# both engines — the same reasoning corpus_stats' avg() relies on). No
-# float SUM exists anywhere; sums are integers.
-_TTEST_EXPR = (
-    "CASE WHEN na < 2 OR nb < 2 OR (na*ssa = sa*sa AND nb*ssb = sb*sb) THEN 0 "
-    "ELSE CAST(round(1000000 * ((sa/na - sb/nb) * (sa/na - sb/nb)) "
-    "/ ((na*ssa - sa*sa)/(na*na*(na-1)) + (nb*ssb - sb*sb)/(nb*nb*(nb-1)))) AS BIGINT) END"
-)
-
-
-@register(
-    "ttest_lang_doclen",
-    f"""WITH t AS (
-  SELECT lang, CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS x
-  FROM documents WHERE lang IN ('en', 'zh')),
-s AS (SELECT
-  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS na,
-  CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS nb,
-  CAST(COALESCE(sum(x) FILTER (WHERE lang = 'en'), 0) AS BIGINT) AS sa,
-  CAST(COALESCE(sum(x) FILTER (WHERE lang = 'zh'), 0) AS BIGINT) AS sb,
-  CAST(COALESCE(sum(x*x) FILTER (WHERE lang = 'en'), 0) AS BIGINT) AS ssa,
-  CAST(COALESCE(sum(x*x) FILTER (WHERE lang = 'zh'), 0) AS BIGINT) AS ssb
-  FROM t)
-SELECT na, nb, sa, sb, {_TTEST_EXPR} AS t2_q6 FROM s""",
-)
-def ttest_lang_doclen(spark, sf_dir):
-    """ES ``t_test`` agg (unpaired heteroscedastic — Welch): is the token-
-    length distribution of 'en' documents different from 'zh'? Emits the
-    squared t statistic (t^2 needs no sqrt; significance thresholds square
-    just as well) plus the group counts/sums so the consumer can recover
-    direction. Welch denominator = s_a^2/n_a + s_b^2/n_b with sample
-    variances from exact integer sufficient statistics.
-
-    Scale shape: ONE map-side-combined pass over the corpus produces six
-    BIGINTs; the t^2 arithmetic is a single scalar expression. The exact-
-    double envelope (every integer < 2^53) holds to ~1e9 docs of 1e4
-    tokens; past that the stats need per-group scaling, not a new plan."""
-    t = (
-        _docs(spark, sf_dir)
-        .where(F.col("lang").isin("en", "zh"))
-        .select("lang", F.size(spark_tokens("text")).cast("long").alias("x"))
-    )
-    s = t.agg(
-        F.count_if(F.col("lang") == "en").cast("long").alias("na"),
-        F.count_if(F.col("lang") == "zh").cast("long").alias("nb"),
-        F.coalesce(F.sum(F.when(F.col("lang") == "en", F.col("x"))), F.lit(0)).cast("long").alias("sa"),
-        F.coalesce(F.sum(F.when(F.col("lang") == "zh", F.col("x"))), F.lit(0)).cast("long").alias("sb"),
-        F.coalesce(F.sum(F.when(F.col("lang") == "en", F.expr("x*x"))), F.lit(0)).cast("long").alias("ssa"),
-        F.coalesce(F.sum(F.when(F.col("lang") == "zh", F.expr("x*x"))), F.lit(0)).cast("long").alias("ssb"),
-    )
-    return s.select("na", "nb", "sa", "sb", F.expr(_TTEST_EXPR).alias("t2_q6"))
-
-
-# matrix_stats: covariance divides BEFORE the 1e6 scale (double-exact), so
-# the integer cross term never multiplies by the scale; correlation splits
-# sqrt(A*B) into sqrt(A)*sqrt(B) to keep each sqrt argument an exact
-# double (A*B would pass 2^63 first).
-_MSTATS_COV = "CAST(round(1000000 * ((n*sxy - sx*sy) / (n*n))) AS BIGINT)"
-_MSTATS_CORR = (
-    "CASE WHEN n*sxx = sx*sx OR n*syy = sy*sy THEN 0 "
-    "ELSE CAST(round(1000000 * (n*sxy - sx*sy) "
-    "/ (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))) AS BIGINT) END"
-)
-
-
-@register(
-    "matrix_stats_docs",
-    f"""WITH t AS (
-  SELECT source,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS x,
-         n_chars AS y
-  FROM documents),
-s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
-             CAST(sum(x*y) AS BIGINT) AS sxy
-      FROM t GROUP BY source)
-SELECT source, n, sx, sy, {_MSTATS_COV} AS cov_q6, {_MSTATS_CORR} AS corr_q6
-FROM s ORDER BY source""",
-)
-def matrix_stats_docs(spark, sf_dir):
-    """ES ``matrix_stats`` agg over (token_count, n_chars) per source:
-    population covariance and Pearson correlation from exact BIGINT
-    sufficient statistics — the field-relationship readout (a source
-    whose char count doesn't track its token count is binary/CJK/base64-
-    shaped). Like extended_stats_source, all SUMS are integers; the two
-    scalar outputs are single float expressions over exact doubles, with
-    sqrt(A·B) split into sqrt(A)·sqrt(B) so each argument stays under
-    2^53.
-
-    Scale shape: one map-side-combined agg to |sources| rows of seven
-    integers; the matrix math is per-row scalar arithmetic."""
-    t = _docs(spark, sf_dir).select(
-        "source",
-        F.size(spark_tokens("text")).cast("long").alias("x"),
-        F.col("n_chars").alias("y"),
-    )
-    s = t.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.expr("x*x")).cast("long").alias("sxx"),
-        F.sum(F.expr("y*y")).cast("long").alias("syy"),
-        F.sum(F.expr("x*y")).cast("long").alias("sxy"),
-    )
-    return s.select(
-        "source", "n", "sx", "sy",
-        F.expr(_MSTATS_COV).alias("cov_q6"),
-        F.expr(_MSTATS_CORR).alias("corr_q6"),
-    ).orderBy("source")
-
-
-@register(
-    "bpe_merge_candidates",
-    f"""WITH toks AS ({SQL_TOKS}),
-p AS (
-  SELECT substring(term, i, 2) AS pair
-  FROM toks, unnest(generate_series(1, len(term) - 1)) AS t(i)
-  WHERE len(term) >= 2)
-SELECT pair, CAST(count(*) AS BIGINT) AS n
-FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""",
-)
-def bpe_merge_candidates(spark, sf_dir):
-    """The first BPE training step (Sennrich et al. 2016): count adjacent
-    symbol pairs over every token OCCURRENCE (character-level symbols
-    before any merge) and rank merge candidates — the top pair is the
-    merge a tokenizer-induction run would commit. Full iterative BPE is a
-    driver loop re-running this exact plan after each merge; the operator
-    ships the dominant per-iteration cost as one declarative pass.
-
-    Both engines' substring/length are character-based (UTF-8 aware), so
-    CJK text contributes kana/han pairs identically; 1-character tokens
-    (Han unigrams) are filtered BEFORE the explode — Spark sequence(1, 0)
-    infers step -1 and emits junk (the documented sequence guard).
-
-    Scale shape: explode is map-side (~word_len rows per token), the pair
-    count is a two-phase agg over an alphabet^2-bounded key space, then
-    one TakeOrdered(20)."""
-    return (
-        _toks(_docs(spark, sf_dir))
-        .where(F.length("term") >= 2)
-        .select(
-            F.explode(
-                F.expr("transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))")
-            ).alias("pair")
-        )
-        .groupBy("pair")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .orderBy(F.desc("n"), F.asc("pair"))
-        .limit(20)
-    )
-
-
-@register(
-    "diversified_sampler",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + """,
-dv AS (
-  SELECT agg.doc_id, d.lang, agg.score_q6,
-         row_number() OVER (PARTITION BY d.source
-                            ORDER BY agg.score_q6 DESC, agg.doc_id ASC) AS rn
-  FROM agg JOIN documents d USING (doc_id)),
-top AS (SELECT doc_id, lang FROM dv WHERE rn <= 2
-        ORDER BY score_q6 DESC, doc_id ASC LIMIT 100)
-SELECT lang, CAST(count(*) AS BIGINT) AS n_hits
-FROM top GROUP BY lang ORDER BY lang""",
-)
-def diversified_sampler(spark, sf_dir):
-    """ES ``diversified_sampler`` agg: sample the top-100 hits but admit at
-    most 2 documents per source (max_docs_per_value), then facet by lang —
-    the de-biased version of search_sampler_facets for a corpus where one
-    crawl would otherwise fill the whole sample. The per-source cap is the
-    dedup-aware sampling primitive ES ships for exactly this.
-
-    Scale shape: the cap is a per-source window over the match set (keyed
-    shuffle on source, never a global sort), the survivor set is one
-    TakeOrdered(100), the facet rollup is langs-sized. Match set comes
-    memoized from `_bm25_match_set`."""
-    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
-    d = _docs(spark, sf_dir).select("doc_id", "source", "lang")
-    w = Window.partitionBy("source").orderBy(F.desc("score_q6"), F.asc("doc_id"))
-    top = (
-        agg.join(d, "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 2)
-        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(100)
-    )
-    return (
-        top.groupBy("lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-        .orderBy("lang")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 20 — exact-substring span detection, ES boxplot, termvectors API
-# ---------------------------------------------------------------------------
-
-
-_GRAM8_DUCK = " || ' ' || ".join(f"words[i+{j}]" for j in range(8)).replace("words[i+0]", "words[i]")
-_GRAM8_SPARK = ", ".join(f"words[i+{j}]" for j in range(8)).replace("words[i+0]", "words[i]")
-
-
-@register(
-    "longest_shared_span",
-    _SQL_LSH_PAIRS
-    + f""",
-w AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words FROM documents),
-g AS (
-  SELECT doc_id, i AS pos, {_GRAM8_DUCK} AS g
-  FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)
-  WHERE len(words) >= 8),
-m AS (
-  SELECT p.doc_a, p.doc_b, ga.pos AS pa, gb.pos AS pb
-  FROM pairs p
-  JOIN g ga ON ga.doc_id = p.doc_a
-  JOIN g gb ON gb.doc_id = p.doc_b AND gb.g = ga.g),
-r AS (
-  SELECT doc_a, doc_b, pa,
-         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp,
-         pa - pb AS d
-  FROM m),
-runs AS (
-  SELECT doc_a, doc_b, CAST(count(*) + 7 AS BIGINT) AS span
-  FROM r GROUP BY doc_a, doc_b, d, grp)
-SELECT doc_a, doc_b, CAST(max(span) AS BIGINT) AS longest_span_toks
-FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""",
-)
-def longest_shared_span(spark, sf_dir):
-    """Longest exactly-shared token span per near-dup candidate pair — the
-    exact-substring dedup signal of Lee et al. 2022 (arXiv:2107.06499,
-    'Deduplicating Training Data Makes Language Models Better'), which
-    removes repeated SPANS rather than whole documents. Their suffix
-    array becomes relational via the gram-diagonal trick: two docs share
-    an L-token substring iff L-7 consecutive 8-grams match along one
-    diagonal (pa - pb constant), so the longest run of consecutive pa on
-    a diagonal + 7 IS the longest common substring in tokens.
-
-    Runs are found with the classic gaps-and-islands grouping
-    (pa - row_number() over the diagonal) — position ORIGINS differ
-    between engines (Spark 0-based, DuckDB 1-based) but both the diagonal
-    and the island key are position DIFFERENCES, so they cancel (the
-    phrase_slop lesson). Candidate pairs with no shared 8-gram are
-    omitted (span < 8 is not a dedup signal).
-
-    Scale shape: the gram join is restricted to the memoized LSH
-    candidate pairs (never all-pairs) and blocks on (doc_b, gram); the
-    window partitions by (pair, diagonal) — bounded by the shorter doc,
-    never a global sort. Suffix-array construction at 100 TB is exactly
-    this shuffle in disguise."""
-    edges = _lsh_pair_edges(spark, sf_dir)
-    pairs = edges.where(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
-    )
-    w = (
-        _docs(spark, sf_dir)
-        .select("doc_id", spark_tokens("text").alias("words"))
-        .where(F.size("words") >= 8)
-    )
-    g = w.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(words)-8), i -> "
-                f"struct(i AS pos, concat_ws(' ', {_GRAM8_SPARK}) AS g))"
-            )
-        ).alias("t"),
-    ).select("doc_id", F.col("t.pos").alias("pos"), F.col("t.g").alias("g"))
-    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g")
-    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g")
-    m = pairs.join(ga, "doc_a").join(gb, ["doc_b", "g"])
-    wd = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
-    r = m.select(
-        "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("d")
-    ).withColumn("grp", F.col("pa") - F.row_number().over(wd))
-    runs = r.groupBy("doc_a", "doc_b", "d", "grp").agg(
-        (F.count(F.lit(1)) + F.lit(7)).cast("long").alias("span")
-    )
-    return (
-        runs.groupBy("doc_a", "doc_b")
-        .agg(F.max("span").cast("long").alias("longest_span_toks"))
-        .orderBy("doc_a", "doc_b")
-    )
-
-
-@register(
-    "boxplot_doclen",
-    f"""WITH t AS (
-  SELECT source,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
-  FROM documents),
-hist AS (SELECT source, n_tok, count(*) AS cnt FROM t GROUP BY source, n_tok),
-h AS (
-  SELECT source, n_tok, cnt,
-         CAST(COALESCE(SUM(cnt) OVER (
-           PARTITION BY source ORDER BY n_tok
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
-         CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
-  FROM hist),
-q AS (SELECT p_q6 FROM (VALUES (250000), (500000), (750000)) AS v(p_q6)),
-agg AS (
-  SELECT h.source, q.p_q6, max(h.n) AS n,
-         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1))
-                  THEN h.n_tok END) AS v_lo,
-         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1)) + 1
-                  THEN h.n_tok END) AS v_hi
-  FROM h, q GROUP BY h.source, q.p_q6),
-qq AS (
-  SELECT source, p_q6,
-         CAST(round(1000000.0 * (v_lo + ((p_q6 / 1000000.0) * (n - 1)
-              - floor((p_q6 / 1000000.0) * (n - 1))) * (v_hi - v_lo))) AS BIGINT) AS q_q6
-  FROM agg)
-SELECT source,
-       max(CASE WHEN p_q6 = 250000 THEN q_q6 END) AS q1_q6,
-       max(CASE WHEN p_q6 = 500000 THEN q_q6 END) AS q2_q6,
-       max(CASE WHEN p_q6 = 750000 THEN q_q6 END) AS q3_q6,
-       max(CASE WHEN p_q6 = 750000 THEN q_q6 END)
-         - max(CASE WHEN p_q6 = 250000 THEN q_q6 END) AS iqr_q6
-FROM qq GROUP BY source ORDER BY source""",
-)
-def boxplot_doclen(spark, sf_dir):
-    """ES ``boxplot`` agg per source: q1/median/q3 + IQR of the token-
-    length distribution — doclen_quantiles' machinery (exact type-7
-    percentiles from the weighted histogram + exclusive prefix sum, never
-    Spark's raw-value-buffering ``percentile``) at the quartile probes,
-    pivoted to the one-row-per-source boxplot shape. IQR is a BIGINT
-    subtraction of q6 values — no new float math."""
-    t = _docs(spark, sf_dir).select(
-        "source", F.size(spark_tokens("text")).cast("long").alias("n_tok")
-    )
-    hist = t.groupBy("source", "n_tok").agg(F.count(F.lit(1)).alias("cnt"))
-    w_cum = (
-        Window.partitionBy("source")
-        .orderBy("n_tok")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_all = Window.partitionBy("source")
-    h = hist.select(
-        "source",
-        "n_tok",
-        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).cast("long").alias("cum_before"),
-        F.sum("cnt").over(w_all).cast("long").alias("n"),
-    )
-    q = spark.createDataFrame([(250000,), (500000,), (750000,)], "p_q6 long")
-    rank = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
-    agg = (
-        h.crossJoin(F.broadcast(q))
-        .groupBy("source", "p_q6")
-        .agg(
-            F.max("n").alias("n"),
-            F.max(F.when(F.col("cum_before") <= F.floor(rank), F.col("n_tok"))).alias("v_lo"),
-            F.max(F.when(F.col("cum_before") <= F.floor(rank) + 1, F.col("n_tok"))).alias("v_hi"),
-        )
-    )
-    r = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
-    frac = r - F.floor(r)
-    qq = agg.select(
-        "source",
-        "p_q6",
-        F.round(F.lit(1_000_000.0) * (F.col("v_lo") + frac * (F.col("v_hi") - F.col("v_lo"))))
-        .cast("long")
-        .alias("q_q6"),
-    )
-    return (
-        qq.groupBy("source")
-        .agg(
-            F.max(F.when(F.col("p_q6") == 250000, F.col("q_q6"))).alias("q1_q6"),
-            F.max(F.when(F.col("p_q6") == 500000, F.col("q_q6"))).alias("q2_q6"),
-            F.max(F.when(F.col("p_q6") == 750000, F.col("q_q6"))).alias("q3_q6"),
-        )
-        .withColumn("iqr_q6", F.col("q3_q6") - F.col("q1_q6"))
-        .orderBy("source")
-    )
-
-
-_TV_DOC_ID = 42
-
-
-@register(
-    "term_vectors_doc",
-    f"""WITH tf AS ({SQL_TF}),
-dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-w AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words
-      FROM documents WHERE doc_id = {_TV_DOC_ID}),
-pos AS (SELECT words[i] AS term, CAST(min(i - 1) AS BIGINT) AS first_pos
-        FROM w, unnest(generate_series(1, len(words))) AS t(i) GROUP BY words[i])
-SELECT tf.term, CAST(tf.tf AS BIGINT) AS tf, dfs.df, pos.first_pos
-FROM tf JOIN dfs USING (term) JOIN pos USING (term)
-WHERE tf.doc_id = {_TV_DOC_ID} ORDER BY tf.term""",
-)
-def term_vectors_doc(spark, sf_dir):
-    """ES ``_termvectors`` API for one document: per term its tf in the
-    doc, corpus df, and first position (0-based both engines — DuckDB's
-    1-based series is shifted at the source). ES serves this from the
-    index; the serving twin here is a pyarrow point read — this is the
-    declarative oracle-checkable shape.
-
-    Scale shape: the doc-side tokenize runs on ONE row (doc filter pushed
-    to the parquet scan before any explode); only the df lookup touches
-    the corpus, and it's the standard two-phase agg semi-joined down to
-    the doc's own vocabulary."""
-    doc = _docs(spark, sf_dir).where(F.col("doc_id") == _TV_DOC_ID)
-    tf = (
-        _toks(doc)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    pos = (
-        doc.select(F.posexplode(spark_tokens("text")).alias("pos", "term"))
-        .groupBy("term")
-        .agg(F.min("pos").cast("long").alias("first_pos"))
-    )
-    dfs = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term").agg(F.count("*").alias("_tf"))
-        .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    )
-    return (
-        tf.join(dfs, "term")
-        .join(pos, "term")
-        .select("term", "tf", "df", "first_pos")
-        .orderBy("term")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 21 — content-defined chunk dedup, daily anomaly z-scores, Zipf
-# slope per source
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "cdc_chunk_dedup",
-    f"""WITH w AS (
-  SELECT doc_id, source, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words
-  FROM documents),
-t AS (
-  SELECT doc_id, source, i AS pos, words[i] AS term,
-         CASE WHEN ('0x' || substr(md5(words[i]), 1, 4))::UBIGINT::BIGINT % 16 = 0
-              THEN 1 ELSE 0 END AS b
-  FROM w, unnest(generate_series(1, len(words))) AS s(i)),
-c AS (
-  SELECT doc_id, source, pos, term,
-         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS cidx
-  FROM t),
-chunks AS (
-  SELECT source, md5(string_agg(term, ' ' ORDER BY pos)) AS ch
-  FROM c GROUP BY source, doc_id, cidx)
-SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
-       CAST(count(DISTINCT ch) AS BIGINT) AS n_distinct_chunks,
-       ((count(*) - count(DISTINCT ch)) * 1000000) // count(*) AS dup_ratio_q6
-FROM chunks GROUP BY source ORDER BY source""",
-)
-def cdc_chunk_dedup(spark, sf_dir):
-    """Content-defined chunking dedup (the LBFS/rsync/restic family): a
-    chunk boundary opens wherever the token's own 16-bit md5 slice ≡ 0
-    mod 16 (expected chunk ~16 tokens), so boundaries depend ONLY on
-    local content — an insertion near the top of a doc shifts every
-    fixed-window chunk (chunk_dedup_scrub's 8-token grid) but leaves all
-    CDC chunks after the edit identical. Per-source duplicated-chunk
-    ratio is the storage-dedup readout.
-
-    Scale shape: the boundary flag is map-side; the chunk index is a
-    per-doc prefix sum (doc-bounded window, the standard positions
-    shuffle); chunk assembly is one (doc, chunk) group with an in-group
-    sort bounded by chunk length; the rollup is sources-sized. The
-    distinct-count is Spark's two-phase partial distinct."""
-    t = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "source", F.posexplode(spark_tokens("text")).alias("pos", "term"))
-        .withColumn(
-            "b",
-            F.expr(
-                "CASE WHEN cast(conv(substring(md5(term), 1, 4), 16, 10) as bigint) % 16 = 0"
-                " THEN 1 ELSE 0 END"
-            ),
-        )
-    )
-    wc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    c = t.withColumn("cidx", F.sum("b").over(wc))
-    chunks = c.groupBy("source", "doc_id", "cidx").agg(
-        F.md5(
-            F.expr(
-                "concat_ws(' ', transform(sort_array(collect_list(struct(pos, term))),"
-                " x -> x.term))"
-            )
-        ).alias("ch")
-    )
-    return (
-        chunks.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_chunks"),
-            F.countDistinct("ch").cast("long").alias("n_distinct_chunks"),
-        )
-        .withColumn(
-            "dup_ratio_q6",
-            F.expr("((n_chunks - n_distinct_chunks) * 1000000) div n_chunks"),
-        )
-        .orderBy("source")
-    )
-
-
-# z^2 from exact integer day counts: dev and var are each ONE division of
-# exact BIGINTs (the float-mean form — products like (nd*n-s)^2 would pass
-# 2^63 at real scale; divided first, everything stays an exact double).
-_ANOM_Z2 = (
-    "CASE WHEN nd < 2 OR nd*ss = s*s THEN 0 "
-    "ELSE CAST(round(1000000 * (((nd*n - s)/nd) * ((nd*n - s)/nd)) "
-    "/ ((nd*ss - s*s)/(nd*nd))) AS BIGINT) END"
-)
-
-
-@register(
-    "events_daily_anomaly",
-    f"""WITH d AS (
-  SELECT epoch_us(ts) // 86400000000 AS day_num, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY 1),
-s AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS s,
-             CAST(sum(n*n) AS BIGINT) AS ss FROM d),
-z AS (SELECT day_num, n, {_ANOM_Z2} AS z2_q6 FROM d CROSS JOIN s)
-SELECT day_num, n, z2_q6,
-       CASE WHEN z2_q6 >= 4000000 THEN 1 ELSE 0 END AS is_spike
-FROM z ORDER BY day_num""",
-)
-def events_daily_anomaly(spark, sf_dir):
-    """Daily volume anomaly detection: squared z-score of each day's event
-    count against the corpus of days (population mean/variance from exact
-    BIGINT sufficient statistics), spike flag at |z| >= 2 — the pipeline-
-    health alarm a date_histogram dashboard derives. z^2 avoids sqrt; the
-    flag is an integer comparison on the q6 output, so both engines flag
-    identical days.
-
-    Scale shape: the only corpus-sized pass is the day groupBy (map-side
-    partial); the stats row is a 1-row cross join onto day-granularity
-    rows (calendar-bounded, the events_daily_mavg argument)."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day_num")
-        )
-        .agg(F.count("*").cast("long").alias("n"))
-    )
-    s = d.agg(
-        F.count(F.lit(1)).cast("long").alias("nd"),
-        F.sum("n").cast("long").alias("s"),
-        F.sum(F.expr("n*n")).cast("long").alias("ss"),
-    )
-    z = d.crossJoin(F.broadcast(s)).select(
-        "day_num", "n", F.expr(_ANOM_Z2).alias("z2_q6")
-    )
-    return z.select(
-        "day_num",
-        "n",
-        "z2_q6",
-        F.expr("CASE WHEN z2_q6 >= 4000000 THEN 1 ELSE 0 END").alias("is_spike"),
-    ).orderBy("day_num")
-
-
-# Least-squares slope over q6-rounded (ln rank, ln freq) points. The ln
-# values are rounded per TERM first (the unigram_logprob rule — libm ln is
-# 1-ulp, never let raw ln floats into a sum); the slope then uses the
-# float-mean form (sxy/n - mx*my) / (sxx/n - mx*mx) so no BIGINT product
-# exceeds the sums themselves (q6 lns keep sxx exact-double to ~1e5 terms
-# per source).
-_ZIPF_SLOPE = (
-    "CASE WHEN n < 2 OR n*sxx = sx*sx THEN 0 "
-    "ELSE CAST(round(1000000 * (sxy/n - (sx/n)*(sy/n)) / (sxx/n - (sx/n)*(sx/n))) AS BIGINT) END"
-)
-
-
-@register(
-    "zipf_slope_source",
-    f"""WITH tf AS (
-  SELECT source, term, CAST(count(*) AS BIGINT) AS f
-  FROM (SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
-        FROM documents) GROUP BY source, term),
-r AS (
-  SELECT source, f,
-         row_number() OVER (PARTITION BY source ORDER BY f DESC, term ASC) AS rnk
-  FROM tf),
-l AS (
-  SELECT source, CAST(round(1000000 * ln(rnk)) AS BIGINT) AS x,
-         CAST(round(1000000 * ln(f)) AS BIGINT) AS y
-  FROM r),
-s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
-      FROM l GROUP BY source)
-SELECT source, n AS n_terms, {_ZIPF_SLOPE} AS slope_q6
-FROM s ORDER BY source""",
-)
-def zipf_slope_source(spark, sf_dir):
-    """Zipf rank-frequency slope per source: least-squares fit of
-    ln(freq) ~ ln(rank) over the source's term distribution — natural
-    language sits near −1; templated/boilerplate sources flatten toward
-    0 and spam/generated text steepens. A corpus-quality diagnostic the
-    Gopher-style per-doc flags can't see (it's a property of the whole
-    source's vocabulary, not any document).
-
-    Scale shape: term frequencies are the standard two-phase agg; the
-    rank window runs over PRE-AGGREGATED vocab-sized rows per source
-    (the top_terms_per_source argument); the fit consumes six integers
-    per source."""
-    tf = (
-        _docs(spark, sf_dir)
-        .select("source", F.explode(spark_tokens("text")).alias("term"))
-        .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("f"))
-    )
-    wr = Window.partitionBy("source").orderBy(F.desc("f"), F.asc("term"))
-    lpts = tf.withColumn("rnk", F.row_number().over(wr)).select(
-        "source",
-        F.round(F.lit(1_000_000.0) * F.log("rnk")).cast("long").alias("x"),
-        F.round(F.lit(1_000_000.0) * F.log("f")).cast("long").alias("y"),
-    )
-    s = lpts.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.expr("x*x")).cast("long").alias("sxx"),
-        F.sum(F.expr("x*y")).cast("long").alias("sxy"),
-    )
-    return s.select(
-        "source", F.col("n").alias("n_terms"), F.expr(_ZIPF_SLOPE).alias("slope_q6")
-    ).orderBy("source")
-
-
-# ---------------------------------------------------------------------------
-# session 22 — k-center coreset selection, embedding norm QA
-# ---------------------------------------------------------------------------
-
-_KCENTER_K = 8
-
-
-def _kcenter_sql(k: int = _KCENTER_K) -> str:
-    """Unrolled greedy farthest-point CTE chain (the pagerank unroll
-    pattern). `un` and every running max-cos table are AS MATERIALIZED —
-    DuckDB inlines multiply-referenced CTEs and an unrolled chain
-    re-derives them with compounding fan-out otherwise (the oracle
-    lesson from pagerank_ann_graph: 139 s -> 0.24 s)."""
-    parts = [
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
-        "un AS MATERIALIZED (",
-        "  SELECT vec_id, list_transform(v, x -> x / n) AS u",
-        "  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e WHERE vec_id <> 0)),",
-        "m1 AS MATERIALIZED (",
-        "  SELECT un.vec_id,",
-        "         CAST(round(1000000000 * list_dot_product(un.u, c.u)) AS BIGINT) AS mc",
-        "  FROM un, (SELECT u FROM un WHERE vec_id = 1) c WHERE un.vec_id <> 1),",
-    ]
-    for i in range(1, k):
-        parts.append(
-            f"p{i} AS MATERIALIZED (SELECT vec_id, mc FROM m{i} ORDER BY mc ASC, vec_id ASC LIMIT 1),"
-        )
-        if i < k - 1:
-            parts.append(
-                f"m{i + 1} AS MATERIALIZED (\n"
-                f"  SELECT m.vec_id,\n"
-                f"         GREATEST(m.mc, CAST(round(1000000000 * list_dot_product(a.u, c.u)) AS BIGINT)) AS mc\n"
-                f"  FROM m{i} m JOIN un a ON a.vec_id = m.vec_id,\n"
-                f"       (SELECT un.u FROM un JOIN p{i} USING (vec_id)) c\n"
-                f"  WHERE m.vec_id NOT IN (SELECT vec_id FROM p{i})),"
-            )
-    sels = ["SELECT CAST(0 AS BIGINT) AS sel_order, CAST(1 AS BIGINT) AS vec_id, CAST(1000000000 AS BIGINT) AS maxcos_q9"]
-    sels += [
-        f"SELECT CAST({i} AS BIGINT), vec_id, mc FROM p{i}" for i in range(1, k)
-    ]
-    parts.append("sel AS (" + " UNION ALL ".join(sels) + ")")
-    parts.append("SELECT sel_order, vec_id, maxcos_q9 FROM sel ORDER BY sel_order")
-    return "\n".join(parts)
-
-
-@register("kcenter_coreset", _kcenter_sql())
-def kcenter_coreset(spark, sf_dir):
-    """Greedy k-center coreset (Gonzalez 1985 farthest-point traversal):
-    pick 8 maximally-diverse representative vectors — seed at vec_id 1
-    (the kmeans seed convention), then repeatedly choose the vector LEAST
-    similar to its nearest already-chosen center. The selection order and
-    each pick's max-cosine-at-selection are the output: the curation
-    primitive for diverse seed/eval-set selection, and the 2-approximation
-    to the k-center clustering objective. Decisions compare q9-rounded
-    cosines with a vec_id tiebreak, so both engines pick identical
-    centers.
-
-    Scale shape: each of the 7 rounds is one broadcast of the single new
-    center onto the running max-cos table (map-side GREATEST — the
-    running table means round i costs O(N), not O(N·i)) plus one
-    TakeOrdered(1); the table is localCheckpoint'd per round to cut the
-    unrolled lineage. Driver state is exactly the k chosen rows — the
-    same bounded-collect budget as kmeans training."""
-    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, z) -> acc + z)"
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    un = (
-        e.where(F.col("vec_id") != 0)
-        .withColumn("n", F.sqrt(F.expr(dot.format(a="v", b="v"))))
-        .select("vec_id", F.expr("transform(v, x -> x / n)").alias("u"))
-        .localCheckpoint()
-    )
-    cos_q9 = F.expr(
-        f"cast(round(1000000000 * ({dot.format(a='u', b='cu')})) as bigint)"
-    )
-    center = un.where(F.col("vec_id") == 1).select(F.col("u").alias("cu"))
-    m = (
-        un.where(F.col("vec_id") != 1)
-        .crossJoin(F.broadcast(center))
-        .select("vec_id", "u", cos_q9.alias("mc"))
-        .localCheckpoint()
-    )
-    chosen = [(0, 1, 1_000_000_000)]
-    for i in range(1, _KCENTER_K):
-        pick = m.orderBy(F.asc("mc"), F.asc("vec_id")).limit(1).collect()[0]
-        chosen.append((i, pick.vec_id, pick.mc))
-        if i == _KCENTER_K - 1:
-            break
-        center = un.where(F.col("vec_id") == pick.vec_id).select(F.col("u").alias("cu"))
-        m = (
-            m.where(F.col("vec_id") != pick.vec_id)
-            .crossJoin(F.broadcast(center))
-            .select("vec_id", "u", F.greatest(F.col("mc"), cos_q9).alias("mc"))
-            .localCheckpoint()
-        )
-    return spark.createDataFrame(
-        chosen, "sel_order long, vec_id long, maxcos_q9 long"
-    ).orderBy("sel_order")
-
-
-# norm^2 lives in q12 BIGINT per vector (exact); the corpus stats divide
-# it to q3 FIRST (n2*n2 at q12 would pass 2^63 immediately) — milli-units
-# of squared norm are ample resolution for an outlier flag.
-_NORMQA_Z2 = (
-    "CASE WHEN nv < 2 OR nv*ss = s*s THEN 0 "
-    "ELSE CAST(round(1000000 * (((nv*n2m - s)/nv) * ((nv*n2m - s)/nv)) "
-    "/ ((nv*ss - s*s)/(nv*nv))) AS BIGINT) END"
-)
-
-_NORMQA_SQL = (
-    _SQL_EMB_E
-    + """
-ex AS (
-  SELECT vec_id, i, CAST(round(v[i] * 1000000) AS BIGINT) AS xq
-  FROM e, (SELECT unnest(generate_series(1, 64)) AS i) WHERE vec_id <> 0),
-n2 AS (SELECT vec_id, CAST(sum(xq * xq) // 1000000000 AS BIGINT) AS n2m
-       FROM ex GROUP BY vec_id),
-s AS (SELECT CAST(count(*) AS BIGINT) AS nv, CAST(sum(n2m) AS BIGINT) AS s,
-             CAST(sum(n2m * n2m) AS BIGINT) AS ss FROM n2)
-SELECT vec_id, n2m AS norm2_q3, """
-    + _NORMQA_Z2
-    + """ AS z2_q6
-FROM n2 CROSS JOIN s ORDER BY z2_q6 DESC, vec_id ASC LIMIT 20"""
-)
-
-
-@register("embedding_norm_outliers", _NORMQA_SQL)
-def embedding_norm_outliers(spark, sf_dir):
-    """Embedding QA: the 20 most norm-anomalous vectors by squared z-score
-    of ||v||^2 against the corpus — catches truncated/zeroed/blown-up
-    rows from a bad embedding batch before they poison ANN recall.
-    Per-vector squared norm is an exact q12 BIGINT (sum of squared q6
-    elements) floored to q3 before the corpus stats so no product passes
-    2^63; z^2 uses the float-mean form over exact doubles.
-
-    Scale shape: one exploded map-side pass per vector, a 1-row stats
-    agg broadcast back, one TakeOrdered(20)."""
-    ex = (
-        _emb(spark, sf_dir)
-        .where(F.col("vec_id") != 0)
-        .select(
-            "vec_id",
-            F.posexplode(F.expr("transform(embedding, x -> cast(x as double))")).alias("i", "x"),
-        )
-        .withColumn("xq", F.round(F.col("x") * F.lit(1_000_000.0)).cast("long"))
-    )
-    n2 = ex.groupBy("vec_id").agg(
-        F.expr("cast(sum(xq * xq) div 1000000000 as bigint)").alias("n2m")
-    )
-    s = n2.agg(
-        F.count(F.lit(1)).cast("long").alias("nv"),
-        F.sum("n2m").cast("long").alias("s"),
-        F.sum(F.expr("n2m * n2m")).cast("long").alias("ss"),
-    )
-    return (
-        n2.crossJoin(F.broadcast(s))
-        .select(
-            "vec_id",
-            F.col("n2m").alias("norm2_q3"),
-            F.expr(_NORMQA_Z2).alias("z2_q6"),
-        )
-        .orderBy(F.desc("z2_q6"), F.asc("vec_id"))
-        .limit(20)
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 23 — streaming-maintained count-min sketch (batch twin)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "countmin_user_cells",
-    """WITH pos AS (
-  SELECT i,
-         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1 + 4 * i, 4))::INT % 1024 AS pos
-  FROM events, unnest([0, 1, 2, 3]) AS t(i))
-SELECT CAST(i AS BIGINT) AS i, CAST(pos AS BIGINT) AS pos,
-       CAST(count(*) AS BIGINT) AS cell
-FROM pos GROUP BY i, pos ORDER BY i, pos""",
-)
-def countmin_user_cells(spark, sf_dir):
-    """Batch twin of the streaming count-min maintenance
-    (streaming/events.py::countmin_user_stream): the 4 x 1024 CMS cell
-    table of per-user event counts. Cells are ADDITIVE, so the streaming
-    side maintains the identical table as a running aggregation whose
-    state is 4 096 rows regardless of stream length — stream-vs-batch
-    identity is pytest-proven (test_events_streaming.py). Same hash
-    family as countmin_heavyhitters, keyed on user_id."""
-    from docix_spark.streaming.events import countmin_user_cells as _twin
-
-    return _twin(_events(spark, sf_dir)).select(
-        F.col("i").cast("long").alias("i"),
-        F.col("pos").cast("long").alias("pos"),
-        "cell",
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 24 — trained n-gram language ID, fixed-size priority sample
-# ---------------------------------------------------------------------------
-
-_CT_K = 20  # profile size (and the out-of-place max penalty)
-
-# char 1-/2-/3-grams of every token occurrence: three explicit UNION ALL
-# levels with a length guard each — Spark sequence(1, 0) infers step -1
-# and emits junk, and DuckDB laterals referencing an unnested L are
-# fragile; three selects are identical everywhere.
-_CT_GRAMS_DUCK = """
-  SELECT doc_id, lang, substring(term, i, 1) AS g
-  FROM toks, unnest(generate_series(1, len(term))) AS t1(i)
-  UNION ALL
-  SELECT doc_id, lang, substring(term, i, 2) AS g
-  FROM toks, unnest(generate_series(1, len(term) - 1)) AS t2(i) WHERE len(term) >= 2
-  UNION ALL
-  SELECT doc_id, lang, substring(term, i, 3) AS g
-  FROM toks, unnest(generate_series(1, len(term) - 2)) AS t3(i) WHERE len(term) >= 3
-"""
-
-_CT_SQL = f"""WITH toks AS (
-  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
-  FROM documents),
-g AS ({_CT_GRAMS_DUCK}),
-prof AS (
-  SELECT lang, g, row_number() OVER (
-    PARTITION BY lang ORDER BY count(*) DESC, g ASC) AS rp
-  FROM g GROUP BY lang, g QUALIFY rp <= {_CT_K}),
-docg AS (
-  SELECT doc_id, g, row_number() OVER (
-    PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) AS rd
-  FROM g GROUP BY doc_id, g QUALIFY rd <= {_CT_K}),
-langs AS (SELECT DISTINCT lang FROM documents),
-dist AS (
-  SELECT d.doc_id, l.lang,
-         CAST(sum(COALESCE(abs(d.rd - p.rp), {_CT_K})) AS BIGINT) AS dist
-  FROM docg d CROSS JOIN langs l
-  LEFT JOIN prof p ON p.lang = l.lang AND p.g = d.g
-  GROUP BY d.doc_id, l.lang),
-pred AS (
-  SELECT doc_id, lang AS pred_lang FROM (
-    SELECT doc_id, lang, row_number() OVER (
-      PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rn
-    FROM dist) WHERE rn = 1)
-SELECT dcl.lang, pred.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
-FROM (SELECT doc_id, lang FROM documents) dcl JOIN pred USING (doc_id)
-GROUP BY dcl.lang, pred.pred_lang ORDER BY dcl.lang, pred.pred_lang"""
-
-
-@register("cavnar_trenkle_langid", _CT_SQL)
-def cavnar_trenkle_langid(spark, sf_dir):
-    """Cavnar-Trenkle n-gram language ID (the 1994 'N-Gram-Based Text
-    Categorization' classifier): per-language profiles are the top-20
-    char 1-/2-/3-grams TRAINED from the corpus's own labels, a document
-    is classified by the out-of-place distance between its own top-20
-    gram ranking and each profile (missing gram = max penalty 20),
-    argmin wins. Reported as the declared-vs-predicted confusion matrix
-    — the TRAINED counterpart of lang_id_heuristic's hand-written
-    stopword profiles.
-
-    Scale shape: profiles are |langs| x 20 rows (broadcast); the per-doc
-    ranking windows run over doc-bounded gram counts; the distance join
-    fans each doc's <= 20 grams across |langs| — candidates only, never
-    corpus x corpus. All-integer ranks and distances.
-
-    Honesty note (the PQ-recall rule): the sandbox corpus's lang labels
-    are weakly signaled — 'zh' docs carry the same shared vocabulary —
-    so accuracy is ~0.33 vs the stopword heuristic's 0.36 and a 0.2
-    chance floor; a K sweep (20/50/100/200) moves nothing. The OPERATOR
-    SHAPE is what ships; on real multilingual text C&T profiles separate
-    cleanly."""
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", "lang", F.explode(spark_tokens("text")).alias("term")
-    )
-    levels = []
-    for L in (1, 2, 3):
-        levels.append(
-            toks.where(F.length("term") >= L).select(
-                "doc_id",
-                "lang",
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(1, length(term) - {L - 1}), i -> substring(term, i, {L}))"
-                    )
-                ).alias("g"),
-            )
-        )
-    g = levels[0].unionByName(levels[1]).unionByName(levels[2]).localCheckpoint()
-    wp = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
-    prof = (
-        g.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("rp", F.row_number().over(wp))
-        .where(F.col("rp") <= _CT_K)
-        .select("lang", "g", "rp")
-    )
-    wd = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
-    docg = (
-        g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("rd", F.row_number().over(wd))
-        .where(F.col("rd") <= _CT_K)
-        .select("doc_id", "g", "rd")
-    )
-    langs = _docs(spark, sf_dir).select("lang").distinct()
-    dist = (
-        docg.crossJoin(F.broadcast(langs))
-        .join(F.broadcast(prof), ["lang", "g"], "left")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum(F.coalesce(F.abs(F.col("rd") - F.col("rp")), F.lit(_CT_K)))
-            .cast("long")
-            .alias("dist")
-        )
-    )
-    wn = Window.partitionBy("doc_id").orderBy(F.asc("dist"), F.asc("lang"))
-    pred = (
-        dist.withColumn("rn", F.row_number().over(wn))
-        .where(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("pred_lang"))
-    )
-    return (
-        _docs(spark, sf_dir)
-        .select("doc_id", "lang")
-        .join(pred, "doc_id")
-        .groupBy("lang", "pred_lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .orderBy("lang", "pred_lang")
-    )
-
-
-@register(
-    "priority_sample_docs",
-    """SELECT doc_id, source, substr(md5(CAST(doc_id AS VARCHAR)), 9, 4) AS hk
-FROM documents ORDER BY hk, doc_id LIMIT 100""",
-)
-def priority_sample_docs(spark, sf_dir):
-    """Priority sampling: an EXACTLY-100-row uniform corpus sample as the
-    top-100 by a content-independent hash key — one TakeOrdered, no
-    global sort, no rate tuning (stratified_sample admits by rate and
-    returns a binomial-sized sample; this returns a fixed-size one, the
-    shape an eval-set builder needs). Hash coordinate is md5 hex chars
-    9-12 — independent of the shard (1-4) and split (5-8) coordinates, so
-    sampling is orthogonal to sharding and hold-out.
-
-    Scale shape: TakeOrdered(100) over a map-side projection — per-
-    partition top-100 then a driver merge; nothing global."""
-    return (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            "source",
-            F.expr("substring(md5(cast(doc_id as string)), 9, 4)").alias("hk"),
-        )
-        .orderBy("hk", "doc_id")
-        .limit(100)
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 25 — RAG window chunking, shingle-size tuning curve, epoch
-# shuffle plan
-# ---------------------------------------------------------------------------
-
-_SWC_W, _SWC_S = 128, 64  # window / stride (HF tokenizers' return_overflowing semantics)
-
-
-@register(
-    "sliding_window_chunks",
-    f"""WITH t AS (
-  SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n
-  FROM documents),
-nc AS (
-  SELECT doc_id, n,
-         CASE WHEN n <= {_SWC_W} THEN 1
-              ELSE (n - {_SWC_W} + {_SWC_S} - 1) // {_SWC_S} + 1 END AS n_chunks
-  FROM t WHERE n >= 1),
-c AS (
-  SELECT doc_id, i AS chunk_idx, CAST(i * {_SWC_S} AS BIGINT) AS start_pos,
-         CAST(LEAST({_SWC_W}, n - i * {_SWC_S}) AS BIGINT) AS chunk_len
-  FROM nc, unnest(generate_series(0, n_chunks - 1)) AS u(i))
-SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, start_pos, chunk_len
-FROM c ORDER BY doc_id, chunk_idx""",
-)
-def sliding_window_chunks(spark, sf_dir):
-    """RAG/pretraining window chunking: overlapping 128-token windows at
-    stride 64 per document (HF tokenizers' return_overflowing_tokens
-    semantics: chunk count = 1 for n <= W else ceil((n-W)/S)+1, so every
-    token is covered and the final chunk may be short). The output is
-    the chunk GEOMETRY — (doc, index, start, length) — which is what a
-    downstream embed-and-index pass maps over; emitting text would just
-    re-serialize the corpus.
-
-    Scale shape: one map-side token count per doc, then a per-doc
-    integer explode of n_chunks rows — no shuffle at all until the
-    output sort (which a real pipeline drops). All-integer chunk math."""
-    t = _docs(spark, sf_dir).select(
-        "doc_id", F.size(spark_tokens("text")).cast("long").alias("n")
-    )
-    nc = t.where(F.col("n") >= 1).withColumn(
-        "n_chunks",
-        F.expr(
-            f"CASE WHEN n <= {_SWC_W} THEN 1"
-            f" ELSE (n - {_SWC_W} + {_SWC_S} - 1) div {_SWC_S} + 1 END"
-        ),
-    )
-    return (
-        nc.select(
-            "doc_id",
-            "n",
-            F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_idx"),
-        )
-        .select(
-            "doc_id",
-            F.col("chunk_idx").cast("long").alias("chunk_idx"),
-            (F.col("chunk_idx") * F.lit(_SWC_S)).cast("long").alias("start_pos"),
-            F.expr(f"cast(least({_SWC_W}, n - chunk_idx * {_SWC_S}) as bigint)").alias(
-                "chunk_len"
-            ),
-        )
-        .orderBy("doc_id", "chunk_idx")
-    )
-
-
-# one gram level per shingle size k — explicit selects, the session-24 rule
-def _shingle_level_duck(k: int) -> str:
-    gram = " || ' ' || ".join(
-        f"words[i+{j}]" if j else "words[i]" for j in range(k)
-    )
-    return (
-        f"SELECT {k} AS k, doc_id, {gram} AS g\n"
-        f"  FROM w, unnest(generate_series(1, len(words) - {k - 1})) AS t{k}(i)"
-        f" WHERE len(words) >= {k}"
-    )
-
-
-@register(
-    "shingle_size_curve",
-    f"""WITH w AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words FROM documents),
-g AS ({" UNION ALL ".join(_shingle_level_duck(k) for k in (2, 3, 4))}),
-d AS (SELECT k, g, CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-      FROM g GROUP BY k, g)
-SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_distinct,
-       CAST(sum(n) AS BIGINT) AS n_total,
-       CAST(count(*) FILTER (WHERE df >= 2) AS BIGINT) AS n_cross_doc
-FROM d GROUP BY k ORDER BY k""",
-)
-def shingle_size_curve(spark, sf_dir):
-    """Shingle-size tuning curve for the dedup blocking key: at k = 2/3/4
-    words, the distinct-shingle count, total occurrences, and how many
-    shingles appear in 2+ documents — the k that balances collision rate
-    (small k = everything collides) against recall (big k = near-dups
-    stop sharing shingles). Completes the tuning-diagnostic family
-    (lsh_candidate_precision / simhash_hamming_histogram) on the third
-    axis the MinHash ops fix by fiat (k=3).
-
-    Scale shape: per-level map-side explodes into one (k, gram) two-phase
-    agg; the curve is 3 rows."""
-    w = _docs(spark, sf_dir).select("doc_id", spark_tokens("text").alias("words"))
-    levels = []
-    for k in (2, 3, 4):
-        gram = ", ".join(f"words[i+{j}]" if j else "words[i]" for j in range(k))
-        levels.append(
-            w.where(F.size("words") >= k).select(
-                F.lit(k).cast("long").alias("k"),
-                "doc_id",
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(0, size(words)-{k}), i -> concat_ws(' ', {gram}))"
-                    )
-                ).alias("g"),
-            )
-        )
-    g = levels[0].unionByName(levels[1]).unionByName(levels[2])
-    d = g.groupBy("k", "g").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.countDistinct("doc_id").cast("long").alias("df"),
-    )
-    return (
-        d.groupBy("k")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_distinct"),
-            F.sum("n").cast("long").alias("n_total"),
-            F.count_if(F.col("df") >= 2).cast("long").alias("n_cross_doc"),
-        )
-        .orderBy("k")
-    )
-
-
-@register(
-    "epoch_shuffle_order",
-    """WITH r AS (
-  SELECT e.epoch, d.doc_id,
-         md5('e' || CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS hk
-  FROM documents d, (SELECT unnest([1, 2]) AS epoch) e),
-rk AS (
-  SELECT epoch, doc_id,
-         row_number() OVER (PARTITION BY epoch ORDER BY hk, doc_id) AS rank
-  FROM r)
-SELECT CAST(epoch AS BIGINT) AS epoch, CAST(rank AS BIGINT) AS rank, doc_id
-FROM rk WHERE rank <= 20 ORDER BY epoch, rank""",
-)
-def epoch_shuffle_order(spark, sf_dir):
-    """Deterministic per-epoch data-loader shuffle: epoch e's document
-    order is ORDER BY md5('e' || e || ':' || doc_id) — reproducible
-    across reruns and engines, different between epochs, no RNG state to
-    checkpoint (the property torch's DistributedSampler gets from
-    set_epoch, as a relational operator). First 20 positions of epochs
-    1-2 are the contract sample.
-
-    Scale shape: the hash is map-side; the per-epoch rank is a window
-    whose top-20 a real loader never materializes globally (it streams
-    the order); here the sample keeps the contract small. At scale the
-    shuffle IS the shard assignment: hash-range-partition by hk and read
-    shards in order."""
-    epochs = spark.createDataFrame([(1,), (2,)], "epoch long")
-    r = (
-        _docs(spark, sf_dir)
-        .select("doc_id")
-        .crossJoin(F.broadcast(epochs))
-        .select(
-            "epoch",
-            "doc_id",
-            F.expr(
-                "md5(concat('e', cast(epoch as string), ':', cast(doc_id as string)))"
-            ).alias("hk"),
-        )
-    )
-    wk = Window.partitionBy("epoch").orderBy("hk", "doc_id")
-    return (
-        r.withColumn("rank", F.row_number().over(wk))
-        .where(F.col("rank") <= 20)
-        .select("epoch", F.col("rank").cast("long").alias("rank"), "doc_id")
-        .orderBy("epoch", "rank")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 26 — batch padding efficiency, vocab coverage curve, trained
-# multinomial naive Bayes language ID
-# ---------------------------------------------------------------------------
-
-# shared float expression strings (the session-19 rule: ONE textual form in
-# both engines so the double rounds identically)
-_PAD_OVERHEAD_EXPR = (
-    "cast(round(1000000 * ((bucket_cap * n_docs - sum_tokens)"
-    " / cast(bucket_cap * n_docs as double))) as bigint)"
-)
-_VOCAB_COV_EXPR = (
-    "cast(round(1000000 * (covered_tokens / cast(total_tokens as double))) as bigint)"
-)
-_NB_LAM_EXPR = "cast(round(1000000 * ln((c + 1) / cast(ntok + vs as double))) as bigint)"
-_NB_LAM0_EXPR = "cast(round(1000000 * ln(1 / cast(ntok + vs as double))) as bigint)"
-_NB_PRI_EXPR = "cast(round(1000000 * ln(nd / cast(n as double))) as bigint)"
-
-
-@register(
-    "pad_efficiency_buckets",
-    f"""WITH t AS (
-  SELECT CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n
-  FROM documents),
-b AS (
-  SELECT ((n + 63) // 64) * 64 AS bucket_cap,
-         CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens
-  FROM t WHERE n >= 1 GROUP BY 1)
-SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap, n_docs, sum_tokens,
-       {_PAD_OVERHEAD_EXPR} AS pad_overhead_q6
-FROM b ORDER BY bucket_cap""",
-)
-def pad_efficiency_buckets(spark, sf_dir):
-    """Dynamic-batching diagnostic: bucket documents by padded length
-    (next multiple of 64 tokens — the bucketed-batching trick every
-    training loader uses to bound padding waste), and report per bucket
-    the doc count, real token count, and the padding overhead
-    (padded - real) / padded in q6. The curve tells you what fraction of
-    batch FLOPs a given bucket granularity burns on pad tokens.
-
-    Scale shape: map-side token count + integer bucket key, one small
-    groupBy (bucket count = max_len / 64 rows). Overhead divides exact
-    BIGINTs under 2^53 in one shared float expression."""
-    t = _docs(spark, sf_dir).select(
-        F.size(spark_tokens("text")).cast("long").alias("n")
-    )
-    b = (
-        t.where(F.col("n") >= 1)
-        .groupBy(F.expr("((n + 63) div 64) * 64").alias("bucket_cap"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n").cast("long").alias("sum_tokens"),
-        )
-    )
-    return b.select(
-        F.col("bucket_cap").cast("long").alias("bucket_cap"),
-        "n_docs",
-        "sum_tokens",
-        F.expr(_PAD_OVERHEAD_EXPR).alias("pad_overhead_q6"),
-    ).orderBy("bucket_cap")
-
-
-_VOCAB_KS = (4, 8, 16, 32)
-
-
-@register(
-    "vocab_coverage_curve",
-    f"""WITH toks AS (
-  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term FROM documents),
-tf AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
-tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM tf),
-rk AS (SELECT term, c, row_number() OVER (ORDER BY c DESC, term ASC) AS rn
-       FROM tf QUALIFY rn <= {max(_VOCAB_KS)}),
-ks AS (SELECT unnest({list(_VOCAB_KS)}) AS k),
-cov AS (
-  SELECT k, CAST(count(*) AS BIGINT) AS vocab_terms,
-         CAST(sum(c) AS BIGINT) AS covered_tokens
-  FROM rk JOIN ks ON rk.rn <= ks.k GROUP BY k)
-SELECT CAST(k AS BIGINT) AS k, vocab_terms, covered_tokens, total_tokens,
-       {_VOCAB_COV_EXPR} AS coverage_q6
-FROM cov CROSS JOIN tot ORDER BY k""",
-)
-def vocab_coverage_curve(spark, sf_dir):
-    """Vocabulary coverage curve: what fraction of all token occurrences
-    the top-k most frequent terms cover, at k = 4/8/16/32 (ties broken
-    term-ascending) — the tokenizer/vocab-size tuning curve (1 − coverage
-    is the OOV rate a k-entry vocab would eat). Complements
-    heaps_law_source (vocab GROWTH) with vocab CONCENTRATION.
-
-    Scale shape: one term-count agg, then TakeOrdered(32) — the global
-    ranking window runs over 32 collected rows, never the vocabulary;
-    totals are a 1-row broadcast. The k fan-out is a broadcast theta-join
-    against 32 rows."""
-    tf = (
-        _docs(spark, sf_dir)
-        .select(F.explode(spark_tokens("text")).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    tot = tf.agg(F.sum("c").cast("long").alias("total_tokens"))
-    top = tf.orderBy(F.desc("c"), F.asc("term")).limit(max(_VOCAB_KS))
-    rk = top.withColumn(
-        "rn", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("term")))
-    )
-    ks = spark.createDataFrame([(k,) for k in _VOCAB_KS], "k long")
-    cov = (
-        rk.crossJoin(F.broadcast(ks))
-        .where(F.col("rn") <= F.col("k"))
-        .groupBy("k")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("vocab_terms"),
-            F.sum("c").cast("long").alias("covered_tokens"),
-        )
-    )
-    return (
-        cov.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("k").cast("long").alias("k"),
-            "vocab_terms",
-            "covered_tokens",
-            "total_tokens",
-            F.expr(_VOCAB_COV_EXPR).alias("coverage_q6"),
-        )
-        .orderBy("k")
-    )
-
-
-_NB_SQL = f"""WITH toks AS (
-  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
-  FROM documents),
-tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
-ct AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY lang, term),
-v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS vs FROM toks),
-tl AS (SELECT lang, CAST(count(*) AS BIGINT) AS ntok FROM toks GROUP BY lang),
-pri AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY lang),
-nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-lam AS (
-  SELECT ct.lang, ct.term, {_NB_LAM_EXPR} AS lam_q6
-  FROM ct JOIN tl USING (lang) CROSS JOIN v),
-l0 AS (
-  SELECT tl.lang, {_NB_LAM0_EXPR} AS lam0_q6, {_NB_PRI_EXPR} AS pri_q6
-  FROM tl JOIN pri USING (lang) CROSS JOIN v CROSS JOIN nn),
-sc AS (
-  SELECT f.doc_id, l.lang,
-         l.pri_q6 + CAST(sum(f.tf * COALESCE(m.lam_q6, l.lam0_q6)) AS BIGINT) AS score
-  FROM tf f CROSS JOIN l0 l
-  LEFT JOIN lam m ON m.lang = l.lang AND m.term = f.term
-  GROUP BY f.doc_id, l.lang, l.pri_q6),
-pred AS (
-  SELECT doc_id, lang AS pred_lang FROM (
-    SELECT doc_id, lang, row_number() OVER (
-      PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
-    FROM sc) WHERE rn = 1)
-SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
-FROM documents d JOIN pred p USING (doc_id)
-GROUP BY d.lang, p.pred_lang ORDER BY d.lang, p.pred_lang"""
-
-
-@register("naive_bayes_langid", _NB_SQL)
-def naive_bayes_langid(spark, sf_dir):
-    """Multinomial naive Bayes language ID trained on the corpus's own
-    labels (the fastText-baseline linear-classifier family): add-1
-    smoothed token likelihoods p(t|l) = (c+1)/(ntok_l + |V|) and doc
-    priors, argmax of log prior + Σ tf·log p(t|l); reported as the
-    declared-vs-predicted confusion matrix. Third model family next to
-    lang_id_heuristic (hand stopword lists) and cavnar_trenkle_langid
-    (char-gram rank profiles).
-
-    Determinism: per-(lang,term) log-likelihood is q6-rounded FIRST
-    (one shared ln expression string both engines), doc scores are exact
-    BIGINT sums of tf·λ_q6 — no float accumulation order anywhere.
-    Empty docs have no tf rows and drop out of the matrix on both sides.
-
-    Scale shape: tf and ct are two-phase aggs off one tokenize pass
-    (localCheckpoint'd — two consumers); λ join is candidates-only on
-    term (un-hinted: vocab×langs is unbounded, AQE decides); priors and
-    per-lang constants broadcast; argmax is a doc-bounded window."""
-    toks = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "lang", F.explode(spark_tokens("text")).alias("term"))
-        .localCheckpoint()
-    )
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
-    ct = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    v = ct.agg(F.countDistinct("term").cast("long").alias("vs"))
-    tl = ct.groupBy("lang").agg(F.sum("c").cast("long").alias("ntok"))
-    pri = _docs(spark, sf_dir).groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("nd")
-    )
-    nn = _docs(spark, sf_dir).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    lam = (
-        ct.join(F.broadcast(tl), "lang")
-        .crossJoin(F.broadcast(v))
-        .select("lang", "term", F.expr(_NB_LAM_EXPR).alias("lam_q6"))
-    )
-    l0 = (
-        tl.join(F.broadcast(pri), "lang")
-        .crossJoin(F.broadcast(v))
-        .crossJoin(F.broadcast(nn))
-        .select(
-            "lang",
-            F.expr(_NB_LAM0_EXPR).alias("lam0_q6"),
-            F.expr(_NB_PRI_EXPR).alias("pri_q6"),
-        )
-    )
-    sc = (
-        tf.crossJoin(F.broadcast(l0))
-        .join(lam, ["lang", "term"], "left")
-        .groupBy("doc_id", "lang", "pri_q6")
-        .agg(
-            F.sum(
-                F.col("tf") * F.coalesce(F.col("lam_q6"), F.col("lam0_q6"))
-            ).cast("long").alias("s")
-        )
-        .select("doc_id", "lang", (F.col("pri_q6") + F.col("s")).alias("score"))
-    )
-    wn = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
-    pred = (
-        sc.withColumn("rn", F.row_number().over(wn))
-        .where(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("pred_lang"))
-    )
-    return (
-        _docs(spark, sf_dir)
-        .select("doc_id", "lang")
-        .join(pred, "doc_id")
-        .groupBy("lang", "pred_lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .orderBy("lang", "pred_lang")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 27 — windowed co-occurrence PPMI, LSH (b,r) config sweep,
-# streaming-maintained HLL registers (batch twin)
-# ---------------------------------------------------------------------------
-
-# divide-first PPMI over exact BIGINTs; cast(0 as double) because a plain
-# 0.0 literal is DECIMAL in Spark SQL
-_PPMI_EXPR = (
-    "cast(round(1000000 * greatest(cast(0 as double), ln((w_ab / cast(w_tot as double))"
-    " / ((n_a / cast(n_tok as double)) * (n_b / cast(n_tok as double)))))) as bigint)"
-)
-
-
-@register(
-    "cooccurrence_ppmi",
-    f"""WITH w AS ({SQL_WORDS}),
-p AS (
-  SELECT least(words[i], words[i+1]) AS a, greatest(words[i], words[i+1]) AS b, 2 AS wt
-  FROM w, unnest(generate_series(1, len(words) - 1)) AS t1(i) WHERE len(words) >= 2
-  UNION ALL
-  SELECT least(words[i], words[i+2]), greatest(words[i], words[i+2]), 1
-  FROM w, unnest(generate_series(1, len(words) - 2)) AS t2(i) WHERE len(words) >= 3),
-pc AS (SELECT a, b, CAST(sum(wt) AS BIGINT) AS w_ab FROM p GROUP BY a, b),
-uc AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM ({SQL_TOKS}) GROUP BY term),
-tot AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM uc) AS n_tok,
-               (SELECT CAST(sum(w_ab) AS BIGINT) FROM pc) AS w_tot)
-SELECT a AS term_a, b AS term_b, w_ab, {_PPMI_EXPR} AS ppmi_q6
-FROM pc JOIN (SELECT term, n AS n_a FROM uc) ua ON ua.term = pc.a
-        JOIN (SELECT term, n AS n_b FROM uc) ub ON ub.term = pc.b
-        CROSS JOIN tot
-WHERE w_ab >= 4
-ORDER BY ppmi_q6 DESC, term_a ASC, term_b ASC LIMIT 30""",
-)
-def cooccurrence_ppmi(spark, sf_dir):
-    """GloVe/word2vec-style distance-weighted co-occurrence + PPMI: every
-    unordered token pair within a +-2 window, weighted 2/d (d=1 -> 2,
-    d=2 -> 1, exact integers), PPMI = max(0, ln(p(a,b)/(p(a)p(b)))) over
-    the weighted pair distribution; top-30 pairs at weight >= 4 (the
-    classic min-count guard against rare-pair PMI blowup). The
-    co-occurrence matrix build step of an embedding-training pipeline —
-    windowed and distance-weighted where collocations_pmi is
-    adjacent-bigram only.
-
-    Scale shape: pair generation is a per-doc map-side transform (no
-    position self-join — offsets +1/+2 are array indexing), then ONE
-    (a,b) groupBy; unigram joins are term-keyed and un-hinted (vocab is
-    unbounded — AQE decides); totals broadcast; top-30 is a TakeOrdered
-    over quantized scores with (a,b) tiebreak."""
-    w = (
-        _docs(spark, sf_dir)
-        .select("doc_id", spark_tokens("text").alias("words"))
-        .localCheckpoint()
-    )
-    lv = []
-    for d, wt in ((1, 2), (2, 1)):
-        lv.append(
-            w.where(F.size("words") >= d + 1).select(
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(0, size(words)-{d + 1}),"
-                        f" i -> struct(least(words[i], words[i+{d}]) as a,"
-                        f" greatest(words[i], words[i+{d}]) as b))"
-                    )
-                ).alias("p"),
-                F.lit(wt).alias("wt"),
-            ).select("p.a", "p.b", "wt")
-        )
-    pc = (
-        lv[0].unionByName(lv[1])
-        .groupBy("a", "b")
-        .agg(F.sum("wt").cast("long").alias("w_ab"))
-    )
-    uc = (
-        w.select(F.explode("words").alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    tot = uc.agg(F.sum("n").cast("long").alias("n_tok")).crossJoin(
-        pc.agg(F.sum("w_ab").cast("long").alias("w_tot"))
-    )
-    return (
-        pc.where(F.col("w_ab") >= 4)
-        .join(uc.select(F.col("term").alias("a"), F.col("n").alias("n_a")), "a")
-        .join(uc.select(F.col("term").alias("b"), F.col("n").alias("n_b")), "b")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.col("a").alias("term_a"),
-            F.col("b").alias("term_b"),
-            "w_ab",
-            F.expr(_PPMI_EXPR).alias("ppmi_q6"),
-        )
-        .orderBy(F.desc("ppmi_q6"), F.asc("term_a"), F.asc("term_b"))
-        .limit(30)
-    )
-
-
-@register(
-    "lsh_band_config_curve",
-    f"""WITH sh AS MATERIALIZED ({_SQL_SHINGLES}),
-sig AS MATERIALIZED (
-  SELECT doc_id, min(md5('0:' || sh)) AS m0, min(md5('1:' || sh)) AS m1,
-         min(md5('2:' || sh)) AS m2, min(md5('3:' || sh)) AS m3
-  FROM sh GROUP BY doc_id),
-bands AS (
-  SELECT 1 AS b, doc_id, '0:' || m0 || m1 || m2 || m3 AS band FROM sig
-  UNION ALL SELECT 2, doc_id, '0:' || m0 || m1 FROM sig
-  UNION ALL SELECT 2, doc_id, '1:' || m2 || m3 FROM sig
-  UNION ALL SELECT 4, doc_id, '0:' || m0 FROM sig
-  UNION ALL SELECT 4, doc_id, '1:' || m1 FROM sig
-  UNION ALL SELECT 4, doc_id, '2:' || m2 FROM sig
-  UNION ALL SELECT 4, doc_id, '3:' || m3 FROM sig),
-pairs AS (
-  SELECT DISTINCT a.b, a.doc_id AS doc_a, b2.doc_id AS doc_b
-  FROM bands a JOIN bands b2
-    ON a.b = b2.b AND a.band = b2.band AND a.doc_id < b2.doc_id),
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT p.b, p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS c,
-         any_value(na.n) AS na, any_value(nb.n) AS nb
-  FROM pairs p
-  JOIN sh a ON a.doc_id = p.doc_a
-  JOIN sh bb ON bb.doc_id = p.doc_b AND bb.sh = a.sh
-  JOIN sizes na ON na.doc_id = p.doc_a
-  JOIN sizes nb ON nb.doc_id = p.doc_b
-  GROUP BY p.b, p.doc_a, p.doc_b),
-cand AS (SELECT b, CAST(count(*) AS BIGINT) AS n_cand FROM pairs GROUP BY b),
-tru AS (SELECT b, CAST(count(*) FILTER (3 * c >= na + nb) AS BIGINT) AS n_true
-        FROM inter GROUP BY b),
-cfg AS (SELECT unnest([1, 2, 4]) AS b)
-SELECT CAST(cfg.b AS BIGINT) AS n_bands, CAST(4 // cfg.b AS BIGINT) AS rows_per_band,
-       COALESCE(n_cand, 0) AS n_cand, COALESCE(n_true, 0) AS n_true,
-       CASE WHEN COALESCE(n_cand, 0) = 0 THEN 0
-            ELSE (COALESCE(n_true, 0) * 1000000) // n_cand END AS precision_q6
-FROM cfg LEFT JOIN cand ON cand.b = cfg.b LEFT JOIN tru ON tru.b = cfg.b
-ORDER BY n_bands""",
-)
-def lsh_band_config_curve(spark, sf_dir):
-    """MinHash banding (b, r) sweep over the 4-permutation signature:
-    b=1/r=4 (full-signature equality), b=2/r=2 (the shipped config),
-    b=4/r=1 (single-hash bands) — per config the candidate-pair count,
-    how many clear exact Jaccard >= 0.5 (integer cross-mult 3c >= na+nb),
-    and the precision. The S-curve knob itself, completing the dedup
-    tuning family: shingle_size_curve tunes k, lsh_candidate_precision
-    reads one config, this sweeps the configs. Candidate sets nest
-    (b=1 subset of b=2 subset of b=4) — pytest-proven.
-
-    Scale shape: bands are 7 map-side projections of the doc-keyed
-    signature table; pairs come from per-config band equi-joins (the
-    shuffle carries signatures, never documents); the exact intersection
-    runs on CANDIDATES ONLY; the report is 3 rows."""
-    sh = _shingles_spark(spark, sf_dir).localCheckpoint()
-    mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"m{i}")
-        for i in range(4)
-    ]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    # ONE map-side explode of 7 (config, band) structs per doc — a 7-way
-    # union of sig projections would re-run the signature agg per leg
-    parts = [
-        (1, "0:", ["m0", "m1", "m2", "m3"]),
-        (2, "0:", ["m0", "m1"]),
-        (2, "1:", ["m2", "m3"]),
-        (4, "0:", ["m0"]),
-        (4, "1:", ["m1"]),
-        (4, "2:", ["m2"]),
-        (4, "3:", ["m3"]),
-    ]
-    structs = [
-        F.struct(
-            F.lit(b).alias("b"),
-            F.concat(F.lit(pfx), *[F.col(c) for c in cols]).alias("band"),
-        )
-        for b, pfx, cols in parts
-    ]
-    bands = sig.select("doc_id", F.explode(F.array(*structs)).alias("x")).select(
-        F.col("x.b").alias("b"), "doc_id", F.col("x.band").alias("band")
-    )
-    a, b2 = bands.alias("a"), bands.alias("b2")
-    pairs = (
-        a.join(
-            b2,
-            (F.col("a.b") == F.col("b2.b"))
-            & (F.col("a.band") == F.col("b2.band"))
-            & (F.col("a.doc_id") < F.col("b2.doc_id")),
-        )
-        .select(
-            F.col("a.b").alias("b"),
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b2.doc_id").alias("doc_b"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    inter = (
-        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
-            "doc_b",
-        )
-        .where(F.col("sh") == F.col("sh_b"))
-        .groupBy("b", "doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-    )
-    cand = pairs.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
-    tru = inter.groupBy("b").agg(
-        F.count_if(F.expr("3 * c >= na + nb")).cast("long").alias("n_true")
-    )
-    cfg = spark.createDataFrame([(1,), (2,), (4,)], "b long")
-    return (
-        cfg.join(F.broadcast(cand), "b", "left")
-        .join(F.broadcast(tru), "b", "left")
-        .select(
-            F.col("b").cast("long").alias("n_bands"),
-            F.expr("cast(4 div b as bigint)").alias("rows_per_band"),
-            F.coalesce(F.col("n_cand"), F.lit(0)).cast("long").alias("n_cand"),
-            F.coalesce(F.col("n_true"), F.lit(0)).cast("long").alias("n_true"),
-            F.expr(
-                "CASE WHEN COALESCE(n_cand, 0) = 0 THEN 0"
-                " ELSE (COALESCE(n_true, 0) * 1000000) div n_cand END"
-            ).cast("long").alias("precision_q6"),
-        )
-        .orderBy("n_bands")
-    )
-
-
-@register(
-    "hll_user_registers",
-    """WITH h AS (
-  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT AS h
-  FROM events),
-rr AS (
-  SELECT h % 256 AS reg,
-         CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END AS rnk
-  FROM h)
-SELECT CAST(reg AS BIGINT) AS reg, CAST(max(rnk) AS BIGINT) AS maxr
-FROM rr GROUP BY reg ORDER BY reg""",
-)
-def hll_user_registers(spark, sf_dir):
-    """Batch twin of the streaming HLL maintenance
-    (streaming/events.py::hll_user_stream): the 256-register table of
-    distinct-user structure over the events stream, same deterministic
-    p=8 family as cardinality_sketch (whose docstring carries the
-    estimator math). Registers merge by MAX, so the streaming side
-    maintains the identical table as a complete-mode running aggregation
-    with <= 256 rows of state — stream-vs-batch identity is pytest-proven
-    (test_events_streaming.py). Duplicate user_ids need no distinct pass:
-    max absorbs them, which is exactly what makes the sketch streamable."""
-    from docix_spark.streaming.events import hll_user_registers as _twin
-
-    return _twin(_events(spark, sf_dir))
-
-
-# ---------------------------------------------------------------------------
-# session 28 — robust stats (MAD), deterministic bootstrap, pseudo-relevance
-# feedback expansion
-# ---------------------------------------------------------------------------
-
-# type-7 median probe shared by both passes: rank r = 0.5 * (n - 1), v_lo /
-# v_hi bracket it in the weighted histogram, interpolate. p derived from the
-# integer 500000 — never a decimal literal (doclen_quantiles rule).
-_MED_RANK = "(500000 / 1000000.0) * (n - 1)"
-
-
-@register(
-    "mad_doclen",
-    f"""WITH t AS (
-  SELECT source,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
-  FROM documents),
-hist AS (SELECT source, n_tok AS v, count(*) AS cnt FROM t GROUP BY source, n_tok),
-h AS (
-  SELECT source, v, cnt,
-         CAST(COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY v
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
-         CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
-  FROM hist),
-med AS (
-  SELECT source,
-         CAST(round(1000000.0 * (v_lo + (({_MED_RANK}) - floor({_MED_RANK})) * (v_hi - v_lo))) AS BIGINT) AS median_q6
-  FROM (
-    SELECT source, max(n) AS n,
-           max(CASE WHEN cum_before <= floor({_MED_RANK}) THEN v END) AS v_lo,
-           max(CASE WHEN cum_before <= floor({_MED_RANK}) + 1 THEN v END) AS v_hi
-    FROM h GROUP BY source)),
-dev AS (
-  SELECT t.source, abs(t.n_tok * 1000000 - m.median_q6) AS d
-  FROM t JOIN med m USING (source)),
-dhist AS (SELECT source, d AS v, count(*) AS cnt FROM dev GROUP BY source, d),
-dh AS (
-  SELECT source, v, cnt,
-         CAST(COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY v
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
-         CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
-  FROM dhist),
-mad AS (
-  SELECT source,
-         CAST(round(v_lo + (({_MED_RANK}) - floor({_MED_RANK})) * (v_hi - v_lo)) AS BIGINT) AS mad_q6
-  FROM (
-    SELECT source, max(n) AS n,
-           max(CASE WHEN cum_before <= floor({_MED_RANK}) THEN v END) AS v_lo,
-           max(CASE WHEN cum_before <= floor({_MED_RANK}) + 1 THEN v END) AS v_hi
-    FROM dh GROUP BY source))
-SELECT source, median_q6, mad_q6 FROM med JOIN mad USING (source) ORDER BY source""",
-)
-def mad_doclen(spark, sf_dir):
-    """ES ``median_absolute_deviation`` aggregation over per-source token
-    lengths, EXACT: median of |n_tok − median(n_tok)| (type-7
-    interpolation both passes), the robust dispersion measure that a few
-    giant crawl documents can't blow up the way variance does. ES ships
-    an approximate TDigest version; ours is exact from the same weighted-
-    histogram machinery as doclen_quantiles, run twice — deviations are
-    q6 BIGINTs so the second histogram is integer-keyed too.
-
-    Scale shape: both passes collapse map-side into (source, value)
-    histogram cells bounded by distinct lengths, never raw docs on a
-    reducer; the per-source median joins back as a broadcast (|sources|
-    rows). No percentile() anywhere (it buffers raw group values)."""
-    t = (
-        _docs(spark, sf_dir)
-        .select("source", F.size(spark_tokens("text")).cast("long").alias("n_tok"))
-        .localCheckpoint()
-    )
-
-    def _median(vals: DataFrame, val: str, scale: bool) -> DataFrame:
-        hist = vals.groupBy("source", val).agg(F.count(F.lit(1)).alias("cnt"))
-        w_cum = (
-            Window.partitionBy("source")
-            .orderBy(val)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        w_all = Window.partitionBy("source")
-        h = hist.select(
-            "source",
-            F.col(val).alias("v"),
-            F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).cast("long").alias("cum_before"),
-            F.sum("cnt").over(w_all).cast("long").alias("n"),
-        )
-        rank = F.expr(_MED_RANK)
-        agg = h.groupBy("source").agg(
-            F.max("n").alias("n"),
-            F.max(F.when(F.col("cum_before") <= F.floor(rank), F.col("v"))).alias("v_lo"),
-            F.max(F.when(F.col("cum_before") <= F.floor(rank) + 1, F.col("v"))).alias("v_hi"),
-        )
-        r = F.expr(_MED_RANK)
-        interp = F.col("v_lo") + (r - F.floor(r)) * (F.col("v_hi") - F.col("v_lo"))
-        out = F.lit(1_000_000.0) * interp if scale else interp
-        return agg.select("source", F.round(out).cast("long").alias("m"))
-
-    med = _median(t, "n_tok", scale=True).withColumnRenamed("m", "median_q6")
-    dev = t.join(F.broadcast(med), "source").select(
-        "source",
-        F.abs(F.col("n_tok") * F.lit(1_000_000) - F.col("median_q6")).alias("d"),
-    )
-    mad = _median(dev, "d", scale=False).withColumnRenamed("m", "mad_q6")
-    return med.join(mad, "source").select("source", "median_q6", "mad_q6").orderBy("source")
-
-
-# Poisson(1) inverse-CDF thresholds, folded in Python and inlined in
-# e-notation (the HLL-constant rule: decimal literals are DECIMAL in Spark
-# SQL). cdf(k) = e^-1 * Σ_{{j<=k}} 1/j!; weights capped at 5
-# (P(X>5) ≈ 6e-4 — documented truncation).
-_BOOT_T = [
-    repr(math.exp(-1.0) * c) for c in (1.0, 2.0, 2.5, 8.0 / 3.0, 65.0 / 24.0)
-]
-_BOOT_B = 16
-# 13 hex digits = 52 bits; u = k / 2^52 is EXACT in double, so the
-# threshold comparisons are deterministic across engines
-_BOOT_W_CASE = (
-    "CASE WHEN u < {t0} THEN 0 WHEN u < {t1} THEN 1 WHEN u < {t2} THEN 2"
-    " WHEN u < {t3} THEN 3 WHEN u < {t4} THEN 4 ELSE 5 END"
-).format(t0=_BOOT_T[0], t1=_BOOT_T[1], t2=_BOOT_T[2], t3=_BOOT_T[3], t4=_BOOT_T[4])
-_BOOT_MEAN_EXPR = (
-    "cast(round(1000000 * (sum_wn / cast(sum_w as double))) as bigint)"
-)
-
-
-@register(
-    "bootstrap_mean_doclen",
-    f"""WITH t AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
-  FROM documents),
-u AS (
-  SELECT r, n_tok,
-         ('0x' || substr(md5('b' || CAST(r AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
-           / 4503599627370496.0 AS u
-  FROM t, (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS r)),
-w AS (SELECT r, n_tok, {_BOOT_W_CASE} AS w FROM u),
-rep AS (
-  SELECT r, CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(w * n_tok) AS BIGINT) AS sum_wn
-  FROM w GROUP BY r)
-SELECT CAST(r AS BIGINT) AS r, sum_w, sum_wn,
-       CASE WHEN sum_w = 0 THEN 0 ELSE {_BOOT_MEAN_EXPR} END AS mean_q6
-FROM rep ORDER BY r""",
-)
-def bootstrap_mean_doclen(spark, sf_dir):
-    """Deterministic Poisson bootstrap of the corpus mean document length:
-    16 replicates where doc i's weight in replicate r is
-    Poisson(1)-distributed via the inverse CDF over a 52-bit md5 uniform
-    (u = hash/2^52 is exact in double, thresholds are Python-folded
-    e-notation constants — comparisons are bit-identical across engines).
-    The replicate means' spread IS the standard error of the mean — the
-    sampling-uncertainty readout a data-mix ablation needs, with zero RNG
-    state and full reproducibility (a reader takes stddev of mean_q6).
-    The Poisson bootstrap (Chamandy et al., 'Estimating Uncertainty for
-    Massive Data Streams') is THE distributed form: independent per-doc
-    weights need no resample-by-index pass over the corpus.
-
-    Scale shape: the replicate fan-out is a map-side explode of B=16
-    weights per doc; each replicate collapses to two BIGINT sufficient
-    stats; the output is 16 rows. Weights cap at 5 (P(X>5) ≈ 6e-4,
-    documented truncation). mean_q6 guards the all-zero-weight replicate
-    (possible only on tiny corpora)."""
-    reps = spark.createDataFrame([(r,) for r in range(_BOOT_B)], "r long")
-    t = _docs(spark, sf_dir).select(
-        "doc_id", F.size(spark_tokens("text")).cast("long").alias("n_tok")
-    )
-    u = t.crossJoin(F.broadcast(reps)).select(
-        "r",
-        "n_tok",
-        F.expr(
-            "cast(conv(substring(md5(concat('b', cast(r as string), ':',"
-            " cast(doc_id as string))), 1, 13), 16, 10) as bigint)"
-            " / 4503599627370496.0"
-        ).alias("u"),
-    )
-    w = u.select("r", "n_tok", F.expr(_BOOT_W_CASE).alias("w"))
-    rep = w.groupBy("r").agg(
-        F.sum("w").cast("long").alias("sum_w"),
-        F.sum(F.expr("w * n_tok")).cast("long").alias("sum_wn"),
-    )
-    return rep.select(
-        F.col("r").cast("long").alias("r"),
-        "sum_w",
-        "sum_wn",
-        F.expr(
-            f"CASE WHEN sum_w = 0 THEN 0 ELSE {_BOOT_MEAN_EXPR} END"
-        ).alias("mean_q6"),
-    ).orderBy("r")
-
-
-_PRF_EXCLUDE = ", ".join(f"'{t}'" for t in _TOPK_TERMS)
-
-
-@register(
-    "prf_rocchio_expand",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + f""",
-top10 AS (SELECT doc_id FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 10),
-idf AS (
-  SELECT term, CAST(round(1000000 * ln((SELECT n_docs FROM st) / df)) AS BIGINT) AS idf_q6
-  FROM dfs),
-expd AS (
-  SELECT tf.term, CAST(sum(tf.tf * idf.idf_q6) AS BIGINT) AS w_q6
-  FROM tf JOIN top10 USING (doc_id) JOIN idf USING (term)
-  WHERE tf.term NOT IN ({_PRF_EXCLUDE})
-  GROUP BY tf.term)
-SELECT term, w_q6, CAST(rank AS BIGINT) AS rank FROM (
-  SELECT term, w_q6, row_number() OVER (ORDER BY w_q6 DESC, term ASC) AS rank
-  FROM expd)
-WHERE rank <= 8 ORDER BY rank""",
-)
-def prf_rocchio_expand(spark, sf_dir):
-    """Pseudo-relevance feedback (Rocchio term selection): run the query,
-    take the BM25 top-10 as the pseudo-relevant set, and rank candidate
-    expansion terms by Σ tf·idf over that set (idf q6-rounded per TERM
-    first, doc sums exact BIGINT), excluding the original query terms —
-    the classic two-pass query expansion a retrieval pipeline bolts onto
-    BM25 when recall matters (RM1/Rocchio positive centroid, Manning IR
-    ch. 9). Top-8 expansion terms with ranks.
-
-    Scale shape: the pseudo-relevant set is the memoized
-    `_bm25_match_set` truncated by one TakeOrdered(10) and broadcast back
-    into the tf table (a 10-key semi-join — postings for 10 docs, never
-    the corpus); idf is a vocab-keyed map-side projection off the shared
-    tf exchange; top-8 is a TakeOrdered over exact integers."""
-    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
-    top10 = agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10).select("doc_id")
-    toks = _toks(_docs(spark, sf_dir))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    st = dl.agg(F.count("*").cast("double").alias("n_docs"))
-    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    idf = dfs.crossJoin(F.broadcast(st)).select(
-        "term",
-        F.expr("cast(round(1000000 * ln(n_docs / df)) as bigint)").alias("idf_q6"),
-    )
-    expd = (
-        tf.join(F.broadcast(top10), "doc_id")
-        .where(~F.col("term").isin(*_TOPK_TERMS))
-        .join(idf, "term")
-        .groupBy("term")
-        .agg(F.sum(F.expr("tf * idf_q6")).cast("long").alias("w_q6"))
-    )
-    top8 = expd.orderBy(F.desc("w_q6"), F.asc("term")).limit(8)
-    return (
-        top8.withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("w_q6"), F.asc("term"))).cast("long"),
-        )
-        .select("term", "w_q6", "rank")
-        .orderBy("rank")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 29 — learning-to-rank feature extraction, query-performance
-# prediction (clarity score)
-# ---------------------------------------------------------------------------
-
-_IDF_Q6_EXPR_DUCK = (
-    "CAST(round(1000000 * ln(1.0 + ((SELECT n_docs FROM st) - df + 0.5) / (df + 0.5))) AS BIGINT)"
-)
-_CLARITY_EXPR = (
-    "cast(round(1000000 * ((a / cast(atot as double))"
-    " * ln((a / cast(atot as double)) / (c / cast(ctot as double))))) as bigint)"
-)
-
-
-@register(
-    "ltr_features",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + f""",
-top20 AS (
-  SELECT doc_id, score_q6, nm,
-         row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rank
-  FROM agg QUALIFY rank <= 20),
-idf AS (SELECT term, {_IDF_Q6_EXPR_DUCK} AS idf_q6 FROM dfs JOIN q USING (term)),
-feat AS (
-  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS sum_tf,
-         CAST(max(idf.idf_q6) AS BIGINT) AS max_idf_q6
-  FROM tf JOIN idf USING (term) JOIN top20 USING (doc_id)
-  GROUP BY tf.doc_id)
-SELECT t.doc_id, CAST(t.rank AS BIGINT) AS rank, t.score_q6 AS bm25_q6,
-       CAST(t.nm AS BIGINT) AS n_matched, CAST(dl.doc_len AS BIGINT) AS doc_len,
-       f.sum_tf, f.max_idf_q6
-FROM top20 t JOIN dl USING (doc_id) JOIN feat f USING (doc_id)
-ORDER BY rank""",
-)
-def ltr_features(spark, sf_dir):
-    """Learning-to-rank feature extraction (the ES LTR plugin's feature-
-    logging step): for the query's BM25 top-20, emit the per-(query, doc)
-    feature vector a reranker trains on — BM25 score, matched-term count,
-    document length, total query-term frequency, and the strongest
-    matched term's idf (q6). The output table IS the training set a
-    GBDT/cross-encoder reranker consumes; features are exact integers so
-    the logged set is reproducible across engines.
-
-    Scale shape: candidates come from the memoized `_bm25_match_set`
-    truncated by one TakeOrdered(20); the 20-key set broadcasts back into
-    the shared tf exchange for the per-doc feature aggs; idf is a
-    map-side projection over query terms only."""
-    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
-    top20 = (
-        agg.orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(20)
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))),
-        )
-    )
-    toks = _toks(_docs(spark, sf_dir))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    st = dl.agg(F.count("*").cast("double").alias("n_docs"))
-    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    q = F.broadcast(spark.createDataFrame([(t,) for t in _TOPK_TERMS], "term string"))
-    idf = (
-        dfs.join(q, "term")
-        .crossJoin(F.broadcast(st))
-        .select(
-            "term",
-            F.expr(
-                "cast(round(1000000 * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))) as bigint)"
-            ).alias("idf_q6"),
-        )
-    )
-    feat = (
-        tf.join(F.broadcast(top20.select("doc_id")), "doc_id")
-        .join(F.broadcast(idf), "term")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").cast("long").alias("sum_tf"),
-            F.max("idf_q6").cast("long").alias("max_idf_q6"),
-        )
-    )
-    return (
-        top20.join(dl, "doc_id")
-        .join(feat, "doc_id")
-        .select(
-            "doc_id",
-            F.col("rank").cast("long").alias("rank"),
-            F.col("score_q6").alias("bm25_q6"),
-            F.col("nm").cast("long").alias("n_matched"),
-            F.col("doc_len").cast("long").alias("doc_len"),
-            "sum_tf",
-            "max_idf_q6",
-        )
-        .orderBy("rank")
-    )
-
-
-@register(
-    "clarity_score",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + f""",
-top10 AS (SELECT doc_id FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 10),
-qtf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS a FROM tf JOIN top10 USING (doc_id) GROUP BY term),
-qa AS (SELECT CAST(sum(a) AS BIGINT) AS atot FROM qtf),
-ctf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
-cn AS (SELECT CAST(sum(c) AS BIGINT) AS ctot FROM ctf),
-contrib AS (
-  SELECT qtf.term, {_CLARITY_EXPR} AS kl_q6
-  FROM qtf JOIN ctf USING (term) CROSS JOIN qa CROSS JOIN cn)
-SELECT CAST(count(*) AS BIGINT) AS n_terms,
-       CAST(COALESCE(sum(kl_q6), 0) AS BIGINT) AS clarity_q6
-FROM contrib""",
-)
-def clarity_score(spark, sf_dir):
-    """Query-performance prediction: the CLARITY score (Cronen-Townsend
-    et al. 2002) — KL divergence between the language model of the BM25
-    top-10 result set and the corpus LM, Σ_t p(t|topk)·ln(p(t|topk)/p(t|C)).
-    High clarity = the result set's vocabulary is focused (query is
-    answerable); near zero = results look like random corpus text (query
-    is ambiguous) — the retrieval-quality readout a query router/rewriter
-    keys on, with no relevance labels needed.
-
-    Determinism: the per-TERM KL contribution is q6-rounded first (one
-    shared divide-first expression string), the score is an exact BIGINT
-    sum. Empty match set → 0 terms, clarity 0, both engines.
-
-    Scale shape: the pseudo-relevant set is the memoized match set's
-    TakeOrdered(10) broadcast into tf (postings of 10 docs); the corpus
-    LM is the shared term-count agg; the report is one row."""
-    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
-    top10 = agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10).select("doc_id")
-    toks = _toks(_docs(spark, sf_dir))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    qtf = (
-        tf.join(F.broadcast(top10), "doc_id")
-        .groupBy("term")
-        .agg(F.sum("tf").cast("long").alias("a"))
-    )
-    qa = qtf.agg(F.sum("a").cast("long").alias("atot"))
-    ctf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
-    cn = ctf.agg(F.sum("c").cast("long").alias("ctot"))
-    contrib = (
-        qtf.join(ctf, "term")
-        .crossJoin(F.broadcast(qa))
-        .crossJoin(F.broadcast(cn))
-        .select(F.expr(_CLARITY_EXPR).alias("kl_q6"))
-    )
-    return contrib.agg(
-        F.count(F.lit(1)).cast("long").alias("n_terms"),
-        F.coalesce(F.sum("kl_q6"), F.lit(0)).cast("long").alias("clarity_q6"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 30 — ANN nprobe tuning curve
-# ---------------------------------------------------------------------------
-
-_NPROBE_RECALL_EXPR = (
-    "cast(round(1000000 * (sum_overlap / cast(10 * n_queries as double))) as bigint)"
-)
-
-_NPROBE_SQL = (
-    _KMEANS_SQL_PRELUDE
-    + f""", qs AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 37 = 0),
-bp3 AS MATERIALIZED (
-  SELECT qid, qv, cid, rn FROM (
-    SELECT qs.qid, qs.qv, c.cid,
-           row_number() OVER (PARTITION BY qs.qid ORDER BY
-             CAST(round(1000000000 * list_dot_product(c.cv, qs.qv)
-               / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) DESC,
-             c.cid ASC) AS rn
-    FROM qs, cent2 c) WHERE rn <= 3),
-ps AS (SELECT unnest([1, 2, 3]) AS p),
-sc AS MATERIALIZED (
-  SELECT ps.p, b.qid, e.vec_id,
-         CAST(round(1000000 * list_dot_product(e.v, b.qv)
-           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(b.qv, b.qv)))) AS BIGINT) AS cos_q6
-  FROM ps, bp3 b, a3, e
-  WHERE b.rn <= ps.p AND a3.cid = b.cid AND e.vec_id = a3.vec_id),
-tops AS (
-  SELECT p, qid, vec_id FROM (
-    SELECT p, qid, vec_id,
-           row_number() OVER (PARTITION BY p, qid ORDER BY cos_q6 DESC, vec_id ASC) AS rnk
-    FROM sc) WHERE rnk <= 10),
-bexact AS MATERIALIZED (
-  SELECT qid, vec_id FROM (
-    SELECT qs.qid, e.vec_id,
-           row_number() OVER (PARTITION BY qs.qid ORDER BY
-             CAST(round(1000000 * list_dot_product(e.v, qs.qv)
-               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) DESC,
-             e.vec_id ASC) AS rn
-    FROM qs, e WHERE e.vec_id <> 0) WHERE rn <= 10),
-nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM qs),
-ov AS (SELECT p, CAST(count(*) AS BIGINT) AS sum_overlap
-       FROM tops JOIN bexact USING (qid, vec_id) GROUP BY p),
-fin AS (
-  SELECT CAST(ps.p AS BIGINT) AS nprobe, n_queries,
-         CAST(COALESCE(sum_overlap, 0) AS BIGINT) AS sum_overlap
-  FROM ps LEFT JOIN ov ON ov.p = ps.p CROSS JOIN nq)
-SELECT nprobe, n_queries, sum_overlap, {_NPROBE_RECALL_EXPR} AS recall_q6
-FROM fin ORDER BY nprobe"""
-)
-
-
-@register("ann_ivf_nprobe_curve", _NPROBE_SQL)
-def ann_ivf_nprobe_curve(spark, sf_dir):
-    """The FAISS nprobe tuning curve over the shared trained IVF: mean
-    recall@10 of the batch-query probe at nprobe = 1/2/3 — the
-    accuracy-vs-scan-cost sweep an index operator reads before fixing
-    nprobe (completing the tuning-diagnostics family: shingle k for
-    MinHash, (b,r) for banding, nprobe for IVF). Reports per-config
-    query count, total exact-top-10 overlap, and recall_q6.
-
-    Scale shape: ONE probe ranking (rn <= 3) reused by all three configs
-    via a broadcast theta-join on rn <= p; exact-cosine scoring stays
-    inside probed cells (the scan is pruned to nprobe/K per query); the
-    brute-force exact side exists only as the recall denominator, per the
-    ann_ivf_recall precedent. On the sandbox's i.i.d. vectors the curve
-    is shallow (recall ~0.3 at nprobe 3 — the honest PQ-recall rule);
-    on clustered real embeddings it bends hard toward 1."""
-    members, cent, final_assign = _trained_ivf(spark, sf_dir)
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    qs = e.where(F.col("vec_id") % 37 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    wq = Window.partitionBy("qid").orderBy(F.desc("cq"), F.asc("cid"))
-    bp3 = (
-        qs.crossJoin(F.broadcast(cent))
-        .select("qid", "qv", "cid", _cosq("cv", "qv", 1_000_000_000).alias("cq"))
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= 3)
-        .select("qid", "qv", "cid", "rn")
-    )
-    ps = spark.createDataFrame([(1,), (2,), (3,)], "p long")
-    probes = (
-        bp3.crossJoin(F.broadcast(ps))
-        .where(F.col("rn") <= F.col("p"))
-        .select("p", "qid", "qv", "cid")
-    )
-    scored = (
-        members.join(final_assign, "vec_id")
-        .join(F.broadcast(probes), "cid")
-        .select("p", "qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-    )
-    wr = Window.partitionBy("p", "qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-    tops = (
-        scored.withColumn("rnk", F.row_number().over(wr))
-        .where(F.col("rnk") <= 10)
-        .select("p", "qid", "vec_id")
-    )
-    we = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-    exact = (
-        e.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qs))
-        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-        .withColumn("rn", F.row_number().over(we))
-        .where(F.col("rn") <= 10)
-        .select("qid", "vec_id")
-    )
-    ov = tops.join(exact, ["qid", "vec_id"]).groupBy("p").agg(
-        F.count(F.lit(1)).cast("long").alias("sum_overlap")
-    )
-    nq = qs.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
-    fin = (
-        ps.join(F.broadcast(ov), "p", "left")
-        .crossJoin(F.broadcast(nq))
-        .select(
-            F.col("p").cast("long").alias("nprobe"),
-            "n_queries",
-            F.coalesce(F.col("sum_overlap"), F.lit(0)).cast("long").alias("sum_overlap"),
-        )
-    )
-    return fin.select(
-        "nprobe", "n_queries", "sum_overlap", F.expr(_NPROBE_RECALL_EXPR).alias("recall_q6")
-    ).orderBy("nprobe")
-
-
-# ---------------------------------------------------------------------------
-# session 31 — contrastive hard-negative mining, event-value quantiles
-# ---------------------------------------------------------------------------
-
-_HARDNEG_SQL = (
-    _KMEANS_SQL_PRELUDE
-    + """, qs AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 37 = 0),
-bp3 AS MATERIALIZED (
-  SELECT qid, qv, cid, rn FROM (
-    SELECT qs.qid, qs.qv, c.cid,
-           row_number() OVER (PARTITION BY qs.qid ORDER BY
-             CAST(round(1000000000 * list_dot_product(c.cv, qs.qv)
-               / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) DESC,
-             c.cid ASC) AS rn
-    FROM qs, cent2 c) WHERE rn <= 3),
-sc AS (
-  SELECT b.qid, e.vec_id,
-         CAST(round(1000000 * list_dot_product(e.v, b.qv)
-           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(b.qv, b.qv)))) AS BIGINT) AS cos_q6
-  FROM bp3 b, a3, e
-  WHERE b.rn BETWEEN 2 AND 3 AND a3.cid = b.cid AND e.vec_id = a3.vec_id
-    AND e.vec_id <> b.qid)
-SELECT qid, vec_id, cos_q6, CAST(rnk AS BIGINT) AS rnk FROM (
-  SELECT qid, vec_id, cos_q6,
-         row_number() OVER (PARTITION BY qid ORDER BY cos_q6 DESC, vec_id ASC) AS rnk
-  FROM sc) WHERE rnk <= 5 ORDER BY qid, rnk"""
-)
-
-
-@register("hard_negative_mining", _HARDNEG_SQL)
-def hard_negative_mining(spark, sf_dir):
-    """Contrastive-training hard-negative mining over the shared trained
-    IVF: for each batch query, the top-5 most-similar vectors from its
-    2nd/3rd-nearest cells — high-similarity NON-neighbors (the rank-1
-    cell is the positive neighborhood; excluding it is the in-batch
-     'semi-hard' rule from FaceNet/DPR-style training). The mined
-    (query, negative, cos) triplets are exactly what an embedding
-    trainer's negative sampler consumes.
-
-    Scale shape: identical plan skeleton to ann_ivf_batch — broadcast
-    centroids rank cells per query, the negative scan is pruned to 2
-    cells per query via the cid equi-join, top-5 per query is a
-    qid-partitioned window over cell-bounded candidates."""
-    members, cent, final_assign = _trained_ivf(spark, sf_dir)
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    qs = e.where(F.col("vec_id") % 37 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    wq = Window.partitionBy("qid").orderBy(F.desc("cq"), F.asc("cid"))
-    neg_cells = (
-        qs.crossJoin(F.broadcast(cent))
-        .select("qid", "qv", "cid", _cosq("cv", "qv", 1_000_000_000).alias("cq"))
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn").between(2, 3))
-        .select("qid", "qv", "cid")
-    )
-    sc = (
-        members.join(final_assign, "vec_id")
-        .join(F.broadcast(neg_cells), "cid")
-        .where(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-    )
-    wr = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-    return (
-        sc.withColumn("rnk", F.row_number().over(wr).cast("long"))
-        .where(F.col("rnk") <= 5)
-        .select("qid", "vec_id", "cos_q6", "rnk")
-        .orderBy("qid", "rnk")
-    )
-
-
-@register(
-    "events_value_quantiles",
-    """WITH t AS (
-  SELECT event_type AS source, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-hist AS (SELECT source, cents, count(*) AS cnt FROM t GROUP BY source, cents),
-h AS (
-  SELECT source, cents, cnt,
-         CAST(COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY cents
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
-         CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
-  FROM hist),
-q AS (SELECT p_q6 FROM (VALUES (500000), (950000), (990000)) AS v(p_q6)),
-agg AS (
-  SELECT h.source, q.p_q6, max(h.n) AS n,
-         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1))
-                  THEN h.cents END) AS v_lo,
-         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1)) + 1
-                  THEN h.cents END) AS v_hi
-  FROM h, q GROUP BY h.source, q.p_q6)
-SELECT source AS event_type, CAST(p_q6 AS BIGINT) AS p_q6,
-       CAST(round(1000000.0 * (v_lo + ((p_q6 / 1000000.0) * (n - 1)
-            - floor((p_q6 / 1000000.0) * (n - 1))) * (v_hi - v_lo))) AS BIGINT) AS q_q6
-FROM agg ORDER BY event_type, p_q6""",
-)
-def events_value_quantiles(spark, sf_dir):
-    """Exact p50/p95/p99 of event value (in integer cents) per event_type
-    — the ES ``percentiles`` agg on the events stream, via the same
-    weighted-histogram + exclusive-prefix-sum machinery as
-    doclen_quantiles (proof the quantile operator generalizes across
-    tables: any (group, integer-value) pair gets exact type-7 percentiles
-    without ever buffering raw group values on a reducer). The monitoring
-    twin: revenue-distribution percentiles per event type.
-
-    Scale shape: map-side (type, cents) histogram cells bounded by
-    distinct cent values; windows run over histogram rows only."""
-    t = _events(spark, sf_dir).select(
-        F.col("event_type").alias("source"),
-        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
-    )
-    hist = t.groupBy("source", "cents").agg(F.count(F.lit(1)).alias("cnt"))
-    w_cum = (
-        Window.partitionBy("source")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_all = Window.partitionBy("source")
-    h = hist.select(
-        "source",
-        "cents",
-        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).cast("long").alias("cum_before"),
-        F.sum("cnt").over(w_all).cast("long").alias("n"),
-    )
-    q = spark.createDataFrame([(500000,), (950000,), (990000,)], "p_q6 long")
-    rank = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
-    agg = (
-        h.crossJoin(F.broadcast(q))
-        .groupBy("source", "p_q6")
-        .agg(
-            F.max("n").alias("n"),
-            F.max(F.when(F.col("cum_before") <= F.floor(rank), F.col("cents"))).alias("v_lo"),
-            F.max(F.when(F.col("cum_before") <= F.floor(rank) + 1, F.col("cents"))).alias("v_hi"),
-        )
-    )
-    r = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
-    frac = r - F.floor(r)
-    return agg.select(
-        F.col("source").alias("event_type"),
-        F.col("p_q6").cast("long").alias("p_q6"),
-        F.round(F.lit(1_000_000.0) * (F.col("v_lo") + frac * (F.col("v_hi") - F.col("v_lo"))))
-        .cast("long")
-        .alias("q_q6"),
-    ).orderBy("event_type", "p_q6")
-
-
-# ---------------------------------------------------------------------------
-# session 32 — association rules over event baskets
-# ---------------------------------------------------------------------------
-
-_LIFT_EXPR = (
-    "cast(round(1000000 * ((n_ab / cast(n_users as double))"
-    " / ((n_a / cast(n_users as double)) * (n_b / cast(n_users as double))))) as bigint)"
-)
-_CONF_EXPR = "cast(round(1000000 * (n_ab / cast(n_a as double))) as bigint)"
-
-
-@register(
-    "event_type_lift",
-    f"""WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
-n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
-s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY event_type),
-p AS (
-  SELECT a.event_type AS type_a, b2.event_type AS type_b, CAST(count(*) AS BIGINT) AS n_ab
-  FROM b a JOIN b b2 ON a.user_id = b2.user_id AND a.event_type < b2.event_type
-  GROUP BY 1, 2),
-f AS (
-  SELECT type_a, type_b, n_ab, sa.n AS n_a, sb.n AS n_b, n_users
-  FROM p JOIN s sa ON sa.event_type = p.type_a
-         JOIN s sb ON sb.event_type = p.type_b
-  CROSS JOIN n)
-SELECT type_a, type_b, n_ab, n_a, n_b,
-       {_LIFT_EXPR} AS lift_q6, {_CONF_EXPR} AS conf_a_to_b_q6
-FROM f ORDER BY type_a, type_b""",
-)
-def event_type_lift(spark, sf_dir):
-    """Association-rule mining over per-user event baskets: for every
-    event-type pair, the co-occurrence support, lift
-    P(a,b)/(P(a)·P(b)) and confidence P(b|a) — the market-basket signal
-    (Agrawal-style frequent itemsets at the pair level) a funnel/recs
-    analysis reads to find which behaviors travel together. Lift over 1e6
-    means the pair co-occurs above independence.
-
-    Determinism: probabilities divide exact BIGINT counts in one shared
-    divide-first expression string per metric.
-
-    Scale shape: baskets collapse to distinct (user, type) map-side; the
-    self-join fans each user's ≤|types| rows against themselves (bounded
-    per key — never a cross join across users); type counts and the user
-    total broadcast; output is |types|² rows."""
-    ev = _events(spark, sf_dir)
-    b = ev.select("user_id", "event_type").distinct().localCheckpoint()
-    n = ev.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
-    s = b.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    a, b2 = b.alias("a"), b.alias("b2")
-    p = (
-        a.join(
-            b2,
-            (F.col("a.user_id") == F.col("b2.user_id"))
-            & (F.col("a.event_type") < F.col("b2.event_type")),
-        )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b2.event_type").alias("type_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
-    )
-    f = (
-        p.join(
-            F.broadcast(s.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))),
-            "type_a",
-        )
-        .join(
-            F.broadcast(s.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))),
-            "type_b",
-        )
-        .crossJoin(F.broadcast(n))
-    )
-    return f.select(
-        "type_a",
-        "type_b",
-        "n_ab",
-        "n_a",
-        "n_b",
-        F.expr(_LIFT_EXPR).alias("lift_q6"),
-        F.expr(_CONF_EXPR).alias("conf_a_to_b_q6"),
-    ).orderBy("type_a", "type_b")
-
-
-# ---------------------------------------------------------------------------
-# session 33 — resharding movement cost: mod-hash vs rendezvous hashing
-# ---------------------------------------------------------------------------
-
-_MOVED_FRAC_EXPR = (
-    "cast(round(1000000 * (n_moved / cast(n_docs as double))) as bigint)"
-)
-
-
-@register(
-    "shard_rebalance_cost",
-    f"""WITH d AS (SELECT doc_id FROM documents),
-m AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT AS h16 FROM d),
-mod_mov AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(count(*) FILTER (h16 % 16 <> h16 % 17) AS BIGINT) AS n_moved
-  FROM m),
-r AS (
-  SELECT doc_id, s, md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)) AS hk
-  FROM d, (SELECT unnest(generate_series(0, 16)) AS s)),
-rv AS (
-  SELECT doc_id,
-         arg_max(s, hk) FILTER (WHERE s < 16) AS s16,
-         arg_max(s, hk) AS s17
-  FROM r GROUP BY doc_id),
-rv_mov AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(count(*) FILTER (s16 <> s17) AS BIGINT) AS n_moved
-  FROM rv)
-SELECT 'mod' AS strategy, n_docs, n_moved, {_MOVED_FRAC_EXPR} AS moved_frac_q6 FROM mod_mov
-UNION ALL
-SELECT 'rendezvous' AS strategy, n_docs, n_moved, {_MOVED_FRAC_EXPR} FROM rv_mov
-ORDER BY strategy""",
-)
-def shard_rebalance_cost(spark, sf_dir):
-    """Resharding movement cost, 16 → 17 shards, for two routing rules:
-    mod-hash (the shard_token_balance coordinate — moves ~16/17 of all
-    docs when the divisor changes) vs rendezvous/highest-random-weight
-    hashing (Thaler-Ravishankar; a doc moves ONLY when the new shard's
-    hash wins its argmax, ~1/17) — the consistent-hashing argument as a
-    measured relational operator, which is what decides whether growing
-    an index's shard count is a full rewrite or an incremental one.
-
-    Determinism: argmax over md5 hex strings (lexicographic, collision-
-    free at these scales), movement fractions divide exact BIGINTs.
-
-    Scale shape: mod is map-side; rendezvous is a per-doc explode of 17
-    candidate rows collapsed by ONE (doc) groupBy with filtered max_by —
-    no joins at all; the report is 2 rows."""
-    d = _docs(spark, sf_dir).select("doc_id")
-    m = d.select(
-        F.expr(
-            "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int)"
-        ).alias("h16")
-    )
-    mod_mov = m.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.count_if(F.expr("h16 % 16 <> h16 % 17")).cast("long").alias("n_moved"),
-    )
-    r = d.select(
-        "doc_id", F.explode(F.expr("sequence(0, 16)")).alias("s")
-    ).select(
-        "doc_id",
-        "s",
-        F.expr("md5(concat(cast(doc_id as string), ':', cast(s as string)))").alias("hk"),
-    )
-    rv = r.groupBy("doc_id").agg(
-        F.expr("max_by(s, hk) filter (where s < 16)").alias("s16"),
-        F.expr("max_by(s, hk)").alias("s17"),
-    )
-    rv_mov = rv.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.count_if(F.expr("s16 <> s17")).cast("long").alias("n_moved"),
-    )
-    out_cols = ["strategy", "n_docs", "n_moved", "moved_frac_q6"]
-    mod_row = mod_mov.select(
-        F.lit("mod").alias("strategy"), "n_docs", "n_moved",
-        F.expr(_MOVED_FRAC_EXPR).alias("moved_frac_q6"),
-    )
-    rv_row = rv_mov.select(
-        F.lit("rendezvous").alias("strategy"), "n_docs", "n_moved",
-        F.expr(_MOVED_FRAC_EXPR).alias("moved_frac_q6"),
-    )
-    return mod_row.select(out_cols).unionByName(rv_row.select(out_cols)).orderBy("strategy")
-
-
-# ---------------------------------------------------------------------------
-# session 34 — sessionization-gap tuning curve, stratified k-fold assignment
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "interevent_gap_histogram",
-    """WITH t AS (
-  SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events),
-g AS (
-  SELECT t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS gap
-  FROM t),
-b AS (
-  SELECT CASE WHEN gap = 0 THEN -1
-              ELSE CAST(length(bin(gap)) - 1 AS BIGINT) END AS bucket
-  FROM g WHERE gap IS NOT NULL)
-SELECT bucket, CAST(count(*) AS BIGINT) AS n_gaps
-FROM b GROUP BY bucket ORDER BY bucket""",
-)
-def interevent_gap_histogram(spark, sf_dir):
-    """Per-user inter-event gap distribution, bucketed by floor(log2 µs)
-    — the tuning curve for the sessionizer's 30-minute inactivity gap
-    (events_sessionize): the histogram's valley between the within-
-    session mode and the between-session mode IS the right gap setting.
-    Fifth member of the tuning-diagnostics family (shingle k, LSH (b,r),
-    IVF nprobe, SimHash hamming — now the session gap). Bucket via the
-    integer-exact length(bin()) idiom (doclen_histogram); zero gaps
-    (same-microsecond events) land in bucket -1.
-
-    Scale shape: ONE user_id-partitioned lag window (the sessionizer's
-    own shuffle key), then a ≤64-bucket map-side-combined histogram.
-    Ties at equal timestamps are ordered by event_id so lag is
-    deterministic in both engines."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        "event_id",
-    )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    g = t.select((F.col("t_us") - F.lag("t_us").over(w)).alias("gap"))
-    b = g.where(F.col("gap").isNotNull()).select(
-        F.expr(
-            "CASE WHEN gap = 0 THEN -1 ELSE CAST(length(bin(gap)) - 1 AS BIGINT) END"
-        ).alias("bucket")
-    )
-    return (
-        b.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
-        .orderBy("bucket")
-    )
-
-
-@register(
-    "stratified_kfold_assign",
-    """WITH f AS (
-  SELECT source,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 4))::INT % 5 AS fold
-  FROM documents)
-SELECT source, CAST(fold AS BIGINT) AS fold, CAST(count(*) AS BIGINT) AS n_docs
-FROM f GROUP BY source, fold ORDER BY source, fold""",
-)
-def stratified_kfold_assign(spark, sf_dir):
-    """Deterministic 5-fold cross-validation assignment, reported as the
-    per-(source, fold) census: folds come from md5 hex chars 13-16 — the
-    FOURTH independent hash coordinate (shard 1-4, train/eval split 5-8,
-    sampling 9-12 — each a disjoint hex range, so fold membership is
-    orthogonal to sharding, hold-out and sampling by construction). A
-    fold's train set is 'fold <> k' — no RNG state, reproducible on any
-    engine, stable under corpus appends (new docs join folds without
-    reshuffling old ones — the property sklearn's KFold lacks).
-
-    Scale shape: map-side hash + one tiny (source × 5) groupBy."""
-    f = _docs(spark, sf_dir).select(
-        "source",
-        F.expr(
-            "cast(conv(substring(md5(cast(doc_id as string)), 13, 4), 16, 10) as int) % 5"
-        ).alias("fold"),
-    )
-    return (
-        f.groupBy("source", F.col("fold").cast("long").alias("fold"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .orderBy("source", "fold")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 35 — corpus drift monitor, chi-squared independence
-# ---------------------------------------------------------------------------
-
-_DRIFT_KL_EXPR = (
-    "cast(round(1000000 * ((a / cast(atot as double))"
-    " * ln((a / cast(atot as double)) / (c / cast(ctot as double))))) as bigint)"
-)
-_CHI2_CELL_EXPR = (
-    "cast(round(1000000 * ((o - (rn * cn) / cast(n as double))"
-    " * (o - (rn * cn) / cast(n as double)) / ((rn * cn) / cast(n as double)))) as bigint)"
-)
-
-
-@register(
-    "term_drift_deciles",
-    f"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-toks AS (
-  SELECT CAST((doc_id * 10) // n_docs AS BIGINT) AS decile,
-         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
-  FROM documents CROSS JOIN nd),
-dt AS (SELECT decile, term, CAST(count(*) AS BIGINT) AS a FROM toks GROUP BY decile, term),
-da AS (SELECT decile, CAST(sum(a) AS BIGINT) AS atot FROM dt GROUP BY decile),
-ct AS (SELECT term, CAST(sum(a) AS BIGINT) AS c FROM dt GROUP BY term),
-cn AS (SELECT CAST(sum(c) AS BIGINT) AS ctot FROM ct),
-contrib AS (
-  SELECT dt.decile, {_DRIFT_KL_EXPR} AS kl_q6
-  FROM dt JOIN da USING (decile) JOIN ct USING (term) CROSS JOIN cn)
-SELECT decile, CAST(count(*) AS BIGINT) AS n_terms,
-       CAST(sum(kl_q6) AS BIGINT) AS kl_q6
-FROM contrib GROUP BY decile ORDER BY decile""",
-)
-def term_drift_deciles(spark, sf_dir):
-    """Corpus drift monitor: KL divergence of each doc_id-decile's term
-    distribution against the whole-corpus LM — the train/serve-skew
-    readout a data-ops pipeline alarms on (a crawl whose late deciles
-    drift from the early ones poisons a model trained on the head).
-    Per-term contributions are q6-rounded first (clarity_score's rule),
-    decile sums are exact BIGINTs; on the sandbox's stationary synthetic
-    corpus the curve is flat near zero — that IS the healthy reading.
-
-    Scale shape: decile is a map-side integer key (corpus count is a
-    1-row broadcast); one (decile, term) agg, the corpus LM derives FROM
-    it (shares the exchange); the report is 10 rows."""
-    nd = _docs(spark, sf_dir).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    toks = (
-        _docs(spark, sf_dir)
-        .crossJoin(F.broadcast(nd))
-        .select(
-            F.expr("cast((doc_id * 10) div n_docs as bigint)").alias("decile"),
-            F.explode(spark_tokens("text")).alias("term"),
-        )
-    )
-    dt = toks.groupBy("decile", "term").agg(F.count(F.lit(1)).cast("long").alias("a"))
-    da = dt.groupBy("decile").agg(F.sum("a").cast("long").alias("atot"))
-    ct = dt.groupBy("term").agg(F.sum("a").cast("long").alias("c"))
-    cn = ct.agg(F.sum("c").cast("long").alias("ctot"))
-    contrib = (
-        dt.join(F.broadcast(da), "decile")
-        .join(ct, "term")
-        .crossJoin(F.broadcast(cn))
-        .select("decile", F.expr(_DRIFT_KL_EXPR).alias("kl_q6"))
-    )
-    return (
-        contrib.groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.sum("kl_q6").cast("long").alias("kl_q6"),
-        )
-        .orderBy("decile")
-    )
-
-
-@register(
-    "source_lang_chi2",
-    f"""WITH o AS (
-  SELECT source, lang, CAST(count(*) AS BIGINT) AS o FROM documents GROUP BY source, lang),
-r AS (SELECT source, CAST(sum(o) AS BIGINT) AS rn FROM o GROUP BY source),
-c AS (SELECT lang, CAST(sum(o) AS BIGINT) AS cn FROM o GROUP BY lang),
-nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
-cell AS (
-  SELECT o.source, o.lang, {_CHI2_CELL_EXPR} AS x2_q6
-  FROM o JOIN r USING (source) JOIN c USING (lang) CROSS JOIN nn)
-SELECT CAST((SELECT count(*) FROM r) AS BIGINT) AS n_rows,
-       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_cols,
-       CAST(count(*) AS BIGINT) AS n_cells,
-       CAST(sum(x2_q6) AS BIGINT) AS chi2_q6
-FROM cell""",
-)
-def source_lang_chi2(spark, sf_dir):
-    """Pearson chi-squared statistic for source × lang independence —
-    'does language mix depend on the source?' — the categorical
-    counterpart of ttest_lang_doclen in the inference-agg family
-    (observed cells only; an absent (source,lang) cell contributes its
-    expectation — omitted here and declared, since both engines omit the
-    same cells the statistic stays oracle-exact and the full-table form
-    is one generate-and-left-join away). Per-cell (O−E)²/E is q6-rounded
-    first (E divides exact BIGINTs, divide-first float form — the
-    events_daily_anomaly overflow rule), the statistic is a BIGINT sum.
-
-    Scale shape: one (source, lang) count; margins derive FROM it
-    (shared exchange); cells are |sources|×|langs| rows; output 1 row."""
-    o = _docs(spark, sf_dir).groupBy("source", "lang").agg(
-        F.count(F.lit(1)).cast("long").alias("o")
-    )
-    o = o.localCheckpoint()
-    r = o.groupBy("source").agg(F.sum("o").cast("long").alias("rn"))
-    c = o.groupBy("lang").agg(F.sum("o").cast("long").alias("cn"))
-    nn = o.agg(F.sum("o").cast("long").alias("n"))
-    cell = (
-        o.join(F.broadcast(r), "source")
-        .join(F.broadcast(c), "lang")
-        .crossJoin(F.broadcast(nn))
-        .select(F.expr(_CHI2_CELL_EXPR).alias("x2_q6"))
-    )
-    nr = r.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-    nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_cols"))
-    return (
-        nr.crossJoin(nc)
-        .crossJoin(
-            cell.agg(
-                F.count(F.lit(1)).cast("long").alias("n_cells"),
-                F.sum("x2_q6").cast("long").alias("chi2_q6"),
-            )
-        )
-        .select("n_rows", "n_cols", "n_cells", "chi2_q6")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 36 — dedup survivor-policy comparison
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "dedup_policy_compare",
-    _SQL_LSH_PAIRS
-    + f""",
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs),
-reach(id, lbl) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
-tok AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok,
-         CAST(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS BIGINT) AS n_distinct
-  FROM documents),
-cd AS (SELECT c.cluster_id, t.doc_id, t.n_tok, t.n_distinct
-       FROM comp c JOIN tok t USING (doc_id)),
-rk AS (
-  SELECT cluster_id, n_tok,
-         row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id ASC) AS r_min,
-         row_number() OVER (PARTITION BY cluster_id ORDER BY n_tok DESC, doc_id ASC) AS r_long,
-         row_number() OVER (PARTITION BY cluster_id ORDER BY n_distinct DESC, doc_id ASC) AS r_dist
-  FROM cd),
-tot AS (
-  SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
-         CAST(count(*) AS BIGINT) AS docs_clustered,
-         CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS tokens_clustered
-  FROM cd),
-pol AS (
-  SELECT 'keep_longest' AS policy,
-         CAST(COALESCE(sum(CASE WHEN r_long = 1 THEN n_tok ELSE 0 END), 0) AS BIGINT) AS tokens_kept FROM rk
-  UNION ALL
-  SELECT 'keep_min_id',
-         CAST(COALESCE(sum(CASE WHEN r_min = 1 THEN n_tok ELSE 0 END), 0) AS BIGINT) FROM rk
-  UNION ALL
-  SELECT 'keep_most_distinct',
-         CAST(COALESCE(sum(CASE WHEN r_dist = 1 THEN n_tok ELSE 0 END), 0) AS BIGINT) FROM rk)
-SELECT policy, n_clusters, docs_clustered - n_clusters AS docs_dropped,
-       tokens_kept, tokens_clustered - tokens_kept AS tokens_dropped
-FROM pol CROSS JOIN tot ORDER BY policy""",
-)
-def dedup_policy_compare(spark, sf_dir):
-    """Survivor-policy comparison for near-dup clusters: keep-min-id (the
-    registry's canonical rule), keep-longest (max token count), and
-    keep-most-distinct (max vocabulary) — per policy, the tokens a
-    training mix retains from the clustered docs. docs_dropped is
-    policy-invariant (every cluster keeps exactly one); tokens_kept is
-    NOT, and that delta is the decision this operator exists to inform
-    (Lee et al. keep-longest typically retains the most signal).
-
-    Scale shape: cluster labels reuse the memoized `_lsh_pair_edges` +
-    pointer-doubled `connected_components` (cluster-table-sized); the
-    three policy rankings are windows over CLUSTER-bounded partitions of
-    the clustered-docs table (dup clusters ≪ corpus); the report is 3
-    rows. The DuckDB oracle recomputes the closure recursively over the
-    identical pair graph."""
-    edges = _lsh_pair_edges(spark, sf_dir)
-    labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    labels = connected_components(labels, edges).select(
-        "doc_id", F.col("lbl").alias("cluster_id")
-    )
-    tok = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(spark_tokens("text")).cast("long").alias("n_tok"),
-        F.size(F.array_distinct(spark_tokens("text"))).cast("long").alias("n_distinct"),
-    )
-    cd = labels.join(tok, "doc_id").localCheckpoint()
-    w_min = Window.partitionBy("cluster_id").orderBy(F.asc("doc_id"))
-    w_long = Window.partitionBy("cluster_id").orderBy(F.desc("n_tok"), F.asc("doc_id"))
-    w_dist = Window.partitionBy("cluster_id").orderBy(
-        F.desc("n_distinct"), F.asc("doc_id")
-    )
-    rk = cd.select(
-        "cluster_id",
-        "n_tok",
-        F.row_number().over(w_min).alias("r_min"),
-        F.row_number().over(w_long).alias("r_long"),
-        F.row_number().over(w_dist).alias("r_dist"),
-    )
-    tot = cd.agg(
-        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
-        F.count(F.lit(1)).cast("long").alias("docs_clustered"),
-        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("tokens_clustered"),
-    )
-    pols = []
-    for policy, flag in (
-        ("keep_longest", "r_long"),
-        ("keep_min_id", "r_min"),
-        ("keep_most_distinct", "r_dist"),
-    ):
-        pols.append(
-            rk.agg(
-                F.coalesce(
-                    F.sum(F.when(F.col(flag) == 1, F.col("n_tok")).otherwise(0)),
-                    F.lit(0),
-                )
-                .cast("long")
-                .alias("tokens_kept")
-            ).select(F.lit(policy).alias("policy"), "tokens_kept")
-        )
-    pol = pols[0].unionByName(pols[1]).unionByName(pols[2])
-    return (
-        pol.crossJoin(F.broadcast(tot))
-        .select(
-            "policy",
-            "n_clusters",
-            (F.col("docs_clustered") - F.col("n_clusters")).alias("docs_dropped"),
-            "tokens_kept",
-            (F.col("tokens_clustered") - F.col("tokens_kept")).alias("tokens_dropped"),
-        )
-        .orderBy("policy")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 37 — event-sequence Markov transitions, Matryoshka dim-truncation
-# recall curve, LSH candidate-graph degree histogram
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "events_markov_transitions",
-    """WITH t AS (
-  SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type FROM events),
-p AS (
-  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-           AS prev_type,
-         event_type AS next_type
-  FROM t),
-c AS (
-  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
-  FROM p WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
-SELECT prev_type, next_type, n_trans,
-       CAST((1000000 * n_trans)
-            // sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS p_q6
-FROM c ORDER BY prev_type, next_type""",
-)
-def events_markov_transitions(spark, sf_dir):
-    """First-order Markov transition matrix over per-user event sequences:
-    for every (prev_type, next_type) pair of CONSECUTIVE events of one
-    user, the transition count and the row-normalized probability in q6
-    micro-units — the behavioral-model summary (next-event prediction
-    baseline, funnel-leak localization) the reference's event analytics
-    stop short of.
-
-    Determinism: equal-timestamp events are ordered by event_id inside the
-    lag window (the interevent_gap_histogram rule) so the successor of
-    every event is identical in both engines; p_q6 is an INTEGER division
-    (1e6·n div row_total) — no float sum order anywhere. The DuckDB
-    row_total is HUGEINT (sum of BIGINT), so the quotient is CAST back.
-
-    Scale shape: ONE user_id-partitioned lag window (the sessionizer's own
-    shuffle key), then a ≤|types|²-row map-side-combined count; the
-    normalizing window runs over the pre-aggregated ≤|types|² table, not
-    the event stream. n_trans·1e6 stays inside BIGINT until a single
-    event-type pair exceeds ~9.2e12 transitions (~petabyte streams) —
-    divide-first at that point."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        "event_id",
-        "event_type",
-    )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    p = t.select(
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.col("event_type").alias("next_type"),
-    )
-    c = (
-        p.where(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", "next_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
-    )
-    wr = Window.partitionBy("prev_type")
-    return (
-        c.withColumn("tot", F.sum("n_trans").over(wr))
-        .select(
-            "prev_type",
-            "next_type",
-            "n_trans",
-            F.expr("(1000000 * n_trans) div tot").cast("long").alias("p_q6"),
-        )
-        .orderBy("prev_type", "next_type")
-    )
-
-
-_TRUNC_DIMS = (4, 8, 16, 64)
-
-_TRUNC_SQL = (
-    _SQL_EMB_E
-    + """
-qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 37 = 0),
-ds AS (SELECT unnest([4, 8, 16, 64]) AS d),
-sl AS (
-  SELECT ds.d, qs.qid, e.vec_id,
-         list_slice(e.v, 1, ds.d) AS av, list_slice(qs.qv, 1, ds.d) AS aq
-  FROM e, qs, ds),
-sc AS (
-  SELECT d, qid, vec_id, """
-    + _sql_cosq("av", "aq", 1_000_000)
-    + """ AS cos_q6
-  FROM sl),
-topk AS (
-  SELECT d, qid, vec_id FROM (
-    SELECT d, qid, vec_id,
-           row_number() OVER (PARTITION BY d, qid
-                              ORDER BY cos_q6 DESC, vec_id ASC) AS rn
-    FROM sc) WHERE rn <= 10),
-nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qs),
-hits AS (
-  SELECT t.d, CAST(count(*) AS BIGINT) AS n_hits
-  FROM topk t JOIN (SELECT qid, vec_id FROM topk WHERE d = 64) x
-    USING (qid, vec_id)
-  GROUP BY t.d)
-SELECT CAST(d AS BIGINT) AS d, n_hits,
-       CAST(10 * nq.n AS BIGINT) AS n_possible,
-       CAST((1000000 * n_hits) // (10 * nq.n) AS BIGINT) AS recall_q6
-FROM hits, nq ORDER BY d"""
-)
-
-
-@register("ann_dim_truncation_curve", _TRUNC_SQL)
-def ann_dim_truncation_curve(spark, sf_dir):
-    """Matryoshka-style dimension-truncation tuning curve: recall@10 of
-    cosine search over only the FIRST d dims (d = 4/8/16) against the
-    full-64-dim exact top-10, over the shared batch query set
-    (vec_id % 37 = 0). The d = 64 row is emitted as a self-check — its
-    recall is 1.0 by construction (Kusupati et al., MRL: how many prefix
-    dims a truncated index needs before ANN recall collapses). Seventh
-    member of the tuning-diagnostics family (shingle k, LSH (b,r), IVF
-    nprobe, SimHash hamming, session gap, band config).
-
-    Determinism: per-(d, query) ranking keys on q6-rounded cosine of the
-    PREFIX slices with vec_id tiebreak; recall_q6 is an integer division
-    of exact BIGINT hit counts — no float accumulation across queries.
-
-    Scale shape: this is the brute-force AUDIT leg (the same |Q|·N pair
-    table as ann_ivf_batch_recall's exact side — queries broadcast, scan
-    side streams); production truncated search runs through the IVF. All
-    four d's are stacked into ONE pair table so the per-(d, qid) top-10
-    costs a single window shuffle, not one per d. Per-d norms are
-    precomputed PER VECTOR before the pair join (array-lambda folds are
-    interpreted, never codegen — the pagerank lesson), so each (pair, d)
-    pays ONE dot; sqrt(Σx²) of the same doubles is the same double, so
-    the q6 cosines are bit-identical to the per-pair-norm form the
-    oracle spells out."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    for d in _TRUNC_DIMS:
-        e = e.withColumn(f"av{d}", F.expr(f"slice(v, 1, {d})")).withColumn(
-            f"nv{d}", F.sqrt(F.expr(_DOT.format(a=f"av{d}", b=f"av{d}")))
-        )
-    qs = e.where(F.col("vec_id") % 37 == 0).select(
-        F.col("vec_id").alias("qid"),
-        *[F.col(f"av{d}").alias(f"aq{d}") for d in _TRUNC_DIMS],
-        *[F.col(f"nv{d}").alias(f"nq{d}") for d in _TRUNC_DIMS],
-    )
-    pair = e.crossJoin(F.broadcast(qs))
-    for d in _TRUNC_DIMS:
-        dot = F.expr(_DOT.format(a=f"av{d}", b=f"aq{d}"))
-        pair = pair.withColumn(
-            f"c{d}",
-            F.round(
-                dot / (F.col(f"nv{d}") * F.col(f"nq{d}")) * F.lit(1_000_000.0)
-            ).cast("long"),
-        )
-    stack_args = ", ".join(f"cast({d} as bigint), c{d}" for d in _TRUNC_DIMS)
-    sc = pair.selectExpr(
-        "qid", "vec_id", f"stack({len(_TRUNC_DIMS)}, {stack_args}) as (d, cos_q6)"
-    )
-    w = Window.partitionBy("d", "qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-    topk = (
-        sc.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 10)
-        .select("d", "qid", "vec_id")
-        .localCheckpoint()
-    )
-    exact = topk.where(F.col("d") == 64).select("qid", "vec_id")
-    hits = (
-        topk.join(exact, ["qid", "vec_id"])
-        .groupBy("d")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
-    nq = qs.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    return (
-        hits.crossJoin(F.broadcast(nq))
-        .select(
-            "d",
-            "n_hits",
-            (F.lit(10) * F.col("n")).cast("long").alias("n_possible"),
-            F.expr("(1000000 * n_hits) div (10 * n)").cast("long").alias("recall_q6"),
-        )
-        .orderBy("d")
-    )
-
-
-@register(
-    "lsh_degree_histogram",
-    _SQL_LSH_PAIRS
-    + """,
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs),
-deg AS (
-  SELECT d.doc_id, CAST(COALESCE(e.n, 0) AS BIGINT) AS degree
-  FROM documents d LEFT JOIN (
-    SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS n
-    FROM edges GROUP BY src) e USING (doc_id))
-SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
-FROM deg GROUP BY degree ORDER BY degree""",
-)
-def lsh_degree_histogram(spark, sf_dir):
-    """Degree distribution of the MinHash-LSH candidate-pair graph —
-    degree-0 docs included via the corpus spine. The eighth
-    tuning-diagnostics member: a heavy right tail means a hot blocking
-    key (one band bucket pairing everything with everything — the
-    quadratic blowup LSH banding exists to prevent), degree 0 everywhere
-    means the bands are too selective for the corpus. Read together with
-    lsh_candidate_precision (quality) and lsh_band_config_curve (b,r
-    sweep), this is the quantity axis.
-
-    Scale shape: reuses the memoized `_lsh_pair_edges` graph (banded
-    equi-join, candidate-sized); degree = ONE src-keyed count over the
-    edge table; the corpus-spine left join is doc_id-keyed (AQE picks the
-    strategy — the degree table's cardinality is corpus-bounded but
-    usually far smaller, never force-broadcast an unbounded side); the
-    final histogram is ≤max-degree rows with map-side partials."""
-    edges = _lsh_pair_edges(spark, sf_dir)
-    deg = edges.groupBy(F.col("src").alias("doc_id")).agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    spine = _docs(spark, sf_dir).select("doc_id")
-    full = spine.join(deg, "doc_id", "left").select(
-        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("degree")
-    )
-    return (
-        full.groupBy("degree")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .orderBy("degree")
-    )
-
-
-# --- session 37 batch 2: IVF cell-balance audit, user-activity histogram,
-# TPC-H-shape pricing summary over lineitem ----------------------------------
-
-
-@register(
-    "ivf_cluster_balance",
-    _KMEANS_SQL_PRELUDE
-    + """, mc AS (
-  SELECT a3.cid,
-         CAST(round(1000000 * list_dot_product(e.v, c.cv)
-           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))) AS BIGINT) AS cos_q6
-  FROM e JOIN a3 USING (vec_id) JOIN cent2 c ON c.cid = a3.cid)
-SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
-       CAST(sum(1000000 - cos_q6) AS BIGINT) AS inertia_q6,
-       CAST(min(cos_q6) AS BIGINT) AS worst_cos_q6
-FROM mc GROUP BY cid ORDER BY cid""",
-)
-def ivf_cluster_balance(spark, sf_dir):
-    """Health audit of the shared trained IVF: per cell, the member count,
-    the cosine inertia (Σ (1 − cos(v, centroid)) in q6 — the k-means
-    objective the Lloyd iterations minimized), and the worst member's
-    cosine. A fat cell means probe-time scans blow past nprobe/K of the
-    corpus (the skew IVF exists to avoid); a high-inertia cell means the
-    quantizer under-fits that region and its candidates will rank poorly.
-    Ninth tuning-diagnostics member — the INDEX-side twin of the
-    query-side nprobe curve.
-
-    Determinism: per-member cos is q6-rounded FIRST, the cell sums are
-    exact BIGINT adds (order-independent); inertia is Σ of integers.
-
-    Scale shape: reuses the memoized `_trained_ivf` (training paid once
-    per session); the audit itself is one broadcast join of K centroids
-    onto the assignment and a cid-keyed agg with map-side partials —
-    K output rows."""
-    members, cent, final_assign = _trained_ivf(spark, sf_dir)
-    mc = (
-        members.join(final_assign, "vec_id")
-        .join(F.broadcast(cent), "cid")
-        .select("cid", _cosq("v", "cv", 1_000_000).alias("cos_q6"))
-    )
-    return (
-        mc.groupBy("cid")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_members"),
-            F.sum(F.lit(1_000_000) - F.col("cos_q6")).cast("long").alias("inertia_q6"),
-            F.min("cos_q6").cast("long").alias("worst_cos_q6"),
-        )
-        .orderBy("cid")
-    )
-
-
-@register(
-    "user_activity_histogram",
-    """WITH u AS (
-  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
-  FROM events GROUP BY user_id),
-b AS (
-  SELECT CAST(length(bin(n_events)) - 1 AS BIGINT) AS bucket FROM u)
-SELECT bucket, CAST(count(*) AS BIGINT) AS n_users
-FROM b GROUP BY bucket ORDER BY bucket""",
-)
-def user_activity_histogram(spark, sf_dir):
-    """Events-per-user distribution bucketed by floor(log2 n) — the
-    doclen_histogram shape applied to the events table. The right tail is
-    the bot/power-user mass every per-user operator (sessionize, funnel,
-    retention, CMS) must survive: a bucket-20 user means 1M-event
-    partitions in every user_id-keyed window downstream — the signal to
-    reach for salting there.
-
-    Scale shape: one user_id-keyed count with map-side partials, then a
-    ≤64-bucket histogram; bucket via the integer-exact length(bin())
-    idiom (n_events ≥ 1 by construction, no empty-group guard needed)."""
-    u = _events(spark, sf_dir).groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events")
-    )
-    b = u.select(
-        F.expr("CAST(length(bin(n_events)) - 1 AS BIGINT)").alias("bucket")
-    )
-    return (
-        b.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .orderBy("bucket")
-    )
-
-
-# ONE shared per-row expression string per money column — cents/q2 rounding
-# happens BEFORE any aggregation, so every sum is an exact BIGINT add in both
-# engines (the ttest/matrix_stats rule). charge multiplies doubles FIRST and
-# rounds once: a cents×bp×bp integer product is ~1e15 per row and a 60k-row
-# sum already overflows BIGINT — divide-first, like events_daily_anomaly.
-_LI_QTY_C = "CAST(round(100 * l_quantity) AS BIGINT)"
-_LI_PRICE_C = "CAST(round(100 * l_extendedprice) AS BIGINT)"
-_LI_DISC_C = "CAST(round(100 * l_extendedprice * (1 - l_discount)) AS BIGINT)"
-_LI_CHARGE_C = (
-    "CAST(round(100 * l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS BIGINT)"
-)
-_LI_CUTOFF = "TIMESTAMP '1998-09-02 00:00:00'"
-
-
-@register(
-    "lineitem_pricing_summary",
-    f"""SELECT l_returnflag, l_linestatus,
-       CAST(sum({_LI_QTY_C}) AS BIGINT) AS sum_qty_c,
-       CAST(sum({_LI_PRICE_C}) AS BIGINT) AS sum_base_c,
-       CAST(sum({_LI_DISC_C}) AS BIGINT) AS sum_disc_c,
-       CAST(sum({_LI_CHARGE_C}) AS BIGINT) AS sum_charge_c,
-       CAST(count(*) AS BIGINT) AS n_rows
-FROM lineitem WHERE l_shipdate <= {_LI_CUTOFF}
-GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
-)
-def lineitem_pricing_summary(spark, sf_dir):
-    """TPC-H Q1-shape pricing summary over the lineitem table — the
-    classic scan-dominated OLAP aggregate, included so the engine's
-    generic relational surface (not just the document/search tables) has
-    first-class evidence. Money is rounded to cents PER ROW via one
-    shared expression string (Spark expr == DuckDB SQL text), so the
-    group sums are exact BIGINT adds — no float accumulation order, and
-    the averages TPC-H asks for are derivable as sum/n by the reader.
-
-    Scale shape: the canonical map-side-partial aggregate — the shipdate
-    filter is pushed into the parquet scan (shows as PushedFilters +
-    row-group min/max pruning), only 7 narrow columns are read
-    (ReadSchema), and the ≤|flags|×|status| group space combines
-    map-side; the one exchange carries a handful of rows per task."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
-        li.where(F.expr(f"l_shipdate <= {_LI_CUTOFF}"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(F.expr(_LI_QTY_C)).cast("long").alias("sum_qty_c"),
-            F.sum(F.expr(_LI_PRICE_C)).cast("long").alias("sum_base_c"),
-            F.sum(F.expr(_LI_DISC_C)).cast("long").alias("sum_disc_c"),
-            F.sum(F.expr(_LI_CHARGE_C)).cast("long").alias("sum_charge_c"),
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
-
-
-# --- session 37 batch 3: multi-table join rollup, token-mass Gini,
-# BM25-vs-TFIDF rank correlation ---------------------------------------------
-
-_ORD_FROM = "TIMESTAMP '1996-01-01 00:00:00'"
-_ORD_TO = "TIMESTAMP '1997-01-01 00:00:00'"
-
-
-@register(
-    "orders_nation_revenue",
-    f"""SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(round(100 * o.o_totalprice) AS BIGINT)) AS BIGINT) AS revenue_c
-FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE o.o_orderdate >= {_ORD_FROM} AND o.o_orderdate < {_ORD_TO}
-GROUP BY n.n_name ORDER BY n.n_name""",
-)
-def orders_nation_revenue(spark, sf_dir):
-    """TPC-H Q5-shape revenue rollup: 1996 orders joined through customer
-    to nation, cents-exact revenue per nation — the fact-to-dim join
-    chain that complements lineitem_pricing_summary's pure scan-agg in
-    the generic-relational evidence.
-
-    Scale shape: the date filter pushes into the orders parquet scan;
-    orders⋈customer is the real key-keyed shuffle join (both sides
-    unbounded — never force-broadcast, AQE localizes it when customer
-    fits); nation (25 rows) is explicitly broadcast so the second join is
-    map-side; the nation-keyed agg combines map-side into ≤25 rows.
-    Money is cents-rounded PER ROW (shared expr both engines), sums are
-    exact BIGINT."""
-    o = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .where(F.expr(f"o_orderdate >= {_ORD_FROM} AND o_orderdate < {_ORD_TO}"))
-        .select(
-            "o_custkey",
-            F.expr("CAST(round(100 * o_totalprice) AS BIGINT)").alias("price_c"),
-        )
-    )
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey", "c_nationkey"
-    )
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
-        "n_nationkey", "n_name"
-    )
-    return (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy("n_name")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum("price_c").cast("long").alias("revenue_c"),
-        )
-        .orderBy("n_name")
-    )
-
-
-@register(
-    "source_token_gini",
-    f"""WITH s AS (
-  SELECT source,
-         CAST(sum(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS BIGINT) AS x
-  FROM documents GROUP BY source),
-r AS (
-  SELECT x, row_number() OVER (ORDER BY x ASC, source ASC) AS i,
-         count(*) OVER () AS n, sum(x) OVER () AS tot
-  FROM s),
-g AS (
-  SELECT CAST(max(n) AS BIGINT) AS n_sources, CAST(max(tot) AS BIGINT) AS total_tokens,
-         CAST(sum((2 * i - n - 1) * x) AS BIGINT) AS num
-  FROM r)
-SELECT n_sources, total_tokens,
-       CASE WHEN total_tokens = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * num) // (n_sources * total_tokens) AS BIGINT)
-       END AS gini_q6
-FROM g""",
-)
-def source_token_gini(spark, sf_dir):
-    """Gini coefficient of token mass across sources — the one-number
-    concentration audit of a training mix (gini 0 = every source
-    contributes equally, →1 = one crawl IS the corpus). Read next to
-    temperature_mix_weights: a high gini is exactly when temperature
-    flattening matters.
-
-    Determinism: the classic sorted formula Σ(2i−n−1)·xᵢ / (n·Σx) over
-    ascending (x, source) order — equal-x swaps change which i each gets
-    but not the sum, so the value is order-stable; numerator/denominator
-    are exact BIGINTs, gini_q6 is a nonneg integer division (ascending
-    sort makes the numerator provably ≥ 0 — no negative-division
-    floor-vs-truncate divergence). Zero-token corpora emit 0 (the
-    temperature_mix_weights 0/0 guard).
-
-    Scale shape: per-source totals are a map-side token-count agg into
-    |sources| rows; the rank window runs over that pre-aggregated tiny
-    table (the doclen_quantiles rule — never a corpus-wide sort)."""
-    s = _docs(spark, sf_dir).groupBy("source").agg(
-        F.sum(F.size(spark_tokens("text"))).cast("long").alias("x")
-    )
-    w = Window.orderBy(F.asc("x"), F.asc("source"))
-    r = s.select(
-        "x",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        F.sum("x").over(Window.partitionBy()).alias("tot"),
-    )
-    g = r.agg(
-        F.max("n").cast("long").alias("n_sources"),
-        F.max("tot").cast("long").alias("total_tokens"),
-        F.sum(F.expr("(2 * i - n - 1) * x")).cast("long").alias("num"),
-    )
-    return g.select(
-        "n_sources",
-        "total_tokens",
-        F.expr(
-            "CASE WHEN total_tokens = 0 THEN CAST(0 AS BIGINT) "
-            "ELSE CAST((1000000 * num) div (n_sources * total_tokens) AS BIGINT) END"
-        ).alias("gini_q6"),
-    )
-
-
-@register(
-    "rank_correlation_bm25_tfidf",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + f""",
-top AS (
-  SELECT doc_id, score_q6,
-         row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS r1
-  FROM (SELECT doc_id, score_q6 FROM agg
-        ORDER BY score_q6 DESC, doc_id ASC LIMIT 20)),
-idf AS (
-  SELECT term,
-         CAST(round(1000000 * ln(1.0 + ((SELECT n_docs FROM st) - df + 0.5)
-                                        / (df + 0.5))) AS BIGINT) AS idf_q6
-  FROM dfs JOIN q USING (term)),
-ti AS (
-  SELECT tf.doc_id, CAST(sum(tf.tf * idf.idf_q6) AS BIGINT) AS tfidf
-  FROM tf JOIN idf USING (term) JOIN top USING (doc_id)
-  GROUP BY tf.doc_id),
-rk AS (
-  SELECT top.doc_id, top.r1,
-         row_number() OVER (ORDER BY ti.tfidf DESC, top.doc_id ASC) AS r2
-  FROM top JOIN ti USING (doc_id)),
-pr AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-         CAST(count(*) FILTER (WHERE (a.r1 - b.r1) * (a.r2 - b.r2) > 0) AS BIGINT) AS concordant,
-         CAST(count(*) FILTER (WHERE (a.r1 - b.r1) * (a.r2 - b.r2) < 0) AS BIGINT) AS discordant
-  FROM rk a JOIN rk b ON a.doc_id < b.doc_id)
-SELECT n_pairs, concordant, discordant,
-       CASE WHEN n_pairs = 0 THEN CAST(0 AS BIGINT)
-            WHEN concordant >= discordant
-              THEN CAST((1000000 * (concordant - discordant)) // n_pairs AS BIGINT)
-            ELSE -CAST((1000000 * (discordant - concordant)) // n_pairs AS BIGINT)
-       END AS tau_q6
-FROM pr""",
-)
-def rank_correlation_bm25_tfidf(spark, sf_dir):
-    """Kendall tau-a between the BM25 top-20 ranking and a plain tf·idf
-    ranking of the SAME docs for the shared query — the scoring-model
-    A/B diagnostic (how much does the saturation/length normalization
-    BM25 adds actually reorder results here?). Both legs rank over exact
-    integers (score_q6 / Σ tf·idf_q6 with doc_id tiebreaks — the
-    hybrid_rrf quantized-legs rule), so the pair counts are engine-exact;
-    tau_q6's sign is handled by an explicit CASE because Spark's `div`
-    truncates toward zero while DuckDB's `//` floors — they only agree on
-    nonnegative operands.
-
-    Scale shape: candidates from the memoized `_bm25_match_set` truncated
-    by one TakeOrdered(20); idf is |q|-row map-side; the tfidf rescore is
-    a 20-key broadcast back into tf (the ltr_features shape); the pair
-    join is 20×20 driver-trivial rows."""
-    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
-    top = (
-        agg.orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(20)
-        .withColumn(
-            "r1",
-            F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))),
-        )
-        .select("doc_id", "r1")
-    )
-    toks = _toks(_docs(spark, sf_dir))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    st = dl.agg(F.count("*").cast("double").alias("n_docs"))
-    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    q = F.broadcast(spark.createDataFrame([(t,) for t in _TOPK_TERMS], "term string"))
-    idf = (
-        dfs.join(q, "term")
-        .crossJoin(F.broadcast(st))
-        .select(
-            "term",
-            F.expr(
-                "cast(round(1000000 * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))) as bigint)"
-            ).alias("idf_q6"),
-        )
-    )
-    ti = (
-        tf.join(F.broadcast(top.select("doc_id")), "doc_id")
-        .join(F.broadcast(idf), "term")
-        .groupBy("doc_id")
-        .agg(F.sum(F.expr("tf * idf_q6")).cast("long").alias("tfidf"))
-    )
-    rk = (
-        top.join(ti, "doc_id")
-        .withColumn(
-            "r2",
-            F.row_number().over(Window.orderBy(F.desc("tfidf"), F.asc("doc_id"))),
-        )
-        .select("doc_id", "r1", "r2")
-    )
-    a, b = rk.alias("a"), rk.alias("b")
-    pr = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            ((F.col("a.r1") - F.col("b.r1")) * (F.col("a.r2") - F.col("b.r2"))).alias(
-                "prod"
-            )
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.count_if(F.col("prod") > 0).cast("long").alias("concordant"),
-            F.count_if(F.col("prod") < 0).cast("long").alias("discordant"),
-        )
-    )
-    return pr.select(
-        "n_pairs",
-        "concordant",
-        "discordant",
-        F.expr(
-            "CASE WHEN n_pairs = 0 THEN CAST(0 AS BIGINT) "
-            "WHEN concordant >= discordant "
-            "THEN CAST((1000000 * (concordant - discordant)) div n_pairs AS BIGINT) "
-            "ELSE -CAST((1000000 * (discordant - concordant)) div n_pairs AS BIGINT) END"
-        ).alias("tau_q6"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 38 — TPC-H join-shape evidence (Q3/Q10), ES boosting/dis_max
-# query parity, auto_date_histogram, dedup/quality threshold curves,
-# SQ-clip calibration, recall@k curve
-# ---------------------------------------------------------------------------
-
-_Q3_CUT = "TIMESTAMP '1998-01-01 00:00:00'"
-
-
-@register(
-    "orders_topk_unshipped",
-    f"""WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
-o AS (
-  SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS o_date_us, o_orderpriority
-  FROM orders WHERE o_orderdate < {_Q3_CUT}),
-l AS (
-  SELECT l_orderkey, {_LI_DISC_C} AS rev_c
-  FROM lineitem WHERE l_shipdate > {_Q3_CUT})
-SELECT l.l_orderkey, o.o_date_us, o.o_orderpriority,
-       CAST(sum(l.rev_c) AS BIGINT) AS revenue_c,
-       CAST(count(*) AS BIGINT) AS n_items
-FROM l JOIN o ON l.l_orderkey = o.o_orderkey
-JOIN c ON o.o_custkey = c.c_custkey
-GROUP BY l.l_orderkey, o.o_date_us, o.o_orderpriority
-ORDER BY revenue_c DESC, l_orderkey ASC LIMIT 10""",
-)
-def orders_topk_unshipped(spark, sf_dir):
-    """TPC-H Q3-shape shipping-priority query: revenue still unshipped as
-    of the cutoff for one market segment, top-10 orders — the canonical
-    3-way fact⋈fact⋈dim join with a selective top-k, completing the
-    generic-relational evidence family (Q1 scan-agg, Q5 dim rollup, Q3
-    join+topk). Money is cents-rounded PER ROW via the shared
-    `_LI_DISC_C` expr string, so group sums are exact BIGINT and the
-    top-10 cut (revenue desc, orderkey asc) is an integer ordering both
-    engines agree on; dates travel as `unix_micros`/`epoch_us` BIGINTs
-    (the events-table rule).
-
-    Scale shape: both date filters and the segment filter push into their
-    parquet scans; orders⋈customer and lineitem⋈orders are key-keyed
-    shuffle joins (all sides unbounded — never force-broadcast; AQE
-    localizes when one side fits); the groupBy key is the join key
-    (l_orderkey), so it reuses the lineitem⋈orders exchange, and top-10
-    is a TakeOrdered, never a global sort."""
-    c = (
-        spark.read.parquet(f"{sf_dir}/customer.parquet")
-        .where(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
-    )
-    o = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .where(F.expr(f"o_orderdate < {_Q3_CUT}"))
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("o_date_us"),
-            "o_orderpriority",
-        )
-    )
-    li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .where(F.expr(f"l_shipdate > {_Q3_CUT}"))
-        .select("l_orderkey", F.expr(_LI_DISC_C).alias("rev_c"))
-    )
-    return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .groupBy("l_orderkey", "o_date_us", "o_orderpriority")
-        .agg(
-            F.sum("rev_c").cast("long").alias("revenue_c"),
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-        )
-        .orderBy(F.desc("revenue_c"), F.asc("l_orderkey"))
-        .limit(10)
-    )
-
-
-_Q10_FROM = "TIMESTAMP '1996-01-01 00:00:00'"
-_Q10_TO = "TIMESTAMP '1996-04-01 00:00:00'"
-
-
-@register(
-    "customer_returns_topk",
-    f"""WITH o AS (
-  SELECT o_orderkey, o_custkey FROM orders
-  WHERE o_orderdate >= {_Q10_FROM} AND o_orderdate < {_Q10_TO}),
-l AS (
-  SELECT l_orderkey, {_LI_DISC_C} AS rev_c
-  FROM lineitem WHERE l_returnflag = 'R'),
-r AS (
-  SELECT o.o_custkey, CAST(sum(l.rev_c) AS BIGINT) AS revenue_c,
-         CAST(count(*) AS BIGINT) AS n_items
-  FROM l JOIN o ON l.l_orderkey = o.o_orderkey GROUP BY o.o_custkey)
-SELECT c.c_custkey, c.c_name, n.n_name, r.revenue_c, r.n_items
-FROM r JOIN customer c ON r.o_custkey = c.c_custkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-ORDER BY revenue_c DESC, c_custkey ASC LIMIT 20""",
-)
-def customer_returns_topk(spark, sf_dir):
-    """TPC-H Q10-shape returned-item report: per-customer revenue of
-    returned lineitems for one quarter's orders, top-20 customers with
-    their nation — the agg-THEN-join shape (fact joins collapse to a
-    custkey rollup BEFORE the dim joins, so the customer join carries
-    |customers-with-returns| rows, not |lineitems|).
-
-    Scale shape: returnflag and the date window push into the scans;
-    lineitem⋈orders shuffles on orderkey; the custkey agg combines
-    map-side; customer joins the pre-aggregated rollup un-hinted (AQE
-    broadcasts the ≤|custkey| rollup when it fits) and nation (25 rows)
-    is explicitly broadcast; top-20 is a TakeOrdered over exact
-    cents-BIGINT revenue with the custkey tiebreak."""
-    o = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .where(F.expr(f"o_orderdate >= {_Q10_FROM} AND o_orderdate < {_Q10_TO}"))
-        .select("o_orderkey", "o_custkey")
-    )
-    li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .where(F.col("l_returnflag") == "R")
-        .select("l_orderkey", F.expr(_LI_DISC_C).alias("rev_c"))
-    )
-    r = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy("o_custkey")
-        .agg(
-            F.sum("rev_c").cast("long").alias("revenue_c"),
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-        )
-    )
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey", "c_name", "c_nationkey"
-    )
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
-        "n_nationkey", "n_name"
-    )
-    return (
-        r.join(c, r["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .select("c_custkey", "c_name", "n_name", "revenue_c", "n_items")
-        .orderBy(F.desc("revenue_c"), F.asc("c_custkey"))
-        .limit(20)
-    )
-
-
-# --- session 38 batch 2: ES boosting / dis_max query parity + ES
-# auto_date_histogram --------------------------------------------------------
-
-# shared BM25 stats prelude (tf/dl/st/dfs) for oracles that score MORE than
-# one term set over the same corpus stats — the _bm25_agg_ctes chain split so
-# two query legs can share one tf scan (the formula text is identical, so leg
-# scores match _bm25_match_set bit-for-bit)
-_BM25_STATS_CTES = f"""
-WITH tf AS ({SQL_TF}),
-dl AS ({SQL_DL}),
-st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl),
-dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)"""
-
-
-def _bm25_leg_ctes(suffix: str, terms: list[str]) -> str:
-    """One scored query leg (q/per/agg CTEs, ``agg{suffix}(doc_id,
-    score_q6)``) over the shared `_BM25_STATS_CTES` prelude."""
-    tlist = ", ".join(f"'{t}'" for t in terms)
-    return f"""
-q{suffix} AS (SELECT unnest([{tlist}]) AS term),
-per{suffix} AS (
-  SELECT tf.doc_id,
-         ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))
-           * tf.tf * 2.2
-           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM st))) AS s
-  FROM tf JOIN q{suffix} USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
-),
-agg{suffix} AS (
-  SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6
-  FROM per{suffix} GROUP BY doc_id
-)"""
-
-
-_BOOST_NEG_TERM = "slow"
-
-
-@register(
-    "boosting_query",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + f""",
-neg AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{_BOOST_NEG_TERM}'),
-adj AS (
-  SELECT agg.doc_id,
-         CASE WHEN neg.doc_id IS NOT NULL THEN agg.score_q6 // 2
-              ELSE agg.score_q6 END AS score_q6,
-         CAST(neg.doc_id IS NOT NULL AS BIGINT) AS demoted
-  FROM agg LEFT JOIN neg ON agg.doc_id = neg.doc_id)
-SELECT doc_id, score_q6, demoted,
-       CAST(row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS BIGINT) AS rank
-FROM adj ORDER BY score_q6 DESC, doc_id ASC LIMIT 10""",
-)
-def boosting_query(spark, sf_dir):
-    """ES `boosting` query: positive BM25 clause scored normally, docs
-    matching the negative clause demoted by negative_boost = 0.5 — the
-    soft-exclusion ES exposes when must_not is too blunt (demote, don't
-    drop). The demotion is score_q6 div 2 on the already-quantized score:
-    operands are nonnegative so Spark's truncating `div` and DuckDB's
-    flooring `//` agree, and no float re-rounding enters after the match
-    set's one q6 rounding.
-
-    Scale shape: scoring is the memoized `_bm25_match_set`; the negative
-    clause is a pure MAP-SIDE membership filter (array_contains over the
-    token array — no explode, no distinct shuffle; a full posting-set
-    distinct for one term cost 3× the whole query at sf0.1) left-joined
-    as a flag (the bool_filter_query algebra, demote instead of
-    anti-join); top-10 is a TakeOrdered over the match set, never a
-    global sort."""
-    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
-    neg = (
-        _docs(spark, sf_dir)
-        .where(F.array_contains(spark_tokens("text"), F.lit(_BOOST_NEG_TERM)))
-        .select("doc_id")
-        .withColumn("is_neg", F.lit(1))
-    )
-    adj = agg.join(neg, "doc_id", "left").select(
-        "doc_id",
-        F.expr(
-            "CASE WHEN is_neg IS NOT NULL THEN score_q6 div 2 ELSE score_q6 END"
-        ).alias("score_q6"),
-        F.expr("CAST(is_neg IS NOT NULL AS BIGINT)").alias("demoted"),
-    )
-    topk = adj.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
-    return (
-        topk.withColumn(
-            "rank",
-            F.row_number()
-            .over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id")))
-            .cast("long"),
-        )
-        .select("doc_id", "score_q6", "demoted", "rank")
-        .orderBy("rank")
-    )
-
-
-_DISMAX_Q1 = ["spark", "hash"]
-_DISMAX_Q2 = ["join", "scan"]
-
-
-@register(
-    "dis_max_query",
-    _BM25_STATS_CTES
-    + ","
-    + _bm25_leg_ctes("1", _DISMAX_Q1)
-    + ","
-    + _bm25_leg_ctes("2", _DISMAX_Q2)
-    + """,
-u AS (
-  SELECT doc_id, COALESCE(a1.score_q6, 0) AS s1, COALESCE(a2.score_q6, 0) AS s2
-  FROM agg1 a1 FULL JOIN agg2 a2 USING (doc_id)),
-adj AS (
-  SELECT doc_id, s1, s2,
-         greatest(s1, s2) + (3 * least(s1, s2)) // 10 AS score_q6
-  FROM u)
-SELECT doc_id, s1, s2, score_q6,
-       CAST(row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS BIGINT) AS rank
-FROM adj ORDER BY score_q6 DESC, doc_id ASC LIMIT 10""",
-)
-def dis_max_query(spark, sf_dir):
-    """ES `dis_max` query across two scored legs with tie_breaker = 0.3:
-    per-doc score = best leg + 0.3 × other leg — the multi-query
-    disjunction ES uses when summing legs would double-count (the
-    query-level analogue of cross_fields_search's per-term dis-max).
-    The combine is pure integer over the legs' q6 scores (3·min div 10,
-    nonnegative operands → div == //), so no float enters after each
-    leg's one rounding; a doc matching one leg scores COALESCE 0 on the
-    other via the full outer join.
-
-    Scale shape: each leg is a memoized `_bm25_match_set` (match-set
-    sized, term-pruned); the full outer join keys on doc_id and both
-    sides are match sets — bounded by matching docs, not the corpus;
-    top-10 is a TakeOrdered."""
-    a1 = _bm25_match_set(spark, sf_dir, _DISMAX_Q1).select(
-        "doc_id", F.col("score_q6").alias("s1")
-    )
-    a2 = _bm25_match_set(spark, sf_dir, _DISMAX_Q2).select(
-        "doc_id", F.col("score_q6").alias("s2")
-    )
-    u = (
-        a1.join(a2, ["doc_id"], "full")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("s1"), F.lit(0)).alias("s1"),
-            F.coalesce(F.col("s2"), F.lit(0)).alias("s2"),
-        )
-    )
-    adj = u.select(
-        "doc_id",
-        "s1",
-        "s2",
-        F.expr("greatest(s1, s2) + (3 * least(s1, s2)) div 10").alias("score_q6"),
-    )
-    topk = adj.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
-    return (
-        topk.withColumn(
-            "rank",
-            F.row_number()
-            .over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id")))
-            .cast("long"),
-        )
-        .select("doc_id", "s1", "s2", "score_q6", "rank")
-        .orderBy("rank")
-    )
-
-
-# ES auto_date_histogram ladder (µs): hour, day, 7 days, 30 days
-_ADH_LADDER = [3_600_000_000, 86_400_000_000, 604_800_000_000, 2_592_000_000_000]
-_ADH_TARGET = 20
-
-
-@register(
-    "auto_date_histogram",
-    f"""WITH t AS (SELECT epoch_us(ts) AS t_us FROM events),
-mm AS (SELECT min(t_us) AS mn, max(t_us) AS mx FROM t),
-ladder AS (SELECT unnest([{", ".join(str(i) for i in _ADH_LADDER)}]) AS interval_us),
-pick AS (
-  SELECT interval_us FROM ladder, mm
-  WHERE (mx // interval_us) - (mn // interval_us) + 1 <= {_ADH_TARGET}
-  ORDER BY interval_us ASC LIMIT 1)
-SELECT CAST(p.interval_us AS BIGINT) AS interval_us,
-       CAST((t.t_us // p.interval_us) * p.interval_us AS BIGINT) AS bucket_start_us,
-       CAST(count(*) AS BIGINT) AS n_events
-FROM t, pick p GROUP BY 1, 2 ORDER BY bucket_start_us""",
-)
-def auto_date_histogram(spark, sf_dir):
-    """ES `auto_date_histogram`: pick the SMALLEST interval from a fixed
-    ladder (hour/day/week/30-day) that keeps the bucket count ≤ the
-    target (20), then histogram event time at that interval — the
-    "zoom-to-fit" histogram dashboards issue when the time span is
-    unknown. Bucket count and bucket ids are pure integer floor-division
-    on nonnegative epoch-µs (div == //), so the interval choice — the
-    part that could diverge — is bit-exact across engines.
-
-    Scale shape: one map-side min/max agg picks the interval (2 scalar
-    rows broadcast); the histogram is a ≤target-group hash agg with
-    map-side partials — the one exchange carries ≤20 rows per task
-    regardless of event count."""
-    t = _events(spark, sf_dir).select(
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us")
-    )
-    mm = t.agg(F.min("t_us").alias("mn"), F.max("t_us").alias("mx"))
-    ladder = spark.createDataFrame(
-        [(i,) for i in _ADH_LADDER], "interval_us long"
-    )
-    pick = (
-        ladder.crossJoin(F.broadcast(mm))
-        .where(
-            F.expr(
-                f"(mx div interval_us) - (mn div interval_us) + 1 <= {_ADH_TARGET}"
-            )
-        )
-        .orderBy(F.asc("interval_us"))
-        .limit(1)
-        .select("interval_us")
-    )
-    return (
-        t.crossJoin(F.broadcast(pick))
-        .groupBy(
-            F.col("interval_us").cast("long").alias("interval_us"),
-            F.expr("CAST((t_us div interval_us) * interval_us AS BIGINT)").alias(
-                "bucket_start_us"
-            ),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-        .orderBy("bucket_start_us")
-    )
-
-
-# --- session 38 batch 3: dedup-threshold and quality-ablation tuning
-# curves — the "what does the knob cost in tokens" sweeps a pipeline owner
-# reads before fixing a cutoff ------------------------------------------------
-
-_DEDUP_THRESHOLDS = [50, 60, 70, 80, 90]  # Jaccard percent cutoffs
-
-
-@register(
-    "dedup_threshold_curve",
-    _SQL_LSH_PAIRS
-    + f""",
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS c,
-         any_value(na.n) AS na, any_value(nb.n) AS nb
-  FROM pairs c
-  JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
-  JOIN sizes na ON na.doc_id = c.doc_a
-  JOIN sizes nb ON nb.doc_id = c.doc_b
-  GROUP BY c.doc_a, c.doc_b),
-thr AS (SELECT unnest([{", ".join(str(t) for t in _DEDUP_THRESHOLDS)}]) AS thr_pct),
-surv AS (
-  SELECT t.thr_pct, i.doc_a, i.doc_b
-  FROM inter i JOIN thr t ON 100 * i.c >= t.thr_pct * (i.na + i.nb - i.c)),
-drops AS (SELECT thr_pct, doc_b FROM surv GROUP BY thr_pct, doc_b),
-ntok AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
-  FROM documents),
-pa AS (SELECT thr_pct, CAST(count(*) AS BIGINT) AS n_pairs FROM surv GROUP BY thr_pct),
-da AS (
-  SELECT d.thr_pct, CAST(count(*) AS BIGINT) AS n_docs_dropped,
-         CAST(COALESCE(sum(n.n_tok), 0) AS BIGINT) AS tokens_removed
-  FROM drops d JOIN ntok n ON n.doc_id = d.doc_b GROUP BY d.thr_pct)
-SELECT CAST(t.thr_pct AS BIGINT) AS thr_pct,
-       CAST(COALESCE(pa.n_pairs, 0) AS BIGINT) AS n_pairs,
-       CAST(COALESCE(da.n_docs_dropped, 0) AS BIGINT) AS n_docs_dropped,
-       CAST(COALESCE(da.tokens_removed, 0) AS BIGINT) AS tokens_removed
-FROM thr t LEFT JOIN pa USING (thr_pct) LEFT JOIN da USING (thr_pct)
-ORDER BY thr_pct""",
-)
-def dedup_threshold_curve(spark, sf_dir):
-    """Dedup Jaccard-threshold sweep: for each candidate cutoff
-    (J ≥ 0.5 … 0.9), how many LSH candidate pairs survive exact
-    verification, and what the drop-larger-doc_id survivor policy would
-    remove in docs and tokens — the cost curve read BEFORE fixing the
-    dedup threshold (fourth member of the tuning-diagnostics family:
-    banding precision, (b,r) sweep, shingle-k curve, now the threshold
-    itself). The survival test is the integer cross-multiplication
-    100·|∩| ≥ t·|∪| (|∪| = na+nb−c) — no float Jaccard anywhere; the
-    threshold spine LEFT JOINs so zero-survivor cutoffs still emit rows
-    (the lsh_band_config_curve rule), and the possibly-empty token sum is
-    COALESCE'd on BOTH engines (the dedup_policy_compare NULL lesson).
-
-    Scale shape: exact intersections are computed on CANDIDATES ONLY from
-    the memoized `_lsh_pair_edges` graph (never all-pairs); the 5-row
-    threshold spine fans the candidate table via a broadcast theta-join
-    (the nprobe-curve idiom); per-doc token counts are map-side. inter is
-    localCheckpoint'd — two aggregates (pair counts, drop ledger) consume
-    it and each would re-run the shingle join otherwise."""
-    edges = _lsh_pair_edges(spark, sf_dir)
-    pairs = edges.where(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
-    )
-    sh = _shingles_spark(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    inter = (
-        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-        .where(F.col("sh") == F.col("sh_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .localCheckpoint()
-    )
-    thr = F.broadcast(
-        spark.createDataFrame([(t,) for t in _DEDUP_THRESHOLDS], "thr_pct long")
-    )
-    surv = inter.join(thr, F.expr("100 * c >= thr_pct * (na + nb - c)")).select(
-        "thr_pct", "doc_a", "doc_b"
-    )
-    pa = surv.groupBy("thr_pct").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-    drops = surv.select("thr_pct", "doc_b").distinct()
-    ntok = _docs(spark, sf_dir).select(
-        "doc_id", F.size(spark_tokens("text")).cast("long").alias("n_tok")
-    )
-    da = (
-        drops.join(ntok, drops["doc_b"] == ntok["doc_id"])
-        .groupBy("thr_pct")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs_dropped"),
-            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("tokens_removed"),
-        )
-    )
-    spine = spark.createDataFrame([(t,) for t in _DEDUP_THRESHOLDS], "thr_pct long")
-    return (
-        spine.join(pa, "thr_pct", "left")
-        .join(da, "thr_pct", "left")
-        .select(
-            "thr_pct",
-            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
-            F.coalesce(F.col("n_docs_dropped"), F.lit(0)).cast("long").alias("n_docs_dropped"),
-            F.coalesce(F.col("tokens_removed"), F.lit(0)).cast("long").alias("tokens_removed"),
-        )
-        .orderBy("thr_pct")
-    )
-
-
-_QUALITY_THRESHOLDS = [0, 20, 40, 60, 80]  # type-token-ratio percent gates
-
-
-@register(
-    "quality_ablation_curve",
-    f"""WITH d AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok,
-         CAST(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS BIGINT) AS n_distinct
-  FROM documents),
-tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tokens FROM d),
-thr AS (SELECT unnest([{", ".join(str(t) for t in _QUALITY_THRESHOLDS)}]) AS thr_pct),
-k AS (
-  SELECT t.thr_pct, CAST(count(*) AS BIGINT) AS n_docs_kept,
-         CAST(COALESCE(sum(d.n_tok), 0) AS BIGINT) AS tokens_kept
-  FROM d JOIN thr t ON 100 * d.n_distinct >= t.thr_pct * d.n_tok
-  GROUP BY t.thr_pct)
-SELECT CAST(t.thr_pct AS BIGINT) AS thr_pct,
-       CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
-       CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
-       CASE WHEN (SELECT total_tokens FROM tot) = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * COALESCE(k.tokens_kept, 0))
-                      // (SELECT total_tokens FROM tot) AS BIGINT)
-       END AS kept_share_q6
-FROM thr t LEFT JOIN k USING (thr_pct) ORDER BY thr_pct""",
-)
-def quality_ablation_curve(spark, sf_dir):
-    """Quality-gate ablation sweep: token/doc survival at increasing
-    type-token-ratio cutoffs (distinct/total ≥ 0 … 0.8) — the "how much
-    of the corpus does this filter actually cost" curve read next to
-    quality_budget_select (which fills a budget) and the Gopher flags
-    (which gate individually). The gate is the integer cross-mult
-    100·n_distinct ≥ t·n_tok (training_mix_pipeline's bit-exact ratio
-    rule — empty docs pass every gate as 0 ≥ 0 and contribute 0 tokens);
-    the share divides exact BIGINTs with the all-empty-corpus 0/0 guard
-    (temperature_mix_weights lesson).
-
-    Scale shape: per-doc (n_tok, n_distinct) is computed map-side from
-    the words array (size/array_distinct — never a tf shuffle); the 5-row
-    threshold spine fans it via a broadcast theta-join and each gate
-    collapses map-side to one row; total_tokens is one scalar agg."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(spark_tokens("text")).cast("long").alias("n_tok"),
-        F.size(F.array_distinct(spark_tokens("text"))).cast("long").alias("n_distinct"),
-    )
-    tot = d.agg(F.sum("n_tok").cast("long").alias("total_tokens"))
-    thr = F.broadcast(
-        spark.createDataFrame([(t,) for t in _QUALITY_THRESHOLDS], "thr_pct long")
-    )
-    k = (
-        d.join(thr, F.expr("100 * n_distinct >= thr_pct * n_tok"))
-        .groupBy("thr_pct")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
-            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("tokens_kept"),
-        )
-    )
-    spine = spark.createDataFrame([(t,) for t in _QUALITY_THRESHOLDS], "thr_pct long")
-    return (
-        spine.join(k, "thr_pct", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "thr_pct",
-            F.coalesce(F.col("n_docs_kept"), F.lit(0)).cast("long").alias("n_docs_kept"),
-            F.coalesce(F.col("tokens_kept"), F.lit(0)).cast("long").alias("tokens_kept"),
-            F.expr(
-                "CASE WHEN total_tokens = 0 THEN CAST(0 AS BIGINT) "
-                "ELSE CAST((1000000 * COALESCE(tokens_kept, 0)) div total_tokens AS BIGINT) END"
-            ).alias("kept_share_q6"),
-        )
-        .orderBy("thr_pct")
-    )
-
-
-# --- session 38 batch 4: SQ clip-bound calibration + recall@k curve ----------
-
-
-@register(
-    "embedding_dim_clip_bounds",
-    _SQL_EMB_E
-    + """
-ex AS (
-  SELECT vec_id, i - 1 AS dim, CAST(round(v[i] * 1000) AS BIGINT) AS xq3
-  FROM e, (SELECT unnest(generate_series(1, 64)) AS i) WHERE vec_id <> 0),
-hist AS (SELECT dim, xq3, count(*) AS cnt FROM ex GROUP BY dim, xq3),
-h AS (
-  SELECT dim, xq3, cnt,
-         CAST(COALESCE(SUM(cnt) OVER (PARTITION BY dim ORDER BY xq3
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
-         CAST(SUM(cnt) OVER (PARTITION BY dim) AS BIGINT) AS n
-  FROM hist),
-q AS (SELECT p_q6 FROM (VALUES (10000), (990000)) AS v(p_q6)),
-agg AS (
-  SELECT h.dim, q.p_q6, max(h.n) AS n,
-         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1))
-                  THEN h.xq3 END) AS v_lo,
-         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1)) + 1
-                  THEN h.xq3 END) AS v_hi
-  FROM h, q GROUP BY h.dim, q.p_q6)
-SELECT CAST(dim AS BIGINT) AS dim, CAST(p_q6 AS BIGINT) AS p_q6,
-       CAST(round(1000.0 * (v_lo + ((p_q6 / 1000000.0) * (n - 1)
-            - floor((p_q6 / 1000000.0) * (n - 1))) * (v_hi - v_lo))) AS BIGINT) AS clip_q6
-FROM agg ORDER BY dim, p_q6""",
-)
-def embedding_dim_clip_bounds(spark, sf_dir):
-    """Per-dimension p1/p99 clip bounds — the calibration pass a scalar
-    quantizer runs BEFORE sq8_quantization_error's min/max affine code:
-    training the code on percentile clips instead of raw min/max is what
-    keeps one outlier from wasting the int8 range (the FAISS
-    SQ8/Milvus-style clip-train). Exact type-7 percentiles from a
-    weighted histogram — the doclen_quantiles machinery partitioned by
-    dim — with values quantized to q3 integers FIRST (round(1000·x): the
-    histogram stays ≤ ~4k cells per dim at ANY corpus size, and the one
-    rounding happens before ordering, so both engines interpolate
-    identical integers; clip_q6 = 1000 × the q3 interpolation lands back
-    in micro-units of the original value).
-
-    Scale shape: the explode is map-side (64 rows per vector) collapsing
-    into a (dim × q3-cell) histogram via map-side partials; the prefix-sum
-    windows partition by dim — 64-way parallel, never a corpus-wide sort;
-    the rank probes fan the histogram against a 2-row percentile spine."""
-    ex = (
-        _emb(spark, sf_dir)
-        .where(F.col("vec_id") != 0)
-        .select(
-            "vec_id",
-            F.posexplode(F.expr("transform(embedding, x -> cast(x as double))")).alias(
-                "dim", "x"
-            ),
-        )
-        .select("dim", F.expr("CAST(round(x * 1000) AS BIGINT)").alias("xq3"))
-    )
-    hist = ex.groupBy("dim", "xq3").agg(F.count(F.lit(1)).alias("cnt"))
-    w_cum = (
-        Window.partitionBy("dim")
-        .orderBy("xq3")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_all = Window.partitionBy("dim")
-    h = hist.select(
-        "dim",
-        "xq3",
-        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).cast("long").alias("cum_before"),
-        F.sum("cnt").over(w_all).cast("long").alias("n"),
-    )
-    q = spark.createDataFrame([(10000,), (990000,)], "p_q6 long")
-    rank = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
-    agg = (
-        h.crossJoin(F.broadcast(q))
-        .groupBy("dim", "p_q6")
-        .agg(
-            F.max("n").alias("n"),
-            F.max(F.when(F.col("cum_before") <= F.floor(rank), F.col("xq3"))).alias("v_lo"),
-            F.max(F.when(F.col("cum_before") <= F.floor(rank) + 1, F.col("xq3"))).alias("v_hi"),
-        )
-    )
-    r = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
-    frac = r - F.floor(r)
-    return agg.select(
-        F.col("dim").cast("long").alias("dim"),
-        F.col("p_q6").cast("long").alias("p_q6"),
-        F.round(F.lit(1000.0) * (F.col("v_lo") + frac * (F.col("v_hi") - F.col("v_lo"))))
-        .cast("long")
-        .alias("clip_q6"),
-    ).orderBy("dim", "p_q6")
-
-
-_RECALL_KS = [1, 5, 10]
-
-
-@register(
-    "ann_recall_at_k_curve",
-    _BATCH_SQL
-    + f""", bexact AS (
-  SELECT qid, vec_id, rn FROM (
-    SELECT qs.qid, e.vec_id,
-           row_number() OVER (PARTITION BY qs.qid ORDER BY
-             CAST(round(1000000 * list_dot_product(e.v, qs.qv)
-               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) DESC,
-             e.vec_id ASC) AS rn
-    FROM qs, e WHERE e.vec_id <> 0) WHERE rn <= 10
-),
-ks AS (SELECT unnest([{", ".join(str(k) for k in _RECALL_KS)}]) AS k),
-j AS (
-  SELECT b.qid, b.rnk, x.rn
-  FROM (SELECT qid, vec_id, rnk FROM btop WHERE rnk <= 10) b
-  JOIN bexact x USING (qid, vec_id)),
-hits AS (
-  SELECT ks.k, CAST(count(*) AS BIGINT) AS sum_hits
-  FROM j JOIN ks ON j.rnk <= ks.k AND j.rn <= ks.k GROUP BY ks.k),
-nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qs)
-SELECT CAST(ks.k AS BIGINT) AS k, (SELECT n FROM nq) AS n_queries,
-       CAST(COALESCE(h.sum_hits, 0) AS BIGINT) AS sum_hits,
-       CAST((1000000 * COALESCE(h.sum_hits, 0)) // (ks.k * (SELECT n FROM nq)) AS BIGINT) AS recall_q6
-FROM ks LEFT JOIN hits h ON h.k = ks.k ORDER BY k""",
-)
-def ann_recall_at_k_curve(spark, sf_dir):
-    """Recall@k curve (k = 1/5/10) of the batch IVF probe against the
-    brute-force exact ranking — the DEPTH axis of the ANN evaluation
-    (nprobe_curve sweeps cells, dim_truncation sweeps dimensions; this
-    sweeps the result-list cut the downstream consumer actually reads).
-    hits@k counts approx∩exact pairs where BOTH ranks ≤ k — since both
-    rankings nest by construction, sum_hits is provably non-decreasing
-    in k (property-tested); recall_q6 divides exact integers by k·|Q|.
-
-    Scale shape: reuses the memoized batch-probe top-10 (`_ivf_batch_topk`
-    plan — probe table broadcasts) and one exact ranking; the k spine is
-    a 3-row broadcast theta-join over the ≤10·|Q| joined rank pairs."""
-    ivf = _ivf_batch_topk(spark, sf_dir).select("qid", "vec_id", "rnk")
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    qs = e.where(F.col("vec_id") % 37 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    wr = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-    exact = (
-        e.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qs))
-        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-        .withColumn("rn", F.row_number().over(wr))
-        .where(F.col("rn") <= 10)
-        .select("qid", "vec_id", "rn")
-    )
-    j = ivf.join(exact, ["qid", "vec_id"]).select("rnk", "rn")
-    ks = F.broadcast(spark.createDataFrame([(k,) for k in _RECALL_KS], "k long"))
-    hits = (
-        j.join(ks, F.expr("rnk <= k AND rn <= k"))
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).cast("long").alias("sum_hits"))
-    )
-    nq = qs.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
-    spine = spark.createDataFrame([(k,) for k in _RECALL_KS], "k long")
-    return (
-        spine.join(hits, "k", "left")
-        .crossJoin(F.broadcast(nq))
-        .select(
-            "k",
-            "n_queries",
-            F.coalesce(F.col("sum_hits"), F.lit(0)).cast("long").alias("sum_hits"),
-            F.expr(
-                "CAST((1000000 * COALESCE(sum_hits, 0)) div (k * n_queries) AS BIGINT)"
-            ).alias("recall_q6"),
-        )
-        .orderBy("k")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 39 — TPC-H semi-join/having/ratio shapes (Q4/Q18/Q14), embedding
-# label-centroid drift QA, ES span_first + stats_bucket, and a distributed
-# contiguous-row-id assigner (the scalable zipWithIndex)
-# ---------------------------------------------------------------------------
-
-_Q4_FROM = "TIMESTAMP '1996-01-01 00:00:00'"
-_Q4_TO = "TIMESTAMP '1997-01-01 00:00:00'"
-_Q4_GAP_US = 90 * 86_400_000_000  # 90 days in microseconds
-
-
-@register(
-    "orders_late_shipment_priority",
-    f"""SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
-FROM orders o
-WHERE o.o_orderdate >= {_Q4_FROM} AND o.o_orderdate < {_Q4_TO}
-  AND EXISTS (SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey
-                AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + {_Q4_GAP_US})
-GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
-)
-def orders_late_shipment_priority(spark, sf_dir):
-    """TPC-H Q4-shape order-priority check: 1996 orders with at least one
-    lineitem shipped more than 90 days after the order date, counted by
-    priority — the canonical EXISTS/semi-join shape the relational family
-    was still missing (Q1 scan-agg, Q5 dim rollup, Q3 join+topk, Q10
-    returns). The lateness predicate compares columns from BOTH sides, so
-    it cannot be pushed below the join; it rides the semi-join itself.
-    Dates travel as unix_micros/epoch_us BIGINTs (the events-table rule),
-    so the +90d arithmetic is an exact integer add in both engines.
-
-    Scale shape: the order-date window pushes into the orders parquet
-    scan; the LEFT SEMI join on l_orderkey is one key-keyed shuffle that
-    short-circuits per probe row (no fanout — an order with 40 late items
-    emits once), and the priority agg combines map-side into ≤5 rows."""
-    o = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .where(F.expr(f"o_orderdate >= {_Q4_FROM} AND o_orderdate < {_Q4_TO}"))
-        .select(
-            "o_orderkey",
-            "o_orderpriority",
-            F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("o_date_us"),
-        )
-    )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey",
-        F.expr("unix_micros(cast(l_shipdate as timestamp))").alias("ship_us"),
-    )
-    late = o.join(
-        li,
-        (o["o_orderkey"] == li["l_orderkey"])
-        & (li["ship_us"] > o["o_date_us"] + F.lit(_Q4_GAP_US)),
-        "left_semi",
-    )
-    return (
-        late.groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
-        .orderBy("o_orderpriority")
-    )
-
-
-_Q14_FROM = "TIMESTAMP '1996-09-01 00:00:00'"
-_Q14_TO = "TIMESTAMP '1996-10-01 00:00:00'"
-
-
-@register(
-    "promo_revenue_ratio",
-    f"""WITH l AS (
-  SELECT l_partkey, {_LI_DISC_C} AS rev_c
-  FROM lineitem WHERE l_shipdate >= {_Q14_FROM} AND l_shipdate < {_Q14_TO}),
-j AS (
-  SELECT CASE WHEN p.p_type = 'PROMO' THEN l.rev_c ELSE 0 END AS promo_c, l.rev_c
-  FROM l JOIN part p ON l.l_partkey = p.p_partkey),
-t AS (SELECT CAST(COALESCE(sum(promo_c), 0) AS BIGINT) AS promo_rev_c,
-             CAST(COALESCE(sum(rev_c), 0) AS BIGINT) AS total_rev_c,
-             CAST(count(*) AS BIGINT) AS n_items FROM j)
-SELECT promo_rev_c, total_rev_c, n_items,
-       CASE WHEN total_rev_c = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * promo_rev_c) // total_rev_c AS BIGINT)
-       END AS promo_share_q6
-FROM t""",
-)
-def promo_revenue_ratio(spark, sf_dir):
-    """TPC-H Q14-shape promo-revenue share: of September-1996 shipped
-    revenue, the fraction attributable to PROMO-type parts, as an exact
-    integer q6 share (the integer-cross-multiplication idiom — no float
-    division order). Money is cents-rounded PER ROW via the shared
-    `_LI_DISC_C` expr string; the share's 1e6 cross-multiplication holds
-    to ~9.2e12 cents (~$92B) in the month slice — beyond that, pre-scale
-    the cents sums before the ratio (same note as the recall curves).
-
-    Scale shape: the one-month shipdate window pushes into the lineitem
-    scan (row-group pruning makes this the cheapest Q14 month at any SF);
-    lineitem⋈part is a key-keyed shuffle join left UN-hinted — part
-    grows with SF (never force-broadcast an unbounded side; AQE localizes
-    it while it fits). The final scalar agg combines map-side into one
-    row per task before the single-row reduce."""
-    li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .where(F.expr(f"l_shipdate >= {_Q14_FROM} AND l_shipdate < {_Q14_TO}"))
-        .select("l_partkey", F.expr(_LI_DISC_C).alias("rev_c"))
-    )
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_type")
-    j = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
-        F.expr("CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END").alias("promo_c"),
-        "rev_c",
-    )
-    t = j.agg(
-        F.coalesce(F.sum("promo_c"), F.lit(0)).cast("long").alias("promo_rev_c"),
-        F.coalesce(F.sum("rev_c"), F.lit(0)).cast("long").alias("total_rev_c"),
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-    )
-    return t.select(
-        "promo_rev_c",
-        "total_rev_c",
-        "n_items",
-        F.expr(
-            "CASE WHEN total_rev_c = 0 THEN CAST(0 AS BIGINT) "
-            "ELSE CAST((1000000 * promo_rev_c) div total_rev_c AS BIGINT) END"
-        ).alias("promo_share_q6"),
-    )
-
-
-_Q18_QTY_C = 30_000  # 300.00 quantity units, in the shared cents scale
-
-
-@register(
-    "large_orders_topk",
-    f"""WITH lq AS (
-  SELECT l_orderkey, CAST(sum({_LI_QTY_C}) AS BIGINT) AS total_qty_c
-  FROM lineitem GROUP BY l_orderkey
-  HAVING CAST(sum({_LI_QTY_C}) AS BIGINT) > {_Q18_QTY_C})
-SELECT o.o_orderkey, o.o_custkey, epoch_us(o.o_orderdate) AS o_date_us,
-       lq.total_qty_c
-FROM lq JOIN orders o ON lq.l_orderkey = o.o_orderkey
-ORDER BY lq.total_qty_c DESC, o.o_orderkey ASC LIMIT 10""",
-)
-def large_orders_topk(spark, sf_dir):
-    """TPC-H Q18-shape large-volume orders: the group-then-HAVING filter
-    (orders whose total lineitem quantity exceeds 300 units) joined back
-    to the order header, top-10 by volume — the aggregate-as-filter shape
-    (ES bucket_selector / SQL HAVING) the relational family was missing.
-    Quantity is cents-rounded per row via the shared `_LI_QTY_C` string,
-    so the HAVING cut is an exact integer comparison in both engines.
-
-    Scale shape: the l_orderkey agg combines map-side (TPC-H orders have
-    ≤7 lineitems, so partial aggs collapse hard); the HAVING filter drops
-    ~99.9% of groups BEFORE the join back to orders, so the join's build
-    side is the tiny surviving set (un-hinted — survivor count is
-    data-dependent; AQE broadcasts it when small); top-10 is a
-    TakeOrdered, never a global sort."""
-    lq = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .groupBy("l_orderkey")
-        .agg(F.sum(F.expr(_LI_QTY_C)).cast("long").alias("total_qty_c"))
-        .where(F.col("total_qty_c") > _Q18_QTY_C)
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey",
-        "o_custkey",
-        F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("o_date_us"),
-    )
-    return (
-        lq.join(o, lq["l_orderkey"] == o["o_orderkey"])
-        .select("o_orderkey", "o_custkey", "o_date_us", "total_qty_c")
-        .orderBy(F.desc("total_qty_c"), F.asc("o_orderkey"))
-        .limit(10)
-    )
-
-
-# cosine of two q6-integer mean vectors; dp/nm/ng are exact BIGINTs
-# (components ≤ ~1e6, 64 dims → |dp| ≤ ~6.4e13 < 2^53, so the double
-# casts below are exact). dp is divided FIRST — a 1e6·dp integer product
-# would pass 2^63 — and the whole expression is ONE shared string so both
-# engines evaluate the identical IEEE operation order.
-_CENTROID_COS = (
-    "CASE WHEN nm = 0 OR ng = 0 THEN CAST(0 AS BIGINT) "
-    "ELSE CAST(round(1000000 * (dp / (sqrt(nm) * sqrt(ng)))) AS BIGINT) END"
-)
-_MEAN_Q6_M = "CAST(round(s / n) AS BIGINT)"
-
-
-@register(
-    "label_centroid_drift",
-    f"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-x AS (
-  SELECT label, i - 1 AS dim, CAST(round(v[i] * 1000000) AS BIGINT) AS cq6
-  FROM e, (SELECT unnest(generate_series(1, 64)) AS i)),
-ld AS (
-  SELECT label, dim, CAST(sum(cq6) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
-  FROM x GROUP BY label, dim),
-gd AS (
-  SELECT dim, CAST(sum(s) AS BIGINT) AS s, CAST(sum(n) AS BIGINT) AS n
-  FROM ld GROUP BY dim),
-m AS (
-  SELECT ld.label, ld.n AS n_vecs, {_MEAN_Q6_M.replace('s / n', 'ld.s / ld.n')} AS mq6,
-         {_MEAN_Q6_M.replace('s / n', 'gd.s / gd.n')} AS gq6
-  FROM ld JOIN gd USING (dim)),
-a AS (
-  SELECT CAST(label AS BIGINT) AS label, CAST(max(n_vecs) AS BIGINT) AS n_vecs,
-         CAST(sum(mq6 * gq6) AS BIGINT) AS dp,
-         CAST(sum(mq6 * mq6) AS BIGINT) AS nm,
-         CAST(sum(gq6 * gq6) AS BIGINT) AS ng
-  FROM m GROUP BY label)
-SELECT label, n_vecs, {_CENTROID_COS} AS cos_q6
-FROM a ORDER BY label""",
-)
-def label_centroid_drift(spark, sf_dir):
-    """Embedding-space drift QA: per label, the cosine between the label's
-    mean vector and the whole-corpus mean vector — the one-number check
-    that a class/source's embedding mass hasn't wandered from the corpus
-    center (a freshly ingested crawl whose centroid sits far off-center is
-    the classic distribution-shift smell before any model sees it).
-
-    Determinism: components are q6-rounded FIRST, per-(label, dim) sums
-    are exact BIGINT adds (order-free); the mean is round(s/n) of exact
-    doubles (s < 2^53); the final cosine is one shared expression string
-    (`_CENTROID_COS`) over exact-integer dot/norms, so both engines run
-    the identical IEEE sequence.
-
-    Scale shape: one posexplode + (label, dim) agg with map-side partials
-    — the shuffle carries |labels|·64 rows no matter the corpus size; the
-    global centroid is derived from the per-label sums (labels·64 rows),
-    never a second pass over the vectors; the dim join is labels·64 ⋈ 64."""
-    x = _emb(spark, sf_dir).select(
-        "label", F.posexplode("embedding").alias("dim", "xv")
-    ).select(
-        "label",
-        "dim",
-        F.expr("CAST(round(cast(xv as double) * 1000000) AS BIGINT)").alias("cq6"),
-    )
-    ld = x.groupBy("label", "dim").agg(
-        F.sum("cq6").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
-    )
-    gd = ld.groupBy("dim").agg(
-        F.sum("s").cast("long").alias("gs"), F.sum("n").cast("long").alias("gn")
-    )
-    m = ld.join(gd, "dim").select(
-        "label",
-        F.col("n").alias("n_vecs"),
-        F.expr("CAST(round(s / n) AS BIGINT)").alias("mq6"),
-        F.expr("CAST(round(gs / gn) AS BIGINT)").alias("gq6"),
-    )
-    a = m.groupBy(F.col("label").cast("long").alias("label")).agg(
-        F.max("n_vecs").cast("long").alias("n_vecs"),
-        F.sum(F.col("mq6") * F.col("gq6")).cast("long").alias("dp"),
-        F.sum(F.col("mq6") * F.col("mq6")).cast("long").alias("nm"),
-        F.sum(F.col("gq6") * F.col("gq6")).cast("long").alias("ng"),
-    )
-    return a.select(
-        "label", "n_vecs", F.expr(_CENTROID_COS).alias("cos_q6")
-    ).orderBy("label")
-
-
-_SPAN_FIRST_N = 8
-
-
-@register(
-    "span_first_match",
-    f"""WITH w AS ({SQL_WORDS}),
-f AS (SELECT doc_id, unnest(list_distinct(words[1:{_SPAN_FIRST_N}])) AS term FROM w),
-nf AS (SELECT term, CAST(count(*) AS BIGINT) AS n_docs_first FROM f GROUP BY term),
-d AS (SELECT doc_id, unnest(list_distinct(words)) AS term FROM w),
-dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM d GROUP BY term)
-SELECT nf.term, nf.n_docs_first, dfx.df
-FROM nf JOIN dfx USING (term)
-ORDER BY n_docs_first DESC, term ASC LIMIT 20""",
-)
-def span_first_match(spark, sf_dir):
-    """ES span_first-query analytics: for every term, the number of docs
-    where it appears within the first 8 token positions, next to its
-    plain df — the lead-position bias profile (titles/openers) that
-    span_first(match, end=8) queries exploit, and the evidence for
-    position-boosted ranking. Top-20 by lead-doc count, term tiebreak.
-
-    Scale shape: both legs are map-side explodes of per-doc arrays (the
-    lead leg slices BEFORE distinct-ing, so it explodes ≤8 tokens/doc)
-    feeding vocab-keyed aggs with map-side partials; the term join is
-    vocab-sized ⋈ vocab-sized (un-hinted); top-20 is a TakeOrdered."""
-    w = _docs(spark, sf_dir).select(
-        "doc_id", spark_tokens("text").alias("words")
-    )
-    nf = (
-        w.select(
-            F.explode(
-                F.array_distinct(F.slice("words", 1, _SPAN_FIRST_N))
-            ).alias("term")
-        )
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_first"))
-    )
-    dfx = (
-        w.select(F.explode(F.array_distinct("words")).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
-    )
-    return (
-        nf.join(dfx, "term")
-        .select("term", "n_docs_first", "df")
-        .orderBy(F.desc("n_docs_first"), F.asc("term"))
-        .limit(20)
-    )
-
-
-@register(
-    "stats_bucket_daily",
-    """WITH d AS (
-  SELECT epoch_us(ts) // 86400000000 AS day_num, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY day_num)
-SELECT CAST(count(*) AS BIGINT) AS n_days,
-       CAST(COALESCE(min(n), 0) AS BIGINT) AS min_events,
-       CAST(COALESCE(max(n), 0) AS BIGINT) AS max_events,
-       CAST(COALESCE(sum(n), 0) AS BIGINT) AS sum_events,
-       CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * COALESCE(sum(n), 0)) // count(*) AS BIGINT)
-       END AS avg_events_q6
-FROM d""",
-)
-def stats_bucket_daily(spark, sf_dir):
-    """ES stats_bucket pipeline aggregation: min/max/sum/avg OF the daily
-    event-count buckets (a sibling agg over another agg's buckets) — the
-    load-profile summary that pairs with the derivative/moving-average/
-    anomaly members of the pipeline-agg family. avg is the integer q6
-    cross-multiplication; day keys are integer-µs days (the events-table
-    rule — NTZ-safe, floor/div agree because epoch_us ≥ 0 here).
-
-    Scale shape: two stacked aggs, both map-side combined — the first
-    shuffles ≤|days| rows, the second is a single-row scalar reduce over
-    the tiny day table."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
-                "day_num"
-            )
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    return d.agg(
-        F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.coalesce(F.min("n"), F.lit(0)).cast("long").alias("min_events"),
-        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("max_events"),
-        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("sum_events"),
-        F.expr(
-            "CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT) "
-            "ELSE CAST((1000000 * COALESCE(sum(n), 0)) div count(*) AS BIGINT) END"
-        ).alias("avg_events_q6"),
-    )
-
-
-@register(
-    "global_row_ids",
-    """SELECT doc_id, source,
-       CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT) AS global_id
-FROM documents ORDER BY global_id""",
-)
-def global_row_ids(spark, sf_dir, n_shards: int = 64):
-    """Contiguous global row ids in (source, doc_id) order — the
-    distributed zipWithIndex every sharded-export / curriculum / loader
-    pipeline needs (`monotonically_increasing_id` is non-contiguous by
-    design, and a global `row_number()` window sorts the corpus on ONE
-    reducer). Same two-pass trick as `_pack_cum_before`, generalized
-    across sources:
-
-    1. order-aligned sub-shards (`g_shard = (doc_id - lo) // range` —
-       monotone in doc_id, so shard order == row order within a source);
-    2. per-(source, shard) row counts — a tiny sources×shards table —
-       exclusive-prefix-summed in GLOBAL (source, shard) order (the only
-       unpartitioned window runs on shard-count rows, never doc rows);
-    3. within-shard row_number (each window partition is a bounded doc_id
-       range) plus the shard offset via an un-hinted equi-join.
-
-    Byte-identical to the single-window oracle; no doc-scale sort ever
-    lands on one reducer."""
-    d = _docs(spark, sf_dir).select("doc_id", "source")
-    bounds = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
-    lo = int(bounds.lo) if bounds.lo is not None else 0
-    hi = int(bounds.hi) if bounds.hi is not None else 0
-    rng = max(1, -(-(hi - lo + 1) // n_shards))
-    t = d.withColumn(
-        "g_shard", ((F.col("doc_id") - F.lit(lo)) / F.lit(rng)).cast("long")
-    )
-    totals = t.groupBy("source", "g_shard").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
-    # unpartitioned window is deliberate: totals is sources × n_shards rows
-    w_off = Window.orderBy("source", "g_shard").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = totals.withColumn(
-        "off", F.coalesce(F.sum("n_docs").over(w_off), F.lit(0))
-    ).select("source", "g_shard", "off")
-    w_loc = Window.partitionBy("source", "g_shard").orderBy("doc_id")
-    return (
-        t.join(offsets, ["source", "g_shard"])
-        .select(
-            "doc_id",
-            "source",
-            (F.col("off") + F.row_number().over(w_loc) - 1)
-            .cast("long")
-            .alias("global_id"),
-        )
-        .orderBy("global_id")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 40 — remaining TPC-H decision-support shapes (Q13 outer-join
-# distribution, Q17 correlated-avg filter, Q15 argmax-vs-scalar, Q8 star-join
-# market share, Q16 anti-join distinct count, Q22 scalar-threshold + anti-join)
-# and distributed triangle counting over the LSH candidate graph
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "customer_order_distribution",
-    """WITH co AS (
-  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
-  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-  GROUP BY c.c_custkey)
-SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
-FROM co GROUP BY n_orders ORDER BY n_customers DESC, n_orders DESC""",
-)
-def customer_order_distribution(spark, sf_dir):
-    """TPC-H Q13-shape customer order-count distribution: per-customer
-    order counts INCLUDING zero-order customers (the LEFT OUTER join is
-    the point — an inner join silently drops the idle tail, which is
-    usually the business question), then the histogram of those counts.
-    `count(o_orderkey)` counts non-null join matches, so a customer with
-    no orders lands in the n_orders=0 bucket in both engines.
-
-    Scale shape: customer⋈orders is one custkey-keyed shuffle (both sides
-    unbounded — un-hinted, AQE picks); the first agg rides the SAME
-    custkey partitioning (no second exchange); the histogram agg shuffles
-    ≤|distinct counts| rows with map-side partials."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_custkey", "o_orderkey"
-    )
-    co = (
-        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
-    )
-    return (
-        co.groupBy("n_orders")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
-        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
-    )
-
-
-_Q17_BRAND = "Brand#1"
-
-
-@register(
-    "small_quantity_revenue",
-    f"""WITH bl AS (
-  SELECT l.l_partkey, {_LI_QTY_C} AS qty_c, {_LI_DISC_C} AS rev_c
-  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-  WHERE p.p_brand = '{_Q17_BRAND}'),
-pa AS (
-  SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
-         CAST(count(*) AS BIGINT) AS n FROM bl GROUP BY l_partkey),
-q AS (
-  SELECT bl.rev_c FROM bl JOIN pa USING (l_partkey)
-  WHERE 5 * bl.qty_c * pa.n < pa.sum_qty_c)
-SELECT CAST(count(*) AS BIGINT) AS n_items,
-       CAST(COALESCE(sum(rev_c), 0) AS BIGINT) AS revenue_c,
-       CAST(COALESCE(sum(rev_c), 0) // 7 AS BIGINT) AS avg_yearly_c
-FROM q""",
-)
-def small_quantity_revenue(spark, sf_dir):
-    """TPC-H Q17-shape small-quantity revenue: for one brand, the revenue
-    of lineitems whose quantity is below 20% of that part's average
-    quantity — the correlated-aggregate-subquery shape, decorrelated as
-    per-part sufficient stats joined back to the rows. The 20%-of-avg cut
-    is the integer cross-multiplication ``5·qty·n < Σqty`` (qty and Σqty
-    in exact cents), so no float average ever exists to diverge.
-
-    Scale shape: the brand filter pushes into the part scan and the
-    part⋈lineitem join prunes ~96% of lineitem rows BEFORE any agg (part
-    is un-hinted — it scales with SF; AQE broadcasts the filtered slice
-    when small); per-part stats and the join back share the l_partkey
-    partitioning; the final agg is a 1-row scalar reduce."""
-    p = (
-        spark.read.parquet(f"{sf_dir}/part.parquet")
-        .where(F.col("p_brand") == _Q17_BRAND)
-        .select("p_partkey")
-    )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_partkey",
-        F.expr(_LI_QTY_C).alias("qty_c"),
-        F.expr(_LI_DISC_C).alias("rev_c"),
-    )
-    bl = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
-        "l_partkey", "qty_c", "rev_c"
-    )
-    pa = bl.groupBy("l_partkey").agg(
-        F.sum("qty_c").cast("long").alias("sum_qty_c"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    q = bl.join(pa, "l_partkey").where(
-        F.lit(5) * F.col("qty_c") * F.col("n") < F.col("sum_qty_c")
-    )
-    return q.agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.coalesce(F.sum("rev_c"), F.lit(0)).cast("long").alias("revenue_c"),
-        F.expr("CAST(COALESCE(sum(rev_c), 0) div 7 AS BIGINT)").alias(
-            "avg_yearly_c"
-        ),
-    )
-
-
-_Q15_FROM = "TIMESTAMP '1996-01-01 00:00:00'"
-_Q15_TO = "TIMESTAMP '1996-04-01 00:00:00'"
-
-
-@register(
-    "top_supplier_revenue",
-    f"""WITH sr AS (
-  SELECT l_suppkey, CAST(sum({_LI_DISC_C}) AS BIGINT) AS revenue_c
-  FROM lineitem
-  WHERE l_shipdate >= {_Q15_FROM} AND l_shipdate < {_Q15_TO}
-  GROUP BY l_suppkey),
-mx AS (SELECT CAST(max(revenue_c) AS BIGINT) AS m FROM sr)
-SELECT s.s_suppkey, s.s_name, sr.revenue_c
-FROM sr JOIN mx ON sr.revenue_c = mx.m
-JOIN supplier s ON s.s_suppkey = sr.l_suppkey
-ORDER BY s.s_suppkey""",
-)
-def top_supplier_revenue(spark, sf_dir):
-    """TPC-H Q15-shape top supplier: per-supplier revenue over one
-    quarter, returning every supplier whose revenue EQUALS the global
-    maximum (the argmax-vs-scalar-subquery shape — ties must all
-    surface, which is why this is an equality join against a 1-row max,
-    not a LIMIT 1). Money is exact cents, so revenue ties are exact
-    integer ties in both engines.
-
-    Scale shape: the quarter filter pushes into the lineitem scan; the
-    suppkey agg combines map-side into |suppliers| rows; the 1-row max
-    broadcasts back over that agg (never a window over all suppliers —
-    an unpartitioned window would single-reduce a table that scales with
-    SF); the supplier name join is un-hinted (supplier scales)."""
-    sr = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .where(F.expr(f"l_shipdate >= {_Q15_FROM} AND l_shipdate < {_Q15_TO}"))
-        .groupBy("l_suppkey")
-        .agg(F.sum(F.expr(_LI_DISC_C)).cast("long").alias("revenue_c"))
-    )
-    mx = sr.agg(F.max("revenue_c").cast("long").alias("m"))
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
-        "s_suppkey", "s_name"
-    )
-    return (
-        sr.join(F.broadcast(mx), sr["revenue_c"] == mx["m"])
-        .join(s, sr["l_suppkey"] == s["s_suppkey"])
-        .select("s_suppkey", "s_name", "revenue_c")
-        .orderBy("s_suppkey")
-    )
-
-
-_Q8_REGION = "EUROPE"
-
-
-@register(
-    "promo_market_share_by_year",
-    f"""WITH eur AS (
-  SELECT n.n_nationkey FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
-  WHERE r.r_name = '{_Q8_REGION}'),
-pl AS (
-  SELECT l.l_orderkey, l.l_suppkey, {_LI_DISC_C} AS rev_c
-  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-  WHERE p.p_type = 'PROMO'),
-j AS (
-  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year, pl.rev_c,
-         CASE WHEN e.n_nationkey IS NOT NULL THEN pl.rev_c ELSE 0 END AS eur_c
-  FROM pl JOIN orders o ON pl.l_orderkey = o.o_orderkey
-  JOIN supplier s ON pl.l_suppkey = s.s_suppkey
-  LEFT JOIN eur e ON s.s_nationkey = e.n_nationkey),
-y AS (
-  SELECT o_year, CAST(sum(rev_c) AS BIGINT) AS total_rev_c,
-         CAST(sum(eur_c) AS BIGINT) AS europe_rev_c
-  FROM j GROUP BY o_year)
-SELECT o_year, total_rev_c, europe_rev_c,
-       CASE WHEN total_rev_c = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * europe_rev_c) // total_rev_c AS BIGINT)
-       END AS europe_share_q6
-FROM y ORDER BY o_year""",
-)
-def promo_market_share_by_year(spark, sf_dir):
-    """TPC-H Q8-shape market share: per order year, the fraction of
-    PROMO-part revenue supplied by suppliers from {_Q8_REGION!r} nations
-    — the five-table star join (lineitem ⋈ part ⋈ orders ⋈ supplier ⋈
-    nation⋈region) with a conditional-sum ratio. Share is the q6 integer
-    cross-multiplication; `year()` of a date-typed column agrees across
-    engines (no timezone — the events-table NTZ rule doesn't bite on
-    DATE-granularity values).
-
-    Scale shape: the p_type filter prunes into the part scan and the
-    part join drops ~83% of lineitem before the expensive orderkey join;
-    nation⋈region (≤25 rows) broadcasts as the membership flag; orders
-    and supplier joins are un-hinted key shuffles; the year agg combines
-    map-side into ≤|years| rows."""
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
-        "n_nationkey", "n_regionkey"
-    )
-    r = spark.read.parquet(f"{sf_dir}/region.parquet").where(
-        F.col("r_name") == _Q8_REGION
-    )
-    eur = n.join(r, n["n_regionkey"] == r["r_regionkey"]).select("n_nationkey")
-    p = (
-        spark.read.parquet(f"{sf_dir}/part.parquet")
-        .where(F.col("p_type") == "PROMO")
-        .select("p_partkey")
-    )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_partkey", "l_orderkey", "l_suppkey", F.expr(_LI_DISC_C).alias("rev_c")
-    )
-    pl = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
-        "l_orderkey", "l_suppkey", "rev_c"
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("o_year")
-    )
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
-        "s_suppkey", "s_nationkey"
-    )
-    j = (
-        pl.join(o, pl["l_orderkey"] == o["o_orderkey"])
-        .join(s, pl["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(eur), s["s_nationkey"] == eur["n_nationkey"], "left")
-        .select(
-            "o_year",
-            "rev_c",
-            F.expr(
-                "CASE WHEN n_nationkey IS NOT NULL THEN rev_c ELSE 0 END"
-            ).alias("eur_c"),
-        )
-    )
-    y = j.groupBy("o_year").agg(
-        F.sum("rev_c").cast("long").alias("total_rev_c"),
-        F.sum("eur_c").cast("long").alias("europe_rev_c"),
-    )
-    return y.select(
-        "o_year",
-        "total_rev_c",
-        "europe_rev_c",
-        F.expr(
-            "CASE WHEN total_rev_c = 0 THEN CAST(0 AS BIGINT) "
-            "ELSE CAST((1000000 * europe_rev_c) div total_rev_c AS BIGINT) END"
-        ).alias("europe_share_q6"),
-    ).orderBy("o_year")
-
-
-@register(
-    "supplier_parts_exclusion",
-    """WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
-ps AS (
-  SELECT DISTINCT l.l_partkey, l.l_suppkey
-  FROM lineitem l WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM bad))
-SELECT p.p_type, CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS n_suppliers
-FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
-GROUP BY p.p_type ORDER BY n_suppliers DESC, p.p_type ASC""",
-)
-def supplier_parts_exclusion(spark, sf_dir):
-    """TPC-H Q16-shape supplier count with exclusion: distinct suppliers
-    who ship each part type, EXCLUDING suppliers in a deny set (negative
-    account balance here; the reference Q16 uses a complaints predicate)
-    — the NOT-IN/anti-join + count-distinct shape. The part-supplier
-    relation is derived from lineitem (this sandbox has no partsupp
-    table), deduplicated before counting.
-
-    Scale shape: the deny set is a LEFT ANTI join (un-hinted — its size
-    is data-dependent; AQE broadcasts the usually-tiny bad list); the
-    (partkey, suppkey) DISTINCT and the part join share the l_partkey
-    shuffle; count(DISTINCT suppkey) per type expands to a two-level agg
-    with map-side partials under AQE."""
-    bad = (
-        spark.read.parquet(f"{sf_dir}/supplier.parquet")
-        .where(F.col("s_acctbal") < 0)
-        .select("s_suppkey")
-    )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_partkey", "l_suppkey"
-    )
-    ps = (
-        li.join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
-        .distinct()
-    )
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_partkey", "p_type"
-    )
-    return (
-        ps.join(p, ps["l_partkey"] == p["p_partkey"])
-        .groupBy("p_type")
-        .agg(F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"))
-        .orderBy(F.desc("n_suppliers"), F.asc("p_type"))
-    )
-
-
-_Q22_FROM = "TIMESTAMP '2001-01-01 00:00:00'"
-
-
-@register(
-    "idle_rich_customers",
-    f"""WITH bal AS (
-  SELECT c_custkey, c_nationkey, CAST(round(100 * c_acctbal) AS BIGINT) AS bal_c
-  FROM customer),
-ap AS (SELECT CAST(COALESCE(sum(bal_c), 0) AS BIGINT) AS s,
-              CAST(count(*) AS BIGINT) AS n FROM bal WHERE bal_c > 0),
-rich AS (SELECT b.* FROM bal b, ap WHERE b.bal_c * ap.n > ap.s),
-recent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= {_Q22_FROM}),
-idle AS (
-  SELECT r.* FROM rich r WHERE r.c_custkey NOT IN (SELECT o_custkey FROM recent))
-SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
-       CAST(sum(bal_c) AS BIGINT) AS total_bal_c
-FROM idle GROUP BY c_nationkey ORDER BY c_nationkey""",
-)
-def idle_rich_customers(spark, sf_dir):
-    """TPC-H Q22-shape lost-opportunity audit: customers whose balance
-    exceeds the positive-balance average but who placed no order since
-    2001, rolled up by nation — the scalar-threshold + anti-join
-    composite. The above-average cut is the integer cross-multiplication
-    ``bal·n > Σbal`` over exact cents (both sides BIGINT; negative
-    balances compare correctly because only the left side can be
-    negative), so no float average exists to diverge.
-
-    Scale shape: the positive-balance stats are a 1-row scalar broadcast
-    back over customer (map-side filter, no shuffle); the recent-buyer
-    set pushes the date filter into the orders scan and LEFT ANTI joins
-    on custkey (un-hinted — buyer count is unbounded); the nation rollup
-    combines map-side into ≤|nations| rows."""
-    bal = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey",
-        "c_nationkey",
-        F.expr("CAST(round(100 * c_acctbal) AS BIGINT)").alias("bal_c"),
-    )
-    ap = bal.where(F.col("bal_c") > 0).agg(
-        F.coalesce(F.sum("bal_c"), F.lit(0)).cast("long").alias("s"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    rich = bal.crossJoin(F.broadcast(ap)).where(
-        F.col("bal_c") * F.col("n") > F.col("s")
-    )
-    recent = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .where(F.expr(f"o_orderdate >= {_Q22_FROM}"))
-        .select("o_custkey")
-        .distinct()
-    )
-    idle = rich.join(
-        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
-    )
-    return (
-        idle.groupBy("c_nationkey")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_customers"),
-            F.sum("bal_c").cast("long").alias("total_bal_c"),
-        )
-        .orderBy("c_nationkey")
-    )
-
-
-@register(
-    "lsh_triangle_count",
-    _SQL_LSH_PAIRS
-    + """,
-deg AS (
-  SELECT v, CAST(count(*) AS BIGINT) AS d
-  FROM (SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b FROM pairs)
-  GROUP BY v),
-tri AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_triangles
-  FROM pairs p1
-  JOIN pairs p2 ON p2.doc_a = p1.doc_b
-  JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
-e AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs),
-w AS (SELECT CAST(COALESCE(sum(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges FROM deg)
-SELECT e.n_edges, w.n_wedges, tri.n_triangles,
-       CASE WHEN w.n_wedges = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * 3 * tri.n_triangles) // w.n_wedges AS BIGINT)
-       END AS clustering_q6
-FROM e, w, tri""",
-)
-def lsh_triangle_count(spark, sf_dir):
-    """Triangle count + global clustering coefficient of the MinHash-LSH
-    candidate graph — the transitivity audit of a near-dup graph (high
-    clustering = dup CLUSTERS, low = chained false positives bridging
-    unrelated docs; read next to lsh_degree_histogram). Exact counts:
-    clustering_q6 = 1e6·3·triangles/wedges, wedges = Σ d(d−1)/2.
-
-    Scale shape: the classic degree-ordered orientation (MapReduce
-    node-iterator, Cohen 2009 / Suri-Vassilvitskii 2011): each undirected
-    edge is oriented low→high by (degree, id), so every vertex's
-    out-degree is bounded near sqrt(|E|) even on power-law graphs — the
-    wedge join explodes Σ outdeg(v)² candidates instead of Σ deg(v)²,
-    which is what makes a celebrity node survivable. Each triangle has
-    exactly ONE vertex with two out-edges under a total-order
-    orientation, so candidates close against the undirected edge set
-    without double counting. Reuses the memoized `_lsh_pair_edges`
-    front half; all joins are key-equi on doc ids."""
-    edges = _lsh_pair_edges(spark, sf_dir)  # symmetric, checkpointed
-    pairs = edges.where(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("a"), F.col("dst").alias("b")
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    da = deg.select(F.col("src").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("src").alias("b"), F.col("d").alias("db"))
-    # orient each edge from the (degree, id)-smaller endpoint outward
-    wd = pairs.join(da, "a").join(db, "b")
-    out = wd.select(
-        F.when(
-            (F.col("da") < F.col("db"))
-            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
-            F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-        )
-        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
-        .alias("e")
-    ).select("e.u", "e.v")
-    e1 = out.select(F.col("u"), F.col("v").alias("x"))
-    e2 = out.select(F.col("u"), F.col("v").alias("y"))
-    cand = e1.join(e2, "u").where(F.col("x") < F.col("y")).select(
-        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
-    )
-    tri = cand.join(pairs, ["a", "b"], "left_semi").agg(
-        F.count(F.lit(1)).cast("long").alias("n_triangles")
-    )
-    scal = deg.agg(
-        F.expr("CAST(COALESCE(sum(d) div 2, 0) AS BIGINT)").alias("n_edges"),
-        F.expr("CAST(COALESCE(sum(d * (d - 1) div 2), 0) AS BIGINT)").alias(
-            "n_wedges"
-        ),
-    )
-    return scal.crossJoin(tri).select(
-        "n_edges",
-        "n_wedges",
-        "n_triangles",
-        F.expr(
-            "CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) "
-            "ELSE CAST((1000000 * 3 * n_triangles) div n_wedges AS BIGINT) END"
-        ).alias("clustering_q6"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 41 — pipeline hygiene ops: PII scrub stats, train/eval split
-# leakage, temperature epoch planning, Adamic-Adar link prediction on the
-# LSH graph, and two calendar pipeline aggs (weekday profile, lag-7 diff)
-# ---------------------------------------------------------------------------
-
-# RE2 ∩ Java-regex subset only (no backreferences, no lookaround): Spark
-# compiles these with java.util.regex, DuckDB with RE2 — a construct outside
-# the intersection silently changes semantics on one side.
-_PII_PATTERNS = {
-    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
-    "number": r"\b[0-9]+\b",
-    "url": r"https?://[^\s]+",
-}
-
-_PII_SQL = (
-    " UNION ALL ".join(
-        f"""SELECT '{c}' AS pii_class,
-       CAST(count(*) FILTER (WHERE len(regexp_extract_all(text, '{p}')) > 0) AS BIGINT) AS n_docs_hit,
-       CAST(COALESCE(sum(len(regexp_extract_all(text, '{p}'))), 0) AS BIGINT) AS n_matches,
-       CAST(COALESCE(sum(length(text) - length(regexp_replace(text, '{p}', '', 'g'))), 0) AS BIGINT) AS chars_matched
-FROM documents"""
-        for c, p in sorted(_PII_PATTERNS.items())
-    )
-    + " ORDER BY pii_class"
-)
-
-
-@register("pii_scrub_stats", _PII_SQL)
-def pii_scrub_stats(spark, sf_dir):
-    """PII / structured-token scrub audit: per pattern class (email, ipv4,
-    url, bare number), how many docs hit, total matches, and total matched
-    characters — the before/after accounting every C4/Dolma-style scrub
-    stage reports (the redaction itself is `regexp_replace(text, pat, '')`
-    with the same patterns). The sandbox corpus is a clean word soup, so
-    all-zero rows here are the CORRECT reading; the property suite and the
-    Spark-vs-oracle pytest inject real emails/IPs/URLs to prove the
-    counters (same honesty rule as composite_skip_ratio's 0.0).
-
-    Scale shape: entirely map-side — one pass over the text column
-    computing all 12 counters as conditional sums in ONE agg, then a
-    4-row stack() unpivot (the adjacency_matrix_agg idiom; the oracle
-    UNION-ALLs per class, which is fine for DuckDB but would be four
-    corpus scans in Spark). No shuffle beyond the 1-row agg combine."""
-    d = _docs(spark, sf_dir)
-    aggs = []
-    for c, p in sorted(_PII_PATTERNS.items()):
-        m = F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(0))
-        aggs.extend(
-            [
-                F.sum((F.size(m) > 0).cast("long")).cast("long").alias(f"{c}_h"),
-                F.sum(F.size(m)).cast("long").alias(f"{c}_m"),
-                F.sum(
-                    F.length("text")
-                    - F.length(F.regexp_replace(F.col("text"), p, ""))
-                )
-                .cast("long")
-                .alias(f"{c}_c"),
-            ]
-        )
-    one = d.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}_h, {c}_m, {c}_c" for c in sorted(_PII_PATTERNS)
-    )
-    return one.select(
-        F.expr(
-            f"stack({len(_PII_PATTERNS)}, {stack_args}) "
-            "as (pii_class, n_docs_hit, n_matches, chars_matched)"
-        )
-    ).orderBy("pii_class")
-
-
-_SPLIT_DUCK = (
-    "CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))::UBIGINT::BIGINT % 100 < 98 THEN 'train' "
-    "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))::UBIGINT::BIGINT % 100 = 98 THEN 'valid' "
-    "ELSE 'test' END"
-)
-_SPLIT_SPARK = (
-    "CASE WHEN cast(conv(substring(md5(cast(doc_id as string)), 5, 4), 16, 10) as bigint) % 100 < 98 THEN 'train' "
-    "WHEN cast(conv(substring(md5(cast(doc_id as string)), 5, 4), 16, 10) as bigint) % 100 = 98 THEN 'valid' "
-    "ELSE 'test' END"
-)
-
-
-@register(
-    "split_leakage_check",
-    f"""WITH w AS ({SQL_WORDS}),
-g AS (
-  SELECT DISTINCT doc_id,
-         words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
-         || ' ' || words[i+4] || ' ' || words[i+5] || ' ' || words[i+6] || ' ' || words[i+7] AS g
-  FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)
-  WHERE len(words) >= 8),
-sp AS (SELECT doc_id, {_SPLIT_DUCK} AS split FROM documents),
-gs AS (SELECT g.doc_id, g.g, sp.split FROM g JOIN sp USING (doc_id)),
-tg AS (SELECT DISTINCT g FROM gs WHERE split = 'train'),
-ev AS (
-  SELECT gs.split, gs.doc_id,
-         CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END AS leaked
-  FROM gs LEFT JOIN tg USING (g) WHERE gs.split <> 'train'),
-d AS (
-  SELECT split, doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-         CAST(sum(leaked) AS BIGINT) AS n_leaked
-  FROM ev GROUP BY split, doc_id)
-SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(CASE WHEN n_leaked > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_leaked,
-       CAST(sum(n_grams) AS BIGINT) AS n_grams,
-       CAST(sum(n_leaked) AS BIGINT) AS n_leaked_grams,
-       CASE WHEN sum(n_grams) = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * sum(n_leaked)) // sum(n_grams) AS BIGINT)
-       END AS leak_q6
-FROM d GROUP BY split ORDER BY split""",
-)
-def split_leakage_check(spark, sf_dir):
-    """Train→eval contamination audit INSIDE the pipeline's own split: for
-    each held-out split (test/valid, per the train_eval_split md5 5-8
-    coordinate), the share of its distinct 8-grams that also occur in any
-    TRAIN doc — the leakage number a dedup stage must drive to ~0 before
-    the held-out loss means anything. Docs shorter than 8 tokens carry no
-    grams and drop out of the denominator on both sides by construction.
-
-    Scale shape: the decontamination_ngram_overlap pattern with the split
-    as the eval set — the tiny (~2%) eval gram set is distinct'd and
-    semi-joined INTO the train-side gram stream first (map-side filter on
-    the huge side once AQE broadcasts the eval set), the surviving
-    leaked-gram set is distinct'd small, and the per-doc flag join is
-    small ⋈ small. The full train gram table is never distinct'd or
-    shuffled whole."""
-    w = _docs(spark, sf_dir).select("doc_id", spark_tokens("text").alias("words"))
-    g = (
-        w.where(F.size("words") >= 8)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(words)-8), i -> "
-                    "concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3],"
-                    " words[i+4], words[i+5], words[i+6], words[i+7]))"
-                )
-            ).alias("g"),
-        )
-        .distinct()
-    )
-    sp = _docs(spark, sf_dir).select("doc_id", F.expr(_SPLIT_SPARK).alias("split"))
-    gs = g.join(sp, "doc_id")
-    ev = gs.where(F.col("split") != "train")
-    evset = ev.select("g").distinct()
-    # filter the huge train stream by the small eval set FIRST, then shrink
-    leaked = (
-        gs.where(F.col("split") == "train")
-        .join(evset, "g", "left_semi")
-        .select("g")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    d = (
-        ev.join(leaked, "g", "left")
-        .groupBy("split", "doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_leaked"),
-        )
-    )
-    return (
-        d.groupBy("split")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum((F.col("n_leaked") > 0).cast("long")).cast("long").alias("n_docs_leaked"),
-            F.sum("n_grams").cast("long").alias("n_grams"),
-            F.sum("n_leaked").cast("long").alias("n_leaked_grams"),
-            F.expr(
-                "CASE WHEN sum(n_grams) = 0 THEN CAST(0 AS BIGINT) "
-                "ELSE CAST((1000000 * sum(n_leaked)) div sum(n_grams) AS BIGINT) END"
-            ).alias("leak_q6"),
-        )
-        .orderBy("split")
-    )
-
-
-_EPOCH_BUDGET = 100_000  # target training tokens for the plan
-
-
-@register(
-    "source_epoch_plan",
-    f"""WITH t AS (
-  SELECT source,
-         CAST(sum(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY source),
-w AS (
-  SELECT source, n_tokens,
-         CAST(round(1000000 * pow(CAST(n_tokens AS DOUBLE), 0.7)) AS BIGINT) AS weight_q6
-  FROM t),
-tot AS (SELECT CAST(sum(weight_q6) AS DOUBLE) AS total_w FROM w),
-p AS (
-  SELECT source, n_tokens,
-         CASE WHEN total_w = 0 THEN CAST(0 AS BIGINT)
-              ELSE CAST(round({_EPOCH_BUDGET} * weight_q6 / total_w) AS BIGINT)
-         END AS target_tokens
-  FROM w, tot)
-SELECT source, n_tokens, target_tokens,
-       CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * target_tokens) // n_tokens AS BIGINT)
-       END AS epochs_q6
-FROM p ORDER BY source""",
-)
-def source_epoch_plan(spark, sf_dir):
-    """Training-mix epoch plan: given a token budget and the temperature-
-    flattened (T=0.7) source weights of temperature_mix_weights, how many
-    PASSES over each source the loader must schedule (epochs_q6 > 1e6 =
-    the source repeats; ≫1e6 on a small source is the over-epoching alarm
-    from the data-constrained-scaling literature). target_tokens uses the
-    same one-double-division convention as the share it derives from;
-    epochs is an exact integer cross-division of two BIGINTs.
-
-    Scale shape: identical to temperature_mix_weights — a map-side token
-    count into |sources| rows, the weight normalization over that tiny
-    table via an unpartitioned window (never a crossJoin re-derive), all
-    downstream arithmetic row-local."""
-    t = _docs(spark, sf_dir).groupBy("source").agg(
-        F.sum(F.size(spark_tokens("text"))).cast("long").alias("n_tokens")
-    )
-    w = t.select(
-        "source",
-        "n_tokens",
-        F.expr(
-            "CAST(round(1000000 * pow(CAST(n_tokens AS DOUBLE), 0.7)) AS BIGINT)"
-        ).alias("weight_q6"),
-    )
-    p = w.withColumn(
-        "total_w",
-        F.sum("weight_q6").over(Window.partitionBy()).cast("double"),
-    ).select(
-        "source",
-        "n_tokens",
-        F.expr(
-            f"CASE WHEN total_w = 0 THEN CAST(0 AS BIGINT) "
-            f"ELSE CAST(round({_EPOCH_BUDGET} * weight_q6 / total_w) AS BIGINT) END"
-        ).alias("target_tokens"),
-    )
-    return p.select(
-        "source",
-        "n_tokens",
-        "target_tokens",
-        F.expr(
-            "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
-            "ELSE CAST((1000000 * target_tokens) div n_tokens AS BIGINT) END"
-        ).alias("epochs_q6"),
-    ).orderBy("source")
-
-
-# per-middle Adamic-Adar weight — q6-rounded per NODE first (libm ln is
-# 1-ulp; never sum raw doubles), then exact BIGINT sums per pair
-_AA_W = "CAST(round(1000000 / ln(CAST(d AS DOUBLE))) AS BIGINT)"
-
-
-@register(
-    "lsh_common_neighbors",
-    _SQL_LSH_PAIRS
-    + f""",
-ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-       UNION ALL SELECT doc_b, doc_a FROM pairs),
-deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY src),
-wq AS (SELECT v, {_AA_W} AS aaw_q6 FROM deg WHERE d >= 2),
-wedge AS (
-  SELECT e1.dst AS u, e2.dst AS v, e1.src AS w
-  FROM ed e1 JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst),
-cn AS (
-  SELECT wedge.u, wedge.v, CAST(count(*) AS BIGINT) AS n_common,
-         CAST(sum(wq.aaw_q6) AS BIGINT) AS aa_q6
-  FROM wedge JOIN wq ON wedge.w = wq.v GROUP BY wedge.u, wedge.v),
-fl AS (
-  SELECT cn.u, cn.v, cn.n_common, cn.aa_q6,
-         CASE WHEN p.doc_a IS NOT NULL THEN CAST(1 AS BIGINT)
-              ELSE CAST(0 AS BIGINT) END AS is_edge
-  FROM cn LEFT JOIN pairs p ON cn.u = p.doc_a AND cn.v = p.doc_b)
-SELECT u, v, n_common, aa_q6, is_edge FROM fl
-ORDER BY n_common DESC, aa_q6 DESC, u ASC, v ASC LIMIT 20""",
-)
-def lsh_common_neighbors(spark, sf_dir):
-    """Adamic-Adar link prediction over the LSH candidate graph: for every
-    pair at distance 2, the common-neighbor count and the AA score
-    Σ 1/ln(deg(w)) over shared neighbors w — the second-order dedup sweep
-    (two docs sharing many dup-neighbors are likely dups the banding
-    missed; is_edge=0 rows are exactly those missed candidates). Top-20 by
-    (common count, AA, ids).
-
-    Determinism: 1/ln(deg) is q6-rounded PER NODE first (the zipf_slope
-    ln rule), pair scores are exact BIGINT sums. A wedge middle always
-    has degree ≥ 2, so the weight join never drops wedges.
-
-    Scale shape: the wedge self-join fans out Σ deg(w)² rows — intrinsic
-    to exact common-neighbor counting; the group key (u, v) spreads the
-    shuffle, and a real deployment caps neighbor lists per node before
-    the join (top-R by band count), same knob as the ANN rerank band.
-    Top-20 is a TakeOrdered, never a global sort. Reuses the memoized
-    `_lsh_pair_edges` front half."""
-    edges = _lsh_pair_edges(spark, sf_dir)  # symmetric, checkpointed
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    wq = deg.where(F.col("d") >= 2).select(
-        F.col("src").alias("w"), F.expr(_AA_W).alias("aaw_q6")
-    )
-    e1 = edges.select(F.col("src").alias("w"), F.col("dst").alias("u"))
-    e2 = edges.select(F.col("src").alias("w"), F.col("dst").alias("v"))
-    wedge = e1.join(e2, "w").where(F.col("u") < F.col("v"))
-    cn = (
-        wedge.join(wq, "w")
-        .groupBy("u", "v")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_common"),
-            F.sum("aaw_q6").cast("long").alias("aa_q6"),
-        )
-    )
-    pairs = edges.where(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("u"), F.col("dst").alias("v"), F.lit(1).alias("e")
-    )
-    fl = cn.join(pairs, ["u", "v"], "left").select(
-        "u",
-        "v",
-        "n_common",
-        "aa_q6",
-        F.coalesce(F.col("e"), F.lit(0)).cast("long").alias("is_edge"),
-    )
-    return fl.orderBy(
-        F.desc("n_common"), F.desc("aa_q6"), F.asc("u"), F.asc("v")
-    ).limit(20)
-
-
-@register(
-    "events_weekday_profile",
-    """WITH d AS (
-  SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
-         CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY dow),
-spine AS (SELECT unnest(generate_series(0, 6)) AS dow),
-f AS (SELECT spine.dow, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
-      FROM spine LEFT JOIN d USING (dow)),
-tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS t FROM f)
-SELECT CAST(f.dow AS BIGINT) AS dow, f.n_events,
-       CASE WHEN tot.t = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * f.n_events) // tot.t AS BIGINT)
-       END AS share_q6
-FROM f, tot ORDER BY dow""",
-)
-def events_weekday_profile(spark, sf_dir):
-    """Day-of-week load profile of the event stream (0 = Monday), all 7
-    days always present via a spine LEFT JOIN (the lsh_band_config_curve
-    rule — an empty weekday must emit a 0 row, not vanish). The weekday
-    is pure integer arithmetic on microsecond days (epoch day 0 was a
-    Thursday, hence the +3) — never a locale/timezone-dependent dayname()
-    that the two engines format differently.
-
-    Scale shape: map-side day math into a ≤7-group agg; the spine join
-    and share window run on 7 rows."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr(
-                "(unix_micros(cast(ts as timestamp)) div 86400000000 + 3) % 7"
-            ).alias("dow")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    spine = spark.range(7).select(F.col("id").alias("dow"))
-    f = spine.join(d, "dow", "left").select(
-        "dow", F.coalesce("n", F.lit(0)).cast("long").alias("n_events")
-    )
-    return (
-        f.withColumn("t", F.sum("n_events").over(Window.partitionBy()))
-        .select(
-            F.col("dow").cast("long").alias("dow"),
-            "n_events",
-            F.expr(
-                "CASE WHEN t = 0 THEN CAST(0 AS BIGINT) "
-                "ELSE CAST((1000000 * n_events) div t AS BIGINT) END"
-            ).alias("share_q6"),
-        )
-        .orderBy("dow")
-    )
-
-
-@register(
-    "events_serial_diff",
-    """WITH d AS (
-  SELECT epoch_us(ts) // 86400000000 AS day_num, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY day_num),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM d),
-spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
-f AS (SELECT spine.day_num, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
-      FROM spine LEFT JOIN d USING (day_num)),
-s AS (SELECT day_num, n,
-             CAST(n - lag(n, 7) OVER (ORDER BY day_num) AS BIGINT) AS wow_diff
-      FROM f)
-SELECT CAST(day_num AS BIGINT) AS day_num, n, wow_diff
-FROM s WHERE wow_diff IS NOT NULL ORDER BY day_num""",
-)
-def events_serial_diff(spark, sf_dir):
-    """ES serial_diff pipeline aggregation at lag 7: week-over-week change
-    in daily event count — the seasonality-aware sibling of
-    events_cum_derivative (lag 1 confounds weekday effects with trend;
-    lag 7 cancels them). The calendar spine fills empty days with 0 so
-    the lag is a true 7-DAY offset, not 7-bucket (a gap would silently
-    shorten the comparison window); the first 7 spine days have no
-    comparand and drop, on both sides, by the IS NOT NULL rule.
-
-    Scale shape: the raw shuffle is the day groupBy (map-side partials);
-    spine, join, and the unpartitioned lag window all run on
-    day-granularity rows — bounded by the calendar, not the corpus (the
-    events_daily_mavg argument)."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
-                "day_num"
-            )
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    b = d.agg(
-        F.min("day_num").cast("long").alias("lo"),
-        F.max("day_num").cast("long").alias("hi"),
-    )
-    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day_num"))
-    f = spine.join(d, "day_num", "left").select(
-        "day_num", F.coalesce("n", F.lit(0)).cast("long").alias("n")
-    )
-    w = Window.orderBy("day_num")
-    s = f.select(
-        F.col("day_num").cast("long").alias("day_num"),
-        "n",
-        (F.col("n") - F.lag("n", 7).over(w)).cast("long").alias("wow_diff"),
-    )
-    return s.where(F.col("wow_diff").isNotNull()).orderBy("day_num")
-
-
-# ---------------------------------------------------------------------------
-# session 42 — ES most_fields + span_not, and the TPC-H Q19/Q7/Q2/Q11
-# shapes (disjunctive-predicate join, nation-pair matrix, per-group argmin
-# join-back, share-of-total HAVING)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "most_fields_search",
-    f"""WITH {_SQL_POS},
-fld AS (SELECT doc_id, CASE WHEN i <= 8 THEN 'title' ELSE 'body' END AS field, term FROM p),
-tf AS (SELECT doc_id, field, term, count(*) AS tf FROM fld GROUP BY doc_id, field, term),
-dl AS (SELECT doc_id, field, count(*) AS dl FROM fld GROUP BY doc_id, field),
-av AS (SELECT field, avg(dl) AS avgdl FROM dl GROUP BY field),
-nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM fld),
-dfs AS (SELECT field, term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY field, term),
-per AS (
-  SELECT tf.doc_id,
-         ln(1.0 + ((SELECT n_docs FROM nd) - dfs.df + 0.5) / (dfs.df + 0.5))
-           * tf.tf * 2.2
-           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / av.avgdl)) AS s
-  FROM tf JOIN dfs USING (field, term) JOIN dl USING (doc_id, field)
-  JOIN av USING (field)
-  WHERE tf.term IN ('spark', 'hash', 'join')),
-agg AS (SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6,
-               CAST(count(*) AS BIGINT) AS nm
-        FROM per GROUP BY doc_id),
-ranked AS (SELECT doc_id, score_q6, nm,
-                  row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rank
-           FROM agg)
-SELECT doc_id, score_q6, nm, CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= 10 ORDER BY rank""",
-)
-def most_fields_search(spark, sf_dir):
-    """ES ``multi_match`` type=most_fields — completes the multi_match
-    family (best_fields §2.8, cross_fields, phrase, phrase_prefix): each
-    field scores the term with its OWN df and length norm and the doc
-    SUMS every field's contribution (the "same text analyzed several
-    ways" type — stemmed + exact fields reinforcing each other), where
-    cross_fields blends df and dis-maxes. nm counts matched (field, term)
-    legs, so it exceeds cross_fields' nm on multi-field hits.
-
-    Scale shape: identical pruned postings plan to cross_fields_search —
-    per-field tf/dl ride one doc_id exchange, per-(field, term) df and the
-    2-row avgdl broadcast, and the per-doc sum absorbs map-side. The
-    field-tagged table is localCheckpoint'd for its three consumers."""
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.posexplode(spark_tokens("text")).alias("pos", "term")
-    )
-    fld = toks.select(
-        "doc_id",
-        F.when(F.col("pos") <= 7, F.lit("title")).otherwise(F.lit("body")).alias("field"),
-        "term",
-    ).localCheckpoint()
-    tf = fld.groupBy("doc_id", "field", "term").agg(F.count("*").alias("tf"))
-    dl = fld.groupBy("doc_id", "field").agg(F.count("*").alias("dl"))
-    av = dl.groupBy("field").agg(F.avg("dl").alias("avgdl"))
-    nd = fld.select("doc_id").distinct().agg(
-        F.count("*").cast("double").alias("n_docs")
-    )
-    dfs = tf.groupBy("field", "term").agg(F.count("*").cast("double").alias("df"))
-    per = (
-        tf.where(F.col("term").isin(list(_TOPK_TERMS)))
-        .join(F.broadcast(dfs), ["field", "term"])
-        .join(dl, ["doc_id", "field"])
-        .join(F.broadcast(av), "field")
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "doc_id",
-            (
-                F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-                * F.col("tf")
-                * 2.2
-                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
-            ).alias("s"),
-        )
-    )
-    agg = per.groupBy("doc_id").agg(
-        F.expr("CAST(round(sum(s) * 1000000) AS BIGINT)").alias("score_q6"),
-        F.count(F.lit(1)).cast("long").alias("nm"),
-    )
-    w = Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 10)
-        .select("doc_id", "score_q6", "nm", "rank")
-        .orderBy("rank")
-    )
-
-
-_SPAN_NOT_W = 2  # exclusion window (positions either side)
-
-
-@register(
-    "span_not_match",
-    f"""WITH w AS ({SQL_WORDS}),
-p AS (SELECT doc_id, i, words[i] AS term FROM w, unnest(generate_series(1, len(words))) AS t(i)),
-a AS (SELECT doc_id, i FROM p WHERE term = 'spark'),
-b AS (SELECT doc_id, i FROM p WHERE term = 'hash'),
-cl AS (
-  SELECT a.doc_id, a.i FROM a
-  WHERE NOT EXISTS (SELECT 1 FROM b
-                    WHERE b.doc_id = a.doc_id AND abs(b.i - a.i) <= {_SPAN_NOT_W})),
-d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_clean FROM cl GROUP BY doc_id),
-ta AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total FROM a GROUP BY doc_id)
-SELECT ta.doc_id, ta.n_total, CAST(COALESCE(d.n_clean, 0) AS BIGINT) AS n_clean
-FROM ta LEFT JOIN d USING (doc_id)
-ORDER BY n_clean DESC, ta.doc_id ASC LIMIT 20""",
-)
-def span_not_match(spark, sf_dir):
-    """ES span_not query analytics: per doc, occurrences of 'spark' NOT
-    within ±2 positions of 'hash' — the positional exclusion primitive
-    ("java but not java script"-style) the span family needs beyond
-    span_first/phrase_slop/intervals. Both engines count positions (their
-    0- vs 1-based origins cancel inside |pa − pb|); docs whose every
-    occurrence is excluded still emit with n_clean = 0 (the spine rule).
-
-    Scale shape: filter the token stream to the TWO query terms first (at
-    scale: two pruned positional-postings reads), then a doc_id-keyed
-    LEFT ANTI join with the |Δpos| ≤ w band as the join residual — the
-    intervals_unordered plan with anti semantics; both position sets are
-    query-term-sized, never corpus-sized. Top-20 is a TakeOrdered."""
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.posexplode(spark_tokens("text")).alias("i", "term")
-    )
-    a = toks.where(F.col("term") == "spark").select("doc_id", "i")
-    b = toks.where(F.col("term") == "hash").select(
-        F.col("doc_id").alias("b_doc"), F.col("i").alias("bi")
-    )
-    cl = a.join(
-        b,
-        (a["doc_id"] == b["b_doc"])
-        & (F.abs(b["bi"] - a["i"]) <= _SPAN_NOT_W),
-        "left_anti",
-    )
-    d = cl.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_clean"))
-    ta = a.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    return (
-        ta.join(d, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_total",
-            F.coalesce("n_clean", F.lit(0)).cast("long").alias("n_clean"),
-        )
-        .orderBy(F.desc("n_clean"), F.asc("doc_id"))
-        .limit(20)
-    )
-
-
-# Q19's disjunction over cents-rounded quantity — ONE shared string so the
-# residual predicate is bit-identical in both engines
-_Q19_PRED = (
-    "((p_brand = 'Brand#12' AND qty_c BETWEEN 100 AND 1100 AND p_size BETWEEN 1 AND 5) "
-    "OR (p_brand = 'Brand#23' AND qty_c BETWEEN 1000 AND 2000 AND p_size BETWEEN 1 AND 10) "
-    "OR (p_brand = 'Brand#3' AND qty_c BETWEEN 2000 AND 3000 AND p_size BETWEEN 1 AND 15))"
-)
-
-
-@register(
-    "disjunctive_predicate_revenue",
-    f"""WITH l AS (
-  SELECT l_partkey, {_LI_QTY_C} AS qty_c, {_LI_DISC_C} AS rev_c FROM lineitem),
-j AS (
-  SELECT l.rev_c FROM l JOIN part p ON l.l_partkey = p.p_partkey
-  WHERE {_Q19_PRED})
-SELECT CAST(count(*) AS BIGINT) AS n_items,
-       CAST(COALESCE(sum(rev_c), 0) AS BIGINT) AS revenue_c
-FROM j""",
-)
-def disjunctive_predicate_revenue(spark, sf_dir):
-    """TPC-H Q19-shape disjunctive-predicate join: revenue from lineitems
-    matching any of three (brand, quantity-range, size-range) clauses —
-    the OR-of-ANDs join every optimizer must decompose into an equi-join
-    on partkey plus a residual disjunction (a naive plan treats the OR as
-    a cross-join filter). Quantity enters the predicate as exact cents
-    via the shared `_LI_QTY_C` string.
-
-    Scale shape: Catalyst derives the brand-IN-set implied by the
-    disjunction and pushes `p_brand IN ('Brand#12','Brand#23','Brand#3')`
-    into the part scan (constraint propagation — visible as PushedFilters),
-    so the join's build side is ~12% of part before the residual runs; the
-    join stays a single partkey-keyed equi-join, the final agg a 1-row
-    scalar reduce."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_partkey",
-        F.expr(_LI_QTY_C).alias("qty_c"),
-        F.expr(_LI_DISC_C).alias("rev_c"),
-    )
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_partkey", "p_brand", "p_size"
-    )
-    j = li.join(p, li["l_partkey"] == p["p_partkey"]).where(F.expr(_Q19_PRED))
-    return j.agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.coalesce(F.sum("rev_c"), F.lit(0)).cast("long").alias("revenue_c"),
-    )
-
-
-_Q7_NATION_A = "NATION_2"
-_Q7_NATION_B = "NATION_7"
-
-
-@register(
-    "nation_pair_trade_volume",
-    f"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
-       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-       CAST(count(*) AS BIGINT) AS n_items,
-       CAST(sum({_LI_DISC_C}) AS BIGINT) AS revenue_c
-FROM lineitem l
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation nc ON c.c_nationkey = nc.n_nationkey
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-JOIN nation ns ON s.s_nationkey = ns.n_nationkey
-WHERE (ns.n_name = '{_Q7_NATION_A}' AND nc.n_name = '{_Q7_NATION_B}')
-   OR (ns.n_name = '{_Q7_NATION_B}' AND nc.n_name = '{_Q7_NATION_A}')
-GROUP BY supp_nation, cust_nation, o_year
-ORDER BY supp_nation, cust_nation, o_year""",
-)
-def nation_pair_trade_volume(spark, sf_dir):
-    """TPC-H Q7-shape bilateral trade volume: revenue flowing between two
-    nations in both directions, by supplier-nation × customer-nation ×
-    order year — the same-dimension-joined-twice shape (nation enters
-    once through supplier, once through customer; the two roles must stay
-    distinct aliases or the optimizer dedups them wrongly).
-
-    Scale shape: both nation legs broadcast (25 rows each) and their
-    name filters CUT the supplier/customer join inputs before the big
-    joins (only ~8% of suppliers/customers survive a 2-of-25 nation
-    filter); lineitem⋈orders is the one large keyed shuffle; the
-    (2×2×years) agg combines map-side. Money cents-exact per row."""
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
-        "n_nationkey", "n_name"
-    )
-    ns = n.where(F.col("n_name").isin(_Q7_NATION_A, _Q7_NATION_B))
-    s = (
-        spark.read.parquet(f"{sf_dir}/supplier.parquet")
-        .select("s_suppkey", "s_nationkey")
-        .join(
-            F.broadcast(ns.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))),
-            F.col("s_nationkey") == F.col("snk"),
-        )
-        .select("s_suppkey", "supp_nation")
-    )
-    c = (
-        spark.read.parquet(f"{sf_dir}/customer.parquet")
-        .select("c_custkey", "c_nationkey")
-        .join(
-            F.broadcast(ns.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))),
-            F.col("c_nationkey") == F.col("cnk"),
-        )
-        .select("c_custkey", "cust_nation")
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey",
-        "o_custkey",
-        F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("o_year"),
-    )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_suppkey", F.expr(_LI_DISC_C).alias("rev_c")
-    )
-    j = (
-        li.join(s, li["l_suppkey"] == s["s_suppkey"])
-        .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .where(F.col("supp_nation") != F.col("cust_nation"))
-    )
-    return (
-        j.groupBy("supp_nation", "cust_nation", "o_year")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.sum("rev_c").cast("long").alias("revenue_c"),
-        )
-        .orderBy("supp_nation", "cust_nation", "o_year")
-    )
-
-
-@register(
-    "min_cost_supplier_per_part",
-    """WITH up AS (
-  SELECT l_partkey, l_suppkey, CAST(round(100 * l_extendedprice) AS BIGINT) AS price_c
-  FROM lineitem),
-mn AS (SELECT l_partkey, CAST(min(price_c) AS BIGINT) AS min_price_c
-       FROM up GROUP BY l_partkey),
-am AS (
-  SELECT up.l_partkey, mn.min_price_c, CAST(min(up.l_suppkey) AS BIGINT) AS s_suppkey
-  FROM up JOIN mn ON up.l_partkey = mn.l_partkey AND up.price_c = mn.min_price_c
-  GROUP BY up.l_partkey, mn.min_price_c)
-SELECT am.l_partkey AS p_partkey, p.p_name, am.min_price_c, am.s_suppkey, s.s_name
-FROM am JOIN part p ON am.l_partkey = p.p_partkey
-JOIN supplier s ON am.s_suppkey = s.s_suppkey
-ORDER BY p_partkey ASC LIMIT 20""",
-)
-def min_cost_supplier_per_part(spark, sf_dir):
-    """TPC-H Q2-shape minimum-cost supplier: per part, the cheapest
-    observed price and the supplier offering it (ties broken by smallest
-    suppkey — Q2's correlated MIN subquery, decorrelated as a per-part
-    min joined back; this sandbox derives the part-supplier price list
-    from lineitem since it has no partsupp table). First 20 parts by key.
-
-    Scale shape: the min agg and the equality join back ride ONE
-    l_partkey-keyed exchange (never a per-part sort window — the
-    search_collapse rule); the tie-break min is a second map-side-combined
-    agg on the same key; part/supplier name joins attach to the 20-row
-    TakeOrdered result side after the limit pushes down."""
-    up = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_partkey",
-        "l_suppkey",
-        F.expr("CAST(round(100 * l_extendedprice) AS BIGINT)").alias("price_c"),
-    )
-    mn = up.groupBy("l_partkey").agg(
-        F.min("price_c").cast("long").alias("min_price_c")
-    )
-    am = (
-        up.join(
-            mn.select(
-                F.col("l_partkey").alias("m_pk"), F.col("min_price_c")
-            ),
-            (up["l_partkey"] == F.col("m_pk"))
-            & (up["price_c"] == F.col("min_price_c")),
-        )
-        .groupBy("l_partkey", "min_price_c")
-        .agg(F.min("l_suppkey").cast("long").alias("s_suppkey"))
-    )
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_partkey", "p_name"
-    )
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
-        F.col("s_suppkey").alias("sk"), "s_name"
-    )
-    return (
-        am.join(p, am["l_partkey"] == p["p_partkey"])
-        .join(s, am["s_suppkey"] == F.col("sk"))
-        .select(
-            F.col("l_partkey").alias("p_partkey"),
-            "p_name",
-            "min_price_c",
-            "s_suppkey",
-            "s_name",
-        )
-        .orderBy(F.asc("p_partkey"))
-        .limit(20)
-    )
-
-
-@register(
-    "part_revenue_concentration",
-    f"""WITH pr AS (
-  SELECT l_partkey, CAST(sum({_LI_DISC_C}) AS BIGINT) AS revenue_c
-  FROM lineitem GROUP BY l_partkey),
-t AS (SELECT CAST(sum(revenue_c) AS BIGINT) AS tot FROM pr)
-SELECT pr.l_partkey AS p_partkey, pr.revenue_c,
-       CAST((1000000 * pr.revenue_c) // t.tot AS BIGINT) AS share_q6
-FROM pr, t WHERE 100000 * pr.revenue_c > 65 * t.tot
-ORDER BY revenue_c DESC, p_partkey ASC LIMIT 25""",
-)
-def part_revenue_concentration(spark, sf_dir):
-    """TPC-H Q11-shape concentration screen: parts whose revenue exceeds
-    0.065% of TOTAL revenue — the group-sum-vs-global-scalar HAVING shape
-    (Q11's `having sum(...) > (select sum(...) * fraction)`). The cut is
-    RELATIVE (an integer cross-multiplication against the grand total),
-    so it means the same thing at every scale factor — an absolute cents
-    cutoff dies at scale (the sparse_cosine_pairs rule). Top-25 by
-    revenue, partkey tiebreak.
-
-    Scale shape: one l_partkey-keyed agg with map-side partials; the
-    grand total derives from the per-part sums (never a second corpus
-    pass) and broadcasts as a 1-row table; the screen is then map-side
-    and top-25 a TakeOrdered."""
-    pr = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .groupBy("l_partkey")
-        .agg(F.sum(F.expr(_LI_DISC_C)).cast("long").alias("revenue_c"))
-    )
-    t = pr.agg(F.sum("revenue_c").cast("long").alias("tot"))
-    return (
-        pr.crossJoin(F.broadcast(t))
-        .where(F.lit(100_000) * F.col("revenue_c") > F.lit(65) * F.col("tot"))
-        .select(
-            F.col("l_partkey").alias("p_partkey"),
-            "revenue_c",
-            F.expr("CAST((1000000 * revenue_c) div tot AS BIGINT)").alias("share_q6"),
-        )
-        .orderBy(F.desc("revenue_c"), F.asc("p_partkey"))
-        .limit(25)
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 43 — BM25F field-weighted scoring, Kneser-Ney bigram LM, the
-# hashing-trick collision audit, and TPC-H Q6
-# ---------------------------------------------------------------------------
-
-_Q6_FROM = "TIMESTAMP '1996-01-01 00:00:00'"
-_Q6_TO = "TIMESTAMP '1997-01-01 00:00:00'"
-# discount grid is percent-points — round(100·d) is EXACT on the 0.00-0.10 grid
-_LI_DPOINTS = "CAST(round(100 * l_discount) AS BIGINT)"
-_LI_DISCAMT_C = "CAST(round(100 * l_extendedprice * l_discount) AS BIGINT)"
-
-
-@register(
-    "forecast_revenue_change",
-    f"""SELECT CAST(count(*) AS BIGINT) AS n_items,
-       CAST(COALESCE(sum({_LI_DISCAMT_C}), 0) AS BIGINT) AS discount_rev_c
-FROM lineitem
-WHERE l_shipdate >= {_Q6_FROM} AND l_shipdate < {_Q6_TO}
-  AND {_LI_DPOINTS} BETWEEN 5 AND 7 AND l_quantity < 24""",
-)
-def forecast_revenue_change(spark, sf_dir):
-    """TPC-H Q6-shape forecasting query: the revenue that would be
-    recovered by eliminating 5-7% discounts on small-quantity 1996
-    shipments — the pure scan-aggregate member of the relational family
-    (no join at all; its entire cost is how much of the scan the
-    predicates eliminate). The discount band compares integer
-    percent-points (the 0.00-0.10 grid is exact under round(100·d)), the
-    discounted amount is cents-rounded per row via one shared string.
-
-    Scale shape: every predicate pushes into the parquet scan (shipdate
-    range prunes row groups via min/max stats; the ReadSchema carries 4
-    columns); the agg is a 1-row scalar reduce with map-side partials —
-    the whole query is one pipelined scan, zero exchanges beyond the
-    final combine."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
-        F.expr(
-            f"l_shipdate >= {_Q6_FROM} AND l_shipdate < {_Q6_TO} "
-            f"AND {_LI_DPOINTS} BETWEEN 5 AND 7 AND l_quantity < 24"
-        )
-    )
-    return li.agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.coalesce(F.sum(F.expr(_LI_DISCAMT_C)), F.lit(0))
-        .cast("long")
-        .alias("discount_rev_c"),
-    )
-
-
-# BM25F per-field constants: weight and length-norm b per field
-_BM25F_W = "CASE WHEN field = 'title' THEN 2.0 ELSE 1.0 END"
-_BM25F_B = "CASE WHEN field = 'title' THEN 0.5 ELSE 0.75 END"
-
-
-@register(
-    "bm25f_search",
-    f"""WITH {_SQL_POS},
-fld AS (SELECT doc_id, CASE WHEN i <= 8 THEN 'title' ELSE 'body' END AS field, term FROM p),
-tf AS (SELECT doc_id, field, term, count(*) AS tf FROM fld GROUP BY doc_id, field, term),
-dl AS (SELECT doc_id, field, count(*) AS dl FROM fld GROUP BY doc_id, field),
-av AS (SELECT field, avg(dl) AS avgdl FROM dl GROUP BY field),
-nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM fld),
-ddf AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-        FROM fld WHERE term IN ('spark', 'hash', 'join') GROUP BY term),
-wtf AS (
-  SELECT tf.doc_id, tf.term,
-         sum(({_BM25F_W}) * tf.tf
-             / ((1.0 - ({_BM25F_B})) + ({_BM25F_B}) * dl.dl / av.avgdl)) AS wt
-  FROM tf JOIN dl USING (doc_id, field) JOIN av USING (field)
-  WHERE tf.term IN ('spark', 'hash', 'join')
-  GROUP BY tf.doc_id, tf.term),
-per AS (
-  SELECT wtf.doc_id,
-         ln(1.0 + ((SELECT n_docs FROM nd) - ddf.df + 0.5) / (ddf.df + 0.5))
-           * wtf.wt / (1.2 + wtf.wt) AS s
-  FROM wtf JOIN ddf USING (term)),
-agg AS (SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6,
-               CAST(count(*) AS BIGINT) AS nm
-        FROM per GROUP BY doc_id),
-ranked AS (SELECT doc_id, score_q6, nm,
-                  row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rank
-           FROM agg)
-SELECT doc_id, score_q6, nm, CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= 10 ORDER BY rank""",
-)
-def bm25f_search(spark, sf_dir):
-    """BM25F (Robertson/Zaragoza) — the PRINCIPLED field-weighted scoring
-    that closes the field-scoring family: best_fields dis-maxes whole
-    queries, cross_fields dis-maxes per term, most_fields sums per-field
-    scores (double-counting saturation), BM25F instead folds weighted,
-    per-field-length-normalized term frequencies into ONE pseudo-tf
-    (title w=2 b=0.5, body w=1 b=0.75) and saturates ONCE against a
-    DOCUMENT-level idf — a term stuffed into both fields cannot earn two
-    saturation curves.
-
-    Scale shape: the cross_fields postings plan plus one extra
-    (doc, term)-keyed partial agg (the weighted-tf fold, ≤|fields| rows
-    per group, absorbed map-side); doc-level df is a distinct-doc count
-    on the query terms only; everything small broadcasts."""
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.posexplode(spark_tokens("text")).alias("pos", "term")
-    )
-    fld = toks.select(
-        "doc_id",
-        F.when(F.col("pos") <= 7, F.lit("title")).otherwise(F.lit("body")).alias("field"),
-        "term",
-    ).localCheckpoint()
-    tf = fld.groupBy("doc_id", "field", "term").agg(F.count("*").alias("tf"))
-    dl = fld.groupBy("doc_id", "field").agg(F.count("*").alias("dl"))
-    av = dl.groupBy("field").agg(F.avg("dl").alias("avgdl"))
-    nd = fld.select("doc_id").distinct().agg(
-        F.count("*").cast("double").alias("n_docs")
-    )
-    ddf = (
-        fld.where(F.col("term").isin(list(_TOPK_TERMS)))
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").cast("double").alias("df"))
-    )
-    wtf = (
-        tf.where(F.col("term").isin(list(_TOPK_TERMS)))
-        .join(dl, ["doc_id", "field"])
-        .join(F.broadcast(av), "field")
-        .groupBy("doc_id", "term")
-        .agg(
-            F.sum(
-                F.expr(
-                    f"({_BM25F_W}) * tf / ((1.0 - ({_BM25F_B})) + ({_BM25F_B}) * dl / avgdl)"
-                )
-            ).alias("wt")
-        )
-    )
-    per = (
-        wtf.join(F.broadcast(ddf), "term")
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "doc_id",
-            (
-                F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-                * F.col("wt")
-                / (F.lit(1.2) + F.col("wt"))
-            ).alias("s"),
-        )
-    )
-    agg = per.groupBy("doc_id").agg(
-        F.expr("CAST(round(sum(s) * 1000000) AS BIGINT)").alias("score_q6"),
-        F.count(F.lit(1)).cast("long").alias("nm"),
-    )
-    w = Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 10)
-        .select("doc_id", "score_q6", "nm", "rank")
-        .orderBy("rank")
-    )
-
-
-_KN_D = 0.75  # absolute-discount mass
-
-
-@register(
-    "kneser_ney_bigram",
-    f"""WITH w AS ({SQL_WORDS}),
-bg AS (SELECT words[i] AS w1, words[i+1] AS w2
-       FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
-       WHERE len(words) >= 2),
-c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
-c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1f
-       FROM c12 GROUP BY w1),
-cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM c12 GROUP BY w2),
-nb AS (SELECT CAST(count(*) AS BIGINT) AS nbt FROM c12)
-SELECT c12.w1, c12.w2, c12.c12,
-       CAST(round(1000000 * ((c12.c12 - {_KN_D}) / c1.c1
-            + ({_KN_D} * c1.n1f / c1.c1) * (CAST(cont.n1b AS DOUBLE) / nb.nbt))) AS BIGINT) AS pkn_q6
-FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2), nb
-ORDER BY pkn_q6 DESC, c12.w1 ASC, c12.w2 ASC LIMIT 20""",
-)
-def kneser_ney_bigram(spark, sf_dir):
-    """Interpolated Kneser-Ney bigram probabilities (D=0.75) — the LM the
-    n-gram-filtering literature actually uses (CCNet's perplexity filter
-    is a KN 5-gram): discounted ML estimate plus the CONTINUATION-count
-    backoff (how many distinct contexts precede w2 — 'francisco' is
-    frequent but follows only 'san', so its continuation probability is
-    tiny; a raw-unigram backoff gets this exactly wrong). Top-20 pairs.
-
-    Determinism: every component (c12, c1, N1+(w1·), N1+(·w2), |bigram
-    types|) is an exact BIGINT; the probability is ONE shared float
-    expression string over exact-integer doubles, so both engines run
-    the identical IEEE sequence. c12 ≥ 1 in the table so the max(c12−D,0)
-    clamp is vacuous and omitted.
-
-    Scale shape: one (w1,w2)-keyed agg with map-side partials (the
-    bigram-type table is vocab²-bounded, in practice Zipf-tiny); the
-    three marginal tables derive from IT, never from a second corpus
-    pass; |types| broadcasts as a 1-row table; top-20 is a TakeOrdered."""
-    w = _docs(spark, sf_dir).select(spark_tokens("text").alias("words"))
-    bg = w.where(F.size("words") >= 2).select(
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(words)-2), i -> "
-                "struct(words[i] AS w1, words[i+1] AS w2))"
-            )
-        ).alias("b")
-    ).select("b.w1", "b.w2")
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
-    c1 = c12.groupBy("w1").agg(
-        F.sum("c12").cast("long").alias("c1"),
-        F.count(F.lit(1)).cast("long").alias("n1f"),
-    )
-    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1b"))
-    nb = c12.agg(F.count(F.lit(1)).cast("long").alias("nbt"))
-    return (
-        c12.join(c1, "w1")
-        .join(cont, "w2")
-        .crossJoin(F.broadcast(nb))
-        .select(
-            "w1",
-            "w2",
-            "c12",
-            F.expr(
-                f"CAST(round(1000000 * ((c12 - {_KN_D}) / c1 "
-                f"+ ({_KN_D} * n1f / c1) * (CAST(n1b AS DOUBLE) / nbt))) AS BIGINT)"
-            ).alias("pkn_q6"),
-        )
-        .orderBy(F.desc("pkn_q6"), F.asc("w1"), F.asc("w2"))
-        .limit(20)
-    )
-
-
-_FEAT_BUCKETS = 256
-
-
-@register(
-    "feature_hash_collisions",
-    f"""WITH w AS ({SQL_WORDS}),
-t AS (SELECT unnest(words) AS term FROM w),
-tc AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY term),
-h AS (SELECT term, n,
-             ('0x' || substr(md5(term), 1, 4))::UBIGINT::BIGINT % {_FEAT_BUCKETS} AS bucket
-      FROM tc)
-SELECT CAST(bucket AS BIGINT) AS bucket,
-       CAST(count(*) AS BIGINT) AS n_terms,
-       CAST(sum(n) AS BIGINT) AS n_tokens
-FROM h GROUP BY bucket
-ORDER BY n_terms DESC, bucket ASC LIMIT 20""",
-)
-def feature_hash_collisions(spark, sf_dir):
-    """Hashing-trick collision audit: the vocabulary hashed into 256
-    feature buckets (fastText / vw-style feature hashing), reporting the
-    most-collided buckets (n_terms > 1 = distinct words sharing one
-    feature dimension) and the token mass they conflate — the curve that
-    sizes the feature table (the third knob of the routing family after
-    shard_token_balance's doc routing and shingle_size_curve's blocking
-    keys). Bucket = 16-bit md5 slice of the TERM, same hash convention as
-    every routing op.
-
-    Scale shape: term counts are one vocab-keyed agg with map-side
-    partials; hashing and the bucket rollup run over VOCAB-sized rows
-    (≤256 output groups), never token-sized; top-20 is a TakeOrdered."""
-    t = _docs(spark, sf_dir).select(
-        F.explode(spark_tokens("text")).alias("term")
-    )
-    tc = t.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    h = tc.select(
-        "n",
-        F.expr(
-            f"cast(conv(substring(md5(term), 1, 4), 16, 10) as bigint) % {_FEAT_BUCKETS}"
-        ).alias("bucket"),
-    )
-    return (
-        h.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.sum("n").cast("long").alias("n_tokens"),
-        )
-        .select(F.col("bucket").cast("long").alias("bucket"), "n_terms", "n_tokens")
-        .orderBy(F.desc("n_terms"), F.asc("bucket"))
-        .limit(20)
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 44 — distributed power iteration (PCA-1 direction of the
-# embedding gram matrix) in exact integer arithmetic
-# ---------------------------------------------------------------------------
-
-_PI_ITERS = 3
-# shared per-stage expression strings — every float op both engines run.
-# Stage bounds (|component| < 0.6 → x ≤ 6e5 q6 units, n ≤ ~10^6 vectors):
-#   s = Σ_d x·v        ≤ 64·6e5·1e6 ≈ 3.8e13  (exact BIGINT, < 2^53 so the
-#                        /1e6 double division below is exact)
-#   u = round(s/1e6)   ≤ 3.8e7
-#   w = Σ_i x·u        ≤ n·6e5·3.8e7 — BIGINT-safe to n ≈ 4·10^5; beyond
-#                        that, raise the u divisor (the documented knob) or
-#                        pre-aggregate per shard and re-sum
-#   ws = |·| ≤ 3e8     → Σ ws² ≤ 64·9e16 ≈ 5.8e18 exact BIGINT
-# BIGINT→DOUBLE casts round-to-nearest identically in both engines, sqrt is
-# correctly rounded — each stage is ONE shared IEEE sequence.
-_PI_U = "CAST(round(s / 1000000.0) AS BIGINT)"
-_PI_WS = (
-    "CASE WHEN mx = 0 THEN CAST(0 AS BIGINT) "
-    "ELSE CAST(round(300000000 * (CAST(w AS DOUBLE) / CAST(mx AS DOUBLE))) AS BIGINT) END"
-)
-_PI_V = (
-    "CASE WHEN n2 = 0 THEN CAST(0 AS BIGINT) "
-    "ELSE CAST(round(1000000 * (CAST(ws AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)))) AS BIGINT) END"
-)
-
-
-def _poweriter_sql(iters: int = _PI_ITERS) -> str:
-    """Unrolled power-iteration CTE chain (the kcenter/pagerank unroll
-    pattern — xq and every per-iteration table AS MATERIALIZED, or DuckDB
-    re-derives the corpus scan with compounding fan-out)."""
-    parts = [
-        "WITH xq AS MATERIALIZED (",
-        "  SELECT vec_id, i - 1 AS dim, CAST(round(1000000 * v[i]) AS BIGINT) AS x",
-        "  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e,",
-        "       (SELECT unnest(generate_series(1, 64)) AS i)),",
-        "v0 AS (SELECT dim, CAST(50000 + 3000 * dim AS BIGINT) AS v\n"
-        "  FROM (SELECT unnest(generate_series(0, 63)) AS dim)),",
-    ]
-    for t in range(1, iters + 1):
-        parts.append(
-            f"s{t} AS MATERIALIZED (SELECT xq.vec_id, CAST(sum(xq.x * vv.v) AS BIGINT) AS s\n"
-            f"  FROM xq JOIN v{t - 1} vv USING (dim) GROUP BY xq.vec_id),"
-        )
-        parts.append(
-            f"u{t} AS MATERIALIZED (SELECT vec_id, {_PI_U} AS u FROM s{t}),"
-        )
-        parts.append(
-            f"w{t} AS MATERIALIZED (SELECT xq.dim, CAST(sum(xq.x * uu.u) AS BIGINT) AS w\n"
-            f"  FROM xq JOIN u{t} uu USING (vec_id) GROUP BY xq.dim),"
-        )
-        parts.append(f"m{t} AS (SELECT CAST(max(abs(w)) AS BIGINT) AS mx FROM w{t}),")
-        parts.append(
-            f"ws{t} AS MATERIALIZED (SELECT dim, {_PI_WS} AS ws FROM w{t}, m{t}),"
-        )
-        parts.append(
-            f"n{t} AS (SELECT CAST(COALESCE(sum(ws * ws), 0) AS BIGINT) AS n2 FROM ws{t}),"
-        )
-        parts.append(
-            f"v{t} AS MATERIALIZED (SELECT dim, {_PI_V} AS v FROM ws{t}, n{t}),"
-        )
-    parts[-1] = parts[-1].rstrip(",")
-    parts.append(
-        f"SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_q6 "
-        f"FROM v{iters} ORDER BY dim"
-    )
-    return "\n".join(parts)
-
-
-@register("embedding_power_iteration", _poweriter_sql())
-def embedding_power_iteration(spark, sf_dir):
-    """Top principal direction of the (uncentered) embedding gram matrix
-    XᵀX via POWER ITERATION — distributed linear algebra as relational
-    ops: each iteration is the matvec pair s = Xv (map-side fold per
-    vector) and w = Xᵀs (ONE dim-keyed agg — the only shuffle, 64 output
-    groups with map-side partials), then a normalize over the 64-row
-    result. The PCA-1 direction feeds embedding whitening, ANN rotation,
-    and the "is one direction eating the space" anisotropy check
-    (Ethayarajh 2019) a training pipeline runs on fresh encoders. The
-    start vector varies by dimension (v₀_d = 50000 + 3000·d) — a UNIFORM
-    start is exactly orthogonal to every zero-mean direction (Σe_d = 0
-    ⇒ Xv₀ = 0, the planted-direction pytest caught it) and would return
-    all-zeros on mean-free data; a generic injective start makes exact
-    orthogonality measure-zero.
-
-    Determinism: components q6-rounded once; every sum is an exact BIGINT
-    (bounds in the _PI_* comment — the u-divisor is the documented knob
-    past ~4·10⁵ vectors); the three per-iteration float steps are shared
-    expression strings over exact or deterministically-cast doubles. Sign
-    follows the deterministic v₀ = 1/8·𝟙 start, not a random seed.
-
-    Scale shape: the q6 matrix is localCheckpoint'd once (2 passes per
-    iteration would re-read parquet otherwise); v lives as a 64-element
-    LITERAL inlined into the plan each iteration (collected 64 rows — the
-    kmeans/kcenter bounded-collect convention), so s = Xv is pure
-    map-side with no join; the normalize runs on 64-row tables."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, c -> CAST(round(1000000 * cast(c as double)) AS BIGINT))"
-        ).alias("xarr"),
-    ).localCheckpoint()
-    v = [50000 + 3000 * d for d in range(64)]
-    out = None
-    for t in range(_PI_ITERS):
-        vlit = "array(" + ",".join(f"{int(x)}L" for x in v) + ")"
-        u = e.select(
-            "xarr",
-            F.expr(
-                f"aggregate(zip_with(xarr, {vlit}, (a, b) -> a * b), 0L, (acc, z) -> acc + z)"
-            ).alias("s"),
-        ).select("xarr", F.expr(_PI_U).alias("u"))
-        wdf = (
-            u.select(F.posexplode("xarr").alias("dim", "x"), "u")
-            .groupBy("dim")
-            .agg(F.sum(F.expr("x * u")).cast("long").alias("w"))
-        )
-        m = wdf.agg(F.max(F.abs(F.col("w"))).cast("long").alias("mx"))
-        ws = wdf.crossJoin(F.broadcast(m)).select("dim", F.expr(_PI_WS).alias("ws"))
-        n2 = ws.agg(
-            F.coalesce(F.sum(F.expr("ws * ws")), F.lit(0)).cast("long").alias("n2")
-        )
-        out = ws.crossJoin(F.broadcast(n2)).select(
-            F.col("dim").cast("long").alias("dim"), F.expr(_PI_V).alias("v_q6")
-        )
-        if t < _PI_ITERS - 1:  # the last iteration returns the plan itself
-            v = [r.v_q6 for r in out.orderBy("dim").collect()]
-    return out.orderBy("dim")
-
-
-# ---------------------------------------------------------------------------
-# session 45 — Dirichlet query-likelihood ranking + TPC-H Q9/Q20/Q21
-# adaptations (profit rollup, excess-share suppliers, sole-supplier orders)
-# ---------------------------------------------------------------------------
-
-_QL_MU = 2000.0  # Dirichlet pseudo-count
-
-
-@register(
-    "dirichlet_ql_search",
-    f"""WITH w AS ({SQL_WORDS}),
-t AS (SELECT doc_id, unnest(words) AS term FROM w),
-tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term),
-dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS big_t FROM t),
-cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM t
-       WHERE term IN ('spark', 'hash', 'join') GROUP BY term),
-mt AS (
-  SELECT tf.doc_id, sum(ln(1.0 + (tf.tf * tot.big_t) / ({_QL_MU} * cf.cf))) AS ms,
-         CAST(count(*) AS BIGINT) AS nm
-  FROM tf JOIN cf USING (term), tot GROUP BY tf.doc_id),
-sc AS (
-  SELECT dl.doc_id,
-         CAST(round(1000000 * (COALESCE(mt.ms, 0.0)
-              + 3 * ln({_QL_MU} / (dl.dl + {_QL_MU})))) AS BIGINT) AS score_q6,
-         CAST(COALESCE(mt.nm, 0) AS BIGINT) AS nm
-  FROM dl LEFT JOIN mt USING (doc_id)),
-ranked AS (SELECT doc_id, score_q6, nm,
-                  row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rank
-           FROM sc)
-SELECT doc_id, score_q6, nm, CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= 10 ORDER BY rank""",
-)
-def dirichlet_ql_search(spark, sf_dir):
-    """Dirichlet-smoothed query likelihood (Zhai-Lafferty, μ=2000) — the
-    generative retrieval model next to BM25's probabilistic one, in its
-    RANK-EQUIVALENT decomposed form: score = Σ_matched ln(1 + tf·T/(μ·cf))
-    + |q|·ln(μ/(dl+μ)). The decomposition is the scale story — the naive
-    form scores every (doc, term) pair including zeros (a match_all
-    scan per query term); decomposed, the first sum runs only over
-    MATCHING postings and the second is a per-doc length prior computed
-    from the doc-stats table the index already has. Unmatched docs rank
-    by prior alone (QL is generative — every doc has nonzero likelihood),
-    so nm=0 rows are correct, not missing.
-
-    Scale shape: tf/dl/cf all derive from one token explode (tf and dl
-    share the doc_id exchange — the session-15 rule); cf is
-    query-terms-sized and broadcasts with the 1-row corpus total; the
-    final per-doc sum absorbs map-side; top-10 is a TakeOrdered."""
-    t = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(spark_tokens("text")).alias("term")
-    ).localCheckpoint()
-    tf = t.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
-    dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    tot = t.agg(F.count(F.lit(1)).cast("long").alias("big_t"))
-    cf = (
-        t.where(F.col("term").isin(list(_TOPK_TERMS)))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
-    )
-    mt = (
-        tf.join(F.broadcast(cf), "term")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr(f"ln(1.0 + (tf * big_t) / ({_QL_MU} * cf))")
-            ).alias("ms"),
-            F.count(F.lit(1)).cast("long").alias("nm"),
-        )
-    )
-    sc = dl.join(mt, "doc_id", "left").select(
-        "doc_id",
-        F.expr(
-            f"CAST(round(1000000 * (COALESCE(ms, 0.0) "
-            f"+ 3 * ln({_QL_MU} / (dl + {_QL_MU})))) AS BIGINT)"
-        ).alias("score_q6"),
-        F.coalesce("nm", F.lit(0)).cast("long").alias("nm"),
-    )
-    w = Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))
-    return (
-        sc.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 10)
-        .select("doc_id", "score_q6", "nm", "rank")
-        .orderBy("rank")
-    )
-
-
-# synthetic unit cost: 60% of the part's retail price, in cents — the
-# 0.6·100 fold is the exact integer 60, so the per-line cost is ONE float
-# product rounded once (the Q9 adaptation for a schema without partsupp)
-_Q9_COST_C = "CAST(round(60 * l_quantity * p_retailprice) AS BIGINT)"
-
-
-@register(
-    "product_profit_by_nation_year",
-    f"""SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-       CAST(sum({_LI_DISC_C} - {_Q9_COST_C}) AS BIGINT) AS profit_c
-FROM lineitem l
-JOIN part p ON l.l_partkey = p.p_partkey
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-JOIN nation n ON s.s_nationkey = n.n_nationkey
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-GROUP BY n.n_name, o_year ORDER BY n.n_name, o_year""",
-)
-def product_profit_by_nation_year(spark, sf_dir):
-    """TPC-H Q9-shape profit rollup: per supplier nation and order year,
-    revenue minus cost of goods (cost synthesized as 60% of the part's
-    retail price — this schema has no partsupp; the fold 0.6·100 = 60
-    keeps the per-line cost a single rounded float product). The shape is
-    Q9's: a fact table joined to THREE dimensions plus a second fact
-    (orders) purely for the date attribute, rolled up to a tiny matrix.
-
-    Scale shape: part and supplier joins are key shuffles (both scale
-    with SF — un-hinted, AQE broadcasts the small side); nation (25 rows)
-    broadcasts; lineitem⋈orders is the big keyed shuffle; the
-    (nation, year) agg combines map-side into ≤25·|years| rows. Profit
-    summands are exact BIGINT cents differences."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_partkey", "l_suppkey", "l_orderkey", "l_quantity",
-        "l_extendedprice", "l_discount",
-    )
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_partkey", "p_retailprice"
-    )
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
-        "s_suppkey", "s_nationkey"
-    )
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
-        "n_nationkey", "n_name"
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("o_year")
-    )
-    j = (
-        li.join(p, li["l_partkey"] == p["p_partkey"])
-        .join(s, li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .join(o, li["l_orderkey"] == o["o_orderkey"])
-    )
-    return (
-        j.groupBy("n_name", "o_year")
-        .agg(
-            F.sum(F.expr(f"{_LI_DISC_C} - {_Q9_COST_C}"))
-            .cast("long")
-            .alias("profit_c")
-        )
-        .orderBy("n_name", "o_year")
-    )
-
-
-@register(
-    "excess_share_suppliers",
-    f"""WITH sq AS (
-  SELECT l_partkey, l_suppkey, CAST(sum({_LI_QTY_C}) AS BIGINT) AS qty_c
-  FROM lineitem GROUP BY l_partkey, l_suppkey),
-pt AS (SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS total_c FROM sq GROUP BY l_partkey),
-dom AS (
-  SELECT sq.l_suppkey, CAST(count(*) AS BIGINT) AS n_parts_dominated
-  FROM sq JOIN pt USING (l_partkey)
-  WHERE 2 * sq.qty_c > pt.total_c
-  GROUP BY sq.l_suppkey)
-SELECT l_suppkey AS s_suppkey, n_parts_dominated
-FROM dom ORDER BY n_parts_dominated DESC, s_suppkey ASC LIMIT 20""",
-)
-def excess_share_suppliers(spark, sf_dir):
-    """TPC-H Q20-shape excess-share screen: suppliers who shipped MORE
-    THAN HALF of some part's total shipped quantity (Q20's
-    "quantity > 50% of the part's demand" correlated subquery,
-    decorrelated as per-(part, supplier) sums vs per-part totals — the
-    same two-level-aggregate cross-filter as small_quantity_revenue but
-    with the share on the GROUP, not the row). Top-20 by parts dominated.
-
-    Scale shape: the part total derives from the (part, supplier) sums
-    (never a second lineitem pass) and the share test joins back on
-    l_partkey — all three steps ride ONE l_partkey-keyed exchange; the
-    supplier rollup is a second small agg; integer cross-multiplication
-    for the 50% cut."""
-    sq = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.expr(_LI_QTY_C)).cast("long").alias("qty_c"))
-    )
-    pt = sq.groupBy("l_partkey").agg(
-        F.sum("qty_c").cast("long").alias("total_c")
-    )
-    dom = (
-        sq.join(pt, "l_partkey")
-        .where(F.lit(2) * F.col("qty_c") > F.col("total_c"))
-        .groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_parts_dominated"))
-    )
-    return (
-        dom.select(F.col("l_suppkey").alias("s_suppkey"), "n_parts_dominated")
-        .orderBy(F.desc("n_parts_dominated"), F.asc("s_suppkey"))
-        .limit(20)
-    )
-
-
-@register(
-    "sole_supplier_orders",
-    """WITH po AS (
-  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
-         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
-         CAST(min(l_suppkey) AS BIGINT) AS the_supp
-  FROM lineitem GROUP BY l_orderkey)
-SELECT the_supp AS s_suppkey, CAST(count(*) AS BIGINT) AS n_sole_orders
-FROM po WHERE n_items >= 2 AND n_supp = 1
-GROUP BY the_supp ORDER BY n_sole_orders DESC, s_suppkey ASC LIMIT 20""",
-)
-def sole_supplier_orders(spark, sf_dir):
-    """TPC-H Q21-shape sole-supplier screen: multi-item orders fulfilled
-    entirely by ONE supplier (Q21's EXISTS another-lineitem /
-    NOT-EXISTS another-supplier pair, flattened into a per-order
-    aggregate: n_items ≥ 2 ∧ distinct suppliers = 1 — when n_supp is 1
-    the min IS that supplier, so no join back is needed). Top-20
-    suppliers by such orders.
-
-    Scale shape: one l_orderkey-keyed agg (count-distinct expands to a
-    two-level agg with map-side partials under AQE), a map-side filter,
-    and a supplier-keyed rollup; the correlated EXISTS pair never
-    materializes as joins at all."""
-    po = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .groupBy("l_orderkey")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.countDistinct("l_suppkey").cast("long").alias("n_supp"),
-            F.min("l_suppkey").cast("long").alias("the_supp"),
-        )
-    )
-    return (
-        po.where((F.col("n_items") >= 2) & (F.col("n_supp") == 1))
-        .groupBy("the_supp")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_sole_orders"))
-        .select(F.col("the_supp").alias("s_suppkey"), "n_sole_orders")
-        .orderBy(F.desc("n_sole_orders"), F.asc("s_suppkey"))
-        .limit(20)
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 46 — TPC-H Q12 (completes the 22-query relational deck), cohort
-# revenue analysis over events, two corpus-quality scores (Flesch
-# readability proxy, Yule's K lexical diversity), and binary sign-sketch
-# ANN — the 8-byte hamming-scan member of the compression family next to
-# SQ8 / PQ / IVFPQ.
-# ---------------------------------------------------------------------------
-
-_Q12_FROM = "TIMESTAMP '1996-01-01 00:00:00'"
-_Q12_TO = "TIMESTAMP '1997-01-01 00:00:00'"
-_Q12_FAST_US = 30 * 86_400_000_000  # 30 days in microseconds
-_Q12_HIGH = "('1-URGENT', '2-HIGH')"
-
-
-@register(
-    "shipmode_priority_counts",
-    f"""SELECT CASE WHEN epoch_us(l.l_shipdate) <= epoch_us(o.o_orderdate) + {_Q12_FAST_US}
-            THEN 'FAST' ELSE 'SLOW' END AS ship_bucket,
-       CAST(count(*) FILTER (o.o_orderpriority IN {_Q12_HIGH}) AS BIGINT) AS high_line_count,
-       CAST(count(*) FILTER (o.o_orderpriority NOT IN {_Q12_HIGH}) AS BIGINT) AS low_line_count
-FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-WHERE l.l_shipdate >= {_Q12_FROM} AND l.l_shipdate < {_Q12_TO}
-GROUP BY ship_bucket ORDER BY ship_bucket""",
-)
-def shipmode_priority_counts(spark, sf_dir):
-    """TPC-H Q12-shape shipping-mode priority check — the last missing
-    member of the 22-query deck (reference Q12 buckets lines by
-    l_shipmode and counts urgent-vs-other order priorities; this schema
-    has no shipmode column, so the bucket is the ship-latency class the
-    mode proxies for: FAST = shipped within 30 days of the order,
-    SLOW otherwise). The bucket predicate compares columns from BOTH
-    sides, so — like the Q4 lateness predicate — it lives above the
-    join, not below it. Dates travel as unix_micros/epoch_us BIGINTs.
-
-    Scale shape: the 1996 shipdate window pushes into the lineitem
-    parquet scan; lineitem⋈orders is one keyed shuffle (both sides
-    unbounded — un-hinted); the two conditional counts fold map-side
-    into a 2-row agg."""
-    li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .where(F.expr(f"l_shipdate >= {_Q12_FROM} AND l_shipdate < {_Q12_TO}"))
-        .select(
-            "l_orderkey",
-            F.expr("unix_micros(cast(l_shipdate as timestamp))").alias("ship_us"),
-        )
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("o_date_us"),
-    )
-    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        F.expr(
-            f"CASE WHEN ship_us <= o_date_us + {_Q12_FAST_US} THEN 'FAST' ELSE 'SLOW' END"
-        ).alias("ship_bucket"),
-        F.expr(
-            f"CASE WHEN o_orderpriority IN {_Q12_HIGH} THEN 1 ELSE 0 END"
-        ).alias("is_high"),
-    )
-    return (
-        j.groupBy("ship_bucket")
-        .agg(
-            F.sum("is_high").cast("long").alias("high_line_count"),
-            F.sum(F.lit(1) - F.col("is_high")).cast("long").alias("low_line_count"),
-        )
-        .orderBy("ship_bucket")
-    )
-
-
-# shared cents expr for the events value column (events_value_quantiles
-# convention: money becomes exact BIGINT cents per row, never a float sum)
-_EV_CENTS = "CAST(round(100 * value) AS BIGINT)"
-
-
-@register(
-    "events_cohort_revenue",
-    f"""WITH ev AS (
-  SELECT user_id, epoch_us(ts) // 86400000000 // 7 AS wk, {_EV_CENTS} AS cents
-  FROM events),
-fw AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id)
-SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
-       CAST(ev.wk - cohort_week AS BIGINT) AS age_weeks,
-       CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(cents) AS BIGINT) AS revenue_c
-FROM ev JOIN fw USING (user_id)
-GROUP BY cohort_week, age_weeks ORDER BY cohort_week, age_weeks""",
-)
-def events_cohort_revenue(spark, sf_dir):
-    """Cohort revenue matrix — the product-analytics staple next to
-    events_retention: users are cohorted by the week of their first
-    event (week = integer-µs day key div 7, the events-table date rule),
-    and every event lands in the (cohort_week, age_weeks) cell with its
-    active-user count and exact cents revenue. Both engines floor the
-    positive week arithmetic identically (Spark div truncates, DuckDB
-    // floors — equal on non-negatives; epoch weeks are positive).
-
-    Scale shape: first-seen is one user_id-keyed agg; the join back is
-    user_id-keyed too, so both ride ONE exchange; the cohort matrix agg
-    is calendar-bounded (weeks² cells), with count(DISTINCT user_id)
-    expanding to a two-level agg with map-side partials under AQE. The
-    first-seen side is unbounded (one row per user) — un-hinted, never
-    force-broadcast."""
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000 div 7").alias("wk"),
-        F.expr(_EV_CENTS).alias("cents"),
-    )
-    fw = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
-    j = e.join(fw, "user_id")
-    return (
-        j.groupBy(
-            F.col("cohort_week"),
-            (F.col("wk") - F.col("cohort_week")).alias("age_weeks"),
-        )
-        .agg(
-            F.countDistinct("user_id").cast("long").alias("n_active"),
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum("cents").cast("long").alias("revenue_c"),
-        )
-        .orderBy("cohort_week", "age_weeks")
-    )
-
-
-# Flesch reading ease from BIGINT sufficient stats — ONE shared expression
-# string (ttest_lang_doclen convention) evaluated over exact-double-safe
-# integer sums; constants in E-NOTATION (a plain decimal literal is
-# DECIMAL in Spark SQL and diverges — the _HLL_C lesson).
-_FLESCH_Q6 = (
-    "CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT) "
-    "ELSE CAST(round(1000000 * (2.06835e2 "
-    "- 1.015e0 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) "
-    "- 8.46e1 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))) AS BIGINT) END"
-)
-
-
-@register(
-    "readability_flesch",
-    f"""WITH per AS (
-  SELECT source,
-         len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS w,
-         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y,
-         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s
-  FROM documents),
-agg AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(w) AS BIGINT) AS n_words,
-         CAST(sum(s) AS BIGINT) AS n_sentences,
-         CAST(sum(y) AS BIGINT) AS n_syllables
-  FROM per GROUP BY source)
-SELECT source, n_docs, n_words, n_sentences, n_syllables,
-       {_FLESCH_Q6} AS flesch_q6
-FROM agg ORDER BY source""",
-)
-def readability_flesch(spark, sf_dir):
-    """Per-source Flesch reading-ease proxy — the classic quality score
-    (206.835 − 1.015·words/sentences − 84.6·syllables/word) with
-    deterministic regex stand-ins: words = shared-tokenizer matches,
-    syllables = vowel-group runs [aeiouy]+ (a vowel run never crosses a
-    token boundary, so counting on the raw lowered text equals the
-    per-token sum), sentences = [.!?]+ runs floored at 1 per doc (the
-    0-denominator guard; CJK text without terminal punctuation scores
-    as one sentence per doc — documented, not hidden). The formula runs
-    ONCE per source over exact BIGINT sums via one shared expr string.
-
-    Scale shape: all three counters are map-side regexp counts inside
-    codegen — no token explosion, no shuffle beyond the sources-sized
-    hash agg (tokenizer_fertility's plan, one more counter)."""
-    d = _docs(spark, sf_dir)
-    per = d.select(
-        "source",
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)).alias("w"),
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)).alias("y"),
-        F.greatest(
-            F.lit(1), F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0))
-        ).alias("s"),
-    )
-    return (
-        per.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("w").cast("long").alias("n_words"),
-            F.sum("s").cast("long").alias("n_sentences"),
-            F.sum("y").cast("long").alias("n_syllables"),
-        )
-        .select(
-            "source", "n_docs", "n_words", "n_sentences", "n_syllables",
-            F.expr(_FLESCH_Q6).alias("flesch_q6"),
-        )
-        .orderBy("source")
-    )
-
-
-# Yule's K from the tf spectrum: K = 1e4·(S2 − S1)/S1², S1 = Σtf,
-# S2 = Σtf². S1/S2 are exact BIGINTs (< 2^53 ⇒ exact doubles); the single
-# divide + round happens once in ONE shared string. At extreme scale S2
-# can pass 2^63 (a 1e12-tf term squares to 1e24) — there, fold per-term
-# contributions to double before the sum; at any tested SF it is exact.
-_YULE_Q6 = (
-    "CAST(round(1.0e10 * CAST(sum_tf2 - n_tokens AS DOUBLE) / "
-    "(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))) AS BIGINT)"
-)
-
-
-@register(
-    "yule_k_source",
-    f"""WITH t AS (SELECT source, unnest(words) AS term FROM ({SQL_WORDS})),
-tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY source, term),
-agg AS (
-  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
-         CAST(count(*) AS BIGINT) AS n_terms,
-         CAST(sum(c * c) AS BIGINT) AS sum_tf2
-  FROM tf GROUP BY source)
-SELECT source, n_tokens, n_terms, sum_tf2, {_YULE_Q6} AS yule_k_q6
-FROM agg ORDER BY source""",
-)
-def yule_k_source(spark, sf_dir):
-    """Yule's K lexical-diversity characteristic per source — the
-    length-robust repetitiveness score (K grows as token mass
-    concentrates on few types; a boilerplate-heavy crawl scores high)
-    complementing heaps_law_source's vocab-growth view. Sources whose
-    docs are all empty have no token rows and drop from the output on
-    both engines by construction.
-
-    Scale shape: one (source, term)-keyed agg off the token explode,
-    then a sources-sized rollup — S1, S2, |V| all fold map-side; the
-    K formula runs once per source on the tiny agg table."""
-    d = _docs(spark, sf_dir)
-    t = d.select("source", F.explode(spark_tokens("text")).alias("term"))
-    tf = t.groupBy("source", "term").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    return (
-        tf.groupBy("source")
-        .agg(
-            F.sum("c").cast("long").alias("n_tokens"),
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.sum(F.expr("c * c")).cast("long").alias("sum_tf2"),
-        )
-        .select("source", "n_tokens", "n_terms", "sum_tf2", F.expr(_YULE_Q6).alias("yule_k_q6"))
-        .orderBy("source")
-    )
-
-
-# --- binary sign-sketch ANN (hamming scan + exact rerank) -------------------
-#
-# The 64-dim embedding quantizes to ONE bit per dimension (sign), packed
-# into two BIGINT halves so neither engine's 2^63 arithmetic is touched —
-# bit weights are literal constants ≤ 2^31, the halves XOR and popcount.
-# The scan side of the band carries 16 bytes per vector instead of 256:
-# that ratio IS the operator (FAISS IndexBinaryFlat's rationale). On this
-# sandbox's i.i.d. vectors sign bits are weakly angle-correlated, so
-# band-50 recall@10 is honest-but-modest, like PQ's — the knob is R.
-
-_BH_R = 50  # hamming band width before the exact rerank
-
-
-def _bh_half_spark(base: int) -> str:
-    # Spark arrays are 0-based: dims base..base+31 -> bits 0..31
-    return " + ".join(
-        f"(CASE WHEN v[{base + i}] > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for i in range(32)
-    )
-
-
-def _bh_half_sql(base: int) -> str:
-    # DuckDB arrays are 1-based
-    return " + ".join(
-        f"(CASE WHEN v[{base + i + 1}] > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for i in range(32)
-    )
-
-
-_BH_PRELUDE = (
-    _SQL_EMB_E
-    + f"""
-codes AS (SELECT vec_id, {_bh_half_sql(0)} AS lo, {_bh_half_sql(32)} AS hi FROM e),
-qc AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM codes WHERE vec_id % 37 = 0),
-qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 37 = 0),
-h0 AS (
-  SELECT qc.qid, c.vec_id,
-         CAST(bit_count(xor(c.lo, qc.qlo)) + bit_count(xor(c.hi, qc.qhi)) AS BIGINT) AS hamming
-  FROM codes c, qc),
-band AS (
-  SELECT qid, vec_id, hamming FROM (
-    SELECT qid, vec_id, hamming,
-           row_number() OVER (PARTITION BY qid ORDER BY hamming ASC, vec_id ASC) AS rn
-    FROM h0) WHERE rn <= {_BH_R}),
-rr0 AS (
-  SELECT band.qid, band.vec_id, band.hamming,
-         {_sql_cosq("e.v", "qs.qv", 1_000_000)} AS cos_q6
-  FROM band JOIN e ON e.vec_id = band.vec_id JOIN qs ON qs.qid = band.qid),
-rr AS (
-  SELECT qid, vec_id, hamming, cos_q6,
-         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_q6 DESC, vec_id ASC) AS BIGINT) AS rnk
-  FROM rr0)"""
-)
-
-
-def _bh_rerank_topk(spark, sf_dir) -> DataFrame:
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    codes = e.select(
-        "vec_id",
-        F.expr(_bh_half_spark(0)).alias("lo"),
-        F.expr(_bh_half_spark(32)).alias("hi"),
-    )
-    qc = codes.where(F.col("vec_id") % 37 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
-    )
-    qs = e.where(F.col("vec_id") % 37 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    wh = Window.partitionBy("qid").orderBy(F.asc("hamming"), F.asc("vec_id"))
-    band = (
-        codes.crossJoin(F.broadcast(qc))
-        .select(
-            "qid",
-            "vec_id",
-            F.expr("CAST(bit_count(lo ^ qlo) + bit_count(hi ^ qhi) AS BIGINT)").alias("hamming"),
-        )
-        .withColumn("rn", F.row_number().over(wh))
-        .where(F.col("rn") <= _BH_R)
-        .select("qid", "vec_id", "hamming")
-    )
-    wr = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-    return (
-        e.join(F.broadcast(band), "vec_id")
-        .join(F.broadcast(qs), "qid")
-        .select("qid", "vec_id", "hamming", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-        .withColumn("rnk", F.row_number().over(wr).cast("long"))
-        .where(F.col("rnk") <= 10)
-        .select("qid", "vec_id", "hamming", "cos_q6", "rnk")
-    )
-
-
-@register(
-    "ann_hamming_rerank",
-    _BH_PRELUDE
-    + "\nSELECT qid, vec_id, hamming, cos_q6, rnk FROM rr WHERE rnk <= 10 ORDER BY qid, rnk",
-)
-def ann_hamming_rerank(spark, sf_dir):
-    """Binary sign-sketch ANN with exact rerank (FAISS IndexBinaryFlat +
-    refine): every vector packs to a 64-bit sign code in two BIGINT
-    halves; the %37 query batch scans CODES ONLY (16 bytes/vector — a
-    16× payload cut vs the float scan) for a hamming top-R=50 band
-    with (hamming, vec_id) tiebreak, then the small band joins BACK to
-    the vector table for exact cosine top-10. Query self-hits retained
-    (hamming 0 → cos 1 → rank 1, oracle-checkable).
-
-    Scale shape: the code table is map-side arithmetic inside codegen;
-    the band scan carries no float payload and broadcasts the query
-    codes; only band rows (R·|Q|, bounded) rejoin the vectors — both
-    rerank joins broadcast the band/query side."""
-    return _bh_rerank_topk(spark, sf_dir).orderBy("qid", "rnk")
-
-
-@register(
-    "ann_hamming_recall",
-    _BH_PRELUDE
-    + """,
-ex0 AS (
-  SELECT qs.qid, e.vec_id,
-         row_number() OVER (PARTITION BY qs.qid ORDER BY
-           """
-    + _sql_cosq("e.v", "qs.qv", 1_000_000)
-    + """ DESC, e.vec_id ASC) AS rn
-  FROM qs, e),
-bexact AS (SELECT qid, vec_id FROM ex0 WHERE rn <= 10)
-SELECT qs.qid, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlap
-FROM qs LEFT JOIN (
-  SELECT r.qid, count(*) AS n
-  FROM (SELECT qid, vec_id FROM rr WHERE rnk <= 10) r JOIN bexact USING (qid, vec_id)
-  GROUP BY r.qid
-) o USING (qid) ORDER BY qs.qid""",
-)
-def ann_hamming_recall(spark, sf_dir):
-    """Per-query recall@10 of the hamming-band rerank vs the exact
-    cosine top-10 — the accuracy half of the 16×-payload trade. On
-    i.i.d. sandbox vectors sign bits carry weak angle signal, so
-    modest recall is the HONEST reading (the PQ lesson); the knob is
-    the band width _BH_R, not the measurement."""
-    bh = _bh_rerank_topk(spark, sf_dir).select("qid", "vec_id")
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    qs = e.where(F.col("vec_id") % 37 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    wr = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-    exact = (
-        e.crossJoin(F.broadcast(qs))
-        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-        .withColumn("rn", F.row_number().over(wr))
-        .where(F.col("rn") <= 10)
-        .select("qid", "vec_id")
-    )
-    overlap = bh.join(exact, ["qid", "vec_id"]).groupBy("qid").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    return (
-        qs.select("qid")
-        .join(overlap, "qid", "left")
-        .select("qid", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_overlap"))
-        .orderBy("qid")
-    )
-
-
-# --- full BPE trainer rounds (Sennrich) -------------------------------------
-#
-# bpe_merge_candidates is step 1 of the BPE loop; this runs the LOOP —
-# _BPE_ROUNDS greedy merges, each round = (pair-count agg → argmax pair →
-# corpus-wide merge). The merge is pure string algebra, no per-row Python:
-# a word's symbol sequence is a string with the invariant "single space at
-# both ends, double space between symbols" (' h  e  l  l  o '), so the
-# pattern ' a  b ' can only match at symbol boundaries (symbols contain no
-# spaces) and plain left-to-right non-overlapping replace() IS the BPE
-# greedy merge — including the ' a  a  a ' → ' aa  a ' leftmost rule,
-# because each flanking space is shared with the neighbor match.
-
-_BPE_ROUNDS = 3
-
-
-def _bpe_sql() -> str:
-    """Generated oracle: _BPE_ROUNDS unrolled (pairs → argmax → merge)
-    CTE rounds. wt/b tables are multiply-referenced — AS MATERIALIZED or
-    DuckDB inlines and re-derives them with compounding fan-out (the
-    pagerank-oracle lesson)."""
-    parts = [
-        f"""WITH w AS (
-  SELECT term AS word, CAST(count(*) AS BIGINT) AS cnt FROM ({SQL_TOKS})
-  WHERE length(term) >= 2 GROUP BY term),
-wt0 AS MATERIALIZED (
-  SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS s, cnt FROM w)"""
-    ]
-    for r in range(_BPE_ROUNDS):
-        parts.append(
-            f""",
-p{r} AS (
-  SELECT syms[i] AS a, syms[i + 1] AS b, cnt
-  FROM (SELECT str_split(trim(s), '  ') AS syms, cnt FROM wt{r}),
-       unnest(generate_series(1, len(syms) - 1)) AS t(i)
-  WHERE len(syms) >= 2),
-b{r} AS MATERIALIZED (
-  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pc FROM p{r} GROUP BY a, b
-  ORDER BY pc DESC, a ASC, b ASC LIMIT 1)"""
-        )
-        if r < _BPE_ROUNDS - 1:
-            parts.append(
-                f""",
-wt{r + 1} AS MATERIALIZED (
-  SELECT replace(s, ' ' || b{r}.a || '  ' || b{r}.b || ' ',
-                 ' ' || b{r}.a || b{r}.b || ' ') AS s, cnt
-  FROM wt{r}, b{r})"""
-            )
-    sel = "\nUNION ALL ".join(
-        f"SELECT CAST({r + 1} AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b, pc AS pair_count FROM b{r}"
-        for r in range(_BPE_ROUNDS)
-    )
-    parts.append(f"\nSELECT * FROM ({sel}) ORDER BY merge_rank")
-    return "".join(parts)
-
-
-def _bpe_pairs_best(wt: DataFrame) -> DataFrame:
-    sy = wt.select(F.expr("split(trim(s), '  ')").alias("syms"), "cnt").where(
-        F.expr("size(syms) >= 2")  # sequence(0, negative) junk guard
-    )
-    pairs = sy.select(
-        F.expr(
-            "explode(transform(sequence(0, size(syms) - 2),"
-            " i -> struct(syms[i] AS a, syms[i + 1] AS b)))"
-        ).alias("p"),
-        "cnt",
-    ).select("p.a", "p.b", "cnt")
-    return (
-        pairs.groupBy("a", "b")
-        .agg(F.sum("cnt").cast("long").alias("pc"))
-        .orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
-        .limit(1)
-    )
-
-
-@register("bpe_train_merges", _bpe_sql())
-def bpe_train_merges(spark, sf_dir):
-    """BPE trainer, 3 greedy merge rounds (Sennrich 2016 — the loop
-    bpe_merge_candidates is one step of): per round, the max-count
-    adjacent symbol pair (count desc, pair lexicographic tiebreak) merges
-    corpus-wide via the space-anchored replace() described above. Word
-    TYPES with counts are the training set (classic BPE), so all strings
-    are vocab-bounded regardless of corpus size. An exhausted corpus
-    (fewer distinct pairs than rounds) yields fewer rows — identically in
-    both engines, since an empty argmax empties every later round.
-
-    Scale shape: the type table localCheckpoints once per round (3
-    bounded materializations, the kmeans-round pattern); each round is
-    ONE (a, b)-keyed agg off a map-side explode plus a 1-row broadcast
-    crossJoin for the merge — no driver collect, no per-row Python."""
-    t = _toks(_docs(spark, sf_dir))
-    wt = (
-        t.where(F.length("term") >= 2)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .select(F.expr("regexp_replace(term, '(.)', ' $1 ')").alias("s"), "cnt")
-        .localCheckpoint()
-    )
-    merges = []
-    for r in range(_BPE_ROUNDS):
-        best = _bpe_pairs_best(wt).localCheckpoint()
-        merges.append(
-            best.select(
-                F.lit(r + 1).cast("long").alias("merge_rank"),
-                F.col("a").alias("sym_a"),
-                F.col("b").alias("sym_b"),
-                F.col("pc").alias("pair_count"),
-            )
-        )
-        if r < _BPE_ROUNDS - 1:
-            wt = (
-                wt.crossJoin(F.broadcast(best))
-                .select(
-                    F.expr(
-                        "replace(s, ' ' || a || '  ' || b || ' ',"
-                        " ' ' || a || b || ' ')"
-                    ).alias("s"),
-                    "cnt",
-                )
-                .localCheckpoint()
-            )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out.orderBy("merge_rank")
-
-
-# --- per-source script-composition audit -------------------------------------
-#
-# Multilingual pipeline smell test: which SCRIPTS (not langs) each source
-# actually carries, as exact char counts — a lang-id disagreeing with the
-# script mix flags mislabeled docs. Classes are literal-codepoint ranges
-# (the tokenizer convention) so Java/RE2 agree byte-for-byte.
-
-_SCRIPTS = [
-    ("latin", "[a-zA-Z]"),
-    ("digit", "[0-9]"),
-    ("cyrillic", "[Ѐ-ӿ]"),
-    ("greek", "[ά-ώΆ-Ϋ]"),
-    ("cjk", "[一-鿿㐀-䶿豈-﫿]"),
-    ("kana", "[゠-ヿ぀-ゟ]"),
-]
-
-
-@register(
-    "script_mix_source",
-    f"""WITH per AS (
-  SELECT source,
-         {", ".join(f"len(regexp_extract_all(text, '{pat}')) AS {name}" for name, pat in _SCRIPTS)}
-  FROM documents)
-SELECT source,
-       {", ".join(f"CAST(sum({name}) AS BIGINT) AS n_{name}" for name, _ in _SCRIPTS)}
-FROM per GROUP BY source ORDER BY source""",
-)
-def script_mix_source(spark, sf_dir):
-    """Per-source script composition: exact character counts per Unicode
-    script class (Latin/digit/Cyrillic/Greek/CJK/kana — the tokenizer's
-    own literal ranges). The multilingual-corpus audit that catches
-    mislabeled or mixed-script sources before lang-dependent stages
-    (stopword lists, analyzers) run on them.
-
-    Scale shape: six map-side regexp counters inside codegen folded into
-    one sources-sized hash agg — the tokenizer_fertility plan widened."""
-    d = _docs(spark, sf_dir)
-    per = d.select(
-        "source",
-        *[
-            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias(name)
-            for name, pat in _SCRIPTS
-        ],
-    )
-    return (
-        per.groupBy("source")
-        .agg(*[F.sum(name).cast("long").alias(f"n_{name}") for name, _ in _SCRIPTS])
-        .orderBy("source")
-    )
-
-
-# --- held-out perplexity under the corpus's own unigram LM -------------------
-
-# the train/eval split reuses train_eval_split's md5 hex-5-8 coordinate
-# VERBATIM so the evaluated split is the one the pipeline actually ships
-_SPLIT_V_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))::UBIGINT::BIGINT % 100"
-_SPLIT_V_SPARK = "cast(conv(substring(md5(cast(doc_id as string)), 5, 4), 16, 10) as bigint) % 100"
-_OOV_NLP = (
-    "CAST(round(-ln(1.0 / CAST(big_t + vocab + 1 AS DOUBLE)) * 1000000) AS BIGINT)"
-)
-
-
-@register(
-    "heldout_unigram_ppl",
-    f"""WITH tf AS MATERIALIZED ({SQL_TF}),
-sp AS (SELECT doc_id, {_SPLIT_V_SQL} AS v FROM documents),
-trtf AS MATERIALIZED (
-  SELECT term, CAST(sum(tf) AS BIGINT) AS cf
-  FROM tf JOIN sp USING (doc_id) WHERE v < 98 GROUP BY term),
-st AS MATERIALIZED (
-  SELECT CAST(COALESCE(sum(cf), 0) AS BIGINT) AS big_t,
-         CAST(count(*) AS BIGINT) AS vocab FROM trtf),
-nl AS (
-  SELECT term, CAST(round(-ln(CAST(cf + 1 AS DOUBLE)
-         / CAST(big_t + vocab + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS nlp_q6
-  FROM trtf, st),
-ev AS (SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf
-       FROM tf JOIN sp USING (doc_id) WHERE v >= 98),
-sc AS (
-  SELECT CAST(COALESCE(sum(ev.tf * COALESCE(nl.nlp_q6, {_OOV_NLP})), 0) AS BIGINT) AS nll_q6,
-         CAST(COALESCE(sum(ev.tf), 0) AS BIGINT) AS n_eval_tokens
-  FROM ev LEFT JOIN nl USING (term) CROSS JOIN st),
-ed AS (SELECT CAST(count(*) AS BIGINT) AS n_eval_docs FROM sp WHERE v >= 98)
-SELECT st.big_t AS n_train_tokens, st.vocab AS train_vocab,
-       ed.n_eval_docs, sc.n_eval_tokens, sc.nll_q6,
-       CASE WHEN sc.n_eval_tokens = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 * exp(CAST(sc.nll_q6 AS DOUBLE)
-                 / (1.0e6 * CAST(sc.n_eval_tokens AS DOUBLE)))) AS BIGINT) END AS ppl_q6
-FROM st, sc, ed""",
-)
-def heldout_unigram_ppl(spark, sf_dir):
-    """Held-out perplexity — the LM-eval loop run end to end inside the
-    engine: an add-1-smoothed unigram LM is TRAINED on the md5-5-8 train
-    split (train_eval_split's exact coordinate, so what's evaluated is
-    what ships) and scored on the held-out 2%. Per-TERM −ln p is
-    q6-rounded FIRST (the unigram_logprob rule), the eval NLL is an
-    exact BIGINT Σ tf·nlp_q6, and OOV terms take the add-1 floor
-    1/(T+V+1) via a 1-row broadcast. Degenerate splits stay defined:
-    an empty train side gives every eval term the OOV score; an empty
-    eval side reports ppl 0 via the 0-token guard.
-
-    Scale shape: tf materializes once and feeds both splits (the
-    three-consumer unigram_logprob lesson); the LM is the A2 dictionary
-    agg on the train side only; scoring is the postings ⋈ dictionary J1
-    join with the 1-row stats broadcast. The final exp runs once on two
-    exact integers."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint()
-    )
-    sp = _docs(spark, sf_dir).select("doc_id", F.expr(_SPLIT_V_SPARK).alias("v"))
-    trtf = (
-        tf.join(sp, "doc_id")
-        .where(F.col("v") < 98)
-        .groupBy("term")
-        .agg(F.sum("tf").cast("long").alias("cf"))
-    )
-    st = trtf.agg(
-        F.coalesce(F.sum("cf"), F.lit(0)).cast("long").alias("big_t"),
-        F.count(F.lit(1)).cast("long").alias("vocab"),
-    )
-    nl = trtf.crossJoin(F.broadcast(st)).select(
-        "term",
-        F.expr(
-            "CAST(round(-ln(CAST(cf + 1 AS DOUBLE)"
-            " / CAST(big_t + vocab + 1 AS DOUBLE)) * 1000000) AS BIGINT)"
-        ).alias("nlp_q6"),
-    )
-    ev = tf.join(sp, "doc_id").where(F.col("v") >= 98).select("doc_id", "term", "tf")
-    sc = (
-        ev.join(nl, "term", "left")
-        .crossJoin(F.broadcast(st))
-        .agg(
-            F.coalesce(
-                F.sum(F.col("tf") * F.expr(f"COALESCE(nlp_q6, {_OOV_NLP})")), F.lit(0)
-            )
-            .cast("long")
-            .alias("nll_q6"),
-            F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("n_eval_tokens"),
-        )
-    )
-    ed = sp.where(F.col("v") >= 98).agg(
-        F.count(F.lit(1)).cast("long").alias("n_eval_docs")
-    )
-    return (
-        st.crossJoin(sc)
-        .crossJoin(ed)
-        .select(
-            F.col("big_t").alias("n_train_tokens"),
-            F.col("vocab").alias("train_vocab"),
-            "n_eval_docs",
-            "n_eval_tokens",
-            "nll_q6",
-            F.expr(
-                "CASE WHEN n_eval_tokens = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST(round(1000000 * exp(CAST(nll_q6 AS DOUBLE)"
-                " / (1.0e6 * CAST(n_eval_tokens AS DOUBLE)))) AS BIGINT) END"
-            ).alias("ppl_q6"),
-        )
-    )
-
-
-# --- daily-count autocorrelation ---------------------------------------------
-#
-# ACF at lags 1..7 over the zero-filled day spine, from exact BIGINT
-# sufficient stats: acf_k = [N²·Sxy − N·S·(Sh+St) + n_pairs·S²]
-#                         / [N²·Sxx − N·S²]  (the ×N² clearing keeps every
-# term an exact integer; at extreme daily counts the products approach
-# 2^63 — there, divide first in doubles, the events_daily_anomaly note).
-
-_ACF_NUM = "nd * nd * sxy - nd * s * (sh + stl) + n_pairs * s * s"
-_ACF_DEN = "nd * nd * sxx - nd * s * s"
-_ACF_Q6 = (
-    f"CASE WHEN ({_ACF_DEN}) = 0 THEN CAST(0 AS BIGINT) "
-    f"ELSE CAST(round(1000000 * CAST({_ACF_NUM} AS DOUBLE) / CAST({_ACF_DEN} AS DOUBLE)) AS BIGINT) END"
-)
-
-
-@register(
-    "events_autocorrelation",
-    f"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events),
-bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
-spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM bounds),
-dc AS MATERIALIZED (
-  SELECT spine.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
-  FROM spine LEFT JOIN (SELECT day, count(*) AS n FROM e GROUP BY day) c USING (day)),
-g AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS s,
-             CAST(sum(n * n) AS BIGINT) AS sxx FROM dc),
-ks AS (SELECT unnest(generate_series(1, 7)) AS k),
-pr AS (SELECT ks.k, a.n AS x, b.n AS y
-       FROM ks CROSS JOIN dc a JOIN dc b ON b.day = a.day + ks.k),
-pk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(x * y) AS BIGINT) AS sxy,
-              CAST(sum(x) AS BIGINT) AS sh, CAST(sum(y) AS BIGINT) AS stl
-       FROM pr GROUP BY k)
-SELECT CAST(k AS BIGINT) AS k, n_pairs, {_ACF_Q6} AS acf_q6
-FROM (SELECT ks.k, CAST(COALESCE(pk.n_pairs, 0) AS BIGINT) AS n_pairs,
-             COALESCE(pk.sxy, 0) AS sxy, COALESCE(pk.sh, 0) AS sh,
-             COALESCE(pk.stl, 0) AS stl, g.nd, g.s, g.sxx
-      FROM ks LEFT JOIN pk USING (k) CROSS JOIN g)
-ORDER BY k""",
-)
-def events_autocorrelation(spark, sf_dir):
-    """Sample autocorrelation of the daily event count at lags 1..7 —
-    the seasonality detector behind events_serial_diff's lag-7 choice
-    (a weekly cycle shows as an acf_7 spike). Zero-filled calendar
-    spine, global mean/variance and per-lag cross-products all as exact
-    BIGINT sufficient stats; the single divide happens once per lag in
-    one shared expr (a float Σ(x−μ)(y−μ) would be partial-agg-order
-    dependent). Lags longer than the observed span emit n_pairs = 0
-    rows with acf 0 — the COALESCE(...,0)-on-empty rule.
-
-    Scale shape: the spine is calendar-bounded; the per-day agg
-    combines map-side; the lag pairs come from a 7-row broadcast theta
-    fan + an equi-join on day+k over the tiny spine table."""
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day")
-    )
-    counts = e.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    bounds = e.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    spine = bounds.select(F.explode(F.expr("sequence(d0, d1)")).alias("day"))
-    dc = (
-        spine.join(counts, "day", "left")
-        .select("day", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
-        .localCheckpoint()
-    )
-    g = dc.agg(
-        F.count(F.lit(1)).cast("long").alias("nd"),
-        F.sum("n").cast("long").alias("s"),
-        F.sum(F.expr("n * n")).cast("long").alias("sxx"),
-    )
-    ks = spark.createDataFrame([(k,) for k in range(1, 8)], "k long")
-    a = dc.select(F.col("day").alias("da"), F.col("n").alias("x"))
-    b = dc.select(F.col("day").alias("db"), F.col("n").alias("y"))
-    pr = a.crossJoin(F.broadcast(ks)).join(b, F.expr("db = da + k"))
-    pk = pr.groupBy("k").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
-        F.sum("x").cast("long").alias("sh"),
-        F.sum("y").cast("long").alias("stl"),
-    )
-    full = (
-        spark.createDataFrame([(k,) for k in range(1, 8)], "k long")
-        .join(pk, "k", "left")
-        .crossJoin(F.broadcast(g))
-        .select(
-            "k",
-            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
-            F.coalesce("sxy", F.lit(0)).cast("long").alias("sxy"),
-            F.coalesce("sh", F.lit(0)).cast("long").alias("sh"),
-            F.coalesce("stl", F.lit(0)).cast("long").alias("stl"),
-            "nd", "s", "sxx",
-        )
-    )
-    return full.select(
-        "k", "n_pairs", F.expr(_ACF_Q6).alias("acf_q6")
-    ).orderBy("k")
-
-
-# --- cross-source vocabulary overlap -----------------------------------------
-
-
-@register(
-    "source_vocab_overlap",
-    f"""WITH t AS (
-  SELECT DISTINCT source, term
-  FROM (SELECT source, unnest(words) AS term FROM ({SQL_WORDS}))),
-vs AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM t GROUP BY source),
-inter AS (
-  SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared
-  FROM t a JOIN t b ON a.term = b.term AND a.source < b.source
-  GROUP BY a.source, b.source)
-SELECT sp.source_a, sp.source_b, sp.nv_a, sp.nv_b,
-       CAST(COALESCE(i.n_shared, 0) AS BIGINT) AS n_shared,
-       CAST((1000000 * COALESCE(i.n_shared, 0)) // (sp.nv_a + sp.nv_b - COALESCE(i.n_shared, 0)) AS BIGINT) AS jaccard_q6
-FROM (SELECT a.source AS source_a, b.source AS source_b, a.nv AS nv_a, b.nv AS nv_b
-      FROM vs a JOIN vs b ON a.source < b.source) sp
-LEFT JOIN inter i USING (source_a, source_b)
-ORDER BY source_a, source_b""",
-)
-def source_vocab_overlap(spark, sf_dir):
-    """Pairwise vocabulary Jaccard between sources — the corpus-level
-    similarity matrix (two crawls sharing 90% of their vocabulary are
-    near-duplicates at the SOURCE granularity — merge or dedup them
-    before the doc-level passes bother). Zero-overlap pairs still emit
-    via the source-pair spine (COALESCE rule); the Jaccard is an exact
-    integer micro-unit division.
-
-    Scale shape: the distinct (source, term) table is one exchange; the
-    intersection joins it to itself ON TERM — per-term fanout is bounded
-    by |sources|², and |sources| is small by definition, so the pair agg
-    and the spine crossJoin never grow with corpus size."""
-    d = _docs(spark, sf_dir)
-    t = (
-        d.select("source", F.explode(spark_tokens("text")).alias("term"))
-        .distinct()
-        .localCheckpoint()
-    )
-    vs = t.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("nv"))
-    ta = t.select(F.col("source").alias("source_a"), "term")
-    tb = t.select(F.col("source").alias("source_b"), "term")
-    inter = (
-        ta.join(tb, "term")
-        .where(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-    )
-    va = vs.select(F.col("source").alias("source_a"), F.col("nv").alias("nv_a"))
-    vb = vs.select(F.col("source").alias("source_b"), F.col("nv").alias("nv_b"))
-    spine = va.crossJoin(vb).where(F.col("source_a") < F.col("source_b"))
-    return (
-        spine.join(inter, ["source_a", "source_b"], "left")
-        .select(
-            "source_a", "source_b", "nv_a", "nv_b",
-            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
-            F.expr(
-                "CAST((1000000 * COALESCE(n_shared, 0))"
-                " div (nv_a + nv_b - COALESCE(n_shared, 0)) AS BIGINT)"
-            ).alias("jaccard_q6"),
-        )
-        .orderBy("source_a", "source_b")
-    )
-
-
-# --- bloom sizing curve (the decontamination_bloom tuning diagnostic) --------
-
-_BLOOM_MS = (4096, 16384, 65536)
-
-
-@register(
-    "bloom_fpr_curve",
-    f"""WITH w AS ({SQL_WORDS}),
-g AS (
-  SELECT DISTINCT doc_id,
-         words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
-         || ' ' || words[i+4] || ' ' || words[i+5] || ' ' || words[i+6] || ' ' || words[i+7] AS g
-  FROM w, unnest(generate_series(1, len(words) - 7)) AS t(i)
-  WHERE len(words) >= 8),
-ev AS MATERIALIZED (SELECT DISTINCT g FROM g WHERE doc_id % 29 = 0),
-trg AS MATERIALIZED (SELECT DISTINCT g FROM g WHERE doc_id % 29 <> 0),
-ms AS (SELECT unnest([{", ".join(str(m) for m in _BLOOM_MS)}]) AS m),
-js AS (SELECT unnest(generate_series(0, 3)) AS j),
-evpos AS MATERIALIZED (
-  SELECT DISTINCT m, ('0x' || substr(md5(g), 1 + 4 * j, 4))::UBIGINT::BIGINT % m AS pos
-  FROM ev, js, ms),
-fill AS (SELECT m, CAST(count(*) AS BIGINT) AS n_set_positions FROM evpos GROUP BY m),
-cand AS (
-  SELECT tp.m, CAST(count(*) AS BIGINT) AS n_candidates FROM (
-    SELECT m, g FROM (
-      SELECT ms.m, trg.g,
-             ('0x' || substr(md5(trg.g), 1 + 4 * js.j, 4))::UBIGINT::BIGINT % ms.m AS pos, js.j
-      FROM trg, js, ms) tj
-    JOIN evpos USING (m, pos)
-    GROUP BY m, g HAVING count(DISTINCT j) = 4) tp
-  GROUP BY tp.m),
-stats AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_probes,
-         CAST(count(*) FILTER (g IN (SELECT g FROM ev)) AS BIGINT) AS n_exact
-  FROM trg)
-SELECT CAST(ms.m AS BIGINT) AS m,
-       CAST(COALESCE(f.n_set_positions, 0) AS BIGINT) AS n_set_positions,
-       s.n_probes, s.n_exact,
-       CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
-       CAST(COALESCE(c.n_candidates, 0) - s.n_exact AS BIGINT) AS n_false_pos,
-       CASE WHEN s.n_probes - s.n_exact = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * (COALESCE(c.n_candidates, 0) - s.n_exact))
-                 // (s.n_probes - s.n_exact) AS BIGINT) END AS fpr_q6
-FROM ms LEFT JOIN cand c USING (m) LEFT JOIN fill f USING (m) CROSS JOIN stats s
-ORDER BY m""",
-)
-def bloom_fpr_curve(spark, sf_dir):
-    """Bloom-filter sizing curve — decontamination_bloom's tuning
-    diagnostic (the third member of the prefilter-tuning family next to
-    lsh_band_config_curve and shingle_size_curve): the SAME k=4 md5-slice
-    construction evaluated at m = 4096/16384/65536 positions, reporting
-    fill, candidate count, and the measured false-positive rate against
-    exact membership (candidates minus true members over non-member
-    probes). Bloom filters have no false negatives, so n_candidates ≥
-    n_exact at every m and FPR falls monotonically with m — both facts
-    property-tested.
-
-    Scale shape: probes are DISTINCT training grams (corpus-sized but
-    deduplicated map-side); the position table stays ≤ m rows per size
-    and broadcasts; the 4-of-4 check is one (m, g)-keyed agg; everything
-    downstream is 3 rows."""
-    docs = _docs(spark, sf_dir)
-    w = docs.select("doc_id", spark_tokens("text").alias("words"))
-    grams = (
-        w.where(F.size("words") >= 8)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(words)-8), i -> "
-                    "concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3],"
-                    " words[i+4], words[i+5], words[i+6], words[i+7]))"
-                )
-            ).alias("g"),
-        )
-        .distinct()
-    )
-    ev = grams.where(F.col("doc_id") % 29 == 0).select("g").distinct().localCheckpoint()
-    trg = grams.where(F.col("doc_id") % 29 != 0).select("g").distinct().localCheckpoint()
-    ms = spark.createDataFrame([(m,) for m in _BLOOM_MS], "m long")
-    js = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
-    pos = F.expr(
-        "cast(conv(substring(md5(g), 1 + 4 * j, 4), 16, 10) as bigint) % m"
-    ).alias("pos")
-    evpos = (
-        ev.select("g", js).crossJoin(F.broadcast(ms)).select("m", pos).distinct()
-        .localCheckpoint()
-    )
-    fill = evpos.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("n_set_positions"))
-    tj = trg.select("g", js).crossJoin(F.broadcast(ms)).select("m", "g", "j", pos)
-    cand = (
-        tj.join(F.broadcast(evpos), ["m", "pos"])
-        .groupBy("m", "g")
-        .agg(F.countDistinct("j").alias("nj"))
-        .where(F.col("nj") == 4)
-        .groupBy("m")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-    )
-    stats = trg.join(ev.withColumn("hit", F.lit(1)), "g", "left").agg(
-        F.count(F.lit(1)).cast("long").alias("n_probes"),
-        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_exact"),
-    )
-    return (
-        ms.join(cand, "m", "left")
-        .join(fill, "m", "left")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "m",
-            F.coalesce("n_set_positions", F.lit(0)).cast("long").alias("n_set_positions"),
-            "n_probes",
-            "n_exact",
-            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
-            (F.coalesce("n_candidates", F.lit(0)) - F.col("n_exact"))
-            .cast("long")
-            .alias("n_false_pos"),
-            F.expr(
-                "CASE WHEN n_probes - n_exact = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST((1000000 * (COALESCE(n_candidates, 0) - n_exact))"
-                " div (n_probes - n_exact) AS BIGINT) END"
-            ).alias("fpr_q6"),
-        )
-        .orderBy("m")
-    )
-
-
-# --- context-length truncation loss -------------------------------------------
-
-_TRUNC_LS = (128, 512, 2048)
-
-
-@register(
-    "truncation_loss_curve",
-    f"""WITH dl AS (
-  SELECT source, len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS n_tok
-  FROM documents),
-ls AS (SELECT unnest([{", ".join(str(x) for x in _TRUNC_LS)}]) AS max_len)
-SELECT source, CAST(max_len AS BIGINT) AS max_len,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(count(*) FILTER (n_tok > max_len) AS BIGINT) AS n_truncated,
-       CAST(sum(least(n_tok, max_len)) AS BIGINT) AS tokens_kept,
-       CAST(sum(greatest(n_tok - max_len, 0)) AS BIGINT) AS tokens_lost,
-       CASE WHEN sum(n_tok) = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * CAST(sum(greatest(n_tok - max_len, 0)) AS BIGINT))
-                 // CAST(sum(n_tok) AS BIGINT) AS BIGINT) END AS loss_share_q6
-FROM dl, ls GROUP BY source, max_len ORDER BY source, max_len""",
-)
-def truncation_loss_curve(spark, sf_dir):
-    """Context-length truncation loss per source at max_len 128/512/2048
-    — the budget curve behind choosing a sequence length (vs paying for
-    sliding_window_chunks): docs over the limit, tokens kept, tokens
-    lost, and the lost share in exact micro-units. The doc length is the
-    map-side tokenizer counter (no explode); the 3-limit fan is a
-    broadcast of 3 rows.
-
-    Scale shape: one corpus scan, one (source, max_len) agg with
-    map-side combine into |sources|·3 rows."""
-    d = _docs(spark, sf_dir)
-    dl = d.select(
-        "source",
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0))
-        .cast("long")
-        .alias("n_tok"),
-    )
-    ls = spark.createDataFrame([(x,) for x in _TRUNC_LS], "max_len long")
-    return (
-        dl.crossJoin(F.broadcast(ls))
-        .groupBy("source", "max_len")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.expr("CASE WHEN n_tok > max_len THEN 1 ELSE 0 END"))
-            .cast("long")
-            .alias("n_truncated"),
-            F.sum(F.expr("least(n_tok, max_len)")).cast("long").alias("tokens_kept"),
-            F.sum(F.expr("greatest(n_tok - max_len, 0)")).cast("long").alias("tokens_lost"),
-            F.sum("n_tok").cast("long").alias("tt"),
-        )
-        .select(
-            "source", "max_len", "n_docs", "n_truncated", "tokens_kept", "tokens_lost",
-            F.expr(
-                "CASE WHEN tt = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST((1000000 * tokens_lost) div tt AS BIGINT) END"
-            ).alias("loss_share_q6"),
-        )
-        .orderBy("source", "max_len")
-    )
-
-
-# --- per-source boilerplate trigrams ------------------------------------------
-
-
-@register(
-    "boilerplate_trigram_topk",
-    f"""WITH w AS ({SQL_WORDS}),
-g AS (
-  SELECT source, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS g
-  FROM w, unnest(generate_series(1, len(words) - 2)) AS t(i)
-  WHERE len(words) >= 3),
-c AS (SELECT source, g, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY source, g),
-r AS (SELECT source, g, cnt,
-             CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, g ASC) AS BIGINT) AS rn
-      FROM c)
-SELECT source, g, cnt, rn FROM r WHERE rn <= 5 ORDER BY source, rn""",
-)
-def boilerplate_trigram_topk(spark, sf_dir):
-    """Top-5 word trigrams per source — the C4-style boilerplate detector
-    (navigation chrome, cookie banners and license headers surface as
-    implausibly frequent trigrams long before doc-level dedup sees them).
-    Counting is the salted two-phase aggregation (top_terms_per_source's
-    skew rule: a hot (source, gram) cell spreads over N_SALT reducers
-    before the re-sum); the window ranks the pre-aggregated
-    gram-vocabulary rows only.
-
-    Scale shape: map-side gram explode → (source, g, salt) partial agg →
-    (source, g) re-sum → per-source window over vocabulary-bounded rows;
-    5 rows per source survive."""
-    N_SALT = 16
-    w = _docs(spark, sf_dir).select(
-        "doc_id", "source", spark_tokens("text").alias("words")
-    )
-    g = (
-        w.where(F.size("words") >= 3)
-        .select(
-            "source",
-            (F.abs(F.xxhash64("doc_id")) % N_SALT).alias("salt"),
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(words)-3),"
-                    " i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"
-                )
-            ).alias("g"),
-        )
-    )
-    partial = g.groupBy("source", "g", "salt").agg(F.count(F.lit(1)).alias("pcnt"))
-    c = partial.groupBy("source", "g").agg(F.sum("pcnt").cast("long").alias("cnt"))
-    win = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("g"))
-    return (
-        c.withColumn("rn", F.row_number().over(win).cast("long"))
-        .where(F.col("rn") <= 5)
-        .orderBy("source", "rn")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 47 — nonparametric two-sample inference (KS / Mann-Whitney) and
-# pairwise source-LM Jensen-Shannon divergence
-# ---------------------------------------------------------------------------
-
-# KS/MWU run over the (lang, n_tok) WEIGHTED HISTOGRAM — the same
-# never-buffer-raw-values rule as doclen_quantiles: the cumulative windows
-# see histogram cells (bounded by distinct document lengths, ~1e5 rows at
-# any corpus size), never documents. The D statistic is kept integer until
-# the single final division: D = max |nb*cum_a - na*cum_b| / (na*nb), all
-# BIGINT cross-multiplications (exact to na, nb ~ 1e9).
-
-
-@register(
-    "ks_test_doclen",
-    f"""WITH t AS (
-  SELECT lang, CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
-  FROM documents WHERE lang IN ('en', 'zh')),
-hist AS (
-  SELECT n_tok,
-         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ca,
-         CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS cb
-  FROM t GROUP BY n_tok),
-c AS (
-  SELECT n_tok,
-         CAST(SUM(ca) OVER (ORDER BY n_tok) AS BIGINT) AS cuma,
-         CAST(SUM(cb) OVER (ORDER BY n_tok) AS BIGINT) AS cumb
-  FROM hist),
-tot AS (SELECT CAST(COALESCE(sum(ca), 0) AS BIGINT) AS na,
-               CAST(COALESCE(sum(cb), 0) AS BIGINT) AS nb FROM hist),
-d AS (SELECT n_tok, abs(nb * cuma - na * cumb) AS diff FROM c, tot),
-m AS (SELECT CAST(COALESCE(max(diff), 0) AS BIGINT) AS mx FROM d)
-SELECT na, nb,
-       CASE WHEN na * nb = 0 THEN 0
-            ELSE CAST(round(1000000.0 * mx / (na * nb)) AS BIGINT) END AS d_q6,
-       CAST(COALESCE((SELECT min(n_tok) FROM d WHERE diff = (SELECT mx FROM m)), -1) AS BIGINT) AS at_n_tok
-FROM tot, m""",
-)
-def ks_test_doclen(spark, sf_dir):
-    """Two-sample Kolmogorov-Smirnov statistic between the 'en' and 'zh'
-    token-length distributions — the distribution-level counterpart of
-    ttest_lang_doclen (which only compares means): D = sup |F_en - F_zh|,
-    plus the length at which the gap peaks (where the distributions
-    actually diverge — the actionable readout for a length-filter audit).
-    Completes the inference-agg family: mean (t-test), categorical
-    (chi-squared), and now whole-CDF shape.
-
-    Determinism: D is the max of |nb*cum_a - na*cum_b| over histogram
-    cells — pure BIGINT cross-multiplication (doclen_quantiles' integer
-    rule); the single division happens once on two exact integers. The
-    argmax location takes min(n_tok) among maximizers, identical both
-    engines.
-
-    Scale shape: one map-side histogram agg to (n_tok, ca, cb) cells; the
-    cumulative window runs over histogram rows only (bounded by distinct
-    lengths regardless of corpus size — same argument as
-    doclen_quantiles); output is 1 row."""
-    t = (
-        _docs(spark, sf_dir)
-        .where(F.col("lang").isin("en", "zh"))
-        .select("lang", F.size(spark_tokens("text")).cast("long").alias("n_tok"))
-    )
-    hist = t.groupBy("n_tok").agg(
-        F.count_if(F.col("lang") == "en").cast("long").alias("ca"),
-        F.count_if(F.col("lang") == "zh").cast("long").alias("cb"),
-    )
-    hist = hist.localCheckpoint()  # feeds totals AND the cumulative window
-    tot = hist.agg(
-        F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("na"),
-        F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("nb"),
-    )
-    w = Window.orderBy("n_tok").rowsBetween(Window.unboundedPreceding, 0)
-    c = hist.select(
-        "n_tok",
-        F.sum("ca").over(w).cast("long").alias("cuma"),
-        F.sum("cb").over(w).cast("long").alias("cumb"),
-    )
-    d = (
-        c.crossJoin(F.broadcast(tot))
-        .select(
-            "n_tok", "na", "nb", F.expr("abs(nb * cuma - na * cumb)").alias("diff")
-        )
-        .localCheckpoint()  # feeds the max AND the argmax join-back
-    )
-    m = d.agg(F.coalesce(F.max("diff"), F.lit(0)).cast("long").alias("mx"))
-    at = (
-        d.join(F.broadcast(m), F.col("diff") == F.col("mx"))
-        .agg(F.coalesce(F.min("n_tok"), F.lit(-1)).cast("long").alias("at_n_tok"))
-    )
-    return (
-        tot.crossJoin(m)
-        .crossJoin(at)
-        .select(
-            "na",
-            "nb",
-            F.expr(
-                "CASE WHEN na * nb = 0 THEN 0"
-                " ELSE CAST(round(1000000.0 * mx / (na * nb)) AS BIGINT) END"
-            ).alias("d_q6"),
-            "at_n_tok",
-        )
-    )
-
-
-@register(
-    "mannwhitney_doclen",
-    f"""WITH t AS (
-  SELECT lang, CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
-  FROM documents WHERE lang IN ('en', 'zh')),
-hist AS (
-  SELECT n_tok,
-         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ca,
-         CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS cb
-  FROM t GROUP BY n_tok),
-c AS (
-  SELECT ca, cb,
-         CAST(COALESCE(SUM(cb) OVER (ORDER BY n_tok
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb_before
-  FROM hist),
-s AS (SELECT CAST(COALESCE(sum(ca), 0) AS BIGINT) AS na,
-             CAST(COALESCE(sum(cb), 0) AS BIGINT) AS nb,
-             CAST(COALESCE(sum(ca * (2 * cb_before + cb)), 0) AS BIGINT) AS u2
-      FROM c)
-SELECT na, nb, u2,
-       CASE WHEN na * nb = 0 THEN 0
-            ELSE CAST(round(1000000.0 * (u2 - na * nb) / (na * nb)) AS BIGINT) END AS rb_q6
-FROM s""",
-)
-def mannwhitney_doclen(spark, sf_dir):
-    """Mann-Whitney U between 'en' and 'zh' token lengths — the rank-based
-    two-sample test that is robust where ttest_lang_doclen is not (heavy
-    Zipf tails make doclen means meaningless). Ties handled by midranks:
-    U = sum over values v of ca(v)·(cb_less(v) + cb(v)/2), emitted as the
-    EXACT integer 2U = Σ ca·(2·cb_before + cb) so no half ever floats.
-    rb_q6 is the rank-biserial effect size (2U/(na·nb) − 1): 0 = no
-    stochastic dominance, ±1e6 = total separation.
-
-    Scale shape: identical to ks_test_doclen — one histogram agg, one
-    exclusive-prefix window over histogram cells, a 1-row output. The
-    2U sum stays under 2^63 to na·nb ~ 4e18 pair comparisons (~1e9 docs
-    per side)."""
-    t = (
-        _docs(spark, sf_dir)
-        .where(F.col("lang").isin("en", "zh"))
-        .select("lang", F.size(spark_tokens("text")).cast("long").alias("n_tok"))
-    )
-    hist = t.groupBy("n_tok").agg(
-        F.count_if(F.col("lang") == "en").cast("long").alias("ca"),
-        F.count_if(F.col("lang") == "zh").cast("long").alias("cb"),
-    )
-    w = Window.orderBy("n_tok").rowsBetween(Window.unboundedPreceding, -1)
-    c = hist.select(
-        "ca",
-        "cb",
-        F.coalesce(F.sum("cb").over(w), F.lit(0)).cast("long").alias("cb_before"),
-    )
-    s = c.agg(
-        F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("na"),
-        F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("nb"),
-        F.coalesce(F.sum(F.expr("ca * (2 * cb_before + cb)")), F.lit(0))
-        .cast("long")
-        .alias("u2"),
-    )
-    return s.select(
-        "na",
-        "nb",
-        "u2",
-        F.expr(
-            "CASE WHEN na * nb = 0 THEN 0"
-            " ELSE CAST(round(1000000.0 * (u2 - na * nb) / (na * nb)) AS BIGINT) END"
-        ).alias("rb_q6"),
-    )
-
-
-# Jensen-Shannon divergence between two source unigram LMs, decomposed so
-# single-source terms are NEVER enumerated: for terms present in both
-# sources the per-term contribution is q6-rounded FIRST (the KL-family
-# rule); the terms present in only one source contribute exactly
-# (ln 2 / 2)·(residual mass), computed ONCE from four exact integers —
-# no pairs×vocab spine, the join carries co-occurring terms only.
-_LN2_HALF = f"{math.log(2.0) / 2.0:.17e}"
-_JSD_TERM_EXPR = (
-    "cast(round(500000 * ("
-    "(ca / cast(na as double)) * ln(2 * (ca / cast(na as double))"
-    " / ((ca / cast(na as double)) + (cb / cast(nb as double))))"
-    " + (cb / cast(nb as double)) * ln(2 * (cb / cast(nb as double))"
-    " / ((ca / cast(na as double)) + (cb / cast(nb as double))))"
-    ")) as bigint)"
-)
-_JSD_RESID_EXPR = (
-    f"cast(round(1000000 * {_LN2_HALF} * "
-    "(((na - sa_int) / cast(na as double)) + ((nb - sb_int) / cast(nb as double)))"
-    ") as bigint)"
-)
-
-
-@register(
-    "jsd_source_pairs",
-    f"""WITH w AS ({SQL_WORDS}),
-st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
-       FROM (SELECT source, unnest(words) AS term FROM w) GROUP BY source, term),
-stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY source),
-ix AS (
-  SELECT a.source AS src_a, b.source AS src_b, a.c AS ca, b.c AS cb
-  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source),
-ij AS (
-  SELECT src_a, src_b,
-         CAST(count(*) AS BIGINT) AS n_shared,
-         CAST(sum(ca) AS BIGINT) AS sa_int, CAST(sum(cb) AS BIGINT) AS sb_int,
-         CAST(max(ta.n) AS BIGINT) AS na, CAST(max(tb.n) AS BIGINT) AS nb,
-         CAST(sum({_JSD_TERM_EXPR.replace('na', 'ta.n').replace('nb', 'tb.n')}) AS BIGINT) AS int_q6
-  FROM ix JOIN stot ta ON ta.source = ix.src_a JOIN stot tb ON tb.source = ix.src_b
-  GROUP BY src_a, src_b)
-SELECT src_a, src_b, n_shared,
-       CAST(int_q6 + {_JSD_RESID_EXPR} AS BIGINT) AS jsd_q6
-FROM ij ORDER BY src_a, src_b""",
-)
-def jsd_source_pairs(spark, sf_dir):
-    """Pairwise Jensen-Shannon divergence between source unigram LMs — the
-    SYMMETRIC, bounded ([0, ln 2]) cousin of term_drift_deciles' KL: the
-    standard corpus-similarity matrix a data-mixing run reads before
-    merging or re-weighting sources (two sources at jsd ≈ 0 are redundant;
-    near ln 2 ≈ 0.693 they are disjoint registers). Decomposition: terms
-    shared by both sources get per-term q6-rounded contributions (BIGINT
-    sum); single-source terms collapse into (ln 2 / 2)·(residual mass),
-    one float expression over four exact integers — so the op never
-    enumerates a pairs×vocab spine.
-
-    Scale shape: the per-source term table is vocab-bounded; the pair
-    join is TERM-keyed (fanout |sources|² per term, sources are tens);
-    per-pair aggregation is map-side-combinable; totals broadcast.
-    Output is |source-pairs| rows."""
-    st = (
-        _docs(spark, sf_dir)
-        .select("source", F.explode(spark_tokens("text")).alias("term"))
-        .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    st = st.localCheckpoint()  # feeds totals AND both sides of the pair join
-    stot = st.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
-    a = st.select(F.col("source").alias("src_a"), "term", F.col("c").alias("ca"))
-    b = st.select(F.col("source").alias("src_b"), "term", F.col("c").alias("cb"))
-    ix = a.join(b, "term").where(F.col("src_a") < F.col("src_b"))
-    ta = F.broadcast(stot.select(F.col("source").alias("src_a"), F.col("n").alias("na")))
-    tb = F.broadcast(stot.select(F.col("source").alias("src_b"), F.col("n").alias("nb")))
-    ij = (
-        ix.join(ta, "src_a")
-        .join(tb, "src_b")
-        .groupBy("src_a", "src_b")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shared"),
-            F.sum("ca").cast("long").alias("sa_int"),
-            F.sum("cb").cast("long").alias("sb_int"),
-            F.max("na").cast("long").alias("na"),
-            F.max("nb").cast("long").alias("nb"),
-            F.sum(F.expr(_JSD_TERM_EXPR)).cast("long").alias("int_q6"),
-        )
-    )
-    return ij.select(
-        "src_a",
-        "src_b",
-        "n_shared",
-        (F.col("int_q6") + F.expr(_JSD_RESID_EXPR)).cast("long").alias("jsd_q6"),
-    ).orderBy("src_a", "src_b")
-
-
-# ---------------------------------------------------------------------------
-# session 47b — weighted priority sampling, stupid-backoff trigram LM,
-# minhash fuzzy decontamination
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "weighted_sample_docs",
-    f"""WITH t AS (
-  SELECT doc_id, source,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
-  FROM documents),
-k AS (
-  SELECT doc_id, source, n_tok,
-         CAST(round(1000000 * ln(
-           ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
-           / 4503599627370496.0) / n_tok) AS BIGINT) AS key_q6
-  FROM t WHERE n_tok > 0)
-SELECT doc_id, source, n_tok, key_q6 FROM k
-ORDER BY key_q6 DESC, doc_id ASC LIMIT 100""",
-)
-def weighted_sample_docs(spark, sf_dir):
-    """Weight-proportional sampling WITHOUT replacement (Efraimidis-
-    Spirakis A-ES, the distributed-systems standard): doc i gets key
-    u_i^(1/w_i) — equivalently ln(u_i)/w_i, monotone — and the sample is
-    the top-100 keys. Weights are token counts, so the sample is
-    token-mass-proportional: the shape a data-mix ablation needs when
-    'pick 100 docs uniformly' (priority_sample_docs) would over-represent
-    tiny documents. u is the exact-double 52-bit md5 uniform of
-    bootstrap_mean_doclen, seeded 'ws:'||doc_id — a hash input disjoint
-    from every hex-range coordinate, so sampling stays orthogonal to
-    shard/split/fold. Zero-weight (empty) docs are unsampleable and
-    excluded, matching the w->0 limit.
-
-    Determinism: key_q6 is q6-rounded per doc FIRST (one ln per doc,
-    the zipf_slope rule), then a (key_q6 desc, doc_id asc) TakeOrdered.
-
-    Scale shape: map-side key computation + TakeOrdered(100) — per-
-    partition top-100, driver merges partition heads; no global sort."""
-    t = _docs(spark, sf_dir).select(
-        "doc_id", "source", F.size(spark_tokens("text")).cast("long").alias("n_tok")
-    )
-    k = t.where(F.col("n_tok") > 0).select(
-        "doc_id",
-        "source",
-        "n_tok",
-        F.expr(
-            "CAST(round(1000000 * ln("
-            "cast(conv(substring(md5(concat('ws:', cast(doc_id as string))), 1, 13), 16, 10) as bigint)"
-            " / 4503599627370496.0) / n_tok) AS BIGINT)"
-        ).alias("key_q6"),
-    )
-    return k.orderBy(F.desc("key_q6"), F.asc("doc_id")).limit(100)
-
-
-# Stupid backoff (Brants et al. 2007, "Large Language Models in Machine
-# Translation"): S(w3|w1w2) = c123/c12, backing off with alpha = 0.4 per
-# level; the unigram floor is add-1 smoothed (heldout_unigram_ppl's
-# convention) so OOV words score finitely. Scores are relative
-# frequencies, NOT normalized probabilities — that is the published
-# trade: no discount bookkeeping, so every level is one count join.
-# Alpha literals are e-notation (4e-1, 16e-2) — a plain 0.4 is DECIMAL
-# in Spark SQL and diverges (the _HLL_C lesson).
-# Placeholders TRI_C/BI12_C/BI23_C/UNI2_C/UNI3_C are deliberately non-
-# overlapping strings (a naive c12/c123 naming makes chained .replace()
-# corrupt the longer token) — each engine substitutes its own column refs.
-_SB_NLP_CASE = (
-    "CASE WHEN TRI_C IS NOT NULL THEN"
-    " CAST(round(-ln(CAST(TRI_C AS DOUBLE) / BI12_C) * 1000000) AS BIGINT)"
-    " WHEN BI23_C IS NOT NULL THEN"
-    " CAST(round(-ln(4e-1 * CAST(BI23_C AS DOUBLE) / UNI2_C) * 1000000) AS BIGINT)"
-    " ELSE"
-    " CAST(round(-ln(16e-2 * CAST(COALESCE(UNI3_C, 0) + 1 AS DOUBLE)"
-    " / (big_n + vocab + 1)) * 1000000) AS BIGINT) END"
-)
-
-
-def _sb_nlp(tri_c: str, bi12_c: str, bi23_c: str, uni2_c: str, uni3_c: str) -> str:
-    return (
-        _SB_NLP_CASE.replace("TRI_C", tri_c)
-        .replace("BI12_C", bi12_c)
-        .replace("BI23_C", bi23_c)
-        .replace("UNI2_C", uni2_c)
-        .replace("UNI3_C", uni3_c)
-    )
-
-
-@register(
-    "stupid_backoff_surprisal",
-    f"""WITH w AS MATERIALIZED (
-  SELECT doc_id, source, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words,
-         {_SPLIT_V_SQL} AS v
-  FROM documents),
-tri AS MATERIALIZED (
-  SELECT words[i] AS w1, words[i+1] AS w2, words[i+2] AS w3,
-         CAST(count(*) AS BIGINT) AS c123
-  FROM w, unnest(generate_series(1, len(words) - 2)) AS t(i)
-  WHERE v < 98 AND len(words) >= 3 GROUP BY 1, 2, 3),
-bi AS MATERIALIZED (
-  SELECT words[i] AS a, words[i+1] AS b, CAST(count(*) AS BIGINT) AS cb
-  FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
-  WHERE v < 98 AND len(words) >= 2 GROUP BY 1, 2),
-uc AS MATERIALIZED (
-  SELECT term, CAST(count(*) AS BIGINT) AS c
-  FROM (SELECT unnest(words) AS term FROM w WHERE v < 98) GROUP BY term),
-st AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS big_n,
-              CAST(count(*) AS BIGINT) AS vocab FROM uc),
-evt AS (
-  SELECT source, words[i] AS w1, words[i+1] AS w2, words[i+2] AS w3,
-         CAST(count(*) AS BIGINT) AS tf
-  FROM w, unnest(generate_series(1, len(words) - 2)) AS t(i)
-  WHERE v >= 98 AND len(words) >= 3 GROUP BY 1, 2, 3, 4),
-sc AS (
-  SELECT evt.source, evt.tf,
-         CASE WHEN tri.c123 IS NOT NULL THEN 0
-              WHEN b23.cb IS NOT NULL THEN 1 ELSE 2 END AS lvl,
-         {_sb_nlp('tri.c123', 'b12.cb', 'b23.cb', 'u2.c', 'u3.c')} AS nlp_q6
-  FROM evt
-  LEFT JOIN tri ON tri.w1 = evt.w1 AND tri.w2 = evt.w2 AND tri.w3 = evt.w3
-  LEFT JOIN bi b12 ON b12.a = evt.w1 AND b12.b = evt.w2
-  LEFT JOIN bi b23 ON b23.a = evt.w2 AND b23.b = evt.w3
-  LEFT JOIN uc u2 ON u2.term = evt.w2
-  LEFT JOIN uc u3 ON u3.term = evt.w3
-  CROSS JOIN st)
-SELECT source,
-       CAST(COALESCE(sum(tf), 0) AS BIGINT) AS n_scored,
-       CAST(COALESCE(sum(tf) FILTER (WHERE lvl = 0), 0) AS BIGINT) AS n_tri,
-       CAST(COALESCE(sum(tf) FILTER (WHERE lvl = 1), 0) AS BIGINT) AS n_bi,
-       CAST(COALESCE(sum(tf) FILTER (WHERE lvl = 2), 0) AS BIGINT) AS n_uni,
-       CAST(COALESCE(sum(tf * nlp_q6), 0) AS BIGINT) AS nll_q6
-FROM sc GROUP BY source ORDER BY source""",
-)
-def stupid_backoff_surprisal(spark, sf_dir):
-    """Trigram stupid-backoff LM (Brants et al. 2007) trained on the
-    md5-5-8 train split and scored on the held-out 2% — the trigram
-    extension of heldout_unigram_ppl, reporting per source both the NLL
-    and the BACKOFF LEVEL CENSUS (n_tri/n_bi/n_uni): the level mix is
-    the actionable diagnostic (a source scoring mostly at the unigram
-    level shares no 3-gram structure with the training mix). Per-trigram
-    -ln S is q6-rounded FIRST (one CASE, one ln per eval trigram type),
-    the rollup is an exact BIGINT Σ tf·nlp_q6.
-
-    Invariants a trigram hit relies on: c123 in train implies its prefix
-    bigram b12 and its suffix bigram b23 exist in train, and c23 implies
-    w2 in the train vocab — so no guarded division ever sees NULL.
-
-    Scale shape: the corpus tokenizes ONCE into a checkpointed word-array
-    table; trigram/bigram/unigram train counts and the eval trigram table
-    are four map-side explodes of those arrays into hash aggs (Zipf-
-    bounded type tables, never position self-joins — the cooccurrence
-    rule). Scoring joins the SMALL eval side against the count tables on
-    their natural n-gram keys; level stats and the 1-row (N, V) table
-    broadcast."""
-    w = (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            "source",
-            spark_tokens("text").alias("words"),
-            F.expr(_SPLIT_V_SPARK).alias("v"),
-        )
-        .localCheckpoint()  # four explodes below — tokenize exactly once
-    )
-    tr_w = w.where(F.col("v") < 98)
-    tri = (
-        tr_w.where(F.size("words") >= 3)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(words)-3), i -> "
-                    "struct(words[i] AS w1, words[i+1] AS w2, words[i+2] AS w3))"
-                )
-            ).alias("t")
-        )
-        .select("t.w1", "t.w2", "t.w3")
-        .groupBy("w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).cast("long").alias("c123"))
-    )
-    bi = (
-        tr_w.where(F.size("words") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(words)-2), i -> "
-                    "struct(words[i] AS a, words[i+1] AS b))"
-                )
-            ).alias("t")
-        )
-        .select("t.a", "t.b")
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
-    )
-    uc = (
-        tr_w.select(F.explode("words").alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    stt = uc.agg(
-        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("big_n"),
-        F.count(F.lit(1)).cast("long").alias("vocab"),
-    )
-    evt = (
-        w.where((F.col("v") >= 98) & (F.size("words") >= 3))
-        .select(
-            "source",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(words)-3), i -> "
-                    "struct(words[i] AS w1, words[i+1] AS w2, words[i+2] AS w3))"
-                )
-            ).alias("t"),
-        )
-        .select("source", "t.w1", "t.w2", "t.w3")
-        .groupBy("source", "w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    b12 = bi.select(F.col("a").alias("w1"), F.col("b").alias("w2"), F.col("cb").alias("c12x"))
-    b23 = bi.select(F.col("a").alias("w2"), F.col("b").alias("w3"), F.col("cb").alias("c23x"))
-    u2 = uc.select(F.col("term").alias("w2"), F.col("c").alias("c2x"))
-    u3 = uc.select(F.col("term").alias("w3"), F.col("c").alias("c3x"))
-    sc = (
-        evt.join(tri, ["w1", "w2", "w3"], "left")
-        .join(b12, ["w1", "w2"], "left")
-        .join(b23, ["w2", "w3"], "left")
-        .join(u2, ["w2"], "left")
-        .join(u3, ["w3"], "left")
-        .crossJoin(F.broadcast(stt))
-        .select(
-            "source",
-            "tf",
-            F.expr(
-                "CASE WHEN c123 IS NOT NULL THEN 0"
-                " WHEN c23x IS NOT NULL THEN 1 ELSE 2 END"
-            ).alias("lvl"),
-            F.expr(_sb_nlp("c123", "c12x", "c23x", "c2x", "c3x")).alias("nlp_q6"),
-        )
-    )
-    return (
-        sc.groupBy("source")
-        .agg(
-            F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("n_scored"),
-            F.coalesce(F.sum(F.when(F.col("lvl") == 0, F.col("tf"))), F.lit(0))
-            .cast("long")
-            .alias("n_tri"),
-            F.coalesce(F.sum(F.when(F.col("lvl") == 1, F.col("tf"))), F.lit(0))
-            .cast("long")
-            .alias("n_bi"),
-            F.coalesce(F.sum(F.when(F.col("lvl") == 2, F.col("tf"))), F.lit(0))
-            .cast("long")
-            .alias("n_uni"),
-            F.coalesce(F.sum(F.expr("tf * nlp_q6")), F.lit(0))
-            .cast("long")
-            .alias("nll_q6"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "decontamination_minhash",
-    f"""WITH sh AS ({_SQL_SHINGLES}),
-sig AS (
-  SELECT doc_id,
-         min(md5('0:' || sh)) || min(md5('1:' || sh)) AS band0,
-         min(md5('2:' || sh)) || min(md5('3:' || sh)) AS band1
-  FROM sh GROUP BY doc_id),
-bands AS (
-  SELECT doc_id, band0 AS band FROM sig UNION ALL SELECT doc_id, band1 FROM sig),
-ev AS (SELECT DISTINCT band, doc_id AS eval_id FROM bands WHERE doc_id % 29 = 0),
-tr AS (
-  SELECT b.doc_id, CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n
-  FROM bands b JOIN ev USING (band)
-  WHERE b.doc_id % 29 <> 0 GROUP BY b.doc_id)
-SELECT d.doc_id, CAST(COALESCE(tr.n, 0) AS BIGINT) AS n_eval_matches,
-       CAST(COALESCE(tr.n, 0) > 0 AS INT) AS contaminated_fuzzy
-FROM documents d LEFT JOIN tr ON d.doc_id = tr.doc_id
-WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id""",
-)
-def decontamination_minhash(spark, sf_dir):
-    """FUZZY benchmark decontamination: training docs whose MinHash-LSH
-    band collides with any eval-split doc (doc_id % 29 == 0, the
-    decontamination_ngram_overlap split) — the near-duplicate
-    complement of the exact 8-gram check (a lightly paraphrased eval
-    answer shares no verbatim 8-gram but keeps most of its 3-shingle
-    set, so its minhash bands still collide). Reuses the corpus LSH
-    parameters verbatim (4 permutations, 2 bands of 2 — minhash_lsh_pairs),
-    so 'contaminated_fuzzy' triggers at the same similarity threshold the
-    dedup pass uses. Reports per training doc the count of DISTINCT eval
-    docs collided with.
-
-    Scale shape: the eval band table is benchmark-sized and BROADCASTS
-    (the decontamination invariant: eval ≪ corpus); the training side
-    streams map-side through the hash join — the count-distinct
-    aggregates collision rows only, never the corpus."""
-    sh = _shingles_spark(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(
-        F.concat(
-            F.min(F.md5(F.concat(F.lit("0:"), F.col("sh")))),
-            F.min(F.md5(F.concat(F.lit("1:"), F.col("sh")))),
-        ).alias("band0"),
-        F.concat(
-            F.min(F.md5(F.concat(F.lit("2:"), F.col("sh")))),
-            F.min(F.md5(F.concat(F.lit("3:"), F.col("sh")))),
-        ).alias("band1"),
-    )
-    bands = sig.select("doc_id", F.col("band0").alias("band")).unionByName(
-        sig.select("doc_id", F.col("band1").alias("band"))
-    )
-    ev = F.broadcast(
-        bands.where(F.col("doc_id") % 29 == 0)
-        .select("band", F.col("doc_id").alias("eval_id"))
-        .distinct()
-    )
-    tr = (
-        bands.where(F.col("doc_id") % 29 != 0)
-        .join(ev, "band")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("eval_id").cast("long").alias("n"))
-    )
-    return (
-        _docs(spark, sf_dir)
-        .where(F.col("doc_id") % 29 != 0)
-        .select("doc_id")
-        .join(tr, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_eval_matches"),
-            (F.coalesce(F.col("n"), F.lit(0)) > 0).cast("int").alias("contaminated_fuzzy"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 47c — linear hybrid retriever, field_value_factor scoring,
-# Benford first-digit audit
-# ---------------------------------------------------------------------------
-
-# min-max leg normalization over exact q6 integers; a degenerate leg
-# (max == min over its top-20) contributes 0, and a doc absent from a leg
-# contributes 0 for that leg (the ES `linear` retriever convention).
-_LIN_NORM = (
-    "CASE WHEN {id} IS NULL OR {mx} = {mn} THEN cast(0 as double)"
-    " ELSE ({s} - {mn}) / CAST({mx} - {mn} AS DOUBLE) END"
-)
-
-
-@register(
-    "hybrid_linear_search",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + f""",
-lex AS (SELECT doc_id, score_q6 FROM agg WHERE doc_id <> 0
-        ORDER BY score_q6 DESC, doc_id ASC LIMIT 20),
-lst AS (SELECT min(score_q6) AS lmn, max(score_q6) AS lmx FROM lex),
-vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-vc AS (
-  SELECT e.vec_id AS doc_id,
-         CAST(round(
-           list_dot_product(CAST(e.embedding AS DOUBLE[]), vq.qv)
-             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-                * sqrt(list_dot_product(vq.qv, vq.qv))) * 1000000
-         ) AS BIGINT) AS cos_q6
-  FROM embeddings e, vq WHERE e.vec_id <> 0),
-vec AS (SELECT doc_id, cos_q6 FROM vc ORDER BY cos_q6 DESC, doc_id ASC LIMIT 20),
-vst AS (SELECT min(cos_q6) AS vmn, max(cos_q6) AS vmx FROM vec),
-fused AS (
-  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
-         CAST(COALESCE(lex.score_q6, 0) AS BIGINT) AS lex_q6,
-         CAST(COALESCE(vec.cos_q6, 0) AS BIGINT) AS vec_q6,
-         CAST(round(
-           700000 * ({_LIN_NORM.format(id='lex.doc_id', s='lex.score_q6', mn='lmn', mx='lmx')})
-         + 300000 * ({_LIN_NORM.format(id='vec.doc_id', s='vec.cos_q6', mn='vmn', mx='vmx')})
-         ) AS BIGINT) AS lin_q6
-  FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id, lst, vst)
-SELECT doc_id, lex_q6, vec_q6, lin_q6 FROM fused
-ORDER BY lin_q6 DESC, doc_id ASC LIMIT 10""",
-)
-def hybrid_linear_search(spark, sf_dir):
-    """Hybrid retrieval via weighted linear combination of min-max
-    normalized legs (the ES 8.16 ``linear`` retriever; also the standard
-    academic fusion baseline CombSUM-normalized): 0.7·norm(BM25 top-20) +
-    0.3·norm(cosine top-20). Complements hybrid_rrf — RRF fuses RANKS
-    (scale-free, robust), linear fuses normalized SCORES (preserves
-    score gaps, tunable weights); shipping both is what ES does.
-
-    Determinism: each leg ranks and normalizes over its QUANTIZED q6
-    scores, min/max are exact integers, and the combination is one
-    shared float expression (weights as integer 700000/300000 — never
-    decimal literals, which are DECIMAL in Spark SQL).
-
-    Scale shape: identical to hybrid_rrf — each leg ends in a
-    TakeOrdered(20), the leg stats are 20-row aggs that broadcast, and
-    fusion sees ≤40 rows regardless of corpus size."""
-    lex = (
-        _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
-        .where(F.col("doc_id") != 0)
-        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(20)
-        .select("doc_id", "score_q6")
-        .localCheckpoint()  # feeds the fusion join AND the 20-row stats agg
-    )
-    lst = lex.agg(F.min("score_q6").alias("lmn"), F.max("score_q6").alias("lmx"))
-    vec = (
-        _cos_spark(spark, sf_dir)
-        .select(F.col("vec_id").alias("doc_id"), _q6(F.col("cos")).alias("cos_q6"))
-        .orderBy(F.desc("cos_q6"), F.asc("doc_id"))
-        .limit(20)
-        .localCheckpoint()
-    )
-    vst = vec.agg(F.min("cos_q6").alias("vmn"), F.max("cos_q6").alias("vmx"))
-    a = lex.select(F.col("doc_id").alias("ldoc"), "score_q6")
-    b = vec.select(F.col("doc_id").alias("vdoc"), "cos_q6")
-    fused = (
-        a.join(b, F.col("ldoc") == F.col("vdoc"), "full")
-        .crossJoin(F.broadcast(lst))
-        .crossJoin(F.broadcast(vst))
-        .select(
-            F.coalesce(F.col("ldoc"), F.col("vdoc")).alias("doc_id"),
-            F.coalesce(F.col("score_q6"), F.lit(0)).cast("long").alias("lex_q6"),
-            F.coalesce(F.col("cos_q6"), F.lit(0)).cast("long").alias("vec_q6"),
-            F.expr(
-                "CAST(round("
-                f"700000 * ({_LIN_NORM.format(id='ldoc', s='score_q6', mn='lmn', mx='lmx')})"
-                f" + 300000 * ({_LIN_NORM.format(id='vdoc', s='cos_q6', mn='vmn', mx='vmx')})"
-                ") AS BIGINT)"
-            ).alias("lin_q6"),
-        )
-    )
-    return fused.orderBy(F.desc("lin_q6"), F.asc("doc_id")).limit(10)
-
-
-@register(
-    "field_value_factor_search",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + """,
-boosted AS (
-  SELECT agg.doc_id, agg.score_q6,
-         CAST(round(ln(1 + d.n_chars) * 1000000) AS BIGINT) AS boost_q6
-  FROM agg JOIN documents d ON d.doc_id = agg.doc_id
-  WHERE agg.doc_id <> 0)
-SELECT doc_id, score_q6, boost_q6,
-       CAST((score_q6 * boost_q6) // 1000000 AS BIGINT) AS final_q6
-FROM boosted ORDER BY final_q6 DESC, doc_id ASC LIMIT 10""",
-)
-def field_value_factor_search(spark, sf_dir):
-    """ES ``function_score`` with ``field_value_factor`` (field n_chars,
-    modifier ln1p, multiply mode): final = bm25 · ln(1 + n_chars) — the
-    document-length/popularity boost every content site layers over
-    relevance (function_score_decay covers the date-decay flavor; this is
-    the numeric-field flavor that completes the function_score family).
-
-    Determinism: boost_q6 = round(1e6·ln(1+n_chars)) per doc FIRST (one
-    libm ln per doc), then final = (score_q6 · boost_q6) div 1e6 — an
-    all-integer product/floor-division of NON-NEGATIVE values, where
-    Spark's div (truncate) and DuckDB's // (floor) agree.
-
-    Scale shape: the boost join is match-set ⋈ metadata on doc_id (the
-    J2 shape — at 100 TB the match set is the small side and broadcasts);
-    ln runs map-side in codegen; top-10 is a TakeOrdered."""
-    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS).where(F.col("doc_id") != 0)
-    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
-    boosted = agg.join(d, "doc_id").select(
-        "doc_id",
-        "score_q6",
-        F.expr("CAST(round(ln(1 + n_chars) * 1000000) AS BIGINT)").alias("boost_q6"),
-    )
-    return (
-        boosted.select(
-            "doc_id",
-            "score_q6",
-            "boost_q6",
-            F.expr("CAST((score_q6 * boost_q6) div 1000000 AS BIGINT)").alias("final_q6"),
-        )
-        .orderBy(F.desc("final_q6"), F.asc("doc_id"))
-        .limit(10)
-    )
-
-
-# Benford expected first-digit masses log10(1+1/d), folded to q6 integers in
-# Python (the _HLL_C constant-folding rule) so both engines compare against
-# identical integers.
-_BENFORD_EXP = [(d, round(1_000_000 * math.log10(1 + 1 / d))) for d in range(1, 10)]
-_BENFORD_VALUES = ", ".join(f"({d}, {e})" for d, e in _BENFORD_EXP)
-_BENFORD_X2 = (
-    "CASE WHEN n_tot = 0 THEN 0 ELSE CAST(round("
-    "1000000 * (o - n_tot * (exp_q6 / 1000000.0))"
-    " * (o - n_tot * (exp_q6 / 1000000.0))"
-    " / (n_tot * (exp_q6 / 1000000.0))) AS BIGINT) END"
-)
-
-
-@register(
-    "benford_value_audit",
-    f"""WITH ev AS (
-  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-dg AS (
-  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
-  FROM ev WHERE cents > 0),
-cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS o FROM dg GROUP BY digit),
-tot AS (SELECT CAST(COALESCE(sum(o), 0) AS BIGINT) AS n_tot FROM cnt),
-spine AS (SELECT * FROM (VALUES {_BENFORD_VALUES}) AS b(digit, exp_q6))
-SELECT CAST(spine.digit AS BIGINT) AS digit,
-       CAST(COALESCE(cnt.o, 0) AS BIGINT) AS n_obs,
-       CASE WHEN n_tot = 0 THEN 0
-            ELSE CAST(round(1000000.0 * COALESCE(cnt.o, 0) / n_tot) AS BIGINT) END AS obs_q6,
-       CAST(spine.exp_q6 AS BIGINT) AS exp_q6,
-       {_BENFORD_X2.replace('o ', 'COALESCE(cnt.o, 0) ')} AS x2_q6
-FROM spine LEFT JOIN cnt ON cnt.digit = spine.digit CROSS JOIN tot
-ORDER BY digit""",
-)
-def benford_value_audit(spark, sf_dir):
-    """Benford's-law first-digit audit of the events value stream — the
-    classic synthetic-data / fraud detector (organically-generated
-    monetary amounts follow P(d) = log10(1+1/d); uniform or fabricated
-    generators don't). Reports per digit the observed count/share, the
-    Benford expectation (Python-folded q6 constants), and the chi-squared
-    contribution. On the sandbox's uniform synthetic values the fit is
-    poor — that is the CORRECT reading (the generator is uniform, and the
-    audit exists to say so).
-
-    Determinism: cents = round(value·100) BIGINT first (the
-    events_value_quantiles rule); the first digit comes from the decimal
-    string of a positive integer — no float log10 binning; the x2
-    expression is one shared float string over exact integers.
-
-    Scale shape: one map-side digit projection into a 9-group agg; the
-    9-row Benford spine LEFT JOINs so unobserved digits still report;
-    output is 9 rows."""
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select(F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"))
-        .where(F.col("cents") > 0)
-    )
-    cnt = ev.select(
-        F.expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)").alias("digit")
-    ).groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("o"))
-    tot = cnt.agg(F.coalesce(F.sum("o"), F.lit(0)).cast("long").alias("n_tot"))
-    spine = spark.createDataFrame(_BENFORD_EXP, "digit long, exp_q6 long")
-    return (
-        F.broadcast(spine)
-        .join(cnt, "digit", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.col("digit").cast("long").alias("digit"),
-            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("n_obs"),
-            F.expr(
-                "CASE WHEN n_tot = 0 THEN 0"
-                " ELSE CAST(round(1000000.0 * COALESCE(o, 0) / n_tot) AS BIGINT) END"
-            ).alias("obs_q6"),
-            F.col("exp_q6").cast("long").alias("exp_q6"),
-            F.expr(_BENFORD_X2.replace("o ", "COALESCE(o, 0) ")).alias("x2_q6"),
-        )
-        .orderBy("digit")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 48 — ES pipeline/metric agg completions (percentiles_bucket,
-# top_metrics), multi_match bool_prefix, and the length×quality 2-D census
-# ---------------------------------------------------------------------------
-
-_US_PER_DAY = 86_400_000_000
-
-
-@register(
-    "percentiles_bucket_daily",
-    f"""WITH e AS (SELECT epoch_us(ts) // {_US_PER_DAY} AS day FROM events),
-dc AS (SELECT day, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY day),
-hist AS (SELECT cnt, CAST(count(*) AS BIGINT) AS w FROM dc GROUP BY cnt),
-h AS (
-  SELECT cnt, w,
-         CAST(COALESCE(SUM(w) OVER (ORDER BY cnt
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
-         CAST(SUM(w) OVER () AS BIGINT) AS n
-  FROM hist),
-q AS (SELECT p_q6 FROM (VALUES (500000), (900000)) AS v(p_q6)),
-agg AS (
-  SELECT q.p_q6, max(h.n) AS n,
-         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1))
-                  THEN h.cnt END) AS v_lo,
-         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1)) + 1
-                  THEN h.cnt END) AS v_hi
-  FROM h, q GROUP BY q.p_q6)
-SELECT CAST(p_q6 AS BIGINT) AS p_q6,
-       CAST(round(1000000.0 * (v_lo + ((p_q6 / 1000000.0) * (n - 1)
-            - floor((p_q6 / 1000000.0) * (n - 1))) * (v_hi - v_lo))) AS BIGINT) AS q_q6
-FROM agg ORDER BY p_q6""",
-)
-def percentiles_bucket_daily(spark, sf_dir):
-    """ES ``percentiles_bucket`` pipeline agg: exact p50/p90 of the DAILY
-    EVENT COUNT distribution — percentiles over the buckets of a
-    date_histogram (the 'what does a typical day look like' readout that
-    stats_bucket_daily's mean/min/max can't answer under skew). Type-7
-    interpolation via the doclen_quantiles weighted-histogram machinery.
-
-    Scale shape: the date_histogram is a calendar-bounded day agg; the
-    histogram-of-counts and its windows run over ≤|days| rows; output is
-    2 rows. Day keys are integer epoch-microsecond divisions
-    (events_daily_mavg's rule — no timezone-dependent date functions)."""
-    e = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select(F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias("day"))
-    )
-    dc = e.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    hist = dc.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("w"))
-    w_cum = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy("cnt").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    h = hist.select(
-        "cnt",
-        F.coalesce(F.sum("w").over(w_cum), F.lit(0)).cast("long").alias("cum_before"),
-        F.sum("w").over(w_all).cast("long").alias("n"),
-    )
-    q = spark.createDataFrame([(500000,), (900000,)], "p_q6 long")
-    rank = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
-    agg = (
-        h.crossJoin(F.broadcast(q))
-        .groupBy("p_q6")
-        .agg(
-            F.max("n").alias("n"),
-            F.max(F.when(F.col("cum_before") <= F.floor(rank), F.col("cnt"))).alias("v_lo"),
-            F.max(F.when(F.col("cum_before") <= F.floor(rank) + 1, F.col("cnt"))).alias("v_hi"),
-        )
-    )
-    r = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
-    frac = r - F.floor(r)
-    return agg.select(
-        F.col("p_q6").cast("long").alias("p_q6"),
-        F.round(F.lit(1_000_000.0) * (F.col("v_lo") + frac * (F.col("v_hi") - F.col("v_lo"))))
-        .cast("long")
-        .alias("q_q6"),
-    ).orderBy("p_q6")
-
-
-@register(
-    "top_metrics_latest",
-    f"""WITH e AS (
-  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
-         CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events),
-r AS (
-  SELECT event_type, ts_us, event_id, cents,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY ts_us DESC, event_id DESC) AS rn
-  FROM e)
-SELECT event_type, ts_us, event_id, cents FROM r WHERE rn = 1
-ORDER BY event_type""",
-)
-def top_metrics_latest(spark, sf_dir):
-    """ES ``top_metrics`` agg (sort: ts desc): per event type, the metric
-    value carried by the LATEST event — the 'current reading per series'
-    lookup a monitoring dashboard issues (last price, last gauge value).
-    Tie on ts broken by event_id desc.
-
-    Scale shape: the per-type argmax is ONE map-side-combinable
-    max(struct(ts_us, event_id, cents)) — lexicographic struct max, the
-    search_collapse rule — so no reducer ever holds a type's event list
-    and there is no per-type sort window (the oracle's window is fine
-    for DuckDB, never for Spark). Output is |event_types| rows."""
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_type",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
-        "event_id",
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-    )
-    g = e.groupBy("event_type").agg(
-        F.max(F.struct("ts_us", "event_id", "cents")).alias("top")
-    )
-    return g.select(
-        "event_type",
-        F.col("top.ts_us").cast("long").alias("ts_us"),
-        F.col("top.event_id").cast("long").alias("event_id"),
-        F.col("top.cents").cast("long").alias("cents"),
-    ).orderBy("event_type")
-
-
-_MBP_FULL = ["spark", "join"]
-_MBP_PREFIX = "ha"
-
-
-@register(
-    "match_bool_prefix_search",
-    _bm25_agg_ctes(_MBP_FULL)
-    + f""",
-dict AS (SELECT DISTINCT term FROM tf WHERE term LIKE '{_MBP_PREFIX}%'
-         ORDER BY term LIMIT 50),
-pd AS (SELECT DISTINCT tf.doc_id FROM tf JOIN dict USING (term)),
-fused AS (
-  SELECT COALESCE(agg.doc_id, pd.doc_id) AS doc_id,
-         CAST(COALESCE(agg.score_q6, 0)
-              + CASE WHEN pd.doc_id IS NULL THEN 0 ELSE 1000000 END AS BIGINT) AS score_q6,
-         CAST(COALESCE(agg.nm, 0)
-              + CASE WHEN pd.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS nm,
-         CAST(pd.doc_id IS NOT NULL AS INT) AS has_prefix
-  FROM agg FULL JOIN pd ON agg.doc_id = pd.doc_id)
-SELECT doc_id, score_q6, nm, has_prefix FROM fused
-ORDER BY score_q6 DESC, doc_id ASC LIMIT 10""",
-)
-def match_bool_prefix_search(spark, sf_dir):
-    """ES ``multi_match`` type ``bool_prefix`` (the search-as-you-type
-    query): every term but the last scores as a normal BM25 term clause,
-    the trailing partial term becomes a PREFIX clause — expanded via the
-    dictionary walk (LIKE 'ha%', lexicographic top-50, the
-    match_phrase_prefix rule) and scored CONSTANT 1.0 (Lucene's default
-    constant-score prefix rewrite). Docs matching only the prefix still
-    appear (bool should), which is exactly why the suggest box shows
-    results before the word is finished. Completes the multi_match
-    family: best_fields / most_fields / cross_fields / phrase /
-    phrase_prefix / bool_prefix.
-
-    Scale shape: the corpus tokenizes ONCE (checkpointed — the rescore_topn
-    rule: the BM25 leg, the dictionary walk and the prefix-doc semi-join
-    are three consumers, and un-checkpointed each would re-run the
-    tokenize); the expansion is dictionary-bounded (≤50 terms, broadcast)
-    and the prefix-doc set is one semi-join over postings; fusion is a
-    FULL JOIN of two match sets on doc_id followed by a TakeOrdered(10)."""
-    toks = _toks(_docs(spark, sf_dir)).localCheckpoint()
-    agg = _bm25_match_set(spark, sf_dir, _MBP_FULL, toks=toks)
-    dict_df = (
-        toks.select("term")
-        .where(F.col("term").like(f"{_MBP_PREFIX}%"))
-        .distinct()
-        .orderBy("term")
-        .limit(50)
-    )
-    pd_df = (
-        toks.join(F.broadcast(dict_df), "term")
-        .select("doc_id")
-        .distinct()
-        .select(F.col("doc_id").alias("pdoc"))
-    )
-    fused = (
-        agg.join(pd_df, F.col("doc_id") == F.col("pdoc"), "full")
-        .select(
-            F.coalesce(F.col("doc_id"), F.col("pdoc")).alias("doc_id"),
-            (
-                F.coalesce(F.col("score_q6"), F.lit(0))
-                + F.when(F.col("pdoc").isNull(), F.lit(0)).otherwise(F.lit(1_000_000))
-            )
-            .cast("long")
-            .alias("score_q6"),
-            (
-                F.coalesce(F.col("nm"), F.lit(0))
-                + F.when(F.col("pdoc").isNull(), F.lit(0)).otherwise(F.lit(1))
-            )
-            .cast("long")
-            .alias("nm"),
-            F.col("pdoc").isNotNull().cast("int").alias("has_prefix"),
-        )
-    )
-    return fused.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
-
-
-@register(
-    "len_quality_hist2d",
-    f"""WITH t AS (
-  SELECT CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok,
-         CAST(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS BIGINT) AS n_distinct
-  FROM documents),
-b AS (
-  SELECT CASE WHEN n_tok = 0 THEN -1
-              ELSE CAST(length(bin(n_tok)) - 1 AS BIGINT) END AS len_bucket,
-         CASE WHEN n_tok = 0 THEN CAST(-1 AS BIGINT)
-              ELSE LEAST(CAST(4 AS BIGINT),
-                   (CAST(round(1000000.0 * n_distinct / n_tok) AS BIGINT) * 5) // 1000000)
-         END AS q_bucket,
-         n_tok
-  FROM t)
-SELECT len_bucket, q_bucket,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_tok) AS BIGINT) AS n_tokens
-FROM b GROUP BY len_bucket, q_bucket ORDER BY len_bucket, q_bucket""",
-)
-def len_quality_hist2d(spark, sf_dir):
-    """2-D corpus census: log2 document-length bucket × type-token-ratio
-    quintile — the filter-interaction heatmap behind length and quality
-    gates (short docs dominate the low-TTR cells ↔ a TTR cut silently
-    becomes a length cut; the 2-D view is what catches that coupling,
-    which the two 1-D curves — doclen_histogram, quality_ablation_curve —
-    cannot). Cells report docs and token mass.
-
-    Determinism: len_bucket = floor(log2 n) via the binary-string length
-    (doclen_histogram's integer-exact rule); TTR is q6-rounded FIRST and
-    the quintile is (ttr_q6·5) div 1e6 — non-negative integer division,
-    identical both engines, clamped to 4 at ttr = 1.0. Empty docs land in
-    the (-1, -1) cell.
-
-    Scale shape: both keys are map-side expressions; one 2-D hash agg,
-    ≤ 5·64 cells regardless of corpus size."""
-    t = _docs(spark, sf_dir).select(
-        F.size(spark_tokens("text")).cast("long").alias("n_tok"),
-        F.size(F.array_distinct(spark_tokens("text"))).cast("long").alias("n_distinct"),
-    )
-    b = t.select(
-        F.expr(
-            "CASE WHEN n_tok = 0 THEN -1"
-            " ELSE CAST(length(bin(n_tok)) - 1 AS BIGINT) END"
-        ).alias("len_bucket"),
-        F.expr(
-            "CASE WHEN n_tok = 0 THEN CAST(-1 AS BIGINT)"
-            " ELSE LEAST(CAST(4 AS BIGINT),"
-            " (CAST(round(1000000.0 * n_distinct / n_tok) AS BIGINT) * 5) div 1000000)"
-            " END"
-        ).alias("q_bucket"),
-        "n_tok",
-    )
-    return (
-        b.groupBy("len_bucket", "q_bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tok").cast("long").alias("n_tokens"),
-        )
-        .orderBy("len_bucket", "q_bucket")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 49 — segmental lexical diversity, product analytics (stickiness,
-# conversion latency), chi-squared significant terms
-# ---------------------------------------------------------------------------
-
-_MSTTR_W = 25  # MSTTR segment width (Johnson 1944's standard segmental TTR)
-
-
-@register(
-    "msttr_source",
-    f"""WITH w AS ({SQL_WORDS}),
-seg AS (
-  SELECT source,
-         CAST(len(list_distinct(list_slice(words, i * {_MSTTR_W} + 1, (i + 1) * {_MSTTR_W}))) AS BIGINT) AS nd
-  FROM w, unnest(generate_series(0, len(words) // {_MSTTR_W} - 1)) AS t(i)
-  WHERE len(words) >= {_MSTTR_W}),
-tt AS (SELECT source,
-              CAST(round(1000000.0 * nd / {_MSTTR_W}) AS BIGINT) AS ttr_q6
-       FROM seg)
-SELECT source, CAST(count(*) AS BIGINT) AS n_segs,
-       CAST(round(sum(ttr_q6) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS msttr_q6
-FROM tt GROUP BY source ORDER BY source""",
-)
-def msttr_source(spark, sf_dir):
-    """Mean Segmental Type-Token Ratio (MSTTR-25, Johnson 1944) per
-    source — the LENGTH-ROBUST lexical-diversity score: plain TTR falls
-    with document length by construction (heaps_law_source measures that
-    curve), so corpora of different doclen mixes can't be compared on it;
-    MSTTR instead averages the TTR of consecutive fixed-width 25-token
-    segments (trailing partial segment discarded, per the standard), so
-    every segment is measured at the same length. Completes the
-    diversity family: TTR cut (quality_ablation_curve), Yule's K
-    (yule_k_source), Heaps exponent, now MSTTR.
-
-    Determinism: per-segment TTR is q6-rounded FIRST (nd/25 over exact
-    integers); the per-source mean is ONE float division of two exact
-    BIGINTs. Segment slices are 1-based in BOTH engines (Spark slice and
-    DuckDB list_slice) — no index-origin shim needed, unlike words[i].
-
-    Scale shape: one map-side explode of n_tok/25 segment rows per doc
-    (each segment a bounded 25-element slice+distinct, not a per-token
-    lambda), into a sources-sized agg."""
-    w = _docs(spark, sf_dir).select("source", spark_tokens("text").alias("words"))
-    seg = (
-        w.where(F.size("words") >= _MSTTR_W)
-        .select(
-            "source",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(words) div {_MSTTR_W} - 1), i -> "
-                    f"cast(size(array_distinct(slice(words, i * {_MSTTR_W} + 1, {_MSTTR_W}))) as bigint))"
-                )
-            ).alias("nd"),
-        )
-    )
-    tt = seg.select(
-        "source",
-        F.expr(f"CAST(round(1000000.0 * nd / {_MSTTR_W}) AS BIGINT)").alias("ttr_q6"),
-    )
-    return (
-        tt.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_segs"),
-            F.expr("CAST(round(sum(ttr_q6) / CAST(count(*) AS DOUBLE)) AS BIGINT)").alias(
-                "msttr_q6"
-            ),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "events_stickiness",
-    f"""WITH du AS (
-  SELECT DISTINCT epoch_us(ts) // {_US_PER_DAY} AS day, user_id FROM events),
-dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day),
-mp AS (
-  SELECT DISTINCT du.day + o AS day, du.user_id
-  FROM du, unnest(generate_series(0, 27)) AS t(o)),
-mau AS (SELECT day, CAST(count(*) AS BIGINT) AS mau FROM mp GROUP BY day)
-SELECT dau.day AS day, dau.dau, mau.mau,
-       CAST(round(1000000.0 * dau.dau / mau.mau) AS BIGINT) AS stickiness_q6
-FROM dau JOIN mau ON mau.day = dau.day
-ORDER BY day""",
-)
-def events_stickiness(spark, sf_dir):
-    """DAU/MAU stickiness per day — THE product-analytics engagement
-    ratio (what fraction of the trailing-28-day user base showed up
-    today). The trailing-window distinct is decomposed without any
-    sliding-window distinct state: each (day, user) activity pair is
-    fanned to the 28 future days whose MAU window contains it (offset
-    explode, bounded fanout 28), then deduplicated — a user active 5×
-    in a window still counts once. Days without activity have no DAU
-    row and are omitted (their stickiness is 0 by definition).
-
-    Scale shape: the (day, user) distinct is one exchange; the
-    28-offset fan is map-side; the MAU distinct/count is a second
-    bounded exchange (28× the first's rows, the documented trade);
-    stickiness is a calendar-sized join. DAU/MAU are exact BIGINTs,
-    the ratio one float division.
-
-    Day keys: integer epoch-microsecond division (events_daily_mavg)."""
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    du = (
-        e.select(
-            F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias("day"),
-            "user_id",
-        )
-        .distinct()
-        .localCheckpoint()  # feeds DAU and the 28-day fan
-    )
-    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
-    mp = (
-        du.select(
-            F.explode(F.expr("sequence(0, 27)")).alias("o"), "day", "user_id"
-        )
-        .select((F.col("day") + F.col("o")).alias("day"), "user_id")
-        .distinct()
-    )
-    mau = mp.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("mau"))
-    return (
-        dau.join(mau, "day")
-        .select(
-            "day",
-            "dau",
-            "mau",
-            F.expr("CAST(round(1000000.0 * dau / mau) AS BIGINT)").alias("stickiness_q6"),
-        )
-        .orderBy("day")
-    )
-
-
-@register(
-    "conversion_latency_histogram",
-    f"""WITH e AS (
-  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-v AS (SELECT user_id, min(ts_us) AS v_ts FROM e WHERE event_type = 'view' GROUP BY user_id),
-p AS (
-  SELECT e.user_id, min(e.ts_us) AS p_ts
-  FROM e JOIN v USING (user_id)
-  WHERE e.event_type = 'purchase' AND e.ts_us >= v.v_ts
-  GROUP BY e.user_id),
-g AS (
-  SELECT p.user_id, p.p_ts - v.v_ts AS gap
-  FROM p JOIN v USING (user_id)),
-b AS (
-  SELECT CASE WHEN gap = 0 THEN -1
-              ELSE CAST(length(bin(gap)) - 1 AS BIGINT) END AS bucket
-  FROM g)
-SELECT bucket, CAST(count(*) AS BIGINT) AS n_users
-FROM b GROUP BY bucket ORDER BY bucket""",
-)
-def conversion_latency_histogram(spark, sf_dir):
-    """Time-to-convert distribution: for each user, the latency from
-    FIRST view to the first purchase AT OR AFTER it, bucketed into
-    log2-microsecond bins (the interevent_gap_histogram scale, bucket -1
-    for same-microsecond conversion) — the funnel-latency curve that
-    sizes attribution windows and the sessionization gap
-    (events_funnel counts who converts; this measures how long it
-    takes). A purchase at exactly the first-view timestamp counts
-    (ts >= v_ts — declared, both engines identical).
-
-    Scale shape: the events_funnel plan truncated at two stages — both
-    min-aggs and both joins key on user_id, so everything rides ONE
-    user exchange; the histogram is a ≤64-bucket agg."""
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", "event_type", F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us")
-    )
-    v = (
-        e.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("v_ts"))
-    )
-    p = (
-        e.join(v, "user_id")
-        .where((F.col("event_type") == "purchase") & (F.col("ts_us") >= F.col("v_ts")))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("p_ts"))
-    )
-    g = p.join(v, "user_id").select((F.col("p_ts") - F.col("v_ts")).alias("gap"))
-    b = g.select(
-        F.expr(
-            "CASE WHEN gap = 0 THEN -1 ELSE CAST(length(bin(gap)) - 1 AS BIGINT) END"
-        ).alias("bucket")
-    )
-    return (
-        b.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .orderBy("bucket")
-    )
-
-
-# 2x2 chi-squared over exact contingency integers: a = fg docs with term,
-# b = fg docs without, c = bg-only docs with term, d = the rest. Every
-# product is forced to DOUBLE from the first multiplication (CAST(x AS
-# DOUBLE) * y) so both engines run the identical IEEE sequence even where
-# a*d would pass 2^53 at corpus scale.
-_CHI2_SIG_EXPR = (
-    "CASE WHEN (c + d) = 0 OR (b + d) = 0 THEN 0 ELSE "
-    "CAST(round(1000000 * (CAST(n AS DOUBLE)"
-    " * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)"
-    " * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c))"
-    " / ((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d)"
-    " * (CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d))) AS BIGINT) END"
-)
-
-
-@register(
-    "significant_terms_chi2",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + f""",
-fg AS (SELECT DISTINCT doc_id FROM agg),
-fgn AS (SELECT CAST(count(*) AS BIGINT) AS ft FROM fg),
-fgc AS (
-  SELECT term, CAST(count(*) AS BIGINT) AS a
-  FROM tf JOIN fg USING (doc_id) GROUP BY term),
-cells AS (
-  SELECT fgc.term, fgc.a,
-         (SELECT ft FROM fgn) - fgc.a AS b,
-         CAST(dfs.df AS BIGINT) - fgc.a AS c,
-         CAST((SELECT n_docs FROM st) AS BIGINT) - (SELECT ft FROM fgn)
-           - (CAST(dfs.df AS BIGINT) - fgc.a) AS d,
-         CAST((SELECT n_docs FROM st) AS BIGINT) AS n
-  FROM fgc JOIN dfs USING (term)
-  WHERE fgc.a >= 3),
-sc AS (
-  SELECT term, a AS fg_df, a + c AS bg_df, {_CHI2_SIG_EXPR} AS chi2_q6
-  FROM cells WHERE a * d > b * c)
-SELECT term, fg_df, bg_df, chi2_q6 FROM sc
-ORDER BY chi2_q6 DESC, term ASC LIMIT 25""",
-)
-def significant_terms_chi2(spark, sf_dir):
-    """ES ``significant_terms`` with the ``chi_square`` heuristic — the
-    second significance lens next to the default JLH
-    (significant_terms): chi² rewards terms whose foreground/background
-    contingency deviates most from independence, which surfaces
-    lower-frequency terms JLH's ratio term drowns. Same ES gates:
-    min_doc_count 3 on the foreground, over-represented terms only
-    (a·d > b·c — the exact-integer cross-multiplication, never a float
-    sign test).
-
-    Scale shape: identical to significant_terms — the foreground count
-    is the only new exchange; the 2×2 cells are per-term scalar
-    arithmetic over the vocab-bounded join of foreground counts with
-    the A2 df table; top-25 is a TakeOrdered."""
-    toks = _toks(_docs(spark, sf_dir))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfs = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    n_docs = tf.select("doc_id").distinct().agg(
-        F.count("*").cast("long").alias("n")
-    )
-    fg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS).select("doc_id").distinct()
-    fgn = fg.agg(F.count("*").cast("long").alias("ft"))
-    fgc = tf.join(fg, "doc_id").groupBy("term").agg(
-        F.count("*").cast("long").alias("a")
-    )
-    cells = (
-        fgc.join(dfs, "term")
-        .crossJoin(F.broadcast(fgn))
-        .crossJoin(F.broadcast(n_docs))
-        .where(F.col("a") >= 3)
-        .select(
-            "term",
-            "a",
-            (F.col("ft") - F.col("a")).alias("b"),
-            (F.col("df") - F.col("a")).alias("c"),
-            (F.col("n") - F.col("ft") - (F.col("df") - F.col("a"))).alias("d"),
-            "n",
-        )
-    )
-    return (
-        cells.where(F.expr("a * d > b * c"))
-        .select(
-            "term",
-            F.col("a").alias("fg_df"),
-            (F.col("a") + F.col("c")).cast("long").alias("bg_df"),
-            F.expr(_CHI2_SIG_EXPR).alias("chi2_q6"),
-        )
-        .orderBy(F.desc("chi2_q6"), F.asc("term"))
-        .limit(25)
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 50 — phrase suggester (did-you-mean), IVF training convergence
-# ---------------------------------------------------------------------------
-
-_PS_TYPO, _PS_NEXT = "spak", "join"  # "spak join" -> "spark join"
-
-
-@register(
-    "phrase_suggester",
-    f"""WITH toks AS ({SQL_TOKS}),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
-         FROM tf GROUP BY term),
-vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM dict),
-w AS ({SQL_WORDS}),
-bg AS (SELECT words[i] AS w1, words[i+1] AS w2, CAST(count(*) AS BIGINT) AS c12
-       FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
-       WHERE len(words) >= 2 GROUP BY 1, 2),
-cand AS (
-  SELECT dict.term, CAST(levenshtein('{_PS_TYPO}', dict.term) AS BIGINT) AS dist,
-         dict.df, dict.cf
-  FROM dict WHERE levenshtein('{_PS_TYPO}', dict.term) BETWEEN 1 AND 2),
-sc AS (
-  SELECT cand.term, cand.dist, cand.df,
-         CAST(COALESCE(bg.c12, 0) AS BIGINT) AS c12,
-         CAST(round(1000000 * ln((COALESCE(bg.c12, 0) + 1)
-              / CAST(cand.cf + vocab.v AS DOUBLE))) AS BIGINT) AS score_q6
-  FROM cand LEFT JOIN bg ON bg.w1 = cand.term AND bg.w2 = '{_PS_NEXT}'
-  CROSS JOIN vocab),
-ranked AS (
-  SELECT term, dist, df, c12, score_q6,
-         CAST(row_number() OVER (
-           ORDER BY score_q6 DESC, dist ASC, term ASC) AS BIGINT) AS rank
-  FROM sc)
-SELECT term, dist, df, c12, score_q6, rank FROM ranked
-WHERE rank <= 5 ORDER BY rank""",
-)
-def phrase_suggester(spark, sf_dir):
-    """ES PHRASE suggester ('did you mean: spark join'): correction
-    candidates for the typo'd first term of 'spak join' are ranked by a
-    Laplace bigram LM — P(join | cand) = (c(cand, join)+1)/(c(cand)+V) —
-    instead of spell_correct's (dist, df) term-level ordering. This is
-    the context-aware upgrade: 'spar'-like candidates that never precede
-    'join' in the corpus drop below ones that do, exactly the
-    real-word-error case the ES phrase suggester exists for (its
-    laplace smoothing default, α folded to add-1).
-
-    Determinism: per-candidate score_q6 is one q6-rounded ln over exact
-    integers; rank orders by (score desc, dist asc, term asc).
-
-    Scale shape: candidates come from the bounded dictionary scan (F2's
-    shape); the bigram probe is a LEFT JOIN of ≤|candidates| rows
-    against the Zipf-bounded bigram-type table on (w1 = cand,
-    w2 = 'join'); vocab size broadcasts as one row. The corpus
-    tokenizes ONCE into a checkpointed word-array table feeding both
-    the dictionary chain and the bigram explode."""
-    wdf = (
-        _docs(spark, sf_dir)
-        .select("doc_id", spark_tokens("text").alias("words"))
-        .localCheckpoint()
-    )
-    toks = wdf.select("doc_id", F.explode("words").alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dic = tf.groupBy("term").agg(
-        F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf")
-    )
-    vocab = dic.agg(F.count(F.lit(1)).cast("long").alias("v"))
-    bg = (
-        wdf.where(F.size("words") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(words)-2), i -> "
-                    "struct(words[i] AS w1, words[i+1] AS w2))"
-                )
-            ).alias("b")
-        )
-        .select("b.w1", "b.w2")
-        .where(F.col("w2") == _PS_NEXT)
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
-    )
-    cand = (
-        dic.withColumn("dist", F.levenshtein(F.lit(_PS_TYPO), F.col("term")).cast("long"))
-        .where((F.col("dist") >= 1) & (F.col("dist") <= 2))
-    )
-    sc = (
-        cand.join(bg.select(F.col("w1").alias("term"), "c12"), "term", "left")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "term",
-            "dist",
-            "df",
-            F.coalesce(F.col("c12"), F.lit(0)).cast("long").alias("c12"),
-            F.expr(
-                "CAST(round(1000000 * ln((COALESCE(c12, 0) + 1)"
-                " / CAST(cf + v AS DOUBLE))) AS BIGINT)"
-            ).alias("score_q6"),
-        )
-    )
-    w_rank = Window.orderBy(F.desc("score_q6"), F.asc("dist"), F.asc("term"))
-    return (
-        sc.withColumn("rank", F.row_number().over(w_rank).cast("long"))
-        .where(F.col("rank") <= 5)
-        .select("term", "dist", "df", "c12", "score_q6", "rank")
-        .orderBy("rank")
-    )
-
-
-@register(
-    "ivf_train_convergence",
-    _KMEANS_SQL_PRELUDE
-    + """,
-b1 AS (SELECT vec_id, max(cq) AS bc FROM s1 GROUP BY vec_id),
-b2 AS (SELECT vec_id, max(cq) AS bc FROM s2 GROUP BY vec_id),
-b3 AS (SELECT vec_id, max(cq) AS bc FROM s3 GROUP BY vec_id),
-ch2 AS (SELECT CAST(count(*) FILTER (WHERE a2.cid <> a1.cid) AS BIGINT) AS ch
-        FROM a2 JOIN a1 USING (vec_id)),
-ch3 AS (SELECT CAST(count(*) FILTER (WHERE a3.cid <> a2.cid) AS BIGINT) AS ch
-        FROM a3 JOIN a2 USING (vec_id))
-SELECT * FROM (
-  SELECT CAST(1 AS BIGINT) AS round, CAST(count(*) AS BIGINT) AS n_vec,
-         CAST(sum(bc) AS BIGINT) AS sum_cosq9, CAST(-1 AS BIGINT) AS n_changed
-  FROM b1
-  UNION ALL
-  SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT), CAST(sum(bc) AS BIGINT),
-         (SELECT ch FROM ch2) FROM b2
-  UNION ALL
-  SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT), CAST(sum(bc) AS BIGINT),
-         (SELECT ch FROM ch3) FROM b3
-) ORDER BY round""",
-)
-def ivf_train_convergence(spark, sf_dir):
-    """k-means training convergence curve for the IVF coarse quantizer:
-    per Lloyd round, the summed best-assignment cosine (q9 — higher =
-    tighter cells; the cosine-k-means objective) and the number of
-    vectors that CHANGED cells versus the previous round (round 1 assigns
-    against the seed centroids; its n_changed is the -1 sentinel). The
-    train-loop observability the 2-round choice in `_trained_ivf` rests
-    on: sum_cosq9 must be non-decreasing and n_changed shrinking, else
-    more rounds are warranted. Completes the index-health family next to
-    ivf_cluster_balance (trained-state audit) — this is the
-    during-training audit.
-
-    Determinism: per-vector best cosine is the same integer q9 the
-    assignment ranks on, so sums are exact BIGINTs; change counts are
-    exact joins of integer assignments.
-
-    Scale shape: per round, ONE broadcast-centroid scan (K rows
-    broadcast, members stream) into a per-vector max — map-side
-    combinable — plus the q6-integer centroid re-sum; assignments
-    localCheckpoint per round (the kmeans-round pattern: lineage cut,
-    each round's table materialized once). The oracle unrolls the same
-    three rounds as CTEs (UNION ALL per round is DuckDB-only — the
-    Spark side unions three 1-row aggregates)."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    members = e.where(F.col("vec_id") != 0)
-    cent = members.where(F.col("vec_id").between(1, _KMEANS_K)).select(
-        F.col("vec_id").alias("cid"),
-        F.expr(
-            "transform(v, x -> cast(cast(round(x * 1000000) as bigint) as double))"
-        ).alias("cv"),
-    )
-    prev = None
-    rounds = []
-    for j in (1, 2, 3):
-        s = members.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "cid", _cosq("v", "cv", 1_000_000_000).alias("cq")
-        )
-        s = s.localCheckpoint()  # feeds the best-cos agg AND the assignment
-        stat = s.groupBy("vec_id").agg(F.max("cq").alias("bc")).agg(
-            F.count(F.lit(1)).cast("long").alias("n_vec"),
-            F.sum("bc").cast("long").alias("sum_cosq9"),
-        )
-        w_rn = Window.partitionBy("vec_id").orderBy(F.desc("cq"), F.asc("cid"))
-        assign = (
-            s.withColumn("rn", F.row_number().over(w_rn))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "cid")
-            .localCheckpoint()
-        )
-        if prev is None:
-            ch = spark.createDataFrame([(-1,)], "ch long")
-        else:
-            ch = assign.join(
-                prev.select("vec_id", F.col("cid").alias("pcid")), "vec_id"
-            ).agg(F.count_if(F.col("cid") != F.col("pcid")).cast("long").alias("ch"))
-        rounds.append(
-            stat.crossJoin(ch).select(
-                F.lit(j).cast("long").alias("round"),
-                "n_vec",
-                "sum_cosq9",
-                F.col("ch").alias("n_changed"),
-            )
-        )
-        if j < 3:
-            cent = _kmeans_cent(members, assign)
-        prev = assign
-    return rounds[0].unionByName(rounds[1]).unionByName(rounds[2]).orderBy("round")
-
-
-# ---------------------------------------------------------------------------
-# session 51 — BPE apply/compression, k-fold near-dup leakage, weighted_avg
-# ---------------------------------------------------------------------------
-
-
-def _bpe_apply_sql() -> str:
-    """Generated oracle for bpe_apply_compression: the _bpe_sql training
-    chain extended by the FINAL merge application, with every application
-    guarded by `CASE WHEN b.a IS NULL` over a LEFT JOIN ON TRUE — an
-    exhausted corpus (empty argmax) must pass words through unchanged,
-    where the trainer's plain cross join (correctly, for merge ROWS)
-    empties the table. Aggregates include single-char words (excluded
-    from the trainable table; their unit counts pass through verbatim)."""
-    parts = [
-        f"""WITH toks AS ({SQL_TOKS}),
-allw AS MATERIALIZED (
-  SELECT term AS word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY term),
-wt0 AS MATERIALIZED (
-  SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS s, cnt FROM allw
-  WHERE length(word) >= 2)"""
-    ]
-    for r in range(_BPE_ROUNDS):
-        parts.append(
-            f""",
-p{r} AS (
-  SELECT syms[i] AS a, syms[i + 1] AS b, cnt
-  FROM (SELECT str_split(trim(s), '  ') AS syms, cnt FROM wt{r}),
-       unnest(generate_series(1, len(syms) - 1)) AS t(i)
-  WHERE len(syms) >= 2),
-b{r} AS MATERIALIZED (
-  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pc FROM p{r} GROUP BY a, b
-  ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
-wt{r + 1} AS MATERIALIZED (
-  SELECT CASE WHEN b{r}.a IS NULL THEN s
-              ELSE replace(s, ' ' || b{r}.a || '  ' || b{r}.b || ' ',
-                           ' ' || b{r}.a || b{r}.b || ' ') END AS s, cnt
-  FROM wt{r} LEFT JOIN b{r} ON TRUE)"""
-        )
-    parts.append(
-        f""",
-after AS (
-  SELECT CAST(COALESCE(sum(cnt * len(str_split(trim(s), '  '))), 0) AS BIGINT) AS u
-  FROM wt{_BPE_ROUNDS}),
-shortu AS (
-  SELECT CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS u FROM allw WHERE length(word) < 2),
-tot AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_types,
-         CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS n_words,
-         CAST(COALESCE(sum(cnt * length(word)), 0) AS BIGINT) AS units_before
-  FROM allw)
-SELECT tot.n_types, tot.n_words, tot.units_before,
-       CAST(after.u + shortu.u AS BIGINT) AS units_after,
-       CASE WHEN tot.units_before = 0 THEN 0
-            ELSE CAST(round(1000000.0 * (after.u + shortu.u) / tot.units_before) AS BIGINT)
-       END AS compression_q6
-FROM tot, after, shortu"""
-    )
-    return "".join(parts)
-
-
-@register("bpe_apply_compression", _bpe_apply_sql())
-def bpe_apply_compression(spark, sf_dir):
-    """BPE apply + compression audit — closes the tokenizer-training loop
-    that bpe_merge_candidates (one step) and bpe_train_merges (the greedy
-    loop) opened: train the 3 merges, APPLY them to the word-type table,
-    and report corpus-level token-instance units before (characters) and
-    after, plus the compression ratio — the bytes-per-token curve that
-    decides a tokenizer's merge budget. Single-character words can't
-    merge and pass through with unchanged units.
-
-    Determinism: identical greedy path to bpe_train_merges (count desc,
-    pair lexicographic); every unit count is an exact BIGINT; the ratio
-    is one float division. An exhausted corpus (no pair to merge) leaves
-    words unchanged — the application joins are LEFT ON TRUE with a
-    NULL-guard CASE, never a plain cross join (which empties the table
-    when the argmax is empty).
-
-    Scale shape: the trainer's shape (vocab-bounded type table,
-    localCheckpoint per round, 1-row broadcast merges) plus one final
-    aggregate; the corpus is never rescanned after the first tf pass."""
-    t = _toks(_docs(spark, sf_dir))
-    allw = (
-        t.groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint()  # feeds the trainable table AND the totals
-    )
-    wt = (
-        allw.where(F.length("term") >= 2)
-        .select(F.expr("regexp_replace(term, '(.)', ' $1 ')").alias("s"), "cnt")
-        .localCheckpoint()
-    )
-    for _ in range(_BPE_ROUNDS):
-        best = _bpe_pairs_best(wt).localCheckpoint()
-        wt = (
-            wt.join(F.broadcast(best), F.lit(True), "left")
-            .select(
-                F.expr(
-                    "CASE WHEN a IS NULL THEN s"
-                    " ELSE replace(s, ' ' || a || '  ' || b || ' ',"
-                    " ' ' || a || b || ' ') END"
-                ).alias("s"),
-                "cnt",
-            )
-            .localCheckpoint()
-        )
-    after = wt.agg(
-        F.coalesce(F.sum(F.expr("cnt * size(split(trim(s), '  '))")), F.lit(0))
-        .cast("long")
-        .alias("u")
-    )
-    shortu = allw.where(F.length("term") < 2).agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("su")
-    )
-    tot = allw.agg(
-        F.count(F.lit(1)).cast("long").alias("n_types"),
-        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_words"),
-        F.coalesce(F.sum(F.expr("cnt * length(term)")), F.lit(0))
-        .cast("long")
-        .alias("units_before"),
-    )
-    return (
-        tot.crossJoin(after)
-        .crossJoin(shortu)
-        .select(
-            "n_types",
-            "n_words",
-            "units_before",
-            (F.col("u") + F.col("su")).cast("long").alias("units_after"),
-            F.expr(
-                "CASE WHEN units_before = 0 THEN 0"
-                " ELSE CAST(round(1000000.0 * (u + su) / units_before) AS BIGINT) END"
-            ).alias("compression_q6"),
-        )
-    )
-
-
-@register(
-    "fold_leakage_check",
-    _SQL_LSH_PAIRS
-    + """,
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs),
-reach(id, lbl) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
-cf AS (
-  SELECT comp.cluster_id,
-         ('0x' || substr(md5(CAST(comp.doc_id AS VARCHAR)), 13, 4))::INT % 5 AS fold
-  FROM comp),
-cl AS (
-  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(count(DISTINCT fold) AS BIGINT) AS n_folds
-  FROM cf GROUP BY cluster_id)
-SELECT n_folds, CAST(count(*) AS BIGINT) AS n_clusters,
-       CAST(sum(n_docs) AS BIGINT) AS n_docs
-FROM cl GROUP BY n_folds ORDER BY n_folds""",
-)
-def fold_leakage_check(spark, sf_dir):
-    """Cross-validation leakage audit: near-duplicate clusters whose
-    members land in DIFFERENT folds of the stratified_kfold_assign split
-    — training on fold≠k while evaluating on fold=k then leaks the
-    near-dup twin of every eval doc (the reason sklearn grew GroupKFold).
-    Reports the histogram of folds-spanned per cluster: every row at
-    n_folds ≥ 2 is leakage the doc-level split cannot see, and the fix
-    is assigning folds by CLUSTER id instead of doc id. Uses the
-    kfold coordinate VERBATIM (md5 hex 13-16 % 5) so what's audited is
-    the split that ships.
-
-    Scale shape: cluster labels reuse the memoized `_lsh_pair_edges` +
-    pointer-doubled connected components; the fold key is map-side; the
-    rollup is cluster-table-sized then ≤5 rows."""
-    edges = _lsh_pair_edges(spark, sf_dir)
-    labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    labels = connected_components(labels, edges).select(
-        "doc_id", F.col("lbl").alias("cluster_id")
-    )
-    cf = labels.select(
-        "cluster_id",
-        F.expr(
-            "cast(conv(substring(md5(cast(doc_id as string)), 13, 4), 16, 10) as int) % 5"
-        ).alias("fold"),
-    )
-    cl = cf.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.countDistinct("fold").cast("long").alias("n_folds"),
-    )
-    return (
-        cl.groupBy("n_folds")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_clusters"),
-            F.sum("n_docs").cast("long").alias("n_docs"),
-        )
-        .orderBy("n_folds")
-    )
-
-
-@register(
-    "weighted_avg_ttr",
-    f"""WITH t AS (
-  SELECT source,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok,
-         CAST(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS BIGINT) AS n_distinct
-  FROM documents),
-v AS (
-  SELECT source, n_tok,
-         CAST(round(1000000.0 * n_distinct / n_tok) AS BIGINT) AS ttr_q6
-  FROM t WHERE n_tok > 0)
-SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(round(sum(n_tok * ttr_q6) / CAST(sum(n_tok) AS DOUBLE)) AS BIGINT) AS wavg_ttr_q6,
-       CAST(round(sum(ttr_q6) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_ttr_q6
-FROM v GROUP BY source ORDER BY source""",
-)
-def weighted_avg_ttr(spark, sf_dir):
-    """ES ``weighted_avg`` aggregation: per-source type-token ratio
-    averaged with TOKEN-MASS weights next to the naive doc-average — the
-    pair answers 'what diversity does a sampled TOKEN see' vs 'what does
-    a sampled DOC see' (they diverge exactly when short docs have
-    atypical diversity, the coupling len_quality_hist2d maps). Completes
-    the metric-agg family's last missing member.
-
-    Determinism: per-doc ttr_q6 is rounded FIRST; both averages are one
-    float division over exact BIGINT sufficient sums (Σ w·v stays under
-    2^63 to ~9e6 docs·1e6-token docs per source — the extended_stats
-    envelope). Empty docs carry zero weight and an undefined TTR and are
-    excluded from both averages.
-
-    Scale shape: one map-side projection into a sources-sized agg."""
-    t = _docs(spark, sf_dir).select(
-        "source",
-        F.size(spark_tokens("text")).cast("long").alias("n_tok"),
-        F.size(F.array_distinct(spark_tokens("text"))).cast("long").alias("n_distinct"),
-    )
-    v = t.where(F.col("n_tok") > 0).select(
-        "source",
-        "n_tok",
-        F.expr("CAST(round(1000000.0 * n_distinct / n_tok) AS BIGINT)").alias("ttr_q6"),
-    )
-    return (
-        v.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.expr(
-                "CAST(round(sum(n_tok * ttr_q6) / CAST(sum(n_tok) AS DOUBLE)) AS BIGINT)"
-            ).alias("wavg_ttr_q6"),
-            F.expr(
-                "CAST(round(sum(ttr_q6) / CAST(count(*) AS DOUBLE)) AS BIGINT)"
-            ).alias("avg_ttr_q6"),
-        )
-        .orderBy("source")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 52 — sketch-method agreement, source centroid matrix, per-dim
-# embedding stats
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "dedup_method_agreement",
-    f"""WITH msh AS ({_SQL_SHINGLES}),
-sig AS (
-  SELECT doc_id,
-         min(md5('0:' || sh)) || min(md5('1:' || sh)) AS band0,
-         min(md5('2:' || sh)) || min(md5('3:' || sh)) AS band1
-  FROM msh GROUP BY doc_id),
-bands AS (
-  SELECT doc_id, band0 AS band FROM sig UNION ALL SELECT doc_id, band1 FROM sig),
-mpairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-tf AS ({SQL_TF}),
-h AS (SELECT doc_id, tf, {_H60_SQL} AS h FROM tf),
-bits AS (
-  SELECT doc_id, j, sum(tf * (((h >> j) & 1) * 2 - 1)) AS vote
-  FROM h, (SELECT unnest(generate_series(0, 59)) AS j)
-  GROUP BY doc_id, j),
-smh AS (
-  SELECT doc_id,
-         CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
-  FROM bits GROUP BY doc_id),
-spairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM smh a JOIN smh b ON a.doc_id < b.doc_id
-  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-f AS (
-  SELECT CAST(m.doc_a IS NOT NULL AS INT) AS in_m,
-         CAST(s.doc_a IS NOT NULL AS INT) AS in_s
-  FROM mpairs m FULL JOIN spairs s
-    ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b)
-SELECT CAST(COALESCE(sum(in_m), 0) AS BIGINT) AS n_minhash,
-       CAST(COALESCE(sum(in_s), 0) AS BIGINT) AS n_simhash,
-       CAST(COALESCE(sum(in_m * in_s), 0) AS BIGINT) AS n_both,
-       CAST(count(*) AS BIGINT) AS n_union,
-       CASE WHEN count(*) = 0 THEN 0
-            ELSE CAST(round(1000000.0 * COALESCE(sum(in_m * in_s), 0) / count(*)) AS BIGINT)
-       END AS agree_jaccard_q6
-FROM f""",
-)
-def dedup_method_agreement(spark, sf_dir):
-    """Sketch-method agreement audit: the candidate-pair sets of the two
-    production near-dup sketches — MinHash-LSH (3-shingle bands, set
-    similarity) and SimHash (tf-weighted bit votes, hamming ≤ 3, cosine
-    similarity) — compared as a contingency: pairs both catch, pairs
-    only one catches, and the Jaccard of the two candidate sets. The
-    'which sketch sees what' readout behind choosing (or unioning) dedup
-    methods: shingle-LSH catches reorderings simhash misses, simhash
-    catches tf-weighted drift LSH's fixed threshold misses.
-
-    Scale shape: both candidate generators are their existing banded
-    forms (never all-pairs — the simhash side's oracle uses the hamming
-    filter directly, the Spark side the 15-bit band equi-join); the
-    FULL JOIN compares candidate-sized sets on the pair key; output is
-    1 row. The minhash side reads the MEMOIZED `_lsh_pair_edges` graph
-    (src < dst halves it back to pairs) — in a session that already ran
-    any LSH op, this side is free."""
-    mp = (
-        _lsh_pair_edges(spark, sf_dir)
-        .where(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
-    )
-    sp = simhash_band_pairs(spark, sf_dir).select(
-        F.col("id_a").alias("sa"), F.col("id_b").alias("sb")
-    )
-    f = mp.join(
-        sp, (F.col("doc_a") == F.col("sa")) & (F.col("doc_b") == F.col("sb")), "full"
-    ).select(
-        F.col("doc_a").isNotNull().cast("int").alias("in_m"),
-        F.col("sa").isNotNull().cast("int").alias("in_s"),
-    )
-    return f.agg(
-        F.coalesce(F.sum("in_m"), F.lit(0)).cast("long").alias("n_minhash"),
-        F.coalesce(F.sum("in_s"), F.lit(0)).cast("long").alias("n_simhash"),
-        F.coalesce(F.sum(F.expr("in_m * in_s")), F.lit(0)).cast("long").alias("n_both"),
-        F.count(F.lit(1)).cast("long").alias("n_union"),
-        F.expr(
-            "CASE WHEN count(*) = 0 THEN 0"
-            " ELSE CAST(round(1000000.0 * COALESCE(sum(in_m * in_s), 0) / count(*)) AS BIGINT) END"
-        ).alias("agree_jaccard_q6"),
-    )
-
-
-# centroid cosine with a zero-norm guard: a source whose q6 component sums
-# are ALL exactly zero has no direction; both engines emit 0 for its pairs.
-_CENT_COS = (
-    "CASE WHEN naa = 0 OR nbb = 0 THEN 0"
-    " ELSE CAST(round(1000000 * nab / (sqrt(naa) * sqrt(nbb))) AS BIGINT) END"
-)
-
-
-@register(
-    "source_centroid_matrix",
-    """WITH e AS (
-  SELECT d.source, CAST(em.embedding AS DOUBLE[]) AS v
-  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
-  WHERE em.vec_id <> 0),
-dims AS (
-  SELECT source, i, SUM(CAST(round(v[i] * 1000000) AS BIGINT)) AS s
-  FROM e, (SELECT unnest(generate_series(1, 64)) AS i)
-  GROUP BY source, i),
-cv AS (SELECT source, list(CAST(s AS DOUBLE) ORDER BY i) AS c FROM dims GROUP BY source),
-px AS (
-  SELECT a.source AS src_a, b.source AS src_b,
-         list_dot_product(a.c, b.c) AS nab,
-         list_dot_product(a.c, a.c) AS naa,
-         list_dot_product(b.c, b.c) AS nbb
-  FROM cv a JOIN cv b ON a.source < b.source)
-SELECT src_a, src_b, """
-    + _CENT_COS
-    + """ AS cos_q6
-FROM px ORDER BY src_a, src_b""",
-)
-def source_centroid_matrix(spark, sf_dir):
-    """Pairwise SOURCE-CENTROID cosine matrix — the semantic counterpart
-    of jsd_source_pairs' lexical LM divergence (vec_id == doc_id joins
-    each embedding to its document's source): two sources whose
-    centroids align are topically redundant even when their vocabularies
-    differ (translations, paraphrase mirrors) — exactly what the lexical
-    matrix cannot see, which is why a data-mix audit reads both.
-
-    Determinism: centroids are element-wise BIGINT q6 SUMS (cosine is
-    scale-invariant, so the sum stands in for the mean — the
-    _kmeans_cent trick); the pairwise cosine is one shared float
-    expression with an exact zero-norm guard.
-
-    Scale shape: one (source, dim) agg with map-side partials (64 rows
-    per source), then a |sources|²-bounded pair join of 64-element
-    arrays; the corpus is scanned once."""
-    e = (
-        _emb(spark, sf_dir)
-        .where(F.col("vec_id") != 0)
-        .join(
-            _docs(spark, sf_dir).select(F.col("doc_id").alias("vec_id"), "source"),
-            "vec_id",
-        )
-        .select("source", F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
-    )
-    dims = (
-        e.select("source", F.posexplode("v").alias("i", "x"))
-        .withColumn("xq", F.round(F.col("x") * F.lit(1_000_000.0)).cast("long"))
-        .groupBy("source", "i")
-        .agg(F.sum("xq").alias("s"))
-    )
-    cv = dims.groupBy("source").agg(
-        F.expr(
-            "transform(sort_array(collect_list(struct(i, s))), t -> cast(t.s as double))"
-        ).alias("c")
-    )
-    a = cv.select(F.col("source").alias("src_a"), F.col("c").alias("ca"))
-    b = cv.select(F.col("source").alias("src_b"), F.col("c").alias("cb"))
-    px = (
-        a.join(b, F.col("src_a") < F.col("src_b"))
-        .select(
-            "src_a",
-            "src_b",
-            F.expr(_DOT.format(a="ca", b="cb")).alias("nab"),
-            F.expr(_DOT.format(a="ca", b="ca")).alias("naa"),
-            F.expr(_DOT.format(a="cb", b="cb")).alias("nbb"),
-        )
-    )
-    return px.select("src_a", "src_b", F.expr(_CENT_COS).alias("cos_q6")).orderBy(
-        "src_a", "src_b"
-    )
-
-
-# variance in the FLOAT-MEAN form (ss/n - (s/n)^2) — the integer products
-# n*ss overflow BIGINT at corpus scale (events_daily_anomaly's lesson);
-# s is q6-scaled, ss q12-scaled, so the expression lands directly in q12.
-_DIM_VAR = "CAST(round(ss / CAST(n AS DOUBLE) - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))) AS BIGINT)"
-
-
-@register(
-    "embedding_dim_stats",
-    """WITH ex AS (
-  SELECT i - 1 AS dim, CAST(round(v[i] * 1000000) AS BIGINT) AS xq
-  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
-       (SELECT unnest(generate_series(1, 64)) AS i)),
-st AS (
-  SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(xq) AS BIGINT) AS s,
-         CAST(sum(xq * xq) AS BIGINT) AS ss
-  FROM ex GROUP BY dim)
-SELECT dim, n, CAST(round(s / CAST(n AS DOUBLE)) AS BIGINT) AS mean_q6,
-       """
-    + _DIM_VAR
-    + """ AS var_q12
-FROM st ORDER BY dim""",
-)
-def embedding_dim_stats(spark, sf_dir):
-    """Per-dimension mean/variance of the embedding matrix — the
-    whitening/normalization audit read before PCA or product
-    quantization (a dimension with outsized variance dominates every
-    unnormalized distance; dead dimensions waste code budget — the
-    flat-variance sandbox reading IS what i.i.d. synthetic vectors
-    should show). Completes the embedding-QA family: norms
-    (embedding_norm_outliers), clip bounds (embedding_dim_clip_bounds),
-    principal direction (embedding_power_iteration), now the per-dim
-    moment table.
-
-    Determinism: q6 quantization per element FIRST, sums are exact
-    BIGINTs (Σ xq² at q12 caps the envelope at ~9e6 vectors — beyond
-    that the elements floor to q3, the norm_outliers rule); mean and
-    variance are single float expressions in the divide-first form (the
-    n·ss integer product would overflow first).
-
-    Scale shape: one map-side explode into a 64-group agg; output 64
-    rows."""
-    ex = (
-        _emb(spark, sf_dir)
-        .where(F.col("vec_id") != 0)
-        .select(F.posexplode(F.expr("transform(embedding, x -> cast(x as double))")).alias("dim", "x"))
-        .withColumn("xq", F.round(F.col("x") * F.lit(1_000_000.0)).cast("long"))
-    )
-    stt = ex.groupBy("dim").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("xq").cast("long").alias("s"),
-        F.sum(F.expr("xq * xq")).cast("long").alias("ss"),
-    )
-    return stt.select(
-        "dim",
-        "n",
-        F.expr("CAST(round(s / CAST(n AS DOUBLE)) AS BIGINT)").alias("mean_q6"),
-        F.expr(_DIM_VAR).alias("var_q12"),
-    ).orderBy("dim")
-
-
-# ---------------------------------------------------------------------------
-# session 53 — BM25 parameter sweep, df spectrum, revenue Pareto
-# ---------------------------------------------------------------------------
-
-# (k1, b) grid in integer basis points; constants enter both engines as
-# (bp / 100.0) integer-over-float divisions — never decimal literals.
-_BM25_SWEEP = [(120, 75), (90, 40), (200, 75)]  # first = the engine default
-
-
-def _bm25_cfg_score(k1_bp: int, b_bp: int) -> str:
-    k1 = f"({k1_bp} / 100.0)"
-    b = f"({b_bp} / 100.0)"
-    return (
-        f"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ({k1} + 1.0)"
-        f" / (tf + {k1} * (1.0 - {b} + {b} * doc_len / avgdl))"
-    )
-
-
-def _bm25_sweep_sql() -> str:
-    parts = [
-        f"""WITH tf AS MATERIALIZED ({SQL_TF}),
-dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf GROUP BY doc_id),
-st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl),
-dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-q AS (SELECT unnest([{", ".join(repr(t) for t in _TOPK_TERMS)}]) AS term)"""
-    ]
-    for i, (k1_bp, b_bp) in enumerate(_BM25_SWEEP):
-        parts.append(
-            f""",
-agg{i} AS (
-  SELECT tf.doc_id,
-         CAST(round(1000000 * sum({_bm25_cfg_score(k1_bp, b_bp)})) AS BIGINT) AS score_q6
-  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id), st
-  GROUP BY tf.doc_id),
-top{i} AS MATERIALIZED (
-  SELECT doc_id FROM agg{i} ORDER BY score_q6 DESC, doc_id ASC LIMIT 10)"""
-        )
-    sel = "\nUNION ALL ".join(
-        f"""SELECT CAST({k1_bp} AS BIGINT) AS k1_bp, CAST({b_bp} AS BIGINT) AS b_bp,
-       (SELECT CAST(count(*) AS BIGINT) FROM top{i} t JOIN top0 t0 ON t.doc_id = t0.doc_id) AS overlap10"""
-        for i, (k1_bp, b_bp) in enumerate(_BM25_SWEEP)
-    )
-    parts.append(f"\nSELECT * FROM ({sel}) ORDER BY k1_bp, b_bp")
-    return "".join(parts)
-
-
-@register("bm25_param_sweep", _bm25_sweep_sql())
-def bm25_param_sweep(spark, sf_dir):
-    """BM25 (k1, b) hyperparameter sweep — the tuning curve for the CORE
-    scoring function itself (the family's other members tune sketches
-    and indexes; this tunes relevance): top-10 overlap of each grid
-    config against the engine default (1.2, 0.75). Grid: lower
-    saturation + weak length norm (0.9, 0.4 — the 'modern default'
-    proposed by Trotman), and high-k1 (2.0, 0.75). Overlap@10 is the
-    cheap stability readout — a config whose top-10 barely overlaps the
-    default's changes user-visible ranking and needs a judgment pass.
-
-    Determinism: every config's constants enter both engines as integer
-    /100.0 divisions (never decimal literals — the DECIMAL divergence
-    rule); scores quantize to q6 before ranking; ranks tiebreak on
-    doc_id.
-
-    Scale shape: tf/dl/st/dfs compute ONCE (MATERIALIZED / checkpointed
-    token table) and every config reuses them; each config adds only a
-    match-set-sized scoring join ending in a TakeOrdered(10); the
-    overlap joins see 10-row tables."""
-    toks = _toks(_docs(spark, sf_dir)).localCheckpoint()
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    stt = dl.agg(
-        F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl")
-    )
-    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    qdf = F.broadcast(
-        spark.createDataFrame([(t,) for t in _TOPK_TERMS], "term string")
-    )
-    base = (
-        tf.join(qdf, "term")
-        .join(dfs, "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stt))
-        .localCheckpoint()  # one scoring input, reused by every config
-    )
-    tops = []
-    for k1_bp, b_bp in _BM25_SWEEP:
-        agg = base.groupBy("doc_id").agg(
-            F.expr(
-                f"CAST(round(1000000 * sum({_bm25_cfg_score(k1_bp, b_bp)})) AS BIGINT)"
-            ).alias("score_q6")
-        )
-        tops.append(
-            agg.orderBy(F.desc("score_q6"), F.asc("doc_id"))
-            .limit(10)
-            .select("doc_id")
-            .localCheckpoint()
-        )
-    rows = []
-    for (k1_bp, b_bp), top in zip(_BM25_SWEEP, tops):
-        ov = top.join(tops[0], "doc_id").agg(
-            F.count(F.lit(1)).cast("long").alias("overlap10")
-        )
-        rows.append(
-            ov.select(
-                F.lit(k1_bp).cast("long").alias("k1_bp"),
-                F.lit(b_bp).cast("long").alias("b_bp"),
-                "overlap10",
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("k1_bp", "b_bp")
-
-
-@register(
-    "df_spectrum",
-    f"""WITH tf AS ({SQL_TF}),
-dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
-        FROM tf GROUP BY term),
-b AS (SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS band, df, cf FROM dfs)
-SELECT band, CAST(count(*) AS BIGINT) AS n_terms,
-       CAST(sum(df) AS BIGINT) AS postings,
-       CAST(sum(cf) AS BIGINT) AS tokens
-FROM b GROUP BY band ORDER BY band""",
-)
-def df_spectrum(spark, sf_dir):
-    """Vocabulary document-frequency spectrum: terms, posting-list
-    entries, and token mass per log2(df) band — the index-sizing curve
-    (how much of the postings volume lives in stopword-band terms decides
-    block-max budgets, stopword cuts, and the impact-ordered skip data;
-    the Zipf tail bands size the dictionary). The A2 aggregate read as a
-    distribution instead of a lookup table.
-
-    Scale shape: the vocab-keyed A2 agg then a ≤64-band rollup; all
-    counts exact BIGINTs, no floats anywhere."""
-    tf = _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf")
-    )
-    dfs = tf.groupBy("term").agg(
-        F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf")
-    )
-    b = dfs.select(
-        F.expr("CAST(length(bin(df)) - 1 AS BIGINT)").alias("band"), "df", "cf"
-    )
-    return (
-        b.groupBy("band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.sum("df").cast("long").alias("postings"),
-            F.sum("cf").cast("long").alias("tokens"),
-        )
-        .orderBy("band")
-    )
-
-
-_PARETO_PCTS = [(100000,), (10000,)]  # q6 fractions: 10%, 1%
-
-
-@register(
-    "revenue_pareto_users",
-    f"""WITH ur AS (
-  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events GROUP BY user_id),
-hist AS (SELECT cents, CAST(count(*) AS BIGINT) AS nu FROM ur GROUP BY cents),
-h AS (
-  SELECT cents, nu,
-         CAST(COALESCE(SUM(nu) OVER (ORDER BY cents DESC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-  FROM hist),
-tot AS (SELECT CAST(COALESCE(sum(nu), 0) AS BIGINT) AS n_users,
-               CAST(COALESCE(sum(nu * cents), 0) AS BIGINT) AS rev FROM hist),
-p AS (SELECT p_q6 FROM (VALUES {", ".join(str(t) for t in _PARETO_PCTS)}) AS v(p_q6)),
-kk AS (SELECT p_q6, CAST((p_q6 * n_users + 999999) // 1000000 AS BIGINT) AS k FROM p, tot),
-top AS (
-  SELECT kk.p_q6, kk.k,
-         CAST(COALESCE(sum(CASE
-           WHEN h.cum_before + h.nu <= kk.k THEN h.nu * h.cents
-           WHEN h.cum_before < kk.k THEN (kk.k - h.cum_before) * h.cents
-           ELSE 0 END), 0) AS BIGINT) AS rev_top
-  FROM kk LEFT JOIN h ON TRUE GROUP BY kk.p_q6, kk.k)
-SELECT top.p_q6, top.k AS k_users, top.rev_top,
-       CASE WHEN tot.rev = 0 THEN 0
-            ELSE CAST(round(1000000.0 * top.rev_top / tot.rev) AS BIGINT) END AS share_q6
-FROM top, tot ORDER BY p_q6 DESC""",
-)
-def revenue_pareto_users(spark, sf_dir):
-    """Revenue concentration (Pareto/Lorenz): the share of total event
-    value held by the top 10% and top 1% of users — THE whale-curve
-    readout behind every monetization dashboard ('do 1% of users carry
-    half the revenue?'). k = ceil(p·U) top users; the boundary bin
-    (users tied at the same cents total) contributes exactly its
-    marginal k − cum_before users, so the answer is order-free and
-    EXACT — no sort of the user table exists anywhere.
-
-    Determinism: cents are exact per-event BIGINTs summed per user;
-    ceil is the ADDITIVE identity (x + 999999) div 1e6 over non-negative
-    x — the negate trick −((−x) div d) is NOT ceil here because BOTH
-    engines truncate integer division toward zero (hypothesis caught
-    it); the share is one float division.
-
-    Scale shape: one user-keyed agg, then the doclen_quantiles
-    histogram trick over DISTINCT revenue values (histogram cells ≪
-    users); the prefix window runs over cells only; output is 2 rows."""
-    ur = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select("user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"))
-        .groupBy("user_id")
-        .agg(F.sum("c").cast("long").alias("cents"))
-    )
-    hist = ur.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("nu"))
-    hist = hist.localCheckpoint()  # feeds totals AND the cumulative window
-    w = Window.orderBy(F.desc("cents")).rowsBetween(Window.unboundedPreceding, -1)
-    h = hist.select(
-        "cents",
-        "nu",
-        F.coalesce(F.sum("nu").over(w), F.lit(0)).cast("long").alias("cum_before"),
-    )
-    tot = hist.agg(
-        F.coalesce(F.sum("nu"), F.lit(0)).cast("long").alias("n_users"),
-        F.coalesce(F.sum(F.expr("nu * cents")), F.lit(0)).cast("long").alias("rev"),
-    )
-    p = spark.createDataFrame(_PARETO_PCTS, "p_q6 long")
-    kk = F.broadcast(p).crossJoin(F.broadcast(tot)).select(
-        "p_q6", F.expr("CAST((p_q6 * n_users + 999999) div 1000000 AS BIGINT)").alias("k")
-    )
-    top = (
-        F.broadcast(kk)
-        .join(h, F.lit(True), "left")
-        .groupBy("p_q6", "k")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.expr(
-                        "CASE WHEN cum_before + nu <= k THEN nu * cents"
-                        " WHEN cum_before < k THEN (k - cum_before) * cents"
-                        " ELSE 0 END"
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("rev_top")
-        )
-    )
-    return (
-        top.crossJoin(F.broadcast(tot))
-        .select(
-            "p_q6",
-            F.col("k").alias("k_users"),
-            "rev_top",
-            F.expr(
-                "CASE WHEN rev = 0 THEN 0"
-                " ELSE CAST(round(1000000.0 * rev_top / rev) AS BIGINT) END"
-            ).alias("share_q6"),
-        )
-        .orderBy(F.desc("p_q6"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 54 — batched multi-query BM25, interpolated-LM lambda sweep,
-# term burstiness
-# ---------------------------------------------------------------------------
-
-_BATCH_QUERIES = [
-    (0, ["spark", "hash"]),
-    (1, ["merge", "sort", "window"]),
-    (2, ["table", "scan"]),
-    (3, ["join", "batch"]),
-]
-_BQ_VALUES = ", ".join(
-    f"({qid}, '{t}')" for qid, terms in _BATCH_QUERIES for t in terms
-)
-
-
-@register(
-    "bm25_batch_queries",
-    f"""WITH tf AS MATERIALIZED ({SQL_TF}),
-dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf GROUP BY doc_id),
-st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl),
-dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-q AS (SELECT * FROM (VALUES {_BQ_VALUES}) AS v(qid, term)),
-per AS (
-  SELECT q.qid, tf.doc_id,
-         ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))
-           * tf.tf * 2.2
-           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM st))) AS s
-  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)),
-agg AS (
-  SELECT qid, doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6
-  FROM per GROUP BY qid, doc_id),
-r AS (
-  SELECT qid, doc_id, score_q6,
-         row_number() OVER (PARTITION BY qid
-                            ORDER BY score_q6 DESC, doc_id ASC) AS rn
-  FROM agg)
-SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_q6, CAST(rn AS BIGINT) AS rank
-FROM r WHERE rn <= 5 ORDER BY qid, rank""",
-)
-def bm25_batch_queries(spark, sf_dir):
-    """BATCHED multi-query BM25 — ES ``_msearch`` re-expressed as ONE
-    relational plan: a query-set table (qid, term) joins the postings
-    ONCE and every query's match set falls out of the same exchange,
-    with per-query top-5 from a qid-partitioned window. The lexical twin
-    of ann_ivf_batch: single-query TakeOrdered loops (what a naive
-    _msearch translation does) scan the postings |queries| times; the
-    batch join scans them once — the shape that matters when an offline
-    eval set replays thousands of queries over 100 TB.
-
-    Scale shape: tf materializes once; the query table broadcasts; the
-    per-query window partitions by qid over match-set-sized input (same
-    bound as ann_ivf_batch's per-qid window); scores quantize before
-    ranking, doc_id tiebreak."""
-    toks = _toks(_docs(spark, sf_dir))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    tf = tf.localCheckpoint()  # feeds dl/dfs/the scoring join off one pass
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    stt = dl.agg(
-        F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl")
-    )
-    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    q = F.broadcast(
-        spark.createDataFrame(
-            [(qid, t) for qid, terms in _BATCH_QUERIES for t in terms],
-            "qid long, term string",
-        )
-    )
-    per = (
-        tf.join(q, "term")
-        .join(dfs, "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stt))
-        .select(
-            "qid",
-            "doc_id",
-            (
-                F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-                * F.col("tf").cast("double") * F.lit(2.2)
-                / (
-                    F.col("tf").cast("double")
-                    + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("doc_len") / F.col("avgdl"))
-                )
-            ).alias("s"),
-        )
-    )
-    agg = per.groupBy("qid", "doc_id").agg(_q6(F.sum("s")).alias("score_q6"))
-    w = Window.partitionBy("qid").orderBy(F.desc("score_q6"), F.asc("doc_id"))
-    return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
-        .select(
-            F.col("qid").cast("long").alias("qid"),
-            "doc_id",
-            "score_q6",
-            F.col("rn").cast("long").alias("rank"),
-        )
-        .orderBy("qid", "rank")
-    )
-
-
-# lambda grid as integer percents; the interpolated probability
-# lam*p_bi + (1-lam)*p_uni is ONE shared float expression per (type, lam),
-# q6-rounded FIRST (the KL-family rule), summed as exact BIGINT tf·nlp.
-_LM_LAMBDAS = [25, 50, 75]
-# greatest(denom, 1): an EMPTY train split zeroes c1+vocab — both engines
-# would hit a double division by zero (inf/NULL divergence); the guard
-# makes the no-information reading p_bi = (0+1)/1 = 1, nlp = 0.
-_LM_INTERP_NLP = (
-    "CAST(round(-ln((LAM / 100.0) * (CAST(COALESCE(cb, 0) + 1 AS DOUBLE)"
-    " / greatest(COALESCE(c1, 0) + vocab, 1))"
-    " + (1.0 - (LAM / 100.0)) * (CAST(COALESCE(cu, 0) + 1 AS DOUBLE)"
-    " / (big_n + vocab + 1))) * 1000000) AS BIGINT)"
-)
-
-
-@register(
-    "interpolated_lm_sweep",
-    f"""WITH w AS MATERIALIZED (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words,
-         {_SPLIT_V_SQL} AS v
-  FROM documents),
-bi AS MATERIALIZED (
-  SELECT words[i] AS a, words[i+1] AS b, CAST(count(*) AS BIGINT) AS cb
-  FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
-  WHERE v < 98 AND len(words) >= 2 GROUP BY 1, 2),
-uc AS MATERIALIZED (
-  SELECT term, CAST(count(*) AS BIGINT) AS c
-  FROM (SELECT unnest(words) AS term FROM w WHERE v < 98) GROUP BY term),
-st AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS big_n,
-              CAST(count(*) AS BIGINT) AS vocab FROM uc),
-evb AS (
-  SELECT words[i] AS a, words[i+1] AS b, CAST(count(*) AS BIGINT) AS tf
-  FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
-  WHERE v >= 98 AND len(words) >= 2 GROUP BY 1, 2),
-lam AS (SELECT unnest([{", ".join(str(x) for x in _LM_LAMBDAS)}]) AS lam),
-sc AS (
-  SELECT lam.lam, evb.tf,
-         {_LM_INTERP_NLP.replace('LAM', 'lam.lam').replace('cb', 'bi.cb')
-            .replace('c1', 'u1.c').replace('cu', 'u2.c')} AS nlp_q6
-  FROM evb
-  LEFT JOIN bi ON bi.a = evb.a AND bi.b = evb.b
-  LEFT JOIN uc u1 ON u1.term = evb.a
-  LEFT JOIN uc u2 ON u2.term = evb.b
-  CROSS JOIN st CROSS JOIN lam)
-SELECT CAST(lam AS BIGINT) AS lam_pct,
-       CAST(COALESCE(sum(tf), 0) AS BIGINT) AS n_scored,
-       CAST(COALESCE(sum(tf * nlp_q6), 0) AS BIGINT) AS nll_q6
-FROM sc GROUP BY lam ORDER BY lam""",
-)
-def interpolated_lm_sweep(spark, sf_dir):
-    """Jelinek-Mercer interpolation sweep: held-out bigram NLL at
-    λ ∈ {{0.25, 0.5, 0.75}} of λ·P_add1(w2|w1) + (1−λ)·P_add1(w2) — the
-    LM-smoothing hyperparameter curve (the λ a CCNet-style perplexity
-    filter fixes by exactly this sweep). Unseen contexts fall back
-    through the same formula (add-1 keeps every component finite, with
-    COALESCE(c1,0) for OOV contexts). Trained on the shipped md5-5-8
-    split, scored on the 2%% holdout, like every LM-eval op.
-
-    Determinism: λ enters as (pct / 100.0); per-(bigram-type, λ) NLP is
-    one q6-rounded shared float expression; NLL is the exact BIGINT
-    Σ tf·nlp.
-
-    Scale shape: the corpus tokenizes once (checkpointed arrays); train
-    bigram/unigram tables are Zipf-bounded aggs; the eval side joins
-    them on n-gram keys and fans ×3 over the broadcast λ spine — the
-    fan multiplies eval-TYPE rows, never the corpus."""
-    wdf = (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            spark_tokens("text").alias("words"),
-            F.expr(_SPLIT_V_SPARK).alias("v"),
-        )
-        .localCheckpoint()
-    )
-
-    def _bigrams(df):
-        return (
-            df.where(F.size("words") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(words)-2), i -> "
-                        "struct(words[i] AS a, words[i+1] AS b))"
-                    )
-                ).alias("t")
-            )
-            .select("t.a", "t.b")
-        )
-
-    tr = wdf.where(F.col("v") < 98)
-    bi = _bigrams(tr).groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("cb"))
-    uc = (
-        tr.select(F.explode("words").alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    stt = uc.agg(
-        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("big_n"),
-        F.count(F.lit(1)).cast("long").alias("vocab"),
-    )
-    evb = (
-        _bigrams(wdf.where(F.col("v") >= 98))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    lam = F.broadcast(
-        spark.createDataFrame([(x,) for x in _LM_LAMBDAS], "lam long")
-    )
-    u1 = uc.select(F.col("term").alias("a"), F.col("c").alias("c1x"))
-    u2 = uc.select(F.col("term").alias("b"), F.col("c").alias("cux"))
-    sc = (
-        evb.join(bi, ["a", "b"], "left")
-        .join(u1, "a", "left")
-        .join(u2, "b", "left")
-        .crossJoin(F.broadcast(stt))
-        .crossJoin(lam)
-        .select(
-            "lam",
-            "tf",
-            F.expr(
-                _LM_INTERP_NLP.replace("LAM", "lam")
-                .replace("cb", "cb")
-                .replace("c1", "c1x")
-                .replace("cu", "cux")
-            ).alias("nlp_q6"),
-        )
-    )
-    return (
-        sc.groupBy("lam")
-        .agg(
-            F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("n_scored"),
-            F.coalesce(F.sum(F.expr("tf * nlp_q6")), F.lit(0)).cast("long").alias("nll_q6"),
-        )
-        .select(F.col("lam").cast("long").alias("lam_pct"), "n_scored", "nll_q6")
-        .orderBy("lam_pct")
-    )
-
-
-@register(
-    "term_burstiness",
-    f"""WITH tf AS ({SQL_TF}),
-a2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
-       FROM tf GROUP BY term)
-SELECT term, df, cf,
-       CAST(round(1000000.0 * cf / df) AS BIGINT) AS burst_q6
-FROM a2 WHERE df >= 5
-ORDER BY burst_q6 DESC, term ASC LIMIT 20""",
-)
-def term_burstiness(spark, sf_dir):
-    """Term burstiness (Church & Gale): E[tf | term present] = cf/df per
-    term, top-20 among terms with df ≥ 5 — the statistic separating
-    TOPICAL terms (bursty: rare across docs but repeated within them)
-    from FUNCTION words (evenly spread, ratio ≈ 1). Drives stopword
-    cuts, impact-ordered index budgets, and the repetition-quality
-    flags' thresholds — all currently tuned on df alone, which cannot
-    see the within-doc axis.
-
-    Determinism: one q6 division of two exact BIGINTs per term.
-    Scale shape: the A2 agg plus a TakeOrdered(20) — no new exchange."""
-    tf = _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf")
-    )
-    a2 = tf.groupBy("term").agg(
-        F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf")
-    )
-    return (
-        a2.where(F.col("df") >= 5)
-        .select(
-            "term",
-            "df",
-            "cf",
-            F.expr("CAST(round(1000000.0 * cf / df) AS BIGINT)").alias("burst_q6"),
-        )
-        .orderBy(F.desc("burst_q6"), F.asc("term"))
-        .limit(20)
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 55 — routed percolation, MLM masking plan, hour-of-day profile
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "percolate_routed",
-    f"""WITH dtf AS MATERIALIZED (
-  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-  FROM ({SQL_TOKS}) GROUP BY term),
-top4 AS (SELECT term FROM dtf ORDER BY df DESC, term LIMIT 4),
-qt AS (SELECT term FROM top4 UNION SELECT 'dup'),
-q AS (SELECT a.term AS qa, b.term AS qb FROM qt a JOIN qt b ON a.term < b.term),
-qr AS (
-  SELECT q.qa, q.qb,
-         CASE WHEN fa.df <= fb.df THEN q.qa ELSE q.qb END AS route,
-         CASE WHEN fa.df <= fb.df THEN q.qb ELSE q.qa END AS other
-  FROM q JOIN dtf fa ON fa.term = q.qa JOIN dtf fb ON fb.term = q.qb),
-dt AS MATERIALIZED (SELECT DISTINCT doc_id, term FROM ({SQL_TOKS})),
-cand AS (
-  SELECT qr.qa, qr.qb, qr.route, qr.other, dt.doc_id
-  FROM qr JOIN dt ON dt.term = qr.route),
-ver AS (
-  SELECT cand.qa, cand.qb, cand.route, cand.doc_id,
-         CAST(db.doc_id IS NOT NULL AS INT) AS hit
-  FROM cand LEFT JOIN dt db
-    ON db.term = cand.other AND db.doc_id = cand.doc_id)
-SELECT qa, qb, route,
-       CAST(count(*) AS BIGINT) AS n_candidates,
-       CAST(COALESCE(sum(hit), 0) AS BIGINT) AS n_matched
-FROM ver GROUP BY qa, qb, route ORDER BY qa, qb""",
-)
-def percolate_routed(spark, sf_dir):
-    """ROUTED percolation — the ES percolator's candidate-pruning
-    optimization made explicit: each stored query routes by its RAREST
-    term (min df; the percolator's `query_terms` extraction), documents
-    probe only the queries whose routing term they contain, and full
-    verification runs on candidates alone. Reports per query the
-    candidate count next to the true match count — the pruning-factor
-    evidence (candidates = rarest-term df, instead of the corpus scan a
-    naive percolator pays per document).
-
-    Scale shape: the query registry and its routing table broadcast; the
-    candidate join streams postings map-side ONCE (the routing term is
-    the equi-key); verification is a LEFT probe of candidate-sized rows
-    against the postings on the (other-term, doc) key. The distinct
-    token table materializes once for its three consumers."""
-    toks = _toks(_docs(spark, sf_dir))
-    dt = toks.distinct().localCheckpoint()
-    dtf = dt.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    top4 = dtf.orderBy(F.desc("df"), "term").limit(4).select("term")
-    qt = top4.unionByName(
-        top4.sparkSession.range(1).select(F.lit("dup").alias("term"))
-    ).distinct()
-    q = (
-        qt.alias("a")
-        .crossJoin(qt.alias("b"))
-        .where(F.col("a.term") < F.col("b.term"))
-        .select(F.col("a.term").alias("qa"), F.col("b.term").alias("qb"))
-    )
-    fa = dtf.select(F.col("term").alias("qa"), F.col("df").alias("dfa"))
-    fb = dtf.select(F.col("term").alias("qb"), F.col("df").alias("dfb"))
-    qr = (
-        q.join(fa, "qa")
-        .join(fb, "qb")
-        .select(
-            "qa",
-            "qb",
-            F.expr("CASE WHEN dfa <= dfb THEN qa ELSE qb END").alias("route"),
-            F.expr("CASE WHEN dfa <= dfb THEN qb ELSE qa END").alias("other"),
-        )
-    )
-    cand = (
-        F.broadcast(qr)
-        .join(dt.alias("da"), F.col("da.term") == F.col("route"))
-        .select("qa", "qb", "route", "other", F.col("da.doc_id").alias("doc_id"))
-    )
-    db = dt.select(F.col("term").alias("vterm"), F.col("doc_id").alias("vdoc"))
-    ver = cand.join(
-        db,
-        (F.col("vterm") == F.col("other")) & (F.col("vdoc") == F.col("doc_id")),
-        "left",
-    ).select(
-        "qa", "qb", "route", F.col("vdoc").isNotNull().cast("int").alias("hit")
-    )
-    return (
-        ver.groupBy("qa", "qb", "route")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_candidates"),
-            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_matched"),
-        )
-        .orderBy("qa", "qb")
-    )
-
-
-# BERT MLM plan: select 15% of token positions by a position-keyed hash
-# coordinate (hash-INPUT disjoint: 'mask:'||doc_id||':'||pos), then split
-# selected positions 80/10/10 into mask/random/keep by a second slice.
-_MLM_SEL = (
-    "('0x' || substr(md5('mask:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 4))::INT % 100"
-)
-_MLM_SUB = (
-    "('0x' || substr(md5('mask:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 5, 2))::INT % 10"
-)
-_MLM_SEL_SPARK = (
-    "cast(conv(substring(md5(concat('mask:', cast(doc_id as string), ':', cast(pos as string))), 1, 4), 16, 10) as int) % 100"
-)
-_MLM_SUB_SPARK = (
-    "cast(conv(substring(md5(concat('mask:', cast(doc_id as string), ':', cast(pos as string))), 5, 2), 16, 10) as int) % 10"
-)
-
-
-@register(
-    "mlm_masking_plan",
-    f"""WITH w AS ({SQL_WORDS}),
-p AS (
-  SELECT doc_id, source, i - 1 AS pos
-  FROM w, unnest(generate_series(1, len(words))) AS t(i)),
-m AS (
-  SELECT source,
-         CAST({_MLM_SEL} < 15 AS INT) AS sel,
-         CASE WHEN {_MLM_SEL} < 15 THEN {_MLM_SUB} ELSE -1 END AS sub
-  FROM p)
-SELECT source,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(COALESCE(sum(sel), 0) AS BIGINT) AS n_selected,
-       CAST(COALESCE(sum(CASE WHEN sub BETWEEN 0 AND 7 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_mask,
-       CAST(COALESCE(sum(CASE WHEN sub = 8 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_random,
-       CAST(COALESCE(sum(CASE WHEN sub = 9 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_keep
-FROM m GROUP BY source ORDER BY source""",
-)
-def mlm_masking_plan(spark, sf_dir):
-    """Deterministic BERT-style MLM masking plan: 15% of token POSITIONS
-    selected by a position-keyed md5 coordinate, the selection split
-    80/10/10 into [MASK] / random-token / keep-original (Devlin et al.
-    2019) — as a reproducible RELATIONAL op: the same (doc, pos) masks
-    identically on every engine, epoch-stable and shard-independent (an
-    RNG-state masker reshuffles on retry and leaks positions across
-    re-runs). Reports the per-source census a pretraining run logs.
-
-    Determinism: selection and sub-split read DISJOINT slices (hex 1-4,
-    5-6) of the 'mask:'-seeded hash — hash-input disjointness from every
-    other coordinate family, slice disjointness between the two
-    decisions.
-
-    Scale shape: one map-side position explode into a sources-sized agg;
-    no shuffle before the final small groupBy."""
-    p = _docs(spark, sf_dir).select(
-        "doc_id", "source", F.posexplode(spark_tokens("text")).alias("pos", "term")
-    )
-    m = p.select(
-        "source",
-        F.expr(f"CAST({_MLM_SEL_SPARK} < 15 AS INT)").alias("sel"),
-        F.expr(
-            f"CASE WHEN {_MLM_SEL_SPARK} < 15 THEN {_MLM_SUB_SPARK} ELSE -1 END"
-        ).alias("sub"),
-    )
-    return (
-        m.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.coalesce(F.sum("sel"), F.lit(0)).cast("long").alias("n_selected"),
-            F.coalesce(F.sum(F.expr("CASE WHEN sub BETWEEN 0 AND 7 THEN 1 ELSE 0 END")), F.lit(0))
-            .cast("long")
-            .alias("n_mask"),
-            F.coalesce(F.sum(F.expr("CASE WHEN sub = 8 THEN 1 ELSE 0 END")), F.lit(0))
-            .cast("long")
-            .alias("n_random"),
-            F.coalesce(F.sum(F.expr("CASE WHEN sub = 9 THEN 1 ELSE 0 END")), F.lit(0))
-            .cast("long")
-            .alias("n_keep"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "events_hour_profile",
-    f"""WITH e AS (
-  SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
-         CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events),
-c AS (SELECT hour, CAST(count(*) AS BIGINT) AS n_events,
-             CAST(sum(cents) AS BIGINT) AS value_cents
-      FROM e GROUP BY hour),
-spine AS (SELECT unnest(generate_series(0, 23)) AS hour)
-SELECT CAST(spine.hour AS BIGINT) AS hour,
-       CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events,
-       CAST(COALESCE(c.value_cents, 0) AS BIGINT) AS value_cents
-FROM spine LEFT JOIN c ON c.hour = spine.hour ORDER BY hour""",
-)
-def events_hour_profile(spark, sf_dir):
-    """Hour-of-day activity profile (UTC): event count and exact cents
-    value per hour over a zero-filled 24-row spine — the intraday
-    seasonality twin of events_weekday_profile (hours come from integer
-    epoch-microsecond division, never timezone-dependent hour()).
-
-    Scale shape: map-side integer keys into a 24-group agg; the spine
-    LEFT JOIN keeps silent hours visible."""
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        F.expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 24").alias("hour"),
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-    )
-    c = e.groupBy("hour").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum("cents").cast("long").alias("value_cents"),
-    )
-    spine = spark.createDataFrame([(h,) for h in range(24)], "hour long")
-    return (
-        F.broadcast(spine)
-        .join(c, "hour", "left")
-        .select(
-            F.col("hour").cast("long").alias("hour"),
-            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
-            F.coalesce(F.col("value_cents"), F.lit(0)).cast("long").alias("value_cents"),
-        )
-        .orderBy("hour")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 56 — negative-sampling apportionment, bigram entropy rate,
-# tf spectrum
-# ---------------------------------------------------------------------------
-
-_NEG_SLOTS = 4096  # sampling-table size (2^12; word2vec uses 1e8 at scale)
-
-
-@register(
-    "negative_sampling_table",
-    f"""WITH toks AS ({SQL_TOKS}),
-cf AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
-wq AS (SELECT term, c, CAST(round(1000000 * pow(c, 75e-2)) AS BIGINT) AS w_q6 FROM cf),
-tot AS (SELECT CAST(COALESCE(sum(w_q6), 0) AS BIGINT) AS tw FROM wq),
-base AS (
-  SELECT term, c, w_q6,
-         CAST(({_NEG_SLOTS} * w_q6) // tw AS BIGINT) AS slots0,
-         CAST(({_NEG_SLOTS} * w_q6) % tw AS BIGINT) AS rem
-  FROM wq, tot),
-need AS (SELECT CAST({_NEG_SLOTS} - COALESCE(sum(slots0), 0) AS BIGINT) AS k FROM base),
-rk AS (
-  SELECT term, c, w_q6, slots0, rem,
-         row_number() OVER (ORDER BY rem DESC, term ASC) AS rr
-  FROM base)
-SELECT term, c, w_q6,
-       CAST(slots0 + CASE WHEN rr <= (SELECT k FROM need) THEN 1 ELSE 0 END AS BIGINT) AS slots
-FROM rk
-ORDER BY slots DESC, term ASC LIMIT 20""",
-)
-def negative_sampling_table(spark, sf_dir):
-    """word2vec negative-sampling table (Mikolov 2013: draw negatives
-    ∝ count^0.75) built by LARGEST-REMAINDER apportionment — every term
-    gets floor(S·w/W) slots and the S − Σfloor leftover slots go to the
-    largest remainders (Hare quota; the same algorithm that seats
-    parliaments), so the table is EXACTLY S slots with zero RNG and a
-    bounded ±1-slot error per term — reproducible where the usual
-    cumulative-float fill drifts with summation order. Top-20 rows by
-    slot count.
-
-    Determinism: w_q6 = round(1e6·c^0.75) per term FIRST (one libm pow,
-    the temperature_mix rule); floor/mod apportionment is pure BIGINT;
-    the remainder ranking tiebreaks on term.
-
-    Scale shape: the A2-sized weight table, a 1-row total broadcast, and
-    ONE vocab-sized remainder window (ranked rows are vocab-bounded;
-    at 1e9-term vocabularies the window sub-shards on a hash prefix
-    exactly like global_row_ids). Output is 20 rows."""
-    cf = _toks(_docs(spark, sf_dir)).groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    wq = cf.select(
-        "term", "c",
-        F.expr("CAST(round(1000000 * pow(c, 75e-2)) AS BIGINT)").alias("w_q6"),
-    )
-    wq = wq.localCheckpoint()  # feeds the total AND the apportionment
-    tot = wq.agg(F.coalesce(F.sum("w_q6"), F.lit(0)).cast("long").alias("tw"))
-    base = wq.crossJoin(F.broadcast(tot)).select(
-        "term", "c", "w_q6",
-        F.expr(f"CAST(({_NEG_SLOTS} * w_q6) div tw AS BIGINT)").alias("slots0"),
-        F.expr(f"CAST(({_NEG_SLOTS} * w_q6) % tw AS BIGINT)").alias("rem"),
-    )
-    base = base.localCheckpoint()  # feeds the leftover count AND the ranking
-    need = base.agg(
-        (F.lit(_NEG_SLOTS) - F.coalesce(F.sum("slots0"), F.lit(0)))
-        .cast("long")
-        .alias("k")
-    )
-    w = Window.orderBy(F.desc("rem"), F.asc("term"))
-    rk = base.withColumn("rr", F.row_number().over(w))
-    return (
-        rk.crossJoin(F.broadcast(need))
-        .select(
-            "term", "c", "w_q6",
-            F.expr("CAST(slots0 + CASE WHEN rr <= k THEN 1 ELSE 0 END AS BIGINT)").alias("slots"),
-        )
-        .orderBy(F.desc("slots"), F.asc("term"))
-        .limit(20)
-    )
-
-
-@register(
-    "bigram_entropy_rate",
-    f"""WITH w AS ({SQL_WORDS}),
-bg AS (SELECT words[i] AS w1, words[i+1] AS w2, CAST(count(*) AS BIGINT) AS c12
-       FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
-       WHERE len(words) >= 2 GROUP BY 1, 2),
-c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1),
-nb AS (SELECT CAST(COALESCE(sum(c12), 0) AS BIGINT) AS n FROM bg),
-contrib AS (
-  SELECT CAST(round(-1000000 * (CAST(c12 AS DOUBLE) / nb.n)
-       * ln(CAST(c12 AS DOUBLE) / c1.c1)) AS BIGINT) AS h_q6
-  FROM bg JOIN c1 USING (w1) CROSS JOIN nb)
-SELECT (SELECT n FROM nb) AS n_bigrams,
-       CAST(count(*) AS BIGINT) AS n_types,
-       CAST(COALESCE(sum(h_q6), 0) AS BIGINT) AS entropy_rate_q6
-FROM contrib""",
-)
-def bigram_entropy_rate(spark, sf_dir):
-    """Conditional bigram entropy rate H(W2|W1) = −Σ p(w1,w2)·ln p(w2|w1)
-    — the corpus's per-token predictability under a first-order model
-    (Shannon's entropy-rate estimate; the information-theoretic summary
-    next to source_unigram_entropy's H(W) — the gap between them is the
-    mutual information consecutive tokens share, i.e. how much a bigram
-    LM can ever help). Low rate = templated/boilerplate corpus; compare
-    across snapshots for drift.
-
-    Determinism: per bigram-TYPE contribution is one q6-rounded float
-    expression over exact integers (p(pair) from the 1-row total
-    broadcast, p(w2|w1) from the context marginal); the sum is BIGINT.
-
-    Scale shape: one Zipf-bounded bigram-type agg; the context marginal
-    derives FROM it (shared exchange); output is 1 row."""
-    wdf = _docs(spark, sf_dir).select(spark_tokens("text").alias("words"))
-    bg = (
-        wdf.where(F.size("words") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(words)-2), i -> "
-                    "struct(words[i] AS w1, words[i+1] AS w2))"
-                )
-            ).alias("t")
-        )
-        .select("t.w1", "t.w2")
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
-    )
-    bg = bg.localCheckpoint()  # feeds the marginal, the total AND contribs
-    c1 = bg.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
-    nb = bg.agg(F.coalesce(F.sum("c12"), F.lit(0)).cast("long").alias("n"))
-    contrib = (
-        bg.join(c1, "w1")
-        .crossJoin(F.broadcast(nb))
-        .select(
-            F.expr(
-                "CAST(round(-1000000 * (CAST(c12 AS DOUBLE) / n)"
-                " * ln(CAST(c12 AS DOUBLE) / c1)) AS BIGINT)"
-            ).alias("h_q6")
-        )
-    )
-    return (
-        contrib.agg(
-            F.count(F.lit(1)).cast("long").alias("n_types"),
-            F.coalesce(F.sum("h_q6"), F.lit(0)).cast("long").alias("entropy_rate_q6"),
-        )
-        .crossJoin(F.broadcast(nb))
-        .select(F.col("n").alias("n_bigrams"), "n_types", "entropy_rate_q6")
-    )
-
-
-@register(
-    "tf_spectrum",
-    f"""WITH tf AS ({SQL_TF}),
-b AS (SELECT CAST(length(bin(tf)) - 1 AS BIGINT) AS band, tf FROM tf)
-SELECT band, CAST(count(*) AS BIGINT) AS n_postings,
-       CAST(sum(tf) AS BIGINT) AS tokens
-FROM b GROUP BY band ORDER BY band""",
-)
-def tf_spectrum(spark, sf_dir):
-    """Within-document term-frequency spectrum: posting count and token
-    mass per log2(tf) band — df_spectrum's within-doc sibling and the
-    BM25-saturation evidence (k1 = 1.2 means a tf ≥ 8 posting scores
-    barely above tf = 4: the token mass sitting in high-tf bands is mass
-    the ranking function deliberately ignores, which is what justifies
-    impact-bucketed/quantized posting formats at 100 TB).
-
-    Scale shape: the A1 posting agg then a ≤32-band rollup; all-integer."""
-    tf = _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf")
-    )
-    b = tf.select(F.expr("CAST(length(bin(tf)) - 1 AS BIGINT)").alias("band"), "tf")
-    return (
-        b.groupBy("band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_postings"),
-            F.sum("tf").cast("long").alias("tokens"),
-        )
-        .orderBy("band")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 57 — RFM segmentation, Markov stationary distribution, sessions
-# per user
-# ---------------------------------------------------------------------------
-
-_RFM_PROBES = "(200000), (400000), (600000), (800000)"
-
-
-@register(
-    "rfm_segments",
-    f"""WITH e AS (
-  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day,
-         CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events),
-mx AS (SELECT CAST(max(day) AS BIGINT) AS max_day FROM e),
-u AS (
-  SELECT user_id,
-         CAST((SELECT max_day FROM mx) - max(day) AS BIGINT) AS r,
-         CAST(count(*) AS BIGINT) AS f,
-         CAST(sum(cents) AS BIGINT) AS m
-  FROM e GROUP BY user_id),
-lf AS (
-  SELECT 'r' AS metric, r AS val FROM u
-  UNION ALL SELECT 'f', f FROM u
-  UNION ALL SELECT 'm', m FROM u),
-hist AS (SELECT metric, val, CAST(count(*) AS BIGINT) AS cnt FROM lf GROUP BY metric, val),
-h AS (
-  SELECT metric, val, cnt,
-         CAST(COALESCE(SUM(cnt) OVER (PARTITION BY metric ORDER BY val
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
-         CAST(SUM(cnt) OVER (PARTITION BY metric) AS BIGINT) AS n
-  FROM hist),
-q AS (SELECT p_q6 FROM (VALUES {_RFM_PROBES}) AS v(p_q6)),
-agg AS (
-  SELECT h.metric, q.p_q6, max(h.n) AS n,
-         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1))
-                  THEN h.val END) AS v_lo,
-         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1)) + 1
-                  THEN h.val END) AS v_hi
-  FROM h, q GROUP BY h.metric, q.p_q6),
-bnd AS (
-  SELECT metric, p_q6,
-         round(1000000.0 * (v_lo + ((p_q6 / 1000000.0) * (n - 1)
-              - floor((p_q6 / 1000000.0) * (n - 1))) * (v_hi - v_lo))) AS b_q6
-  FROM agg),
-sc AS (
-  SELECT u.user_id,
-         1 + CAST(COALESCE(sum(CASE WHEN 1000000 * u.r > br.b_q6 THEN 1 ELSE 0 END), 0) AS BIGINT) AS r_score,
-         1 + CAST(COALESCE(sum(CASE WHEN 1000000 * u.f > bf.b_q6 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f_score,
-         1 + CAST(COALESCE(sum(CASE WHEN 1000000 * u.m > bm.b_q6 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_score,
-         max(u.m) AS m
-  FROM u
-  JOIN bnd br ON br.metric = 'r'
-  JOIN bnd bf ON bf.metric = 'f' AND bf.p_q6 = br.p_q6
-  JOIN bnd bm ON bm.metric = 'm' AND bm.p_q6 = br.p_q6
-  GROUP BY u.user_id)
-SELECT r_score, f_score, m_score,
-       CAST(count(*) AS BIGINT) AS n_users,
-       CAST(sum(m) AS BIGINT) AS cents_total
-FROM sc GROUP BY r_score, f_score, m_score
-ORDER BY r_score, f_score, m_score""",
-)
-def rfm_segments(spark, sf_dir):
-    """RFM user segmentation — THE classic marketing/product census:
-    every user scored 1–5 on Recency (days since last event — score 5 =
-    longest-idle), Frequency (event count) and Monetary (exact cents),
-    segment = the (r, f, m) triple, reported as a census with revenue
-    mass. Quintile boundaries are exact type-7 quantiles computed from
-    ONE long-form weighted histogram over all three metrics at once (the
-    doclen_quantiles machinery, metric as the partition key) and
-    broadcast back; scores are boundary comparisons in integer cross-
-    multiplied form (1e6·value vs b_q6 — the boundary stays q6, the
-    value stays exact).
-
-    Scale shape: one user-keyed agg; histograms over DISTINCT metric
-    values; the 12-row boundary table broadcasts; the census is ≤125
-    rows. No user-table sort or window anywhere.
-
-    Day keys integer (events_daily_mavg); ties at boundaries score LOW
-    (strict >), identically in both engines."""
-    e = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias("day"),
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-    )
-    mx = e.agg(F.max("day").cast("long").alias("max_day"))
-    u = (
-        e.crossJoin(F.broadcast(mx))
-        .groupBy("user_id")
-        .agg(
-            (F.max("max_day") - F.max("day")).cast("long").alias("r"),
-            F.count(F.lit(1)).cast("long").alias("f"),
-            F.sum("cents").cast("long").alias("m"),
-        )
-        .localCheckpoint()  # feeds the histogram AND the scoring join
-    )
-    lf = (
-        u.select(F.lit("r").alias("metric"), F.col("r").alias("val"))
-        .unionByName(u.select(F.lit("f").alias("metric"), F.col("f").alias("val")))
-        .unionByName(u.select(F.lit("m").alias("metric"), F.col("m").alias("val")))
-    )
-    hist = lf.groupBy("metric", "val").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    w_cum = (
-        Window.partitionBy("metric").orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_all = Window.partitionBy("metric")
-    h = hist.select(
-        "metric",
-        "val",
-        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).cast("long").alias("cum_before"),
-        F.sum("cnt").over(w_all).cast("long").alias("n"),
-    )
-    q = spark.createDataFrame([(200000,), (400000,), (600000,), (800000,)], "p_q6 long")
-    rank = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
-    agg = (
-        h.crossJoin(F.broadcast(q))
-        .groupBy("metric", "p_q6")
-        .agg(
-            F.max("n").alias("n"),
-            F.max(F.when(F.col("cum_before") <= F.floor(rank), F.col("val"))).alias("v_lo"),
-            F.max(F.when(F.col("cum_before") <= F.floor(rank) + 1, F.col("val"))).alias("v_hi"),
-        )
-    )
-    r2 = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
-    frac = r2 - F.floor(r2)
-    bnd = agg.select(
-        "metric",
-        "p_q6",
-        F.round(F.lit(1_000_000.0) * (F.col("v_lo") + frac * (F.col("v_hi") - F.col("v_lo")))).alias("b_q6"),
-    )
-    # one broadcast of the 12 boundary rows; scores via conditional sums
-    sc = (
-        u.crossJoin(F.broadcast(bnd))
-        .groupBy("user_id")
-        .agg(
-            (1 + F.coalesce(F.sum(F.expr("CASE WHEN metric = 'r' AND 1000000 * r > b_q6 THEN 1 ELSE 0 END")), F.lit(0)))
-            .cast("long")
-            .alias("r_score"),
-            (1 + F.coalesce(F.sum(F.expr("CASE WHEN metric = 'f' AND 1000000 * f > b_q6 THEN 1 ELSE 0 END")), F.lit(0)))
-            .cast("long")
-            .alias("f_score"),
-            (1 + F.coalesce(F.sum(F.expr("CASE WHEN metric = 'm' AND 1000000 * m > b_q6 THEN 1 ELSE 0 END")), F.lit(0)))
-            .cast("long")
-            .alias("m_score"),
-            F.max("m").alias("m"),
-        )
-    )
-    return (
-        sc.groupBy("r_score", "f_score", "m_score")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_users"),
-            F.sum("m").cast("long").alias("cents_total"),
-        )
-        .orderBy("r_score", "f_score", "m_score")
-    )
-
-
-_MARKOV_ROUNDS = 5
-
-
-def _markov_stationary_sql() -> str:
-    parts = [
-        """WITH t AS (
-  SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type FROM events),
-pr AS (
-  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-           AS prev_type, event_type AS next_type
-  FROM t),
-c AS (
-  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
-  FROM pr WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type),
-p AS MATERIALIZED (
-  SELECT prev_type, next_type,
-         CAST((1000000 * n_trans)
-              // sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS p_q6
-  FROM c),
-types AS MATERIALIZED (SELECT DISTINCT prev_type AS et FROM p),
-k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM types),
-v0 AS MATERIALIZED (SELECT et, CAST(1000000 // (SELECT k FROM k) AS BIGINT) AS v_q6 FROM types)"""
-    ]
-    for r in range(_MARKOV_ROUNDS):
-        parts.append(
-            f""",
-v{r + 1} AS MATERIALIZED (
-  SELECT p.next_type AS et,
-         CAST(COALESCE(sum(v{r}.v_q6 * p.p_q6), 0) // 1000000 AS BIGINT) AS v_q6
-  FROM v{r} JOIN p ON p.prev_type = v{r}.et
-  GROUP BY p.next_type)"""
-        )
-    parts.append(
-        f"""
-SELECT v0.et AS event_type, v0.v_q6 AS v0_q6,
-       CAST(COALESCE(vlast.v_q6, 0) AS BIGINT) AS stationary_q6
-FROM v0 LEFT JOIN v{_MARKOV_ROUNDS} vlast ON vlast.et = v0.et
-ORDER BY event_type"""
-    )
-    return "".join(parts)
-
-
-@register("markov_stationary", _markov_stationary_sql())
-def markov_stationary(spark, sf_dir):
-    """Stationary distribution of the user-journey Markov chain: 5 power-
-    iteration rounds of v ← vP over the q6-integer transition matrix from
-    events_markov_transitions — where user attention CONVERGES (the
-    long-run share of each event type if behavior keeps its transition
-    structure), vs the v0 uniform start. The chain analytics member that
-    turns the transition matrix into a ranking.
-
-    Determinism: P is the integer-division q6 matrix (rows sum ≤ 1e6 by
-    truncation — mass leaks ~1e-6/round identically in both engines,
-    declared); each round is an exact BIGINT Σ v·p div 1e6. Power
-    iteration, not an eigensolver — 5 rounds on a mixing 5-state chain
-    sits well inside q6 resolution.
-
-    Scale shape: the one event-stream window builds the ≤|types|² matrix;
-    every round is a join of two ≤|types| tables (broadcast); output is
-    |types| rows."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        "event_id",
-        "event_type",
-    )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    pr = t.select(
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.col("event_type").alias("next_type"),
-    )
-    c = (
-        pr.where(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", "next_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
-    )
-    wr = Window.partitionBy("prev_type")
-    p = (
-        c.withColumn("tot", F.sum("n_trans").over(wr))
-        .select(
-            "prev_type",
-            "next_type",
-            F.expr("(1000000 * n_trans) div tot").cast("long").alias("p_q6"),
-        )
-        .localCheckpoint()  # the per-round join side
-    )
-    types = p.select(F.col("prev_type").alias("et")).distinct().localCheckpoint()
-    kk = types.agg(F.count(F.lit(1)).cast("long").alias("k"))
-    v = (
-        types.crossJoin(F.broadcast(kk))
-        .select("et", F.expr("CAST(1000000 div k AS BIGINT)").alias("v_q6"))
-        .localCheckpoint()
-    )
-    v0 = v
-    for _ in range(_MARKOV_ROUNDS):
-        v = (
-            v.join(p, F.col("et") == F.col("prev_type"))
-            .groupBy(F.col("next_type").alias("et2"))
-            .agg(
-                F.expr("CAST(COALESCE(sum(v_q6 * p_q6), 0) div 1000000 AS BIGINT)").alias(
-                    "v_q6"
-                )
-            )
-            .select(F.col("et2").alias("et"), "v_q6")
-            .localCheckpoint()
-        )
-    return (
-        v0.select(F.col("et").alias("event_type"), F.col("v_q6").alias("v0_q6"))
-        .join(
-            v.select(F.col("et").alias("event_type"), F.col("v_q6").alias("stationary_q6")),
-            "event_type",
-            "left",
-        )
-        .select(
-            "event_type",
-            "v0_q6",
-            F.coalesce(F.col("stationary_q6"), F.lit(0)).cast("long").alias("stationary_q6"),
-        )
-        .orderBy("event_type")
-    )
-
-
-_SESSION_GAP_US = 1_800_000_000  # 30 min
-
-
-@register(
-    "user_session_histogram",
-    f"""WITH t AS (
-  SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events),
-g AS (
-  SELECT user_id,
-         CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   IS NULL THEN 1
-              WHEN t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS is_start
-  FROM t),
-s AS (SELECT user_id, CAST(sum(is_start) AS BIGINT) AS n_sessions FROM g GROUP BY user_id)
-SELECT n_sessions, CAST(count(*) AS BIGINT) AS n_users
-FROM s GROUP BY n_sessions ORDER BY n_sessions""",
-)
-def user_session_histogram(spark, sf_dir):
-    """Sessions-per-user distribution under the 30-minute-gap rule (the
-    sessionizer's own cut, interevent_gap_histogram's calibrated knob):
-    a session starts at a user's first event or after a gap > 30 min;
-    the histogram of per-user session counts is the engagement-depth
-    census (one-session drive-bys vs habitual returners) that the
-    streaming sessionizer's per-session output doesn't aggregate.
-
-    Determinism: gaps order by (ts, event_id) — the tie rule every
-    event-sequence op shares; counts are exact.
-
-    Scale shape: ONE user-partitioned lag window (the sessionizer's
-    shuffle key), a user-keyed sum, and a small histogram agg."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        "event_id",
-    )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    g = t.select(
-        "user_id",
-        F.expr(
-            f"CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
-            f" IS NULL THEN 1"
-            f" WHEN t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
-            f" > {_SESSION_GAP_US} THEN 1 ELSE 0 END"
-        ).alias("is_start"),
-    )
-    s = g.groupBy("user_id").agg(F.sum("is_start").cast("long").alias("n_sessions"))
-    return (
-        s.groupBy("n_sessions")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .orderBy("n_sessions")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 58 — k-core peeling, query decompounding, low-entropy outliers
-# ---------------------------------------------------------------------------
-
-_KCORE_K = 2
-_KCORE_ROUNDS = 8
-
-
-def _lsh_kcore_sql() -> str:
-    parts = [
-        _SQL_LSH_PAIRS
-        + """,
-e0 AS MATERIALIZED (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs)"""
-    ]
-    for r in range(_KCORE_ROUNDS):
-        parts.append(
-            f""",
-d{r} AS MATERIALIZED (
-  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e{r} GROUP BY src),
-keep{r} AS MATERIALIZED (SELECT src AS id FROM d{r} WHERE deg >= {_KCORE_K}),
-e{r + 1} AS MATERIALIZED (
-  SELECT e.src, e.dst FROM e{r} e
-  JOIN keep{r} ka ON ka.id = e.src
-  JOIN keep{r} kb ON kb.id = e.dst)"""
-        )
-    last = _KCORE_ROUNDS
-    parts.append(
-        f"""
-SELECT CAST((SELECT count(*) FROM keep{last - 1}) AS BIGINT) AS n_core_nodes,
-       CAST((SELECT count(*) FROM e{last}) / 2 AS BIGINT) AS n_core_edges,
-       CAST((SELECT count(DISTINCT src) FROM e0) AS BIGINT) AS n_nodes,
-       CAST((SELECT count(*) FROM e0) / 2 AS BIGINT) AS n_edges,
-       CAST((SELECT count(*) FROM e{last - 1}) - (SELECT count(*) FROM e{last}) AS BIGINT)
-         AS last_round_delta"""
-    )
-    return "".join(parts)
-
-
-@register("lsh_kcore", _lsh_kcore_sql())
-def lsh_kcore(spark, sf_dir):
-    """{k}-core of the near-dup candidate graph (k = 2): iteratively peel
-    nodes of degree < k until fixpoint — the DENSE-cluster extractor
-    (boilerplate farms and mirror rings survive the peel; one-off
-    accidental band collisions do not), which is how a dedup pipeline
-    separates 'delete the whole cluster' candidates from pair noise.
-    Completes the graph family: components, triangles, Adamic-Adar,
-    degrees, now coreness.
-
-    Convergence is VERIFIED, not assumed: if the last peel round still
-    removed edges, the op raises ConvergenceError instead of returning a
-    non-core (the dedup_connected_components rule) — 8 rounds suffice
-    because each round at minimum halves the sub-k fringe on this graph
-    family; the oracle unrolls the identical rounds.
-
-    Scale shape: per round ONE degree agg + a semi-join of the edge
-    table against the survivor set (both keyed on the node id);
-    localCheckpoint per round cuts lineage. Output is one summary row."""
-    edges = _lsh_pair_edges(spark, sf_dir)
-    e = edges.select("src", "dst").localCheckpoint()
-    e0_nodes = e.select("src").distinct().count()
-    e0_edges = e.count() // 2
-    prev_cnt = e.count()
-    last_keep = None
-    for _ in range(_KCORE_ROUNDS):
-        d = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        keep = d.where(F.col("deg") >= _KCORE_K).select(F.col("src").alias("id"))
-        keep = keep.localCheckpoint()
-        e = (
-            e.join(keep.select(F.col("id").alias("src")), "src")
-            .join(keep.select(F.col("id").alias("dst")), "dst")
-            .select("src", "dst")
-            .localCheckpoint()
-        )
-        last_keep = keep
-        cnt = e.count()
-        if cnt == prev_cnt:
-            break
-        prev_cnt = cnt
-    else:
-        raise ConvergenceError(
-            f"k-core peel did not reach a fixpoint in {_KCORE_ROUNDS} rounds"
-        )
-    # mirror the oracle's fixed-round outputs: after convergence the
-    # remaining rounds are no-ops, so keep/e equal the unrolled tables
-    n_core_nodes = last_keep.count() if last_keep is not None else 0
-    n_core_edges = e.count() // 2
-    return spark.createDataFrame(
-        [(n_core_nodes, n_core_edges, e0_nodes, e0_edges, 0)],
-        "n_core_nodes long, n_core_edges long, n_nodes long, n_edges long, last_round_delta long",
-    )
-
-
-_DECOMPOUND_Q = "sparkjoin"
-
-
-@register(
-    "decompound_query",
-    f"""WITH tf AS ({SQL_TF}),
-dict AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
-sp AS (SELECT unnest(generate_series(1, {len(_DECOMPOUND_Q) - 1})) AS i),
-cand AS (
-  SELECT sp.i,
-         substr('{_DECOMPOUND_Q}', 1, sp.i) AS left_part,
-         substr('{_DECOMPOUND_Q}', sp.i + 1, {len(_DECOMPOUND_Q)}) AS right_part
-  FROM sp),
-sc AS (
-  SELECT cand.i, cand.left_part, cand.right_part,
-         dl.cf AS cf_left, dr.cf AS cf_right,
-         CAST(dl.cf * dr.cf AS BIGINT) AS score
-  FROM cand
-  JOIN dict dl ON dl.term = cand.left_part
-  JOIN dict dr ON dr.term = cand.right_part)
-SELECT CAST(i AS BIGINT) AS split_at, left_part, right_part,
-       cf_left, cf_right, score
-FROM sc ORDER BY score DESC, split_at ASC LIMIT 3""",
-)
-def decompound_query(spark, sf_dir):
-    """Query decompounding (the ES/Lucene dictionary-decompounder token
-    filter, as a query-time op): split the unsegmented query token
-    'sparkjoin' at every position, keep splits where BOTH halves are
-    dictionary words, rank by the corpus-frequency product — the
-    compound-splitting heuristic German/Dutch/Nordic search ships, and
-    the fallback an English engine needs for concatenation typos
-    ('newyork'). Top-3 splits with their evidence.
-
-    Scale shape: the split spine is |query|−1 rows; each candidate half
-    probes the vocab-bounded dictionary by equality (two broadcast hash
-    probes) — no LIKE scan, no fuzzy expansion; the corpus is read once
-    to build the A2 dictionary it probes."""
-    tf = _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf")
-    )
-    dic = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
-    n = len(_DECOMPOUND_Q)
-    cand = spark.createDataFrame(
-        [(i, _DECOMPOUND_Q[:i], _DECOMPOUND_Q[i:]) for i in range(1, n)],
-        "i long, left_part string, right_part string",
-    )
-    dl = dic.select(F.col("term").alias("left_part"), F.col("cf").alias("cf_left"))
-    dr = dic.select(F.col("term").alias("right_part"), F.col("cf").alias("cf_right"))
-    sc = (
-        F.broadcast(cand)
-        .join(dl, "left_part")
-        .join(dr, "right_part")
-        .select(
-            F.col("i").alias("split_at"),
-            "left_part",
-            "right_part",
-            "cf_left",
-            "cf_right",
-            (F.col("cf_left") * F.col("cf_right")).cast("long").alias("score"),
-        )
-    )
-    return sc.orderBy(F.desc("score"), F.asc("split_at")).limit(3)
-
-
-@register(
-    "low_entropy_docs",
-    """WITH ch AS (
-  SELECT doc_id, unnest(str_split(lower(text), '')) AS c FROM documents
-  WHERE length(text) > 0),
-cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY doc_id, c),
-dl AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS len FROM cc GROUP BY doc_id),
-contrib AS (
-  SELECT cc.doc_id,
-         CAST(round(-1000000 * (CAST(cc.n AS DOUBLE) / dl.len)
-              * ln(CAST(cc.n AS DOUBLE) / dl.len)) AS BIGINT) AS h_q6
-  FROM cc JOIN dl USING (doc_id)),
-ent AS (
-  SELECT contrib.doc_id, CAST(sum(h_q6) AS BIGINT) AS entropy_q6
-  FROM contrib GROUP BY contrib.doc_id)
-SELECT ent.doc_id, dl.len AS n_chars, ent.entropy_q6
-FROM ent JOIN dl ON dl.doc_id = ent.doc_id
-ORDER BY entropy_q6 ASC, ent.doc_id ASC LIMIT 10""",
-)
-def low_entropy_docs(spark, sf_dir):
-    """Per-document character-entropy outliers: the 10 LOWEST-entropy
-    documents — the gibberish/padding/base64 detector at doc granularity
-    (string_stats_source reports the per-source aggregate; quality gates
-    need the per-doc ranking to actually drop offenders — a doc of one
-    repeated character scores ~0, random base64 scores ~ln 64). Per-char
-    contributions are q6-rounded FIRST (the entropy-family rule), doc
-    entropy is a BIGINT sum, and the ranking is a TakeOrdered(10).
-
-    Scale shape: the char explode is map-side into a (doc, char)-keyed
-    agg (≤ alphabet rows per doc); doc length derives FROM it (shared
-    exchange); the outlier cut is a TakeOrdered, never a global sort."""
-    ch = (
-        _docs(spark, sf_dir)
-        .where(F.length("text") > 0)
-        .select("doc_id", F.explode(F.split(F.lower("text"), "")).alias("c"))
-        .where(F.col("c") != "")
-    )
-    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    cc = cc.localCheckpoint()  # feeds dl AND the contribution join
-    dl = cc.groupBy("doc_id").agg(F.sum("n").cast("long").alias("len"))
-    contrib = cc.join(dl, "doc_id").select(
-        "doc_id",
-        F.expr(
-            "CAST(round(-1000000 * (CAST(n AS DOUBLE) / len)"
-            " * ln(CAST(n AS DOUBLE) / len)) AS BIGINT)"
-        ).alias("h_q6"),
-    )
-    ent = contrib.groupBy("doc_id").agg(F.sum("h_q6").cast("long").alias("entropy_q6"))
-    return (
-        ent.join(dl, "doc_id")
-        .select("doc_id", F.col("len").alias("n_chars"), "entropy_q6")
-        .orderBy(F.asc("entropy_q6"), F.asc("doc_id"))
-        .limit(10)
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 59 — user feature vectors, collapse inner_hits, PPMI term clusters
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "user_feature_vectors",
-    f"""WITH e AS (
-  SELECT user_id, epoch_us(ts) AS t_us, epoch_us(ts) // {_US_PER_DAY} AS day,
-         event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events),
-mx AS (SELECT CAST(max(day) AS BIGINT) AS max_day FROM e),
-g AS (
-  SELECT user_id, day, event_type, cents,
-         CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   IS NULL THEN 1
-              WHEN t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS is_start
-  FROM e)
-SELECT user_id,
-       CAST((SELECT max_day FROM mx) - max(day) AS BIGINT) AS recency_days,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(cents) AS BIGINT) AS monetary_cents,
-       CAST(sum(is_start) AS BIGINT) AS n_sessions,
-       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
-       CAST(count(DISTINCT day) AS BIGINT) AS n_active_days
-FROM g GROUP BY user_id ORDER BY user_id""",
-)
-def user_feature_vectors(spark, sf_dir):
-    """Feature-store export: one row per user with the six behavioral
-    features a churn/LTV model trains on — recency, frequency, monetary
-    (exact cents), session count (30-min rule), event-type breadth and
-    active days. The RELATIONAL feature-engineering step every events
-    pipeline ships to a model: all-integer, reproducible, append-stable
-    (features are pure aggregates — no RNG, no sampling). rfm_segments
-    buckets three of these; this emits the raw vectors the model wants.
-
-    Scale shape: ONE user-partitioned lag window (for session starts)
-    feeding ONE user-keyed agg — everything rides the sessionizer's own
-    exchange; two count-distincts are per-user-bounded."""
-    e = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias("day"),
-        "event_id",
-        "event_type",
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-    )
-    mx = e.agg(F.max("day").cast("long").alias("max_day"))
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    g = e.select(
-        "user_id",
-        "day",
-        "event_type",
-        "cents",
-        F.expr(
-            f"CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
-            f" IS NULL THEN 1"
-            f" WHEN t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
-            f" > {_SESSION_GAP_US} THEN 1 ELSE 0 END"
-        ).alias("is_start"),
-    )
-    return (
-        g.crossJoin(F.broadcast(mx))
-        .groupBy("user_id")
-        .agg(
-            (F.max("max_day") - F.max("day")).cast("long").alias("recency_days"),
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum("cents").cast("long").alias("monetary_cents"),
-            F.sum("is_start").cast("long").alias("n_sessions"),
-            F.countDistinct("event_type").cast("long").alias("n_types"),
-            F.countDistinct("day").cast("long").alias("n_active_days"),
-        )
-        .orderBy("user_id")
-    )
-
-
-@register(
-    "search_collapse_inner",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + """,
-j AS (SELECT d.source, agg.doc_id, agg.score_q6
-      FROM agg JOIN documents d USING (doc_id)),
-r AS (SELECT source, doc_id, score_q6,
-             row_number() OVER (PARTITION BY source
-                                ORDER BY score_q6 DESC, doc_id ASC) AS rn,
-             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_hits
-      FROM j),
-gtop AS (SELECT source, score_q6 AS top_q6, doc_id AS top_doc FROM r WHERE rn = 1)
-SELECT r.source, CAST(r.rn AS BIGINT) AS inner_rank, r.doc_id, r.score_q6, r.n_hits
-FROM r JOIN gtop ON gtop.source = r.source
-WHERE r.rn <= 3
-ORDER BY gtop.top_q6 DESC, gtop.top_doc ASC, r.rn ASC
-LIMIT 15""",
-)
-def search_collapse_inner(spark, sf_dir):
-    """ES field collapsing WITH ``inner_hits`` (size 3): the collapsed
-    result list (groups ranked by their best hit — search_collapse's
-    output) EXPANDED to each group's top-3 hits, the way the UI shows
-    'more from this site'. Top-5 groups × ≤3 inner hits.
-
-    Scale shape: one source-partitioned window over the match set (the
-    match set is query-bounded — the window input is hits, not corpus);
-    group ordering reuses the rn=1 rows; output ≤15 rows. The oracle's
-    identical window is vocabulary for DuckDB."""
-    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
-    d = _docs(spark, sf_dir).select("doc_id", "source")
-    j = agg.join(d, "doc_id")
-    w = Window.partitionBy("source").orderBy(F.desc("score_q6"), F.asc("doc_id"))
-    wcnt = Window.partitionBy("source")
-    r = j.select(
-        "source",
-        "doc_id",
-        "score_q6",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wcnt).cast("long").alias("n_hits"),
-    ).localCheckpoint()  # feeds group-top ranking AND the inner-hit rows
-    gtop = r.where(F.col("rn") == 1).select(
-        F.col("source").alias("gsrc"),
-        F.col("score_q6").alias("top_q6"),
-        F.col("doc_id").alias("top_doc"),
-    )
-    return (
-        r.where(F.col("rn") <= 3)
-        .join(F.broadcast(gtop), F.col("source") == F.col("gsrc"))
-        .orderBy(F.desc("top_q6"), F.asc("top_doc"), F.asc("rn"))
-        .limit(15)
-        .select(
-            "source",
-            F.col("rn").cast("long").alias("inner_rank"),
-            "doc_id",
-            "score_q6",
-            "n_hits",
-        )
-    )
-
-
-_TCC_MIN_W = 4  # minimum distance-weighted pair mass for a cluster edge
-
-
-@register(
-    "term_cluster_cc",
-    f"""WITH RECURSIVE w AS ({SQL_WORDS}),
-p AS (
-  SELECT least(words[i], words[i+1]) AS a, greatest(words[i], words[i+1]) AS b, 2 AS wt
-  FROM w, unnest(generate_series(1, len(words) - 1)) AS t1(i) WHERE len(words) >= 2
-  UNION ALL
-  SELECT least(words[i], words[i+2]), greatest(words[i], words[i+2]), 1
-  FROM w, unnest(generate_series(1, len(words) - 2)) AS t2(i) WHERE len(words) >= 3),
-pc AS (SELECT a, b, CAST(sum(wt) AS BIGINT) AS w_ab FROM p GROUP BY a, b),
-uc AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM ({SQL_TOKS}) GROUP BY term),
-tot AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM uc) AS n_tok,
-               (SELECT CAST(sum(w_ab) AS BIGINT) FROM pc) AS w_tot),
-ed AS MATERIALIZED (
-  SELECT pc.a, pc.b FROM pc
-  JOIN (SELECT term, n AS n_a FROM uc) ua ON ua.term = pc.a
-  JOIN (SELECT term, n AS n_b FROM uc) ub ON ub.term = pc.b
-  CROSS JOIN tot
-  WHERE w_ab >= {_TCC_MIN_W} AND {_PPMI_EXPR} > 0),
-edges AS (SELECT a AS src, b AS dst FROM ed UNION SELECT b, a FROM ed),
-reach(id, lbl) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-comp AS (SELECT id AS term, min(lbl) AS cluster FROM reach GROUP BY id)
-SELECT cluster, CAST(count(*) AS BIGINT) AS n_terms,
-       string_agg(term, ' ' ORDER BY term) AS members
-FROM comp GROUP BY cluster ORDER BY cluster""",
-)
-def term_cluster_cc(spark, sf_dir):
-    """Distributional term clusters: connected components over the PPMI
-    co-occurrence graph (edges = pairs with positive PPMI and weighted
-    mass ≥ 4 — cooccurrence_ppmi's table read as a graph) — the cheap
-    word-cluster pass (Brown-cluster ancestor) behind query-expansion
-    dictionaries and topic smell tests. Emits per cluster its size and
-    the sorted member list.
-
-    Scale shape: the edge table is vocab²-bounded (Zipf-tiny after the
-    mass gate); clustering reuses the pointer-doubled
-    connected_components (string labels — min is lexicographic in both
-    engines, the convergence checksum hashes strings); the member list
-    aggregates with an explicit ORDER BY (the cdc_chunk rule — unordered
-    string_agg is nondeterministic).
-
-    The oracle recomputes the closure recursively over the identical
-    edges."""
-    wdf = _docs(spark, sf_dir).select(spark_tokens("text").alias("words"))
-    p1 = wdf.where(F.size("words") >= 2).select(
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(words)-2), i -> "
-                "struct(least(words[i], words[i+1]) AS a,"
-                " greatest(words[i], words[i+1]) AS b, 2 AS wt))"
-            )
-        ).alias("t")
-    )
-    p2 = wdf.where(F.size("words") >= 3).select(
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(words)-3), i -> "
-                "struct(least(words[i], words[i+2]) AS a,"
-                " greatest(words[i], words[i+2]) AS b, 1 AS wt))"
-            )
-        ).alias("t")
-    )
-    p = p1.unionByName(p2).select("t.a", "t.b", "t.wt")
-    pc = p.groupBy("a", "b").agg(F.sum("wt").cast("long").alias("w_ab"))
-    uc = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    uc = uc.localCheckpoint()  # feeds totals AND both probe sides
-    tot = uc.agg(F.sum("n").cast("long").alias("n_tok")).crossJoin(
-        pc.agg(F.sum("w_ab").cast("long").alias("w_tot"))
-    )
-    ua = uc.select(F.col("term").alias("a"), F.col("n").alias("n_a"))
-    ub = uc.select(F.col("term").alias("b"), F.col("n").alias("n_b"))
-    ed = (
-        pc.join(ua, "a")
-        .join(ub, "b")
-        .crossJoin(F.broadcast(tot))
-        .where((F.col("w_ab") >= _TCC_MIN_W) & (F.expr(_PPMI_EXPR) > 0))
-        .select("a", "b")
-    )
-    edges = (
-        ed.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(ed.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    comp = connected_components(labels, edges).select(
-        F.col("doc_id").alias("term"), F.col("lbl").alias("cluster")
-    )
-    return (
-        comp.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.expr("array_join(sort_array(collect_list(term)), ' ')").alias("members"),
-        )
-        .orderBy("cluster")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 60 — cleaning-gate waterfall, deterministic A/B readout,
-# stopword-cut impact
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "pipeline_waterfall",
-    f"""WITH t AS ({SQL_TOKS}),
-m AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         avg(length(term)) AS mean_len,
-         count(*) FILTER (term IN ('the','a','of','to','is')) AS stop_hits
-  FROM t GROUP BY doc_id),
-surv AS (
-  SELECT d.doc_id, md5(d.text) AS h,
-         CAST(d.doc_id = min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS INT) AS is_surv
-  FROM documents d),
-fl AS (
-  SELECT m.doc_id, m.n_tokens,
-         CAST(m.n_tokens >= 20 AS INT) AS g1,
-         CAST(m.n_tokens >= 20 AND m.mean_len >= 2.0 AND m.mean_len <= 12.0 AS INT) AS g2,
-         CAST(m.n_tokens >= 20 AND m.mean_len >= 2.0 AND m.mean_len <= 12.0
-              AND m.stop_hits > 0 AS INT) AS g3,
-         CAST(m.n_tokens >= 20 AND m.mean_len >= 2.0 AND m.mean_len <= 12.0
-              AND m.stop_hits > 0 AND surv.is_surv = 1 AS INT) AS g4
-  FROM m JOIN surv ON surv.doc_id = m.doc_id),
-agg AS (
-  SELECT CAST(count(*) AS BIGINT) AS d0, CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) AS t0,
-         CAST(COALESCE(sum(g1), 0) AS BIGINT) AS d1, CAST(COALESCE(sum(g1 * n_tokens), 0) AS BIGINT) AS t1,
-         CAST(COALESCE(sum(g2), 0) AS BIGINT) AS d2, CAST(COALESCE(sum(g2 * n_tokens), 0) AS BIGINT) AS t2,
-         CAST(COALESCE(sum(g3), 0) AS BIGINT) AS d3, CAST(COALESCE(sum(g3 * n_tokens), 0) AS BIGINT) AS t3,
-         CAST(COALESCE(sum(g4), 0) AS BIGINT) AS d4, CAST(COALESCE(sum(g4 * n_tokens), 0) AS BIGINT) AS t4
-  FROM fl)
-SELECT * FROM (
-  SELECT CAST(0 AS BIGINT) AS stage, 'ingest' AS gate, d0 AS n_docs, t0 AS n_tokens FROM agg
-  UNION ALL SELECT 1, 'min_length', d1, t1 FROM agg
-  UNION ALL SELECT 2, 'token_len_band', d2, t2 FROM agg
-  UNION ALL SELECT 3, 'stopword_presence', d3, t3 FROM agg
-  UNION ALL SELECT 4, 'exact_dedup', d4, t4 FROM agg
-) ORDER BY stage""",
-)
-def pipeline_waterfall(spark, sf_dir):
-    """Cleaning-funnel waterfall: docs and token mass surviving each
-    SUCCESSIVE admission gate — min-length → mean-token-length band →
-    stopword presence (quality_filter_flags' exact Gopher-shape rules)
-    → exact-dedup survivorship — the attrition report every data-ops
-    dashboard shows (training_mix_pipeline applies a mix of gates; this
-    op shows WHERE the mass goes, stage by stage, so a surprising gate
-    is localizable). Monotone by construction.
-
-    Scale shape: one per-doc metrics agg + the md5-partitioned survivor
-    window (group-bounded); the cumulative gate flags are map-side; ONE
-    aggregate row carries all five stages (the Spark side unpivots with
-    stack() — per-stage UNION-ALL scans are DuckDB-only vocabulary).
-
-    The float mean_len comparisons are exact-double divisions of
-    integers — identical in both engines (the quality_filter_flags
-    contract, driver-green since r2)."""
-    t = _toks(_docs(spark, sf_dir))
-    m = t.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.avg(F.length("term")).alias("mean_len"),
-        F.sum(
-            F.when(F.col("term").isin("the", "a", "of", "to", "is"), 1).otherwise(0)
-        ).alias("stop_hits"),
-    )
-    wsurv = Window.partitionBy(F.md5("text"))
-    surv = _docs(spark, sf_dir).select(
-        "doc_id",
-        (F.col("doc_id") == F.min("doc_id").over(wsurv)).cast("int").alias("is_surv"),
-    )
-    fl = m.join(surv, "doc_id").select(
-        "n_tokens",
-        F.expr("CAST(n_tokens >= 20 AS INT)").alias("g1"),
-        F.expr(
-            "CAST(n_tokens >= 20 AND mean_len >= 2.0 AND mean_len <= 12.0 AS INT)"
-        ).alias("g2"),
-        F.expr(
-            "CAST(n_tokens >= 20 AND mean_len >= 2.0 AND mean_len <= 12.0"
-            " AND stop_hits > 0 AS INT)"
-        ).alias("g3"),
-        F.expr(
-            "CAST(n_tokens >= 20 AND mean_len >= 2.0 AND mean_len <= 12.0"
-            " AND stop_hits > 0 AND is_surv = 1 AS INT)"
-        ).alias("g4"),
-    )
-    agg = fl.agg(
-        F.count(F.lit(1)).cast("long").alias("d0"),
-        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("t0"),
-        *[
-            c
-            for i in (1, 2, 3, 4)
-            for c in (
-                F.coalesce(F.sum(f"g{i}"), F.lit(0)).cast("long").alias(f"d{i}"),
-                F.coalesce(F.sum(F.expr(f"g{i} * n_tokens")), F.lit(0))
-                .cast("long")
-                .alias(f"t{i}"),
-            )
-        ],
-    )
-    return (
-        agg.select(
-            F.expr(
-                "stack(5,"
-                " cast(0 as bigint), 'ingest', d0, t0,"
-                " cast(1 as bigint), 'min_length', d1, t1,"
-                " cast(2 as bigint), 'token_len_band', d2, t2,"
-                " cast(3 as bigint), 'stopword_presence', d3, t3,"
-                " cast(4 as bigint), 'exact_dedup', d4, t4)"
-                " AS (stage, gate, n_docs, n_tokens)"
-            )
-        )
-        .orderBy("stage")
-    )
-
-
-@register(
-    "ab_assignment_readout",
-    f"""WITH u AS (
-  SELECT user_id,
-         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 4))::INT % 2 AS arm,
-         CAST(count(*) AS BIGINT) AS n_events,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
-         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT) AS converted
-  FROM events GROUP BY user_id)
-SELECT CAST(arm AS BIGINT) AS arm,
-       CAST(count(*) AS BIGINT) AS n_users,
-       CAST(COALESCE(sum(converted), 0) AS BIGINT) AS n_converted,
-       CAST(round(1000000.0 * COALESCE(sum(converted), 0) / count(*)) AS BIGINT) AS conv_q6,
-       CAST(COALESCE(sum(cents), 0) AS BIGINT) AS revenue_cents,
-       CAST(round(COALESCE(sum(cents), 0) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS arpu_cents
-FROM u GROUP BY arm ORDER BY arm""",
-)
-def ab_assignment_readout(spark, sf_dir):
-    """Deterministic A/B experimentation primitive: users split 50/50 by
-    a dedicated hash coordinate (md5('ab:'||user_id) — hash-INPUT
-    disjoint from every other coordinate family, so experiment arms are
-    independent of shards/splits/folds/samples), with the per-arm readout
-    an experiment dashboard serves: users, converters (≥1 purchase),
-    conversion rate, revenue, ARPU. A rand()-based assigner re-arms users
-    on every run; this one is stable under re-runs, appends and replays —
-    the property A/B bucketing actually requires.
-
-    Scale shape: arm is map-side; ONE user-keyed agg then a 2-group
-    rollup; conversion/ARPU are single float divisions of exact sums."""
-    u = (
-        _events(spark, sf_dir)
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).cast("long").alias("cents"),
-            F.max(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            ).alias("converted"),
-        )
-        .withColumn(
-            "arm",
-            F.expr(
-                "cast(conv(substring(md5(concat('ab:', cast(user_id as string))), 1, 4), 16, 10) as int) % 2"
-            ),
-        )
-    )
-    return (
-        u.groupBy(F.col("arm").cast("long").alias("arm"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_users"),
-            F.coalesce(F.sum("converted"), F.lit(0)).cast("long").alias("n_converted"),
-            F.expr(
-                "CAST(round(1000000.0 * COALESCE(sum(converted), 0) / count(*)) AS BIGINT)"
-            ).alias("conv_q6"),
-            F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("revenue_cents"),
-            F.expr(
-                "CAST(round(COALESCE(sum(cents), 0) / CAST(count(*) AS DOUBLE)) AS BIGINT)"
-            ).alias("arpu_cents"),
-        )
-        .orderBy("arm")
-    )
-
-
-_STOP_CUTS = [2, 4, 8]
-
-
-@register(
-    "stopword_cut_impact",
-    f"""WITH tf AS ({SQL_TF}),
-a2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
-       FROM tf GROUP BY term),
-tot AS (SELECT CAST(COALESCE(sum(df), 0) AS BIGINT) AS postings,
-               CAST(COALESCE(sum(cf), 0) AS BIGINT) AS tokens FROM a2),
-top AS (
-  SELECT term, df, cf, row_number() OVER (ORDER BY cf DESC, term ASC) AS rn
-  FROM a2 ORDER BY cf DESC, term ASC LIMIT {max(_STOP_CUTS)}),
-cuts AS (SELECT unnest([{", ".join(str(k) for k in _STOP_CUTS)}]) AS k)
-SELECT CAST(cuts.k AS BIGINT) AS k,
-       CAST(count(top.term) AS BIGINT) AS n_cut,
-       CAST(COALESCE(sum(top.df), 0) AS BIGINT) AS postings_removed,
-       CAST(COALESCE(sum(top.cf), 0) AS BIGINT) AS tokens_removed,
-       CASE WHEN (SELECT tokens FROM tot) = 0 THEN 0
-            ELSE CAST(round(1000000.0 * COALESCE(sum(top.cf), 0)
-                 / (SELECT tokens FROM tot)) AS BIGINT) END AS token_share_q6
-FROM cuts LEFT JOIN top ON top.rn <= cuts.k
-GROUP BY cuts.k ORDER BY k""",
-)
-def stopword_cut_impact(spark, sf_dir):
-    """Stopword-cut impact curve: postings and token mass removed by
-    dropping the top-k collection-frequency terms (k = 2/4/8) — the
-    actionable knob on top of df_spectrum's bands (Lucene/ES ship
-    stopword lists precisely to cut this mass from the index and from
-    every scoring loop; the curve says what each extra cut buys). The
-    share column reads directly as index-size savings.
-
-    Scale shape: A2 agg, a TakeOrdered(max k) then ranking over those
-    ≤8 rows (the vocab_coverage_curve rule — never a vocab-wide window),
-    and a cuts×top theta-join of tiny tables."""
-    tf = _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf")
-    )
-    a2 = tf.groupBy("term").agg(
-        F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf")
-    )
-    a2 = a2.localCheckpoint()  # feeds totals AND the top-k cut
-    tot = a2.agg(
-        F.coalesce(F.sum("df"), F.lit(0)).cast("long").alias("postings"),
-        F.coalesce(F.sum("cf"), F.lit(0)).cast("long").alias("tokens"),
-    )
-    top = (
-        a2.orderBy(F.desc("cf"), F.asc("term"))
-        .limit(max(_STOP_CUTS))
-        .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("cf"), F.asc("term"))))
-    )
-    cuts = spark.createDataFrame([(k,) for k in _STOP_CUTS], "k long")
-    return (
-        F.broadcast(cuts)
-        .join(F.broadcast(top), F.col("rn") <= F.col("k"), "left")
-        .crossJoin(F.broadcast(tot))
-        .groupBy(F.col("k").cast("long").alias("k"))
-        .agg(
-            F.count("term").cast("long").alias("n_cut"),
-            F.coalesce(F.sum("df"), F.lit(0)).cast("long").alias("postings_removed"),
-            F.coalesce(F.sum("cf"), F.lit(0)).cast("long").alias("tokens_removed"),
-            F.expr(
-                "CASE WHEN max(tokens) = 0 THEN 0"
-                " ELSE CAST(round(1000000.0 * COALESCE(sum(cf), 0) / max(tokens)) AS BIGINT) END"
-            ).alias("token_share_q6"),
-        )
-        .orderBy("k")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 61 — trending terms, weekly seasonal decomposition, Hill tail
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "trending_terms",
-    f"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-toks AS (
-  SELECT doc_id, CAST((doc_id * 10) // n_docs AS BIGINT) AS decile,
-         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
-  FROM documents CROSS JOIN nd),
-dt AS (SELECT DISTINCT doc_id, decile, term FROM toks),
-fg AS (SELECT term, CAST(count(*) AS BIGINT) AS fg_df FROM dt WHERE decile = 9 GROUP BY term),
-bg AS (SELECT term, CAST(count(*) AS BIGINT) AS bg_df FROM dt GROUP BY term),
-fgn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS ft FROM dt WHERE decile = 9),
-sc AS (
-  SELECT fg.term, fg.fg_df, bg.bg_df,
-         CAST(round(
-           ((fg.fg_df / CAST((SELECT ft FROM fgn) AS DOUBLE))
-              - (bg.bg_df / CAST((SELECT n_docs FROM nd) AS DOUBLE)))
-           * ((fg.fg_df / CAST((SELECT ft FROM fgn) AS DOUBLE))
-              / (bg.bg_df / CAST((SELECT n_docs FROM nd) AS DOUBLE)))
-           * 1000000) AS BIGINT) AS jlh_q6
-  FROM fg JOIN bg USING (term)
-  WHERE fg.fg_df >= 3)
-SELECT term, fg_df, bg_df, jlh_q6 FROM sc
-WHERE jlh_q6 > 0 ORDER BY jlh_q6 DESC, term ASC LIMIT 20""",
-)
-def trending_terms(spark, sf_dir):
-    """Trending-terms detector: significant_terms' JLH heuristic with the
-    NEWEST doc_id decile as the foreground and the whole corpus as
-    background — 'what is the fresh slice about that the archive is not'
-    (ES's significant_terms over a time-filtered query; the emerging-
-    topics feed a news/search dashboard runs hourly). On the stationary
-    sandbox corpus nothing genuinely trends and the list hugs jlh ≈ 0 —
-    that is the correct reading (term_drift_deciles' flat-curve rule).
-
-    Scale shape: the decile key is map-side (1-row count broadcast);
-    fg/bg doc-frequency aggs share the distinct (doc, term) exchange;
-    the JLH scoring joins vocab-bounded tables; top-20 is a TakeOrdered."""
-    nd = _docs(spark, sf_dir).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    dt = (
-        _docs(spark, sf_dir)
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "doc_id",
-            F.expr("cast((doc_id * 10) div n_docs as bigint)").alias("decile"),
-            F.explode(spark_tokens("text")).alias("term"),
-        )
-        .distinct()
-        .localCheckpoint()  # feeds fg, bg AND the foreground size
-    )
-    fg = dt.where(F.col("decile") == 9).groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("fg_df")
-    )
-    bg = dt.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("bg_df"))
-    fgn = dt.where(F.col("decile") == 9).agg(
-        F.countDistinct("doc_id").cast("long").alias("ft")
-    )
-    fg_pct = F.col("fg_df") / F.col("ft").cast("double")
-    bg_pct = F.col("bg_df") / F.col("n_docs").cast("double")
-    return (
-        fg.join(bg, "term")
-        .crossJoin(F.broadcast(fgn))
-        .crossJoin(F.broadcast(nd))
-        .where(F.col("fg_df") >= 3)
-        .select(
-            "term",
-            "fg_df",
-            "bg_df",
-            _q6((fg_pct - bg_pct) * (fg_pct / bg_pct)).alias("jlh_q6"),
-        )
-        .where(F.col("jlh_q6") > 0)
-        .orderBy(F.desc("jlh_q6"), F.asc("term"))
-        .limit(20)
-    )
-
-
-@register(
-    "weekly_seasonal_decompose",
-    f"""WITH e AS (SELECT epoch_us(ts) // {_US_PER_DAY} AS day FROM events),
-dc AS (SELECT day, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY day),
-mm AS (SELECT CAST(min(day) AS BIGINT) AS d0, CAST(max(day) AS BIGINT) AS d1 FROM dc),
-spine AS (
-  SELECT d0 + i AS day, ((d0 + i) + 3) % 7 AS dow
-  FROM mm, unnest(generate_series(0, CAST(d1 - d0 AS INT))) AS t(i)),
-f AS (
-  SELECT spine.day, spine.dow, CAST(COALESCE(dc.cnt, 0) AS BIGINT) AS cnt
-  FROM spine LEFT JOIN dc ON dc.day = spine.day),
-dw AS (
-  SELECT dow, CAST(sum(cnt) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
-  FROM f GROUP BY dow)
-SELECT f.day, CAST(f.dow AS BIGINT) AS dow, f.cnt,
-       CAST(round(1000000.0 * dw.s / dw.n) AS BIGINT) AS seasonal_q6,
-       CAST(round(1000000.0 * f.cnt - 1000000.0 * dw.s / dw.n) AS BIGINT) AS residual_q6
-FROM f JOIN dw USING (dow) ORDER BY f.day""",
-)
-def weekly_seasonal_decompose(spark, sf_dir):
-    """Weekly seasonal decomposition of the daily event count (STL-lite):
-    per calendar day, the observed count, the day-of-week seasonal
-    component (that weekday's mean over the zero-filled spine) and the
-    residual — the de-seasonalized series an anomaly alarm should watch
-    (events_daily_anomaly's z-scores fire on weekends without this).
-    dow = (day+3) % 7, 0 = Monday (the events_weekday_profile rule —
-    never dayname()).
-
-    Determinism: the seasonal mean is ONE float division of two exact
-    integers per weekday, q6-rounded; the residual subtracts in q6 space
-    so observed = seasonal + residual exactly, by construction.
-
-    Scale shape: calendar-bounded throughout — day counts, a ≤7-row
-    weekday table (broadcast), and a spine join."""
-    e = _events(spark, sf_dir).select(
-        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias("day")
-    )
-    dc = e.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    mm = dc.agg(
-        F.min("day").cast("long").alias("d0"), F.max("day").cast("long").alias("d1")
-    )
-    spine = mm.select(
-        F.explode(F.expr("sequence(d0, d1)")).alias("day")
-    ).select("day", F.expr("(day + 3) % 7").alias("dow"))
-    f = (
-        spine.join(dc, "day", "left")
-        .select("day", "dow", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"))
-        .localCheckpoint()  # feeds the weekday means AND the output join
-    )
-    dw = f.groupBy("dow").agg(
-        F.sum("cnt").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
-    )
-    return (
-        f.join(F.broadcast(dw), "dow")
-        .select(
-            "day",
-            F.col("dow").cast("long").alias("dow"),
-            "cnt",
-            F.expr("CAST(round(1000000.0 * s / n) AS BIGINT)").alias("seasonal_q6"),
-            F.expr(
-                "CAST(round(1000000.0 * cnt - 1000000.0 * s / n) AS BIGINT)"
-            ).alias("residual_q6"),
-        )
-        .orderBy("day")
-    )
-
-
-_HILL_K = 50
-
-
-@register(
-    "doclen_hill_tail",
-    f"""WITH t AS (
-  SELECT CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
-  FROM documents),
-top AS (
-  SELECT n_tok, row_number() OVER (ORDER BY n_tok DESC) AS rn
-  FROM t WHERE n_tok > 0 ORDER BY n_tok DESC LIMIT {_HILL_K + 1}),
-xk AS (SELECT n_tok AS x_k FROM top WHERE rn = {_HILL_K + 1}),
-lr AS (
-  SELECT CAST(round(1000000 * ln(CAST(top.n_tok AS DOUBLE) / xk.x_k)) AS BIGINT) AS l_q6
-  FROM top, xk WHERE top.rn <= {_HILL_K})
-SELECT CAST(count(*) AS BIGINT) AS k,
-       CAST(COALESCE((SELECT x_k FROM xk), -1) AS BIGINT) AS x_k,
-       CAST(COALESCE(sum(l_q6), 0) AS BIGINT) AS sum_log_q6,
-       CASE WHEN COALESCE(sum(l_q6), 0) = 0 THEN 0
-            ELSE CAST(round(1000000.0 * count(*) / (COALESCE(sum(l_q6), 0) / 1000000.0)) AS BIGINT)
-       END AS alpha_q6
-FROM lr""",
-)
-def doclen_hill_tail(spark, sf_dir):
-    """Hill estimator of the document-length tail index: α̂ = k / Σ ln(x_i
-    / x_(k+1)) over the k = 50 largest documents — the heavy-tail
-    exponent that decides executor sizing and straggler risk (a crawl
-    with α < 2 has infinite-variance lengths: one partition WILL get a
-    monster doc, and maxPartitionBytes must assume it). Complements the
-    percentile family (quantiles bound the bulk; Hill characterizes the
-    extreme tail the quantile probes never reach).
-
-    Determinism: the order statistics are a TakeOrdered(k+1); ties at
-    the boundary don't matter (only VALUES enter the estimator, not
-    identities); per-order-statistic ln is q6-rounded FIRST, then one
-    scalar expression.
-
-    Scale shape: TakeOrdered(51) over a map-side length projection —
-    per-partition top-51 then a driver merge; the ratio math runs over
-    51 rows. A corpus with a constant tail (Σ ln = 0) reports α = 0
-    sentinel rather than dividing by zero."""
-    t = (
-        _docs(spark, sf_dir)
-        .select(F.size(spark_tokens("text")).cast("long").alias("n_tok"))
-        .where(F.col("n_tok") > 0)
-    )
-    top = (
-        t.orderBy(F.desc("n_tok"))
-        .limit(_HILL_K + 1)
-        .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("n_tok"))))
-        .localCheckpoint()  # feeds the boundary value AND the log rows
-    )
-    xk = top.where(F.col("rn") == _HILL_K + 1).select(F.col("n_tok").alias("x_k"))
-    lr = (
-        top.where(F.col("rn") <= _HILL_K)
-        .crossJoin(F.broadcast(xk))
-        .select(
-            F.expr(
-                "CAST(round(1000000 * ln(CAST(n_tok AS DOUBLE) / x_k)) AS BIGINT)"
-            ).alias("l_q6")
-        )
-    )
-    return (
-        lr.agg(
-            F.count(F.lit(1)).cast("long").alias("k"),
-            F.coalesce(F.sum("l_q6"), F.lit(0)).cast("long").alias("sum_log_q6"),
-        )
-        .join(F.broadcast(xk), F.lit(True), "left")
-        .select(
-            "k",
-            F.coalesce(F.col("x_k"), F.lit(-1)).cast("long").alias("x_k"),
-            "sum_log_q6",
-            F.expr(
-                "CASE WHEN sum_log_q6 = 0 THEN 0"
-                " ELSE CAST(round(1000000.0 * k / (sum_log_q6 / 1000000.0)) AS BIGINT) END"
-            ).alias("alpha_q6"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 62 — lognormal value fit, Burrows' Delta stylometry, char coverage
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "value_lognormal_fit",
-    """WITH v AS (
-  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
-  WHERE CAST(round(value * 100) AS BIGINT) > 0),
-l AS (SELECT CAST(round(1000000 * ln(CAST(cents AS DOUBLE))) AS BIGINT) AS l_q6 FROM v),
-s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(COALESCE(sum(l_q6), 0) AS BIGINT) AS sl,
-             CAST(COALESCE(sum(l_q6 * l_q6), 0) AS BIGINT) AS sll
-      FROM l)
-SELECT n,
-       CASE WHEN n = 0 THEN 0 ELSE CAST(round(sl / CAST(n AS DOUBLE)) AS BIGINT) END AS mu_q6,
-       CASE WHEN n < 2 THEN 0
-            ELSE CAST(round((sll / CAST(n AS DOUBLE)
-                 - (sl / CAST(n AS DOUBLE)) * (sl / CAST(n AS DOUBLE))) / 1000000.0) AS BIGINT)
-       END AS sigma2_q6
-FROM s""",
-)
-def value_lognormal_fit(spark, sf_dir):
-    """Method-of-moments lognormal fit of the positive event values:
-    μ̂ and σ̂² of ln(cents) — the two parameters a revenue model (LTV
-    simulation, price-tier planning) needs, and the distribution-shape
-    check behind revenue_pareto_users' whale curve (a lognormal with
-    small σ² has no whales; a fat σ² predicts them). Negative/zero
-    values are non-revenue events and excluded, declared.
-
-    Determinism: per-event ln(cents) is q6-rounded FIRST (the zipf
-    rule — never sum raw libm outputs), the sums are exact BIGINTs, and
-    the two moments are single divide-first float expressions (σ² lands
-    in q12 and is rescaled to q6 once). Envelope: Σ l_q6² < 2^63 to
-    ~4e7 events of cents ≤ 1e9 — beyond that l floors to q3.
-
-    Scale shape: one map-side projection into a 1-row sufficient-stats
-    agg."""
-    v = (
-        _events(spark, sf_dir)
-        .select(F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"))
-        .where(F.col("cents") > 0)
-    )
-    l = v.select(
-        F.expr("CAST(round(1000000 * ln(CAST(cents AS DOUBLE))) AS BIGINT)").alias("l_q6")
-    )
-    s = l.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum("l_q6"), F.lit(0)).cast("long").alias("sl"),
-        F.coalesce(F.sum(F.expr("l_q6 * l_q6")), F.lit(0)).cast("long").alias("sll"),
-    )
-    return s.select(
-        "n",
-        F.expr(
-            "CASE WHEN n = 0 THEN 0 ELSE CAST(round(sl / CAST(n AS DOUBLE)) AS BIGINT) END"
-        ).alias("mu_q6"),
-        F.expr(
-            "CASE WHEN n < 2 THEN 0"
-            " ELSE CAST(round((sll / CAST(n AS DOUBLE)"
-            " - (sl / CAST(n AS DOUBLE)) * (sl / CAST(n AS DOUBLE))) / 1000000.0) AS BIGINT) END"
-        ).alias("sigma2_q6"),
-    )
-
-
-_DELTA_M = 8  # number of marker words (top corpus cf)
-
-
-@register(
-    "burrows_delta_sources",
-    f"""WITH toks AS (
-  SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
-  FROM documents),
-stc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY source, term),
-stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM stc GROUP BY source),
-cf AS (SELECT term, CAST(sum(c) AS BIGINT) AS cf FROM stc GROUP BY term),
-mk AS (SELECT term FROM cf ORDER BY cf DESC, term ASC LIMIT {_DELTA_M}),
-f AS (
-  SELECT stot.source, mk.term,
-         CAST(round(1000000.0 * COALESCE(stc.c, 0) / stot.n) AS BIGINT) AS f_q6
-  FROM stot CROSS JOIN mk
-  LEFT JOIN stc ON stc.source = stot.source AND stc.term = mk.term),
-ms AS (
-  SELECT term, CAST(count(*) AS BIGINT) AS k,
-         CAST(sum(f_q6) AS BIGINT) AS s, CAST(sum(f_q6 * f_q6) AS BIGINT) AS ss
-  FROM f GROUP BY term),
-z AS (
-  SELECT f.source, f.term,
-         CASE WHEN ms.k < 2 OR ms.k * ms.ss = ms.s * ms.s THEN CAST(0 AS BIGINT)
-              ELSE CAST(round(1000000 * (f.f_q6 - ms.s / CAST(ms.k AS DOUBLE))
-                   / sqrt(ms.ss / CAST(ms.k AS DOUBLE)
-                          - (ms.s / CAST(ms.k AS DOUBLE)) * (ms.s / CAST(ms.k AS DOUBLE))))
-                   AS BIGINT) END AS z_q6
-  FROM f JOIN ms USING (term)),
-pairs AS (
-  SELECT a.source AS src_a, b.source AS src_b,
-         CAST(round(avg(abs(a.z_q6 - b.z_q6))) AS BIGINT) AS delta_q6
-  FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
-  GROUP BY a.source, b.source)
-SELECT src_a, src_b, delta_q6 FROM pairs ORDER BY src_a, src_b""",
-)
-def burrows_delta_sources(spark, sf_dir):
-    """Burrows' Delta between sources — the STYLOMETRIC distance (the
-    authorship-attribution standard): z-scores of the top-8
-    corpus-frequency marker words' relative frequencies across sources,
-    Delta = mean |z_a − z_b| per source pair. The third axis of the
-    source-similarity family: JSD sees vocabulary, centroids see topics,
-    Delta sees FUNCTION-WORD STYLE (two mirrors of one crawl match on
-    all three; a paraphrase mirror matches centroids but not Delta).
-
-    Determinism: per-(source, marker) relative frequency q6-rounds
-    FIRST; marker means/stds come from exact BIGINT sufficient stats
-    with the degenerate-variance guard (the ttest rule); z quantizes to
-    q6 before the pair averages; |z| differences of integers make the
-    final avg a single float division.
-
-    Scale shape: the (source, term) agg is the unigram-LM table; markers
-    are a TakeOrdered(8); the spine is |sources|×8 rows; the pair join
-    fans |sources|² per marker. Nothing corpus-sized shuffles twice."""
-    stc = (
-        _docs(spark, sf_dir)
-        .select("source", F.explode(spark_tokens("text")).alias("term"))
-        .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()  # feeds totals, marker ranking AND the spine probe
-    )
-    stot = stc.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
-    cf = stc.groupBy("term").agg(F.sum("c").cast("long").alias("cf"))
-    mk = cf.orderBy(F.desc("cf"), F.asc("term")).limit(_DELTA_M).select("term")
-    f = (
-        stot.crossJoin(F.broadcast(mk))
-        .join(stc, ["source", "term"], "left")
-        .select(
-            "source",
-            "term",
-            F.expr("CAST(round(1000000.0 * COALESCE(c, 0) / n) AS BIGINT)").alias("f_q6"),
-        )
-        .localCheckpoint()  # feeds the marker stats AND the z table
-    )
-    ms = f.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("k"),
-        F.sum("f_q6").cast("long").alias("s"),
-        F.sum(F.expr("f_q6 * f_q6")).cast("long").alias("ss"),
-    )
-    z = f.join(F.broadcast(ms), "term").select(
-        "source",
-        "term",
-        F.expr(
-            "CASE WHEN k < 2 OR k * ss = s * s THEN CAST(0 AS BIGINT)"
-            " ELSE CAST(round(1000000 * (f_q6 - s / CAST(k AS DOUBLE))"
-            " / sqrt(ss / CAST(k AS DOUBLE)"
-            " - (s / CAST(k AS DOUBLE)) * (s / CAST(k AS DOUBLE)))) AS BIGINT) END"
-        ).alias("z_q6"),
-    )
-    a = z.select(F.col("source").alias("src_a"), "term", F.col("z_q6").alias("za"))
-    b = z.select(F.col("source").alias("src_b"), "term", F.col("z_q6").alias("zb"))
-    return (
-        a.join(b, "term")
-        .where(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.round(F.avg(F.abs(F.col("za") - F.col("zb")))).cast("long").alias("delta_q6"))
-        .orderBy("src_a", "src_b")
-    )
-
-
-_CHAR_COV_KS = [4, 8, 16, 32]
-
-
-@register(
-    "char_coverage_curve",
-    f"""WITH ch AS (
-  SELECT unnest(str_split(lower(text), '')) AS c FROM documents WHERE length(text) > 0),
-cc AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY c),
-tot AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS t FROM cc),
-top AS (
-  SELECT c, n, row_number() OVER (ORDER BY n DESC, c ASC) AS rn
-  FROM cc ORDER BY n DESC, c ASC LIMIT {max(_CHAR_COV_KS)}),
-ks AS (SELECT unnest([{", ".join(str(k) for k in _CHAR_COV_KS)}]) AS k)
-SELECT CAST(ks.k AS BIGINT) AS k,
-       CAST(count(top.c) AS BIGINT) AS n_chars,
-       CAST(COALESCE(sum(top.n), 0) AS BIGINT) AS chars_covered,
-       CASE WHEN (SELECT t FROM tot) = 0 THEN 0
-            ELSE CAST(round(1000000.0 * COALESCE(sum(top.n), 0)
-                 / (SELECT t FROM tot)) AS BIGINT) END AS coverage_q6
-FROM ks LEFT JOIN top ON top.rn <= ks.k
-GROUP BY ks.k ORDER BY k""",
-)
-def char_coverage_curve(spark, sf_dir):
-    """Character-coverage curve: share of the corpus's character stream
-    covered by the top-4/8/16/32 characters — SentencePiece's
-    ``character_coverage`` knob measured on the actual data (0.9995 for
-    multilingual, 1.0 for ASCII corpora; the curve says which, and how
-    big the byte-fallback alphabet must be). vocab_coverage_curve's
-    sibling one level down the tokenizer stack.
-
-    Scale shape: a map-side char explode into an alphabet-sized agg, a
-    TakeOrdered(32) then ranking over 32 rows, and a cuts theta-join —
-    the stopword_cut_impact plan at character granularity."""
-    ch = (
-        _docs(spark, sf_dir)
-        .where(F.length("text") > 0)
-        .select(F.explode(F.split(F.lower("text"), "")).alias("c"))
-        .where(F.col("c") != "")
-    )
-    cc = ch.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    cc = cc.localCheckpoint()  # feeds the total AND the top cut
-    tot = cc.agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("t"))
-    top = (
-        cc.orderBy(F.desc("n"), F.asc("c"))
-        .limit(max(_CHAR_COV_KS))
-        .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("c"))))
-    )
-    ks = spark.createDataFrame([(k,) for k in _CHAR_COV_KS], "k long")
-    return (
-        F.broadcast(ks)
-        .join(F.broadcast(top), F.col("rn") <= F.col("k"), "left")
-        .crossJoin(F.broadcast(tot))
-        .groupBy(F.col("k").cast("long").alias("k"))
-        .agg(
-            F.count("c").cast("long").alias("n_chars"),
-            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("chars_covered"),
-            F.expr(
-                "CASE WHEN max(t) = 0 THEN 0"
-                " ELSE CAST(round(1000000.0 * COALESCE(sum(n), 0) / max(t)) AS BIGINT) END"
-            ).alias("coverage_q6"),
-        )
-        .orderBy("k")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 63 — PPMI query expansion, quality×dup census, sweep-line backlog
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "ppmi_query_expansion",
-    f"""WITH w AS ({SQL_WORDS}),
-p AS (
-  SELECT least(words[i], words[i+1]) AS a, greatest(words[i], words[i+1]) AS b, 2 AS wt
-  FROM w, unnest(generate_series(1, len(words) - 1)) AS t1(i) WHERE len(words) >= 2
-  UNION ALL
-  SELECT least(words[i], words[i+2]), greatest(words[i], words[i+2]), 1
-  FROM w, unnest(generate_series(1, len(words) - 2)) AS t2(i) WHERE len(words) >= 3),
-pc AS (SELECT a, b, CAST(sum(wt) AS BIGINT) AS w_ab FROM p GROUP BY a, b),
-uc AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM ({SQL_TOKS}) GROUP BY term),
-tot AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM uc) AS n_tok,
-               (SELECT CAST(sum(w_ab) AS BIGINT) FROM pc) AS w_tot),
-q AS (SELECT unnest([{", ".join(repr(t) for t in _TOPK_TERMS)}]) AS qt),
-nb AS (
-  SELECT q.qt, CASE WHEN pc.a = q.qt THEN pc.b ELSE pc.a END AS neighbor, pc.w_ab,
-         {_PPMI_EXPR} AS ppmi_q6
-  FROM q JOIN pc ON pc.a = q.qt OR pc.b = q.qt
-  JOIN (SELECT term, n AS n_a FROM uc) ua ON ua.term = pc.a
-  JOIN (SELECT term, n AS n_b FROM uc) ub ON ub.term = pc.b
-  CROSS JOIN tot
-  WHERE pc.w_ab >= {_TCC_MIN_W}),
-rk AS (
-  SELECT qt, neighbor, w_ab, ppmi_q6,
-         row_number() OVER (PARTITION BY qt
-                            ORDER BY ppmi_q6 DESC, neighbor ASC) AS rn
-  FROM nb WHERE ppmi_q6 > 0)
-SELECT qt, neighbor, w_ab, ppmi_q6, CAST(rn AS BIGINT) AS rank
-FROM rk WHERE rn <= 3 ORDER BY qt, rank""",
-)
-def ppmi_query_expansion(spark, sf_dir):
-    """Corpus-driven query expansion: for each query term, its top-3
-    positive-PPMI co-occurrence neighbors — the thesaurus the
-    distributional family (cooccurrence_ppmi, term_cluster_cc) exists to
-    feed BACK into search (prf_rocchio_expand expands from relevant
-    DOCS; this expands from corpus STATISTICS and needs no first
-    retrieval pass — ES's 'related terms' suggestion).
-
-    Scale shape: the pair table is the Zipf-bounded PPMI co-occurrence
-    agg; the query probe is a ≤|Q|-row broadcast against it (the OR-key
-    join touches a query term's own pair rows only); per-query ranking
-    windows over candidate-bounded rows."""
-    wdf = _docs(spark, sf_dir).select(spark_tokens("text").alias("words"))
-    p1 = wdf.where(F.size("words") >= 2).select(
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(words)-2), i -> "
-                "struct(least(words[i], words[i+1]) AS a,"
-                " greatest(words[i], words[i+1]) AS b, 2 AS wt))"
-            )
-        ).alias("t")
-    )
-    p2 = wdf.where(F.size("words") >= 3).select(
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(words)-3), i -> "
-                "struct(least(words[i], words[i+2]) AS a,"
-                " greatest(words[i], words[i+2]) AS b, 1 AS wt))"
-            )
-        ).alias("t")
-    )
-    pc = (
-        p1.unionByName(p2)
-        .select("t.a", "t.b", "t.wt")
-        .groupBy("a", "b")
-        .agg(F.sum("wt").cast("long").alias("w_ab"))
-        .localCheckpoint()  # w_tot must see the UNFILTERED pair mass
-    )
-    uc = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()
-    )
-    tot = uc.agg(F.sum("n").cast("long").alias("n_tok")).crossJoin(
-        pc.agg(F.sum("w_ab").cast("long").alias("w_tot"))
-    )
-    q = F.broadcast(
-        spark.createDataFrame([(t,) for t in _TOPK_TERMS], "qt string")
-    )
-    ua = uc.select(F.col("term").alias("a"), F.col("n").alias("n_a"))
-    ub = uc.select(F.col("term").alias("b"), F.col("n").alias("n_b"))
-    nb = (
-        q.join(
-            pc.where(F.col("w_ab") >= _TCC_MIN_W),
-            (F.col("a") == F.col("qt")) | (F.col("b") == F.col("qt")),
-        )
-        .join(ua, "a")
-        .join(ub, "b")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "qt",
-            F.expr("CASE WHEN a = qt THEN b ELSE a END").alias("neighbor"),
-            "w_ab",
-            F.expr(_PPMI_EXPR).alias("ppmi_q6"),
-        )
-        .where(F.col("ppmi_q6") > 0)
-    )
-    wq = Window.partitionBy("qt").orderBy(F.desc("ppmi_q6"), F.asc("neighbor"))
-    return (
-        nb.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= 3)
-        .select("qt", "neighbor", "w_ab", "ppmi_q6", F.col("rn").cast("long").alias("rank"))
-        .orderBy("qt", "rank")
-    )
-
-
-@register(
-    "quality_dup_census",
-    _SQL_LSH_PAIRS
-    + f""",
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs),
-dup AS (SELECT DISTINCT src AS doc_id FROM edges),
-t AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok,
-         CAST(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS BIGINT) AS n_distinct
-  FROM documents),
-b AS (
-  SELECT t.doc_id, t.n_tok,
-         CASE WHEN t.n_tok = 0 THEN CAST(-1 AS BIGINT)
-              ELSE LEAST(CAST(4 AS BIGINT),
-                   (CAST(round(1000000.0 * t.n_distinct / t.n_tok) AS BIGINT) * 5) // 1000000)
-         END AS q_bucket,
-         CAST(dup.doc_id IS NOT NULL AS INT) AS is_dup
-  FROM t LEFT JOIN dup ON dup.doc_id = t.doc_id)
-SELECT q_bucket, CAST(is_dup AS BIGINT) AS is_dup,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS n_tokens
-FROM b GROUP BY q_bucket, is_dup ORDER BY q_bucket, is_dup""",
-)
-def quality_dup_census(spark, sf_dir):
-    """Quality × near-duplication interaction census: TTR quintile
-    (len_quality_hist2d's bucket) crossed with LSH-candidate membership
-    — 'are my duplicates concentrated in the low-quality band?' If yes,
-    the quality gate already removes most dup mass and the dedup pass
-    can run lighter; if the dup mass sits in HIGH-quality bins
-    (boilerplate-free mirrors), dedup must run first. The gate-ORDERING
-    decision behind pipeline_waterfall's fixed sequence, made with data.
-
-    Scale shape: dup membership reuses the memoized LSH edge graph
-    (node list, cluster-bounded); quality keys are map-side; the census
-    is ≤12 cells."""
-    edges = _lsh_pair_edges(spark, sf_dir)
-    dup = edges.select(F.col("src").alias("doc_id")).distinct()
-    t = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(spark_tokens("text")).cast("long").alias("n_tok"),
-        F.size(F.array_distinct(spark_tokens("text"))).cast("long").alias("n_distinct"),
-    )
-    b = t.join(dup.withColumn("d", F.lit(1)), "doc_id", "left").select(
-        "n_tok",
-        F.expr(
-            "CASE WHEN n_tok = 0 THEN CAST(-1 AS BIGINT)"
-            " ELSE LEAST(CAST(4 AS BIGINT),"
-            " (CAST(round(1000000.0 * n_distinct / n_tok) AS BIGINT) * 5) div 1000000)"
-            " END"
-        ).alias("q_bucket"),
-        F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("is_dup"),
-    )
-    return (
-        b.groupBy("q_bucket", "is_dup")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
-        )
-        .orderBy("q_bucket", "is_dup")
-    )
-
-
-_BACKLOG_STRIDE = 30  # sample the backlog curve every 30 days
-
-
-@register(
-    "open_lineitems_timeseries",
-    f"""WITH li AS (
-  SELECT epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // {_US_PER_DAY} AS od,
-         epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // {_US_PER_DAY} AS sd
-  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
-delta AS (
-  SELECT od AS day, CAST(1 AS BIGINT) AS d FROM li
-  UNION ALL SELECT sd, CAST(-1 AS BIGINT) FROM li),
-dd AS (SELECT day, CAST(sum(d) AS BIGINT) AS d FROM delta GROUP BY day),
-c AS (
-  SELECT day, CAST(SUM(d) OVER (ORDER BY day) AS BIGINT) AS backlog
-  FROM dd),
-mm AS (SELECT CAST(min(day) AS BIGINT) AS d0 FROM dd)
-SELECT c.day, c.backlog
-FROM c, mm WHERE (c.day - mm.d0) % {_BACKLOG_STRIDE} = 0
-ORDER BY c.day""",
-)
-def open_lineitems_timeseries(spark, sf_dir):
-    """Order-backlog time series by SWEEP-LINE: lineitems ordered but not
-    yet shipped on day d (orderdate ≤ d < shipdate), computed as +1/−1
-    deltas at the boundary days with a cumulative sum — the classic
-    interval-stabbing decomposition that replaces the quadratic
-    'spine × intervals BETWEEN join' with two map-side rows per interval
-    (at 100 TB the range join fans |days|×|lineitems|; the sweep is
-    2 rows per lineitem, then a DELTA-DAY-bounded window). Sampled every
-    30 days at delta days (the curve only changes there).
-
-    Determinism: all-integer day keys (epoch_us division, the TPC-H date
-    rule) and exact delta sums.
-
-    Scale shape: one orderkey join, a map-side delta union, a day-keyed
-    agg (≤|calendar| rows) and a cumulative window over those rows."""
-    li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .join(
-            spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-                F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
-            ),
-            "l_orderkey",
-        )
-        .select(
-            F.expr(
-                f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_PER_DAY}"
-            ).alias("od"),
-            F.expr(
-                f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div {_US_PER_DAY}"
-            ).alias("sd"),
-        )
-    )
-    delta = li.select(F.col("od").alias("day"), F.lit(1).cast("long").alias("d")).unionByName(
-        li.select(F.col("sd").alias("day"), F.lit(-1).cast("long").alias("d"))
-    )
-    dd = delta.groupBy("day").agg(F.sum("d").cast("long").alias("d"))
-    dd = dd.localCheckpoint()  # feeds the min-day AND the cumulative window
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    c = dd.select("day", F.sum("d").over(w).cast("long").alias("backlog"))
-    mm = dd.agg(F.min("day").cast("long").alias("d0"))
-    return (
-        c.crossJoin(F.broadcast(mm))
-        .where(F.expr(f"(day - d0) % {_BACKLOG_STRIDE} = 0"))
-        .select("day", "backlog")
-        .orderBy("day")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 64 — pre-retrieval QPP, new-vs-returning users, quality drift
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "preretrieval_qpp",
-    f"""WITH tf AS ({SQL_TF}),
-a2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
-       FROM tf GROUP BY term),
-nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
-q AS (SELECT * FROM (VALUES {_BQ_VALUES}) AS v(qid, term)),
-pt AS (
-  SELECT q.qid, q.term,
-         CAST(round(1000000 * ln(1.0 + (nd.n - COALESCE(a2.df, 0) + 0.5)
-              / (COALESCE(a2.df, 0) + 0.5))) AS BIGINT) AS idf_q6,
-         CAST(round(1000000 * (1.0 + ln(greatest(COALESCE(a2.cf, 0), 1)))
-              * ln(1.0 + (nd.n - COALESCE(a2.df, 0) + 0.5)
-                   / (COALESCE(a2.df, 0) + 0.5))) AS BIGINT) AS scq_q6
-  FROM q LEFT JOIN a2 USING (term) CROSS JOIN nd)
-SELECT CAST(qid AS BIGINT) AS qid,
-       CAST(count(*) AS BIGINT) AS n_terms,
-       CAST(round(sum(idf_q6) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_idf_q6,
-       CAST(max(idf_q6) AS BIGINT) AS max_idf_q6,
-       CAST(COALESCE(sum(scq_q6), 0) AS BIGINT) AS scq_q6
-FROM pt GROUP BY qid ORDER BY qid""",
-)
-def preretrieval_qpp(spark, sf_dir):
-    """PRE-retrieval query-performance prediction (He & Ounis 2004): per
-    query of the _msearch batch, avgIDF / maxIDF and the summed
-    collection-query similarity SCQ = Σ (1+ln cf)·idf — the difficulty
-    estimate a router reads BEFORE spending a retrieval pass (route
-    easy queries to the cheap tier, hard ones to rerankers; clarity_score
-    is the post-retrieval sibling that needs the top-10 first). Terms
-    absent from the collection carry cf 0 → the greatest(·,1) guard and
-    a maximal idf — the classic OOV-is-hard signal.
-
-    Determinism: per-(query, term) idf/scq are single q6-rounded float
-    expressions over exact integers; the per-query rollup divides exact
-    sums once.
-
-    Scale shape: the A2 dictionary probe is a ≤|query-terms| broadcast
-    LEFT JOIN; no postings are touched at all — that absence IS the op."""
-    tf = _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf")
-    )
-    tf = tf.localCheckpoint()  # feeds a2 AND the corpus doc count
-    a2 = tf.groupBy("term").agg(
-        F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf")
-    )
-    nd = tf.select("doc_id").distinct().agg(F.count(F.lit(1)).cast("long").alias("n"))
-    q = F.broadcast(
-        spark.createDataFrame(
-            [(qid, t) for qid, terms in _BATCH_QUERIES for t in terms],
-            "qid long, term string",
-        )
-    )
-    pt = (
-        q.join(a2, "term", "left")
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "qid",
-            F.expr(
-                "CAST(round(1000000 * ln(1.0 + (n - COALESCE(df, 0) + 0.5)"
-                " / (COALESCE(df, 0) + 0.5))) AS BIGINT)"
-            ).alias("idf_q6"),
-            F.expr(
-                "CAST(round(1000000 * (1.0 + ln(greatest(COALESCE(cf, 0), 1)))"
-                " * ln(1.0 + (n - COALESCE(df, 0) + 0.5)"
-                " / (COALESCE(df, 0) + 0.5))) AS BIGINT)"
-            ).alias("scq_q6"),
-        )
-    )
-    return (
-        pt.groupBy("qid")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.expr(
-                "CAST(round(sum(idf_q6) / CAST(count(*) AS DOUBLE)) AS BIGINT)"
-            ).alias("avg_idf_q6"),
-            F.max("idf_q6").cast("long").alias("max_idf_q6"),
-            F.coalesce(F.sum("scq_q6"), F.lit(0)).cast("long").alias("scq_q6"),
-        )
-        .orderBy("qid")
-    )
-
-
-@register(
-    "new_returning_daily",
-    f"""WITH e AS (
-  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day,
-         CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events),
-fs AS (SELECT user_id, CAST(min(day) AS BIGINT) AS first_day FROM e GROUP BY user_id),
-j AS (
-  SELECT e.day, CAST(e.day = fs.first_day AS INT) AS is_new,
-         e.user_id, e.cents
-  FROM e JOIN fs USING (user_id))
-SELECT day, CAST(is_new AS BIGINT) AS is_new,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(cents) AS BIGINT) AS value_cents
-FROM j GROUP BY day, is_new ORDER BY day, is_new""",
-)
-def new_returning_daily(spark, sf_dir):
-    """New-vs-returning split per day — the growth-accounting census
-    every product dashboard leads with (is today's activity acquisition
-    or retention?): a user's events on their FIRST-SEEN day count as
-    'new', every later day as 'returning'. Distinct users, events and
-    exact cents per (day, cohort-side).
-
-    Scale shape: first-seen is one user-keyed min agg; the join back
-    rides the same user exchange (the events_cohort_revenue rule); the
-    census is calendar×2 rows. Day keys integer."""
-    e = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias("day"),
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-    )
-    fs = e.groupBy("user_id").agg(F.min("day").cast("long").alias("first_day"))
-    j = e.join(fs, "user_id").select(
-        "day",
-        (F.col("day") == F.col("first_day")).cast("int").alias("is_new"),
-        "user_id",
-        "cents",
-    )
-    return (
-        j.groupBy("day", F.col("is_new").cast("long").alias("is_new"))
-        .agg(
-            F.countDistinct("user_id").cast("long").alias("n_users"),
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum("cents").cast("long").alias("value_cents"),
-        )
-        .orderBy("day", "is_new")
-    )
-
-
-@register(
-    "quality_drift_deciles",
-    f"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-t AS (
-  SELECT CAST((doc_id * 10) // n_docs AS BIGINT) AS decile,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok,
-         CAST(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))) AS BIGINT) AS n_distinct
-  FROM documents CROSS JOIN nd),
-v AS (
-  SELECT decile, n_tok,
-         CAST(round(1000000.0 * n_distinct / n_tok) AS BIGINT) AS ttr_q6
-  FROM t WHERE n_tok > 0)
-SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS n_tokens,
-       CAST(round(sum(ttr_q6) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_ttr_q6,
-       CAST(round(sum(n_tok) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_len
-FROM v GROUP BY decile ORDER BY decile""",
-)
-def quality_drift_deciles(spark, sf_dir):
-    """Quality drift monitor: mean TTR and mean length per doc_id decile
-    — term_drift_deciles' QUALITY-AXIS sibling (a crawl whose late
-    deciles get shorter and less diverse is degrading at the source, and
-    a model trained on the head overfits clean data). Flat curves on the
-    stationary sandbox are the healthy reading.
-
-    Scale shape: decile is a map-side key off the 1-row count broadcast;
-    one 10-group agg; per-doc TTR q6-rounds first, means divide exact
-    sums once."""
-    nd = _docs(spark, sf_dir).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    t = (
-        _docs(spark, sf_dir)
-        .crossJoin(F.broadcast(nd))
-        .select(
-            F.expr("cast((doc_id * 10) div n_docs as bigint)").alias("decile"),
-            F.size(spark_tokens("text")).cast("long").alias("n_tok"),
-            F.size(F.array_distinct(spark_tokens("text"))).cast("long").alias("n_distinct"),
-        )
-    )
-    v = t.where(F.col("n_tok") > 0).select(
-        "decile",
-        "n_tok",
-        F.expr("CAST(round(1000000.0 * n_distinct / n_tok) AS BIGINT)").alias("ttr_q6"),
-    )
-    return (
-        v.groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
-            F.expr(
-                "CAST(round(sum(ttr_q6) / CAST(count(*) AS DOUBLE)) AS BIGINT)"
-            ).alias("mean_ttr_q6"),
-            F.expr(
-                "CAST(round(sum(n_tok) / CAST(count(*) AS DOUBLE)) AS BIGINT)"
-            ).alias("mean_len"),
-        )
-        .orderBy("decile")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 65 — pair-free embedding dispersion, graph assortativity,
-# revenue Gini
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "source_embedding_dispersion",
-    """WITH e AS (
-  SELECT d.source, CAST(em.embedding AS DOUBLE[]) AS v
-  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
-  WHERE em.vec_id <> 0),
-nv AS (
-  SELECT source,
-         list_transform(v, x -> CAST(CAST(round(1000000 * x / nrm) AS BIGINT) AS DOUBLE)) AS u
-  FROM (SELECT source, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)),
-dims AS (
-  SELECT source, i, CAST(SUM(CAST(u[i] AS BIGINT)) AS BIGINT) AS s,
-         CAST(SUM(CAST(u[i] AS BIGINT) * CAST(u[i] AS BIGINT)) AS BIGINT) AS ss
-  FROM nv, (SELECT unnest(generate_series(1, 64)) AS i)
-  GROUP BY source, i),
-agg AS (
-  SELECT source,
-         CAST(sum(s * s) AS BIGINT) AS sum_sq,
-         CAST(sum(ss) AS BIGINT) AS self_sq
-  FROM dims GROUP BY source),
-cnt AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n FROM nv GROUP BY source)
-SELECT cnt.source, cnt.n,
-       CASE WHEN cnt.n < 2 THEN 0
-            ELSE CAST(round((CAST(agg.sum_sq AS DOUBLE) - agg.self_sq)
-                 / (CAST(cnt.n AS DOUBLE) * (cnt.n - 1)) / 1000000.0) AS BIGINT)
-       END AS mean_pair_cos_q6
-FROM cnt JOIN agg USING (source) ORDER BY cnt.source""",
-)
-def source_embedding_dispersion(spark, sf_dir):
-    """Mean PAIRWISE cosine within each source — computed WITHOUT any
-    pair join via the sum-vector identity Σ_{i≠j} û_i·û_j = ‖Σû‖² − Σ‖û‖²
-    over q6-quantized unit vectors: the tightness/diversity score of a
-    source's embedding cloud (≈1 = near-duplicate topic silo, ≈0 =
-    diverse; the semdedup threshold should sit well above a source's own
-    dispersion). The identity is THE 100 TB trick — an n² pair sum
-    collapses to one linear pass and a 64-row-per-source reduction,
-    where every pairwise formulation (semdedup's in-cell join included)
-    pays quadratic cost.
-
-    Determinism: each vector normalizes ONCE to integer q6 components
-    (the normalize-once/one-dot rule); ‖Σû‖² and Σ‖û‖² are exact BIGINTs
-    (envelope: component sums < 2^31.5 per source-dim at 1e9 docs, their
-    squares < 2^63); the final expression is one guarded float division
-    landing back in q6.
-
-    Scale shape: one map-side normalize + a (source, dim)-keyed integer
-    agg (64 rows per source), then a sources-sized rollup. No pair
-    table EXISTS."""
-    e = (
-        _emb(spark, sf_dir)
-        .where(F.col("vec_id") != 0)
-        .join(
-            _docs(spark, sf_dir).select(F.col("doc_id").alias("vec_id"), "source"),
-            "vec_id",
-        )
-        .select("source", F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
-    )
-    # hoist the norm OUT of the element lambda — an in-lambda
-    # sqrt(dot(v,v)) is re-evaluated per element by the interpreted HOF
-    # (the pagerank lesson: one dot per row, not 64)
-    nv = e.withColumn("nrm", F.sqrt(F.expr(_DOT.format(a="v", b="v")))).select(
-        "source",
-        F.expr(
-            "transform(v, x -> cast(cast(round(1000000 * x / nrm) as bigint) as double))"
-        ).alias("u"),
-    )
-    nv = nv.localCheckpoint()  # feeds the dim sums AND the count
-    dims = (
-        nv.select("source", F.posexplode("u").alias("i", "x"))
-        .withColumn("xq", F.col("x").cast("long"))
-        .groupBy("source", "i")
-        .agg(
-            F.sum("xq").cast("long").alias("s"),
-            F.sum(F.expr("xq * xq")).cast("long").alias("ss"),
-        )
-    )
-    agg = dims.groupBy("source").agg(
-        F.sum(F.expr("s * s")).cast("long").alias("sum_sq"),
-        F.sum("ss").cast("long").alias("self_sq"),
-    )
-    cnt = nv.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    return (
-        cnt.join(agg, "source")
-        .select(
-            "source",
-            "n",
-            F.expr(
-                "CASE WHEN n < 2 THEN 0"
-                " ELSE CAST(round((CAST(sum_sq AS DOUBLE) - self_sq)"
-                " / (CAST(n AS DOUBLE) * (n - 1)) / 1000000.0) AS BIGINT) END"
-            ).alias("mean_pair_cos_q6"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "lsh_assortativity",
-    _SQL_LSH_PAIRS
-    + """,
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs),
-deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
-de AS (
-  SELECT da.d AS x, db.d AS y
-  FROM edges e JOIN deg da ON da.id = e.src JOIN deg db ON db.id = e.dst),
-s AS (
-  SELECT CAST(count(*) AS BIGINT) AS m,
-         CAST(COALESCE(sum(x), 0) AS BIGINT) AS sx,
-         CAST(COALESCE(sum(y), 0) AS BIGINT) AS sy,
-         CAST(COALESCE(sum(x * x), 0) AS BIGINT) AS sxx,
-         CAST(COALESCE(sum(y * y), 0) AS BIGINT) AS syy,
-         CAST(COALESCE(sum(x * y), 0) AS BIGINT) AS sxy
-  FROM de)
-SELECT m,
-       CASE WHEN m = 0 OR m * sxx = sx * sx OR m * syy = sy * sy THEN 0
-            ELSE CAST(round(1000000 * (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS BIGINT)
-       END AS assortativity_q6
-FROM s""",
-)
-def lsh_assortativity(spark, sf_dir):
-    """Degree assortativity of the near-dup candidate graph (Newman
-    2002): Pearson correlation of endpoint degrees over DIRECTED edge
-    instances — do heavy near-dup nodes link to other heavy nodes
-    (mirror farms interlinking → positive) or to leaves (one template
-    spraying one-off copies → negative)? The last summary statistic of
-    the graph family (degrees, triangles, cores, components, AA) and
-    the shape diagnostic that picks between 'delete the cluster' and
-    'keep one canonical per star'.
-
-    Determinism: six exact BIGINT sufficient stats over integer degree
-    pairs; the correlation is one guarded float expression (the
-    matrix_stats sqrt-split rule).
-
-    Scale shape: one degree agg + two broadcast-degree probes into the
-    edge stream; the stats collapse map-side to one row."""
-    edges = _lsh_pair_edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    deg = deg.localCheckpoint()  # probed from BOTH endpoints
-    da = deg.select(F.col("src").alias("esrc"), F.col("d").alias("x"))
-    db = deg.select(F.col("src").alias("edst"), F.col("d").alias("y"))
-    de = (
-        edges.select(F.col("src").alias("esrc"), F.col("dst").alias("edst"))
-        .join(da, "esrc")
-        .join(db, "edst")
-        .select("x", "y")
-    )
-    s = de.agg(
-        F.count(F.lit(1)).cast("long").alias("m"),
-        F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("sx"),
-        F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("sy"),
-        F.coalesce(F.sum(F.expr("x * x")), F.lit(0)).cast("long").alias("sxx"),
-        F.coalesce(F.sum(F.expr("y * y")), F.lit(0)).cast("long").alias("syy"),
-        F.coalesce(F.sum(F.expr("x * y")), F.lit(0)).cast("long").alias("sxy"),
-    )
-    return s.select(
-        "m",
-        F.expr(
-            "CASE WHEN m = 0 OR m * sxx = sx * sx OR m * syy = sy * sy THEN 0"
-            " ELSE CAST(round(1000000 * (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
-            " / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
-            " * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS BIGINT) END"
-        ).alias("assortativity_q6"),
-    )
-
-
-@register(
-    "revenue_gini_users",
-    """WITH ur AS (
-  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events GROUP BY user_id),
-pos AS (SELECT cents FROM ur WHERE cents > 0),
-hist AS (SELECT cents, CAST(count(*) AS BIGINT) AS nu FROM pos GROUP BY cents),
-h AS (
-  SELECT cents, nu,
-         CAST(COALESCE(SUM(nu) OVER (ORDER BY cents
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-  FROM hist),
-s AS (
-  SELECT CAST(COALESCE(sum(nu), 0) AS BIGINT) AS n,
-         CAST(COALESCE(sum(nu * cents), 0) AS BIGINT) AS tot,
-         CAST(COALESCE(sum(cents * (nu * cum_before + (nu * (nu + 1)) // 2)), 0) AS BIGINT) AS rw
-  FROM h)
-SELECT n, tot,
-       CASE WHEN n < 2 OR tot = 0 THEN 0
-            ELSE CAST(round(1000000.0 * (2.0 * rw / (CAST(n AS DOUBLE) * tot)
-                 - (n + 1.0) / n)) AS BIGINT) END AS gini_q6
-FROM s""",
-)
-def revenue_gini_users(spark, sf_dir):
-    """Gini coefficient of per-user revenue — the single-number
-    inequality summary next to revenue_pareto_users' curve (0 = everyone
-    equal, →1 = one whale), via the SORTED formula G = 2Σrᵢxᵢ/(nΣx) −
-    (n+1)/n decomposed over the value HISTOGRAM: a bin of nu tied users
-    entering at cumulative position c contributes rank mass
-    nu·c + nu(nu+1)/2 — an exact integer, so no user-table sort exists
-    (the source_token_gini formula lifted onto the Pareto machinery).
-    Non-positive totals are non-revenue users and excluded, declared.
-
-    Determinism: all sums are exact BIGINTs ((nu·(nu+1))/2 is even-
-    product-exact); the coefficient is one guarded float expression.
-
-    Scale shape: user agg → value histogram → prefix window over
-    histogram CELLS → 1-row stats."""
-    ur = (
-        _events(spark, sf_dir)
-        .select("user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"))
-        .groupBy("user_id")
-        .agg(F.sum("c").cast("long").alias("cents"))
-    )
-    hist = (
-        ur.where(F.col("cents") > 0)
-        .groupBy("cents")
-        .agg(F.count(F.lit(1)).cast("long").alias("nu"))
-    )
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
-    h = hist.select(
-        "cents",
-        "nu",
-        F.coalesce(F.sum("nu").over(w), F.lit(0)).cast("long").alias("cum_before"),
-    )
-    s = h.agg(
-        F.coalesce(F.sum("nu"), F.lit(0)).cast("long").alias("n"),
-        F.coalesce(F.sum(F.expr("nu * cents")), F.lit(0)).cast("long").alias("tot"),
-        F.coalesce(
-            F.sum(F.expr("cents * (nu * cum_before + (nu * (nu + 1)) div 2)")), F.lit(0)
-        )
-        .cast("long")
-        .alias("rw"),
-    )
-    return s.select(
-        "n",
-        "tot",
-        F.expr(
-            "CASE WHEN n < 2 OR tot = 0 THEN 0"
-            " ELSE CAST(round(1000000.0 * (2.0 * rw / (CAST(n AS DOUBLE) * tot)"
-            " - (n + 1.0) / n)) AS BIGINT) END"
-        ).alias("gini_q6"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 66 — vocabulary growth curve, session durations, dup-pair distance
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "vocab_growth_curve",
-    f"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-toks AS (
-  SELECT CAST((doc_id * 10) // n_docs AS BIGINT) AS decile,
-         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
-  FROM documents CROSS JOIN nd),
-fo AS (SELECT term, CAST(min(decile) AS BIGINT) AS first_decile FROM toks GROUP BY term),
-per AS (SELECT first_decile AS decile, CAST(count(*) AS BIGINT) AS new_terms
-        FROM fo GROUP BY first_decile),
-spine AS (SELECT unnest(generate_series(0, 9)) AS decile)
-SELECT CAST(spine.decile AS BIGINT) AS decile,
-       CAST(COALESCE(per.new_terms, 0) AS BIGINT) AS new_terms,
-       CAST(SUM(COALESCE(per.new_terms, 0)) OVER (ORDER BY spine.decile) AS BIGINT)
-         AS vocab_so_far
-FROM spine LEFT JOIN per ON per.decile = spine.decile
-ORDER BY decile""",
-)
-def vocab_growth_curve(spark, sf_dir):
-    """Empirical vocabulary-growth curve: NEW terms first seen in each
-    doc_id decile plus the cumulative vocabulary — the measured Heaps
-    curve (heaps_law_source fits the exponent; this is the raw curve the
-    fit summarizes), and the OOV-rate planning input (a tokenizer frozen
-    at decile 5 will miss exactly the later bars). A flat new-terms
-    tail = closed vocabulary; a fat one = open-class drift.
-
-    Determinism: first occurrence is min(decile) per term — exact; the
-    cumulative runs over a 10-row spine.
-
-    Scale shape: one vocab-keyed min agg (map-side combinable) then
-    10-row tables; the spine LEFT JOIN keeps empty deciles visible."""
-    nd = _docs(spark, sf_dir).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    toks = (
-        _docs(spark, sf_dir)
-        .crossJoin(F.broadcast(nd))
-        .select(
-            F.expr("cast((doc_id * 10) div n_docs as bigint)").alias("decile"),
-            F.explode(spark_tokens("text")).alias("term"),
-        )
-    )
-    fo = toks.groupBy("term").agg(F.min("decile").cast("long").alias("first_decile"))
-    per = fo.groupBy(F.col("first_decile").alias("decile")).agg(
-        F.count(F.lit(1)).cast("long").alias("new_terms")
-    )
-    spine = spark.createDataFrame([(d,) for d in range(10)], "decile long")
-    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        F.broadcast(spine)
-        .join(per, "decile", "left")
-        .select(
-            F.col("decile").cast("long").alias("decile"),
-            F.coalesce(F.col("new_terms"), F.lit(0)).cast("long").alias("new_terms"),
-        )
-        .withColumn("vocab_so_far", F.sum("new_terms").over(w).cast("long"))
-        .orderBy("decile")
-    )
-
-
-@register(
-    "session_duration_histogram",
-    f"""WITH t AS (
-  SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events),
-g AS (
-  SELECT user_id, t_us,
-         CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   IS NULL THEN 1
-              WHEN t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS is_start
-  FROM t),
-s AS (
-  SELECT user_id, t_us,
-         CAST(SUM(is_start) OVER (PARTITION BY user_id
-           ORDER BY t_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           AS session_id
-  FROM g),
-d AS (
-  SELECT user_id, session_id,
-         CAST(max(t_us) - min(t_us) AS BIGINT) AS dur,
-         CAST(count(*) AS BIGINT) AS n_events
-  FROM s GROUP BY user_id, session_id),
-b AS (
-  SELECT CASE WHEN dur = 0 THEN -1
-              ELSE CAST(length(bin(dur)) - 1 AS BIGINT) END AS bucket, n_events
-  FROM d)
-SELECT bucket, CAST(count(*) AS BIGINT) AS n_sessions,
-       CAST(sum(n_events) AS BIGINT) AS n_events
-FROM b GROUP BY bucket ORDER BY bucket""",
-)
-def session_duration_histogram(spark, sf_dir):
-    """Session-duration distribution under the 30-min-gap rule: sessions
-    materialized by GAPS-AND-ISLANDS (session_id = running sum of
-    is_start flags — the longest_shared_span decomposition applied to
-    time), duration = last−first event µs, histogram in log2-µs buckets
-    (bucket −1 = single-event bounce sessions, whose share IS the bounce
-    rate). Completes the session family: count census
-    (user_session_histogram), gap tuning (interevent_gap_histogram),
-    now dwell time.
-
-    Determinism: both windows order by (ts, event_id); running sums and
-    durations are exact integers.
-
-    Scale shape: TWO windows on the same user_id exchange (lag + running
-    sum — one shuffle), a (user, session) agg, a ≤64-bucket rollup."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        "event_id",
-    )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    g = t.select(
-        "user_id",
-        "t_us",
-        "event_id",
-        F.expr(
-            f"CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
-            f" IS NULL THEN 1"
-            f" WHEN t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
-            f" > {_SESSION_GAP_US} THEN 1 ELSE 0 END"
-        ).alias("is_start"),
-    )
-    s = g.select(
-        "user_id",
-        "t_us",
-        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("long")
-        .alias("session_id"),
-    )
-    d = s.groupBy("user_id", "session_id").agg(
-        (F.max("t_us") - F.min("t_us")).cast("long").alias("dur"),
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-    )
-    b = d.select(
-        F.expr(
-            "CASE WHEN dur = 0 THEN -1 ELSE CAST(length(bin(dur)) - 1 AS BIGINT) END"
-        ).alias("bucket"),
-        "n_events",
-    )
-    return (
-        b.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_sessions"),
-            F.sum("n_events").cast("long").alias("n_events"),
-        )
-        .orderBy("bucket")
-    )
-
-
-@register(
-    "dup_pair_distance_histogram",
-    _SQL_LSH_PAIRS
-    + """
-SELECT CASE WHEN doc_b - doc_a = 0 THEN -1
-            ELSE CAST(length(bin(doc_b - doc_a)) - 1 AS BIGINT) END AS bucket,
-       CAST(count(*) AS BIGINT) AS n_pairs
-FROM pairs GROUP BY bucket ORDER BY bucket""",
-)
-def dup_pair_distance_histogram(spark, sf_dir):
-    """Near-dup pair LOCALITY: histogram of log2(doc_id distance) over
-    the LSH candidate pairs — are duplicates ingestion-neighbors (small
-    gaps: re-crawls, pagination echoes — a streaming window dedup
-    catches them) or long-range (mirrors across the corpus — only the
-    global LSH pass sees those)? The knob this tunes is REAL: a bounded
-    dedup window is orders cheaper than global LSH, and this curve says
-    what it would miss.
-
-    Scale shape: the memoized candidate pairs, one map-side bucket key,
-    a ≤64-bucket agg."""
-    pairs = (
-        _lsh_pair_edges(spark, sf_dir)
-        .where(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
-    )
-    b = pairs.select(
-        F.expr(
-            "CASE WHEN doc_b - doc_a = 0 THEN -1"
-            " ELSE CAST(length(bin(doc_b - doc_a)) - 1 AS BIGINT) END"
-        ).alias("bucket")
-    )
-    return (
-        b.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-        .orderBy("bucket")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 67 — part-revenue Pareto, language drift, ship-lag histogram
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "part_revenue_pareto",
-    f"""WITH pr AS (
-  SELECT l_partkey,
-         CAST(sum(CAST(round(100 * l_extendedprice * (1 - l_discount)) AS BIGINT)) AS BIGINT)
-           AS cents
-  FROM lineitem GROUP BY l_partkey),
-hist AS (SELECT cents, CAST(count(*) AS BIGINT) AS np FROM pr GROUP BY cents),
-h AS (
-  SELECT cents, np,
-         CAST(COALESCE(SUM(np) OVER (ORDER BY cents DESC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-  FROM hist),
-tot AS (SELECT CAST(COALESCE(sum(np), 0) AS BIGINT) AS n_parts,
-               CAST(COALESCE(sum(np * cents), 0) AS BIGINT) AS rev FROM hist),
-p AS (SELECT p_q6 FROM (VALUES (100000), (10000)) AS v(p_q6)),
-kk AS (SELECT p_q6, CAST((p_q6 * n_parts + 999999) // 1000000 AS BIGINT) AS k FROM p, tot),
-top AS (
-  SELECT kk.p_q6, kk.k,
-         CAST(COALESCE(sum(CASE
-           WHEN h.cum_before + h.np <= kk.k THEN h.np * h.cents
-           WHEN h.cum_before < kk.k THEN (kk.k - h.cum_before) * h.cents
-           ELSE 0 END), 0) AS BIGINT) AS rev_top
-  FROM kk LEFT JOIN h ON TRUE GROUP BY kk.p_q6, kk.k)
-SELECT top.p_q6, top.k AS k_parts, top.rev_top,
-       CASE WHEN tot.rev = 0 THEN 0
-            ELSE CAST(round(1000000.0 * top.rev_top / tot.rev) AS BIGINT) END AS share_q6
-FROM top, tot ORDER BY p_q6 DESC""",
-)
-def part_revenue_pareto(spark, sf_dir):
-    """Catalog concentration: the share of discounted revenue carried by
-    the top 10% / 1% of PARTS — revenue_pareto_users' machinery pointed
-    at the TPC-H fact table (the assortment-planning readout: a catalog
-    where 1% of SKUs carry half the revenue prunes its long tail). Money
-    follows the Q1 rule: cents = round(100·extprice·(1−disc)) per ROW,
-    exact BIGINT sums after.
-
-    Scale shape: one partkey agg, histogram over DISTINCT revenue
-    values, prefix window over cells, 2-row output — no part-table
-    sort."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_partkey",
-        F.expr("CAST(round(100 * l_extendedprice * (1 - l_discount)) AS BIGINT)").alias("c"),
-    )
-    pr = li.groupBy("l_partkey").agg(F.sum("c").cast("long").alias("cents"))
-    hist = pr.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("np"))
-    hist = hist.localCheckpoint()
-    w = Window.orderBy(F.desc("cents")).rowsBetween(Window.unboundedPreceding, -1)
-    h = hist.select(
-        "cents",
-        "np",
-        F.coalesce(F.sum("np").over(w), F.lit(0)).cast("long").alias("cum_before"),
-    )
-    tot = hist.agg(
-        F.coalesce(F.sum("np"), F.lit(0)).cast("long").alias("n_parts"),
-        F.coalesce(F.sum(F.expr("np * cents")), F.lit(0)).cast("long").alias("rev"),
-    )
-    p = spark.createDataFrame([(100000,), (10000,)], "p_q6 long")
-    kk = F.broadcast(p).crossJoin(F.broadcast(tot)).select(
-        "p_q6", F.expr("CAST((p_q6 * n_parts + 999999) div 1000000 AS BIGINT)").alias("k")
-    )
-    top = (
-        F.broadcast(kk)
-        .join(h, F.lit(True), "left")
-        .groupBy("p_q6", "k")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.expr(
-                        "CASE WHEN cum_before + np <= k THEN np * cents"
-                        " WHEN cum_before < k THEN (k - cum_before) * cents"
-                        " ELSE 0 END"
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("rev_top")
-        )
-    )
-    return (
-        top.crossJoin(F.broadcast(tot))
-        .select(
-            "p_q6",
-            F.col("k").alias("k_parts"),
-            "rev_top",
-            F.expr(
-                "CASE WHEN rev = 0 THEN 0"
-                " ELSE CAST(round(1000000.0 * rev_top / rev) AS BIGINT) END"
-            ).alias("share_q6"),
-        )
-        .orderBy(F.desc("p_q6"))
-    )
-
-
-@register(
-    "lang_drift_deciles",
-    """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-t AS (
-  SELECT CAST((doc_id * 10) // n_docs AS BIGINT) AS decile, lang
-  FROM documents CROSS JOIN nd),
-c AS (SELECT decile, lang, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY decile, lang),
-dt AS (SELECT decile, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY decile)
-SELECT c.decile, c.lang, c.n,
-       CAST(round(1000000.0 * c.n / dt.tot) AS BIGINT) AS share_q6
-FROM c JOIN dt USING (decile) ORDER BY c.decile, c.lang""",
-)
-def lang_drift_deciles(spark, sf_dir):
-    """Language-mix drift: per doc_id decile, each language's document
-    share — the LANG axis of the drift-monitor family (terms:
-    term_drift_deciles; quality: quality_drift_deciles; this one catches
-    a crawl whose language mix shifts over time, which silently re-weights
-    every lang-conditional stage downstream). Flat shares on the
-    stationary sandbox are the healthy reading.
-
-    Scale shape: map-side keys, a ≤10×|langs| agg, shares from a 10-row
-    broadcast."""
-    nd = _docs(spark, sf_dir).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    t = (
-        _docs(spark, sf_dir)
-        .crossJoin(F.broadcast(nd))
-        .select(
-            F.expr("cast((doc_id * 10) div n_docs as bigint)").alias("decile"), "lang"
-        )
-    )
-    c = t.groupBy("decile", "lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    c = c.localCheckpoint()  # feeds the decile totals AND the share join
-    dt = c.groupBy("decile").agg(F.sum("n").cast("long").alias("tot"))
-    return (
-        c.join(F.broadcast(dt), "decile")
-        .select(
-            "decile",
-            "lang",
-            "n",
-            F.expr("CAST(round(1000000.0 * n / tot) AS BIGINT)").alias("share_q6"),
-        )
-        .orderBy("decile", "lang")
-    )
-
-
-@register(
-    "ship_lag_histogram",
-    f"""WITH j AS (
-  SELECT o.o_orderpriority AS priority,
-         epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // {_US_PER_DAY}
-           - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // {_US_PER_DAY} AS lag_days
-  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
-b AS (
-  SELECT priority,
-         CASE WHEN lag_days <= 0 THEN -1
-              ELSE CAST(length(bin(lag_days)) - 1 AS BIGINT) END AS bucket
-  FROM j)
-SELECT priority, bucket, CAST(count(*) AS BIGINT) AS n_items
-FROM b GROUP BY priority, bucket ORDER BY priority, bucket""",
-)
-def ship_lag_histogram(spark, sf_dir):
-    """Fulfillment-latency distribution: log2-day histogram of
-    (shipdate − orderdate) per order priority — the SLA curve behind
-    TPC-H Q12's two-bucket summary (Q12 counts late-vs-priority; this
-    shows the whole latency shape per priority class, which is what an
-    ops dashboard actually plots). Same-day-or-earlier ships land in
-    bucket −1.
-
-    Scale shape: one orderkey join (both sides unbounded, un-hinted —
-    AQE decides), map-side integer day subtraction, a ≤|priorities|×64
-    agg."""
-    j = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .join(
-            spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-                F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority", "o_orderdate"
-            ),
-            "l_orderkey",
-        )
-        .select(
-            F.col("o_orderpriority").alias("priority"),
-            F.expr(
-                f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div {_US_PER_DAY}"
-                f" - unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_PER_DAY}"
-            ).alias("lag_days"),
-        )
-    )
-    b = j.select(
-        "priority",
-        F.expr(
-            "CASE WHEN lag_days <= 0 THEN -1"
-            " ELSE CAST(length(bin(lag_days)) - 1 AS BIGINT) END"
-        ).alias("bucket"),
-    )
-    return (
-        b.groupBy("priority", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
-        .orderBy("priority", "bucket")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 68 — intrinsic dimension, discount elasticity, order sizes
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "embedding_intrinsic_dim",
-    _SQL_EMB_E
-    + _coarse_ctes()
-    + """
-px AS (
-  SELECT ca3.ccid, a.vec_id AS qid, b.vec_id AS nid,
-         CAST(round(1000000 * list_dot_product(a.v, b.v)
-           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
-           AS BIGINT) AS cos_q6
-  FROM ca3 JOIN e a ON a.vec_id = ca3.vec_id
-  JOIN ca3 cb ON cb.ccid = ca3.ccid AND cb.vec_id <> ca3.vec_id
-  JOIN e b ON b.vec_id = cb.vec_id),
-rk AS (
-  SELECT qid, cos_q6,
-         row_number() OVER (PARTITION BY qid ORDER BY cos_q6 DESC, nid ASC) AS rn
-  FROM px),
-two AS (
-  SELECT qid,
-         max(CASE WHEN rn = 1 THEN cos_q6 END) AS c1,
-         max(CASE WHEN rn = 2 THEN cos_q6 END) AS c2
-  FROM rk WHERE rn <= 2 GROUP BY qid),
-mu AS (
-  SELECT qid,
-         CAST(round(1000000 * ln(sqrt(greatest(2000000 - 2 * c2, 1)
-              / CAST(greatest(2000000 - 2 * c1, 1) AS DOUBLE)))) AS BIGINT) AS lmu_q6
-  FROM two WHERE c2 IS NOT NULL)
-SELECT CAST(count(*) AS BIGINT) AS n_points,
-       CAST(COALESCE(sum(lmu_q6), 0) AS BIGINT) AS sum_lmu_q6,
-       CASE WHEN COALESCE(sum(lmu_q6), 0) <= 0 THEN 0
-            ELSE CAST(round(1000000.0 * count(*)
-                 / (COALESCE(sum(lmu_q6), 0) / 1000000.0)) AS BIGINT)
-       END AS id_q6
-FROM mu""",
-)
-def embedding_intrinsic_dim(spark, sf_dir):
-    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the
-    embedding manifold: per vector, the ratio μ = r₂/r₁ of its two
-    nearest-neighbor distances, d̂ = n / Σ ln μ — the
-    is-my-64-dim-space-really-64-dimensional audit that sizes PCA
-    truncation and PQ budgets (ann_dim_truncation_curve measures recall
-    loss; this predicts it from geometry). Neighbors come from WITHIN
-    each trained-IVF cell (the semdedup blocking rule — exact 2-NN is an
-    all-pairs problem; in-cell 2-NN is the documented approximation and
-    biases d̂ at cell boundaries only). Unit-sphere distances derive
-    from cosines: r² = 2 − 2cos, so ln μ = ln √((2−2c₂)/(2−2c₁)) —
-    per-point q6-rounded FIRST, with a 1-µunit floor against exact-
-    duplicate neighbors (r₁ = 0).
-
-    Scale shape: the pair join blocks on the IVF cell id (never
-    all-pairs); per-point top-2 is a qid window over in-cell rows; the
-    estimator is a 1-row reduction. On i.i.d. 64-dim sandbox vectors d̂
-    lands far above real-data manifolds — the honest reading (real
-    embeddings report 10-20).
-    """
-    upq = _incell_pair_cos(spark, sf_dir).select(
-        F.col("id_a").alias("qid"),
-        F.col("id_b").alias("nid"),
-        F.col("cosq_q6").alias("cos_q6"),
-    )
-    pairs = upq.unionByName(
-        upq.select(
-            F.col("nid").alias("qid"),
-            F.col("qid").alias("nid"),
-            F.col("cos_q6"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("nid"))
-    rk = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
-    two = rk.groupBy("qid").agg(
-        F.max(F.when(F.col("rn") == 1, F.col("cos_q6"))).alias("c1"),
-        F.max(F.when(F.col("rn") == 2, F.col("cos_q6"))).alias("c2"),
-    )
-    mu = two.where(F.col("c2").isNotNull()).select(
-        F.expr(
-            "CAST(round(1000000 * ln(sqrt(greatest(2000000 - 2 * c2, 1)"
-            " / CAST(greatest(2000000 - 2 * c1, 1) AS DOUBLE)))) AS BIGINT)"
-        ).alias("lmu_q6")
-    )
-    return mu.agg(
-        F.count(F.lit(1)).cast("long").alias("n_points"),
-        F.coalesce(F.sum("lmu_q6"), F.lit(0)).cast("long").alias("sum_lmu_q6"),
-    ).select(
-        "n_points",
-        "sum_lmu_q6",
-        F.expr(
-            "CASE WHEN sum_lmu_q6 <= 0 THEN 0"
-            " ELSE CAST(round(1000000.0 * n_points / (sum_lmu_q6 / 1000000.0)) AS BIGINT) END"
-        ).alias("id_q6"),
-    )
-
-
-@register(
-    "discount_quantity_corr",
-    """WITH t AS (
-  SELECT CAST(round(l_discount * 100) AS BIGINT) AS d_bp,
-         CAST(l_quantity AS BIGINT) AS q
-  FROM lineitem),
-s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(d_bp) AS BIGINT) AS sx, CAST(sum(q) AS BIGINT) AS sy,
-             CAST(sum(d_bp * d_bp) AS BIGINT) AS sxx, CAST(sum(q * q) AS BIGINT) AS syy,
-             CAST(sum(d_bp * q) AS BIGINT) AS sxy
-      FROM t)
-SELECT n,
-       CASE WHEN n < 2 OR n * sxx = sx * sx OR n * syy = sy * sy THEN 0
-            ELSE CAST(round(1000000 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS BIGINT)
-       END AS corr_q6
-FROM s""",
-)
-def discount_quantity_corr(spark, sf_dir):
-    """Discount elasticity smell test: Pearson correlation between the
-    line-item discount (integer percent points) and the quantity — 'does
-    discounting move volume?', the first chart of every pricing review
-    (TPC-H's generator draws them independently, so ≈0 is the correct
-    sandbox reading — a real sales table shows the positive elasticity).
-    Six exact BIGINT sufficient statistics, one guarded float expression
-    (the matrix_stats split-sqrt rule).
-
-    Scale shape: one map-side-combined pass to a single row."""
-    t = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("d_bp"),
-        F.col("l_quantity").cast("long").alias("q"),
-    )
-    s = t.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("d_bp").cast("long").alias("sx"),
-        F.sum("q").cast("long").alias("sy"),
-        F.sum(F.expr("d_bp * d_bp")).cast("long").alias("sxx"),
-        F.sum(F.expr("q * q")).cast("long").alias("syy"),
-        F.sum(F.expr("d_bp * q")).cast("long").alias("sxy"),
-    )
-    return s.select(
-        "n",
-        F.expr(
-            "CASE WHEN n < 2 OR n * sxx = sx * sx OR n * syy = sy * sy THEN 0"
-            " ELSE CAST(round(1000000 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
-            " / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
-            " * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS BIGINT) END"
-        ).alias("corr_q6"),
-    )
-
-
-@register(
-    "order_size_histogram",
-    """WITH c AS (
-  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items FROM lineitem GROUP BY l_orderkey)
-SELECT n_items, CAST(count(*) AS BIGINT) AS n_orders
-FROM c GROUP BY n_items ORDER BY n_items""",
-)
-def order_size_histogram(spark, sf_dir):
-    """Items-per-order census — the basket-size distribution behind Q13's
-    per-customer version and the shuffle-skew input for every
-    orderkey-keyed join (a fat basket tail is the key-skew the AQE
-    skew-join handles; this measures whether it exists). All-integer.
-
-    Scale shape: one orderkey agg (map-side combinable) then a tiny
-    histogram rollup."""
-    c = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
-    )
-    return (
-        c.groupBy("n_items")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
-        .orderBy("n_items")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 69 — supplier HHI, return rates, simhash bit bias
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "part_supplier_hhi",
-    """WITH ps AS (
-  SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
-  FROM lineitem GROUP BY l_partkey, l_suppkey),
-pt AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS qt,
-              CAST(count(*) AS BIGINT) AS n_supp
-       FROM ps GROUP BY l_partkey),
-sh AS (
-  SELECT ps.l_partkey,
-         CAST(round(1000000.0 * ps.q * ps.q / (CAST(pt.qt AS DOUBLE) * pt.qt)) AS BIGINT)
-           AS sh2_q6
-  FROM ps JOIN pt USING (l_partkey)),
-hhi AS (
-  SELECT sh.l_partkey, CAST(sum(sh2_q6) AS BIGINT) AS hhi_q6
-  FROM sh GROUP BY sh.l_partkey)
-SELECT hhi.l_partkey AS partkey, pt.n_supp, pt.qt AS quantity, hhi.hhi_q6
-FROM hhi JOIN pt USING (l_partkey)
-WHERE pt.n_supp >= 2
-ORDER BY hhi_q6 DESC, partkey ASC LIMIT 20""",
-)
-def part_supplier_hhi(spark, sf_dir):
-    """Supply-concentration audit: the Herfindahl-Hirschman index of each
-    part's supplier quantity shares — the antitrust / supply-risk statistic
-    (HHI → 1e6 = one supplier carries the part; ≤ 2.5e5 ≈ 'competitive').
-    Top-20 most concentrated MULTI-supplier parts (single-supplier parts
-    are trivially 1e6 and excluded — the interesting risk is masked
-    concentration among several suppliers).
-
-    Determinism: per-(part, supplier) share² is one q6-rounded float
-    expression of exact integers (q²/qt² with the divide-first double
-    product in the denominator); the HHI sums quantized contributions.
-
-    Scale shape: a (part, supplier) agg; totals derive FROM it (shared
-    partkey exchange); TakeOrdered(20)."""
-    ps = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
-    )
-    ps = ps.localCheckpoint()  # feeds totals AND the share rows
-    pt = ps.groupBy("l_partkey").agg(
-        F.sum("q").cast("long").alias("qt"), F.count(F.lit(1)).cast("long").alias("n_supp")
-    )
-    sh = ps.join(pt, "l_partkey").select(
-        "l_partkey",
-        F.expr(
-            "CAST(round(1000000.0 * q * q / (CAST(qt AS DOUBLE) * qt)) AS BIGINT)"
-        ).alias("sh2_q6"),
-    )
-    hhi = sh.groupBy("l_partkey").agg(F.sum("sh2_q6").cast("long").alias("hhi_q6"))
-    return (
-        hhi.join(pt, "l_partkey")
-        .where(F.col("n_supp") >= 2)
-        .select(
-            F.col("l_partkey").alias("partkey"),
-            "n_supp",
-            F.col("qt").alias("quantity"),
-            "hhi_q6",
-        )
-        .orderBy(F.desc("hhi_q6"), F.asc("partkey"))
-        .limit(20)
-    )
-
-
-@register(
-    "return_rate_by_priority",
-    """WITH j AS (
-  SELECT o.o_orderpriority AS priority, l.l_returnflag
-  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
-SELECT priority,
-       CAST(count(*) AS BIGINT) AS n_items,
-       CAST(COALESCE(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END), 0) AS BIGINT)
-         AS n_returned,
-       CAST(round(1000000.0 * COALESCE(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END), 0)
-            / count(*)) AS BIGINT) AS return_rate_q6
-FROM j GROUP BY priority ORDER BY priority""",
-)
-def return_rate_by_priority(spark, sf_dir):
-    """Return-rate census by order priority — the fulfillment-quality
-    readout crossing Q10's returned-items analysis with Q12's priority
-    axis (a priority class with an elevated R-flag share has a handling
-    problem). One keyed join, conditional counts, a single float
-    division per row.
-
-    Scale shape: the un-hinted orderkey join (both sides unbounded, AQE
-    decides), then a ≤|priorities|-row agg."""
-    j = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .select("l_orderkey", "l_returnflag")
-        .join(
-            spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-                F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
-            ),
-            "l_orderkey",
-        )
-    )
-    return (
-        j.groupBy(F.col("o_orderpriority").alias("priority"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.coalesce(
-                F.sum(F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END")), F.lit(0)
-            )
-            .cast("long")
-            .alias("n_returned"),
-            F.expr(
-                "CAST(round(1000000.0 * COALESCE(sum(CASE WHEN l_returnflag = 'R'"
-                " THEN 1 ELSE 0 END), 0) / count(*)) AS BIGINT)"
-            ).alias("return_rate_q6"),
-        )
-        .orderBy("priority")
-    )
-
-
-@register(
-    "simhash_bit_bias",
-    _SIMHASH_CTE
-    + """,
-bitsx AS (
-  SELECT j, CAST(count(*) AS BIGINT) AS n,
-         CAST(COALESCE(sum((simhash >> j) & 1), 0) AS BIGINT) AS ones
-  FROM sh, (SELECT unnest(generate_series(0, 59)) AS j)
-  GROUP BY j)
-SELECT CAST(j AS BIGINT) AS bit, ones, n,
-       CAST(round(1000000.0 * ones / n) AS BIGINT) AS share_q6,
-       CAST(abs(CAST(round(1000000.0 * ones / n) AS BIGINT) - 500000) AS BIGINT) AS bias_q6
-FROM bitsx ORDER BY bit""",
-)
-def simhash_bit_bias(spark, sf_dir):
-    """SimHash bit-balance audit: the share of documents with each of the
-    60 sketch bits set, and its deviation from the unbiased 50% — the
-    sketch-HEALTH diagnostic behind every banded op (a biased bit family
-    concentrates band values, inflating collision candidates exactly
-    like a hot shard; corpus-wide common terms bias bits in the
-    direction of their hash, and this table shows it before the banding
-    pays for it).
-
-    Scale shape: the per-doc simhash table (the sketch ops' own front
-    half), a 60-way map-side bit explode into a 60-row agg."""
-    sh = _simhash_spark(spark, sf_dir)
-    bits = (
-        sh.select(
-            F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j"), "simhash"
-        )
-        .groupBy("j")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.coalesce(F.sum(F.expr("(simhash >> j) & 1")), F.lit(0))
-            .cast("long")
-            .alias("ones"),
-        )
-    )
-    return bits.select(
-        F.col("j").cast("long").alias("bit"),
-        "ones",
-        "n",
-        F.expr("CAST(round(1000000.0 * ones / n) AS BIGINT)").alias("share_q6"),
-        F.expr(
-            "CAST(abs(CAST(round(1000000.0 * ones / n) AS BIGINT) - 500000) AS BIGINT)"
-        ).alias("bias_q6"),
-    ).orderBy("bit")
-
-
-# ---------------------------------------------------------------------------
-# session 70 — winsorized mean, hour×weekday heatmap, Hellinger distance
-# ---------------------------------------------------------------------------
-
-_WINSOR_LO, _WINSOR_HI = 50_000, 950_000  # p5 / p95 in q6
-
-
-@register(
-    "winsorized_mean_doclen",
-    f"""WITH t AS (
-  SELECT CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
-  FROM documents),
-hist AS (SELECT n_tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY n_tok),
-h AS (
-  SELECT n_tok, cnt,
-         CAST(COALESCE(SUM(cnt) OVER (ORDER BY n_tok
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
-         CAST(SUM(cnt) OVER () AS BIGINT) AS n
-  FROM hist),
--- integer rank cutoffs: lo = floor(p5·(n−1)), hi = ceil(p95·(n−1)) as 0-based ranks
-kk AS (
-  SELECT CAST(({_WINSOR_LO} * (max(n) - 1)) // 1000000 AS BIGINT) AS k_lo,
-         CAST(({_WINSOR_HI} * (max(n) - 1) + 999999) // 1000000 AS BIGINT) AS k_hi,
-         max(n) AS n
-  FROM h),
-bv AS (
-  SELECT
-    (SELECT max(CASE WHEN cum_before <= kk.k_lo THEN n_tok END) FROM h) AS v_lo,
-    (SELECT max(CASE WHEN cum_before <= kk.k_hi THEN n_tok END) FROM h) AS v_hi,
-    kk.n
-  FROM kk),
-wz AS (
-  SELECT h.cnt,
-         CASE WHEN h.n_tok < bv.v_lo THEN bv.v_lo
-              WHEN h.n_tok > bv.v_hi THEN bv.v_hi
-              ELSE h.n_tok END AS x
-  FROM h, bv)
-SELECT bv.n, bv.v_lo AS clip_lo, bv.v_hi AS clip_hi,
-       CAST(round((SELECT sum(cnt * x) FROM wz) / CAST(bv.n AS DOUBLE)) AS BIGINT)
-         AS winsor_mean
-FROM bv""",
-)
-def winsorized_mean_doclen(spark, sf_dir):
-    """5%-winsorized mean document length: values below the p5 order
-    statistic clip UP to it, above p95 clip DOWN, then the plain mean —
-    the robust center that keeps tail MASS (unlike a trimmed mean) while
-    killing tail LEVERAGE (unlike the raw mean a single 10M-token doc
-    drags; the MAD gives robust SPREAD — this is its location partner).
-    Clip points are exact order statistics (rank floor(p·(n−1)) /
-    ceil(p·(n−1)) — integer ceil via the additive identity).
-
-    Scale shape: the weighted-histogram machinery end to end — the
-    probes, the clip, and the mean all run over histogram CELLS; no raw
-    value is ever buffered (the percentile rule).
-
-    Determinism: all-integer until the single final division."""
-    t = _docs(spark, sf_dir).select(
-        F.size(spark_tokens("text")).cast("long").alias("n_tok")
-    )
-    hist = t.groupBy("n_tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    hist = hist.localCheckpoint()
-    w_cum = Window.orderBy("n_tok").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy("n_tok").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    h = hist.select(
-        "n_tok",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).cast("long").alias("cum_before"),
-        F.sum("cnt").over(w_all).cast("long").alias("n"),
-    ).localCheckpoint()  # feeds cutoffs, clip values AND the clipped mean
-    kk = h.agg(
-        F.expr(f"CAST(({_WINSOR_LO} * (max(n) - 1)) div 1000000 AS BIGINT)").alias("k_lo"),
-        F.expr(
-            f"CAST(({_WINSOR_HI} * (max(n) - 1) + 999999) div 1000000 AS BIGINT)"
-        ).alias("k_hi"),
-    )
-    bv = (
-        h.crossJoin(F.broadcast(kk))
-        .agg(
-            F.max(F.when(F.col("cum_before") <= F.col("k_lo"), F.col("n_tok"))).alias("v_lo"),
-            F.max(F.when(F.col("cum_before") <= F.col("k_hi"), F.col("n_tok"))).alias("v_hi"),
-            F.max("n").alias("n"),
-        )
-    )
-    wz = (
-        h.select("n_tok", "cnt")
-        .crossJoin(F.broadcast(bv))
-        .select(
-            "cnt",
-            "n",
-            "v_lo",
-            "v_hi",
-            F.expr(
-                "CASE WHEN n_tok < v_lo THEN v_lo WHEN n_tok > v_hi THEN v_hi"
-                " ELSE n_tok END"
-            ).alias("x"),
-        )
-    )
-    return wz.groupBy("n", "v_lo", "v_hi").agg(
-        F.expr("CAST(round(sum(cnt * x) / CAST(max(n) AS DOUBLE)) AS BIGINT)").alias(
-            "winsor_mean"
-        )
-    ).select(
-        "n",
-        F.col("v_lo").alias("clip_lo"),
-        F.col("v_hi").alias("clip_hi"),
-        "winsor_mean",
-    )
-
-
-@register(
-    "events_hour_weekday_heatmap",
-    f"""WITH e AS (
-  SELECT ((epoch_us(ts) // {_US_PER_DAY}) + 3) % 7 AS dow,
-         (epoch_us(ts) // 3600000000) % 24 AS hour
-  FROM events)
-SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
-       CAST(count(*) AS BIGINT) AS n_events
-FROM e GROUP BY dow, hour ORDER BY dow, hour""",
-)
-def events_hour_weekday_heatmap(spark, sf_dir):
-    """Hour × weekday activity heatmap (UTC; dow 0 = Monday, the
-    events_weekday_profile rule) — the 2-D seasonality surface whose two
-    marginals are events_hour_profile and events_weekday_profile (a
-    weekday-lunchtime spike and a weekend-evening one have identical
-    marginals; only the heatmap separates them). Observed cells only —
-    the two 1-D spines already pin the calendar.
-
-    Scale shape: two map-side integer keys into a ≤168-cell agg."""
-    e = _events(spark, sf_dir).select(
-        F.expr(
-            f"((unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}) + 3) % 7"
-        ).alias("dow"),
-        F.expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 24").alias("hour"),
-    )
-    return (
-        e.groupBy(
-            F.col("dow").cast("long").alias("dow"),
-            F.col("hour").cast("long").alias("hour"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-        .orderBy("dow", "hour")
-    )
-
-
-# Hellinger affinity per shared term, q6-first: BC contribution
-# sqrt(pa·pb); single-source terms contribute 0 to BC by construction, so
-# no pairs×vocab spine is needed — the JSD decomposition made trivial.
-_HELL_TERM_EXPR = (
-    "cast(round(1000000 * sqrt((ca / cast(na as double))"
-    " * (cb / cast(nb as double)))) as bigint)"
-)
-
-
-@register(
-    "hellinger_source_pairs",
-    f"""WITH w AS ({SQL_WORDS}),
-st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
-       FROM (SELECT source, unnest(words) AS term FROM w) GROUP BY source, term),
-stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY source),
-ix AS (
-  SELECT a.source AS src_a, b.source AS src_b, a.c AS ca, b.c AS cb
-  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source),
-ij AS (
-  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared,
-         CAST(sum({_HELL_TERM_EXPR.replace('na', 'ta.n').replace('nb', 'tb.n')}) AS BIGINT)
-           AS bc_q6
-  FROM ix JOIN stot ta ON ta.source = ix.src_a JOIN stot tb ON tb.source = ix.src_b
-  GROUP BY src_a, src_b)
-SELECT src_a, src_b, n_shared,
-       CAST(greatest(1000000 - bc_q6, 0) AS BIGINT) AS hellinger2_q6
-FROM ij ORDER BY src_a, src_b""",
-)
-def hellinger_source_pairs(spark, sf_dir):
-    """Squared Hellinger distance between source unigram LMs: H² = 1 −
-    Σ√(pa·pb) — the BOUNDED, metric-friendly member of the divergence
-    family (KL explodes on disjoint support, JSD needs the residual-mass
-    decomposition; Hellinger's Bhattacharyya coefficient simply ignores
-    single-source terms, so the pair join over CO-OCCURRING terms is the
-    whole computation). H² respects √H as a true metric — the one you
-    can feed to clustering.
-
-    Determinism: per-shared-term BC contribution q6-rounds FIRST (one
-    sqrt per term); H² = max(1e6 − ΣBC, 0) — the clamp absorbs the
-    +ulp-per-term rounding that could push BC past 1e6.
-
-    Scale shape: identical to jsd_source_pairs minus its residual stage
-    — term-keyed pair join, |sources|² bounded fanout, broadcast
-    totals."""
-    st = (
-        _docs(spark, sf_dir)
-        .select("source", F.explode(spark_tokens("text")).alias("term"))
-        .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
-    )
-    stot = st.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
-    a = st.select(F.col("source").alias("src_a"), "term", F.col("c").alias("ca"))
-    b = st.select(F.col("source").alias("src_b"), "term", F.col("c").alias("cb"))
-    ix = a.join(b, "term").where(F.col("src_a") < F.col("src_b"))
-    ta = F.broadcast(stot.select(F.col("source").alias("src_a"), F.col("n").alias("na")))
-    tb = F.broadcast(stot.select(F.col("source").alias("src_b"), F.col("n").alias("nb")))
-    ij = (
-        ix.join(ta, "src_a")
-        .join(tb, "src_b")
-        .groupBy("src_a", "src_b")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shared"),
-            F.sum(F.expr(_HELL_TERM_EXPR)).cast("long").alias("bc_q6"),
-        )
-    )
-    return ij.select(
-        "src_a",
-        "src_b",
-        "n_shared",
-        F.expr("CAST(greatest(1000000 - bc_q6, 0) AS BIGINT)").alias("hellinger2_q6"),
-    ).orderBy("src_a", "src_b")
-
-
-# ---------------------------------------------------------------------------
-# session 71 — abbreviation law, norm/length QA, per-source dedup loss
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "abbreviation_law_curve",
-    f"""WITH toks AS ({SQL_TOKS}),
-cf AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
-b AS (
-  SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS band,
-         CAST(length(term) AS BIGINT) AS len, c
-  FROM cf)
-SELECT band, CAST(count(*) AS BIGINT) AS n_terms,
-       CAST(sum(c) AS BIGINT) AS tokens,
-       CAST(round(sum(len) / CAST(count(*) AS DOUBLE) * 1000000) AS BIGINT)
-         AS mean_len_q6
-FROM b GROUP BY band ORDER BY band""",
-)
-def abbreviation_law_curve(spark, sf_dir):
-    """Zipf's law of ABBREVIATION: mean term length per log2
-    collection-frequency band — the third classical linguistic law in
-    the audit family (rank-frequency: zipf_slope_source; vocabulary
-    growth: heaps_law_source; now frequency-length). Natural language
-    slopes DOWN (frequent words are short — the compression argument);
-    a corpus that doesn't (codes, ids, synthetic text) isn't prose, and
-    that's a data-quality signal per se. The uniform sandbox vocabulary
-    is flat — the expected reading.
-
-    Scale shape: the A2 cf agg then a ≤64-band rollup; mean divides
-    exact sums once per band."""
-    cf = _toks(_docs(spark, sf_dir)).groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    b = cf.select(
-        F.expr("CAST(length(bin(c)) - 1 AS BIGINT)").alias("band"),
-        F.length("term").cast("long").alias("len"),
-        "c",
-    )
-    return (
-        b.groupBy("band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.sum("c").cast("long").alias("tokens"),
-            F.expr(
-                "CAST(round(sum(len) / CAST(count(*) AS DOUBLE) * 1000000) AS BIGINT)"
-            ).alias("mean_len_q6"),
-        )
-        .orderBy("band")
-    )
-
-
-@register(
-    "norm_doclen_corr",
-    f"""WITH t AS (
-  SELECT em.vec_id,
-         CAST(round(1000 * sqrt(list_dot_product(CAST(em.embedding AS DOUBLE[]),
-                                                 CAST(em.embedding AS DOUBLE[])))) AS BIGINT)
-           AS nq3,
-         CAST(len(regexp_extract_all(lower(d.text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
-  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
-  WHERE em.vec_id <> 0),
-s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(nq3) AS BIGINT) AS sx, CAST(sum(n_tok) AS BIGINT) AS sy,
-             CAST(sum(nq3 * nq3) AS BIGINT) AS sxx, CAST(sum(n_tok * n_tok) AS BIGINT) AS syy,
-             CAST(sum(nq3 * n_tok) AS BIGINT) AS sxy
-      FROM t)
-SELECT n,
-       CASE WHEN n < 2 OR n * sxx = sx * sx OR n * syy = sy * sy THEN 0
-            ELSE CAST(round(1000000 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS BIGINT)
-       END AS corr_q6
-FROM s""",
-)
-def norm_doclen_corr(spark, sf_dir):
-    """Cross-modal leak audit: Pearson correlation between a document's
-    embedding NORM and its token length — a properly normalized encoder
-    shows ≈0; a strong correlation means the vector index is silently a
-    length index, and every cosine-adjacent op (kNN, semdedup,
-    centroids) inherits a length bias (the embedding-QA family member
-    that looks ACROSS modalities; norms alone: embedding_norm_outliers).
-    Norms quantize at q3 (the norm_outliers envelope rule: q6 squares
-    would pass 2^63 in the sufficient sums at corpus scale).
-
-    Scale shape: one id-keyed join of the two tables (both unbounded,
-    un-hinted), a single-row sufficient-stats agg."""
-    t = (
-        _emb(spark, sf_dir)
-        .where(F.col("vec_id") != 0)
-        .select(
-            "vec_id",
-            F.expr(
-                "CAST(round(1000 * sqrt(aggregate(zip_with(transform(embedding, x -> cast(x as double)),"
-                " transform(embedding, x -> cast(x as double)), (a, b) -> a * b),"
-                " cast(0.0 as double), (acc, v) -> acc + v))) AS BIGINT)"
-            ).alias("nq3"),
-        )
-        .join(
-            _docs(spark, sf_dir).select(
-                F.col("doc_id").alias("vec_id"),
-                F.size(spark_tokens("text")).cast("long").alias("n_tok"),
-            ),
-            "vec_id",
-        )
-    )
-    s = t.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("nq3").cast("long").alias("sx"),
-        F.sum("n_tok").cast("long").alias("sy"),
-        F.sum(F.expr("nq3 * nq3")).cast("long").alias("sxx"),
-        F.sum(F.expr("n_tok * n_tok")).cast("long").alias("syy"),
-        F.sum(F.expr("nq3 * n_tok")).cast("long").alias("sxy"),
-    )
-    return s.select(
-        "n",
-        F.expr(
-            "CASE WHEN n < 2 OR n * sxx = sx * sx OR n * syy = sy * sy THEN 0"
-            " ELSE CAST(round(1000000 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
-            " / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
-            " * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS BIGINT) END"
-        ).alias("corr_q6"),
-    )
-
-
-@register(
-    "dedup_loss_by_source",
-    _SQL_LSH_PAIRS
-    + f""",
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs),
-reach(id, lbl) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
-t AS (
-  SELECT doc_id, source,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
-  FROM documents),
-fl AS (
-  SELECT t.source, t.n_tok,
-         CAST(comp.cluster_id IS NOT NULL AND comp.cluster_id <> t.doc_id AS INT) AS dropped
-  FROM t LEFT JOIN comp ON comp.doc_id = t.doc_id)
-SELECT source,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS n_tokens,
-       CAST(COALESCE(sum(dropped), 0) AS BIGINT) AS docs_dropped,
-       CAST(COALESCE(sum(dropped * n_tok), 0) AS BIGINT) AS tokens_dropped,
-       CASE WHEN COALESCE(sum(n_tok), 0) = 0 THEN 0
-            ELSE CAST(round(1000000.0 * COALESCE(sum(dropped * n_tok), 0)
-                 / sum(n_tok)) AS BIGINT) END AS loss_q6
-FROM fl GROUP BY source ORDER BY source""",
-)
-def dedup_loss_by_source(spark, sf_dir):
-    """Near-dup dedup loss per SOURCE under the canonical keep-min-id
-    policy — the MIX-SHIFT view the corpus-level dedup ops hide: dedup
-    does not remove tokens uniformly, it RE-WEIGHTS the source mix (a
-    mirror-heavy source loses half its mass and every downstream
-    temperature/epoch plan computed on pre-dedup counts is silently
-    wrong). Per source: docs/tokens, dropped docs/tokens, loss share.
-
-    Scale shape: cluster labels reuse the memoized LSH edges +
-    pointer-doubled CC; the loss census is one LEFT join of the doc
-    stats against the cluster-bounded label table and a sources-sized
-    agg."""
-    edges = _lsh_pair_edges(spark, sf_dir)
-    labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    comp = connected_components(labels, edges).select(
-        "doc_id", F.col("lbl").alias("cluster_id")
-    )
-    t = _docs(spark, sf_dir).select(
-        "doc_id", "source", F.size(spark_tokens("text")).cast("long").alias("n_tok")
-    )
-    fl = t.join(comp, "doc_id", "left").select(
-        "source",
-        "n_tok",
-        F.expr(
-            "CAST(cluster_id IS NOT NULL AND cluster_id <> doc_id AS INT)"
-        ).alias("dropped"),
-    )
-    return (
-        fl.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
-            F.coalesce(F.sum("dropped"), F.lit(0)).cast("long").alias("docs_dropped"),
-            F.coalesce(F.sum(F.expr("dropped * n_tok")), F.lit(0))
-            .cast("long")
-            .alias("tokens_dropped"),
-            F.expr(
-                "CASE WHEN COALESCE(sum(n_tok), 0) = 0 THEN 0"
-                " ELSE CAST(round(1000000.0 * COALESCE(sum(dropped * n_tok), 0)"
-                " / sum(n_tok)) AS BIGINT) END"
-            ).alias("loss_q6"),
-        )
-        .orderBy("source")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 72 — common-terms query, A/B significance, order gaps
-# ---------------------------------------------------------------------------
-
-_CT_QUERY = ["the", "spark", "dup"]
-
-
-@register(
-    "common_terms_search",
-    _bm25_agg_ctes(_CT_QUERY)
-    + """,
-qdf AS (
-  SELECT q.term,
-         CAST(dfs.df > (SELECT n_docs FROM st) / 2.0 AS INT) AS is_common
-  FROM q JOIN dfs USING (term)),
-low AS (SELECT term FROM qdf WHERE is_common = 0),
-lowm AS (
-  SELECT DISTINCT tf.doc_id FROM tf JOIN low USING (term)),
-per2 AS (
-  SELECT tf.doc_id, qdf.is_common,
-         ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))
-           * tf.tf * 2.2
-           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM st))) AS s
-  FROM tf JOIN qdf ON qdf.term = tf.term
-  JOIN dfs ON dfs.term = tf.term JOIN dl ON dl.doc_id = tf.doc_id),
-sc AS (
-  SELECT per2.doc_id,
-         CAST(round(1000000 * sum(CASE
-           WHEN per2.is_common = 0 THEN per2.s
-           WHEN lowm.doc_id IS NOT NULL THEN per2.s
-           ELSE 0.0 END)) AS BIGINT) AS score_q6,
-         CAST(max(CASE WHEN lowm.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS has_low
-  FROM per2 LEFT JOIN lowm ON lowm.doc_id = per2.doc_id
-  GROUP BY per2.doc_id)
-SELECT doc_id, score_q6, has_low FROM sc
-WHERE score_q6 > 0
-ORDER BY score_q6 DESC, doc_id ASC LIMIT 10""",
-)
-def common_terms_search(spark, sf_dir):
-    """Lucene/ES ``common_terms`` query: query terms split by document
-    frequency at the 50% cutoff — LOW-frequency terms always score;
-    HIGH-frequency terms (stopword-band, here 'the') contribute ONLY to
-    documents that already match a low-frequency term. The stopword
-    problem solved without a stopword list: 'the' never drags in its
-    million-doc posting list as matches, but still boosts ranking among
-    real matches — precisely the optimization the common-terms query
-    shipped for (and the historical ancestor of BM25 WAND pruning).
-
-    Determinism: the cutoff compares exact df against n_docs/2.0 (one
-    float halving); scoring is the shared BM25 expression; docs whose
-    entire score comes from suppressed common terms drop via the
-    score > 0 gate identically in both engines.
-
-    Scale shape: the low-term match set is the small postings subset and
-    drives the common-term contribution via a LEFT membership probe —
-    the high-df posting list is scanned once but never creates a match
-    row by itself."""
-    toks = _toks(_docs(spark, sf_dir)).localCheckpoint()
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    tf = tf.localCheckpoint()
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    stt = dl.agg(
-        F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl")
-    )
-    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    q = F.broadcast(
-        spark.createDataFrame([(t,) for t in _CT_QUERY], "term string")
-    )
-    qdf = (
-        q.join(dfs, "term")
-        .crossJoin(F.broadcast(stt))
-        .select(
-            "term", F.expr("CAST(df > n_docs / 2.0 AS INT)").alias("is_common")
-        )
-    )
-    low = qdf.where(F.col("is_common") == 0).select("term")
-    lowm = (
-        tf.join(F.broadcast(low), "term")
-        .select("doc_id")
-        .distinct()
-        .select(F.col("doc_id").alias("ldoc"))
-    )
-    per2 = (
-        tf.join(F.broadcast(qdf), "term")
-        .join(dfs, "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stt))
-        .select(
-            "doc_id",
-            "is_common",
-            (
-                F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-                * F.col("tf").cast("double") * F.lit(2.2)
-                / (
-                    F.col("tf").cast("double")
-                    + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("doc_len") / F.col("avgdl"))
-                )
-            ).alias("s"),
-        )
-    )
-    sc = (
-        per2.join(lowm, F.col("doc_id") == F.col("ldoc"), "left")
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "CAST(round(1000000 * sum(CASE"
-                " WHEN is_common = 0 THEN s"
-                " WHEN ldoc IS NOT NULL THEN s"
-                " ELSE cast(0 as double) END)) AS BIGINT)"
-            ).alias("score_q6"),
-            F.max(
-                F.when(F.col("ldoc").isNotNull(), 1).otherwise(0)
-            ).cast("long").alias("has_low"),
-        )
-    )
-    return (
-        sc.where(F.col("score_q6") > 0)
-        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(10)
-    )
-
-
-@register(
-    "ab_significance",
-    """WITH u AS (
-  SELECT user_id,
-         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 4))::INT % 2 AS arm,
-         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT) AS conv
-  FROM events GROUP BY user_id),
-s AS (
-  SELECT CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n0,
-         CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n1,
-         CAST(COALESCE(sum(conv) FILTER (WHERE arm = 0), 0) AS BIGINT) AS c0,
-         CAST(COALESCE(sum(conv) FILTER (WHERE arm = 1), 0) AS BIGINT) AS c1
-  FROM u)
-SELECT n0, c0, n1, c1,
-       CASE WHEN n0 = 0 OR n1 = 0 OR (c0 + c1) = 0 OR (c0 + c1) = (n0 + n1) THEN 0
-            ELSE CAST(round(1000000
-                 * ((c0 / CAST(n0 AS DOUBLE) - c1 / CAST(n1 AS DOUBLE))
-                    * (c0 / CAST(n0 AS DOUBLE) - c1 / CAST(n1 AS DOUBLE)))
-                 / (((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
-                    * (1.0 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
-                    * (1.0 / n0 + 1.0 / n1))) AS BIGINT) END AS z2_q6
-FROM s""",
-)
-def ab_significance(spark, sf_dir):
-    """Two-proportion z-test for the A/B arms' conversion rates — the
-    significance readout that closes the experimentation loop
-    (ab_assignment_readout reports the rates; this says whether the gap
-    beats noise): z² = (p₀−p₁)² / (p̂(1−p̂)(1/n₀+1/n₁)) with the pooled
-    p̂, emitted squared (the ttest no-sqrt rule — significance thresholds
-    square just as well: z² > 3.84 ≈ p < .05). Degenerate pools (no
-    converters, all converters, an empty arm) emit the 0 sentinel.
-
-    Determinism: four exact BIGINTs; z² is ONE shared float expression.
-
-    Scale shape: the user-keyed conversion agg then a 1-row census."""
-    u = (
-        _events(spark, sf_dir)
-        .groupBy("user_id")
-        .agg(
-            F.max(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            ).alias("conv")
-        )
-        .withColumn(
-            "arm",
-            F.expr(
-                "cast(conv(substring(md5(concat('ab:', cast(user_id as string))), 1, 4), 16, 10) as int) % 2"
-            ),
-        )
-    )
-    s = u.agg(
-        F.count_if(F.col("arm") == 0).cast("long").alias("n0"),
-        F.count_if(F.col("arm") == 1).cast("long").alias("n1"),
-        F.coalesce(F.sum(F.when(F.col("arm") == 0, F.col("conv"))), F.lit(0))
-        .cast("long")
-        .alias("c0"),
-        F.coalesce(F.sum(F.when(F.col("arm") == 1, F.col("conv"))), F.lit(0))
-        .cast("long")
-        .alias("c1"),
-    )
-    return s.select(
-        "n0",
-        "c0",
-        "n1",
-        "c1",
-        F.expr(
-            "CASE WHEN n0 = 0 OR n1 = 0 OR (c0 + c1) = 0 OR (c0 + c1) = (n0 + n1) THEN 0"
-            " ELSE CAST(round(1000000"
-            " * ((c0 / CAST(n0 AS DOUBLE) - c1 / CAST(n1 AS DOUBLE))"
-            " * (c0 / CAST(n0 AS DOUBLE) - c1 / CAST(n1 AS DOUBLE)))"
-            " / (((c0 + c1) / CAST(n0 + n1 AS DOUBLE))"
-            " * (1.0 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))"
-            " * (1.0 / n0 + 1.0 / n1))) AS BIGINT) END"
-        ).alias("z2_q6"),
-    )
-
-
-@register(
-    "order_gap_histogram",
-    f"""WITH o AS (
-  SELECT o_custkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY} AS day,
-         o_orderkey
-  FROM orders),
-g AS (
-  SELECT day - lag(day) OVER (PARTITION BY o_custkey
-                              ORDER BY day, o_orderkey) AS gap
-  FROM o),
-b AS (
-  SELECT CASE WHEN gap = 0 THEN -1
-              ELSE CAST(length(bin(gap)) - 1 AS BIGINT) END AS bucket
-  FROM g WHERE gap IS NOT NULL)
-SELECT bucket, CAST(count(*) AS BIGINT) AS n_gaps
-FROM b GROUP BY bucket ORDER BY bucket""",
-)
-def order_gap_histogram(spark, sf_dir):
-    """Customer order-interarrival distribution: log2-day gaps between a
-    customer's consecutive orders (bucket −1 = same-day reorders) — the
-    purchase-cadence curve behind replenishment forecasting and the
-    TPC-H twin of interevent_gap_histogram (events measure clicks;
-    this measures wallets). Ties order by orderkey — the event-sequence
-    tie rule.
-
-    Scale shape: ONE custkey-partitioned lag window, a ≤64-bucket agg."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_custkey",
-        F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_PER_DAY}").alias("day"),
-        "o_orderkey",
-    )
-    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
-    g = o.select((F.col("day") - F.lag("day").over(w)).alias("gap"))
-    b = g.where(F.col("gap").isNotNull()).select(
-        F.expr(
-            "CASE WHEN gap = 0 THEN -1 ELSE CAST(length(bin(gap)) - 1 AS BIGINT) END"
-        ).alias("bucket")
-    )
-    return (
-        b.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
-        .orderBy("bucket")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 73 — informative-Dirichlet log-odds, CUSUM drift, revenue trend
-# ---------------------------------------------------------------------------
-
-# Monroe et al. (2008) "Fightin' Words" shared float expressions. Inputs are
-# exact BIGINT columns (y = source term count, ns = source total, cf = corpus
-# term count, n = corpus total); the A0 = 1000 pseudo-count prior is split
-# proportionally to corpus frequency (a_w = A0 * cf_w / N). E-notation
-# literals only (1e3/1e0/1e-9) — a plain decimal literal is DECIMAL in
-# Spark SQL and diverges (the _HLL_C rule).
-_LO_A = "(1e3 * cf / CAST(n AS DOUBLE))"
-_LO_D = (
-    f"(ln((y + {_LO_A}) / greatest(ns + 1e3 - y - {_LO_A}, 1e-9))"
-    f" - ln((cf - y + {_LO_A}) / greatest(n - ns + 1e3 - (cf - y) - {_LO_A}, 1e-9)))"
-)
-_LO_V = f"(1e0 / (y + {_LO_A}) + 1e0 / (cf - y + {_LO_A}))"
-_LO_DQ6 = f"CAST(round(1000000 * {_LO_D}) AS BIGINT)"
-_LO_Z2 = f"CAST(round(1000000 * {_LO_D} * {_LO_D} / {_LO_V}) AS BIGINT)"
-_LO_Z2S = f"CASE WHEN {_LO_D} < 0e0 THEN -{_LO_Z2} ELSE {_LO_Z2} END"
-
-
-@register(
-    "logodds_terms_source",
-    f"""WITH tk AS (
-  SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
-  FROM documents),
-y AS (SELECT source, term, CAST(count(*) AS BIGINT) AS y FROM tk GROUP BY source, term),
-ns AS (SELECT source, CAST(sum(y) AS BIGINT) AS ns FROM y GROUP BY source),
-cf AS (SELECT term, CAST(sum(y) AS BIGINT) AS cf FROM y GROUP BY term),
-nt AS (SELECT CAST(sum(y) AS BIGINT) AS n FROM y),
-r AS (SELECT y.source AS source, y.term AS term, y.y AS y, ns.ns AS ns,
-             cf.cf AS cf, nt.n AS n
-      FROM y JOIN ns USING (source) JOIN cf USING (term) CROSS JOIN nt),
-sc AS (SELECT source, term, {_LO_DQ6} AS delta_q6, {_LO_Z2S} AS z2s_q6 FROM r),
-rk AS (SELECT source, term, delta_q6, z2s_q6,
-              row_number() OVER (PARTITION BY source
-                                 ORDER BY z2s_q6 DESC, term ASC) AS rank
-       FROM sc)
-SELECT source, term, CAST(rank AS BIGINT) AS rank, delta_q6, z2s_q6
-FROM rk WHERE rank <= 5 ORDER BY source, rank""",
-)
-def logodds_terms_source(spark, sf_dir):
-    """Monroe et al. "Fightin' Words" log-odds with an informative
-    Dirichlet prior: per source, the 5 terms most over-represented vs the
-    REST of the corpus, scored by z = delta / sqrt(var) where
-    delta = ln-odds(source) - ln-odds(rest) under a prior that splits
-    A0 = 1000 pseudo-counts proportionally to corpus frequency. The
-    third member of the significant-terms family — JLH rewards raw lift,
-    chi2 rewards any dependence, log-odds shrinks rare-term noise toward
-    the corpus LM (the prior does the regularising that JLH's min-df
-    cutoffs fake). Emitted squared-with-sign (z2s, the ttest no-sqrt
-    rule); ranks order by the QUANTIZED z2s (hybrid_rrf rule) with a
-    term tiebreak.
-
-    Determinism: all inputs exact BIGINTs; delta/var/z2 are the shared
-    _LO_* expression strings evaluated per (source, term) row in both
-    engines; degenerate denominators floored at 1e-9 identically.
-
-    Scale shape: tokenize -> ONE (source, term) agg; cf re-keys that
-    table on term (vocab-bounded exchange); ns/nt broadcast; the
-    per-source rank window runs over vocab-sized rows, never postings."""
-    docs = _docs(spark, sf_dir)
-    tk = docs.select("source", F.explode(spark_tokens("text")).alias("term"))
-    y = (
-        tk.groupBy("source", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("y"))
-        .localCheckpoint()  # 4 consumers (ns/cf/nt/join) would re-tokenize
-    )
-    ns = y.groupBy("source").agg(F.sum("y").cast("long").alias("ns"))
-    cf = y.groupBy("term").agg(F.sum("y").cast("long").alias("cf"))
-    nt = y.agg(F.sum("y").cast("long").alias("n"))
-    r = (
-        y.join(F.broadcast(ns), "source")
-        .join(cf, "term")
-        .crossJoin(F.broadcast(nt))
-    )
-    sc = r.select(
-        "source",
-        "term",
-        F.expr(_LO_DQ6).alias("delta_q6"),
-        F.expr(_LO_Z2S).alias("z2s_q6"),
-    )
-    w = Window.partitionBy("source").orderBy(F.desc("z2s_q6"), F.asc("term"))
-    return (
-        sc.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select(
-            "source",
-            "term",
-            F.col("rank").cast("long").alias("rank"),
-            "delta_q6",
-            "z2s_q6",
-        )
-        .orderBy("source", "rank")
-    )
-
-
-@register(
-    "events_cusum_anomaly",
-    """WITH d AS (
-  SELECT epoch_us(ts) // 86400000000 AS day_num, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY day_num),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM d),
-spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
-f AS (SELECT spine.day_num, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
-      FROM spine LEFT JOIN d USING (day_num)),
-t AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS tot FROM f),
-g AS (SELECT f.day_num, f.n, CAST(t.nd * f.n - t.tot AS BIGINT) AS dd, t.nd AS nd
-      FROM f CROSS JOIN t),
-c AS (SELECT day_num, n, nd,
-             CAST(sum(dd) OVER (ORDER BY day_num
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-      FROM g),
-s AS (SELECT day_num, n, nd, cum,
-             CAST(least(CAST(0 AS BIGINT), min(cum) OVER (ORDER BY day_num
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS rmin,
-             CAST(greatest(CAST(0 AS BIGINT), max(cum) OVER (ORDER BY day_num
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS rmax
-      FROM c)
-SELECT CAST(day_num AS BIGINT) AS day_num, n,
-       CAST(round(1000000 * ((cum - rmin) / CAST(nd AS DOUBLE))) AS BIGINT) AS cusum_pos_q6,
-       CAST(round(1000000 * ((rmax - cum) / CAST(nd AS DOUBLE))) AS BIGINT) AS cusum_neg_q6
-FROM s ORDER BY day_num""",
-)
-def events_cusum_anomaly(spark, sf_dir):
-    """Page's CUSUM drift detector over daily event counts: S+_t =
-    max(0, S+_{t-1} + (x_t - mean)), S-_t likewise downward — the
-    sustained-shift detector that complements events_daily_anomaly's
-    pointwise z² (a 10-day 10% lift never trips a per-day z but climbs
-    the CUSUM linearly). The recursion is NOT a prefix sum, but it has
-    an exact window form: S+_t = cum_t - min(0, running-min(cum)) and
-    S-_t = max(0, running-max(cum)) - cum_t over the cumulative sum of
-    deviations — two stock windows instead of a sequential loop (the
-    property suite proves the identity against the literal recursion).
-
-    Determinism: deviations are kept integer by scaling through the day
-    count (dd = nd*x - tot, exact BIGINT); the only float op is the
-    final divide-then-round per row. Empty days are zero-filled via the
-    calendar spine so the recursion sees true days (serial_diff rule).
-
-    Scale shape: ONE day groupBy over events (map-side partials); every
-    window runs on calendar-bounded day rows."""
-    ev = _events(spark, sf_dir)
-    d = (
-        ev.groupBy(
-            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
-                "day_num"
-            )
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()  # bounds + spine join both consume it
-    )
-    b = d.agg(
-        F.min("day_num").cast("long").alias("lo"),
-        F.max("day_num").cast("long").alias("hi"),
-    )
-    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day_num"))
-    f = (
-        spine.join(d, "day_num", "left")
-        .select("day_num", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
-        .localCheckpoint()  # census + deviation rows both consume it
-    )
-    t = f.agg(
-        F.count(F.lit(1)).cast("long").alias("nd"),
-        F.sum("n").cast("long").alias("tot"),
-    )
-    g = f.crossJoin(F.broadcast(t)).select(
-        "day_num",
-        "n",
-        (F.col("nd") * F.col("n") - F.col("tot")).cast("long").alias("dd"),
-        "nd",
-    )
-    wc = Window.orderBy("day_num").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = g.select(
-        "day_num", "n", "nd", F.sum("dd").over(wc).cast("long").alias("cum")
-    )
-    s = c.select(
-        "day_num",
-        "n",
-        "nd",
-        "cum",
-        F.least(F.lit(0).cast("long"), F.min("cum").over(wc))
-        .cast("long")
-        .alias("rmin"),
-        F.greatest(F.lit(0).cast("long"), F.max("cum").over(wc))
-        .cast("long")
-        .alias("rmax"),
-    )
-    return s.select(
-        F.col("day_num").cast("long").alias("day_num"),
-        "n",
-        F.expr(
-            "CAST(round(1000000 * ((cum - rmin) / CAST(nd AS DOUBLE))) AS BIGINT)"
-        ).alias("cusum_pos_q6"),
-        F.expr(
-            "CAST(round(1000000 * ((rmax - cum) / CAST(nd AS DOUBLE))) AS BIGINT)"
-        ).alias("cusum_neg_q6"),
-    ).orderBy("day_num")
-
-
-# OLS-on-centered-integers shared expressions (inputs: n, sxc, syc, sxx,
-# syy, sxy — exact BIGINTs; every product CAST(x AS DOUBLE)*y from the
-# FIRST multiply, the session-49 rule).
-_TR_COV = "(CAST(n AS DOUBLE) * sxy - CAST(sxc AS DOUBLE) * syc)"
-_TR_VX = "(CAST(n AS DOUBLE) * sxx - CAST(sxc AS DOUBLE) * sxc)"
-_TR_VY = "(CAST(n AS DOUBLE) * syy - CAST(syc AS DOUBLE) * syc)"
-_TR_SLOPE = (
-    f"CASE WHEN n < 2 OR {_TR_VX} = 0e0 THEN CAST(0 AS BIGINT)"
-    f" ELSE CAST(round(1000000 * ({_TR_COV} / {_TR_VX})) AS BIGINT) END"
-)
-_TR_R2 = (
-    f"CASE WHEN n < 2 OR {_TR_VX} = 0e0 OR {_TR_VY} = 0e0 THEN CAST(0 AS BIGINT)"
-    f" ELSE CAST(round(1000000 * ({_TR_COV} * {_TR_COV} / ({_TR_VX} * {_TR_VY})))"
-    f" AS BIGINT) END"
-)
-
-
-@register(
-    "daily_revenue_trend",
-    f"""WITH o AS (
-  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day_num,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders),
-d AS (SELECT day_num, CAST(sum(cents) AS BIGINT) AS cents FROM o GROUP BY day_num),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo FROM d),
-x AS (SELECT CAST(d.day_num - b.lo AS BIGINT) AS x, d.cents AS cents,
-             CAST(d.cents // 100 AS BIGINT) AS y
-      FROM d CROSS JOIN b),
-m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) // greatest(CAST(count(*) AS BIGINT), 1) AS mx,
-             CAST(sum(y) AS BIGINT) // greatest(CAST(count(*) AS BIGINT), 1) AS my
-      FROM x),
-cs AS (SELECT m.n AS n,
-              CAST(sum(x.x - m.mx) AS BIGINT) AS sxc,
-              CAST(sum(x.y - m.my) AS BIGINT) AS syc,
-              CAST(sum((x.x - m.mx) * (x.x - m.mx)) AS BIGINT) AS sxx,
-              CAST(sum((x.y - m.my) * (x.y - m.my)) AS BIGINT) AS syy,
-              CAST(sum((x.x - m.mx) * (x.y - m.my)) AS BIGINT) AS sxy,
-              CAST(sum(x.cents) AS BIGINT) AS toty
-       FROM x CROSS JOIN m GROUP BY m.n)
-SELECT n AS n_days, toty AS revenue_cents,
-       {_TR_SLOPE} AS slope_q6, {_TR_R2} AS r2_q6
-FROM cs""",
-)
-def daily_revenue_trend(spark, sf_dir):
-    """OLS trend of daily order revenue: slope (whole-dollars/day, q6)
-    and R² of revenue regressed on the day index — the one-number "is
-    the business growing and how noisily" readout, and the trend leg
-    that weekly_seasonal_decompose deliberately removes. Two-pass
-    centered sufficient statistics (the numerically-standard OLS form):
-    integer means (floor-div, nonneg so Spark div == DuckDB //), then
-    exact BIGINT sums of centered products; slope/R² are ONE shared
-    float expression over six integers. Stats run on whole dollars
-    (cents // 100) so the squared-deviation envelope fits BIGINT at
-    ~$1e9-per-day deviations over 1e4 days; revenue_cents stays exact.
-
-    Degenerate slates (single day, zero variance) emit the 0 sentinel.
-
-    Scale shape: one day groupBy over orders (map-side partials); the
-    centering pass and census run on calendar-bounded day rows."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        F.expr(
-            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
-        ).alias("day_num"),
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-    )
-    d = (
-        o.groupBy("day_num")
-        .agg(F.sum("cents").cast("long").alias("cents"))
-        .localCheckpoint()  # bounds + stats both consume the day table
-    )
-    b = d.agg(F.min("day_num").cast("long").alias("lo"))
-    x = d.crossJoin(F.broadcast(b)).select(
-        (F.col("day_num") - F.col("lo")).cast("long").alias("x"),
-        "cents",
-        F.expr("CAST(cents div 100 AS BIGINT)").alias("y"),
-    )
-    m = x.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.expr(
-            "CAST(sum(x) AS BIGINT) div greatest(CAST(count(1) AS BIGINT), 1)"
-        ).alias("mx"),
-        F.expr(
-            "CAST(sum(y) AS BIGINT) div greatest(CAST(count(1) AS BIGINT), 1)"
-        ).alias("my"),
-    )
-    cs = (
-        x.crossJoin(F.broadcast(m))
-        .groupBy("n")
-        .agg(
-            F.sum(F.col("x") - F.col("mx")).cast("long").alias("sxc"),
-            F.sum(F.col("y") - F.col("my")).cast("long").alias("syc"),
-            F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx")))
-            .cast("long")
-            .alias("sxx"),
-            F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my")))
-            .cast("long")
-            .alias("syy"),
-            F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
-            .cast("long")
-            .alias("sxy"),
-            F.sum("cents").cast("long").alias("toty"),
-        )
-    )
-    return cs.select(
-        F.col("n").alias("n_days"),
-        F.col("toty").alias("revenue_cents"),
-        F.expr(_TR_SLOPE).alias("slope_q6"),
-        F.expr(_TR_R2).alias("r2_q6"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 74 — local clustering histogram, graded NDCG, variable-width
-# value buckets (ES variable_width_histogram as deterministic 1-D k-means)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "lsh_clustering_histogram",
-    _SQL_LSH_PAIRS
-    + """,
-deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
-        FROM (SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b FROM pairs)
-        GROUP BY v),
-tri3 AS (SELECT p1.doc_a AS v1, p1.doc_b AS v2, p2.doc_b AS v3
-         FROM pairs p1 JOIN pairs p2 ON p2.doc_a = p1.doc_b
-         JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
-tv AS (SELECT v, CAST(count(*) AS BIGINT) AS t
-       FROM (SELECT v1 AS v FROM tri3 UNION ALL SELECT v2 FROM tri3
-             UNION ALL SELECT v3 FROM tri3)
-       GROUP BY v),
-cc AS (SELECT deg.v, deg.d, CAST(COALESCE(tv.t, 0) AS BIGINT) AS t
-       FROM deg LEFT JOIN tv USING (v)),
-bk AS (SELECT CASE WHEN d < 2 THEN -1
-              ELSE least(((2000000 * t) // (d * (d - 1))) // 100000, 9)
-              END AS bucket
-       FROM cc),
-h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_nodes FROM bk GROUP BY bucket),
-spine AS (SELECT unnest(generate_series(-1, 9)) AS bucket)
-SELECT CAST(spine.bucket AS BIGINT) AS bucket,
-       CAST(COALESCE(h.n_nodes, 0) AS BIGINT) AS n_nodes
-FROM spine LEFT JOIN h USING (bucket) ORDER BY bucket""",
-)
-def lsh_clustering_histogram(spark, sf_dir):
-    """Per-node local clustering coefficient histogram of the LSH
-    candidate graph: c_v = 2·t_v / (d_v(d_v−1)) bucketed into deciles
-    (bucket −1 = degree-1 nodes where c is undefined) — the NODE-level
-    refinement of lsh_triangle_count's single global transitivity. A
-    dup graph should be bimodal (tight clique members at c≈1, bridge
-    false-positives at c≈0); a flat histogram means the banding
-    threshold is admitting chains — the third panel of the dedup tuning
-    triptych after the degree histogram and candidate precision.
-
-    Determinism: c is the exact integer division (2e6·t) div (d(d−1))
-    floored to deciles (both engines truncate nonnegatives
-    identically); c = 1 lands in bucket 9 via least(·, 9).
-
-    Scale shape: per-node triangle counts come from the degree-ordered
-    oriented wedge join (the lsh_triangle_count bound — Σ outdeg²
-    candidates, one apex per triangle) then exploding each triangle to
-    its 3 members; everything downstream is node-keyed aggs. The
-    DuckDB oracle uses the id-ordered triple join instead — fine at
-    oracle scale, never the Spark plan."""
-    edges = _lsh_pair_edges(spark, sf_dir)  # symmetric, checkpointed
-    pairs = edges.where(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("a"), F.col("dst").alias("b")
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    da = deg.select(F.col("src").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("src").alias("b"), F.col("d").alias("db"))
-    wd = pairs.join(da, "a").join(db, "b")
-    out = wd.select(
-        F.when(
-            (F.col("da") < F.col("db"))
-            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
-            F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-        )
-        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
-        .alias("e")
-    ).select("e.u", "e.v")
-    e1 = out.select(F.col("u"), F.col("v").alias("x"))
-    e2 = out.select(F.col("u"), F.col("v").alias("y"))
-    cand = (
-        e1.join(e2, "u")
-        .where(F.col("x") < F.col("y"))
-        .select("u", F.col("x").alias("a"), F.col("y").alias("b"))
-    )
-    tri = cand.join(pairs, ["a", "b"], "left_semi")
-    mem = (
-        tri.select(F.col("u").alias("v"))
-        .unionByName(tri.select(F.col("a").alias("v")))
-        .unionByName(tri.select(F.col("b").alias("v")))
-    )
-    tv = mem.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("t"))
-    nodes = deg.select(F.col("src").alias("v"), "d")
-    cc = nodes.join(tv, "v", "left").select(
-        "d", F.coalesce("t", F.lit(0)).cast("long").alias("t")
-    )
-    bk = cc.select(
-        F.expr(
-            "CASE WHEN d < 2 THEN -1"
-            " ELSE least(((2000000 * t) div (d * (d - 1))) div 100000, 9) END"
-        ).alias("bucket")
-    )
-    h = bk.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    spine = spark.range(-1, 10).select(F.col("id").alias("bucket"))
-    return (
-        spine.join(h, "bucket", "left")
-        .select(
-            F.col("bucket").cast("long").alias("bucket"),
-            F.coalesce("n", F.lit(0)).cast("long").alias("n_nodes"),
-        )
-        .orderBy("bucket")
-    )
-
-
-_NDCG_TERMS = ["dup", "spark"]
-# q9 integer rank discounts round(1e9 / log2(r+1)) folded in Python so both
-# engines sum EXACT BIGINTs — a per-row float discount would make the DCG a
-# float sum whose order differs between engines.
-_NDCG_W = {r: round(1e9 / math.log2(r + 1)) for r in range(1, 11)}
-
-
-def _ndcg_w_case(col: str) -> str:
-    whens = " ".join(f"WHEN {r} THEN {w}" for r, w in _NDCG_W.items())
-    return f"CASE {col} {whens} ELSE 0 END"
-
-
-@register(
-    "ndcg_eval",
-    _bm25_agg_ctes(_NDCG_TERMS)
-    + f""",
-ranked AS (
-  SELECT doc_id, row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rnk
-  FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 10),
-rel AS (
-  SELECT doc_id,
-         CAST(CASE least(count(*), 3) WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END
-              AS BIGINT) AS gain
-  FROM ({SQL_TOKS}) WHERE term = 'dup' GROUP BY doc_id),
-dcg AS (
-  SELECT CAST(COALESCE(sum(COALESCE(rel.gain, 0) * ({_ndcg_w_case("ranked.rnk")})), 0)
-              AS BIGINT) AS dcg
-  FROM ranked LEFT JOIN rel USING (doc_id)),
-ideal AS (
-  SELECT gain, rnk FROM (
-    SELECT gain, row_number() OVER (ORDER BY gain DESC, doc_id ASC) AS rnk
-    FROM rel) WHERE rnk <= 10),
-idcg AS (SELECT CAST(COALESCE(sum(gain * ({_ndcg_w_case("rnk")})), 0) AS BIGINT) AS idcg
-         FROM ideal)
-SELECT dcg.dcg AS dcg_wq9, idcg.idcg AS idcg_wq9,
-       CASE WHEN idcg.idcg = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 * (CAST(dcg.dcg AS DOUBLE) / idcg.idcg)) AS BIGINT)
-       END AS ndcg_q6
-FROM dcg, idcg""",
-)
-def ndcg_eval(spark, sf_dir):
-    """NDCG@10 of the BM25 ranking against GRADED relevance — the metric
-    rank_eval's binary P@10/MRR can't express (a rank-1 marginally-
-    relevant doc and a rank-1 perfect doc score identically under P@10;
-    NDCG separates them). Grades: tf of the rare judgment term 'dup'
-    capped at 3; gains 2^g − 1 (the web-search convention); discounts
-    1/log2(rank+1) folded to q9 INTEGERS in Python (the _HLL_C
-    constant-folding rule) so DCG and IDCG are exact BIGINT sums — the
-    only float op is the final dcg/idcg division.
-
-    Scale shape: the ranked page is the usual TakeOrdered top-10; IDCG
-    ranks the judgment set (human-sized by nature); both windows run on
-    ≤judgment-set rows."""
-    agg = _bm25_match_set(spark, sf_dir, _NDCG_TERMS)
-    top10 = agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
-    ranked = top10.withColumn(
-        "rnk",
-        F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))),
-    ).select("doc_id", "rnk")
-    rel = (
-        _toks(_docs(spark, sf_dir))
-        .where(F.col("term") == "dup")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .select(
-            "doc_id",
-            F.expr(
-                "CAST(CASE least(c, 3) WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END"
-                " AS BIGINT)"
-            ).alias("gain"),
-        )
-    )
-    dcg = (
-        ranked.join(rel, "doc_id", "left")
-        .select(
-            (
-                F.coalesce("gain", F.lit(0)) * F.expr(_ndcg_w_case("rnk"))
-            ).alias("term_w")
-        )
-        .agg(F.coalesce(F.sum("term_w"), F.lit(0)).cast("long").alias("dcg_wq9"))
-    )
-    ideal = (
-        rel.orderBy(F.desc("gain"), F.asc("doc_id"))
-        .limit(10)
-        .withColumn(
-            "rnk",
-            F.row_number().over(Window.orderBy(F.desc("gain"), F.asc("doc_id"))),
-        )
-    )
-    idcg = ideal.select(
-        (F.col("gain") * F.expr(_ndcg_w_case("rnk"))).alias("term_w")
-    ).agg(F.coalesce(F.sum("term_w"), F.lit(0)).cast("long").alias("idcg_wq9"))
-    return dcg.crossJoin(idcg).select(
-        "dcg_wq9",
-        "idcg_wq9",
-        F.expr(
-            "CASE WHEN idcg_wq9 = 0 THEN CAST(0 AS BIGINT)"
-            " ELSE CAST(round(1000000 * (CAST(dcg_wq9 AS DOUBLE) / idcg_wq9))"
-            " AS BIGINT) END"
-        ).alias("ndcg_q6"),
-    )
-
-
-# ES variable_width_histogram — deterministic 1-D k-means (k=4, 2 Lloyd
-# rounds). The shared assignment rule: sorted centroids make
-# nearest-centroid equivalent to midpoint thresholds, ties to the LOWER
-# cluster via 2x <= c_i + c_{i+1} (exact integer compares, no |x−c| floats).
-_VWH_CASE = (
-    "CASE WHEN 2 * x <= {b01} THEN 0 WHEN 2 * x <= {b12} THEN 1"
-    " WHEN 2 * x <= {b23} THEN 2 ELSE 3 END"
-)
-
-
-def _vwh_sql() -> str:
-    """Generated oracle (the _pq_sql rule — scales/tiebreaks live in ONE
-    place): init centroids on the [lo, hi] spread, two unrolled Lloyd
-    rounds with sum-as-mean integer updates, empty clusters keep their
-    centroid."""
-    parts = [
-        """WITH o AS MATERIALIZED (
-  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders),
-bnd AS (SELECT CAST(min(x) AS BIGINT) AS lo, CAST(max(x) AS BIGINT) AS hi FROM o),
-p0 AS (SELECT lo + (1 * (hi - lo)) // 8 AS c0, lo + (3 * (hi - lo)) // 8 AS c1,
-              lo + (5 * (hi - lo)) // 8 AS c2, lo + (7 * (hi - lo)) // 8 AS c3
-       FROM bnd)"""
-    ]
-    for r in range(1, 3):
-        case = _VWH_CASE.format(b01="(c0 + c1)", b12="(c1 + c2)", b23="(c2 + c3)")
-        parts.append(
-            f"""a{r} AS (SELECT x, {case} AS k FROM o, p{r - 1}),
-s{r} AS (SELECT k, CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
-         FROM a{r} GROUP BY k),
-p{r} AS (SELECT
-  COALESCE((SELECT s.s // s.n FROM s{r} s WHERE s.k = 0), (SELECT c0 FROM p{r - 1})) AS c0,
-  COALESCE((SELECT s.s // s.n FROM s{r} s WHERE s.k = 1), (SELECT c1 FROM p{r - 1})) AS c1,
-  COALESCE((SELECT s.s // s.n FROM s{r} s WHERE s.k = 2), (SELECT c2 FROM p{r - 1})) AS c2,
-  COALESCE((SELECT s.s // s.n FROM s{r} s WHERE s.k = 3), (SELECT c3 FROM p{r - 1})) AS c3)"""
-        )
-    case = _VWH_CASE.format(b01="(c0 + c1)", b12="(c1 + c2)", b23="(c2 + c3)")
-    parts.append(
-        f"""a3 AS (SELECT x, {case} AS k FROM o, p2),
-s3 AS (SELECT k, CAST(count(*) AS BIGINT) AS n, CAST(min(x) AS BIGINT) AS mn,
-              CAST(max(x) AS BIGINT) AS mx
-       FROM a3 GROUP BY k),
-spine AS (SELECT unnest(generate_series(0, 3)) AS k),
-cent AS (SELECT 0 AS k, c0 AS c FROM p2 UNION ALL SELECT 1, c1 FROM p2
-         UNION ALL SELECT 2, c2 FROM p2 UNION ALL SELECT 3, c3 FROM p2)"""
-    )
-    return (
-        ",\n".join(parts)
-        + """
-SELECT CAST(spine.k AS BIGINT) AS bucket,
-       CAST(COALESCE(s3.n, 0) AS BIGINT) AS n_orders,
-       CAST(COALESCE(s3.mn, -1) AS BIGINT) AS min_c,
-       CAST(COALESCE(s3.mx, -1) AS BIGINT) AS max_c,
-       CAST(cent.c AS BIGINT) AS centroid_c
-FROM spine LEFT JOIN s3 ON s3.k = spine.k JOIN cent ON cent.k = spine.k
-ORDER BY bucket"""
-    )
-
-
-@register("value_kmeans_buckets", _vwh_sql())
-def value_kmeans_buckets(spark, sf_dir):
-    """ES ``variable_width_histogram`` over order values: k=4 buckets
-    whose boundaries ADAPT to the value distribution via deterministic
-    1-D k-means (evenly-spread init on [lo, hi], two Lloyd rounds) —
-    the agg ES ships for skewed money/value fields where fixed-width
-    histograms put 99% of rows in bin 0. Emits per-bucket count,
-    min/max (−1 sentinels when empty) and the final centroid.
-
-    Determinism: exact cents; assignment is the shared _VWH_CASE
-    midpoint-threshold rule (nearest centroid for sorted centroids,
-    ties to the lower cluster — Lloyd preserves centroid order in 1-D);
-    centroid updates are sum-div-count floor divisions (nonneg, so
-    Spark div == DuckDB //); empty clusters keep their centroid.
-
-    Scale shape: per round, ONE map-side assignment expression (the
-    4 centroids are driver literals — the embedding_power_iteration
-    bounded-collect rule, 4 values per round, never a data-sized
-    collect) feeding a ≤4-group agg; no joins, no windows over data."""
-    o = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("x"))
-        .localCheckpoint()  # 3 assignment passes reuse the cents column
-    )
-    b = o.agg(
-        F.min("x").cast("long").alias("lo"), F.max("x").cast("long").alias("hi")
-    ).collect()[0]
-    lo, hi = b["lo"], b["hi"]
-    cents = [lo + ((2 * i + 1) * (hi - lo)) // 8 for i in range(4)]
-    for _ in range(2):
-        case = _VWH_CASE.format(
-            b01=cents[0] + cents[1], b12=cents[1] + cents[2], b23=cents[2] + cents[3]
-        )
-        rows = (
-            o.select(F.expr(case).alias("k"), "x")
-            .groupBy("k")
-            .agg(F.sum("x").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("n"))
-            .collect()
-        )
-        got = {r["k"]: (r["s"], r["n"]) for r in rows}
-        cents = [
-            got[i][0] // got[i][1] if i in got and got[i][1] else cents[i]
-            for i in range(4)
-        ]
-    case = _VWH_CASE.format(
-        b01=cents[0] + cents[1], b12=cents[1] + cents[2], b23=cents[2] + cents[3]
-    )
-    s3 = (
-        o.select(F.expr(case).alias("bucket"), "x")
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.min("x").cast("long").alias("mn"),
-            F.max("x").cast("long").alias("mx"),
-        )
-    )
-    spine = spark.range(4).select(F.col("id").alias("bucket"))
-    cent_case = " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(cents))
-    return (
-        spine.join(s3, "bucket", "left")
-        .select(
-            F.col("bucket").cast("long").alias("bucket"),
-            F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
-            F.coalesce("mn", F.lit(-1)).cast("long").alias("min_c"),
-            F.coalesce("mx", F.lit(-1)).cast("long").alias("max_c"),
-            F.expr(f"CAST(CASE bucket {cent_case} END AS BIGINT)").alias(
-                "centroid_c"
-            ),
-        )
-        .orderBy("bucket")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 75 — DFR PL2 ranking, first-touch session attribution, exact
-# Spearman from midrank histograms
-# ---------------------------------------------------------------------------
-
-# PL2 divergence-from-randomness (Amati & van Rijsbergen): Poisson model,
-# Laplace aftereffect, length normalisation 2 (c=1). Shared expressions
-# over exact BIGINT columns (tfv, dlv, cf, tot, nd); log2's are ln·log2(e)
-# with the constant folded in e-notation so both engines run the same
-# float ops (never the engine's own log2()).
-_PL2_TFN = "(tfv * (ln(1e0 + (CAST(tot AS DOUBLE) / nd) / dlv) * 1.4426950408889634e0))"
-_PL2_LAM = "(CAST(cf AS DOUBLE) / nd)"
-_PL2_S = (
-    f"(1.4426950408889634e0 * ({_PL2_TFN} * ln({_PL2_TFN} / {_PL2_LAM})"
-    f" + ({_PL2_LAM} - {_PL2_TFN}) + 5e-1 * ln(6.283185307179586e0 * {_PL2_TFN}))"
-    f" / ({_PL2_TFN} + 1e0))"
-)
-
-_PL2_TERMS = ["spark", "dup"]
-
-
-@register(
-    "dfr_pl2_search",
-    f"""WITH tf AS ({SQL_TF}),
-dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf GROUP BY doc_id),
-nd AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(doc_len) AS BIGINT) AS tot FROM dl),
-cfs AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
-q AS (SELECT unnest([{", ".join(f"'{t}'" for t in _PL2_TERMS)}]) AS term),
-pin AS (SELECT tf.doc_id, CAST(tf.tf AS BIGINT) AS tfv, dl.doc_len AS dlv,
-               cfs.cf AS cf, nd.tot AS tot, nd.nd AS nd
-        FROM tf JOIN q USING (term) JOIN cfs USING (term)
-        JOIN dl USING (doc_id) CROSS JOIN nd),
-per AS (SELECT doc_id, {_PL2_S} AS s FROM pin),
-agg AS (SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6,
-               CAST(count(*) AS BIGINT) AS nm
-        FROM per GROUP BY doc_id),
-ranked AS (SELECT doc_id, score_q6, nm,
-                  row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rank
-           FROM agg)
-SELECT doc_id, score_q6, nm, CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= 10 ORDER BY rank""",
-)
-def dfr_pl2_search(spark, sf_dir):
-    """Divergence-From-Randomness PL2 ranking (Amati & van Rijsbergen
-    2002; Terrier's default model): information content of the Poisson-
-    deviating term count, discounted by the Laplace aftereffect
-    1/(tfn+1), over the length-normalised tfn = tf·log2(1 + avgdl/dl).
-    The third retrieval model in the engine beside BM25 and Dirichlet
-    QL — the DFR family scores the IMPROBABILITY of the observed tf
-    under a random corpus, so it needs cf (collection frequency), which
-    BM25 never looks at; λ = cf/N is the Poisson rate.
-
-    Determinism: inputs are exact BIGINTs; _PL2_S is one shared
-    expression (log2 via ln·log2(e) with the folded e-notation constant
-    — an engine-native log2() could round differently); the per-doc sum
-    covers ≤|query| terms before the single q6 rounding.
-
-    Scale shape: identical to bm25_topk — postings semi-joined to the
-    query terms FIRST (match-set-sized rows downstream), cf/nd
-    broadcast, ONE TakeOrdered top-10. doc_len derives FROM tf so dl
-    shares tf's exchange (session-15 rule)."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tfv"))
-        .localCheckpoint()  # dl/cfs/match all consume it
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tfv").cast("long").alias("dlv"))
-    nd = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("nd"),
-        F.sum("dlv").cast("long").alias("tot"),
-    )
-    q = F.broadcast(
-        spark.createDataFrame([(t,) for t in _PL2_TERMS], "term string")
-    )
-    cfs = tf.groupBy("term").agg(F.sum("tfv").cast("long").alias("cf"))
-    pin = (
-        tf.join(q, "term")
-        .join(F.broadcast(cfs.join(q, "term")), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(nd))
-    )
-    per = pin.select("doc_id", F.expr(_PL2_S).alias("s"))
-    agg = per.groupBy("doc_id").agg(
-        F.expr("CAST(round(sum(s) * 1000000) AS BIGINT)").alias("score_q6"),
-        F.count(F.lit(1)).cast("long").alias("nm"),
-    )
-    top10 = agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
-    return top10.withColumn(
-        "rank",
-        F.row_number()
-        .over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id")))
-        .cast("long"),
-    ).select("doc_id", "score_q6", "nm", "rank")
-
-
-@register(
-    "session_entry_conversion",
-    f"""WITH t AS (
-  SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type FROM events),
-fl AS (
-  SELECT user_id, t_us, event_id, event_type,
-         CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   IS NULL
-              OR t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS is_start
-  FROM t),
-se AS (
-  SELECT user_id, t_us, event_id, event_type,
-         sum(is_start) OVER (PARTITION BY user_id ORDER BY t_us, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-  FROM fl),
-fr AS (
-  SELECT user_id, sid, event_type, t_us, event_id,
-         row_number() OVER (PARTITION BY user_id, sid
-                            ORDER BY t_us, event_id) AS rn
-  FROM se),
-ses AS (
-  SELECT f.user_id, f.sid, f.event_type AS entry_type,
-         (SELECT max(CASE WHEN s2.event_type = 'purchase' THEN 1 ELSE 0 END)
-          FROM se s2 WHERE s2.user_id = f.user_id AND s2.sid = f.sid) AS conv
-  FROM fr f WHERE f.rn = 1)
-SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
-       CAST(COALESCE(sum(conv), 0) AS BIGINT) AS n_converted,
-       CAST((1000000 * COALESCE(sum(conv), 0)) // count(*) AS BIGINT) AS conv_rate_q6
-FROM ses GROUP BY entry_type ORDER BY entry_type""",
-)
-def session_entry_conversion(spark, sf_dir):
-    """First-touch attribution at session grain: sessions materialised
-    under the 30-min-gap rule, each attributed to its ENTRY event type,
-    with the share that go on to convert (contain a purchase) — the
-    marketing-attribution readout that the event-level funnel can't
-    give (a purchase preceded by view→click credits 'view' here, the
-    session's door, not the last click).
-
-    Determinism: session ids are running sums of is_start flags ordered
-    by (t_us, event_id) — the session_duration_histogram machinery; the
-    entry event is the session's (t_us, event_id)-min, picked map-side
-    via min(struct(...)) (the search_collapse rule — never a per-group
-    sort window in Spark; the oracle may window).
-
-    Scale shape: lag + running-sum on ONE user_id exchange, a
-    (user, session) agg carrying entry/conv in the same pass, then a
-    ≤|event_type| rollup."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        "event_id",
-        "event_type",
-    )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    fl = t.withColumn(
-        "is_start",
-        F.expr(
-            "CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
-            " IS NULL OR t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us,"
-            f" event_id) > {_SESSION_GAP_US} THEN 1 ELSE 0 END"
-        ),
-    )
-    se = fl.withColumn(
-        "sid",
-        F.sum("is_start").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    ses = se.groupBy("user_id", "sid").agg(
-        F.min(
-            F.struct("t_us", "event_id", "event_type")
-        )["event_type"].alias("entry_type"),
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("conv"),
-    )
-    return (
-        ses.groupBy("entry_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_sessions"),
-            F.coalesce(F.sum("conv"), F.lit(0)).cast("long").alias("n_converted"),
-        )
-        .select(
-            "entry_type",
-            "n_sessions",
-            "n_converted",
-            F.expr(
-                "CAST((1000000 * n_converted) div n_sessions AS BIGINT)"
-            ).alias("conv_rate_q6"),
-        )
-        .orderBy("entry_type")
-    )
-
-
-_SP_RHO2S = f"CASE WHEN {_TR_COV} < 0e0 THEN -({_TR_R2}) ELSE {_TR_R2} END"
-
-
-@register(
-    "spearman_len_ttr",
-    f"""WITH dstat AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS a,
-         CAST((1000000 * count(DISTINCT term)) // count(*) AS BIGINT) AS b
-  FROM ({SQL_TOKS}) GROUP BY doc_id),
-ha AS (SELECT a, CAST(count(*) AS BIGINT) AS c FROM dstat GROUP BY a),
-ra AS (SELECT a, CAST(2 * sum(c) OVER (ORDER BY a
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1
-             AS BIGINT) AS r2a
-       FROM ha),
-hb AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM dstat GROUP BY b),
-rb AS (SELECT b, CAST(2 * sum(c) OVER (ORDER BY b
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1
-             AS BIGINT) AS r2b
-       FROM hb),
-j AS (SELECT ra.r2a AS x, rb.r2b AS y
-      FROM dstat JOIN ra USING (a) JOIN rb USING (b)),
-m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) // greatest(CAST(count(*) AS BIGINT), 1) AS mx,
-             CAST(sum(y) AS BIGINT) // greatest(CAST(count(*) AS BIGINT), 1) AS my
-      FROM j),
-cs AS (SELECT m.n AS n,
-              CAST(sum(j.x - m.mx) AS BIGINT) AS sxc,
-              CAST(sum(j.y - m.my) AS BIGINT) AS syc,
-              CAST(sum((j.x - m.mx) * (j.x - m.mx)) AS BIGINT) AS sxx,
-              CAST(sum((j.y - m.my) * (j.y - m.my)) AS BIGINT) AS syy,
-              CAST(sum((j.x - m.mx) * (j.y - m.my)) AS BIGINT) AS sxy
-       FROM j CROSS JOIN m GROUP BY m.n)
-SELECT n AS n_docs, {_SP_RHO2S} AS rho2s_q6 FROM cs""",
-)
-def spearman_len_ttr(spark, sf_dir):
-    """Exact Spearman rank correlation between document length and
-    type-token-ratio quality — "are longer docs lexically poorer" as one
-    number, the rank-based sibling of norm_doclen_corr (Pearson dies on
-    doclen's heavy tail; Spearman is tail-immune). NO global sort
-    exists: midranks come from the VALUE HISTOGRAMS via cumulative
-    windows over distinct-value cells (the doclen_quantiles argument —
-    windows see cardinality-bounded rows, never the corpus), doubled to
-    2·midrank so tied ranks stay integer. Spearman = Pearson over the
-    midranks, computed with the daily_revenue_trend centered-BIGINT
-    machinery and emitted as signed rho² (the no-sqrt rule; sign from
-    the covariance). Envelope: centered squared midrank sums fit BIGINT
-    to ~1e9 docs per run — beyond that, pre-aggregate per (a,b) cell.
-
-    Scale shape: one doc-keyed tokenize agg; two cardinality-bounded
-    histogram windows; midranks join back keyed on the value (AQE
-    broadcasts the small value tables); a 1-row census."""
-    dstat = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("a"),
-            F.expr(
-                "CAST((1000000 * count(DISTINCT term)) div count(1) AS BIGINT)"
-            ).alias("b"),
-        )
-        .localCheckpoint()  # two histograms + the join-back consume it
-    )
-    wa = Window.orderBy("a").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ra = (
-        dstat.groupBy("a")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .select(
-            "a",
-            (F.lit(2) * F.sum("c").over(wa) - F.col("c") + 1)
-            .cast("long")
-            .alias("r2a"),
-        )
-    )
-    wb = Window.orderBy("b").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    rb = (
-        dstat.groupBy("b")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .select(
-            "b",
-            (F.lit(2) * F.sum("c").over(wb) - F.col("c") + 1)
-            .cast("long")
-            .alias("r2b"),
-        )
-    )
-    j = (
-        dstat.join(ra, "a")
-        .join(rb, "b")
-        .select(F.col("r2a").alias("x"), F.col("r2b").alias("y"))
-    )
-    m = j.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.expr(
-            "CAST(sum(x) AS BIGINT) div greatest(CAST(count(1) AS BIGINT), 1)"
-        ).alias("mx"),
-        F.expr(
-            "CAST(sum(y) AS BIGINT) div greatest(CAST(count(1) AS BIGINT), 1)"
-        ).alias("my"),
-    )
-    cs = (
-        j.crossJoin(F.broadcast(m))
-        .groupBy("n")
-        .agg(
-            F.sum(F.col("x") - F.col("mx")).cast("long").alias("sxc"),
-            F.sum(F.col("y") - F.col("my")).cast("long").alias("syc"),
-            F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx")))
-            .cast("long")
-            .alias("sxx"),
-            F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my")))
-            .cast("long")
-            .alias("syy"),
-            F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
-            .cast("long")
-            .alias("sxy"),
-        )
-    )
-    return cs.select(
-        F.col("n").alias("n_docs"), F.expr(_SP_RHO2S).alias("rho2s_q6")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 76 — exact average precision, RM3 pseudo-relevance expansion,
-# per-source dataset datasheet
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "map_eval",
-    _bm25_agg_ctes(_RANKEVAL_TERMS)
-    + f""",
-ranked AS (
-  SELECT doc_id, row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rnk
-  FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 10),
-rel AS (SELECT DISTINCT doc_id FROM ({SQL_TOKS}) WHERE term = 'dup'),
-nrel AS (SELECT CAST(count(*) AS BIGINT) AS r FROM rel),
-j AS (SELECT ranked.rnk, CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel
-      FROM ranked LEFT JOIN rel USING (doc_id)),
-cum AS (SELECT rnk, is_rel,
-               CAST(sum(is_rel) OVER (ORDER BY rnk
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cr
-        FROM j),
-ap AS (SELECT CAST(COALESCE(sum(CASE WHEN is_rel = 1
-                                     THEN (2520 * cr) // rnk ELSE 0 END), 0)
-              AS BIGINT) AS ap2520,
-              CAST(COALESCE(sum(is_rel), 0) AS BIGINT) AS nr10
-       FROM cum)
-SELECT nrel.r AS n_rel_total, ap.nr10 AS n_rel_at_10,
-       CASE WHEN nrel.r = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 * (CAST(ap.ap2520 AS DOUBLE)
-                 / (2520 * least(nrel.r, 10)))) AS BIGINT) END AS ap_q6
-FROM nrel, ap""",
-)
-def map_eval(spark, sf_dir):
-    """Average precision @10 of the BM25 ranking — the metric that
-    completes the rank_eval family (P@10 ignores rank position, MRR
-    sees only the first hit, NDCG needs grades; AP is the binary
-    judgment standard). EXACT until one division: each P@k = cumrel/k
-    term is scaled by lcm(1..10) = 2520, which every rank 1..10
-    divides, so the sum is a true integer — no per-term float rounding
-    to drift between engines. AP = Σ rel_k·P@k / min(R, 10).
-
-    Scale shape: the usual TakeOrdered top-10; the judgment set and
-    its census; the cumulative window runs over 10 rows."""
-    agg = _bm25_match_set(spark, sf_dir, _RANKEVAL_TERMS)
-    ranked = (
-        agg.orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(10)
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))
-            ),
-        )
-        .select("doc_id", "rnk")
-    )
-    rel = (
-        _toks(_docs(spark, sf_dir))
-        .where(F.col("term") == "dup")
-        .select("doc_id")
-        .distinct()
-        .localCheckpoint()  # census + page join both consume it
-    )
-    nrel = rel.agg(F.count(F.lit(1)).cast("long").alias("r"))
-    j = ranked.join(
-        rel.withColumn("is_rel_flag", F.lit(1)), "doc_id", "left"
-    ).select("rnk", F.coalesce("is_rel_flag", F.lit(0)).alias("is_rel"))
-    wc = Window.orderBy("rnk").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = j.select(
-        "rnk", "is_rel", F.sum("is_rel").over(wc).cast("long").alias("cr")
-    )
-    ap = cum.agg(
-        F.coalesce(
-            F.sum(
-                F.expr(
-                    "CASE WHEN is_rel = 1 THEN (2520 * cr) div rnk ELSE 0 END"
-                )
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("ap2520"),
-        F.coalesce(F.sum("is_rel"), F.lit(0)).cast("long").alias("nr10"),
-    )
-    return nrel.crossJoin(ap).select(
-        F.col("r").alias("n_rel_total"),
-        F.col("nr10").alias("n_rel_at_10"),
-        F.expr(
-            "CASE WHEN r = 0 THEN CAST(0 AS BIGINT)"
-            " ELSE CAST(round(1000000 * (CAST(ap2520 AS DOUBLE)"
-            " / (2520 * least(r, 10)))) AS BIGINT) END"
-        ).alias("ap_q6"),
-    )
-
-
-_RM3_TERMS = ["spark", "join"]
-# P(w|R) contribution of one feedback doc: linear score normalisation
-# P(d|Q) = score/S times the doc LM P(w|d) = tf/dl, q6-rounded PER
-# (doc, term) first (the unigram_logprob rule), then BIGINT-summed.
-_RM3_W = (
-    "CASE WHEN s = 0 THEN CAST(0 AS BIGINT)"
-    " ELSE CAST(round(1000000 * ((CAST(score_q6 AS DOUBLE) / s)"
-    " * (CAST(tf AS DOUBLE) / dl))) AS BIGINT) END"
-)
-
-
-@register(
-    "rm3_expansion_terms",
-    _bm25_agg_ctes(_RM3_TERMS)
-    + f""",
-fb AS (SELECT doc_id, score_q6 FROM agg
-       ORDER BY score_q6 DESC, doc_id ASC LIMIT 10),
-stot AS (SELECT CAST(COALESCE(sum(score_q6), 0) AS BIGINT) AS s FROM fb),
-ftf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        FROM ({SQL_TOKS}) WHERE doc_id IN (SELECT doc_id FROM fb)
-        GROUP BY doc_id, term),
-fdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM ftf GROUP BY doc_id),
-w AS (SELECT ftf.term, {_RM3_W} AS wq6
-      FROM ftf JOIN fb USING (doc_id) JOIN fdl USING (doc_id) CROSS JOIN stot
-      WHERE ftf.term NOT IN ({", ".join(f"'{t}'" for t in _RM3_TERMS)})),
-ws AS (SELECT term, CAST(sum(wq6) AS BIGINT) AS weight_q6 FROM w GROUP BY term),
-rk AS (SELECT term, weight_q6,
-              row_number() OVER (ORDER BY weight_q6 DESC, term ASC) AS rank
-       FROM ws)
-SELECT term, CAST(rank AS BIGINT) AS rank, weight_q6
-FROM rk WHERE rank <= 10 ORDER BY rank""",
-)
-def rm3_expansion_terms(spark, sf_dir):
-    """RM3 pseudo-relevance feedback (Lavrenko & Croft relevance model):
-    expansion-term weights P(w|R) = Σ_d P(d|Q)·P(w|d) over the top-10
-    feedback docs — the language-model PRF that complements
-    prf_rocchio_expand's vector-space tf·idf centroid (RM3 weights by
-    the DOC's retrieval score, so one strongly-matching doc dominates;
-    Rocchio averages democratically). P(d|Q) is the linear score
-    normalisation score/Σscore (documented variant — a softmax would
-    put exp() floats in the contract); original query terms excluded.
-
-    Determinism: per-(doc, term) contributions q6-round FIRST from
-    exact integers (score_q6, S, tf, dl), then BIGINT sums; rank over
-    the quantized weight with a term tiebreak; an all-zero score page
-    emits zero weights via the s = 0 guard.
-
-    Scale shape: the feedback page is 10 rows broadcast into the token
-    stream (the ltr_features trick) — tf/dl exist only for 10 docs;
-    the weight agg is vocab-of-10-docs-sized."""
-    agg = _bm25_match_set(spark, sf_dir, _RM3_TERMS)
-    fb = agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
-    stot = fb.agg(
-        F.coalesce(F.sum("score_q6"), F.lit(0)).cast("long").alias("s")
-    )
-    ftf = (
-        _toks(_docs(spark, sf_dir))
-        .join(F.broadcast(fb.select("doc_id")), "doc_id", "left_semi")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint()  # dl + weight rows both consume it
-    )
-    fdl = ftf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    w = (
-        ftf.where(~F.col("term").isin(_RM3_TERMS))
-        .join(F.broadcast(fb), "doc_id")
-        .join(F.broadcast(fdl), "doc_id")
-        .crossJoin(F.broadcast(stot))
-        .select("term", F.expr(_RM3_W).alias("wq6"))
-    )
-    ws = w.groupBy("term").agg(F.sum("wq6").cast("long").alias("weight_q6"))
-    return (
-        ws.withColumn(
-            "rank",
-            F.row_number()
-            .over(Window.orderBy(F.desc("weight_q6"), F.asc("term")))
-            .cast("long"),
-        )
-        .where(F.col("rank") <= 10)
-        .select("term", "rank", "weight_q6")
-        .orderBy("rank")
-    )
-
-
-@register(
-    "dataset_datasheet",
-    f"""WITH tk AS (
-  SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
-  FROM documents),
-ts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
-              CAST(count(DISTINCT term) AS BIGINT) AS n_types
-       FROM tk GROUP BY source),
-ds AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-              CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dup
-       FROM documents GROUP BY source)
-SELECT ds.source AS source, ds.n_docs AS n_docs,
-       CAST(COALESCE(ts.n_tokens, 0) AS BIGINT) AS n_tokens,
-       ds.n_exact_dup AS n_exact_dup,
-       CAST(round(1000000 * (CAST(COALESCE(ts.n_tokens, 0) AS DOUBLE) / ds.n_docs))
-            AS BIGINT) AS mean_len_q6,
-       CASE WHEN COALESCE(ts.n_tokens, 0) = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * ts.n_types) // ts.n_tokens AS BIGINT)
-       END AS ttr_q6
-FROM ds LEFT JOIN ts USING (source) ORDER BY source""",
-)
-def dataset_datasheet(spark, sf_dir):
-    """Per-source dataset datasheet — the one-table "datasheets for
-    datasets" census a model card quotes: volume (docs, tokens), exact-
-    duplicate load (docs minus distinct content hashes — the upper
-    bound exact dedup would reclaim), mean length, and lexical
-    diversity (TTR). Each column exists elsewhere at full depth
-    (pipeline_waterfall, dedup censuses, msttr); this is the
-    side-by-side per-source summary those ops don't give.
-
-    Determinism: counts exact; mean_len is one divide-then-round;
-    ttr is the integer division rule (line-7395 convention).
-
-    Scale shape: ONE tokenize pass aggregated per source (count +
-    two-phase distinct), ONE documents pass for the md5 census; the
-    join runs on |sources| rows."""
-    docs = _docs(spark, sf_dir)
-    tk = docs.select("source", F.explode(spark_tokens("text")).alias("term"))
-    ts = tk.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.countDistinct("term").cast("long").alias("n_types"),
-    )
-    ds = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
-        .cast("long")
-        .alias("n_exact_dup"),
-    )
-    return (
-        ds.join(ts, "source", "left")
-        .select(
-            "source",
-            "n_docs",
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            "n_exact_dup",
-            F.expr(
-                "CAST(round(1000000 * (CAST(COALESCE(n_tokens, 0) AS DOUBLE)"
-                " / n_docs)) AS BIGINT)"
-            ).alias("mean_len_q6"),
-            F.expr(
-                "CASE WHEN COALESCE(n_tokens, 0) = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST((1000000 * n_types) div n_tokens AS BIGINT) END"
-            ).alias("ttr_q6"),
-        )
-        .orderBy("source")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 77 — HLL precision curve, weekly type-mix JSD, supplier ship delay
-# ---------------------------------------------------------------------------
-
-# Flajolet alpha constants per precision; the folded estimator constant is
-# alpha * m^2 * 2^(61-p) (register sums are exact BIGINTs in 2^-(61-p)
-# units — the cardinality_sketch construction at three precisions).
-_HLL_ALPHA = {4: 0.673, 6: 0.709, 8: 0.7213 / (1.0 + 1.079 / 256.0)}
-
-
-def _hll_curve_block(p: int) -> str:
-    m = 1 << p
-    w1 = 61 - p  # max rank; register sum unit is 2^-(w1)
-    c = repr(_HLL_ALPHA[p] * m * m * float(1 << w1))
-    return f"""SELECT {p} AS p, {m} AS m_regs, ex.n_exact,
-       CAST(round(
-         CASE WHEN ({c} / CAST(z_int AS DOUBLE)) <= {int(2.5 * m)}e0
-                   AND zeros > 0
-              THEN {m}e0 * ln({m}e0 / CAST(zeros AS DOUBLE))
-              ELSE {c} / CAST(z_int AS DOUBLE)
-         END * 1000000) AS BIGINT) AS hll_q6
-FROM (
-  SELECT CAST({m} - count(*) AS BIGINT) AS zeros,
-         CAST(COALESCE(sum((1::BIGINT << ({w1} - maxr))), 0)
-              + ({m} - count(*)) * (1::BIGINT << {w1}) AS BIGINT) AS z_int
-  FROM (SELECT reg, max(rnk) AS maxr FROM
-        (SELECT h % {m} AS reg,
-                CASE WHEN (h >> {p}) = 0 THEN {w1}
-                     ELSE {w1} - length(bin(h >> {p})) END AS rnk
-         FROM hh) GROUP BY reg)
-) z CROSS JOIN ex"""
-
-
-@register(
-    "hll_precision_curve",
-    f"""WITH sh AS ({_SQL_SHINGLES}),
-ss AS MATERIALIZED (SELECT DISTINCT sh FROM sh),
-hh AS MATERIALIZED (SELECT ('0x' || substr(md5(sh), 1, 15))::UBIGINT::BIGINT AS h FROM ss),
-ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ss)
-{_hll_curve_block(4)}
-UNION ALL
-{_hll_curve_block(6)}
-UNION ALL
-{_hll_curve_block(8)}
-ORDER BY p""",
-)
-def hll_precision_curve(spark, sf_dir):
-    """HLL register-count tuning curve: the same 60-bit-hash shingle
-    stream sketched at p = 4/6/8 (16/64/256 registers) beside the exact
-    distinct count — the memory-vs-error knob read the way
-    lsh_band_config_curve reads (b, r) and bloom_fpr_curve reads bits
-    per key. Each precision is the cardinality_sketch construction:
-    register = low p bits, rank = leading-zero count of the remaining
-    60−p bits, register sum as an exact BIGINT in 2^-(61-p) units,
-    Flajolet linear-counting correction below 2.5m.
-
-    Determinism: one double division per precision, estimator constants
-    folded via repr() e-notation (_HLL_C rule); GROUP BY () makes the
-    one-row register census explicit on both engines.
-
-    Scale shape: the hash stream is scanned once per precision but each
-    register agg is map-side max-mergeable into ≤256 rows — the whole
-    curve's state is 336 registers regardless of input size (maxr per
-    (p, reg) could even share one pass; three passes keep the generated
-    SQL one-block-per-p)."""
-    sh = _shingles_spark(spark, sf_dir)
-    ss = sh.select("sh").distinct()
-    hh = ss.select(_H60_SPARK(F.col("sh")).alias("h")).localCheckpoint()
-    ex = hh.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
-    outs = []
-    for p in (4, 6, 8):
-        m = 1 << p
-        w1 = 61 - p
-        c = repr(_HLL_ALPHA[p] * m * m * float(1 << w1))
-        rr = hh.select(
-            F.expr(f"h % {m}").alias("reg"),
-            F.expr(
-                f"CASE WHEN (h >> {p}) = 0 THEN {w1}"
-                f" ELSE {w1} - length(bin(h >> {p})) END"
-            ).alias("rnk"),
-        )
-        regs = rr.groupBy("reg").agg(F.max("rnk").alias("maxr"))
-        z = regs.agg(
-            (F.lit(m) - F.count(F.lit(1))).cast("long").alias("zeros"),
-            F.expr(
-                f"CAST(COALESCE(sum(shiftleft(cast(1 as bigint),"
-                f" cast({w1} - maxr as int))), 0)"
-                f" + ({m} - count(1)) * shiftleft(cast(1 as bigint), {w1})"
-                " AS BIGINT)"
-            ).alias("z_int"),
-        )
-        outs.append(
-            z.crossJoin(F.broadcast(ex)).select(
-                F.lit(p).cast("long").alias("p"),
-                F.lit(m).cast("long").alias("m_regs"),
-                "n_exact",
-                F.expr(
-                    f"CAST(round(CASE WHEN ({c} / CAST(z_int AS DOUBLE)) <= {int(2.5 * m)}e0"
-                    f" AND zeros > 0 THEN {m}e0 * ln({m}e0 / CAST(zeros AS DOUBLE))"
-                    f" ELSE {c} / CAST(z_int AS DOUBLE) END * 1000000) AS BIGINT)"
-                ).alias("hll_q6"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("p")
-
-
-# Per-cell JSD contribution, q6-rounded FIRST (the hellinger/KL rule).
-# Columns: n (week-type count), nw (week total), gt (global type count),
-# nt (global total); gt > 0 by spine construction so M > 0 always.
-_WJSD_P = "(CAST(n AS DOUBLE) / nw)"
-_WJSD_G = "(CAST(gt AS DOUBLE) / nt)"
-_WJSD_M = f"(({_WJSD_P} + {_WJSD_G}) / 2e0)"
-_WJSD_C = (
-    f"CAST(round(1000000 * ((CASE WHEN n = 0 THEN 0e0"
-    f" ELSE 5e-1 * {_WJSD_P} * ln({_WJSD_P} / {_WJSD_M}) END)"
-    f" + 5e-1 * {_WJSD_G} * ln({_WJSD_G} / {_WJSD_M}))) AS BIGINT)"
-)
-
-
-@register(
-    "events_weekly_type_jsd",
-    f"""WITH e AS (
-  SELECT epoch_us(ts) // {7 * _US_PER_DAY} AS week_num, event_type FROM events),
-c AS (SELECT week_num, event_type, CAST(count(*) AS BIGINT) AS n
-      FROM e GROUP BY week_num, event_type),
-wt AS (SELECT week_num, CAST(sum(n) AS BIGINT) AS nw FROM c GROUP BY week_num),
-gt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS gt FROM c GROUP BY event_type),
-nt AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
-spine AS (SELECT wt.week_num, wt.nw, gt.event_type, gt.gt FROM wt CROSS JOIN gt),
-cell AS (SELECT spine.week_num, spine.nw, spine.gt,
-                CAST(COALESCE(c.n, 0) AS BIGINT) AS n, nt.nt
-         FROM spine LEFT JOIN c USING (week_num, event_type) CROSS JOIN nt),
-j AS (SELECT week_num, nw, CAST(sum({_WJSD_C}) AS BIGINT) AS jsd_q6
-      FROM cell GROUP BY week_num, nw)
-SELECT CAST(week_num AS BIGINT) AS week_num, nw AS n_events, jsd_q6
-FROM j ORDER BY week_num""",
-)
-def events_weekly_type_jsd(spark, sf_dir):
-    """Weekly event-type mix drift: Jensen-Shannon divergence of each
-    week's type distribution against the whole stream's — the
-    distribution-shift monitor for the event mix itself (term/lang/
-    quality drift watch the corpus by decile; this watches traffic by
-    calendar). JSD is bounded (≤ ln 2) and symmetric, so weeks are
-    comparable; a launch week where clicks double shows as a spike.
-
-    Determinism: the (week × type) spine gives every cell a row (absent
-    types contribute only the global half — the 0-guard is inside the
-    shared expr); per-cell contributions q6-round FIRST from exact
-    integers, then BIGINT-sum per week.
-
-    Scale shape: one (week, type) groupBy over events (map-side
-    partials); spine, join, and the per-week sum all run on
-    calendar×type-bounded cells."""
-    e = _events(spark, sf_dir).select(
-        F.expr(f"unix_micros(cast(ts as timestamp)) div {7 * _US_PER_DAY}").alias(
-            "week_num"
-        ),
-        "event_type",
-    )
-    c = (
-        e.groupBy("week_num", "event_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()  # 4 consumers (wt/gt/nt/cell join)
-    )
-    wt = c.groupBy("week_num").agg(F.sum("n").cast("long").alias("nw"))
-    gtd = c.groupBy("event_type").agg(F.sum("n").cast("long").alias("gt"))
-    nt = c.agg(F.sum("n").cast("long").alias("nt"))
-    spine = wt.crossJoin(F.broadcast(gtd))
-    cell = (
-        spine.join(c, ["week_num", "event_type"], "left")
-        .crossJoin(F.broadcast(nt))
-        .select(
-            "week_num",
-            "nw",
-            "gt",
-            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
-            "nt",
-        )
-    )
-    return (
-        cell.groupBy("week_num", "nw")
-        .agg(F.sum(F.expr(_WJSD_C)).cast("long").alias("jsd_q6"))
-        .select(
-            F.col("week_num").cast("long").alias("week_num"),
-            F.col("nw").alias("n_events"),
-            "jsd_q6",
-        )
-        .orderBy("week_num")
-    )
-
-
-@register(
-    "supplier_ship_delay_topk",
-    f"""WITH l AS (
-  SELECT l_suppkey, l_orderkey,
-         epoch_us(CAST(l_shipdate AS TIMESTAMP)) // {_US_PER_DAY} AS ship_day
-  FROM lineitem),
-o AS (SELECT o_orderkey,
-             epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY} AS order_day
-      FROM orders),
-lag AS (SELECT l.l_suppkey, l.ship_day - o.order_day AS lag_days
-        FROM l JOIN o ON o.o_orderkey = l.l_orderkey),
-s AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items,
-             CAST(sum(lag_days) AS BIGINT) AS sum_lag
-      FROM lag GROUP BY l_suppkey),
-r AS (SELECT l_suppkey, n_items,
-             CAST(round(1000000 * (CAST(sum_lag AS DOUBLE) / n_items)) AS BIGINT)
-               AS mean_lag_q6
-      FROM s WHERE n_items >= 5)
-SELECT l_suppkey, n_items, mean_lag_q6,
-       CAST(row_number() OVER (ORDER BY mean_lag_q6 DESC, l_suppkey ASC)
-            AS BIGINT) AS rank
-FROM r ORDER BY mean_lag_q6 DESC, l_suppkey ASC LIMIT 10""",
-)
-def supplier_ship_delay_topk(spark, sf_dir):
-    """Slowest-shipping suppliers: mean order-to-ship lag in days per
-    supplier, volume-gated (n ≥ 5 — a one-item supplier with one slow
-    order isn't a signal), top-10 worst. The supplier-accountability
-    cut of ship_lag_histogram's global distribution — the vendor
-    scorecard a procurement review asks for.
-
-    Determinism: integer day lags summed exact; mean is one
-    divide-then-round; rank over the quantized mean, suppkey tiebreak.
-
-    Scale shape: the lineitem⋈orders join keys both sides on orderkey
-    (un-hinted, both unbounded — the Q4 rule); the supplier agg
-    combines map-side into |suppliers| rows; TakeOrdered top-10."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_suppkey",
-        "l_orderkey",
-        F.expr(
-            f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div {_US_PER_DAY}"
-        ).alias("ship_day"),
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey",
-        F.expr(
-            f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_PER_DAY}"
-        ).alias("order_day"),
-    )
-    lag = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        "l_suppkey", (F.col("ship_day") - F.col("order_day")).alias("lag_days")
-    )
-    s = lag.groupBy("l_suppkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.sum("lag_days").cast("long").alias("sum_lag"),
-    )
-    r = s.where(F.col("n_items") >= 5).select(
-        "l_suppkey",
-        "n_items",
-        F.expr(
-            "CAST(round(1000000 * (CAST(sum_lag AS DOUBLE) / n_items)) AS BIGINT)"
-        ).alias("mean_lag_q6"),
-    )
-    top = r.orderBy(F.desc("mean_lag_q6"), F.asc("l_suppkey")).limit(10)
-    return top.withColumn(
-        "rank",
-        F.row_number()
-        .over(Window.orderBy(F.desc("mean_lag_q6"), F.asc("l_suppkey")))
-        .cast("long"),
-    ).select("l_suppkey", "n_items", "mean_lag_q6", "rank")
-
-
-# ---------------------------------------------------------------------------
-# session 78 — embedding anisotropy share, PQ codebook utilization,
-# order-month seasonality
-# ---------------------------------------------------------------------------
-
-
-def _isotropy_sql() -> str:
-    """Generated oracle: the power-iteration chain through v3 (reused via
-    :func:`_poweriter_sql`'s building blocks — same MATERIALIZED tables),
-    one extra matvec for the Rayleigh numerator, trace from the q6
-    matrix; per-vector squares floored q12→q6 BEFORE summing (the
-    embedding_norm_outliers envelope rule)."""
-    chain = _poweriter_sql(_PI_ITERS)
-    # drop the final SELECT of the PI oracle, keep its CTE chain
-    chain = chain[: chain.rindex("SELECT CAST(dim AS BIGINT)")].rstrip()
-    if chain.endswith(","):
-        chain = chain[:-1]
-    return (
-        chain
-        + f""",
-s4 AS MATERIALIZED (SELECT xq.vec_id, CAST(sum(xq.x * vv.v) AS BIGINT) AS s
-  FROM xq JOIN v{_PI_ITERS} vv USING (dim) GROUP BY xq.vec_id),
-u4 AS (SELECT vec_id, {_PI_U} AS u FROM s4),
-tt AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS t FROM xq GROUP BY vec_id),
-vvn AS (SELECT CAST(COALESCE(sum(v * v), 0) AS BIGINT) AS vv FROM v{_PI_ITERS}),
-ag AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
-              CAST(COALESCE(sum((u4.u * u4.u) // 1000000), 0) AS BIGINT) AS sa,
-              CAST(COALESCE(sum(tt.t // 1000000), 0) AS BIGINT) AS st6
-       FROM u4 JOIN tt USING (vec_id))
-SELECT n_vecs,
-       CASE WHEN st6 = 0 OR vv = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 * ((CAST(sa AS DOUBLE) / st6)
-                 * (1000000000000e0 / vv))) AS BIGINT) END AS var_explained_q6
-FROM ag CROSS JOIN vvn"""
-    )
-
-
-@register("embedding_isotropy", _isotropy_sql())
-def embedding_isotropy(spark, sf_dir):
-    """Anisotropy share of the embedding space: the fraction of total
-    (uncentered) variance captured by the top principal direction —
-    Rayleigh quotient Σ(x·v̂)² / Σ‖x‖² with v from
-    embedding_power_iteration. The Ethayarajh-2019 "is one direction
-    eating the space" check as ONE number: isotropic random vectors sit
-    near 1/d; a contextual encoder whose outputs collapse toward a cone
-    sits near 1. Feeds the whiten-or-not decision before ANN indexing.
-
-    Determinism: v is the PI op's own 64-row output (collected — the
-    bounded-collect convention); dots are exact q6-integer folds; the
-    per-vector squares (u², ‖x‖²_q12) are floored q12→q6 BEFORE the
-    BIGINT sums (the norm-outliers envelope rule — sums then fit to
-    ~1e12 vectors); ‖v‖² corrects the q6-rounded direction's length
-    exactly. One shared float expression at the end.
-
-    Scale shape: one extra map-side matvec over the checkpointed q6
-    matrix (no joins — v is a 64-literal array) and a 1-row census."""
-    vrows = embedding_power_iteration(spark, sf_dir).orderBy("dim").collect()
-    v = [int(r["v_q6"]) for r in vrows]
-    vv = sum(x * x for x in v)
-    e = _emb(spark, sf_dir).select(
-        F.expr(
-            "transform(embedding, c -> CAST(round(1000000 * cast(c as double)) AS BIGINT))"
-        ).alias("xarr")
-    )
-    vlit = "array(" + ",".join(f"{int(x)}L" for x in v) + ")"
-    per = e.select(
-        F.expr(
-            f"aggregate(zip_with(xarr, {vlit}, (a, b) -> a * b), 0L, (acc, z) -> acc + z)"
-        ).alias("s"),
-        F.expr(
-            "aggregate(zip_with(xarr, xarr, (a, b) -> a * b), 0L, (acc, z) -> acc + z)"
-        ).alias("t"),
-    ).select(F.expr(_PI_U).alias("u"), "t")
-    ag = per.agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.coalesce(F.sum(F.expr("(u * u) div 1000000")), F.lit(0))
-        .cast("long")
-        .alias("sa"),
-        F.coalesce(F.sum(F.expr("t div 1000000")), F.lit(0))
-        .cast("long")
-        .alias("st6"),
-    )
-    if vv == 0:
-        return ag.select(
-            "n_vecs", F.lit(0).cast("long").alias("var_explained_q6")
-        )
-    return ag.select(
-        "n_vecs",
-        F.expr(
-            f"CASE WHEN st6 = 0 THEN CAST(0 AS BIGINT)"
-            f" ELSE CAST(round(1000000 * ((CAST(sa AS DOUBLE) / st6)"
-            f" * (1000000000000e0 / {vv}))) AS BIGINT) END"
-        ).alias("var_explained_q6"),
-    )
-
-
-@register(
-    "pq_code_histogram",
-    _pq_sql()
-    + """,
-h AS (SELECT m, cid, CAST(count(*) AS BIGINT) AS n FROM codes GROUP BY m, cid),
-per AS (SELECT m, CAST(count(*) AS BIGINT) AS n_codes_used,
-               CAST(sum(n) AS BIGINT) AS tot
-        FROM h GROUP BY m),
-top AS (SELECT m, cid AS top_cid, n AS top_n FROM (
-          SELECT m, cid, n,
-                 row_number() OVER (PARTITION BY m ORDER BY n DESC, cid ASC) AS rn
-          FROM h) WHERE rn = 1)
-SELECT CAST(per.m AS BIGINT) AS m, per.n_codes_used,
-       CAST(top.top_cid AS BIGINT) AS top_cid, top.top_n,
-       CAST((1000000 * top.top_n) // per.tot AS BIGINT) AS top_share_q6
-FROM per JOIN top USING (m) ORDER BY m""",
-)
-def pq_code_histogram(spark, sf_dir):
-    """PQ codebook utilization audit: per subspace, how many of the 16
-    codewords the corpus actually uses, and how concentrated the
-    assignment is (top codeword's share) — the ivf_cluster_balance
-    reading applied to the PQ index. A subspace where one codeword
-    holds 90% of vectors contributes ~0 bits of its 4-bit budget; the
-    fix is codebook retraining or OPQ rotation, and THIS table is how
-    you notice.
-
-    Determinism: counts exact; share is integer division; the top
-    codeword picks by (count desc, cid asc) — Spark map-side
-    max(struct(n, -cid)) (the search_collapse rule), the oracle may
-    window.
-
-    Scale shape: codes are M rows per vector; the (m, cid) agg is
-    map-side into ≤128 rows and everything downstream is tiny."""
-    codes, _lut, _qn = _pq_index(spark, sf_dir)
-    h = codes.groupBy("m", "cid").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    per = h.groupBy("m").agg(
-        F.count(F.lit(1)).cast("long").alias("n_codes_used"),
-        F.sum("n").cast("long").alias("tot"),
-        F.max(F.struct(F.col("n"), (-F.col("cid")).alias("nc"))).alias("t"),
-    )
-    return per.select(
-        F.col("m").cast("long").alias("m"),
-        "n_codes_used",
-        (-F.col("t.nc")).cast("long").alias("top_cid"),
-        F.col("t.n").alias("top_n"),
-        F.expr("CAST((1000000 * t.n) div tot AS BIGINT)").alias(
-            "top_share_q6"
-        ),
-    ).orderBy("m")
-
-
-@register(
-    "orders_month_seasonality",
-    """WITH o AS (
-  SELECT month(CAST(o_orderdate AS TIMESTAMP)) AS mon,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders),
-c AS (SELECT mon, CAST(count(*) AS BIGINT) AS n_orders,
-             CAST(sum(cents) AS BIGINT) AS revenue_cents
-      FROM o GROUP BY mon),
-spine AS (SELECT unnest(generate_series(1, 12)) AS mon),
-f AS (SELECT spine.mon, CAST(COALESCE(c.n_orders, 0) AS BIGINT) AS n_orders,
-             CAST(COALESCE(c.revenue_cents, 0) AS BIGINT) AS revenue_cents
-      FROM spine LEFT JOIN c USING (mon)),
-t AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS tot FROM f)
-SELECT CAST(f.mon AS BIGINT) AS mon, f.n_orders, f.revenue_cents,
-       CASE WHEN t.tot = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * f.revenue_cents) // t.tot AS BIGINT)
-       END AS share_q6
-FROM f CROSS JOIN t ORDER BY mon""",
-)
-def orders_month_seasonality(spark, sf_dir):
-    """Calendar-month revenue seasonality of the order book — the
-    orders-side twin of events_weekday_profile (retail Decembers,
-    fiscal-year-end spikes), all 12 months always present via the
-    spine. month() is pure Gregorian arithmetic in both engines —
-    never a locale-dependent monthname().
-
-    Scale shape: map-side month math into a ≤12-group agg; the spine
-    join and share division run on 12 rows."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        F.expr("month(CAST(o_orderdate AS TIMESTAMP))").alias("mon"),
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-    )
-    c = o.groupBy("mon").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum("cents").cast("long").alias("revenue_cents"),
-    )
-    spine = spark.range(1, 13).select(F.col("id").alias("mon"))
-    f = spine.join(c, "mon", "left").select(
-        "mon",
-        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
-        F.coalesce("revenue_cents", F.lit(0)).cast("long").alias("revenue_cents"),
-    )
-    t = f.agg(F.sum("revenue_cents").cast("long").alias("tot"))
-    return (
-        f.crossJoin(F.broadcast(t))
-        .select(
-            F.col("mon").cast("long").alias("mon"),
-            "n_orders",
-            "revenue_cents",
-            F.expr(
-                "CASE WHEN tot = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST((1000000 * revenue_cents) div tot AS BIGINT) END"
-            ).alias("share_q6"),
-        )
-        .orderBy("mon")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 79 — WIG post-retrieval QPP, kNN label purity, URL domain census
-# ---------------------------------------------------------------------------
-
-_WIG_NORM = "7.0710678118654755e-1"  # 1/sqrt(|q|) for the 2-term query
-
-
-@register(
-    "wig_qpp",
-    _bm25_agg_ctes(_RANKEVAL_TERMS)
-    + f""",
-alls AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                CAST(COALESCE(sum(score_q6), 0) AS BIGINT) AS s FROM agg),
-tops AS (SELECT CAST(count(*) AS BIGINT) AS nt,
-                CAST(COALESCE(sum(score_q6), 0) AS BIGINT) AS st
-         FROM (SELECT score_q6 FROM agg
-               ORDER BY score_q6 DESC, doc_id ASC LIMIT 10)),
-mm AS (SELECT alls.n,
-              CAST(tops.st // greatest(tops.nt, 1) AS BIGINT) AS mean_top10_q6,
-              CAST(alls.s // greatest(alls.n, 1) AS BIGINT) AS mean_all_q6
-       FROM alls CROSS JOIN tops)
-SELECT n AS n_matches, mean_top10_q6, mean_all_q6,
-       CAST(round((mean_top10_q6 - mean_all_q6) * {_WIG_NORM}) AS BIGINT) AS wig_q6
-FROM mm""",
-)
-def wig_qpp(spark, sf_dir):
-    """WIG (Weighted Information Gain, Zhou & Croft 2007) post-retrieval
-    query-performance prediction adapted to BM25: how far the top-10
-    scores sit above the full match set's mean, normalised by 1/√|q| —
-    the third QPP beside preretrieval_qpp (no retrieval at all) and
-    clarity_score (needs the LM of the top docs). A peaked score curve
-    (top ≫ mean) predicts an easy query; flat predicts ambiguity — WIG
-    is the cheapest of the three because it reads NOTHING but scores
-    already in hand.
-
-    Determinism: BIGINT score sums; both means are floor divisions;
-    the √|q| normaliser is a folded e-notation constant.
-
-    Scale shape: the memoized match set feeds a 1-row census and one
-    TakeOrdered top-10 — no new corpus passes."""
-    agg = _bm25_match_set(spark, sf_dir, _RANKEVAL_TERMS)
-    alls = agg.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum("score_q6"), F.lit(0)).cast("long").alias("s"),
-    )
-    tops = (
-        agg.orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(10)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("nt"),
-            F.coalesce(F.sum("score_q6"), F.lit(0)).cast("long").alias("st"),
-        )
-    )
-    mm = alls.crossJoin(tops).select(
-        "n",
-        F.expr("CAST(st div greatest(nt, 1) AS BIGINT)").alias("mean_top10_q6"),
-        F.expr("CAST(s div greatest(n, 1) AS BIGINT)").alias("mean_all_q6"),
-    )
-    return mm.select(
-        F.col("n").alias("n_matches"),
-        "mean_top10_q6",
-        "mean_all_q6",
-        F.expr(
-            f"CAST(round((mean_top10_q6 - mean_all_q6) * {_WIG_NORM}) AS BIGINT)"
-        ).alias("wig_q6"),
-    )
-
-
-@register(
-    "ann_label_purity",
-    _BATCH_SQL
-    + """,
-lb AS (SELECT vec_id, label FROM embeddings),
-nb AS (SELECT qid, vec_id FROM btop WHERE rnk <= 10 AND vec_id <> qid),
-qn AS (SELECT lb.label, CAST(count(*) AS BIGINT) AS n_queries
-       FROM lb WHERE lb.vec_id % 37 = 0 GROUP BY lb.label),
-j AS (SELECT ql.label AS label,
-             CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS same
-      FROM nb JOIN lb ql ON ql.vec_id = nb.qid
-      JOIN lb nl ON nl.vec_id = nb.vec_id),
-ag AS (SELECT label, CAST(count(*) AS BIGINT) AS n_neighbors,
-              CAST(COALESCE(sum(same), 0) AS BIGINT) AS n_same
-       FROM j GROUP BY label)
-SELECT CAST(qn.label AS BIGINT) AS label, qn.n_queries,
-       CAST(COALESCE(ag.n_neighbors, 0) AS BIGINT) AS n_neighbors,
-       CAST(COALESCE(ag.n_same, 0) AS BIGINT) AS n_same,
-       CASE WHEN COALESCE(ag.n_neighbors, 0) = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * ag.n_same) // ag.n_neighbors AS BIGINT)
-       END AS purity_q6
-FROM qn LEFT JOIN ag USING (label) ORDER BY label""",
-)
-def ann_label_purity(spark, sf_dir):
-    """kNN label consistency of the embedding space: for the %37 query
-    batch, what fraction of each query's top-10 IVF neighbors (self-hit
-    excluded) carry the query's own label — the class-separability
-    probe run before trusting embeddings for classification or
-    hard-negative mining (purity ≈ label prior means the space ignores
-    the label; ≈1 means nearest-neighbor rule would work). On the
-    i.i.d. sandbox vectors purity sits AT the label prior — the honest
-    reading, don't "fix" it.
-
-    Determinism: reuses the batch-ANN top-10 (quantized cosine ranks);
-    counts exact; purity is integer division; labels absent from the
-    neighbor set emit 0-rows via the query-census LEFT JOIN.
-
-    Scale shape: the neighbor table is 10 rows per query; both label
-    joins key on vec_id with the small side being the neighbor list
-    (un-hinted — AQE broadcasts when the batch is small)."""
-    top = _ivf_batch_topk(spark, sf_dir)
-    lb = _emb(spark, sf_dir).select("vec_id", "label")
-    nb = top.where(F.col("vec_id") != F.col("qid")).select("qid", "vec_id")
-    qn = (
-        lb.where(F.col("vec_id") % 37 == 0)
-        .groupBy("label")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
-    )
-    ql = lb.select(F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"))
-    nl = lb.select("vec_id", F.col("label").alias("nlabel"))
-    j = nb.join(ql, "qid").join(nl, "vec_id").select(
-        F.col("qlabel").alias("label"),
-        F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0).alias("same"),
-    )
-    ag = j.groupBy("label").agg(
-        F.count(F.lit(1)).cast("long").alias("n_neighbors"),
-        F.coalesce(F.sum("same"), F.lit(0)).cast("long").alias("n_same"),
-    )
-    return (
-        qn.join(ag, "label", "left")
-        .select(
-            F.col("label").cast("long").alias("label"),
-            "n_queries",
-            F.coalesce("n_neighbors", F.lit(0)).cast("long").alias("n_neighbors"),
-            F.coalesce("n_same", F.lit(0)).cast("long").alias("n_same"),
-            F.expr(
-                "CASE WHEN COALESCE(n_neighbors, 0) = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST((1000000 * n_same) div n_neighbors AS BIGINT) END"
-            ).alias("purity_q6"),
-        )
-        .orderBy("label")
-    )
-
-
-_URL_DOMAIN_RE = "https?://([a-z0-9.-]+)"
-
-
-@register(
-    "url_domain_census",
-    f"""WITH d AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_URL_DOMAIN_RE}', 1)) AS domain
-  FROM documents),
-g AS (SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-             CAST(count(*) AS BIGINT) AS n_mentions
-      FROM d GROUP BY domain),
-rk AS (SELECT domain, n_docs, n_mentions,
-              row_number() OVER (ORDER BY n_mentions DESC, domain ASC) AS rank
-       FROM g)
-SELECT domain, CAST(rank AS BIGINT) AS rank, n_docs, n_mentions
-FROM rk WHERE rank <= 20 ORDER BY rank""",
-)
-def url_domain_census(spark, sf_dir):
-    """Top-20 linked domains across the corpus — the crawl-mix audit a
-    web-scale pipeline runs before sampling (one SEO farm dominating
-    the link graph shows up here first). Domains come from the
-    lowercased text via a capture group of the shared URL pattern (RE2
-    ∩ Java-regex subset, no backslash classes — the pii_scrub_stats
-    rule). The sandbox corpus contains no URLs, so the live table is
-    empty — CORRECT, and the injected-parquet pytest proves the
-    extraction (the pii_scrub_stats precedent).
-
-    Scale shape: map-side extraction exploding only matched spans; one
-    domain-keyed agg (two-phase distinct for n_docs); TakeOrdered 20."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.explode(
-            F.expr(f"regexp_extract_all(lower(text), '{_URL_DOMAIN_RE}', 1)")
-        ).alias("domain"),
-    )
-    g = d.groupBy("domain").agg(
-        F.countDistinct("doc_id").cast("long").alias("n_docs"),
-        F.count(F.lit(1)).cast("long").alias("n_mentions"),
-    )
-    return (
-        g.withColumn(
-            "rank",
-            F.row_number()
-            .over(Window.orderBy(F.desc("n_mentions"), F.asc("domain")))
-            .cast("long"),
-        )
-        .where(F.col("rank") <= 20)
-        .select("domain", "rank", "n_docs", "n_mentions")
-        .orderBy("rank")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 80 — fuzzy prefix-length curve, varint index-size estimate,
-# token length histogram
-# ---------------------------------------------------------------------------
-
-_FUZZY_TYPO = "spakr"
-
-
-@register(
-    "fuzzy_prefix_curve",
-    f"""WITH tf AS ({SQL_TF}),
-dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-ps AS (SELECT unnest(generate_series(0, 2)) AS prefix_len),
-cand AS (
-  SELECT ps.prefix_len, dict.term, dict.df,
-         CAST(levenshtein(dict.term, '{_FUZZY_TYPO}') AS BIGINT) AS dist
-  FROM ps CROSS JOIN dict
-  WHERE levenshtein(dict.term, '{_FUZZY_TYPO}') <= 2
-    AND (ps.prefix_len = 0
-         OR substr(dict.term, 1, ps.prefix_len)
-            = substr('{_FUZZY_TYPO}', 1, ps.prefix_len))),
-best AS (
-  SELECT prefix_len, term AS best_term, dist AS best_dist FROM (
-    SELECT prefix_len, term, dist,
-           row_number() OVER (PARTITION BY prefix_len
-                              ORDER BY dist ASC, df DESC, term ASC) AS rn
-    FROM cand) WHERE rn = 1),
-cnt AS (SELECT prefix_len, CAST(count(*) AS BIGINT) AS n_candidates
-        FROM cand GROUP BY prefix_len)
-SELECT CAST(ps.prefix_len AS BIGINT) AS prefix_len,
-       CAST(COALESCE(cnt.n_candidates, 0) AS BIGINT) AS n_candidates,
-       COALESCE(best.best_term, '') AS best_term,
-       CAST(COALESCE(best.best_dist, -1) AS BIGINT) AS best_dist
-FROM ps LEFT JOIN cnt USING (prefix_len) LEFT JOIN best USING (prefix_len)
-ORDER BY prefix_len""",
-)
-def fuzzy_prefix_curve(spark, sf_dir):
-    """Fuzzy-query prefix_length tuning curve: for the canonical typo
-    '{typo}', how many dictionary candidates survive edit-distance ≤ 2
-    when 0/1/2 leading characters must match exactly — Lucene's
-    ``prefix_length`` knob measured the way the LSH/HLL/bloom curves
-    measure theirs. prefix_length is THE fuzzy-cost lever (ES defaults
-    it to 0 and every sizing guide says raise it): each step shrinks
-    the automaton's dictionary intersection ~|Σ|-fold at the price of
-    missing first-letter typos. The best candidate follows
-    spell_correct's rule (dist asc, df desc, term asc).
-
-    Determinism: levenshtein() is exact integer edit distance in both
-    engines; the best pick is map-side min(struct(dist, -df, term)) in
-    Spark (the search_collapse rule — the oracle may window); empty
-    candidate sets emit ('', -1) sentinels via the spine LEFT JOIN.
-
-    Scale shape: the distance scan is dictionary-sized (vocab-bounded,
-    the F2 fuzzy-join precedent), crossed with a 3-row spine; aggs
-    land on 3 rows."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dic = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    ps = spark.range(3).select(F.col("id").alias("prefix_len"))
-    cand = (
-        ps.crossJoin(dic)
-        .withColumn(
-            "dist", F.expr(f"CAST(levenshtein(term, '{_FUZZY_TYPO}') AS BIGINT)")
-        )
-        .where(
-            (F.col("dist") <= 2)
-            & (
-                (F.col("prefix_len") == 0)
-                | (
-                    F.expr(
-                        f"substr(term, 1, prefix_len)"
-                        f" = substr('{_FUZZY_TYPO}', 1, CAST(prefix_len AS INT))"
-                    )
-                )
-            )
-        )
-    )
-    ag = cand.groupBy("prefix_len").agg(
-        F.count(F.lit(1)).cast("long").alias("n_candidates"),
-        F.min(
-            F.struct(F.col("dist"), (-F.col("df")).alias("ndf"), F.col("term"))
-        ).alias("b"),
-    )
-    return (
-        ps.join(ag, "prefix_len", "left")
-        .select(
-            F.col("prefix_len").cast("long").alias("prefix_len"),
-            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
-            F.coalesce(F.col("b.term"), F.lit("")).alias("best_term"),
-            F.coalesce(F.col("b.dist"), F.lit(-1)).cast("long").alias("best_dist"),
-        )
-        .orderBy("prefix_len")
-    )
-
-
-fuzzy_prefix_curve.__doc__ = fuzzy_prefix_curve.__doc__.replace(
-    "{typo}", _FUZZY_TYPO
-)
-
-
-@register(
-    "postings_varint_estimate",
-    f"""WITH tf AS ({SQL_TF}),
-d AS (SELECT term, doc_id,
-             doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS delta
-      FROM tf),
-b AS (SELECT term,
-             CAST(CASE WHEN delta IS NULL
-                  THEN (length(bin(doc_id + 1)) + 6) // 7
-                  ELSE (length(bin(delta)) + 6) // 7 END AS BIGINT) AS nbytes
-      FROM d),
-pt AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
-              CAST(sum(nbytes) AS BIGINT) AS bytes_est
-       FROM b GROUP BY term),
-bd AS (SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS df_band, df, bytes_est
-       FROM pt)
-SELECT df_band, CAST(count(*) AS BIGINT) AS n_terms,
-       CAST(sum(df) AS BIGINT) AS n_postings,
-       CAST(sum(bytes_est) AS BIGINT) AS bytes_est,
-       CAST((1000000 * sum(bytes_est)) // sum(df) AS BIGINT) AS bytes_per_posting_q6
-FROM bd GROUP BY df_band ORDER BY df_band""",
-)
-def postings_varint_estimate(spark, sf_dir):
-    """Index-size cost model: estimated varint bytes of the delta-encoded
-    doc_id postings, rolled up by log2-df band — the capacity-planning
-    table behind the real codec (docix_spark.index.codec stores exactly
-    these deltas; bytes(x) = ⌈bits(x)/7⌉ is the LEB128 length, computed
-    as the exact integer (length(bin(x))+6)//7). Dense terms compress
-    toward 1 byte/posting (small deltas), rare terms pay absolute-id
-    prices — THIS curve says where the bytes live and what a df-banded
-    tiering would save. First posting stores doc_id+1 (absolute,
-    shifted positive); deltas are ≥1 because doc_ids are distinct
-    per term.
-
-    Determinism: pure integer arithmetic end to end.
-
-    Scale shape: the term-partitioned lag window mirrors the build's
-    own per-term doc_id ordering (segment encode groups salt exactly
-    this partition at build time — a celebrity term's window is bounded
-    by its df, the same bound the codec accepts); both rollups combine
-    map-side into ≤64 band rows."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    w = Window.partitionBy("term").orderBy("doc_id")
-    d = tf.select(
-        "term", "doc_id", (F.col("doc_id") - F.lag("doc_id").over(w)).alias("delta")
-    )
-    b = d.select(
-        "term",
-        F.expr(
-            "CAST(CASE WHEN delta IS NULL THEN (length(bin(doc_id + 1)) + 6) div 7"
-            " ELSE (length(bin(delta)) + 6) div 7 END AS BIGINT)"
-        ).alias("nbytes"),
-    )
-    pt = b.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df"),
-        F.sum("nbytes").cast("long").alias("bytes_est"),
-    )
-    bd = pt.select(
-        F.expr("CAST(length(bin(df)) - 1 AS BIGINT)").alias("df_band"),
-        "df",
-        "bytes_est",
-    )
-    return (
-        bd.groupBy("df_band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.sum("df").cast("long").alias("n_postings"),
-            F.sum("bytes_est").cast("long").alias("bytes_est"),
-        )
-        .select(
-            "df_band",
-            "n_terms",
-            "n_postings",
-            "bytes_est",
-            F.expr(
-                "CAST((1000000 * bytes_est) div n_postings AS BIGINT)"
-            ).alias("bytes_per_posting_q6"),
-        )
-        .orderBy("df_band")
-    )
-
-
-@register(
-    "token_length_histogram",
-    f"""WITH t AS ({SQL_TOKS}),
-g AS (SELECT CAST(length(term) AS BIGINT) AS term_len,
-             CAST(count(*) AS BIGINT) AS n_tokens,
-             CAST(count(DISTINCT term) AS BIGINT) AS n_types
-      FROM t GROUP BY term_len),
-tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM g)
-SELECT g.term_len, g.n_tokens, g.n_types,
-       CASE WHEN tot.t = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * g.n_tokens) // tot.t AS BIGINT) END AS share_q6
-FROM g CROSS JOIN tot ORDER BY g.term_len""",
-)
-def token_length_histogram(spark, sf_dir):
-    """Token-length distribution (characters) with per-length type
-    counts — the vocabulary-shape census that reads next to
-    abbreviation_law_curve (that one conditions length on frequency;
-    this is the marginal): single-char floods signal a broken
-    tokenizer, a heavy ≥15-char tail signals unsplit compounds or
-    markup leakage. Observed lengths only — no spine, the set is
-    data-defined identically in both engines.
-
-    Scale shape: map-side length over the token stream, one ≤~40-group
-    agg (two-phase distinct for types), a 1-row total broadcast."""
-    t = _toks(_docs(spark, sf_dir))
-    g = t.groupBy(F.length("term").cast("long").alias("term_len")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.countDistinct("term").cast("long").alias("n_types"),
-    )
-    tot = g.agg(F.sum("n_tokens").cast("long").alias("t"))
-    return (
-        g.crossJoin(F.broadcast(tot))
-        .select(
-            "term_len",
-            "n_tokens",
-            "n_types",
-            F.expr(
-                "CASE WHEN t = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST((1000000 * n_tokens) div t AS BIGINT) END"
-            ).alias("share_q6"),
-        )
-        .orderBy("term_len")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 81 — per-brand price/size OLS, segment value stats, rerank band
-# curve
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "brand_size_price_trend",
-    f"""WITH p AS (
-  SELECT p_brand, CAST(p_size AS BIGINT) AS x,
-         CAST(round(p_retailprice * 100) AS BIGINT) // 100 AS y
-  FROM part),
-m AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) // greatest(CAST(count(*) AS BIGINT), 1) AS mx,
-             CAST(sum(y) AS BIGINT) // greatest(CAST(count(*) AS BIGINT), 1) AS my
-      FROM p GROUP BY p_brand),
-cs AS (SELECT p.p_brand, m.n AS n,
-              CAST(sum(p.x - m.mx) AS BIGINT) AS sxc,
-              CAST(sum(p.y - m.my) AS BIGINT) AS syc,
-              CAST(sum((p.x - m.mx) * (p.x - m.mx)) AS BIGINT) AS sxx,
-              CAST(sum((p.y - m.my) * (p.y - m.my)) AS BIGINT) AS syy,
-              CAST(sum((p.x - m.mx) * (p.y - m.my)) AS BIGINT) AS sxy
-       FROM p JOIN m USING (p_brand) GROUP BY p.p_brand, m.n)
-SELECT p_brand, n AS n_parts, {_TR_SLOPE} AS slope_q6, {_TR_R2} AS r2_q6
-FROM cs ORDER BY p_brand""",
-)
-def brand_size_price_trend(spark, sf_dir):
-    """Does size buy price, per brand: OLS slope (whole dollars per size
-    unit, q6) and R² of retail price on p_size within each brand — the
-    catalog-pricing consistency audit (a brand whose slope is flat with
-    high R² prices by something other than size; one with negative
-    slope has data-entry suspects). The daily_revenue_trend centered-
-    BIGINT machinery GROUPED: per-brand integer means join back on the
-    bounded brand key, centered products sum exactly, slope/R² are the
-    shared _TR_* expressions per brand row.
-
-    Scale shape: one part-table pass for means (map-side partials into
-    |brands| rows, broadcast back), one for centered sums; nothing
-    bigger than |brands| leaves an agg."""
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_brand",
-        F.col("p_size").cast("long").alias("x"),
-        F.expr("CAST(round(p_retailprice * 100) AS BIGINT) div 100").alias("y"),
-    )
-    m = p.groupBy("p_brand").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.expr(
-            "CAST(sum(x) AS BIGINT) div greatest(CAST(count(1) AS BIGINT), 1)"
-        ).alias("mx"),
-        F.expr(
-            "CAST(sum(y) AS BIGINT) div greatest(CAST(count(1) AS BIGINT), 1)"
-        ).alias("my"),
-    )
-    cs = (
-        p.join(F.broadcast(m), "p_brand")
-        .groupBy("p_brand", "n")
-        .agg(
-            F.sum(F.col("x") - F.col("mx")).cast("long").alias("sxc"),
-            F.sum(F.col("y") - F.col("my")).cast("long").alias("syc"),
-            F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx")))
-            .cast("long")
-            .alias("sxx"),
-            F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my")))
-            .cast("long")
-            .alias("syy"),
-            F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
-            .cast("long")
-            .alias("sxy"),
-        )
-    )
-    return cs.select(
-        "p_brand",
-        F.col("n").alias("n_parts"),
-        F.expr(_TR_SLOPE).alias("slope_q6"),
-        F.expr(_TR_R2).alias("r2_q6"),
-    ).orderBy("p_brand")
-
-
-# one-variable centered variance from exact BIGINTs (columns n, syc, syy)
-_SEG_VAR = (
-    "CASE WHEN n < 2 THEN CAST(0 AS BIGINT)"
-    " ELSE CAST(round(1000000 * ((CAST(n AS DOUBLE) * syy"
-    " - CAST(syc AS DOUBLE) * syc) / (CAST(n AS DOUBLE) * n))) AS BIGINT) END"
-)
-
-
-@register(
-    "segment_value_stats",
-    f"""WITH o AS (
-  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders),
-j AS (SELECT c.c_mktsegment, o.cents, o.cents // 100 AS y
-      FROM o JOIN customer c ON c.c_custkey = o.o_custkey),
-m AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(cents) AS BIGINT) AS s,
-             CAST(sum(y) AS BIGINT) // greatest(CAST(count(*) AS BIGINT), 1) AS my
-      FROM j GROUP BY c_mktsegment),
-cs AS (SELECT j.c_mktsegment, m.n AS n, m.s AS s,
-              CAST(sum(j.y - m.my) AS BIGINT) AS syc,
-              CAST(sum((j.y - m.my) * (j.y - m.my)) AS BIGINT) AS syy
-       FROM j JOIN m USING (c_mktsegment) GROUP BY j.c_mktsegment, m.n, m.s)
-SELECT c_mktsegment, n AS n_orders, s AS revenue_cents,
-       CAST(round(1000000 * (CAST(s AS DOUBLE) / n)) AS BIGINT) AS mean_cents_q6,
-       {_SEG_VAR} AS var_dlr_q6
-FROM cs ORDER BY c_mktsegment""",
-)
-def segment_value_stats(spark, sf_dir):
-    """Order-value profile per market segment: count, exact revenue,
-    mean, and variance — "do MACHINERY customers place bigger but
-    steadier orders than AUTOMOBILE" as one table, the extended_stats
-    reading on the orders⋈customer star. Variance uses the two-pass
-    centered form on whole dollars (the daily_revenue_trend envelope
-    rule — raw cents squares pass 2^63 at warehouse scale; centered
-    dollar deviations don't); std_dev is deliberately omitted (sqrt
-    reintroduces float bits — the extended_stats_source rule).
-
-    Scale shape: the custkey join is un-hinted (both sides unbounded);
-    segment stats combine map-side into ≤|segments| rows, broadcast
-    back for the centering pass."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_custkey",
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-    )
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey", "c_mktsegment"
-    )
-    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
-        "c_mktsegment", "cents", F.expr("cents div 100").alias("y")
-    )
-    m = j.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("s"),
-        F.expr(
-            "CAST(sum(y) AS BIGINT) div greatest(CAST(count(1) AS BIGINT), 1)"
-        ).alias("my"),
-    )
-    cs = (
-        j.join(F.broadcast(m), "c_mktsegment")
-        .groupBy("c_mktsegment", "n", "s")
-        .agg(
-            F.sum(F.col("y") - F.col("my")).cast("long").alias("syc"),
-            F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my")))
-            .cast("long")
-            .alias("syy"),
-        )
-    )
-    return cs.select(
-        "c_mktsegment",
-        F.col("n").alias("n_orders"),
-        F.col("s").alias("revenue_cents"),
-        F.expr(
-            "CAST(round(1000000 * (CAST(s AS DOUBLE) / n)) AS BIGINT)"
-        ).alias("mean_cents_q6"),
-        F.expr(_SEG_VAR).alias("var_dlr_q6"),
-    ).orderBy("c_mktsegment")
-
-
-_RERANK_BANDS = (10, 25, 50)
-
-
-def _rerank_curve_sql() -> str:
-    """Generated oracle: the IVF+PQ chain once, then per-R band/rerank/
-    overlap CTEs UNION ALL'd (the nprobe-curve pattern — bands nest, so
-    recall is provably monotone in R)."""
-    parts = [_ivfpq_sql().rstrip()]
-    parts.append(
-        f""", rq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-rexact AS (
-  SELECT e.vec_id FROM e, rq WHERE e.vec_id <> 0
-  ORDER BY {_sql_cosq('e.v', 'rq.qv', 1_000_000)} DESC, e.vec_id LIMIT 10)"""
-    )
-    sels = []
-    for r in _RERANK_BANDS:
-        parts.append(
-            f""",
-band{r} AS (SELECT vec_id FROM adc ORDER BY adc_q6 DESC, vec_id LIMIT {r}),
-rr{r} AS (
-  SELECT e.vec_id FROM e JOIN band{r} USING (vec_id), rq
-  ORDER BY {_sql_cosq('e.v', 'rq.qv', 1_000_000)} DESC, e.vec_id LIMIT 10)"""
-        )
-        sels.append(
-            f"SELECT {r} AS band_r, CAST(count(*) AS BIGINT) AS n_overlap"
-            f" FROM rr{r} JOIN rexact USING (vec_id)"
-        )
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(sels) + "\nORDER BY band_r"
-
-
-@register("rerank_band_curve", _rerank_curve_sql())
-def rerank_band_curve(spark, sf_dir):
-    """Refine-band tuning curve: recall@10 of the IVF+PQ→exact-rerank
-    stack at R = 10/25/50 — the R knob ann_ivfpq_rerank documents,
-    actually swept (the nprobe-curve treatment for the refine stage).
-    Recall is monotone in R by construction: the ADC bands nest, so a
-    true neighbor surviving at R=10 survives every wider band — the
-    property suite asserts it. Where the curve flattens tells you the
-    remaining loss is coarse-cell misses (raise nprobe), not band
-    truncation (raise R) — the two knobs separate HERE.
-
-    Scale shape: ONE ADC scan ranks the candidates; each band is a
-    ≤R-row broadcast into the vec_id-sorted vector table (min/max
-    prunable scan), each rerank a ≤R-row TakeOrdered."""
-    outs = []
-    for r in _RERANK_BANDS:
-        cand = _ivfpq_adc_topk(spark, sf_dir, k=r).select("vec_id")
-        e = _emb(spark, sf_dir).select(
-            "vec_id",
-            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
-        )
-        qv = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-        rr = (
-            e.join(F.broadcast(cand), "vec_id")
-            .crossJoin(F.broadcast(qv))
-            .select("vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-            .orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-            .limit(10)
-            .select("vec_id")
-        )
-        exact = (
-            _cos_spark(spark, sf_dir)
-            .select("vec_id", _q6(F.col("cos")).alias("cos_q6"))
-            .orderBy(F.desc("cos_q6"), "vec_id")
-            .limit(10)
-            .select("vec_id")
-        )
-        outs.append(
-            rr.join(exact, "vec_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
-            .select(F.lit(r).cast("long").alias("band_r"), "n_overlap")
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("band_r")
-
-
-# ---------------------------------------------------------------------------
-# session 82 — retrieval-model agreement, kNN confusion matrix, region
-# market census
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "bm25_pl2_overlap",
-    _bm25_agg_ctes(_PL2_TERMS)
-    + f""",
-btop AS (SELECT doc_id FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 10),
-cfs AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
-nd2 AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(doc_len) AS BIGINT) AS tot FROM dl),
-pin AS (SELECT tf.doc_id, CAST(tf.tf AS BIGINT) AS tfv,
-               CAST(dl.doc_len AS BIGINT) AS dlv, cfs.cf AS cf,
-               nd2.tot AS tot, nd2.nd AS nd
-        FROM tf JOIN q USING (term) JOIN cfs USING (term)
-        JOIN dl USING (doc_id) CROSS JOIN nd2),
-pper AS (SELECT doc_id, {_PL2_S} AS s FROM pin),
-pagg AS (SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6
-         FROM pper GROUP BY doc_id),
-ptop AS (SELECT doc_id FROM pagg ORDER BY score_q6 DESC, doc_id ASC LIMIT 10)
-SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_overlap
-FROM btop JOIN ptop USING (doc_id)""",
-)
-def bm25_pl2_overlap(spark, sf_dir):
-    """Retrieval-model agreement: overlap of the BM25 and DFR-PL2 top-10
-    pages for the same query — the cheap ensemble-worthiness probe (two
-    models that return the same 10 docs fuse to nothing; low overlap is
-    where hybrid_rrf-style fusion buys recall). Both rankings use
-    identical tokenize/tf/df plumbing, so the overlap isolates the
-    MODEL difference, not pipeline noise.
-
-    Determinism: both legs rank over quantized scores with the doc_id
-    tiebreak; the overlap is an exact 10×10 join.
-
-    Scale shape: the BM25 leg is the memoized match set; the PL2 leg
-    shares tf's exchange; two TakeOrdereds and a 10-row join."""
-    btop = (
-        _bm25_match_set(spark, sf_dir, _PL2_TERMS)
-        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(10)
-        .select("doc_id")
-    )
-    ptop = dfr_pl2_search(spark, sf_dir).select("doc_id")
-    return (
-        btop.join(ptop, "doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
-        .select(F.lit(10).cast("long").alias("k"), "n_overlap")
-    )
-
-
-@register(
-    "knn_label_confusion",
-    _BATCH_SQL
-    + """,
-lb AS (SELECT vec_id, label FROM embeddings),
-nb AS (SELECT qid, vec_id FROM btop WHERE rnk <= 10 AND vec_id <> qid),
-cnt AS (SELECT nb.qid, ql.label AS qlabel, nl.label AS nlabel,
-               CAST(count(*) AS BIGINT) AS c
-        FROM nb JOIN lb ql ON ql.vec_id = nb.qid
-        JOIN lb nl ON nl.vec_id = nb.vec_id
-        GROUP BY nb.qid, ql.label, nl.label),
-pred AS (SELECT qid, qlabel, nlabel AS pred FROM (
-           SELECT qid, qlabel, nlabel,
-                  row_number() OVER (PARTITION BY qid
-                                     ORDER BY c DESC, nlabel ASC) AS rn
-           FROM cnt) WHERE rn = 1)
-SELECT CAST(qlabel AS BIGINT) AS true_label, CAST(pred AS BIGINT) AS pred_label,
-       CAST(count(*) AS BIGINT) AS n_queries
-FROM pred GROUP BY qlabel, pred ORDER BY true_label, pred_label""",
-)
-def knn_label_confusion(spark, sf_dir):
-    """The kNN classifier's confusion matrix: each batch query predicts
-    the MAJORITY label of its 10 IVF neighbors (ties to the smaller
-    label), tabulated against its true label — ann_label_purity gives
-    the per-class rate, THIS says which classes leak into which (the
-    actionable half: merge the confusable labels or mine hard
-    negatives across exactly that pair). Queries whose probed cells
-    contain only themselves have no neighbors and drop out — the
-    matrix row count says how many actually voted.
-
-    Determinism: majority = map-side max(struct(count, -label)) per
-    query in Spark (oracle windows); matrix counts exact.
-
-    Scale shape: neighbor lists are 10 rows/query; the vote agg and
-    matrix rollup are query-batch-sized."""
-    top = _ivf_batch_topk(spark, sf_dir)
-    lb = _emb(spark, sf_dir).select("vec_id", "label")
-    nb = top.where(F.col("vec_id") != F.col("qid")).select("qid", "vec_id")
-    ql = lb.select(F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"))
-    nl = lb.select("vec_id", F.col("label").alias("nlabel"))
-    cnt = (
-        nb.join(ql, "qid")
-        .join(nl, "vec_id")
-        .groupBy("qid", "qlabel", "nlabel")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    pred = (
-        cnt.groupBy("qid", "qlabel")
-        .agg(
-            F.max(
-                F.struct(F.col("c"), (-F.col("nlabel")).alias("nl"))
-            ).alias("t")
-        )
-        .select("qlabel", (-F.col("t.nl")).alias("pred"))
-    )
-    return (
-        pred.groupBy("qlabel", "pred")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
-        .select(
-            F.col("qlabel").cast("long").alias("true_label"),
-            F.col("pred").cast("long").alias("pred_label"),
-            "n_queries",
-        )
-        .orderBy("true_label", "pred_label")
-    )
-
-
-@register(
-    "region_market_census",
-    """WITH n AS (SELECT n_nationkey, n_regionkey FROM nation),
-c AS (SELECT c_nationkey, CAST(round(100 * c_acctbal) AS BIGINT) AS bal
-      FROM customer),
-s AS (SELECT s_nationkey, CAST(round(100 * s_acctbal) AS BIGINT) AS bal
-      FROM supplier),
-cn AS (SELECT n.n_regionkey AS rk, CAST(count(*) AS BIGINT) AS n_customers,
-              CAST(sum(c.bal) AS BIGINT) AS cust_bal_c
-       FROM c JOIN n ON n.n_nationkey = c.c_nationkey GROUP BY rk),
-sn AS (SELECT n.n_regionkey AS rk, CAST(count(*) AS BIGINT) AS n_suppliers,
-              CAST(sum(s.bal) AS BIGINT) AS supp_bal_c
-       FROM s JOIN n ON n.n_nationkey = s.s_nationkey GROUP BY rk),
-nn AS (SELECT n_regionkey AS rk, CAST(count(*) AS BIGINT) AS n_nations
-       FROM n GROUP BY rk)
-SELECT r.r_name AS region, nn.n_nations,
-       CAST(COALESCE(cn.n_customers, 0) AS BIGINT) AS n_customers,
-       CAST(COALESCE(cn.cust_bal_c, 0) AS BIGINT) AS cust_bal_c,
-       CAST(COALESCE(sn.n_suppliers, 0) AS BIGINT) AS n_suppliers,
-       CAST(COALESCE(sn.supp_bal_c, 0) AS BIGINT) AS supp_bal_c
-FROM region r JOIN nn ON nn.rk = r.r_regionkey
-LEFT JOIN cn ON cn.rk = r.r_regionkey
-LEFT JOIN sn ON sn.rk = r.r_regionkey
-ORDER BY region""",
-)
-def region_market_census(spark, sf_dir):
-    """Region-level market rollup of the full dimension star: nations,
-    customers and suppliers per region with exact account-balance
-    totals — the top-of-the-snowflake census (region is the one table
-    nothing else summarises). Balances in exact cents (Q1 rule;
-    negative balances sum correctly).
-
-    Scale shape: nation (25 rows) broadcasts into both fact-side scans;
-    region (5 rows) broadcasts into the final rollup; every agg output
-    is ≤|regions| rows."""
-    n = F.broadcast(
-        spark.read.parquet(f"{sf_dir}/nation.parquet").select(
-            "n_nationkey", "n_regionkey"
-        )
-    )
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_nationkey", F.expr("CAST(round(100 * c_acctbal) AS BIGINT)").alias("bal")
-    )
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
-        "s_nationkey", F.expr("CAST(round(100 * s_acctbal) AS BIGINT)").alias("bal")
-    )
-    cn = (
-        c.join(n, c["c_nationkey"] == n["n_nationkey"])
-        .groupBy("n_regionkey")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_customers"),
-            F.sum("bal").cast("long").alias("cust_bal_c"),
-        )
-    )
-    sn = (
-        s.join(n, s["s_nationkey"] == n["n_nationkey"])
-        .groupBy("n_regionkey")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
-            F.sum("bal").cast("long").alias("supp_bal_c"),
-        )
-    )
-    nn = (
-        spark.read.parquet(f"{sf_dir}/nation.parquet")
-        .groupBy("n_regionkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_nations"))
-    )
-    r = spark.read.parquet(f"{sf_dir}/region.parquet").select(
-        "r_regionkey", F.col("r_name").alias("region")
-    )
-    return (
-        r.join(nn, r["r_regionkey"] == nn["n_regionkey"])
-        .drop("n_regionkey")
-        .join(
-            cn.withColumnRenamed("n_regionkey", "crk"),
-            F.col("r_regionkey") == F.col("crk"),
-            "left",
-        )
-        .join(
-            sn.withColumnRenamed("n_regionkey", "srk"),
-            F.col("r_regionkey") == F.col("srk"),
-            "left",
-        )
-        .select(
-            "region",
-            "n_nations",
-            F.coalesce("n_customers", F.lit(0)).cast("long").alias("n_customers"),
-            F.coalesce("cust_bal_c", F.lit(0)).cast("long").alias("cust_bal_c"),
-            F.coalesce("n_suppliers", F.lit(0)).cast("long").alias("n_suppliers"),
-            F.coalesce("supp_bal_c", F.lit(0)).cast("long").alias("supp_bal_c"),
-        )
-        .orderBy("region")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 83 — Bloom user estimate (streaming-twinned), event-type user
-# overlap matrix
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "bloom_user_estimate",
-    """WITH pos AS (
-  SELECT DISTINCT p FROM (
-    SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::INT AS p FROM events
-    UNION ALL
-    SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 5, 4))::INT FROM events
-    UNION ALL
-    SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 4))::INT FROM events
-    UNION ALL
-    SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 13, 4))::INT FROM events)),
-t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM pos),
-ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events)
-SELECT t.t AS n_set_bits,
-       CASE WHEN t.t >= 65536 THEN CAST(-1 AS BIGINT)
-            ELSE CAST(round(-16384e0 * ln(1e0 - CAST(t.t AS DOUBLE) / 65536e0))
-                 AS BIGINT) END AS est_users,
-       ex.n AS n_exact_users
-FROM t CROSS JOIN ex""",
-)
-def bloom_user_estimate(spark, sf_dir):
-    """Bloom-filter cardinality estimate of distinct users: k=4 16-bit
-    md5-slice positions into an m=2^16 filter (the decontamination_bloom
-    construction pointed at users), the set-bit count t, and the
-    standard swamidass-baldi estimate n̂ = −(m/k)·ln(1 − t/m) beside the
-    exact count. This is the SUMMARY twin of the streaming-maintained
-    bit table (streaming/events.py bloom_user_stream — Bloom bits
-    OR-merge, the fourth mergeable-state flavor): the stream keeps the
-    bits, this op reads them into one number. A saturated filter
-    (t = m) emits the −1 sentinel.
-
-    Determinism: positions are exact integer hash slices; the estimate
-    is one ln over an exact ratio with folded e-notation constants.
-
-    Scale shape: the position set is a ≤65 536-row distinct (map-side
-    partials); the exact count is the usual two-phase distinct; both
-    censuses are 1-row."""
-    ev = _events(spark, sf_dir)
-    slices = ", ".join(
-        f"cast(conv(substring(md5(cast(user_id as string)), {s}, 4), 16, 10) as int)"
-        for s in (1, 5, 9, 13)
-    )
-    pos = ev.select(F.explode(F.expr(f"array({slices})")).alias("p")).distinct()
-    t = pos.agg(F.count(F.lit(1)).cast("long").alias("t"))
-    ex = ev.agg(F.countDistinct("user_id").cast("long").alias("n"))
-    return t.crossJoin(ex).select(
-        F.col("t").alias("n_set_bits"),
-        F.expr(
-            "CASE WHEN t >= 65536 THEN CAST(-1 AS BIGINT)"
-            " ELSE CAST(round(-16384e0 * ln(1e0 - CAST(t AS DOUBLE) / 65536e0))"
-            " AS BIGINT) END"
-        ).alias("est_users"),
-        F.col("n").alias("n_exact_users"),
-    )
-
-
-@register(
-    "event_type_user_overlap",
-    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
-tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
-        FROM ut GROUP BY event_type),
-pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
-              CAST(count(*) AS BIGINT) AS n_both
-       FROM ut a JOIN ut b ON a.user_id = b.user_id
-                          AND a.event_type < b.event_type
-       GROUP BY a.event_type, b.event_type)
-SELECT pr.type_a, pr.type_b, ta.n_users AS n_users_a, tb.n_users AS n_users_b,
-       pr.n_both,
-       CAST((1000000 * pr.n_both) // (ta.n_users + tb.n_users - pr.n_both)
-            AS BIGINT) AS jaccard_q6
-FROM pr JOIN tot ta ON ta.event_type = pr.type_a
-JOIN tot tb ON tb.event_type = pr.type_b
-ORDER BY type_a, type_b""",
-)
-def event_type_user_overlap(spark, sf_dir):
-    """User-base overlap between event types: for each type pair, how
-    many users do BOTH, with the Jaccard of the two audiences — the
-    audience-segmentation matrix behind "do purchasers also click"
-    (event_type_lift measures co-occurrence strength per basket; this
-    measures user-base containment). Pairs with zero shared users drop
-    out — observed pairs only, identical in both engines.
-
-    Determinism: exact distinct counts; Jaccard is integer division
-    over the inclusion-exclusion union.
-
-    Scale shape: the per-user type-set join is bounded by
-    |types|²/user (the event_type_lift self-join rule); totals are
-    |types| rows broadcast back."""
-    ut = (
-        _events(spark, sf_dir)
-        .select("user_id", "event_type")
-        .distinct()
-        .localCheckpoint()  # totals + both pair sides consume it
-    )
-    tot = ut.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users")
-    )
-    a = ut.select("user_id", F.col("event_type").alias("type_a"))
-    b = ut.select("user_id", F.col("event_type").alias("type_b"))
-    pr = (
-        a.join(b, "user_id")
-        .where(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
-    )
-    ta = F.broadcast(
-        tot.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_users_a"))
-    )
-    tb = F.broadcast(
-        tot.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_users_b"))
-    )
-    return (
-        pr.join(ta, "type_a")
-        .join(tb, "type_b")
-        .select(
-            "type_a",
-            "type_b",
-            "n_users_a",
-            "n_users_b",
-            "n_both",
-            F.expr(
-                "CAST((1000000 * n_both) div (n_users_a + n_users_b - n_both)"
-                " AS BIGINT)"
-            ).alias("jaccard_q6"),
-        )
-        .orderBy("type_a", "type_b")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 84 — order status×month matrix, char-class source profile,
-# ANN neighborhood-margin histogram
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "order_status_month_matrix",
-    """WITH o AS (
-  SELECT month(CAST(o_orderdate AS TIMESTAMP)) AS mon, o_orderstatus,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders)
-SELECT CAST(mon AS BIGINT) AS mon, o_orderstatus,
-       CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(cents) AS BIGINT) AS revenue_cents
-FROM o GROUP BY mon, o_orderstatus ORDER BY mon, o_orderstatus""",
-)
-def order_status_month_matrix(spark, sf_dir):
-    """Order-status mix by calendar month — the fulfilment-health matrix
-    (a month whose open-order share climbs is a backlog forming;
-    orders_month_seasonality shows the volume wave, THIS shows what
-    state that volume is in). Observed cells only, exact cents.
-
-    Scale shape: one map-side month/status projection into a
-    ≤12×|statuses| agg."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        F.expr("month(CAST(o_orderdate AS TIMESTAMP))").alias("mon"),
-        "o_orderstatus",
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-    )
-    return (
-        o.groupBy("mon", "o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum("cents").cast("long").alias("revenue_cents"),
-        )
-        .select(
-            F.col("mon").cast("long").alias("mon"),
-            "o_orderstatus",
-            "n_orders",
-            "revenue_cents",
-        )
-        .orderBy("mon", "o_orderstatus")
-    )
-
-
-@register(
-    "charclass_profile_source",
-    """WITH d AS (
-  SELECT source, CAST(length(text) AS BIGINT) AS n,
-         CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
-              AS BIGINT) AS a,
-         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
-              AS BIGINT) AS g,
-         CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g'))
-              AS BIGINT) AS s
-  FROM documents),
-ag AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_chars,
-              CAST(sum(a) AS BIGINT) AS alpha, CAST(sum(g) AS BIGINT) AS digit,
-              CAST(sum(s) AS BIGINT) AS space
-       FROM d GROUP BY source)
-SELECT source, n_chars,
-       CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * alpha) // n_chars AS BIGINT) END AS alpha_q6,
-       CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * digit) // n_chars AS BIGINT) END AS digit_q6,
-       CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * space) // n_chars AS BIGINT) END AS space_q6,
-       CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * (n_chars - alpha - digit - space)) // n_chars
-                 AS BIGINT) END AS other_q6
-FROM ag ORDER BY source""",
-)
-def charclass_profile_source(spark, sf_dir):
-    """Character-class composition per source: letter/digit/space/other
-    shares of the RAW text — the cheapest markup/structure detector in
-    the quality family (tables and code push 'other' up, number dumps
-    push digits, prose sits near English's ~15% space share). Counts
-    use the delete-and-measure idiom (length minus class-stripped
-    length — the pii_scrub_stats formula); DuckDB regexp_replace needs
-    the explicit 'g' flag, Spark is global by default (the
-    code_subtokens rule).
-
-    Scale shape: three map-side regexp counters per doc, a ≤|sources|
-    agg, integer share divisions."""
-    d = _docs(spark, sf_dir).select(
-        "source",
-        F.length("text").cast("long").alias("n"),
-        (
-            F.length("text")
-            - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
-        ).cast("long").alias("a"),
-        (
-            F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
-        ).cast("long").alias("g"),
-        (
-            F.length("text") - F.length(F.regexp_replace("text", "[ ]", ""))
-        ).cast("long").alias("s"),
-    )
-    ag = d.groupBy("source").agg(
-        F.sum("n").cast("long").alias("n_chars"),
-        F.sum("a").cast("long").alias("alpha"),
-        F.sum("g").cast("long").alias("digit"),
-        F.sum("s").cast("long").alias("space"),
-    )
-    share = (
-        "CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)"
-        " ELSE CAST((1000000 * {x}) div n_chars AS BIGINT) END"
-    )
-    return ag.select(
-        "source",
-        "n_chars",
-        F.expr(share.format(x="alpha")).alias("alpha_q6"),
-        F.expr(share.format(x="digit")).alias("digit_q6"),
-        F.expr(share.format(x="space")).alias("space_q6"),
-        F.expr(share.format(x="(n_chars - alpha - digit - space)")).alias(
-            "other_q6"
-        ),
-    ).orderBy("source")
-
-
-@register(
-    "ann_margin_histogram",
-    _BATCH_SQL
-    + """,
-mg AS (SELECT qid,
-              CAST(max(CASE WHEN rnk = 1 THEN cos_q6 END) AS BIGINT) AS c1,
-              CAST(max(CASE WHEN rnk = 10 THEN cos_q6 END) AS BIGINT) AS c10
-       FROM btop WHERE rnk <= 10 GROUP BY qid),
-bk AS (SELECT (c1 - c10) // 100000 AS bucket FROM mg WHERE c10 IS NOT NULL)
-SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_queries
-FROM bk GROUP BY bucket ORDER BY bucket""",
-)
-def ann_margin_histogram(spark, sf_dir):
-    """ANN neighborhood-margin distribution: per batch query, the gap
-    between its best and its 10th-best cosine (the 'how separated is
-    the answer' margin), bucketed at 0.1 — the query-difficulty audit
-    for vector search (tight margins mean quantization flips ranks and
-    recall knobs matter; wide margins mean even coarse ADC suffices).
-    Queries with fewer than 10 in-cell candidates drop out — their
-    margin is undefined.
-
-    Determinism: both endpoints are the quantized cosines the batch op
-    already ranks; the margin and bucket are exact integer ops
-    (nonnegative since rank 1 ≥ rank 10).
-
-    Scale shape: one ≤10-rows-per-query agg over the batch top-k, a
-    ≤21-bucket rollup."""
-    top = _ivf_batch_topk(spark, sf_dir)
-    mg = top.groupBy("qid").agg(
-        F.max(F.when(F.col("rnk") == 1, F.col("cos_q6"))).alias("c1"),
-        F.max(F.when(F.col("rnk") == 10, F.col("cos_q6"))).alias("c10"),
-    )
-    bk = mg.where(F.col("c10").isNotNull()).select(
-        F.expr("(c1 - c10) div 100000").alias("bucket")
-    )
-    return (
-        bk.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
-        .select(F.col("bucket").cast("long").alias("bucket"), "n_queries")
-        .orderBy("bucket")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 85 — traffic dispersion index, segment repeat rate, terms-enum
-# paging
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "events_dispersion_index",
-    f"""WITH d AS (
-  SELECT epoch_us(ts) // {_US_PER_DAY} AS day_num, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY day_num),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM d),
-spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
-f AS (SELECT spine.day_num, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
-      FROM spine LEFT JOIN d USING (day_num)),
-m AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS s,
-             CAST(sum(n) AS BIGINT) // greatest(CAST(count(*) AS BIGINT), 1) AS mn
-      FROM f),
-cs AS (SELECT m.nd AS n, m.s AS s,
-              CAST(sum(f.n - m.mn) AS BIGINT) AS syc,
-              CAST(sum((f.n - m.mn) * (f.n - m.mn)) AS BIGINT) AS syy
-       FROM f CROSS JOIN m GROUP BY m.nd, m.s)
-SELECT n AS n_days, s AS n_events,
-       CAST(round(1000000 * (CAST(s AS DOUBLE) / n)) AS BIGINT) AS mean_q6,
-       {_SEG_VAR} AS var_q6,
-       CASE WHEN s = 0 OR n < 2 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 * (((CAST(n AS DOUBLE) * syy
-                 - CAST(syc AS DOUBLE) * syc) / (CAST(n AS DOUBLE) * n))
-                 / (CAST(s AS DOUBLE) / n))) AS BIGINT) END AS fano_q6
-FROM cs""",
-)
-def events_dispersion_index(spark, sf_dir):
-    """Fano factor (variance-to-mean dispersion index) of daily event
-    counts over the zero-filled calendar — the one-number burstiness
-    verdict (a Poisson arrival stream sits at 1; campaign-driven
-    traffic overdisperses ≫1; rate-limited pipelines underdisperse
-    < 1). Reads next to events_cusum_anomaly: CUSUM finds WHERE the
-    level shifted, Fano says whether shifts are the norm.
-
-    Determinism: centered-BIGINT variance (the _SEG_VAR machinery on
-    day counts), then ONE shared float expression for the ratio;
-    degenerate slates (empty stream, single day) emit the 0 sentinel.
-
-    Scale shape: one day groupBy over events; everything after runs on
-    calendar-bounded rows."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-                "day_num"
-            )
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()
-    )
-    b = d.agg(
-        F.min("day_num").cast("long").alias("lo"),
-        F.max("day_num").cast("long").alias("hi"),
-    )
-    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day_num"))
-    f = (
-        spine.join(d, "day_num", "left")
-        .select(F.coalesce("n", F.lit(0)).cast("long").alias("n"))
-        .localCheckpoint()
-    )
-    m = f.agg(
-        F.count(F.lit(1)).cast("long").alias("nd"),
-        F.sum("n").cast("long").alias("s"),
-        F.expr(
-            "CAST(sum(n) AS BIGINT) div greatest(CAST(count(1) AS BIGINT), 1)"
-        ).alias("mn"),
-    )
-    cs = (
-        f.crossJoin(F.broadcast(m))
-        .groupBy("nd", "s")
-        .agg(
-            F.sum(F.col("n") - F.col("mn")).cast("long").alias("syc"),
-            F.sum((F.col("n") - F.col("mn")) * (F.col("n") - F.col("mn")))
-            .cast("long")
-            .alias("syy"),
-        )
-        .withColumnRenamed("nd", "n")
-    )
-    return cs.select(
-        F.col("n").alias("n_days"),
-        F.col("s").alias("n_events"),
-        F.expr(
-            "CAST(round(1000000 * (CAST(s AS DOUBLE) / n)) AS BIGINT)"
-        ).alias("mean_q6"),
-        F.expr(_SEG_VAR).alias("var_q6"),
-        F.expr(
-            "CASE WHEN s = 0 OR n < 2 THEN CAST(0 AS BIGINT)"
-            " ELSE CAST(round(1000000 * (((CAST(n AS DOUBLE) * syy"
-            " - CAST(syc AS DOUBLE) * syc) / (CAST(n AS DOUBLE) * n))"
-            " / (CAST(s AS DOUBLE) / n))) AS BIGINT) END"
-        ).alias("fano_q6"),
-    )
-
-
-@register(
-    "segment_repeat_rate",
-    """WITH oc AS (
-  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders FROM orders
-  GROUP BY o_custkey),
-j AS (SELECT c.c_mktsegment, oc.n_orders
-      FROM oc JOIN customer c ON c.c_custkey = oc.o_custkey)
-SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_buyers,
-       CAST(COALESCE(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END), 0)
-            AS BIGINT) AS n_repeat,
-       CAST((1000000 * COALESCE(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END), 0))
-            // count(*) AS BIGINT) AS repeat_rate_q6,
-       CAST(sum(n_orders) AS BIGINT) AS n_orders
-FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment""",
-)
-def segment_repeat_rate(spark, sf_dir):
-    """Repeat-buyer rate per market segment: of the customers who
-    ordered at all, how many came back — the retention cut of
-    segment_value_stats (value says how big the orders are; THIS says
-    whether the relationship repeats; RFM slices the same question at
-    customer grain). One-time-buyer-heavy segments are acquisition
-    channels, repeat-heavy ones are the book of business.
-
-    Determinism: exact counts, one integer share division.
-
-    Scale shape: the per-customer order count is one custkey agg; the
-    customer join is un-hinted; the segment rollup is ≤|segments|."""
-    oc = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
-    )
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey", "c_mktsegment"
-    )
-    j = oc.join(c, oc["o_custkey"] == c["c_custkey"]).select(
-        "c_mktsegment", "n_orders"
-    )
-    return (
-        j.groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_buyers"),
-            F.coalesce(
-                F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0)), F.lit(0)
-            )
-            .cast("long")
-            .alias("n_repeat"),
-            F.sum("n_orders").cast("long").alias("n_orders"),
-        )
-        .select(
-            "c_mktsegment",
-            "n_buyers",
-            "n_repeat",
-            F.expr(
-                "CAST((1000000 * n_repeat) div n_buyers AS BIGINT)"
-            ).alias("repeat_rate_q6"),
-            "n_orders",
-        )
-        .orderBy("c_mktsegment")
-    )
-
-
-_ENUM_PREFIX = ""  # enumerate the whole dictionary ('' = LIKE '%')
-_ENUM_AFTER = "group"  # keyset cursor: strictly-after this term (page 2+)
-
-
-@register(
-    "terms_enum_page",
-    f"""WITH tf AS ({SQL_TF}),
-dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-pg AS (SELECT term, df FROM dict
-       WHERE term LIKE '{_ENUM_PREFIX}%' AND term > '{_ENUM_AFTER}'
-       ORDER BY term ASC LIMIT 10)
-SELECT term, df,
-       CAST(row_number() OVER (ORDER BY term ASC) AS BIGINT) AS rank
-FROM pg ORDER BY rank""",
-)
-def terms_enum_page(spark, sf_dir):
-    """ES ``_terms_enum`` API page: dictionary terms under a prefix,
-    resumed via a keyset cursor (term > last-seen), 10 per page — the
-    index-backed autocomplete/discovery walk over the TERM dictionary
-    rather than documents (suggest_completion ranks by popularity;
-    this enumerates lexicographically with df attached, the shape the
-    ES API returns). The cursor is a predicate, so every page costs
-    one dictionary range scan — the search_after argument applied to
-    the dictionary.
-
-    Determinism: pure string comparisons and exact df.
-
-    Scale shape: the dictionary agg is vocab-bounded; the LIKE-prefix +
-    cursor predicates push into the scan (a sorted term dictionary
-    serves this from one range); TakeOrdered 10."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dic = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    pg = (
-        dic.where(
-            F.col("term").startswith(_ENUM_PREFIX)
-            & (F.col("term") > _ENUM_AFTER)
-        )
-        .orderBy(F.asc("term"))
-        .limit(10)
-    )
-    return pg.withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.asc("term"))).cast("long")
-    ).select("term", "df", "rank")
-
-
-# ---------------------------------------------------------------------------
-# session 86 — light-stemmer vocab reduction, join-key skew census,
-# case-folding impact
-# ---------------------------------------------------------------------------
-
-# S-stemmer-plus (Harman's light English stemmer + -ing/-ed): ONE shared
-# CASE over the term string, identical string ops in both engines. Rule
-# order matters and is part of the contract.
-_SSTEM_CASE = (
-    "CASE WHEN length(term) > 5 AND term LIKE '%ing'"
-    " THEN substr(term, 1, length(term) - 3)"
-    " WHEN length(term) > 4 AND term LIKE '%ed'"
-    " THEN substr(term, 1, length(term) - 2)"
-    " WHEN length(term) > 3 AND term LIKE '%es'"
-    " THEN substr(term, 1, length(term) - 2)"
-    " WHEN length(term) > 3 AND term LIKE '%s' AND term NOT LIKE '%ss'"
-    " THEN substr(term, 1, length(term) - 1)"
-    " ELSE term END"
-)
-
-
-@register(
-    "sstem_vocab_reduction",
-    f"""WITH t AS ({SQL_TOKS}),
-st AS (SELECT term, {_SSTEM_CASE} AS stem FROM t)
-SELECT CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(count(DISTINCT term) AS BIGINT) AS n_types_raw,
-       CAST(count(DISTINCT stem) AS BIGINT) AS n_types_stemmed,
-       CAST(count(DISTINCT term) - count(DISTINCT stem) AS BIGINT) AS types_merged,
-       CASE WHEN count(DISTINCT term) = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * (count(DISTINCT term) - count(DISTINCT stem)))
-                 // count(DISTINCT term) AS BIGINT) END AS reduction_q6
-FROM st""",
-)
-def sstem_vocab_reduction(spark, sf_dir):
-    """Light-stemmer impact audit: vocabulary size before and after the
-    S-stemmer-plus rules (-ing/-ed/-es/-s with length guards, the
-    Harman 1991 family Lucene ships as EnglishMinimalStemFilter) — the
-    analyzer-pipeline decision table: each merged type is a postings
-    list the index no longer stores AND a recall conflation risk
-    ('was' issues aside, 'joins'→'join' is why stemmed indexes shrink
-    ~20% on English). The stem rule is ONE shared CASE expression —
-    rule ORDER is part of the contract ('goes' must hit -es before -s).
-
-    Determinism: pure string ops; distincts exact.
-
-    Scale shape: one map-side CASE over the token stream, three
-    two-phase distincts in a single 1-row agg."""
-    t = _toks(_docs(spark, sf_dir)).select(
-        "term", F.expr(_SSTEM_CASE).alias("stem")
-    )
-    return t.agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.countDistinct("term").cast("long").alias("n_types_raw"),
-        F.countDistinct("stem").cast("long").alias("n_types_stemmed"),
-        (F.countDistinct("term") - F.countDistinct("stem"))
-        .cast("long")
-        .alias("types_merged"),
-        F.expr(
-            "CASE WHEN count(DISTINCT term) = 0 THEN CAST(0 AS BIGINT)"
-            " ELSE CAST((1000000 * (count(DISTINCT term) - count(DISTINCT stem)))"
-            " div count(DISTINCT term) AS BIGINT) END"
-        ).alias("reduction_q6"),
-    )
-
-
-def _skew_leg_sql(key_name: str, table: str, col: str) -> str:
-    return f"""SELECT '{key_name}' AS join_key,
-       CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
-       CAST(max(c) AS BIGINT) AS max_rows_per_key,
-       CAST((1000000 * max(c)) // sum(c) AS BIGINT) AS top_share_q6
-FROM (SELECT {col}, CAST(count(*) AS BIGINT) AS c FROM {table} GROUP BY {col})"""
-
-
-@register(
-    "fact_key_skew_census",
-    _skew_leg_sql("lineitem.l_orderkey", "lineitem", "l_orderkey")
-    + "\nUNION ALL\n"
-    + _skew_leg_sql("lineitem.l_suppkey", "lineitem", "l_suppkey")
-    + "\nUNION ALL\n"
-    + _skew_leg_sql("orders.o_custkey", "orders", "o_custkey")
-    + "\nORDER BY join_key",
-)
-def fact_key_skew_census(spark, sf_dir):
-    """Join-key skew census of the fact tables: rows, distinct keys,
-    the heaviest key's row count and share for every key the star-
-    schema queries shuffle on — THE pre-flight diagnostic for AQE
-    skew-join tuning (a key holding >1% of a 100 TB fact table is the
-    straggler every suppkey/custkey join will hit; salting and
-    `skewJoin.skewedPartitionFactor` decisions start from exactly this
-    table, the way shard_token_balance reads the doc side).
-
-    Determinism: exact counts, integer share division.
-
-    Scale shape: one map-side-combinable groupBy per key (the count
-    table is |keys| rows), a 1-row census per leg, a 3-row union."""
-    legs = [
-        (
-            "lineitem.l_orderkey",
-            spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
-            "l_orderkey",
-        ),
-        (
-            "lineitem.l_suppkey",
-            spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
-            "l_suppkey",
-        ),
-        (
-            "orders.o_custkey",
-            spark.read.parquet(f"{sf_dir}/orders.parquet"),
-            "o_custkey",
-        ),
-    ]
-    outs = []
-    for name, df, col in legs:
-        c = df.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
-        outs.append(
-            c.agg(
-                F.sum("c").cast("long").alias("n_rows"),
-                F.count(F.lit(1)).cast("long").alias("n_keys"),
-                F.max("c").cast("long").alias("max_rows_per_key"),
-            ).select(
-                F.lit(name).alias("join_key"),
-                "n_rows",
-                "n_keys",
-                "max_rows_per_key",
-                F.expr(
-                    "CAST((1000000 * max_rows_per_key) div n_rows AS BIGINT)"
-                ).alias("top_share_q6"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("join_key")
-
-
-@register(
-    "casefold_impact",
-    """WITH t AS (
-  SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS tok FROM documents)
-SELECT CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(COALESCE(sum(CASE WHEN tok <> lower(tok) THEN 1 ELSE 0 END), 0)
-            AS BIGINT) AS n_cased,
-       CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * COALESCE(sum(CASE WHEN tok <> lower(tok)
-                 THEN 1 ELSE 0 END), 0)) // count(*) AS BIGINT) END AS cased_q6,
-       CAST(count(DISTINCT tok) AS BIGINT) AS n_types_cased,
-       CAST(count(DISTINCT lower(tok)) AS BIGINT) AS n_types_folded
-FROM t""",
-)
-def casefold_impact(spark, sf_dir):
-    """Case-folding impact audit: how many RAW tokens carry uppercase
-    (and how many distinct types collapse when lowercased) — the
-    analyzer stage the engine applies unconditionally (tokenizer.py
-    lowercases first), measured for what it destroys: acronym/proper-
-    noun signal ('US' vs 'us') against the recall it buys. The sandbox
-    corpus is all-lowercase so the live counters read 0 — CORRECT (the
-    pii_scrub_stats precedent); the injected-case pytest proves them.
-
-    Scale shape: map-side extraction + one 1-row agg with two
-    two-phase distincts."""
-    # NOTE: Spark's regexp_extract_all defaults the group index to 1 and
-    # ERRORS on a group-less pattern — group 0 must be explicit (DuckDB
-    # defaults to 0; both engines accept the explicit form).
-    t = _docs(spark, sf_dir).select(
-        F.explode(
-            F.expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)")
-        ).alias("tok")
-    )
-    return t.agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.coalesce(
-            F.sum(F.when(F.col("tok") != F.lower("tok"), 1).otherwise(0)),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_cased"),
-        F.expr(
-            "CASE WHEN count(1) = 0 THEN CAST(0 AS BIGINT)"
-            " ELSE CAST((1000000 * COALESCE(sum(CASE WHEN tok <> lower(tok)"
-            " THEN 1 ELSE 0 END), 0)) div count(1) AS BIGINT) END"
-        ).alias("cased_q6"),
-        F.countDistinct("tok").cast("long").alias("n_types_cased"),
-        F.countDistinct(F.lower("tok")).cast("long").alias("n_types_folded"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 87 — deflated second principal direction, orders weekday
-# profile, props key census
-# ---------------------------------------------------------------------------
-
-
-def _pca2_sql() -> str:
-    """Generated oracle: the PI chain through v3 (first direction), the
-    Hotelling deflation x₂ = x − (x·v₁/‖v₁‖²)v₁ as ONE shared float
-    expression into a MATERIALIZED q6 matrix, a SECOND full PI chain
-    (q-prefixed CTEs) over the deflated matrix, and the two Rayleigh
-    shares against the ORIGINAL trace."""
-    chain = _poweriter_sql(_PI_ITERS)
-    chain = chain[: chain.rindex("SELECT CAST(dim AS BIGINT)")].rstrip()
-    if chain.endswith(","):
-        chain = chain[:-1]
-    parts = [
-        chain,
-        f""",
-s4 AS MATERIALIZED (SELECT xq.vec_id, CAST(sum(xq.x * vv.v) AS BIGINT) AS s
-  FROM xq JOIN v{_PI_ITERS} vv USING (dim) GROUP BY xq.vec_id),
-vv1n AS (SELECT CAST(COALESCE(sum(v * v), 0) AS BIGINT) AS vv FROM v{_PI_ITERS}),
-xq2 AS MATERIALIZED (
-  SELECT xq.vec_id, xq.dim,
-         CAST(round(CAST(xq.x AS DOUBLE) - CASE WHEN vv1n.vv = 0 THEN 0e0
-              ELSE (CAST(s4.s AS DOUBLE) / vv1n.vv) * v3c.v END) AS BIGINT) AS x
-  FROM xq JOIN s4 USING (vec_id) JOIN v{_PI_ITERS} v3c USING (dim)
-  CROSS JOIN vv1n),
-qv0 AS (SELECT dim, CAST(50000 + 3000 * dim AS BIGINT) AS v
-  FROM (SELECT unnest(generate_series(0, 63)) AS dim))""",
-    ]
-    for t in range(1, _PI_ITERS + 1):
-        parts.append(
-            f""",
-qs{t} AS MATERIALIZED (SELECT xq2.vec_id, CAST(sum(xq2.x * vv.v) AS BIGINT) AS s
-  FROM xq2 JOIN qv{t - 1} vv USING (dim) GROUP BY xq2.vec_id),
-qu{t} AS MATERIALIZED (SELECT vec_id, {_PI_U} AS u FROM qs{t}),
-qw{t} AS MATERIALIZED (SELECT xq2.dim, CAST(sum(xq2.x * uu.u) AS BIGINT) AS w
-  FROM xq2 JOIN qu{t} uu USING (vec_id) GROUP BY xq2.dim),
-qm{t} AS (SELECT CAST(max(abs(w)) AS BIGINT) AS mx FROM qw{t}),
-qws{t} AS MATERIALIZED (SELECT dim, {_PI_WS} AS ws FROM qw{t}, qm{t}),
-qn{t} AS (SELECT CAST(COALESCE(sum(ws * ws), 0) AS BIGINT) AS n2 FROM qws{t}),
-qv{t} AS MATERIALIZED (SELECT dim, {_PI_V} AS v FROM qws{t}, qn{t})""",
-        )
-    parts.append(
-        f""",
-s5 AS MATERIALIZED (SELECT xq2.vec_id, CAST(sum(xq2.x * vv.v) AS BIGINT) AS s
-  FROM xq2 JOIN qv{_PI_ITERS} vv USING (dim) GROUP BY xq2.vec_id),
-u4 AS (SELECT vec_id, {_PI_U} AS u FROM s4),
-u5 AS (SELECT vec_id, {_PI_U} AS u FROM s5),
-vv2n AS (SELECT CAST(COALESCE(sum(v * v), 0) AS BIGINT) AS vv FROM qv{_PI_ITERS}),
-tt AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS t FROM xq GROUP BY vec_id),
-ag AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
-              CAST(COALESCE(sum((u4.u * u4.u) // 1000000), 0) AS BIGINT) AS sa1,
-              CAST(COALESCE(sum((u5.u * u5.u) // 1000000), 0) AS BIGINT) AS sa2,
-              CAST(COALESCE(sum(tt.t // 1000000), 0) AS BIGINT) AS st6
-       FROM tt JOIN u4 USING (vec_id) JOIN u5 USING (vec_id))
-SELECT n_vecs,
-       CASE WHEN st6 = 0 OR vv1n.vv = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 * ((CAST(sa1 AS DOUBLE) / st6)
-                 * (1000000000000e0 / vv1n.vv))) AS BIGINT) END AS var1_q6,
-       CASE WHEN st6 = 0 OR vv2n.vv = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 * ((CAST(sa2 AS DOUBLE) / st6)
-                 * (1000000000000e0 / vv2n.vv))) AS BIGINT) END AS var2_q6
-FROM ag CROSS JOIN vv1n CROSS JOIN vv2n""",
-    )
-    return "".join(parts)
-
-
-@register("embedding_pca2_share", _pca2_sql())
-def embedding_pca2_share(spark, sf_dir):
-    """Variance shares of the TOP TWO principal directions via Hotelling
-    deflation: after power iteration finds v₁, every vector is deflated
-    x₂ = x − (x·v₁/‖v₁‖²)v₁ (one shared float expression into a fresh
-    q6 integer matrix) and the SAME power iteration runs again on the
-    residual — v₂'s Rayleigh share against the ORIGINAL trace completes
-    the eigengap reading embedding_isotropy starts (var1 ≫ var2 means
-    one rogue direction — whiten it away; var1 ≈ var2 ≫ 1/d means a
-    low-rank subspace — rotate, don't truncate).
-
-    Determinism: both PI stages are the exact-integer _PI_* machinery;
-    the deflation coefficient divides exact BIGINTs once per vector and
-    the deflated components re-quantize to q6 — both engines run the
-    identical expression; Rayleigh shares floor q12→q6 before summing
-    (the isotropy rule) and correct by each direction's exact ‖v‖².
-
-    Scale shape: per PI stage, matvecs are map-side with the direction
-    as a 64-literal array (bounded collects); the deflated matrix is
-    one map-side transform, checkpointed once; censuses are 1-row."""
-    vrows = embedding_power_iteration(spark, sf_dir).orderBy("dim").collect()
-    v1 = [int(r["v_q6"]) for r in vrows]
-    vv1 = sum(x * x for x in v1)
-    e = (
-        _emb(spark, sf_dir)
-        .select(
-            F.expr(
-                "transform(embedding, c -> CAST(round(1000000 * cast(c as double)) AS BIGINT))"
-            ).alias("xarr")
-        )
-        .localCheckpoint()
-    )
-    v1lit = "array(" + ",".join(f"{int(x)}L" for x in v1) + ")"
-    dot1 = (
-        f"aggregate(zip_with(xarr, {v1lit}, (a, b) -> a * b), 0L,"
-        " (acc, z) -> acc + z)"
-    )
-    if vv1 == 0:
-        defl = "xarr"
-    else:
-        defl = (
-            f"zip_with(xarr, {v1lit}, (x, v) -> CAST(round(CAST(x AS DOUBLE)"
-            f" - (CAST(s AS DOUBLE) / {vv1}) * v) AS BIGINT))"
-        )
-    e2 = (
-        e.select("xarr", F.expr(dot1).alias("s"))
-        .select("xarr", F.expr(defl).alias("x2arr"), "s")
-        .localCheckpoint()  # the second PI loop re-reads it per iteration
-    )
-    # second power iteration over the deflated matrix (the PI op's loop)
-    v = [50000 + 3000 * d for d in range(64)]
-    for _ in range(_PI_ITERS):
-        vlit = "array(" + ",".join(f"{int(x)}L" for x in v) + ")"
-        u = e2.select(
-            "x2arr",
-            F.expr(
-                f"aggregate(zip_with(x2arr, {vlit}, (a, b) -> a * b), 0L,"
-                " (acc, z) -> acc + z)"
-            ).alias("s"),
-        ).select("x2arr", F.expr(_PI_U).alias("u"))
-        wdf = (
-            u.select(F.posexplode("x2arr").alias("dim", "x"), "u")
-            .groupBy("dim")
-            .agg(F.sum(F.expr("x * u")).cast("long").alias("w"))
-        )
-        m = wdf.agg(F.max(F.abs(F.col("w"))).cast("long").alias("mx"))
-        ws = wdf.crossJoin(F.broadcast(m)).select(
-            "dim", F.expr(_PI_WS).alias("ws")
-        )
-        n2 = ws.agg(
-            F.coalesce(F.sum(F.expr("ws * ws")), F.lit(0))
-            .cast("long")
-            .alias("n2")
-        )
-        out = ws.crossJoin(F.broadcast(n2)).select(
-            "dim", F.expr(_PI_V).alias("v_q6")
-        )
-        v = [
-            int(r["v_q6"]) for r in out.orderBy("dim").collect()
-        ]  # bounded 64-row collect
-    v2, vv2 = v, sum(x * x for x in v)
-    v2lit = "array(" + ",".join(f"{int(x)}L" for x in v2) + ")"
-    per = e2.select(
-        F.expr(_PI_U).alias("u1"),  # s is still the v1 dot
-        F.expr(
-            f"CAST(round(aggregate(zip_with(x2arr, {v2lit}, (a, b) -> a * b),"
-            " 0L, (acc, z) -> acc + z) / 1000000.0) AS BIGINT)"
-        ).alias("u2"),
-        F.expr(
-            "aggregate(zip_with(xarr, xarr, (a, b) -> a * b), 0L,"
-            " (acc, z) -> acc + z)"
-        ).alias("t"),
-    )
-    ag = per.agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.coalesce(F.sum(F.expr("(u1 * u1) div 1000000")), F.lit(0))
-        .cast("long")
-        .alias("sa1"),
-        F.coalesce(F.sum(F.expr("(u2 * u2) div 1000000")), F.lit(0))
-        .cast("long")
-        .alias("sa2"),
-        F.coalesce(F.sum(F.expr("t div 1000000")), F.lit(0))
-        .cast("long")
-        .alias("st6"),
-    )
-    def _share(sa: str, vv: int) -> F.Column:
-        if vv == 0:
-            return F.lit(0).cast("long")
-        return F.expr(
-            f"CASE WHEN st6 = 0 THEN CAST(0 AS BIGINT)"
-            f" ELSE CAST(round(1000000 * ((CAST({sa} AS DOUBLE) / st6)"
-            f" * (1000000000000e0 / {vv}))) AS BIGINT) END"
-        )
-    return ag.select(
-        "n_vecs",
-        _share("sa1", vv1).alias("var1_q6"),
-        _share("sa2", vv2).alias("var2_q6"),
-    )
-
-
-@register(
-    "orders_weekday_profile",
-    """WITH o AS (
-  SELECT (epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 + 3) % 7 AS dow,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders),
-d AS (SELECT dow, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS rc
-      FROM o GROUP BY dow),
-spine AS (SELECT unnest(generate_series(0, 6)) AS dow),
-f AS (SELECT spine.dow, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_orders,
-             CAST(COALESCE(d.rc, 0) AS BIGINT) AS revenue_cents
-      FROM spine LEFT JOIN d USING (dow)),
-t AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS tot FROM f)
-SELECT CAST(f.dow AS BIGINT) AS dow, f.n_orders, f.revenue_cents,
-       CASE WHEN t.tot = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * f.revenue_cents) // t.tot AS BIGINT)
-       END AS share_q6
-FROM f CROSS JOIN t ORDER BY dow""",
-)
-def orders_weekday_profile(spark, sf_dir):
-    """Day-of-week revenue profile of the order book (0 = Monday, the
-    epoch-day +3 integer rule — never dayname()) — the orders twin of
-    events_weekday_profile, with exact cents. B2B books go quiet on
-    weekends; a flat profile here says the generator or the channel
-    isn't calendar-driven.
-
-    Scale shape: map-side day math, ≤7-group agg, 7-row spine."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        F.expr(
-            "(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 + 3) % 7"
-        ).alias("dow"),
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-    )
-    d = o.groupBy("dow").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("rc"),
-    )
-    spine = spark.range(7).select(F.col("id").alias("dow"))
-    f = spine.join(d, "dow", "left").select(
-        "dow",
-        F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
-        F.coalesce("rc", F.lit(0)).cast("long").alias("revenue_cents"),
-    )
-    t = f.agg(F.sum("revenue_cents").cast("long").alias("tot"))
-    return (
-        f.crossJoin(F.broadcast(t))
-        .select(
-            F.col("dow").cast("long").alias("dow"),
-            "n_orders",
-            "revenue_cents",
-            F.expr(
-                "CASE WHEN tot = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST((1000000 * revenue_cents) div tot AS BIGINT) END"
-            ).alias("share_q6"),
-        )
-        .orderBy("dow")
-    )
-
-
-@register(
-    "props_key_census",
-    """WITH k AS (
-  SELECT event_type, unnest(json_keys(props)) AS key FROM events
-  WHERE props IS NOT NULL)
-SELECT event_type, key, CAST(count(*) AS BIGINT) AS n_events
-FROM k GROUP BY event_type, key ORDER BY event_type, key""",
-)
-def props_key_census(spark, sf_dir):
-    """Schema discovery over the semi-structured props payload: which
-    JSON keys occur, per event type, how often — the first query anyone
-    runs against an events firehose before writing extraction rules
-    (events_props_json reads a KNOWN key; this finds the unknowns, and
-    a key appearing on 0.1% of rows is either an experiment or a bug).
-
-    Determinism: key enumeration is json_object_keys in Spark and
-    json_keys in DuckDB — both return the object's own keys; counts
-    exact.
-
-    Scale shape: map-side key explode, one (type, key) agg — output
-    bounded by the payload schema, not the stream."""
-    k = (
-        _events(spark, sf_dir)
-        .where(F.col("props").isNotNull())
-        .select(
-            "event_type",
-            F.explode(F.expr("json_object_keys(props)")).alias("key"),
-        )
-    )
-    return (
-        k.groupBy("event_type", "key")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-        .orderBy("event_type", "key")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 88 — idf split stability, label-aware ANN MRR, erratic customers
-# ---------------------------------------------------------------------------
-
-# per-(half, term) BM25 idf, q6-rounded FIRST from exact integers
-_IDF_Q6 = (
-    "CAST(round(1000000 * ln(1e0 + (CAST(nh AS DOUBLE) - df + 5e-1)"
-    " / (df + 5e-1))) AS BIGINT)"
-)
-
-
-@register(
-    "idf_split_stability",
-    f"""WITH t AS ({SQL_TOKS}),
-h AS (SELECT doc_id % 2 AS half, doc_id, term FROM t),
-dfh AS (SELECT half, term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-        FROM h GROUP BY half, term),
-nh AS (SELECT half, CAST(count(DISTINCT doc_id) AS BIGINT) AS nh
-       FROM h GROUP BY half),
-idf AS (SELECT dfh.half, dfh.term, {_IDF_Q6} AS idf_q6
-        FROM dfh JOIN nh USING (half)),
-pr AS (SELECT a.term, a.idf_q6 AS x, b.idf_q6 AS y
-       FROM idf a JOIN idf b ON a.term = b.term AND a.half = 0 AND b.half = 1),
-m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) // greatest(CAST(count(*) AS BIGINT), 1) AS mx,
-             CAST(sum(y) AS BIGINT) // greatest(CAST(count(*) AS BIGINT), 1) AS my
-      FROM pr),
-cs AS (SELECT m.n AS n,
-              CAST(sum(pr.x - m.mx) AS BIGINT) AS sxc,
-              CAST(sum(pr.y - m.my) AS BIGINT) AS syc,
-              CAST(sum((pr.x - m.mx) * (pr.x - m.mx)) AS BIGINT) AS sxx,
-              CAST(sum((pr.y - m.my) * (pr.y - m.my)) AS BIGINT) AS syy,
-              CAST(sum((pr.x - m.mx) * (pr.y - m.my)) AS BIGINT) AS sxy,
-              CAST(COALESCE(sum(abs(pr.x - pr.y)), 0) AS BIGINT) AS sad
-       FROM pr CROSS JOIN m GROUP BY m.n)
-SELECT n AS n_shared_terms, {_SP_RHO2S} AS corr2s_q6,
-       CAST(sad // greatest(n, 1) AS BIGINT) AS mean_abs_diff_q6
-FROM cs""",
-)
-def idf_split_stability(spark, sf_dir):
-    """Do the collection statistics generalise: BM25 idf computed
-    independently on the even-doc_id and odd-doc_id halves of the
-    corpus, compared term-by-term over the shared vocabulary — signed
-    Pearson r² of the two idf vectors plus the mean absolute q6 gap.
-    High correlation licenses computing df on a sample at 100 TB (the
-    production shortcut everyone takes); a low one says the corpus is
-    too heterogeneous for sampled statistics, and THIS op is the test
-    that says which.
-
-    Determinism: idf is q6-rounded PER (half, term) from exact
-    integers; the correlation is the centered-BIGINT machinery with
-    the signed-r² output (spearman rule).
-
-    Scale shape: one (half, term) df agg; the half-vs-half pair join is
-    vocab-keyed; censuses are 1-row."""
-    t = _toks(_docs(spark, sf_dir)).select(
-        F.expr("doc_id % 2").alias("half"), "doc_id", "term"
-    )
-    dfh = (
-        t.groupBy("half", "term")
-        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
-        .localCheckpoint()  # nh + both pair sides consume it
-    )
-    nh = t.groupBy("half").agg(
-        F.countDistinct("doc_id").cast("long").alias("nh")
-    )
-    idf = dfh.join(F.broadcast(nh), "half").select(
-        "half", "term", F.expr(_IDF_Q6).alias("idf_q6")
-    )
-    a = idf.where(F.col("half") == 0).select("term", F.col("idf_q6").alias("x"))
-    b = idf.where(F.col("half") == 1).select("term", F.col("idf_q6").alias("y"))
-    pr = a.join(b, "term")
-    m = pr.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.expr(
-            "CAST(sum(x) AS BIGINT) div greatest(CAST(count(1) AS BIGINT), 1)"
-        ).alias("mx"),
-        F.expr(
-            "CAST(sum(y) AS BIGINT) div greatest(CAST(count(1) AS BIGINT), 1)"
-        ).alias("my"),
-    )
-    cs = (
-        pr.crossJoin(F.broadcast(m))
-        .groupBy("n")
-        .agg(
-            F.sum(F.col("x") - F.col("mx")).cast("long").alias("sxc"),
-            F.sum(F.col("y") - F.col("my")).cast("long").alias("syc"),
-            F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx")))
-            .cast("long")
-            .alias("sxx"),
-            F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my")))
-            .cast("long")
-            .alias("syy"),
-            F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
-            .cast("long")
-            .alias("sxy"),
-            F.coalesce(F.sum(F.abs(F.col("x") - F.col("y"))), F.lit(0))
-            .cast("long")
-            .alias("sad"),
-        )
-    )
-    return cs.select(
-        F.col("n").alias("n_shared_terms"),
-        F.expr(_SP_RHO2S).alias("corr2s_q6"),
-        F.expr("CAST(sad div greatest(n, 1) AS BIGINT)").alias(
-            "mean_abs_diff_q6"
-        ),
-    )
-
-
-@register(
-    "ann_label_mrr",
-    _BATCH_SQL
-    + """,
-lb AS (SELECT vec_id, label FROM embeddings),
-nb AS (SELECT b.qid, b.vec_id, b.rnk FROM btop b WHERE b.rnk <= 10 AND b.vec_id <> b.qid),
-hit AS (SELECT nb.qid, CAST(min(nb.rnk) AS BIGINT) AS first_rank
-        FROM nb JOIN lb ql ON ql.vec_id = nb.qid
-        JOIN lb nl ON nl.vec_id = nb.vec_id
-        WHERE nl.label = ql.label GROUP BY nb.qid),
-qn AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM embeddings
-       WHERE vec_id % 37 = 0),
-ag AS (SELECT CAST(count(*) AS BIGINT) AS n_hit,
-              CAST(COALESCE(sum(2520 // first_rank), 0) AS BIGINT) AS rr2520
-       FROM hit)
-SELECT qn.n_queries, ag.n_hit,
-       CASE WHEN qn.n_queries = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 * (CAST(ag.rr2520 AS DOUBLE)
-                 / (2520 * qn.n_queries))) AS BIGINT) END AS mrr_q6
-FROM qn CROSS JOIN ag""",
-)
-def ann_label_mrr(spark, sf_dir):
-    """Label-aware MRR of the batch ANN: per query, the reciprocal rank
-    of the FIRST same-label neighbor in its top-10 (self excluded),
-    averaged over the whole query batch — the retrieval-style eval that
-    completes the label triptych (purity = how much of the
-    neighborhood agrees, confusion = who it confuses, MRR = how FAR
-    you must scan to find an agreeing example, which is what few-shot
-    retrieval actually pays for). Queries with no same-label hit
-    contribute 0.
-
-    Determinism: reciprocal ranks scaled by 2520 (the map_eval lcm
-    rule — every rank 1..10 divides it, so the sum is exact); one
-    division at the end.
-
-    Scale shape: neighbor lists are 10 rows/query; the first-hit agg
-    and censuses are query-batch-sized."""
-    top = _ivf_batch_topk(spark, sf_dir)
-    lb = _emb(spark, sf_dir).select("vec_id", "label")
-    nb = top.where(F.col("vec_id") != F.col("qid")).select(
-        "qid", "vec_id", "rnk"
-    )
-    ql = lb.select(F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"))
-    nl = lb.select("vec_id", F.col("label").alias("nlabel"))
-    hit = (
-        nb.join(ql, "qid")
-        .join(nl, "vec_id")
-        .where(F.col("nlabel") == F.col("qlabel"))
-        .groupBy("qid")
-        .agg(F.min("rnk").cast("long").alias("first_rank"))
-    )
-    qn = (
-        _emb(spark, sf_dir)
-        .where(F.col("vec_id") % 37 == 0)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
-    )
-    ag = hit.agg(
-        F.count(F.lit(1)).cast("long").alias("n_hit"),
-        F.coalesce(F.sum(F.expr("2520 div first_rank")), F.lit(0))
-        .cast("long")
-        .alias("rr2520"),
-    )
-    return qn.crossJoin(ag).select(
-        "n_queries",
-        "n_hit",
-        F.expr(
-            "CASE WHEN n_queries = 0 THEN CAST(0 AS BIGINT)"
-            " ELSE CAST(round(1000000 * (CAST(rr2520 AS DOUBLE)"
-            " / (2520 * n_queries))) AS BIGINT) END"
-        ).alias("mrr_q6"),
-    )
-
-
-@register(
-    "erratic_customers_topk",
-    """WITH o AS (
-  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS y
-  FROM orders),
-s AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS sq
-      FROM o GROUP BY o_custkey),
-cv AS (SELECT o_custkey, n,
-              CAST(round(1000000 * (((CAST(n AS DOUBLE) * sq
-                   - CAST(s AS DOUBLE) * s) / (CAST(n AS DOUBLE) * n))
-                   / ((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))))
-                   AS BIGINT) AS cv2_q6
-       FROM s WHERE n >= 5 AND s > 0)
-SELECT o_custkey, n AS n_orders, cv2_q6,
-       CAST(row_number() OVER (ORDER BY cv2_q6 DESC, o_custkey ASC) AS BIGINT)
-         AS rank
-FROM cv ORDER BY cv2_q6 DESC, o_custkey ASC LIMIT 10""",
-)
-def erratic_customers_topk(spark, sf_dir):
-    """Most erratic customers: squared coefficient of variation
-    (variance/mean², scale-free) of per-order value, volume-gated
-    (n ≥ 5), top-10 — the fraud/anomaly cut of the customer book
-    (segment_repeat_rate says WHO returns; this says whose basket is
-    unpredictable, the classic precursor signal in transaction
-    monitoring). CV² rather than CV: the no-sqrt rule.
-
-    Determinism: per-customer sufficient stats on whole dollars (the
-    per-key sums are bounded by one customer's history — the envelope
-    note); variance and mean are ONE shared float expression from
-    exact BIGINTs; rank over the quantized CV².
-
-    Scale shape: one custkey agg (map-side partials), a filtered
-    TakeOrdered top-10."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_custkey",
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100").alias("y"),
-    )
-    s = o.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").cast("long").alias("s"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("sq"),
-    )
-    cv = s.where((F.col("n") >= 5) & (F.col("s") > 0)).select(
-        "o_custkey",
-        "n",
-        F.expr(
-            "CAST(round(1000000 * (((CAST(n AS DOUBLE) * sq"
-            " - CAST(s AS DOUBLE) * s) / (CAST(n AS DOUBLE) * n))"
-            " / ((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))))"
-            " AS BIGINT)"
-        ).alias("cv2_q6"),
-    )
-    top = cv.orderBy(F.desc("cv2_q6"), F.asc("o_custkey")).limit(10)
-    return top.withColumn(
-        "rank",
-        F.row_number()
-        .over(Window.orderBy(F.desc("cv2_q6"), F.asc("o_custkey")))
-        .cast("long"),
-    ).select("o_custkey", F.col("n").alias("n_orders"), "cv2_q6", "rank")
-
-
-# ---------------------------------------------------------------------------
-# session 89 — session depth vs conversion, activity decile lift,
-# co-occurrence window-size curve
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "session_depth_conversion",
-    f"""WITH t AS (
-  SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type FROM events),
-fl AS (
-  SELECT user_id, t_us, event_id, event_type,
-         CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   IS NULL
-              OR t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS is_start
-  FROM t),
-se AS (
-  SELECT user_id, event_type,
-         sum(is_start) OVER (PARTITION BY user_id ORDER BY t_us, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-  FROM fl),
-ses AS (
-  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
-         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-           AS conv
-  FROM se GROUP BY user_id, sid),
-bk AS (SELECT CAST(length(bin(n_events)) - 1 AS BIGINT) AS depth_bucket, conv
-       FROM ses)
-SELECT depth_bucket, CAST(count(*) AS BIGINT) AS n_sessions,
-       CAST(COALESCE(sum(conv), 0) AS BIGINT) AS n_converted,
-       CAST((1000000 * COALESCE(sum(conv), 0)) // count(*) AS BIGINT)
-         AS conv_rate_q6
-FROM bk GROUP BY depth_bucket ORDER BY depth_bucket""",
-)
-def session_depth_conversion(spark, sf_dir):
-    """Conversion rate by session depth: sessions bucketed by log2 of
-    their event count, each bucket's purchase rate — the engagement-
-    to-outcome curve product teams tune onboarding against (monotone-
-    rising says depth drives conversion; a hump says long sessions are
-    lost users thrashing — session_entry_conversion slices by door,
-    THIS slices by dwell). Gaps-and-islands sessionisation is the
-    shared 30-min rule.
-
-    Determinism: the (t_us, event_id) window orders exactly as every
-    session op; buckets are the integer floor-log2 idiom.
-
-    Scale shape: ONE user exchange for the two windows, a
-    (user, session) agg, a ≤32-bucket rollup."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        "event_id",
-        "event_type",
-    )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    fl = t.withColumn(
-        "is_start",
-        F.expr(
-            "CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
-            " IS NULL OR t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us,"
-            f" event_id) > {_SESSION_GAP_US} THEN 1 ELSE 0 END"
-        ),
-    )
-    se = fl.withColumn(
-        "sid",
-        F.sum("is_start").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    ses = se.groupBy("user_id", "sid").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).cast("long").alias("conv"),
-    )
-    bk = ses.select(
-        F.expr("CAST(length(bin(n_events)) - 1 AS BIGINT)").alias(
-            "depth_bucket"
-        ),
-        "conv",
-    )
-    return (
-        bk.groupBy("depth_bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_sessions"),
-            F.coalesce(F.sum("conv"), F.lit(0)).cast("long").alias("n_converted"),
-        )
-        .select(
-            "depth_bucket",
-            "n_sessions",
-            "n_converted",
-            F.expr(
-                "CAST((1000000 * n_converted) div n_sessions AS BIGINT)"
-            ).alias("conv_rate_q6"),
-        )
-        .orderBy("depth_bucket")
-    )
-
-
-@register(
-    "activity_decile_lift",
-    """WITH u AS (
-  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-           AS conv
-  FROM events GROUP BY user_id),
-h AS (SELECT n_events, CAST(count(*) AS BIGINT) AS c,
-             CAST(COALESCE(sum(conv), 0) AS BIGINT) AS cv
-      FROM u GROUP BY n_events),
-tot AS (SELECT CAST(sum(c) AS BIGINT) AS nu, CAST(sum(cv) AS BIGINT) AS nc FROM h),
-cumh AS (SELECT n_events, c, cv,
-                CAST(sum(c) OVER (ORDER BY n_events
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
-                     AS BIGINT) AS cum_before
-         FROM h),
-dk AS (SELECT least((10 * cum_before) // tot.nu, 9) AS decile, c, cv
-       FROM cumh CROSS JOIN tot),
-ag AS (SELECT decile, CAST(sum(c) AS BIGINT) AS n_users,
-              CAST(sum(cv) AS BIGINT) AS n_converted
-       FROM dk GROUP BY decile),
-spine AS (SELECT unnest(generate_series(0, 9)) AS decile)
-SELECT CAST(spine.decile AS BIGINT) AS decile,
-       CAST(COALESCE(ag.n_users, 0) AS BIGINT) AS n_users,
-       CAST(COALESCE(ag.n_converted, 0) AS BIGINT) AS n_converted,
-       CASE WHEN COALESCE(ag.n_users, 0) = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * ag.n_converted) // ag.n_users AS BIGINT)
-       END AS conv_rate_q6,
-       CASE WHEN COALESCE(ag.n_users, 0) = 0 OR tot.nc = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * ag.n_converted * tot.nu)
-                 // (ag.n_users * tot.nc) AS BIGINT)
-       END AS lift_q6
-FROM spine LEFT JOIN ag USING (decile) CROSS JOIN tot ORDER BY decile""",
-)
-def activity_decile_lift(spark, sf_dir):
-    """Lift table of conversion by activity decile — the model-eval
-    artifact scored on the simplest possible score (event count): users
-    sorted into activity deciles, each decile's conversion rate and its
-    lift over the base rate. The shape every targeting model is
-    benchmarked against ("does decile 9 convert 3× base"). Deciles are
-    assigned VALUE-wise from the activity histogram (a user's decile =
-    decile of its count's cumulative start; ties share one decile —
-    the declared rule), so NO per-user rank window exists — the
-    histogram cells are count-cardinality-bounded (the
-    doclen_quantiles argument).
-
-    Determinism: exact integers end to end; lift is the integer
-    cross-multiplication (conv·NU)/(users·NC).
-
-    Scale shape: one user agg, a count-histogram cumulative window
-    over bounded cells, a 10-row spine."""
-    u = (
-        _events(spark, sf_dir)
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.max(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            ).cast("long").alias("conv"),
-        )
-    )
-    h = u.groupBy("n_events").agg(
-        F.count(F.lit(1)).cast("long").alias("c"),
-        F.coalesce(F.sum("conv"), F.lit(0)).cast("long").alias("cv"),
-    )
-    tot = h.agg(
-        F.sum("c").cast("long").alias("nu"), F.sum("cv").cast("long").alias("nc")
-    )
-    wc = Window.orderBy("n_events").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cumh = h.select(
-        "n_events",
-        "c",
-        "cv",
-        (F.sum("c").over(wc) - F.col("c")).cast("long").alias("cum_before"),
-    )
-    dk = cumh.crossJoin(F.broadcast(tot)).select(
-        F.expr("least((10 * cum_before) div nu, 9)").alias("decile"), "c", "cv"
-    )
-    ag = dk.groupBy("decile").agg(
-        F.sum("c").cast("long").alias("n_users"),
-        F.sum("cv").cast("long").alias("n_converted"),
-    )
-    spine = spark.range(10).select(F.col("id").alias("decile"))
-    return (
-        spine.join(ag, "decile", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.col("decile").cast("long").alias("decile"),
-            F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
-            F.coalesce("n_converted", F.lit(0)).cast("long").alias("n_converted"),
-            F.expr(
-                "CASE WHEN COALESCE(n_users, 0) = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST((1000000 * n_converted) div n_users AS BIGINT) END"
-            ).alias("conv_rate_q6"),
-            F.expr(
-                "CASE WHEN COALESCE(n_users, 0) = 0 OR nc = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST((1000000 * n_converted * nu) div (n_users * nc)"
-                " AS BIGINT) END"
-            ).alias("lift_q6"),
-        )
-        .orderBy("decile")
-    )
-
-
-@register(
-    "cooccur_window_curve",
-    f"""WITH w AS ({SQL_WORDS}),
-pairs AS MATERIALIZED (
-  {" UNION ALL ".join(
-    f'''SELECT {off} AS off, least(words[t.i], words[t.i + {off}]) AS a,
-       greatest(words[t.i], words[t.i + {off}]) AS b
-FROM w, unnest(generate_series(1, len(words) - {off})) AS t(i)
-WHERE len(words) > {off}''' for off in (1, 2, 3, 4))}),
-pc AS (SELECT 1 AS win, a, b, CAST(count(*) AS BIGINT) AS n FROM pairs
-       WHERE off <= 1 GROUP BY a, b
-       UNION ALL
-       SELECT 2, a, b, CAST(count(*) AS BIGINT) FROM pairs
-       WHERE off <= 2 GROUP BY a, b
-       UNION ALL
-       SELECT 4, a, b, CAST(count(*) AS BIGINT) FROM pairs
-       WHERE off <= 4 GROUP BY a, b),
-best AS (SELECT win, a AS top_a, b AS top_b, n AS top_n FROM (
-           SELECT win, a, b, n,
-                  row_number() OVER (PARTITION BY win
-                                     ORDER BY n DESC, a ASC, b ASC) AS rn
-           FROM pc) WHERE rn = 1),
-cnt AS (SELECT win, CAST(count(*) AS BIGINT) AS n_distinct_pairs,
-               CAST(sum(n) AS BIGINT) AS n_cooccurrences
-        FROM pc GROUP BY win)
-SELECT CAST(cnt.win AS BIGINT) AS win, cnt.n_distinct_pairs,
-       cnt.n_cooccurrences, best.top_a, best.top_b, best.top_n
-FROM cnt JOIN best USING (win) ORDER BY win""",
-)
-def cooccur_window_curve(spark, sf_dir):
-    """Co-occurrence window-size tuning curve: distinct pair count,
-    total pair mass, and the heaviest pair at context windows ±1/±2/±4
-    — the knob cooccurrence_ppmi fixes at ±2, swept the way the
-    LSH/HLL/bloom/fuzzy curves sweep theirs (window size is word2vec's
-    most consequential hyperparameter: small windows learn syntax,
-    large ones topic — and pair-table SIZE grows near-linearly in w,
-    which is the cost axis this curve prices).
-
-    Determinism: pairs are canonically ordered (least/greatest); the
-    top pair picks by (n desc, a, b) via min(struct(-n, a, b))
-    map-side in Spark (the oracle windows).
-
-    Scale shape: offsets explode per doc via transform over the word
-    array (NEVER a position self-join — the cooccurrence_ppmi rule);
-    the tagged pair stream is checkpointed once and each window's agg
-    filters it; vocab²-bounded tables everywhere downstream."""
-    w = _docs(spark, sf_dir).select(spark_tokens("text").alias("words"))
-    pairs = (
-        w.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(1, 4), off ->"
-                    " CASE WHEN size(words) > off THEN"
-                    " transform(sequence(0, size(words) - off - 1), i ->"
-                    " struct(off AS off,"
-                    " least(words[i], words[i + off]) AS a,"
-                    " greatest(words[i], words[i + off]) AS b))"
-                    " ELSE array() END))"
-                )
-            ).alias("p")
-        )
-        .select("p.off", "p.a", "p.b")
-        .localCheckpoint()  # three window aggs consume the tagged stream
-    )
-    outs = []
-    for win in (1, 2, 4):
-        pcw = (
-            pairs.where(F.col("off") <= win)
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        )
-        ag = pcw.agg(
-            F.count(F.lit(1)).cast("long").alias("n_distinct_pairs"),
-            F.sum("n").cast("long").alias("n_cooccurrences"),
-            F.min(
-                F.struct((-F.col("n")).alias("nn"), F.col("a"), F.col("b"))
-            ).alias("t"),
-        )
-        outs.append(
-            ag.select(
-                F.lit(win).cast("long").alias("win"),
-                "n_distinct_pairs",
-                "n_cooccurrences",
-                F.col("t.a").alias("top_a"),
-                F.col("t.b").alias("top_b"),
-                (-F.col("t.nn")).cast("long").alias("top_n"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("win")
-
-
-# ---------------------------------------------------------------------------
-# session 90 — value×hour 2-D census, order concentration, geometric fit
-# of session lengths
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "events_value_hour_hist2d",
-    """WITH e AS (
-  SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
-         CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events),
-b AS (SELECT hour,
-             CASE WHEN cents <= 0 THEN -1
-                  ELSE CAST(length(bin(cents)) - 1 AS BIGINT) END AS vbucket,
-             cents
-      FROM e)
-SELECT CAST(hour AS BIGINT) AS hour, vbucket,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(cents) AS BIGINT) AS sum_cents
-FROM b GROUP BY hour, vbucket ORDER BY hour, vbucket""",
-)
-def events_value_hour_hist2d(spark, sf_dir):
-    """Two-dimensional value×hour census of the event stream: hour of
-    day crossed with log2-cents value buckets — the fraud/ops heatmap
-    ("do big-ticket events cluster at 3am") completing the 2-D census
-    family (len_quality_hist2d profiles documents; this profiles
-    money). Bucket −1 holds zero-value events. Observed cells only.
-
-    Scale shape: map-side hour/bucket math into a ≤24×~40-cell agg."""
-    e = _events(spark, sf_dir).select(
-        F.expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 24").alias(
-            "hour"
-        ),
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-    )
-    b = e.select(
-        "hour",
-        F.expr(
-            "CASE WHEN cents <= 0 THEN -1"
-            " ELSE CAST(length(bin(cents)) - 1 AS BIGINT) END"
-        ).alias("vbucket"),
-        "cents",
-    )
-    return (
-        b.groupBy("hour", "vbucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum("cents").cast("long").alias("sum_cents"),
-        )
-        .select(
-            F.col("hour").cast("long").alias("hour"),
-            "vbucket",
-            "n_events",
-            "sum_cents",
-        )
-        .orderBy("hour", "vbucket")
-    )
-
-
-@register(
-    "order_concentration_histogram",
-    """WITH s AS (
-  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
-         CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mx,
-         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS tot
-  FROM orders GROUP BY o_custkey),
-c AS (SELECT least(((1000000 * mx) // tot) // 100000, 9) AS bucket
-      FROM s WHERE n >= 2 AND tot > 0),
-h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_customers
-      FROM c GROUP BY bucket),
-spine AS (SELECT unnest(generate_series(0, 9)) AS bucket)
-SELECT CAST(spine.bucket AS BIGINT) AS bucket,
-       CAST(COALESCE(h.n_customers, 0) AS BIGINT) AS n_customers
-FROM spine LEFT JOIN h USING (bucket) ORDER BY bucket""",
-)
-def order_concentration_histogram(spark, sf_dir):
-    """Whale-order concentration: per repeat customer, the share of
-    lifetime spend held by their single biggest order, bucketed into
-    deciles — the "is the relationship one big deal or steady flow"
-    histogram (mass near bucket 9 means every account hinges on one
-    order; erratic_customers_topk names the worst offenders, this
-    shows the distribution). One-order customers are excluded — their
-    share is trivially 1.
-
-    Determinism: exact cents; share and decile are integer divisions
-    with the least(·, 9) top-bucket clamp.
-
-    Scale shape: one custkey agg, a ≤10-bucket rollup, a 10-row spine."""
-    s = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select(
-            "o_custkey",
-            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-        )
-        .groupBy("o_custkey")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.max("cents").cast("long").alias("mx"),
-            F.sum("cents").cast("long").alias("tot"),
-        )
-    )
-    c = s.where((F.col("n") >= 2) & (F.col("tot") > 0)).select(
-        F.expr("least(((1000000 * mx) div tot) div 100000, 9)").alias("bucket")
-    )
-    h = c.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_customers")
-    )
-    spine = spark.range(10).select(F.col("id").alias("bucket"))
-    return (
-        spine.join(h, "bucket", "left")
-        .select(
-            F.col("bucket").cast("long").alias("bucket"),
-            F.coalesce("n_customers", F.lit(0)).cast("long").alias("n_customers"),
-        )
-        .orderBy("bucket")
-    )
-
-
-# geometric-fit shared expressions over exact BIGINTs (S sessions, E
-# events): p = S/E, survival at depth k is (1-p)^k = ((E-S)/E)^k; the
-# bucket [2^b, 2^(b+1)) has mass surv(2^b - 1) - surv(2^(b+1) - 1).
-_GEO_Q = "(CAST(es AS DOUBLE) / e)"  # 1 - p, from es = E - S
-
-
-def _geo_mass(b: str) -> str:
-    # 2^b via power(2e0, ·) — exact in double for bucket-sized exponents
-    # and available in BOTH engines (DuckDB has no shiftleft function).
-    return (
-        f"(power({_GEO_Q}, power(2e0, CAST({b} AS DOUBLE)) - 1e0)"
-        f" - power({_GEO_Q}, power(2e0, CAST({b} AS DOUBLE) + 1e0) - 1e0))"
-    )
-
-
-@register(
-    "session_length_geometric_fit",
-    f"""WITH t AS (
-  SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events),
-fl AS (
-  SELECT user_id, t_us, event_id,
-         CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   IS NULL
-              OR t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS is_start
-  FROM t),
-se AS (
-  SELECT user_id,
-         sum(is_start) OVER (PARTITION BY user_id ORDER BY t_us, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-  FROM fl),
-ses AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS len
-        FROM se GROUP BY user_id, sid),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS s, CAST(sum(len) AS BIGINT) AS e,
-               CAST(sum(len) - count(*) AS BIGINT) AS es
-        FROM ses),
-ob AS (SELECT CAST(length(bin(len)) - 1 AS BIGINT) AS bucket,
-              CAST(count(*) AS BIGINT) AS n_obs
-       FROM ses GROUP BY bucket),
-x AS (SELECT ob.bucket, ob.n_obs, tot.s, tot.e, tot.es,
-             CAST(round(1000000 * (tot.s * {_geo_mass("ob.bucket")})) AS BIGINT)
-               AS exp_q6
-      FROM ob CROSS JOIN tot)
-SELECT bucket, n_obs, exp_q6,
-       CAST(round(1000000 * ((n_obs - s * {_geo_mass("bucket")})
-            * (n_obs - s * {_geo_mass("bucket")})
-            / greatest(s * {_geo_mass("bucket")}, 1e-9))) AS BIGINT) AS chi2_q6
-FROM x ORDER BY bucket""",
-)
-def session_length_geometric_fit(spark, sf_dir):
-    """Goodness-of-fit of session lengths to the geometric distribution:
-    the MLE continuation probability is the exact rational 1−p =
-    (E−S)/E (E events in S sessions), expected bucket masses come from
-    the geometric survival function at the log2 bucket edges, and each
-    observed bucket contributes a chi²-term — the "is session length
-    memoryless" test behind every session-based capacity model (a fat
-    tail vs geometric means power-user sessions need their own model;
-    value_lognormal_fit is this op's sibling for money).
-
-    Determinism: S/E/E−S are exact BIGINTs; masses are shared power()
-    expressions over one exact ratio (libm pow, the ln precedent);
-    chi² terms q6-round per bucket; expected counts floor at 1e-9 so
-    a p=1 stream (all singleton sessions) stays finite.
-
-    Scale shape: the session machinery's ONE user exchange; the fit
-    runs on ≤32 bucket rows."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        "event_id",
-    )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    fl = t.withColumn(
-        "is_start",
-        F.expr(
-            "CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
-            " IS NULL OR t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us,"
-            f" event_id) > {_SESSION_GAP_US} THEN 1 ELSE 0 END"
-        ),
-    )
-    se = fl.withColumn(
-        "sid",
-        F.sum("is_start").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    ses = (
-        se.groupBy("user_id", "sid")
-        .agg(F.count(F.lit(1)).cast("long").alias("len"))
-        .localCheckpoint()  # census + histogram both consume it
-    )
-    tot = ses.agg(
-        F.count(F.lit(1)).cast("long").alias("s"),
-        F.sum("len").cast("long").alias("e"),
-        (F.sum("len") - F.count(F.lit(1))).cast("long").alias("es"),
-    )
-    ob = ses.groupBy(
-        F.expr("CAST(length(bin(len)) - 1 AS BIGINT)").alias("bucket")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
-    x = ob.crossJoin(F.broadcast(tot))
-    return x.select(
-        "bucket",
-        "n_obs",
-        F.expr(
-            f"CAST(round(1000000 * (s * {_geo_mass('bucket')})) AS BIGINT)"
-        ).alias("exp_q6"),
-        F.expr(
-            f"CAST(round(1000000 * ((n_obs - s * {_geo_mass('bucket')})"
-            f" * (n_obs - s * {_geo_mass('bucket')})"
-            f" / greatest(s * {_geo_mass('bucket')}, 1e-9))) AS BIGINT)"
-        ).alias("chi2_q6"),
-    ).orderBy("bucket")
-
-
-# ---------------------------------------------------------------------------
-# session 91 — frequent event triples, night-owl census, price ANOVA
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "event_triple_support",
-    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
-nt AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM ut),
-tr AS (SELECT a.user_id, a.event_type AS ta, b.event_type AS tb,
-              c.event_type AS tc
-       FROM ut a JOIN ut b ON a.user_id = b.user_id
-                          AND a.event_type < b.event_type
-       JOIN ut c ON b.user_id = c.user_id AND b.event_type < c.event_type),
-sup AS (SELECT ta, tb, tc, CAST(count(*) AS BIGINT) AS n_users
-        FROM tr GROUP BY ta, tb, tc),
-rk AS (SELECT ta, tb, tc, n_users,
-              row_number() OVER (ORDER BY n_users DESC, ta ASC, tb ASC, tc ASC)
-                AS rank
-       FROM sup)
-SELECT rk.ta AS type_a, rk.tb AS type_b, rk.tc AS type_c, rk.n_users,
-       CAST(rk.rank AS BIGINT) AS rank,
-       CAST((1000000 * rk.n_users) // nt.nu AS BIGINT) AS support_q6
-FROM rk CROSS JOIN nt WHERE rk.rank <= 10 ORDER BY rank""",
-)
-def event_triple_support(spark, sf_dir):
-    """Frequent 3-itemsets over per-user event-type baskets: the top-10
-    type TRIPLES by user support — the next Apriori level after
-    event_type_lift's pairs (a high-support triple that no pair
-    predicts is a genuine interaction path, the thing funnel designers
-    mine for). Canonical ordering ta < tb < tc counts each basket
-    subset once.
-
-    Determinism: exact counts; support is integer division over the
-    distinct-user census; ranks tiebreak lexicographically.
-
-    Scale shape: the double self-join keys on user_id with both sides
-    the per-user DISTINCT type set — fanout bounded by |types|³ per
-    user (the event_type_lift rule, one level up); the support agg is
-    ≤|types|³ rows."""
-    ut = (
-        _events(spark, sf_dir)
-        .select("user_id", "event_type")
-        .distinct()
-        .localCheckpoint()  # census + three join sides consume it
-    )
-    nt = ut.agg(F.countDistinct("user_id").cast("long").alias("nu"))
-    a = ut.select("user_id", F.col("event_type").alias("ta"))
-    b = ut.select("user_id", F.col("event_type").alias("tb"))
-    c = ut.select("user_id", F.col("event_type").alias("tc"))
-    tr = (
-        a.join(b, "user_id")
-        .where(F.col("ta") < F.col("tb"))
-        .join(c, "user_id")
-        .where(F.col("tb") < F.col("tc"))
-    )
-    sup = tr.groupBy("ta", "tb", "tc").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users")
-    )
-    rk = sup.withColumn(
-        "rank",
-        F.row_number()
-        .over(
-            Window.orderBy(
-                F.desc("n_users"), F.asc("ta"), F.asc("tb"), F.asc("tc")
-            )
-        )
-        .cast("long"),
-    ).where(F.col("rank") <= 10)
-    return (
-        rk.crossJoin(F.broadcast(nt))
-        .select(
-            F.col("ta").alias("type_a"),
-            F.col("tb").alias("type_b"),
-            F.col("tc").alias("type_c"),
-            "n_users",
-            "rank",
-            F.expr("CAST((1000000 * n_users) div nu AS BIGINT)").alias(
-                "support_q6"
-            ),
-        )
-        .orderBy("rank")
-    )
-
-
-@register(
-    "night_owl_census",
-    """WITH u AS (
-  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-         CAST(COALESCE(sum(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 6
-                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS night
-  FROM events GROUP BY user_id),
-c AS (SELECT least(((1000000 * night) // n) // 100000, 9) AS bucket FROM u),
-h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_users FROM c GROUP BY bucket),
-spine AS (SELECT unnest(generate_series(0, 9)) AS bucket)
-SELECT CAST(spine.bucket AS BIGINT) AS bucket,
-       CAST(COALESCE(h.n_users, 0) AS BIGINT) AS n_users
-FROM spine LEFT JOIN h USING (bucket) ORDER BY bucket""",
-)
-def night_owl_census(spark, sf_dir):
-    """Night-owl distribution: per user, the share of their events in
-    the 00:00-06:00 UTC window, bucketed into deciles — the audience-
-    timezone/behavior census behind send-time optimisation and bot
-    screening (humans pile into buckets 0-2; a uniform histogram says
-    the user base spans timezones OR isn't human —
-    events_hour_weekday_heatmap shows the aggregate, THIS shows the
-    per-user mix).
-
-    Determinism: exact counts, integer share and decile with the
-    least(·, 9) clamp.
-
-    Scale shape: one user agg with a conditional counter, a ≤10-bucket
-    rollup, a 10-row spine."""
-    u = (
-        _events(spark, sf_dir)
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.coalesce(
-                F.sum(
-                    F.expr(
-                        "CASE WHEN (unix_micros(cast(ts as timestamp))"
-                        " div 3600000000) % 24 < 6 THEN 1 ELSE 0 END"
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("night"),
-        )
-    )
-    c = u.select(
-        F.expr("least(((1000000 * night) div n) div 100000, 9)").alias("bucket")
-    )
-    h = c.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-    spine = spark.range(10).select(F.col("id").alias("bucket"))
-    return (
-        spine.join(h, "bucket", "left")
-        .select(
-            F.col("bucket").cast("long").alias("bucket"),
-            F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
-        )
-        .orderBy("bucket")
-    )
-
-
-# one-way ANOVA F from quantized per-group terms (columns k, n, ssb, ssw)
-_ANOVA_F = (
-    "CASE WHEN k < 2 OR n <= k OR ssw <= 0 THEN CAST(0 AS BIGINT)"
-    " ELSE CAST(round(1000000 * ((CAST(ssb AS DOUBLE) / (k - 1))"
-    " / (CAST(ssw AS DOUBLE) / (n - k)))) AS BIGINT) END"
-)
-
-
-@register(
-    "part_type_anova",
-    """WITH p AS (
-  SELECT p_type, CAST(round(p_retailprice * 100) AS BIGINT) // 100 AS y
-  FROM part),
-gm AS (SELECT CAST(sum(y) AS BIGINT) // greatest(CAST(count(*) AS BIGINT), 1) AS my,
-              CAST(count(*) AS BIGINT) AS n
-       FROM p),
-g AS (SELECT p.p_type, gm.n,
-             CAST(count(*) AS BIGINT) AS ng,
-             CAST(sum(p.y - gm.my) AS BIGINT) AS sg,
-             CAST(sum((p.y - gm.my) * (p.y - gm.my)) AS BIGINT) AS qg
-      FROM p CROSS JOIN gm GROUP BY p.p_type, gm.n),
-t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(max(n) AS BIGINT) AS n,
-             CAST(sum(sg) AS BIGINT) AS s, CAST(sum(qg) AS BIGINT) AS q,
-             CAST(COALESCE(sum(CAST(round(CAST(sg AS DOUBLE) * sg / ng)
-                  AS BIGINT)), 0) AS BIGINT) AS sgq
-      FROM g),
-f AS (SELECT k, n,
-             CAST(sgq - CAST(round(CAST(s AS DOUBLE) * s / n) AS BIGINT)
-                  AS BIGINT) AS ssb,
-             CAST(q - sgq AS BIGINT) AS ssw
-      FROM t)
-SELECT k AS n_types, n AS n_parts, ssb AS ssb_dlr2, ssw AS ssw_dlr2,
-       """
-    + _ANOVA_F
-    + """ AS f_q6
-FROM f""",
-)
-def part_type_anova(spark, sf_dir):
-    """One-way ANOVA of retail price across part types: the F statistic
-    (between-group over within-group mean squares) — the k-group
-    generalisation of ttest_lang_doclen's two-sample Welch (does the
-    TYPE dimension explain price at all, before any pairwise digging).
-    Sums of squares come from GLOBALLY-integer-centered exact BIGINTs;
-    the only order-sensitive float sums are avoided by quantizing each
-    group's s²/n term to whole dollars² BEFORE the BIGINT sum (the
-    q6-per-cell-first rule at q0 — dollars² granularity is far below
-    any decision threshold on F).
-
-    Determinism: one shared _ANOVA_F expression over four integers;
-    degenerate designs (k < 2, n ≤ k, SSW ≤ 0) emit the 0 sentinel.
-
-    Scale shape: one part pass for the global mean (1-row broadcast),
-    one for per-type centered stats (≤|types| rows), 1-row censuses."""
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_type",
-        F.expr("CAST(round(p_retailprice * 100) AS BIGINT) div 100").alias("y"),
-    )
-    gm = p.agg(
-        F.expr(
-            "CAST(sum(y) AS BIGINT) div greatest(CAST(count(1) AS BIGINT), 1)"
-        ).alias("my"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    g = (
-        p.crossJoin(F.broadcast(gm))
-        .groupBy("p_type", "n")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("ng"),
-            F.sum(F.col("y") - F.col("my")).cast("long").alias("sg"),
-            F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my")))
-            .cast("long")
-            .alias("qg"),
-        )
-    )
-    t = g.agg(
-        F.count(F.lit(1)).cast("long").alias("k"),
-        F.max("n").cast("long").alias("n"),
-        F.sum("sg").cast("long").alias("s"),
-        F.sum("qg").cast("long").alias("q"),
-        F.coalesce(
-            F.sum(
-                F.expr("CAST(round(CAST(sg AS DOUBLE) * sg / ng) AS BIGINT)")
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("sgq"),
-    )
-    f = t.select(
-        "k",
-        "n",
-        F.expr(
-            "CAST(sgq - CAST(round(CAST(s AS DOUBLE) * s / n) AS BIGINT)"
-            " AS BIGINT)"
-        ).alias("ssb"),
-        F.expr("CAST(q - sgq AS BIGINT)").alias("ssw"),
-    )
-    return f.select(
-        F.col("k").alias("n_types"),
-        F.col("n").alias("n_parts"),
-        F.col("ssb").alias("ssb_dlr2"),
-        F.col("ssw").alias("ssw_dlr2"),
-        F.expr(_ANOVA_F).alias("f_q6"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 92 — discount policy bands, query cost estimate, peak concurrency
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "discount_by_quantity_band",
-    """WITH l AS (
-  SELECT CAST(l_quantity AS BIGINT) // 10 AS qty_band,
-         CAST(round(l_discount * 100) AS BIGINT) AS disc_pp
-  FROM lineitem)
-SELECT qty_band, CAST(count(*) AS BIGINT) AS n_items,
-       CAST(round(1000000 * (CAST(sum(disc_pp) AS DOUBLE) / count(*)))
-            AS BIGINT) AS mean_disc_pp_q6
-FROM l GROUP BY qty_band ORDER BY qty_band""",
-)
-def discount_by_quantity_band(spark, sf_dir):
-    """The volume-discount policy table: mean discount (integer percent
-    points — the Q6 forecast convention) per quantity decade band —
-    discount_quantity_corr says WHETHER quantity buys discount as one
-    number; this is the actual schedule a pricing analyst reads
-    (non-monotone bands are negotiation leakage).
-
-    Scale shape: map-side band/percent math, a ≤|bands|-group agg."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.expr("CAST(l_quantity AS BIGINT) div 10").alias("qty_band"),
-        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("disc_pp"),
-    )
-    return (
-        li.groupBy("qty_band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.expr(
-                "CAST(round(1000000 * (CAST(sum(disc_pp) AS DOUBLE) / count(1)))"
-                " AS BIGINT)"
-            ).alias("mean_disc_pp_q6"),
-        )
-        .orderBy("qty_band")
-    )
-
-
-_COST_QUERIES = [
-    ("spark hash join", ["spark", "hash", "join"]),
-    ("dup", ["dup"]),
-    ("the spark", ["the", "spark"]),
-]
-
-
-def _cost_q_sql() -> str:
-    rows = []
-    for qs, terms in _COST_QUERIES:
-        for t in terms:
-            rows.append(f"SELECT '{qs}' AS query, '{t}' AS term")
-    return " UNION ALL ".join(rows)
-
-
-@register(
-    "query_cost_estimate",
-    f"""WITH tf AS ({SQL_TF}),
-nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
-dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-q AS ({_cost_q_sql()}),
-pq AS (SELECT q.query, CAST(count(dfs.term) AS BIGINT) AS n_terms,
-              CAST(COALESCE(sum(dfs.df), 0) AS BIGINT) AS sum_df
-       FROM q LEFT JOIN dfs USING (term) GROUP BY q.query),
-mt AS (SELECT q.query, CAST(count(DISTINCT tf.doc_id) AS BIGINT) AS n_matching
-       FROM q JOIN tf USING (term) GROUP BY q.query)
-SELECT pq.query, pq.n_terms, pq.sum_df,
-       CAST(COALESCE(mt.n_matching, 0) AS BIGINT) AS n_matching_docs,
-       CAST((1000000 * COALESCE(mt.n_matching, 0)) // nd.n_docs AS BIGINT)
-         AS selectivity_q6
-FROM pq LEFT JOIN mt USING (query) CROSS JOIN nd ORDER BY pq.query""",
-)
-def query_cost_estimate(spark, sf_dir):
-    """Planner-style cost card for three canned queries: dictionary
-    terms found, total postings the OR-scan would read (Σ df), distinct
-    matching documents, and match selectivity — the numbers a query
-    planner (and the MaxScore gate in query/wand.py) decides with
-    before touching a posting ('the spark' reads half the index to
-    match most of it; 'dup' reads a sliver). Terms missing from the
-    dictionary count 0 via the LEFT probe (the preretrieval_qpp rule).
-
-    Determinism: exact counts, one integer share division.
-
-    Scale shape: the query spine is 6 broadcast rows; sum_df reads the
-    vocab-sized df table; the match count is a term-semi-joined
-    two-phase distinct."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()  # nd/dfs/match all consume it
-    )
-    nd = tf.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
-    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    qrows = [(qs, t) for qs, terms in _COST_QUERIES for t in terms]
-    q = F.broadcast(spark.createDataFrame(qrows, "query string, term string"))
-    pq = (
-        q.join(dfs, "term", "left")
-        .groupBy("query")
-        .agg(
-            F.count("df").cast("long").alias("n_terms"),
-            F.coalesce(F.sum("df"), F.lit(0)).cast("long").alias("sum_df"),
-        )
-    )
-    mt = (
-        tf.join(q, "term")
-        .groupBy("query")
-        .agg(F.countDistinct("doc_id").cast("long").alias("n_matching"))
-    )
-    return (
-        pq.join(mt, "query", "left")
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "query",
-            "n_terms",
-            "sum_df",
-            F.coalesce("n_matching", F.lit(0))
-            .cast("long")
-            .alias("n_matching_docs"),
-            F.expr(
-                "CAST((1000000 * COALESCE(n_matching, 0)) div n_docs AS BIGINT)"
-            ).alias("selectivity_q6"),
-        )
-        .orderBy("query")
-    )
-
-
-@register(
-    "peak_concurrent_sessions",
-    f"""WITH t AS (
-  SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events),
-fl AS (
-  SELECT user_id, t_us, event_id,
-         CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   IS NULL
-              OR t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS is_start
-  FROM t),
-se AS (
-  SELECT user_id, t_us,
-         sum(is_start) OVER (PARTITION BY user_id ORDER BY t_us, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-  FROM fl),
-ses AS (SELECT user_id, sid,
-               CAST(min(t_us) // 60000000 AS BIGINT) AS m0,
-               CAST(max(t_us) // 60000000 AS BIGINT) AS m1
-        FROM se GROUP BY user_id, sid),
-d AS (SELECT m0 AS minute, CAST(1 AS BIGINT) AS delta FROM ses
-      UNION ALL
-      SELECT m1 + 1, CAST(-1 AS BIGINT) FROM ses),
-g AS (SELECT minute, CAST(sum(delta) AS BIGINT) AS delta FROM d GROUP BY minute),
-c AS (SELECT minute,
-             CAST(sum(delta) OVER (ORDER BY minute
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS conc
-      FROM g)
-SELECT CAST(max(conc) AS BIGINT) AS peak_concurrency,
-       CAST(min(CASE WHEN conc = (SELECT max(conc) FROM c) THEN minute END)
-            AS BIGINT) AS at_minute
-FROM c""",
-)
-def peak_concurrent_sessions(spark, sf_dir):
-    """Peak concurrent sessions (minute grain) and when it happened —
-    THE capacity-planning number (connection pools, websocket fleets
-    and rate limits are sized off peak concurrency, not event volume).
-    Sweep-line over session intervals: +1 at the start minute, −1
-    after the end minute, running sum, max — the
-    open_lineitems_timeseries decomposition pointed at sessions; the
-    earliest peak minute is the deterministic tiebreak.
-
-    Determinism: exact integer minutes and counters.
-
-    Scale shape: sessionisation is the usual ONE user exchange; deltas
-    aggregate to OBSERVED boundary minutes (≤ min(2·sessions,
-    calendar minutes) cells — the delta-days argument), and the
-    cumulative window runs over those cells only."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        "event_id",
-    )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    fl = t.withColumn(
-        "is_start",
-        F.expr(
-            "CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
-            " IS NULL OR t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us,"
-            f" event_id) > {_SESSION_GAP_US} THEN 1 ELSE 0 END"
-        ),
-    )
-    se = fl.withColumn(
-        "sid",
-        F.sum("is_start").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    ses = se.groupBy("user_id", "sid").agg(
-        F.expr("CAST(min(t_us) div 60000000 AS BIGINT)").alias("m0"),
-        F.expr("CAST(max(t_us) div 60000000 AS BIGINT)").alias("m1"),
-    )
-    d = ses.select(
-        F.col("m0").alias("minute"), F.lit(1).cast("long").alias("delta")
-    ).unionByName(
-        ses.select(
-            (F.col("m1") + 1).alias("minute"),
-            F.lit(-1).cast("long").alias("delta"),
-        )
-    )
-    g = d.groupBy("minute").agg(F.sum("delta").cast("long").alias("delta"))
-    wc = Window.orderBy("minute").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = g.select("minute", F.sum("delta").over(wc).cast("long").alias("conc"))
-    return c.agg(
-        F.max(F.struct(F.col("conc"), (-F.col("minute")).alias("nm"))).alias("t")
-    ).select(
-        F.col("t.conc").cast("long").alias("peak_concurrency"),
-        (-F.col("t.nm")).cast("long").alias("at_minute"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 93 — event-time disorder census, positional index size,
-# per-label norm bias
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "event_disorder_histogram",
-    """WITH t AS (
-  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
-r AS (SELECT user_id, event_id, t_us,
-             CAST(max(t_us) OVER (PARTITION BY user_id ORDER BY event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS seen
-      FROM t),
-lt AS (SELECT CAST(seen - t_us AS BIGINT) AS late_us FROM r),
-bk AS (SELECT CASE WHEN late_us = 0 THEN -1
-              ELSE CAST(length(bin((late_us // 1000000) + 1)) - 1 AS BIGINT)
-              END AS bucket
-       FROM lt)
-SELECT bucket, CAST(count(*) AS BIGINT) AS n_events
-FROM bk GROUP BY bucket ORDER BY bucket""",
-)
-def event_disorder_histogram(spark, sf_dir):
-    """Event-time disorder census: per event, how far its timestamp lags
-    behind the maximum already seen in ARRIVAL order (event_id) within
-    its key — the empirical curve a Structured Streaming watermark is
-    tuned against (`withWatermark("ts", X)` drops exactly the events
-    whose lateness exceeds X; this histogram says what X costs).
-    Bucket −1 = in-order arrivals; else log2 of (late seconds + 1), so
-    sub-second jitter lands in bucket 0. Lateness is per-KEY (the
-    per-user running max) — the per-partition watermark view; a global
-    arrival order would need a stream-wide sort no engine does.
-
-    Determinism: exact integer lateness and buckets; the running max
-    orders by (event_id) — the arrival proxy.
-
-    Scale shape: ONE user_id exchange for the running-max window, a
-    ≤~40-bucket rollup."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        "event_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    r = t.select(
-        (F.max("t_us").over(w) - F.col("t_us")).cast("long").alias("late_us")
-    )
-    bk = r.select(
-        F.expr(
-            "CASE WHEN late_us = 0 THEN -1"
-            " ELSE CAST(length(bin((late_us div 1000000) + 1)) - 1 AS BIGINT) END"
-        ).alias("bucket")
-    )
-    return (
-        bk.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-        .orderBy("bucket")
-    )
-
-
-@register(
-    "positions_varint_estimate",
-    f"""WITH w AS ({SQL_WORDS}),
-p AS (SELECT doc_id, words[i] AS term, CAST(i AS BIGINT) AS pos
-      FROM w, unnest(generate_series(1, len(words))) AS t(i)
-      WHERE len(words) >= 1),
-d AS (SELECT doc_id, term, pos,
-             pos - lag(pos) OVER (PARTITION BY doc_id, term ORDER BY pos) AS delta
-      FROM p),
-b AS (SELECT doc_id, term,
-             CAST(CASE WHEN delta IS NULL THEN (length(bin(pos)) + 6) // 7
-                  ELSE (length(bin(delta)) + 6) // 7 END AS BIGINT) AS nbytes
-      FROM d),
-pt AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
-              CAST(count(*) AS BIGINT) AS n_positions,
-              CAST(sum(nbytes) AS BIGINT) AS bytes_est
-       FROM b GROUP BY term),
-bd AS (SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS df_band,
-              n_positions, bytes_est
-       FROM pt)
-SELECT df_band, CAST(count(*) AS BIGINT) AS n_terms,
-       CAST(sum(n_positions) AS BIGINT) AS n_positions,
-       CAST(sum(bytes_est) AS BIGINT) AS bytes_est,
-       CAST((1000000 * sum(bytes_est)) // sum(n_positions) AS BIGINT)
-         AS bytes_per_position_q6
-FROM bd GROUP BY df_band ORDER BY df_band""",
-)
-def positions_varint_estimate(spark, sf_dir):
-    """Positional-index size model: LEB128 bytes of the within-document
-    position deltas per log2-df band — the companion table to
-    postings_varint_estimate that prices the PHRASE-QUERY capability
-    (a positional index is typically 2-4× the doc-id index; whether to
-    pay that is decided by exactly this ratio, per band — maybe only
-    mid-df terms need positions, stopwords never do). First position
-    per (doc, term) is stored absolute (1-based), then gaps.
-
-    Determinism: pure integer arithmetic; positions are the 1-based
-    token indexes on BOTH sides (DuckDB generate_series matches
-    Spark's posexplode+1 — the term_vectors_doc shift, pre-applied).
-
-    Scale shape: the (doc, term) lag window partitions by the posting
-    key — bounded by one doc's tf (tiny), never corpus-wide; rollups
-    combine map-side into ≤64 band rows."""
-    wdf = _docs(spark, sf_dir).select(
-        "doc_id", spark_tokens("text").alias("words")
-    )
-    p = wdf.select(
-        "doc_id", F.posexplode("words").alias("i", "term")
-    ).select("doc_id", "term", (F.col("i") + 1).cast("long").alias("pos"))
-    wlag = Window.partitionBy("doc_id", "term").orderBy("pos")
-    d = p.select(
-        "doc_id",
-        "term",
-        "pos",
-        (F.col("pos") - F.lag("pos").over(wlag)).alias("delta"),
-    )
-    b = d.select(
-        "doc_id",
-        "term",
-        F.expr(
-            "CAST(CASE WHEN delta IS NULL THEN (length(bin(pos)) + 6) div 7"
-            " ELSE (length(bin(delta)) + 6) div 7 END AS BIGINT)"
-        ).alias("nbytes"),
-    )
-    pt = b.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("long").alias("df"),
-        F.count(F.lit(1)).cast("long").alias("n_positions"),
-        F.sum("nbytes").cast("long").alias("bytes_est"),
-    )
-    bd = pt.select(
-        F.expr("CAST(length(bin(df)) - 1 AS BIGINT)").alias("df_band"),
-        "n_positions",
-        "bytes_est",
-    )
-    return (
-        bd.groupBy("df_band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.sum("n_positions").cast("long").alias("n_positions"),
-            F.sum("bytes_est").cast("long").alias("bytes_est"),
-        )
-        .select(
-            "df_band",
-            "n_terms",
-            "n_positions",
-            "bytes_est",
-            F.expr(
-                "CAST((1000000 * bytes_est) div n_positions AS BIGINT)"
-            ).alias("bytes_per_position_q6"),
-        )
-        .orderBy("df_band")
-    )
-
-
-@register(
-    "label_norm_bias",
-    """WITH e AS (
-  SELECT label,
-         CAST(CAST(round(1000000 * sqrt(list_dot_product(
-              CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))
-              AS BIGINT) AS BIGINT) AS norm_q6
-  FROM embeddings)
-SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
-       CAST(CAST(sum(norm_q6) AS BIGINT) // count(*) AS BIGINT) AS mean_norm_q6,
-       CAST(min(norm_q6) AS BIGINT) AS min_norm_q6,
-       CAST(max(norm_q6) AS BIGINT) AS max_norm_q6
-FROM e GROUP BY label ORDER BY label""",
-)
-def label_norm_bias(spark, sf_dir):
-    """Per-label embedding-norm profile: mean/min/max vector norm by
-    class label — the norm-bias audit for classification use (softmax
-    logits scale with the norm, so a label whose vectors run
-    systematically longer gets a baked-in prior; norm_doclen_corr
-    catches the length confound, THIS catches the label confound).
-
-    Determinism: the norm is q6-rounded PER VECTOR from the double
-    dot product (same fold both engines — the float32 column casts to
-    double element-wise); the mean is a floor division of the exact
-    BIGINT sum.
-
-    Scale shape: map-side norm per vector, a ≤|labels|-group agg."""
-    e = _emb(spark, sf_dir).select(
-        "label",
-        F.expr(
-            "CAST(round(1000000 * sqrt(aggregate(zip_with("
-            "transform(embedding, x -> cast(x as double)),"
-            "transform(embedding, x -> cast(x as double)),"
-            " (a, b) -> a * b), cast(0.0 as double), (acc, z) -> acc + z)))"
-            " AS BIGINT)"
-        ).alias("norm_q6"),
-    )
-    return (
-        e.groupBy("label")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            F.expr(
-                "CAST(CAST(sum(norm_q6) AS BIGINT) div count(1) AS BIGINT)"
-            ).alias("mean_norm_q6"),
-            F.min("norm_q6").cast("long").alias("min_norm_q6"),
-            F.max("norm_q6").cast("long").alias("max_norm_q6"),
-        )
-        .select(
-            F.col("label").cast("long").alias("label"),
-            "n_vecs",
-            "mean_norm_q6",
-            "min_norm_q6",
-            "max_norm_q6",
-        )
-        .orderBy("label")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 94 — DP noisy release, BM25 length-bias audit, daily CTR
-# ---------------------------------------------------------------------------
-
-# Laplace(b=1/eps, eps=1) inverse CDF over the 52-bit md5 uniform
-# u = k/2^52 (exact in double — the bootstrap_mean_doclen construction);
-# the 1-2|u-1/2| argument floors at 2^-52 so u=0 can't reach ln(0).
-_DP_U = (
-    "(CAST(('0x' || substr(md5('dp:' || source), 1, 13))::UBIGINT AS DOUBLE)"
-    " / 4503599627370496e0)"
-)
-_DP_U_SPARK = (
-    "(CAST(conv(substring(md5(concat('dp:', source)), 1, 13), 16, 10) AS DOUBLE)"
-    " / 4503599627370496e0)"
-)
-
-
-def _dp_noise(u: str) -> str:
-    return (
-        f"(CASE WHEN {u} >= 5e-1 THEN -1e0 ELSE 1e0 END"
-        f" * ln(greatest(1e0 - 2e0 * abs({u} - 5e-1), 2.220446049250313e-16)))"
-    )
-
-
-@register(
-    "dp_source_counts",
-    f"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
-       FROM documents GROUP BY source),
-z AS (SELECT source, n,
-             CAST(round(1000000 * (n + {_dp_noise(_DP_U)})) AS BIGINT)
-               AS noisy_q6
-      FROM c)
-SELECT source, n AS n_docs, noisy_q6,
-       CAST(abs(noisy_q6 - 1000000 * n) AS BIGINT) AS abs_err_q6
-FROM z ORDER BY source""",
-)
-def dp_source_counts(spark, sf_dir):
-    """Differentially-private release of per-source document counts:
-    each count gets Laplace(1/ε) noise (ε = 1) drawn by inverse CDF
-    from the SEEDED 52-bit md5 uniform ('dp:'||source — hash-input
-    disjointness, the weighted_sample_docs rule), beside the true
-    count and the realised absolute error. This is the publishable
-    version of dataset_datasheet's volume column: ε=1 count noise is
-    ±1-ish, invisible at corpus scale but formally private. The
-    deterministic seed makes the "noise" reproducible across engines
-    and rounds — exactly how a DP release pipeline pins its
-    randomness for auditability.
-
-    Determinism: u = k/2^52 is exact in double; the inverse CDF is one
-    shared expression (ln floored away from ln(0)); one q6 rounding.
-
-    Scale shape: one source agg; noise is a map-side expression over
-    ≤|sources| rows."""
-    c = _docs(spark, sf_dir).groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    z = c.select(
-        "source",
-        "n",
-        F.expr(
-            f"CAST(round(1000000 * (n + {_dp_noise(_DP_U_SPARK)})) AS BIGINT)"
-        ).alias("noisy_q6"),
-    )
-    return z.select(
-        "source",
-        F.col("n").alias("n_docs"),
-        "noisy_q6",
-        F.expr("CAST(abs(noisy_q6 - 1000000 * n) AS BIGINT)").alias(
-            "abs_err_q6"
-        ),
-    ).orderBy("source")
-
-
-@register(
-    "score_by_length_band",
-    _bm25_agg_ctes(_RANKEVAL_TERMS)
-    + """,
-band AS (SELECT dl.doc_id, CAST(length(bin(dl.doc_len)) - 1 AS BIGINT) AS len_band
-         FROM dl),
-tot AS (SELECT len_band, CAST(count(*) AS BIGINT) AS n_docs
-        FROM band GROUP BY len_band),
-mtc AS (SELECT band.len_band, CAST(count(*) AS BIGINT) AS n_matched,
-               CAST(sum(agg.score_q6) AS BIGINT) AS sum_score
-        FROM agg JOIN band USING (doc_id) GROUP BY band.len_band)
-SELECT tot.len_band, tot.n_docs,
-       CAST(COALESCE(mtc.n_matched, 0) AS BIGINT) AS n_matched,
-       CAST((1000000 * COALESCE(mtc.n_matched, 0)) // tot.n_docs AS BIGINT)
-         AS match_share_q6,
-       CASE WHEN COALESCE(mtc.n_matched, 0) = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(mtc.sum_score // mtc.n_matched AS BIGINT)
-       END AS mean_score_q6
-FROM tot LEFT JOIN mtc USING (len_band) ORDER BY tot.len_band""",
-)
-def score_by_length_band(spark, sf_dir):
-    """BM25 length-bias audit: per log2-doc-length band, what share of
-    the band's documents match the canned query and their mean match
-    score — the empirical check on the b = 0.75 length normalisation
-    (rising mean score with length says the penalty undershoots and
-    long docs win on sheer term volume; falling says it overshoots —
-    the evidence a bm25_param_sweep b-decision should read first).
-
-    Determinism: bands are exact floor-log2; mean score is a floor
-    division of exact q6 sums.
-
-    Scale shape: the memoized match set joins the doc-length table on
-    doc_id (match-set-sized); band rollups combine map-side into ≤32
-    rows."""
-    agg = _bm25_match_set(spark, sf_dir, _RANKEVAL_TERMS)
-    dl = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("doc_len"))
-        .select(
-            "doc_id",
-            F.expr("CAST(length(bin(doc_len)) - 1 AS BIGINT)").alias(
-                "len_band"
-            ),
-        )
-        .localCheckpoint()  # totals + match join both consume it
-    )
-    tot = dl.groupBy("len_band").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
-    mtc = (
-        agg.join(dl, "doc_id")
-        .groupBy("len_band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_matched"),
-            F.sum("score_q6").cast("long").alias("sum_score"),
-        )
-    )
-    return (
-        tot.join(mtc, "len_band", "left")
-        .select(
-            "len_band",
-            "n_docs",
-            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
-            F.expr(
-                "CAST((1000000 * COALESCE(n_matched, 0)) div n_docs AS BIGINT)"
-            ).alias("match_share_q6"),
-            F.expr(
-                "CASE WHEN COALESCE(n_matched, 0) = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST(sum_score div n_matched AS BIGINT) END"
-            ).alias("mean_score_q6"),
-        )
-        .orderBy("len_band")
-    )
-
-
-@register(
-    "daily_ctr",
-    f"""WITH e AS (
-  SELECT epoch_us(ts) // {_US_PER_DAY} AS day_num, event_type FROM events),
-d AS (SELECT day_num,
-             CAST(COALESCE(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0)
-                  AS BIGINT) AS n_views,
-             CAST(COALESCE(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0)
-                  AS BIGINT) AS n_clicks
-      FROM e GROUP BY day_num)
-SELECT CAST(day_num AS BIGINT) AS day_num, n_views, n_clicks,
-       CASE WHEN n_views = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * n_clicks) // n_views AS BIGINT)
-       END AS ctr_q6
-FROM d ORDER BY day_num""",
-)
-def daily_ctr(spark, sf_dir):
-    """Daily click-through rate: clicks over views per calendar day —
-    the front-page KPI timeseries (events_funnel measures the
-    per-user journey once; THIS is the daily pulse the on-call dashboard
-    plots, and the series events_cusum_anomaly would monitor next).
-    Zero-view days emit the 0 sentinel; observed days only.
-
-    Scale shape: one day groupBy with two conditional counters
-    (map-side partials), a per-row division."""
-    e = _events(spark, sf_dir).select(
-        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-            "day_num"
-        ),
-        "event_type",
-    )
-    d = e.groupBy("day_num").agg(
-        F.coalesce(
-            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_views"),
-        F.coalesce(
-            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_clicks"),
-    )
-    return d.select(
-        F.col("day_num").cast("long").alias("day_num"),
-        "n_views",
-        "n_clicks",
-        F.expr(
-            "CASE WHEN n_views = 0 THEN CAST(0 AS BIGINT)"
-            " ELSE CAST((1000000 * n_clicks) div n_views AS BIGINT) END"
-        ).alias("ctr_q6"),
-    ).orderBy("day_num")
-
-
-# ---------------------------------------------------------------------------
-# session 95 — FK integrity census, unit-price dispersion, min-df pruning
-# curve
-# ---------------------------------------------------------------------------
-
-_FK_EDGES = [
-    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
-    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
-    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
-    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
-    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
-]
-
-
-def _fk_leg_sql(name, child, ckey, parent, pkey):
-    return f"""SELECT '{name}' AS fk_edge,
-       CAST(count(*) AS BIGINT) AS n_child_rows,
-       CAST(COALESCE(sum(CASE WHEN p.{pkey} IS NULL THEN 1 ELSE 0 END), 0)
-            AS BIGINT) AS n_orphans
-FROM {child} c LEFT JOIN {parent} p ON p.{pkey} = c.{ckey}"""
-
-
-@register(
-    "fk_integrity_census",
-    "\nUNION ALL\n".join(_fk_leg_sql(*e) for e in _FK_EDGES)
-    + "\nORDER BY fk_edge",
-)
-def fk_integrity_census(spark, sf_dir):
-    """Referential-integrity census of the star schema: every FK edge's
-    child-row count and orphan count (children whose parent key is
-    missing) — the warehouse smoke test that runs before ANY join is
-    trusted (an orphan rate > 0 silently shrinks every inner join
-    downstream, which is how revenue "disappears" in rollups; J3's
-    consistency anti-join does this for the index, THIS does it for
-    the data). Six edges, one row each, all zeros on healthy data —
-    and the op exists so a broken load shows WHERE.
-
-    Determinism: exact counts.
-
-    Scale shape: each leg is a LEFT probe keyed on the FK (un-hinted —
-    dims broadcast via AQE, fact-fact legs shuffle); orphan counting
-    is map-side conditional aggregation."""
-    outs = []
-    for name, child, ckey, parent, pkey in _FK_EDGES:
-        c = spark.read.parquet(f"{sf_dir}/{child}.parquet").select(
-            F.col(ckey).alias("ck")
-        )
-        p = spark.read.parquet(f"{sf_dir}/{parent}.parquet").select(
-            F.col(pkey).alias("pk")
-        )
-        j = c.join(p, c["ck"] == p["pk"], "left")
-        outs.append(
-            j.agg(
-                F.count(F.lit(1)).cast("long").alias("n_child_rows"),
-                F.coalesce(
-                    F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0)),
-                    F.lit(0),
-                )
-                .cast("long")
-                .alias("n_orphans"),
-            ).select(
-                F.lit(name).alias("fk_edge"), "n_child_rows", "n_orphans"
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("fk_edge")
-
-
-@register(
-    "unit_price_dispersion",
-    """WITH l AS (
-  SELECT l_partkey,
-         CAST(round(100 * l_extendedprice / l_quantity) AS BIGINT) AS unit_c
-  FROM lineitem WHERE l_quantity > 0),
-p AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_items,
-             CAST(count(DISTINCT unit_c) AS BIGINT) AS n_prices
-      FROM l GROUP BY l_partkey),
-b AS (SELECT CASE WHEN n_prices = 1 THEN 1
-                  WHEN n_prices = 2 THEN 2 ELSE 3 END AS price_bucket,
-             n_items
-      FROM p)
-SELECT CAST(price_bucket AS BIGINT) AS price_bucket,
-       CAST(count(*) AS BIGINT) AS n_parts,
-       CAST(sum(n_items) AS BIGINT) AS n_lineitems
-FROM b GROUP BY price_bucket ORDER BY price_bucket""",
-)
-def unit_price_dispersion(spark, sf_dir):
-    """Pricing-consistency census: per part, how many DISTINCT implied
-    unit prices (extendedprice/quantity, exact cents) its lineitems
-    carry, rolled up into one/two/many buckets — the audit behind
-    "is pricing rule-driven or negotiated per deal" (bucket 1 = a
-    price list; heavy bucket 3 = discount chaos or a data bug, read
-    next to discount_by_quantity_band which explains the LEGITIMATE
-    variation).
-
-    Determinism: unit price rounds to exact cents per row; counts and
-    buckets exact.
-
-    Scale shape: one partkey agg with a two-phase distinct, a 3-bucket
-    rollup."""
-    li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .where(F.col("l_quantity") > 0)
-        .select(
-            "l_partkey",
-            F.expr(
-                "CAST(round(100 * l_extendedprice / l_quantity) AS BIGINT)"
-            ).alias("unit_c"),
-        )
-    )
-    p = li.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.countDistinct("unit_c").cast("long").alias("n_prices"),
-    )
-    b = p.select(
-        F.expr(
-            "CASE WHEN n_prices = 1 THEN 1 WHEN n_prices = 2 THEN 2 ELSE 3 END"
-        ).alias("price_bucket"),
-        "n_items",
-    )
-    return (
-        b.groupBy("price_bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_parts"),
-            F.sum("n_items").cast("long").alias("n_lineitems"),
-        )
-        .select(
-            F.col("price_bucket").cast("long").alias("price_bucket"),
-            "n_parts",
-            "n_lineitems",
-        )
-        .orderBy("price_bucket")
-    )
-
-
-@register(
-    "mindf_prune_curve",
-    f"""WITH tf AS ({SQL_TF}),
-pt AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
-              CAST(sum((length(bin(doc_id + 1)) + 6) // 7) AS BIGINT) AS bytes_ub
-       FROM tf GROUP BY term),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
-               CAST(sum(df) AS BIGINT) AS n_postings,
-               CAST(sum(bytes_ub) AS BIGINT) AS bytes_tot
-        FROM pt),
-ks AS (SELECT unnest([1, 2, 4]) AS k),
-cut AS (SELECT ks.k, CAST(count(pt.term) AS BIGINT) AS terms_dropped,
-               CAST(COALESCE(sum(pt.df), 0) AS BIGINT) AS postings_dropped,
-               CAST(COALESCE(sum(pt.bytes_ub), 0) AS BIGINT) AS bytes_saved
-        FROM ks LEFT JOIN pt ON pt.df <= ks.k GROUP BY ks.k)
-SELECT CAST(cut.k AS BIGINT) AS min_df,
-       CAST(COALESCE(cut.terms_dropped, 0) AS BIGINT) AS terms_dropped,
-       cut.postings_dropped, cut.bytes_saved,
-       CAST((1000000 * cut.bytes_saved) // greatest(tot.bytes_tot, 1) AS BIGINT)
-         AS bytes_share_q6
-FROM cut CROSS JOIN tot ORDER BY min_df""",
-)
-def mindf_prune_curve(spark, sf_dir):
-    """min_df pruning curve: what dropping df ≤ 1/2/4 terms from the
-    dictionary saves — terms, postings, and an upper-bound byte
-    estimate (absolute-id varint cost per posting, the worst case for
-    the rare terms this cut targets), as a share of the whole index.
-    The classic vocabulary-pruning decision (typo hapaxes are most of
-    any web dictionary and nearly none of its usefulness — but every
-    dropped term is an exact-match query that now returns nothing;
-    rare_terms shows WHAT they are, this prices the cut).
-
-    Determinism: pure integer arithmetic; the LEFT theta-join keeps a
-    row per k even when nothing is dropped.
-
-    Scale shape: one vocab-sized term table; the curve is a 3-row
-    theta-join against it (the nprobe-curve fan pattern)."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    pt = (
-        tf.groupBy("term")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("df"),
-            F.sum(F.expr("(length(bin(doc_id + 1)) + 6) div 7"))
-            .cast("long")
-            .alias("bytes_ub"),
-        )
-        .localCheckpoint()  # totals + the 3-way theta join consume it
-    )
-    tot = pt.agg(
-        F.count(F.lit(1)).cast("long").alias("n_terms"),
-        F.sum("df").cast("long").alias("n_postings"),
-        F.sum("bytes_ub").cast("long").alias("bytes_tot"),
-    )
-    ks = spark.createDataFrame([(1,), (2,), (4,)], "k long")
-    cut = (
-        F.broadcast(ks)
-        .join(pt, pt["df"] <= ks["k"], "left")
-        .groupBy("k")
-        .agg(
-            F.count("term").cast("long").alias("terms_dropped"),
-            F.coalesce(F.sum("df"), F.lit(0)).cast("long").alias(
-                "postings_dropped"
-            ),
-            F.coalesce(F.sum("bytes_ub"), F.lit(0)).cast("long").alias(
-                "bytes_saved"
-            ),
-        )
-    )
-    return (
-        cut.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("k").cast("long").alias("min_df"),
-            "terms_dropped",
-            "postings_dropped",
-            "bytes_saved",
-            F.expr(
-                "CAST((1000000 * bytes_saved) div greatest(bytes_tot, 1)"
-                " AS BIGINT)"
-            ).alias("bytes_share_q6"),
-        )
-        .orderBy("min_df")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 96 — IVF cell label purity, sentence length histogram, monthly
-# revenue growth
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "ivf_label_purity",
-    _KMEANS_SQL_PRELUDE
-    + """,
-lb AS (SELECT vec_id, label FROM embeddings),
-mem AS (SELECT a3.cid, lb.label FROM a3 JOIN lb USING (vec_id)),
-cellcnt AS (SELECT cid, label, CAST(count(*) AS BIGINT) AS n
-            FROM mem GROUP BY cid, label),
-per AS (SELECT cid, CAST(sum(n) AS BIGINT) AS n_members FROM cellcnt GROUP BY cid),
-top AS (SELECT cid, label AS top_label, n AS top_n FROM (
-          SELECT cid, label, n,
-                 row_number() OVER (PARTITION BY cid
-                                    ORDER BY n DESC, label ASC) AS rn
-          FROM cellcnt) WHERE rn = 1)
-SELECT CAST(per.cid AS BIGINT) AS cid, per.n_members,
-       CAST(top.top_label AS BIGINT) AS top_label, top.top_n,
-       CAST((1000000 * top.top_n) // per.n_members AS BIGINT) AS purity_q6
-FROM per JOIN top USING (cid) ORDER BY cid""",
-)
-def ivf_label_purity(spark, sf_dir):
-    """Label homogeneity of the trained IVF cells: per cell, its
-    majority label and that label's share — the cluster-quality
-    reading ivf_cluster_balance doesn't give (balance says cells are
-    SIZED right; purity says whether the geometry k-means found aligns
-    with the labels at all — purity at the label prior means clusters
-    and classes are independent, the honest expectation on i.i.d.
-    sandbox vectors).
-
-    Determinism: majority = map-side max(struct(n, -label)) per cell
-    (oracle windows); purity is integer division.
-
-    Scale shape: the memoized assignment joins labels on vec_id
-    (un-hinted); everything downstream is ≤K×|labels| rows."""
-    _members, _cent, final_assign = _trained_ivf(spark, sf_dir)
-    lb = _emb(spark, sf_dir).select("vec_id", "label")
-    mem = final_assign.join(lb, "vec_id").select("cid", "label")
-    cellcnt = mem.groupBy("cid", "label").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    per = cellcnt.groupBy("cid").agg(
-        F.sum("n").cast("long").alias("n_members"),
-        F.max(F.struct(F.col("n"), (-F.col("label")).alias("nl"))).alias("t"),
-    )
-    return per.select(
-        F.col("cid").cast("long").alias("cid"),
-        "n_members",
-        (-F.col("t.nl")).cast("long").alias("top_label"),
-        F.col("t.n").alias("top_n"),
-        F.expr("CAST((1000000 * t.n) div n_members AS BIGINT)").alias(
-            "purity_q6"
-        ),
-    ).orderBy("cid")
-
-
-@register(
-    "sentence_length_histogram",
-    f"""WITH s AS (
-  SELECT unnest(string_split_regex(text, '[.!?]+')) AS seg FROM documents),
-c AS (SELECT CAST(len(regexp_extract_all(lower(seg), '{TOKEN_PATTERN}'))
-             AS BIGINT) AS n_words
-      FROM s),
-b AS (SELECT CAST(length(bin(n_words)) - 1 AS BIGINT) AS len_band
-      FROM c WHERE n_words > 0)
-SELECT len_band, CAST(count(*) AS BIGINT) AS n_sentences
-FROM b GROUP BY len_band ORDER BY len_band""",
-)
-def sentence_length_histogram(spark, sf_dir):
-    """Sentence-length distribution (words per sentence, log2 bands) —
-    the syntax-complexity census underneath readability_flesch's single
-    mean (two corpora with the same words/sentence average read very
-    differently if one mixes 3-word fragments with 60-word
-    run-ons; heavy ≥32 bands also flag punctuation-stripped boilerplate
-    that flesch's floor-at-1 hides). Sentences split on [.!?]+ runs
-    (the flesch convention); empty segments (trailing terminators)
-    drop.
-
-    Determinism: DuckDB string_split_regex vs Spark split() on the
-    same pattern produce the same segments; word counts use the shared
-    tokenizer regex per segment.
-
-    Scale shape: per-doc split + per-segment count are map-side; one
-    ≤~12-band agg."""
-    s = _docs(spark, sf_dir).select(
-        F.explode(F.expr("split(text, '[.!?]+')")).alias("seg")
-    )
-    c = s.select(
-        F.expr(
-            f"CAST(size(regexp_extract_all(lower(seg), '{TOKEN_PATTERN}', 0))"
-            " AS BIGINT)"
-        ).alias("n_words")
-    )
-    b = c.where(F.col("n_words") > 0).select(
-        F.expr("CAST(length(bin(n_words)) - 1 AS BIGINT)").alias("len_band")
-    )
-    return (
-        b.groupBy("len_band")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_sentences"))
-        .orderBy("len_band")
-    )
-
-
-@register(
-    "monthly_revenue_growth",
-    """WITH o AS (
-  SELECT (year(CAST(o_orderdate AS TIMESTAMP)) * 12
-          + month(CAST(o_orderdate AS TIMESTAMP)) - 1) AS mkey,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders),
-m AS (SELECT mkey, CAST(count(*) AS BIGINT) AS n_orders,
-             CAST(sum(cents) AS BIGINT) AS revenue_cents
-      FROM o GROUP BY mkey),
-g AS (SELECT mkey, n_orders, revenue_cents,
-             lag(revenue_cents) OVER (ORDER BY mkey) AS prev
-      FROM m)
-SELECT CAST(mkey AS BIGINT) AS month_key, n_orders, revenue_cents,
-       CAST(round(1000000 * ((CAST(revenue_cents AS DOUBLE) - prev) / prev))
-            AS BIGINT) AS growth_q6
-FROM g WHERE prev IS NOT NULL AND prev > 0 ORDER BY month_key""",
-)
-def monthly_revenue_growth(spark, sf_dir):
-    """Month-over-month revenue growth: the KPI series behind every
-    board slide, as signed q6 rates between consecutive OBSERVED months
-    (month_key = 12·year + month − 1; a calendar gap compares across it
-    — the declared rule; the first month and zero-revenue predecessors
-    drop by the serial_diff IS NOT NULL convention). Growth is
-    one float division per row — a signed integer division would hit
-    the truncate-vs-floor divergence on negative months (the
-    rank_correlation lesson).
-
-    Scale shape: one month agg (map-side partials); the lag window
-    runs over calendar-bounded month rows."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        F.expr(
-            "(year(CAST(o_orderdate AS TIMESTAMP)) * 12"
-            " + month(CAST(o_orderdate AS TIMESTAMP)) - 1)"
-        ).alias("mkey"),
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-    )
-    m = o.groupBy("mkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum("cents").cast("long").alias("revenue_cents"),
-    )
-    w = Window.orderBy("mkey")
-    g = m.withColumn("prev", F.lag("revenue_cents").over(w))
-    return (
-        g.where(F.col("prev").isNotNull() & (F.col("prev") > 0))
-        .select(
-            F.col("mkey").cast("long").alias("month_key"),
-            "n_orders",
-            "revenue_cents",
-            F.expr(
-                "CAST(round(1000000 * ((CAST(revenue_cents AS DOUBLE) - prev)"
-                " / prev)) AS BIGINT)"
-            ).alias("growth_q6"),
-        )
-        .orderBy("month_key")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 97 — A/B sample-ratio mismatch, exact-duplicate embeddings,
-# SERP source diversity
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "ab_srm_check",
-    """WITH u AS (
-  SELECT DISTINCT user_id,
-         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 4))::INT % 2
-           AS arm
-  FROM events),
-s AS (SELECT CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n0,
-             CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n1
-      FROM u)
-SELECT n0, n1,
-       CASE WHEN n0 + n1 = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 * ((CAST(n0 - n1 AS DOUBLE) * (n0 - n1))
-                 / (n0 + n1))) AS BIGINT) END AS srm_chi2_q6
-FROM s""",
-)
-def ab_srm_check(spark, sf_dir):
-    """Sample-ratio mismatch check for the A/B assignment: chi² of the
-    two arm sizes against the designed 50/50 split — the experiment-
-    VALIDITY gate that runs before ab_significance is allowed to mean
-    anything (an SRM (chi² > ~3.84) says the assignment or logging is
-    biased, and every downstream p-value is garbage; it is the single
-    most common way real experiments silently break). Uses the same
-    md5('ab:'||user) arms as the readout ops.
-
-    Determinism: exact arm counts; chi² = (n0−n1)²/(n0+n1) as ONE
-    shared float expression ((O−E)²/E summed over two cells collapses
-    to exactly this).
-
-    Scale shape: a distinct-user census with map-side arm hashing, a
-    1-row agg."""
-    u = (
-        _events(spark, sf_dir)
-        .select("user_id")
-        .distinct()
-        .select(
-            F.expr(
-                "cast(conv(substring(md5(concat('ab:', cast(user_id as string))),"
-                " 1, 4), 16, 10) as int) % 2"
-            ).alias("arm")
-        )
-    )
-    s = u.agg(
-        F.count_if(F.col("arm") == 0).cast("long").alias("n0"),
-        F.count_if(F.col("arm") == 1).cast("long").alias("n1"),
-    )
-    return s.select(
-        "n0",
-        "n1",
-        F.expr(
-            "CASE WHEN n0 + n1 = 0 THEN CAST(0 AS BIGINT)"
-            " ELSE CAST(round(1000000 * ((CAST(n0 - n1 AS DOUBLE) * (n0 - n1))"
-            " / (n0 + n1))) AS BIGINT) END"
-        ).alias("srm_chi2_q6"),
-    )
-
-
-@register(
-    "embedding_exact_dups",
-    """WITH k AS (
-  SELECT md5(array_to_string(list_transform(CAST(embedding AS DOUBLE[]),
-         x -> CAST(CAST(round(1000000 * x) AS BIGINT) AS VARCHAR)), ',')) AS h
-  FROM embeddings),
-g AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY h)
-SELECT CAST(sum(n) AS BIGINT) AS n_vecs,
-       CAST(count(*) AS BIGINT) AS n_distinct,
-       CAST(COALESCE(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT)
-         AS n_dup_groups,
-       CAST(max(n) AS BIGINT) AS max_group
-FROM g""",
-)
-def embedding_exact_dups(spark, sf_dir):
-    """Exact-duplicate embedding census: vectors hashed by the md5 of
-    their comma-joined q6-component string, grouped — the upstream-bug
-    detector for vector stores (identical embeddings for distinct
-    items mean an encoder fed truncated/empty inputs or a batch-copy
-    bug; semdedup finds NEAR-dups expensively, this finds the
-    degenerate exact case in one agg and should run first).
-
-    Determinism: components q6-round per element before joining (the
-    same quantization every vector op uses), so the hash key is
-    identical across engines.
-
-    Scale shape: map-side hashing, one hash-keyed agg, a 1-row census."""
-    k = _emb(spark, sf_dir).select(
-        F.md5(
-            F.expr(
-                "array_join(transform(embedding,"
-                " x -> CAST(CAST(round(1000000 * cast(x as double)) AS BIGINT)"
-                " AS STRING)), ',')"
-            )
-        ).alias("h")
-    )
-    g = k.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    return g.agg(
-        F.sum("n").cast("long").alias("n_vecs"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct"),
-        F.coalesce(
-            F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)), F.lit(0)
-        )
-        .cast("long")
-        .alias("n_dup_groups"),
-        F.max("n").cast("long").alias("max_group"),
-    )
-
-
-@register(
-    "serp_source_diversity",
-    _bm25_agg_ctes(_RANKEVAL_TERMS)
-    + """,
-page AS (SELECT doc_id FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 10),
-ps AS (SELECT d.source FROM page JOIN documents d USING (doc_id)),
-cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ps GROUP BY source),
-tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cnt),
-ent AS (SELECT CAST(COALESCE(sum(CAST(round(1000000 * (-1e0
-             * (CAST(cnt.n AS DOUBLE) / tot.t)
-             * ln(CAST(cnt.n AS DOUBLE) / tot.t))) AS BIGINT)), 0) AS BIGINT)
-               AS h_q6,
-             CAST(count(*) AS BIGINT) AS n_sources,
-             CAST(max(cnt.n) AS BIGINT) AS top_n
-      FROM cnt CROSS JOIN tot)
-SELECT ent.n_sources, ent.top_n,
-       CAST((1000000 * ent.top_n) // greatest(tot.t, 1) AS BIGINT)
-         AS top_share_q6,
-       ent.h_q6 AS entropy_q6
-FROM ent CROSS JOIN tot""",
-)
-def serp_source_diversity(spark, sf_dir):
-    """Result-page diversity: how many distinct sources the BM25 top-10
-    spans, the top source's share, and the Shannon entropy of the
-    page's source mix — the SERP-diversity metric behind "one domain
-    owns the whole page" complaints (search_facets counts sources over
-    the full MATCH SET; ranking then re-concentrates them, and THIS
-    measures what the user actually sees — the gap between the two is
-    the ranking's diversity cost; domain_cap is the remedy).
-
-    Determinism: per-source entropy terms q6-round FIRST (the
-    source_unigram_entropy rule) then BIGINT-sum over ≤10 rows.
-
-    Scale shape: the page is 10 rows; its source join broadcasts the
-    page into documents; every agg downstream is ≤10 rows."""
-    agg = _bm25_match_set(spark, sf_dir, _RANKEVAL_TERMS)
-    page = (
-        agg.orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(10)
-        .select("doc_id")
-    )
-    docs = _docs(spark, sf_dir).select("doc_id", "source")
-    ps = docs.join(F.broadcast(page), "doc_id").select("source")
-    cnt = ps.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    tot = cnt.agg(F.sum("n").cast("long").alias("t"))
-    ent = cnt.crossJoin(F.broadcast(tot)).agg(
-        F.coalesce(
-            F.sum(
-                F.expr(
-                    "CAST(round(1000000 * (-1e0 * (CAST(n AS DOUBLE) / t)"
-                    " * ln(CAST(n AS DOUBLE) / t))) AS BIGINT)"
-                )
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("h_q6"),
-        F.count(F.lit(1)).cast("long").alias("n_sources"),
-        F.max("n").cast("long").alias("top_n"),
-    )
-    return ent.crossJoin(F.broadcast(tot)).select(
-        "n_sources",
-        "top_n",
-        F.expr("CAST((1000000 * top_n) div greatest(t, 1) AS BIGINT)").alias(
-            "top_share_q6"
-        ),
-        F.col("h_q6").alias("entropy_q6"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 98 — title/body language divergence, top moving parts, customer
-# acquisition curve
-# ---------------------------------------------------------------------------
-
-# per-term JSD contribution between the title (p) and body (q) unigram
-# LMs, q6-rounded FIRST (the hellinger/weekly-JSD rule). Columns:
-# nt (term count in title), tt (title total), nb, tb; the union-vocab
-# spine guarantees nt + nb >= 1 so m > 0.
-_TB_P = "(CAST(nt AS DOUBLE) / tt)"
-_TB_Q = "(CAST(nb AS DOUBLE) / tb)"
-_TB_M = f"(({_TB_P} + {_TB_Q}) / 2e0)"
-_TB_C = (
-    f"CAST(round(1000000 * ((CASE WHEN nt = 0 THEN 0e0"
-    f" ELSE 5e-1 * {_TB_P} * ln({_TB_P} / {_TB_M}) END)"
-    f" + (CASE WHEN nb = 0 THEN 0e0"
-    f" ELSE 5e-1 * {_TB_Q} * ln({_TB_Q} / {_TB_M}) END))) AS BIGINT)"
-)
-
-
-@register(
-    "title_body_jsd",
-    f"""WITH {_SQL_POS},
-fld AS (SELECT CASE WHEN i <= 8 THEN 'title' ELSE 'body' END AS field, term
-        FROM p),
-c AS (SELECT field, term, CAST(count(*) AS BIGINT) AS n
-      FROM fld GROUP BY field, term),
-tt AS (SELECT CAST(COALESCE(sum(CASE WHEN field = 'title' THEN n END), 0)
-              AS BIGINT) AS tt,
-              CAST(COALESCE(sum(CASE WHEN field = 'body' THEN n END), 0)
-              AS BIGINT) AS tb
-       FROM c),
-v AS (SELECT term,
-             CAST(COALESCE(sum(CASE WHEN field = 'title' THEN n END), 0)
-                  AS BIGINT) AS nt,
-             CAST(COALESCE(sum(CASE WHEN field = 'body' THEN n END), 0)
-                  AS BIGINT) AS nb
-      FROM c GROUP BY term)
-SELECT tt.tt AS n_title_tokens, tt.tb AS n_body_tokens,
-       CAST(count(*) AS BIGINT) AS n_terms,
-       CAST(COALESCE(sum({_TB_C}), 0) AS BIGINT) AS jsd_q6
-FROM v CROSS JOIN tt
-WHERE tt.tt > 0 AND tt.tb > 0
-GROUP BY tt.tt, tt.tb""",
-)
-def title_body_jsd(spark, sf_dir):
-    """Language divergence between the title field (first 8 tokens —
-    the most_fields convention) and the body: Jensen-Shannon divergence
-    of the two unigram LMs over the union vocabulary — the number that
-    JUSTIFIES per-field scoring (bm25f/cross_fields pay real plan cost
-    for field structure; if titles speak the body's language, JSD ≈ 0
-    and one field would do; headline-style titles push it up).
-
-    Determinism: per-term contributions q6-round FIRST from exact
-    counts; terms absent from one field contribute only the other
-    half (the weekly-JSD 0-guards); an all-title or all-body corpus
-    emits no row identically in both engines.
-
-    Scale shape: one (field, term) agg (vocab-bounded ×2), a vocab
-    pivot, 1-row totals broadcast; the JSD sum runs on vocab rows."""
-    wdf = _docs(spark, sf_dir).select(spark_tokens("text").alias("words"))
-    fld = wdf.select(
-        F.posexplode("words").alias("i", "term")
-    ).select(
-        F.expr("CASE WHEN i < 8 THEN 'title' ELSE 'body' END").alias("field"),
-        "term",
-    )
-    c = (
-        fld.groupBy("field", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()  # totals + pivot both consume it
-    )
-    tt = c.agg(
-        F.coalesce(
-            F.sum(F.when(F.col("field") == "title", F.col("n"))), F.lit(0)
-        )
-        .cast("long")
-        .alias("tt"),
-        F.coalesce(
-            F.sum(F.when(F.col("field") == "body", F.col("n"))), F.lit(0)
-        )
-        .cast("long")
-        .alias("tb"),
-    )
-    v = c.groupBy("term").agg(
-        F.coalesce(
-            F.sum(F.when(F.col("field") == "title", F.col("n"))), F.lit(0)
-        )
-        .cast("long")
-        .alias("nt"),
-        F.coalesce(
-            F.sum(F.when(F.col("field") == "body", F.col("n"))), F.lit(0)
-        )
-        .cast("long")
-        .alias("nb"),
-    )
-    return (
-        v.crossJoin(F.broadcast(tt))
-        .where((F.col("tt") > 0) & (F.col("tb") > 0))
-        .groupBy("tt", "tb")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.coalesce(F.sum(F.expr(_TB_C)), F.lit(0))
-            .cast("long")
-            .alias("jsd_q6"),
-        )
-        .select(
-            F.col("tt").alias("n_title_tokens"),
-            F.col("tb").alias("n_body_tokens"),
-            "n_terms",
-            "jsd_q6",
-        )
-    )
-
-
-@register(
-    "top_moving_parts",
-    """WITH l AS (
-  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
-         (year(CAST(l_shipdate AS TIMESTAMP)) * 12
-          + month(CAST(l_shipdate AS TIMESTAMP)) - 1) AS mkey
-  FROM lineitem),
-s AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS total_qty,
-             CAST(count(*) AS BIGINT) AS n_lineitems,
-             CAST(count(DISTINCT mkey) AS BIGINT) AS n_months
-      FROM l GROUP BY l_partkey)
-SELECT l_partkey, total_qty, n_lineitems, n_months,
-       CAST(row_number() OVER (ORDER BY total_qty DESC, l_partkey ASC)
-            AS BIGINT) AS rank
-FROM s ORDER BY total_qty DESC, l_partkey ASC LIMIT 10""",
-)
-def top_moving_parts(spark, sf_dir):
-    """Fastest-moving parts: top-10 by total shipped quantity, with the
-    number of distinct active ship-months — the inventory-velocity
-    board (a part moving the same volume in 2 months vs 24 needs a
-    completely different stocking policy; part_revenue_pareto ranks by
-    money, THIS ranks by units and spread).
-
-    Determinism: exact integer quantities; rank over (qty desc,
-    partkey).
-
-    Scale shape: one partkey agg (two-phase distinct for months), a
-    TakeOrdered top-10."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_partkey",
-        F.col("l_quantity").cast("long").alias("qty"),
-        F.expr(
-            "(year(CAST(l_shipdate AS TIMESTAMP)) * 12"
-            " + month(CAST(l_shipdate AS TIMESTAMP)) - 1)"
-        ).alias("mkey"),
-    )
-    s = li.groupBy("l_partkey").agg(
-        F.sum("qty").cast("long").alias("total_qty"),
-        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
-        F.countDistinct("mkey").cast("long").alias("n_months"),
-    )
-    top = s.orderBy(F.desc("total_qty"), F.asc("l_partkey")).limit(10)
-    return top.withColumn(
-        "rank",
-        F.row_number()
-        .over(Window.orderBy(F.desc("total_qty"), F.asc("l_partkey")))
-        .cast("long"),
-    ).select("l_partkey", "total_qty", "n_lineitems", "n_months", "rank")
-
-
-@register(
-    "new_customers_monthly",
-    """WITH f AS (
-  SELECT o_custkey,
-         CAST(min(year(CAST(o_orderdate AS TIMESTAMP)) * 12
-              + month(CAST(o_orderdate AS TIMESTAMP)) - 1) AS BIGINT) AS first_mkey
-  FROM orders GROUP BY o_custkey),
-m AS (SELECT first_mkey, CAST(count(*) AS BIGINT) AS n_new
-      FROM f GROUP BY first_mkey),
-c AS (SELECT first_mkey, n_new,
-             CAST(sum(n_new) OVER (ORDER BY first_mkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS cum_customers
-      FROM m)
-SELECT first_mkey AS month_key, n_new, cum_customers
-FROM c ORDER BY month_key""",
-)
-def new_customers_monthly(spark, sf_dir):
-    """Customer acquisition curve: first-order month per customer,
-    rolled up into new-buyer counts and the cumulative book — the
-    orders-side twin of new_returning_daily (that one reads activity;
-    this reads WALLET acquisition, the denominator every cohort and
-    CAC metric divides by). Observed months only; the cumulative
-    window runs over calendar-bounded month rows.
-
-    Determinism: exact integer month keys, min/count/cumsum exact.
-
-    Scale shape: one custkey min-agg (map-side partials), a ≤|months|
-    rollup and window."""
-    f = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .groupBy("o_custkey")
-        .agg(
-            F.min(
-                F.expr(
-                    "(year(CAST(o_orderdate AS TIMESTAMP)) * 12"
-                    " + month(CAST(o_orderdate AS TIMESTAMP)) - 1)"
-                )
-            )
-            .cast("long")
-            .alias("first_mkey")
-        )
-    )
-    m = f.groupBy("first_mkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_new")
-    )
-    wc = Window.orderBy("first_mkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        m.select(
-            F.col("first_mkey").alias("month_key"),
-            "n_new",
-            F.sum("n_new").over(wc).cast("long").alias("cum_customers"),
-        )
-        .orderBy("month_key")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 99 — quantizer assignment margins, label centroid matrix,
-# leading-token census
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "ivf_assign_margin",
-    _KMEANS_SQL_PRELUDE
-    + f""",
-sc AS (SELECT e.vec_id, c.cid, {_sql_cosq('e.v', 'c.cv', 1_000_000_000)} AS cq
-       FROM e, cent2 c WHERE e.vec_id <> 0),
-r2 AS (SELECT vec_id, cq,
-              row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY cq DESC, cid ASC) AS rn
-       FROM sc),
-mg AS (SELECT vec_id,
-              CAST(max(CASE WHEN rn = 1 THEN cq END) AS BIGINT) AS c1,
-              CAST(max(CASE WHEN rn = 2 THEN cq END) AS BIGINT) AS c2
-       FROM r2 WHERE rn <= 2 GROUP BY vec_id),
-bk AS (SELECT (c1 - c2) // 100000000 AS bucket FROM mg WHERE c2 IS NOT NULL)
-SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_vectors
-FROM bk GROUP BY bucket ORDER BY bucket""",
-)
-def ivf_assign_margin(spark, sf_dir):
-    """Coarse-quantizer confidence histogram: per vector, the q9-cosine
-    gap between its best and second-best trained cell, bucketed at 0.1
-    — the boundary-population audit behind the nprobe decision
-    (vectors in bucket 0 sit ON a cell boundary, and they are exactly
-    the ones a 1-probe search loses; ann_ivf_nprobe_curve shows the
-    recall cost, THIS shows the population paying it — mass in low
-    buckets predicts how much nprobe buys before either is run).
-
-    Determinism: the same broadcast-centroid q9 scores the assignment
-    uses; margins and buckets are exact integer ops.
-
-    Scale shape: the score table is K=8 rows per vector with the
-    centroid table broadcast; the top-2 window partitions per vector
-    over those 8 rows (the _kmeans_assign shape); the rollup is ≤21
-    buckets."""
-    members, cent, _assign = _trained_ivf(spark, sf_dir)
-    sc = members.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cid", _cosq("v", "cv", 1_000_000_000).alias("cq")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cq"), F.asc("cid"))
-    r2 = sc.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
-    mg = r2.groupBy("vec_id").agg(
-        F.max(F.when(F.col("rn") == 1, F.col("cq"))).alias("c1"),
-        F.max(F.when(F.col("rn") == 2, F.col("cq"))).alias("c2"),
-    )
-    bk = mg.where(F.col("c2").isNotNull()).select(
-        F.expr("(c1 - c2) div 100000000").alias("bucket")
-    )
-    return (
-        bk.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
-        .select(F.col("bucket").cast("long").alias("bucket"), "n_vectors")
-        .orderBy("bucket")
-    )
-
-
-@register(
-    "label_centroid_matrix",
-    """WITH e AS (
-  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE vec_id <> 0),
-dims AS (
-  SELECT label, i, SUM(CAST(round(v[i] * 1000000) AS BIGINT)) AS s
-  FROM e, (SELECT unnest(generate_series(1, 64)) AS i)
-  GROUP BY label, i),
-cv AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY i) AS c
-       FROM dims GROUP BY label),
-px AS (
-  SELECT a.label AS label_a, b.label AS label_b,
-         list_dot_product(a.c, b.c) AS nab,
-         list_dot_product(a.c, a.c) AS naa,
-         list_dot_product(b.c, b.c) AS nbb
-  FROM cv a JOIN cv b ON a.label < b.label)
-SELECT CAST(label_a AS BIGINT) AS label_a, CAST(label_b AS BIGINT) AS label_b,
-       """
-    + _CENT_COS
-    + """ AS cos_q6
-FROM px ORDER BY label_a, label_b""",
-)
-def label_centroid_matrix(spark, sf_dir):
-    """Pairwise LABEL-centroid cosine matrix — the class-separability
-    view in centroid space that complements the kNN family (purity/
-    confusion read local neighborhoods; two labels whose CENTROIDS
-    align are globally entangled and no k will separate them — and the
-    confusable pair knn_label_confusion flags should show up here as
-    the highest cosine). Same construction as source_centroid_matrix
-    (q6 integer element sums — cosine's scale-invariance makes the sum
-    the mean), keyed by the embeddings' own label column.
-
-    Determinism: exact BIGINT centroid sums; one shared _CENT_COS
-    float expression with the zero-norm guard.
-
-    Scale shape: one (label, dim) agg with map-side partials, then a
-    |labels|²-bounded pair join of 64-element arrays."""
-    e = (
-        _emb(spark, sf_dir)
-        .where(F.col("vec_id") != 0)
-        .select(
-            "label",
-            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
-        )
-    )
-    dims = (
-        e.select("label", F.posexplode("v").alias("i", "x"))
-        .withColumn("xq", F.round(F.col("x") * F.lit(1_000_000.0)).cast("long"))
-        .groupBy("label", "i")
-        .agg(F.sum("xq").alias("s"))
-    )
-    cv = dims.groupBy("label").agg(
-        F.expr(
-            "transform(sort_array(collect_list(struct(i, s))), t -> cast(t.s as double))"
-        ).alias("c")
-    )
-    a = cv.select(F.col("label").alias("label_a"), F.col("c").alias("ca"))
-    b = cv.select(F.col("label").alias("label_b"), F.col("c").alias("cb"))
-    px = a.join(b, F.col("label_a") < F.col("label_b")).select(
-        "label_a",
-        "label_b",
-        F.expr(_DOT.format(a="ca", b="cb")).alias("nab"),
-        F.expr(_DOT.format(a="ca", b="ca")).alias("naa"),
-        F.expr(_DOT.format(a="cb", b="cb")).alias("nbb"),
-    )
-    return px.select(
-        F.col("label_a").cast("long").alias("label_a"),
-        F.col("label_b").cast("long").alias("label_b"),
-        F.expr(_CENT_COS).alias("cos_q6"),
-    ).orderBy("label_a", "label_b")
-
-
-@register(
-    "leading_token_census",
-    f"""WITH w AS ({SQL_WORDS}),
-f AS (SELECT words[1] AS tok FROM w WHERE len(words) >= 1),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM f),
-c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_docs FROM f GROUP BY tok),
-rk AS (SELECT tok, n_docs,
-              row_number() OVER (ORDER BY n_docs DESC, tok ASC) AS rank
-       FROM c)
-SELECT rk.tok, CAST(rk.rank AS BIGINT) AS rank, rk.n_docs,
-       CAST((1000000 * rk.n_docs) // tot.t AS BIGINT) AS share_q6
-FROM rk CROSS JOIN tot WHERE rk.rank <= 10 ORDER BY rank""",
-)
-def leading_token_census(spark, sf_dir):
-    """Leading-token census: the 10 most common FIRST tokens across
-    documents with their share — the cheapest boilerplate-header
-    detector in the quality family (a crawl where 30% of docs open
-    with the same token is template debris; span_first_match profiles
-    where QUERY terms sit, this profiles what the documents themselves
-    lead with — and a dominant leader is what chunk_dedup_scrub will
-    spend its budget removing). Empty documents drop.
-
-    Determinism: exact counts; rank by (n desc, token asc).
-
-    Scale shape: first-element extraction is map-side; one
-    vocab-bounded agg; TakeOrdered 10."""
-    w = _docs(spark, sf_dir).select(spark_tokens("text").alias("words"))
-    f = w.where(F.size("words") >= 1).select(
-        F.element_at("words", 1).alias("tok")
-    )
-    tot = f.agg(F.count(F.lit(1)).cast("long").alias("t"))
-    c = f.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    rk = (
-        c.withColumn(
-            "rank",
-            F.row_number()
-            .over(Window.orderBy(F.desc("n_docs"), F.asc("tok")))
-            .cast("long"),
-        )
-        .where(F.col("rank") <= 10)
-    )
-    return (
-        rk.crossJoin(F.broadcast(tot))
-        .select(
-            "tok",
-            "rank",
-            "n_docs",
-            F.expr("CAST((1000000 * n_docs) div t AS BIGINT)").alias(
-                "share_q6"
-            ),
-        )
-        .orderBy("rank")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 101 — edge embeddedness, ANN hub census, exclusive vocabulary
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "lsh_edge_embeddedness",
-    _SQL_LSH_PAIRS
-    + """,
-tri3 AS (SELECT p1.doc_a AS v1, p1.doc_b AS v2, p2.doc_b AS v3
-         FROM pairs p1 JOIN pairs p2 ON p2.doc_a = p1.doc_b
-         JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
-te AS (SELECT v1 AS a, v2 AS b FROM tri3
-       UNION ALL SELECT v1, v3 FROM tri3
-       UNION ALL SELECT v2, v3 FROM tri3),
-sup AS (SELECT a, b, CAST(count(*) AS BIGINT) AS emb FROM te GROUP BY a, b),
-pe AS (SELECT pairs.doc_a, pairs.doc_b,
-              CAST(COALESCE(sup.emb, 0) AS BIGINT) AS emb
-       FROM pairs LEFT JOIN sup ON sup.a = pairs.doc_a AND sup.b = pairs.doc_b),
-bk AS (SELECT CASE WHEN emb = 0 THEN -1
-              ELSE CAST(length(bin(emb)) - 1 AS BIGINT) END AS bucket
-       FROM pe)
-SELECT bucket, CAST(count(*) AS BIGINT) AS n_edges
-FROM bk GROUP BY bucket ORDER BY bucket""",
-)
-def lsh_edge_embeddedness(spark, sf_dir):
-    """Edge embeddedness of the LSH candidate graph: per candidate
-    edge, how many common neighbors its endpoints share (= triangles
-    through the edge), bucketed — bucket −1 is the BRIDGE population,
-    edges with zero social support, which in a near-dup graph are the
-    classic false-positive signature (a real dup cluster embeds every
-    internal edge; a hash collision connects strangers). The
-    per-EDGE refinement of lsh_clustering_histogram's per-node view —
-    and the principled edge-filter threshold (drop emb=0 edges before
-    connected components) reads straight off this table.
-
-    Determinism: exact counts; canonical (a < b) edges throughout.
-
-    Scale shape: triangles come from the oriented wedge join on the
-    Spark side (one apex per triangle, each exploded to its 3 member
-    edges); the support agg and the LEFT probe back onto the edge list
-    are edge-keyed."""
-    edges = _lsh_pair_edges(spark, sf_dir)
-    pairs = edges.where(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("a"), F.col("dst").alias("b")
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    da = deg.select(F.col("src").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("src").alias("b"), F.col("d").alias("db"))
-    wd = pairs.join(da, "a").join(db, "b")
-    out = wd.select(
-        F.when(
-            (F.col("da") < F.col("db"))
-            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
-            F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-        )
-        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
-        .alias("e")
-    ).select("e.u", "e.v")
-    e1 = out.select(F.col("u"), F.col("v").alias("x"))
-    e2 = out.select(F.col("u"), F.col("v").alias("y"))
-    cand = (
-        e1.join(e2, "u")
-        .where(F.col("x") < F.col("y"))
-        .select("u", F.col("x").alias("a"), F.col("y").alias("b"))
-    )
-    tri = cand.join(pairs, ["a", "b"], "left_semi").select(
-        F.col("u").alias("v1"), F.col("a").alias("v2"), F.col("b").alias("v3")
-    )
-    te = (
-        tri.select(
-            F.least("v1", "v2").alias("a"), F.greatest("v1", "v2").alias("b")
-        )
-        .unionByName(
-            tri.select(
-                F.least("v1", "v3").alias("a"),
-                F.greatest("v1", "v3").alias("b"),
-            )
-        )
-        .unionByName(
-            tri.select(
-                F.least("v2", "v3").alias("a"),
-                F.greatest("v2", "v3").alias("b"),
-            )
-        )
-    )
-    sup = te.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("emb"))
-    pe = pairs.join(sup, ["a", "b"], "left").select(
-        F.coalesce("emb", F.lit(0)).cast("long").alias("emb")
-    )
-    bk = pe.select(
-        F.expr(
-            "CASE WHEN emb = 0 THEN -1"
-            " ELSE CAST(length(bin(emb)) - 1 AS BIGINT) END"
-        ).alias("bucket")
-    )
-    return (
-        bk.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-        .orderBy("bucket")
-    )
-
-
-@register(
-    "ann_hub_census",
-    _BATCH_SQL
-    + """,
-nb AS (SELECT vec_id FROM btop WHERE rnk <= 10 AND vec_id <> qid),
-deg AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS in_degree
-        FROM nb GROUP BY vec_id),
-rk AS (SELECT vec_id, in_degree,
-              row_number() OVER (ORDER BY in_degree DESC, vec_id ASC) AS rank
-       FROM deg)
-SELECT CAST(vec_id AS BIGINT) AS vec_id, in_degree,
-       CAST(rank AS BIGINT) AS rank
-FROM rk WHERE rank <= 10 ORDER BY rank""",
-)
-def ann_hub_census(spark, sf_dir):
-    """Hub census of the kNN graph: which vectors appear most often in
-    OTHER queries' top-10 lists (self-hits excluded) — hubness, the
-    canonical high-dimensional ANN pathology (Radovanović et al. 2010:
-    as dimension grows, a few points become everyone's neighbor and
-    poison both retrieval diversity and kNN classification; a hub
-    whose in-degree ≫ 10·|queries|/n is the point to down-weight or
-    whiten away, and ann_label_purity's misses concentrate on it).
-
-    Determinism: exact in-degrees; rank by (degree desc, vec_id).
-
-    Scale shape: the neighbor stream is 10 rows/query; one vec_id agg,
-    TakeOrdered 10."""
-    top = _ivf_batch_topk(spark, sf_dir)
-    nb = top.where(F.col("vec_id") != F.col("qid")).select("vec_id")
-    deg = nb.groupBy("vec_id").agg(
-        F.count(F.lit(1)).cast("long").alias("in_degree")
-    )
-    rk = (
-        deg.withColumn(
-            "rank",
-            F.row_number()
-            .over(Window.orderBy(F.desc("in_degree"), F.asc("vec_id")))
-            .cast("long"),
-        )
-        .where(F.col("rank") <= 10)
-    )
-    return rk.select(
-        F.col("vec_id").cast("long").alias("vec_id"), "in_degree", "rank"
-    ).orderBy("rank")
-
-
-@register(
-    "exclusive_vocab_census",
-    f"""WITH t AS (
-  SELECT DISTINCT source, term FROM (
-    SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
-    FROM documents)),
-ts AS (SELECT term, CAST(count(*) AS BIGINT) AS n_sources FROM t GROUP BY term),
-j AS (SELECT t.source, CASE WHEN ts.n_sources = 1 THEN 1 ELSE 0 END AS excl
-      FROM t JOIN ts USING (term))
-SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
-       CAST(COALESCE(sum(excl), 0) AS BIGINT) AS n_exclusive,
-       CAST((1000000 * COALESCE(sum(excl), 0)) // count(*) AS BIGINT)
-         AS exclusive_share_q6
-FROM j GROUP BY source ORDER BY source""",
-)
-def exclusive_vocab_census(spark, sf_dir):
-    """Exclusive-vocabulary census: per source, how much of its
-    vocabulary appears NOWHERE else — the domain-jargon signal that
-    source_vocab_overlap's pairwise view dilutes (a source that is 40%
-    exclusive terms is a genuinely different register — its own BPE
-    merges, its own stopwords — while 2% exclusive means the mix is
-    stylistic, not lexical; the temperature-sampling debate starts
-    here).
-
-    Determinism: exact distincts; share is integer division.
-
-    Scale shape: one (source, term) distinct, a term-keyed
-    source-count agg joined back on term (vocab-bounded exchange), a
-    ≤|sources| rollup."""
-    t = (
-        _docs(spark, sf_dir)
-        .select("source", F.explode(spark_tokens("text")).alias("term"))
-        .distinct()
-        .localCheckpoint()  # source-count + join both consume it
-    )
-    ts = t.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sources")
-    )
-    j = t.join(ts, "term").select(
-        "source",
-        F.when(F.col("n_sources") == 1, 1).otherwise(0).alias("excl"),
-    )
-    return (
-        j.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.coalesce(F.sum("excl"), F.lit(0)).cast("long").alias("n_exclusive"),
-        )
-        .select(
-            "source",
-            "n_terms",
-            "n_exclusive",
-            F.expr(
-                "CAST((1000000 * n_exclusive) div n_terms AS BIGINT)"
-            ).alias("exclusive_share_q6"),
-        )
-        .orderBy("source")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 102 — region revenue rollup, sampler bias audit, token shapes
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "region_revenue_rollup",
-    """WITH o AS (
-  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders),
-j AS (SELECT r.r_name AS region, o.cents
-      FROM o JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n ON n.n_nationkey = c.c_nationkey
-      JOIN region r ON r.r_regionkey = n.n_regionkey)
-SELECT region, CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(cents) AS BIGINT) AS revenue_cents
-FROM j GROUP BY region ORDER BY region""",
-)
-def region_revenue_rollup(spark, sf_dir):
-    """Revenue by region through the full dimension chain
-    (orders→customer→nation→region) — the fact-side companion to
-    region_market_census's balance sheet, and the canonical 3-hop
-    snowflake rollup every BI tool generates first. Exact cents.
-
-    Scale shape: the custkey join is un-hinted (both sides unbounded);
-    nation (25 rows) and region (5 rows) broadcast; the rollup
-    combines map-side into ≤|regions| rows."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_custkey",
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-    )
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey", "c_nationkey"
-    )
-    n = F.broadcast(
-        spark.read.parquet(f"{sf_dir}/nation.parquet").select(
-            "n_nationkey", "n_regionkey"
-        )
-    )
-    r = F.broadcast(
-        spark.read.parquet(f"{sf_dir}/region.parquet").select(
-            "r_regionkey", F.col("r_name").alias("region")
-        )
-    )
-    j = (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .join(n, c["c_nationkey"] == n["n_nationkey"])
-        .join(r, n["n_regionkey"] == r["r_regionkey"])
-        .select("region", "cents")
-    )
-    return (
-        j.groupBy("region")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum("cents").cast("long").alias("revenue_cents"),
-        )
-        .orderBy("region")
-    )
-
-
-@register(
-    "sample_mix_bias",
-    """WITH smp AS (
-  SELECT source FROM (
-    SELECT source, substr(md5(CAST(doc_id AS VARCHAR)), 9, 4) AS hk, doc_id
-    FROM documents ORDER BY hk, doc_id LIMIT 100)),
-sc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sample
-       FROM smp GROUP BY source),
-cc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_corpus
-       FROM documents GROUP BY source),
-tot AS (SELECT CAST(sum(n_corpus) AS BIGINT) AS nc,
-               (SELECT CAST(count(*) AS BIGINT) FROM smp) AS ns
-        FROM cc)
-SELECT cc.source, cc.n_corpus,
-       CAST(COALESCE(sc.n_sample, 0) AS BIGINT) AS n_sample,
-       CAST((1000000 * cc.n_corpus) // tot.nc AS BIGINT) AS corpus_share_q6,
-       CAST((1000000 * COALESCE(sc.n_sample, 0)) // greatest(tot.ns, 1)
-            AS BIGINT) AS sample_share_q6
-FROM cc LEFT JOIN sc USING (source) CROSS JOIN tot ORDER BY cc.source""",
-)
-def sample_mix_bias(spark, sf_dir):
-    """Composition audit of our own fixed-size sampler: source shares
-    inside priority_sample_docs' 100-doc hash-top sample, side by side
-    with the corpus shares — eating our own dog food (a uniform hash
-    sample SHOULD track the corpus mix within binomial noise; a
-    persistent skew here means the hash coordinate correlates with
-    source, which would poison every eval set built on it). Sources
-    missing from the sample still report via the LEFT join.
-
-    Determinism: the sample is the deterministic TakeOrdered(100) on
-    the 9-12 hex coordinate; counts and shares exact.
-
-    Scale shape: the sample is 100 rows; corpus shares come from one
-    source agg; everything downstream is ≤|sources| rows."""
-    smp = (
-        _docs(spark, sf_dir)
-        .select(
-            "source",
-            F.expr("substr(md5(CAST(doc_id AS STRING)), 9, 4)").alias("hk"),
-            "doc_id",
-        )
-        .orderBy("hk", "doc_id")
-        .limit(100)
-        .select("source")
-    )
-    sc = smp.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sample")
-    )
-    cc = _docs(spark, sf_dir).groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_corpus")
-    )
-    tot = cc.agg(F.sum("n_corpus").cast("long").alias("nc")).crossJoin(
-        smp.agg(F.count(F.lit(1)).cast("long").alias("ns"))
-    )
-    return (
-        cc.join(sc, "source", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            "n_corpus",
-            F.coalesce("n_sample", F.lit(0)).cast("long").alias("n_sample"),
-            F.expr("CAST((1000000 * n_corpus) div nc AS BIGINT)").alias(
-                "corpus_share_q6"
-            ),
-            F.expr(
-                "CAST((1000000 * COALESCE(n_sample, 0)) div greatest(ns, 1)"
-                " AS BIGINT)"
-            ).alias("sample_share_q6"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "token_shape_census",
-    f"""WITH t AS ({SQL_TOKS}),
-s AS (SELECT CASE WHEN term = regexp_replace(term, '[0-9]', '', 'g') THEN 'alpha'
-                  WHEN length(regexp_replace(term, '[0-9]', '', 'g')) = 0
-                  THEN 'digit'
-                  ELSE 'mixed' END AS shape,
-             term
-      FROM t)
-SELECT shape, CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(count(DISTINCT term) AS BIGINT) AS n_types
-FROM s GROUP BY shape ORDER BY shape""",
-)
-def token_shape_census(spark, sf_dir):
-    """Token shape census: pure-alphabetic vs pure-digit vs mixed
-    (model numbers, hashes, hex ids) tokens with type counts — the
-    vocabulary-pollution gauge that decides number-normalisation
-    ('mixed' types are the long tail that bloats dictionaries and BPE
-    vocab; the pii 'number' counter finds digit RUNS in raw text,
-    this classifies the TOKENIZED stream the index actually stores).
-
-    Determinism: shape classes via the delete-and-measure idiom
-    (DuckDB 'g' flag, Spark global — the charclass rule); counts
-    exact.
-
-    Scale shape: map-side classification, one 3-group agg with a
-    two-phase distinct."""
-    t = _toks(_docs(spark, sf_dir))
-    s = t.select(
-        F.expr(
-            "CASE WHEN term = regexp_replace(term, '[0-9]', '') THEN 'alpha'"
-            " WHEN length(regexp_replace(term, '[0-9]', '')) = 0 THEN 'digit'"
-            " ELSE 'mixed' END"
-        ).alias("shape"),
-        "term",
-    )
-    return (
-        s.groupBy("shape")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.countDistinct("term").cast("long").alias("n_types"),
-        )
-        .orderBy("shape")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 103 — attribution window curve, user behavioral entropy, brand
-# return rates
-# ---------------------------------------------------------------------------
-
-_ATTR_WINDOWS_H = (1, 6, 24)
-
-
-@register(
-    "attribution_window_curve",
-    f"""WITH v AS (
-  SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS v_us
-  FROM events WHERE event_type = 'view' GROUP BY user_id),
-p AS (
-  SELECT e.user_id, CAST(min(epoch_us(e.ts)) AS BIGINT) AS p_us
-  FROM events e JOIN v ON v.user_id = e.user_id
-  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.v_us
-  GROUP BY e.user_id),
-j AS (SELECT v.user_id, v.v_us, p.p_us
-      FROM v LEFT JOIN p ON p.user_id = v.user_id),
-ws AS (SELECT unnest([{", ".join(str(h) for h in _ATTR_WINDOWS_H)}]) AS w_h),
-c AS (SELECT ws.w_h,
-             CAST(count(*) AS BIGINT) AS n_viewers,
-             CAST(COALESCE(sum(CASE WHEN j.p_us IS NOT NULL
-                  AND j.p_us - j.v_us <= ws.w_h * 3600000000
-                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_converted
-      FROM ws CROSS JOIN j GROUP BY ws.w_h)
-SELECT CAST(w_h AS BIGINT) AS window_hours, n_viewers, n_converted,
-       CAST((1000000 * n_converted) // greatest(n_viewers, 1) AS BIGINT)
-         AS conv_rate_q6
-FROM c ORDER BY window_hours""",
-)
-def attribution_window_curve(spark, sf_dir):
-    """Attribution-window tuning curve: of users who viewed, how many
-    purchased within 1/6/24 hours of their FIRST view — the knob every
-    attribution model fixes by fiat, swept (conversion_latency_histogram
-    shows the latency distribution; this is its cumulative reading at
-    the three windows people actually argue about, and the marginal
-    conversions between 6h and 24h are exactly the credit that
-    last-click vs any-click disputes). Conversion is monotone in the
-    window by construction — the property suite asserts it.
-
-    Determinism: exact integer microseconds; the purchase must be at
-    or after the first view (the funnel's strictly-ordered rule,
-    ties allowed at equality).
-
-    Scale shape: two user-keyed min-aggs on one exchange shape, a
-    3-row window spine crossed with the user table (map-side
-    conditional counters)."""
-    ev = _events(spark, sf_dir).select(
-        "user_id",
-        "event_type",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-    )
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("t_us").cast("long").alias("v_us"))
-    )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(v, "user_id")
-        .where(F.col("t_us") >= F.col("v_us"))
-        .groupBy("user_id")
-        .agg(F.min("t_us").cast("long").alias("p_us"))
-    )
-    j = v.join(p, "user_id", "left")
-    ws = F.broadcast(
-        spark.createDataFrame([(h,) for h in _ATTR_WINDOWS_H], "w_h long")
-    )
-    c = (
-        ws.crossJoin(j)
-        .groupBy("w_h")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_viewers"),
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("p_us").isNotNull()
-                        & (
-                            F.col("p_us") - F.col("v_us")
-                            <= F.col("w_h") * 3_600_000_000
-                        ),
-                        1,
-                    ).otherwise(0)
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("n_converted"),
-        )
-    )
-    return c.select(
-        F.col("w_h").cast("long").alias("window_hours"),
-        "n_viewers",
-        "n_converted",
-        F.expr(
-            "CAST((1000000 * n_converted) div greatest(n_viewers, 1) AS BIGINT)"
-        ).alias("conv_rate_q6"),
-    ).orderBy("window_hours")
-
-
-@register(
-    "user_type_entropy_histogram",
-    """WITH c AS (
-  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY user_id, event_type),
-u AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY user_id),
-h AS (SELECT c.user_id,
-             CAST(COALESCE(sum(CAST(round(1000000 * (-1e0
-                  * (CAST(c.n AS DOUBLE) / u.tot)
-                  * ln(CAST(c.n AS DOUBLE) / u.tot))) AS BIGINT)), 0) AS BIGINT)
-               AS h_q6
-      FROM c JOIN u USING (user_id) GROUP BY c.user_id),
-bk AS (SELECT least(h_q6 // 200000, 8) AS bucket FROM h)
-SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_users
-FROM bk GROUP BY bucket ORDER BY bucket""",
-)
-def user_type_entropy_histogram(spark, sf_dir):
-    """Behavioral-diversity census: per user, the Shannon entropy of
-    their event-type mix, bucketed at 0.2 nats (clamped at 1.6+) —
-    single-behavior users (pure viewers, pure API pings) land in
-    bucket 0 and are the bot/lurker population; high-entropy users
-    exercise the whole product. The per-USER refinement of
-    events_weekly_type_jsd's aggregate drift view.
-
-    Determinism: per-(user, type) entropy terms q6-round FIRST (the
-    serp-diversity rule) then BIGINT-sum per user; buckets are integer
-    divisions with the least(·, 8) clamp.
-
-    Scale shape: one (user, type) agg, user totals joined back on the
-    same key, a ≤9-bucket rollup."""
-    c = (
-        _events(spark, sf_dir)
-        .groupBy("user_id", "event_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    u = c.groupBy("user_id").agg(F.sum("n").cast("long").alias("tot"))
-    h = (
-        c.join(u, "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.expr(
-                        "CAST(round(1000000 * (-1e0 * (CAST(n AS DOUBLE) / tot)"
-                        " * ln(CAST(n AS DOUBLE) / tot))) AS BIGINT)"
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("h_q6")
-        )
-    )
-    bk = h.select(F.expr("least(h_q6 div 200000, 8)").alias("bucket"))
-    return (
-        bk.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .select(F.col("bucket").cast("long").alias("bucket"), "n_users")
-        .orderBy("bucket")
-    )
-
-
-@register(
-    "brand_return_rate",
-    """WITH j AS (
-  SELECT p.p_brand,
-         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
-  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
-SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lineitems,
-       CAST(COALESCE(sum(ret), 0) AS BIGINT) AS n_returned,
-       CAST((1000000 * COALESCE(sum(ret), 0)) // count(*) AS BIGINT)
-         AS return_rate_q6
-FROM j GROUP BY p_brand ORDER BY p_brand""",
-)
-def brand_return_rate(spark, sf_dir):
-    """Return rate by brand: share of lineitems flagged 'R' per p_brand
-    — the product-quality scorecard (return_rate_by_priority slices
-    returns by order urgency; THIS slices by what was actually sold,
-    which is where a defective product line shows first).
-
-    Determinism: exact counts, one integer share division.
-
-    Scale shape: the partkey join is un-hinted (part broadcasts via
-    AQE at sandbox scale, shuffles at warehouse scale); the brand
-    rollup combines map-side into ≤|brands| rows."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_partkey",
-        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
-    )
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_partkey", "p_brand"
-    )
-    j = li.join(p, li["l_partkey"] == p["p_partkey"]).select("p_brand", "ret")
-    return (
-        j.groupBy("p_brand")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
-            F.coalesce(F.sum("ret"), F.lit(0)).cast("long").alias("n_returned"),
-        )
-        .select(
-            "p_brand",
-            "n_lineitems",
-            "n_returned",
-            F.expr(
-                "CAST((1000000 * n_returned) div n_lineitems AS BIGINT)"
-            ).alias("return_rate_q6"),
-        )
-        .orderBy("p_brand")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 104 — dup rate by length, query term share, SQ bits curve
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "dup_rate_by_length",
-    _SQL_LSH_PAIRS
-    + f""",
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs),
-reach(id, lbl) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
-t AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT)
-           AS n_tok
-  FROM documents),
-fl AS (
-  SELECT CASE WHEN t.n_tok = 0 THEN -1
-         ELSE CAST(length(bin(t.n_tok)) - 1 AS BIGINT) END AS len_band,
-         CAST(comp.cluster_id IS NOT NULL AS INT) AS in_cluster
-  FROM t LEFT JOIN comp ON comp.doc_id = t.doc_id)
-SELECT len_band, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(COALESCE(sum(in_cluster), 0) AS BIGINT) AS n_in_cluster,
-       CAST((1000000 * COALESCE(sum(in_cluster), 0)) // count(*) AS BIGINT)
-         AS dup_rate_q6
-FROM fl GROUP BY len_band ORDER BY len_band""",
-)
-def dup_rate_by_length(spark, sf_dir):
-    """Near-dup membership rate by document length band — the "are dups
-    short boilerplate or long mirrors" diagnostic that decides WHERE
-    dedup effort pays (short-band dup mass is template debris a chunk
-    scrub kills cheaply; long-band mass is mirrored articles worth the
-    full LSH pipeline; dedup_loss_by_source slices the same labels by
-    origin, THIS slices by shape). In-cluster means ANY near-dup
-    relation, survivors included.
-
-    Determinism: the memoized LSH→CC labels; exact counts and bands.
-
-    Scale shape: labels are cluster-bounded; the LEFT probe joins them
-    to a map-side length projection; the rollup is ≤32 bands."""
-    edges = _lsh_pair_edges(spark, sf_dir)
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    comp = connected_components(labels, edges).select(
-        "doc_id", F.col("lbl").alias("cluster_id")
-    )
-    t = _docs(spark, sf_dir).select(
-        "doc_id", F.size(spark_tokens("text")).cast("long").alias("n_tok")
-    )
-    fl = t.join(comp, "doc_id", "left").select(
-        F.expr(
-            "CASE WHEN n_tok = 0 THEN -1"
-            " ELSE CAST(length(bin(n_tok)) - 1 AS BIGINT) END"
-        ).alias("len_band"),
-        F.expr("CAST(cluster_id IS NOT NULL AS INT)").alias("in_cluster"),
-    )
-    return (
-        fl.groupBy("len_band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum("in_cluster"), F.lit(0))
-            .cast("long")
-            .alias("n_in_cluster"),
-        )
-        .select(
-            "len_band",
-            "n_docs",
-            "n_in_cluster",
-            F.expr(
-                "CAST((1000000 * n_in_cluster) div n_docs AS BIGINT)"
-            ).alias("dup_rate_q6"),
-        )
-        .orderBy("len_band")
-    )
-
-
-@register(
-    "query_term_share",
-    _bm25_agg_ctes(_RANKEVAL_TERMS)
-    + """,
-page AS (SELECT doc_id FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 10),
-pt AS (
-  SELECT tf.term, CAST(round(1000000 * (
-           ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))
-           * tf.tf * 2.2
-           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM st)))
-         )) AS BIGINT) AS c_q6
-  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
-  JOIN page ON page.doc_id = tf.doc_id),
-ag2 AS (SELECT term, CAST(sum(c_q6) AS BIGINT) AS contrib_q6 FROM pt GROUP BY term),
-tot AS (SELECT CAST(COALESCE(sum(contrib_q6), 0) AS BIGINT) AS t FROM ag2)
-SELECT ag2.term, ag2.contrib_q6,
-       CAST((1000000 * ag2.contrib_q6) // greatest(tot.t, 1) AS BIGINT)
-         AS share_q6
-FROM ag2 CROSS JOIN tot ORDER BY ag2.term""",
-)
-def query_term_share(spark, sf_dir):
-    """Per-term share of the top-10 page's total score mass — the
-    page-level aggregation of bm25_explain (explain justifies ONE
-    hit; this says which query term actually carried the PAGE, the
-    first thing a relevance engineer checks when a two-term query
-    behaves like a one-term query: a term at 95% share means its
-    partner contributes nothing and the query needs rewriting or
-    boosting).
-
-    Determinism: per-(doc, term) contributions q6-round FIRST (the
-    unigram_logprob rule) then BIGINT-sum; shares are integer
-    divisions.
-
-    Scale shape: the page is 10 broadcast rows pruning the postings
-    join; term sums run on ≤10×|query| rows."""
-    agg = _bm25_match_set(spark, sf_dir, _RANKEVAL_TERMS)
-    page = (
-        agg.orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(10)
-        .select("doc_id")
-    )
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()  # dfs/dl/page-join all consume it
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    stt = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("doc_len").alias("avgdl"),
-    )
-    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    q = F.broadcast(
-        spark.createDataFrame([(t,) for t in _RANKEVAL_TERMS], "term string")
-    )
-    pt = (
-        tf.join(q, "term")
-        .join(F.broadcast(page), "doc_id")
-        .join(dfs, "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stt))
-        .select(
-            "term",
-            F.expr(
-                "CAST(round(1000000 * ("
-                "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
-                " * tf * 2.2"
-                " / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl)))) AS BIGINT)"
-            ).alias("c_q6"),
-        )
-    )
-    ag2 = pt.groupBy("term").agg(
-        F.sum("c_q6").cast("long").alias("contrib_q6")
-    )
-    tot = ag2.agg(
-        F.coalesce(F.sum("contrib_q6"), F.lit(0)).cast("long").alias("t")
-    )
-    return (
-        ag2.crossJoin(F.broadcast(tot))
-        .select(
-            "term",
-            "contrib_q6",
-            F.expr(
-                "CAST((1000000 * contrib_q6) div greatest(t, 1) AS BIGINT)"
-            ).alias("share_q6"),
-        )
-        .orderBy("term")
-    )
-
-
-def _sq_err(levels: int, d: str) -> str:
-    return (
-        f"(xq - (mn + CASE WHEN mx = mn THEN 0"
-        f" ELSE ((((xq - mn) * {levels}) {d} (mx - mn)) * (mx - mn)) {d} {levels}"
-        f" END))"
-    )
-
-
-@register(
-    "sq_bits_curve",
-    f"""WITH ex AS (
-  SELECT vec_id, i - 1 AS dim, CAST(round(v[i] * 1000000) AS BIGINT) AS xq
-  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        WHERE vec_id <> 0),
-       (SELECT unnest(generate_series(1, 64)) AS i)),
-mm AS (SELECT dim, CAST(min(xq) AS BIGINT) AS mn, CAST(max(xq) AS BIGINT) AS mx
-       FROM ex GROUP BY dim),
-r AS (SELECT ex.xq, mm.mn, mm.mx FROM ex JOIN mm USING (dim)),
-e AS (SELECT {_sq_err(15, "//")} AS e4, {_sq_err(63, "//")} AS e6,
-             {_sq_err(255, "//")} AS e8
-      FROM r),
-s AS (SELECT CAST(COALESCE(sum(e4 * e4), 0) AS BIGINT) AS s4,
-             CAST(COALESCE(sum(e6 * e6), 0) AS BIGINT) AS s6,
-             CAST(COALESCE(sum(e8 * e8), 0) AS BIGINT) AS s8
-      FROM e)
-SELECT 4 AS bits, 15 AS levels, s4 AS total_sse_q12 FROM s
-UNION ALL SELECT 6, 63, s6 FROM s
-UNION ALL SELECT 8, 255, s8 FROM s
-ORDER BY bits""",
-)
-def sq_bits_curve(spark, sf_dir):
-    """Scalar-quantization bit-width curve: corpus reconstruction SSE at
-    4/6/8 bits per dimension — the compression knob
-    sq8_quantization_error fixes at 8, swept (each 2 bits halve the
-    store again and SSE should rise ~16× per step for uniform data;
-    where it rises faster, the corpus has per-dim outliers and
-    embedding_dim_clip_bounds' clipping pays before dropping bits).
-    SSE is monotone non-increasing in bits — the property suite
-    asserts it.
-
-    Determinism: the sq8 integer affine code at three level counts,
-    all three errors computed in ONE pass (one agg, three counters —
-    the adjacency_matrix rule); xq−mn ≥ 0 so floor == trunc.
-
-    Scale shape: one exploded (vec, dim) pass joined to the 64-row
-    broadcast min/max table; a 1-row, 3-counter agg."""
-    ex = (
-        _emb(spark, sf_dir)
-        .where(F.col("vec_id") != 0)
-        .select(
-            F.posexplode(
-                F.expr("transform(embedding, x -> cast(x as double))")
-            ).alias("dim", "x")
-        )
-        .withColumn("xq", F.round(F.col("x") * F.lit(1_000_000.0)).cast("long"))
-    )
-    mm = ex.groupBy("dim").agg(
-        F.min("xq").alias("mn"), F.max("xq").alias("mx")
-    )
-    r = ex.join(F.broadcast(mm), "dim")
-    s = r.agg(
-        *[
-            F.coalesce(
-                F.sum(
-                    F.expr(f"{_sq_err(lv, 'div')} * {_sq_err(lv, 'div')}")
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias(f"s{b}")
-            for b, lv in ((4, 15), (6, 63), (8, 255))
-        ]
-    )
-    outs = []
-    for b, lv in ((4, 15), (6, 63), (8, 255)):
-        outs.append(
-            s.select(
-                F.lit(b).cast("long").alias("bits"),
-                F.lit(lv).cast("long").alias("levels"),
-                F.col(f"s{b}").alias("total_sse_q12"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("bits")
-
-
-# ---------------------------------------------------------------------------
-# session 105 — monthly revenue concentration, seasonality strength,
-# sentence-level duplication
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "monthly_revenue_hhi",
-    """WITH o AS (
-  SELECT (year(CAST(o_orderdate AS TIMESTAMP)) * 12
-          + month(CAST(o_orderdate AS TIMESTAMP)) - 1) AS mkey,
-         o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders),
-mc AS (SELECT mkey, o_custkey, CAST(sum(cents) AS BIGINT) AS c
-       FROM o GROUP BY mkey, o_custkey),
-mt AS (SELECT mkey, CAST(sum(c) AS BIGINT) AS tot,
-              CAST(count(*) AS BIGINT) AS n_customers
-       FROM mc GROUP BY mkey),
-sh AS (SELECT mc.mkey,
-              CAST(round(1000000.0 * mc.c * mc.c
-                   / (CAST(mt.tot AS DOUBLE) * mt.tot)) AS BIGINT) AS sh2_q6
-       FROM mc JOIN mt USING (mkey) WHERE mt.tot > 0)
-SELECT CAST(sh.mkey AS BIGINT) AS month_key, mt.n_customers,
-       CAST(sum(sh.sh2_q6) AS BIGINT) AS hhi_q6
-FROM sh JOIN mt USING (mkey)
-GROUP BY sh.mkey, mt.n_customers ORDER BY month_key""",
-)
-def monthly_revenue_hhi(spark, sf_dir):
-    """Revenue-concentration timeseries: per month, the Herfindahl index
-    of customer revenue shares — "is the book diversifying or
-    collapsing onto whales" as a trend (revenue_pareto_users is one
-    month's snapshot of the same risk; a rising HHI series is customer
-    concentration building, the thing CFOs disclose). Same per-cell
-    share² q6-first construction as part_supplier_hhi.
-
-    Scale shape: one (month, customer) agg, month totals joined back
-    on the month key, a ≤|months| rollup."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        F.expr(
-            "(year(CAST(o_orderdate AS TIMESTAMP)) * 12"
-            " + month(CAST(o_orderdate AS TIMESTAMP)) - 1)"
-        ).alias("mkey"),
-        "o_custkey",
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-    )
-    mc = o.groupBy("mkey", "o_custkey").agg(
-        F.sum("cents").cast("long").alias("c")
-    )
-    mt = mc.groupBy("mkey").agg(
-        F.sum("c").cast("long").alias("tot"),
-        F.count(F.lit(1)).cast("long").alias("n_customers"),
-    )
-    sh = (
-        mc.join(mt, "mkey")
-        .where(F.col("tot") > 0)
-        .select(
-            "mkey",
-            "n_customers",
-            F.expr(
-                "CAST(round(1000000.0 * c * c / (CAST(tot AS DOUBLE) * tot))"
-                " AS BIGINT)"
-            ).alias("sh2_q6"),
-        )
-    )
-    return (
-        sh.groupBy("mkey", "n_customers")
-        .agg(F.sum("sh2_q6").cast("long").alias("hhi_q6"))
-        .select(
-            F.col("mkey").cast("long").alias("month_key"),
-            "n_customers",
-            "hhi_q6",
-        )
-        .orderBy("month_key")
-    )
-
-
-@register(
-    "seasonality_strength",
-    f"""WITH d AS (
-  SELECT epoch_us(ts) // {_US_PER_DAY} AS day_num, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY day_num),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM d),
-spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
-f AS (SELECT spine.day_num, (spine.day_num + 3) % 7 AS dow,
-             CAST(COALESCE(d.n, 0) AS BIGINT) AS n
-      FROM spine LEFT JOIN d USING (day_num)),
-dw AS (SELECT dow, CAST(round(1000000.0 * sum(n) / count(*)) AS BIGINT) AS mean_q6
-       FROM f GROUP BY dow),
-r AS (SELECT f.n, CAST(round((1000000 * f.n - dw.mean_q6) / 1000000e0) AS BIGINT) AS r0
-      FROM f JOIN dw USING (dow)),
-m AS (SELECT CAST(count(*) AS BIGINT) AS nd,
-             CAST(sum(n) AS BIGINT) // greatest(CAST(count(*) AS BIGINT), 1) AS mn,
-             CAST(sum(r0) AS BIGINT) // greatest(CAST(count(*) AS BIGINT), 1) AS mr
-      FROM r),
-cs AS (SELECT m.nd AS n,
-              CAST(sum(r.n - m.mn) AS BIGINT) AS syc,
-              CAST(sum((r.n - m.mn) * (r.n - m.mn)) AS BIGINT) AS syy,
-              CAST(sum(r.r0 - m.mr) AS BIGINT) AS src,
-              CAST(sum((r.r0 - m.mr) * (r.r0 - m.mr)) AS BIGINT) AS srr
-       FROM r CROSS JOIN m GROUP BY m.nd)
-SELECT n AS n_days,
-       {_SEG_VAR} AS var_series_q6,
-       CASE WHEN n < 2 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 * ((CAST(n AS DOUBLE) * srr
-                 - CAST(src AS DOUBLE) * src) / (CAST(n AS DOUBLE) * n)))
-                 AS BIGINT) END AS var_resid_q6,
-       CASE WHEN n < 2 OR (CAST(n AS DOUBLE) * syy - CAST(syc AS DOUBLE) * syc) = 0e0
-            THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 * (1e0
-                 - (CAST(n AS DOUBLE) * srr - CAST(src AS DOUBLE) * src)
-                 / (CAST(n AS DOUBLE) * syy - CAST(syc AS DOUBLE) * syc)))
-                 AS BIGINT) END AS strength_q6
-FROM cs""",
-)
-def seasonality_strength(spark, sf_dir):
-    """Seasonality strength of daily traffic: 1 − var(residual)/var(series)
-    after removing weekday means (the STL-style strength statistic,
-    Hyndman's F_s) — ONE number saying how much of the day-to-day
-    variance the weekly cycle explains (≈1: schedule your capacity by
-    weekday; ≈0: weekday means are noise and
-    weekly_seasonal_decompose's residuals ARE the series).
-
-    Determinism: weekday means are one divide-then-round each (q6);
-    residuals floor to whole counts before the centered-BIGINT
-    variance machinery (the q12-overflow guard at warehouse-scale
-    daily counts — documented quantization, far below any decision
-    threshold on strength); one shared float expression per output.
-
-    Scale shape: the day/weekday aggs and both variance passes run on
-    calendar-bounded rows."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-                "day_num"
-            )
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()
-    )
-    b = d.agg(
-        F.min("day_num").cast("long").alias("lo"),
-        F.max("day_num").cast("long").alias("hi"),
-    )
-    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day_num"))
-    f = (
-        spine.join(d, "day_num", "left")
-        .select(
-            F.expr("(day_num + 3) % 7").alias("dow"),
-            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
-        )
-        .localCheckpoint()  # weekday means + residual pass both consume it
-    )
-    dw = f.groupBy("dow").agg(
-        F.expr("CAST(round(1000000.0 * sum(n) / count(1)) AS BIGINT)").alias(
-            "mean_q6"
-        )
-    )
-    r = f.join(F.broadcast(dw), "dow").select(
-        "n",
-        F.expr(
-            "CAST(round((1000000 * n - mean_q6) / 1000000e0) AS BIGINT)"
-        ).alias("r0"),
-    )
-    m = r.agg(
-        F.count(F.lit(1)).cast("long").alias("nd"),
-        F.expr(
-            "CAST(sum(n) AS BIGINT) div greatest(CAST(count(1) AS BIGINT), 1)"
-        ).alias("mn"),
-        F.expr(
-            "CAST(sum(r0) AS BIGINT) div greatest(CAST(count(1) AS BIGINT), 1)"
-        ).alias("mr"),
-    )
-    cs = (
-        r.crossJoin(F.broadcast(m))
-        .groupBy("nd")
-        .agg(
-            F.sum(F.col("n") - F.col("mn")).cast("long").alias("syc"),
-            F.sum((F.col("n") - F.col("mn")) * (F.col("n") - F.col("mn")))
-            .cast("long")
-            .alias("syy"),
-            F.sum(F.col("r0") - F.col("mr")).cast("long").alias("src"),
-            F.sum((F.col("r0") - F.col("mr")) * (F.col("r0") - F.col("mr")))
-            .cast("long")
-            .alias("srr"),
-        )
-        .withColumnRenamed("nd", "n")
-    )
-    return cs.select(
-        F.col("n").alias("n_days"),
-        F.expr(_SEG_VAR).alias("var_series_q6"),
-        F.expr(
-            "CASE WHEN n < 2 THEN CAST(0 AS BIGINT)"
-            " ELSE CAST(round(1000000 * ((CAST(n AS DOUBLE) * srr"
-            " - CAST(src AS DOUBLE) * src) / (CAST(n AS DOUBLE) * n)))"
-            " AS BIGINT) END"
-        ).alias("var_resid_q6"),
-        F.expr(
-            "CASE WHEN n < 2 OR (CAST(n AS DOUBLE) * syy - CAST(syc AS DOUBLE)"
-            " * syc) = 0e0 THEN CAST(0 AS BIGINT)"
-            " ELSE CAST(round(1000000 * (1e0"
-            " - (CAST(n AS DOUBLE) * srr - CAST(src AS DOUBLE) * src)"
-            " / (CAST(n AS DOUBLE) * syy - CAST(syc AS DOUBLE) * syc)))"
-            " AS BIGINT) END"
-        ).alias("strength_q6"),
-    )
-
-
-@register(
-    "sentence_dup_rate",
-    f"""WITH s AS (
-  SELECT doc_id,
-         md5(array_to_string(regexp_extract_all(lower(seg), '{TOKEN_PATTERN}'),
-             ' ')) AS k,
-         len(regexp_extract_all(lower(seg), '{TOKEN_PATTERN}')) AS nw
-  FROM (SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS seg
-        FROM documents)
-  WHERE len(regexp_extract_all(lower(seg), '{TOKEN_PATTERN}')) > 0),
-df AS (SELECT k, CAST(count(DISTINCT doc_id) AS BIGINT) AS ddf FROM s GROUP BY k),
-j AS (SELECT CASE WHEN df.ddf >= 2 THEN 1 ELSE 0 END AS dup FROM s JOIN df USING (k))
-SELECT CAST(count(*) AS BIGINT) AS n_sentences,
-       CAST((SELECT count(*) FROM df) AS BIGINT) AS n_distinct,
-       CAST(COALESCE(sum(dup), 0) AS BIGINT) AS n_dup_instances,
-       CAST((1000000 * COALESCE(sum(dup), 0)) // greatest(count(*), 1) AS BIGINT)
-         AS dup_rate_q6
-FROM j""",
-)
-def sentence_dup_rate(spark, sf_dir):
-    """Sentence-level cross-document duplication: share of sentence
-    instances whose normalised token string appears in 2+ distinct
-    documents — boilerplate at SENTENCE grain, between the 8-gram
-    chunk scrubbers (fixed grid) and whole-doc dedup (too coarse):
-    legal footers and cookie banners live exactly here. Sentences are
-    the flesch [.!?]+ split; the key is the md5 of the space-joined
-    token list, so punctuation/spacing variants collapse.
-
-    Determinism: identical tokenize-then-join keys in both engines;
-    exact counts.
-
-    Scale shape: map-side split+hash; one key-keyed df agg (two-phase
-    distinct) joined back on the key; 1-row census."""
-    s = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(F.expr("split(text, '[.!?]+')")).alias("seg"))
-        .select(
-            "doc_id",
-            F.md5(
-                F.expr(
-                    f"array_join(regexp_extract_all(lower(seg),"
-                    f" '{TOKEN_PATTERN}', 0), ' ')"
-                )
-            ).alias("k"),
-            F.expr(
-                f"size(regexp_extract_all(lower(seg), '{TOKEN_PATTERN}', 0))"
-            ).alias("nw"),
-        )
-        .where(F.col("nw") > 0)
-        .localCheckpoint()  # df agg + join-back both consume it
-    )
-    dfk = s.groupBy("k").agg(
-        F.countDistinct("doc_id").cast("long").alias("ddf")
-    )
-    nd = dfk.agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
-    j = s.join(dfk, "k").select(
-        F.when(F.col("ddf") >= 2, 1).otherwise(0).alias("dup")
-    )
-    ag = j.agg(
-        F.count(F.lit(1)).cast("long").alias("n_sentences"),
-        F.coalesce(F.sum("dup"), F.lit(0)).cast("long").alias("n_dup_instances"),
-    )
-    return ag.crossJoin(F.broadcast(nd)).select(
-        "n_sentences",
-        "n_distinct",
-        "n_dup_instances",
-        F.expr(
-            "CAST((1000000 * n_dup_instances) div greatest(n_sentences, 1)"
-            " AS BIGINT)"
-        ).alias("dup_rate_q6"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 106 — CUPED adjustment, Markov row entropy, segment×value census
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "ab_cuped_adjustment",
-    f"""WITH t AS (
-  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day_num, event_type
-  FROM events),
-b AS (SELECT (CAST(min(day_num) AS BIGINT) + CAST(max(day_num) AS BIGINT)) // 2
-         AS ms
-      FROM t),
-u AS (SELECT t.user_id,
-             CAST(COALESCE(sum(CASE WHEN t.day_num <= b.ms THEN 1 ELSE 0 END), 0)
-                  AS BIGINT) AS x,
-             CAST(max(CASE WHEN t.day_num > b.ms
-                  AND t.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
-      FROM t CROSS JOIN b GROUP BY t.user_id),
-m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) // greatest(CAST(count(*) AS BIGINT), 1) AS mx,
-             CAST(sum(y) AS BIGINT) // greatest(CAST(count(*) AS BIGINT), 1) AS my
-      FROM u),
-cs AS (SELECT m.n AS n,
-              CAST(sum(u.x - m.mx) AS BIGINT) AS sxc,
-              CAST(sum(u.y - m.my) AS BIGINT) AS syc,
-              CAST(sum((u.x - m.mx) * (u.x - m.mx)) AS BIGINT) AS sxx,
-              CAST(sum((u.y - m.my) * (u.y - m.my)) AS BIGINT) AS syy,
-              CAST(sum((u.x - m.mx) * (u.y - m.my)) AS BIGINT) AS sxy
-       FROM u CROSS JOIN m GROUP BY m.n)
-SELECT n AS n_users, {_TR_SLOPE} AS theta_q6, {_TR_R2} AS var_reduction_q6
-FROM cs""",
-)
-def ab_cuped_adjustment(spark, sf_dir):
-    """CUPED pre-experiment adjustment fitted on the event stream: the
-    covariate is each user's PRE-period activity (events up to the
-    calendar midpoint), the outcome their POST-period conversion, and
-    the op reports θ = cov(X,Y)/var(X) — the coefficient CUPED
-    subtracts — plus the variance reduction it buys (= the squared
-    correlation; Deng et al. 2013: a CUPED'd experiment needs
-    (1 − r²)× the sample, which is why every mature platform runs it).
-    θ IS an OLS slope, so this is the _TR_* centered-integer machinery
-    verbatim (daily_revenue_trend's, pointed at users).
-
-    Determinism: exact integer X/Y and centered sums; calendar
-    midpoint split (documented — not a median, no quantile pass).
-
-    Scale shape: one user agg with period-conditional counters, 1-row
-    censuses."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-            "day_num"
-        ),
-        "event_type",
-    )
-    b = t.agg(
-        F.expr(
-            "(CAST(min(day_num) AS BIGINT) + CAST(max(day_num) AS BIGINT)) div 2"
-        ).alias("ms")
-    )
-    u = (
-        t.crossJoin(F.broadcast(b))
-        .groupBy("user_id")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("day_num") <= F.col("ms"), 1).otherwise(0)),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("x"),
-            F.max(
-                F.when(
-                    (F.col("day_num") > F.col("ms"))
-                    & (F.col("event_type") == "purchase"),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("y"),
-        )
-    )
-    m = u.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.expr(
-            "CAST(sum(x) AS BIGINT) div greatest(CAST(count(1) AS BIGINT), 1)"
-        ).alias("mx"),
-        F.expr(
-            "CAST(sum(y) AS BIGINT) div greatest(CAST(count(1) AS BIGINT), 1)"
-        ).alias("my"),
-    )
-    cs = (
-        u.crossJoin(F.broadcast(m))
-        .groupBy("n")
-        .agg(
-            F.sum(F.col("x") - F.col("mx")).cast("long").alias("sxc"),
-            F.sum(F.col("y") - F.col("my")).cast("long").alias("syc"),
-            F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx")))
-            .cast("long")
-            .alias("sxx"),
-            F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my")))
-            .cast("long")
-            .alias("syy"),
-            F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
-            .cast("long")
-            .alias("sxy"),
-        )
-    )
-    return cs.select(
-        F.col("n").alias("n_users"),
-        F.expr(_TR_SLOPE).alias("theta_q6"),
-        F.expr(_TR_R2).alias("var_reduction_q6"),
-    )
-
-
-@register(
-    "markov_row_entropy",
-    """WITH t AS (
-  SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type FROM events),
-tr AS (
-  SELECT lag(event_type) OVER (PARTITION BY user_id
-                               ORDER BY t_us, event_id) AS ft,
-         event_type AS tt
-  FROM t),
-c AS (SELECT ft, tt, CAST(count(*) AS BIGINT) AS n
-      FROM tr WHERE ft IS NOT NULL GROUP BY ft, tt),
-rt AS (SELECT ft, CAST(sum(n) AS BIGINT) AS tot,
-              CAST(count(*) AS BIGINT) AS n_targets
-       FROM c GROUP BY ft),
-h AS (SELECT c.ft,
-             CAST(COALESCE(sum(CAST(round(1000000 * (-1e0
-                  * (CAST(c.n AS DOUBLE) / rt.tot)
-                  * ln(CAST(c.n AS DOUBLE) / rt.tot))) AS BIGINT)), 0) AS BIGINT)
-               AS h_q6
-      FROM c JOIN rt USING (ft) GROUP BY c.ft)
-SELECT h.ft AS from_type, rt.tot AS n_transitions, rt.n_targets, h.h_q6
-FROM h JOIN rt USING (ft) ORDER BY from_type""",
-)
-def markov_row_entropy(spark, sf_dir):
-    """Per-state transition entropy of the event Markov chain: for each
-    from-type, the Shannon entropy of WHERE users go next — the
-    predictability profile underneath events_markov_transitions' raw
-    matrix (a 0-entropy state is a forced funnel step; max-entropy
-    states are where recommendations have room to act). Same
-    (t_us, event_id) ordering as every transition op.
-
-    Determinism: per-(from, to) entropy terms q6-round FIRST, BIGINT
-    sums per row.
-
-    Scale shape: ONE user_id exchange for the lag window, a
-    ≤|types|²-cell agg and |types|-row rollups."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        "event_id",
-        "event_type",
-    )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    tr = t.select(
-        F.lag("event_type").over(w).alias("ft"),
-        F.col("event_type").alias("tt"),
-    )
-    c = (
-        tr.where(F.col("ft").isNotNull())
-        .groupBy("ft", "tt")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    rt = c.groupBy("ft").agg(
-        F.sum("n").cast("long").alias("tot"),
-        F.count(F.lit(1)).cast("long").alias("n_targets"),
-    )
-    h = (
-        c.join(rt, "ft")
-        .groupBy("ft", "tot", "n_targets")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.expr(
-                        "CAST(round(1000000 * (-1e0 * (CAST(n AS DOUBLE) / tot)"
-                        " * ln(CAST(n AS DOUBLE) / tot))) AS BIGINT)"
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("h_q6")
-        )
-    )
-    return h.select(
-        F.col("ft").alias("from_type"),
-        F.col("tot").alias("n_transitions"),
-        "n_targets",
-        "h_q6",
-    ).orderBy("from_type")
-
-
-@register(
-    "segment_value_hist2d",
-    """WITH j AS (
-  SELECT c.c_mktsegment,
-         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
-b AS (SELECT c_mktsegment,
-             CASE WHEN cents <= 0 THEN -1
-                  ELSE CAST(length(bin(cents)) - 1 AS BIGINT) END AS vband,
-             cents
-      FROM j)
-SELECT c_mktsegment, vband, CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(cents) AS BIGINT) AS revenue_cents
-FROM b GROUP BY c_mktsegment, vband ORDER BY c_mktsegment, vband""",
-)
-def segment_value_hist2d(spark, sf_dir):
-    """Segment × order-value 2-D census (log2-cents bands) — the shape
-    behind segment_value_stats' single mean/variance pair (two
-    segments with identical means can be a tight band vs a barbell;
-    pricing and credit teams read the bands, not the moments).
-    Observed cells only.
-
-    Scale shape: the custkey join is un-hinted; one
-    ≤|segments|×~40-cell agg."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_custkey",
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-    )
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey", "c_mktsegment"
-    )
-    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
-        "c_mktsegment", "cents"
-    )
-    b = j.select(
-        "c_mktsegment",
-        F.expr(
-            "CASE WHEN cents <= 0 THEN -1"
-            " ELSE CAST(length(bin(cents)) - 1 AS BIGINT) END"
-        ).alias("vband"),
-        "cents",
-    )
-    return (
-        b.groupBy("c_mktsegment", "vband")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum("cents").cast("long").alias("revenue_cents"),
-        )
-        .orderBy("c_mktsegment", "vband")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 107 — HLL intersection estimates, ANN scan-cost histogram,
-# postings gap entropy
-# ---------------------------------------------------------------------------
-
-# p=8 HLL estimator over (zeros, z_int) columns — the cardinality_sketch
-# expression factored for reuse at pair grain.
-_HLL_EST_Q6 = (
-    f"CAST(round(CASE WHEN ({_HLL_C} / CAST(z_int AS DOUBLE)) <= 640e0"
-    f" AND zeros > 0 THEN 256e0 * ln(256e0 / CAST(zeros AS DOUBLE))"
-    f" ELSE {_HLL_C} / CAST(z_int AS DOUBLE) END * 1000000) AS BIGINT)"
-)
-
-
-@register(
-    "hll_source_intersection",
-    f"""WITH sh AS ({_SQL_SHINGLES}),
-ss AS MATERIALIZED (SELECT DISTINCT source, sh FROM sh),
-h AS MATERIALIZED (
-  SELECT source, ('0x' || substr(md5(sh), 1, 15))::UBIGINT::BIGINT AS hv
-  FROM ss),
-regs AS MATERIALIZED (
-  SELECT source, hv % 256 AS reg,
-         CAST(max(CASE WHEN (hv >> 8) = 0 THEN 53
-                  ELSE 53 - length(bin(hv >> 8)) END) AS BIGINT) AS maxr
-  FROM h GROUP BY source, reg),
-est1 AS (
-  SELECT source, {_HLL_EST_Q6} AS est_q6 FROM (
-    SELECT source, CAST(256 - count(*) AS BIGINT) AS zeros,
-           CAST(COALESCE(sum((1::BIGINT << (53 - maxr))), 0)
-                + (256 - count(*)) * (1::BIGINT << 53) AS BIGINT) AS z_int
-    FROM regs GROUP BY source)),
-prs AS (SELECT a.source AS sa, b.source AS sb
-        FROM (SELECT DISTINCT source FROM ss) a
-        JOIN (SELECT DISTINCT source FROM ss) b ON a.source < b.source),
-ur AS (SELECT prs.sa, prs.sb, regs.reg, CAST(max(regs.maxr) AS BIGINT) AS maxr
-       FROM prs JOIN regs ON regs.source = prs.sa OR regs.source = prs.sb
-       GROUP BY prs.sa, prs.sb, regs.reg),
-uest AS (
-  SELECT sa, sb, {_HLL_EST_Q6} AS est_union_q6 FROM (
-    SELECT sa, sb, CAST(256 - count(*) AS BIGINT) AS zeros,
-           CAST(COALESCE(sum((1::BIGINT << (53 - maxr))), 0)
-                + (256 - count(*)) * (1::BIGINT << 53) AS BIGINT) AS z_int
-    FROM ur GROUP BY sa, sb)),
-ext AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS exact_int
-        FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
-        GROUP BY a.source, b.source)
-SELECT uest.sa AS source_a, uest.sb AS source_b,
-       CAST(ea.est_q6 + eb.est_q6 - uest.est_union_q6 AS BIGINT) AS est_int_q6,
-       CAST(COALESCE(ext.exact_int, 0) AS BIGINT) AS exact_int,
-       uest.est_union_q6
-FROM uest JOIN est1 ea ON ea.source = uest.sa
-JOIN est1 eb ON eb.source = uest.sb
-LEFT JOIN ext ON ext.sa = uest.sa AND ext.sb = uest.sb
-ORDER BY source_a, source_b""",
-)
-def hll_source_intersection(spark, sf_dir):
-    """Sketch set algebra: pairwise shingle-overlap estimates from the
-    per-source HLL registers via inclusion-exclusion
-    (|A∩B| ≈ ê(A) + ê(B) − ê(A∪B), the union sketch being the
-    register-wise MAX — the merge that makes HLLs composable), beside
-    the exact intersection. This is how cross-source contamination is
-    triaged at 100 TB: unions are free register merges, so every pair
-    is estimable WITHOUT touching data twice — and the estimate can go
-    negative on near-disjoint pairs, which is honest (inclusion-
-    exclusion subtracts three noisy numbers; the exact column shows
-    the error).
-
-    Determinism: register tables are exact integers; each estimate is
-    the one-division cardinality_sketch expression (_HLL_EST_Q6).
-
-    Scale shape: registers are ≤256 rows per source; pair unions group
-    ≤512 register rows per pair over a bounded source-pair spine; the
-    exact column joins distinct shingles on the shingle key (fanout
-    bounded by sources per shingle)."""
-    sh = _shingles_spark(spark, sf_dir)
-    ss = sh.select("source", "sh").distinct().localCheckpoint()
-    h = ss.select("source", _H60_SPARK(F.col("sh")).alias("hv"))
-    regs = (
-        h.select(
-            "source",
-            F.expr("hv % 256").alias("reg"),
-            F.expr(
-                "CASE WHEN (hv >> 8) = 0 THEN 53"
-                " ELSE 53 - length(bin(hv >> 8)) END"
-            ).alias("rnk"),
-        )
-        .groupBy("source", "reg")
-        .agg(F.max("rnk").cast("long").alias("maxr"))
-        .localCheckpoint()  # singles + pair unions both consume it
-    )
-    e1 = (
-        regs.groupBy("source")
-        .agg(
-            (F.lit(256) - F.count(F.lit(1))).cast("long").alias("zeros"),
-            F.expr(
-                "CAST(COALESCE(sum(shiftleft(cast(1 as bigint),"
-                " cast(53 - maxr as int))), 0)"
-                " + (256 - count(1)) * shiftleft(cast(1 as bigint), 53)"
-                " AS BIGINT)"
-            ).alias("z_int"),
-        )
-        .select("source", F.expr(_HLL_EST_Q6).alias("est_q6"))
-    )
-    srcs = ss.select("source").distinct()
-    prs = (
-        srcs.select(F.col("source").alias("sa"))
-        .join(
-            srcs.select(F.col("source").alias("sb")),
-            F.col("sa") < F.col("sb"),
-        )
-        .localCheckpoint()
-    )
-    ur = (
-        F.broadcast(prs)
-        .join(
-            regs,
-            (regs["source"] == F.col("sa")) | (regs["source"] == F.col("sb")),
-        )
-        .groupBy("sa", "sb", "reg")
-        .agg(F.max("maxr").cast("long").alias("maxr"))
-    )
-    uest = (
-        ur.groupBy("sa", "sb")
-        .agg(
-            (F.lit(256) - F.count(F.lit(1))).cast("long").alias("zeros"),
-            F.expr(
-                "CAST(COALESCE(sum(shiftleft(cast(1 as bigint),"
-                " cast(53 - maxr as int))), 0)"
-                " + (256 - count(1)) * shiftleft(cast(1 as bigint), 53)"
-                " AS BIGINT)"
-            ).alias("z_int"),
-        )
-        .select("sa", "sb", F.expr(_HLL_EST_Q6).alias("est_union_q6"))
-    )
-    a = ss.select(F.col("source").alias("sa"), "sh")
-    b = ss.select(F.col("source").alias("sb"), "sh")
-    ext = (
-        a.join(b, "sh")
-        .where(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_int"))
-    )
-    ea = e1.select(F.col("source").alias("sa"), F.col("est_q6").alias("ea"))
-    eb = e1.select(F.col("source").alias("sb"), F.col("est_q6").alias("eb"))
-    return (
-        uest.join(F.broadcast(ea), "sa")
-        .join(F.broadcast(eb), "sb")
-        .join(ext, ["sa", "sb"], "left")
-        .select(
-            F.col("sa").alias("source_a"),
-            F.col("sb").alias("source_b"),
-            (F.col("ea") + F.col("eb") - F.col("est_union_q6"))
-            .cast("long")
-            .alias("est_int_q6"),
-            F.coalesce("exact_int", F.lit(0)).cast("long").alias("exact_int"),
-            "est_union_q6",
-        )
-        .orderBy("source_a", "source_b")
-    )
-
-
-@register(
-    "ann_scan_cost_histogram",
-    _BATCH_SQL
-    + """,
-cz AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz FROM a3 GROUP BY cid),
-qc AS (SELECT bp.qid, CAST(sum(cz.sz) AS BIGINT) AS scanned
-       FROM bp JOIN cz USING (cid) GROUP BY bp.qid),
-bk AS (SELECT CAST(length(bin(scanned)) - 1 AS BIGINT) AS bucket FROM qc
-       WHERE scanned > 0)
-SELECT bucket, CAST(count(*) AS BIGINT) AS n_queries
-FROM bk GROUP BY bucket ORDER BY bucket""",
-)
-def ann_scan_cost_histogram(spark, sf_dir):
-    """Per-query scan-cost distribution of the batch ANN: vectors
-    inside each query's 3 probed cells, log2-bucketed — the TAIL
-    LATENCY profile of the IVF (mean cost is nprobe/K of the corpus,
-    but a query probing the three celebrity cells scans multiples of
-    that — ivf_cluster_balance shows the skewed cells, THIS shows how
-    that skew lands on queries, which is what a latency SLO feels).
-
-    Determinism: exact cell sizes from the memoized assignment; exact
-    buckets.
-
-    Scale shape: cell sizes are a K-row agg; the per-query sum joins
-    the 3-row-per-query probe table to K broadcast rows."""
-    _members, _cent, final_assign = _trained_ivf(spark, sf_dir)
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    qs = e.where(F.col("vec_id") % 37 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    wq = Window.partitionBy("qid").orderBy(F.desc("cq"), F.asc("cid"))
-    bp = (
-        qs.crossJoin(F.broadcast(_cent))
-        .select("qid", "cid", _cosq("cv", "qv", 1_000_000_000).alias("cq"))
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= 3)
-        .select("qid", "cid")
-    )
-    cz = final_assign.groupBy("cid").agg(
-        F.count(F.lit(1)).cast("long").alias("sz")
-    )
-    qc = (
-        bp.join(F.broadcast(cz), "cid")
-        .groupBy("qid")
-        .agg(F.sum("sz").cast("long").alias("scanned"))
-    )
-    bk = qc.where(F.col("scanned") > 0).select(
-        F.expr("CAST(length(bin(scanned)) - 1 AS BIGINT)").alias("bucket")
-    )
-    return (
-        bk.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
-        .orderBy("bucket")
-    )
-
-
-@register(
-    "postings_gap_entropy",
-    f"""WITH tf AS ({SQL_TF}),
-d AS (SELECT term, doc_id,
-             doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS gap
-      FROM tf),
-g AS (SELECT term, CAST(gap AS BIGINT) AS gap FROM d WHERE gap IS NOT NULL),
-pt AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-bg AS (SELECT CAST(length(bin(pt.df)) - 1 AS BIGINT) AS df_band, g.gap
-       FROM g JOIN pt USING (term)),
-cells AS (SELECT df_band, gap, CAST(count(*) AS BIGINT) AS n
-          FROM bg GROUP BY df_band, gap),
-bt AS (SELECT df_band, CAST(sum(n) AS BIGINT) AS tot,
-              CAST(count(*) AS BIGINT) AS n_distinct_gaps
-       FROM cells GROUP BY df_band),
-h AS (SELECT cells.df_band,
-             CAST(COALESCE(sum(CAST(round(1000000 * (-1e0
-                  * (CAST(cells.n AS DOUBLE) / bt.tot)
-                  * ln(CAST(cells.n AS DOUBLE) / bt.tot))) AS BIGINT)), 0)
-                  AS BIGINT) AS h_q6
-      FROM cells JOIN bt USING (df_band) GROUP BY cells.df_band)
-SELECT h.df_band, bt.tot AS n_gaps, bt.n_distinct_gaps, h.h_q6 AS entropy_q6
-FROM h JOIN bt USING (df_band) ORDER BY df_band""",
-)
-def postings_gap_entropy(spark, sf_dir):
-    """Entropy of the doc-id gap distribution per log2-df band — the
-    Shannon LOWER BOUND on postings compression that
-    postings_varint_estimate's LEB128 bytes should be compared against
-    (varint pays ≥8 bits/gap; when a band's gap entropy is 3 bits, a
-    bit-packed or Elias-Fano coding takes the difference — per band,
-    which is how real engines pick per-block codecs). First postings
-    (absolute ids) are excluded — only gaps compress.
-
-    Determinism: per-(band, gap) entropy terms q6-round FIRST, BIGINT
-    sums per band.
-
-    Scale shape: the term-partitioned lag window mirrors the codec's
-    ordering; (band, gap) cells are bounded by distinct gap values,
-    which cluster small for dense terms."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()  # gaps + df both consume it
-    )
-    w = Window.partitionBy("term").orderBy("doc_id")
-    g = (
-        tf.select(
-            "term", (F.col("doc_id") - F.lag("doc_id").over(w)).alias("gap")
-        )
-        .where(F.col("gap").isNotNull())
-        .select("term", F.col("gap").cast("long").alias("gap"))
-    )
-    pt = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    bg = g.join(pt, "term").select(
-        F.expr("CAST(length(bin(df)) - 1 AS BIGINT)").alias("df_band"), "gap"
-    )
-    cells = bg.groupBy("df_band", "gap").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    bt = cells.groupBy("df_band").agg(
-        F.sum("n").cast("long").alias("tot"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct_gaps"),
-    )
-    h = (
-        cells.join(bt, "df_band")
-        .groupBy("df_band", "tot", "n_distinct_gaps")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.expr(
-                        "CAST(round(1000000 * (-1e0 * (CAST(n AS DOUBLE) / tot)"
-                        " * ln(CAST(n AS DOUBLE) / tot))) AS BIGINT)"
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("h_q6")
-        )
-    )
-    return h.select(
-        "df_band",
-        F.col("tot").alias("n_gaps"),
-        "n_distinct_gaps",
-        F.col("h_q6").alias("entropy_q6"),
-    ).orderBy("df_band")
-
-
-# ---------------------------------------------------------------------------
-# session 108 — pairwise-cosine moments, match coordination census,
-# purchase share by weekday
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "pairwise_cos_moments",
-    """WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE vec_id <> 0),
-un AS (
-  SELECT vec_id,
-         list_transform(v, x -> CAST(round(1000000 * x
-             / sqrt(list_dot_product(v, v))) AS BIGINT)) AS u
-  FROM e WHERE list_dot_product(v, v) > 0),
-ux AS (SELECT vec_id, i - 1 AS k, u[i] AS xk
-       FROM un, (SELECT unnest(generate_series(1, 64)) AS i)),
-sv AS (SELECT k, CAST(sum(xk) AS BIGINT) AS s FROM ux GROUP BY k),
-nrm AS (SELECT CAST(COALESCE(sum(s * s), 0) AS BIGINT) AS s2 FROM sv),
-mkl AS (SELECT a.k AS ka, b.k AS kb,
-               CAST(sum(a.xk * b.xk) AS BIGINT) // 1000000000 AS m3
-        FROM ux a JOIN ux b ON a.vec_id = b.vec_id
-        GROUP BY a.k, b.k),
-frob AS (SELECT CAST(COALESCE(sum(m3 * m3), 0) AS BIGINT) AS f2 FROM mkl),
-n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM un)
-SELECT n.n AS n_vecs,
-       CASE WHEN n.n < 2 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 * ((CAST(nrm.s2 AS DOUBLE) / 1000000000000e0
-                 - n.n) / (CAST(n.n AS DOUBLE) * (n.n - 1)))) AS BIGINT)
-       END AS mean_cos_q6,
-       CASE WHEN n.n < 2 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 * ((CAST(frob.f2 AS DOUBLE) / 1000000e0 - n.n)
-                 / (CAST(n.n AS DOUBLE) * (n.n - 1))
-                 - ((CAST(nrm.s2 AS DOUBLE) / 1000000000000e0 - n.n)
-                    / (CAST(n.n AS DOUBLE) * (n.n - 1)))
-                 * ((CAST(nrm.s2 AS DOUBLE) / 1000000000000e0 - n.n)
-                    / (CAST(n.n AS DOUBLE) * (n.n - 1))))) AS BIGINT)
-       END AS var_cos_q6
-FROM n CROSS JOIN nrm CROSS JOIN frob""",
-)
-def pairwise_cos_moments(spark, sf_dir):
-    """Mean AND variance of all pairwise cosines with NO pair table:
-    the mean comes from ‖Σû‖² − n (the source_embedding_dispersion
-    identity) and the second moment from the Gram Frobenius norm —
-    Σ_{i≠j}(ûᵢ·ûⱼ)² = ‖UᵀU‖²_F − n, where UᵀU is just 64×64
-    column-product sums. The variance is THE concentration-of-measure
-    gauge (i.i.d. high-dim vectors: mean ≈ 0, var ≈ 1/d — a var ≫ 1/d
-    says the space has cluster structure worth an IVF; ≈ 1/d says
-    nprobe tuning is fighting physics). O(n·d²) map-side work replaces
-    the O(n²) pair table — the scale trade that makes the audit
-    runnable at corpus size.
-
-    Determinism: û components q6-round once per component (shared
-    normalize expression); M entries floor q12→q3 before squaring (the
-    norm-outliers envelope rule — documented quantization, ~1e-3 on a
-    [−1,1] cosine scale); the two closing expressions are shared float
-    strings over exact BIGINTs.
-
-    Scale shape: one exploded (vec, dim) table; the M matrix is a
-    4096-group agg of within-vector dim pairs (d²-bounded); censuses
-    are 1-row."""
-    e = _emb(spark, sf_dir).where(F.col("vec_id") != 0).select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
-    )
-    un = (
-        e.where(F.expr(_DOT.format(a="v", b="v")) > 0)
-        .select(
-            "vec_id",
-            F.expr(
-                f"transform(v, x -> CAST(round(1000000 * x"
-                f" / sqrt({_DOT.format(a='v', b='v')})) AS BIGINT))"
-            ).alias("u"),
-        )
-        .localCheckpoint()  # column sums + M matrix both consume it
-    )
-    ux = un.select("vec_id", F.posexplode("u").alias("k", "xk"))
-    sv = ux.groupBy("k").agg(F.sum("xk").cast("long").alias("s"))
-    nrm = sv.agg(
-        F.coalesce(F.sum(F.expr("s * s")), F.lit(0)).cast("long").alias("s2")
-    )
-    a = ux.select("vec_id", F.col("k").alias("ka"), F.col("xk").alias("xa"))
-    b = ux.select("vec_id", F.col("k").alias("kb"), F.col("xk").alias("xb"))
-    mkl = (
-        a.join(b, "vec_id")
-        .groupBy("ka", "kb")
-        .agg(
-            F.expr("CAST(sum(xa * xb) AS BIGINT) div 1000000000").alias("m3")
-        )
-    )
-    frob = mkl.agg(
-        F.coalesce(F.sum(F.expr("m3 * m3")), F.lit(0)).cast("long").alias("f2")
-    )
-    nn = un.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    mean_expr = (
-        "((CAST(s2 AS DOUBLE) / 1000000000000e0 - n)"
-        " / (CAST(n AS DOUBLE) * (n - 1)))"
-    )
-    return (
-        nn.crossJoin(F.broadcast(nrm))
-        .crossJoin(F.broadcast(frob))
-        .select(
-            F.col("n").alias("n_vecs"),
-            F.expr(
-                f"CASE WHEN n < 2 THEN CAST(0 AS BIGINT)"
-                f" ELSE CAST(round(1000000 * {mean_expr}) AS BIGINT) END"
-            ).alias("mean_cos_q6"),
-            F.expr(
-                f"CASE WHEN n < 2 THEN CAST(0 AS BIGINT)"
-                f" ELSE CAST(round(1000000 * ((CAST(f2 AS DOUBLE) / 1000000e0 - n)"
-                f" / (CAST(n AS DOUBLE) * (n - 1))"
-                f" - {mean_expr} * {mean_expr})) AS BIGINT) END"
-            ).alias("var_cos_q6"),
-        )
-    )
-
-
-@register(
-    "match_coordination_census",
-    _bm25_agg_ctes(_RANKEVAL_TERMS)
-    + """
-SELECT CAST(nm AS BIGINT) AS n_terms_matched,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(CAST(sum(score_q6) AS BIGINT) // count(*) AS BIGINT)
-         AS mean_score_q6
-FROM agg GROUP BY nm ORDER BY n_terms_matched""",
-)
-def match_coordination_census(spark, sf_dir):
-    """Coordination census of the match set: how many documents matched
-    1, 2, … of the query's terms, with each stratum's mean score — the
-    table a minimum_should_match decision reads (if the 1-term stratum
-    is huge and weak, msm=2 deletes noise for free; if it scores close
-    to the 2-term stratum, msm costs recall — bm25_msm50 applies the
-    cut, THIS shows what it cuts).
-
-    Determinism: exact nm counts; mean is a floor division of exact
-    q6 sums.
-
-    Scale shape: one ≤|query|-group agg over the memoized match set."""
-    agg = _bm25_match_set(spark, sf_dir, _RANKEVAL_TERMS)
-    return (
-        agg.groupBy("nm")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.expr(
-                "CAST(CAST(sum(score_q6) AS BIGINT) div count(1) AS BIGINT)"
-            ).alias("mean_score_q6"),
-        )
-        .select(
-            F.col("nm").cast("long").alias("n_terms_matched"),
-            "n_docs",
-            "mean_score_q6",
-        )
-        .orderBy("n_terms_matched")
-    )
-
-
-@register(
-    "purchase_share_by_weekday",
-    """WITH e AS (
-  SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow, event_type FROM events),
-d AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_events,
-             CAST(COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0)
-                  AS BIGINT) AS n_purchases
-      FROM e GROUP BY dow),
-spine AS (SELECT unnest(generate_series(0, 6)) AS dow)
-SELECT CAST(spine.dow AS BIGINT) AS dow,
-       CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
-       CAST(COALESCE(d.n_purchases, 0) AS BIGINT) AS n_purchases,
-       CASE WHEN COALESCE(d.n_events, 0) = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * d.n_purchases) // d.n_events AS BIGINT)
-       END AS purchase_share_q6
-FROM spine LEFT JOIN d USING (dow) ORDER BY dow""",
-)
-def purchase_share_by_weekday(spark, sf_dir):
-    """Purchase intensity by weekday: what fraction of each weekday's
-    events are purchases (0 = Monday, the epoch+3 rule) — the
-    CONVERSION cut of events_weekday_profile's volume view (volume
-    peaks and buying peaks routinely disagree; campaign scheduling
-    wants this one). All 7 days present via the spine.
-
-    Scale shape: map-side day math with a conditional counter, a
-    ≤7-group agg, a 7-row spine."""
-    e = _events(spark, sf_dir).select(
-        F.expr(
-            "(unix_micros(cast(ts as timestamp)) div 86400000000 + 3) % 7"
-        ).alias("dow"),
-        "event_type",
-    )
-    d = e.groupBy("dow").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.coalesce(
-            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_purchases"),
-    )
-    spine = spark.range(7).select(F.col("id").alias("dow"))
-    return (
-        spine.join(d, "dow", "left")
-        .select(
-            F.col("dow").cast("long").alias("dow"),
-            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
-            F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
-            F.expr(
-                "CASE WHEN COALESCE(n_events, 0) = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST((1000000 * n_purchases) div n_events AS BIGINT) END"
-            ).alias("purchase_share_q6"),
-        )
-        .orderBy("dow")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 109 — IQR outlier census, forward as-of join, daily hour entropy
-# ---------------------------------------------------------------------------
-
-
-def _iqr_census_sql() -> str:
-    """Generated oracle nesting boxplot_doclen's full statement as a CTE
-    (its quartile machinery stays in ONE place); fences compare as
-    integer cross-multiplications — 1.5·IQR never becomes a float."""
-    bp = REGISTRY["boxplot_doclen"].sql
-    return f"""WITH bp AS ({bp}),
-t AS (
-  SELECT source,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT)
-           AS n_tok
-  FROM documents),
-j AS (SELECT t.source, t.n_tok, bp.q1_q6, bp.q3_q6, bp.iqr_q6
-      FROM t JOIN bp USING (source))
-SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(COALESCE(sum(CASE WHEN 2000000 * n_tok < 2 * q1_q6 - 3 * iqr_q6
-            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_low,
-       CAST(COALESCE(sum(CASE WHEN 2000000 * n_tok > 2 * q3_q6 + 3 * iqr_q6
-            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_high,
-       CAST((1000000 * (COALESCE(sum(CASE WHEN 2000000 * n_tok < 2 * q1_q6
-            - 3 * iqr_q6 THEN 1 ELSE 0 END), 0)
-            + COALESCE(sum(CASE WHEN 2000000 * n_tok > 2 * q3_q6 + 3 * iqr_q6
-            THEN 1 ELSE 0 END), 0))) // count(*) AS BIGINT) AS outlier_share_q6
-FROM j GROUP BY source ORDER BY source"""
-
-
-@register("iqr_outlier_census", _iqr_census_sql())
-def iqr_outlier_census(spark, sf_dir):
-    """Tukey-fence outlier census per source: documents whose token
-    length falls below q1 − 1.5·IQR or above q3 + 1.5·IQR — the
-    standard boxplot-whisker rule turned into counts (boxplot_doclen
-    draws the box; THIS counts what hangs outside it, which is the
-    truncation/padding-budget question: a 4% high-outlier share is 4%
-    of docs paying sliding-window costs). Fences compare as exact
-    integer cross-multiplications (2e6·len vs 2q1 − 3·IQR), so the
-    1.5× never exists as a float.
-
-    Determinism: quartiles are boxplot_doclen's exact type-7 values;
-    everything after is integer.
-
-    Scale shape: the quartile table is ≤|sources| rows broadcast into
-    a map-side length projection; one source rollup."""
-    bp = boxplot_doclen(spark, sf_dir).select(
-        "source", "q1_q6", "q3_q6", "iqr_q6"
-    )
-    t = _docs(spark, sf_dir).select(
-        "source", F.size(spark_tokens("text")).cast("long").alias("n_tok")
-    )
-    j = t.join(F.broadcast(bp), "source")
-    return (
-        j.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(
-                F.sum(
-                    F.expr(
-                        "CASE WHEN 2000000 * n_tok < 2 * q1_q6 - 3 * iqr_q6"
-                        " THEN 1 ELSE 0 END"
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("n_low"),
-            F.coalesce(
-                F.sum(
-                    F.expr(
-                        "CASE WHEN 2000000 * n_tok > 2 * q3_q6 + 3 * iqr_q6"
-                        " THEN 1 ELSE 0 END"
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("n_high"),
-        )
-        .select(
-            "source",
-            "n_docs",
-            "n_low",
-            "n_high",
-            F.expr(
-                "CAST((1000000 * (n_low + n_high)) div n_docs AS BIGINT)"
-            ).alias("outlier_share_q6"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "events_asof_forward",
-    """WITH t AS (
-  SELECT event_id, user_id, epoch_us(ts) AS t_us,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
-         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_v
-  FROM events WHERE event_type IN ('view', 'purchase')),
-w AS (
-  SELECT event_id, user_id, t_us, is_v,
-         first_value(CASE WHEN is_p = 1 THEN t_us END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY t_us ASC, is_p ASC, event_id ASC
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p_us
-  FROM t)
-SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
-       CAST(t_us AS BIGINT) AS view_us,
-       CAST(COALESCE(p_us - t_us, -1) AS BIGINT) AS wait_us
-FROM w WHERE is_v = 1 ORDER BY event_id""",
-)
-def events_asof_forward(spark, sf_dir):
-    """FORWARD as-of join: for every view, the wait until the SAME
-    user's next purchase (at-or-after — a same-timestamp purchase
-    counts, the declared tie rule via the is_p sort key), −1 when none
-    ever comes. Completes the as-of family (events_asof_join looks
-    backward, _horizon bounds it, THIS looks forward) — forward as-of
-    is the label-generation join for time-to-convert models, where
-    each impression needs its outcome delay.
-
-    Determinism: the tagged union orders by (t_us, is_p, event_id) —
-    views sort before purchases at equal ts, so the purchase is
-    visible to the view's forward scan; exact integer microseconds.
-
-    Scale shape: ONE user_id exchange; the forward-looking
-    first_value(IGNORE NULLS) window is the reversed tagged-union
-    trick — no self-join, no per-event probe."""
-    t = (
-        _events(spark, sf_dir)
-        .where(F.col("event_type").isin("view", "purchase"))
-        .select(
-            "event_id",
-            "user_id",
-            F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
-                "is_p"
-            ),
-            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_v"),
-        )
-    )
-    w = Window.partitionBy("user_id").orderBy(
-        F.asc("t_us"), F.asc("is_p"), F.asc("event_id")
-    ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    j = t.withColumn(
-        "p_us",
-        F.first(
-            F.when(F.col("is_p") == 1, F.col("t_us")), ignorenulls=True
-        ).over(w),
-    )
-    return (
-        j.where(F.col("is_v") == 1)
-        .select(
-            F.col("event_id").cast("long").alias("event_id"),
-            F.col("user_id").cast("long").alias("user_id"),
-            F.col("t_us").cast("long").alias("view_us"),
-            F.coalesce(F.col("p_us") - F.col("t_us"), F.lit(-1))
-            .cast("long")
-            .alias("wait_us"),
-        )
-        .orderBy("event_id")
-    )
-
-
-@register(
-    "daily_hour_entropy",
-    f"""WITH e AS (
-  SELECT epoch_us(ts) // {_US_PER_DAY} AS day_num,
-         (epoch_us(ts) // 3600000000) % 24 AS hour
-  FROM events),
-c AS (SELECT day_num, hour, CAST(count(*) AS BIGINT) AS n
-      FROM e GROUP BY day_num, hour),
-d AS (SELECT day_num, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY day_num),
-h AS (SELECT c.day_num,
-             CAST(COALESCE(sum(CAST(round(1000000 * (-1e0
-                  * (CAST(c.n AS DOUBLE) / d.tot)
-                  * ln(CAST(c.n AS DOUBLE) / d.tot))) AS BIGINT)), 0) AS BIGINT)
-               AS h_q6
-      FROM c JOIN d USING (day_num) GROUP BY c.day_num)
-SELECT CAST(h.day_num AS BIGINT) AS day_num, d.tot AS n_events,
-       h.h_q6 AS hour_entropy_q6
-FROM h JOIN d USING (day_num) ORDER BY day_num""",
-)
-def daily_hour_entropy(spark, sf_dir):
-    """Traffic-shape regularity series: per day, the Shannon entropy of
-    the hour-of-day distribution — a day whose entropy collapses is a
-    burst (one hour took all the traffic: incident, batch job, or
-    launch), the SHAPE anomaly events_daily_anomaly's volume z² can't
-    see (a perfectly average-sized day can still be all one hour).
-    Observed days only; max is ln 24 ≈ 3.178.
-
-    Determinism: per-(day, hour) entropy terms q6-round FIRST, BIGINT
-    sums per day.
-
-    Scale shape: one (day, hour) agg (≤24 cells/day), day totals
-    joined back on the day key."""
-    e = _events(spark, sf_dir).select(
-        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-            "day_num"
-        ),
-        F.expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 24").alias(
-            "hour"
-        ),
-    )
-    c = e.groupBy("day_num", "hour").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    d = c.groupBy("day_num").agg(F.sum("n").cast("long").alias("tot"))
-    h = (
-        c.join(d, "day_num")
-        .groupBy("day_num", "tot")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.expr(
-                        "CAST(round(1000000 * (-1e0 * (CAST(n AS DOUBLE) / tot)"
-                        " * ln(CAST(n AS DOUBLE) / tot))) AS BIGINT)"
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("h_q6")
-        )
-    )
-    return h.select(
-        F.col("day_num").cast("long").alias("day_num"),
-        F.col("tot").alias("n_events"),
-        F.col("h_q6").alias("hour_entropy_q6"),
-    ).orderBy("day_num")
-
-
-# ---------------------------------------------------------------------------
-# session 110 — inter-event burstiness, catalog sales coverage, session
-# entry/exit matrix
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "interevent_cv2",
-    """WITH t AS (
-  SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events),
-g AS (SELECT CAST((t_us - lag(t_us) OVER (PARTITION BY user_id
-                   ORDER BY t_us, event_id)) // 1000000 AS BIGINT) AS gap_s
-      FROM t),
-gg AS (SELECT gap_s FROM g WHERE gap_s IS NOT NULL),
-m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(gap_s) AS BIGINT) AS s,
-             CAST(sum(gap_s) AS BIGINT)
-               // greatest(CAST(count(*) AS BIGINT), 1) AS mg
-      FROM gg),
-cs AS (SELECT m.n AS n, m.s AS s,
-              CAST(sum(gg.gap_s - m.mg) AS BIGINT) AS syc,
-              CAST(sum((gg.gap_s - m.mg) * (gg.gap_s - m.mg)) AS BIGINT) AS syy
-       FROM gg CROSS JOIN m GROUP BY m.n, m.s)
-SELECT n AS n_gaps,
-       CAST(round(1000000 * (CAST(s AS DOUBLE) / greatest(n, 1))) AS BIGINT)
-         AS mean_gap_s_q6,
-       CASE WHEN n < 2 OR s = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 * (((CAST(n AS DOUBLE) * syy
-                 - CAST(syc AS DOUBLE) * syc) / (CAST(n AS DOUBLE) * n))
-                 / ((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))))
-                 AS BIGINT) END AS cv2_q6
-FROM cs""",
-)
-def interevent_cv2(spark, sf_dir):
-    """Burstiness of the event stream as ONE number: the squared
-    coefficient of variation of user-keyed inter-event gaps (seconds).
-    A Poisson process sits at CV² = 1; heavy-tailed human burstiness
-    pushes it far above; a metronomic bot below —
-    interevent_gap_histogram shows the whole distribution, THIS is the
-    summary a monitoring threshold watches (the erratic_customers CV²
-    machinery pointed at time instead of money; squared — the no-sqrt
-    rule).
-
-    Determinism: integer-second gaps; centered-BIGINT variance; one
-    shared float expression.
-
-    Scale shape: ONE user exchange for the lag window; the stats pass
-    is a 1-row census with a broadcast mean."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        "event_id",
-    )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    g = (
-        t.select(
-            (F.col("t_us") - F.lag("t_us").over(w)).alias("gap_us")
-        )
-        .where(F.col("gap_us").isNotNull())
-        .select(F.expr("CAST(gap_us div 1000000 AS BIGINT)").alias("gap_s"))
-        .localCheckpoint()  # mean + centered pass both consume it
-    )
-    m = g.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("gap_s").cast("long").alias("s"),
-        F.expr(
-            "CAST(sum(gap_s) AS BIGINT) div greatest(CAST(count(1) AS BIGINT), 1)"
-        ).alias("mg"),
-    )
-    cs = (
-        g.crossJoin(F.broadcast(m))
-        .groupBy("n", "s")
-        .agg(
-            F.sum(F.col("gap_s") - F.col("mg")).cast("long").alias("syc"),
-            F.sum((F.col("gap_s") - F.col("mg")) * (F.col("gap_s") - F.col("mg")))
-            .cast("long")
-            .alias("syy"),
-        )
-    )
-    return cs.select(
-        F.col("n").alias("n_gaps"),
-        F.expr(
-            "CAST(round(1000000 * (CAST(s AS DOUBLE) / greatest(n, 1)))"
-            " AS BIGINT)"
-        ).alias("mean_gap_s_q6"),
-        F.expr(
-            "CASE WHEN n < 2 OR s = 0 THEN CAST(0 AS BIGINT)"
-            " ELSE CAST(round(1000000 * (((CAST(n AS DOUBLE) * syy"
-            " - CAST(syc AS DOUBLE) * syc) / (CAST(n AS DOUBLE) * n))"
-            " / ((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))))"
-            " AS BIGINT) END"
-        ).alias("cv2_q6"),
-    )
-
-
-@register(
-    "part_sales_coverage",
-    """WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem),
-j AS (SELECT p.p_brand,
-             CASE WHEN sold.l_partkey IS NULL THEN 0 ELSE 1 END AS is_sold
-      FROM part p LEFT JOIN sold ON sold.l_partkey = p.p_partkey)
-SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
-       CAST(COALESCE(sum(is_sold), 0) AS BIGINT) AS n_sold,
-       CAST((1000000 * COALESCE(sum(is_sold), 0)) // count(*) AS BIGINT)
-         AS coverage_q6
-FROM j GROUP BY p_brand ORDER BY p_brand""",
-)
-def part_sales_coverage(spark, sf_dir):
-    """Catalog sales coverage per brand: what share of listed parts
-    have EVER shipped — the dead-stock census (the complement of
-    top_moving_parts: that board shows the head, this measures the
-    tail that ties up shelf space; a brand at 60% coverage carries 40%
-    catalog debt). The LEFT probe direction matters: part is the spine
-    so never-sold parts COUNT.
-
-    Determinism: exact distincts and counts.
-
-    Scale shape: one distinct over lineitem's partkey (two-phase),
-    a LEFT probe keyed on partkey, a ≤|brands| rollup."""
-    sold = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .select("l_partkey")
-        .distinct()
-        .withColumn("is_sold_flag", F.lit(1))
-    )
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_partkey", "p_brand"
-    )
-    j = p.join(sold, p["p_partkey"] == sold["l_partkey"], "left").select(
-        "p_brand", F.coalesce("is_sold_flag", F.lit(0)).alias("is_sold")
-    )
-    return (
-        j.groupBy("p_brand")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_parts"),
-            F.coalesce(F.sum("is_sold"), F.lit(0)).cast("long").alias("n_sold"),
-        )
-        .select(
-            "p_brand",
-            "n_parts",
-            "n_sold",
-            F.expr(
-                "CAST((1000000 * n_sold) div n_parts AS BIGINT)"
-            ).alias("coverage_q6"),
-        )
-        .orderBy("p_brand")
-    )
-
-
-@register(
-    "session_entry_exit_matrix",
-    f"""WITH t AS (
-  SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type FROM events),
-fl AS (
-  SELECT user_id, t_us, event_id, event_type,
-         CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   IS NULL
-              OR t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS is_start
-  FROM t),
-se AS (
-  SELECT user_id, t_us, event_id, event_type,
-         sum(is_start) OVER (PARTITION BY user_id ORDER BY t_us, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-  FROM fl),
-rk AS (
-  SELECT user_id, sid, event_type,
-         row_number() OVER (PARTITION BY user_id, sid
-                            ORDER BY t_us ASC, event_id ASC) AS rf,
-         row_number() OVER (PARTITION BY user_id, sid
-                            ORDER BY t_us DESC, event_id DESC) AS rl
-  FROM se),
-ses AS (
-  SELECT user_id, sid,
-         max(CASE WHEN rf = 1 THEN event_type END) AS entry_type,
-         max(CASE WHEN rl = 1 THEN event_type END) AS exit_type
-  FROM rk GROUP BY user_id, sid)
-SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions
-FROM ses GROUP BY entry_type, exit_type ORDER BY entry_type, exit_type""",
-)
-def session_entry_exit_matrix(spark, sf_dir):
-    """Session flow matrix: first event type × last event type per
-    session — where journeys begin crossed with where they die
-    (session_entry_conversion scores the door by outcome; THIS shows
-    the full door→exit flow, and the (view, view) cell is the
-    window-shopper population every growth review argues about).
-
-    Determinism: entry/exit are map-side min/max(struct(...)) picks in
-    Spark (the search_collapse rule — the oracle may window); ties
-    break on (t_us, event_id) both directions.
-
-    Scale shape: ONE user exchange for the session machinery, a
-    (user, session) agg carrying both ends in one pass, a
-    ≤|types|²-cell rollup."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        "event_id",
-        "event_type",
-    )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    fl = t.withColumn(
-        "is_start",
-        F.expr(
-            "CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
-            " IS NULL OR t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us,"
-            f" event_id) > {_SESSION_GAP_US} THEN 1 ELSE 0 END"
-        ),
-    )
-    se = fl.withColumn(
-        "sid",
-        F.sum("is_start").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    ses = se.groupBy("user_id", "sid").agg(
-        F.min(F.struct("t_us", "event_id", "event_type"))["event_type"].alias(
-            "entry_type"
-        ),
-        F.max(F.struct("t_us", "event_id", "event_type"))["event_type"].alias(
-            "exit_type"
-        ),
-    )
-    return (
-        ses.groupBy("entry_type", "exit_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
-        .orderBy("entry_type", "exit_type")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 111 — brand co-buy matrix, LTV age curve, order size by status
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "brand_cobuy_matrix",
-    """WITH ob AS (
-  SELECT DISTINCT l.l_orderkey, p.p_brand
-  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
-tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob),
-pr AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
-              CAST(count(*) AS BIGINT) AS n_both
-       FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
-                          AND a.p_brand < b.p_brand
-       GROUP BY a.p_brand, b.p_brand),
-rk AS (SELECT brand_a, brand_b, n_both,
-              row_number() OVER (ORDER BY n_both DESC, brand_a ASC, brand_b ASC)
-                AS rank
-       FROM pr)
-SELECT rk.brand_a, rk.brand_b, rk.n_both, CAST(rk.rank AS BIGINT) AS rank,
-       CAST((1000000 * rk.n_both) // tot.n_orders AS BIGINT) AS support_q6
-FROM rk CROSS JOIN tot WHERE rk.rank <= 15 ORDER BY rank""",
-)
-def brand_cobuy_matrix(spark, sf_dir):
-    """Cross-sell matrix at brand grain: the 15 brand pairs most often
-    bought in the SAME order, with order-level support — the
-    market-basket view of the lineitem star (event_type_lift mines
-    behavioral baskets; this mines wallets, and the top cell is the
-    bundle promotion a merchandiser runs next). Canonical a < b pairs
-    over per-order DISTINCT brand sets.
-
-    Determinism: exact counts; rank by (support desc, lex pair).
-
-    Scale shape: the per-order brand-set self-join keys on orderkey
-    with fanout bounded by |brands|²/order (the event_type_lift rule);
-    part broadcasts into the brand lookup via AQE."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_partkey"
-    )
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_partkey", "p_brand"
-    )
-    ob = (
-        li.join(p, li["l_partkey"] == p["p_partkey"])
-        .select("l_orderkey", "p_brand")
-        .distinct()
-        .localCheckpoint()  # census + both pair sides consume it
-    )
-    tot = ob.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
-    a = ob.select("l_orderkey", F.col("p_brand").alias("brand_a"))
-    b = ob.select("l_orderkey", F.col("p_brand").alias("brand_b"))
-    pr = (
-        a.join(b, "l_orderkey")
-        .where(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
-    )
-    rk = (
-        pr.withColumn(
-            "rank",
-            F.row_number()
-            .over(
-                Window.orderBy(
-                    F.desc("n_both"), F.asc("brand_a"), F.asc("brand_b")
-                )
-            )
-            .cast("long"),
-        )
-        .where(F.col("rank") <= 15)
-    )
-    return (
-        rk.crossJoin(F.broadcast(tot))
-        .select(
-            "brand_a",
-            "brand_b",
-            "n_both",
-            "rank",
-            F.expr("CAST((1000000 * n_both) div n_orders AS BIGINT)").alias(
-                "support_q6"
-            ),
-        )
-        .orderBy("rank")
-    )
-
-
-@register(
-    "ltv_age_curve",
-    f"""WITH e AS (
-  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day_num,
-         CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events),
-ud AS (SELECT user_id, day_num, CAST(sum(cents) AS BIGINT) AS c
-       FROM e GROUP BY user_id, day_num),
-cu AS (SELECT user_id, day_num,
-              CAST(sum(c) OVER (PARTITION BY user_id ORDER BY day_num
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                AS cum_c,
-              CAST(min(day_num) OVER (PARTITION BY user_id) AS BIGINT) AS d0
-       FROM ud),
-ag AS (SELECT CAST(day_num - d0 AS BIGINT) AS age_days, cum_c FROM cu)
-SELECT age_days, CAST(count(*) AS BIGINT) AS n_observations,
-       CAST(round(1000000 * (CAST(sum(cum_c) AS DOUBLE) / count(*))) AS BIGINT)
-         AS mean_cum_cents_q6
-FROM ag GROUP BY age_days ORDER BY age_days""",
-)
-def ltv_age_curve(spark, sf_dir):
-    """Observed-activity LTV curve: for each user-age (days since the
-    user's first event), the mean CUMULATIVE value among users active
-    at that age — the curve a lifetime-value model is fitted to
-    (events_cohort_revenue slices by signup month; this collapses all
-    cohorts onto the age axis). Observation bias is declared: only
-    (user, day) cells with activity contribute, so late ages reflect
-    survivors — the standard caveat on every LTV plot.
-
-    Determinism: exact per-(user, day) cents; the cumulative and the
-    first-day come from user-partitioned windows over per-user DAY
-    rows (calendar-bounded per key); one divide-then-round per age.
-
-    Scale shape: one (user, day) agg; the windows run on each user's
-    active-day rows; the age rollup is calendar-bounded."""
-    e = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-            "day_num"
-        ),
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-    )
-    ud = e.groupBy("user_id", "day_num").agg(
-        F.sum("cents").cast("long").alias("c")
-    )
-    wc = Window.partitionBy("user_id").orderBy("day_num").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wa = Window.partitionBy("user_id")
-    cu = ud.select(
-        "user_id",
-        "day_num",
-        F.sum("c").over(wc).cast("long").alias("cum_c"),
-        F.min("day_num").over(wa).cast("long").alias("d0"),
-    )
-    ag = cu.select(
-        (F.col("day_num") - F.col("d0")).cast("long").alias("age_days"),
-        "cum_c",
-    )
-    return (
-        ag.groupBy("age_days")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_observations"),
-            F.expr(
-                "CAST(round(1000000 * (CAST(sum(cum_c) AS DOUBLE) / count(1)))"
-                " AS BIGINT)"
-            ).alias("mean_cum_cents_q6"),
-        )
-        .orderBy("age_days")
-    )
-
-
-@register(
-    "order_size_by_status",
-    """WITH lc AS (
-  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items FROM lineitem
-  GROUP BY l_orderkey),
-j AS (SELECT o.o_orderstatus, COALESCE(lc.n_items, 0) AS n_items
-      FROM orders o LEFT JOIN lc ON lc.l_orderkey = o.o_orderkey)
-SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(n_items) AS BIGINT) AS n_lineitems,
-       CAST(round(1000000 * (CAST(sum(n_items) AS DOUBLE) / count(*)))
-            AS BIGINT) AS mean_items_q6
-FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus""",
-)
-def order_size_by_status(spark, sf_dir):
-    """Order size by fulfilment status: mean lineitems per order for
-    each o_orderstatus — the "do big orders get stuck" check
-    (order_size_histogram shows the global shape; if the open-status
-    mean runs higher, large orders are aging in the pipeline, the
-    operational reading behind Q4's lateness counts). Orders with no
-    lineitems count as size 0 via the LEFT probe.
-
-    Scale shape: one orderkey agg over lineitem; the LEFT probe keys
-    on orderkey (un-hinted); a ≤|statuses| rollup."""
-    lc = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", "o_orderstatus"
-    )
-    j = o.join(lc, o["o_orderkey"] == lc["l_orderkey"], "left").select(
-        "o_orderstatus", F.coalesce("n_items", F.lit(0)).alias("n_items")
-    )
-    return (
-        j.groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum("n_items").cast("long").alias("n_lineitems"),
-            F.expr(
-                "CAST(round(1000000 * (CAST(sum(n_items) AS DOUBLE) / count(1)))"
-                " AS BIGINT)"
-            ).alias("mean_items_q6"),
-        )
-        .orderBy("o_orderstatus")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 112 — shingle hash-collision audit, nearest-centroid accuracy,
-# max-tf ratio histogram
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "shingle_hash_collisions",
-    f"""WITH sh AS ({_SQL_SHINGLES}),
-ss AS (SELECT DISTINCT sh FROM sh),
-hh AS (SELECT ('0x' || substr(md5(sh), 1, 15))::UBIGINT::BIGINT AS h FROM ss)
-SELECT CAST((SELECT count(*) FROM ss) AS BIGINT) AS n_shingles,
-       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_hashes,
-       CAST((SELECT count(*) FROM ss) - count(DISTINCT h) AS BIGINT)
-         AS n_collisions
-FROM hh""",
-)
-def shingle_hash_collisions(spark, sf_dir):
-    """Birthday audit of the 60-bit shingle hash that underlies the
-    whole minhash substrate: distinct shingles vs distinct truncated-
-    md5 values — the collision count every LSH pair op silently
-    assumes is zero (it is, until ~2^30 shingles; a 100 TB crawl with
-    10^12 shingles EXPECTS ~400k collisions at 60 bits, and this op
-    is how you notice the substrate needs 80 bits before the dedup
-    labels quietly merge strangers).
-
-    Determinism: exact distinct counts.
-
-    Scale shape: two two-phase distincts over the shingle stream."""
-    sh = _shingles_spark(spark, sf_dir)
-    ss = sh.select("sh").distinct().localCheckpoint()
-    n_sh = ss.agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
-    hh = ss.select(_H60_SPARK(F.col("sh")).alias("h"))
-    nh = hh.agg(F.countDistinct("h").cast("long").alias("n_distinct_hashes"))
-    return n_sh.crossJoin(nh).select(
-        "n_shingles",
-        "n_distinct_hashes",
-        (F.col("n_shingles") - F.col("n_distinct_hashes"))
-        .cast("long")
-        .alias("n_collisions"),
-    )
-
-
-@register(
-    "centroid_classifier_accuracy",
-    """WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE vec_id <> 0),
-dims AS (
-  SELECT label, i, SUM(CAST(round(v[i] * 1000000) AS BIGINT)) AS s
-  FROM e, (SELECT unnest(generate_series(1, 64)) AS i)
-  GROUP BY label, i),
-cv AS (SELECT label AS clabel, list(CAST(s AS DOUBLE) ORDER BY i) AS c
-       FROM dims GROUP BY label),
-sc AS (
-  SELECT e.vec_id, e.label, cv.clabel,
-         CASE WHEN list_dot_product(cv.c, cv.c) = 0 THEN 0
-              ELSE CAST(round(1000000000 * list_dot_product(e.v, cv.c)
-                   / (sqrt(list_dot_product(e.v, e.v))
-                      * sqrt(list_dot_product(cv.c, cv.c)))) AS BIGINT)
-         END AS cq
-  FROM e CROSS JOIN cv),
-pred AS (
-  SELECT vec_id, label, clabel AS pred FROM (
-    SELECT vec_id, label, clabel,
-           row_number() OVER (PARTITION BY vec_id
-                              ORDER BY cq DESC, clabel ASC) AS rn
-    FROM sc) WHERE rn = 1)
-SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
-       CAST(COALESCE(sum(CASE WHEN pred = label THEN 1 ELSE 0 END), 0)
-            AS BIGINT) AS n_correct,
-       CAST((1000000 * COALESCE(sum(CASE WHEN pred = label THEN 1 ELSE 0 END), 0))
-            // count(*) AS BIGINT) AS accuracy_q6
-FROM pred GROUP BY label ORDER BY label""",
-)
-def centroid_classifier_accuracy(spark, sf_dir):
-    """Nearest-centroid (Rocchio) classifier accuracy per label: every
-    vector scored against all label centroids by cosine, predicted
-    label = nearest, tallied against truth — the SIMPLEST possible
-    classifier baseline, and the number every fancier model must beat
-    (kNN's label MRR/purity read neighborhoods; this reads the global
-    geometry, and the gap between the two says whether the structure
-    is local or global). Training-on-self bias is inherent and
-    declared — it's an upper bound.
-
-    Determinism: centroids are exact q6 element sums (the
-    _kmeans_cent trick); scores are q9-quantized cosines with the
-    label tiebreak; the zero-norm centroid guard scores 0.
-
-    Scale shape: the centroid table is |labels| rows broadcast into a
-    map-side scoring pass; the per-vector argmax windows over |labels|
-    rows per vector (the _kmeans_assign shape)."""
-    e = (
-        _emb(spark, sf_dir)
-        .where(F.col("vec_id") != 0)
-        .select(
-            "vec_id",
-            "label",
-            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
-        )
-        .localCheckpoint()  # centroid sums + scoring both consume it
-    )
-    dims = (
-        e.select("label", F.posexplode("v").alias("i", "x"))
-        .withColumn("xq", F.round(F.col("x") * F.lit(1_000_000.0)).cast("long"))
-        .groupBy("label", "i")
-        .agg(F.sum("xq").alias("s"))
-    )
-    cv = dims.groupBy("label").agg(
-        F.expr(
-            "transform(sort_array(collect_list(struct(i, s))), t -> cast(t.s as double))"
-        ).alias("c")
-    ).select(F.col("label").alias("clabel"), "c")
-    sc = e.crossJoin(F.broadcast(cv)).select(
-        "vec_id",
-        "label",
-        "clabel",
-        F.expr(
-            f"CASE WHEN {_DOT.format(a='c', b='c')} = 0 THEN 0"
-            f" ELSE CAST(round(1000000000 * {_DOT.format(a='v', b='c')}"
-            f" / (sqrt({_DOT.format(a='v', b='v')})"
-            f" * sqrt({_DOT.format(a='c', b='c')}))) AS BIGINT) END"
-        ).alias("cq"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cq"), F.asc("clabel"))
-    pred = (
-        sc.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("label", F.col("clabel").alias("pred"))
-    )
-    return (
-        pred.groupBy("label")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            F.coalesce(
-                F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0)),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("n_correct"),
-        )
-        .select(
-            F.col("label").cast("long").alias("label"),
-            "n_vecs",
-            "n_correct",
-            F.expr(
-                "CAST((1000000 * n_correct) div n_vecs AS BIGINT)"
-            ).alias("accuracy_q6"),
-        )
-        .orderBy("label")
-    )
-
-
-@register(
-    "maxtf_ratio_histogram",
-    f"""WITH tf AS ({SQL_TF}),
-d AS (SELECT doc_id, CAST(max(tf) AS BIGINT) AS mx, CAST(sum(tf) AS BIGINT) AS n
-      FROM tf GROUP BY doc_id),
-bk AS (SELECT least(((1000000 * mx) // n) // 100000, 9) AS bucket FROM d),
-h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs FROM bk GROUP BY bucket),
-spine AS (SELECT unnest(generate_series(0, 9)) AS bucket)
-SELECT CAST(spine.bucket AS BIGINT) AS bucket,
-       CAST(COALESCE(h.n_docs, 0) AS BIGINT) AS n_docs
-FROM spine LEFT JOIN h USING (bucket) ORDER BY bucket""",
-)
-def maxtf_ratio_histogram(spark, sf_dir):
-    """Within-document term-domination histogram: each document's
-    heaviest term's share of its tokens, in deciles — the keyword-
-    stuffing/boilerplate gauge at its crudest and fastest
-    (low_entropy_docs needs the full distribution; a doc in bucket 9
-    is one token repeated, and THIS catches it from two numbers per
-    doc). Empty docs drop (no tf rows).
-
-    Determinism: exact integer share and decile with the least(·, 9)
-    clamp.
-
-    Scale shape: one doc-keyed agg (max + sum in one pass), a
-    10-bucket rollup and spine."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    d = tf.groupBy("doc_id").agg(
-        F.max("tf").cast("long").alias("mx"),
-        F.sum("tf").cast("long").alias("n"),
-    )
-    bk = d.select(
-        F.expr("least(((1000000 * mx) div n) div 100000, 9)").alias("bucket")
-    )
-    h = bk.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    spine = spark.range(10).select(F.col("id").alias("bucket"))
-    return (
-        spine.join(h, "bucket", "left")
-        .select(
-            F.col("bucket").cast("long").alias("bucket"),
-            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
-        )
-        .orderBy("bucket")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 113 — recency-decayed activity, dictionary front-coding
-# estimate, event type census
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "decayed_activity_scores",
-    f"""WITH e AS (
-  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day_num FROM events),
-mx AS (SELECT CAST(max(day_num) AS BIGINT) AS now_day FROM e),
-w AS (SELECT e.user_id,
-             CAST(round(1000000 * power(2e0,
-                  -(CAST(mx.now_day - e.day_num AS DOUBLE) / 7e0))) AS BIGINT)
-               AS w_q6
-      FROM e CROSS JOIN mx),
-s AS (SELECT user_id, CAST(sum(w_q6) AS BIGINT) AS score_q6,
-             CAST(count(*) AS BIGINT) AS n_events
-      FROM w GROUP BY user_id),
-rk AS (SELECT user_id, n_events, score_q6,
-              row_number() OVER (ORDER BY score_q6 DESC, user_id ASC) AS rank
-       FROM s)
-SELECT CAST(user_id AS BIGINT) AS user_id, CAST(rank AS BIGINT) AS rank,
-       n_events, score_q6
-FROM rk WHERE rank <= 10 ORDER BY rank""",
-)
-def decayed_activity_scores(spark, sf_dir):
-    """Recency-weighted activity leaderboard: each event contributes
-    2^(−age/7d) (a 7-day half-life), summed per user, top-10 — THE
-    feature-store freshness feature (a raw event count calls a
-    year-dormant power user "active"; exponential decay is how ranking
-    and churn features actually weight history, and the half-life is
-    the knob). Age is measured from the stream's max day.
-
-    Determinism: per-event weights q6-round FIRST from the shared
-    power() expression (libm pow, the geometric-fit precedent), then
-    exact BIGINT sums — no float sum order exists; rank over the
-    quantized score with the user tiebreak.
-
-    Scale shape: one map-side weight per event (the 1-row max-day
-    broadcast), a user agg, TakeOrdered 10."""
-    e = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-            "day_num"
-        ),
-    )
-    mx = e.agg(F.max("day_num").cast("long").alias("now_day"))
-    w = e.crossJoin(F.broadcast(mx)).select(
-        "user_id",
-        F.expr(
-            "CAST(round(1000000 * power(2e0,"
-            " -(CAST(now_day - day_num AS DOUBLE) / 7e0))) AS BIGINT)"
-        ).alias("w_q6"),
-    )
-    s = w.groupBy("user_id").agg(
-        F.sum("w_q6").cast("long").alias("score_q6"),
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-    )
-    top = s.orderBy(F.desc("score_q6"), F.asc("user_id")).limit(10)
-    return top.withColumn(
-        "rank",
-        F.row_number()
-        .over(Window.orderBy(F.desc("score_q6"), F.asc("user_id")))
-        .cast("long"),
-    ).select(
-        F.col("user_id").cast("long").alias("user_id"),
-        "rank",
-        "n_events",
-        "score_q6",
-    ).orderBy("rank")
-
-
-@register(
-    "dict_frontcoding_estimate",
-    f"""WITH tf AS ({SQL_TF}),
-dict AS (SELECT DISTINCT term FROM tf),
-lagd AS (SELECT term, substr(term, 1, 1) AS blk,
-                lag(term) OVER (PARTITION BY substr(term, 1, 1)
-                                ORDER BY term) AS prev
-         FROM dict),
-c8 AS (SELECT term, prev,
-              CASE WHEN prev IS NOT NULL
-                   AND substr(term, 1, 8) = substr(prev, 1, 8) THEN 8 ELSE 0
-              END AS p
-       FROM lagd),
-c4 AS (SELECT term, prev,
-              p + CASE WHEN prev IS NOT NULL
-                  AND substr(term, p + 1, 4) = substr(prev, p + 1, 4)
-                  AND length(term) >= p + 1 THEN 4 ELSE 0 END AS p
-       FROM c8),
-c2 AS (SELECT term, prev,
-              p + CASE WHEN prev IS NOT NULL
-                  AND substr(term, p + 1, 2) = substr(prev, p + 1, 2)
-                  AND length(term) >= p + 1 THEN 2 ELSE 0 END AS p
-       FROM c4),
-c1 AS (SELECT term, prev,
-              p + CASE WHEN prev IS NOT NULL
-                  AND substr(term, p + 1, 1) = substr(prev, p + 1, 1)
-                  AND length(term) >= p + 1 THEN 1 ELSE 0 END AS p
-       FROM c2),
-fin AS (SELECT length(term) AS lt,
-               least(p, length(term),
-                     CASE WHEN prev IS NULL THEN 0 ELSE length(prev) END) AS lcp
-        FROM c1)
-SELECT CAST(count(*) AS BIGINT) AS n_terms,
-       CAST(sum(lt) AS BIGINT) AS raw_bytes,
-       CAST(COALESCE(sum(lcp), 0) AS BIGINT) AS saved_bytes,
-       CAST((1000000 * COALESCE(sum(lcp), 0)) // greatest(sum(lt), 1) AS BIGINT)
-         AS saved_share_q6
-FROM fin""",
-)
-def dict_frontcoding_estimate(spark, sf_dir):
-    """Front-coding savings estimate for the term dictionary: bytes of
-    shared prefix between each term and its sorted predecessor,
-    summed — the third leg of the index-size model (postings and
-    positions price the lists; THIS prices the dictionary, where
-    Lucene's block-tree front coding typically reclaims 30-50% of an
-    English term file). The LCP is computed by the 8/4/2/1 binary
-    ladder (four chained substring compares — no per-character loop
-    exists in either engine), capped at 15 bytes like a real
-    block-coding prefix budget; blocks partition by first byte, so
-    each block's first term stores raw — exactly block-wise front
-    coding's rule.
-
-    Determinism: pure string ops; the ladder's offsets are identical
-    in both engines (1-based substr).
-
-    Scale shape: the lag window partitions by first byte (the block
-    key), never the whole dictionary on one reducer; the census is
-    1-row."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dic = tf.select("term").distinct()
-    wl = Window.partitionBy(F.expr("substr(term, 1, 1)")).orderBy("term")
-    lagd = dic.select("term", F.lag("term").over(wl).alias("prev"))
-    c = lagd.selectExpr(
-        "term",
-        "prev",
-        "CASE WHEN prev IS NOT NULL AND substr(term, 1, 8) = substr(prev, 1, 8)"
-        " THEN 8 ELSE 0 END AS p",
-    )
-    for step in (4, 2, 1):
-        c = c.selectExpr(
-            "term",
-            "prev",
-            f"p + CASE WHEN prev IS NOT NULL"
-            f" AND substr(term, p + 1, {step}) = substr(prev, p + 1, {step})"
-            f" AND length(term) >= p + 1 THEN {step} ELSE 0 END AS p",
-        )
-    fin = c.selectExpr(
-        "length(term) AS lt",
-        "least(p, length(term),"
-        " CASE WHEN prev IS NULL THEN 0 ELSE length(prev) END) AS lcp",
-    )
-    return fin.agg(
-        F.count(F.lit(1)).cast("long").alias("n_terms"),
-        F.sum("lt").cast("long").alias("raw_bytes"),
-        F.coalesce(F.sum("lcp"), F.lit(0)).cast("long").alias("saved_bytes"),
-        F.expr(
-            "CAST((1000000 * COALESCE(sum(lcp), 0)) div greatest(sum(lt), 1)"
-            " AS BIGINT)"
-        ).alias("saved_share_q6"),
-    )
-
-
-@register(
-    "event_type_census",
-    """WITH c AS (
-  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-  FROM events GROUP BY event_type),
-t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot FROM c)
-SELECT c.event_type, c.n_events, c.n_users,
-       CAST((1000000 * c.n_events) // t.tot AS BIGINT) AS share_q6
-FROM c CROSS JOIN t ORDER BY c.event_type""",
-)
-def event_type_census(spark, sf_dir):
-    """The foundational event-type census: volume, distinct users and
-    share per type — the first table anyone prints against a new
-    stream (every drift/JSD/Markov op in the family normalises by
-    exactly these numbers; this op makes them first-class).
-
-    Scale shape: one type agg with a two-phase distinct, a 1-row
-    total broadcast."""
-    c = _events(spark, sf_dir).groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.countDistinct("user_id").cast("long").alias("n_users"),
-    )
-    t = c.agg(F.sum("n_events").cast("long").alias("tot"))
-    return (
-        c.crossJoin(F.broadcast(t))
-        .select(
-            "event_type",
-            "n_events",
-            "n_users",
-            F.expr("CAST((1000000 * n_events) div tot AS BIGINT)").alias(
-                "share_q6"
-            ),
-        )
-        .orderBy("event_type")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 114 — lexical×semantic pair census, prefix branching curve,
-# weekly active users
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "lexical_semantic_pair_census",
-    _SQL_LSH_PAIRS
-    + """,
-shs AS (SELECT doc_id, sh FROM sh GROUP BY doc_id, sh),
-sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shs GROUP BY doc_id),
-inter AS (
-  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS c
-  FROM pairs p JOIN shs a ON a.doc_id = p.doc_a
-  JOIN shs b ON b.doc_id = p.doc_b AND b.sh = a.sh
-  GROUP BY p.doc_a, p.doc_b),
-jac AS (
-  SELECT p.doc_a, p.doc_b,
-         CAST((1000000 * COALESCE(i.c, 0))
-              // (sa.n + sb.n - COALESCE(i.c, 0)) AS BIGINT) AS j_q6
-  FROM pairs p JOIN sz sa ON sa.doc_id = p.doc_a
-  JOIN sz sb ON sb.doc_id = p.doc_b
-  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b),
-ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cosp AS (
-  SELECT j.doc_a, j.doc_b, j.j_q6,
-         CAST(round(1000000 * list_dot_product(a.v, b.v)
-              / (sqrt(list_dot_product(a.v, a.v))
-                 * sqrt(list_dot_product(b.v, b.v)))) AS BIGINT) AS cos_q6
-  FROM jac j JOIN ev a ON a.vec_id = j.doc_a JOIN ev b ON b.vec_id = j.doc_b),
-bk AS (SELECT least(j_q6 // 200000, 4) AS j_band,
-              least(greatest((cos_q6 + 1000000) // 400000, 0), 4) AS c_band
-       FROM cosp)
-SELECT CAST(j_band AS BIGINT) AS j_band, CAST(c_band AS BIGINT) AS c_band,
-       CAST(count(*) AS BIGINT) AS n_pairs
-FROM bk GROUP BY j_band, c_band ORDER BY j_band, c_band""",
-)
-def lexical_semantic_pair_census(spark, sf_dir):
-    """Lexical × semantic 2-D census of the LSH candidate pairs: exact
-    shingle Jaccard (0.2-wide bands) crossed with embedding cosine
-    (0.4-wide bands over [−1, 1]) — the cross-modal dedup diagnostic
-    (high-Jaccard/high-cosine = true copies; high-Jaccard/low-cosine =
-    template shells around different content, the chunk-scrub target;
-    low-Jaccard/high-cosine = paraphrases only semdedup would catch —
-    each quadrant routes to a DIFFERENT dedup tool, and this table is
-    the router's evidence). vec_id == doc_id joins each pair to its
-    embeddings.
-
-    Determinism: exact Jaccard integers; cosine q6-rounds per pair;
-    band edges are integer divisions with clamps.
-
-    Scale shape: intersection counts block on the candidate pair +
-    shingle key (never all-pairs — the lsh_candidate_precision rule);
-    the embedding join keys on vec_id; the census is ≤25 cells."""
-    edges = _lsh_pair_edges(spark, sf_dir)
-    pairs = edges.where(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
-    )
-    shs = (
-        _shingles_spark(spark, sf_dir)
-        .select("doc_id", "sh")
-        .distinct()
-        .localCheckpoint()  # sizes + both intersection sides consume it
-    )
-    sz = shs.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    sa = shs.select(F.col("doc_id").alias("doc_a"), "sh")
-    sb = shs.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    jac = (
-        pairs.join(
-            sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
-            "doc_b",
-        )
-        .join(inter, ["doc_a", "doc_b"], "left")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr(
-                "CAST((1000000 * COALESCE(c, 0))"
-                " div (na + nb - COALESCE(c, 0)) AS BIGINT)"
-            ).alias("j_q6"),
-        )
-    )
-    ev = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    va = ev.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
-    vb = ev.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
-    cosp = (
-        jac.join(va, "doc_a")
-        .join(vb, "doc_b")
-        .select("j_q6", _cosq("va", "vb", 1_000_000).alias("cos_q6"))
-    )
-    bk = cosp.select(
-        F.expr("least(j_q6 div 200000, 4)").alias("j_band"),
-        F.expr(
-            "least(greatest((cos_q6 + 1000000) div 400000, 0), 4)"
-        ).alias("c_band"),
-    )
-    return (
-        bk.groupBy("j_band", "c_band")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-        .select(
-            F.col("j_band").cast("long").alias("j_band"),
-            F.col("c_band").cast("long").alias("c_band"),
-            "n_pairs",
-        )
-        .orderBy("j_band", "c_band")
-    )
-
-
-@register(
-    "prefix_branching_curve",
-    f"""WITH tf AS ({SQL_TF}),
-dict AS (SELECT DISTINCT term FROM tf),
-ks AS (SELECT unnest([1, 2, 3, 4]) AS k),
-pf AS (SELECT ks.k, substr(dict.term, 1, ks.k) AS pfx
-       FROM ks CROSS JOIN dict WHERE length(dict.term) >= ks.k)
-SELECT CAST(k AS BIGINT) AS prefix_len,
-       CAST(count(DISTINCT pfx) AS BIGINT) AS n_prefixes,
-       CAST(count(*) AS BIGINT) AS n_terms_covered
-FROM pf GROUP BY k ORDER BY prefix_len""",
-)
-def prefix_branching_curve(spark, sf_dir):
-    """Dictionary trie fanout curve: distinct prefixes at depths 1-4
-    and the terms long enough to reach each depth — the autocomplete
-    cost model (a prefix query at depth k scans
-    ~vocab/n_prefixes(k) terms; the depth where the curve flattens is
-    where suggest queries get cheap, which is why ES defaults
-    bool_prefix expansion gates to 2-3 chars — terms_enum_page walks
-    one prefix, THIS sizes them all).
-
-    Determinism: pure string prefixes and exact distincts.
-
-    Scale shape: a 4-row depth spine crossed with the vocab-bounded
-    dictionary; one (k, prefix) two-phase distinct."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dic = tf.select("term").distinct()
-    ks = F.broadcast(
-        spark.createDataFrame([(1,), (2,), (3,), (4,)], "k long")
-    )
-    pf = (
-        ks.crossJoin(dic)
-        .where(F.length("term") >= F.col("k"))
-        .select(
-            "k", F.expr("substr(term, 1, CAST(k AS INT))").alias("pfx")
-        )
-    )
-    return (
-        pf.groupBy("k")
-        .agg(
-            F.countDistinct("pfx").cast("long").alias("n_prefixes"),
-            F.count(F.lit(1)).cast("long").alias("n_terms_covered"),
-        )
-        .select(
-            F.col("k").cast("long").alias("prefix_len"),
-            "n_prefixes",
-            "n_terms_covered",
-        )
-        .orderBy("prefix_len")
-    )
-
-
-@register(
-    "weekly_active_users",
-    f"""WITH e AS (
-  SELECT epoch_us(ts) // {7 * _US_PER_DAY} AS week_num, user_id FROM events)
-SELECT CAST(week_num AS BIGINT) AS week_num,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS wau,
-       CAST(count(*) AS BIGINT) AS n_events
-FROM e GROUP BY week_num ORDER BY week_num""",
-)
-def weekly_active_users(spark, sf_dir):
-    """The WAU series: distinct users and event volume per epoch week —
-    the growth chart's denominator (events_stickiness reports the
-    DAU/MAU ratio; retention reports comebacks; THIS is the plain
-    active-base line everything else is divided by). Observed weeks.
-
-    Scale shape: one week agg with a two-phase distinct."""
-    e = _events(spark, sf_dir).select(
-        F.expr(
-            f"unix_micros(cast(ts as timestamp)) div {7 * _US_PER_DAY}"
-        ).alias("week_num"),
-        "user_id",
-    )
-    return (
-        e.groupBy("week_num")
-        .agg(
-            F.countDistinct("user_id").cast("long").alias("wau"),
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-        )
-        .select(
-            F.col("week_num").cast("long").alias("week_num"),
-            "wau",
-            "n_events",
-        )
-        .orderBy("week_num")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 115 — seasonal-naive forecast error, term position profile,
-# source Lorenz points
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "seasonal_naive_mae",
-    f"""WITH d AS (
-  SELECT epoch_us(ts) // {_US_PER_DAY} AS day_num, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY day_num),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM d),
-spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
-f AS (SELECT spine.day_num, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
-      FROM spine LEFT JOIN d USING (day_num)),
-s AS (SELECT day_num, n, lag(n, 7) OVER (ORDER BY day_num) AS pred,
-             lag(n) OVER (ORDER BY day_num) AS pred1
-      FROM f),
-e AS (SELECT CAST(abs(n - pred) AS BIGINT) AS ae,
-             CAST(abs(n - pred1) AS BIGINT) AS ae1
-      FROM s WHERE pred IS NOT NULL)
-SELECT CAST(count(*) AS BIGINT) AS n_days_scored,
-       CAST(round(1000000 * (CAST(sum(ae) AS DOUBLE) / count(*))) AS BIGINT)
-         AS mae_seasonal_q6,
-       CAST(round(1000000 * (CAST(COALESCE(sum(ae1), 0) AS DOUBLE)
-            / greatest(count(ae1), 1))) AS BIGINT) AS mae_naive_q6
-FROM e""",
-)
-def seasonal_naive_mae(spark, sf_dir):
-    """Forecast-baseline scorecard: mean absolute error of the
-    seasonal-naive forecast (tomorrow = same weekday last week) beside
-    the plain-naive one (tomorrow = today), over the zero-filled
-    calendar — the two baselines every real forecasting model must
-    beat, and their RATIO is the M-competition's seasonal-strength
-    reading from the forecasting side (seasonality_strength measures
-    it from variance; if seasonal-naive doesn't beat naive here, the
-    weekly cycle isn't worth modeling).
-
-    Determinism: exact integer errors; two divide-then-rounds.
-
-    Scale shape: one day groupBy; lag windows over calendar-bounded
-    day rows; a 1-row census."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-                "day_num"
-            )
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()
-    )
-    b = d.agg(
-        F.min("day_num").cast("long").alias("lo"),
-        F.max("day_num").cast("long").alias("hi"),
-    )
-    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day_num"))
-    f = spine.join(d, "day_num", "left").select(
-        "day_num", F.coalesce("n", F.lit(0)).cast("long").alias("n")
-    )
-    w = Window.orderBy("day_num")
-    s = f.select(
-        "day_num", "n", F.lag("n", 7).over(w).alias("pred"),
-        F.lag("n", 1).over(w).alias("pred1"),
-    )
-    e = s.where(F.col("pred").isNotNull()).select(
-        F.abs(F.col("n") - F.col("pred")).cast("long").alias("ae"),
-        F.abs(F.col("n") - F.col("pred1")).cast("long").alias("ae1"),
-    )
-    return e.agg(
-        F.count(F.lit(1)).cast("long").alias("n_days_scored"),
-        F.expr(
-            "CAST(round(1000000 * (CAST(sum(ae) AS DOUBLE) / count(1)))"
-            " AS BIGINT)"
-        ).alias("mae_seasonal_q6"),
-        F.expr(
-            "CAST(round(1000000 * (CAST(COALESCE(sum(ae1), 0) AS DOUBLE)"
-            " / greatest(count(ae1), 1))) AS BIGINT)"
-        ).alias("mae_naive_q6"),
-    )
-
-
-@register(
-    "term_position_profile",
-    f"""WITH {_SQL_POS},
-dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY doc_id),
-dfs AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-        FROM p GROUP BY term),
-top AS (SELECT term, df FROM dfs ORDER BY df DESC, term ASC LIMIT 10),
-rp AS (SELECT p.term,
-              CAST(round(1000000 * (CAST(p.i - 1 AS DOUBLE)
-                   / greatest(dl.n - 1, 1))) AS BIGINT) AS relpos_q6
-       FROM p JOIN top USING (term) JOIN dl USING (doc_id))
-SELECT rp.term, top.df, CAST(count(*) AS BIGINT) AS n_occurrences,
-       CAST(CAST(sum(rp.relpos_q6) AS BIGINT) // count(*) AS BIGINT)
-         AS mean_relpos_q6
-FROM rp JOIN top USING (term) GROUP BY rp.term, top.df
-ORDER BY top.df DESC, rp.term ASC""",
-)
-def term_position_profile(spark, sf_dir):
-    """Positional bias profile of the 10 highest-df terms: the mean
-    relative position (0 = doc start, 1 = doc end) of each term's
-    occurrences — the lexical-structure reading behind lead-biased
-    scoring (span_first_match profiles where QUERY terms sit; this
-    profiles the dictionary head itself: title-ish terms cluster near
-    0, closers near 1, and a term at 0.5 is positionally uniform —
-    exactly what decides whether position-boosted ranking buys
-    anything on this corpus).
-
-    Determinism: relative positions q6-round PER OCCURRENCE
-    ((i−1)/(n−1) — both engines' 1-based i minus 1, single-token docs
-    guard to denominator 1); means are floor divisions of exact sums.
-
-    Scale shape: the top-10 dictionary picks via TakeOrdered; the
-    position stream semi-joins to those 10 terms before any wide
-    work."""
-    wdf = _docs(spark, sf_dir).select(
-        "doc_id", spark_tokens("text").alias("words")
-    )
-    p = wdf.select(
-        "doc_id", F.posexplode("words").alias("i0", "term")
-    ).localCheckpoint()  # dl/dfs/positions all consume it
-    dl = p.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    dfs = p.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("long").alias("df")
-    )
-    top = dfs.orderBy(F.desc("df"), F.asc("term")).limit(10)
-    rp = (
-        p.join(F.broadcast(top), "term")
-        .join(dl, "doc_id")
-        .select(
-            "term",
-            "df",
-            F.expr(
-                "CAST(round(1000000 * (CAST(i0 AS DOUBLE)"
-                " / greatest(n - 1, 1))) AS BIGINT)"
-            ).alias("relpos_q6"),
-        )
-    )
-    return (
-        rp.groupBy("term", "df")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
-            F.expr(
-                "CAST(CAST(sum(relpos_q6) AS BIGINT) div count(1) AS BIGINT)"
-            ).alias("mean_relpos_q6"),
-        )
-        .orderBy(F.desc("df"), F.asc("term"))
-    )
-
-
-@register(
-    "source_lorenz_points",
-    f"""WITH t AS (
-  SELECT source,
-         CAST(COALESCE(sum(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))), 0)
-              AS BIGINT) AS n_tok
-  FROM documents GROUP BY source),
-tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tt FROM t),
-rk AS (SELECT source, n_tok,
-              row_number() OVER (ORDER BY n_tok DESC, source ASC) AS rank,
-              CAST(sum(n_tok) OVER (ORDER BY n_tok DESC, source ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                AS cum_tok
-       FROM t)
-SELECT rk.source, CAST(rk.rank AS BIGINT) AS rank, rk.n_tok,
-       CAST((1000000 * rk.cum_tok) // greatest(tot.tt, 1) AS BIGINT)
-         AS cum_share_q6
-FROM rk CROSS JOIN tot ORDER BY rank""",
-)
-def source_lorenz_points(spark, sf_dir):
-    """The source-concentration Lorenz curve as a table: sources ranked
-    by token volume with the cumulative share at each rank —
-    source_token_gini's single number, unrolled into the curve a data-
-    mix review actually looks at ("the top 3 sources are 80% of the
-    tokens" is a POINT on this table; temperature sampling exists to
-    flatten it). The per-source window runs on |sources| rows.
-
-    Determinism: exact token counts; cumulative shares are integer
-    divisions over the ranked order with the source tiebreak.
-
-    Scale shape: one source agg; the rank/cumsum window runs on
-    ≤|sources| rows."""
-    t = _docs(spark, sf_dir).groupBy("source").agg(
-        F.coalesce(F.sum(F.size(spark_tokens("text"))), F.lit(0))
-        .cast("long")
-        .alias("n_tok")
-    )
-    tot = t.agg(F.sum("n_tok").cast("long").alias("tt"))
-    wr = Window.orderBy(F.desc("n_tok"), F.asc("source"))
-    rk = t.select(
-        "source",
-        "n_tok",
-        F.row_number().over(wr).cast("long").alias("rank"),
-        F.sum("n_tok")
-        .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long")
-        .alias("cum_tok"),
-    )
-    return (
-        rk.crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            "rank",
-            "n_tok",
-            F.expr(
-                "CAST((1000000 * cum_tok) div greatest(tt, 1) AS BIGINT)"
-            ).alias("cum_share_q6"),
-        )
-        .orderBy("rank")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 116 — embedding halves drift, weekday-adjusted anomaly, ship
-# lag by priority
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "embedding_halves_drift",
-    """WITH e AS (
-  SELECT vec_id, vec_id % 2 AS half, CAST(embedding AS DOUBLE[]) AS v
-  FROM embeddings WHERE vec_id <> 0),
-dims AS (
-  SELECT half, i, SUM(CAST(round(v[i] * 1000000) AS BIGINT)) AS s,
-         CAST(count(*) AS BIGINT) AS n
-  FROM e, (SELECT unnest(generate_series(1, 64)) AS i)
-  GROUP BY half, i),
-cv AS (SELECT half, list(CAST(s AS DOUBLE) ORDER BY i) AS c, max(n) AS n
-       FROM dims GROUP BY half),
-px AS (
-  SELECT a.n AS n_even, b.n AS n_odd,
-         list_dot_product(a.c, b.c) AS nab,
-         list_dot_product(a.c, a.c) AS naa,
-         list_dot_product(b.c, b.c) AS nbb
-  FROM cv a JOIN cv b ON a.half = 0 AND b.half = 1)
-SELECT n_even, n_odd, """
-    + _CENT_COS
-    + """ AS centroid_cos_q6
-FROM px""",
-)
-def embedding_halves_drift(spark, sf_dir):
-    """Encoder-drift smoke test: cosine between the centroids of the
-    even-vec_id and odd-vec_id halves of the corpus — the idf_split_
-    stability argument applied to the embedding space (centroids of
-    two random halves of ONE encoder's output should be nearly
-    parallel; a cosine visibly below 1 means the corpus mixes encoder
-    versions or the id order encodes a batch effect — either poisons
-    every centroid/IVF op upstream). Same q6 integer-sum centroid
-    construction as source_centroid_matrix.
-
-    Determinism: exact BIGINT centroid sums; one shared _CENT_COS
-    float expression with the zero-norm guard.
-
-    Scale shape: one (half, dim) agg with map-side partials (128
-    rows), one 2-row pair join."""
-    e = (
-        _emb(spark, sf_dir)
-        .where(F.col("vec_id") != 0)
-        .select(
-            F.expr("vec_id % 2").alias("half"),
-            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
-        )
-    )
-    dims = (
-        e.select("half", F.posexplode("v").alias("i", "x"))
-        .withColumn("xq", F.round(F.col("x") * F.lit(1_000_000.0)).cast("long"))
-        .groupBy("half", "i")
-        .agg(F.sum("xq").alias("s"), F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    cv = dims.groupBy("half").agg(
-        F.expr(
-            "transform(sort_array(collect_list(struct(i, s))), t -> cast(t.s as double))"
-        ).alias("c"),
-        F.expr("CAST(max(n) AS BIGINT)").alias("n"),
-    )
-    a = cv.where(F.col("half") == 0).select(
-        F.col("c").alias("ca"), F.col("n").alias("n_even")
-    )
-    b = cv.where(F.col("half") == 1).select(
-        F.col("c").alias("cb"), F.col("n").alias("n_odd")
-    )
-    px = a.crossJoin(b).select(
-        "n_even",
-        "n_odd",
-        F.expr(_DOT.format(a="ca", b="cb")).alias("nab"),
-        F.expr(_DOT.format(a="ca", b="ca")).alias("naa"),
-        F.expr(_DOT.format(a="cb", b="cb")).alias("nbb"),
-    )
-    return px.select(
-        "n_even", "n_odd", F.expr(_CENT_COS).alias("centroid_cos_q6")
-    )
-
-
-@register(
-    "weekday_adjusted_anomaly",
-    f"""WITH d AS (
-  SELECT epoch_us(ts) // {_US_PER_DAY} AS day_num, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY day_num),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM d),
-spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
-f AS (SELECT spine.day_num, (spine.day_num + 3) % 7 AS dow,
-             CAST(COALESCE(d.n, 0) AS BIGINT) AS n
-      FROM spine LEFT JOIN d USING (day_num)),
-dw AS (SELECT dow, CAST(round(1000000.0 * sum(n) / count(*)) AS BIGINT) AS mean_q6
-       FROM f GROUP BY dow),
-r AS (SELECT f.day_num, f.n,
-             CAST(round((1000000 * f.n - dw.mean_q6) / 1000000e0) AS BIGINT) AS r0
-      FROM f JOIN dw USING (dow)),
-m AS (SELECT CAST(count(*) AS BIGINT) AS nd,
-             CAST(sum(r0) AS BIGINT)
-               // greatest(CAST(count(*) AS BIGINT), 1) AS mr
-      FROM r),
-v AS (SELECT m.nd AS nd,
-             CAST(sum((r.r0 - m.mr) * (r.r0 - m.mr)) AS BIGINT) AS srr,
-             CAST(sum(r.r0 - m.mr) AS BIGINT) AS src,
-             max(m.mr) AS mr
-      FROM r CROSS JOIN m GROUP BY m.nd)
-SELECT CAST(r.day_num AS BIGINT) AS day_num, r.n,
-       CASE WHEN v.nd < 2
-            OR (CAST(v.nd AS DOUBLE) * v.srr - CAST(v.src AS DOUBLE) * v.src) = 0e0
-            THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 * ((CAST(r.r0 - v.mr AS DOUBLE)
-                 * (r.r0 - v.mr))
-                 / ((CAST(v.nd AS DOUBLE) * v.srr - CAST(v.src AS DOUBLE) * v.src)
-                    / (CAST(v.nd AS DOUBLE) * v.nd)))) AS BIGINT)
-       END AS z2_q6
-FROM r CROSS JOIN v ORDER BY day_num""",
-)
-def weekday_adjusted_anomaly(spark, sf_dir):
-    """Weekday-adjusted daily anomaly score: z² of each day's residual
-    AFTER the weekly cycle is removed — the detector people actually
-    deploy (events_daily_anomaly's raw z² flags every Saturday on a
-    weekday-heavy stream; subtracting the weekday mean first leaves
-    only genuine surprises; seasonality_strength says whether the
-    adjustment matters at all). Residuals use the shared
-    round-of-float-division rule; variance is centered-BIGINT.
-
-    Determinism: one shared z² float expression per day row over exact
-    integers; degenerate slates emit 0.
-
-    Scale shape: everything runs on calendar-bounded day rows (the
-    whole chain is the seasonality_strength front half plus a per-day
-    closing expression)."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-                "day_num"
-            )
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()
-    )
-    b = d.agg(
-        F.min("day_num").cast("long").alias("lo"),
-        F.max("day_num").cast("long").alias("hi"),
-    )
-    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day_num"))
-    f = (
-        spine.join(d, "day_num", "left")
-        .select(
-            "day_num",
-            F.expr("(day_num + 3) % 7").alias("dow"),
-            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
-        )
-        .localCheckpoint()
-    )
-    dw = f.groupBy("dow").agg(
-        F.expr("CAST(round(1000000.0 * sum(n) / count(1)) AS BIGINT)").alias(
-            "mean_q6"
-        )
-    )
-    r = (
-        f.join(F.broadcast(dw), "dow")
-        .select(
-            "day_num",
-            "n",
-            F.expr(
-                "CAST(round((1000000 * n - mean_q6) / 1000000e0) AS BIGINT)"
-            ).alias("r0"),
-        )
-        .localCheckpoint()  # stats + per-day closing both consume it
-    )
-    m = r.agg(
-        F.count(F.lit(1)).cast("long").alias("nd"),
-        F.expr(
-            "CAST(sum(r0) AS BIGINT) div greatest(CAST(count(1) AS BIGINT), 1)"
-        ).alias("mr"),
-    )
-    v = (
-        r.crossJoin(F.broadcast(m))
-        .groupBy("nd")
-        .agg(
-            F.sum((F.col("r0") - F.col("mr")) * (F.col("r0") - F.col("mr")))
-            .cast("long")
-            .alias("srr"),
-            F.sum(F.col("r0") - F.col("mr")).cast("long").alias("src"),
-            F.max("mr").alias("mr"),
-        )
-    )
-    return (
-        r.crossJoin(F.broadcast(v))
-        .select(
-            F.col("day_num").cast("long").alias("day_num"),
-            "n",
-            F.expr(
-                "CASE WHEN nd < 2"
-                " OR (CAST(nd AS DOUBLE) * srr - CAST(src AS DOUBLE) * src) = 0e0"
-                " THEN CAST(0 AS BIGINT)"
-                " ELSE CAST(round(1000000 * ((CAST(r0 - mr AS DOUBLE)"
-                " * (r0 - mr))"
-                " / ((CAST(nd AS DOUBLE) * srr - CAST(src AS DOUBLE) * src)"
-                " / (CAST(nd AS DOUBLE) * nd)))) AS BIGINT) END"
-            ).alias("z2_q6"),
-        )
-        .orderBy("day_num")
-    )
-
-
-@register(
-    "ship_lag_by_priority",
-    f"""WITH l AS (
-  SELECT l_orderkey,
-         epoch_us(CAST(l_shipdate AS TIMESTAMP)) // {_US_PER_DAY} AS ship_day
-  FROM lineitem),
-o AS (SELECT o_orderkey, o_orderpriority,
-             epoch_us(CAST(o_orderdate AS TIMESTAMP)) // {_US_PER_DAY} AS order_day
-      FROM orders),
-j AS (SELECT o.o_orderpriority, CAST(l.ship_day - o.order_day AS BIGINT) AS lag_days
-      FROM l JOIN o ON o.o_orderkey = l.l_orderkey)
-SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lineitems,
-       CAST(round(1000000 * (CAST(sum(lag_days) AS DOUBLE) / count(*)))
-            AS BIGINT) AS mean_lag_q6,
-       CAST(max(lag_days) AS BIGINT) AS max_lag_days
-FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-)
-def ship_lag_by_priority(spark, sf_dir):
-    """Ship lag by order priority: does URGENT actually ship faster —
-    the SLA audit of the fulfilment pipe (ship_lag_histogram shows the
-    global shape, supplier_ship_delay_topk names slow vendors; THIS
-    checks whether the priority field does anything, which is the
-    first question when a 1-URGENT order ages like a 5-LOW one).
-
-    Determinism: integer day lags, one divide-then-round, exact max.
-
-    Scale shape: the orderkey join is un-hinted (both sides unbounded
-    — the Q4 rule); a ≤|priorities| rollup."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey",
-        F.expr(
-            f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div {_US_PER_DAY}"
-        ).alias("ship_day"),
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.expr(
-            f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_PER_DAY}"
-        ).alias("order_day"),
-    )
-    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        "o_orderpriority",
-        (F.col("ship_day") - F.col("order_day")).cast("long").alias("lag_days"),
-    )
-    return (
-        j.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
-            F.expr(
-                "CAST(round(1000000 * (CAST(sum(lag_days) AS DOUBLE) / count(1)))"
-                " AS BIGINT)"
-            ).alias("mean_lag_q6"),
-            F.max("lag_days").cast("long").alias("max_lag_days"),
-        )
-        .orderBy("o_orderpriority")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 117 — ranking AUC, cluster source spread, props-k histogram
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "ranking_auc",
-    _bm25_agg_ctes(_RANKEVAL_TERMS)
-    + f""",
-rel AS (SELECT DISTINCT doc_id FROM ({SQL_TOKS}) WHERE term = 'dup'),
-lab AS (SELECT agg.doc_id, agg.score_q6,
-               CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel
-        FROM agg LEFT JOIN rel USING (doc_id)),
-cells AS (SELECT score_q6,
-                 CAST(COALESCE(sum(is_rel), 0) AS BIGINT) AS ca,
-                 CAST(COALESCE(sum(1 - is_rel), 0) AS BIGINT) AS cb
-          FROM lab GROUP BY score_q6),
-cum AS (SELECT score_q6, ca, cb,
-               CAST(COALESCE(sum(cb) OVER (ORDER BY score_q6
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                    AS BIGINT) AS cb_before
-        FROM cells),
-u AS (SELECT CAST(COALESCE(sum(ca * (2 * cb_before + cb)), 0) AS BIGINT) AS u2,
-             CAST(COALESCE(sum(ca), 0) AS BIGINT) AS na,
-             CAST(COALESCE(sum(cb), 0) AS BIGINT) AS nb
-      FROM cum)
-SELECT na AS n_rel, nb AS n_irr,
-       CASE WHEN na = 0 OR nb = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 * (CAST(u2 AS DOUBLE)
-                 / (2e0 * na * nb))) AS BIGINT) END AS auc_q6
-FROM u""",
-)
-def ranking_auc(spark, sf_dir):
-    """Ranking AUC of the BM25 match set against binary relevance
-    (docs containing 'dup'): the probability a relevant match outscores
-    an irrelevant one, ties at half — which is EXACTLY the Mann-Whitney
-    U statistic, so this reuses the ks/mannwhitney cumulative-histogram
-    machinery as an IR metric (AUC is the threshold-free companion to
-    P@10/MRR/NDCG: it scores the WHOLE score distribution, the number
-    that says whether score-threshold filtering can work at all).
-
-    Determinism: 2U is an exact BIGINT over score-cell counts (the
-    session-47 formula — tie midranks never float); one division.
-
-    Scale shape: cells group the match set by quantized score; the
-    cumulative window runs over score cells (match-set-bounded, the
-    query's own size — never corpus-wide)."""
-    agg = _bm25_match_set(spark, sf_dir, _RANKEVAL_TERMS)
-    rel = (
-        _toks(_docs(spark, sf_dir))
-        .where(F.col("term") == "dup")
-        .select("doc_id")
-        .distinct()
-        .withColumn("is_rel_flag", F.lit(1))
-    )
-    lab = agg.join(rel, "doc_id", "left").select(
-        "score_q6",
-        F.coalesce("is_rel_flag", F.lit(0)).alias("is_rel"),
-    )
-    cells = lab.groupBy("score_q6").agg(
-        F.coalesce(F.sum("is_rel"), F.lit(0)).cast("long").alias("ca"),
-        F.coalesce(F.sum(F.lit(1) - F.col("is_rel")), F.lit(0))
-        .cast("long")
-        .alias("cb"),
-    )
-    wc = Window.orderBy("score_q6").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cum = cells.select(
-        "ca",
-        "cb",
-        F.coalesce(F.sum("cb").over(wc), F.lit(0)).cast("long").alias(
-            "cb_before"
-        ),
-    )
-    u = cum.agg(
-        F.coalesce(
-            F.sum(F.col("ca") * (2 * F.col("cb_before") + F.col("cb"))),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("u2"),
-        F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("na"),
-        F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("nb"),
-    )
-    return u.select(
-        F.col("na").alias("n_rel"),
-        F.col("nb").alias("n_irr"),
-        F.expr(
-            "CASE WHEN na = 0 OR nb = 0 THEN CAST(0 AS BIGINT)"
-            " ELSE CAST(round(1000000 * (CAST(u2 AS DOUBLE)"
-            " / (2e0 * na * nb))) AS BIGINT) END"
-        ).alias("auc_q6"),
-    )
-
-
-@register(
-    "cluster_source_spread",
-    _SQL_LSH_PAIRS
-    + """,
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs),
-reach(id, lbl) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
-cs AS (SELECT comp.cluster_id,
-              CAST(count(*) AS BIGINT) AS n_members,
-              CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
-       FROM comp JOIN documents d USING (doc_id) GROUP BY comp.cluster_id)
-SELECT n_sources, CAST(count(*) AS BIGINT) AS n_clusters,
-       CAST(sum(n_members) AS BIGINT) AS n_docs
-FROM cs GROUP BY n_sources ORDER BY n_sources""",
-)
-def cluster_source_spread(spark, sf_dir):
-    """Source spread of near-dup clusters: how many distinct sources
-    each cluster spans, histogrammed — the one-number-per-cluster view
-    of cross_source_dup_matrix's pairwise table (single-source
-    clusters are internal re-posts a per-source dedup pass would
-    catch; multi-source clusters are syndication/mirrors that ONLY
-    global dedup sees — their share is the argument for paying the
-    global shuffle).
-
-    Determinism: the memoized LSH→CC labels; exact distincts.
-
-    Scale shape: labels join documents on doc_id; per-cluster aggs are
-    cluster-bounded; the spread rollup is ≤|sources| rows."""
-    edges = _lsh_pair_edges(spark, sf_dir)
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    comp = connected_components(labels, edges).select(
-        "doc_id", F.col("lbl").alias("cluster_id")
-    )
-    d = _docs(spark, sf_dir).select("doc_id", "source")
-    cs = (
-        comp.join(d, "doc_id")
-        .groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_members"),
-            F.countDistinct("source").cast("long").alias("n_sources"),
-        )
-    )
-    return (
-        cs.groupBy("n_sources")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_clusters"),
-            F.sum("n_members").cast("long").alias("n_docs"),
-        )
-        .orderBy("n_sources")
-    )
-
-
-@register(
-    "props_k_histogram",
-    """WITH e AS (
-  SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-  FROM events),
-b AS (SELECT event_type,
-             CASE WHEN k IS NULL THEN -2
-                  WHEN k <= 0 THEN -1
-                  ELSE CAST(length(bin(k)) - 1 AS BIGINT) END AS k_band
-      FROM e)
-SELECT event_type, k_band, CAST(count(*) AS BIGINT) AS n_events
-FROM b GROUP BY event_type, k_band ORDER BY event_type, k_band""",
-)
-def props_k_histogram(spark, sf_dir):
-    """Distribution of the semi-structured payload value: the JSON 'k'
-    field in log2 bands per event type (−2 = missing/unparseable, −1 =
-    non-positive) — the SHAPE that events_props_json's sum/avg
-    flattens (a bimodal k with the same mean is a different product
-    reality; the missing band is the schema-compliance rate
-    props_key_census only counts keys for).
-
-    Determinism: json_extract_string/get_json_object agree on scalar
-    extraction; exact integer bands.
-
-    Scale shape: map-side JSON extraction and banding, one
-    ≤|types|×~35-cell agg."""
-    e = _events(spark, sf_dir).select(
-        "event_type",
-        F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)").alias("k"),
-    )
-    b = e.select(
-        "event_type",
-        F.expr(
-            "CASE WHEN k IS NULL THEN -2 WHEN k <= 0 THEN -1"
-            " ELSE CAST(length(bin(k)) - 1 AS BIGINT) END"
-        ).alias("k_band"),
-    )
-    return (
-        b.groupBy("event_type", "k_band")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-        .orderBy("event_type", "k_band")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 118 — sampled-stats ranking fidelity, region×segment matrix,
-# order-value drift deciles
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "sampled_stats_ranking_fidelity",
-    f"""WITH tf AS ({SQL_TF}),
-dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf GROUP BY doc_id),
-st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl),
-sth AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl
-        FROM dl WHERE doc_id % 2 = 0),
-dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-dfh AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
-        WHERE doc_id % 2 = 0 GROUP BY term),
-q AS (SELECT unnest(['dup', 'spark']) AS term),
-pf AS (SELECT tf.doc_id,
-              ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))
-                * tf.tf * 2.2
-                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len
-                   / (SELECT avgdl FROM st))) AS s
-       FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)),
-af AS (SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6
-       FROM pf GROUP BY doc_id),
-tfull AS (SELECT doc_id FROM af ORDER BY score_q6 DESC, doc_id ASC LIMIT 10),
-ph AS (SELECT tf.doc_id,
-              ln(1.0 + ((SELECT n_docs FROM sth) - COALESCE(dfh.df, 0) + 0.5)
-                 / (COALESCE(dfh.df, 0) + 0.5))
-                * tf.tf * 2.2
-                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len
-                   / (SELECT avgdl FROM sth))) AS s
-       FROM tf JOIN q USING (term) LEFT JOIN dfh USING (term)
-       JOIN dl USING (doc_id)),
-ah AS (SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6
-       FROM ph GROUP BY doc_id),
-thalf AS (SELECT doc_id FROM ah ORDER BY score_q6 DESC, doc_id ASC LIMIT 10)
-SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_overlap
-FROM tfull JOIN thalf USING (doc_id)""",
-)
-def sampled_stats_ranking_fidelity(spark, sf_dir):
-    """The sampled-statistics license, tested at the RANKING level:
-    every document scored twice — once with full-corpus df/avgdl, once
-    with statistics computed from the EVEN half only — and the top-10
-    overlap reported. idf_split_stability says the statistic VALUES
-    correlate; this says whether the rankings users see survive
-    (ranking is what a 100 TB engine actually computes df samples
-    for; overlap 10/10 is the green light, and terms unseen by the
-    sample take the maximal-idf OOV fallback — the preretrieval_qpp
-    rule).
-
-    Determinism: both legs are the standard BM25 chain over the same
-    tf/dl tables, quantized before their TakeOrdereds.
-
-    Scale shape: one tokenize; the half-stats aggs filter the SAME
-    tables (no second corpus pass); two TakeOrdereds, a 10-row join."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()  # both legs + stats consume it
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len")).localCheckpoint()
-    stt = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("doc_len").alias("avgdl"),
-    )
-    sth = dl.where(F.expr("doc_id % 2 = 0")).agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("doc_len").alias("avgdl"),
-    )
-    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    dfh = (
-        tf.where(F.expr("doc_id % 2 = 0"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("double").alias("df"))
-    )
-    q = F.broadcast(
-        spark.createDataFrame([("dup",), ("spark",)], "term string")
-    )
-    bm = (
-        "ln(1.0 + (n_docs - {df} + 0.5) / ({df} + 0.5)) * tf * 2.2"
-        " / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))"
-    )
-
-    def leg(stats, dftab, df_expr):
-        per = (
-            tf.join(q, "term")
-            .join(F.broadcast(dftab), "term", "left")
-            .join(dl, "doc_id")
-            .crossJoin(F.broadcast(stats))
-            .select("doc_id", F.expr(bm.format(df=df_expr)).alias("s"))
-        )
-        return (
-            per.groupBy("doc_id")
-            .agg(F.expr("CAST(round(sum(s) * 1000000) AS BIGINT)").alias("sq"))
-            .orderBy(F.desc("sq"), F.asc("doc_id"))
-            .limit(10)
-            .select("doc_id")
-        )
-
-    tfull = leg(stt, dfs, "df")
-    thalf = leg(sth, dfh, "COALESCE(df, 0)")
-    return (
-        tfull.join(thalf, "doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
-        .select(F.lit(10).cast("long").alias("k"), "n_overlap")
-    )
-
-
-@register(
-    "region_segment_matrix",
-    """WITH j AS (
-  SELECT r.r_name AS region, c.c_mktsegment
-  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
-  JOIN region r ON r.r_regionkey = n.n_regionkey)
-SELECT region, c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
-FROM j GROUP BY region, c_mktsegment ORDER BY region, c_mktsegment""",
-)
-def region_segment_matrix(spark, sf_dir):
-    """Customer base by region × market segment — the two-way dimension
-    census behind territory planning (region_market_census totals each
-    region; this shows WHAT KIND of customer each region holds, and an
-    empty cell is an expansion market).
-
-    Scale shape: nation/region broadcast into the customer scan; one
-    ≤|regions|×|segments|-cell agg."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_nationkey", "c_mktsegment"
-    )
-    n = F.broadcast(
-        spark.read.parquet(f"{sf_dir}/nation.parquet").select(
-            "n_nationkey", "n_regionkey"
-        )
-    )
-    r = F.broadcast(
-        spark.read.parquet(f"{sf_dir}/region.parquet").select(
-            "r_regionkey", F.col("r_name").alias("region")
-        )
-    )
-    j = (
-        c.join(n, c["c_nationkey"] == n["n_nationkey"])
-        .join(r, n["n_regionkey"] == r["r_regionkey"])
-        .select("region", "c_mktsegment")
-    )
-    return (
-        j.groupBy("region", "c_mktsegment")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
-        .orderBy("region", "c_mktsegment")
-    )
-
-
-@register(
-    "order_value_drift_deciles",
-    """WITH b AS (
-  SELECT CAST(min(o_orderkey) AS BIGINT) AS lo, CAST(max(o_orderkey) AS BIGINT) AS hi
-  FROM orders),
-d AS (SELECT least((10 * (o.o_orderkey - b.lo)) // greatest(b.hi - b.lo + 1, 1), 9)
-         AS decile,
-       CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
-      FROM orders o CROSS JOIN b)
-SELECT CAST(decile AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(round(1000000 * (CAST(sum(cents) AS DOUBLE) / count(*))) AS BIGINT)
-         AS mean_cents_q6
-FROM d GROUP BY decile ORDER BY decile""",
-)
-def order_value_drift_deciles(spark, sf_dir):
-    """Order-value drift across the key range: mean order value per
-    orderkey decile (the arrival proxy, the term/lang/quality-drift
-    convention applied to the fact table) — a trending mean here means
-    the generator or the business changed mid-stream, and every
-    whole-table average is mixing epochs.
-
-    Determinism: deciles are integer range math off a 1-row bounds
-    broadcast; one divide-then-round per decile.
-
-    Scale shape: map-side decile math, a 10-group agg."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey",
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-    )
-    b = o.agg(
-        F.min("o_orderkey").cast("long").alias("lo"),
-        F.max("o_orderkey").cast("long").alias("hi"),
-    )
-    d = o.crossJoin(F.broadcast(b)).select(
-        F.expr(
-            "least((10 * (o_orderkey - lo)) div greatest(hi - lo + 1, 1), 9)"
-        ).alias("decile"),
-        "cents",
-    )
-    return (
-        d.groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.expr(
-                "CAST(round(1000000 * (CAST(sum(cents) AS DOUBLE) / count(1)))"
-                " AS BIGINT)"
-            ).alias("mean_cents_q6"),
-        )
-        .select(
-            F.col("decile").cast("long").alias("decile"),
-            "n_orders",
-            "mean_cents_q6",
-        )
-        .orderBy("decile")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 119 — score-rank curve, IVF centroid matrix, cohort retention
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "score_rank_curve",
-    _bm25_agg_ctes(_RANKEVAL_TERMS)
-    + """,
-rk AS (SELECT doc_id, score_q6,
-              row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rank
-       FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 20),
-t1 AS (SELECT CAST(max(CASE WHEN rank = 1 THEN score_q6 END) AS BIGINT) AS s1
-       FROM rk)
-SELECT CAST(rk.rank AS BIGINT) AS rank, rk.score_q6,
-       CASE WHEN t1.s1 = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * rk.score_q6) // t1.s1 AS BIGINT)
-       END AS share_of_top_q6
-FROM rk CROSS JOIN t1 ORDER BY rank""",
-)
-def score_rank_curve(spark, sf_dir):
-    """Score decay curve of the result page: the top-20 scores with
-    each rank's share of the top score — the page-confidence shape
-    (a cliff after rank 2 means two real answers and filler — truncate
-    the page; a flat curve means the query doesn't discriminate and
-    WIG/clarity will read low; this is the per-query visual those QPP
-    summaries compress).
-
-    Determinism: quantized scores; shares are integer divisions of the
-    q6 values.
-
-    Scale shape: one TakeOrdered(20); the rank window and share join
-    run on 20 rows."""
-    agg = _bm25_match_set(spark, sf_dir, _RANKEVAL_TERMS)
-    rk = (
-        agg.orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(20)
-        .withColumn(
-            "rank",
-            F.row_number()
-            .over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id")))
-            .cast("long"),
-        )
-    )
-    t1 = rk.agg(
-        F.max(F.when(F.col("rank") == 1, F.col("score_q6")))
-        .cast("long")
-        .alias("s1")
-    )
-    return (
-        rk.crossJoin(F.broadcast(t1))
-        .select(
-            "rank",
-            "score_q6",
-            F.expr(
-                "CASE WHEN s1 = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST((1000000 * score_q6) div s1 AS BIGINT) END"
-            ).alias("share_of_top_q6"),
-        )
-        .orderBy("rank")
-    )
-
-
-@register(
-    "ivf_centroid_matrix",
-    _KMEANS_SQL_PRELUDE
-    + f""",
-px AS (
-  SELECT a.cid AS cid_a, b.cid AS cid_b,
-         {_sql_cosq('a.cv', 'b.cv', 1_000_000)} AS cos_q6
-  FROM cent2 a JOIN cent2 b ON a.cid < b.cid)
-SELECT CAST(cid_a AS BIGINT) AS cid_a, CAST(cid_b AS BIGINT) AS cid_b, cos_q6
-FROM px ORDER BY cid_a, cid_b""",
-)
-def ivf_centroid_matrix(spark, sf_dir):
-    """Pairwise cosine matrix of the trained IVF centroids — the cell
-    GEOMETRY audit (two near-parallel centroids mean k-means split one
-    true cluster, and vectors on their shared boundary are exactly the
-    ones ivf_assign_margin counts in bucket 0 and nprobe pays for;
-    well-separated centroids license nprobe=1). K=8 → 28 pairs.
-
-    Determinism: q6-quantized cosines over the exact q6-sum centroids.
-
-    Scale shape: a K×K self-join of the K-row centroid table."""
-    _members, cent, _assign = _trained_ivf(spark, sf_dir)
-    a = cent.select(F.col("cid").alias("cid_a"), F.col("cv").alias("ca"))
-    b = cent.select(F.col("cid").alias("cid_b"), F.col("cv").alias("cb"))
-    px = a.join(b, F.col("cid_a") < F.col("cid_b")).select(
-        "cid_a", "cid_b", _cosq("ca", "cb", 1_000_000).alias("cos_q6")
-    )
-    return px.select(
-        F.col("cid_a").cast("long").alias("cid_a"),
-        F.col("cid_b").cast("long").alias("cid_b"),
-        "cos_q6",
-    ).orderBy("cid_a", "cid_b")
-
-
-@register(
-    "cohort_retention_matrix",
-    f"""WITH e AS (
-  SELECT user_id, epoch_us(ts) // {7 * _US_PER_DAY} AS week_num FROM events),
-uw AS (SELECT DISTINCT user_id, week_num FROM e),
-c0 AS (SELECT user_id, CAST(min(week_num) AS BIGINT) AS cohort_week
-       FROM uw GROUP BY user_id),
-cs AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
-       FROM c0 GROUP BY cohort_week),
-act AS (SELECT c0.cohort_week,
-               CAST(uw.week_num - c0.cohort_week AS BIGINT) AS age_week,
-               CAST(count(*) AS BIGINT) AS n_active
-        FROM uw JOIN c0 USING (user_id)
-        GROUP BY c0.cohort_week, uw.week_num)
-SELECT CAST(act.cohort_week AS BIGINT) AS cohort_week, act.age_week,
-       cs.cohort_size, act.n_active,
-       CAST((1000000 * act.n_active) // cs.cohort_size AS BIGINT)
-         AS retention_q6
-FROM act JOIN cs USING (cohort_week)
-ORDER BY cohort_week, age_week""",
-)
-def cohort_retention_matrix(spark, sf_dir):
-    """The classic cohort-retention triangle: users grouped by first-
-    active week, each cohort's share still active at every later age
-    week — THE growth artifact (events_retention gives one diagonal;
-    new_returning_daily the top row; this is the whole triangle whose
-    down-the-column reading separates product decay from cohort
-    quality). Age 0 is 100% by construction.
-
-    Determinism: exact distinct (user, week) activity; shares are
-    integer divisions over exact cohort sizes.
-
-    Scale shape: one (user, week) distinct; the cohort min-agg keys on
-    user; the matrix agg is (cohorts × ages)-bounded — calendar², not
-    corpus."""
-    e = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr(
-            f"unix_micros(cast(ts as timestamp)) div {7 * _US_PER_DAY}"
-        ).alias("week_num"),
-    )
-    uw = e.distinct().localCheckpoint()  # cohorts + activity both consume it
-    c0 = uw.groupBy("user_id").agg(
-        F.min("week_num").cast("long").alias("cohort_week")
-    )
-    cs = c0.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).cast("long").alias("cohort_size")
-    )
-    act = (
-        uw.join(c0, "user_id")
-        .groupBy("cohort_week", "week_num")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
-        .select(
-            "cohort_week",
-            (F.col("week_num") - F.col("cohort_week"))
-            .cast("long")
-            .alias("age_week"),
-            "n_active",
-        )
-    )
-    return (
-        act.join(F.broadcast(cs), "cohort_week")
-        .select(
-            F.col("cohort_week").cast("long").alias("cohort_week"),
-            "age_week",
-            "cohort_size",
-            "n_active",
-            F.expr(
-                "CAST((1000000 * n_active) div cohort_size AS BIGINT)"
-            ).alias("retention_q6"),
-        )
-        .orderBy("cohort_week", "age_week")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 120 — SQ8 recall, cluster length variance, nation wealth board
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "sq8_recall",
-    """WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-ex AS (SELECT vec_id, i - 1 AS dim, CAST(round(v[i] * 1000000) AS BIGINT) AS xq
-       FROM e, (SELECT unnest(generate_series(1, 64)) AS i)
-       WHERE vec_id <> 0),
-mm AS (SELECT dim, CAST(min(xq) AS BIGINT) AS mn, CAST(max(xq) AS BIGINT) AS mx
-       FROM ex GROUP BY dim),
-rec AS (SELECT ex.vec_id, ex.dim,
-               CAST(mm.mn + CASE WHEN mm.mx = mm.mn THEN 0
-                    ELSE ((((ex.xq - mm.mn) * 255) // (mm.mx - mm.mn))
-                         * (mm.mx - mm.mn)) // 255 END AS BIGINT) AS rq
-        FROM ex JOIN mm USING (dim)),
-rv AS (SELECT vec_id, list(CAST(rq AS DOUBLE) ORDER BY dim) AS r
-       FROM rec GROUP BY vec_id),
-q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-approx AS (
-  SELECT rv.vec_id FROM rv, q
-  ORDER BY CAST(round(1000000 * list_dot_product(rv.r, q.qv)
-           / (sqrt(list_dot_product(rv.r, rv.r))
-              * sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) DESC,
-           rv.vec_id ASC
-  LIMIT 10),
-exact AS (
-  SELECT e.vec_id FROM e, q WHERE e.vec_id <> 0
-  ORDER BY CAST(round(1000000 * list_dot_product(e.v, q.qv)
-           / (sqrt(list_dot_product(e.v, e.v))
-              * sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) DESC,
-           e.vec_id ASC
-  LIMIT 10)
-SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_overlap
-FROM approx JOIN exact USING (vec_id)""",
-)
-def sq8_recall(spark, sf_dir):
-    """Recall@10 of brute-force search over SQ8-RECONSTRUCTED vectors
-    vs exact float vectors — the truth behind sq8_quantization_error's
-    SSE proxy (SSE says how much the codes distort; recall says
-    whether the distortion flips any answer a user sees — the number
-    that actually licenses shipping the 4× smaller store, read next to
-    ann_pq_recall's 64× trade). Reconstruction is the exact integer
-    affine code (xq−mn ≥ 0, floor == trunc).
-
-    Determinism: integer reconstruction; both rankings use quantized
-    cosines with the vec_id tiebreak.
-
-    Scale shape: the min/max table is 64 rows broadcast; recon is
-    map-side; two TakeOrdereds and a 10-row join."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
-    )
-    ex = (
-        e.where(F.col("vec_id") != 0)
-        .select("vec_id", F.posexplode("v").alias("dim", "x"))
-        .withColumn("xq", F.round(F.col("x") * F.lit(1_000_000.0)).cast("long"))
-    )
-    mm = ex.groupBy("dim").agg(
-        F.min("xq").alias("mn"), F.max("xq").alias("mx")
-    )
-    rec = ex.join(F.broadcast(mm), "dim").select(
-        "vec_id",
-        "dim",
-        F.expr(
-            "CAST(mn + CASE WHEN mx = mn THEN 0"
-            " ELSE ((((xq - mn) * 255) div (mx - mn)) * (mx - mn)) div 255 END"
-            " AS BIGINT)"
-        ).alias("rq"),
-    )
-    rv = rec.groupBy("vec_id").agg(
-        F.expr(
-            "transform(sort_array(collect_list(struct(dim, rq))),"
-            " t -> cast(t.rq as double))"
-        ).alias("r")
-    )
-    qv = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    approx = (
-        rv.crossJoin(F.broadcast(qv))
-        .select("vec_id", _cosq("r", "qv", 1_000_000).alias("cq"))
-        .orderBy(F.desc("cq"), F.asc("vec_id"))
-        .limit(10)
-        .select("vec_id")
-    )
-    exact = (
-        _cos_spark(spark, sf_dir)
-        .select("vec_id", _q6(F.col("cos")).alias("cos_q6"))
-        .orderBy(F.desc("cos_q6"), "vec_id")
-        .limit(10)
-        .select("vec_id")
-    )
-    return (
-        approx.join(exact, "vec_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
-        .select(F.lit(10).cast("long").alias("k"), "n_overlap")
-    )
-
-
-@register(
-    "cluster_length_variance",
-    _SQL_LSH_PAIRS
-    + f""",
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs),
-reach(id, lbl) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
-t AS (SELECT doc_id,
-             CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT)
-               AS n_tok
-      FROM documents),
-cl AS (SELECT comp.cluster_id, CAST(count(*) AS BIGINT) AS n_members,
-              CAST(min(t.n_tok) AS BIGINT) AS mn, CAST(max(t.n_tok) AS BIGINT) AS mx
-       FROM comp JOIN t USING (doc_id) GROUP BY comp.cluster_id),
-bk AS (SELECT CASE WHEN mx = 0 THEN 9
-              ELSE least(((1000000 * mn) // mx) // 100000, 9) END AS ratio_bucket
-       FROM cl)
-SELECT CAST(ratio_bucket AS BIGINT) AS ratio_bucket,
-       CAST(count(*) AS BIGINT) AS n_clusters
-FROM bk GROUP BY ratio_bucket ORDER BY ratio_bucket""",
-)
-def cluster_length_variance(spark, sf_dir):
-    """Within-cluster length agreement: per near-dup cluster, the
-    min/max token-length ratio in deciles (bucket 9 = members are the
-    same size, the true-mirror signature; a low-bucket cluster pairs a
-    tweet with a novel, which banding can produce but editing rarely
-    does — a cheap false-positive screen BEFORE paying exact-Jaccard
-    verification on every pair).
-
-    Determinism: memoized LSH→CC labels; exact integer ratio/deciles
-    with the least(·, 9) clamp; empty-doc clusters (mx = 0) count as
-    bucket 9 (identical trivially).
-
-    Scale shape: labels join a map-side length projection; per-cluster
-    min/max in one agg; a 10-bucket rollup."""
-    edges = _lsh_pair_edges(spark, sf_dir)
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    comp = connected_components(labels, edges).select(
-        "doc_id", F.col("lbl").alias("cluster_id")
-    )
-    t = _docs(spark, sf_dir).select(
-        "doc_id", F.size(spark_tokens("text")).cast("long").alias("n_tok")
-    )
-    cl = (
-        comp.join(t, "doc_id")
-        .groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_members"),
-            F.min("n_tok").cast("long").alias("mn"),
-            F.max("n_tok").cast("long").alias("mx"),
-        )
-    )
-    bk = cl.select(
-        F.expr(
-            "CASE WHEN mx = 0 THEN 9"
-            " ELSE least(((1000000 * mn) div mx) div 100000, 9) END"
-        ).alias("ratio_bucket")
-    )
-    return (
-        bk.groupBy("ratio_bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
-        .select(
-            F.col("ratio_bucket").cast("long").alias("ratio_bucket"),
-            "n_clusters",
-        )
-        .orderBy("ratio_bucket")
-    )
-
-
-@register(
-    "nation_richest_customer",
-    """WITH c AS (
-  SELECT c_nationkey, c_custkey,
-         CAST(round(100 * c_acctbal) AS BIGINT) AS bal_c
-  FROM customer),
-m AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
-             CAST(max(bal_c) AS BIGINT) AS top_bal_c
-      FROM c GROUP BY c_nationkey)
-SELECT m.c_nationkey, m.n_customers,
-       CAST(min(c.c_custkey) AS BIGINT) AS top_custkey, m.top_bal_c
-FROM m JOIN c ON c.c_nationkey = m.c_nationkey AND c.bal_c = m.top_bal_c
-GROUP BY m.c_nationkey, m.n_customers, m.top_bal_c
-ORDER BY m.c_nationkey""",
-)
-def nation_richest_customer(spark, sf_dir):
-    """Per-nation wealth board: each nation's customer count, its
-    richest customer and that balance — the per-group argmax via the
-    Q2 min_cost_supplier pattern (max join-back + min-key tiebreak on
-    the SAME group exchange; DuckDB's max_by rejects composite struct
-    keys, so the two-step is the portable form). Ties break to the
-    smaller custkey in both engines.
-
-    Scale shape: one customer agg for the maxima, a join-back on the
-    (nation, balance) key, a second tiny agg."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_nationkey",
-        "c_custkey",
-        F.expr("CAST(round(100 * c_acctbal) AS BIGINT)").alias("bal_c"),
-    ).localCheckpoint()
-    m = c.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.max("bal_c").cast("long").alias("top_bal_c"),
-    ).withColumnRenamed("c_nationkey", "nk")
-    j = c.join(
-        m,
-        (c["c_nationkey"] == m["nk"]) & (c["bal_c"] == m["top_bal_c"]),
-    ).select("nk", "n_customers", "c_custkey", "top_bal_c")
-    return (
-        j.groupBy("nk", "n_customers", "top_bal_c")
-        .agg(F.min("c_custkey").cast("long").alias("top_custkey"))
-        .select(
-            F.col("nk").alias("c_nationkey"),
-            "n_customers",
-            "top_custkey",
-            "top_bal_c",
-        )
-        .orderBy("c_nationkey")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 121 — monthly repeat share, hour×weekday independence, zero-value
-# census
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "monthly_repeat_share",
-    """WITH o AS (
-  SELECT o_custkey,
-         (year(CAST(o_orderdate AS TIMESTAMP)) * 12
-          + month(CAST(o_orderdate AS TIMESTAMP)) - 1) AS mkey
-  FROM orders),
-f AS (SELECT o_custkey, CAST(min(mkey) AS BIGINT) AS first_mkey
-      FROM o GROUP BY o_custkey),
-j AS (SELECT o.mkey, CASE WHEN o.mkey > f.first_mkey THEN 1 ELSE 0 END AS is_rep
-      FROM o JOIN f USING (o_custkey))
-SELECT CAST(mkey AS BIGINT) AS month_key, CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(COALESCE(sum(is_rep), 0) AS BIGINT) AS n_repeat,
-       CAST((1000000 * COALESCE(sum(is_rep), 0)) // count(*) AS BIGINT)
-         AS repeat_share_q6
-FROM j GROUP BY mkey ORDER BY month_key""",
-)
-def monthly_repeat_share(spark, sf_dir):
-    """Acquisition-vs-retention mix over time: per month, the share of
-    orders placed by customers whose FIRST order was in an earlier
-    month — the maturity curve of the book (young businesses run low;
-    the asymptote is the steady-state repeat economy;
-    new_customers_monthly counts the new heads, THIS shows what share
-    of the month's volume they are NOT). First-month orders count as
-    new even when the customer reorders within that same month — the
-    declared month-grain rule.
-
-    Determinism: exact month keys; the first-order month is a custkey
-    min-agg joined back on the same key.
-
-    Scale shape: one custkey min-agg, an un-hinted join-back, a
-    ≤|months| rollup."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_custkey",
-        F.expr(
-            "(year(CAST(o_orderdate AS TIMESTAMP)) * 12"
-            " + month(CAST(o_orderdate AS TIMESTAMP)) - 1)"
-        ).alias("mkey"),
-    )
-    f = o.groupBy("o_custkey").agg(
-        F.min("mkey").cast("long").alias("first_mkey")
-    )
-    j = o.join(f, "o_custkey").select(
-        "mkey",
-        F.when(F.col("mkey") > F.col("first_mkey"), 1).otherwise(0).alias(
-            "is_rep"
-        ),
-    )
-    return (
-        j.groupBy("mkey")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.coalesce(F.sum("is_rep"), F.lit(0)).cast("long").alias("n_repeat"),
-        )
-        .select(
-            F.col("mkey").cast("long").alias("month_key"),
-            "n_orders",
-            "n_repeat",
-            F.expr(
-                "CAST((1000000 * n_repeat) div n_orders AS BIGINT)"
-            ).alias("repeat_share_q6"),
-        )
-        .orderBy("month_key")
-    )
-
-
-# per-cell chi² contribution from exact integers (n cell, rh row total,
-# ch col total, nt grand total) — expected = rh*ch/nt, every product
-# CAST(..AS DOUBLE) from the FIRST multiply (session-49 rule), q6-rounded
-# per cell then BIGINT-summed.
-_HD_CHI = (
-    "CAST(round(1000000 * ((CAST(n AS DOUBLE) - CAST(rh AS DOUBLE) * ch / nt)"
-    " * (CAST(n AS DOUBLE) - CAST(rh AS DOUBLE) * ch / nt)"
-    " / (CAST(rh AS DOUBLE) * ch / nt))) AS BIGINT)"
-)
-
-
-@register(
-    "hour_dow_chi2",
-    f"""WITH e AS (
-  SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
-         (epoch_us(ts) // {_US_PER_DAY} + 3) % 7 AS dow
-  FROM events),
-c AS (SELECT hour, dow, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY hour, dow),
-rh AS (SELECT hour, CAST(sum(n) AS BIGINT) AS rh FROM c GROUP BY hour),
-ch AS (SELECT dow, CAST(sum(n) AS BIGINT) AS ch FROM c GROUP BY dow),
-nt AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
-spine AS (SELECT rh.hour, rh.rh, ch.dow, ch.ch FROM rh CROSS JOIN ch),
-cell AS (SELECT spine.hour, spine.dow, spine.rh, spine.ch, nt.nt,
-                CAST(COALESCE(c.n, 0) AS BIGINT) AS n
-         FROM spine LEFT JOIN c USING (hour, dow) CROSS JOIN nt)
-SELECT CAST(count(*) AS BIGINT) AS n_cells,
-       CAST((SELECT nt FROM nt) AS BIGINT) AS n_events,
-       CAST(COALESCE(sum({_HD_CHI}), 0) AS BIGINT) AS chi2_q6
-FROM cell""",
-)
-def hour_dow_chi2(spark, sf_dir):
-    """Independence test for the hour × weekday traffic grid: Pearson
-    chi² over the full spine (absent cells contribute their expected
-    mass) — the INFERENCE on top of events_hour_weekday_heatmap's
-    picture (a significant chi² means hour profiles genuinely differ
-    by weekday, so capacity planning needs the full 168-cell grid;
-    independence means 24 + 7 numbers suffice — a real model-size
-    decision). df = (24−1)(7−1) = 138 for the threshold lookup.
-
-    Determinism: cells/margins exact; per-cell contributions follow
-    the significant_terms_chi2 casting discipline and q6-round FIRST.
-
-    Scale shape: one (hour, dow) agg; the spine/margins/census all run
-    on ≤168 cells."""
-    e = _events(spark, sf_dir).select(
-        F.expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 24").alias(
-            "hour"
-        ),
-        F.expr(
-            f"(unix_micros(cast(ts as timestamp)) div {_US_PER_DAY} + 3) % 7"
-        ).alias("dow"),
-    )
-    c = e.groupBy("hour", "dow").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    ).localCheckpoint()  # margins + spine join consume it
-    rh = c.groupBy("hour").agg(F.sum("n").cast("long").alias("rh"))
-    chd = c.groupBy("dow").agg(F.sum("n").cast("long").alias("ch"))
-    nt = c.agg(F.sum("n").cast("long").alias("nt"))
-    spine = rh.crossJoin(F.broadcast(chd))
-    cell = (
-        spine.join(c, ["hour", "dow"], "left")
-        .crossJoin(F.broadcast(nt))
-        .select(
-            "rh", "ch", "nt", F.coalesce("n", F.lit(0)).cast("long").alias("n")
-        )
-    )
-    return cell.agg(
-        F.count(F.lit(1)).cast("long").alias("n_cells"),
-        F.max("nt").cast("long").alias("n_events"),
-        F.coalesce(F.sum(F.expr(_HD_CHI)), F.lit(0))
-        .cast("long")
-        .alias("chi2_q6"),
-    )
-
-
-@register(
-    "zero_value_census",
-    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-       CAST(COALESCE(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) = 0
-            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_zero,
-       CAST((1000000 * COALESCE(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) = 0
-            THEN 1 ELSE 0 END), 0)) // count(*) AS BIGINT) AS zero_share_q6
-FROM events GROUP BY event_type ORDER BY event_type""",
-)
-def zero_value_census(spark, sf_dir):
-    """Zero-value event census per type: how often the value field
-    carries nothing — the instrumentation-health check (a purchase
-    with value 0 is either a freebie or a broken price pipe; a CLICK
-    with nonzero value is the inverse surprise; both shares belong on
-    the data-quality board next to props_k_histogram's missing band).
-
-    Determinism: exact cents-zero test and counts.
-
-    Scale shape: one map-side conditional agg per type."""
-    e = _events(spark, sf_dir)
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.coalesce(
-                F.sum(
-                    F.expr(
-                        "CASE WHEN CAST(round(value * 100) AS BIGINT) = 0"
-                        " THEN 1 ELSE 0 END"
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("n_zero"),
-        )
-        .select(
-            "event_type",
-            "n_events",
-            "n_zero",
-            F.expr(
-                "CAST((1000000 * n_zero) div n_events AS BIGINT)"
-            ).alias("zero_share_q6"),
-        )
-        .orderBy("event_type")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 122 — user regularity, part type×size matrix, quantity spectrum
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "user_regularity_histogram",
-    f"""WITH uw AS (
-  SELECT DISTINCT user_id, epoch_us(ts) // {7 * _US_PER_DAY} AS week_num
-  FROM events),
-u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS active_weeks,
-             CAST(max(week_num) - min(week_num) + 1 AS BIGINT) AS span_weeks
-      FROM uw GROUP BY user_id),
-bk AS (SELECT least(((1000000 * active_weeks) // span_weeks) // 100000, 9)
-         AS bucket
-       FROM u),
-h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_users FROM bk GROUP BY bucket),
-spine AS (SELECT unnest(generate_series(0, 9)) AS bucket)
-SELECT CAST(spine.bucket AS BIGINT) AS bucket,
-       CAST(COALESCE(h.n_users, 0) AS BIGINT) AS n_users
-FROM spine LEFT JOIN h USING (bucket) ORDER BY bucket""",
-)
-def user_regularity_histogram(spark, sf_dir):
-    """Engagement regularity census: per user, active weeks over the
-    weeks SPANNED (first to last), in deciles — the consistency cut
-    the volume metrics miss (two users with 10 active weeks differ
-    completely if one spanned 10 weeks and the other 50; bucket 9 is
-    the habit population retention teams protect, low buckets are
-    sporadic returners — WAU counts both identically). Single-week
-    users land in bucket 9 (1/1) by construction — declared.
-
-    Determinism: exact integer shares and deciles with the least(·, 9)
-    clamp.
-
-    Scale shape: one (user, week) distinct, a user agg, a 10-bucket
-    rollup and spine."""
-    uw = (
-        _events(spark, sf_dir)
-        .select(
-            "user_id",
-            F.expr(
-                f"unix_micros(cast(ts as timestamp)) div {7 * _US_PER_DAY}"
-            ).alias("week_num"),
-        )
-        .distinct()
-    )
-    u = uw.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("active_weeks"),
-        (F.max("week_num") - F.min("week_num") + 1)
-        .cast("long")
-        .alias("span_weeks"),
-    )
-    bk = u.select(
-        F.expr(
-            "least(((1000000 * active_weeks) div span_weeks) div 100000, 9)"
-        ).alias("bucket")
-    )
-    h = bk.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-    spine = spark.range(10).select(F.col("id").alias("bucket"))
-    return (
-        spine.join(h, "bucket", "left")
-        .select(
-            F.col("bucket").cast("long").alias("bucket"),
-            F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
-        )
-        .orderBy("bucket")
-    )
-
-
-@register(
-    "part_type_size_matrix",
-    """SELECT p_type, CAST(p_size AS BIGINT) // 10 AS size_band,
-       CAST(count(*) AS BIGINT) AS n_parts,
-       CAST(round(1000000 * (CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
-            AS DOUBLE) / count(*))) AS BIGINT) AS mean_price_c_q6
-FROM part GROUP BY p_type, size_band ORDER BY p_type, size_band""",
-)
-def part_type_size_matrix(spark, sf_dir):
-    """Catalog structure matrix: part counts and mean price per
-    (type, size-decade) cell — the two-way census of the part
-    dimension (brand_size_price_trend fits the size-price line per
-    brand; this shows the raw cell means per type, where a hole or a
-    price cliff is a catalog-entry bug).
-
-    Scale shape: one map-side band projection, a
-    ≤|types|×|bands|-cell agg."""
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_type",
-        F.expr("CAST(p_size AS BIGINT) div 10").alias("size_band"),
-        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("cents"),
-    )
-    return (
-        p.groupBy("p_type", "size_band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_parts"),
-            F.expr(
-                "CAST(round(1000000 * (CAST(sum(cents) AS DOUBLE) / count(1)))"
-                " AS BIGINT)"
-            ).alias("mean_price_c_q6"),
-        )
-        .orderBy("p_type", "size_band")
-    )
-
-
-@register(
-    "quantity_spectrum",
-    """SELECT CAST(l_quantity AS BIGINT) AS quantity,
-       CAST(count(*) AS BIGINT) AS n_lineitems
-FROM lineitem GROUP BY quantity ORDER BY quantity""",
-)
-def quantity_spectrum(spark, sf_dir):
-    """The order-quantity spectrum: lineitem count at every exact
-    quantity — the fact-table twin of tf_spectrum (a uniform spectrum
-    is generator-flat; real books spike at 1 and at case sizes; Q17's
-    small-quantity logic and the discount bands both read slices of
-    exactly this distribution).
-
-    Scale shape: one ≤|distinct quantities|-group agg, map-side."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.col("l_quantity").cast("long").alias("quantity")
-    )
-    return (
-        li.groupBy("quantity")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_lineitems"))
-        .orderBy("quantity")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 123 — dedup quality shift, shingle df spectrum, language census
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "dedup_quality_shift",
-    _SQL_LSH_PAIRS
-    + f""",
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs),
-reach(id, lbl) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
-t AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT)
-           AS n_tok,
-         CAST(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')))
-           AS BIGINT) AS n_types
-  FROM documents),
-g AS (SELECT CASE WHEN comp.cluster_id IS NULL THEN 'unique'
-                  WHEN comp.cluster_id = t.doc_id THEN 'survivor'
-                  ELSE 'dropped' END AS grp,
-             t.n_tok,
-             CASE WHEN t.n_tok = 0 THEN 0
-                  ELSE (1000000 * t.n_types) // t.n_tok END AS ttr_q6
-      FROM t LEFT JOIN comp ON comp.doc_id = t.doc_id)
-SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-       CAST(CAST(sum(ttr_q6) AS BIGINT) // count(*) AS BIGINT) AS mean_ttr_q6
-FROM g GROUP BY grp ORDER BY grp""",
-)
-def dedup_quality_shift(spark, sf_dir):
-    """Quality shift under keep-min-id dedup: mean TTR of unique docs,
-    cluster survivors, and dropped members — the "does dedup make the
-    corpus better or just smaller" check (keep-min-id keeps an
-    ARBITRARY member; if dropped docs systematically out-TTR the
-    survivors, the policy is discarding the good copy and
-    dedup_policy_compare's alternatives earn their keep).
-
-    Determinism: memoized LSH→CC labels; TTR is the integer-division
-    rule per doc; means are floor divisions.
-
-    Scale shape: labels LEFT-probe a map-side token-stats projection;
-    a 3-group rollup."""
-    edges = _lsh_pair_edges(spark, sf_dir)
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    comp = connected_components(labels, edges).select(
-        "doc_id", F.col("lbl").alias("cluster_id")
-    )
-    t = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(spark_tokens("text")).cast("long").alias("n_tok"),
-        F.size(F.array_distinct(spark_tokens("text")))
-        .cast("long")
-        .alias("n_types"),
-    )
-    g = t.join(comp, "doc_id", "left").select(
-        F.expr(
-            "CASE WHEN cluster_id IS NULL THEN 'unique'"
-            " WHEN cluster_id = doc_id THEN 'survivor'"
-            " ELSE 'dropped' END"
-        ).alias("grp"),
-        "n_tok",
-        F.expr(
-            "CASE WHEN n_tok = 0 THEN 0"
-            " ELSE (1000000 * n_types) div n_tok END"
-        ).alias("ttr_q6"),
-    )
-    return (
-        g.groupBy("grp")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tok").cast("long").alias("n_tokens"),
-            F.expr(
-                "CAST(CAST(sum(ttr_q6) AS BIGINT) div count(1) AS BIGINT)"
-            ).alias("mean_ttr_q6"),
-        )
-        .orderBy("grp")
-    )
-
-
-@register(
-    "shingle_df_spectrum",
-    f"""WITH sh AS ({_SQL_SHINGLES}),
-sd AS (SELECT sh, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-       FROM sh GROUP BY sh)
-SELECT df, CAST(count(*) AS BIGINT) AS n_shingles
-FROM sd GROUP BY df ORDER BY df""",
-)
-def shingle_df_spectrum(spark, sf_dir):
-    """Shingle document-frequency spectrum: how many 3-token shingles
-    appear in exactly k documents — THE minhash-effectiveness prior
-    (if ~every shingle is df=1, no signature can collide and the LSH
-    graph is structurally empty regardless of banding; the df≥2 mass
-    is the raw material every dedup op mines, and df_spectrum reads
-    the same curve for single terms).
-
-    Determinism: exact two-phase distincts.
-
-    Scale shape: one shingle-keyed df agg, a ≤|distinct df|-row
-    rollup."""
-    sh = _shingles_spark(spark, sf_dir)
-    sd = sh.groupBy("sh").agg(
-        F.countDistinct("doc_id").cast("long").alias("df")
-    )
-    return (
-        sd.groupBy("df")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
-        .orderBy("df")
-    )
-
-
-@register(
-    "lang_census",
-    f"""WITH t AS (
-  SELECT lang,
-         CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(COALESCE(sum(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))), 0)
-              AS BIGINT) AS n_tokens
-  FROM documents GROUP BY lang),
-tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td FROM t)
-SELECT t.lang, t.n_docs, t.n_tokens,
-       CAST((1000000 * t.n_docs) // tot.td AS BIGINT) AS doc_share_q6
-FROM t CROSS JOIN tot ORDER BY t.lang""",
-)
-def lang_census(spark, sf_dir):
-    """The foundational language census: docs, tokens and doc share per
-    declared lang label — the denominator table the whole language
-    family normalises by (confusion matrix, drift deciles, per-lang
-    doclen tests all divide by exactly these counts; this op makes
-    them first-class the way event_type_census did for events).
-
-    Scale shape: one lang agg with a map-side token counter, a 1-row
-    total broadcast."""
-    t = _docs(spark, sf_dir).groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.coalesce(F.sum(F.size(spark_tokens("text"))), F.lit(0))
-        .cast("long")
-        .alias("n_tokens"),
-    )
-    tot = t.agg(F.sum("n_docs").cast("long").alias("td"))
-    return (
-        t.crossJoin(F.broadcast(tot))
-        .select(
-            "lang",
-            "n_docs",
-            "n_tokens",
-            F.expr("CAST((1000000 * n_docs) div td AS BIGINT)").alias(
-                "doc_share_q6"
-            ),
-        )
-        .orderBy("lang")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 124 — ANN-graph components, supplier×brand matrix, balance/order
-# correlation
-# ---------------------------------------------------------------------------
-
-
-def _ann_components_sql() -> str:
-    """Generated oracle: the pagerank edge chain nested as ONE
-    materialized CTE (the WITH RECURSIVE must sit on the OUTER with —
-    the prelude's own WITH isn't recursive), then the standard
-    reach-closure component labeling and a census."""
-    inner = _KMEANS_SQL_PRELUDE + _PR_EDGE_SQL + "\nSELECT src, dst FROM edges"
-    return f"""WITH RECURSIVE eg AS MATERIALIZED ({inner}),
-nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM embeddings
-       WHERE vec_id <> 0),
-und AS (SELECT src, dst FROM eg UNION SELECT dst, src FROM eg),
-reach(id, lbl) AS (
-  SELECT src, src FROM und
-  UNION
-  SELECT e.dst, r.lbl FROM reach r JOIN und e ON e.src = r.id),
-comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
-sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
-          FROM comp GROUP BY cluster_id),
-cen AS (SELECT CAST(count(*) AS BIGINT) AS n_components,
-               CAST(max(sz) AS BIGINT) AS largest_component,
-               CAST(sum(sz) AS BIGINT) AS n_in_graph
-        FROM sizes)
-SELECT nn.n_nodes, cen.n_in_graph, cen.n_components, cen.largest_component,
-       CAST(nn.n_nodes - cen.n_in_graph AS BIGINT) AS n_singletons
-FROM nn CROSS JOIN cen"""
-
-
-@register("ann_graph_components", _ann_components_sql())
-def ann_graph_components(spark, sf_dir):
-    """Connected components of the symmetrized approximate-kNN graph
-    (the same cell-blocked top-3 edge set pagerank_ann_graph walks):
-    component count, the giant component's size, and the vectors no
-    edge reaches — the cluster-structure census of the embedding space
-    (one giant component = a connected manifold, many components =
-    genuine islands an IVF should align with; singletons are the
-    unreachable outliers embedding_norm_outliers flags for different
-    reasons). Pointer-doubled CC bounds the rounds (the
-    ConvergenceError contract).
-
-    Determinism: the quantized-cosine edge set is engine-identical;
-    counts exact.
-
-    Scale shape: edges come from the batch-ANN join (never all-pairs);
-    CC is the O(log diameter) label propagation; censuses are tiny."""
-    members, cent, final_assign = _trained_ivf(spark, sf_dir)
-    dedges = _ann_knn_edges(spark, sf_dir)
-    und = dedges.unionByName(
-        dedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
-    labels = (
-        und.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    comp = connected_components(labels, und).select(
-        "doc_id", F.col("lbl").alias("cluster_id")
-    )
-    sizes = comp.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("long").alias("sz")
-    )
-    cen = sizes.agg(
-        F.count(F.lit(1)).cast("long").alias("n_components"),
-        F.max("sz").cast("long").alias("largest_component"),
-        F.sum("sz").cast("long").alias("n_in_graph"),
-    )
-    nn = members.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-    return nn.crossJoin(F.broadcast(cen)).select(
-        "n_nodes",
-        "n_in_graph",
-        "n_components",
-        "largest_component",
-        (F.col("n_nodes") - F.col("n_in_graph"))
-        .cast("long")
-        .alias("n_singletons"),
-    )
-
-
-@register(
-    "supplier_brand_matrix",
-    """WITH j AS (
-  SELECT l.l_suppkey, p.p_brand, CAST(l.l_quantity AS BIGINT) AS qty
-  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
-c AS (SELECT l_suppkey, p_brand, CAST(count(*) AS BIGINT) AS n_lineitems,
-             CAST(sum(qty) AS BIGINT) AS total_qty
-      FROM j GROUP BY l_suppkey, p_brand),
-rk AS (SELECT l_suppkey, p_brand, n_lineitems, total_qty,
-              row_number() OVER (ORDER BY total_qty DESC, l_suppkey ASC,
-                                 p_brand ASC) AS rank
-       FROM c)
-SELECT l_suppkey, p_brand, CAST(rank AS BIGINT) AS rank, n_lineitems,
-       total_qty
-FROM rk WHERE rank <= 15 ORDER BY rank""",
-)
-def supplier_brand_matrix(spark, sf_dir):
-    """Supply-chain concentration cells: the 15 heaviest
-    (supplier, brand) lanes by shipped quantity — who actually moves
-    each brand's volume (part_supplier_hhi scores concentration per
-    PART; this names the supplier-brand relationships procurement
-    negotiates, and a single lane dominating a brand is the
-    single-point-of-failure slide).
-
-    Determinism: exact quantities; rank by (qty desc, lex pair).
-
-    Scale shape: the partkey join is un-hinted; one
-    (supplier, brand)-cell agg, TakeOrdered 15."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_suppkey",
-        "l_partkey",
-        F.col("l_quantity").cast("long").alias("qty"),
-    )
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_partkey", "p_brand"
-    )
-    c = (
-        li.join(p, li["l_partkey"] == p["p_partkey"])
-        .groupBy("l_suppkey", "p_brand")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
-            F.sum("qty").cast("long").alias("total_qty"),
-        )
-    )
-    rk = (
-        c.withColumn(
-            "rank",
-            F.row_number()
-            .over(
-                Window.orderBy(
-                    F.desc("total_qty"), F.asc("l_suppkey"), F.asc("p_brand")
-                )
-            )
-            .cast("long"),
-        )
-        .where(F.col("rank") <= 15)
-    )
-    return rk.select(
-        "l_suppkey", "p_brand", "rank", "n_lineitems", "total_qty"
-    ).orderBy("rank")
-
-
-@register(
-    "balance_order_corr",
-    f"""WITH oc AS (
-  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders FROM orders
-  GROUP BY o_custkey),
-j AS (SELECT CAST(round(100 * c.c_acctbal) AS BIGINT) // 100 AS x,
-             CAST(COALESCE(oc.n_orders, 0) AS BIGINT) AS y
-      FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey),
-m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
-      FROM j),
-mi AS (SELECT n,
-              CASE WHEN sx < 0 THEN -((-sx) // greatest(n, 1))
-                   ELSE sx // greatest(n, 1) END AS mx,
-              sy // greatest(n, 1) AS my
-       FROM m),
-cs AS (SELECT mi.n AS n,
-              CAST(sum(j.x - mi.mx) AS BIGINT) AS sxc,
-              CAST(sum(j.y - mi.my) AS BIGINT) AS syc,
-              CAST(sum((j.x - mi.mx) * (j.x - mi.mx)) AS BIGINT) AS sxx,
-              CAST(sum((j.y - mi.my) * (j.y - mi.my)) AS BIGINT) AS syy,
-              CAST(sum((j.x - mi.mx) * (j.y - mi.my)) AS BIGINT) AS sxy
-       FROM j CROSS JOIN mi GROUP BY mi.n)
-SELECT n AS n_customers, {_SP_RHO2S} AS corr2s_q6 FROM cs""",
-)
-def balance_order_corr(spark, sf_dir):
-    """Does money order: signed squared correlation between a
-    customer's account balance (whole dollars) and their order count —
-    zero-order customers INCLUDED via the LEFT probe (dropping them is
-    the classic survivorship mistake; Q22 builds a strategy on exactly
-    the rich-and-idle quadrant this correlation would hide). Balance
-    can be negative, so the integer mean uses the explicit
-    trunc-toward-zero form both engines share.
-
-    Determinism: centered-BIGINT machinery, signed-r² output (the
-    spearman rule).
-
-    Scale shape: one custkey agg, a LEFT probe on custkey, 1-row
-    censuses."""
-    oc = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
-    )
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey",
-        F.expr("CAST(round(100 * c_acctbal) AS BIGINT) div 100").alias("x"),
-    )
-    j = c.join(oc, c["c_custkey"] == oc["o_custkey"], "left").select(
-        "x", F.coalesce("n_orders", F.lit(0)).cast("long").alias("y")
-    )
-    m = j.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-    )
-    mi = m.select(
-        "n",
-        F.expr(
-            "CASE WHEN sx < 0 THEN -((-sx) div greatest(n, 1))"
-            " ELSE sx div greatest(n, 1) END"
-        ).alias("mx"),
-        F.expr("sy div greatest(n, 1)").alias("my"),
-    )
-    cs = (
-        j.crossJoin(F.broadcast(mi))
-        .groupBy("n")
-        .agg(
-            F.sum(F.col("x") - F.col("mx")).cast("long").alias("sxc"),
-            F.sum(F.col("y") - F.col("my")).cast("long").alias("syc"),
-            F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx")))
-            .cast("long")
-            .alias("sxx"),
-            F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my")))
-            .cast("long")
-            .alias("syy"),
-            F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
-            .cast("long")
-            .alias("sxy"),
-        )
-    )
-    return cs.select(
-        F.col("n").alias("n_customers"), F.expr(_SP_RHO2S).alias("corr2s_q6")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 125 — part-name vocabulary, per-type peak hour, kNN two-hop reach
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "part_name_term_census",
-    f"""WITH t AS (
-  SELECT p_partkey, unnest(regexp_extract_all(lower(p_name), '{TOKEN_PATTERN}'))
-    AS term
-  FROM part),
-c AS (SELECT term, CAST(count(*) AS BIGINT) AS n_parts FROM t GROUP BY term),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS np FROM part)
-SELECT c.term, c.n_parts,
-       CAST((1000000 * c.n_parts) // tot.np AS BIGINT) AS share_q6
-FROM c CROSS JOIN tot ORDER BY c.n_parts DESC, c.term ASC""",
-)
-def part_name_term_census(spark, sf_dir):
-    """Vocabulary census of the part-name field — the engine's shared
-    tokenizer pointed at a SECOND text column (catalog search indexes
-    p_name-style fields with exactly this analyzer; the census is its
-    dictionary, and a term on 40% of parts is a stopword for catalog
-    queries the way 'the' is for documents). Share is per PART, so a
-    term repeating inside one name still counts each occurrence — the
-    raw token view.
-
-    Determinism: the shared TOKEN_PATTERN both engines; exact counts.
-
-    Scale shape: map-side tokenize over the dimension table, one
-    vocab-bounded agg."""
-    t = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        F.explode(spark_tokens("p_name")).alias("term")
-    )
-    c = t.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
-    tot = spark.read.parquet(f"{sf_dir}/part.parquet").agg(
-        F.count(F.lit(1)).cast("long").alias("np")
-    )
-    return (
-        c.crossJoin(F.broadcast(tot))
-        .select(
-            "term",
-            "n_parts",
-            F.expr("CAST((1000000 * n_parts) div np AS BIGINT)").alias(
-                "share_q6"
-            ),
-        )
-        .orderBy(F.desc("n_parts"), F.asc("term"))
-    )
-
-
-@register(
-    "type_peak_hour",
-    """WITH c AS (
-  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour,
-         CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY event_type, hour),
-m AS (SELECT event_type, CAST(max(n) AS BIGINT) AS peak_n,
-             CAST(sum(n) AS BIGINT) AS total_n
-      FROM c GROUP BY event_type)
-SELECT m.event_type, CAST(min(c.hour) AS BIGINT) AS peak_hour, m.peak_n,
-       CAST((1000000 * m.peak_n) // m.total_n AS BIGINT) AS peak_share_q6
-FROM m JOIN c ON c.event_type = m.event_type AND c.n = m.peak_n
-GROUP BY m.event_type, m.peak_n, m.total_n
-ORDER BY m.event_type""",
-)
-def type_peak_hour(spark, sf_dir):
-    """Peak hour per event type: when each behavior peaks and how
-    concentrated the peak is — the per-type slice of the hour×weekday
-    grid (purchases peaking at a different hour than views is the
-    browse-at-lunch/buy-at-night pattern send-time optimisation
-    exploits). Argmax via the Q2 max-join-back + min-hour tiebreak.
-
-    Determinism: exact counts; ties take the earliest hour.
-
-    Scale shape: one ≤|types|×24-cell agg; the argmax join runs on
-    those cells."""
-    c = (
-        _events(spark, sf_dir)
-        .groupBy(
-            "event_type",
-            F.expr(
-                "(unix_micros(cast(ts as timestamp)) div 3600000000) % 24"
-            ).alias("hour"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()  # maxima + join-back both consume it
-    )
-    m = c.groupBy("event_type").agg(
-        F.max("n").cast("long").alias("peak_n"),
-        F.sum("n").cast("long").alias("total_n"),
-    ).withColumnRenamed("event_type", "et")
-    j = c.join(
-        m, (c["event_type"] == m["et"]) & (c["n"] == m["peak_n"])
-    ).select("et", "hour", "peak_n", "total_n")
-    return (
-        j.groupBy("et", "peak_n", "total_n")
-        .agg(F.min("hour").cast("long").alias("peak_hour"))
-        .select(
-            F.col("et").alias("event_type"),
-            "peak_hour",
-            "peak_n",
-            F.expr(
-                "CAST((1000000 * peak_n) div total_n AS BIGINT)"
-            ).alias("peak_share_q6"),
-        )
-        .orderBy("event_type")
-    )
-
-
-def _ann_twohop_sql() -> str:
-    inner = _KMEANS_SQL_PRELUDE + _PR_EDGE_SQL + "\nSELECT src, dst FROM edges"
-    return f"""WITH eg AS MATERIALIZED ({inner}),
-und AS MATERIALIZED (SELECT src, dst FROM eg UNION SELECT dst, src FROM eg),
-hop2 AS (
-  SELECT a.src, b.dst FROM und a JOIN und b ON b.src = a.dst
-  WHERE b.dst <> a.src
-  UNION
-  SELECT src, dst FROM und),
-rc AS (SELECT src, CAST(count(*) AS BIGINT) AS reach FROM hop2 GROUP BY src),
-bk AS (SELECT CAST(length(bin(reach)) - 1 AS BIGINT) AS bucket FROM rc)
-SELECT bucket, CAST(count(*) AS BIGINT) AS n_nodes
-FROM bk GROUP BY bucket ORDER BY bucket"""
-
-
-@register("ann_two_hop_histogram", _ann_twohop_sql())
-def ann_two_hop_histogram(spark, sf_dir):
-    """Two-hop reach histogram of the symmetrized kNN graph: per node,
-    the distinct vectors within two hops (log2 bands) — the graph
-    EXPANSION rate (diffusion-based ANN search and graph-based index
-    builds like HNSW live or die on this number: reach growing ~deg²
-    means the graph mixes and greedy routing works; flat reach means
-    disconnected clumps, matching ann_graph_components' islands).
-
-    Determinism: the quantized-cosine edge set; exact distinct reach
-    counts (UNION dedups the hop-1/hop-2 overlap).
-
-    Scale shape: the 2-hop join fans out ≤deg² per node (deg ≤ 6 after
-    symmetrizing top-3) and dedups on the (src, dst) pair key; rollups
-    are ≤|bands| rows."""
-    dedges = _ann_knn_edges(spark, sf_dir)
-    und = (
-        dedges.unionByName(
-            dedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint()  # hop-1 + both hop-2 sides consume it
-    )
-    a = und.select(F.col("src"), F.col("dst").alias("mid"))
-    b = und.select(F.col("src").alias("mid"), F.col("dst"))
-    hop2 = (
-        a.join(b, "mid")
-        .where(F.col("dst") != F.col("src"))
-        .select("src", "dst")
-        .unionByName(und.select("src", "dst"))
-        .distinct()
-    )
-    rc = hop2.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("reach"))
-    bk = rc.select(
-        F.expr("CAST(length(bin(reach)) - 1 AS BIGINT)").alias("bucket")
-    )
-    return (
-        bk.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-        .orderBy("bucket")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 126 — user span histogram, discount drift, lang top source
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "user_span_histogram",
-    f"""WITH u AS (
-  SELECT user_id,
-         CAST(max(epoch_us(ts) // {_US_PER_DAY})
-              - min(epoch_us(ts) // {_US_PER_DAY}) AS BIGINT) AS span_days
-  FROM events GROUP BY user_id),
-bk AS (SELECT CASE WHEN span_days = 0 THEN -1
-              ELSE CAST(length(bin(span_days)) - 1 AS BIGINT) END AS bucket
-       FROM u)
-SELECT bucket, CAST(count(*) AS BIGINT) AS n_users
-FROM bk GROUP BY bucket ORDER BY bucket""",
-)
-def user_span_histogram(spark, sf_dir):
-    """User lifetime-span histogram: days between each user's first and
-    last event, log2-banded (bucket −1 = one-day wonders) — the raw
-    longevity distribution user_regularity_histogram normalises away
-    (regularity says how DENSELY the span is used; this says how long
-    the spans even are, and the one-day-wonder share is the top-of-
-    funnel leak).
-
-    Scale shape: one user min/max agg, a ≤~16-bucket rollup."""
-    u = (
-        _events(spark, sf_dir)
-        .groupBy("user_id")
-        .agg(
-            (
-                F.max(
-                    F.expr(
-                        f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}"
-                    )
-                )
-                - F.min(
-                    F.expr(
-                        f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}"
-                    )
-                )
-            )
-            .cast("long")
-            .alias("span_days")
-        )
-    )
-    bk = u.select(
-        F.expr(
-            "CASE WHEN span_days = 0 THEN -1"
-            " ELSE CAST(length(bin(span_days)) - 1 AS BIGINT) END"
-        ).alias("bucket")
-    )
-    return (
-        bk.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .orderBy("bucket")
-    )
-
-
-@register(
-    "discount_rate_by_month",
-    """WITH l AS (
-  SELECT (year(CAST(l_shipdate AS TIMESTAMP)) * 12
-          + month(CAST(l_shipdate AS TIMESTAMP)) - 1) AS mkey,
-         CAST(round(l_discount * 100) AS BIGINT) AS disc_pp
-  FROM lineitem)
-SELECT CAST(mkey AS BIGINT) AS month_key, CAST(count(*) AS BIGINT) AS n_lineitems,
-       CAST(round(1000000 * (CAST(sum(disc_pp) AS DOUBLE) / count(*)))
-            AS BIGINT) AS mean_disc_pp_q6
-FROM l GROUP BY mkey ORDER BY month_key""",
-)
-def discount_rate_by_month(spark, sf_dir):
-    """Discount-policy drift: mean discount (percent points) per ship
-    month — discount_by_quantity_band shows the SCHEDULE, this shows
-    whether the schedule holds over time (a creeping monthly mean is
-    margin erosion nobody approved; a step is a policy change to date-
-    stamp).
-
-    Scale shape: map-side month/percent math, a ≤|months| agg."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.expr(
-            "(year(CAST(l_shipdate AS TIMESTAMP)) * 12"
-            " + month(CAST(l_shipdate AS TIMESTAMP)) - 1)"
-        ).alias("mkey"),
-        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("disc_pp"),
-    )
-    return (
-        li.groupBy("mkey")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
-            F.expr(
-                "CAST(round(1000000 * (CAST(sum(disc_pp) AS DOUBLE) / count(1)))"
-                " AS BIGINT)"
-            ).alias("mean_disc_pp_q6"),
-        )
-        .select(
-            F.col("mkey").cast("long").alias("month_key"),
-            "n_lineitems",
-            "mean_disc_pp_q6",
-        )
-        .orderBy("month_key")
-    )
-
-
-@register(
-    "lang_top_source",
-    """WITH c AS (
-  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
-  FROM documents GROUP BY lang, source),
-m AS (SELECT lang, CAST(max(n) AS BIGINT) AS top_n, CAST(sum(n) AS BIGINT) AS tot
-      FROM c GROUP BY lang)
-SELECT m.lang, min(c.source) AS top_source, m.top_n,
-       CAST((1000000 * m.top_n) // m.tot AS BIGINT) AS top_share_q6
-FROM m JOIN c ON c.lang = m.lang AND c.n = m.top_n
-GROUP BY m.lang, m.top_n, m.tot ORDER BY m.lang""",
-)
-def lang_top_source(spark, sf_dir):
-    """Dominant source per language: which source supplies most of each
-    lang's documents and its share — the provenance-concentration view
-    of the lang×source grid (a language fed 90% by one source inherits
-    that source's biases wholesale; source_lang_chi2 scores the
-    dependence, this names it). Argmax via the Q2 max-join-back with
-    the lexicographic source tiebreak.
-
-    Scale shape: one (lang, source) agg; the argmax join runs on those
-    cells."""
-    c = (
-        _docs(spark, sf_dir)
-        .groupBy("lang", "source")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()  # maxima + join-back both consume it
-    )
-    m = c.groupBy("lang").agg(
-        F.max("n").cast("long").alias("top_n"),
-        F.sum("n").cast("long").alias("tot"),
-    ).withColumnRenamed("lang", "lg")
-    j = c.join(m, (c["lang"] == m["lg"]) & (c["n"] == m["top_n"])).select(
-        "lg", "source", "top_n", "tot"
-    )
-    return (
-        j.groupBy("lg", "top_n", "tot")
-        .agg(F.min("source").alias("top_source"))
-        .select(
-            F.col("lg").alias("lang"),
-            "top_source",
-            "top_n",
-            F.expr("CAST((1000000 * top_n) div tot AS BIGINT)").alias(
-                "top_share_q6"
-            ),
-        )
-        .orderBy("lang")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 127 — A/B value readout, hapax token share, user CTR histogram
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "ab_value_readout",
-    """WITH u AS (
-  SELECT user_id,
-         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 4))::INT % 2
-           AS arm,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events GROUP BY user_id)
-SELECT CAST(arm AS BIGINT) AS arm, CAST(count(*) AS BIGINT) AS n_users,
-       CAST(sum(cents) AS BIGINT) AS total_cents,
-       CAST(round(1000000 * (CAST(sum(cents) AS DOUBLE) / count(*))) AS BIGINT)
-         AS mean_cents_q6
-FROM u GROUP BY arm ORDER BY arm""",
-)
-def ab_value_readout(spark, sf_dir):
-    """A/B VALUE readout: per md5 arm, users, total and mean per-user
-    value — the revenue leg of the experimentation family
-    (ab_assignment_readout/ab_significance score the conversion RATE;
-    most experiments are decided on value per user, whose heavy tail is
-    exactly why CUPED and winsorization exist — this is the raw number
-    they adjust). Same 'ab:'||user hash arms as every A/B op.
-
-    Scale shape: one user agg with the arm hash, a 2-row rollup."""
-    u = (
-        _events(spark, sf_dir)
-        .groupBy("user_id")
-        .agg(
-            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
-            .cast("long")
-            .alias("cents")
-        )
-        .select(
-            F.expr(
-                "cast(conv(substring(md5(concat('ab:', cast(user_id as string))),"
-                " 1, 4), 16, 10) as int) % 2"
-            ).alias("arm"),
-            "cents",
-        )
-    )
-    return (
-        u.groupBy("arm")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_users"),
-            F.sum("cents").cast("long").alias("total_cents"),
-            F.expr(
-                "CAST(round(1000000 * (CAST(sum(cents) AS DOUBLE) / count(1)))"
-                " AS BIGINT)"
-            ).alias("mean_cents_q6"),
-        )
-        .select(
-            F.col("arm").cast("long").alias("arm"),
-            "n_users",
-            "total_cents",
-            "mean_cents_q6",
-        )
-        .orderBy("arm")
-    )
-
-
-@register(
-    "hapax_token_share",
-    f"""WITH t AS (
-  SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
-    AS term
-  FROM documents),
-dfs AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-        FROM t GROUP BY term),
-j AS (SELECT t.source, CASE WHEN dfs.df = 1 THEN 1 ELSE 0 END AS is_hapax
-      FROM t JOIN dfs USING (term))
-SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(COALESCE(sum(is_hapax), 0) AS BIGINT) AS n_hapax_tokens,
-       CAST((1000000 * COALESCE(sum(is_hapax), 0)) // count(*) AS BIGINT)
-         AS hapax_share_q6
-FROM j GROUP BY source ORDER BY source""",
-)
-def hapax_token_share(spark, sf_dir):
-    """Token mass carried by corpus-hapax terms (df = 1), per source —
-    the tail-weight gauge from the TOKEN side (df_spectrum counts
-    hapax TYPES; this weighs them by occurrences, which is what the
-    tokenizer/BPE budget actually pays; a source whose token stream is
-    5% hapax mass is typo/id-heavy and mindf_prune_curve's cut bites
-    it hardest).
-
-    Scale shape: one tokenize, a term-keyed df agg joined back on term
-    (vocab-bounded exchange), a ≤|sources| rollup."""
-    t = (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id", "source", F.explode(spark_tokens("text")).alias("term")
-        )
-        .localCheckpoint()  # df agg + join-back both consume it
-    )
-    dfs = t.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("long").alias("df")
-    )
-    j = t.join(dfs, "term").select(
-        "source", F.when(F.col("df") == 1, 1).otherwise(0).alias("is_hapax")
-    )
-    return (
-        j.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.coalesce(F.sum("is_hapax"), F.lit(0))
-            .cast("long")
-            .alias("n_hapax_tokens"),
-        )
-        .select(
-            "source",
-            "n_tokens",
-            "n_hapax_tokens",
-            F.expr(
-                "CAST((1000000 * n_hapax_tokens) div n_tokens AS BIGINT)"
-            ).alias("hapax_share_q6"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "user_ctr_histogram",
-    """WITH u AS (
-  SELECT user_id,
-         CAST(COALESCE(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0)
-              AS BIGINT) AS views,
-         CAST(COALESCE(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0)
-              AS BIGINT) AS clicks
-  FROM events GROUP BY user_id),
-v AS (SELECT least((1000000 * clicks) // views // 200000, 5) AS bucket
-      FROM u WHERE views > 0)
-SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_users
-FROM v GROUP BY bucket ORDER BY bucket""",
-)
-def user_ctr_histogram(spark, sf_dir):
-    """Per-user click-through-rate distribution: clicks/views in
-    0.2-wide buckets (clamped at 1.0+, since clicks can exceed views)
-    — the behavioral heterogeneity underneath daily_ctr's single line
-    (a bimodal user CTR means two populations — browsers and clickers
-    — and the aggregate CTR moves when their MIX moves, not their
-    behavior; viewless users drop, declared).
-
-    Scale shape: one user agg with two conditional counters, a
-    6-bucket rollup."""
-    u = (
-        _events(spark, sf_dir)
-        .groupBy("user_id")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("views"),
-            F.coalesce(
-                F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("clicks"),
-        )
-    )
-    v = u.where(F.col("views") > 0).select(
-        F.expr("least((1000000 * clicks) div views div 200000, 5)").alias(
-            "bucket"
-        )
-    )
-    return (
-        v.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .select(F.col("bucket").cast("long").alias("bucket"), "n_users")
-        .orderBy("bucket")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 128 — hour top type, per-lang length stats, source arrival matrix
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "hour_top_type",
-    """WITH c AS (
-  SELECT (epoch_us(ts) // 3600000000) % 24 AS hour, event_type,
-         CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY hour, event_type),
-m AS (SELECT hour, CAST(max(n) AS BIGINT) AS top_n, CAST(sum(n) AS BIGINT) AS tot
-      FROM c GROUP BY hour)
-SELECT CAST(m.hour AS BIGINT) AS hour, min(c.event_type) AS top_type,
-       m.top_n, CAST((1000000 * m.top_n) // m.tot AS BIGINT) AS top_share_q6
-FROM m JOIN c ON c.hour = m.hour AND c.n = m.top_n
-GROUP BY m.hour, m.top_n, m.tot ORDER BY m.hour""",
-)
-def hour_top_type(spark, sf_dir):
-    """Dominant event type per hour of day — type_peak_hour transposed
-    (that op asks when each behavior peaks; this asks what each hour IS
-    — the hour-by-hour character of the stream that staffing and
-    cache-warming schedules read). Q2 argmax with the lexicographic
-    type tiebreak.
-
-    Scale shape: one ≤24×|types|-cell agg and its argmax join."""
-    c = (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr(
-                "(unix_micros(cast(ts as timestamp)) div 3600000000) % 24"
-            ).alias("hour"),
-            "event_type",
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()
-    )
-    m = c.groupBy("hour").agg(
-        F.max("n").cast("long").alias("top_n"),
-        F.sum("n").cast("long").alias("tot"),
-    ).withColumnRenamed("hour", "h")
-    j = c.join(m, (c["hour"] == m["h"]) & (c["n"] == m["top_n"])).select(
-        "h", "event_type", "top_n", "tot"
-    )
-    return (
-        j.groupBy("h", "top_n", "tot")
-        .agg(F.min("event_type").alias("top_type"))
-        .select(
-            F.col("h").cast("long").alias("hour"),
-            "top_type",
-            "top_n",
-            F.expr("CAST((1000000 * top_n) div tot AS BIGINT)").alias(
-                "top_share_q6"
-            ),
-        )
-        .orderBy("hour")
-    )
-
-
-@register(
-    "lang_doclen_stats",
-    f"""WITH t AS (
-  SELECT lang,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT)
-           AS n_tok
-  FROM documents)
-SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(round(1000000 * (CAST(sum(n_tok) AS DOUBLE) / count(*))) AS BIGINT)
-         AS mean_len_q6,
-       CAST(min(n_tok) AS BIGINT) AS min_len, CAST(max(n_tok) AS BIGINT) AS max_len
-FROM t GROUP BY lang ORDER BY lang""",
-)
-def lang_doclen_stats(spark, sf_dir):
-    """Document-length profile per language label: count, mean, min,
-    max — the plain per-lang table underneath ttest_lang_doclen's
-    two-sample inference and ks/mannwhitney's distribution tests (all
-    three compare PAIRS; this is the full panel a reviewer scans first,
-    and cross-lingual length ratios are the token-budget conversion
-    rates multilingual sampling plans need).
-
-    Scale shape: one map-side length projection, a ≤|langs| agg."""
-    t = _docs(spark, sf_dir).select(
-        "lang", F.size(spark_tokens("text")).cast("long").alias("n_tok")
-    )
-    return (
-        t.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.expr(
-                "CAST(round(1000000 * (CAST(sum(n_tok) AS DOUBLE) / count(1)))"
-                " AS BIGINT)"
-            ).alias("mean_len_q6"),
-            F.min("n_tok").cast("long").alias("min_len"),
-            F.max("n_tok").cast("long").alias("max_len"),
-        )
-        .orderBy("lang")
-    )
-
-
-@register(
-    "source_arrival_matrix",
-    """WITH b AS (
-  SELECT CAST(min(doc_id) AS BIGINT) AS lo, CAST(max(doc_id) AS BIGINT) AS hi
-  FROM documents),
-d AS (SELECT dd.source,
-             least((10 * (dd.doc_id - b.lo)) // greatest(b.hi - b.lo + 1, 1), 9)
-               AS decile
-      FROM documents dd CROSS JOIN b)
-SELECT CAST(decile AS BIGINT) AS decile, source,
-       CAST(count(*) AS BIGINT) AS n_docs
-FROM d GROUP BY decile, source ORDER BY decile, source""",
-)
-def source_arrival_matrix(spark, sf_dir):
-    """Source mix by arrival decile (doc_id key range — the drift
-    convention): the RAW matrix underneath every per-source drift
-    decile op (term/lang/quality drift normalise by exactly these
-    counts; a source that only exists in deciles 7-9 was added
-    mid-crawl, and every whole-corpus source share mixes epochs —
-    order_value_drift_deciles' argument on the text side).
-
-    Scale shape: map-side decile math off the 1-row bounds broadcast,
-    a 10×|sources|-cell agg."""
-    docs = _docs(spark, sf_dir)
-    b = docs.agg(
-        F.min("doc_id").cast("long").alias("lo"),
-        F.max("doc_id").cast("long").alias("hi"),
-    )
-    d = docs.crossJoin(F.broadcast(b)).select(
-        "source",
-        F.expr(
-            "least((10 * (doc_id - lo)) div greatest(hi - lo + 1, 1), 9)"
-        ).alias("decile"),
-    )
-    return (
-        d.groupBy("decile", "source")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .select(
-            F.col("decile").cast("long").alias("decile"), "source", "n_docs"
-        )
-        .orderBy("decile", "source")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 129 — supplier discount stance, month×type matrix, source token
-# length
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "supplier_discount_topk",
-    """WITH s AS (
-  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lineitems,
-         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS disc_pp
-  FROM lineitem GROUP BY l_suppkey),
-r AS (SELECT l_suppkey, n_lineitems,
-             CAST(round(1000000 * (CAST(disc_pp AS DOUBLE) / n_lineitems))
-                  AS BIGINT) AS mean_disc_pp_q6
-      FROM s WHERE n_lineitems >= 5)
-SELECT l_suppkey, n_lineitems, mean_disc_pp_q6,
-       CAST(row_number() OVER (ORDER BY mean_disc_pp_q6 DESC, l_suppkey ASC)
-            AS BIGINT) AS rank
-FROM r ORDER BY mean_disc_pp_q6 DESC, l_suppkey ASC LIMIT 10""",
-)
-def supplier_discount_topk(spark, sf_dir):
-    """Heaviest-discounting suppliers: mean discount (percent points)
-    per supplier, volume-gated (n ≥ 5), top-10 — the margin-leak board
-    beside supplier_ship_delay_topk's SLA board (a supplier that is
-    both slow AND deep-discounted is being paid twice to disappoint;
-    discount_by_quantity_band explains the legitimate volume part).
-
-    Scale shape: one suppkey agg, a filtered TakeOrdered 10."""
-    s = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .groupBy("l_suppkey")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
-            F.sum(F.expr("CAST(round(l_discount * 100) AS BIGINT)"))
-            .cast("long")
-            .alias("disc_pp"),
-        )
-    )
-    r = s.where(F.col("n_lineitems") >= 5).select(
-        "l_suppkey",
-        "n_lineitems",
-        F.expr(
-            "CAST(round(1000000 * (CAST(disc_pp AS DOUBLE) / n_lineitems))"
-            " AS BIGINT)"
-        ).alias("mean_disc_pp_q6"),
-    )
-    top = r.orderBy(F.desc("mean_disc_pp_q6"), F.asc("l_suppkey")).limit(10)
-    return top.withColumn(
-        "rank",
-        F.row_number()
-        .over(Window.orderBy(F.desc("mean_disc_pp_q6"), F.asc("l_suppkey")))
-        .cast("long"),
-    ).select("l_suppkey", "n_lineitems", "mean_disc_pp_q6", "rank")
-
-
-@register(
-    "month_type_matrix",
-    """WITH e AS (
-  SELECT (year(ts) * 12 + month(ts) - 1) AS mkey, event_type FROM events)
-SELECT CAST(mkey AS BIGINT) AS month_key, event_type,
-       CAST(count(*) AS BIGINT) AS n_events
-FROM e GROUP BY mkey, event_type ORDER BY month_key, event_type""",
-)
-def month_type_matrix(spark, sf_dir):
-    """Event volume by calendar month × type — the raw long-horizon mix
-    matrix (events_weekly_type_jsd scores week-level drift as one
-    number per week; this is the month-grain table a quarterly review
-    actually reads, and the input any seasonal type-mix model fits).
-
-    Scale shape: map-side month math, a ≤|months|×|types|-cell agg."""
-    e = _events(spark, sf_dir).select(
-        F.expr(
-            "(year(cast(ts as timestamp)) * 12"
-            " + month(cast(ts as timestamp)) - 1)"
-        ).alias("mkey"),
-        "event_type",
-    )
-    return (
-        e.groupBy("mkey", "event_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-        .select(
-            F.col("mkey").cast("long").alias("month_key"),
-            "event_type",
-            "n_events",
-        )
-        .orderBy("month_key", "event_type")
-    )
-
-
-@register(
-    "source_token_length",
-    f"""WITH t AS (
-  SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
-    AS term
-  FROM documents)
-SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(round(1000000 * (CAST(sum(length(term)) AS DOUBLE) / count(*)))
-            AS BIGINT) AS mean_term_len_q6
-FROM t GROUP BY source ORDER BY source""",
-)
-def source_token_length(spark, sf_dir):
-    """Mean token length (characters) per source — the one-number
-    register gauge (legalese and German compounds run long, chat runs
-    short; token_length_histogram shows the global shape,
-    abbreviation_law_curve conditions on frequency — this is the
-    per-source marginal a mix report quotes, and a byte-budget
-    converter between sources).
-
-    Scale shape: map-side length over the token stream, a ≤|sources|
-    agg."""
-    t = _docs(spark, sf_dir).select(
-        "source", F.explode(spark_tokens("text")).alias("term")
-    )
-    return (
-        t.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.expr(
-                "CAST(round(1000000 * (CAST(sum(length(term)) AS DOUBLE)"
-                " / count(1))) AS BIGINT)"
-            ).alias("mean_term_len_q6"),
-        )
-        .orderBy("source")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 130 — round-number bias, query-term PMI, key density census
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "round_value_bias",
-    """WITH o AS (
-  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
-SELECT CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(COALESCE(sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END), 0)
-            AS BIGINT) AS n_whole_dollar,
-       CAST(COALESCE(sum(CASE WHEN cents % 10000 = 0 THEN 1 ELSE 0 END), 0)
-            AS BIGINT) AS n_whole_hundred,
-       CAST((1000000 * COALESCE(sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END), 0))
-            // count(*) AS BIGINT) AS whole_dollar_share_q6
-FROM o""",
-)
-def round_value_bias(spark, sf_dir):
-    """Round-number bias of order values: the share landing exactly on
-    whole dollars and whole hundreds — the human-fingerprint audit
-    beside benford_value_audit's leading-digit law (negotiated and
-    fabricated numbers cluster on round figures; machine-priced ones
-    don't — auditors read both tests together). Exact cents modular
-    arithmetic.
-
-    Scale shape: one map-side conditional 1-row agg."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents")
-    )
-    return o.agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.coalesce(
-            F.sum(F.when(F.col("cents") % 100 == 0, 1).otherwise(0)), F.lit(0)
-        )
-        .cast("long")
-        .alias("n_whole_dollar"),
-        F.coalesce(
-            F.sum(F.when(F.col("cents") % 10000 == 0, 1).otherwise(0)),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_whole_hundred"),
-        F.expr(
-            "CAST((1000000 * COALESCE(sum(CASE WHEN cents % 100 = 0"
-            " THEN 1 ELSE 0 END), 0)) div count(1) AS BIGINT)"
-        ).alias("whole_dollar_share_q6"),
-    )
-
-
-@register(
-    "query_term_pmi",
-    f"""WITH t AS (SELECT DISTINCT doc_id, term FROM ({SQL_TOKS})
-                  WHERE term IN ('dup', 'spark')),
-nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
-       FROM ({SQL_TOKS})),
-d AS (SELECT CAST(count(*) FILTER (WHERE term = 'dup') AS BIGINT) AS da,
-             CAST(count(*) FILTER (WHERE term = 'spark') AS BIGINT) AS db
-      FROM t),
-co AS (SELECT CAST(count(*) AS BIGINT) AS dab FROM (
-         SELECT doc_id FROM t GROUP BY doc_id HAVING count(*) = 2))
-SELECT d.da AS df_dup, d.db AS df_spark, co.dab AS df_both, nd.n AS n_docs,
-       CASE WHEN co.dab = 0 OR d.da = 0 OR d.db = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 * ln((CAST(co.dab AS DOUBLE) * nd.n)
-                 / (CAST(d.da AS DOUBLE) * d.db))) AS BIGINT)
-       END AS pmi_q6
-FROM d CROSS JOIN co CROSS JOIN nd""",
-)
-def query_term_pmi(spark, sf_dir):
-    """Document-level PMI between the canned query's two terms ('dup',
-    'spark'): ln(P(both)/(P(a)·P(b))) over document occurrence — the
-    one number that says whether the conjunctive query is coherent
-    (positive PMI: the terms travel together, AND-ish semantics and
-    msm make sense; ≈0: statistically independent, the match set is a
-    coincidence product; collocations_pmi ranks ALL pairs — this reads
-    the one pair the rank_eval family queries with, and a 0-sentinel
-    covers the no-cooccurrence case).
-
-    Scale shape: a tiny 2-term df census plus one co-occurrence count."""
-    toks = (
-        _toks(_docs(spark, sf_dir)).localCheckpoint()
-    )  # census + filtered df both consume it
-    t = (
-        toks.where(F.col("term").isin("dup", "spark"))
-        .select("doc_id", "term")
-        .distinct()
-    )
-    nd = toks.agg(F.countDistinct("doc_id").cast("long").alias("n"))
-    d = t.agg(
-        F.count_if(F.col("term") == "dup").cast("long").alias("da"),
-        F.count_if(F.col("term") == "spark").cast("long").alias("db"),
-    )
-    co = (
-        t.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .where(F.col("k") == 2)
-        .agg(F.count(F.lit(1)).cast("long").alias("dab"))
-    )
-    return (
-        d.crossJoin(co)
-        .crossJoin(F.broadcast(nd))
-        .select(
-            F.col("da").alias("df_dup"),
-            F.col("db").alias("df_spark"),
-            F.col("dab").alias("df_both"),
-            F.col("n").alias("n_docs"),
-            F.expr(
-                "CASE WHEN dab = 0 OR da = 0 OR db = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST(round(1000000 * ln((CAST(dab AS DOUBLE) * n)"
-                " / (CAST(da AS DOUBLE) * db))) AS BIGINT) END"
-            ).alias("pmi_q6"),
-        )
-    )
-
-
-def _key_leg_sql(name, table, col):
-    return f"""SELECT '{name}' AS key_name, CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(min({col}) AS BIGINT) AS min_key, CAST(max({col}) AS BIGINT) AS max_key,
-       CAST((1000000 * count(*)) // greatest(max({col}) - min({col}) + 1, 1)
-            AS BIGINT) AS density_q6
-FROM {table}"""
-
-
-@register(
-    "key_density_census",
-    _key_leg_sql("customer.c_custkey", "customer", "c_custkey")
-    + "\nUNION ALL\n"
-    + _key_leg_sql("orders.o_orderkey", "orders", "o_orderkey")
-    + "\nUNION ALL\n"
-    + _key_leg_sql("part.p_partkey", "part", "p_partkey")
-    + "\nUNION ALL\n"
-    + _key_leg_sql("supplier.s_suppkey", "supplier", "s_suppkey")
-    + "\nORDER BY key_name",
-)
-def key_density_census(spark, sf_dir):
-    """Primary-key density census: rows over key-range span for every
-    entity key — the load-integrity twin of fk_integrity_census
-    (density 1.0 = contiguous surrogate keys; a drop below 1 means
-    deleted rows, a partial load, or TPC-H's deliberate orderkey
-    sparsity — and any range-based splitter (order_value_drift_deciles'
-    buckets, JDBC partitioning) inherits exactly this skew).
-
-    Determinism: exact counts and integer density division.
-
-    Scale shape: one min/max/count agg per table, map-side."""
-    legs = [
-        ("customer.c_custkey", "customer", "c_custkey"),
-        ("orders.o_orderkey", "orders", "o_orderkey"),
-        ("part.p_partkey", "part", "p_partkey"),
-        ("supplier.s_suppkey", "supplier", "s_suppkey"),
-    ]
-    outs = []
-    for name, table, col in legs:
-        t = spark.read.parquet(f"{sf_dir}/{table}.parquet").select(
-            F.col(col).alias("k")
-        )
-        outs.append(
-            t.agg(
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.min("k").cast("long").alias("min_key"),
-                F.max("k").cast("long").alias("max_key"),
-            ).select(
-                F.lit(name).alias("key_name"),
-                "n_rows",
-                "min_key",
-                "max_key",
-                F.expr(
-                    "CAST((1000000 * n_rows)"
-                    " div greatest(max_key - min_key + 1, 1) AS BIGINT)"
-                ).alias("density_q6"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("key_name")
-
-
-# ---------------------------------------------------------------------------
-# session 131 — basket brand breadth, order-size trend, top value events
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "order_brand_breadth",
-    """WITH ob AS (
-  SELECT l.l_orderkey, CAST(count(DISTINCT p.p_brand) AS BIGINT) AS n_brands
-  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-  GROUP BY l.l_orderkey),
-bk AS (SELECT CASE WHEN n_brands >= 3 THEN 3 ELSE n_brands END AS breadth
-       FROM ob)
-SELECT CAST(breadth AS BIGINT) AS breadth, CAST(count(*) AS BIGINT) AS n_orders
-FROM bk GROUP BY breadth ORDER BY breadth""",
-)
-def order_brand_breadth(spark, sf_dir):
-    """Basket brand breadth: orders by how many distinct brands they mix
-    (1 / 2 / 3+) — the demand-side reading of brand_cobuy_matrix (that
-    names WHICH brands co-sell; this says how much cross-brand demand
-    exists at all, the number a marketplace's bundle strategy starts
-    from).
-
-    Scale shape: one orderkey agg with a two-phase distinct, a
-    3-bucket rollup."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_partkey"
-    )
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_partkey", "p_brand"
-    )
-    ob = (
-        li.join(p, li["l_partkey"] == p["p_partkey"])
-        .groupBy("l_orderkey")
-        .agg(F.countDistinct("p_brand").cast("long").alias("n_brands"))
-    )
-    bk = ob.select(
-        F.expr("CASE WHEN n_brands >= 3 THEN 3 ELSE n_brands END").alias(
-            "breadth"
-        )
-    )
-    return (
-        bk.groupBy("breadth")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
-        .select(F.col("breadth").cast("long").alias("breadth"), "n_orders")
-        .orderBy("breadth")
-    )
-
-
-@register(
-    "order_size_by_month",
-    """WITH lc AS (
-  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items FROM lineitem
-  GROUP BY l_orderkey),
-j AS (SELECT (year(CAST(o.o_orderdate AS TIMESTAMP)) * 12
-              + month(CAST(o.o_orderdate AS TIMESTAMP)) - 1) AS mkey,
-             COALESCE(lc.n_items, 0) AS n_items
-      FROM orders o LEFT JOIN lc ON lc.l_orderkey = o.o_orderkey)
-SELECT CAST(mkey AS BIGINT) AS month_key, CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(round(1000000 * (CAST(sum(n_items) AS DOUBLE) / count(*)))
-            AS BIGINT) AS mean_items_q6
-FROM j GROUP BY mkey ORDER BY month_key""",
-)
-def order_size_by_month(spark, sf_dir):
-    """Mean items per order by month — the basket-size trend
-    (order_size_by_status slices by state, order_size_histogram shows
-    the shape; a drifting monthly mean changes pick-pack economics and
-    is the operations twin of monthly_revenue_growth's top line).
-    Itemless orders count 0 via the LEFT probe.
-
-    Scale shape: one orderkey agg, an un-hinted LEFT probe, a
-    ≤|months| rollup."""
-    lc = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey",
-        F.expr(
-            "(year(CAST(o_orderdate AS TIMESTAMP)) * 12"
-            " + month(CAST(o_orderdate AS TIMESTAMP)) - 1)"
-        ).alias("mkey"),
-    )
-    j = o.join(lc, o["o_orderkey"] == lc["l_orderkey"], "left").select(
-        "mkey", F.coalesce("n_items", F.lit(0)).alias("n_items")
-    )
-    return (
-        j.groupBy("mkey")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.expr(
-                "CAST(round(1000000 * (CAST(sum(n_items) AS DOUBLE) / count(1)))"
-                " AS BIGINT)"
-            ).alias("mean_items_q6"),
-        )
-        .select(
-            F.col("mkey").cast("long").alias("month_key"),
-            "n_orders",
-            "mean_items_q6",
-        )
-        .orderBy("month_key")
-    )
-
-
-@register(
-    "top_value_events",
-    """WITH e AS (
-  SELECT event_id, user_id, event_type,
-         CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events)
-SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
-       event_type, cents,
-       CAST(row_number() OVER (ORDER BY cents DESC, event_id ASC) AS BIGINT)
-         AS rank
-FROM e ORDER BY cents DESC, event_id ASC LIMIT 10""",
-)
-def top_value_events(spark, sf_dir):
-    """The 10 highest-value single events — the whale-transaction board
-    every finance review opens with (events_value_quantiles shows the
-    distribution; these are the rows someone actually eyeballs for
-    fraud or fat fingers, with user and type attached for the
-    follow-up).
-
-    Scale shape: one TakeOrdered(10) over a map-side cents
-    projection."""
-    e = _events(spark, sf_dir).select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-    )
-    top = e.orderBy(F.desc("cents"), F.asc("event_id")).limit(10)
-    return top.withColumn(
-        "rank",
-        F.row_number()
-        .over(Window.orderBy(F.desc("cents"), F.asc("event_id")))
-        .cast("long"),
-    ).select(
-        F.col("event_id").cast("long").alias("event_id"),
-        F.col("user_id").cast("long").alias("user_id"),
-        "event_type",
-        "cents",
-        "rank",
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 132 — session threshold curve, brand supplier diversity, length
-# gate curve
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "session_threshold_curve",
-    """WITH t AS (
-  SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events),
-g AS (SELECT t_us - lag(t_us) OVER (PARTITION BY user_id
-                                    ORDER BY t_us, event_id) AS gap
-      FROM t),
-c AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
-             CAST(COALESCE(sum(CASE WHEN gap IS NULL OR gap > 600000000
-                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS s10,
-             CAST(COALESCE(sum(CASE WHEN gap IS NULL OR gap > 1800000000
-                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS s30,
-             CAST(COALESCE(sum(CASE WHEN gap IS NULL OR gap > 3600000000
-                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS s60
-      FROM g)
-SELECT 10 AS gap_minutes, s10 AS n_sessions,
-       CAST(round(1000000 * (CAST(n_events AS DOUBLE) / greatest(s10, 1)))
-            AS BIGINT) AS mean_len_q6
-FROM c
-UNION ALL
-SELECT 30, s30, CAST(round(1000000 * (CAST(n_events AS DOUBLE)
-       / greatest(s30, 1))) AS BIGINT) FROM c
-UNION ALL
-SELECT 60, s60, CAST(round(1000000 * (CAST(n_events AS DOUBLE)
-       / greatest(s60, 1))) AS BIGINT) FROM c
-ORDER BY gap_minutes""",
-)
-def session_threshold_curve(spark, sf_dir):
-    """Sessionization-threshold tuning curve: session count and mean
-    session length at 10/30/60-minute gap rules — the knob every
-    session op fixes at 30, swept in ONE pass (a session count is just
-    the number of gap-exceeding starts, so three thresholds are three
-    conditional counters over the SAME lag column — no triple
-    sessionization; interevent_gap_histogram shows the gap
-    distribution, THIS shows what each cut does to the session
-    censuses built on it). Counts are monotone decreasing in the
-    threshold — property-asserted.
-
-    Scale shape: ONE user exchange for the lag, a 1-row 3-counter agg."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        "event_id",
-    )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    g = t.select((F.col("t_us") - F.lag("t_us").over(w)).alias("gap"))
-    c = g.agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        *[
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("gap").isNull() | (F.col("gap") > thr), 1
-                    ).otherwise(0)
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias(f"s{m}")
-            for m, thr in ((10, 600_000_000), (30, 1_800_000_000), (60, 3_600_000_000))
-        ],
-    )
-    outs = []
-    for m in (10, 30, 60):
-        outs.append(
-            c.select(
-                F.lit(m).cast("long").alias("gap_minutes"),
-                F.col(f"s{m}").alias("n_sessions"),
-                F.expr(
-                    f"CAST(round(1000000 * (CAST(n_events AS DOUBLE)"
-                    f" / greatest(s{m}, 1))) AS BIGINT)"
-                ).alias("mean_len_q6"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("gap_minutes")
-
-
-@register(
-    "brand_supplier_diversity",
-    """WITH j AS (
-  SELECT DISTINCT p.p_brand, l.l_suppkey
-  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
-SELECT p_brand, CAST(count(*) AS BIGINT) AS n_suppliers
-FROM j GROUP BY p_brand ORDER BY p_brand""",
-)
-def brand_supplier_diversity(spark, sf_dir):
-    """Supplier diversity per brand: distinct suppliers who have ever
-    shipped each brand — the brand-level resilience view
-    (supplier_brand_matrix names the heavy lanes; a brand with ONE
-    supplier here has no lanes to fail over to, Q16's question asked
-    at the brand grain).
-
-    Scale shape: one distinct over the joined pair, a ≤|brands|
-    rollup."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_suppkey", "l_partkey"
-    )
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_partkey", "p_brand"
-    )
-    j = (
-        li.join(p, li["l_partkey"] == p["p_partkey"])
-        .select("p_brand", "l_suppkey")
-        .distinct()
-    )
-    return (
-        j.groupBy("p_brand")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_suppliers"))
-        .orderBy("p_brand")
-    )
-
-
-@register(
-    "length_gate_curve",
-    f"""WITH t AS (
-  SELECT CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT)
-    AS n_tok
-  FROM documents),
-c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-             CAST(COALESCE(sum(CASE WHEN n_tok >= 8 THEN 1 ELSE 0 END), 0)
-                  AS BIGINT) AS d8,
-             CAST(COALESCE(sum(CASE WHEN n_tok >= 8 THEN n_tok ELSE 0 END), 0)
-                  AS BIGINT) AS t8,
-             CAST(COALESCE(sum(CASE WHEN n_tok >= 16 THEN 1 ELSE 0 END), 0)
-                  AS BIGINT) AS d16,
-             CAST(COALESCE(sum(CASE WHEN n_tok >= 16 THEN n_tok ELSE 0 END), 0)
-                  AS BIGINT) AS t16,
-             CAST(COALESCE(sum(CASE WHEN n_tok >= 32 THEN 1 ELSE 0 END), 0)
-                  AS BIGINT) AS d32,
-             CAST(COALESCE(sum(CASE WHEN n_tok >= 32 THEN n_tok ELSE 0 END), 0)
-                  AS BIGINT) AS t32
-      FROM t)
-SELECT 8 AS min_tokens, d8 AS docs_kept, t8 AS tokens_kept,
-       CAST((1000000 * t8) // greatest(n_tokens, 1) AS BIGINT) AS token_share_q6
-FROM c
-UNION ALL
-SELECT 16, d16, t16, CAST((1000000 * t16) // greatest(n_tokens, 1) AS BIGINT) FROM c
-UNION ALL
-SELECT 32, d32, t32, CAST((1000000 * t32) // greatest(n_tokens, 1) AS BIGINT) FROM c
-ORDER BY min_tokens""",
-)
-def length_gate_curve(spark, sf_dir):
-    """Minimum-length gate tuning curve: documents and token mass
-    surviving min-length cuts of 8/16/32 tokens, in ONE pass (the
-    Gopher-style length gate every pipeline applies; the DOC count
-    falls much faster than the TOKEN share — short docs are many and
-    light — and this pair of columns is that argument with numbers;
-    quality_ablation_curve sweeps richer gates, this isolates the
-    length knob). Monotone in the cut — property-asserted.
-
-    Scale shape: one map-side length projection, a 1-row 6-counter
-    agg, a 3-row union."""
-    t = _docs(spark, sf_dir).select(
-        F.size(spark_tokens("text")).cast("long").alias("n_tok")
-    )
-    aggs = [
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tok").cast("long").alias("n_tokens"),
-    ]
-    for k in (8, 16, 32):
-        aggs.append(
-            F.coalesce(
-                F.sum(F.when(F.col("n_tok") >= k, 1).otherwise(0)), F.lit(0)
-            )
-            .cast("long")
-            .alias(f"d{k}")
-        )
-        aggs.append(
-            F.coalesce(
-                F.sum(F.when(F.col("n_tok") >= k, F.col("n_tok")).otherwise(0)),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias(f"t{k}")
-        )
-    c = t.agg(*aggs)
-    outs = []
-    for k in (8, 16, 32):
-        outs.append(
-            c.select(
-                F.lit(k).cast("long").alias("min_tokens"),
-                F.col(f"d{k}").alias("docs_kept"),
-                F.col(f"t{k}").alias("tokens_kept"),
-                F.expr(
-                    f"CAST((1000000 * t{k}) div greatest(n_tokens, 1)"
-                    " AS BIGINT)"
-                ).alias("token_share_q6"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("min_tokens")
-
-
-# ---------------------------------------------------------------------------
-# session 133 — type session position, price-band returns, view→click
-# latency
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "type_session_position",
-    f"""WITH t AS (
-  SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type FROM events),
-fl AS (
-  SELECT user_id, t_us, event_id, event_type,
-         CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   IS NULL
-              OR t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS is_start
-  FROM t),
-se AS (
-  SELECT user_id, t_us, event_id, event_type,
-         sum(is_start) OVER (PARTITION BY user_id ORDER BY t_us, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-  FROM fl),
-rk AS (
-  SELECT event_type,
-         row_number() OVER (PARTITION BY user_id, sid
-                            ORDER BY t_us, event_id) AS pos,
-         count(*) OVER (PARTITION BY user_id, sid) AS slen
-  FROM se),
-rp AS (SELECT event_type,
-              CAST(round(1000000 * (CAST(pos - 1 AS DOUBLE)
-                   / greatest(slen - 1, 1))) AS BIGINT) AS relpos_q6
-       FROM rk)
-SELECT event_type, CAST(count(*) AS BIGINT) AS n_occurrences,
-       CAST(CAST(sum(relpos_q6) AS BIGINT) // count(*) AS BIGINT)
-         AS mean_relpos_q6
-FROM rp GROUP BY event_type ORDER BY event_type""",
-)
-def type_session_position(spark, sf_dir):
-    """Where each event type lives inside sessions: mean relative
-    position (0 = session start, 1 = end) per type — the journey-shape
-    profile (views should front-load, purchases should back-load; a
-    purchase type at 0.3 means journeys continue after buying — the
-    post-purchase browse pattern — and session_entry_exit_matrix's
-    door/exit cells are this table's endpoints). Single-event sessions
-    guard to denominator 1.
-
-    Determinism: per-occurrence relpos q6-first (the
-    term_position_profile rule on the time axis); identical
-    (t_us, event_id) ordering as every session op.
-
-    Scale shape: ONE user exchange for all three windows, a ≤|types|
-    rollup."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        "event_id",
-        "event_type",
-    )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    fl = t.withColumn(
-        "is_start",
-        F.expr(
-            "CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
-            " IS NULL OR t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us,"
-            f" event_id) > {_SESSION_GAP_US} THEN 1 ELSE 0 END"
-        ),
-    )
-    se = fl.withColumn(
-        "sid",
-        F.sum("is_start").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    ws = Window.partitionBy("user_id", "sid").orderBy("t_us", "event_id")
-    wsa = Window.partitionBy("user_id", "sid")
-    rk = se.select(
-        "event_type",
-        F.row_number().over(ws).alias("pos"),
-        F.count(F.lit(1)).over(wsa).alias("slen"),
-    )
-    rp = rk.select(
-        "event_type",
-        F.expr(
-            "CAST(round(1000000 * (CAST(pos - 1 AS DOUBLE)"
-            " / greatest(slen - 1, 1))) AS BIGINT)"
-        ).alias("relpos_q6"),
-    )
-    return (
-        rp.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
-            F.expr(
-                "CAST(CAST(sum(relpos_q6) AS BIGINT) div count(1) AS BIGINT)"
-            ).alias("mean_relpos_q6"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@register(
-    "price_band_return_rate",
-    """WITH j AS (
-  SELECT CASE WHEN CAST(round(l_extendedprice * 100) AS BIGINT) <= 0 THEN -1
-         ELSE CAST(length(bin(CAST(round(l_extendedprice * 100) AS BIGINT))) - 1
-              AS BIGINT) END AS price_band,
-         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
-  FROM lineitem)
-SELECT price_band, CAST(count(*) AS BIGINT) AS n_lineitems,
-       CAST(COALESCE(sum(ret), 0) AS BIGINT) AS n_returned,
-       CAST((1000000 * COALESCE(sum(ret), 0)) // count(*) AS BIGINT)
-         AS return_rate_q6
-FROM j GROUP BY price_band ORDER BY price_band""",
-)
-def price_band_return_rate(spark, sf_dir):
-    """Return rate by price band (log2-cents of the line value) — do
-    expensive lines come back more (buyer's remorse scales with
-    price; a flat curve means returns are product-driven, matching
-    brand_return_rate's attribution; rising means value-driven and
-    insurance/restocking fees price off THIS curve).
-
-    Scale shape: map-side band/flag math, a ≤~40-band agg."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.expr(
-            "CASE WHEN CAST(round(l_extendedprice * 100) AS BIGINT) <= 0 THEN -1"
-            " ELSE CAST(length(bin(CAST(round(l_extendedprice * 100) AS BIGINT)))"
-            " - 1 AS BIGINT) END"
-        ).alias("price_band"),
-        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
-    )
-    return (
-        li.groupBy("price_band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
-            F.coalesce(F.sum("ret"), F.lit(0)).cast("long").alias("n_returned"),
-        )
-        .select(
-            "price_band",
-            "n_lineitems",
-            "n_returned",
-            F.expr(
-                "CAST((1000000 * n_returned) div n_lineitems AS BIGINT)"
-            ).alias("return_rate_q6"),
-        )
-        .orderBy("price_band")
-    )
-
-
-@register(
-    "view_click_latency_histogram",
-    """WITH v AS (
-  SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS v_us
-  FROM events WHERE event_type = 'view' GROUP BY user_id),
-c AS (
-  SELECT e.user_id, CAST(min(epoch_us(e.ts)) AS BIGINT) AS c_us
-  FROM events e JOIN v ON v.user_id = e.user_id
-  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.v_us
-  GROUP BY e.user_id),
-lat AS (SELECT CAST((c.c_us - v.v_us) // 1000000 AS BIGINT) AS lat_s
-        FROM v JOIN c USING (user_id)),
-bk AS (SELECT CASE WHEN lat_s = 0 THEN -1
-              ELSE CAST(length(bin(lat_s)) - 1 AS BIGINT) END AS bucket
-       FROM lat)
-SELECT bucket, CAST(count(*) AS BIGINT) AS n_users
-FROM bk GROUP BY bucket ORDER BY bucket""",
-)
-def view_click_latency_histogram(spark, sf_dir):
-    """First-view to first-click latency (log2 seconds; bucket −1 =
-    same-second) — the TOP of the funnel's reaction-time curve
-    (conversion_latency_histogram measures view→purchase, the whole
-    funnel; this isolates the first hop, where UI latency and
-    relevance show up years before revenue does). Users who never
-    click after viewing drop — the funnel convention.
-
-    Scale shape: two user-keyed min-aggs on one exchange shape, a
-    ≤~32-bucket rollup."""
-    ev = _events(spark, sf_dir).select(
-        "user_id",
-        "event_type",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-    )
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("t_us").cast("long").alias("v_us"))
-    )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("t_us") >= F.col("v_us"))
-        .groupBy("user_id")
-        .agg(F.min("t_us").cast("long").alias("c_us"))
-    )
-    lat = v.join(c, "user_id").select(
-        F.expr("CAST((c_us - v_us) div 1000000 AS BIGINT)").alias("lat_s")
-    )
-    bk = lat.select(
-        F.expr(
-            "CASE WHEN lat_s = 0 THEN -1"
-            " ELSE CAST(length(bin(lat_s)) - 1 AS BIGINT) END"
-        ).alias("bucket")
-    )
-    return (
-        bk.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .orderBy("bucket")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 134 — purchase-count histogram, n_chars integrity, linenumber
-# spectrum
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "user_purchase_histogram",
-    """WITH u AS (
-  SELECT user_id,
-         CAST(COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0)
-              AS BIGINT) AS n_purchases
-  FROM events GROUP BY user_id),
-bk AS (SELECT CASE WHEN n_purchases >= 4 THEN 4 ELSE n_purchases END AS bucket
-       FROM u)
-SELECT CAST(bucket AS BIGINT) AS n_purchases_bucket,
-       CAST(count(*) AS BIGINT) AS n_users
-FROM bk GROUP BY bucket ORDER BY n_purchases_bucket""",
-)
-def user_purchase_histogram(spark, sf_dir):
-    """Purchases-per-user histogram (0/1/2/3/4+) — the repeat-purchase
-    shape behind segment_repeat_rate's single share (bucket 0 is the
-    never-converted base every growth plan targets; the 1-vs-2+ split
-    is the habit threshold loyalty programs are priced on).
-
-    Scale shape: one user agg with a conditional counter, a 5-bucket
-    rollup."""
-    u = (
-        _events(spark, sf_dir)
-        .groupBy("user_id")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("n_purchases")
-        )
-    )
-    bk = u.select(
-        F.expr(
-            "CASE WHEN n_purchases >= 4 THEN 4 ELSE n_purchases END"
-        ).alias("bucket")
-    )
-    return (
-        bk.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .select(
-            F.col("bucket").cast("long").alias("n_purchases_bucket"),
-            "n_users",
-        )
-        .orderBy("n_purchases_bucket")
-    )
-
-
-@register(
-    "nchars_integrity_audit",
-    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(COALESCE(sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END), 0)
-            AS BIGINT) AS n_consistent,
-       CAST(COALESCE(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END), 0)
-            AS BIGINT) AS n_mismatch,
-       CAST(COALESCE(max(abs(n_chars - length(text))), 0) AS BIGINT)
-         AS max_abs_diff
-FROM documents""",
-)
-def nchars_integrity_audit(spark, sf_dir):
-    """Materialized-column integrity audit: does the precomputed
-    n_chars column actually equal length(text) — the denormalization
-    drift check (precomputed stats columns rot silently when an
-    upstream rewrite forgets them; fk_integrity_census guards the
-    keys, THIS guards the derived column the schema carries, and any
-    mismatch means every consumer of n_chars is reading a lie).
-
-    Scale shape: one map-side comparison, a 1-row agg."""
-    d = _docs(spark, sf_dir)
-    return d.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.coalesce(
-            F.sum(
-                F.when(F.col("n_chars") == F.length("text"), 1).otherwise(0)
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_consistent"),
-        F.coalesce(
-            F.sum(
-                F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_mismatch"),
-        F.coalesce(
-            F.max(F.abs(F.col("n_chars") - F.length("text"))), F.lit(0)
-        )
-        .cast("long")
-        .alias("max_abs_diff"),
-    )
-
-
-@register(
-    "linenumber_spectrum",
-    """SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
-       CAST(count(*) AS BIGINT) AS n_lineitems
-FROM lineitem GROUP BY linenumber ORDER BY linenumber""",
-)
-def linenumber_spectrum(spark, sf_dir):
-    """Line-number spectrum of the lineitem table: how many lines carry
-    each within-order position — the count at position k equals the
-    number of orders with ≥k lines, so this spectrum IS the order-size
-    survival curve read column-wise (a gap or non-monotonic step means
-    broken line numbering — the within-order key integrity check
-    key_density_census can't see).
-
-    Scale shape: one ≤|positions|-group map-side agg."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.col("l_linenumber").cast("long").alias("linenumber")
-    )
-    return (
-        li.groupBy("linenumber")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_lineitems"))
-        .orderBy("linenumber")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 135 — supply-side region volume, local-trade share, order total
-# consistency
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "region_supply_volume",
-    """WITH j AS (
-  SELECT r.r_name AS region, CAST(l.l_quantity AS BIGINT) AS qty,
-         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
-  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
-  JOIN nation n ON n.n_nationkey = s.s_nationkey
-  JOIN region r ON r.r_regionkey = n.n_regionkey)
-SELECT region, CAST(count(*) AS BIGINT) AS n_lineitems,
-       CAST(sum(qty) AS BIGINT) AS total_qty,
-       CAST(sum(cents) AS BIGINT) AS value_cents
-FROM j GROUP BY region ORDER BY region""",
-)
-def region_supply_volume(spark, sf_dir):
-    """Shipped volume and value by SUPPLIER region — the supply-side
-    twin of region_revenue_rollup (that one rolls up where the money
-    comes FROM; this rolls up where the goods come from, and the gap
-    between a region's demand and supply rows is its trade balance —
-    Q5's local-trade question at the region grain).
-
-    Scale shape: supplier/nation/region broadcast into the lineitem
-    scan; a ≤|regions| rollup."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_suppkey",
-        F.col("l_quantity").cast("long").alias("qty"),
-        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
-    )
-    s = F.broadcast(
-        spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
-            "s_suppkey", "s_nationkey"
-        )
-    )
-    n = F.broadcast(
-        spark.read.parquet(f"{sf_dir}/nation.parquet").select(
-            "n_nationkey", "n_regionkey"
-        )
-    )
-    r = F.broadcast(
-        spark.read.parquet(f"{sf_dir}/region.parquet").select(
-            "r_regionkey", F.col("r_name").alias("region")
-        )
-    )
-    j = (
-        li.join(s, li["l_suppkey"] == s["s_suppkey"])
-        .join(n, s["s_nationkey"] == n["n_nationkey"])
-        .join(r, n["n_regionkey"] == r["r_regionkey"])
-        .select("region", "qty", "cents")
-    )
-    return (
-        j.groupBy("region")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
-            F.sum("qty").cast("long").alias("total_qty"),
-            F.sum("cents").cast("long").alias("value_cents"),
-        )
-        .orderBy("region")
-    )
-
-
-@register(
-    "local_trade_share",
-    """WITH j AS (
-  SELECT CASE WHEN c.c_nationkey = s.s_nationkey THEN 1 ELSE 0 END AS is_local
-  FROM lineitem l
-  JOIN orders o ON o.o_orderkey = l.l_orderkey
-  JOIN customer c ON c.c_custkey = o.o_custkey
-  JOIN supplier s ON s.s_suppkey = l.l_suppkey)
-SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
-       CAST(COALESCE(sum(is_local), 0) AS BIGINT) AS n_local,
-       CAST((1000000 * COALESCE(sum(is_local), 0)) // count(*) AS BIGINT)
-         AS local_share_q6
-FROM j""",
-)
-def local_trade_share(spark, sf_dir):
-    """Local-trade share: what fraction of lineitems ship from a
-    supplier in the CUSTOMER'S own nation — the single number TPC-H Q5
-    filters for and Q7 matrixes (under random supplier assignment the
-    expectation is 1/|nations| ≈ 4%; a synthetic generator that
-    encodes no home bias should sit exactly there, and a real
-    marketplace far above it).
-
-    Scale shape: the Q7-style star — orderkey and custkey joins
-    un-hinted, supplier broadcast via AQE; a 1-row census."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_suppkey"
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", "o_custkey"
-    )
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey", "c_nationkey"
-    )
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
-        "s_suppkey", "s_nationkey"
-    )
-    j = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(s, li["l_suppkey"] == s["s_suppkey"])
-        .select(
-            F.when(F.col("c_nationkey") == F.col("s_nationkey"), 1)
-            .otherwise(0)
-            .alias("is_local")
-        )
-    )
-    return j.agg(
-        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
-        F.coalesce(F.sum("is_local"), F.lit(0)).cast("long").alias("n_local"),
-        F.expr(
-            "CAST((1000000 * COALESCE(sum(is_local), 0)) div count(1)"
-            " AS BIGINT)"
-        ).alias("local_share_q6"),
-    )
-
-
-@register(
-    "order_total_consistency",
-    """WITH ls AS (
-  SELECT l_orderkey,
-         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-           AS line_cents
-  FROM lineitem GROUP BY l_orderkey),
-j AS (SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
-             CAST(COALESCE(ls.line_cents, 0) AS BIGINT) AS line_cents
-      FROM orders o LEFT JOIN ls ON ls.l_orderkey = o.o_orderkey)
-SELECT CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(COALESCE(sum(CASE WHEN total_cents = line_cents THEN 1 ELSE 0 END), 0)
-            AS BIGINT) AS n_exact_match,
-       CAST(round(1000000 * (CAST(COALESCE(sum(abs(total_cents - line_cents)), 0)
-            AS DOUBLE) / count(*))) AS BIGINT) AS mean_abs_diff_c_q6
-FROM j""",
-)
-def order_total_consistency(spark, sf_dir):
-    """Header-vs-lines reconciliation: does o_totalprice equal the sum
-    of its lines' extended prices — the classic two-grain consistency
-    audit (real schemas drift apart under tax/discount/rounding rules;
-    whatever this corpus's rule is, the exact-match count and mean
-    absolute gap DOCUMENT it, and a drift in that gap over loads is
-    the alarm). Orders with no lines compare against 0.
-
-    Scale shape: one orderkey agg over lineitem, an un-hinted LEFT
-    probe, a 1-row census."""
-    ls = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .groupBy("l_orderkey")
-        .agg(
-            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
-            .cast("long")
-            .alias("line_cents")
-        )
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey",
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("total_cents"),
-    )
-    j = o.join(ls, o["o_orderkey"] == ls["l_orderkey"], "left").select(
-        "total_cents",
-        F.coalesce("line_cents", F.lit(0)).cast("long").alias("line_cents"),
-    )
-    return j.agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.coalesce(
-            F.sum(
-                F.when(F.col("total_cents") == F.col("line_cents"), 1).otherwise(
-                    0
-                )
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_exact_match"),
-        F.expr(
-            "CAST(round(1000000 * (CAST(COALESCE(sum(abs(total_cents"
-            " - line_cents)), 0) AS DOUBLE) / count(1))) AS BIGINT)"
-        ).alias("mean_abs_diff_c_q6"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 136 — breadth vs value, region top part, top value users
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "basket_breadth_value",
-    """WITH ob AS (
-  SELECT l.l_orderkey, CAST(count(DISTINCT p.p_brand) AS BIGINT) AS n_brands
-  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-  GROUP BY l.l_orderkey),
-j AS (SELECT CASE WHEN ob.n_brands >= 3 THEN 3 ELSE ob.n_brands END AS breadth,
-             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
-      FROM ob JOIN orders o ON o.o_orderkey = ob.l_orderkey)
-SELECT CAST(breadth AS BIGINT) AS breadth, CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(round(1000000 * (CAST(sum(cents) AS DOUBLE) / count(*))) AS BIGINT)
-         AS mean_cents_q6
-FROM j GROUP BY breadth ORDER BY breadth""",
-)
-def basket_breadth_value(spark, sf_dir):
-    """Do multi-brand baskets spend more: mean order value per brand-
-    breadth bucket (1/2/3+) — the cross-sell VALUE argument
-    (order_brand_breadth counts the baskets; this prices them, and the
-    uplift from bucket 1 to 2 is the number a bundle-promotion business
-    case quotes).
-
-    Scale shape: one orderkey distinct-brand agg, an un-hinted
-    join-back to order headers, a 3-bucket rollup."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_partkey"
-    )
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_partkey", "p_brand"
-    )
-    ob = (
-        li.join(p, li["l_partkey"] == p["p_partkey"])
-        .groupBy("l_orderkey")
-        .agg(F.countDistinct("p_brand").cast("long").alias("n_brands"))
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey",
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-    )
-    j = ob.join(o, ob["l_orderkey"] == o["o_orderkey"]).select(
-        F.expr("CASE WHEN n_brands >= 3 THEN 3 ELSE n_brands END").alias(
-            "breadth"
-        ),
-        "cents",
-    )
-    return (
-        j.groupBy("breadth")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.expr(
-                "CAST(round(1000000 * (CAST(sum(cents) AS DOUBLE) / count(1)))"
-                " AS BIGINT)"
-            ).alias("mean_cents_q6"),
-        )
-        .select(
-            F.col("breadth").cast("long").alias("breadth"),
-            "n_orders",
-            "mean_cents_q6",
-        )
-        .orderBy("breadth")
-    )
-
-
-@register(
-    "region_top_part",
-    """WITH j AS (
-  SELECT r.r_name AS region, l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty
-  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
-  JOIN nation n ON n.n_nationkey = s.s_nationkey
-  JOIN region r ON r.r_regionkey = n.n_regionkey),
-c AS (SELECT region, l_partkey, CAST(sum(qty) AS BIGINT) AS total_qty
-      FROM j GROUP BY region, l_partkey),
-m AS (SELECT region, CAST(max(total_qty) AS BIGINT) AS top_qty
-      FROM c GROUP BY region)
-SELECT m.region, CAST(min(c.l_partkey) AS BIGINT) AS top_partkey, m.top_qty
-FROM m JOIN c ON c.region = m.region AND c.total_qty = m.top_qty
-GROUP BY m.region, m.top_qty ORDER BY m.region""",
-)
-def region_top_part(spark, sf_dir):
-    """Highest-volume part per supplier region — the regional bestseller
-    board (region_supply_volume totals each region; this names what
-    each region actually moves, the Q2 argmax on the supply star with
-    the min-partkey tiebreak).
-
-    Scale shape: dims broadcast into the lineitem scan; the
-    (region, part) agg and its argmax join run on cell-bounded rows."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_suppkey", "l_partkey", F.col("l_quantity").cast("long").alias("qty")
-    )
-    s = F.broadcast(
-        spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
-            "s_suppkey", "s_nationkey"
-        )
-    )
-    n = F.broadcast(
-        spark.read.parquet(f"{sf_dir}/nation.parquet").select(
-            "n_nationkey", "n_regionkey"
-        )
-    )
-    r = F.broadcast(
-        spark.read.parquet(f"{sf_dir}/region.parquet").select(
-            "r_regionkey", F.col("r_name").alias("region")
-        )
-    )
-    c = (
-        li.join(s, li["l_suppkey"] == s["s_suppkey"])
-        .join(n, s["s_nationkey"] == n["n_nationkey"])
-        .join(r, n["n_regionkey"] == r["r_regionkey"])
-        .groupBy("region", "l_partkey")
-        .agg(F.sum("qty").cast("long").alias("total_qty"))
-        .localCheckpoint()  # maxima + join-back both consume it
-    )
-    m = c.groupBy("region").agg(
-        F.max("total_qty").cast("long").alias("top_qty")
-    ).withColumnRenamed("region", "rg")
-    j = c.join(
-        m, (c["region"] == m["rg"]) & (c["total_qty"] == m["top_qty"])
-    ).select("rg", "l_partkey", "top_qty")
-    return (
-        j.groupBy("rg", "top_qty")
-        .agg(F.min("l_partkey").cast("long").alias("top_partkey"))
-        .select(F.col("rg").alias("region"), "top_partkey", "top_qty")
-        .orderBy("region")
-    )
-
-
-@register(
-    "top_value_users",
-    """WITH u AS (
-  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-           AS total_cents,
-         CAST(count(*) AS BIGINT) AS n_events
-  FROM events GROUP BY user_id)
-SELECT CAST(user_id AS BIGINT) AS user_id,
-       CAST(row_number() OVER (ORDER BY total_cents DESC, user_id ASC)
-            AS BIGINT) AS rank,
-       n_events, total_cents
-FROM u ORDER BY total_cents DESC, user_id ASC LIMIT 10""",
-)
-def top_value_users(spark, sf_dir):
-    """Top-10 users by lifetime event value — the whale-USER board
-    (top_value_events flags single transactions; revenue_pareto_users
-    proves concentration exists; these are the named accounts the
-    concentration IS, with volume attached).
-
-    Scale shape: one user agg, TakeOrdered 10."""
-    u = (
-        _events(spark, sf_dir)
-        .groupBy("user_id")
-        .agg(
-            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
-            .cast("long")
-            .alias("total_cents"),
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-        )
-    )
-    top = u.orderBy(F.desc("total_cents"), F.asc("user_id")).limit(10)
-    return top.withColumn(
-        "rank",
-        F.row_number()
-        .over(Window.orderBy(F.desc("total_cents"), F.asc("user_id")))
-        .cast("long"),
-    ).select(
-        F.col("user_id").cast("long").alias("user_id"),
-        "rank",
-        "n_events",
-        "total_cents",
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 137 — supplier returns board, day-of-month profile, lang vocab
-# overlap
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "supplier_return_topk",
-    """WITH s AS (
-  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lineitems,
-         CAST(COALESCE(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END), 0)
-              AS BIGINT) AS n_returned
-  FROM lineitem GROUP BY l_suppkey),
-r AS (SELECT l_suppkey, n_lineitems, n_returned,
-             CAST((1000000 * n_returned) // n_lineitems AS BIGINT)
-               AS return_rate_q6
-      FROM s WHERE n_lineitems >= 5)
-SELECT l_suppkey, n_lineitems, n_returned, return_rate_q6,
-       CAST(row_number() OVER (ORDER BY return_rate_q6 DESC, l_suppkey ASC)
-            AS BIGINT) AS rank
-FROM r ORDER BY return_rate_q6 DESC, l_suppkey ASC LIMIT 10""",
-)
-def supplier_return_topk(spark, sf_dir):
-    """Worst-returning suppliers: return rate per supplier, volume-
-    gated, top-10 — the third leg of the vendor scorecard (delay board
-    says who ships late, discount board who erodes margin, THIS who
-    ships product that comes back; one supplier on all three boards is
-    a terminated contract).
-
-    Scale shape: one suppkey agg, a filtered TakeOrdered 10."""
-    s = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .groupBy("l_suppkey")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
-            F.coalesce(
-                F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("n_returned"),
-        )
-    )
-    r = s.where(F.col("n_lineitems") >= 5).select(
-        "l_suppkey",
-        "n_lineitems",
-        "n_returned",
-        F.expr(
-            "CAST((1000000 * n_returned) div n_lineitems AS BIGINT)"
-        ).alias("return_rate_q6"),
-    )
-    top = r.orderBy(F.desc("return_rate_q6"), F.asc("l_suppkey")).limit(10)
-    return top.withColumn(
-        "rank",
-        F.row_number()
-        .over(Window.orderBy(F.desc("return_rate_q6"), F.asc("l_suppkey")))
-        .cast("long"),
-    ).select(
-        "l_suppkey", "n_lineitems", "n_returned", "return_rate_q6", "rank"
-    )
-
-
-@register(
-    "day_of_month_profile",
-    """WITH o AS (
-  SELECT day(CAST(o_orderdate AS TIMESTAMP)) AS dom,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders)
-SELECT CAST(dom AS BIGINT) AS day_of_month, CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(cents) AS BIGINT) AS revenue_cents
-FROM o GROUP BY dom ORDER BY day_of_month""",
-)
-def day_of_month_profile(spark, sf_dir):
-    """Order volume by day of month (1-31) — the salary-cycle/billing-
-    cycle detector (consumer books spike after paydays, B2B at
-    month-end close; a flat profile means neither drives this
-    generator — the third calendar axis after weekday and month).
-    day() is pure Gregorian arithmetic in both engines.
-
-    Scale shape: map-side day math, a ≤31-group agg."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        F.expr("day(CAST(o_orderdate AS TIMESTAMP))").alias("dom"),
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-    )
-    return (
-        o.groupBy("dom")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum("cents").cast("long").alias("revenue_cents"),
-        )
-        .select(
-            F.col("dom").cast("long").alias("day_of_month"),
-            "n_orders",
-            "revenue_cents",
-        )
-        .orderBy("day_of_month")
-    )
-
-
-@register(
-    "lang_vocab_overlap",
-    f"""WITH t AS (
-  SELECT DISTINCT lang, term FROM (
-    SELECT lang, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
-    FROM documents)),
-sz AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY lang),
-pr AS (SELECT a.lang AS lang_a, b.lang AS lang_b, CAST(count(*) AS BIGINT) AS inter
-       FROM t a JOIN t b ON a.term = b.term AND a.lang < b.lang
-       GROUP BY a.lang, b.lang)
-SELECT pr.lang_a, pr.lang_b, sa.n AS n_terms_a, sb.n AS n_terms_b, pr.inter,
-       CAST((1000000 * pr.inter) // (sa.n + sb.n - pr.inter) AS BIGINT)
-         AS jaccard_q6
-FROM pr JOIN sz sa ON sa.lang = pr.lang_a JOIN sz sb ON sb.lang = pr.lang_b
-ORDER BY lang_a, lang_b""",
-)
-def lang_vocab_overlap(spark, sf_dir):
-    """Pairwise vocabulary Jaccard between language labels — the
-    lexical-separation audit of the lang dimension
-    (source_vocab_overlap asks it of sources; high overlap between two
-    LANG labels means the labels don't mark real languages — exactly
-    what language_confusion_matrix's classifier struggles with, read
-    from the vocabulary side). Pairs with zero shared terms drop out.
-
-    Scale shape: one (lang, term) distinct; the pair join blocks on
-    the term key (fanout = langs per term); rollups on |langs|² rows."""
-    t = (
-        _docs(spark, sf_dir)
-        .select("lang", F.explode(spark_tokens("text")).alias("term"))
-        .distinct()
-        .localCheckpoint()  # sizes + both pair sides consume it
-    )
-    sz = t.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    a = t.select(F.col("lang").alias("lang_a"), "term")
-    b = t.select(F.col("lang").alias("lang_b"), "term")
-    pr = (
-        a.join(b, "term")
-        .where(F.col("lang_a") < F.col("lang_b"))
-        .groupBy("lang_a", "lang_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
-    )
-    sa = F.broadcast(
-        sz.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_terms_a"))
-    )
-    sb = F.broadcast(
-        sz.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_terms_b"))
-    )
-    return (
-        pr.join(sa, "lang_a")
-        .join(sb, "lang_b")
-        .select(
-            "lang_a",
-            "lang_b",
-            "n_terms_a",
-            "n_terms_b",
-            "inter",
-            F.expr(
-                "CAST((1000000 * inter) div (n_terms_a + n_terms_b - inter)"
-                " AS BIGINT)"
-            ).alias("jaccard_q6"),
-        )
-        .orderBy("lang_a", "lang_b")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 138 — purchase value by hour, customer order coverage, quality
-# extremes board
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "purchase_value_by_hour",
-    """WITH e AS (
-  SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
-         CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events WHERE event_type = 'purchase'),
-h AS (SELECT hour, CAST(count(*) AS BIGINT) AS n_purchases,
-             CAST(sum(cents) AS BIGINT) AS value_cents
-      FROM e GROUP BY hour),
-t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS tot FROM h)
-SELECT CAST(h.hour AS BIGINT) AS hour, h.n_purchases, h.value_cents,
-       CASE WHEN t.tot = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * h.value_cents) // t.tot AS BIGINT)
-       END AS value_share_q6
-FROM h CROSS JOIN t ORDER BY hour""",
-)
-def purchase_value_by_hour(spark, sf_dir):
-    """When the MONEY moves: purchase value by hour of day — the
-    value-weighted version of the hour profiles (events_hour_profile
-    counts traffic; type_peak_hour finds each type's peak; THIS
-    weights by cents, and the hours where value share exceeds volume
-    share are the big-basket hours fraud screens watch hardest).
-    Observed hours only.
-
-    Scale shape: a filtered map-side projection, a ≤24-group agg."""
-    e = (
-        _events(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.expr(
-                "(unix_micros(cast(ts as timestamp)) div 3600000000) % 24"
-            ).alias("hour"),
-            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-        )
-    )
-    h = e.groupBy("hour").agg(
-        F.count(F.lit(1)).cast("long").alias("n_purchases"),
-        F.sum("cents").cast("long").alias("value_cents"),
-    )
-    t = h.agg(F.sum("value_cents").cast("long").alias("tot"))
-    return (
-        h.crossJoin(F.broadcast(t))
-        .select(
-            F.col("hour").cast("long").alias("hour"),
-            "n_purchases",
-            "value_cents",
-            F.expr(
-                "CASE WHEN tot = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST((1000000 * value_cents) div tot AS BIGINT) END"
-            ).alias("value_share_q6"),
-        )
-        .orderBy("hour")
-    )
-
-
-@register(
-    "customer_order_coverage",
-    """WITH oc AS (SELECT DISTINCT o_custkey FROM orders),
-j AS (SELECT c.c_mktsegment,
-             CASE WHEN oc.o_custkey IS NULL THEN 0 ELSE 1 END AS has_order
-      FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey)
-SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
-       CAST(COALESCE(sum(has_order), 0) AS BIGINT) AS n_buyers,
-       CAST((1000000 * COALESCE(sum(has_order), 0)) // count(*) AS BIGINT)
-         AS coverage_q6
-FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment""",
-)
-def customer_order_coverage(spark, sf_dir):
-    """Customer activation coverage per segment: what share of the
-    customer base has EVER ordered — customer is the LEFT spine so
-    never-buyers COUNT (segment_repeat_rate conditions on buyers; the
-    gap between the two is the dormant-account pool, and Q22 hunts its
-    rich corner).
-
-    Scale shape: one distinct over orders' custkey, a LEFT probe on
-    custkey, a ≤|segments| rollup."""
-    oc = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select("o_custkey")
-        .distinct()
-        .withColumn("has_order_flag", F.lit(1))
-    )
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey", "c_mktsegment"
-    )
-    j = c.join(oc, c["c_custkey"] == oc["o_custkey"], "left").select(
-        "c_mktsegment",
-        F.coalesce("has_order_flag", F.lit(0)).alias("has_order"),
-    )
-    return (
-        j.groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_customers"),
-            F.coalesce(F.sum("has_order"), F.lit(0))
-            .cast("long")
-            .alias("n_buyers"),
-        )
-        .select(
-            "c_mktsegment",
-            "n_customers",
-            "n_buyers",
-            F.expr(
-                "CAST((1000000 * n_buyers) div n_customers AS BIGINT)"
-            ).alias("coverage_q6"),
-        )
-        .orderBy("c_mktsegment")
-    )
-
-
-@register(
-    "quality_extremes_board",
-    f"""WITH t AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT)
-           AS n_tok,
-         CAST(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')))
-           AS BIGINT) AS n_types
-  FROM documents),
-q AS (SELECT doc_id, n_tok,
-             CAST((1000000 * n_types) // n_tok AS BIGINT) AS ttr_q6
-      FROM t WHERE n_tok >= 8)
-SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tok, ttr_q6,
-       CAST(row_number() OVER (ORDER BY ttr_q6 ASC, doc_id ASC) AS BIGINT)
-         AS rank
-FROM q ORDER BY ttr_q6 ASC, doc_id ASC LIMIT 10""",
-)
-def quality_extremes_board(spark, sf_dir):
-    """The manual-review queue: the 10 lowest-TTR documents among those
-    long enough to judge (≥8 tokens — a 2-token doc trivially scores
-    low) — every quality histogram in the family summarises; THIS
-    hands a reviewer the actual worst rows, which is how quality
-    thresholds get calibrated in practice (look at the docs the gate
-    would cut, then set the gate).
-
-    Scale shape: map-side token stats, a filtered TakeOrdered 10."""
-    t = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(spark_tokens("text")).cast("long").alias("n_tok"),
-        F.size(F.array_distinct(spark_tokens("text")))
-        .cast("long")
-        .alias("n_types"),
-    )
-    q = t.where(F.col("n_tok") >= 8).select(
-        "doc_id",
-        "n_tok",
-        F.expr("CAST((1000000 * n_types) div n_tok AS BIGINT)").alias(
-            "ttr_q6"
-        ),
-    )
-    top = q.orderBy(F.asc("ttr_q6"), F.asc("doc_id")).limit(10)
-    return top.withColumn(
-        "rank",
-        F.row_number()
-        .over(Window.orderBy(F.asc("ttr_q6"), F.asc("doc_id")))
-        .cast("long"),
-    ).select(
-        F.col("doc_id").cast("long").alias("doc_id"), "n_tok", "ttr_q6", "rank"
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 139 — session value histogram, repeat-run census, user-day
-# intensity
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "session_value_histogram",
-    f"""WITH t AS (
-  SELECT user_id, epoch_us(ts) AS t_us, event_id,
-         CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events),
-fl AS (
-  SELECT user_id, t_us, event_id, cents,
-         CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   IS NULL
-              OR t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS is_start
-  FROM t),
-se AS (
-  SELECT user_id, cents,
-         sum(is_start) OVER (PARTITION BY user_id ORDER BY t_us, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-  FROM fl),
-ses AS (SELECT user_id, sid, CAST(sum(cents) AS BIGINT) AS c
-        FROM se GROUP BY user_id, sid),
-bk AS (SELECT CASE WHEN c <= 0 THEN -1
-              ELSE CAST(length(bin(c)) - 1 AS BIGINT) END AS bucket
-       FROM ses)
-SELECT bucket, CAST(count(*) AS BIGINT) AS n_sessions
-FROM bk GROUP BY bucket ORDER BY bucket""",
-)
-def session_value_histogram(spark, sf_dir):
-    """Value per session (log2-cents; bucket −1 = zero-value sessions)
-    — the monetisation shape at session grain (session_duration and
-    session_depth measure engagement; this measures what a session is
-    WORTH, and the zero-value bucket share is the browse-only rate
-    the conversion family divides by).
-
-    Scale shape: the session machinery's ONE user exchange, a
-    (user, session) sum, a ≤~40-bucket rollup."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        "event_id",
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-    )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    fl = t.withColumn(
-        "is_start",
-        F.expr(
-            "CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
-            " IS NULL OR t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us,"
-            f" event_id) > {_SESSION_GAP_US} THEN 1 ELSE 0 END"
-        ),
-    )
-    se = fl.withColumn(
-        "sid",
-        F.sum("is_start").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    ses = se.groupBy("user_id", "sid").agg(
-        F.sum("cents").cast("long").alias("c")
-    )
-    bk = ses.select(
-        F.expr(
-            "CASE WHEN c <= 0 THEN -1"
-            " ELSE CAST(length(bin(c)) - 1 AS BIGINT) END"
-        ).alias("bucket")
-    )
-    return (
-        bk.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
-        .orderBy("bucket")
-    )
-
-
-@register(
-    "repeat_run_histogram",
-    f"""WITH {_SQL_POS},
-r AS (SELECT doc_id, i, term,
-             CASE WHEN lag(term) OVER (PARTITION BY doc_id ORDER BY i) = term
-             THEN 0 ELSE 1 END AS brk
-      FROM p),
-g AS (SELECT doc_id,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY i
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-      FROM r),
-runs AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run_len
-         FROM g GROUP BY doc_id, grp),
-mx AS (SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_run FROM runs
-       GROUP BY doc_id),
-bk AS (SELECT CASE WHEN max_run >= 5 THEN 5 ELSE max_run END AS bucket FROM mx)
-SELECT CAST(bucket AS BIGINT) AS max_run_bucket,
-       CAST(count(*) AS BIGINT) AS n_docs
-FROM bk GROUP BY bucket ORDER BY max_run_bucket""",
-)
-def repeat_run_histogram(spark, sf_dir):
-    """Longest CONSECUTIVE same-token run per document (1/2/3/4/5+) —
-    the stutter detector (maxtf_ratio_histogram counts repetition
-    anywhere in the doc; a RUN is the 'foo foo foo foo' generation/
-    scrape failure mode, invisible to bag-of-words stats and the
-    specific pattern repetition penalties in decoders exist for).
-    Gaps-and-islands per document on the equality-break flag.
-
-    Scale shape: both windows partition by doc_id (bounded by one
-    doc's length); the run/max aggs are doc-keyed; a 5-bucket
-    rollup."""
-    wdf = _docs(spark, sf_dir).select(
-        "doc_id", spark_tokens("text").alias("words")
-    )
-    p = wdf.select("doc_id", F.posexplode("words").alias("i", "term"))
-    wd = Window.partitionBy("doc_id").orderBy("i")
-    r = p.withColumn(
-        "brk",
-        F.when(F.lag("term").over(wd) == F.col("term"), 0).otherwise(1),
-    )
-    g = r.select(
-        "doc_id",
-        F.sum("brk")
-        .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("grp"),
-    )
-    runs = g.groupBy("doc_id", "grp").agg(
-        F.count(F.lit(1)).cast("long").alias("run_len")
-    )
-    mx = runs.groupBy("doc_id").agg(
-        F.max("run_len").cast("long").alias("max_run")
-    )
-    bk = mx.select(
-        F.expr("CASE WHEN max_run >= 5 THEN 5 ELSE max_run END").alias(
-            "bucket"
-        )
-    )
-    return (
-        bk.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .select(
-            F.col("bucket").cast("long").alias("max_run_bucket"), "n_docs"
-        )
-        .orderBy("max_run_bucket")
-    )
-
-
-@register(
-    "user_day_intensity_histogram",
-    f"""WITH ud AS (
-  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day_num,
-         CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY user_id, day_num),
-bk AS (SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket FROM ud)
-SELECT bucket, CAST(count(*) AS BIGINT) AS n_user_days
-FROM bk GROUP BY bucket ORDER BY bucket""",
-)
-def user_day_intensity_histogram(spark, sf_dir):
-    """Events per active user-day, log2-banded — the intensity grain
-    between per-event and per-user views (user_activity_histogram
-    totals a user's whole history; THIS asks how hard a user hits the
-    product on a day they show up at all, the engagement-DEPTH
-    distribution whose heavy tail is either power users or runaway
-    clients).
-
-    Scale shape: one (user, day) agg, a ≤~16-bucket rollup."""
-    ud = (
-        _events(spark, sf_dir)
-        .groupBy(
-            "user_id",
-            F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-                "day_num"
-            ),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    bk = ud.select(
-        F.expr("CAST(length(bin(n)) - 1 AS BIGINT)").alias("bucket")
-    )
-    return (
-        bk.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_user_days"))
-        .orderBy("bucket")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 140 — session bounce rate, segment revenue, balance quantiles
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "session_bounce_rate",
-    f"""WITH t AS (
-  SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type FROM events),
-fl AS (
-  SELECT user_id, t_us, event_id, event_type,
-         CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   IS NULL
-              OR t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                   > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS is_start
-  FROM t),
-se AS (
-  SELECT user_id, event_type, is_start,
-         sum(is_start) OVER (PARTITION BY user_id ORDER BY t_us, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-  FROM fl),
-ses AS (SELECT user_id, sid,
-               CAST(count(*) AS BIGINT) AS n_ev,
-               max(CASE WHEN is_start = 1 THEN event_type END) AS entry_type
-        FROM se GROUP BY user_id, sid)
-SELECT entry_type,
-       CAST(count(*) AS BIGINT) AS n_sessions,
-       CAST(count(*) FILTER (WHERE n_ev = 1) AS BIGINT) AS n_bounce,
-       CAST((1000000 * count(*) FILTER (WHERE n_ev = 1)) // count(*) AS BIGINT)
-         AS bounce_q6
-FROM ses GROUP BY entry_type ORDER BY entry_type""",
-)
-def session_bounce_rate(spark, sf_dir):
-    """Bounce rate by session ENTRY event type — single-event sessions
-    as a share of sessions that started with each type (the landing-
-    quality readout: an entry type with a high bounce share is a door
-    users open and immediately close; session_depth_conversion measures
-    depth given entry, this measures abandonment given entry).
-
-    The entry event needs no argmin: the session machinery's is_start
-    flag marks EXACTLY one row per session, so the entry type is a
-    plain conditional max within the (user, sid) group — no min_by, no
-    struct-ordering portability trap (DuckDB max_by rejects struct
-    keys).
-
-    Scale shape: the session machinery's ONE user exchange; the
-    (user, sid) agg rides the same partitioning; the final rollup is
-    ≤ #event-types rows."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        "event_id",
-        "event_type",
-    )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    fl = t.withColumn(
-        "is_start",
-        F.expr(
-            "CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)"
-            " IS NULL OR t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us,"
-            f" event_id) > {_SESSION_GAP_US} THEN 1 ELSE 0 END"
-        ),
-    )
-    se = fl.withColumn(
-        "sid",
-        F.sum("is_start").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    ses = se.groupBy("user_id", "sid").agg(
-        F.count(F.lit(1)).cast("long").alias("n_ev"),
-        F.max(F.when(F.col("is_start") == 1, F.col("event_type"))).alias(
-            "entry_type"
-        ),
-    )
-    return (
-        ses.groupBy("entry_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_sessions"),
-            F.count_if(F.col("n_ev") == 1).cast("long").alias("n_bounce"),
-            F.expr(
-                "CAST((1000000 * count_if(n_ev = 1)) div count(*) AS BIGINT)"
-            ).alias("bounce_q6"),
-        )
-        .orderBy("entry_type")
-    )
-
-
-@register(
-    "mktsegment_revenue",
-    """WITH oc AS (
-  SELECT c.c_mktsegment,
-         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
-seg AS (SELECT c_mktsegment,
-               CAST(count(*) AS BIGINT) AS n_orders,
-               CAST(sum(cents) AS BIGINT) AS revenue_cents
-        FROM oc GROUP BY c_mktsegment)
-SELECT c_mktsegment, n_orders, revenue_cents,
-       CAST((1000000 * revenue_cents) // sum(revenue_cents) OVER () AS BIGINT)
-         AS share_q6
-FROM seg ORDER BY c_mktsegment""",
-)
-def mktsegment_revenue(spark, sf_dir):
-    """Order revenue by customer market segment — the demand-side
-    mix counterpart to region_revenue_rollup's supply-side view, and
-    the denominator table for any per-segment normalisation.
-
-    Scale shape: orders⋈customer is un-hinted (customer cardinality is
-    unbounded — AQE picks broadcast when the dim is small, sort-merge
-    when it isn't); the per-segment agg collapses map-side to
-    ≤ #segments partial rows; the share window runs over the
-    ≤ #segments aggregated rows only, never the fact table."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_custkey",
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-    )
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
-    )
-    seg = (
-        o.join(c, "o_custkey")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum("cents").cast("long").alias("revenue_cents"),
-        )
-    )
-    return seg.select(
-        "c_mktsegment",
-        "n_orders",
-        "revenue_cents",
-        F.expr(
-            "CAST((1000000 * revenue_cents) div sum(revenue_cents) OVER ()"
-            " AS BIGINT)"
-        ).alias("share_q6"),
-    ).orderBy("c_mktsegment")
-
-
-@register(
-    "customer_balance_quantiles",
-    """WITH t AS (
-  SELECT c_mktsegment,
-         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
-  FROM customer),
-hist AS (SELECT c_mktsegment, cents, count(*) AS cnt
-         FROM t GROUP BY c_mktsegment, cents),
-h AS (
-  SELECT c_mktsegment, cents, cnt,
-         CAST(COALESCE(SUM(cnt) OVER (
-           PARTITION BY c_mktsegment ORDER BY cents
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-           AS cum_before,
-         CAST(SUM(cnt) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
-  FROM hist),
-q AS (SELECT p_q6 FROM (VALUES (250000), (500000), (750000)) AS v(p_q6)),
-agg AS (
-  SELECT h.c_mktsegment, q.p_q6,
-         max(h.n) AS n,
-         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1))
-                  THEN h.cents END) AS v_lo,
-         max(CASE WHEN h.cum_before <= floor((q.p_q6 / 1000000.0) * (h.n - 1)) + 1
-                  THEN h.cents END) AS v_hi
-  FROM h, q GROUP BY h.c_mktsegment, q.p_q6
-)
-SELECT c_mktsegment, CAST(p_q6 AS BIGINT) AS p_q6,
-       CAST(round(1000000.0 * (v_lo + ((p_q6 / 1000000.0) * (n - 1)
-            - floor((p_q6 / 1000000.0) * (n - 1))) * (v_hi - v_lo))) AS BIGINT)
-         AS q_cents_q6
-FROM agg ORDER BY c_mktsegment, p_q6""",
-)
-def customer_balance_quantiles(spark, sf_dir):
-    """Exact per-segment account-balance quartiles (type-7) via the
-    weighted-histogram machinery (doclen_quantiles' shape pointed at
-    money). Balances are NEGATIVE for overdrawn customers — the
-    interpolation runs entirely in one shared double expression (no
-    integer division anywhere), so sign never meets a trunc-vs-floor
-    divergence; round() is half-away-from-zero in both engines.
-
-    Scale shape: per-doc values collapse map-side into (segment,
-    cents) histogram cells; windows and rank probes run over histogram
-    rows only — never Spark's percentile() (which buffers raw group
-    values on one reducer)."""
-    t = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_mktsegment",
-        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("cents"),
-    )
-    hist = t.groupBy("c_mktsegment", "cents").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    w_cum = (
-        Window.partitionBy("c_mktsegment")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_all = Window.partitionBy("c_mktsegment")
-    h = hist.select(
-        "c_mktsegment",
-        "cents",
-        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0))
-        .cast("long")
-        .alias("cum_before"),
-        F.sum("cnt").over(w_all).cast("long").alias("n"),
-    )
-    q = spark.createDataFrame([(250000,), (500000,), (750000,)], "p_q6 long")
-    rank = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
-    agg = (
-        h.crossJoin(F.broadcast(q))
-        .groupBy("c_mktsegment", "p_q6")
-        .agg(
-            F.max("n").alias("n"),
-            F.max(
-                F.when(F.col("cum_before") <= F.floor(rank), F.col("cents"))
-            ).alias("v_lo"),
-            F.max(
-                F.when(
-                    F.col("cum_before") <= F.floor(rank) + 1, F.col("cents")
-                )
-            ).alias("v_hi"),
-        )
-    )
-    r = (F.col("p_q6") / F.lit(1_000_000.0)) * (F.col("n") - 1)
-    frac = r - F.floor(r)
-    return agg.select(
-        "c_mktsegment",
-        F.col("p_q6").cast("long").alias("p_q6"),
-        F.round(
-            F.lit(1_000_000.0)
-            * (F.col("v_lo") + frac * (F.col("v_hi") - F.col("v_lo")))
-        )
-        .cast("long")
-        .alias("q_cents_q6"),
-    ).orderBy("c_mktsegment", "p_q6")
-
-
-# ---------------------------------------------------------------------------
-# session 141 — first-touch profile, weekend share, tax audit
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "first_touch_profile",
-    """WITH t AS (
-  SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type FROM events),
-rk AS (SELECT user_id, event_type,
-              row_number() OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-                AS rn
-       FROM t),
-ft AS (SELECT user_id, event_type AS first_type FROM rk WHERE rn = 1),
-pu AS (SELECT user_id,
-              max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purch
-       FROM t GROUP BY user_id)
-SELECT first_type,
-       CAST(count(*) AS BIGINT) AS n_users,
-       CAST(sum(purch) AS BIGINT) AS n_converted,
-       CAST((1000000 * sum(purch)) // count(*) AS BIGINT) AS conv_q6
-FROM ft JOIN pu USING (user_id)
-GROUP BY first_type ORDER BY first_type""",
-)
-def first_touch_profile(spark, sf_dir):
-    """First-EVER event type per user and the lifetime purchase
-    conversion given it — classic first-touch attribution at user
-    grain (attribution_window_curve credits per-purchase within a
-    window; this asks what door users ARRIVED through and whether
-    they ever bought; a user whose first touch IS a purchase counts
-    converted by construction).
-
-    Spark takes the first event map-side as min(struct(t_us,
-    event_id, event_type)) — no window over the full history; the
-    oracle may window (search_collapse rule). event_id breaks ts
-    ties so the struct min is total.
-
-    Scale shape: ONE user_id exchange carries both the argmin and
-    the purchase flag; the rollup is ≤ #event-types rows."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        "event_id",
-        "event_type",
-    )
-    per = t.groupBy("user_id").agg(
-        F.min(F.struct("t_us", "event_id", "event_type"))
-        .getField("event_type")
-        .alias("first_type"),
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("purch"),
-    )
-    return (
-        per.groupBy("first_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_users"),
-            F.sum("purch").cast("long").alias("n_converted"),
-            F.expr(
-                "CAST((1000000 * sum(purch)) div count(*) AS BIGINT)"
-            ).alias("conv_q6"),
-        )
-        .orderBy("first_type")
-    )
-
-
-@register(
-    "weekend_activity_share",
-    f"""WITH t AS (
-  SELECT event_type,
-         CAST((epoch_us(ts) // {_US_PER_DAY} + 3) % 7 AS BIGINT) AS dow,
-         CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events)
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(count(*) FILTER (WHERE dow >= 5) AS BIGINT) AS n_weekend,
-       CAST((1000000 * count(*) FILTER (WHERE dow >= 5)) // count(*) AS BIGINT)
-         AS weekend_q6,
-       CAST(sum(cents) AS BIGINT) AS cents,
-       CAST(COALESCE(sum(cents) FILTER (WHERE dow >= 5), 0) AS BIGINT)
-         AS cents_weekend
-FROM t GROUP BY event_type ORDER BY event_type""",
-)
-def weekend_activity_share(spark, sf_dir):
-    """Weekend share of events and of value, per event type — the
-    day-mix readout (events_weekday_profile gives the full 7-day
-    curve; this collapses it to the one contrast product teams act
-    on, split by type so browse vs buy weekend-shift separate).
-    dow = (epoch_day + 3) % 7 with 0 = Monday (never dayname()).
-
-    Scale shape: pure map-side conditional agg — one partial row
-    per (task, event_type), no joins, no windows."""
-    t = _events(spark, sf_dir).select(
-        "event_type",
-        F.expr(
-            f"CAST((unix_micros(cast(ts as timestamp)) div {_US_PER_DAY} + 3)"
-            " % 7 AS BIGINT)"
-        ).alias("dow"),
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-    )
-    return (
-        t.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.count_if(F.col("dow") >= 5).cast("long").alias("n_weekend"),
-            F.expr(
-                "CAST((1000000 * count_if(dow >= 5)) div count(*) AS BIGINT)"
-            ).alias("weekend_q6"),
-            F.sum("cents").cast("long").alias("cents"),
-            F.coalesce(F.sum(F.when(F.col("dow") >= 5, F.col("cents"))), F.lit(0))
-            .cast("long")
-            .alias("cents_weekend"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@register(
-    "lineitem_tax_audit",
-    """WITH t AS (
-  SELECT CAST(round(l_tax * 100) AS BIGINT) AS tax_pct,
-         CAST(round(l_extendedprice * 100) AS BIGINT) AS base_cents,
-         CAST(round(l_extendedprice * l_tax * 100) AS BIGINT) AS tax_cents
-  FROM lineitem)
-SELECT tax_pct,
-       CAST(count(*) AS BIGINT) AS n_items,
-       CAST(sum(base_cents) AS BIGINT) AS base_cents,
-       CAST(sum(tax_cents) AS BIGINT) AS tax_cents
-FROM t GROUP BY tax_pct ORDER BY tax_pct""",
-)
-def lineitem_tax_audit(spark, sf_dir):
-    """Tax-rate band census over lineitem: items, taxable base and
-    estimated tax revenue per integer tax percent — the fiscal
-    counterpart of discount_rate_by_month (the other per-row rate
-    column), and a data-quality probe (a tax_pct outside the
-    expected 0–8 band is a corrupt row).
-
-    Money rule: tax per row is ONE rounded float product
-    round(price·tax·100) (the Q9 rule — never chain rounded integer
-    products, and a cents×bp product would need a divide anyway).
-
-    Scale shape: pure map-side agg; ≤ ~9 groups."""
-    t = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.expr("CAST(round(l_tax * 100) AS BIGINT)").alias("tax_pct"),
-        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
-            "base_cents"
-        ),
-        F.expr(
-            "CAST(round(l_extendedprice * l_tax * 100) AS BIGINT)"
-        ).alias("tax_cents"),
-    )
-    return (
-        t.groupBy("tax_pct")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.sum("base_cents").cast("long").alias("base_cents"),
-            F.sum("tax_cents").cast("long").alias("tax_cents"),
-        )
-        .orderBy("tax_pct")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 142 — nation balances, ship-span histogram, embedding components
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "nation_account_balances",
-    """WITH cb AS (
-  SELECT c_nationkey AS nk,
-         CAST(count(*) AS BIGINT) AS n_cust,
-         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
-           AS cust_cents
-  FROM customer GROUP BY c_nationkey),
-sb AS (
-  SELECT s_nationkey AS nk,
-         CAST(count(*) AS BIGINT) AS n_supp,
-         CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
-           AS supp_cents
-  FROM supplier GROUP BY s_nationkey)
-SELECT n.n_name,
-       CAST(COALESCE(cb.n_cust, 0) AS BIGINT) AS n_cust,
-       CAST(COALESCE(cb.cust_cents, 0) AS BIGINT) AS cust_cents,
-       CAST(COALESCE(sb.n_supp, 0) AS BIGINT) AS n_supp,
-       CAST(COALESCE(sb.supp_cents, 0) AS BIGINT) AS supp_cents
-FROM nation n
-LEFT JOIN cb ON cb.nk = n.n_nationkey
-LEFT JOIN sb ON sb.nk = n.n_nationkey
-ORDER BY n.n_name""",
-)
-def nation_account_balances(spark, sf_dir):
-    """Demand- and supply-side account balances on the nation spine —
-    customers and suppliers aggregated independently, then joined onto
-    nation so every nation reports (zero-filled) even with no parties
-    on one side. The per-row cents rounding happens BEFORE the sum
-    (balances are negative for overdrawn accounts; round-then-sum is
-    the only order both engines agree on bit-for-bit).
-
-    Scale shape: both legs collapse map-side to ≤ #nations rows; the
-    25-row nation spine broadcasts into both joins; no window, no
-    fact-table shuffle."""
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
-        "n_nationkey", "n_name"
-    )
-    cb = (
-        spark.read.parquet(f"{sf_dir}/customer.parquet")
-        .groupBy(F.col("c_nationkey").alias("nk"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_cust"),
-            F.sum(F.expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
-            .cast("long")
-            .alias("cust_cents"),
-        )
-    )
-    sb = (
-        spark.read.parquet(f"{sf_dir}/supplier.parquet")
-        .groupBy(F.col("s_nationkey").alias("nk"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_supp"),
-            F.sum(F.expr("CAST(round(s_acctbal * 100) AS BIGINT)"))
-            .cast("long")
-            .alias("supp_cents"),
-        )
-    )
-    return (
-        F.broadcast(n)
-        .join(cb, n.n_nationkey == cb.nk, "left")
-        .join(sb, n.n_nationkey == sb.nk, "left")
-        .select(
-            "n_name",
-            F.coalesce("n_cust", F.lit(0)).cast("long").alias("n_cust"),
-            F.coalesce("cust_cents", F.lit(0)).cast("long").alias("cust_cents"),
-            F.coalesce("n_supp", F.lit(0)).cast("long").alias("n_supp"),
-            F.coalesce("supp_cents", F.lit(0)).cast("long").alias("supp_cents"),
-        )
-        .orderBy("n_name")
-    )
-
-
-@register(
-    "order_ship_span_histogram",
-    f"""WITH t AS (
-  SELECT l_orderkey,
-         epoch_us(CAST(l_shipdate AS TIMESTAMP)) // {_US_PER_DAY} AS day_num
-  FROM lineitem),
-per AS (SELECT l_orderkey,
-               CAST(max(day_num) - min(day_num) AS BIGINT) AS span_days,
-               CAST(count(*) AS BIGINT) AS n_items
-        FROM t GROUP BY l_orderkey),
-bk AS (SELECT CASE WHEN span_days = 0 THEN 0
-                   WHEN span_days <= 7 THEN 1
-                   WHEN span_days <= 30 THEN 2
-                   WHEN span_days <= 90 THEN 3
-                   ELSE 4 END AS span_band,
-              n_items
-       FROM per)
-SELECT CAST(span_band AS BIGINT) AS span_band,
-       CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(n_items) AS BIGINT) AS n_items
-FROM bk GROUP BY span_band ORDER BY span_band""",
-)
-def order_ship_span_histogram(spark, sf_dir):
-    """Fulfillment spread per order: days between the first and last
-    line-item shipment, banded (same-day / ≤week / ≤month / ≤quarter /
-    longer) — the order-level delivery-fragmentation curve
-    (ship_lag_histogram measures order→ship latency per item; this
-    measures how SCATTERED one order's shipments are).
-
-    Scale shape: one l_orderkey agg (min/max/count ride one
-    exchange), then a 5-bucket rollup. Dates become epoch-day
-    BIGINTs before any arithmetic."""
-    t = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey",
-        F.expr(
-            f"unix_micros(cast(l_shipdate as timestamp)) div {_US_PER_DAY}"
-        ).alias("day_num"),
-    )
-    per = t.groupBy("l_orderkey").agg(
-        (F.max("day_num") - F.min("day_num")).cast("long").alias("span_days"),
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-    )
-    bk = per.select(
-        F.expr(
-            "CASE WHEN span_days = 0 THEN 0 WHEN span_days <= 7 THEN 1"
-            " WHEN span_days <= 30 THEN 2 WHEN span_days <= 90 THEN 3"
-            " ELSE 4 END"
-        ).alias("span_band"),
-        "n_items",
-    )
-    return (
-        bk.groupBy("span_band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum("n_items").cast("long").alias("n_items"),
-        )
-        .select(
-            F.col("span_band").cast("long").alias("span_band"),
-            "n_orders",
-            "n_items",
-        )
-        .orderBy("span_band")
-    )
-
-
-@register(
-    "embedding_component_histogram",
-    """WITH c AS (
-  SELECT CAST(round(u.v * 100) AS BIGINT) AS bucket
-  FROM embeddings, unnest(embedding) AS u(v))
-SELECT bucket, CAST(count(*) AS BIGINT) AS n_components
-FROM c GROUP BY bucket ORDER BY bucket""",
-)
-def embedding_component_histogram(spark, sf_dir):
-    """Distribution of raw embedding component values (centi-unit
-    buckets over ALL vector·dim cells) — the saturation/clipping
-    audit at component grain (embedding_dim_stats is per-DIMENSION;
-    a healthy encoder shows a smooth bell here, int8-clipped or
-    dead-ReLU exports show spikes at the rails and at zero).
-
-    The parquet column is FLOAT32; both engines promote to double
-    before the *100 and the half-away-from-zero round, so buckets
-    match bit-for-bit.
-
-    Scale shape: map-side explode + hash agg; output bounded at a
-    few hundred buckets regardless of corpus size."""
-    c = _emb(spark, sf_dir).select(
-        F.explode("embedding").alias("v")
-    ).select(F.expr("CAST(round(v * 100) AS BIGINT)").alias("bucket"))
-    return (
-        c.groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
-        .orderBy("bucket")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 143 — roaring postings estimate
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "postings_roaring_estimate",
-    f"""WITH tf AS ({SQL_TF}),
-cc AS (SELECT term, doc_id // 65536 AS chunk, CAST(count(*) AS BIGINT) AS n
-       FROM tf GROUP BY term, doc_id // 65536),
-ct AS (SELECT term, CAST(sum(n) AS BIGINT) AS df,
-              CAST(count(*) AS BIGINT) AS n_containers,
-              CAST(sum(8 + CASE WHEN n <= 4096 THEN 2 * n ELSE 8192 END)
-                   AS BIGINT) AS bytes_est
-       FROM cc GROUP BY term),
-bd AS (SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS df_band, df,
-              n_containers, bytes_est
-       FROM ct)
-SELECT df_band, CAST(count(*) AS BIGINT) AS n_terms,
-       CAST(sum(df) AS BIGINT) AS n_postings,
-       CAST(sum(n_containers) AS BIGINT) AS n_containers,
-       CAST(sum(bytes_est) AS BIGINT) AS bytes_est,
-       CAST((1000000 * sum(bytes_est)) // sum(df) AS BIGINT)
-         AS bytes_per_posting_q6
-FROM bd GROUP BY df_band ORDER BY df_band""",
-)
-def postings_roaring_estimate(spark, sf_dir):
-    """Index-size cost model #2: Roaring-bitmap bytes for each term's
-    doc_id set, by log2-df band — the alternative postings layout next
-    to postings_varint_estimate's LEB128 curve (Lucene stores its live
-    doc and filter sets exactly this way). The model is the published
-    Roaring layout: doc_ids chunk by high 16 bits (doc_id // 65536);
-    a chunk holding n ids costs 2n bytes as a sorted-array container
-    when n ≤ 4096, else a fixed 8192-byte bitmap, plus 8 bytes of
-    per-container header/offset. Crossover vs varint: delta-dense terms
-    varint toward ~1 byte/posting while arrays pay a flat 2 — THIS
-    table is the evidence for which structure each df band should get.
-    On the sandbox corpus every term fits one container (doc_ids <
-    65536); the multi-chunk path is exercised by the property suite
-    with injected wide-id corpora.
-
-    Determinism: pure integer arithmetic end to end.
-
-    Scale shape: (term, chunk) counts combine map-side (the chunk key
-    subdivides a celebrity term's group instead of concentrating it);
-    the per-term rollup is vocab-sized; band rollup ≤64 rows."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    cc = tf.groupBy("term", F.expr("doc_id div 65536").alias("chunk")).agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    ct = cc.groupBy("term").agg(
-        F.sum("n").cast("long").alias("df"),
-        F.count(F.lit(1)).cast("long").alias("n_containers"),
-        F.sum(
-            F.expr("8 + CASE WHEN n <= 4096 THEN 2 * n ELSE 8192 END")
-        )
-        .cast("long")
-        .alias("bytes_est"),
-    )
-    bd = ct.select(
-        F.expr("CAST(length(bin(df)) - 1 AS BIGINT)").alias("df_band"),
-        "df",
-        "n_containers",
-        "bytes_est",
-    )
-    return (
-        bd.groupBy("df_band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.sum("df").cast("long").alias("n_postings"),
-            F.sum("n_containers").cast("long").alias("n_containers"),
-            F.sum("bytes_est").cast("long").alias("bytes_est"),
-        )
-        .select(
-            "df_band",
-            "n_terms",
-            "n_postings",
-            "n_containers",
-            "bytes_est",
-            F.expr(
-                "CAST((1000000 * bytes_est) div n_postings AS BIGINT)"
-            ).alias("bytes_per_posting_q6"),
-        )
-        .orderBy("df_band")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 144 — char-bigram entropy, size-price curve
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "char_bigram_entropy_source",
-    """WITH t AS (SELECT source, lower(text) AS t FROM documents WHERE length(text) >= 2),
-bg AS (
-  SELECT source,
-         unnest(list_transform(generate_series(1, length(t) - 1),
-                               i -> substring(t, i, 2))) AS gram
-  FROM t),
-c AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY source, gram),
-tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM c GROUP BY source),
-h AS (
-  SELECT c.source,
-         CAST(round(1000000 * (CAST(c.c AS DOUBLE) / tot.tot)
-              * ln(CAST(tot.tot AS DOUBLE) / c.c)) AS BIGINT) AS hq6
-  FROM c JOIN tot USING (source))
-SELECT h.source, CAST(count(*) AS BIGINT) AS n_grams,
-       CAST(max(tot.tot) AS BIGINT) AS total_bigrams,
-       CAST(sum(h.hq6) AS BIGINT) AS entropy_q6
-FROM h JOIN tot ON h.source = tot.source
-GROUP BY h.source ORDER BY h.source""",
-)
-def char_bigram_entropy_source(spark, sf_dir):
-    """Character-BIGRAM Shannon entropy per source — the order-1
-    compressibility gauge (source_unigram_entropy is token-level;
-    low_entropy_docs is per-doc char-UNIGRAM; this one sees character
-    CONTEXT, so templated/boilerplate sources score visibly below prose
-    even when their unigram mix looks normal — entropy here ≈ bits/char
-    an order-1 coder would pay, the cheap proxy for 'how much would
-    this source deflate').
-
-    Bigrams come from codepoint-indexed substring(t, i, 2) — both
-    engines index substrings by codepoint, so CJK text yields identical
-    grams. Per-(source, gram) −p·ln p is q6-rounded FIRST (the
-    source_unigram_entropy rule), then the sum is an exact BIGINT add.
-    Both engines build the per-doc gram list with the same
-    transform-over-sequence lambda and explode it (DuckDB's
-    unnest(list_transform(...)) avoids the correlated lateral unnest
-    that is a DuckDB internal error — the cooccur_window_curve
-    lesson).
-
-    Scale shape: the gram explode is map-side (≈ one row per character
-    of corpus — the same cost class as tokenize); both aggs are
-    hash-combinable; output is |sources| rows."""
-    t = (
-        _docs(spark, sf_dir)
-        .where(F.length("text") >= 2)
-        .select("source", F.lower("text").alias("t"))
-    )
-    bg = t.select(
-        "source",
-        F.explode(
-            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
-        ).alias("gram"),
-    )
-    c = bg.groupBy("source", "gram").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    tot = c.groupBy("source").agg(F.sum("c").cast("long").alias("tot"))
-    h = c.join(tot, "source").select(
-        "source",
-        F.expr(
-            "CAST(round(1000000 * (CAST(c AS DOUBLE) / tot)"
-            " * ln(CAST(tot AS DOUBLE) / c)) AS BIGINT)"
-        ).alias("hq6"),
-        "tot",
-    )
-    return (
-        h.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.max("tot").cast("long").alias("total_bigrams"),
-            F.sum("hq6").cast("long").alias("entropy_q6"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "size_price_profile",
-    """SELECT CAST(p_size AS BIGINT) AS p_size,
-       CAST(count(*) AS BIGINT) AS n_parts,
-       CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
-       CAST(min(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
-       CAST(max(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
-FROM part GROUP BY p_size ORDER BY p_size""",
-)
-def size_price_profile(spark, sf_dir):
-    """Retail price by part size — does bigger cost more, and how wide
-    is the spread per size rung (part_type_size_matrix counts the
-    type×size grid; part_type_anova tests price against TYPE — this is
-    the SIZE axis, the one physical attribute, with sum/min/max cents
-    so the reader derives mean and range). Cents are rounded per row
-    before every aggregate (the Q1 rule).
-
-    Scale shape: one map-side-combined agg over the part scan into
-    ≤|sizes| rows; only 2 columns read."""
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        F.col("p_size").cast("long").alias("p_size"),
-        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("cents"),
-    )
-    return (
-        p.groupBy("p_size")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_parts"),
-            F.sum("cents").cast("long").alias("price_cents"),
-            F.min("cents").cast("long").alias("min_cents"),
-            F.max("cents").cast("long").alias("max_cents"),
-        )
-        .orderBy("p_size")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 145 — sign-LSH calibration, auto date histogram, Yule's K
-# ---------------------------------------------------------------------------
-
-# math.pi folded to a repr() e-notation literal (the _HLL_C rule: a plain
-# decimal literal is DECIMAL in Spark SQL and diverges from DuckDB's double).
-_PI_E = "3.141592653589793e0"
-
-# 16-bit sign signature from the first 16 raw components (the exact bit
-# substrate embedding_lsh_pairs banding uses: component > 0 → bit set).
-# ONE shared string so both engines test the identical predicate per dim;
-# {i1} is the 1-based index (DuckDB arrays; Spark uses 0-based v[i] so its
-# expr is generated separately below with the same > 0 convention).
-_SIGN_BIT_SQL = " + ".join(
-    f"CASE WHEN v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(16)
-)
-_SIGN_BIT_SPARK = " + ".join(
-    f"CASE WHEN v[{i}] > 0 THEN {1 << i} ELSE 0 END" for i in range(16)
-)
-_BAND_BV_SQL = " + ".join(
-    f"CASE WHEN v[4 * j + {i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(4)
-)
-
-
-@register(
-    "signlsh_calibration_curve",
-    _SQL_EMB_E
-    + f"""
-bnd AS (
-  SELECT vec_id, j, {_BAND_BV_SQL} AS bv
-  FROM e, (SELECT unnest(generate_series(0, 3)) AS j)),
-cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-  FROM bnd a JOIN bnd b2 ON a.j = b2.j AND a.bv = b2.bv AND a.vec_id < b2.vec_id),
-sg AS (SELECT vec_id, CAST({_SIGN_BIT_SQL} AS BIGINT) AS sig FROM e),
-un AS (
-  SELECT vec_id, list_transform(v, x -> x / n) AS u
-  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e)),
-p AS (
-  SELECT bit_count(xor(sa.sig, sb.sig)) AS hd,
-         CAST(round(1000000 * list_dot_product(ua.u, ub.u)) AS BIGINT) AS cos_q6
-  FROM cand
-  JOIN sg sa ON cand.id_a = sa.vec_id JOIN sg sb ON cand.id_b = sb.vec_id
-  JOIN un ua ON cand.id_a = ua.vec_id JOIN un ub ON cand.id_b = ub.vec_id)
-SELECT CAST(hd AS BIGINT) AS hamming, CAST(count(*) AS BIGINT) AS n_pairs,
-       CAST(CAST(sum(cos_q6) AS BIGINT) // count(*) AS BIGINT) AS mean_cos_q6,
-       CAST(round(1000000 * cos({_PI_E} * hd / 16)) AS BIGINT) AS pred_cos_q6
-FROM p GROUP BY hd ORDER BY hamming""",
-)
-def signlsh_calibration_curve(spark, sf_dir):
-    """Calibration of the sign-LSH angle estimator over the engine's OWN
-    candidate set: for every banded collision pair (the exact
-    embedding_lsh_pairs OR-construction — 4 tables × 4 sign bits), the
-    16-bit Hamming distance between full sign signatures versus the true
-    cosine, plus the Goemans-Williamson prediction cos(π·d/16). Where
-    the mean observed cosine tracks the predicted curve the sketch is
-    honest; a flat observed curve says 16 axis-aligned hyperplanes
-    aren't discriminating this embedding space (the tuning knob is more
-    bits, not more tables). Third member of the sketch-calibration
-    family after simhash_hamming_histogram and lsh_candidate_precision.
-
-    Determinism: signatures/bands test raw components > 0 (floats are
-    float32→double exact both engines); vectors are normalized ONCE and
-    each pair pays one fold dot (the pagerank rule); per-pair cos is
-    q6-rounded FIRST, the mean is an exact-BIGINT sum with one
-    truncating division (both engines truncate toward zero); the
-    predicted value folds math.pi as an e-notation literal.
-
-    Scale shape: candidates come only from the 4 band equi-joins —
-    never all-pairs; signatures/norms are map-side; the rollup is ≤17
-    rows."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    band_structs = []
-    for j in range(4):
-        bv = None
-        for i in range(4):
-            bit = F.when(F.expr(f"v[{4 * j + i}]") > 0, F.lit(1 << i)).otherwise(
-                F.lit(0)
-            )
-            bv = bit if bv is None else bv + bit
-        band_structs.append(F.struct(F.lit(j).alias("j"), bv.alias("bv")))
-    bands = e.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("vec_id", F.col("band.j").alias("j"), F.col("band.bv").alias("bv"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .distinct()
-    )
-    sg = e.select(
-        "vec_id", F.expr(f"CAST({_SIGN_BIT_SPARK} AS BIGINT)").alias("sig")
-    )
-    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, z) -> acc + z)"
-    un = e.withColumn("nrm", F.sqrt(F.expr(dot.format(a="v", b="v")))).select(
-        "vec_id", F.expr("transform(v, x -> x / nrm)").alias("u")
-    )
-    p = (
-        cand.join(sg.select(F.col("vec_id").alias("id_a"), F.col("sig").alias("sa")), "id_a")
-        .join(sg.select(F.col("vec_id").alias("id_b"), F.col("sig").alias("sb")), "id_b")
-        .join(un.select(F.col("vec_id").alias("id_a"), F.col("u").alias("ua")), "id_a")
-        .join(un.select(F.col("vec_id").alias("id_b"), F.col("u").alias("ub")), "id_b")
-        .select(
-            F.expr("bit_count(sa ^ sb)").alias("hd"),
-            F.expr(
-                f"CAST(round(1000000 * ({dot.format(a='ua', b='ub')})) AS BIGINT)"
-            ).alias("cos_q6"),
-        )
-    )
-    return (
-        p.groupBy("hd")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.sum("cos_q6").cast("long").alias("sum_cos"),
-        )
-        .select(
-            F.col("hd").cast("long").alias("hamming"),
-            "n_pairs",
-            F.expr("CAST(sum_cos div n_pairs AS BIGINT)").alias("mean_cos_q6"),
-            F.expr(
-                f"CAST(round(1000000 * cos({_PI_E} * hd / 16)) AS BIGINT)"
-            ).alias("pred_cos_q6"),
-        )
-        .orderBy("hamming")
-    )
-
-
-@register(
-    "events_markov2_transitions",
-    """WITH t AS (
-  SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type FROM events),
-p AS (
-  SELECT lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-           AS prev2_type,
-         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-           AS prev1_type,
-         event_type AS next_type
-  FROM t),
-c AS (
-  SELECT prev2_type, prev1_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
-  FROM p WHERE prev2_type IS NOT NULL
-  GROUP BY prev2_type, prev1_type, next_type)
-SELECT prev2_type, prev1_type, next_type, n_trans,
-       CAST((1000000 * n_trans)
-            // sum(n_trans) OVER (PARTITION BY prev2_type, prev1_type)
-            AS BIGINT) AS p_q6
-FROM c ORDER BY prev2_type, prev1_type, next_type""",
-)
-def events_markov2_transitions(spark, sf_dir):
-    """SECOND-order Markov transitions over per-user event sequences:
-    counts and row-normalized probabilities of next_type given the
-    (prev2, prev1) context — the lift this table shows over
-    events_markov_transitions' first-order rows is exactly the evidence
-    that journeys have memory (e.g. view→click→purchase vs
-    click→view→purchase converting differently is invisible at order
-    1). markov_row_entropy on both orders quantifies the memory as an
-    entropy drop.
-
-    Determinism: equal-timestamp events order by event_id inside BOTH
-    lag windows (the interevent_gap_histogram rule); p_q6 is the
-    integer (1e6·n) div context_total — no float anywhere; DuckDB's
-    HUGEINT window sum is CAST back (the session-37 rule).
-
-    Scale shape: the two lags share ONE user_id-partitioned window
-    sort (same frame, same ordering — one exchange, one sort); counts
-    combine map-side into ≤|types|³ rows and the normalizing window
-    runs over that tiny table only."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        "event_id",
-        "event_type",
-    )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    p = t.select(
-        F.lag("event_type", 2).over(w).alias("prev2_type"),
-        F.lag("event_type", 1).over(w).alias("prev1_type"),
-        F.col("event_type").alias("next_type"),
-    )
-    c = (
-        p.where(F.col("prev2_type").isNotNull())
-        .groupBy("prev2_type", "prev1_type", "next_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
-    )
-    wr = Window.partitionBy("prev2_type", "prev1_type")
-    return (
-        c.withColumn("tot", F.sum("n_trans").over(wr))
-        .select(
-            "prev2_type",
-            "prev1_type",
-            "next_type",
-            "n_trans",
-            F.expr("CAST((1000000 * n_trans) div tot AS BIGINT)").alias("p_q6"),
-        )
-        .orderBy("prev2_type", "prev1_type", "next_type")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 146 — error-rate series, block-max tightness, join-size estimates
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "error_rate_daily",
-    f"""WITH d AS (
-  SELECT epoch_us(ts) // {_US_PER_DAY} AS day_num,
-         CAST(count(*) AS BIGINT) AS n_events,
-         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_errors
-  FROM events GROUP BY day_num),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM d),
-spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
-f AS (SELECT spine.day_num, CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
-             CAST(COALESCE(d.n_errors, 0) AS BIGINT) AS n_errors
-      FROM spine LEFT JOIN d USING (day_num))
-SELECT CAST(day_num AS BIGINT) AS day_num, n_events, n_errors,
-       CASE WHEN n_events = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * n_errors) // n_events AS BIGINT)
-       END AS err_rate_q6
-FROM f ORDER BY day_num""",
-)
-def error_rate_daily(spark, sf_dir):
-    """Daily error-rate series — the first SRE chart (volume and the
-    'error' share of it, day by day) on the zero-filled calendar spine
-    so quiet days read as 0-volume rows rather than vanishing (the
-    events_serial_diff rule; a gap that disappears from the series is
-    exactly the outage you were looking for). daily_ctr is the same
-    shape for the click/view pair; this is the reliability leg.
-
-    Determinism: counts are integers; the rate is the integer
-    (1e6·errors) div events with an explicit 0 for empty days.
-
-    Scale shape: one day-keyed map-side-combined agg (the conditional
-    error counter folds in the same pass); spine join and output are
-    calendar-bounded."""
-    d = _events(spark, sf_dir).groupBy(
-        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-            "day_num"
-        )
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum(F.expr("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END"))
-        .cast("long")
-        .alias("n_errors"),
-    )
-    b = d.agg(
-        F.min("day_num").cast("long").alias("lo"),
-        F.max("day_num").cast("long").alias("hi"),
-    )
-    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day_num"))
-    f = spine.join(d, "day_num", "left").select(
-        F.col("day_num").cast("long").alias("day_num"),
-        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
-        F.coalesce("n_errors", F.lit(0)).cast("long").alias("n_errors"),
-    )
-    return f.select(
-        "day_num",
-        "n_events",
-        "n_errors",
-        F.expr(
-            "CASE WHEN n_events = 0 THEN CAST(0 AS BIGINT)"
-            " ELSE CAST((1000000 * n_errors) div n_events AS BIGINT) END"
-        ).alias("err_rate_q6"),
-    ).orderBy("day_num")
-
-
-@register(
-    "blockmax_tightness_curve",
-    f"""WITH tf AS ({SQL_TF}),
-blk AS (SELECT term, doc_id // 64 AS blk, CAST(max(tf) AS BIGINT) AS bmax,
-               CAST(count(*) AS BIGINT) AS nb
-        FROM tf GROUP BY term, doc_id // 64),
-per AS (SELECT term, CAST(sum(nb) AS BIGINT) AS df,
-               CAST(count(*) AS BIGINT) AS n_blocks,
-               CAST(sum(bmax) AS BIGINT) AS sum_bmax,
-               CAST(max(bmax) AS BIGINT) AS gmax
-        FROM blk GROUP BY term),
-bd AS (SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS df_band,
-              n_blocks, sum_bmax, gmax
-       FROM per)
-SELECT df_band, CAST(count(*) AS BIGINT) AS n_terms,
-       CAST(sum(n_blocks) AS BIGINT) AS n_blocks,
-       CAST((1000000 * sum(sum_bmax)) // sum(n_blocks * gmax) AS BIGINT)
-         AS tightness_q6
-FROM bd GROUP BY df_band ORDER BY df_band""",
-)
-def blockmax_tightness_curve(spark, sf_dir):
-    """Why block-max beats MaxScore, measured on this corpus: for each
-    term, postings are cut into 64-doc_id blocks (the codec's own block
-    grain) and the mean per-block tf bound is compared to the term's
-    GLOBAL tf bound — tightness_q6 = Σbmax / (n_blocks·gmax) per log2-df
-    band. 1.0 means every block hits the global max (block bounds buy
-    no extra skipping over MaxScore); the lower the curve, the more
-    blocks a block-max WAND can prune that a global-bound WAND cannot.
-    This is the capacity-planning table behind wand.py's block-max
-    serving path, with tf as the score surrogate (BM25's per-term
-    contribution is monotone in tf at fixed df/dl, so a tf bound IS the
-    score bound's shape).
-
-    Determinism: pure integer arithmetic; the single division happens
-    once per band row.
-
-    Scale shape: the (term, block) agg combines map-side and subdivides
-    celebrity terms instead of concentrating them (the roaring-chunk
-    argument); per-term and band rollups are vocab- then ≤64-row
-    sized."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    blk = tf.groupBy("term", F.expr("doc_id div 64").alias("blk")).agg(
-        F.max("tf").cast("long").alias("bmax"),
-        F.count(F.lit(1)).cast("long").alias("nb"),
-    )
-    per = blk.groupBy("term").agg(
-        F.sum("nb").cast("long").alias("df"),
-        F.count(F.lit(1)).cast("long").alias("n_blocks"),
-        F.sum("bmax").cast("long").alias("sum_bmax"),
-        F.max("bmax").cast("long").alias("gmax"),
-    )
-    bd = per.select(
-        F.expr("CAST(length(bin(df)) - 1 AS BIGINT)").alias("df_band"),
-        "n_blocks",
-        "sum_bmax",
-        "gmax",
-    )
-    return (
-        bd.groupBy("df_band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.sum("n_blocks").cast("long").alias("n_blocks"),
-            F.sum("sum_bmax").alias("sb"),
-            F.sum(F.expr("n_blocks * gmax")).alias("den"),
-        )
-        .select(
-            "df_band",
-            "n_terms",
-            "n_blocks",
-            F.expr("CAST((1000000 * sb) div den AS BIGINT)").alias(
-                "tightness_q6"
-            ),
-        )
-        .orderBy("df_band")
-    )
-
-
-def _join_est_sql(name: str, lt: str, lk: str, rt: str, rk: str) -> str:
-    """One System-R join-size row: |L⋈R| estimate n_l·n_r/max(ndv) vs the
-    exact per-key Σ n_l(k)·n_r(k)."""
-    return f"""SELECT '{name}' AS join_name,
-       (SELECT CAST(count(*) AS BIGINT) FROM {lt}) AS n_left,
-       (SELECT CAST(count(*) AS BIGINT) FROM {rt}) AS n_right,
-       (SELECT CAST(count(DISTINCT {lk}) AS BIGINT) FROM {lt}) AS ndv_left,
-       (SELECT CAST(count(DISTINCT {rk}) AS BIGINT) FROM {rt}) AS ndv_right,
-       CAST(round(CAST((SELECT count(*) FROM {lt}) AS DOUBLE)
-            * CAST((SELECT count(*) FROM {rt}) AS DOUBLE)
-            / greatest((SELECT count(DISTINCT {lk}) FROM {lt}),
-                       (SELECT count(DISTINCT {rk}) FROM {rt}), 1))
-         AS BIGINT) AS est_rows,
-       (SELECT CAST(COALESCE(sum(a.n * b.n), 0) AS BIGINT)
-        FROM (SELECT {lk} AS k, CAST(count(*) AS BIGINT) AS n FROM {lt} GROUP BY {lk}) a
-        JOIN (SELECT {rk} AS k, CAST(count(*) AS BIGINT) AS n FROM {rt} GROUP BY {rk}) b
-        ON a.k = b.k) AS actual_rows"""
-
-
-@register(
-    "join_size_estimates",
-    "\nUNION ALL\n".join(
-        [
-            _join_est_sql("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-            _join_est_sql("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
-            _join_est_sql("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
-        ]
-    )
-    + "\nORDER BY join_name",
-)
-def join_size_estimates(spark, sf_dir):
-    """Cost-model audit for the engine's three hottest FK joins: the
-    System-R join-size estimate |L|·|R|/max(ndv_L, ndv_R) — exactly what
-    a Catalyst-style optimizer computes from table statistics — beside
-    the EXACT join cardinality (Σ_k n_L(k)·n_R(k), computed from
-    per-key counts, never by materializing the join). Where est and
-    actual diverge is where the optimizer's independence/containment
-    assumptions break on this data — the pre-flight for trusting
-    size-based join reordering and broadcast thresholds
-    (fact_key_skew_census audits per-KEY skew; this audits the TOTAL).
-
-    Determinism: counts and the actual sum are exact BIGINTs; the
-    estimate is one double product-then-divide (counts stay exact
-    doubles to ~9e15 rows; beyond 2^53 the rounding is still the same
-    IEEE operation in both engines).
-
-    Scale shape: per edge — two scans' count/ndv aggs plus a per-key
-    count join whose sides are key-cardinality-sized (the FK join
-    itself never materializes); three independent one-row subplans
-    union at the end."""
-    rows = []
-    for name, lt, lk, rt, rk in [
-        ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-        ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
-        ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
-    ]:
-        lt_df = spark.read.parquet(f"{sf_dir}/{lt}.parquet").select(
-            F.col(lk).alias("k")
-        )
-        rt_df = spark.read.parquet(f"{sf_dir}/{rt}.parquet").select(
-            F.col(rk).alias("k")
-        )
-        ls = lt_df.agg(
-            F.count(F.lit(1)).cast("long").alias("n_left"),
-            F.countDistinct("k").cast("long").alias("ndv_left"),
-        )
-        rs = rt_df.agg(
-            F.count(F.lit(1)).cast("long").alias("n_right"),
-            F.countDistinct("k").cast("long").alias("ndv_right"),
-        )
-        la = lt_df.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("nl"))
-        ra = rt_df.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("nr"))
-        act = la.join(ra, "k").agg(
-            F.coalesce(F.sum(F.expr("nl * nr")), F.lit(0))
-            .cast("long")
-            .alias("actual_rows")
-        )
-        rows.append(
-            ls.crossJoin(rs)
-            .crossJoin(act)
-            .select(
-                F.lit(name).alias("join_name"),
-                "n_left",
-                "n_right",
-                "ndv_left",
-                "ndv_right",
-                F.expr(
-                    "CAST(round(CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)"
-                    " / greatest(ndv_left, ndv_right, 1)) AS BIGINT)"
-                ).alias("est_rows"),
-                "actual_rows",
-            )
-        )
-    return rows[0].unionByName(rows[1]).unionByName(rows[2]).orderBy("join_name")
-
-
-# ---------------------------------------------------------------------------
-# session 147 — sales-weighted name terms, script mix, signup activation
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "part_term_sales_topk",
-    f"""WITH tk AS (
-  SELECT DISTINCT p_partkey,
-         unnest(regexp_extract_all(lower(p_name), '{TOKEN_PATTERN}')) AS term
-  FROM part),
-j AS (
-  SELECT tk.term, l.l_partkey, {_LI_QTY_C} AS qty_c
-  FROM lineitem l JOIN tk ON l.l_partkey = tk.p_partkey)
-SELECT term, CAST(count(*) AS BIGINT) AS n_items,
-       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
-       CAST(sum(qty_c) AS BIGINT) AS qty_c
-FROM j GROUP BY term ORDER BY qty_c DESC, term ASC LIMIT 20""",
-)
-def part_term_sales_topk(spark, sf_dir):
-    """What words SELL: the shared tokenizer over part names, weighted
-    by shipped quantity — part_name_term_census counts the catalog's
-    dictionary; this joins it to the lineitem fact so each term carries
-    its demand mass (the merchandising/search-relevance signal: boost
-    query terms whose products actually move). DISTINCT (part, term)
-    first, so a name like 'steel steel bolt' counts once per item.
-
-    Determinism: quantities take the shared `_LI_QTY_C` cents rule;
-    top-20 ties break on term.
-
-    Scale shape: the token table is |parts|×|name terms| (a dim-table
-    explode); the fact join keys on partkey (un-hinted — AQE broadcasts
-    the token side when it fits); the term agg combines map-side;
-    top-20 is a TakeOrdered."""
-    tk = (
-        spark.read.parquet(f"{sf_dir}/part.parquet")
-        .select(
-            "p_partkey", F.explode(spark_tokens("p_name")).alias("term")
-        )
-        .distinct()
-    )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_partkey", F.expr(_LI_QTY_C).alias("qty_c")
-    )
-    return (
-        li.join(tk, li["l_partkey"] == tk["p_partkey"])
-        .groupBy("term")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.countDistinct("l_partkey").cast("long").alias("n_parts"),
-            F.sum("qty_c").cast("long").alias("qty_c"),
-        )
-        .orderBy(F.desc("qty_c"), F.asc("term"))
-        .limit(20)
-    )
-
-
-_ACT_DAY_US = 86_400_000_000
-
-
-@register(
-    "signup_activation_rates",
-    f"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-su AS (SELECT user_id, CAST(min(us) AS BIGINT) AS t0
-       FROM e WHERE event_type = 'signup' GROUP BY user_id),
-act AS (
-  SELECT su.user_id,
-         max(CASE WHEN e.event_type = 'view'
-                   AND e.us >= su.t0 AND e.us < su.t0 + {_ACT_DAY_US}
-              THEN 1 ELSE 0 END) AS activated,
-         max(CASE WHEN e.event_type = 'purchase'
-                   AND e.us >= su.t0 AND e.us < su.t0 + {7 * _ACT_DAY_US}
-              THEN 1 ELSE 0 END) AS converted
-  FROM su JOIN e ON e.user_id = su.user_id
-  GROUP BY su.user_id)
-SELECT CAST(count(*) AS BIGINT) AS n_signup_users,
-       CAST(sum(activated) AS BIGINT) AS n_activated,
-       CAST(sum(converted) AS BIGINT) AS n_converted,
-       CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * sum(activated)) // count(*) AS BIGINT)
-       END AS activation_q6,
-       CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * sum(converted)) // count(*) AS BIGINT)
-       END AS conversion_q6
-FROM act""",
-)
-def signup_activation_rates(spark, sf_dir):
-    """Signup-cohort activation: of users who ever signed up (anchor =
-    their FIRST signup), how many viewed anything within 24 h and
-    purchased within 7 days — the onboarding funnel that
-    events_funnel's view-anchored chain can't see (it starts at view;
-    this starts at the account event, the number a growth review
-    actually asks for). Flags are per-user conditional MAXes over the
-    user's own stream, so multiple qualifying events count once.
-
-    Determinism: pure integer µs arithmetic; rates are integer
-    (1e6·k) div n with a 0 sentinel (the sandbox always has signups;
-    the guard keeps the empty corpus defined on both engines).
-
-    Scale shape: the signup min-agg and the flag agg both key on
-    user_id — one exchange re-used (the events_funnel shape, truncated
-    to one stage-join); the su⋈events join is un-hinted (signup-user
-    count is unbounded); final rollup is one row."""
-    e = _events(spark, sf_dir).select(
-        "user_id",
-        "event_type",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-    )
-    su = (
-        e.where(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("us").cast("long").alias("t0"))
-    )
-    act = (
-        su.join(e, "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.max(
-                F.expr(
-                    f"CASE WHEN event_type = 'view' AND us >= t0"
-                    f" AND us < t0 + {_ACT_DAY_US} THEN 1 ELSE 0 END"
-                )
-            ).alias("activated"),
-            F.max(
-                F.expr(
-                    f"CASE WHEN event_type = 'purchase' AND us >= t0"
-                    f" AND us < t0 + {7 * _ACT_DAY_US} THEN 1 ELSE 0 END"
-                )
-            ).alias("converted"),
-        )
-    )
-    return act.agg(
-        F.count(F.lit(1)).cast("long").alias("n_signup_users"),
-        F.sum("activated").cast("long").alias("n_activated"),
-        F.sum("converted").cast("long").alias("n_converted"),
-    ).select(
-        "n_signup_users",
-        "n_activated",
-        "n_converted",
-        F.expr(
-            "CASE WHEN n_signup_users = 0 THEN CAST(0 AS BIGINT)"
-            " ELSE CAST((1000000 * n_activated) div n_signup_users AS BIGINT) END"
-        ).alias("activation_q6"),
-        F.expr(
-            "CASE WHEN n_signup_users = 0 THEN CAST(0 AS BIGINT)"
-            " ELSE CAST((1000000 * n_converted) div n_signup_users AS BIGINT) END"
-        ).alias("conversion_q6"),
-    )
-
-
-@register(
-    "wau_overlap_series",
-    f"""WITH wu AS (
-  SELECT DISTINCT epoch_us(ts) // {7 * _US_PER_DAY} AS week_num, user_id
-  FROM events),
-wc AS (SELECT week_num, CAST(count(*) AS BIGINT) AS n_users
-       FROM wu GROUP BY week_num),
-iv AS (SELECT a.week_num + 1 AS week_num, CAST(count(*) AS BIGINT) AS n_retained
-       FROM wu a JOIN wu b
-         ON b.user_id = a.user_id AND b.week_num = a.week_num + 1
-       GROUP BY a.week_num + 1),
-b AS (SELECT CAST(min(week_num) AS BIGINT) AS lo, CAST(max(week_num) AS BIGINT) AS hi
-      FROM wc),
-spine AS (SELECT unnest(generate_series(b.lo + 1, b.hi)) AS week_num FROM b),
-f AS (SELECT spine.week_num,
-             CAST(COALESCE(p.n_users, 0) AS BIGINT) AS n_prev,
-             CAST(COALESCE(c.n_users, 0) AS BIGINT) AS n_curr,
-             CAST(COALESCE(iv.n_retained, 0) AS BIGINT) AS n_retained
-      FROM spine
-      LEFT JOIN wc p ON p.week_num = spine.week_num - 1
-      LEFT JOIN wc c ON c.week_num = spine.week_num
-      LEFT JOIN iv ON iv.week_num = spine.week_num)
-SELECT CAST(week_num AS BIGINT) AS week_num, n_prev, n_curr, n_retained,
-       CASE WHEN n_prev + n_curr - n_retained = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * n_retained)
-                 // (n_prev + n_curr - n_retained) AS BIGINT)
-       END AS jaccard_q6
-FROM f ORDER BY week_num""",
-)
-def wau_overlap_series(spark, sf_dir):
-    """Week-over-week active-user overlap: for every calendar week, the
-    users shared with the PREVIOUS week and the Jaccard of the two
-    active sets — the audience-churn series (weekly_active_users counts
-    heads; events_retention follows one cohort; THIS says how much of
-    the base is the SAME people week to week, the number behind 'is our
-    WAU growth new users or the same core'). Weeks ride the epoch-week
-    key (the weekly_active_users rule) on a zero-filled spine, so a
-    dead week shows as jaccard 0, not a missing row.
-
-    Determinism: set sizes are exact distinct counts; jaccard is the
-    integer (1e6·∩) div (∪) with a 0 sentinel for the empty union.
-
-    Scale shape: ONE distinct (week, user) exchange feeds both the
-    per-week counts and the adjacent-week self-join (which shuffles on
-    user_id — the retention family's key); spine joins run on
-    calendar-bounded rows."""
-    wu = (
-        _events(spark, sf_dir)
-        .select(
-            F.expr(
-                f"unix_micros(cast(ts as timestamp)) div {7 * _US_PER_DAY}"
-            ).alias("week_num"),
-            "user_id",
-        )
-        .distinct()
-    )
-    wc = wu.groupBy("week_num").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users")
-    )
-    a, bb = wu.alias("a"), wu.alias("b")
-    iv = (
-        a.join(
-            bb,
-            (F.col("b.user_id") == F.col("a.user_id"))
-            & (F.col("b.week_num") == F.col("a.week_num") + 1),
-        )
-        .groupBy((F.col("a.week_num") + 1).alias("week_num"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_retained"))
-    )
-    bnd = wc.agg(
-        F.min("week_num").cast("long").alias("lo"),
-        F.max("week_num").cast("long").alias("hi"),
-    )
-    spine = bnd.select(
-        F.explode(F.sequence(F.col("lo") + 1, F.col("hi"))).alias("week_num")
-    )
-    p = wc.select(
-        (F.col("week_num") + 1).alias("week_num"),
-        F.col("n_users").alias("n_prev"),
-    )
-    c = wc.select("week_num", F.col("n_users").alias("n_curr"))
-    f = (
-        spine.join(p, "week_num", "left")
-        .join(c, "week_num", "left")
-        .join(iv, "week_num", "left")
-        .select(
-            F.col("week_num").cast("long").alias("week_num"),
-            F.coalesce("n_prev", F.lit(0)).cast("long").alias("n_prev"),
-            F.coalesce("n_curr", F.lit(0)).cast("long").alias("n_curr"),
-            F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
-        )
-    )
-    return f.select(
-        "week_num",
-        "n_prev",
-        "n_curr",
-        "n_retained",
-        F.expr(
-            "CASE WHEN n_prev + n_curr - n_retained = 0 THEN CAST(0 AS BIGINT)"
-            " ELSE CAST((1000000 * n_retained)"
-            " div (n_prev + n_curr - n_retained) AS BIGINT) END"
-        ).alias("jaccard_q6"),
-    ).orderBy("week_num")
-
-
-# ---------------------------------------------------------------------------
-# session 148 — daily envelope, brand promo lift, discount×tax census
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "events_daily_envelope",
-    f"""WITH d AS (
-  SELECT epoch_us(ts) // {_US_PER_DAY} AS day_num, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY day_num),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM d),
-spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
-f AS (SELECT spine.day_num, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
-      FROM spine LEFT JOIN d USING (day_num)),
-w AS (SELECT day_num, n,
-             CAST(min(n) OVER (ORDER BY day_num ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-                  AS BIGINT) AS lo7,
-             CAST(max(n) OVER (ORDER BY day_num ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-                  AS BIGINT) AS hi7,
-             CAST(count(*) OVER (ORDER BY day_num ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-                  AS BIGINT) AS nw
-      FROM f)
-SELECT CAST(day_num AS BIGINT) AS day_num, n, lo7, hi7
-FROM w WHERE nw = 7 ORDER BY day_num""",
-)
-def events_daily_envelope(spark, sf_dir):
-    """ES moving_fn (min/max flavors) over the daily count series: the
-    trailing-7-day envelope — the volatility band an on-call dashboard
-    draws around the volume line (events_daily_mavg is the center;
-    these are the edges; a point outside ITS OWN trailing envelope is
-    the eyeball version of weekday_adjusted_anomaly). Zero-filled
-    calendar spine, and only days with a FULL 7-day trailing window
-    emit (the first 6 spine days drop on both sides — the serial_diff
-    IS-NOT-NULL rule expressed as a window count).
-
-    Determinism: pure integers.
-
-    Scale shape: one day-keyed map-side agg; the three frames share
-    ONE unpartitioned window sort over calendar-bounded rows."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-                "day_num"
-            )
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    b = d.agg(
-        F.min("day_num").cast("long").alias("lo"),
-        F.max("day_num").cast("long").alias("hi"),
-    )
-    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day_num"))
-    f = spine.join(d, "day_num", "left").select(
-        "day_num", F.coalesce("n", F.lit(0)).cast("long").alias("n")
-    )
-    w = Window.orderBy("day_num").rowsBetween(-6, 0)
-    out = f.select(
-        F.col("day_num").cast("long").alias("day_num"),
-        "n",
-        F.min("n").over(w).cast("long").alias("lo7"),
-        F.max("n").over(w).cast("long").alias("hi7"),
-        F.count(F.lit(1)).over(w).cast("long").alias("nw"),
-    )
-    return out.where(F.col("nw") == 7).drop("nw").orderBy("day_num")
-
-
-@register(
-    "brand_promo_lift",
-    f"""WITH j AS (
-  SELECT p.p_brand,
-         CASE WHEN l.l_discount > 0 THEN 1 ELSE 0 END AS promo,
-         {_LI_QTY_C} AS qty_c
-  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
-a AS (
-  SELECT p_brand,
-         CAST(sum(promo) AS BIGINT) AS n_promo,
-         CAST(sum(1 - promo) AS BIGINT) AS n_full,
-         CAST(sum(CASE WHEN promo = 1 THEN qty_c ELSE 0 END) AS BIGINT) AS promo_qty_c,
-         CAST(sum(CASE WHEN promo = 0 THEN qty_c ELSE 0 END) AS BIGINT) AS full_qty_c
-  FROM j GROUP BY p_brand)
-SELECT p_brand, n_promo, n_full, promo_qty_c, full_qty_c,
-       CASE WHEN n_promo = 0 OR n_full = 0 OR full_qty_c = 0
-            THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * promo_qty_c * n_full)
-                 // (CAST(full_qty_c AS BIGINT) * n_promo) AS BIGINT)
-       END AS qty_lift_q6
-FROM a ORDER BY p_brand""",
-)
-def brand_promo_lift(spark, sf_dir):
-    """Promo lift per brand: mean quantity on DISCOUNTED line items over
-    mean quantity at full price, as the integer cross-multiplication
-    (Σq_promo·n_full)/(Σq_full·n_promo) — 'does a markdown move more
-    units of THIS brand', the per-brand elasticity read
-    (discount_quantity_corr is the global Pearson; this is the
-    conditional-means contrast, grouped where pricing decisions are
-    made). TPC-H draws discount independently, so lift ≈ 1e6 is the
-    correct sandbox reading — a real table separates brands.
-
-    Determinism: quantities take the shared cents rule; the lift is one
-    integer division with 0 sentinels for one-sided brands. Envelope:
-    1e6·Σqty_c·n needs ~(1e6·corpus_qty_cents·rows_per_brand) < 2^63 —
-    divide-first when a single brand's cents pass ~9e9.
-
-    Scale shape: fact⋈dim on partkey (un-hinted); all four counters
-    fold into ONE map-side-combinable brand agg; output |brands|
-    rows."""
-    j = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .select("l_partkey", "l_discount", F.expr(_LI_QTY_C).alias("qty_c"))
-        .join(
-            spark.read.parquet(f"{sf_dir}/part.parquet").select(
-                "p_partkey", "p_brand"
-            ),
-            F.col("l_partkey") == F.col("p_partkey"),
-        )
-        .select(
-            "p_brand",
-            F.expr("CASE WHEN l_discount > 0 THEN 1 ELSE 0 END").alias("promo"),
-            "qty_c",
-        )
-    )
-    a = j.groupBy("p_brand").agg(
-        F.sum("promo").cast("long").alias("n_promo"),
-        F.sum(F.expr("1 - promo")).cast("long").alias("n_full"),
-        F.sum(F.expr("CASE WHEN promo = 1 THEN qty_c ELSE 0 END"))
-        .cast("long")
-        .alias("promo_qty_c"),
-        F.sum(F.expr("CASE WHEN promo = 0 THEN qty_c ELSE 0 END"))
-        .cast("long")
-        .alias("full_qty_c"),
-    )
-    return a.select(
-        "p_brand",
-        "n_promo",
-        "n_full",
-        "promo_qty_c",
-        "full_qty_c",
-        F.expr(
-            "CASE WHEN n_promo = 0 OR n_full = 0 OR full_qty_c = 0"
-            " THEN CAST(0 AS BIGINT)"
-            " ELSE CAST((1000000 * promo_qty_c * n_full)"
-            " div (full_qty_c * n_promo) AS BIGINT) END"
-        ).alias("qty_lift_q6"),
-    ).orderBy("p_brand")
-
-
-@register(
-    "discount_tax_hist2d",
-    """SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pp,
-       CAST(round(l_tax * 100) AS BIGINT) AS tax_pp,
-       CAST(count(*) AS BIGINT) AS n_items
-FROM lineitem GROUP BY discount_pp, tax_pp ORDER BY discount_pp, tax_pp""",
-)
-def discount_tax_hist2d(spark, sf_dir):
-    """Joint census of the two rate columns in integer percent points —
-    the 2-D grid that shows whether discount and tax co-vary (they are
-    drawn independently in TPC-H, so a product-of-marginals grid is the
-    correct sandbox reading; a real ledger shows jurisdiction bands).
-    The marginals of THIS table are the inputs every pricing op
-    (Q6/Q19's discount windows, the tax audit) filters on — the grid
-    says how selective those predicates are jointly.
-
-    Determinism: per-row percent-point rounding (the Q1 cents rule at
-    q2), pure integer counts.
-
-    Scale shape: one map-side-combined agg over two narrow columns into
-    a ≤|discounts|×|taxes| grid."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("discount_pp"),
-        F.expr("CAST(round(l_tax * 100) AS BIGINT)").alias("tax_pp"),
-    )
-    return (
-        li.groupBy("discount_pp", "tax_pp")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
-        .orderBy("discount_pp", "tax_pp")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 149 — recall vs scan cost, A/B power table, supply concentration
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "ann_recall_by_scancost",
-    _BATCH_SQL
-    + """, bexact AS (
-  SELECT qid, vec_id FROM (
-    SELECT qs.qid, e.vec_id,
-           row_number() OVER (PARTITION BY qs.qid ORDER BY
-             CAST(round(1000000 * list_dot_product(e.v, qs.qv)
-               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) DESC,
-             e.vec_id ASC) AS rn
-    FROM qs, e WHERE e.vec_id <> 0) WHERE rn <= 10
-),
-ov AS (
-  SELECT qs.qid, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlap
-  FROM qs LEFT JOIN (
-    SELECT b.qid, count(*) AS n
-    FROM (SELECT qid, vec_id FROM btop WHERE rnk <= 10) b
-    JOIN bexact USING (qid, vec_id)
-    GROUP BY b.qid) o USING (qid)
-),
-cz AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz FROM a3 GROUP BY cid),
-qc AS (SELECT bp.qid, CAST(sum(cz.sz) AS BIGINT) AS scanned
-       FROM bp JOIN cz USING (cid) GROUP BY bp.qid)
-SELECT CAST(length(bin(qc.scanned)) - 1 AS BIGINT) AS scan_bucket,
-       CAST(count(*) AS BIGINT) AS n_queries,
-       CAST(sum(ov.n_overlap) AS BIGINT) AS sum_overlap,
-       CAST((1000000 * sum(ov.n_overlap)) // (10 * count(*)) AS BIGINT)
-         AS recall_q6
-FROM qc JOIN ov USING (qid) WHERE qc.scanned > 0
-GROUP BY scan_bucket ORDER BY scan_bucket""",
-)
-def ann_recall_by_scancost(spark, sf_dir):
-    """Does scanning more buy more? Per-query recall@10 of the batch IVF
-    probe joined to the per-query scanned-vector count, rolled up by
-    log2 scan-cost band — the accuracy-for-latency exchange rate
-    (ann_scan_cost_histogram shows WHO pays; ann_ivf_batch_recall shows
-    per-query accuracy; THIS is their join, the one table an
-    nprobe/K-tuning decision actually reads: if the expensive bands
-    aren't more accurate, the big cells are pure waste). Composes the
-    two memoized halves — probe ranking and exact brute-force — with no
-    new corpus-scale work.
-
-    Determinism: exact integer overlaps and cell sizes off the shared
-    `_trained_ivf`; recall_q6 = (1e6·Σoverlap) div (10·n).
-
-    Scale shape: per-query tables are batch-sized (|corpus|/37 rows);
-    cell sizes broadcast; the brute-force exact leg is the oracle's own
-    price, paid once and shared with ann_ivf_batch_recall's plan."""
-    _members, cent, final_assign = _trained_ivf(spark, sf_dir)
-    recall = ann_ivf_batch_recall(spark, sf_dir)
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    qs = e.where(F.col("vec_id") % 37 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    wq = Window.partitionBy("qid").orderBy(F.desc("cq"), F.asc("cid"))
-    bp = (
-        qs.crossJoin(F.broadcast(cent))
-        .select("qid", "cid", _cosq("cv", "qv", 1_000_000_000).alias("cq"))
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= 3)
-        .select("qid", "cid")
-    )
-    cz = final_assign.groupBy("cid").agg(
-        F.count(F.lit(1)).cast("long").alias("sz")
-    )
-    qc = (
-        bp.join(F.broadcast(cz), "cid")
-        .groupBy("qid")
-        .agg(F.sum("sz").cast("long").alias("scanned"))
-    )
-    j = qc.where(F.col("scanned") > 0).join(recall, "qid")
-    return (
-        j.select(
-            F.expr("CAST(length(bin(scanned)) - 1 AS BIGINT)").alias(
-                "scan_bucket"
-            ),
-            "n_overlap",
-        )
-        .groupBy("scan_bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_queries"),
-            F.sum("n_overlap").cast("long").alias("sum_overlap"),
-        )
-        .select(
-            "scan_bucket",
-            "n_queries",
-            "sum_overlap",
-            F.expr(
-                "CAST((1000000 * sum_overlap) div (10 * n_queries) AS BIGINT)"
-            ).alias("recall_q6"),
-        )
-        .orderBy("scan_bucket")
-    )
-
-
-# Lehr's rule n ≈ 16·p(1−p)/δ² per arm (80% power, α=0.05 two-sided) —
-# ONE shared float expression; δ folds as mde_pp/1e2 (e-notation divisor:
-# a plain 100.0 literal is DECIMAL in Spark SQL).
-_POWER_N = (
-    "CASE WHEN n_views = 0 THEN CAST(0 AS BIGINT)"
-    " ELSE CAST(ceil(16e0 * (CAST(n_clicks AS DOUBLE) / n_views)"
-    " * (1 - CAST(n_clicks AS DOUBLE) / n_views)"
-    " / ((mde_pp / 1e2) * (mde_pp / 1e2))) AS BIGINT) END"
-)
-
-
-@register(
-    "ab_power_table",
-    f"""WITH t AS (
-  SELECT CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
-         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks
-  FROM events),
-m AS (SELECT unnest([1, 2, 5, 10]) AS mde_pp)
-SELECT CAST(m.mde_pp AS BIGINT) AS mde_pp, t.n_views, t.n_clicks,
-       CASE WHEN t.n_views = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * t.n_clicks) // t.n_views AS BIGINT)
-       END AS baseline_q6,
-       {_POWER_N} AS n_per_arm
-FROM t, m ORDER BY mde_pp""",
-)
-def ab_power_table(spark, sf_dir):
-    """Pre-experiment power table: for the CTR baseline this corpus
-    actually has (clicks/views), the sample size PER ARM that Lehr's
-    rule n = 16·p(1−p)/δ² demands at 80% power / α=0.05, for minimum
-    detectable effects of 1/2/5/10 percent points — the 'how long must
-    the test run' row every A/B launch review starts with, computed
-    from the live baseline instead of a guessed one (ab_srm_check
-    validates a running test; this gates whether to start it).
-
-    Determinism: counts are exact; p and the δ² divisor evaluate in ONE
-    shared float expression (δ = mde_pp/1e2 — e-notation divisor, the
-    DECIMAL-literal rule); ceil(double) agrees across engines.
-
-    Scale shape: one map-side-combined two-counter scan, fanned by a
-    4-row literal spine."""
-    t = _events(spark, sf_dir).agg(
-        F.sum(F.expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"))
-        .cast("long")
-        .alias("n_views"),
-        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
-        .cast("long")
-        .alias("n_clicks"),
-    )
-    m = spark.range(1).select(
-        F.explode(F.array(F.lit(1), F.lit(2), F.lit(5), F.lit(10))).alias(
-            "mde_pp"
-        )
-    )
-    return (
-        t.crossJoin(F.broadcast(m))
-        .select(
-            F.col("mde_pp").cast("long").alias("mde_pp"),
-            "n_views",
-            "n_clicks",
-            F.expr(
-                "CASE WHEN n_views = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST((1000000 * n_clicks) div n_views AS BIGINT) END"
-            ).alias("baseline_q6"),
-            F.expr(_POWER_N).alias("n_per_arm"),
-        )
-        .orderBy("mde_pp")
-    )
-
-
-@register(
-    "part_nation_concentration",
-    """WITH j AS (
-  SELECT l.l_partkey, s.s_nationkey
-  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
-per AS (
-  SELECT l_partkey, CAST(count(DISTINCT s_nationkey) AS BIGINT) AS n_nations,
-         CAST(count(*) AS BIGINT) AS n_items
-  FROM j GROUP BY l_partkey)
-SELECT n_nations, CAST(count(*) AS BIGINT) AS n_parts,
-       CAST(sum(n_items) AS BIGINT) AS n_items
-FROM per GROUP BY n_nations ORDER BY n_nations""",
-)
-def part_nation_concentration(spark, sf_dir):
-    """Geographic supply concentration: for every part that actually
-    ships, how many DISTINCT supplier nations its volume comes from —
-    the parts in the n_nations=1 row are the single-country exposure a
-    sourcing review flags first (supplier_brand_matrix finds
-    single-SUPPLIER lanes; this is the coarser, geopolitical grain;
-    brand_supplier_diversity the brand rollup). n_items weights the
-    histogram by shipped volume so a one-nation part that barely sells
-    doesn't read like a crisis.
-
-    Determinism: pure integer counts.
-
-    Scale shape: fact⋈dim on suppkey (supplier un-hinted; AQE
-    broadcasts when it fits); the partkey agg carries a two-phase
-    distinct on the small nation domain; the final rollup is ≤25
-    rows."""
-    j = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .select("l_partkey", "l_suppkey")
-        .join(
-            spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
-                "s_suppkey", "s_nationkey"
-            ),
-            F.col("l_suppkey") == F.col("s_suppkey"),
-        )
-    )
-    per = j.groupBy("l_partkey").agg(
-        F.countDistinct("s_nationkey").cast("long").alias("n_nations"),
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-    )
-    return (
-        per.groupBy("n_nations")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_parts"),
-            F.sum("n_items").cast("long").alias("n_items"),
-        )
-        .orderBy("n_nations")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 150 — surprisal×quality corr, ship-lag trend, priority values
-# ---------------------------------------------------------------------------
-
-# the discount_quantity_corr guarded split-sqrt Pearson, verbatim (a
-# session-local copy — module constants are never reused across sessions,
-# the _ADH_TARGET lesson)
-_PQC_CORR = (
-    "CASE WHEN n < 2 OR n * sxx = sx * sx OR n * syy = sy * sy THEN 0"
-    " ELSE CAST(round(1000000 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
-    " / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
-    " * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS BIGINT) END"
-)
-
-
-@register(
-    "ppl_quality_corr",
-    f"""WITH tf AS ({SQL_TF}),
-tt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY term),
-tot AS (SELECT CAST(sum(total_tf) AS DOUBLE) AS big_t FROM tt),
-nl AS (
-  SELECT term,
-         CAST(round(-ln(CAST(total_tf AS DOUBLE) / big_t) * 1000000) AS BIGINT) AS nlp_q6
-  FROM tt, tot),
-d AS (
-  SELECT tf.doc_id,
-         CAST(CAST(sum(tf.tf * nl.nlp_q6) AS BIGINT)
-              // CAST(sum(tf.tf) AS BIGINT) AS BIGINT) AS mean_nlp_q6
-  FROM tf JOIN nl USING (term) GROUP BY tf.doc_id),
-q AS (
-  SELECT doc_id,
-         CAST(round(1e6 * count(*) / CAST(sum(tf) AS BIGINT)) AS BIGINT) AS ttr_q6
-  FROM tf GROUP BY doc_id),
-j AS (
-  SELECT d.mean_nlp_q6 // 1000 AS x, q.ttr_q6 // 1000 AS y
-  FROM d JOIN q USING (doc_id)),
-s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
-             CAST(sum(x * y) AS BIGINT) AS sxy
-      FROM j)
-SELECT n AS n_docs, CAST({_PQC_CORR} AS BIGINT) AS corr_q6 FROM s""",
-)
-def ppl_quality_corr(spark, sf_dir):
-    """Does the cheap quality score track the LM signal? Pearson
-    correlation between each doc's mean unigram surprisal
-    (unigram_logprob's corpus-as-its-own-LM per-token −ln p) and its
-    type/token ratio (quality_score's distinct_ratio) — the one-number
-    answer to 'can we gate on TTR instead of running perplexity', which
-    is the cost question behind every CCNet-style filter stack
-    (perplexity_buckets shows the surprisal distribution;
-    len_quality_hist2d crosses quality with LENGTH; this crosses the
-    two FILTER SIGNALS against each other).
-
-    Determinism: both per-doc metrics are the exact integer q6 values
-    of their parent ops, FLOORED to q3 before the sufficient stats (the
-    embedding_norm_outliers envelope rule: q6 squares would pass 2^63
-    by ~1e5 docs; at q3, x ≤ ~3e4 keeps n·x² exact past 1e12 docs);
-    the single guarded float expression is the matrix_stats split-sqrt
-    form.
-
-    Scale shape: both metric tables fold off the SAME tf aggregation
-    (per-(doc,term) counts), so the only corpus-scale exchanges are
-    tf's and the vocab-sized LM join; the stats agg collapses map-side
-    to one row."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
-    )
-    tt = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("total_tf"))
-    tot = tt.agg(F.sum("total_tf").cast("double").alias("big_t"))
-    nl = tt.crossJoin(F.broadcast(tot)).select(
-        "term",
-        F.expr(
-            "CAST(round(-ln(CAST(total_tf AS DOUBLE) / big_t) * 1000000) AS BIGINT)"
-        ).alias("nlp_q6"),
-    )
-    d = (
-        tf.join(nl, "term")
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "CAST(CAST(sum(tf * nlp_q6) AS BIGINT)"
-                " div CAST(sum(tf) AS BIGINT) AS BIGINT)"
-            ).alias("mean_nlp_q6")
-        )
-    )
-    q = tf.groupBy("doc_id").agg(
-        F.expr(
-            "CAST(round(1e6 * count(*) / CAST(sum(tf) AS BIGINT)) AS BIGINT)"
-        ).alias("ttr_q6")
-    )
-    j = d.join(q, "doc_id").select(
-        F.expr("mean_nlp_q6 div 1000").alias("x"),
-        F.expr("ttr_q6 div 1000").alias("y"),
-    )
-    s = j.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
-        F.sum(F.expr("y * y")).cast("long").alias("syy"),
-        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
-    )
-    return s.select(
-        F.col("n").alias("n_docs"),
-        F.expr(f"CAST({_PQC_CORR} AS BIGINT)").alias("corr_q6"),
-    )
-
-
-@register(
-    "ship_lag_by_month",
-    f"""WITH j AS (
-  SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT) AS ym,
-         epoch_us(l.l_shipdate) // {_US_PER_DAY}
-           - epoch_us(o.o_orderdate) // {_US_PER_DAY} AS lag_days
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
-SELECT ym, CAST(count(*) AS BIGINT) AS n_items,
-       CAST(sum(lag_days) AS BIGINT) AS sum_lag_days,
-       CAST((1000000 * sum(lag_days)) // count(*) AS BIGINT) AS mean_lag_q6
-FROM j GROUP BY ym ORDER BY ym""",
-)
-def ship_lag_by_month(spark, sf_dir):
-    """Fulfillment-latency TREND: mean order→ship lag per order month —
-    the drift detector on operations (ship_lag_histogram is the static
-    distribution, ship_lag_by_priority the SLA slice; this is the time
-    axis, where a growing backlog actually shows up first). Month key =
-    year·100+month (both engines' year()/month() on timestamps agree —
-    the orders_month_seasonality convention); lags are exact epoch-day
-    differences.
-
-    Determinism: pure integer day arithmetic; the mean is one integer
-    division per month row.
-
-    Scale shape: one orderkey-keyed fact join (the engine's hottest
-    edge, audited by join_size_estimates); the month agg combines
-    map-side into ≤|months| rows."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey",
-        F.expr(f"unix_micros(cast(l_shipdate as timestamp)) div {_US_PER_DAY}").alias(
-            "sd"
-        ),
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey",
-        F.expr("CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)").alias(
-            "ym"
-        ),
-        F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {_US_PER_DAY}").alias(
-            "od"
-        ),
-    )
-    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        "ym", (F.col("sd") - F.col("od")).alias("lag_days")
-    )
-    return (
-        j.groupBy("ym")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.sum("lag_days").cast("long").alias("sum_lag_days"),
-        )
-        .select(
-            "ym",
-            "n_items",
-            "sum_lag_days",
-            F.expr(
-                "CAST((1000000 * sum_lag_days) div n_items AS BIGINT)"
-            ).alias("mean_lag_q6"),
-        )
-        .orderBy("ym")
-    )
-
-
-@register(
-    "priority_value_profile",
-    """SELECT o_orderpriority,
-       CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS value_cents,
-       CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
-       CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
-FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-)
-def priority_value_profile(spark, sf_dir):
-    """Order value by priority class — do urgent orders carry more
-    money, the demand-side sibling of ship_lag_by_priority's SLA audit
-    (if URGENT skews small-value, expediting is costing margin on cheap
-    orders). Sum/min/max cents per class; means derive as sum/n. Cents
-    are rounded per row before every aggregate (the Q1 rule).
-
-    Scale shape: one map-side-combined agg over two narrow columns into
-    ≤5 rows."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderpriority",
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-    )
-    return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum("cents").cast("long").alias("value_cents"),
-            F.min("cents").cast("long").alias("min_cents"),
-            F.max("cents").cast("long").alias("max_cents"),
-        )
-        .orderBy("o_orderpriority")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 151 — rank_feature query, weekend value t-test, watermark curve
-# ---------------------------------------------------------------------------
-
-_RF_PIVOT = 2000  # rank_feature saturation pivot (chars)
-
-
-@register(
-    "rank_feature_search",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + f""",
-boosted AS (
-  SELECT agg.doc_id, agg.score_q6,
-         CAST(round(1000000 * (CAST(d.n_chars AS DOUBLE)
-              / (d.n_chars + {_RF_PIVOT}))) AS BIGINT) AS sat_q6
-  FROM agg JOIN documents d ON d.doc_id = agg.doc_id
-  WHERE agg.doc_id <> 0)
-SELECT doc_id, score_q6, sat_q6,
-       CAST(score_q6 + sat_q6 AS BIGINT) AS final_q6
-FROM boosted ORDER BY final_q6 DESC, doc_id ASC LIMIT 10""",
-)
-def rank_feature_search(spark, sf_dir):
-    """ES ``rank_feature`` query (saturation function, pivot 2000):
-    final = bm25 + x/(x+pivot) over the numeric feature n_chars — the
-    ADDITIVE static-signal boost (pagerank/popularity slots in exactly
-    here in a real deployment). Completes the function_score family's
-    third combine mode: function_score_decay multiplies by recency,
-    field_value_factor multiplies by ln1p(field), rank_feature ADDS a
-    bounded saturated term so relevance can never be zeroed out by a
-    weak feature — the property ES documents as the reason rank_feature
-    exists.
-
-    Determinism: sat_q6 = round(1e6·x/(x+pivot)) per doc FIRST (one
-    float division); the final score is an exact integer ADD — no
-    product, so no div-vs-floor concern at all.
-
-    Scale shape: match-set ⋈ metadata on doc_id (the J2 shape; match
-    set broadcasts at scale); saturation runs map-side in codegen;
-    top-10 is a TakeOrdered."""
-    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS).where(F.col("doc_id") != 0)
-    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
-    boosted = agg.join(d, "doc_id").select(
-        "doc_id",
-        "score_q6",
-        F.expr(
-            f"CAST(round(1000000 * (CAST(n_chars AS DOUBLE)"
-            f" / (n_chars + {_RF_PIVOT}))) AS BIGINT)"
-        ).alias("sat_q6"),
-    )
-    return (
-        boosted.select(
-            "doc_id",
-            "score_q6",
-            "sat_q6",
-            F.expr("CAST(score_q6 + sat_q6 AS BIGINT)").alias("final_q6"),
-        )
-        .orderBy(F.desc("final_q6"), F.asc("doc_id"))
-        .limit(10)
-    )
-
-
-@register(
-    "weekend_value_ttest",
-    f"""WITH t AS (
-  SELECT CASE WHEN (epoch_us(ts) // {_US_PER_DAY} + 3) % 7 >= 5 THEN 'we' ELSE 'wd' END AS grp,
-         CAST(round(value * 100) AS BIGINT) AS x
-  FROM events WHERE event_type = 'purchase'),
-s AS (SELECT
-  CAST(count(*) FILTER (WHERE grp = 'we') AS BIGINT) AS na,
-  CAST(count(*) FILTER (WHERE grp = 'wd') AS BIGINT) AS nb,
-  CAST(COALESCE(sum(x) FILTER (WHERE grp = 'we'), 0) AS BIGINT) AS sa,
-  CAST(COALESCE(sum(x) FILTER (WHERE grp = 'wd'), 0) AS BIGINT) AS sb,
-  CAST(COALESCE(sum(x*x) FILTER (WHERE grp = 'we'), 0) AS BIGINT) AS ssa,
-  CAST(COALESCE(sum(x*x) FILTER (WHERE grp = 'wd'), 0) AS BIGINT) AS ssb
-  FROM t)
-SELECT na, nb, sa, sb, {_TTEST_EXPR} AS t2_q6 FROM s""",
-)
-def weekend_value_ttest(spark, sf_dir):
-    """Is weekend purchase value different from weekday? Welch t² over
-    purchase cents, weekend (dow ≥ 5, the (day+3)%7 0=Mon rule) vs
-    weekday — the inference companion to weekend_activity_share's
-    descriptive contrast (share says the MIX shifts; this says whether
-    the SPEND PER PURCHASE shifts, with a significance number).
-    `_TTEST_EXPR` verbatim — six exact BIGINT sufficient stats, one
-    shared guarded float expression, t² so no sqrt (the session-19
-    rules).
-
-    Scale shape: ONE map-side-combined filtered scan to six integers;
-    the t² arithmetic is a scalar expression. Exact-double envelope
-    < 2^53 holds to ~1e9 purchases of ~1e4 cents²-scale."""
-    t = (
-        _events(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.expr(
-                f"CASE WHEN (unix_micros(cast(ts as timestamp)) div {_US_PER_DAY} + 3) % 7 >= 5"
-                " THEN 'we' ELSE 'wd' END"
-            ).alias("grp"),
-            F.expr("CAST(round(value * 100) AS BIGINT)").alias("x"),
-        )
-    )
-    s = t.agg(
-        F.count_if(F.col("grp") == "we").cast("long").alias("na"),
-        F.count_if(F.col("grp") == "wd").cast("long").alias("nb"),
-        F.coalesce(F.sum(F.when(F.col("grp") == "we", F.col("x"))), F.lit(0))
-        .cast("long")
-        .alias("sa"),
-        F.coalesce(F.sum(F.when(F.col("grp") == "wd", F.col("x"))), F.lit(0))
-        .cast("long")
-        .alias("sb"),
-        F.coalesce(F.sum(F.when(F.col("grp") == "we", F.expr("x*x"))), F.lit(0))
-        .cast("long")
-        .alias("ssa"),
-        F.coalesce(F.sum(F.when(F.col("grp") == "wd", F.expr("x*x"))), F.lit(0))
-        .cast("long")
-        .alias("ssb"),
-    )
-    return s.select("na", "nb", "sa", "sb", F.expr(_TTEST_EXPR).alias("t2_q6"))
-
-
-# watermark delays swept (µs): 0, 1 min, 5 min, 15 min
-_WM_DELAYS = [0, 60_000_000, 300_000_000, 900_000_000]
-_WM_SHARD = 4096  # event_id-range sub-shard width for the two-pass max
-
-
-@register(
-    "watermark_drop_curve",
-    f"""WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
-w AS (
-  SELECT us,
-         max(us) OVER (ORDER BY event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
-  FROM e),
-l AS (
-  SELECT CASE WHEN wm IS NULL OR wm <= us THEN 0 ELSE wm - us END AS late_us
-  FROM w),
-d AS (SELECT unnest([{", ".join(str(x) for x in _WM_DELAYS)}]) AS delay_us)
-SELECT CAST(d.delay_us AS BIGINT) AS delay_us,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CASE WHEN l.late_us > d.delay_us THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_dropped,
-       CAST((1000000 * sum(CASE WHEN l.late_us > d.delay_us THEN 1 ELSE 0 END))
-            // count(*) AS BIGINT) AS drop_q6
-FROM l, d GROUP BY d.delay_us ORDER BY delay_us""",
-)
-def watermark_drop_curve(spark, sf_dir):
-    """THE watermark tuning table: if the stream ran with
-    withWatermark(delay) for delay ∈ {0, 1 min, 5 min, 15 min}, what
-    fraction of events would arrive behind the watermark and be
-    dropped? Lateness of event i = max event-time seen over STRICTLY
-    EARLIER arrivals (arrival order = event_id) minus its own
-    event-time — event_disorder_histogram profiles per-KEY disorder;
-    this is the global-stream number the delay knob is actually set
-    against. The sandbox stream is in-order, so an all-zero dropped
-    column is CORRECT — the property suite injects disorder to prove
-    the counters (the url_domain_census rule).
-
-    Scale shape (Spark): the running max is NOT one global window — it
-    is the pack_sequences two-pass form: event_id-range sub-shards
-    compute their running max in parallel, a shards-sized table takes
-    an exclusive prefix max, and wm = greatest(prior-shard prefix,
-    within-shard running max) — byte-identical to the oracle's single
-    window at any shard width. The 4-delay fan and the rollup are
-    map-side.
-
-    Determinism: pure integer µs arithmetic throughout."""
-    e = _events(spark, sf_dir).select(
-        "event_id", F.expr("unix_micros(cast(ts as timestamp))").alias("us")
-    )
-    sh = e.withColumn("sh", F.expr(f"event_id div {_WM_SHARD}"))
-    win = Window.partitionBy("sh").orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    within = sh.withColumn("wmin", F.max("us").over(win))
-    smax = sh.groupBy("sh").agg(F.max("us").alias("shmax"))
-    wsh = Window.orderBy("sh").rowsBetween(Window.unboundedPreceding, -1)
-    pmax = smax.select("sh", F.max("shmax").over(wsh).alias("pmax"))
-    w = within.join(pmax, "sh").select(
-        "us",
-        F.expr(
-            "CASE WHEN wmin IS NULL AND pmax IS NULL THEN NULL"
-            " WHEN wmin IS NULL THEN pmax"
-            " WHEN pmax IS NULL THEN wmin"
-            " ELSE greatest(wmin, pmax) END"
-        ).alias("wm"),
-    )
-    late = w.select(
-        F.expr(
-            "CASE WHEN wm IS NULL OR wm <= us THEN 0 ELSE wm - us END"
-        ).alias("late_us")
-    )
-    d = spark.range(1).select(
-        F.explode(F.array(*[F.lit(x) for x in _WM_DELAYS])).alias("delay_us")
-    )
-    return (
-        late.crossJoin(F.broadcast(d))
-        .groupBy("delay_us")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum(F.expr("CASE WHEN late_us > delay_us THEN 1 ELSE 0 END"))
-            .cast("long")
-            .alias("n_dropped"),
-        )
-        .select(
-            F.col("delay_us").cast("long").alias("delay_us"),
-            "n_events",
-            "n_dropped",
-            F.expr(
-                "CAST((1000000 * n_dropped) div n_events AS BIGINT)"
-            ).alias("drop_q6"),
-        )
-        .orderBy("delay_us")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 152 — phrase cost card, encoding advisor, term-length×df profile
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "phrase_cost_estimate",
-    f"""WITH {_SQL_POS},
-t1 AS (SELECT doc_id, i FROM p WHERE term = 'spark'),
-t2 AS (SELECT doc_id, i FROM p WHERE term = 'hash'),
-d1 AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS df1,
-              CAST(count(*) AS BIGINT) AS pos1 FROM t1),
-d2 AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS df2,
-              CAST(count(*) AS BIGINT) AS pos2 FROM t2),
-bothd AS (SELECT doc_id FROM (SELECT DISTINCT doc_id FROM t1) a
-         JOIN (SELECT DISTINCT doc_id FROM t2) b USING (doc_id)),
-nb AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_both FROM bothd),
-scan AS (SELECT CAST(count(*) AS BIGINT) AS pos_scanned FROM (
-  SELECT t1.i FROM t1 JOIN bothd USING (doc_id)
-  UNION ALL SELECT t2.i FROM t2 JOIN bothd USING (doc_id))),
-pm AS (SELECT CAST(count(*) AS BIGINT) AS n_phrase_occurrences,
-              CAST(count(DISTINCT t1.doc_id) AS BIGINT) AS n_phrase_docs
-       FROM t1 JOIN t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1)
-SELECT df1, pos1, df2, pos2, n_docs_both, pos_scanned,
-       n_phrase_docs, n_phrase_occurrences
-FROM d1, d2, nb, scan, pm""",
-)
-def phrase_cost_estimate(spark, sf_dir):
-    """Positional-query cost card for the canned phrase "spark hash":
-    per-term df and position counts, the doc_id-intersection size, the
-    position rows a phrase evaluator actually decodes (both terms'
-    positions WITHIN intersecting docs only — the reason phrase queries
-    intersect doc_ids BEFORE touching positions), and the true
-    phrase-match count. query_cost_estimate prices the OR-scan; this
-    prices the positional stage on top — together they are the
-    planner's full cost model for F4 (positions_varint_estimate prices
-    the same rows in BYTES).
-
-    Determinism: pure integer counts; 0-based posexplode vs 1-based
-    SQL positions cancel in the i+1 adjacency (the phrase_slop rule).
-
-    Scale shape: per-term position sets are df-bounded; the adjacency
-    join keys on doc_id (a term's positions within one doc bound the
-    per-key fan); five scalar legs cross-join as 1-row tables."""
-    pos = _docs(spark, sf_dir).select(
-        "doc_id", F.posexplode(spark_tokens("text")).alias("i", "term")
-    )
-    t1 = pos.where(F.col("term") == "spark").select("doc_id", "i").localCheckpoint()
-    t2 = pos.where(F.col("term") == "hash").select("doc_id", "i").localCheckpoint()
-    d1 = t1.agg(
-        F.countDistinct("doc_id").cast("long").alias("df1"),
-        F.count(F.lit(1)).cast("long").alias("pos1"),
-    )
-    d2 = t2.agg(
-        F.countDistinct("doc_id").cast("long").alias("df2"),
-        F.count(F.lit(1)).cast("long").alias("pos2"),
-    )
-    both = (
-        t1.select("doc_id")
-        .distinct()
-        .join(t2.select("doc_id").distinct(), "doc_id")
-        .localCheckpoint()
-    )
-    nb = both.agg(F.count(F.lit(1)).cast("long").alias("n_docs_both"))
-    scan = (
-        t1.join(both, "doc_id")
-        .select("i")
-        .unionAll(t2.join(both, "doc_id").select("i"))
-        .agg(F.count(F.lit(1)).cast("long").alias("pos_scanned"))
-    )
-    a, b = t1.alias("a"), t2.alias("b")
-    pm = a.join(
-        b,
-        (F.col("b.doc_id") == F.col("a.doc_id"))
-        & (F.col("b.i") == F.col("a.i") + 1),
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_phrase_occurrences"),
-        F.countDistinct("a.doc_id").cast("long").alias("n_phrase_docs"),
-    )
-    return (
-        d1.crossJoin(d2)
-        .crossJoin(nb)
-        .crossJoin(scan)
-        .crossJoin(pm)
-        .select(
-            "df1", "pos1", "df2", "pos2", "n_docs_both", "pos_scanned",
-            "n_phrase_docs", "n_phrase_occurrences",
-        )
-    )
-
-
-def _enc_arm_sql(col: str) -> str:
-    return f"""SELECT '{col}' AS col_name, CAST(sum(n) AS BIGINT) AS n_rows,
-       CAST(count(*) AS BIGINT) AS ndv,
-       CAST(sum(CAST(length(v) AS BIGINT) * n) AS BIGINT) AS plain_bytes,
-       CAST(sum(CAST(length(v) AS BIGINT))
-            + (sum(n) * (length(bin(count(*) - 1))) + 7) // 8 AS BIGINT)
-         AS dict_bytes
-FROM (SELECT {col} AS v, CAST(count(*) AS BIGINT) AS n
-      FROM documents GROUP BY {col})"""
-
-
-@register(
-    "column_encoding_advisor",
-    "\nUNION ALL\n".join(_enc_arm_sql(c) for c in ["source", "lang", "text"])
-    + "\nORDER BY col_name",
-)
-def column_encoding_advisor(spark, sf_dir):
-    """Parquet-layout advisor for the documents table's string columns:
-    per column, row count, NDV, plain-encoding bytes (Σ value lengths —
-    codepoint length as the byte proxy) and dictionary-encoding bytes
-    (distinct-value bytes + bit-packed codes at ceil(log2 ndv) bits per
-    row, the PLAIN_DICTIONARY cost model). Where dict_bytes ≪
-    plain_bytes (source, lang) the writer should dictionary-encode;
-    text's NDV ≈ n_rows says the opposite — THIS table is why the
-    engine's own parquet writes leave text plain and let source/lang
-    dictionary-compress (dict_frontcoding_estimate plays the same
-    advisor role for the TERM dictionary).
-
-    Determinism: pure integer arithmetic; code bits =
-    length(bin(ndv−1)) exactly as the roaring/varint ops count bits.
-
-    Scale shape: one per-value groupBy per column (map-side partials,
-    the column's own NDV bounds the agg) then a 1-row rollup; three
-    independent arms union."""
-    arms = []
-    for c in ["source", "lang", "text"]:
-        per = (
-            _docs(spark, sf_dir)
-            .groupBy(F.col(c).alias("v"))
-            .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        )
-        arms.append(
-            per.agg(
-                F.sum("n").cast("long").alias("n_rows"),
-                F.count(F.lit(1)).cast("long").alias("ndv"),
-                F.sum(F.expr("CAST(length(v) AS BIGINT) * n"))
-                .cast("long")
-                .alias("plain_bytes"),
-                F.sum(F.expr("CAST(length(v) AS BIGINT)"))
-                .cast("long")
-                .alias("dict_val_bytes"),
-            ).select(
-                F.lit(c).alias("col_name"),
-                "n_rows",
-                "ndv",
-                "plain_bytes",
-                F.expr(
-                    "CAST(dict_val_bytes"
-                    " + (n_rows * length(bin(ndv - 1)) + 7) div 8 AS BIGINT)"
-                ).alias("dict_bytes"),
-            )
-        )
-    return arms[0].unionByName(arms[1]).unionByName(arms[2]).orderBy("col_name")
-
-
-@register(
-    "term_length_df_profile",
-    f"""WITH tf AS ({SQL_TF}),
-dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
-SELECT CAST(length(term) AS BIGINT) AS term_len,
-       CAST(count(*) AS BIGINT) AS n_terms,
-       CAST(sum(df) AS BIGINT) AS n_postings,
-       CAST((1000000 * sum(df)) // count(*) AS BIGINT) AS mean_df_q6
-FROM dfs GROUP BY length(term) ORDER BY term_len""",
-)
-def term_length_df_profile(spark, sf_dir):
-    """Are long tokens rare? Mean document frequency by term LENGTH —
-    the joint view token_length_histogram (length mass) and df_spectrum
-    (frequency mass) each project away. The knee of this curve is where
-    fuzzy matching's prefix_length and the trigram index's selectivity
-    assumptions live: short terms are common AND collision-prone, long
-    terms are nearly unique — the empirical basis for length-tiered
-    query strategies.
-
-    Determinism: exact integer counts, one division per length row.
-
-    Scale shape: df is the standard two-phase agg; the length rollup
-    runs on the vocab-sized table into ≤|max term length| rows."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    return (
-        dfs.groupBy(F.length("term").cast("long").alias("term_len"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.sum("df").cast("long").alias("n_postings"),
-        )
-        .select(
-            "term_len",
-            "n_terms",
-            "n_postings",
-            F.expr(
-                "CAST((1000000 * n_postings) div n_terms AS BIGINT)"
-            ).alias("mean_df_q6"),
-        )
-        .orderBy("term_len")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 153 — dedup df movers, open-order aging, histogram join estimate
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "dedup_df_shift_topk",
-    f"""WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
-surv AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM h GROUP BY hh),
-tf AS ({SQL_TF}),
-df_all AS (SELECT term, CAST(count(*) AS BIGINT) AS df_all FROM tf GROUP BY term),
-df_s AS (
-  SELECT tf.term, CAST(count(*) AS BIGINT) AS df_surv
-  FROM tf JOIN surv ON surv.doc_id = tf.doc_id GROUP BY tf.term)
-SELECT da.term, da.df_all,
-       CAST(COALESCE(ds.df_surv, 0) AS BIGINT) AS df_surv,
-       CAST(da.df_all - COALESCE(ds.df_surv, 0) AS BIGINT) AS df_drop
-FROM df_all da LEFT JOIN df_s ds ON ds.term = da.term
-WHERE da.df_all - COALESCE(ds.df_surv, 0) > 0
-ORDER BY df_drop DESC, da.term ASC LIMIT 20""",
-)
-def dedup_df_shift_topk(spark, sf_dir):
-    """How exact dedup reshapes the LANGUAGE MODEL: the terms whose
-    document frequency drops most when only the min-doc_id survivor of
-    each md5(text) group is kept — boilerplate/template vocabulary
-    concentrates in duplicated docs, so THIS list is what dedup
-    actually deletes from the index statistics
-    (dedup_quality_shift tracks the TTR shift; idf_split_stability
-    checks sampling noise; this names the terms whose idf moves for a
-    systematic reason). df_drop = 0 terms are excluded — on a dup-free
-    corpus the result is correctly empty.
-
-    Determinism: exact integer counts; top-20 ties break on term.
-
-    Scale shape: the survivor set is the md5-groupBy min (dedup_exact's
-    shuffle); survivor membership semi-joins into the tf table on
-    doc_id; both df aggs are two-phase; top-20 is a TakeOrdered."""
-    h = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("hh"))
-    surv = h.groupBy("hh").agg(F.min("doc_id").cast("long").alias("doc_id")).select(
-        "doc_id"
-    )
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
-    )
-    df_all = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_all"))
-    df_s = (
-        tf.join(surv, "doc_id")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("df_surv"))
-    )
-    return (
-        df_all.join(df_s, "term", "left")
-        .select(
-            "term",
-            "df_all",
-            F.coalesce("df_surv", F.lit(0)).cast("long").alias("df_surv"),
-            (F.col("df_all") - F.coalesce("df_surv", F.lit(0)))
-            .cast("long")
-            .alias("df_drop"),
-        )
-        .where(F.col("df_drop") > 0)
-        .orderBy(F.desc("df_drop"), F.asc("term"))
-        .limit(20)
-    )
-
-
-@register(
-    "open_order_age_histogram",
-    f"""WITH b AS (
-  SELECT CAST(max(epoch_us(o_orderdate)) // {_US_PER_DAY} AS BIGINT) AS maxd
-  FROM orders),
-a AS (
-  SELECT CAST(b.maxd - epoch_us(o.o_orderdate) // {_US_PER_DAY} AS BIGINT) AS age_days,
-         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders o, b WHERE o.o_orderstatus = 'O'),
-bk AS (
-  SELECT CASE WHEN age_days <= 30 THEN 0 WHEN age_days <= 90 THEN 1
-              WHEN age_days <= 365 THEN 2 ELSE 3 END AS age_band,
-         cents
-  FROM a)
-SELECT CAST(age_band AS BIGINT) AS age_band,
-       CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(cents) AS BIGINT) AS value_cents
-FROM bk GROUP BY age_band ORDER BY age_band""",
-)
-def open_order_age_histogram(spark, sf_dir):
-    """Backlog aging: OPEN orders (o_orderstatus = 'O') banded by age
-    relative to the dataset's last order date (≤month / ≤quarter /
-    ≤year / older), with the money stuck in each band — the
-    receivables-aging table every operations review opens with
-    (open_lineitems_timeseries tracks in-flight ITEMS over time; this
-    is the order-header snapshot at end of data, where old-and-open is
-    the anomaly). The dataset-max anchor keeps the op deterministic
-    with no wall clock in the contract.
-
-    Determinism: epoch-day integers; per-row cents (the Q1 rule).
-
-    Scale shape: the 1-row max-date bounds table broadcasts; the
-    status filter pushes into the scan; one ≤4-band map-side agg."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    b = o.agg(
-        F.expr(
-            f"CAST(max(unix_micros(cast(o_orderdate as timestamp))) div {_US_PER_DAY} AS BIGINT)"
-        ).alias("maxd")
-    )
-    a = (
-        o.where(F.col("o_orderstatus") == "O")
-        .crossJoin(F.broadcast(b))
-        .select(
-            F.expr(
-                f"CAST(maxd - unix_micros(cast(o_orderdate as timestamp)) div {_US_PER_DAY} AS BIGINT)"
-            ).alias("age_days"),
-            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-        )
-    )
-    bk = a.select(
-        F.expr(
-            "CAST(CASE WHEN age_days <= 30 THEN 0 WHEN age_days <= 90 THEN 1"
-            " WHEN age_days <= 365 THEN 2 ELSE 3 END AS BIGINT)"
-        ).alias("age_band"),
-        "cents",
-    )
-    return (
-        bk.groupBy("age_band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum("cents").cast("long").alias("value_cents"),
-        )
-        .orderBy("age_band")
-    )
-
-
-@register(
-    "join_histogram_estimate",
-    """WITH b AS (
-  SELECT CAST(min(o_orderkey) AS BIGINT) AS mn, CAST(max(o_orderkey) AS BIGINT) AS mx
-  FROM orders),
-w AS (SELECT mn, CAST((mx - mn) // 16 + 1 AS BIGINT) AS w FROM b),
-lb AS (SELECT (l.l_orderkey - w.mn) // w.w AS bkt,
-              CAST(count(*) AS BIGINT) AS n,
-              CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS ndv
-       FROM lineitem l, w GROUP BY (l.l_orderkey - w.mn) // w.w),
-ob AS (SELECT (o.o_orderkey - w.mn) // w.w AS bkt,
-              CAST(count(*) AS BIGINT) AS n,
-              CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS ndv
-       FROM orders o, w GROUP BY (o.o_orderkey - w.mn) // w.w),
-hist AS (SELECT CAST(COALESCE(sum((lb.n * ob.n) // greatest(lb.ndv, ob.ndv, 1)), 0)
-                AS BIGINT) AS est_hist
-         FROM lb JOIN ob USING (bkt)),
-tot AS (SELECT
-  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_left,
-  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_right,
-  (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS ndv_left,
-  (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS ndv_right),
-act AS (SELECT CAST(COALESCE(sum(a.n * bb.n), 0) AS BIGINT) AS actual_rows
-        FROM (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n
-              FROM lineitem GROUP BY l_orderkey) a
-        JOIN (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS n
-              FROM orders GROUP BY o_orderkey) bb ON a.k = bb.k)
-SELECT tot.n_left, tot.n_right,
-       CAST((tot.n_left * tot.n_right)
-            // greatest(tot.ndv_left, tot.ndv_right, 1) AS BIGINT) AS est_single,
-       hist.est_hist, act.actual_rows
-FROM tot, hist, act""",
-)
-def join_histogram_estimate(spark, sf_dir):
-    """Do histogram statistics beat single-NDV statistics? For the
-    lineitem⋈orders edge: the System-R single-NDV estimate, a
-    16-bucket equi-width-histogram estimate (per-bucket n·n/max(ndv) —
-    what a CBO with column histograms computes), and the exact join
-    cardinality. On uniform TPC-H keys the two estimates agree; on
-    skewed/partial-range keys the histogram estimate tracks actual
-    while single-NDV drifts — the one-table justification for ANALYZE
-    with histograms before trusting join reordering
-    (join_size_estimates sweeps edges at single-NDV grain; this deepens
-    the hottest edge).
-
-    Determinism: per-bucket estimates are integer divisions summed as
-    BIGINTs (a float per-bucket sum would be engine-order-dependent);
-    bucket width derives from the orders key range. Envelope:
-    n_left·n_right < 2^63 holds to ~3e9×3e9 rows; past that the
-    estimate arithmetic moves to doubles, documented at
-    join_size_estimates.
-
-    Scale shape: bucket aggs combine map-side (≤16 groups); the exact
-    leg joins key-cardinality-sized count tables; nothing materializes
-    the join."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.col("l_orderkey").alias("k")
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        F.col("o_orderkey").alias("k")
-    )
-    b = o.agg(
-        F.min("k").cast("long").alias("mn"), F.max("k").cast("long").alias("mx")
-    )
-    w = b.select("mn", F.expr("CAST((mx - mn) div 16 + 1 AS BIGINT)").alias("w"))
-    lb = (
-        li.crossJoin(F.broadcast(w))
-        .groupBy(F.expr("(k - mn) div w").alias("bkt"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.countDistinct("k").cast("long").alias("ndv"),
-        )
-    )
-    ob = (
-        o.crossJoin(F.broadcast(w))
-        .groupBy(F.expr("(k - mn) div w").alias("bkt"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.countDistinct("k").cast("long").alias("ndv"),
-        )
-    )
-    hist = (
-        lb.alias("lb")
-        .join(ob.alias("ob"), "bkt")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.expr(
-                        "(lb.n * ob.n) div greatest(lb.ndv, ob.ndv, 1)"
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("est_hist")
-        )
-    )
-    ls = li.agg(
-        F.count(F.lit(1)).cast("long").alias("n_left"),
-        F.countDistinct("k").cast("long").alias("ndv_left"),
-    )
-    rs = o.agg(
-        F.count(F.lit(1)).cast("long").alias("n_right"),
-        F.countDistinct("k").cast("long").alias("ndv_right"),
-    )
-    la = li.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("nl"))
-    ra = o.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("nr"))
-    act = la.join(ra, "k").agg(
-        F.coalesce(F.sum(F.expr("nl * nr")), F.lit(0))
-        .cast("long")
-        .alias("actual_rows")
-    )
-    return (
-        ls.crossJoin(rs)
-        .crossJoin(hist)
-        .crossJoin(act)
-        .select(
-            "n_left",
-            "n_right",
-            F.expr(
-                "CAST((n_left * n_right)"
-                " div greatest(ndv_left, ndv_right, 1) AS BIGINT)"
-            ).alias("est_single"),
-            "est_hist",
-            "actual_rows",
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 154 — rule audit, layout pruning estimate, quality-vs-dup ROC
-# ---------------------------------------------------------------------------
-
-# (rule_name, violation predicate) — the dbt-tests / expectations shape:
-# each rule is a CHECK whose violation count should be 0 on healthy data.
-# All-zero on the sandbox is CORRECT; the property suite injects dirty
-# rows to prove every counter (the url_domain_census rule).
-_EVENT_RULES = [
-    ("nonneg_value", "value < 0"),
-    ("known_type", "event_type NOT IN ('view','click','purchase','signup','error')"),
-    ("props_has_k", "{props_k} IS NULL"),
-    ("ts_in_range", "ts < TIMESTAMP '1990-01-01' OR ts >= TIMESTAMP '2100-01-01'"),
-    ("nonneg_user", "user_id < 0"),
-]
-
-
-@register(
-    "events_rule_audit",
-    "\nUNION ALL\n".join(
-        f"""SELECT '{name}' AS rule_name, CAST(count(*) AS BIGINT) AS n_checked,
-       CAST(sum(CASE WHEN {pred.format(props_k="json_extract_string(props, '$.k')")} THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
-FROM events"""
-        for name, pred in _EVENT_RULES
-    )
-    + "\nORDER BY rule_name",
-)
-def events_rule_audit(spark, sf_dir):
-    """Declarative data-quality gate over the events table — five CHECK
-    rules (non-negative value/user, closed type vocabulary, props
-    carries the 'k' key, timestamp sanity window) with per-rule checked
-    and violation counts: the dbt-test / expectations report that runs
-    BEFORE any analytics trusts the table (fk_integrity_census audits
-    cross-table references; nchars_integrity_audit a denormalized
-    column; this is the single-table rule engine beside them).
-    All-zero violations on the sandbox stream is the correct healthy
-    reading — the property suite injects dirty rows to prove each
-    counter fires.
-
-    Determinism: pure integer conditional counts; the JSON probe is
-    get_json_object/json_extract_string respectively (the
-    props_key_census engine-function pairing).
-
-    Scale shape: every rule is a map-side conditional counter; Spark
-    folds all five into ONE scan-and-agg then unpivots via stack()
-    (the adjacency_matrix_agg rule: per-rule UNION ALL re-scans are
-    oracle-only)."""
-    aggs = []
-    for name, pred in _EVENT_RULES:
-        p = pred.format(props_k="get_json_object(props, '$.k')")
-        aggs.append(
-            F.sum(F.expr(f"CASE WHEN {p} THEN 1 ELSE 0 END"))
-            .cast("long")
-            .alias(f"v_{name}")
-        )
-    one = _events(spark, sf_dir).agg(
-        F.count(F.lit(1)).cast("long").alias("n_checked"), *aggs
-    )
-    stack_args = ", ".join(
-        f"'{name}', v_{name}" for name, _ in _EVENT_RULES
-    )
-    return (
-        one.select(
-            "n_checked",
-            F.expr(
-                f"stack({len(_EVENT_RULES)}, {stack_args})"
-                " AS (rule_name, n_violations)"
-            ),
-        )
-        .select("rule_name", "n_checked", F.col("n_violations").cast("long").alias("n_violations"))
-        .orderBy("rule_name")
-    )
-
-
-_RG_ROWS = 64  # simulated parquet row-group size (rows)
-
-
-@register(
-    "sort_layout_pruning_estimate",
-    f"""WITH d AS (SELECT doc_id, lang FROM documents),
-n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM d),
-ga AS (
-  SELECT doc_id // {_RG_ROWS} AS grp, lang FROM d),
-ta AS (SELECT CAST(count(DISTINCT grp) AS BIGINT) AS touched
-       FROM ga WHERE lang = 'en'),
-na AS (SELECT CAST(count(DISTINCT grp) AS BIGINT) AS n_groups FROM ga),
-pb AS (
-  SELECT (row_number() OVER (ORDER BY lang, doc_id) - 1) // {_RG_ROWS} AS grp,
-         lang
-  FROM d),
-tb AS (SELECT CAST(count(DISTINCT grp) AS BIGINT) AS touched
-       FROM pb WHERE lang = 'en'),
-nb AS (SELECT CAST(count(DISTINCT grp) AS BIGINT) AS n_groups FROM pb)
-SELECT 'doc_id_order' AS layout, na.n_groups, ta.touched,
-       CAST((1000000 * ta.touched) // na.n_groups AS BIGINT) AS touched_q6
-FROM na, ta
-UNION ALL
-SELECT 'lang_sorted', nb.n_groups, tb.touched,
-       CAST((1000000 * tb.touched) // nb.n_groups AS BIGINT)
-FROM nb, tb
-ORDER BY layout""",
-)
-def sort_layout_pruning_estimate(spark, sf_dir):
-    """File-layout advisor: how many 64-row row-groups a
-    `lang = 'en'` scan must touch under the CURRENT doc_id-ordered
-    layout versus a lang-sorted rewrite — row-group min/max pruning can
-    only skip a group when the predicate's rows cluster, so touched/total
-    IS the expected pruning win of re-sorting (the quantified version
-    of the guide's 'sort by your filter column'; the engine's own
-    doc_id-sorted docs table makes exactly this trade for doc_id
-    probes, _write_bucketed's rationale).
-
-    Determinism: dense doc_ids make layout A's groups a pure integer
-    division; layout B's groups come from the (lang, doc_id) rank.
-
-    Scale shape (Spark): layout B avoids the oracle's global window via
-    the global_row_ids two-pass form — per-lang row_number windows
-    (lang is the partition key) offset by an exclusive prefix sum over
-    the tiny per-lang counts table; identical output to the oracle's
-    single ORDER BY lang, doc_id window."""
-    d = _docs(spark, sf_dir).select("doc_id", "lang")
-    n_groups_a = d.select(
-        F.expr(f"doc_id div {_RG_ROWS}").alias("grp")
-    )
-    na = n_groups_a.agg(F.countDistinct("grp").cast("long").alias("n_groups"))
-    ta = (
-        d.where(F.col("lang") == "en")
-        .select(F.expr(f"doc_id div {_RG_ROWS}").alias("grp"))
-        .agg(F.countDistinct("grp").cast("long").alias("touched"))
-    )
-    lc = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    wl = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, -1)
-    off = lc.select(
-        "lang", F.coalesce(F.sum("cnt").over(wl), F.lit(0)).alias("off")
-    )
-    wlang = Window.partitionBy("lang").orderBy("doc_id")
-    pb = (
-        d.withColumn("rn", F.row_number().over(wlang))
-        .join(F.broadcast(off), "lang")
-        .select(
-            "lang",
-            F.expr(f"(off + rn - 1) div {_RG_ROWS}").alias("grp"),
-        )
-    )
-    nb = pb.agg(F.countDistinct("grp").cast("long").alias("n_groups"))
-    tb = (
-        pb.where(F.col("lang") == "en")
-        .agg(F.countDistinct("grp").cast("long").alias("touched"))
-    )
-    ra = na.crossJoin(ta).select(
-        F.lit("doc_id_order").alias("layout"),
-        "n_groups",
-        "touched",
-        F.expr("CAST((1000000 * touched) div n_groups AS BIGINT)").alias(
-            "touched_q6"
-        ),
-    )
-    rb = nb.crossJoin(tb).select(
-        F.lit("lang_sorted").alias("layout"),
-        "n_groups",
-        "touched",
-        F.expr("CAST((1000000 * touched) div n_groups AS BIGINT)").alias(
-            "touched_q6"
-        ),
-    )
-    return ra.unionByName(rb).orderBy("layout")
-
-
-@register(
-    "quality_gate_roc",
-    f"""WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
-dupg AS (SELECT hh FROM h GROUP BY hh HAVING count(*) > 1),
-lab0 AS (SELECT h.doc_id,
-                CASE WHEN dupg.hh IS NULL THEN 0 ELSE 1 END AS is_dup
-         FROM h LEFT JOIN dupg ON dupg.hh = h.hh),
-tf AS ({SQL_TF}),
-q AS (SELECT doc_id,
-             CAST(round(1e6 * count(*) / CAST(sum(tf) AS BIGINT)) AS BIGINT) AS ttr_q6
-      FROM tf GROUP BY doc_id),
-lab AS (SELECT q.ttr_q6 AS score_q6, lab0.is_dup
-        FROM q JOIN lab0 ON lab0.doc_id = q.doc_id),
-cells AS (SELECT score_q6,
-                 CAST(COALESCE(sum(is_dup), 0) AS BIGINT) AS ca,
-                 CAST(COALESCE(sum(1 - is_dup), 0) AS BIGINT) AS cb
-          FROM lab GROUP BY score_q6),
-cum AS (SELECT score_q6, ca, cb,
-               CAST(COALESCE(sum(cb) OVER (ORDER BY score_q6
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                    AS BIGINT) AS cb_before
-        FROM cells),
-u AS (SELECT CAST(COALESCE(sum(ca * (2 * cb_before + cb)), 0) AS BIGINT) AS u2,
-             CAST(COALESCE(sum(ca), 0) AS BIGINT) AS na,
-             CAST(COALESCE(sum(cb), 0) AS BIGINT) AS nb
-      FROM cum)
-SELECT na AS n_dup, nb AS n_uniq,
-       CASE WHEN na = 0 OR nb = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 * (CAST(u2 AS DOUBLE)
-                 / (2e0 * na * nb))) AS BIGINT) END AS auc_q6
-FROM u""",
-)
-def quality_gate_roc(spark, sf_dir):
-    """Can the cheap quality signal FIND duplicates? ROC AUC of the
-    type/token ratio against exact-duplicate membership (docs whose
-    md5(text) group has >1 member) — AUC > ½ means low-TTR docs skew
-    duplicated, i.e. a TTR gate deletes dup-heavy mass before the
-    expensive MinHash pass even runs; AUC ≈ ½ (the sandbox reading,
-    where duplicates are verbatim copies of NORMAL docs) says the two
-    signals are orthogonal and both passes earn their keep. Reuses
-    ranking_auc's exact Mann-Whitney cell machinery with the label
-    flipped from relevance to duplication (ppl_quality_corr relates
-    the two CONTINUOUS signals; this scores one as a detector for the
-    discrete event).
-
-    Determinism: 2U is an exact BIGINT over TTR-cell counts; one
-    division.
-
-    Scale shape: the dup label is dedup_exact's md5 groupBy joined
-    back on the 32-byte hash; cells bound the window by distinct TTR
-    values."""
-    h = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("hh"))
-    dupg = (
-        h.groupBy("hh")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") > 1)
-        .select("hh")
-        .withColumn("flag", F.lit(1))
-    )
-    lab0 = h.join(dupg, "hh", "left").select(
-        "doc_id", F.coalesce("flag", F.lit(0)).alias("is_dup")
-    )
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    q = tf.groupBy("doc_id").agg(
-        F.expr(
-            "CAST(round(1e6 * count(*) / CAST(sum(tf) AS BIGINT)) AS BIGINT)"
-        ).alias("score_q6")
-    )
-    lab = q.join(lab0, "doc_id").select("score_q6", "is_dup")
-    cells = lab.groupBy("score_q6").agg(
-        F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long").alias("ca"),
-        F.coalesce(F.sum(F.lit(1) - F.col("is_dup")), F.lit(0))
-        .cast("long")
-        .alias("cb"),
-    )
-    wc = Window.orderBy("score_q6").rowsBetween(Window.unboundedPreceding, -1)
-    cum = cells.select(
-        "ca",
-        "cb",
-        F.coalesce(F.sum("cb").over(wc), F.lit(0)).cast("long").alias("cb_before"),
-    )
-    u = cum.agg(
-        F.coalesce(
-            F.sum(F.col("ca") * (2 * F.col("cb_before") + F.col("cb"))), F.lit(0)
-        )
-        .cast("long")
-        .alias("u2"),
-        F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("na"),
-        F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("nb"),
-    )
-    return u.select(
-        F.col("na").alias("n_dup"),
-        F.col("nb").alias("n_uniq"),
-        F.expr(
-            "CASE WHEN na = 0 OR nb = 0 THEN CAST(0 AS BIGINT)"
-            " ELSE CAST(round(1000000 * (CAST(u2 AS DOUBLE)"
-            " / (2e0 * na * nb))) AS BIGINT) END"
-        ).alias("auc_q6"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 155 — MMR diversification rerank, nation trade balance
-# ---------------------------------------------------------------------------
-
-_MMR_K = 8  # picks
-_MMR_CAND = 20  # candidate pool (BM25 top-20, the rescore_topn band)
-
-
-def _mmr_sql(k: int = _MMR_K) -> str:
-    """Unrolled MMR greedy chain (the kcenter/pagerank unroll pattern,
-    AS MATERIALIZED everywhere a CTE is referenced twice). Value =
-    7·relz − 3·maxcos in exact q6 integers; ties break on doc_id."""
-    parts = [
-        _bm25_agg_ctes(_TOPK_TERMS),
-        """,
-top20 AS MATERIALIZED (
-  SELECT doc_id, score_q6 FROM agg WHERE doc_id <> 0
-  ORDER BY score_q6 DESC, doc_id ASC LIMIT 20),
-bnd AS (SELECT min(score_q6) AS mn, max(score_q6) AS mx FROM top20),
-ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-un AS MATERIALIZED (
-  SELECT t.doc_id,
-         CASE WHEN bnd.mx = bnd.mn THEN CAST(0 AS BIGINT)
-              ELSE CAST(round(1000000 * ((t.score_q6 - bnd.mn)
-                   / CAST(bnd.mx - bnd.mn AS DOUBLE))) AS BIGINT) END AS relz,
-         list_transform(e2.v, x -> x / e2.n) AS u
-  FROM top20 t
-  JOIN (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM ee) e2
-    ON e2.vec_id = t.doc_id, bnd),
-p0 AS MATERIALIZED (SELECT doc_id, relz, u FROM un ORDER BY relz DESC, doc_id ASC LIMIT 1),
-m1 AS MATERIALIZED (
-  SELECT un.doc_id, un.relz, un.u,
-         CAST(round(1000000 * list_dot_product(un.u, c.u)) AS BIGINT) AS mc
-  FROM un, (SELECT u FROM p0) c
-  WHERE un.doc_id NOT IN (SELECT doc_id FROM p0)),""",
-    ]
-    for i in range(1, k):
-        parts.append(
-            f"p{i} AS MATERIALIZED (SELECT doc_id, relz, u, mc FROM m{i}"
-            f" ORDER BY 7 * relz - 3 * mc DESC, doc_id ASC LIMIT 1),"
-        )
-        if i < k - 1:
-            parts.append(
-                f"m{i + 1} AS MATERIALIZED (\n"
-                f"  SELECT m.doc_id, m.relz, m.u,\n"
-                f"         GREATEST(m.mc, CAST(round(1000000 * list_dot_product(m.u, c.u)) AS BIGINT)) AS mc\n"
-                f"  FROM m{i} m, (SELECT u FROM p{i}) c\n"
-                f"  WHERE m.doc_id NOT IN (SELECT doc_id FROM p{i})),"
-            )
-    sels = [
-        "SELECT CAST(0 AS BIGINT) AS sel_order, doc_id, relz AS relz_q6,"
-        " CAST(0 AS BIGINT) AS maxcos_q6, CAST(7 * relz AS BIGINT) AS mmr_v FROM p0"
-    ]
-    sels += [
-        f"SELECT CAST({i} AS BIGINT), doc_id, relz, mc, CAST(7 * relz - 3 * mc AS BIGINT) FROM p{i}"
-        for i in range(1, k)
-    ]
-    parts.append("sel AS (" + " UNION ALL ".join(sels) + ")")
-    parts.append(
-        "SELECT sel_order, doc_id, relz_q6, maxcos_q6, mmr_v FROM sel ORDER BY sel_order"
-    )
-    return "\n".join(parts)
-
-
-def _mmr_round(v: float) -> int:
-    # half-away-from-zero — Python round() is banker's, never use it
-    import math as _m
-
-    return int(_m.floor(v + 0.5)) if v >= 0 else -int(_m.floor(-v + 0.5))
-
-
-@register("mmr_rerank", _mmr_sql())
-def mmr_rerank(spark, sf_dir):
-    """Maximal Marginal Relevance (Carbonell-Goldstein 1998) over the
-    BM25 top-20: greedily pick 8 results maximizing λ·relevance −
-    (1−λ)·max-cosine-to-already-picked (λ=0.7, embeddings as the
-    similarity space via the doc_id↔vec_id alignment) — the
-    diversification pass every SERP/RAG retriever layers over raw
-    relevance so near-duplicate hits don't fill the page
-    (serp_source_diversity MEASURES the diversity cost; this is the
-    operator that FIXES it; kcenter_coreset is the λ=0 corner of the
-    same greedy form).
-
-    Determinism: relevance min-max-normalizes over the candidate pool
-    and rounds to q6 FIRST; per-pair cosines round to q6; the greedy
-    value 7·relz − 3·maxcos is exact integer with the doc_id
-    tiebreak, so both engines select identical docs in identical
-    order. First pick's empty-set similarity is 0 by the standard MMR
-    convention.
-
-    Scale shape: the distributed work is the memoized BM25 match set
-    + a 20-row embedding fetch; the greedy loop runs driver-side on
-    EXACTLY the collected 20-row band (the ltr_features bounded-
-    collect budget — candidates are page-sized by construction, never
-    corpus-sized). The oracle unrolls the same loop as a MATERIALIZED
-    CTE chain."""
-    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS).where(F.col("doc_id") != 0)
-    top = agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(_MMR_CAND)
-    e = _emb(spark, sf_dir).select(
-        F.col("vec_id").alias("doc_id"), "embedding"
-    )
-    rows = (
-        top.join(e, "doc_id")
-        .select("doc_id", "score_q6", "embedding")
-        .collect()
-    )
-    cand = []
-    for r in rows:
-        v = [float(x) for x in r.embedding]
-        s = 0.0
-        for x in v:
-            s += x * x
-        n = s ** 0.5
-        cand.append((r.doc_id, r.score_q6, [x / n for x in v]))
-    cand.sort(key=lambda t: (-t[1], t[0]))
-    if not cand:
-        return spark.createDataFrame(
-            [],
-            "sel_order long, doc_id long, relz_q6 long, maxcos_q6 long, mmr_v long",
-        )
-    mn = min(s for _, s, _ in cand)
-    mx = max(s for _, s, _ in cand)
-    rel = {
-        d: (0 if mx == mn else _mmr_round(1000000 * ((s - mn) / float(mx - mn))))
-        for d, s, _ in cand
-    }
-    uvec = {d: u for d, _, u in cand}
-
-    def cosq(a, b):
-        s = 0.0
-        for x, y in zip(uvec[a], uvec[b]):
-            s += x * y
-        return _mmr_round(1000000 * s)
-
-    first = max(cand, key=lambda t: (rel[t[0]], -t[0]))[0]
-    out = [(0, first, rel[first], 0, 7 * rel[first])]
-    remaining = [d for d, _, _ in cand if d != first]
-    mc = {d: cosq(d, first) for d in remaining}
-    for i in range(1, min(_MMR_K, len(cand))):
-        pick = max(remaining, key=lambda d: (7 * rel[d] - 3 * mc[d], -d))
-        out.append((i, pick, rel[pick], mc[pick], 7 * rel[pick] - 3 * mc[pick]))
-        remaining.remove(pick)
-        for d in remaining:
-            c = cosq(d, pick)
-            if c > mc[d]:
-                mc[d] = c
-    return spark.createDataFrame(
-        out, "sel_order long, doc_id long, relz_q6 long, maxcos_q6 long, mmr_v long"
-    ).orderBy("sel_order")
-
-
-@register(
-    "nation_trade_balance",
-    f"""WITH exp AS (
-  SELECT s.s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_exp_items,
-         CAST(sum({_LI_DISC_C}) AS BIGINT) AS export_c
-  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-  GROUP BY s.s_nationkey),
-imp AS (
-  SELECT c.c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_imp_orders,
-         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS import_c
-  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-  GROUP BY c.c_nationkey)
-SELECT n.n_name,
-       CAST(COALESCE(exp.n_exp_items, 0) AS BIGINT) AS n_exp_items,
-       CAST(COALESCE(exp.export_c, 0) AS BIGINT) AS export_c,
-       CAST(COALESCE(imp.n_imp_orders, 0) AS BIGINT) AS n_imp_orders,
-       CAST(COALESCE(imp.import_c, 0) AS BIGINT) AS import_c,
-       CAST(COALESCE(exp.export_c, 0) - COALESCE(imp.import_c, 0) AS BIGINT) AS net_c
-FROM nation n
-LEFT JOIN exp ON exp.nk = n.n_nationkey
-LEFT JOIN imp ON imp.nk = n.n_nationkey
-ORDER BY n.n_name""",
-)
-def nation_trade_balance(spark, sf_dir):
-    """Per-nation trade balance: supply-side revenue (discounted
-    lineitem value attributed to the SUPPLIER's nation) against
-    demand-side spend (order totals attributed to the CUSTOMER's
-    nation), net in cents — the one-table macro view local_trade_share
-    compresses to a single number and region_supply_volume /
-    orders_nation_revenue each show one side of. Zero-filled on the
-    nation spine (the nation_account_balances rule) so inactive
-    nations report. The two legs use their native money rules
-    (lineitem discounted cents vs order-header cents — header≈Σlines·tax
-    per order_total_consistency), declared, not mixed.
-
-    Scale shape: each leg is a fact⋈dim join collapsing map-side to
-    ≤25 rows; the 25-row nation spine broadcasts into both LEFT
-    joins; no window."""
-    li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .select("l_suppkey", F.expr(_LI_DISC_C).alias("disc_c"))
-        .join(
-            spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
-                "s_suppkey", "s_nationkey"
-            ),
-            F.col("l_suppkey") == F.col("s_suppkey"),
-        )
-        .groupBy(F.col("s_nationkey").alias("nk"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_exp_items"),
-            F.sum("disc_c").cast("long").alias("export_c"),
-        )
-    )
-    om = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select("o_custkey", F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"))
-        .join(
-            spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-                "c_custkey", "c_nationkey"
-            ),
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
-        .groupBy(F.col("c_nationkey").alias("nk"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_imp_orders"),
-            F.sum("cents").cast("long").alias("import_c"),
-        )
-    )
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
-        "n_nationkey", "n_name"
-    )
-    return (
-        F.broadcast(n)
-        .join(li, n["n_nationkey"] == li["nk"], "left")
-        .join(om, n["n_nationkey"] == om["nk"], "left")
-        .select(
-            "n_name",
-            F.coalesce("n_exp_items", F.lit(0)).cast("long").alias("n_exp_items"),
-            F.coalesce("export_c", F.lit(0)).cast("long").alias("export_c"),
-            F.coalesce("n_imp_orders", F.lit(0)).cast("long").alias("n_imp_orders"),
-            F.coalesce("import_c", F.lit(0)).cast("long").alias("import_c"),
-            (
-                F.coalesce("export_c", F.lit(0)) - F.coalesce("import_c", F.lit(0))
-            )
-            .cast("long")
-            .alias("net_c"),
-        )
-        .orderBy("n_name")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 156 — Hurst estimate, duplicate-charge census, placeholder docs
-# ---------------------------------------------------------------------------
-
-# ln m folded to q6 integers in Python (the _HLL_C rule) for m = 1,2,4,8
-_HURST_LNM = {1: 0, 2: 693_147, 4: 1_386_294, 8: 2_079_442}
-# slope of y_q6 over x_q6 via the centered form; hurst = slope/2 (block-SUM
-# variance scales ~ m^2H). One shared float expression over exact integers.
-_HURST_EXPR = (
-    "CASE WHEN n_fit < 4 THEN CAST(0 AS BIGINT)"
-    " ELSE CAST(round(500000 * (CAST(n_fit AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
-    " / (CAST(n_fit AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) AS BIGINT) END"
-)
-
-
-@register(
-    "daily_hurst_estimate",
-    f"""WITH d AS (
-  SELECT epoch_us(ts) // {_US_PER_DAY} AS day_num, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY day_num),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM d),
-spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
-f AS (SELECT spine.day_num - b.lo AS k, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
-      FROM spine LEFT JOIN d USING (day_num), b),
-ms AS (SELECT unnest([1, 2, 4, 8]) AS m),
-blk AS (SELECT ms.m, f.k // ms.m AS blkid, CAST(sum(f.n) AS BIGINT) AS s
-        FROM f, ms GROUP BY ms.m, f.k // ms.m),
-vr AS (SELECT m, CAST(count(*) AS BIGINT) AS n,
-              CAST(sum(s) AS BIGINT) AS syc, CAST(sum(s * s) AS BIGINT) AS syy
-       FROM blk GROUP BY m),
-vv AS (SELECT m, n AS n_blocks, {_SEG_VAR} AS var_q6 FROM vr),
-pts AS (SELECT m,
-               CAST(CASE m WHEN 1 THEN 0 WHEN 2 THEN 693147 WHEN 4 THEN 1386294
-                      ELSE 2079442 END AS BIGINT) AS x_q6,
-               CASE WHEN var_q6 > 0
-                    THEN CAST(round(1000000 * ln(var_q6 / 1e6)) AS BIGINT)
-               END AS y_q6,
-               n_blocks, var_q6
-        FROM vv),
-fit AS (SELECT CAST(count(y_q6) AS BIGINT) AS n_fit,
-               CAST(COALESCE(sum(x_q6) FILTER (WHERE y_q6 IS NOT NULL), 0) AS BIGINT) AS sx,
-               CAST(COALESCE(sum(y_q6), 0) AS BIGINT) AS sy,
-               CAST(COALESCE(sum(x_q6 * x_q6) FILTER (WHERE y_q6 IS NOT NULL), 0) AS BIGINT) AS sxx,
-               CAST(COALESCE(sum(x_q6 * y_q6), 0) AS BIGINT) AS sxy
-        FROM pts)
-SELECT CAST(pts.m AS BIGINT) AS m, pts.n_blocks, pts.var_q6,
-       {_HURST_EXPR} AS hurst_q6
-FROM pts, fit ORDER BY m""",
-)
-def daily_hurst_estimate(spark, sf_dir):
-    """Long-range dependence of the daily event stream: the
-    variance-time plot (variance of m-day block SUMS for m = 1/2/4/8,
-    which scales ~ m^2H) and the Hurst exponent from its log-log slope
-    — the diagnostic that separates a short-memory series (H ≈ ½,
-    yesterday tells you nothing beyond the mean) from a trending/
-    self-similar one (H → 1, load forecasting and capacity buffers must
-    widen). daily_count_autocorr's replacement events_autocorrelation
-    reads fixed lags; Hurst reads ALL scales at once — the two
-    disagree exactly when bursts nest (the LRD signature).
-
-    Determinism: block sums are exact integers; per-m variance is the
-    `_SEG_VAR` float-mean form; ln m is Python-folded to q6 constants;
-    y = ln(var) is q6-rounded PER POINT before the 4-point integer
-    OLS sums; the slope/2 is ONE guarded shared expression (0 sentinel
-    unless all four scales have positive variance).
-
-    Scale shape: one day-keyed corpus agg; everything after runs on
-    the calendar-bounded spine fanned by a 4-row scale spine."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-                "day_num"
-            )
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    b = d.agg(
-        F.min("day_num").cast("long").alias("lo"),
-        F.max("day_num").cast("long").alias("hi"),
-    )
-    spine = b.select(
-        F.explode(F.sequence("lo", "hi")).alias("day_num"), "lo"
-    )
-    f = spine.join(d, "day_num", "left").select(
-        (F.col("day_num") - F.col("lo")).alias("k"),
-        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
-    )
-    ms = spark.range(1).select(
-        F.explode(F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8))).alias("m")
-    )
-    blk = (
-        f.crossJoin(F.broadcast(ms))
-        .groupBy("m", F.expr("k div m").alias("blkid"))
-        .agg(F.sum("n").cast("long").alias("s"))
-    )
-    vr = blk.groupBy("m").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("s").cast("long").alias("syc"),
-        F.sum(F.expr("s * s")).cast("long").alias("syy"),
-    )
-    vv = vr.select("m", F.col("n").alias("n_blocks"), F.expr(_SEG_VAR).alias("var_q6"))
-    pts = vv.select(
-        "m",
-        F.expr(
-            "CAST(CASE m WHEN 1 THEN 0 WHEN 2 THEN 693147 WHEN 4 THEN 1386294"
-            " ELSE 2079442 END AS BIGINT)"
-        ).alias("x_q6"),
-        F.expr(
-            "CASE WHEN var_q6 > 0"
-            " THEN CAST(round(1000000 * ln(var_q6 / 1e6)) AS BIGINT) END"
-        ).alias("y_q6"),
-        "n_blocks",
-        "var_q6",
-    ).localCheckpoint()
-    fit = pts.agg(
-        F.count("y_q6").cast("long").alias("n_fit"),
-        F.coalesce(
-            F.sum(F.when(F.col("y_q6").isNotNull(), F.col("x_q6"))), F.lit(0)
-        )
-        .cast("long")
-        .alias("sx"),
-        F.coalesce(F.sum("y_q6"), F.lit(0)).cast("long").alias("sy"),
-        F.coalesce(
-            F.sum(F.when(F.col("y_q6").isNotNull(), F.expr("x_q6 * x_q6"))),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("sxx"),
-        F.coalesce(F.sum(F.expr("x_q6 * y_q6")), F.lit(0))
-        .cast("long")
-        .alias("sxy"),
-    )
-    return (
-        pts.crossJoin(F.broadcast(fit))
-        .select(
-            F.col("m").cast("long").alias("m"),
-            "n_blocks",
-            "var_q6",
-            F.expr(_HURST_EXPR).alias("hurst_q6"),
-        )
-        .orderBy("m")
-    )
-
-
-_DUPQ_GAP_US = 600_000_000  # 10 minutes
-
-
-@register(
-    "duplicate_charge_census",
-    f"""WITH p AS (
-  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
-         epoch_us(ts) AS us, event_id
-  FROM events WHERE event_type = 'purchase'),
-lg AS (
-  SELECT cents,
-         us - lag(us) OVER (PARTITION BY user_id, cents ORDER BY us, event_id)
-           AS gap_us
-  FROM p)
-SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchases,
-       CAST(COALESCE(sum(CASE WHEN gap_us IS NOT NULL AND gap_us <= {_DUPQ_GAP_US}
-                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_suspect,
-       CAST(COALESCE(sum(CASE WHEN gap_us IS NOT NULL AND gap_us <= {_DUPQ_GAP_US}
-                THEN cents ELSE 0 END), 0) AS BIGINT) AS suspect_cents
-FROM lg""",
-)
-def duplicate_charge_census(spark, sf_dir):
-    """Double-charge detector: purchases by the SAME user for the SAME
-    cent amount within 10 minutes of the previous one — the classic
-    payments-ops audit (retry storms, double-submit bugs), counted with
-    the money at risk. Each repeat links only to its immediate
-    predecessor in the (user, amount) stream, so a burst of k
-    identical charges reports k−1 suspects, not C(k,2).
-    Zero on the sandbox stream is the healthy reading — the property
-    suite injects double-charges to prove the counters.
-
-    Determinism: integer µs gaps; equal-timestamp purchases order by
-    event_id inside the lag (the interevent rule).
-
-    Scale shape: ONE (user_id, cents)-partitioned lag window — the
-    same key family as sessionization; counters fold map-side."""
-    p = (
-        _events(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-            F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-            "event_id",
-        )
-        .localCheckpoint()
-    )
-    w = Window.partitionBy("user_id", "cents").orderBy("us", "event_id")
-    lg = p.select(
-        "cents", (F.col("us") - F.lag("us").over(w)).alias("gap_us")
-    )
-    tot = p.agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
-    sus = lg.agg(
-        F.coalesce(
-            F.sum(
-                F.expr(
-                    f"CASE WHEN gap_us IS NOT NULL AND gap_us <= {_DUPQ_GAP_US}"
-                    " THEN 1 ELSE 0 END"
-                )
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_suspect"),
-        F.coalesce(
-            F.sum(
-                F.expr(
-                    f"CASE WHEN gap_us IS NOT NULL AND gap_us <= {_DUPQ_GAP_US}"
-                    " THEN cents ELSE 0 END"
-                )
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("suspect_cents"),
-    )
-    return tot.crossJoin(sus).select("n_purchases", "n_suspect", "suspect_cents")
-
-
-# placeholder classes: empty/whitespace, literal null-ish markers, and
-# single-repeated-token bodies — matched on the trimmed lowercased text
-_PLACEHOLDER_NULLISH = "('null', 'none', 'n/a', 'na', 'nan', '-', 'missing')"
-
-
-@register(
-    "placeholder_doc_census",
-    f"""WITH t AS (SELECT lower(trim(text)) AS t FROM documents),
-c AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(CASE WHEN t = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
-         CAST(sum(CASE WHEN t IN {_PLACEHOLDER_NULLISH} THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_nullish,
-         CAST(sum(CASE WHEN t <> '' AND t NOT IN {_PLACEHOLDER_NULLISH}
-                        AND NOT regexp_matches(t, '[ ]')
-                   THEN 1 ELSE 0 END) AS BIGINT) AS n_single_token
-  FROM t)
-SELECT n_docs, n_empty, n_nullish, n_single_token FROM c""",
-)
-def placeholder_doc_census(spark, sf_dir):
-    """Null-like document census: empty/whitespace-only bodies, literal
-    null markers ('null', 'n/a', …), and single-token bodies — the
-    extraction-failure fingerprints that slip through length filters
-    as 'short docs' but are really ABSENT documents (leading_token_census
-    finds shared boilerplate HEADS; this finds bodies that are nothing
-    but placeholder). All-zero-ish on the synthetic corpus is expected
-    — the property suite injects each class.
-
-    Determinism: exact conditional counts on lower(trim(text)); the
-    single-token test is 'contains no space' on the trimmed body
-    (regexp_matches/rlike respectively — a literal-class regex).
-
-    Scale shape: three map-side counters in ONE scan-and-agg."""
-    t = _docs(spark, sf_dir).select(F.lower(F.trim("text")).alias("t"))
-    return t.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.expr("CASE WHEN t = '' THEN 1 ELSE 0 END"))
-        .cast("long")
-        .alias("n_empty"),
-        F.sum(F.expr(f"CASE WHEN t IN {_PLACEHOLDER_NULLISH} THEN 1 ELSE 0 END"))
-        .cast("long")
-        .alias("n_nullish"),
-        F.sum(
-            F.expr(
-                f"CASE WHEN t <> '' AND t NOT IN {_PLACEHOLDER_NULLISH}"
-                " AND NOT t RLIKE '[ ]' THEN 1 ELSE 0 END"
-            )
-        )
-        .cast("long")
-        .alias("n_single_token"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 157 — load-error correlation, salting advisor, wildcard selectivity
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "load_error_corr",
-    f"""WITH h AS (
-  SELECT epoch_us(ts) // 3600000000 AS hour_num,
-         CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e
-  FROM events GROUP BY hour_num),
-s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(h.n) AS BIGINT) AS sx, CAST(sum(h.e) AS BIGINT) AS sy,
-             CAST(sum(h.n * h.n) AS BIGINT) AS sxx,
-             CAST(sum(h.e * h.e) AS BIGINT) AS syy,
-             CAST(sum(h.n * h.e) AS BIGINT) AS sxy
-      FROM h)
-SELECT n AS n_hours, sx AS n_events, sy AS n_errors,
-       CAST({_PQC_CORR} AS BIGINT) AS corr_q6
-FROM s""",
-)
-def load_error_corr(spark, sf_dir):
-    """Do we fail under load? Pearson correlation between hourly event
-    volume and hourly ERROR count over observed epoch hours —
-    corr ≈ volume-proportional errors (a constant error RATE, the
-    benign reading); corr pushing past the rate line says errors
-    super-scale with load, the capacity-cliff signature
-    (error_rate_daily shows WHEN; this one number says whether load is
-    the cause). Observed hours only — an empty hour has no error
-    observations to correlate.
-
-    Determinism: exact BIGINT sufficient stats over hour cells, the
-    shared guarded split-sqrt expression (`_PQC_CORR`). Envelope:
-    hours·max_hourly² < 2^63 — safe to ~1e6 events/hour over a
-    century.
-
-    Scale shape: one hour-keyed map-side-combined agg (both counters
-    in one pass), then a calendar-bounded stats fold to one row."""
-    h = _events(spark, sf_dir).groupBy(
-        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias(
-            "hour_num"
-        )
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.expr("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END"))
-        .cast("long")
-        .alias("e"),
-    )
-    s = h.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("n").cast("long").alias("sx"),
-        F.sum("e").cast("long").alias("sy"),
-        F.sum(F.expr("n * n")).cast("long").alias("sxx"),
-        F.sum(F.expr("e * e")).cast("long").alias("syy"),
-        F.sum(F.expr("n * e")).cast("long").alias("sxy"),
-    )
-    return s.select(
-        F.col("n").alias("n_hours"),
-        F.col("sx").alias("n_events"),
-        F.col("sy").alias("n_errors"),
-        F.expr(f"CAST({_PQC_CORR} AS BIGINT)").alias("corr_q6"),
-    )
-
-
-_SALT_REDUCERS = 32  # target parallelism the salting plan budgets against
-
-
-@register(
-    "salting_plan_advisor",
-    f"""WITH k AS (
-  SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS n_rows
-  FROM lineitem GROUP BY l_orderkey),
-t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM k),
-top AS (SELECT key, n_rows FROM k ORDER BY n_rows DESC, key ASC LIMIT 5)
-SELECT top.key, top.n_rows,
-       CAST((1000000 * top.n_rows) // t.total AS BIGINT) AS share_q6,
-       CAST(CASE WHEN top.n_rows * {_SALT_REDUCERS} <= t.total THEN 1
-            ELSE (top.n_rows * {_SALT_REDUCERS} + t.total - 1) // t.total
-            END AS BIGINT) AS salt_factor
-FROM top, t ORDER BY top.n_rows DESC, top.key ASC""",
-)
-def salting_plan_advisor(spark, sf_dir):
-    """Key-salting prescription for the hottest lineitem join keys: for
-    the top-5 orderkeys by row count, the share of the table they carry
-    and the salt factor that brings each under a 1/32
-    reducer budget — salt_factor = ⌈n_rows / (total/32)⌉
-    as the exact integer ⌈n·R/total⌉ (the session-53 ceil rule:
-    (x+d−1) div d, never the negate trick). fact_key_skew_census
-    DETECTS skew; this emits the knob value the salted-join rewrite
-    (and the AQE skew threshold) should use: factor 1 = no salting
-    needed, the uniform-TPC-H reading.
-
-    Determinism: pure integer arithmetic.
-
-    Scale shape: one key-count agg (map-side partials), a 1-row total,
-    a top-5 TakeOrdered; the plan never touches unaggregated rows
-    twice."""
-    k = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .groupBy(F.col("l_orderkey").alias("key"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-        .localCheckpoint()
-    )
-    t = k.agg(F.sum("n_rows").cast("long").alias("total"))
-    top = k.orderBy(F.desc("n_rows"), F.asc("key")).limit(5)
-    return (
-        top.crossJoin(F.broadcast(t))
-        .select(
-            "key",
-            "n_rows",
-            F.expr("CAST((1000000 * n_rows) div total AS BIGINT)").alias(
-                "share_q6"
-            ),
-            F.expr(
-                f"CAST(CASE WHEN n_rows * {_SALT_REDUCERS} <= total THEN 1"
-                f" ELSE (n_rows * {_SALT_REDUCERS} + total - 1) div total"
-                " END AS BIGINT)"
-            ).alias("salt_factor"),
-        )
-        .orderBy(F.desc("n_rows"), F.asc("key"))
-    )
-
-
-# canned wildcard patterns: leading-anchored (trigram-friendly),
-# trailing-anchored, and infix (the expensive shape)
-_WC_PATTERNS = [("spa%", "spa%"), ("%ark", "%ark"), ("%par%", "%par%")]
-
-
-@register(
-    "wildcard_selectivity_estimate",
-    f"""WITH tf AS ({SQL_TF}),
-dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-pat AS (SELECT * FROM (VALUES {", ".join(f"('{p}')" for p, _ in _WC_PATTERNS)}) AS v(pattern)),
-m AS (SELECT pat.pattern, dfs.term, dfs.df
-      FROM pat LEFT JOIN dfs ON dfs.term LIKE pat.pattern)
-SELECT pattern,
-       CAST(count(term) AS BIGINT) AS n_terms,
-       CAST(COALESCE(sum(df), 0) AS BIGINT) AS sum_df
-FROM m GROUP BY pattern ORDER BY pattern""",
-)
-def wildcard_selectivity_estimate(spark, sf_dir):
-    """Wildcard-query cost card: for a leading-anchored, a
-    trailing-anchored, and an infix pattern, how many dictionary terms
-    expand and how many postings the OR over them would read — the
-    selectivity table behind the trigram gate (index/ngram.py): a
-    pattern expanding to few terms rides the normal postings path; one
-    matching half the dictionary is why wildcard_substr verifies
-    trigram candidates instead of expanding (query_cost_estimate is
-    the same card for term queries; this is the wildcard column).
-    Zero-match patterns emit 0-rows-read via the LEFT probe (the
-    stopword_cut count(term)-not-count(*) rule).
-
-    Determinism: exact integer counts; LIKE semantics agree across
-    engines for %-only patterns.
-
-    Scale shape: the pattern spine is 3 broadcast rows against the
-    vocab-sized dictionary — the scan cost is the dictionary, never
-    postings."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    pat = spark.createDataFrame(
-        [(p,) for p, _ in _WC_PATTERNS], "pattern string"
-    )
-    m = F.broadcast(pat).join(
-        dfs, F.expr("term LIKE pattern"), "left"
-    )
-    return (
-        m.groupBy("pattern")
-        .agg(
-            F.count("term").cast("long").alias("n_terms"),
-            F.coalesce(F.sum("df"), F.lit(0)).cast("long").alias("sum_df"),
-        )
-        .orderBy("pattern")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 158 — mutual 1-NN pairs, resurrected users, source-lang MI
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "ann_mutual_knn",
-    _KMEANS_SQL_PRELUDE
-    + """,
-un AS (
-  SELECT vec_id, list_transform(v, x -> x / n) AS u
-  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e WHERE vec_id <> 0)
-),
-mem AS (SELECT a3.vec_id, a3.cid, un.u FROM a3 JOIN un USING (vec_id)),
-pr AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         CAST(round(1000000 * list_dot_product(a.u, b.u)) AS BIGINT) AS cos_q6
-  FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
-t1 AS (
-  SELECT id_a, id_b, cos_q6 FROM (
-    SELECT id_a, id_b, cos_q6,
-           row_number() OVER (PARTITION BY id_a ORDER BY cos_q6 DESC, id_b ASC) AS rn
-    FROM pr) WHERE rn = 1)
-SELECT x.id_a, x.id_b, x.cos_q6
-FROM t1 x JOIN t1 y ON y.id_a = x.id_b AND y.id_b = x.id_a AND x.id_a < x.id_b
-ORDER BY x.cos_q6 DESC, x.id_a ASC LIMIT 10""",
-)
-def ann_mutual_knn(spark, sf_dir):
-    """Reciprocal nearest neighbors over the memoized IVF cells: pairs
-    where each vector is the OTHER's in-cell top-1 — the
-    mutual-1-NN matching primitive (margin-based bitext mining, RNN-DBSCAN,
-    and the highest-precision near-dup signal there is: a one-sided
-    top-1 can be a hub artifact, a RECIPROCAL one almost never is —
-    ann_hub_census measures that asymmetry; this extracts the pairs
-    that survive it). Top-10 by cosine.
-
-    Determinism: the shared normalize-once/one-dot rule; top-1 picks
-    and the final cut order by q6 cosine with vec_id tiebreaks, so
-    both engines select identical pairs.
-
-    Scale shape: pairs block on cid (the semdedup bound — never
-    all-pairs); the top-1 window partitions by vec_id over in-cell
-    rows; mutuality is a self-join of the |vectors|-sized top-1 table
-    on the reversed key."""
-    up = _incell_pair_cos(spark, sf_dir).select(
-        "id_a", "id_b", F.col("cosn_q6").alias("cos_q6")
-    )
-    pr = up.unionByName(
-        up.select(
-            F.col("id_b").alias("id_a"),
-            F.col("id_a").alias("id_b"),
-            F.col("cos_q6"),
-        )
-    )
-    w1 = Window.partitionBy("id_a").orderBy(F.desc("cos_q6"), F.asc("id_b"))
-    t1 = (
-        pr.withColumn("rn", F.row_number().over(w1))
-        .where(F.col("rn") == 1)
-        .select("id_a", "id_b", "cos_q6")
-        .localCheckpoint()
-    )
-    x, y = t1.alias("x"), t1.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("y.id_a") == F.col("x.id_b"))
-            & (F.col("y.id_b") == F.col("x.id_a"))
-            & (F.col("x.id_a") < F.col("x.id_b")),
-        )
-        .select(
-            F.col("x.id_a").alias("id_a"),
-            F.col("x.id_b").alias("id_b"),
-            F.col("x.cos_q6").alias("cos_q6"),
-        )
-        .orderBy(F.desc("cos_q6"), F.asc("id_a"))
-        .limit(10)
-    )
-
-
-_RESURRECT_GAP_DAYS = 28
-
-
-@register(
-    "resurrected_users_monthly",
-    f"""WITH ud AS (
-  SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS day_num FROM events),
-lg AS (
-  SELECT user_id, day_num,
-         day_num - lag(day_num) OVER (PARTITION BY user_id ORDER BY day_num)
-           AS gap_days
-  FROM ud),
-dd AS (
-  SELECT user_id, gap_days,
-         CAST(year(DATE '1970-01-01' + CAST(day_num AS INT)) * 100
-              + month(DATE '1970-01-01' + CAST(day_num AS INT)) AS BIGINT) AS ym
-  FROM lg),
-act AS (SELECT ym, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
-        FROM dd GROUP BY ym),
-res AS (SELECT ym, CAST(count(DISTINCT user_id) AS BIGINT) AS n_resurrected
-        FROM dd WHERE gap_days > {_RESURRECT_GAP_DAYS} GROUP BY ym)
-SELECT act.ym, act.n_active,
-       CAST(COALESCE(res.n_resurrected, 0) AS BIGINT) AS n_resurrected,
-       CAST((1000000 * COALESCE(res.n_resurrected, 0)) // act.n_active AS BIGINT)
-         AS resurrected_q6
-FROM act LEFT JOIN res ON res.ym = act.ym ORDER BY act.ym""",
-)
-def resurrected_users_monthly(spark, sf_dir):
-    """Resurrection series: per month, active users and the share whose
-    return that month followed a >28-day silence —
-    the third growth-accounting bucket (new_returning_daily splits
-    new vs returning; a RESURRECTED user is returning-but-churned, the
-    win-back signal a plain returning count hides; events_retention
-    tracks the same gap from the other side as decay). Month key =
-    calendar month of the activity day.
-
-    Determinism: distinct user-days, integer day gaps from one
-    user-partitioned lag, calendar month via epoch-day date
-    arithmetic (identical in both engines).
-
-    Scale shape: ONE distinct (user, day) exchange feeds the lag
-    window (user-keyed — the sessionizer's shuffle) and both monthly
-    rollups; months-sized output."""
-    ud = (
-        _events(spark, sf_dir)
-        .select(
-            "user_id",
-            F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-                "day_num"
-            ),
-        )
-        .distinct()
-    )
-    w = Window.partitionBy("user_id").orderBy("day_num")
-    lg = ud.select(
-        "user_id",
-        "day_num",
-        (F.col("day_num") - F.lag("day_num").over(w)).alias("gap_days"),
-    )
-    dd = lg.select(
-        "user_id",
-        "gap_days",
-        F.expr(
-            "CAST(year(DATE '1970-01-01' + CAST(day_num AS INT)) * 100"
-            " + month(DATE '1970-01-01' + CAST(day_num AS INT)) AS BIGINT)"
-        ).alias("ym"),
-    ).localCheckpoint()
-    act = dd.groupBy("ym").agg(
-        F.countDistinct("user_id").cast("long").alias("n_active")
-    )
-    res = (
-        dd.where(F.col("gap_days") > _RESURRECT_GAP_DAYS)
-        .groupBy("ym")
-        .agg(F.countDistinct("user_id").cast("long").alias("n_resurrected"))
-    )
-    return (
-        act.join(res, "ym", "left")
-        .select(
-            "ym",
-            "n_active",
-            F.coalesce("n_resurrected", F.lit(0)).cast("long").alias("n_resurrected"),
-            F.expr(
-                "CAST((1000000 * COALESCE(n_resurrected, 0)) div n_active AS BIGINT)"
-            ).alias("resurrected_q6"),
-        )
-        .orderBy("ym")
-    )
-
-
-@register(
-    "source_lang_mutual_info",
-    """WITH c AS (
-  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
-  FROM documents GROUP BY source, lang),
-ns AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM c GROUP BY source),
-nl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM c GROUP BY lang),
-tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM c),
-cell AS (
-  SELECT CAST(round(1000000 * (CAST(c.n AS DOUBLE) / tot.big_n)
-       * ln((CAST(c.n AS DOUBLE) * tot.big_n)
-            / (CAST(ns.ns AS DOUBLE) * nl.nl))) AS BIGINT) AS mi_q6
-  FROM c JOIN ns USING (source) JOIN nl USING (lang), tot)
-SELECT (SELECT CAST(big_n AS BIGINT) FROM tot) AS n_docs,
-       (SELECT CAST(count(*) AS BIGINT) FROM ns) AS n_sources,
-       (SELECT CAST(count(*) AS BIGINT) FROM nl) AS n_langs,
-       CAST(COALESCE(sum(mi_q6), 0) AS BIGINT) AS mi_q6
-FROM cell""",
-)
-def source_lang_mutual_info(spark, sf_dir):
-    """Mutual information between source and language (nats, q6) — the
-    one-number answer to 'does knowing the source tell you the
-    language' that source_lang_chi2 tests for significance and the
-    confusion/census matrices show cell by cell: MI is the effect
-    SIZE, directly comparable to the entropies the corpus already
-    reports (MI = H(lang) − H(lang|source)); near 0 → language-routing
-    by source is useless, near H(lang) → source IS the language
-    partition.
-
-    Determinism: per-cell p·ln(p/(pq)) is q6-rounded FIRST (the
-    source_unigram_entropy rule), the sum is exact BIGINT; the log
-    argument is assembled from exact integer counts.
-
-    Scale shape: one (source, lang) agg (map-side partials); margins
-    and cells are |sources|×|langs|-sized."""
-    c = (
-        _docs(spark, sf_dir)
-        .groupBy("source", "lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()
-    )
-    ns = c.groupBy("source").agg(F.sum("n").cast("long").alias("ns"))
-    nl = c.groupBy("lang").agg(F.sum("n").cast("long").alias("nl"))
-    tot = c.agg(F.sum("n").cast("long").alias("big_n"))
-    cell = (
-        c.join(ns, "source")
-        .join(nl, "lang")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.expr(
-                "CAST(round(1000000 * (CAST(n AS DOUBLE) / big_n)"
-                " * ln((CAST(n AS DOUBLE) * big_n)"
-                " / (CAST(ns AS DOUBLE) * nl))) AS BIGINT)"
-            ).alias("mi_q6")
-        )
-    )
-    counts = (
-        tot.crossJoin(ns.agg(F.count(F.lit(1)).cast("long").alias("n_sources")))
-        .crossJoin(nl.agg(F.count(F.lit(1)).cast("long").alias("n_langs")))
-    )
-    return counts.crossJoin(
-        cell.agg(
-            F.coalesce(F.sum("mi_q6"), F.lit(0)).cast("long").alias("mi_q6")
-        )
-    ).select(
-        F.col("big_n").alias("n_docs"), "n_sources", "n_langs", "mi_q6"
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 159 — kNN k-sweep, near-constant columns, ts granularity
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "knn_k_sweep_accuracy",
-    _BATCH_SQL
-    + """,
-lb AS (SELECT vec_id, label FROM embeddings),
-ks AS (SELECT unnest([1, 3, 5, 10]) AS k),
-nb AS (SELECT ks.k, btop.qid, btop.vec_id
-       FROM btop, ks WHERE btop.rnk <= ks.k AND btop.vec_id <> btop.qid),
-cnt AS (SELECT nb.k, nb.qid, ql.label AS qlabel, nl.label AS nlabel,
-               CAST(count(*) AS BIGINT) AS c
-        FROM nb JOIN lb ql ON ql.vec_id = nb.qid
-        JOIN lb nl ON nl.vec_id = nb.vec_id
-        GROUP BY nb.k, nb.qid, ql.label, nl.label),
-pred AS (SELECT k, qid, qlabel, nlabel AS pred FROM (
-           SELECT k, qid, qlabel, nlabel,
-                  row_number() OVER (PARTITION BY k, qid
-                                     ORDER BY c DESC, nlabel ASC) AS rn
-           FROM cnt) WHERE rn = 1)
-SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_queries,
-       CAST(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-       CAST((1000000 * sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END))
-            // count(*) AS BIGINT) AS acc_q6
-FROM pred GROUP BY k ORDER BY k""",
-)
-def knn_k_sweep_accuracy(spark, sf_dir):
-    """The k knob of the kNN classifier: accuracy of the majority vote
-    at k = 1/3/5/10 over the batch ANN neighbor lists —
-    knn_label_confusion fixes k=10 and shows WHERE errors go; this
-    sweeps the one hyperparameter and shows the classic k curve (k=1
-    overfits neighbor noise, large k washes out minority classes; on
-    the sandbox's weak labels the curve is flat at the prior — the
-    honest reading, per ann_label_purity). Voting keeps the confusion
-    matrix's conventions: self-hits excluded, ties to the smaller
-    label, no-neighbor queries drop.
-
-    Determinism: exact counts; majority = (count DESC, label ASC)
-    rank; acc is one integer division per k.
-
-    Scale shape: the 4-row k spine fans the 10-row-per-query neighbor
-    lists; votes and the rollup are batch-sized."""
-    top = _ivf_batch_topk(spark, sf_dir).localCheckpoint()
-    lb = _emb(spark, sf_dir).select("vec_id", "label")
-    ks = spark.range(1).select(
-        F.explode(F.array(F.lit(1), F.lit(3), F.lit(5), F.lit(10))).alias("k")
-    )
-    nb = (
-        top.where(F.col("vec_id") != F.col("qid"))
-        .crossJoin(F.broadcast(ks))
-        .where(F.col("rnk") <= F.col("k"))
-        .select("k", "qid", "vec_id")
-    )
-    ql = lb.select(F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"))
-    nl = lb.select("vec_id", F.col("label").alias("nlabel"))
-    cnt = (
-        nb.join(ql, "qid")
-        .join(nl, "vec_id")
-        .groupBy("k", "qid", "qlabel", "nlabel")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    pred = (
-        cnt.groupBy("k", "qid", "qlabel")
-        .agg(F.max(F.struct(F.col("c"), (-F.col("nlabel")).alias("nl"))).alias("t"))
-        .select("k", "qlabel", (-F.col("t.nl")).alias("pred"))
-    )
-    return (
-        pred.groupBy("k")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_queries"),
-            F.sum(F.expr("CASE WHEN pred = qlabel THEN 1 ELSE 0 END"))
-            .cast("long")
-            .alias("n_correct"),
-        )
-        .select(
-            F.col("k").cast("long").alias("k"),
-            "n_queries",
-            "n_correct",
-            F.expr(
-                "CAST((1000000 * n_correct) div n_queries AS BIGINT)"
-            ).alias("acc_q6"),
-        )
-        .orderBy("k")
-    )
-
-
-@register(
-    "near_constant_columns",
-    "\nUNION ALL\n".join(
-        f"""SELECT '{col}' AS col_name,
-       CAST(sum(dom) AS BIGINT) AS n_rows,
-       CAST(count(*) AS BIGINT) AS ndv,
-       CAST(max(dom) AS BIGINT) AS dominant_rows,
-       CAST((1000000 * max(dom)) // sum(dom) AS BIGINT) AS dominant_q6
-FROM (SELECT CAST(count(*) AS BIGINT) AS dom
-      FROM (SELECT {expr} AS x FROM lineitem) GROUP BY x)"""
-        for col, expr in [
-            ("l_quantity", "CAST(round(100 * l_quantity) AS BIGINT)"),
-            ("l_discount", "CAST(round(100 * l_discount) AS BIGINT)"),
-            ("l_tax", "CAST(round(100 * l_tax) AS BIGINT)"),
-            ("l_returnflag", "l_returnflag"),
-            ("l_linestatus", "l_linestatus"),
-        ]
-    )
-    + "\nORDER BY col_name",
-)
-def near_constant_columns(spark, sf_dir):
-    """Feature-screening census over lineitem's narrow columns: NDV and
-    the dominant value's row share — a column whose top value carries
-    ~everything is near-constant (useless as an ML feature, but a
-    perfect dictionary/RLE target, and a predicate on it won't prune) —
-    the modeling-side twin of column_encoding_advisor's storage-side
-    report. Values quantize per-row before grouping (cents/percent
-    points, the Q1 rule) so floats group exactly.
-
-    Determinism: pure integer counts and one division per column.
-
-    Scale shape: per column, one per-value groupBy (map-side partials,
-    NDV-bounded) then a 1-row rollup; five independent arms union."""
-    arms = []
-    for col, expr in [
-        ("l_quantity", "CAST(round(100 * l_quantity) AS BIGINT)"),
-        ("l_discount", "CAST(round(100 * l_discount) AS BIGINT)"),
-        ("l_tax", "CAST(round(100 * l_tax) AS BIGINT)"),
-        ("l_returnflag", "l_returnflag"),
-        ("l_linestatus", "l_linestatus"),
-    ]:
-        per = (
-            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-            .select(F.expr(expr).alias("x"))
-            .groupBy("x")
-            .agg(F.count(F.lit(1)).cast("long").alias("dom"))
-        )
-        arms.append(
-            per.agg(
-                F.sum("dom").cast("long").alias("n_rows"),
-                F.count(F.lit(1)).cast("long").alias("ndv"),
-                F.max("dom").cast("long").alias("dominant_rows"),
-            ).select(
-                F.lit(col).alias("col_name"),
-                "n_rows",
-                "ndv",
-                "dominant_rows",
-                F.expr(
-                    "CAST((1000000 * dominant_rows) div n_rows AS BIGINT)"
-                ).alias("dominant_q6"),
-            )
-        )
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionByName(a)
-    return out.orderBy("col_name")
-
-
-@register(
-    "ts_granularity_census",
-    """WITH t AS (SELECT epoch_us(ts) AS us FROM events)
-SELECT CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CASE WHEN us % 1000000 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_subsecond,
-       CAST(sum(CASE WHEN us % 1000000 = 0 AND us % 60000000 <> 0
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_second_aligned,
-       CAST(sum(CASE WHEN us % 60000000 = 0 AND us % 3600000000 <> 0
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_minute_aligned,
-       CAST(sum(CASE WHEN us % 3600000000 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_hour_aligned
-FROM t""",
-)
-def ts_granularity_census(spark, sf_dir):
-    """Timestamp-precision census: how many event times carry
-    sub-second precision vs landing exactly on second / minute / hour
-    boundaries — boundary-aligned masses reveal upstream truncation or
-    batch-loader stamping (a minute-aligned spike means the 'event
-    time' is really an ingest tick, which silently breaks
-    sessionization gaps, as-of joins, and the watermark curve; this is
-    the check that says whether those time ops mean what they claim).
-    The four classes partition all events (finest wins).
-
-    Determinism: pure integer µs modular arithmetic.
-
-    Scale shape: four map-side counters in ONE scan-and-agg."""
-    t = _events(spark, sf_dir).select(
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us")
-    )
-    return t.agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum(F.expr("CASE WHEN us % 1000000 <> 0 THEN 1 ELSE 0 END"))
-        .cast("long")
-        .alias("n_subsecond"),
-        F.sum(
-            F.expr(
-                "CASE WHEN us % 1000000 = 0 AND us % 60000000 <> 0 THEN 1 ELSE 0 END"
-            )
-        )
-        .cast("long")
-        .alias("n_second_aligned"),
-        F.sum(
-            F.expr(
-                "CASE WHEN us % 60000000 = 0 AND us % 3600000000 <> 0 THEN 1 ELSE 0 END"
-            )
-        )
-        .cast("long")
-        .alias("n_minute_aligned"),
-        F.sum(F.expr("CASE WHEN us % 3600000000 = 0 THEN 1 ELSE 0 END"))
-        .cast("long")
-        .alias("n_hour_aligned"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 160 — balanced interleaving, dup locality, type value profile
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "balanced_interleaving_eval",
-    _bm25_agg_ctes(_PL2_TERMS)
-    + f""",
-atop AS (SELECT doc_id,
-                row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rnk
-         FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 10),
-cfs AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
-nd2 AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(doc_len) AS BIGINT) AS tot FROM dl),
-pin AS (SELECT tf.doc_id, CAST(tf.tf AS BIGINT) AS tfv,
-               CAST(dl.doc_len AS BIGINT) AS dlv, cfs.cf AS cf,
-               nd2.tot AS tot, nd2.nd AS nd
-        FROM tf JOIN q USING (term) JOIN cfs USING (term)
-        JOIN dl USING (doc_id) CROSS JOIN nd2),
-pper AS (SELECT doc_id, {_PL2_S} AS s FROM pin),
-pagg AS (SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6
-         FROM pper GROUP BY doc_id),
-ptop AS (SELECT doc_id,
-                row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rnk
-         FROM pagg ORDER BY score_q6 DESC, doc_id ASC LIMIT 10),
-seq AS (SELECT doc_id, rnk, 'A' AS team FROM atop
-        UNION ALL SELECT doc_id, rnk, 'B' FROM ptop),
-ded AS (SELECT doc_id, rnk, team FROM (
-          SELECT doc_id, rnk, team,
-                 row_number() OVER (PARTITION BY doc_id ORDER BY rnk, team) AS dd
-          FROM seq) WHERE dd = 1),
-pos AS (SELECT doc_id, team,
-               row_number() OVER (ORDER BY rnk, team, doc_id) AS position
-        FROM ded),
-rel AS (SELECT DISTINCT doc_id FROM ({SQL_TOKS}) WHERE term = 'dup')
-SELECT CAST(pos.position AS BIGINT) AS position, pos.doc_id, pos.team,
-       CAST(CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_rel
-FROM pos LEFT JOIN rel ON rel.doc_id = pos.doc_id
-WHERE pos.position <= 10 ORDER BY position""",
-)
-def balanced_interleaving_eval(spark, sf_dir):
-    """Balanced interleaving of two live rankers (BM25 vs DFR-PL2 on
-    the same query): merge the two top-10s rank-by-rank (A before B at
-    equal rank — the deterministic priority variant), drop a doc the
-    second time it appears, keep 10, and credit each position against
-    the binary relevance label — the online-evaluation page layout
-    (Joachims 2002) that decides A/B ranker rollouts from clicks;
-    with the corpus's 'dup' relevance standing in for clicks, the
-    is_rel-by-team readout IS the interleaving verdict
-    (bm25_pl2_overlap says how much the lists share; this builds the
-    page you'd actually serve to compare them).
-
-    Determinism: both legs rank over quantized scores with doc_id
-    tiebreaks; the merge order (rnk, team, doc_id) and first-occurrence
-    dedup are exact integer/string orderings.
-
-    Scale shape: the legs share tf/dl's exchanges (the
-    bm25_pl2_overlap plumbing); every interleaving window runs on ≤20
-    rows."""
-    a = (
-        _bm25_match_set(spark, sf_dir, _PL2_TERMS)
-        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(10)
-        .withColumn(
-            "rnk",
-            F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))),
-        )
-        .select("doc_id", "rnk", F.lit("A").alias("team"))
-    )
-    b = dfr_pl2_search(spark, sf_dir).select(
-        "doc_id", F.col("rank").alias("rnk"), F.lit("B").alias("team")
-    )
-    seq = a.unionByName(b)
-    wd = Window.partitionBy("doc_id").orderBy("rnk", "team")
-    ded = (
-        seq.withColumn("dd", F.row_number().over(wd))
-        .where(F.col("dd") == 1)
-        .drop("dd")
-    )
-    wp = Window.orderBy("rnk", "team", "doc_id")
-    pos = ded.withColumn("position", F.row_number().over(wp)).where(
-        F.col("position") <= 10
-    )
-    rel = (
-        _toks(_docs(spark, sf_dir))
-        .where(F.col("term") == "dup")
-        .select("doc_id")
-        .distinct()
-        .withColumn("flag", F.lit(1))
-    )
-    return (
-        pos.join(rel, "doc_id", "left")
-        .select(
-            F.col("position").cast("long").alias("position"),
-            "doc_id",
-            "team",
-            F.coalesce("flag", F.lit(0)).cast("long").alias("is_rel"),
-        )
-        .orderBy("position")
-    )
-
-
-@register(
-    "dup_locality_census",
-    """WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
-g AS (SELECT hh, CAST(count(*) AS BIGINT) AS n,
-             CAST(max(doc_id) - min(doc_id) AS BIGINT) AS span
-      FROM h GROUP BY hh HAVING count(*) > 1)
-SELECT CAST(length(bin(span)) - 1 AS BIGINT) AS span_band,
-       CAST(count(*) AS BIGINT) AS n_groups,
-       CAST(sum(n) AS BIGINT) AS n_docs
-FROM g GROUP BY span_band ORDER BY span_band""",
-)
-def dup_locality_census(spark, sf_dir):
-    """WHERE do exact duplicates live relative to each other: the
-    doc_id span of every md5(text) duplicate group, log2-banded — a
-    low-band mass says duplicates arrive near each other (same crawl
-    batch; a sort-window or per-partition dedup catches most of them
-    cheaply), a flat/high-band spread says duplication is global and
-    only the full-shuffle md5 groupBy works (exactly the choice
-    dedup_exact vs a cheaper sorted pass at 100 TB hinges on —
-    sort_layout_pruning_estimate makes the same locality argument for
-    scans).
-
-    Determinism: pure integer spans (distinct doc_ids ⇒ span ≥ 1).
-
-    Scale shape: the dedup_exact shuffle with min/max carried in the
-    same agg; band rollup ≤64 rows."""
-    h = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("hh"))
-    g = (
-        h.groupBy("hh")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            (F.max("doc_id") - F.min("doc_id")).cast("long").alias("span"),
-        )
-        .where(F.col("n") > 1)
-    )
-    return (
-        g.select(
-            F.expr("CAST(length(bin(span)) - 1 AS BIGINT)").alias("span_band"),
-            "n",
-        )
-        .groupBy("span_band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_groups"),
-            F.sum("n").cast("long").alias("n_docs"),
-        )
-        .orderBy("span_band")
-    )
-
-
-@register(
-    "type_value_profile",
-    """SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
-       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
-       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
-FROM events GROUP BY event_type ORDER BY event_type""",
-)
-def type_value_profile(spark, sf_dir):
-    """Value profile per event type: count plus cents sum/min/max —
-    event_type_census counts heads; THIS shows where the money field
-    actually carries signal (purchase values vs the zero/noise values
-    other types log), the sanity table before any value-weighted op
-    trusts the column. Cents per row first (the Q1 rule).
-
-    Scale shape: one map-side-combined agg into ≤|types| rows."""
-    e = _events(spark, sf_dir).select(
-        "event_type",
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-    )
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum("cents").cast("long").alias("value_cents"),
-            F.min("cents").cast("long").alias("min_cents"),
-            F.max("cents").cast("long").alias("max_cents"),
-        )
-        .orderBy("event_type")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 161 — value×recency skyline, MMR diversity gain
-# ---------------------------------------------------------------------------
-
-_SKY_SHARD = 4096  # cents-range sub-shard width for the two-pass prefix max
-
-
-@register(
-    "orders_value_recency_skyline",
-    f"""WITH p AS (
-  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-         CAST(epoch_us(o_orderdate) // {_US_PER_DAY} AS BIGINT) AS day_num
-  FROM orders),
-pts AS (SELECT cents, day_num, CAST(count(*) AS BIGINT) AS n_orders
-        FROM p GROUP BY cents, day_num),
-c AS (SELECT cents, CAST(max(day_num) AS BIGINT) AS maxd
-      FROM pts GROUP BY cents),
-w AS (SELECT cents, maxd,
-             max(maxd) OVER (ORDER BY cents DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_gt
-      FROM c),
-sky AS (SELECT cents, maxd AS day_num FROM w
-        WHERE m_gt IS NULL OR maxd > m_gt)
-SELECT sky.cents, sky.day_num, pts.n_orders
-FROM sky JOIN pts ON pts.cents = sky.cents AND pts.day_num = sky.day_num
-ORDER BY sky.cents DESC""",
-)
-def orders_value_recency_skyline(spark, sf_dir):
-    """The SKYLINE operator (Börzsönyi 2001) on orders, maximizing
-    (value, recency): every order not dominated by one that is both
-    more valuable AND at least as recent (ties in both dims keep all
-    co-located orders) — the classic multi-criteria shortlist
-    ('biggest recent deals') that no single ORDER BY can produce,
-    completing the relational-operator family beside CUBE, as-of, and
-    the argmax patterns.
-
-    Determinism: cents/epoch-day integers; a point survives iff its
-    day strictly exceeds the max day over all STRICTLY higher values
-    (and it carries its value's max day) — exact integer comparisons.
-
-    Scale shape (Spark): the per-value max collapses to a
-    value-cardinality table; the strict-prefix max over it is NOT one
-    global window — it is the watermark_drop_curve two-pass form
-    (cents-range sub-shards + exclusive prefix max over the tiny
-    shard-max table), byte-identical to the oracle's single window;
-    survivors join back to the points table on the (cents, day)
-    key."""
-    p = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-        F.expr(
-            f"CAST(unix_micros(cast(o_orderdate as timestamp)) div {_US_PER_DAY} AS BIGINT)"
-        ).alias("day_num"),
-    )
-    pts = p.groupBy("cents", "day_num").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders")
-    ).localCheckpoint()
-    c = pts.groupBy("cents").agg(F.max("day_num").cast("long").alias("maxd"))
-    sh = c.withColumn("shard", F.expr(f"cents div {_SKY_SHARD}"))
-    win = Window.partitionBy("shard").orderBy(F.desc("cents")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    within = sh.withColumn("m_in", F.max("maxd").over(win))
-    smax = sh.groupBy("shard").agg(F.max("maxd").alias("shmax"))
-    wsh = Window.orderBy(F.desc("shard")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    pmax = smax.select("shard", F.max("shmax").over(wsh).alias("m_hi"))
-    w = within.join(pmax, "shard").select(
-        "cents",
-        "maxd",
-        F.expr(
-            "CASE WHEN m_in IS NULL AND m_hi IS NULL THEN NULL"
-            " WHEN m_in IS NULL THEN m_hi"
-            " WHEN m_hi IS NULL THEN m_in"
-            " ELSE greatest(m_in, m_hi) END"
-        ).alias("m_gt"),
-    )
-    sky = w.where(F.col("m_gt").isNull() | (F.col("maxd") > F.col("m_gt"))).select(
-        "cents", F.col("maxd").alias("day_num")
-    )
-    return (
-        sky.join(pts, ["cents", "day_num"])
-        .select("cents", "day_num", "n_orders")
-        .orderBy(F.desc("cents"))
-    )
-
-
-@register(
-    "mmr_diversity_gain",
-    _mmr_sql()[: _mmr_sql().rindex("SELECT sel_order")]
-    + f""",
-basetop AS (SELECT doc_id FROM top20 ORDER BY score_q6 DESC, doc_id ASC LIMIT 8),
-lab AS (SELECT doc_id, source FROM documents),
-bsrc AS (SELECT lab.source, CAST(count(*) AS BIGINT) AS n
-         FROM basetop JOIN lab USING (doc_id) GROUP BY lab.source),
-msrc AS (SELECT lab.source, CAST(count(*) AS BIGINT) AS n
-         FROM sel JOIN lab USING (doc_id) GROUP BY lab.source),
-bh AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
-              CAST(COALESCE(sum(CAST(round(1000000 * (CAST(n AS DOUBLE) / t.tot)
-                   * ln(CAST(t.tot AS DOUBLE) / n)) AS BIGINT)), 0) AS BIGINT) AS ent
-       FROM bsrc, (SELECT CAST(sum(n) AS BIGINT) AS tot FROM bsrc) t),
-mh AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
-              CAST(COALESCE(sum(CAST(round(1000000 * (CAST(n AS DOUBLE) / t.tot)
-                   * ln(CAST(t.tot AS DOUBLE) / n)) AS BIGINT)), 0) AS BIGINT) AS ent
-       FROM msrc, (SELECT CAST(sum(n) AS BIGINT) AS tot FROM msrc) t)
-SELECT 'bm25_top8' AS ranker, bh.n_sources, bh.ent AS entropy_q6 FROM bh
-UNION ALL
-SELECT 'mmr_top8', mh.n_sources, mh.ent FROM mh
-ORDER BY ranker""",
-)
-def mmr_diversity_gain(spark, sf_dir):
-    """Did MMR buy diversity? Source count and source-entropy of the
-    plain BM25 top-8 versus mmr_rerank's 8 picks for the same query —
-    the before/after of the diversification pass in
-    serp_source_diversity's own units (entropy gain at equal page size
-    = what λ=0.7 purchased; zero gain on a single-source match set is
-    the honest null). Per-source −p·ln p is q6-rounded FIRST (the
-    entropy family rule).
-
-    Scale shape: both legs are 8-row pages joined to metadata; the MMR
-    leg reuses the mmr_rerank machinery (collected 20-row band in
-    Spark, the unrolled MATERIALIZED chain in the oracle)."""
-    base = (
-        _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
-        .where(F.col("doc_id") != 0)
-        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(8)
-        .select("doc_id")
-    )
-    sel = mmr_rerank(spark, sf_dir).select("doc_id")
-    lab = _docs(spark, sf_dir).select("doc_id", "source")
-
-    def leg(df, name):
-        src = df.join(lab, "doc_id").groupBy("source").agg(
-            F.count(F.lit(1)).cast("long").alias("n")
-        )
-        tot = src.agg(F.sum("n").cast("long").alias("tot"))
-        return (
-            src.crossJoin(F.broadcast(tot))
-            .select(
-                F.expr(
-                    "CAST(round(1000000 * (CAST(n AS DOUBLE) / tot)"
-                    " * ln(CAST(tot AS DOUBLE) / n)) AS BIGINT)"
-                ).alias("hq6")
-            )
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_sources"),
-                F.coalesce(F.sum("hq6"), F.lit(0)).cast("long").alias("entropy_q6"),
-            )
-            .select(F.lit(name).alias("ranker"), "n_sources", "entropy_q6")
-        )
-
-    return leg(base, "bm25_top8").unionByName(leg(sel, "mmr_top8")).orderBy(
-        "ranker"
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 162 — KMV sketch, lexicon sentiment, churn by activity band
-# ---------------------------------------------------------------------------
-
-_KMV_K = 64
-
-
-@register(
-    "kmv_distinct_estimate",
-    f"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
-h AS (SELECT event_type,
-             ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 13))::UBIGINT
-               / 4503599627370496.0 AS u
-      FROM d),
-r AS (SELECT event_type, u,
-             row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
-      FROM h),
-n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
-      FROM h GROUP BY event_type),
-kk AS (SELECT event_type, u AS uk FROM r WHERE rn = {_KMV_K}),
-est AS (
-  SELECT n.event_type, n.n_exact,
-         CAST(CASE WHEN kk.uk IS NULL THEN n.n_exact
-              ELSE round({_KMV_K - 1} / kk.uk) END AS BIGINT) AS kmv_est
-  FROM n LEFT JOIN kk ON kk.event_type = n.event_type)
-SELECT event_type, n_exact, kmv_est,
-       CAST((1000000 * abs(kmv_est - n_exact)) // n_exact AS BIGINT) AS err_q6
-FROM est ORDER BY event_type""",
-)
-def kmv_distinct_estimate(spark, sf_dir):
-    """KMV (bottom-k / k-minimum-values) distinct-count sketch per
-    event type: keep the k=64 smallest 52-bit hash values of the
-    user ids, estimate NDV as (k−1)/u_k — the OTHER classic
-    cardinality sketch beside HLL (theta/KMV sketches union and
-    intersect by set algebra on the kept values, which HLL registers
-    cannot; this op reports its per-type accuracy against exact so the
-    two sketch families can be compared on the same column as
-    hll_precision_curve). Types with fewer than k users fall back to
-    the exact count (the KMV rule for under-filled sketches).
-
-    Determinism: u = md5('kmv:'||user)/2^52 is an exact double
-    (hash-input seeded — the weighted_sample_docs coordinate rule);
-    equal-u ties leave u_k the same value; one float division, then
-    half-away round.
-
-    Scale shape: distinct (type, user) is a two-phase exchange; the
-    per-type rank window runs over user-cardinality rows (at scale:
-    keep per-partition bottom-k first — the sketch IS that
-    map-combine; documented knob)."""
-    d = _events(spark, sf_dir).select("event_type", "user_id").distinct()
-    h = d.select(
-        "event_type",
-        F.expr(
-            "cast(conv(substring(md5('kmv:' || cast(user_id as string)), 1, 13), 16, 10) as bigint)"
-            " / 4503599627370496e0"
-        ).alias("u"),
-    ).localCheckpoint()
-    w = Window.partitionBy("event_type").orderBy("u")
-    kk = (
-        h.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == _KMV_K)
-        .select("event_type", F.col("u").alias("uk"))
-    )
-    n = h.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact")
-    )
-    est = n.join(kk, "event_type", "left").select(
-        "event_type",
-        "n_exact",
-        F.expr(
-            f"CAST(CASE WHEN uk IS NULL THEN n_exact"
-            f" ELSE round({_KMV_K - 1} / uk) END AS BIGINT)"
-        ).alias("kmv_est"),
-    )
-    return est.select(
-        "event_type",
-        "n_exact",
-        "kmv_est",
-        F.expr(
-            "CAST((1000000 * abs(kmv_est - n_exact)) div n_exact AS BIGINT)"
-        ).alias("err_q6"),
-    ).orderBy("event_type")
-
-
-_SENT_POS = "('good', 'great', 'excellent', 'love', 'best', 'happy', 'win', 'nice')"
-_SENT_NEG = "('bad', 'terrible', 'awful', 'hate', 'worst', 'sad', 'fail', 'poor')"
-
-
-@register(
-    "sentiment_lexicon_score",
-    f"""WITH tk AS (SELECT source, unnest(words) AS term FROM ({SQL_WORDS}))
-SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(sum(CASE WHEN term IN {_SENT_POS} THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-       CAST(sum(CASE WHEN term IN {_SENT_NEG} THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
-       CAST((1000000 * (sum(CASE WHEN term IN {_SENT_POS} THEN 1 ELSE 0 END)
-            - sum(CASE WHEN term IN {_SENT_NEG} THEN 1 ELSE 0 END)))
-            // greatest(count(*), 1) AS BIGINT) AS net_q6
-FROM tk GROUP BY source ORDER BY source""",
-)
-def sentiment_lexicon_score(spark, sf_dir):
-    """Dictionary sentiment per source: positive/negative lexicon hits
-    (an 8+8-word embedded AFINN-style list — the same embedded-wordlist
-    device as the lang-ID profiles) and the token-normalized net score
-    — the cheapest corpus-mood gauge, and in a curation pipeline the
-    toxicity/advocacy screen's structural template (swap the list,
-    keep the plan). Near-zero on the synthetic corpus is the honest
-    reading; the property suite injects charged docs.
-
-    Determinism: exact conditional counts; net is one signed integer
-    division (both engines truncate toward zero — the session-105
-    verified rule).
-
-    Scale shape: one tokenize explode and a per-source conditional
-    agg, all map-side combinable."""
-    tk = _docs(spark, sf_dir).select(
-        "source", F.explode(spark_tokens("text")).alias("term")
-    )
-    return (
-        tk.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum(F.expr(f"CASE WHEN term IN {_SENT_POS} THEN 1 ELSE 0 END"))
-            .cast("long")
-            .alias("n_pos"),
-            F.sum(F.expr(f"CASE WHEN term IN {_SENT_NEG} THEN 1 ELSE 0 END"))
-            .cast("long")
-            .alias("n_neg"),
-        )
-        .select(
-            "source",
-            "n_tokens",
-            "n_pos",
-            "n_neg",
-            F.expr(
-                "CAST((1000000 * (n_pos - n_neg)) div greatest(n_tokens, 1)"
-                " AS BIGINT)"
-            ).alias("net_q6"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "churn_by_activity_band",
-    f"""WITH mx AS (
-  SELECT CAST(max(epoch_us(ts)) // {_US_PER_DAY} AS BIGINT) AS maxd FROM events),
-u AS (
-  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-         CAST(max(epoch_us(ts)) // {_US_PER_DAY} AS BIGINT) AS last_day
-  FROM events GROUP BY user_id),
-b AS (
-  SELECT CAST(length(bin(u.n_events)) - 1 AS BIGINT) AS activity_band,
-         CASE WHEN mx.maxd - u.last_day > 28 THEN 1 ELSE 0 END AS churned
-  FROM u, mx)
-SELECT activity_band, CAST(count(*) AS BIGINT) AS n_users,
-       CAST(sum(churned) AS BIGINT) AS n_churned,
-       CAST((1000000 * sum(churned)) // count(*) AS BIGINT) AS churn_q6
-FROM b GROUP BY activity_band ORDER BY activity_band""",
-)
-def churn_by_activity_band(spark, sf_dir):
-    """Does engagement protect against churn? Users banded by log2
-    lifetime event count, with the share whose LAST activity sits more
-    than 28 days before the dataset's end — the retention curve's
-    actionable cross-cut (user_activity_histogram counts the bands;
-    resurrected_users_monthly tracks comebacks; this says which bands
-    the 28-day-silent users come FROM, i.e. whether churn is a
-    light-user phenomenon here). Dataset-max anchored, like
-    open_order_age_histogram.
-
-    Determinism: pure integers.
-
-    Scale shape: one user-keyed agg (count + max ride one exchange);
-    the 1-row max-date broadcast; band rollup ≤64 rows."""
-    e = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-            "day_num"
-        ),
-    )
-    mx = e.agg(F.max("day_num").cast("long").alias("maxd"))
-    u = e.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.max("day_num").cast("long").alias("last_day"),
-    )
-    b = u.crossJoin(F.broadcast(mx)).select(
-        F.expr("CAST(length(bin(n_events)) - 1 AS BIGINT)").alias(
-            "activity_band"
-        ),
-        F.expr("CASE WHEN maxd - last_day > 28 THEN 1 ELSE 0 END").alias(
-            "churned"
-        ),
-    )
-    return (
-        b.groupBy("activity_band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_users"),
-            F.sum("churned").cast("long").alias("n_churned"),
-        )
-        .select(
-            "activity_band",
-            "n_users",
-            "n_churned",
-            F.expr(
-                "CAST((1000000 * n_churned) div n_users AS BIGINT)"
-            ).alias("churn_q6"),
-        )
-        .orderBy("activity_band")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 163 — sequence-pair support, trailing tokens, partial shipment
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "seq_pair_support",
-    """WITH b AS (
-  SELECT user_id, event_type,
-         CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
-         CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
-  FROM events GROUP BY user_id, event_type),
-p AS (
-  SELECT a.event_type AS type_a, c.event_type AS type_b,
-         CASE WHEN a.first_us < c.last_us THEN 1 ELSE 0 END AS ordered_ab
-  FROM b a JOIN b c ON c.user_id = a.user_id AND c.event_type <> a.event_type)
-SELECT type_a, type_b,
-       CAST(count(*) AS BIGINT) AS n_users_both,
-       CAST(sum(ordered_ab) AS BIGINT) AS n_ordered,
-       CAST((1000000 * sum(ordered_ab)) // count(*) AS BIGINT) AS support_q6
-FROM p GROUP BY type_a, type_b ORDER BY type_a, type_b""",
-)
-def seq_pair_support(spark, sf_dir):
-    """Sequential-pattern support at gap-∞: for every ORDERED type pair
-    (a → b), among users who did both, how many ever did a BEFORE some
-    b (first a precedes last b) — the order-aware counterpart of
-    event_type_lift's unordered co-occurrence and the any-gap
-    generalization of events_markov_transitions' adjacent-only counts
-    (a funnel hypothesis like signup→purchase lives at exactly this
-    grain: ordered, eventually). The asymmetry support(a→b) vs
-    support(b→a) is the direction signal.
-
-    Determinism: per-(user, type) first/last epochs are exact integer
-    min/max; the pair flag is one integer comparison.
-
-    Scale shape: one (user, type) agg (map-side); the pair table is
-    |types|²-bounded PER USER (the event_type_lift bound) keyed on
-    user_id; the rollup is ≤|types|² rows."""
-    b = (
-        _events(spark, sf_dir)
-        .select(
-            "user_id",
-            "event_type",
-            F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-        )
-        .groupBy("user_id", "event_type")
-        .agg(
-            F.min("us").cast("long").alias("first_us"),
-            F.max("us").cast("long").alias("last_us"),
-        )
-    )
-    a = b.select(
-        "user_id", F.col("event_type").alias("type_a"), "first_us"
-    )
-    c = b.select(
-        F.col("user_id").alias("uid2"),
-        F.col("event_type").alias("type_b"),
-        "last_us",
-    )
-    p = a.join(
-        c,
-        (F.col("uid2") == F.col("user_id"))
-        & (F.col("type_b") != F.col("type_a")),
-    ).select(
-        "type_a",
-        "type_b",
-        F.expr("CASE WHEN first_us < last_us THEN 1 ELSE 0 END").alias(
-            "ordered_ab"
-        ),
-    )
-    return (
-        p.groupBy("type_a", "type_b")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_users_both"),
-            F.sum("ordered_ab").cast("long").alias("n_ordered"),
-        )
-        .select(
-            "type_a",
-            "type_b",
-            "n_users_both",
-            "n_ordered",
-            F.expr(
-                "CAST((1000000 * n_ordered) div n_users_both AS BIGINT)"
-            ).alias("support_q6"),
-        )
-        .orderBy("type_a", "type_b")
-    )
-
-
-@register(
-    "trailing_token_census",
-    f"""WITH w AS ({SQL_WORDS}),
-f AS (SELECT words[len(words)] AS tok FROM w WHERE len(words) >= 1),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM f),
-c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_docs FROM f GROUP BY tok),
-rk AS (SELECT tok, n_docs,
-              row_number() OVER (ORDER BY n_docs DESC, tok ASC) AS rank
-       FROM c)
-SELECT rk.tok, CAST(rk.rank AS BIGINT) AS rank, rk.n_docs,
-       CAST((1000000 * rk.n_docs) // tot.t AS BIGINT) AS share_q6
-FROM rk CROSS JOIN tot WHERE rk.rank <= 10 ORDER BY rank""",
-)
-def trailing_token_census(spark, sf_dir):
-    """Trailing-token census: the 10 most common LAST tokens — the
-    boilerplate-FOOTER half of leading_token_census (copyright lines,
-    'read more', truncation artifacts all land here; a dominant
-    trailer that ISN'T a dominant leader means the template wraps the
-    content, which chunk-level dedup sees but doc-level hashes miss).
-    Empty documents drop.
-
-    Determinism: exact counts; rank by (n desc, token asc).
-
-    Scale shape: last-element extraction is map-side; one
-    vocab-bounded agg; TakeOrdered 10."""
-    w = _docs(spark, sf_dir).select(spark_tokens("text").alias("words"))
-    f = w.where(F.size("words") >= 1).select(
-        F.element_at("words", -1).alias("tok")
-    )
-    tot = f.agg(F.count(F.lit(1)).cast("long").alias("t"))
-    c = f.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    rk = c.withColumn(
-        "rank",
-        F.row_number()
-        .over(Window.orderBy(F.desc("n_docs"), F.asc("tok")))
-        .cast("long"),
-    ).where(F.col("rank") <= 10)
-    return (
-        rk.crossJoin(F.broadcast(tot))
-        .select(
-            "tok",
-            "rank",
-            "n_docs",
-            F.expr("CAST((1000000 * n_docs) div t AS BIGINT)").alias("share_q6"),
-        )
-        .orderBy("rank")
-    )
-
-
-@register(
-    "partially_shipped_orders",
-    f"""WITH s AS (
-  SELECT l_orderkey,
-         CAST(count(*) AS BIGINT) AS n_items,
-         CAST(sum(CASE WHEN l_shipdate <= {_LI_CUTOFF} THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_shipped
-  FROM lineitem GROUP BY l_orderkey),
-c AS (
-  SELECT CASE WHEN n_shipped = 0 THEN 'none'
-              WHEN n_shipped = n_items THEN 'full'
-              ELSE 'partial' END AS ship_state,
-         n_items
-  FROM s)
-SELECT ship_state, CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(n_items) AS BIGINT) AS n_items
-FROM c GROUP BY ship_state ORDER BY ship_state""",
-)
-def partially_shipped_orders(spark, sf_dir):
-    """Shipment completeness census at the Q1 cutoff date: orders fully
-    shipped / untouched / SPLIT (some items out, some pending) — the
-    partial-fulfillment state that drives both customer contacts and
-    the fragmented-delivery costs order_ship_span_histogram measures in
-    days; Q3's backlog revenue comes exclusively from the 'none' and
-    'partial' rows of THIS table. One-sided date predicate, counted
-    per order.
-
-    Determinism: integer conditional counts against the shared
-    `_LI_CUTOFF` timestamp.
-
-    Scale shape: one orderkey agg (both counters ride one exchange);
-    3-row rollup."""
-    s = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .groupBy("l_orderkey")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.sum(
-                F.expr(f"CASE WHEN l_shipdate <= {_LI_CUTOFF} THEN 1 ELSE 0 END")
-            )
-            .cast("long")
-            .alias("n_shipped"),
-        )
-    )
-    c = s.select(
-        F.expr(
-            "CASE WHEN n_shipped = 0 THEN 'none'"
-            " WHEN n_shipped = n_items THEN 'full'"
-            " ELSE 'partial' END"
-        ).alias("ship_state"),
-        "n_items",
-    )
-    return (
-        c.groupBy("ship_state")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum("n_items").cast("long").alias("n_items"),
-        )
-        .orderBy("ship_state")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 164 — salting effect, score calibration, functional dependencies
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "salting_effect_curve",
-    """WITH f AS (SELECT unnest([1, 2, 4, 8]) AS factor),
-r AS (
-  SELECT f.factor,
-         ('0x' || substr(md5(CAST(l.l_orderkey AS VARCHAR) || ':'
-            || CAST(('0x' || substr(md5('salt:' || CAST(l.l_linenumber AS VARCHAR)
-                     || ':' || CAST(l.l_orderkey AS VARCHAR)), 1, 13))::UBIGINT
-                    % f.factor AS VARCHAR)), 1, 13))::UBIGINT % 32 AS bucket
-  FROM lineitem l, f),
-b AS (SELECT factor, bucket, CAST(count(*) AS BIGINT) AS n
-      FROM r GROUP BY factor, bucket),
-t AS (SELECT factor, CAST(sum(n) AS BIGINT) AS total,
-             CAST(max(n) AS BIGINT) AS max_bucket,
-             CAST(count(*) AS BIGINT) AS n_buckets
-      FROM b GROUP BY factor)
-SELECT CAST(factor AS BIGINT) AS factor, n_buckets, max_bucket,
-       CAST((1000000 * max_bucket) // total AS BIGINT) AS max_share_q6
-FROM t ORDER BY factor""",
-)
-def salting_effect_curve(spark, sf_dir):
-    """Does salting actually flatten the shuffle? The lineitem rows are
-    hash-partitioned into 32 reducers on (l_orderkey, salt) for salt
-    fan-outs 1/2/4/8 (salt = a per-ROW deterministic hash mod factor —
-    the salted-join rewrite's left side), and the hottest reducer's
-    share is reported per factor — the empirical curve behind
-    salting_plan_advisor's prescription (on uniform TPC-H keys the
-    share barely moves, the honest null; the property suite injects a
-    celebrity key and watches the share drop ~1/factor).
-
-    Determinism: buckets come from 52-bit md5 slices (hash-input
-    seeded 'salt:'), pure integer modular arithmetic.
-
-    Scale shape: the 4-row factor spine fans map-side; bucket loads
-    combine map-side into ≤32·4 rows."""
-    f = spark.range(1).select(
-        F.explode(F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8))).alias(
-            "factor"
-        )
-    )
-    r = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .select("l_orderkey", "l_linenumber")
-        .crossJoin(F.broadcast(f))
-        .select(
-            "factor",
-            F.expr(
-                "cast(conv(substring(md5(cast(l_orderkey as string) || ':'"
-                " || cast(cast(conv(substring(md5('salt:' || cast(l_linenumber as string)"
-                " || ':' || cast(l_orderkey as string)), 1, 13), 16, 10) as bigint)"
-                " % factor as string)), 1, 13), 16, 10) as bigint) % 32"
-            ).alias("bucket"),
-        )
-    )
-    b = r.groupBy("factor", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    t = b.groupBy("factor").agg(
-        F.sum("n").cast("long").alias("total"),
-        F.max("n").cast("long").alias("max_bucket"),
-        F.count(F.lit(1)).cast("long").alias("n_buckets"),
-    )
-    return t.select(
-        F.col("factor").cast("long").alias("factor"),
-        "n_buckets",
-        "max_bucket",
-        F.expr("CAST((1000000 * max_bucket) div total AS BIGINT)").alias(
-            "max_share_q6"
-        ),
-    ).orderBy("factor")
-
-
-@register(
-    "score_relevance_calibration",
-    _bm25_agg_ctes(_RANKEVAL_TERMS)
-    + f""",
-rel AS (SELECT DISTINCT doc_id FROM ({SQL_TOKS}) WHERE term = 'dup'),
-lab AS (SELECT agg.doc_id, agg.score_q6,
-               CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel
-        FROM agg LEFT JOIN rel USING (doc_id)),
-n AS (SELECT CAST(count(*) AS BIGINT) AS n_match FROM lab),
-rk AS (SELECT score_q6, is_rel,
-              row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rn
-       FROM lab),
-dec AS (SELECT CAST(((rn - 1) * 5) // n.n_match AS BIGINT) AS band, is_rel
-        FROM rk, n)
-SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(is_rel) AS BIGINT) AS n_rel,
-       CAST((1000000 * sum(is_rel)) // count(*) AS BIGINT) AS rel_rate_q6
-FROM dec GROUP BY band ORDER BY band""",
-)
-def score_relevance_calibration(spark, sf_dir):
-    """Score calibration: the BM25 match set cut into 5 score-ordered
-    bands (quintiles by rank), each with its observed relevance rate
-    against the 'dup' label — the reliability diagram of the ranker
-    (ranking_auc summarizes separation in ONE number; this shows WHERE
-    the scores are informative: a monotone-decreasing rate column means
-    score thresholds transfer to precision targets, a flat one means
-    only rank order matters, not magnitude — the decision between
-    score-cutoff filtering and fixed-k pages).
-
-    Determinism: bands come from exact integer rank arithmetic
-    ((rn−1)·5 div n) over the quantized-score ordering with doc_id
-    tiebreaks; counts exact.
-
-    Scale shape: the match-set window is query-bounded (the
-    ranking_auc shape); rollup is 5 rows."""
-    agg = _bm25_match_set(spark, sf_dir, _RANKEVAL_TERMS)
-    rel = (
-        _toks(_docs(spark, sf_dir))
-        .where(F.col("term") == "dup")
-        .select("doc_id")
-        .distinct()
-        .withColumn("flag", F.lit(1))
-    )
-    lab = agg.join(rel, "doc_id", "left").select(
-        "doc_id",
-        "score_q6",
-        F.coalesce("flag", F.lit(0)).alias("is_rel"),
-    )
-    n = lab.agg(F.count(F.lit(1)).cast("long").alias("n_match"))
-    rk = lab.withColumn(
-        "rn",
-        F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))),
-    )
-    dec = rk.crossJoin(F.broadcast(n)).select(
-        F.expr("CAST(((rn - 1) * 5) div n_match AS BIGINT)").alias("band"),
-        "is_rel",
-    )
-    return (
-        dec.groupBy("band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("is_rel").cast("long").alias("n_rel"),
-        )
-        .select(
-            "band",
-            "n_docs",
-            "n_rel",
-            F.expr(
-                "CAST((1000000 * n_rel) div n_docs AS BIGINT)"
-            ).alias("rel_rate_q6"),
-        )
-        .orderBy("band")
-    )
-
-
-def _fd_arm_sql(name: str, table: str, x: str, y: str) -> str:
-    return f"""SELECT '{name}' AS dependency,
-       (SELECT CAST(count(DISTINCT {x}) AS BIGINT) FROM {table}) AS ndv_x,
-       (SELECT CAST(count(DISTINCT {y}) AS BIGINT) FROM {table}) AS ndv_y,
-       (SELECT CAST(count(*) AS BIGINT)
-        FROM (SELECT DISTINCT {x}, {y} FROM {table})) AS ndv_xy,
-       CAST((1000000 * (SELECT count(DISTINCT {x}) FROM {table}))
-            // (SELECT count(*) FROM (SELECT DISTINCT {x}, {y} FROM {table}))
-            AS BIGINT) AS fd_strength_q6"""
-
-
-@register(
-    "functional_dependency_census",
-    "\nUNION ALL\n".join(
-        [
-            _fd_arm_sql("source_to_lang", "documents", "source", "lang"),
-            _fd_arm_sql("lang_to_source", "documents", "lang", "source"),
-            _fd_arm_sql("brand_to_type", "part", "p_brand", "p_type"),
-        ]
-    )
-    + "\nORDER BY dependency",
-)
-def functional_dependency_census(spark, sf_dir):
-    """Approximate functional-dependency detector: for X→Y candidate
-    pairs, ndv(X) / ndv(X,Y) — exactly 1e6 when each X value maps to
-    ONE Y (a true FD: Y is derivable, joins on X can carry Y for free,
-    and the optimizer may treat ndv(X,Y) = ndv(X)); the fraction below
-    1e6 measures how many X values split across Ys
-    (source_lang_mutual_info scores the same relationship
-    information-theoretically; THIS is the schema-design/CBO form).
-
-    Determinism: exact distinct counts, one integer division per
-    dependency.
-
-    Scale shape: each arm is two two-phase distinct aggs over one
-    table; three independent arms union."""
-    arms = []
-    for name, table, x, y in [
-        ("source_to_lang", "documents", "source", "lang"),
-        ("lang_to_source", "documents", "lang", "source"),
-        ("brand_to_type", "part", "p_brand", "p_type"),
-    ]:
-        t = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        s = t.agg(
-            F.countDistinct(x).cast("long").alias("ndv_x"),
-            F.countDistinct(y).cast("long").alias("ndv_y"),
-            F.countDistinct(x, y).cast("long").alias("ndv_xy"),
-        )
-        arms.append(
-            s.select(
-                F.lit(name).alias("dependency"),
-                "ndv_x",
-                "ndv_y",
-                "ndv_xy",
-                F.expr(
-                    "CAST((1000000 * ndv_x) div ndv_xy AS BIGINT)"
-                ).alias("fd_strength_q6"),
-            )
-        )
-    return arms[0].unionByName(arms[1]).unionByName(arms[2]).orderBy(
-        "dependency"
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 165 — negative-idf census, ANN quantization check, RLE runs
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "negative_idf_census",
-    f"""WITH tf AS ({SQL_TF}),
-nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
-dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-neg AS (
-  SELECT dfs.term, dfs.df, nd.n_docs,
-         CAST(round(1000000 * ln(CAST(nd.n_docs AS DOUBLE) / dfs.df)) AS BIGINT)
-           AS idf_classic_q6
-  FROM dfs, nd WHERE 2 * dfs.df > nd.n_docs)
-SELECT term, df, n_docs, idf_classic_q6
-FROM neg ORDER BY df DESC, term ASC LIMIT 20""",
-)
-def negative_idf_census(spark, sf_dir):
-    """The idf floor's caseload: terms appearing in MORE than half the
-    corpus, with their classic ln(N/df) idf — the zone where naive
-    tf·idf goes ≤ ln 2 and the probabilistic idf ln((N−df+.5)/(df+.5))
-    goes NEGATIVE, which is why Lucene floors BM25's idf at 0 and why
-    common_terms_search demotes these terms to low-frequency matchers;
-    THIS table names the terms that policy actually touches and how
-    much mass they carry (empty on a diverse corpus; the synthetic
-    sandbox's tight vocabulary populates it honestly).
-
-    Determinism: exact integer df/N; one ln per surviving term, q6.
-
-    Scale shape: standard df agg; the df > N/2 cut leaves a handful of
-    rows before the TakeOrdered."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
-    )
-    nd = tf.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
-    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    neg = (
-        dfs.crossJoin(F.broadcast(nd))
-        .where(F.expr("2 * df > n_docs"))
-        .select(
-            "term",
-            "df",
-            "n_docs",
-            F.expr(
-                "CAST(round(1000000 * ln(CAST(n_docs AS DOUBLE) / df)) AS BIGINT)"
-            ).alias("idf_classic_q6"),
-        )
-    )
-    return neg.orderBy(F.desc("df"), F.asc("term")).limit(20)
-
-
-@register(
-    "ann_quantization_sensitivity",
-    _SQL_EMB_E
-    + """
-qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 37 = 0),
-sc AS (
-  SELECT qs.qid, e.vec_id,
-         list_dot_product(e.v, qs.qv)
-           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.qv, qs.qv))) AS c
-  FROM qs, e WHERE e.vec_id <> 0),
-t6 AS (SELECT qid, vec_id FROM (
-  SELECT qid, vec_id,
-         row_number() OVER (PARTITION BY qid ORDER BY
-           CAST(round(1000000 * c) AS BIGINT) DESC, vec_id ASC) AS rn
-  FROM sc) WHERE rn <= 10),
-t9 AS (SELECT qid, vec_id FROM (
-  SELECT qid, vec_id,
-         row_number() OVER (PARTITION BY qid ORDER BY
-           CAST(round(1000000000 * c) AS BIGINT) DESC, vec_id ASC) AS rn
-  FROM sc) WHERE rn <= 10)
-SELECT t6.qid, CAST(count(*) AS BIGINT) AS n_overlap
-FROM t6 JOIN t9 USING (qid, vec_id)
-GROUP BY t6.qid ORDER BY t6.qid""",
-)
-def ann_quantization_sensitivity(spark, sf_dir):
-    """Is the q6 contract rounding ever DECIDING a ranking? For each
-    batch query, the overlap between the exact top-10 under q6-rounded
-    cosines and under q9-rounded cosines — anything below 10 means two
-    true cosines within 1e-6 straddled a rank boundary and the house
-    quantization (not geometry) picked the winner. A full-10 column is
-    the evidence the q6 convention is safe on this data; where it ever
-    dips, the affected op should move to q9 (as the centroid/assign
-    ops already do).
-
-    Determinism: both rankings round the SAME double cosine at two
-    scales with vec_id tiebreaks — each is individually exact.
-
-    Scale shape: ONE brute-force scoring pass feeds both windows
-    (query-batch × corpus, the recall oracles' price, shared);
-    overlap is a 10-row-per-query join."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    qs = e.where(F.col("vec_id") % 37 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, z) -> acc + z)"
-    sc = (
-        e.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qs))
-        .select(
-            "qid",
-            "vec_id",
-            F.expr(
-                f"{dot.format(a='v', b='qv')}"
-                f" / (sqrt({dot.format(a='v', b='v')}) * sqrt({dot.format(a='qv', b='qv')}))"
-            ).alias("c"),
-        )
-        .localCheckpoint()
-    )
-    w6 = Window.partitionBy("qid").orderBy(
-        F.expr("CAST(round(1000000 * c) AS BIGINT)").desc(), F.asc("vec_id")
-    )
-    w9 = Window.partitionBy("qid").orderBy(
-        F.expr("CAST(round(1000000000 * c) AS BIGINT)").desc(), F.asc("vec_id")
-    )
-    t6 = (
-        sc.withColumn("rn", F.row_number().over(w6))
-        .where(F.col("rn") <= 10)
-        .select("qid", "vec_id")
-    )
-    t9 = (
-        sc.withColumn("rn", F.row_number().over(w9))
-        .where(F.col("rn") <= 10)
-        .select("qid", "vec_id")
-    )
-    return (
-        t6.join(t9, ["qid", "vec_id"])
-        .groupBy("qid")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
-        .orderBy("qid")
-    )
-
-
-_RLE_SHARD = 1024  # (orderkey-range) sub-shard width for the boundary pass
-
-
-@register(
-    "rle_run_census",
-    """WITH s AS (
-  SELECT l_returnflag AS v,
-         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_returnflag) AS rn
-  FROM lineitem),
-lg AS (SELECT v, lag(v) OVER (ORDER BY rn) AS pv FROM s),
-tr AS (SELECT CAST(sum(CASE WHEN pv IS NOT NULL AND v <> pv THEN 1 ELSE 0 END)
-              AS BIGINT) AS transitions,
-              CAST(count(*) AS BIGINT) AS n_rows
-       FROM lg),
-srt AS (SELECT CAST(count(DISTINCT v) AS BIGINT) AS ndv FROM s)
-SELECT tr.n_rows, CAST(tr.transitions + 1 AS BIGINT) AS n_runs_natural,
-       srt.ndv AS n_runs_sorted,
-       CAST((1000000 * (tr.transitions + 1)) // srt.ndv AS BIGINT)
-         AS run_inflation_q6
-FROM tr, srt""",
-)
-def rle_run_census(spark, sf_dir):
-    """Run-length encoding audit for l_returnflag: runs under the
-    table's natural (l_orderkey, l_linenumber) order versus the ndv
-    runs a value-sort would produce — RLE/dictionary-RLE pays by the
-    RUN, so run_inflation (natural/sorted) is exactly the compression
-    a re-sort buys on this column (column_encoding_advisor prices
-    dictionary codes; sort_layout_pruning_estimate prices scan
-    pruning; this completes the layout-advisor trio with the RLE
-    axis).
-
-    Determinism: pure integer transition counts over a TOTAL order —
-    the synthetic data repeats (orderkey, linenumber) pairs, so the
-    value itself is the final sort key (rows identical in all three
-    are interchangeable and can't create a transition).
-
-    Scale shape (Spark): the transition count is NOT one global lag
-    window — orderkey-range sub-shards count their internal
-    transitions in parallel and the shard-boundary transitions come
-    from the tiny (shard → first/last value) table joined to itself
-    shifted by one (the watermark/skyline two-pass family, third
-    member); identical to the oracle's single window."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_linenumber", F.col("l_returnflag").alias("v")
-    )
-    sh = li.withColumn("shard", F.expr(f"l_orderkey div {_RLE_SHARD}"))
-    win = Window.partitionBy("shard").orderBy("l_orderkey", "l_linenumber", "v")
-    lg = sh.withColumn("pv", F.lag("v").over(win))
-    within = lg.agg(
-        F.sum(
-            F.expr("CASE WHEN pv IS NOT NULL AND v <> pv THEN 1 ELSE 0 END")
-        )
-        .cast("long")
-        .alias("t_in"),
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-    )
-    fl = (
-        sh.groupBy("shard")
-        .agg(
-            F.min(F.struct("l_orderkey", "l_linenumber", "v")).alias("first"),
-            F.max(F.struct("l_orderkey", "l_linenumber", "v")).alias("last"),
-        )
-        .select(
-            "shard",
-            F.col("first.v").alias("first_v"),
-            F.col("last.v").alias("last_v"),
-        )
-    )
-    bnd = (
-        fl.withColumn(
-            "prev_last", F.lag("last_v").over(Window.orderBy("shard"))
-        )
-        .agg(
-            F.sum(
-                F.expr(
-                    "CASE WHEN prev_last IS NOT NULL AND first_v <> prev_last"
-                    " THEN 1 ELSE 0 END"
-                )
-            )
-            .cast("long")
-            .alias("t_bnd")
-        )
-    )
-    ndv = li.agg(F.countDistinct("v").cast("long").alias("ndv"))
-    return (
-        within.crossJoin(bnd)
-        .crossJoin(ndv)
-        .select(
-            "n_rows",
-            F.expr("CAST(t_in + t_bnd + 1 AS BIGINT)").alias("n_runs_natural"),
-            F.col("ndv").alias("n_runs_sorted"),
-            F.expr(
-                "CAST((1000000 * (t_in + t_bnd + 1)) div ndv AS BIGINT)"
-            ).alias("run_inflation_q6"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 166 — LSH candidate recall, temporal FK audit, cosine histogram
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "lsh_candidate_recall",
-    _SQL_LSH_PAIRS
-    + """,
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-tp AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
-  FROM sh a JOIN sh b ON b.sh = a.sh AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id),
-truth AS (
-  SELECT tp.doc_a, tp.doc_b
-  FROM tp JOIN sizes na ON na.doc_id = tp.doc_a
-  JOIN sizes nb ON nb.doc_id = tp.doc_b
-  WHERE 3 * tp.c >= na.n + nb.n),
-hit AS (SELECT truth.doc_a, truth.doc_b
-        FROM truth JOIN pairs ON pairs.doc_a = truth.doc_a
-                             AND pairs.doc_b = truth.doc_b)
-SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs,
-       (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_found,
-       CASE WHEN (SELECT count(*) FROM truth) = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(((SELECT count(*) FROM hit) * 1000000)
-                 // (SELECT count(*) FROM truth) AS BIGINT)
-       END AS recall_q6""",
-)
-def lsh_candidate_recall(spark, sf_dir):
-    """LSH banding RECALL — of all true near-duplicate pairs (exact
-    shingle Jaccard ≥ 0.5, enumerated over the shingle-blocked
-    universe: only pairs sharing ≥1 shingle can clear J ≥ 0.5, so the
-    blocked join IS the complete truth set), the fraction the band
-    join actually surfaces — the missing half of
-    lsh_candidate_precision's tuning pair: precision says how much
-    verify budget is wasted, recall says how many real duplicates the
-    banding LOSES (the b/r S-curve trades exactly these two).
-
-    Determinism: the truth test is the integer cross-multiplication
-    3c ≥ n_a + n_b; counts exact.
-
-    Scale shape: the truth join blocks on the shingle key (per-shingle
-    df bounds the fan — the ngram_jaccard bound); the hit check is a
-    pair-key join against the memoized candidate edges; three scalar
-    counts."""
-    edges = _lsh_pair_edges(spark, sf_dir)
-    pairs = edges.where(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
-    )
-    sh = _shingles_spark(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    tp = (
-        a.join(b, (F.col("sh") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    truth = (
-        tp.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
-            "doc_b",
-        )
-        .where(F.expr("3 * c >= na + nb"))
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-    )
-    hit = truth.join(pairs, ["doc_a", "doc_b"])
-    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
-    nf = hit.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
-    return nt.crossJoin(nf).select(
-        "n_true_pairs",
-        "n_found",
-        F.expr(
-            "CASE WHEN n_true_pairs = 0 THEN CAST(0 AS BIGINT)"
-            " ELSE CAST((n_found * 1000000) div n_true_pairs AS BIGINT) END"
-        ).alias("recall_q6"),
-    )
-
-
-@register(
-    "ship_before_order_census",
-    f"""WITH j AS (
-  SELECT epoch_us(l.l_shipdate) // {_US_PER_DAY}
-           - epoch_us(o.o_orderdate) // {_US_PER_DAY} AS lag_days
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
-SELECT CAST(count(*) AS BIGINT) AS n_items,
-       CAST(sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_violations,
-       CAST((1000000 * sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END))
-            // count(*) AS BIGINT) AS violation_q6,
-       CAST(min(lag_days) AS BIGINT) AS worst_lag_days
-FROM j""",
-)
-def ship_before_order_census(spark, sf_dir):
-    """Temporal referential-integrity audit: line items whose ship date
-    precedes their order's order date — the cross-table CHECK rule the
-    single-table audits (events_rule_audit, nchars_integrity_audit)
-    can't see, and the silent poison in every lag/backlog op
-    (ship_lag_by_month's means, the aging buckets). worst_lag_days
-    names the magnitude. Zero violations is the healthy TPC-H reading
-    — the property suite injects time-travelers.
-
-    Determinism: integer epoch-day arithmetic, conditional counts.
-
-    Scale shape: the engine's hottest FK join (orderkey), then one
-    map-side-combined counter row."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey",
-        F.expr(f"unix_micros(cast(l_shipdate as timestamp)) div {_US_PER_DAY}").alias(
-            "sd"
-        ),
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey",
-        F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {_US_PER_DAY}").alias(
-            "od"
-        ),
-    )
-    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        (F.col("sd") - F.col("od")).alias("lag_days")
-    )
-    return j.agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.sum(F.expr("CASE WHEN lag_days < 0 THEN 1 ELSE 0 END"))
-        .cast("long")
-        .alias("n_violations"),
-    ).crossJoin(
-        j.agg(F.min("lag_days").cast("long").alias("worst_lag_days"))
-    ).select(
-        "n_items",
-        "n_violations",
-        F.expr(
-            "CAST((1000000 * n_violations) div n_items AS BIGINT)"
-        ).alias("violation_q6"),
-        "worst_lag_days",
-    )
-
-
-@register(
-    "semdedup_threshold_histogram",
-    _KMEANS_SQL_PRELUDE
-    + """,
-un AS (
-  SELECT vec_id, list_transform(v, x -> x / n) AS u
-  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e WHERE vec_id <> 0)
-),
-mem AS (SELECT a3.vec_id, a3.cid, un.u FROM a3 JOIN un USING (vec_id)),
-pr AS (
-  SELECT CAST(round(1000000 * list_dot_product(a.u, b.u)) AS BIGINT) AS cos_q6
-  FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id < b.vec_id),
-bk AS (SELECT CASE WHEN cos_q6 >= 1000000 THEN 9
-                   WHEN cos_q6 < -1000000 THEN -10
-                   ELSE CAST(floor(cos_q6 / 100000.0) AS BIGINT) END AS band
-       FROM pr)
-SELECT band, CAST(count(*) AS BIGINT) AS n_pairs
-FROM bk GROUP BY band ORDER BY band""",
-)
-def semdedup_threshold_histogram(spark, sf_dir):
-    """The raw material behind semdedup's threshold: the full
-    distribution of WITHIN-CELL pairwise cosines, banded at 0.1 — the
-    curve you read before setting the drop cutoff (semdedup applies
-    one fixed threshold; ann_mutual_knn takes the extreme top; THIS
-    shows where the mass sits, so the 0.35-on-sandbox /
-    0.95-in-production calibration stops being folklore). Bands clamp
-    to [-10, 9] so ±1.0 cosines land in the edge bins.
-
-    Determinism: the shared normalize-once q6 cosine; band =
-    floor(cos/0.1) via float floor on an exact integer/1e5 — identical
-    both engines.
-
-    Scale shape: pairs block on cid (the semdedup bound); the band
-    rollup is ≤20 rows."""
-    pr = _incell_pair_cos(spark, sf_dir).select(F.col("cosn_q6").alias("cos_q6"))
-    bk = pr.select(
-        F.expr(
-            "CASE WHEN cos_q6 >= 1000000 THEN 9 WHEN cos_q6 < -1000000 THEN -10"
-            " ELSE CAST(floor(cos_q6 / 100000.0) AS BIGINT) END"
-        ).alias("band")
-    )
-    return (
-        bk.groupBy("band")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-        .orderBy("band")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 167 — unified blocking-strategy comparison
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "blocking_strategy_compare",
-    f"""WITH w AS ({SQL_WORDS}),
-shg AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
-        FROM w, unnest(generate_series(1, len(words) - 2)) AS t(i)),
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shg GROUP BY doc_id),
-tp AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS c
-       FROM shg a JOIN shg b ON b.s = a.s AND a.doc_id < b.doc_id
-       GROUP BY a.doc_id, b.doc_id),
-truth AS (SELECT tp.da, tp.db FROM tp
-          JOIN sizes na ON na.doc_id = tp.da
-          JOIN sizes nb ON nb.doc_id = tp.db
-          WHERE 3 * tp.c >= na.n + nb.n),
-ntr AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
-sig AS (SELECT doc_id, min(md5('0:' || s)) AS mh0, min(md5('1:' || s)) AS mh1,
-               min(md5('2:' || s)) AS mh2, min(md5('3:' || s)) AS mh3
-        FROM shg GROUP BY doc_id),
-mbands AS (SELECT doc_id, mh0 || mh1 AS band FROM sig
-           UNION ALL SELECT doc_id, mh2 || mh3 FROM sig),
-mpairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-           FROM mbands a JOIN mbands b
-             ON a.band = b.band AND a.doc_id < b.doc_id),
-tf2 AS (SELECT doc_id, term, count(*) AS tf FROM ({SQL_TOKS}) GROUP BY doc_id, term),
-h2 AS (SELECT doc_id, tf, {_H60_SQL} AS h FROM tf2),
-bits2 AS (SELECT doc_id, j, sum(tf * (((h >> j) & 1) * 2 - 1)) AS vote
-          FROM h2, (SELECT unnest(generate_series(0, 59)) AS j)
-          GROUP BY doc_id, j),
-sh2 AS (SELECT doc_id,
-               CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sim
-        FROM bits2 GROUP BY doc_id),
-sbands AS (SELECT doc_id, sim, j, (sim >> (15 * j)) & 32767 AS bv
-           FROM sh2, (SELECT unnest(generate_series(0, 3)) AS j)),
-spairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-           FROM sbands a JOIN sbands b
-             ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
-           WHERE bit_count(xor(a.sim, b.sim)) <= 3),
-fp AS (SELECT doc_id, md5(array_to_string(words[1:8], ' ')) AS f FROM w),
-ppairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-           FROM fp a JOIN fp b ON b.f = a.f AND a.doc_id < b.doc_id),
-arm AS (
-  SELECT 'minhash_band' AS strategy,
-         (SELECT CAST(count(*) AS BIGINT) FROM mpairs) AS n_candidates,
-         (SELECT CAST(count(*) AS BIGINT) FROM mpairs
-          JOIN truth ON truth.da = mpairs.da AND truth.db = mpairs.db) AS n_found
-  UNION ALL
-  SELECT 'simhash_band',
-         (SELECT CAST(count(*) AS BIGINT) FROM spairs),
-         (SELECT CAST(count(*) AS BIGINT) FROM spairs
-          JOIN truth ON truth.da = spairs.da AND truth.db = spairs.db)
-  UNION ALL
-  SELECT 'prefix_fingerprint',
-         (SELECT CAST(count(*) AS BIGINT) FROM ppairs),
-         (SELECT CAST(count(*) AS BIGINT) FROM ppairs
-          JOIN truth ON truth.da = ppairs.da AND truth.db = ppairs.db))
-SELECT arm.strategy, arm.n_candidates, arm.n_found, ntr.n_truth,
-       CASE WHEN arm.n_candidates = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * arm.n_found) // arm.n_candidates AS BIGINT)
-       END AS precision_q6,
-       CASE WHEN ntr.n_truth = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * arm.n_found) // ntr.n_truth AS BIGINT)
-       END AS recall_q6
-FROM arm, ntr ORDER BY arm.strategy""",
-)
-def blocking_strategy_compare(spark, sf_dir):
-    """The record-linkage bake-off: the three blocking strategies the
-    engine ships — MinHash banding (4 perms × 2 bands), SimHash banding
-    (4×15-bit bands, Hamming ≤ 3 verify), and the leading-8-token
-    prefix fingerprint — scored on ONE corpus against ONE truth set
-    (exact shingle Jaccard ≥ 0.5 over the shingle-blocked universe),
-    each with candidate volume, precision, and recall. Until now each
-    strategy carried its own diagnostic (lsh_candidate_precision/
-    recall, simhash_hamming_histogram, dedup_method_agreement's
-    contingency); THIS is the unified table a pipeline owner reads to
-    pick the blocker — cheap-and-sharp (prefix), guaranteed-recall-
-    within-Hamming (simhash), or tunable-S-curve (minhash).
-
-    Determinism: every candidate set and the truth test are exact
-    integer/hash constructions already proven pairwise; two guarded
-    divisions per row.
-
-    Scale shape: each candidate generator blocks on its own key (band
-    value / fingerprint) — nothing all-pairs; the truth join blocks on
-    shingles; hit checks are pair-key joins; output is 3 rows."""
-    w = _docs(spark, sf_dir).select("doc_id", spark_tokens("text").alias("words"))
-    sh = _shingles_spark(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    a_ = sh.select(F.col("doc_id").alias("da"), "sh")
-    b_ = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b"))
-    tp = (
-        a_.join(b_, (F.col("sh") == F.col("sh_b")) & (F.col("da") < F.col("db")))
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    truth = (
-        tp.join(sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
-        .join(sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
-        .where(F.expr("3 * c >= na + nb"))
-        .select("da", "db")
-        .localCheckpoint()
-    )
-    ntr = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
-
-    mpairs = (
-        _lsh_pair_edges(spark, sf_dir)
-        .where(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("da"), F.col("dst").alias("db"))
-    )
-    shh = _simhash_spark(spark, sf_dir)
-    sbands = shh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        F.expr(f"(simhash >> {15 * j}) & 32767").alias("bv"),
-                    )
-                    for j in range(4)
-                ]
-            )
-        ).alias("band"),
-    ).select(
-        "doc_id", "simhash", F.col("band.j").alias("j"), F.col("band.bv").alias("bv")
-    )
-    sa, sb = sbands.alias("a"), sbands.alias("b")
-    spairs = (
-        sa.join(
-            sb,
-            (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .where(F.expr("bit_count(a.simhash ^ b.simhash) <= 3"))
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
-    )
-    fp = w.select(
-        "doc_id", F.md5(F.array_join(F.slice("words", 1, 8), " ")).alias("f")
-    )
-    fa = fp.select(F.col("doc_id").alias("da"), "f")
-    fb = fp.select(F.col("doc_id").alias("db"), F.col("f").alias("f_b"))
-    ppairs = (
-        fa.join(fb, (F.col("f") == F.col("f_b")) & (F.col("da") < F.col("db")))
-        .select("da", "db")
-        .distinct()
-    )
-
-    def arm(pairs, name):
-        nc = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-        nf = pairs.join(truth, ["da", "db"]).agg(
-            F.count(F.lit(1)).cast("long").alias("n_found")
-        )
-        return nc.crossJoin(nf).select(
-            F.lit(name).alias("strategy"), "n_candidates", "n_found"
-        )
-
-    arms = (
-        arm(mpairs, "minhash_band")
-        .unionByName(arm(spairs, "simhash_band"))
-        .unionByName(arm(ppairs, "prefix_fingerprint"))
-    )
-    return (
-        arms.crossJoin(F.broadcast(ntr))
-        .select(
-            "strategy",
-            "n_candidates",
-            "n_found",
-            "n_truth",
-            F.expr(
-                "CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST((1000000 * n_found) div n_candidates AS BIGINT) END"
-            ).alias("precision_q6"),
-            F.expr(
-                "CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST((1000000 * n_found) div n_truth AS BIGINT) END"
-            ).alias("recall_q6"),
-        )
-        .orderBy("strategy")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 168 — fold balance, relevant-rank histogram, hash uniformity
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "fold_balance_audit",
-    f"""WITH f AS (
-  SELECT doc_id,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 4))::INT % 5 AS fold
-  FROM documents),
-tk AS (SELECT f.fold, t.term FROM ({SQL_TOKS}) t JOIN f USING (doc_id)),
-d AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_docs
-      FROM f GROUP BY fold),
-s AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_tokens,
-             CAST(count(DISTINCT term) AS BIGINT) AS n_terms
-      FROM tk GROUP BY fold)
-SELECT CAST(d.fold AS BIGINT) AS fold, d.n_docs,
-       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
-       CAST(COALESCE(s.n_terms, 0) AS BIGINT) AS n_terms,
-       CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1e6 * s.n_terms / CAST(s.n_tokens AS BIGINT)) AS BIGINT)
-       END AS ttr_q6
-FROM d LEFT JOIN s ON s.fold = d.fold ORDER BY fold""",
-)
-def fold_balance_audit(spark, sf_dir):
-    """Are the five CV folds actually exchangeable? Per fold (the
-    VERBATIM stratified_kfold_assign hex-13-16 coordinate): docs,
-    tokens, vocabulary, TTR — the balance check that closes the
-    cross-validation story (assign → fold_leakage_check →
-    THIS): folds differing materially in size or lexical texture bias
-    every per-fold metric before leakage is even a question
-    (idf_split_stability is the same license test at the even/odd
-    grain). Empty folds report zeros by the LEFT-join rule.
-
-    Determinism: the fold hash is the shared coordinate; counts
-    exact; TTR uses the 1e6-e-notation divide-round.
-
-    Scale shape: fold tags are map-side; one token explode feeds a
-    5-group agg with a two-phase distinct."""
-    f = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.expr(
-            "cast(conv(substring(md5(cast(doc_id as string)), 13, 4), 16, 10) as int) % 5"
-        ).alias("fold"),
-    )
-    tk = _toks(_docs(spark, sf_dir)).join(f, "doc_id")
-    d = f.groupBy("fold").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    s = tk.groupBy("fold").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.countDistinct("term").cast("long").alias("n_terms"),
-    )
-    return (
-        d.join(s, "fold", "left")
-        .select(
-            F.col("fold").cast("long").alias("fold"),
-            "n_docs",
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            F.coalesce("n_terms", F.lit(0)).cast("long").alias("n_terms"),
-            F.expr(
-                "CASE WHEN COALESCE(n_tokens, 0) = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST(round(1e6 * n_terms / n_tokens) AS BIGINT) END"
-            ).alias("ttr_q6"),
-        )
-        .orderBy("fold")
-    )
-
-
-@register(
-    "relevant_rank_histogram",
-    _bm25_agg_ctes(_RANKEVAL_TERMS)
-    + f""",
-rel AS (SELECT DISTINCT doc_id FROM ({SQL_TOKS}) WHERE term = 'dup'),
-rk AS (SELECT agg.doc_id, row_number() OVER (ORDER BY agg.score_q6 DESC, agg.doc_id ASC) AS rnk,
-              CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel
-       FROM agg LEFT JOIN rel USING (doc_id)),
-bd AS (SELECT CAST(length(bin(rnk)) - 1 AS BIGINT) AS rank_band, is_rel FROM rk)
-SELECT rank_band, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(is_rel) AS BIGINT) AS n_rel,
-       CAST((1000000 * sum(is_rel)) // count(*) AS BIGINT) AS rel_share_q6
-FROM bd GROUP BY rank_band ORDER BY rank_band""",
-)
-def relevant_rank_histogram(spark, sf_dir):
-    """WHERE the relevant documents rank: the 'dup'-labeled docs'
-    positions in the full BM25 ordering, log2-banded — the raw
-    material of a recall@k curve (band b holding relevants means
-    k must reach 2^(b+1) to fetch them; score_relevance_calibration
-    reads the same labels against score MAGNITUDE, this reads them
-    against RANK, which is what a page-size decision consumes).
-
-    Determinism: ranks from the quantized-score ordering with doc_id
-    tiebreaks; exact counts.
-
-    Scale shape: the ranking window is match-set-bounded (the
-    ranking_auc shape); band rollup ≤ log2(match set) rows."""
-    agg = _bm25_match_set(spark, sf_dir, _RANKEVAL_TERMS)
-    rel = (
-        _toks(_docs(spark, sf_dir))
-        .where(F.col("term") == "dup")
-        .select("doc_id")
-        .distinct()
-        .withColumn("flag", F.lit(1))
-    )
-    rk = (
-        agg.join(rel, "doc_id", "left")
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))
-            ),
-        )
-        .select(
-            F.expr("CAST(length(bin(rnk)) - 1 AS BIGINT)").alias("rank_band"),
-            F.coalesce("flag", F.lit(0)).alias("is_rel"),
-        )
-    )
-    return (
-        rk.groupBy("rank_band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("is_rel").cast("long").alias("n_rel"),
-        )
-        .select(
-            "rank_band",
-            "n_docs",
-            "n_rel",
-            F.expr(
-                "CAST((1000000 * n_rel) div n_docs AS BIGINT)"
-            ).alias("rel_share_q6"),
-        )
-        .orderBy("rank_band")
-    )
-
-
-# the four disjoint md5 hex coordinates the pipeline routes on
-_HASH_COORDS = [("shard_1_4", 1), ("split_5_8", 5), ("sample_9_12", 9), ("fold_13_16", 13)]
-
-
-@register(
-    "hash_coordinate_uniformity",
-    "\nUNION ALL\n".join(
-        f"""SELECT '{name}' AS coordinate, n_docs, max_bucket,
-       CAST(round(1000000 * x2) AS BIGINT) AS chi2_q6
-FROM (
-  SELECT CAST(sum(o) AS BIGINT) AS n_docs, CAST(max(o) AS BIGINT) AS max_bucket,
-         sum((CAST(o AS DOUBLE) - tt.t / 16) * (CAST(o AS DOUBLE) - tt.t / 16)
-             / (tt.t / 16)) AS x2
-  FROM (SELECT substr(md5(CAST(doc_id AS VARCHAR)), {pos}, 1) AS b,
-               CAST(count(*) AS BIGINT) AS o
-        FROM documents GROUP BY b) per,
-       (SELECT CAST(count(*) AS DOUBLE) AS t FROM documents) tt
-  GROUP BY tt.t
-)"""
-        for name, pos in _HASH_COORDS
-    )
-    + "\nORDER BY coordinate",
-)
-def hash_coordinate_uniformity(spark, sf_dir):
-    """Trust-but-verify for the hash-coordinate system: each of the
-    four disjoint md5 hex ranges the pipeline routes on (shard 1-4,
-    split 5-8, sample 9-12, fold 13-16) is bucketed by its leading hex
-    character and tested against uniform with a 16-cell chi² — the
-    audit that the shard/split/sample/fold machinery really behaves as
-    four independent fair 16-way dice on THIS id population (a skewed
-    coordinate silently unbalances everything built on it; the
-    coordinate-disjointness test in the session-32 suite greps the
-    SQL, this one measures the data). chi² ≫ 25 (df=15) flags a bad
-    die. Observed-bucket cells only (the significant_terms_chi2
-    convention — an UNOBSERVED hex bucket, possible only on tiny
-    populations, omits its e-term on both engines identically).
-
-    Determinism: bucket counts exact; the chi² is one shared float
-    expression with e = n/16 (the significant_terms_chi2
-    cast-at-first-multiply rule).
-
-    Scale shape: four map-side 16-group aggs, one row each."""
-    arms = []
-    for name, pos in _HASH_COORDS:
-        per = (
-            _docs(spark, sf_dir)
-            .groupBy(
-                F.expr(
-                    f"substring(md5(cast(doc_id as string)), {pos}, 1)"
-                ).alias("b")
-            )
-            .agg(F.count(F.lit(1)).cast("long").alias("o"))
-        )
-        tot = per.agg(F.sum("o").cast("long").alias("n"))
-        arms.append(
-            per.crossJoin(F.broadcast(tot))
-            .agg(
-                F.max("n").cast("long").alias("n_docs"),
-                F.max("o").cast("long").alias("max_bucket"),
-                F.sum(
-                    F.expr(
-                        "(CAST(o AS DOUBLE) - CAST(n AS DOUBLE) / 16)"
-                        " * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) / 16)"
-                        " / (CAST(n AS DOUBLE) / 16)"
-                    )
-                ).alias("x2"),
-            )
-            .select(
-                F.lit(name).alias("coordinate"),
-                "n_docs",
-                "max_bucket",
-                F.expr("CAST(round(1000000 * x2) AS BIGINT)").alias("chi2_q6"),
-            )
-        )
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionByName(a)
-    return out.orderBy("coordinate")
-
-
-# ---------------------------------------------------------------------------
-# session 169 — join-order costs, dedup centroid shift, peak concentration
-# ---------------------------------------------------------------------------
-
-
-def _jo_edge(lt: str, lk: str, rt: str, rk: str) -> str:
-    return f"""(SELECT CAST(round(
-      CAST((SELECT count(*) FROM {lt}) AS DOUBLE)
-      * CAST((SELECT count(*) FROM {rt}) AS DOUBLE)
-      / greatest((SELECT count(DISTINCT {lk}) FROM {lt}),
-                 (SELECT count(DISTINCT {rk}) FROM {rt}), 1)) AS BIGINT))"""
-
-
-@register(
-    "join_order_cost_compare",
-    f"""WITH est AS (
-  SELECT {_jo_edge("lineitem", "l_orderkey", "orders", "o_orderkey")} AS li_o,
-         {_jo_edge("orders", "o_custkey", "customer", "c_custkey")} AS o_c)
-SELECT 'lineitem_orders_first' AS plan, est.li_o AS intermediate_rows
-FROM est
-UNION ALL
-SELECT 'orders_customer_first', est.o_c FROM est
-ORDER BY plan""",
-)
-def join_order_cost_compare(spark, sf_dir):
-    """The join-ORDER decision the size estimates exist for: for the
-    3-table chain lineitem⋈orders⋈customer, the System-R estimated
-    intermediate size of each left-deep plan's FIRST join —
-    (li⋈o) first versus (o⋈c) first — the smaller intermediate is the
-    plan a cost-based optimizer picks (join_size_estimates audits the
-    per-edge estimates against truth; join_histogram_estimate deepens
-    one edge; THIS is the comparison those numbers feed). On TPC-H
-    shapes (o⋈c) first wins by the lineitem fan-out — the table makes
-    that visible as data, not folklore.
-
-    Determinism: the estimate is the shared double
-    product-then-divide over exact counts (the join_size_estimates
-    rule).
-
-    Scale shape: count/ndv aggs per table only; nothing joins."""
-    def edge(lt, lk, rt, rk):
-        l = spark.read.parquet(f"{sf_dir}/{lt}.parquet").select(
-            F.col(lk).alias("k")
-        )
-        r = spark.read.parquet(f"{sf_dir}/{rt}.parquet").select(
-            F.col(rk).alias("k")
-        )
-        ls = l.agg(
-            F.count(F.lit(1)).cast("long").alias("nl"),
-            F.countDistinct("k").cast("long").alias("dl"),
-        )
-        rs = r.agg(
-            F.count(F.lit(1)).cast("long").alias("nr"),
-            F.countDistinct("k").cast("long").alias("dr"),
-        )
-        return ls.crossJoin(rs).select(
-            F.expr(
-                "CAST(round(CAST(nl AS DOUBLE) * CAST(nr AS DOUBLE)"
-                " / greatest(dl, dr, 1)) AS BIGINT)"
-            ).alias("est")
-        )
-
-    lio = edge("lineitem", "l_orderkey", "orders", "o_orderkey").select(
-        F.lit("lineitem_orders_first").alias("plan"),
-        F.col("est").alias("intermediate_rows"),
-    )
-    oc = edge("orders", "o_custkey", "customer", "c_custkey").select(
-        F.lit("orders_customer_first").alias("plan"),
-        F.col("est").alias("intermediate_rows"),
-    )
-    return lio.unionByName(oc).orderBy("plan")
-
-
-@register(
-    "semdedup_centroid_shift",
-    _SEMDEDUP_SQL[: _SEMDEDUP_SQL.rindex("SELECT cid")]
-    + """,
-keep AS (SELECT mem.vec_id, mem.u FROM mem
-         WHERE mem.vec_id NOT IN (SELECT dropped FROM dup)),
-cf AS (SELECT i, CAST(sum(CAST(round(u[i] * 1000000) AS BIGINT)) AS BIGINT) AS s
-       FROM mem, (SELECT unnest(generate_series(1, 64)) AS i)
-       GROUP BY i),
-ck AS (SELECT i, CAST(sum(CAST(round(u[i] * 1000000) AS BIGINT)) AS BIGINT) AS s
-       FROM keep, (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY i),
-j AS (SELECT CAST(sum(cf.s * ck.s) AS BIGINT) AS dp,
-             CAST(sum(cf.s * cf.s) AS BIGINT) AS nf,
-             CAST(sum(ck.s * ck.s) AS BIGINT) AS nk
-      FROM cf JOIN ck USING (i)),
-cnt AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM mem) AS n_total,
-               (SELECT CAST(count(*) AS BIGINT) FROM keep) AS n_kept)
-SELECT cnt.n_total, cnt.n_kept,
-       CASE WHEN j.nf = 0 OR j.nk = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 * (j.dp / (sqrt(CAST(j.nf AS DOUBLE))
-                 * sqrt(CAST(j.nk AS DOUBLE))))) AS BIGINT)
-       END AS centroid_cos_q6
-FROM cnt, j""",
-)
-def semdedup_centroid_shift(spark, sf_dir):
-    """Does semantic dedup MOVE the corpus? Cosine between the unit-sum
-    centroid of all clustered vectors and the centroid of semdedup's
-    SURVIVORS — dedup_df_shift_topk names what dedup deletes from the
-    LEXICAL statistics; this is the embedding-space analogue (cos ≈ 1e6
-    = dropping duplicates didn't tilt the semantic center, the safe
-    reading; a visible shift means duplicates cluster in one region
-    and their removal re-weights the space — exactly what a
-    temperature/mixture plan computed pre-dedup would get wrong).
-
-    Determinism: centroids are exact q6-integer component sums of unit
-    vectors (cosine scale-invariance makes sum == mean — the
-    _kmeans_cent trick); one guarded split-sqrt division. dp ≤
-    64·(1e6·n)² needs n ≲ 1e5 per the source_centroid_matrix envelope;
-    beyond that, components floor to q3 first.
-
-    Scale shape: the drop set is semdedup's own bounded pair join;
-    both centroids are 64-row aggs; the cosine is a 64-row join."""
-    members, cent, assign = _trained_ivf(spark, sf_dir)
-    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, z) -> acc + z)"
-    un = (
-        members.withColumn("n", F.sqrt(F.expr(dot.format(a="v", b="v"))))
-        .select("vec_id", F.expr("transform(v, x -> x / n)").alias("u"))
-    )
-    mem = un.join(assign, "vec_id").localCheckpoint()
-    dup = (
-        _incell_pair_cos(spark, sf_dir)
-        .where(F.col("cosn_q6") >= F.lit(_SEMDEDUP_T))
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-    )
-    keep = mem.join(dup, "vec_id", "anti")
-
-    def centroid(df):
-        return (
-            df.select(
-                F.posexplode(
-                    F.expr("transform(u, x -> CAST(round(x * 1000000) AS BIGINT))")
-                ).alias("i0", "cq")
-            )
-            .groupBy("i0")
-            .agg(F.sum("cq").cast("long").alias("s"))
-        )
-
-    cf = centroid(mem)
-    ck = centroid(keep)
-    j = (
-        cf.select(F.col("i0"), F.col("s").alias("sf"))
-        .join(ck.select(F.col("i0"), F.col("s").alias("sk")), "i0")
-        .agg(
-            F.sum(F.expr("sf * sk")).cast("long").alias("dp"),
-            F.sum(F.expr("sf * sf")).cast("long").alias("nf"),
-            F.sum(F.expr("sk * sk")).cast("long").alias("nk"),
-        )
-    )
-    cnt = mem.agg(F.count(F.lit(1)).cast("long").alias("n_total")).crossJoin(
-        keep.agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
-    )
-    return cnt.crossJoin(j).select(
-        "n_total",
-        "n_kept",
-        F.expr(
-            "CASE WHEN nf = 0 OR nk = 0 THEN CAST(0 AS BIGINT)"
-            " ELSE CAST(round(1000000 * (dp / (sqrt(CAST(nf AS DOUBLE))"
-            " * sqrt(CAST(nk AS DOUBLE))))) AS BIGINT) END"
-        ).alias("centroid_cos_q6"),
-    )
-
-
-@register(
-    "peak_day_concentration",
-    f"""WITH d AS (
-  SELECT epoch_us(ts) // {_US_PER_DAY} AS day_num, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY day_num),
-r AS (SELECT n, row_number() OVER (ORDER BY n DESC, day_num ASC) AS rn,
-             CAST(count(*) OVER () AS BIGINT) AS nd,
-             CAST(sum(n) OVER () AS BIGINT) AS tot
-      FROM d),
-k AS (SELECT nd, tot, CAST((nd + 9) // 10 AS BIGINT) AS k FROM r LIMIT 1),
-top AS (SELECT CAST(COALESCE(sum(r.n), 0) AS BIGINT) AS top_events
-        FROM r, k WHERE r.rn <= k.k)
-SELECT k.nd AS n_days, k.k AS n_peak_days, top.top_events,
-       CAST(k.tot AS BIGINT) AS n_events,
-       CAST((1000000 * top.top_events) // k.tot AS BIGINT) AS peak_share_q6
-FROM k, top""",
-)
-def peak_day_concentration(spark, sf_dir):
-    """Capacity-planning one-number: the share of ALL events carried by
-    the busiest ⌈10%⌉ of observed days — the peak-to-base ratio a
-    provisioning decision actually uses (events_dispersion_index and
-    daily_hurst_estimate characterize burstiness statistically; this
-    is the operational translation: 'a tenth of the days carry X% of
-    the load, size for it'). Exact integer ceil (the session-53 rule).
-
-    Determinism: day counts exact; the top-k cut orders by
-    (n desc, day asc).
-
-    Scale shape: one day agg; ranking windows run over
-    calendar-bounded rows."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-                "day_num"
-            )
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()
-    )
-    stats = d.agg(
-        F.count(F.lit(1)).cast("long").alias("nd"),
-        F.sum("n").cast("long").alias("tot"),
-    ).select("nd", "tot", F.expr("CAST((nd + 9) div 10 AS BIGINT)").alias("k"))
-    rk = d.withColumn(
-        "rn", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("day_num")))
-    )
-    top = (
-        rk.crossJoin(F.broadcast(stats))
-        .where(F.col("rn") <= F.col("k"))
-        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("top_events"))
-    )
-    return (
-        stats.crossJoin(top)
-        .select(
-            F.col("nd").alias("n_days"),
-            F.col("k").alias("n_peak_days"),
-            "top_events",
-            F.col("tot").alias("n_events"),
-            F.expr(
-                "CAST((1000000 * top_events) div tot AS BIGINT)"
-            ).alias("peak_share_q6"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 170 — PRF agreement, Wilson CI, cross-modal dup consistency
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "prf_method_overlap",
-    _bm25_agg_ctes(_RM3_TERMS)
-    + f""",
-fb AS (SELECT doc_id, score_q6 FROM agg
-       ORDER BY score_q6 DESC, doc_id ASC LIMIT 10),
-idf AS (
-  SELECT term, CAST(round(1000000 * ln((SELECT n_docs FROM st) / df)) AS BIGINT) AS idf_q6
-  FROM dfs),
-roc AS (SELECT term FROM (
-  SELECT tf.term,
-         row_number() OVER (ORDER BY sum(tf.tf * idf.idf_q6) DESC, tf.term ASC) AS rank
-  FROM tf JOIN fb USING (doc_id) JOIN idf USING (term)
-  WHERE tf.term NOT IN ({", ".join(f"'{t}'" for t in _RM3_TERMS)})
-  GROUP BY tf.term) WHERE rank <= 8),
-stot AS (SELECT CAST(COALESCE(sum(score_q6), 0) AS BIGINT) AS s FROM fb),
-ftf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        FROM ({SQL_TOKS}) WHERE doc_id IN (SELECT doc_id FROM fb)
-        GROUP BY doc_id, term),
-fdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM ftf GROUP BY doc_id),
-w AS (SELECT ftf.term, {_RM3_W} AS wq6
-      FROM ftf JOIN fb USING (doc_id) JOIN fdl USING (doc_id) CROSS JOIN stot
-      WHERE ftf.term NOT IN ({", ".join(f"'{t}'" for t in _RM3_TERMS)})),
-rm3 AS (SELECT term FROM (
-  SELECT term, row_number() OVER (ORDER BY sum(wq6) DESC, term ASC) AS rank
-  FROM w GROUP BY term) WHERE rank <= 8)
-SELECT (SELECT CAST(count(*) AS BIGINT) FROM roc) AS n_rocchio,
-       (SELECT CAST(count(*) AS BIGINT) FROM rm3) AS n_rm3,
-       (SELECT CAST(count(*) AS BIGINT) FROM roc JOIN rm3 USING (term)) AS n_overlap""",
-)
-def prf_method_overlap(spark, sf_dir):
-    """Do the two PRF models agree on what the query is ABOUT? Top-8
-    expansion terms from Rocchio (vector-space tf·idf) and RM3
-    (relevance-model P(w|R)) over the SAME query and the SAME top-10
-    feedback page, with the overlap count — the model-agreement probe
-    in bm25_pl2_overlap's mold, applied to query expansion: high
-    overlap means the expansion is robust to the PRF model choice; low
-    overlap means expansion quality is a modeling decision, not a
-    corpus fact, and rank_eval should arbitrate before either ships.
-
-    Determinism: both legs rank over exact BIGINT weights with term
-    tiebreaks (the parent ops' rules verbatim).
-
-    Scale shape: one shared match set + feedback page; both legs'
-    aggs are feedback-page-bounded; the overlap is an 8×8 join."""
-    agg = _bm25_match_set(spark, sf_dir, _RM3_TERMS).localCheckpoint()
-    fb = (
-        agg.orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(10)
-        .localCheckpoint()
-    )
-    toks = _toks(_docs(spark, sf_dir))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    nd = tf.select("doc_id").distinct().count()
-    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = dfs.select(
-        "term",
-        F.expr(
-            f"CAST(round(1000000 * ln({nd} / df)) AS BIGINT)"
-        ).alias("idf_q6"),
-    )
-    excl = [t for t in _RM3_TERMS]
-    roc = (
-        tf.join(fb.select("doc_id"), "doc_id")
-        .join(idf, "term")
-        .where(~F.col("term").isin(excl))
-        .groupBy("term")
-        .agg(F.sum(F.expr("tf * idf_q6")).alias("wq"))
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("wq"), F.asc("term"))),
-        )
-        .where(F.col("rank") <= 8)
-        .select("term")
-    )
-    stot = fb.agg(
-        F.coalesce(F.sum("score_q6"), F.lit(0)).cast("long").alias("s")
-    )
-    ftf = (
-        toks.join(fb.select("doc_id"), "doc_id")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    fdl = ftf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    w = (
-        ftf.join(fb, "doc_id")
-        .join(fdl, "doc_id")
-        .crossJoin(F.broadcast(stot))
-        .where(~F.col("term").isin(excl))
-        .select("term", F.expr(_RM3_W).alias("wq6"))
-    )
-    rm3 = (
-        w.groupBy("term")
-        .agg(F.sum("wq6").alias("wq"))
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("wq"), F.asc("term"))),
-        )
-        .where(F.col("rank") <= 8)
-        .select("term")
-    )
-    nroc = roc.agg(F.count(F.lit(1)).cast("long").alias("n_rocchio"))
-    nrm = rm3.agg(F.count(F.lit(1)).cast("long").alias("n_rm3"))
-    nov = roc.join(rm3, "term").agg(
-        F.count(F.lit(1)).cast("long").alias("n_overlap")
-    )
-    return nroc.crossJoin(nrm).crossJoin(nov)
-
-
-# Wilson interval at z=1.96: center (p + z²/2n)/(1+z²/n), half-width
-# z·sqrt(p(1−p)/n + z²/4n²)/(1+z²/n); z² folded as 3.8416e0
-_WILSON_Z2 = "3.8416e0"
-
-
-def _wilson(bound: str) -> str:
-    sign = "+" if bound == "hi" else "-"
-    return (
-        f"CAST(round(1000000 * (((p + {_WILSON_Z2} / (2 * n))"
-        f" {sign} 1.96e0 * sqrt(p * (1 - p) / n + {_WILSON_Z2} / (4 * n * n)))"
-        f" / (1 + {_WILSON_Z2} / n))) AS BIGINT)"
-    )
-
-
-@register(
-    "activation_wilson_ci",
-    f"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-su AS (SELECT user_id, CAST(min(us) AS BIGINT) AS t0
-       FROM e WHERE event_type = 'signup' GROUP BY user_id),
-act AS (
-  SELECT su.user_id,
-         max(CASE WHEN e.event_type = 'view'
-                   AND e.us >= su.t0 AND e.us < su.t0 + {_ACT_DAY_US}
-              THEN 1 ELSE 0 END) AS activated
-  FROM su JOIN e ON e.user_id = su.user_id GROUP BY su.user_id),
-s AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
-             CAST(COALESCE(sum(activated), 0) AS BIGINT) AS n_activated
-      FROM act),
-p AS (SELECT n_users, n_activated,
-             CAST(n_users AS DOUBLE) AS n,
-             CAST(n_activated AS DOUBLE) / n_users AS p
-      FROM s WHERE n_users > 0)
-SELECT n_users, n_activated,
-       CAST((1000000 * n_activated) // n_users AS BIGINT) AS rate_q6,
-       {_wilson("lo")} AS wilson_lo_q6,
-       {_wilson("hi")} AS wilson_hi_q6
-FROM p""",
-)
-def activation_wilson_ci(spark, sf_dir):
-    """The activation rate WITH its uncertainty: the 24-hour
-    signup→view rate (signup_activation_rates' first leg) wrapped in a
-    95% Wilson score interval — the one-sample inference that says
-    whether this month's 62% and last month's 58% are even
-    distinguishable before anyone celebrates (ab_significance compares
-    two arms; Wilson bounds ONE observed proportion, and unlike the
-    normal interval it stays inside [0,1] at small n — why it's the
-    standard for rate dashboards).
-
-    Determinism: z²=3.8416 and z=1.96 fold as e-notation literals; the
-    whole interval is ONE shared float expression per bound over two
-    exact integers.
-
-    Scale shape: the signup/flag aggs ride one user exchange (the
-    parent op's plan); the CI arithmetic is a 1-row expression."""
-    e = _events(spark, sf_dir).select(
-        "user_id",
-        "event_type",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-    )
-    su = (
-        e.where(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("us").cast("long").alias("t0"))
-    )
-    act = (
-        su.join(e, "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.max(
-                F.expr(
-                    f"CASE WHEN event_type = 'view' AND us >= t0"
-                    f" AND us < t0 + {_ACT_DAY_US} THEN 1 ELSE 0 END"
-                )
-            ).alias("activated")
-        )
-    )
-    s = act.agg(
-        F.count(F.lit(1)).cast("long").alias("n_users"),
-        F.coalesce(F.sum("activated"), F.lit(0)).cast("long").alias("n_activated"),
-    )
-    p = s.where(F.col("n_users") > 0).select(
-        "n_users",
-        "n_activated",
-        F.expr("CAST(n_users AS DOUBLE)").alias("n"),
-        F.expr("CAST(n_activated AS DOUBLE) / n_users").alias("p"),
-    )
-    return p.select(
-        "n_users",
-        "n_activated",
-        F.expr("CAST((1000000 * n_activated) div n_users AS BIGINT)").alias(
-            "rate_q6"
-        ),
-        F.expr(_wilson("lo")).alias("wilson_lo_q6"),
-        F.expr(_wilson("hi")).alias("wilson_hi_q6"),
-    )
-
-
-@register(
-    "text_embedding_dup_consistency",
-    """WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
-g AS (SELECT hh FROM h GROUP BY hh HAVING count(*) > 1),
-pr AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM h a JOIN g ON g.hh = a.hh
-  JOIN h b ON b.hh = a.hh AND a.doc_id < b.doc_id),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-un AS (SELECT vec_id, list_transform(v, x -> x / n) AS u
-       FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e)),
-pc AS (
-  SELECT CAST(round(1000000 * list_dot_product(ua.u, ub.u)) AS BIGINT) AS cos_q6
-  FROM pr JOIN un ua ON ua.vec_id = pr.id_a
-          JOIN un ub ON ub.vec_id = pr.id_b)
-SELECT CAST(count(*) AS BIGINT) AS n_text_dup_pairs,
-       CAST(COALESCE(sum(CASE WHEN cos_q6 >= 999000 THEN 1 ELSE 0 END), 0)
-            AS BIGINT) AS n_emb_consistent,
-       CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * sum(CASE WHEN cos_q6 >= 999000 THEN 1 ELSE 0 END))
-                 // count(*) AS BIGINT)
-       END AS consistency_q6
-FROM pc""",
-)
-def text_embedding_dup_consistency(spark, sf_dir):
-    """Cross-modal integrity: documents with IDENTICAL text should
-    carry (near-)identical embeddings if the embeddings were really
-    computed from that text — exact-dup pairs joined to their vectors,
-    counted at cosine ≥ 0.999. On the sandbox the embeddings are
-    synthesized independently of the text, so consistency ≈ 0 is the
-    HONEST finding — and exactly the report this op exists to produce
-    in production, where a low number means the embedding column is
-    stale, mis-keyed, or from a different model than claimed (the
-    doc_id↔vec_id alignment every hybrid op trusts, audited).
-
-    Determinism: pair set from the md5 groupBy; the shared
-    normalize-once q6 cosine; exact conditional counts.
-
-    Scale shape: pairs are dup-group-bounded (the dedup_exact
-    shuffle); the vector join is pair-keyed; one counter row."""
-    h = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("hh"))
-    g = (
-        h.groupBy("hh")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") > 1)
-        .select("hh")
-    )
-    hh = h.join(g, "hh")
-    a = hh.select("hh", F.col("doc_id").alias("id_a"))
-    b = hh.select(F.col("hh").alias("hh_b"), F.col("doc_id").alias("id_b"))
-    pr = a.join(
-        b, (F.col("hh") == F.col("hh_b")) & (F.col("id_a") < F.col("id_b"))
-    ).select("id_a", "id_b")
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, z) -> acc + z)"
-    un = e.withColumn("nrm", F.sqrt(F.expr(dot.format(a="v", b="v")))).select(
-        "vec_id", F.expr("transform(v, x -> x / nrm)").alias("u")
-    )
-    pc = (
-        pr.join(un.select(F.col("vec_id").alias("id_a"), F.col("u").alias("ua")), "id_a")
-        .join(un.select(F.col("vec_id").alias("id_b"), F.col("u").alias("ub")), "id_b")
-        .select(
-            F.expr(
-                f"CAST(round(1000000 * ({dot.format(a='ua', b='ub')})) AS BIGINT)"
-            ).alias("cos_q6")
-        )
-    )
-    return pc.agg(
-        F.count(F.lit(1)).cast("long").alias("n_text_dup_pairs"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN cos_q6 >= 999000 THEN 1 ELSE 0 END")),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_emb_consistent"),
-    ).select(
-        "n_text_dup_pairs",
-        "n_emb_consistent",
-        F.expr(
-            "CASE WHEN n_text_dup_pairs = 0 THEN CAST(0 AS BIGINT)"
-            " ELSE CAST((1000000 * n_emb_consistent) div n_text_dup_pairs"
-            " AS BIGINT) END"
-        ).alias("consistency_q6"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 171 — midnight sessions, idle hours, lang-ID margin
-# ---------------------------------------------------------------------------
-
-_MCS_GAP_US = 1_800_000_000  # 30-minute session gap
-
-
-@register(
-    "midnight_crossing_sessions",
-    f"""WITH e AS (
-  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
-lg AS (
-  SELECT user_id, us,
-         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
-                   > {_MCS_GAP_US}
-              OR lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
-              THEN 1 ELSE 0 END AS is_start
-  FROM e),
-sid AS (
-  SELECT user_id, us,
-         sum(is_start) OVER (PARTITION BY user_id ORDER BY us
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
-  FROM lg),
-s AS (
-  SELECT user_id, sess,
-         CAST(min(us) // {_US_PER_DAY} AS BIGINT) AS d0,
-         CAST(max(us) // {_US_PER_DAY} AS BIGINT) AS d1
-  FROM sid GROUP BY user_id, sess)
-SELECT CAST(count(*) AS BIGINT) AS n_sessions,
-       CAST(sum(CASE WHEN d1 > d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing,
-       CAST((1000000 * sum(CASE WHEN d1 > d0 THEN 1 ELSE 0 END))
-            // count(*) AS BIGINT) AS crossing_q6
-FROM s""",
-)
-def midnight_crossing_sessions(spark, sf_dir):
-    """How many sessions straddle a calendar-day boundary — the share
-    of user journeys every day-bucketed metric (daily_ctr, DAU, the
-    day spines) silently splits in two. A high crossing share says the
-    'daily' grain is fighting real behavior (night-owl populations,
-    cross-timezone users) and session-grain metrics should anchor on
-    SESSION START day instead (night_owl_census counts the people;
-    this counts the measurement damage). 30-minute gap sessionization,
-    the session family's shared rule.
-
-    Determinism: integer µs/day arithmetic; equal-timestamp events
-    order by event_id in the lag.
-
-    Scale shape: the standard ONE-user-exchange sessionizer (lag +
-    running sum + session agg all share the user_id partition); one
-    counter row."""
-    e = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-        "event_id",
-    )
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    lg = e.select(
-        "user_id",
-        "us",
-        F.expr(
-            f"CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)"
-            f" > {_MCS_GAP_US} OR lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)"
-            " IS NULL THEN 1 ELSE 0 END"
-        ).alias("is_start"),
-    )
-    ws = (
-        Window.partitionBy("user_id")
-        .orderBy("us")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    sid = lg.select(
-        "user_id", "us", F.sum("is_start").over(ws).alias("sess")
-    )
-    s = sid.groupBy("user_id", "sess").agg(
-        F.expr(f"CAST(min(us) div {_US_PER_DAY} AS BIGINT)").alias("d0"),
-        F.expr(f"CAST(max(us) div {_US_PER_DAY} AS BIGINT)").alias("d1"),
-    )
-    return s.agg(
-        F.count(F.lit(1)).cast("long").alias("n_sessions"),
-        F.sum(F.expr("CASE WHEN d1 > d0 THEN 1 ELSE 0 END"))
-        .cast("long")
-        .alias("n_crossing"),
-    ).select(
-        "n_sessions",
-        "n_crossing",
-        F.expr(
-            "CAST((1000000 * n_crossing) div n_sessions AS BIGINT)"
-        ).alias("crossing_q6"),
-    )
-
-
-@register(
-    "idle_hours_census",
-    """WITH h AS (
-  SELECT DISTINCT epoch_us(ts) // 3600000000 AS hour_num FROM events),
-b AS (SELECT CAST(min(hour_num) AS BIGINT) AS lo, CAST(max(hour_num) AS BIGINT) AS hi FROM h),
-spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS hour_num FROM b),
-f AS (SELECT spine.hour_num,
-             CASE WHEN h.hour_num IS NULL THEN 1 ELSE 0 END AS idle
-      FROM spine LEFT JOIN h USING (hour_num)),
-isl AS (
-  SELECT idle, hour_num - row_number() OVER (PARTITION BY idle ORDER BY hour_num)
-           AS grp
-  FROM f),
-runs AS (SELECT CAST(count(*) AS BIGINT) AS len
-         FROM isl WHERE idle = 1 GROUP BY grp)
-SELECT (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_hours_span,
-       (SELECT CAST(COALESCE(sum(CASE WHEN idle = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
-        FROM f) AS n_idle_hours,
-       (SELECT CAST(count(*) AS BIGINT) FROM runs) AS n_outages,
-       (SELECT CAST(COALESCE(max(len), 0) AS BIGINT) FROM runs) AS longest_outage_hours""",
-)
-def idle_hours_census(spark, sf_dir):
-    """Silence detector: hours inside the observed span with ZERO
-    events, their count, and the longest consecutive outage — the
-    failure mode error_rate_daily cannot see (an ingest pipeline that
-    dies produces no errors, just silence; the zero-filled day spine
-    shows n=0 days, this works at the hour grain and measures STREAK
-    length via gaps-and-islands, the session-139 trick on the time
-    axis itself).
-
-    Determinism: pure integer hour arithmetic.
-
-    Scale shape: distinct observed hours collapse map-side; spine,
-    islands, and runs are calendar-bounded."""
-    h = (
-        _events(spark, sf_dir)
-        .select(
-            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias(
-                "hour_num"
-            )
-        )
-        .distinct()
-    )
-    b = h.agg(
-        F.min("hour_num").cast("long").alias("lo"),
-        F.max("hour_num").cast("long").alias("hi"),
-    )
-    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("hour_num"))
-    f = spine.join(h.withColumn("seen", F.lit(1)), "hour_num", "left").select(
-        "hour_num",
-        F.expr("CASE WHEN seen IS NULL THEN 1 ELSE 0 END").alias("idle"),
-    ).localCheckpoint()
-    wi = Window.partitionBy("idle").orderBy("hour_num")
-    isl = f.select(
-        "idle", (F.col("hour_num") - F.row_number().over(wi)).alias("grp")
-    )
-    runs = (
-        isl.where(F.col("idle") == 1)
-        .groupBy("grp")
-        .agg(F.count(F.lit(1)).cast("long").alias("len"))
-    )
-    span = f.agg(
-        F.count(F.lit(1)).cast("long").alias("n_hours_span"),
-        F.coalesce(F.sum("idle"), F.lit(0)).cast("long").alias("n_idle_hours"),
-    )
-    outs = runs.agg(
-        F.count(F.lit(1)).cast("long").alias("n_outages"),
-        F.coalesce(F.max("len"), F.lit(0)).cast("long").alias(
-            "longest_outage_hours"
-        ),
-    )
-    return span.crossJoin(outs)
-
-
-@register(
-    "lang_margin_histogram",
-    f"""WITH t AS ({SQL_TOKS}),
-c AS (SELECT doc_id,
-             {", ".join(f"count(*) FILTER (term IN ({', '.join(repr(w) for w in ws)})) AS c_{lang}" for lang, ws in _LANG_PROFILES.items())}
-      FROM t GROUP BY doc_id),
-d AS (SELECT doc_id,
-             strlen(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS non_ascii,
-             strlen(text) AS n_bytes
-      FROM documents),
-j AS (SELECT d.doc_id, d.non_ascii, d.n_bytes,
-             {", ".join(f"CAST(COALESCE(c.c_{lang}, 0) AS BIGINT) AS c_{lang}" for lang in _LANG_PROFILES)}
-      FROM d LEFT JOIN c ON c.doc_id = d.doc_id),
-lf AS ({" UNION ALL ".join(f"SELECT doc_id, non_ascii, n_bytes, '{lang}' AS lang, c_{lang} AS cnt FROM j" for lang in _LANG_PROFILES)}),
-rk AS (SELECT doc_id, non_ascii, n_bytes, cnt,
-              row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang ASC) AS rn
-       FROM lf),
-m AS (SELECT a.doc_id,
-             CASE WHEN a.non_ascii * 10 > a.n_bytes * 3 THEN -1
-                  ELSE a.cnt - b.cnt END AS margin
-      FROM rk a JOIN rk b ON b.doc_id = a.doc_id AND a.rn = 1 AND b.rn = 2),
-bd AS (SELECT CASE WHEN margin = -1 THEN -1
-                   WHEN margin = 0 THEN 0
-                   WHEN margin <= 2 THEN 1
-                   WHEN margin <= 5 THEN 2 ELSE 3 END AS margin_band
-       FROM m)
-SELECT CAST(margin_band AS BIGINT) AS margin_band,
-       CAST(count(*) AS BIGINT) AS n_docs
-FROM bd GROUP BY margin_band ORDER BY margin_band""",
-)
-def lang_margin_histogram(spark, sf_dir):
-    """How CONFIDENT is the language-ID heuristic? Per doc, the margin
-    between the winning and runner-up stopword-profile counts, banded
-    (CJK route = −1, tie = 0, 1-2, 3-5, 6+) — the abstention curve the
-    accuracy numbers (language_confusion_matrix, naive_bayes/
-    cavnar-trenkle comparisons) hide: a margin-0 doc is a coin flip
-    wearing a label, and the share of band 0/1 mass is how much of the
-    corpus should route to a stronger model instead
-    (ivf_assign_margin is the same diagnostic for the vector
-    quantizer).
-
-    Determinism: exact counters; the runner-up comes from a
-    per-doc rank over the 4-language long form with the alphabetical
-    tiebreak (the heuristic's own rule).
-
-    Scale shape: one token agg + map-side byte counters; the per-doc
-    window runs over exactly 4 rows per doc."""
-    t = _toks(_docs(spark, sf_dir))
-    aggs = [
-        F.sum(F.when(F.col("term").isin(ws), 1).otherwise(0)).alias(f"c_{lang}")
-        for lang, ws in _LANG_PROFILES.items()
-    ]
-    c = t.groupBy("doc_id").agg(*aggs)
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.octet_length(F.regexp_replace("text", r"[\x00-\x7F]", "")).alias(
-            "non_ascii"
-        ),
-        F.octet_length("text").alias("n_bytes"),
-    )
-    j = d.join(c, "doc_id", "left").select(
-        "doc_id",
-        "non_ascii",
-        "n_bytes",
-        *[
-            F.coalesce(F.col(f"c_{lang}"), F.lit(0)).cast("long").alias(f"c_{lang}")
-            for lang in _LANG_PROFILES
-        ],
-    )
-    lf = j.select(
-        "doc_id",
-        "non_ascii",
-        "n_bytes",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(lang).alias("lang"), F.col(f"c_{lang}").alias("cnt")
-                    )
-                    for lang in _LANG_PROFILES
-                ]
-            )
-        ).alias("x"),
-    ).select(
-        "doc_id",
-        "non_ascii",
-        "n_bytes",
-        F.col("x.lang").alias("lang"),
-        F.col("x.cnt").alias("cnt"),
-    )
-    wr = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("lang"))
-    rk = lf.withColumn("rn", F.row_number().over(wr)).localCheckpoint()
-    a = rk.where(F.col("rn") == 1).select(
-        "doc_id", "non_ascii", "n_bytes", F.col("cnt").alias("c1")
-    )
-    b = rk.where(F.col("rn") == 2).select(
-        F.col("doc_id").alias("doc_b"), F.col("cnt").alias("c2")
-    )
-    m = a.join(b, a["doc_id"] == b["doc_b"]).select(
-        F.expr(
-            "CASE WHEN non_ascii * 10 > n_bytes * 3 THEN -1 ELSE c1 - c2 END"
-        ).alias("margin")
-    )
-    bd = m.select(
-        F.expr(
-            "CAST(CASE WHEN margin = -1 THEN -1 WHEN margin = 0 THEN 0"
-            " WHEN margin <= 2 THEN 1 WHEN margin <= 5 THEN 2 ELSE 3 END"
-            " AS BIGINT)"
-        ).alias("margin_band")
-    )
-    return (
-        bd.groupBy("margin_band")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .orderBy("margin_band")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 172 — text hygiene, digit runs, doc↔vector alignment
-# ---------------------------------------------------------------------------
-
-# (counter, literal-class regex) — delete-and-measure per class; literal
-# codepoints only (the pii_scrub RE2∩Java rule). Tabs/newlines use the
-# \t escape which both engines accept inside a character class.
-_HYGIENE_CLASSES = [
-    ("double_space", "  "),
-    ("tab", "\t"),
-    ("curly_quote", "[‘’“”]"),
-    ("em_dash", "—"),
-]
-
-
-@register(
-    "text_hygiene_census",
-    f"""WITH t AS (SELECT source, text FROM documents)
-SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(CASE WHEN text LIKE '  %' OR text LIKE '% ' OR text LIKE ' %'
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_edge_ws,
-       {", ".join(
-           f"CAST(sum(len(regexp_extract_all(text, '{pat}'))) AS BIGINT) AS n_{name}"
-           for name, pat in _HYGIENE_CLASSES
-       )}
-FROM t GROUP BY source ORDER BY source""",
-)
-def text_hygiene_census(spark, sf_dir):
-    """Typographic hygiene per source: leading/trailing-space docs,
-    double spaces, tabs, curly quotes, em-dashes — the extraction-bug
-    and provenance fingerprints (curly quotes mean a word-processor or
-    proper typography pipeline; tabs and double spaces mean PDF/table
-    extraction; placeholder_doc_census finds ABSENT bodies, this
-    grades the present ones' plumbing). All-zero-ish on the synthetic
-    corpus is expected — the property suite injects each class.
-
-    Determinism: exact counts of literal-codepoint patterns; the edge
-    whitespace test is three LIKE probes.
-
-    Scale shape: map-side regex counters folded into one per-source
-    agg."""
-    t = _docs(spark, sf_dir).select("source", "text")
-    aggs = [
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(
-            F.expr(
-                "CASE WHEN text LIKE '  %' OR text LIKE '% ' OR text LIKE ' %'"
-                " THEN 1 ELSE 0 END"
-            )
-        )
-        .cast("long")
-        .alias("n_edge_ws"),
-    ]
-    for name, pat in _HYGIENE_CLASSES:
-        aggs.append(
-            F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)))
-            .cast("long")
-            .alias(f"n_{name}")
-        )
-    return t.groupBy("source").agg(*aggs).orderBy("source")
-
-
-@register(
-    "digit_run_histogram",
-    r"""WITH r AS (
-  SELECT unnest(regexp_extract_all(text, '[0-9]+')) AS run FROM documents)
-SELECT CAST(least(length(run), 10) AS BIGINT) AS run_len,
-       CAST(count(*) AS BIGINT) AS n_runs
-FROM r GROUP BY run_len ORDER BY run_len""",
-)
-def digit_run_histogram(spark, sf_dir):
-    """What the numbers in the text ARE: maximal digit-run lengths,
-    histogrammed (1-2 = counts/quantities, 4 = years, 7-10+ = phone
-    numbers/ids/hashes — clipped at 10) — the cheap provenance and
-    PII-prior signal (pii_scrub_stats matches specific formats; this
-    is the format-free prior that says which detectors are even worth
-    running, and a heavy 8+ tail flags id-dump pages the quality
-    filters score as 'text').
-
-    Determinism: exact integer lengths of maximal runs (regex + both
-    engines' greedy [0-9]+).
-
-    Scale shape: map-side extract + explode, ≤10-row rollup."""
-    r = _docs(spark, sf_dir).select(
-        F.explode(
-            F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)
-        ).alias("run")
-    )
-    return (
-        r.select(
-            F.expr("CAST(least(length(run), 10) AS BIGINT)").alias("run_len")
-        )
-        .groupBy("run_len")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_runs"))
-        .orderBy("run_len")
-    )
-
-
-@register(
-    "doc_vec_alignment_census",
-    """WITH d AS (SELECT doc_id FROM documents),
-v AS (SELECT vec_id FROM embeddings),
-m AS (SELECT d.doc_id FROM d JOIN v ON v.vec_id = d.doc_id)
-SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_docs,
-       (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_vecs,
-       (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_matched,
-       (SELECT CAST(count(*) AS BIGINT) FROM d
-        WHERE doc_id NOT IN (SELECT vec_id FROM v)) AS n_doc_only,
-       (SELECT CAST(count(*) AS BIGINT) FROM v
-        WHERE vec_id NOT IN (SELECT doc_id FROM d)) AS n_vec_only""",
-)
-def doc_vec_alignment_census(spark, sf_dir):
-    """The doc_id↔vec_id alignment audit: how many documents have an
-    embedding, how many vectors are orphaned — the fk_integrity_census
-    of the MODAL join every hybrid/cross-modal op silently trusts
-    (hybrid_rrf, mmr_rerank, norm_doclen_corr,
-    text_embedding_dup_consistency all inner-join on this key; any
-    doc_only mass means their results quietly exclude documents, and
-    vec_only mass means stale vectors from deleted docs are still
-    searchable). The first number to check when hybrid search 'loses'
-    documents.
-
-    Determinism: exact counts, semi/anti probes.
-
-    Scale shape: two id-projection scans, one key join, two anti
-    probes — all id-column-narrow."""
-    d = _docs(spark, sf_dir).select("doc_id")
-    v = _emb(spark, sf_dir).select("vec_id")
-    m = d.join(v, d["doc_id"] == v["vec_id"])
-    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    nv = v.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
-    nm = m.agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
-    ndo = d.join(v, d["doc_id"] == v["vec_id"], "anti").agg(
-        F.count(F.lit(1)).cast("long").alias("n_doc_only")
-    )
-    nvo = v.join(d, v["vec_id"] == d["doc_id"], "anti").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vec_only")
-    )
-    return nd.crossJoin(nv).crossJoin(nm).crossJoin(ndo).crossJoin(nvo)
-
-
-# ---------------------------------------------------------------------------
-# session 173 — activity migration, Simpson check, unsold inventory
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "activity_band_migration",
-    f"""WITH e AS (
-  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day_num FROM events),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM e),
-u AS (
-  SELECT e.user_id,
-         CAST(sum(CASE WHEN e.day_num <= (b.lo + b.hi) // 2 THEN 1 ELSE 0 END)
-              AS BIGINT) AS n1,
-         CAST(sum(CASE WHEN e.day_num > (b.lo + b.hi) // 2 THEN 1 ELSE 0 END)
-              AS BIGINT) AS n2
-  FROM e, b GROUP BY e.user_id),
-m AS (
-  SELECT CASE WHEN n1 = 0 THEN -1 ELSE CAST(length(bin(n1)) - 1 AS BIGINT) END AS band_first,
-         CASE WHEN n2 = 0 THEN -1 ELSE CAST(length(bin(n2)) - 1 AS BIGINT) END AS band_second
-  FROM u)
-SELECT CAST(band_first AS BIGINT) AS band_first,
-       CAST(band_second AS BIGINT) AS band_second,
-       CAST(count(*) AS BIGINT) AS n_users
-FROM m GROUP BY band_first, band_second ORDER BY band_first, band_second""",
-)
-def activity_band_migration(spark, sf_dir):
-    """Engagement migration matrix: each user's log2 activity band in
-    the FIRST calendar half of the data versus the SECOND (calendar
-    midpoint split — the ab_cuped_adjustment rule; band −1 = inactive
-    in that half) — the dynamics the static user_activity_histogram
-    projects away: mass on the diagonal is stable habit, below it is
-    decay, the (−1, b) column is acquisition and (b, −1) is churn in
-    one table (churn_by_activity_band summarizes one slice of this).
-
-    Determinism: pure integer day/count arithmetic.
-
-    Scale shape: one user-keyed agg (both half-counters in one pass,
-    1-row bounds broadcast); matrix rollup ≤ bands² rows."""
-    e = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-            "day_num"
-        ),
-    )
-    b = e.agg(
-        F.min("day_num").cast("long").alias("lo"),
-        F.max("day_num").cast("long").alias("hi"),
-    )
-    u = (
-        e.crossJoin(F.broadcast(b))
-        .groupBy("user_id")
-        .agg(
-            F.sum(
-                F.expr("CASE WHEN day_num <= (lo + hi) div 2 THEN 1 ELSE 0 END")
-            )
-            .cast("long")
-            .alias("n1"),
-            F.sum(
-                F.expr("CASE WHEN day_num > (lo + hi) div 2 THEN 1 ELSE 0 END")
-            )
-            .cast("long")
-            .alias("n2"),
-        )
-    )
-    m = u.select(
-        F.expr(
-            "CASE WHEN n1 = 0 THEN -1 ELSE CAST(length(bin(n1)) - 1 AS BIGINT) END"
-        ).alias("band_first"),
-        F.expr(
-            "CASE WHEN n2 = 0 THEN -1 ELSE CAST(length(bin(n2)) - 1 AS BIGINT) END"
-        ).alias("band_second"),
-    )
-    return (
-        m.groupBy("band_first", "band_second")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .select(
-            F.col("band_first").cast("long").alias("band_first"),
-            F.col("band_second").cast("long").alias("band_second"),
-            "n_users",
-        )
-        .orderBy("band_first", "band_second")
-    )
-
-
-@register(
-    "simpson_check_discount",
-    f"""WITH t AS (
-  SELECT p.p_brand,
-         CAST(round(l.l_discount * 100) AS BIGINT) AS x,
-         CAST(l.l_quantity AS BIGINT) AS y
-  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
-g AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
-             CAST(sum(x * y) AS BIGINT) AS sxy
-      FROM t),
-gc AS (SELECT CAST({_PQC_CORR} AS BIGINT) AS corr_q6 FROM g),
-pb AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
-              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-              CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
-              CAST(sum(x * y) AS BIGINT) AS sxy
-       FROM t GROUP BY p_brand),
-bc AS (SELECT p_brand, CAST({_PQC_CORR} AS BIGINT) AS corr_q6 FROM pb),
-s AS (SELECT CAST(count(*) AS BIGINT) AS n_brands,
-             CAST(sum(CASE WHEN corr_q6 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-             CAST(sum(CASE WHEN corr_q6 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
-      FROM bc)
-SELECT gc.corr_q6 AS global_corr_q6, s.n_brands, s.n_pos, s.n_neg,
-       CAST(CASE WHEN (gc.corr_q6 > 0 AND 2 * s.n_neg > s.n_brands)
-                  OR (gc.corr_q6 < 0 AND 2 * s.n_pos > s.n_brands)
-            THEN 1 ELSE 0 END AS BIGINT) AS paradox_flag
-FROM gc, s""",
-)
-def simpson_check_discount(spark, sf_dir):
-    """Simpson's-paradox screen for the discount→quantity read: the
-    GLOBAL Pearson correlation beside the per-brand sign census, with
-    a flag when the aggregate sign contradicts the majority of
-    within-brand signs — the one-table guard against acting on a
-    pooled elasticity that brand mix manufactured
-    (discount_quantity_corr reports the pooled number; this says
-    whether it's trustworthy at the grain pricing decisions are made).
-    On TPC-H's independent draws both levels sit near zero — flag 0,
-    the honest null.
-
-    Determinism: exact sufficient stats at both grains, the shared
-    guarded split-sqrt expression, integer majority tests.
-
-    Scale shape: ONE fact⋈dim pass feeds both the global and the
-    per-brand stats (map-side combinable); the sign census runs over
-    |brands| rows."""
-    t = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .select(
-            "l_partkey",
-            F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("x"),
-            F.col("l_quantity").cast("long").alias("y"),
-        )
-        .join(
-            spark.read.parquet(f"{sf_dir}/part.parquet").select(
-                "p_partkey", "p_brand"
-            ),
-            F.col("l_partkey") == F.col("p_partkey"),
-        )
-        .select("p_brand", "x", "y")
-        .localCheckpoint()
-    )
-
-    def stats(df, keys):
-        return df.groupBy(*keys).agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("x").cast("long").alias("sx"),
-            F.sum("y").cast("long").alias("sy"),
-            F.sum(F.expr("x * x")).cast("long").alias("sxx"),
-            F.sum(F.expr("y * y")).cast("long").alias("syy"),
-            F.sum(F.expr("x * y")).cast("long").alias("sxy"),
-        ) if keys else df.agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("x").cast("long").alias("sx"),
-            F.sum("y").cast("long").alias("sy"),
-            F.sum(F.expr("x * x")).cast("long").alias("sxx"),
-            F.sum(F.expr("y * y")).cast("long").alias("syy"),
-            F.sum(F.expr("x * y")).cast("long").alias("sxy"),
-        )
-
-    gc = stats(t, []).select(
-        F.expr(f"CAST({_PQC_CORR} AS BIGINT)").alias("global_corr_q6")
-    )
-    bc = stats(t, ["p_brand"]).select(
-        F.expr(f"CAST({_PQC_CORR} AS BIGINT)").alias("corr_q6")
-    )
-    s = bc.agg(
-        F.count(F.lit(1)).cast("long").alias("n_brands"),
-        F.sum(F.expr("CASE WHEN corr_q6 > 0 THEN 1 ELSE 0 END"))
-        .cast("long")
-        .alias("n_pos"),
-        F.sum(F.expr("CASE WHEN corr_q6 < 0 THEN 1 ELSE 0 END"))
-        .cast("long")
-        .alias("n_neg"),
-    )
-    return gc.crossJoin(s).select(
-        "global_corr_q6",
-        "n_brands",
-        "n_pos",
-        "n_neg",
-        F.expr(
-            "CAST(CASE WHEN (global_corr_q6 > 0 AND 2 * n_neg > n_brands)"
-            " OR (global_corr_q6 < 0 AND 2 * n_pos > n_brands)"
-            " THEN 1 ELSE 0 END AS BIGINT)"
-        ).alias("paradox_flag"),
-    )
-
-
-@register(
-    "unsold_inventory_value",
-    """WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem),
-u AS (SELECT p.p_partkey, CAST(round(p.p_retailprice * 100) AS BIGINT) AS cents
-      FROM part p LEFT JOIN sold ON sold.l_partkey = p.p_partkey
-      WHERE sold.l_partkey IS NULL),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS n_parts,
-               CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
-                 AS catalog_cents
-        FROM part)
-SELECT tot.n_parts,
-       (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_unsold,
-       (SELECT CAST(COALESCE(sum(cents), 0) AS BIGINT) FROM u) AS unsold_cents,
-       tot.catalog_cents,
-       CAST((1000000 * (SELECT count(*) FROM u)) // tot.n_parts AS BIGINT)
-         AS unsold_share_q6
-FROM tot""",
-)
-def unsold_inventory_value(spark, sf_dir):
-    """Dead-stock board: parts that never appear on a line item, with
-    the retail value parked in them — part_sales_coverage counts the
-    gap; this prices it (the number a catalog-pruning or promotion
-    decision needs: 3% of parts unsold is noise if they're cheap,
-    capital if they're the premium tier). Cents per row first.
-
-    Determinism: exact counts/sums; anti-join via the LEFT-IS-NULL
-    probe.
-
-    Scale shape: one distinct partkey projection of the fact table,
-    one anti probe against the dim, two scalar rollups."""
-    sold = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .select("l_partkey")
-        .distinct()
-    )
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_partkey",
-        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("cents"),
-    )
-    u = p.join(sold, p["p_partkey"] == sold["l_partkey"], "anti")
-    tot = p.agg(
-        F.count(F.lit(1)).cast("long").alias("n_parts"),
-        F.sum("cents").cast("long").alias("catalog_cents"),
-    )
-    uu = u.agg(
-        F.count(F.lit(1)).cast("long").alias("n_unsold"),
-        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("unsold_cents"),
-    )
-    return tot.crossJoin(uu).select(
-        "n_parts",
-        "n_unsold",
-        "unsold_cents",
-        "catalog_cents",
-        F.expr(
-            "CAST((1000000 * n_unsold) div n_parts AS BIGINT)"
-        ).alias("unsold_share_q6"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 175 — business-calendar detector (plus tests/test_plan_quality.py)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "zero_order_days_by_weekday",
-    f"""WITH d AS (
-  SELECT DISTINCT epoch_us(o_orderdate) // {_US_PER_DAY} AS day_num FROM orders),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM d),
-spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
-f AS (SELECT spine.day_num,
-             CAST((spine.day_num + 3) % 7 AS BIGINT) AS dow,
-             CASE WHEN d.day_num IS NULL THEN 1 ELSE 0 END AS zero
-      FROM spine LEFT JOIN d USING (day_num))
-SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
-       CAST(sum(zero) AS BIGINT) AS n_zero_days,
-       CAST((1000000 * sum(zero)) // count(*) AS BIGINT) AS zero_q6
-FROM f GROUP BY dow ORDER BY dow""",
-)
-def zero_order_days_by_weekday(spark, sf_dir):
-    """Business-calendar detector: calendar days with NO orders, split
-    by weekday (0 = Monday, the (day+3)%7 rule) — a weekend-heavy zero
-    column reveals a B2B order flow (and says weekday-naive forecasts
-    will systematically overshoot Saturdays); uniformly scattered
-    zeros are ingest gaps instead, the idle_hours_census reading at
-    order grain. The distinction decides whether missing days get
-    imputed as 'closed' or investigated as 'broken'.
-
-    Determinism: pure integer day/dow arithmetic on the zero-filled
-    spine.
-
-    Scale shape: distinct order days collapse map-side; spine and the
-    7-row rollup are calendar-bounded."""
-    d = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select(
-            F.expr(
-                f"unix_micros(cast(o_orderdate as timestamp)) div {_US_PER_DAY}"
-            ).alias("day_num")
-        )
-        .distinct()
-    )
-    b = d.agg(
-        F.min("day_num").cast("long").alias("lo"),
-        F.max("day_num").cast("long").alias("hi"),
-    )
-    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day_num"))
-    f = spine.join(d.withColumn("seen", F.lit(1)), "day_num", "left").select(
-        F.expr("CAST((day_num + 3) % 7 AS BIGINT)").alias("dow"),
-        F.expr("CASE WHEN seen IS NULL THEN 1 ELSE 0 END").alias("zero"),
-    )
-    return (
-        f.groupBy("dow")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_days"),
-            F.sum("zero").cast("long").alias("n_zero_days"),
-        )
-        .select(
-            "dow",
-            "n_days",
-            "n_zero_days",
-            F.expr("CAST((1000000 * n_zero_days) div n_days AS BIGINT)").alias(
-                "zero_q6"
-            ),
-        )
-        .orderBy("dow")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 176 — KMV set algebra, customer lifespan, undiscounted share
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "kmv_union_estimate",
-    f"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
-h AS (SELECT event_type, user_id,
-             ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 13))::UBIGINT
-               / 4503599627370496.0 AS u
-      FROM d),
-pairs AS (
-  SELECT a.event_type AS type_a, b.event_type AS type_b
-  FROM (SELECT DISTINCT event_type FROM d) a
-  JOIN (SELECT DISTINCT event_type FROM d) b ON a.event_type < b.event_type),
-uh AS (
-  SELECT p.type_a, p.type_b, h.user_id, min(h.u) AS u
-  FROM pairs p JOIN h ON h.event_type IN (p.type_a, p.type_b)
-  GROUP BY p.type_a, p.type_b, h.user_id),
-r AS (SELECT type_a, type_b, u,
-             row_number() OVER (PARTITION BY type_a, type_b ORDER BY u) AS rn
-      FROM uh),
-n AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_exact_union
-      FROM uh GROUP BY type_a, type_b),
-kk AS (SELECT type_a, type_b, u AS uk FROM r WHERE rn = {_KMV_K}),
-ex AS (
-  SELECT p.type_a, p.type_b,
-         CAST(count(DISTINCT CASE WHEN ha.user_id IS NOT NULL
-                                   AND hb.user_id IS NOT NULL
-                              THEN ha.user_id END) AS BIGINT) AS n_exact_inter
-  FROM pairs p
-  LEFT JOIN d ha ON ha.event_type = p.type_a
-  LEFT JOIN d hb ON hb.event_type = p.type_b AND hb.user_id = ha.user_id
-  GROUP BY p.type_a, p.type_b)
-SELECT n.type_a, n.type_b, n.n_exact_union,
-       CAST(CASE WHEN kk.uk IS NULL THEN n.n_exact_union
-            ELSE round({_KMV_K - 1} / kk.uk) END AS BIGINT) AS kmv_union_est,
-       ex.n_exact_inter
-FROM n LEFT JOIN kk ON kk.type_a = n.type_a AND kk.type_b = n.type_b
-JOIN ex ON ex.type_a = n.type_a AND ex.type_b = n.type_b
-ORDER BY n.type_a, n.type_b""",
-)
-def kmv_union_estimate(spark, sf_dir):
-    """The set algebra KMV exists for: per event-type PAIR, the
-    bottom-k estimate of the UNION audience beside the exact union and
-    exact intersection — union of two KMV sketches is just the
-    bottom-k of their merged values (no re-scan of raw data in
-    production; here the estimate is audited against truth), and
-    intersection follows by inclusion-exclusion — the operation HLL
-    registers cannot do without large-error tricks
-    (hll_source_intersection shows that family's strain;
-    kmv_distinct_estimate calibrated the single-set case).
-    Under-filled unions fall back to exact.
-
-    Determinism: the shared 'kmv:' 52-bit uniforms; per-pair
-    bottom-k via one window; exact counts.
-
-    Scale shape: the pair spine is |types|²; per-pair unions are
-    user-cardinality-bounded; at scale the merge runs on the k-row
-    SKETCHES, never the raw sets (documented — the audit needs truth,
-    production doesn't)."""
-    d = _events(spark, sf_dir).select("event_type", "user_id").distinct().localCheckpoint()
-    h = d.select(
-        "event_type",
-        "user_id",
-        F.expr(
-            "cast(conv(substring(md5('kmv:' || cast(user_id as string)), 1, 13), 16, 10) as bigint)"
-            " / 4503599627370496e0"
-        ).alias("u"),
-    )
-    types = d.select("event_type").distinct()
-    a = types.select(F.col("event_type").alias("type_a"))
-    b = types.select(F.col("event_type").alias("type_b"))
-    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
-    uh = (
-        pairs.join(
-            h,
-            (F.col("event_type") == F.col("type_a"))
-            | (F.col("event_type") == F.col("type_b")),
-        )
-        .groupBy("type_a", "type_b", "user_id")
-        .agg(F.min("u").alias("u"))
-        .localCheckpoint()
-    )
-    w = Window.partitionBy("type_a", "type_b").orderBy("u")
-    kk = (
-        uh.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == _KMV_K)
-        .select("type_a", "type_b", F.col("u").alias("uk"))
-    )
-    n = uh.groupBy("type_a", "type_b").agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact_union")
-    )
-    da = d.select(F.col("event_type").alias("type_a"), "user_id")
-    db = d.select(
-        F.col("event_type").alias("type_b"), F.col("user_id").alias("uid_b")
-    )
-    ex = (
-        pairs.join(da, "type_a")
-        .join(
-            db,
-            (F.col("uid_b") == F.col("user_id"))
-            & (db["type_b"] == pairs["type_b"]),
-        )
-        .groupBy(pairs["type_a"], pairs["type_b"])
-        .agg(F.countDistinct("user_id").cast("long").alias("n_exact_inter"))
-    )
-    return (
-        n.join(kk, ["type_a", "type_b"], "left")
-        .join(ex, ["type_a", "type_b"])
-        .select(
-            "type_a",
-            "type_b",
-            "n_exact_union",
-            F.expr(
-                f"CAST(CASE WHEN uk IS NULL THEN n_exact_union"
-                f" ELSE round({_KMV_K - 1} / uk) END AS BIGINT)"
-            ).alias("kmv_union_est"),
-            "n_exact_inter",
-        )
-        .orderBy("type_a", "type_b")
-    )
-
-
-@register(
-    "customer_lifespan_histogram",
-    f"""WITH c AS (
-  SELECT o_custkey,
-         CAST(max(epoch_us(o_orderdate)) // {_US_PER_DAY}
-              - min(epoch_us(o_orderdate)) // {_US_PER_DAY} AS BIGINT) AS span_days,
-         CAST(count(*) AS BIGINT) AS n_orders
-  FROM orders GROUP BY o_custkey),
-bk AS (SELECT CASE WHEN span_days = 0 THEN 0
-                   WHEN span_days <= 90 THEN 1
-                   WHEN span_days <= 365 THEN 2
-                   WHEN span_days <= 1095 THEN 3 ELSE 4 END AS span_band,
-              n_orders
-       FROM c)
-SELECT CAST(span_band AS BIGINT) AS span_band,
-       CAST(count(*) AS BIGINT) AS n_customers,
-       CAST(sum(n_orders) AS BIGINT) AS n_orders
-FROM bk GROUP BY span_band ORDER BY span_band""",
-)
-def customer_lifespan_histogram(spark, sf_dir):
-    """Customer relationship lifespan: days between first and last
-    order, banded (one-shot / ≤quarter / ≤year / ≤3y / longer) with
-    the order volume each band carries — the purchasing-side twin of
-    user_span_histogram's event-side lifespan (band 0 is the
-    one-order-wonder population; where the volume column concentrates
-    says whether revenue rides long relationships or churn-and-burn).
-
-    Determinism: pure integer day arithmetic.
-
-    Scale shape: one custkey agg (min/max/count on one exchange);
-    5-band rollup."""
-    c = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .groupBy("o_custkey")
-        .agg(
-            F.expr(
-                f"CAST(max(unix_micros(cast(o_orderdate as timestamp))) div {_US_PER_DAY}"
-                f" - min(unix_micros(cast(o_orderdate as timestamp))) div {_US_PER_DAY}"
-                " AS BIGINT)"
-            ).alias("span_days"),
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-        )
-    )
-    bk = c.select(
-        F.expr(
-            "CAST(CASE WHEN span_days = 0 THEN 0 WHEN span_days <= 90 THEN 1"
-            " WHEN span_days <= 365 THEN 2 WHEN span_days <= 1095 THEN 3"
-            " ELSE 4 END AS BIGINT)"
-        ).alias("span_band"),
-        "n_orders",
-    )
-    return (
-        bk.groupBy("span_band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_customers"),
-            F.sum("n_orders").cast("long").alias("n_orders"),
-        )
-        .orderBy("span_band")
-    )
-
-
-@register(
-    "undiscounted_revenue_share",
-    f"""WITH t AS (
-  SELECT {_LI_DISC_C} AS disc_c,
-         CASE WHEN l_discount = 0 THEN 1 ELSE 0 END AS full_price
-  FROM lineitem)
-SELECT CAST(count(*) AS BIGINT) AS n_items,
-       CAST(sum(full_price) AS BIGINT) AS n_full_price,
-       CAST(sum(CASE WHEN full_price = 1 THEN disc_c ELSE 0 END) AS BIGINT)
-         AS full_price_cents,
-       CAST(sum(disc_c) AS BIGINT) AS total_cents,
-       CAST((1000000 * sum(CASE WHEN full_price = 1 THEN disc_c ELSE 0 END))
-            // sum(disc_c) AS BIGINT) AS full_price_share_q6
-FROM t""",
-)
-def undiscounted_revenue_share(spark, sf_dir):
-    """Pricing-lever exposure: the share of revenue earned at ZERO
-    discount — the flip side of every discount-effect op
-    (brand_promo_lift, discount bands, the Q6/Q19 windows all study
-    the discounted flow; this one number says how much of the business
-    never touches the lever at all, i.e. the ceiling on what discount
-    optimization can possibly move). Cents per row first (the Q1
-    rule); one integer division.
-
-    Scale shape: one map-side-combined scan to a single row."""
-    t = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.expr(_LI_DISC_C).alias("disc_c"),
-        F.expr("CASE WHEN l_discount = 0 THEN 1 ELSE 0 END").alias("full_price"),
-    )
-    return t.agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.sum("full_price").cast("long").alias("n_full_price"),
-        F.sum(F.expr("CASE WHEN full_price = 1 THEN disc_c ELSE 0 END"))
-        .cast("long")
-        .alias("full_price_cents"),
-        F.sum("disc_c").cast("long").alias("total_cents"),
-    ).select(
-        "n_items",
-        "n_full_price",
-        "full_price_cents",
-        "total_cents",
-        F.expr(
-            "CAST((1000000 * full_price_cents) div total_cents AS BIGINT)"
-        ).alias("full_price_share_q6"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 177 — doclen quantization, doc typicality, half-mass window
-# ---------------------------------------------------------------------------
-
-# keep the top 4 significant bits of dl (Lucene-style small-float length
-# compression, house variant): q = (dl >> s) << s with s = bits(dl) − 4
-_DLQ = (
-    "CASE WHEN dl < 16 THEN dl"
-    " ELSE (dl >> (length(bin(dl)) - 4)) << (length(bin(dl)) - 4) END"
-)
-
-
-@register(
-    "doclen_quantization_error",
-    f"""WITH dl0 AS ({SQL_DL}),
-d AS (SELECT CAST(doc_len AS BIGINT) AS dl FROM dl0 WHERE doc_len > 0),
-q AS (SELECT dl, CAST({_DLQ} AS BIGINT) AS dlq FROM d),
-b AS (SELECT CAST(length(bin(dl)) - 1 AS BIGINT) AS len_band,
-             dl, dl - dlq AS err
-      FROM q)
-SELECT len_band, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(err) AS BIGINT) AS sum_abs_err,
-       CAST((1000000 * sum(err)) // sum(dl) AS BIGINT) AS rel_err_q6
-FROM b GROUP BY len_band ORDER BY len_band""",
-)
-def doclen_quantization_error(spark, sf_dir):
-    """What 1-byte length norms cost BM25: document lengths compressed
-    to their top 4 significant bits (the Lucene small-float norm idea,
-    house variant: floor-quantize below 16 bits of mantissa), with the
-    absolute and relative error per log2 length band — Lucene pays this
-    exact distortion in every score's length normalization and nobody
-    notices below ~3%; THIS table says where on the length axis the
-    distortion concentrates (always just under a power of two) and
-    whether this corpus would care (sq8_quantization_error is the same
-    audit for vector components; this is the doc-length leg the BM25
-    family stands on).
-
-    Determinism: pure integer bit arithmetic (quantization error is
-    always ≥ 0 by floor construction).
-
-    Scale shape: one doc-length agg (shared SQL_DL shape) then
-    map-side bit ops into ≤64 band rows."""
-    dl = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("dl"))
-        .where(F.col("dl") > 0)
-    )
-    q = dl.select("dl", F.expr(f"CAST({_DLQ} AS BIGINT)").alias("dlq"))
-    b = q.select(
-        F.expr("CAST(length(bin(dl)) - 1 AS BIGINT)").alias("len_band"),
-        "dl",
-        (F.col("dl") - F.col("dlq")).alias("err"),
-    )
-    return (
-        b.groupBy("len_band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("err").cast("long").alias("sum_abs_err"),
-            F.sum("dl").cast("long").alias("sum_dl"),
-        )
-        .select(
-            "len_band",
-            "n_docs",
-            "sum_abs_err",
-            F.expr(
-                "CAST((1000000 * sum_abs_err) div sum_dl AS BIGINT)"
-            ).alias("rel_err_q6"),
-        )
-        .orderBy("len_band")
-    )
-
-
-@register(
-    "doc_typicality_histogram",
-    f"""WITH tf AS ({SQL_TF}),
-cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
-top AS (SELECT term FROM cf ORDER BY cf DESC, term ASC LIMIT 64),
-per AS (
-  SELECT tf.doc_id,
-         CAST(sum(tf.tf) AS BIGINT) AS n_tok,
-         CAST(COALESCE(sum(CASE WHEN top.term IS NOT NULL THEN tf.tf END), 0)
-              AS BIGINT) AS n_top
-  FROM tf LEFT JOIN top ON top.term = tf.term
-  GROUP BY tf.doc_id),
-t AS (SELECT CAST((10 * n_top) // n_tok AS BIGINT) AS decile FROM per)
-SELECT CAST(least(decile, 9) AS BIGINT) AS typicality_decile,
-       CAST(count(*) AS BIGINT) AS n_docs
-FROM t GROUP BY typicality_decile ORDER BY typicality_decile""",
-)
-def doc_typicality_histogram(spark, sf_dir):
-    """How TYPICAL each document's vocabulary is: the share of its
-    tokens drawn from the corpus's top-64 terms, deciled — the
-    distribution behind every 'weird doc' intuition (decile 9 docs are
-    pure common-word glue, decile 0 docs live in the vocabulary tail —
-    jargon, other languages, or junk; vocab_coverage_curve reports the
-    CORPUS-level top-k mass, this shows how unevenly that mass sits
-    across documents, which is what a tail-doc review queue actually
-    samples from).
-
-    Determinism: exact integer tf sums; the top-64 cut breaks ties on
-    term; decile = (10·n_top) div n_tok clamped at 9.
-
-    Scale shape: cf is the standard vocab agg; the 64-row top set
-    broadcasts into the tf LEFT probe (the vocab_coverage trick); one
-    doc-keyed agg then a 10-row rollup."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint()
-    )
-    cf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
-    top = (
-        cf.orderBy(F.desc("cf"), F.asc("term"))
-        .limit(64)
-        .select("term")
-        .withColumn("is_top", F.lit(1))
-    )
-    per = (
-        tf.join(F.broadcast(top), "term", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").cast("long").alias("n_tok"),
-            F.coalesce(
-                F.sum(F.when(F.col("is_top") == 1, F.col("tf"))), F.lit(0)
-            )
-            .cast("long")
-            .alias("n_top"),
-        )
-    )
-    t = per.select(
-        F.expr("CAST(least((10 * n_top) div n_tok, 9) AS BIGINT)").alias(
-            "typicality_decile"
-        )
-    )
-    return (
-        t.groupBy("typicality_decile")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .orderBy("typicality_decile")
-    )
-
-
-@register(
-    "half_mass_window",
-    f"""WITH d AS (
-  SELECT epoch_us(ts) // {_US_PER_DAY} AS day_num, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY day_num),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi,
-             CAST(sum(n) AS BIGINT) AS tot FROM d),
-spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
-f AS (SELECT spine.day_num, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
-      FROM spine LEFT JOIN d USING (day_num)),
-c AS (SELECT day_num, n, CAST(sum(n) OVER (ORDER BY day_num
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-      FROM f),
-w AS (
-  SELECT j.day_num - i.day_num + 1 AS win_len,
-         j.cum - i.cum + i.n AS mass
-  FROM c i JOIN c j ON j.day_num >= i.day_num),
-ok AS (SELECT win_len, mass FROM w, b WHERE 2 * mass >= b.tot),
-best AS (SELECT win_len, mass FROM ok ORDER BY win_len ASC, mass DESC LIMIT 1)
-SELECT (SELECT CAST(hi - lo + 1 AS BIGINT) FROM b) AS n_days_span,
-       (SELECT CAST(tot AS BIGINT) FROM b) AS n_events,
-       best.win_len AS half_mass_days, best.mass AS window_events,
-       CAST((1000000 * best.win_len)
-            // (SELECT hi - lo + 1 FROM b) AS BIGINT) AS window_share_q6
-FROM best""",
-)
-def half_mass_window(spark, sf_dir):
-    """The burst core: the SHORTEST contiguous day window holding at
-    least half of all events — peak_day_concentration measures the
-    top-days' share at fixed count; this inverts it (fixed mass,
-    minimal span) and answers the capacity question directly: 'half
-    our annual traffic happens inside N days'. A window_share near
-    50% is a flat business; near 5% is a launch/seasonal spike
-    economy.
-
-    Determinism: integer cumulative sums over the zero-filled spine;
-    the (win_len asc, mass desc) tiebreak pins the reported window.
-
-    Scale shape: the day table is calendar-bounded, so the start×end
-    theta join is days² on CALENDAR rows (≤ ~4M cells for a decade) —
-    bounded by time, not data; everything upstream is one map-side
-    day agg."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-                "day_num"
-            )
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    b = d.agg(
-        F.min("day_num").cast("long").alias("lo"),
-        F.max("day_num").cast("long").alias("hi"),
-        F.sum("n").cast("long").alias("tot"),
-    )
-    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day_num"))
-    f = spine.join(d, "day_num", "left").select(
-        "day_num", F.coalesce("n", F.lit(0)).cast("long").alias("n")
-    ).localCheckpoint()
-    wc = Window.orderBy("day_num").rowsBetween(Window.unboundedPreceding, 0)
-    c = f.select("day_num", "n", F.sum("n").over(wc).cast("long").alias("cum"))
-    i = c.select(
-        F.col("day_num").alias("d_i"), F.col("n").alias("n_i"), F.col("cum").alias("cum_i")
-    )
-    j = c.select(F.col("day_num").alias("d_j"), F.col("cum").alias("cum_j"))
-    w = i.join(j, F.col("d_j") >= F.col("d_i")).select(
-        (F.col("d_j") - F.col("d_i") + 1).alias("win_len"),
-        (F.col("cum_j") - F.col("cum_i") + F.col("n_i")).alias("mass"),
-    )
-    ok = w.crossJoin(F.broadcast(b)).where(F.expr("2 * mass >= tot"))
-    best = ok.orderBy(F.asc("win_len"), F.desc("mass")).limit(1).select(
-        "win_len", "mass"
-    )
-    return (
-        b.crossJoin(best)
-        .select(
-            F.expr("CAST(hi - lo + 1 AS BIGINT)").alias("n_days_span"),
-            F.col("tot").alias("n_events"),
-            F.col("win_len").cast("long").alias("half_mass_days"),
-            F.col("mass").cast("long").alias("window_events"),
-            F.expr(
-                "CAST((1000000 * win_len) div (hi - lo + 1) AS BIGINT)"
-            ).alias("window_share_q6"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 178 — attribution model compare, basket price spread
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "attribution_model_compare",
-    """WITH p AS (
-  SELECT event_id, user_id, epoch_us(ts) AS us,
-         CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events WHERE event_type = 'purchase'),
-lt AS (
-  SELECT p.event_id, p.cents,
-         COALESCE((SELECT e.event_type FROM events e
-                   WHERE e.user_id = p.user_id AND e.event_type <> 'purchase'
-                     AND epoch_us(e.ts) < p.us
-                   ORDER BY epoch_us(e.ts) DESC, e.event_id DESC LIMIT 1),
-                  'none') AS touch_type
-  FROM p),
-ft AS (
-  SELECT p.event_id, p.cents,
-         (SELECT e.event_type FROM events e
-          WHERE e.user_id = p.user_id
-          ORDER BY epoch_us(e.ts) ASC, e.event_id ASC LIMIT 1) AS touch_type
-  FROM p),
-fa AS (SELECT touch_type, CAST(count(*) AS BIGINT) AS ft_purchases,
-              CAST(sum(cents) AS BIGINT) AS ft_cents
-       FROM ft GROUP BY touch_type),
-la AS (SELECT touch_type, CAST(count(*) AS BIGINT) AS lt_purchases,
-              CAST(sum(cents) AS BIGINT) AS lt_cents
-       FROM lt GROUP BY touch_type)
-SELECT COALESCE(fa.touch_type, la.touch_type) AS touch_type,
-       CAST(COALESCE(fa.ft_purchases, 0) AS BIGINT) AS ft_purchases,
-       CAST(COALESCE(fa.ft_cents, 0) AS BIGINT) AS ft_cents,
-       CAST(COALESCE(la.lt_purchases, 0) AS BIGINT) AS lt_purchases,
-       CAST(COALESCE(la.lt_cents, 0) AS BIGINT) AS lt_cents
-FROM fa FULL JOIN la ON la.touch_type = fa.touch_type
-ORDER BY touch_type""",
-)
-def attribution_model_compare(spark, sf_dir):
-    """The attribution war, settled on one table: every purchase's
-    cents credited TWICE — to the user's FIRST-ever event type
-    (first-touch) and to the LAST non-purchase event strictly before
-    the purchase (last-touch) — per touch type, side by side. Where
-    the two columns diverge is exactly the budget that moves when the
-    org switches attribution model (session_entry_conversion and
-    first_touch_profile each show one model; events_asof_join is the
-    primitive the last-touch leg rides). 'none' = purchases with no
-    prior event.
-
-    Determinism: both touch picks are total-order argmins/argmaxes
-    ((us, event_id) tiebreaks, purchases sort before same-µs
-    candidates via the strict < — the as-of rule); cents per row.
-
-    Scale shape (Spark): NO correlated subqueries — the last-touch leg
-    is the asof tagged-union carry-forward (ONE user_id window) and
-    the first-touch leg a map-side min(struct) per user broadcast back;
-    the oracle's independent correlated formulation is the semantic
-    cross-check."""
-    e = _events(spark, sf_dir).select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-    ).localCheckpoint()
-    tagged = e.select(
-        "event_id",
-        "user_id",
-        "us",
-        "cents",
-        F.when(F.col("event_type") == "purchase", F.lit(0))
-        .otherwise(F.lit(1))
-        .alias("tag"),
-        F.when(F.col("event_type") != "purchase", F.col("event_type")).alias(
-            "cand_type"
-        ),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "tag", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    lt = (
-        tagged.withColumn(
-            "touch_type", F.last("cand_type", ignorenulls=True).over(w)
-        )
-        .where(F.col("tag") == 0)
-        .select(
-            F.coalesce("touch_type", F.lit("none")).alias("touch_type"),
-            "cents",
-        )
-    )
-    first = (
-        e.groupBy("user_id")
-        .agg(
-            F.min(F.struct("us", "event_id", "event_type")).alias("t")
-        )
-        .select("user_id", F.col("t.event_type").alias("touch_type"))
-    )
-    ft = (
-        e.where(F.col("event_type") == "purchase")
-        .join(first, "user_id")
-        .select("touch_type", "cents")
-    )
-    fa = ft.groupBy("touch_type").agg(
-        F.count(F.lit(1)).cast("long").alias("ft_purchases"),
-        F.sum("cents").cast("long").alias("ft_cents"),
-    )
-    la = lt.groupBy("touch_type").agg(
-        F.count(F.lit(1)).cast("long").alias("lt_purchases"),
-        F.sum("cents").cast("long").alias("lt_cents"),
-    )
-    return (
-        fa.join(la, "touch_type", "full")
-        .select(
-            "touch_type",
-            F.coalesce("ft_purchases", F.lit(0)).cast("long").alias("ft_purchases"),
-            F.coalesce("ft_cents", F.lit(0)).cast("long").alias("ft_cents"),
-            F.coalesce("lt_purchases", F.lit(0)).cast("long").alias("lt_purchases"),
-            F.coalesce("lt_cents", F.lit(0)).cast("long").alias("lt_cents"),
-        )
-        .orderBy("touch_type")
-    )
-
-
-@register(
-    "basket_price_spread_histogram",
-    """WITH o AS (
-  SELECT l_orderkey,
-         CAST(count(*) AS BIGINT) AS n_items,
-         CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS min_c,
-         CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS max_c
-  FROM lineitem GROUP BY l_orderkey),
-bk AS (
-  SELECT CASE WHEN n_items < 2 THEN -1
-              WHEN max_c * 10 <= min_c * 12 THEN 0
-              WHEN max_c <= min_c * 2 THEN 1
-              WHEN max_c <= min_c * 5 THEN 2 ELSE 3 END AS spread_band
-  FROM o)
-SELECT CAST(spread_band AS BIGINT) AS spread_band,
-       CAST(count(*) AS BIGINT) AS n_orders
-FROM bk GROUP BY spread_band ORDER BY spread_band""",
-)
-def basket_price_spread_histogram(spark, sf_dir):
-    """Mixed-basket detector: the max/min item-price ratio within each
-    multi-item order, banded (≤1.2× near-uniform, ≤2×, ≤5×, wider;
-    single-item orders at −1) — wide-spread baskets are the
-    cross-category trips (a big-ticket item plus accessories, the
-    bundle-pricing and pick-route planning signal) that basket
-    COUNT metrics (order_size_histogram, basket_breadth_value) can't
-    separate from n cheap items. Integer cross-multiplication bands —
-    no division.
-
-    Scale shape: one orderkey agg (count/min/max on one exchange);
-    5-band rollup."""
-    o = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .groupBy("l_orderkey")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.min(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
-            .cast("long")
-            .alias("min_c"),
-            F.max(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
-            .cast("long")
-            .alias("max_c"),
-        )
-    )
-    bk = o.select(
-        F.expr(
-            "CAST(CASE WHEN n_items < 2 THEN -1"
-            " WHEN max_c * 10 <= min_c * 12 THEN 0"
-            " WHEN max_c <= min_c * 2 THEN 1"
-            " WHEN max_c <= min_c * 5 THEN 2 ELSE 3 END AS BIGINT)"
-        ).alias("spread_band")
-    )
-    return (
-        bk.groupBy("spread_band")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
-        .orderBy("spread_band")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 179 — dormancy spells, catalog collisions, return value share
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "dormancy_spell_histogram",
-    f"""WITH ud AS (
-  SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS day_num FROM events),
-lg AS (
-  SELECT day_num - lag(day_num) OVER (PARTITION BY user_id ORDER BY day_num)
-           AS gap_days
-  FROM ud),
-sp AS (SELECT gap_days FROM lg WHERE gap_days > 28)
-SELECT CAST(length(bin(gap_days)) - 1 AS BIGINT) AS gap_band,
-       CAST(count(*) AS BIGINT) AS n_spells
-FROM sp GROUP BY gap_band ORDER BY gap_band""",
-)
-def dormancy_spell_histogram(spark, sf_dir):
-    """How LONG the churned stay gone: the duration distribution of
-    dormancy spells (within-user activity gaps > 28 days), log2-banded
-    — resurrected_users_monthly counts the comebacks; this measures
-    the silences they return FROM, which is what a win-back campaign's
-    timing window is actually tuned against (a 32-64-day mode says
-    nudge at five weeks; a fat 128+ band says those users are
-    effectively new and CAC applies, not reactivation spend).
-
-    Determinism: integer day gaps from one user-partitioned lag.
-
-    Scale shape: the distinct (user, day) exchange + user-keyed lag
-    (the resurrection op's own plan), then a ≤64-row band rollup."""
-    ud = (
-        _events(spark, sf_dir)
-        .select(
-            "user_id",
-            F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-                "day_num"
-            ),
-        )
-        .distinct()
-    )
-    w = Window.partitionBy("user_id").orderBy("day_num")
-    lg = ud.select(
-        (F.col("day_num") - F.lag("day_num").over(w)).alias("gap_days")
-    )
-    sp = lg.where(F.col("gap_days") > 28)
-    return (
-        sp.select(
-            F.expr("CAST(length(bin(gap_days)) - 1 AS BIGINT)").alias("gap_band")
-        )
-        .groupBy("gap_band")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_spells"))
-        .orderBy("gap_band")
-    )
-
-
-@register(
-    "catalog_name_collisions",
-    """WITH c AS (
-  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
-  FROM part GROUP BY p_name HAVING count(*) > 1)
-SELECT p_name, n_parts
-FROM c ORDER BY n_parts DESC, p_name ASC LIMIT 10""",
-)
-def catalog_name_collisions(spark, sf_dir):
-    """Catalog hygiene: part NAMES shared by multiple part keys, top-10
-    by collision count — name-keyed joins, search-by-name, and any
-    'distinct products' business metric silently merge these rows
-    (dedup_exact's question asked of the dimension table instead of the
-    corpus; functional_dependency_census would score name→key as a
-    broken FD, this names the offenders). Empty on a clean catalog.
-
-    Determinism: exact counts, (n desc, name asc) cut.
-
-    Scale shape: one name-keyed agg with the HAVING cut before the
-    top-10 TakeOrdered."""
-    c = (
-        spark.read.parquet(f"{sf_dir}/part.parquet")
-        .groupBy("p_name")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
-        .where(F.col("n_parts") > 1)
-    )
-    return c.orderBy(F.desc("n_parts"), F.asc("p_name")).limit(10)
-
-
-@register(
-    "return_value_share",
-    f"""WITH t AS (
-  SELECT {_LI_DISC_C} AS disc_c,
-         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
-  FROM lineitem)
-SELECT CAST(count(*) AS BIGINT) AS n_items,
-       CAST(sum(ret) AS BIGINT) AS n_returned,
-       CAST((1000000 * sum(ret)) // count(*) AS BIGINT) AS count_share_q6,
-       CAST(sum(disc_c) AS BIGINT) AS total_cents,
-       CAST(sum(CASE WHEN ret = 1 THEN disc_c ELSE 0 END) AS BIGINT)
-         AS returned_cents,
-       CAST((1000000 * sum(CASE WHEN ret = 1 THEN disc_c ELSE 0 END))
-            // sum(disc_c) AS BIGINT) AS value_share_q6
-FROM t""",
-)
-def return_value_share(spark, sf_dir):
-    """Are returns biased toward expensive items? The returned share of
-    ITEMS beside the returned share of VALUE — value_share exceeding
-    count_share means big-ticket items come back disproportionately
-    (restocking economics, fraud screens, and the real cost of the
-    return policy all key off this gap; return_rate_by_priority/brand
-    slice the count rate, none of them weigh it). Cents per row.
-
-    Scale shape: one map-side-combined scan to a single row."""
-    t = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.expr(_LI_DISC_C).alias("disc_c"),
-        F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END").alias("ret"),
-    )
-    return t.agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.sum("ret").cast("long").alias("n_returned"),
-        F.sum("disc_c").cast("long").alias("total_cents"),
-        F.sum(F.expr("CASE WHEN ret = 1 THEN disc_c ELSE 0 END"))
-        .cast("long")
-        .alias("returned_cents"),
-    ).select(
-        "n_items",
-        "n_returned",
-        F.expr("CAST((1000000 * n_returned) div n_items AS BIGINT)").alias(
-            "count_share_q6"
-        ),
-        "total_cents",
-        "returned_cents",
-        F.expr(
-            "CAST((1000000 * returned_cents) div total_cents AS BIGINT)"
-        ).alias("value_share_q6"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 180 — first-order LTV predictiveness, brand loyalty
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "first_order_ltv_corr",
-    f"""WITH o AS (
-  SELECT o_custkey, o_orderkey,
-         epoch_us(o_orderdate) AS us,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders),
-per AS (
-  SELECT o_custkey,
-         CAST(count(*) AS BIGINT) AS n_orders,
-         CAST(sum(cents) AS BIGINT) AS total_c,
-         CAST(min(us) AS BIGINT) AS first_us
-  FROM o GROUP BY o_custkey),
-fo AS (
-  SELECT o.o_custkey, min(o.o_orderkey) AS first_key
-  FROM o JOIN per ON per.o_custkey = o.o_custkey AND o.us = per.first_us
-  GROUP BY o.o_custkey),
-fx AS (
-  SELECT per.o_custkey, per.n_orders,
-         (o.cents // 10000) AS x, ((per.total_c - o.cents) // 10000) AS y
-  FROM per JOIN fo ON fo.o_custkey = per.o_custkey
-  JOIN o ON o.o_orderkey = fo.first_key AND o.o_custkey = per.o_custkey
-  WHERE per.n_orders >= 2),
-s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
-             CAST(sum(x * y) AS BIGINT) AS sxy
-      FROM fx)
-SELECT n AS n_repeat_customers, CAST({_PQC_CORR} AS BIGINT) AS corr_q6
-FROM s""",
-)
-def first_order_ltv_corr(spark, sf_dir):
-    """Does the first order predict the relationship? Pearson
-    correlation between each REPEAT customer's first-order value and
-    the rest of their lifetime spend — the number behind every
-    'high-value first purchase' onboarding rule (ltv_age_curve shows
-    value accrual over time; this says whether the FIRST transaction
-    already sorts the customers, i.e. whether early-tenure
-    segmentation is signal or astrology). First order = earliest
-    order date, min-orderkey tiebreak (the Q2 argmin rule); values in
-    HUNDRED-dollar units — whole dollars made n·Σy² pass 2^63 at
-    sf0.01 already (caught live), and correlation is scale-invariant
-    up to the coarser binning, documented.
-
-    Determinism: exact integer sufficient stats, the shared guarded
-    split-sqrt expression.
-
-    Scale shape: one custkey agg + the argmin join-back (both on the
-    custkey exchange); the stats fold map-side to one row."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_custkey",
-        "o_orderkey",
-        F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("us"),
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-    ).localCheckpoint()
-    per = o.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum("cents").cast("long").alias("total_c"),
-        F.min("us").cast("long").alias("first_us"),
-    )
-    fo = (
-        o.join(
-            per.select("o_custkey", "first_us"),
-            ["o_custkey"],
-        )
-        .where(F.col("us") == F.col("first_us"))
-        .groupBy("o_custkey")
-        .agg(F.min("o_orderkey").alias("fk"))
-    )
-    first_o = o.select(
-        F.col("o_custkey").alias("ck"),
-        F.col("o_orderkey").alias("fk2"),
-        F.col("cents").alias("first_c"),
-    )
-    fx = (
-        per.where(F.col("n_orders") >= 2)
-        .join(fo, "o_custkey")
-        .join(
-            first_o,
-            (F.col("ck") == F.col("o_custkey")) & (F.col("fk2") == F.col("fk")),
-        )
-        .select(
-            F.expr("first_c div 10000").alias("x"),
-            F.expr("(total_c - first_c) div 10000").alias("y"),
-        )
-    )
-    s = fx.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
-        F.sum(F.expr("y * y")).cast("long").alias("syy"),
-        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
-    )
-    return s.select(
-        F.col("n").alias("n_repeat_customers"),
-        F.expr(f"CAST({_PQC_CORR} AS BIGINT)").alias("corr_q6"),
-    )
-
-
-@register(
-    "brand_loyalty_histogram",
-    """WITH j AS (
-  SELECT o.o_custkey, p.p_brand
-  FROM lineitem l
-  JOIN orders o ON l.l_orderkey = o.o_orderkey
-  JOIN part p ON l.l_partkey = p.p_partkey),
-cb AS (SELECT o_custkey, p_brand, CAST(count(*) AS BIGINT) AS n
-       FROM j GROUP BY o_custkey, p_brand),
-per AS (SELECT o_custkey, CAST(sum(n) AS BIGINT) AS n_items,
-               CAST(max(n) AS BIGINT) AS top_brand_items
-        FROM cb GROUP BY o_custkey),
-d AS (SELECT CAST(least((10 * top_brand_items) // n_items, 9) AS BIGINT)
-         AS loyalty_decile
-      FROM per WHERE n_items >= 2)
-SELECT loyalty_decile, CAST(count(*) AS BIGINT) AS n_customers
-FROM d GROUP BY loyalty_decile ORDER BY loyalty_decile""",
-)
-def brand_loyalty_histogram(spark, sf_dir):
-    """Brand loyalty distribution: each multi-item customer's TOP brand
-    as a share of their items, deciled — the mass at decile 9 is the
-    single-brand loyalist base, at 1-3 the promiscuous shoppers
-    (brand_cobuy_matrix shows which brands share baskets;
-    order_brand_breadth counts brands per order; this is the
-    CUSTOMER-level loyalty curve a brand-retention program is actually
-    sized against). Single-item customers drop — loyalty is undefined
-    on one observation.
-
-    Determinism: integer counts; decile = (10·top) div n clamped at 9
-    (the typicality rule).
-
-    Scale shape: the 3-table star collapses to (customer, brand)
-    counts (map-side partials); per-customer max/sum ride one
-    exchange; 10-row rollup."""
-    j = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .select("l_orderkey", "l_partkey")
-        .join(
-            spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-                "o_orderkey", "o_custkey"
-            ),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(
-            spark.read.parquet(f"{sf_dir}/part.parquet").select(
-                "p_partkey", "p_brand"
-            ),
-            F.col("l_partkey") == F.col("p_partkey"),
-        )
-        .select("o_custkey", "p_brand")
-    )
-    cb = j.groupBy("o_custkey", "p_brand").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    per = cb.groupBy("o_custkey").agg(
-        F.sum("n").cast("long").alias("n_items"),
-        F.max("n").cast("long").alias("top_brand_items"),
-    )
-    d = per.where(F.col("n_items") >= 2).select(
-        F.expr(
-            "CAST(least((10 * top_brand_items) div n_items, 9) AS BIGINT)"
-        ).alias("loyalty_decile")
-    )
-    return (
-        d.groupBy("loyalty_decile")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
-        .orderBy("loyalty_decile")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 181 — the full growth-accounting series
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "daily_user_mix",
-    f"""WITH ud AS (
-  SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS day_num FROM events),
-lg AS (
-  SELECT user_id, day_num,
-         lag(day_num) OVER (PARTITION BY user_id ORDER BY day_num) AS prev_day
-  FROM ud),
-cls AS (
-  SELECT day_num,
-         CASE WHEN prev_day IS NULL THEN 'new'
-              WHEN day_num - prev_day > 28 THEN 'resurrected'
-              ELSE 'regular' END AS bucket
-  FROM lg)
-SELECT CAST(day_num AS BIGINT) AS day_num,
-       CAST(sum(CASE WHEN bucket = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
-       CAST(sum(CASE WHEN bucket = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_resurrected,
-       CAST(sum(CASE WHEN bucket = 'regular' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_regular
-FROM cls GROUP BY day_num ORDER BY day_num""",
-)
-def daily_user_mix(spark, sf_dir):
-    """The complete growth-accounting series: every active user-day
-    classified as NEW (first day ever), RESURRECTED (returning from a
-    >28-day silence) or REGULAR, per day — new_returning_daily's
-    two-way split and resurrected_users_monthly's monthly rollup
-    unified at the grain growth teams actually chart (DAU = the row
-    sum; 'is growth new users or a win-back spike or the core' is
-    literally the three columns). Observed days only — a day with no
-    users has no mix.
-
-    Determinism: one user-partitioned lag over distinct user-days;
-    exact conditional counts.
-
-    Scale shape: the distinct (user, day) exchange + user-keyed lag
-    (the dormancy op's plan), then a day-keyed map-side rollup."""
-    ud = (
-        _events(spark, sf_dir)
-        .select(
-            "user_id",
-            F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-                "day_num"
-            ),
-        )
-        .distinct()
-    )
-    w = Window.partitionBy("user_id").orderBy("day_num")
-    lg = ud.select(
-        "day_num", F.lag("day_num").over(w).alias("prev_day")
-    )
-    cls = lg.select(
-        "day_num",
-        F.expr(
-            "CASE WHEN prev_day IS NULL THEN 'new'"
-            " WHEN day_num - prev_day > 28 THEN 'resurrected'"
-            " ELSE 'regular' END"
-        ).alias("bucket"),
-    )
-    return (
-        cls.groupBy("day_num")
-        .agg(
-            F.sum(F.expr("CASE WHEN bucket = 'new' THEN 1 ELSE 0 END"))
-            .cast("long")
-            .alias("n_new"),
-            F.sum(F.expr("CASE WHEN bucket = 'resurrected' THEN 1 ELSE 0 END"))
-            .cast("long")
-            .alias("n_resurrected"),
-            F.sum(F.expr("CASE WHEN bucket = 'regular' THEN 1 ELSE 0 END"))
-            .cast("long")
-            .alias("n_regular"),
-        )
-        .select(
-            F.col("day_num").cast("long").alias("day_num"),
-            "n_new",
-            "n_resurrected",
-            "n_regular",
-        )
-        .orderBy("day_num")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 182 — quality-gate kappa, supplier coverage
-# ---------------------------------------------------------------------------
-
-# Cohen's kappa from the 2×2 agreement cells (a,b,c,d = ++, +-, -+, --):
-# po = (a+d)/n, pe = ((a+b)(a+c) + (c+d)(b+d))/n² — ONE shared float
-# expression; every product casts to DOUBLE at the first multiply (the
-# significant_terms_chi2 rule), degenerate marginals → 0 sentinel.
-_KAPPA = (
-    "CASE WHEN n = 0 OR (CAST(n AS DOUBLE) * n"
-    " - (CAST(a + b AS DOUBLE) * (a + c) + CAST(c + d AS DOUBLE) * (b + d))) = 0"
-    " THEN CAST(0 AS BIGINT)"
-    " ELSE CAST(round(1000000 * ((CAST(a + d AS DOUBLE) * n"
-    " - (CAST(a + b AS DOUBLE) * (a + c) + CAST(c + d AS DOUBLE) * (b + d)))"
-    " / (CAST(n AS DOUBLE) * n"
-    " - (CAST(a + b AS DOUBLE) * (a + c) + CAST(c + d AS DOUBLE) * (b + d)))))"
-    " AS BIGINT) END"
-)
-
-
-@register(
-    "quality_gate_kappa",
-    f"""WITH tf AS ({SQL_TF}),
-per AS (
-  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
-         CAST(count(*) AS BIGINT) AS n_terms
-  FROM tf GROUP BY doc_id),
-m AS (SELECT CAST(sum(n_terms) AS BIGINT) AS st, CAST(sum(n_tok) AS BIGINT) AS sn,
-             CAST(count(*) AS BIGINT) AS nd
-      FROM per),
-lab AS (
-  SELECT CASE WHEN per.n_terms * m.sn >= per.n_tok * m.st THEN 1 ELSE 0 END AS hi_ttr,
-         CASE WHEN per.n_tok * m.nd >= m.sn THEN 1 ELSE 0 END AS hi_len
-  FROM per, m),
-cells AS (
-  SELECT CAST(sum(CASE WHEN hi_ttr = 1 AND hi_len = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
-         CAST(sum(CASE WHEN hi_ttr = 1 AND hi_len = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
-         CAST(sum(CASE WHEN hi_ttr = 0 AND hi_len = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
-         CAST(sum(CASE WHEN hi_ttr = 0 AND hi_len = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
-         CAST(count(*) AS BIGINT) AS n
-  FROM lab)
-SELECT a, b, c, d, n, {_KAPPA} AS kappa_q6 FROM cells""",
-)
-def quality_gate_kappa(spark, sf_dir):
-    """Do two cheap quality gates agree beyond chance? Each doc is cut
-    at the corpus MEAN on two axes — type/token ratio (vs the corpus
-    ratio, by integer cross-multiplication) and length — and the 2×2
-    agreement table yields Cohen's kappa: κ ≈ 0 means the gates filter
-    DIFFERENT documents (stack them), κ → 1 means they're redundant
-    (drop one and save the pass) — the inter-rater statistic the
-    filter-stack design question actually needs (ppl_quality_corr
-    relates continuous signals; κ scores the DECISIONS after
-    thresholding, which is what the pipeline executes). TTR
-    anti-correlates with length, so a negative κ is the expected
-    honest reading here.
-
-    Determinism: both cuts are exact integer cross-multiplications
-    against corpus totals; κ is one guarded shared float expression.
-
-    Scale shape: one doc agg; the 1-row totals broadcast; four
-    counters in one pass."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    per = tf.groupBy("doc_id").agg(
-        F.sum("tf").cast("long").alias("n_tok"),
-        F.count(F.lit(1)).cast("long").alias("n_terms"),
-    )
-    m = per.agg(
-        F.sum("n_terms").cast("long").alias("st"),
-        F.sum("n_tok").cast("long").alias("sn"),
-        F.count(F.lit(1)).cast("long").alias("nd"),
-    )
-    lab = per.crossJoin(F.broadcast(m)).select(
-        F.expr(
-            "CASE WHEN n_terms * sn >= n_tok * st THEN 1 ELSE 0 END"
-        ).alias("hi_ttr"),
-        F.expr("CASE WHEN n_tok * nd >= sn THEN 1 ELSE 0 END").alias("hi_len"),
-    )
-    cells = lab.agg(
-        F.sum(F.expr("CASE WHEN hi_ttr = 1 AND hi_len = 1 THEN 1 ELSE 0 END"))
-        .cast("long")
-        .alias("a"),
-        F.sum(F.expr("CASE WHEN hi_ttr = 1 AND hi_len = 0 THEN 1 ELSE 0 END"))
-        .cast("long")
-        .alias("b"),
-        F.sum(F.expr("CASE WHEN hi_ttr = 0 AND hi_len = 1 THEN 1 ELSE 0 END"))
-        .cast("long")
-        .alias("c"),
-        F.sum(F.expr("CASE WHEN hi_ttr = 0 AND hi_len = 0 THEN 1 ELSE 0 END"))
-        .cast("long")
-        .alias("d"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    return cells.select(
-        "a", "b", "c", "d", "n", F.expr(_KAPPA).alias("kappa_q6")
-    )
-
-
-@register(
-    "supplier_sales_coverage",
-    """WITH act AS (SELECT DISTINCT l_suppkey FROM lineitem)
-SELECT (SELECT CAST(count(*) AS BIGINT) FROM supplier) AS n_suppliers,
-       (SELECT CAST(count(*) AS BIGINT) FROM act) AS n_active,
-       CAST((1000000 * (SELECT count(*) FROM act))
-            // (SELECT count(*) FROM supplier) AS BIGINT) AS active_share_q6,
-       (SELECT CAST(COALESCE(sum(CAST(round(s_acctbal * 100) AS BIGINT)), 0) AS BIGINT)
-        FROM supplier LEFT JOIN act ON act.l_suppkey = supplier.s_suppkey
-        WHERE act.l_suppkey IS NULL) AS idle_balance_cents""",
-)
-def supplier_sales_coverage(spark, sf_dir):
-    """Supply-side activation: suppliers who actually shipped anything,
-    and the account balance parked with the idle rest —
-    customer_order_coverage and part_sales_coverage for the third
-    party table, completing the activation-coverage trio (an idle
-    supplier with a large balance is either onboarding inventory or a
-    stale master-data row; either way the procurement review wants the
-    list this number heads).
-
-    Determinism: exact counts, cents per row, LEFT-IS-NULL anti probe.
-
-    Scale shape: one distinct suppkey projection of the fact table,
-    one anti probe, scalar rollups."""
-    act = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .select("l_suppkey")
-        .distinct()
-    )
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
-        "s_suppkey",
-        F.expr("CAST(round(s_acctbal * 100) AS BIGINT)").alias("cents"),
-    )
-    ns = s.agg(F.count(F.lit(1)).cast("long").alias("n_suppliers"))
-    na = act.agg(F.count(F.lit(1)).cast("long").alias("n_active"))
-    idle = s.join(act, s["s_suppkey"] == act["l_suppkey"], "anti").agg(
-        F.coalesce(F.sum("cents"), F.lit(0))
-        .cast("long")
-        .alias("idle_balance_cents")
-    )
-    return (
-        ns.crossJoin(na)
-        .crossJoin(idle)
-        .select(
-            "n_suppliers",
-            "n_active",
-            F.expr(
-                "CAST((1000000 * n_active) div n_suppliers AS BIGINT)"
-            ).alias("active_share_q6"),
-            "idle_balance_cents",
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 183 — shipping calendar, bigram hapax share
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "ship_dow_profile",
-    f"""WITH d AS (
-  SELECT CAST((epoch_us(l_shipdate) // {_US_PER_DAY} + 3) % 7 AS BIGINT) AS dow,
-         {_LI_DISC_C} AS disc_c
-  FROM lineitem),
-s AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_items,
-             CAST(sum(disc_c) AS BIGINT) AS value_c
-      FROM d GROUP BY dow),
-spine AS (SELECT unnest(generate_series(0, 6)) AS dow)
-SELECT CAST(spine.dow AS BIGINT) AS dow,
-       CAST(COALESCE(s.n_items, 0) AS BIGINT) AS n_items,
-       CAST(COALESCE(s.value_c, 0) AS BIGINT) AS value_c
-FROM spine LEFT JOIN s ON s.dow = spine.dow ORDER BY dow""",
-)
-def ship_dow_profile(spark, sf_dir):
-    """The SHIPPING calendar: items and value shipped by weekday
-    (0 = Monday, the (day+3)%7 rule, 7-row zero-filled spine) —
-    zero_order_days_by_weekday reads the demand-side calendar from
-    order dates; this is the fulfillment-side one (a warehouse that
-    ships Saturdays but books no Saturday orders, or vice versa, is a
-    day of latency hiding in plain sight next to ship_lag_by_month's
-    trend). Cents per row.
-
-    Scale shape: one map-side dow agg; 7-row spine."""
-    d = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.expr(
-            f"CAST((unix_micros(cast(l_shipdate as timestamp)) div {_US_PER_DAY} + 3) % 7 AS BIGINT)"
-        ).alias("dow"),
-        F.expr(_LI_DISC_C).alias("disc_c"),
-    )
-    s = d.groupBy("dow").agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.sum("disc_c").cast("long").alias("value_c"),
-    )
-    spine = spark.range(7).select(F.col("id").cast("long").alias("dow"))
-    return (
-        spine.join(s, "dow", "left")
-        .select(
-            "dow",
-            F.coalesce("n_items", F.lit(0)).cast("long").alias("n_items"),
-            F.coalesce("value_c", F.lit(0)).cast("long").alias("value_c"),
-        )
-        .orderBy("dow")
-    )
-
-
-@register(
-    "bigram_hapax_share",
-    f"""WITH w AS ({SQL_WORDS}),
-bg AS (
-  SELECT words[i] || ' ' || words[i+1] AS bigram
-  FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)),
-c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram)
-SELECT CAST(sum(n) AS BIGINT) AS n_bigrams,
-       CAST(count(*) AS BIGINT) AS n_distinct,
-       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-       CAST((1000000 * sum(CASE WHEN n = 1 THEN 1 ELSE 0 END))
-            // count(*) AS BIGINT) AS hapax_type_share_q6,
-       CAST((1000000 * sum(CASE WHEN n = 1 THEN 1 ELSE 0 END))
-            // sum(n) AS BIGINT) AS hapax_token_share_q6
-FROM c""",
-)
-def bigram_hapax_share(spark, sf_dir):
-    """The bigram LM's sparsity exposure: how many token bigrams occur
-    exactly once — both as a share of TYPES (how much of the bigram
-    table is unestimatable) and of TOKENS (how often a decoder lands on
-    one) — the number that justifies smoothing choices
-    (kneser_ney_bigram's discount, stupid_backoff's alpha, the Laplace
-    +1 in the suggester all exist BECAUSE this share is large;
-    hapax_token_share is the unigram version; Good-Turing's leading
-    term is literally this count).
-
-    Determinism: exact integer counts, two divisions.
-
-    Scale shape: the bigram explode is the tokenize cost class; one
-    bigram-keyed agg (map-side partials) then a 1-row rollup."""
-    w = _docs(spark, sf_dir).select(spark_tokens("text").alias("words"))
-    bg = w.where(F.size("words") >= 2).select(
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(words) - 2),"
-                " i -> concat(words[i], ' ', words[i+1]))"
-            )
-        ).alias("bigram")
-    )
-    c = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    return c.agg(
-        F.sum("n").cast("long").alias("n_bigrams"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct"),
-        F.sum(F.expr("CASE WHEN n = 1 THEN 1 ELSE 0 END"))
-        .cast("long")
-        .alias("n_hapax"),
-    ).select(
-        "n_bigrams",
-        "n_distinct",
-        "n_hapax",
-        F.expr(
-            "CAST((1000000 * n_hapax) div n_distinct AS BIGINT)"
-        ).alias("hapax_type_share_q6"),
-        F.expr(
-            "CAST((1000000 * n_hapax) div n_bigrams AS BIGINT)"
-        ).alias("hapax_token_share_q6"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 184 — priority drift, language×length interaction
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "priority_mix_by_year",
-    """WITH t AS (
-  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority FROM orders),
-c AS (SELECT yr, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
-      FROM t GROUP BY yr, o_orderpriority),
-y AS (SELECT yr, CAST(sum(n_orders) AS BIGINT) AS yr_total FROM c GROUP BY yr)
-SELECT c.yr, c.o_orderpriority, c.n_orders,
-       CAST((1000000 * c.n_orders) // y.yr_total AS BIGINT) AS share_q6
-FROM c JOIN y USING (yr) ORDER BY c.yr, c.o_orderpriority""",
-)
-def priority_mix_by_year(spark, sf_dir):
-    """Urgency drift: the order-priority mix per year with within-year
-    shares — a rising URGENT share is either a customer-expectation
-    shift or a field being gamed for queue position, and every
-    SLA-by-priority readout (ship_lag_by_priority,
-    orders_late_shipment_priority) silently assumes this mix is
-    stationary; this is the check. Year via year() (the
-    orders_month_seasonality convention).
-
-    Scale shape: one (year, priority) map-side agg; the share window
-    runs over the ≤years×5 aggregated rows."""
-    t = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("yr"),
-        "o_orderpriority",
-    )
-    c = t.groupBy("yr", "o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders")
-    )
-    y = c.groupBy("yr").agg(F.sum("n_orders").cast("long").alias("yr_total"))
-    return (
-        c.join(y, "yr")
-        .select(
-            "yr",
-            "o_orderpriority",
-            "n_orders",
-            F.expr(
-                "CAST((1000000 * n_orders) div yr_total AS BIGINT)"
-            ).alias("share_q6"),
-        )
-        .orderBy("yr", "o_orderpriority")
-    )
-
-
-@register(
-    "lang_share_by_len_band",
-    f"""WITH t AS (
-  SELECT lang,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT)
-           AS n_tok
-  FROM documents),
-b AS (SELECT lang,
-             CASE WHEN n_tok = 0 THEN -1
-                  ELSE CAST(length(bin(n_tok)) - 1 AS BIGINT) END AS len_band
-      FROM t),
-c AS (SELECT len_band, lang, CAST(count(*) AS BIGINT) AS n_docs
-      FROM b GROUP BY len_band, lang),
-tb AS (SELECT len_band, CAST(sum(n_docs) AS BIGINT) AS band_total
-       FROM c GROUP BY len_band)
-SELECT c.len_band, c.lang, c.n_docs,
-       CAST((1000000 * c.n_docs) // tb.band_total AS BIGINT) AS share_q6
-FROM c JOIN tb USING (len_band) ORDER BY c.len_band, c.lang""",
-)
-def lang_share_by_len_band(spark, sf_dir):
-    """Language mix as a function of document LENGTH: per log2 token
-    band, each language's document share — the interaction every
-    per-language token budget silently assumes away (if long docs skew
-    toward one language, a doc-count-balanced mix is token-imbalanced,
-    and lang_doclen_stats' per-language means are the marginal view of
-    exactly this table; band −1 = empty docs). Length-conditional
-    language drift is also the classic symptom of a truncating
-    extractor that only bites on one script.
-
-    Determinism: integer log2 bands, exact counts, one share division
-    per cell.
-
-    Scale shape: one map-side tokenize-count, a (band, lang) agg, and
-    a band-total join over the tiny aggregated grid."""
-    t = _docs(spark, sf_dir).select(
-        "lang", F.size(spark_tokens("text")).cast("long").alias("n_tok")
-    )
-    b = t.select(
-        "lang",
-        F.expr(
-            "CASE WHEN n_tok = 0 THEN -1"
-            " ELSE CAST(length(bin(n_tok)) - 1 AS BIGINT) END"
-        ).alias("len_band"),
-    )
-    c = b.groupBy("len_band", "lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
-    tb = c.groupBy("len_band").agg(
-        F.sum("n_docs").cast("long").alias("band_total")
-    )
-    return (
-        c.join(tb, "len_band")
-        .select(
-            F.col("len_band").cast("long").alias("len_band"),
-            "lang",
-            "n_docs",
-            F.expr(
-                "CAST((1000000 * n_docs) div band_total AS BIGINT)"
-            ).alias("share_q6"),
-        )
-        .orderBy("len_band", "lang")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 185 — supplier breadth, price endings
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "supplier_breadth_histogram",
-    """WITH sp AS (
-  SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
-  FROM lineitem GROUP BY l_suppkey)
-SELECT CAST(length(bin(n_parts)) - 1 AS BIGINT) AS breadth_band,
-       CAST(count(*) AS BIGINT) AS n_suppliers,
-       CAST(sum(n_parts) AS BIGINT) AS n_part_links
-FROM sp GROUP BY breadth_band ORDER BY breadth_band""",
-)
-def supplier_breadth_histogram(spark, sf_dir):
-    """Supplier assortment breadth: distinct parts each supplier
-    actually shipped, log2-banded — the supply-side catalog shape
-    (band-0/1 suppliers are single-part specialists whose failure is a
-    part outage; the high bands are the generalists a consolidation
-    play courts; part_supplier_hhi reads the same relationship from
-    the part side, brand_supplier_diversity from the brand side).
-
-    Determinism: exact two-phase distinct counts, integer bands.
-
-    Scale shape: one suppkey agg with a distinct on the partkey
-    domain; ≤64-row rollup."""
-    sp = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .groupBy("l_suppkey")
-        .agg(F.countDistinct("l_partkey").cast("long").alias("n_parts"))
-    )
-    return (
-        sp.select(
-            F.expr("CAST(length(bin(n_parts)) - 1 AS BIGINT)").alias(
-                "breadth_band"
-            ),
-            "n_parts",
-        )
-        .groupBy("breadth_band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
-            F.sum("n_parts").cast("long").alias("n_part_links"),
-        )
-        .orderBy("breadth_band")
-    )
-
-
-@register(
-    "price_ending_census",
-    """WITH c AS (
-  SELECT CAST(round(p_retailprice * 100) AS BIGINT) % 100 AS ending
-  FROM part)
-SELECT ending, CAST(count(*) AS BIGINT) AS n_parts
-FROM c GROUP BY ending ORDER BY n_parts DESC, ending ASC LIMIT 10""",
-)
-def price_ending_census(spark, sf_dir):
-    """Psychological-pricing fingerprint: the top-10 cent endings of
-    catalog prices — a .99/.95 spike is human price-setting, a uniform
-    spread is a formula or a generator (round_value_bias runs the same
-    audit on transaction VALUES; Benford on leading digits; this is
-    the trailing-digit leg on the CATALOG, where pricing policy
-    actually lives). Cents per row, pure integer modulus.
-
-    Scale shape: one map-side agg over ≤100 ending cells, top-10
-    TakeOrdered."""
-    c = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        F.expr("CAST(round(p_retailprice * 100) AS BIGINT) % 100").alias(
-            "ending"
-        )
-    )
-    return (
-        c.groupBy("ending")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
-        .orderBy(F.desc("n_parts"), F.asc("ending"))
-        .limit(10)
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 186 — error concentration, exact-dup group sizes
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "error_user_concentration",
-    """WITH e AS (
-  SELECT user_id, CAST(count(*) AS BIGINT) AS n
-  FROM events WHERE event_type = 'error' GROUP BY user_id),
-t AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_errors,
-             CAST(count(*) AS BIGINT) AS n_users FROM e),
-top1 AS (SELECT CAST(COALESCE(max(n), 0) AS BIGINT) AS top1 FROM e),
-top5 AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS top5
-         FROM (SELECT n FROM e ORDER BY n DESC, user_id ASC LIMIT 5))
-SELECT t.n_errors, t.n_users, top1.top1 AS top1_errors, top5.top5 AS top5_errors,
-       CASE WHEN t.n_errors = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((1000000 * top5.top5) // t.n_errors AS BIGINT)
-       END AS top5_share_q6
-FROM t, top1, top5""",
-)
-def error_user_concentration(spark, sf_dir):
-    """WHO is producing the errors: total error volume, distinct
-    erroring users, and the share carried by the top 5 — a
-    concentrated column means a handful of broken clients (block or
-    fix them, the fleet is fine); a flat one means the server
-    (error_rate_daily says WHEN, load_error_corr says whether load
-    causes it, THIS says who — the triage triangle's third corner).
-
-    Determinism: exact counts; top-5 cut by (n desc, user asc).
-
-    Scale shape: one filtered user agg; top-5 is a TakeOrdered over
-    the erroring-user table; scalar rollups."""
-    e = (
-        _events(spark, sf_dir)
-        .where(F.col("event_type") == "error")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()
-    )
-    t = e.agg(
-        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_errors"),
-        F.count(F.lit(1)).cast("long").alias("n_users"),
-    )
-    top1 = e.agg(F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("top1_errors"))
-    top5 = (
-        e.orderBy(F.desc("n"), F.asc("user_id"))
-        .limit(5)
-        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("top5_errors"))
-    )
-    return (
-        t.crossJoin(top1)
-        .crossJoin(top5)
-        .select(
-            "n_errors",
-            "n_users",
-            "top1_errors",
-            "top5_errors",
-            F.expr(
-                "CASE WHEN n_errors = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST((1000000 * top5_errors) div n_errors AS BIGINT) END"
-            ).alias("top5_share_q6"),
-        )
-    )
-
-
-@register(
-    "exact_dup_group_histogram",
-    """WITH g AS (
-  SELECT md5(text) AS hh, CAST(count(*) AS BIGINT) AS n
-  FROM documents GROUP BY hh)
-SELECT CAST(least(n, 8) AS BIGINT) AS group_size,
-       CAST(count(*) AS BIGINT) AS n_groups,
-       CAST(sum(n) AS BIGINT) AS n_docs
-FROM g GROUP BY group_size ORDER BY group_size""",
-)
-def exact_dup_group_histogram(spark, sf_dir):
-    """Exact-duplicate multiplicity: md5(text) group sizes (clipped at
-    8+) with document mass per size — size 1 is the unique corpus,
-    size 2 the pair duplicates dedup_exact lists, the 8+ bin the
-    template explosions (minhash_cluster_stats shows NEAR-dup cluster
-    sizes; this is the exact-hash baseline those clusters are measured
-    against, and n_docs − n_groups summed over sizes ≥ 2 is precisely
-    the doc count dedup deletes).
-
-    Determinism: exact counts, integer clip.
-
-    Scale shape: the dedup_exact md5 shuffle then an ≤8-row rollup."""
-    g = (
-        _docs(spark, sf_dir)
-        .groupBy(F.md5("text").alias("hh"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    return (
-        g.select(F.expr("CAST(least(n, 8) AS BIGINT)").alias("group_size"), "n")
-        .groupBy("group_size")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_groups"),
-            F.sum("n").cast("long").alias("n_docs"),
-        )
-        .orderBy("group_size")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 187 — first-purchase calendar, SERP dup collapse
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "first_purchase_dow_profile",
-    f"""WITH p AS (
-  SELECT user_id, min(epoch_us(ts)) AS us
-  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
-d AS (SELECT CAST((us // {_US_PER_DAY} + 3) % 7 AS BIGINT) AS dow FROM p),
-spine AS (SELECT unnest(generate_series(0, 6)) AS dow)
-SELECT CAST(spine.dow AS BIGINT) AS dow,
-       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_first_purchases
-FROM spine LEFT JOIN (SELECT dow, count(*) AS n FROM d GROUP BY dow) c
-  ON c.dow = spine.dow
-ORDER BY dow""",
-)
-def first_purchase_dow_profile(spark, sf_dir):
-    """The conversion calendar: which weekday each user's FIRST-ever
-    purchase lands on (0 = Monday, zero-filled spine) —
-    purchase_share_by_weekday profiles ALL purchases, but acquisition
-    campaigns pay for the first one, and a first-purchase spike on a
-    different day than the steady-state purchase day is the signature
-    of promo-driven acquisition (the cohort every LTV curve should be
-    segmented by before averaging).
-
-    Determinism: per-user min epoch, integer dow.
-
-    Scale shape: one filtered user-keyed min agg; 7-row spine."""
-    p = (
-        _events(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min(F.expr("unix_micros(cast(ts as timestamp))")).alias("us"))
-    )
-    d = p.select(
-        F.expr(f"CAST((us div {_US_PER_DAY} + 3) % 7 AS BIGINT)").alias("dow")
-    )
-    c = d.groupBy("dow").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    spine = spark.range(7).select(F.col("id").cast("long").alias("dow"))
-    return (
-        spine.join(c, "dow", "left")
-        .select(
-            "dow",
-            F.coalesce("n", F.lit(0)).cast("long").alias("n_first_purchases"),
-        )
-        .orderBy("dow")
-    )
-
-
-@register(
-    "serp_dup_collapse",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + """,
-page AS (SELECT doc_id,
-                row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rnk
-         FROM agg WHERE doc_id <> 0
-         ORDER BY score_q6 DESC, doc_id ASC LIMIT 20),
-h AS (SELECT page.rnk, md5(d.text) AS hh
-      FROM page JOIN documents d ON d.doc_id = page.doc_id),
-k AS (SELECT rnk, row_number() OVER (PARTITION BY hh ORDER BY rnk) AS occ
-      FROM h)
-SELECT CAST(count(*) AS BIGINT) AS n_page,
-       CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_collapsed
-FROM k""",
-)
-def serp_dup_collapse(spark, sf_dir):
-    """How many page slots exact duplicates waste: the BM25 top-20 with
-    positions whose TEXT is byte-identical to a higher-ranked hit —
-    the SERP-dedup pass every production engine runs after scoring
-    (identical docs score identically, so un-deduplicated corpora
-    surface them adjacent; mmr_rerank diversifies by topic, THIS
-    counts the cruder exact-copy waste that should be collapsed before
-    diversity even gets a say; search_collapse does it by a metadata
-    key, this by content hash).
-
-    Determinism: the quantized-score page with doc_id tiebreaks;
-    first-occurrence rank per md5 group.
-
-    Scale shape: the match-set window + a 20-row metadata/hash join;
-    the dedup window runs on the page."""
-    agg = _bm25_match_set(spark, sf_dir, _TOPK_TERMS).where(F.col("doc_id") != 0)
-    page = (
-        agg.orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(20)
-        .withColumn(
-            "rnk",
-            F.row_number().over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))),
-        )
-        .select("doc_id", "rnk")
-    )
-    h = page.join(
-        _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("hh")),
-        "doc_id",
-    )
-    k = h.withColumn(
-        "occ", F.row_number().over(Window.partitionBy("hh").orderBy("rnk"))
-    )
-    return k.agg(
-        F.count(F.lit(1)).cast("long").alias("n_page"),
-        F.sum(F.expr("CASE WHEN occ = 1 THEN 1 ELSE 0 END"))
-        .cast("long")
-        .alias("n_unique"),
-        F.sum(F.expr("CASE WHEN occ > 1 THEN 1 ELSE 0 END"))
-        .cast("long")
-        .alias("n_collapsed"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 188 — line-position value, user weekend mix
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "linenumber_value_profile",
-    f"""SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
-       CAST(count(*) AS BIGINT) AS n_items,
-       CAST(sum({_LI_DISC_C}) AS BIGINT) AS value_c,
-       CAST((1000000 * sum({_LI_DISC_C})) // count(*) AS BIGINT)
-         AS mean_value_q6
-FROM lineitem GROUP BY l_linenumber ORDER BY linenumber""",
-)
-def linenumber_value_profile(spark, sf_dir):
-    """Value by position WITHIN the order: items and discounted cents
-    per line number — if line 1 systematically carries the big-ticket
-    item (the anchor purchase) and later lines the add-ons, basket
-    analyses that sample 'one item per order' are value-biased by
-    construction, and the add-on attach economics live entirely in the
-    tail positions (linenumber_spectrum counts positions; this prices
-    them). Mean in q6 cents per item.
-
-    Determinism: cents per row (the shared `_LI_DISC_C` string), one
-    division per position row.
-
-    Scale shape: one map-side agg into ≤7 rows."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.col("l_linenumber").cast("long").alias("linenumber"),
-        F.expr(_LI_DISC_C).alias("disc_c"),
-    )
-    return (
-        li.groupBy("linenumber")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.sum("disc_c").cast("long").alias("value_c"),
-        )
-        .select(
-            "linenumber",
-            "n_items",
-            "value_c",
-            F.expr(
-                "CAST((1000000 * value_c) div n_items AS BIGINT)"
-            ).alias("mean_value_q6"),
-        )
-        .orderBy("linenumber")
-    )
-
-
-@register(
-    "user_weekend_share_histogram",
-    f"""WITH e AS (
-  SELECT user_id,
-         CASE WHEN (epoch_us(ts) // {_US_PER_DAY} + 3) % 7 >= 5 THEN 1 ELSE 0 END
-           AS we
-  FROM events),
-u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(we) AS BIGINT) AS n_we
-      FROM e GROUP BY user_id),
-d AS (SELECT CAST(least((10 * n_we) // n, 9) AS BIGINT) AS weekend_decile
-      FROM u WHERE n >= 5)
-SELECT weekend_decile, CAST(count(*) AS BIGINT) AS n_users
-FROM d GROUP BY weekend_decile ORDER BY weekend_decile""",
-)
-def user_weekend_share_histogram(spark, sf_dir):
-    """Behavioral calendar segmentation: each active user's (≥5
-    events) share of activity falling on weekends, deciled — the
-    weekday-worker vs weekend-shopper split as a DISTRIBUTION
-    (weekend_activity_share gives the corpus-level contrast per type;
-    a bimodal histogram HERE means two populations that every
-    send-time and staffing decision should treat separately, and a
-    unimodal one means 'weekend users' is a fiction of averaging).
-    The (day+3)%7 ≥ 5 weekend rule.
-
-    Determinism: integer conditional counts; decile = (10·k) div n
-    clamped (the typicality rule); the n ≥ 5 floor keeps tiny
-    denominators from manufacturing fake deciles.
-
-    Scale shape: one user-keyed agg; 10-row rollup."""
-    e = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr(
-            f"CASE WHEN (unix_micros(cast(ts as timestamp)) div {_US_PER_DAY} + 3) % 7 >= 5"
-            " THEN 1 ELSE 0 END"
-        ).alias("we"),
-    )
-    u = e.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("we").cast("long").alias("n_we"),
-    )
-    d = u.where(F.col("n") >= 5).select(
-        F.expr("CAST(least((10 * n_we) div n, 9) AS BIGINT)").alias(
-            "weekend_decile"
-        )
-    )
-    return (
-        d.groupBy("weekend_decile")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .orderBy("weekend_decile")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 189 — per-second bursts, SKU repurchase
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "per_second_burst_histogram",
-    """WITH s AS (
-  SELECT epoch_us(ts) // 1000000 AS sec,
-         CAST(count(*) AS BIGINT) AS n,
-         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-  FROM events GROUP BY sec)
-SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS burst_band,
-       CAST(count(*) AS BIGINT) AS n_seconds,
-       CAST(sum(n) AS BIGINT) AS n_events,
-       CAST(max(n_users) AS BIGINT) AS max_distinct_users
-FROM s GROUP BY burst_band ORDER BY burst_band""",
-)
-def per_second_burst_histogram(spark, sf_dir):
-    """Sub-second burst census: events per OCCUPIED second, log2-banded,
-    with the max distinct users seen in any second of each band — the
-    batch-write/bot sniff at the grain ts_granularity_census's
-    alignment check can't reach (a fat high band made of ONE user is a
-    runaway client; the same band with many users is a load spike or a
-    loader stamping a batch with one clock — compare with the
-    watermark curve before trusting event time). Occupied seconds
-    only.
-
-    Determinism: integer second buckets, exact counts.
-
-    Scale shape: one second-keyed agg (map-side partials, two-phase
-    distinct) then a ≤64-row band rollup."""
-    s = _events(spark, sf_dir).groupBy(
-        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("sec")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.countDistinct("user_id").cast("long").alias("n_users"),
-    )
-    return (
-        s.select(
-            F.expr("CAST(length(bin(n)) - 1 AS BIGINT)").alias("burst_band"),
-            "n",
-            "n_users",
-        )
-        .groupBy("burst_band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_seconds"),
-            F.sum("n").cast("long").alias("n_events"),
-            F.max("n_users").cast("long").alias("max_distinct_users"),
-        )
-        .orderBy("burst_band")
-    )
-
-
-@register(
-    "part_repurchase_rate",
-    """WITH cp AS (
-  SELECT o.o_custkey, l.l_partkey, CAST(count(*) AS BIGINT) AS n
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-  GROUP BY o.o_custkey, l.l_partkey)
-SELECT CAST(count(*) AS BIGINT) AS n_cust_part_pairs,
-       CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repurchased,
-       CAST((1000000 * sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END))
-            // count(*) AS BIGINT) AS repurchase_q6,
-       CAST(max(n) AS BIGINT) AS max_repeats
-FROM cp""",
-)
-def part_repurchase_rate(spark, sf_dir):
-    """SKU-level loyalty: of all (customer, part) relationships, the
-    share bought MORE than once — the replenishment signal
-    (user_purchase_histogram counts purchases per user,
-    brand_loyalty_histogram concentration per brand; THIS is the part
-    grain where subscription/reorder products reveal themselves, and
-    max_repeats names the heaviest repeat relationship). TPC-H draws
-    parts independently, so a near-zero rate is the honest synthetic
-    reading — a real retailer sees consumables dominate.
-
-    Determinism: exact integer counts, one division.
-
-    Scale shape: the orderkey fact join then a (customer, part) agg
-    (map-side partials); one scalar rollup."""
-    cp = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .select("l_orderkey", "l_partkey")
-        .join(
-            spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-                "o_orderkey", "o_custkey"
-            ),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .groupBy("o_custkey", "l_partkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    return cp.agg(
-        F.count(F.lit(1)).cast("long").alias("n_cust_part_pairs"),
-        F.sum(F.expr("CASE WHEN n >= 2 THEN 1 ELSE 0 END"))
-        .cast("long")
-        .alias("n_repurchased"),
-        F.max("n").cast("long").alias("max_repeats"),
-    ).select(
-        "n_cust_part_pairs",
-        "n_repurchased",
-        F.expr(
-            "CAST((1000000 * n_repurchased) div n_cust_part_pairs AS BIGINT)"
-        ).alias("repurchase_q6"),
-        "max_repeats",
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 190 — onboarding depth vs return, brand price ranges
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "onboarding_depth_return_rate",
-    f"""WITH e AS (
-  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
-f AS (SELECT user_id, CAST(min(us) AS BIGINT) AS t0 FROM e GROUP BY user_id),
-fs AS (
-  SELECT e.user_id,
-         CAST(sum(CASE WHEN e.us < f.t0 + {_MCS_GAP_US}
-                        AND e.us >= f.t0 THEN 1 ELSE 0 END) AS BIGINT) AS depth,
-         CAST(max(CASE WHEN e.us // {_US_PER_DAY} > f.t0 // {_US_PER_DAY}
-                  THEN 1 ELSE 0 END) AS BIGINT) AS returned
-  FROM e JOIN f ON f.user_id = e.user_id
-  GROUP BY e.user_id),
-b AS (SELECT CAST(least(length(bin(depth)) - 1, 4) AS BIGINT) AS depth_band,
-             returned
-      FROM fs WHERE depth > 0)
-SELECT depth_band, CAST(count(*) AS BIGINT) AS n_users,
-       CAST(sum(returned) AS BIGINT) AS n_returned,
-       CAST((1000000 * sum(returned)) // count(*) AS BIGINT) AS return_q6
-FROM b GROUP BY depth_band ORDER BY depth_band""",
-)
-def onboarding_depth_return_rate(spark, sf_dir):
-    """Does a deeper first visit predict coming back? Each user's event
-    count inside the FIRST 30 minutes after their first event (the
-    session gap window anchored at t0), log2-banded (clipped at 16+),
-    against whether they were EVER active on a later calendar day —
-    the onboarding-quality curve (session_depth_conversion scores
-    depth against in-session purchase; this scores it against
-    RETENTION, the number an activation team actually optimizes: if
-    the curve is flat, first-visit depth is vanity).
-
-    Determinism: integer µs window and day comparisons; one exchange
-    computes both the depth counter and the return flag.
-
-    Scale shape: a user-keyed min agg broadcast back into one
-    user-keyed conditional agg; ≤5-row rollup."""
-    e = _events(spark, sf_dir).select(
-        "user_id", F.expr("unix_micros(cast(ts as timestamp))").alias("us")
-    )
-    f = e.groupBy("user_id").agg(F.min("us").cast("long").alias("t0"))
-    fs = (
-        e.join(f, "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.sum(
-                F.expr(
-                    f"CASE WHEN us < t0 + {_MCS_GAP_US} AND us >= t0"
-                    " THEN 1 ELSE 0 END"
-                )
-            )
-            .cast("long")
-            .alias("depth"),
-            F.max(
-                F.expr(
-                    f"CASE WHEN us div {_US_PER_DAY} > t0 div {_US_PER_DAY}"
-                    " THEN 1 ELSE 0 END"
-                )
-            )
-            .cast("long")
-            .alias("returned"),
-        )
-    )
-    b = fs.where(F.col("depth") > 0).select(
-        F.expr("CAST(least(length(bin(depth)) - 1, 4) AS BIGINT)").alias(
-            "depth_band"
-        ),
-        "returned",
-    )
-    return (
-        b.groupBy("depth_band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_users"),
-            F.sum("returned").cast("long").alias("n_returned"),
-        )
-        .select(
-            "depth_band",
-            "n_users",
-            "n_returned",
-            F.expr(
-                "CAST((1000000 * n_returned) div n_users AS BIGINT)"
-            ).alias("return_q6"),
-        )
-        .orderBy("depth_band")
-    )
-
-
-@register(
-    "brand_price_range_topk",
-    """WITH b AS (
-  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
-         CAST(min(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS min_c,
-         CAST(max(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS max_c
-  FROM part GROUP BY p_brand)
-SELECT p_brand, n_parts, min_c, max_c,
-       CAST(max_c - min_c AS BIGINT) AS range_c
-FROM b ORDER BY range_c DESC, p_brand ASC LIMIT 10""",
-)
-def brand_price_range_topk(spark, sf_dir):
-    """Widest price architectures: the 10 brands spanning the largest
-    catalog price range — a wide range is a good-better-best ladder
-    (or a mislabeled catalog; cross-check catalog_name_collisions),
-    a narrow one a single-tier brand, and the distinction decides
-    whether 'brand average price' (brand_size_price_trend's inputs)
-    means anything. Cents per row, exact integer range.
-
-    Scale shape: one brand agg then a top-10 TakeOrdered."""
-    b = (
-        spark.read.parquet(f"{sf_dir}/part.parquet")
-        .groupBy("p_brand")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_parts"),
-            F.min(F.expr("CAST(round(p_retailprice * 100) AS BIGINT)"))
-            .cast("long")
-            .alias("min_c"),
-            F.max(F.expr("CAST(round(p_retailprice * 100) AS BIGINT)"))
-            .cast("long")
-            .alias("max_c"),
-        )
-    )
-    return (
-        b.select(
-            "p_brand",
-            "n_parts",
-            "min_c",
-            "max_c",
-            (F.col("max_c") - F.col("min_c")).cast("long").alias("range_c"),
-        )
-        .orderBy(F.desc("range_c"), F.asc("p_brand"))
-        .limit(10)
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 191 — fulfillment month matrix, lifetime entry-exit
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "order_ship_month_matrix",
-    """WITH j AS (
-  SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT) AS ym_order,
-         CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS BIGINT) AS ym_ship
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
-SELECT ym_order, ym_ship, CAST(count(*) AS BIGINT) AS n_items
-FROM j GROUP BY ym_order, ym_ship
-ORDER BY ym_order, ym_ship""",
-)
-def order_ship_month_matrix(spark, sf_dir):
-    """The fulfillment cohort triangle: items cross-tabulated by ORDER
-    month × SHIP month — the diagonal is same-month fulfillment, each
-    step off it a month of carryover, and a column picking up mass
-    from many past rows is the backlog-flush month
-    (ship_lag_by_month averages this matrix's rows into one number;
-    open_lineitems_timeseries integrates it; the matrix itself is what
-    an ops review actually scans for the quarter-end push). Month key
-    = year·100+month both engines.
-
-    Scale shape: the orderkey fact join then ONE (ym, ym) map-side
-    agg; output months²-bounded."""
-    j = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .select("l_orderkey", "l_shipdate")
-        .join(
-            spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-                "o_orderkey", "o_orderdate"
-            ),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select(
-            F.expr(
-                "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)"
-            ).alias("ym_order"),
-            F.expr(
-                "CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)"
-            ).alias("ym_ship"),
-        )
-    )
-    return (
-        j.groupBy("ym_order", "ym_ship")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
-        .orderBy("ym_order", "ym_ship")
-    )
-
-
-@register(
-    "lifetime_entry_exit_matrix",
-    """WITH e AS (
-  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
-rk AS (
-  SELECT user_id, event_type,
-         row_number() OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS rf,
-         row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rl
-  FROM e),
-fl AS (
-  SELECT f.user_id, f.event_type AS first_type, l.event_type AS last_type
-  FROM (SELECT user_id, event_type FROM rk WHERE rf = 1) f
-  JOIN (SELECT user_id, event_type FROM rk WHERE rl = 1) l USING (user_id))
-SELECT first_type, last_type, CAST(count(*) AS BIGINT) AS n_users
-FROM fl GROUP BY first_type, last_type ORDER BY first_type, last_type""",
-)
-def lifetime_entry_exit_matrix(spark, sf_dir):
-    """How relationships BEGIN versus how they (so far) END: each
-    user's first-ever and latest-ever event type, cross-tabulated —
-    session_entry_exit_matrix at LIFETIME grain (a heavy
-    signup→error exit cell is an onboarding cliff; view→purchase
-    endings are journeys completing; the diagonal is single-note
-    users). Ties at equal timestamps break on event_id via the
-    composite argmin/argmax key.
-
-    Determinism: Spark picks both ends map-side as min/max over
-    (us, event_id, type) structs; the oracle windows (the
-    first_touch_profile convention — DuckDB's min_by/max_by reject
-    composite keys, struct AND list).
-
-    Scale shape: one user-keyed map-side argmin/argmax agg; ≤|types|²
-    rollup."""
-    e = _events(spark, sf_dir).select(
-        "user_id",
-        "event_type",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-        "event_id",
-    )
-    fl = e.groupBy("user_id").agg(
-        F.min(F.struct("us", "event_id", "event_type")).alias("f"),
-        F.max(F.struct("us", "event_id", "event_type")).alias("l"),
-    ).select(
-        F.col("f.event_type").alias("first_type"),
-        F.col("l.event_type").alias("last_type"),
-    )
-    return (
-        fl.groupBy("first_type", "last_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .orderBy("first_type", "last_type")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 192 — props-k/value independence, purchase streaks
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "props_k_value_corr",
-    f"""WITH t AS (
-  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-         CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events
-  WHERE json_extract_string(props, '$.k') IS NOT NULL),
-s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(k) AS BIGINT) AS sx, CAST(sum(cents) AS BIGINT) AS sy,
-             CAST(sum(k * k) AS BIGINT) AS sxx,
-             CAST(sum(cents * cents) AS BIGINT) AS syy,
-             CAST(sum(k * cents) AS BIGINT) AS sxy
-      FROM t)
-SELECT n AS n_events, CAST({_PQC_CORR} AS BIGINT) AS corr_q6 FROM s""",
-)
-def props_k_value_corr(spark, sf_dir):
-    """Is the JSON payload's k field tied to event value? Pearson over
-    (k, cents) for events carrying the key — the schema-archaeology
-    probe for an undocumented property (props_key_census says the key
-    exists, props_k_histogram its distribution; THIS says whether it
-    encodes anything about money — near 0 on the synthetic stream
-    where k is an independent draw, the honest reading; a real payload
-    where k is 'quantity' lights up immediately).
-
-    Determinism: JSON extraction via json_extract_string /
-    get_json_object (the props_key_census pairing); exact sufficient
-    stats; the shared guarded split-sqrt. Envelope: cents² sums cap at
-    ~1e9 events of ~1e4 cents.
-
-    Scale shape: one map-side JSON-extracting scan to six integers."""
-    t = (
-        _events(spark, sf_dir)
-        .select(
-            F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)").alias("k"),
-            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-        )
-        .where(F.col("k").isNotNull())
-    )
-    s = t.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("k").cast("long").alias("sx"),
-        F.sum("cents").cast("long").alias("sy"),
-        F.sum(F.expr("k * k")).cast("long").alias("sxx"),
-        F.sum(F.expr("cents * cents")).cast("long").alias("syy"),
-        F.sum(F.expr("k * cents")).cast("long").alias("sxy"),
-    )
-    return s.select(
-        F.col("n").alias("n_events"),
-        F.expr(f"CAST({_PQC_CORR} AS BIGINT)").alias("corr_q6"),
-    )
-
-
-@register(
-    "purchase_streak_histogram",
-    f"""WITH pd AS (
-  SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS day_num
-  FROM events WHERE event_type = 'purchase'),
-isl AS (
-  SELECT user_id,
-         day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num)
-           AS grp
-  FROM pd),
-runs AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len
-         FROM isl GROUP BY user_id, grp),
-mx AS (SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
-       FROM runs GROUP BY user_id)
-SELECT CAST(least(max_streak, 7) AS BIGINT) AS streak_days,
-       CAST(count(*) AS BIGINT) AS n_users
-FROM mx GROUP BY streak_days ORDER BY streak_days""",
-)
-def purchase_streak_histogram(spark, sf_dir):
-    """Purchase habit streaks: each buyer's longest run of CONSECUTIVE
-    purchase days (gaps-and-islands per user, clipped at 7+) — streaks
-    are the strongest habit signal there is (the metric behind every
-    'don't break the chain' mechanic), and a corpus whose mass sits at
-    streak 1 buys occasionally no matter how high the purchase COUNT
-    histograms read (user_purchase_histogram counts volume; this
-    counts consecutiveness).
-
-    Determinism: integer day arithmetic; the islands key is the
-    session-139 day_num − row_number trick.
-
-    Scale shape: distinct purchase user-days, a user-keyed islands
-    window, two small aggs; ≤7-row rollup."""
-    pd_ = (
-        _events(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-                "day_num"
-            ),
-        )
-        .distinct()
-    )
-    w = Window.partitionBy("user_id").orderBy("day_num")
-    isl = pd_.select(
-        "user_id", (F.col("day_num") - F.row_number().over(w)).alias("grp")
-    )
-    runs = isl.groupBy("user_id", "grp").agg(
-        F.count(F.lit(1)).cast("long").alias("len")
-    )
-    mx = runs.groupBy("user_id").agg(
-        F.max("len").cast("long").alias("max_streak")
-    )
-    return (
-        mx.select(
-            F.expr("CAST(least(max_streak, 7) AS BIGINT)").alias("streak_days")
-        )
-        .groupBy("streak_days")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .orderBy("streak_days")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 193 — geographic SLA, conversion by user-day class
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "ship_lag_by_nation",
-    f"""WITH j AS (
-  SELECT s.s_nationkey AS nk,
-         epoch_us(l.l_shipdate) // {_US_PER_DAY}
-           - epoch_us(o.o_orderdate) // {_US_PER_DAY} AS lag_days
-  FROM lineitem l
-  JOIN orders o ON l.l_orderkey = o.o_orderkey
-  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
-a AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_items,
-             CAST(sum(lag_days) AS BIGINT) AS sum_lag
-      FROM j GROUP BY nk)
-SELECT n.n_name, a.n_items, a.sum_lag,
-       CAST((1000000 * a.sum_lag) // a.n_items AS BIGINT) AS mean_lag_q6
-FROM a JOIN nation n ON n.n_nationkey = a.nk
-ORDER BY n.n_name""",
-)
-def ship_lag_by_nation(spark, sf_dir):
-    """Fulfillment latency by SUPPLIER geography: mean order→ship lag
-    per supplier nation — the third slice of the lag family
-    (ship_lag_by_month = the trend, ship_lag_by_priority = the SLA
-    promise, THIS = the supply-chain geography: a nation running a
-    week behind the fleet is a routing/logistics finding, not a
-    supplier-by-supplier one, and supplier_ship_delay_topk's
-    individual laggards should be read against their nation's
-    baseline).
-
-    Determinism: integer epoch-day lags; one division per nation row.
-
-    Scale shape: the orderkey fact join then a suppkey⋈supplier dim
-    join; the nation agg combines map-side to ≤25 rows; nation
-    broadcast for names."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey",
-        "l_suppkey",
-        F.expr(f"unix_micros(cast(l_shipdate as timestamp)) div {_US_PER_DAY}").alias(
-            "sd"
-        ),
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey",
-        F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {_US_PER_DAY}").alias(
-            "od"
-        ),
-    )
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
-        "s_suppkey", "s_nationkey"
-    )
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
-        "n_nationkey", "n_name"
-    )
-    a = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(s, li["l_suppkey"] == s["s_suppkey"])
-        .groupBy(F.col("s_nationkey").alias("nk"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.sum(F.expr("sd - od")).cast("long").alias("sum_lag"),
-        )
-    )
-    return (
-        a.join(F.broadcast(n), a["nk"] == n["n_nationkey"])
-        .select(
-            "n_name",
-            "n_items",
-            "sum_lag",
-            F.expr(
-                "CAST((1000000 * sum_lag) div n_items AS BIGINT)"
-            ).alias("mean_lag_q6"),
-        )
-        .orderBy("n_name")
-    )
-
-
-@register(
-    "resurrected_conversion_rate",
-    f"""WITH ud AS (
-  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day_num,
-         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-           AS purchased
-  FROM events GROUP BY user_id, day_num),
-lg AS (
-  SELECT purchased,
-         day_num - lag(day_num) OVER (PARTITION BY user_id ORDER BY day_num)
-           AS gap
-  FROM ud),
-cls AS (
-  SELECT CASE WHEN gap IS NULL THEN 'new'
-              WHEN gap > 28 THEN 'resurrected'
-              ELSE 'regular' END AS bucket,
-         purchased
-  FROM lg)
-SELECT bucket, CAST(count(*) AS BIGINT) AS n_user_days,
-       CAST(sum(purchased) AS BIGINT) AS n_purchase_days,
-       CAST((1000000 * sum(purchased)) // count(*) AS BIGINT) AS purchase_q6
-FROM cls GROUP BY bucket ORDER BY bucket""",
-)
-def resurrected_conversion_rate(spark, sf_dir):
-    """Do comebacks convert? The purchase rate of each user-day CLASS —
-    new / resurrected (>28-day gap) / regular — daily_user_mix's
-    buckets joined to the outcome that matters (a resurrected rate
-    beating regular says win-back traffic is high-intent and worth
-    buying; below new says reactivated users window-shop; the number a
-    win-back budget is justified with). Purchase flag folds into the
-    SAME (user, day) agg the classifier rides.
-
-    Determinism: integer gaps, conditional counts, one division per
-    class.
-
-    Scale shape: one (user, day) agg carrying the flag, the user-keyed
-    lag, a 3-row rollup."""
-    ud = (
-        _events(spark, sf_dir)
-        .groupBy(
-            "user_id",
-            F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-                "day_num"
-            ),
-        )
-        .agg(
-            F.max(
-                F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
-            )
-            .cast("long")
-            .alias("purchased")
-        )
-    )
-    w = Window.partitionBy("user_id").orderBy("day_num")
-    lg = ud.select(
-        "purchased",
-        (F.col("day_num") - F.lag("day_num").over(w)).alias("gap"),
-    )
-    cls = lg.select(
-        F.expr(
-            "CASE WHEN gap IS NULL THEN 'new'"
-            " WHEN gap > 28 THEN 'resurrected' ELSE 'regular' END"
-        ).alias("bucket"),
-        "purchased",
-    )
-    return (
-        cls.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_user_days"),
-            F.sum("purchased").cast("long").alias("n_purchase_days"),
-        )
-        .select(
-            "bucket",
-            "n_user_days",
-            "n_purchase_days",
-            F.expr(
-                "CAST((1000000 * n_purchase_days) div n_user_days AS BIGINT)"
-            ).alias("purchase_q6"),
-        )
-        .orderBy("bucket")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 194 — mix volatility, onboarding intensity
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "type_share_volatility",
-    f"""WITH d AS (
-  SELECT epoch_us(ts) // {_US_PER_DAY} AS day_num, event_type,
-         CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY day_num, event_type),
-t AS (SELECT day_num, CAST(sum(n) AS BIGINT) AS day_total FROM d GROUP BY day_num),
-sh AS (SELECT d.event_type,
-              CAST((1000000 * d.n) // t.day_total AS BIGINT) AS share_q6
-       FROM d JOIN t USING (day_num))
-SELECT event_type, CAST(count(*) AS BIGINT) AS n_days_present,
-       CAST(min(share_q6) AS BIGINT) AS min_share_q6,
-       CAST(max(share_q6) AS BIGINT) AS max_share_q6,
-       CAST(max(share_q6) - min(share_q6) AS BIGINT) AS range_q6
-FROM sh GROUP BY event_type ORDER BY event_type""",
-)
-def type_share_volatility(spark, sf_dir):
-    """Mix volatility per event type: each type's daily share of
-    traffic, summarized as min/max/range over the days it appears —
-    events_weekly_type_jsd scores whole-mix drift as one divergence
-    per week; THIS names WHICH type's share swings and by how much (a
-    stable view share with a wildly swinging error share is a very
-    different stream than uniform jitter, and alerts are set per type,
-    not per JSD). Observed (day, type) cells only.
-
-    Determinism: integer per-day shares (q6 floor division), exact
-    min/max.
-
-    Scale shape: one (day, type) agg, a day-total join over
-    calendar-bounded rows, ≤|types| output rows."""
-    d = _events(spark, sf_dir).groupBy(
-        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-            "day_num"
-        ),
-        "event_type",
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    t = d.groupBy("day_num").agg(F.sum("n").cast("long").alias("day_total"))
-    sh = d.join(t, "day_num").select(
-        "event_type",
-        F.expr("CAST((1000000 * n) div day_total AS BIGINT)").alias("share_q6"),
-    )
-    return (
-        sh.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_days_present"),
-            F.min("share_q6").cast("long").alias("min_share_q6"),
-            F.max("share_q6").cast("long").alias("max_share_q6"),
-        )
-        .select(
-            "event_type",
-            "n_days_present",
-            "min_share_q6",
-            "max_share_q6",
-            (F.col("max_share_q6") - F.col("min_share_q6"))
-            .cast("long")
-            .alias("range_q6"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@register(
-    "first_day_share_histogram",
-    f"""WITH e AS (
-  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day_num FROM events),
-u AS (
-  SELECT user_id, CAST(count(*) AS BIGINT) AS n_total,
-         CAST(min(day_num) AS BIGINT) AS d0
-  FROM e GROUP BY user_id),
-fd AS (
-  SELECT e.user_id,
-         CAST(count(*) AS BIGINT) AS n_first_day
-  FROM e JOIN u ON u.user_id = e.user_id AND e.day_num = u.d0
-  GROUP BY e.user_id),
-d AS (
-  SELECT CAST(least((10 * fd.n_first_day) // u.n_total, 9) AS BIGINT) AS decile
-  FROM u JOIN fd ON fd.user_id = u.user_id
-  WHERE u.n_total >= 3)
-SELECT decile, CAST(count(*) AS BIGINT) AS n_users
-FROM d GROUP BY decile ORDER BY decile""",
-)
-def first_day_share_histogram(spark, sf_dir):
-    """Onboarding intensity vs lifetime: the share of each user's (≥3
-    events) LIFETIME activity that happened on their first calendar
-    day, deciled — decile 9 is the binge-and-vanish pattern (all value
-    extracted up front; retention programs can't help), low deciles
-    the slow-burn relationships (onboarding_depth_return_rate asks
-    whether a deep first session predicts return; this measures how
-    front-loaded the whole relationship turned out to be).
-
-    Determinism: integer counts; decile = (10·k) div n clamped (the
-    typicality rule); n ≥ 3 floor.
-
-    Scale shape: two user-keyed aggs sharing the user exchange; a
-    10-row rollup."""
-    e = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}").alias(
-            "day_num"
-        ),
-    )
-    u = e.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_total"),
-        F.min("day_num").cast("long").alias("d0"),
-    )
-    fd = (
-        e.join(u, "user_id")
-        .where(F.col("day_num") == F.col("d0"))
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_first_day"))
-    )
-    d = (
-        u.join(fd, "user_id")
-        .where(F.col("n_total") >= 3)
-        .select(
-            F.expr(
-                "CAST(least((10 * n_first_day) div n_total, 9) AS BIGINT)"
-            ).alias("decile")
-        )
-    )
-    return (
-        d.groupBy("decile")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .orderBy("decile")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 195 — geographic price level, per-type cadence
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "supply_price_by_nation",
-    f"""WITH j AS (
-  SELECT s.s_nationkey AS nk, {_LI_DISC_C} AS disc_c, {_LI_QTY_C} AS qty_c
-  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
-a AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_items,
-             CAST(sum(disc_c) AS BIGINT) AS value_c,
-             CAST(sum(qty_c) AS BIGINT) AS qty_c
-      FROM j GROUP BY nk)
-SELECT n.n_name, a.n_items, a.value_c, a.qty_c,
-       CAST((1000000 * a.value_c) // a.qty_c AS BIGINT) AS price_per_unit_q6
-FROM a JOIN nation n ON n.n_nationkey = a.nk
-ORDER BY n.n_name""",
-)
-def supply_price_by_nation(spark, sf_dir):
-    """Geographic price level of supply: per supplier nation, shipped
-    value over shipped quantity — the realized price-per-unit each
-    sourcing geography commands (region_supply_volume counts the flow,
-    ship_lag_by_nation times it; this PRICES it, and a nation whose
-    unit price sits far off the fleet is either a premium-mix
-    specialist or a negotiation target — join against
-    part_nation_concentration before concluding which). Both money
-    columns take their shared per-row cents rules, so the ratio is one
-    division of exact BIGINTs.
-
-    Scale shape: one fact⋈dim join collapsing map-side to ≤25 rows;
-    nation broadcast for names."""
-    j = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .select(
-            "l_suppkey",
-            F.expr(_LI_DISC_C).alias("disc_c"),
-            F.expr(_LI_QTY_C).alias("qty_c"),
-        )
-        .join(
-            spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
-                "s_suppkey", "s_nationkey"
-            ),
-            F.col("l_suppkey") == F.col("s_suppkey"),
-        )
-    )
-    a = j.groupBy(F.col("s_nationkey").alias("nk")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.sum("disc_c").cast("long").alias("value_c"),
-        F.sum("qty_c").cast("long").alias("qty_c"),
-    )
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
-        "n_nationkey", "n_name"
-    )
-    return (
-        a.join(F.broadcast(n), a["nk"] == n["n_nationkey"])
-        .select(
-            "n_name",
-            "n_items",
-            "value_c",
-            "qty_c",
-            F.expr(
-                "CAST((1000000 * value_c) div qty_c AS BIGINT)"
-            ).alias("price_per_unit_q6"),
-        )
-        .orderBy("n_name")
-    )
-
-
-@register(
-    "type_cadence_profile",
-    """WITH e AS (
-  SELECT event_type, epoch_us(ts) AS us, event_id FROM events),
-lg AS (
-  SELECT event_type,
-         us - lag(us) OVER (PARTITION BY event_type ORDER BY us, event_id)
-           AS gap_us
-  FROM e)
-SELECT event_type,
-       CAST(count(gap_us) AS BIGINT) AS n_gaps,
-       CAST(COALESCE(sum(gap_us), 0) // 1000000 AS BIGINT) AS total_gap_seconds,
-       CAST(COALESCE(sum(gap_us), 0) // greatest(count(gap_us), 1) // 1000000 AS BIGINT)
-         AS mean_gap_seconds
-FROM lg GROUP BY event_type ORDER BY event_type""",
-)
-def type_cadence_profile(spark, sf_dir):
-    """Global cadence per event type: the mean gap between consecutive
-    occurrences of the SAME type anywhere in the stream — the
-    freshness clock each type ticks at (a purchase every 40 s and an
-    error every 10 min set very different alert windows and watermark
-    expectations; interevent ops measure per-USER rhythm, this is the
-    fleet-level arrival rate's reciprocal in plain seconds).
-
-    Determinism: equal-timestamp events order by event_id in the lag
-    (the interevent rule); integer µs sums with floor divisions to
-    seconds.
-
-    Scale shape: ONE type-partitioned lag window (|types| partitions —
-    at scale pre-aggregate to per-type counts/min/max instead, since
-    mean gap = span/(n−1) for a totally ordered stream; documented
-    equivalent), then a ≤|types|-row rollup."""
-    e = _events(spark, sf_dir).select(
-        "event_type",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-        "event_id",
-    )
-    w = Window.partitionBy("event_type").orderBy("us", "event_id")
-    lg = e.select(
-        "event_type", (F.col("us") - F.lag("us").over(w)).alias("gap_us")
-    )
-    return (
-        lg.groupBy("event_type")
-        .agg(
-            F.count("gap_us").cast("long").alias("n_gaps"),
-            F.coalesce(F.sum("gap_us"), F.lit(0)).alias("sg"),
-        )
-        .select(
-            "event_type",
-            "n_gaps",
-            F.expr("CAST(sg div 1000000 AS BIGINT)").alias(
-                "total_gap_seconds"
-            ),
-            F.expr(
-                "CAST(sg div greatest(n_gaps, 1) div 1000000 AS BIGINT)"
-            ).alias("mean_gap_seconds"),
-        )
-        .orderBy("event_type")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 196 — idle customer balances
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "customer_idle_balance",
-    """WITH act AS (SELECT DISTINCT o_custkey FROM orders)
-SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_customers,
-       (SELECT CAST(count(*) AS BIGINT) FROM act) AS n_active,
-       (SELECT CAST(COALESCE(sum(CAST(round(c_acctbal * 100) AS BIGINT)), 0) AS BIGINT)
-        FROM customer LEFT JOIN act ON act.o_custkey = customer.c_custkey
-        WHERE act.o_custkey IS NULL) AS idle_balance_cents,
-       (SELECT CAST(COALESCE(sum(CAST(round(c_acctbal * 100) AS BIGINT)), 0) AS BIGINT)
-        FROM customer) AS total_balance_cents""",
-)
-def customer_idle_balance(spark, sf_dir):
-    """The money sitting with never-buyers: account balance held by
-    customers who placed NO order, beside the book total — the
-    demand-side completion of the activation-coverage trio
-    (customer_order_coverage counts the idle heads,
-    supplier_sales_coverage prices the idle supply side; this prices
-    idle demand: a large idle balance is either pre-funded accounts
-    waiting for activation outreach or stale master data inflating the
-    book). Cents per row, LEFT-IS-NULL anti probe.
-
-    Scale shape: one distinct custkey projection of orders, one anti
-    probe, scalar rollups."""
-    act = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select("o_custkey")
-        .distinct()
-    )
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey",
-        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("cents"),
-    )
-    nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
-    na = act.agg(F.count(F.lit(1)).cast("long").alias("n_active"))
-    idle = c.join(act, c["c_custkey"] == act["o_custkey"], "anti").agg(
-        F.coalesce(F.sum("cents"), F.lit(0))
-        .cast("long")
-        .alias("idle_balance_cents")
-    )
-    tot = c.agg(
-        F.coalesce(F.sum("cents"), F.lit(0))
-        .cast("long")
-        .alias("total_balance_cents")
-    )
-    return nc.crossJoin(na).crossJoin(idle).crossJoin(tot)
-
-
-# ---------------------------------------------------------------------------
-# session 197 — runtime-filter benefit, Kaplan-Meier conversion survival,
-# broadcast-threshold audit
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "runtime_filter_benefit",
-    """WITH sel AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
-js AS (SELECT unnest(generate_series(0, 3)) AS j),
-bpos AS (
-  SELECT DISTINCT
-    ('0x' || substr(md5('rf:' || CAST(o_orderkey AS VARCHAR)), 1 + 4 * j, 4))::UBIGINT::BIGINT AS pos
-  FROM sel, js),
-keyrows AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS nrows FROM lineitem GROUP BY 1),
-kpos AS (
-  SELECT l_orderkey, j,
-    ('0x' || substr(md5('rf:' || CAST(l_orderkey AS VARCHAR)), 1 + 4 * j, 4))::UBIGINT::BIGINT AS pos
-  FROM keyrows, js),
-bl AS (
-  SELECT l_orderkey FROM kpos JOIN bpos USING (pos)
-  GROUP BY l_orderkey HAVING count(DISTINCT j) = 4),
-fl AS (
-  SELECT k.nrows,
-         CASE WHEN s.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS ex,
-         CASE WHEN b.l_orderkey IS NOT NULL THEN 1 ELSE 0 END AS bp
-  FROM keyrows k
-  LEFT JOIN sel s ON s.o_orderkey = k.l_orderkey
-  LEFT JOIN bl b ON b.l_orderkey = k.l_orderkey),
-agg AS (
-  SELECT CAST(COALESCE(sum(nrows), 0) AS BIGINT) AS n_fact,
-         CAST(COALESCE(sum(nrows * ex), 0) AS BIGINT) AS n_semijoin_rows,
-         CAST(COALESCE(sum(nrows * bp), 0) AS BIGINT) AS n_bloom_rows
-  FROM fl)
-SELECT (SELECT CAST(count(*) AS BIGINT) FROM sel) AS n_sel_orders,
-       n_fact, n_semijoin_rows, n_bloom_rows,
-       n_bloom_rows - n_semijoin_rows AS n_false_rows,
-       CAST((1000000 * (n_fact - n_semijoin_rows)) // greatest(n_fact, 1) AS BIGINT)
-         AS skip_exact_q6,
-       CAST((1000000 * (n_fact - n_bloom_rows)) // greatest(n_fact, 1) AS BIGINT)
-         AS skip_bloom_q6
-FROM agg""",
-)
-def runtime_filter_benefit(spark, sf_dir):
-    """Runtime-filter (dynamic semi-join / bloom pushdown) benefit model
-    for the schema's hottest selective join: orders filtered to
-    '1-URGENT' joined to lineitem on orderkey. A perfect runtime filter
-    skips every fact row whose key misses the filtered build side
-    (n_fact − n_semijoin_rows); the deployable approximation — a Bloom
-    filter built from the build-side keys (m = 2^16 positions, k = 4
-    16-bit md5 slices, the decontamination_bloom substrate, seeded
-    'rf:' for hash-input disjointness) — passes a small false-positive
-    tail on top. Reported side by side, the two skip fractions price
-    exactly what Spark's runtime row-level filtering buys on this join
-    and what the bloom's FPR costs versus the unachievable exact
-    semi-join.
-
-    Determinism: membership is a distinct-positions table + equi-join
-    (a bitset stand-in), identical integer positions both engines; skip
-    fractions are nonnegative integer cross-multiplications.
-
-    Scale shape: the bloom position table is bounded at 65 536 rows no
-    matter how large the filtered build side — THAT is what gets
-    broadcast, never the keys themselves; the probe evaluates per
-    DISTINCT fact key (the dictionary-probe shape) and row counts join
-    back, so the wide fact table is touched once for the key histogram.
-    The exact-flag join is un-hinted (the filtered dimension is
-    unbounded at scale — AQE decides)."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    sel = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
-    js = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
-    bpos = (
-        sel.select("o_orderkey", js)
-        .select(
-            F.expr(
-                "cast(conv(substring(md5(concat('rf:', cast(o_orderkey as string))),"
-                " 1 + 4 * j, 4), 16, 10) as bigint)"
-            ).alias("pos")
-        )
-        .distinct()
-    )
-    keyrows = li.groupBy("l_orderkey").agg(F.count("*").cast("long").alias("nrows"))
-    kpos = keyrows.select("l_orderkey", js).select(
-        "l_orderkey",
-        "j",
-        F.expr(
-            "cast(conv(substring(md5(concat('rf:', cast(l_orderkey as string))),"
-            " 1 + 4 * j, 4), 16, 10) as bigint)"
-        ).alias("pos"),
-    )
-    bl = (
-        kpos.join(F.broadcast(bpos), "pos")
-        .groupBy("l_orderkey")
-        .agg(F.countDistinct("j").alias("nj"))
-        .where(F.col("nj") == 4)
-        .select(F.col("l_orderkey").alias("bk"))
-    )
-    fl = (
-        keyrows.join(sel, keyrows["l_orderkey"] == sel["o_orderkey"], "left")
-        .join(bl, keyrows["l_orderkey"] == bl["bk"], "left")
-        .select(
-            "nrows",
-            F.when(F.col("o_orderkey").isNotNull(), F.col("nrows"))
-            .otherwise(F.lit(0))
-            .alias("ex_rows"),
-            F.when(F.col("bk").isNotNull(), F.col("nrows"))
-            .otherwise(F.lit(0))
-            .alias("bp_rows"),
-        )
-    )
-    agg = fl.agg(
-        F.coalesce(F.sum("nrows"), F.lit(0)).cast("long").alias("n_fact"),
-        F.coalesce(F.sum("ex_rows"), F.lit(0)).cast("long").alias("n_semijoin_rows"),
-        F.coalesce(F.sum("bp_rows"), F.lit(0)).cast("long").alias("n_bloom_rows"),
-    )
-    nsel = sel.agg(F.count(F.lit(1)).cast("long").alias("n_sel_orders"))
-    return nsel.crossJoin(agg).select(
-        "n_sel_orders",
-        "n_fact",
-        "n_semijoin_rows",
-        "n_bloom_rows",
-        (F.col("n_bloom_rows") - F.col("n_semijoin_rows")).alias("n_false_rows"),
-        F.expr(
-            "CAST((1000000 * (n_fact - n_semijoin_rows)) div greatest(n_fact, 1) AS BIGINT)"
-        ).alias("skip_exact_q6"),
-        F.expr(
-            "CAST((1000000 * (n_fact - n_bloom_rows)) div greatest(n_fact, 1) AS BIGINT)"
-        ).alias("skip_bloom_q6"),
-    )
-
-
-@register(
-    "km_conversion_survival",
-    """WITH u AS (
-  SELECT user_id,
-         min(epoch_us(ts) // 86400000000) AS fd,
-         min(CASE WHEN event_type = 'purchase'
-                  THEN epoch_us(ts) // 86400000000 END) AS pd
-  FROM events GROUP BY user_id),
-m AS (SELECT max(epoch_us(ts) // 86400000000) AS D FROM events),
-obs AS (
-  SELECT CASE WHEN pd IS NOT NULL THEN pd - fd ELSE D - fd END AS t,
-         CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS ev
-  FROM u, m),
-h AS (SELECT t, CAST(count(*) AS BIGINT) AS n_obs, CAST(sum(ev) AS BIGINT) AS n_ev
-      FROM obs GROUP BY t),
-r AS (
-  SELECT t, n_obs, n_ev,
-         CAST(sum(n_obs) OVER (ORDER BY t DESC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
-  FROM h),
-f AS (
-  SELECT t, n_risk, n_ev, n_obs - n_ev AS n_censored_at,
-         CASE WHEN n_ev >= n_risk THEN CAST(-1000000000000 AS BIGINT)
-              ELSE CAST(round(1000000 * ln(CAST(n_risk - n_ev AS DOUBLE) / n_risk))
-                        AS BIGINT) END AS f_q6
-  FROM r WHERE n_ev > 0),
-s AS (
-  SELECT t, n_risk, n_ev, n_censored_at,
-         CAST(sum(f_q6) OVER (ORDER BY t
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-  FROM f)
-SELECT CAST(t AS BIGINT) AS t_days, n_risk, n_ev AS n_events, n_censored_at,
-       CAST(greatest(cum, -1000000000000) AS BIGINT) AS ln_surv_q6
-FROM s ORDER BY t_days""",
-)
-def km_conversion_survival(spark, sf_dir):
-    """Kaplan-Meier time-to-first-purchase: the statistically correct
-    completion of conversion_latency_histogram — users who never
-    purchase are RIGHT-CENSORED at the stream end (duration = last
-    stream day − their first day) instead of silently dropped, so the
-    curve is unbiased by the observation window. Standard KM: at each
-    event time t, S multiplies by (n_risk − d)/n_risk where n_risk
-    counts everyone (converted or censored) still under observation at
-    t; censored-at-t users count as at-risk at t (deaths before
-    censorings, the textbook tie rule). Output per event time: at-risk
-    count, conversions, censorings at that time, and cumulative
-    ln-survival in q6 (per-factor ln((n−d)/n) q6-rounded FIRST, then an
-    exact BIGINT running sum — no float sum order). d = n only happens
-    at the maximum observed time (no one outlives it); that row emits
-    the S=0 sentinel −1e12, and the sandbox's all-converter stream
-    exercises it — the curve there equals 1−ECDF, the honest
-    no-censoring reading.
-
-    Scale shape: ONE user-keyed exchange for the per-user min-aggs, a
-    1-row max-day crossJoin, then every window runs over histogram
-    CELLS only (distinct durations, calendar-bounded) — the
-    doclen_quantiles convention, never a per-user global sort."""
-    e = _events(spark, sf_dir).select(
-        "user_id",
-        "event_type",
-        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
-    )
-    u = e.groupBy("user_id").agg(
-        F.min("day").alias("fd"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("day"))).alias("pd"),
-    )
-    m = e.agg(F.max("day").alias("D"))
-    obs = u.crossJoin(m).select(
-        F.when(F.col("pd").isNotNull(), F.col("pd") - F.col("fd"))
-        .otherwise(F.col("D") - F.col("fd"))
-        .alias("t"),
-        F.when(F.col("pd").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("ev"),
-    )
-    h = obs.groupBy("t").agg(
-        F.count("*").cast("long").alias("n_obs"),
-        F.sum("ev").cast("long").alias("n_ev"),
-    )
-    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    r = h.select(
-        "t",
-        "n_obs",
-        "n_ev",
-        F.sum("n_obs").over(w_desc).cast("long").alias("n_risk"),
-    )
-    f = r.where(F.col("n_ev") > 0).select(
-        "t",
-        "n_risk",
-        "n_ev",
-        (F.col("n_obs") - F.col("n_ev")).alias("n_censored_at"),
-        F.when(F.col("n_ev") >= F.col("n_risk"), F.lit(-1000000000000).cast("long"))
-        .otherwise(
-            F.expr(
-                "CAST(round(1000000 * ln(CAST(n_risk - n_ev AS DOUBLE) / n_risk)) AS BIGINT)"
-            )
-        )
-        .alias("f_q6"),
-    )
-    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        f.select(
-            "t",
-            "n_risk",
-            "n_ev",
-            "n_censored_at",
-            F.sum("f_q6").over(w_asc).cast("long").alias("cum"),
-        )
-        .select(
-            F.col("t").cast("long").alias("t_days"),
-            "n_risk",
-            F.col("n_ev").alias("n_events"),
-            "n_censored_at",
-            F.greatest(F.col("cum"), F.lit(-1000000000000).cast("long")).alias(
-                "ln_surv_q6"
-            ),
-        )
-        .orderBy("t_days")
-    )
-
-
-# broadcast-threshold audit: one shared per-table byte model generates BOTH
-# engines' expressions (the _pq_sql rule — scales/conventions in one place).
-# Convention: 8 B per scalar column (int/double/date/timestamp alike — the
-# in-memory unsafe-row word), length+4 per string, 4*len+4 per float array.
-_BTA_SPEC = [
-    ("customer", 3, ["c_name", "c_mktsegment"], None),
-    ("documents", 2, ["text", "lang", "source"], None),
-    ("embeddings", 2, [], "embedding"),
-    ("events", 4, ["event_type", "props"], None),
-    ("lineitem", 9, ["l_returnflag", "l_linestatus"], None),
-    ("nation", 2, ["n_name"], None),
-    ("orders", 4, ["o_orderstatus", "o_orderpriority"], None),
-    ("part", 3, ["p_name", "p_brand", "p_type"], None),
-    ("region", 1, ["r_name"], None),
-    ("supplier", 3, ["s_name"], None),
-]
-_BTA_THRESHOLD = 10 * 1024 * 1024  # Spark's default autoBroadcastJoinThreshold
-
-
-def _bta_sql() -> str:
-    parts = []
-    for name, n_scalar, strs, arr in _BTA_SPEC:
-        terms = [f"8 * {n_scalar} * count(*)"]
-        for c in strs:
-            terms.append(f"COALESCE(sum(length({c}) + 4), 0)")
-        if arr is not None:
-            terms.append(f"COALESCE(sum(4 * len({arr}) + 4), 0)")
-        parts.append(
-            f"SELECT '{name}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,"
-            f" CAST({' + '.join(terms)} AS BIGINT) AS est_bytes FROM {name}"
-        )
-    body = " UNION ALL ".join(parts)
-    return (
-        f"WITH b AS ({body}) SELECT table_name, n_rows, est_bytes,"
-        f" CASE WHEN est_bytes <= {_BTA_THRESHOLD} THEN 1 ELSE 0 END AS fits_10mb,"
-        f" CASE WHEN est_bytes * 100 <= {_BTA_THRESHOLD} THEN 1 ELSE 0 END AS fits_10mb_100x"
-        f" FROM b ORDER BY table_name"
-    )
-
-
-@register("broadcast_threshold_audit", _bta_sql())
-def broadcast_threshold_audit(spark, sf_dir):
-    """Join-strategy advisor: estimated in-memory bytes per table versus
-    Spark's 10 MiB autoBroadcastJoinThreshold, now AND at a 100× scale-up
-    — the pre-flight that says which sides of the engine's joins are
-    legitimately broadcastable (nation/region/supplier: always; part/
-    customer: at this SF but NOT at 100× — exactly the force-broadcast
-    trap the un-hinted-join rule guards against). Byte model: 8 B per
-    scalar column, length+4 per string, 4·len+4 per float array —
-    generated from ONE spec for both engines.
-
-    Scale shape: one map-side agg per table (count + length sums), a
-    ten-row union; nothing shuffles."""
-    out = None
-    for name, n_scalar, strs, arr in _BTA_SPEC:
-        t = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        terms = [F.lit(8 * n_scalar) * F.count("*")]
-        for c in strs:
-            terms.append(F.coalesce(F.sum(F.length(c) + F.lit(4)), F.lit(0)))
-        if arr is not None:
-            terms.append(
-                F.coalesce(F.sum(F.lit(4) * F.size(arr) + F.lit(4)), F.lit(0))
-            )
-        est = terms[0]
-        for x in terms[1:]:
-            est = est + x
-        row = t.agg(
-            F.count("*").cast("long").alias("n_rows"),
-            est.cast("long").alias("est_bytes"),
-        ).select(F.lit(name).alias("table_name"), "n_rows", "est_bytes")
-        out = row if out is None else out.unionByName(row)
-    return out.select(
-        "table_name",
-        "n_rows",
-        "est_bytes",
-        F.when(F.col("est_bytes") <= F.lit(_BTA_THRESHOLD), F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("fits_10mb"),
-        F.when(F.col("est_bytes") * F.lit(100) <= F.lit(_BTA_THRESHOLD), F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("fits_10mb_100x"),
-    ).orderBy("table_name")
-
-
-# ---------------------------------------------------------------------------
-# session 198 — z-order layout estimate, quantile-sketch error, tiered index
-# ---------------------------------------------------------------------------
-
-
-def _z_interleave(a: str, b: str, intdiv: str) -> str:
-    """4+4-bit Morton interleave of two clamped nonneg ints as ONE shared
-    integer expression (no shiftleft — DuckDB lacks it; powers folded)."""
-    terms = []
-    for i in range(4):
-        terms.append(f"(({a} {intdiv} {2 ** i}) % 2) * {2 ** (2 * i + 1)}")
-        terms.append(f"(({b} {intdiv} {2 ** i}) % 2) * {2 ** (2 * i)}")
-    return " + ".join(terms)
-
-
-_ZO_PRED = "lang = 'en' AND lb IN (6, 7)"
-
-
-@register(
-    "zorder_pruning_estimate",
-    f"""WITH d0 AS (
-  SELECT doc_id, lang,
-         least(15, length(bin(greatest(n_chars, 1))) - 1) AS lb
-  FROM documents),
-lr AS (SELECT lang, least(15, row_number() OVER (ORDER BY lang) - 1) AS la
-       FROM (SELECT DISTINCT lang FROM documents) _t),
-d AS (
-  SELECT doc_id, lang, lb, {_z_interleave('la', 'lb', '//')} AS z,
-         CASE WHEN {_ZO_PRED} THEN 1 ELSE 0 END AS m
-  FROM d0 JOIN lr USING (lang)),
-pa AS (SELECT doc_id // {_RG_ROWS} AS grp, m FROM d),
-pb AS (SELECT (row_number() OVER (ORDER BY lang, doc_id) - 1) // {_RG_ROWS} AS grp, m FROM d),
-pc AS (SELECT (row_number() OVER (ORDER BY lb, doc_id) - 1) // {_RG_ROWS} AS grp, m FROM d),
-pd AS (SELECT (row_number() OVER (ORDER BY z, doc_id) - 1) // {_RG_ROWS} AS grp, m FROM d)
-SELECT layout, n_groups, touched,
-       CAST((1000000 * touched) // greatest(n_groups, 1) AS BIGINT) AS touched_q6
-FROM (
-  SELECT 'doc_id_order' AS layout,
-         CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
-         CAST(count(DISTINCT CASE WHEN m = 1 THEN grp END) AS BIGINT) AS touched
-  FROM pa
-  UNION ALL
-  SELECT 'lang_sorted', CAST(count(DISTINCT grp) AS BIGINT),
-         CAST(count(DISTINCT CASE WHEN m = 1 THEN grp END) AS BIGINT) FROM pb
-  UNION ALL
-  SELECT 'len_sorted', CAST(count(DISTINCT grp) AS BIGINT),
-         CAST(count(DISTINCT CASE WHEN m = 1 THEN grp END) AS BIGINT) FROM pc
-  UNION ALL
-  SELECT 'zorder', CAST(count(DISTINCT grp) AS BIGINT),
-         CAST(count(DISTINCT CASE WHEN m = 1 THEN grp END) AS BIGINT) FROM pd
-) ORDER BY layout""",
-)
-def zorder_pruning_estimate(spark, sf_dir):
-    """Multi-dimensional clustering advisor: 64-row row-group touch
-    counts for the CONJUNCTIVE predicate lang='en' AND log2-length band
-    {6,7} under four physical layouts — doc_id order (the current
-    table), each single-column sort, and a 4+4-bit Morton/Z-ORDER
-    interleave of (lang ordinal, length bucket). The single-column
-    sorts each optimize ONE predicate leg and leave the other scattered
-    through every run; the z-curve trades a little locality on both
-    axes for clustering on BOTH at once — this op quantifies that trade
-    (the Delta/Iceberg OPTIMIZE ZORDER decision) the same way
-    sort_layout_pruning_estimate quantifies the 1-D sort.
-
-    Determinism: dense doc_ids make layout A a pure division; keyed
-    layouts rank by (key, doc_id); the interleave is ONE generated
-    integer expression (no engine shift builtins), lang ordinals come
-    from the sorted distinct-lang table.
-
-    Scale shape (Spark): every keyed layout uses the global_row_ids
-    two-pass form — per-key row_number + an exclusive prefix sum over
-    the tiny per-key counts table (≤256 z values) — never the oracle's
-    single global-ORDER window; the distinct-group rollups are map-side
-    conditional counts."""
-    d0 = _docs(spark, sf_dir).select(
-        "doc_id",
-        "lang",
-        F.expr("least(15, length(bin(greatest(n_chars, 1))) - 1)").alias("lb"),
-    )
-    lr = (
-        d0.select("lang")
-        .distinct()
-        .select(
-            "lang",
-            F.expr(
-                "least(15, row_number() OVER (ORDER BY lang) - 1)"
-            ).alias("la"),
-        )
-    )
-    d = (
-        d0.join(F.broadcast(lr), "lang")
-        .select(
-            "doc_id",
-            "lang",
-            "lb",
-            F.expr(_z_interleave("la", "lb", "div")).alias("z"),
-            F.expr(f"CASE WHEN {_ZO_PRED} THEN 1 ELSE 0 END").alias("m"),
-        )
-        .localCheckpoint()  # four layout consumers would re-derive otherwise
-    )
-
-    def _rollup(grp_df, name):
-        return grp_df.agg(
-            F.countDistinct("grp").cast("long").alias("n_groups"),
-            F.countDistinct(F.when(F.col("m") == 1, F.col("grp")))
-            .cast("long")
-            .alias("touched"),
-        ).select(
-            F.lit(name).alias("layout"),
-            "n_groups",
-            "touched",
-            F.expr(
-                "CAST((1000000 * touched) div greatest(n_groups, 1) AS BIGINT)"
-            ).alias("touched_q6"),
-        )
-
-    def _keyed(key, name):
-        kc = d.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        wk = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
-        off = kc.select(
-            key, F.coalesce(F.sum("cnt").over(wk), F.lit(0)).alias("off")
-        )
-        wr = Window.partitionBy(key).orderBy("doc_id")
-        p = (
-            d.withColumn("rn", F.row_number().over(wr))
-            .join(F.broadcast(off), key)
-            .select(F.expr(f"(off + rn - 1) div {_RG_ROWS}").alias("grp"), "m")
-        )
-        return _rollup(p, name)
-
-    pa = _rollup(
-        d.select(F.expr(f"doc_id div {_RG_ROWS}").alias("grp"), "m"),
-        "doc_id_order",
-    )
-    return (
-        pa.unionByName(_keyed("lang", "lang_sorted"))
-        .unionByName(_keyed("lb", "len_sorted"))
-        .unionByName(_keyed("z", "zorder"))
-        .orderBy("layout")
-    )
-
-
-@register(
-    "quantile_sketch_error",
-    """WITH v AS (SELECT CAST(n_chars AS BIGINT) AS val FROM documents),
-hist AS (SELECT val, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY val),
-h AS (
-  SELECT val, cnt,
-         CAST(COALESCE(sum(cnt) OVER (ORDER BY val
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
-         CAST(sum(cnt) OVER () AS BIGINT) AS n,
-         CAST(min(val) OVER () AS BIGINT) AS mn,
-         CAST(max(val) OVER () AS BIGINT) AS mx
-  FROM hist),
-q AS (SELECT p_q6 FROM (VALUES (100000), (250000), (500000), (750000), (900000)) _p(p_q6)),
-ex AS (
-  SELECT q.p_q6, max(h.n) AS n, max(h.mn) AS mn, max(h.mx) AS mx,
-         max((h.n - 1) * q.p_q6) AS x,
-         max(CASE WHEN h.cb <= ((h.n - 1) * q.p_q6) // 1000000 THEN h.val END) AS v_lo,
-         max(CASE WHEN h.cb <= ((h.n - 1) * q.p_q6) // 1000000 + 1 THEN h.val END) AS v_hi
-  FROM h, q GROUP BY q.p_q6),
-bh AS (
-  SELECT least(31, ((val - mn) * 32) // (mx - mn + 1)) AS bin,
-         mn, mx, n, CAST(sum(cnt) AS BIGINT) AS cnt
-  FROM h GROUP BY 1, 2, 3, 4),
-bc AS (
-  SELECT bin, mn, mx, n, cnt,
-         CAST(COALESCE(sum(cnt) OVER (ORDER BY bin
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
-  FROM bh),
-sk AS (
-  SELECT ex.p_q6,
-         CAST(round(1000000.0 * ((bc.mn + (bc.bin * (bc.mx - bc.mn + 1)) / 32.0)
-           + ((ex.x - 1000000 * bc.cb) / (1000000.0 * bc.cnt))
-             * ((bc.mx - bc.mn + 1) / 32.0))) AS BIGINT) AS sketch_q6
-  FROM ex JOIN bc
-    ON 1000000 * bc.cb <= ex.x AND ex.x < 1000000 * (bc.cb + bc.cnt))
-SELECT CAST(ex.p_q6 AS BIGINT) AS p_q6,
-       CAST(round(1000000.0 * (ex.v_lo + ((ex.x % 1000000) / 1000000.0)
-            * (ex.v_hi - ex.v_lo))) AS BIGINT) AS exact_q6,
-       sk.sketch_q6,
-       sk.sketch_q6 - CAST(round(1000000.0 * (ex.v_lo + ((ex.x % 1000000) / 1000000.0)
-            * (ex.v_hi - ex.v_lo))) AS BIGINT) AS err_q6
-FROM ex JOIN sk USING (p_q6) ORDER BY p_q6""",
-)
-def quantile_sketch_error(spark, sf_dir):
-    """Approximate-quantile accuracy audit: a 32-bucket EQUI-WIDTH
-    histogram sketch (the classic streaming/approx-percentile structure
-    — constant memory, mergeable, what monitoring systems actually
-    store) versus the exact type-7 percentile at p10/p25/p50/p75/p90
-    over document character lengths. The error column prices what the
-    bounded sketch gives up on THIS distribution — the same
-    sketch-vs-truth audit the cardinality family gets from
-    kmv_distinct_estimate/hll_precision_curve, pointed at quantiles.
-
-    Determinism: the continuous rank x = (n−1)·p_q6 stays a BIGINT;
-    bin membership is the integer cross-multiplication 1e6·cb ≤ x <
-    1e6·(cb+cnt) (exactly one bin qualifies — rank space is covered by
-    the bins' disjoint [cb, cb+cnt) ranges); both estimates are ONE
-    shared double expression from integer inputs, q6-rounded.
-
-    Scale shape: values collapse map-side to a value-histogram; every
-    window runs over histogram cells, the bin table is ≤32 rows and the
-    probe spine 5 rows — the doclen_quantiles discipline with a
-    32-cell second stage."""
-    v = _docs(spark, sf_dir).select(F.col("n_chars").cast("long").alias("val"))
-    hist = v.groupBy("val").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    w_cb = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    h = hist.select(
-        "val",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(w_cb), F.lit(0)).cast("long").alias("cb"),
-        F.sum("cnt").over(w_all).cast("long").alias("n"),
-        F.min("val").over(w_all).cast("long").alias("mn"),
-        F.max("val").over(w_all).cast("long").alias("mx"),
-    )
-    q = spark.createDataFrame(
-        [(100000,), (250000,), (500000,), (750000,), (900000,)], "p_q6 long"
-    )
-    x = (F.col("n") - 1) * F.col("p_q6")
-    ex = (
-        h.crossJoin(F.broadcast(q))
-        .groupBy("p_q6")
-        .agg(
-            F.max("n").alias("n"),
-            F.max("mn").alias("mn"),
-            F.max("mx").alias("mx"),
-            F.max(x).alias("x"),
-            F.max(
-                F.when(F.col("cb") <= F.expr("((n - 1) * p_q6) div 1000000"), F.col("val"))
-            ).alias("v_lo"),
-            F.max(
-                F.when(
-                    F.col("cb") <= F.expr("((n - 1) * p_q6) div 1000000 + 1"),
-                    F.col("val"),
-                )
-            ).alias("v_hi"),
-        )
-    )
-    bh = h.groupBy(
-        F.expr("least(31, ((val - mn) * 32) div (mx - mn + 1))").alias("bin"),
-        "mn",
-        "mx",
-        "n",
-    ).agg(F.sum("cnt").cast("long").alias("cnt"))
-    w_bc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
-    bc = bh.select(
-        "bin",
-        "mn",
-        "mx",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(w_bc), F.lit(0)).cast("long").alias("cb"),
-    )
-    exs = ex.select("p_q6", "x", "v_lo", "v_hi")
-    sk = exs.join(
-        bc.select("bin", "mn", "mx", "cnt", "cb"),
-        (F.lit(1000000) * F.col("cb") <= F.col("x"))
-        & (F.col("x") < F.lit(1000000) * (F.col("cb") + F.col("cnt"))),
-    ).select(
-        "p_q6",
-        F.expr(
-            "CAST(round(1000000.0 * ((mn + (bin * (mx - mn + 1)) / 32.0)"
-            " + ((x - 1000000 * cb) / (1000000.0 * cnt))"
-            " * ((mx - mn + 1) / 32.0))) AS BIGINT)"
-        ).alias("sketch_q6"),
-    )
-    exact = F.expr(
-        "CAST(round(1000000.0 * (v_lo + ((x % 1000000) / 1000000.0)"
-        " * (v_hi - v_lo))) AS BIGINT)"
-    )
-    return (
-        exs.join(sk, "p_q6")
-        .select(
-            F.col("p_q6").cast("long").alias("p_q6"),
-            exact.alias("exact_q6"),
-            "sketch_q6",
-            (F.col("sketch_q6") - exact).alias("err_q6"),
-        )
-        .orderBy("p_q6")
-    )
-
-
-@register(
-    "tiered_index_plan",
-    _bm25_agg_ctes(["spark", "hash", "join"])
-    + """,
-tper AS (
-  SELECT tf.doc_id, tf.term, tf.tf, dfs.df,
-         row_number() OVER (PARTITION BY tf.term
-                            ORDER BY tf.tf DESC, tf.doc_id ASC) AS r
-  FROM tf JOIN q USING (term) JOIN dfs USING (term)),
-tsel AS (SELECT doc_id, term, tf FROM tper
-         WHERE r <= (CAST(df AS BIGINT) + 3) // 4),
-tsc AS (
-  SELECT tf.doc_id,
-         ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))
-           * tf.tf * 2.2
-           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM st))) AS s
-  FROM tsel tf JOIN dfs USING (term) JOIN dl USING (doc_id)),
-tagg AS (SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6
-         FROM tsc GROUP BY doc_id),
-ftop AS (SELECT doc_id, score_q6 FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 10),
-ttop AS (SELECT doc_id, score_q6 FROM tagg ORDER BY score_q6 DESC, doc_id ASC LIMIT 10)
-SELECT (SELECT CAST(count(*) AS BIGINT) FROM tper) AS n_full_postings,
-       (SELECT CAST(count(*) AS BIGINT) FROM tsel) AS n_tier_postings,
-       (SELECT CAST(count(*) AS BIGINT) FROM ftop JOIN ttop USING (doc_id)) AS top10_overlap,
-       (SELECT CAST(COALESCE(sum(score_q6), 0) AS BIGINT) FROM ftop) AS sum_full_q6,
-       (SELECT CAST(COALESCE(sum(score_q6), 0) AS BIGINT) FROM ttop) AS sum_tier_q6""",
-)
-def tiered_index_plan(spark, sf_dir):
-    """Static index pruning / impact-tier audit (Lucene impact blocks,
-    Ntoulas-Cho static pruning): tier-1 keeps only each query term's
-    top ⌈df/4⌉ postings by tf (the high-impact quarter); score the
-    canned query against tier-1 alone — with FULL-corpus idf/avgdl, as
-    a pruned index serves — and report top-10 agreement with the
-    unpruned ranking plus the candidate-volume saving. High overlap at
-    4× fewer postings is the argument for serving head queries from a
-    tier-1-resident index and falling back to the full tier only on
-    disagreement risk (the two-tier architecture next to the engine's
-    own MaxScore gate, which prunes per-QUERY; this prunes the INDEX).
-
-    Determinism: tier membership ranks by (tf DESC, doc_id ASC); both
-    rankings order by quantized score with the doc_id tiebreak.
-
-    Scale shape: the per-term tier rank windows run on MATCHED postings
-    only (query-term partitions, df-bounded — in a real build this rank
-    is computed once at index time inside the segment writer's existing
-    term sharding); the tf table is localCheckpoint'd (dl/dfs/tier all
-    consume it — un-checkpointed each branch re-tokenizes); top-10s are
-    TakeOrdered collects, never corpus sorts."""
-    terms = ["spark", "hash", "join"]
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    st = dl.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg("doc_len").alias("avgdl"),
-    )
-    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    q = F.broadcast(spark.createDataFrame([(t,) for t in terms], "term string"))
-
-    def _score(df_in):
-        return (
-            df_in.join(dl, "doc_id")
-            .crossJoin(F.broadcast(st))
-            .select(
-                "doc_id",
-                (
-                    F.log(
-                        F.lit(1.0)
-                        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                    )
-                    * F.col("tf").cast("double")
-                    * F.lit(2.2)
-                    / (
-                        F.col("tf").cast("double")
-                        + F.lit(1.2)
-                        * (
-                            F.lit(0.25)
-                            + F.lit(0.75) * F.col("doc_len") / F.col("avgdl")
-                        )
-                    )
-                ).alias("s"),
-            )
-            .groupBy("doc_id")
-            .agg(_q6(F.sum("s")).alias("score_q6"))
-        )
-
-    mtf = tf.join(q, "term").join(dfs, "term")
-    wr = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
-    ranked = mtf.withColumn("r", F.row_number().over(wr))
-    tsel = ranked.where(
-        F.col("r") <= F.expr("(CAST(df AS BIGINT) + 3) div 4")
-    ).select("doc_id", "term", "tf", "df")
-    full_agg = _score(mtf.select("doc_id", "term", "tf", "df"))
-    tier_agg = _score(tsel)
-    ftop = full_agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
-    ttop = tier_agg.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(10)
-    nf = mtf.agg(F.count(F.lit(1)).cast("long").alias("n_full_postings"))
-    nt = tsel.agg(F.count(F.lit(1)).cast("long").alias("n_tier_postings"))
-    ov = (
-        ftop.select("doc_id")
-        .join(ttop.select("doc_id"), "doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("top10_overlap"))
-    )
-    sf = ftop.agg(
-        F.coalesce(F.sum("score_q6"), F.lit(0)).cast("long").alias("sum_full_q6")
-    )
-    st2 = ttop.agg(
-        F.coalesce(F.sum("score_q6"), F.lit(0)).cast("long").alias("sum_tier_q6")
-    )
-    return nf.crossJoin(nt).crossJoin(ov).crossJoin(sf).crossJoin(st2)
-
-
-# ---------------------------------------------------------------------------
-# session 199 — LFU cache-hit curve, k-mins cardinality sketch (streaming
-# twin in streaming/events.py), sampling-weight effective sample size
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "lfu_cache_hit_curve",
-    """WITH fr AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS f FROM lineitem GROUP BY 1),
-cells AS (SELECT f, CAST(count(*) AS BIGINT) AS nk FROM fr GROUP BY f),
-c2 AS (
-  SELECT f, nk,
-         CAST(COALESCE(sum(nk) OVER (ORDER BY f DESC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ka,
-         CAST(COALESCE(sum(f * nk) OVER (ORDER BY f DESC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ma
-  FROM cells),
-tot AS (SELECT CAST(COALESCE(sum(nk), 0) AS BIGINT) AS tk,
-               CAST(COALESCE(sum(f * nk), 0) AS BIGINT) AS tm FROM cells),
-ss AS (SELECT s FROM (VALUES (16), (64), (256), (1024)) _s(s)),
-sel AS (SELECT ss.s, c2.ma + (ss.s - c2.ka) * c2.f AS hit
-        FROM ss JOIN c2 ON c2.ka < ss.s AND ss.s <= c2.ka + c2.nk)
-SELECT CAST(ss.s AS BIGINT) AS cache_size,
-       CAST(COALESCE(sel.hit, tot.tm) AS BIGINT) AS hit_rows,
-       tot.tm AS total_rows,
-       CAST((1000000 * COALESCE(sel.hit, tot.tm)) // greatest(tot.tm, 1) AS BIGINT) AS hit_q6
-FROM ss LEFT JOIN sel ON sel.s = ss.s CROSS JOIN tot ORDER BY cache_size""",
-)
-def lfu_cache_hit_curve(spark, sf_dir):
-    """Serving-cache sizing curve: the EXACT hit rate an LFU (keep the
-    hottest keys) cache of size 16/64/256/1024 would achieve on the
-    part-access stream (lineitem rows per partkey) — what cache memory
-    buys what hit rate, the capacity-planning number behind every
-    hot-set residency decision (the engine's own block/doc caches
-    included). Computed with NO per-key global sort: the frequency
-    HISTOGRAM's descending prefix sums fund whole frequency bins and
-    only the boundary bin contributes a partial s−keys_above slice —
-    the quality_budget_select discipline pointed at cache planning.
-    Within the boundary bin any key choice gives the same mass (all
-    have frequency f), so the curve is choice-free exact.
-
-    Determinism: pure BIGINT bin arithmetic; the containment predicate
-    ka < s ≤ ka+nk selects exactly one bin for s ≤ total keys, and
-    larger caches COALESCE to total mass.
-
-    Scale shape: per-key counts are one map-combined exchange; the
-    prefix windows run over frequency-histogram CELLS only and the
-    4-row size spine theta-joins against them broadcast."""
-    fr = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("f"))
-    )
-    cells = fr.groupBy("f").agg(F.count(F.lit(1)).cast("long").alias("nk"))
-    w = Window.orderBy(F.col("f").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    c2 = cells.select(
-        "f",
-        "nk",
-        F.coalesce(F.sum("nk").over(w), F.lit(0)).cast("long").alias("ka"),
-        F.coalesce(F.sum(F.col("f") * F.col("nk")).over(w), F.lit(0))
-        .cast("long")
-        .alias("ma"),
-    )
-    tot = cells.agg(
-        F.coalesce(F.sum("nk"), F.lit(0)).cast("long").alias("tk"),
-        F.coalesce(F.sum(F.col("f") * F.col("nk")), F.lit(0))
-        .cast("long")
-        .alias("tm"),
-    )
-    ss = spark.createDataFrame([(16,), (64,), (256,), (1024,)], "s long")
-    sel = (
-        F.broadcast(ss)
-        .join(
-            c2,
-            (F.col("ka") < F.col("s"))
-            & (F.col("s") <= F.col("ka") + F.col("nk")),
-        )
-        .select("s", (F.col("ma") + (F.col("s") - F.col("ka")) * F.col("f")).alias("hit"))
-    )
-    return (
-        ss.join(sel, "s", "left")
-        .crossJoin(tot)
-        .select(
-            F.col("s").cast("long").alias("cache_size"),
-            F.coalesce(F.col("hit"), F.col("tm")).cast("long").alias("hit_rows"),
-            F.col("tm").alias("total_rows"),
-            F.expr(
-                "CAST((1000000 * COALESCE(hit, tm)) div greatest(tm, 1) AS BIGINT)"
-            ).alias("hit_q6"),
-        )
-        .orderBy("cache_size")
-    )
-
-
-# k(k-1)·2^47 for the k=32 k-mins estimator, folded in Python and inlined
-# in e-notation (a plain decimal literal is DECIMAL in Spark SQL)
-_KMINS_C = repr(float(32 * 31 * (1 << 47)))
-
-
-@register(
-    "kmins_user_estimate",
-    f"""WITH h AS (
-  SELECT ('0x' || substr(md5('km:' || CAST(user_id AS VARCHAR)), 1, 13))::UBIGINT::BIGINT AS h
-  FROM events),
-r AS (SELECT h % 32 AS reg, h // 32 AS v FROM h),
-c AS (SELECT reg, CAST(min(v) AS BIGINT) AS minv FROM r GROUP BY reg),
-a AS (SELECT CAST(count(*) AS BIGINT) AS n_filled,
-             CAST(COALESCE(sum(minv), 0) AS BIGINT) AS sv FROM c),
-n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
-e AS (
-  SELECT n.n_users, a.n_filled,
-         CAST(CASE WHEN a.n_filled < 32 THEN n.n_users
-              ELSE round({_KMINS_C} / CAST(greatest(a.sv, 1) AS DOUBLE)) END AS BIGINT)
-           AS kmins_est
-  FROM n, a)
-SELECT n_users, n_filled, kmins_est,
-       CAST((1000000 * abs(kmins_est - n_users)) // greatest(n_users, 1) AS BIGINT) AS err_q6
-FROM e""",
-)
-def kmins_user_estimate(spark, sf_dir):
-    """k-mins (per-register minimum hash) cardinality sketch accuracy
-    audit: 32 registers each keep the SMALLEST 47-bit seeded hash value
-    routed to them (h % 32 → register, h div 32 → value); NDV ≈
-    k(k−1)·2^47 / Σ min — the THIRD cardinality-sketch family beside
-    HLL (register max-merge) and KMV (bottom-k). Its reason to exist
-    here: unlike KMV, the register-min table IS a running aggregation
-    (min-merge, idempotent), so it streams with ≤32 rows of state —
-    streaming/events.py:kmins_user_stream maintains the identical table
-    and the stream/batch identity is pytest-proven. Under-filled
-    sketches (n_filled < 32, the sf0.001 reading) fall back to exact,
-    the KMV rule.
-
-    Determinism: register minima are exact BIGINTs, Σ min ≤ 32·2^47
-    stays BIGINT; ONE float division against the Python-folded constant
-    (e-notation, the _HLL_C rule), then half-away round.
-
-    Scale shape: one map-combined groupBy(reg).min — 32 cells out
-    regardless of user cardinality; the exact count is audit-only."""
-    from docix_spark.streaming.events import kmins_user_cells
-
-    ev = _events(spark, sf_dir)
-    cells = kmins_user_cells(ev)
-    a = cells.agg(
-        F.count(F.lit(1)).cast("long").alias("n_filled"),
-        F.coalesce(F.sum("minv"), F.lit(0)).cast("long").alias("sv"),
-    )
-    n = ev.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
-    e = n.crossJoin(a).select(
-        "n_users",
-        "n_filled",
-        F.expr(
-            f"CAST(CASE WHEN n_filled < 32 THEN n_users"
-            f" ELSE round({_KMINS_C} / CAST(greatest(sv, 1) AS DOUBLE)) END AS BIGINT)"
-        ).alias("kmins_est"),
-    )
-    return e.select(
-        "n_users",
-        "n_filled",
-        "kmins_est",
-        F.expr(
-            "CAST((1000000 * abs(kmins_est - n_users)) div greatest(n_users, 1) AS BIGINT)"
-        ).alias("err_q6"),
-    )
-
-
-@register(
-    "sampling_weight_ess",
-    f"""WITH t AS (
-  SELECT CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
-  FROM documents),
-w AS (SELECT CAST(round(1000000 * pow(n_tok, 7e-1)) AS BIGINT) // 1000 AS w3 FROM t),
-a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(COALESCE(sum(w3), 0) AS BIGINT) AS s1,
-             CAST(COALESCE(sum(w3 * w3), 0) AS BIGINT) AS s2,
-             CAST(COALESCE(max(w3), 0) AS BIGINT) AS mx
-      FROM w)
-SELECT n_docs,
-       CAST(CASE WHEN s2 = 0 THEN 0
-            ELSE round((CAST(s1 AS DOUBLE) * s1) / s2) END AS BIGINT) AS ess_docs,
-       CAST(CASE WHEN s2 = 0 THEN 0
-            ELSE round(1000000 * (CAST(s1 AS DOUBLE) * s1)
-                 / (CAST(n_docs AS DOUBLE) * s2)) END AS BIGINT) AS ess_ratio_q6,
-       CAST((1000000 * mx) // greatest(s1, 1) AS BIGINT) AS max_share_q6
-FROM a""",
-)
-def sampling_weight_ess(spark, sf_dir):
-    """Effective sample size of the temperature-sampling weights: with
-    per-doc weight w = n_tok^0.7 (the temperature_mix_weights exponent
-    applied at DOCUMENT grain), ESS = (Σw)²/Σw² is how many
-    equally-weighted documents the weighted corpus is WORTH — the
-    importance-sampling diagnostic that says whether a weighted epoch
-    plan is effectively training on the whole corpus (ESS/n → 1) or on
-    a heavy-tailed sliver (ESS/n → 0, with max_share naming the worst
-    single-document concentration). The standard pre-flight before
-    trusting any weighted sampler (weighted_sample_docs, the epoch
-    plans) at scale.
-
-    Determinism: w is q6-rounded per DOC first (pow exponent in
-    e-notation), floored to q3 BEFORE the sums so Σw² stays inside the
-    2^63 envelope (~1e8 docs, the embedding_norm_outliers rule); the
-    two ratios are single float expressions casting from the FIRST
-    multiply; max_share is an integer cross-multiplication.
-
-    Scale shape: entirely map-side into one 4-number aggregate."""
-    t = _docs(spark, sf_dir).select(
-        F.size(spark_tokens("text")).cast("long").alias("n_tok")
-    )
-    w = t.select(
-        F.expr("CAST(round(1000000 * pow(n_tok, 7e-1)) AS BIGINT) div 1000").alias("w3")
-    )
-    a = w.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.coalesce(F.sum("w3"), F.lit(0)).cast("long").alias("s1"),
-        F.coalesce(F.sum(F.col("w3") * F.col("w3")), F.lit(0))
-        .cast("long")
-        .alias("s2"),
-        F.coalesce(F.max("w3"), F.lit(0)).cast("long").alias("mx"),
-    )
-    return a.select(
-        "n_docs",
-        F.expr(
-            "CAST(CASE WHEN s2 = 0 THEN 0"
-            " ELSE round((CAST(s1 AS DOUBLE) * s1) / s2) END AS BIGINT)"
-        ).alias("ess_docs"),
-        F.expr(
-            "CAST(CASE WHEN s2 = 0 THEN 0"
-            " ELSE round(1000000 * (CAST(s1 AS DOUBLE) * s1)"
-            " / (CAST(n_docs AS DOUBLE) * s2)) END AS BIGINT)"
-        ).alias("ess_ratio_q6"),
-        F.expr("CAST((1000000 * mx) div greatest(s1, 1) AS BIGINT)").alias(
-            "max_share_q6"
-        ),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 200 — runs test, filter-order advisor, stream-state sizing
-# ---------------------------------------------------------------------------
-
-# Wald-Wolfowitz z² from exact per-user integers (n, n1, n2, R) — ONE
-# shared float expression string, cast from the FIRST multiply.
-_RUNS_Z2 = (
-    "round(1000000 * "
-    "((R - 1.0 - (CAST(2 * n1 AS DOUBLE) * n2) / n)"
-    " * (R - 1.0 - (CAST(2 * n1 AS DOUBLE) * n2) / n))"
-    " / ((CAST(2 * n1 * n2 AS DOUBLE) * (2 * n1 * n2 - n))"
-    " / ((CAST(n AS DOUBLE) * n) * (n - 1))))"
-)
-
-
-@register(
-    "user_runs_test",
-    f"""WITH e AS (
-  SELECT user_id, epoch_us(ts) AS us, event_id,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS mk
-  FROM events),
-lg AS (
-  SELECT user_id, mk,
-         lag(mk) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pm
-  FROM e),
-u AS (
-  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(mk) AS BIGINT) AS n1,
-         CAST(count(*) - sum(mk) AS BIGINT) AS n2,
-         CAST(1 + COALESCE(sum(CASE WHEN pm IS NOT NULL AND mk <> pm
-                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS R
-  FROM lg GROUP BY user_id),
-t AS (SELECT * FROM u WHERE n1 >= 1 AND n2 >= 1),
-z AS (SELECT CAST({_RUNS_Z2} AS BIGINT) AS z2_q6
-      FROM t WHERE 2 * n1 * n2 > n)
-SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_tested,
-       (SELECT CAST(COALESCE(sum(CASE WHEN n * R < n + 2 * n1 * n2 THEN 1 ELSE 0 END), 0)
-               AS BIGINT) FROM t) AS n_blocky,
-       (SELECT CAST(COALESCE(sum(CASE WHEN n * R > n + 2 * n1 * n2 THEN 1 ELSE 0 END), 0)
-               AS BIGINT) FROM t) AS n_alternating,
-       (SELECT CAST(count(*) AS BIGINT) FROM z) AS n_scored,
-       (SELECT CAST(COALESCE(sum(z2_q6), 0) // greatest(count(*), 1) AS BIGINT) FROM z)
-         AS mean_z2_q6""",
-)
-def user_runs_test(spark, sf_dir):
-    """Wald-Wolfowitz runs test on each user's event sequence, marked
-    purchase vs everything else: do purchases CLUSTER in bursts (fewer
-    runs than the 1 + 2·n1·n2/n expectation — 'blocky', binge-buying /
-    batch writes) or ALTERNATE more than chance (periodic cart
-    behavior)? Completes the inference family (KS, Mann-Whitney,
-    t-test, chi², ANOVA) with the SEQUENCE-randomness test none of the
-    others sees — they all treat the event stream as an exchangeable
-    bag. Blocky/alternating classification is the exact integer
-    comparison n·R vs n + 2·n1·n2; the z² summary averages the exact
-    per-user statistic over users where its variance is positive
-    (2·n1·n2 > n, the textbook condition).
-
-    Determinism: equal-timestamp events order by event_id in the lag
-    (the interevent rule); z² is ONE shared float expression over exact
-    BIGINTs, q6-rounded per USER first, mean = BIGINT sum // count.
-
-    Scale shape: ONE user-keyed lag window (the sessionization
-    exchange), then per-user 4-number rows roll up map-side."""
-    e = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-        "event_id",
-        F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END").alias("mk"),
-    )
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    lg = e.select("user_id", "mk", F.lag("mk").over(w).alias("pm"))
-    u = lg.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("mk").cast("long").alias("n1"),
-        (F.count(F.lit(1)) - F.sum("mk")).cast("long").alias("n2"),
-        (
-            F.lit(1)
-            + F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("pm").isNotNull() & (F.col("mk") != F.col("pm")),
-                        F.lit(1),
-                    ).otherwise(F.lit(0))
-                ),
-                F.lit(0),
-            )
-        )
-        .cast("long")
-        .alias("R"),
-    )
-    t = u.where((F.col("n1") >= 1) & (F.col("n2") >= 1)).localCheckpoint()
-    z = t.where(F.expr("2 * n1 * n2 > n")).select(
-        F.expr(f"CAST({_RUNS_Z2} AS BIGINT)").alias("z2_q6")
-    )
-    tested = t.agg(
-        F.count(F.lit(1)).cast("long").alias("n_tested"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN n * R < n + 2 * n1 * n2 THEN 1 ELSE 0 END")),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_blocky"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN n * R > n + 2 * n1 * n2 THEN 1 ELSE 0 END")),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_alternating"),
-    )
-    zz = z.agg(
-        F.count(F.lit(1)).cast("long").alias("n_scored"),
-        F.expr(
-            "CAST(COALESCE(sum(z2_q6), 0) div greatest(count(*), 1) AS BIGINT)"
-        ).alias("mean_z2_q6"),
-    )
-    return tested.crossJoin(zz)
-
-
-_FOA_PERMS = [
-    ("ABC", "na", "nab"), ("ACB", "na", "nac"),
-    ("BAC", "nb", "nab"), ("BCA", "nb", "nbc"),
-    ("CAB", "nc", "nac"), ("CBA", "nc", "nbc"),
-]
-
-
-@register(
-    "filter_order_advisor",
-    f"""WITH tf AS ({SQL_TF}),
-s AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
-             CAST(count(*) AS BIGINT) AS n_distinct
-      FROM tf GROUP BY doc_id),
-g AS (
-  SELECT CASE WHEN s.n_tok >= 8 THEN 1 ELSE 0 END AS a,
-         CASE WHEN 5 * s.n_distinct >= 2 * s.n_tok THEN 1 ELSE 0 END AS b,
-         CASE WHEN d.lang <> 'zh' THEN 1 ELSE 0 END AS c
-  FROM s JOIN documents d USING (doc_id)),
-m AS (
-  SELECT CAST(count(*) AS BIGINT) AS n,
-         CAST(COALESCE(sum(a), 0) AS BIGINT) AS na,
-         CAST(COALESCE(sum(b), 0) AS BIGINT) AS nb,
-         CAST(COALESCE(sum(c), 0) AS BIGINT) AS nc,
-         CAST(COALESCE(sum(a * b), 0) AS BIGINT) AS nab,
-         CAST(COALESCE(sum(a * c), 0) AS BIGINT) AS nac,
-         CAST(COALESCE(sum(b * c), 0) AS BIGINT) AS nbc
-  FROM g)
-SELECT perm, actual_cost, indep_cost, actual_cost - indep_cost AS err_rows
-FROM (
-  SELECT 'ABC' AS perm, n + na + nab AS actual_cost,
-         n + na + (na * nb) // greatest(n, 1) AS indep_cost FROM m
-  UNION ALL SELECT 'ACB', n + na + nac, n + na + (na * nc) // greatest(n, 1) FROM m
-  UNION ALL SELECT 'BAC', n + nb + nab, n + nb + (nb * na) // greatest(n, 1) FROM m
-  UNION ALL SELECT 'BCA', n + nb + nbc, n + nb + (nb * nc) // greatest(n, 1) FROM m
-  UNION ALL SELECT 'CAB', n + nc + nac, n + nc + (nc * na) // greatest(n, 1) FROM m
-  UNION ALL SELECT 'CBA', n + nc + nbc, n + nc + (nc * nb) // greatest(n, 1) FROM m
-) ORDER BY perm""",
-)
-def filter_order_advisor(spark, sf_dir):
-    """Predicate-ordering advisor — the classic optimizer decision made
-    measurable: three independent quality gates (A: length ≥ 8 tokens,
-    B: the training-mix TTR gate 5·distinct ≥ 2·tokens, C: lang ≠ 'zh')
-    can cascade in 6 orders; rows examined = n + pass(first) +
-    pass(first two). The ACTUAL cost uses the measured pairwise pass
-    counts (gate correlation included); the INDEPENDENCE estimate uses
-    only marginal selectivities (p1·p2/n) — their gap is exactly the
-    correlation an optimizer's independence assumption gets wrong
-    (the row-count side of join_size_estimates' NDV story, applied to
-    predicate pushdown order).
-
-    Determinism: everything is conditional BIGINT sums off ONE 7-number
-    aggregate; the independence product uses floor division,
-    documented.
-
-    Scale shape: one tokenize → per-doc stats → a single map-side
-    7-counter agg; the 6 output rows are constructed FROM that one row
-    (Spark: a 6-element stack over the broadcast scalar row — the
-    adjacency_matrix_agg rule; the oracle UNION-ALLs per perm, fine for
-    DuckDB, never for Spark)."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    s = tf.groupBy("doc_id").agg(
-        F.sum("tf").cast("long").alias("n_tok"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct"),
-    )
-    d = _docs(spark, sf_dir).select("doc_id", "lang")
-    g = s.join(d, "doc_id").select(
-        F.expr("CASE WHEN n_tok >= 8 THEN 1 ELSE 0 END").alias("a"),
-        F.expr("CASE WHEN 5 * n_distinct >= 2 * n_tok THEN 1 ELSE 0 END").alias("b"),
-        F.expr("CASE WHEN lang <> 'zh' THEN 1 ELSE 0 END").alias("c"),
-    )
-    m = g.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum("a"), F.lit(0)).cast("long").alias("na"),
-        F.coalesce(F.sum("b"), F.lit(0)).cast("long").alias("nb"),
-        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("nc"),
-        F.coalesce(F.sum(F.col("a") * F.col("b")), F.lit(0)).cast("long").alias("nab"),
-        F.coalesce(F.sum(F.col("a") * F.col("c")), F.lit(0)).cast("long").alias("nac"),
-        F.coalesce(F.sum(F.col("b") * F.col("c")), F.lit(0)).cast("long").alias("nbc"),
-    )
-    stack = ", ".join(
-        f"'{p}', n + {p1} + {p12},"
-        f" n + {p1} + ({p1} * {m2}) div greatest(n, 1)"
-        for (p, p1, p12), m2 in zip(
-            _FOA_PERMS, ["nb", "nc", "na", "nc", "na", "nb"]
-        )
-    )
-    return (
-        m.select(
-            F.expr(
-                f"stack(6, {stack}) AS (perm, actual_cost, indep_cost)"
-            )
-        )
-        .select(
-            "perm",
-            "actual_cost",
-            "indep_cost",
-            (F.col("actual_cost") - F.col("indep_cost")).alias("err_rows"),
-        )
-        .orderBy("perm")
-    )
-
-
-@register(
-    "stream_state_size_curve",
-    """WITH e AS (
-  SELECT epoch_us(ts) // 60000000 AS minute
-  FROM events WHERE event_type IN ('view', 'click')),
-c AS (SELECT minute, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY minute),
-w AS (
-  SELECT minute, n,
-         CAST(sum(n) OVER (ORDER BY minute
-           RANGE BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS s10,
-         CAST(sum(n) OVER (ORDER BY minute
-           RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS BIGINT) AS s60,
-         CAST(sum(n) OVER (ORDER BY minute
-           RANGE BETWEEN 359 PRECEDING AND CURRENT ROW) AS BIGINT) AS s360
-  FROM c)
-SELECT w_minutes, max_state_rows, total_rows,
-       CAST((1000000 * max_state_rows) // greatest(total_rows, 1) AS BIGINT)
-         AS peak_share_q6
-FROM (
-  SELECT CAST(10 AS BIGINT) AS w_minutes,
-         CAST(COALESCE(max(s10), 0) AS BIGINT) AS max_state_rows,
-         CAST(COALESCE(sum(n), 0) AS BIGINT) AS total_rows FROM w
-  UNION ALL
-  SELECT 60, CAST(COALESCE(max(s60), 0) AS BIGINT),
-         CAST(COALESCE(sum(n), 0) AS BIGINT) FROM w
-  UNION ALL
-  SELECT 360, CAST(COALESCE(max(s360), 0) AS BIGINT),
-         CAST(COALESCE(sum(n), 0) AS BIGINT) FROM w
-) ORDER BY w_minutes""",
-)
-def stream_state_size_curve(spark, sf_dir):
-    """Stream-stream join state sizing: the view⋈click funnel join holds
-    BOTH sides' rows for the watermark window, so its state at time t is
-    the arrival count in (t−W, t] — this op reports the PEAK of that
-    sliding count for W = 10/60/360 minutes, the number that decides
-    executor memory for Spark's streaming joins (state grows linearly
-    in W; the curve prices each watermark-relaxation step). The peak of
-    a trailing count is always attained at an arrival minute (state
-    only decays between arrivals), so the maximum over observed minute
-    CELLS is exact — no spine fill needed.
-
-    Determinism: integer minute keys; RANGE window frames (value-based,
-    so calendar gaps expire correctly — a ROWS frame over sparse cells
-    would silently widen the window across gaps, the
-    events_daily_envelope contrast); exact BIGINT sums and maxima.
-
-    Scale shape: arrivals collapse map-side to per-minute cells; the
-    three RANGE windows share ONE sort over cells (calendar-bounded
-    rows); the 3-row rollup is map-side."""
-    e = _events(spark, sf_dir).where(
-        F.col("event_type").isin("view", "click")
-    ).select(
-        F.expr("unix_micros(cast(ts as timestamp)) div 60000000").alias("minute")
-    )
-    c = e.groupBy("minute").agg(F.count(F.lit(1)).cast("long").alias("n"))
-
-    def _frame(back):
-        return (
-            Window.orderBy("minute").rangeBetween(-back, 0)
-        )
-
-    w = c.select(
-        "minute",
-        "n",
-        F.sum("n").over(_frame(9)).cast("long").alias("s10"),
-        F.sum("n").over(_frame(59)).cast("long").alias("s60"),
-        F.sum("n").over(_frame(359)).cast("long").alias("s360"),
-    ).localCheckpoint()  # three per-W rollups consume it
-    rows = []
-    for wm, col in [(10, "s10"), (60, "s60"), (360, "s360")]:
-        rows.append(
-            w.agg(
-                F.coalesce(F.max(col), F.lit(0)).cast("long").alias("max_state_rows"),
-                F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("total_rows"),
-            ).select(
-                F.lit(wm).cast("long").alias("w_minutes"),
-                "max_state_rows",
-                "total_rows",
-            )
-        )
-    out = rows[0].unionByName(rows[1]).unionByName(rows[2])
-    return out.select(
-        "w_minutes",
-        "max_state_rows",
-        "total_rows",
-        F.expr(
-            "CAST((1000000 * max_state_rows) div greatest(total_rows, 1) AS BIGINT)"
-        ).alias("peak_share_q6"),
-    ).orderBy("w_minutes")
-
-
-# ---------------------------------------------------------------------------
-# session 201 — Fellegi-Sunter linkage weights, SPRT curve, exchange sizing
-# ---------------------------------------------------------------------------
-
-
-def _fs_weights(ma: str, ua: str) -> tuple[str, str]:
-    """Fellegi-Sunter agreement/disagreement weights ln(m/u) with +1
-    smoothing as TWO shared float expressions over exact integer counts
-    (nm, nu in scope) — cast from the FIRST multiply; per-feature
-    placeholders substituted by name so chained features can't collide
-    (the _sb_nlp rule)."""
-    agree = (
-        f"CAST(round(1000000 * ln((CAST({ma} + 1 AS DOUBLE) * (nu + 2))"
-        f" / (CAST(nm + 2 AS DOUBLE) * ({ua} + 1)))) AS BIGINT)"
-    )
-    disagree = (
-        f"CAST(round(1000000 * ln((CAST(nm + 1 - {ma} AS DOUBLE) * (nu + 2))"
-        f" / (CAST(nm + 2 AS DOUBLE) * (nu + 1 - {ua})))) AS BIGINT)"
-    )
-    return agree, disagree
-
-
-@register(
-    "linkage_mu_weights",
-    _SQL_LSH_PAIRS
-    + f""",
-at AS (SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS nc, md5(text) AS hh
-       FROM documents),
-pf AS (
-  SELECT CASE WHEN x.hh = y.hh THEN 1 ELSE 0 END AS is_match,
-         CASE WHEN x.source = y.source THEN 1 ELSE 0 END AS fs,
-         CASE WHEN 10 * abs(x.nc - y.nc) <= greatest(x.nc, y.nc) THEN 1 ELSE 0 END AS fl,
-         CASE WHEN x.lang = y.lang THEN 1 ELSE 0 END AS fg
-  FROM pairs p JOIN at x ON x.doc_id = p.doc_a JOIN at y ON y.doc_id = p.doc_b),
-m AS (
-  SELECT CAST(COALESCE(sum(is_match), 0) AS BIGINT) AS nm,
-         CAST(COALESCE(sum(1 - is_match), 0) AS BIGINT) AS nu,
-         CAST(COALESCE(sum(is_match * fs), 0) AS BIGINT) AS ms,
-         CAST(COALESCE(sum((1 - is_match) * fs), 0) AS BIGINT) AS us,
-         CAST(COALESCE(sum(is_match * fl), 0) AS BIGINT) AS ml,
-         CAST(COALESCE(sum((1 - is_match) * fl), 0) AS BIGINT) AS ul,
-         CAST(COALESCE(sum(is_match * fg), 0) AS BIGINT) AS mg,
-         CAST(COALESCE(sum((1 - is_match) * fg), 0) AS BIGINT) AS ug
-  FROM pf)
-SELECT feature, n_match, n_match_agree, n_nonmatch, n_nonmatch_agree,
-       w_agree_q6, w_disagree_q6
-FROM (
-  SELECT 'lang_same' AS feature, nm AS n_match, mg AS n_match_agree,
-         nu AS n_nonmatch, ug AS n_nonmatch_agree,
-         {_fs_weights('mg', 'ug')[0]} AS w_agree_q6,
-         {_fs_weights('mg', 'ug')[1]} AS w_disagree_q6 FROM m
-  UNION ALL
-  SELECT 'len_close', nm, ml, nu, ul,
-         {_fs_weights('ml', 'ul')[0]}, {_fs_weights('ml', 'ul')[1]} FROM m
-  UNION ALL
-  SELECT 'source_same', nm, ms, nu, us,
-         {_fs_weights('ms', 'us')[0]}, {_fs_weights('ms', 'us')[1]} FROM m
-) ORDER BY feature""",
-)
-def linkage_mu_weights(spark, sf_dir):
-    """Fellegi-Sunter probabilistic record linkage, trained on the
-    engine's own dedup signals: over the MinHash-LSH candidate pairs,
-    exact-duplicate membership (md5 equality) is the match label and
-    three cheap comparators (same source, character lengths within 10%,
-    same lang) get their m = P(agree|match) and u = P(agree|non-match)
-    estimated from the counts — the log ratio ln(m/u) IS the classic
-    linkage weight (+1 smoothing, since a perfect comparator has
-    u = 0). The weights turn ad-hoc blocking heuristics into a
-    calibrated match score; features whose agree/disagree weights
-    straddle 0 widely are the informative ones (the supervised
-    completion of blocking_strategy_compare, which scores candidate
-    GENERATORS — this scores the comparators applied after blocking).
-
-    Determinism: all counts are conditional BIGINT sums off ONE
-    8-counter aggregate; the four weights per feature are shared float
-    expressions (cast from the first multiply) q6-rounded.
-
-    Scale shape: the candidate pairs come from the memoized LSH edge
-    front half; doc attributes join on doc_id (un-hinted — corpus-sized
-    at scale); one map-side aggregate, 3 output rows stacked from it
-    (Spark stack; the oracle UNION-ALLs, fine for DuckDB only)."""
-    pairs = _lsh_pair_edges(spark, sf_dir).where(F.col("src") < F.col("dst"))
-    at = _docs(spark, sf_dir).select(
-        "doc_id",
-        "source",
-        "lang",
-        F.col("n_chars").cast("long").alias("nc"),
-        F.md5("text").alias("hh"),
-    )
-    x = at.alias("x")
-    y = at.alias("y")
-    pf = (
-        pairs.join(x, F.col("src") == F.col("x.doc_id"))
-        .join(y, F.col("dst") == F.col("y.doc_id"))
-        .select(
-            F.expr("CASE WHEN x.hh = y.hh THEN 1 ELSE 0 END").alias("is_match"),
-            F.expr("CASE WHEN x.source = y.source THEN 1 ELSE 0 END").alias("fs"),
-            F.expr(
-                "CASE WHEN 10 * abs(x.nc - y.nc) <= greatest(x.nc, y.nc)"
-                " THEN 1 ELSE 0 END"
-            ).alias("fl"),
-            F.expr("CASE WHEN x.lang = y.lang THEN 1 ELSE 0 END").alias("fg"),
-        )
-    )
-    m = pf.agg(
-        F.coalesce(F.sum("is_match"), F.lit(0)).cast("long").alias("nm"),
-        F.coalesce(F.sum(F.lit(1) - F.col("is_match")), F.lit(0))
-        .cast("long")
-        .alias("nu"),
-        F.coalesce(F.sum(F.col("is_match") * F.col("fs")), F.lit(0))
-        .cast("long")
-        .alias("ms"),
-        F.coalesce(F.sum((F.lit(1) - F.col("is_match")) * F.col("fs")), F.lit(0))
-        .cast("long")
-        .alias("us"),
-        F.coalesce(F.sum(F.col("is_match") * F.col("fl")), F.lit(0))
-        .cast("long")
-        .alias("ml"),
-        F.coalesce(F.sum((F.lit(1) - F.col("is_match")) * F.col("fl")), F.lit(0))
-        .cast("long")
-        .alias("ul"),
-        F.coalesce(F.sum(F.col("is_match") * F.col("fg")), F.lit(0))
-        .cast("long")
-        .alias("mg"),
-        F.coalesce(F.sum((F.lit(1) - F.col("is_match")) * F.col("fg")), F.lit(0))
-        .cast("long")
-        .alias("ug"),
-    )
-    cells = []
-    for name, ma, ua in [
-        ("lang_same", "mg", "ug"),
-        ("len_close", "ml", "ul"),
-        ("source_same", "ms", "us"),
-    ]:
-        wa, wd = _fs_weights(ma, ua)
-        cells.append(f"'{name}', nm, {ma}, nu, {ua}, {wa}, {wd}")
-    return (
-        m.select(
-            F.expr(
-                f"stack(3, {', '.join(cells)}) AS (feature, n_match,"
-                " n_match_agree, n_nonmatch, n_nonmatch_agree,"
-                " w_agree_q6, w_disagree_q6)"
-            )
-        )
-        .orderBy("feature")
-    )
-
-
-# SPRT constants folded in Python (the ndcg integer-fold rule):
-# per-observation LLR magnitude for symmetric H0 p=0.45 vs H1 p=0.55,
-# and the alpha=beta=0.05 decision boundary ln(19).
-_SPRT_C = 200671  # round(1e6 * ln(0.55/0.45))
-_SPRT_B = 2944439  # round(1e6 * ln(19))
-
-
-@register(
-    "ab_sprt_curve",
-    f"""WITH u AS (
-  SELECT user_id,
-         min(epoch_us(ts)) AS first_us,
-         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv
-  FROM events GROUP BY user_id),
-r AS (
-  SELECT seq, cumc FROM (
-    SELECT row_number() OVER (ORDER BY first_us, user_id) AS seq,
-           CAST(sum(conv) OVER (ORDER BY first_us, user_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc
-    FROM u) _w)
-SELECT CAST(seq AS BIGINT) AS seq, cumc AS cum_converted,
-       CAST((2 * cumc - seq) * {_SPRT_C} AS BIGINT) AS cum_llr_q6,
-       CASE WHEN (2 * cumc - seq) * {_SPRT_C} >= {_SPRT_B} THEN 'accept_h1'
-            WHEN (2 * cumc - seq) * {_SPRT_C} <= -{_SPRT_B} THEN 'accept_h0'
-            ELSE 'continue' END AS decision
-FROM r ORDER BY seq""",
-)
-def ab_sprt_curve(spark, sf_dir):
-    """Wald's sequential probability ratio test on user conversion, in
-    user-ARRIVAL order: H0 p=0.45 vs H1 p=0.55 (symmetric, so the
-    cumulative log-likelihood ratio is EXACTLY (2·converted − n)·c with
-    c = ln(.55/.45) folded once to a q6 integer — the whole curve is
-    integer arithmetic). Each row is the state after the n-th user
-    arrived, with the α=β=0.05 decision (±ln 19): the sequential-
-    analysis member of the A/B family — ab_significance tests at a
-    FIXED n, ab_power_table sizes that n in advance, this is the test
-    that is valid to PEEK at after every user, the thing naive repeated
-    z-testing is not.
-
-    Determinism: arrival order is (first event time, user_id); per-user
-    conversion is a max-flag; the LLR and boundaries are exact BIGINTs.
-
-    Scale shape: ONE user-keyed exchange for the per-user min/max aggs;
-    the rank and running-sum windows share one sort over the per-user
-    3-column table (users ≪ events; at corpus scale the sequence index
-    takes the global_row_ids sub-shard form, documented)."""
-    u = _events(spark, sf_dir).groupBy("user_id").agg(
-        F.expr("min(unix_micros(cast(ts as timestamp)))").alias("first_us"),
-        F.max(
-            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
-        )
-        .cast("long")
-        .alias("conv"),
-    )
-    w = Window.orderBy("first_us", "user_id")
-    r = u.select(
-        F.row_number().over(w).cast("long").alias("seq"),
-        F.sum("conv")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long")
-        .alias("cumc"),
-    )
-    return r.select(
-        "seq",
-        F.col("cumc").alias("cum_converted"),
-        F.expr(f"CAST((2 * cumc - seq) * {_SPRT_C} AS BIGINT)").alias("cum_llr_q6"),
-        F.expr(
-            f"CASE WHEN (2 * cumc - seq) * {_SPRT_C} >= {_SPRT_B} THEN 'accept_h1'"
-            f" WHEN (2 * cumc - seq) * {_SPRT_C} <= -{_SPRT_B} THEN 'accept_h0'"
-            f" ELSE 'continue' END"
-        ).alias("decision"),
-    ).orderBy("seq")
-
-
-@register(
-    "exchange_volume_board",
-    f"""WITH tf AS ({SQL_TF}),
-t1 AS (SELECT CAST(COALESCE(sum(tf), 0) AS BIGINT) AS rows_in,
-              CAST(count(*) AS BIGINT) AS rows_shuffled,
-              CAST(COALESCE(sum(20 + length(term)), 0) AS BIGINT) AS est_bytes
-       FROM tf),
-t2 AS (SELECT CAST(count(*) AS BIGINT) AS rows_in,
-              CAST(count(*) AS BIGINT) AS rows_shuffled,
-              CAST(24 * count(*) AS BIGINT) AS est_bytes FROM lineitem),
-s3 AS (SELECT source, CAST(count(*) AS BIGINT) AS nr FROM documents GROUP BY source),
-t3 AS (SELECT CAST(COALESCE(sum(nr), 0) AS BIGINT) AS rows_in,
-              CAST(count(*) AS BIGINT) AS rows_shuffled,
-              CAST(COALESCE(sum(length(source) + 12), 0) AS BIGINT) AS est_bytes
-       FROM s3)
-SELECT exchange, rows_in, rows_shuffled, est_bytes,
-       CAST((1000000 * rows_shuffled) // greatest(rows_in, 1) AS BIGINT)
-         AS reduction_q6
-FROM (
-  SELECT 'docs_to_source_agg' AS exchange, rows_in, rows_shuffled, est_bytes FROM t3
-  UNION ALL
-  SELECT 'lineitem_to_orders_join', rows_in, rows_shuffled, est_bytes FROM t2
-  UNION ALL
-  SELECT 'tokens_to_tf', rows_in, rows_shuffled, est_bytes FROM t1
-) ORDER BY exchange""",
-)
-def exchange_volume_board(spark, sf_dir):
-    """Shuffle-volume sizing board for the engine's three exchange
-    archetypes, using the broadcast_threshold_audit byte model: (1) the
-    tokenize→tf aggregation — map-side combine shrinks token
-    occurrences to distinct (doc,term) cells BEFORE the wire, so
-    rows_shuffled/rows_in is the partial-agg reduction factor; (2) the
-    lineitem→orders FK join — joins cannot combine, every projected
-    fact row crosses the wire (8 B key + 16 B payload, the Q5
-    projection); (3) the docs→source rollup — low-cardinality partial
-    agg, near-total reduction. The board is the quantified version of
-    'minimize shuffles': it prices each exchange in rows AND bytes so
-    the costliest wire is named before any plan change (the network
-    sibling of join_size_estimates' cardinality story and
-    fact_key_skew_census's balance story).
-
-    Determinism: exact counts and length sums; one floor division.
-
-    Scale shape: three independent map-side aggregates — the board
-    itself shuffles nothing beyond the tf table's own exchange."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    t1 = tf.agg(
-        F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("rows_in"),
-        F.count(F.lit(1)).cast("long").alias("rows_shuffled"),
-        F.coalesce(F.sum(F.lit(20) + F.length("term")), F.lit(0))
-        .cast("long")
-        .alias("est_bytes"),
-    ).select(F.lit("tokens_to_tf").alias("exchange"), "rows_in", "rows_shuffled", "est_bytes")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    t2 = li.agg(
-        F.count(F.lit(1)).cast("long").alias("rows_in"),
-        F.count(F.lit(1)).cast("long").alias("rows_shuffled"),
-        (F.lit(24) * F.count(F.lit(1))).cast("long").alias("est_bytes"),
-    ).select(
-        F.lit("lineitem_to_orders_join").alias("exchange"),
-        "rows_in",
-        "rows_shuffled",
-        "est_bytes",
-    )
-    s3 = _docs(spark, sf_dir).groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("nr")
-    )
-    t3 = s3.agg(
-        F.coalesce(F.sum("nr"), F.lit(0)).cast("long").alias("rows_in"),
-        F.count(F.lit(1)).cast("long").alias("rows_shuffled"),
-        F.coalesce(F.sum(F.length("source") + F.lit(12)), F.lit(0))
-        .cast("long")
-        .alias("est_bytes"),
-    ).select(
-        F.lit("docs_to_source_agg").alias("exchange"),
-        "rows_in",
-        "rows_shuffled",
-        "est_bytes",
-    )
-    return (
-        t3.unionByName(t2)
-        .unionByName(t1)
-        .select(
-            "exchange",
-            "rows_in",
-            "rows_shuffled",
-            "est_bytes",
-            F.expr(
-                "CAST((1000000 * rows_shuffled) div greatest(rows_in, 1) AS BIGINT)"
-            ).alias("reduction_q6"),
-        )
-        .orderBy("exchange")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 202 — minhash collision calibration, Theil-Sen trend, storage tiers
-# ---------------------------------------------------------------------------
-
-# per-pair 2-rows-2-bands collision theory 1 - (1 - J^2)^2 from exact
-# integer (inter, un) — ONE shared double expression, j2 inlined twice
-_MHC_J2 = "((CAST(inter AS DOUBLE) * inter) / (CAST(un AS DOUBLE) * un))"
-_MHC_TH = (
-    f"CAST(round(1000000 * (1 - (1 - {_MHC_J2}) * (1 - {_MHC_J2}))) AS BIGINT)"
-)
-
-
-@register(
-    "minhash_collision_calibration",
-    _SQL_LSH_PAIRS
-    + f""",
-ss AS (SELECT doc_id, CAST(count(DISTINCT sh) AS BIGINT) AS ns FROM sh GROUP BY doc_id),
-ip AS (
-  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-pj AS (
-  SELECT ip.inter, sa.ns + sb.ns - ip.inter AS un,
-         CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
-  FROM ip
-  JOIN ss sa ON sa.doc_id = ip.da
-  JOIN ss sb ON sb.doc_id = ip.db
-  LEFT JOIN pairs p ON p.doc_a = ip.da AND p.doc_b = ip.db),
-dd AS (
-  SELECT least(9, (10 * inter) // un) AS dec, is_cand,
-         {_MHC_TH} AS th_q6
-  FROM pj),
-r AS (
-  SELECT dec, CAST(count(*) AS BIGINT) AS n_pairs,
-         CAST(COALESCE(sum(is_cand), 0) AS BIGINT) AS n_cand,
-         CAST(COALESCE(sum(th_q6), 0) AS BIGINT) AS th_sum
-  FROM dd GROUP BY dec),
-spine AS (SELECT unnest(generate_series(0, 9)) AS dec)
-SELECT CAST(spine.dec AS BIGINT) AS j_decile,
-       CAST(COALESCE(r.n_pairs, 0) AS BIGINT) AS n_pairs,
-       CAST(COALESCE(r.n_cand, 0) AS BIGINT) AS n_candidates,
-       CAST((1000000 * COALESCE(r.n_cand, 0)) // greatest(COALESCE(r.n_pairs, 0), 1)
-            AS BIGINT) AS empirical_q6,
-       CAST(COALESCE(r.th_sum, 0) // greatest(COALESCE(r.n_pairs, 0), 1) AS BIGINT)
-         AS theory_q6
-FROM spine LEFT JOIN r ON r.dec = spine.dec ORDER BY j_decile""",
-)
-def minhash_collision_calibration(spark, sf_dir):
-    """MinHash-LSH calibration curve — the banded-collision probability
-    as a function of TRUE Jaccard, empirical vs the textbook
-    1 − (1 − J^r)^b (r=2 rows/band, b=2 bands, the engine's own band
-    construction): over the shingle-blocked pair universe (every pair
-    sharing ≥1 shingle — exact J computable there, and pairs outside it
-    have J=0), bucket by J decile and report the observed candidate
-    rate next to the mean theoretical collision probability. The
-    minhash twin of signlsh_calibration_curve: deviations price what 4
-    correlated salt-permutations give up versus the idealized
-    independent-permutation S-curve, and the decile where empirical
-    crosses ~50% IS the sketch's effective threshold
-    (lsh_candidate_precision/recall report single points; this is the
-    whole curve).
-
-    Determinism: J deciles are integer cross-multiplications; per-pair
-    theory is ONE shared double expression q6-rounded FIRST, means are
-    BIGINT sums with one floor division; the 10-row spine keeps empty
-    deciles reporting.
-
-    Scale shape: the truth join blocks on shingle equality (never
-    all-pairs), candidates come from the memoized LSH edge table, and
-    the decile rollup is map-side."""
-    sh = _shingles_spark(spark, sf_dir).select("doc_id", "sh").distinct().localCheckpoint()
-    ss = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("ns"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    ip = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
-    )
-    cand = (
-        _lsh_pair_edges(spark, sf_dir)
-        .where(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("ca"), F.col("dst").alias("cb"))
-        .withColumn("flag", F.lit(1))
-    )
-    pj = (
-        ip.join(ss.select(F.col("doc_id").alias("da"), F.col("ns").alias("nsa")), "da")
-        .join(ss.select(F.col("doc_id").alias("db"), F.col("ns").alias("nsb")), "db")
-        .join(
-            cand,
-            (F.col("da") == F.col("ca")) & (F.col("db") == F.col("cb")),
-            "left",
-        )
-        .select(
-            "inter",
-            (F.col("nsa") + F.col("nsb") - F.col("inter")).alias("un"),
-            F.coalesce("flag", F.lit(0)).alias("is_cand"),
-        )
-    )
-    dd = pj.select(
-        F.expr("least(9, (10 * inter) div un)").alias("dec"),
-        "is_cand",
-        F.expr(_MHC_TH).alias("th_q6"),
-    )
-    r = dd.groupBy("dec").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.coalesce(F.sum("is_cand"), F.lit(0)).cast("long").alias("n_cand"),
-        F.coalesce(F.sum("th_q6"), F.lit(0)).cast("long").alias("th_sum"),
-    )
-    spine = spark.createDataFrame([(i,) for i in range(10)], "dec long")
-    return (
-        spine.join(r, "dec", "left")
-        .select(
-            F.col("dec").cast("long").alias("j_decile"),
-            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
-            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_candidates"),
-            F.expr(
-                "CAST((1000000 * COALESCE(n_cand, 0))"
-                " div greatest(COALESCE(n_pairs, 0), 1) AS BIGINT)"
-            ).alias("empirical_q6"),
-            F.expr(
-                "CAST(COALESCE(th_sum, 0) div greatest(COALESCE(n_pairs, 0), 1)"
-                " AS BIGINT)"
-            ).alias("theory_q6"),
-        )
-        .orderBy("j_decile")
-    )
-
-
-@register(
-    "theil_sen_daily_trend",
-    """WITH d AS (
-  SELECT epoch_us(ts) // 86400000000 AS day_num, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY day_num),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM d),
-spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
-f AS (SELECT spine.day_num, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
-      FROM spine LEFT JOIN d USING (day_num)),
-sl AS (
-  SELECT CAST((1000000 * (f2.n - f1.n)) // (f2.day_num - f1.day_num) AS BIGINT) AS s_q6
-  FROM f f1 JOIN f f2 ON f2.day_num > f1.day_num),
-hist AS (SELECT s_q6, CAST(count(*) AS BIGINT) AS cnt FROM sl GROUP BY s_q6),
-h AS (
-  SELECT s_q6, cnt,
-         CAST(COALESCE(sum(cnt) OVER (ORDER BY s_q6
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
-         CAST(sum(cnt) OVER () AS BIGINT) AS np
-  FROM hist),
-med AS (
-  SELECT CAST(COALESCE(max(np), 0) AS BIGINT) AS np,
-         max(CASE WHEN 2 * cb <= np - 1 THEN s_q6 END) AS v_lo,
-         max(CASE WHEN 2 * cb <= np THEN s_q6 END) AS v_hi
-  FROM h),
-sg AS (
-  SELECT CAST(COALESCE(sum(CASE WHEN s_q6 > 0 THEN cnt ELSE 0 END), 0) AS BIGINT) AS n_pos,
-         CAST(COALESCE(sum(CASE WHEN s_q6 < 0 THEN cnt ELSE 0 END), 0) AS BIGINT) AS n_neg,
-         CAST(COALESCE(sum(CASE WHEN s_q6 = 0 THEN cnt ELSE 0 END), 0) AS BIGINT) AS n_zero
-  FROM h)
-SELECT (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_days,
-       med.np AS n_pairs,
-       CAST(COALESCE(round((v_lo + v_hi) / 2.0), 0) AS BIGINT) AS ts_slope_q6,
-       sg.n_pos AS n_pos_slopes, sg.n_neg AS n_neg_slopes, sg.n_zero AS n_zero_slopes
-FROM med, sg""",
-)
-def theil_sen_daily_trend(spark, sf_dir):
-    """Theil-Sen robust trend of daily event volume: the MEDIAN of all
-    pairwise day-to-day slopes over the zero-filled calendar spine —
-    the robust-regression completion of the family (MAD = robust
-    spread, winsorized mean = robust location, bootstrap = robust CI;
-    daily_revenue_trend's OLS slope moves arbitrarily far under one
-    outage day, Theil-Sen tolerates ~29% corruption). The sign census
-    (positive/negative/zero pairwise slopes) is Kendall's S statistic
-    for free — direction evidence independent of magnitude.
-
-    Determinism: slopes are quantized to q6 by truncating integer
-    division FIRST (both engines truncate toward zero, the session-105
-    verified rule — negative slopes included), so the median runs over
-    exact integers; the median of n values is (v@⌊(n−1)/2⌋ +
-    v@⌈(n−1)/2⌉)/2 via the histogram cum-before probes (2·cb ≤ n∓1),
-    one shared float rounding.
-
-    Scale shape: the day×day pair join is CALENDAR-bounded (the
-    half_mass_window argument — ~10^5 pairs for a year, independent of
-    corpus size); the median machinery runs over slope-histogram
-    cells."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
-                "day_num"
-            )
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    b = d.agg(
-        F.min("day_num").cast("long").alias("lo"),
-        F.max("day_num").cast("long").alias("hi"),
-    )
-    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day_num"))
-    f = (
-        spine.join(d, "day_num", "left")
-        .select("day_num", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
-        .localCheckpoint()  # pair join consumes it twice + the day count
-    )
-    f1 = f.select(F.col("day_num").alias("d1"), F.col("n").alias("n1"))
-    f2 = f.select(F.col("day_num").alias("d2"), F.col("n").alias("n2"))
-    sl = f1.join(f2, F.col("d2") > F.col("d1")).select(
-        F.expr("CAST((1000000 * (n2 - n1)) div (d2 - d1) AS BIGINT)").alias("s_q6")
-    )
-    hist = sl.groupBy("s_q6").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    w_cb = Window.orderBy("s_q6").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    h = hist.select(
-        "s_q6",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(w_cb), F.lit(0)).cast("long").alias("cb"),
-        F.sum("cnt").over(w_all).cast("long").alias("np"),
-    ).localCheckpoint()  # median probes + sign census
-    med = h.agg(
-        F.coalesce(F.max("np"), F.lit(0)).cast("long").alias("np"),
-        F.max(F.when(F.expr("2 * cb <= np - 1"), F.col("s_q6"))).alias("v_lo"),
-        F.max(F.when(F.expr("2 * cb <= np"), F.col("s_q6"))).alias("v_hi"),
-    )
-    sg = h.agg(
-        F.coalesce(F.sum(F.when(F.col("s_q6") > 0, F.col("cnt")).otherwise(F.lit(0))), F.lit(0))
-        .cast("long")
-        .alias("n_pos"),
-        F.coalesce(F.sum(F.when(F.col("s_q6") < 0, F.col("cnt")).otherwise(F.lit(0))), F.lit(0))
-        .cast("long")
-        .alias("n_neg"),
-        F.coalesce(F.sum(F.when(F.col("s_q6") == 0, F.col("cnt")).otherwise(F.lit(0))), F.lit(0))
-        .cast("long")
-        .alias("n_zero"),
-    )
-    nd = f.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
-    return nd.crossJoin(med).crossJoin(sg).select(
-        "n_days",
-        F.col("np").alias("n_pairs"),
-        F.expr("CAST(COALESCE(round((v_lo + v_hi) / 2.0), 0) AS BIGINT)").alias(
-            "ts_slope_q6"
-        ),
-        F.col("n_pos").alias("n_pos_slopes"),
-        F.col("n_neg").alias("n_neg_slopes"),
-        F.col("n_zero").alias("n_zero_slopes"),
-    )
-
-
-@register(
-    "storage_tier_advisor",
-    """WITH li AS (
-  SELECT epoch_us(l_shipdate) // 86400000000 AS sd,
-         CAST(72 + length(l_returnflag) + 4 + length(l_linestatus) + 4 AS BIGINT)
-           AS row_bytes
-  FROM lineitem),
-mx AS (SELECT CAST(max(sd) AS BIGINT) AS mxd FROM li),
-t AS (
-  SELECT CASE WHEN mx.mxd - li.sd < 30 THEN 'a_hot'
-              WHEN mx.mxd - li.sd < 90 THEN 'b_warm'
-              WHEN mx.mxd - li.sd < 180 THEN 'c_cool'
-              ELSE 'd_cold' END AS tier,
-         row_bytes
-  FROM li, mx),
-r AS (SELECT tier, CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(COALESCE(sum(row_bytes), 0) AS BIGINT) AS est_bytes
-      FROM t GROUP BY tier),
-tot AS (SELECT CAST(COALESCE(sum(n_rows), 0) AS BIGINT) AS tn FROM r),
-spine AS (SELECT tier FROM (VALUES ('a_hot'), ('b_warm'), ('c_cool'), ('d_cold')) _t(tier))
-SELECT spine.tier AS tier,
-       CAST(COALESCE(r.n_rows, 0) AS BIGINT) AS n_rows,
-       CAST(COALESCE(r.est_bytes, 0) AS BIGINT) AS est_bytes,
-       CAST((1000000 * COALESCE(r.n_rows, 0)) // greatest(tot.tn, 1) AS BIGINT)
-         AS row_share_q6
-FROM spine LEFT JOIN r ON r.tier = spine.tier CROSS JOIN tot ORDER BY spine.tier""",
-)
-def storage_tier_advisor(spark, sf_dir):
-    """Hot/warm/cool/cold storage tiering board: lineitem rows and
-    estimated bytes (the broadcast_threshold_audit byte model: 9
-    scalars + the two flag strings) bucketed by ship-date age relative
-    to the dataset's own maximum — <30 / <90 / <180 / ≥180 days. The
-    cold tier's byte mass is exactly what moving to object storage or
-    a slower Parquet pool saves, and the hot share sizes the cache/SSD
-    tier — the data-lifecycle sibling of lfu_cache_hit_curve (that op
-    tiers by ACCESS frequency, this one by AGE, the two axes real
-    lifecycle policies combine). Anchoring to the dataset max keeps the
-    op deterministic on static data (the open_order_age rule).
-
-    Determinism: integer day arithmetic off one 1-row max broadcast;
-    the 4-row spine keeps empty tiers reporting; exact byte sums.
-
-    Scale shape: one map-side pass over the fact table; the rollup has
-    4 cells."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000").alias("sd"),
-        F.expr(
-            "CAST(72 + length(l_returnflag) + 4 + length(l_linestatus) + 4 AS BIGINT)"
-        ).alias("row_bytes"),
-    )
-    mx = li.agg(F.max("sd").cast("long").alias("mxd"))
-    t = li.crossJoin(F.broadcast(mx)).select(
-        F.expr(
-            "CASE WHEN mxd - sd < 30 THEN 'a_hot'"
-            " WHEN mxd - sd < 90 THEN 'b_warm'"
-            " WHEN mxd - sd < 180 THEN 'c_cool'"
-            " ELSE 'd_cold' END"
-        ).alias("tier"),
-        "row_bytes",
-    )
-    r = t.groupBy("tier").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.coalesce(F.sum("row_bytes"), F.lit(0)).cast("long").alias("est_bytes"),
-    )
-    tot = r.agg(F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("tn"))
-    spine = spark.createDataFrame(
-        [("a_hot",), ("b_warm",), ("c_cool",), ("d_cold",)], "tier string"
-    )
-    return (
-        spine.join(r, "tier", "left")
-        .crossJoin(tot)
-        .select(
-            "tier",
-            F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
-            F.coalesce("est_bytes", F.lit(0)).cast("long").alias("est_bytes"),
-            F.expr(
-                "CAST((1000000 * COALESCE(n_rows, 0)) div greatest(tn, 1) AS BIGINT)"
-            ).alias("row_share_q6"),
-        )
-        .orderBy("tier")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 203 — rank-biased overlap, NB dispersion fit, FD bin-width advisor
-# ---------------------------------------------------------------------------
-
-# RBO weights (1-p)·p^(d-1)/d at p=0.9, d=1..10, folded to q9 INTEGERS in
-# Python (the ndcg rule) — the per-depth contribution is then w·X_d exact.
-_RBO_W = [
-    100000000, 45000000, 27000000, 18225000, 13122000,
-    9841500, 7592014, 5978711, 4782969, 3874205,
-]
-
-
-@register(
-    "rank_biased_overlap",
-    _bm25_agg_ctes(["spark", "dup"])
-    + f""",
-ar AS (SELECT doc_id, row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS ra
-       FROM (SELECT doc_id, score_q6 FROM agg
-             ORDER BY score_q6 DESC, doc_id ASC LIMIT 10) _a),
-cfs AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
-nd2 AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(doc_len) AS BIGINT) AS tot FROM dl),
-pin AS (SELECT tf.doc_id, CAST(tf.tf AS BIGINT) AS tfv,
-               CAST(dl.doc_len AS BIGINT) AS dlv, cfs.cf AS cf,
-               nd2.tot AS tot, nd2.nd AS nd
-        FROM tf JOIN q USING (term) JOIN cfs USING (term)
-        JOIN dl USING (doc_id) CROSS JOIN nd2),
-pper AS (SELECT doc_id, {{PL2S}} AS s FROM pin),
-pagg AS (SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6
-         FROM pper GROUP BY doc_id),
-pr AS (SELECT doc_id, row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rb
-       FROM (SELECT doc_id, score_q6 FROM pagg
-             ORDER BY score_q6 DESC, doc_id ASC LIMIT 10) _p),
-j AS (SELECT ar.ra, pr.rb FROM ar JOIN pr USING (doc_id)),
-ds AS (SELECT unnest(generate_series(1, 10)) AS depth),
-xs AS (SELECT ds.depth,
-              CAST(COALESCE(sum(CASE WHEN j.ra <= ds.depth AND j.rb <= ds.depth
-                                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS x_d
-       FROM ds LEFT JOIN j ON TRUE GROUP BY ds.depth),
-w AS (SELECT * FROM (VALUES {", ".join(f"({d + 1}, {w})" for d, w in enumerate(_RBO_W))})
-      _w(depth, w_q9)),
-o AS (SELECT xs.depth, xs.x_d, w.w_q9 FROM xs JOIN w USING (depth))
-SELECT CAST(depth AS BIGINT) AS depth, x_d,
-       CAST((1000000 * x_d) // depth AS BIGINT) AS agreement_q6,
-       CAST(w_q9 AS BIGINT) AS w_q9,
-       CAST(CAST(sum(w_q9 * x_d) OVER (ORDER BY depth
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) // 1000
-         AS BIGINT) AS rbo_cum_q6
-FROM o ORDER BY depth""".replace("{PL2S}", _PL2_S),
-)
-def rank_biased_overlap(spark, sf_dir):
-    """Rank-biased overlap (Webber et al. 2010) between the BM25 and
-    DFR-PL2 top-10s for the same query — the TOP-WEIGHTED version of
-    bm25_pl2_overlap's set intersection: agreement at depth d gets
-    geometric weight (1−p)·p^(d−1)/d (p=0.9), so two rankings that
-    agree on the first page's head score far higher than ones agreeing
-    only at the tail. Emits the full depth curve (agreement@d + the
-    cumulative RBO) — the model-agreement number IR evaluations
-    actually quote when comparing rankers, since plain overlap treats
-    rank 1 and rank 10 as equals.
-
-    Determinism: both legs rank over quantized scores with the doc_id
-    tiebreak; the weights are Python-folded q9 INTEGERS (the ndcg
-    rule), so every cumulative contribution w·X_d is exact BIGINT; per-
-    depth agreement is an integer cross-multiplication.
-
-    Scale shape: both rankings are TakeOrdered 10-row collects off
-    shared tf plumbing (the PL2 leg reuses the overlap op's CTE chain);
-    everything downstream runs on ≤10-row tables."""
-    bt = (
-        _bm25_match_set(spark, sf_dir, _PL2_TERMS)
-        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(10)
-    )
-    ar = bt.withColumn(
-        "ra",
-        F.row_number()
-        .over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id")))
-        .cast("long"),
-    ).select("doc_id", "ra")
-    pr = dfr_pl2_search(spark, sf_dir).select(
-        "doc_id", F.col("rank").alias("rb")
-    )
-    j = ar.join(pr, "doc_id").select("ra", "rb")
-    ds = spark.createDataFrame([(d,) for d in range(1, 11)], "depth long")
-    xs = (
-        ds.join(j, F.lit(True), "left")
-        .groupBy("depth")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        (F.col("ra") <= F.col("depth"))
-                        & (F.col("rb") <= F.col("depth")),
-                        F.lit(1),
-                    ).otherwise(F.lit(0))
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("x_d")
-        )
-    )
-    w = spark.createDataFrame(
-        [(d + 1, wq) for d, wq in enumerate(_RBO_W)], "depth long, w_q9 long"
-    )
-    o = xs.join(F.broadcast(w), "depth")
-    wc = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        o.select(
-            F.col("depth").cast("long").alias("depth"),
-            "x_d",
-            F.expr("CAST((1000000 * x_d) div depth AS BIGINT)").alias("agreement_q6"),
-            "w_q9",
-            F.expr("w_q9 * x_d").alias("contrib"),
-        )
-        .withColumn("cum", F.sum("contrib").over(wc).cast("long"))
-        .select(
-            "depth",
-            "x_d",
-            "agreement_q6",
-            "w_q9",
-            F.expr("CAST(cum div 1000 AS BIGINT)").alias("rbo_cum_q6"),
-        )
-        .orderBy("depth")
-    )
-
-
-# NB method-of-moments pieces — population mean/variance in the float-mean
-# form (exact-integer numerators, identical IEEE order both engines).
-_NB_MU = "(CAST(s1 AS DOUBLE) / n)"
-_NB_VAR = "((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1) / (CAST(n AS DOUBLE) * n))"
-
-
-@register(
-    "user_count_nb_fit",
-    f"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
-           FROM events GROUP BY user_id),
-a AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS s1,
-             CAST(COALESCE(sum(cnt * cnt), 0) AS BIGINT) AS s2
-      FROM c)
-SELECT n AS n_users,
-       CAST(round(1000000 * {_NB_MU}) AS BIGINT) AS mean_q6,
-       CAST(round(1000000 * {_NB_VAR}) AS BIGINT) AS var_q6,
-       CASE WHEN CAST(n AS DOUBLE) * s2 > CAST(s1 AS DOUBLE) * s1 + CAST(n AS DOUBLE) * s1
-            THEN 1 ELSE 0 END AS overdispersed,
-       CAST(CASE WHEN CAST(n AS DOUBLE) * s2 > CAST(s1 AS DOUBLE) * s1 + CAST(n AS DOUBLE) * s1
-            THEN round(1000000 * ({_NB_MU} * {_NB_MU}) / ({_NB_VAR} - {_NB_MU}))
-            ELSE 0 END AS BIGINT) AS nb_r_q6,
-       CAST(CASE WHEN CAST(n AS DOUBLE) * s2 > CAST(s1 AS DOUBLE) * s1 + CAST(n AS DOUBLE) * s1
-            THEN round(1000000 * {_NB_MU} / {_NB_VAR})
-            ELSE 0 END AS BIGINT) AS nb_p_q6
-FROM a WHERE n > 0""",
-)
-def user_count_nb_fit(spark, sf_dir):
-    """Negative-binomial fit of per-user event counts by method of
-    moments: r = μ²/(σ²−μ), p = μ/σ² — the overdispersed count model
-    every traffic simulator and capacity planner reaches for when the
-    Poisson assumption fails (events_dispersion_index MEASURES the
-    overdispersion; this op converts it into the distribution's
-    parameters, the value_lognormal_fit treatment for counts). A
-    non-overdispersed stream (σ² ≤ μ — NB undefined) reports the flag 0
-    and parameter sentinels, never a negative r.
-
-    Determinism: one map-side (n, Σc, Σc²) aggregate of exact BIGINTs;
-    mean/variance in the float-mean form with every product cast from
-    the FIRST multiply (the chi² rule — products pass 2^53 before they
-    pass BIGINT); the dispersion gate is the same double comparison in
-    both engines.
-
-    Scale shape: ONE user-keyed exchange, then scalar math."""
-    c = _events(spark, sf_dir).groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
-    a = c.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("s1"),
-        F.coalesce(F.sum(F.col("cnt") * F.col("cnt")), F.lit(0))
-        .cast("long")
-        .alias("s2"),
-    )
-    gate = (
-        "CAST(n AS DOUBLE) * s2 > CAST(s1 AS DOUBLE) * s1 + CAST(n AS DOUBLE) * s1"
-    )
-    return a.where(F.col("n") > 0).select(
-        F.col("n").alias("n_users"),
-        F.expr(f"CAST(round(1000000 * {_NB_MU}) AS BIGINT)").alias("mean_q6"),
-        F.expr(f"CAST(round(1000000 * {_NB_VAR}) AS BIGINT)").alias("var_q6"),
-        F.expr(f"CASE WHEN {gate} THEN 1 ELSE 0 END").alias("overdispersed"),
-        F.expr(
-            f"CAST(CASE WHEN {gate}"
-            f" THEN round(1000000 * ({_NB_MU} * {_NB_MU}) / ({_NB_VAR} - {_NB_MU}))"
-            f" ELSE 0 END AS BIGINT)"
-        ).alias("nb_r_q6"),
-        F.expr(
-            f"CAST(CASE WHEN {gate}"
-            f" THEN round(1000000 * {_NB_MU} / {_NB_VAR})"
-            f" ELSE 0 END AS BIGINT)"
-        ).alias("nb_p_q6"),
-    )
-
-
-@register(
-    "fd_binwidth_advisor",
-    """WITH v AS (SELECT CAST(n_chars AS BIGINT) AS val FROM documents),
-hist AS (SELECT val, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY val),
-h AS (
-  SELECT val, cnt,
-         CAST(COALESCE(sum(cnt) OVER (ORDER BY val
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
-         CAST(sum(cnt) OVER () AS BIGINT) AS n,
-         CAST(min(val) OVER () AS BIGINT) AS mn,
-         CAST(max(val) OVER () AS BIGINT) AS mx
-  FROM hist),
-q AS (SELECT p_q6 FROM (VALUES (250000), (750000)) _p(p_q6)),
-ex AS (
-  SELECT q.p_q6, max(h.n) AS n, max(h.mn) AS mn, max(h.mx) AS mx,
-         max((h.n - 1) * q.p_q6) AS x,
-         max(CASE WHEN h.cb <= ((h.n - 1) * q.p_q6) // 1000000 THEN h.val END) AS v_lo,
-         max(CASE WHEN h.cb <= ((h.n - 1) * q.p_q6) // 1000000 + 1 THEN h.val END) AS v_hi
-  FROM h, q GROUP BY q.p_q6),
-qq AS (
-  SELECT p_q6, n, mn, mx,
-         CAST(round(1000000.0 * (v_lo + ((x % 1000000) / 1000000.0)
-              * (v_hi - v_lo))) AS BIGINT) AS q_q6
-  FROM ex),
-iq AS (
-  SELECT max(n) AS n, max(mn) AS mn, max(mx) AS mx,
-         max(CASE WHEN p_q6 = 750000 THEN q_q6 END)
-           - max(CASE WHEN p_q6 = 250000 THEN q_q6 END) AS iqr_q6
-  FROM qq)
-SELECT n AS n_vals, iqr_q6,
-       CAST(round(2.0 * iqr_q6 / cbrt(CAST(n AS DOUBLE))) AS BIGINT) AS fd_width_q6,
-       CAST(CASE WHEN round(2.0 * iqr_q6 / cbrt(CAST(n AS DOUBLE))) >= 1
-            THEN (1000000 * (mx - mn)
-                  + CAST(round(2.0 * iqr_q6 / cbrt(CAST(n AS DOUBLE))) AS BIGINT) - 1)
-                 // CAST(round(2.0 * iqr_q6 / cbrt(CAST(n AS DOUBLE))) AS BIGINT)
-            ELSE -1 END AS BIGINT) AS fd_n_bins,
-       CAST((1000000 * (mx - mn + 1)) // 32 AS BIGINT) AS fixed32_width_q6
-FROM iq""",
-)
-def fd_binwidth_advisor(spark, sf_dir):
-    """Freedman-Diaconis histogram bin-width advisor: width = 2·IQR/∛n
-    over document character lengths — the statistically-sized answer to
-    the bucket-count knob every histogram op in this registry hardcodes
-    (quantile_sketch_error's 32 equi-width bins included; the
-    fixed-32 width sits beside the FD recommendation so the gap is the
-    sizing error). IQR comes from the exact type-7 quartile machinery;
-    a degenerate IQR of 0 (half the mass on one value) reports the
-    fd_n_bins = −1 sentinel rather than a division blowup.
-
-    Determinism: quartiles are the integer-rank histogram probes with
-    ONE shared interpolation expression; cbrt is the engines' shared
-    libm cbrt on an exact double; bin count is the exact-ceil integer
-    form (x+w−1)//w.
-
-    Scale shape: value-histogram cells only — the doclen_quantiles
-    discipline end to end."""
-    v = _docs(spark, sf_dir).select(F.col("n_chars").cast("long").alias("val"))
-    hist = v.groupBy("val").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    w_cb = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    h = hist.select(
-        "val",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(w_cb), F.lit(0)).cast("long").alias("cb"),
-        F.sum("cnt").over(w_all).cast("long").alias("n"),
-        F.min("val").over(w_all).cast("long").alias("mn"),
-        F.max("val").over(w_all).cast("long").alias("mx"),
-    )
-    q = spark.createDataFrame([(250000,), (750000,)], "p_q6 long")
-    ex = (
-        h.crossJoin(F.broadcast(q))
-        .groupBy("p_q6")
-        .agg(
-            F.max("n").alias("n"),
-            F.max("mn").alias("mn"),
-            F.max("mx").alias("mx"),
-            F.max((F.col("n") - 1) * F.col("p_q6")).alias("x"),
-            F.max(
-                F.when(F.col("cb") <= F.expr("((n - 1) * p_q6) div 1000000"), F.col("val"))
-            ).alias("v_lo"),
-            F.max(
-                F.when(
-                    F.col("cb") <= F.expr("((n - 1) * p_q6) div 1000000 + 1"),
-                    F.col("val"),
-                )
-            ).alias("v_hi"),
-        )
-    )
-    qq = ex.select(
-        "p_q6",
-        "n",
-        "mn",
-        "mx",
-        F.expr(
-            "CAST(round(1000000.0 * (v_lo + ((x % 1000000) / 1000000.0)"
-            " * (v_hi - v_lo))) AS BIGINT)"
-        ).alias("q_q6"),
-    )
-    iq = qq.agg(
-        F.max("n").alias("n"),
-        F.max("mn").alias("mn"),
-        F.max("mx").alias("mx"),
-        (
-            F.max(F.when(F.col("p_q6") == 750000, F.col("q_q6")))
-            - F.max(F.when(F.col("p_q6") == 250000, F.col("q_q6")))
-        ).alias("iqr_q6"),
-    )
-    wexpr = "round(2.0 * iqr_q6 / cbrt(CAST(n AS DOUBLE)))"
-    return iq.select(
-        F.col("n").alias("n_vals"),
-        "iqr_q6",
-        F.expr(f"CAST({wexpr} AS BIGINT)").alias("fd_width_q6"),
-        F.expr(
-            f"CAST(CASE WHEN {wexpr} >= 1"
-            f" THEN (1000000 * (mx - mn) + CAST({wexpr} AS BIGINT) - 1)"
-            f" div CAST({wexpr} AS BIGINT)"
-            f" ELSE -1 END AS BIGINT)"
-        ).alias("fd_n_bins"),
-        F.expr("CAST((1000000 * (mx - mn + 1)) div 32 AS BIGINT)").alias(
-            "fixed32_width_q6"
-        ),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 204 — CEP negation pattern, Davies-Bouldin index, mix rebalance
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "cep_pattern_match",
-    """WITH e AS (
-  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
-         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
-  FROM events),
-f AS (
-  SELECT user_id, us, event_type, rn,
-         first_value(CASE WHEN event_type = 'purchase' THEN us END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY us, event_id
-                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS p_us,
-         first_value(CASE WHEN event_type = 'purchase' THEN rn END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY us, event_id
-                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS p_rn,
-         first_value(CASE WHEN event_type = 'error' THEN rn END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY us, event_id
-                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS e_rn
-  FROM e),
-v AS (
-  SELECT CASE WHEN p_us IS NOT NULL AND p_us - us <= 3600000000
-              THEN 1 ELSE 0 END AS conv,
-         CASE WHEN p_us IS NOT NULL AND p_us - us <= 3600000000
-                   AND (e_rn IS NULL OR e_rn > p_rn)
-              THEN 1 ELSE 0 END AS clean
-  FROM f WHERE event_type = 'view')
-SELECT CAST(count(*) AS BIGINT) AS n_views,
-       CAST(COALESCE(sum(conv), 0) AS BIGINT) AS n_converted_1h,
-       CAST(COALESCE(sum(clean), 0) AS BIGINT) AS n_matched,
-       CAST(COALESCE(sum(conv), 0) - COALESCE(sum(clean), 0) AS BIGINT)
-         AS n_blocked_by_error,
-       CAST((1000000 * COALESCE(sum(clean), 0)) // greatest(count(*), 1) AS BIGINT)
-         AS match_q6
-FROM v""",
-)
-def cep_pattern_match(spark, sf_dir):
-    """Complex-event-processing NEGATION pattern: view → purchase within
-    1 hour with NO error event strictly between — the Flink
-    CEP / MATCH_RECOGNIZE shape (A followed-by B within T, notFollowedBy
-    C) that plain funnels cannot express: events_funnel counts the
-    purchase-after-view, this op additionally vetoes matches where an
-    error interposed, and reports how many conversions the interposing
-    errors blocked (the SRE number connecting error_rate_daily to lost
-    revenue). 'Between' is defined on the per-user total order
-    (ts, event_id), so equal-timestamp races resolve identically in
-    both engines.
-
-    Determinism: next-purchase/next-error are first_value(IGNORE NULLS)
-    over strictly-following rows (the events_asof_forward machinery);
-    interposition compares row NUMBERS, not timestamps, so ties are
-    order-exact.
-
-    Scale shape: all three lookaheads share ONE user-keyed window sort
-    (the sessionization exchange); the match rollup is map-side."""
-    e = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-        "event_id",
-        "event_type",
-    )
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    wf = w.rowsBetween(1, Window.unboundedFollowing)
-    e2 = e.select(
-        "user_id",
-        "us",
-        "event_id",
-        "event_type",
-        F.row_number().over(w).alias("rn"),
-    )
-    f = e2.select(
-        "event_type",
-        "us",
-        F.first(
-            F.when(F.col("event_type") == "purchase", F.col("us")), ignorenulls=True
-        )
-        .over(wf)
-        .alias("p_us"),
-        F.first(
-            F.when(F.col("event_type") == "purchase", F.col("rn")), ignorenulls=True
-        )
-        .over(wf)
-        .alias("p_rn"),
-        F.first(
-            F.when(F.col("event_type") == "error", F.col("rn")), ignorenulls=True
-        )
-        .over(wf)
-        .alias("e_rn"),
-    )
-    v = f.where(F.col("event_type") == "view").select(
-        F.expr(
-            "CASE WHEN p_us IS NOT NULL AND p_us - us <= 3600000000"
-            " THEN 1 ELSE 0 END"
-        ).alias("conv"),
-        F.expr(
-            "CASE WHEN p_us IS NOT NULL AND p_us - us <= 3600000000"
-            " AND (e_rn IS NULL OR e_rn > p_rn) THEN 1 ELSE 0 END"
-        ).alias("clean"),
-    )
-    return v.agg(
-        F.count(F.lit(1)).cast("long").alias("n_views"),
-        F.coalesce(F.sum("conv"), F.lit(0)).cast("long").alias("n_converted_1h"),
-        F.coalesce(F.sum("clean"), F.lit(0)).cast("long").alias("n_matched"),
-        (
-            F.coalesce(F.sum("conv"), F.lit(0)) - F.coalesce(F.sum("clean"), F.lit(0))
-        )
-        .cast("long")
-        .alias("n_blocked_by_error"),
-        F.expr(
-            "CAST((1000000 * COALESCE(sum(clean), 0))"
-            " div greatest(count(*), 1) AS BIGINT)"
-        ).alias("match_q6"),
-    )
-
-
-@register(
-    "ivf_davies_bouldin",
-    _KMEANS_SQL_PRELUDE
-    + """, mc AS (
-  SELECT a3.cid,
-         CAST(round(1000000 * list_dot_product(e.v, c.cv)
-           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))) AS BIGINT) AS cos_q6
-  FROM e JOIN a3 USING (vec_id) JOIN cent2 c ON c.cid = a3.cid),
-sc AS (
-  SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
-         CAST(CAST(sum(1000000 - cos_q6) AS BIGINT) // count(*) AS BIGINT) AS s_q6
-  FROM mc GROUP BY cid),
-cm AS (
-  SELECT ci.cid AS ca, cj.cid AS cb_,
-         CAST(1000000 - round(1000000 * list_dot_product(ci.cv, cj.cv)
-           / (sqrt(list_dot_product(ci.cv, ci.cv)) * sqrt(list_dot_product(cj.cv, cj.cv))))
-           AS BIGINT) AS m_q6
-  FROM cent2 ci JOIN cent2 cj ON ci.cid <> cj.cid),
-rr AS (
-  SELECT si.cid,
-         CAST(round(1000000 * CAST(si.s_q6 + sj.s_q6 AS DOUBLE)
-              / greatest(cm.m_q6, 1)) AS BIGINT) AS ratio_q6,
-         cm.cb_ AS other_cid
-  FROM sc si JOIN cm ON cm.ca = si.cid JOIN sc sj ON sj.cid = cm.cb_),
-best AS (
-  SELECT cid, ratio_q6, other_cid FROM (
-    SELECT cid, ratio_q6, other_cid,
-           row_number() OVER (PARTITION BY cid
-                              ORDER BY ratio_q6 DESC, other_cid ASC) AS rn
-    FROM rr) _r WHERE rn = 1)
-SELECT sc.cid, sc.n_members, sc.s_q6,
-       best.other_cid AS worst_other_cid, best.ratio_q6 AS r_q6
-FROM sc JOIN best USING (cid) ORDER BY sc.cid""",
-)
-def ivf_davies_bouldin(spark, sf_dir):
-    """Davies-Bouldin cluster-validity index over the shared trained IVF
-    (cosine-distance form): per cell, intra-cluster scatter S = mean
-    (1 − cos(v, centroid)) and R = max over other cells of
-    (S_i + S_j)/M_ij with M_ij = centroid-pair distance — the canonical
-    'are these clusters compact AND separated' number (mean R over
-    cells IS the DB index; per-cell rows also NAME each cell's worst
-    neighbor, which is exactly where nprobe multiprobing leaks).
-    Completes the cluster-quality family: ivf_cluster_balance audits
-    compactness alone, ivf_centroid_matrix separation alone, this is
-    their ratio.
-
-    Determinism: per-member cosines q6-rounded FIRST (the
-    ivf_cluster_balance rule), S is an integer floor-mean, M from the
-    K×K centroid table with a greatest(·,1) zero-distance guard, the
-    argmax over quantized ratios tiebreaks on the other cell's id
-    (Spark: map-side max(struct) — the search_collapse rule; oracle
-    windows).
-
-    Scale shape: one broadcast-centroid join for the member scatter
-    (K cells out), then everything runs on K-row / K²-row tables."""
-    members, cent, final_assign = _trained_ivf(spark, sf_dir)
-    mc = (
-        members.join(final_assign, "vec_id")
-        .join(F.broadcast(cent), "cid")
-        .select("cid", _cosq("v", "cv", 1_000_000).alias("cos_q6"))
-    )
-    sc = mc.groupBy("cid").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.expr(
-            "CAST(CAST(sum(1000000 - cos_q6) AS BIGINT) div count(*) AS BIGINT)"
-        ).alias("s_q6"),
-    )
-    ci = cent.select(F.col("cid").alias("ca"), F.col("cv").alias("cva"))
-    cj = cent.select(F.col("cid").alias("cb_"), F.col("cv").alias("cvb"))
-    cm = (
-        ci.join(cj, F.col("ca") != F.col("cb_"))
-        .select(
-            "ca",
-            "cb_",
-            (F.lit(1_000_000) - _cosq("cva", "cvb", 1_000_000))
-            .cast("long")
-            .alias("m_q6"),
-        )
-    )
-    si = sc.select(F.col("cid").alias("ca"), F.col("s_q6").alias("sa"))
-    sj = sc.select(F.col("cid").alias("cb_"), F.col("s_q6").alias("sb"))
-    rr = (
-        cm.join(si, "ca")
-        .join(sj, "cb_")
-        .select(
-            F.col("ca").alias("cid"),
-            F.expr(
-                "CAST(round(1000000 * CAST(sa + sb AS DOUBLE)"
-                " / greatest(m_q6, 1)) AS BIGINT)"
-            ).alias("ratio_q6"),
-            F.col("cb_").alias("other_cid"),
-        )
-    )
-    best = (
-        rr.groupBy("cid")
-        .agg(F.max(F.struct("ratio_q6", F.expr("-other_cid").alias("no"))).alias("t"))
-        .select(
-            "cid",
-            F.col("t.ratio_q6").alias("r_q6"),
-            (-F.col("t.no")).cast("long").alias("worst_other_cid"),
-        )
-    )
-    return (
-        sc.join(best, "cid")
-        .select("cid", "n_members", "s_q6", "worst_other_cid", "r_q6")
-        .orderBy("cid")
-    )
-
-
-@register(
-    "mix_rebalance_cost",
-    f"""WITH t AS (
-  SELECT source,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
-  FROM documents),
-s AS (SELECT source, CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS cur FROM t GROUP BY source),
-w AS (SELECT source, cur,
-             CAST(round(pow(cur, 7e-1)) AS BIGINT) AS w0
-      FROM s),
-tot AS (SELECT CAST(COALESCE(sum(cur), 0) AS BIGINT) AS tt,
-               CAST(COALESCE(sum(w0), 0) AS BIGINT) AS tw FROM w),
-sh AS (SELECT w.source, w.cur,
-              CAST((1000000 * w.w0) // greatest(tot.tw, 1) AS BIGINT) AS share_q6,
-              tot.tt
-       FROM w CROSS JOIN tot)
-SELECT source, cur AS cur_tokens,
-       CAST((tt * share_q6) // 1000000 AS BIGINT) AS target_tokens,
-       CAST(greatest(cur - (tt * share_q6) // 1000000, 0) AS BIGINT) AS surplus_tokens,
-       CAST(greatest((tt * share_q6) // 1000000 - cur, 0) AS BIGINT) AS deficit_tokens
-FROM sh ORDER BY source""",
-)
-def mix_rebalance_cost(spark, sf_dir):
-    """Temperature-mix rebalancing cost: per source, the CURRENT token
-    mass versus the TARGET mass implied by the n^0.7 temperature shares
-    (temperature_mix_weights' exponent), with the surplus (tokens to
-    down-sample away) and deficit (tokens to up-sample or acquire) —
-    Σ surplus IS the minimum data movement to hit the target mix, the
-    number that prices an epoch-plan change before anyone reshuffles a
-    corpus (the mix-side sibling of shard_rebalance_cost, which prices
-    PLACEMENT movement).
-
-    Determinism: weights rounded to INTEGER per source first (pow
-    exponent in e-notation; q0 not q6 — shares go through a q6
-    intermediate and 1e6·w_q6 would pass 2^63 at ~1e12-token sources),
-    then target = (total · share_q6) div 1e6 — every product stays
-    under 2^63 at 100 TB; targets sum to ≤ total, the ≤ is rounding
-    residue.
-
-    Scale shape: one map-side token count per source (|sources| cells),
-    then scalar math against the 1-row totals."""
-    t = _docs(spark, sf_dir).select(
-        "source", F.size(spark_tokens("text")).cast("long").alias("n_tok")
-    )
-    s = t.groupBy("source").agg(
-        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("cur")
-    )
-    w = s.select(
-        "source",
-        "cur",
-        F.expr("CAST(round(pow(cur, 7e-1)) AS BIGINT)").alias("w0"),
-    )
-    tot = w.agg(
-        F.coalesce(F.sum("cur"), F.lit(0)).cast("long").alias("tt"),
-        F.coalesce(F.sum("w0"), F.lit(0)).cast("long").alias("tw"),
-    )
-    sh = w.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "cur",
-        F.expr("CAST((1000000 * w0) div greatest(tw, 1) AS BIGINT)").alias("share_q6"),
-        "tt",
-    )
-    return sh.select(
-        "source",
-        F.col("cur").alias("cur_tokens"),
-        F.expr("CAST((tt * share_q6) div 1000000 AS BIGINT)").alias("target_tokens"),
-        F.expr(
-            "CAST(greatest(cur - (tt * share_q6) div 1000000, 0) AS BIGINT)"
-        ).alias("surplus_tokens"),
-        F.expr(
-            "CAST(greatest((tt * share_q6) div 1000000 - cur, 0) AS BIGINT)"
-        ).alias("deficit_tokens"),
-    ).orderBy("source")
-
-
-# ---------------------------------------------------------------------------
-# session 205 — blocked fuzzy ER join, switchback readout, selectivity
-# histogram accuracy
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "part_name_fuzzy_pairs",
-    """WITH p AS (
-  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS bk FROM part),
-pr AS (
-  SELECT levenshtein(a.p_name, b.p_name) AS d
-  FROM p a JOIN p b ON a.bk = b.bk AND a.p_partkey < b.p_partkey),
-r AS (SELECT d, CAST(count(*) AS BIGINT) AS n_pairs FROM pr
-      WHERE d BETWEEN 1 AND 3 GROUP BY d),
-spine AS (SELECT unnest(generate_series(1, 3)) AS d)
-SELECT CAST(spine.d AS BIGINT) AS edit_distance,
-       CAST(COALESCE(r.n_pairs, 0) AS BIGINT) AS n_pairs
-FROM spine LEFT JOIN r ON r.d = spine.d ORDER BY edit_distance""",
-)
-def part_name_fuzzy_pairs(spark, sf_dir):
-    """Blocked fuzzy entity resolution on the catalog: candidate part
-    pairs whose names sit within edit distance 1-3, generated through a
-    first-token blocking key so the quadratic comparison only runs
-    INSIDE blocks — the classic ER join shape (block → compare →
-    survive), the fuzzy completion of catalog_name_collisions' exact
-    md5 groups (typo'd re-listings that exact hashing can never find).
-    Distance 0 is excluded (that op owns it); the 3-row spine keeps
-    empty distances reporting so a clean catalog reads as zeros, not
-    missing rows.
-
-    Determinism: levenshtein() is exact and identical in both engines
-    (the fuzzy_prefix_curve precedent); ordered pairs by key.
-
-    Scale shape: the block key bounds the self-join — comparisons are
-    Σ|block|², never |catalog|²; at larger catalogs the key widens to
-    the first two tokens (documented knob, same plan)."""
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_partkey",
-        "p_name",
-        F.expr("split(p_name, ' ')[0]").alias("bk"),
-    )
-    a = p.alias("a")
-    b = p.alias("b")
-    pr = a.join(
-        b,
-        (F.col("a.bk") == F.col("b.bk"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-    ).select(F.expr("levenshtein(a.p_name, b.p_name)").alias("d"))
-    r = (
-        pr.where((F.col("d") >= 1) & (F.col("d") <= 3))
-        .groupBy("d")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-    )
-    spine = spark.createDataFrame([(1,), (2,), (3,)], "d int")
-    return (
-        spine.join(r, "d", "left")
-        .select(
-            F.col("d").cast("long").alias("edit_distance"),
-            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
-        )
-        .orderBy("edit_distance")
-    )
-
-
-@register(
-    "switchback_readout",
-    """WITH e AS (
-  SELECT user_id, event_type,
-         CAST(round(value * 100) AS BIGINT) AS cents,
-         (epoch_us(ts) // 3600000000) % 2 AS arm
-  FROM events),
-per AS (
-  SELECT arm, CAST(count(*) AS BIGINT) AS n_events,
-         CAST(COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0)
-              AS BIGINT) AS n_purchases,
-         CAST(COALESCE(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END), 0)
-              AS BIGINT) AS purchase_cents,
-         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-  FROM e GROUP BY arm),
-bothd AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_both FROM (
-    SELECT user_id FROM e GROUP BY user_id HAVING count(DISTINCT arm) = 2) _u)
-SELECT CAST(per.arm AS BIGINT) AS arm, per.n_events, per.n_purchases,
-       CAST((1000000 * per.n_purchases) // greatest(per.n_events, 1) AS BIGINT)
-         AS purchase_rate_q6,
-       per.purchase_cents, per.n_users, bothd.n_both AS n_cross_arm_users
-FROM per CROSS JOIN bothd ORDER BY arm""",
-)
-def switchback_readout(spark, sf_dir):
-    """Switchback (time-sliced) experiment readout: arms alternate by
-    epoch HOUR parity instead of by user — the design marketplaces use
-    when user-level randomization leaks through shared inventory.
-    Per-arm event/purchase/revenue totals plus the diagnostic that
-    makes or breaks the design: how many users appear in BOTH arms
-    (cross-arm users carry interference and within-user correlation;
-    a high count says the analysis needs cluster-robust errors, not
-    the iid z-test). Completes the A/B family's assignment axis:
-    ab_assignment_readout randomizes by USER hash, this by TIME slice.
-
-    Determinism: hour parity is exact integer arithmetic on event-time
-    micros (nonneg — epoch dates); conditional BIGINT sums.
-
-    Scale shape: one map-side pass per arm cell; the cross-arm census
-    is a user-keyed distinct-arm count (the engine's one user
-    exchange)."""
-    e = _events(spark, sf_dir).select(
-        "user_id",
-        "event_type",
-        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-        F.expr(
-            "(unix_micros(cast(ts as timestamp)) div 3600000000) % 2"
-        ).alias("arm"),
-    )
-    per = e.groupBy("arm").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_purchases"),
-        F.coalesce(
-            F.sum(
-                F.expr("CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END")
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("purchase_cents"),
-        F.countDistinct("user_id").cast("long").alias("n_users"),
-    )
-    both = (
-        e.groupBy("user_id")
-        .agg(F.countDistinct("arm").alias("na"))
-        .where(F.col("na") == 2)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_cross_arm_users"))
-    )
-    return (
-        per.crossJoin(both)
-        .select(
-            F.col("arm").cast("long").alias("arm"),
-            "n_events",
-            "n_purchases",
-            F.expr(
-                "CAST((1000000 * n_purchases) div greatest(n_events, 1) AS BIGINT)"
-            ).alias("purchase_rate_q6"),
-            "purchase_cents",
-            "n_users",
-            "n_cross_arm_users",
-        )
-        .orderBy("arm")
-    )
-
-
-# canned range predicates on lineitem extended price, in exact cents
-_RSH_RANGES = [(1, 1000000, 3000000), (2, 3000000, 6000000), (3, 6000000, 9000000)]
-
-
-@register(
-    "range_selectivity_histograms",
-    f"""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
-st2 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(min(c) AS BIGINT) AS mn,
-               CAST(max(c) AS BIGINT) AS mx FROM v),
-bh AS (
-  SELECT least(15, ((v.c - st2.mn) * 16) // (st2.mx - st2.mn + 1)) AS b,
-         CAST(count(*) AS BIGINT) AS cnt
-  FROM v, st2 GROUP BY 1),
-rngs AS (SELECT * FROM (VALUES {", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in _RSH_RANGES)})
-         _r(rid, lo, hi)),
-ex AS (
-  SELECT r.rid, CAST(COALESCE(sum(CASE WHEN v.c >= r.lo AND v.c <= r.hi
-                                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS exact_rows
-  FROM rngs r LEFT JOIN v ON TRUE GROUP BY r.rid),
-ew AS (
-  SELECT r.rid,
-         CAST(COALESCE(sum(round(1000000 * (CAST(bh.cnt AS DOUBLE)
-           * greatest(least(st2.mn + ((bh.b + 1) * (st2.mx - st2.mn + 1)) // 16, r.hi + 1)
-                      - greatest(st2.mn + (bh.b * (st2.mx - st2.mn + 1)) // 16, r.lo), 0))
-           / greatest(st2.mn + ((bh.b + 1) * (st2.mx - st2.mn + 1)) // 16
-                      - (st2.mn + (bh.b * (st2.mx - st2.mn + 1)) // 16), 1))), 0)
-           AS BIGINT) AS ew_est_q6
-  FROM rngs r CROSS JOIN st2 LEFT JOIN bh ON TRUE GROUP BY r.rid),
-un AS (
-  SELECT r.rid,
-         CAST(round(1000000 * (CAST(st2.n AS DOUBLE)
-           * greatest(least(st2.mx, r.hi) - greatest(st2.mn, r.lo) + 1, 0))
-           / (st2.mx - st2.mn + 1)) AS BIGINT) AS uniform_est_q6
-  FROM rngs r CROSS JOIN st2)
-SELECT CAST(rngs.rid AS BIGINT) AS range_id,
-       CAST(rngs.lo AS BIGINT) AS lo_cents, CAST(rngs.hi AS BIGINT) AS hi_cents,
-       ex.exact_rows,
-       CAST(un.uniform_est_q6 // 1000000 AS BIGINT) AS uniform_est_rows,
-       CAST(ew.ew_est_q6 // 1000000 AS BIGINT) AS ew16_est_rows
-FROM rngs JOIN ex ON ex.rid = rngs.rid
-JOIN ew ON ew.rid = rngs.rid JOIN un ON un.rid = rngs.rid
-ORDER BY range_id""",
-)
-def range_selectivity_histograms(spark, sf_dir):
-    """Optimizer selectivity-estimation accuracy: three canned price
-    range predicates estimated (a) with NO statistics — uniform over
-    [min, max], what an optimizer does before ANALYZE — and (b) with a
-    16-bucket equi-width histogram (uniform within bucket), against the
-    exact row count. The gap between the two estimates and truth is
-    the concrete argument for collecting column histograms before
-    trusting join ordering and filter pushdown decisions on this data
-    (join_size_estimates/join_histogram_estimate tell the JOIN side of
-    this story; this is the PREDICATE side the pair was missing).
-
-    Determinism: bucket boundaries are pure integer divisions of the
-    exact [min, max] span; per-bucket overlaps are integer clamps;
-    each bucket's fractional contribution is ONE shared double
-    expression q6-rounded FIRST then BIGINT-summed (no float sum
-    order), floored to whole rows at the end.
-
-    Scale shape: one map-side histogram pass (16 cells + 1-row stats);
-    the estimates run on 3×16 joined cells."""
-    v = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("c")
-    )
-    st2 = v.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.min("c").cast("long").alias("mn"),
-        F.max("c").cast("long").alias("mx"),
-    )
-    bh = (
-        v.crossJoin(F.broadcast(st2))
-        .groupBy(
-            F.expr("least(15, ((c - mn) * 16) div (mx - mn + 1))").alias("b")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    rngs = spark.createDataFrame(_RSH_RANGES, "rid int, lo long, hi long")
-    ex = (
-        F.broadcast(rngs)
-        .crossJoin(v)
-        .groupBy("rid")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        (F.col("c") >= F.col("lo")) & (F.col("c") <= F.col("hi")),
-                        F.lit(1),
-                    ).otherwise(F.lit(0))
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("exact_rows")
-        )
-    )
-    ew = (
-        F.broadcast(rngs)
-        .crossJoin(F.broadcast(st2))
-        .crossJoin(bh)
-        .groupBy("rid")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.expr(
-                        "round(1000000 * (CAST(cnt AS DOUBLE)"
-                        " * greatest(least(mn + ((b + 1) * (mx - mn + 1)) div 16, hi + 1)"
-                        "            - greatest(mn + (b * (mx - mn + 1)) div 16, lo), 0))"
-                        " / greatest(mn + ((b + 1) * (mx - mn + 1)) div 16"
-                        "            - (mn + (b * (mx - mn + 1)) div 16), 1))"
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("ew_est_q6")
-        )
-    )
-    un = (
-        F.broadcast(rngs)
-        .crossJoin(st2)
-        .select(
-            "rid",
-            F.expr(
-                "CAST(round(1000000 * (CAST(n AS DOUBLE)"
-                " * greatest(least(mx, hi) - greatest(mn, lo) + 1, 0))"
-                " / (mx - mn + 1)) AS BIGINT)"
-            ).alias("uniform_est_q6"),
-        )
-    )
-    return (
-        rngs.join(ex, "rid")
-        .join(ew, "rid")
-        .join(un, "rid")
-        .select(
-            F.col("rid").cast("long").alias("range_id"),
-            F.col("lo").alias("lo_cents"),
-            F.col("hi").alias("hi_cents"),
-            "exact_rows",
-            F.expr("CAST(uniform_est_q6 div 1000000 AS BIGINT)").alias(
-                "uniform_est_rows"
-            ),
-            F.expr("CAST(ew_est_q6 div 1000000 AS BIGINT)").alias("ew16_est_rows"),
-        )
-        .orderBy("range_id")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 206 — weighted Jaccard, date-partition advisor, exposure fairness
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "weighted_jaccard_pairs",
-    _SQL_LSH_PAIRS
-    + f""",
-tf AS ({SQL_TF}),
-dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-sm AS (
-  SELECT p.doc_a, p.doc_b,
-         CAST(COALESCE(sum(least(ta.tf, tb.tf)), 0) AS BIGINT) AS smin
-  FROM pairs p
-  JOIN tf ta ON ta.doc_id = p.doc_a
-  JOIN tf tb ON tb.doc_id = p.doc_b AND tb.term = ta.term
-  GROUP BY p.doc_a, p.doc_b)
-SELECT p.doc_a, p.doc_b,
-       CAST(COALESCE(sm.smin, 0) AS BIGINT) AS min_mass,
-       CAST(da.dl + db.dl - COALESCE(sm.smin, 0) AS BIGINT) AS max_mass,
-       CAST((1000000 * COALESCE(sm.smin, 0))
-            // greatest(da.dl + db.dl - COALESCE(sm.smin, 0), 1) AS BIGINT)
-         AS wjaccard_q6
-FROM pairs p
-JOIN dl da ON da.doc_id = p.doc_a
-JOIN dl db ON db.doc_id = p.doc_b
-LEFT JOIN sm ON sm.doc_a = p.doc_a AND sm.doc_b = p.doc_b
-ORDER BY p.doc_a, p.doc_b""",
-)
-def weighted_jaccard_pairs(spark, sf_dir):
-    """Weighted (multiset) Jaccard over the LSH candidate pairs:
-    Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b) — the tf-aware
-    similarity that set Jaccard (lsh_candidate_precision's verifier)
-    flattens: a doc and its doubled concatenation have set-J = 1 but
-    weighted-J = ½, exactly the repetition-inflated near-dups a
-    training-data dedup wants to treat differently. Σmax needs no max
-    join at all — Σmax = dl_a + dl_b − Σmin (min is 0 off the shared
-    vocab), so only SHARED terms are joined.
-
-    Determinism: exact BIGINT masses, one integer cross-multiplied
-    division; ordered pair keys.
-
-    Scale shape: the per-term join fans candidates × shared vocab only
-    (the candidates-then-exact discipline); doc lengths come from tf's
-    own exchange."""
-    pairs = (
-        _lsh_pair_edges(spark, sf_dir)
-        .where(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
-    )
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()  # dl + both pair legs consume it
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    ta = tf.select(
-        F.col("doc_id").alias("doc_a"), F.col("term"), F.col("tf").alias("tfa")
-    )
-    tb = tf.select(
-        F.col("doc_id").alias("doc_b"), F.col("term"), F.col("tf").alias("tfb")
-    )
-    sm = (
-        pairs.join(ta, "doc_a")
-        .join(tb, ["doc_b", "term"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.coalesce(F.sum(F.least("tfa", "tfb")), F.lit(0))
-            .cast("long")
-            .alias("smin")
-        )
-    )
-    da = dl.select(F.col("doc_id").alias("doc_a"), F.col("dl").alias("dla"))
-    db = dl.select(F.col("doc_id").alias("doc_b"), F.col("dl").alias("dlb"))
-    return (
-        pairs.join(da, "doc_a")
-        .join(db, "doc_b")
-        .join(sm, ["doc_a", "doc_b"], "left")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.coalesce("smin", F.lit(0)).cast("long").alias("min_mass"),
-            (F.col("dla") + F.col("dlb") - F.coalesce("smin", F.lit(0)))
-            .cast("long")
-            .alias("max_mass"),
-            F.expr(
-                "CAST((1000000 * COALESCE(smin, 0))"
-                " div greatest(dla + dlb - COALESCE(smin, 0), 1) AS BIGINT)"
-            ).alias("wjaccard_q6"),
-        )
-        .orderBy("doc_a", "doc_b")
-    )
-
-
-@register(
-    "date_partition_advisor",
-    """WITH e AS (
-  SELECT epoch_us(ts) // 86400000000 AS day_num,
-         CAST(year(ts) * 100 + month(ts) AS BIGINT) AS ym
-  FROM events),
-mx AS (SELECT CAST(max(day_num) AS BIGINT) AS mxd FROM e),
-k AS (
-  SELECT e.day_num AS kd, e.day_num // 7 AS kw, e.ym AS km,
-         CASE WHEN e.day_num > mx.mxd - 7 THEN 1 ELSE 0 END AS recent
-  FROM e, mx),
-g AS (
-  SELECT 'a_day' AS granularity, CAST(count(DISTINCT kd) AS BIGINT) AS n_partitions,
-         CAST(count(DISTINCT CASE WHEN recent = 1 THEN kd END) AS BIGINT) AS touched_7d,
-         CAST(count(*) AS BIGINT) AS n_rows
-  FROM k
-  UNION ALL
-  SELECT 'b_week', CAST(count(DISTINCT kw) AS BIGINT),
-         CAST(count(DISTINCT CASE WHEN recent = 1 THEN kw END) AS BIGINT),
-         CAST(count(*) AS BIGINT) FROM k
-  UNION ALL
-  SELECT 'c_month', CAST(count(DISTINCT km) AS BIGINT),
-         CAST(count(DISTINCT CASE WHEN recent = 1 THEN km END) AS BIGINT),
-         CAST(count(*) AS BIGINT) FROM k)
-SELECT granularity, n_partitions, touched_7d,
-       CAST(n_rows // greatest(n_partitions, 1) AS BIGINT) AS mean_rows_per_partition,
-       CAST((1000000 * touched_7d) // greatest(n_partitions, 1) AS BIGINT)
-         AS touched_share_q6
-FROM g ORDER BY granularity""",
-)
-def date_partition_advisor(spark, sf_dir):
-    """Directory-partition granularity advisor for the event table: if
-    the lake partitions by DAY vs WEEK vs MONTH, how many partitions
-    exist, how many a trailing-7-day query touches, and the mean rows
-    per partition — the two failure modes in one table: day partitions
-    prune beautifully (touched/total tiny) but breed small files (mean
-    rows low); month partitions pack well but a 7-day query reads a
-    whole month. This is DIRECTORY-level pruning, the layer ABOVE
-    sort_layout/zorder's row-group pruning — real lakehouses tune both.
-
-    Determinism: integer day keys (week = day div 7, an arbitrary but
-    fixed epoch alignment; month = y·100+m both engines); the recent
-    flag anchors to the dataset max (the storage_tier rule).
-
-    Scale shape: one map-side pass; three conditional distinct-counts
-    over calendar-bounded keys."""
-    e = _events(spark, sf_dir).select(
-        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
-            "day_num"
-        ),
-        F.expr(
-            "CAST(year(cast(ts as timestamp)) * 100 + month(cast(ts as timestamp)) AS BIGINT)"
-        ).alias("ym"),
-    )
-    mx = e.agg(F.max("day_num").cast("long").alias("mxd"))
-    k = e.crossJoin(F.broadcast(mx)).select(
-        F.col("day_num").alias("kd"),
-        F.expr("day_num div 7").alias("kw"),
-        F.col("ym").alias("km"),
-        F.expr("CASE WHEN day_num > mxd - 7 THEN 1 ELSE 0 END").alias("recent"),
-    ).localCheckpoint()  # three granularity rollups consume it
-    rows = []
-    for name, col in [("a_day", "kd"), ("b_week", "kw"), ("c_month", "km")]:
-        rows.append(
-            k.agg(
-                F.countDistinct(col).cast("long").alias("n_partitions"),
-                F.countDistinct(
-                    F.when(F.col("recent") == 1, F.col(col))
-                )
-                .cast("long")
-                .alias("touched_7d"),
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-            ).select(
-                F.lit(name).alias("granularity"),
-                "n_partitions",
-                "touched_7d",
-                "n_rows",
-            )
-        )
-    g = rows[0].unionByName(rows[1]).unionByName(rows[2])
-    return g.select(
-        "granularity",
-        "n_partitions",
-        "touched_7d",
-        F.expr(
-            "CAST(n_rows div greatest(n_partitions, 1) AS BIGINT)"
-        ).alias("mean_rows_per_partition"),
-        F.expr(
-            "CAST((1000000 * touched_7d) div greatest(n_partitions, 1) AS BIGINT)"
-        ).alias("touched_share_q6"),
-    ).orderBy("granularity")
-
-
-# rank-exposure weights 1/log2(1+r) for r=1..5, folded to q9 integers
-_EXF_W = [1000000000, 630929754, 500000000, 430676558, 386852807]
-
-
-@register(
-    "batch_exposure_fairness",
-    f"""WITH tf AS MATERIALIZED ({SQL_TF}),
-dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf GROUP BY doc_id),
-st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl),
-dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-q AS (SELECT * FROM (VALUES {_BQ_VALUES}) AS v(qid, term)),
-per AS (
-  SELECT q.qid, tf.doc_id,
-         ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))
-           * tf.tf * 2.2
-           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM st))) AS s
-  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)),
-agg AS (
-  SELECT qid, doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6
-  FROM per GROUP BY qid, doc_id),
-r AS (
-  SELECT qid, doc_id,
-         row_number() OVER (PARTITION BY qid
-                            ORDER BY score_q6 DESC, doc_id ASC) AS rn
-  FROM agg),
-wt AS (SELECT * FROM (VALUES {", ".join(f"({i + 1}, {w})" for i, w in enumerate(_EXF_W))})
-       _w(rn, w_q9)),
-hits AS (
-  SELECT d.source, wt.w_q9
-  FROM r JOIN wt USING (rn) JOIN documents d USING (doc_id)
-  WHERE r.rn <= 5),
-expo AS (SELECT source, CAST(count(*) AS BIGINT) AS n_hits,
-                CAST(COALESCE(sum(w_q9), 0) AS BIGINT) AS ew
-         FROM hits GROUP BY source),
-tot AS (SELECT CAST(COALESCE(sum(ew), 0) AS BIGINT) AS tew FROM expo),
-cs AS (SELECT source, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY source),
-nn AS (SELECT CAST(COALESCE(sum(nd), 0) AS BIGINT) AS tn FROM cs)
-SELECT cs.source,
-       CAST(COALESCE(expo.n_hits, 0) AS BIGINT) AS n_hits,
-       CAST((1000000 * COALESCE(expo.ew, 0)) // greatest(tot.tew, 1) AS BIGINT)
-         AS exposure_share_q6,
-       CAST((1000000 * cs.nd) // greatest(nn.tn, 1) AS BIGINT) AS corpus_share_q6,
-       CAST((1000000 * COALESCE(expo.ew, 0)) // greatest(tot.tew, 1)
-            - (1000000 * cs.nd) // greatest(nn.tn, 1) AS BIGINT) AS bias_q6
-FROM cs LEFT JOIN expo ON expo.source = cs.source
-CROSS JOIN tot CROSS JOIN nn ORDER BY cs.source""",
-)
-def batch_exposure_fairness(spark, sf_dir):
-    """Source-exposure fairness across the canned query batch: each
-    top-5 hit earns its source the rank-discounted exposure 1/log2(1+r)
-    (the nDCG discount, Python-folded q9 integers), summed over all
-    batch queries; the per-source exposure SHARE sits beside the
-    corpus share, and their difference is the ranking's source bias —
-    the fairness-of-exposure metric (Singh & Joachims style) for the
-    retrieval stack. serp_source_diversity scores ONE page by entropy;
-    this aggregates position-weighted exposure over a QUERY SET, which
-    is what fairness audits actually measure. Zero-exposure sources
-    report via the corpus-census spine.
-
-    Determinism: rankings over quantized scores, doc_id tiebreak;
-    exposure sums are exact BIGINT (folded weights); shares are
-    integer cross-multiplied floor divisions.
-
-    Scale shape: ONE postings pass for the whole batch (the
-    bm25_batch_queries plan reused as a building block), the weight
-    table broadcasts onto ≤5 rows/query, census + rollup map-side."""
-    top = bm25_batch_queries(spark, sf_dir).select("doc_id", "rank")
-    wt = F.broadcast(
-        spark.createDataFrame(
-            [(i + 1, w) for i, w in enumerate(_EXF_W)], "rank long, w_q9 long"
-        )
-    )
-    d = _docs(spark, sf_dir).select("doc_id", "source")
-    hits = top.join(wt, "rank").join(d, "doc_id").select("source", "w_q9")
-    expo = hits.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_hits"),
-        F.coalesce(F.sum("w_q9"), F.lit(0)).cast("long").alias("ew"),
-    )
-    tot = expo.agg(
-        F.coalesce(F.sum("ew"), F.lit(0)).cast("long").alias("tew")
-    )
-    cs = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("nd"))
-    nn = cs.agg(F.coalesce(F.sum("nd"), F.lit(0)).cast("long").alias("tn"))
-    return (
-        cs.join(expo, "source", "left")
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(nn))
-        .select(
-            "source",
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            F.expr(
-                "CAST((1000000 * COALESCE(ew, 0)) div greatest(tew, 1) AS BIGINT)"
-            ).alias("exposure_share_q6"),
-            F.expr("CAST((1000000 * nd) div greatest(tn, 1) AS BIGINT)").alias(
-                "corpus_share_q6"
-            ),
-            F.expr(
-                "CAST((1000000 * COALESCE(ew, 0)) div greatest(tew, 1)"
-                " - (1000000 * nd) div greatest(tn, 1) AS BIGINT)"
-            ).alias("bias_q6"),
-        )
-        .orderBy("source")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 207 — NQC predictor, ERR cascade metric, absorbing-chain steps
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "nqc_qpp",
-    _bm25_agg_ctes(_RANKEVAL_TERMS)
-    + """,
-alls AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                CAST(COALESCE(sum(score_q6), 0) AS BIGINT) AS s FROM agg),
-tops AS (SELECT CAST(count(*) AS BIGINT) AS nt,
-                CAST(COALESCE(sum(score_q6), 0) AS BIGINT) AS s1,
-                CAST(COALESCE(sum(score_q6 * score_q6), 0) AS BIGINT) AS s2
-         FROM (SELECT score_q6 FROM agg
-               ORDER BY score_q6 DESC, doc_id ASC LIMIT 10)),
-mm AS (SELECT alls.n, alls.s, tops.nt, tops.s1, tops.s2
-       FROM alls CROSS JOIN tops)
-SELECT n AS n_matches, nt AS n_top,
-       CAST(CASE WHEN nt = 0 OR s = 0 THEN 0
-            ELSE round(1000000
-              * ((CAST(s2 AS DOUBLE) * nt - CAST(s1 AS DOUBLE) * s1)
-                 / (CAST(nt AS DOUBLE) * nt))
-              / ((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)))
-            END AS BIGINT) AS nqc2_q6
-FROM mm""",
-)
-def nqc_qpp(spark, sf_dir):
-    """NQC (Normalized Query Commitment, Shtok et al.) post-retrieval
-    query-performance prediction — the FOURTH QPP in the family:
-    variance of the top-10 scores normalized by the match-set mean
-    score. Clarity reads the top docs' language model, WIG reads the
-    score GAP, NQC reads the score SPREAD — a committed (low-variance,
-    uniformly high) top-10 predicts an easy query, a scattered one
-    predicts drift. Reported in the SQUARED form (variance over
-    mean², the t²/extended_stats convention — sqrt reintroduces float
-    bits the q6 contract can't carry).
-
-    Determinism: BIGINT sufficient stats off the memoized match set
-    (score_q6² ≤ ~4e14·10 — far inside 2^63); one shared float
-    expression casting from the FIRST multiply; 0-match and zero-mean
-    sentinels.
-
-    Scale shape: a 1-row census + one TakeOrdered top-10 — no new
-    corpus passes beyond the memoized match set."""
-    agg = _bm25_match_set(spark, sf_dir, _RANKEVAL_TERMS)
-    alls = agg.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum("score_q6"), F.lit(0)).cast("long").alias("s"),
-    )
-    tops = (
-        agg.orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(10)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("nt"),
-            F.coalesce(F.sum("score_q6"), F.lit(0)).cast("long").alias("s1"),
-            F.coalesce(F.sum(F.col("score_q6") * F.col("score_q6")), F.lit(0))
-            .cast("long")
-            .alias("s2"),
-        )
-    )
-    return alls.crossJoin(tops).select(
-        F.col("n").alias("n_matches"),
-        F.col("nt").alias("n_top"),
-        F.expr(
-            "CAST(CASE WHEN nt = 0 OR s = 0 THEN 0"
-            " ELSE round(1000000"
-            " * ((CAST(s2 AS DOUBLE) * nt - CAST(s1 AS DOUBLE) * s1)"
-            "    / (CAST(nt AS DOUBLE) * nt))"
-            " / ((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)))"
-            " END AS BIGINT)"
-        ).alias("nqc2_q6"),
-    )
-
-
-def _pow_case(var: str, base: int) -> str:
-    """Integer base^var for var in 0..9 as an engine-identical CASE —
-    exact BIGINT powers without pow() (libm pow is not guaranteed exact
-    even on representable integer results)."""
-    branches = " ".join(f"WHEN {k} THEN {base ** k}" for k in range(10))
-    return f"CASE {var} {branches} ELSE 0 END"
-
-
-# ERR denominators r·8^r for r=1..10, folded integers
-_ERR_DEN = {r: r * 8 ** r for r in range(1, 11)}
-
-
-@register(
-    "err_eval",
-    _bm25_agg_ctes(_NDCG_TERMS)
-    + f""",
-ranked AS (
-  SELECT doc_id, row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rnk
-  FROM agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 10),
-rel AS (
-  SELECT doc_id,
-         CAST(CASE least(count(*), 3) WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END
-              AS BIGINT) AS rq
-  FROM ({SQL_TOKS}) WHERE term = 'dup' GROUP BY doc_id),
-rr AS (
-  SELECT ranked.rnk, CAST(COALESCE(rel.rq, 0) AS BIGINT) AS rq
-  FROM ranked LEFT JOIN rel USING (doc_id)),
-cnts AS (
-  SELECT rnk, rq,
-         CAST(COALESCE(sum(CASE WHEN rq = 3 THEN 1 ELSE 0 END) OVER (ORDER BY rnk
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n5,
-         CAST(COALESCE(sum(CASE WHEN rq = 1 THEN 1 ELSE 0 END) OVER (ORDER BY rnk
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n7,
-         CAST(COALESCE(sum(CASE WHEN rq = 0 THEN 1 ELSE 0 END) OVER (ORDER BY rnk
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n8
-  FROM rr),
-terms AS (
-  SELECT rnk, rq,
-         ({_pow_case('n5', 5)}) * ({_pow_case('n7', 7)}) * ({_pow_case('n8', 8)})
-           AS prod_before
-  FROM cnts),
-den AS (SELECT * FROM (VALUES {", ".join(f"({r}, {d})" for r, d in _ERR_DEN.items())})
-        _d(rnk, dd)),
-tq AS (
-  SELECT terms.rnk, terms.rq, terms.prod_before,
-         CAST(round(1000000000 * CAST(terms.rq * terms.prod_before AS DOUBLE) / den.dd)
-              AS BIGINT) AS stop_q9
-  FROM terms JOIN den USING (rnk))
-SELECT CAST(rnk AS BIGINT) AS rank, rq AS gain_eighths, prod_before,
-       stop_q9,
-       CAST(sum(stop_q9) OVER (ORDER BY rnk
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS err_cum_q9
-FROM tq ORDER BY rank""",
-)
-def err_eval(spark, sf_dir):
-    """Expected Reciprocal Rank (Chapelle et al. 2009) of the BM25
-    ranking under the cascade user model: the user scans down, stops at
-    rank r with probability R_r·Π_{i<r}(1−R_i), and contributes 1/r —
-    the eval-family member that models EXAMINATION (nDCG assumes every
-    rank is read; ERR says a satisfying early hit shadows everything
-    below, which is why it reacts to top-heavy relevance much harder).
-    Graded R from the ndcg_eval gains as exact eighths: R = (2^g−1)/8.
-
-    Determinism: with R in eighths, Π(8−R·8) is an exact BIGINT —
-    (8−Rq) ∈ {1,5,7,8}, so the running product is 5^n5·7^n7·8^n8 with
-    the exponents as window COUNTS and the powers as engine-identical
-    CASE lookups (never libm pow); each stop probability divides once
-    by the folded integer r·8^r, q9-rounds FIRST, and the cumulative
-    ERR is a BIGINT running sum.
-
-    Scale shape: TakeOrdered top-10, relevance join, then 10-row
-    windows."""
-    bt = (
-        _bm25_match_set(spark, sf_dir, _NDCG_TERMS)
-        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(10)
-    )
-    ranked = bt.withColumn(
-        "rnk",
-        F.row_number()
-        .over(Window.orderBy(F.desc("score_q6"), F.asc("doc_id")))
-        .cast("long"),
-    ).select("doc_id", "rnk")
-    rel = (
-        _toks(_docs(spark, sf_dir))
-        .where(F.col("term") == "dup")
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "CAST(CASE least(count(*), 3) WHEN 1 THEN 1 WHEN 2 THEN 3"
-                " ELSE 7 END AS BIGINT)"
-            ).alias("rq")
-        )
-    )
-    rr = ranked.join(rel, "doc_id", "left").select(
-        "rnk", F.coalesce("rq", F.lit(0)).cast("long").alias("rq")
-    )
-    wb = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, -1)
-    cnts = rr.select(
-        "rnk",
-        "rq",
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN rq = 3 THEN 1 ELSE 0 END")).over(wb), F.lit(0)
-        )
-        .cast("long")
-        .alias("n5"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN rq = 1 THEN 1 ELSE 0 END")).over(wb), F.lit(0)
-        )
-        .cast("long")
-        .alias("n7"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN rq = 0 THEN 1 ELSE 0 END")).over(wb), F.lit(0)
-        )
-        .cast("long")
-        .alias("n8"),
-    )
-    terms = cnts.select(
-        "rnk",
-        "rq",
-        F.expr(
-            f"({_pow_case('n5', 5)}) * ({_pow_case('n7', 7)})"
-            f" * ({_pow_case('n8', 8)})"
-        ).alias("prod_before"),
-    )
-    den = F.broadcast(
-        spark.createDataFrame(
-            [(r, d) for r, d in _ERR_DEN.items()], "rnk long, dd long"
-        )
-    )
-    tq = terms.join(den, "rnk").select(
-        "rnk",
-        "rq",
-        "prod_before",
-        F.expr(
-            "CAST(round(1000000000 * CAST(rq * prod_before AS DOUBLE) / dd)"
-            " AS BIGINT)"
-        ).alias("stop_q9"),
-    )
-    wc = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        tq.select(
-            F.col("rnk").cast("long").alias("rank"),
-            F.col("rq").alias("gain_eighths"),
-            "prod_before",
-            "stop_q9",
-            F.sum("stop_q9").over(wc).cast("long").alias("err_cum_q9"),
-        )
-        .orderBy("rank")
-    )
-
-
-_MSP_ROUNDS = 8
-
-
-def _markov_steps_sql() -> str:
-    parts = [
-        """WITH t AS (
-  SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type FROM events),
-pr AS (
-  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
-           AS prev_type, event_type AS next_type
-  FROM t),
-c AS (
-  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
-  FROM pr WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type),
-p AS MATERIALIZED (
-  SELECT prev_type, next_type,
-         CAST((1000000 * n_trans)
-              // sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS p_q6
-  FROM c WHERE prev_type <> 'purchase'),
-tr AS MATERIALIZED (SELECT DISTINCT prev_type AS et FROM p),
-h0 AS MATERIALIZED (SELECT et, CAST(0 AS BIGINT) AS h_q6, CAST(0 AS BIGINT) AS a_q6
-                    FROM tr)"""
-    ]
-    for r in range(_MSP_ROUNDS):
-        parts.append(
-            f""",
-h{r + 1} AS MATERIALIZED (
-  SELECT tr.et,
-         CAST(1000000 + COALESCE(hs.hh, 0) AS BIGINT) AS h_q6,
-         CAST(COALESCE(pa.pp, 0) + COALESCE(hs.aa, 0) AS BIGINT) AS a_q6
-  FROM tr
-  LEFT JOIN (
-    SELECT p.prev_type AS et,
-           CAST(COALESCE(sum(p.p_q6 * h{r}.h_q6), 0) // 1000000 AS BIGINT) AS hh,
-           CAST(COALESCE(sum(p.p_q6 * h{r}.a_q6), 0) // 1000000 AS BIGINT) AS aa
-    FROM p JOIN h{r} ON h{r}.et = p.next_type
-    WHERE p.next_type <> 'purchase'
-    GROUP BY p.prev_type) hs ON hs.et = tr.et
-  LEFT JOIN (
-    SELECT prev_type AS et, CAST(p_q6 AS BIGINT) AS pp
-    FROM p WHERE next_type = 'purchase') pa ON pa.et = tr.et)"""
-        )
-    parts.append(
-        f"""
-SELECT et AS event_type, h_q6 AS steps_q6, a_q6 AS absorb_q6
-FROM h{_MSP_ROUNDS} ORDER BY event_type"""
-    )
-    return "".join(parts)
-
-
-@register("markov_steps_to_purchase", _markov_steps_sql())
-def markov_steps_to_purchase(spark, sf_dir):
-    """Absorbing-chain analytics on the user-journey Markov chain with
-    'purchase' as the absorbing state: per transient event type, the
-    expected number of events taken within the next 8 steps before
-    absorption (h ← 1 + P_t·h, the fundamental-matrix recursion
-    truncated at the horizon — h_K = Σ_{k<K} P(T > k), monotone toward
-    the true expectation) AND the probability of purchasing within
-    those 8 steps (a ← P(·,purchase) + P_t·a). The number marketing
-    actually asks of markov_stationary's matrix: 'how far is each state
-    from a purchase', not 'where does attention converge'.
-
-    Determinism: the same q6 integer matrix as markov_stationary
-    (truncating row normalisation, mass leak declared); both
-    recursions are exact BIGINT Σ p·v div 1e6 per round with the +1e6
-    / +P(s,purchase) constants; states with no transient outflow keep
-    their constant term via LEFT joins.
-
-    Scale shape: one lag-window exchange builds the ≤|types|² matrix;
-    each of the 8 rounds joins ≤|types|-row tables (localCheckpoint'd
-    per round — the markov_stationary rule); |types|−1 output rows."""
-    t = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
-        "event_id",
-        "event_type",
-    )
-    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    pr = t.select(
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.col("event_type").alias("next_type"),
-    )
-    c = (
-        pr.where(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", "next_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
-    )
-    wr = Window.partitionBy("prev_type")
-    p = (
-        c.where(F.col("prev_type") != "purchase")
-        .withColumn("tot", F.sum("n_trans").over(wr))
-        .select(
-            "prev_type",
-            "next_type",
-            F.expr("(1000000 * n_trans) div tot").cast("long").alias("p_q6"),
-        )
-        .localCheckpoint()
-    )
-    tr = p.select(F.col("prev_type").alias("et")).distinct().localCheckpoint()
-    pa = p.where(F.col("next_type") == "purchase").select(
-        F.col("prev_type").alias("et"), F.col("p_q6").cast("long").alias("pp")
-    )
-    pt = p.where(F.col("next_type") != "purchase")
-    h = tr.select(
-        "et", F.lit(0).cast("long").alias("h_q6"), F.lit(0).cast("long").alias("a_q6")
-    )
-    for _ in range(_MSP_ROUNDS):
-        hs = (
-            pt.join(h, pt["next_type"] == h["et"])
-            .groupBy("prev_type")
-            .agg(
-                F.expr(
-                    "CAST(COALESCE(sum(p_q6 * h_q6), 0) div 1000000 AS BIGINT)"
-                ).alias("hh"),
-                F.expr(
-                    "CAST(COALESCE(sum(p_q6 * a_q6), 0) div 1000000 AS BIGINT)"
-                ).alias("aa"),
-            )
-            .select(F.col("prev_type").alias("et"), "hh", "aa")
-        )
-        h = (
-            tr.join(hs, "et", "left")
-            .join(pa, "et", "left")
-            .select(
-                "et",
-                (F.lit(1000000) + F.coalesce("hh", F.lit(0)))
-                .cast("long")
-                .alias("h_q6"),
-                (F.coalesce("pp", F.lit(0)) + F.coalesce("aa", F.lit(0)))
-                .cast("long")
-                .alias("a_q6"),
-            )
-            .localCheckpoint()
-        )
-    return h.select(
-        F.col("et").alias("event_type"),
-        F.col("h_q6").alias("steps_q6"),
-        F.col("a_q6").alias("absorb_q6"),
-    ).orderBy("event_type")
-
-
-# ---------------------------------------------------------------------------
-# session 208 — Good-Turing counts, conformal interval, k-anonymity census
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "good_turing_counts",
-    f"""WITH tf AS ({SQL_TF}),
-cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS r FROM tf GROUP BY term),
-nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM cf GROUP BY r),
-tot AS (SELECT CAST(COALESCE(sum(r * n_r), 0) AS BIGINT) AS n_tokens,
-               CAST(COALESCE(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END), 0) AS BIGINT)
-                 AS n1
-        FROM nr),
-spine AS (SELECT unnest(generate_series(1, 8)) AS r),
-j AS (
-  SELECT spine.r,
-         CAST(COALESCE(a.n_r, 0) AS BIGINT) AS n_r,
-         CAST(COALESCE(b.n_r, 0) AS BIGINT) AS n_r1
-  FROM spine
-  LEFT JOIN nr a ON a.r = spine.r
-  LEFT JOIN nr b ON b.r = spine.r + 1)
-SELECT CAST(j.r AS BIGINT) AS r, j.n_r, j.n_r1,
-       CAST(CASE WHEN j.n_r = 0 THEN 0
-            ELSE round(1000000 * (CAST((j.r + 1) * j.n_r1 AS DOUBLE)) / j.n_r)
-            END AS BIGINT) AS r_star_q6,
-       CAST((1000000 * tot.n1) // greatest(tot.n_tokens, 1) AS BIGINT)
-         AS p_unseen_q6
-FROM j CROSS JOIN tot ORDER BY r""",
-)
-def good_turing_counts(spark, sf_dir):
-    """Good-Turing frequency re-estimation over the vocabulary: for each
-    observed collection frequency r, the adjusted count
-    r* = (r+1)·N_{r+1}/N_r from the count-of-counts table, plus the
-    unseen-event mass P₀ = N₁/N — the THIRD smoothing family in the
-    engine beside Laplace (phrase_suggester) and Kneser-Ney
-    (kneser_ney_bigram), and the one that directly converts
-    tf_spectrum's raw shape into usable discounts (r* < r at the head
-    of a Zipfian spectrum is the discount; N₁/N is exactly what
-    hapax_token_share's mass means probabilistically). Empty N_r cells
-    report r* = 0 via the 8-row spine (raw GT is undefined there — the
-    smoothed-GT fit is the documented production fix).
-
-    Determinism: count-of-counts is exact; one float division per row
-    (cast from the first multiply), q6-rounded; P₀ is an integer
-    cross-multiplication.
-
-    Scale shape: tf → per-term cf → count-of-counts is two map-combined
-    exchanges; everything after runs on spectrum cells."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    cf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("r"))
-    nr = cf.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r")).localCheckpoint()
-    tot = nr.agg(
-        F.coalesce(F.sum(F.col("r") * F.col("n_r")), F.lit(0))
-        .cast("long")
-        .alias("n_tokens"),
-        F.coalesce(
-            F.sum(F.when(F.col("r") == 1, F.col("n_r")).otherwise(F.lit(0))),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n1"),
-    )
-    spine = spark.createDataFrame([(r,) for r in range(1, 9)], "r long")
-    a = nr.select(F.col("r"), F.col("n_r").alias("na"))
-    b = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("nb"))
-    j = (
-        spine.join(a, "r", "left")
-        .join(b, "r", "left")
-        .select(
-            "r",
-            F.coalesce("na", F.lit(0)).cast("long").alias("n_r"),
-            F.coalesce("nb", F.lit(0)).cast("long").alias("n_r1"),
-        )
-    )
-    return (
-        j.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("r").cast("long").alias("r"),
-            "n_r",
-            "n_r1",
-            F.expr(
-                "CAST(CASE WHEN n_r = 0 THEN 0"
-                " ELSE round(1000000 * (CAST((r + 1) * n_r1 AS DOUBLE)) / n_r)"
-                " END AS BIGINT)"
-            ).alias("r_star_q6"),
-            F.expr(
-                "CAST((1000000 * n1) div greatest(n_tokens, 1) AS BIGINT)"
-            ).alias("p_unseen_q6"),
-        )
-        .orderBy("r")
-    )
-
-
-@register(
-    "conformal_daily_interval",
-    """WITH d AS (
-  SELECT epoch_us(ts) // 86400000000 AS day_num, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY day_num),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM d),
-spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
-f AS (SELECT spine.day_num, CAST(COALESCE(d.n, 0) AS BIGINT) AS n,
-             CAST((spine.day_num + 3) % 7 AS BIGINT) AS dow
-      FROM spine LEFT JOIN d USING (day_num)),
-m AS (SELECT dow, CAST((1000000 * sum(n)) // count(*) AS BIGINT) AS mean_q6
-      FROM f GROUP BY dow),
-r AS (SELECT abs(1000000 * f.n - m.mean_q6) AS ar
-      FROM f JOIN m USING (dow)),
-hist AS (SELECT ar, CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY ar),
-h AS (
-  SELECT ar, cnt,
-         CAST(COALESCE(sum(cnt) OVER (ORDER BY ar
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
-         CAST(sum(cnt) OVER () AS BIGINT) AS nn
-  FROM hist),
-q AS (
-  SELECT max(nn) AS nn,
-         max(CASE WHEN cb <= ((nn - 1) * 900000) // 1000000 THEN ar END) AS v_lo,
-         max(CASE WHEN cb <= ((nn - 1) * 900000) // 1000000 + 1 THEN ar END) AS v_hi,
-         max((nn - 1) * 900000) AS x
-  FROM h),
-qq AS (
-  SELECT nn,
-         CAST(round(v_lo + ((x % 1000000) / 1000000.0) * (v_hi - v_lo)) AS BIGINT)
-           AS q90_q6
-  FROM q)
-SELECT qq.nn AS n_days, qq.q90_q6,
-       (SELECT CAST(COALESCE(sum(CASE WHEN r.ar <= qq.q90_q6 THEN 1 ELSE 0 END), 0)
-               AS BIGINT) FROM r) AS n_covered,
-       CAST((1000000 * (SELECT COALESCE(sum(CASE WHEN r.ar <= qq.q90_q6
-                                              THEN 1 ELSE 0 END), 0) FROM r))
-            // greatest(qq.nn, 1) AS BIGINT) AS coverage_q6
-FROM qq""",
-)
-def conformal_daily_interval(spark, sf_dir):
-    """Conformal prediction interval for daily event volume: calibrate
-    the 90th percentile of |residual| against the weekday-mean
-    predictor (the weekday_adjusted machinery's residuals in exact q6
-    space) and report the interval half-width plus its EMPIRICAL
-    coverage — the distribution-free alternative to the z-score
-    anomaly thresholds (weekday_adjusted_anomaly flags by Gaussian z²;
-    a conformal band makes no normality assumption and its coverage is
-    checkable, which is what this op does). In-sample calibration
-    (the same days calibrate and evaluate) biases coverage slightly
-    high — the honest split-conformal form holds out days, documented.
-
-    Determinism: residuals subtract in q6 SPACE (the
-    weekly_seasonal_decompose rule — never round a float difference);
-    the q90 probe is the integer-rank histogram machinery with one
-    shared interpolation; coverage is an integer comparison against
-    the rounded q90.
-
-    Scale shape: day-spine cells end to end — weekday means are a
-    7-cell agg, the |residual| histogram is calendar-bounded."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
-                "day_num"
-            )
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    b = d.agg(
-        F.min("day_num").cast("long").alias("lo"),
-        F.max("day_num").cast("long").alias("hi"),
-    )
-    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day_num"))
-    f = spine.join(d, "day_num", "left").select(
-        "day_num",
-        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
-        F.expr("CAST((day_num + 3) % 7 AS BIGINT)").alias("dow"),
-    )
-    m = f.groupBy("dow").agg(
-        F.expr("CAST((1000000 * sum(n)) div count(*) AS BIGINT)").alias("mean_q6")
-    )
-    r = f.join(F.broadcast(m), "dow").select(
-        F.expr("abs(1000000 * n - mean_q6)").alias("ar")
-    ).localCheckpoint()  # quantile probe + coverage count consume it
-    hist = r.groupBy("ar").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    w_cb = Window.orderBy("ar").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    h = hist.select(
-        "ar",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(w_cb), F.lit(0)).cast("long").alias("cb"),
-        F.sum("cnt").over(w_all).cast("long").alias("nn"),
-    )
-    q = h.agg(
-        F.max("nn").alias("nn"),
-        F.max(
-            F.when(F.col("cb") <= F.expr("((nn - 1) * 900000) div 1000000"), F.col("ar"))
-        ).alias("v_lo"),
-        F.max(
-            F.when(
-                F.col("cb") <= F.expr("((nn - 1) * 900000) div 1000000 + 1"),
-                F.col("ar"),
-            )
-        ).alias("v_hi"),
-        F.max(F.expr("(nn - 1) * 900000")).alias("x"),
-    )
-    qq = q.select(
-        "nn",
-        F.expr(
-            "CAST(round(v_lo + ((x % 1000000) / 1000000.0) * (v_hi - v_lo)) AS BIGINT)"
-        ).alias("q90_q6"),
-    )
-    rj = r.crossJoin(F.broadcast(qq)).agg(
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN ar <= q90_q6 THEN 1 ELSE 0 END")), F.lit(0)
-        )
-        .cast("long")
-        .alias("n_covered")
-    )
-    return (
-        qq.crossJoin(rj)
-        .select(
-            F.col("nn").alias("n_days"),
-            "q90_q6",
-            "n_covered",
-            F.expr(
-                "CAST((1000000 * n_covered) div greatest(nn, 1) AS BIGINT)"
-            ).alias("coverage_q6"),
-        )
-    )
-
-
-@register(
-    "k_anonymity_census",
-    """WITH d AS (
-  SELECT source, lang,
-         least(15, length(bin(greatest(n_chars, 1))) - 1) AS lb
-  FROM documents),
-cls AS (SELECT source, lang, lb, CAST(count(*) AS BIGINT) AS sz
-        FROM d GROUP BY source, lang, lb),
-tot AS (SELECT CAST(COALESCE(sum(sz), 0) AS BIGINT) AS n,
-               CAST(count(*) AS BIGINT) AS n_classes,
-               CAST(COALESCE(min(sz), 0) AS BIGINT) AS min_class
-        FROM cls),
-ks AS (SELECT k FROM (VALUES (2), (5), (10)) _k(k))
-SELECT CAST(ks.k AS BIGINT) AS k,
-       tot.n_classes, tot.min_class,
-       CAST(COALESCE((SELECT sum(sz) FROM cls WHERE sz < ks.k), 0) AS BIGINT)
-         AS n_violating_docs,
-       CAST((1000000 * COALESCE((SELECT sum(sz) FROM cls WHERE sz < ks.k), 0))
-            // greatest(tot.n, 1) AS BIGINT) AS violating_share_q6
-FROM ks CROSS JOIN tot ORDER BY k""",
-)
-def k_anonymity_census(spark, sf_dir):
-    """k-anonymity audit over the quasi-identifier triple
-    (source, lang, log2-length band): a document is k-anonymous when
-    ≥ k−1 others share its equivalence class — classes smaller than k
-    make their members re-identifiable from metadata alone, the
-    privacy lens COMPLEMENTARY to dp_source_counts (DP noise protects
-    the RELEASE; k-anonymity measures the RECORDS). Reported at
-    k = 2/5/10 with the minimum class size — the single number a
-    release gate checks.
-
-    Determinism: integer class keys (the zorder length-bucket trick),
-    exact class sizes, integer cross-multiplied shares.
-
-    Scale shape: one map-combined groupBy on the triple (classes are
-    bounded by |sources|·|langs|·16); the k spine scans class CELLS."""
-    d = _docs(spark, sf_dir).select(
-        "source",
-        "lang",
-        F.expr("least(15, length(bin(greatest(n_chars, 1))) - 1)").alias("lb"),
-    )
-    cls = d.groupBy("source", "lang", "lb").agg(
-        F.count(F.lit(1)).cast("long").alias("sz")
-    ).localCheckpoint()  # totals + three k probes consume it
-    tot = cls.agg(
-        F.coalesce(F.sum("sz"), F.lit(0)).cast("long").alias("n"),
-        F.count(F.lit(1)).cast("long").alias("n_classes"),
-        F.coalesce(F.min("sz"), F.lit(0)).cast("long").alias("min_class"),
-    )
-    ks = spark.createDataFrame([(2,), (5,), (10,)], "k long")
-    viol = (
-        F.broadcast(ks)
-        .crossJoin(cls)
-        .groupBy("k")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(F.lit(0))),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("n_violating_docs")
-        )
-    )
-    return (
-        ks.join(viol, "k", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.col("k").cast("long").alias("k"),
-            "n_classes",
-            "min_class",
-            F.coalesce("n_violating_docs", F.lit(0))
-            .cast("long")
-            .alias("n_violating_docs"),
-            F.expr(
-                "CAST((1000000 * COALESCE(n_violating_docs, 0))"
-                " div greatest(n, 1) AS BIGINT)"
-            ).alias("violating_share_q6"),
-        )
-        .orderBy("k")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 209 — Neyman allocation, systematic PPS sample, multi-scale Fano
-# ---------------------------------------------------------------------------
-
-_NEYMAN_BUDGET = 1000
-
-
-@register(
-    "neyman_allocation",
-    f"""WITH t AS (
-  SELECT source,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS x
-  FROM documents),
-s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
-             CAST(COALESCE(sum(x), 0) AS BIGINT) AS s1,
-             CAST(COALESCE(sum(x * x), 0) AS BIGINT) AS s2
-      FROM t GROUP BY source),
-w AS (SELECT source, n,
-             CAST(round(1000000 * sqrt(greatest(
-               (CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)
-               / (CAST(n AS DOUBLE) * n), 0e0))) AS BIGINT) AS sd_q6,
-             CAST(round(CAST(n AS DOUBLE) * sqrt(greatest(
-               (CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)
-               / (CAST(n AS DOUBLE) * n), 0e0))) AS BIGINT) AS w0
-      FROM s),
-tot AS (SELECT CAST(COALESCE(sum(w0), 0) AS BIGINT) AS tw FROM w),
-base AS (
-  SELECT w.source, w.n, w.sd_q6, w.w0,
-         CAST(CASE WHEN tot.tw = 0 THEN 0
-              ELSE ({_NEYMAN_BUDGET} * w.w0) // tot.tw END AS BIGINT) AS slots0,
-         CAST(CASE WHEN tot.tw = 0 THEN 0
-              ELSE ({_NEYMAN_BUDGET} * w.w0) % tot.tw END AS BIGINT) AS rem,
-         tot.tw
-  FROM w CROSS JOIN tot),
-need AS (SELECT CAST(CASE WHEN max(tw) = 0 THEN 0
-                     ELSE {_NEYMAN_BUDGET} - COALESCE(sum(slots0), 0) END AS BIGINT) AS k
-         FROM base),
-rk AS (
-  SELECT source, n, sd_q6, w0, slots0, rem,
-         row_number() OVER (ORDER BY rem DESC, source ASC) AS rr
-  FROM base)
-SELECT source, n AS n_docs, sd_q6, w0,
-       CAST(slots0 + CASE WHEN rr <= (SELECT k FROM need) THEN 1 ELSE 0 END
-            AS BIGINT) AS alloc_slots
-FROM rk ORDER BY source""",
-)
-def neyman_allocation(spark, sf_dir):
-    """Neyman-optimal stratified sample allocation: a 1000-document
-    audit budget split across sources proportional to N_h·S_h (stratum
-    size × token-length standard deviation) — the survey-statistics
-    answer to 'where should QA effort go': a big VARIABLE stratum earns
-    more samples than a big uniform one, which proportional allocation
-    (and every per-source flat quota) gets wrong. Seats are assigned by
-    the Hare largest-remainder method (the negative_sampling_table
-    machinery), so slots sum EXACTLY to the budget with zero RNG.
-
-    Determinism: variance from exact BIGINT sufficient stats in the
-    float-mean form; sqrt is the one IEEE-EXACT-rounded libm function
-    (unlike ln/pow), so sd quantizes identically; weights round to q0
-    integers before the pure-BIGINT apportionment; all-zero weights
-    (single-length strata) allocate 0 via the tw=0 sentinel.
-
-    Scale shape: one map-side per-source stats pass, a 1-row total,
-    and a |sources|-row remainder window."""
-    t = _docs(spark, sf_dir).select(
-        "source", F.size(spark_tokens("text")).cast("long").alias("x")
-    )
-    s = t.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("s1"),
-        F.coalesce(F.sum(F.col("x") * F.col("x")), F.lit(0))
-        .cast("long")
-        .alias("s2"),
-    )
-    sdexpr = (
-        "sqrt(greatest((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)"
-        " / (CAST(n AS DOUBLE) * n), 0e0))"
-    )
-    w = s.select(
-        "source",
-        "n",
-        F.expr(f"CAST(round(1000000 * {sdexpr}) AS BIGINT)").alias("sd_q6"),
-        F.expr(f"CAST(round(CAST(n AS DOUBLE) * {sdexpr}) AS BIGINT)").alias("w0"),
-    )
-    tot = w.agg(F.coalesce(F.sum("w0"), F.lit(0)).cast("long").alias("tw"))
-    base = w.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n",
-        "sd_q6",
-        "w0",
-        F.expr(
-            f"CAST(CASE WHEN tw = 0 THEN 0"
-            f" ELSE ({_NEYMAN_BUDGET} * w0) div tw END AS BIGINT)"
-        ).alias("slots0"),
-        F.expr(
-            f"CAST(CASE WHEN tw = 0 THEN 0"
-            f" ELSE ({_NEYMAN_BUDGET} * w0) % tw END AS BIGINT)"
-        ).alias("rem"),
-        "tw",
-    ).localCheckpoint()  # need + ranked selection consume it
-    need = base.agg(
-        F.expr(
-            f"CAST(CASE WHEN max(tw) = 0 THEN 0"
-            f" ELSE {_NEYMAN_BUDGET} - COALESCE(sum(slots0), 0) END AS BIGINT)"
-        ).alias("k")
-    )
-    rk = base.withColumn(
-        "rr", F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("source")))
-    )
-    return (
-        rk.crossJoin(F.broadcast(need))
-        .select(
-            "source",
-            F.col("n").alias("n_docs"),
-            "sd_q6",
-            "w0",
-            F.expr(
-                "CAST(slots0 + CASE WHEN rr <= k THEN 1 ELSE 0 END AS BIGINT)"
-            ).alias("alloc_slots"),
-        )
-        .orderBy("source")
-    )
-
-
-_PPS_STRIDES = 10
-
-
-@register(
-    "systematic_pps_sample",
-    f"""WITH t AS (
-  SELECT doc_id, source,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tok
-  FROM documents),
-c AS (
-  SELECT doc_id, source, n_tok,
-         CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
-         CAST(sum(n_tok) OVER (PARTITION BY source) AS BIGINT) AS w
-  FROM t),
-ks AS (SELECT unnest(generate_series(0, {_PPS_STRIDES - 1})) AS k)
-SELECT c.source, CAST(ks.k AS BIGINT) AS stride, c.doc_id, c.n_tok
-FROM c JOIN ks
-  ON {2 * _PPS_STRIDES} * c.cum_before < (2 * ks.k + 1) * c.w
- AND (2 * ks.k + 1) * c.w <= {2 * _PPS_STRIDES} * (c.cum_before + c.n_tok)
-ORDER BY c.source, stride""",
-)
-def systematic_pps_sample(spark, sf_dir):
-    """Systematic probability-proportional-to-size sampling (Madow):
-    per source, lay the documents end to end on their token axis and
-    take {_PPS_STRIDES} equally-spaced picks at the stride midpoints
-    (2k+1)·W/(2B) — the OTHER classic PPS sampler beside the A-ES
-    independent draws of weighted_sample_docs: strided selection has
-    zero between-stride variance (every token neighborhood is hit
-    exactly once per W/B tokens), which is why PPS frame audits use it.
-    A document longer than a stride is legitimately picked by several
-    consecutive strides — that IS pps, documented. Zero-token documents
-    have zero width and can never be selected.
-
-    Determinism: pick conditions are exact integer
-    cross-multiplications against the exclusive prefix sum; no RNG
-    anywhere (the midpoint start replaces the random offset, the
-    reproducibility trade survey samplers make for audits).
-
-    Scale shape (Spark): the prefix sum is the shared sub-sharded
-    two-pass `_pack_cum_before` (never a whole-source window on one
-    reducer — the oracle may window); the stride spine is a
-    {_PPS_STRIDES}-row broadcast theta join evaluated map-side."""
-    p = _pack_cum_before(spark, sf_dir)
-    if p is None:
-        return spark.createDataFrame(
-            [], "source string, stride long, doc_id long, n_tok long"
-        )
-    w = p.groupBy("source").agg(F.sum("n_tok").cast("long").alias("w"))
-    c = p.join(w, "source")
-    ks = spark.createDataFrame([(k,) for k in range(_PPS_STRIDES)], "k long")
-    b = 2 * _PPS_STRIDES
-    sel = c.join(
-        F.broadcast(ks),
-        (F.lit(b) * F.col("cum_before") < (2 * F.col("k") + 1) * F.col("w"))
-        & ((2 * F.col("k") + 1) * F.col("w") <= F.lit(b) * (F.col("cum_before") + F.col("n_tok"))),
-    )
-    return sel.select(
-        "source",
-        F.col("k").cast("long").alias("stride"),
-        "doc_id",
-        F.col("n_tok").cast("long").alias("n_tok"),
-    ).orderBy("source", "stride")
-
-
-@register(
-    "fano_factor_scales",
-    """WITH e AS (SELECT epoch_us(ts) AS us FROM events),
-g AS (
-  SELECT scale, width_us, us // width_us AS iv FROM e
-  CROSS JOIN (VALUES ('a_minute', 60000000), ('b_hour', 3600000000),
-                     ('c_day', 86400000000)) _s(scale, width_us)),
-cnt AS (SELECT scale, width_us, iv, CAST(count(*) AS BIGINT) AS n
-        FROM g GROUP BY scale, width_us, iv),
-b AS (SELECT scale, width_us, CAST(min(iv) AS BIGINT) AS lo, CAST(max(iv) AS BIGINT) AS hi
-      FROM cnt GROUP BY scale, width_us),
-spine AS (SELECT b.scale, unnest(generate_series(b.lo, b.hi)) AS iv FROM b),
-f AS (SELECT spine.scale, spine.iv, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n
-      FROM spine LEFT JOIN cnt ON cnt.scale = spine.scale AND cnt.iv = spine.iv),
-a AS (SELECT scale, CAST(count(*) AS BIGINT) AS ni,
-             CAST(COALESCE(sum(n), 0) AS BIGINT) AS s1,
-             CAST(COALESCE(sum(n * n), 0) AS BIGINT) AS s2
-      FROM f GROUP BY scale)
-SELECT scale, ni AS n_intervals,
-       CAST(round(1000000 * CAST(s1 AS DOUBLE) / ni) AS BIGINT) AS mean_q6,
-       CAST(CASE WHEN s1 = 0 THEN 0
-            ELSE round(1000000
-              * ((CAST(s2 AS DOUBLE) * ni - CAST(s1 AS DOUBLE) * s1)
-                 / (CAST(ni AS DOUBLE) * ni))
-              / (CAST(s1 AS DOUBLE) / ni)) END AS BIGINT) AS fano_q6
-FROM a ORDER BY scale""",
-)
-def fano_factor_scales(spark, sf_dir):
-    """Multi-scale Fano factor (variance/mean of interval counts) at
-    minute, hour and day granularity over zero-filled spines — the
-    burst-SCALE localizer: a Poisson stream reads 1.0 at every scale;
-    a stream whose Fano rises with window width carries positive
-    correlation at that timescale (batch writes inflate the minute
-    scale, weekly habit inflates the day scale).
-    events_dispersion_index reports the day point alone — the three-
-    point curve is what actually says WHERE the burstiness lives,
-    which fixes the aggregation window monitoring should alarm on.
-
-    Determinism: integer interval keys, zero-filled calendar spines,
-    variance in the float-mean form off exact BIGINT sufficient stats
-    (every product cast from the FIRST multiply), zero-mean sentinel.
-
-    Scale shape: one map-side pass fans each event to 3 scale keys;
-    spines and stats run on calendar-bounded interval cells."""
-    e = _events(spark, sf_dir).select(
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us")
-    )
-    scales = spark.createDataFrame(
-        [("a_minute", 60000000), ("b_hour", 3600000000), ("c_day", 86400000000)],
-        "scale string, width_us long",
-    )
-    g = e.crossJoin(F.broadcast(scales)).select(
-        "scale", F.expr("us div width_us").alias("iv")
-    )
-    cnt = g.groupBy("scale", "iv").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    b = cnt.groupBy("scale").agg(
-        F.min("iv").cast("long").alias("lo"), F.max("iv").cast("long").alias("hi")
-    )
-    spine = b.select("scale", F.explode(F.sequence("lo", "hi")).alias("iv"))
-    f = spine.join(cnt, ["scale", "iv"], "left").select(
-        "scale", F.coalesce("n", F.lit(0)).cast("long").alias("n")
-    )
-    a = f.groupBy("scale").agg(
-        F.count(F.lit(1)).cast("long").alias("ni"),
-        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("s1"),
-        F.coalesce(F.sum(F.col("n") * F.col("n")), F.lit(0))
-        .cast("long")
-        .alias("s2"),
-    )
-    return a.select(
-        "scale",
-        F.col("ni").alias("n_intervals"),
-        F.expr("CAST(round(1000000 * CAST(s1 AS DOUBLE) / ni) AS BIGINT)").alias(
-            "mean_q6"
-        ),
-        F.expr(
-            "CAST(CASE WHEN s1 = 0 THEN 0"
-            " ELSE round(1000000"
-            " * ((CAST(s2 AS DOUBLE) * ni - CAST(s1 AS DOUBLE) * s1)"
-            "    / (CAST(ni AS DOUBLE) * ni))"
-            " / (CAST(s1 AS DOUBLE) / ni)) END AS BIGINT)"
-        ).alias("fano_q6"),
-    ).orderBy("scale")
-
-
-# ---------------------------------------------------------------------------
-# session 210 — capture-recapture, jackknife variance, Wasserstein distance
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "capture_recapture_vocab",
-    f"""WITH toks AS ({SQL_TOKS}),
-ev AS (SELECT DISTINCT term FROM toks WHERE doc_id % 2 = 0),
-od AS (SELECT DISTINCT term FROM toks WHERE doc_id % 2 = 1),
-v1 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ev),
-v2 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM od),
-v12 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ev JOIN od USING (term)),
-vu AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM toks),
-est AS (
-  SELECT v1.v AS v_even, v2.v AS v_odd, v12.v AS v_shared, vu.v AS v_observed,
-         CAST(round((CAST(v1.v + 1 AS DOUBLE) * (v2.v + 1)) / (v12.v + 1)) - 1
-              AS BIGINT) AS chapman_est
-  FROM v1, v2, v12, vu)
-SELECT v_even, v_odd, v_shared, v_observed, chapman_est,
-       CAST((1000000 * v_observed) // greatest(chapman_est, 1) AS BIGINT)
-         AS coverage_q6
-FROM est""",
-)
-def capture_recapture_vocab(spark, sf_dir):
-    """Capture-recapture (Chapman-corrected Lincoln-Petersen) estimate
-    of the TOTAL vocabulary from the even/odd document halves: treat
-    each half as an independent 'capture' of the term population —
-    V̂ = (V₁+1)(V₂+1)/(V₁₂+1) − 1 — the ecology estimator for how many
-    types exist that the corpus has NOT yet shown (heaps_law_source
-    extrapolates growth from a power-law FIT; capture-recapture needs
-    no model, only the overlap, and the two disagreeing is itself
-    informative since terms are anything but equal-catchability —
-    Zipfian heads are always recaptured, documented caveat). The
-    coverage ratio observed/estimated is the 'how much vocabulary have
-    we seen' number a crawl-planning decision reads.
-
-    Determinism: exact distinct counts; ONE float division (cast from
-    the first multiply), half-away rounding; the even/odd split is the
-    idf_split_stability coordinate.
-
-    Scale shape: two half-vocab distinct passes + a vocab-sized
-    equi-join — all map-combined exchanges."""
-    toks = _toks(_docs(spark, sf_dir)).localCheckpoint()  # 4 consumers
-    ev = toks.where(F.col("doc_id") % 2 == 0).select("term").distinct()
-    od = toks.where(F.col("doc_id") % 2 == 1).select("term").distinct()
-    v1 = ev.agg(F.count(F.lit(1)).cast("long").alias("v_even"))
-    v2 = od.agg(F.count(F.lit(1)).cast("long").alias("v_odd"))
-    v12 = ev.join(od, "term").agg(F.count(F.lit(1)).cast("long").alias("v_shared"))
-    vu = toks.agg(F.countDistinct("term").cast("long").alias("v_observed"))
-    est = (
-        v1.crossJoin(v2)
-        .crossJoin(v12)
-        .crossJoin(vu)
-        .select(
-            "v_even",
-            "v_odd",
-            "v_shared",
-            "v_observed",
-            F.expr(
-                "CAST(round((CAST(v_even + 1 AS DOUBLE) * (v_odd + 1))"
-                " / (v_shared + 1)) - 1 AS BIGINT)"
-            ).alias("chapman_est"),
-        )
-    )
-    return est.select(
-        "*",
-        F.expr(
-            "CAST((1000000 * v_observed) div greatest(chapman_est, 1) AS BIGINT)"
-        ).alias("coverage_q6"),
-    )
-
-
-@register(
-    "jackknife_ttr_variance",
-    f"""WITH tf AS ({SQL_TF}),
-d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dv, CAST(sum(tf) AS BIGINT) AS nt
-      FROM tf GROUP BY doc_id),
-g AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(COALESCE(sum(dv), 0) AS BIGINT) AS dd,
-             CAST(COALESCE(sum(nt), 0) AS BIGINT) AS nn
-      FROM d),
-r AS (
-  SELECT CAST(round(1000000000 * CAST(g.dd - d.dv AS DOUBLE) / (g.nn - d.nt)) AS BIGINT)
-           - CAST(round(1000000000 * CAST(g.dd AS DOUBLE) / g.nn) AS BIGINT) AS dev
-  FROM d, g WHERE g.nn - d.nt > 0),
-a AS (SELECT CAST(count(*) AS BIGINT) AS m,
-             CAST(COALESCE(sum(dev), 0) AS BIGINT) AS s1,
-             CAST(COALESCE(sum(dev * dev), 0) AS BIGINT) AS s2
-      FROM r)
-SELECT g.n AS n_docs,
-       CAST(round(1000000000 * CAST(g.dd AS DOUBLE) / greatest(g.nn, 1)) AS BIGINT)
-         AS ttr_full_q9,
-       a.m AS n_loo,
-       CAST(CASE WHEN a.m < 2 THEN 0
-            ELSE round(1000000000000 * (CAST(a.m - 1 AS DOUBLE) / a.m)
-              * ((CAST(a.s2 AS DOUBLE) * a.m - CAST(a.s1 AS DOUBLE) * a.s1)
-                 / (CAST(a.m AS DOUBLE) * a.m)) / 1e18) END AS BIGINT) AS jk_var_q12
-FROM g, a""",
-)
-def jackknife_ttr_variance(spark, sf_dir):
-    """Jackknife (leave-one-document-out) variance of the corpus-level
-    type/token ratio Σdistinct/Σtokens — the SECOND resampling method
-    beside bootstrap_mean_doclen, and the one that works for RATIO
-    estimators in closed form: each document's pseudo-replicate
-    R₍ᵢ₎ = (D−dᵢ)/(N−nᵢ) needs only that doc's two counts, so the
-    whole resample is one relational pass (a bootstrap of a ratio
-    would re-weight both numerator and denominator jointly). The
-    jackknife variance (m−1)/m·Var(R₍ᵢ₎) is the standard error a
-    corpus-quality dashboard should print next to the TTR point.
-
-    Determinism: replicates quantize to q9 FIRST, then CENTER on the
-    full-sample q9 ratio so the sufficient sums are sums of SMALL
-    integers (raw q9² sums pass 2^63 at ~10 docs — centering is the
-    envelope fix, exact because Σ(r−r̄)² is translation-invariant);
-    one shared float expression does the final combine; docs equal to
-    the whole corpus (N−nᵢ=0) drop from the resample, documented.
-
-    Scale shape: per-doc stats off tf's exchange, a 1-row total
-    broadcast, map-side deviations, scalar combine."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    d = tf.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("dv"),
-        F.sum("tf").cast("long").alias("nt"),
-    ).localCheckpoint()  # totals + deviations consume it
-    g = d.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum("dv"), F.lit(0)).cast("long").alias("dd"),
-        F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("nn"),
-    )
-    r = (
-        d.crossJoin(F.broadcast(g))
-        .where(F.expr("nn - nt > 0"))
-        .select(
-            (
-                F.expr(
-                    "CAST(round(1000000000 * CAST(dd - dv AS DOUBLE) / (nn - nt)) AS BIGINT)"
-                )
-                - F.expr(
-                    "CAST(round(1000000000 * CAST(dd AS DOUBLE) / nn) AS BIGINT)"
-                )
-            ).alias("dev")
-        )
-    )
-    a = r.agg(
-        F.count(F.lit(1)).cast("long").alias("m"),
-        F.coalesce(F.sum("dev"), F.lit(0)).cast("long").alias("s1"),
-        F.coalesce(F.sum(F.col("dev") * F.col("dev")), F.lit(0))
-        .cast("long")
-        .alias("s2"),
-    )
-    return g.crossJoin(a).select(
-        F.col("n").alias("n_docs"),
-        F.expr(
-            "CAST(round(1000000000 * CAST(dd AS DOUBLE) / greatest(nn, 1)) AS BIGINT)"
-        ).alias("ttr_full_q9"),
-        F.col("m").alias("n_loo"),
-        F.expr(
-            "CAST(CASE WHEN m < 2 THEN 0"
-            " ELSE round(1000000000000 * (CAST(m - 1 AS DOUBLE) / m)"
-            " * ((CAST(s2 AS DOUBLE) * m - CAST(s1 AS DOUBLE) * s1)"
-            "    / (CAST(m AS DOUBLE) * m)) / 1e18) END AS BIGINT)"
-        ).alias("jk_var_q12"),
-    )
-
-
-@register(
-    "wasserstein_length_pairs",
-    f"""WITH t AS (
-  SELECT source,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS v
-  FROM documents),
-hist AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY source, v),
-ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY source),
-pr AS (SELECT a.source AS s1, b.source AS s2, a.n AS n1, b.n AS n2
-       FROM ns a JOIN ns b ON a.source < b.source),
-cells AS (
-  SELECT pr.s1, pr.s2, pr.n1, pr.n2, hist.v,
-         CAST(COALESCE(sum(CASE WHEN hist.source = pr.s1 THEN hist.c ELSE 0 END), 0)
-              AS BIGINT) AS c1,
-         CAST(COALESCE(sum(CASE WHEN hist.source = pr.s2 THEN hist.c ELSE 0 END), 0)
-              AS BIGINT) AS c2
-  FROM pr JOIN hist ON hist.source IN (pr.s1, pr.s2)
-  GROUP BY pr.s1, pr.s2, pr.n1, pr.n2, hist.v),
-cum AS (
-  SELECT s1, s2, n1, n2, v,
-         CAST(sum(c1) OVER (PARTITION BY s1, s2 ORDER BY v
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
-         CAST(sum(c2) OVER (PARTITION BY s1, s2 ORDER BY v
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2,
-         lead(v) OVER (PARTITION BY s1, s2 ORDER BY v) AS vn
-  FROM cells),
-terms AS (
-  SELECT s1, s2,
-         CAST(round(1000000 * (abs(CAST(f1 AS DOUBLE) * n2 - CAST(f2 AS DOUBLE) * n1)
-              * (vn - v)) / (CAST(n1 AS DOUBLE) * n2)) AS BIGINT) AS w_q6
-  FROM cum WHERE vn IS NOT NULL)
-SELECT pr.s1 AS source_a, pr.s2 AS source_b,
-       CAST(COALESCE(sum(terms.w_q6), 0) AS BIGINT) AS wasserstein_q6
-FROM pr LEFT JOIN terms ON terms.s1 = pr.s1 AND terms.s2 = pr.s2
-GROUP BY pr.s1, pr.s2 ORDER BY source_a, source_b""",
-)
-def wasserstein_length_pairs(spark, sf_dir):
-    """Wasserstein-1 (earth-mover) distance between every source pair's
-    token-length distributions: W₁ = ∫|F₁−F₂| over the merged value
-    axis — the METRIC-AWARE member of the distribution-distance family
-    (KL/JSD/Hellinger compare bin masses and treat a 10-token shift
-    like a 1000-token shift; KS takes the single worst gap; W₁ prices
-    how far the mass must MOVE, in tokens, which is what a
-    length-curriculum or packing plan actually cares about). Exact in
-    1-D: the integral is a finite sum of |ECDF gap|·Δv over merged
-    histogram values.
-
-    Determinism: per-cell contributions use integer cumulative counts
-    with every product cast from the FIRST multiply (n₁·n₂ passes 2^63
-    long before 2^53 relative error matters — the chi² rule),
-    q6-rounded per CELL then BIGINT-summed.
-
-    Scale shape: value histograms collapse map-side; the pair fan
-    multiplies |sources|² by histogram cells (both bounded); cum/lead
-    windows run per pair over cells only."""
-    t = _docs(spark, sf_dir).select(
-        "source", F.size(spark_tokens("text")).cast("long").alias("v")
-    )
-    hist = t.groupBy("source", "v").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    ).localCheckpoint()  # totals + the pair fan consume it
-    ns = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
-    a = ns.select(F.col("source").alias("s1"), F.col("n").alias("n1"))
-    b = ns.select(F.col("source").alias("s2"), F.col("n").alias("n2"))
-    pr = a.join(b, F.col("s1") < F.col("s2"))
-    cells = (
-        F.broadcast(pr)
-        .join(hist, (F.col("source") == F.col("s1")) | (F.col("source") == F.col("s2")))
-        .groupBy("s1", "s2", "n1", "n2", "v")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("source") == F.col("s1"), F.col("c")).otherwise(F.lit(0))),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("c1"),
-            F.coalesce(
-                F.sum(F.when(F.col("source") == F.col("s2"), F.col("c")).otherwise(F.lit(0))),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("c2"),
-        )
-    )
-    wp = Window.partitionBy("s1", "s2").orderBy("v")
-    wc = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = cells.select(
-        "s1",
-        "s2",
-        "n1",
-        "n2",
-        "v",
-        F.sum("c1").over(wc).cast("long").alias("f1"),
-        F.sum("c2").over(wc).cast("long").alias("f2"),
-        F.lead("v").over(wp).alias("vn"),
-    )
-    terms = cum.where(F.col("vn").isNotNull()).select(
-        "s1",
-        "s2",
-        F.expr(
-            "CAST(round(1000000 * (abs(CAST(f1 AS DOUBLE) * n2 - CAST(f2 AS DOUBLE) * n1)"
-            " * (vn - v)) / (CAST(n1 AS DOUBLE) * n2)) AS BIGINT)"
-        ).alias("w_q6"),
-    )
-    # aggregate FROM the pair spine: a single-shared-value pair has no
-    # interval terms and must still report W1 = 0, not vanish
-    return (
-        pr.select("s1", "s2")
-        .join(terms, ["s1", "s2"], "left")
-        .groupBy("s1", "s2")
-        .agg(F.coalesce(F.sum("w_q6"), F.lit(0)).cast("long").alias("wasserstein_q6"))
-        .select(
-            F.col("s1").alias("source_a"),
-            F.col("s2").alias("source_b"),
-            "wasserstein_q6",
-        )
-        .orderBy("source_a", "source_b")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 211 — bloom sizing advisor, fusion headroom, quantile normalization
-# ---------------------------------------------------------------------------
-
-# -ln(p)/(ln 2)^2 folded to q6 integers for the two target FPRs, and the
-# corresponding optimal k = round(log2(1/p))
-_BLOOM_TARGETS = [("a_fpr_1pct", 9585058, 7), ("b_fpr_01pct", 14377588, 10)]
-
-
-@register(
-    "bloom_size_advisor",
-    f"""WITH n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nk FROM events),
-t AS (SELECT * FROM (VALUES
-  {", ".join(f"('{lbl}', {c}, {k})" for lbl, c, k in _BLOOM_TARGETS)})
-  _t(target, c_q6, k_opt)),
-cur AS (
-  SELECT CAST(round(1000000 * pow(1 - exp(-(4.0 * n.nk) / 65536), 4)) AS BIGINT)
-           AS current_fpr_q6
-  FROM n)
-SELECT t.target, n.nk AS n_keys,
-       CAST((n.nk * t.c_q6 + 999999) // 1000000 AS BIGINT) AS m_bits,
-       CAST(t.k_opt AS BIGINT) AS k_hashes,
-       cur.current_fpr_q6
-FROM t CROSS JOIN n CROSS JOIN cur ORDER BY t.target""",
-)
-def bloom_size_advisor(spark, sf_dir):
-    """Bloom-filter sizing advisor: for the LIVE distinct-user count,
-    the optimal bit count m = −n·ln(p)/(ln 2)² and hash count
-    k = log2(1/p) at target FPRs of 1% and 0.1%, next to the PREDICTED
-    FPR of the filter the engine actually deploys (m=2^16, k=4 — the
-    decontamination_bloom / bloom_user_stream substrate) via
-    (1 − e^{{-kn/m}})^k. The sizing twin of bloom_fpr_curve (which
-    MEASURES the deployed filter empirically) — the same relationship
-    ab_power_table has to ab_significance: size it before you ship it.
-
-    Determinism: the −ln p/(ln2)² constants are Python-folded q6
-    INTEGERS so m is the exact-ceil (x+999999) div 1e6; the predicted-
-    FPR expression is one shared exp/pow chain q6-rounded (1-ulp libm
-    class, accepted as everywhere).
-
-    Scale shape: one distinct-count exchange; everything else is a
-    2-row spine against 1-row scalars."""
-    n = _events(spark, sf_dir).agg(
-        F.countDistinct("user_id").cast("long").alias("nk")
-    )
-    t = spark.createDataFrame(
-        _BLOOM_TARGETS, "target string, c_q6 long, k_opt long"
-    )
-    cur = n.select(
-        F.expr(
-            "CAST(round(1000000 * pow(1 - exp(-(4.0 * nk) / 65536), 4)) AS BIGINT)"
-        ).alias("current_fpr_q6")
-    )
-    return (
-        t.crossJoin(F.broadcast(n))
-        .crossJoin(F.broadcast(cur))
-        .select(
-            "target",
-            F.col("nk").alias("n_keys"),
-            F.expr("CAST((nk * c_q6 + 999999) div 1000000 AS BIGINT)").alias(
-                "m_bits"
-            ),
-            F.col("k_opt").cast("long").alias("k_hashes"),
-            "current_fpr_q6",
-        )
-        .orderBy("target")
-    )
-
-
-@register(
-    "fusion_headroom_eval",
-    _bm25_agg_ctes(_TOPK_TERMS)
-    + f""",
-lexr AS (
-  SELECT doc_id, row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS lr
-  FROM agg WHERE doc_id <> 0),
-lex AS (SELECT * FROM lexr WHERE lr <= 20),
-vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-vc AS (
-  SELECT e.vec_id AS doc_id,
-         CAST(round(
-           list_dot_product(CAST(e.embedding AS DOUBLE[]), vq.qv)
-             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-                * sqrt(list_dot_product(vq.qv, vq.qv))) * 1000000
-         ) AS BIGINT) AS cos_q6
-  FROM embeddings e, vq WHERE e.vec_id <> 0),
-vecr AS (
-  SELECT doc_id, row_number() OVER (ORDER BY cos_q6 DESC, doc_id ASC) AS vr FROM vc),
-vec AS (SELECT * FROM vecr WHERE vr <= 20),
-rel AS (SELECT DISTINCT doc_id FROM ({SQL_TOKS}) WHERE term = 'dup'),
-bp AS (SELECT CAST(count(*) AS BIGINT) AS p FROM lex JOIN rel USING (doc_id) WHERE lr <= 10),
-vp AS (SELECT CAST(count(*) AS BIGINT) AS p FROM vec JOIN rel USING (doc_id) WHERE vr <= 10),
-un AS (SELECT doc_id FROM lex UNION SELECT doc_id FROM vec),
-op AS (SELECT CAST(least(count(*), 10) AS BIGINT) AS p FROM un JOIN rel USING (doc_id))
-SELECT bp.p AS bm25_p10, vp.p AS cosine_p10, op.p AS oracle_p10,
-       CAST(op.p - greatest(bp.p, vp.p) AS BIGINT) AS headroom
-FROM bp, vp, op""",
-)
-def fusion_headroom_eval(spark, sf_dir):
-    """Fusion headroom analysis: P@10 of the BM25 leg, of the cosine
-    leg, and of the ORACLE fusion — the best any rank-fusion of the two
-    top-20s could possibly achieve (place every relevant doc from the
-    union first, cap at 10). headroom = oracle − best single leg is the
-    number that says whether building a fusion layer (hybrid_rrf,
-    hybrid_linear_search) can pay at all: zero headroom means the legs'
-    relevant sets coincide and fusion can only reshuffle; large
-    headroom means the legs retrieve COMPLEMENTARY relevant docs and
-    fusion is where recall lives. Uses hybrid_rrf's exact legs and the
-    binary 'dup' relevance, so the three numbers are comparable to
-    rank_eval's P@10.
-
-    Determinism: both legs rank over quantized scores with the doc_id
-    tiebreak (verbatim hybrid_rrf CTEs); all three metrics are exact
-    counts.
-
-    Scale shape: two TakeOrdered top-20s, a relevance semi-join on ≤40
-    rows."""
-    lex = (
-        _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
-        .where(F.col("doc_id") != 0)
-        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(20)
-        .withColumn(
-            "lr",
-            F.row_number().over(
-                Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))
-            ),
-        )
-        .select("doc_id", "lr")
-    )
-    vc = _cos_spark(spark, sf_dir).select(
-        F.col("vec_id").alias("doc_id"), _q6(F.col("cos")).alias("cos_q6")
-    )
-    vec = (
-        vc.orderBy(F.desc("cos_q6"), F.asc("doc_id"))
-        .limit(20)
-        .withColumn(
-            "vr",
-            F.row_number().over(Window.orderBy(F.desc("cos_q6"), F.asc("doc_id"))),
-        )
-        .select("doc_id", "vr")
-    )
-    rel = (
-        _toks(_docs(spark, sf_dir))
-        .where(F.col("term") == "dup")
-        .select("doc_id")
-        .distinct()
-    )
-    bp = (
-        lex.where(F.col("lr") <= 10)
-        .join(rel, "doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("bm25_p10"))
-    )
-    vp = (
-        vec.where(F.col("vr") <= 10)
-        .join(rel, "doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("cosine_p10"))
-    )
-    un = lex.select("doc_id").unionByName(vec.select("doc_id")).distinct()
-    op = un.join(rel, "doc_id").agg(
-        F.least(F.count(F.lit(1)), F.lit(10)).cast("long").alias("oracle_p10")
-    )
-    return bp.crossJoin(vp).crossJoin(op).select(
-        "bm25_p10",
-        "cosine_p10",
-        "oracle_p10",
-        F.expr("CAST(oracle_p10 - greatest(bm25_p10, cosine_p10) AS BIGINT)").alias(
-            "headroom"
-        ),
-    )
-
-
-@register(
-    "quantile_normalization_map",
-    f"""WITH t AS (
-  SELECT source,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS v
-  FROM documents),
-sp AS (SELECT min(source) AS sa FROM t),
-sp2 AS (SELECT min(source) AS sb FROM t, sp WHERE source > sp.sa),
-hist AS (
-  SELECT CASE WHEN t.source = sp.sa THEN 'a' ELSE 'b' END AS side, t.v,
-         CAST(count(*) AS BIGINT) AS cnt
-  FROM t, sp, sp2 WHERE t.source IN (sp.sa, sp2.sb)
-  GROUP BY 1, 2),
-h AS (
-  SELECT side, v, cnt,
-         CAST(COALESCE(sum(cnt) OVER (PARTITION BY side ORDER BY v
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
-         CAST(sum(cnt) OVER (PARTITION BY side) AS BIGINT) AS n
-  FROM hist),
-q AS (SELECT unnest(generate_series(1, 9)) * 100000 AS p_q6),
-ex AS (
-  SELECT h.side, q.p_q6, max(h.n) AS n,
-         max((h.n - 1) * q.p_q6) AS x,
-         max(CASE WHEN h.cb <= ((h.n - 1) * q.p_q6) // 1000000 THEN h.v END) AS v_lo,
-         max(CASE WHEN h.cb <= ((h.n - 1) * q.p_q6) // 1000000 + 1 THEN h.v END) AS v_hi
-  FROM h, q GROUP BY h.side, q.p_q6),
-qq AS (
-  SELECT side, p_q6,
-         CAST(round(1000000.0 * (v_lo + ((x % 1000000) / 1000000.0)
-              * (v_hi - v_lo))) AS BIGINT) AS q_q6
-  FROM ex)
-SELECT CAST(a.p_q6 AS BIGINT) AS p_q6, a.q_q6 AS q_a_q6, b.q_q6 AS q_b_q6,
-       b.q_q6 - a.q_q6 AS shift_q6
-FROM qq a JOIN qq b ON a.p_q6 = b.p_q6 AND a.side = 'a' AND b.side = 'b'
-ORDER BY p_q6""",
-)
-def quantile_normalization_map(spark, sf_dir):
-    """Quantile-normalization mapping between the two lexicographically
-    first sources' token-length distributions: the exact type-7
-    quantiles of both at each decile, paired — the TRANSFORM companion
-    of wasserstein_length_pairs (that op prices the distance; this
-    table IS the monotone map that would remove it, the batch-effect
-    correction genomics calls quantile normalization and data
-    pipelines use to equalize strata before mixing). A flat shift
-    column means a pure location difference; a shift growing with p
-    means the tails differ, which truncation/packing policies must
-    know.
-
-    Determinism: both quantile chains are the integer-rank histogram
-    machinery with ONE shared interpolation expression; the source
-    pair is picked by lexicographic minimum (deterministic on any
-    corpus).
-
-    Scale shape: two value histograms partitioned by side; the decile
-    spine probes histogram cells only."""
-    t = _docs(spark, sf_dir).select(
-        "source", F.size(spark_tokens("text")).cast("long").alias("v")
-    ).localCheckpoint()  # source pick + histogram consume it
-    sp = t.agg(F.min("source").alias("sa"))
-    sp2 = (
-        t.crossJoin(F.broadcast(sp))
-        .where(F.col("source") > F.col("sa"))
-        .agg(F.min("source").alias("sb"))
-    )
-    hist = (
-        t.crossJoin(F.broadcast(sp))
-        .crossJoin(F.broadcast(sp2))
-        .where(
-            (F.col("source") == F.col("sa")) | (F.col("source") == F.col("sb"))
-        )
-        .select(
-            F.when(F.col("source") == F.col("sa"), F.lit("a"))
-            .otherwise(F.lit("b"))
-            .alias("side"),
-            "v",
-        )
-        .groupBy("side", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    w_cb = (
-        Window.partitionBy("side")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_all = Window.partitionBy("side")
-    h = hist.select(
-        "side",
-        "v",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(w_cb), F.lit(0)).cast("long").alias("cb"),
-        F.sum("cnt").over(w_all).cast("long").alias("n"),
-    )
-    q = spark.createDataFrame([(i * 100000,) for i in range(1, 10)], "p_q6 long")
-    ex = (
-        h.crossJoin(F.broadcast(q))
-        .groupBy("side", "p_q6")
-        .agg(
-            F.max("n").alias("n"),
-            F.max((F.col("n") - 1) * F.col("p_q6")).alias("x"),
-            F.max(
-                F.when(F.col("cb") <= F.expr("((n - 1) * p_q6) div 1000000"), F.col("v"))
-            ).alias("v_lo"),
-            F.max(
-                F.when(
-                    F.col("cb") <= F.expr("((n - 1) * p_q6) div 1000000 + 1"),
-                    F.col("v"),
-                )
-            ).alias("v_hi"),
-        )
-    )
-    qq = ex.select(
-        "side",
-        "p_q6",
-        F.expr(
-            "CAST(round(1000000.0 * (v_lo + ((x % 1000000) / 1000000.0)"
-            " * (v_hi - v_lo))) AS BIGINT)"
-        ).alias("q_q6"),
-    )
-    a = qq.where(F.col("side") == "a").select("p_q6", F.col("q_q6").alias("q_a_q6"))
-    b = qq.where(F.col("side") == "b").select("p_q6", F.col("q_q6").alias("q_b_q6"))
-    return (
-        a.join(b, "p_q6")
-        .select(
-            F.col("p_q6").cast("long").alias("p_q6"),
-            "q_a_q6",
-            "q_b_q6",
-            (F.col("q_b_q6") - F.col("q_a_q6")).alias("shift_q6"),
-        )
-        .orderBy("p_q6")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 212 — equi-depth selectivity, GPD tail fit, b-bit minhash
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "equidepth_selectivity_estimate",
-    f"""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
-hist AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY c),
-h AS (
-  SELECT c, cnt,
-         CAST(COALESCE(sum(cnt) OVER (ORDER BY c
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
-         CAST(sum(cnt) OVER () AS BIGINT) AS n
-  FROM hist),
-ks AS (SELECT unnest(generate_series(0, 16)) AS k),
-bd AS (
-  SELECT ks.k, max(CASE WHEN h.cb <= ((h.n - 1) * ks.k) // 16 THEN h.c END) AS b,
-         max(h.n) AS n
-  FROM h, ks GROUP BY ks.k),
-seg AS (
-  SELECT k, b AS bk, lead(b) OVER (ORDER BY k) AS bk1, n
-  FROM bd),
-segs AS (SELECT k, bk, bk1, n FROM seg WHERE bk1 IS NOT NULL),
-lim AS (SELECT min(bk) AS b0, max(bk1) AS b16, max(n) AS n FROM segs),
-rngs AS (SELECT * FROM (VALUES {", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in _RSH_RANGES)})
-         _r(rid, lo, hi)),
-pts AS (
-  SELECT rid, lo AS x, 0 AS side FROM rngs
-  UNION ALL SELECT rid, hi + 1, 1 FROM rngs),
-gg AS (
-  SELECT pts.rid, pts.side,
-         CAST(CASE WHEN pts.x <= lim.b0 THEN 0
-              WHEN pts.x >= lim.b16 THEN 1000000
-              ELSE (SELECT (s.k * 1000000
-                            + (1000000 * (pts.x - s.bk)) // greatest(s.bk1 - s.bk, 1))
-                           // 16
-                    FROM segs s
-                    WHERE s.bk <= pts.x AND pts.x < s.bk1
-                    ORDER BY s.k LIMIT 1)
-              END AS BIGINT) AS g_q6
-  FROM pts CROSS JOIN lim),
-est AS (
-  SELECT a.rid,
-         CAST((SELECT max(n) FROM lim) * (b.g_q6 - a.g_q6) // 1000000 AS BIGINT)
-           AS ed16_est_rows
-  FROM gg a JOIN gg b ON a.rid = b.rid AND a.side = 0 AND b.side = 1),
-ex AS (
-  SELECT r.rid, CAST(COALESCE(sum(CASE WHEN v.c >= r.lo AND v.c <= r.hi
-                                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS exact_rows
-  FROM rngs r LEFT JOIN v ON TRUE GROUP BY r.rid)
-SELECT CAST(rngs.rid AS BIGINT) AS range_id, ex.exact_rows, est.ed16_est_rows,
-       est.ed16_est_rows - ex.exact_rows AS err_rows
-FROM rngs JOIN ex ON ex.rid = rngs.rid JOIN est ON est.rid = rngs.rid
-ORDER BY range_id""",
-)
-def equidepth_selectivity_estimate(spark, sf_dir):
-    """Equi-DEPTH (quantile-boundary) histogram selectivity for the same
-    three canned price ranges as range_selectivity_histograms — the
-    rival histogram family: equi-width wastes buckets on empty value
-    space and crushes dense regions into one bucket; equi-depth puts a
-    boundary every n/16 rows, so every bucket carries the same mass and
-    the worst-case estimate error is bounded by one bucket (~6% of
-    rows) regardless of skew — which is why real optimizers (Postgres,
-    ORACLE) store quantile histograms. Boundaries are exact 0-based
-    rank probes; F̂ interpolates linearly inside the containing
-    segment, clamped outside [b₀, b₁₆]; zero-width segments (duplicate
-    boundaries under heavy ties) can never contain a point and fall
-    out naturally.
-
-    Determinism: boundaries and segment selection are pure integer
-    rank/compare operations; the interpolation is an integer
-    cross-multiplied division; est rows floor at the end.
-
-    Scale shape: one value histogram; boundary probes and segment
-    joins run over 17-row tables; the exact leg shares the histogram's
-    scan."""
-    v = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("c")
-    )
-    hist = v.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    w_cb = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    h = hist.select(
-        "c",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(w_cb), F.lit(0)).cast("long").alias("cb"),
-        F.sum("cnt").over(w_all).cast("long").alias("n"),
-    )
-    ks = spark.createDataFrame([(k,) for k in range(17)], "k long")
-    bd = (
-        h.crossJoin(F.broadcast(ks))
-        .groupBy("k")
-        .agg(
-            F.max(
-                F.when(F.col("cb") <= F.expr("((n - 1) * k) div 16"), F.col("c"))
-            ).alias("b"),
-            F.max("n").alias("n"),
-        )
-    )
-    seg = bd.select(
-        "k", F.col("b").alias("bk"), F.lead("b").over(Window.orderBy("k")).alias("bk1"), "n"
-    )
-    segs = seg.where(F.col("bk1").isNotNull()).localCheckpoint()
-    lim = segs.agg(
-        F.min("bk").alias("b0"),
-        F.max("bk1").alias("b16"),
-        F.max("n").alias("n"),
-    )
-    rngs = spark.createDataFrame(_RSH_RANGES, "rid int, lo long, hi long")
-    pts = rngs.select("rid", F.col("lo").alias("x"), F.lit(0).alias("side")).unionByName(
-        rngs.select("rid", (F.col("hi") + 1).alias("x"), F.lit(1).alias("side"))
-    )
-    # segment containment: at most one nonzero-width segment holds x
-    inseg = (
-        pts.crossJoin(F.broadcast(lim))
-        .join(
-            F.broadcast(segs.select("k", "bk", "bk1")),
-            (F.col("bk") <= F.col("x")) & (F.col("x") < F.col("bk1")),
-            "left",
-        )
-        .groupBy("rid", "side", "x", "b0", "b16", "n")
-        .agg(
-            F.min(
-                F.expr(
-                    "(k * 1000000 + (1000000 * (x - bk)) div greatest(bk1 - bk, 1)) div 16"
-                )
-            ).alias("gin")
-        )
-    )
-    gg = inseg.select(
-        "rid",
-        "side",
-        F.expr(
-            "CAST(CASE WHEN x <= b0 THEN 0"
-            " WHEN x >= b16 THEN 1000000"
-            " ELSE gin END AS BIGINT)"
-        ).alias("g_q6"),
-        "n",
-    )
-    a = gg.where(F.col("side") == 0).select("rid", F.col("g_q6").alias("ga"), "n")
-    b = gg.where(F.col("side") == 1).select("rid", F.col("g_q6").alias("gb"))
-    est = a.join(b, "rid").select(
-        "rid",
-        F.expr("CAST(n * (gb - ga) div 1000000 AS BIGINT)").alias("ed16_est_rows"),
-    )
-    ex = (
-        F.broadcast(rngs)
-        .crossJoin(v)
-        .groupBy("rid")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        (F.col("c") >= F.col("lo")) & (F.col("c") <= F.col("hi")),
-                        F.lit(1),
-                    ).otherwise(F.lit(0))
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("exact_rows")
-        )
-    )
-    return (
-        rngs.join(ex, "rid")
-        .join(est, "rid")
-        .select(
-            F.col("rid").cast("long").alias("range_id"),
-            "exact_rows",
-            "ed16_est_rows",
-            (F.col("ed16_est_rows") - F.col("exact_rows")).alias("err_rows"),
-        )
-        .orderBy("range_id")
-    )
-
-
-@register(
-    "gpd_tail_fit",
-    """WITH v AS (
-  SELECT CAST(round(value * 100) AS BIGINT) AS c
-  FROM events WHERE event_type = 'purchase'),
-hist AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY c),
-h AS (
-  SELECT c, cnt,
-         CAST(COALESCE(sum(cnt) OVER (ORDER BY c
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
-         CAST(sum(cnt) OVER () AS BIGINT) AS n
-  FROM hist),
-q AS (
-  SELECT max(n) AS n,
-         max((n - 1) * 900000) AS x,
-         max(CASE WHEN cb <= ((n - 1) * 900000) // 1000000 THEN c END) AS v_lo,
-         max(CASE WHEN cb <= ((n - 1) * 900000) // 1000000 + 1 THEN c END) AS v_hi
-  FROM h),
-u AS (SELECT CAST(round(1000000.0 * (v_lo + ((x % 1000000) / 1000000.0)
-             * (v_hi - v_lo))) AS BIGINT) AS u_q6 FROM q),
-ey AS (
-  SELECT (1000000 * v.c - u.u_q6) // 100000000 AS y
-  FROM v, u WHERE 1000000 * v.c > u.u_q6),
-a AS (SELECT CAST(count(*) AS BIGINT) AS m,
-             CAST(COALESCE(sum(y), 0) AS BIGINT) AS s1,
-             CAST(COALESCE(sum(y * y), 0) AS BIGINT) AS s2
-      FROM ey)
-SELECT u.u_q6 AS threshold_cents_q6, a.m AS n_exceed,
-       CAST(round(1000000 * CAST(a.s1 AS DOUBLE) / greatest(a.m, 1)) AS BIGINT)
-         AS mean_excess_dollars_q6,
-       CAST(CASE WHEN a.m < 2 OR (CAST(a.s2 AS DOUBLE) * a.m
-                 - CAST(a.s1 AS DOUBLE) * a.s1) <= 0 THEN 0
-            ELSE round(1000000 * (1 - ((CAST(a.s1 AS DOUBLE) / a.m)
-                 * (CAST(a.s1 AS DOUBLE) / a.m))
-                 / ((CAST(a.s2 AS DOUBLE) * a.m - CAST(a.s1 AS DOUBLE) * a.s1)
-                    / (CAST(a.m AS DOUBLE) * a.m))) / 2) END AS BIGINT) AS xi_q6,
-       CAST(CASE WHEN a.m < 2 OR (CAST(a.s2 AS DOUBLE) * a.m
-                 - CAST(a.s1 AS DOUBLE) * a.s1) <= 0 THEN 0
-            ELSE round(1000000 * (CAST(a.s1 AS DOUBLE) / a.m)
-                 * (1 - (1 - ((CAST(a.s1 AS DOUBLE) / a.m)
-                   * (CAST(a.s1 AS DOUBLE) / a.m))
-                   / ((CAST(a.s2 AS DOUBLE) * a.m - CAST(a.s1 AS DOUBLE) * a.s1)
-                      / (CAST(a.m AS DOUBLE) * a.m))) / 2)) END AS BIGINT)
-         AS sigma_dollars_q6
-FROM u, a""",
-)
-def gpd_tail_fit(spark, sf_dir):
-    """Generalized Pareto tail fit of purchase values above the exact
-    p90 threshold, by method of moments: ξ = (1 − m²/s²)/2 and
-    σ = m(1 − ξ) from the exceedances' mean and variance — the
-    extreme-value-theory member no other op covers (value_lognormal_fit
-    models the BODY; the peaks-over-threshold GPD is how risk teams
-    model the TAIL, and ξ's sign is the headline: ξ > 0 heavy tail
-    with possible infinite variance, ξ < 0 bounded tail). Exceedances
-    rescale to whole DOLLARS before the sufficient sums (the
-    first_order_ltv rule — cent-scale squares pass 2^63 at ~1e9
-    purchases); non-overdispersed or tiny tails report 0 sentinels.
-
-    Determinism: the p90 threshold is the integer-rank histogram probe
-    with one shared interpolation; exceedance selection is an exact
-    integer comparison in q6 space; moments combine in ONE float
-    expression each, every product cast from the FIRST multiply.
-
-    Scale shape: one value histogram + one filtered map-side stats
-    pass; everything else is scalar."""
-    v = (
-        _events(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
-        .select(F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"))
-        .localCheckpoint()  # quantile histogram + exceedance pass consume it
-    )
-    hist = v.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    w_cb = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    h = hist.select(
-        "c",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(w_cb), F.lit(0)).cast("long").alias("cb"),
-        F.sum("cnt").over(w_all).cast("long").alias("n"),
-    )
-    q = h.agg(
-        F.max("n").alias("n"),
-        F.max(F.expr("(n - 1) * 900000")).alias("x"),
-        F.max(
-            F.when(F.col("cb") <= F.expr("((n - 1) * 900000) div 1000000"), F.col("c"))
-        ).alias("v_lo"),
-        F.max(
-            F.when(
-                F.col("cb") <= F.expr("((n - 1) * 900000) div 1000000 + 1"),
-                F.col("c"),
-            )
-        ).alias("v_hi"),
-    )
-    u = q.select(
-        F.expr(
-            "CAST(round(1000000.0 * (v_lo + ((x % 1000000) / 1000000.0)"
-            " * (v_hi - v_lo))) AS BIGINT)"
-        ).alias("u_q6")
-    )
-    ey = (
-        v.crossJoin(F.broadcast(u))
-        .where(F.expr("1000000 * c > u_q6"))
-        .select(F.expr("(1000000 * c - u_q6) div 100000000").alias("y"))
-    )
-    a = ey.agg(
-        F.count(F.lit(1)).cast("long").alias("m"),
-        F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("s1"),
-        F.coalesce(F.sum(F.col("y") * F.col("y")), F.lit(0))
-        .cast("long")
-        .alias("s2"),
-    )
-    mu = "(CAST(s1 AS DOUBLE) / m)"
-    var = (
-        "((CAST(s2 AS DOUBLE) * m - CAST(s1 AS DOUBLE) * s1)"
-        " / (CAST(m AS DOUBLE) * m))"
-    )
-    bad = (
-        "m < 2 OR (CAST(s2 AS DOUBLE) * m - CAST(s1 AS DOUBLE) * s1) <= 0"
-    )
-    xi = f"(1 - ({mu} * {mu}) / {var}) / 2"
-    return u.crossJoin(a).select(
-        F.col("u_q6").alias("threshold_cents_q6"),
-        F.col("m").alias("n_exceed"),
-        F.expr(
-            f"CAST(round(1000000 * CAST(s1 AS DOUBLE) / greatest(m, 1)) AS BIGINT)"
-        ).alias("mean_excess_dollars_q6"),
-        F.expr(
-            f"CAST(CASE WHEN {bad} THEN 0"
-            f" ELSE round(1000000 * {xi}) END AS BIGINT)"
-        ).alias("xi_q6"),
-        F.expr(
-            f"CAST(CASE WHEN {bad} THEN 0"
-            f" ELSE round(1000000 * {mu} * (1 - {xi})) END AS BIGINT)"
-        ).alias("sigma_dollars_q6"),
-    )
-
-
-_BBIT_PERMS = 16
-_BBIT_SIG_SQL = ", ".join(
-    f"(('0x' || substr(min(md5('bb:{p}:' || sh)), 32, 1))::INT) % 2 AS b{p}"
-    for p in range(_BBIT_PERMS)
-)
-_BBIT_NC_SQL = " + ".join(
-    f"CASE WHEN sa.b{p} = sb.b{p} THEN 1 ELSE 0 END" for p in range(_BBIT_PERMS)
-)
-
-
-@register(
-    "bbit_minhash_estimate",
-    f"""WITH sh AS ({_SQL_SHINGLES}),
-ss AS (SELECT doc_id, CAST(count(DISTINCT sh) AS BIGINT) AS ns FROM sh GROUP BY doc_id),
-ip AS (
-  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-sig AS (SELECT doc_id, {_BBIT_SIG_SQL} FROM sh GROUP BY doc_id),
-pj AS (
-  SELECT ip.inter, sa2.ns + sb2.ns - ip.inter AS un,
-         CAST({_BBIT_NC_SQL} AS BIGINT) AS nc
-  FROM ip
-  JOIN ss sa2 ON sa2.doc_id = ip.da
-  JOIN ss sb2 ON sb2.doc_id = ip.db
-  JOIN sig sa ON sa.doc_id = ip.da
-  JOIN sig sb ON sb.doc_id = ip.db),
-dd AS (
-  SELECT least(9, (10 * inter) // un) AS dec,
-         (2 * nc - {_BBIT_PERMS}) * {1000000 // _BBIT_PERMS} AS jhat_q6,
-         (1000000 * inter) // un AS jex_q6
-  FROM pj),
-r AS (
-  SELECT dec, CAST(count(*) AS BIGINT) AS n_pairs,
-         CAST(COALESCE(sum(jhat_q6), 0) AS BIGINT) AS sh_,
-         CAST(COALESCE(sum(jex_q6), 0) AS BIGINT) AS se_,
-         CAST(COALESCE(sum(abs(jhat_q6 - jex_q6)), 0) AS BIGINT) AS sa_
-  FROM dd GROUP BY dec),
-spine AS (SELECT unnest(generate_series(0, 9)) AS dec)
-SELECT CAST(spine.dec AS BIGINT) AS j_decile,
-       CAST(COALESCE(r.n_pairs, 0) AS BIGINT) AS n_pairs,
-       CAST(COALESCE(r.sh_, 0) // greatest(COALESCE(r.n_pairs, 0), 1) AS BIGINT)
-         AS mean_jhat_q6,
-       CAST(COALESCE(r.se_, 0) // greatest(COALESCE(r.n_pairs, 0), 1) AS BIGINT)
-         AS mean_jexact_q6,
-       CAST(COALESCE(r.sa_, 0) // greatest(COALESCE(r.n_pairs, 0), 1) AS BIGINT)
-         AS mean_abs_err_q6
-FROM spine LEFT JOIN r ON r.dec = spine.dec ORDER BY j_decile""",
-)
-def bbit_minhash_estimate(spark, sf_dir):
-    """b-bit minhash (Li & König 2010) accuracy audit at b=1, k=16:
-    store only the LOWEST BIT of each of 16 seeded min-hashes — 2 bytes
-    per document instead of 16 hex digests — and estimate Jaccard from
-    the bit-collision rate as Ĵ = 2·(c − ½): the sketch-COMPRESSION
-    story the minhash family was missing (signatures, LSH bands and
-    calibration all keep full hashes; b-bit is how billion-document
-    dedup actually fits in RAM). Audited per true-Jaccard decile over
-    the shingle-blocked universe: the estimator is unbiased only as
-    J → the b=1 collision model predicts, and the per-decile |error|
-    column shows exactly where 16 bits stop being enough (negative
-    Ĵ estimates at low J are the honest noise floor, not clamped).
-
-    Determinism: bits are exact parities of md5 minima (seeded
-    'bb:p:' — hash-input disjoint from every other coordinate);
-    Ĵ_q6 = (2·matches − 16)·62500 is EXACT integer (1e6/16 divides
-    evenly — why k=16); deciles and means are integer
-    cross-multiplications and floor divisions.
-
-    Scale shape: the 16 min-aggs ride ONE doc_id exchange over the
-    shingle table; pair evaluation touches blocked candidates only."""
-    sh = _shingles_spark(spark, sf_dir).select("doc_id", "sh").distinct().localCheckpoint()
-    ss = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("ns"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    ip = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
-    )
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.expr(
-                f"cast(conv(substring(min(md5(concat('bb:{p}:', sh))), 32, 1),"
-                f" 16, 10) as int) % 2"
-            ).alias(f"b{p}")
-            for p in range(_BBIT_PERMS)
-        ]
-    )
-    sa = sig.select(
-        F.col("doc_id").alias("da"),
-        *[F.col(f"b{p}").alias(f"ba{p}") for p in range(_BBIT_PERMS)],
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("db"),
-        *[F.col(f"b{p}").alias(f"bb{p}") for p in range(_BBIT_PERMS)],
-    )
-    nc_expr = " + ".join(
-        f"CASE WHEN ba{p} = bb{p} THEN 1 ELSE 0 END" for p in range(_BBIT_PERMS)
-    )
-    pj = (
-        ip.join(ss.select(F.col("doc_id").alias("da"), F.col("ns").alias("nsa")), "da")
-        .join(ss.select(F.col("doc_id").alias("db"), F.col("ns").alias("nsb")), "db")
-        .join(sa, "da")
-        .join(sb, "db")
-        .select(
-            "inter",
-            (F.col("nsa") + F.col("nsb") - F.col("inter")).alias("un"),
-            F.expr(f"CAST({nc_expr} AS BIGINT)").alias("nc"),
-        )
-    )
-    dd = pj.select(
-        F.expr("least(9, (10 * inter) div un)").alias("dec"),
-        F.expr(f"(2 * nc - {_BBIT_PERMS}) * {1000000 // _BBIT_PERMS}").alias("jhat_q6"),
-        F.expr("(1000000 * inter) div un").alias("jex_q6"),
-    )
-    r = dd.groupBy("dec").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.coalesce(F.sum("jhat_q6"), F.lit(0)).cast("long").alias("sh_"),
-        F.coalesce(F.sum("jex_q6"), F.lit(0)).cast("long").alias("se_"),
-        F.coalesce(F.sum(F.abs(F.col("jhat_q6") - F.col("jex_q6"))), F.lit(0))
-        .cast("long")
-        .alias("sa_"),
-    )
-    spine = spark.createDataFrame([(i,) for i in range(10)], "dec long")
-    return (
-        spine.join(r, "dec", "left")
-        .select(
-            F.col("dec").cast("long").alias("j_decile"),
-            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
-            F.expr(
-                "CAST(COALESCE(sh_, 0) div greatest(COALESCE(n_pairs, 0), 1)"
-                " AS BIGINT)"
-            ).alias("mean_jhat_q6"),
-            F.expr(
-                "CAST(COALESCE(se_, 0) div greatest(COALESCE(n_pairs, 0), 1)"
-                " AS BIGINT)"
-            ).alias("mean_jexact_q6"),
-            F.expr(
-                "CAST(COALESCE(sa_, 0) div greatest(COALESCE(n_pairs, 0), 1)"
-                " AS BIGINT)"
-            ).alias("mean_abs_err_q6"),
-        )
-        .orderBy("j_decile")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 213 — two-way additive fit, Cronbach alpha, changepoint split
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "user_type_additive_fit",
-    """WITH u AS (SELECT DISTINCT user_id FROM events),
-t AS (SELECT DISTINCT event_type FROM events),
-c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS y
-      FROM events GROUP BY user_id, event_type),
-grid AS (
-  SELECT u.user_id, t.event_type, CAST(COALESCE(c.y, 0) AS BIGINT) AS y
-  FROM u CROSS JOIN t
-  LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type),
-su AS (SELECT user_id, CAST(sum(y) AS BIGINT) AS s FROM grid GROUP BY user_id),
-st_ AS (SELECT event_type, CAST(sum(y) AS BIGINT) AS s FROM grid GROUP BY event_type),
-agg AS (
-  SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS nu,
-         (SELECT CAST(count(*) AS BIGINT) FROM t) AS nt,
-         (SELECT CAST(COALESCE(sum(y), 0) AS BIGINT) FROM grid) AS g,
-         (SELECT CAST(COALESCE(sum(y * y), 0) AS BIGINT) FROM grid) AS q,
-         (SELECT CAST(COALESCE(sum(s * s), 0) AS BIGINT) FROM su) AS uu,
-         (SELECT CAST(COALESCE(sum(s * s), 0) AS BIGINT) FROM st_) AS tt),
-f AS (
-  SELECT nu, nt,
-         CAST(q AS DOUBLE) - (CAST(g AS DOUBLE) * g) / (CAST(nu AS DOUBLE) * nt)
-           AS ss_tot,
-         CAST(uu AS DOUBLE) / nt - (CAST(g AS DOUBLE) * g) / (CAST(nu AS DOUBLE) * nt)
-           AS ss_rows,
-         CAST(tt AS DOUBLE) / nu - (CAST(g AS DOUBLE) * g) / (CAST(nu AS DOUBLE) * nt)
-           AS ss_cols
-  FROM agg)
-SELECT nu AS n_users, nt AS n_types,
-       CAST(CASE WHEN ss_tot <= 0 THEN 0
-            ELSE round(1000000 * ss_rows / ss_tot) END AS BIGINT) AS row_share_q6,
-       CAST(CASE WHEN ss_tot <= 0 THEN 0
-            ELSE round(1000000 * ss_cols / ss_tot) END AS BIGINT) AS col_share_q6,
-       CAST(CASE WHEN ss_tot <= 0 THEN 0
-            ELSE round(1000000 * (ss_tot - ss_rows - ss_cols) / ss_tot) END
-            AS BIGINT) AS interaction_share_q6
-FROM f""",
-)
-def user_type_additive_fit(spark, sf_dir):
-    """Two-way additive decomposition of the user×type count matrix
-    (zeros included via the full grid): how much of the variance is the
-    USER main effect (heavy vs light users), the TYPE main effect (some
-    events are just common), and the residual INTERACTION — which is
-    the only part a personalized model can learn, the recommender-
-    baseline question (a high interaction share says user×type
-    preferences exist beyond popularity; near-zero says the additive
-    'row mean + column mean' baseline already explains the matrix).
-    Uses the complete-grid identity SS_res = SS_tot − SS_rows − SS_cols
-    so NO per-cell residual is ever materialized.
-
-    Determinism: four exact BIGINT sufficient sums (Σy, Σy², Σ row
-    sums², Σ col sums²) combine in shared float expressions with every
-    product cast from the FIRST multiply; degenerate (constant) grids
-    report 0 sentinels. Row-sum squares bound the envelope (~1e5
-    events/user at 1e9 users — documented).
-
-    Scale shape: the grid is users × |types| rows built from one
-    user-type groupBy + a broadcast type spine; everything else is
-    map-side sums."""
-    ev = _events(spark, sf_dir)
-    u = ev.select("user_id").distinct()
-    t = ev.select("event_type").distinct()
-    c = ev.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("y")
-    )
-    grid = (
-        u.crossJoin(F.broadcast(t))
-        .join(c, ["user_id", "event_type"], "left")
-        .select(
-            "user_id",
-            "event_type",
-            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
-        )
-        .localCheckpoint()  # four aggregates consume it
-    )
-    su = grid.groupBy("user_id").agg(F.sum("y").cast("long").alias("s"))
-    st_ = grid.groupBy("event_type").agg(F.sum("y").cast("long").alias("s"))
-    nu = u.agg(F.count(F.lit(1)).cast("long").alias("nu"))
-    nt = t.agg(F.count(F.lit(1)).cast("long").alias("nt"))
-    gq = grid.agg(
-        F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("g"),
-        F.coalesce(F.sum(F.col("y") * F.col("y")), F.lit(0))
-        .cast("long")
-        .alias("q"),
-    )
-    uu = su.agg(
-        F.coalesce(F.sum(F.col("s") * F.col("s")), F.lit(0)).cast("long").alias("uu")
-    )
-    tt = st_.agg(
-        F.coalesce(F.sum(F.col("s") * F.col("s")), F.lit(0)).cast("long").alias("tt")
-    )
-    agg = nu.crossJoin(nt).crossJoin(gq).crossJoin(uu).crossJoin(tt)
-    sstot = (
-        "(CAST(q AS DOUBLE) - (CAST(g AS DOUBLE) * g) / (CAST(nu AS DOUBLE) * nt))"
-    )
-    ssrows = (
-        "(CAST(uu AS DOUBLE) / nt - (CAST(g AS DOUBLE) * g) / (CAST(nu AS DOUBLE) * nt))"
-    )
-    sscols = (
-        "(CAST(tt AS DOUBLE) / nu - (CAST(g AS DOUBLE) * g) / (CAST(nu AS DOUBLE) * nt))"
-    )
-    return agg.select(
-        F.col("nu").alias("n_users"),
-        F.col("nt").alias("n_types"),
-        F.expr(
-            f"CAST(CASE WHEN {sstot} <= 0 THEN 0"
-            f" ELSE round(1000000 * {ssrows} / {sstot}) END AS BIGINT)"
-        ).alias("row_share_q6"),
-        F.expr(
-            f"CAST(CASE WHEN {sstot} <= 0 THEN 0"
-            f" ELSE round(1000000 * {sscols} / {sstot}) END AS BIGINT)"
-        ).alias("col_share_q6"),
-        F.expr(
-            f"CAST(CASE WHEN {sstot} <= 0 THEN 0"
-            f" ELSE round(1000000 * ({sstot} - {ssrows} - {sscols}) / {sstot}) END"
-            f" AS BIGINT)"
-        ).alias("interaction_share_q6"),
-    )
-
-
-@register(
-    "quality_cronbach_alpha",
-    f"""WITH tf AS ({SQL_TF}),
-d AS (
-  SELECT doc_id,
-         CAST((1000 * count(*)) // CAST(sum(tf) AS BIGINT) AS BIGINT) AS i1,
-         CAST((1000 * COALESCE(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END), 0))
-              // count(*) AS BIGINT) AS i2,
-         CAST(1000 - (1000 * max(tf)) // CAST(sum(tf) AS BIGINT) AS BIGINT) AS i3
-  FROM tf GROUP BY doc_id),
-a AS (
-  SELECT CAST(count(*) AS BIGINT) AS n,
-         CAST(COALESCE(sum(i1), 0) AS BIGINT) AS s1,
-         CAST(COALESCE(sum(i1 * i1), 0) AS BIGINT) AS q1,
-         CAST(COALESCE(sum(i2), 0) AS BIGINT) AS s2,
-         CAST(COALESCE(sum(i2 * i2), 0) AS BIGINT) AS q2,
-         CAST(COALESCE(sum(i3), 0) AS BIGINT) AS s3,
-         CAST(COALESCE(sum(i3 * i3), 0) AS BIGINT) AS q3,
-         CAST(COALESCE(sum(i1 + i2 + i3), 0) AS BIGINT) AS stt,
-         CAST(COALESCE(sum((i1 + i2 + i3) * (i1 + i2 + i3)), 0) AS BIGINT) AS qtt
-  FROM d)
-SELECT n AS n_docs,
-       CAST(CASE WHEN n < 2 OR CAST(qtt AS DOUBLE) * n = CAST(stt AS DOUBLE) * stt
-            THEN 0
-            ELSE round(1000000 * (3.0 / 2)
-              * (1 - ((CAST(q1 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)
-                      + (CAST(q2 AS DOUBLE) * n - CAST(s2 AS DOUBLE) * s2)
-                      + (CAST(q3 AS DOUBLE) * n - CAST(s3 AS DOUBLE) * s3))
-                 / (CAST(qtt AS DOUBLE) * n - CAST(stt AS DOUBLE) * stt)))
-            END AS BIGINT) AS alpha_q6
-FROM a""",
-)
-def quality_cronbach_alpha(spark, sf_dir):
-    """Cronbach's α over three per-document quality items — type/token
-    ratio, hapax share, and (1 − max-tf share) — the psychometric
-    internal-consistency number: α near 1 says the three signals
-    measure ONE underlying 'quality' trait and a composite gate is
-    justified; α near 0 says they are independent checks and should
-    gate separately (quality_gate_kappa answers this for TWO binary
-    gates; α is the k-item continuous version, and the k/(k−1)
-    correction is why it is not just an average correlation).
-
-    Determinism: items quantize to q3 integers per doc FIRST (q6
-    squares pass 2^63 at ~1e9 docs — the norm_doclen_corr rule); all
-    variances come from exact BIGINT sufficient sums in ONE shared
-    float expression (chi²-rule casts); constant composites report 0.
-
-    Scale shape: one tf pass → per-doc 3-item rows → a single 9-number
-    map-side aggregate."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    d = tf.groupBy("doc_id").agg(
-        F.expr(
-            "CAST((1000 * count(*)) div CAST(sum(tf) AS BIGINT) AS BIGINT)"
-        ).alias("i1"),
-        F.expr(
-            "CAST((1000 * COALESCE(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END), 0))"
-            " div count(*) AS BIGINT)"
-        ).alias("i2"),
-        F.expr(
-            "CAST(1000 - (1000 * max(tf)) div CAST(sum(tf) AS BIGINT) AS BIGINT)"
-        ).alias("i3"),
-    )
-    a = d.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum("i1"), F.lit(0)).cast("long").alias("s1"),
-        F.coalesce(F.sum(F.col("i1") * F.col("i1")), F.lit(0)).cast("long").alias("q1"),
-        F.coalesce(F.sum("i2"), F.lit(0)).cast("long").alias("s2"),
-        F.coalesce(F.sum(F.col("i2") * F.col("i2")), F.lit(0)).cast("long").alias("q2"),
-        F.coalesce(F.sum("i3"), F.lit(0)).cast("long").alias("s3"),
-        F.coalesce(F.sum(F.col("i3") * F.col("i3")), F.lit(0)).cast("long").alias("q3"),
-        F.coalesce(F.sum(F.col("i1") + F.col("i2") + F.col("i3")), F.lit(0))
-        .cast("long")
-        .alias("stt"),
-        F.coalesce(
-            F.sum(
-                (F.col("i1") + F.col("i2") + F.col("i3"))
-                * (F.col("i1") + F.col("i2") + F.col("i3"))
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("qtt"),
-    )
-    return a.select(
-        F.col("n").alias("n_docs"),
-        F.expr(
-            "CAST(CASE WHEN n < 2 OR CAST(qtt AS DOUBLE) * n = CAST(stt AS DOUBLE) * stt"
-            " THEN 0"
-            " ELSE round(1000000 * (3.0 / 2)"
-            " * (1 - ((CAST(q1 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)"
-            "         + (CAST(q2 AS DOUBLE) * n - CAST(s2 AS DOUBLE) * s2)"
-            "         + (CAST(q3 AS DOUBLE) * n - CAST(s3 AS DOUBLE) * s3))"
-            "    / (CAST(qtt AS DOUBLE) * n - CAST(stt AS DOUBLE) * stt)))"
-            " END AS BIGINT)"
-        ).alias("alpha_q6"),
-    )
-
-
-@register(
-    "best_split_changepoint",
-    f"""WITH d AS (
-  SELECT epoch_us(ts) // 86400000000 AS day_num, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY day_num),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM d),
-spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
-f AS (SELECT spine.day_num, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
-      FROM spine LEFT JOIN d USING (day_num)),
-cum AS (
-  SELECT day_num, n,
-         CAST(sum(1) OVER w AS BIGINT) AS cn,
-         CAST(sum(n) OVER w AS BIGINT) AS cs,
-         CAST(sum(n * n) OVER w AS BIGINT) AS css,
-         CAST(count(*) OVER () AS BIGINT) AS tot_n,
-         CAST(sum(n) OVER () AS BIGINT) AS tot_s,
-         CAST(sum(n * n) OVER () AS BIGINT) AS tot_ss
-  FROM f
-  WINDOW w AS (ORDER BY day_num ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-sp AS (
-  SELECT day_num, cn AS na, cs AS sa, css AS ssa,
-         tot_n - cn AS nb, tot_s - cs AS sb, tot_ss - css AS ssb
-  FROM cum WHERE cn >= 2 AND tot_n - cn >= 2),
-z AS (SELECT day_num, na, nb, sa, sb, {_TTEST_EXPR} AS t2_q6 FROM sp),
-best AS (
-  SELECT day_num, na, nb, sa, sb, t2_q6 FROM (
-    SELECT *, row_number() OVER (ORDER BY t2_q6 DESC, day_num ASC) AS rn FROM z) _z
-  WHERE rn = 1)
-SELECT day_num AS split_after_day, na AS n_left, nb AS n_right,
-       CAST((1000000 * sa) // na AS BIGINT) AS mean_left_q6,
-       CAST((1000000 * sb) // nb AS BIGINT) AS mean_right_q6,
-       t2_q6
-FROM best""",
-)
-def best_split_changepoint(spark, sf_dir):
-    """Changepoint LOCALIZATION by exhaustive best split: for every day
-    boundary, Welch's t² between the daily-count means before and after
-    (the binary-segmentation step every changepoint library runs
-    first), reporting the argmax split with both segment means —
-    events_cusum_anomaly DETECTS that a shift exists and flags when the
-    cumulative sum drifts; this names the most likely WHERE, which is
-    what an incident review actually needs. The prefix-sum trick makes
-    all |days| candidate splits fall out of ONE cumulative pass
-    (left stats = prefix, right = total − prefix).
-
-    Determinism: prefix sums are exact BIGINTs over the zero-filled
-    spine; each split's t² is the shared _TTEST_EXPR (q6-per-split
-    FIRST), and the argmax tiebreaks on the earlier day; both-sides-≥2
-    guards the variance terms.
-
-    Scale shape: day cells only — one window pass and a
-    calendar-bounded argmax."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
-                "day_num"
-            )
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    b = d.agg(
-        F.min("day_num").cast("long").alias("lo"),
-        F.max("day_num").cast("long").alias("hi"),
-    )
-    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day_num"))
-    f = spine.join(d, "day_num", "left").select(
-        "day_num", F.coalesce("n", F.lit(0)).cast("long").alias("n")
-    )
-    w = Window.orderBy("day_num").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.orderBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = f.select(
-        "day_num",
-        F.sum(F.lit(1)).over(w).cast("long").alias("cn"),
-        F.sum("n").over(w).cast("long").alias("cs"),
-        F.sum(F.col("n") * F.col("n")).over(w).cast("long").alias("css"),
-        F.count(F.lit(1)).over(w_all).cast("long").alias("tot_n"),
-        F.sum("n").over(w_all).cast("long").alias("tot_s"),
-        F.sum(F.col("n") * F.col("n")).over(w_all).cast("long").alias("tot_ss"),
-    )
-    sp = cum.where(
-        (F.col("cn") >= 2) & (F.col("tot_n") - F.col("cn") >= 2)
-    ).select(
-        "day_num",
-        F.col("cn").alias("na"),
-        F.col("cs").alias("sa"),
-        F.col("css").alias("ssa"),
-        (F.col("tot_n") - F.col("cn")).alias("nb"),
-        (F.col("tot_s") - F.col("cs")).alias("sb"),
-        (F.col("tot_ss") - F.col("css")).alias("ssb"),
-    )
-    z = sp.select("day_num", "na", "nb", "sa", "sb", F.expr(_TTEST_EXPR).alias("t2_q6"))
-    best = (
-        z.agg(
-            F.max(
-                F.struct(
-                    F.col("t2_q6"),
-                    (-F.col("day_num")).alias("nd"),
-                    F.col("na"),
-                    F.col("nb"),
-                    F.col("sa"),
-                    F.col("sb"),
-                )
-            ).alias("t")
-        )
-    )
-    return best.select(
-        (-F.col("t.nd")).cast("long").alias("split_after_day"),
-        F.col("t.na").alias("n_left"),
-        F.col("t.nb").alias("n_right"),
-        F.expr("CAST((1000000 * t.sa) div t.na AS BIGINT)").alias("mean_left_q6"),
-        F.expr("CAST((1000000 * t.sb) div t.nb AS BIGINT)").alias("mean_right_q6"),
-        F.col("t.t2_q6").alias("t2_q6"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 214 — PR-AUC, empirical-Bayes shrinkage, post-stratification
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "quality_gate_pr_auc",
-    f"""WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
-dupg AS (SELECT hh FROM h GROUP BY hh HAVING count(*) > 1),
-lab0 AS (SELECT h.doc_id,
-                CASE WHEN dupg.hh IS NULL THEN 0 ELSE 1 END AS is_dup
-         FROM h LEFT JOIN dupg ON dupg.hh = h.hh),
-tf AS ({SQL_TF}),
-q AS (SELECT doc_id,
-             CAST(round(1e6 * count(*) / CAST(sum(tf) AS BIGINT)) AS BIGINT) AS ttr_q6
-      FROM tf GROUP BY doc_id),
-lab AS (SELECT q.ttr_q6 AS score_q6, lab0.is_dup
-        FROM q JOIN lab0 ON lab0.doc_id = q.doc_id),
-cells AS (SELECT score_q6,
-                 CAST(COALESCE(sum(is_dup), 0) AS BIGINT) AS ca,
-                 CAST(COALESCE(sum(1 - is_dup), 0) AS BIGINT) AS cb
-          FROM lab GROUP BY score_q6),
-cum AS (SELECT score_q6, ca, cb,
-               CAST(sum(ca) OVER (ORDER BY score_q6
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
-               CAST(sum(cb) OVER (ORDER BY score_q6
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
-        FROM cells),
-ap AS (
-  SELECT CAST(COALESCE(sum(ca * ((1000000 * cp) // (cp + cn))), 0) AS BIGINT) AS num,
-         CAST(COALESCE(sum(ca), 0) AS BIGINT) AS p,
-         CAST(COALESCE(sum(cb), 0) AS BIGINT) AS nn
-  FROM cum)
-SELECT p AS n_pos, nn AS n_neg,
-       CAST(num // greatest(p, 1) AS BIGINT) AS ap_q6,
-       CAST((1000000 * p) // greatest(p + nn, 1) AS BIGINT) AS prevalence_q6
-FROM ap""",
-)
-def quality_gate_pr_auc(spark, sf_dir):
-    """Precision-recall average precision of the TTR gate as a
-    duplicate detector — the PR-space twin of quality_gate_roc: ROC-AUC
-    flatters detectors on imbalanced labels (duplicates are rare, so
-    the huge true-negative mass props the curve up); average precision
-    only looks at where the POSITIVES land, which is the honest number
-    for a rare-event gate. Ranked by TTR ASCENDING (low diversity
-    predicts duplication); ties resolve at cell granularity — each
-    score cell's positives take the precision at the CELL boundary,
-    the deterministic tie convention. The prevalence column is PR's
-    chance baseline (ROC's is always ½).
-
-    Determinism: precision per cell is an integer cross-multiplied
-    floor division, weighted by exact positive counts, one final floor
-    division — no floats at all.
-
-    Scale shape: score-histogram cells only (the ranking_auc
-    machinery with precision in place of the U statistic)."""
-    h = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("hh"))
-    dupg = (
-        h.groupBy("hh")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") > 1)
-        .select("hh")
-        .withColumn("flag", F.lit(1))
-    )
-    lab0 = h.join(dupg, "hh", "left").select(
-        "doc_id", F.coalesce("flag", F.lit(0)).alias("is_dup")
-    )
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    q = tf.groupBy("doc_id").agg(
-        F.expr(
-            "CAST(round(1e6 * count(*) / CAST(sum(tf) AS BIGINT)) AS BIGINT)"
-        ).alias("score_q6")
-    )
-    lab = q.join(lab0, "doc_id").select("score_q6", "is_dup")
-    cells = lab.groupBy("score_q6").agg(
-        F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long").alias("ca"),
-        F.coalesce(F.sum(F.lit(1) - F.col("is_dup")), F.lit(0))
-        .cast("long")
-        .alias("cb"),
-    )
-    wc = Window.orderBy("score_q6").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = cells.select(
-        "ca",
-        "cb",
-        F.sum("ca").over(wc).cast("long").alias("cp"),
-        F.sum("cb").over(wc).cast("long").alias("cn"),
-    )
-    ap = cum.agg(
-        F.coalesce(
-            F.sum(F.expr("ca * ((1000000 * cp) div (cp + cn))")), F.lit(0)
-        )
-        .cast("long")
-        .alias("num"),
-        F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("p"),
-        F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("nn"),
-    )
-    return ap.select(
-        F.col("p").alias("n_pos"),
-        F.col("nn").alias("n_neg"),
-        F.expr("CAST(num div greatest(p, 1) AS BIGINT)").alias("ap_q6"),
-        F.expr("CAST((1000000 * p) div greatest(p + nn, 1) AS BIGINT)").alias(
-            "prevalence_q6"
-        ),
-    )
-
-
-@register(
-    "eb_ctr_shrinkage",
-    """WITH u AS (
-  SELECT user_id,
-         CAST(COALESCE(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0)
-              AS BIGINT) AS nv,
-         CAST(COALESCE(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0)
-              AS BIGINT) AS nc
-  FROM events GROUP BY user_id),
-r AS (SELECT CAST((1000 * nc) // nv AS BIGINT) AS c3 FROM u WHERE nv >= 1),
-a AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(COALESCE(sum(c3), 0) AS BIGINT) AS s1,
-             CAST(COALESCE(sum(c3 * c3), 0) AS BIGINT) AS s2
-      FROM r),
-f AS (
-  SELECT n, s1, s2,
-         CAST(s1 AS DOUBLE) / (1000 * n) AS mr,
-         (CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)
-           / ((CAST(n AS DOUBLE) * n) * 1000000) AS vr
-  FROM a WHERE n > 0)
-SELECT n AS n_users,
-       CAST(round(1000000 * mr) AS BIGINT) AS mean_ctr_q6,
-       CAST(round(1000000000000 * vr) AS BIGINT) AS var_ctr_q12,
-       CAST(CASE WHEN n < 2 OR vr <= 0 OR vr >= mr * (1 - mr) THEN 0
-            ELSE round(1000000 * (mr * (1 - mr) / vr - 1)) END AS BIGINT)
-         AS prior_strength_q6,
-       CAST(CASE WHEN n < 2 OR vr <= 0 OR vr >= mr * (1 - mr) THEN 0
-            ELSE round(1000000 * mr * (mr * (1 - mr) / vr - 1)) END AS BIGINT)
-         AS alpha_q6,
-       CAST(CASE WHEN n < 2 OR vr <= 0 OR vr >= mr * (1 - mr) THEN 0
-            ELSE round(1000000 * (1 - mr) * (mr * (1 - mr) / vr - 1)) END AS BIGINT)
-         AS beta_q6
-FROM f""",
-)
-def eb_ctr_shrinkage(spark, sf_dir):
-    """Empirical-Bayes beta prior for per-user click-through rates, by
-    method of moments: α+β = m(1−m)/v − 1 from the mean and variance
-    of observed per-user CTRs — the James-Stein machinery for RATES:
-    a user with 1 view and 1 click is not a 100%-CTR user, and the
-    fitted prior says exactly how many pseudo-observations
-    (prior_strength = α+β) to blend in: shrunk CTR =
-    (clicks + α)/(views + α + β). user_ctr_histogram shows the raw
-    bimodality this op turns into a usable estimator; a prior strength
-    of 0 (sentinel) means the observed CTRs are MORE dispersed than
-    any beta-binomial allows and shrinkage is unjustified — also worth
-    knowing.
-
-    Determinism: per-user CTRs quantize to q3 FIRST (q6 squares pass
-    2^63 at ~1e9 users — the norm_doclen_corr rule); mean/variance are
-    shared float expressions off exact BIGINT sums with chi²-rule
-    casts; three guarded sentinels.
-
-    Scale shape: ONE user exchange, then scalar moment algebra."""
-    u = _events(spark, sf_dir).groupBy("user_id").agg(
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END")),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("nv"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("nc"),
-    )
-    r = u.where(F.col("nv") >= 1).select(
-        F.expr("CAST((1000 * nc) div nv AS BIGINT)").alias("c3")
-    )
-    a = r.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum("c3"), F.lit(0)).cast("long").alias("s1"),
-        F.coalesce(F.sum(F.col("c3") * F.col("c3")), F.lit(0))
-        .cast("long")
-        .alias("s2"),
-    )
-    mr = "(CAST(s1 AS DOUBLE) / (1000 * n))"
-    vr = (
-        "((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)"
-        " / ((CAST(n AS DOUBLE) * n) * 1000000))"
-    )
-    bad = f"n < 2 OR {vr} <= 0 OR {vr} >= {mr} * (1 - {mr})"
-    ab = f"({mr} * (1 - {mr}) / {vr} - 1)"
-    return a.where(F.col("n") > 0).select(
-        F.col("n").alias("n_users"),
-        F.expr(f"CAST(round(1000000 * {mr}) AS BIGINT)").alias("mean_ctr_q6"),
-        F.expr(f"CAST(round(1000000000000 * {vr}) AS BIGINT)").alias(
-            "var_ctr_q12"
-        ),
-        F.expr(
-            f"CAST(CASE WHEN {bad} THEN 0"
-            f" ELSE round(1000000 * {ab}) END AS BIGINT)"
-        ).alias("prior_strength_q6"),
-        F.expr(
-            f"CAST(CASE WHEN {bad} THEN 0"
-            f" ELSE round(1000000 * {mr} * {ab}) END AS BIGINT)"
-        ).alias("alpha_q6"),
-        F.expr(
-            f"CAST(CASE WHEN {bad} THEN 0"
-            f" ELSE round(1000000 * (1 - {mr}) * {ab}) END AS BIGINT)"
-        ).alias("beta_q6"),
-    )
-
-
-@register(
-    "post_stratified_estimate",
-    f"""WITH t AS (
-  SELECT doc_id, source,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS x
-  FROM documents),
-samp AS (
-  SELECT doc_id, source, x,
-         substr(md5(CAST(doc_id AS VARCHAR)), 9, 4) AS hk
-  FROM t ORDER BY hk, doc_id LIMIT 100),
-sm AS (SELECT source, CAST(count(*) AS BIGINT) AS ns,
-              CAST(COALESCE(sum(x), 0) AS BIGINT) AS sx
-       FROM samp GROUP BY source),
-pop AS (SELECT source, CAST(count(*) AS BIGINT) AS np,
-               CAST(COALESCE(sum(x), 0) AS BIGINT) AS px
-        FROM t GROUP BY source),
-j AS (SELECT sm.source, sm.ns, sm.sx, pop.np FROM sm JOIN pop USING (source)),
-w AS (SELECT CAST(COALESCE(sum(np), 0) AS BIGINT) AS covered_pop FROM j),
-pt AS (
-  SELECT CAST(round(1000000000 * (CAST(j.np AS DOUBLE) * j.sx)
-              / (CAST(j.ns AS DOUBLE) * w.covered_pop)) AS BIGINT) AS term_q9
-  FROM j CROSS JOIN w),
-ps AS (SELECT CAST(COALESCE(sum(term_q9), 0) // 1000 AS BIGINT) AS ps_mean_q6
-       FROM pt),
-raw AS (SELECT CAST(round(1000000 * CAST(COALESCE(sum(x), 0) AS DOUBLE)
-               / greatest(count(*), 1)) AS BIGINT) AS raw_mean_q6,
-               CAST(count(*) AS BIGINT) AS n_sample
-        FROM samp),
-tru AS (SELECT CAST(round(1000000 * CAST(COALESCE(sum(x), 0) AS DOUBLE)
-               / greatest(count(*), 1)) AS BIGINT) AS true_mean_q6
-        FROM t)
-SELECT raw.n_sample, raw.raw_mean_q6, ps.ps_mean_q6, tru.true_mean_q6,
-       CAST(abs(raw.raw_mean_q6 - tru.true_mean_q6) AS BIGINT) AS raw_err_q6,
-       CAST(abs(ps.ps_mean_q6 - tru.true_mean_q6) AS BIGINT) AS ps_err_q6
-FROM raw CROSS JOIN ps CROSS JOIN tru""",
-)
-def post_stratified_estimate(spark, sf_dir):
-    """Post-stratification audit, dog-fooding the engine's own sampler:
-    take priority_sample_docs' exact 100-doc hash sample, estimate the
-    corpus mean token length (a) raw and (b) post-stratified — each
-    source's sample mean reweighted by its TRUE population share — and
-    report both errors against the exact answer. Post-stratification
-    is the standard correction when a uniform sample lands unevenly
-    across strata (sample_mix_bias MEASURES that unevenness; this op
-    shows what the correction buys on the estimate itself). Strata the
-    sample missed entirely carry no sample mean — weights renormalize
-    over covered strata, the documented small-sample caveat.
-
-    Determinism: the sample is the verbatim hash-key TakeOrdered
-    (hash coordinate 9-12); estimates are shared float expressions
-    over exact integer sums, q6-rounded; COALESCE'd sums keep the
-    all-empty-doc corpus defined.
-
-    Scale shape: the sample is a 100-row TakeOrdered; population
-    shares are one map-side census; the audit never sorts the
-    corpus."""
-    t = _docs(spark, sf_dir).select(
-        "doc_id",
-        "source",
-        F.size(spark_tokens("text")).cast("long").alias("x"),
-    ).localCheckpoint()  # sample + census + truth consume it
-    samp = (
-        t.select(
-            "doc_id",
-            "source",
-            "x",
-            F.expr("substr(md5(CAST(doc_id AS STRING)), 9, 4)").alias("hk"),
-        )
-        .orderBy("hk", "doc_id")
-        .limit(100)
-    )
-    sm = samp.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("ns"),
-        F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("sx"),
-    )
-    pop = t.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("np"),
-        F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("px"),
-    )
-    j = sm.join(pop, "source").select("source", "ns", "sx", "np")
-    w = j.agg(F.coalesce(F.sum("np"), F.lit(0)).cast("long").alias("covered_pop"))
-    pt = j.crossJoin(F.broadcast(w)).select(
-        F.expr(
-            "CAST(round(1000000000 * (CAST(np AS DOUBLE) * sx)"
-            " / (CAST(ns AS DOUBLE) * covered_pop)) AS BIGINT)"
-        ).alias("term_q9")
-    )
-    ps = pt.agg(
-        F.expr("CAST(COALESCE(sum(term_q9), 0) div 1000 AS BIGINT)").alias(
-            "ps_mean_q6"
-        )
-    )
-    raw = samp.agg(
-        F.expr(
-            "CAST(round(1000000 * CAST(COALESCE(sum(x), 0) AS DOUBLE)"
-            " / greatest(count(*), 1)) AS BIGINT)"
-        ).alias("raw_mean_q6"),
-        F.count(F.lit(1)).cast("long").alias("n_sample"),
-    )
-    tru = t.agg(
-        F.expr(
-            "CAST(round(1000000 * CAST(COALESCE(sum(x), 0) AS DOUBLE)"
-            " / greatest(count(*), 1)) AS BIGINT)"
-        ).alias("true_mean_q6")
-    )
-    return (
-        raw.crossJoin(ps)
-        .crossJoin(tru)
-        .select(
-            "n_sample",
-            "raw_mean_q6",
-            "ps_mean_q6",
-            "true_mean_q6",
-            F.expr("CAST(abs(raw_mean_q6 - true_mean_q6) AS BIGINT)").alias(
-                "raw_err_q6"
-            ),
-            F.expr("CAST(abs(ps_mean_q6 - true_mean_q6) AS BIGINT)").alias(
-                "ps_err_q6"
-            ),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 215 — adaptive nprobe policy, Fleiss kappa, Shapley attribution
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "ann_adaptive_nprobe_eval",
-    _KMEANS_SQL_PRELUDE
-    + f""", qs AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 37 = 0),
-bpq AS MATERIALIZED (
-  SELECT qid, qv, cid, cq, rn FROM (
-    SELECT qs.qid, qs.qv, c.cid,
-           CAST(round(1000000000 * list_dot_product(c.cv, qs.qv)
-             / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) AS cq,
-           row_number() OVER (PARTITION BY qs.qid ORDER BY
-             CAST(round(1000000000 * list_dot_product(c.cv, qs.qv)
-               / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) DESC,
-             c.cid ASC) AS rn
-    FROM qs, cent2 c) _b WHERE rn <= 3),
-mg AS MATERIALIZED (
-  SELECT qid,
-         max(CASE WHEN rn = 1 THEN cq END)
-           - COALESCE(max(CASE WHEN rn = 2 THEN cq END),
-                      max(CASE WHEN rn = 1 THEN cq END)) AS margin
-  FROM bpq GROUP BY qid),
-thr AS (SELECT CAST(COALESCE(sum(margin), 0) // greatest(count(*), 1) AS BIGINT) AS t
-        FROM mg),
-pols AS MATERIALIZED (
-  SELECT 'a_fixed1' AS policy, qid, 1 AS p FROM mg
-  UNION ALL
-  SELECT 'b_adaptive', mg.qid,
-         CASE WHEN mg.margin >= thr.t THEN 1 ELSE 3 END FROM mg, thr
-  UNION ALL
-  SELECT 'c_fixed3', qid, 3 FROM mg),
-sc AS MATERIALIZED (
-  SELECT pols.policy, b.qid, e.vec_id,
-         CAST(round(1000000 * list_dot_product(e.v, b.qv)
-           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(b.qv, b.qv)))) AS BIGINT) AS cos_q6
-  FROM pols, bpq b, a3, e
-  WHERE b.qid = pols.qid AND b.rn <= pols.p AND a3.cid = b.cid
-    AND e.vec_id = a3.vec_id),
-tops AS (
-  SELECT policy, qid, vec_id FROM (
-    SELECT policy, qid, vec_id,
-           row_number() OVER (PARTITION BY policy, qid
-                              ORDER BY cos_q6 DESC, vec_id ASC) AS rnk
-    FROM sc) _t WHERE rnk <= 10),
-bexact AS MATERIALIZED (
-  SELECT qid, vec_id FROM (
-    SELECT qs.qid, e.vec_id,
-           row_number() OVER (PARTITION BY qs.qid ORDER BY
-             CAST(round(1000000 * list_dot_product(e.v, qs.qv)
-               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) DESC,
-             e.vec_id ASC) AS rn
-    FROM qs, e WHERE e.vec_id <> 0) _e WHERE rn <= 10),
-nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM qs),
-ov AS (SELECT policy, CAST(count(*) AS BIGINT) AS sum_overlap
-       FROM tops JOIN bexact USING (qid, vec_id) GROUP BY policy),
-cost AS (SELECT policy, CAST(count(*) AS BIGINT) AS scanned_rows FROM sc GROUP BY policy),
-pls AS (SELECT DISTINCT policy FROM pols),
-fin AS (
-  SELECT pls.policy, nq.n_queries,
-         CAST(COALESCE(ov.sum_overlap, 0) AS BIGINT) AS sum_overlap,
-         CAST(COALESCE(cost.scanned_rows, 0) AS BIGINT) AS scanned_rows
-  FROM pls
-  LEFT JOIN ov ON ov.policy = pls.policy
-  LEFT JOIN cost ON cost.policy = pls.policy
-  CROSS JOIN nq)
-SELECT policy, n_queries, sum_overlap, {_NPROBE_RECALL_EXPR} AS recall_q6,
-       scanned_rows
-FROM fin ORDER BY policy""",
-)
-def ann_adaptive_nprobe_eval(spark, sf_dir):
-    """Adaptive-nprobe POLICY evaluation over the shared trained IVF:
-    route each query by its coarse top1−top2 margin — confident queries
-    (margin ≥ the batch mean) probe 1 cell, boundary queries probe 3 —
-    and report recall@10 AND scanned candidate volume against the fixed
-    1 and 3 baselines. This is the production capstone of the nprobe
-    family: ann_ivf_nprobe_curve prices the fixed knob,
-    ivf_assign_margin shows the margin distribution, this op closes the
-    loop by SPENDING scan budget only where the margin says the answer
-    is ambiguous (the adaptive routing every serious ANN service ships;
-    the win condition is adaptive recall ≈ fixed-3 at scan cost ≈
-    fixed-1's side of the curve).
-
-    Determinism: margins are exact q9 integer differences (single-cell
-    corner COALESCEs to margin 0 → confident); the threshold is an
-    integer mean; rankings quantize with vec_id tiebreaks.
-
-    Scale shape: ONE coarse ranking feeds all three policies via a
-    policy-spine join; scoring stays inside probed cells; the exact
-    side is the recall denominator only (the nprobe-curve precedent)."""
-    members, cent, final_assign = _trained_ivf(spark, sf_dir)
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    qs = e.where(F.col("vec_id") % 37 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    wq = Window.partitionBy("qid").orderBy(F.desc("cq"), F.asc("cid"))
-    bpq = (
-        qs.crossJoin(F.broadcast(cent))
-        .select("qid", "qv", "cid", _cosq("cv", "qv", 1_000_000_000).alias("cq"))
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= 3)
-        .localCheckpoint()  # margins + three policy probes consume it
-    )
-    mg = bpq.groupBy("qid").agg(
-        (
-            F.max(F.when(F.col("rn") == 1, F.col("cq")))
-            - F.coalesce(
-                F.max(F.when(F.col("rn") == 2, F.col("cq"))),
-                F.max(F.when(F.col("rn") == 1, F.col("cq"))),
-            )
-        ).alias("margin")
-    )
-    thr = mg.agg(
-        F.expr(
-            "CAST(COALESCE(sum(margin), 0) div greatest(count(*), 1) AS BIGINT)"
-        ).alias("t")
-    )
-    pols = (
-        mg.select(F.lit("a_fixed1").alias("policy"), "qid", F.lit(1).alias("p"))
-        .unionByName(
-            mg.crossJoin(F.broadcast(thr)).select(
-                F.lit("b_adaptive").alias("policy"),
-                "qid",
-                F.expr("CASE WHEN margin >= t THEN 1 ELSE 3 END").alias("p"),
-            )
-        )
-        .unionByName(
-            mg.select(F.lit("c_fixed3").alias("policy"), "qid", F.lit(3).alias("p"))
-        )
-    )
-    sc = (
-        members.join(final_assign, "vec_id")
-        .join(
-            F.broadcast(
-                bpq.join(pols, "qid").where(F.col("rn") <= F.col("p")).select(
-                    "policy", "qid", "qv", "cid"
-                )
-            ),
-            "cid",
-        )
-        .select("policy", "qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-        .localCheckpoint()  # tops + scan-cost census consume it
-    )
-    wr = Window.partitionBy("policy", "qid").orderBy(
-        F.desc("cos_q6"), F.asc("vec_id")
-    )
-    tops = (
-        sc.withColumn("rnk", F.row_number().over(wr))
-        .where(F.col("rnk") <= 10)
-        .select("policy", "qid", "vec_id")
-    )
-    we = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-    bexact = (
-        e.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qs))
-        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-        .withColumn("rn", F.row_number().over(we))
-        .where(F.col("rn") <= 10)
-        .select("qid", "vec_id")
-    )
-    nq = qs.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
-    ov = tops.join(bexact, ["qid", "vec_id"]).groupBy("policy").agg(
-        F.count(F.lit(1)).cast("long").alias("sum_overlap")
-    )
-    cost = sc.groupBy("policy").agg(
-        F.count(F.lit(1)).cast("long").alias("scanned_rows")
-    )
-    pls = spark.createDataFrame(
-        [("a_fixed1",), ("b_adaptive",), ("c_fixed3",)], "policy string"
-    )
-    return (
-        pls.join(ov, "policy", "left")
-        .join(cost, "policy", "left")
-        .crossJoin(F.broadcast(nq))
-        .select(
-            "policy",
-            "n_queries",
-            F.coalesce("sum_overlap", F.lit(0)).cast("long").alias("sum_overlap"),
-            F.expr(_NPROBE_RECALL_EXPR).alias("recall_q6"),
-            F.coalesce("scanned_rows", F.lit(0)).cast("long").alias("scanned_rows"),
-        )
-        .orderBy("policy")
-    )
-
-
-# the three gates of filter_order_advisor, reused as independent "raters"
-_GATES_SQL = f"""tf AS ({SQL_TF}),
-s AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
-             CAST(count(*) AS BIGINT) AS n_distinct
-      FROM tf GROUP BY doc_id),
-g AS (
-  SELECT CASE WHEN s.n_tok >= 8 THEN 1 ELSE 0 END AS a,
-         CASE WHEN 5 * s.n_distinct >= 2 * s.n_tok THEN 1 ELSE 0 END AS b,
-         CASE WHEN d.lang <> 'zh' THEN 1 ELSE 0 END AS c
-  FROM s JOIN documents d USING (doc_id))"""
-
-
-@register(
-    "gates_fleiss_kappa",
-    f"""WITH {_GATES_SQL},
-m AS (
-  SELECT CAST(count(*) AS BIGINT) AS n,
-         CAST(COALESCE(sum(a + b + c), 0) AS BIGINT) AS t,
-         CAST(COALESCE(sum(CASE WHEN a + b + c IN (0, 3) THEN 6 ELSE 2 END), 0)
-              AS BIGINT) AS s6
-  FROM g)
-SELECT n AS n_docs,
-       CAST(round(1000000 * CAST(s6 AS DOUBLE) / (6 * n)) AS BIGINT) AS pbar_q6,
-       CAST(round(1000000 * ((CAST(t AS DOUBLE) / (3 * n)) * (CAST(t AS DOUBLE) / (3 * n))
-            + (1 - CAST(t AS DOUBLE) / (3 * n)) * (1 - CAST(t AS DOUBLE) / (3 * n))))
-            AS BIGINT) AS pe_q6,
-       CAST(CASE WHEN t = 0 OR t = 3 * n THEN 0
-            ELSE round(1000000
-              * (CAST(s6 AS DOUBLE) / (6 * n)
-                 - ((CAST(t AS DOUBLE) / (3 * n)) * (CAST(t AS DOUBLE) / (3 * n))
-                    + (1 - CAST(t AS DOUBLE) / (3 * n)) * (1 - CAST(t AS DOUBLE) / (3 * n))))
-              / (1 - ((CAST(t AS DOUBLE) / (3 * n)) * (CAST(t AS DOUBLE) / (3 * n))
-                    + (1 - CAST(t AS DOUBLE) / (3 * n)) * (1 - CAST(t AS DOUBLE) / (3 * n)))))
-            END AS BIGINT) AS fleiss_kappa_q6
-FROM m WHERE n > 0""",
-)
-def gates_fleiss_kappa(spark, sf_dir):
-    """Fleiss' κ treating the three quality gates (length, TTR, lang —
-    filter_order_advisor's A/B/C) as three RATERS voting pass/fail on
-    every document — the multi-rater completion of the agreement
-    family: quality_gate_kappa is Cohen's κ for TWO gates,
-    quality_cronbach_alpha is consistency of CONTINUOUS items, Fleiss
-    is k binary raters. With 3 raters the per-item agreement P_i is an
-    exact sixth — (Σn_j² − 3)/6 is 1 for unanimous items and 1/3 for
-    2-1 splits — so P̄'s numerator is an exact BIGINT sum of {2, 6}.
-    κ near 0 says the gates vote independently (stack them); κ near 1
-    says they are one gate in three costumes (keep the cheapest).
-
-    Determinism: exact integer agreement numerators and vote totals;
-    the chance-agreement and κ combine in ONE shared float expression;
-    unanimous-corpus sentinels.
-
-    Scale shape: the gate flags ride the filter_order tf pass; one
-    3-number aggregate."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    s = tf.groupBy("doc_id").agg(
-        F.sum("tf").cast("long").alias("n_tok"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct"),
-    )
-    d = _docs(spark, sf_dir).select("doc_id", "lang")
-    g = s.join(d, "doc_id").select(
-        F.expr("CASE WHEN n_tok >= 8 THEN 1 ELSE 0 END").alias("a"),
-        F.expr("CASE WHEN 5 * n_distinct >= 2 * n_tok THEN 1 ELSE 0 END").alias("b"),
-        F.expr("CASE WHEN lang <> 'zh' THEN 1 ELSE 0 END").alias("c"),
-    )
-    m = g.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum(F.col("a") + F.col("b") + F.col("c")), F.lit(0))
-        .cast("long")
-        .alias("t"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN a + b + c IN (0, 3) THEN 6 ELSE 2 END")),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("s6"),
-    )
-    p = "(CAST(t AS DOUBLE) / (3 * n))"
-    pe = f"({p} * {p} + (1 - {p}) * (1 - {p}))"
-    pbar = "(CAST(s6 AS DOUBLE) / (6 * n))"
-    return m.where(F.col("n") > 0).select(
-        F.col("n").alias("n_docs"),
-        F.expr(f"CAST(round(1000000 * {pbar}) AS BIGINT)").alias("pbar_q6"),
-        F.expr(f"CAST(round(1000000 * {pe}) AS BIGINT)").alias("pe_q6"),
-        F.expr(
-            f"CAST(CASE WHEN t = 0 OR t = 3 * n THEN 0"
-            f" ELSE round(1000000 * ({pbar} - {pe}) / (1 - {pe})) END AS BIGINT)"
-        ).alias("fleiss_kappa_q6"),
-    )
-
-
-@register(
-    "gate_shapley_attribution",
-    f"""WITH {_GATES_SQL},
-m AS (
-  SELECT CAST(count(*) AS BIGINT) AS n,
-         CAST(COALESCE(sum(a), 0) AS BIGINT) AS na,
-         CAST(COALESCE(sum(b), 0) AS BIGINT) AS nb,
-         CAST(COALESCE(sum(c), 0) AS BIGINT) AS nc,
-         CAST(COALESCE(sum(a * b), 0) AS BIGINT) AS nab,
-         CAST(COALESCE(sum(a * c), 0) AS BIGINT) AS nac,
-         CAST(COALESCE(sum(b * c), 0) AS BIGINT) AS nbc,
-         CAST(COALESCE(sum(a * b * c), 0) AS BIGINT) AS nabc
-  FROM g)
-SELECT gate, phi_q6, v_solo_q6
-FROM (
-  SELECT 'a_length' AS gate,
-         CAST((1000000 * (2 * (na - n) + (nab - nb) + (nac - nc)
-               + 2 * (nabc - nbc))) // (6 * greatest(n, 1)) AS BIGINT) AS phi_q6,
-         CAST((1000000 * na) // greatest(n, 1) AS BIGINT) AS v_solo_q6 FROM m
-  UNION ALL
-  SELECT 'b_ttr',
-         CAST((1000000 * (2 * (nb - n) + (nab - na) + (nbc - nc)
-               + 2 * (nabc - nac))) // (6 * greatest(n, 1)) AS BIGINT),
-         CAST((1000000 * nb) // greatest(n, 1) AS BIGINT) FROM m
-  UNION ALL
-  SELECT 'c_lang',
-         CAST((1000000 * (2 * (nc - n) + (nac - na) + (nbc - nb)
-               + 2 * (nabc - nab))) // (6 * greatest(n, 1)) AS BIGINT),
-         CAST((1000000 * nc) // greatest(n, 1) AS BIGINT) FROM m
-) ORDER BY gate""",
-)
-def gate_shapley_attribution(spark, sf_dir):
-    """Exact Shapley attribution of the quality cascade's removal mass:
-    with v(S) = pass share applying the gates in S (v(∅) = 1), each
-    gate's Shapley value φ averages its marginal pass-rate change over
-    all 3! arrival orders — computable in CLOSED FORM from the same
-    8-cell contingency as filter_order_advisor, so no sampling and no
-    ordering bias. pipeline_waterfall attributes removals to whichever
-    gate happens to run first (order-dependent by construction); φ is
-    the order-INDEPENDENT answer to 'which gate is actually doing the
-    cutting', and efficiency guarantees Σφ = v(ABC) − 1 exactly — the
-    total cut mass splits with nothing lost or double-counted.
-
-    Determinism: φ numerators are exact BIGINT combinations of the
-    conditional sums; ONE signed integer division per gate (both
-    engines truncate toward zero, the session-105 rule; φ ≤ 0 always
-    since gates only remove).
-
-    Scale shape: one map-side 8-counter aggregate; 3 output rows
-    stacked from it."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    s = tf.groupBy("doc_id").agg(
-        F.sum("tf").cast("long").alias("n_tok"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct"),
-    )
-    d = _docs(spark, sf_dir).select("doc_id", "lang")
-    g = s.join(d, "doc_id").select(
-        F.expr("CASE WHEN n_tok >= 8 THEN 1 ELSE 0 END").alias("a"),
-        F.expr("CASE WHEN 5 * n_distinct >= 2 * n_tok THEN 1 ELSE 0 END").alias("b"),
-        F.expr("CASE WHEN lang <> 'zh' THEN 1 ELSE 0 END").alias("c"),
-    )
-    m = g.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum("a"), F.lit(0)).cast("long").alias("na"),
-        F.coalesce(F.sum("b"), F.lit(0)).cast("long").alias("nb"),
-        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("nc"),
-        F.coalesce(F.sum(F.col("a") * F.col("b")), F.lit(0)).cast("long").alias("nab"),
-        F.coalesce(F.sum(F.col("a") * F.col("c")), F.lit(0)).cast("long").alias("nac"),
-        F.coalesce(F.sum(F.col("b") * F.col("c")), F.lit(0)).cast("long").alias("nbc"),
-        F.coalesce(F.sum(F.col("a") * F.col("b") * F.col("c")), F.lit(0))
-        .cast("long")
-        .alias("nabc"),
-    )
-    cells = [
-        (
-            "a_length",
-            "2 * (na - n) + (nab - nb) + (nac - nc) + 2 * (nabc - nbc)",
-            "na",
-        ),
-        (
-            "b_ttr",
-            "2 * (nb - n) + (nab - na) + (nbc - nc) + 2 * (nabc - nac)",
-            "nb",
-        ),
-        (
-            "c_lang",
-            "2 * (nc - n) + (nac - na) + (nbc - nb) + 2 * (nabc - nab)",
-            "nc",
-        ),
-    ]
-    stack = ", ".join(
-        f"'{g_}', CAST((1000000 * ({num})) div (6 * greatest(n, 1)) AS BIGINT),"
-        f" CAST((1000000 * {solo}) div greatest(n, 1) AS BIGINT)"
-        for g_, num, solo in cells
-    )
-    return (
-        m.select(
-            F.expr(f"stack(3, {stack}) AS (gate, phi_q6, v_solo_q6)")
-        ).orderBy("gate")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 216 — 1-D DBSCAN, decision stump, price-volume-mix bridge
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "doclen_dbscan_1d",
-    f"""WITH t AS (
-  SELECT CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS v
-  FROM documents),
-hist AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY v),
-brk AS (
-  SELECT v, cnt,
-         CASE WHEN v - lag(v) OVER (ORDER BY v) > 4 THEN 1 ELSE 0 END AS nb
-  FROM hist),
-cl AS (
-  SELECT v, cnt,
-         CAST(COALESCE(sum(nb) OVER (ORDER BY v
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS cid
-  FROM brk),
-cs AS (
-  SELECT cid, CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax,
-         CAST(sum(cnt) AS BIGINT) AS mass
-  FROM cl GROUP BY cid),
-dense AS (SELECT * FROM cs WHERE mass >= 5),
-noise AS (SELECT CAST(COALESCE(sum(mass), 0) AS BIGINT) AS n_noise
-          FROM cs WHERE mass < 5),
-top5 AS (
-  SELECT vmin, vmax, mass,
-         row_number() OVER (ORDER BY mass DESC, vmin ASC) AS rk
-  FROM dense)
-SELECT CAST(rk AS BIGINT) AS cluster_rank, vmin, vmax, mass,
-       (SELECT CAST(count(*) AS BIGINT) FROM dense) AS n_dense_clusters,
-       noise.n_noise AS n_noise_docs
-FROM top5 CROSS JOIN noise WHERE rk <= 5 ORDER BY cluster_rank""",
-)
-def doclen_dbscan_1d(spark, sf_dir):
-    """1-D DBSCAN over document token lengths (eps = 4, minPts = 5):
-    density clusters are maximal runs of occupied length values with
-    gaps ≤ eps, and runs carrying < minPts documents are NOISE — the
-    density-based rival to value_kmeans_buckets' centroid clustering
-    (k-means must output k buckets even on a unimodal distribution and
-    splits bridges arbitrarily; DBSCAN discovers the MODE COUNT, which
-    is the real question: 'is this corpus one length population or a
-    mixture of tweet-like and article-like sub-corpora'). In 1-D the
-    algorithm degenerates to gaps-and-islands on the value histogram —
-    no neighborhood queries, no iteration.
-
-    Determinism: integer gap breaks and running cluster ids over
-    sorted histogram cells; top-5 clusters rank by (mass DESC, vmin).
-
-    Scale shape: one value-histogram exchange; islands/rollups on
-    cells only."""
-    t = _docs(spark, sf_dir).select(
-        F.size(spark_tokens("text")).cast("long").alias("v")
-    )
-    hist = t.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    wv = Window.orderBy("v")
-    brk = hist.select(
-        "v",
-        "cnt",
-        F.expr(
-            "CASE WHEN v - lag(v) OVER (ORDER BY v) > 4 THEN 1 ELSE 0 END"
-        ).alias("nb"),
-    )
-    cl = brk.select(
-        "v",
-        "cnt",
-        F.coalesce(
-            F.sum("nb").over(
-                wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("cid"),
-    )
-    cs = cl.groupBy("cid").agg(
-        F.min("v").cast("long").alias("vmin"),
-        F.max("v").cast("long").alias("vmax"),
-        F.sum("cnt").cast("long").alias("mass"),
-    ).localCheckpoint()  # dense census + noise + top-5 consume it
-    dense = cs.where(F.col("mass") >= 5)
-    noise = cs.where(F.col("mass") < 5).agg(
-        F.coalesce(F.sum("mass"), F.lit(0)).cast("long").alias("n_noise_docs")
-    )
-    nd = dense.agg(F.count(F.lit(1)).cast("long").alias("n_dense_clusters"))
-    top5 = dense.withColumn(
-        "cluster_rank",
-        F.row_number()
-        .over(Window.orderBy(F.desc("mass"), F.asc("vmin")))
-        .cast("long"),
-    ).where(F.col("cluster_rank") <= 5)
-    return (
-        top5.crossJoin(F.broadcast(nd))
-        .crossJoin(F.broadcast(noise))
-        .select(
-            "cluster_rank",
-            "vmin",
-            "vmax",
-            "mass",
-            "n_dense_clusters",
-            "n_noise_docs",
-        )
-        .orderBy("cluster_rank")
-    )
-
-
-# binary entropy of (x of n) in nats — ONE shared string; 0 at the edges
-def _h2(x: str, n: str) -> str:
-    return (
-        f"(CASE WHEN {x} = 0 OR {x} = {n} THEN 0e0 ELSE "
-        f"-((CAST({x} AS DOUBLE) / {n}) * ln(CAST({x} AS DOUBLE) / {n})"
-        f" + (1 - CAST({x} AS DOUBLE) / {n}) * ln(1 - CAST({x} AS DOUBLE) / {n}))"
-        f" END)"
-    )
-
-
-@register(
-    "quality_stump_threshold",
-    f"""WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
-dupg AS (SELECT hh FROM h GROUP BY hh HAVING count(*) > 1),
-lab0 AS (SELECT h.doc_id,
-                CASE WHEN dupg.hh IS NULL THEN 0 ELSE 1 END AS is_dup
-         FROM h LEFT JOIN dupg ON dupg.hh = h.hh),
-tf AS ({SQL_TF}),
-q AS (SELECT doc_id,
-             CAST(round(1e6 * count(*) / CAST(sum(tf) AS BIGINT)) AS BIGINT) AS ttr_q6
-      FROM tf GROUP BY doc_id),
-lab AS (SELECT q.ttr_q6 AS s, lab0.is_dup
-        FROM q JOIN lab0 ON lab0.doc_id = q.doc_id),
-cells AS (SELECT s, CAST(COALESCE(sum(is_dup), 0) AS BIGINT) AS ca,
-                 CAST(COALESCE(sum(1 - is_dup), 0) AS BIGINT) AS cb
-          FROM lab GROUP BY s),
-cum AS (SELECT s,
-               CAST(sum(ca) OVER w AS BIGINT) AS cp,
-               CAST(sum(cb) OVER w AS BIGINT) AS cn,
-               CAST(sum(ca) OVER () AS BIGINT) AS p,
-               CAST(sum(cb) OVER () AS BIGINT) AS nn
-        FROM cells
-        WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-ig AS (
-  SELECT s, cp, cn, p, nn,
-         CAST(round(1000000 * ({_h2('p', '(p + nn)')}
-           - (CAST(cp + cn AS DOUBLE) / (p + nn)) * ({_h2('cp', '(cp + cn)')})
-           - (CAST(p + nn - cp - cn AS DOUBLE) / (p + nn))
-             * ({_h2('(p - cp)', '(p + nn - cp - cn)')}))) AS BIGINT) AS ig_q6
-  FROM cum WHERE cp + cn >= 1 AND p + nn - cp - cn >= 1),
-best AS (
-  SELECT s, cp, cn, p, nn, ig_q6 FROM (
-    SELECT *, row_number() OVER (ORDER BY ig_q6 DESC, s ASC) AS rk FROM ig) _i
-  WHERE rk = 1)
-SELECT s AS threshold_ttr_q6,
-       CAST(cp + cn AS BIGINT) AS n_left,
-       CAST(p + nn - cp - cn AS BIGINT) AS n_right,
-       CAST((1000000 * cp) // greatest(cp + cn, 1) AS BIGINT) AS left_dup_rate_q6,
-       CAST((1000000 * (p - cp)) // greatest(p + nn - cp - cn, 1) AS BIGINT)
-         AS right_dup_rate_q6,
-       ig_q6
-FROM best""",
-)
-def quality_stump_threshold(spark, sf_dir):
-    """Decision-stump training on the TTR signal against the exact-dup
-    label: the single threshold maximizing INFORMATION GAIN — the
-    supervised completion of the quality-gate family
-    (quality_gate_roc/pr score the signal as given; this op picks the
-    CUT a tree learner's first node would pick, with the leaf dup
-    rates that justify it). Every candidate boundary falls out of one
-    cumulative pass over the score histogram, the
-    best_split_changepoint discipline with entropy in place of t².
-
-    Determinism: entropies are ONE shared expression over exact
-    cumulative integers (edge-entropy CASEs make 0·ln0 exact), IG
-    q6-rounds per THRESHOLD before the argmax, tiebreak lower
-    threshold; degenerate sides are filtered.
-
-    Scale shape: score-histogram cells only; the argmax is a cell-
-    bounded window."""
-    h = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("hh"))
-    dupg = (
-        h.groupBy("hh")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") > 1)
-        .select("hh")
-        .withColumn("flag", F.lit(1))
-    )
-    lab0 = h.join(dupg, "hh", "left").select(
-        "doc_id", F.coalesce("flag", F.lit(0)).alias("is_dup")
-    )
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    q = tf.groupBy("doc_id").agg(
-        F.expr(
-            "CAST(round(1e6 * count(*) / CAST(sum(tf) AS BIGINT)) AS BIGINT)"
-        ).alias("s")
-    )
-    lab = q.join(lab0, "doc_id").select("s", "is_dup")
-    cells = lab.groupBy("s").agg(
-        F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long").alias("ca"),
-        F.coalesce(F.sum(F.lit(1) - F.col("is_dup")), F.lit(0))
-        .cast("long")
-        .alias("cb"),
-    )
-    wc = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.orderBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = cells.select(
-        "s",
-        F.sum("ca").over(wc).cast("long").alias("cp"),
-        F.sum("cb").over(wc).cast("long").alias("cn"),
-        F.sum("ca").over(w_all).cast("long").alias("p"),
-        F.sum("cb").over(w_all).cast("long").alias("nn"),
-    )
-    ig = cum.where(
-        (F.col("cp") + F.col("cn") >= 1)
-        & (F.col("p") + F.col("nn") - F.col("cp") - F.col("cn") >= 1)
-    ).select(
-        "s",
-        "cp",
-        "cn",
-        "p",
-        "nn",
-        F.expr(
-            f"CAST(round(1000000 * ({_h2('p', '(p + nn)')}"
-            f" - (CAST(cp + cn AS DOUBLE) / (p + nn)) * ({_h2('cp', '(cp + cn)')})"
-            f" - (CAST(p + nn - cp - cn AS DOUBLE) / (p + nn))"
-            f"   * ({_h2('(p - cp)', '(p + nn - cp - cn)')}))) AS BIGINT)"
-        ).alias("ig_q6"),
-    )
-    best = ig.agg(
-        F.max(
-            F.struct(
-                F.col("ig_q6"),
-                (-F.col("s")).alias("ns"),
-                F.col("cp"),
-                F.col("cn"),
-                F.col("p"),
-                F.col("nn"),
-            )
-        ).alias("t")
-    )
-    return best.select(
-        (-F.col("t.ns")).cast("long").alias("threshold_ttr_q6"),
-        (F.col("t.cp") + F.col("t.cn")).cast("long").alias("n_left"),
-        (F.col("t.p") + F.col("t.nn") - F.col("t.cp") - F.col("t.cn"))
-        .cast("long")
-        .alias("n_right"),
-        F.expr(
-            "CAST((1000000 * t.cp) div greatest(t.cp + t.cn, 1) AS BIGINT)"
-        ).alias("left_dup_rate_q6"),
-        F.expr(
-            "CAST((1000000 * (t.p - t.cp))"
-            " div greatest(t.p + t.nn - t.cp - t.cn, 1) AS BIGINT)"
-        ).alias("right_dup_rate_q6"),
-        F.col("t.ig_q6").alias("ig_q6"),
-    )
-
-
-@register(
-    "brand_pvm_bridge",
-    """WITH li AS (
-  SELECT p.p_brand AS brand,
-         epoch_us(l.l_shipdate) // 86400000000 AS sd,
-         CAST(round(100 * l.l_extendedprice) AS BIGINT) AS cents,
-         CAST(round(100 * l.l_quantity) AS BIGINT) AS qc
-  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
-b AS (SELECT CAST(min(sd) AS BIGINT) AS lo, CAST(max(sd) AS BIGINT) AS hi FROM li),
-hh AS (
-  SELECT brand,
-         CASE WHEN li.sd <= (b.lo + b.hi) // 2 THEN 1 ELSE 2 END AS half,
-         cents, qc
-  FROM li, b),
-g AS (
-  SELECT brand,
-         CAST(COALESCE(sum(CASE WHEN half = 1 THEN qc ELSE 0 END), 0) AS BIGINT) AS q1,
-         CAST(COALESCE(sum(CASE WHEN half = 1 THEN cents ELSE 0 END), 0) AS BIGINT) AS r1,
-         CAST(COALESCE(sum(CASE WHEN half = 2 THEN qc ELSE 0 END), 0) AS BIGINT) AS q2,
-         CAST(COALESCE(sum(CASE WHEN half = 2 THEN cents ELSE 0 END), 0) AS BIGINT) AS r2
-  FROM hh GROUP BY brand)
-SELECT brand, r1 AS h1_cents, r2 AS h2_cents,
-       r2 - r1 AS delta_cents,
-       CAST(CASE WHEN q1 = 0 OR q2 = 0 THEN r2 - r1
-            ELSE round(CAST(r1 AS DOUBLE) * (q2 - q1) / q1) END AS BIGINT)
-         AS volume_effect_cents,
-       CAST((r2 - r1) - CASE WHEN q1 = 0 OR q2 = 0 THEN r2 - r1
-            ELSE round(CAST(r1 AS DOUBLE) * (q2 - q1) / q1) END AS BIGINT)
-         AS price_effect_cents
-FROM g ORDER BY brand""",
-)
-def brand_pvm_bridge(spark, sf_dir):
-    """Price-volume bridge per brand between the ship-date halves — the
-    FP&A decomposition behind every revenue review: ΔR splits into a
-    VOLUME effect (second-half quantity at FIRST-half implied price,
-    r1·(q2−q1)/q1) and a PRICE effect (the exact residual, so the
-    bridge reconciles to the delta BY CONSTRUCTION — no rounding leak
-    to chase). Brands trading in only one half attribute the whole
-    delta to volume (entering/exiting a market IS a volume event,
-    documented convention). discount_rate_by_month shows price-level
-    drift; this op says how much of each brand's revenue change that
-    drift actually explains versus demand.
-
-    Determinism: cents and centi-quantities are exact per-row
-    roundings (the Q1 rule); one float division per brand q0-rounded;
-    the residual definition makes the identity exact.
-
-    Scale shape: one fact⋈dim join (part broadcastable), a 1-row
-    date-midpoint broadcast, one brand-keyed conditional agg."""
-    li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .join(
-            F.broadcast(
-                spark.read.parquet(f"{sf_dir}/part.parquet").select(
-                    "p_partkey", "p_brand"
-                )
-            ),
-            F.col("l_partkey") == F.col("p_partkey"),
-        )
-        .select(
-            F.col("p_brand").alias("brand"),
-            F.expr(
-                "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
-            ).alias("sd"),
-            F.expr("CAST(round(100 * l_extendedprice) AS BIGINT)").alias("cents"),
-            F.expr("CAST(round(100 * l_quantity) AS BIGINT)").alias("qc"),
-        )
-    )
-    b = li.agg(
-        F.min("sd").cast("long").alias("lo"), F.max("sd").cast("long").alias("hi")
-    )
-    hh = li.crossJoin(F.broadcast(b)).select(
-        "brand",
-        F.expr("CASE WHEN sd <= (lo + hi) div 2 THEN 1 ELSE 2 END").alias("half"),
-        "cents",
-        "qc",
-    )
-    g = hh.groupBy("brand").agg(
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN half = 1 THEN qc ELSE 0 END")), F.lit(0)
-        )
-        .cast("long")
-        .alias("q1"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN half = 1 THEN cents ELSE 0 END")), F.lit(0)
-        )
-        .cast("long")
-        .alias("r1"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN half = 2 THEN qc ELSE 0 END")), F.lit(0)
-        )
-        .cast("long")
-        .alias("q2"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN half = 2 THEN cents ELSE 0 END")), F.lit(0)
-        )
-        .cast("long")
-        .alias("r2"),
-    )
-    vol = (
-        "CASE WHEN q1 = 0 OR q2 = 0 THEN r2 - r1"
-        " ELSE round(CAST(r1 AS DOUBLE) * (q2 - q1) / q1) END"
-    )
-    return g.select(
-        "brand",
-        F.col("r1").alias("h1_cents"),
-        F.col("r2").alias("h2_cents"),
-        (F.col("r2") - F.col("r1")).alias("delta_cents"),
-        F.expr(f"CAST({vol} AS BIGINT)").alias("volume_effect_cents"),
-        F.expr(f"CAST((r2 - r1) - {vol} AS BIGINT)").alias("price_effect_cents"),
-    ).orderBy("brand")
-
-
-# ---------------------------------------------------------------------------
-# session 217 — ZIP fit, ABC-XYZ matrix, alert hysteresis
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "user_day_zip_fit",
-    """WITH e AS (
-  SELECT user_id, epoch_us(ts) // 86400000000 AS day_num FROM events),
-nz AS (SELECT user_id, day_num, CAST(count(*) AS BIGINT) AS c
-       FROM e GROUP BY user_id, day_num),
-dims AS (
-  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu,
-         CAST(max(day_num) - min(day_num) + 1 AS BIGINT) AS nd
-  FROM e),
-s AS (SELECT CAST(count(*) AS BIGINT) AS nnz,
-             CAST(COALESCE(sum(c), 0) AS BIGINT) AS s1,
-             CAST(COALESCE(sum(c * c), 0) AS BIGINT) AS s2
-      FROM nz),
-f AS (
-  SELECT dims.nu * dims.nd AS ncells,
-         dims.nu * dims.nd - s.nnz AS zeros,
-         s.s1, s.s2,
-         CAST(s.s1 AS DOUBLE) / (dims.nu * dims.nd) AS m,
-         (CAST(s.s2 AS DOUBLE) * (dims.nu * dims.nd)
-           - CAST(s.s1 AS DOUBLE) * s.s1)
-           / (CAST(dims.nu * dims.nd AS DOUBLE) * (dims.nu * dims.nd)) AS v
-  FROM dims, s)
-SELECT CAST(ncells AS BIGINT) AS n_cells,
-       CAST((1000000 * zeros) // greatest(ncells, 1) AS BIGINT) AS zero_share_q6,
-       CAST(round(1000000 * m) AS BIGINT) AS mean_q6,
-       CAST(round(1000000 * v) AS BIGINT) AS var_q6,
-       CAST(CASE WHEN m <= 0 OR v <= m THEN 0
-            ELSE round(1000000 * (1 - m / ((v + m * m - m) / m))) END AS BIGINT)
-         AS pi_q6,
-       CAST(CASE WHEN m <= 0 THEN 0
-            WHEN v <= m THEN round(1000000 * m)
-            ELSE round(1000000 * ((v + m * m - m) / m)) END AS BIGINT) AS lambda_q6,
-       CAST(CASE WHEN m <= 0 THEN 1000000
-            WHEN v <= m THEN round(1000000 * exp(-m))
-            ELSE round(1000000 * ((1 - m / ((v + m * m - m) / m))
-                 + (m / ((v + m * m - m) / m)) * exp(-((v + m * m - m) / m))))
-            END AS BIGINT) AS p0_pred_q6
-FROM f""",
-)
-def user_day_zip_fit(spark, sf_dir):
-    """Zero-inflated Poisson fit of the user×day activity matrix by
-    method of moments: π (the share of structurally-silent cells) and
-    λ (the activity rate of engaged cells) from mean and variance over
-    ALL user-day cells — the count model for data where 'zero' means
-    two different things (this user never comes on weekdays vs this
-    user just didn't today), which plain Poisson and even the NB fit
-    (user_count_nb_fit) conflate. The zero cells are NEVER
-    materialized: their count is nu·nd − |nonzero cells|, so the grid
-    stays virtual at any scale. v ≤ m (no excess zeros beyond Poisson)
-    reports π = 0 with λ = m, the documented degenerate branch; the
-    predicted zero share π + (1−π)e^{{-λ}} sits beside the observed one
-    as the fit check.
-
-    Determinism: exact BIGINT sufficient stats over nonzero cells;
-    mean/variance and the MoM algebra are shared float expressions
-    (chi²-rule casts); exp is the accepted 1-ulp libm class.
-
-    Scale shape: one (user, day) groupBy + two scalar censuses."""
-    e = _events(spark, sf_dir).select(
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
-            "day_num"
-        ),
-    )
-    nz = e.groupBy("user_id", "day_num").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    dims = e.agg(
-        F.countDistinct("user_id").cast("long").alias("nu"),
-        (F.max("day_num") - F.min("day_num") + 1).cast("long").alias("nd"),
-    )
-    s = nz.agg(
-        F.count(F.lit(1)).cast("long").alias("nnz"),
-        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("s1"),
-        F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0))
-        .cast("long")
-        .alias("s2"),
-    )
-    m = "(CAST(s1 AS DOUBLE) / (nu * nd))"
-    v = (
-        "((CAST(s2 AS DOUBLE) * (nu * nd) - CAST(s1 AS DOUBLE) * s1)"
-        " / (CAST(nu * nd AS DOUBLE) * (nu * nd)))"
-    )
-    lam = f"(({v} + {m} * {m} - {m}) / {m})"
-    return dims.crossJoin(s).select(
-        F.expr("CAST(nu * nd AS BIGINT)").alias("n_cells"),
-        F.expr(
-            "CAST((1000000 * (nu * nd - nnz)) div greatest(nu * nd, 1) AS BIGINT)"
-        ).alias("zero_share_q6"),
-        F.expr(f"CAST(round(1000000 * {m}) AS BIGINT)").alias("mean_q6"),
-        F.expr(f"CAST(round(1000000 * {v}) AS BIGINT)").alias("var_q6"),
-        F.expr(
-            f"CAST(CASE WHEN {m} <= 0 OR {v} <= {m} THEN 0"
-            f" ELSE round(1000000 * (1 - {m} / {lam})) END AS BIGINT)"
-        ).alias("pi_q6"),
-        F.expr(
-            f"CAST(CASE WHEN {m} <= 0 THEN 0"
-            f" WHEN {v} <= {m} THEN round(1000000 * {m})"
-            f" ELSE round(1000000 * {lam}) END AS BIGINT)"
-        ).alias("lambda_q6"),
-        F.expr(
-            f"CAST(CASE WHEN {m} <= 0 THEN 1000000"
-            f" WHEN {v} <= {m} THEN round(1000000 * exp(-{m}))"
-            f" ELSE round(1000000 * ((1 - {m} / {lam})"
-            f" + ({m} / {lam}) * exp(-{lam}))) END AS BIGINT)"
-        ).alias("p0_pred_q6"),
-    )
-
-
-@register(
-    "part_abc_xyz_matrix",
-    """WITH li AS (
-  SELECT l_partkey,
-         CAST(round(100 * l_extendedprice * (1 - l_discount)) AS BIGINT) AS cents,
-         CAST(round(100 * l_quantity) AS BIGINT) AS qc,
-         CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym
-  FROM lineitem),
-mm AS (SELECT CAST(count(DISTINCT ym) AS BIGINT) AS nm FROM li),
-pm AS (SELECT l_partkey, ym, CAST(sum(qc) AS BIGINT) AS q
-       FROM li GROUP BY l_partkey, ym),
-pp AS (
-  SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS rev
-  FROM li GROUP BY l_partkey),
-pv AS (
-  SELECT pm.l_partkey,
-         CAST(COALESCE(sum(pm.q), 0) AS BIGINT) AS s1,
-         CAST(COALESCE(sum(pm.q * pm.q), 0) AS BIGINT) AS s2
-  FROM pm GROUP BY pm.l_partkey),
-rh AS (SELECT rev, CAST(count(*) AS BIGINT) AS nparts,
-              CAST(sum(rev) AS BIGINT) AS mass
-       FROM pp GROUP BY rev),
-rc AS (
-  SELECT rev,
-         CAST(COALESCE(sum(mass) OVER (ORDER BY rev DESC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before_,
-         CAST(sum(mass) OVER () AS BIGINT) AS tot
-  FROM rh),
-cls AS (
-  SELECT pp.l_partkey, pp.rev,
-         CASE WHEN 5 * rc.before_ < 4 * rc.tot THEN 'A'
-              WHEN 20 * rc.before_ < 19 * rc.tot THEN 'B'
-              ELSE 'C' END AS abc,
-         CASE WHEN 4 * (pv.s2 * mm.nm - pv.s1 * pv.s1) <= pv.s1 * pv.s1 THEN 'X'
-              WHEN (pv.s2 * mm.nm - pv.s1 * pv.s1) <= pv.s1 * pv.s1 THEN 'Y'
-              ELSE 'Z' END AS xyz
-  FROM pp JOIN rc ON rc.rev = pp.rev
-  JOIN pv ON pv.l_partkey = pp.l_partkey
-  CROSS JOIN mm),
-spine AS (
-  SELECT a.abc, x.xyz
-  FROM (VALUES ('A'), ('B'), ('C')) a(abc)
-  CROSS JOIN (VALUES ('X'), ('Y'), ('Z')) x(xyz)),
-r AS (SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
-             CAST(COALESCE(sum(rev), 0) AS BIGINT) AS revenue_cents
-      FROM cls GROUP BY abc, xyz),
-tt AS (SELECT CAST(COALESCE(sum(rev), 0) AS BIGINT) AS trev FROM pp)
-SELECT spine.abc, spine.xyz,
-       CAST(COALESCE(r.n_parts, 0) AS BIGINT) AS n_parts,
-       CAST(COALESCE(r.revenue_cents, 0) AS BIGINT) AS revenue_cents,
-       CAST((1000000 * COALESCE(r.revenue_cents, 0)) // greatest(tt.trev, 1)
-            AS BIGINT) AS rev_share_q6
-FROM spine LEFT JOIN r ON r.abc = spine.abc AND r.xyz = spine.xyz
-CROSS JOIN tt ORDER BY spine.abc, spine.xyz""",
-)
-def part_abc_xyz_matrix(spark, sf_dir):
-    """ABC-XYZ inventory segmentation of the catalog: ABC by cumulative
-    revenue share (A funds 80%, B the next 15%, C the tail — the
-    part_revenue_pareto cut turned into a per-part CLASS via the
-    value-histogram prefix, ties sharing their bucket's class) crossed
-    with XYZ by demand regularity (monthly-quantity CV over the
-    observed month span: X steady cv² ≤ ¼, Y variable ≤ 1, Z erratic)
-    — the 9-cell board inventory planners actually run replenishment
-    policy from (AX: automate, CZ: make-to-order). Both axes exist in
-    this registry as separate rankings; the JOINT matrix is where the
-    policy lives.
-
-    Determinism: ABC gates are integer cross-multiplications on the
-    descending revenue-histogram prefix; XYZ gates are EXACT integer
-    comparisons 4·(M·Σq² − (Σq)²) vs (Σq)² — no float CV anywhere
-    (zero months enter through M = observed distinct months); the
-    9-cell spine keeps empty classes reporting.
-
-    Scale shape: one fact pass fans to per-part revenue + per-(part,
-    month) quantities; class assignment joins histogram cells; the
-    rollup has 9 cells."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_partkey",
-        F.expr(
-            "CAST(round(100 * l_extendedprice * (1 - l_discount)) AS BIGINT)"
-        ).alias("cents"),
-        F.expr("CAST(round(100 * l_quantity) AS BIGINT)").alias("qc"),
-        F.expr(
-            "CAST(year(cast(l_shipdate as timestamp)) * 100"
-            " + month(cast(l_shipdate as timestamp)) AS BIGINT)"
-        ).alias("ym"),
-    ).localCheckpoint()  # month census + part rollups consume it
-    mm = li.agg(F.countDistinct("ym").cast("long").alias("nm"))
-    pm = li.groupBy("l_partkey", "ym").agg(F.sum("qc").cast("long").alias("q"))
-    pp = li.groupBy("l_partkey").agg(F.sum("cents").cast("long").alias("rev"))
-    pv = pm.groupBy("l_partkey").agg(
-        F.coalesce(F.sum("q"), F.lit(0)).cast("long").alias("s1"),
-        F.coalesce(F.sum(F.col("q") * F.col("q")), F.lit(0))
-        .cast("long")
-        .alias("s2"),
-    )
-    rh = pp.groupBy("rev").agg(
-        F.count(F.lit(1)).cast("long").alias("nparts"),
-        F.sum("rev").cast("long").alias("mass"),
-    )
-    w_b = Window.orderBy(F.col("rev").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    w_all = Window.orderBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    rc = rh.select(
-        "rev",
-        F.coalesce(F.sum("mass").over(w_b), F.lit(0)).cast("long").alias("before_"),
-        F.sum("mass").over(w_all).cast("long").alias("tot"),
-    )
-    cls = (
-        pp.join(rc, "rev")
-        .join(pv, "l_partkey")
-        .crossJoin(F.broadcast(mm))
-        .select(
-            "l_partkey",
-            "rev",
-            F.expr(
-                "CASE WHEN 5 * before_ < 4 * tot THEN 'A'"
-                " WHEN 20 * before_ < 19 * tot THEN 'B' ELSE 'C' END"
-            ).alias("abc"),
-            F.expr(
-                "CASE WHEN 4 * (s2 * nm - s1 * s1) <= s1 * s1 THEN 'X'"
-                " WHEN (s2 * nm - s1 * s1) <= s1 * s1 THEN 'Y' ELSE 'Z' END"
-            ).alias("xyz"),
-        )
-    )
-    spine = spark.createDataFrame(
-        [(a, x) for a in "ABC" for x in "XYZ"], "abc string, xyz string"
-    )
-    r = cls.groupBy("abc", "xyz").agg(
-        F.count(F.lit(1)).cast("long").alias("n_parts"),
-        F.coalesce(F.sum("rev"), F.lit(0)).cast("long").alias("revenue_cents"),
-    )
-    tt = pp.agg(F.coalesce(F.sum("rev"), F.lit(0)).cast("long").alias("trev"))
-    return (
-        spine.join(r, ["abc", "xyz"], "left")
-        .crossJoin(F.broadcast(tt))
-        .select(
-            "abc",
-            "xyz",
-            F.coalesce("n_parts", F.lit(0)).cast("long").alias("n_parts"),
-            F.coalesce("revenue_cents", F.lit(0))
-            .cast("long")
-            .alias("revenue_cents"),
-            F.expr(
-                "CAST((1000000 * COALESCE(revenue_cents, 0))"
-                " div greatest(trev, 1) AS BIGINT)"
-            ).alias("rev_share_q6"),
-        )
-        .orderBy("abc", "xyz")
-    )
-
-
-@register(
-    "alert_hysteresis_advisor",
-    """WITH d AS (
-  SELECT epoch_us(ts) // 86400000000 AS day_num, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY day_num),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM d),
-spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
-f AS (SELECT spine.day_num, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
-      FROM spine LEFT JOIN d USING (day_num)),
-st AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS s1,
-              CAST(sum(n * n) AS BIGINT) AS s2 FROM f),
-z AS (
-  SELECT f.day_num, f.n,
-         CASE WHEN st.s2 * st.nd = st.s1 * st.s1 THEN 0e0
-              ELSE ((f.n - CAST(st.s1 AS DOUBLE) / st.nd)
-                    * (f.n - CAST(st.s1 AS DOUBLE) / st.nd))
-                   / ((CAST(st.s2 AS DOUBLE) * st.nd - CAST(st.s1 AS DOUBLE) * st.s1)
-                      / (CAST(st.nd AS DOUBLE) * st.nd)) END AS z2
-  FROM f, st),
-mk AS (
-  SELECT day_num,
-         CASE WHEN z2 > 9 THEN 1 ELSE 0 END AS s_on,
-         CASE WHEN z2 > 9 THEN 1 WHEN z2 < 1 THEN 0 END AS marker
-  FROM z),
-hy AS (
-  SELECT day_num, s_on,
-         CAST(COALESCE(last_value(marker IGNORE NULLS) OVER (ORDER BY day_num
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS h_on
-  FROM mk),
-tr AS (
-  SELECT s_on, h_on,
-         COALESCE(lag(s_on) OVER (ORDER BY day_num), 0) AS ps,
-         COALESCE(lag(h_on) OVER (ORDER BY day_num), 0) AS ph
-  FROM hy)
-SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_days,
-       CAST(COALESCE(sum(s_on), 0) AS BIGINT) AS single_alert_days,
-       CAST(COALESCE(sum(CASE WHEN s_on = 1 AND ps = 0 THEN 1 ELSE 0 END), 0)
-            AS BIGINT) AS single_episodes,
-       CAST(COALESCE(sum(h_on), 0) AS BIGINT) AS hyst_alert_days,
-       CAST(COALESCE(sum(CASE WHEN h_on = 1 AND ph = 0 THEN 1 ELSE 0 END), 0)
-            AS BIGINT) AS hyst_episodes,
-       CAST(COALESCE(sum(CASE WHEN s_on = 1 AND ps = 0 THEN 1 ELSE 0 END), 0)
-            - COALESCE(sum(CASE WHEN h_on = 1 AND ph = 0 THEN 1 ELSE 0 END), 0)
-            AS BIGINT) AS flaps_saved
-FROM tr""",
-)
-def alert_hysteresis_advisor(spark, sf_dir):
-    """Alert hysteresis tuning on the daily-volume z² signal: a single
-    threshold (alert while z² > 9) versus a hysteresis pair (enter at
-    z² > 9, stay until z² < 1) — counting alert DAYS and alert
-    EPISODES under each. Every day the single-threshold detector
-    re-crosses 9 it pages again; hysteresis holds the episode open
-    through the noisy shoulder, and flaps_saved = episode-count
-    difference is exactly the pages the two-threshold config avoids —
-    the standard alerting knob (Prometheus `for:`/resolve bands) made
-    measurable on this stream. The hysteresis state is NOT a
-    sequential scan: it is last_value(IGNORE NULLS) over the
-    enter/exit markers (the events_asof carry-forward machinery).
-
-    Determinism: z² from exact day-spine sufficient stats (float-mean
-    form, constant-series sentinel); markers and episode starts are
-    integer comparisons; windows run over day cells.
-
-    Scale shape: calendar-bounded end to end."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
-                "day_num"
-            )
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    b = d.agg(
-        F.min("day_num").cast("long").alias("lo"),
-        F.max("day_num").cast("long").alias("hi"),
-    )
-    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day_num"))
-    f = spine.join(d, "day_num", "left").select(
-        "day_num", F.coalesce("n", F.lit(0)).cast("long").alias("n")
-    )
-    st = f.agg(
-        F.count(F.lit(1)).cast("long").alias("nd"),
-        F.sum("n").cast("long").alias("s1"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
-    )
-    z = f.crossJoin(F.broadcast(st)).select(
-        "day_num",
-        F.expr(
-            "CASE WHEN s2 * nd = s1 * s1 THEN 0e0"
-            " ELSE ((n - CAST(s1 AS DOUBLE) / nd) * (n - CAST(s1 AS DOUBLE) / nd))"
-            " / ((CAST(s2 AS DOUBLE) * nd - CAST(s1 AS DOUBLE) * s1)"
-            "    / (CAST(nd AS DOUBLE) * nd)) END"
-        ).alias("z2"),
-    )
-    mk = z.select(
-        "day_num",
-        F.expr("CASE WHEN z2 > 9 THEN 1 ELSE 0 END").alias("s_on"),
-        F.expr("CASE WHEN z2 > 9 THEN 1 WHEN z2 < 1 THEN 0 END").alias("marker"),
-    )
-    wd = Window.orderBy("day_num")
-    hy = mk.select(
-        "day_num",
-        "s_on",
-        F.coalesce(
-            F.last("marker", ignorenulls=True).over(
-                wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("h_on"),
-    )
-    tr = hy.select(
-        "s_on",
-        "h_on",
-        F.coalesce(F.lag("s_on").over(wd), F.lit(0)).alias("ps"),
-        F.coalesce(F.lag("h_on").over(wd), F.lit(0)).alias("ph"),
-    )
-    return tr.agg(
-        F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.coalesce(F.sum("s_on"), F.lit(0)).cast("long").alias("single_alert_days"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN s_on = 1 AND ps = 0 THEN 1 ELSE 0 END")),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("single_episodes"),
-        F.coalesce(F.sum("h_on"), F.lit(0)).cast("long").alias("hyst_alert_days"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN h_on = 1 AND ph = 0 THEN 1 ELSE 0 END")),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("hyst_episodes"),
-        (
-            F.coalesce(
-                F.sum(F.expr("CASE WHEN s_on = 1 AND ps = 0 THEN 1 ELSE 0 END")),
-                F.lit(0),
-            )
-            - F.coalesce(
-                F.sum(F.expr("CASE WHEN h_on = 1 AND ph = 0 THEN 1 ELSE 0 END")),
-                F.lit(0),
-            )
-        )
-        .cast("long")
-        .alias("flaps_saved"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 218 — revenue drawdown, A/A calibration, random ranking baseline
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "revenue_drawdown",
-    """WITH d AS (
-  SELECT epoch_us(ts) // 86400000000 AS day_num,
-         CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
-                                THEN CAST(round(value * 100) AS BIGINT)
-                                ELSE 0 END), 0) AS BIGINT) AS cents
-  FROM events GROUP BY day_num),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM d),
-spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
-f AS (SELECT spine.day_num, CAST(COALESCE(d.cents, 0) AS BIGINT) AS cents
-      FROM spine LEFT JOIN d USING (day_num)),
-rm AS (
-  SELECT day_num, cents,
-         CAST(max(cents) OVER (ORDER BY day_num
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
-  FROM f),
-dd AS (
-  SELECT day_num, cents, peak,
-         CAST((1000000 * (peak - cents)) // greatest(peak, 1) AS BIGINT) AS dd_q6
-  FROM rm),
-best AS (
-  SELECT day_num, cents, peak, dd_q6 FROM (
-    SELECT *, row_number() OVER (ORDER BY dd_q6 DESC, day_num ASC) AS rk FROM dd) _d
-  WHERE rk = 1)
-SELECT (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_days,
-       best.day_num AS worst_day, best.cents AS worst_day_cents,
-       best.peak AS peak_cents, best.dd_q6 AS max_drawdown_q6
-FROM best""",
-)
-def revenue_drawdown(spark, sf_dir):
-    """Maximum drawdown of daily purchase revenue: the worst single-day
-    shortfall relative to the best day SEEN SO FAR — the finance-desk
-    risk number (how deep did we slump from our own peak, and when)
-    that the variance/z² family cannot express: a slow decline and one
-    catastrophic day have the same variance but very different
-    drawdowns. Running peak via a prefix-max window over the
-    zero-filled day spine; the worst day tiebreaks earliest.
-
-    Determinism: per-day drawdown is an integer cross-multiplied
-    division against the exact running peak; argmax over quantized
-    drawdowns with the day tiebreak (Spark max(struct); oracle
-    windows — the search_collapse rule).
-
-    Scale shape: day cells only."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
-                "day_num"
-            )
-        )
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.expr(
-                        "CASE WHEN event_type = 'purchase'"
-                        " THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END"
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("cents")
-        )
-    )
-    b = d.agg(
-        F.min("day_num").cast("long").alias("lo"),
-        F.max("day_num").cast("long").alias("hi"),
-    )
-    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day_num"))
-    f = spine.join(d, "day_num", "left").select(
-        "day_num", F.coalesce("cents", F.lit(0)).cast("long").alias("cents")
-    ).localCheckpoint()  # census + drawdown chain consume it
-    wp = Window.orderBy("day_num").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    dd = f.select(
-        "day_num",
-        "cents",
-        F.max("cents").over(wp).cast("long").alias("peak"),
-    ).select(
-        "day_num",
-        "cents",
-        "peak",
-        F.expr(
-            "CAST((1000000 * (peak - cents)) div greatest(peak, 1) AS BIGINT)"
-        ).alias("dd_q6"),
-    )
-    best = dd.agg(
-        F.max(
-            F.struct(
-                F.col("dd_q6"),
-                (-F.col("day_num")).alias("ndy"),
-                F.col("cents"),
-                F.col("peak"),
-            )
-        ).alias("t")
-    )
-    nd = f.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
-    return nd.crossJoin(best).select(
-        "n_days",
-        (-F.col("t.ndy")).cast("long").alias("worst_day"),
-        F.col("t.cents").alias("worst_day_cents"),
-        F.col("t.peak").alias("peak_cents"),
-        F.col("t.dd_q6").alias("max_drawdown_q6"),
-    )
-
-
-@register(
-    "aa_test_readout",
-    """WITH u AS (
-  SELECT user_id,
-         ('0x' || substr(md5('aa:' || CAST(user_id AS VARCHAR)), 1, 4))::INT % 2 AS arm,
-         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-           AS conv
-  FROM events GROUP BY user_id),
-a AS (
-  SELECT CAST(COALESCE(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n0,
-         CAST(COALESCE(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END), 0) AS BIGINT) AS c0,
-         CAST(COALESCE(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n1,
-         CAST(COALESCE(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END), 0) AS BIGINT) AS c1
-  FROM u)
-SELECT n0, c0, n1, c1,
-       CAST(CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0
-            ELSE round(1000000
-              * ((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
-                 * (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1))
-              / ((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-                 * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-                 * (1.0 / n0 + 1.0 / n1))) END AS BIGINT) AS z2_q6
-FROM a""",
-)
-def aa_test_readout(spark, sf_dir):
-    """A/A test: split users by a FRESH hash coordinate ('aa:' seed —
-    disjoint from the A/B assignment and every other coordinate) where
-    NO treatment exists, and compute the same pooled conversion z² as
-    ab_significance — the null-calibration run every experimentation
-    platform schedules: if the A/A z² regularly clears significance
-    thresholds, the unit of randomization, the metric, or the variance
-    estimate is broken and every real A/B readout is suspect.
-    ab_srm_check validates the SPLIT; this validates the TEST under a
-    true null.
-
-    Determinism: arms are exact hash arithmetic; the z² is ONE shared
-    float expression with degenerate-pool sentinels (the
-    ab_significance conventions).
-
-    Scale shape: ONE user exchange, one 4-counter aggregate."""
-    u = _events(spark, sf_dir).groupBy("user_id").agg(
-        F.max(
-            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
-        )
-        .cast("long")
-        .alias("conv")
-    ).select(
-        F.expr(
-            "cast(conv(substring(md5(concat('aa:', cast(user_id as string))),"
-            " 1, 4), 16, 10) as int) % 2"
-        ).alias("arm"),
-        "conv",
-    )
-    a = u.agg(
-        F.coalesce(F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END")), F.lit(0))
-        .cast("long")
-        .alias("n0"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN arm = 0 THEN conv ELSE 0 END")), F.lit(0)
-        )
-        .cast("long")
-        .alias("c0"),
-        F.coalesce(F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")), F.lit(0))
-        .cast("long")
-        .alias("n1"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN arm = 1 THEN conv ELSE 0 END")), F.lit(0)
-        )
-        .cast("long")
-        .alias("c1"),
-    )
-    return a.select(
-        "n0",
-        "c0",
-        "n1",
-        "c1",
-        F.expr(
-            "CAST(CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0 OR c0 + c1 = n0 + n1"
-            " THEN 0"
-            " ELSE round(1000000"
-            " * ((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)"
-            "    * (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1))"
-            " / ((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))"
-            "    * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))"
-            "    * (1.0 / n0 + 1.0 / n1))) END AS BIGINT)"
-        ).alias("z2_q6"),
-    )
-
-
-@register(
-    "random_baseline_eval",
-    _bm25_agg_ctes(_RANKEVAL_TERMS)
-    + f""",
-rel AS (SELECT DISTINCT doc_id FROM ({SQL_TOKS}) WHERE term = 'dup'),
-bt AS (SELECT doc_id, row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rk
-       FROM (SELECT doc_id, score_q6 FROM agg
-             ORDER BY score_q6 DESC, doc_id ASC LIMIT 10) _b),
-rt AS (SELECT doc_id, row_number() OVER (ORDER BY hk ASC, doc_id ASC) AS rk
-       FROM (SELECT doc_id, md5('rb:' || CAST(doc_id AS VARCHAR)) AS hk
-             FROM documents ORDER BY hk ASC, doc_id ASC LIMIT 10) _r),
-bp AS (SELECT CAST(count(*) AS BIGINT) AS p10,
-              CAST(COALESCE(max(2520 // rk), 0) AS BIGINT) AS mrr2520
-       FROM bt JOIN rel USING (doc_id)),
-rp AS (SELECT CAST(count(*) AS BIGINT) AS p10,
-              CAST(COALESCE(max(2520 // rk), 0) AS BIGINT) AS mrr2520
-       FROM rt JOIN rel USING (doc_id))
-SELECT bp.p10 AS bm25_p10, rp.p10 AS random_p10,
-       CAST(bp.p10 - rp.p10 AS BIGINT) AS p10_lift,
-       bp.mrr2520 AS bm25_mrr2520, rp.mrr2520 AS random_mrr2520
-FROM bp, rp""",
-)
-def random_baseline_eval(spark, sf_dir):
-    """Hash-random ranking baseline for the eval family: P@10 and MRR
-    of a deterministic pseudo-random top-10 (ordered by a seeded md5
-    of the doc id — 'rb:' coordinate, reproducible across engines and
-    runs) beside BM25's, with the P@10 lift. Every retrieval metric in
-    the registry reports an absolute number; this is the floor that
-    turns them into effect sizes — a BM25 P@10 of 3 reads very
-    differently when random scores 2 (prevalence-heavy corpus) than
-    when it scores 0. The MRR uses the exact 2520-scale (every rank
-    1..10 divides it — the map_eval rule), with min() picking the
-    FIRST relevant rank.
-
-    Determinism: both rankings are quantized-key TakeOrdereds with
-    doc_id tiebreaks; metrics are exact integers.
-
-    Scale shape: a 10-row hash TakeOrdered (the priority_sample
-    shape) + the memoized match set's top-10; relevance joins on ≤10
-    rows."""
-    rel = (
-        _toks(_docs(spark, sf_dir))
-        .where(F.col("term") == "dup")
-        .select("doc_id")
-        .distinct()
-    )
-    bt = (
-        _bm25_match_set(spark, sf_dir, _RANKEVAL_TERMS)
-        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(10)
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))
-            ),
-        )
-        .select("doc_id", "rk")
-    )
-    rt = (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.expr("md5(concat('rb:', cast(doc_id as string)))").alias("hk"),
-        )
-        .orderBy("hk", "doc_id")
-        .limit(10)
-        .withColumn("rk", F.row_number().over(Window.orderBy("hk", "doc_id")))
-        .select("doc_id", "rk")
-    )
-    bp = bt.join(rel, "doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("bm25_p10"),
-        F.coalesce(F.max(F.expr("2520 div rk")), F.lit(0))
-        .cast("long")
-        .alias("bm25_mrr2520"),
-    )
-    rp = rt.join(rel, "doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("random_p10"),
-        F.coalesce(F.max(F.expr("2520 div rk")), F.lit(0))
-        .cast("long")
-        .alias("random_mrr2520"),
-    )
-    return bp.crossJoin(rp).select(
-        "bm25_p10",
-        "random_p10",
-        (F.col("bm25_p10") - F.col("random_p10")).alias("p10_lift"),
-        "bm25_mrr2520",
-        "random_mrr2520",
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 219 — parquet bloom advisor, lead-lag crosscorr, term ablation
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "parquet_bloom_advisor",
-    f"""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
-kc AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY 1),
-off AS (
-  SELECT l_orderkey,
-         CAST(COALESCE(sum(cnt) OVER (ORDER BY l_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
-  FROM kc),
-pos AS (
-  SELECT li.l_partkey,
-         (off.o + row_number() OVER (PARTITION BY li.l_orderkey
-            ORDER BY li.l_linenumber, li.l_partkey) - 1) // {_RG_ROWS} AS grp
-  FROM li JOIN off USING (l_orderkey)),
-gs AS (
-  SELECT grp, CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv,
-         CAST(min(l_partkey) AS BIGINT) AS mn, CAST(max(l_partkey) AS BIGINT) AS mx
-  FROM pos GROUP BY grp),
-ng AS (SELECT CAST(count(*) AS BIGINT) AS n_groups FROM gs),
-probes AS (SELECT unnest([1, 2, 3, 4, 5]) AS pk),
-hit AS (
-  SELECT pos.grp, probes.pk FROM pos JOIN probes ON pos.l_partkey = probes.pk
-  GROUP BY pos.grp, probes.pk),
-ev AS (
-  SELECT probes.pk, gs.grp, gs.ndv,
-         CASE WHEN hit.grp IS NOT NULL THEN 1 ELSE 0 END AS contains_,
-         CASE WHEN probes.pk BETWEEN gs.mn AND gs.mx THEN 1 ELSE 0 END AS mmpass,
-         CAST(round(1000000 * pow(1 - exp(-(4.0 * gs.ndv) / 1024), 4)) AS BIGINT)
-           AS fpr_q6
-  FROM probes CROSS JOIN gs
-  LEFT JOIN hit ON hit.grp = gs.grp AND hit.pk = probes.pk)
-SELECT CAST(ev.pk AS BIGINT) AS probe_partkey, ng.n_groups,
-       CAST(COALESCE(sum(ev.mmpass), 0) AS BIGINT) AS minmax_touched,
-       CAST(COALESCE(sum(ev.contains_), 0) AS BIGINT) AS true_touched,
-       CAST(1000000 * COALESCE(sum(ev.contains_), 0)
-            + COALESCE(sum(CASE WHEN ev.contains_ = 0 THEN ev.fpr_q6 ELSE 0 END), 0)
-            AS BIGINT) AS bloom_expected_q6
-FROM ev CROSS JOIN ng GROUP BY ev.pk, ng.n_groups ORDER BY probe_partkey""",
-)
-def parquet_bloom_advisor(spark, sf_dir):
-    """Parquet bloom-filter benefit model for point lookups on a
-    SCATTERED column: under the (orderkey, linenumber) sort, partkey
-    values spray across every 64-row row-group, so min/max pruning
-    reads essentially the whole table for a partkey probe
-    (minmax_touched ≈ n_groups — the sort_layout lesson from the other
-    side); a per-row-group bloom (m=1024 bits, k=4, the house
-    construction at row-group cardinality) cuts that to the groups
-    truly containing the key plus a tiny FPR tail — exactly the
-    decision Parquet's bloom_filter_enabled knob encodes, priced per
-    probe. Five fixed probe keys.
-
-    Determinism: the row layout is the fully-keyed (orderkey,
-    linenumber, partkey) order (the rle_run_census rule — never an
-    underspecified sort); group ids come from the global_row_ids
-    two-pass form; per-group FPRs q6-round FIRST then sum exact.
-
-    Scale shape (Spark): per-orderkey row_numbers + an offset prefix
-    over orderkey-count cells — no global window; group stats are one
-    exchange; probes fan over group cells only."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_linenumber", "l_partkey"
-    )
-    kc = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    wo = Window.orderBy("l_orderkey").rowsBetween(Window.unboundedPreceding, -1)
-    off = kc.select(
-        "l_orderkey",
-        F.coalesce(F.sum("cnt").over(wo), F.lit(0)).cast("long").alias("o"),
-    )
-    wk = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
-    pos = (
-        li.join(off, "l_orderkey")
-        .withColumn("rn", F.row_number().over(wk))
-        .select(
-            "l_partkey",
-            F.expr(f"(o + rn - 1) div {_RG_ROWS}").alias("grp"),
-        )
-        .localCheckpoint()  # group stats + probe hits consume it
-    )
-    gs = pos.groupBy("grp").agg(
-        F.countDistinct("l_partkey").cast("long").alias("ndv"),
-        F.min("l_partkey").cast("long").alias("mn"),
-        F.max("l_partkey").cast("long").alias("mx"),
-    )
-    ng = gs.agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
-    probes = spark.createDataFrame([(k,) for k in range(1, 6)], "pk long")
-    hit = (
-        pos.join(F.broadcast(probes), pos["l_partkey"] == probes["pk"])
-        .select("grp", "pk")
-        .distinct()
-        .withColumn("flag", F.lit(1))
-    )
-    ev = (
-        F.broadcast(probes)
-        .crossJoin(gs)
-        .join(hit, ["grp", "pk"], "left")
-        .select(
-            "pk",
-            F.coalesce("flag", F.lit(0)).alias("contains_"),
-            F.expr(
-                "CASE WHEN pk BETWEEN mn AND mx THEN 1 ELSE 0 END"
-            ).alias("mmpass"),
-            F.expr(
-                "CAST(round(1000000 * pow(1 - exp(-(4.0 * ndv) / 1024), 4)) AS BIGINT)"
-            ).alias("fpr_q6"),
-        )
-    )
-    return (
-        ev.groupBy("pk")
-        .agg(
-            F.coalesce(F.sum("mmpass"), F.lit(0)).cast("long").alias("minmax_touched"),
-            F.coalesce(F.sum("contains_"), F.lit(0)).cast("long").alias("true_touched"),
-            (
-                F.lit(1000000) * F.coalesce(F.sum("contains_"), F.lit(0))
-                + F.coalesce(
-                    F.sum(
-                        F.when(F.col("contains_") == 0, F.col("fpr_q6")).otherwise(
-                            F.lit(0)
-                        )
-                    ),
-                    F.lit(0),
-                )
-            )
-            .cast("long")
-            .alias("bloom_expected_q6"),
-        )
-        .crossJoin(F.broadcast(ng))
-        .select(
-            F.col("pk").cast("long").alias("probe_partkey"),
-            "n_groups",
-            "minmax_touched",
-            "true_touched",
-            "bloom_expected_q6",
-        )
-        .orderBy("probe_partkey")
-    )
-
-
-@register(
-    "view_purchase_crosscorr",
-    """WITH d AS (
-  SELECT epoch_us(ts) // 86400000000 AS day_num,
-         CAST(COALESCE(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0)
-              AS BIGINT) AS v,
-         CAST(COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0)
-              AS BIGINT) AS p
-  FROM events GROUP BY day_num),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM d),
-spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
-f AS (SELECT spine.day_num, CAST(COALESCE(d.v, 0) AS BIGINT) AS v,
-             CAST(COALESCE(d.p, 0) AS BIGINT) AS p
-      FROM spine LEFT JOIN d USING (day_num)),
-lags AS (SELECT unnest(generate_series(-3, 3)) AS lg),
-pr AS (
-  SELECT lags.lg, a.v AS x, c.p AS y
-  FROM lags
-  JOIN f a ON TRUE
-  JOIN f c ON c.day_num = a.day_num + lags.lg),
-s AS (SELECT lg, CAST(count(*) AS BIGINT) AS n,
-             CAST(COALESCE(sum(x), 0) AS BIGINT) AS sx,
-             CAST(COALESCE(sum(y), 0) AS BIGINT) AS sy,
-             CAST(COALESCE(sum(x * x), 0) AS BIGINT) AS sxx,
-             CAST(COALESCE(sum(y * y), 0) AS BIGINT) AS syy,
-             CAST(COALESCE(sum(x * y), 0) AS BIGINT) AS sxy
-      FROM pr GROUP BY lg)
-SELECT CAST(lg AS BIGINT) AS lag_days, n AS n_days,
-       CAST(CASE WHEN n < 2
-                 OR CAST(sxx AS DOUBLE) * n = CAST(sx AS DOUBLE) * sx
-                 OR CAST(syy AS DOUBLE) * n = CAST(sy AS DOUBLE) * sy THEN 0
-            ELSE round(1000000
-              * (CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * sy)
-              / (sqrt(CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx)
-                 * sqrt(CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * sy)))
-            END AS BIGINT) AS corr_q6
-FROM s ORDER BY lag_days""",
-)
-def view_purchase_crosscorr(spark, sf_dir):
-    """Lead-lag cross-correlation between daily VIEW volume and daily
-    PURCHASE volume at lags −3..+3 days: the time-series member the
-    autocorrelation family is missing — events_autocorrelation relates
-    a series to ITSELF; this relates the funnel's two ends and the
-    argmax lag is the aggregate conversion delay (a peak at +1 says
-    today's views become tomorrow's purchases — the planning horizon
-    for demand-driven capacity). Pearson per lag over the aligned
-    zero-filled overlap.
-
-    Determinism: exact BIGINT sufficient sums per lag (the alignment
-    join is a calendar-bounded offset equi-join); ONE shared float
-    expression with chi²-rule casts and sqrt split across the two
-    factors (the matrix_stats rule); constant-series sentinels.
-
-    Scale shape: day cells × 7 lags — everything calendar-bounded."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
-                "day_num"
-            )
-        )
-        .agg(
-            F.coalesce(
-                F.sum(F.expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END")),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("v"),
-            F.coalesce(
-                F.sum(
-                    F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("p"),
-        )
-    )
-    b = d.agg(
-        F.min("day_num").cast("long").alias("lo"),
-        F.max("day_num").cast("long").alias("hi"),
-    )
-    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day_num"))
-    f = spine.join(d, "day_num", "left").select(
-        "day_num",
-        F.coalesce("v", F.lit(0)).cast("long").alias("v"),
-        F.coalesce("p", F.lit(0)).cast("long").alias("p"),
-    ).localCheckpoint()  # both sides of the lag join consume it
-    lags = spark.createDataFrame([(k,) for k in range(-3, 4)], "lg long")
-    a = f.select(F.col("day_num").alias("da"), F.col("v").alias("x"))
-    c = f.select(F.col("day_num").alias("dc"), F.col("p").alias("y"))
-    pr = (
-        a.crossJoin(F.broadcast(lags))
-        .join(c, F.col("dc") == F.col("da") + F.col("lg"))
-        .select("lg", "x", "y")
-    )
-    s = pr.groupBy("lg").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("sx"),
-        F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("sy"),
-        F.coalesce(F.sum(F.col("x") * F.col("x")), F.lit(0)).cast("long").alias("sxx"),
-        F.coalesce(F.sum(F.col("y") * F.col("y")), F.lit(0)).cast("long").alias("syy"),
-        F.coalesce(F.sum(F.col("x") * F.col("y")), F.lit(0)).cast("long").alias("sxy"),
-    )
-    return s.select(
-        F.col("lg").cast("long").alias("lag_days"),
-        F.col("n").alias("n_days"),
-        F.expr(
-            "CAST(CASE WHEN n < 2"
-            " OR CAST(sxx AS DOUBLE) * n = CAST(sx AS DOUBLE) * sx"
-            " OR CAST(syy AS DOUBLE) * n = CAST(sy AS DOUBLE) * sy THEN 0"
-            " ELSE round(1000000"
-            " * (CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * sy)"
-            " / (sqrt(CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx)"
-            "    * sqrt(CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * sy)))"
-            " END AS BIGINT)"
-        ).alias("corr_q6"),
-    ).orderBy("lag_days")
-
-
-def _ablation_chain(tag: str, terms: list[str]) -> str:
-    """Prefixed BM25 scoring chain ending in {tag}top (doc_id, rk) —
-    verbatim _bm25_agg_ctes math with CTE names namespaced so several
-    subqueries coexist in one WITH."""
-    tlist = ", ".join(f"'{t}'" for t in terms)
-    return f"""
-{tag}q AS (SELECT unnest([{tlist}]) AS term),
-{tag}per AS (
-  SELECT tf.doc_id,
-         ln(1.0 + ((SELECT n_docs FROM st) - dfs.df + 0.5) / (dfs.df + 0.5))
-           * tf.tf * 2.2
-           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM st))) AS s
-  FROM tf JOIN {tag}q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)),
-{tag}agg AS (
-  SELECT doc_id, CAST(round(sum(s) * 1000000) AS BIGINT) AS score_q6
-  FROM {tag}per GROUP BY doc_id),
-{tag}top AS (
-  SELECT doc_id FROM {tag}agg ORDER BY score_q6 DESC, doc_id ASC LIMIT 10)"""
-
-
-@register(
-    "query_term_ablation",
-    f"""WITH tf AS MATERIALIZED ({SQL_TF}),
-dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf GROUP BY doc_id),
-st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl),
-dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-{_ablation_chain('f', ['spark', 'hash', 'join'])[1:]},
-{_ablation_chain('d0', ['hash', 'join'])[1:]},
-{_ablation_chain('d1', ['spark', 'join'])[1:]},
-{_ablation_chain('d2', ['spark', 'hash'])[1:]}
-SELECT dropped_term, n_overlap
-FROM (
-  SELECT 'hash' AS dropped_term,
-         (SELECT CAST(count(*) AS BIGINT) FROM d1top JOIN ftop USING (doc_id))
-           AS n_overlap
-  UNION ALL
-  SELECT 'join',
-         (SELECT CAST(count(*) AS BIGINT) FROM d2top JOIN ftop USING (doc_id))
-  UNION ALL
-  SELECT 'spark',
-         (SELECT CAST(count(*) AS BIGINT) FROM d0top JOIN ftop USING (doc_id))
-) ORDER BY dropped_term""",
-)
-def query_term_ablation(spark, sf_dir):
-    """Query-term ablation: re-rank the canned 3-term query with each
-    term REMOVED and report the surviving top-10 overlap with the full
-    ranking — term importance measured by its effect on the PAGE, not
-    its score share (query_term_share says how much each term
-    contributes to the winners' scores; a term can carry 40% of the
-    score mass yet change nothing about WHO wins if it co-occurs with
-    the others — ablation is the jackknife that catches exactly that).
-    The lowest-overlap term is the query's load-bearing word; a
-    10/10-overlap term is decorative and a query relaxation
-    (common_terms/msm) can drop it for free.
-
-    Determinism: all four rankings share ONE materialized tf/df/dl
-    prelude (per-subquery CTEs are namespaced), rank over quantized
-    scores, doc_id tiebreak.
-
-    Scale shape: the stats prelude is paid once; each leg is a pruned
-    match-set join + TakeOrdered (memoized on the Spark side)."""
-    full = (
-        _bm25_match_set(spark, sf_dir, ["spark", "hash", "join"])
-        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
-        .limit(10)
-        .select("doc_id")
-    )
-    rows = []
-    for dropped, rest in [
-        ("hash", ["spark", "join"]),
-        ("join", ["spark", "hash"]),
-        ("spark", ["hash", "join"]),
-    ]:
-        sub = (
-            _bm25_match_set(spark, sf_dir, rest)
-            .orderBy(F.desc("score_q6"), F.asc("doc_id"))
-            .limit(10)
-            .select("doc_id")
-        )
-        rows.append(
-            sub.join(full, "doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
-            .select(F.lit(dropped).alias("dropped_term"), "n_overlap")
-        )
-    return rows[0].unionByName(rows[1]).unionByName(rows[2]).orderBy(
-        "dropped_term"
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 220 — quantile treatment effects, bandit replay, learned index
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "ab_quantile_effects",
-    """WITH u AS (
-  SELECT user_id,
-         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 4))::INT % 2 AS arm
-  FROM events GROUP BY user_id),
-v AS (
-  SELECT u.arm, CAST(round(e.value * 100) AS BIGINT) AS c
-  FROM events e JOIN u ON u.user_id = e.user_id
-  WHERE e.event_type = 'purchase'),
-hist AS (SELECT arm, c, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY arm, c),
-h AS (
-  SELECT arm, c, cnt,
-         CAST(COALESCE(sum(cnt) OVER (PARTITION BY arm ORDER BY c
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
-         CAST(sum(cnt) OVER (PARTITION BY arm) AS BIGINT) AS n
-  FROM hist),
-q AS (SELECT p_q6 FROM (VALUES (250000), (500000), (750000)) _p(p_q6)),
-ex AS (
-  SELECT h.arm, q.p_q6, max(h.n) AS n,
-         max((h.n - 1) * q.p_q6) AS x,
-         max(CASE WHEN h.cb <= ((h.n - 1) * q.p_q6) // 1000000 THEN h.c END) AS v_lo,
-         max(CASE WHEN h.cb <= ((h.n - 1) * q.p_q6) // 1000000 + 1 THEN h.c END) AS v_hi
-  FROM h, q GROUP BY h.arm, q.p_q6),
-qq AS (
-  SELECT arm, p_q6,
-         CAST(round(1000000.0 * (v_lo + ((x % 1000000) / 1000000.0)
-              * (v_hi - v_lo))) AS BIGINT) AS q_q6
-  FROM ex)
-SELECT CAST(a.p_q6 AS BIGINT) AS p_q6,
-       a.q_q6 AS arm0_cents_q6, b.q_q6 AS arm1_cents_q6,
-       b.q_q6 - a.q_q6 AS effect_cents_q6
-FROM qq a JOIN qq b ON a.p_q6 = b.p_q6 AND a.arm = 0 AND b.arm = 1
-ORDER BY p_q6""",
-)
-def ab_quantile_effects(spark, sf_dir):
-    """Quantile treatment effects for the A/B assignment: exact type-7
-    quartiles of purchase value per arm, paired — the DISTRIBUTIONAL
-    causal readout the mean-based family cannot see
-    (ab_value_readout's mean difference is identical whether a
-    treatment lifts every purchase 5% or doubles the whales while
-    gutting small baskets; the per-quantile effect column separates
-    those worlds, which is what pricing experiments actually need).
-    Same 'ab:' coordinate as the rest of the A/B family.
-
-    Determinism: the quantile chains are the integer-rank histogram
-    machinery partitioned by arm with ONE shared interpolation;
-    effects are exact q6 differences.
-
-    Scale shape: one user-arm map + a value-histogram per arm; probes
-    run over cells."""
-    u = (
-        _events(spark, sf_dir)
-        .select("user_id")
-        .distinct()
-        .select(
-            "user_id",
-            F.expr(
-                "cast(conv(substring(md5(concat('ab:', cast(user_id as string))),"
-                " 1, 4), 16, 10) as int) % 2"
-            ).alias("arm"),
-        )
-    )
-    v = (
-        _events(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
-        .join(u, "user_id")
-        .select("arm", F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"))
-    )
-    hist = v.groupBy("arm", "c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    w_cb = (
-        Window.partitionBy("arm")
-        .orderBy("c")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_all = Window.partitionBy("arm")
-    h = hist.select(
-        "arm",
-        "c",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(w_cb), F.lit(0)).cast("long").alias("cb"),
-        F.sum("cnt").over(w_all).cast("long").alias("n"),
-    )
-    q = spark.createDataFrame([(250000,), (500000,), (750000,)], "p_q6 long")
-    ex = (
-        h.crossJoin(F.broadcast(q))
-        .groupBy("arm", "p_q6")
-        .agg(
-            F.max("n").alias("n"),
-            F.max((F.col("n") - 1) * F.col("p_q6")).alias("x"),
-            F.max(
-                F.when(F.col("cb") <= F.expr("((n - 1) * p_q6) div 1000000"), F.col("c"))
-            ).alias("v_lo"),
-            F.max(
-                F.when(
-                    F.col("cb") <= F.expr("((n - 1) * p_q6) div 1000000 + 1"),
-                    F.col("c"),
-                )
-            ).alias("v_hi"),
-        )
-    )
-    qq = ex.select(
-        "arm",
-        "p_q6",
-        F.expr(
-            "CAST(round(1000000.0 * (v_lo + ((x % 1000000) / 1000000.0)"
-            " * (v_hi - v_lo))) AS BIGINT)"
-        ).alias("q_q6"),
-    )
-    a = qq.where(F.col("arm") == 0).select("p_q6", F.col("q_q6").alias("arm0_cents_q6"))
-    b = qq.where(F.col("arm") == 1).select("p_q6", F.col("q_q6").alias("arm1_cents_q6"))
-    return (
-        a.join(b, "p_q6")
-        .select(
-            F.col("p_q6").cast("long").alias("p_q6"),
-            "arm0_cents_q6",
-            "arm1_cents_q6",
-            (F.col("arm1_cents_q6") - F.col("arm0_cents_q6")).alias(
-                "effect_cents_q6"
-            ),
-        )
-        .orderBy("p_q6")
-    )
-
-
-@register(
-    "bandit_greedy_replay",
-    """WITH u AS (
-  SELECT user_id,
-         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 4))::INT % 2 AS arm
-  FROM events GROUP BY user_id),
-e AS (
-  SELECT u.arm, epoch_us(ev.ts) // 86400000000 AS day_num, ev.event_type
-  FROM events ev JOIN u ON u.user_id = ev.user_id),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM e),
-spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
-dd AS (
-  SELECT spine.day_num,
-         CAST(COALESCE(sum(CASE WHEN e.arm = 0 AND e.event_type = 'view'
-                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS v0,
-         CAST(COALESCE(sum(CASE WHEN e.arm = 0 AND e.event_type = 'click'
-                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS c0,
-         CAST(COALESCE(sum(CASE WHEN e.arm = 1 AND e.event_type = 'view'
-                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS v1,
-         CAST(COALESCE(sum(CASE WHEN e.arm = 1 AND e.event_type = 'click'
-                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS c1
-  FROM spine LEFT JOIN e ON e.day_num = spine.day_num
-  GROUP BY spine.day_num),
-cum AS (
-  SELECT day_num, c0, c1,
-         CAST(COALESCE(sum(v0) OVER w, 0) AS BIGINT) AS pv0,
-         CAST(COALESCE(sum(c0) OVER w, 0) AS BIGINT) AS pc0,
-         CAST(COALESCE(sum(v1) OVER w, 0) AS BIGINT) AS pv1,
-         CAST(COALESCE(sum(c1) OVER w, 0) AS BIGINT) AS pc1
-  FROM dd
-  WINDOW w AS (ORDER BY day_num ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-pick AS (
-  SELECT day_num, c0, c1,
-         CASE WHEN pc1 * greatest(pv0, 1) > pc0 * greatest(pv1, 1)
-              THEN 1 ELSE 0 END AS chosen
-  FROM cum)
-SELECT (SELECT CAST(count(*) AS BIGINT) FROM pick) AS n_days,
-       CAST(COALESCE(sum(CASE WHEN chosen = 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
-         AS n_pick_arm0,
-       CAST(COALESCE(sum(CASE WHEN chosen = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
-         AS n_pick_arm1,
-       CAST(COALESCE(sum(CASE WHEN chosen = 0 THEN c0 ELSE c1 END), 0) AS BIGINT)
-         AS greedy_clicks,
-       CAST(greatest(COALESCE(sum(c0), 0), COALESCE(sum(c1), 0)) AS BIGINT)
-         AS best_fixed_clicks,
-       CAST(greatest(COALESCE(sum(c0), 0), COALESCE(sum(c1), 0))
-            - COALESCE(sum(CASE WHEN chosen = 0 THEN c0 ELSE c1 END), 0) AS BIGINT)
-         AS regret_clicks
-FROM pick""",
-)
-def bandit_greedy_replay(spark, sf_dir):
-    """Offline greedy-bandit replay over the A/B arms: each day the
-    policy 'plays' whichever arm has the higher CUMULATIVE prior CTR
-    (exact integer cross-multiplication — no division, ties and the
-    cold start default to arm 0) and collects that arm's ACTUAL clicks
-    for the day; regret is the gap to the best fixed arm in hindsight.
-    This is the counterfactual-policy evaluation every bandit rollout
-    decision needs BEFORE deploying one — and the greedy state needs
-    no sequential scan: the decision at day d reads only exclusive
-    prefix sums, so the whole replay is one window pass (the CUSUM
-    window-form lesson applied to policy state).
-
-    Determinism: integer cross-multiplied comparisons against
-    zero-guarded cumulative views; exact click sums.
-
-    Scale shape: one user-arm map, one day-cell groupBy, prefix
-    windows over day cells."""
-    u = (
-        _events(spark, sf_dir)
-        .select("user_id")
-        .distinct()
-        .select(
-            "user_id",
-            F.expr(
-                "cast(conv(substring(md5(concat('ab:', cast(user_id as string))),"
-                " 1, 4), 16, 10) as int) % 2"
-            ).alias("arm"),
-        )
-    )
-    e = (
-        _events(spark, sf_dir)
-        .join(u, "user_id")
-        .select(
-            "arm",
-            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
-                "day_num"
-            ),
-            "event_type",
-        )
-    )
-    b = e.agg(
-        F.min("day_num").cast("long").alias("lo"),
-        F.max("day_num").cast("long").alias("hi"),
-    )
-    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day_num"))
-    dd = (
-        spine.join(e, "day_num", "left")
-        .groupBy("day_num")
-        .agg(
-            *[
-                F.coalesce(
-                    F.sum(
-                        F.expr(
-                            f"CASE WHEN arm = {a} AND event_type = '{t}'"
-                            f" THEN 1 ELSE 0 END"
-                        )
-                    ),
-                    F.lit(0),
-                )
-                .cast("long")
-                .alias(f"{t[0]}{a}")
-                for a in (0, 1)
-                for t in ("view", "click")
-            ]
-        )
-    )
-    w = Window.orderBy("day_num").rowsBetween(Window.unboundedPreceding, -1)
-    cum = dd.select(
-        "day_num",
-        "c0",
-        "c1",
-        F.coalesce(F.sum("v0").over(w), F.lit(0)).cast("long").alias("pv0"),
-        F.coalesce(F.sum("c0").over(w), F.lit(0)).cast("long").alias("pc0"),
-        F.coalesce(F.sum("v1").over(w), F.lit(0)).cast("long").alias("pv1"),
-        F.coalesce(F.sum("c1").over(w), F.lit(0)).cast("long").alias("pc1"),
-    )
-    pick = cum.select(
-        "c0",
-        "c1",
-        F.expr(
-            "CASE WHEN pc1 * greatest(pv0, 1) > pc0 * greatest(pv1, 1)"
-            " THEN 1 ELSE 0 END"
-        ).alias("chosen"),
-    )
-    return pick.agg(
-        F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN chosen = 0 THEN 1 ELSE 0 END")), F.lit(0)
-        )
-        .cast("long")
-        .alias("n_pick_arm0"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN chosen = 1 THEN 1 ELSE 0 END")), F.lit(0)
-        )
-        .cast("long")
-        .alias("n_pick_arm1"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN chosen = 0 THEN c0 ELSE c1 END")), F.lit(0)
-        )
-        .cast("long")
-        .alias("greedy_clicks"),
-        F.greatest(
-            F.coalesce(F.sum("c0"), F.lit(0)), F.coalesce(F.sum("c1"), F.lit(0))
-        )
-        .cast("long")
-        .alias("best_fixed_clicks"),
-        (
-            F.greatest(
-                F.coalesce(F.sum("c0"), F.lit(0)),
-                F.coalesce(F.sum("c1"), F.lit(0)),
-            )
-            - F.coalesce(
-                F.sum(F.expr("CASE WHEN chosen = 0 THEN c0 ELSE c1 END")), F.lit(0)
-            )
-        )
-        .cast("long")
-        .alias("regret_clicks"),
-    )
-
-
-@register(
-    "learned_index_error",
-    """WITH k AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS key FROM lineitem),
-r AS (
-  SELECT key,
-         CAST(row_number() OVER (ORDER BY key) - 1 AS BIGINT) AS rnk
-  FROM k),
-g AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(COALESCE(sum(key), 0) AS BIGINT) AS sk,
-             CAST(COALESCE(sum(rnk), 0) AS BIGINT) AS sr FROM r),
-c AS (
-  SELECT r.key, r.rnk,
-         r.key - g.sk // g.n AS dk,
-         r.rnk - g.sr // g.n AS dr,
-         g.n, g.sk, g.sr
-  FROM r, g),
-s AS (SELECT max(n) AS n, max(sk) AS sk, max(sr) AS sr,
-             CAST(COALESCE(sum(dk * dr), 0) AS BIGINT) AS sxy,
-             CAST(COALESCE(sum(dk * dk), 0) AS BIGINT) AS sxx
-      FROM c),
-fit AS (
-  SELECT n, CASE WHEN sxx = 0 THEN 0e0
-                 ELSE CAST(sxy AS DOUBLE) / sxx END AS slope,
-         (CAST(sr AS DOUBLE) / n)
-           - (CASE WHEN sxx = 0 THEN 0e0
-                   ELSE CAST(sxy AS DOUBLE) / sxx END)
-             * (CAST(sk AS DOUBLE) / n) AS icept
-  FROM s),
-er AS (
-  SELECT CAST(round(1000 * abs(r.rnk - (fit.icept + fit.slope * r.key))) AS BIGINT)
-           AS err_q3
-  FROM r, fit)
-SELECT fit.n AS n_keys,
-       CAST(round(1000000000 * fit.slope) AS BIGINT) AS slope_q9,
-       (SELECT CAST(COALESCE(max(err_q3), 0) AS BIGINT) FROM er) AS max_err_q3,
-       (SELECT CAST(COALESCE(sum(err_q3), 0) // greatest(count(*), 1) AS BIGINT)
-        FROM er) AS mean_err_q3
-FROM fit""",
-)
-def learned_index_error(spark, sf_dir):
-    """Learned-index (RMI stage-1) error bound on the orderkey column:
-    fit rank ≈ a + b·key by least squares over the distinct sorted
-    keys and report the MAXIMUM absolute position error — exactly the
-    ε that sizes a learned index's last-mile search window (Kraska et
-    al.: lookup = predict, then binary-search ±ε rows). A tiny ε on
-    this column says a two-number model replaces the B-tree's inner
-    nodes; a large ε quantifies how non-linear the key distribution is
-    (key_density_census shows the skew; this prices it in LOOKUP
-    terms). Mean error sits beside max as the typical-case window.
-
-    Determinism: centered sums use floor-div means and stay EXACT
-    BIGINTs (the daily_revenue_trend OLS form; dk·dr ≤ keyrange·n —
-    envelope documented); per-key errors q3-round FIRST, max/mean
-    exact after;
-    constant-key degenerate slope is 0-sentineled.
-
-    Scale shape: the rank is a window over DISTINCT keys (at 1e9-key
-    tables it sub-shards by key range exactly like global_row_ids,
-    documented); two scalar passes otherwise."""
-    k = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .select(F.col("l_orderkey").cast("long").alias("key"))
-        .distinct()
-    )
-    r = k.withColumn(
-        "rnk", (F.row_number().over(Window.orderBy("key")) - 1).cast("long")
-    ).localCheckpoint()  # fit + error pass consume it
-    g = r.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum("key"), F.lit(0)).cast("long").alias("sk"),
-        F.coalesce(F.sum("rnk"), F.lit(0)).cast("long").alias("sr"),
-    )
-    c = r.crossJoin(F.broadcast(g)).select(
-        "key",
-        "rnk",
-        F.expr("key - sk div n").alias("dk"),
-        F.expr("rnk - sr div n").alias("dr"),
-        "n",
-        "sk",
-        "sr",
-    )
-    s = c.agg(
-        F.max("n").alias("n"),
-        F.max("sk").alias("sk"),
-        F.max("sr").alias("sr"),
-        F.coalesce(F.sum(F.col("dk") * F.col("dr")), F.lit(0))
-        .cast("long")
-        .alias("sxy"),
-        F.coalesce(F.sum(F.col("dk") * F.col("dk")), F.lit(0))
-        .cast("long")
-        .alias("sxx"),
-    )
-    fit = s.select(
-        "n",
-        F.expr(
-            "CASE WHEN sxx = 0 THEN 0e0 ELSE CAST(sxy AS DOUBLE) / sxx END"
-        ).alias("slope"),
-        F.expr(
-            "(CAST(sr AS DOUBLE) / n)"
-            " - (CASE WHEN sxx = 0 THEN 0e0"
-            "        ELSE CAST(sxy AS DOUBLE) / sxx END)"
-            " * (CAST(sk AS DOUBLE) / n)"
-        ).alias("icept"),
-    )
-    er = r.crossJoin(F.broadcast(fit)).select(
-        F.expr(
-            "CAST(round(1000 * abs(rnk - (icept + slope * key))) AS BIGINT)"
-        ).alias("err_q3")
-    )
-    ea = er.agg(
-        F.coalesce(F.max("err_q3"), F.lit(0)).cast("long").alias("max_err_q3"),
-        F.expr(
-            "CAST(COALESCE(sum(err_q3), 0) div greatest(count(*), 1) AS BIGINT)"
-        ).alias("mean_err_q3"),
-    )
-    return fit.crossJoin(ea).select(
-        F.col("n").alias("n_keys"),
-        F.expr("CAST(round(1000000000 * slope) AS BIGINT)").alias("slope_q9"),
-        "max_err_q3",
-        "mean_err_q3",
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 221 — reuse distance, power-law xmin, circular hour statistics
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "part_reuse_distance_histogram",
-    f"""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem),
-kc AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY 1),
-off AS (
-  SELECT l_orderkey,
-         CAST(COALESCE(sum(cnt) OVER (ORDER BY l_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
-  FROM kc),
-pos AS (
-  SELECT li.l_partkey,
-         off.o + row_number() OVER (PARTITION BY li.l_orderkey
-            ORDER BY li.l_linenumber, li.l_partkey) - 1 AS p
-  FROM li JOIN off USING (l_orderkey)),
-gaps AS (
-  SELECT l_partkey,
-         p - lag(p) OVER (PARTITION BY l_partkey ORDER BY p) AS gap
-  FROM pos),
-r AS (SELECT CAST(length(bin(gap)) - 1 AS BIGINT) AS band,
-             CAST(count(*) AS BIGINT) AS n_reuses
-      FROM gaps WHERE gap IS NOT NULL GROUP BY 1),
-tot AS (
-  SELECT (SELECT CAST(count(*) AS BIGINT) FROM pos) AS n_accesses,
-         (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM pos) AS n_parts)
-SELECT r.band, r.n_reuses, tot.n_accesses, tot.n_parts
-FROM r CROSS JOIN tot ORDER BY r.band""",
-)
-def part_reuse_distance_histogram(spark, sf_dir):
-    """Reuse-distance (time-distance) histogram of part accesses in the
-    fact table's keyed scan order: for every re-access of a partkey,
-    the row gap since its previous access, log2-banded — the
-    locality-of-reference census behind every cache decision
-    (lfu_cache_hit_curve sizes by FREQUENCY; reuse distance is the
-    LRU-side signal: mass in low bands means a small recency cache
-    wins, a flat band profile means recency buys nothing, and
-    time-distance upper-bounds true stack distance, documented proxy).
-
-    Determinism: positions come from the fully-keyed (orderkey,
-    linenumber, partkey) order via the global_row_ids two-pass form;
-    gaps are exact integers, bands the length(bin()) idiom.
-
-    Scale shape: per-orderkey row_numbers + orderkey-cell offsets (no
-    global window); the per-partkey lag window is keyed by partkey."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_linenumber", "l_partkey"
-    )
-    kc = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    wo = Window.orderBy("l_orderkey").rowsBetween(Window.unboundedPreceding, -1)
-    off = kc.select(
-        "l_orderkey",
-        F.coalesce(F.sum("cnt").over(wo), F.lit(0)).cast("long").alias("o"),
-    )
-    wk = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
-    pos = (
-        li.join(off, "l_orderkey")
-        .withColumn("rn", F.row_number().over(wk))
-        .select("l_partkey", F.expr("o + rn - 1").alias("p"))
-        .localCheckpoint()  # gaps + totals consume it
-    )
-    wp = Window.partitionBy("l_partkey").orderBy("p")
-    gaps = pos.select(
-        "l_partkey", (F.col("p") - F.lag("p").over(wp)).alias("gap")
-    )
-    r = (
-        gaps.where(F.col("gap").isNotNull())
-        .groupBy(F.expr("CAST(length(bin(gap)) - 1 AS BIGINT)").alias("band"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_reuses"))
-    )
-    tot = pos.agg(
-        F.count(F.lit(1)).cast("long").alias("n_accesses"),
-        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
-    )
-    return (
-        r.crossJoin(F.broadcast(tot))
-        .select("band", "n_reuses", "n_accesses", "n_parts")
-        .orderBy("band")
-    )
-
-
-@register(
-    "degree_powerlaw_xmin",
-    _SQL_LSH_PAIRS
-    + """,
-edges AS (SELECT doc_a AS src FROM pairs UNION ALL SELECT doc_b FROM pairs),
-deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
-dh AS (SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM deg GROUP BY d),
-xs AS (SELECT d AS xmin FROM dh),
-tail AS (
-  SELECT xs.xmin, dh.d, dh.cnt,
-         CAST(round(1000000 * ln(CAST(dh.d AS DOUBLE) / xs.xmin)) AS BIGINT)
-           AS lnr_q6
-  FROM xs JOIN dh ON dh.d >= xs.xmin),
-fit AS (
-  SELECT xmin,
-         CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS n_tail,
-         CAST(COALESCE(sum(cnt * lnr_q6), 0) AS BIGINT) AS slnr
-  FROM tail GROUP BY xmin
-  HAVING COALESCE(sum(cnt * lnr_q6), 0) > 0),
-al AS (
-  SELECT xmin, n_tail,
-         1 + (CAST(n_tail AS DOUBLE) * 1000000) / slnr AS alpha
-  FROM fit),
-kc2 AS (
-  SELECT t.xmin, t.d, al.alpha, al.n_tail,
-         CAST(sum(t.cnt) OVER (PARTITION BY t.xmin ORDER BY t.d
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-  FROM tail t JOIN al ON al.xmin = t.xmin),
-ks AS (
-  SELECT xmin, alpha, n_tail,
-         CAST(COALESCE(max(CAST(round(1000000 * abs(
-           CAST(cum AS DOUBLE) / n_tail
-           - (1 - pow(CAST(d AS DOUBLE) / xmin, 1 - alpha)))) AS BIGINT)), 0)
-           AS BIGINT) AS ks_q6
-  FROM kc2 GROUP BY xmin, alpha, n_tail),
-best AS (
-  SELECT xmin, alpha, n_tail, ks_q6 FROM (
-    SELECT *, row_number() OVER (ORDER BY ks_q6 ASC, xmin ASC) AS rk FROM ks) _k
-  WHERE rk = 1)
-SELECT CAST(xmin AS BIGINT) AS xmin, n_tail,
-       CAST(round(1000000 * alpha) AS BIGINT) AS alpha_q6, ks_q6
-FROM best""",
-)
-def degree_powerlaw_xmin(spark, sf_dir):
-    """Clauset-Shalizi-Newman power-law tail fitting on the LSH
-    candidate graph's degree distribution: for every candidate xmin,
-    the Hill/MLE exponent α = 1 + n/Σln(d/xmin) over the tail and the
-    KS distance between the tail's ECDF and the fitted power-law CDF;
-    the reported xmin MINIMIZES KS — the principled where-does-the-
-    power-law-start selection that doclen_hill_tail's fixed boundary
-    and lsh_degree_histogram's raw shape both skip. The α at the
-    chosen xmin is the number to quote for 'the candidate graph is
-    scale-free(ish)', and a large best-KS says no power law fits at
-    all — equally worth knowing before extrapolating hub behavior.
-
-    Determinism: ln(d/xmin) q6-rounds per CELL before the Σcnt·ln sum
-    (the zipf rule); the KS terms are shared float expressions
-    q6-rounded per cell then maxed; xmins with zero log-mass (single-
-    value tails) are excluded by the HAVING guard; argmin tiebreaks
-    on smaller xmin.
-
-    Scale shape: degrees from the memoized edge construction; the
-    xmin × degree-cell fan is distinct-degrees² — tiny; windows run
-    per xmin over tail cells."""
-    pairs = _lsh_pair_edges(spark, sf_dir).where(F.col("src") < F.col("dst"))
-    edges = pairs.select("src").unionByName(
-        pairs.select(F.col("dst").alias("src"))
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    dh = deg.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("cnt")).localCheckpoint()
-    xs = dh.select(F.col("d").alias("xmin"))
-    tail = (
-        F.broadcast(xs)
-        .join(dh, dh["d"] >= F.col("xmin"))
-        .select(
-            "xmin",
-            "d",
-            "cnt",
-            F.expr(
-                "CAST(round(1000000 * ln(CAST(d AS DOUBLE) / xmin)) AS BIGINT)"
-            ).alias("lnr_q6"),
-        )
-        .localCheckpoint()  # fit + KS chain consume it
-    )
-    fit = (
-        tail.groupBy("xmin")
-        .agg(
-            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_tail"),
-            F.coalesce(F.sum(F.col("cnt") * F.col("lnr_q6")), F.lit(0))
-            .cast("long")
-            .alias("slnr"),
-        )
-        .where(F.col("slnr") > 0)
-    )
-    al = fit.select(
-        "xmin",
-        "n_tail",
-        F.expr("1 + (CAST(n_tail AS DOUBLE) * 1000000) / slnr").alias("alpha"),
-    )
-    wx = Window.partitionBy("xmin").orderBy("d").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    kc2 = tail.join(al, "xmin").select(
-        "xmin",
-        "d",
-        "alpha",
-        "n_tail",
-        F.sum("cnt").over(wx).cast("long").alias("cum"),
-    )
-    ks = kc2.groupBy("xmin", "alpha", "n_tail").agg(
-        F.coalesce(
-            F.max(
-                F.expr(
-                    "CAST(round(1000000 * abs("
-                    "CAST(cum AS DOUBLE) / n_tail"
-                    " - (1 - pow(CAST(d AS DOUBLE) / xmin, 1 - alpha)))) AS BIGINT)"
-                )
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("ks_q6")
-    )
-    best = ks.agg(
-        F.min(
-            F.struct(
-                F.col("ks_q6"),
-                F.col("xmin"),
-                F.col("alpha"),
-                F.col("n_tail"),
-            )
-        ).alias("t")
-    )
-    return best.select(
-        F.col("t.xmin").cast("long").alias("xmin"),
-        F.col("t.n_tail").alias("n_tail"),
-        F.expr("CAST(round(1000000 * t.alpha) AS BIGINT)").alias("alpha_q6"),
-        F.col("t.ks_q6").alias("ks_q6"),
-    )
-
-
-# q9-folded cos/sin of 2*pi*h/24 for h = 0..23 (Python-folded, both engines
-# sum exact BIGINTs) and the radians-to-hours constant 24/(2*pi)
-_CIRC24 = [
-    (
-        h,
-        round(1e9 * math.cos(2 * math.pi * h / 24)),
-        round(1e9 * math.sin(2 * math.pi * h / 24)),
-    )
-    for h in range(24)
-]
-_RAD2HOUR = repr(24 / (2 * math.pi))
-
-
-@register(
-    "hour_circular_stats",
-    f"""WITH e AS (
-  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS h FROM events),
-hc AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
-cc AS (SELECT * FROM (VALUES
-  {", ".join(f"({h}, {c}, {s})" for h, c, s in _CIRC24)}) _c(h, cq9, sq9)),
-a AS (
-  SELECT hc.event_type,
-         CAST(COALESCE(sum(hc.n), 0) AS BIGINT) AS n,
-         CAST(COALESCE(sum(hc.n * cc.cq9), 0) AS BIGINT) AS sc,
-         CAST(COALESCE(sum(hc.n * cc.sq9), 0) AS BIGINT) AS ss
-  FROM hc JOIN cc USING (h) GROUP BY hc.event_type)
-SELECT event_type, n,
-       CAST(round(1000000 * sqrt(CAST(sc AS DOUBLE) * sc + CAST(ss AS DOUBLE) * ss)
-            / (CAST(n AS DOUBLE) * 1000000000)) AS BIGINT) AS r_q6,
-       CAST(round(1000000 * (CASE WHEN atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))
-                 * {_RAD2HOUR} < 0
-            THEN atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE)) * {_RAD2HOUR} + 24
-            ELSE atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE)) * {_RAD2HOUR} END))
-            AS BIGINT) AS mean_hour_q6
-FROM a ORDER BY event_type""",
-)
-def hour_circular_stats(spark, sf_dir):
-    """Circular statistics of event hour-of-day per type: the mean
-    DIRECTION (peak hour as an angle, so 23:00 and 01:00 average to
-    midnight, not noon — the wraparound bug every linear mean-hour
-    commits) and the resultant length R (0 = uniform around the clock,
-    1 = all events at one hour — the concentration number behind
-    type_peak_hour's argmax, which can't distinguish a sharp 9 AM
-    spike from a 51%-vs-49% tie). The circular-statistics family
-    member the calendar ops were missing.
-
-    Determinism: cos/sin of the 24 hour angles are Python-folded q9
-    INTEGERS, so the weighted component sums are exact BIGINTs; one
-    atan2/sqrt combine per type (libm 1-ulp class, chi²-rule casts);
-    negative angles wrap by +24.
-
-    Scale shape: a 24-cell histogram per type joined to a 24-row
-    constant table; scalar math after."""
-    e = _events(spark, sf_dir).select(
-        "event_type",
-        F.expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 24").alias(
-            "h"
-        ),
-    )
-    hc = e.groupBy("event_type", "h").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    cc = F.broadcast(
-        spark.createDataFrame(_CIRC24, "h long, cq9 long, sq9 long")
-    )
-    a = hc.join(cc, "h").groupBy("event_type").agg(
-        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"),
-        F.coalesce(F.sum(F.col("n") * F.col("cq9")), F.lit(0))
-        .cast("long")
-        .alias("sc"),
-        F.coalesce(F.sum(F.col("n") * F.col("sq9")), F.lit(0))
-        .cast("long")
-        .alias("ss"),
-    )
-    ang = f"atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE)) * {_RAD2HOUR}"
-    return a.select(
-        "event_type",
-        "n",
-        F.expr(
-            "CAST(round(1000000 * sqrt(CAST(sc AS DOUBLE) * sc"
-            " + CAST(ss AS DOUBLE) * ss)"
-            " / (CAST(n AS DOUBLE) * 1000000000)) AS BIGINT)"
-        ).alias("r_q6"),
-        F.expr(
-            f"CAST(round(1000000 * (CASE WHEN {ang} < 0"
-            f" THEN {ang} + 24 ELSE {ang} END)) AS BIGINT)"
-        ).alias("mean_hour_q6"),
-    ).orderBy("event_type")
-
-
-# ---------------------------------------------------------------------------
-# session 222 — higher moments, Durbin-Watson, streaming quantile sketch
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "doclen_moments_board",
-    f"""WITH t AS (
-  SELECT CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) // 8
-           AS x
-  FROM documents),
-a AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(COALESCE(sum(x), 0) AS BIGINT) AS s1,
-             CAST(COALESCE(sum(x * x), 0) AS BIGINT) AS s2,
-             CAST(COALESCE(sum(x * x * x), 0) AS BIGINT) AS s3,
-             CAST(COALESCE(sum(x * x * x * x), 0) AS BIGINT) AS s4
-      FROM t),
-f AS (
-  SELECT n, s1, s2, s3, s4,
-         CAST(s1 AS DOUBLE) / n AS m,
-         (CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)
-           / (CAST(n AS DOUBLE) * n) AS v
-  FROM a WHERE n > 0)
-SELECT n AS n_docs,
-       CAST(round(1000000 * m) AS BIGINT) AS mean8_q6,
-       CAST(round(1000000 * v) AS BIGINT) AS var8_q6,
-       CAST(CASE WHEN v <= 0 THEN 0
-            ELSE round(1000000
-              * ((CAST(s3 AS DOUBLE) / n - 3 * m * v - m * m * m)
-                 / (sqrt(v) * v))) END AS BIGINT) AS skewness_q6,
-       CAST(CASE WHEN v <= 0 THEN 0
-            ELSE round(1000000
-              * ((CAST(s4 AS DOUBLE) / n - 4 * m * (CAST(s3 AS DOUBLE) / n)
-                  + 6 * m * m * (CAST(s2 AS DOUBLE) / n) - 3 * m * m * m * m)
-                 / (v * v) - 3)) END AS BIGINT) AS excess_kurtosis_q6
-FROM f""",
-)
-def doclen_moments_board(spark, sf_dir):
-    """Third and fourth standardized moments of document length —
-    skewness (which way the tail leans) and excess kurtosis (how much
-    tail mass vs a Gaussian) — completing the distribution-shape
-    family: location (mean/median), spread (variance/MAD/IQR), and now
-    SHAPE, the two numbers that say whether z-score thresholds on
-    length are even meaningful (kurtosis ≫ 0 means σ-based gates
-    misfire) without plotting anything. Lengths rescale to 8-token
-    units BEFORE the power sums (x⁴ at raw token counts passes 2^63 at
-    ~1e8 docs; in eighths the envelope reaches ~1e11 — the whole-
-    dollars rule at the fourth power).
-
-    Determinism: exact BIGINT power sums; central moments expand in
-    raw-moment form inside ONE shared float expression each
-    (chi²-rule casts; sqrt exact-rounded); degenerate variance
-    sentinels.
-
-    Scale shape: one map-side 5-number aggregate."""
-    t = _docs(spark, sf_dir).select(
-        F.size(spark_tokens("text")).cast("long").alias("nt")
-    ).select(F.expr("nt div 8").alias("x"))
-    a = t.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("s1"),
-        F.coalesce(F.sum(F.col("x") * F.col("x")), F.lit(0)).cast("long").alias("s2"),
-        F.coalesce(F.sum(F.col("x") * F.col("x") * F.col("x")), F.lit(0))
-        .cast("long")
-        .alias("s3"),
-        F.coalesce(
-            F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")), F.lit(0)
-        )
-        .cast("long")
-        .alias("s4"),
-    )
-    m = "(CAST(s1 AS DOUBLE) / n)"
-    v = (
-        "((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)"
-        " / (CAST(n AS DOUBLE) * n))"
-    )
-    return a.where(F.col("n") > 0).select(
-        F.col("n").alias("n_docs"),
-        F.expr(f"CAST(round(1000000 * {m}) AS BIGINT)").alias("mean8_q6"),
-        F.expr(f"CAST(round(1000000 * {v}) AS BIGINT)").alias("var8_q6"),
-        F.expr(
-            f"CAST(CASE WHEN {v} <= 0 THEN 0"
-            f" ELSE round(1000000"
-            f" * ((CAST(s3 AS DOUBLE) / n - 3 * {m} * {v} - {m} * {m} * {m})"
-            f"    / (sqrt({v}) * {v}))) END AS BIGINT)"
-        ).alias("skewness_q6"),
-        F.expr(
-            f"CAST(CASE WHEN {v} <= 0 THEN 0"
-            f" ELSE round(1000000"
-            f" * ((CAST(s4 AS DOUBLE) / n - 4 * {m} * (CAST(s3 AS DOUBLE) / n)"
-            f"     + 6 * {m} * {m} * (CAST(s2 AS DOUBLE) / n)"
-            f"     - 3 * {m} * {m} * {m} * {m})"
-            f"    / ({v} * {v}) - 3)) END AS BIGINT)"
-        ).alias("excess_kurtosis_q6"),
-    )
-
-
-@register(
-    "residual_durbin_watson",
-    """WITH d AS (
-  SELECT epoch_us(ts) // 86400000000 AS day_num, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY day_num),
-b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM d),
-spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
-f AS (SELECT spine.day_num, CAST(COALESCE(d.n, 0) AS BIGINT) AS n,
-             CAST((spine.day_num + 3) % 7 AS BIGINT) AS dow
-      FROM spine LEFT JOIN d USING (day_num)),
-m AS (SELECT dow, CAST((1000000 * sum(n)) // count(*) AS BIGINT) AS mean_q6
-      FROM f GROUP BY dow),
-r AS (SELECT f.day_num, (1000000 * f.n - m.mean_q6) // 1000000 AS e0
-      FROM f JOIN m USING (dow)),
-lg AS (
-  SELECT e0, lag(e0) OVER (ORDER BY day_num) AS pe FROM r),
-a AS (
-  SELECT CAST(COALESCE(sum(e0 * e0), 0) AS BIGINT) AS sse,
-         CAST(COALESCE(sum(CASE WHEN pe IS NULL THEN 0
-                                ELSE (e0 - pe) * (e0 - pe) END), 0) AS BIGINT) AS ssd,
-         CAST(count(*) AS BIGINT) AS n
-  FROM lg)
-SELECT n AS n_days,
-       CAST(CASE WHEN sse = 0 THEN 2000000
-            ELSE round(1000000 * CAST(ssd AS DOUBLE) / sse) END AS BIGINT) AS dw_q6
-FROM a""",
-)
-def residual_durbin_watson(spark, sf_dir):
-    """Durbin-Watson statistic of the weekday-adjusted daily-volume
-    residuals: DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² — the regression diagnostic that
-    says whether the residuals the anomaly detectors threshold
-    (weekday_adjusted_anomaly, conformal_daily_interval) are actually
-    INDEPENDENT: DW ≈ 2 is the clean case their i.i.d. math assumes;
-    DW ≪ 2 means positive serial correlation (multi-day incidents,
-    trends the weekday model misses) and every 'independent day' p-
-    value is overconfident. The constant-residual corpus reports the
-    neutral 2.0 sentinel.
-
-    Determinism: residuals subtract in q6 space against the quantized
-    weekday means, then FLOOR to whole events before squaring (q6²
-    sums pass 2^63 — the documented precision-for-envelope trade,
-    ≤1-event quantization); exact BIGINT sums, one division.
-
-    Scale shape: day cells only — weekday means are 7 cells, the lag
-    runs over the spine."""
-    d = (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
-                "day_num"
-            )
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    b = d.agg(
-        F.min("day_num").cast("long").alias("lo"),
-        F.max("day_num").cast("long").alias("hi"),
-    )
-    spine = b.select(F.explode(F.sequence("lo", "hi")).alias("day_num"))
-    f = spine.join(d, "day_num", "left").select(
-        "day_num",
-        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
-        F.expr("CAST((day_num + 3) % 7 AS BIGINT)").alias("dow"),
-    )
-    m = f.groupBy("dow").agg(
-        F.expr("CAST((1000000 * sum(n)) div count(*) AS BIGINT)").alias("mean_q6")
-    )
-    r = f.join(F.broadcast(m), "dow").select(
-        "day_num", F.expr("(1000000 * n - mean_q6) div 1000000").alias("e0")
-    )
-    lg = r.select("e0", F.lag("e0").over(Window.orderBy("day_num")).alias("pe"))
-    a = lg.agg(
-        F.coalesce(F.sum(F.col("e0") * F.col("e0")), F.lit(0))
-        .cast("long")
-        .alias("sse"),
-        F.coalesce(
-            F.sum(
-                F.expr(
-                    "CASE WHEN pe IS NULL THEN 0 ELSE (e0 - pe) * (e0 - pe) END"
-                )
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("ssd"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    return a.select(
-        F.col("n").alias("n_days"),
-        F.expr(
-            "CAST(CASE WHEN sse = 0 THEN 2000000"
-            " ELSE round(1000000 * CAST(ssd AS DOUBLE) / sse) END AS BIGINT)"
-        ).alias("dw_q6"),
-    )
-
-
-@register(
-    "logbucket_quantile_estimate",
-    """WITH v AS (
-  SELECT CAST(round(value * 100) AS BIGINT) AS c
-  FROM events WHERE event_type = 'purchase'),
-bk AS (
-  SELECT CAST(length(bin(greatest(c, 1))) - 1 AS BIGINT) AS bucket,
-         CAST(count(*) AS BIGINT) AS n
-  FROM v GROUP BY 1),
-cum AS (
-  SELECT bucket, n,
-         CAST(COALESCE(sum(n) OVER (ORDER BY bucket
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
-         CAST(sum(n) OVER () AS BIGINT) AS tot
-  FROM bk),
-q AS (SELECT p_q6 FROM (VALUES (500000), (900000)) _p(p_q6)),
-sk AS (
-  SELECT q.p_q6,
-         CAST(round(pow(2e0, cum.bucket)
-           * (1 + CAST((cum.tot - 1) * q.p_q6 - 1000000 * cum.cb AS DOUBLE)
-                  / (1000000 * cum.n))) AS BIGINT) AS est_cents
-  FROM q JOIN cum
-    ON 1000000 * cum.cb <= (cum.tot - 1) * q.p_q6
-   AND (cum.tot - 1) * q.p_q6 < 1000000 * (cum.cb + cum.n)),
-hist AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY c),
-h AS (
-  SELECT c, cnt,
-         CAST(COALESCE(sum(cnt) OVER (ORDER BY c
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
-         CAST(sum(cnt) OVER () AS BIGINT) AS nn
-  FROM hist),
-ex AS (
-  SELECT q.p_q6,
-         max(CASE WHEN h.cb <= ((h.nn - 1) * q.p_q6) // 1000000 THEN h.c END) AS v_lo,
-         max(CASE WHEN h.cb <= ((h.nn - 1) * q.p_q6) // 1000000 + 1 THEN h.c END) AS v_hi,
-         max((h.nn - 1) * q.p_q6) AS x
-  FROM h, q GROUP BY q.p_q6),
-exq AS (
-  SELECT p_q6,
-         CAST(round(v_lo + ((x % 1000000) / 1000000.0) * (v_hi - v_lo)) AS BIGINT)
-           AS exact_cents
-  FROM ex)
-SELECT CAST(exq.p_q6 AS BIGINT) AS p_q6, exq.exact_cents, sk.est_cents,
-       CAST((1000000 * abs(sk.est_cents - exq.exact_cents))
-            // greatest(exq.exact_cents, 1) AS BIGINT) AS rel_err_q6
-FROM exq JOIN sk USING (p_q6) ORDER BY p_q6""",
-)
-def logbucket_quantile_estimate(spark, sf_dir):
-    """Streaming-quantile sketch accuracy audit: estimate p50/p90 of
-    purchase value from the LOG2-BUCKET histogram that
-    streaming/events.py:value_hist_stream maintains as a running
-    SUM aggregation (≤ ~48 cells of state forever), versus the exact
-    type-7 percentile. Fixed-boundary buckets are the one quantile
-    structure that is truly mergeable and replay-insensitive (t-digest
-    centroids drift with arrival order); the price is resolution — at
-    log2 boundaries the worst-case relative error is ~2×, and this op
-    reports the ACTUAL error on this value distribution, which is what
-    decides whether bounded-state percentile dashboards are usable.
-    Estimator: linear interpolation inside the containing bucket,
-    bucket width 2^b (the same continuous-rank containment as
-    quantile_sketch_error).
-
-    Determinism: bucket containment is integer cross-multiplication;
-    the estimate is ONE shared float expression (pow(2e0, b) exact —
-    powers of two); the exact leg is the standard histogram machinery.
-
-    Scale shape: the sketch side runs on ≤48 cells; the exact side
-    exists only as the audit denominator."""
-    v = (
-        _events(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
-        .select(F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"))
-        .localCheckpoint()  # sketch + exact legs consume it
-    )
-    bk = v.groupBy(
-        F.expr("CAST(length(bin(greatest(c, 1))) - 1 AS BIGINT)").alias("bucket")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    w_cb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = bk.select(
-        "bucket",
-        "n",
-        F.coalesce(F.sum("n").over(w_cb), F.lit(0)).cast("long").alias("cb"),
-        F.sum("n").over(w_all).cast("long").alias("tot"),
-    )
-    q = spark.createDataFrame([(500000,), (900000,)], "p_q6 long")
-    sk = (
-        F.broadcast(q)
-        .join(
-            cum,
-            (F.lit(1000000) * F.col("cb") <= (F.col("tot") - 1) * F.col("p_q6"))
-            & (
-                (F.col("tot") - 1) * F.col("p_q6")
-                < F.lit(1000000) * (F.col("cb") + F.col("n"))
-            ),
-        )
-        .select(
-            "p_q6",
-            F.expr(
-                "CAST(round(pow(2e0, bucket)"
-                " * (1 + CAST((tot - 1) * p_q6 - 1000000 * cb AS DOUBLE)"
-                "        / (1000000 * n))) AS BIGINT)"
-            ).alias("est_cents"),
-        )
-    )
-    hist = v.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    w_cb2 = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
-    h = hist.select(
-        "c",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(w_cb2), F.lit(0)).cast("long").alias("cb"),
-        F.sum("cnt").over(w_all).cast("long").alias("nn"),
-    )
-    ex = (
-        h.crossJoin(F.broadcast(q))
-        .groupBy("p_q6")
-        .agg(
-            F.max(
-                F.when(F.col("cb") <= F.expr("((nn - 1) * p_q6) div 1000000"), F.col("c"))
-            ).alias("v_lo"),
-            F.max(
-                F.when(
-                    F.col("cb") <= F.expr("((nn - 1) * p_q6) div 1000000 + 1"),
-                    F.col("c"),
-                )
-            ).alias("v_hi"),
-            F.max(F.expr("(nn - 1) * p_q6")).alias("x"),
-        )
-    )
-    exq = ex.select(
-        "p_q6",
-        F.expr(
-            "CAST(round(v_lo + ((x % 1000000) / 1000000.0) * (v_hi - v_lo))"
-            " AS BIGINT)"
-        ).alias("exact_cents"),
-    )
-    return (
-        exq.join(sk, "p_q6")
-        .select(
-            F.col("p_q6").cast("long").alias("p_q6"),
-            "exact_cents",
-            "est_cents",
-            F.expr(
-                "CAST((1000000 * abs(est_cents - exact_cents))"
-                " div greatest(exact_cents, 1) AS BIGINT)"
-            ).alias("rel_err_q6"),
-        )
-        .orderBy("p_q6")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 223 — HITS scores, VIF diagnostics, id-range tiling
-# ---------------------------------------------------------------------------
-
-_HITS_ROUNDS = 4
-
-
-def _hits_sql() -> str:
-    parts = [
-        _KMEANS_SQL_PRELUDE
-        + """, prs AS MATERIALIZED (
-  SELECT x.vec_id AS src, y.vec_id AS dst,
-         CAST(round(1000000 * list_dot_product(ex.v, ey.v)
-           / (sqrt(list_dot_product(ex.v, ex.v)) * sqrt(list_dot_product(ey.v, ey.v)))) AS BIGINT) AS cos_q6
-  FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-  JOIN e ex ON ex.vec_id = x.vec_id
-  JOIN e ey ON ey.vec_id = y.vec_id),
-ed AS MATERIALIZED (
-  SELECT src, dst FROM (
-    SELECT src, dst,
-           row_number() OVER (PARTITION BY src ORDER BY cos_q6 DESC, dst ASC) AS rn
-    FROM prs) _p WHERE rn <= 3),
-nodes AS MATERIALIZED (
-  SELECT src AS vid FROM ed UNION SELECT dst FROM ed),
-zh0 AS MATERIALIZED (SELECT vid, CAST(1000000 AS BIGINT) AS h FROM nodes)"""
-    ]
-    for r in range(_HITS_ROUNDS):
-        parts.append(
-            f""",
-zar{r} AS MATERIALIZED (
-  SELECT n.vid, CAST(COALESCE(sum(zh{r}.h), 0) AS BIGINT) AS raw
-  FROM nodes n
-  LEFT JOIN ed ON ed.dst = n.vid
-  LEFT JOIN zh{r} ON zh{r}.vid = ed.src
-  GROUP BY n.vid),
-zam{r} AS (SELECT CAST(greatest(max(raw), 1) AS BIGINT) AS mx FROM zar{r}),
-za{r + 1} AS MATERIALIZED (
-  SELECT vid, CAST((1000000 * raw) // zam{r}.mx AS BIGINT) AS a
-  FROM zar{r}, zam{r}),
-zhr{r} AS MATERIALIZED (
-  SELECT n.vid, CAST(COALESCE(sum(za{r + 1}.a), 0) AS BIGINT) AS raw
-  FROM nodes n
-  LEFT JOIN ed ON ed.src = n.vid
-  LEFT JOIN za{r + 1} ON za{r + 1}.vid = ed.dst
-  GROUP BY n.vid),
-zhm{r} AS (SELECT CAST(greatest(max(raw), 1) AS BIGINT) AS mx FROM zhr{r}),
-zh{r + 1} AS MATERIALIZED (
-  SELECT vid, CAST((1000000 * raw) // zhm{r}.mx AS BIGINT) AS h
-  FROM zhr{r}, zhm{r})"""
-        )
-    parts.append(
-        f"""
-SELECT a.vid AS vec_id, a.a AS auth_q6, h.h AS hub_q6
-FROM za{_HITS_ROUNDS} a JOIN zh{_HITS_ROUNDS} h USING (vid)
-ORDER BY auth_q6 DESC, vec_id ASC LIMIT 10"""
-    )
-    return "".join(parts)
-
-
-@register("ann_hits_scores", _hits_sql())
-def ann_hits_scores(spark, sf_dir):
-    """HITS (Kleinberg hubs-and-authorities) on the in-cell kNN DIGRAPH
-    of the shared trained IVF: each vector points at its top-3 in-cell
-    cosine neighbors; authorities accumulate incoming hub weight,
-    hubs accumulate the authority of what they point at — the SECOND
-    eigen-ranking beside pagerank_ann_graph, and the one built for
-    ASYMMETRIC neighbor graphs (ann_hub_census shows kNN edges are
-    exactly that: hub vectors are pointed AT without pointing back;
-    HITS separates the two roles PageRank's single score conflates —
-    high-authority/low-hub vectors are the medoid-like cluster
-    centers, the natural exemplar picks). Top-10 by authority.
-
-    Determinism: per-round mutual recursion is exact — integer sums of
-    q6 scores with max-normalization by FLOOR division against a
-    1-row max (greatest(·,1) guards the empty graph); ranks tiebreak
-    on vec_id.
-
-    Scale shape: edges block on IVF cells (the semdedup pair bound);
-    each of the 4 rounds is two node-keyed joins + a 1-row max
-    broadcast, localCheckpoint'd (the markov_stationary rule)."""
-    upq = _incell_pair_cos(spark, sf_dir).select(
-        F.col("id_a").alias("src"),
-        F.col("id_b").alias("dst"),
-        F.col("cosq_q6").alias("cos_q6"),
-    )
-    prs = upq.unionByName(
-        upq.select(
-            F.col("dst").alias("src"),
-            F.col("src").alias("dst"),
-            F.col("cos_q6"),
-        )
-    )
-    wr = Window.partitionBy("src").orderBy(F.desc("cos_q6"), F.asc("dst"))
-    ed = (
-        prs.withColumn("rn", F.row_number().over(wr))
-        .where(F.col("rn") <= 3)
-        .select("src", "dst")
-        .localCheckpoint()
-    )
-    nodes = (
-        ed.select(F.col("src").alias("vid"))
-        .unionByName(ed.select(F.col("dst").alias("vid")))
-        .distinct()
-        .localCheckpoint()
-    )
-    h = nodes.select("vid", F.lit(1000000).cast("long").alias("h"))
-    a = None
-    for _ in range(_HITS_ROUNDS):
-        ar = (
-            nodes.join(ed, nodes["vid"] == ed["dst"], "left")
-            .join(h.select(F.col("vid").alias("hv"), F.col("h")), F.col("src") == F.col("hv"), "left")
-            .groupBy(nodes["vid"])
-            .agg(F.coalesce(F.sum("h"), F.lit(0)).cast("long").alias("raw"))
-        )
-        am = ar.agg(
-            F.greatest(F.max("raw"), F.lit(1)).cast("long").alias("mx")
-        )
-        a = (
-            ar.crossJoin(F.broadcast(am))
-            .select("vid", F.expr("CAST((1000000 * raw) div mx AS BIGINT)").alias("a"))
-            .localCheckpoint()
-        )
-        hr = (
-            nodes.join(ed, nodes["vid"] == ed["src"], "left")
-            .join(a.select(F.col("vid").alias("av"), F.col("a")), F.col("dst") == F.col("av"), "left")
-            .groupBy(nodes["vid"])
-            .agg(F.coalesce(F.sum("a"), F.lit(0)).cast("long").alias("raw"))
-        )
-        hm = hr.agg(
-            F.greatest(F.max("raw"), F.lit(1)).cast("long").alias("mx")
-        )
-        h = (
-            hr.crossJoin(F.broadcast(hm))
-            .select("vid", F.expr("CAST((1000000 * raw) div mx AS BIGINT)").alias("h"))
-            .localCheckpoint()
-        )
-    return (
-        a.join(h, "vid")
-        .select(F.col("vid").alias("vec_id"), F.col("a").alias("auth_q6"), F.col("h").alias("hub_q6"))
-        .orderBy(F.desc("auth_q6"), F.asc("vec_id"))
-        .limit(10)
-    )
-
-
-@register(
-    "quality_items_vif",
-    f"""WITH tf AS ({SQL_TF}),
-d AS (
-  SELECT doc_id,
-         CAST((1000 * count(*)) // CAST(sum(tf) AS BIGINT) AS BIGINT) AS i1,
-         CAST((1000 * COALESCE(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END), 0))
-              // count(*) AS BIGINT) AS i2,
-         CAST(1000 - (1000 * max(tf)) // CAST(sum(tf) AS BIGINT) AS BIGINT) AS i3
-  FROM tf GROUP BY doc_id),
-a AS (
-  SELECT CAST(count(*) AS BIGINT) AS n,
-         CAST(COALESCE(sum(i1), 0) AS BIGINT) AS s1,
-         CAST(COALESCE(sum(i2), 0) AS BIGINT) AS s2,
-         CAST(COALESCE(sum(i3), 0) AS BIGINT) AS s3,
-         CAST(COALESCE(sum(i1 * i1), 0) AS BIGINT) AS q1,
-         CAST(COALESCE(sum(i2 * i2), 0) AS BIGINT) AS q2,
-         CAST(COALESCE(sum(i3 * i3), 0) AS BIGINT) AS q3,
-         CAST(COALESCE(sum(i1 * i2), 0) AS BIGINT) AS p12,
-         CAST(COALESCE(sum(i1 * i3), 0) AS BIGINT) AS p13,
-         CAST(COALESCE(sum(i2 * i3), 0) AS BIGINT) AS p23
-  FROM d),
-r AS (
-  SELECT n,
-         CASE WHEN (CAST(q1 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1) <= 0
-                OR (CAST(q2 AS DOUBLE) * n - CAST(s2 AS DOUBLE) * s2) <= 0
-              THEN 0e0
-              ELSE (CAST(p12 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s2)
-                   / (sqrt(CAST(q1 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)
-                      * sqrt(CAST(q2 AS DOUBLE) * n - CAST(s2 AS DOUBLE) * s2)) END AS r12,
-         CASE WHEN (CAST(q1 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1) <= 0
-                OR (CAST(q3 AS DOUBLE) * n - CAST(s3 AS DOUBLE) * s3) <= 0
-              THEN 0e0
-              ELSE (CAST(p13 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s3)
-                   / (sqrt(CAST(q1 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)
-                      * sqrt(CAST(q3 AS DOUBLE) * n - CAST(s3 AS DOUBLE) * s3)) END AS r13,
-         CASE WHEN (CAST(q2 AS DOUBLE) * n - CAST(s2 AS DOUBLE) * s2) <= 0
-                OR (CAST(q3 AS DOUBLE) * n - CAST(s3 AS DOUBLE) * s3) <= 0
-              THEN 0e0
-              ELSE (CAST(p23 AS DOUBLE) * n - CAST(s2 AS DOUBLE) * s3)
-                   / (sqrt(CAST(q2 AS DOUBLE) * n - CAST(s2 AS DOUBLE) * s2)
-                      * sqrt(CAST(q3 AS DOUBLE) * n - CAST(s3 AS DOUBLE) * s3)) END AS r23
-  FROM a)
-SELECT item, r2_q6,
-       CAST(CASE WHEN r2_q6 >= 999999 THEN 0
-            ELSE round(1000000.0 * 1000000 / (1000000 - r2_q6)) END AS BIGINT)
-         AS vif_q6
-FROM (
-  SELECT 'i1_ttr' AS item,
-         CAST(CASE WHEN 1 - r23 * r23 <= 0 THEN 999999
-              ELSE round(1000000 * least((r12 * r12 + r13 * r13
-                   - 2 * r12 * r13 * r23) / (1 - r23 * r23), 1e0)) END AS BIGINT)
-           AS r2_q6 FROM r
-  UNION ALL
-  SELECT 'i2_hapax',
-         CAST(CASE WHEN 1 - r13 * r13 <= 0 THEN 999999
-              ELSE round(1000000 * least((r12 * r12 + r23 * r23
-                   - 2 * r12 * r23 * r13) / (1 - r13 * r13), 1e0)) END AS BIGINT)
-           FROM r
-  UNION ALL
-  SELECT 'i3_maxtf',
-         CAST(CASE WHEN 1 - r12 * r12 <= 0 THEN 999999
-              ELSE round(1000000 * least((r13 * r13 + r23 * r23
-                   - 2 * r13 * r23 * r12) / (1 - r12 * r12), 1e0)) END AS BIGINT)
-           FROM r
-) ORDER BY item""",
-)
-def quality_items_vif(spark, sf_dir):
-    """Variance inflation factors for the three quality items (TTR,
-    hapax share, 1−max-tf share — quality_cronbach_alpha's battery):
-    VIF_i = 1/(1−R²_i) where R²_i is each item regressed on the other
-    two (closed form from the 3×3 correlation matrix) — the
-    multicollinearity diagnostic that says whether a composite quality
-    MODEL can estimate stable per-item weights (VIF > 5-10 means the
-    items fight over shared variance; α says they correlate, VIF says
-    whether that correlation breaks regression). Degenerate geometry
-    (|r| → 1) clamps R² and reports the VIF = 0 sentinel rather than a
-    division blowup.
-
-    Determinism: one 10-number exact aggregate; correlations and R²
-    are shared float expressions (chi²-rule casts, sqrt per factor);
-    R² quantizes to q6 BEFORE the VIF division so both engines divide
-    identical integers.
-
-    Scale shape: per-doc items off one tf pass, a scalar combine, 3
-    stacked rows."""
-    tf = (
-        _toks(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    d = tf.groupBy("doc_id").agg(
-        F.expr(
-            "CAST((1000 * count(*)) div CAST(sum(tf) AS BIGINT) AS BIGINT)"
-        ).alias("i1"),
-        F.expr(
-            "CAST((1000 * COALESCE(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END), 0))"
-            " div count(*) AS BIGINT)"
-        ).alias("i2"),
-        F.expr(
-            "CAST(1000 - (1000 * max(tf)) div CAST(sum(tf) AS BIGINT) AS BIGINT)"
-        ).alias("i3"),
-    )
-    a = d.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        *[
-            F.coalesce(F.sum(expr), F.lit(0)).cast("long").alias(name)
-            for name, expr in [
-                ("s1", F.col("i1")),
-                ("s2", F.col("i2")),
-                ("s3", F.col("i3")),
-                ("q1", F.col("i1") * F.col("i1")),
-                ("q2", F.col("i2") * F.col("i2")),
-                ("q3", F.col("i3") * F.col("i3")),
-                ("p12", F.col("i1") * F.col("i2")),
-                ("p13", F.col("i1") * F.col("i3")),
-                ("p23", F.col("i2") * F.col("i3")),
-            ]
-        ],
-    )
-
-    def _corr(p, sa, sb, qa, qb):
-        return (
-            f"CASE WHEN (CAST({qa} AS DOUBLE) * n - CAST({sa} AS DOUBLE) * {sa}) <= 0"
-            f" OR (CAST({qb} AS DOUBLE) * n - CAST({sb} AS DOUBLE) * {sb}) <= 0"
-            f" THEN 0e0"
-            f" ELSE (CAST({p} AS DOUBLE) * n - CAST({sa} AS DOUBLE) * {sb})"
-            f" / (sqrt(CAST({qa} AS DOUBLE) * n - CAST({sa} AS DOUBLE) * {sa})"
-            f"    * sqrt(CAST({qb} AS DOUBLE) * n - CAST({sb} AS DOUBLE) * {sb})) END"
-        )
-
-    r = a.select(
-        "n",
-        F.expr(_corr("p12", "s1", "s2", "q1", "q2")).alias("r12"),
-        F.expr(_corr("p13", "s1", "s3", "q1", "q3")).alias("r13"),
-        F.expr(_corr("p23", "s2", "s3", "q2", "q3")).alias("r23"),
-    )
-
-    def _r2(ra, rb, rc):
-        # item regressed on the other two; rc = corr between the others
-        return (
-            f"CAST(CASE WHEN 1 - {rc} * {rc} <= 0 THEN 999999"
-            f" ELSE round(1000000 * least(({ra} * {ra} + {rb} * {rb}"
-            f" - 2 * {ra} * {rb} * {rc}) / (1 - {rc} * {rc}), 1e0)) END AS BIGINT)"
-        )
-
-    stack = ", ".join(
-        f"'{item}', {_r2(ra, rb, rc)}"
-        for item, ra, rb, rc in [
-            ("i1_ttr", "r12", "r13", "r23"),
-            ("i2_hapax", "r12", "r23", "r13"),
-            ("i3_maxtf", "r13", "r23", "r12"),
-        ]
-    )
-    return (
-        r.select(F.expr(f"stack(3, {stack}) AS (item, r2_q6)"))
-        .select(
-            "item",
-            "r2_q6",
-            F.expr(
-                "CAST(CASE WHEN r2_q6 >= 999999 THEN 0"
-                " ELSE round(1000000.0 * 1000000 / (1000000 - r2_q6)) END"
-                " AS BIGINT)"
-            ).alias("vif_q6"),
-        )
-        .orderBy("item")
-    )
-
-
-@register(
-    "source_id_range_tiling",
-    """WITH s AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n,
-         CAST(min(doc_id) AS BIGINT) AS mn, CAST(max(doc_id) AS BIGINT) AS mx
-  FROM documents GROUP BY source),
-ov AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_overlapping_pairs
-  FROM s a JOIN s b ON a.source < b.source
-   AND a.mn <= b.mx AND b.mn <= a.mx)
-SELECT s.source, s.n AS n_docs, s.mn AS min_id, s.mx AS max_id,
-       CAST(s.mx - s.mn + 1 AS BIGINT) AS span,
-       CAST((1000000 * s.n) // (s.mx - s.mn + 1) AS BIGINT) AS density_q6,
-       ov.n_overlapping_pairs
-FROM s CROSS JOIN ov ORDER BY s.source""",
-)
-def source_id_range_tiling(spark, sf_dir):
-    """Doc-id range tiling per source: min/max id, span, and fill
-    density, plus the count of source pairs whose id ranges OVERLAP —
-    the router's question: if sources occupy disjoint id blocks
-    (overlap 0, density ≈ 1), a source filter becomes an id-RANGE
-    predicate and prunes at the partition/row-group layer with no
-    source column read at all; interleaved ranges (the sandbox
-    reading) mean source filters must touch everything and only a
-    re-sort buys pruning (the sort_layout op prices that rewrite —
-    this op says whether it is even needed). The id-space sibling of
-    dup_locality_census.
-
-    Determinism: exact integer range arithmetic; the overlap join is
-    |sources|².
-
-    Scale shape: one map-side census; the pair probe runs on
-    |sources| rows."""
-    s = _docs(spark, sf_dir).groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.min("doc_id").cast("long").alias("mn"),
-        F.max("doc_id").cast("long").alias("mx"),
-    ).localCheckpoint()  # census + the pair probe consume it
-    a = s.select(F.col("source").alias("sa"), F.col("mn").alias("mna"), F.col("mx").alias("mxa"))
-    b = s.select(F.col("source").alias("sb"), F.col("mn").alias("mnb"), F.col("mx").alias("mxb"))
-    ov = (
-        a.join(
-            b,
-            (F.col("sa") < F.col("sb"))
-            & (F.col("mna") <= F.col("mxb"))
-            & (F.col("mnb") <= F.col("mxa")),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_overlapping_pairs"))
-    )
-    return (
-        s.crossJoin(F.broadcast(ov))
-        .select(
-            "source",
-            F.col("n").alias("n_docs"),
-            F.col("mn").alias("min_id"),
-            F.col("mx").alias("max_id"),
-            (F.col("mx") - F.col("mn") + 1).cast("long").alias("span"),
-            F.expr(
-                "CAST((1000000 * n) div (mx - mn + 1) AS BIGINT)"
-            ).alias("density_q6"),
-            "n_overlapping_pairs",
-        )
-        .orderBy("source")
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 224 — log-rank test, touch Shapley, margin-recall correlation
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "logrank_activity_conversion",
-    """WITH u AS (
-  SELECT user_id, CAST(count(*) AS BIGINT) AS ne,
-         min(epoch_us(ts) // 86400000000) AS fd,
-         min(CASE WHEN event_type = 'purchase'
-                  THEN epoch_us(ts) // 86400000000 END) AS pd
-  FROM events GROUP BY user_id),
-tt AS (SELECT CAST(count(*) AS BIGINT) AS nu, CAST(sum(ne) AS BIGINT) AS te,
-              CAST(max(fd) AS BIGINT) AS _x FROM u),
-mx AS (SELECT CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS D FROM events),
-obs AS (
-  SELECT CASE WHEN u.ne * tt.nu > tt.te THEN 1 ELSE 0 END AS grp,
-         CASE WHEN u.pd IS NOT NULL THEN u.pd - u.fd ELSE mx.D - u.fd END AS t,
-         CASE WHEN u.pd IS NOT NULL THEN 1 ELSE 0 END AS ev
-  FROM u, tt, mx),
-h AS (SELECT grp, t, CAST(count(*) AS BIGINT) AS n_obs, CAST(sum(ev) AS BIGINT) AS n_ev
-      FROM obs GROUP BY grp, t),
-ts_ AS (SELECT DISTINCT t FROM h WHERE n_ev > 0),
-risk AS (
-  SELECT ts_.t,
-         CAST(COALESCE(sum(CASE WHEN h.grp = 1 THEN h.n_obs ELSE 0 END), 0) AS BIGINT) AS n1,
-         CAST(COALESCE(sum(CASE WHEN h.grp = 0 THEN h.n_obs ELSE 0 END), 0) AS BIGINT) AS n0,
-         CAST(COALESCE(sum(CASE WHEN h.grp = 1 AND h.t = ts_.t THEN h.n_ev ELSE 0 END), 0)
-              AS BIGINT) AS d1,
-         CAST(COALESCE(sum(CASE WHEN h.t = ts_.t THEN h.n_ev ELSE 0 END), 0) AS BIGINT) AS d
-  FROM ts_ JOIN h ON h.t >= ts_.t GROUP BY ts_.t),
-terms AS (
-  SELECT t,
-         CAST(round(1000000 * (d1 - CAST(d AS DOUBLE) * n1 / (n1 + n0))) AS BIGINT)
-           AS u_q6,
-         CAST(CASE WHEN n1 + n0 < 2 THEN 0
-              ELSE round(1000000 * (CAST(d AS DOUBLE) * n1 * n0 * (n1 + n0 - d))
-                   / ((CAST(n1 + n0 AS DOUBLE) * (n1 + n0)) * (n1 + n0 - 1)))
-              END AS BIGINT) AS v_q6
-  FROM risk),
-agg2 AS (
-  SELECT CAST(COALESCE(sum(u_q6), 0) AS BIGINT) AS uu,
-         CAST(COALESCE(sum(v_q6), 0) AS BIGINT) AS vv,
-         CAST(count(*) AS BIGINT) AS nt
-  FROM terms),
-gg AS (
-  SELECT CAST(COALESCE(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_heavy,
-         CAST(COALESCE(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_light
-  FROM obs)
-SELECT gg.n_heavy, gg.n_light, agg2.nt AS n_event_times,
-       agg2.uu AS u_q6, agg2.vv AS v_q6,
-       CAST(CASE WHEN agg2.vv = 0 THEN 0
-            ELSE round(CAST(agg2.uu AS DOUBLE) * agg2.uu / (agg2.vv * 1000000.0))
-            END AS BIGINT) AS chi2_q6
-FROM gg, agg2""",
-)
-def logrank_activity_conversion(spark, sf_dir):
-    """Log-rank test between heavy and light users' time-to-first-
-    purchase curves (heavy = above the mean events-per-user, an exact
-    integer cross-multiplication): at every conversion time, observed
-    minus expected heavy-group conversions given the at-risk split,
-    with the hypergeometric variance — the two-sample SURVIVAL test
-    that completes km_conversion_survival the way Mann-Whitney
-    completes the median: censoring-aware, so 'heavy users convert
-    faster' is tested without dropping the users who never converted
-    (which a naive latency t-test silently does, biasing toward
-    whoever churns quicker). χ² = U²/V on 1 df.
-
-    Determinism: at-risk counts come from suffix sums over the
-    (group, time) histogram; each time's U and V terms are shared
-    float expressions over exact integers, q6-rounded per TIME before
-    the BIGINT sums; degenerate-variance sentinel.
-
-    Scale shape: one user exchange, histogram cells only afterward
-    (the KM discipline ×2 groups)."""
-    ev = _events(spark, sf_dir)
-    u = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("ne"),
-        F.expr(
-            "min(unix_micros(cast(ts as timestamp)) div 86400000000)"
-        ).alias("fd"),
-        F.expr(
-            "min(CASE WHEN event_type = 'purchase'"
-            " THEN unix_micros(cast(ts as timestamp)) div 86400000000 END)"
-        ).alias("pd"),
-    )
-    tt = u.agg(
-        F.count(F.lit(1)).cast("long").alias("nu"),
-        F.sum("ne").cast("long").alias("te"),
-    )
-    mx = ev.agg(
-        F.expr(
-            "max(unix_micros(cast(ts as timestamp)) div 86400000000)"
-        ).alias("D")
-    )
-    obs = u.crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(mx)).select(
-        F.expr("CASE WHEN ne * nu > te THEN 1 ELSE 0 END").alias("grp"),
-        F.expr(
-            "CASE WHEN pd IS NOT NULL THEN pd - fd ELSE D - fd END"
-        ).alias("t"),
-        F.expr("CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END").alias("ev"),
-    ).localCheckpoint()  # histogram + group census consume it
-    h = obs.groupBy("grp", "t").agg(
-        F.count(F.lit(1)).cast("long").alias("n_obs"),
-        F.sum("ev").cast("long").alias("n_ev"),
-    )
-    ts_ = h.where(F.col("n_ev") > 0).select("t").distinct()
-    risk = (
-        ts_.join(h.withColumnRenamed("t", "ht"), F.col("ht") >= F.col("t"))
-        .groupBy("t")
-        .agg(
-            F.coalesce(
-                F.sum(F.expr("CASE WHEN grp = 1 THEN n_obs ELSE 0 END")), F.lit(0)
-            )
-            .cast("long")
-            .alias("n1"),
-            F.coalesce(
-                F.sum(F.expr("CASE WHEN grp = 0 THEN n_obs ELSE 0 END")), F.lit(0)
-            )
-            .cast("long")
-            .alias("n0"),
-            F.coalesce(
-                F.sum(
-                    F.expr("CASE WHEN grp = 1 AND ht = t THEN n_ev ELSE 0 END")
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("d1"),
-            F.coalesce(
-                F.sum(F.expr("CASE WHEN ht = t THEN n_ev ELSE 0 END")), F.lit(0)
-            )
-            .cast("long")
-            .alias("d"),
-        )
-    )
-    terms = risk.select(
-        F.expr(
-            "CAST(round(1000000 * (d1 - CAST(d AS DOUBLE) * n1 / (n1 + n0)))"
-            " AS BIGINT)"
-        ).alias("u_q6"),
-        F.expr(
-            "CAST(CASE WHEN n1 + n0 < 2 THEN 0"
-            " ELSE round(1000000 * (CAST(d AS DOUBLE) * n1 * n0 * (n1 + n0 - d))"
-            " / ((CAST(n1 + n0 AS DOUBLE) * (n1 + n0)) * (n1 + n0 - 1)))"
-            " END AS BIGINT)"
-        ).alias("v_q6"),
-    )
-    agg2 = terms.agg(
-        F.coalesce(F.sum("u_q6"), F.lit(0)).cast("long").alias("uu"),
-        F.coalesce(F.sum("v_q6"), F.lit(0)).cast("long").alias("vv"),
-        F.count(F.lit(1)).cast("long").alias("nt"),
-    )
-    gg = obs.agg(
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN grp = 1 THEN 1 ELSE 0 END")), F.lit(0)
-        )
-        .cast("long")
-        .alias("n_heavy"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN grp = 0 THEN 1 ELSE 0 END")), F.lit(0)
-        )
-        .cast("long")
-        .alias("n_light"),
-    )
-    return gg.crossJoin(agg2).select(
-        "n_heavy",
-        "n_light",
-        F.col("nt").alias("n_event_times"),
-        F.col("uu").alias("u_q6"),
-        F.col("vv").alias("v_q6"),
-        F.expr(
-            "CAST(CASE WHEN vv = 0 THEN 0"
-            " ELSE round(CAST(uu AS DOUBLE) * uu / (vv * 1000000.0)) END"
-            " AS BIGINT)"
-        ).alias("chi2_q6"),
-    )
-
-
-@register(
-    "touch_shapley_attribution",
-    """WITH u AS (
-  SELECT user_id,
-         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
-  FROM events GROUP BY user_id),
-fl AS (
-  SELECT e.user_id,
-         CAST(max(CASE WHEN e.event_type = 'view'
-              AND (u.p_us IS NULL OR epoch_us(e.ts) < u.p_us)
-              THEN 1 ELSE 0 END) AS BIGINT) AS tv,
-         CAST(max(CASE WHEN e.event_type = 'click'
-              AND (u.p_us IS NULL OR epoch_us(e.ts) < u.p_us)
-              THEN 1 ELSE 0 END) AS BIGINT) AS tc,
-         CAST(max(CASE WHEN e.event_type = 'error'
-              AND (u.p_us IS NULL OR epoch_us(e.ts) < u.p_us)
-              THEN 1 ELSE 0 END) AS BIGINT) AS te,
-         CAST(max(CASE WHEN u.p_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS conv
-  FROM events e JOIN u ON u.user_id = e.user_id
-  GROUP BY e.user_id),
-cells AS (
-  SELECT tv, tc, te, CAST(count(*) AS BIGINT) AS n,
-         CAST(COALESCE(sum(conv), 0) AS BIGINT) AS c
-  FROM fl GROUP BY tv, tc, te),
-rt AS (
-  SELECT tv, tc, te,
-         CAST((1000000 * c) // greatest(n, 1) AS BIGINT) AS r, n
-  FROM cells),
-p AS (
-  SELECT
-    CAST(COALESCE(max(CASE WHEN tv=0 AND tc=0 AND te=0 THEN r END), 0) AS BIGINT) AS r000,
-    CAST(COALESCE(max(CASE WHEN tv=1 AND tc=0 AND te=0 THEN r END), 0) AS BIGINT) AS r100,
-    CAST(COALESCE(max(CASE WHEN tv=0 AND tc=1 AND te=0 THEN r END), 0) AS BIGINT) AS r010,
-    CAST(COALESCE(max(CASE WHEN tv=0 AND tc=0 AND te=1 THEN r END), 0) AS BIGINT) AS r001,
-    CAST(COALESCE(max(CASE WHEN tv=1 AND tc=1 AND te=0 THEN r END), 0) AS BIGINT) AS r110,
-    CAST(COALESCE(max(CASE WHEN tv=1 AND tc=0 AND te=1 THEN r END), 0) AS BIGINT) AS r101,
-    CAST(COALESCE(max(CASE WHEN tv=0 AND tc=1 AND te=1 THEN r END), 0) AS BIGINT) AS r011,
-    CAST(COALESCE(max(CASE WHEN tv=1 AND tc=1 AND te=1 THEN r END), 0) AS BIGINT) AS r111
-  FROM rt)
-SELECT touch, phi_q6, solo_rate_q6
-FROM (
-  SELECT 'a_view' AS touch,
-         CAST((2 * (r100 - r000) + (r110 - r010) + (r101 - r001)
-               + 2 * (r111 - r011)) // 6 AS BIGINT) AS phi_q6,
-         r100 AS solo_rate_q6 FROM p
-  UNION ALL
-  SELECT 'b_click',
-         CAST((2 * (r010 - r000) + (r110 - r100) + (r011 - r001)
-               + 2 * (r111 - r101)) // 6 AS BIGINT), r010 FROM p
-  UNION ALL
-  SELECT 'c_error',
-         CAST((2 * (r001 - r000) + (r101 - r100) + (r011 - r010)
-               + 2 * (r111 - r110)) // 6 AS BIGINT), r001 FROM p
-) ORDER BY touch""",
-)
-def touch_shapley_attribution(spark, sf_dir):
-    """Shapley-value marketing attribution over pre-purchase touches
-    (view / click / error, each a binary exposure strictly BEFORE the
-    user's first purchase): coalition value v(S) = conversion rate of
-    users whose exact touch set is S, and each touch's φ averages its
-    marginal lift over all arrival orders — the order-INDEPENDENT
-    answer attribution_model_compare's first/last-touch extremes
-    bracket (the journey-side twin of gate_shapley_attribution; an
-    error touch with NEGATIVE φ is quantified revenue damage, the
-    cep_pattern_match story as an attribution number). Unobserved
-    touch sets contribute rate 0, documented small-sample caveat.
-
-    Determinism: conversion rates are integer floor divisions per
-    cell; φ numerators are exact signed integer combinations with ONE
-    truncating division by 6 (both engines truncate toward zero).
-
-    Scale shape: one user exchange with the first-purchase timestamp
-    broadcast back through the same groupBy; an 8-cell pivot; 3
-    stacked rows."""
-    ev = _events(spark, sf_dir)
-    u = ev.groupBy("user_id").agg(
-        F.expr(
-            "min(CASE WHEN event_type = 'purchase'"
-            " THEN unix_micros(cast(ts as timestamp)) END)"
-        ).alias("p_us")
-    )
-    fl = (
-        ev.join(u, "user_id")
-        .groupBy("user_id")
-        .agg(
-            *[
-                F.max(
-                    F.expr(
-                        f"CASE WHEN event_type = '{t}'"
-                        f" AND (p_us IS NULL OR unix_micros(cast(ts as timestamp)) < p_us)"
-                        f" THEN 1 ELSE 0 END"
-                    )
-                )
-                .cast("long")
-                .alias(al)
-                for t, al in [("view", "tv"), ("click", "tc"), ("error", "te")]
-            ],
-            F.max(F.expr("CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END"))
-            .cast("long")
-            .alias("conv"),
-        )
-    )
-    cells = fl.groupBy("tv", "tc", "te").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum("conv"), F.lit(0)).cast("long").alias("c"),
-    )
-    rt = cells.select(
-        "tv",
-        "tc",
-        "te",
-        F.expr("CAST((1000000 * c) div greatest(n, 1) AS BIGINT)").alias("r"),
-    )
-    sels = []
-    for name, (v_, c_, e_) in [
-        ("r000", (0, 0, 0)), ("r100", (1, 0, 0)), ("r010", (0, 1, 0)),
-        ("r001", (0, 0, 1)), ("r110", (1, 1, 0)), ("r101", (1, 0, 1)),
-        ("r011", (0, 1, 1)), ("r111", (1, 1, 1)),
-    ]:
-        sels.append(
-            F.coalesce(
-                F.max(
-                    F.when(
-                        (F.col("tv") == v_) & (F.col("tc") == c_) & (F.col("te") == e_),
-                        F.col("r"),
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias(name)
-        )
-    p = rt.agg(*sels)
-    rows = [
-        (
-            "a_view",
-            "2 * (r100 - r000) + (r110 - r010) + (r101 - r001) + 2 * (r111 - r011)",
-            "r100",
-        ),
-        (
-            "b_click",
-            "2 * (r010 - r000) + (r110 - r100) + (r011 - r001) + 2 * (r111 - r101)",
-            "r010",
-        ),
-        (
-            "c_error",
-            "2 * (r001 - r000) + (r101 - r100) + (r011 - r010) + 2 * (r111 - r110)",
-            "r001",
-        ),
-    ]
-    stack = ", ".join(
-        f"'{t}', CAST(({num}) div 6 AS BIGINT), {solo}" for t, num, solo in rows
-    )
-    return (
-        p.select(F.expr(f"stack(3, {stack}) AS (touch, phi_q6, solo_rate_q6)"))
-        .orderBy("touch")
-    )
-
-
-@register(
-    "ann_margin_recall_corr",
-    _KMEANS_SQL_PRELUDE
-    + """, qs AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 37 = 0),
-bpq AS MATERIALIZED (
-  SELECT qid, qv, cid, cq, rn FROM (
-    SELECT qs.qid, qs.qv, c.cid,
-           CAST(round(1000000000 * list_dot_product(c.cv, qs.qv)
-             / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) AS cq,
-           row_number() OVER (PARTITION BY qs.qid ORDER BY
-             CAST(round(1000000000 * list_dot_product(c.cv, qs.qv)
-               / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) DESC,
-             c.cid ASC) AS rn
-    FROM qs, cent2 c) _b WHERE rn <= 3),
-mg AS (
-  SELECT qid,
-         max(CASE WHEN rn = 1 THEN cq END)
-           - COALESCE(max(CASE WHEN rn = 2 THEN cq END),
-                      max(CASE WHEN rn = 1 THEN cq END)) AS margin
-  FROM bpq GROUP BY qid),
-sc AS MATERIALIZED (
-  SELECT b.qid, e.vec_id,
-         CAST(round(1000000 * list_dot_product(e.v, b.qv)
-           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(b.qv, b.qv)))) AS BIGINT) AS cos_q6
-  FROM bpq b, a3, e
-  WHERE a3.cid = b.cid AND e.vec_id = a3.vec_id),
-tops AS (
-  SELECT qid, vec_id FROM (
-    SELECT qid, vec_id,
-           row_number() OVER (PARTITION BY qid ORDER BY cos_q6 DESC, vec_id ASC) AS rnk
-    FROM sc) _t WHERE rnk <= 10),
-bexact AS MATERIALIZED (
-  SELECT qid, vec_id FROM (
-    SELECT qs.qid, e.vec_id,
-           row_number() OVER (PARTITION BY qs.qid ORDER BY
-             CAST(round(1000000 * list_dot_product(e.v, qs.qv)
-               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) DESC,
-             e.vec_id ASC) AS rn
-    FROM qs, e WHERE e.vec_id <> 0) _e WHERE rn <= 10),
-rc AS (
-  SELECT mg.qid, mg.margin,
-         CAST(COALESCE(ov.k, 0) AS BIGINT) AS recall10
-  FROM mg LEFT JOIN (
-    SELECT qid, CAST(count(*) AS BIGINT) AS k
-    FROM tops JOIN bexact USING (qid, vec_id) GROUP BY qid) ov
-  ON ov.qid = mg.qid),
-s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(COALESCE(sum(margin), 0) AS BIGINT) AS sx,
-             CAST(COALESCE(sum(recall10), 0) AS BIGINT) AS sy,
-             CAST(COALESCE(sum(margin * margin), 0) AS BIGINT) AS sxx,
-             CAST(COALESCE(sum(recall10 * recall10), 0) AS BIGINT) AS syy,
-             CAST(COALESCE(sum(margin * recall10), 0) AS BIGINT) AS sxy
-      FROM rc)
-SELECT n AS n_queries,
-       CAST(CASE WHEN n < 2
-                 OR CAST(sxx AS DOUBLE) * n = CAST(sx AS DOUBLE) * sx
-                 OR CAST(syy AS DOUBLE) * n = CAST(sy AS DOUBLE) * sy THEN 0
-            ELSE round(1000000
-              * (CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * sy)
-              / (sqrt(CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx)
-                 * sqrt(CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * sy)))
-            END AS BIGINT) AS corr_q6
-FROM s""",
-)
-def ann_margin_recall_corr(spark, sf_dir):
-    """Does the coarse-quantizer margin actually PREDICT per-query
-    recall? Pearson correlation between each batch query's top1−top2
-    centroid-cosine margin and its recall@10 at nprobe 3 — the
-    validation number behind ann_adaptive_nprobe_eval's routing rule
-    (the policy assumes big margin ⇒ the first cell suffices; this op
-    measures that assumption on the live index, and a near-zero
-    correlation says margin-based routing is guessing and the budget
-    should go to a different signal).
-
-    Determinism: margins are exact q9 integer differences; recalls are
-    exact overlap counts (zero-overlap queries enter via the LEFT
-    join); Pearson is ONE shared float expression with chi²-rule casts
-    and split sqrts; degenerate-variance sentinels.
-
-    Scale shape: the probe/exact chains are the nprobe-curve machinery
-    at the single p=3 configuration; the correlation is a 6-number
-    aggregate over query rows."""
-    members, cent, final_assign = _trained_ivf(spark, sf_dir)
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    qs = e.where(F.col("vec_id") % 37 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    wq = Window.partitionBy("qid").orderBy(F.desc("cq"), F.asc("cid"))
-    bpq = (
-        qs.crossJoin(F.broadcast(cent))
-        .select("qid", "qv", "cid", _cosq("cv", "qv", 1_000_000_000).alias("cq"))
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= 3)
-        .localCheckpoint()  # margins + the probe scan consume it
-    )
-    mg = bpq.groupBy("qid").agg(
-        (
-            F.max(F.when(F.col("rn") == 1, F.col("cq")))
-            - F.coalesce(
-                F.max(F.when(F.col("rn") == 2, F.col("cq"))),
-                F.max(F.when(F.col("rn") == 1, F.col("cq"))),
-            )
-        ).alias("margin")
-    )
-    sc = (
-        members.join(final_assign, "vec_id")
-        .join(F.broadcast(bpq.select("qid", "qv", "cid")), "cid")
-        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-    )
-    wr = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-    tops = (
-        sc.withColumn("rnk", F.row_number().over(wr))
-        .where(F.col("rnk") <= 10)
-        .select("qid", "vec_id")
-    )
-    we = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-    bexact = (
-        e.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qs))
-        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-        .withColumn("rn", F.row_number().over(we))
-        .where(F.col("rn") <= 10)
-        .select("qid", "vec_id")
-    )
-    ov = tops.join(bexact, ["qid", "vec_id"]).groupBy("qid").agg(
-        F.count(F.lit(1)).cast("long").alias("k")
-    )
-    rc = mg.join(ov, "qid", "left").select(
-        "margin", F.coalesce("k", F.lit(0)).cast("long").alias("recall10")
-    )
-    s = rc.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum("margin"), F.lit(0)).cast("long").alias("sx"),
-        F.coalesce(F.sum("recall10"), F.lit(0)).cast("long").alias("sy"),
-        F.coalesce(F.sum(F.col("margin") * F.col("margin")), F.lit(0))
-        .cast("long")
-        .alias("sxx"),
-        F.coalesce(F.sum(F.col("recall10") * F.col("recall10")), F.lit(0))
-        .cast("long")
-        .alias("syy"),
-        F.coalesce(F.sum(F.col("margin") * F.col("recall10")), F.lit(0))
-        .cast("long")
-        .alias("sxy"),
-    )
-    return s.select(
-        F.col("n").alias("n_queries"),
-        F.expr(
-            "CAST(CASE WHEN n < 2"
-            " OR CAST(sxx AS DOUBLE) * n = CAST(sx AS DOUBLE) * sx"
-            " OR CAST(syy AS DOUBLE) * n = CAST(sy AS DOUBLE) * sy THEN 0"
-            " ELSE round(1000000"
-            " * (CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * sy)"
-            " / (sqrt(CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx)"
-            "    * sqrt(CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * sy)))"
-            " END AS BIGINT)"
-        ).alias("corr_q6"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 225 — intra-list diversity, autocomplete self-MRR
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "ann_result_ild",
-    _KMEANS_SQL_PRELUDE
-    + """, qs AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 37 = 0),
-bp3 AS MATERIALIZED (
-  SELECT qid, qv, cid FROM (
-    SELECT qs.qid, qs.qv, c.cid,
-           row_number() OVER (PARTITION BY qs.qid ORDER BY
-             CAST(round(1000000000 * list_dot_product(c.cv, qs.qv)
-               / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) DESC,
-             c.cid ASC) AS rn
-    FROM qs, cent2 c) _b WHERE rn <= 3),
-sc AS MATERIALIZED (
-  SELECT b.qid, e.vec_id,
-         CAST(round(1000000 * list_dot_product(e.v, b.qv)
-           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(b.qv, b.qv)))) AS BIGINT) AS cos_q6
-  FROM bp3 b, a3, e
-  WHERE a3.cid = b.cid AND e.vec_id = a3.vec_id),
-tops AS MATERIALIZED (
-  SELECT qid, vec_id FROM (
-    SELECT qid, vec_id,
-           row_number() OVER (PARTITION BY qid ORDER BY cos_q6 DESC, vec_id ASC) AS rnk
-    FROM sc) _t WHERE rnk <= 10),
-prs AS (
-  SELECT a.qid,
-         CAST(1000000 - round(1000000 * list_dot_product(ea.v, eb.v)
-           / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))))
-           AS BIGINT) AS dist_q6
-  FROM tops a JOIN tops b ON a.qid = b.qid AND a.vec_id < b.vec_id
-  JOIN e ea ON ea.vec_id = a.vec_id
-  JOIN e eb ON eb.vec_id = b.vec_id),
-per AS (
-  SELECT qid, CAST(count(*) AS BIGINT) AS n_pairs,
-         CAST(COALESCE(sum(dist_q6), 0) // greatest(count(*), 1) AS BIGINT) AS ild_q6
-  FROM prs GROUP BY qid)
-SELECT CAST(count(*) AS BIGINT) AS n_queries,
-       CAST(COALESCE(sum(ild_q6), 0) // greatest(count(*), 1) AS BIGINT)
-         AS mean_ild_q6,
-       CAST(COALESCE(min(ild_q6), 0) AS BIGINT) AS min_ild_q6,
-       CAST(COALESCE(max(ild_q6), 0) AS BIGINT) AS max_ild_q6
-FROM per""",
-)
-def ann_result_ild(spark, sf_dir):
-    """Intra-list diversity (ILD) of the batch ANN result pages: mean
-    pairwise cosine DISTANCE among each query's top-10, summarized over
-    the query batch — the recsys diversity metric on the dense side
-    (serp_source_diversity scores the lexical page by source entropy;
-    ILD scores the vector page by geometry: a near-zero ILD page is
-    ten copies of one answer, which for dedup candidates is
-    efficiency but for retrieval is redundancy the MMR rerank exists
-    to fix — this op is the number that says whether it is needed).
-
-    Determinism: per-pair distances q6-round FIRST (the
-    ivf_cluster_balance rule), per-query ILD is a floor-mean over ≤45
-    exact pairs, batch summary floor-means again.
-
-    Scale shape: result pages are ≤10 rows/query, so the pair fan is
-    45·|queries|; everything upstream is the nprobe-curve probe
-    machinery."""
-    members, cent, final_assign = _trained_ivf(spark, sf_dir)
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    qs = e.where(F.col("vec_id") % 37 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    wq = Window.partitionBy("qid").orderBy(F.desc("cq"), F.asc("cid"))
-    bp3 = (
-        qs.crossJoin(F.broadcast(cent))
-        .select("qid", "qv", "cid", _cosq("cv", "qv", 1_000_000_000).alias("cq"))
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= 3)
-        .select("qid", "qv", "cid")
-    )
-    sc = (
-        members.join(final_assign, "vec_id")
-        .join(F.broadcast(bp3), "cid")
-        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-    )
-    wr = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-    tops = (
-        sc.withColumn("rnk", F.row_number().over(wr))
-        .where(F.col("rnk") <= 10)
-        .select("qid", "vec_id")
-        .localCheckpoint()  # both pair legs consume it
-    )
-    a = tops.select("qid", F.col("vec_id").alias("va"))
-    b = tops.select(F.col("qid").alias("qid2"), F.col("vec_id").alias("vb"))
-    ea = e.select(F.col("vec_id").alias("va"), F.col("v").alias("vva"))
-    eb = e.select(F.col("vec_id").alias("vb"), F.col("v").alias("vvb"))
-    prs = (
-        a.join(b, (F.col("qid") == F.col("qid2")) & (F.col("va") < F.col("vb")))
-        .join(ea, "va")
-        .join(eb, "vb")
-        .select(
-            "qid",
-            (F.lit(1_000_000) - _cosq("vva", "vvb", 1_000_000))
-            .cast("long")
-            .alias("dist_q6"),
-        )
-    )
-    per = prs.groupBy("qid").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.expr(
-            "CAST(COALESCE(sum(dist_q6), 0) div greatest(count(*), 1) AS BIGINT)"
-        ).alias("ild_q6"),
-    )
-    return per.agg(
-        F.count(F.lit(1)).cast("long").alias("n_queries"),
-        F.expr(
-            "CAST(COALESCE(sum(ild_q6), 0) div greatest(count(*), 1) AS BIGINT)"
-        ).alias("mean_ild_q6"),
-        F.coalesce(F.min("ild_q6"), F.lit(0)).cast("long").alias("min_ild_q6"),
-        F.coalesce(F.max("ild_q6"), F.lit(0)).cast("long").alias("max_ild_q6"),
-    )
-
-
-@register(
-    "autocomplete_self_mrr",
-    f"""WITH toks AS ({SQL_TOKS}),
-dfs AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-        FROM toks GROUP BY term),
-el AS (SELECT term, df FROM dfs WHERE df >= 2 AND length(term) >= 2),
-rk AS (
-  SELECT term, df,
-         row_number() OVER (PARTITION BY substr(term, 1, 2)
-                            ORDER BY df DESC, term ASC) AS rn
-  FROM el),
-m AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_terms,
-         CAST(COALESCE(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
-           AS n_top1,
-         CAST(COALESCE(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END), 0) AS BIGINT)
-           AS n_top5,
-         CAST(COALESCE(sum(CASE WHEN rn <= 10 THEN 2520 // rn ELSE 0 END), 0)
-              AS BIGINT) AS mrr_sum
-  FROM rk)
-SELECT n_terms, n_top1, n_top5,
-       CAST(mrr_sum // greatest(n_terms, 1) AS BIGINT) AS mean_mrr2520
-FROM m""",
-)
-def autocomplete_self_mrr(spark, sf_dir):
-    """Self-retrieval evaluation of the autocomplete surface: for every
-    dictionary term (df ≥ 2, length ≥ 2), its rank inside its OWN
-    2-character prefix group under the df-descending suggestion order —
-    top-1/top-5 hit counts and the 2520-scaled mean reciprocal rank.
-    This is the offline eval every suggest system runs against itself
-    before it has query logs: if a user types the first two characters
-    of the word they want, how often does the frequency-ordered
-    dropdown show it first (suggest_completion/prefix_branching_curve
-    describe the INDEX; this scores the RANKING, and a low self-MRR
-    localizes to crowded prefixes where frequency ordering buries the
-    long tail).
-
-    Determinism: suggestion order is (df DESC, term ASC) — the
-    match_phrase_prefix dictionary-walk convention; reciprocal ranks
-    use the exact 2520 scale beyond which (rn > 10) terms contribute
-    0, documented truncation.
-
-    Scale shape: one df pass; the rank window partitions by 2-char
-    prefix (bounded groups); a 4-counter map-side rollup."""
-    toks = _toks(_docs(spark, sf_dir))
-    dfs = toks.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("long").alias("df")
-    )
-    el = dfs.where((F.col("df") >= 2) & (F.length("term") >= 2))
-    wp = Window.partitionBy(F.expr("substr(term, 1, 2)")).orderBy(
-        F.desc("df"), F.asc("term")
-    )
-    rk = el.withColumn("rn", F.row_number().over(wp))
-    m = rk.agg(
-        F.count(F.lit(1)).cast("long").alias("n_terms"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN rn = 1 THEN 1 ELSE 0 END")), F.lit(0)
-        )
-        .cast("long")
-        .alias("n_top1"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN rn <= 5 THEN 1 ELSE 0 END")), F.lit(0)
-        )
-        .cast("long")
-        .alias("n_top5"),
-        F.coalesce(
-            F.sum(F.expr("CASE WHEN rn <= 10 THEN 2520 div rn ELSE 0 END")),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("mrr_sum"),
-    )
-    return m.select(
-        "n_terms",
-        "n_top1",
-        "n_top5",
-        F.expr("CAST(mrr_sum div greatest(n_terms, 1) AS BIGINT)").alias(
-            "mean_mrr2520"
-        ),
-    )
-
-
-# ---------------------------------------------------------------------------
-# session 226 — greedy submodular vocabulary coverage
-# ---------------------------------------------------------------------------
-
-_GVC_ROUNDS = 5
-
-
-def _gvc_sql() -> str:
-    parts = [
-        f"""WITH toks AS ({SQL_TOKS}),
-dt AS MATERIALIZED (SELECT DISTINCT doc_id, term FROM toks),
-vt AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM dt),
-g1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM dt GROUP BY doc_id),
-p1 AS MATERIALIZED (SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id ASC LIMIT 1),
-c1 AS MATERIALIZED (SELECT DISTINCT dt.term FROM dt JOIN p1 USING (doc_id))"""
-    ]
-    for r in range(2, _GVC_ROUNDS + 1):
-        parts.append(
-            f""",
-g{r} AS (SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS gain
-       FROM dt LEFT JOIN c{r - 1} ON c{r - 1}.term = dt.term
-       WHERE c{r - 1}.term IS NULL GROUP BY dt.doc_id),
-p{r} AS MATERIALIZED (SELECT doc_id, gain FROM g{r}
-                      ORDER BY gain DESC, doc_id ASC LIMIT 1),
-c{r} AS MATERIALIZED (
-  SELECT term FROM c{r - 1}
-  UNION SELECT dt.term FROM dt JOIN p{r} USING (doc_id))"""
-        )
-    sel = "\nUNION ALL\n".join(
-        f"SELECT {r} AS round, doc_id, gain,"
-        f" (SELECT CAST(count(*) AS BIGINT) FROM c{r}) AS cum_coverage FROM p{r}"
-        for r in range(1, _GVC_ROUNDS + 1)
-    )
-    parts.append(
-        f"""
-SELECT CAST(round AS BIGINT) AS round, doc_id, gain, cum_coverage,
-       CAST((1000000 * cum_coverage) // greatest(vt.v, 1) AS BIGINT)
-         AS coverage_share_q6
-FROM ({sel}) _u CROSS JOIN vt ORDER BY round"""
-    )
-    return "".join(parts)
-
-
-@register("greedy_vocab_coverage", _gvc_sql())
-def greedy_vocab_coverage(spark, sf_dir):
-    """Greedy submodular maximum coverage: pick 5 documents that
-    together cover as much of the VOCABULARY as possible, one
-    largest-marginal-gain pick per round — the classic (1−1/e)-
-    approximate summarization/eval-set seeding primitive (a 5-doc
-    probe set chosen this way exercises more of the tokenizer, index
-    and dictionary than any 5 random docs — the principled version of
-    'pick diverse smoke-test inputs'). Each round reports the pick,
-    its marginal gain, and the cumulative vocabulary share; the
-    concave curve IS submodularity made visible.
-
-    Determinism: gains are exact distinct-term counts against the
-    accumulated covered set; argmax tiebreaks on doc_id; a corpus
-    exhausted early simply emits fewer rounds (both engines).
-
-    Scale shape: each round is one anti-join + count per doc + a 1-row
-    TakeOrdered collect (the kcenter_coreset budget); the covered set
-    grows by one doc's vocabulary per round and is localCheckpoint'd —
-    never a cross join, never more than _GVC_ROUNDS bounded driver
-    actions."""
-    dt = _toks(_docs(spark, sf_dir)).distinct().localCheckpoint()
-    vt = dt.select("term").distinct().count()
-    covered = None
-    rows = []
-    for r in range(1, _GVC_ROUNDS + 1):
-        if covered is None:
-            gains = dt.groupBy("doc_id").agg(
-                F.count(F.lit(1)).cast("long").alias("gain")
-            )
-        else:
-            gains = (
-                dt.join(covered, "term", "anti")
-                .groupBy("doc_id")
-                .agg(F.count(F.lit(1)).cast("long").alias("gain"))
-            )
-        pick = gains.orderBy(F.desc("gain"), F.asc("doc_id")).limit(1).collect()
-        if not pick:
-            break
-        doc_id, gain = int(pick[0]["doc_id"]), int(pick[0]["gain"])
-        new_terms = dt.where(F.col("doc_id") == doc_id).select("term")
-        covered = (
-            new_terms
-            if covered is None
-            else covered.unionByName(new_terms).distinct()
-        ).localCheckpoint()
-        cum = covered.count()
-        rows.append((r, doc_id, gain, cum, (1000000 * cum) // max(vt, 1)))
-    return spark.createDataFrame(
-        rows,
-        "round long, doc_id long, gain long, cum_coverage long,"
-        " coverage_share_q6 long",
-    ).orderBy("round")
-
-
-# ---------------------------------------------------------------------------
-# registry ordering for driver sampling
-# ---------------------------------------------------------------------------
-# The driver's per-round correctness gate samples a prefix of the registry
-# (CORRECTNESS_r02 covered 50 of 56 entries — exactly the last six
-# registered were skipped). Rotate the entries that have never received a
-# driver-green row, plus the newest ones, to the FRONT so each accumulates
-# driver evidence across rounds; the local pytest oracle replica
-# (tests/test_driver_contract.py) still checks all entries every run.
-#
-# VERDICT r3 ask #4 wanted the 13 entries last driver-sampled in r02
-# (quality_filter_flags .. unicode_tokens) rotated forward. With 50 sample
-# slots and ~105 round-4-new operators that have NEVER been driver-sampled,
-# those 13 — which HAVE r02 driver-green rows and still pass the local
-# replica — are deliberately the lowest rotation priority: every slot
-# spent on a twice-evidenced entry is a never-evidenced entry skipped.
-# The prefix therefore runs newest-session-first; everything beyond the
-# prefix rests on its r02/r03 driver row plus the full local replica.
-
-_FRONT = [
-    # --- round-5 rotation (VERDICT r4 ask #5) -------------------------
-    # The driver samples a ~50-slot registry prefix per round; across
-    # r1-r4 it has hash-checked 110 unique names. These 50 have NEVER
-    # been driver-sampled (they are green in the local 769-entry replica)
-    # and were picked by an even stride over the session-ordered
-    # never-sampled pool, so the prefix spans every family: search
-    # (field_value_factor/mmr_rerank/rescore_topn/query_string/PL2),
-    # dedup (policy_compare/ngram_fraction/serp_collapse/semdedup_shift),
-    # ANN/graph (pagerank_ann_graph/hard_negative_mining/sparse_cosine),
-    # events, relational, sketches, stats. NEW OPS SLOT BELOW THIS BLOCK
-    # -- never push these past the 50-slot driver sample boundary.
-    "field_value_factor_search", "fold_leakage_check", "events_hour_profile",
-    "pipeline_waterfall", "new_returning_daily", "order_size_histogram",
-    "events_cusum_anomaly", "supplier_ship_delay_topk", "bm25_pl2_overlap",
-    "casefold_impact", "event_triple_support", "unit_price_dispersion",
-    "lsh_edge_embeddedness", "seasonality_strength", "daily_hour_entropy",
-    "lexical_semantic_pair_census", "region_segment_matrix",
-    "dedup_quality_shift", "hapax_token_share", "top_value_events",
-    "basket_breadth_value", "mktsegment_revenue", "error_rate_daily",
-    "priority_value_profile", "mmr_rerank", "ts_granularity_census",
-    "score_relevance_calibration", "semdedup_centroid_shift",
-    "zero_order_days_by_weekday", "brand_loyalty_histogram",
-    "serp_dup_collapse", "type_share_volatility", "sampling_weight_ess",
-    "cep_pattern_match", "k_anonymity_census", "user_type_additive_fit",
-    "part_abc_xyz_matrix", "hour_circular_stats", "shipmode_priority_counts",
-    "hard_negative_mining", "embedding_dim_clip_bounds",
-    "dedup_policy_compare", "idle_rich_customers",
-    "part_revenue_concentration", "query_string_search", "rescore_topn",
-    "bigram_lm_surprisal", "sparse_cosine_pairs", "pagerank_ann_graph",
-    "dup_ngram_fraction",
-    # --- previously-front entries (r1-r4 driver rows + local replica) --
-    "ann_ivf_nprobe_curve", "ltr_features", "clarity_score", "mad_doclen",
-    "bootstrap_mean_doclen", "prf_rocchio_expand", "cooccurrence_ppmi",
-    "lsh_band_config_curve", "hll_user_registers", "pad_efficiency_buckets",
-    "vocab_coverage_curve", "naive_bayes_langid", "sliding_window_chunks",
-    "shingle_size_curve", "epoch_shuffle_order", "cavnar_trenkle_langid",
-    "priority_sample_docs", "countmin_user_cells", "kcenter_coreset",
-    "embedding_norm_outliers", "cdc_chunk_dedup", "events_daily_anomaly",
-    "zipf_slope_source", "longest_shared_span", "boxplot_doclen",
-    "term_vectors_doc", "ttest_lang_doclen", "matrix_stats_docs",
-    "bpe_merge_candidates", "diversified_sampler", "semdedup", "rare_terms",
-    "multi_terms_agg", "sq8_quantization_error", "lsh_candidate_precision",
-    "simhash_hamming_histogram", "winnow_containment", "pack_sequences",
-    "pack_sequences_split", "dedup_connected_components",
-    "top_terms_per_source", "ann_ivf_batch", "ann_ivf_batch_recall",
-    "ks_test_doclen", "mannwhitney_doclen", "jsd_source_pairs",
-    "weighted_sample_docs", "stupid_backoff_surprisal",
-    "decontamination_minhash", "hybrid_linear_search", "benford_value_audit",
-    "percentiles_bucket_daily", "top_metrics_latest",
-    "match_bool_prefix_search", "len_quality_hist2d", "msttr_source",
-    "events_stickiness", "conversion_latency_histogram",
-    "significant_terms_chi2", "phrase_suggester", "ivf_train_convergence",
-    "bpe_apply_compression", "weighted_avg_ttr", "dedup_method_agreement",
-    "source_centroid_matrix", "embedding_dim_stats", "bm25_param_sweep",
-    "df_spectrum", "revenue_pareto_users", "bm25_batch_queries",
-    "interpolated_lm_sweep", "term_burstiness", "percolate_routed",
-    "mlm_masking_plan", "negative_sampling_table", "bigram_entropy_rate",
-    "tf_spectrum", "rfm_segments", "markov_stationary",
-    "user_session_histogram", "lsh_kcore", "decompound_query",
-    "low_entropy_docs", "user_feature_vectors", "search_collapse_inner",
-    "term_cluster_cc", "ab_assignment_readout", "stopword_cut_impact",
-    "trending_terms", "weekly_seasonal_decompose", "doclen_hill_tail",
-    "value_lognormal_fit", "burrows_delta_sources", "char_coverage_curve",
-    "ppmi_query_expansion", "quality_dup_census",
-    "open_lineitems_timeseries", "preretrieval_qpp", "quality_drift_deciles",
-    "source_embedding_dispersion", "lsh_assortativity", "revenue_gini_users",
-    "vocab_growth_curve", "session_duration_histogram",
-    "dup_pair_distance_histogram", "part_revenue_pareto",
-    "lang_drift_deciles", "ship_lag_histogram", "embedding_intrinsic_dim",
-    "discount_quantity_corr", "part_supplier_hhi", "return_rate_by_priority",
-    "simhash_bit_bias", "winsorized_mean_doclen",
-    "events_hour_weekday_heatmap", "hellinger_source_pairs",
-    "abbreviation_law_curve", "norm_doclen_corr", "dedup_loss_by_source",
-    "common_terms_search", "ab_significance", "order_gap_histogram",
-    "logodds_terms_source", "daily_revenue_trend",
-    "lsh_clustering_histogram", "ndcg_eval", "value_kmeans_buckets",
-    "dfr_pl2_search", "session_entry_conversion", "spearman_len_ttr",
-    "map_eval", "rm3_expansion_terms", "dataset_datasheet",
-    "hll_precision_curve", "events_weekly_type_jsd", "embedding_isotropy",
-    "pq_code_histogram", "orders_month_seasonality", "wig_qpp",
-    "ann_label_purity", "url_domain_census", "fuzzy_prefix_curve",
-    "postings_varint_estimate", "token_length_histogram",
-    "brand_size_price_trend", "segment_value_stats", "rerank_band_curve",
-    "knn_label_confusion", "region_market_census", "bloom_user_estimate",
-    "event_type_user_overlap", "order_status_month_matrix",
-    "charclass_profile_source", "ann_margin_histogram",
-    "events_dispersion_index", "segment_repeat_rate", "terms_enum_page",
-    "sstem_vocab_reduction", "fact_key_skew_census", "embedding_pca2_share",
-    "orders_weekday_profile", "props_key_census", "idf_split_stability",
-    "ann_label_mrr", "erratic_customers_topk", "session_depth_conversion",
-    "activity_decile_lift", "cooccur_window_curve",
-    "events_value_hour_hist2d", "order_concentration_histogram",
-    "session_length_geometric_fit", "night_owl_census", "part_type_anova",
-    "discount_by_quantity_band", "query_cost_estimate",
-    "peak_concurrent_sessions", "event_disorder_histogram",
-    "positions_varint_estimate", "label_norm_bias", "dp_source_counts",
-    "score_by_length_band", "daily_ctr", "fk_integrity_census",
-    "mindf_prune_curve", "ivf_label_purity", "sentence_length_histogram",
-    "monthly_revenue_growth", "ab_srm_check", "embedding_exact_dups",
-    "serp_source_diversity", "title_body_jsd", "top_moving_parts",
-    "new_customers_monthly", "ivf_assign_margin", "label_centroid_matrix",
-    "leading_token_census", "ann_hub_census", "exclusive_vocab_census",
-    "region_revenue_rollup", "sample_mix_bias", "token_shape_census",
-    "attribution_window_curve", "user_type_entropy_histogram",
-    "brand_return_rate", "dup_rate_by_length", "query_term_share",
-    "sq_bits_curve", "monthly_revenue_hhi", "sentence_dup_rate",
-    "ab_cuped_adjustment", "markov_row_entropy", "segment_value_hist2d",
-    "hll_source_intersection", "ann_scan_cost_histogram",
-    "postings_gap_entropy", "pairwise_cos_moments",
-    "match_coordination_census", "purchase_share_by_weekday",
-    "iqr_outlier_census", "events_asof_forward", "interevent_cv2",
-    "part_sales_coverage", "session_entry_exit_matrix", "brand_cobuy_matrix",
-    "ltv_age_curve", "order_size_by_status", "shingle_hash_collisions",
-    "centroid_classifier_accuracy", "maxtf_ratio_histogram",
-    "decayed_activity_scores", "dict_frontcoding_estimate",
-    "event_type_census", "prefix_branching_curve", "weekly_active_users",
-    "seasonal_naive_mae", "term_position_profile", "source_lorenz_points",
-    "embedding_halves_drift", "weekday_adjusted_anomaly",
-    "ship_lag_by_priority", "ranking_auc", "cluster_source_spread",
-    "props_k_histogram", "sampled_stats_ranking_fidelity",
-    "order_value_drift_deciles", "score_rank_curve", "ivf_centroid_matrix",
-    "cohort_retention_matrix", "sq8_recall", "cluster_length_variance",
-    "nation_richest_customer", "monthly_repeat_share", "hour_dow_chi2",
-    "zero_value_census", "user_regularity_histogram",
-    "part_type_size_matrix", "quantity_spectrum", "shingle_df_spectrum",
-    "lang_census", "ann_graph_components", "supplier_brand_matrix",
-    "balance_order_corr", "part_name_term_census", "type_peak_hour",
-    "ann_two_hop_histogram", "user_span_histogram", "discount_rate_by_month",
-    "lang_top_source", "ab_value_readout", "user_ctr_histogram",
-    "hour_top_type", "lang_doclen_stats", "source_arrival_matrix",
-    "supplier_discount_topk", "month_type_matrix", "source_token_length",
-    "round_value_bias", "query_term_pmi", "key_density_census",
-    "order_brand_breadth", "order_size_by_month", "session_threshold_curve",
-    "brand_supplier_diversity", "length_gate_curve", "type_session_position",
-    "price_band_return_rate", "view_click_latency_histogram",
-    "user_purchase_histogram", "nchars_integrity_audit",
-    "linenumber_spectrum", "region_supply_volume", "local_trade_share",
-    "order_total_consistency", "region_top_part", "top_value_users",
-    "supplier_return_topk", "day_of_month_profile", "lang_vocab_overlap",
-    "purchase_value_by_hour", "customer_order_coverage",
-    "quality_extremes_board", "session_value_histogram",
-    "repeat_run_histogram", "user_day_intensity_histogram",
-    "session_bounce_rate", "customer_balance_quantiles",
-    "first_touch_profile", "weekend_activity_share", "lineitem_tax_audit",
-    "nation_account_balances", "order_ship_span_histogram",
-    "embedding_component_histogram", "postings_roaring_estimate",
-    "char_bigram_entropy_source", "size_price_profile",
-    "signlsh_calibration_curve", "events_markov2_transitions",
-    "blockmax_tightness_curve", "join_size_estimates",
-    "part_term_sales_topk", "wau_overlap_series", "signup_activation_rates",
-    "events_daily_envelope", "brand_promo_lift", "discount_tax_hist2d",
-    "ann_recall_by_scancost", "ab_power_table", "part_nation_concentration",
-    "ppl_quality_corr", "ship_lag_by_month", "rank_feature_search",
-    "weekend_value_ttest", "watermark_drop_curve", "phrase_cost_estimate",
-    "column_encoding_advisor", "term_length_df_profile",
-    "dedup_df_shift_topk", "open_order_age_histogram",
-    "join_histogram_estimate", "events_rule_audit",
-    "sort_layout_pruning_estimate", "quality_gate_roc",
-    "nation_trade_balance", "daily_hurst_estimate",
-    "duplicate_charge_census", "placeholder_doc_census", "load_error_corr",
-    "salting_plan_advisor", "wildcard_selectivity_estimate",
-    "ann_mutual_knn", "resurrected_users_monthly", "source_lang_mutual_info",
-    "knn_k_sweep_accuracy", "near_constant_columns",
-    "balanced_interleaving_eval", "dup_locality_census",
-    "type_value_profile", "orders_value_recency_skyline",
-    "mmr_diversity_gain", "kmv_distinct_estimate", "sentiment_lexicon_score",
-    "churn_by_activity_band", "seq_pair_support", "trailing_token_census",
-    "partially_shipped_orders", "salting_effect_curve",
-    "functional_dependency_census", "negative_idf_census",
-    "ann_quantization_sensitivity", "rle_run_census", "lsh_candidate_recall",
-    "ship_before_order_census", "semdedup_threshold_histogram",
-    "blocking_strategy_compare", "fold_balance_audit",
-    "relevant_rank_histogram", "hash_coordinate_uniformity",
-    "join_order_cost_compare", "peak_day_concentration",
-    "prf_method_overlap", "activation_wilson_ci",
-    "text_embedding_dup_consistency", "midnight_crossing_sessions",
-    "idle_hours_census", "lang_margin_histogram", "text_hygiene_census",
-    "digit_run_histogram", "doc_vec_alignment_census",
-    "activity_band_migration", "simpson_check_discount",
-    "unsold_inventory_value", "kmv_union_estimate",
-    "customer_lifespan_histogram", "undiscounted_revenue_share",
-    "doclen_quantization_error", "doc_typicality_histogram",
-    "half_mass_window", "attribution_model_compare",
-    "basket_price_spread_histogram", "dormancy_spell_histogram",
-    "catalog_name_collisions", "return_value_share", "first_order_ltv_corr",
-    "daily_user_mix", "quality_gate_kappa", "supplier_sales_coverage",
-    "ship_dow_profile", "bigram_hapax_share", "priority_mix_by_year",
-    "lang_share_by_len_band", "supplier_breadth_histogram",
-    "price_ending_census", "error_user_concentration",
-    "exact_dup_group_histogram", "first_purchase_dow_profile",
-    "linenumber_value_profile", "user_weekend_share_histogram",
-    "per_second_burst_histogram", "part_repurchase_rate",
-    "onboarding_depth_return_rate", "brand_price_range_topk",
-    "order_ship_month_matrix", "lifetime_entry_exit_matrix",
-    "props_k_value_corr", "purchase_streak_histogram", "ship_lag_by_nation",
-    "resurrected_conversion_rate", "first_day_share_histogram",
-    "supply_price_by_nation", "type_cadence_profile",
-    "customer_idle_balance", "runtime_filter_benefit",
-    "km_conversion_survival", "broadcast_threshold_audit",
-    "zorder_pruning_estimate", "quantile_sketch_error", "tiered_index_plan",
-    "lfu_cache_hit_curve", "kmins_user_estimate", "user_runs_test",
-    "filter_order_advisor", "stream_state_size_curve", "linkage_mu_weights",
-    "ab_sprt_curve", "exchange_volume_board",
-    "minhash_collision_calibration", "theil_sen_daily_trend",
-    "storage_tier_advisor", "rank_biased_overlap", "user_count_nb_fit",
-    "fd_binwidth_advisor", "ivf_davies_bouldin", "mix_rebalance_cost",
-    "part_name_fuzzy_pairs", "switchback_readout",
-    "range_selectivity_histograms", "weighted_jaccard_pairs",
-    "date_partition_advisor", "batch_exposure_fairness", "nqc_qpp",
-    "err_eval", "markov_steps_to_purchase", "good_turing_counts",
-    "conformal_daily_interval", "neyman_allocation", "systematic_pps_sample",
-    "fano_factor_scales", "capture_recapture_vocab",
-    "jackknife_ttr_variance", "wasserstein_length_pairs",
-    "bloom_size_advisor", "fusion_headroom_eval",
-    "quantile_normalization_map", "equidepth_selectivity_estimate",
-    "gpd_tail_fit", "bbit_minhash_estimate", "quality_cronbach_alpha",
-    "best_split_changepoint", "quality_gate_pr_auc", "eb_ctr_shrinkage",
-    "post_stratified_estimate", "ann_adaptive_nprobe_eval",
-    "gates_fleiss_kappa", "gate_shapley_attribution", "doclen_dbscan_1d",
-    "quality_stump_threshold", "brand_pvm_bridge", "user_day_zip_fit",
-    "alert_hysteresis_advisor", "revenue_drawdown", "aa_test_readout",
-    "random_baseline_eval", "parquet_bloom_advisor",
-    "view_purchase_crosscorr", "query_term_ablation", "ab_quantile_effects",
-    "bandit_greedy_replay", "learned_index_error",
-    "part_reuse_distance_histogram", "degree_powerlaw_xmin",
-    "doclen_moments_board", "residual_durbin_watson",
-    "logbucket_quantile_estimate", "ann_hits_scores", "quality_items_vif",
-    "source_id_range_tiling", "logrank_activity_conversion",
-    "touch_shapley_attribution", "ann_margin_recall_corr", "ann_result_ild",
-    "autocomplete_self_mrr", "greedy_vocab_coverage",
-    "events_cohort_revenue", "readability_flesch", "yule_k_source",
-    "ann_hamming_rerank", "ann_hamming_recall", "bpe_train_merges",
-    "script_mix_source", "heldout_unigram_ppl", "events_autocorrelation",
-    "source_vocab_overlap", "bloom_fpr_curve", "truncation_loss_curve",
-    "boilerplate_trigram_topk", "events_value_quantiles", "event_type_lift",
-    "shard_rebalance_cost", "interevent_gap_histogram",
-    "stratified_kfold_assign", "orders_topk_unshipped",
-    "customer_returns_topk", "boosting_query", "dis_max_query",
-    "auto_date_histogram", "dedup_threshold_curve", "quality_ablation_curve",
-    "ann_recall_at_k_curve", "events_markov_transitions",
-    "ann_dim_truncation_curve", "lsh_degree_histogram",
-    "ivf_cluster_balance", "user_activity_histogram",
-    "lineitem_pricing_summary", "orders_nation_revenue", "source_token_gini",
-    "rank_correlation_bm25_tfidf", "term_drift_deciles", "source_lang_chi2",
-    "orders_late_shipment_priority", "promo_revenue_ratio",
-    "large_orders_topk", "label_centroid_drift", "span_first_match",
-    "stats_bucket_daily", "global_row_ids", "customer_order_distribution",
-    "small_quantity_revenue", "top_supplier_revenue",
-    "promo_market_share_by_year", "supplier_parts_exclusion",
-    "lsh_triangle_count", "pii_scrub_stats", "split_leakage_check",
-    "source_epoch_plan", "lsh_common_neighbors", "events_weekday_profile",
-    "events_serial_diff", "most_fields_search", "span_not_match",
-    "disjunctive_predicate_revenue", "nation_pair_trade_volume",
-    "min_cost_supplier_per_part", "bm25f_search", "kneser_ney_bigram",
-    "feature_hash_collisions", "forecast_revenue_change",
-    "embedding_power_iteration", "dirichlet_ql_search",
-    "product_profit_by_nation_year", "excess_share_suppliers",
-    "sole_supplier_orders", "source_gram_novelty", "search_sampler_facets",
-    "nested_pages_agg", "quality_budget_select", "cluster_balanced_sample",
-    "intervals_unordered", "search_collapse", "pinned_query",
-    "terms_shard_error", "extended_stats_source", "percentile_ranks_doclen",
-    "heaps_law_source", "events_cum_derivative", "string_stats_source",
-    "match_phrase_prefix", "synonym_query_search", "chunk_dedup_scrub",
-    "shard_token_balance", "source_unigram_entropy", "cross_fields_search",
-    "composite_agg_page", "tokenizer_fertility", "cross_source_dup_matrix",
-    "adjacency_matrix_agg", "language_confusion_matrix", "train_eval_split",
-    "function_score_decay", "orders_date_histogram", "perplexity_buckets",
-    "minhash_cluster_stats", "events_asof_horizon",
-    "events_exactly_once_counts", "bm25_explain", "search_after",
-    "rank_eval", "dsir_importance", "suggest_completion", "ann_ivf_filtered",
-    "ann_ivf_filtered_recall", "search_top_hits", "events_asof_join",
-    "events_daily_mavg", "events_retention", "countmin_heavyhitters",
-    "cardinality_merge", "bool_filter_query", "percolate_queries",
-    "docs_rollup_cube", "significant_terms", "more_like_this", "hybrid_rrf",
-    "cardinality_sketch", "decontamination_bloom", "spell_correct",
-    "ann_ivfpq_rerank", "ann_ivfpq_rerank_recall", "code_subtokens",
-    "phrase_slop", "regex_search", "search_facets", "domain_cap",
-    "tfidf_top_terms", "collocations_pmi", "unigram_logprob",
-    "doclen_quantiles", "winnow_fingerprints", "winnow_pairs",
-    "temperature_mix_weights", "training_mix_pipeline",
-    "dedup_survivor_tokens", "doclen_histogram", "events_funnel",
-    "ann_pq_adc", "ann_pq_recall", "ann_ivfpq_adc", "ann_ivfpq_recall",
-    "pack_sequences_fine", "quality_filter_flags", "wand_segments_topk",
-    "composite_search", "composite_search_filename", "snippet_fallback",
-    "simhash64", "simhash_neardup_pairs", "simhash_band_pairs",
-    "embedding_neardup_pairs", "embedding_lsh_pairs", "lang_id_heuristic",
-    "media_features", "unicode_tokens",
-]
-REGISTRY = {
-    **{n: REGISTRY[n] for n in _FRONT if n in REGISTRY},
-    **{n: q for n, q in REGISTRY.items() if n not in _FRONT},
-}
+del _inherit
