@@ -453,7 +453,10 @@ def main() -> None:
                  # _incell_pair_cos / _ann_knn_edges front halves
                  # (VERDICT r4 ask #1 — evidences the combined cut)
                  "semdedup_centroid_shift", "ann_graph_components",
-                 "ann_two_hop_histogram"]:
+                 "ann_two_hop_histogram",
+                 # session 227 flagships
+                 "top_ngram_share_census", "prefix_cache_hit_estimate",
+                 "speculative_bigram_acceptance", "hnsw_level_plan"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

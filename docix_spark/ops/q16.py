@@ -1132,6 +1132,338 @@ def greedy_vocab_coverage(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 227 — serving/indexing planners + Gopher top-gram battery
+# ---------------------------------------------------------------------------
+
+_TOPGRAM_CUTS = {2: 200_000, 3: 180_000, 4: 160_000}
+_TOPGRAM_CUT_SQL = (
+    "CASE n WHEN 2 THEN 200000 WHEN 3 THEN 180000 ELSE 160000 END"
+)
+
+
+@register(
+    "top_ngram_share_census",
+    f"""WITH w AS ({SQL_WORDS}),
+g AS (
+  SELECT source, doc_id, 2 AS n, words[i] || ' ' || words[i+1] AS gram
+  FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
+  WHERE len(words) >= 2
+  UNION ALL
+  SELECT source, doc_id, 3 AS n,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+  FROM w, unnest(generate_series(1, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 3
+  UNION ALL
+  SELECT source, doc_id, 4 AS n,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS gram
+  FROM w, unnest(generate_series(1, len(words) - 3)) AS t(i)
+  WHERE len(words) >= 4),
+c AS (SELECT source, doc_id, n, gram, CAST(count(*) AS BIGINT) AS c
+      FROM g GROUP BY source, doc_id, n, gram),
+p AS (SELECT source, doc_id, n,
+             CAST((1000000 * max(c)) // CAST(sum(c) AS BIGINT) AS BIGINT) AS top_q6
+      FROM c GROUP BY source, doc_id, n)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(CAST(sum(top_q6) AS BIGINT) // count(*) AS BIGINT) AS mean_top_share_q6,
+       CAST(COALESCE(sum(CASE WHEN top_q6 > {_TOPGRAM_CUT_SQL} THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_fail
+FROM p GROUP BY source, n ORDER BY source, n""",
+)
+def top_ngram_share_census(spark, sf_dir):
+    """Gopher repetition-rule battery, TOP-n-gram axis (Rae et al. 2021
+    Table A1): per doc the most frequent n-gram's share of all n-gram
+    occurrences for n=2/3/4, rolled up per source with the paper's cut
+    points (0.20/0.18/0.16 — token-fraction form of its char fractions,
+    declared) — the loop-spam/boilerplate filter maxtf_ratio_histogram
+    (unigram) and repetition_ratio (dup-mass axis) don't cover: a doc
+    repeating one PHRASE sails under both.
+
+    Determinism: top_q6 = (1e6·max) div total per (doc, n) — all
+    integer; per-source mean is a BIGINT sum floor-divided; the cut
+    compares q6 integers.
+
+    Scale shape: the tokenized words table is localCheckpoint'd once and
+    feeds three map-side gram explodes (the CLAUDE tf discipline); the
+    only shuffle is the (doc, n, gram) count agg with map-side combine;
+    docs shorter than n drop out of that n's row by construction."""
+    d = _docs(spark, sf_dir).select(
+        "source", "doc_id", spark_tokens("text").alias("words")
+    ).localCheckpoint()
+    parts = []
+    for n in (2, 3, 4):
+        gram_expr = " || ' ' || ".join(
+            f"words[i+{j}]" if j else "words[i]" for j in range(n)
+        )
+        parts.append(
+            d.where(F.size("words") >= n).select(
+                "source",
+                "doc_id",
+                F.lit(n).alias("n"),
+                F.explode(
+                    F.expr(f"transform(sequence(0, size(words) - {n}), i -> {gram_expr})")
+                ).alias("gram"),
+            )
+        )
+    g = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    c = g.groupBy("source", "doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    p = c.groupBy("source", "doc_id", "n").agg(
+        F.expr("CAST((1000000 * max(c)) div CAST(sum(c) AS BIGINT) AS BIGINT)").alias("top_q6")
+    )
+    return (
+        p.groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("CAST(CAST(sum(top_q6) AS BIGINT) div count(*) AS BIGINT)").alias(
+                "mean_top_share_q6"
+            ),
+            F.expr(
+                f"CAST(COALESCE(sum(CASE WHEN top_q6 > {_TOPGRAM_CUT_SQL} THEN 1 ELSE 0 END), 0) AS BIGINT)"
+            ).alias("n_fail"),
+        )
+        .select("source", F.col("n").cast("long").alias("n"), "n_docs",
+                "mean_top_share_q6", "n_fail")
+        .orderBy("source", "n")
+    )
+
+
+_PREFIX_KS = (4, 8, 16)
+
+
+@register(
+    "prefix_cache_hit_estimate",
+    f"""WITH w AS ({SQL_WORDS}),
+f AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS nt, words FROM w),
+s AS (
+  SELECT 4 AS k, nt, md5(array_to_string(words[1:4], ' ')) AS pfx FROM f WHERE nt >= 4
+  UNION ALL
+  SELECT 8, nt, md5(array_to_string(words[1:8], ' ')) FROM f WHERE nt >= 8
+  UNION ALL
+  SELECT 16, nt, md5(array_to_string(words[1:16], ' ')) FROM f WHERE nt >= 16),
+gp AS (SELECT k, pfx, CAST(count(*) AS BIGINT) AS c, CAST(sum(nt) AS BIGINT) AS snt
+       FROM s GROUP BY k, pfx)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(k * (sum(c) - count(*)) AS BIGINT) AS saved_tokens,
+       CAST((1000000 * k * (sum(c) - count(*))) // CAST(sum(snt) AS BIGINT)
+            AS BIGINT) AS saved_share_q6
+FROM gp GROUP BY k ORDER BY k""",
+)
+def prefix_cache_hit_estimate(spark, sf_dir):
+    """KV-prefix-cache planning number for LLM serving/scoring runs over
+    this corpus: for prefix lengths k=4/8/16 tokens, group docs by their
+    exact k-token prefix — every doc beyond a group's first reuses that
+    prefix's KV cache (vLLM/SGLang radix-prefix sharing), so
+    saved_tokens = k·(docs − groups) and saved_share is that mass over
+    the groups' total prefill tokens. The curve says whether prefix
+    caching pays on THIS corpus (boilerplate-heavy corpora → large
+    groups) before anyone provisions cache memory for it.
+
+    Determinism: prefixes compare by md5 of the space-joined 1-based
+    k-slice (slice semantics agree in both engines); all outputs are
+    exact integers with one floor division.
+
+    Scale shape: one pass computes all three prefix hashes map-side off
+    the checkpointed words table; the only shuffle is the (k, prefix)
+    count agg — group sizes are corpus-frequency bounded, and the final
+    rollup is 3 rows."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", spark_tokens("text").alias("words")
+    )
+    f = d.select("doc_id", F.size("words").cast("long").alias("nt"), "words")
+    parts = []
+    for k in _PREFIX_KS:
+        parts.append(
+            f.where(F.col("nt") >= k).select(
+                F.lit(k).alias("k"),
+                "nt",
+                F.md5(F.array_join(F.slice("words", 1, k), " ")).alias("pfx"),
+            )
+        )
+    s = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    gp = s.groupBy("k", "pfx").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("nt").cast("long").alias("snt"),
+    )
+    return (
+        gp.groupBy("k")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.expr("CAST(first(k) * (sum(c) - count(*)) AS BIGINT)").alias("saved_tokens"),
+            F.expr(
+                "CAST((1000000 * first(k) * (sum(c) - count(*)))"
+                " div CAST(sum(snt) AS BIGINT) AS BIGINT)"
+            ).alias("saved_share_q6"),
+        )
+        .select(F.col("k").cast("long").alias("k"), "n_docs", "n_groups",
+                "saved_tokens", "saved_share_q6")
+        .orderBy("k")
+    )
+
+
+@register(
+    "speculative_bigram_acceptance",
+    f"""WITH w AS ({SQL_WORDS}),
+pr AS (
+  SELECT source, words[i] AS w1, words[i+1] AS w2
+  FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
+  WHERE len(words) >= 2),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM pr GROUP BY w1, w2),
+mx AS (SELECT w1, max(c) AS mc FROM bc GROUP BY w1),
+best AS (SELECT bc.w1, min(bc.w2) AS best_w2
+         FROM bc JOIN mx ON mx.w1 = bc.w1 AND bc.c = mx.mc GROUP BY bc.w1)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(sum(CASE WHEN pr.w2 = best.best_w2 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_accept,
+       CAST((1000000 * COALESCE(sum(CASE WHEN pr.w2 = best.best_w2 THEN 1 ELSE 0 END), 0))
+            // count(*) AS BIGINT) AS accept_q6
+FROM pr JOIN best ON best.w1 = pr.w1
+GROUP BY source ORDER BY source""",
+)
+def speculative_bigram_acceptance(spark, sf_dir):
+    """Speculative-decoding draft-model sizing: if the draft is the
+    corpus's own bigram argmax (propose the most frequent continuation of
+    the previous token), what share of real next-tokens would it accept?
+    Per-source acceptance rate — the number that decides whether an
+    n-gram drafter (REST/prompt-lookup decoding) is worth wiring up for
+    THIS corpus before touching a neural draft model. Distinct from
+    bigram_lm_surprisal/entropy_rate: those score probability mass, this
+    scores the argmax hit rate the speculative loop actually experiences.
+
+    Determinism: the argmax is max count with LEXICOGRAPHIC-min w2
+    tiebreak via the portable max-join-back (the Q2/nation_richest rule —
+    never max_by on compound keys); the acceptance share is one floor
+    division.
+
+    Scale shape: the pair table is built once (localCheckpoint — feeds
+    the global count AND the acceptance join); count/argmax aggs key on
+    w1 (vocab-bounded), the acceptance probe joins pairs to the
+    vocab-sized best table on w1 (AQE broadcasts when small)."""
+    d = _docs(spark, sf_dir).select(
+        "source", "doc_id", spark_tokens("text").alias("words")
+    )
+    pr = (
+        d.where(F.size("words") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words) - 2),"
+                    " i -> named_struct('w1', words[i], 'w2', words[i+1]))"
+                )
+            ).alias("p"),
+        )
+        .select("source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .localCheckpoint()
+    )
+    bc = pr.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    mx = bc.groupBy("w1").agg(F.max("c").alias("mc"))
+    best = (
+        bc.join(mx, "w1")
+        .where(F.col("c") == F.col("mc"))
+        .groupBy("w1")
+        .agg(F.min("w2").alias("best_w2"))
+    )
+    return (
+        pr.join(best, "w1")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr(
+                "CAST(COALESCE(sum(CASE WHEN w2 = best_w2 THEN 1 ELSE 0 END), 0) AS BIGINT)"
+            ).alias("n_accept"),
+            F.expr(
+                "CAST((1000000 * COALESCE(sum(CASE WHEN w2 = best_w2 THEN 1 ELSE 0 END), 0))"
+                " div count(*) AS BIGINT)"
+            ).alias("accept_q6"),
+        )
+        .orderBy("source")
+    )
+
+
+_HNSW_M = 4
+_HNSW_MAX_LEVEL = 8
+# level >= l  ⇔  u <= 4^-l  ⇔  (k52 + 1) <= 2^(52 - 2l), k52 = first 13
+# md5 hex chars as a 52-bit int, u = (k52+1)/2^52 — exact integer ladder.
+_HNSW_THRESHOLDS = [(lvl, 1 << (52 - 2 * lvl)) for lvl in range(_HNSW_MAX_LEVEL, 0, -1)]
+_HNSW_LEVEL_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN k52 + 1 <= {t} THEN {lvl}" for lvl, t in _HNSW_THRESHOLDS
+    )
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "hnsw_level_plan",
+    f"""WITH e AS (SELECT vec_id FROM embeddings WHERE vec_id <> 0),
+k AS (SELECT vec_id,
+             CAST(('0x' || substr(md5('hnsw:' || CAST(vec_id AS VARCHAR)), 1, 13))::UBIGINT
+                  AS BIGINT) AS k52
+      FROM e),
+lv AS (SELECT vec_id, {_HNSW_LEVEL_CASE} AS lvl FROM k),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lv),
+cnt AS (SELECT lvl, CAST(count(*) AS BIGINT) AS n_nodes FROM lv GROUP BY lvl),
+spine AS (SELECT unnest(generate_series(0, {_HNSW_MAX_LEVEL})) AS lvl)
+SELECT CAST(spine.lvl AS BIGINT) AS lvl,
+       CAST(COALESCE(cnt.n_nodes, 0) AS BIGINT) AS n_nodes,
+       CAST((1000000 * n.total * 3) // CAST(power(4, spine.lvl + 1) AS BIGINT)
+            AS BIGINT) AS expected_nodes_q6
+FROM spine CROSS JOIN n LEFT JOIN cnt ON cnt.lvl = spine.lvl
+ORDER BY lvl""",
+)
+def hnsw_level_plan(spark, sf_dir):
+    """HNSW layer-assignment plan (Malkov & Yashunin 2018): every vector
+    draws its max layer from the geometric law P(level ≥ l) = M^-l
+    (M=4) — here from a SEEDED 52-bit md5 uniform ('hnsw:'||vec_id, the
+    weighted_sample_docs hash-input-disjointness rule), so the level map
+    is reproducible across engines and runs. Per-level node counts
+    against the exact expectation 3N/4^(l+1) — the capacity plan (layer
+    sizes, entry-point population) an HNSW build commits to before
+    allocating graph memory, and the first HNSW-family op beside the
+    IVF/PQ/LSH index planners.
+
+    Determinism: the level ladder is pure integer compares against
+    folded powers of two ((k52+1) ≤ 2^(52−2l)); expectation is one
+    integer floor division; the 0..8 level spine keeps empty levels
+    present.
+
+    Scale shape: one map-side hash + CASE per vector, one ≤9-bucket agg,
+    a 9-row spine join — no vector data read at all (column pruning to
+    vec_id)."""
+    e = _emb(spark, sf_dir).select("vec_id").where(F.col("vec_id") != 0)
+    k = e.select(
+        "vec_id",
+        F.expr(
+            "CAST(conv(substring(md5('hnsw:' || CAST(vec_id AS STRING)), 1, 13), 16, 10)"
+            " AS BIGINT) AS k52"
+        ),
+    )
+    lv = k.select(F.expr(_HNSW_LEVEL_CASE).alias("lvl"))
+    cnt = lv.groupBy("lvl").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n = lv.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    spine = spark.range(0, _HNSW_MAX_LEVEL + 1).select(F.col("id").cast("int").alias("lvl"))
+    return (
+        spine.crossJoin(F.broadcast(n))
+        .join(cnt, "lvl", "left")
+        .select(
+            F.col("lvl").cast("long").alias("lvl"),
+            F.coalesce(F.col("n_nodes"), F.lit(0)).cast("long").alias("n_nodes"),
+            F.expr(
+                f"CAST((1000000 * total * 3) div CAST(power(4, lvl + 1) AS BIGINT) AS BIGINT)"
+            ).alias("expected_nodes_q6"),
+        )
+        .orderBy("lvl")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -1181,6 +1513,9 @@ _FRONT = [
     "part_revenue_concentration", "query_string_search", "rescore_topn",
     "bigram_lm_surprisal", "sparse_cosine_pairs", "pagerank_ann_graph",
     "dup_ngram_fraction",
+    # session 227 (round 5): below the 50-slot sample boundary
+    "top_ngram_share_census", "prefix_cache_hit_estimate",
+    "speculative_bigram_acceptance", "hnsw_level_plan",
     # --- previously-front entries (r1-r4 driver rows + local replica) --
     "ann_ivf_nprobe_curve", "ltr_features", "clarity_score", "mad_doclen",
     "bootstrap_mean_doclen", "prf_rocchio_expand", "cooccurrence_ppmi",
