@@ -456,7 +456,10 @@ def main() -> None:
                  "ann_two_hop_histogram",
                  # session 227 flagships
                  "top_ngram_share_census", "prefix_cache_hit_estimate",
-                 "speculative_bigram_acceptance", "hnsw_level_plan"]:
+                 "speculative_bigram_acceptance", "hnsw_level_plan",
+                 # session 228 flagships
+                 "shard_fanout_compare", "sq8_clip_calibration",
+                 "winnow_density_audit"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -1464,6 +1464,316 @@ def hnsw_level_plan(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 228 — shard-layout planner, quantizer calibration, winnow audit
+# ---------------------------------------------------------------------------
+
+_FANOUT_S = 8
+_FANOUT_QUERIES = [
+    ("spark hash join", ["spark", "hash", "join"]),
+    ("dup", ["dup"]),
+    ("the spark", ["the", "spark"]),
+]
+_FANOUT_QT_SQL = " UNION ALL ".join(
+    f"SELECT '{q}' AS query, '{t}' AS term" for q, ts in _FANOUT_QUERIES for t in ts
+)
+
+
+@register(
+    "shard_fanout_compare",
+    f"""WITH tf AS ({SQL_TF}),
+qt AS ({_FANOUT_QT_SQL}),
+p AS (
+  SELECT qt.query, tf.term, tf.doc_id,
+         ('0x' || substr(md5('fd:' || CAST(tf.doc_id AS VARCHAR)), 1, 4))::UBIGINT::BIGINT
+           % {_FANOUT_S} AS dshard,
+         ('0x' || substr(md5('ft:' || tf.term), 1, 4))::UBIGINT::BIGINT
+           % {_FANOUT_S} AS tshard
+  FROM tf JOIN qt ON qt.term = tf.term),
+dl AS (SELECT query, dshard AS shard, CAST(count(*) AS BIGINT) AS rows_
+       FROM p GROUP BY query, dshard),
+tl AS (SELECT query, tshard AS shard, CAST(count(*) AS BIGINT) AS rows_
+       FROM p GROUP BY query, tshard),
+u AS (
+  SELECT query, 'doc' AS layout, CAST(count(*) AS BIGINT) AS shards_touched,
+         CAST(sum(rows_) AS BIGINT) AS total_rows, CAST(max(rows_) AS BIGINT) AS max_shard_rows
+  FROM dl GROUP BY query
+  UNION ALL
+  SELECT query, 'term', CAST(count(*) AS BIGINT), CAST(sum(rows_) AS BIGINT),
+         CAST(max(rows_) AS BIGINT)
+  FROM tl GROUP BY query)
+SELECT query, layout, shards_touched, total_rows, max_shard_rows,
+       CAST((1000000 * {_FANOUT_S} * max_shard_rows) // total_rows AS BIGINT)
+         AS imbalance_q6
+FROM u ORDER BY query, layout""",
+)
+def shard_fanout_compare(spark, sf_dir):
+    """Doc-partitioned vs term-partitioned index layout, priced per query
+    — THE distributed-IR architecture decision (Moffat & Zobel; ES/Lucene
+    ship doc partitioning, early web indexes shipped term partitioning):
+    for each canned query, the posting rows each of {_FANOUT_S} shards
+    would scan under doc routing (every shard touched, load ∝ its share
+    of matching postings) vs term routing (only the query terms' home
+    shards touched, load = whole postings lists). shards_touched ×
+    imbalance (1e6·S·max/total) is the fan-out/straggler trade:
+    doc routing fans wide but balances; term routing touches few shards
+    but a hot term IS a hot shard.
+
+    Determinism: shard keys are 16-bit md5 slices mod S with
+    hash-input-disjoint seeds ('fd:'/'ft:' — the weighted_sample_docs
+    rule, independent of every other routing coordinate in the registry);
+    counts exact, one floor division.
+
+    Scale shape: the query-terms table joins INTO the tf table (terms
+    broadcast — a few literal rows), shard keys are map-side, and both
+    rollups are ≤S·|queries| groups with map-side combine."""
+    tf = (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in _FANOUT_QUERIES for t in ts], "query string, term string"
+    )
+    p = (
+        tf.join(F.broadcast(qt), "term")
+        .select(
+            "query",
+            F.expr(
+                f"CAST(conv(substring(md5('fd:' || CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+                f" AS BIGINT) % {_FANOUT_S}"
+            ).alias("dshard"),
+            F.expr(
+                f"CAST(conv(substring(md5('ft:' || term), 1, 4), 16, 10) AS BIGINT)"
+                f" % {_FANOUT_S}"
+            ).alias("tshard"),
+        )
+    )
+    def lay(col, name):
+        per = p.groupBy("query", F.col(col).alias("shard")).agg(
+            F.count(F.lit(1)).cast("long").alias("rows_")
+        )
+        return per.groupBy("query").agg(
+            F.lit(name).alias("layout"),
+            F.count(F.lit(1)).cast("long").alias("shards_touched"),
+            F.sum("rows_").cast("long").alias("total_rows"),
+            F.max("rows_").cast("long").alias("max_shard_rows"),
+        )
+    u = lay("dshard", "doc").unionByName(lay("tshard", "term"))
+    return u.select(
+        "query", "layout", "shards_touched", "total_rows", "max_shard_rows",
+        F.expr(
+            f"CAST((1000000 * {_FANOUT_S} * max_shard_rows) div total_rows AS BIGINT)"
+        ).alias("imbalance_q6"),
+    ).orderBy("query", "layout")
+
+
+# clip codec shared expressions (identical strings both engines modulo the
+# div/// spelling): sigma in q6 from q3 sufficient sums, 2-sigma clip
+# clamped into [mn, mx], affine 255-code round trip on the clipped value.
+_SQC_SIGMA = (
+    "CAST(round(1000 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n) AS BIGINT)"
+)
+
+
+@register(
+    "sq8_clip_calibration",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(round(v[i] * 1000000) AS BIGINT) AS xq
+  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+  WHERE vec_id <> 0),
+st AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(min(xq) AS BIGINT) AS mn, CAST(max(xq) AS BIGINT) AS mx,
+         CAST(sum(xq // 1000) AS BIGINT) AS s1,
+         CAST(sum((xq // 1000) * (xq // 1000)) AS BIGINT) AS s2
+  FROM ex GROUP BY dim),
+cal AS (
+  SELECT dim, n, mn, mx,
+         greatest(mn, (1000 * s1) // n - 2 * {_SQC_SIGMA}) AS lo0,
+         least(mx, (1000 * s1) // n + 2 * {_SQC_SIGMA}) AS hi0
+  FROM st),
+cal2 AS (
+  SELECT dim, mn, mx,
+         CASE WHEN hi0 > lo0 THEN lo0 ELSE mn END AS lo,
+         CASE WHEN hi0 > lo0 THEN hi0 ELSE mx END AS hi
+  FROM cal),
+er AS (
+  SELECT ex.dim,
+         xq - (mn + CASE WHEN mx = mn THEN 0
+               ELSE (((xq - mn) * 255) // (mx - mn)) * (mx - mn) // 255 END) AS e_mm,
+         (CASE WHEN xq < lo THEN lo WHEN xq > hi THEN hi ELSE xq END) AS xc,
+         lo, hi, xq
+  FROM ex JOIN cal2 ON cal2.dim = ex.dim),
+er2 AS (
+  SELECT dim,
+         e_mm,
+         xq - (lo + CASE WHEN hi = lo THEN 0
+               ELSE (((xc - lo) * 255) // (hi - lo)) * (hi - lo) // 255 END) AS e_cl,
+         CASE WHEN xq < lo OR xq > hi THEN 1 ELSE 0 END AS clipped
+  FROM er)
+SELECT dim,
+       CAST(sum(e_mm * e_mm) AS BIGINT) AS sse_minmax_q12,
+       CAST(sum(e_cl * e_cl) AS BIGINT) AS sse_clip_q12,
+       CAST(sum(clipped) AS BIGINT) AS n_clipped
+FROM er2 GROUP BY dim ORDER BY dim""",
+)
+def sq8_clip_calibration(spark, sf_dir):
+    """SQ8 calibration bake-off: full min/max training (what
+    sq8_quantization_error audits) vs a mean±2σ CLIP calibration (the
+    TensorRT/FAISS-style trim that sacrifices outliers to give the 255
+    codes a tighter span) — per dimension, both codecs' exact integer SSE
+    plus the clipped-value count. Clip wins when sse_clip < sse_minmax:
+    outliers stretch the min/max span and waste code granularity on the
+    bulk; the per-dim verdict is the calibration knob a vector-store
+    rollout actually sets.
+
+    Determinism: codes/reconstructions are exact integer affine maps
+    (nonneg numerators, floor==trunc both engines); σ is ONE shared float
+    expression over q3 BIGINT sufficient sums (the 2^63 envelope rule:
+    q6 squares overflow at ~9e6 vectors, q3 squares hold to ~1e12),
+    q6-rounded BEFORE the clip bounds; degenerate σ spans fall back to
+    min/max per dim.
+
+    On the sandbox's outlier-free i.i.d. components min/max wins every
+    dim (clipping only destroys information when nothing sticks out) —
+    the honest reading, not a bug; clip earns its keep on heavy-tailed
+    real embedding dims.
+
+    Scale shape: one 64-row stats agg broadcast back; errors are
+    map-side; the final agg is 64 groups with map-side combine."""
+    ex = (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.expr("transform(embedding, x -> cast(x as double))")
+            ).alias("dim", "x"),
+        )
+        .withColumn("xq", F.round(F.col("x") * F.lit(1_000_000.0)).cast("long"))
+    )
+    st = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("xq").cast("long").alias("mn"),
+        F.max("xq").cast("long").alias("mx"),
+        F.sum(F.expr("xq div 1000")).cast("long").alias("s1"),
+        F.sum(F.expr("(xq div 1000) * (xq div 1000)")).cast("long").alias("s2"),
+    )
+    sigma = _SQC_SIGMA.replace("//", "div")
+    cal = st.select(
+        "dim", "mn", "mx",
+        F.expr(f"greatest(mn, (1000 * s1) div n - 2 * {sigma})").alias("lo0"),
+        F.expr(f"least(mx, (1000 * s1) div n + 2 * {sigma})").alias("hi0"),
+    ).select(
+        "dim", "mn", "mx",
+        F.expr("CASE WHEN hi0 > lo0 THEN lo0 ELSE mn END").alias("lo"),
+        F.expr("CASE WHEN hi0 > lo0 THEN hi0 ELSE mx END").alias("hi"),
+    )
+    er = (
+        ex.join(F.broadcast(cal), "dim")
+        .select(
+            "dim",
+            F.expr(
+                "xq - (mn + CASE WHEN mx = mn THEN 0"
+                " ELSE (((xq - mn) * 255) div (mx - mn)) * (mx - mn) div 255 END)"
+            ).alias("e_mm"),
+            F.expr(
+                "(CASE WHEN xq < lo THEN lo WHEN xq > hi THEN hi ELSE xq END)"
+                " - (lo + CASE WHEN hi = lo THEN 0"
+                " ELSE ((((CASE WHEN xq < lo THEN lo WHEN xq > hi THEN hi ELSE xq END)"
+                " - lo) * 255) div (hi - lo)) * (hi - lo) div 255 END)"
+                " + (xq - (CASE WHEN xq < lo THEN lo WHEN xq > hi THEN hi ELSE xq END))"
+            ).alias("e_cl"),
+            F.expr("CASE WHEN xq < lo OR xq > hi THEN 1 ELSE 0 END").alias("clipped"),
+        )
+    )
+    return (
+        er.groupBy("dim")
+        .agg(
+            F.sum(F.expr("e_mm * e_mm")).cast("long").alias("sse_minmax_q12"),
+            F.sum(F.expr("e_cl * e_cl")).cast("long").alias("sse_clip_q12"),
+            F.sum("clipped").cast("long").alias("n_clipped"),
+        )
+        .orderBy("dim")
+    )
+
+
+@register(
+    "winnow_density_audit",
+    f"""WITH w AS (SELECT doc_id, source, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words
+           FROM documents),
+h AS (
+  SELECT doc_id, source,
+         list_transform(generate_series(1, len(words) - 3),
+           i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])) AS hs
+  FROM w WHERE len(words) >= 8),
+d AS (
+  SELECT source,
+         CAST(len(hs) AS BIGINT) AS n_grams,
+         CAST(len(list_distinct(list_transform(generate_series(1, len(hs) - 4),
+           j -> list_min(list_slice(hs, j, j + 4))))) AS BIGINT) AS n_fps
+  FROM h)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_grams) AS BIGINT) AS total_grams,
+       CAST(sum(n_fps) AS BIGINT) AS total_fps,
+       CAST((1000000 * sum(n_fps)) // CAST(sum(n_grams) AS BIGINT) AS BIGINT)
+         AS density_q6,
+       CAST(333333 AS BIGINT) AS theory_q6
+FROM d GROUP BY source ORDER BY source""",
+)
+def winnow_density_audit(spark, sf_dir):
+    """Winnowing parameter audit: measured fingerprint density (selected
+    fingerprints per hashed 4-gram) against the algorithm's expected
+    2/(w+1) = 1/3 for window w=5 (Schleimer et al. 2003 §4) — the check
+    that the k=4/w=5 configuration winnow_fingerprints ships is actually
+    delivering its storage contract on THIS corpus (repetitive text
+    re-selects the same minimum across windows and lands BELOW theory —
+    distinct fps per doc — while adversarially alternating hashes land
+    above; a large gap is the signal to retune w before scaling the
+    fingerprint store).
+
+    Determinism: md5-lexicographic window minima (the winnow convention),
+    exact integer counts, one floor division; theory rides along as a
+    constant column for the diff.
+
+    Scale shape: entirely map-side per doc (array lambdas — no explode,
+    no shuffle before the per-source rollup); docs shorter than 8 tokens
+    carry no fingerprints and drop out, exactly as in the parent op."""
+    w = _docs(spark, sf_dir).select(
+        "doc_id", "source", spark_tokens("text").alias("words")
+    )
+    d = w.where(F.size("words") >= 8).select(
+        "source",
+        F.expr("CAST(size(words) - 3 AS BIGINT)").alias("n_grams"),
+        F.expr(
+            "CAST(size(array_distinct(transform(sequence(0, size(words) - 8), j ->"
+            " array_min(transform(sequence(j, j + 4), i ->"
+            " md5(concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3])))))))"
+            " AS BIGINT)"
+        ).alias("n_fps"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("total_grams"),
+            F.sum("n_fps").cast("long").alias("total_fps"),
+        )
+        .select(
+            "source", "n_docs", "total_grams", "total_fps",
+            F.expr(
+                "CAST((1000000 * total_fps) div CAST(total_grams AS BIGINT) AS BIGINT)"
+            ).alias("density_q6"),
+            F.lit(333333).cast("long").alias("theory_q6"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -1513,6 +1823,8 @@ _FRONT = [
     "part_revenue_concentration", "query_string_search", "rescore_topn",
     "bigram_lm_surprisal", "sparse_cosine_pairs", "pagerank_ann_graph",
     "dup_ngram_fraction",
+    # session 228 (round 5): below the 50-slot sample boundary
+    "shard_fanout_compare", "sq8_clip_calibration", "winnow_density_audit",
     # session 227 (round 5): below the 50-slot sample boundary
     "top_ngram_share_census", "prefix_cache_hit_estimate",
     "speculative_bigram_acceptance", "hnsw_level_plan",
