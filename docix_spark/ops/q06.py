@@ -897,8 +897,9 @@ def embedding_intrinsic_dim(spark, sf_dir):
     per-point q6-rounded FIRST, with a 1-µunit floor against exact-
     duplicate neighbors (r₁ = 0).
 
-    Scale shape: the pair join blocks on the IVF cell id (never
-    all-pairs); per-point top-2 is a qid window over in-cell rows; the
+    Scale shape: in-cell pairs come from the memoized
+    `_incell_pair_cos` table (cosq pipeline, swapped-union directed
+    view); per-point top-2 is a qid window over in-cell rows; the
     estimator is a 1-row reduction. On i.i.d. 64-dim sandbox vectors d̂
     lands far above real-data manifolds — the honest reading (real
     embeddings report 10-20).

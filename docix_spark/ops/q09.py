@@ -2665,8 +2665,9 @@ def ann_graph_components(spark, sf_dir):
     Determinism: the quantized-cosine edge set is engine-identical;
     counts exact.
 
-    Scale shape: edges come from the batch-ANN join (never all-pairs);
-    CC is the O(log diameter) label propagation; censuses are tiny."""
+    Scale shape: edges come from the memoized `_ann_knn_edges` table
+    (the batch-ANN join, never all-pairs); CC is the O(log diameter)
+    label propagation; censuses are tiny."""
     members, cent, final_assign = _trained_ivf(spark, sf_dir)
     dedges = _ann_knn_edges(spark, sf_dir)
     und = dedges.unionByName(
@@ -2985,7 +2986,8 @@ def ann_two_hop_histogram(spark, sf_dir):
     Determinism: the quantized-cosine edge set; exact distinct reach
     counts (UNION dedups the hop-1/hop-2 overlap).
 
-    Scale shape: the 2-hop join fans out ≤deg² per node (deg ≤ 6 after
+    Scale shape: hop-1 edges come from the memoized `_ann_knn_edges`
+    table; the 2-hop join fans out ≤deg² per node (deg ≤ 6 after
     symmetrizing top-3) and dedups on the (src, dst) pair key; rollups
     are ≤|bands| rows."""
     dedges = _ann_knn_edges(spark, sf_dir)

@@ -2170,10 +2170,11 @@ def ann_mutual_knn(spark, sf_dir):
     and the final cut order by q6 cosine with vec_id tiebreaks, so
     both engines select identical pairs.
 
-    Scale shape: pairs block on cid (the semdedup bound — never
-    all-pairs); the top-1 window partitions by vec_id over in-cell
-    rows; mutuality is a self-join of the |vectors|-sized top-1 table
-    on the reversed key."""
+    Scale shape: directed pairs derive from the memoized
+    `_incell_pair_cos` table (cosine is IEEE-symmetric, so the swapped
+    union is byte-identical to the ordered join it replaced); the top-1
+    window partitions by vec_id over in-cell rows; mutuality is a
+    self-join of the |vectors|-sized top-1 table on the reversed key."""
     up = _incell_pair_cos(spark, sf_dir).select(
         "id_a", "id_b", F.col("cosn_q6").alias("cos_q6")
     )

@@ -476,8 +476,9 @@ def semdedup_threshold_histogram(spark, sf_dir):
     floor(cos/0.1) via float floor on an exact integer/1e5 — identical
     both engines.
 
-    Scale shape: pairs block on cid (the semdedup bound); the band
-    rollup is ≤20 rows."""
+    Scale shape: pairs come from the memoized `_incell_pair_cos` front
+    half (blocked on cid — the semdedup bound); the band rollup is ≤20
+    rows."""
     pr = _incell_pair_cos(spark, sf_dir).select(F.col("cosn_q6").alias("cos_q6"))
     bk = pr.select(
         F.expr(
@@ -1006,8 +1007,9 @@ def semdedup_centroid_shift(spark, sf_dir):
     64·(1e6·n)² needs n ≲ 1e5 per the source_centroid_matrix envelope;
     beyond that, components floor to q3 first.
 
-    Scale shape: the drop set is semdedup's own bounded pair join;
-    both centroids are 64-row aggs; the cosine is a 64-row join."""
+    Scale shape: the drop set filters the memoized `_incell_pair_cos`
+    table (semdedup's own bounded pair join); both centroids are 64-row
+    aggs; the cosine is a 64-row join."""
     members, cent, assign = _trained_ivf(spark, sf_dir)
     dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, z) -> acc + z)"
     un = (

@@ -28,9 +28,10 @@ def ann_hits_scores(spark, sf_dir):
     1-row max (greatest(·,1) guards the empty graph); ranks tiebreak
     on vec_id.
 
-    Scale shape: edges block on IVF cells (the semdedup pair bound);
-    each of the 4 rounds is two node-keyed joins + a 1-row max
-    broadcast, localCheckpoint'd (the markov_stationary rule)."""
+    Scale shape: the in-cell pair scores come from the memoized
+    `_incell_pair_cos` table (cosq pipeline); each of the 4 rounds is
+    two node-keyed joins + a 1-row max broadcast, localCheckpoint'd
+    (the markov_stationary rule)."""
     upq = _incell_pair_cos(spark, sf_dir).select(
         F.col("id_a").alias("src"),
         F.col("id_b").alias("dst"),
