@@ -459,7 +459,9 @@ def main() -> None:
                  "speculative_bigram_acceptance", "hnsw_level_plan",
                  # session 228 flagships
                  "shard_fanout_compare", "sq8_clip_calibration",
-                 "winnow_density_audit"]:
+                 "winnow_density_audit",
+                 # session 229 flagships
+                 "ivf_nlist_sweep", "hybrid_weight_sweep"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -1775,6 +1775,323 @@ def winnow_density_audit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 229 — IVF nlist sweep, hybrid fusion weight sweep
+# ---------------------------------------------------------------------------
+
+_NLIST_KS = (4, 8, 16)
+
+
+def _nlist_ctes(k: int) -> str:
+    """The trained-k-means chain of `_KMEANS_SQL_PRELUDE` (seed init from
+    vec_id 1..K, two Lloyd rounds, final assignment) with every CTE name
+    suffixed `_k{K}` so three quantizers coexist in one statement, plus
+    the batch probe (top-3 cells per query) and per-query candidate set."""
+    s = f"_k{k}"
+    return f""",
+cent0{s} AS (
+  SELECT vec_id AS cid,
+         list_transform(v, x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS DOUBLE)) AS cv
+  FROM e WHERE vec_id BETWEEN 1 AND {k}
+),
+s1{s} AS (
+  SELECT e.vec_id, c.cid,
+         CAST(round(1000000000 * list_dot_product(e.v, c.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))) AS BIGINT) AS cq
+  FROM e, cent0{s} c WHERE e.vec_id <> 0
+),
+a1{s} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cq DESC, cid ASC) AS rn
+    FROM s1{s}) WHERE rn = 1
+),
+dims1{s} AS (
+  SELECT a1{s}.cid, i, SUM(CAST(round(e.v[i] * 1000000) AS BIGINT)) AS s
+  FROM e JOIN a1{s} USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY a1{s}.cid, i
+),
+cent1{s} AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv FROM dims1{s} GROUP BY cid),
+s2{s} AS (
+  SELECT e.vec_id, c.cid,
+         CAST(round(1000000000 * list_dot_product(e.v, c.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))) AS BIGINT) AS cq
+  FROM e, cent1{s} c WHERE e.vec_id <> 0
+),
+a2{s} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cq DESC, cid ASC) AS rn
+    FROM s2{s}) WHERE rn = 1
+),
+dims2{s} AS (
+  SELECT a2{s}.cid, i, SUM(CAST(round(e.v[i] * 1000000) AS BIGINT)) AS s
+  FROM e JOIN a2{s} USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY a2{s}.cid, i
+),
+cent2{s} AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv FROM dims2{s} GROUP BY cid),
+s3{s} AS (
+  SELECT e.vec_id, c.cid,
+         CAST(round(1000000000 * list_dot_product(e.v, c.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))) AS BIGINT) AS cq
+  FROM e, cent2{s} c WHERE e.vec_id <> 0
+),
+a3{s} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cq DESC, cid ASC) AS rn
+    FROM s3{s}) WHERE rn = 1
+),
+bp{s} AS (
+  SELECT qid, cid FROM (
+    SELECT qs.qid, c.cid,
+           row_number() OVER (PARTITION BY qs.qid ORDER BY
+             CAST(round(1000000000 * list_dot_product(c.cv, qs.qv)
+               / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) DESC,
+             c.cid ASC) AS rn
+    FROM qs, cent2{s} c) WHERE rn <= 3
+),
+cand{s} AS (
+  SELECT qs.qid, e.vec_id,
+         CAST(round(1000000 * list_dot_product(e.v, qs.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) AS cos_q6
+  FROM qs JOIN bp{s} USING (qid) JOIN a3{s} ON a3{s}.cid = bp{s}.cid
+       JOIN e ON e.vec_id = a3{s}.vec_id
+),
+top{s} AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cos_q6 DESC, vec_id ASC) AS rnk
+    FROM cand{s}) WHERE rnk <= 10
+),
+roll{s} AS (
+  SELECT CAST({k} AS BIGINT) AS nlist,
+         CAST((SELECT count(*) FROM qs) AS BIGINT) AS n_queries,
+         CAST((SELECT count(*) FROM top{s} t JOIN bexact x USING (qid, vec_id)) AS BIGINT)
+           AS sum_overlap,
+         CAST((SELECT count(*) FROM cand{s}) AS BIGINT) AS scanned_total
+)"""
+
+
+_NLIST_SQL = (
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 37 = 0),
+bexact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qs.qid, e.vec_id,
+           row_number() OVER (PARTITION BY qs.qid ORDER BY
+             CAST(round(1000000 * list_dot_product(e.v, qs.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.qv, qs.qv)))) AS BIGINT) DESC,
+             e.vec_id ASC) AS rn
+    FROM qs, e WHERE e.vec_id <> 0) WHERE rn <= 10
+)"""
+    + "".join(_nlist_ctes(k) for k in _NLIST_KS)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT nlist, n_queries, sum_overlap,
+       CAST((1000000 * sum_overlap) // (10 * n_queries) AS BIGINT) AS recall_q6,
+       CAST(scanned_total // n_queries AS BIGINT) AS mean_scanned
+FROM roll_k{k}"""
+        for k in _NLIST_KS
+    )
+    + "\nORDER BY nlist"
+)
+
+
+@register("ivf_nlist_sweep", _NLIST_SQL)
+def ivf_nlist_sweep(spark, sf_dir):
+    """The OTHER FAISS IVF knob: nlist (cell count) sweep at fixed
+    nprobe=3 — K=4/8/16 quantizers each trained exactly like
+    `_trained_ivf` (seed init vec_id 1..K, two Lloyd rounds), probed by
+    the %37 query batch, scored for recall@10 against the ONE shared
+    brute-force exact top-10 plus mean scanned candidates per query.
+    ann_ivf_nprobe_curve fixes nlist and sweeps nprobe; together they
+    span the (nlist, nprobe) grid every IVF deployment tunes: bigger K
+    cuts scan cost ~3N/K per query but fragments true neighborhoods
+    across cell boundaries.
+
+    Determinism: the full q9-quantized assignment/probe chain of the
+    shared quantizer, vec_id tiebreaks everywhere; recall and scan means
+    are integer floor divisions.
+
+    Scale shape: K=8 reuses the MEMOIZED `_trained_ivf`; the extra
+    trainings are 2 Lloyd rounds each (centroids broadcast, per-vector
+    window); candidates join on cell id (never all-pairs); the exact
+    leg is |queries|xN — the same documented truth-set cost every
+    *_recall op pays, batch-bounded by the %37 sampling."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    members = e.where(F.col("vec_id") != 0)
+    qs = e.where(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
+    exact = (
+        members.crossJoin(F.broadcast(qs))
+        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+        .localCheckpoint()  # one truth set serves all three sweeps
+    )
+    n_q = qs.count()
+    rolls = []
+    for k in _NLIST_KS:
+        if k == _KMEANS_K:
+            _m, cent, assign = _trained_ivf(spark, sf_dir)
+        else:
+            cent = members.where(F.col("vec_id").between(1, k)).select(
+                F.col("vec_id").alias("cid"),
+                F.expr(
+                    "transform(v, x -> cast(cast(round(x * 1000000) as bigint) as double))"
+                ).alias("cv"),
+            )
+            for _ in range(2):
+                assign = _kmeans_assign(members, cent)
+                cent = _kmeans_cent(members, assign)
+            assign = _kmeans_assign(members, cent)
+        wq = Window.partitionBy("qid").orderBy(F.desc("cq"), F.asc("cid"))
+        bp = (
+            qs.crossJoin(F.broadcast(cent))
+            .select("qid", "qv", "cid", _cosq("cv", "qv", 1_000_000_000).alias("cq"))
+            .withColumn("rn", F.row_number().over(wq))
+            .where(F.col("rn") <= 3)
+            .select("qid", "qv", "cid")
+        )
+        cand = (
+            members.join(assign, "vec_id")
+            .join(F.broadcast(bp), "cid")
+            .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
+            .localCheckpoint()  # feeds the top-10 window AND the scan count
+        )
+        top = (
+            cand.withColumn("rnk", F.row_number().over(wr))
+            .where(F.col("rnk") <= 10)
+            .select("qid", "vec_id")
+        )
+        ov = top.join(exact, ["qid", "vec_id"]).count()
+        sc = cand.count()
+        rolls.append((k, n_q, ov, (1_000_000 * ov) // (10 * n_q), sc // n_q))
+    return spark.createDataFrame(
+        rolls,
+        "nlist long, n_queries long, sum_overlap long, recall_q6 long,"
+        " mean_scanned long",
+    ).orderBy("nlist")
+
+
+_HWS_WEIGHTS = (300_000, 500_000, 700_000, 900_000)
+
+
+@register(
+    "hybrid_weight_sweep",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + f""",
+lex AS (SELECT doc_id, score_q6 FROM agg WHERE doc_id <> 0
+        ORDER BY score_q6 DESC, doc_id ASC LIMIT 20),
+lst AS (SELECT min(score_q6) AS lmn, max(score_q6) AS lmx FROM lex),
+vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+vc AS (
+  SELECT e.vec_id AS doc_id,
+         CAST(round(
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), vq.qv)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(vq.qv, vq.qv))) * 1000000
+         ) AS BIGINT) AS cos_q6
+  FROM embeddings e, vq WHERE e.vec_id <> 0),
+vec AS (SELECT doc_id, cos_q6 FROM vc ORDER BY cos_q6 DESC, doc_id ASC LIMIT 20),
+vst AS (SELECT min(cos_q6) AS vmn, max(cos_q6) AS vmx FROM vec),
+ws AS ({" UNION ALL ".join(f"SELECT CAST({w} AS BIGINT) AS w" for w in _HWS_WEIGHTS)}),
+fused AS (
+  SELECT ws.w,
+         COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         CASE WHEN lex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_lex,
+         CASE WHEN vec.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_vec,
+         CAST(round(
+           ws.w * ({_LIN_NORM.format(id='lex.doc_id', s='lex.score_q6', mn='lmn', mx='lmx')})
+         + (1000000 - ws.w) * ({_LIN_NORM.format(id='vec.doc_id', s='vec.cos_q6', mn='vmn', mx='vmx')})
+         ) AS BIGINT) AS lin_q6
+  FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id, lst, vst, ws),
+pg AS (
+  SELECT w, doc_id, in_lex, in_vec,
+         row_number() OVER (PARTITION BY w ORDER BY lin_q6 DESC, doc_id ASC) AS rn
+  FROM fused)
+SELECT w AS w_q6,
+       CAST(COALESCE(sum(in_lex), 0) AS BIGINT) AS n_from_lex,
+       CAST(COALESCE(sum(in_vec), 0) AS BIGINT) AS n_from_vec,
+       CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS top1_doc_id
+FROM pg WHERE rn <= 10 GROUP BY w ORDER BY w""",
+)
+def hybrid_weight_sweep(spark, sf_dir):
+    """The tuning curve behind hybrid_linear_search's fixed 0.7/0.3: the
+    SAME min-max-normalized legs fused at w = 0.3/0.5/0.7/0.9, reporting
+    per weight how many of the top-10 come from each leg and the top-1
+    doc — the dial-position evidence (lexical-dominant vs
+    vector-dominant page composition) a hybrid rollout reads before
+    freezing the weight. Completes the retrieval tuning-curve family
+    (bm25_param_sweep: (k1,b); ann_ivf_nprobe_curve/ivf_nlist_sweep:
+    ANN; this: the fusion dial).
+
+    Determinism: identical leg construction and normalization as the
+    parent op (quantized scores, integer weights); the page is a per-w
+    window over ≤40 fused rows with doc_id tiebreaks.
+
+    Scale shape: both legs end in TakeOrdered(20) and are
+    localCheckpoint'd ONCE (they feed all four weights); the weight
+    spine is a 4-row broadcast; fusion and the page windows see ≤160
+    rows regardless of corpus size."""
+    lex = (
+        _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
+        .where(F.col("doc_id") != 0)
+        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "score_q6")
+        .localCheckpoint()
+    )
+    lst = lex.agg(F.min("score_q6").alias("lmn"), F.max("score_q6").alias("lmx"))
+    vec = (
+        _cos_spark(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"), _q6(F.col("cos")).alias("cos_q6"))
+        .orderBy(F.desc("cos_q6"), F.asc("doc_id"))
+        .limit(20)
+        .localCheckpoint()
+    )
+    vst = vec.agg(F.min("cos_q6").alias("vmn"), F.max("cos_q6").alias("vmx"))
+    ws = spark.createDataFrame([(w,) for w in _HWS_WEIGHTS], "w long")
+    a = lex.select(F.col("doc_id").alias("ldoc"), "score_q6")
+    b = vec.select(F.col("doc_id").alias("vdoc"), "cos_q6")
+    fused = (
+        a.join(b, F.col("ldoc") == F.col("vdoc"), "full")
+        .crossJoin(F.broadcast(lst))
+        .crossJoin(F.broadcast(vst))
+        .crossJoin(F.broadcast(ws))
+        .select(
+            "w",
+            F.coalesce(F.col("ldoc"), F.col("vdoc")).alias("doc_id"),
+            F.expr("CASE WHEN ldoc IS NOT NULL THEN 1 ELSE 0 END").alias("in_lex"),
+            F.expr("CASE WHEN vdoc IS NOT NULL THEN 1 ELSE 0 END").alias("in_vec"),
+            F.expr(
+                "CAST(round("
+                f"w * ({_LIN_NORM.format(id='ldoc', s='score_q6', mn='lmn', mx='lmx')})"
+                f" + (1000000 - w) * ({_LIN_NORM.format(id='vdoc', s='cos_q6', mn='vmn', mx='vmx')})"
+                ") AS BIGINT)"
+            ).alias("lin_q6"),
+        )
+    )
+    wpg = Window.partitionBy("w").orderBy(F.desc("lin_q6"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(wpg))
+        .where(F.col("rn") <= 10)
+        .groupBy("w")
+        .agg(
+            F.expr("CAST(COALESCE(sum(in_lex), 0) AS BIGINT)").alias("n_from_lex"),
+            F.expr("CAST(COALESCE(sum(in_vec), 0) AS BIGINT)").alias("n_from_vec"),
+            F.expr("CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)").alias(
+                "top1_doc_id"
+            ),
+        )
+        .select(F.col("w").alias("w_q6"), "n_from_lex", "n_from_vec", "top1_doc_id")
+        .orderBy("w_q6")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -1824,6 +2141,8 @@ _FRONT = [
     "part_revenue_concentration", "query_string_search", "rescore_topn",
     "bigram_lm_surprisal", "sparse_cosine_pairs", "pagerank_ann_graph",
     "dup_ngram_fraction",
+    # session 229 (round 5): below the 50-slot sample boundary
+    "ivf_nlist_sweep", "hybrid_weight_sweep",
     # session 228 (round 5): below the 50-slot sample boundary
     "shard_fanout_compare", "sq8_clip_calibration", "winnow_density_audit",
     # session 227 (round 5): below the 50-slot sample boundary
