@@ -461,7 +461,9 @@ def main() -> None:
                  "shard_fanout_compare", "sq8_clip_calibration",
                  "winnow_density_audit",
                  # session 229 flagships
-                 "ivf_nlist_sweep", "hybrid_weight_sweep"]:
+                 "ivf_nlist_sweep", "hybrid_weight_sweep",
+                 # session 230 flagships
+                 "hll_window_users", "postings_skiplist_estimate"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

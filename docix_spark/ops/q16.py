@@ -2092,6 +2092,180 @@ def hybrid_weight_sweep(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 230 — windowed HLL contract twin, postings skip-list model
+# ---------------------------------------------------------------------------
+
+_US_PER_HOUR = 3_600_000_000
+
+
+@register(
+    "hll_window_users",
+    f"""WITH h AS (
+  SELECT (epoch_us(ts) // {_US_PER_HOUR}) * 3600 AS window_start_epoch,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT AS h
+  FROM events),
+rr AS (
+  SELECT window_start_epoch, h % 256 AS reg,
+         CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END AS rnk
+  FROM h),
+regs AS (SELECT window_start_epoch, reg, max(rnk) AS maxr
+         FROM rr GROUP BY window_start_epoch, reg),
+z AS (
+  SELECT window_start_epoch, count(*) AS hit,
+         sum((1::BIGINT << (53 - maxr))) AS z_hit
+  FROM regs GROUP BY window_start_epoch),
+est AS (
+  SELECT window_start_epoch, CAST(256 - hit AS BIGINT) AS zeros,
+         z_hit + (256 - hit) * (1::BIGINT << 53) AS z_int
+  FROM z),
+ex AS (SELECT (epoch_us(ts) // {_US_PER_HOUR}) * 3600 AS window_start_epoch,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+       FROM events GROUP BY 1)
+SELECT CAST(est.window_start_epoch AS BIGINT) AS window_start_epoch,
+       ex.n_exact,
+       {_HLL_EST_Q6} AS hll_q6
+FROM est JOIN ex ON ex.window_start_epoch = est.window_start_epoch
+ORDER BY window_start_epoch""",
+)
+def hll_window_users(spark, sf_dir):
+    """Distinct users per tumbling hour, SKETCHED: a 256-register HLL per
+    window with the cardinality_sketch estimator (exact count rides along
+    as the accuracy audit, the ex-CTE convention) — the contract twin of
+    the round-5 APPEND-mode streaming query
+    (streaming/events.py::hll_window_stream), the first WINDOWED sketch
+    beside the six running-agg twins: per-window register blocks merge by
+    MAX within their window, finalize when the watermark passes, and the
+    state bound is (open windows × 256) rows however many users flow.
+
+    Determinism: integer hour keys from unix_micros (UTC session, the
+    events_asof rule); the register/rank/estimator chain is verbatim
+    cardinality_sketch's (estimator constant Python-folded in
+    e-notation).
+
+    Scale shape: one map-side hash pass; the register agg keys on
+    (window, reg) with map-side combine and is ≤256 rows per hour; the
+    exact leg exists only as the audit column (at true scale you ship
+    ONLY the sketch — that is the point)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = ev.select(
+        F.expr(
+            f"(unix_micros(cast(ts as timestamp)) div {_US_PER_HOUR}) * 3600"
+        ).alias("window_start_epoch"),
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"
+        ).alias("h"),
+    )
+    rr = h.select(
+        "window_start_epoch",
+        F.expr("h % 256").alias("reg"),
+        F.expr(
+            "CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END"
+        ).alias("rnk"),
+    )
+    regs = rr.groupBy("window_start_epoch", "reg").agg(F.max("rnk").alias("maxr"))
+    est = regs.groupBy("window_start_epoch").agg(
+        F.count(F.lit(1)).alias("hit"),
+        F.sum(F.expr("CAST(1 AS BIGINT) << (53 - maxr)")).alias("z_hit"),
+    ).select(
+        "window_start_epoch",
+        F.expr("CAST(256 - hit AS BIGINT)").alias("zeros"),
+        F.expr("z_hit + (256 - hit) * (CAST(1 AS BIGINT) << 53)").alias("z_int"),
+    )
+    ex = ev.select(
+        F.expr(
+            f"(unix_micros(cast(ts as timestamp)) div {_US_PER_HOUR}) * 3600"
+        ).alias("window_start_epoch"),
+        "user_id",
+    ).groupBy("window_start_epoch").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        est.join(ex, "window_start_epoch")
+        .select(
+            F.col("window_start_epoch").cast("long").alias("window_start_epoch"),
+            "n_exact",
+            F.expr(_HLL_EST_Q6).alias("hll_q6"),
+        )
+        .orderBy("window_start_epoch")
+    )
+
+
+_SKIP_INTERVAL = 8
+_SKIP_MAX_LEVELS = 6
+_SKIP_SUM = " + ".join(
+    f"df // {_SKIP_INTERVAL ** l}" for l in range(1, _SKIP_MAX_LEVELS + 1)
+)
+
+
+@register(
+    "postings_skiplist_estimate",
+    f"""WITH tf AS ({SQL_TF}),
+d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS band, df,
+         CAST({_SKIP_SUM} AS BIGINT) AS skips,
+         CASE WHEN df >= {_SKIP_INTERVAL} THEN CAST(length(bin(df)) // 3 AS BIGINT) ELSE 0 END AS lv
+  FROM d)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS total_postings,
+       CAST(COALESCE(sum(skips), 0) AS BIGINT) AS skip_entries,
+       CAST(max(lv) AS BIGINT) AS max_levels,
+       CAST((1000000 * COALESCE(sum(skips), 0)) // CAST(sum(df) AS BIGINT) AS BIGINT)
+         AS skip_share_q6
+FROM s GROUP BY band ORDER BY band""",
+)
+def postings_skiplist_estimate(spark, sf_dir):
+    """Skip-list sizing for the postings store (the Lucene multi-level
+    skip structure, interval {_SKIP_INTERVAL}): per log2-df band, how
+    many skip entries each level ladder adds (Σ_l df div 8^l), the
+    deepest level, and the skip share per posting — the fourth axis of
+    the postings storage model beside varint bytes
+    (postings_varint_estimate), Roaring containers
+    (postings_roaring_estimate) and the gap-entropy lower bound: skips
+    buy the WAND/MaxScore seeks blockmax_tightness_curve prices, and
+    this is what they cost.
+
+    Determinism: pure integer floor arithmetic (the level count uses
+    length(bin(df)) div 3 ≈ floor(log8) for df ≥ 8 — an exact integer
+    convention, stated, not a float log).
+
+    Scale shape: df is the standard two-phase agg; the band rollup is
+    ≤~30 rows with map-side combine."""
+    d = (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    s = d.select(
+        F.expr("CAST(length(bin(df)) - 1 AS BIGINT)").alias("band"),
+        "df",
+        F.expr(f"CAST({_SKIP_SUM.replace('//', 'div')} AS BIGINT)").alias("skips"),
+        F.expr(
+            f"CASE WHEN df >= {_SKIP_INTERVAL} THEN CAST(length(bin(df)) div 3 AS BIGINT)"
+            " ELSE 0 END"
+        ).alias("lv"),
+    )
+    return (
+        s.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("total_postings"),
+            F.expr("CAST(COALESCE(sum(skips), 0) AS BIGINT)").alias("skip_entries"),
+            F.max("lv").cast("long").alias("max_levels"),
+        )
+        .select(
+            "band", "n_terms", "total_postings", "skip_entries", "max_levels",
+            F.expr(
+                "CAST((1000000 * skip_entries) div CAST(total_postings AS BIGINT)"
+                " AS BIGINT)"
+            ).alias("skip_share_q6"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -2141,6 +2315,8 @@ _FRONT = [
     "part_revenue_concentration", "query_string_search", "rescore_topn",
     "bigram_lm_surprisal", "sparse_cosine_pairs", "pagerank_ann_graph",
     "dup_ngram_fraction",
+    # session 230 (round 5): below the 50-slot sample boundary
+    "hll_window_users", "postings_skiplist_estimate",
     # session 229 (round 5): below the 50-slot sample boundary
     "ivf_nlist_sweep", "hybrid_weight_sweep",
     # session 228 (round 5): below the 50-slot sample boundary

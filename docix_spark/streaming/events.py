@@ -889,3 +889,97 @@ def value_hist_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# WINDOWED HLL — per-tumbling-window sketch under a watermark (round 5)
+# ---------------------------------------------------------------------------
+
+
+def hll_window_registers(events: DataFrame) -> DataFrame:
+    """Batch twin: the 256-register HLL table PER tumbling 1-hour window —
+    distinct-user structure per hour, the windowed counterpart of
+    hll_user_registers' single running sketch. Register rows per window
+    merge by MAX exactly as in the running form; the window key just
+    scopes the merge."""
+    return (
+        _hll_user_ranks_windowed(events)
+        .groupBy("window_start_epoch", "reg")
+        .agg(F.max("rnk").cast("long").alias("maxr"))
+        .select(
+            "window_start_epoch", F.col("reg").cast("long").alias("reg"), "maxr"
+        )
+        .orderBy("window_start_epoch", "reg")
+    )
+
+
+def _hll_user_ranks_windowed(events: DataFrame) -> DataFrame:
+    return events.select(
+        F.window("ts", "1 hour").alias("w"),
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"
+        ).alias("h"),
+    ).select(
+        F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start_epoch"),
+        F.expr("h % 256").alias("reg"),
+        F.expr(
+            "CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END"
+        ).alias("rnk"),
+    )
+
+
+def hll_window_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "events_hll_window",
+    watermark: str = "30 minutes",
+):
+    """Streaming windowed-HLL maintenance in APPEND mode — the seventh
+    streaming-state shape and the first WINDOWED sketch (all prior sketch
+    twins are complete-mode running aggs): tumbling 1-hour windows of
+    distinct-user registers under a watermark, each window's ≤256-row
+    register block emitted exactly once when the watermark passes its
+    end, its state then evicted. State is bounded by (open windows ×
+    256) rows regardless of stream length OR user cardinality — the
+    production shape for 'distinct users per hour' on an unbounded
+    stream, where the exact-distinct form's per-window state grows with
+    users. Late rows beyond the watermark are dropped, the documented
+    append-mode trade (the batch twin over the full file set is the
+    reconciliation path)."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(input_dir)
+    regs = (
+        stream.withWatermark("ts", watermark)
+        .select(
+            F.col("ts"),
+            F.expr(
+                "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"
+            ).alias("h"),
+        )
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.expr("h % 256").alias("reg"),
+        )
+        .agg(
+            F.max(
+                F.expr(
+                    "CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END"
+                )
+            ).cast("long").alias("maxr")
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start_epoch"),
+            F.col("reg").cast("long").alias("reg"),
+            "maxr",
+        )
+    )
+    return (
+        regs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -557,3 +557,50 @@ def test_value_hist_stream_equals_batch_cells(spark, event_drops, tmp_root):
         b = max(r.c, 1).bit_length() - 1
         model[b] = model.get(b, 0) + 1
     assert got == sorted(model.items())
+
+
+def test_hll_window_stream_append_equals_batch_finalized(spark, event_drops, tmp_root):
+    """Round-5 windowed-sketch shape: the APPEND-mode tumbling-window HLL
+    emits exactly the windows the watermark finalized, each window's
+    register block identical to the batch twin's — per-window max-merge
+    + watermark finalization composing correctly is THE property. With
+    availableNow over chronological drops, every window strictly older
+    than max(ts) - watermark - 1h is guaranteed finalized."""
+    from docix_spark.streaming.events import (
+        hll_window_registers,
+        hll_window_stream,
+    )
+
+    q = hll_window_stream(
+        spark, event_drops, f"{tmp_root}/hllw_ckpt", query_name="t_ev_hllw",
+        watermark="30 minutes",
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.window_start_epoch, r.reg): r.maxr
+        for r in spark.sql("SELECT * FROM t_ev_hllw").collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want_all = {
+        (r.window_start_epoch, r.reg): r.maxr
+        for r in hll_window_registers(ev).collect()
+    }
+    assert got, "append stream emitted no finalized windows"
+    # every emitted block matches the batch twin exactly
+    for k, v in got.items():
+        assert want_all[k] == v
+    # emitted windows are exactly a prefix of event time: everything
+    # guaranteed-finalized is present
+    import datetime as _dt
+
+    max_ts = ev.agg({"ts": "max"}).collect()[0][0]
+    cutoff = max_ts - _dt.timedelta(minutes=30) - _dt.timedelta(hours=1)
+    cutoff_epoch = int(cutoff.replace(tzinfo=_dt.timezone.utc).timestamp())
+    finalized = {w for (w, _) in want_all if w < cutoff_epoch}
+    emitted = {w for (w, _) in got}
+    assert finalized <= emitted
+    # state/emission bound: no window block exceeds the 256 registers
+    from collections import Counter
+
+    per_w = Counter(w for (w, _) in got)
+    assert max(per_w.values()) <= 256
