@@ -463,7 +463,9 @@ def main() -> None:
                  # session 229 flagships
                  "ivf_nlist_sweep", "hybrid_weight_sweep",
                  # session 230 flagships
-                 "hll_window_users", "postings_skiplist_estimate"]:
+                 "hll_window_users", "postings_skiplist_estimate",
+                 # session 231 flagships
+                 "multiprobe_signlsh_curve", "ivm_delta_cost_model"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

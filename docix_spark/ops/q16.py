@@ -2266,6 +2266,239 @@ def postings_skiplist_estimate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 231 — multi-probe sign-LSH, incremental-maintenance cost model
+# ---------------------------------------------------------------------------
+
+_MP_VERIFY_T = 350_000  # the semdedup sandbox threshold (max i.i.d. cos ~0.55)
+
+
+@register(
+    "multiprobe_signlsh_curve",
+    f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id <> 0),
+bands AS (
+  SELECT vec_id, j,
+         CAST((CASE WHEN v[4*j+1] > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN v[4*j+2] > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN v[4*j+3] > 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN v[4*j+4] > 0 THEN 8 ELSE 0 END) AS BIGINT) AS bv
+  FROM e, (SELECT unnest(generate_series(0, 3)) AS j)),
+probes AS (
+  SELECT vec_id, j, bv AS pv, 0 AS r FROM bands
+  UNION ALL SELECT vec_id, j, xor(bv, 1), 1 FROM bands
+  UNION ALL SELECT vec_id, j, xor(bv, 2), 1 FROM bands
+  UNION ALL SELECT vec_id, j, xor(bv, 4), 1 FROM bands
+  UNION ALL SELECT vec_id, j, xor(bv, 8), 1 FROM bands),
+hits AS (
+  SELECT p.vec_id AS id_a, b.vec_id AS id_b, min(p.r) AS rmin
+  FROM probes p JOIN bands b
+    ON b.j = p.j AND b.bv = p.pv AND p.vec_id < b.vec_id
+  GROUP BY p.vec_id, b.vec_id),
+vf AS (
+  SELECT h.rmin,
+         CASE WHEN CAST(round(1000000 * list_dot_product(ea.v, eb.v)
+              / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))))
+              AS BIGINT) >= {_MP_VERIFY_T} THEN 1 ELSE 0 END AS ok
+  FROM hits h JOIN e ea ON ea.vec_id = h.id_a JOIN e eb ON eb.vec_id = h.id_b),
+radii AS (SELECT unnest(generate_series(0, 1)) AS radius)
+SELECT CAST(radius AS BIGINT) AS radius,
+       CAST((SELECT count(*) FROM vf WHERE rmin <= radius) AS BIGINT) AS n_candidates,
+       CAST((SELECT COALESCE(sum(ok), 0) FROM vf WHERE rmin <= radius) AS BIGINT)
+         AS n_verified,
+       CASE WHEN (SELECT count(*) FROM vf WHERE rmin <= radius) = 0 THEN 0
+            ELSE CAST((1000000 * (SELECT COALESCE(sum(ok), 0) FROM vf WHERE rmin <= radius))
+                 // (SELECT count(*) FROM vf WHERE rmin <= radius) AS BIGINT) END
+         AS precision_q6
+FROM radii ORDER BY radius""",
+)
+def multiprobe_signlsh_curve(spark, sf_dir):
+    """Multi-probe LSH (Lv et al. 2007) on the sign-LSH tables
+    embedding_lsh_pairs searches: besides its own bucket, each vector
+    probes the 4 Hamming-1 neighbor buckets per table — candidates and
+    verified near-dups at probe radius 0 (plain LSH) vs radius ≤ 1
+    (multi-probe), with exact-cosine verification on candidates only.
+    Multi-probe's trade: more candidates per table INSTEAD of more
+    tables — same recall lift at 1/5 of the index memory — and this
+    curve (candidates × precision per radius) is the evidence for
+    choosing it. Cumulative candidate sets nest, so n_candidates and
+    n_verified are monotone in radius by construction.
+
+    Determinism: integer bucket codes from sign bits, xor flips, min
+    probe radius per pair; verification compares the shared q6 cosine
+    against the semdedup threshold.
+
+    Scale shape: probes fan ×5 per (vec, table) and join on the exact
+    (table, bucket) key — never all-pairs; the pair-radius agg keys on
+    the pair; verification touches candidates only; output is 2 rows."""
+    e = _emb(spark, sf_dir).where(F.col("vec_id") != 0).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    band_structs = []
+    for j in range(4):
+        bv = None
+        for i in range(4):
+            bit = F.when(F.expr(f"v[{4 * j + i}]") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bv = bit if bv is None else bv + bit
+        band_structs.append(F.struct(F.lit(j).alias("j"), bv.cast("long").alias("bv")))
+    bands = e.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("vec_id", F.col("band.j").alias("j"), F.col("band.bv").alias("bv"))
+    probes = bands.select(
+        "vec_id", "j",
+        F.explode(
+            F.expr(
+                "array(named_struct('pv', bv, 'r', 0),"
+                " named_struct('pv', bv ^ 1, 'r', 1),"
+                " named_struct('pv', bv ^ 2, 'r', 1),"
+                " named_struct('pv', bv ^ 4, 'r', 1),"
+                " named_struct('pv', bv ^ 8, 'r', 1))"
+            )
+        ).alias("p"),
+    ).select("vec_id", "j", F.col("p.pv").alias("pv"), F.col("p.r").alias("r"))
+    b = bands.select(
+        F.col("vec_id").alias("id_b"), F.col("j").alias("jb"), F.col("bv").alias("bvb")
+    )
+    hits = (
+        probes.join(
+            b,
+            (F.col("jb") == F.col("j"))
+            & (F.col("bvb") == F.col("pv"))
+            & (F.col("vec_id") < F.col("id_b")),
+        )
+        .groupBy(F.col("vec_id").alias("id_a"), "id_b")
+        .agg(F.min("r").alias("rmin"))
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    vf = (
+        hits.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "rmin",
+            F.when(
+                _cosq("va", "vb", 1_000_000) >= F.lit(_MP_VERIFY_T), F.lit(1)
+            ).otherwise(F.lit(0)).alias("ok"),
+        )
+        .localCheckpoint()  # both radius tiers read it
+    )
+    radii = spark.range(0, 2).select(F.col("id").cast("int").alias("radius"))
+    agg = (
+        radii.join(vf, vf["rmin"] <= radii["radius"], "left")
+        .groupBy("radius")
+        .agg(
+            F.count(F.col("rmin")).cast("long").alias("n_candidates"),
+            F.coalesce(F.sum("ok"), F.lit(0)).cast("long").alias("n_verified"),
+        )
+    )
+    return agg.select(
+        F.col("radius").cast("long").alias("radius"),
+        "n_candidates",
+        "n_verified",
+        F.expr(
+            "CASE WHEN n_candidates = 0 THEN 0"
+            " ELSE CAST((1000000 * n_verified) div n_candidates AS BIGINT) END"
+        ).alias("precision_q6"),
+    ).orderBy("radius")
+
+
+_IVM_BATCH_PCTS = (1, 5, 10)
+
+
+@register(
+    "ivm_delta_cost_model",
+    f"""WITH tf AS ({SQL_TF}),
+hp AS (SELECT doc_id,
+              ('0x' || substr(md5('ivm:' || CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT::BIGINT
+                % 100 AS hp
+       FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS full_postings,
+               CAST(count(DISTINCT term) AS BIGINT) AS vocab
+        FROM tf),
+pcts AS ({" UNION ALL ".join(f"SELECT {p} AS pct" for p in _IVM_BATCH_PCTS)}),
+bd AS (
+  SELECT pcts.pct, tf.doc_id, tf.term
+  FROM tf JOIN hp USING (doc_id) JOIN pcts ON hp.hp < pcts.pct),
+roll AS (
+  SELECT pct, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_batch,
+         CAST(count(*) AS BIGINT) AS delta_postings,
+         CAST(count(DISTINCT term) AS BIGINT) AS touched_terms
+  FROM bd GROUP BY pct)
+SELECT CAST(p.pct AS BIGINT) AS batch_pct,
+       CAST(COALESCE(r.n_docs_batch, 0) AS BIGINT) AS n_docs_batch,
+       CAST(COALESCE(r.delta_postings, 0) AS BIGINT) AS delta_postings,
+       CAST(COALESCE(r.touched_terms, 0) AS BIGINT) AS touched_terms,
+       CAST(tot.full_postings + tot.vocab AS BIGINT) AS full_rows,
+       CAST((1000000 * (tot.full_postings + tot.vocab
+             - COALESCE(r.delta_postings, 0) - COALESCE(r.touched_terms, 0)))
+            // (tot.full_postings + tot.vocab) AS BIGINT) AS savings_q6
+FROM pcts p LEFT JOIN roll r ON r.pct = p.pct, tot
+ORDER BY batch_pct""",
+)
+def ivm_delta_cost_model(spark, sf_dir):
+    """Incremental-view-maintenance cost model for the index statistics
+    (tf postings + df dictionary — the engine's own checkpoint/append
+    path maintains exactly these): for append batches of 1/5/10%% of the
+    corpus (deterministic md5 slices, seed 'ivm:'), the rows a DELTA
+    merge touches (the batch's postings + the df rows of terms the batch
+    contains) vs a full recompute (all postings + the vocabulary), and
+    the savings share. The curve quantifies when the incremental path
+    (index/checkpoint.py fragments, streaming/incremental.py additive
+    merges) beats rebuild — the same decision every materialized-view
+    maintainer prices.
+
+    Determinism: batch membership is an integer hash-percent slice, so
+    batches NEST (1%% ⊂ 5%% ⊂ 10%% — delta costs are monotone by
+    construction); all outputs exact integers, one floor division.
+
+    Scale shape: one tf pass; the percent fan is a 3-row broadcast
+    join; rollups carry map-side combine; batches with zero docs still
+    report via the LEFT spine."""
+    tf = (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        .localCheckpoint()  # totals AND the percent fan read it
+    )
+    hp = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5('ivm:' || CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+            " AS BIGINT) % 100"
+        ).alias("hp"),
+    )
+    tot = tf.agg(
+        F.count(F.lit(1)).cast("long").alias("full_postings"),
+        F.countDistinct("term").cast("long").alias("vocab"),
+    )
+    pcts = spark.createDataFrame([(p,) for p in _IVM_BATCH_PCTS], "pct int")
+    bd = tf.join(hp, "doc_id").join(
+        F.broadcast(pcts), F.col("hp") < F.col("pct")
+    )
+    roll = bd.groupBy("pct").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs_batch"),
+        F.count(F.lit(1)).cast("long").alias("delta_postings"),
+        F.countDistinct("term").cast("long").alias("touched_terms"),
+    )
+    return (
+        F.broadcast(pcts).alias("p")
+        .join(roll.alias("r"), F.col("r.pct") == F.col("p.pct"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("p.pct").cast("long").alias("batch_pct"),
+            F.coalesce(F.col("n_docs_batch"), F.lit(0)).cast("long").alias("n_docs_batch"),
+            F.coalesce(F.col("delta_postings"), F.lit(0)).cast("long").alias("delta_postings"),
+            F.coalesce(F.col("touched_terms"), F.lit(0)).cast("long").alias("touched_terms"),
+            F.expr("CAST(full_postings + vocab AS BIGINT)").alias("full_rows"),
+            F.expr(
+                "CAST((1000000 * (full_postings + vocab"
+                " - COALESCE(delta_postings, 0) - COALESCE(touched_terms, 0)))"
+                " div (full_postings + vocab) AS BIGINT)"
+            ).alias("savings_q6"),
+        )
+        .orderBy("batch_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -2315,6 +2548,8 @@ _FRONT = [
     "part_revenue_concentration", "query_string_search", "rescore_topn",
     "bigram_lm_surprisal", "sparse_cosine_pairs", "pagerank_ann_graph",
     "dup_ngram_fraction",
+    # session 231 (round 5): below the 50-slot sample boundary
+    "multiprobe_signlsh_curve", "ivm_delta_cost_model",
     # session 230 (round 5): below the 50-slot sample boundary
     "hll_window_users", "postings_skiplist_estimate",
     # session 229 (round 5): below the 50-slot sample boundary
