@@ -465,7 +465,9 @@ def main() -> None:
                  # session 230 flagships
                  "hll_window_users", "postings_skiplist_estimate",
                  # session 231 flagships
-                 "multiprobe_signlsh_curve", "ivm_delta_cost_model"]:
+                 "multiprobe_signlsh_curve", "ivm_delta_cost_model",
+                 # session 232 flagship (real-codec round-trip)
+                 "media_decode_roundtrip"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

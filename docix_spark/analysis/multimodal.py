@@ -352,3 +352,32 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 4096, max_frames: int = 
             yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame_bytes"])
 
     return media.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+def image_channel_sums(media: DataFrame) -> DataFrame:
+    """REAL-decode audit stage: per image, dimensions plus EXACT integer
+    per-channel pixel sums from the actual decoded raster — integer
+    outputs so a cross-engine oracle can predict them analytically (see
+    driver op ``media_decode_roundtrip``)."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                px = decode_image(bytes(payload))
+                h, w = px.shape[:2]
+                sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                rows.append((doc_id, mtype, w, h, int(sums[0]), int(sums[1]), int(sums[2])))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "width", "height",
+                         "r_sum", "g_sum", "b_sum"],
+            )
+
+    return media.mapInPandas(
+        gen,
+        schema=(
+            "doc_id string, media_type string, width long, height long, "
+            "r_sum long, g_sum long, b_sum long"
+        ),
+    )
