@@ -467,7 +467,9 @@ def main() -> None:
                  # session 231 flagships
                  "multiprobe_signlsh_curve", "ivm_delta_cost_model",
                  # session 232 flagship (real-codec round-trip)
-                 "media_decode_roundtrip"]:
+                 "media_decode_roundtrip",
+                 # session 233 flagships
+                 "bm25_idf_variant_compare", "multibyte_offset_census"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -2569,6 +2569,210 @@ def media_decode_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 233 — BM25 idf-variant comparison, multibyte offset census
+# ---------------------------------------------------------------------------
+
+_IDFV_TERMS = ["the", "spark", "join"]
+_IDFV_TERMS_SQL = ", ".join(f"'{t}'" for t in _IDFV_TERMS)
+# the three classic idf forms (N, df as DOUBLEs)
+_IDFV_FORMS = {
+    "lucene": "ln(1.0 + (({n}) - {df} + 0.5) / ({df} + 0.5))",
+    "plain": "ln(({n}) / {df})",
+    "rsj": "ln((({n}) - {df} + 0.5) / ({df} + 0.5))",
+}
+
+
+def _idfv_sql() -> str:
+    per_cols = ",\n         ".join(
+        f"{form.format(n='(SELECT n_docs FROM st)', df='dfs.df')}"
+        f" * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len"
+        f" / (SELECT avgdl FROM st))) AS s_{v}"
+        for v, form in _IDFV_FORMS.items()
+    )
+    neg_counts = ",\n       ".join(
+        f"(SELECT CAST(count(*) AS BIGINT) FROM dfs JOIN q USING (term)"
+        f" WHERE {form.format(n='(SELECT n_docs FROM st)', df='dfs.df')} < 0)"
+        f" AS neg_{v}"
+        for v, form in _IDFV_FORMS.items()
+    )
+    tops = "\n".join(
+        f"top_{v} AS (SELECT doc_id, s{v}_q6 AS sq6,"
+        f" row_number() OVER (ORDER BY s{v}_q6 DESC, doc_id ASC) AS rn"
+        f" FROM agg ORDER BY s{v}_q6 DESC, doc_id ASC LIMIT 10),"
+        for v in _IDFV_FORMS
+    )
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT '{v}' AS variant,
+       (SELECT doc_id FROM top_{v} WHERE rn = 1) AS top1_doc_id,
+       (SELECT sq6 FROM top_{v} WHERE rn = 1) AS top1_score_q6,
+       (SELECT CAST(count(*) AS BIGINT) FROM top_{v} t JOIN top_lucene l USING (doc_id))
+         AS overlap10_vs_lucene,
+       (SELECT neg_{v} FROM negs) AS n_neg_idf_terms"""
+        for v in _IDFV_FORMS
+    )
+    return f"""WITH tf AS ({SQL_TF}),
+dl AS ({SQL_DL}),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q AS (SELECT unnest([{_IDFV_TERMS_SQL}]) AS term),
+per AS (
+  SELECT tf.doc_id,
+         {per_cols}
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
+),
+agg AS (
+  SELECT doc_id,
+         {", ".join(f"CAST(round(sum(s_{v}) * 1000000) AS BIGINT) AS s{v}_q6" for v in _IDFV_FORMS)}
+  FROM per GROUP BY doc_id
+),
+negs AS (SELECT {neg_counts}),
+{tops.rstrip(',')}
+{unions}
+ORDER BY variant"""
+
+
+@register("bm25_idf_variant_compare", _idfv_sql())
+def bm25_idf_variant_compare(spark, sf_dir):
+    """The idf-formula decision, measured: Lucene's floored
+    ln(1+(N−df+.5)/(df+.5)) vs the classic Robertson-Spärck-Jones form
+    (which goes NEGATIVE past df > N/2 — matching docs can then LOWER a
+    score) vs plain ln(N/df), scored over the same tf/dl tables with the
+    engine's k1=1.2/b=0.75 saturation on a query that contains a
+    stopword-frequency term. Per variant: the top-1 doc and score, the
+    top-10 overlap against Lucene's page, and how many query terms carry
+    negative idf — negative_idf_census counts the corpus-wide caseload,
+    THIS shows the rank damage on an actual page (why Lucene added the
+    +1: BM25's original form needs clipping exactly where boilerplate
+    terms live).
+
+    Determinism: scores follow the parent BM25 convention (float product
+    chain, ONE round(sum·1e6) per doc — the ≤|q|-term sum both engines
+    fold identically); ranks tiebreak on doc_id.
+
+    Scale shape: tf/dl/df/st are the standard aggs; all three variants
+    score in ONE pass over the matched postings (three expressions, one
+    shuffle); the agg table is localCheckpoint'd and three TakeOrdered
+    pages + a 1-row neg-idf probe read it."""
+    d = _docs(spark, sf_dir)
+    toks = _toks(d)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    st = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    q = spark.createDataFrame([(t,) for t in _IDFV_TERMS], "term string")
+    per = (
+        tf.join(F.broadcast(q), "term")
+        .join(dfs, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            *[
+                F.expr(
+                    f"{form.format(n='n_docs', df='df')} * tf * 2.2"
+                    " / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))"
+                ).alias(f"s_{v}")
+                for v, form in _IDFV_FORMS.items()
+            ],
+        )
+    )
+    agg = (
+        per.groupBy("doc_id")
+        .agg(
+            *[
+                F.expr(f"CAST(round(sum(s_{v}) * 1000000) AS BIGINT)").alias(f"s{v}_q6")
+                for v in _IDFV_FORMS
+            ]
+        )
+        .localCheckpoint()  # three pages + nothing else re-derive it
+    )
+    negs = (
+        dfs.join(F.broadcast(q), "term")
+        .crossJoin(F.broadcast(st))
+        .select(
+            *[
+                F.expr(
+                    f"CASE WHEN {form.format(n='n_docs', df='df')} < 0 THEN 1 ELSE 0 END"
+                ).alias(f"neg_{v}")
+                for v, form in _IDFV_FORMS.items()
+            ]
+        )
+        .agg(*[F.sum(f"neg_{v}").cast("long").alias(f"neg_{v}") for v in _IDFV_FORMS])
+        .collect()[0]
+    )
+    tops = {
+        v: agg.orderBy(F.desc(f"s{v}_q6"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.col(f"s{v}_q6").alias("sq6"))
+        .localCheckpoint()
+        for v in _IDFV_FORMS
+    }
+    luc = tops["lucene"].select("doc_id")
+    rows = []
+    for v in _IDFV_FORMS:
+        page = tops[v]
+        first = page.orderBy(F.desc("sq6"), F.asc("doc_id")).limit(1).collect()[0]
+        ov = page.join(luc, "doc_id").count()
+        rows.append((v, int(first["doc_id"]), int(first["sq6"]), ov, int(negs[f"neg_{v}"])))
+    return spark.createDataFrame(
+        rows,
+        "variant string, top1_doc_id long, top1_score_q6 long,"
+        " overlap10_vs_lucene long, n_neg_idf_terms long",
+    ).orderBy("variant")
+
+
+@register(
+    "multibyte_offset_census",
+    """SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN strlen(text) = length(text) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ascii_docs,
+       CAST(COALESCE(sum(CAST(strlen(text) AS BIGINT) - length(text)), 0) AS BIGINT)
+         AS extra_bytes,
+       CAST(COALESCE(max(CAST(strlen(text) AS BIGINT) - length(text)), 0) AS BIGINT)
+         AS max_extra_bytes
+FROM documents GROUP BY source ORDER BY source""",
+)
+def multibyte_offset_census(spark, sf_dir):
+    """Byte-vs-char offset audit: per source, docs whose UTF-8 byte
+    length equals their character length (pure ASCII — byte offsets ==
+    char offsets) and the total/max surplus bytes where they don't — the
+    precondition check for every offset-carrying artifact (highlight
+    spans, annotation offsets, token-to-byte maps): a pipeline that
+    mixes the two coordinate systems corrupts exactly `extra_bytes`
+    positions. All-ASCII on the sandbox corpus (extra_bytes 0) is the
+    CORRECT reading — the injected-unicode pytest proves the counters.
+
+    Determinism: exact integer byte/char lengths (octet_length vs
+    char length — both engines exact on UTF-8).
+
+    Scale shape: one map-side pass, per-source rollup with map-side
+    combine."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.expr("CASE WHEN octet_length(text) = length(text) THEN 1 ELSE 0 END")
+            ).cast("long").alias("n_ascii_docs"),
+            F.expr(
+                "CAST(COALESCE(sum(CAST(octet_length(text) AS BIGINT) - length(text)), 0)"
+                " AS BIGINT)"
+            ).alias("extra_bytes"),
+            F.expr(
+                "CAST(COALESCE(max(CAST(octet_length(text) AS BIGINT) - length(text)), 0)"
+                " AS BIGINT)"
+            ).alias("max_extra_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -2618,6 +2822,8 @@ _FRONT = [
     "part_revenue_concentration", "query_string_search", "rescore_topn",
     "bigram_lm_surprisal", "sparse_cosine_pairs", "pagerank_ann_graph",
     "dup_ngram_fraction",
+    # session 233 (round 5): below the 50-slot sample boundary
+    "bm25_idf_variant_compare", "multibyte_offset_census",
     # session 232 (round 5): below the 50-slot sample boundary
     "media_decode_roundtrip",
     # session 231 (round 5): below the 50-slot sample boundary
