@@ -469,7 +469,9 @@ def main() -> None:
                  # session 232 flagship (real-codec round-trip)
                  "media_decode_roundtrip",
                  # session 233 flagships
-                 "bm25_idf_variant_compare", "multibyte_offset_census"]:
+                 "bm25_idf_variant_compare", "multibyte_offset_census",
+                 # session 234 flagship
+                 "nextword_index_estimate"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -2773,6 +2773,128 @@ def multibyte_offset_census(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 234 — nextword (bigram) phrase-index sizing
+# ---------------------------------------------------------------------------
+
+_NW_P1, _NW_P2 = "spark", "hash"
+
+
+@register(
+    "nextword_index_estimate",
+    f"""WITH w AS ({SQL_WORDS}),
+bg AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] AS bigram
+  FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
+  WHERE len(words) >= 2),
+uni AS (SELECT CAST(count(*) AS BIGINT) AS unigram_postings FROM ({SQL_TF})),
+sz AS (
+  SELECT CAST(count(DISTINCT bigram) AS BIGINT) AS n_distinct_bigrams,
+         CAST(count(DISTINCT (doc_id, bigram)) AS BIGINT) AS bigram_postings,
+         CAST(count(*) AS BIGINT) AS bigram_occurrences
+  FROM bg),
+pw AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words
+       FROM documents),
+p AS (SELECT doc_id, i, words[i] AS term
+      FROM pw, unnest(generate_series(1, len(words))) AS t(i)),
+t1 AS (SELECT doc_id, i FROM p WHERE term = '{_NW_P1}'),
+t2 AS (SELECT doc_id, i FROM p WHERE term = '{_NW_P2}'),
+bothd AS (SELECT doc_id FROM (SELECT DISTINCT doc_id FROM t1) a
+          JOIN (SELECT DISTINCT doc_id FROM t2) b USING (doc_id)),
+scan AS (SELECT CAST(count(*) AS BIGINT) AS phrase_pos_rows FROM (
+  SELECT t1.i FROM t1 JOIN bothd USING (doc_id)
+  UNION ALL SELECT t2.i FROM t2 JOIN bothd USING (doc_id))),
+nwp AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS phrase_nextword_rows
+        FROM bg WHERE bigram = '{_NW_P1} {_NW_P2}')
+SELECT sz.n_distinct_bigrams, sz.bigram_postings, sz.bigram_occurrences,
+       uni.unigram_postings,
+       CAST((1000000 * sz.bigram_postings) // uni.unigram_postings AS BIGINT)
+         AS overhead_q6,
+       scan.phrase_pos_rows, nwp.phrase_nextword_rows,
+       CAST((1000000 * scan.phrase_pos_rows)
+            // greatest(nwp.phrase_nextword_rows, 1) AS BIGINT) AS speedup_q6
+FROM sz, uni, scan, nwp""",
+)
+def nextword_index_estimate(spark, sf_dir):
+    """Nextword-index sizing (Williams, Zobel & Bahle 2004, "Fast phrase
+    querying with combined indexes"): a bigram index answers a 2-word
+    phrase with ONE postings lookup instead of intersecting two
+    positional lists — this prices the trade for THIS corpus: dictionary
+    and postings growth over the unigram index (overhead_q6) against the
+    per-query row cut for the canned phrase (speedup_q6 =
+    positional rows decoded / nextword postings touched).
+    phrase_cost_estimate prices the positional evaluator,
+    positions_varint_estimate its bytes; this is the ALTERNATIVE index
+    those costs justify — the same cost-model-alternative pattern as
+    varint vs Roaring.
+
+    Determinism: exact integer counts, two floor divisions (one
+    greatest-guarded: a corpus without the phrase still reports).
+
+    Scale shape: the bigram table is one map-side explode feeding one
+    distinct-agg pass; the phrase probes are term-filtered position
+    scans (filter pushed to the explode); output is 1 row."""
+    w = _docs(spark, sf_dir).select("doc_id", spark_tokens("text").alias("words"))
+    bg = (
+        w.where(F.size("words") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words) - 2),"
+                    " i -> words[i] || ' ' || words[i+1])"
+                )
+            ).alias("bigram"),
+        )
+        .localCheckpoint()  # sizing agg AND the phrase-postings probe
+    )
+    sz = bg.agg(
+        F.countDistinct("bigram").cast("long").alias("n_distinct_bigrams"),
+        F.countDistinct("doc_id", "bigram").cast("long").alias("bigram_postings"),
+        F.count(F.lit(1)).cast("long").alias("bigram_occurrences"),
+    )
+    uni = (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        .agg(F.count(F.lit(1)).cast("long").alias("unigram_postings"))
+    )
+    p = w.select(
+        "doc_id", F.posexplode("words").alias("i0", "term")
+    )
+    t1 = p.where(F.col("term") == _NW_P1).select("doc_id", "i0")
+    t2 = p.where(F.col("term") == _NW_P2).select("doc_id", "i0")
+    bothd = (
+        t1.select("doc_id").distinct()
+        .join(t2.select("doc_id").distinct(), "doc_id")
+    )
+    scan = (
+        t1.join(bothd, "doc_id").select("i0")
+        .unionAll(t2.join(bothd, "doc_id").select("i0"))
+        .agg(F.count(F.lit(1)).cast("long").alias("phrase_pos_rows"))
+    )
+    nwp = (
+        bg.where(F.col("bigram") == f"{_NW_P1} {_NW_P2}")
+        .agg(F.countDistinct("doc_id").cast("long").alias("phrase_nextword_rows"))
+    )
+    return (
+        sz.crossJoin(F.broadcast(uni))
+        .crossJoin(F.broadcast(scan))
+        .crossJoin(F.broadcast(nwp))
+        .select(
+            "n_distinct_bigrams", "bigram_postings", "bigram_occurrences",
+            "unigram_postings",
+            F.expr(
+                "CAST((1000000 * bigram_postings) div unigram_postings AS BIGINT)"
+            ).alias("overhead_q6"),
+            "phrase_pos_rows", "phrase_nextword_rows",
+            F.expr(
+                "CAST((1000000 * phrase_pos_rows)"
+                " div greatest(phrase_nextword_rows, CAST(1 AS BIGINT)) AS BIGINT)"
+            ).alias("speedup_q6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -2822,6 +2944,8 @@ _FRONT = [
     "part_revenue_concentration", "query_string_search", "rescore_topn",
     "bigram_lm_surprisal", "sparse_cosine_pairs", "pagerank_ann_graph",
     "dup_ngram_fraction",
+    # session 234 (round 5): below the 50-slot sample boundary
+    "nextword_index_estimate",
     # session 233 (round 5): below the 50-slot sample boundary
     "bm25_idf_variant_compare", "multibyte_offset_census",
     # session 232 (round 5): below the 50-slot sample boundary
