@@ -2521,6 +2521,44 @@ btop AS (
 REGISTRY["pagerank_ann_graph"].sql = _pagerank_ann_sql()
 
 
+_ANN_EXACT_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _ann_exact_top10(spark, sf_dir) -> DataFrame:
+    """Memoized brute-force exact top-10 ``(qid, vec_id, rn)`` for the
+    %37 query batch — THE shared truth set of the ANN recall family
+    (batch_recall, nprobe_curve, recall_at_k_curve, adaptive_nprobe_eval,
+    margin_recall_corr, ivf_nlist_sweep each rebuilt this |Q|×N scoring
+    pass; one localCheckpoint'd build serves all six, the
+    `_lsh_pair_edges` discipline — round 5). Construction lifted verbatim
+    so every consumer's oracle hash is unchanged: members are vec_id ≠ 0,
+    the three-dot q6 cosine ranks with vec_id tiebreaks."""
+    from docix_spark.index.build import session_key, table_version
+
+    key = (session_key(spark), sf_dir, table_version(f"{sf_dir}/embeddings.parquet"))
+    hit = _ANN_EXACT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    qs = e.where(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
+    exact = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qs))
+        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= 10)
+        .select("qid", "vec_id", "rn")
+        .localCheckpoint()
+    )
+    _ANN_EXACT_CACHE[key] = exact
+    return exact
+
+
 def _ivf_batch_topk(spark, sf_dir) -> DataFrame:
     members, cent, final_assign = _trained_ivf(spark, sf_dir)
     e = _emb(spark, sf_dir).select(
@@ -2594,14 +2632,7 @@ def ann_ivf_batch_recall(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
     wr = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-    exact = (
-        e.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qs))
-        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-        .withColumn("rn", F.row_number().over(wr))
-        .where(F.col("rn") <= 10)
-        .select("qid", "vec_id")
-    )
+    exact = _ann_exact_top10(spark, sf_dir).select("qid", "vec_id")
     overlap = ivf.join(exact, ["qid", "vec_id"]).groupBy("qid").agg(
         F.count(F.lit(1)).alias("n")
     )

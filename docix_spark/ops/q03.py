@@ -249,14 +249,7 @@ def ann_ivf_nprobe_curve(spark, sf_dir):
         .select("p", "qid", "vec_id")
     )
     we = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-    exact = (
-        e.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qs))
-        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-        .withColumn("rn", F.row_number().over(we))
-        .where(F.col("rn") <= 10)
-        .select("qid", "vec_id")
-    )
+    exact = _ann_exact_top10(spark, sf_dir).select("qid", "vec_id")
     ov = tops.join(exact, ["qid", "vec_id"]).groupBy("p").agg(
         F.count(F.lit(1)).cast("long").alias("sum_overlap")
     )
@@ -2230,14 +2223,7 @@ def ann_recall_at_k_curve(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
     wr = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-    exact = (
-        e.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qs))
-        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-        .withColumn("rn", F.row_number().over(wr))
-        .where(F.col("rn") <= 10)
-        .select("qid", "vec_id", "rn")
-    )
+    exact = _ann_exact_top10(spark, sf_dir)
     j = ivf.join(exact, ["qid", "vec_id"]).select("rnk", "rn")
     ks = F.broadcast(spark.createDataFrame([(k,) for k in _RECALL_KS], "k long"))
     hits = (

@@ -626,14 +626,7 @@ def ann_adaptive_nprobe_eval(spark, sf_dir):
         .select("policy", "qid", "vec_id")
     )
     we = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-    bexact = (
-        e.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qs))
-        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-        .withColumn("rn", F.row_number().over(we))
-        .where(F.col("rn") <= 10)
-        .select("qid", "vec_id")
-    )
+    bexact = _ann_exact_top10(spark, sf_dir).select("qid", "vec_id")
     nq = qs.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
     ov = tops.join(bexact, ["qid", "vec_id"]).groupBy("policy").agg(
         F.count(F.lit(1)).cast("long").alias("sum_overlap")

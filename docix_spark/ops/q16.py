@@ -787,14 +787,7 @@ def ann_margin_recall_corr(spark, sf_dir):
         .select("qid", "vec_id")
     )
     we = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-    bexact = (
-        e.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qs))
-        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-        .withColumn("rn", F.row_number().over(we))
-        .where(F.col("rn") <= 10)
-        .select("qid", "vec_id")
-    )
+    bexact = _ann_exact_top10(spark, sf_dir).select("qid", "vec_id")
     ov = tops.join(bexact, ["qid", "vec_id"]).groupBy("qid").agg(
         F.count(F.lit(1)).cast("long").alias("k")
     )
@@ -1923,14 +1916,9 @@ def ivf_nlist_sweep(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
     wr = Window.partitionBy("qid").orderBy(F.desc("cos_q6"), F.asc("vec_id"))
-    exact = (
-        members.crossJoin(F.broadcast(qs))
-        .select("qid", "vec_id", _cosq("v", "qv", 1_000_000).alias("cos_q6"))
-        .withColumn("rn", F.row_number().over(wr))
-        .where(F.col("rn") <= 10)
-        .select("qid", "vec_id")
-        .localCheckpoint()  # one truth set serves all three sweeps
-    )
+    # the MEMOIZED shared truth set (_ann_exact_top10) serves all three
+    # sweeps and five sibling recall ops
+    exact = _ann_exact_top10(spark, sf_dir).select("qid", "vec_id")
     n_q = qs.count()
     rolls = []
     for k in _NLIST_KS:
