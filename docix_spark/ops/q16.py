@@ -2883,6 +2883,103 @@ def nextword_index_estimate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 235 — CC convergence diagnostics (why pointer doubling)
+# ---------------------------------------------------------------------------
+
+_CCC_ROUNDS = 6
+
+
+def _ccc_sql() -> str:
+    """Unrolled plain min-label propagation over the LSH candidate graph:
+    l0 = identity labels, l{r} = min(own, neighbors' l{r-1}) — the
+    kmeans-convergence oracle pattern (AS MATERIALIZED on every shared
+    table or DuckDB re-derives the chain with compounding fan-out)."""
+    parts = [
+        """,
+    nodes AS MATERIALIZED (SELECT DISTINCT doc_id FROM sh),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM nodes)"""
+    ]
+    for r in range(1, _CCC_ROUNDS + 1):
+        parts.append(f""",
+    l{r} AS MATERIALIZED (
+      SELECT n.doc_id,
+             least(p.lbl, COALESCE(min(q.lbl), p.lbl)) AS lbl
+      FROM nodes n
+      JOIN l{r-1} p ON p.doc_id = n.doc_id
+      LEFT JOIN edges e ON e.dst = n.doc_id
+      LEFT JOIN l{r-1} q ON q.doc_id = e.src
+      GROUP BY n.doc_id, p.lbl
+    )""")
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT {r} AS round,
+       (SELECT CAST(count(*) AS BIGINT) FROM l{r} a JOIN l{r-1} b USING (doc_id)
+        WHERE a.lbl <> b.lbl) AS n_changed,
+       (SELECT CAST(count(DISTINCT lbl) AS BIGINT) FROM l{r}) AS n_labels"""
+        for r in range(1, _CCC_ROUNDS + 1)
+    )
+    return _SQL_LSH_PAIRS + "".join(parts) + "\n" + unions + "\nORDER BY round"
+
+
+@register("cc_convergence_curve", _ccc_sql())
+def cc_convergence_curve(spark, sf_dir):
+    """Convergence diagnostics for connected components over the memoized
+    LSH candidate graph: per round of PLAIN min-label propagation (no
+    pointer doubling), how many labels changed and how many distinct
+    labels remain — the measured chain-length evidence behind
+    dedup_connected_components' pointer-doubling design (plain
+    propagation needs O(diameter) rounds; doubling needs O(log d); this
+    curve shows where the flat tail starts, i.e. what doubling saves).
+    ivf_train_convergence is the k-means twin of this read-out.
+
+    Determinism: min-label propagation is order-free (min is
+    commutative/idempotent); counts exact.
+
+    Scale shape: each round is one neighbor join + one doc_id-keyed
+    min-agg over the memoized `_lsh_pair_edges` graph (localCheckpoint'd
+    per round — the markov_stationary rule); change counts are
+    doc_id-keyed joins of consecutive label tables; 6 fixed rounds
+    matching the unrolled oracle exactly."""
+    edges = _lsh_pair_edges(spark, sf_dir)
+    sh = _shingles_spark(spark, sf_dir)
+    nodes = sh.select("doc_id").distinct().localCheckpoint()
+    lbl = nodes.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint()
+    rows = []
+    for r in range(1, _CCC_ROUNDS + 1):
+        nb = (
+            edges.join(
+                lbl.select(F.col("doc_id").alias("src"), F.col("lbl").alias("slbl")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("slbl").alias("nlbl"))
+        )
+        nxt = (
+            lbl.join(nb, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.alias("a")
+            .join(lbl.alias("b"), "doc_id")
+            .where(F.col("a.lbl") != F.col("b.lbl"))
+            .count()
+        )
+        n_labels = nxt.select("lbl").distinct().count()
+        rows.append((r, changed, n_labels))
+        lbl = nxt
+    return spark.createDataFrame(
+        rows, "round long, n_changed long, n_labels long"
+    ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -2932,6 +3029,8 @@ _FRONT = [
     "part_revenue_concentration", "query_string_search", "rescore_topn",
     "bigram_lm_surprisal", "sparse_cosine_pairs", "pagerank_ann_graph",
     "dup_ngram_fraction",
+    # session 235 (round 5): below the 50-slot sample boundary
+    "cc_convergence_curve",
     # session 234 (round 5): below the 50-slot sample boundary
     "nextword_index_estimate",
     # session 233 (round 5): below the 50-slot sample boundary
