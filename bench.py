@@ -471,7 +471,9 @@ def main() -> None:
                  # session 233 flagships
                  "bm25_idf_variant_compare", "multibyte_offset_census",
                  # session 234 flagship
-                 "nextword_index_estimate"]:
+                 "nextword_index_estimate",
+                 # session 236 flagships
+                 "dedup_normalization_curve", "lsh_edit_robustness_curve"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

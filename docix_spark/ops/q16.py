@@ -2980,6 +2980,256 @@ def cc_convergence_curve(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 236 — normalization tiers for exact dedup, LSH edit robustness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_normalization_curve",
+    f"""WITH k AS (
+  SELECT doc_id,
+         md5(text) AS k_raw,
+         md5(lower(text)) AS k_lower,
+         md5(array_to_string(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), ' '))
+           AS k_tokens
+  FROM documents),
+t AS (
+  SELECT 1 AS tier, 'raw' AS norm, k_raw AS kk FROM k
+  UNION ALL SELECT 2, 'lower', k_lower FROM k
+  UNION ALL SELECT 3, 'tokens', k_tokens FROM k),
+g AS (SELECT tier, norm, kk, CAST(count(*) AS BIGINT) AS c
+      FROM t GROUP BY tier, norm, kk)
+SELECT tier, norm,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(COALESCE(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT)
+         AS n_docs_in_dup_groups,
+       CAST(COALESCE(sum(c - 1), 0) AS BIGINT) AS n_dropped_keep_first
+FROM g GROUP BY tier, norm ORDER BY tier""",
+)
+def dedup_normalization_curve(spark, sf_dir):
+    """The canonicalization dial of exact dedup: duplicate yield under
+    three normalization tiers — raw bytes, casefolded, and
+    analyzer-token canonical form (lowercase + tokenizer join, the form
+    dedup_exact's sha-identity can't see past) — per tier the group
+    count, docs inside duplicate groups, and the keep-first drop count.
+    Tiers only ever MERGE groups (each is a coarsening), so dropped
+    counts are monotone in tier by construction — the measured gain of
+    each normalization step, which is exactly what a pipeline weighs
+    against the retrieval cost of altering text before hashing.
+
+    Determinism: md5 keys over deterministic string forms; exact counts.
+
+    Scale shape: all three keys compute map-side in one pass; one
+    (tier, key) agg with map-side combine; output is 3 rows."""
+    k = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5("text").alias("k_raw"),
+        F.md5(F.lower("text")).alias("k_lower"),
+        F.md5(F.array_join(spark_tokens("text"), " ")).alias("k_tokens"),
+    )
+    t = (
+        k.select(F.lit(1).alias("tier"), F.lit("raw").alias("norm"), F.col("k_raw").alias("kk"))
+        .unionByName(
+            k.select(F.lit(2).alias("tier"), F.lit("lower").alias("norm"),
+                     F.col("k_lower").alias("kk"))
+        )
+        .unionByName(
+            k.select(F.lit(3).alias("tier"), F.lit("tokens").alias("norm"),
+                     F.col("k_tokens").alias("kk"))
+        )
+    )
+    g = t.groupBy("tier", "norm", "kk").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return (
+        g.groupBy("tier", "norm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.expr(
+                "CAST(COALESCE(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT)"
+            ).alias("n_docs_in_dup_groups"),
+            F.expr("CAST(COALESCE(sum(c - 1), 0) AS BIGINT)").alias(
+                "n_dropped_keep_first"
+            ),
+        )
+        .select(F.col("tier").cast("long").alias("tier"), "norm", "n_groups",
+                "n_docs_in_dup_groups", "n_dropped_keep_first")
+        .orderBy("tier")
+    )
+
+
+_LER_KS = (8, 4, 2)
+
+
+@register(
+    "lsh_edit_robustness_curve",
+    f"""WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS words
+  FROM documents),
+ks AS ({" UNION ALL ".join(f"SELECT {k} AS k" for k in _LER_KS)}),
+osh AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+  FROM base, unnest(generate_series(1, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 3),
+osig AS (
+  SELECT doc_id,
+         min(md5('0:' || sh)) || min(md5('1:' || sh)) AS band0,
+         min(md5('2:' || sh)) || min(md5('3:' || sh)) AS band1
+  FROM osh GROUP BY doc_id),
+og AS (SELECT doc_id, list(DISTINCT sh) AS ow FROM osh GROUP BY doc_id),
+pw AS (
+  SELECT doc_id, ks.k,
+         list_transform(list_filter(generate_series(1, len(words)),
+                                    i -> i % ks.k <> 0), i -> words[i]) AS w
+  FROM base, ks),
+psh AS (
+  SELECT doc_id, k, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM pw, unnest(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3),
+psig AS (
+  SELECT doc_id, k,
+         min(md5('0:' || sh)) || min(md5('1:' || sh)) AS band0,
+         min(md5('2:' || sh)) || min(md5('3:' || sh)) AS band1
+  FROM psh GROUP BY doc_id, k),
+pg AS (SELECT doc_id, k, list(DISTINCT sh) AS pws FROM psh GROUP BY doc_id, k),
+hit AS (
+  SELECT o.doc_id, p.k,
+         CASE WHEN o.band0 = p.band0 OR o.band1 = p.band1 THEN 1 ELSE 0 END AS coll
+  FROM osig o JOIN psig p USING (doc_id)),
+jac AS (
+  SELECT h.doc_id, h.k, h.coll,
+         CAST(len(list_intersect(og.ow, pg.pws)) AS BIGINT) AS ni,
+         CAST(len(list_distinct(og.ow || pg.pws)) AS BIGINT) AS nu
+  FROM hit h JOIN og USING (doc_id)
+  JOIN pg ON pg.doc_id = h.doc_id AND pg.k = h.k)
+SELECT CAST(ks.k AS BIGINT) AS drop_every_k,
+       CAST(count(j.coll) AS BIGINT) AS n_docs,
+       CAST(COALESCE(sum(j.coll), 0) AS BIGINT) AS n_collide,
+       CAST(CASE WHEN count(j.coll) = 0 THEN 0
+            ELSE (1000000 * COALESCE(sum(j.coll), 0)) // count(j.coll) END AS BIGINT)
+         AS collide_share_q6,
+       CAST(CASE WHEN COALESCE(sum(j.nu), 0) = 0 THEN 0
+            ELSE (1000000 * COALESCE(sum(j.ni), 0)) // CAST(sum(j.nu) AS BIGINT) END
+            AS BIGINT) AS pooled_jaccard_q6
+FROM ks LEFT JOIN jac j ON j.k = ks.k
+GROUP BY ks.k ORDER BY drop_every_k""",
+)
+def lsh_edit_robustness_curve(spark, sf_dir):
+    """LSH robustness under CONTROLLED edits (the planted-pair curve the
+    sandbox's i.i.d. corpus can't produce naturally): each doc is paired
+    with a perturbed twin that drops every k-th token (k=8/4/2 — light
+    to heavy edits), and the curve reports the pooled exact shingle
+    Jaccard against the share of twins still colliding in ≥1 of the two
+    minhash bands. This calibrates the (b, r) choice against REAL edit
+    operations rather than abstract similarity — where the collision
+    share falls off is the edit load the dedup pipeline actually
+    tolerates (minhash_collision_calibration measures the same curve on
+    natural pairs; planted edits pin the causal axis).
+
+    Determinism: the verbatim band construction on both the original and
+    the 1-based-index filtered twin; exact intersection/union counts;
+    floor divisions only.
+
+    Scale shape: twins are generated map-side (no pair join — the pair
+    IS (doc, twin)); signatures are per-doc aggs; the Jaccard leg
+    compares per-doc DISTINCT gram sets via array ops; rollup is 3
+    rows."""
+    base = _docs(spark, sf_dir).select(
+        "doc_id", spark_tokens("text").alias("words")
+    ).localCheckpoint()  # original sigs + three twins read it
+
+    def sig(df, wcol):
+        sh = (
+            df.where(F.size(wcol) >= 3)
+            .select(
+                "doc_id",
+                *([F.col("k")] if "k" in df.columns else []),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, size({wcol}) - 3),"
+                        f" i -> {wcol}[i] || ' ' || {wcol}[i+1] || ' ' || {wcol}[i+2])"
+                    )
+                ).alias("sh"),
+            )
+        )
+        keys = ["doc_id"] + (["k"] if "k" in df.columns else [])
+        return sh.groupBy(*keys).agg(
+            F.concat(
+                F.min(F.md5(F.concat(F.lit("0:"), F.col("sh")))),
+                F.min(F.md5(F.concat(F.lit("1:"), F.col("sh")))),
+            ).alias("band0"),
+            F.concat(
+                F.min(F.md5(F.concat(F.lit("2:"), F.col("sh")))),
+                F.min(F.md5(F.concat(F.lit("3:"), F.col("sh")))),
+            ).alias("band1"),
+        )
+
+    ks = spark.createDataFrame([(k,) for k in _LER_KS], "k int")
+    orig = sig(base, "words")
+    pert = base.crossJoin(F.broadcast(ks)).select(
+        "doc_id", "k",
+        # DuckDB list_filter indexes are 1-based; Spark filter's are
+        # 0-based — shift so both drop the SAME positions (1st, k+1th, ...)
+        F.expr("filter(words, (x, i) -> (i + 1) % k <> 0)").alias("w"),
+    )
+    psig = sig(pert, "w")
+    gr = lambda wcol: (
+        f"array_distinct(transform(sequence(0, size({wcol}) - 3),"
+        f" i -> {wcol}[i] || ' ' || {wcol}[i+1] || ' ' || {wcol}[i+2]))"
+    )
+    jac = (
+        pert.join(base.select("doc_id", "words"), "doc_id")
+        .where((F.size("words") >= 3) & (F.size("w") >= 3))
+        .select(
+            "doc_id", "k",
+            F.expr(
+                f"CAST(size(array_intersect({gr('words')}, {gr('w')})) AS BIGINT)"
+            ).alias("ni"),
+            F.expr(
+                f"CAST(size(array_union({gr('words')}, {gr('w')})) AS BIGINT)"
+            ).alias("nu"),
+        )
+    )
+    hit = (
+        orig.select("doc_id", F.col("band0").alias("ob0"), F.col("band1").alias("ob1"))
+        .join(psig, "doc_id")
+        .select(
+            "doc_id", "k",
+            F.expr(
+                "CASE WHEN ob0 = band0 OR ob1 = band1 THEN 1 ELSE 0 END"
+            ).alias("coll"),
+        )
+    )
+    agg = (
+        F.broadcast(ks).alias("ks")
+        .join(hit.alias("h"), F.col("h.k") == F.col("ks.k"), "left")
+        .join(
+            jac.alias("j"),
+            (F.col("j.k") == F.col("ks.k")) & (F.col("j.doc_id") == F.col("h.doc_id")),
+            "left",
+        )
+        .groupBy(F.col("ks.k").alias("kk"))
+        .agg(
+            F.count("coll").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("coll"), F.lit(0)).cast("long").alias("n_collide"),
+            F.coalesce(F.sum("ni"), F.lit(0)).cast("long").alias("sni"),
+            F.coalesce(F.sum("nu"), F.lit(0)).cast("long").alias("snu"),
+        )
+    )
+    return agg.select(
+        F.col("kk").cast("long").alias("drop_every_k"),
+        "n_docs",
+        "n_collide",
+        F.expr(
+            "CAST(CASE WHEN n_docs = 0 THEN 0"
+            " ELSE (1000000 * n_collide) div n_docs END AS BIGINT)"
+        ).alias("collide_share_q6"),
+        F.expr(
+            "CAST(CASE WHEN snu = 0 THEN 0"
+            " ELSE (1000000 * sni) div snu END AS BIGINT)"
+        ).alias("pooled_jaccard_q6"),
+    ).orderBy("drop_every_k")
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -3029,6 +3279,8 @@ _FRONT = [
     "part_revenue_concentration", "query_string_search", "rescore_topn",
     "bigram_lm_surprisal", "sparse_cosine_pairs", "pagerank_ann_graph",
     "dup_ngram_fraction",
+    # session 236 (round 5): below the 50-slot sample boundary
+    "dedup_normalization_curve", "lsh_edit_robustness_curve",
     # session 235 (round 5): below the 50-slot sample boundary
     "cc_convergence_curve",
     # session 234 (round 5): below the 50-slot sample boundary
