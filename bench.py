@@ -473,7 +473,9 @@ def main() -> None:
                  # session 234 flagship
                  "nextword_index_estimate",
                  # session 236 flagships
-                 "dedup_normalization_curve", "lsh_edit_robustness_curve"]:
+                 "dedup_normalization_curve", "lsh_edit_robustness_curve",
+                 # session 237 flagships
+                 "shard_topk_fetch_curve", "score_tie_census"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -3230,6 +3230,170 @@ def lsh_edit_robustness_curve(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 237 — shard top-k fetch curve, score-tie census
+# ---------------------------------------------------------------------------
+
+_STF_SHARDS = 4
+_STF_FETCHES = (3, 5, 10)
+
+
+@register(
+    "shard_topk_fetch_curve",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + f""",
+sc AS (
+  SELECT doc_id, score_q6,
+         ('0x' || substr(md5('stf:' || CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT::BIGINT
+           % {_STF_SHARDS} AS shard
+  FROM agg WHERE doc_id <> 0),
+tru AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rn
+    FROM sc) WHERE rn <= 10),
+fs AS ({" UNION ALL ".join(f"SELECT {f} AS fetch_k" for f in _STF_FETCHES)}),
+shtop AS (
+  SELECT fetch_k, doc_id, score_q6 FROM fs, (
+    SELECT doc_id, score_q6, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY score_q6 DESC, doc_id ASC) AS srn
+    FROM sc) s
+  WHERE s.srn <= fs.fetch_k),
+merged AS (
+  SELECT fetch_k, doc_id FROM (
+    SELECT fetch_k, doc_id,
+           row_number() OVER (PARTITION BY fetch_k ORDER BY score_q6 DESC, doc_id ASC) AS mrn
+    FROM shtop) WHERE mrn <= 10)
+SELECT CAST(fs.fetch_k AS BIGINT) AS fetch_k,
+       CAST({_STF_SHARDS} AS BIGINT) AS n_shards,
+       CAST((SELECT count(*) FROM tru) AS BIGINT) AS true_k,
+       CAST((SELECT count(*) FROM merged m JOIN tru USING (doc_id)
+             WHERE m.fetch_k = fs.fetch_k) AS BIGINT) AS n_overlap,
+       CAST((SELECT count(*) FROM shtop s WHERE s.fetch_k = fs.fetch_k) AS BIGINT)
+         AS rows_fetched
+FROM fs ORDER BY fetch_k""",
+)
+def shard_topk_fetch_curve(spark, sf_dir):
+    """The ES per-shard fetch-size trade, measured: the BM25 match set is
+    routed across {_STF_SHARDS} hash shards; each shard returns its top
+    fetch_k (3/5/10) and the coordinator merges to a global top-10 —
+    n_overlap against the TRUE top-10 vs rows_fetched is exactly the
+    accuracy-for-transfer curve behind ES's per-shard
+    ``size + from`` fetch policy (fetch_k = k is provably exact — every
+    true top-10 member is in its own shard's top-10 — and the curve
+    shows how fast cheaper fetches decay). terms_shard_error is the
+    TERMS-agg face of this; this is the HITS face.
+
+    Determinism: shard keys are 16-bit md5 slices with the fresh 'stf:'
+    seed; all ranks tiebreak (score_q6 desc, doc_id) at both levels.
+
+    Scale shape: per-shard tops are shard-partitioned windows over the
+    match set; the merge window sees ≤ S·fetch_k rows; the fetch spine
+    is a 3-row broadcast."""
+    sc = (
+        _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
+        .where(F.col("doc_id") != 0)
+        .select(
+            "doc_id", "score_q6",
+            F.expr(
+                f"CAST(conv(substring(md5('stf:' || CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+                f" AS BIGINT) % {_STF_SHARDS}"
+            ).alias("shard"),
+        )
+        .localCheckpoint()  # truth ranking + per-shard windows read it
+    )
+    wtr = Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))
+    tru = (
+        sc.withColumn("rn", F.row_number().over(wtr))
+        .where(F.col("rn") <= 10)
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    true_k = tru.count()
+    wsh = Window.partitionBy("shard").orderBy(F.desc("score_q6"), F.asc("doc_id"))
+    ranked = sc.withColumn("srn", F.row_number().over(wsh))
+    rows = []
+    for fk in _STF_FETCHES:
+        shtop = ranked.where(F.col("srn") <= fk).select("doc_id", "score_q6")
+        fetched = shtop.count()
+        wm = Window.orderBy(F.desc("score_q6"), F.asc("doc_id"))
+        merged = (
+            shtop.withColumn("mrn", F.row_number().over(wm))
+            .where(F.col("mrn") <= 10)
+            .select("doc_id")
+        )
+        ov = merged.join(tru, "doc_id").count()
+        rows.append((fk, _STF_SHARDS, true_k, ov, fetched))
+    return spark.createDataFrame(
+        rows,
+        "fetch_k long, n_shards long, true_k long, n_overlap long, rows_fetched long",
+    ).orderBy("fetch_k")
+
+
+@register(
+    "score_tie_census",
+    _bm25_agg_ctes(_TOPK_TERMS)
+    + """,
+sc AS (SELECT doc_id, score_q6 FROM agg WHERE doc_id <> 0),
+grp AS (SELECT score_q6, CAST(count(*) AS BIGINT) AS c FROM sc GROUP BY score_q6),
+bnd AS (
+  SELECT score_q6 AS s10 FROM sc ORDER BY score_q6 DESC, doc_id ASC
+  LIMIT 1 OFFSET 9)
+SELECT CAST((SELECT count(*) FROM sc) AS BIGINT) AS n_docs,
+       CAST((SELECT count(*) FROM grp) AS BIGINT) AS n_distinct_scores,
+       CAST((SELECT COALESCE(max(c), 0) FROM grp) AS BIGINT) AS max_tie_group,
+       CAST((SELECT COALESCE(sum(c), 0) FROM grp WHERE c > 1) AS BIGINT)
+         AS n_docs_in_ties,
+       CAST(COALESCE((SELECT c FROM grp JOIN bnd ON grp.score_q6 = bnd.s10), 0)
+            AS BIGINT) AS boundary_tie_group""",
+)
+def score_tie_census(spark, sf_dir):
+    """Quantization-tie census of the BM25 match set: distinct q6 scores,
+    the largest tie group, docs inside ties, and the size of the tie
+    group AT the top-10 cut boundary — the measured justification for
+    the engine-wide (score, doc_id) tiebreak discipline (a boundary tie
+    group > 1 means the page content is UNDEFINED without a tiebreak,
+    and every cross-engine hash comparison in this registry would be
+    flaky there; the content-sha tiebreak note in CLAUDE.md is the
+    serving-tier face of the same fact).
+
+    Determinism: counts over quantized scores; the boundary score comes
+    from the same (score desc, doc_id asc) ranking every page op uses;
+    an empty or <10-doc match set reports boundary 0 via the COALESCE.
+
+    Scale shape: one score-group agg over the memoized match set, a
+    1-row boundary probe, all map-side-combined."""
+    sc = (
+        _bm25_match_set(spark, sf_dir, _TOPK_TERMS)
+        .where(F.col("doc_id") != 0)
+        .select("doc_id", "score_q6")
+        .localCheckpoint()  # group agg + boundary probe
+    )
+    grp = sc.groupBy("score_q6").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    b10 = (
+        sc.orderBy(F.desc("score_q6"), F.asc("doc_id"))
+        .limit(10)
+        .orderBy(F.asc("score_q6"), F.desc("doc_id"))
+        .limit(1)
+        .collect()
+    )
+    boundary = 0
+    if len(sc.take(10)) == 10 and b10:
+        s10 = b10[0]["score_q6"]
+        row = grp.where(F.col("score_q6") == s10).collect()
+        boundary = int(row[0]["c"]) if row else 0
+    return (
+        grp.agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_scores"),
+            F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("max_tie_group"),
+            F.expr(
+                "CAST(COALESCE(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT)"
+            ).alias("n_docs_in_ties"),
+        )
+        .withColumn("boundary_tie_group", F.lit(boundary).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -3279,6 +3443,8 @@ _FRONT = [
     "part_revenue_concentration", "query_string_search", "rescore_topn",
     "bigram_lm_surprisal", "sparse_cosine_pairs", "pagerank_ann_graph",
     "dup_ngram_fraction",
+    # session 237 (round 5): below the 50-slot sample boundary
+    "shard_topk_fetch_curve", "score_tie_census",
     # session 236 (round 5): below the 50-slot sample boundary
     "dedup_normalization_curve", "lsh_edit_robustness_curve",
     # session 235 (round 5): below the 50-slot sample boundary
