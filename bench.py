@@ -475,7 +475,9 @@ def main() -> None:
                  # session 236 flagships
                  "dedup_normalization_curve", "lsh_edit_robustness_curve",
                  # session 237 flagships
-                 "shard_topk_fetch_curve", "score_tie_census"]:
+                 "shard_topk_fetch_curve", "score_tie_census",
+                 # session 238 flagships
+                 "events_daily_mad_anomaly", "shard_local_idf_effect"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

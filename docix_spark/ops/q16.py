@@ -3394,6 +3394,243 @@ def score_tie_census(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 238 — robust daily anomaly, shard-local idf effect
+# ---------------------------------------------------------------------------
+
+# 0.6745^2 — the standard-normal MAD consistency constant, Python-folded
+_MAD_C2 = f"{0.6745 ** 2:.17e}"
+
+
+@register(
+    "events_daily_mad_anomaly",
+    f"""WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_num, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+st AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+rk AS (SELECT day_num, n, row_number() OVER (ORDER BY n ASC, day_num ASC) AS rn
+       FROM d),
+med AS (SELECT n AS med FROM rk, st WHERE rn = (nd + 1) // 2),
+dev AS (SELECT d.day_num, d.n, abs(d.n - med.med) AS ad FROM d, med),
+rk2 AS (SELECT ad, row_number() OVER (ORDER BY ad ASC) AS rn FROM dev),
+mad AS (SELECT ad AS mad FROM rk2, st WHERE rn = (nd + 1) // 2)
+SELECT dev.day_num, dev.n, med.med, mad.mad,
+       CASE WHEN mad.mad = 0 THEN 0
+            ELSE CAST(round(1000000 * {_MAD_C2} * (dev.n - med.med) * (dev.n - med.med)
+                 / CAST(mad.mad * mad.mad AS DOUBLE)) AS BIGINT) END AS rz2_q6,
+       CASE WHEN mad.mad <> 0
+             AND CAST(round(1000000 * {_MAD_C2} * (dev.n - med.med) * (dev.n - med.med)
+                 / CAST(mad.mad * mad.mad AS DOUBLE)) AS BIGINT) >= 4000000
+            THEN 1 ELSE 0 END AS is_spike
+FROM dev, med, mad ORDER BY day_num""",
+)
+def events_daily_mad_anomaly(spark, sf_dir):
+    """Robust twin of events_daily_anomaly: spike detection via
+    median/MAD instead of mean/variance — the detector that survives the
+    very outliers it hunts (one 100× spike day inflates the classical σ
+    and masks every other spike; the median absolute deviation barely
+    moves). Same day grain, same |z| ≥ 2 cut, robust z = 0.6745·(n −
+    med)/MAD with the consistency constant folded in Python — reading
+    both ops side by side shows masked days the classical z missed.
+
+    Determinism: lower-median selection by explicit row_number over
+    (value, day) — exact integers; one float expression (the shared
+    constant in e-notation, MAD=0 guarded — an all-equal series has no
+    robust scale and reports 0, declared).
+
+    Scale shape: the day table is calendar-bounded (≤ days rows), so
+    the two global rank windows are bounded by the CALENDAR, not the
+    corpus — the same license events_daily_anomaly's 1-row stats use."""
+    d = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day_num")
+        )
+        .groupBy("day_num")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()  # median rank + deviation rank + output rows
+    )
+    nd = d.count()
+    wv = Window.orderBy(F.asc("n"), F.asc("day_num"))
+    med = (
+        d.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == (nd + 1) // 2)
+        .select(F.col("n").alias("med"))
+    )
+    dev = d.crossJoin(F.broadcast(med)).select(
+        "day_num", "n", "med", F.expr("abs(n - med)").alias("ad")
+    )
+    wa = Window.orderBy(F.asc("ad"))
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == (nd + 1) // 2)
+        .select(F.col("ad").alias("mad"))
+    )
+    z = dev.crossJoin(F.broadcast(mad)).select(
+        "day_num", "n", "med", "mad",
+        F.expr(
+            f"CASE WHEN mad = 0 THEN 0"
+            f" ELSE CAST(round(1000000 * {_MAD_C2} * (n - med) * (n - med)"
+            f" / CAST(mad * mad AS DOUBLE)) AS BIGINT) END"
+        ).alias("rz2_q6"),
+    )
+    return z.select(
+        "day_num", "n", "med", "mad", "rz2_q6",
+        F.expr(
+            "CASE WHEN mad <> 0 AND rz2_q6 >= 4000000 THEN 1 ELSE 0 END"
+        ).alias("is_spike"),
+    ).orderBy("day_num")
+
+
+_SLI_SHARDS = 4
+
+
+@register(
+    "shard_local_idf_effect",
+    f"""WITH tf AS ({SQL_TF}),
+dl AS ({SQL_DL}),
+sh AS (SELECT doc_id,
+              ('0x' || substr(md5('sli:' || CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT::BIGINT
+                % {_SLI_SHARDS} AS shard
+       FROM documents),
+q AS (SELECT unnest(['spark', 'hash', 'join']) AS term),
+gst AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+gdf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+lst AS (SELECT sh.shard, CAST(count(*) AS DOUBLE) AS n_docs
+        FROM dl JOIN sh USING (doc_id) GROUP BY sh.shard),
+ldf AS (SELECT sh.shard, tf.term, CAST(count(*) AS DOUBLE) AS df
+        FROM tf JOIN sh USING (doc_id) GROUP BY sh.shard, tf.term),
+per AS (
+  SELECT tf.doc_id, sh.shard,
+         ln(1.0 + ((SELECT n_docs FROM gst) - gdf.df + 0.5) / (gdf.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM gst))) AS sg,
+         ln(1.0 + (lst.n_docs - ldf.df + 0.5) / (ldf.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / (SELECT avgdl FROM gst))) AS sl
+  FROM tf JOIN q USING (term) JOIN gdf USING (term) JOIN dl USING (doc_id)
+       JOIN sh USING (doc_id)
+       JOIN lst ON lst.shard = sh.shard
+       JOIN ldf ON ldf.shard = sh.shard AND ldf.term = tf.term
+),
+agg AS (
+  SELECT doc_id,
+         CAST(round(sum(sg) * 1000000) AS BIGINT) AS g_q6,
+         CAST(round(sum(sl) * 1000000) AS BIGINT) AS l_q6
+  FROM per GROUP BY doc_id),
+gt AS (SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY g_q6 DESC, doc_id ASC) AS rn FROM agg)
+  WHERE rn <= 10),
+lt AS (SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY l_q6 DESC, doc_id ASC) AS rn FROM agg)
+  WHERE rn <= 10)
+SELECT CAST({_SLI_SHARDS} AS BIGINT) AS n_shards,
+       CAST((SELECT count(*) FROM agg) AS BIGINT) AS n_matched,
+       CAST((SELECT count(*) FROM gt JOIN lt USING (doc_id)) AS BIGINT)
+         AS page_overlap,
+       CAST((SELECT COALESCE(sum(abs(g_q6 - l_q6)), 0) // count(*) FROM agg)
+            AS BIGINT) AS mean_abs_delta_q6,
+       CAST((SELECT COALESCE(max(abs(g_q6 - l_q6)), 0) FROM agg) AS BIGINT)
+         AS max_abs_delta_q6""",
+)
+def shard_local_idf_effect(spark, sf_dir):
+    """Why ES ships dfs_query_then_fetch: when each shard scores with its
+    LOCAL df/N instead of the corpus-global statistics, identical docs
+    score differently by shard — this measures the damage for the canned
+    query on {_SLI_SHARDS} hash shards: the global-vs-local top-10
+    overlap and the mean/max per-doc score delta in q6 units. On a
+    uniformly-routed corpus local df concentrates toward global ratios
+    and the deltas are small (the reason query_then_fetch is the ES
+    default); a skewed routing blows them up (shard_fanout_compare shows
+    where that skew comes from).
+
+    Determinism: the engine's BM25 convention (one round(sum·1e6) per
+    doc per statistic flavor); routing uses the fresh 'sli:' md5
+    coordinate; ranks tiebreak on doc_id.
+
+    Scale shape: shard-local df/N are (shard, term)/(shard) aggs; both
+    score flavors compute in ONE pass over matched postings; summary is
+    1 row."""
+    toks = _toks(_docs(spark, sf_dir))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    sh = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            f"CAST(conv(substring(md5('sli:' || CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+            f" AS BIGINT) % {_SLI_SHARDS}"
+        ).alias("shard"),
+    )
+    q = spark.createDataFrame([("spark",), ("hash",), ("join",)], "term string")
+    gst = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+    gdf = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    lst = dl.join(sh, "doc_id").groupBy("shard").agg(
+        F.count(F.lit(1)).cast("double").alias("ln_docs")
+    )
+    ldf = tf.join(sh, "doc_id").groupBy("shard", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("ldf")
+    )
+    per = (
+        tf.join(F.broadcast(q), "term")
+        .join(gdf, "term")
+        .join(dl, "doc_id")
+        .join(sh, "doc_id")
+        .join(F.broadcast(lst), "shard")
+        .join(ldf, ["shard", "term"])
+        .crossJoin(F.broadcast(gst))
+        .select(
+            "doc_id",
+            F.expr(
+                "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2"
+                " / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))"
+            ).alias("sg"),
+            F.expr(
+                "ln(1.0 + (ln_docs - ldf + 0.5) / (ldf + 0.5)) * tf * 2.2"
+                " / (tf + 1.2 * (0.25 + 0.75 * doc_len / avgdl))"
+            ).alias("sl"),
+        )
+    )
+    agg = (
+        per.groupBy("doc_id")
+        .agg(
+            F.expr("CAST(round(sum(sg) * 1000000) AS BIGINT)").alias("g_q6"),
+            F.expr("CAST(round(sum(sl) * 1000000) AS BIGINT)").alias("l_q6"),
+        )
+        .localCheckpoint()  # two pages + the delta stats read it
+    )
+    def top(col):
+        w = Window.orderBy(F.desc(col), F.asc("doc_id"))
+        return (
+            agg.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 10)
+            .select("doc_id")
+        )
+    ov = top("g_q6").join(top("l_q6"), "doc_id").count()
+    st = agg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.expr(
+            "CAST(COALESCE(sum(abs(g_q6 - l_q6)), 0) div count(*) AS BIGINT)"
+        ).alias("mean_abs_delta_q6"),
+        F.expr("CAST(COALESCE(max(abs(g_q6 - l_q6)), 0) AS BIGINT)").alias(
+            "max_abs_delta_q6"
+        ),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(
+            _SLI_SHARDS,
+            int(st["n_matched"]),
+            ov,
+            int(st["mean_abs_delta_q6"]),
+            int(st["max_abs_delta_q6"]),
+        )],
+        "n_shards long, n_matched long, page_overlap long,"
+        " mean_abs_delta_q6 long, max_abs_delta_q6 long",
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -3443,6 +3680,8 @@ _FRONT = [
     "part_revenue_concentration", "query_string_search", "rescore_topn",
     "bigram_lm_surprisal", "sparse_cosine_pairs", "pagerank_ann_graph",
     "dup_ngram_fraction",
+    # session 238 (round 5): below the 50-slot sample boundary
+    "events_daily_mad_anomaly", "shard_local_idf_effect",
     # session 237 (round 5): below the 50-slot sample boundary
     "shard_topk_fetch_curve", "score_tie_census",
     # session 236 (round 5): below the 50-slot sample boundary
