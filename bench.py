@@ -477,7 +477,9 @@ def main() -> None:
                  # session 237 flagships
                  "shard_topk_fetch_curve", "score_tie_census",
                  # session 238 flagships
-                 "events_daily_mad_anomaly", "shard_local_idf_effect"]:
+                 "events_daily_mad_anomaly", "shard_local_idf_effect",
+                 # session 239 flagship
+                 "intersection_order_cost"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -3631,6 +3631,111 @@ def shard_local_idf_effect(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 239 — conjunctive intersection order cost
+# ---------------------------------------------------------------------------
+
+_IOC_TERMS = ("spark", "hash", "join")
+
+
+@register(
+    "intersection_order_cost",
+    f"""WITH tf AS ({SQL_TF}),
+p1 AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{_IOC_TERMS[0]}'),
+p2 AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{_IOC_TERMS[1]}'),
+p3 AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{_IOC_TERMS[2]}'),
+c AS (SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM p1) AS d1,
+  (SELECT CAST(count(*) AS BIGINT) FROM p2) AS d2,
+  (SELECT CAST(count(*) AS BIGINT) FROM p3) AS d3,
+  (SELECT CAST(count(*) AS BIGINT) FROM p1 JOIN p2 USING (doc_id)) AS i12,
+  (SELECT CAST(count(*) AS BIGINT) FROM p1 JOIN p3 USING (doc_id)) AS i13,
+  (SELECT CAST(count(*) AS BIGINT) FROM p2 JOIN p3 USING (doc_id)) AS i23,
+  (SELECT CAST(count(*) AS BIGINT) FROM p1 JOIN p2 USING (doc_id)
+                                        JOIN p3 USING (doc_id)) AS i123),
+ords AS (
+  SELECT 'given' AS ordering, d1 AS f, i12 AS a2, i123 AS a3, d1 + i12 AS probes FROM c
+  UNION ALL
+  SELECT 'df_asc',
+         least(d1, d2, d3),
+         CASE
+           WHEN d1 <= d2 AND d1 <= d3 THEN CASE WHEN least(d2, d3) = d2 THEN i12 ELSE i13 END
+           WHEN d2 <= d1 AND d2 <= d3 THEN CASE WHEN least(d1, d3) = d1 THEN i12 ELSE i23 END
+           ELSE CASE WHEN least(d1, d2) = d1 THEN i13 ELSE i23 END
+         END,
+         i123,
+         least(d1, d2, d3) + CASE
+           WHEN d1 <= d2 AND d1 <= d3 THEN CASE WHEN least(d2, d3) = d2 THEN i12 ELSE i13 END
+           WHEN d2 <= d1 AND d2 <= d3 THEN CASE WHEN least(d1, d3) = d1 THEN i12 ELSE i23 END
+           ELSE CASE WHEN least(d1, d2) = d1 THEN i13 ELSE i23 END
+         END
+  FROM c
+  UNION ALL
+  SELECT 'df_desc',
+         greatest(d1, d2, d3),
+         CASE
+           WHEN d1 >= d2 AND d1 >= d3 THEN CASE WHEN greatest(d2, d3) = d2 THEN i12 ELSE i13 END
+           WHEN d2 >= d1 AND d2 >= d3 THEN CASE WHEN greatest(d1, d3) = d1 THEN i12 ELSE i23 END
+           ELSE CASE WHEN greatest(d1, d2) = d1 THEN i13 ELSE i23 END
+         END,
+         i123,
+         greatest(d1, d2, d3) + CASE
+           WHEN d1 >= d2 AND d1 >= d3 THEN CASE WHEN greatest(d2, d3) = d2 THEN i12 ELSE i13 END
+           WHEN d2 >= d1 AND d2 >= d3 THEN CASE WHEN greatest(d1, d3) = d1 THEN i12 ELSE i23 END
+           ELSE CASE WHEN greatest(d1, d2) = d1 THEN i13 ELSE i23 END
+         END
+  FROM c)
+SELECT ordering, f AS first_list_len, a2 AS candidates_after_2,
+       a3 AS candidates_after_3, probes AS total_probes
+FROM ords ORDER BY ordering""",
+)
+def intersection_order_cost(spark, sf_dir):
+    """Conjunctive postings-intersection order, priced exactly: for the
+    canned 3-term AND query, the candidate-set trajectory and probe
+    count (|first list| probes into the second + |∩ of two| probes into
+    the third — the binary-search/skip model) under the given order,
+    df-ascending (the textbook rule: start smallest), and df-descending
+    (the worst case). The df-asc row's advantage over df-desc IS the
+    optimizer rule every intersection planner enforces;
+    filter_order_advisor prices the same law for row predicates, this
+    is the postings face (and the tie between them is the correlation
+    error both measure). When two orderings start from equal-df lists
+    with different pair intersections, ties break by list INDEX — the
+    deterministic planner convention, stated.
+
+    Determinism: exact distinct-doc counts and intersections (order-free
+    set sizes composed per ordering).
+
+    Scale shape: three term-filtered distinct sets (filters pushed to
+    the tf scan) + four bounded intersection counts; output 3 rows."""
+    tf = _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+    sets = {}
+    for i, t in enumerate(_IOC_TERMS, start=1):
+        sets[i] = tf.where(F.col("term") == t).select("doc_id").distinct().localCheckpoint()
+    d = {i: sets[i].count() for i in sets}
+    i12 = sets[1].join(sets[2], "doc_id").count()
+    i13 = sets[1].join(sets[3], "doc_id").count()
+    i23 = sets[2].join(sets[3], "doc_id").count()
+    i123 = sets[1].join(sets[2], "doc_id").join(sets[3], "doc_id").count()
+    pair = {frozenset((1, 2)): i12, frozenset((1, 3)): i13, frozenset((2, 3)): i23}
+
+    def row(name, order):
+        first = d[order[0]]
+        a2 = pair[frozenset(order[:2])]
+        return (name, first, a2, i123, first + a2)
+
+    asc = sorted(sets, key=lambda i: (d[i], i))
+    desc = sorted(sets, key=lambda i: (-d[i], i))
+    rows = [row("given", (1, 2, 3)), row("df_asc", tuple(asc)), row("df_desc", tuple(desc))]
+    return spark.createDataFrame(
+        rows,
+        "ordering string, first_list_len long, candidates_after_2 long,"
+        " candidates_after_3 long, total_probes long",
+    ).orderBy("ordering")
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -3680,6 +3785,8 @@ _FRONT = [
     "part_revenue_concentration", "query_string_search", "rescore_topn",
     "bigram_lm_surprisal", "sparse_cosine_pairs", "pagerank_ann_graph",
     "dup_ngram_fraction",
+    # session 239 (round 5): below the 50-slot sample boundary
+    "intersection_order_cost",
     # session 238 (round 5): below the 50-slot sample boundary
     "events_daily_mad_anomaly", "shard_local_idf_effect",
     # session 237 (round 5): below the 50-slot sample boundary
