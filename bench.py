@@ -479,7 +479,9 @@ def main() -> None:
                  # session 238 flagships
                  "events_daily_mad_anomaly", "shard_local_idf_effect",
                  # session 239 flagship
-                 "intersection_order_cost"]:
+                 "intersection_order_cost",
+                 # session 240 flagship
+                 "binary_segmentation_daily"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

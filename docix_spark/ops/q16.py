@@ -3736,6 +3736,186 @@ def intersection_order_cost(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 240 — depth-2 binary segmentation of the daily series
+# ---------------------------------------------------------------------------
+
+# Welch t^2 between the two sides of a split, from exact BIGINT cumulative
+# sufficient stats (the best_split_changepoint expression, shared verbatim
+# by both engines and both levels)
+_BS_T2 = (
+    "CASE WHEN na < 2 OR nb < 2 OR (na*ssa = sa*sa AND nb*ssb = sb*sb) THEN 0"
+    " ELSE CAST(round(1000000 * ((sa/na - sb/nb) * (sa/na - sb/nb))"
+    " / ((na*ssa - sa*sa)/(na*na*(na-1)) + (nb*ssb - sb*sb)/(nb*nb*(nb-1))))"
+    " AS BIGINT) END"
+)
+_BS_T2_DUCK = _BS_T2.replace(
+    "(sa/na - sb/nb)", "(CAST(sa AS DOUBLE)/na - CAST(sb AS DOUBLE)/nb)"
+).replace(
+    "(na*ssa - sa*sa)/(na*na*(na-1))",
+    "CAST(na*ssa - sa*sa AS DOUBLE)/(na*na*(na-1))",
+).replace(
+    "(nb*ssb - sb*sb)/(nb*nb*(nb-1))",
+    "CAST(nb*ssb - sb*sb AS DOUBLE)/(nb*nb*(nb-1))",
+)
+_BS_T2_SPARK = _BS_T2_DUCK  # identical float pipeline, CAST spelling shared
+
+
+@register(
+    "binary_segmentation_daily",
+    f"""WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_num, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY day_num),
+b AS (SELECT CAST(min(day_num) AS BIGINT) AS lo, CAST(max(day_num) AS BIGINT) AS hi FROM d),
+spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_num FROM b),
+f AS (SELECT spine.day_num, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+      FROM spine LEFT JOIN d USING (day_num)),
+cum1 AS (
+  SELECT day_num,
+         CAST(sum(1) OVER w AS BIGINT) AS na, CAST(sum(n) OVER w AS BIGINT) AS sa,
+         CAST(sum(n*n) OVER w AS BIGINT) AS ssa,
+         CAST(count(*) OVER () - sum(1) OVER w AS BIGINT) AS nb,
+         CAST(sum(n) OVER () - sum(n) OVER w AS BIGINT) AS sb,
+         CAST(sum(n*n) OVER () - sum(n*n) OVER w AS BIGINT) AS ssb
+  FROM f
+  WINDOW w AS (ORDER BY day_num ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+z1 AS (SELECT day_num, na, nb, {_BS_T2_DUCK} AS t2_q6 FROM cum1
+       WHERE na >= 2 AND nb >= 2),
+r1 AS (SELECT day_num, na, nb, t2_q6 FROM (
+         SELECT *, row_number() OVER (ORDER BY t2_q6 DESC, day_num ASC) AS rn FROM z1)
+       WHERE rn = 1),
+seg AS (SELECT f.day_num, f.n,
+               CASE WHEN f.day_num <= r1.day_num THEN 'left' ELSE 'right' END AS s
+        FROM f, r1),
+cum2 AS (
+  SELECT s, day_num,
+         CAST(sum(1) OVER w AS BIGINT) AS na, CAST(sum(n) OVER w AS BIGINT) AS sa,
+         CAST(sum(n*n) OVER w AS BIGINT) AS ssa,
+         CAST(sum(1) OVER p - sum(1) OVER w AS BIGINT) AS nb,
+         CAST(sum(n) OVER p - sum(n) OVER w AS BIGINT) AS sb,
+         CAST(sum(n*n) OVER p - sum(n*n) OVER w AS BIGINT) AS ssb
+  FROM seg
+  WINDOW w AS (PARTITION BY s ORDER BY day_num ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         p AS (PARTITION BY s)),
+z2 AS (SELECT s, day_num, na, nb, {_BS_T2_DUCK} AS t2_q6 FROM cum2
+       WHERE na >= 2 AND nb >= 2),
+r2 AS (SELECT s, day_num, na, nb, t2_q6 FROM (
+         SELECT *, row_number() OVER (PARTITION BY s ORDER BY t2_q6 DESC, day_num ASC) AS rn
+         FROM z2)
+       WHERE rn = 1),
+segs AS (SELECT 'left' AS s UNION ALL SELECT 'right')
+SELECT CAST(1 AS BIGINT) AS level, 'root' AS segment,
+       CAST(COALESCE(r1.day_num, -1) AS BIGINT) AS split_after_day,
+       CAST(COALESCE(r1.na, 0) AS BIGINT) AS n_left,
+       CAST(COALESCE(r1.nb, 0) AS BIGINT) AS n_right,
+       CAST(COALESCE(r1.t2_q6, 0) AS BIGINT) AS t2_q6
+FROM (SELECT 1 AS one) LEFT JOIN r1 ON TRUE
+UNION ALL
+SELECT 2, segs.s,
+       CAST(COALESCE(r2.day_num, -1) AS BIGINT),
+       CAST(COALESCE(r2.na, 0) AS BIGINT), CAST(COALESCE(r2.nb, 0) AS BIGINT),
+       CAST(COALESCE(r2.t2_q6, 0) AS BIGINT)
+FROM segs LEFT JOIN r2 ON r2.s = segs.s
+ORDER BY level, segment""",
+)
+def binary_segmentation_daily(spark, sf_dir):
+    """Depth-2 binary segmentation of the daily event series (the
+    classic multi-changepoint recursion, Scott & Knott shape): the root
+    split is best_split_changepoint's Welch-t² argmax; each half is then
+    split again by the SAME statistic over per-segment cumulative
+    windows — three changepoints from two window passes, the standard
+    greedy alternative to exhaustive multi-split search. A half too
+    short to split (< 4 days) reports the -1 sentinel via its spine row.
+
+    Determinism: exact BIGINT cumulative sufficient stats; ONE shared
+    float t² expression (explicit DOUBLE casts from the first division,
+    the chi²-rule); argmaxes tiebreak on day.
+
+    Scale shape: day-grain spine (calendar-bounded); level-2 windows
+    partition by segment; both levels are window passes over ≤|days|
+    rows, and the 1-row root split is the only driver-side value."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = ev.select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day_num")
+    ).groupBy("day_num").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    b = d.agg(F.min("day_num").alias("lo"), F.max("day_num").alias("hi")).collect()[0]
+    spine = spark.range(int(b["lo"]), int(b["hi"]) + 1).select(
+        F.col("id").alias("day_num")
+    )
+    f = (
+        spine.join(d, "day_num", "left")
+        .select("day_num", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"))
+        .localCheckpoint()  # both levels window over it
+    )
+    wc = Window.orderBy("day_num").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("day_num").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum1 = f.select(
+        "day_num",
+        F.sum(F.lit(1)).over(wc).cast("long").alias("na"),
+        F.sum("n").over(wc).cast("long").alias("sa"),
+        F.sum(F.expr("n*n")).over(wc).cast("long").alias("ssa"),
+        (F.count(F.lit(1)).over(wt) - F.sum(F.lit(1)).over(wc)).cast("long").alias("nb"),
+        (F.sum("n").over(wt) - F.sum("n").over(wc)).cast("long").alias("sb"),
+        (F.sum(F.expr("n*n")).over(wt) - F.sum(F.expr("n*n")).over(wc)).cast("long").alias("ssb"),
+    )
+    z1 = cum1.where((F.col("na") >= 2) & (F.col("nb") >= 2)).select(
+        "day_num", "na", "nb", F.expr(_BS_T2_SPARK).alias("t2_q6")
+    )
+    top1 = z1.orderBy(F.desc("t2_q6"), F.asc("day_num")).limit(1).collect()
+    if not top1:
+        # series too short for any valid split (< 4 days): sentinels
+        # everywhere, matching the oracle's LEFT-join spine rows
+        return spark.createDataFrame(
+            [(1, "root", -1, 0, 0, 0), (2, "left", -1, 0, 0, 0),
+             (2, "right", -1, 0, 0, 0)],
+            "level long, segment string, split_after_day long, n_left long,"
+            " n_right long, t2_q6 long",
+        ).orderBy("level", "segment")
+    r1 = top1[0]
+    split = int(r1["day_num"])
+    seg = f.select(
+        "day_num", "n",
+        F.expr(f"CASE WHEN day_num <= {split} THEN 'left' ELSE 'right' END").alias("s"),
+    )
+    wc2 = Window.partitionBy("s").orderBy("day_num").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wp = Window.partitionBy("s")
+    cum2 = seg.select(
+        "s", "day_num",
+        F.sum(F.lit(1)).over(wc2).cast("long").alias("na"),
+        F.sum("n").over(wc2).cast("long").alias("sa"),
+        F.sum(F.expr("n*n")).over(wc2).cast("long").alias("ssa"),
+        (F.sum(F.lit(1)).over(wp) - F.sum(F.lit(1)).over(wc2)).cast("long").alias("nb"),
+        (F.sum("n").over(wp) - F.sum("n").over(wc2)).cast("long").alias("sb"),
+        (F.sum(F.expr("n*n")).over(wp) - F.sum(F.expr("n*n")).over(wc2)).cast("long").alias("ssb"),
+    )
+    z2 = cum2.where((F.col("na") >= 2) & (F.col("nb") >= 2)).select(
+        "s", "day_num", "na", "nb", F.expr(_BS_T2_SPARK).alias("t2_q6")
+    )
+    w2 = Window.partitionBy("s").orderBy(F.desc("t2_q6"), F.asc("day_num"))
+    r2 = {
+        row["s"]: row
+        for row in z2.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    rows = [(1, "root", split, int(r1["na"]), int(r1["nb"]), int(r1["t2_q6"]))]
+    for s in ("left", "right"):
+        if s in r2:
+            rr = r2[s]
+            rows.append((2, s, int(rr["day_num"]), int(rr["na"]), int(rr["nb"]), int(rr["t2_q6"])))
+        else:
+            rows.append((2, s, -1, 0, 0, 0))
+    return spark.createDataFrame(
+        rows,
+        "level long, segment string, split_after_day long, n_left long,"
+        " n_right long, t2_q6 long",
+    ).orderBy("level", "segment")
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -3785,6 +3965,8 @@ _FRONT = [
     "part_revenue_concentration", "query_string_search", "rescore_topn",
     "bigram_lm_surprisal", "sparse_cosine_pairs", "pagerank_ann_graph",
     "dup_ngram_fraction",
+    # session 240 (round 5): below the 50-slot sample boundary
+    "binary_segmentation_daily",
     # session 239 (round 5): below the 50-slot sample boundary
     "intersection_order_cost",
     # session 238 (round 5): below the 50-slot sample boundary
