@@ -481,7 +481,9 @@ def main() -> None:
                  # session 239 flagship
                  "intersection_order_cost",
                  # session 240 flagship
-                 "binary_segmentation_daily"]:
+                 "binary_segmentation_daily",
+                 # session 241 flagship
+                 "percentile_method_compare"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

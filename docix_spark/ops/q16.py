@@ -3916,6 +3916,126 @@ def binary_segmentation_daily(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 241 — percentile estimator comparison (type-7 vs nearest-rank)
+# ---------------------------------------------------------------------------
+
+_PMC_PS = (25, 50, 75, 90)
+
+
+@register(
+    "percentile_method_compare",
+    f"""WITH dl AS ({SQL_DL}),
+h AS (SELECT doc_len AS v, CAST(count(*) AS BIGINT) AS c FROM dl GROUP BY doc_len),
+cu AS (
+  SELECT v, c,
+         CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS cum_prev,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM h),
+ps AS ({" UNION ALL ".join(f"SELECT {p} AS p" for p in _PMC_PS)}),
+rk AS (
+  SELECT p,
+         ((SELECT max(n) FROM cu) - 1) * p // 100 + 1 AS r_lo,      -- type-7 floor rank (1-based)
+         ((SELECT max(n) FROM cu) - 1) * p % 100 AS frac,           -- type-7 fractional part (percent)
+         ((SELECT max(n) FROM cu) * p + 99) // 100 AS r_t1          -- nearest-rank ceil
+  FROM ps),
+v_lo AS (SELECT rk.p, cu.v AS vx FROM rk JOIN cu
+         ON rk.r_lo > COALESCE(cu.cum_prev, 0) AND rk.r_lo <= cu.cum),
+v_hi AS (SELECT rk.p, cu.v AS vx1 FROM rk JOIN cu
+         ON least(rk.r_lo + 1, (SELECT max(n) FROM cu)) > COALESCE(cu.cum_prev, 0)
+        AND least(rk.r_lo + 1, (SELECT max(n) FROM cu)) <= cu.cum),
+v_t1 AS (SELECT rk.p, cu.v AS vt1 FROM rk JOIN cu
+         ON rk.r_t1 > COALESCE(cu.cum_prev, 0) AND rk.r_t1 <= cu.cum)
+SELECT CAST(rk.p AS BIGINT) AS p,
+       CAST(1000000 * v_lo.vx + 10000 * rk.frac * (v_hi.vx1 - v_lo.vx) AS BIGINT)
+         AS type7_q6,
+       CAST(v_t1.vt1 AS BIGINT) AS type1_value,
+       CAST(1000000 * v_lo.vx + 10000 * rk.frac * (v_hi.vx1 - v_lo.vx)
+            - 1000000 * v_t1.vt1 AS BIGINT) AS delta_q6
+FROM rk JOIN v_lo USING (p) JOIN v_hi USING (p) JOIN v_t1 USING (p)
+ORDER BY p""",
+)
+def percentile_method_compare(spark, sf_dir):
+    """Percentile-estimator divergence audit: the engine-wide type-7
+    interpolated quantile (R/numpy default — what doclen_quantiles and
+    every histogram-machinery op ships) against the nearest-rank
+    (type-1) definition SQL engines often default to, at p=25/50/75/90
+    over the doc-length distribution. delta_q6 is the exact disagreement
+    — the convention-safety meta-check (ann_quantization_sensitivity's
+    role for scores) that quantifies what switching percentile
+    definitions would silently change in every published quantile.
+
+    Determinism: ENTIRELY integer — type-7's h = (n−1)p/100 splits into
+    an integer rank and a percent-fraction, so the interpolated value is
+    1e6·v[x] + 1e4·frac·(v[x+1]−v[x]) exactly (no float anywhere, one
+    better than the usual one-float-expr rule); rank containment picks
+    exactly one histogram cell per probe (the quantile_sketch_error
+    discipline).
+
+    Scale shape: the value histogram + cumulative window see DISTINCT
+    lengths only; rank probes are a ≤8-row broadcast join; output 4
+    rows."""
+    dl = (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    )
+    h = dl.groupBy(F.col("doc_len").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wp = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cu = h.select(
+        "v", "c",
+        F.sum("c").over(wv).cast("long").alias("cum"),
+        F.sum("c").over(wp).cast("long").alias("cum_prev"),
+        F.sum("c").over(wt).cast("long").alias("n"),
+    ).localCheckpoint()  # three rank probes read it
+    n = cu.agg(F.max("n")).collect()[0][0]
+    rows = []
+    for p in _PMC_PS:
+        rows.append((p, (n - 1) * p // 100 + 1, (n - 1) * p % 100,
+                     min((n * p + 99) // 100, n)))
+    rk = spark.createDataFrame(rows, "p long, r_lo long, frac long, r_t1 long")
+
+    def probe(rcol, alias, cap=False):
+        r = F.least(F.col(rcol) + 1, F.lit(n)) if cap else F.col(rcol)
+        return (
+            F.broadcast(rk).alias("rk")
+            .join(
+                cu.alias("cu"),
+                (r > F.coalesce(F.col("cu.cum_prev"), F.lit(0)))
+                & (r <= F.col("cu.cum")),
+            )
+            .select(F.col("rk.p").alias("p"), F.col("cu.v").alias(alias))
+        )
+
+    v_lo = probe("r_lo", "vx")
+    v_hi = probe("r_lo", "vx1", cap=True)
+    v_t1 = probe("r_t1", "vt1")
+    return (
+        v_lo.join(v_hi, "p").join(v_t1, "p")
+        .join(F.broadcast(rk.select("p", "frac")), "p")
+        .select(
+            "p",
+            F.expr(
+                "CAST(1000000 * vx + 10000 * frac * (vx1 - vx) AS BIGINT)"
+            ).alias("type7_q6"),
+            F.col("vt1").cast("long").alias("type1_value"),
+            F.expr(
+                "CAST(1000000 * vx + 10000 * frac * (vx1 - vx)"
+                " - 1000000 * vt1 AS BIGINT)"
+            ).alias("delta_q6"),
+        )
+        .orderBy("p")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -3965,6 +4085,8 @@ _FRONT = [
     "part_revenue_concentration", "query_string_search", "rescore_topn",
     "bigram_lm_surprisal", "sparse_cosine_pairs", "pagerank_ann_graph",
     "dup_ngram_fraction",
+    # session 241 (round 5): below the 50-slot sample boundary
+    "percentile_method_compare",
     # session 240 (round 5): below the 50-slot sample boundary
     "binary_segmentation_daily",
     # session 239 (round 5): below the 50-slot sample boundary
