@@ -483,7 +483,9 @@ def main() -> None:
                  # session 240 flagship
                  "binary_segmentation_daily",
                  # session 241 flagship
-                 "percentile_method_compare"]:
+                 "percentile_method_compare",
+                 # session 242 flagship
+                 "tf_saturation_profile"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -4036,6 +4036,71 @@ def percentile_method_compare(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 242 — BM25 tf-saturation profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tf_saturation_profile",
+    f"""WITH tf AS ({SQL_TF}),
+b AS (SELECT CASE WHEN tf >= 8 THEN 8 ELSE tf END AS tfb, CAST(count(*) AS BIGINT) AS n
+      FROM tf GROUP BY 1),
+spine AS (SELECT unnest(generate_series(1, 8)) AS tfb),
+s AS (
+  SELECT spine.tfb, CAST(COALESCE(b.n, 0) AS BIGINT) AS n_postings,
+         CAST((1000000 * spine.tfb * 22) // (10 * spine.tfb + 12) AS BIGINT) AS sat_q6,
+         CAST((1000000 * spine.tfb * 22) // (10 * spine.tfb + 12)
+              - CASE WHEN spine.tfb = 1 THEN 0
+                     ELSE (1000000 * (spine.tfb - 1) * 22) // (10 * (spine.tfb - 1) + 12) END
+              AS BIGINT) AS marginal_q6
+  FROM spine LEFT JOIN b ON b.tfb = spine.tfb)
+SELECT CAST(tfb AS BIGINT) AS tf_band, n_postings, sat_q6, marginal_q6
+FROM s ORDER BY tf_band""",
+)
+def tf_saturation_profile(spark, sf_dir):
+    """Where THIS corpus sits on BM25's tf-saturation curve: per tf band
+    (1..7, 8+ clipped), the posting mass against the k1=1.2 saturation
+    value tf·(k1+1)/(tf+k1) and its marginal gain over tf−1 — the
+    evidence for the k1 knob read jointly with tf_spectrum: if nearly
+    all posting mass sits at tf=1 (marginal 1.0→0.37 per extra
+    occurrence), tuning k1 moves almost nothing; heavy tf≥4 mass means
+    k1 decides real rank gaps (maxtf_ratio_histogram flags the doc-level
+    extreme of the same phenomenon).
+
+    Determinism: the saturation is EXACT integer arithmetic —
+    tf·2.2/(tf+1.2) = 22·tf/(10·tf+12), so q6 values come from one
+    integer floor division (no float, no libm); band counts exact; the
+    1..8 spine keeps empty bands present.
+
+    Scale shape: one tf-table band agg with map-side combine; the
+    saturation columns are spine-local constants; output 8 rows."""
+    tf = _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+    b = tf.select(
+        F.expr("CASE WHEN tf >= 8 THEN 8 ELSE tf END").alias("tfb")
+    ).groupBy("tfb").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    spine = spark.range(1, 9).select(F.col("id").alias("tfb"))
+    return (
+        spine.join(b, "tfb", "left")
+        .select(
+            F.col("tfb").cast("long").alias("tf_band"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_postings"),
+            F.expr(
+                "CAST((1000000 * tfb * 22) div (10 * tfb + 12) AS BIGINT)"
+            ).alias("sat_q6"),
+            F.expr(
+                "CAST((1000000 * tfb * 22) div (10 * tfb + 12)"
+                " - CASE WHEN tfb = 1 THEN 0"
+                " ELSE (1000000 * (tfb - 1) * 22) div (10 * (tfb - 1) + 12) END"
+                " AS BIGINT)"
+            ).alias("marginal_q6"),
+        )
+        .orderBy("tf_band")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -4085,6 +4150,8 @@ _FRONT = [
     "part_revenue_concentration", "query_string_search", "rescore_topn",
     "bigram_lm_surprisal", "sparse_cosine_pairs", "pagerank_ann_graph",
     "dup_ngram_fraction",
+    # session 242 (round 5): below the 50-slot sample boundary
+    "tf_saturation_profile",
     # session 241 (round 5): below the 50-slot sample boundary
     "percentile_method_compare",
     # session 240 (round 5): below the 50-slot sample boundary
