@@ -485,7 +485,9 @@ def main() -> None:
                  # session 241 flagship
                  "percentile_method_compare",
                  # session 242 flagship
-                 "tf_saturation_profile"]:
+                 "tf_saturation_profile",
+                 # session 243 flagship
+                 "taat_accumulator_budget"]:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).collect()
         queries[name] = round(time.perf_counter() - t0, 4)

@@ -4101,6 +4101,75 @@ def tf_saturation_profile(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session 243 — TAAT accumulator budget vs DAAT heap
+# ---------------------------------------------------------------------------
+
+_TAAT_QUERIES = [
+    ("spark hash join", ["spark", "hash", "join"]),
+    ("dup", ["dup"]),
+    ("the spark", ["the", "spark"]),
+]
+_TAAT_QT_SQL = " UNION ALL ".join(
+    f"SELECT '{q}' AS query, '{t}' AS term" for q, ts in _TAAT_QUERIES for t in ts
+)
+
+
+@register(
+    "taat_accumulator_budget",
+    f"""WITH tf AS ({SQL_TF}),
+qt AS ({_TAAT_QT_SQL}),
+m AS (SELECT qt.query, tf.doc_id, tf.term
+      FROM tf JOIN qt ON qt.term = tf.term)
+SELECT query,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_terms_matched,
+       CAST(count(*) AS BIGINT) AS postings_scanned,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS taat_accumulators,
+       CAST(10 AS BIGINT) AS daat_heap,
+       CAST((1000000 * count(DISTINCT doc_id)) // 10 AS BIGINT)
+         AS memory_ratio_q6
+FROM m GROUP BY query ORDER BY query""",
+)
+def taat_accumulator_budget(spark, sf_dir):
+    """Term-at-a-time vs document-at-a-time evaluation memory, priced per
+    canned query: TAAT keeps one score accumulator per DISTINCT matching
+    doc (the union of the query's posting lists — memory grows with
+    match breadth, which is why TAAT died at web scale), DAAT keeps a
+    k-entry heap plus one cursor per term. memory_ratio_q6 =
+    accumulators per heap slot is the classic argument for the DAAT/
+    WAND serving tier this engine ships (wand.py); intersection_order_
+    cost prices conjunctive AND, this prices the disjunctive OR's state.
+
+    Determinism: exact distinct counts; queries with zero matching
+    postings emit no row (inner join), the shard_fanout convention.
+
+    Scale shape: query terms broadcast into the tf table; one
+    per-query agg with map-side combine; ≤3 rows out."""
+    tf = _toks(_docs(spark, sf_dir)).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in _TAAT_QUERIES for t in ts], "query string, term string"
+    )
+    m = tf.join(F.broadcast(qt), "term")
+    return (
+        m.groupBy("query")
+        .agg(
+            F.countDistinct("term").cast("long").alias("n_terms_matched"),
+            F.count(F.lit(1)).cast("long").alias("postings_scanned"),
+            F.countDistinct("doc_id").cast("long").alias("taat_accumulators"),
+        )
+        .select(
+            "query", "n_terms_matched", "postings_scanned", "taat_accumulators",
+            F.lit(10).cast("long").alias("daat_heap"),
+            F.expr(
+                "CAST((1000000 * taat_accumulators) div 10 AS BIGINT)"
+            ).alias("memory_ratio_q6"),
+        )
+        .orderBy("query")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for driver sampling
 # ---------------------------------------------------------------------------
 # The driver's per-round correctness gate samples a prefix of the registry
@@ -4150,6 +4219,8 @@ _FRONT = [
     "part_revenue_concentration", "query_string_search", "rescore_topn",
     "bigram_lm_surprisal", "sparse_cosine_pairs", "pagerank_ann_graph",
     "dup_ngram_fraction",
+    # session 243 (round 5): below the 50-slot sample boundary
+    "taat_accumulator_budget",
     # session 242 (round 5): below the 50-slot sample boundary
     "tf_saturation_profile",
     # session 241 (round 5): below the 50-slot sample boundary
